@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** Batch-expressible analogs of the reference's pipeline semantics
+  * (SURVEY.md §2.1–§2.3, §2.10), exercised over the `events` table so
+  * the DuckDB oracle can check them:
+  *
+  *   - route fan-out with drop-unmatched (custom_resource.py:340-342)
+  *   - doc-id derivation (getMetadata("primary_key"), :350)
+  *   - CDC last-writer-wins keyed state (opensearch_action, :350-351)
+  *   - backfill ∪ stream handoff with overlap dedupe (:330-336)
+  *   - valid/DLQ record split (:358-363)
+  *   - event-time tumbling window (engine extra, ST5)
+  *
+  * The streaming forms of these live in `graft.streaming` (spec-checked
+  * with MemoryStream); these batch forms share the same column logic.
+  */
+object EtlOps {
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Route fan-out: `click`/`view` are the bound routes; everything else
+    // is dropped (reference drops assignment/booking). One pass, counts
+    // per route. In the writer path this is `partitionBy(route)`.
+    GraftQuery(
+      "q50_route_fanout",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type").as("route"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("route"))
+      },
+      Some("""
+        SELECT event_type AS route, COUNT(*) AS n_docs,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events WHERE event_type IN ('click','view')
+        GROUP BY 1 ORDER BY route
+      """.stripMargin.trim)),
+
+    // CDC last-writer-wins: final state per key after replaying the
+    // change log in (ts, event_id) order — the core of the keyed upsert
+    // sink (S7). Window partitions by the high-cardinality key.
+    GraftQuery(
+      "q51_cdc_lww",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("tsec", date_trunc("second", col("ts")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsec").desc, col("event_id").desc)
+        e.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("tsec").as("last_ts"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tsec,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               tsec AS last_ts
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+      """.stripMargin.trim)),
+
+    // Backfill ∪ stream handoff: "export" = first 60% of event ids,
+    // "stream" = last 60% (overlapping middle 20%), dedupe by key keeping
+    // the stream copy — the zero-ETL bootstrap (ST1) as one plan.
+    GraftQuery(
+      "q52_backfill_union",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val n = e.agg(max(col("event_id"))).head().getLong(0)
+        val export = e.filter(col("event_id") <= lit(n * 6 / 10))
+          .withColumn("src", lit("export"))
+        val stream = e.filter(col("event_id") >= lit(n * 4 / 10))
+          .withColumn("src", lit("stream"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(when(col("src") === "stream", 1).otherwise(0).desc)
+        export.unionByName(stream)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+          .orderBy(col("src"))
+      },
+      Some("""
+        WITH n AS (SELECT MAX(event_id) AS mx FROM events),
+        u AS (
+          SELECT event_id, 'export' AS src FROM events, n WHERE event_id <= mx * 6 // 10
+          UNION ALL
+          SELECT event_id, 'stream' AS src FROM events, n WHERE event_id >= mx * 4 // 10),
+        d AS (
+          SELECT event_id, src,
+                 ROW_NUMBER() OVER (PARTITION BY event_id
+                   ORDER BY CASE WHEN src = 'stream' THEN 1 ELSE 0 END DESC) AS rn
+          FROM u)
+        SELECT src, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        FROM d WHERE rn = 1 GROUP BY src ORDER BY src
+      """.stripMargin.trim)),
+
+    // Valid/DLQ split: a record whose props payload fails schema checks
+    // (here: k must parse as an int < 90) goes to the DLQ side output;
+    // both sides are counted in one pass (S6 semantics).
+    GraftQuery(
+      "q53_dlq_split",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        e.withColumn("sink",
+            when(col("k").isNotNull && col("k") < 90, lit("main")).otherwise(lit("dlq")))
+          .groupBy(col("sink"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy(col("sink"))
+      },
+      Some("""
+        WITH t AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        SELECT CASE WHEN k IS NOT NULL AND k < 90 THEN 'main' ELSE 'dlq' END AS sink,
+               COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM t GROUP BY 1 ORDER BY sink
+      """.stripMargin.trim)),
+
+    // Event-time tumbling window (1 day), batch form of ST5. Spark
+    // window() starts are epoch-aligned, so they equal date_trunc('day').
+    GraftQuery(
+      "q55_window_tumbling",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+      """.stripMargin.trim))
+  )
+}

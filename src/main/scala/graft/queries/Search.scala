@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.sources.Tables
+
+/** OpenSearch-style search surface (SURVEY.md §2.9) over the per-entity
+  * document tables: term/terms/range/prefix predicates, bool
+  * compositions, tokenized match with a deterministic score, terms+stats
+  * aggregations on hits, and sort+from/size pagination. All Catalyst
+  * built-ins — filters push to the parquet scan, and the match query's
+  * token overlap is a codegen'd array intersection (no shuffle until the
+  * final order/limit).
+  */
+object Search {
+
+  def queries: Seq[GraftQuery] = Seq(
+    // bool query: must (terms + range) + must_not + prefix.
+    GraftQuery(
+      "q40_search_bool",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.filter(
+            col("lang").isin("en", "fr") &&
+            col("n_chars").between(200, 400) &&
+            !(col("source") === "src0") &&
+            col("text").startsWith("the "))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang IN ('en','fr') AND n_chars BETWEEN 200 AND 400
+          AND source <> 'src0' AND text LIKE 'the %'
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // match query: tokenized overlap with the query terms; score = number
+    // of distinct query terms present (deterministic integer relevance).
+    GraftQuery(
+      "q41_search_match",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val terms = array(lit("spark"), lit("join"), lit("window"))
+        d.withColumn("score",
+            size(array_intersect(array_distinct(split(col("text"), " ")), terms)).cast("long"))
+          .filter(col("score") >= 2)
+          .select(col("doc_id"), col("score"), col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                         ['spark','join','window'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score, lang FROM scored
+        WHERE score >= 2 ORDER BY score DESC, doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // sort + from/size pagination (OpenSearch from=20, size=10).
+    GraftQuery(
+      "q42_search_pagination",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), col("n_chars"), col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .offset(20).limit(10)
+      },
+      Some("""
+        SELECT doc_id, n_chars, source FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 20
+      """.stripMargin.trim)),
+
+    // aggregations on hits: filter, then terms agg (source) with stats
+    // sub-agg (n_chars) — the OpenSearch search+aggs round trip.
+    GraftQuery(
+      "q43_search_terms_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("doc_count"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+          .orderBy(col("doc_count").desc, col("source"))
+      },
+      Some("""
+        SELECT source, COUNT(*) AS doc_count,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents WHERE lang = 'en'
+        GROUP BY source ORDER BY doc_count DESC, source
+      """.stripMargin.trim))
+  )
+}
