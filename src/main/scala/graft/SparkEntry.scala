@@ -30,7 +30,10 @@ object Registry {
     graft.queries.Relational.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.Search.queries ++
-      graft.queries.EtlOps.queries
+      graft.queries.EtlOps.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name)

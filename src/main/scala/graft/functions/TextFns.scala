@@ -20,11 +20,15 @@ object TextFns {
   /** Whitespace tokens (single-space corpus; `split` is codegen'd). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** BPE-ish tokenizer: splits on word/number/punctuation boundaries —
-    * the usual pre-tokenization regex shape used by GPT-style BPE.
+  /** BPE-ish tokenizer: alphanumeric runs plus single non-space
+    * punctuation marks — the usual pre-tokenization shape of GPT-style
+    * BPE. RE2-compatible (no lookarounds) so the DuckDB oracle can run
+    * the identical pattern.
     */
+  val BpeTokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+
   def regexTokens(text: Column): Column =
-    filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= "" && t =!= " ")
+    regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
 
   /** Distinct word n-gram shingles; docs shorter than n collapse to one
     * whole-text shingle. n fixed at 3 to keep oracle SQL expressible.

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.functions.{TextFns, VectorFns}
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * of a training-data curation pipeline at 100 TB:
+  *
+  *   - exact dedup: hash-groupBy on a canonical fingerprint (1 shuffle)
+  *   - n-gram Jaccard: inverted-index join on shingles (never a cross
+  *     join — candidate pairs are generated only where a shingle is
+  *     shared, then grouped; skew guard = drop ultra-frequent shingles
+  *     at real scale, noted below)
+  *   - MinHash+LSH: signature → band buckets → equi-join within bucket
+  *     → exact verification. The scale path: shuffle volume is
+  *     O(docs × bands), independent of pair count.
+  *   - SimHash: 60-bit fingerprint, banded into 4×15-bit blocks; by
+  *     pigeonhole any pair with hamming ≤ 3 shares a block, so an
+  *     equi-join on (block, value) finds all candidates.
+  *   - embedding near-dup: quantized-integer cosine over all pairs
+  *     (the LSH-bucketed scale variant is in Similarity/q76's IVF
+  *     machinery; at verify scale the exact form doubles as its oracle).
+  *
+  * MinHash/LSH verification makes q72's output *exactly* the ≥0.8
+  * Jaccard pairs (recall of 16 bands × 2 rows at j≥0.8 is
+  * 1-(1-0.64)^16 ≈ 1-3e-8), so q71 and q72 share one oracle.
+  */
+object Dedup {
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextFns.shingles3(TextFns.tokens(col("text"))).as("sh"))
+
+  private val jaccardOracleSql = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(tok) >= 3
+                 THEN list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok)-1)])
+                 ELSE [array_to_string(tok, ' ')] END AS sh
+          FROM t),
+    p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+          FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT a_id, b_id, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+    ORDER BY a_id, b_id
+  """.stripMargin.trim
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Exact dedup: canonical fingerprint → min doc_id survives. One
+    // hash-partitioned groupBy; survivors + dup counts per source.
+    GraftQuery(
+      "q70_dedup_exact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("fp", md5(TextFns.normalizeText(col("text"))))
+        d.groupBy(col("source"), col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_unique"),
+            sum(col("copies")).as("n_docs"),
+            sum(col("copies") - 1).as("n_dupes"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT source, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                 MIN(doc_id) AS keep_id, COUNT(*) AS copies
+          FROM documents GROUP BY source, fp)
+        SELECT source, COUNT(*) AS n_unique,
+               CAST(SUM(copies) AS BIGINT) AS n_docs,
+               CAST(SUM(copies - 1) AS BIGINT) AS n_dupes
+        FROM g GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Exact n-gram Jaccard via inverted index: explode distinct shingles,
+    // equi-join postings, count shared shingles per pair. At 100 TB add a
+    // document-frequency cap on shingles (stop-shingle pruning) or switch
+    // to q72's MinHash path; the join below already only materializes
+    // pairs that share ≥1 shingle.
+    GraftQuery(
+      "q71_dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = shingled(s, dir).withColumn("nsh", size(col("sh")).cast("long"))
+        val post = d.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+        val a = post.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
+        val b = post.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+        a.join(b, Seq("s"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(jaccardOracleSql),
+      headline = true),
+
+    // MinHash(32) + LSH(16 bands × 2 rows) candidates, then exact
+    // verification — output identical to q71 but with shuffle volume
+    // O(docs × bands) instead of O(shared-shingle pairs). This is the
+    // 100 TB dedup path.
+    GraftQuery(
+      "q72_dedup_minhash_lsh",
+      (s, dir) => {
+        val base = shingled(s, dir)
+        val bands = base
+          .select(col("doc_id"), explode(TextFns.lshBands(
+            TextFns.minhashSignature(col("sh"), 32), 16, 2)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+        val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+          .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(jaccardOracleSql),
+      headline = true),
+
+    // SimHash near-dup: 60-bit tf-weighted fingerprint; banded block
+    // join (pigeonhole-complete for hamming ≤ 3) instead of a cross
+    // join. The oracle recomputes the identical md5-derived fingerprint
+    // pairwise.
+    GraftQuery(
+      "q73_dedup_simhash",
+      (s, dir) => {
+        val f = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFns.simhash60(TextFns.tokens(col("text"))).as("fp"))
+        val blocks = f
+          .select(col("doc_id"), col("fp"), explode(TextFns.simhashBlocks(col("fp"))).as("b"))
+          .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.v").as("v"))
+        blocks.as("x").join(blocks.as("y"), Seq("blk", "v"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            col("x.fp").as("a_fp"), col("y.fp").as("b_fp"))
+          .distinct()
+          .withColumn("dist", TextFns.hamming(col("a_fp"), col("b_fp")).cast("long"))
+          .filter(col("dist") <= 3)
+          .select(col("a_id"), col("b_id"), col("dist"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        h AS (SELECT doc_id, [(('0x' || substr(md5(x), 1, 15))::BIGINT) for x in tok] AS hs FROM t),
+        bits AS (
+          SELECT doc_id, b,
+            CASE WHEN list_sum([CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END for hh in hs]) >= 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit
+          FROM h CROSS JOIN unnest(range(0, 60)) AS t2(b)),
+        f AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS fp FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY a_id, b_id
+      """.stripMargin.trim)),
+
+    // Embedding near-dup: quantized-integer cosine ≥ 0.42 over all
+    // pairs. Exact/bit-deterministic (see VectorFns); at real scale the
+    // pair generation moves into LSH/IVF buckets (q76) — the threshold
+    // filter and cosine math stay identical.
+    GraftQuery(
+      "q74_dedup_embedding",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+          .withColumn("n2", VectorFns.qnorm2(col("q")))
+        val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na2"))
+        val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb2"))
+        a.crossJoin(b)
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("sim", VectorFns.qcosine(
+            VectorFns.qdot(col("qa"), col("qb")), col("na2"), col("nb2")))
+          .filter(col("sim") >= 0.42)
+          .select(col("a_id"), col("b_id"), col("sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, sim FROM p WHERE sim >= 0.42 ORDER BY a_id, b_id
+      """.stripMargin.trim))
+  )
+}

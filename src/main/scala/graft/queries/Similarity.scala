@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.GraftQuery
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * q75 is the exact baseline: broadcast the (small) query set against
+  * the full vector table — one map-side pass over the corpus, then a
+  * per-query top-k window. Scales to any corpus size (corpus is never
+  * shuffled; only |queries| × k rows survive).
+  *
+  * q76 is the IVF scale path: a coarse quantizer (cluster centroids)
+  * prunes the corpus to nprobe buckets per query, cutting scanned
+  * vectors by ~nclusters/nprobe. Approximate by construction, so it is
+  * spec-checked for recall against q75 instead of oracle-checked.
+  */
+object Similarity {
+
+  private val K = 5
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Brute-force cosine top-k: exact, deterministic (quantized-integer
+    // dot products, ties broken by neighbor id).
+    GraftQuery(
+      "q75_ann_brute",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
+          .withColumn("n2", VectorFns.qnorm2(col("q")))
+        val queriesDf = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        broadcast(queriesDf).crossJoin(e)
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("sim", VectorFns.qcosine(
+            VectorFns.qdot(col("qq"), col("q")), col("qn2"), col("n2")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+        qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q_id, vec_id,
+                 list_dot_product(qq, q) / (sqrt(qn2) * sqrt(n2)) AS sim
+          FROM qs CROSS JOIN n WHERE q_id <> vec_id),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id AS neighbor_id, sim
+        FROM ranked WHERE rank <= $K ORDER BY q_id, rank
+      """.stripMargin.trim),
+      headline = true),
+
+    // IVF ANN: centroids = per-cluster mean of quantized vectors (the
+    // corpus ships with a cluster assignment; a k-means pass would
+    // produce one otherwise), nprobe=3 nearest clusters per query, exact
+    // top-k within the probed buckets. Corpus scan cut ≈ nclusters/nprobe.
+    GraftQuery(
+      "q76_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("q"))
+          .withColumn("n2", VectorFns.qnorm2(col("q")))
+
+        // centroid per label: element-wise mean over exact integer sums
+        val dims = 0 until 64
+        val sums = dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+        val cent = e.groupBy(col("label"))
+          .agg(sums.head, sums.tail :+ count(lit(1)).as("cnt"): _*)
+          .select(col("label").as("c_label"),
+            array(dims.map(i => col(s"s$i").cast("double") / col("cnt")): _*).as("cvec"))
+          .withColumn("cn2", aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
+
+        val queriesDf = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+
+        // nprobe nearest centroids per query (tiny: |queries| × |clusters|)
+        val qdotc = aggregate(
+          zip_with(col("qq"), col("cvec"), (x, y) => x.cast("double") * y),
+          lit(0.0), (a, x) => a + x)
+        val wc = Window.partitionBy(col("q_id"))
+          .orderBy(col("csim").desc, col("c_label"))
+        val probes = broadcast(queriesDf).crossJoin(broadcast(cent))
+          .withColumn("csim",
+            qdotc / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2"))))
+          .withColumn("crank", row_number().over(wc))
+          .filter(col("crank") <= 3)
+          .select(col("q_id"), col("qq"), col("qn2"), col("c_label").as("label"))
+
+        // exact search within probed buckets only
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        broadcast(probes).join(e, Seq("label"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("sim", VectorFns.qcosine(
+            VectorFns.qdot(col("qq"), col("q")), col("qn2"), col("n2")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      None)
+  )
+}

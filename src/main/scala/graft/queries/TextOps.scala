@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation over the
+  * `documents` table: language ID (stopword-overlap heuristic), quality
+  * scoring, token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting. All per-row `Column` compositions (map-side only —
+  * the single shuffle in each query is the final aggregate/sort), so
+  * every one of these scales embarrassingly with input size.
+  */
+object TextOps {
+
+  /** Deterministic per-"language" stopword sets for the heuristic
+    * classifier. Arbitrary but fixed; scoring = total token hits.
+    */
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "scan", "merge", "hash"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("join", "sort", "filter", "group"),
+    "fr" -> Seq("row", "column", "line", "value"),
+    "zh" -> Seq("spark", "stream", "batch", "window"))
+
+  private def hitCount(tok: Column, words: Seq[String]): Column =
+    size(filter(tok, t => t.isin(words: _*))).cast("long")
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Language ID: argmax of stopword-set overlap, first-wins tie-break
+    // in fixed lang order; confusion matrix against the labeled lang.
+    GraftQuery(
+      "q60_text_langid",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("tok", TextFns.tokens(col("text")))
+        val scored = langSets.foldLeft(d) { case (df, (l, ws)) =>
+          df.withColumn(s"s_$l", hitCount(col("tok"), ws))
+        }
+        val langs = langSets.map(_._1)
+        val pred = langs.foldRight(lit(langs.last)) { case (l, rest) =>
+          val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
+          if (l == langs.last) rest
+          else when(col(s"s_$l") >= greatest(others: _*), lit(l)).otherwise(rest)
+        }
+        scored.withColumn("predicted", pred)
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some("""
+        WITH t AS (SELECT lang, string_split(text, ' ') AS tok FROM documents),
+        s AS (SELECT lang,
+          CAST(len(list_filter(tok, x -> list_contains(['table','scan','merge','hash'], x))) AS BIGINT) AS s_de,
+          CAST(len(list_filter(tok, x -> list_contains(['the','a','fast','slow'], x))) AS BIGINT) AS s_en,
+          CAST(len(list_filter(tok, x -> list_contains(['join','sort','filter','group'], x))) AS BIGINT) AS s_es,
+          CAST(len(list_filter(tok, x -> list_contains(['row','column','line','value'], x))) AS BIGINT) AS s_fr,
+          CAST(len(list_filter(tok, x -> list_contains(['spark','stream','batch','window'], x))) AS BIGINT) AS s_zh
+        FROM t),
+        p AS (SELECT lang,
+          CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+               WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+               WHEN s_es >= greatest(s_de, s_en, s_fr, s_zh) THEN 'es'
+               WHEN s_fr >= greatest(s_de, s_en, s_es, s_zh) THEN 'fr'
+               ELSE 'zh' END AS predicted
+        FROM s)
+        SELECT lang, predicted, COUNT(*) AS n FROM p
+        GROUP BY lang, predicted ORDER BY lang, predicted
+      """.stripMargin.trim)),
+
+    // Quality scoring: type-token ratio, stopword ratio, length factor —
+    // weighted into one double score from exact integer inputs, so the
+    // score is engine-identical. The shape of C4/Gopher-style filters.
+    GraftQuery(
+      "q61_text_quality",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("tok", TextFns.tokens(col("text")))
+        d.withColumn("n_tok", size(col("tok")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("tok"))).cast("long"))
+          .withColumn("n_stop", hitCount(col("tok"), Seq("the", "a")))
+          .withColumn("ttr", col("n_distinct").cast("double") / col("n_tok").cast("double"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok").cast("double"))
+          .withColumn("len_factor",
+            least(col("n_tok").cast("double") / lit(100.0), lit(1.0)))
+          .withColumn("quality",
+            col("ttr") * lit(0.3) + (lit(1.0) - col("stop_ratio")) * lit(0.4) +
+              col("len_factor") * lit(0.3))
+          .filter(col("quality") > 0.5)
+          .select(col("doc_id"), col("n_tok"), col("ttr"), col("stop_ratio"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(tok) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(tok)) AS BIGINT) AS n_distinct,
+          CAST(len(list_filter(tok, x -> list_contains(['the','a'], x))) AS BIGINT) AS n_stop
+        FROM t),
+        q AS (SELECT doc_id, n_tok,
+          CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+          CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+          least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS len_factor
+        FROM m)
+        SELECT doc_id, n_tok, ttr, stop_ratio,
+               ttr * 0.3 + (1.0 - stop_ratio) * 0.4 + len_factor * 0.3 AS quality
+        FROM q WHERE ttr * 0.3 + (1.0 - stop_ratio) * 0.4 + len_factor * 0.3 > 0.5
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens + chars,
+    // aggregated per source — the billing/budget pass of a data pipeline.
+    GraftQuery(
+      "q62_text_tokens",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.withColumn("n_ws", size(TextFns.tokens(col("text"))).cast("long"))
+          .withColumn("n_bpe", size(TextFns.regexTokens(col("text"))).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_ws")).as("ws_tokens"),
+            sum(col("n_bpe")).as("bpe_tokens"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS chars
+        FROM documents GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Document fingerprinting: md5 over canonicalized text (the
+    // portable form; the rolling-hash variant in TextFns is spec-checked)
+    // + per-fingerprint group size = exact-dup detection at any scale.
+    GraftQuery(
+      "q63_text_fingerprint",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.withColumn("fp", substring(md5(TextFns.normalizeText(col("text"))), 1, 16))
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+        FROM documents ORDER BY doc_id
+      """.stripMargin.trim))
+  )
+}
