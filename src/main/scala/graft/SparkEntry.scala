@@ -33,7 +33,8 @@ object Registry {
       graft.queries.EtlOps.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.MultimodalOps.queries
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name)

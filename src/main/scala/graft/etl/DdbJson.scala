@@ -1,0 +1,143 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DynamoDB typed-attribute-value ("DDB-JSON") decoding — operator T1
+  * of SURVEY.md §2.3.
+  *
+  * Every attribute of an exported item is a 1-entry map `{tag: value}`
+  * with tags S/N/BOOL/NULL/B/SS/NS/BS/L/M (reference corpus:
+  * /root/reference/assets/dynamodb-data/table-data.json:3-5 for S,
+  * :100-106 for N-as-string, :96-97 for BOOL, and the empty `__id: {}`
+  * placeholder at :33 that the reference strips before writing,
+  * assets/custom_resource.py:146-147).
+  *
+  * Decoding is a per-row `Column` composition (struct field access +
+  * coalesce/cast) — fully codegen'd, no UDF, no shuffle: at 100 TB this
+  * is a map-only pass fused into the scan.
+  */
+object DdbJson {
+
+  /** Envelope for one typed attribute value. `L`/`M` are simplified to
+    * string-valued forms (sufficient for the reference surface; nested
+    * recursion would need a variant/JSON-string representation).
+    */
+  val attrValueSchema: StructType = StructType(Seq(
+    StructField("S", StringType),
+    StructField("N", StringType), // DynamoDB numbers are arbitrary-precision strings
+    StructField("BOOL", BooleanType),
+    StructField("NULL", BooleanType),
+    StructField("B", StringType), // base64
+    StructField("SS", ArrayType(StringType)),
+    StructField("NS", ArrayType(StringType)),
+    StructField("BS", ArrayType(StringType)),
+    StructField("L", ArrayType(StringType)),
+    StructField("M", MapType(StringType, StringType))))
+
+  /** A raw item: attribute name → typed value. */
+  val itemSchema: MapType = MapType(StringType, attrValueSchema)
+
+  /** DynamoDB S3 export line format: `{"Item": {…typed attrs…}}`. */
+  val exportLineSchema: StructType =
+    StructType(Seq(StructField("Item", itemSchema)))
+
+  /** Change-stream event (harness shape of a DynamoDB Streams record
+    * with NEW_IMAGE view, table-attributes.json:74-77): op kind, key
+    * images, new image, and a monotonic sequence for per-key ordering.
+    */
+  val changeEventSchema: StructType = StructType(Seq(
+    StructField("eventName", StringType), // INSERT | MODIFY | REMOVE
+    StructField("Keys", itemSchema),
+    StructField("NewImage", itemSchema),
+    StructField("SequenceNumber", LongType),
+    StructField("ApproximateCreationDateTime", LongType))) // epoch seconds
+
+  /** Batch read of a DynamoDB S3 export (S1): JSON-lines of Item
+    * envelopes. Explicit schema — no inference pass over 100 TB.
+    */
+  def readExport(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(exportLineSchema).json(path)
+      .select(col("Item").as("item"))
+      .filter(col("item").isNotNull)
+
+  /** True iff a typed value carries no tag at all (the `__id: {}`
+    * dirty-data case) — P4 cleanup drops these.
+    */
+  private def isEmptyAttr(v: Column): Column =
+    v.getField("S").isNull && v.getField("N").isNull &&
+      v.getField("BOOL").isNull && v.getField("NULL").isNull &&
+      v.getField("B").isNull && v.getField("SS").isNull &&
+      v.getField("NS").isNull && v.getField("BS").isNull &&
+      v.getField("L").isNull && v.getField("M").isNull
+
+  /** P4: strip attributes whose typed value is empty (generalizes the
+    * reference's `del item['__id']`, custom_resource.py:146-147).
+    */
+  def dropEmptyAttrs(item: Column): Column =
+    map_filter(item, (_, v) => !isEmptyAttr(v))
+
+  /** Decode an attribute to its natural string form: S as-is, N's
+    * digits, BOOL as true/false. (Per-entity schemas then cast.) */
+  def attrString(item: Column, name: String): Column = {
+    val v = item.getItem(name)
+    coalesce(v.getField("S"), v.getField("N"), v.getField("BOOL").cast("string"))
+  }
+
+  /** Decode a numeric attribute. DynamoDB `N` is an arbitrary-precision
+    * decimal string; lenient: falls back to a numeric-looking `S`
+    * (the dataset's `number` field is N on flights but S on assignments
+    * — table-data.json:106 vs the assignment item at :376-419).
+    */
+  def attrDecimal(item: Column, name: String): Column = {
+    val v = item.getItem(name)
+    coalesce(v.getField("N"), v.getField("S")).cast(DecimalType(38, 18))
+  }
+
+  def attrLong(item: Column, name: String): Column =
+    attrDecimal(item, name).cast("long")
+
+  def attrBool(item: Column, name: String): Column =
+    item.getItem(name).getField("BOOL")
+
+  def attrTimestamp(item: Column, name: String): Column =
+    to_timestamp(attrString(item, name)) // ISO-8601 like "2021-08-01T23:59:59"
+
+  def attrStringArray(item: Column, name: String): Column = {
+    val v = item.getItem(name)
+    coalesce(v.getField("SS"), parseStringifiedList(v.getField("S")))
+  }
+
+  /** Parse the corpus's stringified collections — `"[wheelchair, vegan]"`
+    * (table-data.json:715) and `"{DEN, SFO}"` (:271) — into arrays.
+    * Empty list `"[]"` → empty array; non-list strings → null.
+    */
+  def parseStringifiedList(s: Column): Column =
+    when(s.rlike("^[\\[{].*[\\]}]$"),
+      filter(
+        split(regexp_replace(s, "^[\\[{]\\s*|\\s*[\\]}]$", ""), ",\\s*"),
+        t => t =!= ""))
+
+  /** T2: stable document id = PK + "#" + SK (the pipeline's
+    * `getMetadata("primary_key")`, custom_resource.py:350).
+    */
+  def docId(pk: Column, sk: Column): Column = concat_ws("#", pk, sk)
+
+  /** T3: stream event kind → sink action (`opensearch_action`,
+    * custom_resource.py:351): REMOVE → delete, INSERT/MODIFY → upsert.
+    */
+  def action(eventName: Column): Column =
+    when(eventName === "REMOVE", lit("delete")).otherwise(lit("upsert"))
+
+  /** Decode the generic columns every routed entity carries. */
+  def decodeCommon(df: DataFrame): DataFrame = {
+    val item = dropEmptyAttrs(col("item"))
+    df.select(
+      attrString(item, "PK").as("PK"),
+      attrString(item, "SK").as("SK"),
+      attrString(item, "type").as("type"),
+      item.as("item"))
+      .withColumn("_doc_id", docId(col("PK"), col("SK")))
+  }
+}

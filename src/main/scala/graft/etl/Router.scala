@@ -1,0 +1,46 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Predicate routing with drop-unmatched semantics — P1–P3 of
+  * SURVEY.md §2.2, mirroring the Data Prepper `route:` block
+  * (custom_resource.py:340-342): an event may match multiple routes;
+  * events matching none reach no sink (the reference silently drops
+  * `assignment`/`booking`).
+  *
+  * Two physical strategies:
+  *  - `route`: N filters over one (optionally cached) input — right
+  *    when routes feed different downstream transforms.
+  *  - `writeFanout`: single-pass `partitionBy` write — right when
+  *    routes only differ by destination; one scan regardless of route
+  *    count, and downstream reads get partition pruning for free.
+  */
+object Router {
+
+  final case class Routed(matched: Map[String, DataFrame], dropped: DataFrame)
+
+  def route(df: DataFrame, routes: Seq[(String, Column)],
+      cache: Boolean = true): Routed = {
+    val src = if (cache) df.persist() else df
+    val anyMatch = routes.map(_._2).reduce(_ || _)
+    Routed(
+      routes.map { case (name, pred) => name -> src.filter(pred) }.toMap,
+      src.filter(!coalesce(anyMatch, lit(false))))
+  }
+
+  /** Single-pass fan-out write: route tag becomes a partition column.
+    * Unmatched rows go to `_dropped` when `keepDropped`, else nowhere
+    * (reference-faithful default).
+    */
+  def writeFanout(df: DataFrame, routes: Seq[(String, Column)], path: String,
+      keepDropped: Boolean = false): Unit = {
+    val tag = routes.foldRight(
+      if (keepDropped) lit("_dropped") else lit(null: String)) {
+      case ((name, pred), other) => when(pred, lit(name)).otherwise(other)
+    }
+    df.withColumn("_route", tag)
+      .filter(col("_route").isNotNull)
+      .write.mode("overwrite").partitionBy("_route").parquet(path)
+  }
+}

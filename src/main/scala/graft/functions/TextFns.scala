@@ -103,11 +103,12 @@ object TextFns {
     }: _*)
 
   /** Polynomial rolling-hash fingerprint of a string (base 31 over
-    * UTF-8 code units, mod 2^61-1) — cheap per-row document identity
-    * for incremental pipelines. Engine-side only (spec-checked).
+    * code points, mod 2^31-1) — cheap per-row document identity for
+    * incremental pipelines. Modulus keeps `acc*31 + c` < 2^41, safe
+    * under ANSI overflow checking. Engine-side only (spec-checked).
     */
   def rollingHash(s: Column): Column = {
-    val p = (1L << 61) - 1
+    val p = (1L << 31) - 1
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),

@@ -64,53 +64,17 @@ object Similarity {
       """.stripMargin.trim),
       headline = true),
 
-    // IVF ANN: centroids = per-cluster mean of quantized vectors (the
-    // corpus ships with a cluster assignment; a k-means pass would
-    // produce one otherwise), nprobe=3 nearest clusters per query, exact
-    // top-k within the probed buckets. Corpus scan cut ≈ nclusters/nprobe.
+    // IVF ANN: spherical k-means coarse quantizer (graft.operators.
+    // IvfIndex), nprobe nearest clusters per query, exact top-k within
+    // the probed buckets — scans ~nprobe/nlist of the corpus.
+    // Approximate by construction → spec-checked for recall vs q75.
     GraftQuery(
       "q76_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("label"), VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", VectorFns.qnorm2(col("q")))
-
-        // centroid per label: element-wise mean over exact integer sums
-        val dims = 0 until 64
-        val sums = dims.map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
-        val cent = e.groupBy(col("label"))
-          .agg(sums.head, sums.tail :+ count(lit(1)).as("cnt"): _*)
-          .select(col("label").as("c_label"),
-            array(dims.map(i => col(s"s$i").cast("double") / col("cnt")): _*).as("cvec"))
-          .withColumn("cn2", aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x))
-
-        val queriesDf = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
-
-        // nprobe nearest centroids per query (tiny: |queries| × |clusters|)
-        val qdotc = aggregate(
-          zip_with(col("qq"), col("cvec"), (x, y) => x.cast("double") * y),
-          lit(0.0), (a, x) => a + x)
-        val wc = Window.partitionBy(col("q_id"))
-          .orderBy(col("csim").desc, col("c_label"))
-        val probes = broadcast(queriesDf).crossJoin(broadcast(cent))
-          .withColumn("csim",
-            qdotc / (sqrt(col("qn2").cast("double")) * sqrt(col("cn2"))))
-          .withColumn("crank", row_number().over(wc))
-          .filter(col("crank") <= 3)
-          .select(col("q_id"), col("qq"), col("qn2"), col("c_label").as("label"))
-
-        // exact search within probed buckets only
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        broadcast(probes).join(e, Seq("label"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("sim", VectorFns.qcosine(
-            VectorFns.qdot(col("qq"), col("q")), col("qn2"), col("n2")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= K)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
-          .orderBy(col("q_id"), col("rank"))
+        graft.operators.IvfIndex.topK(
+          e, "vec_id", "embedding", col("vec_id") % 50 === 0,
+          graft.operators.IvfIndex.Params(nlist = 16, nprobe = 4, iters = 3, k = K))
       },
       None)
   )

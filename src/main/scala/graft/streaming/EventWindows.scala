@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time windowing and custom keyed state (ST3–ST5 of
+  * SURVEY.md §2.10) for the streaming side of the engine. Everything
+  * here works identically on a streaming or a batch frame (same
+  * logical operators); the streaming specs drive them with
+  * MemoryStream micro-batches.
+  */
+object EventWindows {
+
+  /** Tumbling event-time counts with a watermark bounding state: late
+    * rows beyond `lateness` are dropped and their windows finalized.
+    */
+  def tumblingCounts(events: DataFrame, windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (overlapping). */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String,
+      lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows: gap-based grouping per user. */
+  def sessionCounts(events: DataFrame, gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n"))
+
+  // ---- custom keyed state: long-lived last-writer-wins (ST3) ----
+
+  final case class KeyedUpdate(key: String, seq: Long, action: String, payload: String)
+  final case class KeyedState(key: String, seq: Long, payload: String, deleted: Boolean)
+
+  implicit val updateEnc: Encoder[KeyedUpdate] = Encoders.product[KeyedUpdate]
+  implicit val stateEnc: Encoder[KeyedState] = Encoders.product[KeyedState]
+  implicit val keyEnc: Encoder[String] = Encoders.STRING
+
+  /** The mapGroupsWithState alternative to foreachBatch merge: keeps the
+    * latest (seq, payload) per key in managed state and emits the state
+    * after each batch. Duplicate/out-of-order updates are ignored by the
+    * seq guard — exactly the DynamoDB-stream per-key ordering contract.
+    */
+  def lwwState(updates: Dataset[KeyedUpdate]): Dataset[KeyedState] =
+    updates.groupByKey(_.key)
+      .mapGroupsWithState[KeyedState, KeyedState](GroupStateTimeout.NoTimeout()) {
+        (key, batch, state: GroupState[KeyedState]) =>
+          val prior = state.getOption
+            .getOrElse(KeyedState(key, Long.MinValue, null, deleted = true))
+          val next = (Iterator(prior) ++ batch.map(u =>
+            KeyedState(key, u.seq, u.payload, u.action == "delete")))
+            .maxBy(_.seq)
+          state.update(next)
+          next
+      }
+}

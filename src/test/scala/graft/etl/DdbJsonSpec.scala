@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class DdbJsonSpec extends SparkSpec {
+
+  private lazy val raw = DdbJson.readExport(spark, Fixtures.writeExport().toString)
+
+  test("export reader parses every fixture line") {
+    assert(raw.count() === Fixtures.all.size)
+  }
+
+  test("decodeCommon extracts PK/SK/type and builds the doc id") {
+    val d = DdbJson.decodeCommon(raw)
+    val lax = d.filter(col("type") === "fare" && col("PK") === "LAX")
+      .select("_doc_id").collect().map(_.getString(0)).sorted
+    assert(lax.head === "LAX#BOS#2023-05-14T23:59:59#direct")
+    assert(lax.forall(_.startsWith("LAX#")))
+  }
+
+  test("empty attributes (__id) are stripped by dropEmptyAttrs") {
+    val keys = raw.select(map_keys(DdbJson.dropEmptyAttrs(col("item"))).as("ks"))
+      .collect().flatMap(_.getSeq[String](0))
+    assert(!keys.contains("__id"))
+    // but __id IS present pre-cleanup
+    val rawKeys = raw.select(map_keys(col("item")).as("ks"))
+      .collect().flatMap(_.getSeq[String](0))
+    assert(rawKeys.contains("__id"))
+  }
+
+  test("N attributes decode as numbers; S-typed 'number' stays lenient") {
+    val d = DdbJson.decodeCommon(raw)
+    val flightNums = Entities.decodeFlight(d.filter(col("type") === "flight"))
+      .select("number").collect().map(_.getLong(0)).sorted
+    assert(flightNums === Array(210L, 211L, 320L, 430L, 540L))
+    val assignNums = Entities.decodeAssignment(d.filter(col("type") === "assignment"))
+      .select("number").collect().map(_.getString(0)).sorted
+    assert(assignNums === Array("210", "210", "320")) // strings here, by design
+  }
+
+  test("BOOL decodes, absent BOOL is null") {
+    val f = Entities.decodeFlight(
+      DdbJson.decodeCommon(raw).filter(col("type") === "flight"))
+    val bySeg = f.groupBy(col("isSegment")).count().collect()
+      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(bySeg(Some(true)) === 2L)
+    assert(bySeg(Some(false)) === 1L)
+    assert(bySeg(None) === 2L)
+  }
+
+  test("stringified lists and sets parse to arrays; '[]' parses empty") {
+    val parsed = spark.range(1).select(
+      DdbJson.parseStringifiedList(lit("[wheelchair, kosher]")).as("a"),
+      DdbJson.parseStringifiedList(lit("[]")).as("b"),
+      DdbJson.parseStringifiedList(lit("{LAX, AUS}")).as("c"),
+      DdbJson.parseStringifiedList(lit("plain")).as("d")).head()
+    assert(parsed.getSeq[String](0) === Seq("wheelchair", "kosher"))
+    assert(parsed.getSeq[String](1) === Seq())
+    assert(parsed.getSeq[String](2) === Seq("LAX", "AUS"))
+    assert(parsed.isNullAt(3))
+  }
+
+  test("template-literal bug flows through undisturbed") {
+    val a = Entities.decodeAssignment(
+      DdbJson.decodeCommon(raw).filter(col("type") === "assignment"))
+    val g2 = a.select("GSI2PK").collect().map(_.getString(0)).toSet
+    assert(g2.contains("${number}")) // raw data bug preserved, ingestion didn't choke
+  }
+
+  test("ISO-8601 timestamps decode; composite SK parts recover them") {
+    val f = Entities.decodeFare(
+      DdbJson.decodeCommon(raw).filter(col("type") === "fare"))
+    val row = f.filter(col("PK") === "BOS").select("start", "depart", "sk_dest", "sk_class").head()
+    assert(row.getTimestamp(0).toString === "2023-05-04 00:00:00.0")
+    assert(row.getTimestamp(1).toString === "2023-05-05 08:30:00.0") // drift field decoded
+    assert(row.getString(2) === "LAX")
+    assert(row.getString(3) === "nonstop")
+  }
+
+  test("action mapping: REMOVE → delete, INSERT/MODIFY → upsert") {
+    import spark.implicits._
+    val m = Seq("INSERT", "MODIFY", "REMOVE").toDF("eventName")
+      .select(col("eventName"), DdbJson.action(col("eventName")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m === Map("INSERT" -> "upsert", "MODIFY" -> "upsert", "REMOVE" -> "delete"))
+  }
+}

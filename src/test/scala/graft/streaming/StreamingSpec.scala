@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window with watermark aggregates by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventWindows.tumblingCounts(df, "10 minutes", "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tumbling_out").start()
+    in.addData(
+      (ts("2024-01-01 00:01:00"), "click", 1.0),
+      (ts("2024-01-01 00:04:00"), "click", 2.0),
+      (ts("2024-01-01 00:12:00"), "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM tumbling_out ORDER BY window_start, event_type")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n") === 2L)
+    assert(rows(0).getAs[Double]("sum_value") === 3.0)
+    assert(rows(1).getAs[String]("event_type") === "view")
+    q.stop()
+  }
+
+  test("session window groups by inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = EventWindows.sessionCounts(df, "5 minutes", "1 minute")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("session_out").start()
+    in.addData(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:03:00"), 1L), // same session
+      (ts("2024-01-01 00:20:00"), 1L)) // new session after gap
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM session_out ORDER BY session_start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n") === 2L)
+    assert(rows(1).getAs[Long]("n") === 1L)
+    q.stop()
+  }
+
+  test("mapGroupsWithState keeps last-writer-wins state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventWindows.KeyedUpdate]
+    val q = EventWindows.lwwState(in.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("lww_out").start()
+    in.addData(
+      EventWindows.KeyedUpdate("a", 1, "upsert", "a1"),
+      EventWindows.KeyedUpdate("b", 1, "upsert", "b1"))
+    q.processAllAvailable()
+    in.addData(
+      EventWindows.KeyedUpdate("a", 3, "upsert", "a3"),
+      EventWindows.KeyedUpdate("a", 2, "upsert", "stale"), // ignored: lower seq
+      EventWindows.KeyedUpdate("b", 2, "delete", null))
+    q.processAllAvailable()
+    val last = spark.sql(
+      """SELECT key, payload, deleted FROM lww_out
+         WHERE (key, seq) IN (SELECT key, MAX(seq) FROM lww_out GROUP BY key)
+         ORDER BY key""").collect()
+    assert(last.map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq ===
+      Seq(("a", "a3", false), ("b", null, true)))
+    q.stop()
+  }
+
+  test("file-based CDC stream: decode → foreachBatch merge → snapshot") {
+    val eventsDir = Files.createTempDirectory("graft-cdc-events")
+    val targetDir = Files.createTempDirectory("graft-cdc-target").toString
+    val checkpoint = Files.createTempDirectory("graft-cdc-ckpt").toString
+
+    def event(name: String, pk: String, sk: String, seq: Long, extra: String = ""): String =
+      s"""{"eventName": "$name", "Keys": {"PK": {"S": "$pk"}, "SK": {"S": "$sk"}},
+          "NewImage": {"PK": {"S": "$pk"}, "SK": {"S": "$sk"}, "type": {"S": "fare"}$extra},
+          "SequenceNumber": $seq, "ApproximateCreationDateTime": ${1700000000 + seq}}"""
+        .replaceAll("\n\\s*", " ")
+
+    Files.writeString(eventsDir.resolve("batch1.json"), Seq(
+      event("INSERT", "LAX", "SEA#1", 1, """, "class": {"S": "v1"}"""),
+      event("INSERT", "LAX", "SEA#2", 2, """, "class": {"S": "v1"}""")).mkString("\n"))
+
+    val q = CdcStream.start(spark, eventsDir.toString, targetDir, checkpoint)
+    q.processAllAvailable()
+    Files.writeString(eventsDir.resolve("batch2.json"), Seq(
+      event("MODIFY", "LAX", "SEA#1", 3, """, "class": {"S": "v2"}"""),
+      event("REMOVE", "LAX", "SEA#2", 4)).mkString("\n"))
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = CdcStream.readSnapshot(spark, targetDir).get
+    val rows = snap.orderBy("_doc_id").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("_doc_id") === "LAX#SEA#1")
+    // the MODIFY image won
+    assert(DdbJsonAccess.itemClass(snap) === Seq("v2"))
+  }
+}
+
+/** Small helper to read a typed attr back out of the merged item map. */
+object DdbJsonAccess {
+  import org.apache.spark.sql.DataFrame
+  def itemClass(df: DataFrame): Seq[String] =
+    df.select(col("item").getItem("class").getField("S"))
+      .collect().map(_.getString(0)).toSeq
+}
