@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+import graft.etl.{DdbJson, IngestPipeline}
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.IvfIndex
+import graft.streaming.CdcStream
+
+/** User-facing facade: everything a user of the reference pipeline does
+  * (ingest a DynamoDB export, tail its change stream, query the
+  * per-entity search indices) plus the engine's analytics extensions
+  * (relational surface, dedup, similarity search, text analysis), in
+  * one place.
+  *
+  * {{{
+  * val g = GraftEngine(spark)
+  * val r = g.ingestExport("s3a://bucket/export/")      // backfill
+  * g.materialize(r, "/data/indices")                    // fare/flight + dlq
+  * val q = g.startCdc("/stream/events", "/data/state", "/ckpt")
+  * g.keyLookup(fares, "JFK", skPrefix = Some("DEN#"))   // key/range access
+  * g.search(fares, terms = Seq("nonstop"), textCol = "fare_class")
+  * }}}
+  */
+final case class GraftEngine(spark: SparkSession) {
+
+  // ---- reference data path (SURVEY.md §3.2) ----
+
+  /** Batch backfill: read a DynamoDB S3 export, decode, route. */
+  def ingestExport(path: String): IngestPipeline.Result =
+    IngestPipeline.run(spark, path)
+
+  /** Write the per-entity indices + DLQ. */
+  def materialize(r: IngestPipeline.Result, outDir: String): Unit =
+    IngestPipeline.materialize(r, outDir)
+
+  /** Tail a change-event feed into a keyed LWW parquet state. */
+  def startCdc(eventsPath: String, targetDir: String, checkpoint: String) =
+    CdcStream.start(spark, eventsPath, targetDir, checkpoint)
+
+  /** Current queryable CDC state (tombstones filtered). */
+  def cdcSnapshot(targetDir: String): Option[DataFrame] =
+    CdcStream.readSnapshot(spark, targetDir)
+
+  // ---- DynamoDB-shaped access patterns (P5, §2.9) ----
+
+  /** Key/range lookup: PK equality + optional SK prefix (begins_with)
+    * or SK range (between) — the two DynamoDB key-condition forms.
+    */
+  def keyLookup(table: DataFrame, pk: String, skPrefix: Option[String] = None,
+      skRange: Option[(String, String)] = None): DataFrame = {
+    val base = table.filter(col("PK") === pk)
+    val p = skPrefix.fold(base)(pre => base.filter(col("SK").startsWith(pre)))
+    skRange.fold(p) { case (lo, hi) => p.filter(col("SK").between(lo, hi)) }
+  }
+
+  /** OpenSearch-style bool search: all `terms` must appear (tokenized
+    * match) in `textCol`, with optional extra predicates.
+    */
+  def search(table: DataFrame, terms: Seq[String], textCol: String,
+      must: Seq[Column] = Nil, mustNot: Seq[Column] = Nil,
+      size: Int = 10): DataFrame = {
+    val tok = array_distinct(split(lower(col(textCol)), "\\s+"))
+    val score = F.size(
+      array_intersect(tok, array(terms.map(t => lit(t.toLowerCase)): _*)))
+    val searched = table.withColumn("_score", score.cast("long"))
+      .filter(col("_score") === terms.length)
+    val filtered = (must.map(identity) ++ mustNot.map(!_))
+      .foldLeft(searched)((df, p) => df.filter(p))
+    filtered.orderBy(col("_score").desc).limit(size)
+  }
+
+  // ---- training-data curation surface ----
+
+  /** Exact-duplicate groups by canonical fingerprint. */
+  def exactDuplicates(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.withColumn("_fp", md5(TextFns.normalizeText(col(textCol))))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as("keep_id"), collect_list(col(idCol)).as("members"),
+        count(lit(1)).as("copies"))
+      .filter(col("copies") > 1)
+
+  /** Near-duplicate pairs (Jaccard ≥ threshold) via MinHash+LSH with
+    * exact verification — the 100 TB dedup path.
+    */
+  def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFns.shingles3(TextFns.tokens(col(textCol))).as("sh"))
+    val bands = base.select(col("doc_id"),
+        explode(TextFns.minhashBands(col("sh"), 16, 2)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .withColumn("inter", F.size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (F.size(col("sha")).cast("long") +
+          F.size(col("shb")).cast("long") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Exact cosine top-k for a set of query vectors (brute force,
+    * broadcast queries — corpus never shuffles).
+    */
+  def annBruteForce(embeddings: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col(idCol), VectorFns.quantize(col(embCol)).as("_q"))
+      .withColumn("_n2", VectorFns.qnorm2(col("_q")))
+    val qs = e.filter(queryPred)
+      .select(col(idCol).as("q_id"), col("_q").as("_qq"), col("_n2").as("_qn2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+    broadcast(qs).crossJoin(e)
+      .filter(col("q_id") =!= col(idCol))
+      .withColumn("sim", VectorFns.qcosine(
+        VectorFns.qdot(col("_qq"), col("_q")), col("_qn2"), col("_n2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+  }
+
+  /** IVF approximate top-k (k-means coarse quantizer). */
+  def annIvf(embeddings: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, params: IvfIndex.Params = IvfIndex.Params()): DataFrame =
+    IvfIndex.topK(embeddings, idCol, embCol, queryPred, params)
+
+  /** Per-document text-quality metrics (C4/Gopher-style). */
+  def textQuality(docs: DataFrame, textCol: String): DataFrame = {
+    val tok = TextFns.tokens(col(textCol))
+    docs.withColumn("_tok", tok)
+      .withColumn("n_tokens", F.size(col("_tok")).cast("long"))
+      .withColumn("n_distinct", F.size(array_distinct(col("_tok"))).cast("long"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .drop("_tok")
+  }
+}

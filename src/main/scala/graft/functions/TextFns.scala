@@ -64,6 +64,11 @@ object TextFns {
   /** LSH band keys for a MinHash signature: `bands` entries, each
     * hashing `rows` consecutive signature slots. Two docs with Jaccard
     * j collide in ≥1 band with prob 1-(1-j^rows)^bands.
+    *
+    * NOTE: prefer [[minhashBands]] when building from shingles —
+    * `element_at(sig, i)` over an inline signature array defeats
+    * common-subexpression reuse and re-evaluates the whole signature
+    * per band (measured ~50× slowdown at sf0.1).
     */
   def lshBands(sig: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { bnd =>
@@ -71,6 +76,24 @@ object TextFns {
         lit(bnd).as("band"),
         xxhash64((0 until rows).map(r => element_at(sig, bnd * rows + r + 1)): _*).as("bucket"))
     }: _*)
+
+  /** Fused shingles → LSH band keys: every MinHash permutation column
+    * is referenced exactly once, so the expression tree stays linear in
+    * bands×rows regardless of how Catalyst inlines projections.
+    */
+  def minhashBands(sh: Column, bands: Int, rows: Int): Column = {
+    val base = transform(sh, s => pmod(xxhash64(s), lit(MersennePrime)))
+    val perms = (0 until bands * rows).map { i =>
+      val a = 2 * i + 1
+      val b = (i.toLong * 2654435761L) % MersennePrime
+      array_min(transform(base, x => pmod(x * lit(a.toLong) + lit(b), lit(MersennePrime))))
+    }
+    array((0 until bands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        xxhash64((0 until rows).map(r => perms(bnd * rows + r)): _*).as("bucket"))
+    }: _*)
+  }
 
   /** 60-bit SimHash over md5-derived token hashes, weighted by term
     * frequency (a token occurring t times contributes ±t per bit).
@@ -88,8 +111,11 @@ object TextFns {
     }.reduce(_ + _)
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
-  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two 64-bit fingerprints — a native
+    * codegen'd expression (one POPCNT intrinsic per pair; see
+    * graft.plans.HammingDistance).
+    */
+  def hamming(a: Column, b: Column): Column = graft.plans.HammingDistance(a, b)
 
   /** SimHash block keys for banded near-dup search: 4 blocks of 15
     * bits; hamming ≤ 3 ⇒ at least one block identical (pigeonhole), so

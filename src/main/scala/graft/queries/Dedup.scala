@@ -85,7 +85,12 @@ object Dedup {
       "q71_dedup_ngram_jaccard",
       (s, dir) => {
         val d = shingled(s, dir).withColumn("nsh", size(col("sh")).cast("long"))
-        val post = d.select(col("doc_id"), col("nsh"), explode(col("sh")).as("s"))
+        // postings keyed by a 64-bit shingle hash: same intersection
+        // counts (collision odds ~2^-64 per shingle pair) at a fraction
+        // of the shuffle width and join-compare cost of string keys
+        val post = d.select(col("doc_id"), col("nsh"),
+          explode(col("sh")).as("s0")).select(
+          col("doc_id"), col("nsh"), xxhash64(col("s0")).as("s"))
         val a = post.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
         val b = post.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
         a.join(b, Seq("s"))
@@ -110,8 +115,7 @@ object Dedup {
       (s, dir) => {
         val base = shingled(s, dir)
         val bands = base
-          .select(col("doc_id"), explode(TextFns.lshBands(
-            TextFns.minhashSignature(col("sh"), 32), 16, 2)).as("b"))
+          .select(col("doc_id"), explode(TextFns.minhashBands(col("sh"), 16, 2)).as("b"))
           .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
         val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
           .filter(col("x.doc_id") < col("y.doc_id"))
@@ -199,6 +203,7 @@ object Dedup {
                      list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
         SELECT a_id, b_id, sim FROM p WHERE sim >= 0.42 ORDER BY a_id, b_id
-      """.stripMargin.trim))
+      """.stripMargin.trim),
+      headline = true)
   )
 }

@@ -67,7 +67,8 @@ object EtlOps {
         SELECT user_id, event_id AS last_event_id, event_type AS last_type,
                tsec AS last_ts
         FROM ranked WHERE rn = 1 ORDER BY user_id
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // Backfill ∪ stream handoff: "export" = first 60% of event ids,
     // "stream" = last 60% (overlapping middle 20%), dedupe by key keeping
@@ -142,6 +143,7 @@ object EtlOps {
         SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY day, event_type
-      """.stripMargin.trim))
+      """.stripMargin.trim),
+      headline = true)
   )
 }

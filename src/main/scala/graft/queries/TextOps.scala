@@ -132,7 +132,8 @@ object TextOps {
                CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
                CAST(SUM(length(text)) AS BIGINT) AS chars
         FROM documents GROUP BY source ORDER BY source
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // Document fingerprinting: md5 over canonicalized text (the
     // portable form; the rolling-hash variant in TextFns is spec-checked)
