@@ -1,0 +1,49 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregates (SURVEY.md §2.5 A7 / §2.11): the
+  * `Aggregator[IN, BUF, OUT]` path for metrics Spark lacks as
+  * built-ins. Buffers are tiny and mergeable, so Spark runs these with
+  * the normal partial/final split — map-side combine included.
+  */
+object Aggregators {
+
+  /** Exact sum of squares over a double column, carried in BigDecimal
+    * so the result is engine-exact (inputs rounded to 2 decimals first,
+    * like the engine's `dsum` convention). The building block of
+    * variance/energy metrics.
+    */
+  object SumOfSquares extends Aggregator[Double, JBigDecimal, Double] {
+    override def zero: JBigDecimal = JBigDecimal.ZERO
+    override def reduce(buf: JBigDecimal, x: Double): JBigDecimal = {
+      val d = new JBigDecimal(x).setScale(2, java.math.RoundingMode.HALF_UP)
+      buf.add(d.multiply(d))
+    }
+    override def merge(a: JBigDecimal, b: JBigDecimal): JBigDecimal = a.add(b)
+    override def finish(buf: JBigDecimal): Double = buf.doubleValue()
+    override def bufferEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Exact k-smallest values per group as a sorted array — a typed
+    * bounded-heap aggregate (OpenSearch `top_hits`-shaped). Buffer is
+    * ≤ k values, so partials stay tiny through map-side combine;
+    * commutative and deterministic, hence oracle-checkable.
+    */
+  final class SmallestK(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+    override def zero: Seq[Double] = Vector.empty
+    override def reduce(buf: Seq[Double], x: Double): Seq[Double] =
+      (buf :+ x).sorted.take(k)
+    override def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] =
+      (a ++ b).sorted.take(k)
+    override def finish(buf: Seq[Double]): Seq[Double] = buf
+    override def bufferEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+}

@@ -191,6 +191,31 @@ object Relational {
       },
       None),
 
+    // ---------------------------------------------------------------- A7
+    // Custom typed aggregates via Aggregator→udaf: exact decimal sum of
+    // squares + bounded-heap k-smallest. Buffers are tiny and
+    // commutative, so the partial/final split (map-side combine) applies
+    // exactly as for built-ins.
+    GraftQuery(
+      "q8_agg_custom",
+      (s, dir) => {
+        import org.apache.spark.sql.Encoders
+        val sumsq = udaf(graft.functions.Aggregators.SumOfSquares, Encoders.scalaDouble)
+        val small3 = udaf(new graft.functions.Aggregators.SmallestK(3), Encoders.scalaDouble)
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(
+            sumsq(col("value")).as("sum_sq"),
+            small3(col("value")).as("smallest3"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq,
+               list_slice(list(value ORDER BY value), 1, 3) AS smallest3
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.stripMargin.trim)),
+
     // ---------------------------------------------------------------- J1/J2
     // Star join: facts ⋈ broadcast dims. Explicit broadcast() keeps all
     // three dim joins shuffle-free — the only shuffle is the final agg.

@@ -105,6 +105,17 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[String]("_doc_id") === "LAX#SEA#1")
     // the MODIFY image won
     assert(DdbJsonAccess.itemClass(snap) === Seq("v2"))
+
+    // restart from the same checkpoint: already-processed files are NOT
+    // replayed (ST2 exactly-once per epoch), new files apply on top
+    Files.writeString(eventsDir.resolve("batch3.json"),
+      event("MODIFY", "LAX", "SEA#1", 5, """, "class": {"S": "v3"}"""))
+    val q2 = CdcStream.start(spark, eventsDir.toString, targetDir, checkpoint)
+    q2.processAllAvailable()
+    q2.stop()
+    val snap2 = CdcStream.readSnapshot(spark, targetDir).get
+    assert(snap2.count() === 1) // SEA#2's REMOVE not resurrected by replay
+    assert(DdbJsonAccess.itemClass(snap2) === Seq("v3"))
   }
 }
 
