@@ -24,12 +24,29 @@ object VectorFns {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * lit(1e7)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (generic,
+    * any length). NOTE: higher-order functions are interpreted, not
+    * codegen'd — on pair-quadratic paths use [[qdotN]].
+    */
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Dot product unrolled over a statically-known dimension count:
+    * plain `element_at` arithmetic inside whole-stage codegen. MEASURED
+    * SLOWER than [[qdot]] at 64 dims on the all-pairs paths (sf0.1
+    * q74: 19.4s vs 13.0s — the 128-access expression appears to blow
+    * JIT method limits and is re-evaluated per filter+project
+    * reference), so the hot paths use [[qdot]]; keep this for narrow
+    * vectors (≤16 dims) where the flat form wins.
+    */
+  def qdotN(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
   /** Exact integer squared L2 norm of a quantized vector. */
   def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Unrolled squared norm (see [[qdotN]]). */
+  def qnorm2N(a: Column, dims: Int): Column = qdotN(a, a, dims)
 
   /** Cosine similarity from quantized ints + precomputed squared norms:
     * deterministic double given equal integer inputs.
