@@ -116,6 +116,35 @@ object Scalars {
         FROM t ORDER BY doc_id
       """.stripMargin.trim)),
 
+    // GSI-style inverted access path (table-attributes.json:39-72): the
+    // base table is keyed by custkey; the "GSI" re-keys by
+    // (orderpriority, orderdate) so the inverse lookup is a partition-
+    // prunable scan instead of a full-table filter. In Spark a GSI is a
+    // sparse re-partitioned projection; the query pattern is the
+    // key-condition form: GSI1PK equality + GSI1SK range.
+    GraftQuery(
+      "q35_gsi_lookup",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val gsi = o.select(
+          col("o_orderpriority").as("GSI1PK"),
+          col("o_orderdate").as("GSI1SK"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .filter(col("GSI1PK").isNotNull && col("GSI1SK").isNotNull)
+        gsi.filter(col("GSI1PK") === "1-URGENT" &&
+            col("GSI1SK").between(
+              lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+          .select(col("o_orderkey"), col("o_custkey"), col("GSI1SK").as("orderdate"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderdate AS orderdate
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // Regex extract/match (reference's only regex is policy-name
     // matching, custom_resource.py:421; generalized here).
     GraftQuery(

@@ -59,6 +59,69 @@ object Search {
         WHERE score >= 2 ORDER BY score DESC, doc_id LIMIT 50
       """.stripMargin.trim)),
 
+    // BM25 relevance ranking (k1=1.2, b=0.75) — closes the "full-text
+    // ranking" gap of SURVEY §7.4. Corpus statistics are two tiny
+    // broadcast aggregates (one row: N, avgdl, df per term); the tf
+    // pass is map-side, so only top-k rows survive the final sort.
+    // Scores round to 6dp: the only engine-variant op is ln(), whose
+    // cross-engine difference is ~1 ulp, far below the rounding grain.
+    GraftQuery(
+      "q44_search_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window")
+        val k1 = 1.2
+        val b = 0.75
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("tok", split(col("text"), " "))
+          .withColumn("dl", size(col("tok")).cast("double"))
+        val stats = d.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl") +:
+            terms.map(t => sum(when(array_contains(col("tok"), t), 1L)
+              .otherwise(0L)).cast("double").as(s"df_$t")): _*)
+        val perTerm = terms.map { t =>
+          val tf = size(filter(col("tok"), x => x === t)).cast("double")
+          val df = col(s"df_$t")
+          val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+          idf * (tf * (k1 + 1.0)) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        }
+        d.crossJoin(broadcast(stats))
+          .withColumn("score", round(perTerm.reduce(_ + _), 6))
+          .filter(col("score") > 0.0)
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                   FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+          FROM d),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM d CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 20
+      """.stripMargin.trim)),
+
     // sort + from/size pagination (OpenSearch from=20, size=10).
     GraftQuery(
       "q42_search_pagination",
