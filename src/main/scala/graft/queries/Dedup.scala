@@ -174,23 +174,16 @@ object Dedup {
       """.stripMargin.trim)),
 
     // Embedding near-dup: quantized-integer cosine ≥ 0.42 over all
-    // pairs. Exact/bit-deterministic (see VectorFns); at real scale the
-    // pair generation moves into LSH/IVF buckets (q76) — the threshold
-    // filter and cosine math stay identical.
+    // pairs, via the partition kernel (operators.CosinePairs) — the
+    // declarative cross-join pays ~3µs/pair in interpreted HOF dot
+    // products. Bit-identical math to the declarative form; at real
+    // scale the pair generation moves into LSH/IVF buckets (q76) — the
+    // threshold filter and cosine stay identical.
     GraftQuery(
       "q74_dedup_embedding",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", VectorFns.qnorm2(col("q")))
-        val a = e.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na2"))
-        val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb2"))
-        a.crossJoin(b)
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("sim", VectorFns.qcosine(
-            VectorFns.qdot(col("qa"), col("qb")), col("na2"), col("nb2")))
-          .filter(col("sim") >= 0.42)
-          .select(col("a_id"), col("b_id"), col("sim"))
+        graft.operators.CosinePairs.exact(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some("""
