@@ -83,29 +83,11 @@ final case class GraftEngine(spark: SparkSession) {
       .filter(col("copies") > 1)
 
   /** Near-duplicate pairs (Jaccard ≥ threshold) via MinHash+LSH with
-    * exact verification — the 100 TB dedup path.
+    * exact verification — the 100 TB dedup path (operators.MinHashLsh).
     */
   def nearDuplicates(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextFns.shingles3(TextFns.tokens(col(textCol))).as("sh"))
-    val bands = base.select(col("doc_id"),
-        explode(TextFns.minhashBands(col("sh"), 16, 2)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    cand
-      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-      .withColumn("inter", F.size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (F.size(col("sha")).cast("long") +
-          F.size(col("shb")).cast("long") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-  }
+      threshold: Double = 0.8): DataFrame =
+    graft.operators.MinHashLsh.nearDupPairs(docs, idCol, textCol, threshold)
 
   /** Exact cosine top-k for a set of query vectors (brute force,
     * broadcast queries — corpus never shuffles).

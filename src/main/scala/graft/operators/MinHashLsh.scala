@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash+LSH near-duplicate pairs with exact verification — the
+  * 100 TB text-dedup path, with the per-document work (tokenize →
+  * shingle → k-permutation MinHash → band buckets) in a primitive
+  * partition kernel and the candidate generation/verification left
+  * declarative (equi-join on (band, bucket), then exact Jaccard over
+  * the candidate pairs only).
+  *
+  * Shuffle volume is O(docs × bands) band rows + O(candidates) pairs —
+  * independent of how many shingle-sharing pairs exist. The kernel
+  * exists for the same measured reason as CosinePairs: interpreted
+  * higher-order functions cost ~50× on per-row signature math.
+  *
+  * Jaccard values are computed from distinct-shingle set sizes in
+  * integer math (then one double divide), so they hash-match the exact
+  * pairwise SQL oracle regardless of the engine-internal hash choices.
+  */
+object MinHashLsh {
+
+  /** FNV-1a 64-bit over a string's chars — engine-internal shingle
+    * hash (never compared across engines).
+    */
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private val P = (1L << 31) - 1
+
+  private[operators] def shingleSet(text: String): Set[String] = {
+    val tok = text.split(" ", -1)
+    if (tok.length < 3) Set(tok.mkString(" "))
+    else (0 to tok.length - 3).iterator
+      .map(i => s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}").toSet
+  }
+
+  /** (doc_id, band, bucket) rows: `bands`×`rows` MinHash permutations,
+    * `rows` consecutive slots hashed per band.
+    */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rows
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val base = shingleSet(text).iterator
+            .map(s => java.lang.Math.floorMod(fnv1a64(s), P)).toArray
+          val sig = new Array[Long](k)
+          var i = 0
+          while (i < k) {
+            val a = 2L * i + 1
+            val b = (i.toLong * 2654435761L) % P
+            var mn = Long.MaxValue
+            var j = 0
+            while (j < base.length) {
+              val v = (a * base(j) + b) % P
+              if (v < mn) mn = v
+              j += 1
+            }
+            sig(i) = mn
+            i += 1
+          }
+          (0 until bands).iterator.map { bnd =>
+            var h = 0xcbf29ce484222325L
+            var r = 0
+            while (r < rows) { h ^= sig(bnd * rows + r); h *= 0x100000001b3L; r += 1 }
+            (id, bnd, h)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bucket")
+  }
+
+  /** Near-dup pairs with Jaccard ≥ threshold (exact, given LSH recall —
+    * 16×2 at j≥0.8 misses a pair with prob ~3e-8).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 16, rows: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = bandRows(docs, idCol, textCol, bands, rows)
+    val cand = b.as("x").join(b.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val txt = docs.select(col(idCol).cast("long"), col(textCol))
+    val joined = cand
+      .join(txt.toDF("a_id", "a_text"), Seq("a_id"))
+      .join(txt.toDF("b_id", "b_text"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+      .as[(Long, Long, String, String)]
+    joined.map { case (a, bId, ta, tb) =>
+      val sa = shingleSet(ta)
+      val sb = shingleSet(tb)
+      val inter = sa.count(sb.contains)
+      val j = inter.toDouble / (sa.size + sb.size - inter)
+      (a, bId, j)
+    }
+      .toDF("a_id", "b_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -109,26 +109,15 @@ object Dedup {
     // MinHash(32) + LSH(16 bands × 2 rows) candidates, then exact
     // verification — output identical to q71 but with shuffle volume
     // O(docs × bands) instead of O(shared-shingle pairs). This is the
-    // 100 TB dedup path.
+    // 100 TB dedup path; the per-doc signature math runs in the
+    // operators.MinHashLsh partition kernel (same measured-HOF-overhead
+    // rationale as CosinePairs), candidate join + verification stay
+    // declarative.
     GraftQuery(
       "q72_dedup_minhash_lsh",
       (s, dir) => {
-        val base = shingled(s, dir)
-        val bands = base
-          .select(col("doc_id"), explode(TextFns.minhashBands(col("sh"), 16, 2)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-        val cand = bands.as("x").join(bands.as("y"), Seq("band", "bucket"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        cand
-          .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-          .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
+        graft.operators.MinHashLsh.nearDupPairs(
+            Tables.load(s, dir, "documents"), "doc_id", "text", 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(jaccardOracleSql),
