@@ -127,6 +127,47 @@ object EtlOps {
         FROM t GROUP BY 1 ORDER BY sink
       """.stripMargin.trim)),
 
+    // Sessionization (session_window, 10-minute inactivity gap), batch
+    // form. Spark closes a session only when the inactivity STRICTLY
+    // exceeds the gap (an event landing exactly at prev+gap still
+    // merges); the oracle replays that rule as gaps-and-islands over
+    // integer epoch seconds.
+    GraftQuery(
+      "q56_sessionize",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("tsec", date_trunc("second", col("ts")))
+        e.groupBy(session_window(col("tsec"), "10 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_session_events"),
+            sum(col("n_events")).as("total_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch(date_trunc('second', ts)) AS t FROM events),
+        flagged AS (
+          SELECT user_id, t,
+                 CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 600
+                      OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e),
+        sessions AS (
+          SELECT user_id, t,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, sid, COUNT(*) AS n_events
+          FROM sessions GROUP BY user_id, sid)
+        SELECT user_id, COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events,
+               CAST(SUM(n_events) AS BIGINT) AS total_events
+        FROM per_session GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim)),
+
     // Event-time tumbling window (1 day), batch form of ST5. Spark
     // window() starts are epoch-aligned, so they equal date_trunc('day').
     GraftQuery(
