@@ -40,6 +40,25 @@ object MinHashLsh {
       .map(i => s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}").toSet
   }
 
+  /** Inverted-index postings for exact Jaccard: one row per distinct
+    * shingle, keyed by its 64-bit hash, with the doc's shingle count
+    * alongside (so the downstream pair-count join never revisits the
+    * document). Same kernel rationale as [[bandRows]].
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = shingleSet(text)
+          val n = sh.size.toLong
+          sh.iterator.map(x => (id, n, fnv1a64(x)))
+        }
+      }
+      .toDF("doc_id", "nsh", "s")
+  }
+
   /** (doc_id, band, bucket) rows: `bands`×`rows` MinHash permutations,
     * `rows` consecutive slots hashed per band.
     */

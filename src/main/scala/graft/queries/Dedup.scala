@@ -29,10 +29,6 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), TextFns.shingles3(TextFns.tokens(col("text"))).as("sh"))
-
   private val jaccardOracleSql = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
     s AS (SELECT doc_id,
@@ -84,13 +80,12 @@ object Dedup {
     GraftQuery(
       "q71_dedup_ngram_jaccard",
       (s, dir) => {
-        val d = shingled(s, dir).withColumn("nsh", size(col("sh")).cast("long"))
-        // postings keyed by a 64-bit shingle hash: same intersection
-        // counts (collision odds ~2^-64 per shingle pair) at a fraction
-        // of the shuffle width and join-compare cost of string keys
-        val post = d.select(col("doc_id"), col("nsh"),
-          explode(col("sh")).as("s0")).select(
-          col("doc_id"), col("nsh"), xxhash64(col("s0")).as("s"))
+        // postings keyed by a 64-bit shingle hash (collision odds
+        // ~2^-64 per shingle pair), shingled in the MinHashLsh kernel —
+        // the declarative HOF shingling was the measured bottleneck,
+        // not the join (total shared-shingle pairs ≈ 1.3M at sf0.1)
+        val post = graft.operators.MinHashLsh.postings(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
         val a = post.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
         val b = post.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
         a.join(b, Seq("s"))
