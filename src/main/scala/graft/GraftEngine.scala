@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 
 import graft.etl.{DdbJson, IngestPipeline}
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.TextFns
 import graft.operators.IvfIndex
 import graft.streaming.CdcStream
 
@@ -89,25 +89,13 @@ final case class GraftEngine(spark: SparkSession) {
       threshold: Double = 0.8): DataFrame =
     graft.operators.MinHashLsh.nearDupPairs(docs, idCol, textCol, threshold)
 
-  /** Exact cosine top-k for a set of query vectors (brute force,
-    * broadcast queries — corpus never shuffles).
+  /** Exact cosine top-k for a set of query vectors (brute force —
+    * broadcast queries, one unshuffled corpus scan with per-query
+    * bounded heaps; see [[graft.operators.AnnTopK]]).
     */
   def annBruteForce(embeddings: DataFrame, idCol: String, embCol: String,
-      queryPred: Column, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = embeddings.select(col(idCol), VectorFns.quantize(col(embCol)).as("_q"))
-      .withColumn("_n2", VectorFns.qnorm2(col("_q")))
-    val qs = e.filter(queryPred)
-      .select(col(idCol).as("q_id"), col("_q").as("_qq"), col("_n2").as("_qn2"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
-    broadcast(qs).crossJoin(e)
-      .filter(col("q_id") =!= col(idCol))
-      .withColumn("sim", VectorFns.qcosine(
-        VectorFns.qdot(col("_qq"), col("_q")), col("_qn2"), col("_n2")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
-  }
+      queryPred: Column, k: Int = 5): DataFrame =
+    graft.operators.AnnTopK.bruteForce(embeddings, idCol, embCol, queryPred, k)
 
   /** IVF approximate top-k (k-means coarse quantizer). */
   def annIvf(embeddings: DataFrame, idCol: String, embCol: String,

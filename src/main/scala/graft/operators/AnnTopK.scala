@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Exact brute-force cosine top-k for a small query set against an
+  * arbitrarily large corpus — the exact ANN baseline (`q75`) and the
+  * scoring engine behind `GraftEngine.annBruteForce`.
+  *
+  * Distribution shape (the one that survives 100×): the corpus is
+  * scanned exactly once and never shuffled, never collected. The query
+  * set — definitionally the small side, it is what a user "searches
+  * with" — is collected and broadcast. Each partition keeps one
+  * bounded top-k heap per query, so only `partitions × |Q| × k` rows
+  * leave the scan; the final global top-k is a window over that tiny
+  * set.
+  *
+  * The per-pair math runs in a primitive-array kernel rather than the
+  * declarative `aggregate(zip_with(...))` form: Spark interprets
+  * higher-order functions (no whole-stage codegen), which measured at
+  * ~1 ms/pair on the q75 cross join — the kernel does the identical
+  * integer arithmetic at ~10 ns/pair (same rationale as
+  * [[CosinePairs]], SURVEY.md §7.3 ladder case (d)).
+  *
+  * Determinism contract: vectors are quantized to 1e-7 BIGINTs
+  * ([[VectorFns.quantize]]); dot products are exact integer sums; the
+  * final cosine is `dot / (sqrt(|q|²)·sqrt(|c|²))` with the identical
+  * IEEE op order as the declarative/oracle form, so results are
+  * bit-identical to a DuckDB `list_dot_product` oracle. Ties break on
+  * ascending neighbor id.
+  */
+object AnnTopK {
+
+  /** Exact top-k neighbors (cosine) for every row matching `queryPred`.
+    * Output: (q_id, rank, neighbor_id, sim), rank 1-based long.
+    */
+  def bruteForce(e: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+
+    val quant = e.select(
+      col(idCol).cast("long").as("id"),
+      VectorFns.quantize(col(embCol)).as("q"),
+      queryPred.as("is_q"))
+    val corpus = quant.select(col("id"), col("q")).as[(Long, Array[Long])]
+    // query side: small by construction — broadcast it
+    val queries = quant.filter(col("is_q"))
+      .select(col("id"), col("q")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val partials = corpus.mapPartitions { rows =>
+      val qs = bc.value
+      val nq = qs.length
+      if (nq == 0 || !rows.hasNext) Iterator.empty
+      else {
+        val qNorm = new Array[Double](nq)
+        var qi = 0
+        while (qi < nq) {
+          val v = qs(qi)._2
+          var s = 0L; var d = 0
+          while (d < v.length) { s += v(d) * v(d); d += 1 }
+          qNorm(qi) = math.sqrt(s.toDouble)
+          qi += 1
+        }
+        // per-query bounded heaps, worst entry at the root:
+        // worse = lower sim, or equal sim and higher id
+        val hSim = Array.ofDim[Double](nq, k)
+        val hId = Array.ofDim[Long](nq, k)
+        val hLen = new Array[Int](nq)
+
+        @inline def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+          s1 < s2 || (s1 == s2 && i1 > i2)
+
+        def push(q: Int, sim: Double, id: Long): Unit = {
+          val ss = hSim(q); val ids = hId(q)
+          if (hLen(q) < k) {
+            var i = hLen(q); hLen(q) += 1
+            ss(i) = sim; ids(i) = id
+            while (i > 0 && worse(ss(i), ids(i), ss((i - 1) / 2), ids((i - 1) / 2))) {
+              val p = (i - 1) / 2
+              val ts = ss(i); val ti = ids(i)
+              ss(i) = ss(p); ids(i) = ids(p); ss(p) = ts; ids(p) = ti
+              i = p
+            }
+          } else if (worse(ss(0), ids(0), sim, id)) {
+            ss(0) = sim; ids(0) = id
+            var i = 0
+            var done = false
+            while (!done) {
+              val l = 2 * i + 1; val r = l + 1
+              var m = i
+              if (l < k && worse(ss(l), ids(l), ss(m), ids(m))) m = l
+              if (r < k && worse(ss(r), ids(r), ss(m), ids(m))) m = r
+              if (m == i) done = true
+              else {
+                val ts = ss(i); val ti = ids(i)
+                ss(i) = ss(m); ids(i) = ids(m); ss(m) = ts; ids(m) = ti
+                i = m
+              }
+            }
+          }
+        }
+
+        rows.foreach { case (cid, cv) =>
+          var s = 0L; var d = 0
+          while (d < cv.length) { s += cv(d) * cv(d); d += 1 }
+          val cNorm = math.sqrt(s.toDouble)
+          var q = 0
+          while (q < nq) {
+            if (qs(q)._1 != cid) {
+              val qv = qs(q)._2
+              var dot = 0L; var i = 0
+              while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+              push(q, dot.toDouble / (qNorm(q) * cNorm), cid)
+            }
+            q += 1
+          }
+        }
+
+        (0 until nq).iterator.flatMap { q =>
+          (0 until hLen(q)).iterator.map(i => (qs(q)._1, hId(q)(i), hSim(q)(i)))
+        }
+      }
+    }
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    partials.toDF("q_id", "neighbor_id", "sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

@@ -203,17 +203,27 @@ object Relational {
         val sumsq = udaf(graft.functions.Aggregators.SumOfSquares, Encoders.scalaDouble)
         val small3 = udaf(new graft.functions.Aggregators.SmallestK(3), Encoders.scalaDouble)
         val e = Tables.load(s, dir, "events")
+        // the k-smallest array is unpacked to scalar columns: the
+        // driver's pandas-based compare can't sort/hash array cells
         e.groupBy(col("event_type"))
           .agg(
             sumsq(col("value")).as("sum_sq"),
-            small3(col("value")).as("smallest3"))
+            small3(col("value")).as("_s3"))
+          .select(
+            col("event_type"), col("sum_sq"),
+            element_at(col("_s3"), 1).as("small1"),
+            element_at(col("_s3"), 2).as("small2"),
+            element_at(col("_s3"), 3).as("small3"))
           .orderBy(col("event_type"))
       },
       Some("""
-        SELECT event_type,
-               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq,
-               list_slice(list(value ORDER BY value), 1, 3) AS smallest3
-        FROM events GROUP BY event_type ORDER BY event_type
+        WITH g AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq,
+                 list_slice(list(value ORDER BY value), 1, 3) AS s3
+          FROM events GROUP BY event_type)
+        SELECT event_type, sum_sq, s3[1] AS small1, s3[2] AS small2, s3[3] AS small3
+        FROM g ORDER BY event_type
       """.stripMargin.trim)),
 
     // ---------------------------------------------------------------- J1/J2

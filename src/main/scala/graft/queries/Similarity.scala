@@ -1,9 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.GraftQuery
-import graft.functions.VectorFns
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -24,24 +22,15 @@ object Similarity {
 
   def queries: Seq[GraftQuery] = Seq(
     // Brute-force cosine top-k: exact, deterministic (quantized-integer
-    // dot products, ties broken by neighbor id).
+    // dot products, ties broken by neighbor id). Scoring runs in the
+    // AnnTopK partition kernel — one unshuffled corpus scan with
+    // per-query bounded heaps; only partitions×|Q|×k rows survive.
     GraftQuery(
       "q75_ann_brute",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), VectorFns.quantize(col("embedding")).as("q"))
-          .withColumn("n2", VectorFns.qnorm2(col("q")))
-        val queriesDf = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        broadcast(queriesDf).crossJoin(e)
-          .filter(col("q_id") =!= col("vec_id"))
-          .withColumn("sim", VectorFns.qcosine(
-            VectorFns.qdot(col("qq"), col("q")), col("qn2"), col("n2")))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= K)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+        graft.operators.AnnTopK.bruteForce(
+            Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 50 === 0, K)
           .orderBy(col("q_id"), col("rank"))
       },
       Some(s"""
