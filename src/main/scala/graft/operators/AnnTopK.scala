@@ -6,6 +6,54 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 
+/** Bounded top-k accumulator ordered by (sim desc, id asc), worst
+  * entry at the heap root — the per-query state the ANN partition
+  * kernels ([[AnnTopK]], [[SignIvf]], [[IvfIndex]]) keep while
+  * scanning a partition. Primitive arrays only; zero allocation per
+  * push.
+  */
+private[operators] final class BoundedTopK(k: Int) {
+  private val sims = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var len = 0
+
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def push(sim: Double, id: Long): Unit = {
+    if (len < k) {
+      var i = len; len += 1
+      sims(i) = sim; ids(i) = id
+      while (i > 0 && worse(sims(i), ids(i), sims((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val ts = sims(i); val ti = ids(i)
+        sims(i) = sims(p); ids(i) = ids(p); sims(p) = ts; ids(p) = ti
+        i = p
+      }
+    } else if (worse(sims(0), ids(0), sim, id)) {
+      sims(0) = sim; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < len && worse(sims(l), ids(l), sims(m), ids(m))) m = l
+        if (r < len && worse(sims(r), ids(r), sims(m), ids(m))) m = r
+        if (m == i) done = true
+        else {
+          val ts = sims(i); val ti = ids(i)
+          sims(i) = sims(m); ids(i) = ids(m); sims(m) = ts; ids(m) = ti
+          i = m
+        }
+      }
+    }
+  }
+
+  /** Unordered (id, sim) entries currently held. */
+  def entries: Iterator[(Long, Double)] =
+    (0 until len).iterator.map(i => (ids(i), sims(i)))
+}
+
 /** Exact brute-force cosine top-k for a small query set against an
   * arbitrarily large corpus — the exact ANN baseline (`q75`) and the
   * scoring engine behind `GraftEngine.annBruteForce`.
@@ -67,44 +115,7 @@ object AnnTopK {
           qNorm(qi) = math.sqrt(s.toDouble)
           qi += 1
         }
-        // per-query bounded heaps, worst entry at the root:
-        // worse = lower sim, or equal sim and higher id
-        val hSim = Array.ofDim[Double](nq, k)
-        val hId = Array.ofDim[Long](nq, k)
-        val hLen = new Array[Int](nq)
-
-        @inline def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-          s1 < s2 || (s1 == s2 && i1 > i2)
-
-        def push(q: Int, sim: Double, id: Long): Unit = {
-          val ss = hSim(q); val ids = hId(q)
-          if (hLen(q) < k) {
-            var i = hLen(q); hLen(q) += 1
-            ss(i) = sim; ids(i) = id
-            while (i > 0 && worse(ss(i), ids(i), ss((i - 1) / 2), ids((i - 1) / 2))) {
-              val p = (i - 1) / 2
-              val ts = ss(i); val ti = ids(i)
-              ss(i) = ss(p); ids(i) = ids(p); ss(p) = ts; ids(p) = ti
-              i = p
-            }
-          } else if (worse(ss(0), ids(0), sim, id)) {
-            ss(0) = sim; ids(0) = id
-            var i = 0
-            var done = false
-            while (!done) {
-              val l = 2 * i + 1; val r = l + 1
-              var m = i
-              if (l < k && worse(ss(l), ids(l), ss(m), ids(m))) m = l
-              if (r < k && worse(ss(r), ids(r), ss(m), ids(m))) m = r
-              if (m == i) done = true
-              else {
-                val ts = ss(i); val ti = ids(i)
-                ss(i) = ss(m); ids(i) = ids(m); ss(m) = ts; ids(m) = ti
-                i = m
-              }
-            }
-          }
-        }
+        val heaps = Array.fill(nq)(new BoundedTopK(k))
 
         rows.foreach { case (cid, cv) =>
           var s = 0L; var d = 0
@@ -116,14 +127,14 @@ object AnnTopK {
               val qv = qs(q)._2
               var dot = 0L; var i = 0
               while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
-              push(q, dot.toDouble / (qNorm(q) * cNorm), cid)
+              heaps(q).push(dot.toDouble / (qNorm(q) * cNorm), cid)
             }
             q += 1
           }
         }
 
         (0 until nq).iterator.flatMap { q =>
-          (0 until hLen(q)).iterator.map(i => (qs(q)._1, hId(q)(i), hSim(q)(i)))
+          heaps(q).entries.map { case (id, sim) => (qs(q)._1, id, sim) }
         }
       }
     }

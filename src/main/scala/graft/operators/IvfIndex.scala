@@ -1,119 +1,206 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns
-
-/** IVF (inverted-file) approximate nearest neighbor — the 100 TB scale
-  * path for embedding search. A k-means coarse quantizer (spherical /
-  * cosine k-means, Lloyd iterations expressed as DataFrame plans)
-  * partitions the corpus into `nlist` buckets; a query probes its
-  * `nprobe` nearest centroids and runs exact cosine top-k inside those
-  * buckets only, scanning ~nprobe/nlist of the corpus.
+/** IVF (inverted-file) approximate nearest neighbor with a *trained*
+  * coarse quantizer — spherical k-means, the classic FAISS-style scale
+  * path for embedding search. The quantizer partitions the corpus into
+  * `nlist` buckets; a query probes its `nprobe` nearest centroids and
+  * runs exact cosine top-k inside those buckets only, scanning
+  * ~nprobe/nlist of the corpus.
   *
-  * Distribution shape: vectors never leave their partitions during
-  * training except as per-dimension partial sums (posexplode →
-  * groupBy(cluster, dim) — a shuffle of 64·nlist aggregates, not of
-  * vectors); centroids are tiny and broadcast. Assignment is a
-  * broadcast nested-loop against ≤ nlist rows. At serving time the
-  * bucketed corpus would be written out partitioned by cluster id so a
-  * probe prunes partitions at the scan.
+  * Distribution shape — every stage is a single unshuffled corpus
+  * scan:
+  *  - each Lloyd iteration broadcasts the centroids (nlist×dims
+  *    doubles — tiny) and computes per-partition partial sums in a
+  *    `mapPartitions` kernel; only `partitions × nlist` partial rows
+  *    reach the driver. No per-iteration shuffle of vectors, no
+  *    crossJoin, no window.
+  *  - serving scans the corpus once with broadcast (query, probe-set)
+  *    pairs and per-query bounded heaps ([[BoundedTopK]]), identical
+  *    to [[AnnTopK]] except rows outside probed buckets are skipped.
+  *  - at real scale the assignment would be written out partitioned by
+  *    cluster id so probes prune at the parquet scan; `assign` exposes
+  *    the (id, cluster) mapping for exactly that layout step.
+  *
+  * Training is floating-point and order-sensitive in the 1e-16s, so
+  * k-means IVF is spec-checked (recall vs the exact q75 baseline); the
+  * oracle-checked ANN query (q76) uses the analytic [[SignIvf]]
+  * quantizer instead.
   */
 object IvfIndex {
 
   final case class Params(nlist: Int = 16, nprobe: Int = 4, iters: Int = 3, k: Int = 5)
 
-  /** Normalized double vectors from a raw float embedding column. */
-  private def normalized(embeddings: DataFrame, embCol: String): DataFrame = {
-    val q = VectorFns.quantize(col(embCol))
-    embeddings
-      .withColumn("_q", q)
-      .withColumn("_n2", VectorFns.qnorm2(col("_q")))
-      .withColumn("_x", transform(col("_q"),
-        xi => xi.cast("double") / sqrt(col("_n2").cast("double"))))
-      .drop("_q", "_n2")
+  /** Corpus as unit vectors: (id, x) with |x| = 1. */
+  private def unitVectors(e: DataFrame, idCol: String, embCol: String,
+      queryPred: Column): Dataset[(Long, Array[Double], Boolean)] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col(idCol).cast("long"), col(embCol), queryPred)
+      .as[(Long, Array[Float], Boolean)]
+      .map { case (id, f, isQ) =>
+        val x = new Array[Double](f.length)
+        var s = 0.0; var d = 0
+        while (d < f.length) { val v = f(d).toDouble; x(d) = v; s += v * v; d += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { var i = 0; while (i < x.length) { x(i) /= n; i += 1 } }
+        (id, x, isQ)
+      }
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  @inline private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var d = 0
+    while (d < a.length) { s += a(d) * b(d); d += 1 }
+    s
+  }
 
-  /** Train the coarse quantizer and assign every vector to a cluster.
-    * Deterministic: init = the `nlist` lowest-id vectors.
+  /** Nearest centroid by cosine (max dot of unit vectors), tie → lower cid. */
+  @inline private def nearest(x: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = dot(x, cents(0))
+    var c = 1
+    while (c < cents.length) {
+      val dd = dot(x, cents(c))
+      if (dd > bestDot) { best = c; bestDot = dd }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd iterations over broadcast centroids; deterministic init =
+    * the `nlist` lowest-id vectors. Returns unit centroids.
+    */
+  private def train(v: Dataset[(Long, Array[Double], Boolean)],
+      p: Params): Array[Array[Double]] = {
+    val sc = v.sparkSession.sparkContext
+    var cents: Array[Array[Double]] =
+      v.orderBy(col("_1")).limit(p.nlist).collect().map(_._2)
+
+    for (_ <- 1 to p.iters) {
+      val bc = sc.broadcast(cents)
+      // per-partition partial sums: (pid, cid, count, sumVec)
+      val partials = v.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val cs = bc.value
+        val nlist = cs.length
+        var sums: Array[Array[Double]] = null
+        val cnt = new Array[Long](nlist)
+        rows.foreach { case (_, x, _) =>
+          if (sums == null) sums = Array.ofDim[Double](nlist, x.length)
+          val c = nearest(x, cs)
+          cnt(c) += 1
+          val s = sums(c); var d = 0
+          while (d < x.length) { s(d) += x(d); d += 1 }
+        }
+        if (sums == null) Iterator.empty
+        else (0 until nlist).iterator.filter(cnt(_) > 0)
+          .map(c => (pid, c, cnt(c), sums(c)))
+      }.collect()
+
+      // combine in a fixed (cid, pid) order so the reduction is stable
+      cents = {
+        val byCid = partials.groupBy(_._2)
+        (0 until p.nlist).map { c =>
+          byCid.get(c) match {
+            case None => cents(c) // empty cluster keeps its centroid
+            case Some(parts) =>
+              val dims = parts.head._4.length
+              val sum = new Array[Double](dims)
+              var n = 0L
+              parts.sortBy(_._1).foreach { case (_, _, cn, s) =>
+                n += cn
+                var d = 0; while (d < dims) { sum(d) += s(d); d += 1 }
+              }
+              var d = 0; while (d < dims) { sum(d) /= n; d += 1 }
+              val norm = math.sqrt(dot(sum, sum))
+              if (norm > 0) { var i = 0; while (i < dims) { sum(i) /= norm; i += 1 } }
+              sum
+          }
+        }.toArray
+      }
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** Train and expose the (id, cluster) assignment — the layout step a
+    * 100 TB deployment writes out `partitionBy("cluster")`.
     */
   def assign(embeddings: DataFrame, idCol: String, embCol: String,
       p: Params): DataFrame = {
-    val v = normalized(embeddings, embCol).persist()
     val spark = embeddings.sparkSession
     import spark.implicits._
-
-    var centroids: Seq[(Int, Seq[Double])] =
-      v.orderBy(col(idCol)).limit(p.nlist).select(col("_x"))
-        .collect().zipWithIndex
-        .map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
-
-    var assigned: DataFrame = null
-    for (_ <- 1 to p.iters) {
-      val centDf = centroids.toDF("_cid", "_cvec")
-      val w = Window.partitionBy(col(idCol)).orderBy(col("_cdot").desc, col("_cid"))
-      assigned = v.crossJoin(broadcast(centDf))
-        .withColumn("_cdot", dot(col("_x"), col("_cvec")))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") === 1)
-        .drop("_crn", "_cvec")
-      // per-dimension means → new normalized centroids (tiny aggregate)
-      val dims = assigned
-        .select(col("_cid"), posexplode(col("_x")).as(Seq("_dim", "_val")))
-        .groupBy(col("_cid"), col("_dim")).agg(avg(col("_val")).as("_m"))
-        .collect()
-      centroids = dims.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        val norm = math.sqrt(vec.map(x => x * x).sum)
-        cid -> (if (norm > 0) vec.map(_ / norm) else vec)
-      }.toSeq.sortBy(_._1)
-    }
-    assigned.drop("_cdot")
+    val v = unitVectors(embeddings, idCol, embCol, lit(false)).persist()
+    try {
+      val cents = train(v, p)
+      val bc = spark.sparkContext.broadcast(cents)
+      v.map { case (id, x, _) => (id, nearest(x, bc.value)) }
+        .toDF(idCol, "cluster")
+        // materialize before unpersist releases the parent
+        .localCheckpoint(true)
+    } finally v.unpersist()
   }
 
-  /** Exact top-k among the vectors in the query's `nprobe` nearest
-    * buckets. `queryPred` selects the query rows out of the corpus.
+  /** Approximate top-k among the vectors in the query's `nprobe`
+    * nearest buckets. `queryPred` selects the query rows out of the
+    * corpus. Output: (q_id, rank, neighbor_id, sim), sim = cosine.
     */
   def topK(embeddings: DataFrame, idCol: String, embCol: String,
       queryPred: Column, p: Params = Params()): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
-    val assigned = assign(embeddings, idCol, embCol, p).persist()
-    // recompute final centroids from the assignment (already converged)
-    val centDf = {
-      val dims = assigned
-        .select(col("_cid"), posexplode(col("_x")).as(Seq("_dim", "_val")))
-        .groupBy(col("_cid"), col("_dim")).agg(avg(col("_val")).as("_m"))
-        .collect()
-      dims.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        val norm = math.sqrt(vec.map(x => x * x).sum)
-        cid -> (if (norm > 0) vec.map(_ / norm) else vec)
-      }.toSeq.sortBy(_._1).toDF("_cid", "_cvec")
-    }
+    val v = unitVectors(embeddings, idCol, embCol, queryPred).persist()
+    try {
+      val cents = train(v, p)
+      val queries: Array[(Long, Array[Double])] =
+        v.filter(_._3).collect().sortBy(_._1).map(t => (t._1, t._2))
+      val probes: Array[Array[Int]] = queries.map { case (_, qx) =>
+        cents.indices.toArray
+          .sortBy(c => (-dot(qx, cents(c)), c)).take(p.nprobe)
+      }
+      val bc = spark.sparkContext.broadcast((cents, queries, probes))
 
-    val queries = assigned.filter(queryPred)
-      .select(col(idCol).as("q_id"), col("_x").as("_qx"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("_cdot").desc, col("_cid"))
-    val probes = broadcast(queries).crossJoin(broadcast(centDf))
-      .withColumn("_cdot", dot(col("_qx"), col("_cvec")))
-      .withColumn("_crn", row_number().over(wProbe))
-      .filter(col("_crn") <= p.nprobe)
-      .select(col("q_id"), col("_qx"), col("_cid"))
+      val partials = v.mapPartitions { rows =>
+        val (cs, qs, pr) = bc.value
+        val nq = qs.length
+        if (nq == 0 || !rows.hasNext) Iterator.empty
+        else {
+          val byBucket: Map[Int, Array[Int]] =
+            pr.zipWithIndex
+              .flatMap { case (ps, i) => ps.map(_ -> i) }
+              .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+          val heaps = Array.fill(nq)(new BoundedTopK(p.k))
+          rows.foreach { case (cid, cx, _) =>
+            byBucket.get(nearest(cx, cs)) match {
+              case None =>
+              case Some(qIdx) =>
+                var x = 0
+                while (x < qIdx.length) {
+                  val q = qIdx(x)
+                  if (qs(q)._1 != cid)
+                    heaps(q).push(dot(qs(q)._2, cx), cid)
+                  x += 1
+                }
+            }
+          }
+          (0 until nq).iterator.flatMap { q =>
+            heaps(q).entries.map { case (id, sim) => (qs(q)._1, id, sim) }
+          }
+        }
+      }
 
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
-    broadcast(probes).join(assigned, Seq("_cid"))
-      .filter(col("q_id") =!= col(idCol))
-      .withColumn("sim", dot(col("_qx"), col("_x")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= p.k)
-      .select(col("q_id"), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
-      .orderBy(col("q_id"), col("rank"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val out = partials.toDF("q_id", "neighbor_id", "sim")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= p.k)
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+        .orderBy(col("q_id"), col("rank"))
+        // materialize before the finally releases the cached parent
+        .localCheckpoint(true)
+      out
+    } finally v.unpersist()
   }
 }

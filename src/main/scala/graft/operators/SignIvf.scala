@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Inverted-file ANN with an *analytic* coarse quantizer: the vector's
+  * dimensions are split into `signDims` contiguous groups and bucket
+  * bit d is the sign of group d's component sum — i.e. `signDims`
+  * axis-aligned-block hyperplanes, the deterministic case of the
+  * random-hyperplane LSH family (full-support hyperplanes separate
+  * clustered data far better than single-component signs: measured
+  * recall@5 far above single-component signs at 4 bits / 4 probes on
+  * the test corpus). A query probes `nprobe` existing buckets in
+  * multi-probe-LSH order — ranked by the signed alignment between the
+  * query's group sums and the bucket's sign pattern, so the first
+  * probes flip only the query's weakest (nearest-boundary)
+  * hyperplanes — and runs exact cosine top-k inside those buckets
+  * only.
+  *
+  * Two reasons this variant exists next to the trained k-means
+  * [[IvfIndex]]:
+  *  - it is a pure function of each vector, so the full query —
+  *    bucketing, probe choice, in-bucket scoring — is reproducible in
+  *    portable SQL, giving the ANN surface a real DuckDB correctness
+  *    oracle (q76) instead of a recall-only spec;
+  *  - at serving scale it needs no training pass at all: the bucket id
+  *    is a scan-time projection, and a corpus laid out partitioned by
+  *    bucket prunes at the source.
+  *
+  * Distribution shape: identical to [[AnnTopK]] — one unshuffled
+  * corpus scan, broadcast queries (each carrying its probe set), one
+  * bounded heap per query per partition, final top-k window over
+  * `partitions × |Q| × k` rows. The probe filter just skips rows whose
+  * bucket no query probes, which is what makes it sub-brute-force.
+  *
+  * Determinism: same quantized-integer contract as [[AnnTopK]];
+  * bucket = Σ 2^d · [Σ_{i∈group d} q_i > 0] with exact integer group
+  * sums; probe ranking by (Σ_d ±gsum_d desc, cid) — all exact integer
+  * comparisons, reproducible in any engine.
+  */
+object SignIvf {
+
+  def topK(e: DataFrame, idCol: String, embCol: String, queryPred: Column,
+      signDims: Int = 4, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sd = signDims
+
+    val quant = e.select(
+      col(idCol).cast("long").as("id"),
+      VectorFns.quantize(col(embCol)).as("q"),
+      queryPred.as("is_q"))
+    val corpus = quant.select(col("id"), col("q")).as[(Long, Array[Long])]
+
+    def groupSums(v: Array[Long]): Array[Long] = {
+      val g = v.length / sd
+      val out = new Array[Long](sd)
+      var d = 0
+      while (d < sd) {
+        var s = 0L; var i = d * g
+        val end = i + g
+        while (i < end) { s += v(i); i += 1 }
+        out(d) = s
+        d += 1
+      }
+      out
+    }
+
+    def cidOf(v: Array[Long]): Int = {
+      val gs = groupSums(v)
+      var c = 0; var d = 0
+      while (d < sd) { if (gs(d) > 0L) c |= (1 << d); d += 1 }
+      c
+    }
+
+    // buckets that actually exist in the corpus (tiny: ≤ 2^signDims)
+    val existing: Array[Int] =
+      corpus.map(t => cidOf(t._2)).distinct().collect().sorted
+
+    // queries + their probe sets, computed once and broadcast
+    val queries = quant.filter(col("is_q"))
+      .select(col("id"), col("q")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1)
+    val probesPerQuery: Array[Array[Int]] = queries.map { case (_, qv) =>
+      val gs = groupSums(qv)
+      // multi-probe order: alignment of the bucket's sign pattern with
+      // the query's group sums (own bucket first, then cheapest flips)
+      def align(c: Int): Long = {
+        var s = 0L; var d = 0
+        while (d < sd) { s += (if ((c & (1 << d)) != 0) gs(d) else -gs(d)); d += 1 }
+        s
+      }
+      existing.sortBy(c => (-align(c), c)).take(nprobe)
+    }
+    val bc = spark.sparkContext.broadcast((queries, probesPerQuery))
+
+    val partials = corpus.mapPartitions { rows =>
+      val (qs, probes) = bc.value
+      val nq = qs.length
+      if (nq == 0 || !rows.hasNext) Iterator.empty
+      else {
+        val qNorm = new Array[Double](nq)
+        var qi = 0
+        while (qi < nq) {
+          val v = qs(qi)._2
+          var s = 0L; var d = 0
+          while (d < v.length) { s += v(d) * v(d); d += 1 }
+          qNorm(qi) = math.sqrt(s.toDouble)
+          qi += 1
+        }
+        // bucket → indices of the queries probing it
+        val byBucket: Map[Int, Array[Int]] =
+          probes.zipWithIndex
+            .flatMap { case (ps, i) => ps.map(_ -> i) }
+            .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        val heaps = Array.fill(nq)(new BoundedTopK(k))
+
+        rows.foreach { case (cid, cv) =>
+          byBucket.get(cidOf(cv)) match {
+            case None => // no query probes this bucket — skip the row
+            case Some(qIdx) =>
+              var s = 0L; var d = 0
+              while (d < cv.length) { s += cv(d) * cv(d); d += 1 }
+              val cNorm = math.sqrt(s.toDouble)
+              var x = 0
+              while (x < qIdx.length) {
+                val q = qIdx(x)
+                if (qs(q)._1 != cid) {
+                  val qv = qs(q)._2
+                  var dot = 0L; var i = 0
+                  while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+                  heaps(q).push(dot.toDouble / (qNorm(q) * cNorm), cid)
+                }
+                x += 1
+              }
+          }
+        }
+
+        (0 until nq).iterator.flatMap { q =>
+          heaps(q).entries.map { case (id, sim) => (qs(q)._1, id, sim) }
+        }
+      }
+    }
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    partials.toDF("q_id", "neighbor_id", "sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

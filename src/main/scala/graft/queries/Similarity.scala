@@ -53,18 +53,59 @@ object Similarity {
       """.stripMargin.trim),
       headline = true),
 
-    // IVF ANN: spherical k-means coarse quantizer (graft.operators.
-    // IvfIndex), nprobe nearest clusters per query, exact top-k within
-    // the probed buckets — scans ~nprobe/nlist of the corpus.
-    // Approximate by construction → spec-checked for recall vs q75.
+    // IVF ANN with the analytic sign-bit (hyperoctant) coarse
+    // quantizer (operators.SignIvf): 16 buckets, 4 probed per query by
+    // Hamming-nearest sign code, exact cosine top-k inside the probed
+    // buckets — scans ~nprobe/nlist of the corpus. Deterministic and
+    // pure per-vector, so the whole query has a DuckDB oracle; the
+    // *trained* k-means quantizer (operators.IvfIndex) is the same
+    // serving shape and is spec-checked for recall vs q75.
     GraftQuery(
       "q76_ann_ivf",
       (s, dir) => {
-        val e = Tables.load(s, dir, "embeddings")
-        graft.operators.IvfIndex.topK(
-          e, "vec_id", "embedding", col("vec_id") % 50 === 0,
-          graft.operators.IvfIndex.Params(nlist = 16, nprobe = 4, iters = 3, k = K))
+        graft.operators.SignIvf.topK(
+            Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 50 === 0,
+            signDims = 4, nprobe = 4, k = K)
+          .orderBy(col("q_id"), col("rank"))
       },
-      None)
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q, list_dot_product(q, q) AS n2,
+                 (CASE WHEN list_sum(list_slice(q,  1, 16)) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 17, 32)) > 0 THEN 2 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 33, 48)) > 0 THEN 4 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 49, 64)) > 0 THEN 8 ELSE 0 END) AS cid
+          FROM e),
+        buckets AS (SELECT DISTINCT cid FROM n),
+        qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2,
+                      list_sum(list_slice(q,  1, 16)) AS g1,
+                      list_sum(list_slice(q, 17, 32)) AS g2,
+                      list_sum(list_slice(q, 33, 48)) AS g3,
+                      list_sum(list_slice(q, 49, 64)) AS g4
+               FROM n WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT q_id, qq, qn2, b.cid
+          FROM qs CROSS JOIN buckets b
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    (CASE WHEN (b.cid & 1) > 0 THEN g1 ELSE -g1 END
+                   + CASE WHEN (b.cid & 2) > 0 THEN g2 ELSE -g2 END
+                   + CASE WHEN (b.cid & 4) > 0 THEN g3 ELSE -g3 END
+                   + CASE WHEN (b.cid & 8) > 0 THEN g4 ELSE -g4 END) DESC, b.cid) <= 4),
+        scored AS (
+          SELECT p.q_id, v.vec_id,
+                 list_dot_product(p.qq, v.q) / (sqrt(p.qn2) * sqrt(v.n2)) AS sim
+          FROM probes p JOIN n v ON v.cid = p.cid AND v.vec_id <> p.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id AS neighbor_id, sim
+        FROM ranked WHERE rank <= $K ORDER BY q_id, rank
+      """.stripMargin.trim))
   )
 }
