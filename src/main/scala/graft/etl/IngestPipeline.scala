@@ -49,7 +49,11 @@ object IngestPipeline {
       .write.mode("overwrite").parquet(s"$outDir/fare")
     r.flight.repartition(col("PK")).sortWithinPartitions(col("PK"), col("SK"))
       .write.mode("overwrite").parquet(s"$outDir/flight")
-    r.dlq.select(col("_doc_id"), to_json(col("item")).as("raw"))
-      .write.mode("overwrite").parquet(s"$outDir/dlq")
+    // DLQ keyed by route (reference: dlq/fare, dlq/flight) — rows that
+    // decoded no type land under _unknown rather than vanishing
+    r.dlq.select(
+        coalesce(col("type"), lit("_unknown")).as("_route"),
+        col("_doc_id"), to_json(col("item")).as("raw"))
+      .write.mode("overwrite").partitionBy("_route").parquet(s"$outDir/dlq")
   }
 }

@@ -30,17 +30,24 @@ object Router {
   }
 
   /** Single-pass fan-out write: route tag becomes a partition column.
-    * Unmatched rows go to `_dropped` when `keepDropped`, else nowhere
-    * (reference-faithful default).
+    * Multi-match faithful to `route`: a row matching several routes is
+    * written under every matching partition (array of matched names →
+    * explode), so the two strategies never diverge on overlapping
+    * predicates. Unmatched rows go to `_dropped` when `keepDropped`,
+    * else nowhere (reference-faithful default — explode drops the
+    * empty array).
     */
   def writeFanout(df: DataFrame, routes: Seq[(String, Column)], path: String,
       keepDropped: Boolean = false): Unit = {
-    val tag = routes.foldRight(
-      if (keepDropped) lit("_dropped") else lit(null: String)) {
-      case ((name, pred), other) => when(pred, lit(name)).otherwise(other)
-    }
-    df.withColumn("_route", tag)
-      .filter(col("_route").isNotNull)
+    val matched = filter(
+      array(routes.map { case (name, pred) =>
+        when(coalesce(pred, lit(false)), lit(name))
+      }: _*),
+      _.isNotNull)
+    val tags =
+      if (keepDropped) when(size(matched) === 0, array(lit("_dropped"))).otherwise(matched)
+      else matched
+    df.withColumn("_route", explode(tags))
       .write.mode("overwrite").partitionBy("_route").parquet(path)
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -67,11 +67,30 @@ object CdcStream {
       StandardOpenOption.WRITE)
   }
 
-  /** One epoch of the merge — also usable in batch backfill (ST1). */
+  /** Snapshot versions present on disk (the pointer may lag or lead
+    * after a crash — directories are the truth).
+    */
+  private def versionsOnDisk(targetDir: String): Seq[Long] =
+    Option(new java.io.File(targetDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+
+  /** One epoch of the merge — also usable in batch backfill (ST1).
+    *
+    * Crash-replay safe: the base snapshot is the newest version
+    * STRICTLY BELOW this epoch. If the previous run died between
+    * writing `v=epoch` and committing the checkpoint, the replayed
+    * epoch re-merges from the same base and overwrites `v=epoch` —
+    * never reading the directory it is writing, never double-applying
+    * the batch. (Old versions are retained for readers; a production
+    * deployment vacuums them like any snapshot table.)
+    */
   def mergeBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
       epoch: Long): Unit = {
-    val merged = readTarget(spark, targetDir) match {
-      case Some(target) => CdcMerge.applyBatch(target, batch)
+    val base = versionsOnDisk(targetDir).filter(_ < epoch)
+      .sorted.lastOption
+    val merged = base match {
+      case Some(v) => CdcMerge.applyBatch(spark.read.parquet(s"$targetDir/v=$v"), batch)
       case None => CdcMerge.initialState(batch)
     }
     writeSnapshot(merged, targetDir, epoch)
@@ -88,6 +107,40 @@ object CdcStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         mergeBatch(batch.sparkSession, batch, targetDir, epoch)
+      }
+      .start()
+
+  /** One epoch of the routed fan-out sink with per-route sink-failure
+    * DLQ — the reference's behavior for documents that fail *indexing*
+    * (not decoding): a failed bulk write parks the documents under a
+    * route-keyed DLQ path and the pipeline keeps running
+    * (custom_resource.py:358-363,378-383 — `dlq/fare`, `dlq/flight`).
+    * Epoch-keyed overwrite keeps crash-replay of an epoch idempotent.
+    */
+  def writeRoutedEpoch(batch: DataFrame, routes: Seq[(String, Column)],
+      outDir: String, epoch: Long): Unit = {
+    val src = batch.persist()
+    try {
+      routes.foreach { case (name, pred) =>
+        val slice = src.filter(pred)
+        try slice.write.mode("overwrite").parquet(s"$outDir/$name/epoch=$epoch")
+        catch { case e: Throwable =>
+          slice.withColumn("_error", lit(e.getMessage))
+            .write.mode("overwrite").parquet(s"$outDir/dlq/$name/epoch=$epoch")
+        }
+      }
+    } finally src.unpersist()
+  }
+
+  /** Start the routed streaming sink: decode → per-route epoch writes,
+    * sink failures parked in `dlq/<route>/` without killing the query.
+    */
+  def startRouted(spark: SparkSession, eventsPath: String, outDir: String,
+      checkpoint: String, routes: Seq[(String, Column)]): StreamingQuery =
+    decode(readChangeEvents(spark, eventsPath)).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        writeRoutedEpoch(batch, routes, outDir, epoch)
       }
       .start()
 }

@@ -47,6 +47,19 @@ class RouterSpec extends SparkSpec {
     assert(!plan.contains("_route=flight") || plan.contains("PartitionFilters"))
   }
 
+  test("writeFanout lands a multi-matching record under every route") {
+    val out = Files.createTempDirectory("graft-fanout-multi").toString
+    Router.writeFanout(decoded, Seq(
+      "all_lax" -> (col("PK") === "LAX"),
+      "fares" -> (col("type") === "fare")), out)
+    val back = spark.read.parquet(out)
+    val laxFares = decoded.filter(col("PK") === "LAX" && col("type") === "fare").count()
+    assert(laxFares > 0)
+    // the same records appear under BOTH matching routes
+    assert(back.filter(col("_route") === "all_lax" && col("type") === "fare").count() === laxFares)
+    assert(back.filter(col("_route") === "fares" && col("PK") === "LAX").count() === laxFares)
+  }
+
   test("IngestPipeline end-to-end: entities, dropped, DLQ") {
     val r = IngestPipeline.fromRaw(
       DdbJson.readExport(spark, Fixtures.writeExport().toString))

@@ -12,6 +12,13 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  private def event(name: String, pk: String, sk: String, seq: Long,
+      extra: String = "", typ: String = "fare"): String =
+    s"""{"eventName": "$name", "Keys": {"PK": {"S": "$pk"}, "SK": {"S": "$sk"}},
+        "NewImage": {"PK": {"S": "$pk"}, "SK": {"S": "$sk"}, "type": {"S": "$typ"}$extra},
+        "SequenceNumber": $seq, "ApproximateCreationDateTime": ${1700000000 + seq}}"""
+      .replaceAll("\n\\s*", " ")
+
   test("tumbling window with watermark aggregates by event time") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
@@ -81,12 +88,6 @@ class StreamingSpec extends SparkSpec {
     val targetDir = Files.createTempDirectory("graft-cdc-target").toString
     val checkpoint = Files.createTempDirectory("graft-cdc-ckpt").toString
 
-    def event(name: String, pk: String, sk: String, seq: Long, extra: String = ""): String =
-      s"""{"eventName": "$name", "Keys": {"PK": {"S": "$pk"}, "SK": {"S": "$sk"}},
-          "NewImage": {"PK": {"S": "$pk"}, "SK": {"S": "$sk"}, "type": {"S": "fare"}$extra},
-          "SequenceNumber": $seq, "ApproximateCreationDateTime": ${1700000000 + seq}}"""
-        .replaceAll("\n\\s*", " ")
-
     Files.writeString(eventsDir.resolve("batch1.json"), Seq(
       event("INSERT", "LAX", "SEA#1", 1, """, "class": {"S": "v1"}"""),
       event("INSERT", "LAX", "SEA#2", 2, """, "class": {"S": "v1"}""")).mkString("\n"))
@@ -107,15 +108,67 @@ class StreamingSpec extends SparkSpec {
     assert(DdbJsonAccess.itemClass(snap) === Seq("v2"))
 
     // restart from the same checkpoint: already-processed files are NOT
-    // replayed (ST2 exactly-once per epoch), new files apply on top
-    Files.writeString(eventsDir.resolve("batch3.json"),
-      event("MODIFY", "LAX", "SEA#1", 5, """, "class": {"S": "v3"}"""))
+    // replayed (ST2 exactly-once per epoch), and the new file REDELIVERS
+    // overlapping events (the feed is at-least-once) — stale seq 1/3/4
+    // duplicates must neither regress SEA#1 nor resurrect SEA#2
+    Files.writeString(eventsDir.resolve("batch3.json"), Seq(
+      event("MODIFY", "LAX", "SEA#1", 1, """, "class": {"S": "v0"}"""), // stale redelivery
+      event("MODIFY", "LAX", "SEA#1", 3, """, "class": {"S": "v2"}"""), // dup of batch2
+      event("REMOVE", "LAX", "SEA#2", 4), // dup of the delete
+      event("MODIFY", "LAX", "SEA#1", 5, """, "class": {"S": "v3"}""")).mkString("\n"))
     val q2 = CdcStream.start(spark, eventsDir.toString, targetDir, checkpoint)
     q2.processAllAvailable()
     q2.stop()
     val snap2 = CdcStream.readSnapshot(spark, targetDir).get
     assert(snap2.count() === 1) // SEA#2's REMOVE not resurrected by replay
     assert(DdbJsonAccess.itemClass(snap2) === Seq("v3"))
+  }
+
+  test("epoch replay is idempotent: re-merging the same batch changes nothing") {
+    val eventsDir = Files.createTempDirectory("graft-replay-events")
+    val targetDir = Files.createTempDirectory("graft-replay-target").toString
+    Files.writeString(eventsDir.resolve("b1.json"), Seq(
+      event("INSERT", "JFK", "DEN#1", 1, """, "class": {"S": "v1"}"""),
+      event("MODIFY", "JFK", "DEN#1", 2, """, "class": {"S": "v2"}"""),
+      event("INSERT", "JFK", "DEN#2", 3)).mkString("\n"))
+    val batch = CdcStream.decode(
+      spark.read.schema(graft.etl.DdbJson.changeEventSchema).json(eventsDir.toString))
+
+    CdcStream.mergeBatch(spark, batch, targetDir, 0)
+    val once = CdcStream.readSnapshot(spark, targetDir).get
+      .orderBy("_doc_id").collect().map(_.toString).toSeq
+    // a crash between sink write and checkpoint commit re-runs the epoch
+    CdcStream.mergeBatch(spark, batch, targetDir, 0)
+    val twice = CdcStream.readSnapshot(spark, targetDir).get
+      .orderBy("_doc_id").collect().map(_.toString).toSeq
+    assert(twice === once)
+    assert(CdcStream.latestVersion(targetDir) === Some(0L))
+  }
+
+  test("routed sink parks a failed route's documents in its DLQ and survives") {
+    val eventsDir = Files.createTempDirectory("graft-routed-events")
+    val outDir = Files.createTempDirectory("graft-routed-out").toString
+    val checkpoint = Files.createTempDirectory("graft-routed-ckpt").toString
+    Files.writeString(eventsDir.resolve("b1.json"), Seq(
+      event("INSERT", "LAX", "SEA#1", 1, typ = "fare"),
+      event("INSERT", "LAX", "SEA#2", 2, typ = "fare"),
+      event("INSERT", "LAX", "FL#1", 3, typ = "flight")).mkString("\n"))
+    // break the fare sink: a plain file where its directory should go
+    Files.writeString(java.nio.file.Paths.get(outDir, "fare"), "sink broken")
+
+    val q = CdcStream.startRouted(spark, eventsDir.toString, outDir, checkpoint, Seq(
+      "fare" -> (col("type") === "fare"),
+      "flight" -> (col("type") === "flight")))
+    q.processAllAvailable()
+    val alive = q.isActive || q.exception.isEmpty // no sink failure escaped
+    q.stop()
+    assert(alive)
+    // healthy route delivered
+    assert(spark.read.parquet(s"$outDir/flight/epoch=0").count() === 1)
+    // failed route parked per-route with the error attached
+    val dlq = spark.read.parquet(s"$outDir/dlq/fare/epoch=0")
+    assert(dlq.count() === 2)
+    assert(dlq.select("_error").head().getString(0).nonEmpty)
   }
 }
 
