@@ -20,21 +20,36 @@ import org.apache.spark.sql.types._
   */
 object DdbJson {
 
-  /** Envelope for one typed attribute value. `L`/`M` are simplified to
-    * string-valued forms (sufficient for the reference surface; nested
-    * recursion would need a variant/JSON-string representation).
+  /** Decoded nesting depth for `L`/`M`. DynamoDB itself caps nesting at
+    * 32 levels; real single-table items rarely exceed 3–4. Levels past
+    * the cap read as null (the raw JSON still holds them — re-read with
+    * `attrValueSchemaAt(moreDepth)` recovers deeper trees losslessly).
     */
-  val attrValueSchema: StructType = StructType(Seq(
-    StructField("S", StringType),
-    StructField("N", StringType), // DynamoDB numbers are arbitrary-precision strings
-    StructField("BOOL", BooleanType),
-    StructField("NULL", BooleanType),
-    StructField("B", StringType), // base64
-    StructField("SS", ArrayType(StringType)),
-    StructField("NS", ArrayType(StringType)),
-    StructField("BS", ArrayType(StringType)),
-    StructField("L", ArrayType(StringType)),
-    StructField("M", MapType(StringType, StringType))))
+  val maxNestingDepth = 4
+
+  /** Envelope for one typed attribute value, recursive to `depth`:
+    * `L` is an array of typed values, `M` a map of them (the full
+    * DDB-JSON encoding — items nest routinely in single-table designs).
+    */
+  def attrValueSchemaAt(depth: Int): StructType = {
+    val scalars = Seq(
+      StructField("S", StringType),
+      StructField("N", StringType), // DynamoDB numbers are arbitrary-precision strings
+      StructField("BOOL", BooleanType),
+      StructField("NULL", BooleanType),
+      StructField("B", StringType), // base64
+      StructField("SS", ArrayType(StringType)),
+      StructField("NS", ArrayType(StringType)),
+      StructField("BS", ArrayType(StringType)))
+    val nested =
+      if (depth <= 0) Nil
+      else Seq(
+        StructField("L", ArrayType(attrValueSchemaAt(depth - 1))),
+        StructField("M", MapType(StringType, attrValueSchemaAt(depth - 1))))
+    StructType(scalars ++ nested)
+  }
+
+  val attrValueSchema: StructType = attrValueSchemaAt(maxNestingDepth)
 
   /** A raw item: attribute name → typed value. */
   val itemSchema: MapType = MapType(StringType, attrValueSchema)
@@ -118,6 +133,65 @@ object DdbJson {
       filter(
         split(regexp_replace(s, "^[\\[{]\\s*|\\s*[\\]}]$", ""), ",\\s*"),
         t => t =!= ""))
+
+  /** JSON-quote a string column, escaping via `to_json` of a 1-element
+    * array (`["a\"b"]` minus the brackets) — no hand-rolled escaper.
+    */
+  private def jsonStr(c: Column): Column = {
+    val arr = to_json(array(c))
+    when(c.isNotNull, arr.substr(lit(2), length(arr) - 2))
+  }
+
+  private def jsonArr(elems: Column): Column =
+    when(elems.isNotNull,
+      concat(lit("["), array_join(elems, ",", "null"), lit("]")))
+
+  /** Render one typed value as plain (untyped) JSON text — the document
+    * shape the reference actually indexes (Data Prepper strips the type
+    * tags before the bulk write, custom_resource.py:344-356). Recursive
+    * over `L`/`M` to `depth`; an empty/undecodable attr renders null.
+    *
+    * Uses HOF `transform` on the nested branches (interpreted, not
+    * codegen'd) — linear per value, so still a map-only decode pass;
+    * the scalar fast paths stay in codegen.
+    */
+  def plainJson(v: Column, depth: Int = maxNestingDepth): Column = {
+    val scalars = Seq(
+      jsonStr(v.getField("S")),
+      v.getField("N"), // raw JSON number text, precision preserved
+      when(v.getField("BOOL").isNotNull, v.getField("BOOL").cast("string")),
+      when(v.getField("NULL") === true, lit("null")),
+      jsonStr(v.getField("B")),
+      jsonArr(transform(v.getField("SS"), jsonStr(_))),
+      jsonArr(v.getField("NS")),
+      jsonArr(transform(v.getField("BS"), jsonStr(_))))
+    val nested =
+      if (depth <= 0) Nil
+      else Seq(
+        jsonArr(transform(v.getField("L"), e => plainJson(e, depth - 1))),
+        when(v.getField("M").isNotNull,
+          concat(lit("{"),
+            array_join(
+              transform(map_entries(v.getField("M")), e =>
+                concat(jsonStr(e.getField("key")), lit(":"),
+                  coalesce(plainJson(e.getField("value"), depth - 1), lit("null")))),
+              ","),
+            lit("}"))))
+    coalesce(scalars ++ nested: _*)
+  }
+
+  /** Render a whole item as one untyped JSON document (what the sink
+    * indexes): `{"PK":"LAX","price":42.5,"meta":{"tags":["a"]}}`.
+    */
+  def itemPlainJson(item: Column): Column =
+    when(item.isNotNull,
+      concat(lit("{"),
+        array_join(
+          transform(map_entries(item), e =>
+            concat(jsonStr(e.getField("key")), lit(":"),
+              coalesce(plainJson(e.getField("value")), lit("null")))),
+          ","),
+        lit("}")))
 
   /** T2: stable document id = PK + "#" + SK (the pipeline's
     * `getMetadata("primary_key")`, custom_resource.py:350).

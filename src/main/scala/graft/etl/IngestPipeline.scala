@@ -20,7 +20,11 @@ object IngestPipeline {
       fare: DataFrame,
       flight: DataFrame,
       dropped: DataFrame,
-      dlq: DataFrame)
+      dlq: DataFrame,
+      private val routed: Option[Router.Routed] = None) {
+    /** Release the cached decoded scan once the outputs are written. */
+    def release(): Unit = routed.foreach(_.unpersist())
+  }
 
   def run(spark: SparkSession, exportPath: String): Result =
     fromRaw(DdbJson.readExport(spark, exportPath))
@@ -36,7 +40,8 @@ object IngestPipeline {
       fare = Entities.decodeFare(routed.matched("fare")),
       flight = Entities.decodeFlight(routed.matched("flight")),
       dropped = routed.dropped,
-      dlq = dlq)
+      dlq = dlq,
+      routed = Some(routed))
   }
 
   /** Materialize the per-entity "indices" + DLQ under `outDir`. At scale
@@ -55,5 +60,6 @@ object IngestPipeline {
         coalesce(col("type"), lit("_unknown")).as("_route"),
         col("_doc_id"), to_json(col("item")).as("raw"))
       .write.mode("overwrite").partitionBy("_route").parquet(s"$outDir/dlq")
+    r.release()
   }
 }

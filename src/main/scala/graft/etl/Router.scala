@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Router {
 
-  final case class Routed(matched: Map[String, DataFrame], dropped: DataFrame)
+  final case class Routed(matched: Map[String, DataFrame], dropped: DataFrame,
+      private val source: Option[DataFrame] = None) {
+    /** Release the cached scan once every route has been materialized —
+      * long-lived sessions otherwise accumulate cached blocks.
+      */
+    def unpersist(): Unit = source.foreach(_.unpersist())
+  }
 
   def route(df: DataFrame, routes: Seq[(String, Column)],
       cache: Boolean = true): Routed = {
@@ -26,7 +32,8 @@ object Router {
     val anyMatch = routes.map(_._2).reduce(_ || _)
     Routed(
       routes.map { case (name, pred) => name -> src.filter(pred) }.toMap,
-      src.filter(!coalesce(anyMatch, lit(false))))
+      src.filter(!coalesce(anyMatch, lit(false))),
+      if (cache) Some(src) else None)
   }
 
   /** Single-pass fan-out write: route tag becomes a partition column.

@@ -30,10 +30,12 @@ object MultimodalOps {
       },
       Some("""
         WITH f AS (
-          SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-                 16 + CAST(length(text) AS BIGINT) % 640 AS width,
-                 16 + CAST(length(text) AS BIGINT) % 480 AS height,
-                 1 + CAST(length(text) AS BIGINT) % 32 AS n_frames
+          -- octet_length: the Spark side measures the BINARY payload
+          -- (UTF-8 bytes); char-counting length() only agrees on ASCII
+          SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+                 16 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 640 AS width,
+                 16 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 480 AS height,
+                 1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 32 AS n_frames
           FROM documents),
         x AS (SELECT doc_id, len, width, height, n_frames, unnest(range(0, n_frames, 4)) AS frame FROM f)
         SELECT doc_id, len, width, height, n_frames,

@@ -79,6 +79,50 @@ class DdbJsonSpec extends SparkSpec {
     assert(row.getString(3) === "nonstop")
   }
 
+  test("nested M/L attributes decode recursively; plain JSON strips tags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested")
+    val line =
+      """{"Item": {"PK": {"S": "LAX"}, "SK": {"S": "META#1"}, "type": {"S": "fare"},
+         "meta": {"M": {"tags": {"L": [{"S": "red-eye"}, {"N": "42"}]},
+                        "inner": {"M": {"deep": {"M": {"leaf": {"BOOL": true}}}}},
+                        "nul": {"NULL": true}}},
+         "stops": {"L": [{"M": {"code": {"S": "DEN"}, "wait": {"N": "35"}}},
+                         {"M": {"code": {"S": "P\"X"}}}]}}}"""
+        .replaceAll("\n\\s*", " ")
+    java.nio.file.Files.writeString(dir.resolve("x.json"), line)
+    val nested = DdbJson.readExport(spark, dir.toString)
+
+    // typed access straight down the recursive struct
+    val row = nested.select(
+      col("item")("meta").getField("M")("tags").getField("L")
+        .getItem(0).getField("S"),
+      col("item")("meta").getField("M")("inner").getField("M")("deep")
+        .getField("M")("leaf").getField("BOOL"),
+      col("item")("stops").getField("L").getItem(1).getField("M")("code")
+        .getField("S")).head()
+    assert(row.getString(0) === "red-eye")
+    assert(row.getBoolean(1) === true)
+    assert(row.getString(2) === "P\"X")
+
+    // untyped render: tags stripped, numbers raw, quotes escaped
+    val js = nested.select(
+      DdbJson.plainJson(col("item")("meta")).as("m"),
+      DdbJson.plainJson(col("item")("stops")).as("s"),
+      DdbJson.itemPlainJson(col("item")).as("doc")).head()
+    assert(js.getString(0) ===
+      """{"tags":["red-eye",42],"inner":{"deep":{"leaf":true}},"nul":null}""")
+    assert(js.getString(1) ===
+      """[{"code":"DEN","wait":35},{"code":"P\"X"}]""")
+    assert(js.getString(2).startsWith("""{"PK":"LAX","SK":"META#1""""))
+
+    // losslessness: typed JSON out re-parses to the same item
+    val rt = nested.select(
+      to_json(col("item")).as("a"),
+      to_json(from_json(to_json(col("item")), DdbJson.itemSchema)).as("b"))
+      .head()
+    assert(rt.getString(0) === rt.getString(1))
+  }
+
   test("action mapping: REMOVE → delete, INSERT/MODIFY → upsert") {
     import spark.implicits._
     val m = Seq("INSERT", "MODIFY", "REMOVE").toDF("eventName")

@@ -2,6 +2,7 @@ package graft.etl
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -51,6 +52,56 @@ object DdbPropertySpec extends Properties("ddb") {
       Prop(got.toSeq == expect) :| s"got=${got.take(3).mkString(",")}"
     }
   }
+
+  /** A typed DDB value paired with its expected untyped rendering. */
+  private case class TV(ddb: String, plain: String)
+
+  private def tvGen(depth: Int): Gen[TV] = {
+    val s = Gen.identifier.map(_.take(10))
+      .map(v => TV(s"""{"S": "$v"}""", "\"" + v + "\""))
+    val n = Gen.chooseNum(-100000L, 100000L)
+      .map(v => TV(s"""{"N": "$v"}""", v.toString))
+    val b = Gen.oneOf(true, false)
+      .map(v => TV(s"""{"BOOL": $v}""", v.toString))
+    val nul = Gen.const(TV("""{"NULL": true}""", "null"))
+    if (depth <= 0) Gen.oneOf(s, n, b, nul)
+    else {
+      val l = for {
+        sz <- Gen.chooseNum(0, 3)
+        els <- Gen.listOfN(sz, tvGen(depth - 1))
+      } yield TV(
+        s"""{"L": [${els.map(_.ddb).mkString(", ")}]}""",
+        "[" + els.map(_.plain).mkString(",") + "]")
+      val m = for {
+        sz <- Gen.chooseNum(1, 3)
+        ks <- Gen.listOfN(sz, key)
+        vs <- Gen.listOfN(sz, tvGen(depth - 1))
+      } yield {
+        val entries = ks.zipWithIndex.map { case (k, i) => s"$k$i" }.zip(vs)
+        TV(
+          "{\"M\": {" + entries.map { case (k, v) => s""""$k": ${v.ddb}""" }.mkString(", ") + "}}",
+          "{" + entries.map { case (k, v) => s""""$k":${v.plain}""" }.mkString(",") + "}")
+      }
+      Gen.frequency(4 -> Gen.oneOf(s, n, b, nul).flatMap(Gen.const), 1 -> l, 1 -> m)
+    }
+  }
+
+  property("nested L/M decode renders the plain JSON the typed form encodes") =
+    forAll(Gen.listOfN(5, tvGen(3))) { tvs =>
+      val json = tvs.zipWithIndex.map { case (tv, i) =>
+        s"""{"Item": {"PK": {"S": "p$i"}, "SK": {"S": "s"}, "v": ${tv.ddb}}}"""
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-nest-prop")
+      java.nio.file.Files.writeString(dir.resolve("x.json"), json.mkString("\n"))
+      val got = DdbJson.readExport(spark, dir.toString)
+        .select(
+          DdbJson.attrString(col("item"), "PK").as("pk"),
+          DdbJson.plainJson(col("item")("v")).as("pj"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1).map(_._2)
+      val expect = tvs.zipWithIndex.map { case (tv, i) => s"p$i" -> tv.plain }
+        .sortBy(_._1).map(_._2)
+      Prop(got.toSeq == expect) :| s"got=${got.take(2).mkString("|")} expect=${expect.take(2).mkString("|")}"
+    }
 
   property("CDC LWW converges under any batch split") = {
     val eventsGen = for {
