@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+import graft.{Registry, SparkSpec}
+
+/** Physical-plan regression tests for the headline relational queries —
+  * locks in the plans the engine is designed around (SURVEY.md §6):
+  * star joins broadcast, point lookups push their filters into the
+  * parquet scan, single-shuffle aggregation. A correctness-neutral
+  * refactor that silently degrades one of these (a broadcast falling
+  * back to sort-merge, a filter evaluated post-scan) fails here, not
+  * in a 100 TB incident.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  /** Execute and return every node of the AQE-finalized physical plan.
+    * `SparkPlan.collect` stops at query-stage boundaries (a materialized
+    * stage is held in `QueryStageExec.plan`, not `children`) — flatten
+    * through them so joins/scans inside stages are visible.
+    */
+  private def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => Nil
+      }))
+    flatten(root)
+  }
+
+  test("q10 star join: every dimension broadcast, no sort-merge join") {
+    val nodes = finalNodes(Registry.byName("q10_join_star").run(spark, sf()))
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.size === 3, s"expected 3 broadcast joins:\n${nodes.head}")
+    assert(smj.isEmpty, s"dimension join regressed to sort-merge:\n${nodes.head}")
+    // the only shuffles are the agg (hash) and the final sort (range) —
+    // nothing below the joins moves the fact table
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"unexpected shuffle below the agg:\n${nodes.head}")
+  }
+
+  test("q35 GSI lookup: partition-key filter reaches the parquet scan") {
+    val nodes = finalNodes(Registry.byName("q35_gsi_lookup").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan found:\n${nodes.head}")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("o_orderpriority"),
+      s"GSI1PK equality not pushed to the scan: $pushed")
+    assert(pushed.contains("o_orderdate"),
+      s"GSI1SK range not pushed to the scan: $pushed")
+    // projection pruned to the 5 referenced columns — not the full table
+    val readSchema = scans.map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("o_comment"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q1 aggregation: map-side partial agg, exactly one data shuffle") {
+    val nodes = finalNodes(Registry.byName("q1_agg").run(spark, sf()))
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // partial + final pair = map-side combine before the exchange
+    assert(aggs.size >= 2, s"no partial aggregation:\n${nodes.head}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    // one hash exchange for the groupBy, one range for the final sort
+    assert(shuffles.size <= 2, s"extra shuffle in the agg path:\n${nodes.head}")
+  }
+}
