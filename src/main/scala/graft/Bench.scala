@@ -59,12 +59,18 @@ object Bench {
     val results = suite.map(_.name).zipWithIndex.map { case (n, i) =>
       n -> median(samples.map(_(i)))
     }
+    // max-min across passes: run-to-run variance per query, so a noisy
+    // median is visible in the recorded baseline
+    val spreads = suite.map(_.name).zipWithIndex.map { case (n, i) =>
+      val ok = samples.map(_(i)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.max - ok.min)
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"spread":${jmap(spreads)},"sf":"$sfDir"}"""
     println(line)
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>

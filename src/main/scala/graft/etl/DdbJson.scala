@@ -71,11 +71,53 @@ object DdbJson {
 
   /** Batch read of a DynamoDB S3 export (S1): JSON-lines of Item
     * envelopes. Explicit schema — no inference pass over 100 TB.
+    *
+    * Two layouts:
+    *  - harness/flat: plain JSON-lines files at `path`;
+    *  - real PITR export: `AWSDynamoDB/<exportId>/manifest-files.json`
+    *    naming gzipped data files under `data/` (the prefix the
+    *    reference points its pipeline at, custom_resource.py:333-336).
+    *    The manifest governs — partial/aborted uploads sitting next to
+    *    listed files are not read. Gzip is handled by the codec layer;
+    *    the manifest itself is tiny metadata (one line per data file),
+    *    so driver-side resolution is not a scale concern.
     */
-  def readExport(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(exportLineSchema).json(path)
+  def readExport(spark: SparkSession, path: String): DataFrame = {
+    val dataPaths = exportDataFiles(spark, path).getOrElse(Seq(path))
+    spark.read.schema(exportLineSchema).json(dataPaths: _*)
       .select(col("Item").as("item"))
       .filter(col("item").isNotNull)
+  }
+
+  /** Resolve a PITR export's manifest (at `path` or one level under
+    * `path/AWSDynamoDB/<id>/`) to its data-file paths; None = no
+    * manifest, read `path` as flat JSON lines. Uses the Hadoop FS API,
+    * so the same resolution works against object stores on a cluster.
+    */
+  private def exportDataFiles(spark: SparkSession, path: String): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val direct = new Path(root, "manifest-files.json")
+    val nested = fs.globStatus(new Path(root, "AWSDynamoDB/*/manifest-files.json"))
+    val manifest =
+      if (fs.exists(direct)) Some(direct)
+      else Option(nested).toSeq.flatten.headOption.map(_.getPath)
+    manifest.map { mf =>
+      val keys = spark.read
+        .schema(StructType(Seq(StructField("dataFileS3Key", StringType))))
+        .json(mf.toString)
+        .collect().map(_.getString(0)).filter(_ != null).toSeq
+      keys.map { k =>
+        // keys are bucket-relative ("AWSDynamoDB/<id>/data/x.json.gz");
+        // resolve against the export root, else against the manifest dir
+        val atRoot = new Path(root, k)
+        if (fs.exists(atRoot)) atRoot.toString
+        else new Path(mf.getParent, k.split("/").takeRight(2).mkString("/")).toString
+      }
+    }
+  }
 
   /** True iff a typed value carries no tag at all (the `__id: {}`
     * dirty-data case) — P4 cleanup drops these.

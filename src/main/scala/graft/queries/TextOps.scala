@@ -149,6 +149,82 @@ object TextOps {
       Some("""
         SELECT doc_id, substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16) AS fp
         FROM documents ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // PII redaction: regex-scrub emails/phones before training. The
+    // corpus is synthetic words, so the PII is synthesized
+    // deterministically from row data — the operator (match, count,
+    // replace; identical regex dialect both engines) is what's under
+    // test. Map-only; at 100 TB this fuses into the scan.
+    GraftQuery(
+      "q64_text_pii_redact",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val email = "[a-z0-9]+@[a-z0-9.]+"
+        val phone = "555-[0-9]{4}"
+        d.withColumn("contact",
+            concat(substring(col("text"), 1, 40),
+              lit(" reach user"), col("doc_id").cast("string"),
+              lit("@mail.example or call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .withColumn("n_emails", regexp_count(col("contact"), lit(email)).cast("long"))
+          .withColumn("n_phones", regexp_count(col("contact"), lit(phone)).cast("long"))
+          .withColumn("masked",
+            regexp_replace(regexp_replace(col("contact"), email, "<EMAIL>"),
+              phone, "<PHONE>"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            substring(col("masked"), 41, 100).as("masked_tail"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 concat(substr(text, 1, 40), ' reach user', CAST(doc_id AS VARCHAR),
+                   '@mail.example or call 555-',
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS contact
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(contact, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               substr(regexp_replace(regexp_replace(contact, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '555-[0-9]{4}', '<PHONE>', 'g'), 41, 100) AS masked_tail
+        FROM c ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Stopword pruning: drop stopwords from the token stream, report
+    // exact integer token budgets per source (the ratio is derived from
+    // exact ints, so it is engine-identical — per-row double averages
+    // aggregated across rows would be summation-order-dependent).
+    GraftQuery(
+      "q65_text_stopword_prune",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("tok", TextFns.tokens(col("text")))
+        d.withColumn("n_tok", size(col("tok")).cast("long"))
+          .withColumn("n_kept",
+            size(filter(col("tok"), t => !t.isin("the", "a"))).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("toks"),
+            sum(col("n_kept")).as("kept"))
+          .withColumn("keep_ratio",
+            col("kept").cast("double") / col("toks").cast("double"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, string_split(text, ' ') AS tok FROM documents),
+        m AS (
+          SELECT source,
+                 CAST(len(tok) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(tok, x -> NOT list_contains(['the','a'], x))) AS BIGINT) AS n_kept
+          FROM t)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS toks,
+               CAST(SUM(n_kept) AS BIGINT) AS kept,
+               CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS keep_ratio
+        FROM m GROUP BY source ORDER BY source
       """.stripMargin.trim))
   )
 }

@@ -40,6 +40,21 @@ object EventWindows {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n"))
 
+  /** In-stream exact deduplication by content fingerprint — the
+    * streaming face of the batch exact-dedup operator (Dedup.scala):
+    * only the first arrival of each fingerprint is emitted; duplicates
+    * in the same or later micro-batches are dropped. The watermark
+    * bounds the dedup state (a duplicate arriving later than `lateness`
+    * after the original can re-emit — the price of bounded state on an
+    * unbounded stream; run the batch exact-dedup pass downstream for a
+    * total guarantee).
+    */
+  def dedupByFingerprint(docs: DataFrame, lateness: String): DataFrame =
+    docs
+      .withColumn("fp", md5(graft.functions.TextFns.normalizeText(col("text"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   // ---- custom keyed state: long-lived last-writer-wins (ST3) ----
 
   final case class KeyedUpdate(key: String, seq: Long, action: String, payload: String)

@@ -123,6 +123,34 @@ class DdbJsonSpec extends SparkSpec {
     assert(rt.getString(0) === rt.getString(1))
   }
 
+  test("PITR export layout: manifest governs which gzipped files are read") {
+    import java.util.zip.GZIPOutputStream
+    val root = java.nio.file.Files.createTempDirectory("graft-pitr")
+    val dataDir = root.resolve("AWSDynamoDB/01234-abcd/data")
+    java.nio.file.Files.createDirectories(dataDir)
+    def gzLine(file: String, pk: String): Unit = {
+      val os = new GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dataDir.resolve(file)))
+      os.write(
+        s"""{"Item": {"PK": {"S": "$pk"}, "SK": {"S": "X"}, "type": {"S": "fare"}}}\n"""
+          .getBytes("UTF-8"))
+      os.close()
+    }
+    gzLine("a.json.gz", "AAA")
+    gzLine("b.json.gz", "BBB")
+    gzLine("orphan.json.gz", "ZZZ") // present on disk, NOT in the manifest
+    java.nio.file.Files.writeString(
+      root.resolve("AWSDynamoDB/01234-abcd/manifest-files.json"),
+      Seq("a.json.gz", "b.json.gz").map(f =>
+        s"""{"itemCount": 1, "dataFileS3Key": "AWSDynamoDB/01234-abcd/data/$f"}""")
+        .mkString("\n"))
+
+    val pks = DdbJson.readExport(spark, root.toString)
+      .select(DdbJson.attrString(col("item"), "PK")).collect()
+      .map(_.getString(0)).sorted
+    assert(pks === Array("AAA", "BBB")) // orphan excluded, gzip decoded
+  }
+
   test("action mapping: REMOVE → delete, INSERT/MODIFY → upsert") {
     import spark.implicits._
     val m = Seq("INSERT", "MODIFY", "REMOVE").toDF("eventName")

@@ -124,6 +124,32 @@ class StreamingSpec extends SparkSpec {
     assert(DdbJsonAccess.itemClass(snap2) === Seq("v3"))
   }
 
+  test("streaming dedup emits first arrival only, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val deduped = EventWindows.dedupByFingerprint(
+      in.toDF().toDF("ts", "doc_id", "text"), lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha beta"),
+      (ts("2024-01-01 10:00:01"), 2L, "alpha  BETA"), // same after normalize
+      (ts("2024-01-01 10:00:02"), 3L, "gamma"))
+    q.processAllAvailable()
+    // duplicate arriving in a LATER micro-batch, inside the watermark
+    in.addData(
+      (ts("2024-01-01 10:01:00"), 4L, "Alpha Beta "),
+      (ts("2024-01-01 10:01:01"), 5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    // 2 (same batch), 4 (later batch) dropped as duplicates of 1
+    assert(got === Array(1L, 3L, 5L))
+  }
+
   test("epoch replay is idempotent: re-merging the same batch changes nothing") {
     val eventsDir = Files.createTempDirectory("graft-replay-events")
     val targetDir = Files.createTempDirectory("graft-replay-target").toString
