@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` entry point — the supported
+  * way to ship custom Catalyst pieces to every session of a deployment
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`, or
+  * `builder.withExtensions(new GraftExtensions)`):
+  *
+  *  - the native as-of join strategy (so [[AsofJoinNode]] plans built
+  *    by any client of the library get the sort-merge exec without
+  *    touching `experimental.extraStrategies`);
+  *  - `hamming_distance(a, b)` as a SQL function, making the codegen'd
+  *    POPCNT expression reachable from `spark.sql(...)` text, not just
+  *    the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"hamming_distance expects 2 arguments, got ${args.length}")
+        HammingDistance(args.head, args(1))
+      }))
+  }
+}

@@ -365,9 +365,42 @@ object Relational {
         FROM j WHERE rn = 1 ORDER BY p_id
       """.stripMargin.trim)),
 
+    // ---------------------------------------------------------------- J7
+    // Same as-of semantics through the native sort-merge exec
+    // (plans.AsofJoin: LogicalPlan + Strategy + BinaryExecNode): one
+    // co-partitioning shuffle per side, single merge pass, no
+    // pair materialization and no second window shuffle — the form
+    // that survives hot keys at 100×. Same DuckDB oracle as q15.
+    GraftQuery(
+      "q19_join_asof_native",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("tsec", date_trunc("second", col("ts")))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"), col("tsec").as("p_ts"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"), col("tsec").as("c_ts"))
+        graft.plans.AsofJoin.asof(p, c, Seq("user_id"), "p_ts", "c_ts",
+            rightTieBreak = Seq("c_id"))
+          .select(p("p_id"), p("user_id"), p("p_ts"),
+            col("c_id").as("asof_click_id"), col("c_ts").as("asof_click_ts"))
+          .orderBy(col("p_id"))
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tsec FROM events),
+        p AS (SELECT event_id AS p_id, user_id, tsec AS p_ts FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS c_id, user_id, tsec AS c_ts FROM e WHERE event_type = 'click'),
+        j AS (
+          SELECT p_id, p.user_id, p_ts, c_id, c_ts,
+                 ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id AND c_ts <= p_ts)
+        SELECT p_id, user_id, p_ts, c_id AS asof_click_id, c_ts AS asof_click_ts
+        FROM j WHERE rn = 1 ORDER BY p_id
+      """.stripMargin.trim)),
+
     // ---------------------------------------------------------------- J4
     // Theta/range join against a tiny literal band table → broadcast
-    // nested-loop with a 5-row build side: scale-safe non-equi join.
+    // nested-loop with a 5-row band side: scale-safe non-equi join.
     GraftQuery(
       "q16_join_range_band",
       (s, dir) => {

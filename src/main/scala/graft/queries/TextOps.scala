@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.functions.TextFns
@@ -225,6 +226,52 @@ object TextOps {
                CAST(SUM(n_kept) AS BIGINT) AS kept,
                CAST(SUM(n_kept) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS keep_ratio
         FROM m GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // TF-IDF-style term relevance, top-3 terms per document. The
+    // inverse-document-frequency factor is the LOG-FREE rational form
+    // tf·N/df: one exact integer product then one correctly-rounded
+    // IEEE division, identical in any engine — ln() differs in the
+    // last ulp across libm implementations and would break hash
+    // comparison. Plan shape: explode → (doc,term) agg → term-level
+    // df agg → equi-join back on term → per-doc window; every shuffle
+    // is on a high-cardinality key.
+    GraftQuery(
+      "q66_text_tfidf",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = d.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score", (col("tf") * col("n")) / col("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        s AS (
+          SELECT doc_id, tf.term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                 (CAST(tf AS BIGINT) * (SELECT n FROM n)) / CAST(df AS BIGINT) AS score
+          FROM tf JOIN df ON tf.term = df.term),
+        r AS (
+          SELECT doc_id, term, tf, df, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+          FROM s)
+        SELECT doc_id, rank, term, tf, df, score
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank
       """.stripMargin.trim))
   )
 }
