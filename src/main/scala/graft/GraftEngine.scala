@@ -111,4 +111,19 @@ final case class GraftEngine(spark: SparkSession) {
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
       .drop("_tok")
   }
+
+  /** SimHash near-duplicate pairs (hamming ≤ maxDist, complete for
+    * ≤ 3) — kernel fingerprints + banded block join.
+    */
+  def simhashDuplicates(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame =
+    graft.operators.SimHash.nearDupPairs(docs, idCol, textCol, maxDist)
+
+  /** Native as-of join: latest `right` row per key at or before each
+    * left time (single merge pass per co-partitioned sorted partition).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    graft.plans.AsofJoin.asof(left, right, keys, leftTime, rightTime, rightTieBreak)
 }

@@ -157,6 +157,33 @@ object Search {
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents WHERE lang = 'en'
         GROUP BY source ORDER BY doc_count DESC, source
+      """.stripMargin.trim)),
+
+    // composite aggregation with after-key pagination: buckets keyed by
+    // (lang, source) in key order, resuming AFTER the cursor bucket —
+    // OpenSearch's cursor-based agg pagination (the scalable way to
+    // page through high-cardinality buckets; from/size re-aggregates
+    // everything, the after-key is a keyset seek). The tuple seek
+    // predicate pushes to the scan; one shuffle for the bucket agg.
+    GraftQuery(
+      "q45_search_composite_after",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val after = (lit("en"), lit("src3")) // cursor from the "previous page"
+        d.filter(col("lang") > after._1 ||
+            (col("lang") === after._1 && col("source") > after._2))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("doc_count"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"), col("source"))
+          .limit(5)
+      },
+      Some("""
+        SELECT lang, source, COUNT(*) AS doc_count,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (lang, source) > ('en', 'src3')
+        GROUP BY lang, source ORDER BY lang, source LIMIT 5
       """.stripMargin.trim))
   )
 }

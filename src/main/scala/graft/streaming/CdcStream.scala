@@ -110,6 +110,23 @@ object CdcStream {
       }
       .start()
 
+  /** Retention: drop snapshot versions older than the newest `keep`
+    * (the pointer and crash-replay re-base only ever need the latest;
+    * older versions serve concurrent readers — a production deployment
+    * runs this like any snapshot-table vacuum). Never deletes the
+    * newest version. Returns the versions removed.
+    */
+  def vacuum(targetDir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "must keep at least the newest snapshot")
+    val doomed = versionsOnDisk(targetDir).sorted.dropRight(keep)
+    doomed.foreach { v =>
+      val dir = Paths.get(targetDir, s"v=$v")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    doomed
+  }
+
   /** One epoch of the routed fan-out sink with per-route sink-failure
     * DLQ — the reference's behavior for documents that fail *indexing*
     * (not decoding): a failed bulk write parks the documents under a

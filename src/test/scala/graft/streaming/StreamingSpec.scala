@@ -171,6 +171,23 @@ class StreamingSpec extends SparkSpec {
     assert(CdcStream.latestVersion(targetDir) === Some(0L))
   }
 
+  test("vacuum drops old snapshot versions, keeps the newest, replay still works") {
+    val eventsDir = Files.createTempDirectory("graft-vac-events")
+    val targetDir = Files.createTempDirectory("graft-vac-target").toString
+    Files.writeString(eventsDir.resolve("b.json"),
+      event("INSERT", "SFO", "SEA#1", 1))
+    val batch = CdcStream.decode(
+      spark.read.schema(graft.etl.DdbJson.changeEventSchema).json(eventsDir.toString))
+    (0L to 4L).foreach(ep => CdcStream.mergeBatch(spark, batch, targetDir, ep))
+
+    val removed = CdcStream.vacuum(targetDir, keep = 2)
+    assert(removed === Seq(0L, 1L, 2L))
+    assert(CdcStream.latestVersion(targetDir) === Some(4L))
+    // replay of the newest epoch still finds its base (v=3)
+    CdcStream.mergeBatch(spark, batch, targetDir, 4L)
+    assert(CdcStream.readSnapshot(spark, targetDir).get.count() === 1)
+  }
+
   test("routed sink parks a failed route's documents in its DLQ and survives") {
     val eventsDir = Files.createTempDirectory("graft-routed-events")
     val outDir = Files.createTempDirectory("graft-routed-out").toString
