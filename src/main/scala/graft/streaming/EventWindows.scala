@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Event-time windowing and custom keyed state (ST3–ST5 of
   * SURVEY.md §2.10) for the streaming side of the engine. Everything
@@ -81,4 +81,33 @@ object EventWindows {
           state.update(next)
           next
       }
+
+  /** Same LWW semantics on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState, RocksDB-backed): the
+    * successor to mapGroupsWithState — state schema evolution, TTL,
+    * timers, and multiple state variables per key come for free when
+    * the pipeline needs them.
+    */
+  class LwwProcessor extends StatefulProcessor[String, KeyedUpdate, KeyedState] {
+    @transient private var state: ValueState[KeyedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyedState](
+        "lww", Encoders.product[KeyedState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedUpdate],
+        timers: TimerValues): Iterator[KeyedState] = {
+      val prior =
+        if (state.exists()) state.get()
+        else KeyedState(key, Long.MinValue, null, deleted = true)
+      val next = (Iterator(prior) ++ rows.map(u =>
+        KeyedState(key, u.seq, u.payload, u.action == "delete"))).maxBy(_.seq)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def lwwStateV2(updates: Dataset[KeyedUpdate]): Dataset[KeyedState] =
+    updates.groupByKey(_.key)
+      .transformWithState(new LwwProcessor, TimeMode.None(), OutputMode.Update())
 }

@@ -124,6 +124,42 @@ class StreamingSpec extends SparkSpec {
     assert(DdbJsonAccess.itemClass(snap2) === Seq("v3"))
   }
 
+  test("transformWithState LWW matches the mapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 state API requires the RocksDB state store
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[EventWindows.KeyedUpdate]
+      val q = EventWindows.lwwStateV2(in.toDS())
+        .writeStream.format("memory").queryName("lww_v2")
+        .outputMode("update").start()
+      in.addData(
+        EventWindows.KeyedUpdate("k1", 1, "upsert", "a"),
+        EventWindows.KeyedUpdate("k1", 3, "upsert", "c"),
+        EventWindows.KeyedUpdate("k2", 1, "upsert", "x"))
+      q.processAllAvailable()
+      in.addData(
+        EventWindows.KeyedUpdate("k1", 2, "upsert", "b"), // stale: loses to 3
+        EventWindows.KeyedUpdate("k2", 2, "delete", null))
+      q.processAllAvailable()
+      q.stop()
+
+      val last = spark.table("lww_v2")
+        .groupBy("key").agg(max(struct(col("seq"), col("payload"), col("deleted"))).as("s"))
+        .select(col("key"), col("s.payload"), col("s.deleted"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+      assert(last("k1") === ("c", false)) // stale seq 2 did not regress it
+      assert(last("k2")._2 === true)      // tombstoned
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup emits first arrival only, across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
