@@ -171,6 +171,34 @@ object Dedup {
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
         SELECT a_id, b_id, sim FROM p WHERE sim >= 0.42 ORDER BY a_id, b_id
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // Dedup clustering: near-dup pairs → connected components → one
+    // canonical representative (min doc_id) per cluster + size. Spark
+    // side is Hash-to-Min label propagation (operators.DedupClusters);
+    // the oracle computes the same components with a recursive CTE.
+    GraftQuery(
+      "q77_dedup_clusters",
+      (s, dir) => {
+        val pairs = graft.operators.MinHashLsh.nearDupPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", 0.8)
+        graft.operators.DedupClusters.assignments(pairs, "a_id", "b_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        p AS ($jaccardOracleSql),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL SELECT b_id, a_id FROM p),
+        n AS (SELECT DISTINCT src AS id FROM e),
+        r AS (
+          SELECT id, id AS label FROM n
+          UNION
+          SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id),
+        c AS (SELECT id, MIN(label) AS rep FROM r GROUP BY id),
+        sz AS (SELECT rep, COUNT(*) AS csize FROM c GROUP BY rep)
+        SELECT c.id AS doc_id, c.rep AS rep_id, CAST(sz.csize AS BIGINT) AS csize
+        FROM c JOIN sz ON c.rep = sz.rep ORDER BY doc_id
+      """.stripMargin.trim))
   )
 }
