@@ -199,6 +199,47 @@ object Dedup {
         sz AS (SELECT rep, COUNT(*) AS csize FROM c GROUP BY rep)
         SELECT c.id AS doc_id, c.rep AS rep_id, CAST(sz.csize AS BIGINT) AS csize
         FROM c JOIN sz ON c.rep = sz.rep ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Benchmark-contamination check: training documents sharing ≥ 5
+    // distinct 3-gram shingles with the held-out set (source src0
+    // plays the benchmark here). Inverted-index semi-join on portable
+    // md5-derived shingle hashes — same never-all-pairs shape as q71;
+    // at 100 TB the eval side is tiny and broadcasts.
+    GraftQuery(
+      "q78_dedup_contamination",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("sh",
+            array_distinct(TextFns.shingles3(TextFns.tokens(col("text")))))
+          .select(col("doc_id"), col("source"),
+            explode(col("sh")).as("g"))
+          .withColumn("s", TextFns.md5hash60(col("g")))
+        val train = d.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("s"))
+        val eval = d.filter(col("source") === "src0")
+          .select(col("s")).distinct()
+        train.join(broadcast(eval), "s")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+        s AS (SELECT doc_id, source,
+                CASE WHEN len(tok) >= 3
+                     THEN list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok)-1)])
+                     ELSE [array_to_string(tok, ' ')] END AS sh
+              FROM t),
+        x AS (SELECT doc_id, source,
+                ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS s
+              FROM s),
+        train AS (SELECT doc_id, s FROM x WHERE source <> 'src0'),
+        ev AS (SELECT DISTINCT s FROM x WHERE source = 'src0')
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM train JOIN ev USING (s)
+        GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

@@ -272,6 +272,34 @@ object TextOps {
           FROM s)
         SELECT doc_id, rank, term, tf, df, score
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+      """.stripMargin.trim)),
+
+    // Deterministic train/val split: hash the doc id (not a random()
+    // call — reproducible across runs, engines, and cluster sizes;
+    // adding documents never reshuffles existing assignments). 90/10 by
+    // md5-derived bucket; per-split-and-source token budgets.
+    GraftQuery(
+      "q67_text_split",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.withColumn("bucket",
+            pmod(TextFns.md5hash60(col("doc_id").cast("string")), lit(100L)))
+          .withColumn("split",
+            when(col("bucket") < 90, lit("train")).otherwise(lit("val")))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          .orderBy(col("split"), col("source"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, text,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+               source, COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS chars
+        FROM b GROUP BY 1, 2 ORDER BY split, source
       """.stripMargin.trim))
   )
 }
