@@ -59,6 +59,28 @@ object MinHashLsh {
       .toDF("doc_id", "nsh", "s")
   }
 
+  /** Portable postings: one row per distinct 3-gram shingle, keyed by
+    * the md5-derived 60-bit hash an SQL oracle can recompute
+    * (`('0x'||substr(md5(sh),1,15))::BIGINT`), carrying a tag column
+    * (e.g. source) for split-wise joins. Kernel form of the
+    * declarative shingle→md5 pipeline — the HOF shingling alone cost
+    * ~11 s at sf0.1.
+    */
+  def portablePostings(docs: DataFrame, idCol: String, tagCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(tagCol).cast("string"), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, tag, text) =>
+          shingleSet(text).iterator.map(sh => (id, tag, SimHash.md5hash60(md, sh)))
+        }
+      }
+      .toDF("doc_id", "tag", "s")
+  }
+
   /** (doc_id, band, bucket) rows: `bands`×`rows` MinHash permutations,
     * `rows` consecutive slots hashed per band.
     */

@@ -29,7 +29,7 @@ object SimHash {
   /** First 60 bits of md5 (15 hex chars), matching
     * `TextFns.md5hash60` / the oracle's hex-substr parse.
     */
-  private def md5hash60(md: java.security.MessageDigest, s: String): Long = {
+  private[operators] def md5hash60(md: java.security.MessageDigest, s: String): Long = {
     md.reset()
     val d = md.digest(s.getBytes("UTF-8"))
     var v = 0L

@@ -209,15 +209,11 @@ object Dedup {
     GraftQuery(
       "q78_dedup_contamination",
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-          .withColumn("sh",
-            array_distinct(TextFns.shingles3(TextFns.tokens(col("text")))))
-          .select(col("doc_id"), col("source"),
-            explode(col("sh")).as("g"))
-          .withColumn("s", TextFns.md5hash60(col("g")))
-        val train = d.filter(col("source") =!= "src0")
+        val post = graft.operators.MinHashLsh.portablePostings(
+          Tables.load(s, dir, "documents"), "doc_id", "source", "text")
+        val train = post.filter(col("tag") =!= "src0")
           .select(col("doc_id"), col("s"))
-        val eval = d.filter(col("source") === "src0")
+        val eval = post.filter(col("tag") === "src0")
           .select(col("s")).distinct()
         train.join(broadcast(eval), "s")
           .groupBy(col("doc_id"))

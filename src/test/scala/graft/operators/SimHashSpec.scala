@@ -23,6 +23,22 @@ class SimHashSpec extends SparkSpec {
     assert(kernel === declarative)
   }
 
+  test("portablePostings kernel matches the declarative shingle+md5 form") {
+    val docs = Seq(
+      (1L, "s0", "a b c d e"),
+      (2L, "s1", "x y"), // short doc → whole-text shingle
+      (3L, "s0", "a b c a b c")).toDF("doc_id", "source", "text")
+    val declarative = docs
+      .select(col("doc_id"), col("source").as("tag"),
+        explode(array_distinct(
+          TextFns.shingles3(TextFns.tokens(col("text"))))).as("g"))
+      .select(col("doc_id"), col("tag"), TextFns.md5hash60(col("g")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val kernel = MinHashLsh.portablePostings(docs, "doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernel === declarative)
+  }
+
   test("near-dup pairs: close fingerprints found, distant ones excluded") {
     // doc 2 = doc 1 with one token swapped under a 20× dominating
     // repeat, so every bit's vote sign is set by the repeated token —
