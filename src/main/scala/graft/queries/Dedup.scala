@@ -145,7 +145,8 @@ object Dedup {
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= 3
         ORDER BY a_id, b_id
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // Embedding near-dup: quantized-integer cosine ≥ 0.42 over all
     // pairs, via the partition kernel (operators.CosinePairs) — the
@@ -199,7 +200,8 @@ object Dedup {
         sz AS (SELECT rep, COUNT(*) AS csize FROM c GROUP BY rep)
         SELECT c.id AS doc_id, c.rep AS rep_id, CAST(sz.csize AS BIGINT) AS csize
         FROM c JOIN sz ON c.rep = sz.rep ORDER BY doc_id
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // Benchmark-contamination check: training documents sharing ≥ 5
     // distinct 3-gram shingles with the held-out set (source src0
@@ -236,6 +238,7 @@ object Dedup {
         SELECT doc_id, COUNT(*) AS n_shared
         FROM train JOIN ev USING (s)
         GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id
-      """.stripMargin.trim))
+      """.stripMargin.trim),
+      headline = true)
   )
 }

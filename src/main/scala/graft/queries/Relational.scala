@@ -396,7 +396,8 @@ object Relational {
           FROM p JOIN c ON p.user_id = c.user_id AND c_ts <= p_ts)
         SELECT p_id, user_id, p_ts, c_id AS asof_click_id, c_ts AS asof_click_ts
         FROM j WHERE rn = 1 ORDER BY p_id
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // ---------------------------------------------------------------- J4
     // Theta/range join against a tiny literal band table → broadcast

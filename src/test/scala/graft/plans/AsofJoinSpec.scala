@@ -47,6 +47,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Array(9L))
   }
 
+  test("hot key: native merge agrees with the composed form under skew") {
+    // one user owns 5k clicks and 200 purchases — the composed
+    // join+filter+window form materializes ~1M pairs for this key; the
+    // merge resolves it in one pass over 5.2k sorted rows
+    val clicks = spark.range(5000).selectExpr(
+      "'hot' AS user_id",
+      "timestamp_millis(1700000000000 + id * 1000) AS c_ts",
+      "id AS c_id")
+    val purchases = spark.range(200).selectExpr(
+      "'hot' AS user_id",
+      "timestamp_millis(1700000000000 + id * 25000 + 500) AS p_ts",
+      "id AS p_id")
+    val native = AsofJoin.asof(purchases, clicks, Seq("user_id"),
+        "p_ts", "c_ts", rightTieBreak = Seq("c_id"))
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p_ts = base + 25000·i + 500 → latest click ≤ that is id 25·i
+    assert(native.size === 200)
+    assert(native(0L) === 0L)
+    assert(native(7L) === 175L)
+    assert(native(199L) === 4975L)
+  }
+
   test("native exec matches the composed join+window form on events") {
     val e = Tables.load(spark, sf(), "events")
       .withColumn("tsec", date_trunc("second", col("ts")))
