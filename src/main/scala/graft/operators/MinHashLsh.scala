@@ -120,6 +120,54 @@ object MinHashLsh {
       .toDF("doc_id", "band", "bucket")
   }
 
+  /** Persist the LSH band index for a corpus — bucketed by band so an
+    * incremental probe co-locates without a shuffle of the index side.
+    * The production dedup shape: index 100 TB once, probe each arriving
+    * batch against it.
+    */
+  def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 16, rows: Int = 2): Unit =
+    bandRows(docs, idCol, textCol, bands, rows)
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Probe new documents against a persisted band index: candidates =
+    * band-bucket collisions between the batch and the index (batch side
+    * is small → broadcast), verified by exact Jaccard against the
+    * postings of only the colliding corpus docs. Returns
+    * (new_id, corpus_id, jaccard ≥ threshold) — never touches
+    * non-colliding corpus documents.
+    */
+  def probeNew(newDocs: DataFrame, corpus: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double,
+      bands: Int = 16, rows: Int = 2): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val probe = bandRows(newDocs, idCol, textCol, bands, rows)
+    val cand = idx.join(
+        broadcast(probe.withColumnRenamed("doc_id", "new_id")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("new_id"))
+      .select(col("new_id"), col("doc_id").as("corpus_id")).distinct()
+    // exact verification over candidate pairs only: prune the corpus
+    // postings to colliding docs BEFORE the shingle join, so the big
+    // side never shuffles beyond its candidates
+    val pNew = postings(newDocs, idCol, textCol)
+      .withColumnsRenamed(Map("doc_id" -> "new_id", "nsh" -> "n_new"))
+    val pOld = postings(corpus, idCol, textCol)
+      .withColumnsRenamed(Map("doc_id" -> "corpus_id", "nsh" -> "n_old"))
+      .join(broadcast(cand.select(col("corpus_id")).distinct()),
+        Seq("corpus_id"), "left_semi")
+    pNew.join(pOld, "s")
+      .join(broadcast(cand), Seq("new_id", "corpus_id"), "left_semi")
+      .groupBy(col("new_id"), col("corpus_id"), col("n_new"), col("n_old"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Near-dup pairs with Jaccard ≥ threshold (exact, given LSH recall —
     * 16×2 at j≥0.8 misses a pair with prob ~3e-8).
     */

@@ -184,6 +184,35 @@ object Search {
         FROM documents
         WHERE (lang, source) > ('en', 'src3')
         GROUP BY lang, source ORDER BY lang, source LIMIT 5
+      """.stripMargin.trim)),
+
+    // highlight: first-match snippet with the hit term wrapped in <em>
+    // tags — the OpenSearch highlighter's contract (fragment around the
+    // match, tags injected). Pure row-wise string ops, map-only.
+    GraftQuery(
+      "q46_search_highlight",
+      (s, dir) => {
+        val term = "window"
+        val d = Tables.load(s, dir, "documents")
+        d.withColumn("pos", instr(col("text"), term).cast("long"))
+          .filter(col("pos") > 0)
+          .withColumn("frag",
+            substring(col("text"),
+              greatest(col("pos") - 20, lit(1)).cast("int"), lit(60)))
+          .withColumn("highlight",
+            regexp_replace(col("frag"), term, s"<em>$term</em>"))
+          .select(col("doc_id"), col("pos"), col("highlight"))
+          .orderBy(col("doc_id"))
+          .limit(100)
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, CAST(strpos(text, 'window') AS BIGINT) AS pos,
+                 substr(text, CAST(greatest(strpos(text, 'window') - 20, 1) AS INT), 60) AS frag
+          FROM documents WHERE strpos(text, 'window') > 0)
+        SELECT doc_id, pos,
+               regexp_replace(frag, 'window', '<em>window</em>', 'g') AS highlight
+        FROM h ORDER BY doc_id LIMIT 100
       """.stripMargin.trim))
   )
 }
