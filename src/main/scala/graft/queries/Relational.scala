@@ -226,6 +226,62 @@ object Relational {
         FROM g ORDER BY event_type
       """.stripMargin.trim)),
 
+    // ---------------------------------------------------------------- A5+
+    // Pivot: event_type values become count columns per user. The value
+    // list is explicit — at scale an unbounded pivot would need a
+    // distinct-collect planning pass; pinning it keeps the plan static
+    // and the shuffle a plain (user_id) hash agg. Oracle = portable
+    // CASE-sum form (what pivot desugars to).
+    GraftQuery(
+      "q9_agg_pivot",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("user_id"))
+          .limit(200)
+      },
+      Some("""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id LIMIT 200
+      """.stripMargin.trim)),
+
+    // Unpivot (melt): wide per-nation min/max/avg columns back to
+    // (nation, metric, value) rows — map-only row explosion, no shuffle
+    // beyond the feeding agg.
+    GraftQuery(
+      "q9b_agg_unpivot",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val wide = c.groupBy(col("c_nationkey"))
+          .agg(
+            min(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("min_bal"),
+            max(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("max_bal"))
+        wide.unpivot(
+            Array(col("c_nationkey")),
+            Array(col("min_bal"), col("max_bal")),
+            "metric", "value")
+          .orderBy(col("c_nationkey"), col("metric"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT c_nationkey,
+                 CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+                 CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+          FROM customer GROUP BY c_nationkey)
+        SELECT c_nationkey, 'min_bal' AS metric, min_bal AS value FROM w
+        UNION ALL
+        SELECT c_nationkey, 'max_bal' AS metric, max_bal AS value FROM w
+        ORDER BY c_nationkey, metric
+      """.stripMargin.trim)),
+
     // ---------------------------------------------------------------- J1/J2
     // Star join: facts ⋈ broadcast dims. Explicit broadcast() keeps all
     // three dim joins shuffle-free — the only shuffle is the final agg.
