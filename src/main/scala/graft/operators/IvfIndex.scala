@@ -75,8 +75,11 @@ object IvfIndex {
   private def train(v: Dataset[(Long, Array[Double], Boolean)],
       p: Params): Array[Array[Double]] = {
     val sc = v.sparkSession.sparkContext
+    // a corpus smaller than nlist trains that many clusters instead —
+    // every loop below sizes off cents.length, not p.nlist
     var cents: Array[Array[Double]] =
       v.orderBy(col("_1")).limit(p.nlist).collect().map(_._2)
+    require(cents.nonEmpty, "IVF training needs a non-empty corpus")
 
     for (_ <- 1 to p.iters) {
       val bc = sc.broadcast(cents)
@@ -101,7 +104,7 @@ object IvfIndex {
       // combine in a fixed (cid, pid) order so the reduction is stable
       cents = {
         val byCid = partials.groupBy(_._2)
-        (0 until p.nlist).map { c =>
+        (0 until cents.length).map { c =>
           byCid.get(c) match {
             case None => cents(c) // empty cluster keeps its centroid
             case Some(parts) =>

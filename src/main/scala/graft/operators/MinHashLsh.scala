@@ -150,14 +150,16 @@ object MinHashLsh {
       .filter(col("doc_id") =!= col("new_id"))
       .select(col("new_id"), col("doc_id").as("corpus_id")).distinct()
     // exact verification over candidate pairs only: prune the corpus
-    // postings to colliding docs BEFORE the shingle join, so the big
-    // side never shuffles beyond its candidates
+    // ROWS to colliding docs before shingling them, so the big side is
+    // never tokenized (let alone shuffled) beyond its candidates
+    val candIds = cand.select(col("corpus_id")).distinct()
+    val corpusHit = corpus.join(
+      broadcast(candIds.withColumnRenamed("corpus_id", idCol)),
+      Seq(idCol), "left_semi")
     val pNew = postings(newDocs, idCol, textCol)
       .withColumnsRenamed(Map("doc_id" -> "new_id", "nsh" -> "n_new"))
-    val pOld = postings(corpus, idCol, textCol)
+    val pOld = postings(corpusHit, idCol, textCol)
       .withColumnsRenamed(Map("doc_id" -> "corpus_id", "nsh" -> "n_old"))
-      .join(broadcast(cand.select(col("corpus_id")).distinct()),
-        Seq("corpus_id"), "left_semi")
     pNew.join(pOld, "s")
       .join(broadcast(cand), Seq("new_id", "corpus_id"), "left_semi")
       .groupBy(col("new_id"), col("corpus_id"), col("n_new"), col("n_old"))

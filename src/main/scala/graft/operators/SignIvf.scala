@@ -55,13 +55,16 @@ object SignIvf {
       queryPred.as("is_q"))
     val corpus = quant.select(col("id"), col("q")).as[(Long, Array[Long])]
 
+    // the LAST group absorbs the v.length % sd remainder so every
+    // dimension influences bucketing (an SQL oracle must slice the
+    // same way — the q76 oracle's 64/4 slices match exactly)
     def groupSums(v: Array[Long]): Array[Long] = {
       val g = v.length / sd
       val out = new Array[Long](sd)
       var d = 0
       while (d < sd) {
         var s = 0L; var i = d * g
-        val end = i + g
+        val end = if (d == sd - 1) v.length else i + g
         while (i < end) { s += v(i); i += 1 }
         out(d) = s
         d += 1

@@ -35,6 +35,9 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
   * a null left key matches a null right key (IS NOT DISTINCT FROM
   * semantics) — unlike an SQL equi join, which would drop both.
   * Pre-filter nulls on either side if SQL semantics are required.
+  * Null TIMES follow SQL: `rightTime <= leftTime` is never true when
+  * either side is null, so null-time right rows are never candidates
+  * and null-time left rows never match.
   */
 object AsofJoin {
 
@@ -147,14 +150,17 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             val l = lIter.next()
             val lKey = lKeyProj(l)
             val lTs = lTimeProj(l)
+            val lTsNull = lTs.isNullAt(0)
             // consume right rows up to and including (lKey, lTs); the
-            // last equal-key one seen is the as-of candidate
+            // last equal-key NON-NULL-time one seen is the as-of
+            // candidate (SQL: rts <= lts is never true through nulls —
+            // null-time rows sort first and are consumed but skipped)
             var scanning = rCur != null
             while (scanning) {
               val rKey = rKeyProj(rCur)
               val c = keyOrd.compare(rKey, lKey)
               if (c < 0 || (c == 0 && tsOrd.compare(rTimeProj(rCur), lTs) <= 0)) {
-                if (c == 0) {
+                if (c == 0 && !rTimeProj(rCur).isNullAt(0) && !lTsNull) {
                   candidate = rCur.copy()
                   candidateKey = rKey.copy()
                 }
@@ -162,7 +168,8 @@ case class AsofJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                 scanning = rCur != null
               } else scanning = false
             }
-            if (candidateKey != null && keyOrd.compare(candidateKey, lKey) == 0)
+            if (!lTsNull && candidateKey != null &&
+                keyOrd.compare(candidateKey, lKey) == 0)
               pending = resultProj(joined(l, candidate))
           }
         }

@@ -111,13 +111,16 @@ object CdcStream {
       .start()
 
   /** Retention: drop snapshot versions older than the newest `keep`
-    * (the pointer and crash-replay re-base only ever need the latest;
-    * older versions serve concurrent readers — a production deployment
-    * runs this like any snapshot-table vacuum). Never deletes the
-    * newest version. Returns the versions removed.
+    * (older versions serve concurrent readers — a production
+    * deployment runs this like any snapshot-table vacuum). `keep` is
+    * floored at 2: crash-replay of an epoch whose checkpoint never
+    * committed re-bases on the newest version STRICTLY BELOW it, so
+    * keeping only the newest could silently re-initialize the table
+    * from one replayed batch. Returns the versions removed.
     */
   def vacuum(targetDir: String, keep: Int = 2): Seq[Long] = {
-    require(keep >= 1, "must keep at least the newest snapshot")
+    require(keep >= 2,
+      "keep >= 2: the newest version may be an uncommitted epoch whose replay needs the one below it")
     val doomed = versionsOnDisk(targetDir).sorted.dropRight(keep)
     doomed.foreach { v =>
       val dir = Paths.get(targetDir, s"v=$v")
@@ -141,8 +144,12 @@ object CdcStream {
       routes.foreach { case (name, pred) =>
         val slice = src.filter(pred)
         try slice.write.mode("overwrite").parquet(s"$outDir/$name/epoch=$epoch")
-        catch { case e: Throwable =>
-          slice.withColumn("_error", lit(e.getMessage))
+        catch { case scala.util.control.NonFatal(e) =>
+          // exceptions may carry no message (NPE) — a null literal
+          // would be a void-typed column parquet refuses to write,
+          // killing the query this DLQ exists to protect
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          slice.withColumn("_error", lit(msg))
             .write.mode("overwrite").parquet(s"$outDir/dlq/$name/epoch=$epoch")
         }
       }

@@ -18,9 +18,21 @@ class DedupClustersSpec extends SparkSpec {
     assert(got === chain ++ tri)
   }
 
-  test("maxIter bounds the loop; partial labels still cover every node") {
+  test("non-convergence at maxIter throws instead of returning wrong reps") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
-    val partial = DedupClusters.components(pairs, "a_id", "b_id", maxIter = 1)
-    assert(partial.count() === 4) // every node labeled, maybe not converged
+    val e = intercept[IllegalStateException] {
+      DedupClusters.components(pairs, "a_id", "b_id", maxIter = 1)
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
+  test("pointer jumping converges a 40-node chain within the default cap") {
+    // one-hop propagation would need ~40 rounds; the jump needs ~log2(40)
+    val pairs = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    val got = DedupClusters.components(pairs, "a_id", "b_id", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 40)
+    assert(got.values.toSet === Set(0L))
   }
 }

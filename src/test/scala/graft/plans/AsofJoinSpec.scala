@@ -35,6 +35,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(byKey === Map(1L -> 102L, 3L -> 201L)) // 2: no prior; C: no match
   }
 
+  test("null times never match: SQL rts <= lts semantics") {
+    val l = Seq(
+      ("k", Some(ts("2024-01-01 00:00:10")), 1L),
+      ("k", None, 2L)) // null left time → no match
+      .toDF("k", "lts", "lid")
+    val r = Seq(
+      ("k", None: Option[Timestamp], 7L), // null right time → never a candidate
+      ("k", Some(ts("2024-01-01 00:00:05")), 8L))
+      .toDF("k2", "rts", "rid")
+    val got = AsofJoin.asof(l, r.withColumnRenamed("k2", "k"),
+      Seq("k"), "lts", "rts", rightTieBreak = Seq("rid"))
+      .select("lid", "rid").collect().map(x => x.getLong(0) -> x.getLong(1))
+    assert(got.toSeq === Seq(1L -> 8L))
+  }
+
   test("equal (key, time) ties resolve to the max tie-break value") {
     val l = Seq(("k", ts("2024-01-01 00:00:10"), 1L)).toDF("k", "lts", "lid")
     val r = Seq(
