@@ -62,14 +62,20 @@ final case class GraftEngine(spark: SparkSession) {
   def search(table: DataFrame, terms: Seq[String], textCol: String,
       must: Seq[Column] = Nil, mustNot: Seq[Column] = Nil,
       size: Int = 10): DataFrame = {
+    // distinct: the tokenized intersection can match each term once,
+    // so duplicate query terms would make the all-match filter
+    // unsatisfiable
+    val qTerms = terms.map(_.toLowerCase).distinct
     val tok = array_distinct(split(lower(col(textCol)), "\\s+"))
-    val score = F.size(
-      array_intersect(tok, array(terms.map(t => lit(t.toLowerCase)): _*)))
+    val score = F.size(array_intersect(tok, array(qTerms.map(lit): _*)))
     val searched = table.withColumn("_score", score.cast("long"))
-      .filter(col("_score") === terms.length)
+      .filter(col("_score") === qTerms.length)
     val filtered = (must.map(identity) ++ mustNot.map(!_))
       .foldLeft(searched)((df, p) => df.filter(p))
-    filtered.orderBy(col("_score").desc).limit(size)
+    // deterministic page: every hit has the same score, so tiebreak on
+    // the table's leading columns
+    val tiebreak = table.columns.take(2).map(col).toSeq
+    filtered.orderBy(col("_score").desc +: tiebreak: _*).limit(size)
   }
 
   // ---- training-data curation surface ----

@@ -54,9 +54,14 @@ object DdbJson {
   /** A raw item: attribute name → typed value. */
   val itemSchema: MapType = MapType(StringType, attrValueSchema)
 
-  /** DynamoDB S3 export line format: `{"Item": {…typed attrs…}}`. */
+  /** DynamoDB S3 export line format: `{"Item": {…typed attrs…}}`.
+    * `_corrupt` captures unparseable lines (PERMISSIVE mode) so they
+    * reach the DLQ instead of vanishing — the S6 contract.
+    */
   val exportLineSchema: StructType =
-    StructType(Seq(StructField("Item", itemSchema)))
+    StructType(Seq(
+      StructField("Item", itemSchema),
+      StructField("_corrupt", StringType)))
 
   /** Change-stream event (harness shape of a DynamoDB Streams record
     * with NEW_IMAGE view, table-attributes.json:74-77): op kind, key
@@ -84,9 +89,14 @@ object DdbJson {
     */
   def readExport(spark: SparkSession, path: String): DataFrame = {
     val dataPaths = exportDataFiles(spark, path).getOrElse(Seq(path))
-    spark.read.schema(exportLineSchema).json(dataPaths: _*)
-      .select(col("Item").as("item"))
-      .filter(col("item").isNotNull)
+    spark.read.schema(exportLineSchema)
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dataPaths: _*)
+      .select(col("Item").as("item"), col("_corrupt"))
+      // corrupt lines (truncated upload, stray log text) carry the raw
+      // line in _corrupt and flow to the DLQ; only rows with neither a
+      // parsed item nor raw text (valid JSON of a foreign shape) drop
+      .filter(col("item").isNotNull || col("_corrupt").isNotNull)
   }
 
   /** Resolve a PITR export's manifest (at `path` or one level under
@@ -246,14 +256,19 @@ object DdbJson {
   def action(eventName: Column): Column =
     when(eventName === "REMOVE", lit("delete")).otherwise(lit("upsert"))
 
-  /** Decode the generic columns every routed entity carries. */
+  /** Decode the generic columns every routed entity carries; a
+    * `_corrupt` column (raw text of unparseable lines) passes through
+    * so the DLQ can record it.
+    */
   def decodeCommon(df: DataFrame): DataFrame = {
     val item = dropEmptyAttrs(col("item"))
-    df.select(
+    val corrupt =
+      if (df.columns.contains("_corrupt")) Seq(col("_corrupt")) else Nil
+    df.select(Seq(
       attrString(item, "PK").as("PK"),
       attrString(item, "SK").as("SK"),
       attrString(item, "type").as("type"),
-      item.as("item"))
+      item.as("item")) ++ corrupt: _*)
       .withColumn("_doc_id", docId(col("PK"), col("SK")))
   }
 }

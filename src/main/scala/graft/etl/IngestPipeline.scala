@@ -55,10 +55,14 @@ object IngestPipeline {
     r.flight.repartition(col("PK")).sortWithinPartitions(col("PK"), col("SK"))
       .write.mode("overwrite").parquet(s"$outDir/flight")
     // DLQ keyed by route (reference: dlq/fare, dlq/flight) — rows that
-    // decoded no type land under _unknown rather than vanishing
+    // decoded no type land under _unknown rather than vanishing; for
+    // unparseable lines `raw` is the original text
+    val corrupt =
+      if (r.dlq.columns.contains("_corrupt")) col("_corrupt")
+      else lit(null: String)
     r.dlq.select(
         coalesce(col("type"), lit("_unknown")).as("_route"),
-        col("_doc_id"), to_json(col("item")).as("raw"))
+        col("_doc_id"), coalesce(to_json(col("item")), corrupt).as("raw"))
       .write.mode("overwrite").partitionBy("_route").parquet(s"$outDir/dlq")
     r.release()
   }

@@ -28,6 +28,7 @@ object Router {
 
   def route(df: DataFrame, routes: Seq[(String, Column)],
       cache: Boolean = true): Routed = {
+    require(routes.nonEmpty, "route needs at least one (name, predicate)")
     val src = if (cache) df.persist() else df
     val anyMatch = routes.map(_._2).reduce(_ || _)
     Routed(

@@ -20,7 +20,10 @@ object Aggregators {
   object SumOfSquares extends Aggregator[Double, JBigDecimal, Double] {
     override def zero: JBigDecimal = JBigDecimal.ZERO
     override def reduce(buf: JBigDecimal, x: Double): JBigDecimal = {
-      val d = new JBigDecimal(x).setScale(2, java.math.RoundingMode.HALF_UP)
+      // valueOf (shortest decimal representation) matches Spark's
+      // double→decimal cast; new BigDecimal(x) would round the exact
+      // binary expansion and disagree on values like 0.285
+      val d = JBigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP)
       buf.add(d.multiply(d))
     }
     override def merge(a: JBigDecimal, b: JBigDecimal): JBigDecimal = a.add(b)

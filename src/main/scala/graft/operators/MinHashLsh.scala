@@ -175,27 +175,30 @@ object MinHashLsh {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rows: Int = 2): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val b = bandRows(docs, idCol, textCol, bands, rows)
     val cand = b.as("x").join(b.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val txt = docs.select(col(idCol).cast("long"), col(textCol))
-    val joined = cand
-      .join(txt.toDF("a_id", "a_text"), Seq("a_id"))
-      .join(txt.toDF("b_id", "b_text"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
-      .as[(Long, Long, String, String)]
-    joined.map { case (a, bId, ta, tb) =>
-      val sa = shingleSet(ta)
-      val sb = shingleSet(tb)
-      val inter = sa.count(sb.contains)
-      val j = inter.toDouble / (sa.size + sb.size - inter)
-      (a, bId, j)
-    }
-      .toDF("a_id", "b_id", "jaccard")
+    // verify via postings intersection counts: each doc is shingled
+    // exactly once. The previous full-text pair join re-shingled every
+    // document once per candidate pair — a hot doc in an m-copy
+    // cluster paid its shingling cost O(m) times and shuffled its full
+    // text with it.
+    val candDocs = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val post = postings(
+      docs.join(candDocs.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
+      idCol, textCol)
+    val pa = post.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
+    val pb = post.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+    pa.join(pb, Seq("s"))
+      .join(cand, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 }

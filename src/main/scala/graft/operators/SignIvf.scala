@@ -49,10 +49,14 @@ object SignIvf {
     import spark.implicits._
     val sd = signDims
 
+    // persisted: the existing-buckets collect, the query collect and
+    // the scoring scan would otherwise each re-read + re-quantize the
+    // corpus (3× the dominant scan cost at scale)
     val quant = e.select(
       col(idCol).cast("long").as("id"),
       VectorFns.quantize(col(embCol)).as("q"),
       queryPred.as("is_q"))
+      .persist()
     val corpus = quant.select(col("id"), col("q")).as[(Long, Array[Long])]
 
     // the LAST group absorbs the v.length % sd remainder so every
@@ -150,9 +154,14 @@ object SignIvf {
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    partials.toDF("q_id", "neighbor_id", "sim")
+    val out = partials.toDF("q_id", "neighbor_id", "sim")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+      // materialize (tiny: |Q|×k rows) so the corpus cache can be
+      // released before returning
+      .localCheckpoint(true)
+    quant.unpersist()
+    out
   }
 }

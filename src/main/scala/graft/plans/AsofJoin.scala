@@ -59,12 +59,22 @@ object AsofJoin {
       right.columns.toIndexedSeq.map(n => right.col(n).as(n)): _*)
     def exprs(df: DataFrame, names: Seq[String]): Seq[Expression] =
       names.map(n => ColumnBridge.expression(df.col(n)))
+    val lk = exprs(left, keys); val rk = exprs(rightFresh, keys)
+    val lt = exprs(left, Seq(leftTime)).head
+    val rt = exprs(rightFresh, Seq(rightTime)).head
+    // the merge compares raw projected rows with an ordering built
+    // from the LEFT types — a type mismatch would silently
+    // mis-compare, so fail at build time (callers cast explicitly,
+    // unlike an SQL equi join which inserts coercions)
+    lk.zip(rk).zip(keys).foreach { case ((l, r), name) =>
+      require(l.dataType == r.dataType,
+        s"as-of key '$name' types differ: ${l.dataType.simpleString} vs ${r.dataType.simpleString} — cast one side")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString} — cast one side")
     val node = AsofJoinNode(
       PlanBridge.analyzed(left), PlanBridge.analyzed(rightFresh),
-      exprs(left, keys), exprs(rightFresh, keys),
-      exprs(left, Seq(leftTime)).head,
-      exprs(rightFresh, Seq(rightTime)).head,
-      exprs(rightFresh, rightTieBreak))
+      lk, rk, lt, rt, exprs(rightFresh, rightTieBreak))
     PlanBridge.ofRows(spark, node)
   }
 }

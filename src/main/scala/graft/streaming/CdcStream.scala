@@ -39,9 +39,14 @@ object CdcStream {
   def decode(events: DataFrame): DataFrame = {
     val keys = DdbJson.dropEmptyAttrs(col("Keys"))
     val img = DdbJson.dropEmptyAttrs(col("NewImage"))
+    val pk = DdbJson.attrString(keys, "PK")
+    val sk = DdbJson.attrString(keys, "SK")
     events.select(
-      DdbJson.docId(
-        DdbJson.attrString(keys, "PK"), DdbJson.attrString(keys, "SK")).as("_doc_id"),
+      // null-strict: concat_ws would silently skip a missing key and
+      // produce an ambiguous doc id ("A" for PK=A/no-SK collides with
+      // PK=A,SK="") — a null id routes the event to the merge DLQ
+      when(pk.isNull || sk.isNull, lit(null: String))
+        .otherwise(DdbJson.docId(pk, sk)).as("_doc_id"),
       DdbJson.action(col("eventName")).as("_action"),
       col("SequenceNumber").as("_seq"),
       DdbJson.attrString(img, "PK").as("PK"),
@@ -52,7 +57,10 @@ object CdcStream {
 
   def latestVersion(targetDir: String): Option[Long] = {
     val ptr = Paths.get(targetDir, "_LATEST")
-    if (Files.exists(ptr)) Some(Files.readString(ptr).trim.toLong) else None
+    val fromPtr =
+      if (!Files.exists(ptr)) None
+      else Files.readString(ptr).trim.toLongOption // unreadable → fall back
+    fromPtr.orElse(versionsOnDisk(targetDir).sorted.lastOption)
   }
 
   /** Current materialized state (empty-schema-safe before first epoch). */
@@ -62,9 +70,15 @@ object CdcStream {
   private def writeSnapshot(df: DataFrame, targetDir: String, version: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$targetDir/v=$version")
     Files.createDirectories(Paths.get(targetDir))
-    Files.writeString(Paths.get(targetDir, "_LATEST"), version.toString,
+    // temp-then-atomic-rename: an in-place truncate+write would expose
+    // a concurrent reader to an empty/partial pointer file
+    val tmp = Paths.get(targetDir, s"_LATEST.tmp$version")
+    Files.writeString(tmp, version.toString,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
+    Files.move(tmp, Paths.get(targetDir, "_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Snapshot versions present on disk (the pointer may lag or lead
@@ -87,11 +101,23 @@ object CdcStream {
     */
   def mergeBatch(spark: SparkSession, batch: DataFrame, targetDir: String,
       epoch: Long): Unit = {
-    val base = versionsOnDisk(targetDir).filter(_ < epoch)
-      .sorted.lastOption
+    val versions = versionsOnDisk(targetDir)
+    // versions above the replaying epoch mean the stream was restarted
+    // with a fresh/cleared checkpoint against an existing target —
+    // proceeding would silently re-initialize the table from one batch
+    require(versions.forall(_ <= epoch),
+      s"target $targetDir holds versions ${versions.sorted.mkString(",")} above epoch $epoch — " +
+        "was the stream restarted with a fresh checkpoint against an existing target?")
+    // events whose key image couldn't produce a doc id are unaddressable
+    // by the keyed merge — park them, don't clobber or drop
+    val bad = batch.filter(col("_doc_id").isNull)
+    if (!bad.isEmpty)
+      bad.write.mode("overwrite").parquet(s"$targetDir/dlq/epoch=$epoch")
+    val good = batch.filter(col("_doc_id").isNotNull)
+    val base = versions.filter(_ < epoch).sorted.lastOption
     val merged = base match {
-      case Some(v) => CdcMerge.applyBatch(spark.read.parquet(s"$targetDir/v=$v"), batch)
-      case None => CdcMerge.initialState(batch)
+      case Some(v) => CdcMerge.applyBatch(spark.read.parquet(s"$targetDir/v=$v"), good)
+      case None => CdcMerge.initialState(good)
     }
     writeSnapshot(merged, targetDir, epoch)
   }

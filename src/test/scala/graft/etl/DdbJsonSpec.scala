@@ -123,6 +123,20 @@ class DdbJsonSpec extends SparkSpec {
     assert(rt.getString(0) === rt.getString(1))
   }
 
+  test("corrupt export lines reach the DLQ with their raw text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    java.nio.file.Files.writeString(dir.resolve("x.json"),
+      """{"Item": {"PK": {"S": "OK1"}, "SK": {"S": "A"}, "type": {"S": "fare"}}}""" +
+        "\n" + """{"Item": {"PK": {"S": "TRUNCATED-MID""")
+    val broken = DdbJson.readExport(spark, dir.toString)
+    assert(broken.count() === 2) // corrupt line kept, not silently dropped
+    val r = IngestPipeline.fromRaw(broken)
+    assert(r.fare.count() === 1)
+    assert(r.dlq.count() === 1)
+    val raw = r.dlq.select("_corrupt").head().getString(0)
+    assert(raw.contains("TRUNCATED-MID"))
+  }
+
   test("PITR export layout: manifest governs which gzipped files are read") {
     import java.util.zip.GZIPOutputStream
     val root = java.nio.file.Files.createTempDirectory("graft-pitr")
