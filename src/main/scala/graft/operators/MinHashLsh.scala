@@ -175,30 +175,45 @@ object MinHashLsh {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rows: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val b = bandRows(docs, idCol, textCol, bands, rows)
     val cand = b.as("x").join(b.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // verify via postings intersection counts: each doc is shingled
-    // exactly once. The previous full-text pair join re-shingled every
-    // document once per candidate pair — a hot doc in an m-copy
-    // cluster paid its shingling cost O(m) times and shuffled its full
-    // text with it.
-    val candDocs = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val post = postings(
-      docs.join(candDocs.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi"),
-      idCol, textCol)
-    val pa = post.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
-    val pb = post.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
-    pa.join(pb, Seq("s"))
-      .join(cand, Seq("a_id", "b_id"), "left_semi")
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    // verify with per-doc sorted shingle-hash arrays: each document is
+    // shingled exactly once (a full-text pair join would re-shingle a
+    // hot doc once per candidate pair), and the per-pair work is a
+    // primitive sorted-merge intersection count. All docs are hashed
+    // rather than semi-joining down to candidates first — bandRows
+    // already makes that full pass, and skipping the distinct+semi
+    // stages is cheaper than the pruning at any corpus size
+    val sh = docs
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val arr = shingleSet(text).iterator.map(fnv1a64).toArray
+          java.util.Arrays.sort(arr)
+          (id, arr.length.toLong, arr)
+        }
+      }.toDF("doc_id", "nsh", "hs")
+    cand
+      .join(sh.toDF("a_id", "na", "ha"), Seq("a_id"))
+      .join(sh.toDF("b_id", "nb", "hb"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("ha"), col("hb"))
+      .as[(Long, Long, Long, Long, Array[Long], Array[Long])]
+      .map { case (a, bId, na, nb, ha, hb) =>
+        var i = 0; var j = 0; var inter = 0L
+        while (i < ha.length && j < hb.length) {
+          val c = java.lang.Long.compare(ha(i), hb(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        (a, bId, inter.toDouble / (na + nb - inter))
+      }
+      .toDF("a_id", "b_id", "jaccard")
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 }
