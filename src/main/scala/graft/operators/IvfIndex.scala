@@ -99,29 +99,41 @@ object IvfIndex {
         if (sums == null) Iterator.empty
         else (0 until nlist).iterator.filter(cnt(_) > 0)
           .map(c => (pid, c, cnt(c), sums(c)))
-      }.collect()
-
-      // combine in a fixed (cid, pid) order so the reduction is stable
-      cents = {
-        val byCid = partials.groupBy(_._2)
-        (0 until cents.length).map { c =>
-          byCid.get(c) match {
-            case None => cents(c) // empty cluster keeps its centroid
-            case Some(parts) =>
-              val dims = parts.head._4.length
-              val sum = new Array[Double](dims)
-              var n = 0L
-              parts.sortBy(_._1).foreach { case (_, _, cn, s) =>
-                n += cn
-                var d = 0; while (d < dims) { sum(d) += s(d); d += 1 }
-              }
-              var d = 0; while (d < dims) { sum(d) /= n; d += 1 }
-              val norm = math.sqrt(dot(sum, sum))
-              if (norm > 0) { var i = 0; while (i < dims) { sum(i) /= norm; i += 1 } }
-              sum
-          }
-        }.toArray
       }
+
+      // combine per cid ON EXECUTORS (one tiny shuffle of partitions ×
+      // nlist partial rows) so only nlist rows reach the driver — a
+      // straight collect() of the partials is partitions × nlist ×
+      // dims boxed doubles per iteration, hundreds of MB at the
+      // partition counts a 100 TB corpus runs. Summation order stays
+      // deterministic: each cid's partials are combined in fixed pid
+      // order inside one reducer.
+      val combined: Map[Int, (Long, Array[Double])] = partials
+        .map { case (pid, cid, cn, s) => (cid, (pid, cn, s)) }
+        .groupByKey(math.min(cents.length, 32))
+        .mapValues { parts =>
+          val sorted = parts.toArray.sortBy(_._1)
+          val dims = sorted.head._3.length
+          val sum = new Array[Double](dims)
+          var n = 0L
+          sorted.foreach { case (_, cn, s) =>
+            n += cn
+            var d = 0; while (d < dims) { sum(d) += s(d); d += 1 }
+          }
+          (n, sum)
+        }
+        .collect().toMap
+
+      cents = (0 until cents.length).map { c =>
+        combined.get(c) match {
+          case None => cents(c) // empty cluster keeps its centroid
+          case Some((n, sum)) =>
+            var d = 0; while (d < sum.length) { sum(d) /= n; d += 1 }
+            val norm = math.sqrt(dot(sum, sum))
+            if (norm > 0) { var i = 0; while (i < sum.length) { sum(i) /= norm; i += 1 } }
+            sum
+        }
+      }.toArray
       bc.destroy()
     }
     cents

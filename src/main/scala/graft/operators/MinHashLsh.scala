@@ -172,6 +172,14 @@ object MinHashLsh {
 
   /** Near-dup pairs with Jaccard ≥ threshold (exact, given LSH recall —
     * 16×2 at j≥0.8 misses a pair with prob ~3e-8).
+    *
+    * Verification intersects 64-bit FNV-1a shingle *hashes*, not the
+    * shingle strings: a cross-document hash collision inflates a pair's
+    * Jaccard by 1/|union|, with probability ≈ n_a·n_b/2^64 per pair
+    * (~5e-12 even for 100k-shingle docs) — far below the LSH miss rate
+    * above, but the result is exact *given* injective hashing, not
+    * unconditionally. Pairs landing within ~1/|union| of the threshold
+    * can re-verify on strings if that tail matters.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rows: Int = 2): DataFrame = {

@@ -87,7 +87,9 @@ object CdcStream {
   private def versionsOnDisk(targetDir: String): Seq[Long] =
     Option(new java.io.File(targetDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong)
+      // non-numeric v=* entries (an operator's v=bak, a stray temp dir)
+      // are ignored rather than wedging every version lookup
+      .flatMap(_.getName.stripPrefix("v=").toLongOption)
 
   /** One epoch of the merge — also usable in batch backfill (ST1).
     *
@@ -169,18 +171,46 @@ object CdcStream {
     try {
       routes.foreach { case (name, pred) =>
         val slice = src.filter(pred)
-        try slice.write.mode("overwrite").parquet(s"$outDir/$name/epoch=$epoch")
+        val primary = s"$outDir/$name/epoch=$epoch"
+        try slice.write.mode("overwrite").parquet(primary)
         catch { case scala.util.control.NonFatal(e) =>
           // exceptions may carry no message (NPE) — a null literal
           // would be a void-typed column parquet refuses to write,
           // killing the query this DLQ exists to protect
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          slice.withColumn("_error", lit(msg))
+          // a failed write can leave a partial epoch dir behind; remove
+          // it so no reader mistakes it for a committed epoch
+          deleteQuietly(Paths.get(primary))
+          // the DLQ write gets its own guard: if the failure is
+          // environmental (outDir unwritable, disk full) the DLQ write
+          // fails too — then surface ONE exception carrying both causes
+          // instead of committing the epoch with the slice silently
+          // dropped; the uncommitted checkpoint replays it on restart
+          try slice.withColumn("_error", lit(msg))
             .write.mode("overwrite").parquet(s"$outDir/dlq/$name/epoch=$epoch")
+          catch { case scala.util.control.NonFatal(e2) =>
+            deleteQuietly(Paths.get(s"$outDir/dlq/$name/epoch=$epoch"))
+            val ex = new java.io.IOException(
+              s"route '$name' epoch $epoch: sink write failed ($msg) AND its DLQ " +
+                s"write failed (${Option(e2.getMessage).getOrElse(e2.getClass.getName)}) — " +
+                "failing the epoch so the checkpoint replays it", e)
+            ex.addSuppressed(e2)
+            throw ex
+          }
         }
       }
     } finally src.unpersist()
   }
+
+  /** Best-effort recursive delete (cleanup of partial epoch output —
+    * never worth failing over).
+    */
+  private def deleteQuietly(dir: java.nio.file.Path): Unit =
+    try {
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => try Files.delete(p) catch { case _: java.io.IOException => () })
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Start the routed streaming sink: decode → per-route epoch writes,
     * sink failures parked in `dlq/<route>/` without killing the query.

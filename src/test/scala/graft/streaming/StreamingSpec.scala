@@ -249,6 +249,28 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.count() === 2)
     assert(dlq.select("_error").head().getString(0).nonEmpty)
   }
+
+  test("routed sink fails the epoch (for replay) when the DLQ write fails too") {
+    val eventsDir = Files.createTempDirectory("graft-routed2-events")
+    val outDir = Files.createTempDirectory("graft-routed2-out").toString
+    Files.writeString(eventsDir.resolve("b1.json"),
+      event("INSERT", "LAX", "SEA#1", 1, typ = "fare"))
+    // break BOTH the fare sink and the whole DLQ tree (environmental failure)
+    Files.writeString(java.nio.file.Paths.get(outDir, "fare"), "sink broken")
+    Files.writeString(java.nio.file.Paths.get(outDir, "dlq"), "dlq broken too")
+
+    val batch = CdcStream.decode(
+      spark.read.schema(graft.etl.DdbJson.changeEventSchema).json(eventsDir.toString))
+    val ex = intercept[java.io.IOException] {
+      CdcStream.writeRoutedEpoch(batch, Seq("fare" -> (col("type") === "fare")),
+        outDir, epoch = 0)
+    }
+    // one exception carrying both causes — the epoch must NOT commit
+    // with the slice silently dropped
+    assert(ex.getMessage.contains("sink write failed"))
+    assert(ex.getMessage.contains("DLQ"))
+    assert(ex.getCause != null)
+  }
 }
 
 /** Small helper to read a typed attr back out of the merged item map. */
