@@ -82,11 +82,31 @@ private[operators] final class BoundedTopK(k: Int) {
   */
 object AnnTopK {
 
+  /** Shared guard for the ANN operators' query-side collects
+    * ([[AnnTopK]], [[SignIvf]], [[IvfIndex]]): the caller `take`s
+    * `maxQueries + 1` rows; one extra row proves the predicate matched
+    * too much and fails fast with a clear message. Returns the rows
+    * sorted by id (the deterministic broadcast order).
+    */
+  private[operators] def boundedQueryCollect[T](taken: Array[(Long, T)],
+      maxQueries: Int): Array[(Long, T)] = {
+    require(taken.length <= maxQueries,
+      s"ANN query side exceeded maxQueries=$maxQueries rows; the query set " +
+        "is collected to the driver and broadcast, so an unbounded predicate " +
+        "would OOM the driver — tighten queryPred or raise maxQueries explicitly")
+    taken.sortBy(_._1)
+  }
+
   /** Exact top-k neighbors (cosine) for every row matching `queryPred`.
     * Output: (q_id, rank, neighbor_id, sim), rank 1-based long.
+    *
+    * The query side is collected and broadcast, so it must be small;
+    * `maxQueries` turns that contract into a loud failure instead of a
+    * driver OOM — the collect fetches at most `maxQueries + 1` rows
+    * before the check, never the full oversized result.
     */
   def bruteForce(e: DataFrame, idCol: String, embCol: String,
-      queryPred: Column, k: Int): DataFrame = {
+      queryPred: Column, k: Int, maxQueries: Int = 4096): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
 
@@ -95,10 +115,12 @@ object AnnTopK {
       VectorFns.quantize(col(embCol)).as("q"),
       queryPred.as("is_q"))
     val corpus = quant.select(col("id"), col("q")).as[(Long, Array[Long])]
-    // query side: small by construction — broadcast it
-    val queries = quant.filter(col("is_q"))
-      .select(col("id"), col("q")).as[(Long, Array[Long])]
-      .collect().sortBy(_._1)
+    // query side: small by contract — broadcast it, enforce the contract
+    val queries = AnnTopK.boundedQueryCollect(
+      quant.filter(col("is_q"))
+        .select(col("id"), col("q")).as[(Long, Array[Long])]
+        .take(maxQueries + 1),
+      maxQueries)
     val bc = spark.sparkContext.broadcast(queries)
 
     val partials = corpus.mapPartitions { rows =>

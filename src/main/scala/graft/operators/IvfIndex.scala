@@ -162,15 +162,18 @@ object IvfIndex {
     * corpus. Output: (q_id, rank, neighbor_id, sim), sim = cosine.
     */
   def topK(embeddings: DataFrame, idCol: String, embCol: String,
-      queryPred: Column, p: Params = Params()): DataFrame = {
+      queryPred: Column, p: Params = Params(),
+      maxQueries: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
 
     val v = unitVectors(embeddings, idCol, embCol, queryPred).persist()
     try {
       val cents = train(v, p)
-      val queries: Array[(Long, Array[Double])] =
-        v.filter(_._3).collect().sortBy(_._1).map(t => (t._1, t._2))
+      // query-side collect bounded by the maxQueries contract
+      val queries: Array[(Long, Array[Double])] = AnnTopK.boundedQueryCollect(
+        v.filter(_._3).map(t => (t._1, t._2)).take(maxQueries + 1),
+        maxQueries)
       val probes: Array[Array[Int]] = queries.map { case (_, qx) =>
         cents.indices.toArray
           .sortBy(c => (-dot(qx, cents(c)), c)).take(p.nprobe)

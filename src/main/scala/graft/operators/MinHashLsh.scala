@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash+LSH near-duplicate pairs with exact verification — the
@@ -170,8 +171,101 @@ object MinHashLsh {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** One representative document (min doc_id) per distinct text —
+    * exact duplicates collapse before banding. `first(text)` is safe:
+    * every text in an md5 group is byte-identical (modulo an md5
+    * collision, ~2^-128 per pair). Map-side partial aggregation
+    * collapses duplicate-heavy partitions before the shuffle.
+    */
+  private def collapseExact(base: DataFrame): DataFrame =
+    base.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
+
+  /** Exact-duplicate groups of size ≥ 2: (rep_id, ids) with ids sorted.
+    * Tiny relative to the corpus (one row per duplicated text), so the
+    * re-expansion joins against it auto-broadcast.
+    */
+  private def dupGroups(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("rep_id"), col("ids"))
+
+  /** Diagnostic view of what [[nearDupPairs]]' hot-bucket cap drops:
+    * (band, bucket, n_reps) for every band bucket holding more than
+    * `maxBucket` distinct-text representatives. Empty on a healthy
+    * corpus; non-empty means near-identical-but-not-equal boilerplate
+    * is slipping past exact collapse and costing recall.
+    */
+  def hotBuckets(docs: DataFrame, idCol: String, textCol: String,
+      maxBucket: Int, bands: Int = 16, rows: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    bandRows(collapseExact(base), "doc_id", "text", bands, rows)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_reps"))
+      .filter(col("n_reps") > maxBucket)
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted-index join — never a
+    * cross join; candidate pairs exist only where a shingle is shared.
+    *
+    * `maxDf` is the stop-shingle guard: a shingle present in `df`
+    * documents contributes ~df²/2 rows to the pair join, so one
+    * boilerplate trigram in 10⁶ docs would put 5·10¹¹ rows in one key's
+    * tasks. Shingles with document frequency above the cap are dropped
+    * before the join. Per-document shingle counts (`nsh`) keep their
+    * full values, so a capped run *undercounts* intersections — a
+    * documented recall cap (pairs can only be missed, never invented).
+    * The default cap is far above any document frequency at test scale,
+    * where output is exact.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Long = 1L << 20): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    // df via a window keyed like the join below, so the pair join
+    // reuses the same hash partitioning instead of reshuffling
+    val kept = post
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf).drop("df")
+    val a = kept.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
+    val b = kept.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Near-dup pairs with Jaccard ≥ threshold (exact, given LSH recall —
     * 16×2 at j≥0.8 misses a pair with prob ~3e-8).
+    *
+    * Skew hardening — the two guards that keep the 100 TB path alive on
+    * a real crawl:
+    *
+    *  - '''Exact-duplicate collapse.''' Identical texts have identical
+    *    shingle sets, so only one representative per distinct text
+    *    enters banding; a degenerate bucket of B byte-identical
+    *    boilerplate pages would otherwise verify B²/2 candidate pairs
+    *    inside one (band, bucket) task. Member pairs are re-expanded at
+    *    the end — within-group pairs are Jaccard 1.0 by construction,
+    *    cross-group pairs inherit their representatives' Jaccard — so
+    *    the OUTPUT is identical to banding every document. (The
+    *    within-group expansion is quadratic in group size because the
+    *    requested output is; the keep-list form, [[DedupClusters]]
+    *    assignments, avoids materializing it.)
+    *  - '''Hot-bucket cap.''' A (band, bucket) group still holding more
+    *    than `maxBucket` *distinct-text* representatives (near-identical
+    *    templated pages) is dropped from candidate generation — a
+    *    counted recall cap, observable via [[hotBuckets]]; pairs in a
+    *    dropped bucket can still surface through their other bands.
+    *    Default 4096 reps bounds any bucket's pair fan-out at ~8M.
     *
     * Verification intersects 64-bit FNV-1a shingle *hashes*, not the
     * shingle strings: a cross-document hash collision inflates a pair's
@@ -182,23 +276,37 @@ object MinHashLsh {
     * can re-verify on strings if that tail matters.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bands: Int = 16, rows: Int = 2): DataFrame = {
+      threshold: Double, bands: Int = 16, rows: Int = 2,
+      maxBucket: Int = 4096): DataFrame = {
+    require(threshold <= 1.0, s"jaccard threshold must be ≤ 1, got $threshold")
     val spark = docs.sparkSession
     import spark.implicits._
-    val b = bandRows(docs, idCol, textCol, bands, rows)
-    val cand = b.as("x").join(b.as("y"), Seq("band", "bucket"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val reps = collapseExact(base)
+    val groups = dupGroups(base)
+
+    val b = bandRows(reps, "doc_id", "text", bands, rows)
+    // hot-bucket cap: bucket sizes via a window keyed like the
+    // candidate self-join, so the join reuses the partitioning
+    val capped = b
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket).drop("bsize")
+    val cand = capped.as("x").join(capped.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // verify with per-doc sorted shingle-hash arrays: each document is
-    // shingled exactly once (a full-text pair join would re-shingle a
-    // hot doc once per candidate pair), and the per-pair work is a
-    // primitive sorted-merge intersection count. All docs are hashed
-    // rather than semi-joining down to candidates first — bandRows
-    // already makes that full pass, and skipping the distinct+semi
-    // stages is cheaper than the pruning at any corpus size
-    val sh = docs
-      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // verify with per-doc sorted shingle-hash arrays: each
+    // representative is shingled exactly once (a full-text pair join
+    // would re-shingle a hot doc once per candidate pair), and the
+    // per-pair work is a primitive sorted-merge intersection count.
+    // All reps are hashed rather than semi-joining down to candidates
+    // first — bandRows already makes that full pass, and skipping the
+    // distinct+semi stages is cheaper than the pruning at any corpus
+    // size
+    val sh = reps
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val arr = shingleSet(text).iterator.map(fnv1a64).toArray
@@ -206,7 +314,7 @@ object MinHashLsh {
           (id, arr.length.toLong, arr)
         }
       }.toDF("doc_id", "nsh", "hs")
-    cand
+    val repPairs = cand
       .join(sh.toDF("a_id", "na", "ha"), Seq("a_id"))
       .join(sh.toDF("b_id", "nb", "hb"), Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("ha"), col("hb"))
@@ -223,5 +331,26 @@ object MinHashLsh {
       }
       .toDF("a_id", "b_id", "jaccard")
       .filter(col("jaccard") >= threshold)
+
+    // re-expand exact-duplicate members. Cross-group: every member pair
+    // inherits its representatives' Jaccard (identical shingle sets);
+    // most groups are singletons, so the left joins against the tiny
+    // dup-group table pass pairs through untouched (AQE broadcasts it).
+    val expanded = repPairs
+      .join(groups.withColumnsRenamed(Map("rep_id" -> "a_id", "ids" -> "ids_a")),
+        Seq("a_id"), "left")
+      .join(groups.withColumnsRenamed(Map("rep_id" -> "b_id", "ids" -> "ids_b")),
+        Seq("b_id"), "left")
+      .withColumn("da", explode(coalesce(col("ids_a"), array(col("a_id")))))
+      .withColumn("db", explode(coalesce(col("ids_b"), array(col("b_id")))))
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"), col("jaccard"))
+    // within-group: all pairs of byte-identical docs, Jaccard exactly 1
+    val within = groups
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    expanded.union(within)
   }
 }

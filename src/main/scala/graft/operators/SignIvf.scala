@@ -44,7 +44,8 @@ import graft.functions.VectorFns
 object SignIvf {
 
   def topK(e: DataFrame, idCol: String, embCol: String, queryPred: Column,
-      signDims: Int = 4, nprobe: Int = 4, k: Int = 5): DataFrame = {
+      signDims: Int = 4, nprobe: Int = 4, k: Int = 5,
+      maxQueries: Int = 4096): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val sd = signDims
@@ -87,10 +88,13 @@ object SignIvf {
     val existing: Array[Int] =
       corpus.map(t => cidOf(t._2)).distinct().collect().sorted
 
-    // queries + their probe sets, computed once and broadcast
-    val queries = quant.filter(col("is_q"))
-      .select(col("id"), col("q")).as[(Long, Array[Long])]
-      .collect().sortBy(_._1)
+    // queries + their probe sets, computed once and broadcast; the
+    // collect is bounded by the maxQueries contract (fail loud, not OOM)
+    val queries = AnnTopK.boundedQueryCollect(
+      quant.filter(col("is_q"))
+        .select(col("id"), col("q")).as[(Long, Array[Long])]
+        .take(maxQueries + 1),
+      maxQueries)
     val probesPerQuery: Array[Array[Int]] = queries.map { case (_, qv) =>
       val gs = groupSums(qv)
       // multi-probe order: alignment of the bucket's sign pattern with

@@ -11,11 +11,13 @@ import graft.sources.Tables
   *   - exact dedup: hash-groupBy on a canonical fingerprint (1 shuffle)
   *   - n-gram Jaccard: inverted-index join on shingles (never a cross
   *     join — candidate pairs are generated only where a shingle is
-  *     shared, then grouped; skew guard = drop ultra-frequent shingles
-  *     at real scale, noted below)
+  *     shared, then grouped; skew guard = the stop-shingle df cap in
+  *     `MinHashLsh.exactJaccardPairs`)
   *   - MinHash+LSH: signature → band buckets → equi-join within bucket
   *     → exact verification. The scale path: shuffle volume is
-  *     O(docs × bands), independent of pair count.
+  *     O(docs × bands), independent of pair count; exact duplicates
+  *     collapse before banding and hot buckets are capped
+  *     (`MinHashLsh.nearDupPairs` scaladoc).
   *   - SimHash: 60-bit fingerprint, banded into 4×15-bit blocks; by
   *     pigeonhole any pair with hamming ≤ 3 shares a block, so an
   *     equi-join on (block, value) finds all candidates.
@@ -73,10 +75,11 @@ object Dedup {
       """.stripMargin.trim)),
 
     // Exact n-gram Jaccard via inverted index: explode distinct shingles,
-    // equi-join postings, count shared shingles per pair. At 100 TB add a
-    // document-frequency cap on shingles (stop-shingle pruning) or switch
-    // to q72's MinHash path; the join below already only materializes
-    // pairs that share ≥1 shingle.
+    // equi-join postings, count shared shingles per pair — the join only
+    // materializes pairs sharing ≥1 shingle, and the stop-shingle
+    // document-frequency cap inside exactJaccardPairs drops ultra-
+    // frequent boilerplate shingles (df² pair blow-up guard; the default
+    // cap is never hit at test scale, so output stays exact).
     GraftQuery(
       "q71_dedup_ngram_jaccard",
       (s, dir) => {
@@ -84,18 +87,8 @@ object Dedup {
         // ~2^-64 per shingle pair), shingled in the MinHashLsh kernel —
         // the declarative HOF shingling was the measured bottleneck,
         // not the join (total shared-shingle pairs ≈ 1.3M at sf0.1)
-        val post = graft.operators.MinHashLsh.postings(
-          Tables.load(s, dir, "documents"), "doc_id", "text")
-        val a = post.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
-        val b = post.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
-        a.join(b, Seq("s"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("inter"))
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
+        graft.operators.MinHashLsh.exactJaccardPairs(
+            Tables.load(s, dir, "documents"), "doc_id", "text", 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(jaccardOracleSql),

@@ -72,16 +72,20 @@ object EtlOps {
 
     // Backfill ∪ stream handoff: "export" = first 60% of event ids,
     // "stream" = last 60% (overlapping middle 20%), dedupe by key keeping
-    // the stream copy — the zero-ETL bootstrap (ST1) as one plan.
+    // the stream copy — the zero-ETL bootstrap (ST1) as one plan. The
+    // watermark (max event id) is a broadcast scalar subquery inside the
+    // same plan, not a driver-side action at build time.
     GraftQuery(
       "q52_backfill_union",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
-        val n = e.agg(max(col("event_id"))).head().getLong(0)
-        val export = e.filter(col("event_id") <= lit(n * 6 / 10))
-          .withColumn("src", lit("export"))
-        val stream = e.filter(col("event_id") >= lit(n * 4 / 10))
-          .withColumn("src", lit("stream"))
+        val mx = e.agg(max(col("event_id")).as("mx"))
+        val export = e.crossJoin(broadcast(mx))
+          .filter(col("event_id") <= expr("mx * 6 div 10"))
+          .drop("mx").withColumn("src", lit("export"))
+        val stream = e.crossJoin(broadcast(mx))
+          .filter(col("event_id") >= expr("mx * 4 div 10"))
+          .drop("mx").withColumn("src", lit("stream"))
         val w = Window.partitionBy(col("event_id"))
           .orderBy(when(col("src") === "stream", 1).otherwise(0).desc)
         export.unionByName(stream)
