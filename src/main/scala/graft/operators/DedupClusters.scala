@@ -1,80 +1,104 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over near-duplicate pairs — the step that
   * turns pairwise dedup output into an actionable keep-list (one
   * canonical representative per cluster, everything else dropped).
   *
-  * Min-label propagation with pointer jumping: every node starts
-  * labeled with its own id; each round (a) pushes labels across edges
-  * and keeps the minimum, then (b) replaces each node's label with its
-  * label's label. The jump halves remaining chain depth per round, so
-  * convergence is O(log diameter) — a plain one-hop push would need
-  * O(diameter) rounds and silently mislabel long duplicate chains at
-  * the iteration cap. Each round is two key-partitioned joins plus a
-  * min-aggregation (the iterative-CC shape GraphX-style CC runs); the
-  * driver sees one converged check per round. Non-convergence at
-  * `maxIter` throws rather than returning wrong representatives.
+  * Min-label propagation with the pointer jump folded into the push:
+  * every node starts labeled with its own id; each round pushes labels
+  * across the graph edges PLUS the current label edges (label(X) → X)
+  * PLUS a self edge, and keeps the minimum. The label edges are the
+  * pointer jump — X receives label(label(X)) in the same round that
+  * pushes neighbor labels — so remaining chain depth still halves per
+  * round (O(log diameter) convergence), and any fixed point of the
+  * push is the true component labeling (at a fixed point labels are
+  * constant across each edge, and every label is a component-member
+  * id, hence the component min). Non-convergence at `maxIter` throws
+  * rather than returning wrong representatives.
+  *
+  * The loop runs on the RDD API with one fixed `HashPartitioner` — the
+  * deliberate exception to this engine's declare-everything rule, for
+  * the same reason GraphX is RDD-based: an iterative algorithm re-plans
+  * and re-shuffles under Catalyst every round (per-round optimizer +
+  * AQE stage latency dominated wall time ~10× at bench scale), while a
+  * fixed partitioner makes the edge join NARROW every round (edges and
+  * labels stay co-partitioned by key; only the jump re-key and the
+  * min-combine move data, both with map-side combining). Lineage grows
+  * linearly (a DAG, not the exponential self-join tree of the
+  * DataFrame form), so `maxIter ≤ 20` rounds need no checkpointing;
+  * per-round frames persist MEMORY_AND_DISK and unpersist as soon as
+  * their successor is materialized.
   */
 object DedupClusters {
 
   /** (id, rep) for every node appearing in `pairs`; `rep` is the
-    * minimum id in the node's component. Each round is
-    * `localCheckpoint`ed: the pointer-jump self-join references the
-    * round's frame twice, so without lineage truncation the logical
-    * plan doubles per round (2^k nodes by round k) and plan
-    * stringification alone OOMs; checkpoint blocks are freed by the
-    * context cleaner as the frames are dereferenced.
+    * minimum id in the node's component. One Spark job per round: the
+    * convergence count materializes the round's labels through a
+    * narrow co-partitioned join against the previous labels.
     */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pr = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd
+    val part = new HashPartitioner(math.max(pr.getNumPartitions, 1))
+    val e = pr.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // keys are co-located after partitionBy, so per-partition dedup is
+    // global dedup — no distinct() shuffle
+    var labels = e.mapPartitions({ it =>
+      val seen = new java.util.HashSet[Long]()
+      it.flatMap { case (k, _) => if (seen.add(k)) Iterator((k, k)) else Iterator.empty }
+    }, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // fresh aliases: both union children otherwise carry the same
-      // exprIds (pushed derives from labels), which breaks Union's
-      // constraint rewriting
-      val pushed = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("label").as("label"))
-      val minned = labels.select(col("id").as("id"), col("label").as("label"))
-        .union(pushed)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-      // pointer jump: label ← label(label). Every label is itself a
-      // node id (labels only ever move down to other ids), so the
-      // lookup join is total and the jump only improves.
-      val next = minned.as("a")
-        .join(minned.as("b"), col("a.label") === col("b.id"))
-        .select(col("a.id").as("id"), col("b.label").as("label"))
-        .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      // neighbor push: NARROW — e and labels share `part`
+      val push = e.join(labels)
+        .map { case (_, (dst, sl)) => (dst, sl) }
+      // pointer jump: label(X) → X edges keyed by the label; the only
+      // per-round re-key shuffle (the labels side stays narrow)
+      val jump = labels.map { case (id, l) => (l, id) }
+        .join(labels)
+        .map { case (_, (id, ll)) => (id, ll) }
+      // self keeps the own label; min-combine runs map-side
+      val next = push.union(jump).union(labels)
+        .reduceByKey(part, math.min(_: Long, _: Long))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // convergence: narrow join (both sides on `part`), one job that
+      // also materializes `next`
+      val changed = next.join(labels)
+        .filter { case (_, (n, o)) => n != o }
+        .count()
+      labels.unpersist(false)
       labels = next
+      converged = changed == 0L
       i += 1
     }
-    e.unpersist()
+    e.unpersist(false)
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds — raise maxIter")
-    labels.withColumnRenamed("label", "rep")
+    labels.toDF("id", "rep")
   }
 
   /** Cluster assignment with component sizes: (doc_id, rep_id, csize),
-    * one row per clustered document.
+    * one row per clustered document. Sizes via a window over the
+    * component key — one shuffle, not a groupBy plus a join back.
     */
-  def assignments(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val c = components(pairs, aCol, bCol)
-    val sizes = c.groupBy(col("rep")).agg(count(lit(1)).as("csize"))
-    c.join(sizes, "rep")
+  def assignments(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    components(pairs, aCol, bCol)
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("rep"))))
       .select(col("id").as("doc_id"), col("rep").as("rep_id"), col("csize"))
-  }
 }
