@@ -54,6 +54,60 @@ object Multimodal {
       }
     }
 
+  /** One columnar batch of media rows — parallel arrays, the memory
+    * shape an Arrow record batch presents to a vectorized decoder
+    * (mapInArrow / Arrow-FFI JNI codecs consume exactly this: column
+    * vectors, not row objects).
+    */
+  final case class MediaBatch(
+      ids: Array[Long], payloads: Array[Array[Byte]], metas: Array[MediaMeta])
+
+  /** STUB vectorized decoder: batch-in, batch-out. A real integration
+    * replaces only this function with a codec call over the whole
+    * batch (SIMD decode, GPU transfer, model inference); the signature
+    * — columnar arrays in, one features array out — is the contract
+    * that integration needs, and it produces byte-identical output to
+    * the row-wise [[decodeStub]] (spec-enforced parity).
+    */
+  private[multimodal] def decodeBatchStub(batch: MediaBatch): Array[MediaFeatures] = {
+    val n = batch.ids.length
+    val out = new Array[MediaFeatures](n)
+    var i = 0
+    while (i < n) {
+      val (w, h, frames, sum) = decodeStub(batch.payloads(i), batch.metas(i))
+      out(i) = MediaFeatures(batch.ids(i), batch.payloads(i).length.toLong,
+        w, h, frames, sum)
+      i += 1
+    }
+    out
+  }
+
+  /** Arrow-style batched feature extraction: each partition's rows are
+    * staged into fixed-size columnar [[MediaBatch]]es and decoded
+    * batch-at-a-time — the `mapInArrow`/`mapInPandas` execution shape,
+    * where per-batch fixed costs (codec dispatch, accelerator
+    * round-trips) amortize over `batchSize` rows instead of paying per
+    * row. Output is identical to [[extractFeatures]]; only the call
+    * boundary differs.
+    */
+  def extractFeaturesBatched(media: Dataset[MediaRow],
+      batchSize: Int = 256): Dataset[MediaFeatures] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        val n = chunk.size
+        val ids = new Array[Long](n)
+        val payloads = new Array[Array[Byte]](n)
+        val metas = new Array[MediaMeta](n)
+        var i = 0
+        chunk.foreach { r =>
+          ids(i) = r.id; payloads(i) = r.payload; metas(i) = r.meta; i += 1
+        }
+        decodeBatchStub(MediaBatch(ids, payloads, metas)).iterator
+      }
+    }
+  }
+
   /** Frame sampling: every `step`-th frame index, exploded to rows —
     * the fan-out shape of video preprocessing (decode happens per
     * sampled frame downstream, not per video).

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *  - serving scans the corpus once with broadcast (query, probe-set)
   *    pairs and per-query bounded heaps ([[BoundedTopK]]), identical
   *    to [[AnnTopK]] except rows outside probed buckets are skipped.
-  *  - at real scale the assignment would be written out partitioned by
-  *    cluster id so probes prune at the parquet scan; `assign` exposes
-  *    the (id, cluster) mapping for exactly that layout step.
+  *  - at rest, [[writeIndex]] lays the corpus out
+  *    `partitionBy("cluster")` and [[topKFromIndex]] serves probes off
+  *    that layout with partition pruning at the parquet scan — a query
+  *    reads ~nprobe/nlist of the files.
   *
   * Training is floating-point and order-sensitive in the 1e-16s, so
   * k-means IVF is spec-checked (recall vs the exact q75 baseline); the
@@ -139,8 +140,102 @@ object IvfIndex {
     cents
   }
 
-  /** Train and expose the (id, cluster) assignment — the layout step a
-    * 100 TB deployment writes out `partitionBy("cluster")`.
+  /** Materialize the trained index in the 100 TB serving layout: the
+    * corpus written `partitionBy("cluster")` (unit vectors — exact
+    * doubles, they round-trip parquet bit-for-bit) plus a tiny
+    * centroids table. Probes against this layout prune unprobed
+    * clusters at the parquet scan ([[topKFromIndex]]) — the piece that
+    * makes IVF pay off when the corpus dwarfs memory: a query touches
+    * ~nprobe/nlist of the files instead of scanning everything.
+    */
+  def writeIndex(embeddings: DataFrame, idCol: String, embCol: String,
+      p: Params, dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = unitVectors(embeddings, idCol, embCol, lit(false)).persist()
+    try {
+      val cents = train(v, p)
+      val bc = spark.sparkContext.broadcast(cents)
+      v.map { case (id, x, _) => (id, x, nearest(x, bc.value)) }
+        .toDF("id", "unit_vec", "cluster")
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/data")
+      spark.createDataset(cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
+        .toDF("cluster", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+    } finally v.unpersist()
+  }
+
+  /** Serve approximate top-k against a [[writeIndex]] layout, reading
+    * ONLY the probed cluster partitions — `cluster IN (...)` is a
+    * partition filter, so unprobed directories are never listed into
+    * the scan. Scoring is the same broadcast-queries / bounded-heap
+    * kernel as [[topK]], and with identical `Params` over the same
+    * corpus it returns identical rows (same centroids, same probes,
+    * same unit-vector dot products).
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, embCol: String,
+      p: Params = Params(), maxQueries: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
+      .select(col("cluster").cast("int"), col("centroid"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val qs = AnnTopK.boundedQueryCollect(
+      unitVectors(queries, idCol, embCol, lit(true))
+        .map(t => (t._1, t._2)).take(maxQueries + 1),
+      maxQueries)
+    val probes: Array[Array[Int]] = qs.map { case (_, qx) =>
+      cents.indices.toArray
+        .sortBy(c => (-dot(qx, cents(c)), c)).take(p.nprobe)
+    }
+    val probedClusters = probes.flatten.distinct.sorted
+    val corpus = spark.read.parquet(s"$dir/data")
+      .filter(col("cluster").isin(probedClusters.map(c => c: Any): _*))
+      .select(col("id").cast("long"), col("unit_vec"), col("cluster").cast("int"))
+      .as[(Long, Array[Double], Int)]
+    val bc = spark.sparkContext.broadcast((qs, probes))
+
+    val partials = corpus.mapPartitions { rows =>
+      val (q, pr) = bc.value
+      val nq = q.length
+      if (nq == 0 || !rows.hasNext) Iterator.empty
+      else {
+        val byBucket: Map[Int, Array[Int]] =
+          pr.zipWithIndex
+            .flatMap { case (ps, i) => ps.map(_ -> i) }
+            .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+        val heaps = Array.fill(nq)(new BoundedTopK(p.k))
+        rows.foreach { case (cid, cx, cluster) =>
+          byBucket.get(cluster) match {
+            case None =>
+            case Some(qIdx) =>
+              var x = 0
+              while (x < qIdx.length) {
+                val qi = qIdx(x)
+                if (q(qi)._1 != cid) heaps(qi).push(dot(q(qi)._2, cx), cid)
+                x += 1
+              }
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          heaps(qi).entries.map { case (id, sim) => (q(qi)._1, id, sim) }
+        }
+      }
+    }
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    partials.toDF("q_id", "neighbor_id", "sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= p.k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Train and expose the (id, cluster) assignment — the layout step
+    * behind [[writeIndex]], exposed for callers managing their own
+    * storage.
     */
   def assign(embeddings: DataFrame, idCol: String, embCol: String,
       p: Params): DataFrame = {

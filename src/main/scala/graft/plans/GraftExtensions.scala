@@ -14,11 +14,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    touching `experimental.extraStrategies`);
   *  - `hamming_distance(a, b)` as a SQL function, making the codegen'd
   *    POPCNT expression reachable from `spark.sql(...)` text, not just
-  *    the Column API.
+  *    the Column API;
+  *  - the [[HammingBandJoinRewrite]] optimizer rule, which turns a
+  *    `hamming_distance(x, y) <= r` nested-loop similarity join into a
+  *    banded equi-join automatically.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => HammingBandJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),

@@ -21,6 +21,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.byteLen > 0 && f.width >= 16 && f.nFrames >= 1))
   }
 
+  test("batched (arrow-shape) extraction is row-path parity, any batch size") {
+    val row = Multimodal.extractFeatures(media).collect().sortBy(_.id).toSeq
+    for (bs <- Seq(1, 7, 256)) {
+      val batched = Multimodal.extractFeaturesBatched(media, bs)
+        .collect().sortBy(_.id).toSeq
+      assert(batched === row, s"batchSize=$bs diverged from the row path")
+    }
+    // batch staging must also be partitioning-invariant
+    val rep = Multimodal.extractFeaturesBatched(media.repartition(7), 16)
+      .collect().sortBy(_.id).toSeq
+    assert(rep === row)
+  }
+
   test("frame sampling fans out every 4th frame") {
     val feats = Multimodal.extractFeatures(media)
     val frames = Multimodal.sampleFrames(feats, 4).collect()
