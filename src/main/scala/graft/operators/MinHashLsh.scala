@@ -122,14 +122,18 @@ object MinHashLsh {
   }
 
   /** Persist the LSH band index for a corpus — bucketed by band so an
-    * incremental probe co-locates without a shuffle of the index side.
-    * The production dedup shape: index 100 TB once, probe each arriving
-    * batch against it.
+    * incremental probe co-locates without a shuffle of the index side,
+    * with each row carrying its bucket's size (`bsize`, computed on the
+    * write's own partitioning — no extra shuffle) so probes can apply
+    * a hot-bucket cap as a plain scan filter. The production dedup
+    * shape: index 100 TB once, probe each arriving batch against it.
     */
   def writeBandIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, bands: Int = 16, rows: Int = 2): Unit =
     bandRows(docs, idCol, textCol, bands, rows)
       .repartition(col("band"), col("bucket"))
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .write.mode("overwrite").partitionBy("band").parquet(path)
 
   /** Probe new documents against a persisted band index: candidates =
@@ -138,12 +142,22 @@ object MinHashLsh {
     * postings of only the colliding corpus docs. Returns
     * (new_id, corpus_id, jaccard ≥ threshold) — never touches
     * non-colliding corpus documents.
+    *
+    * `maxBucket` drops index buckets larger than the cap (sizes were
+    * precomputed at write time, so this is a scan filter — the index is
+    * never shuffled at probe time). Same recall caveat as
+    * [[nearDupPairs]]' cap: a probe can still hit a capped document
+    * through its other bands. Indexes written before `bsize` existed
+    * probe uncapped.
     */
   def probeNew(newDocs: DataFrame, corpus: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double,
-      bands: Int = 16, rows: Int = 2): DataFrame = {
+      bands: Int = 16, rows: Int = 2, maxBucket: Int = 4096): DataFrame = {
     val spark = newDocs.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    val raw = spark.read.parquet(indexPath)
+    val idx =
+      if (raw.columns.contains("bsize")) raw.filter(col("bsize") <= maxBucket)
+      else raw
     val probe = bandRows(newDocs, idCol, textCol, bands, rows)
     val cand = idx.join(
         broadcast(probe.withColumnRenamed("doc_id", "new_id")),

@@ -28,6 +28,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(hits.toSeq === Seq((100L, 1L, 1.0)))
   }
 
+  test("probe hot-bucket cap filters oversized index buckets at the scan") {
+    // near-identical (byte-distinct) corpus docs flood their buckets
+    val base = (1 to 200).map(i => s"p${i % 19}v$i").mkString(" ")
+    val corpus = (1 to 8).map(i => (i.toLong, s"$base unique$i")).toDF("doc_id", "text")
+    val idxPath = Files.createTempDirectory("graft-lsh-hot").toString
+    MinHashLsh.writeBandIndex(corpus, "doc_id", "text", idxPath)
+
+    val batch = Seq((100L, s"$base unique1")).toDF("doc_id", "text")
+    val uncapped = MinHashLsh.probeNew(batch, corpus, idxPath,
+        "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.nonEmpty)
+    val capped = MinHashLsh.probeNew(batch, corpus, idxPath,
+        "doc_id", "text", threshold = 0.8, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "cap may only drop hits, never invent them")
+  }
+
   test("probe results equal the batch-mode pairs restricted to cross pairs") {
     val docs = graft.sources.Tables.load(spark, sf(), "documents")
       .limit(200)
