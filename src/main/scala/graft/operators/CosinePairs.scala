@@ -37,27 +37,43 @@ object CosinePairs {
       threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    bucketedPairs(
+      e.select(col(idCol).cast("long"), VectorFns.quantize(col(embCol)),
+          lit(0).as("bucket"))
+        .as[(Long, Array[Long], Int)],
+      threshold, blocks)
+  }
+
+  /** Block-pair cosine pairs *within* each bucket: only rows sharing a
+    * bucket id are ever compared (the [[SemanticDedup]] shape — bucket
+    * = sign-cluster; `exact` is the single-bucket case). Each bucket is
+    * independently block-pair-decomposed, so per-reduce-group memory
+    * stays ≈ 2·|bucket|/B vectors no matter how large a bucket grows,
+    * and distinct buckets' groups schedule in parallel.
+    */
+  private[operators] def bucketedPairs(
+      quantized: org.apache.spark.sql.Dataset[(Long, Array[Long], Int)],
+      threshold: Double, blocks: Int): DataFrame = {
+    val spark = quantized.sparkSession
+    import spark.implicits._
     val B = blocks
 
-    val quantized = e
-      .select(col(idCol).cast("long"), VectorFns.quantize(col(embCol)))
-      .as[(Long, Array[Long])]
-
-    // replicate each row to every block pair containing its block
-    val replicated = quantized.flatMap { case (id, v) =>
+    // replicate each row to every block pair containing its block,
+    // scoped to its bucket
+    val replicated = quantized.flatMap { case (id, v, bucket) =>
       val b = (((id % B) + B) % B).toInt
       (0 until B).iterator.map { o =>
-        (math.min(b, o), math.max(b, o), b, id, v)
+        (bucket, math.min(b, o), math.max(b, o), b, id, v)
       }
     }
 
     replicated
-      .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Long])]) =>
-        val (ki, kj) = key
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Int, Long, Array[Long])]) =>
+        val (_, ki, kj) = key
         val left = ArrayBuffer.empty[(Long, Array[Long])]
         val right = ArrayBuffer.empty[(Long, Array[Long])]
-        it.foreach { case (_, _, b, id, v) =>
+        it.foreach { case (_, _, _, b, id, v) =>
           if (b == ki) left += ((id, v)) else right += ((id, v))
         }
 

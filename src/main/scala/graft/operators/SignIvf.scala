@@ -43,6 +43,34 @@ import graft.functions.VectorFns
   */
 object SignIvf {
 
+  /** Per-group component sums of a quantized vector. The LAST group
+    * absorbs the `v.length % sd` remainder so every dimension
+    * influences bucketing (an SQL oracle must slice the same way — the
+    * q76/q79 oracles' 64/4 `list_slice` bounds match exactly).
+    * Shared with [[SemanticDedup]].
+    */
+  private[operators] def groupSums(v: Array[Long], sd: Int): Array[Long] = {
+    val g = v.length / sd
+    val out = new Array[Long](sd)
+    var d = 0
+    while (d < sd) {
+      var s = 0L; var i = d * g
+      val end = if (d == sd - 1) v.length else i + g
+      while (i < end) { s += v(i); i += 1 }
+      out(d) = s
+      d += 1
+    }
+    out
+  }
+
+  /** Sign-bucket id: bit d set iff group d's exact integer sum > 0. */
+  private[operators] def cidOf(v: Array[Long], sd: Int): Int = {
+    val gs = groupSums(v, sd)
+    var c = 0; var d = 0
+    while (d < sd) { if (gs(d) > 0L) c |= (1 << d); d += 1 }
+    c
+  }
+
   def topK(e: DataFrame, idCol: String, embCol: String, queryPred: Column,
       signDims: Int = 4, nprobe: Int = 4, k: Int = 5,
       maxQueries: Int = 4096): DataFrame = {
@@ -60,29 +88,8 @@ object SignIvf {
       .persist()
     val corpus = quant.select(col("id"), col("q")).as[(Long, Array[Long])]
 
-    // the LAST group absorbs the v.length % sd remainder so every
-    // dimension influences bucketing (an SQL oracle must slice the
-    // same way — the q76 oracle's 64/4 slices match exactly)
-    def groupSums(v: Array[Long]): Array[Long] = {
-      val g = v.length / sd
-      val out = new Array[Long](sd)
-      var d = 0
-      while (d < sd) {
-        var s = 0L; var i = d * g
-        val end = if (d == sd - 1) v.length else i + g
-        while (i < end) { s += v(i); i += 1 }
-        out(d) = s
-        d += 1
-      }
-      out
-    }
-
-    def cidOf(v: Array[Long]): Int = {
-      val gs = groupSums(v)
-      var c = 0; var d = 0
-      while (d < sd) { if (gs(d) > 0L) c |= (1 << d); d += 1 }
-      c
-    }
+    def groupSums(v: Array[Long]): Array[Long] = SignIvf.groupSums(v, sd)
+    def cidOf(v: Array[Long]): Int = SignIvf.cidOf(v, sd)
 
     // buckets that actually exist in the corpus (tiny: ≤ 2^signDims)
     val existing: Array[Int] =

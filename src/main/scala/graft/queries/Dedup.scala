@@ -232,6 +232,41 @@ object Dedup {
         FROM train JOIN ev USING (s)
         GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // SemDeDup-style semantic dedup: sign-bucket the embedding space
+    // (q76's deterministic coarse quantizer), then greedily remove any
+    // vector with a lower-id in-bucket neighbor at cosine ≥ 0.3. The
+    // oracle replays the identical integer bucket ids and quantized
+    // cosines in SQL; all output columns are integers.
+    GraftQuery(
+      "q79_semantic_dedup",
+      (s, dir) => {
+        graft.operators.SemanticDedup.assignments(
+            Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q, list_dot_product(q, q) AS n2,
+                 (CASE WHEN list_sum(list_slice(q,  1, 16)) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 17, 32)) > 0 THEN 2 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 33, 48)) > 0 THEN 4 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 49, 64)) > 0 THEN 8 ELSE 0 END) AS cid
+          FROM e),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3),
+        d AS (SELECT b_id AS vec_id, MIN(a_id) AS rep FROM p GROUP BY b_id)
+        SELECT n.vec_id, CAST(n.cid AS BIGINT) AS cid,
+               CAST(CASE WHEN d.rep IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               COALESCE(d.rep, n.vec_id) AS rep_id
+        FROM n LEFT JOIN d ON d.vec_id = n.vec_id
+        ORDER BY n.vec_id
+      """.stripMargin.trim))
   )
 }

@@ -213,6 +213,98 @@ object Search {
         SELECT doc_id, pos,
                regexp_replace(frag, 'window', '<em>window</em>', 'g') AS highlight
         FROM h ORDER BY doc_id LIMIT 100
+      """.stripMargin.trim)),
+
+    // date_histogram aggregation (calendar_interval=hour) with
+    // sub-aggregations per bucket — count, distinct users, exact sum —
+    // under a terms filter. The filter + hour-truncation are scan-side
+    // projections; one hash aggregation, keyed by (hour, type).
+    GraftQuery(
+      "q47_search_date_histogram",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.filter(col("event_type").isin("click", "view", "purchase"))
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).cast("long").as("n_users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy(col("bucket"), col("event_type"))
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type IN ('click','view','purchase')
+        GROUP BY 1, 2 ORDER BY bucket, event_type
+      """.stripMargin.trim)),
+
+    // fuzzy term query: tokens within edit distance 1 of 'spark'.
+    // The codegen'd length band (|len-5| ≤ 1, a necessary condition
+    // for distance ≤ 1) prunes almost every token before the O(m·n)
+    // levenshtein runs — the same cheap-guard-then-verify shape the
+    // dedup family uses, and the whole thing is a map-side explode +
+    // one groupBy.
+    GraftQuery(
+      "q48_search_fuzzy",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .filter(length(col("tok")).between(4, 6) &&
+            levenshtein(col("tok"), lit("spark")) <= 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fuzzy"), min(col("tok")).as("best"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                   FROM documents)
+        SELECT doc_id, COUNT(*) AS n_fuzzy, MIN(tok) AS best
+        FROM t
+        WHERE len(tok) BETWEEN 4 AND 6 AND levenshtein(tok, 'spark') <= 1
+        GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // significant_terms aggregation: terms over-represented in the
+    // foreground (source = src1) vs the whole corpus, scored by the
+    // doc-frequency ratio in exact integer ppm (portable — no float
+    // ordering). Per-doc-distinct explode → one term aggregation; the
+    // two corpus totals ride along as a broadcast scalar aggregate
+    // (single declarative plan, no driver action).
+    GraftQuery(
+      "q49_search_significant_terms",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val perTerm = toks.groupBy(col("tok")).agg(
+          count(lit(1)).as("all_df"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("fg_df"))
+        val totals = d.agg(
+          count(lit(1)).as("n_all"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n_fg"))
+        perTerm.crossJoin(broadcast(totals))
+          .filter(col("fg_df") >= 3)
+          .select(col("tok"), col("fg_df"), col("all_df"),
+            expr("(fg_df * n_all * 1000000) div (all_df * n_fg)").as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("tok"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS tok
+                   FROM documents),
+        c AS (SELECT tok, COUNT(*) AS all_df,
+                     CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df
+              FROM t GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS n_all,
+                       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_fg
+                FROM documents)
+        SELECT tok, fg_df, all_df,
+               (fg_df * n_all * 1000000) // (all_df * n_fg) AS score_ppm
+        FROM c CROSS JOIN tot
+        WHERE fg_df >= 3
+        ORDER BY score_ppm DESC, tok LIMIT 20
       """.stripMargin.trim))
   )
 }

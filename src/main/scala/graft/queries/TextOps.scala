@@ -300,6 +300,72 @@ object TextOps {
                source, COUNT(*) AS n_docs,
                CAST(SUM(length(text)) AS BIGINT) AS chars
         FROM b GROUP BY 1, 2 ORDER BY split, source
+      """.stripMargin.trim)),
+
+    // Sequence packing for training shards: per source shard, in
+    // deterministic doc order, a document goes to the bin its running
+    // token offset falls in (target capacity 2000 tokens — boundary
+    // docs overflow into their start bin, the pack-then-truncate
+    // convention). Shard-local by construction: the only window is
+    // partitioned by source, so shards pack in parallel and nothing is
+    // a global sort — the property that matters at 100 TB, where
+    // packing is always per output shard anyway.
+    GraftQuery(
+      "q68_text_pack",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", expr("(cum - n_tok) div 2000"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tok,
+                     CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM t)
+        SELECT source, (cum - n_tok) // 2000 AS bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY source, bin
+      """.stripMargin.trim)),
+
+    // Self-repetition score: 100 − (distinct 3-grams · 100 ÷ total
+    // 3-grams), the boilerplate/loop detector quality filters use.
+    // Integer percentage (exact in any engine); map-side shingling via
+    // the shared TextFns.shingles3, one final sort.
+    GraftQuery(
+      "q69_text_repetition",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        d.filter(size(tok) >= 3)
+          .select(col("doc_id"),
+            (size(tok) - 2).cast("long").as("n_ngrams"),
+            size(TextFns.shingles3(tok)).cast("long").as("n_distinct"))
+          .withColumn("rep_pct", expr("100 - (100 * n_distinct div n_ngrams)"))
+          .orderBy(col("rep_pct").desc, col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        g AS (SELECT doc_id, CAST(len(tok) - 2 AS BIGINT) AS n_ngrams,
+                     CAST(len(list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                                             for i in range(1, len(tok) - 1)])) AS BIGINT) AS n_distinct
+              FROM t WHERE len(tok) >= 3)
+        SELECT doc_id, n_ngrams, n_distinct,
+               100 - (100 * n_distinct // n_ngrams) AS rep_pct
+        FROM g ORDER BY rep_pct DESC, doc_id
       """.stripMargin.trim))
   )
 }
