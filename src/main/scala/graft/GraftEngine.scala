@@ -132,4 +132,22 @@ final case class GraftEngine(spark: SparkSession) {
       leftTime: String, rightTime: String,
       rightTieBreak: Seq[String] = Nil): DataFrame =
     graft.plans.AsofJoin.asof(left, right, keys, leftTime, rightTime, rightTieBreak)
+
+  /** SemDeDup-style semantic dedup over an embedding column: one row
+    * per vector with its sign-bucket, kept flag and representative
+    * (see [[graft.operators.SemanticDedup]]).
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.3): DataFrame =
+    graft.operators.SemanticDedup.assignments(embeddings, idCol, embCol, threshold)
+
+  /** Streaming near-dup dedup: dedup a document stream against itself
+    * and the growing accepted corpus via a persisted LSH band index
+    * (see [[graft.streaming.StreamingDedup]]).
+    */
+  def startStreamingDedup(docs: DataFrame, idCol: String, textCol: String,
+      acceptedPath: String, indexPath: String, checkpoint: String,
+      threshold: Double = 0.8) =
+    graft.streaming.StreamingDedup.start(docs, idCol, textCol,
+      acceptedPath, indexPath, checkpoint, threshold)
 }

@@ -366,6 +366,57 @@ object TextOps {
         SELECT doc_id, n_ngrams, n_distinct,
                100 - (100 * n_distinct // n_ngrams) AS rep_pct
         FROM g ORDER BY rep_pct DESC, doc_id
+      """.stripMargin.trim)),
+
+    // Curation funnel: the per-source survival report of a staged
+    // training-data filter chain — language allowlist → token-length
+    // band → repetition cap → exact-dedup survivors. Cumulative stage
+    // predicates are integer-exact (the repetition cap compares
+    // integer-division results, no float thresholds), so the whole
+    // funnel is portable; one scan, one aggregation.
+    GraftQuery(
+      "q85_curation_funnel",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val staged = d.select(col("source"), col("text"),
+            col("lang").isin("en", "fr", "de", "es").as("c1"),
+            size(tok).cast("long").as("n_tok"),
+            (size(tok) - 2).cast("long").as("n_ngrams"),
+            size(TextFns.shingles3(tok)).cast("long").as("n_distinct"))
+          .withColumn("c2", col("c1") && col("n_tok").between(40, 120))
+          .withColumn("c3",
+            col("c2") && expr("(100 * n_distinct) div n_ngrams >= 70"))
+        staged.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("c1"), 1L).otherwise(0L)).as("n_lang"),
+            sum(when(col("c2"), 1L).otherwise(0L)).as("n_len"),
+            sum(when(col("c3"), 1L).otherwise(0L)).as("n_rep"),
+            countDistinct(when(col("c3"), md5(col("text")))).as("n_unique"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT source, text, lang, string_split(text, ' ') AS tok
+                   FROM documents),
+        m AS (SELECT source, text,
+                     lang IN ('en','fr','de','es') AS c1,
+                     CAST(len(tok) AS BIGINT) AS n_tok,
+                     CAST(len(tok) - 2 AS BIGINT) AS n_ngrams,
+                     CAST(len(list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                                             for i in range(1, len(tok) - 1)])) AS BIGINT) AS n_distinct
+              FROM t),
+        c AS (SELECT source, text, c1,
+                     c1 AND n_tok BETWEEN 40 AND 120 AS c2,
+                     c1 AND n_tok BETWEEN 40 AND 120
+                        AND (100 * n_distinct) // n_ngrams >= 70 AS c3
+              FROM m)
+        SELECT source, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+               CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+               CAST(COUNT(DISTINCT CASE WHEN c3 THEN md5(text) END) AS BIGINT) AS n_unique
+        FROM c GROUP BY source ORDER BY source
       """.stripMargin.trim))
   )
 }
