@@ -267,6 +267,7 @@ object Dedup {
                COALESCE(d.rep, n.vec_id) AS rep_id
         FROM n LEFT JOIN d ON d.vec_id = n.vec_id
         ORDER BY n.vec_id
-      """.stripMargin.trim))
+      """.stripMargin.trim),
+      headline = true)
   )
 }

@@ -75,4 +75,34 @@ class PlanAssertSpec extends SparkSpec {
     // one hash exchange for the groupBy, one range for the final sort
     assert(shuffles.size <= 2, s"extra shuffle in the agg path:\n${nodes.head}")
   }
+
+  test("q47 date_histogram: terms filter pushed to the events scan") {
+    val nodes = finalNodes(Registry.byName("q47_search_date_histogram").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("In(event_type"),
+      s"terms filter not pushed to the scan: $pushed")
+    val readSchema = scans.map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("props"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q68 packing: window partitioned by shard, never a global sort") {
+    val nodes = finalNodes(Registry.byName("q68_text_pack").run(spark, sf()))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window exec:\n${nodes.head}")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"packing window lost its shard partitioning (single-partition window):\n${windows.head}")
+  }
+
+  test("q49 significant_terms: corpus totals broadcast, not shuffled in") {
+    val nodes = finalNodes(Registry.byName("q49_search_significant_terms").run(spark, sf()))
+    val bcast = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcast.nonEmpty,
+      s"1-row totals side is not broadcast:\n${nodes.head}")
+  }
 }
