@@ -150,4 +150,47 @@ final case class GraftEngine(spark: SparkSession) {
       threshold: Double = 0.8) =
     graft.streaming.StreamingDedup.start(docs, idCol, textCol,
       acceptedPath, indexPath, checkpoint, threshold)
+
+  /** IVF-PQ: train a product-quantized inverted-file model, encode the
+    * corpus to m-byte codes (32× smaller than float32 at dims=64/m=8)
+    * and serve approximate top-k by ADC lookup tables
+    * (see [[graft.operators.IvfPq]]).
+    */
+  def annIvfPq(embeddings: DataFrame, idCol: String, embCol: String,
+      queryPred: Column,
+      params: graft.operators.IvfPq.Params = graft.operators.IvfPq.Params()): DataFrame = {
+    val model = graft.operators.IvfPq.trainModel(embeddings, idCol, embCol, params)
+    val enc = graft.operators.IvfPq.encode(embeddings, idCol, embCol, model)
+    graft.operators.IvfPq.topK(enc, embeddings.filter(queryPred),
+      idCol, embCol, model, params)
+  }
+
+  /** int8 scalar-quantized cosine top-k: 4× smaller corpus scan than
+    * float32, integer dot products, same broadcast/heap serving shape
+    * as [[annBruteForce]] (see [[graft.operators.QuantizedAnn]]).
+    */
+  def annQuantized(embeddings: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int = 5): DataFrame =
+    graft.operators.QuantizedAnn.topK(embeddings, idCol, embCol, queryPred, k)
+
+  /** Deterministic fixed-size per-stratum sample: the k docs with the
+    * smallest salted md5 hash per stratum, via a bounded-heap typed
+    * aggregate (shuffle volume partitions × strata × k — never a
+    * per-stratum window). Output: stratum, rank (1..k), id.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
+      k: Int, salt: String = "sample:"): DataFrame = {
+    val topk = F.udaf(new graft.functions.Aggregators.SmallestKByKey(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    docs.select(col(stratumCol).as("stratum"),
+        TextFns.md5hash60(concat(lit(salt), col(idCol).cast("string"))).as("_hk"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(col("stratum"))
+      .agg(topk(col("_hk"), col("_id")).as("_picks"))
+      .select(col("stratum"), posexplode(col("_picks")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as(idCol))
+  }
 }

@@ -34,6 +34,8 @@ object Registry {
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
+      graft.queries.Sampling.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.MultimodalOps.queries
 
   def byName(name: String): GraftQuery =

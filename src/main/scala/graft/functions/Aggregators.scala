@@ -49,4 +49,29 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Exact k-smallest `(key, id)` pairs per group, ordered by (key, id)
+    * — the fixed-size-per-stratum sampler's aggregate. The window
+    * alternative (`row_number` partitioned by stratum) funnels every
+    * row of a stratum through one reducer; this buffer keeps ≤ k pairs
+    * through map-side combine, so shuffle volume is
+    * `partitions × strata × k` regardless of stratum size — the shape
+    * that survives a 100 TB stratum. Commutative (ties impossible:
+    * ids are distinct) and deterministic, hence oracle-checkable.
+    */
+  final class SmallestKByKey(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private val ord = implicitly[Ordering[(Long, Long)]]
+    override def zero: Seq[(Long, Long)] = Vector.empty
+    override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+      if (buf.length == k && ord.lteq(buf.last, x)) buf
+      else (buf :+ x).sorted.take(k)
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (a ++ b).sorted.take(k)
+    override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
 }

@@ -36,7 +36,7 @@ object IvfIndex {
   final case class Params(nlist: Int = 16, nprobe: Int = 4, iters: Int = 3, k: Int = 5)
 
   /** Corpus as unit vectors: (id, x) with |x| = 1. */
-  private def unitVectors(e: DataFrame, idCol: String, embCol: String,
+  private[operators] def unitVectors(e: DataFrame, idCol: String, embCol: String,
       queryPred: Column): Dataset[(Long, Array[Double], Boolean)] = {
     val spark = e.sparkSession
     import spark.implicits._
@@ -52,14 +52,14 @@ object IvfIndex {
       }
   }
 
-  @inline private def dot(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[operators] def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var d = 0
     while (d < a.length) { s += a(d) * b(d); d += 1 }
     s
   }
 
   /** Nearest centroid by cosine (max dot of unit vectors), tie → lower cid. */
-  @inline private def nearest(x: Array[Double], cents: Array[Array[Double]]): Int = {
+  @inline private[operators] def nearest(x: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestDot = dot(x, cents(0))
     var c = 1
     while (c < cents.length) {
@@ -73,7 +73,7 @@ object IvfIndex {
   /** Lloyd iterations over broadcast centroids; deterministic init =
     * the `nlist` lowest-id vectors. Returns unit centroids.
     */
-  private def train(v: Dataset[(Long, Array[Double], Boolean)],
+  private[operators] def train(v: Dataset[(Long, Array[Double], Boolean)],
       p: Params): Array[Array[Double]] = {
     val sc = v.sparkSession.sparkContext
     // a corpus smaller than nlist trains that many clusters instead —

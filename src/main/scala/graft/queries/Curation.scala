@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Corpus-curation operators beyond whole-document dedup: sub-document
+  * duplication, rule-based quality gates, and Bloom-filter
+  * contamination screening. All three follow the engine's
+  * never-all-pairs doctrine — duplication is found by equi-joining on
+  * content hashes, membership by joining against a compact bitset, and
+  * the quality gate is map-only.
+  */
+object Curation {
+
+  /** Tokens per paragraph chunk for q83 — fixed so the DuckDB oracle
+    * can slice identically.
+    */
+  private val ChunkTokens = 5
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Sub-document (paragraph-level) exact dedup, the Lee-et-al-style
+    // "exact substring" pass at paragraph granularity: split each doc
+    // into fixed 5-token chunks, hash each chunk (md5-derived, portable),
+    // count cross-document chunk frequency, and report per-document how
+    // much of it is boilerplate repeated elsewhere. Plan: map-side
+    // chunk explode → one groupBy on the chunk hash (document
+    // frequency) → equi-join back → per-doc aggregate. Both shuffles
+    // key on high-cardinality hashes, so the plan scales linearly; no
+    // pair enumeration ever happens (a chunk shared by d docs costs d
+    // posting rows, not d²).
+    GraftQuery(
+      "q83_paragraph_dedup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val nChunks = floor(size(tok) / ChunkTokens).cast("int")
+        val chunks = when(size(tok) >= ChunkTokens,
+          transform(sequence(lit(0), nChunks - 1),
+            i => concat_ws(" ", slice(tok, i * ChunkTokens + 1, lit(ChunkTokens)))))
+          .otherwise(array().cast("array<string>"))
+        val posts = d.select(col("doc_id"), explode(chunks).as("ch"))
+          .select(col("doc_id"), TextFns.md5hash60(col("ch")).as("h"))
+        val df = posts.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        posts.join(df, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .filter(col("n_dup") >= 1)
+          .withColumn("dup_pct", expr("(100 * n_dup) div n_chunks"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        c AS (SELECT doc_id,
+                     ('0x' || substr(md5(unnest([array_to_string(tok[($ChunkTokens*i+1):($ChunkTokens*i+$ChunkTokens)], ' ')
+                                                 for i in range(0, len(tok)//$ChunkTokens)])), 1, 15))::BIGINT AS h
+              FROM t),
+        df AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY h),
+        d AS (SELECT doc_id, COUNT(*) AS n_chunks,
+                     CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+              FROM c JOIN df USING (h) GROUP BY doc_id)
+        SELECT doc_id, n_chunks, n_dup, (100 * n_dup) // n_chunks AS dup_pct
+        FROM d WHERE n_dup >= 1 ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Gopher-style rule-based quality gate: independent integer-exact
+    // rules (word-count band, mean-word-length band, minimum stopword
+    // evidence, type-token ratio), reported as per-source failure
+    // counts per rule plus the all-rules survivor count. Unlike q85's
+    // cumulative funnel, each rule is evaluated independently — the
+    // report quality teams use to tune thresholds. Mean word length is
+    // compared via cross-multiplication (alpha ≥ 4·n_tok), never a
+    // float division, so the gate is engine-exact. Map-only + one agg.
+    GraftQuery(
+      "q84_gopher_rules",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val m = d.select(col("source"),
+          size(tok).cast("long").as("n_tok"),
+          (length(col("text")) - (size(tok) - 1)).cast("long").as("alpha"),
+          size(filter(tok, t => t.isin("the", "a"))).cast("long").as("n_stop"),
+          size(array_distinct(tok)).cast("long").as("n_dis"))
+        m.select(col("source"),
+            col("n_tok").between(30, 80).as("r1"),
+            (col("alpha") >= col("n_tok") * 4 && col("alpha") <= col("n_tok") * 5).as("r2"),
+            (col("n_stop") >= 2).as("r3"),
+            (col("n_dis") * 2 >= col("n_tok")).as("r4"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(!col("r1"), 1L).otherwise(0L)).as("f_wordcount"),
+            sum(when(!col("r2"), 1L).otherwise(0L)).as("f_wordlen"),
+            sum(when(!col("r3"), 1L).otherwise(0L)).as("f_stopword"),
+            sum(when(!col("r4"), 1L).otherwise(0L)).as("f_ttr"),
+            sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+              .otherwise(0L)).as("n_pass"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH t AS (SELECT source, string_split(text, ' ') AS tok, length(text) AS ch
+                   FROM documents),
+        m AS (SELECT source,
+                     CAST(len(tok) AS BIGINT) AS n_tok,
+                     CAST(ch - (len(tok) - 1) AS BIGINT) AS alpha,
+                     CAST(len(list_filter(tok, x -> list_contains(['the','a'], x))) AS BIGINT) AS n_stop,
+                     CAST(len(list_distinct(tok)) AS BIGINT) AS n_dis
+              FROM t),
+        r AS (SELECT source,
+                     n_tok BETWEEN 30 AND 80 AS r1,
+                     alpha >= 4 * n_tok AND alpha <= 5 * n_tok AS r2,
+                     n_stop >= 2 AS r3,
+                     2 * n_dis >= n_tok AS r4
+              FROM m)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+               CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f_wordlen,
+               CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword,
+               CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS f_ttr,
+               CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM r GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Bloom-filter contamination screen: q78's exact shingle semi-join,
+    // replayed through a 65536-bit / 2-probe Bloom filter built from
+    // the eval set (source src0) — the membership structure a 100 TB
+    // pipeline ships to every executor instead of shuffling the eval
+    // shingle set. This is the same shape Spark's own runtime bloom
+    // join pruning (InjectRuntimeFilter) uses; here the filter is
+    // declarative (bit_or aggregate into a word→mask map, broadcast
+    // cross-join, codegen'd bit tests), and md5-derived probes make the
+    // whole thing portable: the oracle rebuilds the identical bitset,
+    // so the output — INCLUDING the filter's deterministic false
+    // positives — hash-matches. CurationSpec pins the superset
+    // property vs exact q78.
+    GraftQuery(
+      "q87_bloom_contamination",
+      (s, dir) => {
+        val post = graft.operators.MinHashLsh.portablePostings(
+          Tables.load(s, dir, "documents"), "doc_id", "source", "text")
+        // two probe indices per shingle from one 60-bit md5 hash:
+        // low 16 bits and next 16 bits (m = 2^16 bits)
+        val evalBits = post.filter(col("tag") === "src0")
+          .select(explode(array(
+            col("s").bitwiseAND(lit(65535L)),
+            shiftright(col("s"), 16).bitwiseAND(lit(65535L)))).as("idx"))
+          .distinct()
+          // 32 bits per BIGINT word: DuckDB's checked shift overflows at
+          // 1<<63, so both engines pack 32 bits/word (2048 words max)
+          .groupBy(shiftright(col("idx"), 5).as("w"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(idx % 32 as int)))").as("mask"))
+        val bloom = evalBits.groupBy()
+          .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bloom"))
+        val train = post.filter(col("tag") =!= "src0")
+          .select(col("doc_id"),
+            col("s").bitwiseAND(lit(65535L)).as("i1"),
+            shiftright(col("s"), 16).bitwiseAND(lit(65535L)).as("i2"))
+        def hit(idx: String) = expr(
+          s"(coalesce(element_at(bloom, shiftright($idx, 5)), cast(0 as bigint)) " +
+            s"& shiftleft(cast(1 as bigint), cast($idx % 32 as int))) != 0")
+        train.crossJoin(broadcast(bloom))
+          .filter(hit("i1") && hit("i2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .filter(col("n_hits") >= 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+        s AS (SELECT doc_id, source,
+                CASE WHEN len(tok) >= 3
+                     THEN list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] for i in range(1, len(tok)-1)])
+                     ELSE [array_to_string(tok, ' ')] END AS sh
+              FROM t),
+        x AS (SELECT doc_id, source,
+                ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h
+              FROM s),
+        evp AS (SELECT DISTINCT unnest([h % 65536, (h // 65536) % 65536]) AS idx
+                FROM x WHERE source = 'src0'),
+        bloom AS (SELECT idx // 32 AS w, bit_or(1::BIGINT << (idx % 32)) AS mask
+                  FROM evp GROUP BY 1),
+        tr AS (SELECT doc_id, h % 65536 AS i1, (h // 65536) % 65536 AS i2
+               FROM x WHERE source <> 'src0'),
+        hit AS (SELECT tr.doc_id
+                FROM tr
+                JOIN bloom b1 ON b1.w = tr.i1 // 32 AND (b1.mask >> (tr.i1 % 32)) & 1 = 1
+                JOIN bloom b2 ON b2.w = tr.i2 // 32 AND (b2.mask >> (tr.i2 % 32)) & 1 = 1)
+        SELECT doc_id, COUNT(*) AS n_hits
+        FROM hit GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id
+      """.stripMargin.trim))
+  )
+}

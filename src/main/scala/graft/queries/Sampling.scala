@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoders, functions => F}
+import org.apache.spark.sql.functions._
+import graft.GraftQuery
+import graft.functions.{Aggregators, TextFns}
+import graft.sources.Tables
+
+/** Sampling operators for training-data curation — the "how much of
+  * which source goes into the mix" stage of a 100 TB pipeline. Both
+  * queries are hash-deterministic (never `rand()`): reproducible across
+  * runs, engines and cluster sizes, and adding documents never
+  * reshuffles existing picks — the property that makes sampled corpora
+  * diffable between pipeline versions.
+  *
+  *   - q81: fixed-size per-stratum sample via a bounded-heap typed
+  *     aggregate (k smallest md5-hash keys per stratum). The naive
+  *     window form (`row_number() over (partition by stratum order by
+  *     hash)`) sends every row of a stratum to one reducer; the
+  *     aggregate keeps ≤ k pairs per partition through map-side
+  *     combine, so shuffle volume is partitions × strata × k no matter
+  *     how large a stratum gets.
+  *   - q82: weighted mixture by source — a map-only hash-threshold
+  *     Bernoulli filter (rate derived per source), then one count
+  *     aggregate. The embarrassing-parallel path: nothing shuffles but
+  *     the per-source totals.
+  */
+object Sampling {
+
+  private val K = 10
+
+  def queries: Seq[GraftQuery] = Seq(
+    // Stratified fixed-size sample: k docs per source, picked by
+    // smallest md5-derived hash key (salted so the pick is independent
+    // of q67's split buckets). Exact and deterministic; the typed
+    // bounded-heap aggregate is the scale path (see object scaladoc).
+    GraftQuery(
+      "q81_sample_stratified",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val topk = F.udaf(new Aggregators.SmallestKByKey(K),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        d.select(col("source"),
+            TextFns.md5hash60(concat(lit("sample:"), col("doc_id").cast("string"))).as("hk"),
+            col("doc_id"))
+          .groupBy(col("source"))
+          .agg(topk(col("hk"), col("doc_id")).as("picks"))
+          .select(col("source"), posexplode(col("picks")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("col._2").as("doc_id"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT source, doc_id,
+                 ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+          FROM documents),
+        r AS (
+          SELECT source, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rank
+          FROM h)
+        SELECT source, rank, doc_id FROM r WHERE rank <= $K ORDER BY source, rank
+      """.stripMargin.trim)),
+
+    // Source-weighted mixture: per-source sampling rate (5..81%,
+    // derived from the source id so the oracle needs no literal map),
+    // hash-threshold Bernoulli pick, per-source achieved counts and
+    // token budget. Map-only until the final per-source aggregate.
+    GraftQuery(
+      "q82_sample_mixture",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val weight = (substring(col("source"), 4, 10).cast("long") % 20L) * 4L + 5L
+        val bucket = pmod(
+          TextFns.md5hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(100L))
+        d.select(col("source"), col("text"), weight.as("weight_pct"),
+            (bucket < weight).as("picked"))
+          .groupBy(col("source"))
+          .agg(first(col("weight_pct")).as("weight_pct"),
+            count(lit(1)).as("n_total"),
+            sum(when(col("picked"), 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(col("picked"), size(TextFns.tokens(col("text"))).cast("long"))
+              .otherwise(0L)).as("tokens_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT source, text,
+                 (CAST(substr(source, 4) AS BIGINT) % 20) * 4 + 5 AS weight_pct,
+                 ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+          FROM documents)
+        SELECT source, ANY_VALUE(weight_pct) AS weight_pct, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN bucket < weight_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN bucket < weight_pct
+                             THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_sampled
+        FROM w GROUP BY source ORDER BY source
+      """.stripMargin.trim))
+  )
+}

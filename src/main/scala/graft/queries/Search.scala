@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.sources.Tables
@@ -305,6 +306,48 @@ object Search {
         FROM c CROSS JOIN tot
         WHERE fg_df >= 3
         ORDER BY score_ppm DESC, tok LIMIT 20
+      """.stripMargin.trim)),
+
+    // Pipeline aggregations over a date histogram (OpenSearch
+    // cumulative_sum / moving_fn / derivative): daily event counts,
+    // then running total, 3-bucket moving average and day-over-day
+    // delta as window functions OVER THE AGGREGATED SERIES. The
+    // unpartitioned window is safe by construction — it runs on the
+    // histogram output (one row per day), which is bounded by the time
+    // range, not the corpus size; the heavy lifting is the parallel
+    // date_trunc groupBy below it. The moving average divides an exact
+    // integer 3-day sum by an exact frame count, so it is portable.
+    GraftQuery(
+      "q57_search_pipeline_agg",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(date_trunc("day", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        val wCum = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wMa = Window.orderBy(col("bucket")).rowsBetween(-2, Window.currentRow)
+        val wLag = Window.orderBy(col("bucket"))
+        daily
+          .withColumn("cum_n", sum(col("n")).over(wCum))
+          .withColumn("ma3",
+            (sum(col("n")).over(wMa).cast("double") /
+              count(lit(1)).over(wMa).cast("double")))
+          .withColumn("delta", col("n") - lag(col("n"), 1).over(wLag))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT date_trunc('day', ts) AS bucket, COUNT(*) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1)
+        SELECT bucket, n, sum_value,
+               CAST(SUM(n) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+               CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3,
+               n - lag(n, 1) OVER (ORDER BY bucket) AS delta
+        FROM d ORDER BY bucket
       """.stripMargin.trim))
   )
 }

@@ -106,6 +106,44 @@ object Similarity {
           FROM scored)
         SELECT q_id, rank, vec_id AS neighbor_id, sim
         FROM ranked WHERE rank <= $K ORDER BY q_id, rank
+      """.stripMargin.trim)),
+
+    // int8 scalar-quantized ANN (operators.QuantizedAnn): one byte per
+    // dimension (4× smaller corpus scan than float32), integer dot
+    // products, same broadcast-queries/bounded-heap serving shape as
+    // q75. The oracle replays the identical per-vector max-abs
+    // quantizer, so results — including quantization error — are
+    // bit-exact; QuantizedAnnSpec separately pins recall vs q75.
+    GraftQuery(
+      "q86_ann_int8",
+      (s, dir) => {
+        graft.operators.QuantizedAnn.topK(
+            Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 50 === 0, K)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        q AS (SELECT vec_id,
+                     CASE WHEN mx = 0 THEN list_transform(v, x -> 0::BIGINT)
+                          ELSE list_transform(v, x -> CAST(round(x * 127.0 / mx) AS BIGINT)) END AS qv
+              FROM m),
+        nn AS (SELECT vec_id, list_transform(qv, x -> x::DOUBLE) AS qd FROM q),
+        n2 AS (SELECT vec_id, qd, list_dot_product(qd, qd) AS n2 FROM nn),
+        qs AS (SELECT vec_id AS q_id, qd AS qq, n2 AS qn2 FROM n2 WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q_id, vec_id,
+                 list_dot_product(qq, qd) / (sqrt(qn2) * sqrt(n2)) AS sim
+          FROM qs CROSS JOIN n2 WHERE q_id <> vec_id AND n2 > 0),
+        ranked AS (
+          SELECT q_id, vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id AS neighbor_id, sim
+        FROM ranked WHERE rank <= $K ORDER BY q_id, rank
       """.stripMargin.trim))
   )
 }

@@ -29,13 +29,18 @@ class PlanAssertSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    def flatten(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children.flatMap(flatten) ++ (p match {
-        case q: QueryStageExec => flatten(q.plan)
-        case _ => Nil
-      }))
     flatten(root)
   }
+
+  /** Flatten a plan subtree, descending through AQE query-stage
+    * boundaries (`SparkPlan.collect` stops at them — a materialized
+    * stage hangs off `QueryStageExec.plan`, not `children`).
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children.flatMap(flatten) ++ (p match {
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => Nil
+    }))
 
   test("q10 star join: every dimension broadcast, no sort-merge join") {
     val nodes = finalNodes(Registry.byName("q10_join_star").run(spark, sf()))
@@ -104,5 +109,47 @@ class PlanAssertSpec extends SparkSpec {
     }
     assert(bcast.nonEmpty,
       s"1-row totals side is not broadcast:\n${nodes.head}")
+  }
+
+  test("q81 stratified sample: bounded-heap agg has a partial/final split") {
+    val nodes = finalNodes(Registry.byName("q81_sample_stratified").run(spark, sf()))
+    // the typed aggregate must run as ObjectHashAggregate partial+final —
+    // that pair IS the map-side combine that bounds shuffle volume to
+    // partitions × strata × k (the reason q81 isn't a window query)
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"no partial ObjectHashAggregate pair:\n${nodes.head}")
+    // no window operator anywhere — the non-scalable formulation
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"sampler regressed to a per-stratum window:\n${nodes.head}")
+  }
+
+  test("q87 bloom: bitset broadcast; no shuffle joins anywhere") {
+    val nodes = finalNodes(Registry.byName("q87_bloom_contamination").run(spark, sf()))
+    val bcast = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcast.nonEmpty, s"bloom bitset not broadcast:\n${nodes.head}")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"membership test regressed to a shuffled join:\n${nodes.head}")
+  }
+
+  test("q57 pipeline agg: windows run over the aggregated series, not raw events") {
+    val df = Registry.byName("q57_search_pipeline_agg").run(spark, sf())
+    val nodes = finalNodes(df)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window exec:\n${nodes.head}")
+    // every window must sit ABOVE the date_trunc aggregation: its input
+    // is the daily-bucket series, so a hash aggregate must appear in
+    // each window's subtree
+    assert(windows.forall(w => flatten(w).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
+      s"window consumes raw events:\n${nodes.head}")
   }
 }
