@@ -64,7 +64,8 @@ object Curation {
               FROM c JOIN df USING (h) GROUP BY doc_id)
         SELECT doc_id, n_chunks, n_dup, (100 * n_dup) // n_chunks AS dup_pct
         FROM d WHERE n_dup >= 1 ORDER BY doc_id
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // Gopher-style rule-based quality gate: independent integer-exact
     // rules (word-count band, mean-word-length band, minimum stopword
@@ -189,6 +190,7 @@ object Curation {
                 JOIN bloom b2 ON b2.w = tr.i2 // 32 AND (b2.mask >> (tr.i2 % 32)) & 1 = 1)
         SELECT doc_id, COUNT(*) AS n_hits
         FROM hit GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id
-      """.stripMargin.trim))
+      """.stripMargin.trim),
+      headline = true)
   )
 }

@@ -144,6 +144,7 @@ object Similarity {
           FROM scored)
         SELECT q_id, rank, vec_id AS neighbor_id, sim
         FROM ranked WHERE rank <= $K ORDER BY q_id, rank
-      """.stripMargin.trim))
+      """.stripMargin.trim),
+      headline = true)
   )
 }
