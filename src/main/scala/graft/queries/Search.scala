@@ -348,6 +348,56 @@ object Search {
                  / CAST(COUNT(*) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3,
                n - lag(n, 1) OVER (ORDER BY bucket) AS delta
         FROM d ORDER BY bucket
+      """.stripMargin.trim)),
+
+    // histogram aggregation: fixed-interval numeric buckets (the
+    // OpenSearch `histogram` agg, the numeric sibling of q47's
+    // date_histogram) over document length, with per-bucket stats and
+    // a cardinality sub-agg. Integer bucket arithmetic (`div`) keeps
+    // the keys exact in any engine; one scan, one hash aggregation
+    // with map-side partials — the shape that holds at any corpus
+    // size because the output is bounded by the bucket count.
+    GraftQuery(
+      "q58_search_histogram",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.groupBy(expr("(n_chars div 50) * 50").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("doc_count"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bucket,
+               COUNT(*) AS doc_count,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY 1 ORDER BY bucket
+      """.stripMargin.trim)),
+
+    // match_phrase: the query terms must appear adjacent and in order
+    // (vs q41's bag-of-terms match). Tokens in the corpus are single-
+    // space separated, so padding both sides and matching the padded
+    // literal is an exact positional phrase test that stays a scan-time
+    // predicate — no tokenizer state, pushes through codegen, and at
+    // scale benefits from parquet row-group pruning on the cheap
+    // companion predicates.
+    GraftQuery(
+      "q59_search_phrase",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        d.filter(padded.contains(" spark join ") && col("n_chars") >= 100)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE ' ' || text || ' ' LIKE '% spark join %' AND n_chars >= 100
+        ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

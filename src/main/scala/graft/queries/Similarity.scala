@@ -145,6 +145,27 @@ object Similarity {
         SELECT q_id, rank, vec_id AS neighbor_id, sim
         FROM ranked WHERE rank <= $K ORDER BY q_id, rank
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // IVF-PQ ANN (operators.IvfPq): trained coarse quantizer + product-
+    // quantized residual codes served by asymmetric distance — the
+    // billion-vector index layout (m=16 bytes/vector vs dims×4 float
+    // bytes). Like trained IVF, the k-means model is floating-point
+    // iterative and PQ is lossy by design, so there is no SQL oracle;
+    // IvfPqSpec pins code shape, training determinism and recall vs
+    // the exact-vector ceiling, and the driver's rows-only check
+    // guards the serving surface (|Q| × k rows, non-empty).
+    GraftQuery(
+      "q88_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val p = graft.operators.IvfPq.Params(
+          nlist = 16, nprobe = 4, iters = 3, k = K, m = 16, codes = 256)
+        val model = graft.operators.IvfPq.trainModel(emb, "vec_id", "embedding", p)
+        val enc = graft.operators.IvfPq.encode(emb, "vec_id", "embedding", model)
+        graft.operators.IvfPq.topK(
+          enc, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", model, p)
+      },
+      None)
   )
 }

@@ -417,6 +417,41 @@ object TextOps {
                CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
                CAST(COUNT(DISTINCT CASE WHEN c3 THEN md5(text) END) AS BIGINT) AS n_unique
         FROM c GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Context-window chunking: split each document into overlapping
+    // token windows (size 64, stride 48) — the slicing step that turns
+    // curated documents into model-ready training sequences. Map-only
+    // (tokenize + sequence/explode + slice run inside one codegen
+    // stage, no shuffle until the final presentation sort), so it
+    // streams at scan speed over any corpus size; chunk identity is
+    // carried as an md5 of the joined window so the result stays
+    // narrow no matter how wide the documents are.
+    GraftQuery(
+      "q89_text_chunk",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+              lit(48))).as("start"))
+          .select(col("doc_id"), expr("start div 48").cast("long").as("chunk_idx"),
+            slice(col("toks"), col("start") + 1, lit(64)).as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+              FROM t),
+        c AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+                     list_slice(toks, start + 1, start + 64) AS chunk
+              FROM s)
+        SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_idx
       """.stripMargin.trim))
   )
 }

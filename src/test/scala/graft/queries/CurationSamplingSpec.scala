@@ -20,6 +20,29 @@ import graft.functions.Aggregators
 class CurationSamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q89 chunking: chunk count, token coverage and window bound per document") {
+    val dir = sf("sf0.001")
+    val chunks = graft.Registry.byName("q89_text_chunk").run(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), F.sum("n_tokens").as("covered"),
+        F.max("n_tokens").as("widest"), F.max("chunk_idx").as("last_idx"))
+    val toks = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val joined = chunks.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nChunks, covered, widest, lastIdx, nTok) =
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("covered"),
+          r.getAs[Long]("widest"), r.getAs[Long]("last_idx"), r.getAs[Long]("n_tok"))
+      // starts at 0,48,96,… strictly below n_tok → ceil(n/48) chunks, indices dense
+      assert(nChunks === (nTok + 47) / 48, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(lastIdx === nChunks - 1)
+      // stride (48) < window (64): every token is in ≥1 chunk, overlap ≤ 16/window
+      assert(covered >= nTok && covered <= nTok + 16L * (nChunks - 1))
+      assert(widest <= 64)
+    }
+  }
+
   test("SmallestKByKey equals global sort-take-k under any partitioning") {
     val rows = (1L to 1000L).map(i => (i * 2654435761L % 997L, i))
     val expected = rows.sorted.take(7)

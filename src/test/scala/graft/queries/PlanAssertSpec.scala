@@ -152,4 +152,38 @@ class PlanAssertSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
       s"window consumes raw events:\n${nodes.head}")
   }
+
+  test("q58 histogram: partial/final agg pair, scan pruned to used columns") {
+    val nodes = finalNodes(Registry.byName("q58_search_histogram").run(spark, sf()))
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // count-distinct expands to a two-round agg; the contract is that at
+    // least one partial/final pair exists (map-side combine bounds the
+    // shuffle to buckets × partitions, not rows)
+    assert(aggs.size >= 2, s"no partial aggregation:\n${nodes.head}")
+    val readSchema = nodes.collect { case s: FileSourceScanExec => s }
+      .map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("text"),
+      s"histogram scan reads the document text: $readSchema")
+  }
+
+  test("q59 phrase match: companion range predicate pushed to the scan") {
+    val nodes = finalNodes(Registry.byName("q59_search_phrase").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("n_chars"),
+      s"n_chars range not pushed to the scan: $pushed")
+  }
+
+  test("q89 chunking: map-only until the presentation sort (one range shuffle)") {
+    val nodes = finalNodes(Registry.byName("q89_text_chunk").run(spark, sf()))
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"chunking shuffles before the final sort:\n${nodes.head}")
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"chunking uses a window:\n${nodes.head}")
+  }
 }
