@@ -7,7 +7,7 @@ import org.apache.spark.sql.{functions => F}
 import graft.etl.{DdbJson, IngestPipeline}
 import graft.functions.TextFns
 import graft.operators.IvfIndex
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, DeltaCdc}
 
 /** User-facing facade: everything a user of the reference pipeline does
   * (ingest a DynamoDB export, tail its change stream, query the
@@ -43,6 +43,18 @@ final case class GraftEngine(spark: SparkSession) {
   /** Current queryable CDC state (tombstones filtered). */
   def cdcSnapshot(targetDir: String): Option[DataFrame] =
     CdcStream.readSnapshot(spark, targetDir)
+
+  /** Tail a change-event feed into a delta-log target: O(batch) writes
+    * per epoch, full snapshot folded every `compactEvery` deltas — the
+    * write-amplification-bounded sink for large states.
+    */
+  def startCdcDelta(eventsPath: String, targetDir: String, checkpoint: String,
+      compactEvery: Int = 8) =
+    DeltaCdc.start(spark, eventsPath, targetDir, checkpoint, compactEvery)
+
+  /** Queryable state of a delta-log CDC target (merge-on-read). */
+  def cdcDeltaSnapshot(targetDir: String): Option[DataFrame] =
+    DeltaCdc.readSnapshot(spark, targetDir)
 
   // ---- DynamoDB-shaped access patterns (P5, §2.9) ----
 

@@ -67,7 +67,7 @@ object CdcStream {
   def readTarget(spark: SparkSession, targetDir: String): Option[DataFrame] =
     latestVersion(targetDir).map(v => spark.read.parquet(s"$targetDir/v=$v"))
 
-  private def writeSnapshot(df: DataFrame, targetDir: String, version: Long): Unit = {
+  private[streaming] def writeSnapshot(df: DataFrame, targetDir: String, version: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$targetDir/v=$version")
     Files.createDirectories(Paths.get(targetDir))
     // temp-then-atomic-rename: an in-place truncate+write would expose
@@ -84,7 +84,7 @@ object CdcStream {
   /** Snapshot versions present on disk (the pointer may lag or lead
     * after a crash — directories are the truth).
     */
-  private def versionsOnDisk(targetDir: String): Seq[Long] =
+  private[streaming] def versionsOnDisk(targetDir: String): Seq[Long] =
     Option(new java.io.File(targetDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       // non-numeric v=* entries (an operator's v=bak, a stray temp dir)
