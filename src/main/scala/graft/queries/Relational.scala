@@ -624,6 +624,38 @@ object Relational {
         FROM orders ORDER BY o_custkey, o_orderkey
       """.stripMargin.trim)),
 
+    // ---------------------------------------------------------------- W1+
+    // Distribution window functions — the remaining ranking family:
+    // ntile quartiles, percent_rank, cume_dist per priority class.
+    // All three are exact rationals of integer rank/count (doubles
+    // divide the same integers in any engine); the orderkey tiebreak
+    // removes peer groups so the rationals are unique per row. One
+    // shuffle on the partition key; the modulo filter only thins the
+    // presentation (windows rank the full partition, as they must).
+    GraftQuery(
+      "q24_window_distribution",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .filter(col("o_orderkey") % 100 === 0)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                 percent_rank() OVER w AS pct_rank,
+                 cume_dist() OVER w AS cume
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+        SELECT * FROM d WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+      """.stripMargin.trim)),
+
     // ---------------------------------------------------------------- O2
     // Global top-k: TakeOrderedAndProjectExec — per-partition heaps of k,
     // only k rows per partition reach the driver-side merge.

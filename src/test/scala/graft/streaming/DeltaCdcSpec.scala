@@ -87,6 +87,42 @@ class DeltaCdcSpec extends SparkSpec {
     assert(DeltaCdc.readSnapshot(spark, dir).get.count() === 3) // a, d, e
   }
 
+  test("random event sequences: delta path ≡ full path at every compaction cadence") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      // per-key unique seqs (shard sequence numbers), delivered out of
+      // order across epochs — the disorder CdcMerge contracts to absorb
+      val events = Seq("a", "b", "c", "d", "e").flatMap { k =>
+        rnd.shuffle((1 to 20).toList).take(rnd.nextInt(5)).map { seq =>
+          val act = if (rnd.nextInt(4) == 0) "delete" else "upsert"
+          (k, act, seq.toLong, s"$k-$seq")
+        }
+      }
+      val shuffled = rnd.shuffle(events)
+      val batches = (0 until 4).map(e => shuffled.zipWithIndex
+        .collect { case (ev, i) if i % 4 == e => ev })
+
+      def deltaRun(every: Int): Seq[String] = {
+        val dir = Files.createTempDirectory(s"graft-dcdc-p$trial-$every").toString
+        batches.zipWithIndex.foreach { case (b, e) =>
+          DeltaCdc.mergeBatchDelta(spark, batch(b: _*), dir, e.toLong, every)
+        }
+        snap(dir)
+      }
+      val full = Files.createTempDirectory(s"graft-dcdc-p$trial-full").toString
+      batches.zipWithIndex.foreach { case (b, e) =>
+        CdcStream.mergeBatch(spark, batch(b: _*), full, e.toLong)
+      }
+      val expected = CdcStream.readSnapshot(spark, full).get
+        .select("_doc_id", "payload").orderBy("_doc_id")
+        .collect().map(_.toString).toSeq
+      // cadence 1 = compact every epoch (≡ full path), 2 = mixed, 100 = never
+      Seq(1, 2, 100).foreach { every =>
+        assert(deltaRun(every) === expected, s"trial $trial, compactEvery=$every")
+      }
+    }
+  }
+
   test("restart guard: an epoch below on-disk state throws") {
     val dir = Files.createTempDirectory("graft-dcdc-guard").toString
     DeltaCdc.mergeBatchDelta(spark, epochs(0), dir, 5L)
