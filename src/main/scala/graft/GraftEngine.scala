@@ -115,6 +115,15 @@ final case class GraftEngine(spark: SparkSession) {
       queryPred: Column, k: Int = 5): DataFrame =
     graft.operators.AnnTopK.bruteForce(embeddings, idCol, embCol, queryPred, k)
 
+  /** Exact k-nearest-neighbor JOIN within groups — every row is both
+    * query and candidate (no broadcastable side), so this goes through
+    * [[graft.operators.KnnJoin]]'s block-pair kernel: B×corpus shuffle,
+    * per-task bounded heaps, per-row top-k merge over ≤ B·k candidates.
+    */
+  def knnJoin(embeddings: DataFrame, idCol: String, embCol: String,
+      groupCol: String, k: Int = 5): DataFrame =
+    graft.operators.KnnJoin.withinGroups(embeddings, idCol, embCol, groupCol, k)
+
   /** IVF approximate top-k (k-means coarse quantizer). */
   def annIvf(embeddings: DataFrame, idCol: String, embCol: String,
       queryPred: Column, params: IvfIndex.Params = IvfIndex.Params()): DataFrame =

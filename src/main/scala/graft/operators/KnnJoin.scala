@@ -1,0 +1,167 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Exact k-nearest-neighbor JOIN within groups (`q91`): for every
+  * vector, its k most-cosine-similar neighbors among vectors sharing a
+  * group key (label, topic, language, shard …). This is the
+  * *symmetric* companion to [[AnnTopK.bruteForce]] — there the query
+  * side is small-by-construction and broadcast; here every row is both
+  * query and candidate, so a broadcast would ship the whole corpus.
+  *
+  * Distribution shape ([[CosinePairs]]'s block-pair decomposition plus
+  * a two-stage top-k):
+  *
+  *   1. rows are replicated to the B unordered block pairs of their
+  *      group (shuffle = B× corpus, the standard block-nested-loop
+  *      trade); each (group, blockI, blockJ) reduce task holds
+  *      ≈ 2·|group|/B vectors — raise B with data so task memory is
+  *      flat while task count grows B²;
+  *   2. each task runs the primitive integer-dot kernel over its pair
+  *      range keeping a bounded per-row heap of the k best neighbors
+  *      seen *in this task* — so a task emits ≤ rows×k candidates, not
+  *      its full pair range;
+  *   3. a final per-row top-k over the ≤ B·k surviving candidates per
+  *      row (window partition = one row id, bounded by B·k rows — never
+  *      a scale concern).
+  *
+  * Every unordered within-group pair is scored in exactly one task, so
+  * stage-3 input is a superset of the true top-k and the result is
+  * exact. Determinism: quantized-integer dot products
+  * ([[VectorFns.quantize]]), IEEE divide by the two sqrt'd norms, ties
+  * broken by ascending neighbor id at both heap and window stage — the
+  * same total order, so block layout cannot change the result.
+  */
+object KnnJoin {
+
+  def withinGroups(e: DataFrame, idCol: String, embCol: String,
+      groupCol: String, k: Int, blocks: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val B = blocks
+
+    val quantized = e.select(col(groupCol).cast("long"), col(idCol).cast("long"),
+        VectorFns.quantize(col(embCol)))
+      .as[(Long, Long, Array[Long])]
+
+    // replicate each row to every block pair containing its block,
+    // scoped to its group key
+    val replicated = quantized.flatMap { case (g, id, v) =>
+      val b = (((id % B) + B) % B).toInt
+      (0 until B).iterator.map { o =>
+        (g, math.min(b, o), math.max(b, o), b, id, v)
+      }
+    }
+
+    val candidates = replicated
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Long, Int, Int), it: Iterator[(Long, Int, Int, Int, Long, Array[Long])]) =>
+        val (g, ki, kj) = key
+        val left = ArrayBuffer.empty[(Long, Array[Long])]
+        val right = ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (_, _, _, b, id, v) =>
+          if (b == ki) left += ((id, v)) else right += ((id, v))
+        }
+
+        def norms(xs: ArrayBuffer[(Long, Array[Long])]): Array[Double] = {
+          val out = new Array[Double](xs.length)
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i)._2
+            var s = 0L; var d = 0
+            while (d < v.length) { s += v(d) * v(d); d += 1 }
+            out(i) = math.sqrt(s.toDouble)
+            i += 1
+          }
+          out
+        }
+
+        @inline def dot(va: Array[Long], vb: Array[Long]): Long = {
+          var s = 0L; var d = 0
+          while (d < va.length) { s += va(d) * vb(d); d += 1 }
+          s
+        }
+
+        // bounded best-k per row: parallel sim/id arrays sorted best
+        // first (sim desc, id asc); insertion shift — k is small
+        final class Heap {
+          val sims = new Array[Double](k)
+          val ids = new Array[Long](k)
+          var n = 0
+          def offer(sim: Double, id: Long): Unit = {
+            if (n == k && (sim < sims(n - 1) ||
+                (sim == sims(n - 1) && id > ids(n - 1)))) return
+            var pos = if (n < k) n else k - 1
+            while (pos > 0 && (sims(pos - 1) < sim ||
+                (sims(pos - 1) == sim && ids(pos - 1) > id))) {
+              sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+            }
+            sims(pos) = sim; ids(pos) = id
+            if (n < k) n += 1
+          }
+        }
+
+        if (ki == kj) {
+          val n = left.length
+          val nm = norms(left)
+          val heaps = Array.fill(n)(new Heap)
+          var i = 0
+          while (i < n) {
+            val (_, va) = left(i)
+            var j = i + 1
+            while (j < n) {
+              val sim = dot(va, left(j)._2).toDouble / (nm(i) * nm(j))
+              heaps(i).offer(sim, left(j)._1)
+              heaps(j).offer(sim, left(i)._1)
+              j += 1
+            }
+            i += 1
+          }
+          left.indices.iterator.flatMap { i =>
+            val h = heaps(i)
+            (0 until h.n).iterator.map(p => (g, left(i)._1, h.ids(p), h.sims(p)))
+          }
+        } else {
+          val nmL = norms(left); val nmR = norms(right)
+          val heapsL = Array.fill(left.length)(new Heap)
+          val heapsR = Array.fill(right.length)(new Heap)
+          var i = 0
+          while (i < left.length) {
+            val (_, va) = left(i)
+            var j = 0
+            while (j < right.length) {
+              val sim = dot(va, right(j)._2).toDouble / (nmL(i) * nmR(j))
+              heapsL(i).offer(sim, right(j)._1)
+              heapsR(j).offer(sim, left(i)._1)
+              j += 1
+            }
+            i += 1
+          }
+          left.indices.iterator.flatMap { i =>
+            val h = heapsL(i)
+            (0 until h.n).iterator.map(p => (g, left(i)._1, h.ids(p), h.sims(p)))
+          } ++ right.indices.iterator.flatMap { j =>
+            val h = heapsR(j)
+            (0 until h.n).iterator.map(p => (g, right(j)._1, h.ids(p), h.sims(p)))
+          }
+        }
+      }
+      .toDF("grp", "id", "neighbor_id", "sim")
+
+    // stage 3: global top-k per row over ≤ B·k local winners; each
+    // (id, neighbor) pair exists exactly once, so no dedup is needed
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

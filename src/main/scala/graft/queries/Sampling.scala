@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Encoders, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.functions.{Aggregators, TextFns}
@@ -94,6 +95,47 @@ object Sampling {
                CAST(SUM(CASE WHEN bucket < weight_pct
                              THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tokens_sampled
         FROM w GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Deterministic global shuffle + shard assignment — the "shuffle
+    // the corpus once per training run" step every data loader needs.
+    // Shard = hash bucket of the doc id; position within shard = rank
+    // of a second, independent hash (salts differ, so shard and order
+    // are uncorrelated). Hash-based, never rand(): reproducible across
+    // runs/engines/cluster sizes, and stable under corpus append.
+    // Scale: the window partitions by shard, and nShards is chosen so
+    // a shard ≈ one output file (≈1M docs at 100 TB) — per-partition
+    // work is bounded by that target size no matter how large the
+    // corpus grows, and all shards rank in parallel. The physical
+    // write path is the same plan with
+    // `partitionBy("shard") + sortWithinPartitions("ok")`.
+    GraftQuery(
+      "q90_shuffle_shard",
+      (s, dir) => {
+        val nShards = 8
+        val d = Tables.load(s, dir, "documents")
+        val keyed = d.select(
+          pmod(TextFns.md5hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+            lit(nShards.toLong)).as("shard"),
+          TextFns.md5hash60(concat(lit("pos:"), col("doc_id").cast("string"))).as("ok"),
+          col("doc_id"))
+        keyed
+          .withColumn("pos", row_number()
+            .over(Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id")))
+            .cast("long"))
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+                 ('0x' || substr(md5('pos:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ok
+          FROM documents)
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos,
+               doc_id
+        FROM h ORDER BY shard, pos
       """.stripMargin.trim))
   )
 }

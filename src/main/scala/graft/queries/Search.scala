@@ -398,6 +398,99 @@ object Search {
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE ' ' || text || ' ' LIKE '% spark join %' AND n_chars >= 100
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // range aggregation + filters aggregation (OpenSearch `range` /
+    // `filters` aggs). Range buckets partition the keyspace (CASE
+    // ladder, one scan + one tiny agg shuffle); filters buckets are
+    // *named overlapping predicates* — the part `range` can't express —
+    // computed as conditional aggregates in a single one-row pass and
+    // unpivoted, so the two scans never shuffle more than bucket-count
+    // rows. Sums are exact DECIMAL, cast back to double at the edge.
+    GraftQuery(
+      "q54_search_range_filters",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_totalprice").cast("decimal(18,2)").as("p"),
+            col("o_orderpriority"), col("o_orderdate"))
+        val bucket = when(col("p") < 100000, "00_lt100k")
+          .when(col("p") < 200000, "01_100k_200k")
+          .when(col("p") < 300000, "02_200k_300k")
+          .otherwise("03_gte300k")
+        val range = o.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("sum_p"))
+          .select(lit("range").as("agg"), col("bucket"), col("n_docs"),
+            col("sum_p").cast("double").as("sum_price"))
+        val zeroDec = lit(0).cast("decimal(18,2)")
+        val urgent = col("o_orderpriority") === "1-URGENT"
+        val high = col("p") >= 300000
+        val recent = col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+        val filters = o.agg(
+            sum(when(urgent, 1L).otherwise(0L)).as("n_urgent"),
+            sum(when(urgent, col("p")).otherwise(zeroDec)).as("s_urgent"),
+            sum(when(high, 1L).otherwise(0L)).as("n_high"),
+            sum(when(high, col("p")).otherwise(zeroDec)).as("s_high"),
+            sum(when(recent, 1L).otherwise(0L)).as("n_recent"),
+            sum(when(recent, col("p")).otherwise(zeroDec)).as("s_recent"))
+          .selectExpr("stack(3, " +
+            "'10_urgent', n_urgent, s_urgent, " +
+            "'11_high_value', n_high, s_high, " +
+            "'12_recent', n_recent, s_recent) AS (bucket, n_docs, sum_p)")
+          .select(lit("filters").as("agg"), col("bucket"), col("n_docs"),
+            col("sum_p").cast("double").as("sum_price"))
+        range.unionByName(filters).orderBy(col("agg"), col("bucket"))
+      },
+      Some("""
+        WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                          o_orderpriority, o_orderdate
+                   FROM orders)
+        SELECT 'range' AS agg,
+               CASE WHEN p < 100000 THEN '00_lt100k'
+                    WHEN p < 200000 THEN '01_100k_200k'
+                    WHEN p < 300000 THEN '02_200k_300k'
+                    ELSE '03_gte300k' END AS bucket,
+               COUNT(*) AS n_docs, CAST(SUM(p) AS DOUBLE) AS sum_price
+        FROM o GROUP BY 2
+        UNION ALL
+        SELECT 'filters', '10_urgent', COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT'),
+               CAST(COALESCE(SUM(p) FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE)
+        FROM o
+        UNION ALL
+        SELECT 'filters', '11_high_value', COUNT(*) FILTER (WHERE p >= 300000),
+               CAST(COALESCE(SUM(p) FILTER (WHERE p >= 300000), 0) AS DOUBLE)
+        FROM o
+        UNION ALL
+        SELECT 'filters', '12_recent', COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+               CAST(COALESCE(SUM(p) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01'), 0) AS DOUBLE)
+        FROM o
+        ORDER BY agg, bucket
+      """.stripMargin.trim)),
+
+    // function_score: field_value_factor × exponential time decay
+    // (OpenSearch `function_score` with an `exp` decay on a date field
+    // and a filter clause). Map-only scoring over the filtered scan,
+    // only the top-20 survive the final sort. Scores round to 6dp —
+    // exp() is the only engine-variant op, ~1 ulp (the q44 contract).
+    GraftQuery(
+      "q93_search_function_score",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.filter(col("event_type") === "purchase")
+          .withColumn("age_days",
+            datediff(lit("2024-01-31").cast("date"), col("ts").cast("date")).cast("long"))
+          .withColumn("score",
+            round(col("value") * exp(-(col("age_days").cast("double") / lit(30.0))), 6))
+          .select(col("event_id"), col("user_id"), col("age_days"), col("score"))
+          .orderBy(col("score").desc, col("event_id"))
+          .limit(20)
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS BIGINT) AS age_days,
+               round(value * exp(-(CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS DOUBLE) / 30.0)), 6) AS score
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY score DESC, event_id LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -147,6 +147,41 @@ object Similarity {
       """.stripMargin.trim),
       headline = true),
 
+    // Exact k-NN JOIN within label groups (operators.KnnJoin): every
+    // vector is both query and candidate, so neither side broadcasts —
+    // block-pair decomposition + per-task bounded heaps keep shuffle
+    // at B×corpus and candidate volume at B·k per row (never the
+    // within-group pair set). The retrieval-eval / graph-building
+    // companion to q75's broadcast serving shape.
+    GraftQuery(
+      "q91_knn_join",
+      (s, dir) => {
+        graft.operators.KnnJoin.withinGroups(
+            Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", k = 3)
+          .select(col("grp").as("label"), col("id").as("vec_id"),
+            col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, label, q, list_dot_product(q, q) AS n2 FROM e),
+        scored AS (
+          SELECT a.label, a.vec_id, b.vec_id AS neighbor_id,
+                 list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT label, vec_id, neighbor_id, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT label, vec_id, rank, neighbor_id, sim
+        FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank
+      """.stripMargin.trim),
+      headline = true),
+
     // IVF-PQ ANN (operators.IvfPq): trained coarse quantizer + product-
     // quantized residual codes served by asymmetric distance — the
     // billion-vector index layout (m=16 bytes/vector vs dims×4 float

@@ -452,6 +452,59 @@ object TextOps {
         SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
                md5(array_to_string(chunk, ' ')) AS chunk_md5
         FROM c ORDER BY doc_id, chunk_idx
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // Token-distribution quality signals per document: Shannon entropy
+    // of the unigram distribution (low = repetitive/boilerplate, the
+    // gibberish/spam detector perplexity filters approximate) plus the
+    // exact-integer Simpson collision mass (probability two sampled
+    // tokens collide, in ppm). Two keyed shuffles (doc×token counts,
+    // then per-doc fold) — both partial-aggregated map-side.
+    // Determinism: c·ln(c) terms are rounded to 9dp and summed as
+    // DECIMAL so the fold is order-independent (ln() itself is ~1 ulp
+    // cross-engine, far below the grain — the q44 contract); the
+    // Simpson ratio is pure integer arithmetic.
+    GraftQuery(
+      "q92_text_entropy",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+              .cast("decimal(28,9)")).as("clogc"),
+            sum(col("c") * (col("c") - 1L)).as("coll"))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            round(log(col("n_tokens").cast("double")) -
+              col("clogc").cast("double") / col("n_tokens").cast("double"), 6)
+              .as("entropy"),
+            when(col("n_tokens") > 1L,
+                expr("(coll * 1000000L) div (n_tokens * (n_tokens - 1L))"))
+              .otherwise(lit(0L)).as("collision_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+        a AS (SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9))) AS clogc,
+                     CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct,
+               round(ln(CAST(n_tokens AS DOUBLE)) - CAST(clogc AS DOUBLE) / n_tokens, 6) AS entropy,
+               CASE WHEN n_tokens > 1
+                    THEN CAST((coll * 1000000) // (n_tokens * (n_tokens - 1)) AS BIGINT)
+                    ELSE 0 END AS collision_ppm
+        FROM a ORDER BY doc_id
+      """.stripMargin.trim),
+      headline = true)
   )
 }

@@ -186,4 +186,38 @@ class PlanAssertSpec extends SparkSpec {
     }
     assert(windows.isEmpty, s"chunking uses a window:\n${nodes.head}")
   }
+
+  test("q93 function_score: filter clause pushed to the events scan") {
+    val nodes = finalNodes(Registry.byName("q93_search_function_score").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("EqualTo(event_type"),
+      s"filter clause not pushed to the scan: $pushed")
+    val readSchema = scans.map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("props"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q54 range+filters aggs: two scans, no joins, column-pruned reads") {
+    val nodes = finalNodes(Registry.byName("q54_search_range_filters").run(spark, sf()))
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(smj.isEmpty && bhj.isEmpty,
+      s"bucket union introduced a join:\n${nodes.head}")
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val readSchema = scans.map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("o_orderkey") && !readSchema.contains("o_custkey"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
+    val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1, s"expected one shard window:\n${nodes.head}")
+    // shuffles: one hash (to shards) + one range (presentation sort) max
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"extra shuffle in shard assignment:\n${nodes.head}")
+  }
 }
