@@ -53,4 +53,13 @@ object VectorFns {
     */
   def qcosine(dot: Column, na2: Column, nb2: Column): Column =
     dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  /** Quantized cosine of two *raw* embedding arrays as one codegen'd
+    * loop ([[graft.plans.CosineSim]]) — bit-identical to
+    * `qcosine(qdot(quantize(a),quantize(b)), …)` but ~100× cheaper per
+    * pair (the interpreted-HOF tax, measured in round 1). Use on
+    * declarative per-row scoring paths; pair-quadratic paths should
+    * still go through the partition kernels.
+    */
+  def cosine(a: Column, b: Column): Column = graft.plans.CosineSim(a, b)
 }

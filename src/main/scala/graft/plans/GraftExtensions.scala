@@ -15,6 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `hamming_distance(a, b)` as a SQL function, making the codegen'd
   *    POPCNT expression reachable from `spark.sql(...)` text, not just
   *    the Column API;
+  *  - `cosine_sim(a, b)` likewise: the quantized-integer cosine of two
+  *    embedding arrays as one codegen'd loop ([[CosineSim]]) — the
+  *    declarative-path alternative to the pair-kernels, bit-identical
+  *    to `VectorFns.quantize`+`qdot`;
   *  - the [[HammingBandJoinRewrite]] optimizer rule, which turns a
   *    `hamming_distance(x, y) <= r` nested-loop similarity join into a
   *    banded equi-join automatically.
@@ -30,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"hamming_distance expects 2 arguments, got ${args.length}")
         HammingDistance(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_sim expects 2 arguments, got ${args.length}")
+        CosineSim(args.head, args(1))
       }))
   }
 }
