@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.functions.{TextFns, VectorFns}
@@ -268,6 +269,50 @@ object Dedup {
         FROM n LEFT JOIN d ON d.vec_id = n.vec_id
         ORDER BY n.vec_id
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // Canonical-document selection — the step that turns q77's cluster
+    // assignments into an actual dedup decision: within each near-dup
+    // cluster keep the highest-quality member (longest doc, doc_id
+    // tie-break), mark the rest as drops. The per-cluster argmax is a
+    // window over one cluster (bounded by cluster size — the hot-bucket
+    // cap upstream bounds that), never a global sort; the quality join
+    // is key-partitioned on doc_id.
+    GraftQuery(
+      "q94_canonical_selection",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.8)
+        val asg = graft.operators.DedupClusters.assignments(pairs, "a_id", "b_id")
+        val w = Window.partitionBy(col("rep_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        asg.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .withColumn("canonical_id", first(col("doc_id")).over(w))
+          .select(col("doc_id"), col("canonical_id"),
+            (col("doc_id") === col("canonical_id")).as("keep"), col("csize"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        p AS ($jaccardOracleSql),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL SELECT b_id, a_id FROM p),
+        n AS (SELECT DISTINCT src AS id FROM e),
+        r AS (
+          SELECT id, id AS label FROM n
+          UNION
+          SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id),
+        c AS (SELECT id, MIN(label) AS rep FROM r GROUP BY id),
+        sz AS (SELECT rep, COUNT(*) AS csize FROM c GROUP BY rep),
+        q AS (SELECT c.id, c.rep, d.n_chars
+              FROM c JOIN documents d ON d.doc_id = c.id),
+        canon AS (SELECT rep, first(id ORDER BY n_chars DESC, id) AS canonical_id
+                  FROM q GROUP BY rep)
+        SELECT q.id AS doc_id, canon.canonical_id,
+               q.id = canon.canonical_id AS keep,
+               CAST(sz.csize AS BIGINT) AS csize
+        FROM q JOIN canon ON q.rep = canon.rep JOIN sz ON q.rep = sz.rep
+        ORDER BY doc_id
+      """.stripMargin.trim))
   )
 }

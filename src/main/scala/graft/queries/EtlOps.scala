@@ -189,6 +189,56 @@ object EtlOps {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY day, event_type
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // Corpus snapshot diff — what changed between two pipeline runs:
+    // full outer join on doc_id, content compared by md5 fingerprint,
+    // per-doc status added/removed/changed (unchanged rows dropped so
+    // only the delta survives). One co-partitioned key shuffle per
+    // side; fingerprints are computed map-side so the join carries
+    // 32-byte hashes, not documents. "v2" is derived deterministically
+    // from the same table (drop doc_id%31=0, edit doc_id%20=0, add
+    // re-keyed copies of doc_id%50=0) so both engines see it.
+    GraftQuery(
+      "q95_corpus_diff",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val v1 = d.select(col("doc_id"), md5(col("text")).as("fp"))
+        val edited = d.filter(col("doc_id") % 31 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 20 === 0, md5(concat(col("text"), lit(" v2"))))
+              .otherwise(md5(col("text"))).as("fp"))
+        val added = d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), md5(col("text")).as("fp"))
+        val v2 = edited.unionByName(added)
+        v1.select(col("doc_id"), col("fp").as("fp1"))
+          .join(v2.select(col("doc_id"), col("fp").as("fp2")), Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") =!= col("fp2"), "changed"))
+          .filter(col("status").isNotNull)
+          .select(col("doc_id"), col("status"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 20 = 0 THEN md5(text || ' v2')
+                      ELSE md5(text) END AS fp
+          FROM documents WHERE doc_id % 31 <> 0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, md5(text) AS fp
+          FROM documents WHERE doc_id % 50 = 0),
+        j AS (
+          SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                 CASE WHEN v1.fp IS NULL THEN 'added'
+                      WHEN v2.fp IS NULL THEN 'removed'
+                      WHEN v1.fp <> v2.fp THEN 'changed' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        ORDER BY doc_id
+      """.stripMargin.trim))
   )
 }
