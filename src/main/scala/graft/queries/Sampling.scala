@@ -136,6 +136,43 @@ object Sampling {
                CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos,
                doc_id
         FROM h ORDER BY shard, pos
+      """.stripMargin.trim)),
+
+    // Weighted sampling without replacement via integer priority
+    // sampling: priority = hash div weight (longer documents → smaller
+    // expected priority → more likely sampled), global k smallest win.
+    // All-integer, so exact across engines — no pow/ln key like
+    // Efraimidis–Spirakis, same monotone weight-proportional shape.
+    // Map-only scoring into a TakeOrdered top-k: only k rows survive
+    // per partition, no full sort at any scale.
+    GraftQuery(
+      "q97_sample_weighted",
+      (s, dir) => {
+        val k = 25
+        val d = Tables.load(s, dir, "documents")
+        val w = Window.orderBy(col("priority"), col("doc_id"))
+        d.select(col("doc_id"), col("source"), col("n_chars").as("weight"),
+            TextFns.md5hash60(concat(lit("wsample:"), col("doc_id").cast("string")))
+              .as("h"))
+          .select(col("doc_id"), col("source"), col("weight"),
+            expr("h div weight").as("priority"))
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(k)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"), col("doc_id"), col("source"),
+            col("weight"), col("priority"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, source, n_chars AS weight,
+                 CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      // n_chars AS BIGINT) AS priority
+          FROM documents),
+        top AS (SELECT * FROM h ORDER BY priority, doc_id LIMIT 25)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank,
+               doc_id, source, weight, priority
+        FROM top ORDER BY rank
       """.stripMargin.trim))
   )
 }

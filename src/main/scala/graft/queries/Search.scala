@@ -491,6 +491,41 @@ object Search {
         FROM events
         WHERE event_type = 'purchase'
         ORDER BY score DESC, event_id LIMIT 20
+      """.stripMargin.trim)),
+
+    // terms aggregation with top_hits sub-aggregation: per source
+    // bucket, the 2 best-matching documents (integer overlap score,
+    // doc_id tie-break). The per-bucket window is bounded by bucket
+    // membership and all buckets rank in parallel — the map-side score
+    // + filter keeps non-matching docs out of the shuffle entirely.
+    GraftQuery(
+      "q96_search_top_hits",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val terms = array(lit("spark"), lit("join"), lit("window"))
+        val scored = d.withColumn("score",
+            size(array_intersect(array_distinct(split(col("text"), " ")), terms))
+              .cast("long"))
+          .filter(col("score") >= 1)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 2)
+          .select(col("source"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""
+        WITH scored AS (
+          SELECT source, doc_id,
+                 CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                         ['spark','join','window'])) AS BIGINT) AS score
+          FROM documents),
+        ranked AS (
+          SELECT source, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM scored WHERE score >= 1)
+        SELECT source, rank, doc_id, score FROM ranked
+        WHERE rank <= 2 ORDER BY source, rank
       """.stripMargin.trim))
   )
 }
