@@ -172,6 +172,18 @@ final case class GraftEngine(spark: SparkSession) {
     graft.streaming.StreamingDedup.start(docs, idCol, textCol,
       acceptedPath, indexPath, checkpoint, threshold)
 
+  /** Streaming SEMANTIC dedup over an embedding stream: intra-batch
+    * SemDeDup ε-ball pass, then a partition-pruned probe of the
+    * bucket-partitioned accepted corpus (codegen'd `cosine_sim`);
+    * survivors grow the corpus (see
+    * [[graft.streaming.StreamingSemanticDedup]]).
+    */
+  def startStreamingSemanticDedup(vecs: DataFrame, idCol: String,
+      embCol: String, acceptedPath: String, checkpoint: String,
+      threshold: Double = 0.9) =
+    graft.streaming.StreamingSemanticDedup.start(vecs, idCol, embCol,
+      acceptedPath, checkpoint, threshold)
+
   /** IVF-PQ: train a product-quantized inverted-file model, encode the
     * corpus to m-byte codes (32× smaller than float32 at dims=64/m=8)
     * and serve approximate top-k by ADC lookup tables

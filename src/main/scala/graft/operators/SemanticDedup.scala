@@ -34,6 +34,22 @@ import graft.functions.VectorFns
 object SemanticDedup {
 
   /** One row per input vector: (vec_id, cid, kept ∈ {0,1}, rep_id). */
+  /** (idCol, cid) sign-bucket assignment per vector — the scan-time
+    * projection [[assignments]] buckets by, exposed so callers (the
+    * streaming dedup probe, partition-pruned accepted layouts) can
+    * co-locate data on the identical bucket ids.
+    */
+  def bucketIds(e: DataFrame, idCol: String, embCol: String,
+      signDims: Int = 4): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sd = signDims
+    e.select(col(idCol).cast("long"), VectorFns.quantize(col(embCol)))
+      .as[(Long, Array[Long])]
+      .map { case (id, v) => (id, SignIvf.cidOf(v, sd).toLong) }
+      .toDF(idCol, "cid")
+  }
+
   def assignments(e: DataFrame, idCol: String, embCol: String,
       threshold: Double, signDims: Int = 4, blocks: Int = 8): DataFrame = {
     val spark = e.sparkSession

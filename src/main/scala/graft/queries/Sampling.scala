@@ -149,7 +149,10 @@ object Sampling {
       "q97_sample_weighted",
       (s, dir) => {
         val k = 25
-        val d = Tables.load(s, dir, "documents")
+        // weight > 0 guard: a zero weight would make the integer div
+        // NULL, and Spark (NULLS FIRST) and DuckDB (NULLS LAST) order
+        // NULLs differently under ASC — exclude rather than depend on it
+        val d = Tables.load(s, dir, "documents").filter(col("n_chars") > 0)
         val w = Window.orderBy(col("priority"), col("doc_id"))
         d.select(col("doc_id"), col("source"), col("n_chars").as("weight"),
             TextFns.md5hash60(concat(lit("wsample:"), col("doc_id").cast("string")))
@@ -168,7 +171,7 @@ object Sampling {
           SELECT doc_id, source, n_chars AS weight,
                  CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                       // n_chars AS BIGINT) AS priority
-          FROM documents),
+          FROM documents WHERE n_chars > 0),
         top AS (SELECT * FROM h ORDER BY priority, doc_id LIMIT 25)
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank,
                doc_id, source, weight, priority

@@ -343,17 +343,19 @@ object TextOps {
 
     // Self-repetition score: 100 − (distinct 3-grams · 100 ÷ total
     // 3-grams), the boilerplate/loop detector quality filters use.
-    // Integer percentage (exact in any engine); map-side shingling via
-    // the shared TextFns.shingles3, one final sort.
+    // Integer percentage (exact in any engine); shingle counting runs
+    // in the ShingleStats partition kernel — the declarative
+    // `size(array_distinct(transform(...)))` form re-evaluated the
+    // token split per shingle inside the interpreted lambda (measured
+    // 6.7 s → 0.3 s at sf0.1, the round-1 interpreted-HOF tax class).
     GraftQuery(
       "q69_text_repetition",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val tok = TextFns.tokens(col("text"))
-        d.filter(size(tok) >= 3)
-          .select(col("doc_id"),
-            (size(tok) - 2).cast("long").as("n_ngrams"),
-            size(TextFns.shingles3(tok)).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("text"))
+        graft.operators.ShingleStats.withShingleStats(d, "text")
+          .filter(col("n_tok") >= 3)
+          .select(col("doc_id"), col("n_ngrams"), col("n_distinct"))
           .withColumn("rep_pct", expr("100 - (100 * n_distinct div n_ngrams)"))
           .orderBy(col("rep_pct").desc, col("doc_id"))
       },
@@ -378,12 +380,11 @@ object TextOps {
       "q85_curation_funnel",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val tok = TextFns.tokens(col("text"))
-        val staged = d.select(col("source"), col("text"),
+          .select(col("source"), col("lang"), col("text"))
+        val staged = graft.operators.ShingleStats.withShingleStats(d, "text")
+          .select(col("source"), col("text"),
             col("lang").isin("en", "fr", "de", "es").as("c1"),
-            size(tok).cast("long").as("n_tok"),
-            (size(tok) - 2).cast("long").as("n_ngrams"),
-            size(TextFns.shingles3(tok)).cast("long").as("n_distinct"))
+            col("n_tok"), col("n_ngrams"), col("n_distinct"))
           .withColumn("c2", col("c1") && col("n_tok").between(40, 120))
           .withColumn("c3",
             col("c2") && expr("(100 * n_distinct) div n_ngrams >= 70"))
@@ -463,7 +464,8 @@ object TextOps {
     // Determinism: c·ln(c) terms are rounded to 9dp and summed as
     // DECIMAL so the fold is order-independent (ln() itself is ~1 ulp
     // cross-engine, far below the grain — the q44 contract); the
-    // Simpson ratio is pure integer arithmetic.
+    // Simpson ratio is pure integer arithmetic (coll·1e6 stays under
+    // Long.Max for documents up to ~3e6 tokens).
     GraftQuery(
       "q92_text_entropy",
       (s, dir) => {
