@@ -33,7 +33,6 @@ import graft.functions.VectorFns
   */
 object SemanticDedup {
 
-  /** One row per input vector: (vec_id, cid, kept ∈ {0,1}, rep_id). */
   /** (idCol, cid) sign-bucket assignment per vector — the scan-time
     * projection [[assignments]] buckets by, exposed so callers (the
     * streaming dedup probe, partition-pruned accepted layouts) can
@@ -50,6 +49,7 @@ object SemanticDedup {
       .toDF(idCol, "cid")
   }
 
+  /** One row per input vector: (vec_id, cid, kept ∈ {0,1}, rep_id). */
   def assignments(e: DataFrame, idCol: String, embCol: String,
       threshold: Double, signDims: Int = 4, blocks: Int = 8): DataFrame = {
     val spark = e.sparkSession

@@ -27,20 +27,27 @@ object ShingleStats {
     val idx = docs.schema.fieldIndex(textCol)
     docs.mapPartitions { it =>
       it.map { r =>
-        val tok = r.getString(idx).split(" ", -1)
-        val n = tok.length
-        val nDistinct =
-          if (n < 3) 1L
-          else {
-            val hs = new java.util.HashSet[String](math.max(16, n * 2))
-            var i = 0
-            while (i <= n - 3) {
-              hs.add(tok(i) + " " + tok(i + 1) + " " + tok(i + 2))
-              i += 1
+        val text = if (r.isNullAt(idx)) null else r.getString(idx)
+        if (text == null)
+          // declarative parity: size(split(NULL)) is NULL, so a null
+          // text yields null stats (callers filter them), not a crash
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val tok = text.split(" ", -1)
+          val n = tok.length
+          val nDistinct =
+            if (n < 3) 1L
+            else {
+              val hs = new java.util.HashSet[String](math.max(16, n * 2))
+              var i = 0
+              while (i <= n - 3) {
+                hs.add(tok(i) + " " + tok(i + 1) + " " + tok(i + 2))
+                i += 1
+              }
+              hs.size.toLong
             }
-            hs.size.toLong
-          }
-        Row.fromSeq(r.toSeq ++ Seq(n.toLong, (n - 2).toLong, nDistinct))
+          Row.fromSeq(r.toSeq ++ Seq(n.toLong, (n - 2).toLong, nDistinct))
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * inside whole-stage codegen at kernel-ish cost per pair. Registered
   * as SQL function `cosine_sim` by [[GraftExtensions]].
   *
-  * Semantics: result is NULL if either input is NULL or either vector
-  * has zero norm; mismatched lengths throw (a data bug worth failing
-  * loudly on, matching the kernels' behavior).
+  * Semantics: result is NULL if either input is NULL, either vector
+  * contains a NULL element (`zip_with`/`aggregate` null propagation —
+  * what the declarative composition yields), or either vector has zero
+  * norm; mismatched lengths throw (a data bug worth failing loudly on,
+  * matching the kernels' behavior).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -64,6 +66,7 @@ case class CosineSim(left: Expression, right: Expression)
     val (fa, fb) = (isFloat(left.dataType), isFloat(right.dataType))
     var dot = 0L; var na = 0L; var nb = 0L; var i = 0
     while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
       val xa = CosineSim.q(if (fa) va.getFloat(i).toDouble else va.getDouble(i))
       val xb = CosineSim.q(if (fb) vb.getFloat(i).toDouble else vb.getDouble(i))
       dot += xa * xb; na += xa * xa; nb += xb * xb
@@ -86,6 +89,7 @@ case class CosineSim(left: Expression, right: Expression)
       val tb = ctx.freshName("tb")
       val xa = ctx.freshName("xa")
       val xb = ctx.freshName("xb")
+      val hasNull = ctx.freshName("hasNull")
       s"""
         final int $n = $a.numElements();
         if ($n != $b.numElements()) {
@@ -93,7 +97,9 @@ case class CosineSim(left: Expression, right: Expression)
             "cosine_sim: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
         }
         long $dot = 0L; long $na = 0L; long $nb = 0L;
+        boolean $hasNull = false;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
           final double $ta = ((double) $a.$getA($i)) * 1.0E7D;
           final double $tb = ((double) $b.$getB($i)) * 1.0E7D;
           final long $xa = $ta >= 0D ? (long) Math.floor($ta + 0.5D)
@@ -102,7 +108,7 @@ case class CosineSim(left: Expression, right: Expression)
                                      : (long) Math.ceil($tb - 0.5D);
           $dot += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;
         }
-        if ($na == 0L || $nb == 0L) {
+        if ($hasNull || $na == 0L || $nb == 0L) {
           ${ev.isNull} = true;
         } else {
           ${ev.value} = ((double) $dot) / (Math.sqrt((double) $na) * Math.sqrt((double) $nb));

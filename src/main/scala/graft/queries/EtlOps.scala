@@ -198,7 +198,9 @@ object EtlOps {
     // side; fingerprints are computed map-side so the join carries
     // 32-byte hashes, not documents. "v2" is derived deterministically
     // from the same table (drop doc_id%31=0, edit doc_id%20=0, add
-    // re-keyed copies of doc_id%50=0) so both engines see it.
+    // re-keyed copies of doc_id%50=0) so both engines see it; the
+    // added ids are negated (-doc_id-1) so they can never collide
+    // with a real non-negative id at any corpus size.
     GraftQuery(
       "q95_corpus_diff",
       (s, dir) => {
@@ -209,7 +211,7 @@ object EtlOps {
             when(col("doc_id") % 20 === 0, md5(concat(col("text"), lit(" v2"))))
               .otherwise(md5(col("text"))).as("fp"))
         val added = d.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), md5(col("text")).as("fp"))
+          .select((-col("doc_id") - 1L).as("doc_id"), md5(col("text")).as("fp"))
         val v2 = edited.unionByName(added)
         v1.select(col("doc_id"), col("fp").as("fp1"))
           .join(v2.select(col("doc_id"), col("fp").as("fp2")), Seq("doc_id"), "full_outer")
@@ -229,7 +231,7 @@ object EtlOps {
                       ELSE md5(text) END AS fp
           FROM documents WHERE doc_id % 31 <> 0
           UNION ALL
-          SELECT doc_id + 100000 AS doc_id, md5(text) AS fp
+          SELECT -doc_id - 1 AS doc_id, md5(text) AS fp
           FROM documents WHERE doc_id % 50 = 0),
         j AS (
           SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,

@@ -78,37 +78,43 @@ object StreamingSemanticDedup {
         spark.read.parquet(acceptedPath).select(col(idCol)),
         Seq(idCol), "left_anti")
 
-    // bucket ids for the probe + the partitioned append
+    // bucket ids: step 1's assignments already carry cid — reuse them
+    // instead of a second quantize+cidOf pass. localCheckpoint: the
+    // probe evaluates this plan three times (cid collect, hits join,
+    // anti-join) — without it each evaluation would re-run the accepted
+    // read + both joins above on every micro-batch
     val freshC = fresh.join(
-      SemanticDedup.bucketIds(fresh, idCol, embCol, signDims), Seq(idCol))
-
-    // 3. cross-batch probe: pruned read of only the touched buckets
-    // (cid is the partition column; ≤ 2^signDims literals by
-    // construction, so this collect is bounded)
-    val survivors =
-      if (!exists) freshC
-      else {
-        val probeCids = freshC.select(col("cid")).distinct()
-          .collect().map(_.getLong(0))
-        if (probeCids.isEmpty) freshC
-        else {
-          val acc = spark.read.parquet(acceptedPath)
-            .filter(col("cid").isin(probeCids.toIndexedSeq: _*))
-            .select(col("cid"), col(embCol).as("_acc_emb"))
-          val hits = freshC.join(acc, Seq("cid"))
-            .filter(graft.plans.CosineSim(col(embCol), col("_acc_emb"))
-              >= lit(threshold))
-            .select(col(idCol)).distinct()
-          freshC.join(hits, Seq(idCol), "left_anti")
-        }
-      }
-
-    // 4. single append, bucket-partitioned; localCheckpoint pins the
-    // pre-append snapshot (the plan reads acceptedPath it appends to)
-    val out = survivors.localCheckpoint(true)
+        asg.select(col("vec_id").as(idCol), col("cid")), Seq(idCol))
+      .localCheckpoint(true)
     try {
-      if (!out.isEmpty)
-        out.write.mode("append").partitionBy("cid").parquet(acceptedPath)
-    } finally out.unpersist()
+      // 3. cross-batch probe: pruned read of only the touched buckets
+      // (cid is the partition column; ≤ 2^signDims literals by
+      // construction, so this collect is bounded)
+      val survivors =
+        if (!exists) freshC
+        else {
+          val probeCids = freshC.select(col("cid")).distinct()
+            .collect().map(_.getLong(0))
+          if (probeCids.isEmpty) freshC
+          else {
+            val acc = spark.read.parquet(acceptedPath)
+              .filter(col("cid").isin(probeCids.toIndexedSeq: _*))
+              .select(col("cid"), col(embCol).as("_acc_emb"))
+            val hits = freshC.join(acc, Seq("cid"))
+              .filter(graft.plans.CosineSim(col(embCol), col("_acc_emb"))
+                >= lit(threshold))
+              .select(col(idCol)).distinct()
+            freshC.join(hits, Seq(idCol), "left_anti")
+          }
+        }
+
+      // 4. single append, bucket-partitioned; localCheckpoint pins the
+      // pre-append snapshot (the plan reads acceptedPath it appends to)
+      val out = survivors.localCheckpoint(true)
+      try {
+        if (!out.isEmpty)
+          out.write.mode("append").partitionBy("cid").parquet(acceptedPath)
+      } finally out.unpersist()
+    } finally freshC.unpersist()
   }
 }

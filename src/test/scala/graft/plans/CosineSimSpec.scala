@@ -45,6 +45,17 @@ class CosineSimSpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("a NULL array element yields NULL (quantize+qdot null propagation)") {
+    // spark.range source so both codegen and interpreted paths compile
+    // against a real plan (a local relation would be constant-folded)
+    val df = spark.range(2)
+      .select(array(lit(1f), when(col("id") === 0, lit(2f)).otherwise(lit(null))).as("a"),
+        array(lit(3f), lit(4f)).as("b"))
+      .select(CosineSim(col("a"), col("b")).as("s"))
+      .collect()
+    assert(!df(0).isNullAt(0) && df(1).isNullAt(0))
+  }
+
   test("dimension mismatch fails loudly") {
     val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
       .select(CosineSim(col("a"), col("b")).as("s"))

@@ -50,9 +50,13 @@ class StreamingSemanticDedupSpec extends SparkSpec {
     StreamingSemanticDedup.processBatch(b3, "vec_id", "embedding", acc, 0.999)
     assert(acceptedIds(acc) === Set(1L, 2L, 3L, 101L, 102L))
 
-    // the layout really is bucket-partitioned (pruned probe scans)
-    val cids = spark.read.parquet(acc).select("cid").distinct().as[Long].collect()
-    assert(cids.nonEmpty)
+    // the layout really is bucket-partitioned (pruned probe scans),
+    // on the same ids SemanticDedup.bucketIds computes standalone
+    val persisted = spark.read.parquet(acc)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+    val recomputed = graft.operators.SemanticDedup.bucketIds(
+      spark.read.parquet(acc), "vec_id", "embedding")
+    assert(persisted.join(recomputed, Seq("vec_id", "cid"), "left_anti").isEmpty)
   }
 
   test("epoch replay is idempotent on the accepted set") {
