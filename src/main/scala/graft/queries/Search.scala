@@ -526,6 +526,83 @@ object Search {
           FROM scored WHERE score >= 1)
         SELECT source, rank, doc_id, score FROM ranked
         WHERE rank <= 2 ORDER BY source, rank
+      """.stripMargin.trim)),
+
+    // Percolator — reverse search: a registry of stored queries (terms
+    // conjunction + numeric range each) is matched against every
+    // incoming document. The registry is tiny by nature and broadcasts;
+    // each doc evaluates all registered predicates map-side, so the
+    // pass scales with corpus size alone — the alerting/routing shape
+    // ("which saved searches does this document trigger").
+    GraftQuery(
+      "q98_search_percolate",
+      (s, dir) => {
+        import s.implicits._
+        val registered = Seq(
+          (1L, "spark", "join", 0L, 400L),
+          (2L, "the", "row", 100L, 500L),
+          (3L, "filter", "group", 0L, 1000L),
+          (4L, "stream", "batch", 200L, 600L),
+          (5L, "table", "scan", 0L, 1000L),
+          (6L, "fast", "slow", 0L, 300L)).toDF("qid", "t1", "t2", "lo", "hi")
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("tok", split(col("text"), " "))
+        d.crossJoin(broadcast(registered))
+          .filter(array_contains(col("tok"), col("t1")) &&
+            array_contains(col("tok"), col("t2")) &&
+            col("n_chars").between(col("lo"), col("hi")))
+          .select(col("doc_id"), col("qid"))
+          .orderBy(col("doc_id"), col("qid"))
+      },
+      Some("""
+        WITH q(qid, t1, t2, lo, hi) AS (VALUES
+          (1, 'spark', 'join', 0, 400),
+          (2, 'the', 'row', 100, 500),
+          (3, 'filter', 'group', 0, 1000),
+          (4, 'stream', 'batch', 200, 600),
+          (5, 'table', 'scan', 0, 1000),
+          (6, 'fast', 'slow', 0, 300)),
+        d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tok FROM documents)
+        SELECT doc_id, CAST(qid AS BIGINT) AS qid
+        FROM d CROSS JOIN q
+        WHERE list_contains(tok, t1) AND list_contains(tok, t2)
+          AND n_chars BETWEEN lo AND hi
+        ORDER BY doc_id, qid
+      """.stripMargin.trim)),
+
+    // rare_terms + multi_terms aggregations: rare buckets (long-tail
+    // sources at-or-under a doc-count ceiling, ascending — the inverse
+    // of terms' top-N) and composite (lang, source) buckets by count.
+    // Both are one partial-aggregated shuffle; union carries only
+    // bucket-count rows.
+    GraftQuery(
+      "q99_search_rare_multi_terms",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val rare = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= 3)
+          .select(lit("rare").as("agg"), col("lang").as("k1"),
+            col("source").as("k2"), col("n"))
+        val multi = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("lang"), col("source"))
+          .limit(10)
+          .select(lit("multi").as("agg"), col("lang").as("k1"),
+            col("source").as("k2"), col("n"))
+        rare.unionByName(multi)
+          .orderBy(col("agg"), col("n").desc, col("k1"), col("k2"))
+      },
+      Some("""
+        WITH rare AS (
+          SELECT 'rare' AS agg, lang AS k1, source AS k2, COUNT(*) AS n
+          FROM documents GROUP BY lang, source HAVING COUNT(*) <= 3),
+        multi AS (
+          SELECT 'multi' AS agg, lang AS k1, source AS k2, COUNT(*) AS n
+          FROM documents GROUP BY lang, source
+          ORDER BY n DESC, lang, source LIMIT 10)
+        SELECT agg, k1, k2, n FROM (
+          SELECT * FROM rare UNION ALL SELECT * FROM multi)
+        ORDER BY agg, n DESC, k1, k2
       """.stripMargin.trim))
   )
 }
