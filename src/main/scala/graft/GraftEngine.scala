@@ -115,6 +115,16 @@ final case class GraftEngine(spark: SparkSession) {
       queryPred: Column, k: Int = 5): DataFrame =
     graft.operators.AnnTopK.bruteForce(embeddings, idCol, embCol, queryPred, k)
 
+  /** Exact interval join for two large sides — banding turns the
+    * point-in-interval predicate into an equi-join on width-`width`
+    * buckets plus a residual check (see
+    * [[graft.operators.RangeBandJoin]]); a raw theta join would plan a
+    * broadcast-nested-loop.
+    */
+  def rangeBandJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+      loCol: String, hiCol: String, width: Double): DataFrame =
+    graft.operators.RangeBandJoin.join(points, intervals, ptCol, loCol, hiCol, width)
+
   /** Exact k-nearest-neighbor JOIN within groups — every row is both
     * query and candidate (no broadcastable side), so this goes through
     * [[graft.operators.KnnJoin]]'s block-pair kernel: B×corpus shuffle,

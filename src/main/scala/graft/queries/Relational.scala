@@ -483,6 +483,46 @@ object Relational {
         GROUP BY band ORDER BY band
       """.stripMargin.trim)),
 
+    // ---------------------------------------------------------------- J4b
+    // Large-large interval join: events × deterministic promo windows
+    // through operators.RangeBandJoin — banding turns the point-in-
+    // interval predicate into an equi-join on day buckets (exact: a
+    // pair meets only in the point's band), so the plan is a plain key
+    // shuffle instead of the broadcast-nested-loop a raw theta join
+    // plans. Timestamps compare in integer epoch micros on both
+    // engines (Spark floors parquet nanos to micros; DuckDB epoch_us
+    // truncates identically).
+    GraftQuery(
+      "q16b_join_range_banded",
+      (s, dir) => {
+        import s.implicits._
+        val day = 86400000000L // one day in epoch micros
+        val base = 1704067200000000L // 2024-01-01T00:00:00Z
+        val windows = (0 until 10).map { i =>
+          val lo = base + i.toLong * 3L * day
+          (s"w$i", lo, lo + (1L + i % 3) * day)
+        }.toDF("wid", "lo", "hi")
+        val pts = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("value"), unix_micros(col("ts")).as("pt"))
+        graft.operators.RangeBandJoin
+          .join(pts, windows, "pt", "lo", "hi", width = day.toDouble)
+          .groupBy(col("wid"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("wid"))
+      },
+      Some("""
+        WITH w(wid, lo, hi) AS (
+          SELECT 'w' || CAST(i AS VARCHAR),
+                 1704067200000000 + i * 3 * 86400000000,
+                 1704067200000000 + i * 3 * 86400000000 + (1 + i % 3) * 86400000000
+          FROM (SELECT unnest(range(0, 10)) AS i)),
+        p AS (SELECT event_id, value, epoch_us(ts) AS pt FROM events)
+        SELECT wid, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM p JOIN w ON pt >= lo AND pt < hi
+        GROUP BY wid ORDER BY wid
+      """.stripMargin.trim)),
+
     // ---------------------------------------------------------------- J8
     GraftQuery(
       "q17_join_cross",

@@ -210,6 +210,21 @@ class PlanAssertSpec extends SparkSpec {
       s"scan reads unprojected columns: $readSchema")
   }
 
+  test("q16b banded range join: equi-join plan, no nested-loop or cartesian") {
+    val nodes = finalNodes(Registry.byName("q16b_join_range_banded").run(spark, sf()))
+    val bnlj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(bnlj.isEmpty && cart.isEmpty,
+      s"banded interval join fell back to nested-loop:\n${nodes.head}")
+    val equi = nodes.collect { case j: BroadcastHashJoinExec => j } ++
+      nodes.collect { case j: SortMergeJoinExec => j }
+    assert(equi.nonEmpty, s"no equi join on the band key:\n${nodes.head}")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
