@@ -521,7 +521,8 @@ object Relational {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM p JOIN w ON pt >= lo AND pt < hi
         GROUP BY wid ORDER BY wid
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // ---------------------------------------------------------------- J8
     GraftQuery(
