@@ -21,12 +21,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    to `VectorFns.quantize`+`qdot`;
   *  - the [[HammingBandJoinRewrite]] optimizer rule, which turns a
   *    `hamming_distance(x, y) <= r` nested-loop similarity join into a
-  *    banded equi-join automatically.
+  *    banded equi-join automatically;
+  *  - the [[RangeBandJoinRewrite]] optimizer rule (opt-in via
+  *    `spark.graft.rangeJoin.bandWidth`), which turns a
+  *    `pt >= lo && pt < hi` nested-loop interval join into the banded
+  *    equi-join `operators.RangeBandJoin` hand-codes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => HammingBandJoinRewrite)
+    ext.injectOptimizerRule(_ => RangeBandJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),

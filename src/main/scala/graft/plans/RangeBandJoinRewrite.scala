@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Optimizer rule: a join whose only cross-side predicate is a range
+  * containment `pt >= lo && pt < hi` (any >=/>/<=/< combination) is an
+  * interval join Spark can only execute as a nested-loop over all
+  * pairs. The rule rewrites it into the banded equi-join
+  * [[graft.operators.RangeBandJoin]] hand-codes: the point side gains
+  * its `floor(pt/W)` band, the interval side explodes to the
+  * `floor(lo/W)..floor(hi/W)` bands it overlaps, and the join becomes
+  * an equi-join on the band with the ORIGINAL predicate retained as
+  * residual. A qualifying pair shares exactly one band (the point's),
+  * so the rewrite is exact with no dedup — unlike the hamming rule, no
+  * first-matching-band bookkeeping is needed.
+  *
+  * The band width W is a physical knob the optimizer cannot infer (it
+  * should sit near the median interval span), so the rule is OPT-IN:
+  * it fires only when `spark.graft.rangeJoin.bandWidth` is set to a
+  * positive number on the session. Cost: the interval side inflates by
+  * ≈ span/W rows before the shuffle; open-ended intervals inflate
+  * without bound — cap them before joining.
+  *
+  * Fires only on Inner/Cross joins with NO equi conjunct of their own
+  * (the nested-loop case — which also makes the rule idempotent: its
+  * output join is an equi-join). Registered through
+  * [[GraftExtensions]].
+  */
+object RangeBandJoinRewrite extends Rule[LogicalPlan] {
+
+  val WidthConf = "spark.graft.rangeJoin.bandWidth"
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case x => Seq(x)
+  }
+
+  private def sidesOf(a: Expression, b: Expression,
+      l: LogicalPlan, r: LogicalPlan): Boolean =
+    a.references.nonEmpty && b.references.nonEmpty &&
+      a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)
+
+  private def hasEquiKey(cs: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
+    cs.exists {
+      case EqualTo(a, b) => sidesOf(a, b, l, r) || sidesOf(b, a, l, r)
+      case EqualNullSafe(a, b) => sidesOf(a, b, l, r) || sidesOf(b, a, l, r)
+      case _ => false
+    }
+
+  private def numeric(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType] && e.deterministic
+
+  /** Normalized bound conjuncts: (point expr, bound expr) with the
+    * point expr on the GREATER side for lowers, LESser side for uppers.
+    */
+  private def lowers(cs: Seq[Expression]): Seq[(Expression, Expression)] =
+    cs.collect {
+      case GreaterThanOrEqual(p, b) => (p, b)
+      case GreaterThan(p, b) => (p, b)
+      case LessThanOrEqual(b, p) => (p, b)
+      case LessThan(b, p) => (p, b)
+    }
+
+  private def uppers(cs: Seq[Expression]): Seq[(Expression, Expression)] =
+    cs.collect {
+      case LessThanOrEqual(p, b) => (p, b)
+      case LessThan(p, b) => (p, b)
+      case GreaterThanOrEqual(b, p) => (p, b)
+      case GreaterThan(b, p) => (p, b)
+    }
+
+  /** Find pt bounded below and above across sides:
+    * (pt, lo, hi, ptOnLeft).
+    */
+  private def rangePred(cs: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Boolean)] = {
+    val los = lowers(cs).filter(t => numeric(t._1) && numeric(t._2))
+    val his = uppers(cs).filter(t => numeric(t._1) && numeric(t._2))
+    val cands = for {
+      (p1, lo) <- los.iterator
+      (p2, hi) <- his.iterator
+      if p1.semanticEquals(p2)
+    } yield (p1, lo, hi)
+    cands.collectFirst {
+      case (p, lo, hi) if sidesOf(p, lo, l, r) && sidesOf(p, hi, l, r) =>
+        (p, lo, hi, true)
+      case (p, lo, hi) if sidesOf(lo, p, l, r) && sidesOf(hi, p, l, r) =>
+        (p, lo, hi, false)
+    }
+  }
+
+  private def width: Option[Double] =
+    conf.getConfString(WidthConf, "").toDoubleOption.filter(_ > 0)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = width match {
+    case None => plan
+    case Some(w) => plan.transformUp {
+      case j @ Join(l, r, jt, Some(cond), hint) if jt == Inner || jt == Cross =>
+        val cs = conjuncts(cond)
+        if (hasEquiKey(cs, l, r)) j
+        else rangePred(cs, l, r) match {
+          case None => j
+          case Some((pt, lo, hi, ptOnLeft)) =>
+            def band(e: Expression): Expression =
+              Floor(Divide(Cast(e, DoubleType), Literal(w)))
+
+            val ptSide = if (ptOnLeft) l else r
+            val ivSide = if (ptOnLeft) r else l
+
+            val bandP = Alias(band(pt), "__rbj_band_p")()
+            val newPt = Project(ptSide.output :+ bandP, ptSide)
+
+            val bandI = AttributeReference("__rbj_band_i", LongType)()
+            // Sequence is TimeZoneAwareExpression: without an explicit
+            // timeZoneId it reports unresolved and fails plan validation
+            val newIv = Generate(
+              Explode(Sequence(band(lo), band(hi), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(bandI), child = ivSide)
+
+            val newCond = And(EqualTo(bandP.toAttribute, bandI), cond)
+            val (nl, nr) = if (ptOnLeft) (newPt, newIv) else (newIv, newPt)
+            Project(l.output ++ r.output, Join(nl, nr, Inner, Some(newCond), hint))
+        }
+    }
+  }
+
+}
