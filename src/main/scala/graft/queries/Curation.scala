@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
 import graft.functions.TextFns
@@ -191,6 +192,43 @@ object Curation {
         SELECT doc_id, COUNT(*) AS n_hits
         FROM hit GROUP BY doc_id HAVING COUNT(*) >= 5 ORDER BY doc_id
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // Relative quality gate: keep the top 80% of each source by a
+    // quality signal (absolute thresholds like q84 misfire when
+    // sources have different score distributions — web-crawl curation
+    // gates per-source). Rank-based, so the cutoff is exact integer
+    // logic: keep rank ≤ (n·8) div 10 under (quality desc, doc_id).
+    // One shuffle (the source window); per-partition work is one
+    // source — source cardinality grows with corpus diversity, and a
+    // pathological mono-source corpus would use q81's bounded-heap
+    // shape instead.
+    GraftQuery(
+      "q100_quality_quantile_gate",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id"))
+        d.select(col("source"), col("doc_id"), col("n_chars").cast("long").as("q"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("n_total", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .filter(expr("rank <= (n_total * 8) div 10"))
+          .groupBy(col("source"))
+          .agg(first(col("n_total")).as("n_total"),
+            count(lit(1)).as("n_kept"),
+            min(col("q")).as("cutoff_q"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT source, doc_id, CAST(n_chars AS BIGINT) AS q,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_total
+          FROM documents)
+        SELECT source, ANY_VALUE(n_total) AS n_total,
+               COUNT(*) AS n_kept, MIN(q) AS cutoff_q
+        FROM q WHERE rank <= (n_total * 8) // 10
+        GROUP BY source ORDER BY source
+      """.stripMargin.trim))
   )
 }
