@@ -507,6 +507,34 @@ object TextOps {
                     ELSE 0 END AS collision_ppm
         FROM a ORDER BY doc_id
       """.stripMargin.trim),
-      headline = true)
+      headline = true),
+
+    // BPE-style pair statistics — the first iteration of byte-pair
+    // vocab induction at corpus scale: count adjacent character pairs
+    // inside tokens, report the top merge candidates. Two row-level
+    // explodes (token, then character position) keep everything inside
+    // whole-stage codegen — no per-element lambdas — and the single
+    // shuffle is the pair-count aggregate with map-side partials.
+    GraftQuery(
+      "q101_bpe_pairs",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .select(col("tok"),
+            explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+          .select(col("tok").substr(col("i"), lit(2)).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(30)
+      },
+      Some("""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        p AS (SELECT tok, unnest(range(1, len(tok))) AS i
+              FROM t WHERE len(tok) >= 2)
+        SELECT substr(tok, i, 2) AS pair, COUNT(*) AS n
+        FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30
+      """.stripMargin.trim))
   )
 }

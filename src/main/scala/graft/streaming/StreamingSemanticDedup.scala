@@ -61,7 +61,11 @@ object StreamingSemanticDedup {
   def processBatch(batch: DataFrame, idCol: String, embCol: String,
       acceptedPath: String, threshold: Double, signDims: Int = 4): Unit = {
     val spark = batch.sparkSession
+    // at-least-once sources can redeliver a row WITHIN one batch; two
+    // copies of the same id would both survive the ε-ball pass (the
+    // lower-id-wins rule never fires on equal ids) and double-append
     val b = batch.select(col(idCol).cast("long").as(idCol), col(embCol))
+      .dropDuplicates(idCol)
 
     // 1. intra-batch SemDeDup greedy pass (kept = no lower-id in-bucket
     // neighbor within ε)
