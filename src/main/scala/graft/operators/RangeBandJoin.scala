@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * Contract: `hi` is exclusive (`[lo, hi)`), intervals must be bounded
   * (an open-ended interval would replicate without limit — cap it at
-  * the domain max first), and the two inputs must not share column
+  * the domain max first), fractional bounds must be finite (a NaN/±Inf
+  * bound cannot be banded — the optimizer-rule form,
+  * [[graft.plans.RangeBandJoinRewrite]], refuses fractional types
+  * entirely for this reason), and the two inputs must not share column
   * names (same rule as any join).
   */
 object RangeBandJoin {

@@ -37,14 +37,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * API needed.
   */
 object HammingBandJoinRewrite extends Rule[LogicalPlan] {
+  import BandJoinRewriteHelpers.{conjuncts, hasEquiKey, sidesOf}
 
   /** Widest radius worth banding: r+1 bands of ≥ 8 bits each. */
   private val MaxRadius = 7
-
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case x => Seq(x)
-  }
 
   /** Bits [d·w, (d+1)·w) of `x` (the last block absorbs the 64 % nb
     * remainder), as a resolved expression.
@@ -56,18 +52,6 @@ object HammingBandJoinRewrite extends Rule[LogicalPlan] {
     if (width == 64) x
     else BitwiseAnd(ShiftRightUnsigned(x, Literal(shift)), Literal((1L << width) - 1))
   }
-
-  private def sidesOf(a: Expression, b: Expression,
-      l: LogicalPlan, r: LogicalPlan): Boolean =
-    a.references.nonEmpty && b.references.nonEmpty &&
-      a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)
-
-  private def hasEquiKey(cs: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
-    cs.exists {
-      case EqualTo(a, b) => sidesOf(a, b, l, r) || sidesOf(b, a, l, r)
-      case EqualNullSafe(a, b) => sidesOf(a, b, l, r) || sidesOf(b, a, l, r)
-      case _ => false
-    }
 
   /** The banded-join radius predicate: (x-from-left, y-from-right, r). */
   private def hammingPred(cs: Seq[Expression], l: LogicalPlan,

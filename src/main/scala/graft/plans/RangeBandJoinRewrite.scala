@@ -4,7 +4,9 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
+
+import BandJoinRewriteHelpers.{conjuncts, hasEquiKey, sidesOf}
 
 /** Optimizer rule: a join whose only cross-side predicate is a range
   * containment `pt >= lo && pt < hi` (any >=/>/<=/< combination) is an
@@ -22,8 +24,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * should sit near the median interval span), so the rule is OPT-IN:
   * it fires only when `spark.graft.rangeJoin.bandWidth` is set to a
   * positive number on the session. Cost: the interval side inflates by
-  * ≈ span/W rows before the shuffle; open-ended intervals inflate
-  * without bound — cap them before joining.
+  * ≈ span/W rows before the shuffle.
+  *
+  * Exactness guards:
+  *  - fires only on NON-FRACTIONAL columns (integral/decimal): a
+  *    float/double bound can be NaN or ±Infinity, whose floor collapses
+  *    to a finite band — `pt < NaN` matches every point under Spark's
+  *    NaN-greatest ordering, but a NaN-banded interval would reach only
+  *    one band, silently dropping rows;
+  *  - a reversed interval (lo > hi — matches nothing) generates an
+  *    EMPTY band array rather than feeding `Sequence` a descending
+  *    range that throws at runtime.
   *
   * Fires only on Inner/Cross joins with NO equi conjunct of their own
   * (the nested-loop case — which also makes the rule idempotent: its
@@ -34,25 +45,12 @@ object RangeBandJoinRewrite extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.bandWidth"
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case x => Seq(x)
-  }
-
-  private def sidesOf(a: Expression, b: Expression,
-      l: LogicalPlan, r: LogicalPlan): Boolean =
-    a.references.nonEmpty && b.references.nonEmpty &&
-      a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)
-
-  private def hasEquiKey(cs: Seq[Expression], l: LogicalPlan, r: LogicalPlan): Boolean =
-    cs.exists {
-      case EqualTo(a, b) => sidesOf(a, b, l, r) || sidesOf(b, a, l, r)
-      case EqualNullSafe(a, b) => sidesOf(a, b, l, r) || sidesOf(b, a, l, r)
-      case _ => false
-    }
-
-  private def numeric(e: Expression): Boolean =
-    e.dataType.isInstanceOf[NumericType] && e.deterministic
+  /** No NaN/Infinity representable: floor-banding is safe. */
+  private def bandable(e: Expression): Boolean = (e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }) && e.deterministic
 
   /** Normalized bound conjuncts: (point expr, bound expr) with the
     * point expr on the GREATER side for lowers, LESser side for uppers.
@@ -78,8 +76,8 @@ object RangeBandJoinRewrite extends Rule[LogicalPlan] {
     */
   private def rangePred(cs: Seq[Expression], l: LogicalPlan, r: LogicalPlan)
       : Option[(Expression, Expression, Expression, Boolean)] = {
-    val los = lowers(cs).filter(t => numeric(t._1) && numeric(t._2))
-    val his = uppers(cs).filter(t => numeric(t._1) && numeric(t._2))
+    val los = lowers(cs).filter(t => bandable(t._1) && bandable(t._2))
+    val his = uppers(cs).filter(t => bandable(t._1) && bandable(t._2))
     val cands = for {
       (p1, lo) <- los.iterator
       (p2, hi) <- his.iterator
@@ -116,10 +114,15 @@ object RangeBandJoinRewrite extends Rule[LogicalPlan] {
 
             val bandI = AttributeReference("__rbj_band_i", LongType)()
             // Sequence is TimeZoneAwareExpression: without an explicit
-            // timeZoneId it reports unresolved and fails plan validation
+            // timeZoneId it reports unresolved and fails plan validation.
+            // The reversed-bounds guard emits no bands for a lo > hi
+            // interval (original semantics: matches nothing) instead of
+            // letting Sequence throw on a descending range.
+            val bands = If(LessThanOrEqual(band(lo), band(hi)),
+              Sequence(band(lo), band(hi), None, Some(conf.sessionLocalTimeZone)),
+              Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
             val newIv = Generate(
-              Explode(Sequence(band(lo), band(hi), None,
-                Some(conf.sessionLocalTimeZone))),
+              Explode(bands),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(bandI), child = ivSide)
 
@@ -129,5 +132,4 @@ object RangeBandJoinRewrite extends Rule[LogicalPlan] {
         }
     }
   }
-
 }
