@@ -8,10 +8,12 @@ import graft.sources.Tables
 /** OpenSearch-style search surface (SURVEY.md §2.9) over the per-entity
   * document tables: term/terms/range/prefix predicates, bool
   * compositions, tokenized match with a deterministic score, terms+stats
-  * aggregations on hits, and sort+from/size pagination. All Catalyst
-  * built-ins — filters push to the parquet scan, and the match query's
-  * token overlap is a codegen'd array intersection (no shuffle until the
-  * final order/limit).
+  * aggregations on hits, sort+from/size pagination, percolation, and
+  * hybrid lexical+vector retrieval fused by reciprocal rank. All
+  * Catalyst built-ins (plus the codegen'd `cosine_sim` expression on
+  * the hybrid path) — filters push to the parquet scan, and the match
+  * query's token overlap is a codegen'd array intersection (no shuffle
+  * until the final order/limit).
   */
 object Search {
 
@@ -568,6 +570,119 @@ object Search {
         WHERE list_contains(tok, t1) AND list_contains(tok, t2)
           AND n_chars BETWEEN lo AND hi
         ORDER BY doc_id, qid
+      """.stripMargin.trim)),
+
+    // Hybrid search with reciprocal-rank fusion — the modern
+    // lexical+vector retrieval shape: a BM25 ranked list (q44's exact
+    // scoring) and a cosine-ANN ranked list (one query vector broadcast,
+    // scored by the codegen'd cosine_sim expression) fuse by
+    // RRF(d) = Σ 1/(60+rank_d). Fusion is integer-exact: each term is
+    // 1e6 div (60+rank), so no float scoring crosses the engine
+    // boundary. Both lists are top-20-only before the join, so the
+    // fusion join touches ≤ 40 rows regardless of corpus size; the
+    // testdata's doc_id/vec_id alignment provides the doc↔embedding
+    // linkage.
+    GraftQuery(
+      "q102_search_hybrid_rrf",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window")
+        val (k1, b) = (1.2, 0.75)
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("tok", split(col("text"), " "))
+          .withColumn("dl", size(col("tok")).cast("double"))
+        val stats = d.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl") +:
+            terms.map(t => sum(when(array_contains(col("tok"), t), 1L)
+              .otherwise(0L)).cast("double").as(s"df_$t")): _*)
+        val perTerm = terms.map { t =>
+          val tf = size(filter(col("tok"), x => x === t)).cast("double")
+          val df = col(s"df_$t")
+          val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+          idf * (tf * (k1 + 1.0)) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+        }
+        val bm25 = d.crossJoin(broadcast(stats))
+          .withColumn("score", round(perTerm.reduce(_ + _), 6))
+          .filter(col("score") > 0.0)
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+              .cast("long").as("bm25_rank"))
+
+        val e = Tables.load(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 7)
+          .select(col("embedding").as("_q_emb"))
+        val ann = e.filter(col("vec_id") =!= 7)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            graft.plans.CosineSim(col("embedding"), col("_q_emb")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(20)
+          .select(col("vec_id").as("doc_id"),
+            row_number().over(Window.orderBy(col("sim").desc, col("vec_id")))
+              .cast("long").as("ann_rank"))
+
+        bm25.join(ann, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(expr("1000000L div (60L + bm25_rank)"), lit(0L)) +
+              coalesce(expr("1000000L div (60L + ann_rank)"), lit(0L))).as("rrf_ppm"),
+            col("bm25_rank"), col("ann_rank"))
+          .orderBy(col("rrf_ppm").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                   FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+          FROM d),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM d CROSS JOIN stats),
+        bm25 AS (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+          FROM (SELECT doc_id, score FROM scored WHERE score > 0.0
+                ORDER BY score DESC, doc_id LIMIT 20)),
+        emb AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM emb),
+        qv AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 7),
+        annscored AS (
+          SELECT vec_id, list_dot_product(qq, q) / (sqrt(qn2) * sqrt(n2)) AS sim
+          FROM n CROSS JOIN qv WHERE vec_id <> 7),
+        ann AS (
+          SELECT vec_id AS doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS ann_rank
+          FROM (SELECT vec_id, sim FROM annscored
+                ORDER BY sim DESC, vec_id LIMIT 20))
+        SELECT COALESCE(bm25.doc_id, ann.doc_id) AS doc_id,
+               COALESCE(1000000 // (60 + bm25_rank), 0)
+                 + COALESCE(1000000 // (60 + ann_rank), 0) AS rrf_ppm,
+               bm25_rank, ann_rank
+        FROM bm25 FULL OUTER JOIN ann ON bm25.doc_id = ann.doc_id
+        ORDER BY rrf_ppm DESC, doc_id LIMIT 15
       """.stripMargin.trim)),
 
     // rare_terms + multi_terms aggregations: rare buckets (long-tail
