@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -20,10 +18,16 @@ import graft.operators.SemanticDedup
   *
   * Per epoch:
   *  1. intra-batch SemDeDup pass: drop any vector with a lower-id
-  *     in-bucket neighbor at cosine ≥ `threshold`;
+  *     in-bucket neighbor at cosine ≥ `threshold` — with the
+  *     exact-duplicate collapse and `maxBucket` hot-bucket cap
+  *     ([[SemanticDedup.assignments]]), so a batch of N identical
+  *     embeddings costs one representative's work, not N²/2 pairs;
   *  2. replay guard: exact ids already accepted never re-enter (an
   *     at-least-once epoch replay converges to the same accepted set —
-  *     same contract and reasoning as [[StreamingDedup]]);
+  *     same contract and reasoning as [[StreamingDedup]]). The guard
+  *     reads only the cid partitions the batch touches: a replayed row
+  *     carries the same embedding, hence the same cid, so its accepted
+  *     twin lives in a touched partition by construction;
   *  3. cross-batch probe: survivors join accepted rows of their own
   *     buckets; the cosine runs in the codegen'd
   *     [[graft.plans.CosineSim]] expression (bit-identical to the
@@ -39,19 +43,25 @@ import graft.operators.SemanticDedup
   * write cannot recompute against its own output.
   *
   * Scale: per-epoch cost is the in-batch SemDeDup shape plus
-  * |batch| × (probed-bucket rows) codegen'd cosines; nothing ever
-  * shuffles or rescans the full accepted corpus. Degenerate buckets
-  * are the same exposure as batch SemDeDup — raise signDims.
+  * |batch| × (probed-bucket rows) codegen'd cosines; no step shuffles
+  * or rescans accepted buckets the batch doesn't touch. Degenerate
+  * in-batch buckets are absorbed by the collapse + cap; a degenerate
+  * ACCEPTED bucket (many mutually-far vectors sharing a sign pattern)
+  * still linearly scales the probe — raise signDims to split it.
+  * Paths resolve through the Hadoop FileSystem API, so hdfs:///s3a://
+  * corpora work identically to local runs.
   */
 object StreamingSemanticDedup {
 
   def start(vecs: DataFrame, idCol: String, embCol: String,
       acceptedPath: String, checkpoint: String,
-      threshold: Double = 0.9, signDims: Int = 4): StreamingQuery =
+      threshold: Double = 0.9, signDims: Int = 4,
+      maxBucket: Int = 8192): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, idCol, embCol, acceptedPath, threshold, signDims)
+        processBatch(batch, idCol, embCol, acceptedPath, threshold,
+          signDims, maxBucket)
       }
       .start()
 
@@ -59,7 +69,8 @@ object StreamingSemanticDedup {
     * LongType (it is the join/replay key).
     */
   def processBatch(batch: DataFrame, idCol: String, embCol: String,
-      acceptedPath: String, threshold: Double, signDims: Int = 4): Unit = {
+      acceptedPath: String, threshold: Double, signDims: Int = 4,
+      maxBucket: Int = 8192): Unit = {
     val spark = batch.sparkSession
     // at-least-once sources can redeliver a row WITHIN one batch; two
     // copies of the same id would both survive the ε-ball pass (the
@@ -68,47 +79,50 @@ object StreamingSemanticDedup {
       .dropDuplicates(idCol)
 
     // 1. intra-batch SemDeDup greedy pass (kept = no lower-id in-bucket
-    // neighbor within ε)
-    val asg = SemanticDedup.assignments(b, idCol, embCol, threshold, signDims)
+    // neighbor within ε), guarded against identical-vector floods
+    val asg = SemanticDedup.assignments(b, idCol, embCol, threshold,
+      signDims, maxBucket = maxBucket)
     val intra = b.join(
-      asg.filter(col("kept") === 1L).select(col("vec_id").as(idCol)),
-      Seq(idCol), "left_semi")
+      asg.filter(col("kept") === 1L)
+        .select(col("vec_id").as(idCol), col("cid")),
+      Seq(idCol))
 
-    // 2. replay guard: accepted ids never re-enter
-    val exists = Files.exists(Paths.get(acceptedPath))
-    val fresh =
-      if (!exists) intra
-      else intra.join(
-        spark.read.parquet(acceptedPath).select(col(idCol)),
-        Seq(idCol), "left_anti")
+    // scheme-aware existence check (java.nio would see hdfs://.. as
+    // always-absent and silently skip the guard + probe)
+    val accPath = new org.apache.hadoop.fs.Path(acceptedPath)
+    val exists = accPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(accPath)
 
-    // bucket ids: step 1's assignments already carry cid — reuse them
-    // instead of a second quantize+cidOf pass. localCheckpoint: the
-    // probe evaluates this plan three times (cid collect, hits join,
-    // anti-join) — without it each evaluation would re-run the accepted
-    // read + both joins above on every micro-batch
-    val freshC = fresh.join(
-        asg.select(col("vec_id").as(idCol), col("cid")), Seq(idCol))
-      .localCheckpoint(true)
+    // localCheckpoint: the probe evaluates this plan three times (cid
+    // collect, hits join, anti-join) — without it each evaluation
+    // would re-run the batch dedup joins on every micro-batch
+    val intraC = intra.localCheckpoint(true)
     try {
-      // 3. cross-batch probe: pruned read of only the touched buckets
-      // (cid is the partition column; ≤ 2^signDims literals by
-      // construction, so this collect is bounded)
       val survivors =
-        if (!exists) freshC
+        if (!exists) intraC
         else {
-          val probeCids = freshC.select(col("cid")).distinct()
+          // cid is the partition column; ≤ 2^signDims literals by
+          // construction, so this collect is bounded
+          val probeCids = intraC.select(col("cid")).distinct()
             .collect().map(_.getLong(0))
-          if (probeCids.isEmpty) freshC
+          if (probeCids.isEmpty) intraC
           else {
+            // one pruned read feeds both the replay guard (2) and the
+            // probe (3) — only the touched cid partitions are scanned
             val acc = spark.read.parquet(acceptedPath)
               .filter(col("cid").isin(probeCids.toIndexedSeq: _*))
-              .select(col("cid"), col(embCol).as("_acc_emb"))
-            val hits = freshC.join(acc, Seq("cid"))
+            // 2. replay guard: accepted ids never re-enter
+            val fresh = intraC.join(acc.select(col(idCol)), Seq(idCol),
+              "left_anti")
+            // 3. cross-batch probe within the touched buckets
+            val hits = fresh.join(
+                acc.select(col("cid"), col(embCol).as("_acc_emb")),
+                Seq("cid"))
               .filter(graft.plans.CosineSim(col(embCol), col("_acc_emb"))
                 >= lit(threshold))
               .select(col(idCol)).distinct()
-            freshC.join(hits, Seq(idCol), "left_anti")
+            fresh.join(hits, Seq(idCol), "left_anti")
           }
         }
 
@@ -119,6 +133,6 @@ object StreamingSemanticDedup {
         if (!out.isEmpty)
           out.write.mode("append").partitionBy("cid").parquet(acceptedPath)
       } finally out.unpersist()
-    } finally freshC.unpersist()
+    } finally intraC.unpersist()
   }
 }
