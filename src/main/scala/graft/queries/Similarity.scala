@@ -182,25 +182,65 @@ object Similarity {
       """.stripMargin.trim),
       headline = true),
 
-    // IVF-PQ ANN (operators.IvfPq): trained coarse quantizer + product-
-    // quantized residual codes served by asymmetric distance — the
-    // billion-vector index layout (m=16 bytes/vector vs dims×4 float
-    // bytes). Like trained IVF, the k-means model is floating-point
-    // iterative and PQ is lossy by design, so there is no SQL oracle;
-    // IvfPqSpec pins code shape, training determinism and recall vs
-    // the exact-vector ceiling, and the driver's rows-only check
-    // guards the serving surface (|Q| × k rows, non-empty).
+    // IVF-PQ ANN served by asymmetric distance over a product-code
+    // table — the billion-vector index layout (m=8 code bytes/vector
+    // vs dims×4 float bytes; the float corpus is never read at query
+    // time). This entry runs the ANALYTIC variant (operators.SignPq):
+    // sign-bucket coarse quantizer + per-subspace sign-pattern
+    // codebooks (256 ±1 codewords), whose ADC scores are exact
+    // BIGINTs — so unlike the trained k-means/Lloyd path
+    // (operators.IvfPq, recall-spec'd in IvfPqSpec) the full query
+    // replays in SQL and gets a real DuckDB oracle: the same
+    // trained-vs-analytic split as q76's SignIvf vs IvfIndex.
     GraftQuery(
       "q88_ann_ivfpq",
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val p = graft.operators.IvfPq.Params(
-          nlist = 16, nprobe = 4, iters = 3, k = K, m = 16, codes = 256)
-        val model = graft.operators.IvfPq.trainModel(emb, "vec_id", "embedding", p)
-        val enc = graft.operators.IvfPq.encode(emb, "vec_id", "embedding", model)
-        graft.operators.IvfPq.topK(
-          enc, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", model, p)
+        graft.operators.SignPq.topK(
+          Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", col("vec_id") % 50 === 0,
+          signDims = 4, nprobe = 4, k = K, m = 8)
       },
-      None)
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q,
+                 (CASE WHEN list_sum(list_slice(q,  1, 16)) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 17, 32)) > 0 THEN 2 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 33, 48)) > 0 THEN 4 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 49, 64)) > 0 THEN 8 ELSE 0 END) AS cid
+          FROM e),
+        buckets AS (SELECT DISTINCT cid FROM n),
+        qs AS (SELECT vec_id AS q_id, q AS qq,
+                      list_sum(list_slice(q,  1, 16)) AS g1,
+                      list_sum(list_slice(q, 17, 32)) AS g2,
+                      list_sum(list_slice(q, 33, 48)) AS g3,
+                      list_sum(list_slice(q, 49, 64)) AS g4
+               FROM n WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT q_id, qq, b.cid
+          FROM qs CROSS JOIN buckets b
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                    (CASE WHEN (b.cid & 1) > 0 THEN g1 ELSE -g1 END
+                   + CASE WHEN (b.cid & 2) > 0 THEN g2 ELSE -g2 END
+                   + CASE WHEN (b.cid & 4) > 0 THEN g3 ELSE -g3 END
+                   + CASE WHEN (b.cid & 8) > 0 THEN g4 ELSE -g4 END) DESC, b.cid) <= 4),
+        -- ADC: decode each corpus code byte to its ±1 codeword and dot
+        -- with the exact query — equivalently sum ±query components by
+        -- the corpus vector's per-dimension sign (all integer-exact)
+        scored AS (
+          SELECT p.q_id, v.vec_id,
+                 CAST(list_dot_product(p.qq,
+                   list_transform(v.q, y -> CASE WHEN y > 0 THEN 1.0 ELSE -1.0 END)) AS BIGINT) AS adc
+          FROM probes p JOIN n v ON v.cid = p.cid AND v.vec_id <> p.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, adc,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id AS neighbor_id, adc
+        FROM ranked WHERE rank <= $K ORDER BY q_id, rank
+      """.stripMargin.trim))
   )
 }
