@@ -37,6 +37,13 @@ import graft.functions.VectorFns
   * ([[VectorFns.quantize]]), IEEE divide by the two sqrt'd norms, ties
   * broken by ascending neighbor id at both heap and window stage — the
   * same total order, so block layout cannot change the result.
+  *
+  * Contracts: the group key may be any type — integral keys pass
+  * through, anything else blocks on its xxhash64 (collision odds
+  * ~n²/2⁶⁴ per group-pair merge two groups' candidate pools; the
+  * original values are restored in the output). Zero-norm vectors are
+  * skipped — no output row, never a neighbor — matching
+  * [[graft.plans.CosineSim]]'s zero-norm-yields-NULL convention.
   */
 object KnnJoin {
 
@@ -47,9 +54,28 @@ object KnnJoin {
     import spark.implicits._
     val B = blocks
 
-    val quantized = e.select(col(groupCol).cast("long"), col(idCol).cast("long"),
+    // integral group keys flow through as their own value; any other
+    // type (label/topic/language strings …) is blocked on its xxhash64
+    // — a silent cast-to-null would otherwise crash the non-nullable
+    // encoder — and the original value is re-attached at the end
+    val integralGroup = e.schema(groupCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val gkey =
+      if (integralGroup) col(groupCol).cast("long") else xxhash64(col(groupCol))
+
+    val quantized = e.select(gkey, col(idCol).cast("long"),
         VectorFns.quantize(col(embCol)))
       .as[(Long, Long, Array[Long])]
+      // zero-norm vectors cannot be cosine-scored: skip them entirely
+      // (no output row, never a neighbor) — the kernel analog of
+      // CosineSim's zero-norm-yields-NULL convention; a NaN sim would
+      // order inconsistently through the heaps and the rank window
+      .filter((t: (Long, Long, Array[Long])) => t._3.exists(_ != 0L))
 
     // replicate each row to every block pair containing its block,
     // scoped to its group key
@@ -159,9 +185,17 @@ object KnnJoin {
     // (id, neighbor) pair exists exactly once, so no dedup is needed
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    candidates
+    val ranked = candidates
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .select(col("grp"), col("id"), col("rank"), col("neighbor_id"), col("sim"))
+    if (integralGroup) ranked
+    else ranked.drop("grp")
+      // restore the caller's group values (the kernel only saw hashes):
+      // an n·k ⋈ n equi-join on the unique id — one extra hash shuffle,
+      // minor next to the B× block replication
+      .join(e.select(col(idCol).cast("long").as("id"),
+        col(groupCol).as("grp")), Seq("id"))
       .select(col("grp"), col("id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 }

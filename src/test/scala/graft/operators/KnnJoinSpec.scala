@@ -62,4 +62,35 @@ class KnnJoinSpec extends SparkSpec {
     assert(rows.length === 10)
     assert(rows.forall(_.getAs[Long]("rank") === 1L))
   }
+
+  test("string group keys work and the original values come back out") {
+    val names = Array("english", "french", "german", "dutch")
+    val e = embeddings(60, 4)
+      .withColumn("lang", element_at(
+        array(names.toIndexedSeq.map(lit): _*), (col("label") + 1).cast("int")))
+      .drop("label")
+    val got = KnnJoin.withinGroups(e, "vec_id", "embedding", "lang", k = 3)
+    val ref = reference(60, 4, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (names(r.getLong(0).toInt), r.getLong(3), r.getDouble(4))).toMap
+    val gotRows = got.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getString(0), r.getLong(3), r.getDouble(4))).toMap
+    assert(gotRows === ref)
+  }
+
+  test("zero-norm vectors are skipped: no output row, never a neighbor") {
+    val e = embeddings(20, 2)
+      .union(Seq(
+        (100L, 0L, Array.fill(8)(0f)),
+        (101L, 1L, Array.fill(8)(0f))).toDF("vec_id", "label", "embedding"))
+    val got = KnnJoin.withinGroups(e, "vec_id", "embedding", "label", k = 3)
+    val ids = got.select("id").as[Long].collect().toSet
+    val nbrs = got.select("neighbor_id").as[Long].collect().toSet
+    assert(!ids(100L) && !ids(101L), "zero-norm rows must emit nothing")
+    assert(!nbrs(100L) && !nbrs(101L), "zero-norm rows must never be neighbors")
+    // and the non-zero rows are unaffected
+    assert(sortedRows(got) === sortedRows(
+      KnnJoin.withinGroups(embeddings(20, 2), "vec_id", "embedding", "label", k = 3)))
+  }
 }
