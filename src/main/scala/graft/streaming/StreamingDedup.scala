@@ -48,14 +48,41 @@ object StreamingDedup {
 
   def start(docs: DataFrame, idCol: String, textCol: String,
       acceptedPath: String, indexPath: String, checkpoint: String,
-      threshold: Double = 0.8, bands: Int = 16, rows: Int = 2): StreamingQuery =
+      threshold: Double = 0.8, bands: Int = 16, rows: Int = 2,
+      compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processBatch(batch, idCol, textCol, acceptedPath, indexPath,
           threshold, bands, rows)
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+          compactStores(batch.sparkSession, acceptedPath, indexPath, idCol): Unit
       }
       .start()
+
+  /** Rewrite the two stores' accumulated per-epoch file-sets: the
+    * (unpartitioned) accepted corpus root and each band partition of
+    * the index holding more than `maxFiles` files become one file each
+    * ([[IndexCompaction]]'s write-then-delete protocol — a crash can
+    * only duplicate rows, which the id anti-join and probeNew's
+    * distinct'd candidate join tolerate, and which the NEXT pass's
+    * dropDuplicates repairs). Index compaction also RECOMPUTES `bsize`
+    * per (band, bucket) — restoring the probe-side hot-bucket cap for
+    * incrementally-appended rows, whose write-time bsize is 1 (the
+    * "periodic batch rewrite" the epoch loop's scaladoc promises).
+    * Runs automatically every `compactEvery` epochs from [[start]].
+    */
+  def compactStores(spark: org.apache.spark.sql.SparkSession,
+      acceptedPath: String, indexPath: String, idCol: String,
+      maxFiles: Int = 8): Seq[String] = {
+    val a = IndexCompaction.compact(spark, acceptedPath, maxFiles)(
+      _.dropDuplicates(idCol))
+    val i = IndexCompaction.compact(spark, indexPath, maxFiles)( df =>
+      df.dropDuplicates("doc_id", "bucket")
+        .withColumn("bsize", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))))
+    a.map(l => s"accepted:$l") ++ i.map(l => s"index:$l")
+  }
 
   /** One epoch of the loop — also the batch-mode backfill entry (run it
     * over a static partitioned corpus chunk by chunk to bootstrap the

@@ -56,14 +56,29 @@ object StreamingSemanticDedup {
   def start(vecs: DataFrame, idCol: String, embCol: String,
       acceptedPath: String, checkpoint: String,
       threshold: Double = 0.9, signDims: Int = 4,
-      maxBucket: Int = 8192): StreamingQuery =
+      maxBucket: Int = 8192, compactEvery: Int = 16): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processBatch(batch, idCol, embCol, acceptedPath, threshold,
           signDims, maxBucket)
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+          compactAccepted(batch.sparkSession, acceptedPath, idCol): Unit
       }
       .start()
+
+  /** Rewrite accepted-corpus cid partitions that have accumulated more
+    * than `maxFiles` per-epoch file-sets into one file each
+    * ([[IndexCompaction]]'s write-then-delete protocol — a crash can
+    * only duplicate rows, which the id anti-join and ≥-threshold probe
+    * tolerate, and which the NEXT compaction's dropDuplicates repairs).
+    * Runs automatically every `compactEvery` epochs from [[start]];
+    * callable directly for batch-backfilled corpora.
+    */
+  def compactAccepted(spark: org.apache.spark.sql.SparkSession,
+      acceptedPath: String, idCol: String, maxFiles: Int = 8): Seq[String] =
+    IndexCompaction.compact(spark, acceptedPath, maxFiles)(
+      _.dropDuplicates(idCol))
 
   /** One epoch — also the batch-mode backfill entry. `idCol` must be
     * LongType (it is the join/replay key).
