@@ -166,6 +166,98 @@ object IvfIndex {
     } finally v.unpersist()
   }
 
+  /** Merge a CDC batch into a [[writeIndex]] layout IN PLACE — the
+    * index-maintenance half of the serving story (an index rebuilt
+    * from scratch per upsert batch is no index at all). Batch contract
+    * mirrors [[graft.etl.CdcMerge]]: one row per key (feed the batch
+    * through `CdcMerge.latestPerKey` first if it may hold several),
+    * `actionCol` ∈ "upsert" | "delete"; an upsert of an existing id
+    * replaces its vector (and may move it to a different cluster), a
+    * delete tombstones it out of the layout.
+    *
+    * New vectors are assigned to the nearest EXISTING centroid — the
+    * standard serving-time contract (FAISS `add` semantics): centroids
+    * drift-free serving stays exactly prunable, and a periodic
+    * [[writeIndex]] retrain re-centers them when the corpus has moved.
+    *
+    * Cost shape, designed so a small batch touches little:
+    *  - locating old versions of the batch ids reads ONLY the
+    *    (id, cluster) columns of the layout (column-pruned scan,
+    *    broadcast semi-join against the batch);
+    *  - rewriting reads ONLY the touched cluster partitions (partition
+    *    -pruned scan) and overwrites ONLY those partitions (dynamic
+    *    partition overwrite); untouched clusters' files are never read
+    *    or listed into the rewrite.
+    *
+    * Crash/replay: the rewrite is a pure function of
+    * (current layout, batch), so replaying a half-committed epoch
+    * converges — same contract as [[graft.streaming.DeltaCdc]].
+    * Partitions whose content becomes empty are deleted explicitly
+    * (dynamic overwrite skips partitions with no output rows).
+    */
+  def mergeCdcBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String, embCol: String,
+      actionCol: String = "_action"): Unit = {
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
+      .select(col("cluster").cast("int"), col("centroid"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val ids = batch.select(col(idCol).cast("long").as("id"))
+    // clusters currently holding any batch id: (id, cluster) columns only
+    val oldClusters = spark.read.parquet(s"$dir/data")
+      .select(col("id").cast("long"), col("cluster").cast("int"))
+      .join(broadcast(ids), Seq("id"), "left_semi")
+      .select(col("cluster")).distinct().as[Int].collect()
+
+    val assigned = unitVectors(
+        batch.filter(col(actionCol) === "upsert"), idCol, embCol, lit(false))
+      .map { case (id, x, _) => (id, x, nearest(x, bc.value)) }
+      .toDF("id", "unit_vec", "cluster")
+      // read twice (touched-cluster collect + rewrite union) and the
+      // rewrite must not re-run the assignment against a layout the
+      // write is replacing
+      .localCheckpoint(true)
+    try {
+      val newClusters = assigned.select(col("cluster")).distinct()
+        .as[Int].collect()
+      val touched = (oldClusters ++ newClusters).distinct.sorted
+      if (touched.nonEmpty) {
+        val replacement = spark.read.parquet(s"$dir/data")
+          .filter(col("cluster").isin(touched.map(c => c: Any): _*))
+          .select(col("id").cast("long"), col("unit_vec"),
+            col("cluster").cast("int"))
+          .join(broadcast(ids), Seq("id"), "left_anti")
+          .unionByName(assigned)
+          // sever lineage: the plan reads the partitions the write below
+          // overwrites
+          .localCheckpoint(true)
+        try {
+          val conf = spark.conf
+          val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try {
+            replacement.write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$dir/data")
+          } finally prev match {
+            case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          // dynamic overwrite skips now-empty partitions: delete them
+          val stillThere = replacement.select(col("cluster")).distinct()
+            .as[Int].collect().toSet
+          val root = new org.apache.hadoop.fs.Path(s"$dir/data")
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          touched.filterNot(stillThere).foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/data/cluster=$c")
+            if (fs.exists(p)) fs.delete(p, true)
+          }
+        } finally replacement.unpersist()
+      }
+    } finally assigned.unpersist()
+  }
+
   /** Serve approximate top-k against a [[writeIndex]] layout, reading
     * ONLY the probed cluster partitions — `cluster IN (...)` is a
     * partition filter, so unprobed directories are never listed into
