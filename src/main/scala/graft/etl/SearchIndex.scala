@@ -1,0 +1,226 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized full-text (BM25) search index — the persisted artifact
+  * the reference pipeline's OpenSearch sink actually maintains (every
+  * bulk-indexed document updates OpenSearch's inverted lists and
+  * corpus statistics; custom_resource.py:344-383 is the write path).
+  * q44/q102 score BM25 by rescanning the whole corpus per query; this
+  * is the serve-many-times shape: tokenize once into an inverted
+  * layout, refresh it incrementally from the CDC merge path (ST2),
+  * and answer queries from pruned index reads alone.
+  *
+  * Layout under `dir`:
+  *  - `postings/tbucket=H/`: (term, doc_id, tf, dl) — one row per
+  *    (document, distinct term), document length DENORMALIZED into the
+  *    row so serving never joins a doc table. Partitioned by
+  *    `tbucket = pmod(hash(term), buckets)`: a query's terms prune to
+  *    ≤ |terms| buckets at the parquet scan — the inverted-list read.
+  *  - `docs/dbucket=H/`: (doc_id, dl) — narrow per-doc state the MERGE
+  *    path needs (old lengths of replaced docs); `dbucket` is a pure
+  *    function of doc_id, so a CDC batch prunes its own buckets.
+  *  - `stats/`: one row (n_docs, sum_dl, buckets) — the corpus-level
+  *    BM25 inputs, recomputed from `docs` on every merge (cheap: two
+  *    longs per document) so a replayed epoch always converges to a
+  *    consistent row regardless of where the previous run crashed.
+  *
+  * Incremental refresh ([[mergeCdcBatch]]) mirrors
+  * [[graft.operators.IvfIndex.mergeCdcBatch]]: locate the batch ids'
+  * existing postings with a column-pruned (doc_id, tbucket) scan,
+  * rewrite ONLY touched term buckets (old buckets ∪ the new terms'
+  * buckets) via dynamic partition overwrite, same for the doc buckets.
+  * Write amplification is per-touched-bucket, so batch CDC ticks
+  * (many docs per merge) amortize exactly like any segment-merging
+  * index.
+  *
+  * Determinism contract: serving reproduces q44's arithmetic — same
+  * tokenizer (`split(text, ' ')`), same per-term float-op order, same
+  * `round(·, 6)` — so [[bm25]] over an index of a corpus hashes
+  * identically to the direct corpus-scan query and shares its oracle.
+  */
+object SearchIndex {
+
+  private def tbucket(nb: Int) = pmod(hash(col("term")), lit(nb))
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("tok"))
+      .withColumn("dl", size(col("tok")).cast("long"))
+
+  private def postingsOf(tok: DataFrame, nb: Int): DataFrame =
+    tok.select(col("doc_id"), col("dl"), explode(col("tok")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", tbucket(nb))
+
+  /** Full build: tokenize the corpus once into the three tables. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val tok = tokenized(docs, idCol, textCol).persist()
+    try {
+      postingsOf(tok, buckets)
+        .write.mode("overwrite").partitionBy("tbucket").parquet(s"$dir/postings")
+      tok.select(col("doc_id"), col("dl"))
+        .withColumn("dbucket", pmod(col("doc_id"), lit(buckets.toLong)))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docs")
+      writeStats(spark, dir, buckets)
+    } finally tok.unpersist()
+  }
+
+  private def writeStats(spark: SparkSession, dir: String, nb: Int): Unit =
+    spark.read.parquet(s"$dir/docs")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("buckets", lit(nb))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Incremental refresh from a CDC batch — one row per key
+    * (feed through [[CdcMerge.latestPerKey]] first if needed),
+    * `actionCol` ∈ "upsert" | "delete". An upsert replaces the doc's
+    * postings wholesale; a delete removes them. Only touched term /
+    * doc buckets are read or rewritten; replaying a half-committed
+    * epoch converges (the rewrite is a pure function of current layout
+    * + batch, and stats are recomputed from the merged doc table).
+    */
+  def mergeCdcBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, textCol: String, actionCol: String = "_action"): Unit = {
+    val nb = spark.read.parquet(s"$dir/stats")
+      .select(col("buckets")).head().getInt(0)
+    val ids = batch.select(col(idCol).cast("long").as("doc_id"))
+
+    val newPost = postingsOf(
+        tokenized(batch.filter(col(actionCol) === "upsert"), idCol, textCol), nb)
+      // read twice (bucket collect + rewrite) and must not recompute
+      // against the layout mid-overwrite
+      .localCheckpoint(true)
+    try {
+      val oldT = spark.read.parquet(s"$dir/postings")
+        .select(col("doc_id").cast("long"), col("tbucket").cast("int"))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("tbucket")).distinct()
+        .collect().map(_.getInt(0))
+      val newT = newPost.select(col("tbucket").cast("int")).distinct()
+        .collect().map(_.getInt(0))
+      val touched = (oldT ++ newT).distinct.sorted
+      if (touched.nonEmpty)
+        overwriteBuckets(spark, s"$dir/postings", "tbucket", touched,
+          spark.read.parquet(s"$dir/postings")
+            .filter(col("tbucket").isin(touched.map(c => c: Any): _*))
+            .select(col("term"), col("doc_id").cast("long"), col("dl"),
+              col("tf"), col("tbucket").cast("int"))
+            .join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .unionByName(newPost.select(col("term"), col("doc_id"), col("dl"),
+              col("tf"), col("tbucket").cast("int"))))
+
+      // doc table: dbucket is a pure function of doc_id — no scan
+      // needed to locate old versions
+      val newDocs = tokenized(batch.filter(col(actionCol) === "upsert"),
+          idCol, textCol)
+        .select(col("doc_id"), col("dl"))
+        .withColumn("dbucket", pmod(col("doc_id"), lit(nb.toLong)))
+      val touchedD = ids
+        .select(pmod(col("doc_id"), lit(nb.toLong)).cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0))
+      if (touchedD.nonEmpty)
+        overwriteBuckets(spark, s"$dir/docs", "dbucket",
+          touchedD.sorted.map(_.toString),
+          spark.read.parquet(s"$dir/docs")
+            .filter(col("dbucket").isin(touchedD.map(c => c: Any): _*))
+            .select(col("doc_id").cast("long"), col("dl"),
+              col("dbucket").cast("long"))
+            .join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .unionByName(newDocs))
+
+      writeStats(spark, dir, nb)
+    } finally newPost.unpersist()
+  }
+
+  /** Dynamic-partition-overwrite of the touched buckets, with explicit
+    * deletion of buckets the rewrite empties (dynamic overwrite skips
+    * partitions that produce no rows).
+    */
+  private def overwriteBuckets(spark: SparkSession, path: String,
+      partCol: String, touched: Seq[Any], replacement: DataFrame): Unit = {
+    val repl = replacement.localCheckpoint(true) // plan reads what we overwrite
+    try {
+      val conf = spark.conf
+      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try repl.write.mode("overwrite").partitionBy(partCol).parquet(path)
+      finally prev match {
+        case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val still = repl.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.map(_.toString).filterNot(still).foreach { b =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$partCol=$b")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    } finally repl.unpersist()
+  }
+
+  /** BM25 top-k served from the index alone: a stats read, a
+    * term-bucket-pruned postings read, and |terms| tiny aggregates —
+    * the corpus is never scanned. Bit-identical to the direct q44
+    * computation (same term order, same float-op order, same
+    * rounding), so it shares q44's oracle.
+    */
+  def bm25(spark: SparkSession, dir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val statsRow = spark.read.parquet(s"$dir/stats").head()
+    val nb = statsRow.getAs[Int]("buckets")
+    // route terms to buckets with the ENGINE's own hash expression, so
+    // build- and serve-side bucketing can never drift
+    val termBuckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(tbucket(nb)).distinct().collect().map(_.getInt(0))
+
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("tbucket").isin(termBuckets.map(c => c: Any): _*)) // pruned
+      .filter(col("term").isin(terms: _*))
+
+    // per-term document frequencies (≤ |terms| rows) pivoted wide
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(terms.map(t =>
+        coalesce(sum(when(col("term") === t, col("df"))), lit(0L))
+          .cast("double").as(s"df_$t")).head,
+        terms.map(t =>
+          coalesce(sum(when(col("term") === t, col("df"))), lit(0L))
+            .cast("double").as(s"df_$t")).tail: _*)
+
+    // per-doc term frequencies; dl rides along (denormalized)
+    val perDoc = post.groupBy(col("doc_id"), col("dl"))
+      .agg(terms.map(t =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
+          .cast("double").as(s"tf_$t")).head,
+        terms.map(t =>
+          coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
+            .cast("double").as(s"tf_$t")).tail: _*)
+
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+
+    // q44's exact expression, term by term in the same order
+    val perTerm = terms.map { t =>
+      val tf = col(s"tf_$t")
+      val df = col(s"df_$t")
+      val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .withColumn("score", round(perTerm.reduce(_ + _), 6))
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

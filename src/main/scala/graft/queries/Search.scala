@@ -718,6 +718,53 @@ object Search {
         SELECT agg, k1, k2, n FROM (
           SELECT * FROM rare UNION ALL SELECT * FROM multi)
         ORDER BY agg, n DESC, k1, k2
+      """.stripMargin.trim)),
+
+    // BM25 served from the MATERIALIZED inverted index (etl.SearchIndex)
+    // instead of q44's per-query corpus scan — the OpenSearch-sink
+    // artifact (postings + doc lengths + corpus stats, incrementally
+    // refreshed by the CDC merge path). The serving plan reads only the
+    // term-bucket-pruned postings and the one-row stats table, never
+    // the documents table (SearchIndexSpec plan-asserts both), and its
+    // arithmetic replays q44's exactly — so this entry shares q44's
+    // oracle verbatim and must hash identically to it.
+    GraftQuery(
+      "q103_search_bm25_indexed",
+      (s, dir) => {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_bm25_idx").toString
+        graft.etl.SearchIndex.build(
+          Tables.load(s, dir, "documents"), "doc_id", "text", idx)
+        graft.etl.SearchIndex.bm25(s, idx, Seq("spark", "join", "window"),
+          k1 = 1.2, b = 0.75, topK = 20)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                   FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+          FROM d),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM d CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Materialized BM25 index: build/serve parity with the direct corpus
+  * -scan query, incremental CDC refresh correctness (upsert + delete,
+  * stats kept consistent), replay idempotence, and the serving-plan
+  * contracts — no documents scan, term-bucket-pruned postings read.
+  */
+class SearchIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("spark", "join", "window")
+
+  private def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => Nil
+      }))
+    flatten(root)
+  }
+
+  /** q44's direct computation over an arbitrary docs frame. */
+  private def direct(d0: DataFrame): Seq[(Long, Double)] = {
+    val k1 = 1.2; val b = 0.75
+    val d = d0.withColumn("tok", split(col("text"), " "))
+      .withColumn("dl", size(col("tok")).cast("double"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t => sum(when(array_contains(col("tok"), t), 1L)
+          .otherwise(0L)).cast("double").as(s"df_$t")): _*)
+    val perTerm = terms.map { t =>
+      val tf = size(filter(col("tok"), x => x === t)).cast("double")
+      val df = col(s"df_$t")
+      val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    d.crossJoin(broadcast(stats))
+      .withColumn("score", round(perTerm.reduce(_ + _), 6))
+      .filter(col("score") > 0.0)
+      .select(col("doc_id").cast("long"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .as[(Long, Double)].collect().toSeq
+  }
+
+  test("served BM25 equals the direct corpus scan bit-for-bit; plan reads index only") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    SearchIndex.build(docs, "doc_id", "text", dir)
+    val served = SearchIndex.bm25(spark, dir, terms)
+    assert(served.as[(Long, Double)].collect().toSeq === direct(docs))
+
+    // plan contracts: no scan of the documents table, and the postings
+    // scan prunes to the query terms' buckets
+    val scans = finalNodes(served).collect { case f: FileSourceScanExec => f }
+    assert(!scans.exists(_.metadata.getOrElse("Location", "").contains("documents")),
+      "serving must not rescan the corpus")
+    val postScans = scans.filter(_.metadata.getOrElse("Location", "").contains("postings"))
+    assert(postScans.nonEmpty && postScans.exists(_.partitionFilters.nonEmpty),
+      "postings scan must carry a tbucket partition filter")
+    served.collect()
+    val filesRead = postScans.map(_.metrics("numFiles").value).sum
+    val totalFiles = {
+      def cnt(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(cnt).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      cnt(new java.io.File(s"$dir/postings"))
+    }
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"expected a pruned postings read: $filesRead of $totalFiles files")
+  }
+
+  test("CDC merge keeps the index equal to a rebuild: upsert new, replace, delete") {
+    val docs = Tables.load(spark, sf(), "documents").persist()
+    val base = docs.filter(col("doc_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("bm25cdc").toString
+    SearchIndex.build(base, "doc_id", "text", dir)
+
+    // batch: 50 new docs, one replaced text (with query terms in it),
+    // 10 deletes
+    val newDocs = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      .select(col("doc_id"), col("text"), lit("upsert").as("_action"))
+    val replaced = Seq((7L, "spark join window spark fast", "upsert"))
+      .toDF("doc_id", "text", "_action")
+    val deletes = (20 until 30).map(i => (i.toLong, null: String, "delete"))
+      .toDF("doc_id", "text", "_action")
+    val batch = newDocs.unionByName(replaced).unionByName(deletes)
+    SearchIndex.mergeCdcBatch(spark, dir, batch, "doc_id", "text")
+
+    // the equivalent post-CDC corpus, computed directly
+    val finalCorpus = docs.filter(col("doc_id") < 450)
+      .filter(!col("doc_id").between(20, 29) && col("doc_id") =!= 7)
+      .select(col("doc_id").cast("long"), col("text"))
+      .unionByName(Seq((7L, "spark join window spark fast")).toDF("doc_id", "text"))
+    assert(SearchIndex.bm25(spark, dir, terms).as[(Long, Double)].collect().toSeq
+      === direct(finalCorpus))
+
+    // stats stayed consistent with the doc table
+    val st = spark.read.parquet(s"$dir/stats").head()
+    val docAgg = spark.read.parquet(s"$dir/docs")
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    assert(st.getAs[Long]("n_docs") === docAgg.getLong(0))
+    assert(st.getAs[Long]("sum_dl") === docAgg.getLong(1))
+    assert(st.getAs[Long]("n_docs") === finalCorpus.count())
+
+    // replaying the same batch converges
+    SearchIndex.mergeCdcBatch(spark, dir, batch, "doc_id", "text")
+    assert(SearchIndex.bm25(spark, dir, terms).as[(Long, Double)].collect().toSeq
+      === direct(finalCorpus))
+    docs.unpersist()
+  }
+}
