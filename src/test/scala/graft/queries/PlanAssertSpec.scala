@@ -225,6 +225,55 @@ class PlanAssertSpec extends SparkSpec {
     assert(equi.nonEmpty, s"no equi join on the band key:\n${nodes.head}")
   }
 
+  test("q91 knn join: pure kernel plan — no join operators, id-partitioned window") {
+    val nodes = finalNodes(Registry.byName("q91_knn_join").run(spark, sf()))
+    // the block-pair kernel is a groupByKey/flatMapGroups pipeline: any
+    // join operator here means the exact kNN fell back to a pair join
+    val joins = nodes.filter(p =>
+      p.isInstanceOf[SortMergeJoinExec] ||
+      p.isInstanceOf[BroadcastHashJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    assert(joins.isEmpty, s"kNN kernel regressed to a join:\n${nodes.head}")
+    // the top-k merge window partitions by row id (≤ B·k rows each) —
+    // an unpartitioned window here would sort the whole candidate set
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"top-k merge window lost its per-row partitioning:\n${nodes.head}")
+    // shuffles: block-pair groupByKey + window hash + presentation sort
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"extra shuffle in the kNN path:\n${nodes.head}")
+  }
+
+  test("q102 hybrid RRF: windows above limits, equi fusion join, no cartesian") {
+    val nodes = finalNodes(Registry.byName("q102_search_hybrid_rrf").run(spark, sf()))
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"hybrid fusion runs a cartesian product:\n${nodes.head}")
+    // the two rank windows are unpartitioned BY DESIGN — each must sit
+    // above a top-20 limit (TakeOrderedAndProject), never the raw corpus
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no rank windows:\n${nodes.head}")
+    assert(windows.forall(w => flatten(w).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec])),
+      s"a rank window consumes an unlimited input:\n${nodes.head}")
+    // RRF fusion of the two ≤20-row lists is an equi join on doc_id
+    val equi = nodes.collect { case j: BroadcastHashJoinExec => j } ++
+      nodes.collect { case j: SortMergeJoinExec => j }
+    assert(equi.nonEmpty, s"no equi fusion join:\n${nodes.head}")
+    // the only nested-loop joins are the broadcast 1-row scalar sides
+    // (corpus stats, query vector)
+    val bnlj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 2, s"unexpected nested-loop join:\n${nodes.head}")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
