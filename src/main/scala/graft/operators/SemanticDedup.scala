@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -137,12 +136,19 @@ object SemanticDedup {
     val groups = fged.groupBy(col("fp"))
       .agg(min(col("vec_id")).as("rep_id"), first(col("v")).as("v"),
         first(col("cid")).as("cid"))
+      // read up to three times: bucket sizes, the kernel, the member
+      // re-expansion join
+      .persist()
 
-    // hot-bucket cap on POST-collapse rep count, window keyed like the
-    // kernel's shuffle so sizing reuses the partitioning
-    val inKernel = groups
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("cid"))))
-      .filter(col("bsize") <= maxBucket)
+    // hot-bucket cap on POST-collapse rep count: there are at most
+    // 2^signDims buckets, so the size table is a 16-ish-row aggregate
+    // broadcast into a semi-join — never a window sort over the
+    // vectors, and no extra driver action
+    val okBuckets = groups.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_reps"))
+      .filter(col("n_reps") <= maxBucket)
+      .select(col("cid"))
+    val inKernel = groups.join(broadcast(okBuckets), Seq("cid"), "left_semi")
 
     val pairs = CosinePairs.bucketedPairs(
       inKernel.select(col("rep_id"), col("v"), col("cid"))
@@ -174,6 +180,7 @@ object SemanticDedup {
       // materializing it lets the far heavier quantized-vector cache be
       // released before returning
       .localCheckpoint(true)
+    groups.unpersist()
     fged.unpersist()
     out
   }
