@@ -229,6 +229,174 @@ object Curation {
                COUNT(*) AS n_kept, MIN(q) AS cutoff_q
         FROM q WHERE rank <= (n_total * 8) // 10
         GROUP BY source ORDER BY source
+      """.stripMargin.trim)),
+
+    // Exact SUBSTRING duplication at sliding-window granularity — the
+    // full Lee-et-al pass q83 approximates with fixed chunk boundaries:
+    // every 8-token sliding span is hashed, spans verbatim-shared by
+    // ≥2 documents are "duplicated", and each document reports what
+    // fraction of its span positions is duplicated text (a chunk pass
+    // misses any copy not aligned to its 5-token grid). Same
+    // never-all-pairs plan as q83: explode → span-hash df groupBy →
+    // equi-join back → per-doc aggregate; a span in d docs costs d
+    // posting rows, never d².
+    GraftQuery(
+      "q104_substring_spans",
+      (s, dir) => {
+        val Span = 8
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val spans = when(size(tok) >= Span,
+          transform(sequence(lit(0), size(tok) - Span),
+            i => concat_ws(" ", slice(tok, i + 1, lit(Span)))))
+          .otherwise(array().cast("array<string>"))
+        val posts = d.select(col("doc_id"), explode(spans).as("sp"))
+          .select(col("doc_id"), TextFns.md5hash60(col("sp")).as("h"))
+        val df = posts.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        posts.join(df, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .filter(col("n_dup") >= 1)
+          .withColumn("dup_ppm", expr("(1000000 * n_dup) div n_spans"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        s AS (SELECT doc_id,
+                     ('0x' || substr(md5(unnest([array_to_string(tok[(i+1):(i+8)], ' ')
+                                                 for i in range(0, len(tok) - 7)])), 1, 15))::BIGINT AS h
+              FROM t WHERE len(tok) >= 8),
+        f AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY h)
+        SELECT s.doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               (1000000 * CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*) AS dup_ppm
+        FROM s JOIN f USING (h)
+        GROUP BY s.doc_id
+        HAVING SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) >= 1
+        ORDER BY s.doc_id
+      """.stripMargin.trim)),
+
+    // Unigram-LM fluency score — the CCNet/KenLM perplexity-filter
+    // shape with the LM reduced to the corpus' own unigram
+    // distribution so the whole pass (train + score) is closed-form:
+    // score(doc) = mean over tokens of ln P(token). Determinism: each
+    // token's log-probability is rounded to integer MICRO-NATS before
+    // summation (float sums are order-sensitive; integer sums are
+    // not), and the per-doc mean is an integer division. Plan: one
+    // token-count groupBy (the "training pass"), an equi-join of
+    // exploded tokens against it, one per-doc aggregate.
+    GraftQuery(
+      "q105_unigram_logprob",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("t"))
+        val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+        val tot = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(cnt, "t")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round(log(col("n_t").cast("double") / col("n_total")) * 1e6)
+              .cast("long").as("mn"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("mn")).as("sum_micronats"))
+          .withColumn("avg_micronats", expr("sum_micronats div n_tok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        cnt AS (SELECT t, COUNT(*) AS n_t FROM toks GROUP BY t),
+        tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(ln(CAST(n_t AS DOUBLE) / n_total) * 1e6) AS BIGINT) AS mn
+          FROM toks JOIN cnt USING (t) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(mn) AS BIGINT) AS sum_micronats,
+               CAST(SUM(mn) AS BIGINT) // COUNT(*) AS avg_micronats
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Prototypicality pruning — the OTHER half of the SemDeDup recipe
+    // (and the SSL-prototypes method): within each embedding cluster,
+    // rank members by cosine to the cluster centroid and drop the
+    // least-prototypical 20% (outliers, noise, mislabeled crawl). The
+    // clusters are q79's deterministic sign buckets and the centroid
+    // is the exact INTEGER component-wise sum of the bucket's
+    // quantized vectors, so every dot product is exact 64-bit
+    // arithmetic and the whole query replays in SQL. (At huge bucket
+    // sizes the sum's magnitude would overflow the integer dot —
+    // rescale to a mean centroid there; exactness at oracle scale is
+    // the point of this formulation.) Keep rule is the integer
+    // rational 5·rank ≤ 4·n — never a float threshold.
+    GraftQuery(
+      "q106_prototype_prune",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.select(col("vec_id").cast("long").as("vec_id"),
+          graft.functions.VectorFns.quantize(col("embedding")).as("qv"))
+        val cids = graft.operators.SemanticDedup.bucketIds(e, "vec_id", "embedding")
+        val member = q.join(cids, "vec_id")
+        // exact integer centroid: component-wise sum per bucket
+        // (≤ 2^signDims rows — broadcast back)
+        val cents = member
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+            p => p.getField("sx")).as("cent"))
+        val dotQC = aggregate(zip_with(col("qv"), col("cent"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        val nQ = aggregate(zip_with(col("qv"), col("qv"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        val nC = aggregate(zip_with(col("cent"), col("cent"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        val w = Window.partitionBy(col("cid"))
+          .orderBy(col("proto").desc, col("vec_id"))
+        member.join(broadcast(cents), "cid")
+          .withColumn("proto", round(dotQC.cast("double") /
+            (sqrt(nQ.cast("double")) * sqrt(nC.cast("double"))), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+          .select(col("vec_id"), col("cid").cast("long").as("cid"), col("proto"),
+            col("rank"),
+            when(expr("5 * rank <= 4 * n"), 1L).otherwise(0L).as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, q,
+                 (CASE WHEN list_sum(list_slice(q,  1, 16)) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 17, 32)) > 0 THEN 2 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 33, 48)) > 0 THEN 4 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 49, 64)) > 0 THEN 8 ELSE 0 END) AS cid
+          FROM e),
+        u AS (SELECT cid, i, SUM(q[CAST(i AS INT)]) AS sx
+              FROM n CROSS JOIN range(1, 65) t(i) GROUP BY cid, i),
+        x AS (SELECT vec_id, n.cid, i, q[CAST(i AS INT)] AS q_i
+              FROM n CROSS JOIN range(1, 65) t(i)),
+        dots AS (SELECT x.vec_id, SUM(x.q_i * u.sx) AS dot, SUM(x.q_i * x.q_i) AS nv
+                 FROM x JOIN u ON u.cid = x.cid AND u.i = x.i
+                 GROUP BY x.vec_id),
+        ns AS (SELECT cid, SUM(sx * sx) AS nc FROM u GROUP BY cid),
+        scored AS (
+          SELECT n.vec_id, n.cid,
+                 round(CAST(d.dot AS DOUBLE) /
+                   (sqrt(CAST(d.nv AS DOUBLE)) * sqrt(CAST(ns.nc AS DOUBLE))), 6) AS proto
+          FROM n JOIN dots d ON d.vec_id = n.vec_id JOIN ns ON ns.cid = n.cid),
+        ranked AS (
+          SELECT vec_id, cid, proto,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY proto DESC, vec_id) AS BIGINT) AS rank,
+                 CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+          FROM scored)
+        SELECT vec_id, CAST(cid AS BIGINT) AS cid, proto, rank,
+               CAST(CASE WHEN 5 * rank <= 4 * n THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM ranked ORDER BY vec_id
       """.stripMargin.trim))
   )
 }
