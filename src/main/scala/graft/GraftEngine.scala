@@ -236,4 +236,62 @@ final case class GraftEngine(spark: SparkSession) {
       .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as(idCol))
   }
+
+  /** Analytic IVF-PQ: sign-bucket coarse quantizer + sign-pattern
+    * product codebooks served by exact-integer ADC — the
+    * reproducible (SQL-replayable) member of the PQ family; the
+    * trained float path is [[annIvfPq]]
+    * (see [[graft.operators.SignPq]]).
+    */
+  def annSignPq(embeddings: DataFrame, idCol: String, embCol: String,
+      queryPred: Column, k: Int = 5): DataFrame =
+    graft.operators.SignPq.topK(embeddings, idCol, embCol, queryPred, k = k)
+
+  /** Merge a CDC batch (one row per key, `_action` ∈ upsert|delete)
+    * into a persisted IVF layout written by
+    * [[graft.operators.IvfIndex.writeIndex]] — touched cluster
+    * partitions only (see [[graft.operators.IvfIndex.mergeCdcBatch]]).
+    */
+  def ivfMergeCdc(indexDir: String, batch: DataFrame, idCol: String,
+      embCol: String): Unit =
+    IvfIndex.mergeCdcBatch(spark, indexDir, batch, idCol, embCol)
+
+  /** Build the materialized BM25 search index (postings + doc lengths
+    * + corpus stats) at `dir` (see [[graft.etl.SearchIndex]]).
+    */
+  def searchIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, buckets: Int = 64): Unit =
+    graft.etl.SearchIndex.build(docs, idCol, textCol, dir, buckets)
+
+  /** Refresh the BM25 index from a CDC batch — touched term/doc
+    * buckets only (see [[graft.etl.SearchIndex.mergeCdcBatch]]).
+    */
+  def searchIndexMergeCdc(dir: String, batch: DataFrame, idCol: String,
+      textCol: String): Unit =
+    graft.etl.SearchIndex.mergeCdcBatch(spark, dir, batch, idCol, textCol)
+
+  /** BM25 top-k served from the materialized index alone — pruned
+    * postings + stats reads, the corpus is never scanned.
+    */
+  def searchIndexBm25(dir: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20): DataFrame =
+    graft.etl.SearchIndex.bm25(spark, dir, terms, k1, b, topK)
+
+  /** Measured band width for [[rangeBandJoin]] /
+    * `spark.graft.rangeJoin.bandWidth`: the sampled median interval
+    * span (see [[graft.operators.RangeBandJoin.suggestWidth]]).
+    */
+  def suggestBandWidth(intervals: DataFrame, loCol: String, hiCol: String,
+      sampleFraction: Double = 1.0): Double =
+    graft.operators.RangeBandJoin.suggestWidth(intervals, loCol, hiCol,
+      sampleFraction)
+
+  /** Compact the streaming dedup stores' accumulated per-epoch files
+    * (also runs automatically every `compactEvery` epochs inside the
+    * streaming loops; see [[graft.streaming.IndexCompaction]]).
+    */
+  def compactStreamingDedup(acceptedPath: String, indexPath: String,
+      idCol: String = "doc_id", maxFiles: Int = 8): Seq[String] =
+    graft.streaming.StreamingDedup.compactStores(spark, acceptedPath,
+      indexPath, idCol, maxFiles)
 }

@@ -125,10 +125,13 @@ object SemanticDedup {
     val spark = e.sparkSession
     import spark.implicits._
 
+    // read twice — once to form groups, once (projected to the narrow
+    // (vec_id, fp) pair) to re-expand members. Deliberately NOT
+    // persisted: the second pass is a map-only rescan that column-
+    // prunes everything but the embedding, far cheaper at scale than
+    // caching every quantized vector
     val fged = fingerprinted(e, idCol, embCol, threshold, signDims)
       .toDF("vec_id", "v", "cid", "fp", "self_near")
-      // read twice: once to form groups, once to re-expand members
-      .persist()
 
     // exact collapse: one representative (min id) per distinct
     // quantized vector; `first` is safe — every v in an fp group is
@@ -181,7 +184,6 @@ object SemanticDedup {
       // released before returning
       .localCheckpoint(true)
     groups.unpersist()
-    fged.unpersist()
     out
   }
 

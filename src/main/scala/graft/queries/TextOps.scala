@@ -535,6 +535,63 @@ object TextOps {
               FROM t WHERE len(tok) >= 2)
         SELECT substr(tok, i, 2) AS pair, COUNT(*) AS n
         FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30
+      """.stripMargin.trim)),
+
+    // Count-min-sketch heavy hitters — the frequency member of the
+    // sketch family (q7 HLL = cardinality, q87 Bloom = membership):
+    // token counts estimated from a fixed 2×1024-cell sketch instead
+    // of a full token groupBy, the streaming/mergeable shape (cells
+    // sum across partitions and epochs; the exact table does not).
+    // The estimate column sits next to the exact count, so the CMS
+    // guarantee (cms_n ≥ exact_n, overcount bounded by collisions) is
+    // visible in the output. Everything is integer arithmetic over
+    // portable md5-derived bucket ids, so DuckDB replays the sketch
+    // cell-for-cell — same doctrine as q87's bit-replayed Bloom.
+    GraftQuery(
+      "q107_cms_heavy_hitters",
+      (s, dir) => {
+        val W = 1024
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("t"))
+        def bucket(salt: String) =
+          TextFns.md5hash60(concat(lit(salt), col("t"))) % W
+        // the sketch: 2×W cells, one partial-agg shuffle of ≤ 2·W rows
+        val cells = toks
+          .select(explode(array(
+            struct(lit(0).as("r"), bucket("cms0:").as("b")),
+            struct(lit(1).as("r"), bucket("cms1:").as("b")))).as("rb"))
+          .select(col("rb.r"), col("rb.b"))
+          .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+        // point queries: each distinct token reads its 2 cells (tiny
+        // broadcast), estimate = min over rows; exact count alongside
+        val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+          .withColumn("b0", bucket("cms0:")).withColumn("b1", bucket("cms1:"))
+        exact
+          .join(broadcast(cells.filter(col("r") === 0)
+            .select(col("b").as("b0"), col("c").as("c0"))), Seq("b0"))
+          .join(broadcast(cells.filter(col("r") === 1)
+            .select(col("b").as("b1"), col("c").as("c1"))), Seq("b1"))
+          .select(col("t"), col("exact_n"),
+            least(col("c0"), col("c1")).as("cms_n"))
+          .withColumn("overcount", col("cms_n") - col("exact_n"))
+          .orderBy(col("cms_n").desc, col("t"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        h AS (SELECT t,
+                     ('0x' || substr(md5('cms0:' || t), 1, 15))::BIGINT % 1024 AS b0,
+                     ('0x' || substr(md5('cms1:' || t), 1, 15))::BIGINT % 1024 AS b1
+              FROM toks),
+        c0 AS (SELECT b0, COUNT(*) AS c FROM h GROUP BY b0),
+        c1 AS (SELECT b1, COUNT(*) AS c FROM h GROUP BY b1),
+        exact AS (SELECT t, ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1,
+                         COUNT(*) AS exact_n
+                  FROM h GROUP BY t)
+        SELECT e.t, e.exact_n, LEAST(c0.c, c1.c) AS cms_n,
+               LEAST(c0.c, c1.c) - e.exact_n AS overcount
+        FROM exact e JOIN c0 USING (b0) JOIN c1 USING (b1)
+        ORDER BY cms_n DESC, t LIMIT 20
       """.stripMargin.trim))
   )
 }
