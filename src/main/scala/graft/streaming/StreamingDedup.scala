@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -99,18 +97,25 @@ object StreamingDedup {
       .select(col("b_id").as(idCol)).distinct()
     val intra = batch.join(intraDups, Seq(idCol), "left_anti")
 
+    // scheme-aware existence checks (java.nio would see hdfs://… as
+    // always-absent and silently skip the guard + probe)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+
     // 2a. replay guard: exact ids already accepted never re-enter
     // (checked against acceptedPath, not the index — the two appends
     // in step 3 are not atomic and accepted is written first)
     val fresh =
-      if (!Files.exists(Paths.get(acceptedPath))) intra
+      if (!exists(acceptedPath)) intra
       else intra.join(
         spark.read.parquet(acceptedPath).select(col(idCol)),
         Seq(idCol), "left_anti")
 
     // 2b. cross-batch probe against the accepted corpus via the index
     val survivors =
-      if (!Files.exists(Paths.get(indexPath))) fresh
+      if (!exists(indexPath)) fresh
       else {
         val accepted = spark.read.parquet(acceptedPath)
         val hits = MinHashLsh.probeNew(fresh, accepted, indexPath,
