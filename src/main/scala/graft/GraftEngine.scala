@@ -294,4 +294,24 @@ final case class GraftEngine(spark: SparkSession) {
       idCol: String = "doc_id", maxFiles: Int = 8): Seq[String] =
     graft.streaming.StreamingDedup.compactStores(spark, acceptedPath,
       indexPath, idCol, maxFiles)
+
+  /** CDC upsert/delete maintenance of the text dedup stores: deletes
+    * free their ids and stop shadowing near-duplicates via
+    * epoch-sequenced tombstones; upserts re-enter through the normal
+    * admission gate (see [[graft.streaming.StreamingDedup.mergeCdcBatch]]).
+    */
+  def dedupMergeCdc(batch: DataFrame, idCol: String, textCol: String,
+      acceptedPath: String, indexPath: String, epoch: Long,
+      threshold: Double = 0.8): Unit =
+    graft.streaming.StreamingDedup.mergeCdcBatch(batch, idCol, textCol,
+      acceptedPath, indexPath, epoch, threshold)
+
+  /** The embedding-side twin of [[dedupMergeCdc]]
+    * (see [[graft.streaming.StreamingSemanticDedup.mergeCdcBatch]]).
+    */
+  def semanticDedupMergeCdc(batch: DataFrame, idCol: String,
+      embCol: String, acceptedPath: String, epoch: Long,
+      threshold: Double = 0.9): Unit =
+    graft.streaming.StreamingSemanticDedup.mergeCdcBatch(batch, idCol,
+      embCol, acceptedPath, epoch, threshold)
 }

@@ -41,6 +41,12 @@ import graft.operators.MinHashLsh
   * Scale: every step is the batch operators' own distribution shape —
   * nothing here shuffles the accepted corpus; per-epoch cost is
   * O(batch × bands) plus the pruned verification joins.
+  *
+  * CDC maintenance ([[mergeCdcBatch]]): deletes and replaced versions
+  * become epoch-sequenced tombstones ([[liveAccepted]] is the
+  * reader's view); [[compactStores]] purges dead rows physically —
+  * the LSM write path, chosen because a doc's band rows live in every
+  * band partition and an eager delete would rewrite the whole index.
   */
 object StreamingDedup {
 
@@ -52,11 +58,73 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processBatch(batch, idCol, textCol, acceptedPath, indexPath,
-          threshold, bands, rows)
+          threshold, bands, rows, epoch)
         if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
           compactStores(batch.sparkSession, acceptedPath, indexPath, idCol): Unit
       }
       .start()
+
+  /** Side-table of (id, `_tomb_epoch`) deletions. Lives INSIDE the
+    * accepted directory under an underscore name, which parquet
+    * readers skip — so `spark.read.parquet(acceptedPath)` and the
+    * tombstones never mix.
+    */
+  private def tombstonesPath(acceptedPath: String) = s"$acceptedPath/_tombstones"
+
+  private def exists(spark: org.apache.spark.sql.SparkSession,
+      p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** The LIVE accepted corpus: rows whose acceptance `_epoch` is ≥
+    * their id's latest tombstone epoch. Accepts win ties so a
+    * replayed upsert epoch (tombstone + re-admit at the same epoch)
+    * converges instead of hiding its own write. Stores written before
+    * CDC maintenance existed (no `_epoch` column) count as epoch 0.
+    */
+  def liveAccepted(spark: org.apache.spark.sql.SparkSession,
+      acceptedPath: String, idCol: String): DataFrame = {
+    val acc0 = spark.read.option("mergeSchema", "true").parquet(acceptedPath)
+    val acc =
+      if (acc0.columns.contains("_epoch")) acc0
+      else acc0.withColumn("_epoch", lit(0L))
+    val tp = tombstonesPath(acceptedPath)
+    if (!exists(spark, tp)) acc
+    else {
+      val ts = spark.read.parquet(tp)
+        .groupBy(col(idCol)).agg(max(col("_tomb_epoch")).as("_te"))
+      acc.join(ts, Seq(idCol), "left")
+        .filter(col("_te").isNull || coalesce(col("_epoch"), lit(0L)) >= col("_te"))
+        .drop("_te")
+    }
+  }
+
+  /** CDC maintenance of the dedup stores — upsert/delete with the same
+    * batch contract as [[graft.etl.CdcMerge]] (one row per key,
+    * `actionCol` ∈ "upsert" | "delete"). Deletes (and the OLD versions
+    * of upserted ids) become tombstones: they leave the live view
+    * immediately — the id can be re-admitted, and the dead document
+    * stops shadowing near-duplicates of itself — while physical rows
+    * linger until [[compactStores]] purges them (the LSM shape: the
+    * band index is partitioned by band, so a doc's rows live in EVERY
+    * band partition and an eager in-place delete would rewrite the
+    * whole index per batch). Upserts then re-enter through the normal
+    * [[processBatch]] admission gate at this epoch — still subject to
+    * intra-batch and cross-corpus near-dup checks against the
+    * remaining live corpus. Replaying an epoch converges: tombstones
+    * are append-idempotent under max(), and the re-admitted row wins
+    * its own tombstone tie.
+    */
+  def mergeCdcBatch(batch: DataFrame, idCol: String, textCol: String,
+      acceptedPath: String, indexPath: String, epoch: Long,
+      threshold: Double = 0.8, bands: Int = 16, rows: Int = 2,
+      actionCol: String = "_action"): Unit = {
+    batch.select(col(idCol), lit(epoch).as("_tomb_epoch"))
+      .write.mode("append").parquet(tombstonesPath(acceptedPath))
+    processBatch(batch.filter(col(actionCol) === "upsert").drop(actionCol),
+      idCol, textCol, acceptedPath, indexPath, threshold, bands, rows, epoch)
+  }
 
   /** Rewrite the two stores' accumulated per-epoch file-sets: the
     * (unpartitioned) accepted corpus root and each band partition of
@@ -73,12 +141,45 @@ object StreamingDedup {
   def compactStores(spark: org.apache.spark.sql.SparkSession,
       acceptedPath: String, indexPath: String, idCol: String,
       maxFiles: Int = 8): Seq[String] = {
-    val a = IndexCompaction.compact(spark, acceptedPath, maxFiles)(
-      _.dropDuplicates(idCol))
-    val i = IndexCompaction.compact(spark, indexPath, maxFiles)( df =>
-      df.dropDuplicates("doc_id", "bucket")
-        .withColumn("bsize", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("bucket")))))
+    import org.apache.spark.sql.expressions.Window
+    val tp = tombstonesPath(acceptedPath)
+    // accepted: per-id last-writer-wins (crash duplicates and upsert
+    // residue collapse to the newest epoch), then PURGE rows dead
+    // against the tombstones — the physical half of mergeCdcBatch
+    val a = IndexCompaction.compact(spark, acceptedPath, maxFiles) { df0 =>
+      val df =
+        if (df0.columns.contains("_epoch")) df0
+        else df0.withColumn("_epoch", lit(0L))
+      val lww = df
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("_epoch").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      if (!exists(spark, tp)) lww
+      else {
+        val ts = spark.read.parquet(tp)
+          .groupBy(col(idCol)).agg(max(col("_tomb_epoch")).as("_te"))
+        lww.join(ts, Seq(idCol), "left")
+          .filter(col("_te").isNull ||
+            coalesce(col("_epoch"), lit(0L)) >= col("_te"))
+          .drop("_te")
+      }
+    }
+    // index: dedupe, purge rows whose doc is no longer live, refresh
+    // bsize per (band, bucket) — restoring the probe-side hot-bucket
+    // cap for incrementally-appended rows, whose write-time bsize is 1
+    val liveIds =
+      if (!exists(spark, acceptedPath)) None
+      else Some(liveAccepted(spark, acceptedPath, idCol)
+        .select(col(idCol).as("doc_id")).distinct())
+    val i = IndexCompaction.compact(spark, indexPath, maxFiles) { df =>
+      val deduped = df.dropDuplicates("doc_id", "bucket")
+      val purged = liveIds match {
+        case None => deduped
+        case Some(ids) => deduped.join(ids, Seq("doc_id"), "left_semi")
+      }
+      purged.withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    }
     a.map(l => s"accepted:$l") ++ i.map(l => s"index:$l")
   }
 
@@ -88,7 +189,7 @@ object StreamingDedup {
     */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       acceptedPath: String, indexPath: String, threshold: Double,
-      bands: Int = 16, rows: Int = 2): Unit = {
+      bands: Int = 16, rows: Int = 2, epoch: Long = 0L): Unit = {
     val spark = batch.sparkSession
 
     // 1. intra-batch greedy dedup (lower id survives, same marking
@@ -97,27 +198,23 @@ object StreamingDedup {
       .select(col("b_id").as(idCol)).distinct()
     val intra = batch.join(intraDups, Seq(idCol), "left_anti")
 
-    // scheme-aware existence checks (java.nio would see hdfs://… as
-    // always-absent and silently skip the guard + probe)
-    def exists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-    }
-
-    // 2a. replay guard: exact ids already accepted never re-enter
+    // 2a. replay guard: ids already LIVE-accepted never re-enter
     // (checked against acceptedPath, not the index — the two appends
-    // in step 3 are not atomic and accepted is written first)
+    // in step 3 are not atomic and accepted is written first). A
+    // tombstoned id CAN re-enter — that is the upsert path.
     val fresh =
-      if (!exists(acceptedPath)) intra
+      if (!exists(spark, acceptedPath)) intra
       else intra.join(
-        spark.read.parquet(acceptedPath).select(col(idCol)),
+        liveAccepted(spark, acceptedPath, idCol).select(col(idCol)),
         Seq(idCol), "left_anti")
 
-    // 2b. cross-batch probe against the accepted corpus via the index
+    // 2b. cross-batch probe against the LIVE accepted corpus via the
+    // index: stale index rows of dead docs still generate candidates,
+    // but probeNew's corpus semi-join drops them before verification
     val survivors =
-      if (!exists(indexPath)) fresh
+      if (!exists(spark, indexPath)) fresh
       else {
-        val accepted = spark.read.parquet(acceptedPath)
+        val accepted = liveAccepted(spark, acceptedPath, idCol)
         val hits = MinHashLsh.probeNew(fresh, accepted, indexPath,
             idCol, textCol, threshold, bands, rows)
           .select(col("new_id").as(idCol)).distinct()
@@ -131,7 +228,7 @@ object StreamingDedup {
     // against the just-appended files and see every survivor as
     // already accepted, silently writing zero index rows. Severing
     // lineage pins both writes to the pre-append state.
-    val out = survivors.localCheckpoint(true)
+    val out = survivors.withColumn("_epoch", lit(epoch)).localCheckpoint(true)
     try {
       if (!out.isEmpty) {
         out.write.mode("append").parquet(acceptedPath)

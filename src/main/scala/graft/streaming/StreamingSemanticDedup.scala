@@ -61,31 +61,106 @@ object StreamingSemanticDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         processBatch(batch, idCol, embCol, acceptedPath, threshold,
-          signDims, maxBucket)
+          signDims, maxBucket, epoch)
         if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
           compactAccepted(batch.sparkSession, acceptedPath, idCol): Unit
       }
       .start()
 
+  /** Side-table of (id, `_tomb_epoch`) deletions, inside the accepted
+    * directory under an underscore name parquet readers skip.
+    */
+  private def tombstonesPath(acceptedPath: String) = s"$acceptedPath/_tombstones"
+
+  private def hadoopExists(spark: org.apache.spark.sql.SparkSession,
+      p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** The LIVE accepted corpus: rows whose acceptance `_epoch` is ≥
+    * their id's latest tombstone epoch (accepts win ties so replayed
+    * upsert epochs converge). Pre-CDC stores without `_epoch` count as
+    * epoch 0. Same contract as [[StreamingDedup.liveAccepted]].
+    */
+  def liveAccepted(spark: org.apache.spark.sql.SparkSession,
+      acceptedPath: String, idCol: String): DataFrame = {
+    val acc0 = spark.read.option("mergeSchema", "true").parquet(acceptedPath)
+    val acc =
+      if (acc0.columns.contains("_epoch")) acc0
+      else acc0.withColumn("_epoch", lit(0L))
+    val tp = tombstonesPath(acceptedPath)
+    if (!hadoopExists(spark, tp)) acc
+    else {
+      val ts = spark.read.parquet(tp)
+        .groupBy(col(idCol)).agg(max(col("_tomb_epoch")).as("_te"))
+      acc.join(ts, Seq(idCol), "left")
+        .filter(col("_te").isNull || coalesce(col("_epoch"), lit(0L)) >= col("_te"))
+        .drop("_te")
+    }
+  }
+
+  /** CDC maintenance — the embedding-side mirror of
+    * [[StreamingDedup.mergeCdcBatch]]: every batch id is tombstoned at
+    * this epoch (a delete frees the id AND stops the dead vector
+    * shadowing its ε-neighbors; an upsert's old version dies the same
+    * way), then upserts re-enter through the normal [[processBatch]]
+    * admission gate. Physical rows linger until [[compactAccepted]]
+    * purges them; replays converge (tombstones are append-idempotent
+    * under max, re-admitted rows win their own tombstone tie).
+    */
+  def mergeCdcBatch(batch: DataFrame, idCol: String, embCol: String,
+      acceptedPath: String, epoch: Long, threshold: Double = 0.9,
+      signDims: Int = 4, maxBucket: Int = 8192,
+      actionCol: String = "_action"): Unit = {
+    batch.select(col(idCol), lit(epoch).as("_tomb_epoch"))
+      .write.mode("append").parquet(tombstonesPath(acceptedPath))
+    processBatch(batch.filter(col(actionCol) === "upsert").drop(actionCol),
+      idCol, embCol, acceptedPath, threshold, signDims, maxBucket, epoch)
+  }
+
   /** Rewrite accepted-corpus cid partitions that have accumulated more
     * than `maxFiles` per-epoch file-sets into one file each
     * ([[IndexCompaction]]'s write-then-delete protocol — a crash can
     * only duplicate rows, which the id anti-join and ≥-threshold probe
-    * tolerate, and which the NEXT compaction's dropDuplicates repairs).
-    * Runs automatically every `compactEvery` epochs from [[start]];
-    * callable directly for batch-backfilled corpora.
+    * tolerate, and which the NEXT compaction repairs). Per-leaf rows
+    * collapse last-writer-wins per id, then rows dead against the
+    * tombstones are PURGED (cross-leaf staleness — an upsert that
+    * moved an id to a different cid — is handled by the tombstone
+    * filter, not the per-leaf LWW). Runs automatically every
+    * `compactEvery` epochs from [[start]]; callable directly for
+    * batch-backfilled corpora.
     */
   def compactAccepted(spark: org.apache.spark.sql.SparkSession,
-      acceptedPath: String, idCol: String, maxFiles: Int = 8): Seq[String] =
-    IndexCompaction.compact(spark, acceptedPath, maxFiles)(
-      _.dropDuplicates(idCol))
+      acceptedPath: String, idCol: String, maxFiles: Int = 8): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val tp = tombstonesPath(acceptedPath)
+    IndexCompaction.compact(spark, acceptedPath, maxFiles) { df0 =>
+      val df =
+        if (df0.columns.contains("_epoch")) df0
+        else df0.withColumn("_epoch", lit(0L))
+      val lww = df
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("_epoch").desc)))
+        .filter(col("_rn") === 1).drop("_rn")
+      if (!hadoopExists(spark, tp)) lww
+      else {
+        val ts = spark.read.parquet(tp)
+          .groupBy(col(idCol)).agg(max(col("_tomb_epoch")).as("_te"))
+        lww.join(ts, Seq(idCol), "left")
+          .filter(col("_te").isNull ||
+            coalesce(col("_epoch"), lit(0L)) >= col("_te"))
+          .drop("_te")
+      }
+    }
+  }
 
   /** One epoch — also the batch-mode backfill entry. `idCol` must be
     * LongType (it is the join/replay key).
     */
   def processBatch(batch: DataFrame, idCol: String, embCol: String,
       acceptedPath: String, threshold: Double, signDims: Int = 4,
-      maxBucket: Int = 8192): Unit = {
+      maxBucket: Int = 8192, epoch: Long = 0L): Unit = {
     val spark = batch.sparkSession
     // at-least-once sources can redeliver a row WITHIN one batch; two
     // copies of the same id would both survive the ε-ball pass (the
@@ -104,10 +179,7 @@ object StreamingSemanticDedup {
 
     // scheme-aware existence check (java.nio would see hdfs://.. as
     // always-absent and silently skip the guard + probe)
-    val accPath = new org.apache.hadoop.fs.Path(acceptedPath)
-    val exists = accPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(accPath)
+    val exists = hadoopExists(spark, acceptedPath)
 
     // localCheckpoint: the probe evaluates this plan three times (cid
     // collect, hits join, anti-join) — without it each evaluation
@@ -123,11 +195,13 @@ object StreamingSemanticDedup {
             .collect().map(_.getLong(0))
           if (probeCids.isEmpty) intraC
           else {
-            // one pruned read feeds both the replay guard (2) and the
-            // probe (3) — only the touched cid partitions are scanned
-            val acc = spark.read.parquet(acceptedPath)
+            // one pruned LIVE read feeds both the replay guard (2) and
+            // the probe (3) — only the touched cid partitions are
+            // scanned, and tombstoned rows are already filtered (a
+            // tombstoned id CAN re-enter: the upsert path)
+            val acc = liveAccepted(spark, acceptedPath, idCol)
               .filter(col("cid").isin(probeCids.toIndexedSeq: _*))
-            // 2. replay guard: accepted ids never re-enter
+            // 2. replay guard: LIVE-accepted ids never re-enter
             val fresh = intraC.join(acc.select(col(idCol)), Seq(idCol),
               "left_anti")
             // 3. cross-batch probe within the touched buckets
@@ -143,7 +217,7 @@ object StreamingSemanticDedup {
 
       // 4. single append, bucket-partitioned; localCheckpoint pins the
       // pre-append snapshot (the plan reads acceptedPath it appends to)
-      val out = survivors.localCheckpoint(true)
+      val out = survivors.withColumn("_epoch", lit(epoch)).localCheckpoint(true)
       try {
         if (!out.isEmpty)
           out.write.mode("append").partitionBy("cid").parquet(acceptedPath)
