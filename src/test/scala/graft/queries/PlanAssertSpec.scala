@@ -274,6 +274,21 @@ class PlanAssertSpec extends SparkSpec {
     assert(bnlj.size <= 2, s"unexpected nested-loop join:\n${nodes.head}")
   }
 
+  test("round-5 curation queries: bounded shuffles, no cartesian, postings never pair") {
+    for (n <- Seq("q104_substring_spans", "q105_unigram_logprob",
+        "q106_prototype_prune", "q107_cms_heavy_hitters")) {
+      val nodes = finalNodes(Registry.byName(n).run(spark, sf()))
+      val cart = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(cart.isEmpty, s"$n runs a cartesian product:\n${nodes.head}")
+      val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      // postings/count joins + final sort: anything beyond 5 exchanges
+      // means a pair join or a lost partial-agg crept in
+      assert(shuffles.size <= 5, s"$n has ${shuffles.size} shuffles:\n${nodes.head}")
+    }
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
