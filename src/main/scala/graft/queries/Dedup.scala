@@ -313,6 +313,50 @@ object Dedup {
                CAST(sz.csize AS BIGINT) AS csize
         FROM q JOIN canon ON q.rep = canon.rep JOIN sz ON q.rep = sz.rep
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Leakage-safe train/val split: hash-splitting DOCUMENTS leaks —
+    // two near-duplicate copies of one page routinely land on opposite
+    // sides and the eval set scores memorization. The unit of
+    // assignment must be the near-dup CLUSTER: every member inherits
+    // its component representative's split bucket, so no ≥0.8-Jaccard
+    // pair ever straddles the boundary. Composition of q77's
+    // connected components with q67's deterministic md5 split —
+    // singletons (most of the corpus) pass through keyed by their own
+    // id.
+    GraftQuery(
+      "q109_leakage_safe_split",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pairs = graft.operators.MinHashLsh.nearDupPairs(d, "doc_id", "text", 0.8)
+        val asg = graft.operators.DedupClusters.assignments(pairs, "a_id", "b_id")
+          .select(col("doc_id"), col("rep_id"))
+        d.select(col("doc_id"))
+          .join(asg, Seq("doc_id"), "left")
+          .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+          .withColumn("split",
+            when(TextFns.md5hash60(
+              concat(lit("split:"), col("rep_id").cast("string"))) % 10L < 9L,
+              "train").otherwise("val"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        p AS ($jaccardOracleSql),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL SELECT b_id, a_id FROM p),
+        n AS (SELECT DISTINCT src AS id FROM e),
+        r AS (
+          SELECT id, id AS label FROM n
+          UNION
+          SELECT e.dst AS id, r.label FROM r JOIN e ON e.src = r.id),
+        c AS (SELECT id, MIN(label) AS rep FROM r GROUP BY id),
+        m AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN c ON c.id = d.doc_id)
+        SELECT doc_id, rep_id,
+               CASE WHEN ('0x' || substr(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9
+                    THEN 'train' ELSE 'val' END AS split
+        FROM m ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

@@ -179,6 +179,48 @@ object Sampling {
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rank,
                doc_id, source, weight, priority
         FROM top ORDER BY rank
+      """.stripMargin.trim)),
+
+    // TOKEN-budget mixture — the unit real data mixtures are specified
+    // in ("sample w_s billion tokens from source s"), vs q82's per-ROW
+    // mixture rates: per source, the Bernoulli keep-rate is the exact
+    // integer ppm that scales its token mass down to the budget
+    // (capped at 1e6 — a source under budget is taken whole), applied
+    // via the deterministic per-doc hash. One tiny totals aggregate
+    // broadcast into a map-only filter; E[kept tokens] = budget.
+    GraftQuery(
+      "q108_token_budget_mixture",
+      (s, dir) => {
+        val budgets = Seq(("src0", 12000L), ("src1", 8000L), ("src2", 5000L))
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+        val totals = d.groupBy(col("source")).agg(sum(col("n_tok")).as("total_tok"))
+        val bdf = s.createDataFrame(budgets).toDF("source", "budget_tok")
+        val rates = totals.join(bdf, "source")
+          .select(col("source"),
+            least(lit(1000000L), expr("(budget_tok * 1000000) div total_tok"))
+              .as("rate_ppm"))
+        d.join(broadcast(rates), "source")
+          .filter(TextFns.md5hash60(
+            concat(lit("mix:"), col("doc_id").cast("string"))) % 1000000L
+            < col("rate_ppm"))
+          .select(col("doc_id"), col("source"), col("n_tok"), col("rate_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM documents),
+        t AS (SELECT source, SUM(n_tok) AS total_tok FROM d GROUP BY source),
+        b AS (SELECT * FROM (VALUES ('src0', 12000), ('src1', 8000), ('src2', 5000)) v(source, budget_tok)),
+        r AS (SELECT t.source,
+                     CAST(LEAST(1000000, (CAST(b.budget_tok AS BIGINT) * 1000000) // t.total_tok) AS BIGINT) AS rate_ppm
+              FROM t JOIN b USING (source))
+        SELECT d.doc_id, d.source, d.n_tok, r.rate_ppm
+        FROM d JOIN r USING (source)
+        WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm
+        ORDER BY d.doc_id
       """.stripMargin.trim))
   )
 }
