@@ -314,4 +314,14 @@ final case class GraftEngine(spark: SparkSession) {
       threshold: Double = 0.9): Unit =
     graft.streaming.StreamingSemanticDedup.mergeCdcBatch(batch, idCol,
       embCol, acceptedPath, epoch, threshold)
+
+  /** PCA-whiten an embedding column: fit mean/covariance in one
+    * distributed pass, keep the top `k` unit-variance components,
+    * return (idCol, white) (see [[graft.operators.Whitening]]).
+    */
+  def whitenEmbeddings(embeddings: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val model = graft.operators.Whitening.fit(embeddings, embCol, k)
+    graft.operators.Whitening.transform(embeddings, idCol, embCol, model)
+  }
 }
