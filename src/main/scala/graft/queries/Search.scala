@@ -720,6 +720,88 @@ object Search {
         ORDER BY agg, n DESC, k1, k2
       """.stripMargin.trim)),
 
+    // adjacency_matrix aggregation: named filters and the document
+    // counts of every pairwise intersection (the OpenSearch agg that
+    // powers co-occurrence heatmaps). One conditional-aggregate pass —
+    // filters evaluate per row, every cell is a SUM(CASE) — no joins,
+    // no explode, one partial-agg shuffle of a single row.
+    GraftQuery(
+      "q110_search_adjacency_matrix",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val fs = Seq(
+          "en" -> (col("lang") === "en"),
+          "long" -> (col("n_chars") >= 300),
+          "the" -> col("text").startsWith("the "))
+        val cells = for {
+          (an, ac) <- fs; (bn, bc) <- fs
+          if an <= bn
+        } yield sum(when(ac && bc, 1L).otherwise(0L))
+          .as(if (an == bn) an else s"$an&$bn")
+        d.agg(cells.head, cells.tail: _*).withColumn("row_id", lit(1L))
+      },
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS row_id,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS "en",
+               CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS "en&long",
+               CAST(SUM(CASE WHEN lang = 'en' AND text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT) AS "en&the",
+               CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS "long",
+               CAST(SUM(CASE WHEN n_chars >= 300 AND text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT) AS "long&the",
+               CAST(SUM(CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT) AS "the"
+        FROM documents
+      """.stripMargin.trim)),
+
+    // matrix_stats aggregation: count/mean/variance/covariance/
+    // correlation between two numeric fields (chars vs tokens). Every
+    // moment derives from EXACT integer sums (Σx, Σy, Σx², Σy², Σxy
+    // over BIGINT inputs — order-free), so the float division/sqrt at
+    // the end is deterministic in any engine; round(·,6) absorbs the
+    // final-op ulp. One partial-agg shuffle of one row.
+    GraftQuery(
+      "q111_search_matrix_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("x"),
+            size(split(col("text"), " ")).cast("long").as("y"))
+        val m = d.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val n = col("n").cast("double")
+        val varX = (col("sxx") - col("sx") * col("sx") / n) / n
+        val varY = (col("syy") - col("sy") * col("sy") / n) / n
+        val covXY = (col("sxy") - col("sx") * col("sy") / n) / n
+        m.select(col("n"),
+          round(col("sx") / n, 6).as("mean_x"),
+          round(col("sy") / n, 6).as("mean_y"),
+          round(varX, 6).as("var_x"),
+          round(varY, 6).as("var_y"),
+          round(covXY, 6).as("cov_xy"),
+          round(covXY / (sqrt(varX) * sqrt(varY)), 6).as("corr_xy"))
+      },
+      Some("""
+        WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+                   FROM documents),
+        m AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM d)
+        SELECT n,
+               round(sx / CAST(n AS DOUBLE), 6) AS mean_x,
+               round(sy / CAST(n AS DOUBLE), 6) AS mean_y,
+               round((sxx - sx * sx / CAST(n AS DOUBLE)) / n, 6) AS var_x,
+               round((syy - sy * sy / CAST(n AS DOUBLE)) / n, 6) AS var_y,
+               round((sxy - sx * sy / CAST(n AS DOUBLE)) / n, 6) AS cov_xy,
+               round(((sxy - sx * sy / CAST(n AS DOUBLE)) / n)
+                 / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / n)
+                  * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / n)), 6) AS corr_xy
+        FROM m
+      """.stripMargin.trim)),
+
     // BM25 served from the MATERIALIZED inverted index (etl.SearchIndex)
     // instead of q44's per-query corpus scan — the OpenSearch-sink
     // artifact (postings + doc lengths + corpus stats, incrementally
