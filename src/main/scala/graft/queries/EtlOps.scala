@@ -241,6 +241,51 @@ object EtlOps {
           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         SELECT doc_id, status FROM j WHERE status IS NOT NULL
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Ordered event funnel — view → click → purchase, strictly later
+    // timestamps per user at each stage: the sequential-pattern query
+    // every product-analytics stack runs. Each stage is one filtered
+    // min-ts aggregate joined to the previous stage's per-user
+    // completion time (co-partitioned key shuffles, never a window
+    // over the raw event stream); only per-stage user counts survive.
+    GraftQuery(
+      "q112_event_funnel",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+          .unionByName(s2.agg(count(lit(1)).as("n_users"))
+            .withColumn("stage", lit("2_click")))
+          .unionByName(s3.agg(count(lit(1)).as("n_users"))
+            .withColumn("stage", lit("3_purchase")))
+          .select(col("stage"), col("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+               FROM events e JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+               FROM events e JOIN s2 ON s2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+               GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM s1
+          UNION ALL SELECT '2_click', COUNT(*) FROM s2
+          UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+        ORDER BY stage
       """.stripMargin.trim))
   )
 }
