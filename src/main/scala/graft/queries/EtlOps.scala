@@ -286,6 +286,44 @@ object EtlOps {
           UNION ALL SELECT '2_click', COUNT(*) FROM s2
           UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
         ORDER BY stage
+      """.stripMargin.trim)),
+
+    // Cohort retention — users grouped by signup week, activity
+    // tracked per week offset: the second canonical product-analytics
+    // query. Two aggregates (first-signup week per user, distinct
+    // active weeks per user) and one key join; the retention triangle
+    // is a grouped count, never a per-user window.
+    GraftQuery(
+      "q113_cohort_retention",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val cohort = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+        val activity = e
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        activity.join(cohort, "user_id")
+          .filter(col("week") >= col("cohort_week"))
+          .withColumn("week_offset",
+            expr("datediff(week, cohort_week) div 7").cast("long"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count_distinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""
+        WITH cohort AS (
+          SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        activity AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        SELECT c.cohort_week,
+               CAST((CAST(a.week AS DATE) - CAST(c.cohort_week AS DATE)) // 7 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        WHERE a.week >= c.cohort_week
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset
       """.stripMargin.trim))
   )
 }
