@@ -114,6 +114,36 @@ object Relational {
         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
       """.stripMargin.trim)),
 
+    // Explicit GROUPING SETS — the general form rollup/cube are sugar
+    // for (here: per (lang,source), per lang, and grand total, but NOT
+    // per source — a set cube would force). Also exercises the SQL
+    // text entry path: the identical ANSI text runs through spark.sql
+    // over registered views and through the DuckDB oracle. One
+    // expand+aggregate, same single-shuffle plan as q3/q4.
+    GraftQuery(
+      "q114_agg_grouping_sets",
+      (s, dir) => {
+        graft.sources.Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+                 CAST(GROUPING(source) AS BIGINT) AS g_source
+          FROM documents
+          GROUP BY GROUPING SETS ((lang, source), (lang), ())
+          ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+               CAST(GROUPING(source) AS BIGINT) AS g_source
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+      """.stripMargin.trim)),
+
     // ---------------------------------------------------------------- A5
     GraftQuery(
       "q4_agg_cube",

@@ -720,6 +720,28 @@ object Search {
         ORDER BY agg, n DESC, k1, k2
       """.stripMargin.trim)),
 
+    // completion suggester: prefix → top-k suggestions ranked by
+    // corpus frequency (the search-box autocomplete the reference's
+    // OpenSearch indices serve). Map-side explode+filter, one
+    // partial-agg shuffle of only prefix-matching tokens, TakeOrdered
+    // top-k — the term-frequency index a real deployment would
+    // materialize is exactly etl.SearchIndex's postings.
+    GraftQuery(
+      "q115_search_suggest",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(explode(split(col("text"), " ")).as("t"))
+          .filter(col("t").startsWith("c") && length(col("t")) >= 3)
+          .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("t")).limit(10)
+      },
+      Some("""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        SELECT t, COUNT(*) AS freq FROM t
+        WHERE t LIKE 'c%' AND len(t) >= 3
+        GROUP BY t ORDER BY freq DESC, t LIMIT 10
+      """.stripMargin.trim)),
+
     // adjacency_matrix aggregation: named filters and the document
     // counts of every pairwise intersection (the OpenSearch agg that
     // powers co-occurrence heatmaps). One conditional-aggregate pass —
