@@ -55,11 +55,40 @@ object SearchIndex {
       .agg(count(lit(1)).as("tf"))
       .withColumn("tbucket", tbucket(nb))
 
+  /** One index per (JVM, corpus key). Queries that serve from the
+    * index (q103) used to build a fresh temp index per invocation —
+    * correct, but each gate/bench call leaked a directory under /tmp
+    * and re-paid the build. The cache bounds that to one directory per
+    * dataset path, removed on JVM exit.
+    */
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def cachedIndex(cacheKey: String, idCol: String, textCol: String,
+      buckets: Int = 64)(docs: => DataFrame): String =
+    corpusCache.computeIfAbsent(cacheKey, { _ =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+      build(docs, idCol, textCol, idx.toString, buckets)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(idx)) {
+          val all = Files.walk(idx).iterator().asScala.toSeq.reverse
+          all.foreach(p => Files.deleteIfExists(p): Unit)
+        }
+      }))
+      idx.toString
+    })
+
   /** Full build: tokenize the corpus once into the three tables. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
+    // meta is write-once for MERGES; a full rebuild legitimately
+    // changes the layout, so drop the old sidecar before writeStats
+    // re-creates it with this build's bucket count
+    fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(metaPath(dir)), false)
     val tok = tokenized(docs, idCol, textCol).persist()
     try {
       postingsOf(tok, buckets)
@@ -71,12 +100,79 @@ object SearchIndex {
     } finally tok.unpersist()
   }
 
-  private def writeStats(spark: SparkSession, dir: String, nb: Int): Unit =
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hasParquetData(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = fsOf(spark, p)
+    fs.exists(hp) && fs.listStatus(hp).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Write-once sidecar holding `buckets` — the one layout parameter
+    * everything else derives from. `stats/` is REWRITTEN every merge
+    * (a crash mid-rewrite may lose it), so the bucket count must live
+    * somewhere immortal or a half-committed epoch would brick the
+    * index: with the meta file, [[recoverStatsIfMissing]] can always
+    * rebuild `stats/` from `docs/`.
+    */
+  private def metaPath(dir: String) = s"$dir/_meta_buckets"
+
+  private def writeMetaOnce(spark: SparkSession, dir: String, nb: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(dir))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Bucket count: the write-once meta file, falling back to the stats
+    * row for indexes built before the meta file existed.
+    */
+  private def readBuckets(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(dir))
+    val fs = fsOf(spark, dir)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else spark.read.parquet(s"$dir/stats")
+      .select(col("buckets")).head().getInt(0)
+  }
+
+  /** Replay repair: `stats/` is recomputable state (two longs over
+    * `docs/`), so if a crash between its delete and rename lost it,
+    * rebuild it instead of failing every later merge and query.
+    */
+  private def recoverStatsIfMissing(spark: SparkSession, dir: String): Unit =
+    if (!hasParquetData(spark, s"$dir/stats"))
+      writeStats(spark, dir, readBuckets(spark, dir))
+
+  /** Stats rewrite with a crash-survivable protocol: write the new row
+    * to a temp dir, delete the old `stats/`, rename temp into place.
+    * The only loss window (between delete and rename) leaves `stats/`
+    * absent — which [[recoverStatsIfMissing]] repairs on the next
+    * merge or query, because `buckets` survives in the meta file and
+    * the row itself is a pure function of `docs/`.
+    */
+  private def writeStats(spark: SparkSession, dir: String, nb: Int): Unit = {
+    writeMetaOnce(spark, dir, nb)
+    val tmp = s"$dir/_stats_inprogress"
     spark.read.parquet(s"$dir/docs")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("buckets", lit(nb))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(tmp)
+    val fs = fsOf(spark, dir)
+    val statsP = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    if (fs.exists(statsP)) fs.delete(statsP, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), statsP): Unit
+  }
 
   /** Incremental refresh from a CDC batch — one row per key
     * (feed through [[CdcMerge.latestPerKey]] first if needed),
@@ -88,8 +184,8 @@ object SearchIndex {
     */
   def mergeCdcBatch(spark: SparkSession, dir: String, batch: DataFrame,
       idCol: String, textCol: String, actionCol: String = "_action"): Unit = {
-    val nb = spark.read.parquet(s"$dir/stats")
-      .select(col("buckets")).head().getInt(0)
+    recoverStatsIfMissing(spark, dir)
+    val nb = readBuckets(spark, dir)
     val ids = batch.select(col(idCol).cast("long").as("doc_id"))
 
     val newPost = postingsOf(
@@ -175,8 +271,8 @@ object SearchIndex {
   def bm25(spark: SparkSession, dir: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val statsRow = spark.read.parquet(s"$dir/stats").head()
-    val nb = statsRow.getAs[Int]("buckets")
+    recoverStatsIfMissing(spark, dir)
+    val nb = readBuckets(spark, dir)
     // route terms to buckets with the ENGINE's own hash expression, so
     // build- and serve-side bucketing can never drift
     val termBuckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")

@@ -182,20 +182,28 @@ object KnnJoin {
       .toDF("grp", "id", "neighbor_id", "sim")
 
     // stage 3: global top-k per row over ≤ B·k local winners; each
-    // (id, neighbor) pair exists exactly once, so no dedup is needed
-    val w = Window.partitionBy(col("id"))
+    // (id, neighbor) pair exists exactly once, so no dedup is needed.
+    // The window keys on (grp, id), NOT id alone: the contract allows
+    // the same id to appear in two groups, and an id-only partition
+    // would silently merge those rows' candidate pools
+    val w = Window.partitionBy(col("grp"), col("id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     val ranked = candidates
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("grp"), col("id"), col("rank"), col("neighbor_id"), col("sim"))
     if (integralGroup) ranked
-    else ranked.drop("grp")
-      // restore the caller's group values (the kernel only saw hashes):
-      // an n·k ⋈ n equi-join on the unique id — one extra hash shuffle,
-      // minor next to the B× block replication
-      .join(e.select(col(idCol).cast("long").as("id"),
-        col(groupCol).as("grp")), Seq("id"))
-      .select(col("grp"), col("id"), col("rank"), col("neighbor_id"), col("sim"))
+    else
+      // restore the caller's group values (the kernel only saw hashes)
+      // by joining back on (group hash, id) — id alone would
+      // cross-label an id living in two groups. n·k ⋈ n equi-join, one
+      // extra hash shuffle, minor next to the B× block replication
+      ranked.join(
+        e.select(xxhash64(col(groupCol)).as("grp"),
+            col(idCol).cast("long").as("id"), col(groupCol).as("_gval"))
+          .dropDuplicates("grp", "id"),
+        Seq("grp", "id"))
+        .select(col("_gval").as("grp"), col("id"), col("rank"),
+          col("neighbor_id"), col("sim"))
   }
 }

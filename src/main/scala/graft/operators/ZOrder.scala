@@ -39,40 +39,61 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** The z-value column for `cols`, bucketing each column linearly
-    * between the supplied (min, max) bounds.
+  /** The column's monotone numeric image. `cast(date AS double)` is
+    * NULL in Spark (it would silently bucket every row to 0 — no
+    * clustering at all), so dates go through their day number and
+    * timestamps through epoch seconds; plain numerics cast directly.
     */
-  private def zValue(cols: Seq[String], bounds: Map[String, (Double, Double)],
+  private def numericized(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType | TimestampNTZType => col(c).cast("double")
+      case _ => col(c).cast("double")
+    }
+  }
+
+  /** The z-value column for `cols`, bucketing each numericized column
+    * linearly between the supplied (min, max) bounds.
+    */
+  private def zValue(numCols: Seq[(Column, (Double, Double))],
       bits: Int): Column = {
-    val bitsPer = bits / cols.length
+    val bitsPer = bits / numCols.length
     val nb = (1L << bitsPer) - 1
-    val buckets = cols.map { c =>
-      val (mn, mx) = bounds(c)
+    val buckets = numCols.map { case (nc, (mn, mx)) =>
       val span = if (mx > mn) mx - mn else 1.0
       least(greatest(
-        floor((col(c).cast("double") - lit(mn)) / lit(span) * nb).cast("long"),
+        floor((nc - lit(mn)) / lit(span) * nb).cast("long"),
         lit(0L)), lit(nb))
     }
     interleave(buckets, bitsPer)
   }
 
   /** Write `df` at `path` clustered along the z-curve of `cols`
-    * (numeric/date-castable). `files` bounds the layout's file count —
-    * at 100 TB set it so files land near the row-group/HDFS-block
-    * sweet spot; pruning granularity is the row group either way.
+    * (numeric, date, or timestamp). `files` bounds the layout's file
+    * count — at 100 TB set it so files land near the row-group/HDFS-
+    * block sweet spot; pruning granularity is the row group either
+    * way. Fails loud (not NPE, not a silent no-op layout) when a
+    * z-column has no non-null values to bound.
     */
   def write(df: DataFrame, cols: Seq[String], path: String,
       files: Int = 16, bits: Int = 32): Unit = {
     require(cols.nonEmpty && bits / cols.length >= 1,
       s"need >= 1 bit per column: ${cols.length} cols, $bits bits")
+    val numd = cols.map(c => c -> numericized(df, c)).toMap
     val b = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_mn_$c"),
-        max(col(c).cast("double")).as(s"_mx_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_mn_$c"),
-        max(col(c).cast("double")).as(s"_mx_$c"))).tail: _*).head()
-    val bounds = cols.map(c => c ->
-      (b.getAs[Double](s"_mn_$c"), b.getAs[Double](s"_mx_$c"))).toMap
-    df.withColumn("_z", zValue(cols, bounds, bits))
+      cols.flatMap(c => Seq(min(numd(c)).as(s"_mn_$c"),
+        max(numd(c)).as(s"_mx_$c"))).head,
+      cols.flatMap(c => Seq(min(numd(c)).as(s"_mn_$c"),
+        max(numd(c)).as(s"_mx_$c"))).tail: _*).head()
+    cols.foreach { c =>
+      require(!b.isNullAt(b.fieldIndex(s"_mn_$c")),
+        s"ZOrder.write: z-column '$c' has no non-null values " +
+          "(empty input, or the column is entirely null) — no z-bounds exist")
+    }
+    val bounds = cols.map(c =>
+      numd(c) -> (b.getAs[Double](s"_mn_$c"), b.getAs[Double](s"_mx_$c")))
+    df.withColumn("_z", zValue(bounds, bits))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -43,6 +43,24 @@ object IndexCompaction {
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** True iff `path` exists AND holds at least one non-hidden entry —
+    * a part file, or a `k=v` partition directory. A bare
+    * `exists(path)` is the wrong guard for the dedup stores: the first
+    * CDC batch on a fresh store writes `_tombstones` BEFORE any data,
+    * creating the directory, and a subsequent `spark.read.parquet`
+    * over the data-less root throws "Unable to infer schema". Hidden
+    * entries (`_tombstones`, `_SUCCESS`, `.crc`) never count as data.
+    */
+  private[streaming] def hasDataFiles(spark: SparkSession,
+      path: String): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Compact `path`'s root and its one-level `k=v` partition leaves.
     * Directories holding ≤ `maxFiles` part files are left untouched
     * (listing-only cost). `rewrite` runs over each compacted leaf's

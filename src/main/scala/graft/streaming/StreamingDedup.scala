@@ -168,7 +168,7 @@ object StreamingDedup {
     // bsize per (band, bucket) — restoring the probe-side hot-bucket
     // cap for incrementally-appended rows, whose write-time bsize is 1
     val liveIds =
-      if (!exists(spark, acceptedPath)) None
+      if (!IndexCompaction.hasDataFiles(spark, acceptedPath)) None
       else Some(liveAccepted(spark, acceptedPath, idCol)
         .select(col(idCol).as("doc_id")).distinct())
     val i = IndexCompaction.compact(spark, indexPath, maxFiles) { df =>
@@ -201,9 +201,12 @@ object StreamingDedup {
     // 2a. replay guard: ids already LIVE-accepted never re-enter
     // (checked against acceptedPath, not the index — the two appends
     // in step 3 are not atomic and accepted is written first). A
-    // tombstoned id CAN re-enter — that is the upsert path.
+    // tombstoned id CAN re-enter — that is the upsert path. Gate on
+    // DATA files, not directory existence: a fresh store whose first
+    // CDC batch just wrote _tombstones has the directory but nothing
+    // liveAccepted could read.
     val fresh =
-      if (!exists(spark, acceptedPath)) intra
+      if (!IndexCompaction.hasDataFiles(spark, acceptedPath)) intra
       else intra.join(
         liveAccepted(spark, acceptedPath, idCol).select(col(idCol)),
         Seq(idCol), "left_anti")
@@ -212,7 +215,7 @@ object StreamingDedup {
     // index: stale index rows of dead docs still generate candidates,
     // but probeNew's corpus semi-join drops them before verification
     val survivors =
-      if (!exists(spark, indexPath)) fresh
+      if (!IndexCompaction.hasDataFiles(spark, indexPath)) fresh
       else {
         val accepted = liveAccepted(spark, acceptedPath, idCol)
         val hits = MinHashLsh.probeNew(fresh, accepted, indexPath,

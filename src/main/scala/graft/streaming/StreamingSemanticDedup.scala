@@ -177,9 +177,11 @@ object StreamingSemanticDedup {
         .select(col("vec_id").as(idCol), col("cid")),
       Seq(idCol))
 
-    // scheme-aware existence check (java.nio would see hdfs://.. as
-    // always-absent and silently skip the guard + probe)
-    val exists = hadoopExists(spark, acceptedPath)
+    // scheme-aware DATA check (java.nio would see hdfs://.. as
+    // always-absent and silently skip the guard + probe; a bare
+    // exists() would see a fresh store whose first CDC batch just
+    // wrote _tombstones as readable and crash on schema inference)
+    val exists = IndexCompaction.hasDataFiles(spark, acceptedPath)
 
     // localCheckpoint: the probe evaluates this plan three times (cid
     // collect, hits join, anti-join) — without it each evaluation

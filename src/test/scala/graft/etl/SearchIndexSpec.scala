@@ -123,4 +123,35 @@ class SearchIndexSpec extends SparkSpec {
       === direct(finalCorpus))
     docs.unpersist()
   }
+
+  test("a crash that loses stats/ is self-repaired: serve and merge recover from the meta file") {
+    val docs = Tables.load(spark, sf(), "documents").persist()
+    val base = docs.filter(col("doc_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("bm25crash").toString
+    SearchIndex.build(base, "doc_id", "text", dir)
+    val before = SearchIndex.bm25(spark, dir, terms)
+      .as[(Long, Double)].collect().toSeq
+
+    // simulate the worst writeStats crash window: stats/ deleted, new
+    // row never renamed into place — buckets must survive via _meta
+    def nukeStats(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    nukeStats()
+    assert(SearchIndex.bm25(spark, dir, terms)
+      .as[(Long, Double)].collect().toSeq === before,
+      "serving after a stats-losing crash must recompute stats, not fail")
+
+    nukeStats()
+    val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .select(col("doc_id"), col("text"), lit("upsert").as("_action"))
+    SearchIndex.mergeCdcBatch(spark, dir, batch, "doc_id", "text")
+    val merged = docs.filter(col("doc_id") < 320)
+    assert(SearchIndex.bm25(spark, dir, terms).as[(Long, Double)].collect().toSeq
+      === direct(merged),
+      "merge after a stats-losing crash must recover and stay correct")
+    docs.unpersist()
+  }
 }

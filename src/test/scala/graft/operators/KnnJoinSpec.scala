@@ -93,4 +93,33 @@ class KnnJoinSpec extends SparkSpec {
     assert(sortedRows(got) === sortedRows(
       KnnJoin.withinGroups(embeddings(20, 2), "vec_id", "embedding", "label", k = 3)))
   }
+
+  test("the same id in two groups keeps separate pools and correct group labels") {
+    // ids 0..9 appear in BOTH groups with different vectors; an id-only
+    // window or restore join would merge their candidate pools or
+    // cross-label them
+    def v(seed: Int) = Array.tabulate(8)(d => ((seed * 31 + d * 7) % 13 - 6).toFloat / 6f)
+    val rows =
+      (0 until 10).map(i => (i.toLong, "en", v(i))) ++
+      (0 until 10).map(i => (i.toLong, "fr", v(i + 100)))
+    val e = rows.toDF("vec_id", "lang", "embedding")
+    val got = KnnJoin.withinGroups(e, "vec_id", "embedding", "lang", k = 3)
+
+    // per (group, id): exactly k neighbors, ranks 1..k, neighbors from
+    // the SAME group's id set and never itself
+    val byGroup = got.collect().groupBy(r => (r.getString(0), r.getLong(1)))
+    assert(byGroup.keySet === (0 until 10).flatMap(i =>
+      Seq(("en", i.toLong), ("fr", i.toLong))).toSet)
+    byGroup.foreach { case ((g, id), rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq === Seq(1L, 2L, 3L),
+        s"($g,$id) must have ranks 1..3")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != id))
+    }
+    // and each group's result equals running that group alone
+    for (g <- Seq("en", "fr")) {
+      val alone = KnnJoin.withinGroups(
+        e.filter(col("lang") === g), "vec_id", "embedding", "lang", k = 3)
+      assert(sortedRows(got.filter(col("grp") === g)) === sortedRows(alone))
+    }
+  }
 }

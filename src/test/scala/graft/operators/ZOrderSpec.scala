@@ -68,4 +68,44 @@ class ZOrderSpec extends SparkSpec {
       s"z-order should materialize <1/2 of the single-sort layout's rows " +
         s"(z=$zRows vs x=$xRows, exact=$exact)")
   }
+
+  test("empty or all-null z-columns fail loud; date columns cluster by day number") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
+
+    val empty = spark.range(0).select(col("id").as("x"), col("id").as("y"))
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrder.write(empty, Seq("x", "y"), s"$dir/e1")
+    }
+    assert(e1.getMessage.contains("no non-null values"))
+
+    val allNull = spark.range(100).select(col("id").as("x"),
+      lit(null).cast("long").as("y"))
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.write(allNull, Seq("x", "y"), s"$dir/e2")
+    }
+    assert(e2.getMessage.contains("'y'"))
+
+    // dates: cast-to-double is NULL in Spark, so the layout must route
+    // through day numbers — verify real clustering happens (a date
+    // range predicate prunes) instead of every row landing in bucket 0
+    val n = 100000
+    val dated = spark.range(n).select(
+      col("id"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+        (col("id") * 48271 % 1461).cast("int")).as("d"),
+      (col("id") * 16807 % 65497).as("y"))
+    spark.conf.set("parquet.block.size", (64 * 1024).toString)
+    try ZOrder.write(dated, Seq("d", "y"), s"$dir/z", files = 16)
+    finally spark.conf.unset("parquet.block.size")
+    val zDf = spark.read.parquet(s"$dir/z")
+    assert(zDf.count() === n.toLong)
+    val q = zDf.filter(col("d").between("2020-02-01", "2020-03-01") &&
+      col("y").between(1000, 3000))
+    val exact = dated.filter(col("d").between("2020-02-01", "2020-03-01") &&
+      col("y").between(1000, 3000)).count()
+    assert(q.count() === exact)
+    val zRows = scanRows(q)
+    assert(zRows < n / 2,
+      s"date z-clustering should prune most row groups (scanned $zRows of $n)")
+  }
 }

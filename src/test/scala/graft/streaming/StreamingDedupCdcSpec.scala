@@ -80,4 +80,29 @@ class StreamingDedupCdcSpec extends SparkSpec {
     pb(8L, 14L -> near(textC))
     assert(live(accepted).keySet === Set(2L, 11L, 12L))
   }
+
+  test("first-ever batch may be a CDC batch: fresh store, tombstones land before any data") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupcdcfresh").toString
+    val accepted = s"$dir/accepted"; val index = s"$dir/index"
+
+    // the tombstone append creates acceptedPath BEFORE any data file
+    // exists — processBatch must not try to read a data-less store
+    StreamingDedup.mergeCdcBatch(
+      Seq((1L, textA, "upsert"), (2L, textB, "upsert"),
+          (3L, null: String, "delete")).toDF("doc_id", "text", "_action"),
+      "doc_id", "text", accepted, index, epoch = 1L)
+    assert(live(accepted).keySet === Set(1L, 2L))
+
+    // a fresh store whose FIRST batch is deletes-only holds tombstones
+    // and still no data; the next upsert epoch must work too
+    val dir2 = java.nio.file.Files.createTempDirectory("dedupcdcfresh2").toString
+    val accepted2 = s"$dir2/accepted"; val index2 = s"$dir2/index"
+    StreamingDedup.mergeCdcBatch(
+      Seq((9L, null: String, "delete")).toDF("doc_id", "text", "_action"),
+      "doc_id", "text", accepted2, index2, epoch = 1L)
+    StreamingDedup.mergeCdcBatch(
+      Seq((9L, textC, "upsert")).toDF("doc_id", "text", "_action"),
+      "doc_id", "text", accepted2, index2, epoch = 2L)
+    assert(live(accepted2) === Map(9L -> textC))
+  }
 }

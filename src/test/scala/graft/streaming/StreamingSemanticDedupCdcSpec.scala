@@ -75,4 +75,29 @@ class StreamingSemanticDedupCdcSpec extends SparkSpec {
     pb(8L, 14L -> near(vC))
     assert(live(accepted) === Set(2L, 11L, 13L))
   }
+
+  test("first-ever batch may be a CDC batch: fresh store, tombstones land before any data") {
+    val dir = java.nio.file.Files.createTempDirectory("semcdcfresh").toString
+    val accepted = s"$dir/accepted"
+
+    // tombstone append creates acceptedPath before any data partition
+    // exists — the probe must treat the store as empty, not unreadable
+    StreamingSemanticDedup.mergeCdcBatch(
+      Seq((1L, vec(1), "upsert"), (2L, vec(5), "upsert"),
+          (3L, null: Array[Float], "delete"))
+        .toDF("vec_id", "embedding", "_action"),
+      "vec_id", "embedding", accepted, epoch = 1L)
+    assert(live(accepted) === Set(1L, 2L))
+
+    // deletes-only first batch, then an upsert of the same id
+    val dir2 = java.nio.file.Files.createTempDirectory("semcdcfresh2").toString
+    val accepted2 = s"$dir2/accepted"
+    StreamingSemanticDedup.mergeCdcBatch(
+      Seq((9L, null: Array[Float], "delete")).toDF("vec_id", "embedding", "_action"),
+      "vec_id", "embedding", accepted2, epoch = 1L)
+    StreamingSemanticDedup.mergeCdcBatch(
+      Seq((9L, vec(2), "upsert")).toDF("vec_id", "embedding", "_action"),
+      "vec_id", "embedding", accepted2, epoch = 2L)
+    assert(live(accepted2) === Set(9L))
+  }
 }
