@@ -277,6 +277,26 @@ final case class GraftEngine(spark: SparkSession) {
       b: Double = 0.75, topK: Int = 20): DataFrame =
     graft.etl.SearchIndex.bm25(spark, dir, terms, k1, b, topK)
 
+  /** CONTINUOUSLY maintain the BM25 index from a CDC stream of
+    * (id, text, `_action`[, `_seq`]) rows — the reference's actual
+    * program: a stream keeping a search index current, forever (see
+    * [[graft.streaming.StreamingSearchIndex.startText]]).
+    */
+  def searchIndexStream(cdc: DataFrame, idCol: String, textCol: String,
+      dir: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingSearchIndex.startText(cdc, idCol, textCol,
+      dir, checkpoint)
+
+  /** CONTINUOUSLY maintain a persisted IVF vector index from a CDC
+    * stream of (id, embedding, `_action`[, `_seq`]) rows (see
+    * [[graft.streaming.StreamingSearchIndex.startVectors]]).
+    */
+  def ivfIndexStream(cdc: DataFrame, idCol: String, embCol: String,
+      dir: String, checkpoint: String,
+      p: IvfIndex.Params = IvfIndex.Params()): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamingSearchIndex.startVectors(cdc, idCol, embCol,
+      dir, checkpoint, p = p)
+
   /** Measured band width for [[rangeBandJoin]] /
     * `spark.graft.rangeJoin.bandWidth`: the sampled median interval
     * span (see [[graft.operators.RangeBandJoin.suggestWidth]]).
