@@ -3,11 +3,13 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main (driver contract): runs the headline query suite on
-  * `SPARK_GRAFT_SF_DIR` at `local[N]` and prints exactly one JSON line
-  * `{"metric":…, "value":…, "unit":"sec", "queries":{name:sec,…}, "sf":…}`.
-  * The same line is also written to `SPARK_GRAFT_BENCH_OUT` (default
-  * `bench_last.json` in the working directory) so the result survives
-  * log-scraping fragility.
+  * `SPARK_GRAFT_SF_DIR` at `local[N]` and prints exactly one COMPACT
+  * JSON line `{"metric":…, "value":…, "unit":"sec", "queries":{name:
+  * sec,…}, "min":{…}, "sf":…}` as the FINAL stdout line. The full
+  * record (plus per-pass `samples` and `spread`) is written to
+  * `SPARK_GRAFT_BENCH_OUT` (default `bench_last.json` in the working
+  * directory) — stdout stays small because the driver captures only a
+  * bounded tail of it.
   *
   * Timing protocol: one untimed warm-up pass of the whole suite (JIT +
   * codegen + parquet footer caches), then `SPARK_GRAFT_BENCH_PASSES`
@@ -88,13 +90,23 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
-    val line =
+    // full record (per-pass samples + spread) goes to the file; stdout
+    // gets a COMPACT line (medians + mins only). Round 5 proved the
+    // driver captures a bounded tail of stdout: the samples blob pushed
+    // the line's opening brace out of the capture window and the parse
+    // came back null. The compact line fits any reasonable tail; the
+    // samples stay available in the committed bench_last.json.
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":${jmap(results)},"min":${jmap(mins)},"spread":${jmap(spreads)},"samples":${jmapArr(perPass)},"sf":"$sfDir"}"""
-    println(line)
-    try Files.writeString(Paths.get(outPath), line + "\n")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":${jmap(results)},"min":${jmap(mins)},"sf":"$sfDir"}"""
+    try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // final stdout line, after spark.stop() so no stray executor logs
+    // can land below it
+    println(compact)
   }
 }
