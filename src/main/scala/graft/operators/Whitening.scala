@@ -103,6 +103,88 @@ object Whitening {
     Model(mean, proj)
   }
 
+  /** ANALYTIC whitening — the [[graft.operators.SignPq]] doctrine
+    * applied to whitening so the whole transform replays in portable
+    * SQL (the PCA path above cannot: no SQL engine eigendecomposes).
+    * The rotation is the FIXED Sylvester-Hadamard basis
+    * `h(j,i) = (−1)^popcount(j AND i)` (orthogonal, data-independent);
+    * only the per-direction variances come from the data. The output
+    * equalizes second moments across the 64 rotated directions —
+    * variance whitening in a fixed basis, the same family as PCA
+    * whitening minus the data-driven rotation.
+    *
+    * Exactness contract (why this hash-matches a DuckDB replay):
+    *  - inputs quantized to 1e-7 BIGINTs ([[graft.functions.VectorFns.quantize]]);
+    *  - centering is exact: `zin_i = n·q_i − Σq_i` (scaled by n so no
+    *    division truncates), |zin| ≤ 2n·maxq ≈ 2^35 at bench scale;
+    *  - the rotated coordinate `Z_j = Σ_i h(j,i)·zin_i` is an exact
+    *    long (≤ 2^41); the per-direction moment `Σ_docs Z²` is summed
+    *    in decimal(38,0) (Spark) / HUGEINT (DuckDB) — exact integers
+    *    either way;
+    *  - the only float steps are one divide+sqrt+multiply+round per
+    *    coordinate (`Y_j = round(Z_j / sqrt(vn_j + 1) · 1e6)`), each
+    *    IEEE-correctly-rounded from identical integers, so
+    *    bit-identical across engines.
+    *
+    * Distribution shape: two 64-group aggregates (per-dim sums, then
+    * per-direction moments) + map-only kernels; the corpus is scanned
+    * three times and never shuffled by row. The 4096-op rotation is
+    * fixed per-row cost — a plan that survives any corpus size.
+    *
+    * Returns (idCol, y array<long> of length d) — whitened coordinates
+    * at 1e-6 resolution, ready for exact integer cosine.
+    */
+  def analyticWhiten(e: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val q = e.select(col(idCol).cast("long").as(idCol),
+      graft.functions.VectorFns.quantize(col(embCol)).as("qv"))
+    // corpus moments: one row of (n, per-dim sums) — control-plane sized
+    val sums = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("sx")))),
+        p => p.getField("sx")).as("sarr"))
+    val tot = q.agg(count(lit(1)).as("n"))
+    // exact integer Hadamard rotation of the n-scaled centered vector
+    val z = q.crossJoin(broadcast(sums)).crossJoin(broadcast(tot))
+      .select(col(idCol), col("qv"), col("sarr"), col("n"))
+      .as[(Long, Array[Long], Array[Long], Long)]
+      .map { case (id, qv, sarr, n) =>
+        val d = qv.length
+        val zin = new Array[Long](d)
+        var i = 0
+        while (i < d) { zin(i) = qv(i) * n - sarr(i); i += 1 }
+        val zz = new Array[Long](d)
+        var j = 0
+        while (j < d) {
+          var acc = 0L; var k = 0
+          while (k < d) {
+            if (java.lang.Long.bitCount(j & k) % 2 == 0) acc += zin(k)
+            else acc -= zin(k)
+            k += 1
+          }
+          zz(j) = acc; j += 1
+        }
+        (id, zz)
+      }.toDF(idCol, "z")
+    // per-direction second moments, exact in decimal(38,0)
+    val vn = z.select(posexplode(col("z")).as(Seq("pos", "zx")))
+      .groupBy(col("pos"))
+      .agg(sum(col("zx").cast("decimal(38,0)") * col("zx")).as("vn"))
+      .agg(org.apache.spark.sql.functions.transform(
+        array_sort(collect_list(struct(col("pos"), col("vn")))),
+        p => p.getField("vn")).as("vnarr"))
+    // variance-equalized coordinates at 1e-6 resolution (+1 guards a
+    // zero-variance direction; it is exact integer arithmetic, so the
+    // oracle replays it verbatim)
+    z.crossJoin(broadcast(vn))
+      .select(col(idCol),
+        zip_with(col("z"), col("vnarr"), (zx, v) =>
+          round(zx.cast("double") / sqrt((v + lit(1)).cast("double")) * lit(1e6))
+            .cast("long")).as("y"))
+  }
+
   /** Map-only projection: (idCol, whitened array<double> of length k). */
   def transform(e: DataFrame, idCol: String, embCol: String,
       model: Model): DataFrame = {

@@ -241,6 +241,69 @@ object Similarity {
           FROM scored)
         SELECT q_id, rank, vec_id AS neighbor_id, adc
         FROM ranked WHERE rank <= $K ORDER BY q_id, rank
+      """.stripMargin.trim)),
+
+    // Whitened retrieval ([[graft.operators.Whitening.analyticWhiten]]):
+    // cosine top-20 for one query vector in the variance-equalized
+    // Hadamard basis — the preprocessing that stops dominant embedding
+    // directions from crowding every cosine toward 1. The analytic
+    // basis (vs the PCA path's data-driven eigenbasis) is what makes
+    // the ENTIRE transform — quantize, exact n-scaled centering, ±1
+    // rotation, integer second moments, one rounded float step —
+    // replayable in SQL, so the gate hash-checks whitening end to end.
+    // Scale: two 64-group aggregates + map-only kernels; the corpus is
+    // never shuffled by row, and the final top-k is |corpus| → 20.
+    GraftQuery(
+      "q116_whitened_retrieval",
+      (s, dir) => {
+        val y = graft.operators.Whitening.analyticWhiten(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        val qy = y.filter(col("vec_id") === 7).select(col("y").as("qy"))
+        val dot = aggregate(zip_with(col("y"), col("qy"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val nd = aggregate(zip_with(col("y"), col("y"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val nq = aggregate(zip_with(col("qy"), col("qy"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        y.crossJoin(broadcast(qy))
+          .filter(col("vec_id") =!= 7)
+          .select(col("vec_id"),
+            round(dot.cast("double") /
+              (sqrt(nd.cast("double")) * sqrt(nq.cast("double"))), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(20)
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, i,
+                 CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e7) AS BIGINT) AS qx
+          FROM embeddings, range(0, 64) t(i)),
+        tot AS (SELECT COUNT(*) AS n FROM embeddings),
+        s AS (SELECT i, CAST(SUM(qx) AS BIGINT) AS sx FROM q GROUP BY i),
+        zin AS (
+          SELECT vec_id, i, qx * n - sx AS zi
+          FROM q JOIN s USING (i) CROSS JOIN tot),
+        z AS (
+          SELECT vec_id, j,
+                 CAST(SUM(CASE WHEN bit_count(CAST(j AS BIGINT) & CAST(i AS BIGINT)) % 2 = 0
+                          THEN zi ELSE -zi END) AS BIGINT) AS zj
+          FROM zin, range(0, 64) r(j) GROUP BY vec_id, j),
+        vn AS (SELECT j, SUM(CAST(zj AS HUGEINT) * zj) AS vnj FROM z GROUP BY j),
+        y AS (
+          SELECT vec_id, j,
+                 CAST(round(CAST(zj AS DOUBLE) / sqrt(CAST(vnj + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS yj
+          FROM z JOIN vn USING (j)),
+        qy AS (SELECT j, yj AS qyj FROM y WHERE vec_id = 7),
+        scored AS (
+          SELECT y.vec_id,
+                 CAST(SUM(y.yj * qy.qyj) AS BIGINT) AS dot,
+                 CAST(SUM(y.yj * y.yj) AS BIGINT) AS nd
+          FROM y JOIN qy USING (j) WHERE y.vec_id <> 7 GROUP BY y.vec_id),
+        nrm AS (SELECT CAST(SUM(qyj * qyj) AS BIGINT) AS nq FROM qy)
+        SELECT vec_id,
+               round(CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS score
+        FROM scored CROSS JOIN nrm
+        ORDER BY score DESC, vec_id LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -46,4 +46,26 @@ class WhiteningSpec extends SparkSpec {
     a.proj.flatMap(_.toSeq).zip(c.proj.flatMap(_.toSeq)).foreach { case (x, y) =>
       assert(math.abs(x - y) < 1e-6, s"$x vs $y") }
   }
+
+  test("analytic whitening equalizes second moments across directions and is partitioning-exact") {
+    val e = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val y = Whitening.analyticWhiten(e, "vec_id", "embedding")
+      .select(col("y")).as[Array[Long]].collect()
+    val d = y.head.length
+    assert(d === 64)
+    // each direction's corpus second moment lands on the 1e12 target
+    // (Y_j = Z_j/√(Σ Z² + 1) · 1e6 ⇒ Σ Y² ≈ 1e12), up to quantization
+    val moments = (0 until d).map(j => y.map(v => v(j).toDouble * v(j)).sum)
+    moments.zipWithIndex.foreach { case (m, j) =>
+      assert(math.abs(m / 1e12 - 1.0) < 1e-3,
+        s"direction $j second moment $m not equalized") }
+    // exact integer pipeline: any partitioning gives bit-equal output
+    val z = Whitening.analyticWhiten(e.repartition(7), "vec_id", "embedding")
+      .select(col("vec_id"), col("y")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1).map(_._2.toSeq)
+    val base = Whitening.analyticWhiten(e, "vec_id", "embedding")
+      .select(col("vec_id"), col("y")).as[(Long, Array[Long])]
+      .collect().sortBy(_._1).map(_._2.toSeq)
+    assert(z.toSeq === base.toSeq)
+  }
 }
