@@ -99,4 +99,29 @@ object ZOrder {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Build-once-per-(JVM, cacheKey) z-ordered layout (the
+    * [[graft.etl.SearchIndex.cachedIndex]] discipline): repeated
+    * gate/bench invocations read the same layout instead of paying the
+    * clustering shuffle each call; the directory is removed on JVM
+    * exit.
+    */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def cachedLayout(cacheKey: String, cols: Seq[String], files: Int = 16)(
+      df: => DataFrame): String =
+    layoutCache.computeIfAbsent(cacheKey + cols.mkString("#", ",", ""), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      write(df, cols, dir.toString, files)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(dir)) {
+          val all = Files.walk(dir).iterator().asScala.toSeq.reverse
+          all.foreach(p => Files.deleteIfExists(p): Unit)
+        }
+      }))
+      dir.toString
+    })
 }

@@ -808,6 +808,44 @@ object Relational {
       Some("""
         SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim)),
+
+    // Z-order layout, gated end to end ([[graft.operators.ZOrder]]):
+    // lineitem is rewritten once per (JVM, dataset) clustered along the
+    // Morton curve of (l_extendedprice, l_quantity), then served with a
+    // conjunctive range predicate on BOTH z-columns — the access
+    // pattern a single-column sort cannot prune. Correctness is
+    // layout-invariant (the oracle reads the raw table), which is
+    // exactly the point: clustering must change the scan cost, never
+    // the answer. ZOrderSpec + ScaleBench carry the pruning metrics
+    // (row groups skipped / rows materialized); decimal-exact sums
+    // keep the aggregate hash-stable.
+    GraftQuery(
+      "q119_zorder_scan",
+      (s, dir) => {
+        val layout = graft.operators.ZOrder.cachedLayout(
+          dir, Seq("l_extendedprice", "l_quantity"))(
+          Tables.load(s, dir, "lineitem"))
+        s.read.parquet(layout)
+          .filter(col("l_extendedprice").between(20000.0, 30000.0) &&
+            col("l_quantity").between(10.0, 20.0))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_price"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_extendedprice BETWEEN 20000.0 AND 30000.0
+          AND l_quantity BETWEEN 10.0 AND 20.0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
       """.stripMargin.trim))
   )
 }
