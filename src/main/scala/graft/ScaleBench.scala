@@ -1,107 +1,212 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 
-/** Scaling-curve evidence for the dedup family: times the dedup
-  * headline queries at sf0.1 and at a deterministic 10× replica,
-  * reporting per-query growth factors and the skew-guard counters.
-  * Sub-quadratic scaling = growth ≪ 100× at 10× the rows.
+/** Scaling-curve evidence: times the dedup/ANN headline queries at
+  * sf0.1 and at deterministic 10× and 100× perturbed replicas,
+  * reporting per-query growth factors, the skew-guard counters, the
+  * BM25 index *build* cost per scale, and the Z-order layout's
+  * rows-materialized ratio. Sub-quadratic scaling = growth ≪ scale²
+  * at scale× the rows; 10× still amortizes fixed stage cost, 100× is
+  * where hidden superlinearity shows.
   *
-  * The replica is an id-offset union of 10 PERTURBED copies — replica
-  * k prefixes every token with `r<k>·` (documents) / rotates the
-  * embedding dimensions by k (embeddings). Perturbation matters: a
-  * verbatim 10× copy makes every document a 10-way exact duplicate,
-  * so the requested pair OUTPUT itself grows ~100× and no engine
-  * could show sub-quadratic time. Perturbed replicas share no
+  * The replica is an id-offset cross-join of `copies` PERTURBED
+  * copies — replica k prefixes every token with `r<k>·` (documents) /
+  * rotates the embedding dimensions by k (embeddings). Perturbation
+  * matters: a verbatim N× copy makes every document an N-way exact
+  * duplicate, so the requested pair OUTPUT itself grows ~N² and no
+  * engine could show sub-quadratic time. Perturbed replicas share no
   * shingles (and no ε-balls) across copies, so the true output grows
-  * ~10× and wall-time growth measures the ENGINE, not the task.
+  * ~N× and wall-time growth measures the ENGINE, not the task.
   * Replica 0 is pristine — the base workload is a strict subset.
+  * lineitem (for the Z-order probe) replicates un-perturbed: layout
+  * pruning is about value distribution, which the copy preserves.
   *
   * Usage: `runMain graft.ScaleBench [baseDir] [workDir]`; prints one
-  * JSON line (also written to `scale_last.json`) with per-query
-  * seconds (min of `SPARK_GRAFT_SCALE_PASSES`, default 2, after one
-  * warm-up), the 10×/base growth ratio, and the hot-bucket guard
-  * counters at 10×.
+  * JSON line (also written to `scale_last.json`). Env knobs:
+  * `SPARK_GRAFT_SCALE_PASSES` (default 2; min-of-passes after one
+  * warm-up), `SPARK_GRAFT_SCALE_COPIES` (default "10,100").
   */
 object ScaleBench {
 
   private val queries =
     Seq("q71_dedup_ngram_jaccard", "q72_dedup_minhash_lsh",
-      "q77_dedup_clusters", "q79_semantic_dedup", "q83_paragraph_dedup")
+      "q77_dedup_clusters", "q79_semantic_dedup", "q83_paragraph_dedup",
+      "q91_knn_join")
+
+  /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
+  private val off = 10000000L
 
   private def buildReplica(spark: SparkSession, baseDir: String,
       workDir: String, copies: Int): Unit = {
-    val off = 10000000L
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) docs
-      else docs
-        .withColumn("doc_id", col("doc_id") + lit(k * off))
-        .withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"r${k}·"), t)), " "))
-    }.reduce(_.unionByName(_))
+    // one broadcast row per copy; withColumn keeps every other column
+    val ks = spark.range(copies).select(col("id").cast("int").as("k"))
+
+    spark.read.parquet(s"$baseDir/documents.parquet")
+      .crossJoin(broadcast(ks))
+      .withColumn("doc_id", col("doc_id") + col("k") * lit(off))
+      .withColumn("text", when(col("k") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit("r"), col("k"), lit("·"), t)), " ")))
+      .drop("k")
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
 
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) emb
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(k * off))
-        .withColumn("embedding",
-          transform(col("embedding"), (_, i) =>
-            element_at(col("embedding"),
-              pmod(i + lit(k), size(col("embedding"))) + 1)))
-    }.reduce(_.unionByName(_))
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .crossJoin(broadcast(ks))
+      .withColumn("vec_id", col("vec_id") + col("k") * lit(off))
+      // rotate dims by k: k=0 is the identity, so replica 0 is pristine
+      .withColumn("embedding",
+        transform(col("embedding"), (_, i) =>
+          element_at(col("embedding"),
+            pmod(i + col("k"), size(col("embedding"))) + 1)))
+      .drop("k")
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+
+    spark.read.parquet(s"$baseDir/lineitem.parquet")
+      .crossJoin(broadcast(ks))
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * lit(off))
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+  }
+
+  /** Sum of parquet-scan output rows after execution — the
+    * rows-materialized metric ZOrderSpec asserts on, measured here at
+    * benchmark scale. */
+  private def scanRows(df: DataFrame): Long = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => Nil
+      }))
+    flatten(root).collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
+  /** q119's access pattern: conjunctive range on both z-columns.
+    * Reports rows materialized from (a) the z-ordered layout and
+    * (b) a single-column-sorted layout, plus the exact selectivity —
+    * the pay-off is zRows ≪ sortedRows at every scale. */
+  private def zorderProbe(spark: SparkSession, lineitemPath: String,
+      layoutDir: String): (Long, Long, Long, Double) = {
+    val li = spark.read.parquet(lineitemPath)
+    // a production z-table is TBs: thousands of row groups, each a
+    // pruning granule. Recreate that granularity at probe scale —
+    // small row groups, identical for BOTH layouts — so the measured
+    // ratio reflects granule pruning, not the accident of 16 files
+    // each being a single giant row group
+    spark.conf.set("parquet.block.size", (128 * 1024).toString)
+    val zWriteSec =
+      try {
+        li.repartitionByRange(64, col("l_extendedprice"))
+          .sortWithinPartitions(col("l_extendedprice"))
+          .write.mode("overwrite").parquet(s"$layoutDir/by_price")
+        val t0 = System.nanoTime()
+        graft.operators.ZOrder.write(li,
+          Seq("l_extendedprice", "l_quantity"), s"$layoutDir/z", files = 64)
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.unset("parquet.block.size")
+    def q(df: DataFrame) = df.filter(
+      col("l_extendedprice").between(20000.0, 30000.0) &&
+        col("l_quantity").between(10.0, 20.0))
+    val exact = q(spark.read.parquet(s"$layoutDir/z")).count()
+    val zRows = scanRows(q(spark.read.parquet(s"$layoutDir/z")))
+    val sortedRows = scanRows(q(spark.read.parquet(s"$layoutDir/by_price")))
+    (zRows, sortedRows, exact, zWriteSec)
   }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val workDir = args.lift(1).getOrElse("/tmp/graft_scale10")
+    val workRoot = args.lift(1).getOrElse("/tmp/graft_scale")
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
+    val copiesList = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10,100")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = GraftSession.get()
 
-    if (!new java.io.File(s"$workDir/embeddings.parquet").exists())
-      buildReplica(spark, baseDir, workDir, copies = 10)
+    val dirs: Seq[(Int, String)] =
+      (1, baseDir) +: copiesList.map { c =>
+        val d = s"$workRoot$c"
+        if (!new java.io.File(s"$d/lineitem.parquet").exists())
+          buildReplica(spark, baseDir, d, copies = c)
+        (c, d)
+      }
 
-    def time(q: GraftQuery, dir: String): Double = {
-      val t0 = System.nanoTime()
-      q.run(spark, dir).queryExecution.toRdd.foreach(_ => ())
-      (System.nanoTime() - t0) / 1e9
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     def bench(dir: String): Map[String, Double] = {
       val qs = queries.map(Registry.byName)
-      qs.foreach(time(_, dir)) // warm-up pass
-      val samples = (1 to passes).map(_ => qs.map(time(_, dir)))
+      def once(q: GraftQuery): Double =
+        time(q.run(spark, dir).queryExecution.toRdd.foreach(_ => ()))
+      qs.foreach(once) // warm-up pass
+      val samples = (1 to passes).map(_ => qs.map(once))
       queries.zipWithIndex.map { case (n, i) =>
         n -> samples.map(_(i)).min
       }.toMap
     }
+    // BM25 index build (q103's one-time cost), one timed build per scale
+    def buildBm25(dir: String): Double = {
+      val idx = java.nio.file.Files.createTempDirectory("scale_bm25").toString
+      val sec = time(graft.etl.SearchIndex.build(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", idx))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+      sec
+    }
 
-    val base = bench(baseDir)
-    val x10 = bench(workDir)
+    val timed = dirs.map { case (c, d) => c -> bench(d) }
+    val bm25 = dirs.map { case (c, d) => c -> buildBm25(d) }
+    // Z-order probe at base and the first (10×) replica — layout
+    // rewrite of the biggest replica is evidence-free extra minutes
+    val zprobe = dirs.take(2).map { case (c, d) =>
+      val layoutDir = java.nio.file.Files
+        .createTempDirectory(s"scale_z$c").toString
+      val r = zorderProbe(spark, s"$d/lineitem.parquet", layoutDir)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(layoutDir))
+      c -> r
+    }
 
-    // guard counters at 10×: non-empty means the caps are earning keep
-    val docs10 = spark.read.parquet(s"$workDir/documents.parquet")
-    val emb10 = spark.read.parquet(s"$workDir/embeddings.parquet")
+    // guard counters at the largest scale: non-empty means the caps
+    // are earning their keep
+    val bigDir = dirs.last._2
+    val docsBig = spark.read.parquet(s"$bigDir/documents.parquet")
+    val embBig = spark.read.parquet(s"$bigDir/embeddings.parquet")
     val lshHot = graft.operators.MinHashLsh.hotBuckets(
-      docs10, "doc_id", "text", maxBucket = 4096).count()
+      docsBig, "doc_id", "text", maxBucket = 4096).count()
     val semHot = graft.operators.SemanticDedup.hotBuckets(
-      emb10, "vec_id", "embedding", threshold = 0.3).count()
+      embBig, "vec_id", "embedding", threshold = 0.3).count()
     val semBuckets = graft.operators.SemanticDedup.bucketIds(
-        emb10, "vec_id", "embedding")
+        embBig, "vec_id", "embedding")
       .groupBy(col("cid")).count()
       .agg(max(col("count"))).head().getLong(0)
 
     def fmt(m: Map[String, Double]): String =
       queries.map(n => s""""$n":${f"${m(n)}%.2f"}""").mkString("{", ",", "}")
-    val growth = queries.map(n =>
-      s""""$n":${f"${x10(n) / base(n)}%.1f"}""").mkString("{", ",", "}")
+    val base = timed.head._2
+    val scalesJson = timed.map { case (c, m) =>
+      s""""$c":${fmt(m)}""" }.mkString("{", ",", "}")
+    val growthJson = timed.tail.map { case (c, m) =>
+      val g = queries.map(n =>
+        s""""$n":${f"${m(n) / base(n)}%.1f"}""").mkString("{", ",", "}")
+      s""""$c":$g""" }.mkString("{", ",", "}")
+    val bm25Json = bm25.map { case (c, s) =>
+      s""""$c":${f"$s%.2f"}""" }.mkString("{", ",", "}")
+    val zJson = zprobe.map { case (c, (z, srt, exact, w)) =>
+      s""""$c":{"z_rows":$z,"sorted_rows":$srt,"exact":$exact,""" +
+      s""""write_sec":${f"$w%.1f"}}""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"scale10_dedup","unit":"sec","passes":$passes,""" +
-      s""""base_sec":${fmt(base)},"x10_sec":${fmt(x10)},"growth_x":$growth,""" +
+      s"""{"metric":"scale_curve","unit":"sec","passes":$passes,""" +
+      s""""scales_sec":$scalesJson,"growth_x":$growthJson,""" +
+      s""""bm25_build_sec":$bm25Json,"zorder":$zJson,""" +
       s""""guards":{"lsh_hot_buckets":$lshHot,"sem_hot_buckets":$semHot,""" +
       s""""sem_max_bucket":$semBuckets}}"""
     println(json)
