@@ -52,6 +52,23 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1"))
       suite.foreach(runOnce)
 
+    // q103's per-query seconds below are SERVE latency — its
+    // cachedIndex build runs once in the warm-up pass and is reused by
+    // every timed pass, exactly as a production index is built once
+    // and served many times. The one-time build cost is measured
+    // explicitly here (a cold build into a throwaway dir) and reported
+    // as its own field so neither number hides inside the other.
+    val bm25BuildSec = {
+      val idx = Files.createTempDirectory("bench_bm25").toString
+      val t0 = System.nanoTime()
+      try graft.etl.SearchIndex.build(
+        graft.sources.Tables.load(spark, sfDir, "documents"),
+        "doc_id", "text", idx)
+      finally org.apache.hadoop.fs.FileUtil
+        .fullyDelete(new java.io.File(idx)): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // pass-by-pass over the whole suite (not query-by-query) so one
     // query's GC debt doesn't land on its own later repetitions
     val samples: Seq[Seq[Double]] = (1 to passes).map(_ => suite.map(runOnce))
@@ -97,9 +114,9 @@ object Bench {
     // came back null. The compact line fits any reasonable tail; the
     // samples stay available in the committed bench_last.json.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":${jmap(results)},"min":${jmap(mins)},"spread":${jmap(spreads)},"samples":${jmapArr(perPass)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"bm25_build_sec":$bm25BuildSec,"queries":${jmap(results)},"min":${jmap(mins)},"spread":${jmap(spreads)},"samples":${jmapArr(perPass)},"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":${jmap(results)},"min":${jmap(mins)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"bm25_build_sec":$bm25BuildSec,"queries":${jmap(results)},"min":${jmap(mins)},"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
