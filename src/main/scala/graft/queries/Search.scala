@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftQuery
+import graft.functions.TextFns
 import graft.sources.Tables
 
 /** OpenSearch-style search surface (SURVEY.md §2.9) over the per-entity
@@ -870,6 +871,123 @@ object Search {
           FROM d CROSS JOIN stats)
         SELECT doc_id, score FROM scored WHERE score > 0.0
         ORDER BY score DESC, doc_id LIMIT 20
+      """.stripMargin.trim)),
+
+    // Term suggester (`suggest.term`, the spell-correction half of the
+    // SEARCH collection's DSL; reference stack at
+    // lib/opensearch-dynamodb-etl-cdk-stack.ts:91): correct each input
+    // term against the corpus vocabulary, ranked like OpenSearch does —
+    // edit distance first, then document frequency, then the term
+    // itself. Scale shape: the vocabulary is a distinct-per-doc
+    // explode + one term agg (high-cardinality key); the input terms
+    // are broadcast (a suggest request carries a handful), and the
+    // length band |len(cand)−len(q)| ≤ max_edits prunes the
+    // vocabulary before any levenshtein runs — the same banding q48
+    // uses to keep fuzzy match off the full cross product. All-integer
+    // scores, so the ranking is engine-portable.
+    GraftQuery(
+      "q117_search_term_suggest",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val vocab = d.select(
+            explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val inputs = s.range(1).select(explode(array(
+          lit("sprk"), lit("windoow"), lit("joinn"), lit("merg"))).as("q"))
+        val cand = vocab.join(broadcast(inputs),
+            abs(length(col("term")) - length(col("q"))) <= 2 &&
+              col("term") =!= col("q") &&
+              levenshtein(col("q"), col("term")) <= 2)
+          .select(col("q"), col("term"),
+            levenshtein(col("q"), col("term")).cast("long").as("dist"),
+            col("freq"))
+        val w = Window.partitionBy(col("q"))
+          .orderBy(col("dist"), col("freq").desc, col("term"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
+          .orderBy(col("q"), col("rank"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT tok AS term, COUNT(*) AS freq
+          FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents)
+          GROUP BY 1),
+        inputs(q) AS (VALUES ('sprk'), ('windoow'), ('joinn'), ('merg')),
+        cand AS (
+          SELECT q, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, freq
+          FROM inputs, v
+          WHERE abs(len(term) - len(q)) <= 2 AND term <> q
+            AND levenshtein(q, term) <= 2),
+        r AS (
+          SELECT q, term, dist, freq,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, freq DESC, term) AS BIGINT) AS rank
+          FROM cand)
+        SELECT q, rank, term, dist, freq FROM r WHERE rank <= 3
+        ORDER BY q, rank
+      """.stripMargin.trim)),
+
+    // more_like_this: retrieve documents similar to a seed document by
+    // its most-characteristic terms — OpenSearch's MLT selects the
+    // seed's top `max_query_terms` by tf·idf, then scores every doc
+    // containing them. Seed term selection reuses q66's log-free
+    // rational tf·idf (exact integer product, one IEEE division);
+    // candidate scoring sums the PER-TERM integer idf weight
+    // (N·10⁶ div df) so the aggregate is an order-free long sum —
+    // float idf sums would be partition-order-dependent. Scale shape:
+    // the seed's term list is ≤10 rows and broadcast; candidate
+    // scoring is one semi-join of the (doc,term) postings against it
+    // plus one doc-keyed agg — the corpus is scanned once, no
+    // doc×vocab blow-up.
+    GraftQuery(
+      "q118_search_more_like_this",
+      (s, dir) => {
+        val seedId = 7L
+        val d = Tables.load(s, dir, "documents")
+        val tf = d.select(col("doc_id"),
+            explode(TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        // one seed doc's distinct terms: bounded, single-partition
+        // window is fine (and the only place a global window appears)
+        val seed = tf.filter(col("doc_id") === seedId)
+          .join(df, "term").crossJoin(broadcast(n))
+          .withColumn("sel", (col("tf") * col("n")) / col("df"))
+        val wSeed = Window.orderBy(col("sel").desc, col("term"))
+        val queryTerms = seed.withColumn("r", row_number().over(wSeed))
+          .filter(col("r") <= 10)
+          .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
+        tf.filter(col("doc_id") =!= seedId)
+          .join(broadcast(queryTerms), "term")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+          .select(col("doc_id"), col("n_shared"), col("score"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        seed AS (
+          SELECT tf.term,
+                 (CAST(tf.tf AS BIGINT) * (SELECT n FROM n)) / CAST(df.df AS BIGINT) AS sel,
+                 ((SELECT n FROM n) * 1000000) // CAST(df.df AS BIGINT) AS weight
+          FROM tf JOIN df USING (term) WHERE tf.doc_id = 7),
+        qt AS (SELECT term, weight,
+                 ROW_NUMBER() OVER (ORDER BY sel DESC, term) AS r FROM seed),
+        top AS (SELECT term, weight FROM qt WHERE r <= 10)
+        SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(SUM(weight) AS BIGINT) AS score
+        FROM tf JOIN top USING (term)
+        WHERE tf.doc_id <> 7
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 15
       """.stripMargin.trim))
   )
 }
