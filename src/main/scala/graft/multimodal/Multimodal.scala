@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * decoder would load a codec/model once per partition) amortizes —
   * the Scala analog of the `mapInPandas` batch-UDF pattern.
   *
-  * The decode step itself is a STUB: no image/audio libraries exist in
-  * this container, so `decodeStub` derives deterministic fake features
-  * from the payload bytes. Everything around it — schema, encoders,
-  * partition-wise batching, frame-sampling explode, feature joins — is
-  * real Spark plumbing and is what the tests exercise.
+  * The decode step is REAL for the public formats [[ImageCodec]]
+  * understands (netpbm PPM and uncompressed 24-bit BMP — header +
+  * pixel-stat decode with no codec library): such payloads report
+  * their true header dimensions and a checksum over the decoded
+  * pixels. Payloads that are not images (this harness mostly feeds
+  * document text as bytes) fall back to deterministic byte statistics
+  * — a 100-TB media table always contains undecodable blobs, and the
+  * scan must classify them, never crash.
   */
 object Multimodal {
 
@@ -28,12 +31,24 @@ object Multimodal {
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
   implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
 
-  /** STUB decoder — stands in for e.g. libjpeg/ffmpeg. Deterministic
-    * pure function of the payload so tests are stable. A real
-    * implementation replaces only this function; its per-partition
-    * call shape (setup once, then iterate) is already correct.
+  /** Decode one payload to (width, height, nFrames, checksum). Image
+    * payloads ([[ImageCodec]] formats, sniffed by magic bytes) decode
+    * for real: header dimensions win over declared metadata, one
+    * frame, checksum over the normalized pixels — so the same image
+    * as PPM or BMP yields the same features. Anything else takes the
+    * byte-statistics fallback below.
     */
-  private[multimodal] def decodeStub(payload: Array[Byte], meta: MediaMeta): (Int, Int, Int, Long) = {
+  private[multimodal] def decode(payload: Array[Byte], meta: MediaMeta): (Int, Int, Int, Long) =
+    ImageCodec.decodeImage(payload) match {
+      case Some(img) => (img.width, img.height, 1, img.pixelChecksum)
+      case None => byteStatsFallback(payload, meta)
+    }
+
+  /** Non-image fallback — a deterministic pure function of the payload
+    * bytes, so undecodable blobs still carry stable, joinable features
+    * (and tests are reproducible under any partitioning).
+    */
+  private[multimodal] def byteStatsFallback(payload: Array[Byte], meta: MediaMeta): (Int, Int, Int, Long) = {
     val len = payload.length
     var sum = 0L
     var i = 0
@@ -49,7 +64,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder setup would happen here (load codec once)
       rows.map { r =>
-        val (w, h, frames, sum) = decodeStub(r.payload, r.meta)
+        val (w, h, frames, sum) = decode(r.payload, r.meta)
         MediaFeatures(r.id, r.payload.length.toLong, w, h, frames, sum)
       }
     }
@@ -62,19 +77,19 @@ object Multimodal {
   final case class MediaBatch(
       ids: Array[Long], payloads: Array[Array[Byte]], metas: Array[MediaMeta])
 
-  /** STUB vectorized decoder: batch-in, batch-out. A real integration
-    * replaces only this function with a codec call over the whole
-    * batch (SIMD decode, GPU transfer, model inference); the signature
-    * — columnar arrays in, one features array out — is the contract
-    * that integration needs, and it produces byte-identical output to
-    * the row-wise [[decodeStub]] (spec-enforced parity).
+  /** Vectorized decode: batch-in, batch-out over the same real
+    * [[decode]], so batched output is byte-identical to the row path
+    * (spec-enforced parity). An accelerator integration (SIMD decode,
+    * GPU transfer, model inference) would replace only this loop with
+    * a whole-batch codec call — the signature, columnar arrays in and
+    * one features array out, is the contract such a call needs.
     */
-  private[multimodal] def decodeBatchStub(batch: MediaBatch): Array[MediaFeatures] = {
+  private[multimodal] def decodeBatch(batch: MediaBatch): Array[MediaFeatures] = {
     val n = batch.ids.length
     val out = new Array[MediaFeatures](n)
     var i = 0
     while (i < n) {
-      val (w, h, frames, sum) = decodeStub(batch.payloads(i), batch.metas(i))
+      val (w, h, frames, sum) = decode(batch.payloads(i), batch.metas(i))
       out(i) = MediaFeatures(batch.ids(i), batch.payloads(i).length.toLong,
         w, h, frames, sum)
       i += 1
@@ -103,7 +118,7 @@ object Multimodal {
         chunk.foreach { r =>
           ids(i) = r.id; payloads(i) = r.payload; metas(i) = r.meta; i += 1
         }
-        decodeBatchStub(MediaBatch(ids, payloads, metas)).iterator
+        decodeBatch(MediaBatch(ids, payloads, metas)).iterator
       }
     }
   }
