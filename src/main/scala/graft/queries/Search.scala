@@ -988,6 +988,50 @@ object Search {
         GROUP BY tf.doc_id
         ORDER BY score DESC, doc_id
         LIMIT 15
+      """.stripMargin.trim)),
+
+    // Nested-document query: OpenSearch's `nested` mapping exists
+    // because a conjunctive predicate over a flattened object field
+    // matches values from DIFFERENT child objects; a nested query must
+    // match them on the SAME child. Here orders carry their line items
+    // as an array of structs (the index-time parent/child layout), and
+    // the hit condition — qty ≥ 48 AND discount ≤ 0.02 — is evaluated
+    // per ELEMENT by a higher-order filter, the engine-level nested
+    // semantics. The per-order array is built with one groupBy
+    // (bounded by order size, ≤7 items) and sorted so the layout is
+    // deterministic; the oracle evaluates the same same-row
+    // conjunction on the flat child table — equal results is exactly
+    // the nested-semantics contract.
+    GraftQuery(
+      "q120_search_nested",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val nested = li.groupBy(col("l_orderkey").as("order_key"))
+          .agg(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_discount").as("disc")))).as("items"))
+        nested
+          .withColumn("n_items", size(col("items")).cast("long"))
+          .withColumn("n_hits",
+            size(filter(col("items"),
+              x => x("qty") >= lit(48.0) && x("disc") <= lit(0.02))).cast("long"))
+          .filter(col("n_hits") >= 1)
+          .select(col("order_key"), col("n_items"), col("n_hits"))
+          .orderBy(col("n_hits").desc, col("order_key"))
+          .limit(20)
+      },
+      Some("""
+        SELECT l_orderkey AS order_key,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN l_quantity >= 48.0 AND l_discount <= 0.02
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM lineitem
+        GROUP BY 1
+        HAVING SUM(CASE WHEN l_quantity >= 48.0 AND l_discount <= 0.02
+                        THEN 1 ELSE 0 END) >= 1
+        ORDER BY n_hits DESC, order_key
+        LIMIT 20
       """.stripMargin.trim))
   )
 }
