@@ -289,6 +289,66 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("q117 term suggest: inputs broadcast against the vocab, never shuffled or paired") {
+    val nodes = finalNodes(Registry.byName("q117_search_term_suggest").run(spark, sf()))
+    // the levenshtein band is a non-equi condition: the correct shape is
+    // ONE nested-loop join whose broadcast side is the handful of input
+    // terms — a cartesian or a shuffle join means the band stopped
+    // pruning or the tiny side stopped broadcasting
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"suggest join is a cartesian product:\n${nodes.head}")
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"suggest join shuffles the vocabulary:\n${nodes.head}")
+    val bcast = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(bcast.nonEmpty, s"input terms not broadcast:\n${nodes.head}")
+    // vocabulary agg keeps its partial/final split (df counting is
+    // map-side combined before the term shuffle)
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"vocab df agg lost its partial stage:\n${nodes.head}")
+  }
+
+  test("q118 more_like_this: seed terms broadcast into an equi join, no cartesian") {
+    val nodes = finalNodes(Registry.byName("q118_search_more_like_this").run(spark, sf()))
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, s"MLT scoring runs a cartesian product:\n${nodes.head}")
+    // candidate scoring = (doc,term) postings ⋈ broadcast ≤10-term list:
+    // must stay a broadcast HASH join (equi on term) — a sort-merge here
+    // would shuffle the whole postings table for a 10-row side
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"seed-term join is not broadcast:\n${nodes.head}")
+    // the one unpartitioned window ranks ONLY the seed doc's terms: its
+    // subtree must contain the doc_id=7 filter's aggregate, bounded input
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(w => w.partitionSpec.nonEmpty || flatten(w).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
+      s"global window consumes an unaggregated input:\n${nodes.head}")
+  }
+
+  test("q119 z-order scan: serves from the cached layout with both range predicates pushed") {
+    val nodes = finalNodes(Registry.byName("q119_zorder_scan").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan:\n${nodes.head}")
+    // reading the z-layout, not the raw lineitem table
+    val locations = scans.map(_.relation.location.rootPaths.mkString(",")).mkString
+    assert(locations.contains("graft_zorder"),
+      s"scan reads the raw table instead of the z-layout: $locations")
+    // both box predicates reach the parquet reader — that is what makes
+    // row-group footer stats prunable under the z clustering
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_extendedprice") && pushed.contains("l_quantity"),
+      s"conjunctive range not pushed to the scan: $pushed")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
