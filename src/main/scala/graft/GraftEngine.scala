@@ -344,4 +344,73 @@ final case class GraftEngine(spark: SparkSession) {
     val model = graft.operators.Whitening.fit(embeddings, embCol, k)
     graft.operators.Whitening.transform(embeddings, idCol, embCol, model)
   }
+
+  /** Rewrite `df` clustered along the Morton curve of `cols` so
+    * conjunctive range predicates on any subset of them prune parquet
+    * row groups (see [[graft.operators.ZOrder.write]]).
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+      files: Int = 16): Unit =
+    graft.operators.ZOrder.write(df, cols, path, files)
+
+  /** Spell-correct `inputs` against the `textCol` vocabulary of
+    * `docs` — the term suggester: candidates within `maxEdits`
+    * levenshtein (length-banded, so the vocabulary is pruned before
+    * any edit distance runs), ranked distance → document frequency →
+    * term, top `size` per input.
+    */
+  def termSuggest(docs: DataFrame, textCol: String, inputs: Seq[String],
+      maxEdits: Int = 2, size: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.select(explode(array_distinct(
+        graft.functions.TextFns.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val in = spark.range(1).select(
+      explode(array(inputs.map(lit): _*)).as("q"))
+    val cand = vocab.join(broadcast(in),
+        abs(length(col("term")) - length(col("q"))) <= maxEdits &&
+          col("term") =!= col("q") &&
+          levenshtein(col("q"), col("term")) <= maxEdits)
+      .select(col("q"), col("term"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"), col("freq"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("dist"), col("freq").desc, col("term"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= size)
+  }
+
+  /** Documents most similar to `seedId` by its top-`maxQueryTerms`
+    * tf·idf terms (more_like_this): the seed's term list is broadcast
+    * against the (doc, term) postings and candidates score by an
+    * order-free integer idf-weight sum.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      seedId: Long, maxQueryTerms: Int = 10, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val seed = tf.filter(col("doc_id") === seedId)
+      .join(df, "term").crossJoin(broadcast(n))
+      .withColumn("sel", (col("tf") * col("n")) / col("df"))
+    val wSeed = Window.orderBy(col("sel").desc, col("term"))
+    val queryTerms = seed.withColumn("r", row_number().over(wSeed))
+      .filter(col("r") <= maxQueryTerms)
+      .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
+    tf.filter(col("doc_id") =!= seedId)
+      .join(broadcast(queryTerms), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Decode an image payload (netpbm PPM / uncompressed 24-bit BMP) to
+    * format-independent pixel statistics; None for non-image bytes
+    * (see [[graft.multimodal.ImageCodec.decodeImage]]).
+    */
+  def decodeImage(payload: Array[Byte]): Option[graft.multimodal.ImageCodec.ImageStats] =
+    graft.multimodal.ImageCodec.decodeImage(payload)
 }

@@ -66,6 +66,34 @@ class GraftEngineSpec extends SparkSpec {
     }
   }
 
+  test("termSuggest corrects a misspelling to the corpus term it is one edit from") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val res = g.termSuggest(docs, "text", Seq("sprk", "windoow")).collect()
+    val byQ = res.groupBy(_.getAs[String]("q"))
+    // "sprk" is one deletion from "spark"; distance ranks before frequency
+    val top = byQ("sprk").minBy(_.getAs[Long]("rank"))
+    assert(top.getAs[String]("term") === "spark")
+    assert(top.getAs[Long]("dist") === 1L)
+    assert(byQ("windoow").exists(_.getAs[String]("term") == "window"))
+    // ranks are dense from 1 and capped at the requested size
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rows.length.toLong).toSeq)
+      assert(rows.length <= 3)
+    }
+  }
+
+  test("moreLikeThis never returns the seed and scores by shared seed terms") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val res = g.moreLikeThis(docs, "doc_id", "text", seedId = 7L).collect()
+    assert(res.length === 15)
+    assert(res.forall(_.getAs[Long]("doc_id") != 7L))
+    // descending score with doc_id tie-break = the served order
+    val scores = res.map(_.getAs[Long]("score"))
+    assert(scores.sorted.reverse.toSeq === scores.toSeq)
+    assert(res.forall(_.getAs[Long]("n_shared") >= 1L))
+  }
+
   test("cdc snapshot round-trip through the facade") {
     val target = java.nio.file.Files.createTempDirectory("graft-eng-cdc").toString
     import spark.implicits._
