@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.etl.{DdbJson, IngestPipeline}
+import graft.streaming.CdcStream
+
+/** Measures the two BASELINE.md targets that are rates, not latencies:
+  *
+  *   - **ingest throughput** — the full batch path (S1→T1→P1→S5:
+  *     export read, typed-attribute decode, route, per-entity sorted
+  *     parquet write + DLQ) over a generated reference-shaped export,
+  *     reported as items/s;
+  *   - **CDC merge throughput** — the REAL streaming loop
+  *     ([[CdcStream.start]]: file source → decode → `foreachBatch`
+  *     keyed LWW merge with checkpointing), fed one epoch file at a
+  *     time, reported as events/s end-to-end (includes source-file
+  *     production and snapshot rewrite per epoch — the whole loop a
+  *     deployment pays, not just the merge kernel).
+  *
+  * Item/event shapes follow the reference's single-table airline
+  * design with freshly made-up values (the [[graft.etl.Fixtures]]
+  * doctrine); generation is distributed (ingest) or bounded per epoch
+  * (CDC) and generation of the ingest corpus is NOT inside the timed
+  * window.
+  *
+  * Usage: `runMain graft.ThroughputBench [items] [epochs] [eventsPerEpoch]`;
+  * prints one JSON line and writes `throughput_last.json`.
+  */
+object ThroughputBench {
+
+  /** Reference-shaped items, ~50/50 fare/flight plus a 1/1000 DLQ
+    * ration (missing PK → undecodable, must land in the DLQ without
+    * stalling the pipeline). Generated via one distributed projection.
+    */
+  private def writeExport(spark: SparkSession, dir: String, items: Long): Unit =
+    spark.range(items).select(
+      when(col("id") % 1000 === 999,
+        // malformed: no PK — exercises the decode DLQ path at rate
+        lit("""{"Item": {"SK": {"S": "orphan#1"}, "type": {"S": "fare"}, "__id": {}}}"""))
+      .when(col("id") % 2 === 0, format_string(
+        """{"Item": {"PK": {"S": "O%1$d"}, "SK": {"S": "D%1$d#2023-05-07T23:59:59#nonstop"}, "type": {"S": "fare"}, "origin": {"S": "O%1$d"}, "dest": {"S": "D%1$d"}, "start": {"S": "2023-05-01T00:00:00"}, "end": {"S": "2023-05-07T23:59:59"}, "class": {"S": "nonstop"}, "GSI1PK": {"S": "D%1$d"}, "GSI1SK": {"S": "O%1$d#2023-05-01T00:00:00"}, "__id": {}}}""",
+        col("id")))
+      .otherwise(format_string(
+        """{"Item": {"PK": {"S": "O%1$d"}, "SK": {"S": "O%1$d#2023-05-02T09:15:00#%2$d#1"}, "type": {"S": "flight"}, "origin": {"S": "O%1$d"}, "dest": {"S": "D%1$d"}, "depart": {"S": "2023-05-02T09:15:00"}, "arrive": {"S": "2023-05-02T11:45:00"}, "number": {"N": "%2$d"}, "segId": {"N": "1"}, "GSI2PK": {"S": "%2$d"}, "GSI2SK": {"S": "1"}, "__id": {}}}""",
+        col("id"), col("id") % 900))
+      .as("value"))
+      .repartition(32)
+      .write.mode("overwrite").text(dir)
+
+  /** One epoch of change events as a JSON-lines file: `n` events over
+    * `keys` distinct doc ids (so LWW actually overwrites), ~1/20
+    * REMOVE, sequence numbers globally increasing.
+    */
+  private def writeEpochFile(dir: String, epoch: Int, n: Int, keys: Int): Unit = {
+    val sb = new StringBuilder(n * 220)
+    var i = 0
+    while (i < n) {
+      val k = (epoch * 31 + i) % keys
+      val seq = epoch.toLong * n + i
+      val name = if (i % 20 == 19) "REMOVE" else "MODIFY"
+      sb.append(s"""{"eventName": "$name", "Keys": {"PK": {"S": "K$k"}, "SK": {"S": "S$k"}}, """)
+      sb.append(s""""NewImage": {"PK": {"S": "K$k"}, "SK": {"S": "S$k"}, "type": {"S": "fare"}, "class": {"S": "v$epoch"}}, """)
+      sb.append(s""""SequenceNumber": $seq, "ApproximateCreationDateTime": ${1700000000L + seq}}""")
+      sb.append('\n')
+      i += 1
+    }
+    Files.writeString(Paths.get(dir, f"epoch-$epoch%05d.json"), sb.toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val items = args.headOption.map(_.toLong).getOrElse(320000L)
+    val epochs = args.lift(1).map(_.toInt).getOrElse(20)
+    val perEpoch = args.lift(2).map(_.toInt).getOrElse(10000)
+    val spark = GraftSession.get()
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+
+    // ---- ingest: decode + route + write, generation untimed ----
+    val exportDir = tmp("tput_export")
+    writeExport(spark, exportDir, items)
+    val outDir = tmp("tput_out")
+    val t0 = System.nanoTime()
+    IngestPipeline.materialize(
+      IngestPipeline.fromRaw(DdbJson.readExport(spark, exportDir)), outDir)
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+    // the write must account for every input line: entities + dlq
+    val written =
+      spark.read.parquet(s"$outDir/fare").count() +
+      spark.read.parquet(s"$outDir/flight").count() +
+      spark.read.parquet(s"$outDir/dlq").count()
+    require(written == items, s"ingest lost rows: $written of $items")
+
+    // ---- CDC: the real stream loop, one epoch file per micro-batch ----
+    val eventsDir = tmp("tput_events")
+    val targetDir = tmp("tput_target")
+    val ckpt = tmp("tput_ckpt")
+    val q = CdcStream.start(spark, eventsDir, targetDir, ckpt)
+    val t1 = System.nanoTime()
+    var e = 0
+    while (e < epochs) {
+      writeEpochFile(eventsDir, e, perEpoch, keys = 5000)
+      q.processAllAvailable()
+      e += 1
+    }
+    val cdcSec = (System.nanoTime() - t1) / 1e9
+    q.stop()
+    val live = CdcStream.readSnapshot(spark, targetDir).map(_.count()).getOrElse(0L)
+    require(live > 0 && live <= 5000, s"merge produced $live live keys")
+
+    val json =
+      s"""{"metric":"throughput","ingest_items":$items,""" +
+      s""""ingest_sec":${f"$ingestSec%.2f"},""" +
+      s""""ingest_items_per_sec":${(items / ingestSec).toLong},""" +
+      s""""cdc_events":${epochs.toLong * perEpoch},"cdc_epochs":$epochs,""" +
+      s""""cdc_sec":${f"$cdcSec%.2f"},""" +
+      s""""cdc_events_per_sec":${(epochs.toLong * perEpoch / cdcSec).toLong},""" +
+      s""""cdc_live_keys":$live}"""
+    println(json)
+    Files.writeString(Paths.get("throughput_last.json"), json + "\n")
+    spark.stop()
+  }
+}
