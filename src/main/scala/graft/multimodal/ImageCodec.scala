@@ -118,11 +118,16 @@ object ImageCodec {
     val bpp = u16(28)
     val comp = i32(30)
     // BITMAPINFOHEADER or its extensions; BI_RGB 24-bit only
-    if (dibSize < 40 || w <= 0 || hRaw == 0 || bpp != 24 || comp != 0) return None
+    // (hRaw == Int.MinValue has no positive magnitude — reject it too)
+    if (dibSize < 40 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      bpp != 24 || comp != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0 // negative height = rows stored top-down
-    val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None
+    // stride in Long: an adversarial header width makes w*3 wrap in Int,
+    // a negative stride, and a bounds check that can't save the pixel loop
+    val strideL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff < 54 || dataOff.toLong + strideL * h > b.length) return None
+    val stride = strideL.toInt // safe: strideL * h fits in b.length
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var ck = 0L
     var row = 0
     while (row < h) {
