@@ -1032,6 +1032,230 @@ object Search {
                         THEN 1 ELSE 0 END) >= 1
         ORDER BY n_hits DESC, order_key
         LIMIT 20
+      """.stripMargin.trim)),
+
+    // Phrase suggester (`suggest.phrase`, the whole-phrase half of the
+    // spell-correction DSL; the term suggester q117 corrects words in
+    // isolation and happily emits word salad). Per-position candidates
+    // come from q117's machinery — length-banded levenshtein against
+    // the corpus vocabulary, top-5 per position by (distance, df,
+    // term) — and whole-phrase corrections are re-ranked by corpus
+    // evidence: the bigram count of the corrected pair, the
+    // OpenSearch `collate`/LM idea with an exact integer score.
+    // Scale shape: the vocabulary and bigram tables are the two
+    // corpus-sized shuffles (same cost class as q117's vocab); the
+    // suggest request itself stays tiny end-to-end — inputs broadcast
+    // into the length band, candidate pairs capped at 5×5=25, the
+    // bigram table probed by an inner join against the broadcast
+    // pairs, and the final left join + rank window touch ≤25 rows.
+    GraftQuery(
+      "q121_search_phrase_suggest",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val vocab = d.select(
+            explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val inputs = s.range(1).select(explode(array(
+            struct(lit(1L).as("pos"), lit("park").as("q")),
+            struct(lit(2L).as("pos"), lit("low").as("q")))).as("in"))
+          .select(col("in.pos").as("pos"), col("in.q").as("q"))
+        val cand = vocab.join(broadcast(inputs),
+            abs(length(col("term")) - length(col("q"))) <= 1 &&
+              levenshtein(col("q"), col("term")) <= 1)
+          .select(col("pos"), col("term"),
+            levenshtein(col("q"), col("term")).cast("long").as("dist"),
+            col("freq"))
+        val wPos = Window.partitionBy(col("pos"))
+          .orderBy(col("dist"), col("freq").desc, col("term"))
+        val top = cand.withColumn("r", row_number().over(wPos))
+          .filter(col("r") <= 5)
+        val pairs = top.filter(col("pos") === 1)
+          .select(col("term").as("w1"), col("dist").as("d1"))
+          .crossJoin(top.filter(col("pos") === 2)
+            .select(col("term").as("w2"), col("dist").as("d2")))
+        val bigrams = d.select(TextFns.tokens(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(tok)-2), i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
+        // corpus-sized bigram table probed by the 25 broadcast pairs;
+        // the surviving rows (≤25) broadcast back into the left join
+        val hit = bigrams.join(broadcast(pairs.select(col("w1"), col("w2"))),
+          Seq("w1", "w2"))
+        val scored = pairs.join(broadcast(hit), Seq("w1", "w2"), "left")
+          .withColumn("bcount", coalesce(col("bcount"), lit(0L)))
+          .withColumn("dist", col("d1") + col("d2"))
+        // ≤25 rows: the single-partition rank window is bounded
+        val wAll = Window.orderBy(
+          col("bcount").desc, col("dist"), col("w1"), col("w2"))
+        scored.withColumn("rank", row_number().over(wAll).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("rank"), col("w1"), col("w2"), col("bcount"), col("dist"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT tok AS term, COUNT(*) AS freq
+          FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents)
+          GROUP BY 1),
+        inputs(pos, q) AS (VALUES (1, 'park'), (2, 'low')),
+        cand AS (
+          SELECT pos, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, freq
+          FROM inputs, v
+          WHERE abs(len(term) - len(q)) <= 1 AND levenshtein(q, term) <= 1),
+        ranked AS (
+          SELECT pos, term, dist, freq,
+                 ROW_NUMBER() OVER (PARTITION BY pos ORDER BY dist, freq DESC, term) AS r
+          FROM cand),
+        p1 AS (SELECT term AS w1, dist AS d1 FROM ranked WHERE pos = 1 AND r <= 5),
+        p2 AS (SELECT term AS w2, dist AS d2 FROM ranked WHERE pos = 2 AND r <= 5),
+        pairs AS (SELECT w1, d1, w2, d2 FROM p1, p2),
+        big AS (
+          SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS bcount
+          FROM (SELECT unnest(list_zip(a, a[2:])) AS p
+                FROM (SELECT string_split(text, ' ') AS a FROM documents))
+          WHERE p[2] IS NOT NULL
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT pairs.w1, pairs.w2,
+                 CAST(COALESCE(big.bcount, 0) AS BIGINT) AS bcount,
+                 d1 + d2 AS dist
+          FROM pairs LEFT JOIN big USING (w1, w2)),
+        r AS (
+          SELECT w1, w2, bcount, dist,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bcount DESC, dist, w1, w2) AS BIGINT) AS rank
+          FROM scored)
+        SELECT rank, w1, w2, bcount, dist FROM r WHERE rank <= 5 ORDER BY rank
+      """.stripMargin.trim)),
+
+    // search_after keyset pagination: OpenSearch's constant-cost deep
+    // paging — instead of from+size (which materializes and discards
+    // `from` rows on every shard), the client passes the sort key of
+    // the last hit and the engine filters PAST it. The tuple
+    // comparison (n_chars,doc_id) < cursor under the (desc,asc) sort
+    // becomes a disjunctive range predicate that pushes to the
+    // parquet scan, and the top-10 is a TakeOrderedAndProject —
+    // per-partition bounded heaps merged on the driver, never a
+    // global sort. Page depth no longer costs anything: page 1000
+    // reads the same number of rows as page 1.
+    GraftQuery(
+      "q123_search_search_after",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.filter(col("n_chars") < 300 ||
+            (col("n_chars") === 300 && col("doc_id") > 250))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+      },
+      Some("""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE n_chars < 300 OR (n_chars = 300 AND doc_id > 250)
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 10
+      """.stripMargin.trim)),
+
+    // prefix / wildcard / regexp term-level queries over the indexed
+    // vocabulary: `prefix: win*`, `wildcard: *ow`, `regexp: jo.+n` —
+    // the term-enumerating DSL members (multi_term query family).
+    // Scale shape: one explode of the per-doc distinct terms, then a
+    // SINGLE aggregate computing matched-doc and matched-term counts
+    // for all three patterns at once (Spark's distinct-expand); the
+    // patterns are evaluated codegen'd per posting row — no joins, no
+    // second pass over the corpus. A real index would walk the term
+    // dictionary instead of the postings; the counts are identical.
+    GraftQuery(
+      "q124_search_multi_term",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
+        toks.agg(
+          countDistinct(when(col("tok").startsWith("win"), col("doc_id"))).as("prefix_docs"),
+          countDistinct(when(col("tok").startsWith("win"), col("tok"))).as("prefix_terms"),
+          countDistinct(when(col("tok").endsWith("ow"), col("doc_id"))).as("wildcard_docs"),
+          countDistinct(when(col("tok").endsWith("ow"), col("tok"))).as("wildcard_terms"),
+          countDistinct(when(col("tok").rlike("^jo.+n$"), col("doc_id"))).as("regexp_docs"),
+          countDistinct(when(col("tok").rlike("^jo.+n$"), col("tok"))).as("regexp_terms"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents)
+        SELECT
+          COUNT(DISTINCT CASE WHEN tok LIKE 'win%' THEN doc_id END) AS prefix_docs,
+          COUNT(DISTINCT CASE WHEN tok LIKE 'win%' THEN tok END) AS prefix_terms,
+          COUNT(DISTINCT CASE WHEN tok LIKE '%ow' THEN doc_id END) AS wildcard_docs,
+          COUNT(DISTINCT CASE WHEN tok LIKE '%ow' THEN tok END) AS wildcard_terms,
+          COUNT(DISTINCT CASE WHEN regexp_matches(tok, '^jo.+n$') THEN doc_id END) AS regexp_docs,
+          COUNT(DISTINCT CASE WHEN regexp_matches(tok, '^jo.+n$') THEN tok END) AS regexp_terms
+        FROM toks
+      """.stripMargin.trim)),
+
+    // geo_distance filter + geo-grid aggregation: the geo half of the
+    // search DSL — hits within R km of a point (haversine), bucketed
+    // into fixed-degree grid cells (the geohash_grid/geotile_grid
+    // shape: a cell id per hit, count + nearest-hit stats per cell).
+    // The fixture derives deterministic lat/lon from c_custkey by
+    // exact integer modular arithmetic (real deployments carry real
+    // geo_point columns; the derivation keeps the oracle independent
+    // of any RNG — note the multiplier product needs ~2⁴⁵ so 64-bit
+    // keys would first reduce mod 2³² before scaling). Determinism:
+    // the transcendental chain (sin/cos/asin over IEEE doubles) is
+    // written with the IDENTICAL operation order in both engines and
+    // the result rounded to 6 dp before any compare/filter — the
+    // established ln/exp recipe. Scale shape: map-only derive +
+    // filter, then ONE grid-keyed agg; cells are bounded by the
+    // geometry (≤288 here), so the shuffle is a broadcast-sized
+    // reduction no matter the row count.
+    GraftQuery(
+      "q125_search_geo_grid",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val pi = lit(math.Pi)
+        val pts = c.select(
+          col("c_custkey"),
+          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
+            / lit(1000.0) - lit(90.0)).as("lat"),
+          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
+            / lit(1000.0) - lit(180.0)).as("lon"))
+        val sdlat = sin((col("lat") - lit(40.0)) * pi / lit(180.0) / lit(2.0))
+        val sdlon = sin((col("lon") + lit(74.0)) * pi / lit(180.0) / lit(2.0))
+        val dist = round(
+          lit(12742.0176) * asin(sqrt(
+            sdlat * sdlat +
+              cos(lit(40.0) * pi / lit(180.0)) * cos(col("lat") * pi / lit(180.0)) *
+                sdlon * sdlon)), 6)
+        pts.withColumn("dist_km", dist)
+          .filter(col("dist_km") <= lit(5000.0))
+          .groupBy(floor(col("lat") / lit(15.0)).as("cell_lat"),
+            floor(col("lon") / lit(15.0)).as("cell_lon"))
+          .agg(count(lit(1)).as("n"), min(col("dist_km")).as("min_dist"))
+          .orderBy(col("cell_lat"), col("cell_lon"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        d AS (
+          SELECT c_custkey, lat, lon,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((lat - 40.0) * pi() / 180.0 / 2.0) * sin((lat - 40.0) * pi() / 180.0 / 2.0)
+                   + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)
+                     * sin((lon + 74.0) * pi() / 180.0 / 2.0) * sin((lon + 74.0) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM pts)
+        SELECT CAST(floor(lat / 15.0) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / 15.0) AS BIGINT) AS cell_lon,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               min(dist_km) AS min_dist
+        FROM d
+        WHERE dist_km <= 5000.0
+        GROUP BY 1, 2
+        ORDER BY cell_lat, cell_lon
       """.stripMargin.trim))
   )
 }

@@ -349,6 +349,52 @@ class PlanAssertSpec extends SparkSpec {
       s"conjunctive range not pushed to the scan: $pushed")
   }
 
+  test("q123 search_after: cursor predicate pushed to the scan, zero shuffles") {
+    val nodes = finalNodes(Registry.byName("q123_search_search_after").run(spark, sf()))
+    // keyset pagination's whole point: the disjunctive cursor range is a
+    // scan-level filter and the page is a TakeOrderedAndProject — deep
+    // pages never shuffle, sort globally, or materialize skipped rows
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("n_chars"),
+      s"cursor predicate not pushed to the scan: $pushed")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"page fetch is not a bounded top-k:\n${nodes.head}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"keyset page triggered a shuffle:\n${nodes.head}")
+  }
+
+  test("q125 geo grid: map-only derive, single grid agg, no joins") {
+    val nodes = finalNodes(Registry.byName("q125_search_geo_grid").run(spark, sf()))
+    // haversine + cell assignment are codegen'd projections; the only
+    // shuffles are the bounded grid agg and the presentation sort
+    val joins = nodes.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty, s"geo grid plan grew a join:\n${nodes.head}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"extra shuffle in the grid agg:\n${nodes.head}")
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"grid agg lost its map-side partial:\n${nodes.head}")
+  }
+
+  test("q124 multi_term: single corpus scan feeds the expand-based distinct counts") {
+    val nodes = finalNodes(Registry.byName("q124_search_multi_term").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1,
+      s"patterns re-scan the corpus (${scans.size} scans):\n${nodes.head}")
+    val joins = nodes.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+    }
+    assert(joins.isEmpty, s"multi_term plan grew a join:\n${nodes.head}")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
