@@ -413,4 +413,105 @@ final case class GraftEngine(spark: SparkSession) {
     */
   def decodeImage(payload: Array[Byte]): Option[graft.multimodal.ImageCodec.ImageStats] =
     graft.multimodal.ImageCodec.decodeImage(payload)
+
+  /** Whole-phrase spell correction — the phrase suggester. Each
+    * position's candidates come from the term-suggester band (top
+    * `perPosition` by distance, then document frequency); whole-phrase
+    * corrections are re-ranked by corpus evidence, the bigram count of
+    * each adjacent corrected pair summed across positions (an exact
+    * integer LM score, OpenSearch's `collate` idea). The request stays
+    * tiny end-to-end: inputs broadcast into the length band, candidate
+    * combinations capped at `perPosition`^positions, and the
+    * corpus-sized bigram table is probed by the candidate pairs, never
+    * scanned into the request.
+    */
+  def phraseSuggest(docs: DataFrame, textCol: String, phrase: Seq[String],
+      maxEdits: Int = 1, perPosition: Int = 5, size: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrase.size >= 2, "phrase suggester needs at least two words")
+    val vocab = docs.select(explode(array_distinct(
+        graft.functions.TextFns.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val in = spark.range(1).select(explode(array(
+        phrase.zipWithIndex.map { case (q, i) =>
+          struct(lit(i.toLong + 1).as("pos"), lit(q).as("q"))
+        }: _*)).as("in"))
+      .select(col("in.pos").as("pos"), col("in.q").as("q"))
+    val cand = vocab.join(broadcast(in),
+        abs(length(col("term")) - length(col("q"))) <= maxEdits &&
+          levenshtein(col("q"), col("term")) <= maxEdits)
+      .select(col("pos"), col("term"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("pos"))
+        .orderBy(col("dist"), col("term"))))
+      .filter(col("r") <= perPosition)
+    // expand to full phrase candidates position by position (bounded:
+    // perPosition^positions rows, a request-side quantity)
+    val phrases = (2 to phrase.size).foldLeft(
+      cand.filter(col("pos") === 1)
+        .select(array(col("term")).as("words"), col("dist"))) { (acc, p) =>
+      acc.crossJoin(cand.filter(col("pos") === p)
+          .select(col("term").as("w"), col("dist").as("d")))
+        .select(concat(col("words"), array(col("w"))).as("words"),
+          (col("dist") + col("d")).as("dist"))
+    }
+    val bigrams = docs.select(graft.functions.TextFns.tokens(col(textCol)).as("tok"))
+      .filter(org.apache.spark.sql.functions.size(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tok)-2), i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
+    val pairs = phrases.select(col("words"), col("dist"),
+        explode(expr(
+          "transform(sequence(0, size(words)-2), i -> struct(words[i] AS w1, words[i+1] AS w2))")).as("p"))
+      .select(col("words"), col("dist"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val hit = bigrams.join(broadcast(pairs.select(col("w1"), col("w2")).distinct()),
+      Seq("w1", "w2"))
+    val scored = pairs.join(broadcast(hit), Seq("w1", "w2"), "left")
+      .groupBy(col("words"), col("dist"))
+      .agg(sum(coalesce(col("bcount"), lit(0L))).as("score"))
+    scored.withColumn("rank", row_number().over(Window.orderBy(
+        col("score").desc, col("dist"), col("words"))).cast("long"))
+      .filter(col("rank") <= size)
+      .select(col("rank"), col("words"), col("score"), col("dist"))
+      .orderBy(col("rank"))
+  }
+
+  /** Keyset ("search_after") pagination: the page of `pageSize` rows
+    * strictly after `after` under an (`orderCol` DESC, `tieCol` ASC)
+    * sort. The cursor comparison compiles to a scan-level disjunctive
+    * range predicate and the page itself to a bounded top-k — page
+    * depth costs nothing (see q123's plan pin: zero shuffles).
+    */
+  def searchAfter(hits: DataFrame, orderCol: String, tieCol: String,
+      after: (Long, Long), pageSize: Int = 10): DataFrame =
+    hits.filter(col(orderCol) < after._1 ||
+        (col(orderCol) === after._1 && col(tieCol) > after._2))
+      .orderBy(col(orderCol).desc, col(tieCol))
+      .limit(pageSize)
+
+  /** geo_distance filter + geo-grid aggregation: rows within
+    * `radiusKm` of (`latQ`,`lonQ`) by haversine, bucketed into
+    * `cellDeg`-degree grid cells with per-cell count and nearest-hit
+    * distance — the geohash_grid shape. Distances round to 6 dp
+    * before any comparison so results are engine-portable.
+    */
+  def geoGrid(points: DataFrame, latCol: String, lonCol: String,
+      latQ: Double, lonQ: Double, radiusKm: Double,
+      cellDeg: Double = 15.0): DataFrame = {
+    val pi = lit(math.Pi)
+    val sdlat = sin((col(latCol) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
+    val sdlon = sin((col(lonCol) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
+    val dist = round(
+      lit(12742.0176) * asin(sqrt(
+        sdlat * sdlat +
+          cos(lit(latQ) * pi / lit(180.0)) * cos(col(latCol) * pi / lit(180.0)) *
+            sdlon * sdlon)), 6)
+    points.withColumn("dist_km", dist)
+      .filter(col("dist_km") <= lit(radiusKm))
+      .groupBy(floor(col(latCol) / lit(cellDeg)).as("cell_lat"),
+        floor(col(lonCol) / lit(cellDeg)).as("cell_lon"))
+      .agg(count(lit(1)).as("n"), min(col("dist_km")).as("min_dist"))
+      .orderBy(col("cell_lat"), col("cell_lon"))
+  }
 }

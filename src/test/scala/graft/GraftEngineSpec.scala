@@ -102,4 +102,59 @@ class GraftEngineSpec extends SparkSpec {
     graft.streaming.CdcStream.mergeBatch(spark, batch, target, 0L)
     assert(g.cdcSnapshot(target).get.count() === 2)
   }
+
+  test("phraseSuggest ranks whole-phrase corrections by bigram evidence") {
+    import spark.implicits._
+    // "b c" appears 3×, "a c" once — the phrase suggester must prefer
+    // the correction the corpus actually says, not alphabetical order
+    val docs = Seq("b c x b c", "y b c a c z", "a b").toDF("text")
+    val res = g.phraseSuggest(docs, "text", Seq("bb", "cc")).collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getAs[Long]("rank"))
+    assert(top.getAs[Seq[String]]("words") === Seq("b", "c"))
+    assert(top.getAs[Long]("score") === 3L)
+    // a→"a" is also one edit from "bb"? no — lev("bb","a")=2; candidates
+    // for "bb" are {b}, for "cc" are {c}: a single surviving phrase
+    assert(res.length === 1)
+  }
+
+  test("phraseSuggest scores a three-word phrase by summed bigram counts") {
+    import spark.implicits._
+    val docs = Seq("u v w", "u v q", "v w u v").toDF("text")
+    // "u v" ×3, "v w" ×2 → phrase (u,v,w) scores 5
+    val res = g.phraseSuggest(docs, "text", Seq("uu", "vv", "ww")).collect()
+    val top = res.minBy(_.getAs[Long]("rank"))
+    assert(top.getAs[Seq[String]]("words") === Seq("u", "v", "w"))
+    assert(top.getAs[Long]("score") === 5L)
+  }
+
+  test("searchAfter pages are disjoint, ordered, and jointly exhaustive") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val all = docs.orderBy(col("n_chars").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_chars")).collect().toSeq
+    // walk three pages by cursor; they must equal the first 30 rows
+    var cursor = (Long.MaxValue, Long.MinValue)
+    val paged = (1 to 3).flatMap { _ =>
+      val page = g.searchAfter(docs, "n_chars", "doc_id", cursor).collect()
+      val last = page.last
+      cursor = (last.getAs[Long]("n_chars"), last.getAs[Long]("doc_id"))
+      page.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    }
+    assert(paged === all.take(30).map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))))
+  }
+
+  test("geoGrid buckets hits inside the radius and reports nearest per cell") {
+    import spark.implicits._
+    val pts = Seq((40.0, -74.0), (40.5, -74.5), (41.0, -60.0), (-80.0, 100.0))
+      .toDF("lat", "lon")
+    val res = g.geoGrid(pts, "lat", "lon", 40.0, -74.0, 2000.0)
+      .collect()
+    // the antipodal point is filtered; the two nearby points share cell
+    // (floor(40/15), floor(-74/15)) = (2, -5); (41,-60) lands in (2,-4)
+    assert(res.map(r => (r.getAs[Long]("cell_lat"), r.getAs[Long]("cell_lon"),
+      r.getAs[Long]("n"))).toSeq === Seq((2L, -5L, 2L), (2L, -4L, 1L)))
+    val home = res.find(_.getAs[Long]("cell_lon") === -5L).get
+    assert(home.getAs[Double]("min_dist") === 0.0)
+  }
 }
