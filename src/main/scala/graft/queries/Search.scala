@@ -1256,6 +1256,98 @@ object Search {
         WHERE dist_km <= 5000.0
         GROUP BY 1, 2
         ORDER BY cell_lat, cell_lon
+      """.stripMargin.trim)),
+
+    // span_near proximity query: both terms present within `slop`
+    // intervening tokens (unordered, OpenSearch `span_near`
+    // in_order:false) — phrase match (q59) demands adjacency, this is
+    // the relaxed positional form. Scale shape: token positions come
+    // from ONE posexplode, each term's postings are a pushed filter of
+    // it, and the per-doc position pairing is an equi-join on doc_id
+    // whose blow-up is tf₁·tf₂ per doc (single-digit here, never
+    // corpus²); one doc-keyed agg finishes. The oracle reproduces
+    // positions with DuckDB's aligned parallel unnest.
+    GraftQuery(
+      "q126_search_span_near",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pos = d.select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("p", "tok")))
+        val p1 = pos.filter(col("tok") === "spark")
+          .select(col("doc_id"), col("p").as("p1"))
+        val p2 = pos.filter(col("tok") === "join")
+          .select(col("doc_id"), col("p").as("p2"))
+        p1.join(p2, "doc_id")
+          .withColumn("gap", (abs(col("p1") - col("p2")) - 1).cast("long"))
+          .filter(col("gap") <= 3)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pairs"), min(col("gap")).as("min_gap"))
+          .orderBy(col("n_pairs").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+        g AS (
+          SELECT p1.doc_id, CAST(abs(p1.p - p2.p) - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE abs(p1.p - p2.p) - 1 <= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 25
+      """.stripMargin.trim)),
+
+    // distance_feature query: boost hits by proximity to an origin —
+    // here recency against 2024-01-15 with a 7-day pivot, the decay
+    // OpenSearch computes as pivot/(pivot+distance). Applied on top of
+    // a base relevance (the event's value) as a multiplicative boost.
+    // Determinism: distance is integer epoch seconds, the decay is one
+    // IEEE division with identical operand order in both engines,
+    // rounded to 6 dp before the multiply (also rounded) — order never
+    // depends on partitioning. Scale shape: map-only scoring over a
+    // pushed event_type filter + TakeOrderedAndProject top-20; no
+    // shuffle but the bounded top-k merge.
+    GraftQuery(
+      "q127_search_distance_feature",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val originS = 1705276800L // 2024-01-15 00:00:00 UTC
+        val pivotS = 604800.0 // 7 days
+        val distS = abs(unix_timestamp(date_trunc("second", col("ts"))) - lit(originS))
+        val boost = round(lit(pivotS) / (lit(pivotS) + distS.cast("double")), 6)
+        e.filter(col("event_type") === "click")
+          .withColumn("dist_s", distS)
+          .withColumn("boost", boost)
+          .withColumn("score", round(col("value") * col("boost"), 6))
+          .select(col("event_id"), col("dist_s"), col("boost"), col("score"))
+          .orderBy(col("score").desc, col("event_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id,
+                 CAST(abs(epoch(date_trunc('second', ts)) - 1705276800) AS BIGINT) AS dist_s,
+                 value
+          FROM events
+          WHERE event_type = 'click'),
+        scored AS (
+          SELECT event_id, dist_s,
+                 round(604800.0 / (604800.0 + CAST(dist_s AS DOUBLE)), 6) AS boost
+          FROM e),
+        f AS (
+          SELECT scored.event_id, scored.dist_s, boost,
+                 round(e.value * boost, 6) AS score
+          FROM scored JOIN e USING (event_id))
+        SELECT event_id, dist_s, boost, score
+        FROM f
+        ORDER BY score DESC, event_id
+        LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -395,6 +395,32 @@ class PlanAssertSpec extends SparkSpec {
     assert(joins.isEmpty, s"multi_term plan grew a join:\n${nodes.head}")
   }
 
+  test("q126 span_near: postings pair by equi join, never cartesian") {
+    val nodes = finalNodes(Registry.byName("q126_search_span_near").run(spark, sf()))
+    val cart = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(cart.isEmpty, s"position pairing is not an equi join:\n${nodes.head}")
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"doc agg lost its partial stage:\n${nodes.head}")
+  }
+
+  test("q127 distance_feature: event_type pushed, scoring map-only to a top-k") {
+    val nodes = finalNodes(Registry.byName("q127_search_distance_feature").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("event_type"),
+      s"event_type filter not pushed to the scan: $pushed")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"top-20 regressed to a global sort:\n${nodes.head}")
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, s"decay scoring triggered a shuffle:\n${nodes.head}")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
