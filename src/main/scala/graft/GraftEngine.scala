@@ -490,6 +490,35 @@ final case class GraftEngine(spark: SparkSession) {
       .orderBy(col(orderCol).desc, col(tieCol))
       .limit(pageSize)
 
+  /** span_near proximity query: documents where `t1` and `t2` occur
+    * within `slop` intervening tokens (unordered). Positions come from
+    * one posexplode; each term's postings are a pushed filter of it;
+    * the pairing is an equi-join on the document key whose blow-up is
+    * tf₁·tf₂ per document, never corpus². Returns per-doc pair count
+    * and the tightest gap.
+    */
+  def spanNear(docs: DataFrame, idCol: String, textCol: String,
+      t1: String, t2: String, slop: Int = 3): DataFrame = {
+    val pos = docs.select(col(idCol),
+      posexplode(graft.functions.TextFns.tokens(col(textCol))).as(Seq("p", "tok")))
+    val p1 = pos.filter(col("tok") === t1).select(col(idCol), col("p").as("p1"))
+    val p2 = pos.filter(col("tok") === t2).select(col(idCol), col("p").as("p2"))
+    p1.join(p2, idCol)
+      .withColumn("gap", (abs(col("p1") - col("p2")) - 1).cast("long"))
+      .filter(col("gap") <= slop)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"), min(col("gap")).as("min_gap"))
+      .orderBy(col("n_pairs").desc, col(idCol))
+  }
+
+  /** distance_feature decay column: pivot/(pivot + |x − origin|), the
+    * proximity boost OpenSearch applies to numeric/date/geo origins —
+    * multiply it into any base relevance column. Rounded to 6 dp so
+    * rankings built on it are engine-portable.
+    */
+  def distanceFeature(x: Column, origin: Long, pivot: Double): Column =
+    round(lit(pivot) / (lit(pivot) + abs(x - lit(origin)).cast("double")), 6)
+
   /** geo_distance filter + geo-grid aggregation: rows within
     * `radiusKm` of (`latQ`,`lonQ`) by haversine, bucketed into
     * `cellDeg`-degree grid cells with per-cell count and nearest-hit

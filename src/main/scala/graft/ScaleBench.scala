@@ -35,7 +35,12 @@ object ScaleBench {
   private val queries =
     Seq("q71_dedup_ngram_jaccard", "q72_dedup_minhash_lsh",
       "q77_dedup_clusters", "q79_semantic_dedup", "q83_paragraph_dedup",
-      "q91_knn_join")
+      "q91_knn_join",
+      // corpus-sized search aggregations: the phrase suggester's
+      // vocab+bigram tables and span_near's positional postings grow
+      // with the corpus (the replica perturbation multiplies the
+      // vocabulary), while the request side stays bounded
+      "q121_search_phrase_suggest", "q126_search_span_near")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

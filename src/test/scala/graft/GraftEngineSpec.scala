@@ -144,6 +144,28 @@ class GraftEngineSpec extends SparkSpec {
       (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))))
   }
 
+  test("spanNear honors the slop and counts qualifying position pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a x b"),        // gap 1 — within slop 1
+      (2L, "a x y z b"),    // gap 3 — outside slop 1
+      (3L, "b a a b")       // pairs: (2,1)g0 (2,4)g1 (3,1)g1 (3,4)g0 → 4 pairs
+    ).toDF("doc_id", "text")
+    val res = g.spanNear(docs, "doc_id", "text", "a", "b", slop = 1).collect()
+    assert(res.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("min_gap"))).toSeq === Seq((3L, 4L, 0L), (1L, 1L, 1L)))
+  }
+
+  test("distanceFeature decays from 1 at the origin and halves at the pivot") {
+    import spark.implicits._
+    val df = Seq(100L, 110L, 90L, 200L).toDF("x")
+      .withColumn("b", g.distanceFeature(col("x"), origin = 100L, pivot = 10.0))
+    val by = df.collect().map(r => r.getAs[Long]("x") -> r.getAs[Double]("b")).toMap
+    assert(by(100L) === 1.0)
+    assert(by(110L) === 0.5 && by(90L) === 0.5)
+    assert(by(200L) === 0.090909) // 10/110 rounded to 6 dp
+  }
+
   test("geoGrid buckets hits inside the radius and reports nearest per cell") {
     import spark.implicits._
     val pts = Seq((40.0, -74.0), (40.5, -74.5), (41.0, -60.0), (-80.0, 100.0))
