@@ -277,6 +277,20 @@ final case class GraftEngine(spark: SparkSession) {
       b: Double = 0.75, topK: Int = 20): DataFrame =
     graft.etl.SearchIndex.bm25(spark, dir, terms, k1, b, topK)
 
+  /** Zero-downtime reindex: build the next index version under
+    * `aliasDir` and atomically cut the alias over; serve through
+    * [[searchAliasBm25]]; roll back with [[graft.etl.IndexAlias.swap]]
+    * until [[graft.etl.IndexAlias.prune]] closes the window.
+    */
+  def searchReindex(docs: DataFrame, idCol: String, textCol: String,
+      aliasDir: String, buckets: Int = 64): String =
+    graft.etl.IndexAlias.reindex(docs, idCol, textCol, aliasDir, buckets)
+
+  /** Serve BM25 through an alias created by [[searchReindex]]. */
+  def searchAliasBm25(aliasDir: String, terms: Seq[String],
+      k: Int = 10): DataFrame =
+    graft.etl.IndexAlias.bm25(spark, aliasDir, terms, k)
+
   /** CONTINUOUSLY maintain the BM25 index from a CDC stream of
     * (id, text, `_action`[, `_seq`]) rows — the reference's actual
     * program: a stream keeping a search index current, forever (see

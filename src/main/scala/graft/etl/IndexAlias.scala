@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Zero-downtime reindex through an index ALIAS — the OpenSearch
+  * operational pattern behind every breaking mapping change: build the
+  * new index under a fresh physical name, then atomically repoint the
+  * alias readers resolve through (`POST _aliases` with a paired
+  * remove/add; the reference's stack creates and retires per-entity
+  * indices the same way). The parquet realization: an alias directory
+  * holds versioned index layouts (`v1`, `v2`, …) plus a one-line
+  * `_active` pointer file; readers resolve the pointer, writers build
+  * a full [[SearchIndex]] layout under the NEXT version and cut over
+  * with a temp-write + atomic rename — the same commit discipline as
+  * the streaming epoch markers.
+  *
+  * Crash shapes: a crash mid-build leaves a half-written `vN+1` that
+  * no reader ever resolves (the pointer still names `vN`); re-running
+  * the reindex overwrites it. A crash between pointer delete and
+  * rename is repaired by `resolve`'s fallback (highest complete
+  * version). Old versions stay on disk for rollback until [[prune]].
+  *
+  * Scale: cutover cost is one file rename regardless of index size;
+  * the build is [[SearchIndex.build]]'s own shape (one corpus pass,
+  * bucket-partitioned writes).
+  */
+object IndexAlias {
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointerPath(aliasDir: String) = new Path(s"$aliasDir/_active")
+
+  private def versions(spark: SparkSession, aliasDir: String): Seq[Int] = {
+    val root = new Path(aliasDir)
+    val fs = fsOf(spark, aliasDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.matches("v\\d+") =>
+        s.getPath.getName.drop(1).toInt
+    }.sorted
+  }
+
+  /** The active physical index dir, or None before the first reindex.
+    * Falls back to the highest version holding a complete layout when
+    * the pointer file is missing (the crash-between-delete-and-rename
+    * window) — stats is written LAST by [[SearchIndex.build]], so its
+    * presence marks a complete build.
+    */
+  def resolve(spark: SparkSession, aliasDir: String): Option[String] = {
+    val fs = fsOf(spark, aliasDir)
+    val p = pointerPath(aliasDir)
+    val pointed =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        if (v.nonEmpty) Some(s"$aliasDir/$v") else None
+      }
+    pointed.orElse {
+      versions(spark, aliasDir).reverse
+        .map(v => s"$aliasDir/v$v")
+        .find(d => fs.exists(new Path(s"$d/stats")))
+    }
+  }
+
+  /** Build a fresh BM25 layout from `docs` under the next version and
+    * atomically cut the alias over to it. Readers in flight keep the
+    * old layout; new resolves see the new one. Returns the new
+    * physical dir.
+    */
+  def reindex(docs: DataFrame, idCol: String, textCol: String,
+      aliasDir: String, buckets: Int = 64): String = {
+    val spark = docs.sparkSession
+    val next = versions(spark, aliasDir).lastOption.getOrElse(0) + 1
+    val dir = s"$aliasDir/v$next"
+    SearchIndex.build(docs, idCol, textCol, dir, buckets)
+    swap(spark, aliasDir, s"v$next")
+    dir
+  }
+
+  /** Atomically repoint the alias at `version` (temp + rename). */
+  def swap(spark: SparkSession, aliasDir: String, version: String): Unit = {
+    require(version.matches("v\\d+"), s"not a version name: $version")
+    val fs = fsOf(spark, aliasDir)
+    require(fs.exists(new Path(s"$aliasDir/$version/stats")),
+      s"refusing to point alias at incomplete layout $aliasDir/$version")
+    val tmp = new Path(s"$aliasDir/_active.tmp$version")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes("UTF-8")) finally out.close()
+    fs.delete(pointerPath(aliasDir), false)
+    fs.rename(tmp, pointerPath(aliasDir)): Unit
+  }
+
+  /** Serve BM25 through the alias — fails loud before the first
+    * reindex rather than returning an empty ranking.
+    */
+  def bm25(spark: SparkSession, aliasDir: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val dir = resolve(spark, aliasDir).getOrElse(throw new IllegalStateException(
+      s"alias $aliasDir resolves to no index — reindex first"))
+    SearchIndex.bm25(spark, dir, terms, topK = k)
+  }
+
+  /** Drop every version older than the active one (rollback window
+    * closed). The active version and anything newer (an in-progress
+    * build) survive.
+    */
+  def prune(spark: SparkSession, aliasDir: String): Seq[String] = {
+    val fs = fsOf(spark, aliasDir)
+    val active = resolve(spark, aliasDir)
+      .map(_.split('/').last.drop(1).toInt).getOrElse(return Seq.empty)
+    versions(spark, aliasDir).filter(_ < active).map { v =>
+      fs.delete(new Path(s"$aliasDir/v$v"), true)
+      s"v$v"
+    }
+  }
+}

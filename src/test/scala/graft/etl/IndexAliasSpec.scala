@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Alias-mediated zero-downtime reindex: version cutover is atomic,
+  * readers never resolve a half-built layout, crash windows repair,
+  * and rollback versions survive until pruned.
+  */
+class IndexAliasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def served(aliasDir: String): Seq[(Long, Double)] =
+    IndexAlias.bm25(spark, aliasDir, Seq("spark"), k = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+
+  test("reindex builds versions, cuts over atomically, serves the new corpus") {
+    val alias = java.nio.file.Files.createTempDirectory("graft-alias").toString
+    // before the first reindex: fail loud, not an empty ranking
+    val ex = intercept[IllegalStateException](served(alias))
+    assert(ex.getMessage.contains("reindex first"))
+
+    val v1 = IndexAlias.reindex(
+      corpus(1L -> "spark join", 2L -> "row scan"), "doc_id", "text", alias, buckets = 4)
+    assert(v1.endsWith("/v1") && IndexAlias.resolve(spark, alias).contains(v1))
+    assert(served(alias).map(_._1) === Seq(1L))
+
+    // reindex with doc 1 gone and doc 3 added — the alias must flip to
+    // the new truth while v1 stays on disk for rollback
+    val v2 = IndexAlias.reindex(
+      corpus(2L -> "row scan", 3L -> "spark window spark"), "doc_id", "text", alias, buckets = 4)
+    assert(IndexAlias.resolve(spark, alias).contains(v2))
+    assert(served(alias).map(_._1) === Seq(3L))
+    val fs = new Path(alias).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$alias/v1/stats")), "rollback version was destroyed")
+
+    // rollback is just a swap; prune then drops everything below active
+    IndexAlias.swap(spark, alias, "v1")
+    assert(served(alias).map(_._1) === Seq(1L))
+    IndexAlias.swap(spark, alias, "v2")
+    assert(IndexAlias.prune(spark, alias) === Seq("v1"))
+    assert(!fs.exists(new Path(s"$alias/v1")) && fs.exists(new Path(s"$alias/v2")))
+  }
+
+  test("crash windows: lost pointer falls back to last complete build; half-builds never resolve") {
+    val alias = java.nio.file.Files.createTempDirectory("graft-alias2").toString
+    IndexAlias.reindex(corpus(1L -> "spark join"), "doc_id", "text", alias, buckets = 4)
+    val fs = new Path(alias).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // a half-built v2 (no stats yet — stats is written last) must be
+    // invisible: to resolve's fallback, and to swap
+    fs.mkdirs(new Path(s"$alias/v2/postings"))
+    fs.delete(new Path(s"$alias/_active"), false) // crash between delete and rename
+    assert(IndexAlias.resolve(spark, alias).exists(_.endsWith("/v1")))
+    assert(served(alias).map(_._1) === Seq(1L))
+    intercept[IllegalArgumentException](IndexAlias.swap(spark, alias, "v2"))
+
+    // re-running the reindex claims the next free version number and
+    // leaves the debris unreferenced
+    val v3 = IndexAlias.reindex(
+      corpus(1L -> "spark join", 4L -> "spark"), "doc_id", "text", alias, buckets = 4)
+    assert(v3.endsWith("/v3") && IndexAlias.resolve(spark, alias).contains(v3))
+    assert(served(alias).map(_._1).toSet === Set(1L, 4L))
+  }
+}
