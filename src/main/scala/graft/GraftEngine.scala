@@ -291,6 +291,26 @@ final case class GraftEngine(spark: SparkSession) {
       k: Int = 10): DataFrame =
     graft.etl.IndexAlias.bm25(spark, aliasDir, terms, k)
 
+  /** `_cat/indices` for a [[searchIndexBuild]] layout: document count,
+    * average document length, distinct terms, postings rows and term
+    * buckets — each from the index's own (bounded) artifacts, never a
+    * corpus scan.
+    */
+  def searchIndexStats(dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val stats = spark.read.parquet(s"$dir/stats")
+      .select(col("n_docs").cast("long").as("n_docs"),
+        round(col("sum_dl").cast("double") / col("n_docs").cast("double"), 6)
+          .as("avg_dl"),
+        col("buckets").cast("long").as("buckets"))
+    stats.crossJoin(broadcast(docs.agg(
+        count(lit(1)).cast("long").as("live_docs"))))
+      .crossJoin(broadcast(postings.agg(
+        count(lit(1)).cast("long").as("postings_rows"),
+        countDistinct(col("term")).as("distinct_terms"))))
+  }
+
   /** CONTINUOUSLY maintain the BM25 index from a CDC stream of
     * (id, text, `_action`[, `_seq`]) rows — the reference's actual
     * program: a stream keeping a search index current, forever (see
@@ -443,6 +463,12 @@ final case class GraftEngine(spark: SparkSession) {
       maxEdits: Int = 1, perPosition: Int = 5, size: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phrase.size >= 2, "phrase suggester needs at least two words")
+    // the candidate expansion is perPosition^positions rows and flows
+    // through a single-partition rank window — request-side by design,
+    // so refuse inputs that would turn it into a data-side explosion
+    require(math.pow(perPosition.toDouble, phrase.size.toDouble) <= 100000.0,
+      s"perPosition^positions = $perPosition^${phrase.size} exceeds the " +
+        "100k request-side cap — shorten the phrase or lower perPosition")
     val vocab = docs.select(explode(array_distinct(
         graft.functions.TextFns.tokens(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))

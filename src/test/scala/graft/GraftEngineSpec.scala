@@ -166,6 +166,23 @@ class GraftEngineSpec extends SparkSpec {
     assert(by(200L) === 0.090909) // 10/110 rounded to 6 dp
   }
 
+  test("searchIndexStats reports the layout's own numbers; oversize phrases fail loud") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eng-stats").toString
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "d")).toDF("doc_id", "text")
+    graft.etl.SearchIndex.build(docs, "doc_id", "text", dir, buckets = 4)
+    val s = g.searchIndexStats(dir).collect().head
+    assert(s.getAs[Long]("n_docs") === 3L && s.getAs[Long]("live_docs") === 3L)
+    assert(s.getAs[Double]("avg_dl") === 2.0) // (3+2+1)/3
+    assert(s.getAs[Long]("distinct_terms") === 4L)
+    assert(s.getAs[Long]("postings_rows") === 6L) // (a,1)(b,1)(c,1)(a,2)(b,2)(d,3)
+    assert(s.getAs[Long]("buckets") === 4L)
+    // the request-side cap: 5^10 candidate phrases is not a request
+    val ex = intercept[IllegalArgumentException](
+      g.phraseSuggest(docs, "text", phrase = Seq.fill(10)("word")))
+    assert(ex.getMessage.contains("request-side cap"))
+  }
+
   test("geoGrid buckets hits inside the radius and reports nearest per cell") {
     import spark.implicits._
     val pts = Seq((40.0, -74.0), (40.5, -74.5), (41.0, -60.0), (-80.0, 100.0))
