@@ -1348,6 +1348,180 @@ object Search {
         FROM f
         ORDER BY score DESC, event_id
         LIMIT 20
+      """.stripMargin.trim)),
+
+    // terms_set query: match when at least `minimum_should_match` of a
+    // terms list are present — the "N of M" form a plain bool can only
+    // express as an exponential clause expansion. One codegen'd array
+    // intersection per document (size-only, so the engines' differing
+    // intersection orders cannot matter); map-only until the bounded
+    // top-k.
+    GraftQuery(
+      "q128_search_terms_set",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val wanted = array(lit("spark"), lit("join"), lit("window"), lit("merge"))
+        d.withColumn("n_matched",
+            size(array_intersect(array_distinct(TextFns.tokens(col("text"))),
+              wanted)).cast("long"))
+          .filter(col("n_matched") >= 3)
+          .select(col("doc_id"), col("n_matched"))
+          .orderBy(col("n_matched").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                       ['spark','join','window','merge'])) AS BIGINT) AS n_matched
+        FROM documents
+        WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 ['spark','join','window','merge'])) >= 3
+        ORDER BY n_matched DESC, doc_id
+        LIMIT 25
+      """.stripMargin.trim)),
+
+    // dis_max query: the score is the BEST clause's score plus
+    // tie_breaker × the others — "best field wins" ranking, where bool
+    // would sum and let weak clauses pile up. Clause scores are term
+    // frequencies; tie_breaker 0.3 in exact ppm integers
+    // (max·10⁶ + rest·3·10⁵), so the ranking is engine-portable with
+    // no float summation anywhere. Map-only + bounded top-k.
+    GraftQuery(
+      "q129_search_dis_max",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val tf1 = size(filter(tok, t => t === lit("spark"))).cast("long")
+        val tf2 = size(filter(tok, t => t === lit("join"))).cast("long")
+        d.withColumn("tf_spark", tf1).withColumn("tf_join", tf2)
+          .filter(col("tf_spark") + col("tf_join") > 0)
+          .withColumn("best", greatest(col("tf_spark"), col("tf_join")))
+          .withColumn("score",
+            col("best") * lit(1000000L) +
+              (col("tf_spark") + col("tf_join") - col("best")) * lit(300000L))
+          .select(col("doc_id"), col("tf_spark"), col("tf_join"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf_join
+          FROM documents)
+        SELECT doc_id, tf_spark, tf_join,
+               greatest(tf_spark, tf_join) * 1000000
+                 + (tf_spark + tf_join - greatest(tf_spark, tf_join)) * 300000 AS score
+        FROM t
+        WHERE tf_spark + tf_join > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // boosting query: positive relevance DEMOTED (not excluded) when
+    // the negative clause matches — bool must_not would drop the hit,
+    // boosting keeps it at negative_boost × score. Positive = tf of
+    // 'spark' in ppm; negative_boost 0.5 as an exact integer halving.
+    // Map-only + bounded top-k.
+    GraftQuery(
+      "q130_search_boosting",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val pos = size(filter(tok, t => t === lit("spark"))).cast("long")
+        val neg = array_contains(tok, "slow")
+        d.withColumn("base", pos * lit(1000000L))
+          .filter(col("base") > 0)
+          .withColumn("demoted", neg)
+          .withColumn("score",
+            when(col("demoted"), expr("base div 2")).otherwise(col("base")))
+          .select(col("doc_id"), col("demoted"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) * 1000000 AS base,
+                 list_contains(string_split(text, ' '), 'slow') AS demoted
+          FROM documents)
+        SELECT doc_id, demoted,
+               CASE WHEN demoted THEN base // 2 ELSE base END AS score
+        FROM t
+        WHERE base > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // match_phrase_prefix: a phrase whose LAST term is a prefix —
+    // the query behind search-as-you-type ("stream mer…" matches
+    // "stream merge"). Adjacent-pair extraction (q121's bigram shape)
+    // with an equality on the first word and a prefix predicate on the
+    // second; one corpus pass, one doc-keyed agg.
+    GraftQuery(
+      "q131_search_match_phrase_prefix",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pairs = d.select(col("doc_id"), TextFns.tokens(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(tok)-2), i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        pairs.filter(col("w1") === "stream" && col("w2").startsWith("mer"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hits"),
+            array_sort(collect_set(col("w2"))).as("completions"))
+          .orderBy(col("n_hits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH big AS (
+          SELECT doc_id, p[1] AS w1, p[2] AS w2
+          FROM (SELECT doc_id, unnest(list_zip(a, a[2:])) AS p
+                FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents))
+          WHERE p[2] IS NOT NULL)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               list_sort(list_distinct(list(w2))) AS completions
+        FROM big
+        WHERE w1 = 'stream' AND w2 LIKE 'mer%'
+        GROUP BY doc_id
+        ORDER BY n_hits DESC, doc_id
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // pinned query: curated ids surface above the organic ranking, in
+    // the curators' order, without disturbing the organic order below
+    // them. The pin lookup is a codegen'd array_position against a
+    // broadcast-small literal list (both engines return 0 for
+    // "not pinned"); organic relevance is the ppm term frequency.
+    // Map-only + bounded top-k.
+    GraftQuery(
+      "q132_search_pinned",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = TextFns.tokens(col("text"))
+        val pins = array(lit(42L), lit(7L), lit(123L))
+        d.withColumn("tf", size(filter(tok, t => t === lit("spark"))).cast("long"))
+          .withColumn("pin", array_position(pins, col("doc_id")))
+          .filter(col("tf") > 0 || col("pin") > 0)
+          .withColumn("pin_rank",
+            when(col("pin") > 0, col("pin")).otherwise(lit(999999L)))
+          .select(col("doc_id"), col("pin_rank"), col("tf"))
+          .orderBy(col("pin_rank"), col("tf").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf,
+                 CAST(list_position([42, 7, 123], doc_id) AS BIGINT) AS pin
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN pin > 0 THEN pin ELSE 999999 END AS pin_rank, tf
+        FROM t
+        WHERE tf > 0 OR pin > 0
+        ORDER BY pin_rank, tf DESC, doc_id
+        LIMIT 15
       """.stripMargin.trim))
   )
 }

@@ -421,6 +421,24 @@ class PlanAssertSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"decay scoring triggered a shuffle:\n${nodes.head}")
   }
 
+  test("scoring-DSL family (terms_set/dis_max/boosting/pinned): map-only to a top-k, no joins") {
+    for (name <- Seq("q128_search_terms_set", "q129_search_dis_max",
+        "q130_search_boosting", "q132_search_pinned")) {
+      val nodes = finalNodes(Registry.byName(name).run(spark, sf()))
+      val joins = nodes.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(joins.isEmpty, s"$name grew a join:\n${nodes.head}")
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+        s"$name regressed to a global sort:\n${nodes.head}")
+      val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"$name scoring triggered a shuffle:\n${nodes.head}")
+    }
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
