@@ -481,9 +481,13 @@ final case class GraftEngine(spark: SparkSession) {
         abs(length(col("term")) - length(col("q"))) <= maxEdits &&
           levenshtein(col("q"), col("term")) <= maxEdits)
       .select(col("pos"), col("term"),
-        levenshtein(col("q"), col("term")).cast("long").as("dist"))
+        levenshtein(col("q"), col("term")).cast("long").as("dist"),
+        col("freq"))
+      // distance first, then document frequency — the term-suggester
+      // ranking; without the freq tiebreak a frequent true correction
+      // can be cut alphabetically before the bigram re-rank sees it
       .withColumn("r", row_number().over(Window.partitionBy(col("pos"))
-        .orderBy(col("dist"), col("term"))))
+        .orderBy(col("dist"), col("freq").desc, col("term"))))
       .filter(col("r") <= perPosition)
     // expand to full phrase candidates position by position (bounded:
     // perPosition^positions rows, a request-side quantity)
@@ -497,13 +501,11 @@ final case class GraftEngine(spark: SparkSession) {
     }
     val bigrams = docs.select(graft.functions.TextFns.tokens(col(textCol)).as("tok"))
       .filter(org.apache.spark.sql.functions.size(col("tok")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(tok)-2), i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("p"))
+      .select(explode(graft.functions.TextFns.adjacentPairs(col("tok"))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
     val pairs = phrases.select(col("words"), col("dist"),
-        explode(expr(
-          "transform(sequence(0, size(words)-2), i -> struct(words[i] AS w1, words[i+1] AS w2))")).as("p"))
+        explode(graft.functions.TextFns.adjacentPairs(col("words"))).as("p"))
       .select(col("words"), col("dist"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val hit = bigrams.join(broadcast(pairs.select(col("w1"), col("w2")).distinct()),
       Seq("w1", "w2"))
@@ -543,7 +545,13 @@ final case class GraftEngine(spark: SparkSession) {
       posexplode(graft.functions.TextFns.tokens(col(textCol))).as(Seq("p", "tok")))
     val p1 = pos.filter(col("tok") === t1).select(col(idCol), col("p").as("p1"))
     val p2 = pos.filter(col("tok") === t2).select(col(idCol), col("p").as("p2"))
-    p1.join(p2, idCol)
+    // a repeated clause (t1 == t2) must pair DISTINCT occurrences, and
+    // each unordered pair once — self-pairs would pass any slop with
+    // gap -1 and real pairs would be double-counted
+    val pairwise =
+      if (t1 == t2) p1.join(p2, idCol).filter(col("p1") < col("p2"))
+      else p1.join(p2, idCol)
+    pairwise
       .withColumn("gap", (abs(col("p1") - col("p2")) - 1).cast("long"))
       .filter(col("gap") <= slop)
       .groupBy(col(idCol))

@@ -17,9 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Crash shapes: a crash mid-build leaves a half-written `vN+1` that
   * no reader ever resolves (the pointer still names `vN`); re-running
-  * the reindex overwrites it. A crash between pointer delete and
-  * rename is repaired by `resolve`'s fallback (highest complete
-  * version). Old versions stay on disk for rollback until [[prune]].
+  * the reindex claims the NEXT free number and abandons the debris,
+  * which ages out through [[prune]] once its number falls below the
+  * active version. A crash between pointer delete and rename is
+  * repaired by `resolve`'s fallback (highest complete version). Old
+  * versions stay on disk for rollback until [[prune]]. Concurrent
+  * `reindex` calls are serialized per version by an atomic
+  * no-overwrite claim-file create — losers move to the next number
+  * rather than interleaving writes into the same layout.
   *
   * Scale: cutover cost is one file rename regardless of index size;
   * the build is [[SearchIndex.build]]'s own shape (one corpus pass,
@@ -74,7 +79,20 @@ object IndexAlias {
   def reindex(docs: DataFrame, idCol: String, textCol: String,
       aliasDir: String, buckets: Int = 64): String = {
     val spark = docs.sparkSession
-    val next = versions(spark, aliasDir).lastOption.getOrElse(0) + 1
+    val fs = fsOf(spark, aliasDir)
+    // claim the version number atomically: create-without-overwrite of
+    // a claim file loses exactly one of two concurrent claimants, so
+    // two reindexes can never interleave writes into the same layout
+    var next = versions(spark, aliasDir).lastOption.getOrElse(0) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new Path(s"$aliasDir/_claim_v$next"), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => next += 1 // taken — try the next
+      }
+    }
     val dir = s"$aliasDir/v$next"
     SearchIndex.build(docs, idCol, textCol, dir, buckets)
     swap(spark, aliasDir, s"v$next")
@@ -91,7 +109,13 @@ object IndexAlias {
     val out = fs.create(tmp, true)
     try out.write(version.getBytes("UTF-8")) finally out.close()
     fs.delete(pointerPath(aliasDir), false)
-    fs.rename(tmp, pointerPath(aliasDir)): Unit
+    // Hadoop rename reports most failures as `false`, not an exception;
+    // swallowing it would leave the alias pointerless and resolve's
+    // fallback serving the HIGHEST version — during a rollback, the
+    // exact version being rolled back from
+    require(fs.rename(tmp, pointerPath(aliasDir)),
+      s"alias cutover rename failed for $aliasDir -> $version; " +
+        "pointer removed, readers now resolve the newest complete version")
   }
 
   /** Serve BM25 through the alias — fails loud before the first

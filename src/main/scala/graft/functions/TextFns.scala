@@ -20,6 +20,15 @@ object TextFns {
   /** Whitespace tokens (single-space corpus; `split` is codegen'd). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent pairs of an array column as `array<struct<w1,w2>>` — the
+    * corpus-bigram shape shared by the phrase suggester and
+    * match_phrase_prefix. Callers must filter `size(arr) >= 2` first
+    * (a shorter array would drive `sequence` backwards).
+    */
+  def adjacentPairs(arr: Column): Column =
+    transform(sequence(lit(0), size(arr) - 2),
+      i => struct(arr(i).as("w1"), arr(i + 1).as("w2")))
+
   /** BPE-ish tokenizer: alphanumeric runs plus single non-space
     * punctuation marks — the usual pre-tokenization shape of GPT-style
     * BPE. RE2-compatible (no lookarounds) so the DuckDB oracle can run

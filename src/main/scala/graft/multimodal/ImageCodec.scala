@@ -126,8 +126,12 @@ object ImageCodec {
     // stride in Long: an adversarial header width makes w*3 wrap in Int,
     // a negative stride, and a bounds check that can't save the pixel loop
     val strideL = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    // one row alone can't exceed the buffer — and with strideL bounded
+    // by b.length, strideL * h (< 2^31 · 2^31) can't overflow Long
+    // either, so the area check below is itself overflow-safe
+    if (strideL > b.length) return None
     if (dataOff < 54 || dataOff.toLong + strideL * h > b.length) return None
-    val stride = strideL.toInt // safe: strideL * h fits in b.length
+    val stride = strideL.toInt // safe: strideL <= b.length fits in Int
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var ck = 0L
     var row = 0
     while (row < h) {

@@ -1075,8 +1075,7 @@ object Search {
             .select(col("term").as("w2"), col("dist").as("d2")))
         val bigrams = d.select(TextFns.tokens(col("text")).as("tok"))
           .filter(size(col("tok")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(0, size(tok)-2), i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("p"))
+          .select(explode(TextFns.adjacentPairs(col("tok"))).as("p"))
           .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
           .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
         // corpus-sized bigram table probed by the 25 broadcast pairs;

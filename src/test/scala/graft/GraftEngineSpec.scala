@@ -156,6 +156,19 @@ class GraftEngineSpec extends SparkSpec {
       r.getAs[Long]("min_gap"))).toSeq === Seq((3L, 4L, 0L), (1L, 1L, 1L)))
   }
 
+  test("spanNear with a repeated clause pairs distinct occurrences, each once") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark x spark"), (2L, "spark y")).toDF("doc_id", "text")
+    // doc 1 at slop 0: the only distinct pair (0,2) has gap 1 — no hit;
+    // self-pairs (gap -1) must not sneak through
+    assert(g.spanNear(docs, "doc_id", "text", "spark", "spark", slop = 0)
+      .collect().isEmpty)
+    // at slop 1 the distinct pair qualifies exactly once
+    val r = g.spanNear(docs, "doc_id", "text", "spark", "spark", slop = 1).collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_pairs"),
+      x.getAs[Long]("min_gap"))).toSeq === Seq((1L, 1L, 1L)))
+  }
+
   test("distanceFeature decays from 1 at the origin and halves at the pivot") {
     import spark.implicits._
     val df = Seq(100L, 110L, 90L, 200L).toDF("x")

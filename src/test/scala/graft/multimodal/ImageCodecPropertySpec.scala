@@ -29,6 +29,28 @@ object ImageCodecPropertySpec extends Properties("imagecodec") {
       true
     }
 
+  // random bytes essentially never satisfy the BMP header gate with
+  // huge dims — pin the overflow shapes explicitly: w·3 wrapping Int,
+  // and stride·h wrapping Long past the area check
+  property("adversarial BMP headers with overflowing dims decode to None, never throw") = {
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](64)
+      b(0) = 'B'; b(1) = 'M'
+      def put(o: Int, v: Int): Unit = {
+        b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+        b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      put(10, 54); put(14, 40); put(18, w); put(22, h)
+      b(28) = 24; put(30, 0)
+      b
+    }
+    forAll(Gen.oneOf(
+      (Int.MaxValue, Int.MaxValue), (Int.MaxValue, 1), (0x55555556, 3),
+      (1, Int.MaxValue), (Int.MaxValue, Int.MinValue))) { case (w, h) =>
+      ImageCodec.decodeImage(bmp(w, h)).isEmpty
+    }
+  }
+
   private val image: Gen[(Int, Int, Array[Byte])] = for {
     w <- Gen.chooseNum(1, 12)
     h <- Gen.chooseNum(1, 12)
