@@ -68,7 +68,13 @@ object ThroughputBench {
       sb.append('\n')
       i += 1
     }
-    Files.writeString(Paths.get(dir, f"epoch-$epoch%05d.json"), sb.toString)
+    // the stream is already tailing `dir`: a partially-flushed file a
+    // trigger happens to list would be consumed truncated and never
+    // re-read — write outside the watched dir and move in atomically
+    val tmp = Files.createTempFile("tput_epoch", ".json")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, Paths.get(dir, f"epoch-$epoch%05d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def main(args: Array[String]): Unit = {

@@ -61,24 +61,11 @@ object SearchIndex {
     * and re-paid the build. The cache bounds that to one directory per
     * dataset path, removed on JVM exit.
     */
-  private val corpusCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  def cachedIndex(cacheKey: String, idCol: String, textCol: String,
-      buckets: Int = 64)(docs: => DataFrame): String =
-    corpusCache.computeIfAbsent(cacheKey, { _ =>
-      val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
-      build(docs, idCol, textCol, idx.toString, buckets)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(idx)) {
-          val all = Files.walk(idx).iterator().asScala.toSeq.reverse
-          all.foreach(p => Files.deleteIfExists(p): Unit)
-        }
-      }))
-      idx.toString
-    })
+  def cachedIndex(spark: SparkSession, cacheKey: String, idCol: String,
+      textCol: String, buckets: Int = 64, watch: Seq[String] = Nil)(
+      docs: => DataFrame): String =
+    graft.sources.ArtifactCache.cachedDir(spark, cacheKey, watch,
+      "graft_bm25_idx")(dir => build(docs, idCol, textCol, dir, buckets))
 
   /** Full build: tokenize the corpus once into the three tables. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
@@ -104,14 +91,20 @@ object SearchIndex {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def hasParquetData(spark: SparkSession, p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = fsOf(spark, p)
-    fs.exists(hp) && fs.listStatus(hp).exists { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+  private def hasParquetData(spark: SparkSession, p: String): Boolean =
+    graft.streaming.IndexCompaction.hasDataFiles(spark, p)
+
+  /** True iff a [[build]] ran to its final step at `dir`. The right
+    * bootstrap-vs-merge discriminator for stream drivers: postings/ is
+    * written FIRST, so its presence only proves a build STARTED — a
+    * crash before docs/ and the meta sidecar would send every replay
+    * down the merge path into an unrecoverable missing-stats read,
+    * crash-looping the stream. The meta file is created by the build's
+    * last step (and [[recoverStatsIfMissing]] can rebuild everything
+    * else from it), so meta presence is exactly "merge is safe".
+    */
+  private[graft] def isInitialized(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(metaPath(dir)))
 
   /** Write-once sidecar holding `buckets` — the one layout parameter
     * everything else derives from. `stats/` is REWRITTEN every merge
@@ -164,6 +157,7 @@ object SearchIndex {
     writeMetaOnce(spark, dir, nb)
     val tmp = s"$dir/_stats_inprogress"
     spark.read.parquet(s"$dir/docs")
+      .dropDuplicates("doc_id") // compaction-crash duplicates must not inflate n_docs
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("buckets", lit(nb))
       .coalesce(1)
@@ -208,6 +202,9 @@ object SearchIndex {
             .filter(col("tbucket").isin(touched.map(c => c: Any): _*))
             .select(col("term"), col("doc_id").cast("long"), col("dl"),
               col("tf"), col("tbucket").cast("int"))
+            // repair compaction-crash duplicates while this bucket is
+            // being rewritten anyway (the serve path also tolerates them)
+            .dropDuplicates("term", "doc_id")
             .join(broadcast(ids), Seq("doc_id"), "left_anti")
             .unionByName(newPost.select(col("term"), col("doc_id"), col("dl"),
               col("tf"), col("tbucket").cast("int"))))
@@ -228,6 +225,7 @@ object SearchIndex {
             .filter(col("dbucket").isin(touchedD.map(c => c: Any): _*))
             .select(col("doc_id").cast("long"), col("dl"),
               col("dbucket").cast("long"))
+            .dropDuplicates("doc_id")
             .join(broadcast(ids), Seq("doc_id"), "left_anti")
             .unionByName(newDocs))
 
@@ -281,6 +279,11 @@ object SearchIndex {
     val post = spark.read.parquet(s"$dir/postings")
       .filter(col("tbucket").isin(termBuckets.map(c => c: Any): _*)) // pruned
       .filter(col("term").isin(terms: _*))
+      // a compaction crash between append and delete legally leaves
+      // rows duplicated (IndexCompaction's write-then-delete window);
+      // df/tf are NOT duplicate-tolerant (idf is non-linear in df), so
+      // the serve path re-establishes uniqueness on the pruned read
+      .dropDuplicates("term", "doc_id")
 
     // per-term document frequencies (≤ |terms| rows) pivoted wide
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -228,6 +228,8 @@ object IvfIndex {
           .filter(col("cluster").isin(touched.map(c => c: Any): _*))
           .select(col("id").cast("long"), col("unit_vec"),
             col("cluster").cast("int"))
+          // repair compaction-crash duplicates while rewriting anyway
+          .dropDuplicates("id")
           .join(broadcast(ids), Seq("id"), "left_anti")
           .unionByName(assigned)
           // sever lineage: the plan reads the partitions the write below
@@ -284,6 +286,10 @@ object IvfIndex {
     val probedClusters = probes.flatten.distinct.sorted
     val corpus = spark.read.parquet(s"$dir/data")
       .filter(col("cluster").isin(probedClusters.map(c => c: Any): _*))
+      // a compaction crash may leave a row duplicated (write-then-
+      // delete window); a duplicate candidate would occupy two top-k
+      // slots, so serving re-establishes id uniqueness on the pruned read
+      .dropDuplicates("id")
       .select(col("id").cast("long"), col("unit_vec"), col("cluster").cast("int"))
       .as[(Long, Array[Double], Int)]
     val bc = spark.sparkContext.broadcast((qs, probes))

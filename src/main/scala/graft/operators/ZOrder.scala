@@ -106,22 +106,10 @@ object ZOrder {
     * clustering shuffle each call; the directory is removed on JVM
     * exit.
     */
-  private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  def cachedLayout(cacheKey: String, cols: Seq[String], files: Int = 16)(
+  def cachedLayout(spark: org.apache.spark.sql.SparkSession, cacheKey: String,
+      cols: Seq[String], files: Int = 16, watch: Seq[String] = Nil)(
       df: => DataFrame): String =
-    layoutCache.computeIfAbsent(cacheKey + cols.mkString("#", ",", ""), { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
-      write(df, cols, dir.toString, files)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(dir)) {
-          val all = Files.walk(dir).iterator().asScala.toSeq.reverse
-          all.foreach(p => Files.deleteIfExists(p): Unit)
-        }
-      }))
-      dir.toString
-    })
+    graft.sources.ArtifactCache.cachedDir(spark,
+      cacheKey + cols.mkString("#", ",", ""), watch, "graft_zorder")(
+      dir => write(df, cols, dir, files))
 }

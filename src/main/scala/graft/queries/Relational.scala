@@ -824,7 +824,8 @@ object Relational {
       "q119_zorder_scan",
       (s, dir) => {
         val layout = graft.operators.ZOrder.cachedLayout(
-          dir, Seq("l_extendedprice", "l_quantity"))(
+          s, dir, Seq("l_extendedprice", "l_quantity"),
+          watch = Seq(s"$dir/lineitem.parquet"))(
           Tables.load(s, dir, "lineitem"))
         s.read.parquet(layout)
           .filter(col("l_extendedprice").between(20000.0, 30000.0) &&

@@ -836,10 +836,13 @@ object Search {
     GraftQuery(
       "q103_search_bm25_indexed",
       (s, dir) => {
-        // build-once-per-(JVM, dataset) cache: repeated gate/bench
-        // invocations serve from the same index instead of leaking a
-        // fresh /tmp build each call; the dir is removed on JVM exit
-        val idx = graft.etl.SearchIndex.cachedIndex(dir, "doc_id", "text")(
+        // build-once-per-(JVM, dataset, data-fingerprint) cache:
+        // repeated gate/bench invocations serve from the same index
+        // instead of leaking a fresh /tmp build each call, and a
+        // regenerated documents table invalidates the entry (the
+        // fingerprint watch) instead of serving stale; removed on exit
+        val idx = graft.etl.SearchIndex.cachedIndex(s, dir, "doc_id", "text",
+          watch = Seq(s"$dir/documents.parquet"))(
           Tables.load(s, dir, "documents"))
         graft.etl.SearchIndex.bm25(s, idx, Seq("spark", "join", "window"),
           k1 = 1.2, b = 0.75, topK = 20)
@@ -887,27 +890,15 @@ object Search {
     // scores, so the ranking is engine-portable.
     GraftQuery(
       "q117_search_term_suggest",
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        val vocab = d.select(
-            explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
-          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-        val inputs = s.range(1).select(explode(array(
-          lit("sprk"), lit("windoow"), lit("joinn"), lit("merg"))).as("q"))
-        val cand = vocab.join(broadcast(inputs),
-            abs(length(col("term")) - length(col("q"))) <= 2 &&
-              col("term") =!= col("q") &&
-              levenshtein(col("q"), col("term")) <= 2)
-          .select(col("q"), col("term"),
-            levenshtein(col("q"), col("term")).cast("long").as("dist"),
-            col("freq"))
-        val w = Window.partitionBy(col("q"))
-          .orderBy(col("dist"), col("freq").desc, col("term"))
-        cand.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-          .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
-          .orderBy(col("q"), col("rank"))
-      },
+      // ONE implementation: the oracle-gated query runs the exact
+      // facade pipeline ([[graft.GraftEngine.termSuggest]]) — a
+      // ranking or banding change can't diverge the API from the
+      // gate-checked behavior, because they are the same code
+      (s, dir) => graft.GraftEngine(s)
+        .termSuggest(Tables.load(s, dir, "documents"), "text",
+          Seq("sprk", "windoow", "joinn", "merg"))
+        .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
+        .orderBy(col("q"), col("rank")),
       Some("""
         WITH v AS (
           SELECT tok AS term, COUNT(*) AS freq
@@ -942,31 +933,11 @@ object Search {
     // doc×vocab blow-up.
     GraftQuery(
       "q118_search_more_like_this",
-      (s, dir) => {
-        val seedId = 7L
-        val d = Tables.load(s, dir, "documents")
-        val tf = d.select(col("doc_id"),
-            explode(TextFns.tokens(col("text"))).as("term"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = d.agg(count(lit(1)).as("n"))
-        // one seed doc's distinct terms: bounded, single-partition
-        // window is fine (and the only place a global window appears)
-        val seed = tf.filter(col("doc_id") === seedId)
-          .join(df, "term").crossJoin(broadcast(n))
-          .withColumn("sel", (col("tf") * col("n")) / col("df"))
-        val wSeed = Window.orderBy(col("sel").desc, col("term"))
-        val queryTerms = seed.withColumn("r", row_number().over(wSeed))
-          .filter(col("r") <= 10)
-          .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
-        tf.filter(col("doc_id") =!= seedId)
-          .join(broadcast(queryTerms), "term")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(15)
-          .select(col("doc_id"), col("n_shared"), col("score"))
-      },
+      // the facade pipeline IS the gated implementation (see q117)
+      (s, dir) => graft.GraftEngine(s)
+        .moreLikeThis(Tables.load(s, dir, "documents"), "doc_id", "text",
+          seedId = 7L)
+        .select(col("doc_id"), col("n_shared"), col("score")),
       Some("""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

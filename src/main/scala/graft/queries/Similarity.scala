@@ -256,8 +256,13 @@ object Similarity {
     GraftQuery(
       "q116_whitened_retrieval",
       (s, dir) => {
+        // materialize once: qy shares no physical plan with the main
+        // branch, so without this the whole whitening pipeline (two
+        // corpus aggregates + the rotation) runs a second full time
+        // just to produce the one broadcast query row
         val y = graft.operators.Whitening.analyticWhiten(
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+          .localCheckpoint(true)
         val qy = y.filter(col("vec_id") === 7).select(col("y").as("qy"))
         val dot = aggregate(zip_with(col("y"), col("qy"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x)

@@ -51,7 +51,7 @@ object IndexCompaction {
     * over the data-less root throws "Unable to infer schema". Hidden
     * entries (`_tombstones`, `_SUCCESS`, `.crc`) never count as data.
     */
-  private[streaming] def hasDataFiles(spark: SparkSession,
+  private[graft] def hasDataFiles(spark: SparkSession,
       path: String): Boolean = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -113,7 +113,11 @@ object StreamingSearchIndex {
     if (!shouldApply(spark, dir, epoch)) return
     val b = collapsed(batch, idCol).localCheckpoint(true)
     try {
-      if (IndexCompaction.hasDataFiles(spark, s"$dir/postings"))
+      // bootstrap-vs-merge keys on the COMPLETED-build marker, not on
+      // postings/ (written first): a crash mid-bootstrap must re-run
+      // the build on replay, not crash-loop the merge path on a
+      // half-written layout
+      if (SearchIndex.isInitialized(spark, dir))
         SearchIndex.mergeCdcBatch(spark, dir, b, idCol, textCol, actionCol)
       else {
         // bootstrap: the first data-bearing batch IS the corpus; a

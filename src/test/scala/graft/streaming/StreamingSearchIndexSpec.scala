@@ -110,6 +110,41 @@ class StreamingSearchIndexSpec extends SparkSpec {
     assert(served(dir) === served(freshDir))
   }
 
+  test("a crash mid-bootstrap re-runs the build on replay instead of crash-looping the merge") {
+    val base = Files.createTempDirectory("ssidx3").toString
+    val dir = s"$base/idx"
+    val batch = (0L until 30L).map(i => (i, text(i), "upsert"))
+      .toDF("doc_id", "text", "_action")
+    // simulate: build died after postings/ (written first) but before
+    // docs/, the meta sidecar and stats — the shape that used to send
+    // every replay down the merge path into a missing-stats read
+    graft.etl.SearchIndex.build(batch.drop("_action"), "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_meta_buckets"), false)
+    // replay of the same epoch must bootstrap again and converge
+    StreamingSearchIndex.processTextBatch(batch, "doc_id", "text", dir, epoch = 0L)
+    val freshDir = s"$base/fresh"
+    SearchIndex.build((0L until 30L).map(i => (i, text(i))).toDF("doc_id", "text"),
+      "doc_id", "text", freshDir)
+    assert(served(dir) === served(freshDir))
+  }
+
+  test("bm25 ranking survives compaction-crash duplicated postings rows") {
+    val base = Files.createTempDirectory("ssidx4").toString
+    val dir = s"$base/idx"
+    val docs = (0L until 30L).map(i => (i, text(i))).toDF("doc_id", "text")
+    SearchIndex.build(docs, "doc_id", "text", dir)
+    val before = served(dir)
+    // duplicate every postings row — the write-then-delete crash window
+    val post = spark.read.parquet(s"$dir/postings").localCheckpoint(true)
+    post.write.mode("append").partitionBy("tbucket").parquet(s"$dir/postings")
+    assert(served(dir) === before,
+      "duplicated postings changed df/tf and reranked the serve")
+  }
+
   test("streamed IVF index serves exact top-k of the live corpus under exhaustive probing") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("ssivf").toString
