@@ -160,16 +160,26 @@ object ScaleBench {
       }.toMap
     }
     // BM25 index build (q103's one-time cost), one timed build per scale
-    def buildBm25(dir: String): Double = {
+    // build once per scale, then time SERVE separately: the claim
+    // under test is that term-bucket pruning + the one-row stats read
+    // keep serve latency flat while the corpus grows 100×
+    def buildAndServeBm25(dir: String): (Double, Double) = {
       val idx = java.nio.file.Files.createTempDirectory("scale_bm25").toString
-      val sec = time(graft.etl.SearchIndex.build(
+      val buildSec = time(graft.etl.SearchIndex.build(
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", idx))
+      def serveOnce(): Double = time(
+        graft.etl.SearchIndex.bm25(spark, idx, Seq("spark", "join", "window"))
+          .queryExecution.toRdd.foreach(_ => ()))
+      serveOnce() // warm-up
+      val serveSec = (1 to passes).map(_ => serveOnce()).min
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
-      sec
+      (buildSec, serveSec)
     }
 
     val timed = dirs.map { case (c, d) => c -> bench(d) }
-    val bm25 = dirs.map { case (c, d) => c -> buildBm25(d) }
+    val bm25Both = dirs.map { case (c, d) => c -> buildAndServeBm25(d) }
+    val bm25 = bm25Both.map { case (c, (b, _)) => c -> b }
+    val bm25Serve = bm25Both.map { case (c, (_, s)) => c -> s }
     // Z-order probe at base and the first (10×) replica — layout
     // rewrite of the biggest replica is evidence-free extra minutes
     val zprobe = dirs.take(2).map { case (c, d) =>
@@ -205,13 +215,16 @@ object ScaleBench {
       s""""$c":$g""" }.mkString("{", ",", "}")
     val bm25Json = bm25.map { case (c, s) =>
       s""""$c":${f"$s%.2f"}""" }.mkString("{", ",", "}")
+    val bm25ServeJson = bm25Serve.map { case (c, s) =>
+      s""""$c":${f"$s%.3f"}""" }.mkString("{", ",", "}")
     val zJson = zprobe.map { case (c, (z, srt, exact, w)) =>
       s""""$c":{"z_rows":$z,"sorted_rows":$srt,"exact":$exact,""" +
       s""""write_sec":${f"$w%.1f"}}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_curve","unit":"sec","passes":$passes,""" +
       s""""scales_sec":$scalesJson,"growth_x":$growthJson,""" +
-      s""""bm25_build_sec":$bm25Json,"zorder":$zJson,""" +
+      s""""bm25_build_sec":$bm25Json,"bm25_serve_sec":$bm25ServeJson,""" +
+      s""""zorder":$zJson,""" +
       s""""guards":{"lsh_hot_buckets":$lshHot,"sem_hot_buckets":$semHot,""" +
       s""""sem_max_bucket":$semBuckets}}"""
     println(json)
