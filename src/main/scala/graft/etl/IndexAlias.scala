@@ -76,26 +76,51 @@ object IndexAlias {
     * old layout; new resolves see the new one. Returns the new
     * physical dir.
     */
+  /** Atomic create-without-overwrite of the claim file: true = claimed,
+    * false = another writer holds it. On the local filesystem Hadoop's
+    * `create(f, overwrite=false)` is an exists-then-open TOCTOU window,
+    * not O_EXCL — go through `Files.createFile` (O_EXCL proper) there;
+    * HDFS/object-store schemes get the namenode-atomic Hadoop create.
+    * Only the already-exists failure means "taken"; any other I/O error
+    * propagates (a read-only or full filesystem must fail loud, not
+    * spin the claim loop forever).
+    */
+  private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+      aliasDir: String, n: Int): Boolean = {
+    val p = new Path(s"$aliasDir/_claim_v$n")
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(p.toUri.getPath)): Unit
+        case _ => fs.create(p, false).close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
   def reindex(docs: DataFrame, idCol: String, textCol: String,
       aliasDir: String, buckets: Int = 64): String = {
     val spark = docs.sparkSession
     val fs = fsOf(spark, aliasDir)
-    // claim the version number atomically: create-without-overwrite of
-    // a claim file loses exactly one of two concurrent claimants, so
-    // two reindexes can never interleave writes into the same layout
+    fs.mkdirs(new Path(aliasDir))
+    // claim the version number atomically: the claim-file create loses
+    // all but one of any concurrent claimants, so two reindexes can
+    // never interleave writes into the same layout
     var next = versions(spark, aliasDir).lastOption.getOrElse(0) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        fs.create(new Path(s"$aliasDir/_claim_v$next"), false).close()
-        claimed = true
-      } catch {
-        case _: java.io.IOException => next += 1 // taken — try the next
-      }
-    }
+    while (!tryClaim(fs, aliasDir, next)) next += 1
     val dir = s"$aliasDir/v$next"
     SearchIndex.build(docs, idCol, textCol, dir, buckets)
-    swap(spark, aliasDir, s"v$next")
+    // cutover is monotonic: if a LATER-claimed build finished first
+    // (its version is higher), leave its pointer alone — last-writer-
+    // wins here would park the alias on the older corpus forever
+    val active = resolve(spark, aliasDir)
+      .map(_.split('/').last.drop(1).toInt).getOrElse(0)
+    if (next > active) swap(spark, aliasDir, s"v$next")
     dir
   }
 
@@ -138,6 +163,7 @@ object IndexAlias {
       .map(_.split('/').last.drop(1).toInt).getOrElse(return Seq.empty)
     versions(spark, aliasDir).filter(_ < active).map { v =>
       fs.delete(new Path(s"$aliasDir/v$v"), true)
+      fs.delete(new Path(s"$aliasDir/_claim_v$v"), false) // claim goes with it
       s"v$v"
     }
   }

@@ -101,10 +101,15 @@ object SearchIndex {
     * down the merge path into an unrecoverable missing-stats read,
     * crash-looping the stream. The meta file is created by the build's
     * last step (and [[recoverStatsIfMissing]] can rebuild everything
-    * else from it), so meta presence is exactly "merge is safe".
+    * else from it), so meta presence means "merge is safe" — and so
+    * does a populated stats/, the pre-meta layout generation
+    * ([[readBuckets]]'s documented fallback): a legacy complete index
+    * must take the merge path, never be mistaken for a half-build and
+    * overwritten by one batch's upserts.
     */
   private[graft] def isInitialized(spark: SparkSession, dir: String): Boolean =
-    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(metaPath(dir)))
+    fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(metaPath(dir))) ||
+      hasParquetData(spark, s"$dir/stats")
 
   /** Write-once sidecar holding `buckets` — the one layout parameter
     * everything else derives from. `stats/` is REWRITTEN every merge

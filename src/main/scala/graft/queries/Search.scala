@@ -1434,8 +1434,8 @@ object Search {
         val d = Tables.load(s, dir, "documents")
         val pairs = d.select(col("doc_id"), TextFns.tokens(col("text")).as("tok"))
           .filter(size(col("tok")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(tok)-2), i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("p"))
+          .select(col("doc_id"),
+            explode(TextFns.adjacentPairs(col("tok"))).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         pairs.filter(col("w1") === "stream" && col("w2").startsWith("mer"))
           .groupBy(col("doc_id"))

@@ -16,9 +16,23 @@ class SparkEntrySpec extends SparkSpec {
     assert(names.distinct.size === names.size,
       s"duplicate query names: ${names.diff(names.distinct).distinct}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // every oracle ends with a total ORDER BY unless it is single-row
-    // by construction — the driver compares row order
     assert(names.forall(_.matches("q[0-9]+[a-z]?_[a-z0-9_]+")),
       "query name broke the qN_snake_case convention")
+  }
+
+  test("every oracle carries a total ORDER BY unless single-row by construction") {
+    // the driver compares row order, so an oracle without a total
+    // ORDER BY is a gate-flakiness hazard; the exceptions are queries
+    // whose result is ONE row by construction (global aggregates)
+    val singleRowByConstruction = Set(
+      "q110_search_adjacency_matrix", "q111_search_matrix_stats",
+      "q124_search_multi_term")
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql)
+        if !sql.toUpperCase.contains("ORDER BY") &&
+          !singleRowByConstruction(name) => name
+    }
+    assert(missing.isEmpty,
+      s"oracles without a total ORDER BY (row order is compared!): $missing")
   }
 }

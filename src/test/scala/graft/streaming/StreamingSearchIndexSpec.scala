@@ -132,6 +132,26 @@ class StreamingSearchIndexSpec extends SparkSpec {
     assert(served(dir) === served(freshDir))
   }
 
+  test("a legacy complete index (no meta sidecar) takes the merge path, not a re-bootstrap") {
+    val base = Files.createTempDirectory("ssidx5").toString
+    val dir = s"$base/idx"
+    SearchIndex.build((0L until 30L).map(i => (i, text(i))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // pre-meta layout generation: stats/ present, sidecar absent
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/_meta_buckets"), false)
+    // one upsert batch: a mis-detected bootstrap would OVERWRITE the
+    // corpus with this single document — merge must preserve it
+    StreamingSearchIndex.processTextBatch(
+      Seq((99L, text(99L), "upsert")).toDF("doc_id", "text", "_action"),
+      "doc_id", "text", dir, epoch = 0L)
+    val freshDir = s"$base/fresh"
+    SearchIndex.build(((0L until 30L) :+ 99L).map(i => (i, text(i)))
+      .toDF("doc_id", "text"), "doc_id", "text", freshDir)
+    assert(served(dir) === served(freshDir))
+  }
+
   test("bm25 ranking survives compaction-crash duplicated postings rows") {
     val base = Files.createTempDirectory("ssidx4").toString
     val dir = s"$base/idx"
