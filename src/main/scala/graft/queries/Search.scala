@@ -1492,6 +1492,85 @@ object Search {
         WHERE tf > 0 OR pin > 0
         ORDER BY pin_rank, tf DESC, doc_id
         LIMIT 15
+      """.stripMargin.trim)),
+
+    // ordered span (`span_near` with in_order:true / the intervals
+    // query's `ordered` rule): 'stream' strictly BEFORE 'merge' with
+    // at most 3 intervening tokens — q126's unordered form accepts
+    // either direction, this one is the phrase-like directional
+    // constraint. Same scale shape: one posexplode, pushed per-term
+    // postings, equi-join on doc_id with the order folded into the
+    // join-side filter.
+    GraftQuery(
+      "q133_search_span_ordered",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val pos = d.select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("p", "tok")))
+        val p1 = pos.filter(col("tok") === "stream")
+          .select(col("doc_id"), col("p").as("p1"))
+        val p2 = pos.filter(col("tok") === "merge")
+          .select(col("doc_id"), col("p").as("p2"))
+        p1.join(p2, "doc_id")
+          .filter(col("p2") > col("p1"))
+          .withColumn("gap", (col("p2") - col("p1") - 1).cast("long"))
+          .filter(col("gap") <= 3)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_pairs"), min(col("gap")).as("min_gap"))
+          .orderBy(col("n_pairs").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'stream'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'merge'),
+        g AS (
+          SELECT p1.doc_id, CAST(p2.p - p1.p - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE p2.p > p1.p AND p2.p - p1.p - 1 <= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 25
+      """.stripMargin.trim)),
+
+    // exists query over a dynamic JSON field: hits whose document has
+    // the field at all — OpenSearch's `exists` matters because dynamic
+    // mappings make absent-vs-null a first-class distinction. Here the
+    // events' props JSON may or may not carry `k` (q53's DLQ split
+    // keys on the same field): per event_type, how many events carry
+    // it, don't, and the field's conditional mean — one map-only JSON
+    // probe (codegen'd get_json_object) into a single agg.
+    GraftQuery(
+      "q134_search_exists",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        e.withColumn("k", k)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_exists"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+            round(avg(col("k")), 6).as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exists,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               round(AVG(k), 6) AS avg_k
+        FROM t
+        GROUP BY event_type
+        ORDER BY event_type
       """.stripMargin.trim))
   )
 }
