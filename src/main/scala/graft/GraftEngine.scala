@@ -90,6 +90,15 @@ final case class GraftEngine(spark: SparkSession) {
     filtered.orderBy(col("_score").desc +: tiebreak: _*).limit(size)
   }
 
+  /** OpenSearch-style `_search` request body (query-DSL JSON) compiled
+    * onto Catalyst — the reference's client wire contract. Returns the
+    * hit table (with a LONG `score` column), or the bucket table when
+    * the request carries `aggs`. See [[graft.search.QueryDsl]] for the
+    * supported clause surface; unsupported clauses fail loud.
+    */
+  def searchDsl(table: DataFrame, requestJson: String): DataFrame =
+    graft.search.QueryDsl.search(table, requestJson)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

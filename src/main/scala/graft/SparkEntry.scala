@@ -36,7 +36,8 @@ object Registry {
       graft.queries.Similarity.queries ++
       graft.queries.Sampling.queries ++
       graft.queries.Curation.queries ++
-      graft.queries.MultimodalOps.queries
+      graft.queries.MultimodalOps.queries ++
+      graft.queries.DslSearch.queries
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name)

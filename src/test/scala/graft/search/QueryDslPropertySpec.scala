@@ -1,0 +1,190 @@
+package graft.search
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** Small fixed corpus row with every field class the DSL touches
+  * (top-level so the Dataset encoder codegen can reach it).
+  */
+final case class Doc(
+    doc_id: Long, lang: String, source: String, n_chars: Long, text: String)
+
+/** Property coverage for the query-DSL compiler: a randomly generated
+  * query AST, rendered to request JSON and compiled onto Catalyst, must
+  * agree row-for-row (predicate AND score) with a direct row-wise
+  * evaluation of the documented semantics over the collected table.
+  * Random nesting exercises shapes the example specs can't: empty bool
+  * sections, must_not around scoring clauses, should inside must,
+  * minimum_should_match at several levels.
+  */
+object QueryDslPropertySpec extends Properties("querydsl") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private lazy val spark = graft.SparkSpec.session
+
+  private lazy val corpus: Seq[Doc] = {
+    val langs = Seq("en", "fr", "de", "es")
+    val vocab = Seq("spark", "join", "window", "data", "the", "model", "scan")
+    (0L until 240L).map { i =>
+      val words = (0 to (i % 7).toInt).map(j => vocab(((i * 31 + j * 17) % vocab.size).toInt))
+      Doc(i, langs((i % 4).toInt), s"src${i % 5}", (i * 37) % 500,
+        words.mkString(" "))
+    }
+  }
+
+  private lazy val table = {
+    import spark.implicits._
+    corpus.toDF()
+  }
+
+  // ----------------------------------------------------------- AST + gen
+
+  private sealed trait Q
+  private case class Term(f: String, v: Either[String, Long]) extends Q
+  private case class Terms(f: String, vs: Seq[Either[String, Long]]) extends Q
+  private case class Range(f: String, gte: Option[Long], lt: Option[Long]) extends Q
+  private case class Prefix(f: String, v: String) extends Q
+  private case class Wildcard(f: String, v: String) extends Q
+  private case class Exists(f: String) extends Q
+  private case class Match(terms: Seq[String], msm: Long) extends Q
+  private case class Phrase(p: String) extends Q
+  private case class Bool(must: Seq[Q], filter: Seq[Q], mustNot: Seq[Q],
+      should: Seq[Q], msm: Option[Long]) extends Q
+
+  private val vocab = Seq("spark", "join", "window", "data", "model", "absent")
+
+  private def leafGen: Gen[Q] = Gen.oneOf(
+    for { f <- Gen.oneOf("lang", "source"); v <- Gen.oneOf("en", "fr", "src1", "src3", "nope") }
+      yield Term(f, Left(v)),
+    Gen.oneOf(0L, 37L, 74L, 999L).map(v => Term("n_chars", Right(v))),
+    for { n <- Gen.chooseNum(1, 3); vs <- Gen.listOfN(n, Gen.oneOf("en", "de", "es", "xx")) }
+      yield Terms("lang", vs.map(Left(_))),
+    for { lo <- Gen.chooseNum(0L, 400L); w <- Gen.chooseNum(1L, 300L) }
+      yield Range("n_chars", Some(lo), Some(lo + w)),
+    Gen.chooseNum(0L, 400L).map(lo => Range("n_chars", Some(lo), None)),
+    Gen.oneOf("sp", "da", "zz").map(p => Prefix("text", p)),
+    Gen.oneOf("src*", "*1", "s?c1", "none*").map(w => Wildcard("source", w)),
+    Gen.const(Exists("lang")),
+    for { n <- Gen.chooseNum(1, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 2L) }
+      yield Match(ts.distinct, m),
+    Gen.oneOf("spark join", "data model", "never here").map(Phrase))
+
+  private def qGen(depth: Int): Gen[Q] =
+    if (depth <= 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      2 -> (for {
+        nm <- Gen.chooseNum(0, 2); nf <- Gen.chooseNum(0, 1)
+        nn <- Gen.chooseNum(0, 1); ns <- Gen.chooseNum(0, 2)
+        must <- Gen.listOfN(nm, qGen(depth - 1))
+        filt <- Gen.listOfN(nf, qGen(depth - 1))
+        not <- Gen.listOfN(nn, qGen(depth - 1))
+        should <- Gen.listOfN(ns, qGen(depth - 1))
+        msm <- Gen.option(Gen.chooseNum(0L, 2L))
+      } yield Bool(must, filt, not, should, msm)))
+
+  // ------------------------------------------------------- JSON renderer
+
+  private def js(s: String): String = "\"" + s + "\"" // vocab is JSON-safe
+
+  private def lit(v: Either[String, Long]): String =
+    v.fold(js, _.toString)
+
+  private def render(q: Q): String = q match {
+    case Term(f, v)   => s"""{"term": {${js(f)}: ${lit(v)}}}"""
+    case Terms(f, vs) => s"""{"terms": {${js(f)}: [${vs.map(lit).mkString(",")}]}}"""
+    case Range(f, gte, lt) =>
+      val bounds = gte.map(g => s""""gte": $g""").toSeq ++ lt.map(l => s""""lt": $l""")
+      s"""{"range": {${js(f)}: {${bounds.mkString(",")}}}}"""
+    case Prefix(f, v)   => s"""{"prefix": {${js(f)}: ${js(v)}}}"""
+    case Wildcard(f, v) => s"""{"wildcard": {${js(f)}: ${js(v)}}}"""
+    case Exists(f)      => s"""{"exists": {"field": ${js(f)}}}"""
+    case Match(ts, m) =>
+      s"""{"match": {"text": {"query": ${js(ts.mkString(" "))}, "minimum_should_match": $m}}}"""
+    case Phrase(p) => s"""{"match_phrase": {"text": ${js(p)}}}"""
+    case Bool(must, filt, not, should, msm) =>
+      val parts =
+        (if (must.nonEmpty) Seq(s""""must": [${must.map(render).mkString(",")}]""") else Nil) ++
+        (if (filt.nonEmpty) Seq(s""""filter": [${filt.map(render).mkString(",")}]""") else Nil) ++
+        (if (not.nonEmpty) Seq(s""""must_not": [${not.map(render).mkString(",")}]""") else Nil) ++
+        (if (should.nonEmpty) Seq(s""""should": [${should.map(render).mkString(",")}]""") else Nil) ++
+        msm.map(m => s""""minimum_should_match": $m""").toSeq
+      s"""{"bool": {${parts.mkString(",")}}}"""
+  }
+
+  // ------------------------------------------- row-wise reference model
+
+  private def globMatches(pat: String, s: String): Boolean = {
+    val rx = pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c   => java.util.regex.Pattern.quote(c.toString)
+    }
+    s.matches(rx)
+  }
+
+  /** (matches, score) under the documented deterministic model. */
+  private def eval(q: Q, d: Doc): (Boolean, Long) = q match {
+    case Term(f, v)   => (fieldEq(f, v, d), 1L)
+    case Terms(f, vs) => (vs.exists(fieldEq(f, _, d)), 1L)
+    case Range(f, gte, lt) =>
+      val x = longField(f, d)
+      (gte.forall(x >= _) && lt.forall(x < _), 1L)
+    case Prefix(_, v)   => (d.text.startsWith(v), 1L)
+    case Wildcard(_, v) => (globMatches(v, d.source), 1L)
+    case Exists(_)      => (true, 1L) // corpus has no nulls
+    case Match(ts, msm) =>
+      val toks = d.text.split(" ", -1).distinct.toSet
+      val score = ts.distinct.count(toks.contains).toLong
+      (score >= msm, score)
+    case Phrase(p) => ((" " + d.text + " ").contains(s" $p "), 1L)
+    case Bool(must, filt, not, should, msmOpt) =>
+      val m = must.map(eval(_, d))
+      val f = filt.map(eval(_, d))
+      val n = not.map(eval(_, d))
+      val s = should.map(eval(_, d))
+      val msmDefault = if (should.nonEmpty && must.isEmpty && filt.isEmpty) 1L else 0L
+      val msm = msmOpt.getOrElse(msmDefault)
+      val shouldMatched = s.count(_._1).toLong
+      val pred = m.forall(_._1) && f.forall(_._1) && n.forall(!_._1) &&
+        (msm <= 0L || shouldMatched >= msm)
+      val score = m.map(_._2).sum + s.filter(_._1).map(_._2).sum
+      (pred, score)
+  }
+
+  private def fieldEq(f: String, v: Either[String, Long], d: Doc): Boolean =
+    (f, v) match {
+      case ("lang", Left(s))     => d.lang == s
+      case ("source", Left(s))   => d.source == s
+      case ("n_chars", Right(x)) => d.n_chars == x
+      case _                     => sys.error(s"bad field/value $f $v")
+    }
+
+  private def longField(f: String, d: Doc): Long = f match {
+    case "n_chars" => d.n_chars
+    case "doc_id"  => d.doc_id
+    case other     => sys.error(s"bad long field $other")
+  }
+
+  // ------------------------------------------------------------ property
+
+  property("compiled (pred, score) == row-wise reference on every doc") =
+    forAll(qGen(2)) { q =>
+      val json = s"""{"query": ${render(q)}, "sort": ["doc_id"], "_source": ["doc_id", "score"]}"""
+      val got = QueryDsl.search(table, json)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val expected = corpus.flatMap { d =>
+        val (ok, sc) = eval(q, d)
+        if (ok) Some(d.doc_id -> sc) else None
+      }
+      val pass = got == expected
+      if (!pass) {
+        println(s"DSL mismatch for: $json")
+        println(s"got=${got.take(10)} expected=${expected.take(10)}")
+      }
+      pass
+    }
+}
