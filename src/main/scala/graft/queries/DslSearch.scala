@@ -12,6 +12,10 @@ import graft.sources.Tables
   * compiled plan must be indistinguishable from the handwritten one.
   * q138/q139 exercise request shapes no handwritten query covers
   * (scored bool with should clauses + from/size; histogram buckets).
+  * q140 reuses q123's keyset-paging oracle verbatim; q141–q144 gate
+  * the scoring clauses (fuzzy, dis_max, boosting, pinned) and
+  * q145–q147 the bucket aggs (range, significant_terms, top_hits)
+  * against fresh DuckDB oracles in the exact-integer scoring model.
   */
 object DslSearch {
 
@@ -125,6 +129,231 @@ object DslSearch {
                COUNT(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE lang = 'en'
         GROUP BY 1 ORDER BY doc_count DESC, bucket
+      """.stripMargin.trim)),
+
+    // q123 as a JSON request: `search_after` keyset paging. The
+    // compiled keyset predicate over the (n_chars desc, doc_id asc)
+    // sort must be EXACTLY q123's handwritten filter — same oracle
+    // verbatim. O(page) at any depth; `from` would sort the prefix.
+    GraftQuery(
+      "q140_dsl_search_after",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"sort": [{"n_chars": "desc"}, "doc_id"],
+           "search_after": [300, 250],
+           "size": 10,
+           "_source": ["doc_id", "n_chars", "lang"]}"""),
+      Some("""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE n_chars < 300 OR (n_chars = 300 AND doc_id > 250)
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 10
+      """.stripMargin.trim)),
+
+    // fuzzy as a JSON request: score = distinct tokens within 1 edit
+    // of 'spark' whose first letter matches (prefix_length 1 — the
+    // term-dictionary walk bound). Map-only, LONG scores.
+    GraftQuery(
+      "q141_dsl_fuzzy",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"fuzzy": {"text":
+             {"value": "spark", "fuzziness": 1, "prefix_length": 1}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                        x -> x LIKE 's%' AND levenshtein(x, 'spark') <= 1)) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM t
+        WHERE score >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // dis_max as a JSON request: best-clause-wins over two match
+    // clauses with tie_breaker 0.3 — ppm-scaled exact-integer score
+    // (best·10⁶ + rest·3·10⁵), so cross-engine ordering is exact.
+    GraftQuery(
+      "q142_dsl_dis_max",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"dis_max": {
+             "queries": [
+               {"match": {"text": "spark join"}},
+               {"match": {"text": "window merge data"}}],
+             "tie_breaker": 0.3}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark','join'])) AS BIGINT) AS s1,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['window','merge','data'])) AS BIGINT) AS s2
+          FROM documents)
+        SELECT doc_id,
+               greatest(s1, s2) * 1000000
+                 + (s1 + s2 - greatest(s1, s2)) * 300000 AS score
+        FROM t
+        WHERE s1 >= 1 OR s2 >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // boosting as a JSON request: hits from src3 DEMOTED to ¼ of the
+    // positive match score (not excluded — what must_not cannot say).
+    // Exact ppm integers: score = overlap × 10⁶ or × 250 000.
+    GraftQuery(
+      "q143_dsl_boosting",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"boosting": {
+             "positive": {"match": {"text": "spark join"}},
+             "negative": {"term": {"source": "src3"}},
+             "negative_boost": 0.25}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark','join'])) AS BIGINT) AS s
+          FROM documents)
+        SELECT doc_id,
+               s * (CASE WHEN source = 'src3' THEN 250000 ELSE 1000000 END) AS score
+        FROM t
+        WHERE s >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // pinned as a JSON request: curated doc_ids rank above every
+    // organic hit in the curators' order (pin scores 10¹² + n − pos,
+    // clear of any organic score); organic hits keep their match
+    // score. DuckDB's list_position yields NULL for "not pinned" —
+    // the CASE collapses it exactly like Spark's 0.
+    GraftQuery(
+      "q144_dsl_pinned",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"pinned": {
+             "ids": [42, 7, 123],
+             "id_field": "doc_id",
+             "organic": {"match": {"text": "spark"}}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 15,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark'])) AS BIGINT) AS s,
+            CAST(list_position([42, 7, 123], doc_id) AS BIGINT) AS pin
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN pin > 0 THEN 1000000000000 + (3 - pin) ELSE s END AS score
+        FROM t
+        WHERE s >= 1 OR pin > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+      """.stripMargin.trim)),
+
+    // range bucket agg: explicit [from, to) buckets that OVERLAP — a
+    // doc lands in every range containing it, so this is one pass of
+    // per-range filtered aggregates (a single partial-agg exchange,
+    // never one scan per range) reshaped to request order.
+    GraftQuery(
+      "q145_dsl_range_agg",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"len": {"range": {"field": "n_chars",
+               "ranges": [{"to": 200}, {"from": 150, "to": 350}, {"from": 300}]},
+             "aggs": {
+               "avg_chars": {"avg": {"field": "n_chars"}},
+               "sum_chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH en AS (SELECT n_chars FROM documents WHERE lang = 'en'),
+        b AS (
+          SELECT 0 AS ord, '*-200' AS len, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM en WHERE n_chars < 200
+          UNION ALL
+          SELECT 1, '150-350', COUNT(*),
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*),
+                 CAST(SUM(n_chars) AS BIGINT)
+          FROM en WHERE n_chars >= 150 AND n_chars < 350
+          UNION ALL
+          SELECT 2, '300-*', COUNT(*),
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*),
+                 CAST(SUM(n_chars) AS BIGINT)
+          FROM en WHERE n_chars >= 300)
+        SELECT len, doc_count, avg_chars, sum_chars FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // significant_terms as a JSON request: sources over-represented
+    // among docs matching 'spark' vs the whole corpus, scored by the
+    // exact-ppm doc-frequency ratio (the q49 model with keyword
+    // whole-value semantics). One groupBy over the base table carries
+    // both counts; totals ride along broadcast.
+    GraftQuery(
+      "q146_dsl_significant_terms",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "aggs": {"sig_src": {"significant_terms":
+             {"field": "source", "min_doc_count": 2, "size": 8}}}}"""),
+      Some("""
+        WITH base AS (
+          SELECT source,
+                 CASE WHEN list_contains(list_distinct(string_split(text, ' ')), 'spark')
+                      THEN 1 ELSE 0 END AS fg
+          FROM documents),
+        per AS (
+          SELECT source AS sig_src, COUNT(*) AS bg_count,
+                 CAST(SUM(fg) AS BIGINT) AS doc_count
+          FROM base GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n_all, CAST(SUM(fg) AS BIGINT) AS n_fg FROM base)
+        SELECT sig_src, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, tot
+        WHERE doc_count >= 2
+        ORDER BY score_ppm DESC, sig_src
+        LIMIT 8
+      """.stripMargin.trim)),
+
+    // terms bucket + top_hits sub-agg: the top-2 hit ROWS per source
+    // (one window over the hits partitioned by the bucket key — never
+    // a per-bucket re-scan), with a total per-bucket sort for
+    // deterministic output.
+    GraftQuery(
+      "q147_dsl_top_hits",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"by_source": {"terms": {"field": "source"},
+             "aggs": {"top": {"top_hits": {
+               "size": 2,
+               "sort": [{"n_chars": "desc"}, "doc_id"],
+               "_source": ["doc_id", "n_chars"]}}}}}}"""),
+      Some("""
+        WITH ranked AS (
+          SELECT source AS by_source,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+                 doc_id, n_chars
+          FROM documents WHERE lang = 'en')
+        SELECT by_source, rank, doc_id, n_chars FROM ranked
+        WHERE rank <= 2
+        ORDER BY by_source, rank
       """.stripMargin.trim))
   )
 }

@@ -22,22 +22,32 @@ import org.json4s.jackson.JsonMethods
   * `term`, `terms`, `range` (gt/gte/lt/lte), `prefix`, `wildcard`
   * (`*`/`?`), `exists`, `match` (whitespace tokens, score = number of
   * distinct query terms present, `minimum_should_match` supported),
-  * `match_phrase` (token-boundary substring), `match_all`, and `bool`
-  * (must / filter / must_not / should with `minimum_should_match`).
+  * `match_phrase` (token-boundary substring), `match_phrase_prefix`
+  * (search-as-you-type), `match_all`, `bool` (must / filter / must_not
+  * / should with `minimum_should_match`), `constant_score`, `fuzzy`
+  * (token edit distance, `fuzziness`/`prefix_length`), `terms_set`,
+  * `dis_max` (`tie_breaker`), `boosting` (`negative_boost`), and
+  * `pinned` (curated ids above organic hits).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
   * scores its distinct-term overlap count, `bool` sums must + matched
-  * should scores (filter context scores 0, as in OpenSearch). Scores are
-  * LONG, so cross-engine comparison is exact — no float tie ambiguity.
+  * should scores (filter context scores 0, as in OpenSearch). `dis_max`
+  * and `boosting` emit ppm-scaled scores (×10⁶) so their fractional
+  * `tie_breaker`/`negative_boost` stay exact integers. Scores are LONG,
+  * so cross-engine comparison is exact — no float tie ambiguity.
   *
   * Request level: `query`, `sort` (field names or `{field: {order}}`,
-  * `_score` sorts by the computed score), `from`/`size`, `_source`
+  * `_score` sorts by the computed score), `from`/`size`,
+  * `search_after` (keyset paging over the declared sort), `_source`
   * (projection; the name `score` selects the computed score), and
-  * `aggs` with `terms` (+ nested metric sub-aggs), global metric aggs,
-  * `histogram`, `date_histogram` (calendar_interval day/month), `stats`,
+  * `aggs` with `terms` (+ nested metric sub-aggs or one `top_hits`),
+  * `range` (overlapping [from, to) buckets), `significant_terms`,
+  * global metric aggs, `histogram`, `date_histogram`
+  * (calendar_interval day/month), `stats`,
   * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`. A request with
-  * `aggs` returns the bucket table (the `size: 0` idiom); otherwise the
+  * `aggs` returns the bucket table (the `size: 0` idiom) — except
+  * `top_hits`, which returns the per-bucket top hit rows; otherwise the
   * hit table.
   */
 object QueryDsl {
@@ -84,10 +94,19 @@ object QueryDsl {
       }
       case "match"        => matchClause(body)
       case "match_phrase" => phraseClause(body)
-      case "bool"         => boolClause(body)
+      case "match_phrase_prefix" => phrasePrefixClause(body)
+      case "bool"           => boolClause(body)
+      case "constant_score" => constantScoreClause(body)
+      case "fuzzy"          => fuzzyClause(body)
+      case "terms_set"      => termsSetClause(body)
+      case "dis_max"        => disMaxClause(body)
+      case "boosting"       => boostingClause(body)
+      case "pinned"         => pinnedClause(body)
       case other =>
         fail(s"unsupported query clause '$other' (supported: match_all, term, " +
-          "terms, range, prefix, wildcard, exists, match, match_phrase, bool)")
+          "terms, range, prefix, wildcard, exists, match, match_phrase, " +
+          "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
+          "dis_max, boosting, pinned)")
     }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
@@ -213,6 +232,199 @@ object QueryDsl {
     case other => fail(s"bool requires an object body: ${render(other)}")
   }
 
+  /** `constant_score`: the wrapped filter decides membership, the score
+    * is a fixed integer `boost` (default 1) — filter context promoted to
+    * a scored clause, as in OpenSearch.
+    */
+  private def constantScoreClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("filter", "boost")).foreach(k =>
+        fail(s"unsupported constant_score option '$k'"))
+      val inner = m.get("filter") match {
+        case Some(f) => compileQuery(f)
+        case None    => fail("constant_score requires a filter clause")
+      }
+      val boost = m.get("boost") match {
+        case Some(JInt(b)) => b.toLong
+        case None          => 1L
+        case Some(other)   => fail(s"constant_score boost must be an integer: ${render(other)}")
+      }
+      CompiledQuery(inner.pred, lit(boost))
+    case other => fail(s"constant_score requires an object body: ${render(other)}")
+  }
+
+  /** `fuzzy`: term-level edit-distance match over the field's distinct
+    * whitespace tokens (the engine tokenizes text fields, mirroring the
+    * inverted-index term walk — the q48 contract). Score = number of
+    * distinct tokens within `fuzziness` (default 1) edits of the value;
+    * `prefix_length` (default 0) requires that many leading characters
+    * to match exactly, which is also what bounds the candidate set in a
+    * real term dictionary.
+    */
+  private def fuzzyClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, spec))) =>
+      val (value, fuzz, prefixLen) = spec match {
+        case JString(s) => (s, 1L, 0)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("value", "fuzziness", "prefix_length")).foreach(k =>
+            fail(s"unsupported fuzzy option '$k' on '$f'"))
+          val v = strOpt(m, "value").getOrElse(fail(s"fuzzy on '$f' requires a string 'value'"))
+          val fz = m.get("fuzziness") match {
+            case Some(JInt(i)) => i.toLong
+            case None          => 1L
+            case Some(other)   => fail(s"fuzziness must be an int: ${render(other)}")
+          }
+          (v, fz, intOpt(m, "prefix_length").getOrElse(0))
+        case other => fail(s"fuzzy body must be string or object: ${render(other)}")
+      }
+      if (value.isEmpty) fail(s"fuzzy on '$f' has an empty value")
+      val toks = array_distinct(split(col(f), " "))
+      val candidate: Column => Column =
+        if (prefixLen <= 0) identity
+        else t => when(t.startsWith(value.take(prefixLen)), t)
+      val matched = filter(toks, t =>
+        candidate(t).isNotNull && levenshtein(t, lit(value)) <= lit(fuzz))
+      val score = size(matched).cast("long")
+      CompiledQuery(score >= 1L, score)
+    case other => fail(s"fuzzy requires {field: spec}: ${render(other)}")
+  }
+
+  /** `match_phrase_prefix`: a phrase whose LAST term is a prefix — the
+    * search-as-you-type query. Token-boundary containment of the
+    * space-joined phrase with no trailing boundary, so the final token
+    * only needs to START with the last query term (the q131 contract).
+    */
+  private def phrasePrefixClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, v))) =>
+      val phrase = v match {
+        case JString(s) => s.trim
+        case JObject(opts) => opts.toMap.get("query") match {
+          case Some(JString(s)) => s.trim
+          case _ => fail(s"match_phrase_prefix on '$f' requires a string 'query'")
+        }
+        case other => fail(s"match_phrase_prefix body must be string or object: ${render(other)}")
+      }
+      if (phrase.isEmpty) fail(s"match_phrase_prefix on '$f' has an empty phrase")
+      val padded = concat(lit(" "), col(f), lit(" "))
+      CompiledQuery(padded.contains(s" $phrase"), lit(1L))
+    case other => fail(s"match_phrase_prefix requires {field: phrase}: ${render(other)}")
+  }
+
+  /** `terms_set`: like `terms` but with a required-match count — score =
+    * distinct-token overlap with the wanted set, predicate gated on
+    * `minimum_should_match` (the q128 contract; the field is tokenized
+    * like `match`). The script/field forms of OpenSearch's msm are out of
+    * scope — only the literal integer is supported, fail-loud otherwise.
+    */
+  private def termsSetClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, JObject(opts)))) =>
+      val m = opts.toMap
+      m.keySet.diff(Set("terms", "minimum_should_match")).foreach(k =>
+        fail(s"unsupported terms_set option '$k' on '$f'"))
+      val wanted = m.get("terms") match {
+        case Some(JArray(vs)) if vs.nonEmpty => vs.map {
+          case JString(s) => s
+          case other      => fail(s"terms_set terms must be strings: ${render(other)}")
+        }
+        case _ => fail(s"terms_set on '$f' requires a non-empty terms array")
+      }
+      val msm = m.get("minimum_should_match") match {
+        case Some(JInt(i)) => i.toLong
+        case _ => fail(s"terms_set on '$f' requires an integer minimum_should_match")
+      }
+      val score = size(array_intersect(array_distinct(split(col(f), " ")),
+        array(wanted.map(lit): _*))).cast("long")
+      CompiledQuery(score >= lit(msm), score)
+    case other => fail(s"terms_set requires {field: {terms, minimum_should_match}}: ${render(other)}")
+  }
+
+  /** `dis_max`: best-clause-wins ranking. Score = best matched
+    * sub-score × 10⁶ + (sum of the other matched sub-scores) ×
+    * round(tie_breaker × 10⁶) — the q129 exact-ppm model, so the
+    * float-free ordering is engine-portable. A hit matches if ANY
+    * sub-query matches; unmatched sub-queries contribute zero.
+    */
+  private def disMaxClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("queries", "tie_breaker")).foreach(k =>
+        fail(s"unsupported dis_max option '$k'"))
+      val subs = m.get("queries") match {
+        case Some(JArray(qs)) if qs.nonEmpty => qs.map(compileQuery)
+        case _ => fail("dis_max requires a non-empty queries array")
+      }
+      val tbPpm = m.get("tie_breaker") match {
+        case Some(JDouble(d))  => math.round(d * 1000000L)
+        case Some(JInt(i))     => i.toLong * 1000000L
+        case Some(JDecimal(d)) => math.round(d.toDouble * 1000000L)
+        case None              => 0L
+        case Some(other)       => fail(s"tie_breaker must be numeric: ${render(other)}")
+      }
+      if (tbPpm < 0L || tbPpm > 1000000L) fail("tie_breaker must be in [0, 1]")
+      val matched = subs.map(c => when(c.pred, c.score).otherwise(0L))
+      val best =
+        if (matched.size == 1) matched.head else greatest(matched: _*)
+      val total = matched.reduce(_ + _)
+      val score = best * lit(1000000L) + (total - best) * lit(tbPpm)
+      CompiledQuery(subs.map(_.pred).reduce(_ || _), score)
+    case other => fail(s"dis_max requires an object body: ${render(other)}")
+  }
+
+  /** `boosting`: hits matching the negative clause are DEMOTED, not
+    * excluded (what must_not cannot express). Score = positive score ×
+    * 10⁶, or × round(negative_boost × 10⁶) when demoted — the q130
+    * exact-integer model (ppm scale, like dis_max).
+    */
+  private def boostingClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("positive", "negative", "negative_boost")).foreach(k =>
+        fail(s"unsupported boosting option '$k'"))
+      val pos = m.get("positive").map(compileQuery)
+        .getOrElse(fail("boosting requires a positive clause"))
+      val neg = m.get("negative").map(compileQuery)
+        .getOrElse(fail("boosting requires a negative clause"))
+      val nbPpm = m.get("negative_boost") match {
+        case Some(JDouble(d))  => math.round(d * 1000000L)
+        case Some(JDecimal(d)) => math.round(d.toDouble * 1000000L)
+        case Some(JInt(i))     => i.toLong * 1000000L
+        case _ => fail("boosting requires a numeric negative_boost")
+      }
+      if (nbPpm < 0L || nbPpm > 1000000L) fail("negative_boost must be in [0, 1]")
+      val score = pos.score * when(neg.pred, lit(nbPpm)).otherwise(lit(1000000L))
+      CompiledQuery(pos.pred, score)
+    case other => fail(s"boosting requires an object body: ${render(other)}")
+  }
+
+  /** `pinned`: curated ids rank above every organic hit, in the
+    * curators' order (first pin highest). Pins score 10¹² + (n − pos) —
+    * clear of any ppm-scaled organic score; organic hits keep their own
+    * score (the q132 shape). OpenSearch pins `_id`s; this engine has no
+    * reserved id column, so the request names it via `id_field`.
+    */
+  private def pinnedClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("ids", "id_field", "organic")).foreach(k =>
+        fail(s"unsupported pinned option '$k'"))
+      val idField = strOpt(m, "id_field")
+        .getOrElse(fail("pinned requires id_field (the column pins match against)"))
+      val ids = m.get("ids") match {
+        case Some(JArray(vs)) if vs.nonEmpty => vs.map(scalaOf)
+        case _ => fail("pinned requires a non-empty ids array")
+      }
+      val organic = m.get("organic").map(compileQuery)
+        .getOrElse(fail("pinned requires an organic clause"))
+      val pinPos = array_position(array(ids.map(lit): _*), col(idField))
+      val score = when(pinPos > 0L,
+          lit(1000000000000L) + (lit(ids.size.toLong) - pinPos))
+        .otherwise(when(organic.pred, organic.score).otherwise(0L))
+      CompiledQuery(organic.pred || pinPos > 0L, score)
+    case other => fail(s"pinned requires an object body: ${render(other)}")
+  }
+
   // -------------------------------------------------------------- request
 
   /** Compile a full `_search` request body against `table`. Returns the
@@ -224,7 +436,8 @@ object QueryDsl {
       case o: JObject => o.obj.toMap
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
-    req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs"))
+    req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
+        "search_after"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     val compiled = req.get("query").map(compileQuery)
@@ -232,12 +445,27 @@ object QueryDsl {
     val filtered = table.filter(compiled.pred)
 
     req.get("aggs") match {
-      case Some(aggs) => compileAggs(filtered, aggs)
+      case Some(aggs) => compileAggs(table, filtered, compiled.pred, aggs)
       case None =>
         val scored = filtered.withColumn("score", compiled.score)
+        // `search_after` keyset paging: resumes strictly after the last
+        // page's sort key — O(page) work at any depth, where `from`
+        // still sorts the whole prefix (the q123 contract).
+        val paged0 = req.get("search_after") match {
+          case None => scored
+          case Some(JArray(vals)) =>
+            val sortSpec = req.get("sort").map(parseSort)
+              .getOrElse(fail("search_after requires an explicit sort"))
+            if (vals.size != sortSpec.size)
+              fail("search_after must carry one value per sort key")
+            if (req.contains("from"))
+              fail("search_after cannot be combined with from")
+            scored.filter(keysetAfter(sortSpec, vals.map(scalaOf)))
+          case Some(other) => fail(s"search_after must be an array: ${render(other)}")
+        }
         val sorted = req.get("sort") match {
-          case None    => scored
-          case Some(s) => scored.orderBy(sortCols(s): _*)
+          case None    => paged0
+          case Some(s) => paged0.orderBy(sortCols(s): _*)
         }
         val paged = (req.get("from"), req.get("size")) match {
           case (Some(JInt(f)), Some(JInt(n))) => sorted.offset(f.toInt).limit(n.toInt)
@@ -258,20 +486,44 @@ object QueryDsl {
     }
   }
 
-  private def sortCols(sort: JValue): Seq[Column] = {
-    def one(v: JValue): Column = v match {
-      case JString(f) => sortField(f, "asc")
-      case JObject(List((f, JString(ord)))) => sortField(f, ord)
+  /** Sort spec as (field, asc|desc) pairs — shared by orderBy and the
+    * search_after keyset predicate.
+    */
+  private def parseSort(sort: JValue): Seq[(String, String)] = {
+    def one(v: JValue): (String, String) = v match {
+      case JString(f) => (f, "asc")
+      case JObject(List((f, JString(ord)))) => (f, ord)
       case JObject(List((f, JObject(opts)))) => opts.toMap.get("order") match {
-        case Some(JString(ord)) => sortField(f, ord)
-        case _                  => sortField(f, "asc")
+        case Some(JString(ord)) => (f, ord)
+        case _                  => (f, "asc")
       }
       case other => fail(s"unsupported sort entry: ${render(other)}")
     }
-    sort match {
+    val spec = sort match {
       case JArray(entries) => entries.map(one)
       case single          => Seq(one(single))
     }
+    spec.foreach { case (_, ord) =>
+      if (ord != "asc" && ord != "desc") fail(s"sort order must be asc|desc, got '$ord'")
+    }
+    spec
+  }
+
+  private def sortCols(sort: JValue): Seq[Column] =
+    parseSort(sort).map { case (f, ord) => sortField(f, ord) }
+
+  /** Lexicographic "strictly after this sort key" predicate:
+    * OR over k of (equal on keys before k AND strictly past on key k).
+    */
+  private def keysetAfter(spec: Seq[(String, String)], vals: Seq[Any]): Column = {
+    def baseCol(f: String): Column = if (f == "_score") col("score") else col(f)
+    spec.indices.map { k =>
+      val eqPrefix = (0 until k).map(j => baseCol(spec(j)._1) === lit(vals(j)))
+      val (f, ord) = spec(k)
+      val strict =
+        if (ord == "asc") baseCol(f) > lit(vals(k)) else baseCol(f) < lit(vals(k))
+      (eqPrefix :+ strict).reduce(_ && _)
+    }.reduce(_ || _)
   }
 
   private def sortField(f: String, order: String): Column = {
@@ -295,7 +547,8 @@ object QueryDsl {
     * `stats` / `<aggName>` otherwise — ordered doc_count desc, key asc
     * (the OpenSearch terms default, made total).
     */
-  def compileAggs(hits: DataFrame, aggs: JValue): DataFrame = {
+  def compileAggs(table: DataFrame, hits: DataFrame, pred: Column,
+      aggs: JValue): DataFrame = {
     val entries = aggs match {
       case JObject(es) if es.nonEmpty => es
       case other => fail(s"aggs must be a non-empty object: ${render(other)}")
@@ -303,7 +556,8 @@ object QueryDsl {
     // Split bucket aggs from metric aggs.
     val (bucketAggs, metricAggs) = entries.partition {
       case (_, JObject(spec)) =>
-        spec.exists(p => Set("terms", "histogram", "date_histogram").contains(p._1))
+        spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
+          "significant_terms").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -314,6 +568,32 @@ object QueryDsl {
         if (metricAggs.nonEmpty)
           fail("mixing a bucket agg with top-level metric aggs is unsupported")
         val m = spec.toMap
+        m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
+        m.get("significant_terms").foreach { s =>
+          if (m.contains("aggs")) fail("significant_terms takes no sub-aggs")
+          return significantTermsAgg(table, pred, name, s)
+        }
+        // terms bucket with a single top_hits sub-agg: per-bucket top
+        // rows (window path), not a bucket table.
+        val topHitsSub: Option[(String, JValue)] = m.get("aggs") match {
+          case Some(JObject(s)) => s.collectFirst {
+            case (subName, JObject(List(("top_hits", th)))) => (subName, th)
+          }
+          case _ => None
+        }
+        topHitsSub.foreach { case (_, th) =>
+          m.get("aggs") match {
+            case Some(JObject(s)) if s.size > 1 =>
+              fail("top_hits must be the only sub-agg of its bucket")
+            case _ => ()
+          }
+          val f = m.get("terms") match {
+            case Some(JObject(t)) => strOpt(t.toMap, "field")
+              .getOrElse(fail(s"terms agg '$name' needs a field"))
+            case _ => fail("top_hits requires a terms bucket")
+          }
+          return topHitsAgg(hits, name, f, th)
+        }
         val subs: Seq[Column] = m.get("aggs") match {
           case None             => Nil
           case Some(JObject(s)) => s.flatMap { case (subName, subSpec) => metricCols(subName, subSpec) }
@@ -358,17 +638,144 @@ object QueryDsl {
     }
   }
 
+  /** `range` bucket agg: explicit [from, to) buckets — a doc lands in
+    * EVERY range it falls in (ranges may overlap, the OpenSearch
+    * semantics), so this compiles to ONE pass of per-range filtered
+    * aggregates (a single global aggregate row, no shuffle beyond the
+    * partial-agg exchange) reshaped to one row per range in request
+    * order. Sub-aggs: single-column metrics (no stats fan-out).
+    */
+  private def rangeAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other      => fail(s"range agg '$name' must be an object: ${render(other)}")
+    }
+    val f = strOpt(m, "field").getOrElse(fail(s"range agg '$name' needs a field"))
+    val ranges: Seq[(Column, String)] = m.get("ranges") match {
+      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+        case JObject(bounds) =>
+          val bm = bounds.toMap
+          bm.keySet.diff(Set("from", "to")).foreach(k =>
+            fail(s"unsupported range bound '$k' in agg '$name'"))
+          def num(k: String): Option[Any] = bm.get(k).map(scalaOf)
+          val (from, to) = (num("from"), num("to"))
+          if (from.isEmpty && to.isEmpty) fail(s"range agg '$name' has an unbounded range")
+          val conds = from.map(v => col(f) >= lit(v)).toSeq ++
+            to.map(v => col(f) < lit(v))
+          val key = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+          (conds.reduce(_ && _), key)
+        case other => fail(s"range agg '$name' ranges must be objects: ${render(other)}")
+      }
+      case _ => fail(s"range agg '$name' requires a non-empty ranges array")
+    }
+    val subEntries: Seq[(String, JValue)] = subAggs match {
+      case None                 => Nil
+      case Some(JObject(s))     => s
+      case Some(other)          => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    val aggCols = ranges.zipWithIndex.flatMap { case ((cond, _), i) =>
+      count(when(cond, 1L)).as(s"__dc$i") +:
+        subEntries.zipWithIndex.map { case ((subName, subSpec), j) =>
+          val cols = metricCols(s"__s${i}_$j", subSpec, Some(cond))
+          if (cols.size != 1)
+            fail(s"range sub-agg '$subName' must be a single-column metric")
+          cols.head
+        }
+    }
+    val aggRow = hits.agg(aggCols.head, aggCols.tail: _*)
+    val buckets = ranges.zipWithIndex.map { case ((_, key), i) =>
+      struct(
+        (lit(i.toLong).as("__ord") +: lit(key).as(name) +:
+          col(s"__dc$i").as("doc_count") +:
+          subEntries.zipWithIndex.map { case ((subName, _), j) =>
+            col(s"__s${i}_$j").as(subName)
+          }): _*)
+    }
+    aggRow.select(explode(array(buckets: _*)).as("__b"))
+      .select(col("__b.*"))
+      .orderBy(col("__ord"))
+      .drop("__ord")
+  }
+
+  /** `significant_terms`: field values over-represented among the hits
+    * (foreground = the request's query) vs the WHOLE table (background),
+    * scored by the doc-frequency ratio in exact integer ppm — the q49
+    * model with keyword (whole-value) semantics. One groupBy over the
+    * base table carrying both counts; the two totals ride along as a
+    * broadcast one-row aggregate — a single declarative plan.
+    */
+  private def significantTermsAgg(table: DataFrame, pred: Column,
+      name: String, spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"significant_terms '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "min_doc_count", "size")).foreach(k =>
+      fail(s"unsupported significant_terms option '$k'"))
+    val f = strOpt(m, "field").getOrElse(fail(s"significant_terms '$name' needs a field"))
+    val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
+    val size = intOpt(m, "size").getOrElse(10)
+    val perTerm = table.groupBy(col(f).as(name)).agg(
+      count(lit(1)).as("bg_count"),
+      sum(when(pred, 1L).otherwise(0L)).as("doc_count"))
+    val totals = table.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(pred, 1L).otherwise(0L)).as("n_fg"))
+    perTerm.crossJoin(broadcast(totals))
+      .filter(col("doc_count") >= minDoc)
+      .select(col(name), col("doc_count"), col("bg_count"),
+        expr("(doc_count * n_all * 1000000) div (bg_count * n_fg)").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col(name))
+      .limit(size)
+  }
+
+  /** `top_hits` under a `terms` bucket: the top N hit ROWS per bucket
+    * (not a bucket table) — one window over the hits partitioned by the
+    * bucket key. The top_hits `sort` must be total per bucket for
+    * deterministic output; `_source` picks the hit columns.
+    */
+  private def topHitsAgg(hits: DataFrame, name: String, field: String,
+      spec: JValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"top_hits must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("size", "sort", "_source")).foreach(k =>
+      fail(s"unsupported top_hits option '$k'"))
+    val n = intOpt(m, "size").getOrElse(3)
+    val sortSpec = m.get("sort")
+      .getOrElse(fail("top_hits requires an explicit sort (determinism)"))
+    val srcCols: Seq[Column] = m.get("_source") match {
+      case Some(JArray(fields)) => fields.map {
+        case JString(s) => col(s)
+        case other      => fail(s"_source entries must be strings: ${render(other)}")
+      }
+      case None        => fail("top_hits requires _source (the hit columns)")
+      case Some(other) => fail(s"_source must be an array: ${render(other)}")
+    }
+    val w = Window.partitionBy(col(field)).orderBy(sortCols(sortSpec): _*)
+    hits.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select((col(field).as(name) +: col("rank") +: srcCols): _*)
+      .orderBy(col(name).asc, col("rank").asc)
+  }
+
   /** Metric sub-agg → named aggregate columns. `stats` fans out to
     * count/min/max/avg/sum with `<name>_` prefixes; everything else is a
     * single column named after the agg. Averages are exact-sum/count
     * (the engine's determinism rule), cardinality is EXACT
     * count-distinct (the approximate variant is q7's separate surface).
+    * With `cond`, the metric only sees rows satisfying it (the range-agg
+    * per-bucket form — nulls elsewhere, which every aggregate ignores).
     */
-  private def metricCols(name: String, spec: JValue): Seq[Column] = spec match {
+  private def metricCols(name: String, spec: JValue,
+      cond: Option[Column] = None): Seq[Column] = spec match {
     case JObject(List((metric, JObject(body)))) =>
       val f = strOpt(body.toMap, "field")
         .getOrElse(fail(s"metric agg '$name' ($metric) needs a field"))
-      val c = col(f)
+      val c = cond.map(p => when(p, col(f))).getOrElse(col(f))
       metric match {
         case "avg"   => Seq((sum(c).cast("double") / count(c)).as(name))
         case "min"   => Seq(min(c).as(name))

@@ -53,6 +53,10 @@ object QueryDslPropertySpec extends Properties("querydsl") {
   private case class Phrase(p: String) extends Q
   private case class Bool(must: Seq[Q], filter: Seq[Q], mustNot: Seq[Q],
       should: Seq[Q], msm: Option[Long]) extends Q
+  private case class ConstScore(filt: Q, boost: Long) extends Q
+  private case class TermsSet(terms: Seq[String], msm: Long) extends Q
+  private case class DisMax(queries: Seq[Q], tieBreaker: Double) extends Q
+  private case class Boosting(pos: Q, neg: Q, negBoost: Double) extends Q
 
   private val vocab = Seq("spark", "join", "window", "data", "model", "absent")
 
@@ -70,7 +74,9 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     Gen.const(Exists("lang")),
     for { n <- Gen.chooseNum(1, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 2L) }
       yield Match(ts.distinct, m),
-    Gen.oneOf("spark join", "data model", "never here").map(Phrase))
+    Gen.oneOf("spark join", "data model", "never here").map(Phrase),
+    for { n <- Gen.chooseNum(2, 4); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 3L) }
+      yield TermsSet(ts.distinct, m))
 
   private def qGen(depth: Int): Gen[Q] =
     if (depth <= 0) leafGen
@@ -84,7 +90,19 @@ object QueryDslPropertySpec extends Properties("querydsl") {
         not <- Gen.listOfN(nn, qGen(depth - 1))
         should <- Gen.listOfN(ns, qGen(depth - 1))
         msm <- Gen.option(Gen.chooseNum(0L, 2L))
-      } yield Bool(must, filt, not, should, msm)))
+      } yield Bool(must, filt, not, should, msm)),
+      1 -> (for {
+        f <- qGen(depth - 1); b <- Gen.chooseNum(1L, 5L)
+      } yield ConstScore(f, b)),
+      1 -> (for {
+        n <- Gen.chooseNum(1, 3)
+        qs <- Gen.listOfN(n, qGen(depth - 1))
+        tb <- Gen.oneOf(0.0, 0.25, 0.3, 0.5, 1.0)
+      } yield DisMax(qs, tb)),
+      1 -> (for {
+        pos <- qGen(depth - 1); neg <- qGen(depth - 1)
+        nb <- Gen.oneOf(0.0, 0.25, 0.5, 0.75)
+      } yield Boosting(pos, neg, nb)))
 
   // ------------------------------------------------------- JSON renderer
 
@@ -113,6 +131,16 @@ object QueryDslPropertySpec extends Properties("querydsl") {
         (if (should.nonEmpty) Seq(s""""should": [${should.map(render).mkString(",")}]""") else Nil) ++
         msm.map(m => s""""minimum_should_match": $m""").toSeq
       s"""{"bool": {${parts.mkString(",")}}}"""
+    case ConstScore(f, b) =>
+      s"""{"constant_score": {"filter": ${render(f)}, "boost": $b}}"""
+    case TermsSet(ts, m) =>
+      s"""{"terms_set": {"text": {"terms": [${ts.map(js).mkString(",")}],
+         "minimum_should_match": $m}}}""".replace("\n", " ")
+    case DisMax(qs, tb) =>
+      s"""{"dis_max": {"queries": [${qs.map(render).mkString(",")}], "tie_breaker": $tb}}"""
+    case Boosting(pos, neg, nb) =>
+      s"""{"boosting": {"positive": ${render(pos)}, "negative": ${render(neg)},
+         "negative_boost": $nb}}""".replace("\n", " ")
   }
 
   // ------------------------------------------- row-wise reference model
@@ -153,6 +181,22 @@ object QueryDslPropertySpec extends Properties("querydsl") {
         (msm <= 0L || shouldMatched >= msm)
       val score = m.map(_._2).sum + s.filter(_._1).map(_._2).sum
       (pred, score)
+    case ConstScore(f, b) => (eval(f, d)._1, b)
+    case TermsSet(ts, msm) =>
+      val toks = d.text.split(" ", -1).distinct.toSet
+      val score = ts.distinct.count(toks.contains).toLong
+      (score >= msm, score)
+    case DisMax(qs, tb) =>
+      val subs = qs.map(eval(_, d))
+      val matched = subs.map { case (ok, sc) => if (ok) sc else 0L }
+      val best = matched.max
+      val total = matched.sum
+      val tbPpm = math.round(tb * 1000000L)
+      (subs.exists(_._1), best * 1000000L + (total - best) * tbPpm)
+    case Boosting(pos, neg, nb) =>
+      val (pOk, pSc) = eval(pos, d)
+      val nbPpm = math.round(nb * 1000000L)
+      (pOk, pSc * (if (eval(neg, d)._1) nbPpm else 1000000L))
   }
 
   private def fieldEq(f: String, v: Either[String, Long], d: Doc): Boolean =

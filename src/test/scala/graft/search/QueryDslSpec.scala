@@ -128,7 +128,7 @@ class QueryDslSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
       assert(e.getMessage.contains(fragment), e.getMessage)
     }
-    bad("""{"query": {"fuzzy": {"lang": "en"}}}""", "unsupported query clause")
+    bad("""{"query": {"geo_shape": {"area": {}}}}""", "unsupported query clause")
     bad("""{"query": {"bool": {"mustt": []}}}""", "unsupported bool section")
     bad("""{"query": {"range": {"n_chars": {"between": 3}}}}""", "range bound")
     bad("""{"knn": {}}""", "unsupported request key")
@@ -136,5 +136,199 @@ class QueryDslSpec extends SparkSpec {
       "unsupported match option")
     bad("""{"aggs": {"a": {"percentiles": {"field": "n_chars"}}}}""",
       "unsupported metric agg")
+    bad("""{"query": {"dis_max": {"queries": [], "tie_breaker": 0.3}}}""",
+      "non-empty queries")
+    bad("""{"query": {"dis_max": {"queries": [{"match_all": {}}], "tie_breaker": 1.5}}}""",
+      "tie_breaker must be in [0, 1]")
+    bad("""{"query": {"boosting": {"positive": {"match_all": {}},
+           "negative": {"match_all": {}}}}}""", "negative_boost")
+    bad("""{"query": {"terms_set": {"text": {"terms": ["a"]}}}}""",
+      "minimum_should_match")
+    bad("""{"search_after": [1], "sort": ["doc_id"], "from": 3}""",
+      "cannot be combined with from")
+    bad("""{"search_after": [1, 2], "sort": ["doc_id"]}""",
+      "one value per sort key")
+    bad("""{"search_after": [1]}""", "requires an explicit sort")
+    bad("""{"aggs": {"a": {"range": {"field": "n_chars",
+           "ranges": [{}]}}}}""", "unbounded range")
+    bad("""{"aggs": {"a": {"terms": {"field": "lang"},
+           "aggs": {"t": {"top_hits": {"size": 2, "sort": ["doc_id"]}}}}}}""",
+      "_source")
+  }
+
+  test("search_after page == from-offset page (keyset paging contract)") {
+    val sort = """[{"n_chars": "desc"}, "doc_id"]"""
+    val p1 = QueryDsl.search(docs,
+      s"""{"sort": $sort, "size": 10, "_source": ["doc_id", "n_chars"]}""").collect()
+    val last = p1.last
+    val viaAfter = QueryDsl.search(docs,
+      s"""{"sort": $sort, "search_after": [${last.getLong(1)}, ${last.getLong(0)}],
+           "size": 10, "_source": ["doc_id", "n_chars"]}""").collect()
+    val viaFrom = QueryDsl.search(docs,
+      s"""{"sort": $sort, "from": 10, "size": 10,
+           "_source": ["doc_id", "n_chars"]}""").collect()
+    assert(viaAfter.toSeq === viaFrom.toSeq)
+    assert(viaAfter.nonEmpty)
+  }
+
+  test("fuzzy scores distinct in-edit-distance tokens; prefix_length gates") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"fuzzy": {"text":
+           {"value": "spark", "fuzziness": 1, "prefix_length": 1}}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    val direct = docs
+      .withColumn("score", size(filter(array_distinct(split(col("text"), " ")),
+        t => t.startsWith("s") && levenshtein(t, lit("spark")) <= 1)).cast("long"))
+      .filter(col("score") >= 1)
+      .orderBy("doc_id").select("doc_id", "score").collect()
+    assert(dsl.toSeq === direct.toSeq)
+    assert(dsl.nonEmpty)
+  }
+
+  test("terms_set gates on minimum_should_match and scores the overlap") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"terms_set": {"text":
+           {"terms": ["spark", "join", "window"], "minimum_should_match": 2}}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    val overlap = size(array_intersect(array_distinct(split(col("text"), " ")),
+      array(lit("spark"), lit("join"), lit("window")))).cast("long")
+    val direct = docs.withColumn("score", overlap).filter(col("score") >= 2)
+      .orderBy("doc_id").select("doc_id", "score").collect()
+    assert(dsl.toSeq === direct.toSeq)
+    assert(dsl.nonEmpty)
+  }
+
+  test("constant_score wraps a filter and emits the boost as the score") {
+    val rows = QueryDsl.search(docs,
+      """{"query": {"constant_score": {"filter": {"term": {"lang": "en"}},
+           "boost": 7}},
+         "_source": ["lang", "score"]}""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) === "en")
+      assert(r.getLong(1) === 7L)
+    }
+  }
+
+  test("dis_max: best clause × 1e6 plus others × tie_breaker ppm") {
+    val rows = QueryDsl.search(docs,
+      """{"query": {"dis_max": {"queries": [
+           {"match": {"text": "spark join"}},
+           {"match": {"text": "window merge data"}}],
+           "tie_breaker": 0.3}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    val toks = array_distinct(split(col("text"), " "))
+    val s1 = size(array_intersect(toks, array(lit("spark"), lit("join")))).cast("long")
+    val s2 = size(array_intersect(toks,
+      array(lit("window"), lit("merge"), lit("data")))).cast("long")
+    val direct = docs.withColumn("s1", s1).withColumn("s2", s2)
+      .filter(col("s1") >= 1 || col("s2") >= 1)
+      .withColumn("score",
+        greatest(col("s1"), col("s2")) * lit(1000000L) +
+          (col("s1") + col("s2") - greatest(col("s1"), col("s2"))) * lit(300000L))
+      .orderBy("doc_id").select("doc_id", "score").collect()
+    assert(rows.toSeq === direct.toSeq)
+    assert(rows.nonEmpty)
+  }
+
+  test("boosting demotes (never drops) hits matching the negative clause") {
+    val rows = QueryDsl.search(docs,
+      """{"query": {"boosting": {
+           "positive": {"match": {"text": "spark"}},
+           "negative": {"term": {"source": "src3"}},
+           "negative_boost": 0.25}},
+         "sort": ["doc_id"], "_source": ["doc_id", "source", "score"]}""").collect()
+    assert(rows.map(_.getString(1)).toSet.contains("src3"), "demoted hits kept")
+    val toks = array_distinct(split(col("text"), " "))
+    val s = size(array_intersect(toks, array(lit("spark")))).cast("long")
+    val direct = docs.withColumn("s", s).filter(col("s") >= 1)
+      .withColumn("score", col("s") *
+        when(col("source") === "src3", lit(250000L)).otherwise(lit(1000000L)))
+      .orderBy("doc_id").select("doc_id", "source", "score").collect()
+    assert(rows.toSeq === direct.toSeq)
+  }
+
+  test("pinned ranks curated ids first, in order, above any organic score") {
+    val rows = QueryDsl.search(docs,
+      """{"query": {"pinned": {"ids": [42, 7, 123], "id_field": "doc_id",
+           "organic": {"match": {"text": "spark"}}}},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["doc_id", "score"]}""").collect()
+    assert(rows.take(3).map(_.getLong(0)).toSeq === Seq(42L, 7L, 123L))
+    assert(rows.take(3).map(_.getLong(1)).toSeq ===
+      Seq(1000000000002L, 1000000000001L, 1000000000000L))
+    assert(rows.drop(3).forall(_.getLong(1) < 1000000000000L))
+  }
+
+  test("match_phrase_prefix matches when the final term is a prefix") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"match_phrase_prefix": {"text": "stream mer"}},
+         "_source": ["doc_id"]}""").count()
+    val direct = docs.filter(
+      concat(lit(" "), col("text"), lit(" ")).contains(" stream mer")).count()
+    assert(dsl === direct && dsl > 0)
+  }
+
+  test("range agg: overlapping buckets in request order with sub-metrics") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"len": {"range": {"field": "n_chars",
+             "ranges": [{"to": 200}, {"from": 150, "to": 350}, {"from": 300}]},
+           "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}""").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("*-200", "150-350", "300-*"))
+    val en = docs.filter(col("lang") === "en")
+    val expected = Seq(
+      en.filter(col("n_chars") < 200),
+      en.filter(col("n_chars") >= 150 && col("n_chars") < 350),
+      en.filter(col("n_chars") >= 300)).map(d =>
+      (d.count(), d.agg(sum(col("n_chars"))).head().getLong(0)))
+    out.zip(expected).foreach { case (r, (dc, s)) =>
+      assert(r.getAs[Long]("doc_count") === dc)
+      assert(r.getAs[Long]("sum_chars") === s)
+    }
+    // overlap: docs in [150, 200) are counted in BOTH bucket 0 and 1
+    val both = en.filter(col("n_chars") >= 150 && col("n_chars") < 200).count()
+    assert(both > 0 &&
+      out(0).getAs[Long]("doc_count") + out(1).getAs[Long]("doc_count") >
+        en.filter(col("n_chars") < 350).count())
+  }
+
+  test("significant_terms scores foreground-vs-background ratio in ppm") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"match": {"text": "spark"}},
+         "aggs": {"sig": {"significant_terms":
+           {"field": "source", "min_doc_count": 1, "size": 100}}}}""").collect()
+    val fg = docs.filter(array_contains(split(col("text"), " "), "spark"))
+    val nAll = docs.count()
+    val nFg = fg.count()
+    out.foreach { r =>
+      val src = r.getString(0)
+      val dc = fg.filter(col("source") === src).count()
+      val bg = docs.filter(col("source") === src).count()
+      assert(r.getAs[Long]("doc_count") === dc)
+      assert(r.getAs[Long]("bg_count") === bg)
+      assert(r.getAs[Long]("score_ppm") === dc * nAll * 1000000L / (bg * nFg))
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("top_hits returns the top-N hit rows per bucket, window-ranked") {
+    import org.apache.spark.sql.expressions.Window
+    val out = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"by_source": {"terms": {"field": "source"},
+           "aggs": {"top": {"top_hits": {"size": 2,
+             "sort": [{"n_chars": "desc"}, "doc_id"],
+             "_source": ["doc_id", "n_chars"]}}}}}}""").collect()
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val direct = docs.filter(col("lang") === "en")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("source").as("by_source"), col("rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("by_source"), col("rank")).collect()
+    assert(out.toSeq === direct.toSeq)
+    assert(out.nonEmpty)
   }
 }
