@@ -16,6 +16,9 @@ import graft.sources.Tables
   * the scoring clauses (fuzzy, dis_max, boosting, pinned) and
   * q145–q147 the bucket aggs (range, significant_terms, top_hits)
   * against fresh DuckDB oracles in the exact-integer scoring model.
+  * q148–q153 extend the sweep: multi_match, function_score,
+  * simple_query_string, the filters bucket agg, ids+regexp under
+  * bool, and distance_feature — same integer determinism.
   */
 object DslSearch {
 
@@ -354,6 +357,176 @@ object DslSearch {
         SELECT by_source, rank, doc_id, n_chars FROM ranked
         WHERE rank <= 2
         ORDER BY by_source, rank
+      """.stripMargin.trim)),
+
+    // multi_match most_fields: one query text against text AND source,
+    // matched per-field overlaps summed (plain LONG — no ppm needed
+    // when fields add rather than compete). A hit is ANY field
+    // reaching minimum_should_match.
+    GraftQuery(
+      "q148_dsl_multi_match",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"multi_match": {"query": "spark src3",
+             "fields": ["text", "source"], "type": "most_fields"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark','src3'])) AS BIGINT) AS st,
+            CAST(len(list_intersect(list_distinct(string_split(source, ' ')),
+                                    ['spark','src3'])) AS BIGINT) AS ss
+          FROM documents)
+        SELECT doc_id,
+               (CASE WHEN st >= 1 THEN st ELSE 0 END
+                + CASE WHEN ss >= 1 THEN ss ELSE 0 END) AS score
+        FROM t WHERE st >= 1 OR ss >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // function_score: integer-weighted filter functions re-scoring a
+    // match query — weights 3 (lang=en) and 2 (long docs) sum, then
+    // MULTIPLY the query score; a hit matching no function keeps its
+    // query score (neutral ×1). All-integer, so cross-engine exact.
+    GraftQuery(
+      "q149_dsl_function_score",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [
+               {"filter": {"term": {"lang": "en"}}, "weight": 3},
+               {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+             "score_mode": "sum", "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark'])) AS BIGINT) AS q
+          FROM documents)
+        SELECT doc_id,
+               q * (CASE WHEN lang = 'en' OR n_chars >= 400
+                    THEN (CASE WHEN lang = 'en' THEN 3 ELSE 0 END
+                          + CASE WHEN n_chars >= 400 THEN 2 ELSE 0 END)
+                    ELSE 1 END) AS score
+        FROM t WHERE q >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // simple_query_string: the human query syntax — `+join` pins a
+    // must, `-merge` a must-not, bare `spark` and the quoted phrase
+    // are shoulds that add to the score when matched (bool model).
+    GraftQuery(
+      "q150_dsl_simple_query_string",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"simple_query_string": {
+             "query": "spark +join -merge \"data window\"",
+             "fields": ["text"]}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_contains(string_split(text, ' '), 'join') AS has_join,
+            list_contains(string_split(text, ' '), 'merge') AS has_merge,
+            list_contains(string_split(text, ' '), 'spark') AS has_spark,
+            (' ' || text || ' ') LIKE '% data window %' AS has_phrase
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 + (CASE WHEN has_spark THEN 1 ELSE 0 END)
+                      + (CASE WHEN has_phrase THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM t WHERE has_join AND NOT has_merge
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // filters bucket agg: named, overlapping buckets each defined by a
+    // full sub-query, computed in ONE pass of filtered aggregates
+    // (never a scan per bucket), rows in request order.
+    GraftQuery(
+      "q151_dsl_filters_agg",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"kind": {"filters": {"filters": {
+               "short": {"range": {"n_chars": {"lt": 250}}},
+               "sparky": {"match": {"text": "spark"}},
+               "src_one": {"prefix": {"source": "src1"}}}},
+             "aggs": {
+               "avg_chars": {"avg": {"field": "n_chars"}},
+               "sum_chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        b AS (
+          SELECT 0 AS ord, 'short' AS kind, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM en WHERE n_chars < 250
+          UNION ALL
+          SELECT 1, 'sparky', COUNT(*),
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*),
+                 CAST(SUM(n_chars) AS BIGINT)
+          FROM en WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+          UNION ALL
+          SELECT 2, 'src_one', COUNT(*),
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*),
+                 CAST(SUM(n_chars) AS BIGINT)
+          FROM en WHERE source LIKE 'src1%')
+        SELECT kind, doc_count, avg_chars, sum_chars FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // ids + regexp under bool: the whole-value-anchored regexp keeps
+    // only single-digit sources (src0–src9, never src10+), and the
+    // ids should-clause lifts three curated docs by +1 score.
+    GraftQuery(
+      "q152_dsl_ids_regexp",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"regexp": {"source": {"value": "src[0-9]"}}}],
+             "should": [{"ids": {"values": [5, 10, 15], "field": "doc_id"}}]}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 50,
+           "_source": ["doc_id", "source", "score"]}"""),
+      Some("""
+        SELECT doc_id, source,
+               CAST(1 + CASE WHEN doc_id IN (5, 10, 15) THEN 1 ELSE 0 END
+                    AS BIGINT) AS score
+        FROM documents
+        WHERE regexp_full_match(source, 'src[0-9]')
+        ORDER BY score DESC, doc_id
+        LIMIT 50
+      """.stripMargin.trim)),
+
+    // distance_feature: proximity decay toward 300 chars with pivot 50
+    // — boost = pivot×10⁶ div (pivot + distance), exact integer ppm,
+    // so the decay ordering is engine-portable with zero float ties.
+    GraftQuery(
+      "q153_dsl_distance_feature",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"distance_feature":
+             {"field": "n_chars", "origin": 300, "pivot": 50}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        SELECT doc_id, n_chars,
+               CAST(50000000 AS BIGINT) // (50 + abs(n_chars - 300)) AS score
+        FROM documents
+        WHERE n_chars IS NOT NULL
+        ORDER BY score DESC, doc_id
+        LIMIT 25
       """.stripMargin.trim))
   )
 }

@@ -26,8 +26,14 @@ import org.json4s.jackson.JsonMethods
   * (search-as-you-type), `match_all`, `bool` (must / filter / must_not
   * / should with `minimum_should_match`), `constant_score`, `fuzzy`
   * (token edit distance, `fuzziness`/`prefix_length`), `terms_set`,
-  * `dis_max` (`tie_breaker`), `boosting` (`negative_boost`), and
-  * `pinned` (curated ids above organic hits).
+  * `dis_max` (`tie_breaker`), `boosting` (`negative_boost`),
+  * `pinned` (curated ids above organic hits), `ids` (explicit id list
+  * against a named `field`), `regexp` (whole-value anchored match),
+  * `multi_match` (`best_fields`/`most_fields` over several fields),
+  * `simple_query_string` (the `+term -term "phrase"` human syntax over
+  * one field), `function_score` (integer-weighted filter functions,
+  * `score_mode` sum/max × `boost_mode` multiply/sum), and
+  * `distance_feature` (integer ppm proximity decay to an origin).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -42,7 +48,8 @@ import org.json4s.jackson.JsonMethods
   * `search_after` (keyset paging over the declared sort), `_source`
   * (projection; the name `score` selects the computed score), and
   * `aggs` with `terms` (+ nested metric sub-aggs or one `top_hits`),
-  * `range` (overlapping [from, to) buckets), `significant_terms`,
+  * `range` (overlapping [from, to) buckets), `filters` (named
+  * sub-query buckets), `significant_terms`,
   * global metric aggs, `histogram`, `date_histogram`
   * (calendar_interval day/month), `stats`,
   * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`. A request with
@@ -102,11 +109,18 @@ object QueryDsl {
       case "dis_max"        => disMaxClause(body)
       case "boosting"       => boostingClause(body)
       case "pinned"         => pinnedClause(body)
+      case "ids"            => idsClause(body)
+      case "regexp"         => regexpClause(body)
+      case "multi_match"    => multiMatchClause(body)
+      case "simple_query_string" => simpleQueryStringClause(body)
+      case "function_score"   => functionScoreClause(body)
+      case "distance_feature" => distanceFeatureClause(body)
       case other =>
         fail(s"unsupported query clause '$other' (supported: match_all, term, " +
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
-          "dis_max, boosting, pinned)")
+          "dis_max, boosting, pinned, ids, regexp, multi_match, " +
+          "simple_query_string, function_score, distance_feature)")
     }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
@@ -214,22 +228,29 @@ object QueryDsl {
         case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
       }
 
-      val base = (must ++ filter).map(_.pred) ++ mustNot.map(c => !c.pred)
-      val shouldMatched =
-        if (should.isEmpty) lit(0L)
-        else should.map(c => when(c.pred, 1L).otherwise(0L)).reduce(_ + _)
-      val preds = base ++ (if (msm > 0L) Seq(shouldMatched >= lit(msm)) else Nil)
-      val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
-
-      // Query-context scoring: must scores always (pred already gates
-      // them), should scores only when the clause matched; filter and
-      // must_not contribute nothing (filter context).
-      val scoreParts = must.map(_.score) ++
-        should.map(c => when(c.pred, c.score).otherwise(0L))
-      val score =
-        if (scoreParts.isEmpty) lit(0L) else scoreParts.reduce(_ + _)
-      CompiledQuery(pred, score)
+      combineBool(must, filter, mustNot, should, msm)
     case other => fail(s"bool requires an object body: ${render(other)}")
+  }
+
+  /** The bool combination model, shared with `simple_query_string`:
+    * query-context scoring — must scores always (pred already gates
+    * them), should scores only when the clause matched; filter and
+    * must_not contribute nothing (filter context).
+    */
+  private def combineBool(must: Seq[CompiledQuery], filter: Seq[CompiledQuery],
+      mustNot: Seq[CompiledQuery], should: Seq[CompiledQuery],
+      msm: Long): CompiledQuery = {
+    val base = (must ++ filter).map(_.pred) ++ mustNot.map(c => !c.pred)
+    val shouldMatched =
+      if (should.isEmpty) lit(0L)
+      else should.map(c => when(c.pred, 1L).otherwise(0L)).reduce(_ + _)
+    val preds = base ++ (if (msm > 0L) Seq(shouldMatched >= lit(msm)) else Nil)
+    val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+    val scoreParts = must.map(_.score) ++
+      should.map(c => when(c.pred, c.score).otherwise(0L))
+    val score =
+      if (scoreParts.isEmpty) lit(0L) else scoreParts.reduce(_ + _)
+    CompiledQuery(pred, score)
   }
 
   /** `constant_score`: the wrapped filter decides membership, the score
@@ -355,14 +376,7 @@ object QueryDsl {
         case Some(JArray(qs)) if qs.nonEmpty => qs.map(compileQuery)
         case _ => fail("dis_max requires a non-empty queries array")
       }
-      val tbPpm = m.get("tie_breaker") match {
-        case Some(JDouble(d))  => math.round(d * 1000000L)
-        case Some(JInt(i))     => i.toLong * 1000000L
-        case Some(JDecimal(d)) => math.round(d.toDouble * 1000000L)
-        case None              => 0L
-        case Some(other)       => fail(s"tie_breaker must be numeric: ${render(other)}")
-      }
-      if (tbPpm < 0L || tbPpm > 1000000L) fail("tie_breaker must be in [0, 1]")
+      val tbPpm = ppmOf(m, "tie_breaker", 0L)
       val matched = subs.map(c => when(c.pred, c.score).otherwise(0L))
       val best =
         if (matched.size == 1) matched.head else greatest(matched: _*)
@@ -423,6 +437,220 @@ object QueryDsl {
         .otherwise(when(organic.pred, organic.score).otherwise(0L))
       CompiledQuery(organic.pred || pinPos > 0L, score)
     case other => fail(s"pinned requires an object body: ${render(other)}")
+  }
+
+  /** `ids`: explicit id-list membership. OpenSearch matches `_id`;
+    * this engine has no reserved id column, so the request names it
+    * via `field` (the pinned-clause convention). Compiles to a pushed
+    * `IN` predicate, score 1.
+    */
+  private def idsClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("values", "field")).foreach(k =>
+        fail(s"unsupported ids option '$k'"))
+      val f = strOpt(m, "field")
+        .getOrElse(fail("ids requires field (the column ids match against)"))
+      val vs = m.get("values") match {
+        case Some(JArray(v)) if v.nonEmpty => v.map(scalaOf)
+        case _ => fail("ids requires a non-empty values array")
+      }
+      CompiledQuery(col(f).isin(vs: _*), lit(1L))
+    case other => fail(s"ids requires an object body: ${render(other)}")
+  }
+
+  /** `regexp`: whole-value regex match (OpenSearch anchors the pattern
+    * to the ENTIRE field value, unlike a substring search) — compiled
+    * to an anchored `rlike`, score 1. Pattern syntax is the common
+    * core both engines share; exotic constructs are the caller's risk.
+    */
+  private def regexpClause(body: JValue): CompiledQuery = {
+    val (f, v) = fieldValue(body, "regexp")
+    val pat = v match {
+      case JString(s) => s
+      case other      => fail(s"regexp pattern must be a string: ${render(other)}")
+    }
+    CompiledQuery(col(f).rlike(s"^(?:$pat)$$"), lit(1L))
+  }
+
+  /** `multi_match`: one query text against several fields. A field
+    * matches when its distinct-term overlap reaches
+    * `minimum_should_match` (default 1); a hit is ANY field matching.
+    * `best_fields` (default) ranks by the best single field with the
+    * dis_max ppm `tie_breaker` model; `most_fields` sums the matched
+    * per-field overlap scores (plain LONG, no ppm scale).
+    */
+  private def multiMatchClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
+          "minimum_should_match"))
+        .foreach(k => fail(s"unsupported multi_match option '$k'"))
+      val qtext = strOpt(m, "query")
+        .getOrElse(fail("multi_match requires a string 'query'"))
+      val fields = m.get("fields") match {
+        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+          case JString(s) => s
+          case other => fail(s"multi_match fields must be strings: ${render(other)}")
+        }
+        case _ => fail("multi_match requires a non-empty fields array")
+      }
+      val terms = qtext.trim.split("\\s+").toSeq.distinct
+      if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
+      val termArr = array(terms.map(lit): _*)
+      val msm = m.get("minimum_should_match") match {
+        case Some(JInt(i)) => i.toLong
+        case None          => 1L
+        case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
+      }
+      val perField = fields.map(f =>
+        size(array_intersect(array_distinct(split(col(f), " ")), termArr)).cast("long"))
+      val matched = perField.map(s => when(s >= lit(msm), s).otherwise(0L))
+      val pred = perField.map(_ >= lit(msm)).reduce(_ || _)
+      strOpt(m, "type").getOrElse("best_fields") match {
+        case "most_fields" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          CompiledQuery(pred, matched.reduce(_ + _))
+        case "best_fields" =>
+          val tbPpm = ppmOf(m, "tie_breaker", 0L)
+          val best = if (matched.size == 1) matched.head else greatest(matched: _*)
+          val total = matched.reduce(_ + _)
+          CompiledQuery(pred, best * lit(1000000L) + (total - best) * lit(tbPpm))
+        case other =>
+          fail(s"unsupported multi_match type '$other' (best_fields, most_fields)")
+      }
+    case other => fail(s"multi_match requires an object body: ${render(other)}")
+  }
+
+  /** `simple_query_string`: the lenient `+term -term "phrase"` human
+    * syntax, over exactly ONE field (determinism: multi-field fan-out
+    * is `multi_match`'s job). `+` pins a token as must, `-` as must
+    * not, quoted phrases use the token-boundary substring contract;
+    * bare tokens are should clauses — ALL promoted to must when
+    * `default_operator` is "and". Gating and scoring follow the bool
+    * model (musts score, matched shoulds add). Anything outside this
+    * grammar fails loud instead of silently degrading.
+    */
+  private def simpleQueryStringClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "fields", "default_operator")).foreach(k =>
+        fail(s"unsupported simple_query_string option '$k'"))
+      val f = m.get("fields") match {
+        case Some(JArray(List(JString(s)))) => s
+        case _ => fail("simple_query_string requires fields: [exactly one field]")
+      }
+      val qtext = strOpt(m, "query")
+        .getOrElse(fail("simple_query_string requires a string 'query'"))
+      val andDefault = strOpt(m, "default_operator").getOrElse("or") match {
+        case "or"  => false
+        case "and" => true
+        case other => fail(s"default_operator must be and|or, got '$other'")
+      }
+      val tokenRe = """([+-]?)("([^"]*)"|\S+)""".r
+      var must, mustNot, should = List.empty[CompiledQuery]
+      tokenRe.findAllMatchIn(qtext.trim).foreach { t =>
+        val compiled = Option(t.group(3)) match {
+          case Some(phrase) =>
+            val p = phrase.trim
+            if (p.isEmpty) fail("simple_query_string has an empty phrase")
+            CompiledQuery(
+              concat(lit(" "), col(f), lit(" ")).contains(s" $p "), lit(1L))
+          case None =>
+            val term = t.group(2)
+            CompiledQuery(array_contains(split(col(f), " "), term), lit(1L))
+        }
+        t.group(1) match {
+          case "+"                 => must = must :+ compiled
+          case "-"                 => mustNot = mustNot :+ compiled
+          case _ if andDefault     => must = must :+ compiled
+          case _                   => should = should :+ compiled
+        }
+      }
+      if (must.isEmpty && mustNot.isEmpty && should.isEmpty)
+        fail("simple_query_string has an empty query")
+      val msm = if (should.nonEmpty && must.isEmpty) 1L else 0L
+      combineBool(must, Nil, mustNot, should, msm)
+    case other => fail(s"simple_query_string requires an object body: ${render(other)}")
+  }
+
+  /** `function_score`: re-score the wrapped query with filter-gated
+    * integer weights (float weights fail loud — the exact scoring
+    * model). `score_mode` combines matched weights (sum | max);
+    * `boost_mode` folds them into the query score (multiply | sum).
+    * In multiply mode a hit matching NO function keeps its query score
+    * (neutral ×1), mirroring OpenSearch's unmatched-function rule.
+    */
+  private def functionScoreClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "functions", "score_mode", "boost_mode"))
+        .foreach(k => fail(s"unsupported function_score option '$k'"))
+      val inner = m.get("query").map(compileQuery)
+        .getOrElse(CompiledQuery(lit(true), lit(0L)))
+      val fns: Seq[(CompiledQuery, Long)] = m.get("functions") match {
+        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+          case JObject(fparts) =>
+            val fm = fparts.toMap
+            fm.keySet.diff(Set("filter", "weight")).foreach(k =>
+              fail(s"unsupported function option '$k'"))
+            val filt = fm.get("filter").map(compileQuery)
+              .getOrElse(CompiledQuery(lit(true), lit(0L)))
+            val w = fm.get("weight") match {
+              case Some(JInt(i)) => i.toLong
+              case None          => 1L
+              case Some(other) =>
+                fail(s"function weight must be an integer (exact scoring): ${render(other)}")
+            }
+            (filt, w)
+          case other => fail(s"functions entries must be objects: ${render(other)}")
+        }
+        case _ => fail("function_score requires a non-empty functions array")
+      }
+      val matched = fns.map { case (c, w) => when(c.pred, lit(w)).otherwise(lit(0L)) }
+      val fscore = strOpt(m, "score_mode").getOrElse("sum") match {
+        case "sum" => matched.reduce(_ + _)
+        case "max" => if (matched.size == 1) matched.head else greatest(matched: _*)
+        case other => fail(s"unsupported score_mode '$other' (sum, max)")
+      }
+      val anyMatched = fns.map(_._1.pred).reduce(_ || _)
+      val score = strOpt(m, "boost_mode").getOrElse("multiply") match {
+        case "multiply" => inner.score * when(anyMatched, fscore).otherwise(lit(1L))
+        case "sum"      => inner.score + fscore
+        case other      => fail(s"unsupported boost_mode '$other' (multiply, sum)")
+      }
+      CompiledQuery(inner.pred, score)
+    case other => fail(s"function_score requires an object body: ${render(other)}")
+  }
+
+  /** `distance_feature`: proximity decay toward an origin on an
+    * integral field — boost = pivot/(pivot + |v − origin|) carried in
+    * exact integer ppm (pivot×10⁶ div (pivot + distance)), the q127
+    * decay family made float-free so cross-engine ordering is exact.
+    * Matches every row where the field is present.
+    */
+  private def distanceFeatureClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("field", "origin", "pivot")).foreach(k =>
+        fail(s"unsupported distance_feature option '$k'"))
+      val f = strOpt(m, "field")
+        .getOrElse(fail("distance_feature requires a field"))
+      def longOf(k: String): Long = m.get(k) match {
+        case Some(JInt(i)) => i.toLong
+        case _ => fail(s"distance_feature requires an integer '$k' (exact scoring model)")
+      }
+      val origin = longOf("origin")
+      val pivot = longOf("pivot")
+      if (pivot <= 0L) fail("distance_feature pivot must be positive")
+      // integer `div` (not `/`): the ppm quotient must floor exactly,
+      // matching the oracle's integer division
+      val score = expr(
+        s"CAST(${pivot * 1000000L} AS BIGINT) div " +
+        s"(CAST($pivot AS BIGINT) + abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)))")
+      CompiledQuery(col(f).isNotNull, score)
+    case other => fail(s"distance_feature requires an object body: ${render(other)}")
   }
 
   // -------------------------------------------------------------- request
@@ -557,7 +785,7 @@ object QueryDsl {
     val (bucketAggs, metricAggs) = entries.partition {
       case (_, JObject(spec)) =>
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
-          "significant_terms").contains(p._1))
+          "significant_terms", "filters").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -569,6 +797,9 @@ object QueryDsl {
           fail("mixing a bucket agg with top-level metric aggs is unsupported")
         val m = spec.toMap
         m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
+        m.get("filters").foreach { fs =>
+          return filtersAgg(hits, name, fs, m.get("aggs"))
+        }
         m.get("significant_terms").foreach { s =>
           if (m.contains("aggs")) fail("significant_terms takes no sub-aggs")
           return significantTermsAgg(table, pred, name, s)
@@ -669,22 +900,54 @@ object QueryDsl {
       }
       case _ => fail(s"range agg '$name' requires a non-empty ranges array")
     }
+    onePassBuckets(hits, name, ranges, subAggs, family = "range")
+  }
+
+  /** `filters` bucket agg: named, freely-overlapping buckets, each
+    * defined by a full sub-query — compiled through the same one-pass
+    * filtered-aggregate machinery as `range` (one partial-agg
+    * exchange, never a scan per bucket), rows in request order.
+    */
+  private def filtersAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"filters agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("filters")).foreach(k =>
+      fail(s"unsupported filters option '$k' in agg '$name'"))
+    val named: Seq[(Column, String)] = m.get("filters") match {
+      case Some(JObject(fs)) if fs.nonEmpty =>
+        fs.map { case (bname, q) => (compileQuery(q).pred, bname) }
+      case _ => fail(s"filters agg '$name' requires a non-empty keyed filters object")
+    }
+    onePassBuckets(hits, name, named, subAggs, family = "filters")
+  }
+
+  /** Shared tail of the filtered-bucket families (`range`, `filters`):
+    * per-bucket conditional aggregates computed in ONE global
+    * aggregate row, reshaped to one row per bucket in request order.
+    * Sub-aggs: single-column metrics (no stats fan-out).
+    */
+  private def onePassBuckets(hits: DataFrame, name: String,
+      buckets0: Seq[(Column, String)], subAggs: Option[JValue],
+      family: String): DataFrame = {
     val subEntries: Seq[(String, JValue)] = subAggs match {
       case None                 => Nil
       case Some(JObject(s))     => s
       case Some(other)          => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    val aggCols = ranges.zipWithIndex.flatMap { case ((cond, _), i) =>
+    val aggCols = buckets0.zipWithIndex.flatMap { case ((cond, _), i) =>
       count(when(cond, 1L)).as(s"__dc$i") +:
         subEntries.zipWithIndex.map { case ((subName, subSpec), j) =>
           val cols = metricCols(s"__s${i}_$j", subSpec, Some(cond))
           if (cols.size != 1)
-            fail(s"range sub-agg '$subName' must be a single-column metric")
+            fail(s"$family sub-agg '$subName' must be a single-column metric")
           cols.head
         }
     }
     val aggRow = hits.agg(aggCols.head, aggCols.tail: _*)
-    val buckets = ranges.zipWithIndex.map { case ((_, key), i) =>
+    val buckets = buckets0.zipWithIndex.map { case ((_, key), i) =>
       struct(
         (lit(i.toLong).as("__ord") +: lit(key).as(name) +:
           col(s"__dc$i").as("doc_count") +:
@@ -828,6 +1091,22 @@ object QueryDsl {
       case '\\' => "\\\\"
       case c    => c.toString
     }
+
+  /** Optional [0, 1] fraction parsed into exact ppm (×10⁶) — the
+    * scale every fractional DSL knob (tie_breaker, negative_boost)
+    * uses so scores stay integral.
+    */
+  private def ppmOf(m: Map[String, JValue], key: String, default: Long): Long = {
+    val v = m.get(key) match {
+      case Some(JDouble(d))  => math.round(d * 1000000L)
+      case Some(JInt(i))     => i.toLong * 1000000L
+      case Some(JDecimal(d)) => math.round(d.toDouble * 1000000L)
+      case None              => default
+      case Some(other)       => fail(s"$key must be numeric: ${render(other)}")
+    }
+    if (v < 0L || v > 1000000L) fail(s"$key must be in [0, 1]")
+    v
+  }
 
   private def strOpt(m: Map[String, JValue], k: String): Option[String] =
     m.get(k).collect { case JString(s) => s }

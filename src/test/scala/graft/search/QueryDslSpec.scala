@@ -331,4 +331,172 @@ class QueryDslSpec extends SparkSpec {
     assert(out.toSeq === direct.toSeq)
     assert(out.nonEmpty)
   }
+
+  test("ids compiles to a pushed IN over the named field") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"ids": {"values": [3, 7, 11], "field": "doc_id"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(3L, 7L, 11L))
+    assert(out.forall(_.getLong(1) === 1L))
+    val plan = QueryDsl.search(docs,
+      """{"query": {"ids": {"values": [3, 7], "field": "doc_id"}},
+         "_source": ["doc_id"]}""").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"), plan.take(2000))
+  }
+
+  test("regexp anchors to the whole value (src1 does not match src1x)") {
+    val hits = QueryDsl.search(docs,
+      """{"query": {"regexp": {"source": {"value": "src1[02]"}}},
+         "_source": ["source"]}""").distinct().collect().map(_.getString(0)).sorted
+    assert(hits.toSeq === Seq("src10", "src12"))
+    // unanchored substring semantics would also admit src1, src11, …
+    val one = QueryDsl.search(docs,
+      """{"query": {"regexp": {"source": "src1"}}, "_source": ["source"]}""")
+      .distinct().collect().map(_.getString(0))
+    assert(one.toSeq === Seq("src1"))
+  }
+
+  test("multi_match most_fields sums matched per-field overlaps") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"multi_match": {"query": "spark src3",
+           "fields": ["text", "source"], "type": "most_fields"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+    val sText = size(array_intersect(array_distinct(split(col("text"), " ")),
+      array(lit("spark"), lit("src3")))).cast("long")
+    val sSrc = size(array_intersect(array_distinct(split(col("source"), " ")),
+      array(lit("spark"), lit("src3")))).cast("long")
+    val direct = docs
+      .withColumn("score",
+        when(sText >= 1, sText).otherwise(0L) + when(sSrc >= 1, sSrc).otherwise(0L))
+      .filter(sText >= 1 || sSrc >= 1)
+      .select(col("doc_id"), col("score")).orderBy("doc_id")
+    assert(out.collect().toSeq === direct.collect().toSeq)
+    assert(out.count() > 0)
+  }
+
+  test("multi_match best_fields over one field == match scaled to ppm") {
+    val best = QueryDsl.search(docs,
+      """{"query": {"multi_match": {"query": "spark join",
+           "fields": ["text"], "type": "best_fields"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    val plain = QueryDsl.search(docs,
+      """{"query": {"match": {"text": "spark join"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    assert(best.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      plain.map(r => (r.getLong(0), r.getLong(1) * 1000000L)).toSeq)
+  }
+
+  test("simple_query_string: +must -mustNot bare-should and quoted phrase") {
+    val sqs = QueryDsl.search(docs,
+      """{"query": {"simple_query_string": {
+           "query": "spark +join -merge \"data window\"",
+           "fields": ["text"]}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+    val toks = split(col("text"), " ")
+    val hasJoin = array_contains(toks, "join")
+    val hasMerge = array_contains(toks, "merge")
+    val hasSpark = array_contains(toks, "spark")
+    val hasPhrase = concat(lit(" "), col("text"), lit(" ")).contains(" data window ")
+    // + pins a must (scores 1); bare tokens and the quoted phrase are
+    // shoulds (matched ones add 1); must present → no should gate
+    val direct = docs.filter(hasJoin && !hasMerge)
+      .withColumn("score",
+        lit(1L) + when(hasSpark, 1L).otherwise(0L) + when(hasPhrase, 1L).otherwise(0L))
+      .select(col("doc_id"), col("score")).orderBy("doc_id")
+    assert(sqs.collect().toSeq === direct.collect().toSeq)
+
+    // and-default promotes every bare token to must
+    val andReq = QueryDsl.search(docs,
+      """{"query": {"simple_query_string": {
+           "query": "spark join", "fields": ["text"],
+           "default_operator": "and"}},
+         "sort": ["doc_id"], "_source": ["doc_id"]}""")
+    val andDirect = docs.filter(hasSpark && hasJoin)
+      .select(col("doc_id")).orderBy("doc_id")
+    assert(andReq.collect().toSeq === andDirect.collect().toSeq)
+  }
+
+  test("function_score: multiply is neutral when no function matches; sum adds") {
+    val req =
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [
+             {"filter": {"term": {"lang": "en"}}, "weight": 3},
+             {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+           "score_mode": "sum", "boost_mode": "%MODE%"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}"""
+    val overlap = size(array_intersect(array_distinct(split(col("text"), " ")),
+      array(lit("spark")))).cast("long")
+    val fsum = when(col("lang") === "en", 3L).otherwise(0L) +
+      when(col("n_chars") >= 400, 2L).otherwise(0L)
+    val anyFn = col("lang") === "en" || col("n_chars") >= 400
+    val mult = docs.filter(overlap >= 1)
+      .withColumn("score", overlap * when(anyFn, fsum).otherwise(1L))
+      .select(col("doc_id"), col("score")).orderBy("doc_id")
+    assert(QueryDsl.search(docs, req.replace("%MODE%", "multiply")).collect().toSeq
+      === mult.collect().toSeq)
+    val add = docs.filter(overlap >= 1)
+      .withColumn("score", overlap + fsum)
+      .select(col("doc_id"), col("score")).orderBy("doc_id")
+    assert(QueryDsl.search(docs, req.replace("%MODE%", "sum")).collect().toSeq
+      === add.collect().toSeq)
+  }
+
+  test("distance_feature decays in exact integer ppm around the origin") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"distance_feature":
+           {"field": "n_chars", "origin": 300, "pivot": 50}},
+         "sort": [{"_score": "desc"}, "doc_id"], "size": 30,
+         "_source": ["doc_id", "n_chars", "score"]}""").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = math.abs(r.getLong(1) - 300L)
+      assert(r.getLong(2) === 50L * 1000000L / (50L + d))
+    }
+    // descending score ⇒ non-decreasing distance from the origin
+    val dists = out.map(r => math.abs(r.getLong(1) - 300L))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("filters agg: named overlapping buckets, one pass, request order") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"kind": {"filters": {"filters": {
+             "short": {"range": {"n_chars": {"lt": 250}}},
+             "sparky": {"match": {"text": "spark"}},
+             "src_one": {"prefix": {"source": "src1"}}}},
+           "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""").collect()
+    val en = docs.filter(col("lang") === "en")
+    val expect = Seq(
+      "short"   -> en.filter(col("n_chars") < 250),
+      "sparky"  -> en.filter(array_contains(array_distinct(split(col("text"), " ")), "spark")),
+      "src_one" -> en.filter(col("source").startsWith("src1")))
+    assert(out.map(_.getString(0)).toSeq === expect.map(_._1))
+    out.zip(expect).foreach { case (r, (_, df)) =>
+      assert(r.getAs[Long]("doc_count") === df.count())
+      val sum = df.agg(org.apache.spark.sql.functions.sum("n_chars")).head.getLong(0)
+      assert(r.getAs[Double]("avg_chars") === sum.toDouble / df.count())
+    }
+  }
+
+  test("new clauses fail loud on malformed bodies") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"ids": {"values": [1]}}}""")                  // no field
+    bad("""{"query": {"ids": {"values": [], "field": "doc_id"}}}""") // empty
+    bad("""{"query": {"multi_match": {"query": "x"}}}""")           // no fields
+    bad("""{"query": {"multi_match": {"query": "x", "fields": ["a"],
+           "type": "cross_fields"}}}""")                            // bad type
+    bad("""{"query": {"multi_match": {"query": "x", "fields": ["a"],
+           "type": "most_fields", "tie_breaker": 0.3}}}""")         // tb on most
+    bad("""{"query": {"simple_query_string": {"query": "x",
+           "fields": ["a", "b"]}}}""")                              // two fields
+    bad("""{"query": {"function_score": {"functions": [
+           {"weight": 1.5}]}}}""")                                  // float weight
+    bad("""{"query": {"distance_feature": {"field": "n_chars",
+           "origin": 1.5, "pivot": 10}}}""")                        // float origin
+    bad("""{"query": {"distance_feature": {"field": "n_chars",
+           "origin": 3, "pivot": 0}}}""")                           // pivot 0
+    bad("""{"query": {"regexp": {"source": 3}}}""")                 // non-string
+  }
 }
