@@ -397,6 +397,152 @@ object Curation {
         SELECT vec_id, CAST(cid AS BIGINT) AS cid, proto, rank,
                CAST(CASE WHEN 5 * rank <= 4 * n THEN 1 ELSE 0 END AS BIGINT) AS kept
         FROM ranked ORDER BY vec_id
+      """.stripMargin.trim)),
+
+    // Bigram-LM scoring (the KenLM-perplexity-filter shape, one order
+    // up from q105's unigram): corpus-trained add-one-smoothed bigram
+    // model, per-doc mean log-prob in exact integer micro-nats.
+    // Plan: bigrams derive map-side from the token array (no
+    // self-join), then two count tables keyed by bigram / context —
+    // postings-style equi-joins, a bigram in d docs costs d rows,
+    // never d². At 100 TB the count tables are the shuffled state
+    // (vocab², bounded), not the corpus.
+    GraftQuery(
+      "q154_bigram_logprob",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val arr = TextFns.tokens(col("text"))
+        // adjacent pairs by index over ONE array — map-side, order kept
+        val bg = d.select(col("doc_id"),
+            explode(transform(slice(arr, lit(1), size(arr) - 1),
+              (x, i) => struct(x.as("w1"),
+                concat(x, lit(" "), element_at(arr, i + 2)).as("b")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+        val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+        val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
+        val v = d.select(explode(arr).as("t"))
+          .agg(countDistinct(col("t")).as("v"))
+        bg.join(cb, "b").join(cw, "w1")
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            round(log((col("n_b") + lit(1)).cast("double") /
+              (col("n_ctx") + col("v")).cast("double")) * 1e6)
+              .cast("long").as("mn"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_big"), sum(col("mn")).as("sum_micronats"))
+          .withColumn("avg_micronats", expr("sum_micronats div n_big"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        idx AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM toks),
+        bg AS (SELECT doc_id, a[CAST(i AS INT)] AS w1,
+                      a[CAST(i AS INT)] || ' ' || a[CAST(i + 1 AS INT)] AS b
+               FROM idx),
+        cb AS (SELECT b, COUNT(*) AS n_b FROM bg GROUP BY b),
+        cw AS (SELECT w1, COUNT(*) AS n_ctx FROM bg GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT t) AS v
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(ln(CAST(n_b + 1 AS DOUBLE) /
+                   CAST(n_ctx + v AS DOUBLE)) * 1e6) AS BIGINT) AS mn
+          FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v)
+        SELECT doc_id, COUNT(*) AS n_big,
+               CAST(SUM(mn) AS BIGINT) AS sum_micronats,
+               CAST(SUM(mn) AS BIGINT) // COUNT(*) AS avg_micronats
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // DSIR-style importance weighting (Xie et al.: data selection by
+    // importance resampling): per-token log-ratio of a TARGET unigram
+    // distribution (here: the English slice) to the SOURCE (whole
+    // corpus), Laplace-smoothed, summed per doc in micro-nats. One
+    // groupBy carries BOTH distributions (target count rides along as
+    // a conditional sum), totals broadcast — two shuffles total,
+    // independent of corpus size beyond the token stream itself.
+    GraftQuery(
+      "q155_dsir_weights",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"), col("lang"),
+          explode(TextFns.tokens(col("text"))).as("t"))
+        val cnt = toks.groupBy(col("t")).agg(
+          count(lit(1)).as("n_src"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+        val tot = toks.agg(
+          count(lit(1)).as("tot_src"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_tgt"),
+          countDistinct(col("t")).as("v"))
+        toks.join(cnt, "t")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            round((log((col("n_tgt") + lit(1)).cast("double") /
+                       (col("tot_tgt") + col("v")).cast("double")) -
+                   log((col("n_src") + lit(1)).cast("double") /
+                       (col("tot_src") + col("v")).cast("double"))) * 1e6)
+              .cast("long").as("mn"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("mn")).as("weight_micronats"))
+          .withColumn("keep",
+            when(col("weight_micronats") > 0L, 1L).otherwise(0L))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        cnt AS (
+          SELECT t, COUNT(*) AS n_src,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+          FROM toks GROUP BY t),
+        tot AS (
+          SELECT COUNT(*) AS tot_src,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tot_tgt,
+                 COUNT(DISTINCT t) AS v
+          FROM toks),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + v AS DOUBLE))
+                           - ln(CAST(n_src + 1 AS DOUBLE) / CAST(tot_src + v AS DOUBLE)))
+                        * 1e6) AS BIGINT) AS mn
+          FROM toks JOIN cnt USING (t) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(mn) AS BIGINT) AS weight_micronats,
+               CAST(CASE WHEN SUM(mn) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // Hashed linear quality classifier (the fastText-style scoring
+    // pass every production curation stack runs): apply a pretrained
+    // bag-of-words model whose weight for a token is DERIVED from a
+    // portable hash (md5-based, milli-units in [-1000, 1000]) — so the
+    // "model" ships as an expression, no join, no broadcast, and both
+    // engines score bit-identically in integers. Map-only until the
+    // per-doc aggregate: ONE shuffle at any corpus size.
+    GraftQuery(
+      "q156_quality_classifier",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("t"))
+        val w = TextFns.md5hash60(concat(lit("w:"), col("t"))) % 2001L - 1000L
+        toks.select(col("doc_id"), w.as("w_milli"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("logit_milli"))
+          .withColumn("label", when(col("logit_milli") > 0L, 1L).otherwise(0L))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('w:' || t), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
+          FROM toks)
+        SELECT doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(w_milli) AS BIGINT) AS logit_milli,
+               CAST(CASE WHEN SUM(w_milli) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+        FROM scored GROUP BY doc_id ORDER BY doc_id
       """.stripMargin.trim))
   )
 }
