@@ -439,6 +439,65 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("new DSL scoring clauses (multi_match/function_score/sqs/distance_feature): map-only top-k") {
+    for (name <- Seq("q148_dsl_multi_match", "q149_dsl_function_score",
+        "q150_dsl_simple_query_string", "q153_dsl_distance_feature")) {
+      val nodes = finalNodes(Registry.byName(name).run(spark, sf()))
+      val joins = nodes.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(joins.isEmpty, s"$name grew a join:\n${nodes.head}")
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+        s"$name regressed to a global sort:\n${nodes.head}")
+      val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"$name scoring triggered a shuffle:\n${nodes.head}")
+    }
+  }
+
+  test("q151 filters agg: one scan, one aggregate pass, no joins") {
+    val nodes = finalNodes(Registry.byName("q151_dsl_filters_agg").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1,
+      s"filters buckets must share ONE scan, found ${scans.size}:\n${nodes.head}")
+    val joins = nodes.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty, s"filters agg grew a join:\n${nodes.head}")
+    // partial/final global agg = one exchange; the bucket reshape is
+    // a single-row explode, not a shuffle
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"filters agg shuffled ${shuffles.size}×:\n${nodes.head}")
+  }
+
+  test("LM/importance/classifier scorers: postings equi-joins only, bounded shuffles") {
+    for (n <- Seq("q154_bigram_logprob", "q155_dsir_weights",
+        "q156_quality_classifier")) {
+      val nodes = finalNodes(Registry.byName(n).run(spark, sf()))
+      val cart = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(cart.isEmpty, s"$n runs a cartesian product:\n${nodes.head}")
+      val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+      // count-table joins + per-doc agg + presentation sort; more
+      // means a pair join or a lost partial-agg crept in
+      assert(shuffles.size <= 6, s"$n has ${shuffles.size} shuffles:\n${nodes.head}")
+    }
+    // the hashed classifier is the strictest shape: the model is an
+    // expression, so there is NO join of any kind
+    val cls = finalNodes(Registry.byName("q156_quality_classifier").run(spark, sf()))
+    val clsJoins = cls.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(clsJoins.isEmpty, s"classifier scoring grew a join:\n${cls.head}")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
