@@ -527,6 +527,66 @@ object DslSearch {
         WHERE n_chars IS NOT NULL
         ORDER BY score DESC, doc_id
         LIMIT 25
+      """.stripMargin.trim)),
+
+    // nested as a JSON request: q120's same-element conjunction
+    // (qty ≥ 48 AND disc ≤ 0.02 on the SAME line item — a flattened
+    // field would match across different items) over the orders-with-
+    // line-items layout, score_mode sum = matching-element count. The
+    // oracle evaluates the same-row conjunction on the flat child
+    // table; equal results IS the nested-semantics contract.
+    GraftQuery(
+      "q157_dsl_nested",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.load(s, dir, "lineitem")
+        val nested = li.groupBy(col("l_orderkey").as("order_key"))
+          .agg(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_discount").as("disc")))).as("items"))
+        QueryDsl.search(nested,
+          """{"query": {"nested": {"path": "items",
+               "query": {"bool": {"must": [
+                 {"range": {"items.qty": {"gte": 48.0}}},
+                 {"range": {"items.disc": {"lte": 0.02}}}]}},
+               "score_mode": "sum"}},
+             "sort": [{"_score": "desc"}, "order_key"],
+             "size": 20,
+             "_source": ["order_key", "score"]}""")
+      },
+      Some("""
+        SELECT l_orderkey AS order_key,
+               CAST(SUM(CASE WHEN l_quantity >= 48.0 AND l_discount <= 0.02
+                             THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM lineitem
+        GROUP BY 1
+        HAVING SUM(CASE WHEN l_quantity >= 48.0 AND l_discount <= 0.02
+                        THEN 1 ELSE 0 END) >= 1
+        ORDER BY score DESC, order_key
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // percentiles metric agg: DISCRETE percentiles (percentile_disc —
+    // an actual data value, engine-exact with no interpolation, where
+    // OpenSearch itself would serve a t-digest approximation) beside
+    // plain metrics in one global aggregate row.
+    GraftQuery(
+      "q158_dsl_percentiles",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {
+             "len": {"percentiles": {"field": "n_chars",
+                                     "percents": [25, 50, 75, 90]}},
+             "n": {"value_count": {"field": "n_chars"}}}}"""),
+      Some("""
+        SELECT CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS len_p25,
+               CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS len_p50,
+               CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS len_p75,
+               CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS len_p90,
+               COUNT(n_chars) AS n
+        FROM documents WHERE lang = 'en'
       """.stripMargin.trim))
   )
 }

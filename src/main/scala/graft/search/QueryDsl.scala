@@ -32,8 +32,10 @@ import org.json4s.jackson.JsonMethods
   * `multi_match` (`best_fields`/`most_fields` over several fields),
   * `simple_query_string` (the `+term -term "phrase"` human syntax over
   * one field), `function_score` (integer-weighted filter functions,
-  * `score_mode` sum/max × `boost_mode` multiply/sum), and
-  * `distance_feature` (integer ppm proximity decay to an origin).
+  * `score_mode` sum/max × `boost_mode` multiply/sum),
+  * `distance_feature` (integer ppm proximity decay to an origin), and
+  * `nested` (same-element conjunction over an array-of-structs column
+  * via a higher-order filter — no explode, no join).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -52,7 +54,8 @@ import org.json4s.jackson.JsonMethods
   * sub-query buckets), `significant_terms`,
   * global metric aggs, `histogram`, `date_histogram`
   * (calendar_interval day/month), `stats`,
-  * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`. A request with
+  * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`/`percentiles`
+  * (discrete — engine-exact, no interpolation). A request with
   * `aggs` returns the bucket table (the `size: 0` idiom) — except
   * `top_hits`, which returns the per-bucket top hit rows; otherwise the
   * hit table.
@@ -115,12 +118,13 @@ object QueryDsl {
       case "simple_query_string" => simpleQueryStringClause(body)
       case "function_score"   => functionScoreClause(body)
       case "distance_feature" => distanceFeatureClause(body)
+      case "nested"           => nestedClause(body)
       case other =>
         fail(s"unsupported query clause '$other' (supported: match_all, term, " +
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
-          "simple_query_string, function_score, distance_feature)")
+          "simple_query_string, function_score, distance_feature, nested)")
     }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
@@ -653,6 +657,92 @@ object QueryDsl {
     case other => fail(s"distance_feature requires an object body: ${render(other)}")
   }
 
+  /** `nested`: the same-element conjunction OpenSearch's nested mapping
+    * exists for — a flattened object field would match values from
+    * DIFFERENT child objects; a nested query must match them on the
+    * SAME child (the q120 contract). The array-of-structs column named
+    * by `path` is probed per ELEMENT with a higher-order filter (pure
+    * codegen, no explode, no join). The inner query supports the
+    * element-level subset — `term`, `range`, `exists`, `prefix`,
+    * `match_all`, and `bool` with must/must_not of those — anything
+    * else fails loud. `score_mode`: "sum" (default) scores the number
+    * of matching elements, "none" scores 1.
+    */
+  private def nestedClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("path", "query", "score_mode")).foreach(k =>
+        fail(s"unsupported nested option '$k'"))
+      val path = strOpt(m, "path").getOrElse(fail("nested requires a path"))
+      val q = m.getOrElse("query", fail("nested requires a query"))
+
+      // element-field access: OpenSearch names nested fields by full
+      // path ("items.qty"); bare names are accepted too
+      def fld(x: Column, f: String): Column =
+        x.getField(if (f.startsWith(s"$path.")) f.drop(path.length + 1) else f)
+
+      def elemPred(clause: JValue, x: Column): Column = clause match {
+        case JObject(List((kind, b))) => kind match {
+          case "match_all" => lit(true)
+          case "term" => b match {
+            case JObject(List((f, v))) => fld(x, f) === litOf(v)
+            case other => fail(s"nested term requires {field: value}: ${render(other)}")
+          }
+          case "range" => b match {
+            case JObject(List((f, JObject(bounds)))) =>
+              if (bounds.isEmpty) fail(s"nested range on '$f' has no bounds")
+              bounds.map {
+                case ("gte", v) => fld(x, f) >= litOf(v)
+                case ("gt", v)  => fld(x, f) > litOf(v)
+                case ("lte", v) => fld(x, f) <= litOf(v)
+                case ("lt", v)  => fld(x, f) < litOf(v)
+                case (k, _)     => fail(s"unsupported nested range bound '$k' on '$f'")
+              }.reduce(_ && _)
+            case other => fail(s"nested range requires {field: {bounds}}: ${render(other)}")
+          }
+          case "prefix" =>
+            val (f, v) = fieldValue(b, "prefix")
+            fld(x, f).startsWith(litOf(v))
+          case "exists" => b match {
+            case JObject(fs) => fs.toMap.get("field") match {
+              case Some(JString(f)) => fld(x, f).isNotNull
+              case _ => fail("nested exists requires {\"field\": name}")
+            }
+            case _ => fail("nested exists requires {\"field\": name}")
+          }
+          case "bool" => b match {
+            case JObject(sections) =>
+              val sm = sections.toMap
+              sm.keySet.diff(Set("must", "must_not")).foreach(k =>
+                fail(s"unsupported nested bool section '$k' (must, must_not)"))
+              def sect(n: String): Seq[Column] = sm.get(n) match {
+                case None             => Nil
+                case Some(JArray(cs)) => cs.map(c => elemPred(c, x))
+                case Some(one: JObject) => Seq(elemPred(one, x))
+                case Some(other) => fail(s"nested bool.$n must be a clause or array: ${render(other)}")
+              }
+              val ps = sect("must") ++ sect("must_not").map(!_)
+              if (ps.isEmpty) fail("nested bool is empty")
+              ps.reduce(_ && _)
+            case other => fail(s"nested bool requires an object: ${render(other)}")
+          }
+          case other =>
+            fail(s"unsupported nested clause '$other' (term, range, prefix, " +
+              "exists, match_all, bool)")
+        }
+        case other => fail(s"nested query must be a single-clause object: ${render(other)}")
+      }
+
+      val nHits = size(filter(col(path), x => elemPred(q, x))).cast("long")
+      val score = strOpt(m, "score_mode").getOrElse("sum") match {
+        case "sum"  => nHits
+        case "none" => lit(1L)
+        case other  => fail(s"unsupported nested score_mode '$other' (sum, none)")
+      }
+      CompiledQuery(nHits >= 1L, score)
+    case other => fail(s"nested requires an object body: ${render(other)}")
+  }
+
   // -------------------------------------------------------------- request
 
   /** Compile a full `_search` request body against `table`. Returns the
@@ -1052,6 +1142,23 @@ object QueryDsl {
           max(c).as(s"${name}_max"),
           (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
           sum(c).as(s"${name}_sum"))
+        // DISCRETE percentiles (percentile_disc): an actual data value,
+        // no interpolation — so the result is engine-exact, unlike the
+        // t-digest approximation OpenSearch itself serves
+        case "percentiles" =>
+          if (cond.isDefined)
+            fail(s"percentiles under a filtered bucket is unsupported ('$name')")
+          val percents = body.toMap.get("percents") match {
+            case Some(JArray(ps)) if ps.nonEmpty => ps.map {
+              case JInt(i) if i > 0 && i < 100 => i.toInt
+              case other => fail(s"percents must be integers in (0,100): ${render(other)}")
+            }
+            case None        => Seq(25, 50, 75)
+            case Some(other) => fail(s"percents must be an array: ${render(other)}")
+          }
+          percents.map(p => expr(
+            s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY `$f`)")
+            .as(s"${name}_p$p"))
         case other => fail(s"unsupported metric agg '$other' under '$name'")
       }
     case other => fail(s"metric agg '$name' must be {metric: {field: ...}}: ${render(other)}")

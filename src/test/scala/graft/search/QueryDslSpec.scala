@@ -134,7 +134,7 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"knn": {}}""", "unsupported request key")
     bad("""{"query": {"match": {"text": {"query": "x", "fuzziness": 2}}}}""",
       "unsupported match option")
-    bad("""{"aggs": {"a": {"percentiles": {"field": "n_chars"}}}}""",
+    bad("""{"aggs": {"a": {"median_absolute_deviation": {"field": "n_chars"}}}}""",
       "unsupported metric agg")
     bad("""{"query": {"dis_max": {"queries": [], "tie_breaker": 0.3}}}""",
       "non-empty queries")
@@ -479,6 +479,48 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("nested matches on the SAME element, never across elements") {
+    import spark.implicits._
+    // doc 1: one element satisfies both bounds; doc 2 satisfies them
+    // only across DIFFERENT elements — flattened semantics would match
+    // both, nested semantics must keep doc 1 only
+    val t = Seq(
+      (1L, Seq((50.0, 0.01), (10.0, 0.9))),
+      (2L, Seq((50.0, 0.9), (10.0, 0.01))))
+      .toDF("id", "raw")
+      .select(col("id"), expr(
+        "transform(raw, x -> named_struct('qty', x._1, 'disc', x._2))").as("items"))
+    val out = QueryDsl.search(t,
+      """{"query": {"nested": {"path": "items",
+           "query": {"bool": {"must": [
+             {"range": {"items.qty": {"gte": 48.0}}},
+             {"range": {"items.disc": {"lte": 0.02}}}]}}}},
+         "_source": ["id", "score"]}""").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getLong(1) === 1L) // score_mode sum = matching elements
+    // score_mode none scores 1 regardless of element count
+    val none = QueryDsl.search(t,
+      """{"query": {"nested": {"path": "items", "score_mode": "none",
+           "query": {"range": {"items.qty": {"gte": 5.0}}}}},
+         "sort": ["id"], "_source": ["id", "score"]}""").collect()
+    assert(none.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("percentiles agg is discrete: results are actual data values") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"len": {"percentiles":
+           {"field": "n_chars", "percents": [50, 90]}}}}""").collect()
+    assert(out.length === 1)
+    val present = docs.filter(col("lang") === "en")
+      .select(col("n_chars").cast("double")).distinct()
+      .collect().map(_.getDouble(0)).toSet
+    val (p50, p90) = (out.head.getDouble(0), out.head.getDouble(1))
+    assert(present.contains(p50) && present.contains(p90))
+    assert(p50 <= p90)
+  }
+
   test("new clauses fail loud on malformed bodies") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
@@ -498,5 +540,16 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"distance_feature": {"field": "n_chars",
            "origin": 3, "pivot": 0}}}""")                           // pivot 0
     bad("""{"query": {"regexp": {"source": 3}}}""")                 // non-string
+    bad("""{"query": {"nested": {"query": {"match_all": {}}}}}""")  // no path
+    bad("""{"query": {"nested": {"path": "items",
+           "query": {"match": {"items.t": "x"}}}}}""")              // unsupported inner
+    bad("""{"query": {"nested": {"path": "items", "score_mode": "avg",
+           "query": {"match_all": {}}}}}""")                        // bad score_mode
+    bad("""{"query": {"term": {"lang": "en"}},
+         "aggs": {"p": {"percentiles": {"field": "n_chars",
+           "percents": [0]}}}}""")                                  // percent 0
+    bad("""{"query": {"term": {"lang": "en"}},
+         "aggs": {"p": {"percentiles": {"field": "n_chars",
+           "percents": [50.5]}}}}""")                               // non-integer
   }
 }
