@@ -587,6 +587,44 @@ object DslSearch {
                CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS len_p90,
                COUNT(n_chars) AS n
         FROM documents WHERE lang = 'en'
+      """.stripMargin.trim)),
+
+    // more_like_this as a JSON request — q118's oracle VERBATIM: the
+    // request-level compile must be indistinguishable from the
+    // handwritten facade pipeline (seed tf·idf terms broadcast into
+    // the postings, integer idf-weight scoring, request-ranked).
+    GraftQuery(
+      "q159_dsl_more_like_this",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"more_like_this": {
+             "fields": ["text"],
+             "like": {"doc_id": 7},
+             "max_query_terms": 10}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 15,
+           "_source": ["doc_id", "n_shared", "score"]}"""),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        seed AS (
+          SELECT tf.term,
+                 (CAST(tf.tf AS BIGINT) * (SELECT n FROM n)) / CAST(df.df AS BIGINT) AS sel,
+                 ((SELECT n FROM n) * 1000000) // CAST(df.df AS BIGINT) AS weight
+          FROM tf JOIN df USING (term) WHERE tf.doc_id = 7),
+        qt AS (SELECT term, weight,
+                 ROW_NUMBER() OVER (ORDER BY sel DESC, term) AS r FROM seed),
+        top AS (SELECT term, weight FROM qt WHERE r <= 10)
+        SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(SUM(weight) AS BIGINT) AS score
+        FROM tf JOIN top USING (term)
+        WHERE tf.doc_id <> 7
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 15
       """.stripMargin.trim))
   )
 }

@@ -33,9 +33,11 @@ import org.json4s.jackson.JsonMethods
   * `simple_query_string` (the `+term -term "phrase"` human syntax over
   * one field), `function_score` (integer-weighted filter functions,
   * `score_mode` sum/max × `boost_mode` multiply/sum),
-  * `distance_feature` (integer ppm proximity decay to an origin), and
+  * `distance_feature` (integer ppm proximity decay to an origin),
   * `nested` (same-element conjunction over an array-of-structs column
-  * via a higher-order filter — no explode, no join).
+  * via a higher-order filter — no explode, no join), and
+  * `more_like_this` (request-level: the corpus-state-dependent q118
+  * tf·idf postings plan, never a per-row predicate).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -758,51 +760,113 @@ object QueryDsl {
         "search_after"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
+    // `more_like_this` is corpus-state-dependent (the seed's tf·idf
+    // terms come from the table), so it compiles at the REQUEST level
+    // into the q118 postings plan rather than to a per-row predicate.
+    req.get("query") match {
+      case Some(JObject(List(("more_like_this", body)))) =>
+        if (req.contains("aggs"))
+          fail("more_like_this cannot be combined with aggs")
+        return hitPipeline(moreLikeThisRequest(table, body), req)
+      case _ => ()
+    }
+
     val compiled = req.get("query").map(compileQuery)
       .getOrElse(CompiledQuery(lit(true), lit(0L)))
     val filtered = table.filter(compiled.pred)
 
     req.get("aggs") match {
       case Some(aggs) => compileAggs(table, filtered, compiled.pred, aggs)
-      case None =>
-        val scored = filtered.withColumn("score", compiled.score)
-        // `search_after` keyset paging: resumes strictly after the last
-        // page's sort key — O(page) work at any depth, where `from`
-        // still sorts the whole prefix (the q123 contract).
-        val paged0 = req.get("search_after") match {
-          case None => scored
-          case Some(JArray(vals)) =>
-            val sortSpec = req.get("sort").map(parseSort)
-              .getOrElse(fail("search_after requires an explicit sort"))
-            if (vals.size != sortSpec.size)
-              fail("search_after must carry one value per sort key")
-            if (req.contains("from"))
-              fail("search_after cannot be combined with from")
-            scored.filter(keysetAfter(sortSpec, vals.map(scalaOf)))
-          case Some(other) => fail(s"search_after must be an array: ${render(other)}")
-        }
-        val sorted = req.get("sort") match {
-          case None    => paged0
-          case Some(s) => paged0.orderBy(sortCols(s): _*)
-        }
-        val paged = (req.get("from"), req.get("size")) match {
-          case (Some(JInt(f)), Some(JInt(n))) => sorted.offset(f.toInt).limit(n.toInt)
-          case (Some(JInt(f)), None)          => sorted.offset(f.toInt)
-          case (None, Some(JInt(n)))          => sorted.limit(n.toInt)
-          case (None, None)                   => sorted
-          case _ => fail("from/size must be integers")
-        }
-        req.get("_source") match {
-          case None => paged
-          case Some(JArray(fields)) =>
-            paged.select(fields.map {
-              case JString(f) => col(f)
-              case other      => fail(s"_source entries must be strings: ${render(other)}")
-            }: _*)
-          case Some(other) => fail(s"_source must be an array: ${render(other)}")
-        }
+      case None => hitPipeline(filtered.withColumn("score", compiled.score), req)
     }
   }
+
+  /** The request tail over a scored hit table: `search_after` keyset
+    * paging (resumes strictly after the last page's sort key — O(page)
+    * work at any depth, where `from` still sorts the whole prefix, the
+    * q123 contract), then sort, from/size, and `_source` projection.
+    */
+  private def hitPipeline(scored: DataFrame, req: Map[String, JValue]): DataFrame = {
+    val paged0 = req.get("search_after") match {
+      case None => scored
+      case Some(JArray(vals)) =>
+        val sortSpec = req.get("sort").map(parseSort)
+          .getOrElse(fail("search_after requires an explicit sort"))
+        if (vals.size != sortSpec.size)
+          fail("search_after must carry one value per sort key")
+        if (req.contains("from"))
+          fail("search_after cannot be combined with from")
+        scored.filter(keysetAfter(sortSpec, vals.map(scalaOf)))
+      case Some(other) => fail(s"search_after must be an array: ${render(other)}")
+    }
+    val sorted = req.get("sort") match {
+      case None    => paged0
+      case Some(s) => paged0.orderBy(sortCols(s): _*)
+    }
+    val paged = (req.get("from"), req.get("size")) match {
+      case (Some(JInt(f)), Some(JInt(n))) => sorted.offset(f.toInt).limit(n.toInt)
+      case (Some(JInt(f)), None)          => sorted.offset(f.toInt)
+      case (None, Some(JInt(n)))          => sorted.limit(n.toInt)
+      case (None, None)                   => sorted
+      case _ => fail("from/size must be integers")
+    }
+    req.get("_source") match {
+      case None => paged
+      case Some(JArray(fields)) =>
+        paged.select(fields.map {
+          case JString(f) => col(f)
+          case other      => fail(s"_source entries must be strings: ${render(other)}")
+        }: _*)
+      case Some(other) => fail(s"_source must be an array: ${render(other)}")
+    }
+  }
+
+  /** `more_like_this`: documents similar to a seed doc by its top
+    * `max_query_terms` tf·idf terms (the q118 contract). The seed's
+    * term list is broadcast against the (doc, term) postings and
+    * candidates score by an order-free integer idf-weight sum
+    * (weight = n×10⁶ div df) — the corpus is never paired with
+    * itself. `like` names the seed as `{idField: value}` (the engine
+    * has no reserved `_id`); `fields` must name exactly one text
+    * column. Output columns: the id field, `n_shared`, `score` —
+    * ranking/paging comes from the surrounding request.
+    */
+  private def moreLikeThisRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("fields", "like", "max_query_terms")).foreach(k =>
+          fail(s"unsupported more_like_this option '$k'"))
+        val textCol = m.get("fields") match {
+          case Some(JArray(List(JString(f)))) => f
+          case _ => fail("more_like_this requires fields: [exactly one field]")
+        }
+        val (idField, seedVal) = m.get("like") match {
+          case Some(JObject(List((f, v)))) => (f, scalaOf(v))
+          case _ => fail("more_like_this requires like: {idField: value}")
+        }
+        val maxQt = intOpt(m, "max_query_terms").getOrElse(10)
+        import org.apache.spark.sql.expressions.Window
+        val tf = table.select(col(idField).as(idField),
+            explode(split(col(textCol), " ")).as("term"))
+          .groupBy(col(idField), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = table.agg(count(lit(1)).as("n"))
+        val seed = tf.filter(col(idField) === lit(seedVal))
+          .join(df, "term").crossJoin(broadcast(n))
+          .withColumn("sel", (col("tf") * col("n")) / col("df"))
+        // global window over the seed's own terms only — bounded by
+        // one document's vocabulary, not the corpus
+        val wSeed = Window.orderBy(col("sel").desc, col("term"))
+        val queryTerms = seed.withColumn("r", row_number().over(wSeed))
+          .filter(col("r") <= maxQt)
+          .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
+        tf.filter(col(idField) =!= lit(seedVal))
+          .join(broadcast(queryTerms), "term")
+          .groupBy(col(idField))
+          .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
+      case other => fail(s"more_like_this requires an object body: ${render(other)}")
+    }
 
   /** Sort spec as (field, asc|desc) pairs — shared by orderBy and the
     * search_after keyset predicate.

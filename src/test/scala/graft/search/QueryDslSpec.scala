@@ -521,6 +521,23 @@ class QueryDslSpec extends SparkSpec {
     assert(p50 <= p90)
   }
 
+  test("compiled more_like_this request == handwritten q118 facade pipeline") {
+    sameAs("q118_search_more_like_this", "q159_dsl_more_like_this")
+  }
+
+  test("more_like_this rejects aggs and malformed like/fields") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+           "like": {"doc_id": 7}}},
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}}""")
+    bad("""{"query": {"more_like_this": {"like": {"doc_id": 7}}}}""")
+    bad("""{"query": {"more_like_this": {"fields": ["text", "lang"],
+           "like": {"doc_id": 7}}}}""")
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+           "like": "raw text"}}}""")
+  }
+
   test("new clauses fail loud on malformed bodies") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
