@@ -148,6 +148,77 @@ final case class GraftEngine(spark: SparkSession) {
       queryPred: Column, params: IvfIndex.Params = IvfIndex.Params()): DataFrame =
     IvfIndex.topK(embeddings, idCol, embCol, queryPred, params)
 
+  /** Per-document mean log-prob under a corpus-trained add-one-smoothed
+    * bigram LM, in exact integer micro-nats — the KenLM-perplexity-
+    * filter shape (low avg log-prob = gibberish / boilerplate).
+    * Bigrams derive map-side from each doc's token array (no
+    * self-join); the shuffled state is the bigram/context count
+    * tables, bounded by vocabulary, not the corpus.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = TextFns.tokens(col(textCol))
+    val bg = docs.select(col(idCol),
+        explode(transform(F.slice(arr, lit(1), F.size(arr) - 1),
+          (x, i) => struct(x.as("w1"),
+            concat(x, lit(" "), element_at(arr, i + 2)).as("b")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.b").as("b"))
+    val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+    val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
+    val v = docs.select(explode(arr).as("t")).agg(countDistinct(col("t")).as("v"))
+    bg.join(cb, "b").join(cw, "w1").crossJoin(broadcast(v))
+      .select(col(idCol),
+        round(log((col("n_b") + lit(1)).cast("double") /
+          (col("n_ctx") + col("v")).cast("double")) * 1e6).cast("long").as("mn"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"), sum(col("mn")).as("sum_micronats"))
+      .withColumn("avg_micronats", expr("sum_micronats div n_big"))
+  }
+
+  /** DSIR-style importance weights (Xie et al., data selection by
+    * importance resampling): per-doc sum of token log-ratios of a
+    * TARGET unigram distribution vs the full corpus, Laplace-smoothed,
+    * in micro-nats. `targetPred` marks the target slice (e.g.
+    * `col("lang") === "en"`). Positive weight = looks more like the
+    * target than the background.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame = {
+    val toks = docs.select(col(idCol), targetPred.as("_tgt"),
+      explode(TextFns.tokens(col(textCol))).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(
+      count(lit(1)).as("n_src"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = toks.agg(
+      count(lit(1)).as("tot_src"),
+      sum(when(col("_tgt"), 1L).otherwise(0L)).as("tot_tgt"),
+      countDistinct(col("t")).as("v"))
+    toks.join(cnt, "t").crossJoin(broadcast(tot))
+      .select(col(idCol),
+        round((log((col("n_tgt") + lit(1)).cast("double") /
+                   (col("tot_tgt") + col("v")).cast("double")) -
+               log((col("n_src") + lit(1)).cast("double") /
+                   (col("tot_src") + col("v")).cast("double"))) * 1e6)
+          .cast("long").as("mn"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("mn")).as("weight_micronats"))
+  }
+
+  /** Hashed linear quality classifier: a pretrained bag-of-words model
+    * whose per-token weight derives from a portable md5 hash (milli
+    * units) — the model ships as an expression, so scoring is a pure
+    * map with ONE shuffle (the per-doc aggregate) at any corpus size.
+    * Swap `weightOf` to load real trained weights.
+    */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      weightOf: Column => Column = t =>
+        TextFns.md5hash60(concat(lit("w:"), t)) % 2001L - 1000L): DataFrame =
+    docs.select(col(idCol),
+        explode(TextFns.tokens(col(textCol))).as("t"))
+      .select(col(idCol), weightOf(col("t")).as("w_milli"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w_milli")).as("logit_milli"))
+      .withColumn("label", when(col("logit_milli") > 0L, 1L).otherwise(0L))
+
   /** Per-document text-quality metrics (C4/Gopher-style). */
   def textQuality(docs: DataFrame, textCol: String): DataFrame = {
     val tok = TextFns.tokens(col(textCol))

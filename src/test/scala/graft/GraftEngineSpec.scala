@@ -209,4 +209,26 @@ class GraftEngineSpec extends SparkSpec {
     val home = res.find(_.getAs[Long]("cell_lon") === -5L).get
     assert(home.getAs[Double]("min_dist") === 0.0)
   }
+
+  test("LM/DSIR/classifier facade methods match their oracle-gated queries") {
+    val dir = sf()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    assert(rows(g.bigramLogProb(Tables.load(spark, dir, "documents"),
+        "doc_id", "text")) ===
+      rows(Registry.byName("q154_bigram_logprob").run(spark, dir)))
+    assert(rows(g.dsirWeights(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", col("lang") === "en").drop("keep")) ===
+      rows(Registry.byName("q155_dsir_weights").run(spark, dir).drop("keep")))
+    assert(rows(g.qualityClassifier(Tables.load(spark, dir, "documents"),
+        "doc_id", "text")) ===
+      rows(Registry.byName("q156_quality_classifier").run(spark, dir)))
+    // a planted high-weight token flips the classifier's label
+    import spark.implicits._
+    val toy = Seq((1L, "alpha beta"), (2L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val custom = g.qualityClassifier(toy, "doc_id", "text",
+      weightOf = t => when(t === "beta", 1000L).otherwise(-1L))
+    val m = custom.collect().map(r => r.getLong(0) -> r.getAs[Long]("label")).toMap
+    assert(m === Map(1L -> 1L, 2L -> 0L))
+  }
 }
