@@ -165,7 +165,10 @@ final case class GraftEngine(spark: SparkSession) {
     val cb = bg.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
     val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
     val v = docs.select(explode(arr).as("t")).agg(countDistinct(col("t")).as("v"))
-    bg.join(cb, "b").join(cw, "w1").crossJoin(broadcast(v))
+    // count tables are vocab-bounded — pinned build sides; the static
+    // size estimate (parquet bytes, blind to explode fan-out) would
+    // otherwise happily broadcast the corpus-sized bigram stream
+    bg.join(broadcast(cb), "b").join(broadcast(cw), "w1").crossJoin(broadcast(v))
       .select(col(idCol),
         round(log((col("n_b") + lit(1)).cast("double") /
           (col("n_ctx") + col("v")).cast("double")) * 1e6).cast("long").as("mn"))
@@ -192,7 +195,7 @@ final case class GraftEngine(spark: SparkSession) {
       count(lit(1)).as("tot_src"),
       sum(when(col("_tgt"), 1L).otherwise(0L)).as("tot_tgt"),
       countDistinct(col("t")).as("v"))
-    toks.join(cnt, "t").crossJoin(broadcast(tot))
+    toks.join(broadcast(cnt), "t").crossJoin(broadcast(tot))
       .select(col(idCol),
         round((log((col("n_tgt") + lit(1)).cast("double") /
                    (col("tot_tgt") + col("v")).cast("double")) -

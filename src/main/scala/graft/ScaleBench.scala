@@ -40,7 +40,11 @@ object ScaleBench {
       // vocab+bigram tables and span_near's positional postings grow
       // with the corpus (the replica perturbation multiplies the
       // vocabulary), while the request side stays bounded
-      "q121_search_phrase_suggest", "q126_search_span_near")
+      "q121_search_phrase_suggest", "q126_search_span_near",
+      // LM/importance/classifier scorers: the count tables grow with
+      // the (perturbation-multiplied) vocabulary, the classifier is
+      // pure map + one agg — all three must stay ~linear in rows
+      "q154_bigram_logprob", "q155_dsir_weights", "q156_quality_classifier")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

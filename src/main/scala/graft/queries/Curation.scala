@@ -295,7 +295,14 @@ object Curation {
           explode(TextFns.tokens(col("text"))).as("t"))
         val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
         val tot = toks.agg(count(lit(1)).as("n_total"))
-        toks.join(cnt, "t")
+        // the count table is vocabulary-bounded — pin it as the build
+        // side. Unpinned, Spark's static size estimate (compressed
+        // parquet bytes, blind to the explode fan-out) can pick the
+        // corpus-sized token stream as the broadcast side, which is a
+        // driver OOM at real scale. (Open-vocabulary corpora where the
+        // vocab itself outgrows a broadcast would switch to a salted
+        // shuffle join instead.)
+        toks.join(broadcast(cnt), "t")
           .crossJoin(broadcast(tot))
           .select(col("doc_id"),
             round(log(col("n_t").cast("double") / col("n_total")) * 1e6)
@@ -422,7 +429,9 @@ object Curation {
         val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_ctx"))
         val v = d.select(explode(arr).as("t"))
           .agg(countDistinct(col("t")).as("v"))
-        bg.join(cb, "b").join(cw, "w1")
+        // count tables are vocab-/vocab²-bounded — pinned as build
+        // sides (see q105's note on the static-estimate trap)
+        bg.join(broadcast(cb), "b").join(broadcast(cw), "w1")
           .crossJoin(broadcast(v))
           .select(col("doc_id"),
             round(log((col("n_b") + lit(1)).cast("double") /
@@ -474,7 +483,9 @@ object Curation {
           count(lit(1)).as("tot_src"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_tgt"),
           countDistinct(col("t")).as("v"))
-        toks.join(cnt, "t")
+        // vocabulary-bounded build side pinned (see q105's note): the
+        // static estimate would happily broadcast the token stream
+        toks.join(broadcast(cnt), "t")
           .crossJoin(broadcast(tot))
           .select(col("doc_id"),
             round((log((col("n_tgt") + lit(1)).cast("double") /

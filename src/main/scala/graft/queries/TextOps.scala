@@ -246,7 +246,10 @@ object TextOps {
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = d.agg(count(lit(1)).as("n"))
-        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        // document-frequency table is vocabulary-bounded — pin it as
+        // the build side so the static estimate can never broadcast
+        // the corpus-sized (doc, term) stream instead
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
           .withColumn("score", (col("tf") * col("n")) / col("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))

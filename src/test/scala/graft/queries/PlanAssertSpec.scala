@@ -486,6 +486,15 @@ class PlanAssertSpec extends SparkSpec {
       // count-table joins + per-doc agg + presentation sort; more
       // means a pair join or a lost partial-agg crept in
       assert(shuffles.size <= 6, s"$n has ${shuffles.size} shuffles:\n${nodes.head}")
+      // the broadcast build side must be the vocabulary-bounded count
+      // table (the RIGHT side of every count join), never the
+      // corpus-sized token/bigram stream: Spark's static size estimate
+      // is blind to the explode fan-out and, unpinned, broadcasts the
+      // stream — a driver OOM at real scale (caught by the 100× probe)
+      nodes.collect { case j: BroadcastHashJoinExec => j }.foreach { j =>
+        assert(j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight,
+          s"$n broadcasts its probe stream:\n$j")
+      }
     }
     // the hashed classifier is the strictest shape: the model is an
     // expression, so there is NO join of any kind
