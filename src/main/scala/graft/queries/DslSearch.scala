@@ -625,6 +625,71 @@ object DslSearch {
         GROUP BY tf.doc_id
         ORDER BY score DESC, doc_id
         LIMIT 15
+      """.stripMargin.trim)),
+
+    // span_near as a JSON request — q126's oracle VERBATIM (unordered
+    // proximity, slop 3): score = pair count, so the request's
+    // _score-led sort reproduces the handwritten ranking exactly.
+    GraftQuery(
+      "q160_dsl_span_near",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_near": {
+             "clauses": [
+               {"span_term": {"text": "spark"}},
+               {"span_term": {"text": "join"}}],
+             "slop": 3, "in_order": false, "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25,
+           "_source": ["doc_id", "n_pairs", "min_gap"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+        g AS (
+          SELECT p1.doc_id, CAST(abs(p1.p - p2.p) - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE abs(p1.p - p2.p) - 1 <= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 25
+      """.stripMargin.trim)),
+
+    // ordered span as a JSON request — q133's oracle VERBATIM
+    // (in_order: true fixes the direction, gap = p2 − p1 − 1).
+    GraftQuery(
+      "q161_dsl_span_ordered",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_near": {
+             "clauses": [
+               {"span_term": {"text": "stream"}},
+               {"span_term": {"text": "merge"}}],
+             "slop": 3, "in_order": true, "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25,
+           "_source": ["doc_id", "n_pairs", "min_gap"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'stream'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'merge'),
+        g AS (
+          SELECT p1.doc_id, CAST(p2.p - p1.p - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE p2.p > p1.p AND p2.p - p1.p - 1 <= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 25
       """.stripMargin.trim))
   )
 }

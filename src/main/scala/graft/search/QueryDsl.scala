@@ -745,6 +745,60 @@ object QueryDsl {
     case other => fail(s"nested requires an object body: ${render(other)}")
   }
 
+  /** `span_near`: proximity query — both span_term clauses occur
+    * within `slop` intervening tokens, optionally `in_order` (the
+    * q126/q133 contracts). Request-level like more_like_this: token
+    * positions come from ONE posexplode, each term's postings are a
+    * pushed filter of it, and the pairing is an equi-join on the
+    * document key whose blow-up is tf₁·tf₂ per document, never
+    * corpus². Exactly two clauses over the same field; `id_field`
+    * names the document key. Output: the id field, `n_pairs`,
+    * `min_gap`, score = pair count.
+    */
+  private def spanNearRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("clauses", "slop", "in_order", "id_field")).foreach(k =>
+          fail(s"unsupported span_near option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail("span_near requires id_field (the document key)"))
+        val (f1, t1, f2, t2) = m.get("clauses") match {
+          case Some(JArray(List(
+              JObject(List(("span_term", JObject(List((fa, JString(ta))))))),
+              JObject(List(("span_term", JObject(List((fb, JString(tb)))))))))) =>
+            (fa, ta, fb, tb)
+          case _ => fail("span_near requires exactly two span_term clauses")
+        }
+        if (f1 != f2) fail("span_near clauses must target the same field")
+        val slop = intOpt(m, "slop")
+          .getOrElse(fail("span_near requires an integer slop"))
+        val inOrder = m.get("in_order") match {
+          case Some(JBool(b)) => b
+          case None           => false
+          case Some(other)    => fail(s"in_order must be a boolean: ${render(other)}")
+        }
+        val pos = table.select(col(idField),
+          posexplode(split(col(f1), " ")).as(Seq("p", "tok")))
+        val p1 = pos.filter(col("tok") === t1).select(col(idField), col("p").as("p1"))
+        val p2 = pos.filter(col("tok") === t2).select(col(idField), col("p").as("p2"))
+        // a repeated term must pair DISTINCT occurrences exactly once;
+        // ordered spans additionally fix the direction
+        val paired =
+          if (inOrder) p1.join(p2, idField).filter(col("p2") > col("p1"))
+          else if (t1 == t2) p1.join(p2, idField).filter(col("p1") < col("p2"))
+          else p1.join(p2, idField)
+        val gap =
+          if (inOrder) (col("p2") - col("p1") - 1).cast("long")
+          else (abs(col("p1") - col("p2")) - 1).cast("long")
+        paired.withColumn("gap", gap)
+          .filter(col("gap") <= slop)
+          .groupBy(col(idField))
+          .agg(count(lit(1)).as("n_pairs"), min(col("gap")).as("min_gap"))
+          .withColumn("score", col("n_pairs"))
+      case other => fail(s"span_near requires an object body: ${render(other)}")
+    }
+
   // -------------------------------------------------------------- request
 
   /** Compile a full `_search` request body against `table`. Returns the
@@ -768,6 +822,10 @@ object QueryDsl {
         if (req.contains("aggs"))
           fail("more_like_this cannot be combined with aggs")
         return hitPipeline(moreLikeThisRequest(table, body), req)
+      case Some(JObject(List(("span_near", body)))) =>
+        if (req.contains("aggs"))
+          fail("span_near cannot be combined with aggs")
+        return hitPipeline(spanNearRequest(table, body), req)
       case _ => ()
     }
 

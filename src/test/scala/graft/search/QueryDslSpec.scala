@@ -525,6 +525,28 @@ class QueryDslSpec extends SparkSpec {
     sameAs("q118_search_more_like_this", "q159_dsl_more_like_this")
   }
 
+  test("compiled span_near requests == handwritten q126/q133 (both orders)") {
+    sameAs("q126_search_span_near", "q160_dsl_span_near")
+    sameAs("q133_search_span_ordered", "q161_dsl_span_ordered")
+  }
+
+  test("span_near validates clauses, field agreement and slop") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"span_near": {"clauses": [
+           {"span_term": {"text": "a"}}],
+           "slop": 2, "id_field": "doc_id"}}}""")          // one clause
+    bad("""{"query": {"span_near": {"clauses": [
+           {"span_term": {"text": "a"}}, {"span_term": {"lang": "b"}}],
+           "slop": 2, "id_field": "doc_id"}}}""")          // field mismatch
+    bad("""{"query": {"span_near": {"clauses": [
+           {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+           "id_field": "doc_id"}}}""")                     // no slop
+    bad("""{"query": {"span_near": {"clauses": [
+           {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+           "slop": 2}}}""")                                // no id_field
+  }
+
   test("more_like_this rejects aggs and malformed like/fields") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
