@@ -690,6 +690,59 @@ object DslSearch {
         FROM g GROUP BY 1
         ORDER BY n_pairs DESC, doc_id
         LIMIT 25
+      """.stripMargin.trim)),
+
+    // the suggest request section, term suggester — q117's oracle
+    // VERBATIM: per input token the top-3 in-vocabulary corrections
+    // within 2 edits, ranked (distance, frequency desc, term).
+    GraftQuery(
+      "q162_dsl_term_suggest",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"suggest": {"spelling": {
+             "text": "sprk windoow joinn merg",
+             "term": {"field": "text", "max_edits": 2, "size": 3}}}}"""),
+      Some("""
+        WITH v AS (
+          SELECT tok AS term, COUNT(*) AS freq
+          FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents)
+          GROUP BY 1),
+        inputs(q) AS (VALUES ('sprk'), ('windoow'), ('joinn'), ('merg')),
+        cand AS (
+          SELECT q, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, freq
+          FROM inputs, v
+          WHERE abs(len(term) - len(q)) <= 2 AND term <> q
+            AND levenshtein(q, term) <= 2),
+        r AS (
+          SELECT q, term, dist, freq,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, freq DESC, term) AS BIGINT) AS rank
+          FROM cand)
+        SELECT q, rank, term, dist, freq FROM r WHERE rank <= 3
+        ORDER BY q, rank
+      """.stripMargin.trim)),
+
+    // rank_feature: static-signal saturation boost x/(x+pivot) in
+    // exact integer ppm, composed under bool with a term filter — the
+    // popularity-boost shape, float-free.
+    GraftQuery(
+      "q163_dsl_rank_feature",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "filter": [{"term": {"lang": "en"}}],
+             "must": [{"rank_feature": {"field": "n_chars",
+                       "saturation": {"pivot": 300}}}]}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        SELECT doc_id, n_chars,
+               (CAST(n_chars AS BIGINT) * 1000000) // (n_chars + 300) AS score
+        FROM documents
+        WHERE lang = 'en' AND n_chars IS NOT NULL AND n_chars >= 0
+        ORDER BY score DESC, doc_id
+        LIMIT 30
       """.stripMargin.trim))
   )
 }

@@ -34,10 +34,13 @@ import org.json4s.jackson.JsonMethods
   * one field), `function_score` (integer-weighted filter functions,
   * `score_mode` sum/max × `boost_mode` multiply/sum),
   * `distance_feature` (integer ppm proximity decay to an origin),
+  * `rank_feature` (integer ppm saturation boost x/(x+pivot)),
   * `nested` (same-element conjunction over an array-of-structs column
-  * via a higher-order filter — no explode, no join), and
-  * `more_like_this` (request-level: the corpus-state-dependent q118
-  * tf·idf postings plan, never a per-row predicate).
+  * via a higher-order filter — no explode, no join), and, compiled at
+  * the REQUEST level because they depend on corpus state:
+  * `more_like_this` (the q118 tf·idf postings plan), `span_near`
+  * (positional postings, ordered or not), and the `suggest` section
+  * (term suggester — the q117 banded levenshtein vocab walk).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -120,13 +123,15 @@ object QueryDsl {
       case "simple_query_string" => simpleQueryStringClause(body)
       case "function_score"   => functionScoreClause(body)
       case "distance_feature" => distanceFeatureClause(body)
+      case "rank_feature"     => rankFeatureClause(body)
       case "nested"           => nestedClause(body)
       case other =>
         fail(s"unsupported query clause '$other' (supported: match_all, term, " +
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
-          "simple_query_string, function_score, distance_feature, nested)")
+          "simple_query_string, function_score, distance_feature, " +
+          "rank_feature, nested)")
     }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
@@ -659,6 +664,34 @@ object QueryDsl {
     case other => fail(s"distance_feature requires an object body: ${render(other)}")
   }
 
+  /** `rank_feature`: static-signal boosting by the saturation curve
+    * x/(x + pivot) — OpenSearch's popularity/pagerank boost — in
+    * exact integer ppm ((x × 10⁶) div (x + pivot), same family as
+    * distance_feature). Integral non-negative field; matches rows
+    * where the feature is present (the rank_feature semantics:
+    * missing feature = no match).
+    */
+  private def rankFeatureClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("field", "saturation")).foreach(k =>
+        fail(s"unsupported rank_feature option '$k'"))
+      val f = strOpt(m, "field").getOrElse(fail("rank_feature requires a field"))
+      val pivot = m.get("saturation") match {
+        case Some(JObject(s)) => s.toMap.get("pivot") match {
+          case Some(JInt(i)) if i > 0 => i.toLong
+          case _ => fail("rank_feature saturation requires a positive integer pivot")
+        }
+        case None => fail("rank_feature requires a saturation {pivot} (the supported function)")
+        case Some(other) => fail(s"saturation must be an object: ${render(other)}")
+      }
+      // integer `div`: the ppm quotient must floor exactly
+      val score = expr(
+        s"(CAST(`$f` AS BIGINT) * 1000000) div (CAST(`$f` AS BIGINT) + $pivot)")
+      CompiledQuery(col(f).isNotNull && col(f) >= 0L, score)
+    case other => fail(s"rank_feature requires an object body: ${render(other)}")
+  }
+
   /** `nested`: the same-element conjunction OpenSearch's nested mapping
     * exists for — a flattened object field would match values from
     * DIFFERENT child objects; a nested query must match them on the
@@ -799,6 +832,58 @@ object QueryDsl {
       case other => fail(s"span_near requires an object body: ${render(other)}")
     }
 
+  /** `suggest` section, `term` suggester: per input token, the
+    * top-`size` in-vocabulary corrections within `max_edits`
+    * levenshtein edits, ranked (distance, frequency desc, term) — the
+    * q117 contract. The corpus-sized work is ONE vocabulary
+    * aggregation; the inputs broadcast into the length-banded
+    * candidate join, so the request side never shuffles the corpus.
+    * Output rows: (q, rank, term, dist, freq) ordered by (q, rank).
+    */
+  private def suggestRequest(table: DataFrame, sugg: JValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (name, text, spec) = sugg match {
+      case JObject(List((n, JObject(body)))) =>
+        val m = body.toMap
+        m.keySet.diff(Set("text", "term")).foreach(k =>
+          fail(s"unsupported suggester option '$k' in '$n'"))
+        val t = strOpt(m, "text")
+          .getOrElse(fail(s"suggester '$n' requires a text"))
+        val s = m.getOrElse("term",
+          fail(s"suggester '$n' requires a term body (only the term suggester is supported)"))
+        (n, t, s)
+      case other => fail(s"suggest requires one named suggester: ${render(other)}")
+    }
+    val sm = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"term suggester '$name' must be an object: ${render(other)}")
+    }
+    sm.keySet.diff(Set("field", "max_edits", "size")).foreach(k =>
+      fail(s"unsupported term-suggester option '$k' in '$name'"))
+    val f = strOpt(sm, "field").getOrElse(fail(s"term suggester '$name' needs a field"))
+    val maxEdits = intOpt(sm, "max_edits").getOrElse(2)
+    val size = intOpt(sm, "size").getOrElse(3)
+    val inputs = text.trim.split("\\s+").toSeq.distinct
+    if (inputs.isEmpty || inputs == Seq("")) fail(s"suggester '$name' has an empty text")
+
+    val vocab = table.select(explode(array_distinct(split(col(f), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val in = table.sparkSession.range(1)
+      .select(explode(array(inputs.map(lit): _*)).as("q"))
+    val cand = vocab.join(broadcast(in),
+        abs(length(col("term")) - length(col("q"))) <= maxEdits &&
+          col("term") =!= col("q") &&
+          levenshtein(col("q"), col("term")) <= maxEdits)
+      .select(col("q"), col("term"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"), col("freq"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("dist"), col("freq").desc, col("term"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= size)
+      .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
+      .orderBy(col("q"), col("rank"))
+  }
+
   // -------------------------------------------------------------- request
 
   /** Compile a full `_search` request body against `table`. Returns the
@@ -811,8 +896,16 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after"))
+        "search_after", "suggest"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `suggest` requests return the suggestion table (the OpenSearch
+    // response's suggest section as rows); combining with a query is
+    // out of scope — fail loud rather than silently ignoring one.
+    req.get("suggest").foreach { sugg =>
+      if (req.size > 1) fail("suggest must be the only request section")
+      return suggestRequest(table, sugg)
+    }
 
     // `more_like_this` is corpus-state-dependent (the seed's tf·idf
     // terms come from the table), so it compiles at the REQUEST level

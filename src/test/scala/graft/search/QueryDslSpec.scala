@@ -547,6 +547,37 @@ class QueryDslSpec extends SparkSpec {
            "slop": 2}}}""")                                // no id_field
   }
 
+  test("suggest request == handwritten q117 term suggester") {
+    sameAs("q117_search_term_suggest", "q162_dsl_term_suggest")
+  }
+
+  test("suggest / rank_feature validate their bodies loudly") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"suggest": {"s": {"text": "x",
+           "term": {"field": "text"}}},
+         "query": {"match_all": {}}}""")              // suggest + query
+    bad("""{"suggest": {"s": {"term": {"field": "text"}}}}""")  // no text
+    bad("""{"suggest": {"s": {"text": "x",
+           "phrase": {"field": "text"}}}}""")          // non-term suggester
+    bad("""{"query": {"rank_feature": {"field": "n_chars"}}}""") // no saturation
+    bad("""{"query": {"rank_feature": {"field": "n_chars",
+           "saturation": {"pivot": 0}}}}""")           // pivot 0
+  }
+
+  test("rank_feature scores the exact integer saturation curve") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"rank_feature": {"field": "n_chars",
+           "saturation": {"pivot": 100}}},
+         "sort": [{"_score": "desc"}, "doc_id"], "size": 20,
+         "_source": ["doc_id", "n_chars", "score"]}""").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val x = r.getLong(1)
+      assert(r.getLong(2) === x * 1000000L / (x + 100L))
+    }
+  }
+
   test("more_like_this rejects aggs and malformed like/fields") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
