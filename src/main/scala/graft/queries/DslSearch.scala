@@ -743,6 +743,48 @@ object DslSearch {
         WHERE lang = 'en' AND n_chars IS NOT NULL AND n_chars >= 0
         ORDER BY score DESC, doc_id
         LIMIT 30
+      """.stripMargin.trim)),
+
+    // geo_distance as a JSON request over q125's deterministic
+    // synthetic points: haversine rounded to 6 dp BEFORE the radius
+    // comparison (one IEEE expression, fixed operand order), so the
+    // boundary set is engine-portable. Filter context — map-only.
+    GraftQuery(
+      "q164_dsl_geo_distance",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pts = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
+            / lit(1000.0) - lit(90.0)).as("lat"),
+          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
+            / lit(1000.0) - lit(180.0)).as("lon"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_distance": {
+               "distance_km": 5000.0,
+               "lat_field": "lat", "lon_field": "lon",
+               "origin": {"lat": 40.0, "lon": -74.0}}},
+             "sort": ["c_custkey"],
+             "size": 100,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        d AS (
+          SELECT c_custkey, lat, lon,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((lat - 40.0) * pi() / 180.0 / 2.0) * sin((lat - 40.0) * pi() / 180.0 / 2.0)
+                   + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)
+                     * sin((lon + 74.0) * pi() / 180.0 / 2.0) * sin((lon + 74.0) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM pts)
+        SELECT c_custkey, lat, lon FROM d
+        WHERE dist_km <= 5000.0
+        ORDER BY c_custkey
+        LIMIT 100
       """.stripMargin.trim))
   )
 }

@@ -35,6 +35,9 @@ import org.json4s.jackson.JsonMethods
   * `score_mode` sum/max × `boost_mode` multiply/sum),
   * `distance_feature` (integer ppm proximity decay to an origin),
   * `rank_feature` (integer ppm saturation boost x/(x+pivot)),
+  * `geo_distance` (haversine radius filter over named lat/lon
+  * columns, 6-dp-rounded before comparison so the boundary is
+  * engine-portable),
   * `nested` (same-element conjunction over an array-of-structs column
   * via a higher-order filter — no explode, no join), and, compiled at
   * the REQUEST level because they depend on corpus state:
@@ -125,13 +128,14 @@ object QueryDsl {
       case "distance_feature" => distanceFeatureClause(body)
       case "rank_feature"     => rankFeatureClause(body)
       case "nested"           => nestedClause(body)
+      case "geo_distance"     => geoDistanceClause(body)
       case other =>
         fail(s"unsupported query clause '$other' (supported: match_all, term, " +
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
           "simple_query_string, function_score, distance_feature, " +
-          "rank_feature, nested)")
+          "rank_feature, nested, geo_distance)")
     }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
@@ -662,6 +666,54 @@ object QueryDsl {
         s"(CAST($pivot AS BIGINT) + abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)))")
       CompiledQuery(col(f).isNotNull, score)
     case other => fail(s"distance_feature requires an object body: ${render(other)}")
+  }
+
+  /** `geo_distance`: hits within `distance_km` of an origin point by
+    * haversine over two double columns (`lat_field`/`lon_field` — the
+    * engine has no geo_point mapping type, so the request names the
+    * columns). The distance rounds to 6 dp BEFORE the comparison (the
+    * q125 determinism recipe: one IEEE expression with fixed operand
+    * order), so the boundary set is engine-portable. Filter context:
+    * score 1. Map-only — at scale this fuses into the scan.
+    */
+  private def geoDistanceClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("distance_km", "lat_field", "lon_field", "origin"))
+        .foreach(k => fail(s"unsupported geo_distance option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_distance requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_distance requires lon_field"))
+      def num(v: JValue, what: String): Double = v match {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"$what must be numeric: ${render(other)}")
+      }
+      val radius = m.get("distance_km")
+        .map(num(_, "distance_km"))
+        .getOrElse(fail("geo_distance requires distance_km"))
+      if (radius <= 0) fail("distance_km must be positive")
+      val (latQ, lonQ) = m.get("origin") match {
+        case Some(JObject(o)) =>
+          val om = o.toMap
+          (om.get("lat").map(num(_, "origin.lat"))
+             .getOrElse(fail("origin requires lat")),
+           om.get("lon").map(num(_, "origin.lon"))
+             .getOrElse(fail("origin requires lon")))
+        case _ => fail("geo_distance requires origin: {lat, lon}")
+      }
+      val pi = lit(math.Pi)
+      val sdlat = sin((col(latF) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
+      val sdlon = sin((col(lonF) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
+      val dist = round(
+        lit(12742.0176) * asin(sqrt(
+          sdlat * sdlat +
+            cos(lit(latQ) * pi / lit(180.0)) * cos(col(latF) * pi / lit(180.0)) *
+              sdlon * sdlon)), 6)
+      CompiledQuery(dist <= lit(radius), lit(1L))
+    case other => fail(s"geo_distance requires an object body: ${render(other)}")
   }
 
   /** `rank_feature`: static-signal boosting by the saturation curve

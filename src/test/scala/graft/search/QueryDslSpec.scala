@@ -563,6 +563,11 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"rank_feature": {"field": "n_chars"}}}""") // no saturation
     bad("""{"query": {"rank_feature": {"field": "n_chars",
            "saturation": {"pivot": 0}}}}""")           // pivot 0
+    bad("""{"query": {"geo_distance": {"distance_km": 10,
+           "lat_field": "a", "lon_field": "b"}}}""")   // no origin
+    bad("""{"query": {"geo_distance": {"distance_km": -1,
+           "lat_field": "a", "lon_field": "b",
+           "origin": {"lat": 0, "lon": 0}}}}""")       // bad radius
   }
 
   test("rank_feature scores the exact integer saturation curve") {
