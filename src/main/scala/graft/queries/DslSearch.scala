@@ -785,6 +785,55 @@ object DslSearch {
         WHERE dist_km <= 5000.0
         ORDER BY c_custkey
         LIMIT 100
+      """.stripMargin.trim)),
+
+    // composite agg with after — q45's oracle VERBATIM: multi-source
+    // buckets in source-key order, the cursor compiled to a
+    // lexicographic strictly-after predicate BEFORE the groupBy so
+    // deep bucket pages prune at the scan.
+    GraftQuery(
+      "q165_dsl_composite_after",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"aggs": {"pages": {"composite": {
+             "sources": [
+               {"lang": {"terms": {"field": "lang"}}},
+               {"source": {"terms": {"field": "source"}}}],
+             "size": 5,
+             "after": {"lang": "en", "source": "src3"}},
+           "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT lang, source, COUNT(*) AS doc_count,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (lang, source) > ('en', 'src3')
+        GROUP BY lang, source ORDER BY lang, source LIMIT 5
+      """.stripMargin.trim)),
+
+    // highlight section: fragment + tag-wrapped occurrences around the
+    // first hit of the query literal (the q46 contract), riding the
+    // ordinary hit pipeline so sort/size/_source all apply.
+    GraftQuery(
+      "q166_dsl_highlight",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_phrase": {"text": "window"}},
+           "highlight": {"fields": {"text": {"fragment_size": 60}}},
+           "sort": ["doc_id"],
+           "size": 100,
+           "_source": ["doc_id", "highlight"]}"""),
+      Some("""
+        WITH hits AS (
+          SELECT doc_id, text, strpos(text, 'window') AS pos
+          FROM documents
+          WHERE ' ' || text || ' ' LIKE '% window %'),
+        f AS (
+          SELECT doc_id,
+                 substr(text, CAST(greatest(pos - 20, 1) AS INT), 60) AS frag
+          FROM hits)
+        SELECT doc_id,
+               regexp_replace(frag, 'window', '<em>window</em>', 'g') AS highlight
+        FROM f ORDER BY doc_id LIMIT 100
       """.stripMargin.trim))
   )
 }

@@ -56,8 +56,11 @@ import org.json4s.jackson.JsonMethods
   * Request level: `query`, `sort` (field names or `{field: {order}}`,
   * `_score` sorts by the computed score), `from`/`size`,
   * `search_after` (keyset paging over the declared sort), `_source`
-  * (projection; the name `score` selects the computed score), and
+  * (projection; the name `score` selects the computed score),
+  * `highlight` (tag-wrapped fragment column, q46 contract), and
   * `aggs` with `terms` (+ nested metric sub-aggs or one `top_hits`),
+  * `composite` (multi-source buckets with `after` keyset paging,
+  * pruned before the groupBy),
   * `range` (overlapping [from, to) buckets), `filters` (named
   * sub-query buckets), `significant_terms`,
   * global metric aggs, `histogram`, `date_histogram`
@@ -948,7 +951,7 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after", "suggest"))
+        "search_after", "suggest", "highlight"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     // `suggest` requests return the suggestion table (the OpenSearch
@@ -979,9 +982,71 @@ object QueryDsl {
     val filtered = table.filter(compiled.pred)
 
     req.get("aggs") match {
-      case Some(aggs) => compileAggs(table, filtered, compiled.pred, aggs)
-      case None => hitPipeline(filtered.withColumn("score", compiled.score), req)
+      case Some(aggs) =>
+        if (req.contains("highlight")) fail("highlight applies to hits, not aggs")
+        compileAggs(table, filtered, compiled.pred, aggs)
+      case None =>
+        val scored = filtered.withColumn("score", compiled.score)
+        val lit0 = req.get("highlight") match {
+          case None    => scored
+          case Some(h) => withHighlight(scored, req.getOrElse("query",
+            fail("highlight requires a query")), h)
+        }
+        hitPipeline(lit0, req)
     }
+  }
+
+  /** `highlight` section: a `highlight` column carrying a
+    * `fragment_size`-char fragment around the first occurrence of the
+    * query term, occurrences wrapped in `pre_tags`/`post_tags` (the
+    * q46 contract). Deterministic subset: the query must be a `term`,
+    * single-token `match`, or `match_phrase` on the highlighted field
+    * — multi-term anchor choice is ranking-dependent in OpenSearch
+    * and out of scope, fail-loud. Rows that don't contain the literal
+    * (e.g. admitted via other bool branches) get a NULL highlight.
+    */
+  private def withHighlight(hits: DataFrame, query: JValue, h: JValue): DataFrame = {
+    val hm = h match {
+      case JObject(s) => s.toMap
+      case other => fail(s"highlight must be an object: ${render(other)}")
+    }
+    hm.keySet.diff(Set("fields", "pre_tags", "post_tags")).foreach(k =>
+      fail(s"unsupported highlight option '$k'"))
+    val (f, opts) = hm.get("fields") match {
+      case Some(JObject(List((field, JObject(o))))) => (field, o.toMap)
+      case _ => fail("highlight requires fields: {exactly one field}")
+    }
+    opts.keySet.diff(Set("fragment_size")).foreach(k =>
+      fail(s"unsupported highlight field option '$k'"))
+    val fragSize = intOpt(opts, "fragment_size").getOrElse(60)
+    def tag(key: String, default: String): String = hm.get(key) match {
+      case Some(JArray(List(JString(t)))) => t
+      case None                           => default
+      case Some(other) => fail(s"$key must be a one-string array: ${render(other)}")
+    }
+    val (pre, post) = (tag("pre_tags", "<em>"), tag("post_tags", "</em>"))
+    val term = query match {
+      case JObject(List(("term", JObject(List((tf, JString(v))))))) if tf == f => v
+      case JObject(List(("match_phrase", body))) => body match {
+        case JObject(List((tf, JString(v)))) if tf == f => v.trim
+        case _ => fail(s"highlight field '$f' must match the query's field")
+      }
+      case JObject(List(("match", JObject(List((tf, JString(v))))))) if tf == f =>
+        val toks = v.trim.split("\\s+")
+        if (toks.length != 1)
+          fail("highlight supports single-token match queries (multi-term " +
+            "anchor choice is ranking-dependent)")
+        toks.head
+      case other =>
+        fail("highlight requires a term / single-token match / match_phrase " +
+          s"query on the highlighted field, got: ${render(other)}")
+    }
+    val pos = instr(col(f), term)
+    val frag = substring(col(f),
+      greatest(pos - 20, lit(1)).cast("int"), lit(fragSize))
+    hits.withColumn("highlight",
+      when(pos > 0,
+        regexp_replace(frag, java.util.regex.Pattern.quote(term), s"$pre$term$post")))
   }
 
   /** The request tail over a scored hit table: `search_after` keyset
@@ -1142,7 +1207,7 @@ object QueryDsl {
     val (bucketAggs, metricAggs) = entries.partition {
       case (_, JObject(spec)) =>
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
-          "significant_terms", "filters").contains(p._1))
+          "significant_terms", "filters", "composite").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -1156,6 +1221,9 @@ object QueryDsl {
         m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
         m.get("filters").foreach { fs =>
           return filtersAgg(hits, name, fs, m.get("aggs"))
+        }
+        m.get("composite").foreach { cs =>
+          return compositeAgg(hits, name, cs, m.get("aggs"))
         }
         m.get("significant_terms").foreach { s =>
           if (m.contains("aggs")) fail("significant_terms takes no sub-aggs")
@@ -1279,6 +1347,56 @@ object QueryDsl {
       case _ => fail(s"filters agg '$name' requires a non-empty keyed filters object")
     }
     onePassBuckets(hits, name, named, subAggs, family = "filters")
+  }
+
+  /** `composite` bucket agg: multi-source buckets in source-key order
+    * with `after` keyset paging — the scalable deep-pagination form
+    * (the q45 contract). The cursor compiles to a lexicographic
+    * strictly-after predicate BEFORE the groupBy, so a page deep in
+    * the bucket space prunes at the scan and aggregates only what
+    * can appear on the page's side of the cursor. Sources: `terms` on
+    * a field (ascending). Sub-aggs: metric columns.
+    */
+  private def compositeAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"composite agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("sources", "size", "after")).foreach(k =>
+      fail(s"unsupported composite option '$k' in agg '$name'"))
+    val sources: Seq[String] = m.get("sources") match {
+      case Some(JArray(ss)) if ss.nonEmpty => ss.map {
+        case JObject(List((srcName, JObject(List(("terms", JObject(t))))))) =>
+          val f = strOpt(t.toMap, "field")
+            .getOrElse(fail(s"composite source '$srcName' needs a field"))
+          if (srcName != f)
+            fail(s"composite source name '$srcName' must equal its field '$f' " +
+              "(the output column carries one name)")
+          f
+        case other => fail(s"composite sources must be {name: {terms: {field}}}: ${render(other)}")
+      }
+      case _ => fail(s"composite agg '$name' requires a non-empty sources array")
+    }
+    val size = intOpt(m, "size").getOrElse(10)
+    val paged = m.get("after") match {
+      case None => hits
+      case Some(JObject(af)) =>
+        val afm = af.toMap
+        val vals = sources.map(f => afm.getOrElse(f,
+          fail(s"composite after must carry a value for source '$f'")))
+        hits.filter(keysetAfter(sources.map((_, "asc")), vals.map(scalaOf)))
+      case Some(other) => fail(s"composite after must be an object: ${render(other)}")
+    }
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
+      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    paged.groupBy(sources.map(col): _*)
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .orderBy(sources.map(col(_).asc): _*)
+      .limit(size)
   }
 
   /** Shared tail of the filtered-bucket families (`range`, `filters`):

@@ -583,6 +583,41 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("composite agg == handwritten q45 keyset bucket paging") {
+    sameAs("q45_search_composite_after", "q165_dsl_composite_after")
+  }
+
+  test("highlight wraps occurrences and respects custom tags") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"term": {"source": "src3"}},
+         "highlight": {"fields": {"source": {"fragment_size": 10}},
+           "pre_tags": ["<b>"], "post_tags": ["</b>"]},
+         "sort": ["doc_id"], "size": 3,
+         "_source": ["doc_id", "highlight"]}""").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(1) === "<b>src3</b>"))
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"match": {"text": "spark join"}},
+         "highlight": {"fields": {"text": {}}}}""")   // multi-term anchor
+    bad("""{"query": {"term": {"lang": "en"}},
+         "highlight": {"fields": {"text": {}}}}""")   // field mismatch
+    bad("""{"query": {"term": {"lang": "en"}},
+         "highlight": {"fields": {"lang": {}}},
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}}""") // with aggs
+  }
+
+  test("composite validates sources and the after cursor") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"aggs": {"p": {"composite": {"sources": []}}}}""")
+    bad("""{"aggs": {"p": {"composite": {"sources": [
+           {"x": {"terms": {"field": "lang"}}}]}}}}""")  // name != field
+    bad("""{"aggs": {"p": {"composite": {"sources": [
+           {"lang": {"terms": {"field": "lang"}}}],
+           "after": {"source": "x"}}}}}""")              // cursor missing key
+  }
+
   test("more_like_this rejects aggs and malformed like/fields") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
