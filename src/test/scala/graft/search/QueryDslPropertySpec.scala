@@ -21,7 +21,7 @@ final case class Doc(
 object QueryDslPropertySpec extends Properties("querydsl") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(40)
+    p.withMinSuccessfulTests(60)
 
   private lazy val spark = graft.SparkSpec.session
 
@@ -57,6 +57,13 @@ object QueryDslPropertySpec extends Properties("querydsl") {
   private case class TermsSet(terms: Seq[String], msm: Long) extends Q
   private case class DisMax(queries: Seq[Q], tieBreaker: Double) extends Q
   private case class Boosting(pos: Q, neg: Q, negBoost: Double) extends Q
+  private case class Ids(vals: Seq[Long]) extends Q
+  private case class MultiMatch(terms: Seq[String], most: Boolean,
+      tb: Double, msm: Long) extends Q
+  private case class FnScore(inner: Q, fns: Seq[(Q, Long)],
+      scoreSum: Boolean, boostMult: Boolean) extends Q
+  private case class DistFeat(origin: Long, pivot: Long) extends Q
+  private case class RankFeat(pivot: Long) extends Q
 
   private val vocab = Seq("spark", "join", "window", "data", "model", "absent")
 
@@ -76,7 +83,21 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       yield Match(ts.distinct, m),
     Gen.oneOf("spark join", "data model", "never here").map(Phrase),
     for { n <- Gen.chooseNum(2, 4); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 3L) }
-      yield TermsSet(ts.distinct, m))
+      yield TermsSet(ts.distinct, m),
+    for { n <- Gen.chooseNum(1, 4); vs <- Gen.listOfN(n, Gen.chooseNum(0L, 260L)) }
+      yield Ids(vs.distinct),
+    // terms drawn from BOTH fields' value spaces so each multi_match
+    // field can independently match or miss
+    for {
+      n <- Gen.chooseNum(1, 3)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("src1", "src3")))
+      most <- Gen.oneOf(true, false)
+      tb <- Gen.oneOf(0.0, 0.25, 0.5)
+      m <- Gen.chooseNum(1L, 2L)
+    } yield MultiMatch(ts.distinct, most, tb, m),
+    for { o <- Gen.chooseNum(0L, 500L); p <- Gen.chooseNum(1L, 200L) }
+      yield DistFeat(o, p),
+    Gen.chooseNum(1L, 400L).map(RankFeat))
 
   private def qGen(depth: Int): Gen[Q] =
     if (depth <= 0) leafGen
@@ -102,7 +123,15 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       1 -> (for {
         pos <- qGen(depth - 1); neg <- qGen(depth - 1)
         nb <- Gen.oneOf(0.0, 0.25, 0.5, 0.75)
-      } yield Boosting(pos, neg, nb)))
+      } yield Boosting(pos, neg, nb)),
+      1 -> (for {
+        inner <- qGen(depth - 1)
+        nf <- Gen.chooseNum(1, 2)
+        fs <- Gen.listOfN(nf, qGen(depth - 1))
+        ws <- Gen.listOfN(nf, Gen.chooseNum(1L, 5L))
+        sm <- Gen.oneOf(true, false)
+        bm <- Gen.oneOf(true, false)
+      } yield FnScore(inner, fs.zip(ws), sm, bm)))
 
   // ------------------------------------------------------- JSON renderer
 
@@ -141,6 +170,26 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     case Boosting(pos, neg, nb) =>
       s"""{"boosting": {"positive": ${render(pos)}, "negative": ${render(neg)},
          "negative_boost": $nb}}""".replace("\n", " ")
+    case Ids(vals) =>
+      s"""{"ids": {"values": [${vals.mkString(",")}], "field": "doc_id"}}"""
+    case MultiMatch(ts, most, tb, m) =>
+      val typ = if (most) "most_fields" else "best_fields"
+      val tbPart = if (most) "" else s""", "tie_breaker": $tb"""
+      s"""{"multi_match": {"query": ${js(ts.mkString(" "))},
+         "fields": ["text", "source"], "type": ${js(typ)}$tbPart,
+         "minimum_should_match": $m}}""".replace("\n", " ")
+    case FnScore(inner, fns, sm, bm) =>
+      val fjson = fns.map { case (f, w) =>
+        s"""{"filter": ${render(f)}, "weight": $w}"""
+      }.mkString(",")
+      s"""{"function_score": {"query": ${render(inner)},
+         "functions": [$fjson],
+         "score_mode": ${js(if (sm) "sum" else "max")},
+         "boost_mode": ${js(if (bm) "multiply" else "sum")}}}""".replace("\n", " ")
+    case DistFeat(o, p) =>
+      s"""{"distance_feature": {"field": "n_chars", "origin": $o, "pivot": $p}}"""
+    case RankFeat(p) =>
+      s"""{"rank_feature": {"field": "n_chars", "saturation": {"pivot": $p}}}"""
   }
 
   // ------------------------------------------- row-wise reference model
@@ -197,6 +246,34 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       val (pOk, pSc) = eval(pos, d)
       val nbPpm = math.round(nb * 1000000L)
       (pOk, pSc * (if (eval(neg, d)._1) nbPpm else 1000000L))
+    case Ids(vals) => (vals.contains(d.doc_id), 1L)
+    case MultiMatch(ts, most, tb, msm) =>
+      def overlap(field: String): Long = {
+        val toks = field.split(" ", -1).distinct.toSet
+        ts.distinct.count(toks.contains).toLong
+      }
+      val per = Seq(overlap(d.text), overlap(d.source))
+      val matched = per.map(s => if (s >= msm) s else 0L)
+      val pred = per.exists(_ >= msm)
+      if (most) (pred, matched.sum)
+      else {
+        val best = matched.max
+        val tbPpm = math.round(tb * 1000000L)
+        (pred, best * 1000000L + (matched.sum - best) * tbPpm)
+      }
+    case FnScore(inner, fns, scoreSum, boostMult) =>
+      val (ok, q) = eval(inner, d)
+      val matched = fns.map { case (f, w) => if (eval(f, d)._1) w else 0L }
+      val fscore = if (scoreSum) matched.sum else matched.max
+      val any = fns.exists { case (f, _) => eval(f, d)._1 }
+      val score =
+        if (boostMult) q * (if (any) fscore else 1L)
+        else q + fscore
+      (ok, score)
+    case DistFeat(o, p) =>
+      (true, p * 1000000L / (p + math.abs(d.n_chars - o)))
+    case RankFeat(p) =>
+      (d.n_chars >= 0L, d.n_chars * 1000000L / (d.n_chars + p))
   }
 
   private def fieldEq(f: String, v: Either[String, Long], d: Doc): Boolean =
