@@ -37,6 +37,21 @@ object Router {
       if (cache) Some(src) else None)
   }
 
+  /** Routes declared as OpenSearch query-DSL JSON request-body
+    * `query` objects — the wire format the reference's clients
+    * already speak — compiled by [[graft.search.QueryDsl]] to the
+    * same pushable Catalyst predicates a hand-written route uses
+    * (score discarded: routing is filter context). A route config
+    * can therefore ship as data, not code, exactly like the Data
+    * Prepper YAML's route expressions.
+    */
+  def routeDsl(df: DataFrame, routes: Seq[(String, String)],
+      cache: Boolean = true): Routed =
+    route(df, routes.map { case (name, json) =>
+      name -> graft.search.QueryDsl.compileQuery(
+        graft.search.QueryDsl.parse(json)).pred
+    }, cache)
+
   /** Single-pass fan-out write: route tag becomes a partition column.
     * Multi-match faithful to `route`: a row matching several routes is
     * written under every matching partition (array of matched names →

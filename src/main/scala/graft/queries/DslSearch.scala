@@ -19,6 +19,12 @@ import graft.sources.Tables
   * q148–q153 extend the sweep: multi_match, function_score,
   * simple_query_string, the filters bucket agg, ids+regexp under
   * bool, and distance_feature — same integer determinism.
+  * q157–q166 complete it: nested (q120's flat-child oracle), discrete
+  * percentiles, then the corpus-state request-level members gated by
+  * their handwritten donors' oracles VERBATIM — more_like_this
+  * (q118), span_near both orders (q126/q133), the term-suggest
+  * section (q117), composite-with-after (q45) — plus rank_feature,
+  * geo_distance (q125's recipe) and the highlight section (q46's).
   */
 object DslSearch {
 

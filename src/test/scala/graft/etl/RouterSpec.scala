@@ -34,6 +34,23 @@ class RouterSpec extends SparkSpec {
     assert(r.matched("fares").filter(col("PK") === "LAX").count() === laxFares)
   }
 
+  test("routeDsl: query-DSL JSON routes == hand-written Column routes") {
+    val byCol = Router.route(decoded, Seq(
+      "fare" -> (col("type") === "fare"),
+      "flight" -> (col("type") === "flight")), cache = false)
+    // the same routes shipped as data — the reference clients' wire
+    // format (a bool is deliberately used for one route to show
+    // composition works in route position)
+    val byDsl = Router.routeDsl(decoded, Seq(
+      "fare" -> """{"term": {"type": "fare"}}""",
+      "flight" -> """{"bool": {"filter": [{"term": {"type": "flight"}}]}}"""),
+      cache = false)
+    for (name <- Seq("fare", "flight"))
+      assert(byDsl.matched(name).orderBy("PK", "SK").collect().toSeq ===
+        byCol.matched(name).orderBy("PK", "SK").collect().toSeq, name)
+    assert(byDsl.dropped.count() === byCol.dropped.count())
+  }
+
   test("writeFanout: one-pass partitioned write, prunable on read") {
     val out = Files.createTempDirectory("graft-fanout").toString
     Router.writeFanout(decoded, Seq(
