@@ -74,9 +74,18 @@ import org.json4s.jackson.JsonMethods
 object QueryDsl {
 
   /** Compiled form of the `query` part: a row predicate plus the
-    * deterministic LONG score expression.
+    * deterministic LONG score expression. `ppm` marks clauses whose
+    * score is ×10⁶-scaled (dis_max, boosting, best_fields
+    * multi_match, distance_feature, rank_feature): unit- and
+    * ppm-scale scores are NOT commensurate, so positions that would
+    * sum or re-scale them (bool scoring sections mixing the two,
+    * dis_max/boosting over a ppm sub-clause, pinned's organic slot,
+    * function_score's additive boost) fail loud instead of silently
+    * mis-ranking — e.g. a ppm organic score could cross pinned's
+    * 10¹² pin band, breaking the pins-always-first guarantee.
     */
-  final case class CompiledQuery(pred: Column, score: Column)
+  final case class CompiledQuery(pred: Column, score: Column,
+      ppm: Boolean = false)
 
   def parse(json: String): JValue = JsonMethods.parse(json)
 
@@ -264,11 +273,15 @@ object QueryDsl {
       else should.map(c => when(c.pred, 1L).otherwise(0L)).reduce(_ + _)
     val preds = base ++ (if (msm > 0L) Seq(shouldMatched >= lit(msm)) else Nil)
     val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+    val scoring = must ++ should
+    if (scoring.exists(_.ppm) && scoring.exists(!_.ppm))
+      fail("bool cannot sum unit- and ppm-scaled clause scores (move the " +
+        "ppm clause to filter context, or keep scoring clauses one scale)")
     val scoreParts = must.map(_.score) ++
       should.map(c => when(c.pred, c.score).otherwise(0L))
     val score =
       if (scoreParts.isEmpty) lit(0L) else scoreParts.reduce(_ + _)
-    CompiledQuery(pred, score)
+    CompiledQuery(pred, score, ppm = scoring.exists(_.ppm))
   }
 
   /** `constant_score`: the wrapped filter decides membership, the score
@@ -285,6 +298,7 @@ object QueryDsl {
         case None    => fail("constant_score requires a filter clause")
       }
       val boost = m.get("boost") match {
+        case Some(JInt(b)) if b < 0 => fail("constant_score boost must be non-negative")
         case Some(JInt(b)) => b.toLong
         case None          => 1L
         case Some(other)   => fail(s"constant_score boost must be an integer: ${render(other)}")
@@ -311,6 +325,7 @@ object QueryDsl {
             fail(s"unsupported fuzzy option '$k' on '$f'"))
           val v = strOpt(m, "value").getOrElse(fail(s"fuzzy on '$f' requires a string 'value'"))
           val fz = m.get("fuzziness") match {
+            case Some(JInt(i)) if i < 0 => fail(s"fuzziness must be non-negative")
             case Some(JInt(i)) => i.toLong
             case None          => 1L
             case Some(other)   => fail(s"fuzziness must be an int: ${render(other)}")
@@ -394,13 +409,16 @@ object QueryDsl {
         case Some(JArray(qs)) if qs.nonEmpty => qs.map(compileQuery)
         case _ => fail("dis_max requires a non-empty queries array")
       }
+      if (subs.exists(_.ppm))
+        fail("dis_max cannot nest ppm-scaled clauses: the best-clause " +
+          "formula would scale their scores by 10⁶ again")
       val tbPpm = ppmOf(m, "tie_breaker", 0L)
       val matched = subs.map(c => when(c.pred, c.score).otherwise(0L))
       val best =
         if (matched.size == 1) matched.head else greatest(matched: _*)
       val total = matched.reduce(_ + _)
       val score = best * lit(1000000L) + (total - best) * lit(tbPpm)
-      CompiledQuery(subs.map(_.pred).reduce(_ || _), score)
+      CompiledQuery(subs.map(_.pred).reduce(_ || _), score, ppm = true)
     case other => fail(s"dis_max requires an object body: ${render(other)}")
   }
 
@@ -418,15 +436,14 @@ object QueryDsl {
         .getOrElse(fail("boosting requires a positive clause"))
       val neg = m.get("negative").map(compileQuery)
         .getOrElse(fail("boosting requires a negative clause"))
-      val nbPpm = m.get("negative_boost") match {
-        case Some(JDouble(d))  => math.round(d * 1000000L)
-        case Some(JDecimal(d)) => math.round(d.toDouble * 1000000L)
-        case Some(JInt(i))     => i.toLong * 1000000L
-        case _ => fail("boosting requires a numeric negative_boost")
-      }
-      if (nbPpm < 0L || nbPpm > 1000000L) fail("negative_boost must be in [0, 1]")
+      if (!m.contains("negative_boost"))
+        fail("boosting requires a numeric negative_boost")
+      val nbPpm = ppmOf(m, "negative_boost", 0L)
+      if (pos.ppm)
+        fail("boosting cannot wrap a ppm-scaled positive clause: the " +
+          "demotion formula would scale its score by 10\u2076 again")
       val score = pos.score * when(neg.pred, lit(nbPpm)).otherwise(lit(1000000L))
-      CompiledQuery(pos.pred, score)
+      CompiledQuery(pos.pred, score, ppm = true)
     case other => fail(s"boosting requires an object body: ${render(other)}")
   }
 
@@ -449,6 +466,9 @@ object QueryDsl {
       }
       val organic = m.get("organic").map(compileQuery)
         .getOrElse(fail("pinned requires an organic clause"))
+      if (organic.ppm)
+        fail("pinned requires a unit-scale organic clause: the 10\u00b9\u00b2 pin " +
+          "band only clears unit-scale organic scores")
       val pinPos = array_position(array(ids.map(lit): _*), col(idField))
       val score = when(pinPos > 0L,
           lit(1000000000000L) + (lit(ids.size.toLong) - pinPos))
@@ -534,7 +554,8 @@ object QueryDsl {
           val tbPpm = ppmOf(m, "tie_breaker", 0L)
           val best = if (matched.size == 1) matched.head else greatest(matched: _*)
           val total = matched.reduce(_ + _)
-          CompiledQuery(pred, best * lit(1000000L) + (total - best) * lit(tbPpm))
+          CompiledQuery(pred, best * lit(1000000L) + (total - best) * lit(tbPpm),
+            ppm = true)
         case other =>
           fail(s"unsupported multi_match type '$other' (best_fields, most_fields)")
       }
@@ -635,10 +656,14 @@ object QueryDsl {
       val anyMatched = fns.map(_._1.pred).reduce(_ || _)
       val score = strOpt(m, "boost_mode").getOrElse("multiply") match {
         case "multiply" => inner.score * when(anyMatched, fscore).otherwise(lit(1L))
-        case "sum"      => inner.score + fscore
+        case "sum" =>
+          if (inner.ppm)
+            fail("function_score boost_mode sum cannot add unit-scale " +
+              "weights to a ppm-scaled query score (use multiply)")
+          inner.score + fscore
         case other      => fail(s"unsupported boost_mode '$other' (multiply, sum)")
       }
-      CompiledQuery(inner.pred, score)
+      CompiledQuery(inner.pred, score, ppm = inner.ppm)
     case other => fail(s"function_score requires an object body: ${render(other)}")
   }
 
@@ -667,7 +692,7 @@ object QueryDsl {
       val score = expr(
         s"CAST(${pivot * 1000000L} AS BIGINT) div " +
         s"(CAST($pivot AS BIGINT) + abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)))")
-      CompiledQuery(col(f).isNotNull, score)
+      CompiledQuery(col(f).isNotNull, score, ppm = true)
     case other => fail(s"distance_feature requires an object body: ${render(other)}")
   }
 
@@ -743,7 +768,7 @@ object QueryDsl {
       // integer `div`: the ppm quotient must floor exactly
       val score = expr(
         s"(CAST(`$f` AS BIGINT) * 1000000) div (CAST(`$f` AS BIGINT) + $pivot)")
-      CompiledQuery(col(f).isNotNull && col(f) >= 0L, score)
+      CompiledQuery(col(f).isNotNull && col(f) >= 0L, score, ppm = true)
     case other => fail(s"rank_feature requires an object body: ${render(other)}")
   }
 
@@ -861,6 +886,7 @@ object QueryDsl {
         if (f1 != f2) fail("span_near clauses must target the same field")
         val slop = intOpt(m, "slop")
           .getOrElse(fail("span_near requires an integer slop"))
+        if (slop < 0) fail("span_near slop must be non-negative")
         val inOrder = m.get("in_order") match {
           case Some(JBool(b)) => b
           case None           => false
@@ -984,7 +1010,12 @@ object QueryDsl {
     req.get("aggs") match {
       case Some(aggs) =>
         if (req.contains("highlight")) fail("highlight applies to hits, not aggs")
-        compileAggs(table, filtered, compiled.pred, aggs)
+        if (req.contains("search_after"))
+          fail("search_after applies to hits, not aggs")
+        // hits carry the computed score so a top_hits sort on _score
+        // (the OpenSearch default ranking) resolves
+        compileAggs(table, filtered.withColumn("score", compiled.score),
+          compiled.pred, aggs)
       case None =>
         val scored = filtered.withColumn("score", compiled.score)
         val lit0 = req.get("highlight") match {
@@ -1164,6 +1195,9 @@ object QueryDsl {
 
   /** Lexicographic "strictly after this sort key" predicate:
     * OR over k of (equal on keys before k AND strictly past on key k).
+    * Sort keys must be NON-NULL columns: a NULL key makes the keyset
+    * comparison NULL and the row silently unreachable, diverging from
+    * offset paging (NULL cursor VALUES already fail in scalaOf).
     */
   private def keysetAfter(spec: Seq[(String, String)], vals: Seq[Any]): Column = {
     def baseCol(f: String): Column = if (f == "_score") col("score") else col(f)
@@ -1218,6 +1252,11 @@ object QueryDsl {
         if (metricAggs.nonEmpty)
           fail("mixing a bucket agg with top-level metric aggs is unsupported")
         val m = spec.toMap
+        val kinds = m.keySet.intersect(Set("terms", "histogram",
+          "date_histogram", "range", "significant_terms", "filters", "composite"))
+        if (kinds.size > 1)
+          fail(s"agg '$name' declares multiple bucket kinds: " +
+            kinds.toSeq.sorted.mkString(", "))
         m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
         m.get("filters").foreach { fs =>
           return filtersAgg(hits, name, fs, m.get("aggs"))
@@ -1307,6 +1346,8 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other      => fail(s"range agg '$name' must be an object: ${render(other)}")
     }
+    m.keySet.diff(Set("field", "ranges")).foreach(k =>
+      fail(s"unsupported range-agg option '$k' in '$name'"))
     val f = strOpt(m, "field").getOrElse(fail(s"range agg '$name' needs a field"))
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
@@ -1457,13 +1498,23 @@ object QueryDsl {
     val perTerm = table.groupBy(col(f).as(name)).agg(
       count(lit(1)).as("bg_count"),
       sum(when(pred, 1L).otherwise(0L)).as("doc_count"))
-    val totals = table.agg(
-      count(lit(1)).as("n_all"),
-      sum(when(pred, 1L).otherwise(0L)).as("n_fg"))
+    // totals derive from the grouped table (a vocabulary-bounded
+    // second aggregate), never a second corpus scan re-running the
+    // tokenize/intersect predicate per row
+    val totals = perTerm.agg(
+      sum(col("bg_count")).as("n_all"), sum(col("doc_count")).as("n_fg"))
+    // the exact ppm ratio's intermediate (doc_count*n_all*10^6) can
+    // exceed Long near ~3M x 3M docs; fail loud (like the oracle
+    // engine does) instead of silently wrapping and mis-ranking
+    val score = when(
+        col("doc_count") > expr("9223372036854775807 div 1000000 div n_all"),
+        raise_error(lit("significant_terms score overflow: corpus too " +
+          "large for the exact ppm formula")).cast("long"))
+      .otherwise(expr("(doc_count * n_all * 1000000) div (bg_count * n_fg)"))
     perTerm.crossJoin(broadcast(totals))
       .filter(col("doc_count") >= minDoc)
       .select(col(name), col("doc_count"), col("bg_count"),
-        expr("(doc_count * n_all * 1000000) div (bg_count * n_fg)").as("score_ppm"))
+        score.as("score_ppm"))
       .orderBy(col("score_ppm").desc, col(name))
       .limit(size)
   }
@@ -1603,8 +1654,14 @@ object QueryDsl {
   private def strOpt(m: Map[String, JValue], k: String): Option[String] =
     m.get(k).collect { case JString(s) => s }
 
+  /** Present-but-wrong-typed integers fail loud: a float or string
+    * where an int belongs must never silently become the default.
+    */
   private def intOpt(m: Map[String, JValue], k: String): Option[Int] =
-    m.get(k).collect { case JInt(i) => i.toInt }
+    m.get(k).map {
+      case JInt(i) => i.toInt
+      case other   => fail(s"$k must be an integer: ${render(other)}")
+    }
 
   private def render(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
 

@@ -87,18 +87,16 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     for { n <- Gen.chooseNum(1, 4); vs <- Gen.listOfN(n, Gen.chooseNum(0L, 260L)) }
       yield Ids(vs.distinct),
     // terms drawn from BOTH fields' value spaces so each multi_match
-    // field can independently match or miss
+    // field can independently match or miss (most_fields is
+    // unit-scale; the ppm-scaled best_fields variant generates at the
+    // top level only, per the compiler's scale-mixing rules)
     for {
       n <- Gen.chooseNum(1, 3)
       ts <- Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("src1", "src3")))
-      most <- Gen.oneOf(true, false)
-      tb <- Gen.oneOf(0.0, 0.25, 0.5)
       m <- Gen.chooseNum(1L, 2L)
-    } yield MultiMatch(ts.distinct, most, tb, m),
-    for { o <- Gen.chooseNum(0L, 500L); p <- Gen.chooseNum(1L, 200L) }
-      yield DistFeat(o, p),
-    Gen.chooseNum(1L, 400L).map(RankFeat))
+    } yield MultiMatch(ts.distinct, most = true, 0.0, m))
 
+  /** Unit-scale query trees — freely composable anywhere. */
   private def qGen(depth: Int): Gen[Q] =
     if (depth <= 0) leafGen
     else Gen.frequency(
@@ -116,15 +114,6 @@ object QueryDslPropertySpec extends Properties("querydsl") {
         f <- qGen(depth - 1); b <- Gen.chooseNum(1L, 5L)
       } yield ConstScore(f, b)),
       1 -> (for {
-        n <- Gen.chooseNum(1, 3)
-        qs <- Gen.listOfN(n, qGen(depth - 1))
-        tb <- Gen.oneOf(0.0, 0.25, 0.3, 0.5, 1.0)
-      } yield DisMax(qs, tb)),
-      1 -> (for {
-        pos <- qGen(depth - 1); neg <- qGen(depth - 1)
-        nb <- Gen.oneOf(0.0, 0.25, 0.5, 0.75)
-      } yield Boosting(pos, neg, nb)),
-      1 -> (for {
         inner <- qGen(depth - 1)
         nf <- Gen.chooseNum(1, 2)
         fs <- Gen.listOfN(nf, qGen(depth - 1))
@@ -132,6 +121,40 @@ object QueryDslPropertySpec extends Properties("querydsl") {
         sm <- Gen.oneOf(true, false)
         bm <- Gen.oneOf(true, false)
       } yield FnScore(inner, fs.zip(ws), sm, bm)))
+
+  /** ppm-scaled producers — per the compiler's scale-mixing rules they
+    * sit ABOVE unit subtrees (never inside another scoring position),
+    * mirroring how real requests compose them.
+    */
+  private def ppmGen(depth: Int): Gen[Q] = Gen.frequency(
+    2 -> (for {
+      n <- Gen.chooseNum(1, 3)
+      qs <- Gen.listOfN(n, qGen(depth - 1))
+      tb <- Gen.oneOf(0.0, 0.25, 0.3, 0.5, 1.0)
+    } yield DisMax(qs, tb)),
+    2 -> (for {
+      pos <- qGen(depth - 1); neg <- qGen(depth - 1)
+      nb <- Gen.oneOf(0.0, 0.25, 0.5, 0.75)
+    } yield Boosting(pos, neg, nb)),
+    1 -> (for {
+      n <- Gen.chooseNum(1, 3)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("src1", "src3")))
+      tb <- Gen.oneOf(0.0, 0.25, 0.5)
+      m <- Gen.chooseNum(1L, 2L)
+    } yield MultiMatch(ts.distinct, most = false, tb, m)),
+    1 -> (for { o <- Gen.chooseNum(0L, 500L); p <- Gen.chooseNum(1L, 200L) }
+      yield DistFeat(o, p)),
+    1 -> Gen.chooseNum(1L, 400L).map(RankFeat),
+    // a ppm clause alone in a bool scoring slot stays one scale
+    1 -> (for {
+      p <- Gen.oneOf(
+        Gen.chooseNum(1L, 400L).map(RankFeat): Gen[Q],
+        Gen.chooseNum(1L, 200L).map(DistFeat(250L, _)): Gen[Q])
+      f <- qGen(depth - 1)
+    } yield Bool(Seq(p), Seq(f), Nil, Nil, None)))
+
+  private def topGen(depth: Int): Gen[Q] =
+    Gen.frequency(3 -> qGen(depth), 2 -> ppmGen(depth))
 
   // ------------------------------------------------------- JSON renderer
 
@@ -293,7 +316,7 @@ object QueryDslPropertySpec extends Properties("querydsl") {
   // ------------------------------------------------------------ property
 
   property("compiled (pred, score) == row-wise reference on every doc") =
-    forAll(qGen(2)) { q =>
+    forAll(topGen(2)) { q =>
       val json = s"""{"query": ${render(q)}, "sort": ["doc_id"], "_source": ["doc_id", "score"]}"""
       val got = QueryDsl.search(table, json)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq

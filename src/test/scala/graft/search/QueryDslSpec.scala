@@ -631,6 +631,78 @@ class QueryDslSpec extends SparkSpec {
            "like": "raw text"}}}""")
   }
 
+  test("ppm/unit score scales never mix silently") {
+    def bad(req: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, req))
+      assert(e.getMessage.contains("ppm") || e.getMessage.contains("scale"),
+        e.getMessage)
+    }
+    // dis_max over a ppm sub-clause would double-scale
+    bad("""{"query": {"dis_max": {"queries": [
+           {"boosting": {"positive": {"match": {"text": "spark"}},
+            "negative": {"term": {"lang": "fr"}}, "negative_boost": 0.5}}]}}}""")
+    // pinned's 1e12 band only clears unit-scale organic scores
+    bad("""{"query": {"pinned": {"ids": [1], "id_field": "doc_id",
+           "organic": {"dis_max": {"queries": [{"match": {"text": "spark"}}]}}}}}""")
+    // bool summing unit + ppm scores
+    bad("""{"query": {"bool": {"must": [
+           {"match": {"text": "spark"}},
+           {"rank_feature": {"field": "n_chars", "saturation": {"pivot": 10}}}]}}}""")
+    // additive function_score boost over a ppm query score
+    bad("""{"query": {"function_score": {
+           "query": {"rank_feature": {"field": "n_chars", "saturation": {"pivot": 10}}},
+           "functions": [{"weight": 2}], "boost_mode": "sum"}}}""")
+    // boosting wrapping a ppm positive
+    bad("""{"query": {"boosting": {
+           "positive": {"distance_feature": {"field": "n_chars", "origin": 3, "pivot": 5}},
+           "negative": {"term": {"lang": "fr"}}, "negative_boost": 0.5}}}""")
+    // a ppm clause ALONE in a scoring slot stays legal (one scale)
+    assert(QueryDsl.search(docs,
+      """{"query": {"bool": {
+           "filter": [{"term": {"lang": "en"}}],
+           "must": [{"rank_feature": {"field": "n_chars",
+                     "saturation": {"pivot": 10}}}]}},
+         "size": 5, "sort": [{"_score": "desc"}, "doc_id"]}""").count() === 5)
+  }
+
+  test("top_hits can sort by _score (hits carry the computed score)") {
+    val out = QueryDsl.search(docs,
+      """{"query": {"match": {"text": "spark"}},
+         "aggs": {"by_lang": {"terms": {"field": "lang"},
+           "aggs": {"top": {"top_hits": {"size": 1,
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "_source": ["doc_id", "score"]}}}}}}""").collect()
+    assert(out.nonEmpty)
+    // each bucket's single hit carries the bucket-maximal score
+    val overlap = size(array_intersect(array_distinct(split(col("text"), " ")),
+      array(lit("spark")))).cast("long")
+    val best = docs.withColumn("s", overlap).filter(col("s") >= 1)
+      .groupBy("lang").agg(max(col("s")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getAs[Long]("score") === best(r.getString(0))))
+  }
+
+  test("intOpt-typed options reject floats instead of defaulting") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"match_all": {}},
+         "aggs": {"s": {"significant_terms":
+           {"field": "source", "min_doc_count": 2.0}}}}""")
+    bad("""{"query": {"fuzzy": {"text": {"value": "spark",
+           "prefix_length": 1.5}}}}""")
+    bad("""{"query": {"fuzzy": {"text": {"value": "spark",
+           "fuzziness": -1}}}}""")
+    bad("""{"query": {"constant_score":
+           {"filter": {"term": {"lang": "en"}}, "boost": -5}}}""")
+    bad("""{"aggs": {"a": {"range": {"field": "n_chars",
+           "ranges": [{"to": 200}], "keyed": true}}}}""")  // unknown range opt
+    bad("""{"aggs": {"a": {"range": {"field": "n_chars",
+           "ranges": [{"to": 200}]}, "terms": {"field": "lang"}}}}""") // two kinds
+    bad("""{"query": {"match_all": {}}, "search_after": [3],
+         "sort": ["doc_id"],
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}}""")  // cursor + aggs
+  }
+
   test("new clauses fail loud on malformed bodies") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
