@@ -840,6 +840,53 @@ object DslSearch {
         SELECT doc_id,
                regexp_replace(frag, 'window', '<em>window</em>', 'g') AS highlight
         FROM f ORDER BY doc_id LIMIT 100
+      """.stripMargin.trim)),
+
+    // the suggest section, phrase suggester — q121's oracle VERBATIM:
+    // per-position banded candidates re-ranked by corpus bigram
+    // evidence, the collate/LM idea in exact integers.
+    GraftQuery(
+      "q167_dsl_phrase_suggest",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"suggest": {"spelling": {
+             "text": "park low",
+             "phrase": {"field": "text", "max_edits": 1,
+                        "per_position": 5, "size": 5}}}}"""),
+      Some("""
+        WITH v AS (
+          SELECT tok AS term, COUNT(*) AS freq
+          FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents)
+          GROUP BY 1),
+        inputs(pos, q) AS (VALUES (1, 'park'), (2, 'low')),
+        cand AS (
+          SELECT pos, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, freq
+          FROM inputs, v
+          WHERE abs(len(term) - len(q)) <= 1 AND levenshtein(q, term) <= 1),
+        ranked AS (
+          SELECT pos, term, dist, freq,
+                 ROW_NUMBER() OVER (PARTITION BY pos ORDER BY dist, freq DESC, term) AS r
+          FROM cand),
+        p1 AS (SELECT term AS w1, dist AS d1 FROM ranked WHERE pos = 1 AND r <= 5),
+        p2 AS (SELECT term AS w2, dist AS d2 FROM ranked WHERE pos = 2 AND r <= 5),
+        pairs AS (SELECT w1, d1, w2, d2 FROM p1, p2),
+        big AS (
+          SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS bcount
+          FROM (SELECT unnest(list_zip(a, a[2:])) AS p
+                FROM (SELECT string_split(text, ' ') AS a FROM documents))
+          WHERE p[2] IS NOT NULL
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT pairs.w1, pairs.w2,
+                 CAST(COALESCE(big.bcount, 0) AS BIGINT) AS bcount,
+                 d1 + d2 AS dist
+          FROM pairs LEFT JOIN big USING (w1, w2)),
+        r AS (
+          SELECT w1, w2, bcount, dist,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bcount DESC, dist, w1, w2) AS BIGINT) AS rank
+          FROM scored)
+        SELECT rank, w1, w2, bcount, dist FROM r WHERE rank <= 5 ORDER BY rank
       """.stripMargin.trim))
   )
 }

@@ -43,7 +43,8 @@ import org.json4s.jackson.JsonMethods
   * the REQUEST level because they depend on corpus state:
   * `more_like_this` (the q118 tf·idf postings plan), `span_near`
   * (positional postings, ordered or not), and the `suggest` section
-  * (term suggester — the q117 banded levenshtein vocab walk).
+  * (term suggester — the q117 banded levenshtein vocab walk — and
+  * the two-word phrase suggester — q121's bigram-evidence re-rank).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -926,12 +927,16 @@ object QueryDsl {
     val (name, text, spec) = sugg match {
       case JObject(List((n, JObject(body)))) =>
         val m = body.toMap
-        m.keySet.diff(Set("text", "term")).foreach(k =>
+        m.keySet.diff(Set("text", "term", "phrase")).foreach(k =>
           fail(s"unsupported suggester option '$k' in '$n'"))
         val t = strOpt(m, "text")
           .getOrElse(fail(s"suggester '$n' requires a text"))
+        m.get("phrase").foreach { p =>
+          if (m.contains("term")) fail(s"suggester '$n' declares both term and phrase")
+          return phraseSuggestRequest(table, n, t, p)
+        }
         val s = m.getOrElse("term",
-          fail(s"suggester '$n' requires a term body (only the term suggester is supported)"))
+          fail(s"suggester '$n' requires a term or phrase body"))
         (n, t, s)
       case other => fail(s"suggest requires one named suggester: ${render(other)}")
     }
@@ -963,6 +968,79 @@ object QueryDsl {
       .filter(col("rank") <= size)
       .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
       .orderBy(col("q"), col("rank"))
+  }
+
+  /** `suggest` section, `phrase` suggester: whole-phrase spell
+    * correction over a TWO-word input (the q121 contract) — per
+    * position the top-`per_position` in-vocabulary candidates within
+    * `max_edits` edits (distance, then document frequency: the term-
+    * suggester ranking), whole phrases re-ranked by corpus bigram
+    * evidence (OpenSearch's `collate`/LM idea, exact integer score).
+    * The corpus-sized work is the vocabulary + bigram aggregations;
+    * the request side stays ≤ per_position² candidate pairs, probed
+    * against (never scanning) the bigram table. Longer phrases go
+    * through the n-word facade pipeline — here they fail loud so the
+    * oracle-checked shape stays total.
+    * Output: (rank, w1, w2, bcount, dist) ordered by rank.
+    */
+  private def phraseSuggestRequest(table: DataFrame, name: String,
+      text: String, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"phrase suggester '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "max_edits", "per_position", "size")).foreach(k =>
+      fail(s"unsupported phrase-suggester option '$k' in '$name'"))
+    val f = strOpt(m, "field").getOrElse(fail(s"phrase suggester '$name' needs a field"))
+    val maxEdits = intOpt(m, "max_edits").getOrElse(1)
+    val perPos = intOpt(m, "per_position").getOrElse(5)
+    val topN = intOpt(m, "size").getOrElse(5)
+    val words = text.trim.split("\\s+").toSeq
+    if (words.size != 2)
+      fail(s"phrase suggester '$name' supports exactly two words " +
+        "(longer phrases: GraftEngine.phraseSuggest)")
+
+    val vocab = table.select(explode(array_distinct(split(col(f), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val inputs = table.sparkSession.range(1).select(explode(array(
+        struct(lit(1L).as("pos"), lit(words.head).as("q")),
+        struct(lit(2L).as("pos"), lit(words(1)).as("q")))).as("in"))
+      .select(col("in.pos").as("pos"), col("in.q").as("q"))
+    val cand = vocab.join(broadcast(inputs),
+        abs(length(col("term")) - length(col("q"))) <= maxEdits &&
+          levenshtein(col("q"), col("term")) <= maxEdits)
+      .select(col("pos"), col("term"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"), col("freq"))
+    val wPos = Window.partitionBy(col("pos"))
+      .orderBy(col("dist"), col("freq").desc, col("term"))
+    val top = cand.withColumn("r", row_number().over(wPos))
+      .filter(col("r") <= perPos)
+    val pairs = top.filter(col("pos") === 1)
+        .select(col("term").as("w1"), col("dist").as("d1"))
+      .crossJoin(top.filter(col("pos") === 2)
+        .select(col("term").as("w2"), col("dist").as("d2")))
+    val bigrams = {
+      val arr = split(col(f), " ")
+      table.select(explode(transform(slice(arr, lit(1), size(arr) - 1),
+          (x, i) => struct(x.as("w1"),
+            element_at(arr, i + 2).as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
+    }
+    // corpus-sized bigram table probed by the bounded broadcast pairs;
+    // the surviving rows broadcast back into the left join
+    val hit = bigrams.join(broadcast(pairs.select(col("w1"), col("w2"))),
+      Seq("w1", "w2"))
+    val scored = pairs.join(broadcast(hit), Seq("w1", "w2"), "left")
+      .withColumn("bcount", coalesce(col("bcount"), lit(0L)))
+      .withColumn("dist", col("d1") + col("d2"))
+    val wAll = Window.orderBy(
+      col("bcount").desc, col("dist"), col("w1"), col("w2"))
+    scored.withColumn("rank", row_number().over(wAll).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("w1"), col("w2"), col("bcount"), col("dist"))
+      .orderBy(col("rank"))
   }
 
   // -------------------------------------------------------------- request

@@ -551,6 +551,16 @@ class QueryDslSpec extends SparkSpec {
     sameAs("q117_search_term_suggest", "q162_dsl_term_suggest")
   }
 
+  test("phrase suggest request == handwritten q121 bigram re-rank") {
+    sameAs("q121_search_phrase_suggest", "q167_dsl_phrase_suggest")
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"suggest": {"s": {"text": "one two three",
+           "phrase": {"field": "text"}}}}""")   // >2 words
+    bad("""{"suggest": {"s": {"text": "a b",
+           "term": {"field": "text"}, "phrase": {"field": "text"}}}}""")
+  }
+
   test("suggest / rank_feature validate their bodies loudly") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
