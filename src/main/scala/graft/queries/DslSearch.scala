@@ -887,6 +887,42 @@ object DslSearch {
                  CAST(ROW_NUMBER() OVER (ORDER BY bcount DESC, dist, w1, w2) AS BIGINT) AS rank
           FROM scored)
         SELECT rank, w1, w2, bcount, dist FROM r WHERE rank <= 5 ORDER BY rank
+      """.stripMargin.trim)),
+
+    // knn as a request: exact cosine top-10 of an inline query vector
+    // (deterministic formula (i%7-3)/10, same doubles both engines)
+    // over the label=1 slice — OpenSearch's filtered vector search,
+    // scored by the established integer-quantize recipe.
+    GraftQuery(
+      "q168_dsl_knn",
+      (s, dir) => {
+        val vec = (0 until 64).map(i => (i % 7 - 3) / 10.0)
+        QueryDsl.search(
+          Tables.load(s, dir, "embeddings"),
+          s"""{"knn": {
+               "field": "embedding", "id_field": "vec_id",
+               "query_vector": [${vec.mkString(",")}],
+               "k": 10,
+               "filter": {"term": {"label": 1}}}}""")
+      },
+      Some("""
+        WITH qv AS (
+          SELECT list_transform(range(0, 64),
+                   i -> CAST(round(((i % 7) - 3) / 10.0 * 1e7) AS BIGINT)::DOUBLE) AS qq),
+        qn AS (SELECT qq, list_dot_product(qq, qq) AS qn2 FROM qv),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings WHERE label = 1),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+        scored AS (
+          SELECT vec_id, list_dot_product(qq, q) / (sqrt(qn2) * sqrt(n2)) AS sim
+          FROM n CROSS JOIN qn),
+        ranked AS (
+          SELECT vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT vec_id, rank, sim FROM ranked WHERE rank <= 10 ORDER BY rank
       """.stripMargin.trim))
   )
 }

@@ -42,9 +42,11 @@ import org.json4s.jackson.JsonMethods
   * via a higher-order filter — no explode, no join), and, compiled at
   * the REQUEST level because they depend on corpus state:
   * `more_like_this` (the q118 tf·idf postings plan), `span_near`
-  * (positional postings, ordered or not), and the `suggest` section
+  * (positional postings, ordered or not), the `suggest` section
   * (term suggester — the q117 banded levenshtein vocab walk — and
-  * the two-word phrase suggester — q121's bigram-evidence re-rank).
+  * the two-word phrase suggester — q121's bigram-evidence re-rank),
+  * and the `knn` request (exact filtered cosine top-k of an inline
+  * vector by the integer-quantize recipe, the q75 contract).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -1043,6 +1045,67 @@ object QueryDsl {
       .orderBy(col("rank"))
   }
 
+  /** `knn` request: exact cosine top-k of an inline query vector over
+    * an embedding column — the OpenSearch vector-search request, served
+    * brute-force (the q75 contract; the IVF/PQ serving paths live on
+    * the operator surface). Determinism comes from the engine's
+    * quantize recipe: both engines round to the 1e-7 grid, dot in
+    * exact integers, and finish with one identically-ordered IEEE
+    * divide. An optional `filter` clause pre-filters candidates
+    * (OpenSearch's filtered-knn semantics). A wrong-dimension vector
+    * fails loud per row rather than silently dropping candidates.
+    * Output: (id field, rank, sim) ordered by rank; the scan is one
+    * unshuffled pass into a bounded top-k.
+    */
+  private def knnRequest(table: DataFrame, spec: JValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFns
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"knn must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "id_field", "query_vector", "k", "filter"))
+      .foreach(k => fail(s"unsupported knn option '$k'"))
+    val f = strOpt(m, "field").getOrElse(fail("knn requires a field"))
+    val idF = strOpt(m, "id_field")
+      .getOrElse(fail("knn requires id_field (the neighbor id column)"))
+    val k = intOpt(m, "k").getOrElse(10)
+    if (k < 1) fail("knn k must be >= 1")
+    val qv: Seq[Double] = m.get("query_vector") match {
+      case Some(JArray(vs)) if vs.nonEmpty => vs.map {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"query_vector entries must be numeric: ${render(other)}")
+      }
+      case _ => fail("knn requires a non-empty query_vector")
+    }
+    val filt = m.get("filter").map(compileQuery(_).pred).getOrElse(lit(true))
+    // driver-side quantization matches Spark's round() (HALF_UP on the
+    // same double product), so the query vector lands on the same
+    // 1e-7 grid as the corpus
+    val qLong = qv.map(v =>
+      BigDecimal(v * 1e7).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val qArr = array(qLong.map(lit): _*)
+    val qn2 = lit(qLong.map(x => x * x).sum)
+    val cq = VectorFns.quantize(col(f))
+    val sim = VectorFns.qcosine(VectorFns.qdot(cq, qArr), qn2, VectorFns.qnorm2(cq))
+    table.filter(filt)
+      .withColumn("sim",
+        when(size(col(f)) =!= qv.size,
+          raise_error(lit(s"knn: embedding dimension != query_vector's ${qv.size}"))
+            .cast("double"))
+        .otherwise(sim))
+      .select(col(idF), col("sim"))
+      .orderBy(col("sim").desc, col(idF))
+      .limit(k)
+      // rank over the already-bounded k rows only
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(idF))).cast("long"))
+      .select(col(idF), col("rank"), col("sim"))
+      .orderBy(col("rank"))
+  }
+
   // -------------------------------------------------------------- request
 
   /** Compile a full `_search` request body against `table`. Returns the
@@ -1055,8 +1118,15 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after", "suggest", "highlight"))
+        "search_after", "suggest", "highlight", "knn"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `knn` requests return the ranked neighbor table; the ranking IS
+    // the contract, so no other request section composes with it.
+    req.get("knn").foreach { kn =>
+      if (req.size > 1) fail("knn must be the only request section")
+      return knnRequest(table, kn)
+    }
 
     // `suggest` requests return the suggestion table (the OpenSearch
     // response's suggest section as rows); combining with a query is

@@ -131,7 +131,7 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"geo_shape": {"area": {}}}}""", "unsupported query clause")
     bad("""{"query": {"bool": {"mustt": []}}}""", "unsupported bool section")
     bad("""{"query": {"range": {"n_chars": {"between": 3}}}}""", "range bound")
-    bad("""{"knn": {}}""", "unsupported request key")
+    bad("""{"pit": {}}""", "unsupported request key")
     bad("""{"query": {"match": {"text": {"query": "x", "fuzziness": 2}}}}""",
       "unsupported match option")
     bad("""{"aggs": {"a": {"median_absolute_deviation": {"field": "n_chars"}}}}""",
@@ -626,6 +626,37 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"aggs": {"p": {"composite": {"sources": [
            {"lang": {"terms": {"field": "lang"}}}],
            "after": {"source": "x"}}}}}""")              // cursor missing key
+  }
+
+  test("knn ranks a planted identical vector first and validates its body") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("id", "embedding")
+    val out = QueryDsl.search(t,
+      """{"knn": {"field": "embedding", "id_field": "id",
+           "query_vector": [1.0, 0.0, 0.0], "k": 2}}""").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L), (2L, 2L)))
+    assert(out.head.getDouble(2) === 1.0)
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(t, req))
+    bad("""{"knn": {"field": "embedding", "id_field": "id",
+           "query_vector": [], "k": 2}}""")
+    bad("""{"knn": {"field": "embedding",
+           "query_vector": [1.0], "k": 2}}""")     // no id_field
+    bad("""{"knn": {"field": "embedding", "id_field": "id",
+           "query_vector": [1.0], "k": 0}}""")     // k 0
+    bad("""{"knn": {"field": "embedding", "id_field": "id",
+           "query_vector": [1.0], "k": 2},
+         "sort": ["id"]}""")                       // knn + other sections
+    // wrong-dimension vectors fail loud at run time, not silently drop
+    val mismatched = QueryDsl.search(t,
+      """{"knn": {"field": "embedding", "id_field": "id",
+           "query_vector": [1.0, 0.0], "k": 2}}""")
+    val e = intercept[Exception](mismatched.collect())
+    assert(e.getMessage.contains("dimension"), e.getMessage)
   }
 
   test("more_like_this rejects aggs and malformed like/fields") {
