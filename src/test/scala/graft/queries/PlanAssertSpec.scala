@@ -507,6 +507,25 @@ class PlanAssertSpec extends SparkSpec {
     assert(clsJoins.isEmpty, s"classifier scoring grew a join:\n${cls.head}")
   }
 
+  test("q168 knn request: one unshuffled corpus scan into a bounded top-k") {
+    val nodes = finalNodes(Registry.byName("q168_dsl_knn").run(spark, sf()))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1, s"knn must scan the corpus once:\n${nodes.head}")
+    val joins = nodes.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(joins.isEmpty, s"knn grew a join:\n${nodes.head}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"knn regressed to a global sort:\n${nodes.head}")
+    // the only exchange is the single-partition one under the rank
+    // window over the already-limited k rows
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"knn shuffled the corpus:\n${nodes.head}")
+  }
+
   test("q90 shuffle shard: one hash shuffle to shards, window within shard") {
     val nodes = finalNodes(Registry.byName("q90_shuffle_shard").run(spark, sf()))
     val windows = nodes.collect {
