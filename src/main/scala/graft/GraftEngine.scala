@@ -502,27 +502,12 @@ final case class GraftEngine(spark: SparkSession) {
     * order-free integer idf-weight sum.
     */
   def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
-      seedId: Long, maxQueryTerms: Int = 10, topK: Int = 15): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val seed = tf.filter(col("doc_id") === seedId)
-      .join(df, "term").crossJoin(broadcast(n))
-      .withColumn("sel", (col("tf") * col("n")) / col("df"))
-    val wSeed = Window.orderBy(col("sel").desc, col("term"))
-    val queryTerms = seed.withColumn("r", row_number().over(wSeed))
-      .filter(col("r") <= maxQueryTerms)
-      .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
-    tf.filter(col("doc_id") =!= seedId)
-      .join(broadcast(queryTerms), "term")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
+      seedId: Long, maxQueryTerms: Int = 10, topK: Int = 15): DataFrame =
+    GraftEngine.moreLikeThisHits(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
+        "doc_id", textCol, seedId, maxQueryTerms)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
-  }
 
   /** Decode an image payload (netpbm PPM / uncompressed 24-bit BMP) to
     * format-independent pixel statistics; None for non-image bytes
@@ -673,5 +658,45 @@ final case class GraftEngine(spark: SparkSession) {
         floor(col(lonCol) / lit(cellDeg)).as("cell_lon"))
       .agg(count(lit(1)).as("n"), min(col("dist_km")).as("min_dist"))
       .orderBy(col("cell_lat"), col("cell_lon"))
+  }
+}
+
+object GraftEngine {
+
+  /** The ONE more_like_this implementation — shared by the facade and
+    * the query-DSL request path, so a scoring change cannot diverge
+    * the two (the q117/q118 one-implementation gating principle).
+    * Unranked hits (idCol, n_shared, score); ranking/paging belongs to
+    * the caller. The seed must match EXACTLY one row — a multi-row
+    * seed would duplicate query terms and silently inflate
+    * n_shared/score, so it fails loud (the count is a bounded probe:
+    * the scan stops after two matches).
+    */
+  private[graft] def moreLikeThisHits(docs: DataFrame, idCol: String,
+      textCol: String, seedValue: Any, maxQueryTerms: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxQueryTerms >= 1, s"max_query_terms must be >= 1, got $maxQueryTerms")
+    val nSeed = docs.filter(col(idCol) === lit(seedValue)).limit(2).count()
+    if (nSeed != 1)
+      throw new IllegalArgumentException(
+        s"more_like_this seed {$idCol: $seedValue} matches $nSeed rows (need exactly 1)")
+    val tf = docs.select(col(idCol),
+        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val seed = tf.filter(col(idCol) === lit(seedValue))
+      .join(df, "term").crossJoin(broadcast(n))
+      .withColumn("sel", (col("tf") * col("n")) / col("df"))
+    // global window over the seed's own terms only — bounded by one
+    // document's vocabulary, not the corpus
+    val wSeed = Window.orderBy(col("sel").desc, col("term"))
+    val queryTerms = seed.withColumn("r", row_number().over(wSeed))
+      .filter(col("r") <= maxQueryTerms)
+      .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
+    tf.filter(col(idCol) =!= lit(seedValue))
+      .join(broadcast(queryTerms), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
   }
 }

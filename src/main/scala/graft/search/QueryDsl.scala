@@ -144,6 +144,9 @@ object QueryDsl {
       case "rank_feature"     => rankFeatureClause(body)
       case "nested"           => nestedClause(body)
       case "geo_distance"     => geoDistanceClause(body)
+      case "more_like_this" | "span_near" =>
+        fail(s"'$clause' is a request-level query (it builds a corpus-state " +
+          "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
         fail(s"unsupported query clause '$other' (supported: match_all, term, " +
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
@@ -1293,25 +1296,11 @@ object QueryDsl {
           case _ => fail("more_like_this requires like: {idField: value}")
         }
         val maxQt = intOpt(m, "max_query_terms").getOrElse(10)
-        import org.apache.spark.sql.expressions.Window
-        val tf = table.select(col(idField).as(idField),
-            explode(split(col(textCol), " ")).as("term"))
-          .groupBy(col(idField), col("term")).agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = table.agg(count(lit(1)).as("n"))
-        val seed = tf.filter(col(idField) === lit(seedVal))
-          .join(df, "term").crossJoin(broadcast(n))
-          .withColumn("sel", (col("tf") * col("n")) / col("df"))
-        // global window over the seed's own terms only — bounded by
-        // one document's vocabulary, not the corpus
-        val wSeed = Window.orderBy(col("sel").desc, col("term"))
-        val queryTerms = seed.withColumn("r", row_number().over(wSeed))
-          .filter(col("r") <= maxQt)
-          .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
-        tf.filter(col(idField) =!= lit(seedVal))
-          .join(broadcast(queryTerms), "term")
-          .groupBy(col(idField))
-          .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
+        if (maxQt < 1) fail("max_query_terms must be >= 1")
+        // the ONE implementation, shared with the facade (the
+        // q117/q118 one-implementation gating principle); it also
+        // enforces the exactly-one-seed-row contract fail-loud
+        graft.GraftEngine.moreLikeThisHits(table, idField, textCol, seedVal, maxQt)
       case other => fail(s"more_like_this requires an object body: ${render(other)}")
     }
 

@@ -670,6 +670,19 @@ class QueryDslSpec extends SparkSpec {
            "like": {"doc_id": 7}}}}""")
     bad("""{"query": {"more_like_this": {"fields": ["text"],
            "like": "raw text"}}}""")
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+           "like": {"doc_id": 7}, "max_query_terms": 0}}}""")
+    // a multi-row seed would silently inflate scores — fail loud
+    val multi = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"more_like_this": {"fields": ["text"],
+           "like": {"lang": "en"}}}}""").collect())
+    assert(multi.getMessage.contains("matches"), multi.getMessage)
+    // request-level clauses nested in bool get a pointed error, not
+    // the generic unsupported-clause list
+    val nested = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"bool": {"must": [{"more_like_this": {
+           "fields": ["text"], "like": {"doc_id": 7}}}]}}}"""))
+    assert(nested.getMessage.contains("TOP-LEVEL"), nested.getMessage)
   }
 
   test("ppm/unit score scales never mix silently") {
