@@ -1440,7 +1440,10 @@ object Search {
         pairs.filter(col("w1") === "stream" && col("w2").startsWith("mer"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_hits"),
-            array_sort(collect_set(col("w2"))).as("completions"))
+            // Rendered as a comma-joined STRING, not a bare ARRAY: the
+            // driver's diff harness sorts result columns with pandas,
+            // which cannot hash ndarray cells (r6 verdict item 1).
+            concat_ws(",", array_sort(collect_set(col("w2")))).as("completions"))
           .orderBy(col("n_hits").desc, col("doc_id"))
           .limit(20)
       },
@@ -1451,7 +1454,7 @@ object Search {
                 FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents))
           WHERE p[2] IS NOT NULL)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-               list_sort(list_distinct(list(w2))) AS completions
+               array_to_string(list_sort(list_distinct(list(w2))), ',') AS completions
         FROM big
         WHERE w1 = 'stream' AND w2 LIKE 'mer%'
         GROUP BY doc_id

@@ -594,6 +594,10 @@ object QueryDsl {
         case other => fail(s"default_operator must be and|or, got '$other'")
       }
       val tokenRe = """([+-]?)("([^"]*)"|\S+)""".r
+      // bare terms must look like terms: stray grammar junk ('(spark',
+      // a lone '|', a bare '-') must fail loud, not silently match as
+      // a literal token the tokenizer happened to accept
+      val bareTermRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
       var must, mustNot, should = List.empty[CompiledQuery]
       tokenRe.findAllMatchIn(qtext.trim).foreach { t =>
         val compiled = Option(t.group(3)) match {
@@ -604,6 +608,9 @@ object QueryDsl {
               concat(lit(" "), col(f), lit(" ")).contains(s" $p "), lit(1L))
           case None =>
             val term = t.group(2)
+            if (!bareTermRe.pattern.matcher(term).matches())
+              fail(s"simple_query_string token '$term' is outside the " +
+                "grammar (word characters or a quoted phrase)")
             CompiledQuery(array_contains(split(col(f), " "), term), lit(1L))
         }
         t.group(1) match {
@@ -693,6 +700,12 @@ object QueryDsl {
       val origin = longOf("origin")
       val pivot = longOf("pivot")
       if (pivot <= 0L) fail("distance_feature pivot must be positive")
+      // pivot*10^6 is computed below in driver-side Long arithmetic: a
+      // pivot past this bound would silently wrap into a garbage
+      // (possibly negative) constant and mis-score every row
+      if (pivot > Long.MaxValue / 1000000L)
+        fail(s"distance_feature pivot $pivot overflows the exact ppm " +
+          s"model (max ${Long.MaxValue / 1000000L})")
       // integer `div` (not `/`): the ppm quotient must floor exactly,
       // matching the oracle's integer division
       val score = expr(
@@ -1146,10 +1159,16 @@ object QueryDsl {
       case Some(JObject(List(("more_like_this", body)))) =>
         if (req.contains("aggs"))
           fail("more_like_this cannot be combined with aggs")
+        // fail-loud, not silently-dropped: the hit table these produce
+        // has no text column for the highlighter to anchor on
+        if (req.contains("highlight"))
+          fail("highlight cannot be combined with more_like_this")
         return hitPipeline(moreLikeThisRequest(table, body), req)
       case Some(JObject(List(("span_near", body)))) =>
         if (req.contains("aggs"))
           fail("span_near cannot be combined with aggs")
+        if (req.contains("highlight"))
+          fail("highlight cannot be combined with span_near")
         return hitPipeline(spanNearRequest(table, body), req)
       case _ => ()
     }
@@ -1186,6 +1205,15 @@ object QueryDsl {
     * — multi-term anchor choice is ranking-dependent in OpenSearch
     * and out of scope, fail-loud. Rows that don't contain the literal
     * (e.g. admitted via other bool branches) get a NULL highlight.
+    *
+    * Anchoring contract: the fragment anchors at `instr()`'s FIRST RAW
+    * SUBSTRING occurrence of the query literal — for a `match_phrase`
+    * this may be a non-token-boundary occurrence earlier in the text
+    * than the boundary occurrence the predicate matched ("metadata
+    * window … data window" anchors at "metadata window"). This is a
+    * deliberate, documented divergence from the token-boundary phrase
+    * predicate: the oracle (q46/q166) implements the same raw-substring
+    * anchor, so the contract is cross-engine stable.
     */
   private def withHighlight(hits: DataFrame, query: JValue, h: JValue): DataFrame = {
     val hm = h match {
@@ -1571,7 +1599,12 @@ object QueryDsl {
       case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    paged.groupBy(sources.map(col): _*)
+    // OpenSearch composite SKIPS documents missing a source value (and
+    // Spark's default asc is NULLS FIRST where most SQL engines default
+    // NULLS LAST) — drop NULL-keyed rows before the groupBy so the
+    // bucket space is engine-portable and no NULL bucket appears
+    paged.filter(sources.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(sources.map(col): _*)
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .orderBy(sources.map(col(_).asc): _*)
       .limit(size)

@@ -20,6 +20,28 @@ class SparkEntrySpec extends SparkSpec {
       "query name broke the qN_snake_case convention")
   }
 
+  test("no query output carries a top-level ARRAY/MAP/STRUCT column") {
+    // the driver's diff harness sorts result columns with pandas,
+    // which cannot hash ndarray/dict cells — a bare complex column
+    // crashes the oracle comparison at driver time (the q131 failure
+    // class, r6). Catch the next one here, at sbt test time: every
+    // query's OUTPUT schema must be scalar-only (complex columns are
+    // fine internally; render them with concat_ws/to_json at the edge).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = sf()
+    val offenders = Registry.all.flatMap { q =>
+      val schema = q.run(spark, dir).schema
+      val bad = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      if (bad.isEmpty) None else Some(s"${q.name} -> ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"queries emitting driver-unsortable top-level complex columns: $offenders")
+  }
+
   test("every oracle carries a total ORDER BY unless single-row by construction") {
     // the driver compares row order, so an oracle without a total
     // ORDER BY is a gate-flakiness hazard; the exceptions are queries
