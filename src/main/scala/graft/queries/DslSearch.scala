@@ -923,6 +923,219 @@ object DslSearch {
                  CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
           FROM scored)
         SELECT vec_id, rank, sim FROM ranked WHERE rank <= 10 ORDER BY rank
+      """.stripMargin.trim)),
+
+    // the exact knn arm again, unfiltered and at a different k/vector —
+    // the small-scale parity contract the index-served arm (KnnIndexServe
+    // Spec) measures its recall against. Same integer-quantize recipe.
+    GraftQuery(
+      "q169_dsl_knn_exact",
+      (s, dir) => {
+        val vec = (0 until 64).map(i => ((i * 3) % 11 - 5) / 20.0)
+        QueryDsl.search(
+          Tables.load(s, dir, "embeddings"),
+          s"""{"knn": {
+               "field": "embedding", "id_field": "vec_id",
+               "query_vector": [${vec.mkString(",")}],
+               "k": 12}}""")
+      },
+      Some("""
+        WITH qv AS (
+          SELECT list_transform(range(0, 64),
+                   i -> CAST(round((((i * 3) % 11) - 5) / 20.0 * 1e7) AS BIGINT)::DOUBLE) AS qq),
+        qn AS (SELECT qq, list_dot_product(qq, qq) AS qn2 FROM qv),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+        scored AS (
+          SELECT vec_id, list_dot_product(qq, q) / (sqrt(qn2) * sqrt(n2)) AS sim
+          FROM n CROSS JOIN qn),
+        ranked AS (
+          SELECT vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT vec_id, rank, sim FROM ranked WHERE rank <= 12 ORDER BY rank
+      """.stripMargin.trim)),
+
+    // query_string: the full Lucene grammar — fielded terms, grouping,
+    // AND/OR/NOT precedence, an integer phrase boost, and prohibit
+    // semantics (`NOT source:src4` ANDs in, per Lucene). Score: AND
+    // sums both sides, OR sums the matched branches, the ^2 phrase
+    // scores 2, NOT contributes predicate only.
+    GraftQuery(
+      "q170_dsl_query_string",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"query_string": {
+             "query": "text:spark AND (join OR \"data window\"^2) NOT source:src4",
+             "default_field": "text"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            list_contains(string_split(text, ' '), 'spark') AS has_spark,
+            list_contains(string_split(text, ' '), 'join') AS has_join,
+            (' ' || text || ' ') LIKE '% data window %' AS has_phrase
+          FROM documents)
+        SELECT doc_id,
+               CAST(1 + (CASE WHEN has_join THEN 1 ELSE 0 END)
+                      + (CASE WHEN has_phrase THEN 2 ELSE 0 END) AS BIGINT) AS score
+        FROM t
+        WHERE has_spark AND (has_join OR has_phrase)
+          AND NOT list_contains(string_split(source, ' '), 'src4')
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // collapse: one window over the hit set keeps the top-2 hits per
+    // source (inner_hits size 2) in the request's sort order — the
+    // result-dedup feature, q94's canonical-selection shape applied
+    // to the hit list. Never a self-join.
+    GraftQuery(
+      "q171_dsl_collapse",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark join"}},
+           "collapse": {"field": "source", "inner_hits": {"size": 2}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["source", "collapse_rank", "doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark','join'])) AS BIGINT) AS score
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id) AS BIGINT) AS collapse_rank
+          FROM t WHERE score >= 1)
+        SELECT source, collapse_rank, doc_id, score FROM r
+        WHERE collapse_rank <= 2
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // date_range bucket agg: calendar-anchored, OVERLAPPING [from, to)
+    // buckets over orders.o_orderdate — one pass of filtered
+    // aggregates in request order (the range-agg machinery with ISO
+    // date bounds). Sub-aggs are min/max (order-independent, so
+    // double-safe cross-engine).
+    GraftQuery(
+      "q172_dsl_date_range",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "orders"),
+        """{"query": {"term": {"o_orderstatus": "F"}},
+           "aggs": {"period": {"date_range": {"field": "o_orderdate",
+               "ranges": [{"to": "1994-01-01"},
+                          {"from": "1993-06-01", "to": "1995-06-01"},
+                          {"from": "1995-01-01"}]},
+             "aggs": {
+               "min_price": {"min": {"field": "o_totalprice"}},
+               "max_price": {"max": {"field": "o_totalprice"}}}}}}"""),
+      Some("""
+        WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+        b AS (
+          SELECT 0 AS ord, '*-1994-01-01' AS period, COUNT(*) AS doc_count,
+                 MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+          FROM f WHERE o_orderdate < DATE '1994-01-01'
+          UNION ALL
+          SELECT 1, '1993-06-01-1995-06-01', COUNT(*),
+                 MIN(o_totalprice), MAX(o_totalprice)
+          FROM f WHERE o_orderdate >= DATE '1993-06-01'
+            AND o_orderdate < DATE '1995-06-01'
+          UNION ALL
+          SELECT 2, '1995-01-01-*', COUNT(*),
+                 MIN(o_totalprice), MAX(o_totalprice)
+          FROM f WHERE o_orderdate >= DATE '1995-01-01')
+        SELECT period, doc_count, min_price, max_price FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // geo_bounding_box over q164's deterministic synthetic points:
+    // four plain band comparisons (the whole clause pushes to the scan
+    // when the fields are physical columns — plan-pinned in
+    // QueryDslSpec). Filter context, map-only.
+    GraftQuery(
+      "q173_dsl_geo_bounding_box",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pts = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
+            / lit(1000.0) - lit(90.0)).as("lat"),
+          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
+            / lit(1000.0) - lit(180.0)).as("lon"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_bounding_box": {
+               "lat_field": "lat", "lon_field": "lon",
+               "top_left": {"lat": 60.0, "lon": -100.0},
+               "bottom_right": {"lat": 20.0, "lon": -40.0}}},
+             "sort": ["c_custkey"],
+             "size": 120,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, lat, lon FROM pts
+        WHERE lat <= 60.0 AND lat >= 20.0 AND lon >= -100.0 AND lon <= -40.0
+        ORDER BY c_custkey
+        LIMIT 120
+      """.stripMargin.trim)),
+
+    // percolate as a JSON request — q98's oracle VERBATIM: the six
+    // stored queries re-expressed as DSL bool clauses (two single-term
+    // matches + an n_chars range each), compiled to map-side
+    // predicates. No join at all: each document probes the inline
+    // registry in one codegen'd projection.
+    GraftQuery(
+      "q174_dsl_percolate",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"percolate": {
+             "id_field": "doc_id",
+             "queries": [
+               {"id": 1, "query": {"bool": {"must": [
+                 {"match": {"text": "spark"}}, {"match": {"text": "join"}},
+                 {"range": {"n_chars": {"gte": 0, "lte": 400}}}]}}},
+               {"id": 2, "query": {"bool": {"must": [
+                 {"match": {"text": "the"}}, {"match": {"text": "row"}},
+                 {"range": {"n_chars": {"gte": 100, "lte": 500}}}]}}},
+               {"id": 3, "query": {"bool": {"must": [
+                 {"match": {"text": "filter"}}, {"match": {"text": "group"}},
+                 {"range": {"n_chars": {"gte": 0, "lte": 1000}}}]}}},
+               {"id": 4, "query": {"bool": {"must": [
+                 {"match": {"text": "stream"}}, {"match": {"text": "batch"}},
+                 {"range": {"n_chars": {"gte": 200, "lte": 600}}}]}}},
+               {"id": 5, "query": {"bool": {"must": [
+                 {"match": {"text": "table"}}, {"match": {"text": "scan"}},
+                 {"range": {"n_chars": {"gte": 0, "lte": 1000}}}]}}},
+               {"id": 6, "query": {"bool": {"must": [
+                 {"match": {"text": "fast"}}, {"match": {"text": "slow"}},
+                 {"range": {"n_chars": {"gte": 0, "lte": 300}}}]}}}]}},
+           "sort": ["doc_id", "qid"]}"""),
+      Some("""
+        WITH q(qid, t1, t2, lo, hi) AS (VALUES
+          (1, 'spark', 'join', 0, 400),
+          (2, 'the', 'row', 100, 500),
+          (3, 'filter', 'group', 0, 1000),
+          (4, 'stream', 'batch', 200, 600),
+          (5, 'table', 'scan', 0, 1000),
+          (6, 'fast', 'slow', 0, 300)),
+        d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tok FROM documents)
+        SELECT doc_id, CAST(qid AS BIGINT) AS qid
+        FROM d CROSS JOIN q
+        WHERE list_contains(tok, t1) AND list_contains(tok, t2)
+          AND n_chars BETWEEN lo AND hi
+        ORDER BY doc_id, qid
       """.stripMargin.trim))
   )
 }

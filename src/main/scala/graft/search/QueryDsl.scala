@@ -38,15 +38,22 @@ import org.json4s.jackson.JsonMethods
   * `geo_distance` (haversine radius filter over named lat/lon
   * columns, 6-dp-rounded before comparison so the boundary is
   * engine-portable),
+  * `geo_bounding_box` (axis-aligned lat/lon box as four pushed band
+  * predicates),
+  * `query_string` (the full Lucene grammar: fielded terms, quoted
+  * phrases, AND/OR/NOT precedence, grouping, integer `^boosts`),
   * `nested` (same-element conjunction over an array-of-structs column
   * via a higher-order filter — no explode, no join), and, compiled at
   * the REQUEST level because they depend on corpus state:
   * `more_like_this` (the q118 tf·idf postings plan), `span_near`
-  * (positional postings, ordered or not), the `suggest` section
+  * (positional postings, ordered or not), `percolate` (reverse
+  * search: an inline stored-query registry compiled to map-side
+  * predicates, the q98 contract), the `suggest` section
   * (term suggester — the q117 banded levenshtein vocab walk — and
   * the two-word phrase suggester — q121's bigram-evidence re-rank),
   * and the `knn` request (exact filtered cosine top-k of an inline
-  * vector by the integer-quantize recipe, the q75 contract).
+  * vector by the integer-quantize recipe, the q75 contract — or,
+  * with an `index` arm, served from the partition-pruned IVF layout).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -60,11 +67,14 @@ import org.json4s.jackson.JsonMethods
   * `_score` sorts by the computed score), `from`/`size`,
   * `search_after` (keyset paging over the declared sort), `_source`
   * (projection; the name `score` selects the computed score),
-  * `highlight` (tag-wrapped fragment column, q46 contract), and
+  * `highlight` (tag-wrapped fragment column, q46 contract),
+  * `collapse` (one hit — or top `inner_hits.size` — per distinct
+  * field value, one window over the hit set), and
   * `aggs` with `terms` (+ nested metric sub-aggs or one `top_hits`),
   * `composite` (multi-source buckets with `after` keyset paging,
   * pruned before the groupBy),
-  * `range` (overlapping [from, to) buckets), `filters` (named
+  * `range` (overlapping [from, to) buckets), `date_range`
+  * (calendar-anchored [from, to) buckets), `filters` (named
   * sub-query buckets), `significant_terms`,
   * global metric aggs, `histogram`, `date_histogram`
   * (calendar_interval day/month), `stats`,
@@ -144,7 +154,9 @@ object QueryDsl {
       case "rank_feature"     => rankFeatureClause(body)
       case "nested"           => nestedClause(body)
       case "geo_distance"     => geoDistanceClause(body)
-      case "more_like_this" | "span_near" =>
+      case "geo_bounding_box" => geoBoundingBoxClause(body)
+      case "query_string"     => queryStringClause(body)
+      case "more_like_this" | "span_near" | "percolate" =>
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
@@ -152,8 +164,9 @@ object QueryDsl {
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
-          "simple_query_string, function_score, distance_feature, " +
-          "rank_feature, nested, geo_distance)")
+          "simple_query_string, query_string, function_score, " +
+          "distance_feature, rank_feature, nested, geo_distance, " +
+          "geo_bounding_box)")
     }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
@@ -627,6 +640,220 @@ object QueryDsl {
     case other => fail(s"simple_query_string requires an object body: ${render(other)}")
   }
 
+  /** `query_string`: the full Lucene query grammar — the most common
+    * real-world request body against a SEARCH collection. Supported
+    * syntax: fielded terms (`field:term`), quoted phrases
+    * (`field:"a b"`), grouping with parentheses, `AND` / `OR` / `NOT`
+    * with the standard precedence (NOT > AND > OR), implicit adjacency
+    * combined by `default_operator` (default "or"), and per-clause
+    * integer boosts (`term^3` — float boosts fail loud, the exact
+    * scoring model). Bare terms need a `default_field`.
+    *
+    * Compiled onto the existing bool/match/phrase model: a term leaf
+    * is token membership of the whitespace-tokenized field (the q41
+    * contract), a phrase leaf the token-boundary substring (q59);
+    * each matched leaf scores its boost (default 1), AND sums both
+    * sides, OR sums the matched sides, NOT contributes predicate only
+    * (filter context, like bool.must_not). Everything stays a single
+    * codegen'd Column — no shuffle, predicates pushable.
+    *
+    * Outside the grammar — wildcards in terms, `~` fuzziness,
+    * `[a TO b]` ranges, `^` float boosts, unbalanced parens, dangling
+    * operators — fails loud instead of silently degrading (the
+    * simple_query_string hardening rule applied to the full grammar).
+    */
+  private def queryStringClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "default_field", "default_operator"))
+        .foreach(k => fail(s"unsupported query_string option '$k'"))
+      val qtext = strOpt(m, "query")
+        .getOrElse(fail("query_string requires a string 'query'"))
+      val defaultField = strOpt(m, "default_field")
+      val andDefault = strOpt(m, "default_operator").getOrElse("or") match {
+        case "or"  => false
+        case "and" => true
+        case other => fail(s"default_operator must be and|or, got '$other'")
+      }
+      QueryStringParser.compile(qtext, defaultField, andDefault)
+    case other => fail(s"query_string requires an object body: ${render(other)}")
+  }
+
+  /** Recursive-descent parser for the `query_string` grammar. Tokens:
+    * parens, the uppercase keywords AND/OR/NOT, and atoms
+    * `(field:)? (term | "phrase") (^int)?`. Precedence NOT > AND > OR;
+    * implicit adjacency joins at the default operator's level.
+    */
+  private object QueryStringParser {
+    sealed trait Tok
+    case object LP extends Tok
+    case object RP extends Tok
+    case object And extends Tok
+    case object Or extends Tok
+    case object Not extends Tok
+    final case class Atom(field: Option[String], text: String,
+        phrase: Boolean, boost: Long) extends Tok
+
+    private val fieldRe = """[\p{L}_][\p{L}\p{N}_.]*""".r
+    private val termRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
+
+    private def tokenize(q: String): List[Tok] = {
+      val toks = List.newBuilder[Tok]
+      var i = 0
+      val n = q.length
+      while (i < n) {
+        val c = q.charAt(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '(') { toks += LP; i += 1 }
+        else if (c == ')') { toks += RP; i += 1 }
+        else {
+          // optional field prefix
+          var field: Option[String] = None
+          val rest = q.substring(i)
+          fieldRe.findPrefixOf(rest) match {
+            case Some(fname) if i + fname.length < n &&
+                q.charAt(i + fname.length) == ':' =>
+              field = Some(fname)
+              i += fname.length + 1
+            case _ => ()
+          }
+          if (i >= n) fail(s"query_string: dangling field prefix in '$q'")
+          // value: quoted phrase or bare term
+          val (text, isPhrase) =
+            if (q.charAt(i) == '"') {
+              val close = q.indexOf('"', i + 1)
+              if (close < 0) fail(s"query_string: unterminated phrase in '$q'")
+              val p = q.substring(i + 1, close).trim
+              if (p.isEmpty) fail("query_string: empty phrase")
+              i = close + 1
+              (p, true)
+            } else {
+              val t = termRe.findPrefixOf(q.substring(i)).getOrElse(
+                fail(s"query_string: token at '${q.substring(i).take(20)}' is " +
+                  "outside the grammar (term, \"phrase\", field:, parens, " +
+                  "AND/OR/NOT, ^int)"))
+              i += t.length
+              (t, false)
+            }
+          // optional ^boost (integer only — the exact scoring model)
+          var boost = 1L
+          if (i < n && q.charAt(i) == '^') {
+            i += 1
+            val ds = q.substring(i).takeWhile(_.isDigit)
+            if (ds.isEmpty) fail("query_string: ^ must be followed by an integer boost")
+            i += ds.length
+            if (i < n && q.charAt(i) == '.')
+              fail("query_string: float boosts are unsupported (exact integer scoring)")
+            boost = ds.toLong
+            if (boost < 1L) fail("query_string: boost must be >= 1")
+          }
+          // the token must END at a boundary: 'spark*' must not silently
+          // tokenize as the term 'spark' with trailing junk dropped
+          if (i < n && !q.charAt(i).isWhitespace && q.charAt(i) != '(' && q.charAt(i) != ')')
+            fail(s"query_string: unexpected character '${q.charAt(i)}' after " +
+              s"token '$text' (wildcards/fuzzy/ranges are outside the grammar)")
+          toks += (if (field.isEmpty && !isPhrase && boost == 1L) text match {
+            case "AND" => And
+            case "OR"  => Or
+            case "NOT" => Not
+            case _     => Atom(field, text, isPhrase, boost)
+          } else Atom(field, text, isPhrase, boost))
+        }
+      }
+      toks.result()
+    }
+
+    def compile(q: String, defaultField: Option[String],
+        andDefault: Boolean): CompiledQuery = {
+      var toks = tokenize(q)
+      if (toks.isEmpty) fail("query_string has an empty query")
+
+      def startsPrimary: Boolean = toks.headOption.exists {
+        case LP | Not | _: Atom => true
+        case _ => false
+      }
+
+      def leaf(a: Atom): CompiledQuery = {
+        val f = a.field.orElse(defaultField).getOrElse(
+          fail(s"query_string: bare term '${a.text}' needs a default_field"))
+        val pred =
+          if (a.phrase) concat(lit(" "), col(f), lit(" ")).contains(s" ${a.text} ")
+          else array_contains(split(col(f), " "), a.text)
+        CompiledQuery(pred, lit(a.boost))
+      }
+
+      // NOT > AND > OR; adjacency joins at the default operator's level
+      def parseOr(): CompiledQuery = {
+        var acc = parseAnd()
+        var done = false
+        while (!done) toks match {
+          case Or :: rest =>
+            toks = rest
+            acc = orCombine(acc, parseAnd())
+          case _ if !andDefault && startsPrimary =>
+            acc = orCombine(acc, parseAnd())
+          case _ => done = true
+        }
+        acc
+      }
+
+      def parseAnd(): CompiledQuery = {
+        var acc = parseNot()
+        var done = false
+        while (!done) toks match {
+          case And :: rest =>
+            toks = rest
+            acc = andCombine(acc, parseNot())
+          // prohibit semantics: `a NOT b` always means a AND NOT b
+          // (the Lucene contract), regardless of default_operator —
+          // an implicit-OR adjacency would make `x NOT y` match the
+          // whole complement of y
+          case Not :: _ =>
+            acc = andCombine(acc, parseNot())
+          case _ if andDefault && startsPrimary =>
+            acc = andCombine(acc, parseNot())
+          case _ => done = true
+        }
+        acc
+      }
+
+      def parseNot(): CompiledQuery = toks match {
+        case Not :: rest =>
+          toks = rest
+          if (toks.isEmpty) fail("query_string: dangling NOT")
+          val inner = parseNot()
+          // filter context, like bool.must_not: excluded rows score nothing
+          CompiledQuery(!inner.pred, lit(0L))
+        case _ => parsePrimary()
+      }
+
+      def parsePrimary(): CompiledQuery = toks match {
+        case LP :: rest =>
+          toks = rest
+          val inner = parseOr()
+          toks match {
+            case RP :: tail => toks = tail; inner
+            case _          => fail("query_string: unbalanced '('")
+          }
+        case (a: Atom) :: rest => toks = rest; leaf(a)
+        case And :: _ | Or :: _ | Not :: _ =>
+          fail("query_string: operator without a left-hand clause")
+        case RP :: _ => fail("query_string: unbalanced ')'")
+        case Nil     => fail("query_string: dangling operator")
+      }
+
+      def andCombine(a: CompiledQuery, b: CompiledQuery): CompiledQuery =
+        CompiledQuery(a.pred && b.pred, a.score + b.score)
+      def orCombine(a: CompiledQuery, b: CompiledQuery): CompiledQuery =
+        CompiledQuery(a.pred || b.pred,
+          when(a.pred, a.score).otherwise(0L) + when(b.pred, b.score).otherwise(0L))
+
+      val out = parseOr()
+      if (toks.nonEmpty) fail("query_string: unbalanced ')'")
+      out
+    }
+  }
+
   /** `function_score`: re-score the wrapped query with filter-gated
     * integer weights (float weights fail loud — the exact scoring
     * model). `score_mode` combines matched weights (sum | max);
@@ -761,6 +988,52 @@ object QueryDsl {
               sdlon * sdlon)), 6)
       CompiledQuery(dist <= lit(radius), lit(1L))
     case other => fail(s"geo_distance requires an object body: ${render(other)}")
+  }
+
+  /** `geo_bounding_box`: hits inside an axis-aligned lat/lon box —
+    * the everyday map-viewport filter. Compiles to two lat/lon band
+    * predicates (four plain column comparisons), so the whole clause
+    * PUSHES to the parquet scan as min/max-prunable filters — the
+    * cheapest possible geo query at any scale. Boxes crossing the
+    * antimeridian (left lon > right lon) are out of scope, fail-loud,
+    * rather than silently matching the complement band. Filter
+    * context: score 1.
+    */
+  private def geoBoundingBoxClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "top_left", "bottom_right"))
+        .foreach(k => fail(s"unsupported geo_bounding_box option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_bounding_box requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_bounding_box requires lon_field"))
+      def corner(key: String): (Double, Double) = m.get(key) match {
+        case Some(JObject(o)) =>
+          val om = o.toMap
+          om.keySet.diff(Set("lat", "lon")).foreach(k =>
+            fail(s"unsupported $key option '$k'"))
+          def num(k: String): Double = om.get(k) match {
+            case Some(JDouble(d))  => d
+            case Some(JInt(i))     => i.toDouble
+            case Some(JDecimal(d)) => d.toDouble
+            case _ => fail(s"geo_bounding_box $key requires numeric $k")
+          }
+          (num("lat"), num("lon"))
+        case _ => fail(s"geo_bounding_box requires $key: {lat, lon}")
+      }
+      val (topLat, leftLon) = corner("top_left")
+      val (botLat, rightLon) = corner("bottom_right")
+      if (topLat < botLat)
+        fail(s"geo_bounding_box top_left.lat ($topLat) must be >= " +
+          s"bottom_right.lat ($botLat)")
+      if (leftLon > rightLon)
+        fail(s"geo_bounding_box crossing the antimeridian (left lon $leftLon " +
+          s"> right lon $rightLon) is unsupported")
+      val pred = col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
+        col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
+      CompiledQuery(pred, lit(1L))
+    case other => fail(s"geo_bounding_box requires an object body: ${render(other)}")
   }
 
   /** `rank_feature`: static-signal boosting by the saturation curve
@@ -1080,7 +1353,7 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"knn must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "id_field", "query_vector", "k", "filter"))
+    m.keySet.diff(Set("field", "id_field", "query_vector", "k", "filter", "index"))
       .foreach(k => fail(s"unsupported knn option '$k'"))
     val f = strOpt(m, "field").getOrElse(fail("knn requires a field"))
     val idF = strOpt(m, "id_field")
@@ -1096,6 +1369,40 @@ object QueryDsl {
       }
       case _ => fail("knn requires a non-empty query_vector")
     }
+
+    // `index` arm: serve from a materialized IVF layout
+    // (IvfIndex.writeIndex) instead of the exact corpus scan — the
+    // plan you deploy at 100 TB, where every exact request would
+    // rescan the corpus. The probe reads ONLY the nprobe nearest
+    // cluster partitions (partition-pruned parquet scan); `table` is
+    // ignored, the layout IS the corpus. `sim` is the unit-vector
+    // cosine of the layout (approximate by construction — recall
+    // spec'd vs the exact arm, not oracle-gated); `filter` needs
+    // corpus columns the layout does not carry, so combining fails
+    // loud rather than silently returning unfiltered neighbors.
+    m.get("index").foreach { idx =>
+      val im = idx match {
+        case JObject(s) => s.toMap
+        case other => fail(s"knn index must be an object: ${render(other)}")
+      }
+      im.keySet.diff(Set("path", "nprobe")).foreach(kk =>
+        fail(s"unsupported knn index option '$kk'"))
+      val path = strOpt(im, "path").getOrElse(fail("knn index requires a path"))
+      val nprobe = intOpt(im, "nprobe").getOrElse(4)
+      if (nprobe < 1) fail("knn index nprobe must be >= 1")
+      if (m.contains("filter"))
+        fail("filter cannot be combined with an index-served knn (the IVF " +
+          "layout carries only id/vector/cluster — use the exact arm)")
+      val spark = table.sparkSession
+      import spark.implicits._
+      val qdf = Seq((-1L, qv.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
+      return graft.operators.IvfIndex.topKFromIndex(spark, path, qdf,
+          "q_id", "q_emb",
+          graft.operators.IvfIndex.Params(nprobe = nprobe, k = k))
+        .select(col("neighbor_id").as(idF), col("rank"), col("sim"))
+        .orderBy(col("rank"))
+    }
+
     val filt = m.get("filter").map(compileQuery(_).pred).getOrElse(lit(true))
     // driver-side quantization matches Spark's round() (HALF_UP on the
     // same double product), so the query vector lands on the same
@@ -1134,7 +1441,7 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after", "suggest", "highlight", "knn"))
+        "search_after", "suggest", "highlight", "knn", "collapse"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     // `knn` requests return the ranked neighbor table; the ranking IS
@@ -1163,13 +1470,21 @@ object QueryDsl {
         // has no text column for the highlighter to anchor on
         if (req.contains("highlight"))
           fail("highlight cannot be combined with more_like_this")
+        if (req.contains("collapse"))
+          fail("collapse cannot be combined with more_like_this")
         return hitPipeline(moreLikeThisRequest(table, body), req)
       case Some(JObject(List(("span_near", body)))) =>
         if (req.contains("aggs"))
           fail("span_near cannot be combined with aggs")
         if (req.contains("highlight"))
           fail("highlight cannot be combined with span_near")
+        if (req.contains("collapse"))
+          fail("collapse cannot be combined with span_near")
         return hitPipeline(spanNearRequest(table, body), req)
+      case Some(JObject(List(("percolate", body)))) =>
+        Seq("aggs", "highlight", "collapse").filter(req.contains).foreach(k =>
+          fail(s"$k cannot be combined with percolate"))
+        return hitPipeline(percolateRequest(table, body), req)
       case _ => ()
     }
 
@@ -1182,6 +1497,7 @@ object QueryDsl {
         if (req.contains("highlight")) fail("highlight applies to hits, not aggs")
         if (req.contains("search_after"))
           fail("search_after applies to hits, not aggs")
+        if (req.contains("collapse")) fail("collapse applies to hits, not aggs")
         // hits carry the computed score so a top_hits sort on _score
         // (the OpenSearch default ranking) resolves
         compileAggs(table, filtered.withColumn("score", compiled.score),
@@ -1193,9 +1509,102 @@ object QueryDsl {
           case Some(h) => withHighlight(scored, req.getOrElse("query",
             fail("highlight requires a query")), h)
         }
-        hitPipeline(lit0, req)
+        val collapsed = req.get("collapse") match {
+          case None    => lit0
+          case Some(c) => withCollapse(lit0, c, req)
+        }
+        hitPipeline(collapsed, req)
     }
   }
+
+  /** `collapse` request section: one hit per distinct value of the
+    * collapse field — the result-dedup feature (one hit per domain,
+    * per user, per near-dup canonical id). The representative per key
+    * is the FIRST hit in the request's sort order (which must be
+    * explicit and, for determinism, total); `inner_hits: {size: N}`
+    * keeps the top N per key instead and exposes their 1-based
+    * `collapse_rank`. One window over the hit set bounded by group
+    * size — never a self-join, never a global pre-sort: the q94
+    * canonical-selection shape applied to the hit list.
+    */
+  private def withCollapse(hits: DataFrame, c: JValue,
+      req: Map[String, JValue]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = c match {
+      case JObject(s) => s.toMap
+      case other      => fail(s"collapse must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "inner_hits")).foreach(k =>
+      fail(s"unsupported collapse option '$k'"))
+    val f = strOpt(m, "field").getOrElse(fail("collapse requires a field"))
+    val innerSize = m.get("inner_hits") match {
+      case None => None
+      case Some(JObject(ih)) =>
+        val im = ih.toMap
+        im.keySet.diff(Set("size")).foreach(k =>
+          fail(s"unsupported inner_hits option '$k'"))
+        Some(intOpt(im, "size").getOrElse(fail("inner_hits requires a size")))
+      case Some(other) => fail(s"inner_hits must be an object: ${render(other)}")
+    }
+    innerSize.foreach(n => if (n < 1) fail("inner_hits size must be >= 1"))
+    if (req.contains("search_after"))
+      fail("collapse cannot be combined with search_after")
+    val sortSpec = req.get("sort")
+      .getOrElse(fail("collapse requires an explicit sort (it picks each " +
+        "group's representative)"))
+    val w = Window.partitionBy(col(f)).orderBy(sortCols(sortSpec): _*)
+    val ranked = hits.withColumn("collapse_rank",
+      row_number().over(w).cast("long"))
+    innerSize match {
+      case None    => ranked.filter(col("collapse_rank") === 1L).drop("collapse_rank")
+      case Some(n) => ranked.filter(col("collapse_rank") <= n)
+    }
+  }
+
+  /** `percolate` request-level query — reverse search (the q98
+    * contract): a registry of stored queries is matched against every
+    * document, answering "which saved searches does each document
+    * trigger". The registry rides INLINE in the request (`queries`:
+    * an array of `{id, query}` with each `query` a full DSL clause) —
+    * stored-query registries are tiny by nature, so each entry
+    * compiles to a predicate evaluated map-side per document: pure
+    * codegen, no join at all (cheaper than even a broadcast join),
+    * scaling with corpus size alone. Output: one row per (document,
+    * matched query) — `id_field`, `qid` — ranking/paging from the
+    * surrounding request.
+    */
+  private def percolateRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("id_field", "queries")).foreach(k =>
+          fail(s"unsupported percolate option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail("percolate requires id_field (the document key)"))
+        val stored: Seq[(Long, Column)] = m.get("queries") match {
+          case Some(JArray(qs)) if qs.nonEmpty => qs.map {
+            case JObject(qparts) =>
+              val qm = qparts.toMap
+              qm.keySet.diff(Set("id", "query")).foreach(k =>
+                fail(s"unsupported percolate query option '$k'"))
+              val qid = qm.get("id") match {
+                case Some(JInt(i)) => i.toLong
+                case _ => fail("percolate queries need an integer id")
+              }
+              val q = qm.getOrElse("query", fail(s"percolate query $qid needs a query"))
+              (qid, compileQuery(q).pred)
+            case other => fail(s"percolate queries must be objects: ${render(other)}")
+          }
+          case _ => fail("percolate requires a non-empty queries array")
+        }
+        val ids = stored.map(_._1)
+        if (ids.distinct.size != ids.size) fail("percolate query ids must be unique")
+        val hits = array_compact(array(stored.map { case (qid, pred) =>
+          when(pred, lit(qid))
+        }: _*))
+        table.select(col(idField), explode(hits).as("qid"))
+      case other => fail(s"percolate requires an object body: ${render(other)}")
+    }
 
   /** `highlight` section: a `highlight` column carrying a
     * `fragment_size`-char fragment around the first occurrence of the
@@ -1406,7 +1815,7 @@ object QueryDsl {
     val (bucketAggs, metricAggs) = entries.partition {
       case (_, JObject(spec)) =>
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
-          "significant_terms", "filters", "composite").contains(p._1))
+          "date_range", "significant_terms", "filters", "composite").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -1418,11 +1827,15 @@ object QueryDsl {
           fail("mixing a bucket agg with top-level metric aggs is unsupported")
         val m = spec.toMap
         val kinds = m.keySet.intersect(Set("terms", "histogram",
-          "date_histogram", "range", "significant_terms", "filters", "composite"))
+          "date_histogram", "range", "date_range", "significant_terms",
+          "filters", "composite"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
         m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
+        m.get("date_range").foreach { r =>
+          return dateRangeAgg(hits, name, r, m.get("aggs"))
+        }
         m.get("filters").foreach { fs =>
           return filtersAgg(hits, name, fs, m.get("aggs"))
         }
@@ -1532,6 +1945,49 @@ object QueryDsl {
       case _ => fail(s"range agg '$name' requires a non-empty ranges array")
     }
     onePassBuckets(hits, name, ranges, subAggs, family = "range")
+  }
+
+  /** `date_range` bucket agg: calendar-anchored [from, to) buckets
+    * over a date column — `range`'s semantics (overlap allowed, a doc
+    * lands in every bucket containing it, request order) with ISO
+    * `yyyy-MM-dd` bounds, compiled through the same one-pass
+    * filtered-aggregate machinery (one partial-agg exchange, never a
+    * scan per bucket). Bounds outside the ISO shape fail loud — a
+    * mis-parsed date must never silently become an empty bucket.
+    */
+  private def dateRangeAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"date_range agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "ranges")).foreach(k =>
+      fail(s"unsupported date_range option '$k' in '$name'"))
+    val f = strOpt(m, "field").getOrElse(fail(s"date_range agg '$name' needs a field"))
+    val isoRe = """\d{4}-\d{2}-\d{2}""".r
+    val ranges: Seq[(Column, String)] = m.get("ranges") match {
+      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+        case JObject(bounds) =>
+          val bm = bounds.toMap
+          bm.keySet.diff(Set("from", "to")).foreach(k =>
+            fail(s"unsupported date_range bound '$k' in agg '$name'"))
+          def day(k: String): Option[String] = bm.get(k).map {
+            case JString(s) if isoRe.pattern.matcher(s).matches() => s
+            case other =>
+              fail(s"date_range $k must be a yyyy-MM-dd string: ${render(other)}")
+          }
+          val (from, to) = (day("from"), day("to"))
+          if (from.isEmpty && to.isEmpty)
+            fail(s"date_range agg '$name' has an unbounded range")
+          val conds = from.map(v => col(f) >= to_date(lit(v))).toSeq ++
+            to.map(v => col(f) < to_date(lit(v)))
+          val key = s"${from.getOrElse("*")}-${to.getOrElse("*")}"
+          (conds.reduce(_ && _), key)
+        case other => fail(s"date_range agg '$name' ranges must be objects: ${render(other)}")
+      }
+      case _ => fail(s"date_range agg '$name' requires a non-empty ranges array")
+    }
+    onePassBuckets(hits, name, ranges, subAggs, family = "date_range")
   }
 
   /** `filters` bucket agg: named, freely-overlapping buckets, each

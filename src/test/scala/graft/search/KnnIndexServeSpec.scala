@@ -1,0 +1,107 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.IvfIndex
+import graft.sources.Tables
+
+/** The DSL `knn` request's `index` arm: served from a materialized IVF
+  * layout (the 100 TB plan — every exact request would rescan the
+  * corpus) instead of the brute-force scan. Locks in:
+  *  (a) routing — the DSL arm returns byte-identical rows to calling
+  *      IvfIndex.topKFromIndex directly (it IS that operator, not a
+  *      reimplementation);
+  *  (b) recall vs the exact arm at the same k;
+  *  (c) the probe's scan is cluster-partition-pruned (reads strictly
+  *      fewer files than the layout holds) — mirroring IvfServeSpec;
+  *  (d) filter + index fails loud (the layout has no corpus columns).
+  */
+class KnnIndexServeSpec extends SparkSpec {
+
+  private def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case q: QueryStageExec => flatten(q.plan)
+        case _ => Nil
+      }))
+    flatten(root)
+  }
+
+  private val vec = (0 until 64).map(i => ((i * 3) % 11 - 5) / 20.0)
+
+  test("index-served knn routes to IvfIndex, recalls vs exact, prunes") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val p = IvfIndex.Params(nlist = 8, nprobe = 4, iters = 2, k = 10)
+    val dir = java.nio.file.Files.createTempDirectory("knn_dsl_idx").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", p, dir)
+
+    val served = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}],
+           "k": 10,
+           "index": {"path": "$dir", "nprobe": 4}}}""")
+    val servedRows = served.collect().toSeq
+    assert(servedRows.size === 10)
+    assert(servedRows.map(_.getLong(1)) === (1L to 10L), "ranks 1..10")
+
+    // (a) routing parity with the operator surface, bit-for-bit
+    import spark.implicits._
+    val qdf = Seq((-1L, vec.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
+    val direct = IvfIndex.topKFromIndex(spark, dir, qdf, "q_id", "q_emb", p)
+      .select(col("neighbor_id").as("vec_id"), col("rank"), col("sim"))
+      .collect().toSeq
+    assert(servedRows === direct,
+      "DSL index arm must BE IvfIndex.topKFromIndex, not a lookalike")
+
+    // (b) recall vs the exact arm (q169's contract) at the same k
+    val exact = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 10}}""")
+      .collect().map(_.getLong(0)).toSet
+    val got = servedRows.map(_.getLong(0)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"index-served knn recall@10 = $recall")
+
+    // (c) partition-pruned probe: cluster filter present, fewer files
+    val scans = finalNodes(served).collect {
+      case f: FileSourceScanExec if f.metadata.getOrElse("Location", "").contains("data") => f
+    }
+    assert(scans.nonEmpty, "no file scan over the index data found")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"no partition filter on the index scan:\n${scans.head}")
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = {
+      val root = new java.io.File(s"$dir/data")
+      def count(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(count).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      count(root)
+    }
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"expected a pruned scan: read $filesRead of $totalFiles files")
+
+    // (d) filter cannot silently combine with the index arm
+    assertThrows[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 10,
+           "filter": {"term": {"label": 1}},
+           "index": {"path": "$dir", "nprobe": 4}}}"""))
+    // malformed index arms fail loud too
+    assertThrows[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [1.0], "k": 10,
+           "index": {"nprobe": 4}}}"""))
+    assertThrows[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [1.0], "k": 10,
+           "index": {"path": "$dir", "nprobe": 0}}}"""))
+  }
+}

@@ -788,4 +788,195 @@ class QueryDslSpec extends SparkSpec {
          "aggs": {"p": {"percentiles": {"field": "n_chars",
            "percents": [50.5]}}}}""")                               // non-integer
   }
+
+  test("query_string: precedence, grouping, boosts, prohibit NOT") {
+    // NOT > AND > OR; `x NOT y` is prohibit (AND NOT), per Lucene
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"query_string": {
+           "query": "text:spark AND (join OR \"data window\"^2) NOT source:src4",
+           "default_field": "text"}},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["doc_id", "score"]}""")
+    val tok = array_distinct(split(col("text"), " "))
+    val hasSpark = array_contains(tok, "spark")
+    val hasJoin = array_contains(tok, "join")
+    val hasPhrase = concat(lit(" "), col("text"), lit(" ")).contains(" data window ")
+    val hand = docs
+      .filter(hasSpark && (hasJoin || hasPhrase) &&
+        !array_contains(split(col("source"), " "), "src4"))
+      .select(col("doc_id"),
+        (lit(1L) + when(hasJoin, 1L).otherwise(0L)
+          + when(hasPhrase, 2L).otherwise(0L)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+    assert(dsl.collect().toSeq === hand.collect().toSeq)
+  }
+
+  test("query_string: default_operator and / or change adjacency") {
+    def run(op: String) = QueryDsl.search(docs,
+      s"""{"query": {"query_string": {
+            "query": "spark join", "default_field": "text",
+            "default_operator": "$op"}},
+          "_source": ["doc_id"]}""").count()
+    val both = docs.filter(array_contains(split(col("text"), " "), "spark") &&
+      array_contains(split(col("text"), " "), "join")).count()
+    val either = docs.filter(array_contains(split(col("text"), " "), "spark") ||
+      array_contains(split(col("text"), " "), "join")).count()
+    assert(run("and") === both)
+    assert(run("or") === either)
+    assert(both < either, "test data must distinguish the operators")
+  }
+
+  test("query_string fails loud outside the grammar") {
+    def bad(q: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs,
+        s"""{"query": {"query_string": {"query": ${q},
+             "default_field": "text"}}, "_source": ["doc_id"]}"""))
+    bad("\"spark*\"")           // wildcard term
+    bad("\"spark~2\"")          // fuzzy
+    bad("\"join^1.5\"")         // float boost
+    bad("\"join^0\"")           // boost < 1
+    bad("\"(spark join\"")      // unbalanced (
+    bad("\"spark join)\"")      // unbalanced )
+    bad("\"spark AND\"")        // dangling operator
+    bad("\"AND spark\"")        // operator without left clause
+    bad("\"spark NOT\"")        // dangling NOT
+    bad("\"[1 TO 5]\"")         // range syntax
+    bad("\"\\\"unterminated\"") // unterminated phrase
+    bad("\"\"")                 // empty
+    // bare term with no default_field
+    assertThrows[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"query_string": {"query": "spark"}},
+         "_source": ["doc_id"]}"""))
+  }
+
+  test("collapse keeps the top hit per key; one window, no join") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"match": {"text": "spark join"}},
+         "collapse": {"field": "source"},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["source", "doc_id", "score"]}""")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.withColumn("score",
+        size(array_intersect(array_distinct(split(col("text"), " ")),
+          array(lit("spark"), lit("join")))).cast("long"))
+      .filter(col("score") >= 1)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val hand = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("source"), col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+    assert(dsl.collect().toSeq === hand.collect().toSeq)
+    // plan pin: collapse is ONE window over the hit set, never a
+    // self-join re-scanning the hits per group
+    val plan = dsl.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("window"), plan.take(800))
+    assert(!plan.contains("Join"), s"collapse must not plan a join:\n${plan.take(2000)}")
+  }
+
+  test("collapse validates its body and combinations loudly") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"match_all": {}},
+         "collapse": {"field": "source"},
+         "_source": ["doc_id"]}""")                         // no sort
+    bad("""{"query": {"match_all": {}}, "sort": ["doc_id"],
+         "collapse": {"field": "source",
+           "inner_hits": {"size": 0}}}""")                  // size < 1
+    bad("""{"query": {"match_all": {}}, "sort": ["doc_id"],
+         "collapse": {"field": "source", "max_concurrent_group_searches": 2}}""")
+    bad("""{"query": {"term": {"lang": "en"}},
+         "collapse": {"field": "source"}, "sort": ["doc_id"],
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}}""")  // with aggs
+    bad("""{"query": {"match_all": {}},
+         "sort": ["doc_id"], "search_after": [10],
+         "collapse": {"field": "source"}}""")               // with cursor
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+           "like": {"doc_id": 7}}},
+         "sort": ["doc_id"], "collapse": {"field": "doc_id"}}""")
+  }
+
+  test("date_range buckets are calendar-anchored [from, to) in request order") {
+    val orders = Tables.load(spark, sf(), "orders")
+    val dsl = QueryDsl.search(orders,
+      """{"query": {"match_all": {}},
+         "aggs": {"period": {"date_range": {"field": "o_orderdate",
+             "ranges": [{"to": "1994-01-01"}, {"from": "1994-01-01"}]}}}}""")
+    val rows = dsl.collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("*-1994-01-01", "1994-01-01-*"))
+    val before = orders.filter(col("o_orderdate") < lit("1994-01-01").cast("date")).count()
+    val after = orders.filter(col("o_orderdate") >= lit("1994-01-01").cast("date")).count()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(before, after))
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(orders, req))
+    bad("""{"aggs": {"p": {"date_range": {"field": "o_orderdate",
+           "ranges": [{"from": "not-a-date"}]}}}}""")
+    bad("""{"aggs": {"p": {"date_range": {"field": "o_orderdate",
+           "ranges": [{}]}}}}""")                            // unbounded
+    bad("""{"aggs": {"p": {"date_range": {"field": "o_orderdate",
+           "ranges": [{"from": 19940101}]}}}}""")            // non-string
+  }
+
+  test("geo_bounding_box pushes its four band predicates to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gbb").toString
+    (1 to 200).map(i => (i.toLong, (i % 90).toDouble, (i % 180).toDouble - 90.0))
+      .toDF("id", "lat", "lon").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val dsl = QueryDsl.search(pts,
+      """{"query": {"geo_bounding_box": {
+           "lat_field": "lat", "lon_field": "lon",
+           "top_left": {"lat": 50.0, "lon": -20.0},
+           "bottom_right": {"lat": 10.0, "lon": 40.0}}},
+         "sort": ["id"], "_source": ["id"]}""")
+    val hand = pts.filter(col("lat") <= 50.0 && col("lat") >= 10.0 &&
+      col("lon") >= -20.0 && col("lon") <= 40.0)
+      .select(col("id")).orderBy(col("id"))
+    assert(dsl.collect().toSeq === hand.collect().toSeq)
+    val plan = dsl.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    // (the toString truncates long filter lists — the lat band plus the
+    // DataFilters rendering of the lon band is evidence enough)
+    assert(plan.contains("LessThanOrEqual(lat,50.0)") &&
+      plan.contains("GreaterThanOrEqual(lat,10.0)") &&
+      plan.contains("lon") && plan.contains(">= -20.0"),
+      s"box bands must reach the parquet scan:\n${plan.take(2000)}")
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(pts, req))
+    bad("""{"query": {"geo_bounding_box": {"lat_field": "lat",
+           "lon_field": "lon",
+           "top_left": {"lat": 10.0, "lon": 0.0},
+           "bottom_right": {"lat": 50.0, "lon": 10.0}}}}""")  // inverted lat
+    bad("""{"query": {"geo_bounding_box": {"lat_field": "lat",
+           "lon_field": "lon",
+           "top_left": {"lat": 50.0, "lon": 170.0},
+           "bottom_right": {"lat": 10.0, "lon": -170.0}}}}""") // antimeridian
+    bad("""{"query": {"geo_bounding_box": {"lat_field": "lat",
+           "top_left": {"lat": 50.0, "lon": 0.0},
+           "bottom_right": {"lat": 10.0, "lon": 10.0}}}}""")   // no lon_field
+  }
+
+  test("percolate == handwritten q98 reverse search; validates loudly") {
+    sameAs("q98_search_percolate", "q174_dsl_percolate")
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"percolate": {"queries": [
+           {"id": 1, "query": {"match_all": {}}}]}}}""")     // no id_field
+    bad("""{"query": {"percolate": {"id_field": "doc_id",
+           "queries": []}}}""")                              // empty registry
+    bad("""{"query": {"percolate": {"id_field": "doc_id", "queries": [
+           {"id": 1, "query": {"match_all": {}}},
+           {"id": 1, "query": {"match_all": {}}}]}}}""")     // duplicate ids
+    bad("""{"query": {"percolate": {"id_field": "doc_id", "queries": [
+           {"query": {"match_all": {}}}]}}}""")              // missing id
+    bad("""{"query": {"bool": {"must": [{"percolate": {
+           "id_field": "doc_id",
+           "queries": [{"id": 1, "query": {"match_all": {}}}]}}]}}}""")
+    bad("""{"query": {"percolate": {"id_field": "doc_id",
+           "queries": [{"id": 1, "query": {"match_all": {}}}]}},
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}}""")   // with aggs
+  }
 }
