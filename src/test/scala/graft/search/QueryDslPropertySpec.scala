@@ -313,7 +313,97 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     case other     => sys.error(s"bad long field $other")
   }
 
+  // ----------------------------------------- query_string grammar model
+
+  /** query_string expression AST: rendered to the Lucene grammar (with
+    * explicit grouping, so every random tree also exercises parens)
+    * and evaluated row-wise by the documented combination model —
+    * leaf scores its boost, AND sums both sides, OR sums the matched
+    * sides, NOT is filter-context (predicate only, score 0).
+    */
+  private sealed trait Qs
+  private case class QsLeaf(field: Option[String], text: String,
+      phrase: Boolean, boost: Long) extends Qs
+  private case class QsAnd(a: Qs, b: Qs) extends Qs
+  private case class QsOr(a: Qs, b: Qs) extends Qs
+  private case class QsNot(x: Qs) extends Qs
+
+  private def qsLeafGen: Gen[Qs] = Gen.oneOf(
+    for { t <- Gen.oneOf(vocab); b <- Gen.chooseNum(1L, 3L) }
+      yield QsLeaf(Some("text"), t, phrase = false, b),
+    for { t <- Gen.oneOf(vocab) } yield QsLeaf(None, t, phrase = false, 1L),
+    for { s <- Gen.oneOf("src1", "src3", "nope") }
+      yield QsLeaf(Some("source"), s, phrase = false, 1L),
+    for { p <- Gen.oneOf("spark join", "data model", "never here");
+          b <- Gen.chooseNum(1L, 3L) }
+      yield QsLeaf(Some("text"), p, phrase = true, b))
+
+  private def qsGen(depth: Int): Gen[Qs] =
+    if (depth <= 0) qsLeafGen
+    else Gen.frequency(
+      3 -> qsLeafGen,
+      2 -> (for { a <- qsGen(depth - 1); b <- qsGen(depth - 1) } yield QsAnd(a, b)),
+      2 -> (for { a <- qsGen(depth - 1); b <- qsGen(depth - 1) } yield QsOr(a, b)),
+      1 -> qsGen(depth - 1).map(QsNot))
+
+  private def renderQs(q: Qs): String = q match {
+    case QsLeaf(f, t, phrase, b) =>
+      val fp = f.map(_ + ":").getOrElse("")
+      val v = if (phrase) "\"" + t + "\"" else t
+      val bp = if (b > 1L) s"^$b" else ""
+      s"$fp$v$bp"
+    case QsAnd(a, b) => s"(${renderQs(a)} AND ${renderQs(b)})"
+    case QsOr(a, b)  => s"(${renderQs(a)} OR ${renderQs(b)})"
+    case QsNot(x)    => s"(NOT ${renderQs(x)})"
+  }
+
+  /** (matches, score-expression value) — scores are UNGATED below an
+    * OR (the compiler gates OR branches with when(pred); AND sums raw
+    * sub-scores, whose predicates the overall match implies).
+    */
+  private def evalQs(q: Qs, d: Doc): (Boolean, Long) = q match {
+    case QsLeaf(f, t, phrase, b) =>
+      val pred = (f.getOrElse("text"), phrase) match {
+        case (_, true)       => (" " + d.text + " ").contains(s" $t ")
+        case ("text", false) => d.text.split(" ", -1).contains(t)
+        case ("source", false) => d.source.split(" ", -1).contains(t)
+        case (other, _)      => sys.error(s"bad qs field $other")
+      }
+      (pred, b)
+    case QsAnd(a, b) =>
+      val (pa, sa) = evalQs(a, d); val (pb, sb) = evalQs(b, d)
+      (pa && pb, sa + sb)
+    case QsOr(a, b) =>
+      val (pa, sa) = evalQs(a, d); val (pb, sb) = evalQs(b, d)
+      (pa || pb, (if (pa) sa else 0L) + (if (pb) sb else 0L))
+    case QsNot(x) => (!evalQs(x, d)._1, 0L)
+  }
+
+  private def jsEsc(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   // ------------------------------------------------------------ property
+
+  property("query_string grammar: compiled == row-wise reference") =
+    forAll(qsGen(3)) { q =>
+      val json =
+        s"""{"query": {"query_string": {"query": ${jsEsc(renderQs(q))},
+            "default_field": "text"}},
+            "sort": ["doc_id"], "_source": ["doc_id", "score"]}"""
+          .replace("\n", " ")
+      val got = QueryDsl.search(table, json)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val expected = corpus.flatMap { d =>
+        val (ok, sc) = evalQs(q, d)
+        if (ok) Some(d.doc_id -> sc) else None
+      }
+      val pass = got == expected
+      if (!pass) {
+        println(s"query_string mismatch for: ${renderQs(q)}")
+        println(s"got=${got.take(10)} expected=${expected.take(10)}")
+      }
+      pass
+    }
 
   property("compiled (pred, score) == row-wise reference on every doc") =
     forAll(topGen(2)) { q =>
