@@ -27,7 +27,17 @@ import graft.streaming.CdcStream
   * (CDC) and generation of the ingest corpus is NOT inside the timed
   * window.
   *
-  * Usage: `runMain graft.ThroughputBench [items] [epochs] [eventsPerEpoch]`;
+  *   - **streamed-index throughput** — the reference's ACTUAL program
+  *     shape end-to-end ([[graft.streaming.StreamingSearchIndex]]):
+  *     one CDC file stream drives BOTH the BM25 text index and the
+  *     IVF vector index per micro-batch (bootstrap build on the first
+  *     epoch, touched-partition merges thereafter), reported as
+  *     events/s over the whole loop plus the per-epoch p95 — the
+  *     number that tells a deployment what steady-state maintenance
+  *     costs, not just the one-time build.
+  *
+  * Usage: `runMain graft.ThroughputBench [items] [epochs] [eventsPerEpoch]
+  * [sidxEpochs] [sidxPerEpoch]`;
   * prints one JSON line and writes `throughput_last.json`.
   */
 object ThroughputBench {
@@ -77,10 +87,39 @@ object ThroughputBench {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** One epoch of search-index CDC as a JSON-lines file: upserts with
+    * a bounded-vocabulary text (~12 tokens of a 97-word vocabulary —
+    * realistic term-bucket touch behavior) and a 16-dim embedding,
+    * ~1/20 deletes after the bootstrap epoch, `_seq` globally
+    * increasing. Same atomic-move discipline as [[writeEpochFile]].
+    */
+  private def writeSidxEpochFile(dir: String, epoch: Int, n: Int, keys: Int): Unit = {
+    val sb = new StringBuilder(n * 300)
+    var i = 0
+    while (i < n) {
+      val k = (epoch * 131 + i) % keys
+      val seq = epoch.toLong * n + i
+      val del = epoch > 0 && i % 20 == 19
+      val text = (0 until 12).map(j => s"w${(k * 7 + j * 13) % 97}").mkString(" ")
+      val emb = (0 until 16).map(d => ((k * 31 + d * 17) % 13 - 6) / 6.0)
+        .mkString("[", ",", "]")
+      sb.append(s"""{"doc_id": $k, "text": "$text", "embedding": $emb, """)
+      sb.append(s""""_action": "${if (del) "delete" else "upsert"}", "_seq": $seq}""")
+      sb.append('\n')
+      i += 1
+    }
+    val tmp = Files.createTempFile("tput_sidx", ".json")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, Paths.get(dir, f"epoch-$epoch%05d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def main(args: Array[String]): Unit = {
     val items = args.headOption.map(_.toLong).getOrElse(320000L)
     val epochs = args.lift(1).map(_.toInt).getOrElse(20)
     val perEpoch = args.lift(2).map(_.toInt).getOrElse(10000)
+    val sidxEpochs = args.lift(3).map(_.toInt).getOrElse(10)
+    val sidxPerEpoch = args.lift(4).map(_.toInt).getOrElse(2000)
     val spark = GraftSession.get()
     def tmp(p: String) = Files.createTempDirectory(p).toString
 
@@ -116,6 +155,46 @@ object ThroughputBench {
     val live = CdcStream.readSnapshot(spark, targetDir).map(_.count()).getOrElse(0L)
     require(live > 0 && live <= 5000, s"merge produced $live live keys")
 
+    // ---- streamed indexes: one CDC stream drives BM25 + IVF ----
+    import graft.streaming.StreamingSearchIndex
+    val sidxEvents = tmp("tput_sidx_events")
+    val sidxTextDir = tmp("tput_sidx_text")
+    val sidxVecDir = tmp("tput_sidx_vec")
+    val cdc = spark.readStream
+      .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>, " +
+        "_action STRING, _seq LONG")
+      .json(sidxEvents)
+    val qt = StreamingSearchIndex.startText(
+      cdc.select(col("doc_id"), col("text"), col("_action"), col("_seq")),
+      "doc_id", "text", sidxTextDir, tmp("tput_sidx_ckpt_t"))
+    val qv = StreamingSearchIndex.startVectors(
+      cdc.select(col("doc_id"), col("embedding"), col("_action"), col("_seq")),
+      "doc_id", "embedding", sidxVecDir, tmp("tput_sidx_ckpt_v"),
+      p = graft.operators.IvfIndex.Params(nlist = 16, nprobe = 4))
+    val epochSecs = new Array[Double](sidxEpochs)
+    val t2 = System.nanoTime()
+    var se = 0
+    while (se < sidxEpochs) {
+      val e0 = System.nanoTime()
+      writeSidxEpochFile(sidxEvents, se, sidxPerEpoch, keys = 3000)
+      qt.processAllAvailable()
+      qv.processAllAvailable()
+      epochSecs(se) = (System.nanoTime() - e0) / 1e9
+      se += 1
+    }
+    val sidxSec = (System.nanoTime() - t2) / 1e9
+    qt.stop(); qv.stop()
+    // the loop must leave both layouts live and serveable
+    val textDocs = spark.read.parquet(s"$sidxTextDir/docs")
+      .select(col("doc_id")).distinct().count()
+    val vecIds = spark.read.parquet(s"$sidxVecDir/data")
+      .select(col("id")).distinct().count()
+    require(textDocs > 0 && textDocs <= 3000, s"text index holds $textDocs docs")
+    require(vecIds > 0 && vecIds <= 3000, s"vector index holds $vecIds ids")
+    val sorted = epochSecs.sorted
+    val p95 = sorted(math.min(sorted.length - 1,
+      math.ceil(0.95 * sorted.length).toInt - 1))
+
     val json =
       s"""{"metric":"throughput","ingest_items":$items,""" +
       s""""ingest_sec":${f"$ingestSec%.2f"},""" +
@@ -123,7 +202,13 @@ object ThroughputBench {
       s""""cdc_events":${epochs.toLong * perEpoch},"cdc_epochs":$epochs,""" +
       s""""cdc_sec":${f"$cdcSec%.2f"},""" +
       s""""cdc_events_per_sec":${(epochs.toLong * perEpoch / cdcSec).toLong},""" +
-      s""""cdc_live_keys":$live}"""
+      s""""cdc_live_keys":$live,""" +
+      s""""sidx_events":${sidxEpochs.toLong * sidxPerEpoch},""" +
+      s""""sidx_epochs":$sidxEpochs,""" +
+      s""""sidx_sec":${f"$sidxSec%.2f"},""" +
+      s""""sidx_events_per_sec":${(sidxEpochs.toLong * sidxPerEpoch / sidxSec).toLong},""" +
+      s""""sidx_epoch_p95_sec":${f"$p95%.2f"},""" +
+      s""""sidx_text_docs":$textDocs,"sidx_vec_ids":$vecIds}"""
     println(json)
     Files.writeString(Paths.get("throughput_last.json"), json + "\n")
     spark.stop()

@@ -1136,6 +1136,58 @@ object DslSearch {
         WHERE list_contains(tok, t1) AND list_contains(tok, t2)
           AND n_chars BETWEEN lo AND hi
         ORDER BY doc_id, qid
+      """.stripMargin.trim)),
+
+    // pipeline aggs over a date_histogram series (the q57 shape via
+    // the wire contract): daily event counts, then cumulative_sum,
+    // derivative (day-over-day delta, NULL on the first bucket) and a
+    // 3-bucket moving_avg — windows over the BOUNDED bucket table in
+    // key order, never over the corpus; the heavy lifting stays the
+    // parallel date_trunc groupBy.
+    GraftQuery(
+      "q175_dsl_pipeline_agg",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"day": {"date_histogram":
+               {"field": "ts", "calendar_interval": "day"},
+             "aggs": {
+               "cum_n": {"cumulative_sum": {"buckets_path": "_count"}},
+               "delta": {"derivative": {"buckets_path": "_count"}},
+               "ma3": {"moving_avg": {"buckets_path": "_count", "window": 3}}}}}}"""),
+      Some("""
+        WITH d AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count
+          FROM events GROUP BY 1)
+        SELECT day, doc_count,
+               CAST(SUM(doc_count) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+               doc_count - lag(doc_count, 1) OVER (ORDER BY day) AS delta,
+               CAST(SUM(doc_count) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3
+        FROM d ORDER BY day
+      """.stripMargin.trim)),
+
+    // rare_terms: the long tail — (lang|source) combinations with at
+    // most 3 documents, ascending count (q99's rare half via the wire
+    // contract). One partial-aggregated shuffle; the ceiling filter
+    // runs on the aggregated counts.
+    GraftQuery(
+      "q176_dsl_rare_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("lang_src", concat_ws("|", col("lang"), col("source")))
+        QueryDsl.search(d,
+          """{"query": {"match_all": {}},
+             "aggs": {"combo": {"rare_terms":
+               {"field": "lang_src", "max_doc_count": 3}}}}""")
+      },
+      Some("""
+        SELECT lang || '|' || source AS combo, COUNT(*) AS doc_count
+        FROM documents
+        GROUP BY 1 HAVING COUNT(*) <= 3
+        ORDER BY doc_count, combo
       """.stripMargin.trim))
   )
 }

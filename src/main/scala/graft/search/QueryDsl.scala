@@ -74,8 +74,12 @@ import org.json4s.jackson.JsonMethods
   * `composite` (multi-source buckets with `after` keyset paging,
   * pruned before the groupBy),
   * `range` (overlapping [from, to) buckets), `date_range`
-  * (calendar-anchored [from, to) buckets), `filters` (named
-  * sub-query buckets), `significant_terms`,
+  * (calendar-anchored [from, to) buckets), `rare_terms` (the long
+  * tail at/under `max_doc_count`), `filters` (named
+  * sub-query buckets), `significant_terms`, pipeline aggs over a
+  * histogram/date_histogram series (`cumulative_sum`, `derivative`,
+  * `moving_avg` via `buckets_path`, windows over the bounded bucket
+  * table),
   * global metric aggs, `histogram`, `date_histogram`
   * (calendar_interval day/month), `stats`,
   * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`/`percentiles`
@@ -1815,7 +1819,8 @@ object QueryDsl {
     val (bucketAggs, metricAggs) = entries.partition {
       case (_, JObject(spec)) =>
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
-          "date_range", "significant_terms", "filters", "composite").contains(p._1))
+          "date_range", "rare_terms", "significant_terms", "filters",
+          "composite").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -1827,14 +1832,18 @@ object QueryDsl {
           fail("mixing a bucket agg with top-level metric aggs is unsupported")
         val m = spec.toMap
         val kinds = m.keySet.intersect(Set("terms", "histogram",
-          "date_histogram", "range", "date_range", "significant_terms",
-          "filters", "composite"))
+          "date_histogram", "range", "date_range", "rare_terms",
+          "significant_terms", "filters", "composite"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
         m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
         m.get("date_range").foreach { r =>
           return dateRangeAgg(hits, name, r, m.get("aggs"))
+        }
+        m.get("rare_terms").foreach { r =>
+          if (m.contains("aggs")) fail("rare_terms takes no sub-aggs")
+          return rareTermsAgg(hits, name, r)
         }
         m.get("filters").foreach { fs =>
           return filtersAgg(hits, name, fs, m.get("aggs"))
@@ -1867,10 +1876,18 @@ object QueryDsl {
           }
           return topHitsAgg(hits, name, f, th)
         }
-        val subs: Seq[Column] = m.get("aggs") match {
+        val subEntries: Seq[(String, JValue)] = m.get("aggs") match {
           case None             => Nil
-          case Some(JObject(s)) => s.flatMap { case (subName, subSpec) => metricCols(subName, subSpec) }
+          case Some(JObject(s)) => s
           case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+        }
+        val pipelineKinds = Set("cumulative_sum", "derivative", "moving_avg")
+        val (pipeEntries, metricEntries) = subEntries.partition {
+          case (_, JObject(List((kind, _)))) => pipelineKinds.contains(kind)
+          case _ => false
+        }
+        val subs: Seq[Column] = metricEntries.flatMap {
+          case (subName, subSpec) => metricCols(subName, subSpec)
         }
         val (keyCol, size) = m.collectFirst {
           case ("terms", JObject(t)) =>
@@ -1898,10 +1915,26 @@ object QueryDsl {
             (date_trunc(unit, col(f)).as(name), None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
-        val grouped = hits.groupBy(keyCol)
+        val bucketTable = hits.groupBy(keyCol)
           .agg(count(lit(1)).as("doc_count"), subs: _*)
-          .orderBy(col("doc_count").desc, col(name).asc)
-        size.map(grouped.limit).getOrElse(grouped)
+        if (pipeEntries.isEmpty) {
+          val grouped = bucketTable.orderBy(col("doc_count").desc, col(name).asc)
+          size.map(grouped.limit).getOrElse(grouped)
+        } else {
+          // pipeline aggs run as windows OVER THE BUCKET SERIES — only
+          // defined under a key-ordered parent (the OpenSearch rule:
+          // histogram/date_histogram, never terms), and the output
+          // switches to key order (a cumulative sum over a doc_count-
+          // sorted series would be meaningless). The unpartitioned
+          // windows are safe by construction: they run on the bucket
+          // table, bounded by the value/time range, not the corpus.
+          if (!m.contains("histogram") && !m.contains("date_histogram"))
+            fail("pipeline aggs (cumulative_sum/derivative/moving_avg) " +
+              "require a histogram or date_histogram parent")
+          if (size.isDefined)
+            fail("pipeline aggs cannot be combined with a bucket size limit")
+          withPipelineAggs(bucketTable, name, pipeEntries, metricEntries.map(_._1))
+        }
 
       case _ =>
         // Metric-only: one global aggregation row.
@@ -1988,6 +2021,78 @@ object QueryDsl {
       case _ => fail(s"date_range agg '$name' requires a non-empty ranges array")
     }
     onePassBuckets(hits, name, ranges, subAggs, family = "date_range")
+  }
+
+  /** `rare_terms` bucket agg: the LONG TAIL — field values whose doc
+    * count is at or under `max_doc_count` (the inverse of `terms`'
+    * top-N), ascending count then key (the q99 contract). One
+    * partial-aggregated shuffle; the output is bounded by the
+    * vocabulary, and the filter runs on the aggregated counts, never
+    * a second scan.
+    */
+  private def rareTermsAgg(hits: DataFrame, name: String,
+      spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"rare_terms agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "max_doc_count")).foreach(k =>
+      fail(s"unsupported rare_terms option '$k' in '$name'"))
+    val f = strOpt(m, "field").getOrElse(fail(s"rare_terms agg '$name' needs a field"))
+    val maxDc = intOpt(m, "max_doc_count").getOrElse(1)
+    if (maxDc < 1) fail("rare_terms max_doc_count must be >= 1")
+    hits.groupBy(col(f).as(name))
+      .agg(count(lit(1)).as("doc_count"))
+      .filter(col("doc_count") <= maxDc)
+      .orderBy(col("doc_count").asc, col(name).asc)
+  }
+
+  /** Pipeline aggs over a key-ordered bucket series (`buckets_path`
+    * names a sibling metric agg, or `_count` for the bucket's
+    * doc_count):
+    *  - `cumulative_sum` — running total in bucket-key order;
+    *  - `derivative` — bucket-over-bucket delta (NULL on the first
+    *    bucket, where OpenSearch omits the value);
+    *  - `moving_avg` — exact integer `window`-bucket sum divided by
+    *    the exact frame count (one IEEE divide, engine-portable — the
+    *    q57 recipe).
+    */
+  private def withPipelineAggs(buckets: DataFrame, name: String,
+      pipeEntries: Seq[(String, JValue)],
+      metricNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wKey = Window.orderBy(col(name).asc)
+    val out = pipeEntries.foldLeft(buckets) { case (df, (subName, subSpec)) =>
+      val (kind, body) = subSpec match {
+        case JObject(List((k, JObject(b)))) => (k, b.toMap)
+        case other => fail(s"pipeline agg '$subName' must be {kind: {buckets_path}}: ${render(other)}")
+      }
+      val allowed = if (kind == "moving_avg") Set("buckets_path", "window")
+        else Set("buckets_path")
+      body.keySet.diff(allowed).foreach(k =>
+        fail(s"unsupported $kind option '$k' in '$subName'"))
+      val path = strOpt(body, "buckets_path")
+        .getOrElse(fail(s"pipeline agg '$subName' needs a buckets_path"))
+      val target = if (path == "_count") "doc_count" else path
+      if (!df.columns.contains(target))
+        fail(s"pipeline agg '$subName' buckets_path '$path' names no " +
+          s"sibling metric (have: ${metricNames.mkString(", ")}, _count)")
+      val c = kind match {
+        case "cumulative_sum" =>
+          sum(col(target)).over(
+            wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "derivative" => col(target) - lag(col(target), 1).over(wKey)
+        case "moving_avg" =>
+          val w = intOpt(body, "window").getOrElse(3)
+          if (w < 1) fail("moving_avg window must be >= 1")
+          val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
+          sum(col(target)).over(frame).cast("double") /
+            count(lit(1)).over(frame).cast("double")
+        case other => fail(s"unsupported pipeline agg kind '$other'")
+      }
+      df.withColumn(subName, c)
+    }
+    out.orderBy(col(name).asc)
   }
 
   /** `filters` bucket agg: named, freely-overlapping buckets, each

@@ -959,6 +959,62 @@ class QueryDslSpec extends SparkSpec {
            "bottom_right": {"lat": 10.0, "lon": 10.0}}}}""")   // no lon_field
   }
 
+  test("pipeline aggs: key-ordered windows over the bucket series") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"bucket": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {
+             "sum_chars": {"sum": {"field": "n_chars"}},
+             "cum": {"cumulative_sum": {"buckets_path": "sum_chars"}},
+             "delta": {"derivative": {"buckets_path": "_count"}}}}}}""")
+    val rows = dsl.collect()
+    // key order (not doc_count order), running total strictly increasing
+    val keys = rows.map(_.getLong(0)).toSeq
+    assert(keys === keys.sorted, "pipeline output must be in bucket-key order")
+    val cums = rows.map(r => r.getLong(r.fieldIndex("cum"))).toSeq
+    assert(cums === cums.sorted && cums.last ===
+      rows.map(r => r.getLong(r.fieldIndex("sum_chars"))).sum)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("delta")),
+      "first bucket's derivative is NULL (OpenSearch omits it)")
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"aggs": {"b": {"terms": {"field": "source"},
+           "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""")
+    bad("""{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"c": {"cumulative_sum": {"buckets_path": "nope"}}}}}}""")
+    bad("""{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"c": {"cumulative_sum": {}}}}}}""")      // no path
+    bad("""{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"c": {"moving_avg": {"buckets_path": "_count",
+             "window": 0}}}}}}""")                           // window 0
+    bad("""{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"c": {"derivative": {"buckets_path": "_count",
+             "unit": "day"}}}}}}""")                         // unsupported opt
+  }
+
+  test("rare_terms returns the long tail ascending; validates loudly") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"match_all": {}},
+         "aggs": {"tail": {"rare_terms":
+           {"field": "source", "max_doc_count": 60}}}}""")
+    val rows = dsl.collect()
+    assert(rows.forall(_.getLong(1) <= 60))
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts === counts.sorted, "rare buckets ascend by count")
+    val full = docs.groupBy(col("source")).count()
+      .filter(col("count") <= 60).count()
+    assert(rows.length === full)
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"aggs": {"t": {"rare_terms": {"field": "source",
+           "max_doc_count": 0}}}}""")
+    bad("""{"aggs": {"t": {"rare_terms": {"max_doc_count": 2}}}}""")
+    bad("""{"aggs": {"t": {"rare_terms": {"field": "source"},
+           "aggs": {"m": {"avg": {"field": "n_chars"}}}}}}""")  // sub-aggs
+  }
+
   test("percolate == handwritten q98 reverse search; validates loudly") {
     sameAs("q98_search_percolate", "q174_dsl_percolate")
     def bad(req: String): Unit =
