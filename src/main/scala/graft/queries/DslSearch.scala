@@ -1188,6 +1188,168 @@ object DslSearch {
         FROM documents
         GROUP BY 1 HAVING COUNT(*) <= 3
         ORDER BY doc_count, combo
+      """.stripMargin.trim)),
+
+    // adjacency_matrix: named filters + every pairwise intersection
+    // count (q110's co-occurrence matrix as cell ROWS, OpenSearch's
+    // bucket shape) — one conditional-aggregate pass, one row
+    // reshaped, cells in alphabetical key order.
+    GraftQuery(
+      "q177_dsl_adjacency_matrix",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"m": {"adjacency_matrix": {"filters": {
+             "en": {"term": {"lang": "en"}},
+             "long": {"range": {"n_chars": {"gte": 300}}},
+             "the": {"prefix": {"text": "the "}}}}}}}"""),
+      Some("""
+        WITH b AS (
+          SELECT 0 AS ord, 'en' AS m,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+          FROM documents
+          UNION ALL SELECT 1, 'en&long',
+                 CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL SELECT 2, 'en&the',
+                 CAST(SUM(CASE WHEN lang = 'en' AND text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL SELECT 3, 'long',
+                 CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL SELECT 4, 'long&the',
+                 CAST(SUM(CASE WHEN n_chars >= 300 AND text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents
+          UNION ALL SELECT 5, 'the',
+                 CAST(SUM(CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END) AS BIGINT)
+          FROM documents)
+        SELECT m, doc_count FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // matrix_stats: exact-moment mean/variance/covariance/correlation
+    // of two integral fields (q111's recipe on the wire contract) —
+    // the float finishers divide ORDER-FREE integer sums, so the
+    // result is engine-exact after the 6-dp round.
+    GraftQuery(
+      "q178_dsl_matrix_stats",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        QueryDsl.search(d,
+          """{"query": {"match_all": {}},
+             "aggs": {"ms": {"matrix_stats":
+               {"fields": ["n_chars", "n_tokens"]}}}}""")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+                   FROM documents),
+        m AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM d)
+        SELECT n,
+               round(sx / CAST(n AS DOUBLE), 6) AS mean_n_chars,
+               round(sy / CAST(n AS DOUBLE), 6) AS mean_n_tokens,
+               round((sxx - sx * sx / CAST(n AS DOUBLE)) / n, 6) AS var_n_chars,
+               round((syy - sy * sy / CAST(n AS DOUBLE)) / n, 6) AS var_n_tokens,
+               round((sxy - sx * sy / CAST(n AS DOUBLE)) / n, 6) AS covariance,
+               round(((sxy - sx * sy / CAST(n AS DOUBLE)) / n)
+                 / (sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / n)
+                  * sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / n)), 6) AS correlation
+        FROM m
+      """.stripMargin.trim)),
+
+    // completion suggester: prefix autocomplete ranked by corpus
+    // frequency (q115's shape through the suggest section) — map-side
+    // explode+filter, one partial-agg shuffle of prefix-matching
+    // tokens only, bounded top-k.
+    GraftQuery(
+      "q179_dsl_completion_suggest",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"suggest": {"autocomplete": {
+             "prefix": "c",
+             "completion": {"field": "text", "size": 10, "min_length": 3}}}}"""),
+      Some("""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        SELECT term, COUNT(*) AS freq FROM t
+        WHERE term LIKE 'c%' AND len(term) >= 3
+        GROUP BY term ORDER BY freq DESC, term LIMIT 10
+      """.stripMargin.trim)),
+
+    // match_bool_prefix: bag-of-terms type-ahead — 'spark' and 'join'
+    // as full terms, 'win' as a token prefix; score = full-term
+    // overlap + prefix hit, or-semantics gate (msm 1). Pure codegen.
+    GraftQuery(
+      "q180_dsl_match_bool_prefix",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_bool_prefix": {"text": "spark join win"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark','join']))
+              + CASE WHEN len(list_filter(string_split(text, ' '),
+                       x -> x LIKE 'win%')) > 0 THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM t
+        WHERE score >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // geo_grid agg under a geo_distance query — q125's 15°-cell grid
+    // over the deterministic synthetic points, via the wire contract:
+    // radius filter first (map-only), then one partial-aggregated
+    // groupBy on the two floor-divided cell keys.
+    GraftQuery(
+      "q181_dsl_geo_grid",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pts = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
+            / lit(1000.0) - lit(90.0)).as("lat"),
+          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
+            / lit(1000.0) - lit(180.0)).as("lon"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_distance": {
+               "distance_km": 5000.0,
+               "lat_field": "lat", "lon_field": "lon",
+               "origin": {"lat": 40.0, "lon": -74.0}}},
+             "aggs": {"cell": {"geo_grid": {
+                 "lat_field": "lat", "lon_field": "lon", "cell_deg": 15.0},
+               "aggs": {"min_key": {"min": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        d AS (
+          SELECT c_custkey, lat, lon,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((lat - 40.0) * pi() / 180.0 / 2.0) * sin((lat - 40.0) * pi() / 180.0 / 2.0)
+                   + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)
+                     * sin((lon + 74.0) * pi() / 180.0 / 2.0) * sin((lon + 74.0) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM pts)
+        SELECT CAST(floor(lat / 15.0) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / 15.0) AS BIGINT) AS cell_lon,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MIN(c_custkey) AS min_key
+        FROM d
+        WHERE dist_km <= 5000.0
+        GROUP BY 1, 2
+        ORDER BY cell_lat, cell_lon
       """.stripMargin.trim))
   )
 }

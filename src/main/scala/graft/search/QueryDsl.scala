@@ -23,7 +23,9 @@ import org.json4s.jackson.JsonMethods
   * (`*`/`?`), `exists`, `match` (whitespace tokens, score = number of
   * distinct query terms present, `minimum_should_match` supported),
   * `match_phrase` (token-boundary substring), `match_phrase_prefix`
-  * (search-as-you-type), `match_all`, `bool` (must / filter / must_not
+  * (search-as-you-type), `match_bool_prefix` (bag-of-terms
+  * type-ahead: full terms + a prefix on the last token),
+  * `match_all`, `bool` (must / filter / must_not
   * / should with `minimum_should_match`), `constant_score`, `fuzzy`
   * (token edit distance, `fuzziness`/`prefix_length`), `terms_set`,
   * `dis_max` (`tie_breaker`), `boosting` (`negative_boost`),
@@ -49,8 +51,9 @@ import org.json4s.jackson.JsonMethods
   * (positional postings, ordered or not), `percolate` (reverse
   * search: an inline stored-query registry compiled to map-side
   * predicates, the q98 contract), the `suggest` section
-  * (term suggester — the q117 banded levenshtein vocab walk — and
-  * the two-word phrase suggester — q121's bigram-evidence re-rank),
+  * (term suggester — the q117 banded levenshtein vocab walk —, the
+  * two-word phrase suggester — q121's bigram-evidence re-rank — and
+  * the completion suggester — q115's prefix autocomplete),
   * and the `knn` request (exact filtered cosine top-k of an inline
   * vector by the integer-quantize recipe, the q75 contract — or,
   * with an `index` arm, served from the partition-pruned IVF layout).
@@ -76,7 +79,11 @@ import org.json4s.jackson.JsonMethods
   * `range` (overlapping [from, to) buckets), `date_range`
   * (calendar-anchored [from, to) buckets), `rare_terms` (the long
   * tail at/under `max_doc_count`), `filters` (named
-  * sub-query buckets), `significant_terms`, pipeline aggs over a
+  * sub-query buckets), `significant_terms`, `adjacency_matrix`
+  * (pairwise filter-intersection counts, one pass),
+  * `matrix_stats` (exact-moment mean/variance/covariance/correlation
+  * of two integral fields), `geo_grid` (fixed-degree lat/lon cells),
+  * pipeline aggs over a
   * histogram/date_histogram series (`cumulative_sum`, `derivative`,
   * `moving_avg` via `buckets_path`, windows over the bounded bucket
   * table),
@@ -142,6 +149,7 @@ object QueryDsl {
       case "match"        => matchClause(body)
       case "match_phrase" => phraseClause(body)
       case "match_phrase_prefix" => phrasePrefixClause(body)
+      case "match_bool_prefix"   => matchBoolPrefixClause(body)
       case "bool"           => boolClause(body)
       case "constant_score" => constantScoreClause(body)
       case "fuzzy"          => fuzzyClause(body)
@@ -387,6 +395,49 @@ object QueryDsl {
       val padded = concat(lit(" "), col(f), lit(" "))
       CompiledQuery(padded.contains(s" $phrase"), lit(1L))
     case other => fail(s"match_phrase_prefix requires {field: phrase}: ${render(other)}")
+  }
+
+  /** `match_bool_prefix`: type-ahead over a bag of terms — every
+    * token but the LAST matches as a full term, the last as a token
+    * PREFIX (OpenSearch builds a bool of term shoulds plus a prefix
+    * on the final token). Score = distinct full-term overlap + 1 when
+    * any token starts with the prefix; `minimum_should_match` gates
+    * the predicate (default 1 — the or-semantics default). Pure
+    * codegen: one split + intersect + higher-order exists.
+    */
+  private def matchBoolPrefixClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, spec))) =>
+      val (queryText, msm) = spec match {
+        case JString(s) => (s, 1L)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("query", "minimum_should_match")).foreach(k =>
+            fail(s"unsupported match_bool_prefix option '$k' on '$f'"))
+          val q = strOpt(m, "query")
+            .getOrElse(fail(s"match_bool_prefix on '$f' requires a string 'query'"))
+          val n = m.get("minimum_should_match") match {
+            case Some(JInt(i)) => i.toLong
+            case None          => 1L
+            case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
+          }
+          (q, n)
+        case other => fail(s"match_bool_prefix body must be string or object: ${render(other)}")
+      }
+      val toks = queryText.trim.split("\\s+").toSeq
+      if (toks.isEmpty || toks == Seq(""))
+        fail(s"match_bool_prefix on '$f' has an empty query")
+      val full = toks.init.distinct
+      val last = toks.last
+      val fieldToks = split(col(f), " ")
+      val overlap =
+        if (full.isEmpty) lit(0L)
+        else size(array_intersect(array_distinct(fieldToks),
+          array(full.map(lit): _*))).cast("long")
+      val prefixHit =
+        when(exists(fieldToks, t => t.startsWith(last)), 1L).otherwise(0L)
+      val score = overlap + prefixHit
+      CompiledQuery(score >= lit(msm), score)
+    case other => fail(s"match_bool_prefix requires {field: query}: ${render(other)}")
   }
 
   /** `terms_set`: like `terms` but with a required-match count — score =
@@ -1222,8 +1273,17 @@ object QueryDsl {
     val (name, text, spec) = sugg match {
       case JObject(List((n, JObject(body)))) =>
         val m = body.toMap
-        m.keySet.diff(Set("text", "term", "phrase")).foreach(k =>
-          fail(s"unsupported suggester option '$k' in '$n'"))
+        m.keySet.diff(Set("text", "term", "phrase", "prefix", "completion"))
+          .foreach(k => fail(s"unsupported suggester option '$k' in '$n'"))
+        m.get("completion").foreach { c =>
+          if (m.contains("term") || m.contains("phrase") || m.contains("text"))
+            fail(s"suggester '$n' mixes completion with term/phrase/text")
+          val p = strOpt(m, "prefix")
+            .getOrElse(fail(s"completion suggester '$n' requires a prefix"))
+          return completionSuggestRequest(table, n, p, c)
+        }
+        if (m.contains("prefix"))
+          fail(s"suggester '$n': prefix belongs to the completion suggester")
         val t = strOpt(m, "text")
           .getOrElse(fail(s"suggester '$n' requires a text"))
         m.get("phrase").foreach { p =>
@@ -1263,6 +1323,36 @@ object QueryDsl {
       .filter(col("rank") <= size)
       .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
       .orderBy(col("q"), col("rank"))
+  }
+
+  /** `suggest` section, `completion` suggester: search-box
+    * autocomplete — the top-`size` corpus tokens starting with
+    * `prefix`, ranked by frequency then term (the q115 contract;
+    * tokens shorter than `min_length` are noise-pruned). Map-side
+    * explode+filter, one partial-agg shuffle of only prefix-matching
+    * tokens, bounded top-k — the term-frequency table a real
+    * deployment materializes is exactly `etl.SearchIndex`'s postings.
+    * Output rows: (term, freq) ordered (freq desc, term).
+    */
+  private def completionSuggestRequest(table: DataFrame, name: String,
+      prefix: String, spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"completion suggester '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "size", "min_length")).foreach(k =>
+      fail(s"unsupported completion-suggester option '$k' in '$name'"))
+    val f = strOpt(m, "field")
+      .getOrElse(fail(s"completion suggester '$name' needs a field"))
+    val size = intOpt(m, "size").getOrElse(10)
+    val minLen = intOpt(m, "min_length").getOrElse(1)
+    if (prefix.isEmpty) fail(s"completion suggester '$name' has an empty prefix")
+    if (size < 1) fail("completion size must be >= 1")
+    table.select(explode(split(col(f), " ")).as("term"))
+      .filter(col("term").startsWith(prefix) && length(col("term")) >= minLen)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(size)
   }
 
   /** `suggest` section, `phrase` suggester: whole-phrase spell
@@ -1820,7 +1910,8 @@ object QueryDsl {
       case (_, JObject(spec)) =>
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
           "date_range", "rare_terms", "significant_terms", "filters",
-          "composite").contains(p._1))
+          "composite", "adjacency_matrix", "matrix_stats", "geo_grid")
+          .contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -1833,7 +1924,8 @@ object QueryDsl {
         val m = spec.toMap
         val kinds = m.keySet.intersect(Set("terms", "histogram",
           "date_histogram", "range", "date_range", "rare_terms",
-          "significant_terms", "filters", "composite"))
+          "significant_terms", "filters", "composite", "adjacency_matrix",
+          "matrix_stats", "geo_grid"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -1844,6 +1936,16 @@ object QueryDsl {
         m.get("rare_terms").foreach { r =>
           if (m.contains("aggs")) fail("rare_terms takes no sub-aggs")
           return rareTermsAgg(hits, name, r)
+        }
+        m.get("adjacency_matrix").foreach { a =>
+          return adjacencyMatrixAgg(hits, name, a, m.get("aggs"))
+        }
+        m.get("matrix_stats").foreach { ms =>
+          if (m.contains("aggs")) fail("matrix_stats takes no sub-aggs")
+          return matrixStatsAgg(hits, name, ms)
+        }
+        m.get("geo_grid").foreach { g =>
+          return geoGridAgg(hits, name, g, m.get("aggs"))
         }
         m.get("filters").foreach { fs =>
           return filtersAgg(hits, name, fs, m.get("aggs"))
@@ -2045,6 +2147,122 @@ object QueryDsl {
       .agg(count(lit(1)).as("doc_count"))
       .filter(col("doc_count") <= maxDc)
       .orderBy(col("doc_count").asc, col(name).asc)
+  }
+
+  /** `adjacency_matrix` bucket agg: named filters plus the document
+    * count of every pairwise intersection (the co-occurrence-heatmap
+    * agg — the q110 contract). Cells are keyed `a` / `a&b` in
+    * alphabetical key order, exactly OpenSearch's response order.
+    * Every cell is one conditional aggregate in a SINGLE global
+    * aggregation row (the one-pass filtered-bucket machinery) — no
+    * joins, no explode of the corpus, one partial-agg shuffle of one
+    * row reshaped to cell rows.
+    */
+  private def adjacencyMatrixAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"adjacency_matrix '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("filters")).foreach(k =>
+      fail(s"unsupported adjacency_matrix option '$k' in '$name'"))
+    val named: Seq[(String, Column)] = m.get("filters") match {
+      case Some(JObject(fs)) if fs.size >= 2 =>
+        fs.map { case (fname, q) =>
+          if (fname.contains("&"))
+            fail(s"adjacency_matrix filter name '$fname' may not contain '&' " +
+              "(the intersection-key separator)")
+          (fname, compileQuery(q).pred)
+        }
+      case _ => fail(s"adjacency_matrix '$name' requires >= 2 keyed filters")
+    }
+    val sorted = named.sortBy(_._1)
+    val cells: Seq[(Column, String)] = for {
+      (i, (an, ac)) <- sorted.zipWithIndex.map(_.swap)
+      (bn, bc) <- sorted.drop(i)
+    } yield (if (an == bn) (ac, an) else (ac && bc, s"$an&$bn"))
+    onePassBuckets(hits, name, cells, subAggs, family = "adjacency_matrix")
+  }
+
+  /** `matrix_stats` agg: count/mean/variance/covariance/correlation
+    * between exactly two INTEGRAL fields (the q111 contract). Every
+    * moment derives from exact integer sums (Σx, Σy, Σx², Σy², Σxy —
+    * order-free), so the final float divisions/sqrt are deterministic
+    * in any engine; round(·, 6) absorbs the last-op ulp. Non-integral
+    * fields fail loud — a float input would make the sums
+    * order-sensitive and the gate flaky. One partial-agg shuffle of
+    * one row.
+    */
+  private def matrixStatsAgg(hits: DataFrame, name: String,
+      spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"matrix_stats '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("fields")).foreach(k =>
+      fail(s"unsupported matrix_stats option '$k' in '$name'"))
+    val (fx, fy) = m.get("fields") match {
+      case Some(JArray(List(JString(a), JString(b)))) => (a, b)
+      case _ => fail(s"matrix_stats '$name' requires fields: [exactly two fields]")
+    }
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(fx, fy).foreach { f =>
+      val dt = hits.schema.find(_.name == f)
+        .getOrElse(fail(s"matrix_stats field '$f' does not exist")).dataType
+      if (!Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt))
+        fail(s"matrix_stats field '$f' must be integral (got $dt): float " +
+          "inputs make the moment sums order-sensitive")
+    }
+    val (x, y) = (col(fx).cast("long"), col(fy).cast("long"))
+    val moments = hits.agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val n = col("n").cast("double")
+    val varX = (col("sxx") - col("sx") * col("sx") / n) / n
+    val varY = (col("syy") - col("sy") * col("sy") / n) / n
+    val covXY = (col("sxy") - col("sx") * col("sy") / n) / n
+    moments.select(col("n"),
+      round(col("sx") / n, 6).as(s"mean_$fx"),
+      round(col("sy") / n, 6).as(s"mean_$fy"),
+      round(varX, 6).as(s"var_$fx"),
+      round(varY, 6).as(s"var_$fy"),
+      round(covXY, 6).as("covariance"),
+      round(covXY / (sqrt(varX) * sqrt(varY)), 6).as("correlation"))
+  }
+
+  /** `geo_grid` bucket agg: fixed-degree lat/lon cells (the
+    * geotile/geohash-grid idea expressed over the engine's named
+    * lat/lon columns — the q125 contract): one groupBy on the two
+    * floor-divided cell keys with doc_count + metric sub-aggs,
+    * ordered (cell_lat, cell_lon). One partial-aggregated shuffle
+    * bounded by the cell count.
+    */
+  private def geoGridAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"geo_grid '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("lat_field", "lon_field", "cell_deg")).foreach(k =>
+      fail(s"unsupported geo_grid option '$k' in '$name'"))
+    val latF = strOpt(m, "lat_field").getOrElse(fail("geo_grid requires lat_field"))
+    val lonF = strOpt(m, "lon_field").getOrElse(fail("geo_grid requires lon_field"))
+    val cell = m.get("cell_deg") match {
+      case Some(JDouble(d)) if d > 0  => d
+      case Some(JInt(i)) if i > 0     => i.toDouble
+      case Some(JDecimal(d)) if d > 0 => d.toDouble
+      case _ => fail("geo_grid requires a positive numeric cell_deg")
+    }
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp) }
+      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    hits.groupBy(floor(col(latF) / lit(cell)).as(s"${name}_lat"),
+        floor(col(lonF) / lit(cell)).as(s"${name}_lon"))
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .orderBy(col(s"${name}_lat"), col(s"${name}_lon"))
   }
 
   /** Pipeline aggs over a key-ordered bucket series (`buckets_path`

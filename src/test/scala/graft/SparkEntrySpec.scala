@@ -48,7 +48,8 @@ class SparkEntrySpec extends SparkSpec {
     // whose result is ONE row by construction (global aggregates)
     val singleRowByConstruction = Set(
       "q110_search_adjacency_matrix", "q111_search_matrix_stats",
-      "q124_search_multi_term", "q158_dsl_percentiles")
+      "q124_search_multi_term", "q158_dsl_percentiles",
+      "q178_dsl_matrix_stats")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

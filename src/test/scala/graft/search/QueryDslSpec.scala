@@ -1015,6 +1015,103 @@ class QueryDslSpec extends SparkSpec {
            "aggs": {"m": {"avg": {"field": "n_chars"}}}}}}""")  // sub-aggs
   }
 
+  test("adjacency_matrix: pairwise intersection cells, one pass") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"match_all": {}},
+         "aggs": {"m": {"adjacency_matrix": {"filters": {
+           "en": {"term": {"lang": "en"}},
+           "short": {"range": {"n_chars": {"lt": 250}}}}}}}}""")
+    val rows = dsl.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("en", "en&short", "short"))
+    val en = docs.filter(col("lang") === "en").count()
+    val short = docs.filter(col("n_chars") < 250).count()
+    val both = docs.filter(col("lang") === "en" && col("n_chars") < 250).count()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(en, both, short))
+    // one pass: a single aggregate, no join
+    val plan = dsl.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"adjacency_matrix must not join:\n${plan.take(1500)}")
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"aggs": {"m": {"adjacency_matrix": {"filters": {
+           "only": {"term": {"lang": "en"}}}}}}}""")          // < 2 filters
+    bad("""{"aggs": {"m": {"adjacency_matrix": {"filters": {
+           "a&b": {"term": {"lang": "en"}},
+           "c": {"term": {"lang": "fr"}}}}}}}""")             // '&' in name
+  }
+
+  test("matrix_stats: exact moments; float fields fail loud") {
+    val d = docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val row = QueryDsl.search(d,
+      """{"query": {"match_all": {}},
+         "aggs": {"ms": {"matrix_stats": {"fields": ["n_chars", "n_tokens"]}}}}""")
+      .collect().head
+    val n = d.count()
+    assert(row.getLong(0) === n)
+    val meanChars = d.agg(sum(col("n_chars"))).collect().head.getLong(0).toDouble / n
+    assert(math.abs(row.getDouble(1) - meanChars) < 1e-6)
+    // correlation of chars vs tokens must be strongly positive
+    assert(row.getDouble(6) > 0.5, s"corr = ${row.getDouble(6)}")
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(
+        d.withColumn("f", col("n_chars").cast("double")), req))
+    bad("""{"aggs": {"ms": {"matrix_stats": {"fields": ["n_chars", "f"]}}}}""")
+    bad("""{"aggs": {"ms": {"matrix_stats": {"fields": ["n_chars"]}}}}""")
+    bad("""{"aggs": {"ms": {"matrix_stats": {"fields": ["n_chars", "nope"]}}}}""")
+    bad("""{"aggs": {"ms": {"matrix_stats": {"fields": ["n_chars", "n_tokens"]},
+           "aggs": {"a": {"avg": {"field": "n_chars"}}}}}}""")
+  }
+
+  test("completion suggester == handwritten q115 autocomplete") {
+    val hand = graft.Registry.byName("q115_search_suggest").run(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dsl = QueryDsl.search(docs,
+      """{"suggest": {"s": {"prefix": "c",
+           "completion": {"field": "text", "size": 10, "min_length": 3}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dsl === hand)
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"suggest": {"s": {"prefix": "c", "text": "x",
+           "completion": {"field": "text"}}}}""")     // mixes with text
+    bad("""{"suggest": {"s": {"completion": {"field": "text"}}}}""") // no prefix
+    bad("""{"suggest": {"s": {"prefix": "c",
+           "term": {"field": "text"}}}}""")           // prefix on term suggester
+    bad("""{"suggest": {"s": {"prefix": "",
+           "completion": {"field": "text"}}}}""")     // empty prefix
+  }
+
+  test("match_bool_prefix scores full terms plus the last-token prefix") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"match_bool_prefix": {"text": "spark join win"}},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["doc_id", "score"]}""")
+    val toks = split(col("text"), " ")
+    val score = (size(array_intersect(array_distinct(toks),
+        array(lit("spark"), lit("join")))).cast("long") +
+      when(exists(toks, t => t.startsWith("win")), 1L).otherwise(0L))
+    val hand = docs.withColumn("score", score).filter(col("score") >= 1)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+    assert(dsl.collect().toSeq === hand.collect().toSeq)
+    assertThrows[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"match_bool_prefix": {"text": "  "}}}"""))
+    assertThrows[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"match_bool_prefix": {"text":
+           {"query": "a b", "fuzziness": 1}}}}"""))
+  }
+
+  test("geo_grid validates its body loudly") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"aggs": {"g": {"geo_grid": {"lat_field": "a", "lon_field": "b",
+           "cell_deg": 0}}}}""")
+    bad("""{"aggs": {"g": {"geo_grid": {"lon_field": "b", "cell_deg": 5}}}}""")
+    bad("""{"aggs": {"g": {"geo_grid": {"lat_field": "a", "lon_field": "b",
+           "cell_deg": 5, "precision": 4}}}}""")
+  }
+
   test("percolate == handwritten q98 reverse search; validates loudly") {
     sameAs("q98_search_percolate", "q174_dsl_percolate")
     def bad(req: String): Unit =
