@@ -1350,6 +1350,82 @@ object DslSearch {
         WHERE dist_km <= 5000.0
         GROUP BY 1, 2
         ORDER BY cell_lat, cell_lon
+      """.stripMargin.trim)),
+
+    // _geo_distance sort: nearest-first over the deterministic
+    // synthetic points (the 6-dp haversine recipe shared with the
+    // geo_distance query, so query and sort can never drift),
+    // c_custkey tie-break for totality.
+    GraftQuery(
+      "q182_dsl_geo_sort",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val pts = Tables.load(s, dir, "customer").select(
+          col("c_custkey"),
+          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
+            / lit(1000.0) - lit(90.0)).as("lat"),
+          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
+            / lit(1000.0) - lit(180.0)).as("lon"))
+        QueryDsl.search(pts,
+          """{"query": {"match_all": {}},
+             "sort": [
+               {"_geo_distance": {"lat_field": "lat", "lon_field": "lon",
+                 "origin": {"lat": 40.0, "lon": -74.0}, "order": "asc"}},
+               "c_custkey"],
+             "size": 20,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        d AS (
+          SELECT c_custkey, lat, lon,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((lat - 40.0) * pi() / 180.0 / 2.0) * sin((lat - 40.0) * pi() / 180.0 / 2.0)
+                   + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)
+                     * sin((lon + 74.0) * pi() / 180.0 / 2.0) * sin((lon + 74.0) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM pts)
+        SELECT c_custkey, lat, lon FROM d
+        ORDER BY dist_km, c_custkey
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // min_score + term-level boosts: should clauses where en counts
+    // double and src3 triple (integer boosts in the expanded term
+    // form), gated by the integer relevance floor — hits under score
+    // 3 drop even though they matched the bool.
+    GraftQuery(
+      "q183_dsl_min_score_boost",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {"should": [
+             {"term": {"lang": {"value": "en", "boost": 2}}},
+             {"match": {"text": "spark"}},
+             {"term": {"source": {"value": "src3", "boost": 3}}}],
+             "minimum_should_match": 1}},
+           "min_score": 3,
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 50,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST((CASE WHEN lang = 'en' THEN 2 ELSE 0 END)
+               + (CASE WHEN list_contains(list_distinct(string_split(text, ' ')), 'spark')
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN source = 'src3' THEN 3 ELSE 0 END) AS BIGINT) AS score,
+            (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(list_distinct(string_split(text, ' ')), 'spark')
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS matched
+          FROM documents)
+        SELECT doc_id, score FROM t
+        WHERE matched >= 1 AND score >= 3
+        ORDER BY score DESC, doc_id
+        LIMIT 50
       """.stripMargin.trim))
   )
 }

@@ -67,7 +67,9 @@ import org.json4s.jackson.JsonMethods
   * so cross-engine comparison is exact — no float tie ambiguity.
   *
   * Request level: `query`, `sort` (field names or `{field: {order}}`,
-  * `_score` sorts by the computed score), `from`/`size`,
+  * `_score` sorts by the computed score, `_geo_distance` by the
+  * deterministic haversine to an origin), `min_score` (integer
+  * relevance floor), `from`/`size`,
   * `search_after` (keyset paging over the declared sort), `_source`
   * (projection; the name `score` selects the computed score),
   * `highlight` (tag-wrapped fragment column, q46 contract),
@@ -183,6 +185,20 @@ object QueryDsl {
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
     body match {
+      // expanded term form: {"term": {f: {"value": v, "boost": n}}} —
+      // an integer boost scores n instead of 1 (float boosts fail
+      // loud, the exact scoring model)
+      case JObject(List((f, JObject(opts)))) if !multi && opts.exists(_._1 == "value") =>
+        val m = opts.toMap
+        m.keySet.diff(Set("value", "boost")).foreach(k =>
+          fail(s"unsupported term option '$k' on '$f'"))
+        val boost = m.get("boost") match {
+          case Some(JInt(b)) if b >= 1 => b.toLong
+          case None                    => 1L
+          case Some(other) =>
+            fail(s"term boost must be a positive integer (exact scoring): ${render(other)}")
+        }
+        CompiledQuery(col(f) === litOf(m("value")), lit(boost))
       case JObject(List((f, v))) =>
         val pred =
           if (multi) v match {
@@ -1033,16 +1049,25 @@ object QueryDsl {
              .getOrElse(fail("origin requires lon")))
         case _ => fail("geo_distance requires origin: {lat, lon}")
       }
-      val pi = lit(math.Pi)
-      val sdlat = sin((col(latF) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
-      val sdlon = sin((col(lonF) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
-      val dist = round(
-        lit(12742.0176) * asin(sqrt(
-          sdlat * sdlat +
-            cos(lit(latQ) * pi / lit(180.0)) * cos(col(latF) * pi / lit(180.0)) *
-              sdlon * sdlon)), 6)
-      CompiledQuery(dist <= lit(radius), lit(1L))
+      CompiledQuery(haversineKm(latF, lonF, latQ, lonQ) <= lit(radius), lit(1L))
     case other => fail(s"geo_distance requires an object body: ${render(other)}")
+  }
+
+  /** The engine's ONE haversine: 6-dp-rounded km distance from a
+    * fixed origin, one IEEE expression with fixed operand order (the
+    * q125 determinism recipe) — shared by the `geo_distance` query
+    * and the `_geo_distance` sort so the two can never drift.
+    */
+  private def haversineKm(latF: String, lonF: String,
+      latQ: Double, lonQ: Double): Column = {
+    val pi = lit(math.Pi)
+    val sdlat = sin((col(latF) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
+    val sdlon = sin((col(lonF) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
+    round(
+      lit(12742.0176) * asin(sqrt(
+        sdlat * sdlat +
+          cos(lit(latQ) * pi / lit(180.0)) * cos(col(latF) * pi / lit(180.0)) *
+            sdlon * sdlon)), 6)
   }
 
   /** `geo_bounding_box`: hits inside an axis-aligned lat/lon box —
@@ -1535,7 +1560,7 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after", "suggest", "highlight", "knn", "collapse"))
+        "search_after", "suggest", "highlight", "knn", "collapse", "min_score"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     // `knn` requests return the ranked neighbor table; the ranking IS
@@ -1566,6 +1591,8 @@ object QueryDsl {
           fail("highlight cannot be combined with more_like_this")
         if (req.contains("collapse"))
           fail("collapse cannot be combined with more_like_this")
+        if (req.contains("min_score"))
+          fail("min_score cannot be combined with more_like_this")
         return hitPipeline(moreLikeThisRequest(table, body), req)
       case Some(JObject(List(("span_near", body)))) =>
         if (req.contains("aggs"))
@@ -1574,12 +1601,30 @@ object QueryDsl {
           fail("highlight cannot be combined with span_near")
         if (req.contains("collapse"))
           fail("collapse cannot be combined with span_near")
+        if (req.contains("min_score"))
+          fail("min_score cannot be combined with span_near")
         return hitPipeline(spanNearRequest(table, body), req)
       case Some(JObject(List(("percolate", body)))) =>
-        Seq("aggs", "highlight", "collapse").filter(req.contains).foreach(k =>
-          fail(s"$k cannot be combined with percolate"))
+        Seq("aggs", "highlight", "collapse", "min_score")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with percolate"))
         return hitPipeline(percolateRequest(table, body), req)
       case _ => ()
+    }
+
+    // `min_score`: drop hits scoring under the floor (the OpenSearch
+    // relevance cutoff). The engine's scores are exact LONGs, so the
+    // floor is an integer — a float floor would reintroduce the tie
+    // ambiguity the integer model exists to kill. Applies to the hit
+    // path only (with aggs the foreground set is the query's, fail
+    // loud rather than silently re-defining it).
+    val minScore: Option[Long] = req.get("min_score").map {
+      case JInt(ms) => ms.toLong
+      case other    => fail(s"min_score must be an integer: ${render(other)}")
+    }
+    minScore.foreach { _ =>
+      if (req.contains("aggs")) fail("min_score applies to hits, not aggs")
+      if (!req.contains("query")) fail("min_score requires a query")
     }
 
     val compiled = req.get("query").map(compileQuery)
@@ -1597,7 +1642,11 @@ object QueryDsl {
         compileAggs(table, filtered.withColumn("score", compiled.score),
           compiled.pred, aggs)
       case None =>
-        val scored = filtered.withColumn("score", compiled.score)
+        val scored0 = filtered.withColumn("score", compiled.score)
+        val scored = minScore match {
+          case None     => scored0
+          case Some(ms) => scored0.filter(col("score") >= lit(ms))
+        }
         val lit0 = req.get("highlight") match {
           case None    => scored
           case Some(h) => withHighlight(scored, req.getOrElse("query",
@@ -1836,7 +1885,9 @@ object QueryDsl {
     }
 
   /** Sort spec as (field, asc|desc) pairs — shared by orderBy and the
-    * search_after keyset predicate.
+    * search_after keyset predicate. `_geo_distance` is orderBy-only
+    * (a computed key has no keyset-cursor value), so it fails loud
+    * here and is handled in [[sortCols]].
     */
   private def parseSort(sort: JValue): Seq[(String, String)] = {
     def one(v: JValue): (String, String) = v match {
@@ -1852,14 +1903,64 @@ object QueryDsl {
       case JArray(entries) => entries.map(one)
       case single          => Seq(one(single))
     }
-    spec.foreach { case (_, ord) =>
+    spec.foreach { case (f, ord) =>
+      if (f == "_geo_distance")
+        fail("_geo_distance sorts hits only (search_after has no cursor " +
+          "value for a computed key)")
       if (ord != "asc" && ord != "desc") fail(s"sort order must be asc|desc, got '$ord'")
     }
     spec
   }
 
-  private def sortCols(sort: JValue): Seq[Column] =
-    parseSort(sort).map { case (f, ord) => sortField(f, ord) }
+  private def sortCols(sort: JValue): Seq[Column] = {
+    def one(v: JValue): Column = v match {
+      case JObject(List(("_geo_distance", JObject(opts)))) =>
+        geoDistanceSortCol(opts.toMap)
+      case other =>
+        val Seq((f, ord)) = parseSort(other)
+        sortField(f, ord)
+    }
+    sort match {
+      case JArray(entries) => entries.map(one)
+      case single          => Seq(one(single))
+    }
+  }
+
+  /** `_geo_distance` sort entry: order hits by haversine distance to
+    * an origin over named lat/lon columns — the same deterministic
+    * 6-dp-rounded recipe as the `geo_distance` query (q125), so the
+    * ordering is engine-portable; callers add an id tie-break for
+    * totality, like any other sort.
+    */
+  private def geoDistanceSortCol(m: Map[String, JValue]): Column = {
+    m.keySet.diff(Set("lat_field", "lon_field", "origin", "order")).foreach(k =>
+      fail(s"unsupported _geo_distance sort option '$k'"))
+    val latF = strOpt(m, "lat_field")
+      .getOrElse(fail("_geo_distance sort requires lat_field"))
+    val lonF = strOpt(m, "lon_field")
+      .getOrElse(fail("_geo_distance sort requires lon_field"))
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other       => fail(s"$what must be numeric: ${render(other)}")
+    }
+    val (latQ, lonQ) = m.get("origin") match {
+      case Some(JObject(o)) =>
+        val om = o.toMap
+        (om.get("lat").map(num(_, "origin.lat"))
+           .getOrElse(fail("origin requires lat")),
+         om.get("lon").map(num(_, "origin.lon"))
+           .getOrElse(fail("origin requires lon")))
+      case _ => fail("_geo_distance sort requires origin: {lat, lon}")
+    }
+    val dist = haversineKm(latF, lonF, latQ, lonQ)
+    strOpt(m, "order").getOrElse("asc") match {
+      case "asc"  => dist.asc
+      case "desc" => dist.desc
+      case other  => fail(s"sort order must be asc|desc, got '$other'")
+    }
+  }
 
   /** Lexicographic "strictly after this sort key" predicate:
     * OR over k of (equal on keys before k AND strictly past on key k).

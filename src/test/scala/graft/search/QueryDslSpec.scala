@@ -1112,6 +1112,36 @@ class QueryDslSpec extends SparkSpec {
            "cell_deg": 5, "precision": 4}}}}""")
   }
 
+  test("min_score, term boosts and _geo_distance sort validate loudly") {
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"query": {"match_all": {}}, "min_score": 1.5}""")   // float floor
+    bad("""{"min_score": 1}""")                                 // no query
+    bad("""{"query": {"term": {"lang": "en"}}, "min_score": 1,
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}}""")      // with aggs
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+           "like": {"doc_id": 7}}}, "min_score": 1,
+         "sort": ["doc_id"]}""")                                // with mlt
+    bad("""{"query": {"term": {"lang": {"value": "en",
+           "boost": 1.5}}}}""")                                 // float boost
+    bad("""{"query": {"term": {"lang": {"value": "en",
+           "boost": 0}}}}""")                                   // boost < 1
+    bad("""{"query": {"term": {"lang": {"value": "en",
+           "case_insensitive": true}}}}""")                     // bad option
+    bad("""{"query": {"match_all": {}},
+         "sort": [{"_geo_distance": {"lat_field": "a",
+           "origin": {"lat": 0, "lon": 0}}}]}""")               // no lon_field
+    bad("""{"query": {"match_all": {}},
+         "sort": [{"_geo_distance": {"lat_field": "a", "lon_field": "b",
+           "origin": {"lat": 0, "lon": 0}}}],
+         "search_after": [5]}""")                               // geo cursor
+    // min_score keeps only hits at/over the integer floor
+    val hits = QueryDsl.search(docs,
+      """{"query": {"match": {"text": "spark join"}}, "min_score": 2,
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""").collect()
+    assert(hits.nonEmpty && hits.forall(_.getLong(1) >= 2L))
+  }
+
   test("percolate == handwritten q98 reverse search; validates loudly") {
     sameAs("q98_search_percolate", "q174_dsl_percolate")
     def bad(req: String): Unit =
