@@ -44,7 +44,12 @@ object ScaleBench {
       // LM/importance/classifier scorers: the count tables grow with
       // the (perturbation-multiplied) vocabulary, the classifier is
       // pure map + one agg — all three must stay ~linear in rows
-      "q154_bigram_logprob", "q155_dsir_weights", "q156_quality_classifier")
+      "q154_bigram_logprob", "q155_dsir_weights", "q156_quality_classifier",
+      // DSL wire-contract members compiled to map-only plans: the
+      // inline-registry percolate (zero joins — every stored query is
+      // a codegen'd predicate) and the full query_string grammar must
+      // scale with corpus size alone
+      "q170_dsl_query_string", "q174_dsl_percolate")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L
