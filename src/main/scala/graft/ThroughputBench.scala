@@ -120,6 +120,10 @@ object ThroughputBench {
     val perEpoch = args.lift(2).map(_.toInt).getOrElse(10000)
     val sidxEpochs = args.lift(3).map(_.toInt).getOrElse(10)
     val sidxPerEpoch = args.lift(4).map(_.toInt).getOrElse(2000)
+    // zero epochs would crash in the p95 (sorted(-1)) AFTER the whole
+    // streamed-index setup ran — reject the shape up front
+    require(sidxEpochs >= 1 && sidxPerEpoch >= 1,
+      s"sidxEpochs/sidxPerEpoch must be >= 1 (got $sidxEpochs/$sidxPerEpoch)")
     val spark = GraftSession.get()
     def tmp(p: String) = Files.createTempDirectory(p).toString
 

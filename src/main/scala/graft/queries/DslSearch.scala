@@ -759,12 +759,7 @@ object DslSearch {
       "q164_dsl_geo_distance",
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val pts = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
-            / lit(1000.0) - lit(90.0)).as("lat"),
-          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
-            / lit(1000.0) - lit(180.0)).as("lon"))
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
         QueryDsl.search(pts,
           """{"query": {"geo_distance": {
                "distance_km": 5000.0,
@@ -1064,12 +1059,7 @@ object DslSearch {
       "q173_dsl_geo_bounding_box",
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val pts = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
-            / lit(1000.0) - lit(90.0)).as("lat"),
-          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
-            / lit(1000.0) - lit(180.0)).as("lon"))
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
         QueryDsl.search(pts,
           """{"query": {"geo_bounding_box": {
                "lat_field": "lat", "lon_field": "lon",
@@ -1314,12 +1304,7 @@ object DslSearch {
       "q181_dsl_geo_grid",
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val pts = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
-            / lit(1000.0) - lit(90.0)).as("lat"),
-          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
-            / lit(1000.0) - lit(180.0)).as("lon"))
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
         QueryDsl.search(pts,
           """{"query": {"geo_distance": {
                "distance_km": 5000.0,
@@ -1360,12 +1345,7 @@ object DslSearch {
       "q182_dsl_geo_sort",
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val pts = Tables.load(s, dir, "customer").select(
-          col("c_custkey"),
-          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
-            / lit(1000.0) - lit(90.0)).as("lat"),
-          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
-            / lit(1000.0) - lit(180.0)).as("lon"))
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
         QueryDsl.search(pts,
           """{"query": {"match_all": {}},
              "sort": [

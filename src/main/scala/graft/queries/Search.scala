@@ -1183,14 +1183,8 @@ object Search {
     GraftQuery(
       "q125_search_geo_grid",
       (s, dir) => {
-        val c = Tables.load(s, dir, "customer")
         val pi = lit(math.Pi)
-        val pts = c.select(
-          col("c_custkey"),
-          (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
-            / lit(1000.0) - lit(90.0)).as("lat"),
-          (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
-            / lit(1000.0) - lit(180.0)).as("lon"))
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
         val sdlat = sin((col("lat") - lit(40.0)) * pi / lit(180.0) / lit(2.0))
         val sdlon = sin((col("lon") + lit(74.0)) * pi / lit(180.0) / lit(2.0))
         val dist = round(

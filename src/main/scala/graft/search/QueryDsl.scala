@@ -99,6 +99,12 @@ import org.json4s.jackson.JsonMethods
   */
 object QueryDsl {
 
+  /** The ONE bare-term shape both human query grammars
+    * (`simple_query_string` and `query_string`) accept — shared so
+    * the two tokenizers can never drift.
+    */
+  private val BareTermRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
+
   /** Compiled form of the `query` part: a row predicate plus the
     * deterministic LONG score expression. `ppm` marks clauses whose
     * score is ×10⁶-scaled (dis_max, boosting, best_fields
@@ -681,7 +687,7 @@ object QueryDsl {
       // bare terms must look like terms: stray grammar junk ('(spark',
       // a lone '|', a bare '-') must fail loud, not silently match as
       // a literal token the tokenizer happened to accept
-      val bareTermRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
+      val bareTermRe = BareTermRe
       var must, mustNot, should = List.empty[CompiledQuery]
       tokenRe.findAllMatchIn(qtext.trim).foreach { t =>
         val compiled = Option(t.group(3)) match {
@@ -766,7 +772,7 @@ object QueryDsl {
         phrase: Boolean, boost: Long) extends Tok
 
     private val fieldRe = """[\p{L}_][\p{L}\p{N}_.]*""".r
-    private val termRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
+    private val termRe = BareTermRe
 
     private def tokenize(q: String): List[Tok] = {
       val toks = List.newBuilder[Tok]
@@ -823,11 +829,19 @@ object QueryDsl {
           if (i < n && !q.charAt(i).isWhitespace && q.charAt(i) != '(' && q.charAt(i) != ')')
             fail(s"query_string: unexpected character '${q.charAt(i)}' after " +
               s"token '$text' (wildcards/fuzzy/ranges are outside the grammar)")
-          toks += (if (field.isEmpty && !isPhrase && boost == 1L) text match {
-            case "AND" => And
-            case "OR"  => Or
-            case "NOT" => Not
-            case _     => Atom(field, text, isPhrase, boost)
+          // a fielded/boosted operator keyword (f:AND, OR^2) is a
+          // grammar error in Lucene — fail loud rather than silently
+          // demoting it to a literal search term; a QUOTED "AND" is
+          // an explicit phrase and stays one
+          toks += (if (!isPhrase && Set("AND", "OR", "NOT").contains(text)) {
+            if (field.nonEmpty || boost != 1L)
+              fail(s"query_string: operator keyword '$text' cannot take a " +
+                "field prefix or boost (quote it to search the literal word)")
+            text match {
+              case "AND" => And
+              case "OR"  => Or
+              case _     => Not
+            }
           } else Atom(field, text, isPhrase, boost))
         }
       }
@@ -1514,6 +1528,17 @@ object QueryDsl {
           "layout carries only id/vector/cluster — use the exact arm)")
       val spark = table.sparkSession
       import spark.implicits._
+      // the layout's dimension is authoritative: a shorter query
+      // vector would silently dot only its own prefix (the kernels
+      // loop over the query's length), a longer one would crash in
+      // the executor — both must fail loud HERE, like the exact arm's
+      // per-row dimension raise
+      val layoutDims = spark.read.parquet(s"$path/centroids")
+        .select(col("centroid")).as[Array[Double]]
+        .head().length
+      if (qv.size != layoutDims)
+        fail(s"knn query_vector has ${qv.size} dims but the index at " +
+          s"'$path' holds $layoutDims-dim vectors")
       val qdf = Seq((-1L, qv.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
       return graft.operators.IvfIndex.topKFromIndex(spark, path, qdf,
           "q_id", "q_emb",
@@ -2200,15 +2225,20 @@ object QueryDsl {
     m.keySet.diff(Set("field", "ranges")).foreach(k =>
       fail(s"unsupported date_range option '$k' in '$name'"))
     val f = strOpt(m, "field").getOrElse(fail(s"date_range agg '$name' needs a field"))
-    val isoRe = """\d{4}-\d{2}-\d{2}""".r
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
         case JObject(bounds) =>
           val bm = bounds.toMap
           bm.keySet.diff(Set("from", "to")).foreach(k =>
             fail(s"unsupported date_range bound '$k' in agg '$name'"))
+          // strict CALENDAR validation on the driver — a regex-valid
+          // but impossible date ("1994-02-30") would otherwise pass
+          // through to_date as NULL and silently empty the bucket
           def day(k: String): Option[String] = bm.get(k).map {
-            case JString(s) if isoRe.pattern.matcher(s).matches() => s
+            case JString(s) =>
+              try { java.time.LocalDate.parse(s); s }
+              catch { case _: java.time.format.DateTimeParseException =>
+                fail(s"date_range $k '$s' is not a valid yyyy-MM-dd date") }
             case other =>
               fail(s"date_range $k must be a yyyy-MM-dd string: ${render(other)}")
           }
@@ -2244,7 +2274,11 @@ object QueryDsl {
     val f = strOpt(m, "field").getOrElse(fail(s"rare_terms agg '$name' needs a field"))
     val maxDc = intOpt(m, "max_doc_count").getOrElse(1)
     if (maxDc < 1) fail("rare_terms max_doc_count must be >= 1")
-    hits.groupBy(col(f).as(name))
+    // OpenSearch omits documents missing the field — and a NULL
+    // bucket would also sort NULLS FIRST here vs NULLS LAST in most
+    // SQL engines (the composite-agg portability rule)
+    hits.filter(col(f).isNotNull)
+      .groupBy(col(f).as(name))
       .agg(count(lit(1)).as("doc_count"))
       .filter(col("doc_count") <= maxDc)
       .orderBy(col("doc_count").asc, col(name).asc)
@@ -2318,12 +2352,23 @@ object QueryDsl {
     val (x, y) = (col(fx).cast("long"), col(fy).cast("long"))
     val moments = hits.agg(count(lit(1)).as("n"),
       sum(x).as("sx"), sum(y).as("sy"),
-      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"),
+      greatest(max(abs(x)), max(abs(y))).as("maxab"))
     val n = col("n").cast("double")
+    // the exact-moments contract dies silently if Σx² wraps Long in a
+    // deployment that DISABLES ANSI mode (with Spark's default ANSI on,
+    // the per-row multiply itself raises) — fail loud either way, like
+    // significant_terms' ppm guard. Conservative double-space bound:
+    // maxab² · n under 9e18.
+    val nGuarded = when(
+        pow(col("maxab").cast("double"), 2.0) * n > lit(9.0e18),
+        raise_error(lit("matrix_stats moment overflow: |values|^2 x rows " +
+          "exceeds the exact Long model")).cast("long"))
+      .otherwise(col("n"))
     val varX = (col("sxx") - col("sx") * col("sx") / n) / n
     val varY = (col("syy") - col("sy") * col("sy") / n) / n
     val covXY = (col("sxy") - col("sx") * col("sy") / n) / n
-    moments.select(col("n"),
+    moments.select(nGuarded.as("n"),
       round(col("sx") / n, 6).as(s"mean_$fx"),
       round(col("sy") / n, 6).as(s"mean_$fy"),
       round(varX, 6).as(s"var_$fx"),
@@ -2360,7 +2405,11 @@ object QueryDsl {
       case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    hits.groupBy(floor(col(latF) / lit(cell)).as(s"${name}_lat"),
+    // rows missing either coordinate are omitted (OpenSearch's
+    // missing-geo_point rule; also kills the NULL-bucket sort-order
+    // portability hazard)
+    hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
+      .groupBy(floor(col(latF) / lit(cell)).as(s"${name}_lat"),
         floor(col(lonF) / lit(cell)).as(s"${name}_lon"))
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .orderBy(col(s"${name}_lat"), col(s"${name}_lon"))

@@ -103,5 +103,12 @@ class KnnIndexServeSpec extends SparkSpec {
       s"""{"knn": {"field": "embedding", "id_field": "vec_id",
            "query_vector": [1.0], "k": 10,
            "index": {"path": "$dir", "nprobe": 0}}}"""))
+    // a wrong-dimension query vector must fail loud at compile time —
+    // shorter would silently dot only its prefix, longer would crash
+    // in the executor
+    assertThrows[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${(0 until 32).map(_ => "0.1").mkString(",")}],
+           "k": 10, "index": {"path": "$dir", "nprobe": 4}}}"""))
   }
 }

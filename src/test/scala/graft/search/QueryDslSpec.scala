@@ -1142,6 +1142,55 @@ class QueryDslSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.forall(_.getLong(1) >= 2L))
   }
 
+  test("review-hardening regressions: calendar dates, NULL buckets, overflow") {
+    // a regex-valid but impossible date must fail loud, never compile
+    // to a silently-empty bucket (to_date would return NULL)
+    assertThrows[IllegalArgumentException](QueryDsl.search(
+      Tables.load(spark, sf(), "orders"),
+      """{"aggs": {"p": {"date_range": {"field": "o_orderdate",
+           "ranges": [{"from": "1994-02-30"}]}}}}"""))
+    // operator keywords cannot be boosted or fielded (Lucene errors too)
+    assertThrows[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"query_string": {"query": "spark AND^2 join",
+           "default_field": "text"}}}"""))
+    assertThrows[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"query_string": {"query": "text:AND spark",
+           "default_field": "text"}}}"""))
+    // ...but a QUOTED operator word is an explicit phrase and works
+    QueryDsl.search(docs,
+      """{"query": {"query_string": {"query": "\"AND\"",
+           "default_field": "text"}}, "_source": ["doc_id"]}""").collect()
+
+    // rare_terms / geo_grid omit NULL-keyed rows (OpenSearch missing-
+    // value rule + cross-engine NULL sort-order portability)
+    import spark.implicits._
+    val withNulls = Seq((1L, "a"), (2L, null), (3L, "a"), (4L, "b"))
+      .toDF("id", "k")
+    val rare = QueryDsl.search(withNulls,
+      """{"aggs": {"t": {"rare_terms": {"field": "k", "max_doc_count": 5}}}}""")
+      .collect()
+    assert(rare.map(_.getString(0)).toSeq.sorted === Seq("a", "b"))
+    val geoNulls = Seq((1L, Some(10.0), 20.0), (2L, None, 30.0))
+      .toDF("id", "lat", "lon")
+    val grid = QueryDsl.search(geoNulls,
+      """{"aggs": {"g": {"geo_grid": {"lat_field": "lat",
+           "lon_field": "lon", "cell_deg": 15.0}}}}""").collect()
+    assert(grid.length === 1 && grid.head.getLong(2) === 1L)
+
+    // matrix_stats raises on moment overflow instead of wrapping —
+    // under Spark's default ANSI mode the per-row multiply raises
+    // first (ARITHMETIC_OVERFLOW); the engine's own maxab²·n guard
+    // covers deployments that disable ANSI. Either way: loud.
+    val huge = Seq((4000000000L, 4000000000L), (4000000001L, 4000000001L))
+      .toDF("x", "y")
+    val ex = intercept[Exception](QueryDsl.search(huge,
+      """{"aggs": {"ms": {"matrix_stats": {"fields": ["x", "y"]}}}}""")
+      .collect())
+    val msgs = (ex.getMessage +: Option(ex.getCause).map(_.getMessage).toSeq).mkString(" ")
+    assert(msgs.contains("matrix_stats moment overflow") ||
+      msgs.contains("ARITHMETIC_OVERFLOW"), msgs.take(300))
+  }
+
   test("percolate == handwritten q98 reverse search; validates loudly") {
     sameAs("q98_search_percolate", "q174_dsl_percolate")
     def bad(req: String): Unit =
