@@ -217,4 +217,42 @@ class StreamingSearchIndexSpec extends SparkSpec {
     assert(got === want,
       "streamed IVF layout must serve the exact neighbors of its live corpus")
   }
+
+  test("the DSL knn request serves from a STREAM-maintained IVF layout") {
+    // the reference's program shape (a stream continuously feeding the
+    // index) closed to its CLIENT contract (an OpenSearch `_search`
+    // knn request body): the wire request's index arm must serve the
+    // layout the stream built, byte-identical to the operator surface.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("ssivf_dsl").toString
+    val dir = s"$base/idx"; val ckpt = s"$base/ckpt"
+    val dims = 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(dims)(d => (((seed * 31 + d * 13) % 17) - 8).toFloat / 8f)
+
+    val p = IvfIndex.Params(nlist = 4, nprobe = 2, k = 3)
+    val in = MemoryStream[(Long, Array[Float], String)]
+    val q = StreamingSearchIndex.startVectors(
+      in.toDF().toDF("vec_id", "embedding", "_action"),
+      "vec_id", "embedding", dir, ckpt, p = p)
+    in.addData((0L until 50L).map(i => (i, vec(i), "upsert")): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val qv = vec(123L).map(_.toDouble)
+    val served = graft.search.QueryDsl.search(spark.range(1).toDF(),
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${qv.mkString(",")}], "k": 3,
+           "index": {"path": "$dir", "nprobe": 2}}}""")
+      .collect().toSeq
+    assert(served.size === 3)
+    import spark.implicits._
+    val direct = IvfIndex.topKFromIndex(spark, dir,
+        Seq((-1L, qv.map(_.toFloat))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", p)
+      .select(col("neighbor_id").as("vec_id"), col("rank"), col("sim"))
+      .collect().toSeq
+    assert(served === direct,
+      "the wire contract must serve the stream-built layout verbatim")
+  }
 }
