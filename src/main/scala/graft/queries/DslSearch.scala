@@ -1406,6 +1406,36 @@ object DslSearch {
         WHERE matched >= 1 AND score >= 3
         ORDER BY score DESC, doc_id
         LIMIT 50
+      """.stripMargin.trim)),
+
+    // query_string multi-term expansions: a trailing-wildcard stem
+    // (any token starting with 'spar', boosted ×2) OR a ~1 fuzzy term
+    // — the grammar's term-dictionary expansions in the token model,
+    // still one codegen'd Column.
+    GraftQuery(
+      "q184_dsl_query_string_expansions",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"query_string": {"query": "spar*^2 OR windw~1",
+             "default_field": "text"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 50,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            len(list_filter(string_split(text, ' '),
+                x -> x LIKE 'spar%')) > 0 AS has_prefix,
+            len(list_filter(list_distinct(string_split(text, ' ')),
+                x -> levenshtein(x, 'windw') <= 1)) > 0 AS has_fuzzy
+          FROM documents)
+        SELECT doc_id,
+               CAST((CASE WHEN has_prefix THEN 2 ELSE 0 END)
+                  + (CASE WHEN has_fuzzy THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM t
+        WHERE has_prefix OR has_fuzzy
+        ORDER BY score DESC, doc_id
+        LIMIT 50
       """.stripMargin.trim))
   )
 }

@@ -722,9 +722,11 @@ object QueryDsl {
     * syntax: fielded terms (`field:term`), quoted phrases
     * (`field:"a b"`), grouping with parentheses, `AND` / `OR` / `NOT`
     * with the standard precedence (NOT > AND > OR), implicit adjacency
-    * combined by `default_operator` (default "or"), and per-clause
+    * combined by `default_operator` (default "or"), per-clause
     * integer boosts (`term^3` — float boosts fail loud, the exact
-    * scoring model). Bare terms need a `default_field`.
+    * scoring model), trailing-wildcard prefix terms (`spar*` — any
+    * token starting with the stem) and fuzzy terms (`sprk~1`,
+    * distance 1-2, default 1). Bare terms need a `default_field`.
     *
     * Compiled onto the existing bool/match/phrase model: a term leaf
     * is token membership of the whitespace-tokenized field (the q41
@@ -734,10 +736,11 @@ object QueryDsl {
     * (filter context, like bool.must_not). Everything stays a single
     * codegen'd Column — no shuffle, predicates pushable.
     *
-    * Outside the grammar — wildcards in terms, `~` fuzziness,
-    * `[a TO b]` ranges, `^` float boosts, unbalanced parens, dangling
-    * operators — fails loud instead of silently degrading (the
-    * simple_query_string hardening rule applied to the full grammar).
+    * Outside the grammar — mid-token or leading wildcards, `?`
+    * globs, fuzziness past 2, `[a TO b]` ranges, `^` float boosts,
+    * unbalanced parens, dangling operators — fails loud instead of
+    * silently degrading (the simple_query_string hardening rule
+    * applied to the full grammar).
     */
   private def queryStringClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
@@ -762,6 +765,12 @@ object QueryDsl {
     * implicit adjacency joins at the default operator's level.
     */
   private object QueryStringParser {
+    sealed trait LeafKind
+    case object TermK extends LeafKind
+    case object PhraseK extends LeafKind
+    case object PrefixK extends LeafKind
+    final case class FuzzyK(dist: Int) extends LeafKind
+
     sealed trait Tok
     case object LP extends Tok
     case object RP extends Tok
@@ -769,7 +778,7 @@ object QueryDsl {
     case object Or extends Tok
     case object Not extends Tok
     final case class Atom(field: Option[String], text: String,
-        phrase: Boolean, boost: Long) extends Tok
+        kind: LeafKind, boost: Long) extends Tok
 
     private val fieldRe = """[\p{L}_][\p{L}\p{N}_.]*""".r
     private val termRe = BareTermRe
@@ -795,22 +804,37 @@ object QueryDsl {
             case _ => ()
           }
           if (i >= n) fail(s"query_string: dangling field prefix in '$q'")
-          // value: quoted phrase or bare term
-          val (text, isPhrase) =
+          // value: quoted phrase or bare term (with optional trailing
+          // `*` prefix-wildcard or `~d` fuzziness — the two multi-term
+          // expansions the grammar supports; mid-token wildcards stay
+          // outside the grammar and fail at the boundary check below)
+          var kind: LeafKind = TermK
+          val text =
             if (q.charAt(i) == '"') {
               val close = q.indexOf('"', i + 1)
               if (close < 0) fail(s"query_string: unterminated phrase in '$q'")
               val p = q.substring(i + 1, close).trim
               if (p.isEmpty) fail("query_string: empty phrase")
               i = close + 1
-              (p, true)
+              kind = PhraseK
+              p
             } else {
               val t = termRe.findPrefixOf(q.substring(i)).getOrElse(
                 fail(s"query_string: token at '${q.substring(i).take(20)}' is " +
                   "outside the grammar (term, \"phrase\", field:, parens, " +
                   "AND/OR/NOT, ^int)"))
               i += t.length
-              (t, false)
+              if (i < n && q.charAt(i) == '*') { kind = PrefixK; i += 1 }
+              else if (i < n && q.charAt(i) == '~') {
+                i += 1
+                val ds = q.substring(i).takeWhile(_.isDigit)
+                i += ds.length
+                val d = if (ds.isEmpty) 1 else ds.toInt
+                if (d < 1 || d > 2)
+                  fail(s"query_string: fuzziness ~$d out of range (1-2)")
+                kind = FuzzyK(d)
+              }
+              t
             }
           // optional ^boost (integer only — the exact scoring model)
           var boost = 1L
@@ -829,20 +853,21 @@ object QueryDsl {
           if (i < n && !q.charAt(i).isWhitespace && q.charAt(i) != '(' && q.charAt(i) != ')')
             fail(s"query_string: unexpected character '${q.charAt(i)}' after " +
               s"token '$text' (wildcards/fuzzy/ranges are outside the grammar)")
-          // a fielded/boosted operator keyword (f:AND, OR^2) is a
-          // grammar error in Lucene — fail loud rather than silently
-          // demoting it to a literal search term; a QUOTED "AND" is
-          // an explicit phrase and stays one
-          toks += (if (!isPhrase && Set("AND", "OR", "NOT").contains(text)) {
-            if (field.nonEmpty || boost != 1L)
+          // a fielded/boosted/expanded operator keyword (f:AND, OR^2,
+          // NOT~1) is a grammar error in Lucene — fail loud rather
+          // than silently demoting it to a literal search term; a
+          // QUOTED "AND" is an explicit phrase and stays one
+          toks += (if (kind != PhraseK && Set("AND", "OR", "NOT").contains(text)) {
+            if (field.nonEmpty || boost != 1L || kind != TermK)
               fail(s"query_string: operator keyword '$text' cannot take a " +
-                "field prefix or boost (quote it to search the literal word)")
+                "field prefix, boost or expansion (quote it to search the " +
+                "literal word)")
             text match {
               case "AND" => And
               case "OR"  => Or
               case _     => Not
             }
-          } else Atom(field, text, isPhrase, boost))
+          } else Atom(field, text, kind, boost))
         }
       }
       toks.result()
@@ -861,9 +886,21 @@ object QueryDsl {
       def leaf(a: Atom): CompiledQuery = {
         val f = a.field.orElse(defaultField).getOrElse(
           fail(s"query_string: bare term '${a.text}' needs a default_field"))
-        val pred =
-          if (a.phrase) concat(lit(" "), col(f), lit(" ")).contains(s" ${a.text} ")
-          else array_contains(split(col(f), " "), a.text)
+        val pred = a.kind match {
+          case PhraseK =>
+            concat(lit(" "), col(f), lit(" ")).contains(s" ${a.text} ")
+          case TermK => array_contains(split(col(f), " "), a.text)
+          // `spar*`: any TOKEN starts with the stem (Lucene's
+          // term-dictionary prefix expansion in the token model)
+          case PrefixK => exists(split(col(f), " "), t => t.startsWith(a.text))
+          // `sprk~d`: any distinct token within d edits (the fuzzy
+          // clause's walk; leaf score stays the boost — grammar
+          // leaves score uniformly, unlike the standalone fuzzy
+          // clause's match-count model)
+          case FuzzyK(d) =>
+            exists(array_distinct(split(col(f), " ")),
+              t => levenshtein(t, lit(a.text)) <= lit(d))
+        }
         CompiledQuery(pred, lit(a.boost))
       }
 

@@ -321,22 +321,33 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     * leaf scores its boost, AND sums both sides, OR sums the matched
     * sides, NOT is filter-context (predicate only, score 0).
     */
+  private sealed trait QsKind
+  private case object QsTerm extends QsKind
+  private case object QsPhrase extends QsKind
+  private case object QsPrefix extends QsKind
+  private case class QsFuzzy(d: Int) extends QsKind
+
   private sealed trait Qs
   private case class QsLeaf(field: Option[String], text: String,
-      phrase: Boolean, boost: Long) extends Qs
+      kind: QsKind, boost: Long) extends Qs
   private case class QsAnd(a: Qs, b: Qs) extends Qs
   private case class QsOr(a: Qs, b: Qs) extends Qs
   private case class QsNot(x: Qs) extends Qs
 
   private def qsLeafGen: Gen[Qs] = Gen.oneOf(
     for { t <- Gen.oneOf(vocab); b <- Gen.chooseNum(1L, 3L) }
-      yield QsLeaf(Some("text"), t, phrase = false, b),
-    for { t <- Gen.oneOf(vocab) } yield QsLeaf(None, t, phrase = false, 1L),
+      yield QsLeaf(Some("text"), t, QsTerm, b),
+    for { t <- Gen.oneOf(vocab) } yield QsLeaf(None, t, QsTerm, 1L),
     for { s <- Gen.oneOf("src1", "src3", "nope") }
-      yield QsLeaf(Some("source"), s, phrase = false, 1L),
+      yield QsLeaf(Some("source"), s, QsTerm, 1L),
     for { p <- Gen.oneOf("spark join", "data model", "never here");
           b <- Gen.chooseNum(1L, 3L) }
-      yield QsLeaf(Some("text"), p, phrase = true, b))
+      yield QsLeaf(Some("text"), p, QsPhrase, b),
+    for { st <- Gen.oneOf("sp", "jo", "mod", "zz"); b <- Gen.chooseNum(1L, 2L) }
+      yield QsLeaf(Some("text"), st, QsPrefix, b),
+    for { t <- Gen.oneOf("sprk", "joni", "windw", "qqq");
+          d <- Gen.chooseNum(1, 2) }
+      yield QsLeaf(Some("text"), t, QsFuzzy(d), 1L))
 
   private def qsGen(depth: Int): Gen[Qs] =
     if (depth <= 0) qsLeafGen
@@ -347,9 +358,14 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       1 -> qsGen(depth - 1).map(QsNot))
 
   private def renderQs(q: Qs): String = q match {
-    case QsLeaf(f, t, phrase, b) =>
+    case QsLeaf(f, t, kind, b) =>
       val fp = f.map(_ + ":").getOrElse("")
-      val v = if (phrase) "\"" + t + "\"" else t
+      val v = kind match {
+        case QsPhrase   => "\"" + t + "\""
+        case QsPrefix   => s"$t*"
+        case QsFuzzy(d) => s"$t~$d"
+        case QsTerm     => t
+      }
       val bp = if (b > 1L) s"^$b" else ""
       s"$fp$v$bp"
     case QsAnd(a, b) => s"(${renderQs(a)} AND ${renderQs(b)})"
@@ -357,17 +373,32 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     case QsNot(x)    => s"(NOT ${renderQs(x)})"
   }
 
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+      if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
   /** (matches, score-expression value) — scores are UNGATED below an
     * OR (the compiler gates OR branches with when(pred); AND sums raw
     * sub-scores, whose predicates the overall match implies).
     */
   private def evalQs(q: Qs, d: Doc): (Boolean, Long) = q match {
-    case QsLeaf(f, t, phrase, b) =>
-      val pred = (f.getOrElse("text"), phrase) match {
-        case (_, true)       => (" " + d.text + " ").contains(s" $t ")
-        case ("text", false) => d.text.split(" ", -1).contains(t)
-        case ("source", false) => d.source.split(" ", -1).contains(t)
-        case (other, _)      => sys.error(s"bad qs field $other")
+    case QsLeaf(f, t, kind, b) =>
+      def toks(field: String) = field.split(" ", -1)
+      val fv = f.getOrElse("text") match {
+        case "text"   => d.text
+        case "source" => d.source
+        case other    => sys.error(s"bad qs field $other")
+      }
+      val pred = kind match {
+        case QsPhrase   => (" " + fv + " ").contains(s" $t ")
+        case QsTerm     => toks(fv).contains(t)
+        case QsPrefix   => toks(fv).exists(_.startsWith(t))
+        case QsFuzzy(dd) => toks(fv).distinct.exists(x => lev(x, t) <= dd)
       }
       (pred, b)
     case QsAnd(a, b) =>

@@ -811,6 +811,23 @@ class QueryDslSpec extends SparkSpec {
     assert(dsl.collect().toSeq === hand.collect().toSeq)
   }
 
+  test("query_string: trailing-wildcard and fuzzy terms expand in the token model") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"query_string": {"query": "spar* OR sprk~1",
+           "default_field": "text"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+    val toks = split(col("text"), " ")
+    val hasPrefix = exists(toks, t => t.startsWith("spar"))
+    val hasFuzzy = exists(array_distinct(toks),
+      t => levenshtein(t, lit("sprk")) <= 1)
+    val hand = docs.filter(hasPrefix || hasFuzzy)
+      .select(col("doc_id"),
+        (when(hasPrefix, 1L).otherwise(0L) + when(hasFuzzy, 1L).otherwise(0L))
+          .as("score"))
+      .orderBy(col("doc_id"))
+    assert(dsl.collect().toSeq === hand.collect().toSeq)
+  }
+
   test("query_string: default_operator and / or change adjacency") {
     def run(op: String) = QueryDsl.search(docs,
       s"""{"query": {"query_string": {
@@ -831,8 +848,10 @@ class QueryDslSpec extends SparkSpec {
       assertThrows[IllegalArgumentException](QueryDsl.search(docs,
         s"""{"query": {"query_string": {"query": ${q},
              "default_field": "text"}}, "_source": ["doc_id"]}"""))
-    bad("\"spark*\"")           // wildcard term
-    bad("\"spark~2\"")          // fuzzy
+    bad("\"sp*rk\"")            // mid-token wildcard
+    bad("\"*park\"")            // leading wildcard
+    bad("\"sp?rk\"")            // ? glob
+    bad("\"spark~3\"")          // fuzziness out of range
     bad("\"join^1.5\"")         // float boost
     bad("\"join^0\"")           // boost < 1
     bad("\"(spark join\"")      // unbalanced (
