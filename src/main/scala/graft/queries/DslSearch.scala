@@ -1436,6 +1436,55 @@ object DslSearch {
         WHERE has_prefix OR has_fuzzy
         ORDER BY score DESC, doc_id
         LIMIT 50
+      """.stripMargin.trim)),
+
+    // the _count endpoint: the question clients ask most, as the
+    // cheapest possible plan — pushed predicate into one global
+    // aggregate, no sort, no score materialization.
+    GraftQuery(
+      "q185_dsl_count",
+      (s, dir) => QueryDsl.countRequest(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {"must": [
+             {"term": {"lang": "en"}},
+             {"match": {"text": "spark"}}]}}}"""),
+      Some("""
+        SELECT COUNT(*) AS count FROM documents
+        WHERE lang = 'en'
+          AND list_contains(list_distinct(string_split(text, ' ')), 'spark')
+      """.stripMargin.trim)),
+
+    // terms-in-terms sub-bucketing: each language bucket broken down
+    // by source (top-3 each level, max_chars on the inner buckets) —
+    // ONE (outer, inner) groupBy shuffle, ranks as windows over the
+    // bounded bucket table, OpenSearch response order made total.
+    GraftQuery(
+      "q186_dsl_terms_in_terms",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"range": {"n_chars": {"gte": 100}}},
+           "aggs": {"by_lang": {"terms": {"field": "lang", "size": 3},
+             "aggs": {"by_source": {"terms": {"field": "source", "size": 3},
+               "aggs": {"max_chars": {"max": {"field": "n_chars"}}}}}}}}"""),
+      Some("""
+        WITH h AS (SELECT * FROM documents WHERE n_chars >= 100),
+        g AS (
+          SELECT lang AS by_lang, source AS by_source,
+                 COUNT(*) AS doc_count, MAX(n_chars) AS max_chars
+          FROM h WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2),
+        t AS (
+          SELECT *, CAST(SUM(doc_count) OVER (PARTITION BY by_lang) AS BIGINT)
+                      AS by_lang_doc_count,
+                 ROW_NUMBER() OVER (PARTITION BY by_lang
+                   ORDER BY doc_count DESC, by_source) AS ir
+          FROM g),
+        f AS (SELECT * FROM t WHERE ir <= 3),
+        r AS (SELECT *, DENSE_RANK() OVER
+                (ORDER BY by_lang_doc_count DESC, by_lang) AS orr FROM f)
+        SELECT by_lang, by_lang_doc_count, by_source, doc_count, max_chars
+        FROM r WHERE orr <= 3
+        ORDER BY by_lang_doc_count DESC, by_lang, doc_count DESC, by_source
       """.stripMargin.trim))
   )
 }

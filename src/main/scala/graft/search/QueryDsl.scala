@@ -1612,6 +1612,31 @@ object QueryDsl {
 
   // -------------------------------------------------------------- request
 
+  /** The `_count` endpoint: how many documents match the request's
+    * `query` — one row, one `count` column. Compiles the same
+    * predicate as `search` (pushed filters, codegen) into a single
+    * global aggregate: no sort, no score materialization, the
+    * cheapest possible plan for the question clients ask most.
+    * Only `query` is meaningful here; any other request section
+    * fails loud (OpenSearch's _count takes no sort/size/aggs either).
+    */
+  def countRequest(table: DataFrame, requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"request body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("query")).foreach(k =>
+      fail(s"unsupported _count request key '$k' (only query)"))
+    req.get("query").foreach {
+      case JObject(List((clause, _)))
+        if Set("more_like_this", "span_near", "percolate").contains(clause) =>
+        fail(s"_count does not take the request-level '$clause' query")
+      case _ => ()
+    }
+    val pred = req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
+    table.filter(pred).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+  }
+
   /** Compile a full `_search` request body against `table`. Returns the
     * hit table (with a `score` column when the query scores), or the
     * bucket table when `aggs` is present.
@@ -2120,6 +2145,35 @@ object QueryDsl {
           if (m.contains("aggs")) fail("significant_terms takes no sub-aggs")
           return significantTermsAgg(table, pred, name, s)
         }
+        // terms-in-terms: ONE nested terms bucket sub-agg → the
+        // two-level bucket table (the most common real-world agg
+        // shape: break each top-level bucket down by a second field).
+        val nestedTermsSub: Option[(String, Map[String, JValue])] =
+          m.get("aggs") match {
+            case Some(JObject(s)) => s.collectFirst {
+              case (subName, JObject(spec)) if spec.exists(_._1 == "terms") =>
+                (subName, spec.toMap)
+            }
+            case _ => None
+          }
+        nestedTermsSub.foreach { case (subName, innerSpec) =>
+          m.get("aggs") match {
+            case Some(JObject(s)) if s.size > 1 =>
+              fail("a nested terms bucket must be the only sub-agg of its parent")
+            case _ => ()
+          }
+          val (outerField, outerSize) = m.get("terms") match {
+            case Some(JObject(t)) =>
+              val tm = t.toMap
+              (strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field")),
+                intOpt(tm, "size"))
+            case _ => fail("sub-bucketing requires a terms parent " +
+              "(histogram parents take pipeline aggs instead)")
+          }
+          return termsInTermsAgg(hits, name, outerField, outerSize,
+            subName, innerSpec)
+        }
+
         // terms bucket with a single top_hits sub-agg: per-bucket top
         // rows (window path), not a bucket table.
         val topHitsSub: Option[(String, JValue)] = m.get("aggs") match {
@@ -2450,6 +2504,67 @@ object QueryDsl {
         floor(col(lonF) / lit(cell)).as(s"${name}_lon"))
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .orderBy(col(s"${name}_lat"), col(s"${name}_lon"))
+  }
+
+  /** Two-level bucket table for a `terms` agg nesting another `terms`
+    * agg (+ metric sub-aggs on the inner buckets). One groupBy on the
+    * (outer, inner) key pair — a single shuffle carrying map-side
+    * partials, exactly like the flat terms agg — then outer totals,
+    * per-outer inner ranks and the outer rank as windows OVER THE
+    * BUCKET TABLE (bounded by the key-pair cardinality, never the
+    * corpus; the pipeline-agg argument). Output: outer key (named
+    * after the parent agg), `<parent>_doc_count` (the outer bucket's
+    * total), inner key, `doc_count`, inner metric columns — ordered
+    * by outer total desc / outer key, then inner count desc / inner
+    * key (the OpenSearch response order, made total). `size` on
+    * either level limits that level's buckets; rows with a NULL inner
+    * key are omitted (the terms-agg missing-value rule).
+    */
+  private def termsInTermsAgg(hits: DataFrame, name: String,
+      outerField: String, outerSize: Option[Int], subName: String,
+      innerSpec: Map[String, JValue]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    innerSpec.keySet.diff(Set("terms", "aggs")).foreach(k =>
+      fail(s"unsupported nested-terms option '$k' in '$subName'"))
+    val (innerField, innerSize) = innerSpec.get("terms") match {
+      case Some(JObject(t)) =>
+        val tm = t.toMap
+        tm.keySet.diff(Set("field", "size")).foreach(k =>
+          fail(s"unsupported terms option '$k' in '$subName'"))
+        (strOpt(tm, "field").getOrElse(fail(s"terms agg '$subName' needs a field")),
+          intOpt(tm, "size"))
+      case _ => fail(s"nested agg '$subName' has no terms body")
+    }
+    if (innerField == outerField)
+      fail(s"nested terms field '$innerField' must differ from the parent's")
+    val subs: Seq[Column] = innerSpec.get("aggs") match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
+      case Some(other)      => fail(s"aggs.$subName.aggs must be an object: ${render(other)}")
+    }
+    val grouped = hits
+      .filter(col(outerField).isNotNull && col(innerField).isNotNull)
+      .groupBy(col(outerField).as(name), col(innerField).as(subName))
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+    val wOuter = Window.partitionBy(col(name))
+    val wInnerRank = Window.partitionBy(col(name))
+      .orderBy(col("doc_count").desc, col(subName).asc)
+    val withTot = grouped
+      .withColumn(s"${name}_doc_count", sum(col("doc_count")).over(wOuter))
+      .withColumn("__ir", row_number().over(wInnerRank))
+    val innerLimited =
+      innerSize.map(nn => withTot.filter(col("__ir") <= nn)).getOrElse(withTot)
+    val wOuterRank = Window.orderBy(col(s"${name}_doc_count").desc, col(name).asc)
+    val ranked = innerLimited.withColumn("__or", dense_rank().over(wOuterRank))
+    val outLimited =
+      outerSize.map(nn => ranked.filter(col("__or") <= nn)).getOrElse(ranked)
+    val metricNames = outLimited.columns.filterNot(Set(name, subName,
+      "doc_count", s"${name}_doc_count", "__ir", "__or").contains)
+    outLimited
+      .select((col(name) +: col(s"${name}_doc_count") +: col(subName) +:
+        col("doc_count") +: metricNames.toSeq.map(col)): _*)
+      .orderBy(col(s"${name}_doc_count").desc, col(name).asc,
+        col("doc_count").desc, col(subName).asc)
   }
 
   /** Pipeline aggs over a key-ordered bucket series (`buckets_path`

@@ -49,7 +49,7 @@ class SparkEntrySpec extends SparkSpec {
     val singleRowByConstruction = Set(
       "q110_search_adjacency_matrix", "q111_search_matrix_stats",
       "q124_search_multi_term", "q158_dsl_percentiles",
-      "q178_dsl_matrix_stats")
+      "q178_dsl_matrix_stats", "q185_dsl_count")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

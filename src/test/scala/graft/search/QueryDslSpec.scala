@@ -1210,6 +1210,49 @@ class QueryDslSpec extends SparkSpec {
       msgs.contains("ARITHMETIC_OVERFLOW"), msgs.take(300))
   }
 
+  test("_count compiles the query predicate into one global aggregate") {
+    val n = QueryDsl.countRequest(docs,
+      """{"query": {"term": {"lang": "en"}}}""").collect().head.getLong(0)
+    assert(n === docs.filter(col("lang") === "en").count())
+    val all = QueryDsl.countRequest(docs, "{}").collect().head.getLong(0)
+    assert(all === docs.count())
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.countRequest(docs, req))
+    bad("""{"query": {"match_all": {}}, "size": 5}""")   // _count takes no size
+    bad("""{"query": {"match_all": {}}, "sort": ["doc_id"]}""")
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+           "like": {"doc_id": 7}}}}""")                  // request-level query
+  }
+
+  test("terms-in-terms: two-level buckets in response order; validates loudly") {
+    val rows = QueryDsl.search(docs,
+      """{"query": {"match_all": {}},
+         "aggs": {"by_lang": {"terms": {"field": "lang", "size": 2},
+           "aggs": {"by_source": {"terms": {"field": "source", "size": 2}}}}}}""")
+      .collect()
+    assert(rows.map(_.getString(0)).distinct.length <= 2, "outer size cap")
+    assert(rows.groupBy(_.getString(0)).values.forall(_.length <= 2), "inner cap")
+    // outer buckets ordered by their total desc; inner by count desc
+    val outerTotals = rows.map(r => (r.getString(0), r.getLong(1))).distinct
+    assert(outerTotals.map(_._2).toSeq === outerTotals.map(_._2).sortBy(-_).toSeq)
+    // outer totals = unfiltered per-lang doc counts (inner cap must
+    // not change the parent bucket's doc_count)
+    val want = docs.filter(col("source").isNotNull)
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    outerTotals.foreach { case (l, n) => assert(n === want(l), s"outer $l") }
+
+    def bad(req: String): Unit =
+      assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
+    bad("""{"aggs": {"a": {"terms": {"field": "lang"},
+           "aggs": {"b": {"terms": {"field": "lang"}}}}}}""")  // same field
+    bad("""{"aggs": {"a": {"terms": {"field": "lang"},
+           "aggs": {"b": {"terms": {"field": "source"}},
+                    "m": {"avg": {"field": "n_chars"}}}}}}""") // sibling of nested
+    bad("""{"aggs": {"a": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"b": {"terms": {"field": "source"}}}}}}""") // non-terms parent
+  }
+
   test("percolate == handwritten q98 reverse search; validates loudly") {
     sameAs("q98_search_percolate", "q174_dsl_percolate")
     def bad(req: String): Unit =
