@@ -99,6 +99,13 @@ final case class GraftEngine(spark: SparkSession) {
   def searchDsl(table: DataFrame, requestJson: String): DataFrame =
     graft.search.QueryDsl.search(table, requestJson)
 
+  /** The `_count` endpoint: one row, one `count` column — the
+    * request's query predicate compiled into a single global
+    * aggregate (no sort, no score materialization).
+    */
+  def searchCount(table: DataFrame, requestJson: String): DataFrame =
+    graft.search.QueryDsl.countRequest(table, requestJson)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

@@ -726,7 +726,8 @@ object QueryDsl {
     * integer boosts (`term^3` — float boosts fail loud, the exact
     * scoring model), trailing-wildcard prefix terms (`spar*` — any
     * token starting with the stem) and fuzzy terms (`sprk~1`,
-    * distance 1-2, default 1). Bare terms need a `default_field`.
+    * distance 1-2; bare `~` = 2, the Lucene default). Bare terms need
+    * a `default_field`.
     *
     * Compiled onto the existing bool/match/phrase model: a term leaf
     * is token membership of the whitespace-tokenized field (the q41
@@ -829,7 +830,10 @@ object QueryDsl {
                 i += 1
                 val ds = q.substring(i).takeWhile(_.isDigit)
                 i += ds.length
-                val d = if (ds.isEmpty) 1 else ds.toInt
+                // bare `term~` means maxEdits 2, the Lucene default —
+                // a narrower default would silently shrink result
+                // sets for the commonest fuzzy syntax
+                val d = if (ds.isEmpty) 2 else ds.toInt
                 if (d < 1 || d > 2)
                   fail(s"query_string: fuzziness ~$d out of range (1-2)")
                 kind = FuzzyK(d)
@@ -852,7 +856,8 @@ object QueryDsl {
           // tokenize as the term 'spark' with trailing junk dropped
           if (i < n && !q.charAt(i).isWhitespace && q.charAt(i) != '(' && q.charAt(i) != ')')
             fail(s"query_string: unexpected character '${q.charAt(i)}' after " +
-              s"token '$text' (wildcards/fuzzy/ranges are outside the grammar)")
+              s"token '$text' (mid-token/leading wildcards, ? globs and " +
+              "ranges are outside the grammar; trailing * and ~1/~2 are in)")
           // a fielded/boosted/expanded operator keyword (f:AND, OR^2,
           // NOT~1) is a grammar error in Lucene — fail loud rather
           // than silently demoting it to a literal search term; a
@@ -897,9 +902,11 @@ object QueryDsl {
           // clause's walk; leaf score stays the boost — grammar
           // leaves score uniformly, unlike the standalone fuzzy
           // clause's match-count model)
+          // no array_distinct: existence is duplicate-invariant, so
+          // the dedup would be pure per-row waste (fuzzyClause needs
+          // it only because it COUNTS matches)
           case FuzzyK(d) =>
-            exists(array_distinct(split(col(f), " ")),
-              t => levenshtein(t, lit(a.text)) <= lit(d))
+            exists(split(col(f), " "), t => levenshtein(t, lit(a.text)) <= lit(d))
         }
         CompiledQuery(pred, lit(a.boost))
       }
@@ -2165,6 +2172,8 @@ object QueryDsl {
           val (outerField, outerSize) = m.get("terms") match {
             case Some(JObject(t)) =>
               val tm = t.toMap
+              tm.keySet.diff(Set("field", "size")).foreach(k =>
+                fail(s"unsupported terms option '$k' in '$name'"))
               (strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field")),
                 intOpt(tm, "size"))
             case _ => fail("sub-bucketing requires a terms parent " +
@@ -2517,8 +2526,11 @@ object QueryDsl {
     * total), inner key, `doc_count`, inner metric columns — ordered
     * by outer total desc / outer key, then inner count desc / inner
     * key (the OpenSearch response order, made total). `size` on
-    * either level limits that level's buckets; rows with a NULL inner
-    * key are omitted (the terms-agg missing-value rule).
+    * either level limits that level's buckets. NULL-inner-key rows
+    * COUNT toward their outer bucket's total (the parent bucket holds
+    * all its docs, as in OpenSearch) but emit no inner bucket (the
+    * terms-agg missing-value rule); NULL outer keys are omitted
+    * entirely.
     */
   private def termsInTermsAgg(hits: DataFrame, name: String,
       outerField: String, outerSize: Option[Int], subName: String,
@@ -2542,8 +2554,13 @@ object QueryDsl {
       case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
       case Some(other)      => fail(s"aggs.$subName.aggs must be an object: ${render(other)}")
     }
+    // group INCLUDING null inner keys so the outer total (a window
+    // sum over the bucket table) counts every doc in the parent
+    // bucket; the null-inner rows are dropped only AFTER that total,
+    // before inner ranking — one scan, one shuffle, OpenSearch
+    // parent-count semantics
     val grouped = hits
-      .filter(col(outerField).isNotNull && col(innerField).isNotNull)
+      .filter(col(outerField).isNotNull)
       .groupBy(col(outerField).as(name), col(innerField).as(subName))
       .agg(count(lit(1)).as("doc_count"), subs: _*)
     val wOuter = Window.partitionBy(col(name))
@@ -2551,6 +2568,7 @@ object QueryDsl {
       .orderBy(col("doc_count").desc, col(subName).asc)
     val withTot = grouped
       .withColumn(s"${name}_doc_count", sum(col("doc_count")).over(wOuter))
+      .filter(col(subName).isNotNull)
       .withColumn("__ir", row_number().over(wInnerRank))
     val innerLimited =
       innerSize.map(nn => withTot.filter(col("__ir") <= nn)).getOrElse(withTot)

@@ -826,6 +826,11 @@ class QueryDslSpec extends SparkSpec {
           .as("score"))
       .orderBy(col("doc_id"))
     assert(dsl.collect().toSeq === hand.collect().toSeq)
+    // bare `term~` is maxEdits 2, the Lucene default
+    def run(q: String) = QueryDsl.search(docs,
+      s"""{"query": {"query_string": {"query": "$q",
+            "default_field": "text"}}, "_source": ["doc_id"]}""").count()
+    assert(run("sprk~") === run("sprk~2"))
   }
 
   test("query_string: default_operator and / or change adjacency") {
@@ -1235,17 +1240,31 @@ class QueryDslSpec extends SparkSpec {
     // outer buckets ordered by their total desc; inner by count desc
     val outerTotals = rows.map(r => (r.getString(0), r.getLong(1))).distinct
     assert(outerTotals.map(_._2).toSeq === outerTotals.map(_._2).sortBy(-_).toSeq)
-    // outer totals = unfiltered per-lang doc counts (inner cap must
-    // not change the parent bucket's doc_count)
-    val want = docs.filter(col("source").isNotNull)
-      .groupBy(col("lang")).count()
+    // outer totals = unfiltered per-lang doc counts (neither the
+    // inner cap nor missing inner values may change the parent
+    // bucket's doc_count — the OpenSearch parent-count semantics)
+    val want = docs.groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     outerTotals.foreach { case (l, n) => assert(n === want(l), s"outer $l") }
+
+    // NULL inner keys count toward the parent total but emit no bucket
+    import spark.implicits._
+    val mixed = Seq(("en", Some("a")), ("en", None), ("en", None),
+      ("fr", Some("b"))).toDF("o", "i")
+    val m = QueryDsl.search(mixed,
+      """{"aggs": {"o": {"terms": {"field": "o"},
+           "aggs": {"i": {"terms": {"field": "i"}}}}}}""").collect()
+    assert(m.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getLong(3))).toSeq ===
+      Seq(("en", 3L, "a", 1L), ("fr", 1L, "b", 1L)),
+      "parent counts all docs; missing inner values emit no bucket")
 
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
     bad("""{"aggs": {"a": {"terms": {"field": "lang"},
            "aggs": {"b": {"terms": {"field": "lang"}}}}}}""")  // same field
+    bad("""{"aggs": {"a": {"terms": {"field": "lang", "min_doc_count": 5},
+           "aggs": {"b": {"terms": {"field": "source"}}}}}}""") // outer opt
     bad("""{"aggs": {"a": {"terms": {"field": "lang"},
            "aggs": {"b": {"terms": {"field": "source"}},
                     "m": {"avg": {"field": "n_chars"}}}}}}""") // sibling of nested
