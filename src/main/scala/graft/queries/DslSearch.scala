@@ -1485,6 +1485,283 @@ object DslSearch {
         SELECT by_lang, by_lang_doc_count, by_source, doc_count, max_chars
         FROM r WHERE orr <= 3
         ORDER BY by_lang_doc_count DESC, by_lang, doc_count DESC, by_source
+      """.stripMargin.trim)),
+
+    // extended_stats: stats + exact second moment. Variance is
+    // computed FROM THE EXACT INTEGER MOMENTS — (n·Σx² − (Σx)²)/n² in
+    // one IEEE divide — so the doubles are bit-identical across
+    // engines (a running-mean variance would be partition-order-
+    // dependent). One global aggregate row, one partial-agg exchange.
+    GraftQuery(
+      "q187_dsl_extended_stats",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"chars": {"extended_stats": {"field": "n_chars"}}}}"""),
+      Some("""
+        WITH h AS (SELECT n_chars FROM documents WHERE lang = 'en'),
+        m AS (SELECT COUNT(n_chars) AS c, CAST(MIN(n_chars) AS BIGINT) AS mn,
+                     CAST(MAX(n_chars) AS BIGINT) AS mx,
+                     CAST(SUM(n_chars) AS BIGINT) AS s,
+                     CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+              FROM h)
+        SELECT c AS chars_count, mn AS chars_min, mx AS chars_max,
+               CAST(s AS DOUBLE) / c AS chars_avg, s AS chars_sum,
+               ss AS chars_sum_of_squares,
+               CAST(c * ss - s * s AS DOUBLE) / CAST(c * c AS DOUBLE)
+                 AS chars_variance,
+               sqrt(CAST(c * ss - s * s AS DOUBLE) / CAST(c * c AS DOUBLE))
+                 AS chars_std_deviation
+        FROM m
+      """.stripMargin.trim)),
+
+    // weighted_avg under a terms bucket: Σ(v·w)/Σ(w) from two exact
+    // integer sums and ONE IEEE divide (engine-portable double). The
+    // weight is a derived integer column, mirrored in the oracle.
+    GraftQuery(
+      "q188_dsl_weighted_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        QueryDsl.search(
+          Tables.load(s, dir, "documents")
+            .withColumn("w", col("doc_id") % 5 + 1),
+          """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+               "aggs": {"wavg_chars": {"weighted_avg": {
+                 "value": {"field": "n_chars"},
+                 "weight": {"field": "w"}}}}}}}""")
+      },
+      Some("""
+        SELECT lang AS by_lang, COUNT(*) AS doc_count,
+               CAST(SUM(n_chars * ((doc_id % 5) + 1)) AS DOUBLE) /
+               CAST(SUM((doc_id % 5) + 1) AS DOUBLE) AS wavg_chars
+        FROM documents
+        GROUP BY 1 ORDER BY doc_count DESC, by_lang LIMIT 10
+      """.stripMargin.trim)),
+
+    // top_metrics: the metric's value on the top row under the sort,
+    // ties broken by the metric itself (struct max — deterministic,
+    // never partition-order-dependent). One aggregate, no sort of
+    // the corpus.
+    GraftQuery(
+      "q189_dsl_top_metrics",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"longest_doc": {"top_metrics": {
+             "metrics": {"field": "doc_id"},
+             "sort": {"n_chars": {"order": "desc"}}}}}}"""),
+      Some("""
+        SELECT CAST((max(struct_pack(s := n_chars, m := doc_id))).m AS BIGINT)
+                 AS longest_doc
+        FROM documents WHERE lang = 'en'
+      """.stripMargin.trim)),
+
+    // missing agg: docs with NO value for a field — one conditional
+    // global aggregate (doc_count + IS-NULL-gated sub-metric), no
+    // keyed shuffle. The nullable column is derived identically on
+    // both sides (the GeoFixtures pattern).
+    GraftQuery(
+      "q190_dsl_missing",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        QueryDsl.search(
+          Tables.load(s, dir, "documents")
+            .withColumn("opt_source",
+              when(col("n_chars") % 7 === 0, lit(null).cast("string"))
+                .otherwise(col("source"))),
+          """{"aggs": {"no_source": {"missing": {"field": "opt_source"},
+               "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
+      },
+      Some("""
+        WITH d AS (SELECT n_chars,
+                     CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END
+                       AS opt_source
+                   FROM documents)
+        SELECT COUNT(CASE WHEN opt_source IS NULL THEN 1 END) AS doc_count,
+               CAST(SUM(CASE WHEN opt_source IS NULL THEN n_chars END) AS DOUBLE)
+                 / COUNT(CASE WHEN opt_source IS NULL THEN n_chars END)
+                 AS avg_chars
+        FROM d
+      """.stripMargin.trim)),
+
+    // multi_terms: terms over a composite key — ONE groupBy shuffle
+    // on both fields together, docs missing either key skipped (the
+    // OpenSearch rule), top size by doc_count with a total tiebreak.
+    GraftQuery(
+      "q191_dsl_multi_terms",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"range": {"n_chars": {"gte": 150}}},
+           "aggs": {"by_pair": {"multi_terms": {
+             "terms": [{"field": "lang"}, {"field": "source"}], "size": 12},
+             "aggs": {"max_chars": {"max": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT lang, source, COUNT(*) AS doc_count,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        WHERE n_chars >= 150 AND lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2 ORDER BY doc_count DESC, lang, source LIMIT 12
+      """.stripMargin.trim)),
+
+    // bucket_selector + bucket_sort: the OpenSearch HAVING / ORDER BY
+    // idiom over the bucket table. The selector's mini-script compiles
+    // to a Catalyst predicate; both run on the BOUNDED bucket series,
+    // never the corpus.
+    GraftQuery(
+      "q192_dsl_bucket_selector_sort",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"aggs": {"hist": {"histogram": {"field": "n_chars", "interval": 50},
+             "aggs": {
+               "sum_chars": {"sum": {"field": "n_chars"}},
+               "big": {"bucket_selector": {
+                 "buckets_path": {"dc": "_count"},
+                 "script": "params.dc >= 20"}},
+               "top": {"bucket_sort": {
+                 "sort": [{"sum_chars": {"order": "desc"}}], "size": 5}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS hist,
+                 COUNT(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1)
+        SELECT hist, doc_count, sum_chars FROM g
+        WHERE doc_count >= 20
+        ORDER BY sum_chars DESC, hist LIMIT 5
+      """.stripMargin.trim)),
+
+    // serial_diff: lag-n difference over the key-ordered histogram
+    // series (NULL while the lag window is short, where OpenSearch
+    // omits the value) — a window over the bounded bucket table.
+    GraftQuery(
+      "q193_dsl_serial_diff",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"aggs": {"hist": {"histogram": {"field": "n_chars", "interval": 100},
+             "aggs": {"d2": {"serial_diff": {
+               "buckets_path": "_count", "lag": 2}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS hist,
+                 COUNT(*) AS doc_count
+          FROM documents GROUP BY 1)
+        SELECT hist, doc_count,
+               doc_count - LAG(doc_count, 2) OVER (ORDER BY hist) AS d2
+        FROM g ORDER BY hist
+      """.stripMargin.trim)),
+
+    // sibling *_bucket aggs: scalars over a sibling bucket series —
+    // the ONE-ROW sibling table, computed by aggregating the bounded
+    // bucket table (no second corpus pass).
+    GraftQuery(
+      "q194_dsl_sibling_bucket",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"aggs": {
+             "hist": {"histogram": {"field": "n_chars", "interval": 50}},
+             "total_docs": {"sum_bucket": {"buckets_path": "hist>_count"}},
+             "avg_docs": {"avg_bucket": {"buckets_path": "hist>_count"}},
+             "peak_docs": {"max_bucket": {"buckets_path": "hist>_count"}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS k,
+                 COUNT(*) AS dc
+          FROM documents GROUP BY 1)
+        SELECT CAST(SUM(dc) AS BIGINT) AS total_docs,
+               CAST(SUM(dc) AS DOUBLE) / COUNT(dc) AS avg_docs,
+               CAST(MAX(dc) AS BIGINT) AS peak_docs
+        FROM g
+      """.stripMargin.trim)),
+
+    // script_score: the request's script parsed ONCE on the driver and
+    // compiled to codegen'd Catalyst arithmetic — zero row-time
+    // interpretation (the anti-UDF rule) — re-scoring the wrapped
+    // match query in the exact-LONG model.
+    GraftQuery(
+      "q195_dsl_script_score",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"script_score": {
+             "query": {"match": {"text": "spark"}},
+             "script": {
+               "source": "params.w * _score + min(doc['n_chars'].value, params.cap)",
+               "params": {"w": 10, "cap": 500}}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        SELECT doc_id, n_chars,
+               CAST(10 * 1 + (CASE WHEN n_chars < 500 THEN n_chars ELSE 500 END)
+                 AS BIGINT) AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // intervals: k-term ordered proximity with a total gap budget —
+    // span_near's postings shape generalized to a k−1-step equi-join
+    // chain on the document key (blow-up Π tfᵢ per document, never
+    // corpus²).
+    GraftQuery(
+      "q196_dsl_intervals",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"intervals": {
+             "text": {"match": {"query": "spark join window",
+                                "max_gaps": 6, "ordered": true}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "n_spans", "min_gaps"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+        p3 AS (SELECT doc_id, p FROM pos WHERE tok = 'window'),
+        g AS (
+          SELECT p1.doc_id, CAST(p3.p - p1.p - 2 AS BIGINT) AS gaps
+          FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.p > p1.p
+               JOIN p3 ON p2.doc_id = p3.doc_id AND p3.p > p2.p
+          WHERE p3.p - p1.p - 2 <= 6)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, MIN(gaps) AS min_gaps
+        FROM g GROUP BY 1
+        ORDER BY n_spans DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // _msearch batched counts: FOUR requests, ONE corpus scan — every
+    // predicate becomes a conditional count in a single global
+    // aggregate (the multi-query-optimization shape; a dashboard's 50
+    // filters cost one pass over 100 TB, not 50). Plan-pinned in
+    // QueryDslSpec.
+    GraftQuery(
+      "q197_dsl_msearch_counts",
+      (s, dir) => QueryDsl.msearchCounts(
+        Tables.load(s, dir, "documents"),
+        Seq(
+          """{"query": {"term": {"lang": "en"}}}""",
+          """{"query": {"match": {"text": "spark join"}}}""",
+          """{"query": {"range": {"n_chars": {"gte": 300}}}}""",
+          """{"query": {"bool": {"must": [
+               {"term": {"source": "src1"}},
+               {"prefix": {"text": "the "}}]}}}""")),
+      Some("""
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS req, COUNT(*) AS count
+          FROM documents WHERE lang = 'en'
+          UNION ALL
+          SELECT 1, COUNT(*) FROM documents
+          WHERE len(list_intersect(list_distinct(string_split(text, ' ')),
+                                   ['spark', 'join'])) >= 1
+          UNION ALL
+          SELECT 2, COUNT(*) FROM documents WHERE n_chars >= 300
+          UNION ALL
+          SELECT 3, COUNT(*) FROM documents
+          WHERE source = 'src1' AND text LIKE 'the %')
+        ORDER BY req
       """.stripMargin.trim))
   )
 }

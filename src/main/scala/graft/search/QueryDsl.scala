@@ -176,7 +176,8 @@ object QueryDsl {
       case "geo_distance"     => geoDistanceClause(body)
       case "geo_bounding_box" => geoBoundingBoxClause(body)
       case "query_string"     => queryStringClause(body)
-      case "more_like_this" | "span_near" | "percolate" =>
+      case "script_score"     => scriptScoreClause(body)
+      case "more_like_this" | "span_near" | "percolate" | "intervals" =>
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
@@ -186,8 +187,50 @@ object QueryDsl {
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
           "simple_query_string, query_string, function_score, " +
           "distance_feature, rank_feature, nested, geo_distance, " +
-          "geo_bounding_box)")
+          "geo_bounding_box, script_score)")
     }
+
+  /** `script_score`: the wrapped query's hits, re-scored by a script —
+    * compiled by [[ScoreScript]] to plain Catalyst arithmetic (parsed
+    * once on the driver, zero row-time interpretation). The script
+    * sees `_score` (the wrapped query's score), `doc['f'].value`
+    * (integral columns) and `params.x` (request constants); exact-LONG
+    * arithmetic only, per the engine's integer score model.
+    */
+  private def scriptScoreClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "script")).foreach(k =>
+        fail(s"unsupported script_score option '$k'"))
+      val inner = compileQuery(m.getOrElse("query",
+        fail("script_score needs a query")))
+      val (src, params) = m.get("script") match {
+        case Some(JObject(s)) =>
+          val sm = s.toMap
+          sm.keySet.diff(Set("source", "params")).foreach(k =>
+            fail(s"unsupported script option '$k'"))
+          val source = strOpt(sm, "source")
+            .getOrElse(fail("script_score script needs a source"))
+          val ps: Map[String, Long] = sm.get("params") match {
+            case Some(JObject(po)) => po.map {
+              case (k, JInt(v)) => k -> v.toLong
+              case (k, other) =>
+                fail(s"script param '$k' must be an integer: ${render(other)}")
+            }.toMap
+            case None        => Map.empty
+            case Some(other) => fail(s"script params must be an object: ${render(other)}")
+          }
+          (source, ps)
+        case _ => fail("script_score needs {script: {source, params?}}")
+      }
+      // a ppm-scaled inner score is not commensurate with the script's
+      // unit-scale arithmetic — same rule as bool over ppm sub-clauses
+      if (inner.ppm && src.contains("_score"))
+        fail("script_score cannot reference the _score of a ppm-scaled " +
+          "sub-query (dis_max/boosting/best_fields/…)")
+      CompiledQuery(inner.pred, ScoreScript.compile(src, params, inner.score))
+    case other => fail(s"script_score requires an object body: ${render(other)}")
+  }
 
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
     body match {
@@ -1343,6 +1386,68 @@ object QueryDsl {
       case other => fail(s"span_near requires an object body: ${render(other)}")
     }
 
+  /** `intervals` query, `match` rule: ALL the rule's terms occur as an
+    * ordered subsequence whose total intervening-token budget is at
+    * most `max_gaps` (the OpenSearch intervals gap model:
+    * `p_last − p_first − (k−1) ≤ max_gaps`). Request-level like
+    * span_near and the same postings shape generalized to k terms:
+    * ONE posexplode, k pushed postings filters, a k−1-step equi-join
+    * chain on the document key whose blow-up is Π tfᵢ per document —
+    * never corpus². k is capped at 4 (beyond that the tuple product
+    * is the wrong plan; compose span queries instead). Ordered only —
+    * the unordered 2-term case IS `span_near`, fail points there.
+    * Output: (id_field, n_spans, min_gaps, score = n_spans).
+    */
+  private def intervalsRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("id_field")).toList match {
+          case List(field) =>
+            val idField = strOpt(m, "id_field")
+              .getOrElse(fail("intervals requires id_field (the document key)"))
+            val rule = m(field) match {
+              case JObject(List(("match", JObject(r)))) => r.toMap
+              case other => fail(s"intervals.$field must be {match: {...}}: ${render(other)}")
+            }
+            rule.keySet.diff(Set("query", "max_gaps", "ordered")).foreach(k =>
+              fail(s"unsupported intervals match option '$k'"))
+            val terms = strOpt(rule, "query")
+              .getOrElse(fail("intervals match needs a query"))
+              .split(" ").filter(_.nonEmpty).toSeq
+            if (terms.size < 2 || terms.size > 4)
+              fail(s"intervals match takes 2..4 terms, got ${terms.size}")
+            val maxGaps = intOpt(rule, "max_gaps")
+              .getOrElse(fail("intervals match needs max_gaps"))
+            if (maxGaps < 0) fail("max_gaps must be non-negative")
+            rule.get("ordered") match {
+              case Some(JBool(true)) => ()
+              case _ => fail("intervals supports ordered: true only " +
+                "(the unordered two-term case is span_near)")
+            }
+            val pos = table.select(col(idField),
+              posexplode(split(col(field), " ")).as(Seq("p", "tok")))
+            val k = terms.size
+            var acc = pos.filter(col("tok") === terms.head)
+              .select(col(idField), col("p").as("p0"))
+            for (i <- 1 until k) {
+              val pi = pos.filter(col("tok") === terms(i))
+                .select(col(idField), col("p").as(s"p$i"))
+              acc = acc.join(pi, idField).filter(col(s"p$i") > col(s"p${i - 1}"))
+            }
+            acc
+              .withColumn("gaps",
+                (col(s"p${k - 1}") - col("p0") - lit(k - 1)).cast("long"))
+              .filter(col("gaps") <= maxGaps)
+              .groupBy(col(idField))
+              .agg(count(lit(1)).as("n_spans"), min(col("gaps")).as("min_gaps"))
+              .withColumn("score", col("n_spans"))
+          case other =>
+            fail(s"intervals requires exactly one field entry, got: $other")
+        }
+      case other => fail(s"intervals requires an object body: ${render(other)}")
+    }
+
   /** `suggest` section, `term` suggester: per input token, the
     * top-`size` in-vocabulary corrections within `max_edits`
     * levenshtein edits, ranked (distance, frequency desc, term) — the
@@ -1636,12 +1741,50 @@ object QueryDsl {
       fail(s"unsupported _count request key '$k' (only query)"))
     req.get("query").foreach {
       case JObject(List((clause, _)))
-        if Set("more_like_this", "span_near", "percolate").contains(clause) =>
+        if Set("more_like_this", "span_near", "percolate",
+          "intervals").contains(clause) =>
         fail(s"_count does not take the request-level '$clause' query")
       case _ => ()
     }
     val pred = req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
     table.filter(pred).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+  }
+
+  /** `_msearch` over `_count`-shaped bodies: N requests answered by
+    * ONE corpus scan. Each body's query compiles to a predicate; all
+    * N become conditional counts in a SINGLE global aggregate — so a
+    * dashboard firing 50 filters costs one pass over 100 TB, not 50
+    * (the multi-query-optimization shape Spark's one-request-one-plan
+    * model doesn't give you for free). Output: (req, count) in
+    * request order.
+    */
+  def msearchCounts(table: DataFrame, requestJsons: Seq[String]): DataFrame = {
+    if (requestJsons.isEmpty) fail("_msearch needs at least one request")
+    val preds = requestJsons.map { rj =>
+      val req = parse(rj) match {
+        case o: JObject => o.obj.toMap
+        case other      => fail(s"_msearch body must be an object: ${render(other)}")
+      }
+      req.keySet.diff(Set("query")).foreach(k =>
+        fail(s"unsupported _msearch count request key '$k' (only query)"))
+      req.get("query").foreach {
+        case JObject(List((clause, _)))
+          if Set("more_like_this", "span_near", "percolate",
+            "intervals").contains(clause) =>
+          fail(s"_msearch counts do not take the request-level '$clause' query")
+        case _ => ()
+      }
+      req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
+    }
+    val cols = preds.zipWithIndex.map { case (p, i) =>
+      count(when(p, 1L)).as(s"__c$i")
+    }
+    val row = table.agg(cols.head, cols.tail: _*)
+    val pairs = preds.indices.map(i =>
+      struct(lit(i.toLong).as("req"), col(s"__c$i").as("count")))
+    row.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.req").as("req"), col("r.count").as("count"))
+      .orderBy("req")
   }
 
   /** Compile a full `_search` request body against `table`. Returns the
@@ -1703,6 +1846,11 @@ object QueryDsl {
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with percolate"))
         return hitPipeline(percolateRequest(table, body), req)
+      case Some(JObject(List(("intervals", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with intervals"))
+        return hitPipeline(intervalsRequest(table, body), req)
       case _ => ()
     }
 
@@ -2100,13 +2248,68 @@ object QueryDsl {
       case JObject(es) if es.nonEmpty => es
       case other => fail(s"aggs must be a non-empty object: ${render(other)}")
     }
+    // Sibling pipeline aggs (`<stat>_bucket`): a scalar over a sibling
+    // bucket agg's series — `{"total": {"sum_bucket": {"buckets_path":
+    // "hist>_count"}}}` next to `"hist"`. The request returns the
+    // ONE-ROW sibling table (one column per sibling agg); the bucket
+    // series itself is an intermediate. Computed by aggregating the
+    // bounded bucket table — no second corpus pass.
+    val siblingKinds = Set("avg_bucket", "sum_bucket", "min_bucket",
+      "max_bucket", "stats_bucket")
+    val (siblingAggs, entries2) = entries.partition {
+      case (_, JObject(List((k, _)))) => siblingKinds.contains(k)
+      case _ => false
+    }
+    if (siblingAggs.nonEmpty) {
+      val bucketEntries = entries2
+      if (bucketEntries.size != 1)
+        fail("sibling *_bucket aggs require exactly one sibling bucket agg")
+      val (bucketName, _) = bucketEntries.head
+      val bucketDf = compileAggs(table, hits, pred, JObject(bucketEntries))
+      val cols = siblingAggs.flatMap { case (name, spec) =>
+        val (kind, body) = spec match {
+          case JObject(List((k, JObject(b)))) => (k, b.toMap)
+          case other => fail(s"sibling agg '$name' must be {kind: {buckets_path}}: ${render(other)}")
+        }
+        body.keySet.diff(Set("buckets_path")).foreach(k =>
+          fail(s"unsupported $kind option '$k' in '$name'"))
+        val path = strOpt(body, "buckets_path")
+          .getOrElse(fail(s"sibling agg '$name' needs a buckets_path"))
+        val target = path.split(">") match {
+          case Array(b, p) if b == bucketName =>
+            if (p == "_count") "doc_count" else p
+          case Array(b, _) =>
+            fail(s"sibling agg '$name' buckets_path names unknown bucket '$b' " +
+              s"(have: $bucketName)")
+          case _ => fail(s"sibling agg '$name' buckets_path must be " +
+            s"'<bucket>><metric>': '$path'")
+        }
+        if (!bucketDf.columns.contains(target))
+          fail(s"sibling agg '$name' buckets_path '$path' names no metric " +
+            s"of bucket '$bucketName' (have: ${bucketDf.columns.mkString(", ")})")
+        val c = col(target)
+        kind match {
+          case "avg_bucket" => Seq((sum(c).cast("double") / count(c)).as(name))
+          case "sum_bucket" => Seq(sum(c).as(name))
+          case "min_bucket" => Seq(min(c).as(name))
+          case "max_bucket" => Seq(max(c).as(name))
+          case "stats_bucket" => Seq(
+            count(c).as(s"${name}_count"),
+            min(c).as(s"${name}_min"),
+            max(c).as(s"${name}_max"),
+            (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
+            sum(c).as(s"${name}_sum"))
+        }
+      }
+      return bucketDf.agg(cols.head, cols.tail: _*)
+    }
     // Split bucket aggs from metric aggs.
     val (bucketAggs, metricAggs) = entries.partition {
       case (_, JObject(spec)) =>
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
           "date_range", "rare_terms", "significant_terms", "filters",
-          "composite", "adjacency_matrix", "matrix_stats", "geo_grid")
-          .contains(p._1))
+          "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
+          "missing", "multi_terms").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -2120,7 +2323,7 @@ object QueryDsl {
         val kinds = m.keySet.intersect(Set("terms", "histogram",
           "date_histogram", "range", "date_range", "rare_terms",
           "significant_terms", "filters", "composite", "adjacency_matrix",
-          "matrix_stats", "geo_grid"))
+          "matrix_stats", "geo_grid", "missing", "multi_terms"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -2141,6 +2344,12 @@ object QueryDsl {
         }
         m.get("geo_grid").foreach { g =>
           return geoGridAgg(hits, name, g, m.get("aggs"))
+        }
+        m.get("missing").foreach { ms =>
+          return missingAgg(hits, name, ms, m.get("aggs"))
+        }
+        m.get("multi_terms").foreach { mt =>
+          return multiTermsAgg(hits, name, mt, m.get("aggs"))
         }
         m.get("filters").foreach { fs =>
           return filtersAgg(hits, name, fs, m.get("aggs"))
@@ -2209,7 +2418,8 @@ object QueryDsl {
           case Some(JObject(s)) => s
           case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
         }
-        val pipelineKinds = Set("cumulative_sum", "derivative", "moving_avg")
+        val pipelineKinds = Set("cumulative_sum", "derivative", "moving_avg",
+          "serial_diff", "bucket_selector", "bucket_sort")
         val (pipeEntries, metricEntries) = subEntries.partition {
           case (_, JObject(List((kind, _)))) => pipelineKinds.contains(kind)
           case _ => false
@@ -2249,19 +2459,35 @@ object QueryDsl {
           val grouped = bucketTable.orderBy(col("doc_count").desc, col(name).asc)
           size.map(grouped.limit).getOrElse(grouped)
         } else {
-          // pipeline aggs run as windows OVER THE BUCKET SERIES — only
-          // defined under a key-ordered parent (the OpenSearch rule:
-          // histogram/date_histogram, never terms), and the output
-          // switches to key order (a cumulative sum over a doc_count-
-          // sorted series would be meaningless). The unpartitioned
+          // pipeline aggs run as windows OVER THE BUCKET SERIES.
+          // Series aggs (cumulative_sum/derivative/serial_diff/
+          // moving_avg) are only defined under a key-ordered parent
+          // (the OpenSearch rule: histogram/date_histogram, never
+          // terms) and switch the output to key order — a cumulative
+          // sum over a doc_count-sorted series would be meaningless.
+          // bucket_selector/bucket_sort also work under a terms
+          // parent (the OpenSearch HAVING/ORDER BY idiom); a terms
+          // `size` cap is applied BEFORE them, matching OpenSearch's
+          // shard-size-then-pipeline evaluation. The unpartitioned
           // windows are safe by construction: they run on the bucket
-          // table, bounded by the value/time range, not the corpus.
-          if (!m.contains("histogram") && !m.contains("date_histogram"))
-            fail("pipeline aggs (cumulative_sum/derivative/moving_avg) " +
-              "require a histogram or date_histogram parent")
-          if (size.isDefined)
-            fail("pipeline aggs cannot be combined with a bucket size limit")
-          withPipelineAggs(bucketTable, name, pipeEntries, metricEntries.map(_._1))
+          // table, bounded by the value/time/size range, not the corpus.
+          val hasSeries = pipeEntries.exists {
+            case (_, JObject(List((k, _)))) =>
+              Set("cumulative_sum", "derivative", "serial_diff",
+                "moving_avg").contains(k)
+            case _ => false
+          }
+          if (hasSeries && !m.contains("histogram") && !m.contains("date_histogram"))
+            fail("series pipeline aggs (cumulative_sum/derivative/" +
+              "serial_diff/moving_avg) require a histogram or date_histogram parent")
+          if (hasSeries && size.isDefined)
+            fail("series pipeline aggs cannot be combined with a bucket size limit")
+          val capped = size match {
+            case Some(n) =>
+              bucketTable.orderBy(col("doc_count").desc, col(name).asc).limit(n)
+            case None => bucketTable
+          }
+          withPipelineAggs(capped, name, pipeEntries, metricEntries.map(_._1))
         }
 
       case _ =>
@@ -2600,26 +2826,55 @@ object QueryDsl {
       metricNames: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wKey = Window.orderBy(col(name).asc)
-    val out = pipeEntries.foldLeft(buckets) { case (df, (subName, subSpec)) =>
+    // Three pipeline families, applied in dependency order (the
+    // OpenSearch evaluation model, independent of declaration order):
+    // series aggs add columns over the key-ordered bucket series,
+    // bucket_selector then filters buckets (it may reference the
+    // series-agg outputs — a superset of OpenSearch, which only
+    // allows sibling metrics), bucket_sort finally re-orders and
+    // pages. All of it runs on the BOUNDED bucket table — the
+    // unpartitioned windows never see the corpus.
+    val (sorts, rest0) = pipeEntries.partition {
+      case (_, JObject(List(("bucket_sort", _)))) => true; case _ => false
+    }
+    val (selectors, series) = rest0.partition {
+      case (_, JObject(List(("bucket_selector", _)))) => true; case _ => false
+    }
+    if (sorts.size > 1) fail("at most one bucket_sort per bucket agg")
+
+    def pathCol(df: DataFrame, subName: String, body: Map[String, JValue],
+        key: String = "buckets_path"): String = {
+      val path = strOpt(body, key)
+        .getOrElse(fail(s"pipeline agg '$subName' needs a $key"))
+      val target = if (path == "_count") "doc_count" else path
+      if (!df.columns.contains(target))
+        fail(s"pipeline agg '$subName' $key '$path' names no " +
+          s"sibling metric (have: ${metricNames.mkString(", ")}, _count)")
+      target
+    }
+
+    val withSeries = series.foldLeft(buckets) { case (df, (subName, subSpec)) =>
       val (kind, body) = subSpec match {
         case JObject(List((k, JObject(b)))) => (k, b.toMap)
         case other => fail(s"pipeline agg '$subName' must be {kind: {buckets_path}}: ${render(other)}")
       }
-      val allowed = if (kind == "moving_avg") Set("buckets_path", "window")
-        else Set("buckets_path")
+      val allowed = kind match {
+        case "moving_avg"  => Set("buckets_path", "window")
+        case "serial_diff" => Set("buckets_path", "lag")
+        case _             => Set("buckets_path")
+      }
       body.keySet.diff(allowed).foreach(k =>
         fail(s"unsupported $kind option '$k' in '$subName'"))
-      val path = strOpt(body, "buckets_path")
-        .getOrElse(fail(s"pipeline agg '$subName' needs a buckets_path"))
-      val target = if (path == "_count") "doc_count" else path
-      if (!df.columns.contains(target))
-        fail(s"pipeline agg '$subName' buckets_path '$path' names no " +
-          s"sibling metric (have: ${metricNames.mkString(", ")}, _count)")
+      val target = pathCol(df, subName, body)
       val c = kind match {
         case "cumulative_sum" =>
           sum(col(target)).over(
             wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         case "derivative" => col(target) - lag(col(target), 1).over(wKey)
+        case "serial_diff" =>
+          val n = intOpt(body, "lag").getOrElse(1)
+          if (n < 1) fail("serial_diff lag must be >= 1")
+          col(target) - lag(col(target), n).over(wKey)
         case "moving_avg" =>
           val w = intOpt(body, "window").getOrElse(3)
           if (w < 1) fail("moving_avg window must be >= 1")
@@ -2630,7 +2885,171 @@ object QueryDsl {
       }
       df.withColumn(subName, c)
     }
-    out.orderBy(col(name).asc)
+
+    val selected = selectors.foldLeft(withSeries) { case (df, (subName, subSpec)) =>
+      val body = subSpec match {
+        case JObject(List(("bucket_selector", JObject(b)))) => b.toMap
+        case other => fail(s"bucket_selector '$subName' must be an object: ${render(other)}")
+      }
+      body.keySet.diff(Set("buckets_path", "script")).foreach(k =>
+        fail(s"unsupported bucket_selector option '$k' in '$subName'"))
+      val params: Map[String, String] = body.get("buckets_path") match {
+        case Some(JObject(ps)) if ps.nonEmpty => ps.map {
+          case (p, JString(path)) =>
+            val target = if (path == "_count") "doc_count" else path
+            if (!df.columns.contains(target))
+              fail(s"bucket_selector '$subName' buckets_path '$path' names no " +
+                s"sibling metric (have: ${metricNames.mkString(", ")}, _count)")
+            p -> target
+          case (p, other) => fail(s"buckets_path '$p' must be a string: ${render(other)}")
+        }.toMap
+        case _ => fail(s"bucket_selector '$subName' needs a buckets_path object")
+      }
+      val script = strOpt(body, "script")
+        .getOrElse(fail(s"bucket_selector '$subName' needs a script"))
+      df.filter(selectorPredicate(script, params, subName))
+    }
+
+    sorts.headOption match {
+      case None => selected.orderBy(col(name).asc)
+      case Some((subName, subSpec)) =>
+        val body = subSpec match {
+          case JObject(List(("bucket_sort", JObject(b)))) => b.toMap
+          case other => fail(s"bucket_sort '$subName' must be an object: ${render(other)}")
+        }
+        body.keySet.diff(Set("sort", "from", "size")).foreach(k =>
+          fail(s"unsupported bucket_sort option '$k' in '$subName'"))
+        val sortCols: Seq[Column] = body.get("sort") match {
+          case None => Seq(col(name).asc)
+          case Some(JArray(ss)) if ss.nonEmpty => ss.map {
+            case JString(f) => col(pathLike(selected, subName, f)).asc
+            case JObject(List((f, JObject(oo)))) =>
+              val target = pathLike(selected, subName, f)
+              strOpt(oo.toMap, "order").getOrElse("asc") match {
+                case "asc"  => col(target).asc
+                case "desc" => col(target).desc
+                case other  => fail(s"bucket_sort order must be asc/desc: '$other'")
+              }
+            case other => fail(s"bucket_sort sort entries must be a field or {field: {order}}: ${render(other)}")
+          } :+ col(name).asc // total order: bucket key breaks all ties
+          case Some(other) => fail(s"bucket_sort sort must be a non-empty array: ${render(other)}")
+        }
+        val from = intOpt(body, "from").getOrElse(0)
+        if (from < 0) fail("bucket_sort from must be >= 0")
+        val sorted = selected.orderBy(sortCols: _*)
+        val paged =
+          if (from == 0) sorted
+          else {
+            // offset over the bounded bucket table: a row_number window
+            // in the SAME total order, then filter — never a collect.
+            import org.apache.spark.sql.expressions.Window
+            val rn = row_number().over(Window.orderBy(sortCols: _*))
+            sorted.withColumn("__rn", rn).filter(col("__rn") > from)
+              .drop("__rn").orderBy(sortCols: _*)
+          }
+        intOpt(body, "size").map(paged.limit).getOrElse(paged)
+    }
+  }
+
+  /** bucket_sort sort targets: a bucket-table column or `_count`/`_key`. */
+  private def pathLike(df: DataFrame, subName: String, f: String): String = {
+    val target = f match {
+      case "_count" => "doc_count"
+      case "_key"   => df.columns.head
+      case other    => other
+    }
+    if (!df.columns.contains(target))
+      fail(s"bucket_sort '$subName' sort field '$f' names no bucket column")
+    target
+  }
+
+  /** The bucket_selector mini-script: ONE comparison
+    * `params.<name> <op> <integer>` with op ∈ {>, >=, <, <=, ==, !=}
+    * — compiled to a Catalyst predicate over the bucket table.
+    * Anything outside the grammar fails loud (no silent truthiness).
+    */
+  private def selectorPredicate(script: String, params: Map[String, String],
+      subName: String): Column = {
+    val Re = """^\s*params\.([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|!=|>|<)\s*(-?\d+)\s*$""".r
+    script match {
+      case Re(p, op, n) =>
+        val target = params.getOrElse(p,
+          fail(s"bucket_selector '$subName' script references undeclared param '$p'"))
+        val v = lit(n.toLong)
+        op match {
+          case ">"  => col(target) > v
+          case ">=" => col(target) >= v
+          case "<"  => col(target) < v
+          case "<=" => col(target) <= v
+          case "==" => col(target) === v
+          case "!=" => col(target) =!= v
+        }
+      case _ => fail(s"bucket_selector '$subName' script must match " +
+        s"'params.<name> <op> <integer>', got: '$script'")
+    }
+  }
+
+  /** `missing` bucket agg: the docs that carry NO value for a field —
+    * one conditional global aggregate row (`doc_count` + metric
+    * sub-aggs gated on IS NULL), a single partial-agg exchange, no
+    * shuffle keyed on anything.
+    */
+  private def missingAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val f = spec match {
+      case JObject(s) =>
+        val m = s.toMap
+        m.keySet.diff(Set("field")).foreach(k =>
+          fail(s"unsupported missing option '$k' in '$name'"))
+        strOpt(m, "field").getOrElse(fail(s"missing agg '$name' needs a field"))
+      case other => fail(s"missing agg '$name' must be an object: ${render(other)}")
+    }
+    val gate = col(f).isNull
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, Some(gate)) }
+      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    hits.agg(count(when(gate, 1L)).as("doc_count"), subs: _*)
+  }
+
+  /** `multi_terms` bucket agg: terms over a composite key — ONE
+    * groupBy shuffle on all key fields together (never a join of
+    * per-field terms tables). Docs missing any key field are skipped
+    * (the OpenSearch rule, and the same engine-portability choice as
+    * `composite`). Output: one column per key field, `doc_count`,
+    * metric sub-aggs; ordered doc_count desc then keys asc, top
+    * `size` (default 10).
+    */
+  private def multiTermsAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"multi_terms agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("terms", "size")).foreach(k =>
+      fail(s"unsupported multi_terms option '$k' in '$name'"))
+    val fields: Seq[String] = m.get("terms") match {
+      case Some(JArray(ts)) if ts.size >= 2 => ts.map {
+        case JObject(List(("field", JString(f)))) => f
+        case other => fail(s"multi_terms terms entries must be {field}: ${render(other)}")
+      }
+      case _ => fail(s"multi_terms agg '$name' needs a terms array of >= 2 fields")
+    }
+    if (fields.distinct.size != fields.size)
+      fail(s"multi_terms agg '$name' repeats a field")
+    val size = intOpt(m, "size").getOrElse(10)
+    if (size < 1) fail("multi_terms size must be >= 1")
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
+      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    hits.filter(fields.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .orderBy(col("doc_count").desc +: fields.map(col(_).asc): _*)
+      .limit(size)
   }
 
   /** `filters` bucket agg: named, freely-overlapping buckets, each
@@ -2830,6 +3249,49 @@ object QueryDsl {
     */
   private def metricCols(name: String, spec: JValue,
       cond: Option[Column] = None): Seq[Column] = spec match {
+    // weighted_avg: nested value/weight sub-objects (the OpenSearch
+    // shape), exact Σ(v·w)/Σ(w) — two integer sums, ONE IEEE divide,
+    // so the double is bit-identical across engines.
+    case JObject(List(("weighted_avg", JObject(body)))) =>
+      val m = body.toMap
+      m.keySet.diff(Set("value", "weight")).foreach(k =>
+        fail(s"unsupported weighted_avg option '$k' in '$name'"))
+      def fieldOf(k: String): String = m.get(k) match {
+        case Some(JObject(o)) => strOpt(o.toMap, "field")
+          .getOrElse(fail(s"weighted_avg '$name' $k needs a field"))
+        case _ => fail(s"weighted_avg '$name' needs {$k: {field}}")
+      }
+      val (v, w) = (col(fieldOf("value")), col(fieldOf("weight")))
+      val gate = cond.getOrElse(lit(true))
+      Seq((sum(when(gate, v * w)).cast("double") /
+        sum(when(gate, w)).cast("double")).as(name))
+    // top_metrics: the metric field's value on the top row under the
+    // sort. Ties on the sort key are broken by the metric value itself
+    // (struct comparison is lexicographic) so the answer is
+    // deterministic — never "whichever partition finished last".
+    case JObject(List(("top_metrics", JObject(body)))) =>
+      val m = body.toMap
+      m.keySet.diff(Set("metrics", "sort")).foreach(k =>
+        fail(s"unsupported top_metrics option '$k' in '$name'"))
+      val metricF = m.get("metrics") match {
+        case Some(JObject(o)) => strOpt(o.toMap, "field")
+          .getOrElse(fail(s"top_metrics '$name' metrics needs a field"))
+        case _ => fail(s"top_metrics '$name' needs {metrics: {field}}")
+      }
+      val (sortF, order) = m.get("sort") match {
+        case Some(JObject(List((f, JString(o))))) => (f, o)
+        case Some(JObject(List((f, JObject(oo))))) =>
+          (f, strOpt(oo.toMap, "order").getOrElse("asc"))
+        case _ => fail(s"top_metrics '$name' needs {sort: {field: order}}")
+      }
+      val pair = struct(col(sortF).as("s"), col(metricF).as("m"))
+      val gated = cond.map(p => when(p, pair)).getOrElse(pair)
+      val top = order match {
+        case "desc" => max(gated)
+        case "asc"  => min(gated)
+        case other  => fail(s"top_metrics sort order must be asc/desc: '$other'")
+      }
+      Seq(top.getField("m").as(name))
     case JObject(List((metric, JObject(body)))) =>
       val f = strOpt(body.toMap, "field")
         .getOrElse(fail(s"metric agg '$name' ($metric) needs a field"))
@@ -2847,6 +3309,25 @@ object QueryDsl {
           max(c).as(s"${name}_max"),
           (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
           sum(c).as(s"${name}_sum"))
+        // extended_stats: stats + exact integer second moment. Variance
+        // is population variance computed FROM THE EXACT INTEGER MOMENTS
+        // — (n·Σx² − (Σx)²)/n² in one IEEE divide — so the doubles are
+        // bit-identical across engines (a naive running-mean variance
+        // would depend on partition order). Integral fields only; the
+        // Σx² long is exact up to |x|≤3e4 over 1e10 rows — beyond that,
+        // pre-scale the field (documented contract, fail comes from
+        // Spark's overflow check under ANSI rather than silent wrap).
+        case "extended_stats" => Seq(
+          count(c).as(s"${name}_count"),
+          min(c).as(s"${name}_min"),
+          max(c).as(s"${name}_max"),
+          (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
+          sum(c).as(s"${name}_sum"),
+          sum(c * c).as(s"${name}_sum_of_squares"),
+          ((count(c) * sum(c * c) - sum(c) * sum(c)).cast("double") /
+            (count(c) * count(c)).cast("double")).as(s"${name}_variance"),
+          sqrt((count(c) * sum(c * c) - sum(c) * sum(c)).cast("double") /
+            (count(c) * count(c)).cast("double")).as(s"${name}_std_deviation"))
         // DISCRETE percentiles (percentile_disc): an actual data value,
         // no interpolation — so the result is engine-exact, unlike the
         // t-digest approximation OpenSearch itself serves

@@ -1292,4 +1292,206 @@ class QueryDslSpec extends SparkSpec {
            "queries": [{"id": 1, "query": {"match_all": {}}}]}},
          "aggs": {"a": {"avg": {"field": "n_chars"}}}}""")   // with aggs
   }
+
+  test("extended_stats == the exact integer moments, bit-identical doubles") {
+    val got = QueryDsl.search(docs,
+      """{"aggs": {"c": {"extended_stats": {"field": "n_chars"}}}}""")
+      .collect().head
+    val m = docs.agg(
+      count(col("n_chars")).as("n"), sum(col("n_chars")).as("s"),
+      sum(col("n_chars") * col("n_chars")).as("ss"),
+      min("n_chars").as("mn"), max("n_chars").as("mx")).collect().head
+    val (n, s, ss) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    assert(got.getAs[Long]("c_count") === n)
+    assert(got.getAs[Long]("c_sum") === s)
+    assert(got.getAs[Long]("c_sum_of_squares") === ss)
+    val varExp = (n * ss - s * s).toDouble / (n.toDouble * n)
+    assert(got.getAs[Double]("c_variance") === varExp)
+    assert(got.getAs[Double]("c_std_deviation") === math.sqrt(varExp))
+  }
+
+  test("weighted_avg == exact-sum ratio; top_metrics picks the top-sort row") {
+    val w = docs.withColumn("w", col("doc_id") % 5 + 1)
+    val got = QueryDsl.search(w,
+      """{"aggs": {"wa": {"weighted_avg": {
+           "value": {"field": "n_chars"}, "weight": {"field": "w"}}}}}""")
+      .collect().head.getAs[Double]("wa")
+    val m = w.agg(sum(col("n_chars") * col("w")), sum(col("w"))).collect().head
+    assert(got === m.getLong(0).toDouble / m.getLong(1).toDouble)
+
+    val top = QueryDsl.search(docs,
+      """{"aggs": {"t": {"top_metrics": {
+           "metrics": {"field": "doc_id"},
+           "sort": {"n_chars": {"order": "desc"}}}}}}""")
+      .collect().head.getAs[Long]("t")
+    val exp = docs.orderBy(col("n_chars").desc, col("doc_id").desc)
+      .select("doc_id").collect().head.getLong(0)
+    assert(top === exp)
+  }
+
+  test("missing counts only NULL-field docs and gates sub-metrics on them") {
+    val d = docs.withColumn("opt",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("source")))
+    val got = QueryDsl.search(d,
+      """{"aggs": {"m": {"missing": {"field": "opt"},
+           "aggs": {"s": {"sum": {"field": "n_chars"}}}}}}""").collect().head
+    val exp = d.filter(col("opt").isNull)
+      .agg(count(lit(1)), sum("n_chars")).collect().head
+    assert(got.getAs[Long]("doc_count") === exp.getLong(0))
+    assert(got.getAs[Long]("s") === exp.getLong(1))
+  }
+
+  test("multi_terms validates its shape loudly") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"a": {"multi_terms": {"terms": [{"field": "lang"}]}}}}""",
+      ">= 2 fields")
+    bad("""{"aggs": {"a": {"multi_terms": {"terms":
+           [{"field": "lang"}, {"field": "lang"}]}}}}""", "repeats a field")
+    bad("""{"aggs": {"a": {"multi_terms": {"terms":
+           [{"field": "lang"}, {"field": "source"}], "order": "x"}}}}""",
+      "unsupported multi_terms option")
+  }
+
+  test("bucket_selector / bucket_sort validate loudly; series needs histogram") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    val hist = """"hist": {"histogram": {"field": "n_chars", "interval": 50},"""
+    bad(s"""{"aggs": {$hist
+           "aggs": {"b": {"bucket_selector": {
+             "buckets_path": {"x": "_count"},
+             "script": "params.x > avg"}}}}}}""", "script must match")
+    bad(s"""{"aggs": {$hist
+           "aggs": {"b": {"bucket_selector": {
+             "buckets_path": {"x": "_count"},
+             "script": "params.y > 10"}}}}}}""", "undeclared param")
+    bad(s"""{"aggs": {$hist
+           "aggs": {"b": {"bucket_selector": {
+             "buckets_path": {"x": "nope"},
+             "script": "params.x > 10"}}}}}}""", "names no")
+    bad(s"""{"aggs": {$hist
+           "aggs": {"s1": {"bucket_sort": {"size": 2}},
+                    "s2": {"bucket_sort": {"size": 3}}}}}}""",
+      "at most one bucket_sort")
+    bad("""{"aggs": {"a": {"terms": {"field": "lang"},
+           "aggs": {"d": {"serial_diff": {"buckets_path": "_count"}}}}}}""",
+      "require a histogram")
+    // selector+sort under terms IS allowed (the HAVING/ORDER BY idiom)
+    val ok = QueryDsl.search(docs,
+      """{"aggs": {"a": {"terms": {"field": "lang"},
+           "aggs": {"b": {"bucket_selector": {
+             "buckets_path": {"dc": "_count"},
+             "script": "params.dc >= 1"}}}}}}""")
+    assert(ok.count() > 0)
+  }
+
+  test("sibling *_bucket aggs validate their buckets_path loudly") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"t": {"sum_bucket": {"buckets_path": "hist>_count"}}}}""",
+      "exactly one sibling bucket agg")
+    bad("""{"aggs": {
+           "hist": {"histogram": {"field": "n_chars", "interval": 50}},
+           "t": {"sum_bucket": {"buckets_path": "nope>_count"}}}}""",
+      "unknown bucket")
+    bad("""{"aggs": {
+           "hist": {"histogram": {"field": "n_chars", "interval": 50}},
+           "t": {"sum_bucket": {"buckets_path": "hist>missing_metric"}}}}""",
+      "names no metric")
+  }
+
+  test("script_score compiles to the handwritten Catalyst arithmetic") {
+    val got = QueryDsl.search(docs,
+      """{"query": {"script_score": {
+           "query": {"match": {"text": "spark"}},
+           "script": {"source":
+             "params.w * _score + min(doc['n_chars'].value, params.cap)",
+             "params": {"w": 10, "cap": 500}}}},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["doc_id", "score"]}""")
+    val toks = array_distinct(split(col("text"), " "))
+    val matchScore = size(array_intersect(toks, array(lit("spark")))).cast("long")
+    val exp = docs.withColumn("s0", matchScore).filter(col("s0") >= 1)
+      .withColumn("score", lit(10L) * col("s0") +
+        least(col("n_chars"), lit(500L)))
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id", "score")
+    assert(got.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("script_score grammar fails loud outside the mini-language") {
+    def bad(src: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+        s"""{"query": {"script_score": {
+             "query": {"match_all": {}},
+             "script": {"source": "$src"}}}}"""))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("doc['n_chars'].value / 2", "unrecognized token") // no division: LONG model
+    bad("params.missing + 1", "undeclared param")
+    bad("1 + ", "unexpected end")
+    bad("min(1)", "expected ','")
+    bad("1 2", "trailing tokens")
+    bad("doc.n_chars", "unrecognized token")
+  }
+
+  test("intervals: 2-term ordered == span_near in_order at the same budget") {
+    val iv = QueryDsl.search(docs,
+      """{"query": {"intervals": {
+           "text": {"match": {"query": "stream merge",
+                              "max_gaps": 3, "ordered": true}},
+           "id_field": "doc_id"}},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["doc_id", "n_spans"]}""")
+    val sn = QueryDsl.search(docs,
+      """{"query": {"span_near": {
+           "clauses": [{"span_term": {"text": "stream"}},
+                       {"span_term": {"text": "merge"}}],
+           "slop": 3, "in_order": true, "id_field": "doc_id"}},
+         "sort": [{"_score": "desc"}, "doc_id"],
+         "_source": ["doc_id", "n_pairs"]}""")
+    assert(iv.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      sn.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("intervals validates loudly") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"query": {"intervals": {"text": {"match":
+           {"query": "a b", "max_gaps": 2}}, "id_field": "doc_id"}}}""",
+      "ordered: true only")
+    bad("""{"query": {"intervals": {"text": {"match":
+           {"query": "a", "max_gaps": 2, "ordered": true}},
+           "id_field": "doc_id"}}}""", "2..4 terms")
+    bad("""{"query": {"intervals": {"text": {"match":
+           {"query": "a b", "max_gaps": 2, "ordered": true}}}}}""",
+      "requires id_field")
+    bad("""{"query": {"bool": {"must": [{"intervals": {}}]}}}""",
+      "request-level")
+  }
+
+  test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
+    val got = QueryDsl.msearchCounts(docs, Seq(
+      """{"query": {"term": {"lang": "en"}}}""",
+      """{"query": {"range": {"n_chars": {"gte": 300}}}}""",
+      """{}"""))
+    // the scan count is read off the plan STRING: AQE wraps the tree
+    // in AdaptiveSparkPlanExec, which plain collect() doesn't enter
+    val plan = got.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size === 1, plan)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq(
+      (0L, docs.filter(col("lang") === "en").count()),
+      (1L, docs.filter(col("n_chars") >= 300).count()),
+      (2L, docs.count())))
+  }
 }
