@@ -106,6 +106,13 @@ final case class GraftEngine(spark: SparkSession) {
   def searchCount(table: DataFrame, requestJson: String): DataFrame =
     graft.search.QueryDsl.countRequest(table, requestJson)
 
+  /** `_msearch` over `_count`-shaped bodies: N requests, ONE corpus
+    * scan — every predicate becomes a conditional count in a single
+    * global aggregate. Output: (req, count) in request order.
+    */
+  def msearchCounts(table: DataFrame, requestJsons: Seq[String]): DataFrame =
+    graft.search.QueryDsl.msearchCounts(table, requestJsons)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

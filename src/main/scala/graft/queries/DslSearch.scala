@@ -1762,6 +1762,129 @@ object DslSearch {
           SELECT 3, COUNT(*) FROM documents
           WHERE source = 'src1' AND text LIKE 'the %')
         ORDER BY req
+      """.stripMargin.trim)),
+
+    // wrapper: a base64-shipped query object decoded ONCE on the
+    // driver and compiled like the inline clause it is (here: the
+    // bool from q135's family) — the JSON-hostile-channel escape
+    // hatch, with zero row-time cost.
+    GraftQuery(
+      "q198_dsl_wrapper",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"wrapper": {"query":
+             "eyJib29sIjogeyJtdXN0IjogW3sidGVybSI6IHsibGFuZyI6ICJlbiJ9fSwgeyJyYW5nZSI6IHsibl9jaGFycyI6IHsiZ3RlIjogMjAwfX19XX19"}},
+           "sort": ["doc_id"],
+           "_source": ["doc_id", "lang", "n_chars"]}"""),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 200
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // combined_fields: term-centric multi-field match — each query
+    // term counts once if present in ANY field (vs multi_match's
+    // field-centric scoring). Pure codegen OR over token-set
+    // membership per field.
+    GraftQuery(
+      "q199_dsl_combined_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"combined_fields": {
+             "query": "spark src1 window",
+             "fields": ["text", "source"],
+             "minimum_should_match": 2}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 50,
+           "_source": ["doc_id", "source", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST((CASE WHEN list_contains(list_distinct(string_split(text, ' ')), 'spark')
+                    OR list_contains(list_distinct(string_split(source, ' ')), 'spark')
+                   THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_distinct(string_split(text, ' ')), 'src1')
+                    OR list_contains(list_distinct(string_split(source, ' ')), 'src1')
+                   THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(list_distinct(string_split(text, ' ')), 'window')
+                    OR list_contains(list_distinct(string_split(source, ' ')), 'window')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, source, score FROM t WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // span_first: the term within the first `end` token positions of
+    // its own document — per-row computable, so a plain codegen
+    // clause (prefix-slice membership), no postings machinery.
+    GraftQuery(
+      "q200_dsl_span_first",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_first": {
+             "match": {"span_term": {"text": "the"}}, "end": 3}},
+           "sort": ["doc_id"],
+           "size": 60,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id, CAST(1 AS BIGINT) AS score FROM documents
+        WHERE list_contains((string_split(text, ' '))[1:3], 'the')
+        ORDER BY doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // scripted_metric (deterministic shape): a ScoreScript map
+    // expression compiled to codegen'd arithmetic INSIDE the partial
+    // aggregate, combined by a named monoid (sum) — distributable by
+    // construction, zero row-time interpretation. Under a terms
+    // bucket to exercise the sub-agg path.
+    GraftQuery(
+      "q201_dsl_scripted_metric",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"range": {"n_chars": {"gte": 100}}},
+           "aggs": {"by_lang": {"terms": {"field": "lang"},
+             "aggs": {"capped_chars": {"scripted_metric": {
+               "map_script": "min(doc['n_chars'].value, params.cap) * params.w",
+               "params": {"cap": 400, "w": 3},
+               "reduce": "sum"}}}}}}"""),
+      Some("""
+        SELECT lang AS by_lang, COUNT(*) AS doc_count,
+               CAST(SUM((CASE WHEN n_chars < 400 THEN n_chars ELSE 400 END) * 3)
+                 AS BIGINT) AS capped_chars
+        FROM documents WHERE n_chars >= 100
+        GROUP BY 1 ORDER BY doc_count DESC, by_lang
+      """.stripMargin.trim)),
+
+    // auto_date_histogram: the finest calendar unit (day→month→year)
+    // with at most `buckets` buckets — the choice costs 3 bounded
+    // distinct-trunc counts; the work stays ONE date_trunc groupBy.
+    // The oracle replicates the selection rule, so parity holds at
+    // any sf regardless of which unit wins.
+    GraftQuery(
+      "q202_dsl_auto_date_histogram",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"auto_hist": {"auto_date_histogram":
+               {"field": "ts", "buckets": 40},
+             "aggs": {"n_typed": {"value_count": {"field": "event_type"}}}}}}"""),
+      Some("""
+        WITH c AS (
+          SELECT COUNT(DISTINCT date_trunc('day', ts)) AS cd,
+                 COUNT(DISTINCT date_trunc('month', ts)) AS cm
+          FROM events),
+        g AS (
+          SELECT (CASE WHEN (SELECT cd FROM c) <= 40 THEN date_trunc('day', ts)
+                       WHEN (SELECT cm FROM c) <= 40 THEN date_trunc('month', ts)
+                       ELSE date_trunc('year', ts) END) AS auto_hist,
+                 COUNT(*) AS doc_count,
+                 COUNT(event_type) AS n_typed
+          FROM events GROUP BY 1)
+        SELECT auto_hist, doc_count, n_typed,
+               (CASE WHEN (SELECT cd FROM c) <= 40 THEN 'day'
+                     WHEN (SELECT cm FROM c) <= 40 THEN 'month'
+                     ELSE 'year' END) AS interval
+        FROM g ORDER BY auto_hist
       """.stripMargin.trim))
   )
 }

@@ -177,6 +177,9 @@ object QueryDsl {
       case "geo_bounding_box" => geoBoundingBoxClause(body)
       case "query_string"     => queryStringClause(body)
       case "script_score"     => scriptScoreClause(body)
+      case "wrapper"          => wrapperClause(body)
+      case "combined_fields"  => combinedFieldsClause(body)
+      case "span_first"       => spanFirstClause(body)
       case "more_like_this" | "span_near" | "percolate" | "intervals" =>
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
@@ -187,8 +190,92 @@ object QueryDsl {
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
           "simple_query_string, query_string, function_score, " +
           "distance_feature, rank_feature, nested, geo_distance, " +
-          "geo_bounding_box, script_score)")
+          "geo_bounding_box, script_score, wrapper, combined_fields, " +
+          "span_first)")
     }
+
+  /** `wrapper`: a base64-encoded query object, decoded and compiled
+    * like any inline clause (the OpenSearch escape hatch for clients
+    * that must ship queries through JSON-hostile channels). Decoding
+    * happens ONCE on the driver; a bad payload fails loud at compile
+    * time, never at row time.
+    */
+  private def wrapperClause(body: JValue): CompiledQuery = body match {
+    case JObject(List(("query", JString(b64)))) =>
+      val json = try new String(
+        java.util.Base64.getDecoder.decode(b64), "UTF-8")
+      catch {
+        case _: IllegalArgumentException =>
+          fail("wrapper query is not valid base64")
+      }
+      val parsed = try parse(json) catch {
+        case e: Exception =>
+          fail(s"wrapper query does not decode to JSON: ${e.getMessage}")
+      }
+      compileQuery(parsed)
+    case other =>
+      fail(s"wrapper requires {query: <base64 string>}: ${render(other)}")
+  }
+
+  /** `combined_fields`: term-centric multi-field match — a query term
+    * counts once if it appears in ANY of the fields (OpenSearch's
+    * "fields as one combined field" model, vs multi_match's
+    * field-centric scoring). Score = number of query terms present in
+    * the union; `minimum_should_match` gates the predicate. Pure
+    * codegen — per term, an OR over per-field token-set membership.
+    */
+  private def combinedFieldsClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "fields", "minimum_should_match")).foreach(k =>
+        fail(s"unsupported combined_fields option '$k'"))
+      val terms = strOpt(m, "query")
+        .getOrElse(fail("combined_fields needs a query"))
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      if (terms.isEmpty) fail("combined_fields query has no terms")
+      val fields: Seq[String] = m.get("fields") match {
+        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+          case JString(f) => f
+          case other      => fail(s"combined_fields fields must be strings: ${render(other)}")
+        }
+        case _ => fail("combined_fields needs a non-empty fields array")
+      }
+      val msm = intOpt(m, "minimum_should_match").getOrElse(1)
+      if (msm < 1 || msm > terms.size)
+        fail(s"minimum_should_match must be in [1, ${terms.size}]")
+      val perTerm: Seq[Column] = terms.map { t =>
+        fields.map(f =>
+          array_contains(array_distinct(split(col(f), " ")), t))
+          .reduce(_ || _)
+      }
+      val score = perTerm.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+      CompiledQuery(score >= msm, score)
+    case other => fail(s"combined_fields requires an object body: ${render(other)}")
+  }
+
+  /** `span_first`: the term occurs within the first `end` token
+    * positions of its own document — per-row computable (unlike
+    * span_near, no corpus state), so it compiles to a plain clause:
+    * membership in the length-`end` prefix of the token array. Score
+    * 1 on match.
+    */
+  private def spanFirstClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("match", "end")).foreach(k =>
+        fail(s"unsupported span_first option '$k'"))
+      val (f, t) = m.get("match") match {
+        case Some(JObject(List(("span_term", JObject(List((fa, JString(ta)))))))) =>
+          (fa, ta)
+        case _ => fail("span_first needs {match: {span_term: {field: term}}}")
+      }
+      val end = intOpt(m, "end")
+        .getOrElse(fail("span_first needs an integer end"))
+      if (end < 1) fail("span_first end must be >= 1")
+      val pred = array_contains(slice(split(col(f), " "), 1, end), t)
+      CompiledQuery(pred, when(pred, 1L).otherwise(0L))
+    case other => fail(s"span_first requires an object body: ${render(other)}")
+  }
 
   /** `script_score`: the wrapped query's hits, re-scored by a script —
     * compiled by [[ScoreScript]] to plain Catalyst arithmetic (parsed
@@ -2309,7 +2396,7 @@ object QueryDsl {
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
           "date_range", "rare_terms", "significant_terms", "filters",
           "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
-          "missing", "multi_terms").contains(p._1))
+          "missing", "multi_terms", "auto_date_histogram").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -2323,7 +2410,8 @@ object QueryDsl {
         val kinds = m.keySet.intersect(Set("terms", "histogram",
           "date_histogram", "range", "date_range", "rare_terms",
           "significant_terms", "filters", "composite", "adjacency_matrix",
-          "matrix_stats", "geo_grid", "missing", "multi_terms"))
+          "matrix_stats", "geo_grid", "missing", "multi_terms",
+          "auto_date_histogram"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -2347,6 +2435,9 @@ object QueryDsl {
         }
         m.get("missing").foreach { ms =>
           return missingAgg(hits, name, ms, m.get("aggs"))
+        }
+        m.get("auto_date_histogram").foreach { ah =>
+          return autoDateHistogramAgg(hits, name, ah, m.get("aggs"))
         }
         m.get("multi_terms").foreach { mt =>
           return multiTermsAgg(hits, name, mt, m.get("aggs"))
@@ -3013,6 +3104,46 @@ object QueryDsl {
     hits.agg(count(when(gate, 1L)).as("doc_count"), subs: _*)
   }
 
+  /** `auto_date_histogram`: the FINEST calendar interval (day →
+    * month → year) that yields at most `buckets` buckets — the
+    * OpenSearch auto-sizing rule made deterministic. The choice costs
+    * one extra bounded aggregate (three distinct-trunc counts,
+    * 3 longs to the driver — bounded metadata, same class as the IVF
+    * centroid list); the real work stays the single date_trunc
+    * groupBy. Output carries the chosen `interval` so the caller
+    * knows the granularity (the OpenSearch response field).
+    */
+  private def autoDateHistogramAgg(hits: DataFrame, name: String,
+      spec: JValue, subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"auto_date_histogram '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "buckets")).foreach(k =>
+      fail(s"unsupported auto_date_histogram option '$k' in '$name'"))
+    val f = strOpt(m, "field")
+      .getOrElse(fail(s"auto_date_histogram '$name' needs a field"))
+    val target = intOpt(m, "buckets").getOrElse(10)
+    if (target < 1) fail("auto_date_histogram buckets must be >= 1")
+    val c = hits.agg(
+      countDistinct(date_trunc("DAY", col(f))).as("d"),
+      countDistinct(date_trunc("MONTH", col(f))).as("mo"),
+      countDistinct(date_trunc("YEAR", col(f))).as("y")).collect().head
+    val unit =
+      if (c.getLong(0) <= target) "day"
+      else if (c.getLong(1) <= target) "month"
+      else "year"
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
+      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    hits.groupBy(date_trunc(unit.toUpperCase, col(f)).as(name))
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .withColumn("interval", lit(unit))
+      .orderBy(col(name).asc)
+  }
+
   /** `multi_terms` bucket agg: terms over a composite key — ONE
     * groupBy shuffle on all key fields together (never a join of
     * per-field terms tables). Docs missing any key field are skipped
@@ -3292,6 +3423,41 @@ object QueryDsl {
         case other  => fail(s"top_metrics sort order must be asc/desc: '$other'")
       }
       Seq(top.getField("m").as(name))
+    // scripted_metric, deterministic shape: a [[ScoreScript]] map
+    // expression over doc fields + params, combined by an associative
+    // reduce (sum/min/max). The script compiles ONCE on the driver to
+    // codegen'd arithmetic inside the partial aggregate — the
+    // anti-UDF rule applied to OpenSearch's most UDF-shaped agg.
+    // (No init/combine scripts: the reduce names the monoid instead,
+    // which is what makes the agg distributable BY CONSTRUCTION.)
+    case JObject(List(("scripted_metric", JObject(body)))) =>
+      val m = body.toMap
+      m.keySet.diff(Set("map_script", "reduce", "params")).foreach(k =>
+        fail(s"unsupported scripted_metric option '$k' in '$name'"))
+      val src = strOpt(m, "map_script")
+        .getOrElse(fail(s"scripted_metric '$name' needs a map_script"))
+      if (src.contains("_score"))
+        fail(s"scripted_metric '$name' map_script sees doc fields and " +
+          "params only (no _score)")
+      val params: Map[String, Long] = m.get("params") match {
+        case Some(JObject(po)) => po.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, other) =>
+            fail(s"scripted_metric param '$k' must be an integer: ${render(other)}")
+        }.toMap
+        case None        => Map.empty
+        case Some(other) => fail(s"scripted_metric params must be an object: ${render(other)}")
+      }
+      val mapped0 = ScoreScript.compile(src, params, lit(0L))
+      val mapped = cond.map(p => when(p, mapped0)).getOrElse(mapped0)
+      val reduced = strOpt(m, "reduce")
+        .getOrElse(fail(s"scripted_metric '$name' needs a reduce (sum/min/max)")) match {
+        case "sum" => sum(mapped)
+        case "min" => min(mapped)
+        case "max" => max(mapped)
+        case other => fail(s"scripted_metric reduce must be sum/min/max: '$other'")
+      }
+      Seq(reduced.as(name))
     case JObject(List((metric, JObject(body)))) =>
       val f = strOpt(body.toMap, "field")
         .getOrElse(fail(s"metric agg '$name' ($metric) needs a field"))

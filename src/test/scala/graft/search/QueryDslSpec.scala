@@ -1479,6 +1479,100 @@ class QueryDslSpec extends SparkSpec {
       "request-level")
   }
 
+  test("wrapper decodes to the inline clause; bad payloads fail loud") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"term": {"lang": "en"}}""".getBytes("UTF-8"))
+    val wrapped = QueryDsl.search(docs,
+      s"""{"query": {"wrapper": {"query": "$b64"}}, "sort": ["doc_id"]}""")
+    val inline = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}}, "sort": ["doc_id"]}""")
+    assert(wrapped.collect().toSeq === inline.collect().toSeq)
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"query": {"wrapper": {"query": "!!!not-base64!!!"}}}""",
+      "not valid base64")
+    val junk = java.util.Base64.getEncoder.encodeToString(
+      "{not json".getBytes("UTF-8"))
+    bad(s"""{"query": {"wrapper": {"query": "$junk"}}}""", "decode to JSON")
+  }
+
+  test("combined_fields / span_first validate loudly") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"query": {"combined_fields": {"query": "a b"}}}""",
+      "non-empty fields")
+    bad("""{"query": {"combined_fields": {"query": "a b",
+           "fields": ["text"], "minimum_should_match": 3}}}""",
+      "minimum_should_match must be in [1, 2]")
+    bad("""{"query": {"combined_fields": {"query": "  ",
+           "fields": ["text"]}}}""", "no terms")
+    bad("""{"query": {"span_first": {"match":
+           {"span_term": {"text": "the"}}, "end": 0}}}""", "end must be >= 1")
+    bad("""{"query": {"span_first": {"end": 3}}}""", "span_first needs")
+  }
+
+  test("span_first == prefix-slice membership by hand") {
+    val got = QueryDsl.search(docs,
+      """{"query": {"span_first": {
+           "match": {"span_term": {"text": "the"}}, "end": 3}},
+         "sort": ["doc_id"], "_source": ["doc_id"]}""")
+    val exp = docs.filter(
+      array_contains(slice(split(col("text"), " "), 1, 3), "the"))
+      .orderBy("doc_id").select("doc_id")
+    assert(got.collect().toSeq === exp.collect().toSeq)
+  }
+
+  test("scripted_metric validates its script and reduce loudly") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"a": {"scripted_metric": {
+           "map_script": "_score + 1", "reduce": "sum"}}}}""", "no _score")
+    bad("""{"aggs": {"a": {"scripted_metric": {
+           "map_script": "doc['n_chars'].value", "reduce": "avg"}}}}""",
+      "reduce must be sum/min/max")
+    bad("""{"aggs": {"a": {"scripted_metric": {
+           "map_script": "params.z", "reduce": "sum"}}}}""", "undeclared param")
+    bad("""{"aggs": {"a": {"scripted_metric": {
+           "map_script": "1 + 1", "reduce": "sum", "init_script": "x"}}}}""",
+      "unsupported scripted_metric option")
+    // the deterministic shape really aggregates
+    val got = QueryDsl.search(docs,
+      """{"aggs": {"m": {"scripted_metric": {
+           "map_script": "max(doc['n_chars'].value, 100)",
+           "reduce": "max"}}}}""").collect().head.getAs[Long]("m")
+    val exp = docs.agg(max(greatest(col("n_chars"), lit(100L))))
+      .collect().head.getLong(0)
+    assert(got === exp)
+  }
+
+  test("auto_date_histogram picks the finest unit within the target") {
+    val events = Tables.load(spark, sf(), "events")
+    // events span ~30 days in one month: buckets=5 must pick month
+    val monthly = QueryDsl.search(events,
+      """{"aggs": {"h": {"auto_date_histogram":
+           {"field": "ts", "buckets": 5}}}}""")
+    assert(monthly.select("interval").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("month"))
+    assert(monthly.count() <= 5)
+    // buckets=40 fits the daily series
+    val daily = QueryDsl.search(events,
+      """{"aggs": {"h": {"auto_date_histogram":
+           {"field": "ts", "buckets": 40}}}}""")
+    assert(daily.select("interval").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("day"))
+    assert(daily.count() > 5)
+    val e = intercept[IllegalArgumentException](QueryDsl.search(events,
+      """{"aggs": {"h": {"auto_date_histogram":
+           {"field": "ts", "buckets": 0}}}}"""))
+    assert(e.getMessage.contains("buckets must be >= 1"))
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
