@@ -199,6 +199,35 @@ object ScaleBench {
       c -> r
     }
 
+    // _msearch amortization: 24 `_count`-shaped requests against the
+    // documents corpus, answered (a) batched — ONE scan, every
+    // predicate a conditional count in a single aggregate — vs
+    // (b) sequentially, one scan per request. The amortization factor
+    // IS the scale claim: at 100 TB a dashboard's N filters must cost
+    // one pass, not N.
+    def msearchBodies: Seq[String] = (0 until 24).map { i =>
+      i % 3 match {
+        case 0 =>
+          s"""{"query": {"term": {"lang": "${Seq("en", "fr", "de", "es", "zh")(i % 5)}"}}}"""
+        case 1 => s"""{"query": {"range": {"n_chars": {"gte": ${100 + i * 20}}}}}"""
+        case _ => s"""{"query": {"term": {"source": "src${i % 10}"}}}"""
+      }
+    }
+    def msearchProbe(dir: String): (Double, Double) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      def batched(): Unit = graft.search.QueryDsl
+        .msearchCounts(docs, msearchBodies)
+        .queryExecution.toRdd.foreach(_ => ())
+      def sequential(): Unit = msearchBodies.foreach(b =>
+        graft.search.QueryDsl.countRequest(docs, b)
+          .queryExecution.toRdd.foreach(_ => ()))
+      batched(); sequential() // warm-up
+      val b = (1 to passes).map(_ => time(batched())).min
+      val s = (1 to passes).map(_ => time(sequential())).min
+      (b, s)
+    }
+    val msearch = dirs.map { case (c, d) => c -> msearchProbe(d) }
+
     // guard counters at the largest scale: non-empty means the caps
     // are earning their keep
     val bigDir = dirs.last._2
@@ -229,11 +258,14 @@ object ScaleBench {
     val zJson = zprobe.map { case (c, (z, srt, exact, w)) =>
       s""""$c":{"z_rows":$z,"sorted_rows":$srt,"exact":$exact,""" +
       s""""write_sec":${f"$w%.1f"}}""" }.mkString("{", ",", "}")
+    val msearchJson = msearch.map { case (c, (b, s)) =>
+      s""""$c":{"batched_sec":${f"$b%.2f"},"sequential_sec":${f"$s%.2f"},""" +
+      s""""amortization_x":${f"${s / b}%.1f"}}""" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_curve","unit":"sec","passes":$passes,""" +
       s""""scales_sec":$scalesJson,"growth_x":$growthJson,""" +
       s""""bm25_build_sec":$bm25Json,"bm25_serve_sec":$bm25ServeJson,""" +
-      s""""zorder":$zJson,""" +
+      s""""zorder":$zJson,"msearch":$msearchJson,""" +
       s""""guards":{"lsh_hot_buckets":$lshHot,"sem_hot_buckets":$semHot,""" +
       s""""sem_max_bucket":$semBuckets}}"""
     println(json)

@@ -1885,6 +1885,42 @@ object DslSearch {
                      WHEN (SELECT cm FROM c) <= 40 THEN 'month'
                      ELSE 'year' END) AS interval
         FROM g ORDER BY auto_hist
+      """.stripMargin.trim)),
+
+    // global agg: sub-aggs over the WHOLE corpus regardless of the
+    // query (the background-stats idiom — foreground hits vs corpus
+    // baseline in one request family). One unfiltered global
+    // aggregate.
+    GraftQuery(
+      "q203_dsl_global",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"bg": {"global": {},
+             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                      "max_chars": {"max": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT COUNT(*) AS doc_count,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+      """.stripMargin.trim)),
+
+    // singular filter bucket: one named sub-query gating the
+    // sub-aggs — a conditional global aggregate over the hit set (the
+    // commonest single-bucket request shape), no keyed shuffle.
+    GraftQuery(
+      "q204_dsl_filter_agg",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"range": {"n_chars": {"gte": 100}}},
+           "aggs": {"en_docs": {"filter": {"term": {"lang": "en"}},
+             "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT COUNT(CASE WHEN lang = 'en' THEN 1 END) AS doc_count,
+               CAST(SUM(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT)
+                 AS sum_chars
+        FROM documents WHERE n_chars >= 100
       """.stripMargin.trim))
   )
 }

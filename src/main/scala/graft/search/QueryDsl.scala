@@ -45,7 +45,14 @@ import org.json4s.jackson.JsonMethods
   * `query_string` (the full Lucene grammar: fielded terms, quoted
   * phrases, AND/OR/NOT precedence, grouping, integer `^boosts`),
   * `nested` (same-element conjunction over an array-of-structs column
-  * via a higher-order filter — no explode, no join), and, compiled at
+  * via a higher-order filter — no explode, no join),
+  * `script_score` (a Painless-shaped integer script compiled by
+  * [[ScoreScript]] straight to codegen'd Catalyst arithmetic — zero
+  * row-time interpretation), `wrapper` (base64-shipped query decoded
+  * once on the driver), `combined_fields` (term-centric multi-field
+  * match — a term counts once if present in ANY field),
+  * `span_first` (term within the first `end` token positions —
+  * per-row computable, so a plain clause), and, compiled at
   * the REQUEST level because they depend on corpus state:
   * `more_like_this` (the q118 tf·idf postings plan), `span_near`
   * (positional postings, ordered or not), `percolate` (reverse
@@ -54,9 +61,12 @@ import org.json4s.jackson.JsonMethods
   * (term suggester — the q117 banded levenshtein vocab walk —, the
   * two-word phrase suggester — q121's bigram-evidence re-rank — and
   * the completion suggester — q115's prefix autocomplete),
-  * and the `knn` request (exact filtered cosine top-k of an inline
+  * the `knn` request (exact filtered cosine top-k of an inline
   * vector by the integer-quantize recipe, the q75 contract — or,
-  * with an `index` arm, served from the partition-pruned IVF layout).
+  * with an `index` arm, served from the partition-pruned IVF layout),
+  * and `intervals` (k-term ordered proximity with a total gap
+  * budget — span_near's postings shape generalized to a k−1-step
+  * equi-join chain).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
@@ -81,16 +91,28 @@ import org.json4s.jackson.JsonMethods
   * `range` (overlapping [from, to) buckets), `date_range`
   * (calendar-anchored [from, to) buckets), `rare_terms` (the long
   * tail at/under `max_doc_count`), `filters` (named
-  * sub-query buckets), `significant_terms`, `adjacency_matrix`
+  * sub-query buckets), `filter` (ONE sub-query bucket — a
+  * conditional global aggregate), `global` (sub-aggs over the whole
+  * corpus, ignoring the query), `missing` (the NULL-field bucket),
+  * `multi_terms` (composite-key terms, one groupBy on all key
+  * fields), `significant_terms`, `adjacency_matrix`
   * (pairwise filter-intersection counts, one pass),
   * `matrix_stats` (exact-moment mean/variance/covariance/correlation
   * of two integral fields), `geo_grid` (fixed-degree lat/lon cells),
+  * `auto_date_histogram` (finest calendar unit within a bucket
+  * target, deterministic),
   * pipeline aggs over a
   * histogram/date_histogram series (`cumulative_sum`, `derivative`,
-  * `moving_avg` via `buckets_path`, windows over the bounded bucket
-  * table),
+  * `serial_diff`, `moving_avg` via `buckets_path`, windows over the
+  * bounded bucket table) plus `bucket_selector` (mini-script HAVING)
+  * and `bucket_sort` (ORDER BY + from/size over buckets, also under
+  * `terms`), sibling `avg|sum|min|max|stats_bucket` aggs (the
+  * one-row sibling table),
   * global metric aggs, `histogram`, `date_histogram`
-  * (calendar_interval day/month), `stats`,
+  * (calendar_interval day/month), `stats`, `extended_stats` (exact
+  * integer moments), `weighted_avg`, `top_metrics` (top-sort-row
+  * metric via struct max), `scripted_metric` (a ScoreScript map
+  * expression + a named monoid reduce),
   * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`/`percentiles`
   * (discrete — engine-exact, no interpolation). A request with
   * `aggs` returns the bucket table (the `size: 0` idiom) — except
@@ -2396,7 +2418,8 @@ object QueryDsl {
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
           "date_range", "rare_terms", "significant_terms", "filters",
           "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
-          "missing", "multi_terms", "auto_date_histogram").contains(p._1))
+          "missing", "multi_terms", "auto_date_histogram", "global",
+          "filter").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -2411,7 +2434,7 @@ object QueryDsl {
           "date_histogram", "range", "date_range", "rare_terms",
           "significant_terms", "filters", "composite", "adjacency_matrix",
           "matrix_stats", "geo_grid", "missing", "multi_terms",
-          "auto_date_histogram"))
+          "auto_date_histogram", "global", "filter"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -2438,6 +2461,34 @@ object QueryDsl {
         }
         m.get("auto_date_histogram").foreach { ah =>
           return autoDateHistogramAgg(hits, name, ah, m.get("aggs"))
+        }
+        m.get("global").foreach { g =>
+          // `global`: sub-aggs over the WHOLE corpus, ignoring the
+          // request's query (the background-stats idiom) — one global
+          // aggregate over `table`, not `hits`
+          g match {
+            case JObject(Nil) => ()
+            case other => fail(s"global agg '$name' takes an empty object: " +
+              render(other))
+          }
+          val subs: Seq[Column] = m.get("aggs") match {
+            case None             => Nil
+            case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
+            case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+          }
+          return table.agg(count(lit(1)).as("doc_count"), subs: _*)
+        }
+        m.get("filter").foreach { fq =>
+          // singular `filter` bucket: ONE named sub-query gating the
+          // sub-aggs — a conditional global aggregate over the hit
+          // set (the commonest single-bucket shape), no keyed shuffle
+          val gate = compileQuery(fq).pred
+          val subs: Seq[Column] = m.get("aggs") match {
+            case None             => Nil
+            case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, Some(gate)) }
+            case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+          }
+          return hits.agg(count(when(gate, 1L)).as("doc_count"), subs: _*)
         }
         m.get("multi_terms").foreach { mt =>
           return multiTermsAgg(hits, name, mt, m.get("aggs"))

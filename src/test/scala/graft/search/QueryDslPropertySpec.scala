@@ -64,6 +64,10 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       scoreSum: Boolean, boostMult: Boolean) extends Q
   private case class DistFeat(origin: Long, pivot: Long) extends Q
   private case class RankFeat(pivot: Long) extends Q
+  private case class CombinedFields(ts: Seq[String], msm: Long) extends Q
+  private case class SpanFirst(t: String, end: Int) extends Q
+  private case class ScriptScore(inner: Q, w: Long, cap: Long) extends Q
+  private case class Wrapped(inner: Q) extends Q
 
   private val vocab = Seq("spark", "join", "window", "data", "model", "absent")
 
@@ -94,7 +98,15 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       n <- Gen.chooseNum(1, 3)
       ts <- Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("src1", "src3")))
       m <- Gen.chooseNum(1L, 2L)
-    } yield MultiMatch(ts.distinct, most = true, 0.0, m))
+    } yield MultiMatch(ts.distinct, most = true, 0.0, m),
+    // term-centric multi-field: a term counts once if in ANY field
+    for {
+      n <- Gen.chooseNum(1, 3)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab ++ Seq("src1", "src3")))
+      m <- Gen.chooseNum(1L, 2L)
+    } yield CombinedFields(ts.distinct, math.min(m, ts.distinct.size.toLong)),
+    for { t <- Gen.oneOf(vocab); e <- Gen.chooseNum(1, 5) }
+      yield SpanFirst(t, e))
 
   /** Unit-scale query trees — freely composable anywhere. */
   private def qGen(depth: Int): Gen[Q] =
@@ -120,7 +132,12 @@ object QueryDslPropertySpec extends Properties("querydsl") {
         ws <- Gen.listOfN(nf, Gen.chooseNum(1L, 5L))
         sm <- Gen.oneOf(true, false)
         bm <- Gen.oneOf(true, false)
-      } yield FnScore(inner, fs.zip(ws), sm, bm)))
+      } yield FnScore(inner, fs.zip(ws), sm, bm)),
+      1 -> (for {
+        inner <- qGen(depth - 1)
+        w <- Gen.chooseNum(1L, 5L); cap <- Gen.chooseNum(50L, 400L)
+      } yield ScriptScore(inner, w, cap)),
+      1 -> qGen(depth - 1).map(Wrapped))
 
   /** ppm-scaled producers — per the compiler's scale-mixing rules they
     * sit ABOVE unit subtrees (never inside another scoring position),
@@ -213,6 +230,20 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       s"""{"distance_feature": {"field": "n_chars", "origin": $o, "pivot": $p}}"""
     case RankFeat(p) =>
       s"""{"rank_feature": {"field": "n_chars", "saturation": {"pivot": $p}}}"""
+    case CombinedFields(ts, m) =>
+      s"""{"combined_fields": {"query": ${js(ts.mkString(" "))},
+         "fields": ["text", "source"], "minimum_should_match": $m}}"""
+        .replace("\n", " ")
+    case SpanFirst(t, e) =>
+      s"""{"span_first": {"match": {"span_term": {"text": ${js(t)}}}, "end": $e}}"""
+    case ScriptScore(inner, w, cap) =>
+      s"""{"script_score": {"query": ${render(inner)}, "script": {"source":
+         "params.w * _score + min(doc['n_chars'].value, params.cap)",
+         "params": {"w": $w, "cap": $cap}}}}""".replace("\n", " ")
+    case Wrapped(inner) =>
+      val b64 = java.util.Base64.getEncoder
+        .encodeToString(render(inner).getBytes("UTF-8"))
+      s"""{"wrapper": {"query": "$b64"}}"""
   }
 
   // ------------------------------------------- row-wise reference model
@@ -297,6 +328,18 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       (true, p * 1000000L / (p + math.abs(d.n_chars - o)))
     case RankFeat(p) =>
       (d.n_chars >= 0L, d.n_chars * 1000000L / (d.n_chars + p))
+    case CombinedFields(ts, msm) =>
+      val textToks = d.text.split(" ", -1).distinct.toSet
+      val srcToks = d.source.split(" ", -1).distinct.toSet
+      val score = ts.distinct
+        .count(t => textToks.contains(t) || srcToks.contains(t)).toLong
+      (score >= msm, score)
+    case SpanFirst(t, e) =>
+      (d.text.split(" ", -1).take(e).contains(t), 1L)
+    case ScriptScore(inner, w, cap) =>
+      val (ok, sc) = eval(inner, d)
+      (ok, w * sc + math.min(d.n_chars, cap))
+    case Wrapped(inner) => eval(inner, d)
   }
 
   private def fieldEq(f: String, v: Either[String, Long], d: Doc): Boolean =

@@ -1573,6 +1573,27 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("buckets must be >= 1"))
   }
 
+  test("global ignores the query; filter gates sub-aggs on its sub-query") {
+    val g = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "qq_nohit"}},
+         "aggs": {"bg": {"global": {},
+           "aggs": {"n": {"value_count": {"field": "doc_id"}}}}}}""")
+      .collect().head
+    assert(g.getAs[Long]("doc_count") === docs.count()) // not 0
+    assert(g.getAs[Long]("n") === docs.count())
+    val f = QueryDsl.search(docs,
+      """{"query": {"range": {"n_chars": {"gte": 100}}},
+         "aggs": {"en": {"filter": {"term": {"lang": "en"}},
+           "aggs": {"s": {"sum": {"field": "n_chars"}}}}}}""").collect().head
+    val exp = docs.filter(col("n_chars") >= 100 && col("lang") === "en")
+      .agg(count(lit(1)), sum("n_chars")).collect().head
+    assert(f.getAs[Long]("doc_count") === exp.getLong(0))
+    assert(f.getAs[Long]("s") === exp.getLong(1))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"aggs": {"bg": {"global": {"field": "x"}}}}"""))
+    assert(e.getMessage.contains("empty object"))
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
