@@ -113,6 +113,12 @@ final case class GraftEngine(spark: SparkSession) {
   def msearchCounts(table: DataFrame, requestJsons: Seq[String]): DataFrame =
     graft.search.QueryDsl.msearchCounts(table, requestJsons)
 
+  /** The `_validate/query` endpoint: compile-check a request body
+    * without running it — (valid, explanation).
+    */
+  def validateQuery(table: DataFrame, requestJson: String): (Boolean, Option[String]) =
+    graft.search.QueryDsl.validateRequest(table, requestJson)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

@@ -1921,6 +1921,64 @@ object DslSearch {
                CAST(SUM(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT)
                  AS sum_chars
         FROM documents WHERE n_chars >= 100
+      """.stripMargin.trim)),
+
+    // geo_polygon (convex, CCW): inside = on the left of every edge,
+    // one cross-product sign test per edge — no division, no trig,
+    // fixed operand order, so the boundary set is engine-portable and
+    // the whole clause is a pushed codegen conjunction over q164's
+    // synthetic points.
+    GraftQuery(
+      "q206_dsl_geo_polygon",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_polygon": {
+               "lat_field": "lat", "lon_field": "lon",
+               "points": [
+                 {"lat": -60.0, "lon": -120.0},
+                 {"lat": -60.0, "lon": 120.0},
+                 {"lat": 60.0, "lon": 150.0},
+                 {"lat": 60.0, "lon": -150.0}]}},
+             "sort": ["c_custkey"],
+             "size": 200,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, lat, lon FROM pts
+        WHERE (120.0 - (-120.0)) * (lat - (-60.0)) - ((-60.0) - (-60.0)) * (lon - (-120.0)) >= 0.0
+          AND (150.0 - 120.0) * (lat - (-60.0)) - (60.0 - (-60.0)) * (lon - 120.0) >= 0.0
+          AND ((-150.0) - 150.0) * (lat - 60.0) - (60.0 - 60.0) * (lon - 150.0) >= 0.0
+          AND ((-120.0) - (-150.0)) * (lat - 60.0) - ((-60.0) - 60.0) * (lon - (-150.0)) >= 0.0
+        ORDER BY c_custkey
+        LIMIT 200
+      """.stripMargin.trim)),
+
+    // terms agg ordered by a sub-metric (the OpenSearch `order`
+    // option): buckets ranked by avg_chars desc instead of the
+    // doc_count default — still ONE groupBy shuffle, the re-rank runs
+    // on the bounded bucket table.
+    GraftQuery(
+      "q207_dsl_terms_order_metric",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"range": {"n_chars": {"gte": 50}}},
+           "aggs": {"by_source": {"terms": {"field": "source", "size": 6,
+               "order": {"avg_chars": "desc"}},
+             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT source AS by_source, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+          FROM documents WHERE n_chars >= 50
+          GROUP BY 1)
+        SELECT by_source, doc_count, avg_chars FROM g
+        ORDER BY avg_chars DESC, by_source LIMIT 6
       """.stripMargin.trim))
   )
 }

@@ -221,6 +221,43 @@ object Sampling {
         FROM d JOIN r USING (source)
         WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate_ppm
         ORDER BY d.doc_id
+      """.stripMargin.trim)),
+
+    // Deterministic, seedable training shuffle + sharding: every doc
+    // gets a multiplicative-hash rank ((id·2654435761 + seed) mod the
+    // prime 1e9+7 — engine-portable exact integer arithmetic, no
+    // 64-bit wrap, valid for ids < ~3.4e9), a shard = rank mod
+    // n_shards, and a position within its shard. At cluster scale
+    // this is repartition-by-shard + a PARTITIONED window — never a
+    // global sort of the corpus; re-running with the same seed
+    // reproduces the exact batch order (the training-data
+    // reproducibility contract), a new seed is a fresh epoch
+    // permutation.
+    GraftQuery(
+      "q205_train_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val docs = graft.sources.Tables.load(s, dir, "documents")
+        val hkey = (col("doc_id") * lit(2654435761L) + lit(42L)) % lit(1000000007L)
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+        docs.select(col("doc_id"), hkey.as("hkey"))
+          .withColumn("shard", col("hkey") % 8)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, (doc_id * 2654435761 + 42) % 1000000007 AS hkey
+          FROM documents),
+        s AS (SELECT doc_id, hkey, CAST(hkey % 8 AS BIGINT) AS shard FROM h),
+        r AS (SELECT doc_id, shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                  ORDER BY hkey, doc_id) AS BIGINT) AS pos
+              FROM s)
+        SELECT doc_id, shard, pos FROM r ORDER BY shard, pos
       """.stripMargin.trim))
   )
 }

@@ -200,6 +200,7 @@ object QueryDsl {
       case "query_string"     => queryStringClause(body)
       case "script_score"     => scriptScoreClause(body)
       case "wrapper"          => wrapperClause(body)
+      case "geo_polygon"      => geoPolygonClause(body)
       case "combined_fields"  => combinedFieldsClause(body)
       case "span_first"       => spanFirstClause(body)
       case "more_like_this" | "span_near" | "percolate" | "intervals" =>
@@ -1231,6 +1232,68 @@ object QueryDsl {
     * order), so the boundary set is engine-portable. Filter context:
     * score 1. Map-only — at scale this fuses into the scan.
     */
+  /** `geo_polygon` (CONVEX, counter-clockwise): inside = on the left
+    * of every edge — one 2-D cross-product sign test per edge
+    * ((lon₂−lon₁)·(lat−lat₁) − (lat₂−lat₁)·(lon−lon₁) ≥ 0, lon as x,
+    * lat as y). Sign tests only — no division, no trig, fixed operand
+    * order — so the boundary set is engine-portable IEEE arithmetic
+    * and the whole clause is a codegen conjunction (planar
+    * approximation, consistent with the q125 grid family). Non-convex
+    * or clockwise rings fail loud AT COMPILE TIME (each polygon turn
+    * is checked on the driver) — a general even-odd crossing walk is
+    * the wrong plan for a pushed filter and OpenSearch itself
+    * deprecates arbitrary geo_polygon in favor of geo_shape.
+    */
+  private def geoPolygonClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "points")).foreach(k =>
+        fail(s"unsupported geo_polygon option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_polygon requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_polygon requires lon_field"))
+      def num(v: JValue, what: String): Double = v match {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"$what must be numeric: ${render(other)}")
+      }
+      val pts: Seq[(Double, Double)] = m.get("points") match {
+        case Some(JArray(ps)) if ps.size >= 3 => ps.map {
+          case JObject(o) =>
+            val om = o.toMap
+            om.keySet.diff(Set("lat", "lon")).foreach(k =>
+              fail(s"unsupported point key '$k'"))
+            (om.get("lat").map(num(_, "point.lat"))
+               .getOrElse(fail("point requires lat")),
+             om.get("lon").map(num(_, "point.lon"))
+               .getOrElse(fail("point requires lon")))
+          case other => fail(s"points must be {lat, lon} objects: ${render(other)}")
+        }
+        case _ => fail("geo_polygon requires a points array of >= 3 vertices")
+      }
+      val n = pts.size
+      // driver-side ring check: every turn strictly counter-clockwise
+      (0 until n).foreach { i =>
+        val (aLat, aLon) = pts(i)
+        val (bLat, bLon) = pts((i + 1) % n)
+        val (cLat, cLon) = pts((i + 2) % n)
+        val cross = (bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon)
+        if (cross <= 0)
+          fail(s"geo_polygon ring must be strictly convex and " +
+            s"counter-clockwise (turn at vertex ${(i + 1) % n} is not)")
+      }
+      val inside = (0 until n).map { i =>
+        val (lat1, lon1) = pts(i)
+        val (lat2, lon2) = pts((i + 1) % n)
+        ((lit(lon2) - lit(lon1)) * (col(latF) - lit(lat1)) -
+          (lit(lat2) - lit(lat1)) * (col(lonF) - lit(lon1))) >= lit(0.0)
+      }.reduce(_ && _)
+      CompiledQuery(inside, lit(1L))
+    case other => fail(s"geo_polygon requires an object body: ${render(other)}")
+  }
+
   private def geoDistanceClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
       val m = parts.toMap
@@ -1858,6 +1921,20 @@ object QueryDsl {
     val pred = req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
     table.filter(pred).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
   }
+
+  /** The `_validate/query` endpoint: compile the request against the
+    * table's schema WITHOUT running it. Returns (valid, explanation)
+    * — compile and analysis errors come back AS DATA instead of
+    * throwing, because reporting them IS this request's job (the one
+    * surface where fail-loud means "return the failure").
+    */
+  def validateRequest(table: DataFrame, requestJson: String): (Boolean, Option[String]) =
+    try {
+      search(table, requestJson).queryExecution.assertAnalyzed()
+      (true, None)
+    } catch {
+      case e: Exception => (false, Option(e.getMessage))
+    }
 
   /** `_msearch` over `_count`-shaped bodies: N requests answered by
     * ONE corpus scan. Each body's query compiles to a predicate; all
@@ -2569,11 +2646,29 @@ object QueryDsl {
         val subs: Seq[Column] = metricEntries.flatMap {
           case (subName, subSpec) => metricCols(subName, subSpec)
         }
-        val (keyCol, size) = m.collectFirst {
+        val (keyCol, size, termsOrder) = m.collectFirst {
           case ("terms", JObject(t)) =>
             val tm = t.toMap
+            tm.keySet.diff(Set("field", "size", "order")).foreach(k =>
+              fail(s"unsupported terms option '$k' in '$name'"))
             val f = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
-            (col(f).as(name), intOpt(tm, "size"))
+            // `order`: rank buckets by a sub-metric, `_count` or
+            // `_key` instead of the doc_count-desc default (the
+            // OpenSearch terms `order` option) — still ONE groupBy,
+            // the sort runs on the bounded bucket table
+            val ord: Option[(String, Boolean)] = tm.get("order") match {
+              case None => None
+              case Some(JObject(List((target, JString(dir))))) =>
+                val asc = dir match {
+                  case "asc"  => true
+                  case "desc" => false
+                  case other  => fail(s"terms order must be asc/desc: '$other'")
+                }
+                Some((target, asc))
+              case Some(other) =>
+                fail(s"terms order must be {target: asc|desc}: ${render(other)}")
+            }
+            (col(f).as(name), intOpt(tm, "size"), ord)
           case ("histogram", JObject(h)) =>
             val hm = h.toMap
             val f = strOpt(hm, "field").getOrElse(fail(s"histogram agg '$name' needs a field"))
@@ -2582,7 +2677,7 @@ object QueryDsl {
               case Some(JDouble(d)) => lit(d)
               case _ => fail(s"histogram agg '$name' needs a numeric interval")
             }
-            ((floor(col(f) / interval) * interval).as(name), None)
+            ((floor(col(f) / interval) * interval).as(name), None, None)
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
@@ -2592,15 +2687,33 @@ object QueryDsl {
               case "year"  => "YEAR"
               case other   => fail(s"unsupported calendar_interval '$other'")
             }
-            (date_trunc(unit, col(f)).as(name), None)
+            (date_trunc(unit, col(f)).as(name), None, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
         val bucketTable = hits.groupBy(keyCol)
           .agg(count(lit(1)).as("doc_count"), subs: _*)
         if (pipeEntries.isEmpty) {
-          val grouped = bucketTable.orderBy(col("doc_count").desc, col(name).asc)
+          val sortCols: Seq[Column] = termsOrder match {
+            case None => Seq(col("doc_count").desc, col(name).asc)
+            case Some((target0, asc)) =>
+              val target = target0 match {
+                case "_count" => "doc_count"
+                case "_key"   => name
+                case other    => other
+              }
+              if (!bucketTable.columns.contains(target))
+                fail(s"terms order target '$target0' names no metric of " +
+                  s"'$name' (have: ${metricEntries.map(_._1).mkString(", ")}, _count, _key)")
+              val primary = if (asc) col(target).asc else col(target).desc
+              // bucket key breaks all ties: the order stays total
+              if (target == name) Seq(primary) else Seq(primary, col(name).asc)
+          }
+          val grouped = bucketTable.orderBy(sortCols: _*)
           size.map(grouped.limit).getOrElse(grouped)
         } else {
+          if (termsOrder.isDefined)
+            fail("terms order cannot be combined with pipeline aggs " +
+              "(use bucket_sort instead)")
           // pipeline aggs run as windows OVER THE BUCKET SERIES.
           // Series aggs (cumulative_sum/derivative/serial_diff/
           // moving_avg) are only defined under a key-ordered parent

@@ -49,7 +49,12 @@ class SparkEntrySpec extends SparkSpec {
     val singleRowByConstruction = Set(
       "q110_search_adjacency_matrix", "q111_search_matrix_stats",
       "q124_search_multi_term", "q158_dsl_percentiles",
-      "q178_dsl_matrix_stats", "q185_dsl_count")
+      "q178_dsl_matrix_stats", "q185_dsl_count",
+      // round-7 one-row global aggregates: extended_stats,
+      // top_metrics, missing, sibling *_bucket, global, filter
+      "q187_dsl_extended_stats", "q189_dsl_top_metrics",
+      "q190_dsl_missing", "q194_dsl_sibling_bucket",
+      "q203_dsl_global", "q204_dsl_filter_agg")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

@@ -1594,6 +1594,63 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("empty object"))
   }
 
+  test("geo_polygon validates the ring loudly (convex CCW only)") {
+    def bad(pointsJson: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+        s"""{"query": {"geo_polygon": {"lat_field": "a", "lon_field": "b",
+             "points": $pointsJson}}}"""))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""[{"lat": 0, "lon": 0}, {"lat": 1, "lon": 1}]""", ">= 3 vertices")
+    // clockwise square
+    bad("""[{"lat": 0, "lon": 0}, {"lat": 1, "lon": 0},
+            {"lat": 1, "lon": 1}, {"lat": 0, "lon": 1}]""",
+      "counter-clockwise")
+    // collinear (degenerate turn)
+    bad("""[{"lat": 0, "lon": 0}, {"lat": 0, "lon": 1}, {"lat": 0, "lon": 2}]""",
+      "strictly convex")
+    // non-convex (dart)
+    bad("""[{"lat": 0, "lon": 0}, {"lat": 0, "lon": 4},
+            {"lat": 4, "lon": 4}, {"lat": 1, "lon": 1}, {"lat": 4, "lon": 0}]""",
+      "strictly convex")
+  }
+
+  test("terms order by sub-metric / _key / _count; validates loudly") {
+    val byKey = QueryDsl.search(docs,
+      """{"aggs": {"l": {"terms": {"field": "lang",
+           "order": {"_key": "asc"}}}}}""")
+      .select("l").collect().map(_.getString(0)).toSeq
+    assert(byKey === byKey.sorted)
+    val byCountAsc = QueryDsl.search(docs,
+      """{"aggs": {"l": {"terms": {"field": "lang",
+           "order": {"_count": "asc"}}}}}""")
+      .select("doc_count").collect().map(_.getLong(0)).toSeq
+    assert(byCountAsc === byCountAsc.sorted)
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"l": {"terms": {"field": "lang",
+           "order": {"nope": "desc"}}}}}""", "names no metric")
+    bad("""{"aggs": {"l": {"terms": {"field": "lang",
+           "order": {"_count": "down"}}}}}""", "must be asc/desc")
+    bad("""{"aggs": {"l": {"terms": {"field": "lang",
+             "order": {"_count": "desc"}},
+           "aggs": {"b": {"bucket_sort": {"size": 2}}}}}}""",
+      "use bucket_sort instead")
+  }
+
+  test("_validate reports compile/analysis errors as data, not throws") {
+    assert(QueryDsl.validateRequest(docs,
+      """{"query": {"term": {"lang": "en"}}}""") === (true, None))
+    val (ok1, msg1) = QueryDsl.validateRequest(docs,
+      """{"query": {"geo_shape": {}}}""")
+    assert(!ok1 && msg1.exists(_.contains("unsupported query clause")))
+    val (ok2, msg2) = QueryDsl.validateRequest(docs,
+      """{"query": {"term": {"no_such_column": 1}}}""")
+    assert(!ok2 && msg2.isDefined) // analysis error surfaces too
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
