@@ -334,8 +334,10 @@ object QueryDsl {
         case _ => fail("script_score needs {script: {source, params?}}")
       }
       // a ppm-scaled inner score is not commensurate with the script's
-      // unit-scale arithmetic — same rule as bool over ppm sub-clauses
-      if (inner.ppm && src.contains("_score"))
+      // unit-scale arithmetic — same rule as bool over ppm sub-clauses.
+      // Token-level check: "params.base_score" contains the substring
+      // but never the token.
+      if (inner.ppm && ScoreScript.referencesScore(src))
         fail("script_score cannot reference the _score of a ppm-scaled " +
           "sub-query (dis_max/boosting/best_fields/…)")
       CompiledQuery(inner.pred, ScoreScript.compile(src, params, inner.score))
@@ -1904,33 +1906,45 @@ object QueryDsl {
     * Only `query` is meaningful here; any other request section
     * fails loud (OpenSearch's _count takes no sort/size/aggs either).
     */
-  def countRequest(table: DataFrame, requestJson: String): DataFrame = {
+  def countRequest(table: DataFrame, requestJson: String): DataFrame =
+    table.filter(countPredicate(requestJson, "_count"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+
+  /** The ONE `_count`-shape compile — `{query}` only, request-level
+    * corpus-state clauses rejected — shared by [[countRequest]] and
+    * [[msearchCounts]] so the two validations can never drift.
+    */
+  private def countPredicate(requestJson: String, endpoint: String): Column = {
     val req = parse(requestJson) match {
       case o: JObject => o.obj.toMap
-      case other      => fail(s"request body must be an object: ${render(other)}")
+      case other      => fail(s"$endpoint body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query")).foreach(k =>
-      fail(s"unsupported _count request key '$k' (only query)"))
+      fail(s"unsupported $endpoint request key '$k' (only query)"))
     req.get("query").foreach {
       case JObject(List((clause, _)))
         if Set("more_like_this", "span_near", "percolate",
           "intervals").contains(clause) =>
-        fail(s"_count does not take the request-level '$clause' query")
+        fail(s"$endpoint does not take the request-level '$clause' query")
       case _ => ()
     }
-    val pred = req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
-    table.filter(pred).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+    req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
   }
 
   /** The `_validate/query` endpoint: compile the request against the
-    * table's schema WITHOUT running it. Returns (valid, explanation)
-    * — compile and analysis errors come back AS DATA instead of
-    * throwing, because reporting them IS this request's job (the one
-    * surface where fail-loud means "return the failure").
+    * table's schema WITHOUT running corpus work. Returns (valid,
+    * explanation) — compile and analysis errors come back AS DATA
+    * instead of throwing, because reporting them IS this request's
+    * job (the one surface where fail-loud means "return the
+    * failure"). Validation compiles against `table.limit(0)` — the
+    * optimizer folds a 0-limit to an empty relation, so request
+    * shapes whose compilation touches data (auto_date_histogram's
+    * unit choice, the request-level corpus-state plans) cost zero
+    * rows here instead of a corpus scan on a pre-flight check.
     */
   def validateRequest(table: DataFrame, requestJson: String): (Boolean, Option[String]) =
     try {
-      search(table, requestJson).queryExecution.assertAnalyzed()
+      search(table.limit(0), requestJson).queryExecution.assertAnalyzed()
       (true, None)
     } catch {
       case e: Exception => (false, Option(e.getMessage))
@@ -1946,22 +1960,7 @@ object QueryDsl {
     */
   def msearchCounts(table: DataFrame, requestJsons: Seq[String]): DataFrame = {
     if (requestJsons.isEmpty) fail("_msearch needs at least one request")
-    val preds = requestJsons.map { rj =>
-      val req = parse(rj) match {
-        case o: JObject => o.obj.toMap
-        case other      => fail(s"_msearch body must be an object: ${render(other)}")
-      }
-      req.keySet.diff(Set("query")).foreach(k =>
-        fail(s"unsupported _msearch count request key '$k' (only query)"))
-      req.get("query").foreach {
-        case JObject(List((clause, _)))
-          if Set("more_like_this", "span_near", "percolate",
-            "intervals").contains(clause) =>
-          fail(s"_msearch counts do not take the request-level '$clause' query")
-        case _ => ()
-      }
-      req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
-    }
+    val preds = requestJsons.map(countPredicate(_, "_msearch"))
     val cols = preds.zipWithIndex.map { case (p, i) =>
       count(when(p, 1L)).as(s"__c$i")
     }
@@ -2463,16 +2462,13 @@ object QueryDsl {
           .getOrElse(fail(s"sibling agg '$name' needs a buckets_path"))
         val target = path.split(">") match {
           case Array(b, p) if b == bucketName =>
-            if (p == "_count") "doc_count" else p
+            resolveBucketColumn(bucketDf, s"sibling agg '$name'", p)
           case Array(b, _) =>
             fail(s"sibling agg '$name' buckets_path names unknown bucket '$b' " +
               s"(have: $bucketName)")
           case _ => fail(s"sibling agg '$name' buckets_path must be " +
             s"'<bucket>><metric>': '$path'")
         }
-        if (!bucketDf.columns.contains(target))
-          fail(s"sibling agg '$name' buckets_path '$path' names no metric " +
-            s"of bucket '$bucketName' (have: ${bucketDf.columns.mkString(", ")})")
         val c = col(target)
         kind match {
           case "avg_bucket" => Seq((sum(c).cast("double") / count(c)).as(name))
@@ -2696,14 +2692,9 @@ object QueryDsl {
           val sortCols: Seq[Column] = termsOrder match {
             case None => Seq(col("doc_count").desc, col(name).asc)
             case Some((target0, asc)) =>
-              val target = target0 match {
-                case "_count" => "doc_count"
-                case "_key"   => name
-                case other    => other
-              }
-              if (!bucketTable.columns.contains(target))
-                fail(s"terms order target '$target0' names no metric of " +
-                  s"'$name' (have: ${metricEntries.map(_._1).mkString(", ")}, _count, _key)")
+              val target =
+                if (target0 == "_key") name
+                else resolveBucketColumn(bucketTable, s"terms agg '$name' order", target0)
               val primary = if (asc) col(target).asc else col(target).desc
               // bucket key breaks all ties: the order stays total
               if (target == name) Seq(primary) else Seq(primary, col(name).asc)
@@ -3101,11 +3092,7 @@ object QueryDsl {
         key: String = "buckets_path"): String = {
       val path = strOpt(body, key)
         .getOrElse(fail(s"pipeline agg '$subName' needs a $key"))
-      val target = if (path == "_count") "doc_count" else path
-      if (!df.columns.contains(target))
-        fail(s"pipeline agg '$subName' $key '$path' names no " +
-          s"sibling metric (have: ${metricNames.mkString(", ")}, _count)")
-      target
+      resolveBucketColumn(df, s"pipeline agg '$subName'", path)
     }
 
     val withSeries = series.foldLeft(buckets) { case (df, (subName, subSpec)) =>
@@ -3151,11 +3138,7 @@ object QueryDsl {
       val params: Map[String, String] = body.get("buckets_path") match {
         case Some(JObject(ps)) if ps.nonEmpty => ps.map {
           case (p, JString(path)) =>
-            val target = if (path == "_count") "doc_count" else path
-            if (!df.columns.contains(target))
-              fail(s"bucket_selector '$subName' buckets_path '$path' names no " +
-                s"sibling metric (have: ${metricNames.mkString(", ")}, _count)")
-            p -> target
+            p -> resolveBucketColumn(df, s"bucket_selector '$subName'", path)
           case (p, other) => fail(s"buckets_path '$p' must be a string: ${render(other)}")
         }.toMap
         case _ => fail(s"bucket_selector '$subName' needs a buckets_path object")
@@ -3191,6 +3174,8 @@ object QueryDsl {
         }
         val from = intOpt(body, "from").getOrElse(0)
         if (from < 0) fail("bucket_sort from must be >= 0")
+        intOpt(body, "size").foreach(sz =>
+          if (sz < 1) fail("bucket_sort size must be >= 1"))
         val sorted = selected.orderBy(sortCols: _*)
         val paged =
           if (from == 0) sorted
@@ -3204,6 +3189,20 @@ object QueryDsl {
           }
         intOpt(body, "size").map(paged.limit).getOrElse(paged)
     }
+  }
+
+  /** The ONE buckets_path target resolution — `_count` maps to
+    * `doc_count`, anything else must be a bucket-table column — shared
+    * by the series/selector pipeline aggs, sibling `*_bucket` aggs and
+    * the terms `order` option so path semantics can never drift.
+    */
+  private def resolveBucketColumn(df: DataFrame, owner: String,
+      path: String): String = {
+    val target = if (path == "_count") "doc_count" else path
+    if (!df.columns.contains(target))
+      fail(s"$owner: buckets_path '$path' names no metric of the bucket " +
+        s"table (have: ${df.columns.mkString(", ")}, _count)")
+    target
   }
 
   /** bucket_sort sort targets: a bucket-table column or `_count`/`_key`. */
@@ -3289,7 +3288,13 @@ object QueryDsl {
       .getOrElse(fail(s"auto_date_histogram '$name' needs a field"))
     val target = intOpt(m, "buckets").getOrElse(10)
     if (target < 1) fail("auto_date_histogram buckets must be >= 1")
-    val c = hits.agg(
+    // NULL-dated docs are omitted (the engine's null-key-omitted
+    // convention, same as multi_terms/rare_terms) — countDistinct
+    // already skips them, so without this filter the output could
+    // carry a NULL bucket the unit choice never counted, exceeding
+    // the requested cap
+    val dated = hits.filter(col(f).isNotNull)
+    val c = dated.agg(
       countDistinct(date_trunc("DAY", col(f))).as("d"),
       countDistinct(date_trunc("MONTH", col(f))).as("mo"),
       countDistinct(date_trunc("YEAR", col(f))).as("y")).collect().head
@@ -3302,7 +3307,7 @@ object QueryDsl {
       case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    hits.groupBy(date_trunc(unit.toUpperCase, col(f)).as(name))
+    dated.groupBy(date_trunc(unit.toUpperCase, col(f)).as(name))
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .withColumn("interval", lit(unit))
       .orderBy(col(name).asc)
@@ -3600,7 +3605,9 @@ object QueryDsl {
         fail(s"unsupported scripted_metric option '$k' in '$name'"))
       val src = strOpt(m, "map_script")
         .getOrElse(fail(s"scripted_metric '$name' needs a map_script"))
-      if (src.contains("_score"))
+      // token-level check: "doc['raw_score'].value" contains the
+      // substring but never the _score token
+      if (ScoreScript.referencesScore(src))
         fail(s"scripted_metric '$name' map_script sees doc fields and " +
           "params only (no _score)")
       val params: Map[String, Long] = m.get("params") match {
@@ -3643,21 +3650,33 @@ object QueryDsl {
         // is population variance computed FROM THE EXACT INTEGER MOMENTS
         // — (n·Σx² − (Σx)²)/n² in one IEEE divide — so the doubles are
         // bit-identical across engines (a naive running-mean variance
-        // would depend on partition order). Integral fields only; the
-        // Σx² long is exact up to |x|≤3e4 over 1e10 rows — beyond that,
-        // pre-scale the field (documented contract, fail comes from
-        // Spark's overflow check under ANSI rather than silent wrap).
-        case "extended_stats" => Seq(
-          count(c).as(s"${name}_count"),
-          min(c).as(s"${name}_min"),
-          max(c).as(s"${name}_max"),
-          (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
-          sum(c).as(s"${name}_sum"),
-          sum(c * c).as(s"${name}_sum_of_squares"),
-          ((count(c) * sum(c * c) - sum(c) * sum(c)).cast("double") /
-            (count(c) * count(c)).cast("double")).as(s"${name}_variance"),
-          sqrt((count(c) * sum(c * c) - sum(c) * sum(c)).cast("double") /
-            (count(c) * count(c)).cast("double")).as(s"${name}_std_deviation"))
+        // would depend on partition order). Integral fields only. The
+        // moment products live in LONGs, so n·max|x| is bounded at
+        // √Long.Max ≈ 3e9 by the same raise_error guard matrix_stats
+        // uses: under ANSI the wrap already throws, and in an ANSI-off
+        // deployment the guard (built from count/max, which never
+        // wrap) still fails loud instead of emitting a silently-wrong
+        // negative variance. Beyond the bound, pre-scale the field.
+        case "extended_stats" =>
+          val overflow =
+            count(c).cast("double") * max(abs(c)).cast("double") > lit(3.0e9)
+          val err = "extended_stats moment overflow: rows x |values| " +
+            "exceeds the exact Long model - pre-scale the field"
+          def guardL(x: Column): Column =
+            when(overflow, raise_error(lit(err)).cast("long")).otherwise(x)
+          def guardD(x: Column): Column =
+            when(overflow, raise_error(lit(err)).cast("double")).otherwise(x)
+          val variance = (count(c) * sum(c * c) - sum(c) * sum(c)).cast("double") /
+            (count(c) * count(c)).cast("double")
+          Seq(
+            count(c).as(s"${name}_count"),
+            min(c).as(s"${name}_min"),
+            max(c).as(s"${name}_max"),
+            (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
+            sum(c).as(s"${name}_sum"),
+            guardL(sum(c * c)).as(s"${name}_sum_of_squares"),
+            guardD(variance).as(s"${name}_variance"),
+            guardD(sqrt(variance)).as(s"${name}_std_deviation"))
         // DISCRETE percentiles (percentile_disc): an actual data value,
         // no interpolation — so the result is engine-exact, unlike the
         // t-digest approximation OpenSearch itself serves

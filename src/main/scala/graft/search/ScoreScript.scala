@@ -79,6 +79,15 @@ private[search] object ScoreScript {
     out.result()
   }
 
+  /** Whether the script references the `_score` TOKEN (not the raw
+    * substring — "params.base_score" contains the substring but never
+    * the token). Unparseable scripts report false here; the compile
+    * step owns the grammar error.
+    */
+  def referencesScore(src: String): Boolean =
+    try tokenize(src).contains(ScoreTok)
+    catch { case _: IllegalArgumentException => false }
+
   /** Parse + compile. `params` are the request's integer constants;
     * `score` is the wrapped query's score column (`_score`).
     */

@@ -1651,6 +1651,49 @@ class QueryDslSpec extends SparkSpec {
     assert(!ok2 && msg2.isDefined) // analysis error surfaces too
   }
 
+  test("review-fix regressions: _score token check, null dates, bounds") {
+    // "params.base_score" contains the _score SUBSTRING but not the
+    // token — must compile (the substring check was the bug)
+    val ok = QueryDsl.search(docs,
+      """{"query": {"script_score": {
+           "query": {"dis_max": {"queries": [{"term": {"lang": "en"}}]}},
+           "script": {"source": "params.base_score + 1",
+                      "params": {"base_score": 5}}}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+    assert(ok.collect().forall(_.getLong(1) === 6L))
+    val okMetric = QueryDsl.search(docs,
+      """{"aggs": {"m": {"scripted_metric": {
+           "map_script": "doc['n_chars'].value", "reduce": "max"}}}}""")
+    assert(okMetric.count() === 1)
+    // auto_date_histogram omits NULL-dated docs (no NULL bucket)
+    val events = Tables.load(spark, sf(), "events")
+      .withColumn("ts2", when(col("event_id") % 5 === 0,
+        lit(null).cast("timestamp")).otherwise(col("ts")))
+    val buckets = QueryDsl.search(events,
+      """{"aggs": {"h": {"auto_date_histogram":
+           {"field": "ts2", "buckets": 40}}}}""")
+    assert(buckets.filter(col("h").isNull).count() === 0)
+    // bucket_sort size bound fails loud in the grammar, not in Spark
+    val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"aggs": {"l": {"terms": {"field": "lang"},
+           "aggs": {"b": {"bucket_sort": {"size": -3}}}}}}"""))
+    assert(e.getMessage.contains("size must be >= 1"))
+    // extended_stats overflow guard leaves in-bound values untouched
+    val es = QueryDsl.search(docs,
+      """{"aggs": {"c": {"extended_stats": {"field": "n_chars"}}}}""")
+      .collect().head
+    assert(es.getAs[Double]("c_variance") >= 0.0)
+  }
+
+  test("_validate runs zero corpus work (0-limit plan) and stays correct") {
+    // a request whose compilation would scan the corpus
+    // (auto_date_histogram's unit choice) must validate instantly
+    val events = Tables.load(spark, sf(), "events")
+    assert(QueryDsl.validateRequest(events,
+      """{"aggs": {"h": {"auto_date_histogram": {"field": "ts"}}}}""")
+      === (true, None))
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
