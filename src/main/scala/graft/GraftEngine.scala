@@ -119,6 +119,10 @@ final case class GraftEngine(spark: SparkSession) {
   def validateQuery(table: DataFrame, requestJson: String): (Boolean, Option[String]) =
     graft.search.QueryDsl.validateRequest(table, requestJson)
 
+  /** The `_mget` endpoint: requested documents in request order. */
+  def mget(table: DataFrame, requestJson: String): DataFrame =
+    graft.search.QueryDsl.mget(table, requestJson)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

@@ -1979,6 +1979,72 @@ object DslSearch {
           GROUP BY 1)
         SELECT by_source, doc_count, avg_chars FROM g
         ORDER BY avg_chars DESC, by_source LIMIT 6
+      """.stripMargin.trim)),
+
+    // date_histogram with fixed_interval: epoch-second bucketing
+    // ("7d" weeks anchored at the epoch) — one pmod-floor key, the
+    // same single groupBy as the calendar path, engine-portable
+    // through exact integer epoch arithmetic.
+    GraftQuery(
+      "q208_dsl_fixed_interval",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"wk": {"date_histogram":
+               {"field": "ts", "fixed_interval": "7d"},
+             "aggs": {"cum_n": {"cumulative_sum": {"buckets_path": "_count"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT make_timestamp((CAST(epoch(ts) AS BIGINT)
+                   - CAST(epoch(ts) AS BIGINT) % 604800) * 1000000) AS wk,
+                 COUNT(*) AS doc_count
+          FROM events GROUP BY 1)
+        SELECT wk, doc_count,
+               CAST(SUM(doc_count) OVER (ORDER BY wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_n
+        FROM g ORDER BY wk
+      """.stripMargin.trim)),
+
+    // terms with a `missing` bucket label: NULL-keyed docs land in a
+    // named bucket instead of being dropped — one coalesce, still one
+    // groupBy shuffle. The nullable column is derived identically on
+    // both sides.
+    GraftQuery(
+      "q209_dsl_terms_missing",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        QueryDsl.search(
+          Tables.load(s, dir, "documents")
+            .withColumn("opt_source",
+              when(col("n_chars") % 7 === 0, lit(null).cast("string"))
+                .otherwise(col("source"))),
+          """{"aggs": {"by_src": {"terms": {"field": "opt_source",
+               "missing": "(none)", "size": 8}}}}""")
+      },
+      Some("""
+        WITH d AS (SELECT COALESCE(
+                     CASE WHEN n_chars % 7 = 0 THEN NULL ELSE source END,
+                     '(none)') AS by_src
+                   FROM documents)
+        SELECT by_src, COUNT(*) AS doc_count FROM d
+        GROUP BY 1 ORDER BY doc_count DESC, by_src LIMIT 8
+      """.stripMargin.trim)),
+
+    // _mget: the requested documents in REQUEST ORDER (the wire
+    // contract) — one pushed isin filter + an array_position rank
+    // over the matched handful, never a sort of the corpus. 9003 is
+    // absent at every sf: missing ids are simply absent rows.
+    GraftQuery(
+      "q210_dsl_mget",
+      (s, dir) => QueryDsl.mget(
+        Tables.load(s, dir, "documents"),
+        """{"id_field": "doc_id",
+           "ids": [17, 3, 9003, 42, 1]}"""),
+      Some("""
+        SELECT * FROM documents
+        WHERE doc_id IN (17, 3, 9003, 42, 1)
+        ORDER BY list_position([17, 3, 9003, 42, 1], doc_id)
       """.stripMargin.trim))
   )
 }

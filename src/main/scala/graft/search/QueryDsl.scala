@@ -1931,6 +1931,36 @@ object QueryDsl {
     req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
   }
 
+  /** The `_mget` endpoint: the requested documents IN REQUEST ORDER
+    * (the OpenSearch response contract — docs come back in the order
+    * asked, not sorted). One pushed `isin` filter plus an
+    * array_position rank over the ≤|ids| matched rows; ids absent
+    * from the corpus are simply absent from the result (the
+    * found=false entries of the wire response carry no fields).
+    * Duplicate requested ids fail loud — the order rank would be
+    * ambiguous.
+    */
+  def mget(table: DataFrame, requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"_mget body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("id_field", "ids")).foreach(k =>
+      fail(s"unsupported _mget request key '$k'"))
+    val idField = strOpt(req, "id_field")
+      .getOrElse(fail("_mget requires id_field"))
+    val ids: Seq[Any] = req.get("ids") match {
+      case Some(JArray(vs)) if vs.nonEmpty => vs.map(scalaOf)
+      case _ => fail("_mget requires a non-empty ids array")
+    }
+    if (ids.distinct.size != ids.size) fail("_mget ids repeat")
+    val idArray = array(ids.map(lit): _*)
+    table.filter(col(idField).isin(ids: _*))
+      .withColumn("__ord", array_position(idArray, col(idField)))
+      .orderBy(col("__ord"))
+      .drop("__ord")
+  }
+
   /** The `_validate/query` endpoint: compile the request against the
     * table's schema WITHOUT running corpus work. Returns (valid,
     * explanation) — compile and analysis errors come back AS DATA
@@ -2645,9 +2675,16 @@ object QueryDsl {
         val (keyCol, size, termsOrder) = m.collectFirst {
           case ("terms", JObject(t)) =>
             val tm = t.toMap
-            tm.keySet.diff(Set("field", "size", "order")).foreach(k =>
+            tm.keySet.diff(Set("field", "size", "order", "missing")).foreach(k =>
               fail(s"unsupported terms option '$k' in '$name'"))
-            val f = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
+            val f0 = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
+            // `missing`: docs without a key value land in a named
+            // bucket instead of a NULL key (the OpenSearch option) —
+            // a plain coalesce, the groupBy stays one shuffle
+            val f = tm.get("missing") match {
+              case None    => col(f0)
+              case Some(v) => coalesce(col(f0), litOf(v))
+            }
             // `order`: rank buckets by a sub-metric, `_count` or
             // `_key` instead of the doc_count-desc default (the
             // OpenSearch terms `order` option) — still ONE groupBy,
@@ -2664,7 +2701,7 @@ object QueryDsl {
               case Some(other) =>
                 fail(s"terms order must be {target: asc|desc}: ${render(other)}")
             }
-            (col(f).as(name), intOpt(tm, "size"), ord)
+            (f.as(name), intOpt(tm, "size"), ord)
           case ("histogram", JObject(h)) =>
             val hm = h.toMap
             val f = strOpt(hm, "field").getOrElse(fail(s"histogram agg '$name' needs a field"))
@@ -2676,14 +2713,42 @@ object QueryDsl {
             ((floor(col(f) / interval) * interval).as(name), None, None)
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
+            hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval"))
+              .foreach(k => fail(s"unsupported date_histogram option '$k' in '$name'"))
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
-            val unit = strOpt(hm, "calendar_interval").getOrElse("day") match {
-              case "day"   => "DAY"
-              case "month" => "MONTH"
-              case "year"  => "YEAR"
-              case other   => fail(s"unsupported calendar_interval '$other'")
+            if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
+              fail(s"date_histogram '$name' takes calendar_interval OR fixed_interval")
+            val key = strOpt(hm, "fixed_interval") match {
+              // fixed_interval: epoch-second bucketing ("7d"/"12h"/
+              // "30m"/"45s") — second precision by contract (the
+              // engine's cross-engine epoch floor); calendar-aware
+              // buckets belong to calendar_interval
+              case Some(iv) =>
+                val FixedRe = """(\d+)([dhms])""".r
+                val secs = iv match {
+                  case FixedRe(n, u) =>
+                    val mult = u match {
+                      case "d" => 86400L; case "h" => 3600L
+                      case "m" => 60L;    case "s" => 1L
+                    }
+                    val v = n.toLong * mult
+                    if (v < 1L) fail(s"fixed_interval must be positive: '$iv'")
+                    v
+                  case other =>
+                    fail(s"fixed_interval must match <n>[dhms]: '$other'")
+                }
+                val ep = unix_timestamp(col(f))
+                timestamp_seconds(ep - pmod(ep, lit(secs))).as(name)
+              case None =>
+                val unit = strOpt(hm, "calendar_interval").getOrElse("day") match {
+                  case "day"   => "DAY"
+                  case "month" => "MONTH"
+                  case "year"  => "YEAR"
+                  case other   => fail(s"unsupported calendar_interval '$other'")
+                }
+                date_trunc(unit, col(f)).as(name)
             }
-            (date_trunc(unit, col(f)).as(name), None, None)
+            (key, None, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
         val bucketTable = hits.groupBy(keyCol)

@@ -1694,6 +1694,38 @@ class QueryDslSpec extends SparkSpec {
       === (true, None))
   }
 
+  test("fixed_interval / terms missing / _mget validate and behave") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"h": {"date_histogram": {"field": "ts",
+           "calendar_interval": "day", "fixed_interval": "7d"}}}}""",
+      "calendar_interval OR fixed_interval")
+    bad("""{"aggs": {"h": {"date_histogram": {"field": "ts",
+           "fixed_interval": "7w"}}}}""", "must match <n>[dhms]")
+    bad("""{"aggs": {"h": {"date_histogram": {"field": "ts",
+           "fixed_interval": "0d"}}}}""", "must be positive")
+    // missing bucket folds NULL keys into the label
+    val d = docs.withColumn("opt",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("source")))
+    val withMissing = QueryDsl.search(d,
+      """{"aggs": {"s": {"terms": {"field": "opt", "missing": "(none)"}}}}""")
+    val noneRow = withMissing.filter(col("s") === "(none)").collect()
+    assert(noneRow.length === 1)
+    assert(noneRow.head.getAs[Long]("doc_count") ===
+      d.filter(col("opt").isNull).count())
+    // _mget: request order, absent ids absent, duplicate ids loud
+    val got = QueryDsl.mget(docs,
+      """{"id_field": "doc_id", "ids": [5, 999999, 2, 11]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5L, 2L, 11L))
+    val e = intercept[IllegalArgumentException](QueryDsl.mget(docs,
+      """{"id_field": "doc_id", "ids": [1, 1]}"""))
+    assert(e.getMessage.contains("ids repeat"))
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
