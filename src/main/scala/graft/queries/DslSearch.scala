@@ -2045,6 +2045,38 @@ object DslSearch {
         SELECT * FROM documents
         WHERE doc_id IN (17, 3, 9003, 42, 1)
         ORDER BY list_position([17, 3, 9003, 42, 1], doc_id)
+      """.stripMargin.trim)),
+
+    // histogram with min_doc_count: 0 + extended_bounds: EMPTY
+    // BUCKETS APPEAR (doc_count 0, metric sub-aggs NULL), so the
+    // series is dense and the derivative over it is CORRECT — over a
+    // sparse series a bucket-to-bucket delta silently skips the gaps.
+    // The dense key range is a generated series full-outer-joined to
+    // the one-shuffle bucket table.
+    GraftQuery(
+      "q211_dsl_histogram_empty_buckets",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"hist": {"histogram": {"field": "n_chars",
+               "interval": 50, "min_doc_count": 0,
+               "extended_bounds": {"min": 0, "max": 1200}},
+             "aggs": {
+               "sum_chars": {"sum": {"field": "n_chars"}},
+               "delta": {"derivative": {"buckets_path": "_count"}}}}}}"""),
+      Some("""
+        WITH b AS (SELECT unnest(range(0, 1250, 50)) AS hist),
+        g AS (
+          SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS hist,
+                 COUNT(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents WHERE lang = 'en' GROUP BY 1),
+        f AS (
+          SELECT COALESCE(b.hist, g.hist) AS hist,
+                 COALESCE(g.doc_count, 0) AS doc_count, g.sum_chars
+          FROM b FULL OUTER JOIN g ON b.hist = g.hist)
+        SELECT hist, doc_count, sum_chars,
+               doc_count - LAG(doc_count, 1) OVER (ORDER BY hist) AS delta
+        FROM f ORDER BY hist
       """.stripMargin.trim))
   )
 }

@@ -2672,7 +2672,7 @@ object QueryDsl {
         val subs: Seq[Column] = metricEntries.flatMap {
           case (subName, subSpec) => metricCols(subName, subSpec)
         }
-        val (keyCol, size, termsOrder) = m.collectFirst {
+        val (keyCol, size, termsOrder, histoFill) = m.collectFirst {
           case ("terms", JObject(t)) =>
             val tm = t.toMap
             tm.keySet.diff(Set("field", "size", "order", "missing")).foreach(k =>
@@ -2701,16 +2701,57 @@ object QueryDsl {
               case Some(other) =>
                 fail(s"terms order must be {target: asc|desc}: ${render(other)}")
             }
-            (f.as(name), intOpt(tm, "size"), ord)
+            (f.as(name), intOpt(tm, "size"), ord, None)
           case ("histogram", JObject(h)) =>
             val hm = h.toMap
+            hm.keySet.diff(Set("field", "interval", "min_doc_count",
+              "extended_bounds")).foreach(k =>
+              fail(s"unsupported histogram option '$k' in '$name'"))
             val f = strOpt(hm, "field").getOrElse(fail(s"histogram agg '$name' needs a field"))
+            val mdc = intOpt(hm, "min_doc_count").getOrElse(1)
+            if (mdc != 0 && mdc != 1)
+              fail(s"histogram min_doc_count must be 0 or 1, got $mdc")
             val interval = hm.get("interval") match {
               case Some(JInt(i))    => lit(i.toLong)
-              case Some(JDouble(d)) => lit(d)
+              case Some(JDouble(d)) =>
+                if (mdc == 0)
+                  fail("histogram min_doc_count: 0 requires an integer interval")
+                lit(d)
               case _ => fail(s"histogram agg '$name' needs a numeric interval")
             }
-            ((floor(col(f) / interval) * interval).as(name), None, None)
+            // min_doc_count: 0 — EMPTY BUCKETS APPEAR (doc_count 0,
+            // metric sub-aggs NULL), so a sparse series stays dense
+            // and derivative/moving_avg over it are correct; bounds
+            // from extended_bounds (which only ever widens — data
+            // buckets outside it survive via the outer join)
+            val fillSpec: Option[(Long, Option[(Long, Long)])] =
+              if (mdc == 0) {
+                val iv = hm.get("interval") match {
+                  case Some(JInt(i)) if i > 0 => i.toLong
+                  case _ => fail("histogram min_doc_count: 0 requires a positive integer interval")
+                }
+                val bounds = hm.get("extended_bounds") match {
+                  case None => None
+                  case Some(JObject(b)) =>
+                    val bm = b.toMap
+                    bm.keySet.diff(Set("min", "max")).foreach(k =>
+                      fail(s"unsupported extended_bounds key '$k'"))
+                    (bm.get("min"), bm.get("max")) match {
+                      case (Some(JInt(lo)), Some(JInt(hi))) if lo <= hi =>
+                        Some((lo.toLong, hi.toLong))
+                      case _ => fail("extended_bounds needs integer min <= max")
+                    }
+                  case Some(other) =>
+                    fail(s"extended_bounds must be an object: ${render(other)}")
+                }
+                Some((iv, bounds))
+              } else {
+                if (hm.contains("extended_bounds"))
+                  fail("extended_bounds requires min_doc_count: 0")
+                None
+              }
+            ((floor(col(f) / interval) * interval).as(name), None, None,
+              fillSpec)
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval"))
@@ -2748,11 +2789,37 @@ object QueryDsl {
                 }
                 date_trunc(unit, col(f)).as(name)
             }
-            (key, None, None)
+            (key, None, None, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
-        val bucketTable = hits.groupBy(keyCol)
+        val bucketTable0 = hits.groupBy(keyCol)
           .agg(count(lit(1)).as("doc_count"), subs: _*)
+        val bucketTable = histoFill match {
+          case None => bucketTable0
+          case Some((iv, boundsOpt)) =>
+            // the dense key series: extended_bounds if given, else the
+            // data's own [min, max] (one bounded 2-long aggregate to
+            // the driver — the auto_date_histogram class of metadata).
+            // FULL OUTER join so data buckets outside the bounds
+            // survive; empty buckets get doc_count 0, sub-aggs NULL.
+            val (lo0, hi0) = boundsOpt.getOrElse {
+              // data-derived bounds off the ALREADY-AGGREGATED bucket
+              // table (keys are bucket-floored multiples of iv)
+              val r = bucketTable0.agg(min(col(name)), max(col(name)))
+                .collect().head
+              if (r.isNullAt(0)) (0L, -1L) else (r.getLong(0), r.getLong(1))
+            }
+            val lo = Math.floorDiv(lo0, iv) * iv
+            val hi = Math.floorDiv(hi0, iv) * iv
+            val nBuckets = math.max(0L, (hi - lo) / iv + 1)
+            if (nBuckets > 100000)
+              fail(s"histogram min_doc_count: 0 would emit $nBuckets " +
+                "buckets (cap 100000) - widen the interval")
+            val series = hits.sparkSession.range(nBuckets)
+              .select((lit(lo) + col("id") * lit(iv)).as(name))
+            series.join(bucketTable0, Seq(name), "full_outer")
+              .na.fill(0L, Seq("doc_count"))
+        }
         if (pipeEntries.isEmpty) {
           val sortCols: Seq[Column] = termsOrder match {
             case None => Seq(col("doc_count").desc, col(name).asc)

@@ -1726,6 +1726,40 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("ids repeat"))
   }
 
+  test("histogram min_doc_count 0: dense series, bounds rules, caps") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"h": {"histogram": {"field": "n_chars",
+           "interval": 50, "extended_bounds": {"min": 0, "max": 100}}}}}""",
+      "requires min_doc_count: 0")
+    bad("""{"aggs": {"h": {"histogram": {"field": "n_chars",
+           "interval": 50, "min_doc_count": 0,
+           "extended_bounds": {"min": 100, "max": 0}}}}}""",
+      "integer min <= max")
+    bad("""{"aggs": {"h": {"histogram": {"field": "n_chars",
+           "interval": 1, "min_doc_count": 0,
+           "extended_bounds": {"min": 0, "max": 10000000}}}}}""",
+      "cap 100000")
+    bad("""{"aggs": {"h": {"histogram": {"field": "n_chars",
+           "interval": 0.5, "min_doc_count": 0}}}}""", "integer interval")
+    // data-derived bounds: every interval step between data min/max
+    // appears, empties carry doc_count 0 and NULL sub-metrics
+    val dense = QueryDsl.search(docs,
+      """{"aggs": {"h": {"histogram": {"field": "n_chars",
+           "interval": 25, "min_doc_count": 0},
+         "aggs": {"s": {"sum": {"field": "n_chars"}},
+                  "c": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""")
+      .collect()
+    val keys = dense.map(_.getLong(0))
+    assert(keys.toSeq === (keys.min to keys.max by 25L).toSeq) // dense
+    val empties = dense.filter(_.getAs[Long]("doc_count") == 0L)
+    assert(empties.forall(_.isNullAt(2))) // sub-metric NULL on empty
+    // cumulative_sum over the filled series ends at the corpus total
+    assert(dense.last.getAs[Long]("c") === docs.count())
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
