@@ -2077,6 +2077,36 @@ object DslSearch {
         SELECT hist, doc_count, sum_chars,
                doc_count - LAG(doc_count, 1) OVER (ORDER BY hist) AS delta
         FROM f ORDER BY hist
+      """.stripMargin.trim)),
+
+    // significant_text: tokens over-represented in the hits vs the
+    // corpus — the doc-frequency model over free text (tokens deduped
+    // per document), one token groupBy with both counts + broadcast
+    // totals, exact integer ppm score.
+    GraftQuery(
+      "q212_dsl_significant_text",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "de"}},
+           "aggs": {"sig": {"significant_text": {"field": "text",
+               "min_doc_count": 5, "size": 12}}}}"""),
+      Some("""
+        WITH d AS (SELECT *, (lang = 'de') AS fg FROM documents),
+        toks AS (SELECT fg, unnest(list_distinct(string_split(text, ' '))) AS sig
+                 FROM d),
+        per AS (
+          SELECT sig, COUNT(*) AS bg_count,
+                 CAST(COUNT(CASE WHEN fg THEN 1 END) AS BIGINT) AS doc_count
+          FROM toks GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n_all,
+                     CAST(COUNT(CASE WHEN fg THEN 1 END) AS BIGINT) AS n_fg
+              FROM d)
+        SELECT sig, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, t
+        WHERE doc_count >= 5
+        ORDER BY score_ppm DESC, sig
+        LIMIT 12
       """.stripMargin.trim))
   )
 }

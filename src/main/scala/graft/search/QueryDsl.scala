@@ -2522,7 +2522,7 @@ object QueryDsl {
           "date_range", "rare_terms", "significant_terms", "filters",
           "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
           "missing", "multi_terms", "auto_date_histogram", "global",
-          "filter").contains(p._1))
+          "filter", "significant_text").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -2537,7 +2537,7 @@ object QueryDsl {
           "date_histogram", "range", "date_range", "rare_terms",
           "significant_terms", "filters", "composite", "adjacency_matrix",
           "matrix_stats", "geo_grid", "missing", "multi_terms",
-          "auto_date_histogram", "global", "filter"))
+          "auto_date_histogram", "global", "filter", "significant_text"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -2605,6 +2605,10 @@ object QueryDsl {
         m.get("significant_terms").foreach { s =>
           if (m.contains("aggs")) fail("significant_terms takes no sub-aggs")
           return significantTermsAgg(table, pred, name, s)
+        }
+        m.get("significant_text").foreach { s =>
+          if (m.contains("aggs")) fail("significant_text takes no sub-aggs")
+          return significantTextAgg(table, pred, name, s)
         }
         // terms-in-terms: ONE nested terms bucket sub-agg → the
         // two-level bucket table (the most common real-world agg
@@ -3623,18 +3627,61 @@ object QueryDsl {
     // tokenize/intersect predicate per row
     val totals = perTerm.agg(
       sum(col("bg_count")).as("n_all"), sum(col("doc_count")).as("n_fg"))
-    // the exact ppm ratio's intermediate (doc_count*n_all*10^6) can
-    // exceed Long near ~3M x 3M docs; fail loud (like the oracle
-    // engine does) instead of silently wrapping and mis-ranking
-    val score = when(
-        col("doc_count") > expr("9223372036854775807 div 1000000 div n_all"),
-        raise_error(lit("significant_terms score overflow: corpus too " +
-          "large for the exact ppm formula")).cast("long"))
-      .otherwise(expr("(doc_count * n_all * 1000000) div (bg_count * n_fg)"))
+    val score = sigScorePpm("significant_terms")
     perTerm.crossJoin(broadcast(totals))
       .filter(col("doc_count") >= minDoc)
       .select(col(name), col("doc_count"), col("bg_count"),
         score.as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col(name))
+      .limit(size)
+  }
+
+  /** The significant-families' exact integer ppm ratio with the
+    * overflow raise_error — (doc_count·n_all·10⁶)/(bg_count·n_fg),
+    * failing loud near ~3M x 3M docs instead of silently wrapping and
+    * mis-ranking. Shared by significant_terms and significant_text so
+    * the two scores can never drift.
+    */
+  private def sigScorePpm(family: String): Column =
+    when(
+      col("doc_count") > expr("9223372036854775807 div 1000000 div n_all"),
+      raise_error(lit(s"$family score overflow: corpus too " +
+        "large for the exact ppm formula")).cast("long"))
+    .otherwise(expr("(doc_count * n_all * 1000000) div (bg_count * n_fg)"))
+
+  /** `significant_text`: tokens over-represented among the hits vs the
+    * whole corpus — significant_terms' document-frequency model over
+    * free text. ONE posexplode-free pass: tokens deduped per document
+    * (`array_distinct`, the significant_text re-dedup rule), each row
+    * carrying its foreground flag, then one token groupBy with both
+    * doc-frequency counts; the two document totals ride along as a
+    * broadcast one-row aggregate. Never a per-term corpus rescan.
+    */
+  private def significantTextAgg(table: DataFrame, pred: Column,
+      name: String, spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"significant_text '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "min_doc_count", "size")).foreach(k =>
+      fail(s"unsupported significant_text option '$k'"))
+    val f = strOpt(m, "field").getOrElse(fail(s"significant_text '$name' needs a field"))
+    val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
+    val size = intOpt(m, "size").getOrElse(10)
+    val toks = table.select(pred.as("__fg"),
+      explode(array_distinct(split(col(f), " "))).as(name))
+    val perTerm = toks.groupBy(col(name)).agg(
+      count(lit(1)).as("bg_count"),
+      sum(when(col("__fg"), 1L).otherwise(0L)).as("doc_count"))
+    // document totals (NOT token totals — the doc-frequency model):
+    // one light global aggregate over the corpus
+    val totals = table.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(pred, 1L).otherwise(0L)).as("n_fg"))
+    perTerm.crossJoin(broadcast(totals))
+      .filter(col("doc_count") >= minDoc)
+      .select(col(name), col("doc_count"), col("bg_count"),
+        sigScorePpm("significant_text").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col(name))
       .limit(size)
   }
