@@ -2107,6 +2107,31 @@ object DslSearch {
         WHERE doc_count >= 5
         ORDER BY score_ppm DESC, sig
         LIMIT 12
+      """.stripMargin.trim)),
+
+    // composite with DERIVED sources: a date_histogram day source x a
+    // terms source — the OpenSearch time+key pagination shape. The
+    // derived key is projected once; everything else (NULL filter,
+    // groupBy, source-key order, size) is the plain composite path.
+    GraftQuery(
+      "q213_dsl_composite_derived",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"page": {"composite": {
+             "size": 25,
+             "sources": [
+               {"day": {"date_histogram": {"field": "ts",
+                        "calendar_interval": "day"}}},
+               {"event_type": {"terms": {"field": "event_type"}}}]},
+             "aggs": {"n_users": {"cardinality": {"field": "user_id"}}}}}}"""),
+      Some("""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               COUNT(*) AS doc_count,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY day, event_type LIMIT 25
       """.stripMargin.trim))
   )
 }

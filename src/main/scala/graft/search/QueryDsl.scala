@@ -3525,27 +3525,76 @@ object QueryDsl {
     }
     m.keySet.diff(Set("sources", "size", "after")).foreach(k =>
       fail(s"unsupported composite option '$k' in agg '$name'"))
-    val sources: Seq[String] = m.get("sources") match {
+    // a source is the raw field (`terms`) or a DERIVED bucket key
+    // (`histogram` / `date_histogram` — the OpenSearch time+key
+    // pagination shape); derived keys are projected once up front so
+    // the after-keyset, NULL filter, groupBy and order all see one
+    // plain column
+    sealed case class Src(name: String, derived: Option[Column], isDate: Boolean)
+    val parsed: Seq[Src] = m.get("sources") match {
       case Some(JArray(ss)) if ss.nonEmpty => ss.map {
-        case JObject(List((srcName, JObject(List(("terms", JObject(t))))))) =>
-          val f = strOpt(t.toMap, "field")
+        case JObject(List((srcName, JObject(List((kind, JObject(t))))))) =>
+          val tm = t.toMap
+          val f = strOpt(tm, "field")
             .getOrElse(fail(s"composite source '$srcName' needs a field"))
-          if (srcName != f)
-            fail(s"composite source name '$srcName' must equal its field '$f' " +
-              "(the output column carries one name)")
-          f
-        case other => fail(s"composite sources must be {name: {terms: {field}}}: ${render(other)}")
+          kind match {
+            case "terms" =>
+              tm.keySet.diff(Set("field")).foreach(k =>
+                fail(s"unsupported composite terms source key '$k'"))
+              if (srcName != f)
+                fail(s"composite source name '$srcName' must equal its field '$f' " +
+                  "(the output column carries one name)")
+              Src(srcName, None, isDate = false)
+            case "histogram" =>
+              tm.keySet.diff(Set("field", "interval")).foreach(k =>
+                fail(s"unsupported composite histogram source key '$k'"))
+              val iv = tm.get("interval") match {
+                case Some(JInt(i)) if i > 0 => i.toLong
+                case _ => fail(s"composite histogram source '$srcName' needs " +
+                  "a positive integer interval")
+              }
+              Src(srcName,
+                Some((floor(col(f) / lit(iv)) * lit(iv)).cast("long")),
+                isDate = false)
+            case "date_histogram" =>
+              tm.keySet.diff(Set("field", "calendar_interval")).foreach(k =>
+                fail(s"unsupported composite date_histogram source key '$k'"))
+              val unit = strOpt(tm, "calendar_interval").getOrElse("day") match {
+                case "day"   => "DAY"
+                case "month" => "MONTH"
+                case "year"  => "YEAR"
+                case other   => fail(s"unsupported calendar_interval '$other'")
+              }
+              Src(srcName, Some(date_trunc(unit, col(f))), isDate = true)
+            case other =>
+              fail(s"composite source '$srcName' kind must be " +
+                s"terms/histogram/date_histogram: '$other'")
+          }
+        case other => fail(s"composite sources must be {name: {kind: {field}}}: ${render(other)}")
       }
       case _ => fail(s"composite agg '$name' requires a non-empty sources array")
     }
+    if (parsed.map(_.name).distinct.size != parsed.size)
+      fail(s"composite agg '$name' repeats a source name")
+    parsed.foreach(p =>
+      if (p.derived.isDefined && hits.columns.contains(p.name))
+        fail(s"composite derived source '${p.name}' collides with a column"))
+    val sources: Seq[String] = parsed.map(_.name)
+    val keyed = parsed.foldLeft(hits) {
+      case (df, Src(n, Some(e), _)) => df.withColumn(n, e)
+      case (df, _)                  => df
+    }
     val size = intOpt(m, "size").getOrElse(10)
     val paged = m.get("after") match {
-      case None => hits
+      case None => keyed
       case Some(JObject(af)) =>
+        if (parsed.exists(_.isDate))
+          fail("composite after is unsupported with a date_histogram source " +
+            "(no portable literal form for the bucket key)")
         val afm = af.toMap
         val vals = sources.map(f => afm.getOrElse(f,
           fail(s"composite after must carry a value for source '$f'")))
-        hits.filter(keysetAfter(sources.map((_, "asc")), vals.map(scalaOf)))
+        keyed.filter(keysetAfter(sources.map((_, "asc")), vals.map(scalaOf)))
       case Some(other) => fail(s"composite after must be an object: ${render(other)}")
     }
     val subs: Seq[Column] = subAggs match {

@@ -1760,6 +1760,38 @@ class QueryDslSpec extends SparkSpec {
     assert(dense.last.getAs[Long]("c") === docs.count())
   }
 
+  test("composite derived sources: keyset paging on the bucket key; rules") {
+    // histogram source pages by the DERIVED key: after the first page's
+    // last key, the next page starts strictly beyond it
+    val page1 = QueryDsl.search(docs,
+      """{"aggs": {"p": {"composite": {"size": 3, "sources": [
+           {"bucket": {"histogram": {"field": "n_chars", "interval": 100}}}]}}}}""")
+      .collect()
+    val lastKey = page1.last.getLong(0)
+    val page2 = QueryDsl.search(docs,
+      s"""{"aggs": {"p": {"composite": {"size": 3, "sources": [
+           {"bucket": {"histogram": {"field": "n_chars", "interval": 100}}}],
+           "after": {"bucket": $lastKey}}}}}""").collect()
+    assert(page2.forall(_.getLong(0) > lastKey))
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"p": {"composite": {"sources": [
+           {"n_chars": {"histogram": {"field": "n_chars", "interval": 100}}}]}}}}""",
+      "collides with a column")
+    bad("""{"aggs": {"p": {"composite": {"sources": [
+           {"b": {"histogram": {"field": "n_chars"}}}]}}}}""",
+      "positive integer interval")
+    bad("""{"aggs": {"p": {"composite": {"sources": [
+           {"b": {"geo_grid": {"field": "n_chars"}}}]}}}}""",
+      "kind must be")
+    bad("""{"aggs": {"p": {"composite": {"sources": [
+           {"b": {"histogram": {"field": "n_chars", "interval": 100}}},
+           {"b": {"histogram": {"field": "doc_id", "interval": 5}}}]}}}}""",
+      "repeats a source name")
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
