@@ -123,6 +123,14 @@ final case class GraftEngine(spark: SparkSession) {
   def mget(table: DataFrame, requestJson: String): DataFrame =
     graft.search.QueryDsl.mget(table, requestJson)
 
+  /** The `_terms_enum` endpoint: prefix-matched terms in term order. */
+  def termsEnum(table: DataFrame, requestJson: String): DataFrame =
+    graft.search.QueryDsl.termsEnum(table, requestJson)
+
+  /** The `_field_caps` endpoint: the table's fields and types. */
+  def fieldCaps(table: DataFrame): DataFrame =
+    graft.search.QueryDsl.fieldCaps(table)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

@@ -2132,6 +2132,36 @@ object DslSearch {
         FROM events
         WHERE ts IS NOT NULL AND event_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY day, event_type LIMIT 25
+      """.stripMargin.trim)),
+
+    // _terms_enum: index terms under a prefix in term order — one
+    // distinct aggregation with the prefix pushed below it (the
+    // autocomplete/discovery endpoint).
+    GraftQuery(
+      "q214_dsl_terms_enum",
+      (s, dir) => QueryDsl.termsEnum(
+        Tables.load(s, dir, "documents"),
+        """{"field": "text", "string": "s", "tokens": true, "size": 20}"""),
+      Some("""
+        SELECT DISTINCT tok AS term
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok LIKE 's%' AND tok <> ''
+        ORDER BY term LIMIT 20
+      """.stripMargin.trim)),
+
+    // _field_caps: schema introspection as rows — zero data reads,
+    // the oracle is the table's static schema.
+    GraftQuery(
+      "q215_dsl_field_caps",
+      (s, dir) => QueryDsl.fieldCaps(Tables.load(s, dir, "documents")),
+      Some("""
+        SELECT * FROM (VALUES
+          ('doc_id', 'bigint', true),
+          ('lang', 'string', true),
+          ('n_chars', 'bigint', true),
+          ('source', 'string', true),
+          ('text', 'string', true)) AS t(field, type, nullable)
+        ORDER BY field
       """.stripMargin.trim))
   )
 }

@@ -1961,6 +1961,53 @@ object QueryDsl {
       .drop("__ord")
   }
 
+  /** The `_terms_enum` endpoint: index terms matching a prefix, in
+    * term order — the autocomplete/discovery call. `tokens: true`
+    * enumerates whitespace tokens of a text field (one explode +
+    * distinct), otherwise the field's distinct values; either way ONE
+    * distinct aggregation with the prefix pushed below it, top `size`
+    * in lexicographic order (the OpenSearch response order).
+    */
+  def termsEnum(table: DataFrame, requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"_terms_enum body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("field", "string", "size", "tokens")).foreach(k =>
+      fail(s"unsupported _terms_enum request key '$k'"))
+    val f = strOpt(req, "field").getOrElse(fail("_terms_enum requires a field"))
+    val prefix = strOpt(req, "string").getOrElse("")
+    val size = intOpt(req, "size").getOrElse(10)
+    if (size < 1) fail("_terms_enum size must be >= 1")
+    val tokens = req.get("tokens") match {
+      case Some(JBool(b)) => b
+      case None           => false
+      case Some(other)    => fail(s"tokens must be a boolean: ${render(other)}")
+    }
+    val terms =
+      if (tokens)
+        table.select(explode(split(col(f), " ")).as("term"))
+          .filter(col("term") =!= "")
+      else table.select(col(f).as("term")).filter(col("term").isNotNull)
+    terms.filter(col("term").startsWith(prefix))
+      .distinct()
+      .orderBy(col("term").asc)
+      .limit(size)
+  }
+
+  /** The `_field_caps` endpoint: the table's queryable fields and
+    * types — pure schema introspection, zero data reads (the one
+    * driver-side-only endpoint, by nature).
+    */
+  def fieldCaps(table: DataFrame): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    table.schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("field", "type", "nullable")
+      .orderBy("field")
+  }
+
   /** The `_validate/query` endpoint: compile the request against the
     * table's schema WITHOUT running corpus work. Returns (valid,
     * explanation) — compile and analysis errors come back AS DATA

@@ -1792,6 +1792,30 @@ class QueryDslSpec extends SparkSpec {
       "repeats a source name")
   }
 
+  test("new agg families plan ONE hash shuffle (plan-pinned)") {
+    def hashExchanges(json: String): Int = {
+      val plan = QueryDsl.search(docs, json)
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    }
+    // multi_terms: one groupBy on the composite key, never a join of
+    // per-field terms tables
+    assert(hashExchanges(
+      """{"aggs": {"p": {"multi_terms": {"terms":
+           [{"field": "lang"}, {"field": "source"}]}}}}""") === 1)
+    // terms order-by-metric: the re-rank runs on the bounded bucket
+    // table, no extra keyed shuffle
+    assert(hashExchanges(
+      """{"aggs": {"l": {"terms": {"field": "lang",
+           "order": {"m": "desc"}},
+         "aggs": {"m": {"avg": {"field": "n_chars"}}}}}}""") === 1)
+    // significant_text: one token groupBy; the totals ride along as a
+    // broadcast single-partition aggregate, not a second keyed shuffle
+    assert(hashExchanges(
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"s": {"significant_text": {"field": "text"}}}}""") === 1)
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
