@@ -2162,6 +2162,80 @@ object DslSearch {
           ('source', 'string', true),
           ('text', 'string', true)) AS t(field, type, nullable)
         ORDER BY field
+      """.stripMargin.trim)),
+
+    // sampler (deterministic contract): sub-aggs over the top
+    // shard_size hits ranked (score desc, tiebreak asc) — an explicit
+    // tiebreak replaces OpenSearch's nondeterministic per-shard
+    // sample, making the sample a pure function of the request.
+    GraftQuery(
+      "q216_dsl_sampler",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark join window"}},
+           "aggs": {"top_sample": {"sampler":
+               {"shard_size": 50, "tiebreak": "doc_id"},
+             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                          ['spark','join','window'])) AS BIGINT) AS score
+          FROM documents),
+        sampled AS (
+          SELECT * FROM scored WHERE score >= 1
+          ORDER BY score DESC, doc_id LIMIT 50)
+        SELECT COUNT(*) AS doc_count,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+        FROM sampled
+      """.stripMargin.trim)),
+
+    // boxplot: the five-number summary from DISCRETE percentiles —
+    // actual data values, engine-exact, no interpolation.
+    GraftQuery(
+      "q217_dsl_boxplot",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"chars": {"boxplot": {"field": "n_chars"}}}}"""),
+      Some("""
+        SELECT CAST(MIN(n_chars) AS BIGINT) AS chars_min,
+               CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS chars_q1,
+               CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS chars_q2,
+               CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS chars_q3,
+               CAST(MAX(n_chars) AS BIGINT) AS chars_max
+        FROM documents WHERE lang = 'en'
+      """.stripMargin.trim)),
+
+    // string_stats: lengths + the Shannon entropy of the GLOBAL
+    // character distribution — the q92 determinism recipe (9-dp
+    // rounded c·ln c summed as DECIMAL, final 6-dp round).
+    GraftQuery(
+      "q218_dsl_string_stats",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "fr"}},
+           "aggs": {"txt": {"string_stats": {"field": "text"}}}}"""),
+      Some("""
+        WITH h AS (SELECT text FROM documents WHERE lang = 'fr' AND text IS NOT NULL),
+        lens AS (
+          SELECT COUNT(*) AS count,
+                 CAST(MIN(len(text)) AS BIGINT) AS min_length,
+                 CAST(MAX(len(text)) AS BIGINT) AS max_length,
+                 CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_length
+          FROM h),
+        cc AS (
+          SELECT ch, COUNT(*) AS c
+          FROM (SELECT unnest(string_split(text, '')) AS ch FROM h)
+          WHERE ch <> '' GROUP BY 1),
+        ent AS (
+          SELECT round(ln(CAST(SUM(c) AS DOUBLE)) -
+                   CAST(SUM(CAST(round(c * ln(CAST(c AS DOUBLE)), 9)
+                     AS DECIMAL(28,9))) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+          FROM cc)
+        SELECT count, min_length, max_length, avg_length, entropy
+        FROM lens, ent
       """.stripMargin.trim))
   )
 }

@@ -2569,7 +2569,8 @@ object QueryDsl {
           "date_range", "rare_terms", "significant_terms", "filters",
           "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
           "missing", "multi_terms", "auto_date_histogram", "global",
-          "filter", "significant_text").contains(p._1))
+          "filter", "significant_text", "sampler",
+          "string_stats").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -2584,7 +2585,8 @@ object QueryDsl {
           "date_histogram", "range", "date_range", "rare_terms",
           "significant_terms", "filters", "composite", "adjacency_matrix",
           "matrix_stats", "geo_grid", "missing", "multi_terms",
-          "auto_date_histogram", "global", "filter", "significant_text"))
+          "auto_date_histogram", "global", "filter", "significant_text",
+          "sampler", "string_stats"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -2656,6 +2658,13 @@ object QueryDsl {
         m.get("significant_text").foreach { s =>
           if (m.contains("aggs")) fail("significant_text takes no sub-aggs")
           return significantTextAgg(table, pred, name, s)
+        }
+        m.get("sampler").foreach { sp =>
+          return samplerAgg(hits, name, sp, m.get("aggs"))
+        }
+        m.get("string_stats").foreach { ss =>
+          if (m.contains("aggs")) fail("string_stats takes no sub-aggs")
+          return stringStatsAgg(hits, name, ss)
         }
         // terms-in-terms: ONE nested terms bucket sub-agg → the
         // two-level bucket table (the most common real-world agg
@@ -3450,6 +3459,73 @@ object QueryDsl {
     hits.agg(count(when(gate, 1L)).as("doc_count"), subs: _*)
   }
 
+  /** `sampler` bucket agg, DETERMINISTIC contract: sub-aggs over the
+    * top `shard_size` hits ranked by (score desc, `tiebreak` asc) —
+    * where OpenSearch samples the per-shard top-scored docs
+    * nondeterministically, this engine requires an explicit tiebreak
+    * field so the sample is a pure function of the request (the
+    * integer-score determinism rule). One bounded top-k then one
+    * global aggregate.
+    */
+  private def samplerAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"sampler agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("shard_size", "tiebreak")).foreach(k =>
+      fail(s"unsupported sampler option '$k' in '$name'"))
+    val n = intOpt(m, "shard_size").getOrElse(100)
+    if (n < 1) fail("sampler shard_size must be >= 1")
+    val tiebreak = strOpt(m, "tiebreak")
+      .getOrElse(fail(s"sampler agg '$name' needs a tiebreak field " +
+        "(the deterministic-sample contract)"))
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp) }
+      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    hits.orderBy(col("score").desc, col(tiebreak).asc)
+      .limit(n)
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+  }
+
+  /** `string_stats` agg: count / min / max / exact-ratio avg length
+    * plus the Shannon entropy of the GLOBAL character distribution —
+    * the q92 determinism recipe (per-char c·ln c rounded to 9 dp,
+    * summed as DECIMAL so the fold is order-independent, final round
+    * to 6 dp). Two bounded aggregations: one over docs for the
+    * lengths, one over the ≤|alphabet| character counts.
+    */
+  private def stringStatsAgg(hits: DataFrame, name: String,
+      spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"string_stats agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field")).foreach(k =>
+      fail(s"unsupported string_stats option '$k' in '$name'"))
+    val f = strOpt(m, "field").getOrElse(fail(s"string_stats '$name' needs a field"))
+    val lengths = hits.filter(col(f).isNotNull).agg(
+      count(lit(1)).as("count"),
+      min(length(col(f))).cast("long").as("min_length"),
+      max(length(col(f))).cast("long").as("max_length"),
+      (sum(length(col(f))).cast("double") / count(lit(1)))
+        .as("avg_length"))
+    val chars = hits.filter(col(f).isNotNull)
+      .select(explode(split(col(f), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("ch")).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+          .cast("decimal(28,9)")).as("clogc"))
+      .select(round(log(col("n").cast("double")) -
+        col("clogc").cast("double") / col("n").cast("double"), 6)
+        .as("entropy"))
+    lengths.crossJoin(broadcast(chars))
+  }
+
   /** `auto_date_histogram`: the FINEST calendar interval (day →
     * month → year) that yields at most `buckets` buckets — the
     * OpenSearch auto-sizing rule made deterministic. The choice costs
@@ -3955,6 +4031,18 @@ object QueryDsl {
         // DISCRETE percentiles (percentile_disc): an actual data value,
         // no interpolation — so the result is engine-exact, unlike the
         // t-digest approximation OpenSearch itself serves
+        // boxplot: min / q1 / median / q3 / max — the five-number
+        // summary from DISCRETE percentiles (actual data values, no
+        // interpolation — engine-exact like `percentiles`)
+        case "boxplot" =>
+          if (cond.isDefined)
+            fail(s"boxplot under a filtered bucket is unsupported ('$name')")
+          Seq(
+            min(c).as(s"${name}_min"),
+            expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY `$f`)").as(s"${name}_q1"),
+            expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$f`)").as(s"${name}_q2"),
+            expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY `$f`)").as(s"${name}_q3"),
+            max(c).as(s"${name}_max"))
         case "percentiles" =>
           if (cond.isDefined)
             fail(s"percentiles under a filtered bucket is unsupported ('$name')")

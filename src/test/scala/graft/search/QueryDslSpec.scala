@@ -1816,6 +1816,47 @@ class QueryDslSpec extends SparkSpec {
          "aggs": {"s": {"significant_text": {"field": "text"}}}}""") === 1)
   }
 
+  test("sampler / boxplot / string_stats validate and behave") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"aggs": {"s": {"sampler": {"shard_size": 10}}}}""",
+      "needs a tiebreak")
+    bad("""{"aggs": {"s": {"sampler": {"shard_size": 0,
+           "tiebreak": "doc_id"}}}}""", "shard_size must be >= 1")
+    // boxplot is a metric: composes with other metrics in one row
+    val row = QueryDsl.search(docs,
+      """{"aggs": {"b": {"boxplot": {"field": "n_chars"}},
+           "other": {"avg": {"field": "n_chars"}}}}""").collect().head
+    assert(row.getAs[Long]("b_min") <= row.getAs[Double]("b_q2").toLong)
+    assert(row.getAs[Double]("b_q2").toLong <= row.getAs[Long]("b_max"))
+  }
+
+  test("sampler bounds the aggregated set; string_stats entropy is stable") {
+    // with shard_size >= matching hits, sampler == plain filter agg
+    val all = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"s": {"sampler": {"shard_size": 100000, "tiebreak": "doc_id"},
+           "aggs": {"m": {"max": {"field": "n_chars"}}}}}}""").collect().head
+    val exp = docs.filter(col("lang") === "en")
+      .agg(count(lit(1)), max("n_chars")).collect().head
+    assert(all.getAs[Long]("doc_count") === exp.getLong(0))
+    assert(all.getAs[Long]("m") === exp.getLong(1))
+    // a tight sample is exactly shard_size docs
+    val top = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"s": {"sampler": {"shard_size": 7, "tiebreak": "doc_id"}}}}""")
+      .collect().head
+    assert(top.getAs[Long]("doc_count") === 7L)
+    // string_stats entropy of a uniform 1-char alphabet is 0
+    val one = docs.limit(3).select(lit("aaaa").as("t"))
+    val st = QueryDsl.search(one,
+      """{"aggs": {"x": {"string_stats": {"field": "t"}}}}""").collect().head
+    assert(st.getAs[Double]("entropy") === 0.0)
+    assert(st.getAs[Long]("min_length") === 4L)
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
