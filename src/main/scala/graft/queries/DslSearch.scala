@@ -1995,8 +1995,9 @@ object DslSearch {
              "aggs": {"cum_n": {"cumulative_sum": {"buckets_path": "_count"}}}}}}"""),
       Some("""
         WITH g AS (
-          SELECT make_timestamp((CAST(epoch(ts) AS BIGINT)
-                   - CAST(epoch(ts) AS BIGINT) % 604800) * 1000000) AS wk,
+          SELECT make_timestamp(epoch_us(ts)
+                   - ((epoch_us(ts) % 604800000000 + 604800000000)
+                      % 604800000000)) AS wk,
                  COUNT(*) AS doc_count
           FROM events GROUP BY 1)
         SELECT wk, doc_count,

@@ -2712,8 +2712,14 @@ object QueryDsl {
             case _ => ()
           }
           val f = m.get("terms") match {
-            case Some(JObject(t)) => strOpt(t.toMap, "field")
-              .getOrElse(fail(s"terms agg '$name' needs a field"))
+            case Some(JObject(t)) =>
+              val tm = t.toMap
+              // `missing`/`order`/`size` would be silently ignored on
+              // this window path — reject rather than mis-serve
+              tm.keySet.diff(Set("field")).foreach(k =>
+                fail(s"unsupported terms option '$k' with a top_hits sub-agg"))
+              strOpt(tm, "field")
+                .getOrElse(fail(s"terms agg '$name' needs a field"))
             case _ => fail("top_hits requires a terms bucket")
           }
           return topHitsAgg(hits, name, f, th)
@@ -2772,10 +2778,14 @@ object QueryDsl {
             if (mdc != 0 && mdc != 1)
               fail(s"histogram min_doc_count must be 0 or 1, got $mdc")
             val interval = hm.get("interval") match {
-              case Some(JInt(i))    => lit(i.toLong)
+              case Some(JInt(i)) =>
+                // zero/negative would silently key every doc NULL
+                if (i <= 0) fail(s"histogram interval must be positive: $i")
+                lit(i.toLong)
               case Some(JDouble(d)) =>
                 if (mdc == 0)
                   fail("histogram min_doc_count: 0 requires an integer interval")
+                if (d <= 0) fail(s"histogram interval must be positive: $d")
                 lit(d)
               case _ => fail(s"histogram agg '$name' needs a numeric interval")
             }
@@ -2784,7 +2794,7 @@ object QueryDsl {
             // and derivative/moving_avg over it are correct; bounds
             // from extended_bounds (which only ever widens — data
             // buckets outside it survive via the outer join)
-            val fillSpec: Option[(Long, Option[(Long, Long)])] =
+            val fillSpec: Option[(String, Long, Option[(Long, Long)])] =
               if (mdc == 0) {
                 val iv = hm.get("interval") match {
                   case Some(JInt(i)) if i > 0 => i.toLong
@@ -2798,13 +2808,17 @@ object QueryDsl {
                       fail(s"unsupported extended_bounds key '$k'"))
                     (bm.get("min"), bm.get("max")) match {
                       case (Some(JInt(lo)), Some(JInt(hi))) if lo <= hi =>
+                        // beyond-Long values would wrap via toLong and
+                        // silently void the bounds AND the bucket cap
+                        if (!lo.isValidLong || !hi.isValidLong)
+                          fail("extended_bounds min/max must fit in a 64-bit long")
                         Some((lo.toLong, hi.toLong))
                       case _ => fail("extended_bounds needs integer min <= max")
                     }
                   case Some(other) =>
                     fail(s"extended_bounds must be an object: ${render(other)}")
                 }
-                Some((iv, bounds))
+                Some((f, iv, bounds))
               } else {
                 if (hm.contains("extended_bounds"))
                   fail("extended_bounds requires min_doc_count: 0")
@@ -2820,10 +2834,13 @@ object QueryDsl {
             if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
               fail(s"date_histogram '$name' takes calendar_interval OR fixed_interval")
             val key = strOpt(hm, "fixed_interval") match {
-              // fixed_interval: epoch-second bucketing ("7d"/"12h"/
-              // "30m"/"45s") — second precision by contract (the
-              // engine's cross-engine epoch floor); calendar-aware
-              // buckets belong to calendar_interval
+              // fixed_interval: epoch bucketing ("7d"/"12h"/"30m"/
+              // "45s") in EXACT MICROSECOND integer arithmetic —
+              // pmod floor-aligns (a truncating % would shift every
+              // pre-1970 timestamp's bucket by one interval, and a
+              // second-truncating cast would disagree with the
+              // oracle's rounding on fractional seconds); calendar-
+              // aware buckets belong to calendar_interval
               case Some(iv) =>
                 val FixedRe = """(\d+)([dhms])""".r
                 val secs = iv match {
@@ -2834,20 +2851,19 @@ object QueryDsl {
                     }
                     val v = n.toLong * mult
                     if (v < 1L) fail(s"fixed_interval must be positive: '$iv'")
+                    if (v > 3153600000L) // 100 years: micros stay in Long
+                      fail(s"fixed_interval too large: '$iv'")
                     v
                   case other =>
                     fail(s"fixed_interval must match <n>[dhms]: '$other'")
                 }
-                val ep = unix_timestamp(col(f))
-                timestamp_seconds(ep - pmod(ep, lit(secs))).as(name)
+                val um = unix_micros(col(f))
+                val ivUs = lit(secs * 1000000L)
+                timestamp_micros(um - pmod(um, ivUs)).as(name)
               case None =>
-                val unit = strOpt(hm, "calendar_interval").getOrElse("day") match {
-                  case "day"   => "DAY"
-                  case "month" => "MONTH"
-                  case "year"  => "YEAR"
-                  case other   => fail(s"unsupported calendar_interval '$other'")
-                }
-                date_trunc(unit, col(f)).as(name)
+                date_trunc(calendarUnit(
+                  strOpt(hm, "calendar_interval").getOrElse("day")),
+                  col(f)).as(name)
             }
             (key, None, None, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
@@ -2856,18 +2872,21 @@ object QueryDsl {
           .agg(count(lit(1)).as("doc_count"), subs: _*)
         val bucketTable = histoFill match {
           case None => bucketTable0
-          case Some((iv, boundsOpt)) =>
+          case Some((field, iv, boundsOpt)) =>
             // the dense key series: extended_bounds if given, else the
-            // data's own [min, max] (one bounded 2-long aggregate to
-            // the driver — the auto_date_histogram class of metadata).
-            // FULL OUTER join so data buckets outside the bounds
-            // survive; empty buckets get doc_count 0, sub-aggs NULL.
+            // data's own [min, max] (a map-only 2-long aggregate over
+            // hits to the driver — NOT a collect on the bucket table,
+            // which would run its shuffle twice). Docs with a NULL
+            // field are omitted (the null-key-omitted convention —
+            // under Spark's NULLS-FIRST asc a NULL bucket would sit
+            // at row 0 of the "dense" series and corrupt every
+            // pipeline window over it). FULL OUTER join so data
+            // buckets outside the bounds survive; empty buckets get
+            // doc_count 0, sub-aggs NULL.
             val (lo0, hi0) = boundsOpt.getOrElse {
-              // data-derived bounds off the ALREADY-AGGREGATED bucket
-              // table (keys are bucket-floored multiples of iv)
-              val r = bucketTable0.agg(min(col(name)), max(col(name)))
-                .collect().head
-              if (r.isNullAt(0)) (0L, -1L) else (r.getLong(0), r.getLong(1))
+              val r = hits.agg(min(col(field)), max(col(field))).collect().head
+              if (r.isNullAt(0)) (0L, -1L)
+              else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
             }
             val lo = Math.floorDiv(lo0, iv) * iv
             val hi = Math.floorDiv(hi0, iv) * iv
@@ -2877,7 +2896,8 @@ object QueryDsl {
                 "buckets (cap 100000) - widen the interval")
             val series = hits.sparkSession.range(nBuckets)
               .select((lit(lo) + col("id") * lit(iv)).as(name))
-            series.join(bucketTable0, Seq(name), "full_outer")
+            series.join(bucketTable0.filter(col(name).isNotNull),
+                Seq(name), "full_outer")
               .na.fill(0L, Seq("doc_count"))
         }
         if (pipeEntries.isEmpty) {
@@ -3383,6 +3403,17 @@ object QueryDsl {
     }
   }
 
+  /** The ONE calendar_interval mapping — shared by the
+    * date_histogram bucket path and composite date_histogram sources
+    * so the accepted unit set can never drift between them.
+    */
+  private def calendarUnit(s: String): String = s match {
+    case "day"   => "DAY"
+    case "month" => "MONTH"
+    case "year"  => "YEAR"
+    case other   => fail(s"unsupported calendar_interval '$other'")
+  }
+
   /** The ONE buckets_path target resolution — `_count` maps to
     * `doc_count`, anything else must be a bucket-table column — shared
     * by the series/selector pipeline aggs, sibling `*_bucket` aggs and
@@ -3485,9 +3516,18 @@ object QueryDsl {
       case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    hits.orderBy(col("score").desc, col(tiebreak).asc)
-      .limit(n)
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
+    // determinism guard: a tie on (score, tiebreak) INSIDE the sample
+    // means the boundary cut could differ between runs — fail loud
+    // (the tiebreak must be a unique key; ties fire raise_error in
+    // the same aggregate, costing nothing extra on the <= n rows)
+    val sampled = hits.orderBy(col("score").desc, col(tiebreak).asc).limit(n)
+    val guardedCount = when(
+      count(lit(1)) =!= countDistinct(struct(col("score"), col(tiebreak))),
+      raise_error(lit(s"sampler: tiebreak '$tiebreak' is not unique within " +
+        "the sample - the deterministic contract needs a unique key"))
+        .cast("long"))
+      .otherwise(count(lit(1)))
+    sampled.agg(guardedCount.as("doc_count"), subs: _*)
   }
 
   /** `string_stats` agg: count / min / max / exact-ratio avg length
@@ -3682,13 +3722,9 @@ object QueryDsl {
             case "date_histogram" =>
               tm.keySet.diff(Set("field", "calendar_interval")).foreach(k =>
                 fail(s"unsupported composite date_histogram source key '$k'"))
-              val unit = strOpt(tm, "calendar_interval").getOrElse("day") match {
-                case "day"   => "DAY"
-                case "month" => "MONTH"
-                case "year"  => "YEAR"
-                case other   => fail(s"unsupported calendar_interval '$other'")
-              }
-              Src(srcName, Some(date_trunc(unit, col(f))), isDate = true)
+              Src(srcName, Some(date_trunc(calendarUnit(
+                strOpt(tm, "calendar_interval").getOrElse("day")), col(f))),
+                isDate = true)
             case other =>
               fail(s"composite source '$srcName' kind must be " +
                 s"terms/histogram/date_histogram: '$other'")

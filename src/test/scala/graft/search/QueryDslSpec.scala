@@ -1857,6 +1857,40 @@ class QueryDslSpec extends SparkSpec {
     assert(st.getAs[Long]("min_length") === 4L)
   }
 
+  test("review-fix regressions 2: interval/bounds/tiebreak/null-key guards") {
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    // interval 0 must fail on EVERY histogram path, not just mdc=0
+    bad("""{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 0}}}}""",
+      "interval must be positive")
+    // beyond-Long extended_bounds fail instead of wrapping silent
+    bad("""{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 50,
+           "min_doc_count": 0,
+           "extended_bounds": {"min": 0, "max": 9223372036854775808}}}}}""",
+      "fit in a 64-bit long")
+    // terms options that the top_hits window path would ignore: loud
+    bad("""{"aggs": {"t": {"terms": {"field": "lang", "missing": "(none)"},
+           "aggs": {"h": {"top_hits": {"size": 1, "sort": ["doc_id"],
+             "_source": ["doc_id"]}}}}}}""",
+      "unsupported terms option 'missing' with a top_hits")
+    // a NULL-keyed doc never reaches the filled dense series
+    val d = docs.withColumn("opt_chars",
+      when(col("doc_id") % 4 === 0, lit(null).cast("long"))
+        .otherwise(col("n_chars")))
+    val filled = QueryDsl.search(d,
+      """{"aggs": {"h": {"histogram": {"field": "opt_chars",
+           "interval": 100, "min_doc_count": 0}}}}""")
+    assert(filled.filter(col("h").isNull).count() === 0)
+    // sampler with a non-unique tiebreak fires the determinism guard
+    val e = intercept[Exception](QueryDsl.search(docs,
+      """{"query": {"match_all": {}},
+         "aggs": {"s": {"sampler": {"shard_size": 5,
+           "tiebreak": "lang"}}}}""").collect())
+    assert(e.getMessage.contains("not unique within"), e.getMessage)
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
