@@ -49,7 +49,12 @@ object ScaleBench {
       // inline-registry percolate (zero joins — every stored query is
       // a codegen'd predicate) and the full query_string grammar must
       // scale with corpus size alone
-      "q170_dsl_query_string", "q174_dsl_percolate")
+      "q170_dsl_query_string", "q174_dsl_percolate",
+      // corpus-sized token/char aggregations added in round 7: the
+      // significant_text doc-frequency model (one token groupBy) and
+      // string_stats' global character distribution — both must stay
+      // ~linear in corpus bytes
+      "q212_dsl_significant_text", "q218_dsl_string_stats")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L
