@@ -100,7 +100,10 @@ import org.json4s.jackson.JsonMethods
   * `matrix_stats` (exact-moment mean/variance/covariance/correlation
   * of two integral fields), `geo_grid` (fixed-degree lat/lon cells),
   * `auto_date_histogram` (finest calendar unit within a bucket
-  * target, deterministic),
+  * target, deterministic), `significant_text` (token doc-frequency
+  * over-representation), `sampler` (deterministic top-scored sample
+  * with a required unique tiebreak), `string_stats` (lengths + global
+  * character entropy),
   * pipeline aggs over a
   * histogram/date_histogram series (`cumulative_sum`, `derivative`,
   * `serial_diff`, `moving_avg` via `buckets_path`, windows over the
@@ -108,10 +111,14 @@ import org.json4s.jackson.JsonMethods
   * and `bucket_sort` (ORDER BY + from/size over buckets, also under
   * `terms`), sibling `avg|sum|min|max|stats_bucket` aggs (the
   * one-row sibling table),
-  * global metric aggs, `histogram`, `date_histogram`
-  * (calendar_interval day/month), `stats`, `extended_stats` (exact
+  * global metric aggs, `histogram` (+ `min_doc_count: 0` with
+  * `extended_bounds` — empty buckets appear, so pipeline aggs over
+  * sparse series stay correct), `date_histogram`
+  * (calendar_interval day/month/year or exact-microsecond
+  * `fixed_interval`), `stats`, `extended_stats` (exact
   * integer moments), `weighted_avg`, `top_metrics` (top-sort-row
-  * metric via struct max), `scripted_metric` (a ScoreScript map
+  * metric via struct max), `boxplot` (discrete five-number summary),
+  * `scripted_metric` (a ScoreScript map
   * expression + a named monoid reduce),
   * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`/`percentiles`
   * (discrete — engine-exact, no interpolation). A request with
