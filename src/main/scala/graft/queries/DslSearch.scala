@@ -2237,6 +2237,23 @@ object DslSearch {
           FROM cc)
         SELECT count, min_length, max_length, avg_length, entropy
         FROM lens, ent
+      """.stripMargin.trim)),
+
+    // _search/template: {{var}} placeholders bound ON THE DRIVER (the
+    // mustache subset templates actually use), then compiled like any
+    // request — the saved-query idiom with zero row-time cost.
+    GraftQuery(
+      "q219_dsl_search_template",
+      (s, dir) => QueryDsl.searchTemplate(
+        Tables.load(s, dir, "documents"),
+        // the source is a JSON STRING, so it must be one line (raw
+        // newlines are invalid inside JSON string literals)
+        """{"source": "{\"query\": {\"bool\": {\"must\": [{\"term\": {\"lang\": \"{{l}}\"}}, {\"range\": {\"n_chars\": {\"gte\": {{lo}}}}}]}}, \"sort\": [\"doc_id\"], \"size\": {{n}}, \"_source\": [\"doc_id\", \"lang\", \"n_chars\"]}",
+           "params": {"l": "es", "lo": 250, "n": 40}}"""),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE lang = 'es' AND n_chars >= 250
+        ORDER BY doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

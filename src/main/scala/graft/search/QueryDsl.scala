@@ -1968,6 +1968,47 @@ object QueryDsl {
       .drop("__ord")
   }
 
+  /** The `_search/template` endpoint: a request body with `{{var}}`
+    * placeholders bound from `params` ON THE DRIVER (the mustache
+    * subset OpenSearch templates actually use: simple variables —
+    * sections/partials/defaults fail loud), then compiled like any
+    * request. Substitution is textual into the source string, exactly
+    * the OpenSearch model: a string param replaces `{{v}}` inside the
+    * author's quotes, a number replaces a bare `{{v}}`. Unbound
+    * placeholders fail loud; unused params are allowed (the
+    * share-one-param-set-across-templates idiom).
+    */
+  def searchTemplate(table: DataFrame, templateJson: String): DataFrame = {
+    val req = parse(templateJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"template body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("source", "params")).foreach(k =>
+      fail(s"unsupported template key '$k'"))
+    val source = strOpt(req, "source")
+      .getOrElse(fail("template needs a source string"))
+    val params: Map[String, String] = req.get("params") match {
+      case Some(JObject(ps)) => ps.map {
+        case (k, JString(v))  => k -> v
+        case (k, JInt(v))     => k -> v.toString
+        case (k, JBool(v))    => k -> v.toString
+        case (k, other) =>
+          fail(s"template param '$k' must be a string/integer/boolean: ${render(other)}")
+      }.toMap
+      case None        => Map.empty
+      case Some(other) => fail(s"template params must be an object: ${render(other)}")
+    }
+    if (source.contains("{{#") || source.contains("{{^") || source.contains("{{>"))
+      fail("template sections/partials are unsupported (simple {{var}} only)")
+    val bound = params.foldLeft(source) { case (acc, (k, v)) =>
+      acc.replace(s"{{$k}}", v)
+    }
+    val Unbound = """\{\{([^}]*)\}\}""".r
+    Unbound.findFirstMatchIn(bound).foreach(m =>
+      fail(s"template placeholder '{{${m.group(1)}}}' has no binding"))
+    search(table, bound)
+  }
+
   /** The `_terms_enum` endpoint: index terms matching a prefix, in
     * term order — the autocomplete/discovery call. `tokens: true`
     * enumerates whitespace tokens of a text field (one explode +

@@ -1891,6 +1891,26 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("not unique within"), e.getMessage)
   }
 
+  test("search templates bind on the driver; unbound/sections fail loud") {
+    val got = QueryDsl.searchTemplate(docs,
+      """{"source": "{\"query\": {\"term\": {\"lang\": \"{{l}}\"}}, \"sort\": [\"doc_id\"]}",
+         "params": {"l": "en", "unused": 7}}""")
+    val exp = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}}, "sort": ["doc_id"]}""")
+    assert(got.collect().toSeq === exp.collect().toSeq)
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        QueryDsl.searchTemplate(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"source": "{\"query\": {\"term\": {\"lang\": \"{{l}}\"}}}"}""",
+      "has no binding")
+    bad("""{"source": "{{#cond}}x{{/cond}}", "params": {}}""",
+      "sections/partials")
+    bad("""{"source": "{}", "params": {"x": {"nested": 1}}}""",
+      "must be a string/integer/boolean")
+  }
+
   test("_msearch counts: N requests, ONE scan (plan-pinned), right values") {
     val got = QueryDsl.msearchCounts(docs, Seq(
       """{"query": {"term": {"lang": "en"}}}""",
