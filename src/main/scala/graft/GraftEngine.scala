@@ -131,6 +131,12 @@ final case class GraftEngine(spark: SparkSession) {
   def fieldCaps(table: DataFrame): DataFrame =
     graft.search.QueryDsl.fieldCaps(table)
 
+  /** The `_search/template` endpoint: driver-bound `{{var}}`
+    * placeholders, then a normal compiled request.
+    */
+  def searchTemplate(table: DataFrame, templateJson: String): DataFrame =
+    graft.search.QueryDsl.searchTemplate(table, templateJson)
+
   // ---- training-data curation surface ----
 
   /** Exact-duplicate groups by canonical fingerprint. */

@@ -2254,6 +2254,39 @@ object DslSearch {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE lang = 'es' AND n_chars >= 250
         ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // intervals with a STEM term: a trailing `*` turns a term into a
+    // prefix-postings filter (the intervals `prefix` rule folded into
+    // the match terms) — same k−1-step ordered chain, the stem's
+    // postings just match more positions.
+    GraftQuery(
+      "q220_dsl_intervals_stem",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"intervals": {
+             "text": {"match": {"query": "spark jo*",
+                                "max_gaps": 4, "ordered": true}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "n_spans", "min_gaps"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok LIKE 'jo%'),
+        g AS (
+          SELECT p1.doc_id, CAST(p2.p - p1.p - 1 AS BIGINT) AS gaps
+          FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.p > p1.p
+          WHERE p2.p - p1.p - 1 <= 4)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, MIN(gaps) AS min_gaps
+        FROM g GROUP BY 1
+        ORDER BY n_spans DESC, doc_id
+        LIMIT 30
       """.stripMargin.trim))
   )
 }

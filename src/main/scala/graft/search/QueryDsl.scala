@@ -1608,11 +1608,25 @@ object QueryDsl {
             }
             val pos = table.select(col(idField),
               posexplode(split(col(field), " ")).as(Seq("p", "tok")))
+            // a trailing `*` makes the term a STEM: its postings are
+            // every token with that prefix (the intervals `prefix`
+            // rule folded into the match terms, mirroring the
+            // query_string expansion convention); a bare or mid-token
+            // `*` stays fail-loud
+            def postings(term: String): Column =
+              if (term.endsWith("*")) {
+                val stem = term.dropRight(1)
+                if (stem.isEmpty || stem.contains("*"))
+                  fail(s"intervals term '$term': only a trailing * stem is supported")
+                col("tok").startsWith(stem)
+              } else if (term.contains("*"))
+                fail(s"intervals term '$term': only a trailing * stem is supported")
+              else col("tok") === term
             val k = terms.size
-            var acc = pos.filter(col("tok") === terms.head)
+            var acc = pos.filter(postings(terms.head))
               .select(col(idField), col("p").as("p0"))
             for (i <- 1 until k) {
-              val pi = pos.filter(col("tok") === terms(i))
+              val pi = pos.filter(postings(terms(i)))
                 .select(col(idField), col("p").as(s"p$i"))
               acc = acc.join(pi, idField).filter(col(s"p$i") > col(s"p${i - 1}"))
             }

@@ -1461,6 +1461,22 @@ class QueryDslSpec extends SparkSpec {
       sn.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("intervals stem terms: trailing * only, postings widen") {
+    // the stem's span set contains the exact term's span set
+    def ids(q: String): Set[Long] = QueryDsl.search(docs,
+      s"""{"query": {"intervals": {"text": {"match":
+           {"query": "$q", "max_gaps": 4, "ordered": true}},
+           "id_field": "doc_id"}}, "sort": ["doc_id"],
+           "_source": ["doc_id"]}""").collect().map(_.getLong(0)).toSet
+    assert(ids("spark join").subsetOf(ids("spark jo*")))
+    def bad(q: String): Unit =
+      assert(intercept[IllegalArgumentException](ids(q))
+        .getMessage.contains("trailing * stem"))
+    bad("spark *")
+    bad("spark j*n")
+    bad("spark *oin")
+  }
+
   test("intervals validates loudly") {
     def bad(json: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
