@@ -66,7 +66,8 @@ import org.json4s.jackson.JsonMethods
   * with an `index` arm, served from the partition-pruned IVF layout),
   * and `intervals` (k-term ordered proximity with a total gap
   * budget — span_near's postings shape generalized to a k−1-step
-  * equi-join chain).
+  * equi-join chain; trailing-`*` stem terms widen a term's postings
+  * to a prefix).
   *
   * Scoring is the engine's deterministic integer model (the q41
   * contract): a matched term-level clause scores 1, a `match` clause
