@@ -413,17 +413,30 @@ object QueryDsl {
             case None          => 1L
             case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
           }
-          m.keySet.diff(Set("query", "minimum_should_match")).foreach(k =>
-            fail(s"unsupported match option '$k' on '$f'"))
-          (q, n)
+          // operator: "and" = every term must match (msm == |terms|,
+          // resolved after tokenization); combining both knobs would
+          // be ambiguous — fail loud
+          val andOp = m.get("operator") match {
+            case Some(JString("or"))  => false
+            case Some(JString("and")) => true
+            case None                 => false
+            case Some(other) => fail(s"match operator must be and/or: ${render(other)}")
+          }
+          if (andOp && m.contains("minimum_should_match"))
+            fail(s"match on '$f': operator and minimum_should_match " +
+              "cannot be combined")
+          m.keySet.diff(Set("query", "minimum_should_match", "operator"))
+            .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
+          (q, if (andOp) -1L else n) // -1 = resolve to |terms| below
         case other => fail(s"match body must be string or object: ${render(other)}")
       }
       val terms = queryText.trim.split("\\s+").toSeq.distinct
       if (terms.isEmpty || terms == Seq("")) fail(s"match on '$f' has an empty query")
+      val msmResolved = if (msm == -1L) terms.size.toLong else msm
       val termArr = array(terms.map(lit): _*)
       val score =
         size(array_intersect(array_distinct(split(col(f), " ")), termArr)).cast("long")
-      CompiledQuery(score >= lit(msm), score)
+      CompiledQuery(score >= lit(msmResolved), score)
     case other => fail(s"match requires {field: spec}: ${render(other)}")
   }
 
@@ -2004,7 +2017,16 @@ object QueryDsl {
       .getOrElse(fail("template needs a source string"))
     val params: Map[String, String] = req.get("params") match {
       case Some(JObject(ps)) => ps.map {
-        case (k, JString(v))  => k -> v
+        case (k, JString(v)) =>
+          // textual substitution means a JSON metacharacter in the
+          // value would break or INJECT into the compiled request —
+          // fail loud (OpenSearch's raw mustache shares this hazard
+          // and merely documents it; we refuse it)
+          if (v.exists(c => c == '"' || c == '\\' || c == '{' ||
+              c == '}' || c < ' '))
+            fail(s"template param '$k' contains JSON metacharacters " +
+              "(quote/brace/backslash/control) - not substitutable")
+          k -> v
         case (k, JInt(v))     => k -> v.toString
         case (k, JBool(v))    => k -> v.toString
         case (k, other) =>

@@ -1907,6 +1907,32 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("not unique within"), e.getMessage)
   }
 
+  test("match operator and == all terms required; guards injection") {
+    val andHits = QueryDsl.search(docs,
+      """{"query": {"match": {"text":
+           {"query": "spark join window", "operator": "and"}}},
+         "sort": ["doc_id"], "_source": ["doc_id"]}""")
+    val msmHits = QueryDsl.search(docs,
+      """{"query": {"match": {"text":
+           {"query": "spark join window", "minimum_should_match": 3}}},
+         "sort": ["doc_id"], "_source": ["doc_id"]}""")
+    assert(andHits.collect().toSeq === msmHits.collect().toSeq)
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"query": {"match": {"text": {"query": "a b",
+           "operator": "and", "minimum_should_match": 1}}}}""",
+      "cannot be combined")
+    bad("""{"query": {"match": {"text": {"query": "a b",
+           "operator": "xor"}}}}""", "operator must be and/or")
+    // a template param carrying JSON metacharacters fails, never injects
+    val e = intercept[IllegalArgumentException](QueryDsl.searchTemplate(docs,
+      """{"source": "{\"query\": {\"term\": {\"lang\": \"{{l}}\"}}}",
+         "params": {"l": "en\", \"injected\": \"x"}}"""))
+    assert(e.getMessage.contains("JSON metacharacters"), e.getMessage)
+  }
+
   test("search templates bind on the driver; unbound/sections fail loud") {
     val got = QueryDsl.searchTemplate(docs,
       """{"source": "{\"query\": {\"term\": {\"lang\": \"{{l}}\"}}, \"sort\": [\"doc_id\"]}",
