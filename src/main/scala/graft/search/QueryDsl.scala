@@ -409,6 +409,13 @@ object QueryDsl {
             case _ => fail(s"match on '$f' requires a string 'query'")
           }
           val n = m.get("minimum_should_match") match {
+            // < 1 fails loud: OpenSearch's negative-msm syntax ("all
+            // but N optional") is unimplemented, and 0/-1 would
+            // collide with internal sentinels — never silently
+            // reinterpret
+            case Some(JInt(i)) if i < 1 =>
+              fail(s"match on '$f': minimum_should_match must be >= 1 " +
+                s"(negative-msm syntax is unsupported), got $i")
             case Some(JInt(i)) => i.toLong
             case None          => 1L
             case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
@@ -3601,15 +3608,30 @@ object QueryDsl {
       case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    // determinism guard: a tie on (score, tiebreak) INSIDE the sample
-    // means the boundary cut could differ between runs — fail loud
-    // (the tiebreak must be a unique key; ties fire raise_error in
-    // the same aggregate, costing nothing extra on the <= n rows)
-    val sampled = hits.orderBy(col("score").desc, col(tiebreak).asc).limit(n)
+    // determinism guard: a tie on (score, tiebreak) involving ANY
+    // sampled row means which physical row survives the cut is
+    // partition-order dependent — including a tie STRADDLING the
+    // boundary (rank n vs n+1), where exactly one copy lands in the
+    // sample and an in-sample-only check would pass while sub-agg
+    // metrics over other fields differ across runs. So the top-k scan
+    // takes n+1 rows (one distributed TakeOrdered, same as before),
+    // flags duplicate (score, tiebreak) pairs with a count window over
+    // the ≤ n+1 local rows, and the aggregate raise_errors if any
+    // flagged row made the sample. A tie entirely BEYOND the cut
+    // (ranks n+1, n+2) is invisible and harmless — it cannot change
+    // the sample.
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("score").desc, col(tiebreak).asc)
+    val plus = hits.orderBy(ord: _*).limit(n + 1)
+      .withColumn("__rn", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("__dup",
+        count(lit(1)).over(
+          Window.partitionBy(col("score"), col(tiebreak))) > 1)
+    val sampled = plus.filter(col("__rn") <= n)
     val guardedCount = when(
-      count(lit(1)) =!= countDistinct(struct(col("score"), col(tiebreak))),
-      raise_error(lit(s"sampler: tiebreak '$tiebreak' is not unique within " +
-        "the sample - the deterministic contract needs a unique key"))
+      max(when(col("__dup"), 1L)) === 1L,
+      raise_error(lit(s"sampler: tiebreak '$tiebreak' is not unique at " +
+        "the sample boundary - the deterministic contract needs a unique key"))
         .cast("long"))
       .otherwise(count(lit(1)))
     sampled.agg(guardedCount.as("doc_count"), subs: _*)
@@ -3961,8 +3983,13 @@ object QueryDsl {
     val f = strOpt(m, "field").getOrElse(fail(s"significant_text '$name' needs a field"))
     val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
     val size = intOpt(m, "size").getOrElse(10)
+    // empty tokens (leading/trailing/double spaces) are dropped BEFORE
+    // the explode — they are artifacts of the split, not terms, and
+    // would otherwise enter the df table and could surface as a top
+    // bucket (termsEnum filters the same way)
     val toks = table.select(pred.as("__fg"),
-      explode(array_distinct(split(col(f), " "))).as(name))
+      explode(array_remove(array_distinct(split(col(f), " ")), ""))
+        .as(name))
     val perTerm = toks.groupBy(col(name)).agg(
       count(lit(1)).as("bg_count"),
       sum(when(col("__fg"), 1L).otherwise(0L)).as("doc_count"))
@@ -4123,30 +4150,34 @@ object QueryDsl {
         // — (n·Σx² − (Σx)²)/n² in one IEEE divide — so the doubles are
         // bit-identical across engines (a naive running-mean variance
         // would depend on partition order). Integral fields only. The
-        // moment products live in LONGs, so n·max|x| is bounded at
-        // √Long.Max ≈ 3e9 by the same raise_error guard matrix_stats
-        // uses: under ANSI the wrap already throws, and in an ANSI-off
+        // moments are formed over the column CAST TO LONG (matching
+        // matrix_stats): an IntegerType field would otherwise square in
+        // 32-bit and silently wrap (non-ANSI) at |x| ≥ 46341 — a regime
+        // the Long-bound guard below cannot see. With long moments the
+        // products are bounded at √Long.Max ≈ 3e9 by the raise_error
+        // guard: under ANSI the wrap already throws, and in an ANSI-off
         // deployment the guard (built from count/max, which never
         // wrap) still fails loud instead of emitting a silently-wrong
         // negative variance. Beyond the bound, pre-scale the field.
         case "extended_stats" =>
+          val cl = c.cast("long")
           val overflow =
-            count(c).cast("double") * max(abs(c)).cast("double") > lit(3.0e9)
+            count(cl).cast("double") * max(abs(cl)).cast("double") > lit(3.0e9)
           val err = "extended_stats moment overflow: rows x |values| " +
             "exceeds the exact Long model - pre-scale the field"
           def guardL(x: Column): Column =
             when(overflow, raise_error(lit(err)).cast("long")).otherwise(x)
           def guardD(x: Column): Column =
             when(overflow, raise_error(lit(err)).cast("double")).otherwise(x)
-          val variance = (count(c) * sum(c * c) - sum(c) * sum(c)).cast("double") /
-            (count(c) * count(c)).cast("double")
+          val variance = (count(cl) * sum(cl * cl) - sum(cl) * sum(cl)).cast("double") /
+            (count(cl) * count(cl)).cast("double")
           Seq(
             count(c).as(s"${name}_count"),
             min(c).as(s"${name}_min"),
             max(c).as(s"${name}_max"),
-            (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
-            sum(c).as(s"${name}_sum"),
-            guardL(sum(c * c)).as(s"${name}_sum_of_squares"),
+            (sum(cl).cast("double") / count(cl)).as(s"${name}_avg"),
+            sum(cl).as(s"${name}_sum"),
+            guardL(sum(cl * cl)).as(s"${name}_sum_of_squares"),
             guardD(variance).as(s"${name}_variance"),
             guardD(sqrt(variance)).as(s"${name}_std_deviation"))
         // DISCRETE percentiles (percentile_disc): an actual data value,

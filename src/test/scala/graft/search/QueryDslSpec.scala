@@ -1904,7 +1904,56 @@ class QueryDslSpec extends SparkSpec {
       """{"query": {"match_all": {}},
          "aggs": {"s": {"sampler": {"shard_size": 5,
            "tiebreak": "lang"}}}}""").collect())
-    assert(e.getMessage.contains("not unique within"), e.getMessage)
+    assert(e.getMessage.contains("not unique at"), e.getMessage)
+  }
+
+  test("review-fix regressions 3: sampler cut straddle, int moments, msm, tokens") {
+    import spark.implicits._
+    // a (score, tiebreak) duplicate STRADDLING the shard_size cut
+    // (ranks n and n+1) must fire the guard: exactly one copy lands in
+    // the sample, so an in-sample-only check would pass while sub-agg
+    // metrics over other fields stay partition-order dependent
+    val straddle = Seq(
+      ("a", 10L, 1L), ("b", 10L, 2L), ("c", 5L, 3L), ("c2", 5L, 3L),
+      ("d", 1L, 9L))
+      .toDF("id", "n", "tb")
+    val e1 = intercept[Exception](QueryDsl.search(straddle,
+      """{"query": {"range": {"n": {"gte": 0}}},
+         "aggs": {"s": {"sampler": {"shard_size": 3, "tiebreak": "tb"},
+           "aggs": {"m": {"sum": {"field": "n"}}}}}}""").collect())
+    assert(e1.getMessage.contains("not unique at"), e1.getMessage)
+    // ...but a duplicate entirely BEYOND the cut is harmless
+    val beyond = Seq(
+      ("a", 10L, 1L), ("b", 9L, 2L), ("c", 5L, 3L), ("c2", 5L, 3L))
+      .toDF("id", "n", "tb")
+    val ok = QueryDsl.search(beyond,
+      """{"query": {"range": {"n": {"gte": 0}}},
+         "aggs": {"s": {"sampler": {"shard_size": 2, "tiebreak": "tb"},
+           "aggs": {"m": {"sum": {"field": "n"}}}}}}""").collect().head
+    assert(ok.getAs[Long]("doc_count") === 2L && ok.getAs[Long]("m") === 19L)
+    // extended_stats over an IntegerType field with |x| >= 46341 used
+    // to square in 32-bit and silently wrap; the long-cast moments are
+    // exact (100000² = 1e10 > Int.Max)
+    val ints = Seq(100000, 100000, 100000).toDF("v")
+      .select(col("v").cast("int").as("v"))
+    val es = QueryDsl.search(ints,
+      """{"aggs": {"c": {"extended_stats": {"field": "v"}}}}""").collect().head
+    assert(es.getAs[Long]("c_sum_of_squares") === 30000000000L)
+    assert(es.getAs[Double]("c_variance") === 0.0)
+    // match minimum_should_match < 1 fails loud (negative-msm syntax
+    // must never be silently reinterpreted as the and-operator sentinel)
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"match": {"text":
+           {"query": "spark join", "minimum_should_match": -1}}}}"""))
+    assert(e2.getMessage.contains("must be >= 1"), e2.getMessage)
+    // significant_text never surfaces the "" token from double spaces
+    val spaced = Seq(("x  y", true), ("x z", true), ("q r", false))
+      .toDF("text", "flag")
+    val st = QueryDsl.search(spaced,
+      """{"query": {"term": {"flag": true}},
+         "aggs": {"s": {"significant_text": {"field": "text"}}}}""")
+    assert(st.filter(col("s") === "").count() === 0)
+    assert(st.filter(col("s") === "x").count() === 1)
   }
 
   test("match operator and == all terms required; guards injection") {
