@@ -39,14 +39,26 @@ import org.apache.spark.sql.functions._
   * tokenizer (`split(text, ' ')`), same per-term float-op order, same
   * `round(·, 6)` — so [[bm25]] over an index of a corpus hashes
   * identically to the direct corpus-scan query and shares its oracle.
+  *
+  * Analyzer parity: the index is built with a named
+  * [[graft.search.Analyzer]] ("whitespace" default — the historical
+  * raw-token contract; "standard" = lowercase + split on
+  * non-alphanumerics, the OpenSearch-default-analyzer analog). The
+  * name is stored in the write-once meta sidecar, and the SAME
+  * analyzer is applied at CDC merge and at serve time (query terms
+  * are normalized through `normText`), so indexed and scanned
+  * tokenization can never drift.
   */
 object SearchIndex {
 
+  import graft.search.Analyzer
+
   private def tbucket(nb: Int) = pmod(hash(col("term")), lit(nb))
 
-  private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String,
+      an: Analyzer) =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        split(col(textCol), " ").as("tok"))
+        split(an.norm(col(textCol)), " ").as("tok"))
       .withColumn("dl", size(col("tok")).cast("long"))
 
   private def postingsOf(tok: DataFrame, nb: Int): DataFrame =
@@ -62,28 +74,31 @@ object SearchIndex {
     * dataset path, removed on JVM exit.
     */
   def cachedIndex(spark: SparkSession, cacheKey: String, idCol: String,
-      textCol: String, buckets: Int = 64, watch: Seq[String] = Nil)(
+      textCol: String, buckets: Int = 64, watch: Seq[String] = Nil,
+      analyzer: String = "whitespace")(
       docs: => DataFrame): String =
     graft.sources.ArtifactCache.cachedDir(spark, cacheKey, watch,
-      "graft_bm25_idx")(dir => build(docs, idCol, textCol, dir, buckets))
+      "graft_bm25_idx")(dir =>
+      build(docs, idCol, textCol, dir, buckets, analyzer))
 
   /** Full build: tokenize the corpus once into the three tables. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, analyzer: String = "whitespace"): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val an = Analyzer.of(analyzer) // fail loud before any write
     val spark = docs.sparkSession
     // meta is write-once for MERGES; a full rebuild legitimately
     // changes the layout, so drop the old sidecar before writeStats
-    // re-creates it with this build's bucket count
+    // re-creates it with this build's bucket count + analyzer
     fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(metaPath(dir)), false)
-    val tok = tokenized(docs, idCol, textCol).persist()
+    val tok = tokenized(docs, idCol, textCol, an).persist()
     try {
       postingsOf(tok, buckets)
         .write.mode("overwrite").partitionBy("tbucket").parquet(s"$dir/postings")
       tok.select(col("doc_id"), col("dl"))
         .withColumn("dbucket", pmod(col("doc_id"), lit(buckets.toLong)))
         .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docs")
-      writeStats(spark, dir, buckets)
+      writeStats(spark, dir, buckets, analyzer)
     } finally tok.unpersist()
   }
 
@@ -111,37 +126,58 @@ object SearchIndex {
     fsOf(spark, dir).exists(new org.apache.hadoop.fs.Path(metaPath(dir))) ||
       hasParquetData(spark, s"$dir/stats")
 
-  /** Write-once sidecar holding `buckets` — the one layout parameter
-    * everything else derives from. `stats/` is REWRITTEN every merge
-    * (a crash mid-rewrite may lose it), so the bucket count must live
-    * somewhere immortal or a half-committed epoch would brick the
-    * index: with the meta file, [[recoverStatsIfMissing]] can always
-    * rebuild `stats/` from `docs/`.
+  /** Write-once sidecar holding the layout parameters everything else
+    * derives from: line 1 = `buckets`, line 2 = analyzer name (absent
+    * on pre-analyzer indexes → whitespace, the historical contract).
+    * `stats/` is REWRITTEN every merge (a crash mid-rewrite may lose
+    * it), so these must live somewhere immortal or a half-committed
+    * epoch would brick the index: with the meta file,
+    * [[recoverStatsIfMissing]] can always rebuild `stats/` from
+    * `docs/`.
     */
   private def metaPath(dir: String) = s"$dir/_meta_buckets"
 
-  private def writeMetaOnce(spark: SparkSession, dir: String, nb: Int): Unit = {
+  private def writeMetaOnce(spark: SparkSession, dir: String, nb: Int,
+      analyzer: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(metaPath(dir))
     val fs = fsOf(spark, dir)
     if (!fs.exists(p)) {
       val out = fs.create(p, true)
-      try out.write(nb.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(s"$nb\n$analyzer".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def readMetaLines(spark: SparkSession, dir: String): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(dir))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.linesIterator.map(_.trim).toSeq)
+      finally in.close()
     }
   }
 
   /** Bucket count: the write-once meta file, falling back to the stats
     * row for indexes built before the meta file existed.
     */
-  private def readBuckets(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(dir))
-    val fs = fsOf(spark, dir)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    } else spark.read.parquet(s"$dir/stats")
-      .select(col("buckets")).head().getInt(0)
-  }
+  private def readBuckets(spark: SparkSession, dir: String): Int =
+    readMetaLines(spark, dir) match {
+      case Some(lines) => lines.head.toInt
+      case None => spark.read.parquet(s"$dir/stats")
+        .select(col("buckets")).head().getInt(0)
+    }
+
+  /** The analyzer the index was built with — every later touch (merge,
+    * serve) must tokenize identically. Pre-analyzer meta files (one
+    * line) and pre-meta layouts mean whitespace, the only contract
+    * that existed then.
+    */
+  private[graft] def readAnalyzer(spark: SparkSession, dir: String): Analyzer =
+    Analyzer.of(readMetaLines(spark, dir)
+      .flatMap(_.drop(1).headOption.filter(_.nonEmpty))
+      .getOrElse("whitespace"))
 
   /** Replay repair: `stats/` is recomputable state (two longs over
     * `docs/`), so if a crash between its delete and rename lost it,
@@ -149,7 +185,8 @@ object SearchIndex {
     */
   private def recoverStatsIfMissing(spark: SparkSession, dir: String): Unit =
     if (!hasParquetData(spark, s"$dir/stats"))
-      writeStats(spark, dir, readBuckets(spark, dir))
+      writeStats(spark, dir, readBuckets(spark, dir),
+        readAnalyzer(spark, dir).name)
 
   /** Stats rewrite with a crash-survivable protocol: write the new row
     * to a temp dir, delete the old `stats/`, rename temp into place.
@@ -158,8 +195,9 @@ object SearchIndex {
     * merge or query, because `buckets` survives in the meta file and
     * the row itself is a pure function of `docs/`.
     */
-  private def writeStats(spark: SparkSession, dir: String, nb: Int): Unit = {
-    writeMetaOnce(spark, dir, nb)
+  private def writeStats(spark: SparkSession, dir: String, nb: Int,
+      analyzer: String): Unit = {
+    writeMetaOnce(spark, dir, nb, analyzer)
     val tmp = s"$dir/_stats_inprogress"
     spark.read.parquet(s"$dir/docs")
       .dropDuplicates("doc_id") // compaction-crash duplicates must not inflate n_docs
@@ -185,10 +223,12 @@ object SearchIndex {
       idCol: String, textCol: String, actionCol: String = "_action"): Unit = {
     recoverStatsIfMissing(spark, dir)
     val nb = readBuckets(spark, dir)
+    val an = readAnalyzer(spark, dir) // the build's tokenization, always
     val ids = batch.select(col(idCol).cast("long").as("doc_id"))
 
     val newPost = postingsOf(
-        tokenized(batch.filter(col(actionCol) === "upsert"), idCol, textCol), nb)
+        tokenized(batch.filter(col(actionCol) === "upsert"), idCol, textCol,
+          an), nb)
       // read twice (bucket collect + rewrite) and must not recompute
       // against the layout mid-overwrite
       .localCheckpoint(true)
@@ -217,7 +257,7 @@ object SearchIndex {
       // doc table: dbucket is a pure function of doc_id — no scan
       // needed to locate old versions
       val newDocs = tokenized(batch.filter(col(actionCol) === "upsert"),
-          idCol, textCol)
+          idCol, textCol, an)
         .select(col("doc_id"), col("dl"))
         .withColumn("dbucket", pmod(col("doc_id"), lit(nb.toLong)))
       val touchedD = ids
@@ -234,7 +274,7 @@ object SearchIndex {
             .join(broadcast(ids), Seq("doc_id"), "left_anti")
             .unionByName(newDocs))
 
-      writeStats(spark, dir, nb)
+      writeStats(spark, dir, nb, an.name)
     } finally newPost.unpersist()
   }
 
@@ -271,11 +311,19 @@ object SearchIndex {
     * computation (same term order, same float-op order, same
     * rounding), so it shares q44's oracle.
     */
-  def bm25(spark: SparkSession, dir: String, terms: Seq[String],
+  def bm25(spark: SparkSession, dir: String, rawTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
-    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(rawTerms.nonEmpty, "bm25 needs at least one query term")
     recoverStatsIfMissing(spark, dir)
     val nb = readBuckets(spark, dir)
+    // query terms go through the INDEX's analyzer (an analyzed term
+    // may split into several tokens); first-occurrence order is kept
+    // so the per-term float-op order stays deterministic
+    val an = readAnalyzer(spark, dir)
+    val terms = rawTerms
+      .flatMap(t => an.normText(t).split(" ").filter(_.nonEmpty))
+      .distinct
+    require(terms.nonEmpty, "bm25 query terms analyze to nothing")
     // route terms to buckets with the ENGINE's own hash expression, so
     // build- and serve-side bucketing can never drift
     val termBuckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")

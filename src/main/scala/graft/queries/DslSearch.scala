@@ -2287,6 +2287,168 @@ object DslSearch {
         FROM g GROUP BY 1
         ORDER BY n_spans DESC, doc_id
         LIMIT 30
+      """.stripMargin.trim)),
+
+    // The analyzer chain (VERDICT r7 #1): all three match kinds with
+    // "analyzer": "standard" (lowercase + split on non-alphanumerics)
+    // over a mixed-case, punctuated corpus variant derived IN-QUERY
+    // (prefix uppercased, every space turned into ", ") — raw
+    // whitespace matching over `body` would miss every clause here
+    // ("Spark," vs "spark"); the analyzer restores OpenSearch's
+    // default-analyzer behavior. The oracle replicates the exact
+    // normalization (trim + regexp_replace(lower, '[^a-z0-9]+', ' ')),
+    // never assumes it inverts the corpus mangling.
+    GraftQuery(
+      "q221_dsl_match_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"bool": {
+               "must": [{"match": {"body":
+                 {"query": "Spark, JOIN window!", "analyzer": "standard",
+                  "minimum_should_match": 2}}}],
+               "should": [
+                 {"match_phrase": {"body":
+                   {"query": "Spark JOIN", "analyzer": "standard"}}},
+                 {"match_phrase_prefix": {"body":
+                   {"query": "Table, SC", "analyzer": "standard"}}}]}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 60,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(body), '[^a-z0-9]+', ' ', 'g')) AS nb
+          FROM mixed),
+        scored AS (
+          SELECT doc_id,
+            CAST(len(list_intersect(list_distinct(string_split(nb, ' ')),
+                     ['spark','join','window'])) AS BIGINT) AS mscore,
+            CASE WHEN ' ' || nb || ' ' LIKE '% spark join %' THEN 1 ELSE 0 END AS ph,
+            CASE WHEN ' ' || nb || ' ' LIKE '% table sc%' THEN 1 ELSE 0 END AS pp
+          FROM norm)
+        SELECT doc_id, CAST(mscore + ph + pp AS BIGINT) AS score
+        FROM scored WHERE mscore >= 2
+        ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // range date math (VERDICT r7 #2): "now-7d/d" resolved ON THE
+    // DRIVER against the request-supplied deterministic "now" (the
+    // engine bans wall-clock reads), plus an absolute "||" anchor with
+    // the gt beyond-the-unit rounding rule — the compiled predicate is
+    // two literal timestamp comparisons that push to the parquet scan.
+    // The oracle replays the same calendar arithmetic in DuckDB.
+    GraftQuery(
+      "q223_dsl_range_date_math",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"bool": {"must": [
+             {"range": {"ts": {"gte": "now-7d/d", "lt": "now/d",
+                               "now": "2024-01-25T13:47:11"}}},
+             {"range": {"ts": {"gt": "2024-01-20||/d"}}}]}},
+           "sort": ["event_id"],
+           "_source": ["event_id", "user_id", "event_type"]}"""),
+      Some("""
+        SELECT event_id, user_id, event_type FROM events
+        WHERE ts >= date_trunc('day', TIMESTAMP '2024-01-25 13:47:11' - INTERVAL 7 DAY)
+          AND ts < date_trunc('day', TIMESTAMP '2024-01-25 13:47:11')
+          AND ts >= date_trunc('day', TIMESTAMP '2024-01-20 00:00:00') + INTERVAL 1 DAY
+        ORDER BY event_id
+      """.stripMargin.trim)),
+
+    // named queries (VERDICT r7 #3): `_name` on three clauses, per-hit
+    // `matched_queries` as the stringified SORTED name list (the q131
+    // no-bare-array rule). Names from every bool section ride up; the
+    // must clause's name appears on every hit, each should's only when
+    // it matched — the relevance-debugging surface as plain data.
+    GraftQuery(
+      "q224_dsl_named_queries",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"range": {"n_chars": {"gte": 100, "_name": "long_enough"}}}],
+             "should": [
+               {"match": {"text": {"query": "spark join", "_name": "sj"}}},
+               {"prefix": {"text": {"value": "the ", "_name": "the_start"}}},
+               {"term": {"lang": {"value": "en", "_name": "english"}}}]}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 80,
+           "_source": ["doc_id", "score", "matched_queries"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['spark','join'])) AS BIGINT) AS ms,
+            CASE WHEN text LIKE 'the %' THEN 1 ELSE 0 END AS pf,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+          FROM documents)
+        SELECT doc_id,
+          CAST(1 + CASE WHEN ms >= 1 THEN ms ELSE 0 END + pf + en AS BIGINT) AS score,
+          array_to_string(list_sort(list_filter(
+            ['long_enough',
+             CASE WHEN ms >= 1 THEN 'sj' END,
+             CASE WHEN pf = 1 THEN 'the_start' END,
+             CASE WHEN en = 1 THEN 'english' END], x -> x IS NOT NULL)), ',')
+            AS matched_queries
+        FROM s WHERE n_chars >= 100
+        ORDER BY score DESC, doc_id LIMIT 80
+      """.stripMargin.trim)),
+
+    // _delete_by_query (VERDICT r7 #4): the maintenance write op as
+    // DATA — matching docs become CDC delete events for the existing
+    // merge machinery (CdcMerge / SearchIndex.mergeCdcBatch /
+    // IvfIndex.mergeCdcBatch, all touched-bucket-only). The event
+    // table itself is the oracle surface; ByQuerySpec gates the apply
+    // half (post-op serve parity with a from-scratch rebuild).
+    GraftQuery(
+      "q225_dsl_delete_by_query",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        QueryDsl.deleteByQuery(
+          Tables.load(s, dir, "documents"),
+          """{"query": {"bool": {
+               "must": [{"term": {"lang": "fr"}},
+                        {"range": {"n_chars": {"lt": 250}}}]}}}""")
+          .select(col("doc_id"), col("_action"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, 'delete' AS _action FROM documents
+        WHERE lang = 'fr' AND n_chars < 250
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // _update_by_query: the Painless assignment shape compiled to
+    // codegen'd arithmetic — matching docs re-emitted as upsert events
+    // with the mutation applied (here an integer re-score; the string
+    // params.<p> replacement form is ByQuerySpec's re-index case).
+    GraftQuery(
+      "q226_dsl_update_by_query",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        QueryDsl.updateByQuery(
+          Tables.load(s, dir, "documents"),
+          """{"query": {"term": {"lang": "en"}},
+             "script": {"source":
+               "ctx._source.n_chars = doc['n_chars'].value * params.scale + params.base",
+               "params": {"scale": 2, "base": 7}}}""")
+          .select(col("doc_id"), col("n_chars"), col("_action"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, CAST(n_chars * 2 + 7 AS BIGINT) AS n_chars,
+               'upsert' AS _action
+        FROM documents WHERE lang = 'en'
+        ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

@@ -876,6 +876,64 @@ object Search {
         ORDER BY score DESC, doc_id LIMIT 20
       """.stripMargin.trim)),
 
+    // BM25 with the STANDARD analyzer (VERDICT r7 #1): the index is
+    // built over a mixed-case, punctuated corpus variant with
+    // analyzer="standard" stored in its meta sidecar, and the serve
+    // path analyzes the raw query terms ("Spark!" → spark) through
+    // the SAME chain — indexed and scanned tokenization cannot drift.
+    // A whitespace index over this corpus would score every query
+    // term 0 (tokens look like "Spark," / "JOIN,"). The oracle
+    // replays the full normalize→tokenize→BM25 pipeline in DuckDB.
+    GraftQuery(
+      "q222_search_bm25_analyzed",
+      (s, dir) => {
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        // distinct cache key: the whitespace index of q103 lives under
+        // the plain `dir` key and must not be reused here
+        val idx = graft.etl.SearchIndex.cachedIndex(s, s"$dir#std",
+          "doc_id", "body", watch = Seq(s"$dir/documents.parquet"),
+          analyzer = "standard")(mixed)
+        graft.etl.SearchIndex.bm25(s, idx, Seq("Spark!", "JOIN", "window"),
+          k1 = 1.2, b = 0.75, topK = 20)
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        d AS (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(body),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS tok
+              FROM mixed),
+        dd AS (SELECT doc_id, tok, CAST(len(tok) AS DOUBLE) AS dl FROM d),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+          FROM dd),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'join')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'window')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM dd CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 20
+      """.stripMargin.trim)),
+
     // Term suggester (`suggest.term`, the spell-correction half of the
     // SEARCH collection's DSL; reference stack at
     // lib/opensearch-dynamodb-etl-cdk-stack.ts:91): correct each input

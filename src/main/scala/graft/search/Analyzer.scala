@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis chain shared by every tokenizing surface — the
+  * match-family DSL clauses ([[QueryDsl]]) and the materialized BM25
+  * index ([[graft.etl.SearchIndex]]).
+  *
+  * The reference's search collection is OpenSearch
+  * (/root/reference/lib/opensearch-dynamodb-etl-cdk-stack.ts:91), whose
+  * default `standard` analyzer lowercases and splits on non-letter
+  * boundaries before terms ever reach the inverted index — so
+  * `match "Spark"` finds the token `spark.` in real mixed-case,
+  * punctuated text. This engine's historical default is the raw
+  * whitespace split (the q41/q44 contracts, oracle-locked); the
+  * analyzer is therefore an explicit, named step:
+  *
+  *  - `whitespace` — identity normalization; tokens are the raw
+  *    single-space split. The default everywhere (backward-compatible
+  *    with every existing oracle).
+  *  - `standard` — lowercase, then every maximal run of
+  *    non-alphanumeric characters becomes a single space
+  *    (`[^a-z0-9]+` after lowering), ends trimmed. ASCII-alphanumeric
+  *    token contract: deterministic and portable across engines
+  *    (DuckDB replicates it as
+  *    `trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))`).
+  *
+  * Design: an analyzer is a COLUMN NORMALIZER, not a tokenizer — it
+  * rewrites text so that the engine's single-space token machinery
+  * (`split(_, " ")`, padded-contains phrase matching) applies
+  * unchanged downstream. That keeps the whole match family on one
+  * code path: the clause normalizes the field column and the query
+  * text with the same analyzer and proceeds exactly as before. Pure
+  * codegen (`lower`/`regexp_replace`/`trim`), no UDFs, stays inside
+  * whole-stage codegen and never blocks filter pushdown on sibling
+  * predicates.
+  *
+  * Index parity: [[graft.etl.SearchIndex]] stores the analyzer name in
+  * its write-once meta sidecar and applies the same normalization at
+  * build, CDC-merge and serve time, so an index can never drift from
+  * the scan-time semantics (the indexed = scanned contract).
+  */
+sealed abstract class Analyzer(val name: String) {
+  /** Normalize a text column so `split(_, " ")` yields the analyzed
+    * tokens (no empty tokens except on all-separator input).
+    */
+  def norm(c: Column): Column
+
+  /** Driver-side twin of [[norm]] for query text — MUST agree with it
+    * character-for-character on any input, or query terms and indexed
+    * tokens drift.
+    */
+  def normText(s: String): String
+}
+
+object Analyzer {
+
+  /** Raw single-space tokens — the engine's historical default. */
+  case object Whitespace extends Analyzer("whitespace") {
+    override def norm(c: Column): Column = c
+    override def normText(s: String): String = s
+  }
+
+  /** Lowercase + split on non-alphanumerics (ASCII token contract). */
+  case object Standard extends Analyzer("standard") {
+    override def norm(c: Column): Column =
+      trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    override def normText(s: String): String =
+      s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim
+  }
+
+  val all: Seq[Analyzer] = Seq(Whitespace, Standard)
+
+  /** Named lookup — fail loud on unknown names (a typo must never
+    * silently fall back to whitespace semantics).
+    */
+  def of(name: String): Analyzer =
+    all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"unknown analyzer '$name' (supported: ${all.map(_.name).mkString(", ")})"))
+}

@@ -147,7 +147,13 @@ object QueryDsl {
     * 10¹² pin band, breaking the pins-always-first guarantee.
     */
   final case class CompiledQuery(pred: Column, score: Column,
-      ppm: Boolean = false)
+      ppm: Boolean = false,
+      /** `_name`d clause predicates collected on the way up — the
+        * relevance-debugging surface: the hit table surfaces them as a
+        * stringified sorted `matched_queries` list (the q131 rule: no
+        * bare array columns cross the engine boundary).
+        */
+      named: Seq[(String, Column)] = Nil)
 
   def parse(json: String): JValue = JsonMethods.parse(json)
 
@@ -161,7 +167,44 @@ object QueryDsl {
       fail(s"query must be a single-clause object, got: ${render(other)}")
   }
 
-  private def compileClause(clause: String, body: JValue): CompiledQuery =
+  /** Clauses shaped `{field: {options}}`, where `_name` rides inside
+    * the options object; everything else carries it at the body's top
+    * level (the OpenSearch placement for both shapes).
+    */
+  private val FieldKeyedClauses = Set("term", "terms", "match",
+    "match_phrase", "match_phrase_prefix", "match_bool_prefix", "range",
+    "fuzzy", "prefix", "wildcard", "regexp", "terms_set")
+
+  /** Strip a clause's `_name` before dispatch; the compiled predicate
+    * is then recorded under it. Bookkeeping only — zero plan cost
+    * until the request surfaces `matched_queries`.
+    */
+  private def extractName(clause: String, body: JValue): (JValue, Option[String]) = {
+    def nameOf(parts: List[(String, JValue)]): String =
+      parts.collectFirst { case ("_name", v) => v } match {
+        case Some(JString(s)) if s.nonEmpty => s
+        case Some(other) => fail(s"_name must be a non-empty string: ${render(other)}")
+        case None        => fail("unreachable: _name presence pre-checked")
+      }
+    body match {
+      case JObject(List((f, JObject(opts))))
+          if FieldKeyedClauses(clause) && opts.exists(_._1 == "_name") =>
+        (JObject(List((f, JObject(opts.filterNot(_._1 == "_name"))))),
+          Some(nameOf(opts)))
+      case JObject(parts)
+          if !FieldKeyedClauses(clause) && parts.exists(_._1 == "_name") =>
+        (JObject(parts.filterNot(_._1 == "_name")), Some(nameOf(parts)))
+      case _ => (body, None)
+    }
+  }
+
+  private def compileClause(clause: String, body: JValue): CompiledQuery = {
+    val (stripped, nameOpt) = extractName(clause, body)
+    val c = dispatchClause(clause, stripped)
+    nameOpt.fold(c)(n => c.copy(named = c.named :+ ((n, c.pred))))
+  }
+
+  private def dispatchClause(clause: String, body: JValue): CompiledQuery =
     clause match {
       case "match_all" => CompiledQuery(lit(true), lit(0L))
       case "term"      => termClause(body, multi = false)
@@ -258,10 +301,11 @@ object QueryDsl {
   private def combinedFieldsClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
       val m = parts.toMap
-      m.keySet.diff(Set("query", "fields", "minimum_should_match")).foreach(k =>
-        fail(s"unsupported combined_fields option '$k'"))
-      val terms = strOpt(m, "query")
-        .getOrElse(fail("combined_fields needs a query"))
+      m.keySet.diff(Set("query", "fields", "minimum_should_match", "analyzer"))
+        .foreach(k => fail(s"unsupported combined_fields option '$k'"))
+      val an = analyzerOpt(m, "combined_fields")
+      val terms = an.normText(strOpt(m, "query")
+        .getOrElse(fail("combined_fields needs a query")))
         .split(" ").filter(_.nonEmpty).distinct.toSeq
       if (terms.isEmpty) fail("combined_fields query has no terms")
       val fields: Seq[String] = m.get("fields") match {
@@ -276,7 +320,7 @@ object QueryDsl {
         fail(s"minimum_should_match must be in [1, ${terms.size}]")
       val perTerm: Seq[Column] = terms.map { t =>
         fields.map(f =>
-          array_contains(array_distinct(split(col(f), " ")), t))
+          array_contains(array_distinct(split(an.norm(col(f)), " ")), t))
           .reduce(_ || _)
       }
       val score = perTerm.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
@@ -348,7 +392,8 @@ object QueryDsl {
       if (inner.ppm && ScoreScript.referencesScore(src))
         fail("script_score cannot reference the _score of a ppm-scaled " +
           "sub-query (dis_max/boosting/best_fields/…)")
-      CompiledQuery(inner.pred, ScoreScript.compile(src, params, inner.score))
+      CompiledQuery(inner.pred, ScoreScript.compile(src, params, inner.score),
+        named = inner.named)
     case other => fail(s"script_score requires an object body: ${render(other)}")
   }
 
@@ -381,8 +426,50 @@ object QueryDsl {
 
   private def rangeClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, JObject(bounds)))) =>
-      if (bounds.isEmpty) fail(s"range on '$f' has no bounds")
-      val preds = bounds.map {
+      // a sibling "now" key supplies the deterministic instant date
+      // math resolves against (the engine bans wall-clock reads)
+      val nowOpt = bounds.toMap.get("now") match {
+        case Some(JString(s)) =>
+          try Some(DateMath.parseAnchor(s))
+          catch { case e: IllegalArgumentException =>
+            fail(s"range on '$f': now ${e.getMessage}") }
+        case None        => None
+        case Some(other) =>
+          fail(s"range now must be an ISO datetime string: ${render(other)}")
+      }
+      val real = bounds.filterNot(_._1 == "now")
+      if (real.isEmpty) fail(s"range on '$f' has no bounds")
+      val preds = real.map {
+        // date math ("now-7d/d", "2024-01-20||/M"): resolved ON THE
+        // DRIVER to a literal timestamp — the predicate stays a plain
+        // pushable comparison; rounding is bound-type aware
+        // (gte floor / gt beyond-unit / lt before-unit / lte include-
+        // unit), expressed half-open so no last-millisecond literal
+        // exists. The string cast resolves in the UTC session zone.
+        case (k @ ("gte" | "gt" | "lte" | "lt"), JString(s))
+            if DateMath.isDateMath(s) =>
+          val r = try DateMath.eval(s, nowOpt) catch {
+            case e: IllegalArgumentException => fail(s"range on '$f': ${e.getMessage}")
+          }
+          def ts(t: java.time.LocalDateTime): Column =
+            lit(DateMath.literal(t)).cast("timestamp")
+          r.round match {
+            case None => k match {
+              case "gte" => col(f) >= ts(r.base)
+              case "gt"  => col(f) > ts(r.base)
+              case "lte" => col(f) <= ts(r.base)
+              case "lt"  => col(f) < ts(r.base)
+            }
+            case Some(u) =>
+              val lo = DateMath.truncate(r.base, u)
+              val next = DateMath.add(lo, u, 1L)
+              k match {
+                case "gte" => col(f) >= ts(lo)
+                case "gt"  => col(f) >= ts(next)
+                case "lt"  => col(f) < ts(lo)
+                case "lte" => col(f) < ts(next)
+              }
+          }
         case ("gte", v) => col(f) >= litOf(v)
         case ("gt", v)  => col(f) > litOf(v)
         case ("lte", v) => col(f) <= litOf(v)
@@ -393,15 +480,18 @@ object QueryDsl {
     case other => fail(s"range requires {field: {bounds}}: ${render(other)}")
   }
 
-  /** `match`: whitespace-tokenized overlap. Score = count of DISTINCT
+  /** `match`: analyzed-token overlap. Score = count of DISTINCT
     * query terms present in the field (the q41 semantics — codegen'd
     * array intersection, no shuffle). `minimum_should_match` gates the
-    * predicate (default 1).
+    * predicate (default 1). The optional `analyzer` ("whitespace"
+    * default, "standard" = lowercase + split on non-alphanumerics) is
+    * applied identically to the field column and the query text — the
+    * [[Analyzer]] contract shared with the BM25 index.
     */
   private def matchClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm) = spec match {
-        case JString(s) => (s, 1L)
+      val (queryText, msm, an) = spec match {
+        case JString(s) => (s, 1L, Analyzer.Whitespace: Analyzer)
         case JObject(opts) =>
           val m = opts.toMap
           val q = m.get("query") match {
@@ -432,36 +522,59 @@ object QueryDsl {
           if (andOp && m.contains("minimum_should_match"))
             fail(s"match on '$f': operator and minimum_should_match " +
               "cannot be combined")
-          m.keySet.diff(Set("query", "minimum_should_match", "operator"))
-            .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
-          (q, if (andOp) -1L else n) // -1 = resolve to |terms| below
+          m.keySet.diff(Set("query", "minimum_should_match", "operator",
+            "analyzer")).foreach(k =>
+            fail(s"unsupported match option '$k' on '$f'"))
+          (q, if (andOp) -1L else n, // -1 = resolve to |terms| below
+            analyzerOpt(m, s"match on '$f'"))
         case other => fail(s"match body must be string or object: ${render(other)}")
       }
-      val terms = queryText.trim.split("\\s+").toSeq.distinct
+      val terms = an.normText(queryText).trim.split("\\s+").toSeq.distinct
       if (terms.isEmpty || terms == Seq("")) fail(s"match on '$f' has an empty query")
       val msmResolved = if (msm == -1L) terms.size.toLong else msm
       val termArr = array(terms.map(lit): _*)
       val score =
-        size(array_intersect(array_distinct(split(col(f), " ")), termArr)).cast("long")
+        size(array_intersect(array_distinct(split(an.norm(col(f)), " ")),
+          termArr)).cast("long")
       CompiledQuery(score >= lit(msmResolved), score)
     case other => fail(s"match requires {field: spec}: ${render(other)}")
   }
 
+  /** Parse an optional per-clause `analyzer` name — whitespace (the
+    * oracle-locked historical default) unless the request names one.
+    */
+  private def analyzerOpt(m: Map[String, JValue], where: String): Analyzer =
+    m.get("analyzer") match {
+      case None             => Analyzer.Whitespace
+      case Some(JString(s)) =>
+        try Analyzer.of(s)
+        catch { case e: IllegalArgumentException => fail(s"$where: ${e.getMessage}") }
+      case Some(other) => fail(s"$where: analyzer must be a string: ${render(other)}")
+    }
+
   /** `match_phrase`: the engine's token-boundary substring contract
-    * (q59) — the space-padded text contains the space-joined phrase.
+    * (q59) — the space-padded NORMALIZED text contains the analyzed,
+    * space-joined phrase. Analyzer "whitespace" (default) reproduces
+    * the historical raw contract exactly.
     */
   private def phraseClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, v))) =>
-      val phrase = v match {
-        case JString(s) => s.trim
-        case JObject(opts) => opts.toMap.get("query") match {
-          case Some(JString(s)) => s.trim
-          case _ => fail(s"match_phrase on '$f' requires a string 'query'")
-        }
+      val (phrase, an) = v match {
+        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("query", "analyzer")).foreach(k =>
+            fail(s"unsupported match_phrase option '$k' on '$f'"))
+          m.get("query") match {
+            case Some(JString(s)) =>
+              val a = analyzerOpt(m, s"match_phrase on '$f'")
+              (a.normText(s).trim, a)
+            case _ => fail(s"match_phrase on '$f' requires a string 'query'")
+          }
         case other => fail(s"match_phrase body must be string or object: ${render(other)}")
       }
       if (phrase.isEmpty) fail(s"match_phrase on '$f' has an empty phrase")
-      val padded = concat(lit(" "), col(f), lit(" "))
+      val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
       CompiledQuery(padded.contains(s" $phrase "), lit(1L))
     case other => fail(s"match_phrase requires {field: phrase}: ${render(other)}")
   }
@@ -517,7 +630,11 @@ object QueryDsl {
       should.map(c => when(c.pred, c.score).otherwise(0L))
     val score =
       if (scoreParts.isEmpty) lit(0L) else scoreParts.reduce(_ + _)
-    CompiledQuery(pred, score, ppm = scoring.exists(_.ppm))
+    // named sub-clauses from every section ride up (a must_not name
+    // can never surface on a hit — its pred is false there — which is
+    // exactly the OpenSearch behavior)
+    CompiledQuery(pred, score, ppm = scoring.exists(_.ppm),
+      named = (must ++ filter ++ mustNot ++ should).flatMap(_.named))
   }
 
   /** `constant_score`: the wrapped filter decides membership, the score
@@ -539,7 +656,7 @@ object QueryDsl {
         case None          => 1L
         case Some(other)   => fail(s"constant_score boost must be an integer: ${render(other)}")
       }
-      CompiledQuery(inner.pred, lit(boost))
+      CompiledQuery(inner.pred, lit(boost), named = inner.named)
     case other => fail(s"constant_score requires an object body: ${render(other)}")
   }
 
@@ -588,16 +705,22 @@ object QueryDsl {
     */
   private def phrasePrefixClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, v))) =>
-      val phrase = v match {
-        case JString(s) => s.trim
-        case JObject(opts) => opts.toMap.get("query") match {
-          case Some(JString(s)) => s.trim
-          case _ => fail(s"match_phrase_prefix on '$f' requires a string 'query'")
-        }
+      val (phrase, an) = v match {
+        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("query", "analyzer")).foreach(k =>
+            fail(s"unsupported match_phrase_prefix option '$k' on '$f'"))
+          m.get("query") match {
+            case Some(JString(s)) =>
+              val a = analyzerOpt(m, s"match_phrase_prefix on '$f'")
+              (a.normText(s).trim, a)
+            case _ => fail(s"match_phrase_prefix on '$f' requires a string 'query'")
+          }
         case other => fail(s"match_phrase_prefix body must be string or object: ${render(other)}")
       }
       if (phrase.isEmpty) fail(s"match_phrase_prefix on '$f' has an empty phrase")
-      val padded = concat(lit(" "), col(f), lit(" "))
+      val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
       CompiledQuery(padded.contains(s" $phrase"), lit(1L))
     case other => fail(s"match_phrase_prefix requires {field: phrase}: ${render(other)}")
   }
@@ -612,12 +735,13 @@ object QueryDsl {
     */
   private def matchBoolPrefixClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm) = spec match {
-        case JString(s) => (s, 1L)
+      val (queryText, msm, an) = spec match {
+        case JString(s) => (s, 1L, Analyzer.Whitespace: Analyzer)
         case JObject(opts) =>
           val m = opts.toMap
-          m.keySet.diff(Set("query", "minimum_should_match")).foreach(k =>
-            fail(s"unsupported match_bool_prefix option '$k' on '$f'"))
+          m.keySet.diff(Set("query", "minimum_should_match", "analyzer"))
+            .foreach(k =>
+              fail(s"unsupported match_bool_prefix option '$k' on '$f'"))
           val q = strOpt(m, "query")
             .getOrElse(fail(s"match_bool_prefix on '$f' requires a string 'query'"))
           val n = m.get("minimum_should_match") match {
@@ -625,15 +749,15 @@ object QueryDsl {
             case None          => 1L
             case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
           }
-          (q, n)
+          (q, n, analyzerOpt(m, s"match_bool_prefix on '$f'"))
         case other => fail(s"match_bool_prefix body must be string or object: ${render(other)}")
       }
-      val toks = queryText.trim.split("\\s+").toSeq
+      val toks = an.normText(queryText).trim.split("\\s+").toSeq
       if (toks.isEmpty || toks == Seq(""))
         fail(s"match_bool_prefix on '$f' has an empty query")
       val full = toks.init.distinct
       val last = toks.last
-      val fieldToks = split(col(f), " ")
+      val fieldToks = split(an.norm(col(f)), " ")
       val overlap =
         if (full.isEmpty) lit(0L)
         else size(array_intersect(array_distinct(fieldToks),
@@ -697,7 +821,8 @@ object QueryDsl {
         if (matched.size == 1) matched.head else greatest(matched: _*)
       val total = matched.reduce(_ + _)
       val score = best * lit(1000000L) + (total - best) * lit(tbPpm)
-      CompiledQuery(subs.map(_.pred).reduce(_ || _), score, ppm = true)
+      CompiledQuery(subs.map(_.pred).reduce(_ || _), score, ppm = true,
+        named = subs.flatMap(_.named))
     case other => fail(s"dis_max requires an object body: ${render(other)}")
   }
 
@@ -722,7 +847,8 @@ object QueryDsl {
         fail("boosting cannot wrap a ppm-scaled positive clause: the " +
           "demotion formula would scale its score by 10\u2076 again")
       val score = pos.score * when(neg.pred, lit(nbPpm)).otherwise(lit(1000000L))
-      CompiledQuery(pos.pred, score, ppm = true)
+      CompiledQuery(pos.pred, score, ppm = true,
+        named = pos.named ++ neg.named)
     case other => fail(s"boosting requires an object body: ${render(other)}")
   }
 
@@ -752,7 +878,8 @@ object QueryDsl {
       val score = when(pinPos > 0L,
           lit(1000000000000L) + (lit(ids.size.toLong) - pinPos))
         .otherwise(when(organic.pred, organic.score).otherwise(0L))
-      CompiledQuery(organic.pred || pinPos > 0L, score)
+      CompiledQuery(organic.pred || pinPos > 0L, score,
+        named = organic.named)
     case other => fail(s"pinned requires an object body: ${render(other)}")
   }
 
@@ -801,7 +928,7 @@ object QueryDsl {
     case JObject(parts) =>
       val m = parts.toMap
       m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
-          "minimum_should_match"))
+          "minimum_should_match", "analyzer"))
         .foreach(k => fail(s"unsupported multi_match option '$k'"))
       val qtext = strOpt(m, "query")
         .getOrElse(fail("multi_match requires a string 'query'"))
@@ -812,7 +939,8 @@ object QueryDsl {
         }
         case _ => fail("multi_match requires a non-empty fields array")
       }
-      val terms = qtext.trim.split("\\s+").toSeq.distinct
+      val an = analyzerOpt(m, "multi_match")
+      val terms = an.normText(qtext).trim.split("\\s+").toSeq.distinct
       if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
       val termArr = array(terms.map(lit): _*)
       val msm = m.get("minimum_should_match") match {
@@ -821,7 +949,8 @@ object QueryDsl {
         case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
       }
       val perField = fields.map(f =>
-        size(array_intersect(array_distinct(split(col(f), " ")), termArr)).cast("long"))
+        size(array_intersect(array_distinct(split(an.norm(col(f)), " ")),
+          termArr)).cast("long"))
       val matched = perField.map(s => when(s >= lit(msm), s).otherwise(0L))
       val pred = perField.map(_ >= lit(msm)).reduce(_ || _)
       strOpt(m, "type").getOrElse("best_fields") match {
@@ -1973,6 +2102,88 @@ object QueryDsl {
     req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
   }
 
+  /** `_delete_by_query`: the maintenance write op as DATA — matching
+    * documents become CDC delete events (`_action = "delete"`), which
+    * the caller applies through the existing merge machinery
+    * ([[graft.etl.CdcMerge]] for materialized tables,
+    * [[graft.etl.SearchIndex.mergeCdcBatch]] /
+    * [[graft.operators.IvfIndex.mergeCdcBatch]] for the maintained
+    * indexes — all touched-bucket-only rewrites). The predicate is the
+    * same pushed-filter compile as `_count`; corpus-state queries are
+    * rejected the same way. The plan is one filtered scan + a literal
+    * action column — nothing driver-side.
+    */
+  def deleteByQuery(table: DataFrame, requestJson: String): DataFrame =
+    table.filter(countPredicate(requestJson, "_delete_by_query"))
+      .withColumn("_action", lit("delete"))
+
+  /** `_update_by_query`: matching documents with the script mutation
+    * applied, emitted as CDC upsert events (`_action = "upsert"`) for
+    * the same merge machinery. The script is the Painless assignment
+    * shape real requests use — `ctx._source.<field> = <rhs>` — with
+    * `<rhs>` either `params.<p>` bound to a STRING param (literal
+    * replacement: the redaction/retag flow) or a [[ScoreScript]]
+    * integer expression over `doc['f'].value` and integer params
+    * (compiled to codegen'd Catalyst arithmetic, zero row-time
+    * interpretation). `_score` does not exist in an update context and
+    * fails loud, as does any script outside the assignment grammar.
+    */
+  def updateByQuery(table: DataFrame, requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"_update_by_query body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("query", "script")).foreach(k =>
+      fail(s"unsupported _update_by_query request key '$k'"))
+    val pred = countPredicate(
+      JsonMethods.compact(JsonMethods.render(
+        JObject(req.get("query").map("query" -> _).toList))),
+      "_update_by_query")
+    val (src, params) = req.get("script") match {
+      case Some(JObject(s)) =>
+        val sm = s.toMap
+        sm.keySet.diff(Set("source", "params")).foreach(k =>
+          fail(s"unsupported _update_by_query script option '$k'"))
+        (strOpt(sm, "source")
+          .getOrElse(fail("_update_by_query script needs a source")),
+          sm.get("params") match {
+            case Some(JObject(po)) => po.toMap
+            case None              => Map.empty[String, JValue]
+            case Some(other) => fail(s"script params must be an object: ${render(other)}")
+          })
+      case _ => fail("_update_by_query needs {script: {source, params?}}")
+    }
+    val AssignRe = """^ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
+    val (field, rhs) = src.trim match {
+      case AssignRe(f, r) => (f, r.trim)
+      case other => fail("_update_by_query script must be an assignment " +
+        s"'ctx._source.<field> = <expr>', got: $other")
+    }
+    val ParamRef = """^params\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+    val value: Column = rhs match {
+      // a bare params.<p> bound to a string = literal replacement
+      case ParamRef(p) if params.get(p).exists(_.isInstanceOf[JString]) =>
+        lit(params(p).asInstanceOf[JString].s)
+      case _ =>
+        val intParams = params.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, JString(_)) => fail(s"string param '$k' is only usable as " +
+            "the whole right-hand side (ctx._source.f = params." + k + ")")
+          case (k, other) =>
+            fail(s"script param '$k' must be an integer or string: ${render(other)}")
+        }
+        if (ScoreScript.referencesScore(rhs))
+          fail("_update_by_query scripts have no _score")
+        ScoreScript.compile(rhs, intParams, lit(0L))
+    }
+    if (!table.columns.contains(field))
+      fail(s"_update_by_query target field '$field' is not a column " +
+        s"(have: ${table.columns.mkString(", ")})")
+    table.filter(pred)
+      .withColumn(field, value)
+      .withColumn("_action", lit("upsert"))
+  }
+
   /** The `_mget` endpoint: the requested documents IN REQUEST ORDER
     * (the OpenSearch response contract — docs come back in the order
     * asked, not sorted). One pushed `isin` filter plus an
@@ -2225,6 +2436,12 @@ object QueryDsl {
 
     val compiled = req.get("query").map(compileQuery)
       .getOrElse(CompiledQuery(lit(true), lit(0L)))
+    // `_name` bookkeeping: names must be unique request-wide (two
+    // clauses sharing one would make matched_queries ambiguous)
+    val dupNames = compiled.named.groupBy(_._1)
+      .collect { case (n, ps) if ps.size > 1 => n }.toSeq.sorted
+    if (dupNames.nonEmpty)
+      fail(s"duplicate _name(s): ${dupNames.mkString(", ")}")
     val filtered = table.filter(compiled.pred)
 
     req.get("aggs") match {
@@ -2238,7 +2455,16 @@ object QueryDsl {
         compileAggs(table, filtered.withColumn("score", compiled.score),
           compiled.pred, aggs)
       case None =>
-        val scored0 = filtered.withColumn("score", compiled.score)
+        // per-hit matched-clause attribution: a stringified SORTED
+        // name list (alphabetical — deterministic, and never a bare
+        // array column), "" when no named clause matched. Pure
+        // codegen: one when() per name inside array_compact/sort.
+        val scored1 = filtered.withColumn("score", compiled.score)
+        val scored0 =
+          if (compiled.named.isEmpty) scored1
+          else scored1.withColumn("matched_queries",
+            concat_ws(",", array_sort(array_compact(array(
+              compiled.named.map { case (n, p) => when(p, lit(n)) }: _*)))))
         val scored = minScore match {
           case None     => scored0
           case Some(ms) => scored0.filter(col("score") >= lit(ms))

@@ -84,6 +84,44 @@ class SearchIndexSpec extends SparkSpec {
       s"expected a pruned postings read: $filesRead of $totalFiles files")
   }
 
+  test("analyzer parity: standard index tokenizes like the scan, survives merge") {
+    // mixed-case, punctuated corpus: whitespace tokens ("Spark,") can
+    // never equal the lowercase query terms, so any hit below proves
+    // the analyzer ran — and ran IDENTICALLY at build, serve and merge
+    val docs = Tables.load(spark, sf(), "documents")
+      .withColumn("body", expr(
+        "replace(concat(upper(substring(text, 1, 20)), substring(text, 21)), ' ', ', ')"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("bm25an").toString
+    SearchIndex.build(docs, "doc_id", "body", dir, analyzer = "standard")
+
+    // indexed == scanned: serving equals q44's direct computation over
+    // the NORMALIZED text (the analyzer applied as a scan expression)
+    val normalized = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("body")), "[^a-z0-9]+", " ")).as("text"))
+    val served = SearchIndex.bm25(spark, dir, Seq("Spark!", "JOIN", "window"))
+      .as[(Long, Double)].collect().toSeq
+    assert(served === direct(normalized) && served.nonEmpty)
+
+    // a mixed-case upsert through the CDC path tokenizes with the
+    // INDEX's stored analyzer (meta round-trip), not a default
+    val batch = Seq((7L, "SPARK, Join... WINDOW! spark", "upsert"))
+      .toDF("doc_id", "body", "_action")
+    SearchIndex.mergeCdcBatch(spark, dir, batch, "doc_id", "body")
+    val after = normalized.filter(col("doc_id") =!= 7)
+      .unionByName(Seq((7L, "spark join window spark")).toDF("doc_id", "text"))
+    assert(SearchIndex.bm25(spark, dir, Seq("spark", "join", "window"))
+      .as[(Long, Double)].collect().toSeq === direct(after))
+
+    // an unknown analyzer fails loud BEFORE any write
+    val e = intercept[IllegalArgumentException](
+      SearchIndex.build(docs, "doc_id", "body",
+        java.nio.file.Files.createTempDirectory("bm25bad").toString,
+        analyzer = "letter"))
+    assert(e.getMessage.contains("unknown analyzer"), e.getMessage)
+    docs.unpersist()
+  }
+
   test("CDC merge keeps the index equal to a rebuild: upsert new, replace, delete") {
     val docs = Tables.load(spark, sf(), "documents").persist()
     val base = docs.filter(col("doc_id") < 400)

@@ -1956,6 +1956,172 @@ class QueryDslSpec extends SparkSpec {
     assert(st.filter(col("s") === "x").count() === 1)
   }
 
+  test("named queries: matched_queries per hit, sorted, unique, fail-loud") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spark join fast", "en"), (2L, "the batch", "en"),
+      (3L, "sort merge", "fr"), (4L, "spark alone", "fr"))
+      .toDF("id", "t", "lang")
+    val hits = QueryDsl.search(rows,
+      """{"query": {"bool": {
+           "must": [{"exists": {"field": "t", "_name": "has_text"}}],
+           "should": [
+             {"match": {"t": {"query": "spark join", "_name": "sj"}}},
+             {"term": {"lang": {"value": "en", "_name": "english"}}}]}},
+         "sort": ["id"], "_source": ["id", "matched_queries"]}""")
+      .as[(Long, String)].collect().toSeq
+    assert(hits === Seq(
+      (1L, "english,has_text,sj"),
+      (2L, "english,has_text"),
+      (3L, "has_text"),
+      (4L, "has_text,sj")))
+    // a must_not name can never surface on a surviving hit
+    val mn = QueryDsl.search(rows,
+      """{"query": {"bool": {
+           "must_not": [{"term": {"lang": {"value": "fr", "_name": "french"}}}],
+           "must": [{"exists": {"field": "t", "_name": "has_text"}}]}},
+         "sort": ["id"], "_source": ["id", "matched_queries"]}""")
+      .as[(Long, String)].collect().toSeq
+    assert(mn === Seq((1L, "has_text"), (2L, "has_text")))
+    // dis_max / constant_score / range carry names through too
+    val dm = QueryDsl.search(rows,
+      """{"query": {"dis_max": {"queries": [
+           {"term": {"lang": {"value": "en", "_name": "en_arm"}}},
+           {"constant_score": {"filter":
+             {"range": {"id": {"gte": 4, "_name": "tail"}}}, "boost": 2}}]}},
+         "sort": ["id"], "_source": ["id", "matched_queries"]}""")
+      .as[(Long, String)].collect().toSeq
+    assert(dm === Seq((1L, "en_arm"), (2L, "en_arm"), (4L, "tail")))
+    // duplicate names fail loud; _name must be a non-empty string;
+    // no named clause → no matched_queries column at all
+    val e1 = intercept[IllegalArgumentException](QueryDsl.search(rows,
+      """{"query": {"bool": {"should": [
+           {"term": {"lang": {"value": "en", "_name": "x"}}},
+           {"term": {"lang": {"value": "fr", "_name": "x"}}}]}}}"""))
+    assert(e1.getMessage.contains("duplicate _name"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(rows,
+      """{"query": {"term": {"lang": {"value": "en", "_name": ""}}}}"""))
+    assert(e2.getMessage.contains("_name must be a non-empty string"), e2.getMessage)
+    val plain = QueryDsl.search(rows,
+      """{"query": {"term": {"lang": "en"}}, "sort": ["id"]}""")
+    assert(!plain.columns.contains("matched_queries"))
+  }
+
+  test("range date math: rounding per bound type, deterministic now, fail-loud") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2023-12-31 23:59:59"), (2L, "2024-01-01 00:00:00"),
+      (3L, "2024-01-15 12:30:00"), (4L, "2024-01-31 23:59:59"),
+      (5L, "2024-02-01 00:00:00"), (6L, "2024-02-10 08:00:00"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    def ids(json: String): Seq[Long] =
+      QueryDsl.search(ev, json).as[Long].collect().toSeq
+    val src = """"sort": ["id"], "_source": ["id"]"""
+    // gte /M rounds DOWN (start of month), lte /M includes the unit
+    assert(ids(s"""{"query": {"range": {"ts":
+      {"gte": "now/M", "lte": "now/M", "now": "2024-01-20T10:00:00"}}}, $src}""")
+      === Seq(2L, 3L, 4L))
+    // lt /M excludes the ENTIRE month; gt /M means beyond it
+    assert(ids(s"""{"query": {"range": {"ts":
+      {"lt": "now/M", "now": "2024-01-20T10:00:00"}}}, $src}""") === Seq(1L))
+    assert(ids(s"""{"query": {"range": {"ts":
+      {"gt": "now/M", "now": "2024-01-20T10:00:00"}}}, $src}""") === Seq(5L, 6L))
+    // chained ops with an absolute anchor: 2024-02-15 −1M −5d = Jan 10
+    assert(ids(s"""{"query": {"range": {"ts":
+      {"gte": "2024-02-15||-1M-5d/d"}}}, $src}""") === Seq(3L, 4L, 5L, 6L))
+    // /w floors to the ISO Monday (2024-01-15 is a Monday)
+    assert(ids(s"""{"query": {"range": {"ts":
+      {"gte": "now/w", "now": "2024-01-17T09:00:00"}}}, $src}""")
+      === Seq(3L, 4L, 5L, 6L))
+    // no rounding: exact instant comparison
+    assert(ids(s"""{"query": {"range": {"ts":
+      {"gt": "now", "now": "2024-01-31T23:59:59"}}}, $src}""") === Seq(5L, 6L))
+    // fail-loud: now-anchored without "now"; malformed math; bad unit
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(ev, json))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("""{"query": {"range": {"ts": {"gte": "now-7d/d"}}}}""",
+      "needs a sibling \"now\"")
+    bad("""{"query": {"range": {"ts": {"gte": "now-7x/d",
+      "now": "2024-01-20T10:00:00"}}}}""", "malformed op section")
+    bad("""{"query": {"range": {"ts": {"gte": "now/q",
+      "now": "2024-01-20T10:00:00"}}}}""", "rounding unit must be")
+    bad("""{"query": {"range": {"ts": {"gte": "now-7d",
+      "now": "2024-02-30"}}}}""", "not an ISO date")
+    bad("""{"query": {"range": {"ts": {"gte": "2024-01-20||*3d"}}}}""",
+      "malformed op section")
+    // the literal bound pushes to the scan as a plain comparison
+    val plan = QueryDsl.search(Tables.load(spark, sf(), "events"),
+      """{"query": {"range": {"ts": {"gte": "now-7d/d",
+           "now": "2024-01-25T13:47:11"}}}, "_source": ["event_id"]}""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+      plan.take(2000))
+  }
+
+  test("analyzer standard: match family folds case and punctuation") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "Spark JOIN, window."),
+      (2L, "spark-join batch"),
+      (3L, "filter sort merge"),
+      (4L, "SPARK!  (join)")).toDF("id", "t")
+    // match: "Spark," and "(join)" count as spark/join tokens
+    val m = QueryDsl.search(mixed,
+      """{"query": {"match": {"t": {"query": "Spark, JOIN",
+           "analyzer": "standard", "minimum_should_match": 2}}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(m === Seq((1L, 2L), (2L, 2L), (4L, 2L)))
+    // match_phrase: hyphen/punctuation runs become single boundaries
+    val p = QueryDsl.search(mixed,
+      """{"query": {"match_phrase": {"t": {"query": "Spark JOIN!",
+           "analyzer": "standard"}}},
+         "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(p === Seq(1L, 2L, 4L))
+    // match_phrase_prefix: last analyzed token matches as a prefix
+    val pp = QueryDsl.search(mixed,
+      """{"query": {"match_phrase_prefix": {"t": {"query": "spark jo",
+           "analyzer": "standard"}}},
+         "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(pp === Seq(1L, 2L, 4L))
+    // the default stays the raw whitespace contract: no case folding,
+    // so none of the punctuated docs matches
+    val raw = QueryDsl.search(mixed,
+      """{"query": {"match": {"t": "spark join"}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(raw.isEmpty, s"whitespace must not fold 'JOIN,': $raw")
+    // unknown analyzer fails loud at compile, never silent whitespace
+    val e = intercept[IllegalArgumentException](QueryDsl.search(mixed,
+      """{"query": {"match": {"t": {"query": "x", "analyzer": "letter"}}}}"""))
+    assert(e.getMessage.contains("unknown analyzer"), e.getMessage)
+    // analyzer must be a string
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(mixed,
+      """{"query": {"match": {"t": {"query": "x", "analyzer": 3}}}}"""))
+    assert(e2.getMessage.contains("analyzer must be a string"), e2.getMessage)
+    // multi_match + combined_fields + match_bool_prefix take it too
+    val mm = QueryDsl.search(mixed,
+      """{"query": {"multi_match": {"query": "SPARK.", "fields": ["t"],
+           "type": "most_fields", "analyzer": "standard"}},
+         "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(mm === Seq(1L, 2L, 4L))
+    val cf = QueryDsl.search(mixed,
+      """{"query": {"combined_fields": {"query": "Window, Batch",
+           "fields": ["t"], "analyzer": "standard"}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(cf === Seq((1L, 1L), (2L, 1L)))
+    val mbp = QueryDsl.search(mixed,
+      """{"query": {"match_bool_prefix": {"t": {"query": "Spark, jo",
+           "analyzer": "standard"}}},
+         "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(mbp === Seq(1L, 2L, 4L))
+  }
+
   test("match operator and == all terms required; guards injection") {
     val andHits = QueryDsl.search(docs,
       """{"query": {"match": {"text":
