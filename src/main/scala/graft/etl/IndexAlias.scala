@@ -154,17 +154,76 @@ object IndexAlias {
   }
 
   /** Drop every version older than the active one (rollback window
-    * closed). The active version and anything newer (an in-progress
-    * build) survive.
+    * closed). The active version, anything newer (an in-progress
+    * build), and any PIT-pinned version ([[openPit]]) survive.
     */
   def prune(spark: SparkSession, aliasDir: String): Seq[String] = {
     val fs = fsOf(spark, aliasDir)
     val active = resolve(spark, aliasDir)
       .map(_.split('/').last.drop(1).toInt).getOrElse(return Seq.empty)
-    versions(spark, aliasDir).filter(_ < active).map { v =>
-      fs.delete(new Path(s"$aliasDir/v$v"), true)
-      fs.delete(new Path(s"$aliasDir/_claim_v$v"), false) // claim goes with it
-      s"v$v"
-    }
+    versions(spark, aliasDir).filter(_ < active)
+      .filterNot(v => isPinned(aliasDir, s"v$v"))
+      .map { v =>
+        fs.delete(new Path(s"$aliasDir/v$v"), true)
+        fs.delete(new Path(s"$aliasDir/_claim_v$v"), false) // claim goes with it
+        s"v$v"
+      }
   }
+
+  // ------------------------------------------------ point-in-time reads
+
+  /** A point-in-time handle: the alias resolved ONCE, every later page
+    * served from that physical version — the OpenSearch PIT contract.
+    * Without it, deep pagination races reindex: `search_after` pages
+    * keyset against the ranking, and a cutover between pages swaps the
+    * ranking underneath the cursor, silently skipping or repeating
+    * documents. The pin also shields the version from [[prune]] until
+    * [[releasePit]].
+    *
+    * Pins are per-JVM driver state (refcounted): the single-driver
+    * serving shape this harness runs. A multi-driver deployment would
+    * persist pin leases next to the claim files — same discipline,
+    * different store.
+    */
+  final case class Pit(aliasDir: String, version: String) {
+    def dir: String = s"$aliasDir/$version"
+  }
+
+  private val pitPins = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def pinKey(aliasDir: String, version: String) = s"$aliasDir@$version"
+
+  private[graft] def isPinned(aliasDir: String, version: String): Boolean =
+    pitPins.containsKey(pinKey(aliasDir, version))
+
+  /** Resolve the alias once and pin the result. Fails loud before the
+    * first reindex (no version to pin).
+    */
+  def openPit(spark: SparkSession, aliasDir: String): Pit = {
+    val dir = resolve(spark, aliasDir).getOrElse(throw new IllegalStateException(
+      s"alias $aliasDir resolves to no index — reindex first"))
+    val version = dir.split('/').last
+    pitPins.merge(pinKey(aliasDir, version), 1, (a, b) => a + b): Unit
+    Pit(aliasDir, version)
+  }
+
+  /** End the pagination session: drop one pin reference; at zero the
+    * version becomes prunable again. Releasing an unpinned handle
+    * fails loud (a double release hides a refcount bug).
+    */
+  def releasePit(pit: Pit): Unit = {
+    val k = pinKey(pit.aliasDir, pit.version)
+    if (!pitPins.containsKey(k))
+      throw new IllegalStateException(s"pit $k is not pinned (double release?)")
+    pitPins.computeIfPresent(k, (_, n) => if (n <= 1) null else n - 1): Unit
+  }
+
+  /** One `search_after` page against the PINNED version: the cursor is
+    * the last (score, doc_id) of the previous page, the ranking total
+    * order is (score desc, doc_id asc) — pages are disjoint and
+    * complete even when a reindex cuts the alias over mid-pagination.
+    */
+  def bm25Page(spark: SparkSession, pit: Pit, terms: Seq[String],
+      k: Int = 10, after: Option[(Double, Long)] = None): DataFrame =
+    SearchIndex.bm25(spark, pit.dir, terms, topK = k, after = after)
 }

@@ -310,9 +310,15 @@ object SearchIndex {
     * the corpus is never scanned. Bit-identical to the direct q44
     * computation (same term order, same float-op order, same
     * rounding), so it shares q44's oracle.
+    *
+    * `after` is the search_after keyset cursor over the ranking's
+    * total order (score desc, doc_id asc): pass the LAST row of the
+    * previous page to get the next `topK` — a filtered re-serve, no
+    * offset scan, the deep-paging shape.
     */
   def bm25(spark: SparkSession, dir: String, rawTerms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      after: Option[(Double, Long)] = None): DataFrame = {
     require(rawTerms.nonEmpty, "bm25 needs at least one query term")
     recoverStatsIfMissing(spark, dir)
     val nb = readBuckets(spark, dir)
@@ -368,10 +374,16 @@ object SearchIndex {
       idf * (tf * (k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     }
-    perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+    val ranked = perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
       .withColumn("score", round(perTerm.reduce(_ + _), 6))
       .filter(col("score") > 0.0)
       .select(col("doc_id"), col("score"))
+    val paged = after match {
+      case None => ranked
+      case Some((s, id)) => ranked.filter(
+        col("score") < s || (col("score") === s && col("doc_id") > id))
+    }
+    paged
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }

@@ -1870,8 +1870,10 @@ object DslSearch {
              "aggs": {"n_typed": {"value_count": {"field": "event_type"}}}}}}"""),
       Some("""
         WITH c AS (
-          SELECT COUNT(DISTINCT date_trunc('day', ts)) AS cd,
-                 COUNT(DISTINCT date_trunc('month', ts)) AS cm
+          SELECT date_diff('day', date_trunc('day', min(ts)),
+                           date_trunc('day', max(ts))) + 1 AS cd,
+                 date_diff('month', date_trunc('month', min(ts)),
+                           date_trunc('month', max(ts))) + 1 AS cm
           FROM events),
         g AS (
           SELECT (CASE WHEN (SELECT cd FROM c) <= 40 THEN date_trunc('day', ts)

@@ -2930,7 +2930,7 @@ object QueryDsl {
           return missingAgg(hits, name, ms, m.get("aggs"))
         }
         m.get("auto_date_histogram").foreach { ah =>
-          return autoDateHistogramAgg(hits, name, ah, m.get("aggs"))
+          return autoDateHistogramAgg(table, hits, name, ah, m.get("aggs"))
         }
         m.get("global").foreach { g =>
           // `global`: sub-aggs over the WHOLE corpus, ignoring the
@@ -3089,21 +3089,37 @@ object QueryDsl {
           case ("histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "interval", "min_doc_count",
-              "extended_bounds")).foreach(k =>
+              "extended_bounds", "offset")).foreach(k =>
               fail(s"unsupported histogram option '$k' in '$name'"))
             val f = strOpt(hm, "field").getOrElse(fail(s"histogram agg '$name' needs a field"))
             val mdc = intOpt(hm, "min_doc_count").getOrElse(1)
             if (mdc != 0 && mdc != 1)
               fail(s"histogram min_doc_count must be 0 or 1, got $mdc")
+            // `offset` shifts every bucket boundary: key =
+            // floor((x − offset)/interval)·interval + offset — the
+            // OpenSearch bucket-alignment knob (integer, in
+            // [0, interval), exact arithmetic; float offsets fail loud)
+            val offset: Long = hm.get("offset") match {
+              case None         => 0L
+              case Some(JInt(o)) =>
+                if (o < 0) fail(s"histogram offset must be >= 0, got $o")
+                o.toLong
+              case Some(other) =>
+                fail(s"histogram offset must be an integer: ${render(other)}")
+            }
             val interval = hm.get("interval") match {
               case Some(JInt(i)) =>
                 // zero/negative would silently key every doc NULL
                 if (i <= 0) fail(s"histogram interval must be positive: $i")
+                if (offset >= i.toLong)
+                  fail(s"histogram offset must be < interval ($offset >= $i)")
                 lit(i.toLong)
               case Some(JDouble(d)) =>
                 if (mdc == 0)
                   fail("histogram min_doc_count: 0 requires an integer interval")
                 if (d <= 0) fail(s"histogram interval must be positive: $d")
+                if (offset != 0L)
+                  fail("histogram offset requires an integer interval")
                 lit(d)
               case _ => fail(s"histogram agg '$name' needs a numeric interval")
             }
@@ -3112,7 +3128,7 @@ object QueryDsl {
             // and derivative/moving_avg over it are correct; bounds
             // from extended_bounds (which only ever widens — data
             // buckets outside it survive via the outer join)
-            val fillSpec: Option[(String, Long, Option[(Long, Long)])] =
+            val fillSpec: Option[(String, Long, Long, Option[(Long, Long)])] =
               if (mdc == 0) {
                 val iv = hm.get("interval") match {
                   case Some(JInt(i)) if i > 0 => i.toLong
@@ -3136,14 +3152,14 @@ object QueryDsl {
                   case Some(other) =>
                     fail(s"extended_bounds must be an object: ${render(other)}")
                 }
-                Some((f, iv, bounds))
+                Some((f, iv, offset, bounds))
               } else {
                 if (hm.contains("extended_bounds"))
                   fail("extended_bounds requires min_doc_count: 0")
                 None
               }
-            ((floor(col(f) / interval) * interval).as(name), None, None,
-              fillSpec)
+            ((floor((col(f) - lit(offset)) / interval) * interval
+              + lit(offset)).as(name), None, None, fillSpec)
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval"))
@@ -3190,7 +3206,7 @@ object QueryDsl {
           .agg(count(lit(1)).as("doc_count"), subs: _*)
         val bucketTable = histoFill match {
           case None => bucketTable0
-          case Some((field, iv, boundsOpt)) =>
+          case Some((field, iv, off, boundsOpt)) =>
             // the dense key series: extended_bounds if given, else the
             // data's own [min, max] (a map-only 2-long aggregate over
             // hits to the driver — NOT a collect on the bucket table,
@@ -3206,9 +3222,12 @@ object QueryDsl {
               if (r.isNullAt(0)) (0L, -1L)
               else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
             }
-            val lo = Math.floorDiv(lo0, iv) * iv
-            val hi = Math.floorDiv(hi0, iv) * iv
-            val nBuckets = math.max(0L, (hi - lo) / iv + 1)
+            // the dense series aligns to the same shifted boundaries
+            val lo = Math.floorDiv(lo0 - off, iv) * iv + off
+            val hi = Math.floorDiv(hi0 - off, iv) * iv + off
+            // hi0 < lo0 is the no-data sentinel: zero buckets, not one
+            val nBuckets =
+              if (hi0 < lo0) 0L else math.max(0L, (hi - lo) / iv + 1)
             if (nBuckets > 100000)
               fail(s"histogram min_doc_count: 0 would emit $nBuckets " +
                 "buckets (cap 100000) - widen the interval")
@@ -3899,17 +3918,34 @@ object QueryDsl {
     lengths.crossJoin(broadcast(chars))
   }
 
-  /** `auto_date_histogram`: the FINEST calendar interval (day →
-    * month → year) that yields at most `buckets` buckets — the
-    * OpenSearch auto-sizing rule made deterministic. The choice costs
-    * one extra bounded aggregate (three distinct-trunc counts,
-    * 3 longs to the driver — bounded metadata, same class as the IVF
-    * centroid list); the real work stays the single date_trunc
-    * groupBy. Output carries the chosen `interval` so the caller
-    * knows the granularity (the OpenSearch response field).
+  /** Per-(table, field) min/max span cache behind
+    * [[autoDateHistogramAgg]]'s unit choice — one column-pruned
+    * min/max aggregate per JVM per (table, field), then every request
+    * compiles with ZERO extra corpus work (the round-7 finding: the
+    * unit choice used to re-scan the dated column on every request).
+    * Keyed by the analyzed plan's semantic hash so two reads of the
+    * same data share the entry. Values are UTC LocalDateTimes (None =
+    * the column is entirely NULL).
     */
-  private def autoDateHistogramAgg(hits: DataFrame, name: String,
-      spec: JValue, subAggs: Option[JValue]): DataFrame = {
+  private val dateSpanCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(java.time.LocalDateTime, java.time.LocalDateTime)]]()
+
+  private[search] def dateSpanCacheSize: Int = dateSpanCache.size()
+
+  /** `auto_date_histogram`: the FINEST calendar interval (day →
+    * month → year) whose bucket span stays within `buckets` — the
+    * OpenSearch auto-sizing rule made deterministic. The span is the
+    * calendar distance between the TABLE's min and max field values
+    * (cached per (table, field), see [[dateSpanCache]]) — a
+    * layout-level granularity choice, stable across requests on the
+    * same table, so the per-request cost is exactly ONE date_trunc
+    * groupBy over the hits and nothing else. Span-based counting is
+    * an upper bound on distinct buckets, so the requested cap is
+    * never exceeded. Output carries the chosen `interval` (the
+    * OpenSearch response field).
+    */
+  private def autoDateHistogramAgg(table: DataFrame, hits: DataFrame,
+      name: String, spec: JValue, subAggs: Option[JValue]): DataFrame = {
     val m = spec match {
       case JObject(s) => s.toMap
       case other => fail(s"auto_date_histogram '$name' must be an object: ${render(other)}")
@@ -3921,19 +3957,32 @@ object QueryDsl {
     val target = intOpt(m, "buckets").getOrElse(10)
     if (target < 1) fail("auto_date_histogram buckets must be >= 1")
     // NULL-dated docs are omitted (the engine's null-key-omitted
-    // convention, same as multi_terms/rare_terms) — countDistinct
-    // already skips them, so without this filter the output could
-    // carry a NULL bucket the unit choice never counted, exceeding
-    // the requested cap
+    // convention, same as multi_terms/rare_terms) — min/max already
+    // skip them, so without this filter the output could carry a NULL
+    // bucket the unit choice never counted, exceeding the requested cap
     val dated = hits.filter(col(f).isNotNull)
-    val c = dated.agg(
-      countDistinct(date_trunc("DAY", col(f))).as("d"),
-      countDistinct(date_trunc("MONTH", col(f))).as("mo"),
-      countDistinct(date_trunc("YEAR", col(f))).as("y")).collect().head
-    val unit =
-      if (c.getLong(0) <= target) "day"
-      else if (c.getLong(1) <= target) "month"
-      else "year"
+    val key =
+      s"${table.queryExecution.analyzed.semanticHash()}#$f"
+    val span = dateSpanCache.computeIfAbsent(key, _ => {
+      val r = table.filter(col(f).isNotNull)
+        .agg(min(col(f)), max(col(f))).head()
+      if (r.isNullAt(0)) None
+      else Some((
+        r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime,
+        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
+    })
+    import java.time.temporal.ChronoUnit
+    val unit = span match {
+      case None => "day" // all-NULL column: the bucket table is empty anyway
+      case Some((lo, hi)) =>
+        val days = ChronoUnit.DAYS.between(
+          lo.toLocalDate, hi.toLocalDate) + 1
+        val months = ChronoUnit.MONTHS.between(
+          lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1)) + 1
+        if (days <= target) "day"
+        else if (months <= target) "month"
+        else "year"
+    }
     val subs: Seq[Column] = subAggs match {
       case None             => Nil
       case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp) }

@@ -66,4 +66,47 @@ class IndexAliasSpec extends SparkSpec {
     assert(v3.endsWith("/v3") && IndexAlias.resolve(spark, alias).contains(v3))
     assert(served(alias).map(_._1).toSet === Set(1L, 4L))
   }
+
+  test("PIT pagination: a cutover mid-pagination cannot shift pages; pin shields prune") {
+    val alias = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    // 8 spark-bearing docs with distinct tf profiles → a total ranking
+    val docsV1 = (1L to 8L).map(i =>
+      i -> (Seq.fill(i.toInt)("spark") ++ Seq.fill(9 - i.toInt)("row"))
+        .mkString(" "))
+    IndexAlias.reindex(corpus(docsV1: _*), "doc_id", "text", alias, buckets = 4)
+
+    val pit = IndexAlias.openPit(spark, alias)
+    def page(after: Option[(Double, Long)]): Seq[(Long, Double)] =
+      IndexAlias.bm25Page(spark, pit, Seq("spark"), k = 3, after = after)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val full = IndexAlias.bm25(spark, alias, Seq("spark"), k = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+
+    val p1 = page(None)
+    // REINDEX BETWEEN PAGES: different corpus, alias cuts over
+    IndexAlias.reindex(
+      corpus(100L -> "spark spark spark", 101L -> "spark row"),
+      "doc_id", "text", alias, buckets = 4)
+    assert(IndexAlias.bm25(spark, alias, Seq("spark"), k = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet === Set(100L, 101L),
+      "the alias itself must serve the new corpus")
+
+    val p2 = page(Some((p1.last._2, p1.last._1)))
+    val p3 = page(Some((p2.last._2, p2.last._1)))
+    // the three PIT pages reconstruct v1's ranking exactly: complete,
+    // disjoint, in order — the cutover never showed through
+    assert(p1 ++ p2 ++ p3 === full)
+    assert((p1 ++ p2 ++ p3).map(_._1).distinct.size === 8)
+
+    // prune cannot take the pinned version out from under the cursor
+    assert(IndexAlias.prune(spark, alias) === Seq.empty)
+    val p1Again = page(None)
+    assert(p1Again === p1, "pinned reads stay stable under prune")
+
+    // after release the old version is prunable; double release is loud
+    IndexAlias.releasePit(pit)
+    assert(IndexAlias.prune(spark, alias) === Seq("v1"))
+    val e = intercept[IllegalStateException](IndexAlias.releasePit(pit))
+    assert(e.getMessage.contains("not pinned"), e.getMessage)
+  }
 }

@@ -1589,6 +1589,46 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("buckets must be >= 1"))
   }
 
+  test("auto_date_histogram unit choice is cached: repeat requests run zero compile-time jobs") {
+    val events = Tables.load(spark, sf(), "events")
+    // warm the (table, field) span entry
+    QueryDsl.search(events,
+      """{"aggs": {"h": {"auto_date_histogram":
+           {"field": "ts", "buckets": 40}}}}""").collect()
+    val cacheSize = QueryDsl.dateSpanCacheSize
+    // a SECOND request on the same (table, field) must trigger no
+    // Spark job during COMPILE (the round-7 fix: the unit choice used
+    // to rescan the dated column per request) — the only corpus work
+    // is the single groupBy when the result executes
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = QueryDsl.search(events,
+        """{"aggs": {"h": {"auto_date_histogram":
+             {"field": "ts", "buckets": 5}}}}""")
+      // listener delivery is async; a short quiesce suffices — a
+      // compile-time job would have been SUBMITTED synchronously
+      // inside QueryDsl.search, well before this sleep ends
+      Thread.sleep(300)
+      assert(jobs.get() === 0,
+        s"compile must not run corpus jobs (ran ${jobs.get()})")
+      assert(QueryDsl.dateSpanCacheSize === cacheSize, "no new cache entry")
+      // the executed plan reads the corpus exactly once
+      val scans = df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("FileScan"))
+      assert(scans === 1, s"expected one FileScan, got $scans")
+      // and the span rule still picks month at the tight target
+      assert(df.select("interval").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("month"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("global ignores the query; filter gates sub-aggs on its sub-query") {
     val g = QueryDsl.search(docs,
       """{"query": {"term": {"lang": "qq_nohit"}},
