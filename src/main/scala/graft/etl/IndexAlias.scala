@@ -213,9 +213,14 @@ object IndexAlias {
     */
   def releasePit(pit: Pit): Unit = {
     val k = pinKey(pit.aliasDir, pit.version)
-    if (!pitPins.containsKey(k))
-      throw new IllegalStateException(s"pit $k is not pinned (double release?)")
-    pitPins.computeIfPresent(k, (_, n) => if (n <= 1) null else n - 1): Unit
+    // one atomic compute — a check-then-act pair would let two
+    // concurrent releases of a refcount-1 pin both pass the check and
+    // silently hide the double release this guard exists to catch
+    pitPins.compute(k, (_, n) =>
+      if (n == null)
+        throw new IllegalStateException(s"pit $k is not pinned (double release?)")
+      else if (n <= 1) null
+      else n - 1): Unit
   }
 
   /** One `search_after` page against the PINNED version: the cursor is

@@ -2451,6 +2451,476 @@ object DslSearch {
                'upsert' AS _action
         FROM documents WHERE lang = 'en'
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // histogram `offset` (VERDICT r8 #1): every bucket boundary shifts
+    // by the offset — key = floor((x − offset)/interval)·interval +
+    // offset — and the min_doc_count:0 dense series aligns to the SAME
+    // shifted boundaries (lo/hi re-floored against the offset), so a
+    // derivative over the filled series stays correct. extended_bounds
+    // exercises the widened fill; the oracle replays the shifted floor
+    // and the shifted dense range in DuckDB.
+    GraftQuery(
+      "q227_dsl_histogram_offset",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"hist": {"histogram": {"field": "n_chars",
+               "interval": 50, "offset": 30, "min_doc_count": 0,
+               "extended_bounds": {"min": 10, "max": 1200}},
+             "aggs": {
+               "sum_chars": {"sum": {"field": "n_chars"}},
+               "delta": {"derivative": {"buckets_path": "_count"}}}}}}"""),
+      Some("""
+        WITH b AS (SELECT unnest(range(-20, 1181, 50)) AS hist),
+        g AS (
+          SELECT CAST(FLOOR((n_chars - 30) / 50.0) * 50 + 30 AS BIGINT) AS hist,
+                 COUNT(*) AS doc_count, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents WHERE lang = 'en' GROUP BY 1),
+        f AS (
+          SELECT COALESCE(b.hist, g.hist) AS hist,
+                 COALESCE(g.doc_count, 0) AS doc_count, g.sum_chars
+          FROM b FULL OUTER JOIN g ON b.hist = g.hist)
+        SELECT hist, doc_count, sum_chars,
+               doc_count - LAG(doc_count, 1) OVER (ORDER BY hist) AS delta
+        FROM f ORDER BY hist
+      """.stripMargin.trim)),
+
+    // ------------------------------------------------------------------
+    // Analyzer coverage beyond the match family (VERDICT r8 #2): every
+    // remaining tokenizing surface takes the per-clause `analyzer` and
+    // normalizes FIELD and QUERY through the same twin pair, so one
+    // request mixing match and any of these over an analyzed corpus
+    // agrees. All seven run over the q221 mixed-case corpus variant
+    // (prefix uppercased, spaces turned into ", ") where raw whitespace
+    // matching finds nothing; each oracle replays the normalization
+    // (strip non-alnum BEFORE lower — the locale-proof order) and the
+    // family's existing contract in DuckDB.
+
+    // simple_query_string + analyzer: grammar first (+/-/quotes), then
+    // per-token normalization — must spark, must-not merge, phrase
+    // should "Data Window".
+    GraftQuery(
+      "q228_dsl_sqs_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"simple_query_string": {
+               "query": "+Spark -Merge \"Data Window\"",
+               "fields": ["body"], "analyzer": "standard"}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 40,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        t AS (
+          SELECT doc_id,
+            list_contains(string_split(nb, ' '), 'spark') AS has_spark,
+            list_contains(string_split(nb, ' '), 'merge') AS has_merge,
+            (' ' || nb || ' ') LIKE '% data window %' AS has_phrase
+          FROM norm)
+        SELECT doc_id,
+               CAST(1 + (CASE WHEN has_phrase THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM t WHERE has_spark AND NOT has_merge
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // query_string + analyzer: the Lucene grammar parses first, each
+    // LEAF normalizes — fielded term, boosted term, prefix stem.
+    GraftQuery(
+      "q229_dsl_query_string_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"query_string": {
+               "query": "body:Spark AND (Join^2 OR windo*)",
+               "default_field": "body", "analyzer": "standard"}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 40,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        t AS (
+          SELECT doc_id,
+            list_contains(string_split(nb, ' '), 'spark') AS has_spark,
+            list_contains(string_split(nb, ' '), 'join') AS has_join,
+            len(list_filter(string_split(nb, ' '), x -> x LIKE 'windo%')) > 0
+              AS has_windo
+          FROM norm)
+        SELECT doc_id,
+               CAST(1 + (CASE WHEN has_join THEN 2 ELSE 0 END)
+                      + (CASE WHEN has_windo THEN 1 ELSE 0 END) AS BIGINT) AS score
+        FROM t WHERE has_spark AND (has_join OR has_windo)
+        ORDER BY score DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // intervals + analyzer: the position stream comes from the
+    // normalized tokens; the stem keeps its `*` and normalizes its
+    // text (q220's ordered-subsequence contract over the mixed corpus).
+    GraftQuery(
+      "q230_dsl_intervals_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"intervals": {
+               "body": {"match": {"query": "Spark jo*",
+                                  "max_gaps": 4, "ordered": true,
+                                  "analyzer": "standard"}},
+               "id_field": "doc_id"}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 30,
+             "_source": ["doc_id", "n_spans", "min_gaps"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        arr AS (SELECT doc_id, string_split(nb, ' ') AS a FROM norm),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok LIKE 'jo%'),
+        g AS (
+          SELECT p1.doc_id, CAST(p2.p - p1.p - 1 AS BIGINT) AS gaps
+          FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.p > p1.p
+          WHERE p2.p - p1.p - 1 <= 4)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, MIN(gaps) AS min_gaps
+        FROM g GROUP BY 1
+        ORDER BY n_spans DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // span_near + analyzer: q160's unordered-proximity contract, the
+    // span_term values normalized through the twin ("Join!" → join).
+    GraftQuery(
+      "q231_dsl_span_near_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"span_near": {
+               "clauses": [
+                 {"span_term": {"body": "Spark"}},
+                 {"span_term": {"body": "Join!"}}],
+               "slop": 3, "in_order": false, "id_field": "doc_id",
+               "analyzer": "standard"}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 25,
+             "_source": ["doc_id", "n_pairs", "min_gap"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        arr AS (SELECT doc_id, string_split(nb, ' ') AS a FROM norm),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+        g AS (
+          SELECT p1.doc_id, CAST(abs(p1.p - p2.p) - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE abs(p1.p - p2.p) - 1 <= 3)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 25
+      """.stripMargin.trim)),
+
+    // significant_text + analyzer: the over-representation table over
+    // the normalized token stream (q212's doc-frequency model).
+    GraftQuery(
+      "q232_dsl_significant_text_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"term": {"lang": "de"}},
+             "aggs": {"sig": {"significant_text": {"field": "body",
+                 "min_doc_count": 5, "size": 12,
+                 "analyzer": "standard"}}}}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT *, replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                            ' ', ', ') AS body
+          FROM documents),
+        d AS (SELECT *,
+                     trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb,
+                     (lang = 'de') AS fg
+              FROM mixed),
+        toks AS (SELECT fg, unnest(list_distinct(string_split(nb, ' '))) AS sig
+                 FROM d),
+        per AS (
+          SELECT sig, COUNT(*) AS bg_count,
+                 CAST(COUNT(CASE WHEN fg THEN 1 END) AS BIGINT) AS doc_count
+          FROM toks WHERE sig <> '' GROUP BY 1),
+        t AS (SELECT COUNT(*) AS n_all,
+                     CAST(COUNT(CASE WHEN fg THEN 1 END) AS BIGINT) AS n_fg
+              FROM d)
+        SELECT sig, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, t
+        WHERE doc_count >= 5
+        ORDER BY score_ppm DESC, sig
+        LIMIT 12
+      """.stripMargin.trim)),
+
+    // term suggester + analyzer: corrections come from the normalized
+    // vocabulary, the input text normalizes through the twin
+    // ("Sprk, Windoow!" → sprk windoow) — q162's ranking contract.
+    GraftQuery(
+      "q233_dsl_suggest_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"suggest": {"spelling": {
+               "text": "Sprk, Windoow!",
+               "term": {"field": "body", "max_edits": 2, "size": 3,
+                        "analyzer": "standard"}}}}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        v AS (
+          SELECT tok AS term, COUNT(*) AS freq
+          FROM (SELECT doc_id, unnest(list_distinct(string_split(nb, ' '))) AS tok
+                FROM norm)
+          GROUP BY 1),
+        inputs(q) AS (VALUES ('sprk'), ('windoow')),
+        cand AS (
+          SELECT q, term, CAST(levenshtein(q, term) AS BIGINT) AS dist, freq
+          FROM inputs, v
+          WHERE abs(len(term) - len(q)) <= 2 AND term <> q
+            AND levenshtein(q, term) <= 2),
+        r AS (
+          SELECT q, term, dist, freq,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, freq DESC, term) AS BIGINT) AS rank
+          FROM cand)
+        SELECT q, rank, term, dist, freq FROM r WHERE rank <= 3
+        ORDER BY q, rank
+      """.stripMargin.trim)),
+
+    // more_like_this + analyzer: the seed's tf·idf terms and the
+    // corpus postings both come from the normalized stream (one
+    // withColumn up front; q159's integer idf-weight contract after).
+    GraftQuery(
+      "q234_dsl_mlt_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"more_like_this": {
+               "fields": ["body"],
+               "like": {"doc_id": 7},
+               "max_query_terms": 10,
+               "analyzer": "standard"}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 15,
+             "_source": ["doc_id", "n_shared", "score"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        tok AS (
+          SELECT doc_id, unnest(string_split(nb, ' ')) AS term FROM norm),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        seed AS (
+          SELECT tf.term,
+                 (CAST(tf.tf AS BIGINT) * (SELECT n FROM n)) / CAST(df.df AS BIGINT) AS sel,
+                 ((SELECT n FROM n) * 1000000) // CAST(df.df AS BIGINT) AS weight
+          FROM tf JOIN df USING (term) WHERE tf.doc_id = 7),
+        qt AS (SELECT term, weight,
+                 ROW_NUMBER() OVER (ORDER BY sel DESC, term) AS r FROM seed),
+        top AS (SELECT term, weight FROM qt WHERE r <= 10)
+        SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+               CAST(SUM(weight) AS BIGINT) AS score
+        FROM tf JOIN top USING (term)
+        WHERE tf.doc_id <> 7
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 15
+      """.stripMargin.trim)),
+
+    // percentile_ranks (VERDICT r8 #3): the inverse of q158's discrete
+    // percentiles — for each value, the percent of non-NULL field
+    // values ≤ it. Exact integer counts, one IEEE divide per value, so
+    // the doubles are bit-identical across engines (unlike OpenSearch's
+    // own t-digest approximation).
+    GraftQuery(
+      "q235_dsl_percentile_ranks",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"pr": {"percentile_ranks": {"field": "n_chars",
+               "values": [200, 500]}}}}"""),
+      Some("""
+        SELECT CAST(SUM(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+                 / CAST(COUNT(n_chars) AS DOUBLE) AS pr_200,
+               CAST(SUM(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+                 / CAST(COUNT(n_chars) AS DOUBLE) AS pr_500
+        FROM documents WHERE lang = 'en'
+      """.stripMargin.trim)),
+
+    // date_histogram time_zone (fixed ±HH:mm offsets): bucket
+    // boundaries align to LOCAL wall time (+05:30 here), keys stay
+    // UTC — shift → truncate → unshift in exact microsecond
+    // arithmetic (the q208 epoch recipe). Named zones fail loud.
+    GraftQuery(
+      "q236_dsl_date_histogram_tz",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"term": {"event_type": "click"}},
+           "aggs": {"day_ist": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day", "time_zone": "+05:30"}}}}"""),
+      Some("""
+        SELECT date_trunc('day', ts + INTERVAL 330 MINUTE) - INTERVAL 330 MINUTE
+                 AS day_ist,
+               COUNT(*) AS doc_count
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+        ORDER BY doc_count DESC, day_ist
+      """.stripMargin.trim)),
+
+    // geo_centroid: the exact mean point of the filtered hit set over
+    // the shared GeoFixtures lat/lon — coordinates reconstructed onto
+    // the milli-degree integer grid, summed exactly, ONE IEEE divide
+    // per axis (bit-identical doubles across engines).
+    GraftQuery(
+      "q237_dsl_geo_centroid",
+      (s, dir) => QueryDsl.search(
+        GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer")),
+        """{"query": {"range": {"c_custkey": {"lte": 600}}},
+           "aggs": {"cen": {"geo_centroid": {
+               "lat_field": "lat", "lon_field": "lon"}}}}"""),
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT CAST(SUM(CAST(round(lat * 1000) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(lat) * 1000 AS DOUBLE) AS cen_lat,
+               CAST(SUM(CAST(round(lon * 1000) AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(lon) * 1000 AS DOUBLE) AS cen_lon
+        FROM pts WHERE c_custkey <= 600
+      """.stripMargin.trim)),
+
+    // ip_range: [from, to) buckets over dotted-quad IPv4 strings (the
+    // access-log idiom) — bounds parsed on the driver to exact
+    // integers, the field through one codegen'd split, one-pass
+    // filtered aggregates (q145's range tail). The ip derives
+    // in-query from user_id so both engines see the same column.
+    GraftQuery(
+      "q238_dsl_ip_range",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = Tables.load(s, dir, "events").withColumn("ip",
+          expr("concat('10.', user_id % 256, '.', (user_id div 7) % 256, " +
+            "'.', user_id % 251)"))
+        QueryDsl.search(ev,
+          """{"aggs": {"net": {"ip_range": {"field": "ip",
+               "ranges": [{"to": "10.32.0.0"},
+                          {"from": "10.32.0.0", "to": "10.96.0.0"},
+                          {"from": "10.96.0.0"}]},
+             "aggs": {"n_users": {"cardinality": {"field": "user_id"}}}}}}""")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 concat('10.', user_id % 256, '.', (user_id // 7) % 256,
+                        '.', user_id % 251) AS ip
+          FROM events),
+        n AS (
+          SELECT user_id,
+                 CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                   + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                   + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                   + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+          FROM e),
+        b AS (
+          SELECT 0 AS ord, '*-10.32.0.0' AS net, COUNT(*) AS doc_count,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM n WHERE ipn < 169869312
+          UNION ALL
+          SELECT 1, '10.32.0.0-10.96.0.0', COUNT(*),
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT)
+          FROM n WHERE ipn >= 169869312 AND ipn < 174063616
+          UNION ALL
+          SELECT 2, '10.96.0.0-*', COUNT(*),
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT)
+          FROM n WHERE ipn >= 174063616)
+        SELECT net, doc_count, n_users FROM b ORDER BY ord
       """.stripMargin.trim))
   )
 }

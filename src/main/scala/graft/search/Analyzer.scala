@@ -62,12 +62,22 @@ object Analyzer {
     override def normText(s: String): String = s
   }
 
-  /** Lowercase + split on non-alphanumerics (ASCII token contract). */
+  /** Lowercase + split on non-alphanumerics (ASCII token contract).
+    *
+    * Locale-proofing: non-`[A-Za-z0-9]` characters are stripped BEFORE
+    * lowering, so the lowercasing only ever sees pure ASCII and the
+    * twins cannot drift on a non-English default locale (Spark's
+    * `lower()` falls through to JVM `toLowerCase()` with the DEFAULT
+    * locale for non-ASCII input — on a Turkish-locale JVM `"I"` lowers
+    * to `"ı"` in the column path but `Locale.ROOT` keeps `"i"` in the
+    * query path; stripping first makes the locale irrelevant).
+    */
   case object Standard extends Analyzer("standard") {
     override def norm(c: Column): Column =
-      trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+      trim(lower(regexp_replace(c, "[^A-Za-z0-9]+", " ")))
     override def normText(s: String): String =
-      s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").trim
+      s.replaceAll("[^A-Za-z0-9]+", " ")
+        .toLowerCase(java.util.Locale.ROOT).trim
   }
 
   val all: Seq[Analyzer] = Seq(Whitespace, Standard)

@@ -41,11 +41,19 @@ object DateMath {
 
   private val OpRe = """([+-])(\d+)([yMwdhms])""".r
 
+  private val AnchorPrefixRe = """^\d{4}-\d{2}-\d{2}(T[^|]*)?\|\|""".r
+
   /** Date-math detection: engage only for strings a plain literal
-    * comparison could never mean (`now…` or an `||`-anchored form) —
-    * every other string bound keeps the historical raw comparison.
+    * comparison could never plausibly mean. `now` engages only when
+    * followed by nothing or an op/round character (`+`/`-`/`/`) — a
+    * lexicographic bound like `"nowhere"` keeps the historical raw
+    * string comparison; `||` engages only after an ISO-date-shaped
+    * anchor, so a literal value containing `||` stays raw too.
     */
-  def isDateMath(s: String): Boolean = s.startsWith("now") || s.contains("||")
+  def isDateMath(s: String): Boolean =
+    (s.startsWith("now") &&
+      (s.length == 3 || "+-/".contains(s.charAt(3)))) ||
+    AnchorPrefixRe.findFirstIn(s).isDefined
 
   /** Parse an ISO anchor (`yyyy-MM-dd` or `yyyy-MM-ddTHH:mm:ss`). */
   def parseAnchor(s: String): LocalDateTime =

@@ -55,7 +55,9 @@ class SparkEntrySpec extends SparkSpec {
       "q187_dsl_extended_stats", "q189_dsl_top_metrics",
       "q190_dsl_missing", "q194_dsl_sibling_bucket",
       "q203_dsl_global", "q204_dsl_filter_agg",
-      "q216_dsl_sampler", "q217_dsl_boxplot", "q218_dsl_string_stats")
+      "q216_dsl_sampler", "q217_dsl_boxplot", "q218_dsl_string_stats",
+      // round-9 one-row global aggregates
+      "q235_dsl_percentile_ranks", "q237_dsl_geo_centroid")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

@@ -109,4 +109,48 @@ class IndexAliasSpec extends SparkSpec {
     val e = intercept[IllegalStateException](IndexAlias.releasePit(pit))
     assert(e.getMessage.contains("not pinned"), e.getMessage)
   }
+
+  test("PIT on the wire: a DSL search_after session pages the pinned version end-to-end") {
+    import graft.search.QueryDsl
+    val alias = java.nio.file.Files.createTempDirectory("graft-pit-wire").toString
+    val docsV1 = (1L to 8L).map(i =>
+      i -> (Seq.fill(i.toInt)("spark") ++ Seq.fill(9 - i.toInt)("row"))
+        .mkString(" "))
+    IndexAlias.reindex(corpus(docsV1: _*), "doc_id", "text", alias, buckets = 4)
+    val full = IndexAlias.bm25(spark, alias, Seq("spark"), k = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+
+    // open = resolve once + pin; the id is the wire handle
+    val id = QueryDsl.openPit(spark, alias)
+    def page(after: Option[(Double, Long)]): Seq[(Long, Double)] = {
+      val cursor = after.map { case (s, d) =>
+        s""", "search_after": [$s, $d]""" }.getOrElse("")
+      QueryDsl.searchPit(spark,
+        s"""{"pit": {"id": "$id"},
+             "query": {"bm25": {"terms": ["spark"]}},
+             "size": 3$cursor}""")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    }
+    val p1 = page(None)
+    // cutover mid-session: the alias moves, the pit must not
+    IndexAlias.reindex(corpus(100L -> "spark spark", 101L -> "spark row"),
+      "doc_id", "text", alias, buckets = 4)
+    val p2 = page(Some((p1.last._2, p1.last._1)))
+    val p3 = page(Some((p2.last._2, p2.last._1)))
+    assert(p1 ++ p2 ++ p3 === full,
+      "wire pages must reconstruct the pinned ranking exactly")
+
+    // close releases the pin: the version becomes prunable, the id dies
+    QueryDsl.closePit(id)
+    assert(IndexAlias.prune(spark, alias) === Seq("v1"))
+    val e1 = intercept[IllegalArgumentException](QueryDsl.searchPit(spark,
+      s"""{"pit": {"id": "$id"}, "query": {"bm25": {"terms": ["spark"]}}}"""))
+    assert(e1.getMessage.contains("unknown pit id"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](QueryDsl.closePit(id))
+    assert(e2.getMessage.contains("unknown pit id"), e2.getMessage)
+    // malformed wire shapes fail loud
+    val e3 = intercept[IllegalArgumentException](QueryDsl.searchPit(spark,
+      """{"query": {"bm25": {"terms": ["spark"]}}}"""))
+    assert(e3.getMessage.contains("requires a pit section"), e3.getMessage)
+  }
 }

@@ -2100,6 +2100,319 @@ class QueryDslSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("date-math detection: lexicographic string bounds stay raw comparisons") {
+    import spark.implicits._
+    // a string range whose bound HAPPENS to start with "now" or contain
+    // "||" must keep the historical raw comparison, not detour into the
+    // date-math parser and fail loud (the ADVICE r8 finding)
+    val t = Seq((1L, "alpha"), (2L, "nowhere"), (3L, "nowt"), (4L, "x||y"))
+      .toDF("id", "s")
+    assert(QueryDsl.search(t,
+      """{"query": {"range": {"s": {"gte": "nowhere"}}},
+         "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq === Seq(2L, 3L, 4L))
+    // '|' (0x7c) sorts above 'l', so "alpha" < "a||b" — the point is
+    // the bound COMPILES as a raw comparison instead of failing loud
+    assert(QueryDsl.search(t,
+      """{"query": {"range": {"s": {"gte": "a||b"}}},
+         "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq === Seq(2L, 3L, 4L))
+    // detection still engages for the real forms
+    assert(DateMath.isDateMath("now"))
+    assert(DateMath.isDateMath("now-7d/d"))
+    assert(DateMath.isDateMath("now/M"))
+    assert(DateMath.isDateMath("2024-01-20||/d"))
+    assert(DateMath.isDateMath("2024-01-20T10:00:00||+1d"))
+    assert(!DateMath.isDateMath("nowhere"))
+    assert(!DateMath.isDateMath("nowt-7d"))
+    assert(!DateMath.isDateMath("x||y"))
+    assert(!DateMath.isDateMath("presented||recorded"))
+  }
+
+  test("_name rides as a body-level sibling on array-valued terms") {
+    import spark.implicits._
+    // {"terms": {"lang": [...], "_name": x}} — the OpenSearch placement
+    // when the field's value is an array and can't carry options
+    val hits = QueryDsl.search(docs,
+      """{"query": {"bool": {
+           "must": [{"range": {"n_chars": {"gte": 100}}}],
+           "should": [{"terms": {"lang": ["en", "fr"], "_name": "euro"}}]}},
+         "sort": ["doc_id"], "size": 40,
+         "_source": ["doc_id", "lang", "matched_queries"]}""")
+      .as[(Long, String, String)].collect().toSeq
+    assert(hits.nonEmpty)
+    hits.foreach { case (_, lang, mq) =>
+      if (lang == "en" || lang == "fr") assert(mq === "euro")
+      else assert(mq === "")
+    }
+    // duplicate names across placements still fail loud
+    val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"query": {"bool": {"should": [
+           {"terms": {"lang": ["en"], "_name": "x"}},
+           {"term": {"source": {"value": "src1", "_name": "x"}}}]}}}"""))
+    assert(e.getMessage.contains("duplicate _name"), e.getMessage)
+  }
+
+  test("extended_stats fails loud on fractional fields (silent long-cast forbidden)") {
+    import spark.implicits._
+    val t = Seq((1L, 1.5), (2L, 2.25)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"s": {"extended_stats": {"field": "v"}}}}"""))
+    assert(e.getMessage.contains("requires an integral field"), e.getMessage)
+    // integral fields keep working
+    val ok = QueryDsl.search(t,
+      """{"aggs": {"s": {"extended_stats": {"field": "id"}}}}""").collect().head
+    assert(ok.getAs[Long]("s_sum") === 3L)
+  }
+
+  test("auto_date_histogram sizes its unit from the FILTERED hits") {
+    import spark.implicits._
+    // table spans ~3 years; the query filters to 8 days. The unit must
+    // come from the hit set (day), not the table (year/month) — the
+    // OpenSearch contract (ADVICE r8)
+    val rows = (0 until 1000).map(i =>
+      (i.toLong, s"2022-01-01 00:00:00")) ++ Seq((9990L, "2024-12-30 00:00:00")) ++
+      (0 until 8).map(i => (9000L + i, f"2024-06-${i + 1}%02d 12:00:00"))
+    val t = rows.toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    val narrow = QueryDsl.search(t,
+      """{"query": {"range": {"ts": {"gte": "2024-06-01||", "lt": "2024-06-09||"}}},
+         "aggs": {"h": {"auto_date_histogram": {"field": "ts", "buckets": 10}}}}""")
+    assert(narrow.select("interval").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("day"))
+    assert(narrow.count() === 8L)
+  }
+
+  test("dateSpanCache re-derives the span when the source files change") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    (0 until 20).map(i => (i.toLong, "2024-03-01 00:00:00")).toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    def unit(): String = QueryDsl.search(spark.read.parquet(dir),
+      """{"aggs": {"h": {"auto_date_histogram": {"field": "ts", "buckets": 5}}}}""")
+      .select("interval").distinct().collect().map(_.getString(0)).mkString
+    assert(unit() === "day") // one day of data
+    // append three more years of data at the SAME path: the freshness
+    // fingerprint must invalidate the cached span (a stale day unit
+    // would blow the 5-bucket cap — the exact guarantee at stake)
+    Seq((100L, "2021-01-01 00:00:00")).toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+      .write.mode("append").parquet(dir)
+    assert(unit() === "year")
+  }
+
+  test("histogram offset: shifted keys, shifted dense fill, no-data sentinel") {
+    import spark.implicits._
+    val t = Seq((1L, 7L), (2L, 12L), (3L, 34L), (4L, 55L), (5L, 91L))
+      .toDF("id", "v")
+    // offset 10, interval 30: boundaries at ..., -20, 10, 40, 70, 100
+    // keys: 7→-20, 12→10, 34→10, 55→40, 91→70
+    val plain = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "v", "interval": 30,
+           "offset": 10}}}}""")
+      .orderBy("h").as[(Long, Long)].collect().toSeq
+    assert(plain === Seq((-20L, 1L), (10L, 2L), (40L, 1L), (70L, 1L)))
+    // the dense fill aligns to the SAME shifted boundaries: lo/hi are
+    // re-floored against the offset, never the unshifted multiples
+    val filled = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "v", "interval": 30,
+           "offset": 10, "min_doc_count": 0,
+           "extended_bounds": {"min": 0, "max": 115}}}}}""")
+      .orderBy("h").as[(Long, Long)].collect().toSeq
+    assert(filled === Seq((-20L, 1L), (10L, 2L), (40L, 1L), (70L, 1L), (100L, 0L)))
+    // hi0 < lo0 no-data sentinel: empty hits + no bounds → ZERO buckets
+    val none = QueryDsl.search(t,
+      """{"query": {"range": {"v": {"gte": 1000}}},
+         "aggs": {"h": {"histogram": {"field": "v", "interval": 30,
+           "offset": 10, "min_doc_count": 0}}}}""")
+    assert(none.count() === 0L)
+    // validation: negative, >= interval, float-interval combination
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"h": {"histogram": {"field": "v", "interval": 30,
+         "offset": -1}}}}""", "offset must be >= 0")
+    bad("""{"aggs": {"h": {"histogram": {"field": "v", "interval": 30,
+         "offset": 30}}}}""", "offset must be < interval")
+    bad("""{"aggs": {"h": {"histogram": {"field": "v", "interval": 2.5,
+         "offset": 1}}}}""", "offset requires an integer interval")
+    bad("""{"aggs": {"h": {"histogram": {"field": "v", "interval": 30,
+         "offset": 1.5}}}}""", "offset must be an integer")
+  }
+
+  test("analyzer twins agree on arbitrary unicode (locale-proof by construction)") {
+    import spark.implicits._
+    // norm (column path) and normText (driver path) must agree
+    // character-for-character on ANY input — the non-ASCII strip
+    // happens BEFORE lowering in both, so JVM default-locale lowering
+    // (Spark's lower() fallback for non-ASCII) can never split them
+    val rnd = new scala.util.Random(42)
+    val pool = "AbZz09 I _-!,.çÖİıßµ中文|~\"" + "\t"
+    val strs = (0 until 300).map { _ =>
+      val n = rnd.nextInt(24)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } ++ Seq("I İ ı TITLE", "", "C++ Rules_OK 42!", "  sPaRk  ")
+    val got = strs.toDF("s")
+      .select(Analyzer.Standard.norm(col("s"))).as[String].collect().toSeq
+    val want = strs.map(Analyzer.Standard.normText)
+    assert(got === want)
+    // whitespace twin is the identity pair
+    val gotW = strs.toDF("s")
+      .select(Analyzer.Whitespace.norm(col("s"))).as[String].collect().toSeq
+    assert(gotW === strs)
+  }
+
+  test("analyzer threads through every remaining tokenizing surface") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "Spark JOIN, window."),
+      (2L, "spark-join batch"),
+      (3L, "filter sort merge"),
+      (4L, "SPARK!  (join)"),
+      (5L, "the Data, Window! spark")).toDF("doc_id", "t")
+    // simple_query_string: grammar first, tokens normalized after
+    val sqs = QueryDsl.search(mixed,
+      """{"query": {"simple_query_string": {
+           "query": "+Spark -Merge \"Data Window\"",
+           "fields": ["t"], "analyzer": "standard"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(sqs === Seq((1L, 1L), (2L, 1L), (4L, 1L), (5L, 2L)))
+    // query_string: leaves normalize, stems/fuzzy against normalized toks
+    val qs = QueryDsl.search(mixed,
+      """{"query": {"query_string": {
+           "query": "t:Spark AND (windo* OR Batch^3)",
+           "default_field": "t", "analyzer": "standard"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(qs === Seq((1L, 2L), (2L, 4L), (5L, 2L)))
+    // span_near: positions from the normalized stream
+    val sn = QueryDsl.search(mixed,
+      """{"query": {"span_near": {
+           "clauses": [{"span_term": {"t": "Spark"}},
+                       {"span_term": {"t": "JOIN!"}}],
+           "slop": 0, "in_order": true, "id_field": "doc_id",
+           "analyzer": "standard"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "n_pairs"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(sn === Seq((1L, 1L), (2L, 1L), (4L, 1L)))
+    // intervals: ordered subsequence over normalized positions
+    val iv = QueryDsl.search(mixed,
+      """{"query": {"intervals": {
+           "t": {"match": {"query": "Spark windo*", "max_gaps": 2,
+                 "ordered": true, "analyzer": "standard"}},
+           "id_field": "doc_id"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "n_spans"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(iv === Seq((1L, 1L)))
+    // term suggester: vocabulary and inputs share the twin
+    val sg = QueryDsl.search(mixed,
+      """{"suggest": {"fix": {"text": "Sparkk!",
+           "term": {"field": "t", "max_edits": 1, "size": 2,
+                    "analyzer": "standard"}}}}""")
+      .select("q", "term").as[(String, String)].collect().toSeq
+    assert(sg === Seq(("sparkk", "spark")))
+    // completion suggester: normalized prefix against normalized terms
+    val cp = QueryDsl.search(mixed,
+      """{"suggest": {"auto": {"prefix": "Wind",
+           "completion": {"field": "t", "analyzer": "standard"}}}}""")
+      .select("term").as[String].collect().toSeq
+    assert(cp === Seq("window"))
+    // significant_text: the bucket terms are normalized tokens
+    val st = QueryDsl.search(mixed,
+      """{"query": {"range": {"doc_id": {"lte": 2}}},
+         "aggs": {"sig": {"significant_text": {"field": "t",
+             "min_doc_count": 2, "size": 3, "analyzer": "standard"}}}}""")
+      .select("sig").as[String].collect().toSet
+    assert(st.contains("spark") || st.contains("join"), st.toString)
+    // more_like_this: seed terms and postings from the normalized stream
+    val mlt = QueryDsl.search(mixed,
+      """{"query": {"more_like_this": {"fields": ["t"],
+           "like": {"doc_id": 1}, "max_query_terms": 3,
+           "analyzer": "standard"}},
+         "sort": [{"_score": "desc"}, "doc_id"], "_source": ["doc_id"]}""")
+      .as[Long].collect().toSeq
+    assert(mlt.contains(2L) && mlt.contains(4L), mlt.toString)
+    // a term that analyzes to several tokens fails loud in a grammar
+    val e = intercept[IllegalArgumentException](QueryDsl.search(mixed,
+      """{"query": {"query_string": {"query": "a_b",
+           "default_field": "t", "analyzer": "standard"}}}"""))
+    assert(e.getMessage.contains("multiple tokens"), e.getMessage)
+    // highlight already fails loud with analyzed (object-bodied) queries
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(mixed,
+      """{"query": {"match": {"t": {"query": "Spark", "analyzer": "standard"}}},
+         "highlight": {"fields": {"t": {}}}}"""))
+    assert(e2.getMessage.contains("highlight"), e2.getMessage)
+  }
+
+  test("straggler aggs: percentile_ranks, time_zone, geo_centroid, ip_range validation") {
+    import spark.implicits._
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
+    // percentile_ranks: inclusive CDF, one row, one column per value
+    val pr = QueryDsl.search(t,
+      """{"aggs": {"p": {"percentile_ranks": {"field": "v",
+           "values": [20, 35]}}}}""").collect().head
+    assert(pr.getAs[Double]("p_20") === 50.0)
+    assert(pr.getAs[Double]("p_35") === 75.0)
+    def bad(df: org.apache.spark.sql.DataFrame, json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(df, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(t, """{"aggs": {"p": {"percentile_ranks": {"field": "v"}}}}""",
+      "non-empty values")
+    bad(t, """{"aggs": {"p": {"percentile_ranks": {"field": "v",
+         "values": [1.5]}}}}""", "must be integers")
+    // time_zone: +05:30 shifts the day boundary; 20:00 UTC = 01:30 IST
+    // next day, so the two rows land in DIFFERENT local days
+    val ev = Seq((1L, "2024-01-10 10:00:00"), (2L, "2024-01-10 20:00:00"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val tz = QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "calendar_interval": "day", "time_zone": "+05:30"}}}}""")
+      .orderBy("d")
+      .select(date_format(col("d"), "yyyy-MM-dd HH:mm:ss")).as[String]
+      .collect().toSeq
+    assert(tz === Seq("2024-01-09 18:30:00", "2024-01-10 18:30:00"))
+    // fixed_interval honors the offset too: 12h buckets aligned to
+    // local 00:00/12:00 → UTC keys at 06:30/18:30
+    val tzf = QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "fixed_interval": "12h", "time_zone": "+05:30"}}}}""")
+      .orderBy("d")
+      .select(date_format(col("d"), "yyyy-MM-dd HH:mm:ss")).as[String]
+      .collect().toSeq
+    assert(tzf === Seq("2024-01-10 06:30:00", "2024-01-10 18:30:00"))
+    bad(ev, """{"aggs": {"d": {"date_histogram": {"field": "ts",
+         "calendar_interval": "day", "time_zone": "America/New_York"}}}}""",
+      "named zones are unsupported")
+    bad(ev, """{"aggs": {"d": {"date_histogram": {"field": "ts",
+         "calendar_interval": "day", "time_zone": "+19:00"}}}}""",
+      "out of range")
+    // geo_centroid: exact milli-degree mean
+    val g = Seq((1L, 10.5, 20.25), (2L, -10.5, 30.75)).toDF("id", "lat", "lon")
+    val cen = QueryDsl.search(g,
+      """{"aggs": {"c": {"geo_centroid": {"lat_field": "lat",
+           "lon_field": "lon"}}}}""").collect().head
+    assert(cen.getAs[Double]("c_lat") === 0.0)
+    assert(cen.getAs[Double]("c_lon") === 25.5)
+    // ip_range: junk field values land in no bucket; bad bounds loud
+    val ips = Seq((1L, "10.0.0.1"), (2L, "10.0.1.200"), (3L, "junk"), (4L, null))
+      .toDF("id", "ip")
+    val ir = QueryDsl.search(ips,
+      """{"aggs": {"net": {"ip_range": {"field": "ip",
+           "ranges": [{"to": "10.0.1.0"}, {"from": "10.0.1.0"}]}}}}""")
+      .select("net", "doc_count").as[(String, Long)].collect().toSeq
+    assert(ir === Seq(("*-10.0.1.0", 1L), ("10.0.1.0-*", 1L)))
+    bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
+         "ranges": [{"to": "10.0.256.0"}]}}}}""", "not a dotted-quad")
+    bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
+         "ranges": [{"to": "::1"}]}}}}""", "not a dotted-quad")
+    bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
+         "ranges": [{}]}}}}""", "unbounded range")
+  }
+
   test("analyzer standard: match family folds case and punctuation") {
     import spark.implicits._
     val mixed = Seq(
