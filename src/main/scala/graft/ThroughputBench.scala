@@ -38,13 +38,13 @@ import graft.streaming.CdcStream
   *
   *   - **fractional-touch streamed-index throughput** — the same text
   *     maintenance loop in the LARGE-VOCABULARY regime the 100 TB
-  *     claim rests on: a 50k-word vocabulary over 512 term buckets
-  *     with each epoch drawing from ~40 distinct words, so a batch
-  *     touches well under 10% of the postings partitions. The
-  *     canonical sidx config (97 words, 64 buckets) touches ~every
-  *     bucket every epoch and is therefore the WORST case; this
-  *     config measures the claim that per-epoch cost follows the
-  *     touched fraction, not the index size. Touched buckets are
+  *     claim rests on: a 50k-word vocabulary over 512 term buckets,
+  *     run TWICE at identical bucket count and event rate — once with
+  *     epochs drawing 4000 distinct words (~every bucket touched, the
+  *     control) and once with 40 (<10% touched, the production
+  *     regime) — so the per-epoch cost difference isolates the
+  *     touched fraction from everything else (bucket count, batch
+  *     size, fixed micro-batch overhead). Touched buckets are
   *     measured with the engine's own hash, not assumed.
   *
   * Usage: `runMain graft.ThroughputBench [items] [epochs] [eventsPerEpoch]
@@ -241,52 +241,65 @@ object ThroughputBench {
       math.ceil(0.95 * sorted.length).toInt - 1))
 
     // ---- fractional-touch regime: 50k vocab over 512 term buckets ----
+    // TWO phases at the SAME bucket count, differing ONLY in how many
+    // distinct words an epoch draws (4000 → ~every bucket touched;
+    // 40 → <10% touched) — a like-for-like isolation of the
+    // touched-fraction effect (comparing against the canonical 64-
+    // bucket sidx row would conflate bucket count with touch).
     val fracEpochs = args.lift(5).map(_.toInt).getOrElse(8)
     val fracPerEpoch = args.lift(6).map(_.toInt).getOrElse(2000)
     require(fracEpochs >= 1 && fracPerEpoch >= 1,
       s"fracEpochs/fracPerEpoch must be >= 1 (got $fracEpochs/$fracPerEpoch)")
-    val (fracVocab, fracWords, fracNb) = (50000, 40, 512)
-    val fracEvents = tmp("tput_frac_events")
-    val fracTextDir = tmp("tput_frac_text")
-    val fracCdc = spark.readStream
-      .schema("doc_id LONG, text STRING, _action STRING, _seq LONG")
-      .json(fracEvents)
-    val qf = StreamingSearchIndex.startText(
-      fracCdc, "doc_id", "text", fracTextDir, tmp("tput_frac_ckpt"),
-      buckets = fracNb)
-    val fracSecs = new Array[Double](fracEpochs)
-    val t3 = System.nanoTime()
-    var fe = 0
-    while (fe < fracEpochs) {
-      val e0 = System.nanoTime()
-      writeFracEpochFile(fracEvents, fe, fracPerEpoch, keys = 3000,
-        vocab = fracVocab, wordsPerEpoch = fracWords)
-      qf.processAllAvailable()
-      fracSecs(fe) = (System.nanoTime() - e0) / 1e9
-      fe += 1
+    val (fracVocab, fracNb) = (50000, 512)
+    // measured with the engine's own term hash, never assumed
+    def touchedMean(wordsPerEpoch: Int): Double =
+      (0 until fracEpochs).map { e2 =>
+        val words = (0 until wordsPerEpoch)
+          .map(j => s"w${(e2 * wordsPerEpoch + j) % fracVocab}")
+        spark.createDataFrame(words.map(Tuple1(_))).toDF("term")
+          .select(pmod(hash(col("term")), lit(fracNb)).as("b"))
+          .distinct().count()
+      }.sum.toDouble / fracEpochs
+    def runFracPhase(wordsPerEpoch: Int): (Double, Double, Double) = {
+      val events = tmp("tput_frac_events")
+      val textDir = tmp("tput_frac_text")
+      val cdcF = spark.readStream
+        .schema("doc_id LONG, text STRING, _action STRING, _seq LONG")
+        .json(events)
+      val qf = StreamingSearchIndex.startText(
+        cdcF, "doc_id", "text", textDir, tmp("tput_frac_ckpt"),
+        buckets = fracNb)
+      val secs = new Array[Double](fracEpochs)
+      val t0f = System.nanoTime()
+      var fe = 0
+      while (fe < fracEpochs) {
+        val e0 = System.nanoTime()
+        writeFracEpochFile(events, fe, fracPerEpoch, keys = 3000,
+          vocab = fracVocab, wordsPerEpoch = wordsPerEpoch)
+        qf.processAllAvailable()
+        secs(fe) = (System.nanoTime() - e0) / 1e9
+        fe += 1
+      }
+      val total = (System.nanoTime() - t0f) / 1e9
+      qf.stop()
+      val docs = spark.read.parquet(s"$textDir/docs")
+        .select(col("doc_id")).distinct().count()
+      require(docs > 0 && docs <= 3000, s"frac index holds $docs docs")
+      val sortedF = secs.sorted
+      val p95f = sortedF(math.min(sortedF.length - 1,
+        math.ceil(0.95 * sortedF.length).toInt - 1))
+      (total, p95f, touchedMean(wordsPerEpoch))
     }
-    val fracSec = (System.nanoTime() - t3) / 1e9
-    qf.stop()
-    // the touched fraction is MEASURED with the engine's own term
-    // hash, not assumed: each epoch's distinct words → distinct
-    // pmod(hash(term), nb) buckets (the SearchIndex bucketing expr)
-    val touchedPerEpoch = (0 until fracEpochs).map { e2 =>
-      val words = (0 until fracWords)
-        .map(j => s"w${(e2 * fracWords + j) % fracVocab}")
-      spark.createDataFrame(words.map(Tuple1(_))).toDF("term")
-        .select(pmod(hash(col("term")), lit(fracNb)).as("b"))
-        .distinct().count()
-    }
-    val touchedMean = touchedPerEpoch.sum.toDouble / fracEpochs
-    require(touchedMean / fracNb < 0.10,
-      f"fractional-touch config touches ${touchedMean / fracNb}%.3f of buckets " +
+    // full-touch control first (4000 words/epoch ≈ all 512 buckets),
+    // then the low-touch regime the 100 TB claim is about
+    val (fullSec, fullP95, fullTouched) = runFracPhase(4000)
+    val (fracSec, fp95, lowTouched) = runFracPhase(40)
+    require(lowTouched / fracNb < 0.10,
+      f"fractional-touch config touches ${lowTouched / fracNb}%.3f of buckets " +
         "- not the <10% regime this measurement exists for")
-    val fracDocs = spark.read.parquet(s"$fracTextDir/docs")
-      .select(col("doc_id")).distinct().count()
-    require(fracDocs > 0 && fracDocs <= 3000, s"frac index holds $fracDocs docs")
-    val fsorted = fracSecs.sorted
-    val fp95 = fsorted(math.min(fsorted.length - 1,
-      math.ceil(0.95 * fsorted.length).toInt - 1))
+    require(fullTouched / fracNb > 0.90,
+      f"full-touch control touches only ${fullTouched / fracNb}%.3f of buckets " +
+        "- not a valid all-touch baseline")
 
     val json =
       s"""{"metric":"throughput","ingest_items":$items,""" +
@@ -303,13 +316,14 @@ object ThroughputBench {
       s""""sidx_epoch_p95_sec":${f"$p95%.2f"},""" +
       s""""sidx_text_docs":$textDocs,"sidx_vec_ids":$vecIds,""" +
       s""""frac_events":${fracEpochs.toLong * fracPerEpoch},""" +
-      s""""frac_epochs":$fracEpochs,""" +
-      s""""frac_sec":${f"$fracSec%.2f"},""" +
-      s""""frac_events_per_sec":${(fracEpochs.toLong * fracPerEpoch / fracSec).toLong},""" +
-      s""""frac_epoch_p95_sec":${f"$fp95%.2f"},""" +
-      s""""frac_nb":$fracNb,""" +
-      s""""frac_touched_buckets_mean":${f"$touchedMean%.1f"},""" +
-      s""""frac_touched_fraction":${f"${touchedMean / fracNb}%.4f"}}"""
+      s""""frac_epochs":$fracEpochs,"frac_nb":$fracNb,""" +
+      s""""frac_full_sec":${f"$fullSec%.2f"},""" +
+      s""""frac_full_epoch_p95_sec":${f"$fullP95%.2f"},""" +
+      s""""frac_full_touched_fraction":${f"${fullTouched / fracNb}%.4f"},""" +
+      s""""frac_low_sec":${f"$fracSec%.2f"},""" +
+      s""""frac_low_epoch_p95_sec":${f"$fp95%.2f"},""" +
+      s""""frac_low_touched_fraction":${f"${lowTouched / fracNb}%.4f"},""" +
+      s""""frac_low_vs_full":${f"${fracSec / fullSec}%.3f"}}"""
     println(json)
     Files.writeString(Paths.get("throughput_last.json"), json + "\n")
     spark.stop()

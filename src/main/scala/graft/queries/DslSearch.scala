@@ -2921,6 +2921,116 @@ object DslSearch {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT)
           FROM n WHERE ipn >= 174063616)
         SELECT net, doc_count, n_users FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // multi-field / multi-fragment highlight: per requested field a
+    // highlight_<field> column with up to number_of_fragments
+    // fragments (anchored at successive non-overlapping raw
+    // occurrences, all occurrences inside each fragment tag-wrapped,
+    // fragments joined " ... " — the no-bare-array stringification of
+    // OpenSearch's fragment array). Each field anchors on the ONE
+    // clause targeting it inside the bool.
+    GraftQuery(
+      "q239_dsl_highlight_multi",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"match_phrase": {"text": "data window"}}],
+             "should": [{"term": {"source": "src2"}}]}},
+           "highlight": {"fields": {
+             "text": {"fragment_size": 40, "number_of_fragments": 2},
+             "source": {}}},
+           "sort": ["doc_id"], "size": 50,
+           "_source": ["doc_id", "highlight_text", "highlight_source"]}"""),
+      Some("""
+        WITH h AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE (' ' || text || ' ') LIKE '% data window %'),
+        f AS (
+          SELECT doc_id, text, source,
+                 position('data window' IN text) AS p1
+          FROM h),
+        g AS (
+          SELECT doc_id, text, source, p1,
+                 CASE WHEN position('data window' IN substr(text, p1 + 11)) > 0
+                      THEN p1 + 11 + position('data window' IN substr(text, p1 + 11)) - 1
+                      END AS p2
+          FROM f)
+        SELECT doc_id,
+               concat_ws(' ... ',
+                 CASE WHEN p1 > 0
+                      THEN replace(substr(text, GREATEST(p1 - 20, 1), 40),
+                                   'data window', '<em>data window</em>') END,
+                 CASE WHEN p2 IS NOT NULL
+                      THEN replace(substr(text, GREATEST(p2 - 20, 1), 40),
+                                   'data window', '<em>data window</em>') END)
+                 AS highlight_text,
+               CASE WHEN position('src2' IN source) > 0
+                    THEN replace(substr(source,
+                           GREATEST(position('src2' IN source) - 20, 1), 60),
+                           'src2', '<em>src2</em>') END AS highlight_source
+        FROM g ORDER BY doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // terms include/exclude: bucket-key filtering by a whole-value-
+    // anchored regex (the OpenSearch terms-regex contract) or an
+    // exact-values array — applied to the KEY EXPRESSION on the hit
+    // rows, i.e. map-side BEFORE the groupBy, so at scale the
+    // excluded keys never enter the shuffle.
+    GraftQuery(
+      "q240_dsl_terms_include_exclude",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"range": {"n_chars": {"gte": 100}}},
+           "aggs": {"src": {"terms": {"field": "source", "size": 10,
+               "include": "src[0-4]", "exclude": ["src2"]},
+             "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH h AS (SELECT * FROM documents WHERE n_chars >= 100),
+        g AS (
+          SELECT source AS src, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM h
+          WHERE regexp_full_match(source, 'src[0-4]') AND source <> 'src2'
+          GROUP BY 1)
+        SELECT src, doc_count, sum_chars FROM g
+        ORDER BY doc_count DESC, src LIMIT 10
+      """.stripMargin.trim)),
+
+    // date_histogram dense fill: min_doc_count 0 + ISO extended_bounds
+    // over a fixed_interval series — EMPTY TIME BUCKETS APPEAR
+    // (doc_count 0, sub-aggs NULL) so a derivative over a sparse time
+    // series is correct; the series is exact microsecond arithmetic
+    // aligned to the fixed-interval boundaries. Bounds 2023-12-20 ..
+    // 2024-02-10 at 2d buckets: lo bucket floor(1703030400/172800)
+    // = 1702944000 (2023-12-19), 27 buckets.
+    GraftQuery(
+      "q241_dsl_date_histogram_fill",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+           "aggs": {"w2": {"date_histogram": {"field": "ts",
+               "fixed_interval": "2d", "min_doc_count": 0,
+               "extended_bounds": {"min": "2023-12-20", "max": "2024-02-10"}},
+             "aggs": {"n_users": {"cardinality": {"field": "user_id"}},
+                      "delta": {"derivative": {"buckets_path": "_count"}}}}}}"""),
+      Some("""
+        WITH b AS (
+          SELECT make_timestamp(1702944000000000
+                   + 172800000000 * CAST(i AS BIGINT)) AS w2
+          FROM range(0, 27) t(i)),
+        g AS (
+          SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 172800000000) AS w2,
+                 COUNT(*) AS doc_count,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        f AS (
+          SELECT COALESCE(b.w2, g.w2) AS w2,
+                 COALESCE(g.doc_count, 0) AS doc_count, g.n_users
+          FROM b FULL OUTER JOIN g ON b.w2 = g.w2)
+        SELECT w2, doc_count, n_users,
+               doc_count - LAG(doc_count, 1) OVER (ORDER BY w2) AS delta
+        FROM f ORDER BY w2
       """.stripMargin.trim))
   )
 }

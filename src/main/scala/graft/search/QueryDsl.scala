@@ -77,20 +77,34 @@ import org.json4s.jackson.JsonMethods
   * `tie_breaker`/`negative_boost` stay exact integers. Scores are LONG,
   * so cross-engine comparison is exact — no float tie ambiguity.
   *
+  * Analyzer: every FULL-TEXT surface (the match family, both human
+  * query grammars, intervals, span_near, more_like_this, the three
+  * suggesters, significant_text) takes a per-clause `"analyzer"`
+  * option ([[Analyzer]] — `whitespace` default, `standard` =
+  * strip-then-lowercase) applied identically to the field column and
+  * the query text. Term-level clauses (term/prefix/wildcard/fuzzy/
+  * regexp/terms_set) stay raw BY THE OPENSEARCH CONTRACT — term-level
+  * queries are not analyzed there either.
+  *
   * Request level: `query`, `sort` (field names or `{field: {order}}`,
   * `_score` sorts by the computed score, `_geo_distance` by the
   * deterministic haversine to an origin), `min_score` (integer
   * relevance floor), `from`/`size`,
   * `search_after` (keyset paging over the declared sort), `_source`
   * (projection; the name `score` selects the computed score),
-  * `highlight` (tag-wrapped fragment column, q46 contract),
+  * `highlight` (tag-wrapped fragment columns — multi-field,
+  * `number_of_fragments` ≥ 1 per field, q46/q239 contracts),
   * `collapse` (one hit — or top `inner_hits.size` — per distinct
-  * field value, one window over the hit set), and
+  * field value, one window over the hit set), the PIT wire trio
+  * ([[openPit]]/[[searchPit]]/[[closePit]] — `{"pit": {"id"}}` +
+  * `search_after` paging a PINNED index version), and
   * `aggs` with `terms` (+ nested metric sub-aggs or one `top_hits`),
   * `composite` (multi-source buckets with `after` keyset paging,
   * pruned before the groupBy),
   * `range` (overlapping [from, to) buckets), `date_range`
-  * (calendar-anchored [from, to) buckets), `rare_terms` (the long
+  * (calendar-anchored [from, to) buckets), `ip_range` (dotted-quad
+  * IPv4 [from, to) buckets via one codegen'd octet split),
+  * `rare_terms` (the long
   * tail at/under `max_doc_count`), `filters` (named
   * sub-query buckets), `filter` (ONE sub-query bucket — a
   * conditional global aggregate), `global` (sub-aggs over the whole
@@ -112,15 +126,20 @@ import org.json4s.jackson.JsonMethods
   * and `bucket_sort` (ORDER BY + from/size over buckets, also under
   * `terms`), sibling `avg|sum|min|max|stats_bucket` aggs (the
   * one-row sibling table),
-  * global metric aggs, `histogram` (+ `min_doc_count: 0` with
-  * `extended_bounds` — empty buckets appear, so pipeline aggs over
-  * sparse series stay correct), `date_histogram`
+  * global metric aggs, `histogram` (+ `offset`, and `min_doc_count: 0`
+  * with `extended_bounds` — empty buckets appear aligned to the
+  * shifted boundaries, so pipeline aggs over sparse series stay
+  * correct), `date_histogram`
   * (calendar_interval day/month/year or exact-microsecond
-  * `fixed_interval`), `stats`, `extended_stats` (exact
-  * integer moments), `weighted_avg`, `top_metrics` (top-sort-row
+  * `fixed_interval`, with fixed `±HH:mm` `time_zone` offsets —
+  * shift→truncate→unshift), `stats`, `extended_stats` (exact
+  * integer moments, integral fields enforced), `weighted_avg`,
+  * `top_metrics` (top-sort-row
   * metric via struct max), `boxplot` (discrete five-number summary),
   * `scripted_metric` (a ScoreScript map
-  * expression + a named monoid reduce),
+  * expression + a named monoid reduce), `percentile_ranks`
+  * (inclusive-CDF percent per value, engine-exact), `geo_centroid`
+  * (exact milli-degree integer mean per axis),
   * `avg`/`min`/`max`/`sum`/`value_count`/`cardinality`/`percentiles`
   * (discrete — engine-exact, no interpolation). A request with
   * `aggs` returns the bucket table (the `size: 0` idiom) — except
@@ -134,6 +153,17 @@ object QueryDsl {
     * the two tokenizers can never drift.
     */
   private val BareTermRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
+
+  /** A `min_doc_count: 0` dense-fill request: the key series to
+    * full-outer-join against the bucket table — numeric (histogram,
+    * shifted by `off`) or time (fixed-interval date_histogram in
+    * exact microseconds, shifted by the time-zone offset).
+    */
+  private sealed trait HistoFill
+  private final case class NumFill(field: String, iv: Long, off: Long,
+      bounds: Option[(Long, Long)]) extends HistoFill
+  private final case class DateFill(field: String, ivUs: Long,
+      tzOffUs: Long, bounds: Option[(Long, Long)]) extends HistoFill
 
   /** Compiled form of the `query` part: a row predicate plus the
     * deterministic LONG score expression. `ppm` marks clauses whose
@@ -2748,23 +2778,31 @@ object QueryDsl {
       case other => fail(s"percolate requires an object body: ${render(other)}")
     }
 
-  /** `highlight` section: a `highlight` column carrying a
-    * `fragment_size`-char fragment around the first occurrence of the
-    * query term, occurrences wrapped in `pre_tags`/`post_tags` (the
-    * q46 contract). Deterministic subset: the query must be a `term`,
-    * single-token `match`, or `match_phrase` on the highlighted field
-    * — multi-term anchor choice is ranking-dependent in OpenSearch
-    * and out of scope, fail-loud. Rows that don't contain the literal
-    * (e.g. admitted via other bool branches) get a NULL highlight.
+  /** `highlight` section: per requested field, a column carrying up to
+    * `number_of_fragments` (default 1) `fragment_size`-char fragments,
+    * each anchored 20 chars before one raw-substring occurrence of the
+    * field's query term, occurrences inside each fragment wrapped in
+    * `pre_tags`/`post_tags`, fragments joined with `" ... "` (the
+    * OpenSearch response ships them as an array; the engine's
+    * no-bare-array rule stringifies). ONE requested field keeps the
+    * historical `highlight` column name (the q46/q166 contract,
+    * byte-identical); several fields emit `highlight_<field>` each.
     *
-    * Anchoring contract: the fragment anchors at `instr()`'s FIRST RAW
-    * SUBSTRING occurrence of the query literal — for a `match_phrase`
-    * this may be a non-token-boundary occurrence earlier in the text
-    * than the boundary occurrence the predicate matched ("metadata
-    * window … data window" anchors at "metadata window"). This is a
-    * deliberate, documented divergence from the token-boundary phrase
-    * predicate: the oracle (q46/q166) implements the same raw-substring
-    * anchor, so the contract is cross-engine stable.
+    * Deterministic subset: each highlighted field must be targeted by
+    * exactly one `term`, single-token `match`, or `match_phrase`
+    * clause — at the query's top level or directly inside a `bool`
+    * section (multi-term anchor choice is ranking-dependent in
+    * OpenSearch and out of scope, fail-loud; so are analyzed clauses —
+    * their object bodies are outside the accepted shapes). Rows not
+    * containing the literal get a NULL highlight for that field.
+    *
+    * Anchoring contract: fragments anchor at the RAW SUBSTRING
+    * occurrences of the query literal in order (non-overlapping, via
+    * split) — for a `match_phrase` the first may be a
+    * non-token-boundary occurrence earlier than the boundary match
+    * ("metadata window … data window" anchors at "metadata window").
+    * Deliberate, documented divergence shared with the oracle, so the
+    * contract is cross-engine stable.
     */
   private def withHighlight(hits: DataFrame, query: JValue, h: JValue): DataFrame = {
     val hm = h match {
@@ -2773,41 +2811,84 @@ object QueryDsl {
     }
     hm.keySet.diff(Set("fields", "pre_tags", "post_tags")).foreach(k =>
       fail(s"unsupported highlight option '$k'"))
-    val (f, opts) = hm.get("fields") match {
-      case Some(JObject(List((field, JObject(o))))) => (field, o.toMap)
-      case _ => fail("highlight requires fields: {exactly one field}")
+    val fields: Seq[(String, Map[String, JValue])] = hm.get("fields") match {
+      case Some(JObject(fs)) if fs.nonEmpty => fs.map {
+        case (field, JObject(o)) => (field, o.toMap)
+        case (field, other) =>
+          fail(s"highlight field '$field' options must be an object: ${render(other)}")
+      }
+      case _ => fail("highlight requires fields: {field: {options}, ...}")
     }
-    opts.keySet.diff(Set("fragment_size")).foreach(k =>
-      fail(s"unsupported highlight field option '$k'"))
-    val fragSize = intOpt(opts, "fragment_size").getOrElse(60)
+    if (fields.map(_._1).distinct.size != fields.size)
+      fail("highlight repeats a field")
     def tag(key: String, default: String): String = hm.get(key) match {
       case Some(JArray(List(JString(t)))) => t
       case None                           => default
       case Some(other) => fail(s"$key must be a one-string array: ${render(other)}")
     }
     val (pre, post) = (tag("pre_tags", "<em>"), tag("post_tags", "</em>"))
-    val term = query match {
-      case JObject(List(("term", JObject(List((tf, JString(v))))))) if tf == f => v
-      case JObject(List(("match_phrase", body))) => body match {
-        case JObject(List((tf, JString(v)))) if tf == f => v.trim
-        case _ => fail(s"highlight field '$f' must match the query's field")
-      }
-      case JObject(List(("match", JObject(List((tf, JString(v))))))) if tf == f =>
+    // the term each clause shape anchors on (string bodies only — an
+    // analyzed/object body has no deterministic raw literal)
+    def leafTerm(q: JValue): Option[(String, String)] = q match {
+      case JObject(List(("term", JObject(List((tf, JString(v))))))) => Some((tf, v))
+      case JObject(List(("match_phrase", JObject(List((tf, JString(v))))))) =>
+        Some((tf, v.trim))
+      case JObject(List(("match", JObject(List((tf, JString(v))))))) =>
         val toks = v.trim.split("\\s+")
         if (toks.length != 1)
           fail("highlight supports single-token match queries (multi-term " +
             "anchor choice is ranking-dependent)")
-        toks.head
-      case other =>
-        fail("highlight requires a term / single-token match / match_phrase " +
-          s"query on the highlighted field, got: ${render(other)}")
+        Some((tf, toks.head))
+      case _ => None
     }
-    val pos = instr(col(f), term)
-    val frag = substring(col(f),
-      greatest(pos - 20, lit(1)).cast("int"), lit(fragSize))
-    hits.withColumn("highlight",
-      when(pos > 0,
-        regexp_replace(frag, java.util.regex.Pattern.quote(term), s"$pre$term$post")))
+    val leaves: Seq[(String, String)] = leafTerm(query) match {
+      case Some(l) => Seq(l)
+      case None => query match {
+        case JObject(List(("bool", JObject(sections)))) => sections.flatMap {
+          case (k, JArray(cs)) if Set("must", "filter", "should")(k) =>
+            cs.flatMap(leafTerm)
+          case (k, o: JObject) if Set("must", "filter", "should")(k) =>
+            leafTerm(o).toSeq
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    }
+    fields.foldLeft(hits) { case (df, (f, opts)) =>
+      opts.keySet.diff(Set("fragment_size", "number_of_fragments")).foreach(k =>
+        fail(s"unsupported highlight field option '$k'"))
+      val fragSize = intOpt(opts, "fragment_size").getOrElse(60)
+      val nFrags = intOpt(opts, "number_of_fragments").getOrElse(1)
+      if (nFrags < 1) fail("highlight number_of_fragments must be >= 1")
+      val term = leaves.filter(_._1 == f) match {
+        case Seq((_, t)) => t
+        case Seq() =>
+          fail("highlight requires a term / single-token match / match_phrase " +
+            s"query on the highlighted field '$f', got: ${render(query)}")
+        case _ => fail(s"highlight field '$f' is targeted by several clauses " +
+          "(the anchor would be ambiguous)")
+      }
+      if (term.isEmpty) fail(s"highlight on '$f' has an empty query term")
+      // occurrence start positions (1-based), non-overlapping, in text
+      // order: split on the quoted literal, prefix-sum the part lengths
+      // — pure codegen'd higher-order functions, no UDF, no extra scan
+      val tq = java.util.regex.Pattern.quote(term)
+      val parts = split(col(f), tq, -1)
+      val occ = aggregate(
+        slice(parts, lit(1), size(parts) - 1),
+        struct(lit(1).as("cur"), array().cast("array<int>").as("ps")),
+        (acc, part) => struct(
+          (acc.getField("cur") + length(part) + lit(term.length)).as("cur"),
+          concat(acc.getField("ps"),
+            array(acc.getField("cur") + length(part))).as("ps")),
+        acc => acc.getField("ps"))
+      val frags = transform(slice(occ, lit(1), lit(nFrags)), p =>
+        regexp_replace(
+          col(f).substr(greatest(p - 20, lit(1)), lit(fragSize)),
+          tq, s"$pre$term$post"))
+      val out = if (fields.size == 1) "highlight" else s"highlight_$f"
+      df.withColumn(out, when(size(occ) > 0, concat_ws(" ... ", frags)))
+    }
   }
 
   /** The request tail over a scored hit table: `search_after` keyset
@@ -3244,10 +3325,11 @@ object QueryDsl {
         val subs: Seq[Column] = metricEntries.flatMap {
           case (subName, subSpec) => metricCols(subName, subSpec, schema = hits.schema)
         }
-        val (keyCol, size, termsOrder, histoFill) = m.collectFirst {
+        val (keyCol, size, termsOrder, histoFill, preFilter) = m.collectFirst {
           case ("terms", JObject(t)) =>
             val tm = t.toMap
-            tm.keySet.diff(Set("field", "size", "order", "missing")).foreach(k =>
+            tm.keySet.diff(Set("field", "size", "order", "missing",
+              "include", "exclude")).foreach(k =>
               fail(s"unsupported terms option '$k' in '$name'"))
             val f0 = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
             // `missing`: docs without a key value land in a named
@@ -3273,7 +3355,28 @@ object QueryDsl {
               case Some(other) =>
                 fail(s"terms order must be {target: asc|desc}: ${render(other)}")
             }
-            (f.as(name), intOpt(tm, "size"), ord, None)
+            // `include`/`exclude`: keep only wanted bucket keys — a
+            // whole-value-anchored regex (the OpenSearch terms-regex
+            // contract, like the `regexp` clause) or an exact-values
+            // array. Applied to the KEY EXPRESSION on the hit rows,
+            // i.e. BEFORE the groupBy — at scale the filter runs
+            // map-side and shrinks the shuffle instead of post-
+            // filtering the bucket table.
+            def keyGate(k: String, want: Boolean): Option[Column] =
+              tm.get(k).map {
+                case JString(re) =>
+                  val g = f.cast("string").rlike(s"^(?:$re)$$")
+                  if (want) g else !g
+                case JArray(vs) if vs.nonEmpty =>
+                  val g = f.isin(vs.map(scalaOf): _*)
+                  if (want) g else !g
+                case other => fail(s"terms $k must be a regex string or a " +
+                  s"non-empty values array: ${render(other)}")
+              }
+            val gates = keyGate("include", want = true).toSeq ++
+              keyGate("exclude", want = false)
+            (f.as(name), intOpt(tm, "size"), ord, None,
+              gates.reduceOption(_ && _))
           case ("histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "interval", "min_doc_count",
@@ -3316,7 +3419,7 @@ object QueryDsl {
             // and derivative/moving_avg over it are correct; bounds
             // from extended_bounds (which only ever widens — data
             // buckets outside it survive via the outer join)
-            val fillSpec: Option[(String, Long, Long, Option[(Long, Long)])] =
+            val fillSpec: Option[HistoFill] =
               if (mdc == 0) {
                 val iv = hm.get("interval") match {
                   case Some(JInt(i)) if i > 0 => i.toLong
@@ -3340,18 +3443,18 @@ object QueryDsl {
                   case Some(other) =>
                     fail(s"extended_bounds must be an object: ${render(other)}")
                 }
-                Some((f, iv, offset, bounds))
+                Some(NumFill(f, iv, offset, bounds))
               } else {
                 if (hm.contains("extended_bounds"))
                   fail("extended_bounds requires min_doc_count: 0")
                 None
               }
             ((floor((col(f) - lit(offset)) / interval) * interval
-              + lit(offset)).as(name), None, None, fillSpec)
+              + lit(offset)).as(name), None, None, fillSpec, None)
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval",
-              "time_zone")).foreach(k =>
+              "time_zone", "min_doc_count", "extended_bounds")).foreach(k =>
               fail(s"unsupported date_histogram option '$k' in '$name'"))
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
             if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
@@ -3377,32 +3480,35 @@ object QueryDsl {
                     s"fixed +HH:mm/-HH:mm offset (named zones are unsupported), got '$tz'")
                 }
             }
-            val key = strOpt(hm, "fixed_interval") match {
-              // fixed_interval: epoch bucketing ("7d"/"12h"/"30m"/
-              // "45s") in EXACT MICROSECOND integer arithmetic —
-              // pmod floor-aligns (a truncating % would shift every
-              // pre-1970 timestamp's bucket by one interval, and a
-              // second-truncating cast would disagree with the
-              // oracle's rounding on fractional seconds); calendar-
-              // aware buckets belong to calendar_interval
-              case Some(iv) =>
-                val FixedRe = """(\d+)([dhms])""".r
-                val secs = iv match {
-                  case FixedRe(n, u) =>
-                    val mult = u match {
-                      case "d" => 86400L; case "h" => 3600L
-                      case "m" => 60L;    case "s" => 1L
-                    }
-                    val v = n.toLong * mult
-                    if (v < 1L) fail(s"fixed_interval must be positive: '$iv'")
-                    if (v > 3153600000L) // 100 years: micros stay in Long
-                      fail(s"fixed_interval too large: '$iv'")
-                    v
-                  case other =>
-                    fail(s"fixed_interval must match <n>[dhms]: '$other'")
-                }
+            // fixed_interval: epoch bucketing ("7d"/"12h"/"30m"/
+            // "45s") in EXACT MICROSECOND integer arithmetic —
+            // pmod floor-aligns (a truncating % would shift every
+            // pre-1970 timestamp's bucket by one interval, and a
+            // second-truncating cast would disagree with the
+            // oracle's rounding on fractional seconds); calendar-
+            // aware buckets belong to calendar_interval
+            val fixedUs: Option[Long] = strOpt(hm, "fixed_interval").map { iv =>
+              val FixedRe = """(\d+)([dhms])""".r
+              val secs = iv match {
+                case FixedRe(n, u) =>
+                  val mult = u match {
+                    case "d" => 86400L; case "h" => 3600L
+                    case "m" => 60L;    case "s" => 1L
+                  }
+                  val v = n.toLong * mult
+                  if (v < 1L) fail(s"fixed_interval must be positive: '$iv'")
+                  if (v > 3153600000L) // 100 years: micros stay in Long
+                    fail(s"fixed_interval too large: '$iv'")
+                  v
+                case other =>
+                  fail(s"fixed_interval must match <n>[dhms]: '$other'")
+              }
+              secs * 1000000L
+            }
+            val key = fixedUs match {
+              case Some(us) =>
                 val um = unix_micros(col(f)) + lit(tzOffUs)
-                val ivUs = lit(secs * 1000000L)
+                val ivUs = lit(us)
                 timestamp_micros(um - pmod(um, ivUs) - lit(tzOffUs)).as(name)
               case None =>
                 val unit = calendarUnit(
@@ -3412,14 +3518,89 @@ object QueryDsl {
                   timestamp_micros(unix_micros(col(f)) + lit(tzOffUs))))
                   - lit(tzOffUs)).as(name)
             }
-            (key, None, None, None)
+            // min_doc_count: 0 — EMPTY TIME BUCKETS APPEAR (the
+            // dashboard dense-series contract; pipeline aggs over a
+            // sparse time series silently skip gaps without it).
+            // fixed_interval only: the dense series is exact integer
+            // microsecond arithmetic; a calendar series has no
+            // constant step — fail loud rather than approximate.
+            val dmdc = intOpt(hm, "min_doc_count").getOrElse(1)
+            if (dmdc != 0 && dmdc != 1)
+              fail(s"date_histogram min_doc_count must be 0 or 1, got $dmdc")
+            val dateFill: Option[HistoFill] =
+              if (dmdc == 0) {
+                val us = fixedUs.getOrElse(fail("date_histogram " +
+                  "min_doc_count: 0 requires fixed_interval (a calendar " +
+                  "series has no constant step)"))
+                val bounds: Option[(Long, Long)] = hm.get("extended_bounds") match {
+                  case None => None
+                  case Some(JObject(b)) =>
+                    val bm = b.toMap
+                    bm.keySet.diff(Set("min", "max")).foreach(k =>
+                      fail(s"unsupported extended_bounds key '$k'"))
+                    def us0(k: String): Long = bm.get(k) match {
+                      case Some(JString(s)) =>
+                        val t = try DateMath.parseAnchor(s)
+                          catch { case e: IllegalArgumentException =>
+                            fail(s"extended_bounds $k: ${e.getMessage}") }
+                        t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+                          t.getNano / 1000L
+                      case _ => fail("date_histogram extended_bounds needs " +
+                        "ISO min and max strings")
+                    }
+                    val (lo, hi) = (us0("min"), us0("max"))
+                    if (lo > hi) fail("extended_bounds needs min <= max")
+                    Some((lo, hi))
+                  case Some(other) =>
+                    fail(s"extended_bounds must be an object: ${render(other)}")
+                }
+                Some(DateFill(f, us, tzOffUs, bounds))
+              } else {
+                if (hm.contains("extended_bounds"))
+                  fail("extended_bounds requires min_doc_count: 0")
+                None
+              }
+            (key, None, None, dateFill, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
-        val bucketTable0 = hits.groupBy(keyCol)
+        // include/exclude run on the HIT ROWS (map-side, before the
+        // groupBy shuffle) — the filtered keys never enter the exchange
+        val gated = preFilter.map(hits.filter).getOrElse(hits)
+        val bucketTable0 = gated.groupBy(keyCol)
           .agg(count(lit(1)).as("doc_count"), subs: _*)
         val bucketTable = histoFill match {
           case None => bucketTable0
-          case Some((field, iv, off, boundsOpt)) =>
+          case Some(DateFill(field, ivUs, tzOffUs, boundsOpt)) =>
+            // the dense TIME series: same shape as the numeric fill,
+            // keys in exact microsecond arithmetic aligned to the
+            // (time-zone-shifted) fixed-interval boundaries
+            def bucketOf(us: Long): Long =
+              Math.floorDiv(us + tzOffUs, ivUs) * ivUs - tzOffUs
+            val (lo0, hi0) = boundsOpt.getOrElse {
+              val r = gated.filter(col(field).isNotNull)
+                .agg(min(col(field)), max(col(field))).collect().head
+              if (r.isNullAt(0)) (0L, -1L)
+              else {
+                def us(i: Int): Long = {
+                  val t = r.getTimestamp(i).toInstant
+                  t.getEpochSecond * 1000000L + t.getNano / 1000L
+                }
+                (us(0), us(1))
+              }
+            }
+            val lo = bucketOf(lo0)
+            val hi = bucketOf(hi0)
+            val nBuckets =
+              if (hi0 < lo0) 0L else math.max(0L, (hi - lo) / ivUs + 1)
+            if (nBuckets > 100000)
+              fail(s"date_histogram min_doc_count: 0 would emit $nBuckets " +
+                "buckets (cap 100000) - widen the interval")
+            val series = gated.sparkSession.range(nBuckets)
+              .select(timestamp_micros(lit(lo) + col("id") * lit(ivUs)).as(name))
+            series.join(bucketTable0.filter(col(name).isNotNull),
+                Seq(name), "full_outer")
+              .na.fill(0L, Seq("doc_count"))
+          case Some(NumFill(field, iv, off, boundsOpt)) =>
             // the dense key series: extended_bounds if given, else the
             // data's own [min, max] (a map-only 2-long aggregate over
             // hits to the driver — NOT a collect on the bucket table,
@@ -3431,7 +3612,7 @@ object QueryDsl {
             // buckets outside the bounds survive; empty buckets get
             // doc_count 0, sub-aggs NULL.
             val (lo0, hi0) = boundsOpt.getOrElse {
-              val r = hits.agg(min(col(field)), max(col(field))).collect().head
+              val r = gated.agg(min(col(field)), max(col(field))).collect().head
               if (r.isNullAt(0)) (0L, -1L)
               else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
             }
@@ -3444,7 +3625,7 @@ object QueryDsl {
             if (nBuckets > 100000)
               fail(s"histogram min_doc_count: 0 would emit $nBuckets " +
                 "buckets (cap 100000) - widen the interval")
-            val series = hits.sparkSession.range(nBuckets)
+            val series = gated.sparkSession.range(nBuckets)
               .select((lit(lo) + col("id") * lit(iv)).as(name))
             series.join(bucketTable0.filter(col(name).isNotNull),
                 Seq(name), "full_outer")

@@ -617,6 +617,51 @@ class QueryDslSpec extends SparkSpec {
          "aggs": {"a": {"avg": {"field": "n_chars"}}}}""") // with aggs
   }
 
+  test("highlight: multiple fields and fragments, deterministic anchors") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "alpha spark beta spark gamma spark", "note spark"),
+      (2L, "no match here at all today", "spark note"),
+      (3L, "spark", "plain")).toDF("doc_id", "a", "b")
+    val out = QueryDsl.search(t,
+      """{"query": {"bool": {
+           "should": [{"match": {"a": "spark"}}, {"match": {"b": "spark"}}],
+           "minimum_should_match": 1}},
+         "highlight": {"fields": {
+           "a": {"fragment_size": 12, "number_of_fragments": 2},
+           "b": {}}},
+         "sort": ["doc_id"], "size": 10,
+         "_source": ["doc_id", "highlight_a", "highlight_b"]}""")
+      .as[(Long, String, String)].collect().toSeq
+    // doc 1: fragments at occurrence 1 (pos 7 → start 1) and
+    // occurrence 2 (pos 18 → start 1... no: 18-20 -> 1) each 12 chars
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    val (_, h1a, h1b) = out.head
+    assert(h1a.contains(" ... "), s"expected two fragments: $h1a")
+    assert(h1a.contains("<em>spark</em>"))
+    assert(h1b === "note <em>spark</em>")
+    val (_, h2a, h2b) = out(1)
+    assert(h2a == null, s"no occurrence → NULL, got $h2a")
+    assert(h2b === "<em>spark</em> note")
+    // single requested field keeps the historical `highlight` name
+    val single = QueryDsl.search(t,
+      """{"query": {"match": {"a": "spark"}},
+         "highlight": {"fields": {"a": {}}},
+         "sort": ["doc_id"], "_source": ["doc_id", "highlight"]}""")
+    assert(single.columns.contains("highlight"))
+    def bad(req: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, req))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // two clauses on one field: ambiguous anchor
+    bad("""{"query": {"bool": {"should": [
+           {"match": {"a": "spark"}}, {"match": {"a": "beta"}}]}},
+         "highlight": {"fields": {"a": {}}}}""", "several clauses")
+    bad("""{"query": {"match": {"a": "spark"}},
+         "highlight": {"fields": {"a": {"number_of_fragments": 0}}}}""",
+      "number_of_fragments must be >= 1")
+  }
+
   test("composite validates sources and the after cursor") {
     def bad(req: String): Unit =
       assertThrows[IllegalArgumentException](QueryDsl.search(docs, req))
@@ -2411,6 +2456,57 @@ class QueryDslSpec extends SparkSpec {
          "ranges": [{"to": "::1"}]}}}}""", "not a dotted-quad")
     bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
          "ranges": [{}]}}}}""", "unbounded range")
+  }
+
+  test("terms include/exclude filters keys map-side; date_histogram dense fill") {
+    import spark.implicits._
+    val t = Seq((1L, "aa"), (2L, "ab"), (3L, "ba"), (4L, "aa"), (5L, "ca"))
+      .toDF("id", "k")
+    // include regex is whole-value anchored; exclude array wins after
+    val inc = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "include": "a."}}}}""")
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(inc === Seq(("aa", 2L), ("ab", 1L)))
+    val exc = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "include": "a.",
+           "exclude": ["ab"]}}}}""")
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(exc === Seq(("aa", 2L)))
+    // exclude-only works too; regex must match the WHOLE value
+    val exc2 = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "exclude": "a"}}}}""")
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(exc2 === Seq(("aa", 2L), ("ab", 1L), ("ba", 1L), ("ca", 1L)),
+      "exclude 'a' must not match two-char values (whole-value anchor)")
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "include": []}}}}"""))
+    assert(e.getMessage.contains("include"), e.getMessage)
+    // date_histogram dense fill: empty 1d buckets appear between data
+    val ev = Seq((1L, "2024-01-01 05:00:00"), (2L, "2024-01-04 07:00:00"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val filled = QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "fixed_interval": "1d", "min_doc_count": 0}}}}""")
+      .orderBy("d")
+      .select(date_format(col("d"), "MM-dd").as("d"), col("doc_count"))
+      .as[(String, Long)].collect().toSeq
+    assert(filled === Seq(("01-01", 1L), ("01-02", 0L), ("01-03", 0L),
+      ("01-04", 1L)))
+    // calendar series has no constant step: fail loud
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "calendar_interval": "month", "min_doc_count": 0}}}}"""))
+    assert(e2.getMessage.contains("requires fixed_interval"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "fixed_interval": "1d",
+           "extended_bounds": {"min": "2024-01-01", "max": "2024-01-05"}}}}}"""))
+    assert(e3.getMessage.contains("requires min_doc_count: 0"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "fixed_interval": "1d", "min_doc_count": 0,
+           "extended_bounds": {"min": "2024-02-30", "max": "2024-03-05"}}}}}"""))
+    assert(e4.getMessage.contains("not an ISO date"), e4.getMessage)
   }
 
   test("analyzer standard: match family folds case and punctuation") {
