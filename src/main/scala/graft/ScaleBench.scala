@@ -14,13 +14,19 @@ import org.apache.spark.sql.functions._
   * where hidden superlinearity shows.
   *
   * The replica is an id-offset cross-join of `copies` PERTURBED
-  * copies — replica k prefixes every token with `r<k>·` (documents) /
+  * copies — replica k prefixes every token with `r<k>x` (documents) /
   * rotates the embedding dimensions by k (embeddings). Perturbation
   * matters: a verbatim N× copy makes every document an N-way exact
   * duplicate, so the requested pair OUTPUT itself grows ~N² and no
   * engine could show sub-quadratic time. Perturbed replicas share no
   * shingles (and no ε-balls) across copies, so the true output grows
   * ~N× and wall-time growth measures the ENGINE, not the task.
+  * The marker is ALPHANUMERIC on purpose: an earlier `r<k>·` middle
+  * dot was stripped by the standard analyzer, splitting every
+  * perturbed token back into its base word — which silently undid the
+  * perturbation for every ANALYZED query (replicas all shared the
+  * base vocabulary again and the measured "growth" was the task's
+  * own output blow-up, not the engine's).
   * Replica 0 is pristine — the base workload is a strict subset.
   * lineitem (for the Z-order probe) replicates un-perturbed: layout
   * pruning is about value distribution, which the copy preserves.
@@ -54,7 +60,14 @@ object ScaleBench {
       // significant_text doc-frequency model (one token groupBy) and
       // string_stats' global character distribution — both must stay
       // ~linear in corpus bytes
-      "q212_dsl_significant_text", "q218_dsl_string_stats")
+      "q212_dsl_significant_text", "q218_dsl_string_stats",
+      // round-9 analyzed surfaces: the standard-analyzer column
+      // normalizer sits INSIDE the corpus-sized plans (positional
+      // postings, token doc-frequency, tf·idf tables) — these rows
+      // pin that normalization stays map-side codegen and the plans
+      // keep their ~linear-in-corpus scaling with it in place
+      "q230_dsl_intervals_analyzed", "q232_dsl_significant_text_analyzed",
+      "q234_dsl_mlt_analyzed")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L
@@ -69,7 +82,7 @@ object ScaleBench {
       .withColumn("doc_id", col("doc_id") + col("k") * lit(off))
       .withColumn("text", when(col("k") === 0, col("text")).otherwise(
         array_join(transform(split(col("text"), " "),
-          t => concat(lit("r"), col("k"), lit("·"), t)), " ")))
+          t => concat(lit("r"), col("k"), lit("x"), t)), " ")))
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")

@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    embedding arrays as one codegen'd loop ([[CosineSim]]) — the
   *    declarative-path alternative to the pair-kernels, bit-identical
   *    to `VectorFns.quantize`+`qdot`;
+  *  - `ascii_fold(s)`: the standard analyzer's normalizer as one
+  *    codegen'd byte pass ([[AsciiFold]]) — SQL-text access to the
+  *    same expression every analyzed DSL clause compiles to;
   *  - the [[HammingBandJoinRewrite]] optimizer rule, which turns a
   *    `hamming_distance(x, y) <= r` nested-loop similarity join into a
   *    banded equi-join automatically;
@@ -47,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           s"cosine_sim expects 2 arguments, got ${args.length}")
         CosineSim(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ascii_fold"),
+      new ExpressionInfo(classOf[AsciiFold].getName, "ascii_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"ascii_fold expects 1 argument, got ${args.length}")
+        AsciiFold(args.head)
       }))
   }
 }

@@ -3031,6 +3031,155 @@ object DslSearch {
         SELECT w2, doc_count, n_users,
                doc_count - LAG(doc_count, 1) OVER (ORDER BY w2) AS delta
         FROM f ORDER BY w2
+      """.stripMargin.trim)),
+
+    // nested agg: metric sub-aggs over ARRAY ELEMENTS (the q157 data
+    // model on the agg surface) — doc_count counts nested documents,
+    // one explode + one global aggregate; sub-agg metrics are
+    // order-free (count/min/max) so the result is engine-exact.
+    GraftQuery(
+      "q242_dsl_nested_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.load(s, dir, "lineitem")
+        val nested = li.groupBy(col("l_orderkey").as("order_key"))
+          .agg(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_discount").as("disc")))).as("items"))
+        QueryDsl.search(nested,
+          """{"query": {"range": {"order_key": {"lte": 3000}}},
+             "aggs": {"it": {"nested": {"path": "items"},
+               "aggs": {"n_lines": {"value_count": {"field": "items.ln"}},
+                        "max_qty": {"max": {"field": "items.qty"}},
+                        "min_disc": {"min": {"field": "items.disc"}}}}}}""")
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(COUNT(l_linenumber) AS BIGINT) AS n_lines,
+               MAX(l_quantity) AS max_qty,
+               MIN(l_discount) AS min_disc
+        FROM lineitem WHERE l_orderkey <= 3000
+      """.stripMargin.trim)),
+
+    // date_range bounds in DATE MATH: "now-2y/y" / "now/M" resolved on
+    // the driver against the request-supplied deterministic now (the
+    // q223 convention), plain-floor rounding on BOTH ends (the
+    // OpenSearch aggregation rule — the bound-type-aware rounding is
+    // the range QUERY's contract); bucket labels keep the request's
+    // expression text. now=1999-06-15: now-2y/y = 1997-01-01,
+    // now/M = 1999-06-01.
+    GraftQuery(
+      "q243_dsl_date_range_math",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "orders"),
+        """{"aggs": {"era": {"date_range": {"field": "o_orderdate",
+             "now": "1999-06-15",
+             "ranges": [{"to": "now-2y/y"},
+                        {"from": "now-2y/y", "to": "now/M"},
+                        {"from": "now/M"}]},
+           "aggs": {"n_cust": {"cardinality": {"field": "o_custkey"}},
+                    "max_price": {"max": {"field": "o_totalprice"}}}}}}"""),
+      Some("""
+        WITH b AS (
+          SELECT 0 AS ord, '*-now-2y/y' AS era, COUNT(*) AS doc_count,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                 MAX(o_totalprice) AS max_price
+          FROM orders WHERE o_orderdate < DATE '1997-01-01'
+          UNION ALL
+          SELECT 1, 'now-2y/y-now/M', COUNT(*),
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT), MAX(o_totalprice)
+          FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+            AND o_orderdate < DATE '1999-06-01'
+          UNION ALL
+          SELECT 2, 'now/M-*', COUNT(*),
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT), MAX(o_totalprice)
+          FROM orders WHERE o_orderdate >= DATE '1999-06-01')
+        SELECT era, doc_count, n_cust, max_price FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // script_fields: computed per-hit output columns through the ONE
+    // ScoreScript compiler (script_score/scripted_metric's grammar) —
+    // Painless-shaped integer arithmetic compiled once on the driver
+    // to codegen'd Catalyst, referencing _score and doc fields; the
+    // derived column is visible to sort and _source.
+    GraftQuery(
+      "q244_dsl_script_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark join window"}},
+           "script_fields": {"weighted": {"script": {
+             "source": "params.w * _score + min(doc['n_chars'].value, params.cap)",
+             "params": {"w": 3, "cap": 300}}}},
+           "sort": [{"weighted": "desc"}, "doc_id"],
+           "size": 40,
+           "_source": ["doc_id", "score", "weighted"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['spark','join','window'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score,
+               CAST(3 * score + LEAST(n_chars, 300) AS BIGINT) AS weighted
+        FROM t WHERE score >= 1
+        ORDER BY weighted DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // _rank_eval: the relevance-regression harness — rated requests,
+    // precision@10 per request. Corpus-sized ranking work runs inside
+    // each compiled request; only the ≤k top ids return (bounded wire
+    // metadata), metric arithmetic exact. The oracle replays both
+    // rankings and the set intersection.
+    GraftQuery(
+      "q245_dsl_rank_eval",
+      (s, dir) => QueryDsl.rankEval(
+        Tables.load(s, dir, "documents"),
+        """{"id_field": "doc_id",
+           "metric": {"precision": {"k": 10, "relevant_rating_threshold": 1}},
+           "requests": [
+             {"id": "qa",
+              "request": {"query": {"match": {"text": "spark join"}},
+                          "sort": [{"_score": "desc"}, "doc_id"],
+                          "size": 10, "_source": ["doc_id"]},
+              "ratings": [{"doc_id": 0, "rating": 1}, {"doc_id": 2, "rating": 1},
+                          {"doc_id": 4, "rating": 1}, {"doc_id": 6, "rating": 1},
+                          {"doc_id": 8, "rating": 1}, {"doc_id": 1, "rating": 0},
+                          {"doc_id": 3, "rating": 0}]},
+             {"id": "qb",
+              "request": {"query": {"match": {"text": "data window"}},
+                          "sort": [{"_score": "desc"}, "doc_id"],
+                          "size": 10, "_source": ["doc_id"]},
+              "ratings": [{"doc_id": 1, "rating": 1}, {"doc_id": 3, "rating": 1},
+                          {"doc_id": 5, "rating": 1}, {"doc_id": 7, "rating": 1},
+                          {"doc_id": 9, "rating": 1}, {"doc_id": 11, "rating": 1}]}]}"""),
+      Some("""
+        WITH ta AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['spark','join'])) AS BIGINT) AS score
+            FROM documents) s
+          WHERE score >= 1 ORDER BY score DESC, doc_id LIMIT 10),
+        tb AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['data','window'])) AS BIGINT) AS score
+            FROM documents) s
+          WHERE score >= 1 ORDER BY score DESC, doc_id LIMIT 10),
+        rela(doc_id) AS (VALUES (0), (2), (4), (6), (8)),
+        relb(doc_id) AS (VALUES (1), (3), (5), (7), (9), (11)),
+        m AS (
+          SELECT 'qa' AS req_id,
+                 (SELECT CAST(COUNT(*) AS DOUBLE) / 10
+                  FROM ta JOIN rela USING (doc_id)) AS "precision"
+          UNION ALL
+          SELECT 'qb',
+                 (SELECT CAST(COUNT(*) AS DOUBLE) / 10
+                  FROM tb JOIN relb USING (doc_id)))
+        SELECT req_id, "precision" FROM m ORDER BY req_id
       """.stripMargin.trim))
   )
 }

@@ -2559,6 +2559,111 @@ object QueryDsl {
     graft.etl.IndexAlias.bm25Page(spark, pit, terms, k, after)
   }
 
+  /** `_rank_eval` endpoint: search-quality metrics for a suite of
+    * RATED requests — the relevance-regression harness OpenSearch
+    * ships (`POST _rank_eval`). Each entry carries a full `_search`
+    * request plus document ratings; the metric is `precision` at k
+    * (with `relevant_rating_threshold`, default 1) or
+    * `mean_reciprocal_rank` at k. Every inner request must declare an
+    * explicit total `sort` and project `id_field` (determinism — an
+    * unordered ranking has no measurable quality), and k documents
+    * per request is WIRE METADATA: the corpus-sized ranking work runs
+    * inside the compiled request, only the ≤k ids come back to the
+    * driver where the metric arithmetic is exact (one IEEE divide per
+    * metric value). Output: one row per request, `(req_id, <metric>)`
+    * in request-id order.
+    */
+  def rankEval(table: DataFrame, requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"rank_eval body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("requests", "metric", "id_field")).foreach(k =>
+      fail(s"unsupported rank_eval key '$k'"))
+    val idField = strOpt(req, "id_field")
+      .getOrElse(fail("rank_eval requires id_field (the document id column)"))
+    val (metricName, k, threshold) = req.get("metric") match {
+      case Some(JObject(List(("precision", JObject(m))))) =>
+        val mm = m.toMap
+        mm.keySet.diff(Set("k", "relevant_rating_threshold")).foreach(kk =>
+          fail(s"unsupported precision option '$kk'"))
+        ("precision", intOpt(mm, "k").getOrElse(10),
+          intOpt(mm, "relevant_rating_threshold").getOrElse(1))
+      case Some(JObject(List(("mean_reciprocal_rank", JObject(m))))) =>
+        val mm = m.toMap
+        mm.keySet.diff(Set("k", "relevant_rating_threshold")).foreach(kk =>
+          fail(s"unsupported mean_reciprocal_rank option '$kk'"))
+        ("mrr", intOpt(mm, "k").getOrElse(10),
+          intOpt(mm, "relevant_rating_threshold").getOrElse(1))
+      case _ => fail("rank_eval metric must be {precision: {...}} or " +
+        "{mean_reciprocal_rank: {...}}")
+    }
+    if (k < 1) fail("rank_eval k must be >= 1")
+    val entries: Seq[(String, Double)] = req.get("requests") match {
+      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+        case JObject(eparts) =>
+          val em = eparts.toMap
+          em.keySet.diff(Set("id", "request", "ratings")).foreach(kk =>
+            fail(s"unsupported rank_eval request key '$kk'"))
+          val rid = strOpt(em, "id")
+            .getOrElse(fail("rank_eval requests need a string id"))
+          val inner = em.getOrElse("request",
+            fail(s"rank_eval '$rid' needs a request"))
+          inner match {
+            case JObject(ip) =>
+              val im = ip.toMap
+              if (!im.contains("sort"))
+                fail(s"rank_eval '$rid' request needs an explicit sort " +
+                  "(an unordered ranking has no measurable quality)")
+              im.get("_source") match {
+                case Some(JArray(List(JString(f)))) if f == idField => ()
+                case _ => fail(s"rank_eval '$rid' request must project " +
+                  s"""_source: ["$idField"] alone""")
+              }
+            case other => fail(s"rank_eval '$rid' request must be an object: " +
+              render(other))
+          }
+          val relevant: Set[Any] = em.get("ratings") match {
+            case Some(JArray(rats)) if rats.nonEmpty => rats.map {
+              case JObject(rp) =>
+                val rm = rp.toMap
+                rm.keySet.diff(Set(idField, "rating")).foreach(kk =>
+                  fail(s"unsupported rating key '$kk' in '$rid'"))
+                val doc = rm.getOrElse(idField,
+                  fail(s"rank_eval '$rid' ratings need the $idField key"))
+                val rating = rm.get("rating") match {
+                  case Some(JInt(r)) => r.toInt
+                  case _ => fail(s"rank_eval '$rid' ratings need an integer rating")
+                }
+                (scalaOf(doc), rating)
+              case other => fail(s"ratings entries must be objects: ${render(other)}")
+            }.collect { case (doc, r) if r >= threshold => doc }.toSet
+            case _ => fail(s"rank_eval '$rid' requires a non-empty ratings array")
+          }
+          // the corpus-sized ranking runs inside the compiled request;
+          // only the ≤k ids return (bounded wire metadata, the _mget
+          // convention)
+          val top = search(table, render(inner))
+            .limit(k).collect().map(_.getAs[Any](idField)).toSeq
+          val value = metricName match {
+            case "precision" => top.count(relevant.contains).toDouble / k
+            case _ =>
+              top.zipWithIndex.collectFirst {
+                case (id, i) if relevant.contains(id) => 1.0 / (i + 1)
+              }.getOrElse(0.0)
+          }
+          (rid, value)
+        case other => fail(s"rank_eval requests must be objects: ${render(other)}")
+      }
+      case _ => fail("rank_eval requires a non-empty requests array")
+    }
+    if (entries.map(_._1).distinct.size != entries.size)
+      fail("rank_eval request ids must be unique")
+    val spark = table.sparkSession
+    import spark.implicits._
+    entries.sortBy(_._1).toDF("req_id", metricName)
+  }
+
   /** Compile a full `_search` request body against `table`. Returns the
     * hit table (with a `score` column when the query scores), or the
     * bucket table when `aggs` is present.
@@ -2569,7 +2674,8 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after", "suggest", "highlight", "knn", "collapse", "min_score"))
+        "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
+        "script_fields"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     // `knn` requests return the ranked neighbor table; the ranking IS
@@ -2602,6 +2708,8 @@ object QueryDsl {
           fail("collapse cannot be combined with more_like_this")
         if (req.contains("min_score"))
           fail("min_score cannot be combined with more_like_this")
+        if (req.contains("script_fields"))
+          fail("script_fields cannot be combined with more_like_this")
         return hitPipeline(moreLikeThisRequest(table, body), req)
       case Some(JObject(List(("span_near", body)))) =>
         if (req.contains("aggs"))
@@ -2612,14 +2720,16 @@ object QueryDsl {
           fail("collapse cannot be combined with span_near")
         if (req.contains("min_score"))
           fail("min_score cannot be combined with span_near")
+        if (req.contains("script_fields"))
+          fail("script_fields cannot be combined with span_near")
         return hitPipeline(spanNearRequest(table, body), req)
       case Some(JObject(List(("percolate", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score")
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with percolate"))
         return hitPipeline(percolateRequest(table, body), req)
       case Some(JObject(List(("intervals", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score")
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with intervals"))
         return hitPipeline(intervalsRequest(table, body), req)
@@ -2657,6 +2767,8 @@ object QueryDsl {
         if (req.contains("search_after"))
           fail("search_after applies to hits, not aggs")
         if (req.contains("collapse")) fail("collapse applies to hits, not aggs")
+        if (req.contains("script_fields"))
+          fail("script_fields applies to hits, not aggs")
         // hits carry the computed score so a top_hits sort on _score
         // (the OpenSearch default ranking) resolves
         compileAggs(table, filtered.withColumn("score", compiled.score),
@@ -2672,9 +2784,47 @@ object QueryDsl {
           else scored1.withColumn("matched_queries",
             concat_ws(",", array_sort(array_compact(array(
               compiled.named.map { case (n, p) => when(p, lit(n)) }: _*)))))
-        val scored = minScore match {
+        val scored1m = minScore match {
           case None     => scored0
           case Some(ms) => scored0.filter(col("score") >= lit(ms))
+        }
+        // `script_fields`: computed per-hit output columns through the
+        // SAME ScoreScript compiler as script_score/scripted_metric —
+        // the Painless-shaped integer expression compiles ONCE on the
+        // driver to codegen'd Catalyst arithmetic (zero row-time
+        // interpretation, the anti-UDF rule on this surface too).
+        // `_score` refers to the request's computed score; the new
+        // column is visible to `sort` and `_source` (a sortable
+        // derived key, which OpenSearch itself cannot do here).
+        val scored = req.get("script_fields") match {
+          case None => scored1m
+          case Some(JObject(sf)) =>
+            if (sf.isEmpty) fail("script_fields must name at least one field")
+            sf.foldLeft(scored1m) { case (df, (fname, fspec)) =>
+              if (df.columns.contains(fname))
+                fail(s"script_fields '$fname' collides with an existing column")
+              val (src, params) = fspec match {
+                case JObject(List(("script", JObject(s)))) =>
+                  val sm = s.toMap
+                  sm.keySet.diff(Set("source", "params")).foreach(k =>
+                    fail(s"unsupported script option '$k' in script_fields '$fname'"))
+                  val source = strOpt(sm, "source")
+                    .getOrElse(fail(s"script_fields '$fname' needs a source"))
+                  val ps: Map[String, Long] = sm.get("params") match {
+                    case Some(JObject(po)) => po.map {
+                      case (k, JInt(v)) => k -> v.toLong
+                      case (k, other) =>
+                        fail(s"script param '$k' must be an integer: ${render(other)}")
+                    }.toMap
+                    case None        => Map.empty
+                    case Some(other) => fail(s"script params must be an object: ${render(other)}")
+                  }
+                  (source, ps)
+                case _ => fail(s"script_fields '$fname' needs {script: {source, params?}}")
+              }
+              df.withColumn(fname, ScoreScript.compile(src, params, col("score")))
+            }
+          case Some(other) => fail(s"script_fields must be an object: ${render(other)}")
         }
         val lit0 = req.get("highlight") match {
           case None    => scored
@@ -3153,7 +3303,7 @@ object QueryDsl {
           "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
           "missing", "multi_terms", "auto_date_histogram", "global",
           "filter", "significant_text", "sampler",
-          "string_stats", "ip_range").contains(p._1))
+          "string_stats", "ip_range", "nested").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -3169,10 +3319,13 @@ object QueryDsl {
           "significant_terms", "filters", "composite", "adjacency_matrix",
           "matrix_stats", "geo_grid", "missing", "multi_terms",
           "auto_date_histogram", "global", "filter", "significant_text",
-          "sampler", "string_stats", "ip_range"))
+          "sampler", "string_stats", "ip_range", "nested"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
+        m.get("nested").foreach { n =>
+          return nestedAgg(hits, name, n, m.get("aggs"))
+        }
         m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
         m.get("ip_range").foreach { r =>
           return ipRangeAgg(hits, name, r, m.get("aggs"))
@@ -3724,6 +3877,36 @@ object QueryDsl {
     onePassBuckets(hits, name, ranges, subAggs, family = "range")
   }
 
+  /** `nested` bucket agg: metric sub-aggs over the ELEMENTS of an
+    * array-of-structs column (the [[nestedClause]] data model on the
+    * agg surface — OpenSearch's nested-documents idiom). `doc_count`
+    * counts nested documents, sub-agg fields use the `path.field`
+    * form and resolve as struct-field access after ONE explode (the
+    * exploded struct keeps the path's name, so the same field paths
+    * work on both surfaces). One explode + one global aggregate — no
+    * join, no per-element shuffle key. Order-sensitive float metrics
+    * (avg/sum over doubles) are the caller's determinism risk, as
+    * everywhere else; the oracle-gated shapes use order-free metrics.
+    */
+  private def nestedAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"nested agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("path")).foreach(k =>
+      fail(s"unsupported nested-agg option '$k' in '$name'"))
+    val path = strOpt(m, "path").getOrElse(fail(s"nested agg '$name' needs a path"))
+    val elems = hits.select(explode(col(path)).as(path))
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (n, sp) => metricCols(n, sp, schema = elems.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    elems.agg(count(lit(1)).as("doc_count"), subs: _*)
+  }
+
   /** `ip_range` bucket agg: explicit `[from, to)` buckets over
     * dotted-quad IPv4 strings — the access-log idiom of the OpenSearch
     * surface. Bounds parse ON THE DRIVER to exact integers; the field
@@ -3797,9 +3980,20 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"date_range agg '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "ranges")).foreach(k =>
+    m.keySet.diff(Set("field", "ranges", "now")).foreach(k =>
       fail(s"unsupported date_range option '$k' in '$name'"))
     val f = strOpt(m, "field").getOrElse(fail(s"date_range agg '$name' needs a field"))
+    // a sibling "now" supplies the deterministic instant date math in
+    // the bounds resolves against (the rangeClause convention)
+    val nowOpt = m.get("now") match {
+      case Some(JString(s)) =>
+        try Some(DateMath.parseAnchor(s))
+        catch { case e: IllegalArgumentException =>
+          fail(s"date_range '$name': now ${e.getMessage}") }
+      case None        => None
+      case Some(other) =>
+        fail(s"date_range now must be an ISO string: ${render(other)}")
+    }
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
         case JObject(bounds) =>
@@ -3808,8 +4002,27 @@ object QueryDsl {
             fail(s"unsupported date_range bound '$k' in agg '$name'"))
           // strict CALENDAR validation on the driver — a regex-valid
           // but impossible date ("1994-02-30") would otherwise pass
-          // through to_date as NULL and silently empty the bucket
+          // through to_date as NULL and silently empty the bucket.
+          // Date-math bounds ("now-2y/y", "1997-01-01||+6M/M") resolve
+          // on the driver too; aggregation bounds round PLAIN FLOOR on
+          // both ends (the OpenSearch agg rule — the bound-type-aware
+          // rounding is the range QUERY's contract, not this one) and
+          // must land on day precision (the bucket key model is DATE —
+          // add /d..   /y to sub-day math rather than silently
+          // truncating). The bucket label keeps the request's own
+          // expression text.
           def day(k: String): Option[String] = bm.get(k).map {
+            case JString(s) if DateMath.isDateMath(s) =>
+              val r = try DateMath.eval(s, nowOpt) catch {
+                case e: IllegalArgumentException =>
+                  fail(s"date_range '$name' $k: ${e.getMessage}")
+              }
+              val t = r.round.map(u => DateMath.truncate(r.base, u))
+                .getOrElse(r.base)
+              if (!t.toLocalTime.equals(java.time.LocalTime.MIDNIGHT))
+                fail(s"date_range '$name' $k '$s' resolves to sub-day " +
+                  "precision - round with /d (or coarser)")
+              t.toLocalDate.toString
             case JString(s) =>
               try { java.time.LocalDate.parse(s); s }
               catch { case _: java.time.format.DateTimeParseException =>
@@ -3817,12 +4030,16 @@ object QueryDsl {
             case other =>
               fail(s"date_range $k must be a yyyy-MM-dd string: ${render(other)}")
           }
+          def label(k: String): Option[String] = bm.get(k).collect {
+            case JString(s) => s
+          }
           val (from, to) = (day("from"), day("to"))
+          val (fromL, toL) = (label("from"), label("to"))
           if (from.isEmpty && to.isEmpty)
             fail(s"date_range agg '$name' has an unbounded range")
           val conds = from.map(v => col(f) >= to_date(lit(v))).toSeq ++
             to.map(v => col(f) < to_date(lit(v)))
-          val key = s"${from.getOrElse("*")}-${to.getOrElse("*")}"
+          val key = s"${fromL.getOrElse("*")}-${toL.getOrElse("*")}"
           (conds.reduce(_ && _), key)
         case other => fail(s"date_range agg '$name' ranges must be objects: ${render(other)}")
       }

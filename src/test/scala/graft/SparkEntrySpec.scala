@@ -57,7 +57,8 @@ class SparkEntrySpec extends SparkSpec {
       "q203_dsl_global", "q204_dsl_filter_agg",
       "q216_dsl_sampler", "q217_dsl_boxplot", "q218_dsl_string_stats",
       // round-9 one-row global aggregates
-      "q235_dsl_percentile_ranks", "q237_dsl_geo_centroid")
+      "q235_dsl_percentile_ranks", "q237_dsl_geo_centroid",
+      "q242_dsl_nested_agg")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

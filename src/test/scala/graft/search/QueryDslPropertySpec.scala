@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * (top-level so the Dataset encoder codegen can reach it).
   */
 final case class Doc(
-    doc_id: Long, lang: String, source: String, n_chars: Long, text: String)
+    doc_id: Long, lang: String, source: String, n_chars: Long, text: String,
+    ctext: String)
 
 /** Property coverage for the query-DSL compiler: a randomly generated
   * query AST, rendered to request JSON and compiled onto Catalyst, must
@@ -30,8 +31,14 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     val vocab = Seq("spark", "join", "window", "data", "the", "model", "scan")
     (0L until 240L).map { i =>
       val words = (0 to (i % 7).toInt).map(j => vocab(((i * 31 + j * 17) % vocab.size).toInt))
+      // ctext: the SAME token stream wearing case + punctuation — the
+      // standard analyzer must see through it (normText(ctext) is
+      // exactly the clean text), so analyzed leaves get a live model
+      val cased = words.zipWithIndex.map { case (w, j) =>
+        if (j % 2 == 0) w.toUpperCase + "!" else w.capitalize + ","
+      }
       Doc(i, langs((i % 4).toInt), s"src${i % 5}", (i * 37) % 500,
-        words.mkString(" "))
+        words.mkString(" "), cased.mkString(" "))
     }
   }
 
@@ -51,6 +58,11 @@ object QueryDslPropertySpec extends Properties("querydsl") {
   private case class Exists(f: String) extends Q
   private case class Match(terms: Seq[String], msm: Long) extends Q
   private case class Phrase(p: String) extends Q
+  // analyzed variants over the cased/punctuated ctext column: the
+  // rendered query text is MANGLED the same way the column is, so
+  // matching only works if both twins normalize correctly
+  private case class AMatch(terms: Seq[String], msm: Long) extends Q
+  private case class APhrase(terms: Seq[String]) extends Q
   private case class Bool(must: Seq[Q], filter: Seq[Q], mustNot: Seq[Q],
       should: Seq[Q], msm: Option[Long]) extends Q
   private case class ConstScore(filt: Q, boost: Long) extends Q
@@ -106,7 +118,12 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       m <- Gen.chooseNum(1L, 2L)
     } yield CombinedFields(ts.distinct, math.min(m, ts.distinct.size.toLong)),
     for { t <- Gen.oneOf(vocab); e <- Gen.chooseNum(1, 5) }
-      yield SpanFirst(t, e))
+      yield SpanFirst(t, e),
+    for { n <- Gen.chooseNum(1, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab));
+          m <- Gen.chooseNum(1L, 2L) }
+      yield AMatch(ts.distinct, m),
+    for { n <- Gen.chooseNum(2, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab)) }
+      yield APhrase(ts))
 
   /** Unit-scale query trees — freely composable anywhere. */
   private def qGen(depth: Int): Gen[Q] =
@@ -192,6 +209,15 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     case Match(ts, m) =>
       s"""{"match": {"text": {"query": ${js(ts.mkString(" "))}, "minimum_should_match": $m}}}"""
     case Phrase(p) => s"""{"match_phrase": {"text": ${js(p)}}}"""
+    case AMatch(ts, m) =>
+      val mangled = ts.map(t => t.toUpperCase + ",").mkString(" ")
+      s"""{"match": {"ctext": {"query": ${js(mangled)},
+         "analyzer": "standard", "minimum_should_match": $m}}}"""
+        .replace("\n", " ")
+    case APhrase(ts) =>
+      val mangled = ts.map(_.capitalize + "!").mkString(" ")
+      s"""{"match_phrase": {"ctext": {"query": ${js(mangled)},
+         "analyzer": "standard"}}}""".replace("\n", " ")
     case Bool(must, filt, not, should, msm) =>
       val parts =
         (if (must.nonEmpty) Seq(s""""must": [${must.map(render).mkString(",")}]""") else Nil) ++
@@ -272,6 +298,13 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       val score = ts.distinct.count(toks.contains).toLong
       (score >= msm, score)
     case Phrase(p) => ((" " + d.text + " ").contains(s" $p "), 1L)
+    case AMatch(ts, msm) =>
+      val toks = Analyzer.Standard.normText(d.ctext).split(" ", -1).distinct.toSet
+      val score = ts.distinct.count(toks.contains).toLong
+      (score >= msm, score)
+    case APhrase(ts) =>
+      val nb = Analyzer.Standard.normText(d.ctext)
+      ((" " + nb + " ").contains(" " + ts.mkString(" ") + " "), 1L)
     case Bool(must, filt, not, should, msmOpt) =>
       val m = must.map(eval(_, d))
       val f = filt.map(eval(_, d))

@@ -2287,6 +2287,26 @@ class QueryDslSpec extends SparkSpec {
          "offset": 1.5}}}}""", "offset must be an integer")
   }
 
+  test("ascii_fold: native normalizer == the regex composition it replaced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pool = "AbZz09 I _-!,.çÖİıßµ中文|~\"" + "\t"
+    val strs = (0 until 300).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } ++ Seq("", "  ", "C++ Rules_OK 42!", "İIıi", "a", "Ωmega force")
+    val df = strs.toDF("s")
+    val native = df.select(graft.plans.AsciiFold(col("s"))).as[String].collect().toSeq
+    val regex = df.select(trim(lower(regexp_replace(col("s"),
+      "[^A-Za-z0-9]+", " ")))).as[String].collect().toSeq
+    assert(native === regex)
+    // NULL propagates; SQL registration reaches the same expression
+    assert(df.select(graft.plans.AsciiFold(lit(null).cast("string")))
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT ascii_fold('  Spark, JOIN!  ')")
+      .collect().head.getString(0) === "spark join")
+  }
+
   test("analyzer twins agree on arbitrary unicode (locale-proof by construction)") {
     import spark.implicits._
     // norm (column path) and normText (driver path) must agree
@@ -2507,6 +2527,132 @@ class QueryDslSpec extends SparkSpec {
            "fixed_interval": "1d", "min_doc_count": 0,
            "extended_bounds": {"min": "2024-02-30", "max": "2024-03-05"}}}}}"""))
     assert(e4.getMessage.contains("not an ISO date"), e4.getMessage)
+  }
+
+  test("date_range date-math bounds: driver-resolved, floor-rounded, day-precise") {
+    import spark.implicits._
+    val t = Seq((1L, "1996-05-10"), (2L, "1997-03-01"), (3L, "1999-07-04"))
+      .toDF("id", "s").select(col("id"), col("s").cast("date").as("d"))
+    val out = QueryDsl.search(t,
+      """{"aggs": {"era": {"date_range": {"field": "d",
+           "now": "1999-06-15",
+           "ranges": [{"to": "now-2y/y"}, {"from": "now-2y/y"}]}}}}""")
+      .select("era", "doc_count").as[(String, Long)].collect().toSeq
+    // now-2y/y floors to 1997-01-01: doc 1 below, docs 2+3 at/above;
+    // labels keep the request's expression text
+    assert(out === Seq(("*-now-2y/y", 1L), ("now-2y/y-*", 2L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"era": {"date_range": {"field": "d",
+         "ranges": [{"to": "now-2y/y"}]}}}}""", "needs a sibling")
+    bad("""{"aggs": {"era": {"date_range": {"field": "d",
+         "now": "1999-06-15T12:30:00",
+         "ranges": [{"to": "now-3h"}]}}}}""", "sub-day precision")
+  }
+
+  test("script_fields: derived columns, sortable, fail-loud combinations") {
+    import spark.implicits._
+    val t = Seq((1L, 100L), (2L, 400L)).toDF("doc_id", "v")
+    val out = QueryDsl.search(t,
+      """{"query": {"range": {"doc_id": {"gte": 1}}},
+         "script_fields": {"capped": {"script": {
+           "source": "params.w * _score + min(doc['v'].value, params.cap)",
+           "params": {"w": 10, "cap": 250}}}},
+         "sort": [{"capped": "desc"}, "doc_id"],
+         "_source": ["doc_id", "capped"]}""")
+      .as[(Long, Long)].collect().toSeq
+    // score = 1 each: doc1 → 10 + 100 = 110, doc2 → 10 + 250 = 260
+    assert(out === Seq((2L, 260L), (1L, 110L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"script_fields": {"doc_id": {"script": {"source": "_score"}}}}""",
+      "collides with an existing column")
+    bad("""{"script_fields": {}}""", "at least one field")
+    bad("""{"script_fields": {"x": {"script": {"source": "_score"}}},
+         "aggs": {"n": {"value_count": {"field": "doc_id"}}}}""",
+      "applies to hits, not aggs")
+    bad("""{"script_fields": {"x": {"source": "_score"}}}""",
+      "needs {script:")
+  }
+
+  test("rank_eval: precision and MRR over rated requests, fail-loud shapes") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "spark spark spark"), (2L, "spark spark x"),
+      (3L, "spark y z"), (4L, "nothing here")).toDF("doc_id", "text")
+    def innerReq = """{"query": {"match": {"text": "spark"}},
+      "sort": [{"_score": "desc"}, "doc_id"],
+      "size": 3, "_source": ["doc_id"]}"""
+    // ranking is 1, 2, 3 (score = distinct-term overlap... all score 1,
+    // so doc_id breaks ties): precision@3 with docs {2, 4} rated = 1/3
+    val p = QueryDsl.rankEval(t,
+      s"""{"id_field": "doc_id",
+           "metric": {"precision": {"k": 3}},
+           "requests": [{"id": "q1", "request": $innerReq,
+             "ratings": [{"doc_id": 2, "rating": 1},
+                         {"doc_id": 4, "rating": 1}]}]}""")
+      .as[(String, Double)].collect().toSeq
+    assert(p === Seq(("q1", 1.0 / 3)))
+    // MRR: first relevant is rank 2 → 1/2; threshold filters rating 0
+    val m = QueryDsl.rankEval(t,
+      s"""{"id_field": "doc_id",
+           "metric": {"mean_reciprocal_rank": {"k": 3}},
+           "requests": [{"id": "q1", "request": $innerReq,
+             "ratings": [{"doc_id": 1, "rating": 0},
+                         {"doc_id": 2, "rating": 1}]}]}""")
+      .as[(String, Double)].collect().toSeq
+    assert(m === Seq(("q1", 0.5)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.rankEval(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(s"""{"id_field": "doc_id", "metric": {"precision": {}},
+         "requests": [{"id": "q1",
+           "request": {"query": {"match": {"text": "spark"}},
+                       "_source": ["doc_id"]},
+           "ratings": [{"doc_id": 1, "rating": 1}]}]}""",
+      "needs an explicit sort")
+    bad(s"""{"id_field": "doc_id", "metric": {"precision": {}},
+         "requests": [{"id": "q1", "request": $innerReq,
+             "ratings": [{"doc_id": 1, "rating": 1}]},
+           {"id": "q1", "request": $innerReq,
+             "ratings": [{"doc_id": 1, "rating": 1}]}]}""",
+      "ids must be unique")
+    bad("""{"id_field": "doc_id", "metric": {"dcg": {}}, "requests": []}""",
+      "metric must be")
+  }
+
+  test("nested agg: metrics over array elements, doc_count = nested docs") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Seq((1L, 10L), (2L, 30L))),
+      (2L, Seq((1L, 5L))),
+      (3L, Seq.empty[(Long, Long)]))
+      .toDF("id", "raw")
+      .select(col("id"), expr(
+        "transform(raw, x -> named_struct('ln', x._1, 'qty', x._2))").as("items"))
+    val out = QueryDsl.search(t,
+      """{"aggs": {"it": {"nested": {"path": "items"},
+           "aggs": {"n": {"value_count": {"field": "items.ln"}},
+                    "max_qty": {"max": {"field": "items.qty"}}}}}}""")
+      .collect().head
+    assert(out.getAs[Long]("doc_count") === 3L) // elements, not parents
+    assert(out.getAs[Long]("n") === 3L)
+    assert(out.getAs[Long]("max_qty") === 30L)
+    // the query filters PARENTS before the explode
+    val filtered = QueryDsl.search(t,
+      """{"query": {"range": {"id": {"gte": 2}}},
+         "aggs": {"it": {"nested": {"path": "items"},
+           "aggs": {"n": {"value_count": {"field": "items.ln"}}}}}}""")
+      .collect().head
+    assert(filtered.getAs[Long]("doc_count") === 1L)
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"it": {"nested": {"path": "items", "x": 1}}}}"""))
+    assert(e.getMessage.contains("unsupported nested-agg option"), e.getMessage)
   }
 
   test("analyzer standard: match family folds case and punctuation") {
