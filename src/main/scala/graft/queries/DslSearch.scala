@@ -3180,6 +3180,46 @@ object DslSearch {
                  (SELECT CAST(COUNT(*) AS DOUBLE) / 10
                   FROM tb JOIN relb USING (doc_id)))
         SELECT req_id, "precision" FROM m ORDER BY req_id
+      """.stripMargin.trim)),
+
+    // term-level case_insensitive (term/prefix/wildcard/regexp):
+    // term-level queries skip the analyzer by the OpenSearch contract,
+    // so this flag is their only folding — both sides lower (regexp
+    // via the inline (?i) flag both engines' regex dialects honor).
+    // The corpus variant uppercases the first two source chars so raw
+    // matching finds nothing.
+    GraftQuery(
+      "q246_dsl_case_insensitive",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val t = Tables.load(s, dir, "documents").withColumn("src_u",
+          expr("concat(upper(substring(source, 1, 2)), substring(source, 3))"))
+        QueryDsl.search(t,
+          """{"query": {"bool": {"should": [
+               {"term": {"src_u": {"value": "src2", "case_insensitive": true}}},
+               {"prefix": {"src_u": {"value": "sRc1", "case_insensitive": true}}},
+               {"wildcard": {"src_u": {"value": "src?", "case_insensitive": true}}},
+               {"regexp": {"src_u": {"value": "src[0-3]", "case_insensitive": true}}}],
+             "minimum_should_match": 1}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 60,
+           "_source": ["doc_id", "src_u", "score"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 upper(substr(source, 1, 2)) || substr(source, 3) AS src_u
+          FROM documents),
+        s AS (
+          SELECT doc_id, src_u,
+            CAST((CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+               + (CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END)
+               + (CASE WHEN source LIKE 'src_' THEN 1 ELSE 0 END)
+               + (CASE WHEN regexp_full_match(source, '(?i)src[0-3]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS score
+          FROM t)
+        SELECT doc_id, src_u, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 60
       """.stripMargin.trim))
   )
 }

@@ -81,10 +81,12 @@ import org.json4s.jackson.JsonMethods
   * query grammars, intervals, span_near, more_like_this, the three
   * suggesters, significant_text) takes a per-clause `"analyzer"`
   * option ([[Analyzer]] — `whitespace` default, `standard` =
-  * strip-then-lowercase) applied identically to the field column and
-  * the query text. Term-level clauses (term/prefix/wildcard/fuzzy/
-  * regexp/terms_set) stay raw BY THE OPENSEARCH CONTRACT — term-level
-  * queries are not analyzed there either.
+  * strip-then-lowercase via the native [[graft.plans.AsciiFold]]
+  * expression) applied identically to the field column and the query
+  * text. Term-level clauses (term/prefix/wildcard/fuzzy/regexp/
+  * terms_set) stay raw BY THE OPENSEARCH CONTRACT — term-level
+  * queries are not analyzed there either; their folding knob is the
+  * term-level `case_insensitive` option (term/prefix/wildcard/regexp).
   *
   * Request level: `query`, `sort` (field names or `{field: {order}}`,
   * `_score` sorts by the computed score, `_geo_distance` by the
@@ -95,10 +97,15 @@ import org.json4s.jackson.JsonMethods
   * `highlight` (tag-wrapped fragment columns — multi-field,
   * `number_of_fragments` ≥ 1 per field, q46/q239 contracts),
   * `collapse` (one hit — or top `inner_hits.size` — per distinct
-  * field value, one window over the hit set), the PIT wire trio
+  * field value, one window over the hit set), `script_fields`
+  * (computed per-hit columns through the [[ScoreScript]] compiler —
+  * sortable, projectable), the PIT wire trio
   * ([[openPit]]/[[searchPit]]/[[closePit]] — `{"pit": {"id"}}` +
-  * `search_after` paging a PINNED index version), and
-  * `aggs` with `terms` (+ nested metric sub-aggs or one `top_hits`),
+  * `search_after` paging a PINNED index version), the [[rankEval]]
+  * endpoint (precision@k / MRR over rated requests), and
+  * `aggs` with `terms` (+ `include`/`exclude` key filters applied
+  * map-side before the shuffle, nested metric sub-aggs or one
+  * `top_hits`), `nested` (metrics over array-of-structs elements),
   * `composite` (multi-source buckets with `after` keyset paging,
   * pruned before the groupBy),
   * `range` (overlapping [from, to) buckets), `date_range`
@@ -252,15 +259,24 @@ object QueryDsl {
       case "terms"     => termClause(body, multi = true)
       case "range"     => rangeClause(body)
       case "prefix"    =>
-        val (f, v) = fieldValue(body, "prefix")
-        CompiledQuery(col(f).startsWith(litOf(v)), lit(1L))
+        val (f, v, ci) = fieldValueCi(body, "prefix")
+        val pred =
+          if (!ci) col(f).startsWith(litOf(v))
+          else v match {
+            case JString(s) => lower(col(f))
+              .startsWith(lit(s.toLowerCase(java.util.Locale.ROOT)))
+            case other => fail(s"case_insensitive prefix value must be a " +
+              s"string: ${render(other)}")
+          }
+        CompiledQuery(pred, lit(1L))
       case "wildcard" =>
-        val (f, v) = fieldValue(body, "wildcard")
+        val (f, v, ci) = fieldValueCi(body, "wildcard")
         val pat = v match {
-          case JString(s) => wildcardToLike(s)
+          case JString(s) =>
+            wildcardToLike(if (ci) s.toLowerCase(java.util.Locale.ROOT) else s)
           case other      => fail(s"wildcard pattern must be a string: ${render(other)}")
         }
-        CompiledQuery(col(f).like(pat), lit(1L))
+        CompiledQuery((if (ci) lower(col(f)) else col(f)).like(pat), lit(1L))
       case "exists" => body match {
         case JObject(fs) => fs.toMap.get("field") match {
           case Some(JString(f)) => CompiledQuery(col(f).isNotNull, lit(1L))
@@ -442,10 +458,12 @@ object QueryDsl {
     body match {
       // expanded term form: {"term": {f: {"value": v, "boost": n}}} —
       // an integer boost scores n instead of 1 (float boosts fail
-      // loud, the exact scoring model)
+      // loud, the exact scoring model); `case_insensitive` folds both
+      // sides (the OpenSearch term-level option — term-level queries
+      // skip the analyzer, this knob is their only folding)
       case JObject(List((f, JObject(opts)))) if !multi && opts.exists(_._1 == "value") =>
         val m = opts.toMap
-        m.keySet.diff(Set("value", "boost")).foreach(k =>
+        m.keySet.diff(Set("value", "boost", "case_insensitive")).foreach(k =>
           fail(s"unsupported term option '$k' on '$f'"))
         val boost = m.get("boost") match {
           case Some(JInt(b)) if b >= 1 => b.toLong
@@ -453,7 +471,15 @@ object QueryDsl {
           case Some(other) =>
             fail(s"term boost must be a positive integer (exact scoring): ${render(other)}")
         }
-        CompiledQuery(col(f) === litOf(m("value")), lit(boost))
+        val pred =
+          if (!caseInsensitiveOpt(m, s"term on '$f'")) col(f) === litOf(m("value"))
+          else m("value") match {
+            case JString(s) =>
+              lower(col(f)) === lit(s.toLowerCase(java.util.Locale.ROOT))
+            case other => fail(s"case_insensitive term value must be a " +
+              s"string: ${render(other)}")
+          }
+        CompiledQuery(pred, lit(boost))
       case JObject(List((f, v))) =>
         val pred =
           if (multi) v match {
@@ -601,6 +627,18 @@ object QueryDsl {
     * of silently matching something else; multi-token text belongs in
     * a quoted phrase.
     */
+  /** The OpenSearch `case_insensitive` flag on term-level clauses —
+    * term-level queries skip the analyzer by contract, so this knob is
+    * their only folding. ASCII contract like the analyzer's.
+    */
+  private def caseInsensitiveOpt(m: Map[String, JValue], where: String): Boolean =
+    m.get("case_insensitive") match {
+      case Some(JBool(b)) => b
+      case None           => false
+      case Some(other) =>
+        fail(s"$where: case_insensitive must be a boolean: ${render(other)}")
+    }
+
   private def analyzedTerm(an: Analyzer, term: String, where: String): String = {
     val t = an.normText(term).trim
     if (t.isEmpty)
@@ -968,12 +1006,15 @@ object QueryDsl {
     * core both engines share; exotic constructs are the caller's risk.
     */
   private def regexpClause(body: JValue): CompiledQuery = {
-    val (f, v) = fieldValue(body, "regexp")
+    val (f, v, ci) = fieldValueCi(body, "regexp")
     val pat = v match {
       case JString(s) => s
       case other      => fail(s"regexp pattern must be a string: ${render(other)}")
     }
-    CompiledQuery(col(f).rlike(s"^(?:$pat)$$"), lit(1L))
+    // (?i) scoped inside the anchors — the inline flag both regex
+    // engines (java.util.regex here, RE2 in the oracle) honor
+    val anchored = if (ci) s"^(?i)(?:$pat)$$" else s"^(?:$pat)$$"
+    CompiledQuery(col(f).rlike(anchored), lit(1L))
   }
 
   /** `multi_match`: one query text against several fields. A field
@@ -3934,14 +3975,22 @@ object QueryDsl {
       parts.foldLeft(0L)((acc, p) => acc * 256L + p.toLong)
     }
     // the field-side conversion: each octet casts to long (junk → NULL
-    // → the whole sum is NULL → no bucket), valid quads get the exact
+    // → the whole sum is NULL → no bucket) and must sit in 0..255 (an
+    // out-of-range "10.999.0.1" would otherwise convert to SOME number
+    // and silently land in a bucket), valid quads get the exact
     // integer the driver-side bound parser produces
     val oct = split(col(f), "\\.")
-    val ipNum = when(size(oct) === 4,
-      element_at(oct, 1).cast("long") * lit(16777216L) +
-        element_at(oct, 2).cast("long") * lit(65536L) +
-        element_at(oct, 3).cast("long") * lit(256L) +
-        element_at(oct, 4).cast("long"))
+    // try_element_at + try_cast: a short split or a non-numeric octet
+    // must yield NULL, not an ANSI index/cast error (the guard runs in
+    // the when() CONDITION, before the size check can protect it — and
+    // dirty DATA must never abort the aggregation, the null-key-
+    // omitted convention)
+    def octet(i: Int): Column = try_element_at(oct, lit(i)).try_cast("long")
+    val octetsOk = (1 to 4).map(i =>
+      octet(i).isNotNull && octet(i) >= 0L && octet(i) <= 255L).reduce(_ && _)
+    val ipNum = when(size(oct) === 4 && octetsOk,
+      octet(1) * lit(16777216L) + octet(2) * lit(65536L) +
+        octet(3) * lit(256L) + octet(4))
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
         case JObject(bounds) =>
@@ -5257,6 +5306,21 @@ object QueryDsl {
       case JObject(List((f, JObject(opts)))) if opts.exists(_._1 == "value") =>
         (f, opts.find(_._1 == "value").get._2)
       case JObject(List((f, v))) => (f, v)
+      case other => fail(s"$clause requires {field: value}: ${render(other)}")
+    }
+
+  /** [[fieldValue]] plus the term-level `case_insensitive` option —
+    * STRICT on the value-object form (unknown options fail loud, not
+    * silently ignored).
+    */
+  private def fieldValueCi(body: JValue, clause: String): (String, JValue, Boolean) =
+    body match {
+      case JObject(List((f, JObject(opts)))) if opts.exists(_._1 == "value") =>
+        val m = opts.toMap
+        m.keySet.diff(Set("value", "case_insensitive")).foreach(k =>
+          fail(s"unsupported $clause option '$k' on '$f'"))
+        (f, m("value"), caseInsensitiveOpt(m, s"$clause on '$f'"))
+      case JObject(List((f, v))) => (f, v, false)
       case other => fail(s"$clause requires {field: value}: ${render(other)}")
     }
 

@@ -1196,7 +1196,7 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"term": {"lang": {"value": "en",
            "boost": 0}}}}""")                                   // boost < 1
     bad("""{"query": {"term": {"lang": {"value": "en",
-           "case_insensitive": true}}}}""")                     // bad option
+           "rewrite": "top_terms"}}}}""")                       // bad option
     bad("""{"query": {"match_all": {}},
          "sort": [{"_geo_distance": {"lat_field": "a",
            "origin": {"lat": 0, "lon": 0}}}]}""")               // no lon_field
@@ -2462,8 +2462,10 @@ class QueryDslSpec extends SparkSpec {
            "lon_field": "lon"}}}}""").collect().head
     assert(cen.getAs[Double]("c_lat") === 0.0)
     assert(cen.getAs[Double]("c_lon") === 25.5)
-    // ip_range: junk field values land in no bucket; bad bounds loud
-    val ips = Seq((1L, "10.0.0.1"), (2L, "10.0.1.200"), (3L, "junk"), (4L, null))
+    // ip_range: junk field values land in no bucket (including
+    // out-of-range octets, which still CAST to a number); bad bounds loud
+    val ips = Seq((1L, "10.0.0.1"), (2L, "10.0.1.200"), (3L, "junk"),
+      (4L, null), (5L, "10.999.0.1"), (6L, "10.0.0.1.7"))
       .toDF("id", "ip")
     val ir = QueryDsl.search(ips,
       """{"aggs": {"net": {"ip_range": {"field": "ip",
@@ -2577,6 +2579,37 @@ class QueryDslSpec extends SparkSpec {
       "applies to hits, not aggs")
     bad("""{"script_fields": {"x": {"source": "_score"}}}""",
       "needs {script:")
+  }
+
+  test("case_insensitive folds term-level clauses; raw stays exact") {
+    import spark.implicits._
+    val t = Seq((1L, "Alpha"), (2L, "ALPHA"), (3L, "alpha"), (4L, "beta"))
+      .toDF("id", "s")
+    def ids(json: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": $json, "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(ids("""{"term": {"s": {"value": "alpha",
+      "case_insensitive": true}}}""") === Seq(1L, 2L, 3L))
+    assert(ids("""{"term": {"s": "alpha"}}""") === Seq(3L))
+    assert(ids("""{"prefix": {"s": {"value": "ALP",
+      "case_insensitive": true}}}""") === Seq(1L, 2L, 3L))
+    assert(ids("""{"wildcard": {"s": {"value": "AL*A",
+      "case_insensitive": true}}}""") === Seq(1L, 2L, 3L))
+    assert(ids("""{"regexp": {"s": {"value": "al.ha",
+      "case_insensitive": true}}}""") === Seq(1L, 2L, 3L))
+    assert(ids("""{"regexp": {"s": {"value": "al.ha",
+      "case_insensitive": false}}}""") === Seq(3L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+        s"""{"query": $json}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"term": {"s": {"value": "x", "case_insensitive": 1}}}""",
+      "must be a boolean")
+    bad("""{"prefix": {"s": {"value": "x", "bogus": 1}}}""",
+      "unsupported prefix option")
+    bad("""{"term": {"s": {"value": 5, "case_insensitive": true}}}""",
+      "must be a string")
   }
 
   test("rank_eval: precision and MRR over rated requests, fail-loud shapes") {
