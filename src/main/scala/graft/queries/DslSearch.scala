@@ -3220,6 +3220,35 @@ object DslSearch {
           FROM t)
         SELECT doc_id, src_u, score FROM s WHERE score >= 1
         ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // filters other_bucket: the remainder bucket (docs matching NO
+    // named filter) as one more conditional aggregate in the SAME
+    // one-pass row — no extra scan; named via other_bucket_key.
+    GraftQuery(
+      "q247_dsl_filters_other_bucket",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"kind": {"filters": {"filters": {
+               "short": {"range": {"n_chars": {"lt": 250}}},
+               "sparky": {"match": {"text": "spark"}}},
+               "other_bucket_key": "rest"},
+             "aggs": {"sum_chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        b AS (
+          SELECT 0 AS ord, 'short' AS kind, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM en WHERE n_chars < 250
+          UNION ALL
+          SELECT 1, 'sparky', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+          FROM en WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+          UNION ALL
+          SELECT 2, 'rest', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+          FROM en WHERE NOT (n_chars < 250)
+            AND NOT list_contains(list_distinct(string_split(text, ' ')), 'spark'))
+        SELECT kind, doc_count, sum_chars FROM b ORDER BY ord
       """.stripMargin.trim))
   )
 }

@@ -4790,14 +4790,33 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"filters agg '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("filters")).foreach(k =>
-      fail(s"unsupported filters option '$k' in agg '$name'"))
+    m.keySet.diff(Set("filters", "other_bucket", "other_bucket_key"))
+      .foreach(k => fail(s"unsupported filters option '$k' in agg '$name'"))
     val named: Seq[(Column, String)] = m.get("filters") match {
       case Some(JObject(fs)) if fs.nonEmpty =>
         fs.map { case (bname, q) => (compileQuery(q).pred, bname) }
       case _ => fail(s"filters agg '$name' requires a non-empty keyed filters object")
     }
-    onePassBuckets(hits, name, named, subAggs, family = "filters")
+    // `other_bucket`: a trailing bucket counting docs that match NO
+    // named filter (the OpenSearch remainder bucket) — one more
+    // conditional aggregate in the SAME one-pass row, no extra scan;
+    // `other_bucket_key` renames it (and implies it, as in OpenSearch)
+    val otherKey: Option[String] = (m.get("other_bucket"), m.get("other_bucket_key")) match {
+      case (_, Some(JString(k)))      => Some(k)
+      case (_, Some(other))           => fail(s"other_bucket_key must be a string: ${render(other)}")
+      case (Some(JBool(true)), None)  => Some("_other_")
+      case (Some(JBool(false)), None) => None
+      case (Some(other), None)        => fail(s"other_bucket must be a boolean: ${render(other)}")
+      case (None, None)               => None
+    }
+    val buckets = otherKey match {
+      case None => named
+      case Some(k) =>
+        if (named.exists(_._2 == k))
+          fail(s"filters agg '$name': other bucket key '$k' collides with a named filter")
+        named :+ ((named.map(!_._1).reduce(_ && _), k))
+    }
+    onePassBuckets(hits, name, buckets, subAggs, family = "filters")
   }
 
   /** `composite` bucket agg: multi-source buckets in source-key order

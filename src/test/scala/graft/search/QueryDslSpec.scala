@@ -2581,6 +2581,35 @@ class QueryDslSpec extends SparkSpec {
       "needs {script:")
   }
 
+  test("filters other_bucket counts the remainder in the same pass") {
+    import spark.implicits._
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
+    val out = QueryDsl.search(t,
+      """{"aggs": {"g": {"filters": {"filters": {
+           "low": {"range": {"v": {"lt": 15}}},
+           "mid": {"range": {"v": {"gte": 15, "lt": 35}}}},
+           "other_bucket": true}}}}""")
+      .select("g", "doc_count").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("low", 1L), ("mid", 2L), ("_other_", 1L)))
+    // the plan stays ONE aggregate — no extra scan for the remainder
+    val plan = QueryDsl.search(t,
+      """{"aggs": {"g": {"filters": {"filters": {
+           "low": {"range": {"v": {"lt": 15}}}},
+           "other_bucket_key": "rest"}}}}""")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan ")) <= 1, plan.take(800))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"g": {"filters": {"filters": {
+         "low": {"range": {"v": {"lt": 15}}}},
+         "other_bucket_key": "low"}}}}""", "collides with a named filter")
+    bad("""{"aggs": {"g": {"filters": {"filters": {
+         "low": {"range": {"v": {"lt": 15}}}},
+         "other_bucket": "yes"}}}}""", "must be a boolean")
+  }
+
   test("case_insensitive folds term-level clauses; raw stays exact") {
     import spark.implicits._
     val t = Seq((1L, "Alpha"), (2L, "ALPHA"), (3L, "alpha"), (4L, "beta"))
