@@ -5218,7 +5218,18 @@ object QueryDsl {
       }
       Seq(reduced.as(name))
     case JObject(List((metric, JObject(body)))) =>
-      val f = strOpt(body.toMap, "field")
+      val bm = body.toMap
+      // strict option validation per metric kind — unknown options
+      // fail loud instead of being silently ignored (a request asking
+      // for behavior the engine doesn't implement must say so)
+      val allowedOpts: Set[String] = metric match {
+        case "percentiles" => Set("field", "percents")
+        case "cardinality" => Set("field", "precision_threshold")
+        case _             => Set("field")
+      }
+      bm.keySet.diff(allowedOpts).foreach(k =>
+        fail(s"unsupported $metric option '$k' in '$name'"))
+      val f = strOpt(bm, "field")
         .getOrElse(fail(s"metric agg '$name' ($metric) needs a field"))
       val c = cond.map(p => when(p, col(f))).getOrElse(col(f))
       metric match {
@@ -5227,7 +5238,24 @@ object QueryDsl {
         case "max"   => Seq(max(c).as(name))
         case "sum"   => Seq(sum(c).as(name))
         case "value_count" => Seq(count(c).as(name))
-        case "cardinality" => Seq(countDistinct(c).as(name))
+        // cardinality: EXACT count-distinct by default (the engine's
+        // determinism rule). `precision_threshold` opts into the
+        // APPROXIMATE HLL++ sketch (OpenSearch's own semantics — its
+        // cardinality is always approximate): rsd = 1.04/√threshold,
+        // the HLL register-count relation, so a bigger threshold
+        // means a tighter sketch exactly as in OpenSearch. Approx
+        // results are deterministic within the engine but have no
+        // cross-engine oracle (q7's rule) — gate with the error-bound
+        // spec, not a hash.
+        case "cardinality" =>
+          bm.get("precision_threshold") match {
+            case None => Seq(countDistinct(c).as(name))
+            case Some(JInt(t)) if t >= 100 && t <= 40000 =>
+              val rsd = 1.04 / math.sqrt(t.toDouble)
+              Seq(approx_count_distinct(c, rsd).as(name))
+            case Some(other) => fail(s"cardinality precision_threshold must " +
+              s"be an integer in [100, 40000]: ${render(other)}")
+          }
         case "stats" => Seq(
           count(c).as(s"${name}_count"),
           min(c).as(s"${name}_min"),

@@ -2581,6 +2581,31 @@ class QueryDslSpec extends SparkSpec {
       "needs {script:")
   }
 
+  test("cardinality precision_threshold: approximate HLL inside the error bound") {
+    val exact = QueryDsl.search(docs,
+      """{"aggs": {"n": {"cardinality": {"field": "n_chars"}}}}""")
+      .collect().head.getAs[Long]("n")
+    // rsd = 1.04/sqrt(threshold); assert within 5 sigma of exact
+    val approx = QueryDsl.search(docs,
+      """{"aggs": {"n": {"cardinality": {"field": "n_chars",
+           "precision_threshold": 3000}}}}""")
+      .collect().head.getAs[Long]("n")
+    val rsd = 1.04 / math.sqrt(3000.0)
+    assert(math.abs(approx - exact).toDouble / exact <= 5 * rsd,
+      s"approx $approx vs exact $exact beyond the HLL error bound")
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"n": {"cardinality": {"field": "n_chars",
+         "precision_threshold": 50}}}}""", "[100, 40000]")
+    // unknown metric options now fail loud instead of being ignored
+    bad("""{"aggs": {"n": {"avg": {"field": "n_chars", "missing": 0}}}}""",
+      "unsupported avg option")
+    bad("""{"aggs": {"n": {"sum": {"field": "n_chars", "script": "x"}}}}""",
+      "unsupported sum option")
+  }
+
   test("filters other_bucket counts the remainder in the same pass") {
     import spark.implicits._
     val t = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
