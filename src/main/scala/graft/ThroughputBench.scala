@@ -251,11 +251,20 @@ object ThroughputBench {
     require(fracEpochs >= 1 && fracPerEpoch >= 1,
       s"fracEpochs/fracPerEpoch must be >= 1 (got $fracEpochs/$fracPerEpoch)")
     val (fracVocab, fracNb) = (50000, 512)
-    // measured with the engine's own term hash, never assumed
+    val fracKeys = 3000
+    // measured with the engine's own term hash over the words the
+    // epoch files ACTUALLY emit (the same (k*7+j*13)%wpe draw as
+    // writeFracEpochFile), never the assumed sliding window — with a
+    // non-default fracPerEpoch the emitted term set can be a strict
+    // subset of the window, and the guards must measure the real
+    // event stream
     def touchedMean(wordsPerEpoch: Int): Double =
       (0 until fracEpochs).map { e2 =>
-        val words = (0 until wordsPerEpoch)
-          .map(j => s"w${(e2 * wordsPerEpoch + j) % fracVocab}")
+        val words = (0 until fracPerEpoch).flatMap { i =>
+          val k = (e2 * 131 + i) % fracKeys
+          (0 until 12).map(j =>
+            s"w${(e2 * wordsPerEpoch + (k * 7 + j * 13) % wordsPerEpoch) % fracVocab}")
+        }.distinct
         spark.createDataFrame(words.map(Tuple1(_))).toDF("term")
           .select(pmod(hash(col("term")), lit(fracNb)).as("b"))
           .distinct().count()
@@ -274,7 +283,7 @@ object ThroughputBench {
       var fe = 0
       while (fe < fracEpochs) {
         val e0 = System.nanoTime()
-        writeFracEpochFile(events, fe, fracPerEpoch, keys = 3000,
+        writeFracEpochFile(events, fe, fracPerEpoch, keys = fracKeys,
           vocab = fracVocab, wordsPerEpoch = wordsPerEpoch)
         qf.processAllAvailable()
         secs(fe) = (System.nanoTime() - e0) / 1e9

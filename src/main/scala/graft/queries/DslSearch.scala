@@ -3128,7 +3128,8 @@ object DslSearch {
       """.stripMargin.trim)),
 
     // _rank_eval: the relevance-regression harness — rated requests,
-    // precision@10 per request. Corpus-sized ranking work runs inside
+    // precision over the top-10 window per request (relevant /
+    // RETRIEVED, the OpenSearch denominator). Corpus-sized ranking work runs inside
     // each compiled request; only the ≤k top ids return (bounded wire
     // metadata), metric arithmetic exact. The oracle replays both
     // rankings and the set intersection.
@@ -3172,13 +3173,20 @@ object DslSearch {
         rela(doc_id) AS (VALUES (0), (2), (4), (6), (8)),
         relb(doc_id) AS (VALUES (1), (3), (5), (7), (9), (11)),
         m AS (
+          -- precision divides by RETRIEVED (≤ k), not by k — the
+          -- OpenSearch contract; at tiny SFs a request may return
+          -- fewer than 10 hits
           SELECT 'qa' AS req_id,
-                 (SELECT CAST(COUNT(*) AS DOUBLE) / 10
-                  FROM ta JOIN rela USING (doc_id)) AS "precision"
+                 CASE WHEN (SELECT COUNT(*) FROM ta) = 0 THEN 0.0
+                      ELSE (SELECT CAST(COUNT(*) AS DOUBLE)
+                            FROM ta JOIN rela USING (doc_id))
+                           / (SELECT COUNT(*) FROM ta) END AS "precision"
           UNION ALL
           SELECT 'qb',
-                 (SELECT CAST(COUNT(*) AS DOUBLE) / 10
-                  FROM tb JOIN relb USING (doc_id)))
+                 CASE WHEN (SELECT COUNT(*) FROM tb) = 0 THEN 0.0
+                      ELSE (SELECT CAST(COUNT(*) AS DOUBLE)
+                            FROM tb JOIN relb USING (doc_id))
+                           / (SELECT COUNT(*) FROM tb) END)
         SELECT req_id, "precision" FROM m ORDER BY req_id
       """.stripMargin.trim)),
 
@@ -3249,6 +3257,86 @@ object DslSearch {
           FROM en WHERE NOT (n_chars < 250)
             AND NOT list_contains(list_distinct(string_split(text, ' ')), 'spark'))
         SELECT kind, doc_count, sum_chars FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // bucket_script: the dashboard ratio idiom — derived per-bucket
+    // arithmetic over sibling metric paths (params.a * 100 /
+    // params.b), compiled to a Catalyst column over the BOUNDED
+    // bucket table; corpus work is unchanged (the one date_trunc
+    // groupBy). Exact integer a*100 with ONE IEEE divide replays
+    // bit-identically in DuckDB as CAST(a*100 AS DOUBLE)/b. Composed
+    // with derivative to pin the column-adder pass.
+    GraftQuery(
+      "q248_dsl_bucket_script",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+           "aggs": {"day": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day"},
+             "aggs": {"sum_uid": {"sum": {"field": "user_id"}},
+                      "uid_per_100_docs": {"bucket_script": {
+                        "buckets_path": {"a": "sum_uid", "b": "_count"},
+                        "script": "params.a * 100 / params.b"}},
+                      "delta": {"derivative": {"buckets_path": "sum_uid"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count,
+                 CAST(SUM(user_id) AS BIGINT) AS sum_uid
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT day, doc_count, sum_uid,
+               CAST(sum_uid * 100 AS DOUBLE) / doc_count AS uid_per_100_docs,
+               sum_uid - LAG(sum_uid, 1) OVER (ORDER BY day) AS delta
+        FROM g ORDER BY day
+      """.stripMargin.trim)),
+
+    // match fuzziness: the commonest fuzzy spelling ({"match": {f:
+    // {"query": ..., "fuzziness": 1}}}) — each MISSPELLED query term
+    // matches when any distinct analyzed token is within 1 edit
+    // (exists + levenshtein over the bounded per-row token array,
+    // whole-stage codegen, the q48 term-dictionary walk); score =
+    // matched query terms, msm gates. Analyzer-composed over the
+    // q221 cased+punctuated corpus; DuckDB replays with list_filter
+    // + levenshtein.
+    GraftQuery(
+      "q249_dsl_match_fuzzy",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"match": {"body":
+               {"query": "Sparc, joinn windoww!", "analyzer": "standard",
+                "fuzziness": 1, "minimum_should_match": 2}}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 60,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        norm AS (
+          SELECT doc_id,
+                 trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))) AS nb
+          FROM mixed),
+        toks AS (
+          SELECT doc_id, list_distinct(string_split(nb, ' ')) AS tk
+          FROM norm),
+        scored AS (
+          SELECT doc_id,
+            CAST((CASE WHEN len(list_filter(tk,
+                    t -> levenshtein(t, 'sparc') <= 1)) > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN len(list_filter(tk,
+                    t -> levenshtein(t, 'joinn') <= 1)) > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN len(list_filter(tk,
+                    t -> levenshtein(t, 'windoww') <= 1)) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS score
+          FROM toks)
+        SELECT doc_id, score FROM scored WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 60
       """.stripMargin.trim))
   )
 }

@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   *  - `whitespace` — identity normalization; tokens are the raw
   *    single-space split. The default everywhere (backward-compatible
   *    with every existing oracle).
-  *  - `standard` — lowercase, then every maximal run of
-  *    non-alphanumeric characters becomes a single space
-  *    (`[^a-z0-9]+` after lowering), ends trimmed. ASCII-alphanumeric
+  *  - `standard` — every maximal run of non-`[A-Za-z0-9]` characters
+  *    becomes a single space FIRST, then the (now pure-ASCII) text is
+  *    lowercased, ends trimmed. Strip-before-lower makes the JVM
+  *    default locale irrelevant (see [[Analyzer.Standard]]) and pins
+  *    the non-ASCII edge cases: a character like U+212A (KELVIN SIGN)
+  *    is stripped, never lowered into ASCII `k`. ASCII-alphanumeric
   *    token contract: deterministic and portable across engines
   *    (DuckDB replicates it as
-  *    `trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))`).
+  *    `trim(lower(regexp_replace(x, '[^A-Za-z0-9]+', ' ', 'g')))` —
+  *    the q228–q234 oracle recipe).
   *
   * Design: an analyzer is a COLUMN NORMALIZER, not a tokenizer — it
   * rewrites text so that the engine's single-space token machinery

@@ -557,8 +557,10 @@ object QueryDsl {
     */
   private def matchClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm, an) = spec match {
-        case JString(s) => (s, 1L, Analyzer.Whitespace: Analyzer)
+      val (queryText, msm, an, fuzz, prefixLen) = spec match {
+        case JString(s) =>
+          (s, 1L, Analyzer.Whitespace: Analyzer,
+            None: Option[String => Long], 0)
         case JObject(opts) =>
           val m = opts.toMap
           val q = m.get("query") match {
@@ -590,21 +592,77 @@ object QueryDsl {
             fail(s"match on '$f': operator and minimum_should_match " +
               "cannot be combined")
           m.keySet.diff(Set("query", "minimum_should_match", "operator",
-            "analyzer")).foreach(k =>
+            "analyzer", "fuzziness", "prefix_length")).foreach(k =>
             fail(s"unsupported match option '$k' on '$f'"))
+          val (fz, pl) = fuzzinessOpt(m, s"match on '$f'")
           (q, if (andOp) -1L else n, // -1 = resolve to |terms| below
-            analyzerOpt(m, s"match on '$f'"))
+            analyzerOpt(m, s"match on '$f'"), fz, pl)
         case other => fail(s"match body must be string or object: ${render(other)}")
       }
       val terms = an.normText(queryText).trim.split("\\s+").toSeq.distinct
       if (terms.isEmpty || terms == Seq("")) fail(s"match on '$f' has an empty query")
       val msmResolved = if (msm == -1L) terms.size.toLong else msm
-      val termArr = array(terms.map(lit): _*)
-      val score =
-        size(array_intersect(array_distinct(split(an.norm(col(f)), " ")),
-          termArr)).cast("long")
+      val score = overlapScore(
+        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen)
       CompiledQuery(score >= lit(msmResolved), score)
     case other => fail(s"match requires {field: spec}: ${render(other)}")
+  }
+
+  /** The match-family `fuzziness` option (`0`/`1`/`2` or `"AUTO"`) +
+    * `prefix_length`, parsed to a per-term edit-distance resolver.
+    * `AUTO` is the public OpenSearch rule resolved per query term ON
+    * THE DRIVER (term lengths are compile-time constants): 0 edits
+    * for 1–2 chars, 1 for 3–5, 2 for 6+. Distances past 2 fail loud
+    * (the OpenSearch cap — an unbounded distance makes the term
+    * dictionary walk quadratic). `prefix_length` without `fuzziness`
+    * is meaningless and fails loud.
+    */
+  private def fuzzinessOpt(m: Map[String, JValue],
+      where: String): (Option[String => Long], Int) = {
+    val fz: Option[String => Long] = m.get("fuzziness") match {
+      case None => None
+      case Some(JInt(i)) =>
+        if (i < 0 || i > 2)
+          fail(s"$where: fuzziness must be 0-2 or \"AUTO\", got $i")
+        Some((_: String) => i.toLong)
+      case Some(JString("AUTO")) =>
+        Some((t: String) =>
+          if (t.length <= 2) 0L else if (t.length <= 5) 1L else 2L)
+      case Some(other) =>
+        fail(s"""$where: fuzziness must be an int or "AUTO": ${render(other)}""")
+    }
+    val pl = intOpt(m, "prefix_length").getOrElse(0)
+    if (pl < 0) fail(s"$where: prefix_length must be >= 0")
+    if (fz.isEmpty && m.contains("prefix_length"))
+      fail(s"$where: prefix_length requires fuzziness")
+    (fz, pl)
+  }
+
+  /** Match-family score: number of DISTINCT query terms present in
+    * the field's distinct-token array. The exact path stays the ONE
+    * codegen'd `array_intersect` expression (every existing plan
+    * byte-identical); with `fuzziness` a query term also matches when
+    * ANY distinct token is within its per-term edit distance
+    * (`exists` + `levenshtein` over the bounded per-row token array —
+    * still whole-stage codegen, no UDF, mirroring the term-dictionary
+    * walk of [[fuzzyClause]]; `prefix_length` bounds candidates the
+    * way a real term dictionary does).
+    */
+  private def overlapScore(fieldTokens: Column, terms: Seq[String],
+      fuzz: Option[String => Long], prefixLen: Int): Column = fuzz match {
+    case None =>
+      size(array_intersect(fieldTokens, array(terms.map(lit): _*))).cast("long")
+    case Some(d) =>
+      terms.map { t =>
+        val dt = d(t)
+        val cond =
+          if (dt == 0L) array_contains(fieldTokens, t)
+          else exists(fieldTokens, tok =>
+            (if (prefixLen <= 0) lit(true)
+             else tok.startsWith(t.take(prefixLen))) &&
+              levenshtein(tok, lit(t)) <= lit(dt))
+        when(cond, lit(1L)).otherwise(lit(0L))
+      }.reduce(_ + _)
   }
 
   /** Parse an optional per-clause `analyzer` name — whitespace (the
@@ -1028,7 +1086,7 @@ object QueryDsl {
     case JObject(parts) =>
       val m = parts.toMap
       m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
-          "minimum_should_match", "analyzer"))
+          "minimum_should_match", "analyzer", "fuzziness", "prefix_length"))
         .foreach(k => fail(s"unsupported multi_match option '$k'"))
       val qtext = strOpt(m, "query")
         .getOrElse(fail("multi_match requires a string 'query'"))
@@ -1042,15 +1100,14 @@ object QueryDsl {
       val an = analyzerOpt(m, "multi_match")
       val terms = an.normText(qtext).trim.split("\\s+").toSeq.distinct
       if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
-      val termArr = array(terms.map(lit): _*)
       val msm = m.get("minimum_should_match") match {
         case Some(JInt(i)) => i.toLong
         case None          => 1L
         case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
       }
-      val perField = fields.map(f =>
-        size(array_intersect(array_distinct(split(an.norm(col(f)), " ")),
-          termArr)).cast("long"))
+      val (fuzz, prefixLen) = fuzzinessOpt(m, "multi_match")
+      val perField = fields.map(f => overlapScore(
+        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen))
       val matched = perField.map(s => when(s >= lit(msm), s).otherwise(0L))
       val pred = perField.map(_ >= lit(msm)).reduce(_ || _)
       strOpt(m, "type").getOrElse("best_fields") match {
@@ -2687,7 +2744,12 @@ object QueryDsl {
           val top = search(table, render(inner))
             .limit(k).collect().map(_.getAs[Any](idField)).toSeq
           val value = metricName match {
-            case "precision" => top.count(relevant.contains).toDouble / k
+            // OpenSearch's precision divides by the RETRIEVED count in
+            // the top-k window, not by k — a sparse query returning 3
+            // hits with 3 relevant scores 1.0, not 0.3 (zero hits → 0)
+            case "precision" =>
+              if (top.isEmpty) 0.0
+              else top.count(relevant.contains).toDouble / top.size
             case _ =>
               top.zipWithIndex.collectFirst {
                 case (id, i) if relevant.contains(id) => 1.0 / (i + 1)
@@ -3511,7 +3573,7 @@ object QueryDsl {
           case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
         }
         val pipelineKinds = Set("cumulative_sum", "derivative", "moving_avg",
-          "serial_diff", "bucket_selector", "bucket_sort")
+          "serial_diff", "bucket_selector", "bucket_sort", "bucket_script")
         val (pipeEntries, metricEntries) = subEntries.partition {
           case (_, JObject(List((kind, _)))) => pipelineKinds.contains(kind)
           case _ => false
@@ -3556,14 +3618,20 @@ object QueryDsl {
             // i.e. BEFORE the groupBy — at scale the filter runs
             // map-side and shrinks the shuffle instead of post-
             // filtering the bucket table.
+            // NULL keys: the gate predicate is NULL on a NULL key, so
+            // a bare `!g` would silently drop the NULL-key bucket the
+            // gate-less agg emits. An exclude list must KEEP it
+            // (excluding 'x' says nothing about NULL); an include list
+            // drops it (NULL matches no regex/value) — both
+            // null-preserving forms stay map-side pushable.
             def keyGate(k: String, want: Boolean): Option[Column] =
               tm.get(k).map {
                 case JString(re) =>
                   val g = f.cast("string").rlike(s"^(?:$re)$$")
-                  if (want) g else !g
+                  if (want) g else f.isNull || !g
                 case JArray(vs) if vs.nonEmpty =>
                   val g = f.isin(vs.map(scalaOf): _*)
-                  if (want) g else !g
+                  if (want) g else f.isNull || !g
                 case other => fail(s"terms $k must be a regex string or a " +
                   s"non-empty values array: ${render(other)}")
               }
@@ -4334,7 +4402,11 @@ object QueryDsl {
     *    bucket, where OpenSearch omits the value);
     *  - `moving_avg` — exact integer `window`-bucket sum divided by
     *    the exact frame count (one IEEE divide, engine-portable — the
-    *    q57 recipe).
+    *    q57 recipe);
+    *  - `bucket_script` — per-bucket arithmetic over named sibling
+    *    metrics (`{"buckets_path": {"a": ..., "b": ...}, "script":
+    *    "params.a * 100 / params.b"}`), the dashboard ratio/percentage
+    *    idiom, compiled by [[scriptArithmetic]].
     */
   private def withPipelineAggs(buckets: DataFrame, name: String,
       pipeEntries: Seq[(String, JValue)],
@@ -4343,11 +4415,12 @@ object QueryDsl {
     val wKey = Window.orderBy(col(name).asc)
     // Three pipeline families, applied in dependency order (the
     // OpenSearch evaluation model, independent of declaration order):
-    // series aggs add columns over the key-ordered bucket series,
-    // bucket_selector then filters buckets (it may reference the
-    // series-agg outputs — a superset of OpenSearch, which only
-    // allows sibling metrics), bucket_sort finally re-orders and
-    // pages. All of it runs on the BOUNDED bucket table — the
+    // column-adders (the series aggs over the key-ordered bucket
+    // series, plus bucket_script's per-bucket arithmetic) run first
+    // in declaration order, bucket_selector then filters buckets (it
+    // may reference the added columns — a superset of OpenSearch,
+    // which only allows sibling metrics), bucket_sort finally
+    // re-orders and pages. All of it runs on the BOUNDED bucket table — the
     // unpartitioned windows never see the corpus.
     val (sorts, rest0) = pipeEntries.partition {
       case (_, JObject(List(("bucket_sort", _)))) => true; case _ => false
@@ -4369,30 +4442,51 @@ object QueryDsl {
         case JObject(List((k, JObject(b)))) => (k, b.toMap)
         case other => fail(s"pipeline agg '$subName' must be {kind: {buckets_path}}: ${render(other)}")
       }
-      val allowed = kind match {
-        case "moving_avg"  => Set("buckets_path", "window")
-        case "serial_diff" => Set("buckets_path", "lag")
-        case _             => Set("buckets_path")
-      }
-      body.keySet.diff(allowed).foreach(k =>
-        fail(s"unsupported $kind option '$k' in '$subName'"))
-      val target = pathCol(df, subName, body)
       val c = kind match {
-        case "cumulative_sum" =>
-          sum(col(target)).over(
-            wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        case "derivative" => col(target) - lag(col(target), 1).over(wKey)
-        case "serial_diff" =>
-          val n = intOpt(body, "lag").getOrElse(1)
-          if (n < 1) fail("serial_diff lag must be >= 1")
-          col(target) - lag(col(target), n).over(wKey)
-        case "moving_avg" =>
-          val w = intOpt(body, "window").getOrElse(3)
-          if (w < 1) fail("moving_avg window must be >= 1")
-          val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
-          sum(col(target)).over(frame).cast("double") /
-            count(lit(1)).over(frame).cast("double")
-        case other => fail(s"unsupported pipeline agg kind '$other'")
+        case "bucket_script" =>
+          // per-bucket derived arithmetic (ratio/percentage from
+          // sibling metrics) — no window, no order dependence, so it
+          // works under terms parents too; params resolve exactly
+          // like bucket_selector's
+          body.keySet.diff(Set("buckets_path", "script")).foreach(k =>
+            fail(s"unsupported bucket_script option '$k' in '$subName'"))
+          val params: Map[String, String] = body.get("buckets_path") match {
+            case Some(JObject(ps)) if ps.nonEmpty => ps.map {
+              case (p, JString(path)) =>
+                p -> resolveBucketColumn(df, s"bucket_script '$subName'", path)
+              case (p, other) => fail(s"buckets_path '$p' must be a string: ${render(other)}")
+            }.toMap
+            case _ => fail(s"bucket_script '$subName' needs a buckets_path object")
+          }
+          val script = strOpt(body, "script")
+            .getOrElse(fail(s"bucket_script '$subName' needs a script"))
+          scriptArithmetic(script, params, subName)
+        case _ =>
+          val allowed = kind match {
+            case "moving_avg"  => Set("buckets_path", "window")
+            case "serial_diff" => Set("buckets_path", "lag")
+            case _             => Set("buckets_path")
+          }
+          body.keySet.diff(allowed).foreach(k =>
+            fail(s"unsupported $kind option '$k' in '$subName'"))
+          val target = pathCol(df, subName, body)
+          kind match {
+            case "cumulative_sum" =>
+              sum(col(target)).over(
+                wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            case "derivative" => col(target) - lag(col(target), 1).over(wKey)
+            case "serial_diff" =>
+              val n = intOpt(body, "lag").getOrElse(1)
+              if (n < 1) fail("serial_diff lag must be >= 1")
+              col(target) - lag(col(target), n).over(wKey)
+            case "moving_avg" =>
+              val w = intOpt(body, "window").getOrElse(3)
+              if (w < 1) fail("moving_avg window must be >= 1")
+              val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
+              sum(col(target)).over(frame).cast("double") /
+                count(lit(1)).over(frame).cast("double")
+            case other => fail(s"unsupported pipeline agg kind '$other'")
+          }
       }
       df.withColumn(subName, c)
     }
@@ -4502,6 +4596,84 @@ object QueryDsl {
     * — compiled to a Catalyst predicate over the bucket table.
     * Anything outside the grammar fails loud (no silent truthiness).
     */
+  /** The bucket_script mini-script: arithmetic over declared params —
+    * `params.a * 100 / params.b` — compiled once on the driver to a
+    * Catalyst column over the BOUNDED bucket table. Grammar: binary
+    * `+ - * /` with the usual precedence, parentheses, non-negative
+    * integer literals and `params.<name>` operands. `+ - *` stay in
+    * the operands' exact types (integer metrics never round; ANSI
+    * overflow fails loud); every `/` is ONE IEEE double divide — the
+    * engine's portable-determinism recipe: `params.a * 100 /
+    * params.b` is exact-integer up to the single final divide, so
+    * DuckDB replays it bit-identically as `CAST(a*100 AS DOUBLE)/b`.
+    * Anything outside the grammar fails loud (no silent truthiness,
+    * no driver-side eval).
+    */
+  private def scriptArithmetic(script: String, params: Map[String, String],
+      subName: String): Column = {
+    def bad(msg: String): Nothing =
+      fail(s"bucket_script '$subName' script $msg: '$script'")
+    sealed trait Tok
+    case class Operand(c: Column) extends Tok
+    case class Op(ch: Char) extends Tok
+    val TokRe = """(?:params\.([A-Za-z_][A-Za-z0-9_]*)|(\d+)|([-+*/()]))""".r
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var at = 0
+    while (at < script.length) {
+      if (script.charAt(at).isWhitespace) at += 1
+      else TokRe.findPrefixMatchOf(script.substring(at)) match {
+        case Some(mm) =>
+          toks += (if (mm.group(1) != null) {
+            val p = mm.group(1)
+            Operand(col(params.getOrElse(p,
+              bad(s"references undeclared param '$p'"))))
+          } else if (mm.group(2) != null) Operand(lit(mm.group(2).toLong))
+          else Op(mm.group(3).head))
+          at += mm.end
+        case None => bad(s"has an unrecognized token at '${script.drop(at)}'")
+      }
+    }
+    if (toks.isEmpty) bad("is empty")
+    var pos = 0
+    def take(): Tok = {
+      val t = toks.lift(pos).getOrElse(bad("ends unexpectedly")); pos += 1; t
+    }
+    def factor(): Column = take() match {
+      case Operand(c) => c
+      case Op('(') =>
+        val e = exprP()
+        take() match {
+          case Op(')') => e
+          case _       => bad("has an unbalanced parenthesis")
+        }
+      case Op(o) => bad(s"has a misplaced operator '$o'")
+    }
+    def term(): Column = {
+      var l = factor()
+      var go = true
+      while (go) toks.lift(pos) match {
+        case Some(Op('*')) => pos += 1; l = l * factor()
+        case Some(Op('/')) =>
+          pos += 1; l = l.cast("double") / factor().cast("double")
+        case _ => go = false
+      }
+      l
+    }
+    def exprP(): Column = {
+      var l = term()
+      var go = true
+      while (go) toks.lift(pos) match {
+        case Some(Op('+')) => pos += 1; l = l + term()
+        case Some(Op('-')) => pos += 1; l = l - term()
+        case _ => go = false
+      }
+      l
+    }
+    val out = exprP()
+    if (pos != toks.length) bad("has trailing tokens")
+    out
+  }
+
   private def selectorPredicate(script: String, params: Map[String, String],
       subName: String): Column = {
     val Re = """^\s*params\.([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|!=|>|<)\s*(-?\d+)\s*$""".r
@@ -4653,10 +4825,31 @@ object QueryDsl {
     * bucket-cap guarantee. Values are UTC LocalDateTimes (None = the
     * hit set has no non-NULL date).
     */
-  private val dateSpanCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(java.time.LocalDateTime, java.time.LocalDateTime)]]()
+  // Size-capped, access-ordered LRU: the key carries a source-
+  // freshness fingerprint, so a continuously-appending table mints a
+  // NEW entry per CDC epoch and an unbounded map would leak driver
+  // memory on a long-lived serving JVM. 1024 live (plan, field,
+  // freshness) spans ≈ 100 KB and comfortably covers a serving
+  // session's hot request set; evicted entries just re-derive (one
+  // min/max aggregate) on next touch.
+  private[search] val dateSpanCacheCap = 1024
+  private val dateSpanCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, Option[(java.time.LocalDateTime, java.time.LocalDateTime)]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          String, Option[(java.time.LocalDateTime, java.time.LocalDateTime)]])
+          : Boolean = size() > dateSpanCacheCap
+    })
 
   private[search] def dateSpanCacheSize: Int = dateSpanCache.size()
+
+  /** Test hook: seed a cache entry directly (the eviction spec needs
+    * many distinct keys without paying a corpus scan per key).
+    */
+  private[search] def dateSpanCachePut(key: String): Unit = {
+    dateSpanCache.put(key, None); ()
+  }
 
   /** Driver-side freshness fingerprint of every file source feeding a
     * plan — [[graft.sources.ArtifactCache.freshnessToken]] (entry

@@ -185,6 +185,61 @@ class QueryDslSpec extends SparkSpec {
     assert(dsl.nonEmpty)
   }
 
+  test("match fuzziness: per-term edit distance, AUTO, fuzzy-clause hit-set parity") {
+    import spark.implicits._
+    val t = Seq((1L, "spark joins"), (2L, "sprk window"), (3L, "apache sparks"),
+      (4L, "nothing here"), (5L, "go gone")).toDF("id", "text")
+    def ids(q: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": $q, "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    // fuzziness 1: "spark" also matches sprk / sparks
+    assert(ids("""{"match": {"text": {"query": "spark",
+      "fuzziness": 1}}}""") === Seq(1L, 2L, 3L))
+    // hit-set parity with the standalone fuzzy clause (scores differ
+    // by design: fuzzy counts matched TOKENS, match counts matched
+    // query TERMS)
+    assert(ids("""{"fuzzy": {"text": {"value": "spark",
+      "fuzziness": 1}}}""") === Seq(1L, 2L, 3L))
+    // the exact path is untouched
+    assert(ids("""{"match": {"text": "spark"}}""") === Seq(1L))
+    // prefix_length bounds candidates: "sprk" fails the "spa" prefix
+    assert(ids("""{"match": {"text": {"query": "spark", "fuzziness": 1,
+      "prefix_length": 3}}}""") === Seq(1L, 3L))
+    // AUTO: 2-char terms get 0 edits (exact only), 3-5 chars get 1
+    assert(ids("""{"match": {"text": {"query": "go",
+      "fuzziness": "AUTO"}}}""") === Seq(5L))
+    assert(ids("""{"match": {"text": {"query": "gos",
+      "fuzziness": "AUTO"}}}""") === Seq(5L))
+    // score counts fuzzy-matched QUERY TERMS; msm gates on it
+    val scored = QueryDsl.search(t,
+      """{"query": {"match": {"text": {"query": "spark window",
+           "fuzziness": 1, "minimum_should_match": 2}}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(scored === Seq((2L, 2L)))
+    // multi_match threads the same option across fields
+    val mm = QueryDsl.search(
+      t.withColumnRenamed("text", "a").withColumn("b", lit("zzz")),
+      """{"query": {"multi_match": {"query": "sprak", "fuzziness": 2,
+           "fields": ["a", "b"], "type": "most_fields"}},
+         "sort": ["id"], "_source": ["id"]}""")
+    assert(mm.as[Long].collect().toSeq === Seq(1L, 2L),
+      "sprak~2 reaches spark(2)/sprk(1) but not sparks(3)")
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+        s"""{"query": $q}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"match": {"text": {"query": "x", "fuzziness": 3}}}""",
+      "fuzziness must be 0-2")
+    bad("""{"match": {"text": {"query": "x", "fuzziness": "AUTO:3,6"}}}""",
+      "fuzziness must be an int")
+    bad("""{"match": {"text": {"query": "x", "prefix_length": 1}}}""",
+      "prefix_length requires fuzziness")
+    bad("""{"match": {"text": {"query": "x", "fuzziness": 1,
+      "prefix_length": -1}}}""", "prefix_length must be >= 0")
+  }
+
   test("terms_set gates on minimum_should_match and scores the overlap") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"terms_set": {"text":
@@ -1062,6 +1117,78 @@ class QueryDslSpec extends SparkSpec {
              "unit": "day"}}}}}}""")                         // unsupported opt
   }
 
+  test("bucket_script: per-bucket arithmetic over sibling metrics, fail-loud grammar") {
+    // the ratio idiom: exact integer a*100, one IEEE divide
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "aggs": {"bucket": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {
+             "sum_chars": {"sum": {"field": "n_chars"}},
+             "avg100": {"bucket_script": {
+               "buckets_path": {"a": "sum_chars", "b": "_count"},
+               "script": "params.a * 100 / params.b"}}}}}}""")
+    val rows = dsl.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getLong(r.fieldIndex("sum_chars"))
+      val b = r.getLong(r.fieldIndex("doc_count"))
+      assert(r.getDouble(r.fieldIndex("avg100")) === a * 100 / b.toDouble)
+    }
+    // divide-free scripts stay in the exact integer types (precedence
+    // and parentheses honored)
+    val ints = QueryDsl.search(docs,
+      """{"aggs": {"bucket": {"histogram": {"field": "n_chars", "interval": 200},
+           "aggs": {"d": {"bucket_script": {
+             "buckets_path": {"c": "_count"},
+             "script": "(params.c + 1) * 2 - params.c"}}}}}}""")
+    assert(ints.schema("d").dataType ===
+      org.apache.spark.sql.types.LongType)
+    ints.collect().foreach(r =>
+      assert(r.getLong(r.fieldIndex("d")) ===
+        r.getLong(r.fieldIndex("doc_count")) + 2))
+    // no order dependence → allowed under a terms parent, and
+    // bucket_selector may reference the derived column
+    val t = QueryDsl.search(docs,
+      """{"aggs": {"g": {"terms": {"field": "lang"},
+           "aggs": {"twice": {"bucket_script": {
+               "buckets_path": {"c": "_count"}, "script": "params.c * 2"}},
+             "keep": {"bucket_selector": {
+               "buckets_path": {"w": "twice"},
+               "script": "params.w >= 20"}}}}}}""")
+    t.collect().foreach { r =>
+      val dc = r.getLong(r.fieldIndex("doc_count"))
+      assert(r.getLong(r.fieldIndex("twice")) === 2 * dc && 2 * dc >= 20)
+    }
+    def bad(script: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+        s"""{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+             "aggs": {"x": {"bucket_script": {
+               "buckets_path": {"a": "_count"},
+               "script": "$script"}}}}}}"""))
+      assert(e.getMessage.contains(fragment), e.getMessage)
+    }
+    bad("params.zz + 1", "undeclared param")
+    bad("params.a + ", "ends unexpectedly")
+    bad("(params.a + 1", "ends unexpectedly")
+    bad("params.a 5", "trailing tokens")
+    bad("params.a ^ 2", "unrecognized token")
+    bad("* params.a", "misplaced operator")
+    bad("", "is empty")
+    val e1 = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"x": {"bucket_script": {
+             "buckets_path": "sum_chars",
+             "script": "params.a"}}}}}}"""))
+    assert(e1.getMessage.contains("buckets_path object"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(docs,
+      """{"aggs": {"b": {"histogram": {"field": "n_chars", "interval": 100},
+           "aggs": {"x": {"bucket_script": {
+             "buckets_path": {"a": "_count"},
+             "script": "params.a", "gap_policy": "skip"}}}}}}"""))
+    assert(e2.getMessage.contains("unsupported bucket_script option"),
+      e2.getMessage)
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
@@ -1672,6 +1799,17 @@ class QueryDslSpec extends SparkSpec {
       assert(df.select("interval").distinct().collect()
         .map(_.getString(0)).toSeq === Seq("month"))
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("dateSpanCache is a capped LRU: distinct freshness keys never grow it past the cap") {
+    // the key embeds a source-freshness fingerprint, so a CDC-
+    // appending table mints a new key per epoch — the cache must stay
+    // bounded (round-9 verdict: the unbounded map was a slow driver
+    // leak on a long-lived serving JVM)
+    (0 until QueryDsl.dateSpanCacheCap + 50).foreach(i =>
+      QueryDsl.dateSpanCachePut(s"evict-spec-key-$i"))
+    assert(QueryDsl.dateSpanCacheSize <= QueryDsl.dateSpanCacheCap,
+      s"cache grew past the cap (${QueryDsl.dateSpanCacheSize})")
   }
 
   test("global ignores the query; filter gates sub-aggs on its sub-query") {
@@ -2503,6 +2641,30 @@ class QueryDslSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](QueryDsl.search(t,
       """{"aggs": {"g": {"terms": {"field": "k", "include": []}}}}"""))
     assert(e.getMessage.contains("include"), e.getMessage)
+    // NULL-key semantics: exclude KEEPS the NULL bucket the gate-less
+    // agg emits (excluding 'x' says nothing about NULL); include
+    // drops it (NULL matches no regex/value)
+    val tn = Seq((1L, Some("aa")), (2L, Some("ab")), (3L, None))
+      .toDF("id", "k")
+    val base = QueryDsl.search(tn,
+      """{"aggs": {"g": {"terms": {"field": "k"}}}}""")
+      .orderBy("g").as[(Option[String], Long)].collect().toSeq
+    assert(base === Seq((None, 1L), (Some("aa"), 1L), (Some("ab"), 1L)))
+    val exN = QueryDsl.search(tn,
+      """{"aggs": {"g": {"terms": {"field": "k", "exclude": ["ab"]}}}}""")
+      .orderBy("g").as[(Option[String], Long)].collect().toSeq
+    assert(exN === Seq((None, 1L), (Some("aa"), 1L)),
+      "exclude must not drop the NULL-key bucket")
+    val exNr = QueryDsl.search(tn,
+      """{"aggs": {"g": {"terms": {"field": "k", "exclude": "a."}}}}""")
+      .orderBy("g").as[(Option[String], Long)].collect().toSeq
+    assert(exNr === Seq((None, 1L)),
+      "regex exclude must not drop the NULL-key bucket")
+    val inN = QueryDsl.search(tn,
+      """{"aggs": {"g": {"terms": {"field": "k", "include": "a."}}}}""")
+      .orderBy("g").as[(Option[String], Long)].collect().toSeq
+    assert(inN === Seq((Some("aa"), 1L), (Some("ab"), 1L)),
+      "include must drop the NULL-key bucket")
     // date_histogram dense fill: empty 1d buckets appear between data
     val ev = Seq((1L, "2024-01-01 05:00:00"), (2L, "2024-01-04 07:00:00"))
       .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
@@ -2684,6 +2846,30 @@ class QueryDslSpec extends SparkSpec {
                          {"doc_id": 4, "rating": 1}]}]}""")
       .as[(String, Double)].collect().toSeq
     assert(p === Seq(("q1", 1.0 / 3)))
+    // precision divides by the RETRIEVED count in the top-k window,
+    // not by k (the OpenSearch contract): "nothing" matches only doc 4
+    // → 1 retrieved, 1 relevant → 1.0, not 1/3
+    val sparse = QueryDsl.rankEval(t,
+      s"""{"id_field": "doc_id",
+           "metric": {"precision": {"k": 3}},
+           "requests": [{"id": "q1",
+             "request": {"query": {"match": {"text": "nothing"}},
+               "sort": [{"_score": "desc"}, "doc_id"],
+               "size": 3, "_source": ["doc_id"]},
+             "ratings": [{"doc_id": 4, "rating": 1}]}]}""")
+      .as[(String, Double)].collect().toSeq
+    assert(sparse === Seq(("q1", 1.0)))
+    // zero retrieved → precision 0.0 (never a divide-by-zero)
+    val empty = QueryDsl.rankEval(t,
+      s"""{"id_field": "doc_id",
+           "metric": {"precision": {"k": 3}},
+           "requests": [{"id": "q1",
+             "request": {"query": {"match": {"text": "absent_token"}},
+               "sort": [{"_score": "desc"}, "doc_id"],
+               "size": 3, "_source": ["doc_id"]},
+             "ratings": [{"doc_id": 4, "rating": 1}]}]}""")
+      .as[(String, Double)].collect().toSeq
+    assert(empty === Seq(("q1", 0.0)))
     // MRR: first relevant is rank 2 → 1/2; threshold filters rating 0
     val m = QueryDsl.rankEval(t,
       s"""{"id_field": "doc_id",
