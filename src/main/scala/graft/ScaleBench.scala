@@ -67,7 +67,16 @@ object ScaleBench {
       // pin that normalization stays map-side codegen and the plans
       // keep their ~linear-in-corpus scaling with it in place
       "q230_dsl_intervals_analyzed", "q232_dsl_significant_text_analyzed",
-      "q234_dsl_mlt_analyzed")
+      "q234_dsl_mlt_analyzed",
+      // round-10 corpus-sized surfaces: the relations-model join
+      // (children per parent multiply with the replica count — the
+      // join and the parent-pointer groupBy must stay hash-shaped),
+      // MAD's two keyed percentile passes + co-partitioned join, the
+      // diversified_sampler's per-key row_number window, and
+      // cumulative_cardinality's value-domain first-occurrence groupBy
+      // — all must stay ~linear in corpus rows
+      "q254_dsl_has_child", "q252_dsl_mad",
+      "q262_dsl_diversified_sampler", "q267_dsl_cumulative_cardinality")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L
@@ -105,6 +114,30 @@ object ScaleBench {
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+
+    // orders replicate with FIXED parents (o_custkey unchanged): the
+    // children-per-parent fan multiplies with the copy count — the
+    // adversarial shape for the relations-model join (q254)
+    spark.read.parquet(s"$baseDir/orders.parquet")
+      .crossJoin(broadcast(ks))
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * lit(off))
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
+
+    // events replicate with DISTINCT users per copy: the value domain
+    // cumulative_cardinality groups on grows with the corpus
+    spark.read.parquet(s"$baseDir/events.parquet")
+      .crossJoin(broadcast(ks))
+      .withColumn("event_id", col("event_id") + col("k") * lit(off))
+      .withColumn("user_id", col("user_id") + col("k") * lit(off))
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+
+    // customer passes through unreplicated (the fixed parent side)
+    spark.read.parquet(s"$baseDir/customer.parquet")
+      .write.mode("overwrite").parquet(s"$workDir/customer.parquet")
   }
 
   /** Sum of parquet-scan output rows after execution — the
@@ -168,7 +201,9 @@ object ScaleBench {
     val dirs: Seq[(Int, String)] =
       (1, baseDir) +: copiesList.map { c =>
         val d = s"$workRoot$c"
-        if (!new java.io.File(s"$d/lineitem.parquet").exists())
+        // keyed on the newest replica table so pre-round-10 cached
+        // dirs (without orders/events/customer) rebuild once
+        if (!new java.io.File(s"$d/customer.parquet").exists())
           buildReplica(spark, baseDir, d, copies = c)
         (c, d)
       }

@@ -28,6 +28,33 @@ import graft.sources.Tables
   */
 object DslSearch {
 
+  /** DuckDB replay of `QueryDsl.geohashCol`'s exact bit arithmetic —
+    * the SAME quantize → interleave → base-32 pipeline generated as
+    * SQL (`>> & <<` + substr) so the q250 oracle can never drift from
+    * the engine's formula by re-derivation. Returns (ixExpr, iyExpr,
+    * codeExpr over ix/iy, hashExpr over code).
+    */
+  private def geohashSqlParts(p: Int): (String, String, String, String) = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val total = 5 * p
+    val xb = (total + 1) / 2
+    val yb = total / 2
+    def quant(v: String, off: String, span: String, bits: Int): String =
+      s"CAST(least(greatest(floor((($v) + $off) / $span * ${1L << bits}.0), " +
+        s"0.0), ${(1L << bits) - 1}.0) AS BIGINT)"
+    val ix = quant("lon", "180.0", "360.0", xb)
+    val iy = quant("lat", "90.0", "180.0", yb)
+    val lonPos: Int => Int = j => if (total % 2 == 1) 2 * j else 2 * j + 1
+    val latPos: Int => Int = j => if (total % 2 == 1) 2 * j + 1 else 2 * j
+    val code = ((0 until xb).map(j => s"(((ix >> $j) & 1) << ${lonPos(j)})") ++
+      (0 until yb).map(j => s"(((iy >> $j) & 1) << ${latPos(j)})"))
+      .mkString(" + ")
+    val hash = (0 until p).map(j =>
+      s"substr('$alphabet', CAST((code >> ${5 * (p - 1 - j)}) & 31 AS INT) + 1, 1)")
+      .mkString(" || ")
+    (ix, iy, code, hash)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     // q40 as a JSON request. Same oracle, same result — the compiler
     // emits the same pushable predicates (isin/between/startsWith).
@@ -2713,7 +2740,11 @@ object DslSearch {
         WHERE doc_count >= 5
         ORDER BY score_ppm DESC, sig
         LIMIT 12
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      // headline: the analyzed-scan family's sentinel (round-9 verdict
+      // #9) - an analyzer/normalizer regression (the AsciiFold path)
+      // must surface in BENCH_rN, not only in ScaleBench
+      headline = true),
 
     // term suggester + analyzer: corrections come from the normalized
     // vocabulary, the input text normalizes through the twin
@@ -3337,6 +3368,618 @@ object DslSearch {
           FROM toks)
         SELECT doc_id, score FROM scored WHERE score >= 2
         ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // geohash_grid: REAL base-32 geohash cell keys (interoperable
+    // with OpenSearch's strings, unlike q181's fixed-degree analog) —
+    // one groupBy on the codegen'd quantize→interleave→base-32 key;
+    // the oracle replays the identical bit arithmetic term-for-term
+    // (generated from one Scala recipe so they cannot drift).
+    GraftQuery(
+      "q250_dsl_geohash_grid",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"match_all": {}},
+             "aggs": {"cell": {"geohash_grid": {
+                 "lat_field": "lat", "lon_field": "lon", "precision": 4},
+               "aggs": {"min_key": {"min": {"field": "c_custkey"}}}}}}""")
+      },
+      Some {
+        val (ix, iy, code, hash) = geohashSqlParts(4)
+        s"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        q AS (SELECT c_custkey, $ix AS ix, $iy AS iy FROM pts),
+        c AS (SELECT c_custkey, $code AS code FROM q),
+        h AS (SELECT c_custkey, $hash AS cell FROM c)
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MIN(c_custkey) AS min_key
+        FROM h GROUP BY 1 ORDER BY doc_count DESC, cell
+        """.stripMargin.trim
+      }),
+
+    // geo_bounds: the enclosing box of the filtered point set — pure
+    // min/max per axis beside a plain metric in ONE global aggregate
+    // row (zero arithmetic, bit-identical across engines).
+    GraftQuery(
+      "q251_dsl_geo_bounds",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_distance": {
+               "distance_km": 5000.0,
+               "lat_field": "lat", "lon_field": "lon",
+               "origin": {"lat": 40.0, "lon": -74.0}}},
+             "aggs": {"box": {"geo_bounds": {
+                 "lat_field": "lat", "lon_field": "lon"}},
+               "n": {"value_count": {"field": "c_custkey"}}}}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        d AS (
+          SELECT c_custkey, lat, lon,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((lat - 40.0) * pi() / 180.0 / 2.0) * sin((lat - 40.0) * pi() / 180.0 / 2.0)
+                   + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)
+                     * sin((lon + 74.0) * pi() / 180.0 / 2.0) * sin((lon + 74.0) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM pts)
+        SELECT MAX(lat) AS box_top_lat, MIN(lon) AS box_left_lon,
+               MIN(lat) AS box_bottom_lat, MAX(lon) AS box_right_lon,
+               COUNT(c_custkey) AS n
+        FROM d WHERE dist_km <= 5000.0
+      """.stripMargin.trim)),
+
+    // median_absolute_deviation: exact discrete MAD (percentile_disc
+    // 0.5 of |x − median|, the q158 divergence doctrine — OpenSearch
+    // itself serves a t-digest approximation) COMPOSED under a terms
+    // bucket beside a one-pass metric: two keyed passes + one
+    // null-safe co-partitioned join weave the MAD column into the
+    // bucket table.
+    GraftQuery(
+      "q252_dsl_mad",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"src": {"terms": {"field": "source"},
+             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                      "mad_chars": {"median_absolute_deviation": {
+                        "field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        med AS (
+          SELECT source, quantile_disc(n_chars, 0.5) AS med
+          FROM en GROUP BY 1),
+        dev AS (
+          SELECT d.source, abs(d.n_chars - m.med) AS dev
+          FROM en d JOIN med m USING (source)),
+        mad AS (
+          SELECT source, CAST(quantile_disc(dev, 0.5) AS DOUBLE) AS mad_chars
+          FROM dev GROUP BY 1),
+        b AS (
+          SELECT source AS src, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars
+          FROM en GROUP BY 1)
+        SELECT b.src, b.doc_count, b.avg_chars, mad.mad_chars
+        FROM b JOIN mad ON b.src = mad.source
+        ORDER BY b.doc_count DESC, b.src
+      """.stripMargin.trim)),
+
+    // knn + filter on the EXACT arm (the reference oracle the
+    // index-served filtered path is spec'd against): the filter
+    // pre-gates candidates map-side (pushed into the scan), then the
+    // q169 quantize→integer-dot→one-divide ranking runs over the
+    // survivors only.
+    GraftQuery(
+      "q253_dsl_knn_filtered",
+      (s, dir) => {
+        val vec = (0 until 64).map(i => ((i * 3) % 11 - 5) / 20.0)
+        QueryDsl.search(
+          Tables.load(s, dir, "embeddings"),
+          s"""{"knn": {
+               "field": "embedding", "id_field": "vec_id",
+               "query_vector": [${vec.mkString(",")}],
+               "k": 12,
+               "filter": {"term": {"label": 1}}}}""")
+      },
+      Some("""
+        WITH qv AS (
+          SELECT list_transform(range(0, 64),
+                   i -> CAST(round((((i * 3) % 11) - 5) / 20.0 * 1e7) AS BIGINT)::DOUBLE) AS qq),
+        qn AS (SELECT qq, list_dot_product(qq, qq) AS qn2 FROM qv),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings WHERE label = 1),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+        scored AS (
+          SELECT vec_id, list_dot_product(qq, q) / (sqrt(qn2) * sqrt(n2)) AS sim
+          FROM n CROSS JOIN qn),
+        ranked AS (
+          SELECT vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT vec_id, rank, sim FROM ranked WHERE rank <= 12 ORDER BY rank
+      """.stripMargin.trim)),
+
+    // has_child: the join-field relations model's parent arm over a
+    // customer(parent)/orders(child) single-table layout (ids unique
+    // across the table — the OpenSearch _id-per-index contract; order
+    // ids offset into a disjoint range) — children filtered map-side,
+    // ONE groupBy on the parent pointer, ONE inner equi-join back by
+    // id (both exchanges hash the id domain); score_mode sum counts
+    // the matching children (range scores 1 each), min_children gates.
+    GraftQuery(
+      "q254_dsl_has_child",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"),
+          col("c_acctbal").as("acctbal"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"),
+          lit(null).cast("double").as("acctbal"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_child": {"type": "order", "join_field": "rel",
+               "id_field": "doc_id", "parent_field": "parent_id",
+               "query": {"range": {"price": {"gte": 300000}}},
+               "score_mode": "sum", "min_children": 3}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 50,
+             "_source": ["doc_id", "score", "acctbal"]}""")
+      },
+      Some("""
+        WITH kids AS (
+          SELECT o_custkey AS pid, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders WHERE o_totalprice >= 300000
+          GROUP BY 1 HAVING COUNT(*) >= 3)
+        SELECT c_custkey AS doc_id, n AS score, c_acctbal AS acctbal
+        FROM customer JOIN kids ON c_custkey = pid
+        ORDER BY score DESC, doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // has_parent: the child arm — order rows whose parent customer
+    // matches a scored bool (two must ranges + a should range over
+    // acctbal → parent score 2 or 3), score: true propagates the
+    // parent's score to each child, type gates the returned rows.
+    GraftQuery(
+      "q255_dsl_has_parent",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"),
+          col("c_acctbal").as("acctbal"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"),
+          lit(null).cast("double").as("acctbal"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_parent": {"parent_type": "customer",
+               "join_field": "rel", "id_field": "doc_id",
+               "parent_field": "parent_id",
+               "query": {"bool": {
+                 "must": [{"range": {"acctbal": {"gte": 5000}}},
+                          {"range": {"acctbal": {"lte": 5600}}}],
+                 "should": [{"range": {"acctbal": {"gte": 5300}}}]}},
+               "score": true, "type": "order"}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+             "_source": ["doc_id", "score", "price"]}""")
+      },
+      Some("""
+        WITH p AS (
+          SELECT c_custkey AS pid,
+                 CAST(2 + CASE WHEN c_acctbal >= 5300 THEN 1 ELSE 0 END
+                   AS BIGINT) AS pscore
+          FROM customer WHERE c_acctbal BETWEEN 5000 AND 5600)
+        SELECT 10000000 + o.o_orderkey AS doc_id,
+               p.pscore AS score, o.o_totalprice AS price
+        FROM orders o JOIN p ON o.o_custkey = p.pid
+        ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // _explain: per-hit integer score decomposition — one part column
+    // per clause (must scores, should-when-matched), sum(parts) ==
+    // score by construction, ONE projection over the same filtered
+    // scan. The oracle replays each part independently.
+    GraftQuery(
+      "q256_dsl_explain",
+      (s, dir) => QueryDsl.explain(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"match": {"text": "spark"}}],
+             "should": [{"match": {"text": "join"}},
+                        {"term": {"lang": "en"}}]}}}""",
+        "doc_id").orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(CASE WHEN list_contains(list_distinct(string_split(text, ' ')),
+                 'spark') THEN 1 ELSE 0 END AS BIGINT) AS m0,
+            CAST(CASE WHEN list_contains(list_distinct(string_split(text, ' ')),
+                 'join') THEN 1 ELSE 0 END AS BIGINT) AS s0,
+            CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS s1
+          FROM documents)
+        SELECT doc_id, CAST(m0 + s0 + s1 AS BIGINT) AS score,
+               m0 AS part_must_0, s0 AS part_should_0, s1 AS part_should_1
+        FROM t WHERE m0 >= 1
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // moving_percentiles: the exact DISCRETE analog (q158 doctrine —
+    // OpenSearch merges t-digest sketches; the engine takes the
+    // discrete percentile of the window's bucket-metric series) over
+    // a calendar-day date_histogram; the oracle replays the same
+    // sort-window-and-index arithmetic with DuckDB list windows.
+    GraftQuery(
+      "q257_dsl_moving_percentiles",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+           "aggs": {"day": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day"},
+             "aggs": {"mv": {"moving_percentiles": {"buckets_path": "_count",
+               "window": 7, "percents": [50, 90]}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        w AS (
+          SELECT day, doc_count,
+                 list(doc_count) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+          FROM g)
+        SELECT day, doc_count,
+               list_sort(l)[CAST((len(l) * 50 + 99) // 100 AS INT)] AS mv_p50,
+               list_sort(l)[CAST((len(l) * 90 + 99) // 100 AS INT)] AS mv_p90
+        FROM w ORDER BY day
+      """.stripMargin.trim)),
+
+    // normalize: percent_of_sum + z-score over a terms bucket's sum
+    // series — full-series stats from exact integer sums, then the
+    // PINNED IEEE op order (mean = Σ/n; var = (nΣx²−(Σx)²)/n²; one
+    // sqrt; one final divide) that DuckDB replays bit-identically.
+    GraftQuery(
+      "q258_dsl_normalize",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"src": {"terms": {"field": "source"},
+             "aggs": {"s": {"sum": {"field": "n_chars"}},
+               "pct": {"normalize": {"buckets_path": "s",
+                 "method": "percent_of_sum"}},
+               "z": {"normalize": {"buckets_path": "s",
+                 "method": "z-score"}}}}}}"""),
+      Some("""
+        WITH b AS (
+          SELECT source AS src, COUNT(*) AS doc_count,
+                 CAST(SUM(n_chars) AS BIGINT) AS s
+          FROM documents GROUP BY 1)
+        SELECT src, doc_count, s,
+               CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE) AS pct,
+               (CAST(s AS DOUBLE)
+                  - CAST(SUM(s) OVER () AS DOUBLE) / CAST(COUNT(s) OVER () AS DOUBLE))
+               / sqrt(CAST(COUNT(s) OVER () * SUM(s * s) OVER ()
+                           - SUM(s) OVER () * SUM(s) OVER () AS DOUBLE)
+                      / CAST(COUNT(s) OVER () * COUNT(s) OVER () AS DOUBLE)) AS z
+        FROM b ORDER BY src
+      """.stripMargin.trim)),
+
+    // percentiles_bucket: exact discrete percentiles over the whole
+    // bucket series (OpenSearch's own percentiles_bucket holds the
+    // full series, so this is NOT a divergence) — one sibling row.
+    GraftQuery(
+      "q259_dsl_percentiles_bucket",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"day": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day"}},
+             "pb": {"percentiles_bucket": {"buckets_path": "day>_count",
+               "percents": [25, 50, 75, 95]}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count
+          FROM events GROUP BY 1)
+        SELECT CAST(quantile_disc(doc_count, 0.25) AS DOUBLE) AS pb_p25,
+               CAST(quantile_disc(doc_count, 0.50) AS DOUBLE) AS pb_p50,
+               CAST(quantile_disc(doc_count, 0.75) AS DOUBLE) AS pb_p75,
+               CAST(quantile_disc(doc_count, 0.95) AS DOUBLE) AS pb_p95
+        FROM g
+      """.stripMargin.trim)),
+
+    // geotile_grid: REAL z/x/y web-mercator tile keys (interoperable
+    // with every slippy-map server) — the oracle replays the same
+    // clamp→mercator→floor pipeline term-for-term (ln/tan/cos are
+    // IEEE transcendentals evaluated on identical doubles).
+    GraftQuery(
+      "q260_dsl_geotile_grid",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"match_all": {}},
+             "aggs": {"cell": {"geotile_grid": {
+                 "lat_field": "lat", "lon_field": "lon", "precision": 6},
+               "aggs": {"min_key": {"min": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        q AS (
+          SELECT c_custkey,
+                 CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64.0), 0.0), 63.0) AS BIGINT) AS x,
+                 least(greatest(lat, -85.05112878), 85.05112878) * (pi() / 180.0) AS lr
+          FROM pts),
+        t AS (
+          SELECT c_custkey, x,
+                 CAST(least(greatest(floor(
+                   (1.0 - ln(tan(lr) + 1.0 / cos(lr)) / pi()) / 2.0 * 64.0), 0.0), 63.0) AS BIGINT) AS y
+          FROM q),
+        h AS (
+          SELECT c_custkey,
+                 '6/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS cell
+          FROM t)
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MIN(c_custkey) AS min_key
+        FROM h GROUP BY 1 ORDER BY doc_count DESC, cell
+      """.stripMargin.trim)),
+
+    // t_test: Welch + pooled two-sample t statistics from exact
+    // integer moments in ONE aggregate pass (both arms' sums ride the
+    // same scan); the oracle replays the pinned IEEE op order.
+    GraftQuery(
+      "q261_dsl_t_test",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"t_welch": {"t_test": {
+               "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+               "b": {"field": "n_chars", "filter": {"term": {"lang": "de"}}},
+               "type": "heteroscedastic"}},
+             "t_pooled": {"t_test": {
+               "a": {"field": "n_chars", "filter": {"term": {"lang": "en"}}},
+               "b": {"field": "n_chars", "filter": {"term": {"lang": "de"}}},
+               "type": "homoscedastic"}}}}"""),
+      Some("""
+        WITH m AS (
+          SELECT COUNT(CASE WHEN lang = 'en' THEN n_chars END) AS na,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS sa,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN CAST(n_chars AS BIGINT) * n_chars END) AS BIGINT) AS qa,
+                 COUNT(CASE WHEN lang = 'de' THEN n_chars END) AS nb,
+                 CAST(SUM(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS sb,
+                 CAST(SUM(CASE WHEN lang = 'de' THEN CAST(n_chars AS BIGINT) * n_chars END) AS BIGINT) AS qb
+          FROM documents)
+        SELECT
+          (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+            / sqrt(CAST(na * qa - sa * sa AS DOUBLE) / CAST(na * (na - 1) * na AS DOUBLE)
+                 + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb * (nb - 1) * nb AS DOUBLE)) AS t_welch,
+          (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+            / sqrt((CAST(na * qa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    + CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / CAST(na + nb - 2 AS DOUBLE)
+                   * (CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))) AS t_pooled
+        FROM m
+      """.stripMargin.trim)),
+
+    // diversified_sampler: sub-aggs over the de-skewed sample (≤ cap
+    // docs per source, deterministically ranked by doc_id — the
+    // explicit-fields analog of OpenSearch's per-shard top-scored
+    // cap); ONE row_number window hashed on the diversity key.
+    GraftQuery(
+      "q262_dsl_diversified_sampler",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"sample": {"diversified_sampler": {"field": "source",
+               "id_field": "doc_id", "max_docs_per_value": 3},
+             "aggs": {"sum_chars": {"sum": {"field": "n_chars"}},
+                      "max_id": {"max": {"field": "doc_id"}}}}}}"""),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MAX(doc_id) AS max_id
+        FROM r WHERE rn <= 3
+      """.stripMargin.trim)),
+
+    // children agg: the relations model's agg arm — switch from the
+    // matching parents to THEIR order children and aggregate there;
+    // one semi-join on the id domain + one global aggregate.
+    GraftQuery(
+      "q263_dsl_children_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"),
+          col("c_acctbal").as("acctbal"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"),
+          lit(null).cast("double").as("acctbal"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"bool": {"must": [
+               {"term": {"rel": "customer"}},
+               {"range": {"acctbal": {"gte": 9000}}}]}},
+             "aggs": {"kids": {"children": {"type": "order",
+                 "join_field": "rel", "id_field": "doc_id",
+                 "parent_field": "parent_id"},
+               "aggs": {"max_price": {"max": {"field": "price"}},
+                        "n": {"value_count": {"field": "price"}}}}}}""")
+      },
+      Some("""
+        WITH p AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 9000)
+        SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MAX(o.o_totalprice) AS max_price,
+               CAST(COUNT(o.o_totalprice) AS BIGINT) AS n
+        FROM orders o JOIN p ON o.o_custkey = p.c_custkey
+      """.stripMargin.trim)),
+
+    // parent agg: the inverse switch — from matching order children
+    // to their DISTINCT parent customers.
+    GraftQuery(
+      "q264_dsl_parent_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"),
+          col("c_acctbal").as("acctbal"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"),
+          lit(null).cast("double").as("acctbal"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"bool": {"must": [
+               {"term": {"rel": "order"}},
+               {"range": {"price": {"gte": 400000}}}]}},
+             "aggs": {"folks": {"parent": {
+                 "join_field": "rel", "id_field": "doc_id",
+                 "parent_field": "parent_id"},
+               "aggs": {"max_bal": {"max": {"field": "acctbal"}},
+                        "min_id": {"min": {"field": "doc_id"}}}}}}""")
+      },
+      Some("""
+        WITH k AS (
+          SELECT DISTINCT o_custkey AS pid
+          FROM orders WHERE o_totalprice >= 400000)
+        SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MAX(c.c_acctbal) AS max_bal,
+               MIN(c.c_custkey) AS min_id
+        FROM customer c JOIN k ON c.c_custkey = k.pid
+      """.stripMargin.trim)),
+
+    // geo_distance agg: ring buckets [from, to) km around an origin —
+    // the engine's ONE haversine (shared with the geo_distance query
+    // and _geo_distance sort) feeding the shared one-pass filtered
+    // aggregate; the oracle replays the rounded haversine
+    // term-for-term (the q251 recipe).
+    GraftQuery(
+      "q265_dsl_geo_distance_agg",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"match_all": {}},
+             "aggs": {"ring": {"geo_distance": {
+                 "lat_field": "lat", "lon_field": "lon",
+                 "origin": {"lat": 40.0, "lon": -74.0},
+                 "ranges": [{"to": 3000}, {"from": 3000, "to": 8000},
+                            {"from": 8000}]},
+               "aggs": {"min_key": {"min": {"field": "c_custkey"}},
+                        "n_pts": {"value_count": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        d AS (
+          SELECT c_custkey,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((lat - 40.0) * pi() / 180.0 / 2.0) * sin((lat - 40.0) * pi() / 180.0 / 2.0)
+                   + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)
+                     * sin((lon + 74.0) * pi() / 180.0 / 2.0) * sin((lon + 74.0) * pi() / 180.0 / 2.0))), 6) AS dist
+          FROM pts),
+        b AS (
+          SELECT 0 AS ord, '*-3000.0' AS ring, COUNT(*) AS doc_count,
+                 MIN(c_custkey) AS min_key,
+                 CAST(COUNT(c_custkey) AS BIGINT) AS n_pts
+          FROM d WHERE dist < 3000
+          UNION ALL
+          SELECT 1, '3000.0-8000.0', COUNT(*), MIN(c_custkey),
+                 CAST(COUNT(c_custkey) AS BIGINT)
+          FROM d WHERE dist >= 3000 AND dist < 8000
+          UNION ALL
+          SELECT 2, '8000.0-*', COUNT(*), MIN(c_custkey),
+                 CAST(COUNT(c_custkey) AS BIGINT)
+          FROM d WHERE dist >= 8000)
+        SELECT ring, doc_count, min_key, n_pts FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // moving_fn: the MovingFunctions whitelist compiled to native
+    // window aggregates over the day-count series; shift 0 excludes
+    // the current bucket (the OpenSearch window model).
+    GraftQuery(
+      "q266_dsl_moving_fn",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+           "aggs": {"day": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day"},
+             "aggs": {"peak": {"moving_fn": {"buckets_path": "_count",
+                 "window": 7, "script": "MovingFunctions.max(values)"}},
+               "trail_avg": {"moving_fn": {"buckets_path": "_count",
+                 "window": 7, "shift": 1,
+                 "script": "MovingFunctions.unweightedAvg(values)"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT day, doc_count,
+               MAX(doc_count) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS peak,
+               CAST(SUM(doc_count) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(COUNT(doc_count) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_avg
+        FROM g ORDER BY day
+      """.stripMargin.trim)),
+
+    // cumulative_cardinality: EXACT distinct-users-seen-so-far per
+    // day (OpenSearch serves an HLL approximation — here the exact
+    // form is itself oracle-able): first-occurrence bucket per
+    // distinct value (one value-domain groupBy), then a running total
+    // over the bounded bucket series.
+    GraftQuery(
+      "q267_dsl_cumulative_cardinality",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+           "aggs": {"day": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day"},
+             "aggs": {"total_users": {"cumulative_cardinality": {
+               "field": "user_id"}}}}}}"""),
+      Some("""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS doc_count
+          FROM p GROUP BY 1),
+        fb AS (
+          SELECT user_id, MIN(date_trunc('day', ts)) AS day
+          FROM p WHERE user_id IS NOT NULL GROUP BY 1),
+        pk AS (SELECT day, COUNT(*) AS n FROM fb GROUP BY 1)
+        SELECT g.day, g.doc_count,
+               CAST(SUM(COALESCE(pk.n, 0)) OVER (ORDER BY g.day) AS BIGINT)
+                 AS total_users
+        FROM g LEFT JOIN pk ON g.day = pk.day
+        ORDER BY g.doc_count DESC, g.day
       """.stripMargin.trim))
   )
 }

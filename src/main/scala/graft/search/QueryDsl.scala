@@ -2177,6 +2177,109 @@ object QueryDsl {
       .orderBy(col("rank"))
   }
 
+  /** `has_child`: the join-field relations model's parent arm —
+    * return PARENT documents having `min_children`..`max_children`
+    * children of `type` matching `query`. OpenSearch carries the
+    * relation in the index mapping; this engine's wire shape names
+    * the columns explicitly (`join_field` = the relation-name column,
+    * `id_field` = the document id, `parent_field` = the child row's
+    * parent pointer — the nested/geo explicit-fields convention).
+    * Compiles to: child rows filtered map-side (type + query pushed
+    * into the scan) → ONE groupBy on the parent pointer (count +
+    * score monoids in the same pass) → ONE inner equi-join back onto
+    * the table by id. Both exchanges hash the id domain — the plan
+    * you want at scale, never a per-row subquery. `score_mode`:
+    * none (constant 1) / sum / min / max over matching child scores
+    * (exact longs; avg would break the integer model — fail loud).
+    */
+  private def hasChildRequest(table: DataFrame, spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"has_child must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("type", "query", "join_field", "id_field",
+      "parent_field", "score_mode", "min_children", "max_children"))
+      .foreach(k => fail(s"unsupported has_child option '$k'"))
+    val childType = strOpt(m, "type")
+      .getOrElse(fail("has_child needs the child 'type'"))
+    val joinF = strOpt(m, "join_field")
+      .getOrElse(fail("has_child needs join_field (the relation-name column)"))
+    val idF = strOpt(m, "id_field")
+      .getOrElse(fail("has_child needs id_field (the document id column)"))
+    val parentF = strOpt(m, "parent_field")
+      .getOrElse(fail("has_child needs parent_field (the child's parent pointer)"))
+    val minC = intOpt(m, "min_children").getOrElse(1)
+    if (minC < 1) fail("has_child min_children must be >= 1")
+    val maxC = intOpt(m, "max_children")
+    maxC.foreach(mx =>
+      if (mx < minC) fail("has_child max_children must be >= min_children"))
+    val cq = compileQuery(m.getOrElse("query",
+      fail("has_child needs a query over the child documents")))
+    val kids = table
+      .filter(col(joinF) === lit(childType) && col(parentF).isNotNull && cq.pred)
+      .select(col(parentF).as("__hc_pid"), cq.score.as("__hc_score"))
+    val perParent = kids.groupBy(col("__hc_pid"))
+      .agg(count(lit(1)).as("__hc_n"), sum(col("__hc_score")).as("__hc_sum"),
+        min(col("__hc_score")).as("__hc_min"), max(col("__hc_score")).as("__hc_max"))
+      .filter(col("__hc_n") >= lit(minC.toLong) &&
+        maxC.map(mx => col("__hc_n") <= lit(mx.toLong)).getOrElse(lit(true)))
+    val scoreCol = strOpt(m, "score_mode").getOrElse("none") match {
+      case "none" => lit(1L)
+      case "sum"  => col("__hc_sum")
+      case "min"  => col("__hc_min")
+      case "max"  => col("__hc_max")
+      case other  => fail(s"has_child score_mode must be none/sum/min/max " +
+        s"(avg would break the exact integer score model): '$other'")
+    }
+    table.join(perParent, col(idF) === col("__hc_pid"))
+      .withColumn("score", scoreCol)
+      .drop("__hc_pid", "__hc_n", "__hc_sum", "__hc_min", "__hc_max")
+  }
+
+  /** `has_parent`: the relations model's child arm — return CHILD
+    * documents whose parent (of `parent_type`) matches `query`;
+    * optional `type` gates which child type returns, `score: true`
+    * propagates the parent's score to each child (default constant
+    * 1, the OpenSearch default). Same explicit-columns wire shape and
+    * join plan as [[hasChildRequest]]: matching parents project
+    * (id, score) map-side, collapse to one row per id (max score —
+    * deterministic under duplicate ids), then ONE inner equi-join on
+    * the child's parent pointer.
+    */
+  private def hasParentRequest(table: DataFrame, spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"has_parent must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("parent_type", "query", "join_field", "id_field",
+      "parent_field", "score", "type"))
+      .foreach(k => fail(s"unsupported has_parent option '$k'"))
+    val parentType = strOpt(m, "parent_type")
+      .getOrElse(fail("has_parent needs parent_type"))
+    val joinF = strOpt(m, "join_field")
+      .getOrElse(fail("has_parent needs join_field (the relation-name column)"))
+    val idF = strOpt(m, "id_field")
+      .getOrElse(fail("has_parent needs id_field (the document id column)"))
+    val parentF = strOpt(m, "parent_field")
+      .getOrElse(fail("has_parent needs parent_field (the child's parent pointer)"))
+    val useScore = m.get("score") match {
+      case None           => false
+      case Some(JBool(b)) => b
+      case Some(other)    => fail(s"has_parent score must be a boolean: ${render(other)}")
+    }
+    val childType = strOpt(m, "type")
+    val cq = compileQuery(m.getOrElse("query",
+      fail("has_parent needs a query over the parent documents")))
+    val parents = table
+      .filter(col(joinF) === lit(parentType) && cq.pred)
+      .select(col(idF).as("__hp_id"), cq.score.as("__hp_score"))
+      .groupBy(col("__hp_id")).agg(max(col("__hp_score")).as("__hp_score"))
+    val joined = table.join(parents, col(parentF) === col("__hp_id"))
+    childType.map(t => joined.filter(col(joinF) === lit(t))).getOrElse(joined)
+      .withColumn("score", if (useScore) col("__hp_score") else lit(1L))
+      .drop("__hp_id", "__hp_score")
+  }
+
   /** `knn` request: exact cosine top-k of an inline query vector over
     * an embedding column — the OpenSearch vector-search request, served
     * brute-force (the q75 contract; the IVF/PQ serving paths live on
@@ -2218,24 +2321,35 @@ object QueryDsl {
     // plan you deploy at 100 TB, where every exact request would
     // rescan the corpus. The probe reads ONLY the nprobe nearest
     // cluster partitions (partition-pruned parquet scan); `table` is
-    // ignored, the layout IS the corpus. `sim` is the unit-vector
-    // cosine of the layout (approximate by construction — recall
-    // spec'd vs the exact arm, not oracle-gated); `filter` needs
-    // corpus columns the layout does not carry, so combining fails
-    // loud rather than silently returning unfiltered neighbors.
+    // only consulted for `filter` (below), the layout IS the corpus.
+    // `sim` is the unit-vector cosine of the layout (approximate by
+    // construction — recall spec'd vs the exact arm, not
+    // oracle-gated). `filter` + `index` serves by OVER-FETCH:
+    // k′ = oversample·k candidates come off the pruned probe, the
+    // corpus filter's ID PROJECTION (one column, filter pushed into
+    // the corpus scan) semi-joins them, and the top k survivors
+    // re-rank. Recall stays bounded because saturation fails loud: if
+    // all k′ fetched candidates were consumed and fewer than k
+    // survived the filter, matching neighbors may hide past the
+    // window — the request errors (raise oversample/nprobe) instead
+    // of silently under-recalling. If the probe returned fewer than
+    // k′ (probed clusters exhausted), the survivors are complete for
+    // those clusters and the result stands.
     m.get("index").foreach { idx =>
       val im = idx match {
         case JObject(s) => s.toMap
         case other => fail(s"knn index must be an object: ${render(other)}")
       }
-      im.keySet.diff(Set("path", "nprobe")).foreach(kk =>
+      im.keySet.diff(Set("path", "nprobe", "oversample")).foreach(kk =>
         fail(s"unsupported knn index option '$kk'"))
       val path = strOpt(im, "path").getOrElse(fail("knn index requires a path"))
       val nprobe = intOpt(im, "nprobe").getOrElse(4)
       if (nprobe < 1) fail("knn index nprobe must be >= 1")
-      if (m.contains("filter"))
-        fail("filter cannot be combined with an index-served knn (the IVF " +
-          "layout carries only id/vector/cluster — use the exact arm)")
+      val oversample = intOpt(im, "oversample").getOrElse(4)
+      if (oversample < 1) fail("knn index oversample must be >= 1")
+      if (im.contains("oversample") && !m.contains("filter"))
+        fail("knn index oversample only applies with a filter")
+      val filterPred = m.get("filter").map(compileQuery(_).pred)
       val spark = table.sparkSession
       import spark.implicits._
       // the layout's dimension is authoritative: a shorter query
@@ -2250,11 +2364,50 @@ object QueryDsl {
         fail(s"knn query_vector has ${qv.size} dims but the index at " +
           s"'$path' holds $layoutDims-dim vectors")
       val qdf = Seq((-1L, qv.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
-      return graft.operators.IvfIndex.topKFromIndex(spark, path, qdf,
-          "q_id", "q_emb",
-          graft.operators.IvfIndex.Params(nprobe = nprobe, k = k))
-        .select(col("neighbor_id").as(idF), col("rank"), col("sim"))
-        .orderBy(col("rank"))
+      val kFetch = filterPred match {
+        case None    => k
+        case Some(_) =>
+          val kf = k.toLong * oversample
+          if (kf > 1000000L)
+            fail(s"knn index over-fetch window k*oversample = $kf exceeds 1e6")
+          kf.toInt
+      }
+      val ranked = graft.operators.IvfIndex.topKFromIndex(spark, path, qdf,
+        "q_id", "q_emb",
+        graft.operators.IvfIndex.Params(nprobe = nprobe, k = kFetch))
+      return filterPred match {
+        case None =>
+          ranked.select(col("neighbor_id").as(idF), col("rank"), col("sim"))
+            .orderBy(col("rank"))
+        case Some(pred) =>
+          import org.apache.spark.sql.expressions.Window
+          // one distinct id column off the filtered corpus — the only
+          // thing the corpus contributes; its filter pushes into the
+          // corpus scan, and the join ships candidate-ids vs ids only
+          val ids = table.filter(pred)
+            .select(col(idF).cast("long").as("__knn_fid")).distinct()
+          val wAll = Window.partitionBy(lit(1))
+          val err = s"knn filtered serve: all $kFetch over-fetched " +
+            "candidates were consumed but fewer than k passed the filter " +
+            "- recall past the window cannot be bounded; raise oversample " +
+            "or nprobe, or use the exact arm"
+          ranked
+            .join(ids, col("neighbor_id") === col("__knn_fid"), "left")
+            .withColumn("__kept", count(col("__knn_fid")).over(wAll))
+            .withColumn("__fetched", count(lit(1)).over(wAll))
+            // the guard lives INSIDE the survivor filter so it is
+            // evaluated on every fetched row — a zero-survivor
+            // saturated window still raises
+            .filter(when(col("__kept") < lit(k.toLong) &&
+                col("__fetched") === lit(kFetch.toLong),
+              raise_error(lit(err)).cast("boolean"))
+              .otherwise(col("__knn_fid").isNotNull))
+            .withColumn("rank", row_number().over(
+              Window.orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("neighbor_id").as(idF), col("rank"), col("sim"))
+            .orderBy(col("rank"))
+      }
     }
 
     val filt = m.get("filter").map(compileQuery(_).pred).getOrElse(lit(true))
@@ -2296,6 +2449,80 @@ object QueryDsl {
   def countRequest(table: DataFrame, requestJson: String): DataFrame =
     table.filter(countPredicate(requestJson, "_count"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+
+  /** The `_explain` endpoint: per-hit integer score decomposition —
+    * the debugging surface users reach for first. Output: the id
+    * column, the hit's `score`, and one `part_<label>` column per
+    * clause part, with the INVARIANT `sum(parts) == score` (spec'd
+    * for bool / dis_max / function_score). Parts by top-level clause:
+    * bool → each must (its score) and should (score when matched,
+    * else 0; filter/must_not are filter-context and contribute 0 by
+    * the model, so they emit no part); dis_max → each sub-query's
+    * tie-broken ppm contribution plus the `best` bonus
+    * (best·(10⁶−tb)); function_score → the inner query's score plus
+    * what the functions added (additive by construction for both
+    * boost modes); constant_score → the boost; any other clause → one
+    * `query` part. One projection over the SAME filtered scan
+    * `search` runs — zero extra scans, exact longs (ppm-scaled
+    * requests decompose in ppm units).
+    */
+  def explain(table: DataFrame, requestJson: String,
+      idField: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"request body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("query")).foreach(k =>
+      fail(s"_explain takes only a query (got '$k')"))
+    val q = req.getOrElse("query", fail("_explain requires a query"))
+    if (!table.columns.contains(idField))
+      fail(s"_explain id field '$idField' is not a column of the table")
+    val compiled = compileQuery(q) // fails loud on malformed shapes first
+    val parts: Seq[(String, Column)] = q match {
+      case JObject(List(("bool", JObject(b)))) =>
+        val m = b.toMap
+        def clauses(sec: String): Seq[JValue] = m.get(sec) match {
+          case None               => Nil
+          case Some(JArray(cs))   => cs
+          case Some(one: JObject) => Seq(one)
+          case Some(_)            => Nil // compileQuery already failed loud
+        }
+        val must = clauses("must").zipWithIndex.map { case (c, i) =>
+          (s"must_$i", compileQuery(c).score)
+        }
+        val should = clauses("should").zipWithIndex.map { case (c, i) =>
+          val cc = compileQuery(c)
+          (s"should_$i", when(cc.pred, cc.score).otherwise(lit(0L)))
+        }
+        if ((must ++ should).isEmpty) Seq(("query", compiled.score))
+        else must ++ should
+      case JObject(List(("dis_max", JObject(b)))) =>
+        val m = b.toMap
+        val subs = m.get("queries") match {
+          case Some(JArray(qs)) => qs.map(compileQuery)
+          case _                => Nil // unreachable: compileQuery failed loud
+        }
+        val tbPpm = ppmOf(m, "tie_breaker", 0L)
+        val matched = subs.map(c => when(c.pred, c.score).otherwise(lit(0L)))
+        val best =
+          if (matched.size == 1) matched.head else greatest(matched: _*)
+        matched.zipWithIndex.map { case (s, i) =>
+          (s"queries_$i", s * lit(tbPpm))
+        } :+ ("best", best * lit(1000000L - tbPpm))
+      case JObject(List(("function_score", JObject(b)))) =>
+        val m = b.toMap
+        val inner = m.get("query").map(compileQuery)
+          .getOrElse(CompiledQuery(lit(true), lit(0L)))
+        Seq(("query", inner.score),
+          ("functions", compiled.score - inner.score))
+      case JObject(List(("constant_score", _))) =>
+        Seq(("boost", compiled.score))
+      case _ => Seq(("query", compiled.score))
+    }
+    table.filter(compiled.pred).select(
+      col(idField) +: compiled.score.as("score") +:
+        parts.map { case (n, c) => c.as(s"part_$n") }: _*)
+  }
 
   /** The ONE `_count`-shape compile — `{query}` only, request-level
     * corpus-state clauses rejected — shared by [[countRequest]] and
@@ -2836,6 +3063,20 @@ object QueryDsl {
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with intervals"))
         return hitPipeline(intervalsRequest(table, body), req)
+      // the join-field relations model: corpus-state-dependent (the
+      // matching set comes from OTHER rows of the table), so these
+      // compile at the REQUEST level into the equi-join the engine
+      // already owns, not to a per-row predicate
+      case Some(JObject(List(("has_child", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with has_child"))
+        return hitPipeline(hasChildRequest(table, body), req)
+      case Some(JObject(List(("has_parent", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with has_parent"))
+        return hitPipeline(hasParentRequest(table, body), req)
       case _ => ()
     }
 
@@ -3353,7 +3594,7 @@ object QueryDsl {
     // series itself is an intermediate. Computed by aggregating the
     // bounded bucket table — no second corpus pass.
     val siblingKinds = Set("avg_bucket", "sum_bucket", "min_bucket",
-      "max_bucket", "stats_bucket")
+      "max_bucket", "stats_bucket", "percentiles_bucket")
     val (siblingAggs, entries2) = entries.partition {
       case (_, JObject(List((k, _)))) => siblingKinds.contains(k)
       case _ => false
@@ -3369,7 +3610,10 @@ object QueryDsl {
           case JObject(List((k, JObject(b)))) => (k, b.toMap)
           case other => fail(s"sibling agg '$name' must be {kind: {buckets_path}}: ${render(other)}")
         }
-        body.keySet.diff(Set("buckets_path")).foreach(k =>
+        val allowedSib =
+          if (kind == "percentiles_bucket") Set("buckets_path", "percents")
+          else Set("buckets_path")
+        body.keySet.diff(allowedSib).foreach(k =>
           fail(s"unsupported $kind option '$k' in '$name'"))
         val path = strOpt(body, "buckets_path")
           .getOrElse(fail(s"sibling agg '$name' needs a buckets_path"))
@@ -3394,6 +3638,24 @@ object QueryDsl {
             max(c).as(s"${name}_max"),
             (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
             sum(c).as(s"${name}_sum"))
+          // percentiles_bucket: exact discrete percentiles over the
+          // bucket series (OpenSearch's own percentiles_bucket is
+          // already exact — it holds the whole series — so unlike
+          // `percentiles` this is NOT a divergence); one `<name>_p<p>`
+          // column per percent, the element keeps its exact type
+          case "percentiles_bucket" =>
+            val percents = body.get("percents") match {
+              case Some(JArray(ps)) if ps.nonEmpty => ps.map {
+                case JInt(i) if i > 0 && i < 100 => i.toInt
+                case other =>
+                  fail(s"percents must be integers in (0,100): ${render(other)}")
+              }
+              case None        => Seq(1, 5, 25, 50, 75, 95, 99)
+              case Some(other) => fail(s"percents must be an array: ${render(other)}")
+            }
+            percents.map(p => expr(
+              s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY `$target`)")
+              .as(s"${name}_p$p"))
         }
       }
       return bucketDf.agg(cols.head, cols.tail: _*)
@@ -3404,8 +3666,10 @@ object QueryDsl {
         spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
           "date_range", "rare_terms", "significant_terms", "filters",
           "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
-          "missing", "multi_terms", "auto_date_histogram", "global",
-          "filter", "significant_text", "sampler",
+          "geohash_grid", "geotile_grid", "missing", "multi_terms",
+          "auto_date_histogram", "global",
+          "filter", "significant_text", "sampler", "diversified_sampler",
+          "children", "parent", "geo_distance",
           "string_stats", "ip_range", "nested").contains(p._1))
       case _ => false
     }
@@ -3420,9 +3684,12 @@ object QueryDsl {
         val kinds = m.keySet.intersect(Set("terms", "histogram",
           "date_histogram", "range", "date_range", "rare_terms",
           "significant_terms", "filters", "composite", "adjacency_matrix",
-          "matrix_stats", "geo_grid", "missing", "multi_terms",
+          "matrix_stats", "geo_grid", "geohash_grid", "geotile_grid",
+          "missing", "multi_terms",
           "auto_date_histogram", "global", "filter", "significant_text",
-          "sampler", "string_stats", "ip_range", "nested"))
+          "sampler", "diversified_sampler", "children", "parent",
+          "geo_distance",
+          "string_stats", "ip_range", "nested"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -3449,6 +3716,26 @@ object QueryDsl {
         }
         m.get("geo_grid").foreach { g =>
           return geoGridAgg(hits, name, g, m.get("aggs"))
+        }
+        m.get("geohash_grid").foreach { g =>
+          return geohashGridAgg(hits, name, g, m.get("aggs"))
+        }
+        m.get("geotile_grid").foreach { g =>
+          return geotileGridAgg(hits, name, g, m.get("aggs"))
+        }
+        m.get("geo_distance").foreach { gd =>
+          return geoDistanceAgg(hits, name, gd, m.get("aggs"))
+        }
+        m.get("diversified_sampler").foreach { ds =>
+          return diversifiedSamplerAgg(hits, name, ds, m.get("aggs"))
+        }
+        m.get("children").foreach { ch =>
+          return relationSwitchAgg(table, hits, name, ch, m.get("aggs"),
+            toChildren = true)
+        }
+        m.get("parent").foreach { pa =>
+          return relationSwitchAgg(table, hits, name, pa, m.get("aggs"),
+            toChildren = false)
         }
         m.get("missing").foreach { ms =>
           return missingAgg(hits, name, ms, m.get("aggs"))
@@ -3573,12 +3860,28 @@ object QueryDsl {
           case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
         }
         val pipelineKinds = Set("cumulative_sum", "derivative", "moving_avg",
-          "serial_diff", "bucket_selector", "bucket_sort", "bucket_script")
+          "moving_percentiles", "moving_fn", "serial_diff", "bucket_selector",
+          "bucket_sort", "bucket_script", "normalize")
         val (pipeEntries, metricEntries) = subEntries.partition {
           case (_, JObject(List((kind, _)))) => pipelineKinds.contains(kind)
           case _ => false
         }
-        val subs: Seq[Column] = metricEntries.flatMap {
+        // median_absolute_deviation is the ONE metric that cannot be
+        // a single-pass aggregate column (the deviations need the
+        // median first) — split it out and weave its per-key table
+        // back in below
+        val (madEntries, metricEntries1) = metricEntries.partition {
+          case (_, JObject(List(("median_absolute_deviation", _)))) => true
+          case _ => false
+        }
+        // cumulative_cardinality needs the corpus (first-occurrence
+        // bucket per distinct value), not just the bucket table —
+        // split like MAD and weave below
+        val (ccEntries, plainMetricEntries) = metricEntries1.partition {
+          case (_, JObject(List(("cumulative_cardinality", _)))) => true
+          case _ => false
+        }
+        val subs: Seq[Column] = plainMetricEntries.flatMap {
           case (subName, subSpec) => metricCols(subName, subSpec, schema = hits.schema)
         }
         val (keyCol, size, termsOrder, histoFill, preFilter) = m.collectFirst {
@@ -3893,18 +4196,69 @@ object QueryDsl {
                 Seq(name), "full_outer")
               .na.fill(0L, Seq("doc_count"))
         }
+        // MAD per-key tables join back on the bucket key (null-safe:
+        // the NULL-key bucket keeps its deviation like any other) —
+        // BEFORE ordering/pipeline aggs, so buckets_path can
+        // reference the MAD column
+        val bucketTable1a = madEntries.foldLeft(bucketTable) {
+          case (bt, (subName, subSpec)) =>
+            val madT = madTable(gated, keyCol, subName, subSpec)
+              .withColumnRenamed("__mad_k", "__mad_kj")
+            bt.join(madT, col(name) <=> col("__mad_kj"), "left")
+              .drop("__mad_kj")
+        }
+        // cumulative_cardinality: EXACT distinct-seen-so-far per
+        // key-ordered bucket (OpenSearch serves an HLL approximation —
+        // the q7 divergence doctrine, except here the exact form IS
+        // cross-engine oracle-able). The corpus work is ONE groupBy on
+        // the value domain (min bucket per distinct value — the same
+        // cost class as the cardinality it generalizes), collapsing to
+        // a bucket-count-bounded (first_bucket → new_values) table;
+        // the running total is then a window over the BOUNDED bucket
+        // series. Key-ordered parents only.
+        val bucketTable1 = {
+          if (ccEntries.nonEmpty && !m.contains("histogram") &&
+              !m.contains("date_histogram"))
+            fail("cumulative_cardinality requires a histogram or " +
+              "date_histogram parent (it is a running total in key order)")
+          ccEntries.foldLeft(bucketTable1a) {
+            case (bt, (subName, subSpec)) =>
+              val body = subSpec match {
+                case JObject(List(("cumulative_cardinality", JObject(b)))) => b.toMap
+                case other => fail(s"cumulative_cardinality '$subName' must " +
+                  s"be an object: ${render(other)}")
+              }
+              body.keySet.diff(Set("field")).foreach(k =>
+                fail(s"unsupported cumulative_cardinality option '$k' in '$subName'"))
+              val f = strOpt(body, "field")
+                .getOrElse(fail(s"cumulative_cardinality '$subName' needs a field"))
+              val perK = gated
+                .select(keyCol.as("__cc_k"), col(f).as("__cc_v"))
+                .filter(col("__cc_v").isNotNull && col("__cc_k").isNotNull)
+                .groupBy(col("__cc_v")).agg(min(col("__cc_k")).as("__cc_k"))
+                .groupBy(col("__cc_k")).agg(count(lit(1)).as("__cc_n"))
+              import org.apache.spark.sql.expressions.Window
+              bt.join(perK, col(name) <=> col("__cc_k"), "left")
+                .drop("__cc_k")
+                .withColumn(subName,
+                  sum(coalesce(col("__cc_n"), lit(0L)))
+                    .over(Window.orderBy(col(name).asc)
+                      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+                .drop("__cc_n")
+          }
+        }
         if (pipeEntries.isEmpty) {
           val sortCols: Seq[Column] = termsOrder match {
             case None => Seq(col("doc_count").desc, col(name).asc)
             case Some((target0, asc)) =>
               val target =
                 if (target0 == "_key") name
-                else resolveBucketColumn(bucketTable, s"terms agg '$name' order", target0)
+                else resolveBucketColumn(bucketTable1, s"terms agg '$name' order", target0)
               val primary = if (asc) col(target).asc else col(target).desc
               // bucket key breaks all ties: the order stays total
               if (target == name) Seq(primary) else Seq(primary, col(name).asc)
           }
-          val grouped = bucketTable.orderBy(sortCols: _*)
+          val grouped = bucketTable1.orderBy(sortCols: _*)
           size.map(grouped.limit).getOrElse(grouped)
         } else {
           if (termsOrder.isDefined)
@@ -3925,29 +4279,74 @@ object QueryDsl {
           val hasSeries = pipeEntries.exists {
             case (_, JObject(List((k, _)))) =>
               Set("cumulative_sum", "derivative", "serial_diff",
-                "moving_avg").contains(k)
+                "moving_avg", "moving_percentiles", "moving_fn").contains(k)
             case _ => false
           }
           if (hasSeries && !m.contains("histogram") && !m.contains("date_histogram"))
             fail("series pipeline aggs (cumulative_sum/derivative/" +
-              "serial_diff/moving_avg) require a histogram or date_histogram parent")
+              "serial_diff/moving_avg/moving_percentiles) require a " +
+              "histogram or date_histogram parent")
           if (hasSeries && size.isDefined)
             fail("series pipeline aggs cannot be combined with a bucket size limit")
           val capped = size match {
             case Some(n) =>
-              bucketTable.orderBy(col("doc_count").desc, col(name).asc).limit(n)
-            case None => bucketTable
+              bucketTable1.orderBy(col("doc_count").desc, col(name).asc).limit(n)
+            case None => bucketTable1
           }
           withPipelineAggs(capped, name, pipeEntries, metricEntries.map(_._1))
         }
 
       case _ =>
-        // Metric-only: one global aggregation row.
-        val cols = metricAggs.flatMap { case (name, spec) =>
+        // Metric-only: one global aggregation row. MAD entries (the
+        // one two-pass metric) each contribute a one-row table,
+        // broadcast-crossed onto the single-pass row.
+        val (madEntries, plainMetrics) = metricAggs.partition {
+          case (_, JObject(List(("median_absolute_deviation", _)))) => true
+          case _ => false
+        }
+        val cols = plainMetrics.flatMap { case (name, spec) =>
           metricCols(name, spec, schema = hits.schema) }
-        if (cols.isEmpty) fail("aggs contained no recognizable aggregations")
-        hits.agg(cols.head, cols.tail: _*)
+        if (cols.isEmpty && madEntries.isEmpty)
+          fail("aggs contained no recognizable aggregations")
+        val baseOpt =
+          if (cols.isEmpty) None else Some(hits.agg(cols.head, cols.tail: _*))
+        val madDfs = madEntries.map { case (n2, sp) =>
+          madTable(hits, lit(0L), n2, sp).drop("__mad_k")
+        }
+        (baseOpt.toSeq ++ madDfs).reduce((a, b) => a.crossJoin(broadcast(b)))
     }
+  }
+
+  /** `median_absolute_deviation`: the exact DISCRETE form — the
+    * percentile_disc-0.5 of `abs(x − median(x))` per bucket key (the
+    * q158 percentile recipe, so the result is an actual data-space
+    * value and engine-exact; OpenSearch itself serves a t-digest
+    * APPROXIMATION, the same divergence doctrine as `percentiles`).
+    * Necessarily two keyed passes + one co-partitioned join (the
+    * deviations need the median): all three exchanges hash on the
+    * SAME bucket key, so at scale they co-locate, and the tables are
+    * key-domain-bounded from the first groupBy on.
+    */
+  private def madTable(rows: DataFrame, keyCol: Column,
+      subName: String, spec: JValue): DataFrame = {
+    val m = spec match {
+      case JObject(List(("median_absolute_deviation", JObject(b)))) => b.toMap
+      case other =>
+        fail(s"median_absolute_deviation '$subName' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field")).foreach(k =>
+      fail(s"unsupported median_absolute_deviation option '$k' in '$subName'"))
+    val f = strOpt(m, "field")
+      .getOrElse(fail(s"median_absolute_deviation '$subName' needs a field"))
+    val base = rows.select(keyCol.as("__mad_k"), col(f).as("__mad_v"))
+    val med = base.groupBy(col("__mad_k").as("__mad_km"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __mad_v)")
+        .as("__med"))
+    base.join(med, col("__mad_k") <=> col("__mad_km")).drop("__mad_km")
+      .groupBy(col("__mad_k"))
+      .agg(expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(__mad_v - __med))")
+        .as(subName))
   }
 
   /** `range` bucket agg: explicit [from, to) buckets — a doc lands in
@@ -3984,6 +4383,64 @@ object QueryDsl {
       case _ => fail(s"range agg '$name' requires a non-empty ranges array")
     }
     onePassBuckets(hits, name, ranges, subAggs, family = "range")
+  }
+
+  /** `geo_distance` bucket agg: ring buckets `[from, to)` km around
+    * an origin — the store-locator idiom. The distance is the
+    * engine's ONE [[haversineKm]] (shared with the `geo_distance`
+    * query and the `_geo_distance` sort, so the three can never
+    * drift), and the bucket tail is the shared one-pass filtered
+    * aggregate — one global row, the distance expression evaluated
+    * ONCE per doc per ring condition in the same scan, never a scan
+    * per ring. NULL coordinates land in no bucket (the null-omitted
+    * convention).
+    */
+  private def geoDistanceAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"geo_distance agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("lat_field", "lon_field", "origin", "ranges")).foreach(k =>
+      fail(s"unsupported geo_distance-agg option '$k' in '$name'"))
+    val latF = strOpt(m, "lat_field")
+      .getOrElse(fail(s"geo_distance agg '$name' requires lat_field"))
+    val lonF = strOpt(m, "lon_field")
+      .getOrElse(fail(s"geo_distance agg '$name' requires lon_field"))
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d) => d
+      case JInt(i)    => i.toDouble
+      case other      => fail(s"$what must be numeric: ${render(other)}")
+    }
+    val (latQ, lonQ) = m.get("origin") match {
+      case Some(JObject(o)) =>
+        val om = o.toMap
+        (om.get("lat").map(num(_, "origin.lat"))
+           .getOrElse(fail("origin requires lat")),
+         om.get("lon").map(num(_, "origin.lon"))
+           .getOrElse(fail("origin requires lon")))
+      case _ => fail(s"geo_distance agg '$name' requires origin: {lat, lon}")
+    }
+    val dist = haversineKm(latF, lonF, latQ, lonQ)
+    val ranges: Seq[(Column, String)] = m.get("ranges") match {
+      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+        case JObject(bounds) =>
+          val bm = bounds.toMap
+          bm.keySet.diff(Set("from", "to")).foreach(k =>
+            fail(s"unsupported range bound '$k' in agg '$name'"))
+          val (from, to) = (bm.get("from").map(num(_, "from")),
+            bm.get("to").map(num(_, "to")))
+          if (from.isEmpty && to.isEmpty)
+            fail(s"geo_distance agg '$name' has an unbounded range")
+          val conds = from.map(v => dist >= lit(v)).toSeq ++
+            to.map(v => dist < lit(v))
+          val key = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
+          (conds.reduce(_ && _), key)
+        case other => fail(s"geo_distance agg '$name' ranges must be objects: ${render(other)}")
+      }
+      case _ => fail(s"geo_distance agg '$name' requires a non-empty ranges array")
+    }
+    onePassBuckets(hits, name, ranges, subAggs, family = "geo_distance")
   }
 
   /** `nested` bucket agg: metric sub-aggs over the ELEMENTS of an
@@ -4324,6 +4781,221 @@ object QueryDsl {
       .orderBy(col(s"${name}_lat"), col(s"${name}_lon"))
   }
 
+  /** REAL base-32 geohash cell id (interoperable with OpenSearch's
+    * geohash strings, unlike [[geoGridAgg]]'s fixed-degree analog):
+    * precision-p hash = the top 5p bits of the bit-interleaved
+    * quantized axes (longitude leads and takes the extra bit of odd
+    * totals — the public algorithm), rendered through the standard
+    * 32-char alphabet (0-9 then b-z minus a/i/l/o). The per-axis quantizer
+    * `floor((v + off) / span · 2^bits)` is exactly the bisection
+    * bit-walk unrolled, so the whole hash is deterministic integer
+    * arithmetic after ONE IEEE multiply-divide per axis — the DuckDB
+    * oracle replays it term-for-term with `>> & <<` (see q250). Pure
+    * codegen (shifts, masks, element_at), no UDF.
+    */
+  private[search] def geohashCol(lat: Column, lon: Column, p: Int): Column = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val total = 5 * p
+    val xb = (total + 1) / 2 // lon leads: the extra bit on odd totals
+    val yb = total / 2
+    def quant(c: Column, off: Double, span: Double, bits: Int): Column =
+      least(greatest(floor((c + lit(off)) / lit(span) *
+          lit((1L << bits).toDouble)), lit(0.0)),
+        lit(((1L << bits) - 1).toDouble)).cast("long")
+    val ix = quant(lon, 180.0, 360.0, xb)
+    val iy = quant(lat, 90.0, 180.0, yb)
+    // interleave: lon bit j lands at 2j (odd total) / 2j+1 (even),
+    // lat at the complementary slot — MSB = lon's top bit either way
+    val lonPos: Int => Int = j => if (total % 2 == 1) 2 * j else 2 * j + 1
+    val latPos: Int => Int = j => if (total % 2 == 1) 2 * j + 1 else 2 * j
+    val code =
+      ((0 until xb).map(j =>
+        shiftleft(shiftright(ix, j).bitwiseAND(lit(1L)), lonPos(j))) ++
+       (0 until yb).map(j =>
+        shiftleft(shiftright(iy, j).bitwiseAND(lit(1L)), latPos(j))))
+        .reduce(_ + _)
+    val chars = alphabet.map(ch => lit(ch.toString))
+    concat((0 until p).map { j =>
+      val d = shiftright(code, 5 * (p - 1 - j)).bitwiseAND(lit(31L))
+      element_at(array(chars: _*), (d + lit(1L)).cast("int"))
+    }: _*)
+  }
+
+  /** `geohash_grid` bucket agg: one groupBy on the [[geohashCol]]
+    * cell id — identical shuffle shape to [[geoGridAgg]], the key is
+    * just the interoperable string. Count-desc/key-asc total order
+    * (the OpenSearch response order, made total).
+    */
+  private def geohashGridAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"geohash_grid '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
+      fail(s"unsupported geohash_grid option '$k' in '$name'"))
+    val latF = strOpt(m, "lat_field")
+      .getOrElse(fail("geohash_grid requires lat_field"))
+    val lonF = strOpt(m, "lon_field")
+      .getOrElse(fail("geohash_grid requires lon_field"))
+    val p = intOpt(m, "precision").getOrElse(5)
+    if (p < 1 || p > 12) fail(s"geohash_grid precision must be 1-12, got $p")
+    val size = intOpt(m, "size")
+    size.foreach(s => if (s < 1) fail("geohash_grid size must be >= 1"))
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    val grouped = hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
+      .groupBy(geohashCol(col(latF), col(lonF), p).as(name))
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .orderBy(col("doc_count").desc, col(name).asc)
+    size.map(grouped.limit).getOrElse(grouped)
+  }
+
+  /** REAL web-mercator tile key `z/x/y` (interoperable with
+    * OpenSearch's geotile strings and every slippy-map tile server):
+    * x = ⌊(lon+180)/360·2ᶻ⌋, y = ⌊(1 − ln(tan φ + 1/cos φ)/π)/2·2ᶻ⌋
+    * with latitude clamped to the mercator domain ±85.05112878 (the
+    * public algorithm). ln/tan/cos are IEEE transcendentals — not
+    * correctly rounded, so a point EXACTLY on a tile edge could in
+    * principle land one ulp differently across engines; measure-zero
+    * for real coordinates, and the oracle gate would catch it.
+    */
+  private[search] def geotileCol(lat: Column, lon: Column, z: Int): Column = {
+    val n = (1L << z).toDouble
+    val x = least(greatest(floor((lon + lit(180.0)) / lit(360.0) * lit(n)),
+      lit(0.0)), lit(n - 1)).cast("long")
+    val latC = least(greatest(lat, lit(-85.05112878)), lit(85.05112878))
+    val latRad = latC * lit(math.Pi / 180.0)
+    val merc = (lit(1.0) -
+      log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / lit(2.0)
+    val y = least(greatest(floor(merc * lit(n)), lit(0.0)), lit(n - 1))
+      .cast("long")
+    concat(lit(s"$z/"), x.cast("string"), lit("/"), y.cast("string"))
+  }
+
+  /** `geotile_grid` bucket agg: one groupBy on the [[geotileCol]]
+    * tile key — the same shuffle shape as [[geohashGridAgg]].
+    */
+  private def geotileGridAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"geotile_grid '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
+      fail(s"unsupported geotile_grid option '$k' in '$name'"))
+    val latF = strOpt(m, "lat_field")
+      .getOrElse(fail("geotile_grid requires lat_field"))
+    val lonF = strOpt(m, "lon_field")
+      .getOrElse(fail("geotile_grid requires lon_field"))
+    val z = intOpt(m, "precision").getOrElse(7)
+    if (z < 0 || z > 29) fail(s"geotile_grid precision must be 0-29, got $z")
+    val size = intOpt(m, "size")
+    size.foreach(s => if (s < 1) fail("geotile_grid size must be >= 1"))
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    val grouped = hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
+      .groupBy(geotileCol(col(latF), col(lonF), z).as(name))
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .orderBy(col("doc_count").desc, col(name).asc)
+    size.map(grouped.limit).getOrElse(grouped)
+  }
+
+  /** `diversified_sampler` bucket agg: sub-aggs over a de-skewed
+    * sample — at most `max_docs_per_value` docs per distinct value of
+    * `field`. OpenSearch keeps the top-scored docs per value in shard
+    * order; the engine's DETERMINISTIC analog ranks by the explicit
+    * `id_field` ascending (the explicit-fields convention — document
+    * identity is the one total order every engine replays). One
+    * row_number window PARTITIONED BY the dedup key — the shuffle
+    * hashes the diversity field, so the cap applies per-key across
+    * the whole corpus (stronger than OpenSearch's per-shard cap) and
+    * scales with the key cardinality, never a global sort.
+    */
+  private def diversifiedSamplerAgg(hits: DataFrame, name: String,
+      spec: JValue, subAggs: Option[JValue]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other =>
+        fail(s"diversified_sampler '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "id_field", "max_docs_per_value")).foreach(k =>
+      fail(s"unsupported diversified_sampler option '$k' in '$name'"))
+    val f = strOpt(m, "field")
+      .getOrElse(fail("diversified_sampler requires the diversity field"))
+    val idF = strOpt(m, "id_field")
+      .getOrElse(fail("diversified_sampler requires id_field (the " +
+        "deterministic per-value order — the explicit-fields convention)"))
+    val cap = intOpt(m, "max_docs_per_value").getOrElse(1)
+    if (cap < 1) fail("diversified_sampler max_docs_per_value must be >= 1")
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    val w = Window.partitionBy(col(f)).orderBy(col(idF).asc)
+    hits.withColumn("__ds_rn", row_number().over(w))
+      .filter(col("__ds_rn") <= cap).drop("__ds_rn")
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+  }
+
+  /** `children` / `parent` bucket aggs: the relations model's agg arm
+    * — switch the doc set from the current hits to their children
+    * (resp. parents) and run the sub-aggs there. Same explicit-columns
+    * wire shape as has_child/has_parent. Compiles to ONE semi-join on
+    * the id domain (hit ids broadcast or hashed — never a per-row
+    * subquery) + a global aggregate; `children` additionally gates the
+    * joined side on the child `type`.
+    */
+  private def relationSwitchAgg(table: DataFrame, hits: DataFrame,
+      name: String, spec: JValue, subAggs: Option[JValue],
+      toChildren: Boolean): DataFrame = {
+    val kind = if (toChildren) "children" else "parent"
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"$kind '$name' must be an object: ${render(other)}")
+    }
+    val allowed =
+      if (toChildren) Set("type", "join_field", "id_field", "parent_field")
+      else Set("join_field", "id_field", "parent_field")
+    m.keySet.diff(allowed).foreach(k =>
+      fail(s"unsupported $kind option '$k' in '$name'"))
+    val joinF = strOpt(m, "join_field")
+      .getOrElse(fail(s"$kind needs join_field (the relation-name column)"))
+    val idF = strOpt(m, "id_field")
+      .getOrElse(fail(s"$kind needs id_field (the document id column)"))
+    val parentF = strOpt(m, "parent_field")
+      .getOrElse(fail(s"$kind needs parent_field (the child's parent pointer)"))
+    val switched =
+      if (toChildren) {
+        val childType = strOpt(m, "type")
+          .getOrElse(fail("children needs the child 'type'"))
+        table.filter(col(joinF) === lit(childType))
+          .join(hits.select(col(idF).as("__rs_id")),
+            col(parentF) === col("__rs_id"), "leftsemi")
+      } else
+        table.join(hits.filter(col(parentF).isNotNull)
+            .select(col(parentF).as("__rs_id")).distinct(),
+          col(idF) === col("__rs_id"), "leftsemi")
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = table.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    switched.agg(count(lit(1)).as("doc_count"), subs: _*)
+  }
+
   /** Two-level bucket table for a `terms` agg nesting another `terms`
     * agg (+ metric sub-aggs on the inner buckets). One groupBy on the
     * (outer, inner) key pair — a single shuffle carrying map-side
@@ -4442,6 +5114,85 @@ object QueryDsl {
         case JObject(List((k, JObject(b)))) => (k, b.toMap)
         case other => fail(s"pipeline agg '$subName' must be {kind: {buckets_path}}: ${render(other)}")
       }
+      kind match {
+        // moving_percentiles: the exact DISCRETE analog of the
+        // sketch-merging original (the q158 doctrine — OpenSearch
+        // merges t-digests of the underlying values; the engine takes
+        // the discrete percentile of the window's bucket-metric
+        // series, an actual data-space value). One column per percent
+        // (`<name>_p<p>`, the percentiles naming): sort the window's
+        // collected frame, pick element ceil(p·n/100) — all integer
+        // index arithmetic, the element keeps its exact type. Runs on
+        // the BOUNDED bucket series like every series agg.
+        case "moving_percentiles" =>
+          body.keySet.diff(Set("buckets_path", "window", "percents"))
+            .foreach(k =>
+              fail(s"unsupported moving_percentiles option '$k' in '$subName'"))
+          val target = pathCol(df, subName, body)
+          val w = intOpt(body, "window")
+            .getOrElse(fail(s"moving_percentiles '$subName' needs a window"))
+          if (w < 1) fail("moving_percentiles window must be >= 1")
+          val percents = body.get("percents") match {
+            case Some(JArray(ps)) if ps.nonEmpty => ps.map {
+              case JInt(i) if i > 0 && i < 100 => i.toInt
+              case other =>
+                fail(s"percents must be integers in (0,100): ${render(other)}")
+            }
+            case None        => Seq(1, 5, 25, 50, 75, 95, 99)
+            case Some(other) => fail(s"percents must be an array: ${render(other)}")
+          }
+          val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
+          val arr = array_sort(collect_list(col(target)).over(frame))
+          percents.foldLeft(df) { (d, p) =>
+            // ceil(p·n/100) as exact integers; NULL targets drop from
+            // collect_list, an all-NULL window yields NULL (the
+            // OpenSearch empty-window omission)
+            val idx = ((size(arr).cast("long") * lit(p.toLong) + lit(99L)) /
+              lit(100L)).cast("int")
+            d.withColumn(s"${subName}_p$p",
+              when(size(arr) === 0, lit(null)).otherwise(element_at(arr, idx)))
+          }
+        // normalize: per-bucket rescaling against full-series stats —
+        // methods keep the portable-determinism recipe (exact integer
+        // sums/mins/maxes where the metric is integral, then a PINNED
+        // IEEE op order both engines replay bit-identically). softmax
+        // fails loud: exp is not correctly rounded, so its doubles
+        // cannot be oracle-gated cross-engine.
+        case "normalize" =>
+          body.keySet.diff(Set("buckets_path", "method")).foreach(k =>
+            fail(s"unsupported normalize option '$k' in '$subName'"))
+          val target = pathCol(df, subName, body)
+          val method = strOpt(body, "method")
+            .getOrElse(fail(s"normalize '$subName' needs a method"))
+          val wAll =
+            wKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          val x = col(target)
+          val sumAll = sum(x).over(wAll)
+          val minAll = min(x).over(wAll)
+          val maxAll = max(x).over(wAll)
+          val nAll = count(x).over(wAll)
+          val meanAll = sumAll.cast("double") / nAll.cast("double")
+          val c = method match {
+            case "percent_of_sum" => x.cast("double") / sumAll.cast("double")
+            case "rescale_0_1" =>
+              (x - minAll).cast("double") / (maxAll - minAll).cast("double")
+            case "rescale_0_100" =>
+              ((x - minAll) * lit(100)).cast("double") /
+                (maxAll - minAll).cast("double")
+            case "mean" =>
+              (x.cast("double") - meanAll) / (maxAll - minAll).cast("double")
+            case "z-score" =>
+              val sumSq = sum(x * x).over(wAll)
+              val varAll = (nAll * sumSq - sumAll * sumAll).cast("double") /
+                (nAll * nAll).cast("double")
+              (x.cast("double") - meanAll) / sqrt(varAll)
+            case "softmax" => fail("normalize softmax is unsupported: exp is " +
+              "not a correctly-rounded IEEE op, so its doubles cannot be " +
+              "oracle-gated cross-engine (use percent_of_sum)")
+            case other => fail(s"unsupported normalize method '$other'")
+          }
+          df.withColumn(subName, c)
+        case _ =>
       val c = kind match {
         case "bucket_script" =>
           // per-bucket derived arithmetic (ratio/percentage from
@@ -4464,6 +5215,7 @@ object QueryDsl {
         case _ =>
           val allowed = kind match {
             case "moving_avg"  => Set("buckets_path", "window")
+            case "moving_fn"   => Set("buckets_path", "window", "script", "shift")
             case "serial_diff" => Set("buckets_path", "lag")
             case _             => Set("buckets_path")
           }
@@ -4485,10 +5237,41 @@ object QueryDsl {
               val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
               sum(col(target)).over(frame).cast("double") /
                 count(lit(1)).over(frame).cast("double")
+            // moving_fn: the scripted window function — the engine
+            // compiles the EXACT MovingFunctions whitelist to native
+            // window aggregates (anything else fails loud; a general
+            // script would be a per-row interpreter). The OpenSearch
+            // shift model: shift 0 EXCLUDES the current bucket (the
+            // window is the w previous buckets), shift w includes it
+            // fully; an empty first window yields NULL (the omitted
+            // value).
+            case "moving_fn" =>
+              val w = intOpt(body, "window")
+                .getOrElse(fail(s"moving_fn '$subName' needs a window"))
+              if (w < 1) fail("moving_fn window must be >= 1")
+              val shift = intOpt(body, "shift").getOrElse(0)
+              if (shift < 0 || shift > w)
+                fail(s"moving_fn shift must be in [0, window], got $shift")
+              val frame =
+                wKey.rowsBetween((shift - w).toLong, (shift - 1).toLong)
+              strOpt(body, "script")
+                .getOrElse(fail(s"moving_fn '$subName' needs a script"))
+                .trim match {
+                case "MovingFunctions.max(values)" => max(col(target)).over(frame)
+                case "MovingFunctions.min(values)" => min(col(target)).over(frame)
+                case "MovingFunctions.sum(values)" => sum(col(target)).over(frame)
+                case "MovingFunctions.unweightedAvg(values)" =>
+                  sum(col(target)).over(frame).cast("double") /
+                    count(col(target)).over(frame).cast("double")
+                case other => fail(s"unsupported moving_fn script '$other' " +
+                  "(supported: MovingFunctions.{max,min,sum,unweightedAvg}" +
+                  "(values))")
+              }
             case other => fail(s"unsupported pipeline agg kind '$other'")
           }
       }
       df.withColumn(subName, c)
+      }
     }
 
     val selected = selectors.foldLeft(withSeries) { case (df, (subName, subSpec)) =>
@@ -5330,9 +6113,88 @@ object QueryDsl {
         (sum(when(gate, round(col(f) * lit(1000.0)).cast("long"))).cast("double") /
           (count(when(gate, col(f))) * lit(1000L)).cast("double")).as(out)
       Seq(axis(latF, s"${name}_lat"), axis(lonF, s"${name}_lon"))
+    // geo_bounds: the enclosing box — OpenSearch's top_left /
+    // bottom_right corners flattened to 4 columns. Pure min/max per
+    // axis, zero arithmetic, so the doubles are bit-identical across
+    // engines by construction.
+    case JObject(List(("geo_bounds", JObject(body)))) =>
+      val m = body.toMap
+      m.keySet.diff(Set("lat_field", "lon_field")).foreach(k =>
+        fail(s"unsupported geo_bounds option '$k' in '$name'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail(s"geo_bounds '$name' requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail(s"geo_bounds '$name' requires lon_field"))
+      val gate = cond.getOrElse(lit(true))
+      Seq(
+        max(when(gate, col(latF))).as(s"${name}_top_lat"),
+        min(when(gate, col(lonF))).as(s"${name}_left_lon"),
+        min(when(gate, col(latF))).as(s"${name}_bottom_lat"),
+        max(when(gate, col(lonF))).as(s"${name}_right_lon"))
     // weighted_avg: nested value/weight sub-objects (the OpenSearch
     // shape), exact Σ(v·w)/Σ(w) — two integer sums, ONE IEEE divide,
     // so the double is bit-identical across engines.
+    // t_test: Welch's (heteroscedastic, the OpenSearch default) or
+    // pooled (homoscedastic) two-sample t statistic from the exact
+    // integer moments (the extended_stats model: integral fields
+    // only, ENFORCED) — sample variances va=(nΣx²−(Σx)²)/(n(n−1))
+    // and a PINNED IEEE op order, so DuckDB replays the double
+    // bit-identically. `paired` fails loud: it needs a row-pairing
+    // the wire shape cannot express.
+    case JObject(List(("t_test", JObject(body)))) =>
+      val m = body.toMap
+      m.keySet.diff(Set("a", "b", "type")).foreach(k =>
+        fail(s"unsupported t_test option '$k' in '$name'"))
+      def arm(key: String): (Column, String) = m.get(key) match {
+        case Some(JObject(am0)) =>
+          val am = am0.toMap
+          am.keySet.diff(Set("field", "filter")).foreach(k =>
+            fail(s"unsupported t_test $key option '$k' in '$name'"))
+          val f = strOpt(am, "field")
+            .getOrElse(fail(s"t_test '$name' arm '$key' needs a field"))
+          if (schema != null) Option(schema).flatMap(_.find(_.name == f))
+            .map(_.dataType).foreach {
+              case org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.FloatType |
+                   _: org.apache.spark.sql.types.DecimalType =>
+                fail(s"t_test on '$f' requires an integral field (the exact " +
+                  "long moment model) - pre-scale to integers first")
+              case _ => ()
+            }
+          val armGate = am.get("filter").map(compileQuery(_).pred)
+          val gate = (cond.toSeq ++ armGate.toSeq)
+            .reduceOption(_ && _).getOrElse(lit(true))
+          (when(gate, col(f).cast("long")), f)
+        case _ => fail(s"t_test '$name' needs a '$key' arm object")
+      }
+      val (ca, _) = arm("a")
+      val (cb, _) = arm("b")
+      val (na, sa, qa) = (count(ca), sum(ca), sum(ca * ca))
+      val (nb, sb, qb) = (count(cb), sum(cb), sum(cb * cb))
+      val meanDiff = sa.cast("double") / na.cast("double") -
+        sb.cast("double") / nb.cast("double")
+      val vaN = na * qa - sa * sa // n·Σx² − (Σx)² — exact long
+      val vbN = nb * qb - sb * sb
+      val t = strOpt(m, "type").getOrElse("heteroscedastic") match {
+        case "heteroscedastic" =>
+          // va/na = vaN/(na·(na−1)·na) — exact denominator, ONE divide
+          val sea = vaN.cast("double") / (na * (na - 1) * na).cast("double")
+          val seb = vbN.cast("double") / (nb * (nb - 1) * nb).cast("double")
+          meanDiff / sqrt(sea + seb)
+        case "homoscedastic" =>
+          // sp² = ((na−1)va + (nb−1)vb)/(na+nb−2) with (n−1)v = vN/n;
+          // the 1/na+1/nb factor stays exact as (na+nb)/(na·nb)
+          val sp2 = (vaN.cast("double") / na.cast("double") +
+            vbN.cast("double") / nb.cast("double")) /
+            (na + nb - 2).cast("double")
+          meanDiff / sqrt(sp2 * ((na + nb).cast("double") / (na * nb).cast("double")))
+        case "paired" => fail("t_test type 'paired' is unsupported: it needs " +
+          "a row pairing the wire shape cannot express (join the two series " +
+          "and t_test the difference column instead)")
+        case other => fail(s"t_test type must be heteroscedastic/" +
+          s"homoscedastic: '$other'")
+      }
+      Seq(t.as(name))
     case JObject(List(("weighted_avg", JObject(body)))) =>
       val m = body.toMap
       m.keySet.diff(Set("value", "weight")).foreach(k =>

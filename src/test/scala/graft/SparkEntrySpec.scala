@@ -58,7 +58,11 @@ class SparkEntrySpec extends SparkSpec {
       "q216_dsl_sampler", "q217_dsl_boxplot", "q218_dsl_string_stats",
       // round-9 one-row global aggregates
       "q235_dsl_percentile_ranks", "q237_dsl_geo_centroid",
-      "q242_dsl_nested_agg")
+      "q242_dsl_nested_agg",
+      // round-10 one-row global aggregates
+      "q251_dsl_geo_bounds", "q259_dsl_percentiles_bucket",
+      "q261_dsl_t_test", "q262_dsl_diversified_sampler",
+      "q263_dsl_children_agg", "q264_dsl_parent_agg")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

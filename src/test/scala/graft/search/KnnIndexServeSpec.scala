@@ -88,12 +88,65 @@ class KnnIndexServeSpec extends SparkSpec {
     assert(filesRead > 0 && filesRead < totalFiles,
       s"expected a pruned scan: read $filesRead of $totalFiles files")
 
-    // (d) filter cannot silently combine with the index arm
+    // (d) filtered serve: over-fetch + id semi-join. Survivors all
+    // pass the filter, ranks re-pack 1..k, and every survivor appears
+    // in the unfiltered over-fetch window (it IS the window filtered)
+    val filtered = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"range": {"label": {"lte": 4}}},
+           "index": {"path": "$dir", "nprobe": 4, "oversample": 8}}}""")
+    val frows = filtered.collect().toSeq
+    assert(frows.nonEmpty && frows.size <= 5)
+    assert(frows.map(_.getLong(1)) === (1L to frows.size.toLong),
+      "filtered ranks re-pack 1..k")
+    val lbl1 = emb.filter(col("label") <= 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(frows.forall(r => lbl1(r.getLong(0))),
+      "every filtered-serve hit passes the corpus filter")
+    val window = IvfIndex.topKFromIndex(spark, dir, qdf, "q_id", "q_emb",
+        p.copy(k = 40))
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(frows.forall(r => window(r.getLong(0))),
+      "filtered hits come from the over-fetch window")
+    // recall vs the exact FILTERED arm at the same k
+    val exactF = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"range": {"label": {"lte": 4}}}}}""")
+      .collect().map(_.getLong(0)).toSet
+    val recallF = (exactF & frows.map(_.getLong(0)).toSet).size.toDouble /
+      exactF.size
+    assert(recallF >= 0.4, s"filtered index-served knn recall@5 = $recallF")
+    // the pruned probe scan is RETAINED under the filtered plan
+    val fscans = finalNodes(filtered).collect {
+      case f: FileSourceScanExec if f.metadata.getOrElse("Location", "").contains("data") => f
+    }
+    assert(fscans.exists(_.partitionFilters.nonEmpty),
+      "filtered serve lost the partition-pruned probe scan")
+
+    // (e) saturation fails loud: a filter no candidate passes, with
+    // the over-fetch window fully consumed → recall unbounded → error
+    val saturated = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 10,
+           "filter": {"term": {"label": -999}},
+           "index": {"path": "$dir", "nprobe": 8, "oversample": 2}}}""")
+    val e = intercept[Exception](saturated.collect())
+    assert(e.getMessage.contains("cannot be bounded") ||
+      Option(e.getCause).exists(_.getMessage.contains("cannot be bounded")),
+      s"expected the saturation raise, got: ${e.getMessage}")
+
+    // oversample is a filtered-serve knob only, and must be >= 1
+    assertThrows[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 10,
+           "index": {"path": "$dir", "nprobe": 4, "oversample": 8}}}"""))
     assertThrows[IllegalArgumentException](QueryDsl.search(emb,
       s"""{"knn": {"field": "embedding", "id_field": "vec_id",
            "query_vector": [${vec.mkString(",")}], "k": 10,
            "filter": {"term": {"label": 1}},
-           "index": {"path": "$dir", "nprobe": 4}}}"""))
+           "index": {"path": "$dir", "nprobe": 4, "oversample": 0}}}"""))
     // malformed index arms fail loud too
     assertThrows[IllegalArgumentException](QueryDsl.search(emb,
       s"""{"knn": {"field": "embedding", "id_field": "vec_id",

@@ -132,9 +132,9 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"bool": {"mustt": []}}}""", "unsupported bool section")
     bad("""{"query": {"range": {"n_chars": {"between": 3}}}}""", "range bound")
     bad("""{"pit": {}}""", "unsupported request key")
-    bad("""{"query": {"match": {"text": {"query": "x", "fuzziness": 2}}}}""",
+    bad("""{"query": {"match": {"text": {"query": "x", "fuzzinesss": 2}}}}""",
       "unsupported match option")
-    bad("""{"aggs": {"a": {"median_absolute_deviation": {"field": "n_chars"}}}}""",
+    bad("""{"aggs": {"a": {"weighted_median": {"field": "n_chars"}}}}""",
       "unsupported metric agg")
     bad("""{"query": {"dis_max": {"queries": [], "tie_breaker": 0.3}}}""",
       "non-empty queries")
@@ -1187,6 +1187,542 @@ class QueryDslSpec extends SparkSpec {
              "script": "params.a", "gap_policy": "skip"}}}}}}"""))
     assert(e2.getMessage.contains("unsupported bucket_script option"),
       e2.getMessage)
+  }
+
+  test("geohash_grid emits real base-32 geohash keys; geo_bounds is the min/max box") {
+    import spark.implicits._
+    // the public known vector: 57.64911,10.40744 → u4pruydqqvj
+    val pts = Seq((1L, 57.64911, 10.40744), (2L, 57.64911, 10.40744),
+      (3L, 90.0, 180.0), (4L, -90.0, -180.0)).toDF("id", "lat", "lon")
+    def cells(p: Int): Seq[(String, Long)] = QueryDsl.search(pts,
+      s"""{"aggs": {"cell": {"geohash_grid":
+           {"lat_field": "lat", "lon_field": "lon", "precision": $p}}}}""")
+      .as[(String, Long)].collect().toSeq
+    assert(cells(11) === Seq(("u4pruydqqvj", 2L), ("00000000000", 1L),
+      ("zzzzzzzzzzz", 1L)))
+    // odd precision exercises the other interleave parity
+    assert(cells(5) === Seq(("u4pru", 2L), ("00000", 1L), ("zzzzz", 1L)))
+    assert(cells(1) === Seq(("u", 2L), ("0", 1L), ("z", 1L)))
+    // size caps buckets after the count-desc order
+    val capped = QueryDsl.search(pts,
+      """{"aggs": {"cell": {"geohash_grid":
+           {"lat_field": "lat", "lon_field": "lon", "precision": 2,
+            "size": 1}}}}""").as[(String, Long)].collect().toSeq
+    assert(capped === Seq(("u4", 2L)))
+    // null coordinates are omitted (the missing-geo_point rule)
+    val withNull = pts.union(Seq((5L, Option.empty[Double], Option(0.0)))
+      .toDF("id", "lat", "lon"))
+    assert(QueryDsl.search(withNull,
+      """{"aggs": {"cell": {"geohash_grid":
+           {"lat_field": "lat", "lon_field": "lon", "precision": 1}}}}""")
+      .agg(sum("doc_count")).as[Long].head() === 4L)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(pts, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"c": {"geohash_grid": {"lat_field": "lat",
+      "lon_field": "lon", "precision": 13}}}}""", "precision must be 1-12")
+    bad("""{"aggs": {"c": {"geohash_grid": {"lat_field": "lat",
+      "lon_field": "lon", "bogus": 1}}}}""", "unsupported geohash_grid option")
+    bad("""{"aggs": {"c": {"geohash_grid": {"lon_field": "lon"}}}}""",
+      "requires lat_field")
+    // geo_bounds: exact min/max per axis, gate-aware under filter
+    val box = QueryDsl.search(pts,
+      """{"aggs": {"box": {"geo_bounds":
+           {"lat_field": "lat", "lon_field": "lon"}}}}""")
+      .as[(Double, Double, Double, Double)].head()
+    assert(box === ((90.0, -180.0, -90.0, 180.0)))
+    val gated = QueryDsl.search(pts,
+      """{"aggs": {"pos": {"filter": {"range": {"lat": {"gte": 0}}},
+           "aggs": {"box": {"geo_bounds":
+             {"lat_field": "lat", "lon_field": "lon"}}}}}}""").collect().head
+    assert(gated.getAs[Double]("box_bottom_lat") === 57.64911)
+    bad("""{"aggs": {"b": {"geo_bounds": {"lat_field": "lat",
+      "lon_field": "lon", "wrap_longitude": true}}}}""",
+      "unsupported geo_bounds option")
+  }
+
+  test("median_absolute_deviation: exact discrete MAD, global and under buckets") {
+    import spark.implicits._
+    val t = Seq(("a", 1L), ("a", 2L), ("a", 9L), ("b", 5L), ("b", 5L),
+      ("b", 6L), ("b", 100L)).toDF("k", "v")
+    // global: median(a-vals ∪ b-vals) — medians/deviations by hand:
+    // values 1,2,5,5,6,9,100 → median 5; |x−5| = 4,3,0,0,1,4,95 →
+    // sorted 0,0,1,3,4,4,95 → MAD 3
+    val g = QueryDsl.search(t,
+      """{"aggs": {"mad_v": {"median_absolute_deviation": {"field": "v"}}}}""")
+      .as[Double].head()
+    assert(g === 3.0)
+    // beside a one-pass metric (broadcast cross of one-row tables)
+    val both = QueryDsl.search(t,
+      """{"aggs": {"n": {"value_count": {"field": "v"}},
+           "mad_v": {"median_absolute_deviation": {"field": "v"}}}}""")
+      .collect().head
+    assert(both.getAs[Long]("n") === 7L && both.getAs[Double]("mad_v") === 3.0)
+    // under a terms bucket: a → median 2, |1,2,9 − 2| = 1,0,7 → 1;
+    // b → median 5, |0,0,1,95| → 0 (ceil(0.5·4)=2nd of 0,0,1,95)
+    val bucketed = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k"},
+           "aggs": {"mx": {"max": {"field": "v"}},
+             "mad_v": {"median_absolute_deviation": {"field": "v"}}}}}}""")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    assert(bucketed === Seq(("a", 3L, 9L, 1.0), ("b", 4L, 100L, 0.0)))
+    // the NULL-key bucket keeps its MAD (null-safe join):
+    // NULL → vals 10,14,20 → med 14, devs 0,4,6 → MAD 4;
+    // a → vals 1,3,8 → med 3, devs 0,2,5 → MAD 2
+    val tn = Seq((Some("a"), 1L), (Some("a"), 3L), (Some("a"), 8L),
+      (None, 10L), (None, 14L), (None, 20L)).toDF("k", "v")
+    val withNull = QueryDsl.search(tn,
+      """{"aggs": {"g": {"terms": {"field": "k"},
+           "aggs": {"mad_v": {"median_absolute_deviation": {"field": "v"}}}}}}""")
+      .orderBy("g").as[(Option[String], Long, Double)].collect().toSeq
+    assert(withNull === Seq((None, 3L, 4.0), (Some("a"), 3L, 2.0)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"m": {"median_absolute_deviation": {"field": "v",
+      "compression": 100}}}}""", "unsupported median_absolute_deviation option")
+    bad("""{"aggs": {"m": {"median_absolute_deviation": {}}}}""",
+      "needs a field")
+  }
+
+  test("has_child / has_parent: the relations model compiles to equi-joins") {
+    import spark.implicits._
+    val t = Seq(
+      ("q", 1L, Option.empty[Long], "alpha"),
+      ("q", 2L, Option.empty[Long], "beta"),
+      ("a", 10L, Some(1L), "spark x"),
+      ("a", 11L, Some(1L), "spark y"),
+      ("a", 12L, Some(2L), "zzz"),
+      ("a", 13L, Some(1L), "zzz")
+    ).toDF("rel", "doc_id", "parent_id", "text")
+    val relOpts = """"join_field": "rel", "id_field": "doc_id",
+      "parent_field": "parent_id""""
+    // has_child sum: parent 1 has 2 matching children (score 2);
+    // parent 2's only child misses the query → min_children 2 gates
+    val hc = QueryDsl.search(t,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match": {"text": "spark"}},
+           "score_mode": "sum", "min_children": 2}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+    assert(hc.as[(Long, Long)].collect().toSeq === Seq((1L, 2L)))
+    // score_mode none → constant 1; default min_children 1 admits
+    // any parent with one matching child
+    val hcAll = QueryDsl.search(t,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match_all": {}}, "score_mode": "none"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(hcAll === Seq((1L, 1L), (2L, 1L)))
+    // max_children excludes the 3-child parent
+    val hcMax = QueryDsl.search(t,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match_all": {}}, "max_children": 1}},
+         "sort": ["doc_id"], "_source": ["doc_id"]}""")
+      .as[Long].collect().toSeq
+    assert(hcMax === Seq(2L))
+    // has_parent: children of the parent matching "alpha"; score
+    // propagates; type gates the returned rows
+    val hp = QueryDsl.search(t,
+      s"""{"query": {"has_parent": {"parent_type": "q", $relOpts,
+           "query": {"match": {"text": "alpha"}}, "score": true,
+           "type": "a"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(hp === Seq((10L, 1L), (11L, 1L), (13L, 1L)))
+    // equi-join plan: never a nested-loop/cartesian
+    val plan = hc.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"relations model must stay an equi-join:\n$plan")
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}, "score_mode": "avg"}}}""",
+      "score_mode must be none/sum/min/max")
+    bad(s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}, "min_children": 0}}}""",
+      "min_children must be >= 1")
+    bad(s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}}}, "aggs": {"n": {"value_count":
+      {"field": "doc_id"}}}}""", "cannot be combined with has_child")
+    bad(s"""{"query": {"has_parent": {"parent_type": "q", $relOpts,
+      "query": {"match_all": {}}, "score": 1}}}""", "must be a boolean")
+    // nested inside bool is unsupported (request-level members)
+    bad(s"""{"query": {"bool": {"must": [{"has_child": {"type": "a",
+      $relOpts, "query": {"match_all": {}}}}]}}}""", "")
+  }
+
+  test("_explain: part columns sum to the hit score, one scan") {
+    def sumsToScore(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val partCols = df.columns.filter(_.startsWith("part_")).toSeq
+      assert(partCols.nonEmpty)
+      rows.foreach { r =>
+        val s = partCols.map(c => r.getLong(r.fieldIndex(c))).sum
+        assert(s === r.getLong(r.fieldIndex("score")),
+          s"parts $partCols must sum to score on row $r")
+      }
+    }
+    // bool: must + should parts
+    val ex = QueryDsl.explain(docs,
+      """{"query": {"bool": {
+           "must": [{"match": {"text": "spark"}}],
+           "should": [{"match": {"text": "join"}},
+                      {"term": {"lang": "en"}}]}}}""", "doc_id")
+    sumsToScore(ex)
+    assert(ex.columns.toSeq ===
+      Seq("doc_id", "score", "part_must_0", "part_should_0", "part_should_1"))
+    // zero extra scans: the decomposition is ONE projection over the
+    // same filtered corpus pass
+    val scans = ex.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan"))
+    assert(scans === 1, s"expected one FileScan, got $scans")
+    // dis_max decomposes in ppm units (tie-broken + best bonus)
+    sumsToScore(QueryDsl.explain(docs,
+      """{"query": {"dis_max": {"queries": [
+           {"match": {"text": "spark"}}, {"match": {"text": "join"}}],
+           "tie_breaker": 0.3}}}""", "doc_id"))
+    // function_score: query part + what the functions added
+    sumsToScore(QueryDsl.explain(docs,
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [{"filter": {"term": {"lang": "en"}}, "weight": 3}],
+           "boost_mode": "multiply"}}}""", "doc_id"))
+    // constant_score and leaf fallback
+    sumsToScore(QueryDsl.explain(docs,
+      """{"query": {"constant_score": {"filter": {"term": {"lang": "en"}},
+           "boost": 7}}}""", "doc_id"))
+    sumsToScore(QueryDsl.explain(docs,
+      """{"query": {"match": {"text": "spark join"}}}""", "doc_id"))
+    def bad(body: String, id: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        QueryDsl.explain(docs, body, id))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_all": {}}, "size": 5}""", "doc_id",
+      "takes only a query")
+    bad("""{"query": {"match_all": {}}}""", "nope", "is not a column")
+    bad("""{}""", "doc_id", "requires a query")
+  }
+
+  test("moving_percentiles / percentiles_bucket: exact discrete forms") {
+    import spark.implicits._
+    val t = Seq((0L, 1L), (0L, 3L), (1L, 5L), (1L, 7L), (2L, 2L),
+      (3L, 9L), (4L, 4L), (5L, 6L)).toDF("b", "v")
+    // moving_percentiles over a histogram sum series, window 3:
+    // sums by bucket 0..5 = 4,12,2,9,4,6; windows (trailing 3):
+    // [4] [4,12] [2,4,12] [2,9,12] [2,4,9] [4,6,9]
+    val mp = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"s": {"sum": {"field": "v"}},
+             "mv": {"moving_percentiles": {"buckets_path": "s",
+               "window": 3, "percents": [50, 99]}}}}}}""")
+      .select("h", "mv_p50", "mv_p99").as[(Long, Long, Long)].collect().toSeq
+    assert(mp === Seq((0L, 4L, 4L), (1L, 4L, 12L), (2L, 4L, 12L),
+      (3L, 9L, 12L), (4L, 4L, 9L), (5L, 6L, 9L)))
+    // _count path + default percents column naming
+    val mpc = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 2},
+           "aggs": {"mv": {"moving_percentiles": {"buckets_path": "_count",
+             "window": 2}}}}}}""")
+    assert(mpc.columns.count(_.startsWith("mv_p")) === 7)
+    // percentiles_bucket: sibling over all buckets' sums 4,12,2,9,4,6
+    // sorted 2,4,4,6,9,12 → p50 = 3rd = 4, p25 = ceil(1.5)=2nd = 4,
+    // p95 = ceil(5.7)=6th = 12
+    val pb = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"s": {"sum": {"field": "v"}}}},
+         "pb": {"percentiles_bucket": {"buckets_path": "h>s",
+           "percents": [25, 50, 95]}}}}""")
+      .as[(Double, Double, Double)].head()
+    assert(pb === ((4.0, 4.0, 12.0)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"mv": {"moving_percentiles": {"buckets_path": "_count"}}}}}}""",
+      "needs a window")
+    bad("""{"aggs": {"h": {"terms": {"field": "b"},
+      "aggs": {"mv": {"moving_percentiles": {"buckets_path": "_count",
+        "window": 2}}}}}}""", "require a histogram or date_histogram parent")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"mv": {"moving_percentiles": {"buckets_path": "_count",
+        "window": 2, "percents": [150]}}}}}}""", "percents must be integers")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"s": {"sum": {"field": "v"}}}},
+      "pb": {"percentiles_bucket": {"buckets_path": "h>nope"}}}}""",
+      "names no metric")
+  }
+
+  test("normalize: pinned-order rescaling methods; softmax fails loud") {
+    import spark.implicits._
+    val t = Seq((0L, 2L), (1L, 4L), (2L, 10L)).toDF("b", "v")
+    def run(method: String): Seq[Double] = QueryDsl.search(t,
+      s"""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"s": {"sum": {"field": "v"}},
+             "n": {"normalize": {"buckets_path": "s",
+               "method": "$method"}}}}}}""")
+      .select("n").as[Double].collect().toSeq
+    assert(run("percent_of_sum") === Seq(2.0 / 16, 4.0 / 16, 10.0 / 16))
+    assert(run("rescale_0_1") === Seq(0.0, 0.25, 1.0))
+    assert(run("rescale_0_100") === Seq(0.0, 25.0, 100.0))
+    val mean = run("mean") // mean = 16/3; den = 8
+    assert(math.abs(mean(1) - (4.0 - 16.0 / 3) / 8.0) < 1e-15)
+    val z = run("z-score") // var = (3·120 − 256)/9 = 104/9
+    assert(math.abs(z(2) - (10.0 - 16.0 / 3) / math.sqrt(104.0 / 9)) < 1e-12)
+    // works under a terms parent too (no key order needed)
+    val tp = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "b"},
+           "aggs": {"s": {"sum": {"field": "v"}},
+             "n": {"normalize": {"buckets_path": "s",
+               "method": "percent_of_sum"}}}}}}""")
+      .agg(sum("n")).as[Double].head()
+    assert(math.abs(tp - 1.0) < 1e-15)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"n": {"normalize": {"buckets_path": "_count",
+        "method": "softmax"}}}}}}""", "softmax is unsupported")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"n": {"normalize": {"buckets_path": "_count",
+        "method": "minmax"}}}}}}""", "unsupported normalize method")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"n": {"normalize": {"buckets_path": "_count"}}}}}}""",
+      "needs a method")
+  }
+
+  test("geotile_grid emits real z/x/y web-mercator tile keys") {
+    import spark.implicits._
+    val pts = Seq((1L, 47.6062, -122.3321), (2L, 47.6062, -122.3321),
+      (3L, 57.64911, 10.40744), (4L, 90.0, 180.0), (5L, -90.0, -180.0),
+      (6L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    def cells(z: Int): Seq[(String, Long)] = QueryDsl.search(pts,
+      s"""{"aggs": {"cell": {"geotile_grid":
+           {"lat_field": "lat", "lon_field": "lon", "precision": $z}}}}""")
+      .as[(String, Long)].collect().toSeq
+    // slippy-map known vectors (poles clamp to the mercator domain)
+    assert(cells(10).head === (("10/164/357", 2L)))
+    assert(cells(10).map(_._1).toSet ===
+      Set("10/164/357", "10/541/310", "10/1023/0", "10/0/1023", "10/512/512"))
+    assert(cells(3) === Seq(("3/1/2", 2L), ("3/0/7", 1L), ("3/4/2", 1L),
+      ("3/4/4", 1L), ("3/7/0", 1L)))
+    val capped = QueryDsl.search(pts,
+      """{"aggs": {"cell": {"geotile_grid": {"lat_field": "lat",
+           "lon_field": "lon", "precision": 1, "size": 1}}}}""")
+      .as[(String, Long)].collect().toSeq
+    assert(capped === Seq(("1/0/0", 2L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(pts, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"c": {"geotile_grid": {"lat_field": "lat",
+      "lon_field": "lon", "precision": 30}}}}""", "precision must be 0-29")
+    bad("""{"aggs": {"c": {"geotile_grid": {"lat_field": "lat",
+      "lon_field": "lon", "bounds": 1}}}}""", "unsupported geotile_grid option")
+    bad("""{"aggs": {"c": {"geotile_grid": {"lat_field": "lat"}}}}""",
+      "requires lon_field")
+  }
+
+  test("t_test: Welch and pooled t statistics from exact moments") {
+    import spark.implicits._
+    val t = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 10L),
+      ("b", 5L), ("b", 6L), ("b", 7L), ("b", 8L)).toDF("g", "v")
+    def run(ty: String): Double = QueryDsl.search(t,
+      s"""{"aggs": {"t": {"t_test": {
+           "a": {"field": "v", "filter": {"term": {"g": "a"}}},
+           "b": {"field": "v", "filter": {"term": {"g": "b"}}},
+           "type": "$ty"}}}}""").as[Double].head()
+    // hand-computed: ma=4, mb=6.5, va=12.5, vb=5/3
+    assert(math.abs(run("heteroscedastic") - -1.4638501094227998) < 1e-12)
+    assert(math.abs(run("homoscedastic") - -1.3295400586957762) < 1e-12)
+    // default type is Welch; composes under a filter bucket
+    val gated = QueryDsl.search(t,
+      """{"aggs": {"all": {"filter": {"exists": {"field": "v"}},
+           "aggs": {"t": {"t_test": {
+             "a": {"field": "v", "filter": {"term": {"g": "a"}}},
+             "b": {"field": "v", "filter": {"term": {"g": "b"}}}}}}}}}""")
+      .select("t").as[Double].head()
+    assert(math.abs(gated - -1.4638501094227998) < 1e-12)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"t": {"t_test": {"a": {"field": "v"},
+      "b": {"field": "v"}, "type": "paired"}}}}""", "'paired' is unsupported")
+    bad("""{"aggs": {"t": {"t_test": {"a": {"field": "v"}}}}}""",
+      "needs a 'b' arm")
+    val d = Seq(("a", 1.5)).toDF("g", "v")
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(d,
+      """{"aggs": {"t": {"t_test": {"a": {"field": "v"},
+           "b": {"field": "v"}}}}}"""))
+    assert(e2.getMessage.contains("requires an integral field"))
+  }
+
+  test("diversified_sampler caps per-value docs; children/parent switch sides") {
+    import spark.implicits._
+    val t = Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "x", 30L),
+      (4L, "y", 40L), (5L, "y", 50L)).toDF("id", "k", "v")
+    // cap 2 per k ordered by id asc: keeps ids 1,2 (x) and 4,5 (y)
+    val ds = QueryDsl.search(t,
+      """{"aggs": {"s": {"diversified_sampler": {"field": "k",
+           "id_field": "id", "max_docs_per_value": 2},
+           "aggs": {"sv": {"sum": {"field": "v"}}}}}}""")
+      .as[(Long, Long)].head()
+    assert(ds === ((4L, 120L)))
+    // default cap 1: ids 1 and 4
+    assert(QueryDsl.search(t,
+      """{"aggs": {"s": {"diversified_sampler": {"field": "k",
+           "id_field": "id"},
+           "aggs": {"sv": {"sum": {"field": "v"}}}}}}""")
+      .as[(Long, Long)].head() === ((2L, 50L)))
+    // children/parent: relations-model agg arm
+    val rel = Seq(
+      ("q", 1L, Option.empty[Long], 0L), ("q", 2L, Option.empty[Long], 0L),
+      ("a", 10L, Some(1L), 5L), ("a", 11L, Some(1L), 7L),
+      ("a", 12L, Some(2L), 9L)).toDF("rel", "doc_id", "parent_id", "score_v")
+    val relOpts = """"join_field": "rel", "id_field": "doc_id",
+      "parent_field": "parent_id""""
+    // hits = parent doc 1 only → its 2 children, sum 12
+    val ch = QueryDsl.search(rel,
+      s"""{"query": {"ids": {"field": "doc_id", "values": [1]}},
+         "aggs": {"c": {"children": {"type": "a", $relOpts},
+           "aggs": {"sv": {"sum": {"field": "score_v"}}}}}}""")
+      .as[(Long, Long)].head()
+    assert(ch === ((2L, 12L)))
+    // hits = children 10 and 12 → their DISTINCT parents 1 and 2
+    val pa = QueryDsl.search(rel,
+      s"""{"query": {"ids": {"field": "doc_id", "values": [10, 12]}},
+         "aggs": {"p": {"parent": {$relOpts},
+           "aggs": {"n": {"value_count": {"field": "doc_id"}}}}}}""")
+      .as[(Long, Long)].head()
+    assert(pa === ((2L, 2L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(rel, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"s": {"diversified_sampler": {"field": "rel",
+      "max_docs_per_value": 2}}}}""", "requires id_field")
+    bad(s"""{"aggs": {"c": {"children": {$relOpts}}}}""",
+      "children needs the child 'type'")
+    bad(s"""{"aggs": {"p": {"parent": {"type": "a", $relOpts}}}}""",
+      "unsupported parent option 'type'")
+  }
+
+  test("geo_distance agg buckets rings around the origin, one pass") {
+    import spark.implicits._
+    // ~111.19 km per degree of latitude at lon 0
+    val pts = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 1.5, 0.0),
+      (4L, 3.0, 0.0), (5L, Double.NaN, 0.0)).toDF("id", "lat", "lon")
+      .withColumn("lat", when(isnan(col("lat")), lit(null)).otherwise(col("lat")))
+    val rings = QueryDsl.search(pts,
+      """{"aggs": {"ring": {"geo_distance": {
+           "lat_field": "lat", "lon_field": "lon",
+           "origin": {"lat": 0.0, "lon": 0.0},
+           "ranges": [{"to": 200}, {"from": 200, "to": 400}, {"from": 400}]},
+           "aggs": {"min_id": {"min": {"field": "id"}}}}}}""")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    // counts include the NULL-coordinate omission; request order kept
+    assert(rings.map(r => (r._1, r._2)) ===
+      Seq(("*-200.0", 3L), ("200.0-400.0", 1L), ("400.0-*", 0L)))
+    assert(rings(0)._3 === Some(1L) && rings(1)._3 === Some(4L) &&
+      rings(2)._3 === None)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(pts, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"r": {"geo_distance": {"lat_field": "lat",
+      "lon_field": "lon", "origin": {"lat": 0}, "ranges": [{"to": 1}]}}}}""",
+      "origin requires lon")
+    bad("""{"aggs": {"r": {"geo_distance": {"lat_field": "lat",
+      "lon_field": "lon", "origin": {"lat": 0, "lon": 0},
+      "ranges": [{}]}}}}""", "unbounded range")
+    bad("""{"aggs": {"r": {"geo_distance": {"lat_field": "lat",
+      "lon_field": "lon", "origin": {"lat": 0, "lon": 0}, "unit": "mi",
+      "ranges": [{"to": 1}]}}}}""", "unsupported geo_distance-agg option")
+  }
+
+  test("moving_fn compiles the MovingFunctions whitelist; shift moves the window") {
+    import spark.implicits._
+    val t = Seq((0L, 4L), (1L, 12L), (2L, 2L), (3L, 9L)).toDF("b", "v")
+    def run(script: String, shift: Int): Seq[Option[Long]] = QueryDsl.search(t,
+      s"""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"s": {"sum": {"field": "v"}},
+             "m": {"moving_fn": {"buckets_path": "s", "window": 2,
+               "script": "$script", "shift": $shift}}}}}}""")
+      .select("m").as[Option[Long]].collect().toSeq
+    // sums 4,12,2,9; shift 0 window = prev 2 buckets (current excluded)
+    assert(run("MovingFunctions.max(values)", 0) ===
+      Seq(None, Some(4L), Some(12L), Some(12L)))
+    assert(run("MovingFunctions.sum(values)", 0) ===
+      Seq(None, Some(4L), Some(16L), Some(14L)))
+    // shift 1 includes the current bucket (the moving_avg frame)
+    assert(run("MovingFunctions.min(values)", 1) ===
+      Seq(Some(4L), Some(4L), Some(2L), Some(2L)))
+    val avg = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"s": {"sum": {"field": "v"}},
+             "m": {"moving_fn": {"buckets_path": "s", "window": 2,
+               "script": "MovingFunctions.unweightedAvg(values)",
+               "shift": 1}}}}}}""")
+      .select("m").as[Double].collect().toSeq
+    assert(avg === Seq(4.0, 8.0, 7.0, 5.5))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"m": {"moving_fn": {"buckets_path": "_count", "window": 2,
+        "script": "MovingFunctions.stdDev(values)"}}}}}}""",
+      "unsupported moving_fn script")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"m": {"moving_fn": {"buckets_path": "_count",
+        "script": "MovingFunctions.max(values)"}}}}}}""", "needs a window")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"m": {"moving_fn": {"buckets_path": "_count", "window": 2,
+        "script": "MovingFunctions.max(values)", "shift": 5}}}}}}""",
+      "shift must be in [0, window]")
+  }
+
+  test("cumulative_cardinality counts distinct-seen-so-far exactly") {
+    import spark.implicits._
+    val t = Seq((0L, "u1"), (0L, "u2"), (1L, "u1"), (1L, "u3"),
+      (2L, "u2"), (3L, "u4"), (3L, "u4")).toDF("b", "u")
+    // distinct-so-far: {u1,u2}=2, +u3=3, +0=3, +u4=4
+    val cc = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"cc": {"cumulative_cardinality": {"field": "u"}}}}}}""")
+      .orderBy("h")
+      .select("h", "doc_count", "cc").as[(Long, Long, Long)].collect().toSeq
+    assert(cc === Seq((0L, 2L, 2L), (1L, 2L, 3L), (2L, 1L, 3L),
+      (3L, 2L, 4L)))
+    // NULL values are omitted; composes beside a plain metric
+    val tn = t.union(Seq((2L, Option.empty[String])).toDF("b", "u"))
+    val both = QueryDsl.search(tn,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"n": {"value_count": {"field": "u"}},
+             "cc": {"cumulative_cardinality": {"field": "u"}}}}}}""")
+      .orderBy("h")
+      .select("h", "n", "cc").as[(Long, Long, Long)].collect().toSeq
+    assert(both === Seq((0L, 2L, 2L), (1L, 2L, 3L), (2L, 1L, 3L),
+      (3L, 2L, 4L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"g": {"terms": {"field": "u"},
+      "aggs": {"cc": {"cumulative_cardinality": {"field": "u"}}}}}}""",
+      "requires a histogram or date_histogram parent")
+    bad("""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+      "aggs": {"cc": {"cumulative_cardinality": {"field": "u",
+        "precision_threshold": 100}}}}}}""",
+      "unsupported cumulative_cardinality option")
   }
 
   test("rare_terms returns the long tail ascending; validates loudly") {
