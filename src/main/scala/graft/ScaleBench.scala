@@ -76,7 +76,12 @@ object ScaleBench {
       // cumulative_cardinality's value-domain first-occurrence groupBy
       // — all must stay ~linear in corpus rows
       "q254_dsl_has_child", "q252_dsl_mad",
-      "q262_dsl_diversified_sampler", "q267_dsl_cumulative_cardinality")
+      "q262_dsl_diversified_sampler", "q267_dsl_cumulative_cardinality",
+      // the approximate kNN join next to the exact q91: the whole
+      // point is the growth-curve gap — sign-bucket blocking holds
+      // pair work at (nprobe/2^signDims) of the exact kernel's as
+      // replicas multiply each label group
+      "q279_knn_join_approx")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

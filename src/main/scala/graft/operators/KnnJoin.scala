@@ -206,4 +206,156 @@ object KnnJoin {
         .select(col("_gval").as("grp"), col("id"), col("rank"),
           col("neighbor_id"), col("sim"))
   }
+
+  /** Approximate within-group kNN join — the documented ANN swap for
+    * [[withinGroups]] once groups outgrow the B² block-pair budget.
+    * Blocking comes from [[SignIvf]]'s analytic sign-bucket
+    * (hyperoctant) quantizer instead of block-pairs: every row lives
+    * in the ONE bucket its quantized group-sum signs pick, and as a
+    * query it probes its `nprobe` best-aligned existing buckets
+    * (multi-probe order: signed alignment between the query's group
+    * sums and the bucket's sign pattern — exact integer comparisons).
+    * Pair work drops from |group|²/2 to Σ_buckets |Q_b|·|C_b| ≈
+    * (nprobe/2^signDims)·|group|² — and because the quantizer is a
+    * pure per-vector function, the WHOLE join is reproducible in
+    * portable SQL: unlike trained-kmeans ANN, this approximation has
+    * a real cross-engine oracle (the q76 doctrine applied to the
+    * join).
+    *
+    * Shape: one shuffle keying the corpus arm by (group, bucket) and
+    * the query arm by (group, probed bucket) — cogrouped so each task
+    * holds ONE bucket's candidates (≈ |group|/2^signDims rows,
+    * flat-memory as signDims grows with data) and streams the probing
+    * queries past a bounded per-query heap; a candidate lives in
+    * exactly one bucket so no (query, candidate) pair is scored
+    * twice. Final window top-k per row over ≤ nprobe·k survivors.
+    * Determinism: identical quantize/dot/norm/tie contracts to the
+    * exact kernel, so exact and approximate results differ ONLY by
+    * probe coverage (recall), never by arithmetic.
+    */
+  def approxWithinGroups(e: DataFrame, idCol: String, embCol: String,
+      groupCol: String, k: Int, signDims: Int = 4,
+      nprobe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(signDims >= 1 && signDims <= 16,
+      s"signDims must be 1-16, got $signDims")
+    require(nprobe >= 1 && nprobe <= (1 << signDims),
+      s"nprobe must be 1-2^signDims, got $nprobe")
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sd = signDims
+
+    val integralGroup = e.schema(groupCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val gkey =
+      if (integralGroup) col(groupCol).cast("long") else xxhash64(col(groupCol))
+
+    val quantized = e.select(gkey, col(idCol).cast("long"),
+        VectorFns.quantize(col(embCol)))
+      .as[(Long, Long, Array[Long])]
+      .filter((t: (Long, Long, Array[Long])) => t._3.exists(_ != 0L))
+      .persist()
+
+    val ranked = try {
+      // buckets that exist anywhere in the corpus: bounded driver
+      // metadata (≤ 2^signDims ints), the multi-probe ranking domain
+      val existing: Array[Int] = quantized
+        .map((t: (Long, Long, Array[Long])) => SignIvf.cidOf(t._3, sd))
+        .distinct().collect().sorted
+      val bcEx = spark.sparkContext.broadcast(existing)
+
+      val corpusArm = quantized.map { case (g, id, v) =>
+        (g, SignIvf.cidOf(v, sd), id, v)
+      }
+      val queryArm = quantized.flatMap { case (g, id, v) =>
+        val gs = SignIvf.groupSums(v, sd)
+        def align(c: Int): Long = {
+          var s = 0L; var d = 0
+          while (d < sd) {
+            s += (if ((c & (1 << d)) != 0) gs(d) else -gs(d)); d += 1
+          }
+          s
+        }
+        bcEx.value.sortBy(c => (-align(c), c)).take(nprobe)
+          .iterator.map(c => (g, c, id, v))
+      }
+
+      val candidates = corpusArm.groupByKey(t => (t._1, t._2))
+        .cogroup(queryArm.groupByKey(t => (t._1, t._2))) {
+          case ((g, _), cand, qs) =>
+            val cs = cand.map(t => (t._3, t._4)).toArray
+            if (cs.isEmpty) Iterator.empty
+            else {
+              val nm = new Array[Double](cs.length)
+              var i = 0
+              while (i < cs.length) {
+                val v = cs(i)._2
+                var s = 0L; var d = 0
+                while (d < v.length) { s += v(d) * v(d); d += 1 }
+                nm(i) = math.sqrt(s.toDouble)
+                i += 1
+              }
+              qs.flatMap { case (_, _, qid, qv) =>
+                var qs2 = 0L; var d = 0
+                while (d < qv.length) { qs2 += qv(d) * qv(d); d += 1 }
+                val qn = math.sqrt(qs2.toDouble)
+                // bounded best-k: sim desc, id asc — the exact
+                // kernel's tie order
+                val sims = new Array[Double](k)
+                val ids = new Array[Long](k)
+                var n = 0
+                var j = 0
+                while (j < cs.length) {
+                  val (cid2, cv) = cs(j)
+                  if (cid2 != qid) {
+                    var s = 0L; var x = 0
+                    while (x < cv.length) { s += qv(x) * cv(x); x += 1 }
+                    val sim = s.toDouble / (qn * nm(j))
+                    if (!(n == k && (sim < sims(n - 1) ||
+                        (sim == sims(n - 1) && cid2 > ids(n - 1))))) {
+                      var pos = if (n < k) n else k - 1
+                      while (pos > 0 && (sims(pos - 1) < sim ||
+                          (sims(pos - 1) == sim && ids(pos - 1) > cid2))) {
+                        sims(pos) = sims(pos - 1); ids(pos) = ids(pos - 1)
+                        pos -= 1
+                      }
+                      sims(pos) = sim; ids(pos) = cid2
+                      if (n < k) n += 1
+                    }
+                  }
+                  j += 1
+                }
+                (0 until n).iterator.map(p => (g, qid, ids(p), sims(p)))
+              }
+            }
+        }
+        .toDF("grp", "id", "neighbor_id", "sim")
+
+      // ≤ nprobe·k survivors per row; a candidate lives in exactly one
+      // bucket so no pair appears twice — no dedup, just the final cut
+      val w = Window.partitionBy(col("grp"), col("id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      candidates
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("grp"), col("id"), col("rank"), col("neighbor_id"),
+          col("sim"))
+        .localCheckpoint(true)
+    } finally quantized.unpersist()
+
+    if (integralGroup) ranked
+    else
+      ranked.join(
+        e.select(xxhash64(col(groupCol)).as("grp"),
+            col(idCol).cast("long").as("id"), col(groupCol).as("_gval"))
+          .dropDuplicates("grp", "id"),
+        Seq("grp", "id"))
+        .select(col("_gval").as("grp"), col("id"), col("rank"),
+          col("neighbor_id"), col("sim"))
+  }
 }

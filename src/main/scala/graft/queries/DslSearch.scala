@@ -3980,6 +3980,329 @@ object DslSearch {
                  AS total_users
         FROM g LEFT JOIN pk ON g.day = pk.day
         ORDER BY g.doc_count DESC, g.day
+      """.stripMargin.trim)),
+
+    // variable_width_histogram: the engine's DETERMINISTIC analog of
+    // the per-shard clustering approximation — equal-frequency
+    // buckets from exact discrete quantile boundaries (actual data
+    // values, DuckDB-replayable), centroid key via one IEEE divide.
+    GraftQuery(
+      "q268_dsl_variable_width_histogram",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "aggs": {"len": {"variable_width_histogram":
+               {"field": "n_chars", "buckets": 4},
+             "aggs": {"n_docs": {"value_count": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH d AS (
+          SELECT n_chars FROM documents
+          WHERE lang = 'en' AND n_chars IS NOT NULL),
+        b AS (
+          SELECT quantile_disc(n_chars, 0.25) AS b1,
+                 quantile_disc(n_chars, 0.5)  AS b2,
+                 quantile_disc(n_chars, 0.75) AS b3
+          FROM d),
+        i AS (
+          SELECT n_chars,
+                 (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+                + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
+                + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END) AS idx
+          FROM d CROSS JOIN b)
+        SELECT CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE) AS len,
+               MIN(n_chars) AS len_min, MAX(n_chars) AS len_max,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(COUNT(n_chars) AS BIGINT) AS n_docs
+        FROM i GROUP BY idx ORDER BY len_min
+      """.stripMargin.trim)),
+
+    // extended_stats_bucket: the exact-moment recipe over the
+    // day-count bucket series — one sibling row, n·Σx²−(Σx)² exact.
+    GraftQuery(
+      "q269_dsl_extended_stats_bucket",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"day": {"date_histogram": {"field": "ts",
+               "calendar_interval": "day"}},
+             "st": {"extended_stats_bucket": {
+               "buckets_path": "day>_count"}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+          FROM events GROUP BY 1)
+        SELECT CAST(COUNT(c) AS BIGINT) AS st_count,
+               MIN(c) AS st_min, MAX(c) AS st_max,
+               CAST(SUM(c) AS DOUBLE) / CAST(COUNT(c) AS DOUBLE) AS st_avg,
+               CAST(SUM(c) AS BIGINT) AS st_sum,
+               CAST(SUM(c * c) AS BIGINT) AS st_sum_of_squares,
+               CAST(COUNT(c) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+                 / CAST(COUNT(c) * COUNT(c) AS DOUBLE) AS st_variance,
+               sqrt(CAST(COUNT(c) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+                 / CAST(COUNT(c) * COUNT(c) AS DOUBLE)) AS st_std_deviation
+        FROM g
+      """.stripMargin.trim)),
+
+    // terms min_doc_count: the bucket floor applied before order/size
+    // — a bucket-table filter, the one-shuffle groupBy unchanged.
+    GraftQuery(
+      "q270_dsl_terms_min_doc_count",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"langs": {"terms": {"field": "lang",
+               "min_doc_count": 30},
+             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT lang AS langs, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(n_chars) AS DOUBLE)
+                 AS avg_chars
+        FROM documents GROUP BY 1 HAVING COUNT(*) >= 30
+        ORDER BY doc_count DESC, langs
+      """.stripMargin.trim)),
+
+    // runtime_mappings: a request-level computed field (the SAME
+    // exact-integer script compiler as script_score) laid onto the
+    // table ONCE, then queried, sorted and projected like a stored
+    // column — the runtime-fields idiom with zero row-time
+    // interpretation.
+    GraftQuery(
+      "q271_dsl_runtime_mappings",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"runtime_mappings": {"weight": {"type": "long",
+             "script": {"source": "doc['n_chars'].value * 3 + params.base",
+               "params": {"base": 7}}}},
+           "query": {"range": {"weight": {"gte": 1000}}},
+           "sort": [{"weight": "desc"}, "doc_id"], "size": 40,
+           "_source": ["doc_id", "weight"]}"""),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, n_chars * 3 + 7 AS weight FROM documents)
+        SELECT doc_id, weight FROM w WHERE weight >= 1000
+        ORDER BY weight DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // rate agg: per-unit normalization of bucket aggregates — the
+    // denominator is the bucket's OWN calendar span (a 31-day January
+    // divides by 31), numerator stays the exact integer sum/count,
+    // one pinned cast-mul-divide IEEE sequence both engines replay.
+    GraftQuery(
+      "q272_dsl_rate",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "orders"),
+        """{"query": {"match_all": {}},
+           "aggs": {"mon": {"date_histogram": {"field": "o_orderdate",
+               "calendar_interval": "month"},
+             "aggs": {"orders_daily": {"rate": {"unit": "day"}},
+               "custs_daily": {"rate": {"field": "o_custkey",
+                 "mode": "value_count", "unit": "day"}},
+               "sum_cust_daily": {"rate": {"field": "o_custkey",
+                 "unit": "day"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('month', o_orderdate) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS doc_count,
+                 CAST(COUNT(o_custkey) AS BIGINT) AS cu,
+                 CAST(SUM(o_custkey) AS BIGINT) AS su
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT *, CAST(date_diff('day', CAST(mon AS DATE),
+                   CAST(mon + INTERVAL 1 MONTH AS DATE))
+                 * 86400000000 AS DOUBLE) AS span_us
+          FROM g)
+        SELECT mon, doc_count,
+               CAST(doc_count AS DOUBLE) * 86400000000.0 / span_us
+                 AS orders_daily,
+               CAST(cu AS DOUBLE) * 86400000000.0 / span_us AS custs_daily,
+               CAST(su AS DOUBLE) * 86400000000.0 / span_us
+                 AS sum_cust_daily
+        FROM d ORDER BY doc_count DESC, mon
+      """.stripMargin.trim)),
+
+    // sort missing/mode options: a multi-valued field sorts by an
+    // exact aggregate of its values (here the exact lower median of
+    // per-token lengths), NULL keys are PLACED explicitly (_first) —
+    // both pure codegen'd array expressions on the sort key.
+    GraftQuery(
+      "q273_dsl_sort_options",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("tok_lens", org.apache.spark.sql.functions.expr(
+            "transform(split(text, ' '), x -> CAST(length(x) AS LONG))"))
+          .withColumn("lang2", org.apache.spark.sql.functions.expr(
+            "nullif(lang, 'en')")),
+        """{"query": {"match_all": {}},
+           "sort": [{"tok_lens": {"mode": "median", "order": "desc"}},
+                    {"lang2": {"missing": "_first"}}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "lang2"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, nullif(lang, 'en') AS lang2,
+                 list_transform(string_split(text, ' '),
+                                x -> length(x)) AS tl
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang2,
+                 list_sort(tl)[(len(tl) + 1) // 2] AS med
+          FROM d)
+        SELECT doc_id, lang2 FROM m
+        ORDER BY med DESC, lang2 ASC NULLS FIRST, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // rescore: second-pass re-ranking of the top window — window
+    // membership is a deterministic global top-k on (score desc, id),
+    // window docs matching the rescore query combine weighted scores,
+    // the rest keep their original score untouched.
+    GraftQuery(
+      "q274_dsl_rescore",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark join window"}},
+           "rescore": {"window_size": 20, "id_field": "doc_id",
+             "query": {"rescore_query": {"term": {"lang": "en"}},
+               "query_weight": 1, "rescore_query_weight": 5,
+               "score_mode": "total"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 15, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark','join','window'])) AS BIGINT) AS score
+          FROM documents),
+        hits AS (SELECT * FROM scored WHERE score >= 1),
+        w AS (SELECT *, ROW_NUMBER()
+                OVER (ORDER BY score DESC, doc_id) AS rk FROM hits),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN rk <= 20 THEN
+                   CASE WHEN lang = 'en' THEN 1 * score + 5 * 1
+                        ELSE 1 * score END
+                 ELSE score END AS score
+          FROM w)
+        SELECT doc_id, CAST(score AS BIGINT) AS score FROM r
+        ORDER BY score DESC, doc_id LIMIT 15
+      """.stripMargin.trim)),
+
+    // span_or: postings union of the member terms — one posexplode,
+    // one isin filter, one groupBy.
+    GraftQuery(
+      "q275_dsl_span_or",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_or": {"clauses": [
+             {"span_term": {"text": "spark"}},
+             {"span_term": {"text": "window"}}],
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM pos WHERE tok IN ('spark', 'window') GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // span_not: include occurrences with no exclude occurrence within
+    // +-dist tokens — the negative-context span.
+    GraftQuery(
+      "q276_dsl_span_not",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_not": {
+             "include": {"span_term": {"text": "spark"}},
+             "exclude": {"span_term": {"text": "join"}},
+             "dist": 2, "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        pi AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        pe AS (SELECT doc_id, p AS pe FROM pos WHERE tok = 'join'),
+        j AS (SELECT pi.doc_id, pi.p,
+                MAX(CASE WHEN pe.pe IS NOT NULL
+                      AND pe.pe >= pi.p - 2 AND pe.pe <= pi.p + 2
+                    THEN 1 ELSE 0 END) AS viol
+              FROM pi LEFT JOIN pe ON pi.doc_id = pe.doc_id
+              GROUP BY 1, 2),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM j WHERE viol = 0 GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // span_containing: big span_near pairs that enclose a little
+    // occurrence (deduplicated per big span).
+    GraftQuery(
+      "q277_dsl_span_containing",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_containing": {
+             "big": {"span_near": {"clauses": [
+               {"span_term": {"text": "spark"}},
+               {"span_term": {"text": "window"}}], "slop": 5}},
+             "little": {"span_term": {"text": "join"}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        p1 AS (SELECT doc_id, p AS p1 FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p AS p2 FROM pos WHERE tok = 'window'),
+        pr AS (SELECT p1.doc_id, least(p1, p2) AS s, greatest(p1, p2) AS e
+               FROM p1 JOIN p2 USING (doc_id)
+               WHERE abs(p1 - p2) - 1 <= 5),
+        pl AS (SELECT doc_id, p AS pl FROM pos WHERE tok = 'join'),
+        enc AS (SELECT DISTINCT pr.doc_id, pr.s, pr.e
+                FROM pr JOIN pl ON pr.doc_id = pl.doc_id
+                  AND pl.pl >= pr.s AND pl.pl <= pr.e),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM enc GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // span_within: little occurrences enclosed by a big span
+    // (deduplicated per little position) — the containing twin from
+    // the little side.
+    GraftQuery(
+      "q278_dsl_span_within",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_within": {
+             "big": {"span_near": {"clauses": [
+               {"span_term": {"text": "spark"}},
+               {"span_term": {"text": "window"}}], "slop": 5}},
+             "little": {"span_term": {"text": "join"}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        p1 AS (SELECT doc_id, p AS p1 FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p AS p2 FROM pos WHERE tok = 'window'),
+        pr AS (SELECT p1.doc_id, least(p1, p2) AS s, greatest(p1, p2) AS e
+               FROM p1 JOIN p2 USING (doc_id)
+               WHERE abs(p1 - p2) - 1 <= 5),
+        pl AS (SELECT doc_id, p AS pl FROM pos WHERE tok = 'join'),
+        enc AS (SELECT DISTINCT pl.doc_id, pl.pl
+                FROM pr JOIN pl ON pr.doc_id = pl.doc_id
+                  AND pl.pl >= pr.s AND pl.pl <= pr.e),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM enc GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
       """.stripMargin.trim))
   )
 }

@@ -190,6 +190,65 @@ object Similarity {
       """.stripMargin.trim),
       headline = true),
 
+    // Approximate within-group kNN join (operators.KnnJoin
+    // .approxWithinGroups): the ANN swap for q91's block-pair kernel —
+    // sign-bucket (hyperoctant) blocking + 2-probe multi-probe order,
+    // pair work ~ (nprobe/2^signDims) of the exact join's. The
+    // quantizer is a pure per-vector function (the q76 doctrine), so
+    // the whole JOIN — bucketing, probe choice, in-bucket scoring —
+    // has a real DuckDB oracle; recall vs the exact join is spec'd
+    // separately (KnnJoinSpec).
+    GraftQuery(
+      "q279_knn_join_approx",
+      (s, dir) => {
+        graft.operators.KnnJoin.approxWithinGroups(
+            Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", k = 3, signDims = 4, nprobe = 2)
+          .select(col("grp").as("label"), col("id").as("vec_id"),
+            col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("vec_id"), col("rank"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, label, q, list_dot_product(q, q) AS n2,
+                 list_sum(list_slice(q,  1, 16)) AS g1,
+                 list_sum(list_slice(q, 17, 32)) AS g2,
+                 list_sum(list_slice(q, 33, 48)) AS g3,
+                 list_sum(list_slice(q, 49, 64)) AS g4,
+                 (CASE WHEN list_sum(list_slice(q,  1, 16)) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 17, 32)) > 0 THEN 2 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 33, 48)) > 0 THEN 4 ELSE 0 END
+                + CASE WHEN list_sum(list_slice(q, 49, 64)) > 0 THEN 8 ELSE 0 END) AS cid
+          FROM e WHERE list_dot_product(q, q) > 0),
+        buckets AS (SELECT DISTINCT cid FROM n),
+        probes AS (
+          SELECT n.vec_id AS q_id, n.label AS ql, n.q AS qq,
+                 n.n2 AS qn2, b.cid
+          FROM n CROSS JOIN buckets b
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                    (CASE WHEN (b.cid & 1) > 0 THEN g1 ELSE -g1 END
+                   + CASE WHEN (b.cid & 2) > 0 THEN g2 ELSE -g2 END
+                   + CASE WHEN (b.cid & 4) > 0 THEN g3 ELSE -g3 END
+                   + CASE WHEN (b.cid & 8) > 0 THEN g4 ELSE -g4 END) DESC,
+                    b.cid) <= 2),
+        scored AS (
+          SELECT p.ql AS label, p.q_id AS vec_id, v.vec_id AS neighbor_id,
+                 list_dot_product(p.qq, v.q) / (sqrt(p.qn2) * sqrt(v.n2)) AS sim
+          FROM probes p JOIN n v ON v.cid = p.cid AND v.label = p.ql
+                                AND v.vec_id <> p.q_id),
+        ranked AS (
+          SELECT label, vec_id, neighbor_id, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored)
+        SELECT label, vec_id, rank, neighbor_id, sim
+        FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank
+      """.stripMargin.trim)),
+
     // IVF-PQ ANN served by asymmetric distance over a product-code
     // table — the billion-vector index layout (m=8 code bytes/vector
     // vs dims×4 float bytes; the float corpus is never read at query

@@ -311,7 +311,8 @@ object QueryDsl {
       case "geo_polygon"      => geoPolygonClause(body)
       case "combined_fields"  => combinedFieldsClause(body)
       case "span_first"       => spanFirstClause(body)
-      case "more_like_this" | "span_near" | "percolate" | "intervals" =>
+      case "more_like_this" | "span_near" | "percolate" | "intervals" |
+           "span_or" | "span_not" | "span_containing" | "span_within" =>
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
@@ -1904,6 +1905,172 @@ object QueryDsl {
       case other => fail(s"span_near requires an object body: ${render(other)}")
     }
 
+  /** `span_or`: any of the member span_term clauses occurs — the
+    * postings UNION of the terms (ONE posexplode, one `isin` filter;
+    * a term repeated across clauses dedups by construction since
+    * membership is positional). Same request-level shape as span_near.
+    * Output: the id field, `n_spans` (matching token positions),
+    * score = n_spans.
+    */
+  private def spanOrRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("clauses", "id_field", "analyzer")).foreach(k =>
+          fail(s"unsupported span_or option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail("span_or requires id_field (the document key)"))
+        val an = analyzerOpt(m, "span_or")
+        val ft = m.get("clauses") match {
+          case Some(JArray(cs)) if cs.size >= 2 => cs.map {
+            case JObject(List(("span_term", JObject(List((f, JString(t)))))))=>
+              (f, t)
+            case other =>
+              fail(s"span_or clauses must be span_term objects: ${render(other)}")
+          }
+          case _ => fail("span_or requires an array of >= 2 span_term clauses")
+        }
+        val fields = ft.map(_._1).distinct
+        if (fields.size != 1) fail("span_or clauses must target the same field")
+        val terms = ft.map(t => analyzedTerm(an, t._2, "span_or"))
+        table.select(col(idField),
+            posexplode(split(an.norm(col(fields.head)), " ")).as(Seq("p", "tok")))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy(col(idField))
+          .agg(count(lit(1)).as("n_spans"))
+          .withColumn("score", col("n_spans"))
+      case other => fail(s"span_or requires an object body: ${render(other)}")
+    }
+
+  /** `span_not`: occurrences of the `include` term with NO `exclude`
+    * occurrence within `pre` tokens before / `post` tokens after
+    * (`dist` sets both) — the negative-context span (e.g. "apple" not
+    * preceded by "big"). One posexplode, include postings LEFT-join
+    * exclude postings on the document key (blow-up tfᵢ·tfₑ per doc,
+    * the span_near cost shape, never corpus²), per-position violation
+    * flag, survivors counted. Output: id field, `n_spans`, score.
+    */
+  private def spanNotRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("include", "exclude", "pre", "post", "dist",
+          "id_field", "analyzer")).foreach(k =>
+          fail(s"unsupported span_not option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail("span_not requires id_field (the document key)"))
+        val an = analyzerOpt(m, "span_not")
+        def spanTerm(k: String): (String, String) = m.get(k) match {
+          case Some(JObject(List(("span_term", JObject(List((f, JString(t)))))))) =>
+            (f, analyzedTerm(an, t, "span_not"))
+          case _ => fail(s"span_not requires $k: {span_term: {field: term}}")
+        }
+        val (fi, ti) = spanTerm("include")
+        val (fe, te) = spanTerm("exclude")
+        if (fi != fe) fail("span_not include/exclude must target the same field")
+        if (m.contains("dist") && (m.contains("pre") || m.contains("post")))
+          fail("span_not dist replaces pre/post (give one or the other)")
+        val dist = intOpt(m, "dist")
+        val pre = intOpt(m, "pre").orElse(dist).getOrElse(0)
+        val post = intOpt(m, "post").orElse(dist).getOrElse(0)
+        if (pre < 0 || post < 0) fail("span_not pre/post must be non-negative")
+        val pos = table.select(col(idField),
+          posexplode(split(an.norm(col(fi)), " ")).as(Seq("p", "tok")))
+        val pi = pos.filter(col("tok") === ti).select(col(idField), col("p"))
+        val pe = pos.filter(col("tok") === te)
+          .select(col(idField), col("p").as("pe"))
+        pi.join(pe, Seq(idField), "left")
+          .groupBy(col(idField), col("p"))
+          .agg(max(when(col("pe").isNotNull &&
+            col("pe") >= col("p") - lit(pre) &&
+            col("pe") <= col("p") + lit(post), 1).otherwise(0)).as("__viol"))
+          .filter(col("__viol") === 0)
+          .groupBy(col(idField))
+          .agg(count(lit(1)).as("n_spans"))
+          .withColumn("score", col("n_spans"))
+      case other => fail(s"span_not requires an object body: ${render(other)}")
+    }
+
+  /** `span_containing` / `span_within`: the big/little span pair —
+    * `big` is a two-term span_near (the pair machinery shared with
+    * the standalone clause), `little` a span_term over the same
+    * field. `span_containing` counts big spans enclosing at least one
+    * little occurrence; `span_within` counts little occurrences
+    * enclosed by at least one big span (each side deduplicated — a
+    * span matching several partners counts once, the OpenSearch span
+    * model). Postings joins only: tf products per document, never
+    * corpus². Output: id field, `n_spans`, score = n_spans.
+    */
+  private def spanContainRequest(table: DataFrame, body: JValue,
+      within: Boolean): DataFrame = {
+    val name = if (within) "span_within" else "span_containing"
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("big", "little", "id_field", "analyzer")).foreach(k =>
+          fail(s"unsupported $name option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail(s"$name requires id_field (the document key)"))
+        val an = analyzerOpt(m, name)
+        val bm = m.get("big") match {
+          case Some(JObject(List(("span_near", JObject(b))))) => b.toMap
+          case _ => fail(s"$name requires big: {span_near: {clauses, slop}}")
+        }
+        bm.keySet.diff(Set("clauses", "slop", "in_order")).foreach(k =>
+          fail(s"unsupported $name big span_near option '$k'"))
+        val (f1, t10, f2, t20) = bm.get("clauses") match {
+          case Some(JArray(List(
+              JObject(List(("span_term", JObject(List((fa, JString(ta))))))),
+              JObject(List(("span_term", JObject(List((fb, JString(tb)))))))))) =>
+            (fa, ta, fb, tb)
+          case _ => fail(s"$name big requires exactly two span_term clauses")
+        }
+        val slop = intOpt(bm, "slop")
+          .getOrElse(fail(s"$name big span_near requires an integer slop"))
+        if (slop < 0) fail(s"$name big slop must be non-negative")
+        val inOrder = bm.get("in_order") match {
+          case Some(JBool(b)) => b
+          case None           => false
+          case Some(other) => fail(s"in_order must be a boolean: ${render(other)}")
+        }
+        val (fl, tl0) = m.get("little") match {
+          case Some(JObject(List(("span_term", JObject(List((f, JString(t)))))))) =>
+            (f, t)
+          case _ => fail(s"$name requires little: {span_term: {field: term}}")
+        }
+        if (f1 != f2 || f1 != fl)
+          fail(s"$name big/little clauses must target the same field")
+        val t1 = analyzedTerm(an, t10, name)
+        val t2 = analyzedTerm(an, t20, name)
+        val tl = analyzedTerm(an, tl0, name)
+        val pos = table.select(col(idField),
+          posexplode(split(an.norm(col(f1)), " ")).as(Seq("p", "tok")))
+        val p1 = pos.filter(col("tok") === t1).select(col(idField), col("p").as("p1"))
+        val p2 = pos.filter(col("tok") === t2).select(col(idField), col("p").as("p2"))
+        val paired =
+          if (inOrder) p1.join(p2, idField).filter(col("p2") > col("p1"))
+          else if (t1 == t2) p1.join(p2, idField).filter(col("p1") < col("p2"))
+          else p1.join(p2, idField)
+        val gap =
+          if (inOrder) col("p2") - col("p1") - 1
+          else abs(col("p1") - col("p2")) - 1
+        val pairs = paired.filter(gap <= slop)
+          .select(col(idField), least(col("p1"), col("p2")).as("s"),
+            greatest(col("p1"), col("p2")).as("e"))
+        val pl = pos.filter(col("tok") === tl)
+          .select(col(idField), col("p").as("pl"))
+        val enclosed = pairs.join(pl, Seq(idField))
+          .filter(col("pl") >= col("s") && col("pl") <= col("e"))
+        val qualified =
+          if (within) enclosed.select(col(idField), col("pl")).distinct()
+          else enclosed.select(col(idField), col("s"), col("e")).distinct()
+        qualified.groupBy(col(idField))
+          .agg(count(lit(1)).as("n_spans"))
+          .withColumn("score", col("n_spans"))
+      case other => fail(s"$name requires an object body: ${render(other)}")
+    }
+  }
+
   /** `intervals` query, `match` rule: ALL the rule's terms occur as an
     * ordered subsequence whose total intervening-token budget is at
     * most `max_gaps` (the OpenSearch intervals gap model:
@@ -3005,8 +3172,65 @@ object QueryDsl {
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
         "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
-        "script_fields"))
+        "script_fields", "runtime_mappings", "rescore"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `runtime_mappings`: request-level computed fields through the
+    // SAME ScoreScript compiler as script_score/script_fields — each
+    // compiles ONCE on the driver to a codegen'd Catalyst column laid
+    // onto the TABLE, so every downstream surface (query clauses,
+    // aggs, sort, _source, even a knn filter) sees the field like a
+    // stored one. Integer `long` type only (the exact script model);
+    // `_score` does not exist before scoring — fail loud, never bind
+    // it to a silent zero. One recursion with the section stripped
+    // keeps the rest of the compiler untouched.
+    req.get("runtime_mappings").foreach { rmv =>
+      val rm = rmv match {
+        case JObject(s) if s.nonEmpty => s
+        case JObject(_) => fail("runtime_mappings must define at least one field")
+        case other => fail(s"runtime_mappings must be an object: ${render(other)}")
+      }
+      val mapped = rm.foldLeft(table) { case (df, (fname, fspec)) =>
+        if (df.columns.contains(fname))
+          fail(s"runtime_mappings '$fname' collides with an existing column")
+        val body = fspec match {
+          case JObject(b) => b.toMap
+          case other => fail(s"runtime_mappings '$fname' must be an object: ${render(other)}")
+        }
+        body.keySet.diff(Set("type", "script")).foreach(k =>
+          fail(s"unsupported runtime_mappings option '$k' in '$fname'"))
+        strOpt(body, "type") match {
+          case Some("long") => ()
+          case Some(other)  => fail(s"runtime_mappings '$fname' type must be " +
+            s"'long' (the exact integer script model), got '$other'")
+          case None => fail(s"runtime_mappings '$fname' needs a type")
+        }
+        val (src, params) = body.get("script") match {
+          case Some(JObject(s)) =>
+            val sm = s.toMap
+            sm.keySet.diff(Set("source", "params")).foreach(k =>
+              fail(s"unsupported script option '$k' in runtime_mappings '$fname'"))
+            val source = strOpt(sm, "source")
+              .getOrElse(fail(s"runtime_mappings '$fname' needs a script source"))
+            val ps: Map[String, Long] = sm.get("params") match {
+              case Some(JObject(po)) => po.map {
+                case (k, JInt(v)) => k -> v.toLong
+                case (k, other) =>
+                  fail(s"script param '$k' must be an integer: ${render(other)}")
+              }.toMap
+              case None        => Map.empty
+              case Some(other) => fail(s"script params must be an object: ${render(other)}")
+            }
+            (source, ps)
+          case _ => fail(s"runtime_mappings '$fname' needs {script: {source}}")
+        }
+        if (src.contains("_score"))
+          fail(s"runtime_mappings '$fname' cannot reference _score " +
+            "(runtime fields evaluate before scoring)")
+        df.withColumn(fname, ScoreScript.compile(src, params, lit(0L)))
+      }
+      return search(mapped, render(JObject((req - "runtime_mappings").toList)))
+    }
 
     // `knn` requests return the ranked neighbor table; the ranking IS
     // the contract, so no other request section composes with it.
@@ -3063,6 +3287,26 @@ object QueryDsl {
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with intervals"))
         return hitPipeline(intervalsRequest(table, body), req)
+      case Some(JObject(List(("span_or", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with span_or"))
+        return hitPipeline(spanOrRequest(table, body), req)
+      case Some(JObject(List(("span_not", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with span_not"))
+        return hitPipeline(spanNotRequest(table, body), req)
+      case Some(JObject(List(("span_containing", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with span_containing"))
+        return hitPipeline(spanContainRequest(table, body, within = false), req)
+      case Some(JObject(List(("span_within", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with span_within"))
+        return hitPipeline(spanContainRequest(table, body, within = true), req)
       // the join-field relations model: corpus-state-dependent (the
       // matching set comes from OTHER rows of the table), so these
       // compile at the REQUEST level into the equi-join the engine
@@ -3113,6 +3357,8 @@ object QueryDsl {
         if (req.contains("collapse")) fail("collapse applies to hits, not aggs")
         if (req.contains("script_fields"))
           fail("script_fields applies to hits, not aggs")
+        if (req.contains("rescore"))
+          fail("rescore applies to hits, not aggs")
         // hits carry the computed score so a top_hits sort on _score
         // (the OpenSearch default ranking) resolves
         compileAggs(table, filtered.withColumn("score", compiled.score),
@@ -3132,6 +3378,13 @@ object QueryDsl {
           case None     => scored0
           case Some(ms) => scored0.filter(col("score") >= lit(ms))
         }
+        // `rescore`: second-pass re-ranking of the top window (the
+        // expensive-query-on-a-cheap-shortlist idiom) — rewrites the
+        // score column only; sort/from/size downstream are untouched
+        val scoredR = req.get("rescore") match {
+          case None    => scored1m
+          case Some(r) => withRescore(scored1m, r, compiled.ppm)
+        }
         // `script_fields`: computed per-hit output columns through the
         // SAME ScoreScript compiler as script_score/scripted_metric —
         // the Painless-shaped integer expression compiles ONCE on the
@@ -3141,10 +3394,10 @@ object QueryDsl {
         // column is visible to `sort` and `_source` (a sortable
         // derived key, which OpenSearch itself cannot do here).
         val scored = req.get("script_fields") match {
-          case None => scored1m
+          case None => scoredR
           case Some(JObject(sf)) =>
             if (sf.isEmpty) fail("script_fields must name at least one field")
-            sf.foldLeft(scored1m) { case (df, (fname, fspec)) =>
+            sf.foldLeft(scoredR) { case (df, (fname, fspec)) =>
               if (df.columns.contains(fname))
                 fail(s"script_fields '$fname' collides with an existing column")
               val (src, params) = fspec match {
@@ -3225,6 +3478,76 @@ object QueryDsl {
       case None    => ranked.filter(col("collapse_rank") === 1L).drop("collapse_rank")
       case Some(n) => ranked.filter(col("collapse_rank") <= n)
     }
+  }
+
+  /** `rescore` request section: re-rank the top `window_size` hits
+    * with a second query, combining scores as
+    * `query_weight·orig (op) rescore_query_weight·rescore` for window
+    * docs matching the rescore query, `query_weight·orig` for window
+    * docs that don't, and the UNTOUCHED original score outside the
+    * window (the OpenSearch contract). The window is a global top-k
+    * on (score desc, id asc) — a TakeOrderedAndProject plan
+    * (per-partition heads merged, never a full sort), so the rescore
+    * query evaluates on a BOUNDED table regardless of corpus size;
+    * hits outside the window anti-join against the broadcast window
+    * id set. `id_field` is required: it makes the window boundary a
+    * total order (OpenSearch breaks score ties by internal doc order,
+    * which no other engine can replay). Integer weights and
+    * integer-combining score modes only (`avg` would be fractional
+    * under the exact score model); ppm-scaled sides fail loud — a
+    * weighted sum across score scales would silently mis-rank.
+    */
+  private def withRescore(hits: DataFrame, spec: JValue,
+      origPpm: Boolean): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other      => fail(s"rescore must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("window_size", "id_field", "query")).foreach(k =>
+      fail(s"unsupported rescore option '$k'"))
+    val window = intOpt(m, "window_size").getOrElse(10)
+    if (window < 1 || window > 100000)
+      fail(s"rescore window_size must be 1-100000, got $window")
+    val idField = strOpt(m, "id_field")
+      .getOrElse(fail("rescore requires id_field (the total tie-break " +
+        "that makes the window boundary deterministic)"))
+    if (!hits.columns.contains(idField))
+      fail(s"rescore id_field '$idField' does not exist")
+    val qm = m.get("query") match {
+      case Some(JObject(q)) => q.toMap
+      case _ => fail("rescore requires query: {rescore_query, ...}")
+    }
+    qm.keySet.diff(Set("rescore_query", "query_weight",
+      "rescore_query_weight", "score_mode")).foreach(k =>
+      fail(s"unsupported rescore query option '$k'"))
+    val rc = compileQuery(qm.getOrElse("rescore_query",
+      fail("rescore needs a rescore_query")))
+    if (origPpm || rc.ppm)
+      fail("rescore cannot combine ppm-scaled scores (the weighted sum " +
+        "would cross scales) - use integer-scored clauses on both sides")
+    val qw = intOpt(qm, "query_weight").getOrElse(1)
+    val rw = intOpt(qm, "rescore_query_weight").getOrElse(1)
+    if (qw < 0 || rw < 0)
+      fail("rescore weights must be non-negative integers")
+    val top = hits.orderBy(col("score").desc, col(idField).asc).limit(window)
+    val qs = lit(qw.toLong) * col("score")
+    val rs = lit(rw.toLong) * rc.score
+    val combined = strOpt(qm, "score_mode").getOrElse("total") match {
+      case "total"    => qs + rs
+      case "multiply" => qs * rs
+      case "max"      => greatest(qs, rs)
+      case "min"      => least(qs, rs)
+      case "avg"      => fail("rescore score_mode avg is fractional under " +
+        "the exact integer score model - use total with scaled weights")
+      case other =>
+        fail(s"rescore score_mode must be total|multiply|max|min, got '$other'")
+    }
+    val rescored = top.withColumn("score",
+      when(rc.pred, combined).otherwise(qs))
+    val rest = hits.join(
+      broadcast(top.select(col(idField).as("__rs_id"))),
+      col(idField) === col("__rs_id"), "left_anti")
+    rescored.unionByName(rest)
   }
 
   /** `percolate` request-level query — reverse search (the q98
@@ -3474,10 +3797,18 @@ object QueryDsl {
     def one(v: JValue): (String, String) = v match {
       case JString(f) => (f, "asc")
       case JObject(List((f, JString(ord)))) => (f, ord)
-      case JObject(List((f, JObject(opts)))) => opts.toMap.get("order") match {
-        case Some(JString(ord)) => (f, ord)
-        case _                  => (f, "asc")
-      }
+      case JObject(List((f, JObject(opts)))) =>
+        // `missing`/`mode` reshape the sort KEY — orderBy-only (a
+        // keyset cursor over a NULL-floated or computed key has no
+        // defined resume semantics); handled in sortCols, rejected
+        // here so search_after fails loud instead of paging wrong
+        opts.toMap.keySet.diff(Set("order")).foreach(k =>
+          fail(s"sort option '$k' on '$f' is orderBy-only " +
+            "(no keyset-cursor semantics) - unsupported with search_after"))
+        opts.toMap.get("order") match {
+          case Some(JString(ord)) => (f, ord)
+          case _                  => (f, "asc")
+        }
       case other => fail(s"unsupported sort entry: ${render(other)}")
     }
     val spec = sort match {
@@ -3497,6 +3828,52 @@ object QueryDsl {
     def one(v: JValue): Column = v match {
       case JObject(List(("_geo_distance", JObject(opts)))) =>
         geoDistanceSortCol(opts.toMap)
+      case JObject(List((f, JObject(opts0)))) =>
+        // sort options (the OpenSearch per-field object form):
+        // `missing` places NULL keys (_first/_last) explicitly;
+        // `mode` sorts a multi-valued (array) field by an aggregate
+        // of its values — min/max/sum exact integers, median the
+        // exact lower median (an actual element, engine-portable);
+        // avg fails loud (fractional under the exact integer model).
+        // All pure codegen'd array expressions on the sort key.
+        val opts = opts0.toMap
+        opts.keySet.diff(Set("order", "missing", "mode")).foreach(k =>
+          fail(s"unsupported sort option '$k' on '$f'"))
+        val ord = opts.get("order") match {
+          case Some(JString(o)) => o
+          case None             => "asc"
+          case Some(other) => fail(s"sort order must be a string: ${render(other)}")
+        }
+        if (ord != "asc" && ord != "desc")
+          fail(s"sort order must be asc|desc, got '$ord'")
+        val base0 = if (f == "_score") col("score") else col(f)
+        val base = opts.get("mode") match {
+          case None => base0
+          case Some(JString("min")) => array_min(base0)
+          case Some(JString("max")) => array_max(base0)
+          case Some(JString("sum")) =>
+            aggregate(base0, lit(0L), (a, x) => a + x.cast("long"))
+          case Some(JString("median")) =>
+            element_at(array_sort(base0),
+              ((size(base0) + lit(1)) / lit(2)).cast("int"))
+          case Some(JString("avg")) =>
+            fail("sort mode 'avg' is fractional under the exact integer " +
+              "model - use sum (same order when counts are equal)")
+          case Some(JString(other)) =>
+            fail(s"sort mode must be min|max|sum|median, got '$other'")
+          case Some(other) => fail(s"sort mode must be a string: ${render(other)}")
+        }
+        (ord, opts.get("missing")) match {
+          case ("asc", None)                      => base.asc
+          case ("desc", None)                     => base.desc
+          case ("asc", Some(JString("_first")))   => base.asc_nulls_first
+          case ("asc", Some(JString("_last")))    => base.asc_nulls_last
+          case ("desc", Some(JString("_first")))  => base.desc_nulls_first
+          case ("desc", Some(JString("_last")))   => base.desc_nulls_last
+          case (_, Some(other)) =>
+            fail(s"sort missing must be '_first' or '_last' (custom " +
+              s"substitute values are unsupported): ${render(other)}")
+        }
       case other =>
         val Seq((f, ord)) = parseSort(other)
         sortField(f, ord)
@@ -3594,7 +3971,8 @@ object QueryDsl {
     // series itself is an intermediate. Computed by aggregating the
     // bounded bucket table — no second corpus pass.
     val siblingKinds = Set("avg_bucket", "sum_bucket", "min_bucket",
-      "max_bucket", "stats_bucket", "percentiles_bucket")
+      "max_bucket", "stats_bucket", "extended_stats_bucket",
+      "percentiles_bucket")
     val (siblingAggs, entries2) = entries.partition {
       case (_, JObject(List((k, _)))) => siblingKinds.contains(k)
       case _ => false
@@ -3638,6 +4016,25 @@ object QueryDsl {
             max(c).as(s"${name}_max"),
             (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
             sum(c).as(s"${name}_sum"))
+          // extended_stats_bucket: the exact-moment recipe over the
+          // BOUNDED bucket series (n·Σx²−(Σx)² stays exact for the
+          // integral series the oracles use; one IEEE divide per
+          // derived double, variance's sqrt last)
+          case "extended_stats_bucket" =>
+            val n = count(c)
+            val s2 = sum(c)
+            val q2 = sum(c * c)
+            val variance = (n * q2 - s2 * s2).cast("double") /
+              (n * n).cast("double")
+            Seq(
+              n.as(s"${name}_count"),
+              min(c).as(s"${name}_min"),
+              max(c).as(s"${name}_max"),
+              (s2.cast("double") / n).as(s"${name}_avg"),
+              s2.as(s"${name}_sum"),
+              q2.as(s"${name}_sum_of_squares"),
+              variance.as(s"${name}_variance"),
+              sqrt(variance).as(s"${name}_std_deviation"))
           // percentiles_bucket: exact discrete percentiles over the
           // bucket series (OpenSearch's own percentiles_bucket is
           // already exact — it holds the whole series — so unlike
@@ -3669,7 +4066,7 @@ object QueryDsl {
           "geohash_grid", "geotile_grid", "missing", "multi_terms",
           "auto_date_histogram", "global",
           "filter", "significant_text", "sampler", "diversified_sampler",
-          "children", "parent", "geo_distance",
+          "children", "parent", "geo_distance", "variable_width_histogram",
           "string_stats", "ip_range", "nested").contains(p._1))
       case _ => false
     }
@@ -3688,7 +4085,7 @@ object QueryDsl {
           "missing", "multi_terms",
           "auto_date_histogram", "global", "filter", "significant_text",
           "sampler", "diversified_sampler", "children", "parent",
-          "geo_distance",
+          "geo_distance", "variable_width_histogram",
           "string_stats", "ip_range", "nested"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
@@ -3725,6 +4122,9 @@ object QueryDsl {
         }
         m.get("geo_distance").foreach { gd =>
           return geoDistanceAgg(hits, name, gd, m.get("aggs"))
+        }
+        m.get("variable_width_histogram").foreach { vw =>
+          return variableWidthHistogramAgg(hits, name, vw, m.get("aggs"))
         }
         m.get("diversified_sampler").foreach { ds =>
           return diversifiedSamplerAgg(hits, name, ds, m.get("aggs"))
@@ -3877,19 +4277,73 @@ object QueryDsl {
         // cumulative_cardinality needs the corpus (first-occurrence
         // bucket per distinct value), not just the bucket table —
         // split like MAD and weave below
-        val (ccEntries, plainMetricEntries) = metricEntries1.partition {
+        val (ccEntries, metricEntries2) = metricEntries1.partition {
           case (_, JObject(List(("cumulative_cardinality", _)))) => true
           case _ => false
         }
+        // rate: a per-unit normalization of a bucket aggregate — the
+        // raw sum/count rides the ONE groupBy like any metric; the
+        // divide by the bucket's span-in-units is woven onto the
+        // bounded bucket table below (it needs the parent's interval)
+        val (rateEntries, plainMetricEntries) = metricEntries2.partition {
+          case (_, JObject(List(("rate", _)))) => true
+          case _ => false
+        }
+        val rateSpecs: Seq[(String, Option[String], Option[String], String)] =
+          rateEntries.map {
+            case (subName, JObject(List(("rate", JObject(b))))) =>
+              val bm = b.toMap
+              bm.keySet.diff(Set("field", "unit", "mode")).foreach(k =>
+                fail(s"unsupported rate option '$k' in '$subName'"))
+              val fld = strOpt(bm, "field")
+              val mode = strOpt(bm, "mode").getOrElse("sum")
+              if (mode != "sum" && mode != "value_count")
+                fail(s"rate mode must be sum|value_count, got '$mode'")
+              if (fld.isEmpty && bm.contains("mode"))
+                fail(s"rate '$subName': mode requires a field")
+              // exact-model rule: a sum-mode rate keeps the numerator
+              // an exact integer so the normalization is ONE pinned
+              // IEEE multiply-divide (fractional fields pre-scale)
+              fld.filter(_ => mode == "sum").foreach { f2 =>
+                hits.schema.find(_.name == f2).map(_.dataType).foreach {
+                  case org.apache.spark.sql.types.DoubleType |
+                       org.apache.spark.sql.types.FloatType |
+                       _: org.apache.spark.sql.types.DecimalType =>
+                    fail(s"rate '$subName' on '$f2' requires an integral " +
+                      "field (the exact sum model) - pre-scale to integers")
+                  case _ => ()
+                }
+              }
+              (subName, fld, strOpt(bm, "unit"), mode)
+            case (subName, other) =>
+              fail(s"rate '$subName' must be an object: ${render(other)}")
+          }
+        val rateRaw: Seq[Column] = rateSpecs.map {
+          case (subName, fld, _, mode) => (fld, mode) match {
+            case (Some(f2), "sum")         => sum(col(f2)).as(s"__rate_$subName")
+            case (Some(f2), "value_count") => count(col(f2)).as(s"__rate_$subName")
+            case (None, _)                 => count(lit(1)).as(s"__rate_$subName")
+          }
+        }
         val subs: Seq[Column] = plainMetricEntries.flatMap {
           case (subName, subSpec) => metricCols(subName, subSpec, schema = hits.schema)
-        }
-        val (keyCol, size, termsOrder, histoFill, preFilter) = m.collectFirst {
+        } ++ rateRaw
+        val (keyCol, size, termsOrder, histoFill, preFilter, termsMinDoc) =
+          m.collectFirst {
           case ("terms", JObject(t)) =>
             val tm = t.toMap
             tm.keySet.diff(Set("field", "size", "order", "missing",
-              "include", "exclude")).foreach(k =>
+              "include", "exclude", "min_doc_count")).foreach(k =>
               fail(s"unsupported terms option '$k' in '$name'"))
+            // min_doc_count: drop buckets under the floor, BEFORE
+            // ordering/size (the OpenSearch evaluation order) — a
+            // bucket-table filter, the groupBy is unchanged. 0 is
+            // meaningless for terms without a term dictionary to
+            // enumerate absent keys from — fail loud.
+            val tMdc = intOpt(tm, "min_doc_count")
+            tMdc.foreach(n => if (n < 1) fail(
+              s"terms min_doc_count must be >= 1 (0 would need a term " +
+                s"dictionary of absent keys), got $n"))
             val f0 = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
             // `missing`: docs without a key value land in a named
             // bucket instead of a NULL key (the OpenSearch option) —
@@ -3941,7 +4395,7 @@ object QueryDsl {
             val gates = keyGate("include", want = true).toSeq ++
               keyGate("exclude", want = false)
             (f.as(name), intOpt(tm, "size"), ord, None,
-              gates.reduceOption(_ && _))
+              gates.reduceOption(_ && _), tMdc)
           case ("histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "interval", "min_doc_count",
@@ -4015,7 +4469,7 @@ object QueryDsl {
                 None
               }
             ((floor((col(f) - lit(offset)) / interval) * interval
-              + lit(offset)).as(name), None, None, fillSpec, None)
+              + lit(offset)).as(name), None, None, fillSpec, None, None)
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval",
@@ -4125,7 +4579,7 @@ object QueryDsl {
                   fail("extended_bounds requires min_doc_count: 0")
                 None
               }
-            (key, None, None, dateFill, None)
+            (key, None, None, dateFill, None, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
         // include/exclude run on the HIT ROWS (map-side, before the
@@ -4200,7 +4654,12 @@ object QueryDsl {
         // the NULL-key bucket keeps its deviation like any other) —
         // BEFORE ordering/pipeline aggs, so buckets_path can
         // reference the MAD column
-        val bucketTable1a = madEntries.foldLeft(bucketTable) {
+        // terms min_doc_count: the bucket floor applies before
+        // ordering/size (the OpenSearch evaluation order)
+        val bucketTableMdc = termsMinDoc
+          .map(n => bucketTable.filter(col("doc_count") >= n.toLong))
+          .getOrElse(bucketTable)
+        val bucketTable1a = madEntries.foldLeft(bucketTableMdc) {
           case (bt, (subName, subSpec)) =>
             val madT = madTable(gated, keyCol, subName, subSpec)
               .withColumnRenamed("__mad_k", "__mad_kj")
@@ -4247,18 +4706,83 @@ object QueryDsl {
                 .drop("__cc_n")
           }
         }
+        // rate: normalize each raw bucket aggregate to a per-`unit`
+        // rate — numerator (exact integer sum/count) and denominator
+        // (the bucket's span, exact from the bucket key itself via
+        // datediff, so variable-length calendar buckets normalize
+        // correctly: a January rate divides by 31, February by 28)
+        // combine in a PINNED two-op IEEE sequence (cast·mul, then one
+        // divide) both engines replay bit-identically. Runs on the
+        // BOUNDED bucket table; woven before pipeline aggs so
+        // buckets_path can reference the rate column.
+        val bucketTable2 =
+          if (rateSpecs.isEmpty) bucketTable1
+          else {
+            val dh = m.get("date_histogram") match {
+              case Some(JObject(h)) => h.toMap
+              case _ => fail("rate requires a date_histogram parent " +
+                "(per-unit normalization needs a time bucket)")
+            }
+            if (dh.contains("time_zone"))
+              fail("rate does not compose with time_zone (bucket span " +
+                "arithmetic assumes UTC-aligned keys)")
+            if (dh.contains("fixed_interval"))
+              fail("rate requires a calendar_interval parent (a fixed " +
+                "interval has a constant unit ratio - scale the metric)")
+            val parent = strOpt(dh, "calendar_interval").getOrElse("day")
+            val unitRank = Map("second" -> 0, "minute" -> 1, "hour" -> 2,
+              "day" -> 3, "month" -> 4, "year" -> 5)
+            val unitUs = Map("second" -> 1000000L, "minute" -> 60000000L,
+              "hour" -> 3600000000L, "day" -> 86400000000L)
+            val key = to_date(col(name))
+            // bucket span: days from the key to the next calendar
+            // boundary (constant 1 for day parents; month/year spans
+            // vary and that variation IS the point of rate)
+            val spanDays: Column = parent match {
+              case "day"   => lit(1)
+              case "month" => datediff(add_months(key, 1), key)
+              case "year"  => datediff(add_months(key, 12), key)
+            }
+            rateSpecs.foldLeft(bucketTable1) {
+              case (bt, (subName, _, unitOpt, _)) =>
+                val unit = unitOpt.getOrElse(parent)
+                val ur = unitRank.getOrElse(unit,
+                  fail(s"rate '$subName': unsupported unit '$unit' " +
+                    "(second|minute|hour|day|month|year)"))
+                if (ur > unitRank(parent))
+                  fail(s"rate '$subName': unit '$unit' exceeds the " +
+                    s"date_histogram interval '$parent'")
+                val raw = col(s"__rate_$subName")
+                val rateCol = unit match {
+                  // month-based units over month-based parents: the
+                  // span in months is a compile-time constant
+                  case "month" | "year" =>
+                    val unitMonths = if (unit == "year") 12.0 else 1.0
+                    val parentMonths = if (parent == "year") 12L else 1L
+                    raw.cast("double") * lit(unitMonths) /
+                      lit(parentMonths).cast("double")
+                  // time-based units: span in microseconds from the
+                  // key's own calendar arithmetic
+                  case _ =>
+                    raw.cast("double") * lit(unitUs(unit).toDouble) /
+                      (spanDays.cast("long") * lit(86400000000L))
+                        .cast("double")
+                }
+                bt.withColumn(subName, rateCol).drop(s"__rate_$subName")
+            }
+          }
         if (pipeEntries.isEmpty) {
           val sortCols: Seq[Column] = termsOrder match {
             case None => Seq(col("doc_count").desc, col(name).asc)
             case Some((target0, asc)) =>
               val target =
                 if (target0 == "_key") name
-                else resolveBucketColumn(bucketTable1, s"terms agg '$name' order", target0)
+                else resolveBucketColumn(bucketTable2, s"terms agg '$name' order", target0)
               val primary = if (asc) col(target).asc else col(target).desc
               // bucket key breaks all ties: the order stays total
               if (target == name) Seq(primary) else Seq(primary, col(name).asc)
           }
-          val grouped = bucketTable1.orderBy(sortCols: _*)
+          val grouped = bucketTable2.orderBy(sortCols: _*)
           size.map(grouped.limit).getOrElse(grouped)
         } else {
           if (termsOrder.isDefined)
@@ -4290,8 +4814,8 @@ object QueryDsl {
             fail("series pipeline aggs cannot be combined with a bucket size limit")
           val capped = size match {
             case Some(n) =>
-              bucketTable1.orderBy(col("doc_count").desc, col(name).asc).limit(n)
-            case None => bucketTable1
+              bucketTable2.orderBy(col("doc_count").desc, col(name).asc).limit(n)
+            case None => bucketTable2
           }
           withPipelineAggs(capped, name, pipeEntries, metricEntries.map(_._1))
         }
@@ -4907,6 +5431,66 @@ object QueryDsl {
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .orderBy(col("doc_count").desc, col(name).asc)
     size.map(grouped.limit).getOrElse(grouped)
+  }
+
+  /** `variable_width_histogram`: OpenSearch's is a per-shard
+    * clustering APPROXIMATION; the engine's DETERMINISTIC analog is
+    * equal-frequency bucketing from exact discrete quantile
+    * boundaries (the q158 doctrine — boundaries are actual data
+    * values, so DuckDB replays them): boundary i = percentile_disc
+    * (i/buckets), a doc's bucket = how many boundaries its value
+    * exceeds. Two scan-shaped passes — one bounded boundary aggregate
+    * (≤ buckets−1 values to the driver, bounded metadata) and ONE
+    * groupBy on the codegen'd bucket index with broadcast-literal
+    * boundaries. Output per bucket (key-ascending): the centroid key
+    * (exact Σ/n, one IEEE divide), min, max, doc_count, sub-metrics.
+    */
+  private def variableWidthHistogramAgg(hits: DataFrame, name: String,
+      spec: JValue, subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"variable_width_histogram '$name' must be an " +
+        s"object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "buckets")).foreach(k =>
+      fail(s"unsupported variable_width_histogram option '$k' in '$name'"))
+    val f = strOpt(m, "field")
+      .getOrElse(fail(s"variable_width_histogram '$name' needs a field"))
+    val n = intOpt(m, "buckets")
+      .getOrElse(fail(s"variable_width_histogram '$name' needs buckets"))
+    if (n < 2 || n > 1000)
+      fail(s"variable_width_histogram buckets must be 2-1000, got $n")
+    val nonNull = hits.filter(col(f).isNotNull)
+    val boundCols = (1 until n).map(i => expr(
+      s"percentile_disc(${i.toDouble / n}) WITHIN GROUP (ORDER BY `$f`)"))
+    val row = nonNull.agg(boundCols.head, boundCols.tail: _*).collect().head
+    if (row.isNullAt(0)) {
+      // no data: zero buckets (the empty-series sentinel)
+      return nonNull.groupBy(col(f).as(name))
+        .agg(count(lit(1)).as("doc_count"))
+        .select(col(name).cast("double").as(name),
+          col(name).as(s"${name}_min"),
+          col(name).as(s"${name}_max"), col("doc_count"))
+        .limit(0)
+    }
+    val bounds = (0 until n - 1).map(row.get)
+    val idx = bounds.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(f) > lit(b), 1L).otherwise(0L)
+    }
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    val aggCols =
+      Seq((sum(col(f)).cast("double") / count(col(f)).cast("double")).as(name),
+        min(col(f)).as(s"${name}_min"), max(col(f)).as(s"${name}_max"),
+        count(lit(1)).as("doc_count")) ++ subs
+    nonNull.groupBy(idx.as("__vw_i"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(col(s"${name}_min").asc)
+      .drop("__vw_i")
   }
 
   /** `diversified_sampler` bucket agg: sub-aggs over a de-skewed

@@ -62,7 +62,8 @@ class SparkEntrySpec extends SparkSpec {
       // round-10 one-row global aggregates
       "q251_dsl_geo_bounds", "q259_dsl_percentiles_bucket",
       "q261_dsl_t_test", "q262_dsl_diversified_sampler",
-      "q263_dsl_children_agg", "q264_dsl_parent_agg")
+      "q263_dsl_children_agg", "q264_dsl_parent_agg",
+      "q269_dsl_extended_stats_bucket")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql)
         if !sql.toUpperCase.contains("ORDER BY") &&

@@ -94,6 +94,62 @@ class KnnJoinSpec extends SparkSpec {
       KnnJoin.withinGroups(embeddings(20, 2), "vec_id", "embedding", "label", k = 3)))
   }
 
+  test("approx join with every bucket probed equals the exact join") {
+    // nprobe = 2^signDims probes ALL buckets: the approximation's only
+    // deviation is probe coverage, so full coverage must reproduce the
+    // exact kernel bit-for-bit (same quantize/dot/norm/tie contracts)
+    val got = KnnJoin.approxWithinGroups(embeddings(60, 4), "vec_id",
+      "embedding", "label", k = 3, signDims = 2, nprobe = 4)
+    assert(sortedRows(got) === sortedRows(reference(60, 4, 3)))
+  }
+
+  test("approx join: measured recall, bounded output, skipped zero-norms") {
+    val e = embeddings(120, 3)
+    val exact = reference(120, 3, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    val approx = KnnJoin.approxWithinGroups(e, "vec_id", "embedding",
+      "label", k = 3, signDims = 4, nprobe = 2)
+    val gotPairs = approx.collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSet
+    val recall = gotPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall@3 vs exact = $recall")
+    // every row emits at most k, ranks are 1..n dense
+    val byId = approx.collect().groupBy(r => r.getLong(1))
+    assert(byId.values.forall(_.length <= 3))
+    assert(byId.values.forall(rs =>
+      rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length).toSeq))
+    // zero-norm rows: no output row, never a neighbor
+    val withZero = e.union(Seq((200L, 0L, Array.fill(8)(0f)))
+      .toDF("vec_id", "label", "embedding"))
+    val gz = KnnJoin.approxWithinGroups(withZero, "vec_id", "embedding",
+      "label", k = 3, signDims = 4, nprobe = 2)
+    assert(!gz.select("id").as[Long].collect().toSet.contains(200L))
+    assert(!gz.select("neighbor_id").as[Long].collect().toSet.contains(200L))
+    // validation
+    val bad = intercept[IllegalArgumentException](
+      KnnJoin.approxWithinGroups(e, "vec_id", "embedding", "label",
+        k = 3, signDims = 4, nprobe = 17))
+    assert(bad.getMessage.contains("nprobe must be"))
+  }
+
+  test("approx join: string group keys restore original values") {
+    val names = Array("english", "french", "german", "dutch")
+    val e = embeddings(60, 4)
+      .withColumn("lang", element_at(
+        array(names.toIndexedSeq.map(lit): _*), (col("label") + 1).cast("int")))
+      .drop("label")
+    val got = KnnJoin.approxWithinGroups(e, "vec_id", "embedding", "lang",
+      k = 3, signDims = 2, nprobe = 4)
+    val ref = reference(60, 4, 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (names(r.getLong(0).toInt), r.getLong(3), r.getDouble(4))).toMap
+    val gotRows = got.collect()
+      .map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getString(0), r.getLong(3), r.getDouble(4))).toMap
+    assert(gotRows === ref)
+  }
+
   test("the same id in two groups keeps separate pools and correct group labels") {
     // ids 0..9 appear in BOTH groups with different vectors; an id-only
     // window or restore join would merge their candidate pools or

@@ -1725,6 +1725,338 @@ class QueryDslSpec extends SparkSpec {
       "unsupported cumulative_cardinality option")
   }
 
+  test("terms min_doc_count floors buckets before order and size") {
+    import spark.implicits._
+    val t = Seq("a", "a", "a", "b", "c", "c").toDF("k")
+    val floored = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": 2}}}}""")
+      .as[(String, Long)].collect().toSeq
+    assert(floored === Seq(("a", 3L), ("c", 2L)))
+    // the floor applies BEFORE size (OpenSearch evaluation order)
+    val sized = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": 2,
+           "size": 1}}}}""").as[(String, Long)].collect().toSeq
+    assert(sized === Seq(("a", 3L)))
+    // composes with include gates (map-side) and sub-metrics
+    val both = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": 2,
+           "exclude": ["a"]}}}}""").as[(String, Long)].collect().toSeq
+    assert(both === Seq(("c", 2L)))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": 0}}}}"""))
+    assert(e.getMessage.contains("min_doc_count must be >= 1"))
+  }
+
+  test("extended_stats_bucket: exact moments over the bucket series") {
+    import spark.implicits._
+    val t = Seq(0L, 0L, 1L, 2L, 2L, 2L).toDF("b")
+    // counts by bucket: 2,1,3 → n=3 min=1 max=3 sum=6 avg=2 q=14
+    // var=(3·14−36)/9=2/3
+    val r = QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1}},
+         "st": {"extended_stats_bucket": {"buckets_path": "h>_count"}}}}""")
+      .collect().head
+    assert(r.getAs[Long]("st_count") === 3L)
+    assert(r.getAs[Long]("st_min") === 1L && r.getAs[Long]("st_max") === 3L)
+    assert(r.getAs[Double]("st_avg") === 2.0)
+    assert(r.getAs[Long]("st_sum") === 6L)
+    assert(r.getAs[Long]("st_sum_of_squares") === 14L)
+    assert(r.getAs[Double]("st_variance") === 6.0 / 9.0)
+    assert(r.getAs[Double]("st_std_deviation") === math.sqrt(6.0 / 9.0))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1}},
+         "st": {"extended_stats_bucket": {"buckets_path": "h>_count",
+           "sigma": 2}}}}"""))
+    assert(e.getMessage.contains("unsupported extended_stats_bucket option"))
+  }
+
+  test("variable_width_histogram: equal-frequency buckets from exact quantiles") {
+    import spark.implicits._
+    val t = (1L to 10L).toDF("v")
+    val vw = QueryDsl.search(t,
+      """{"aggs": {"len": {"variable_width_histogram":
+           {"field": "v", "buckets": 2}}}}""")
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(vw === Seq((3.0, 1L, 5L, 5L), (8.0, 6L, 10L, 5L)))
+    // sub-metrics ride the same groupBy; NULL values are omitted
+    val tn = t.union(Seq(Option.empty[Long]).toDF("v"))
+    val sub = QueryDsl.search(tn,
+      """{"aggs": {"len": {"variable_width_histogram":
+           {"field": "v", "buckets": 5},
+           "aggs": {"s": {"sum": {"field": "v"}}}}}}""")
+    assert(sub.agg(sum("doc_count"), sum("s")).as[(Long, Long)].head() ===
+      ((10L, 55L)))
+    assert(sub.count() === 5)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"x": {"variable_width_histogram": {"field": "v",
+      "buckets": 1}}}}""", "buckets must be 2-1000")
+    bad("""{"aggs": {"x": {"variable_width_histogram": {"field": "v",
+      "buckets": 2, "initial_buffer": 10}}}}""",
+      "unsupported variable_width_histogram option")
+    bad("""{"aggs": {"x": {"variable_width_histogram":
+      {"buckets": 2}}}}""", "needs a field")
+    // empty input → zero buckets, schema intact
+    val empty = QueryDsl.search(t.filter(col("v") > 100),
+      """{"aggs": {"len": {"variable_width_histogram":
+           {"field": "v", "buckets": 3}}}}""")
+    assert(empty.count() === 0)
+  }
+
+  test("runtime_mappings: computed fields visible to query, aggs and sort") {
+    import spark.implicits._
+    val t = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val rm = """"runtime_mappings": {"w": {"type": "long",
+      "script": {"source": "doc['v'].value * 2 + params.k",
+        "params": {"k": 5}}}}"""
+    // query + sort + _source all see the runtime field
+    val hits = QueryDsl.search(t,
+      s"""{$rm, "query": {"range": {"w": {"gte": 45}}},
+          "sort": [{"w": "desc"}], "_source": ["id", "w"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(hits === Seq((3L, 65L), (2L, 45L)))
+    // aggs see it too
+    val agg = QueryDsl.search(t,
+      s"""{$rm, "aggs": {"mx": {"max": {"field": "w"}},
+          "s": {"sum": {"field": "w"}}}}""")
+      .as[(Long, Long)].head()
+    assert(agg === ((65L, 135L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"runtime_mappings": {"v": {"type": "long",
+      "script": {"source": "doc['v'].value"}}}}""", "collides")
+    bad("""{"runtime_mappings": {"w": {"type": "double",
+      "script": {"source": "doc['v'].value"}}}}""", "type must be 'long'")
+    bad("""{"runtime_mappings": {"w": {"type": "long",
+      "script": {"source": "_score * 2"}}}}""", "cannot reference _score")
+    bad("""{"runtime_mappings": {"w": {"type": "long"}}}""",
+      "needs {script: {source}}")
+    bad("""{"runtime_mappings": {}}""", "at least one field")
+  }
+
+  test("rate normalizes bucket aggregates by the calendar span") {
+    import spark.implicits._
+    // months of different lengths: Jan 2021 (31 d), Feb 2021 (28 d)
+    val t = Seq(("2021-01-10 00:00:00", 62L), ("2021-01-20 00:00:00", 0L),
+        ("2021-02-10 00:00:00", 56L)).toDF("ts0", "v")
+      .select(to_timestamp(col("ts0")).as("ts"), col("v"))
+    val r = QueryDsl.search(t,
+      """{"aggs": {"mon": {"date_histogram": {"field": "ts",
+           "calendar_interval": "month"},
+         "aggs": {"daily": {"rate": {"field": "v", "unit": "day"}},
+                  "docs_daily": {"rate": {"unit": "day"}},
+                  "vcount_daily": {"rate": {"field": "v",
+                    "mode": "value_count", "unit": "day"}},
+                  "monthly": {"rate": {"field": "v"}}}}}}""")
+      .orderBy(col("mon"))
+      .select("daily", "docs_daily", "vcount_daily", "monthly")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    // Jan: sum 62 / 31 d; Feb: 56 / 28 d — both exactly 2.0/day
+    assert(r === Seq((2.0, 2.0 / 31, 2.0 / 31, 62.0),
+                     (2.0, 1.0 / 28, 1.0 / 28, 56.0)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // unit coarser than the bucket
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "calendar_interval": "day"},
+      "aggs": {"r": {"rate": {"unit": "month"}}}}}}""",
+      "exceeds the date_histogram interval")
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "fixed_interval": "1d"},
+      "aggs": {"r": {"rate": {"unit": "hour"}}}}}}""",
+      "requires a calendar_interval parent")
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "calendar_interval": "day", "time_zone": "+02:00"},
+      "aggs": {"r": {"rate": {"unit": "hour"}}}}}}""",
+      "does not compose with time_zone")
+    bad("""{"aggs": {"g": {"terms": {"field": "v"},
+      "aggs": {"r": {"rate": {"unit": "day"}}}}}}""",
+      "requires a date_histogram parent")
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "calendar_interval": "month"},
+      "aggs": {"r": {"rate": {"mode": "value_count"}}}}}}""",
+      "mode requires a field")
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "calendar_interval": "month"},
+      "aggs": {"r": {"rate": {"unit": "week"}}}}}}""",
+      "unsupported unit 'week'")
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "calendar_interval": "month"},
+      "aggs": {"r": {"rate": {"field": "v", "script": "x"}}}}}}""",
+      "unsupported rate option")
+    // fractional fields break the exact sum model
+    val tf = t.withColumn("vf", col("v").cast("double"))
+    bad("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+      "calendar_interval": "month"},
+      "aggs": {"r": {"rate": {"field": "v", "mode": "bad"}}}}}}""",
+      "rate mode must be")
+    val ef = intercept[IllegalArgumentException](QueryDsl.search(tf,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "calendar_interval": "month"},
+        "aggs": {"r": {"rate": {"field": "vf"}}}}}}"""))
+    assert(ef.getMessage.contains("requires an integral field"))
+  }
+
+  test("sort missing and mode options reshape the sort key") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Seq(5L, 1L, 9L), Option("b")),
+      (2L, Seq(4L, 4L), Option.empty[String]),
+      (3L, Seq(2L, 8L, 2L, 7L), Option("a"))).toDF("id", "vals", "tag")
+    def ids(json: String): Seq[Long] =
+      QueryDsl.search(t, json).select("id").as[Long].collect().toSeq
+    // mode min: 1, 2, 4 asc -> 1,3,2 ; mode max: 9,4,8 desc -> 1,3,2
+    assert(ids("""{"sort": [{"vals": {"mode": "min"}}, "id"]}""")
+      === Seq(1L, 3L, 2L))
+    assert(ids("""{"sort": [{"vals": {"mode": "max", "order": "desc"}},
+      "id"]}""") === Seq(1L, 3L, 2L))
+    // mode sum: 15, 8, 19 asc -> 2,1,3
+    assert(ids("""{"sort": [{"vals": {"mode": "sum"}}, "id"]}""")
+      === Seq(2L, 1L, 3L))
+    // mode median (exact lower): [1,5,9]->5, [4,4]->4, [2,2,7,8]->2
+    assert(ids("""{"sort": [{"vals": {"mode": "median"}}, "id"]}""")
+      === Seq(3L, 2L, 1L))
+    // missing places the NULL tag explicitly at either end
+    assert(ids("""{"sort": [{"tag": {"missing": "_first"}}, "id"]}""")
+      === Seq(2L, 3L, 1L))
+    assert(ids("""{"sort": [{"tag": {"missing": "_last"}}, "id"]}""")
+      === Seq(3L, 1L, 2L))
+    assert(ids("""{"sort": [{"tag": {"order": "desc", "missing": "_first"}},
+      "id"]}""") === Seq(2L, 1L, 3L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"sort": [{"vals": {"mode": "avg"}}]}""", "mode 'avg' is fractional")
+    bad("""{"sort": [{"vals": {"mode": "product"}}]}""",
+      "mode must be min|max|sum|median")
+    bad("""{"sort": [{"tag": {"missing": "zzz"}}]}""",
+      "missing must be '_first' or '_last'")
+    bad("""{"sort": [{"tag": {"missing": "_last", "unmapped_type": "long"}}]}""",
+      "unsupported sort option")
+    // orderBy-only: a keyset cursor over a reshaped key has no resume
+    // semantics
+    bad("""{"sort": [{"tag": {"missing": "_last"}}, "id"],
+      "search_after": ["a", 1]}""", "orderBy-only")
+  }
+
+  test("rescore re-ranks the top window only; the rest keep their score") {
+    import spark.implicits._
+    // match scoring: one point per matched query term
+    val t = Seq(
+      (1L, "alpha beta gamma", "x"),
+      (2L, "alpha beta", "y"),
+      (3L, "alpha", "y"),
+      (4L, "delta", "y")).toDF("id", "text", "tag")
+    val req = """{"query": {"match": {"text": "alpha beta gamma"}},
+      "rescore": {"window_size": 2, "id_field": "id",
+        "query": {"rescore_query": {"term": {"tag": "y"}},
+          "query_weight": 1, "rescore_query_weight": 10,
+          "score_mode": "total"}},
+      "sort": [{"_score": "desc"}, "id"], "_source": ["id", "score"]}"""
+    // orig scores: 3,2,1 (doc 4 unmatched). window=2 -> docs 1,2.
+    // doc 2 matches tag=y: 2+10=12; doc 1 doesn't: 3. doc 3 outside:
+    // untouched 1. Final order: 2(12), 1(3), 3(1).
+    val hits = QueryDsl.search(t, req)
+    assert(hits.columns.toSeq === Seq("id", "score"))
+    assert(hits.as[(Long, Long)].collect().toSeq ===
+      Seq((2L, 12L), (1L, 3L), (3L, 1L)))
+    // score modes over the same window
+    def scores(mode: String): Seq[(Long, Long)] = QueryDsl.search(t,
+      req.replace("\"total\"", s""""$mode"""")).as[(Long, Long)]
+      .collect().toSeq
+    assert(scores("multiply") === Seq((2L, 20L), (1L, 3L), (3L, 1L)))
+    assert(scores("max") === Seq((2L, 10L), (1L, 3L), (3L, 1L)))
+    assert(scores("min").toSet === Set((2L, 2L), (1L, 3L), (3L, 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(req.replace("\"total\"", "\"avg\""), "score_mode avg is fractional")
+    bad("""{"query": {"match_all": {}}, "rescore": {"window_size": 2,
+      "query": {"rescore_query": {"term": {"tag": "y"}}}}}""",
+      "requires id_field")
+    bad("""{"query": {"match_all": {}}, "rescore": {"window_size": 0,
+      "id_field": "id", "query": {"rescore_query": {"term": {"tag": "y"}}}}}""",
+      "window_size must be")
+    bad("""{"query": {"match_all": {}}, "rescore": {"id_field": "id"}}""",
+      "requires query")
+    bad("""{"query": {"match_all": {}}, "rescore": {"id_field": "id",
+      "rescorer": 1, "query": {"rescore_query": {"term": {"tag": "y"}}}}}""",
+      "unsupported rescore option")
+    bad("""{"query": {"match_all": {}},
+      "aggs": {"n": {"value_count": {"field": "id"}}},
+      "rescore": {"id_field": "id",
+        "query": {"rescore_query": {"term": {"tag": "y"}}}}}""",
+      "rescore applies to hits")
+  }
+
+  test("span_or/span_not/span_containing/span_within positional semantics") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "big apple pie and small apple tart"),
+      (2L, "apple orchard big harvest"),
+      (3L, "banana bread"),
+      (4L, "big apple apple pie")).toDF("id", "text")
+    def run(json: String): Map[Long, Long] =
+      QueryDsl.search(t, json).select("id", "n_spans").as[(Long, Long)]
+        .collect().toMap
+    // span_or: postings union
+    assert(run("""{"query": {"span_or": {"clauses": [
+        {"span_term": {"text": "apple"}}, {"span_term": {"text": "banana"}}],
+        "id_field": "id"}}}""") ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // span_not: apple NOT preceded (pre 1) by big
+    assert(run("""{"query": {"span_not": {
+        "include": {"span_term": {"text": "apple"}},
+        "exclude": {"span_term": {"text": "big"}},
+        "pre": 1, "id_field": "id"}}}""") ===
+      Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // dist sets both sides: apple with no big within +-2
+    assert(run("""{"query": {"span_not": {
+        "include": {"span_term": {"text": "apple"}},
+        "exclude": {"span_term": {"text": "big"}},
+        "dist": 2, "id_field": "id"}}}""") ===
+      Map(1L -> 1L))
+    // containing dedups big spans; within counts little positions
+    val big = """"big": {"span_near": {"clauses": [
+      {"span_term": {"text": "big"}}, {"span_term": {"text": "pie"}}],
+      "slop": 3, "in_order": true}},
+      "little": {"span_term": {"text": "apple"}}, "id_field": "id""""
+    assert(run(s"""{"query": {"span_containing": {$big}}}""") ===
+      Map(1L -> 1L, 4L -> 1L))
+    assert(run(s"""{"query": {"span_within": {$big}}}""") ===
+      Map(1L -> 1L, 4L -> 2L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"span_or": {"clauses": [
+      {"span_term": {"text": "a"}}], "id_field": "id"}}}""",
+      ">= 2 span_term clauses")
+    bad("""{"query": {"span_or": {"clauses": [
+      {"span_term": {"text": "a"}}, {"span_term": {"id": "b"}}],
+      "id_field": "id"}}}""", "same field")
+    bad("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "a"}},
+      "exclude": {"span_term": {"text": "b"}},
+      "dist": 1, "pre": 1, "id_field": "id"}}}""", "dist replaces pre/post")
+    bad("""{"query": {"span_not": {
+      "include": {"span_term": {"text": "a"}}, "id_field": "id"}}}""",
+      "requires exclude")
+    bad(s"""{"query": {"span_containing": {$big}},
+      "aggs": {"n": {"value_count": {"field": "id"}}}}""",
+      "cannot be combined with span_containing")
+    bad("""{"query": {"bool": {"must": [{"span_or": {"clauses": [],
+      "id_field": "id"}}]}}}""", "request-level query")
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
