@@ -4303,6 +4303,94 @@ object DslSearch {
               FROM enc GROUP BY 1)
         SELECT doc_id, n_spans, n_spans AS score FROM g
         ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // significant_terms background_filter: the lift baseline becomes a
+    // SUBSET of the index (here: English docs) — foreground intersects
+    // the background (fg ⊆ bg by construction, so the exact ppm ratio
+    // can never divide by zero), out-of-background vocabulary drops;
+    // both counts stay conditional aggregates in ONE groupBy.
+    GraftQuery(
+      "q280_dsl_sig_terms_background",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "aggs": {"sig_src": {"significant_terms":
+             {"field": "source", "min_doc_count": 2, "size": 8,
+              "background_filter": {"term": {"lang": "en"}}}}}}"""),
+      Some("""
+        WITH base AS (
+          SELECT source,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS bg,
+                 CASE WHEN lang = 'en' AND list_contains(
+                        list_distinct(string_split(text, ' ')), 'spark')
+                      THEN 1 ELSE 0 END AS fg
+          FROM documents),
+        per AS (
+          SELECT source AS sig_src, CAST(SUM(bg) AS BIGINT) AS bg_count,
+                 CAST(SUM(fg) AS BIGINT) AS doc_count
+          FROM base GROUP BY source),
+        tot AS (SELECT CAST(SUM(bg) AS BIGINT) AS n_all,
+                       CAST(SUM(fg) AS BIGINT) AS n_fg FROM base)
+        SELECT sig_src, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, tot
+        WHERE bg_count >= 1 AND doc_count >= 2
+        ORDER BY score_ppm DESC, sig_src
+        LIMIT 8
+      """.stripMargin.trim)),
+
+    // multi_match cross_fields: term-centric blended-field matching —
+    // a query term matches when ANY field carries it; score = matched
+    // terms over the token union, msm gates the count.
+    GraftQuery(
+      "q281_dsl_multi_match_cross_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"multi_match": {"query": "spark src7",
+             "fields": ["text", "source"], "type": "cross_fields",
+             "minimum_should_match": 2}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(
+                   list_distinct(list_concat(string_split(text, ' '),
+                                             string_split(source, ' '))),
+                   ['spark', 'src7'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // multi_match phrase: the query as a token-boundary phrase per
+    // field; score = the number of fields containing it.
+    GraftQuery(
+      "q282_dsl_multi_match_phrase",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("head", org.apache.spark.sql.functions.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')")),
+        """{"query": {"multi_match": {"query": "spark join",
+             "fields": ["text", "head"], "type": "phrase"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                 ' ') AS head
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN ' ' || text || ' ' LIKE '% spark join %'
+                      THEN 1 ELSE 0 END
+                    + CASE WHEN ' ' || head || ' ' LIKE '% spark join %'
+                      THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
       """.stripMargin.trim))
   )
 }

@@ -1099,7 +1099,10 @@ object QueryDsl {
         case _ => fail("multi_match requires a non-empty fields array")
       }
       val an = analyzerOpt(m, "multi_match")
-      val terms = an.normText(qtext).trim.split("\\s+").toSeq.distinct
+      // terms0 keeps the query's token ORDER (the phrase type needs
+      // it); the term-set types dedup
+      val terms0 = an.normText(qtext).trim.split("\\s+").toSeq
+      val terms = terms0.distinct
       if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
       val msm = m.get("minimum_should_match") match {
         case Some(JInt(i)) => i.toLong
@@ -1122,8 +1125,42 @@ object QueryDsl {
           val total = matched.reduce(_ + _)
           CompiledQuery(pred, best * lit(1000000L) + (total - best) * lit(tbPpm),
             ppm = true)
+        // cross_fields: TERM-centric — the fields act as one blended
+        // field, a query term matches when ANY field carries it;
+        // score = matched query terms over the token UNION,
+        // minimum_should_match gates that count (the name-field idiom:
+        // "jane smith" across first_name/last_name)
+        case "cross_fields" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          val union = array_distinct(concat(fields.map(f =>
+            array_distinct(split(an.norm(col(f)), " "))): _*))
+          val s = overlapScore(union, terms, fuzz, prefixLen)
+          CompiledQuery(s >= lit(msm), when(s >= lit(msm), s).otherwise(0L))
+        // phrase: the whole query as a match_phrase per field (the
+        // token-boundary substring contract); score = the number of
+        // fields containing the phrase (OpenSearch's best_fields over
+        // per-field phrase scores collapses to a constant under the
+        // integer model — the field count is the deterministic
+        // refinement). Phrase semantics make term-level options moot:
+        // fuzziness / minimum_should_match fail loud.
+        case "phrase" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          if (fuzz.isDefined || m.contains("prefix_length"))
+            fail("multi_match type phrase does not take fuzziness")
+          if (m.contains("minimum_should_match"))
+            fail("multi_match type phrase does not take minimum_should_match")
+          val phrase = terms0.mkString(" ")
+          val perF = fields.map { f =>
+            val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+            when(padded.contains(s" $phrase "), 1L).otherwise(0L)
+          }
+          val s = perF.reduce(_ + _)
+          CompiledQuery(s >= lit(1L), s)
         case other =>
-          fail(s"unsupported multi_match type '$other' (best_fields, most_fields)")
+          fail(s"unsupported multi_match type '$other' " +
+            "(best_fields, most_fields, cross_fields, phrase)")
       }
     case other => fail(s"multi_match requires an object body: ${render(other)}")
   }
@@ -6529,14 +6566,29 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"significant_terms '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "min_doc_count", "size")).foreach(k =>
-      fail(s"unsupported significant_terms option '$k'"))
+    m.keySet.diff(Set("field", "min_doc_count", "size", "background_filter"))
+      .foreach(k => fail(s"unsupported significant_terms option '$k'"))
     val f = strOpt(m, "field").getOrElse(fail(s"significant_terms '$name' needs a field"))
     val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
     val size = intOpt(m, "size").getOrElse(10)
-    val perTerm = table.groupBy(col(f).as(name)).agg(
-      count(lit(1)).as("bg_count"),
-      sum(when(pred, 1L).otherwise(0L)).as("doc_count"))
+    // `background_filter`: the lift baseline becomes a SUBSET of the
+    // index (compare against last month / this segment) instead of the
+    // whole corpus. The foreground is INTERSECTED with the background
+    // (fg ⊆ bg by construction — OpenSearch leaves a disjoint
+    // foreground to produce undefined ratios; here bg_count = 0 with
+    // doc_count > 0, a divide-by-zero, is made impossible instead),
+    // and vocabulary outside the background drops. Scores stay the
+    // same exact integer ppm ratio. Still ONE corpus scan: both
+    // counts are conditional aggregates in the same groupBy.
+    val bgPred: Option[Column] =
+      m.get("background_filter").map(q => compileQuery(q).pred)
+    val basePred = bgPred.getOrElse(lit(true))
+    val perTerm0 = table.groupBy(col(f).as(name)).agg(
+      sum(when(basePred, 1L).otherwise(0L)).as("bg_count"),
+      sum(when(pred && basePred, 1L).otherwise(0L)).as("doc_count"))
+    val perTerm =
+      if (bgPred.isEmpty) perTerm0
+      else perTerm0.filter(col("bg_count") >= 1L)
     // totals derive from the grouped table (a vocabulary-bounded
     // second aggregate), never a second corpus scan re-running the
     // tokenize/intersect predicate per row

@@ -2057,6 +2057,82 @@ class QueryDslSpec extends SparkSpec {
       "id_field": "id"}}]}}}""", "request-level query")
   }
 
+  test("significant_terms background_filter narrows the baseline") {
+    import spark.implicits._
+    val t = Seq(
+      ("a", "en", 1L), ("a", "en", 1L), ("a", "de", 1L),
+      ("b", "en", 0L), ("b", "en", 1L), ("b", "de", 0L),
+      ("c", "de", 1L)).toDF("src", "lang", "hit")
+    // fg = hit=1, bg = lang=en: src a: bg 2, fg 2; src b: bg 2, fg 1;
+    // src c drops (no en docs). n_all=4, n_fg=3.
+    val r = QueryDsl.search(t,
+      """{"query": {"term": {"hit": 1}},
+         "aggs": {"s": {"significant_terms": {"field": "src",
+           "background_filter": {"term": {"lang": "en"}}}}}}""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // score_ppm = doc*n_all*1e6 // (bg*n_fg)
+    assert(r === Seq(
+      ("a", 2L, 2L, 2L * 4 * 1000000 / (2 * 3)),
+      ("b", 1L, 2L, 1L * 4 * 1000000 / (2 * 3))))
+    // no filter: the original whole-corpus baseline (c appears)
+    val r0 = QueryDsl.search(t,
+      """{"query": {"term": {"hit": 1}},
+         "aggs": {"s": {"significant_terms": {"field": "src"}}}}""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r0.map(_._1).toSet === Set("a", "b", "c"))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"s": {"significant_terms": {"field": "src",
+        "background": {"term": {"lang": "en"}}}}}}"""))
+    assert(e.getMessage.contains("unsupported significant_terms option"))
+  }
+
+  test("multi_match cross_fields and phrase types") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "jane", "smith"), (2L, "smith", "jane"),
+      (3L, "jane", "doe"), (4L, "bob", "stone")).toDF("id", "first", "last")
+    // cross_fields: term-centric over the blended field
+    val cf = QueryDsl.search(t,
+      """{"query": {"multi_match": {"query": "jane smith",
+        "fields": ["first", "last"], "type": "cross_fields",
+        "minimum_should_match": 2}},
+        "sort": [{"_score": "desc"}, "id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(cf === Seq((1L, 2L), (2L, 2L)))
+    // best_fields would find NO doc with both terms in one field
+    val bf = QueryDsl.search(t,
+      """{"query": {"multi_match": {"query": "jane smith",
+        "fields": ["first", "last"], "minimum_should_match": 2}},
+        "_source": ["id"]}""").count()
+    assert(bf === 0L)
+    // phrase: ordered adjacency per field; score = matching fields
+    val t2 = Seq(
+      (1L, "big data spark", "x"), (2L, "spark big data", "big data lake"),
+      (3L, "big lake data", "y")).toDF("id", "a", "b")
+    val ph = QueryDsl.search(t2,
+      """{"query": {"multi_match": {"query": "big data",
+        "fields": ["a", "b"], "type": "phrase"}},
+        "sort": [{"_score": "desc"}, "id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(ph === Seq((2L, 2L), (1L, 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t2, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"multi_match": {"query": "big data",
+      "fields": ["a"], "type": "phrase", "fuzziness": 1}}}""",
+      "does not take fuzziness")
+    bad("""{"query": {"multi_match": {"query": "big data",
+      "fields": ["a"], "type": "phrase", "minimum_should_match": 2}}}""",
+      "does not take minimum_should_match")
+    bad("""{"query": {"multi_match": {"query": "big data",
+      "fields": ["a"], "type": "bool_prefix"}}}""",
+      "unsupported multi_match type")
+    bad("""{"query": {"multi_match": {"query": "big data",
+      "fields": ["a", "b"], "type": "cross_fields",
+      "tie_breaker": 0.3}}}""", "tie_breaker applies to best_fields")
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
