@@ -709,32 +709,68 @@ object GraftEngine {
     * seed would duplicate query terms and silently inflate
     * n_shared/score, so it fails loud (the count is a bounded probe:
     * the scan stops after two matches).
+    *
+    * Shape (reworked after the round-9 ScaleBench flagged the old
+    * corpus-wide (doc, term) groupBy as the slowest analyzed family):
+    * the seed's term frequencies are ONE document's vocabulary —
+    * bounded driver metadata, like a centroid list — so they are
+    * computed on the driver; document frequencies need the corpus but
+    * only for the seed's terms, so the df pass explodes the PER-ROW
+    * INTERSECTION with the seed vocabulary (emitting only hits, ≤
+    * |seed vocab| keys through the exchange instead of the whole
+    * corpus vocabulary); and the scoring pass is PURE MAP-SIDE — the
+    * ≤ max_query_terms chosen terms compile to codegen'd
+    * array_contains sums, no explode, no join, no shuffle at all
+    * (n_shared never needed per-term counts, only distinct
+    * membership). Selection arithmetic is bit-identical to the old
+    * plan: sel = (tf·n)/df one IEEE divide, weight = n·10⁶ div df
+    * exact integer, ties (sel desc, term asc).
     */
   private[graft] def moreLikeThisHits(docs: DataFrame, idCol: String,
       textCol: String, seedValue: Any, maxQueryTerms: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxQueryTerms >= 1, s"max_query_terms must be >= 1, got $maxQueryTerms")
-    val nSeed = docs.filter(col(idCol) === lit(seedValue)).limit(2).count()
-    if (nSeed != 1)
+    val seedRows = docs.filter(col(idCol) === lit(seedValue))
+      .select(col(textCol)).limit(2).collect()
+    if (seedRows.length != 1)
       throw new IllegalArgumentException(
-        s"more_like_this seed {$idCol: $seedValue} matches $nSeed rows (need exactly 1)")
-    val tf = docs.select(col(idCol),
-        explode(graft.functions.TextFns.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val seed = tf.filter(col(idCol) === lit(seedValue))
-      .join(df, "term").crossJoin(broadcast(n))
-      .withColumn("sel", (col("tf") * col("n")) / col("df"))
-    // global window over the seed's own terms only — bounded by one
-    // document's vocabulary, not the corpus
-    val wSeed = Window.orderBy(col("sel").desc, col("term"))
-    val queryTerms = seed.withColumn("r", row_number().over(wSeed))
-      .filter(col("r") <= maxQueryTerms)
-      .select(col("term"), expr("(n * 1000000L) div df").as("weight"))
-    tf.filter(col(idCol) =!= lit(seedValue))
-      .join(broadcast(queryTerms), "term")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"), sum(col("weight")).as("score"))
+        s"more_like_this seed {$idCol: $seedValue} matches ${seedRows.length} " +
+          "rows (need exactly 1)")
+    val emptySchema = docs.filter(lit(false))
+      .select(col(idCol), lit(0L).as("n_shared"), lit(0L).as("score"))
+    if (seedRows(0).isNullAt(0)) return emptySchema // NULL text: no terms
+    // -1 keeps trailing empty tokens: the driver split must tokenize
+    // exactly like TextFns.tokens (Spark's split keeps them)
+    val seedToks = seedRows(0).getString(0).split(" ", -1)
+    val seedTf: Map[String, Long] =
+      seedToks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    require(seedTf.size <= 100000,
+      s"more_like_this seed has ${seedTf.size} distinct terms (cap 100000)")
+    val seedVocab = seedTf.keys.toArray.sorted
+
+    val toks = array_distinct(graft.functions.TextFns.tokens(col(textCol)))
+    val dfMap: Map[String, Long] = docs
+      .select(explode(array_intersect(toks, typedLit(seedVocab))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+
+    // tf·idf selection on the driver — same arithmetic, same ties
+    val chosen: Seq[(String, Long)] = seedTf.toSeq
+      .map { case (t, tf) =>
+        val df = dfMap(t) // the seed itself contains t, so df >= 1
+        (t, (tf * n).toDouble / df, n * 1000000L / df)
+      }
+      .sortBy { case (t, sel, _) => (-sel, t) }
+      .take(maxQueryTerms)
+      .map { case (t, _, w) => (t, w) }
+    if (chosen.isEmpty) return emptySchema
+
+    val nShared = chosen.map { case (t, _) =>
+      when(array_contains(toks, t), 1L).otherwise(0L) }.reduce(_ + _)
+    val score = chosen.map { case (t, w) =>
+      when(array_contains(toks, t), lit(w)).otherwise(0L) }.reduce(_ + _)
+    docs.filter(col(idCol) =!= lit(seedValue))
+      .select(col(idCol), nShared.as("n_shared"), score.as("score"))
+      .filter(col("n_shared") >= 1L)
   }
 }

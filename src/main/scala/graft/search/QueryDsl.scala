@@ -558,10 +558,10 @@ object QueryDsl {
     */
   private def matchClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm, an, fuzz, prefixLen) = spec match {
+      val (queryText, msm, an, fuzz, prefixLen, ztq) = spec match {
         case JString(s) =>
           (s, 1L, Analyzer.Whitespace: Analyzer,
-            None: Option[String => Long], 0)
+            None: Option[String => Long], 0, None: Option[String])
         case JObject(opts) =>
           val m = opts.toMap
           val q = m.get("query") match {
@@ -593,15 +593,36 @@ object QueryDsl {
             fail(s"match on '$f': operator and minimum_should_match " +
               "cannot be combined")
           m.keySet.diff(Set("query", "minimum_should_match", "operator",
-            "analyzer", "fuzziness", "prefix_length")).foreach(k =>
-            fail(s"unsupported match option '$k' on '$f'"))
+            "analyzer", "fuzziness", "prefix_length", "zero_terms_query"))
+            .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
           val (fz, pl) = fuzzinessOpt(m, s"match on '$f'")
           (q, if (andOp) -1L else n, // -1 = resolve to |terms| below
-            analyzerOpt(m, s"match on '$f'"), fz, pl)
+            analyzerOpt(m, s"match on '$f'"), fz, pl,
+            strOpt(m, "zero_terms_query"))
         case other => fail(s"match body must be string or object: ${render(other)}")
       }
       val terms = an.normText(queryText).trim.split("\\s+").toSeq.distinct
-      if (terms.isEmpty || terms == Seq("")) fail(s"match on '$f' has an empty query")
+      if (terms.isEmpty || terms == Seq("")) {
+        // `zero_terms_query`: what an analyzed-to-nothing query means
+        // ("!!!" under the standard analyzer). OpenSearch silently
+        // returns no hits by default — the engine's default stays
+        // FAIL LOUD (a silently-empty result is the failure mode this
+        // surface forbids); the option, given EXPLICITLY, opts into
+        // either OpenSearch behavior.
+        ztq match {
+          case Some("all")  => return CompiledQuery(lit(true), lit(0L))
+          case Some("none") => return CompiledQuery(lit(false), lit(0L))
+          case Some(other) =>
+            fail(s"match zero_terms_query must be none|all, got '$other'")
+          case None => fail(s"match on '$f' has an empty query (set " +
+            "zero_terms_query: none|all to opt into a silent answer)")
+        }
+      }
+      ztq.foreach {
+        case "none" | "all" => ()
+        case other =>
+          fail(s"match zero_terms_query must be none|all, got '$other'")
+      }
       val msmResolved = if (msm == -1L) terms.size.toLong else msm
       val score = overlapScore(
         array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen)

@@ -313,25 +313,25 @@ class PlanAssertSpec extends SparkSpec {
     assert(aggs.size >= 2, s"vocab df agg lost its partial stage:\n${nodes.head}")
   }
 
-  test("q118 more_like_this: seed terms broadcast into an equi join, no cartesian") {
+  test("q118 more_like_this: scoring is pure map-side — no join, no shuffle") {
+    // the round-10 rework: the seed's tf is driver metadata, df runs
+    // as a separate bounded pass, and the SCORING plan the request
+    // returns is codegen'd array_contains sums over the chosen terms —
+    // zero joins, zero exchanges, zero windows; the only remaining
+    // per-corpus work is the one scan
     val nodes = finalNodes(Registry.byName("q118_search_more_like_this").run(spark, sf()))
-    val cart = nodes.collect {
-      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
-    assert(cart.isEmpty, s"MLT scoring runs a cartesian product:\n${nodes.head}")
-    // candidate scoring = (doc,term) postings ⋈ broadcast ≤10-term list:
-    // must stay a broadcast HASH join (equi on term) — a sort-merge here
-    // would shuffle the whole postings table for a 10-row side
-    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhj.nonEmpty, s"seed-term join is not broadcast:\n${nodes.head}")
-    // the one unpartitioned window ranks ONLY the seed doc's terms: its
-    // subtree must contain the doc_id=7 filter's aggregate, bounded input
+    assert(joins.isEmpty, s"MLT scoring should be join-free:\n${nodes.head}")
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"MLT scoring should be shuffle-free:\n${nodes.head}")
     val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.forall(w => w.partitionSpec.nonEmpty || flatten(w).exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
-      s"global window consumes an unaggregated input:\n${nodes.head}")
+    assert(windows.isEmpty, s"MLT scoring should be window-free:\n${nodes.head}")
   }
 
   test("q119 z-order scan: serves from the cached layout with both range predicates pushed") {

@@ -2133,6 +2133,36 @@ class QueryDslSpec extends SparkSpec {
       "tie_breaker": 0.3}}}""", "tie_breaker applies to best_fields")
   }
 
+  test("match zero_terms_query decides what an empty analyzed query means") {
+    import spark.implicits._
+    val t = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    // "!!!" analyzes to nothing under the standard analyzer
+    val all = QueryDsl.search(t,
+      """{"query": {"match": {"text": {"query": "!!!",
+        "analyzer": "standard", "zero_terms_query": "all"}}},
+        "_source": ["id"]}""").as[Long].collect().toSeq.sorted
+    assert(all === Seq(1L, 2L))
+    val none = QueryDsl.search(t,
+      """{"query": {"match": {"text": {"query": "!!!",
+        "analyzer": "standard", "zero_terms_query": "none"}}}}""").count()
+    assert(none === 0L)
+    // a NON-empty query with the option set behaves normally
+    val normal = QueryDsl.search(t,
+      """{"query": {"match": {"text": {"query": "alpha",
+        "zero_terms_query": "all"}}}, "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(normal === Seq(1L))
+    // without the option the engine default stays FAIL LOUD
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"query": {"match": {"text": {"query": "!!!",
+        "analyzer": "standard"}}}}"""))
+    assert(e.getMessage.contains("empty query"))
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"query": {"match": {"text": {"query": "alpha",
+        "zero_terms_query": "maybe"}}}}"""))
+    assert(e2.getMessage.contains("zero_terms_query must be none|all"))
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
