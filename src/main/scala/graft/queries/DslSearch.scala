@@ -4391,6 +4391,30 @@ object DslSearch {
           FROM d)
         SELECT doc_id, score FROM s WHERE score >= 1
         ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // _analyze endpoint: the token stream the matching surfaces
+    // actually see, through the SAME Analyzer.norm column expression —
+    // here the standard analyzer over a corpus document's text, so
+    // the DuckDB replay cross-checks the analyzer+tokenizer contract
+    // end-to-end.
+    GraftQuery(
+      "q283_dsl_analyze_endpoint",
+      (s, dir) => {
+        val txt = Tables.load(s, dir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") === 7L)
+          .select("text").head().getString(0)
+        QueryDsl.analyzeText(s, graft.search.Analyzer.Standard, txt)
+      },
+      Some("""
+        WITH d AS (
+          SELECT trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))
+                   AS t
+          FROM documents WHERE doc_id = 7),
+        arr AS (SELECT string_split(t, ' ') AS a FROM d)
+        SELECT unnest(a) AS token,
+               CAST(unnest(range(0, len(a))) AS BIGINT) AS position
+        FROM arr ORDER BY position
       """.stripMargin.trim))
   )
 }

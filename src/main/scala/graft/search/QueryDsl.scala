@@ -2979,6 +2979,42 @@ object QueryDsl {
       .orderBy("field")
   }
 
+  /** The `_analyze` endpoint: run a named analyzer over request text
+    * and return the token stream with 0-based positions — the first
+    * debugging surface a user reaches for ("why didn't my query
+    * match this text"). The engine's analyzers are column NORMALIZERS
+    * (the strip→lower→single-space contract), so the output is
+    * exactly the token stream every matching surface sees — computed
+    * through the SAME `Analyzer.norm` column expression, so the
+    * endpoint can never disagree with the engine's own tokenization.
+    * Character start/end offsets into the original string are not
+    * part of the normalizer model; there is no option to ask for
+    * them, and unknown request keys fail loud.
+    */
+  def analyze(spark: org.apache.spark.sql.SparkSession,
+      requestJson: String): DataFrame = {
+    val m = parse(requestJson) match {
+      case JObject(s) => s.toMap
+      case other      => fail(s"_analyze requires an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("analyzer", "text")).foreach(k =>
+      fail(s"unsupported _analyze option '$k'"))
+    val an = analyzerOpt(m, "_analyze")
+    val text = strOpt(m, "text").getOrElse(fail("_analyze needs text"))
+    analyzeText(spark, an, text)
+  }
+
+  /** The engine-API arm of [[analyze]] (same one implementation). */
+  def analyzeText(spark: org.apache.spark.sql.SparkSession, an: Analyzer,
+      text: String): DataFrame = {
+    import spark.implicits._
+    Seq(text).toDF("__t")
+      .select(posexplode(split(an.norm(col("__t")), " "))
+        .as(Seq("position", "token")))
+      .select(col("token"), col("position").cast("long").as("position"))
+      .orderBy(col("position"))
+  }
+
   /** The `_validate/query` endpoint: compile the request against the
     * table's schema WITHOUT running corpus work. Returns (valid,
     * explanation) — compile and analysis errors come back AS DATA

@@ -2163,6 +2163,26 @@ class QueryDslSpec extends SparkSpec {
     assert(e2.getMessage.contains("zero_terms_query must be none|all"))
   }
 
+  test("_analyze returns the exact token stream the matchers see") {
+    import spark.implicits._
+    val r = QueryDsl.analyze(spark,
+      """{"analyzer": "standard", "text": "Big-Data, SPARK!"}""")
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("big", 0L), ("data", 1L), ("spark", 2L)))
+    // default analyzer = whitespace; empty tokens stay visible — the
+    // endpoint shows exactly what the matching surfaces see
+    val w = QueryDsl.analyze(spark, """{"text": "a  b"}""")
+      .as[(String, Long)].collect().toSeq
+    assert(w === Seq(("a", 0L), ("", 1L), ("b", 2L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.analyze(spark, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"analyzer": "standard"}""", "needs text")
+    bad("""{"text": "x", "explain": true}""", "unsupported _analyze option")
+    bad("""{"text": "x", "analyzer": "snowball"}""", "analyzer")
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
