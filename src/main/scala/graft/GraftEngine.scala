@@ -765,12 +765,23 @@ object GraftEngine {
       .map { case (t, _, w) => (t, w) }
     if (chosen.isEmpty) return emptySchema
 
-    val nShared = chosen.map { case (t, _) =>
-      when(array_contains(toks, t), 1L).otherwise(0L) }.reduce(_ + _)
-    val score = chosen.map { case (t, w) =>
-      when(array_contains(toks, t), lit(w)).otherwise(0L) }.reduce(_ + _)
+    // ONE evaluation of the (possibly expensive — derived + analyzed)
+    // token chain per row: intersect with the ≤ max_query_terms chosen
+    // set FIRST, explode only the matches (≤ K tiny rows per doc, and
+    // only for docs sharing a term — the shuffle carries matches, not
+    // the corpus vocabulary), then a keyed count/weighted-sum. A
+    // per-term membership-sum expression re-evaluates the token chain
+    // once per term (branch-conditional subexpressions defeat CSE) —
+    // measured 30× slower on a derived+analyzed column at 100×.
+    val weightOf = chosen.tail.foldLeft(
+      when(col("__t") === chosen.head._1, lit(chosen.head._2))) {
+      case (acc, (t2, w2)) => acc.when(col("__t") === t2, lit(w2))
+    }
     docs.filter(col(idCol) =!= lit(seedValue))
-      .select(col(idCol), nShared.as("n_shared"), score.as("score"))
-      .filter(col("n_shared") >= 1L)
+      .select(col(idCol),
+        explode(array_intersect(toks,
+          typedLit(chosen.map(_._1).toArray))).as("__t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"), sum(weightOf).as("score"))
   }
 }

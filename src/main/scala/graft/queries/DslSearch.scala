@@ -4415,6 +4415,93 @@ object DslSearch {
         SELECT unnest(a) AS token,
                CAST(unnest(range(0, len(a))) AS BIGINT) AS position
         FROM arr ORDER BY position
+      """.stripMargin.trim)),
+
+    // date_histogram offset: bucket boundaries shift by +6h (the
+    // fiscal-day knob — days run 06:00 to 06:00); the algebra folds
+    // into the same shifted-truncate expression time_zone uses.
+    GraftQuery(
+      "q284_dsl_date_histogram_offset",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"d": {"date_histogram": {"field": "ts",
+               "fixed_interval": "1d", "offset": "+6h"},
+             "aggs": {"n_uid": {"value_count": {"field": "user_id"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT make_timestamp(um2 - ((um2 % 86400000000)
+                   + 86400000000) % 86400000000 + 21600000000) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS doc_count,
+                 CAST(COUNT(user_id) AS BIGINT) AS n_uid
+          FROM (SELECT epoch_us(ts) - 21600000000 AS um2, user_id
+                FROM events)
+          GROUP BY 1)
+        SELECT d, doc_count, n_uid FROM g
+        ORDER BY doc_count DESC, d
+      """.stripMargin.trim)),
+
+    // derivative unit: the per-unit normalized series — the diff
+    // divided by the ACTUAL microsecond gap to the previous bucket,
+    // so unequal calendar months normalize exactly.
+    GraftQuery(
+      "q285_dsl_derivative_unit",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "orders"),
+        """{"query": {"match_all": {}},
+           "aggs": {"mon": {"date_histogram": {"field": "o_orderdate",
+               "calendar_interval": "month"},
+             "aggs": {"d": {"derivative": {"buckets_path": "_count",
+               "unit": "day"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('month', o_orderdate) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS doc_count
+          FROM orders GROUP BY 1),
+        w AS (
+          SELECT mon, doc_count,
+                 doc_count - lag(doc_count) OVER (ORDER BY mon) AS d,
+                 epoch_us(mon) - lag(epoch_us(mon)) OVER (ORDER BY mon)
+                   AS gap_us
+          FROM g)
+        SELECT mon, doc_count, d,
+               CAST(d AS DOUBLE) * 86400000000.0 / CAST(gap_us AS DOUBLE)
+                 AS d_normalized
+        FROM w ORDER BY mon
+      """.stripMargin.trim)),
+
+    // terms order array form: lexicographic multi-criteria bucket
+    // ordering (sub-metric, then _key desc) — the OpenSearch
+    // tie-break spelling, still one groupBy + a bounded bucket sort.
+    GraftQuery(
+      "q286_dsl_terms_order_array",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"srcs": {"terms": {"field": "source",
+               "order": [{"mx": "desc"}, {"_key": "desc"}]},
+             "aggs": {"mx": {"max": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT source AS srcs, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MAX(n_chars) AS mx
+        FROM documents GROUP BY 1
+        ORDER BY mx DESC, srcs DESC
+      """.stripMargin.trim)),
+
+    // auto_date_histogram minimum_interval: the rounding-hint floor —
+    // the 30-day events span would derive day; the floor forces month.
+    GraftQuery(
+      "q287_dsl_auto_date_min_interval",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"a": {"auto_date_histogram": {"field": "ts",
+             "buckets": 100, "minimum_interval": "month"}}}}"""),
+      Some("""
+        SELECT date_trunc('month', ts) AS a,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               'month' AS interval
+        FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY a
       """.stripMargin.trim))
   )
 }

@@ -3453,6 +3453,22 @@ object QueryDsl {
           fail("script_fields applies to hits, not aggs")
         if (req.contains("rescore"))
           fail("rescore applies to hits, not aggs")
+        // `size: 0` is THE OpenSearch aggs-only request shape —
+        // accepted (and meaningless here, since the agg table is the
+        // whole answer). Any other hits-arm key would be SILENTLY
+        // ignored (the engine returns one table per request, so
+        // hits+aggs cannot both come back) — fail loud instead.
+        req.get("size") match {
+          case None => ()
+          case Some(JInt(n)) if n == 0 => ()
+          case Some(JInt(n)) => fail(s"aggs requests return the agg table " +
+            s"only - size must be 0 or absent, got $n (run the hits " +
+            "request separately)")
+          case Some(other) => fail(s"size must be an integer: ${render(other)}")
+        }
+        Seq("from", "sort", "_source").filter(req.contains).foreach(k =>
+          fail(s"$k applies to hits, not aggs (an aggs request returns " +
+            "the agg table only)"))
         // hits carry the computed score so a top_hits sort on _score
         // (the OpenSearch default ranking) resolves
         compileAggs(table, filtered.withColumn("score", compiled.score),
@@ -3838,7 +3854,36 @@ object QueryDsl {
           case JString(f) => col(f)
           case other      => fail(s"_source entries must be strings: ${render(other)}")
         }: _*)
-      case Some(other) => fail(s"_source must be an array: ${render(other)}")
+      // the object form: includes projects, excludes then drops —
+      // the OpenSearch evaluation order. Exact names only (a glob
+      // would silently project nothing on a typo); unknown excluded
+      // columns and an all-excluded projection fail loud.
+      case Some(JObject(so)) =>
+        val m = so.toMap
+        m.keySet.diff(Set("includes", "excludes")).foreach(k =>
+          fail(s"unsupported _source option '$k'"))
+        def strs(k: String): Seq[String] = m.get(k) match {
+          case None => Nil
+          case Some(JArray(xs)) => xs.map {
+            case JString(s2) =>
+              if (s2.contains("*"))
+                fail(s"_source $k takes exact column names, got glob '$s2'")
+              s2
+            case other => fail(s"_source $k entries must be strings: ${render(other)}")
+          }
+          case Some(other) => fail(s"_source $k must be an array: ${render(other)}")
+        }
+        val inc = strs("includes")
+        val exc = strs("excludes")
+        val base =
+          if (inc.isEmpty) paged else paged.select(inc.map(col): _*)
+        exc.foreach(f => if (!base.columns.contains(f))
+          fail(s"_source excludes unknown column '$f'"))
+        if (exc.nonEmpty && base.columns.forall(exc.contains))
+          fail("_source excludes every column")
+        base.drop(exc: _*)
+      case Some(other) => fail(s"_source must be an array or " +
+        s"{includes, excludes} object: ${render(other)}")
     }
   }
 
@@ -4450,17 +4495,27 @@ object QueryDsl {
             // `_key` instead of the doc_count-desc default (the
             // OpenSearch terms `order` option) — still ONE groupBy,
             // the sort runs on the bounded bucket table
-            val ord: Option[(String, Boolean)] = tm.get("order") match {
+            def ordPair(target: String, dir: JValue): (String, Boolean) =
+              dir match {
+                case JString("asc")  => (target, true)
+                case JString("desc") => (target, false)
+                case other => fail(s"terms order must be asc/desc: ${render(other)}")
+              }
+            // object form = one criterion; ARRAY form = lexicographic
+            // multi-criteria (the OpenSearch tie-break spelling)
+            val ord: Option[Seq[(String, Boolean)]] = tm.get("order") match {
               case None => None
-              case Some(JObject(List((target, JString(dir))))) =>
-                val asc = dir match {
-                  case "asc"  => true
-                  case "desc" => false
-                  case other  => fail(s"terms order must be asc/desc: '$other'")
-                }
-                Some((target, asc))
+              case Some(JObject(List((target, dir)))) =>
+                Some(Seq(ordPair(target, dir)))
+              case Some(JArray(entries)) if entries.nonEmpty =>
+                Some(entries.map {
+                  case JObject(List((target, dir))) => ordPair(target, dir)
+                  case other => fail(s"terms order array entries must be " +
+                    s"{target: asc|desc}: ${render(other)}")
+                })
               case Some(other) =>
-                fail(s"terms order must be {target: asc|desc}: ${render(other)}")
+                fail(s"terms order must be {target: asc|desc} or an array " +
+                  s"of them: ${render(other)}")
             }
             // `include`/`exclude`: keep only wanted bucket keys — a
             // whole-value-anchored regex (the OpenSearch terms-regex
@@ -4567,7 +4622,8 @@ object QueryDsl {
           case ("date_histogram", JObject(h)) =>
             val hm = h.toMap
             hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval",
-              "time_zone", "min_doc_count", "extended_bounds")).foreach(k =>
+              "time_zone", "min_doc_count", "extended_bounds", "offset"))
+              .foreach(k =>
               fail(s"unsupported date_histogram option '$k' in '$name'"))
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
             if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
@@ -4593,6 +4649,32 @@ object QueryDsl {
                     s"fixed +HH:mm/-HH:mm offset (named zones are unsupported), got '$tz'")
                 }
             }
+            // `offset` shifts every bucket BOUNDARY ("+6h": day
+            // buckets run 06:00→06:00 — the fiscal-day knob). The
+            // algebra folds into the time-shift the time_zone path
+            // already owns: trunc(t + tz − off) − (tz − off) ≡
+            // trunc-with-boundaries-at-off, so ONE shifted-truncate
+            // expression serves both knobs (and their composition)
+            // with no new plan shape.
+            val offUs: Long = strOpt(hm, "offset") match {
+              case None => 0L
+              case Some(o) =>
+                val OffRe = """([+-]?)(\d+)([dhms])""".r
+                o match {
+                  case OffRe(sign, n, u) =>
+                    val mult = u match {
+                      case "d" => 86400L; case "h" => 3600L
+                      case "m" => 60L;    case "s" => 1L
+                    }
+                    val v = n.toLong * mult * 1000000L
+                    if (v > 86400000000L * 365L)
+                      fail(s"date_histogram offset too large: '$o'")
+                    if (sign == "-") -v else v
+                  case _ => fail(s"date_histogram '$name': offset must " +
+                    s"match [+-]<n>[dhms], got '$o'")
+                }
+            }
+            val shiftUs = tzOffUs - offUs
             // fixed_interval: epoch bucketing ("7d"/"12h"/"30m"/
             // "45s") in EXACT MICROSECOND integer arithmetic —
             // pmod floor-aligns (a truncating % would shift every
@@ -4620,16 +4702,16 @@ object QueryDsl {
             }
             val key = fixedUs match {
               case Some(us) =>
-                val um = unix_micros(col(f)) + lit(tzOffUs)
+                val um = unix_micros(col(f)) + lit(shiftUs)
                 val ivUs = lit(us)
-                timestamp_micros(um - pmod(um, ivUs) - lit(tzOffUs)).as(name)
+                timestamp_micros(um - pmod(um, ivUs) - lit(shiftUs)).as(name)
               case None =>
                 val unit = calendarUnit(
                   strOpt(hm, "calendar_interval").getOrElse("day"))
-                if (tzOffUs == 0L) date_trunc(unit, col(f)).as(name)
+                if (shiftUs == 0L) date_trunc(unit, col(f)).as(name)
                 else timestamp_micros(unix_micros(date_trunc(unit,
-                  timestamp_micros(unix_micros(col(f)) + lit(tzOffUs))))
-                  - lit(tzOffUs)).as(name)
+                  timestamp_micros(unix_micros(col(f)) + lit(shiftUs))))
+                  - lit(shiftUs)).as(name)
             }
             // min_doc_count: 0 — EMPTY TIME BUCKETS APPEAR (the
             // dashboard dense-series contract; pipeline aggs over a
@@ -4667,7 +4749,7 @@ object QueryDsl {
                   case Some(other) =>
                     fail(s"extended_bounds must be an object: ${render(other)}")
                 }
-                Some(DateFill(f, us, tzOffUs, bounds))
+                Some(DateFill(f, us, shiftUs, bounds))
               } else {
                 if (hm.contains("extended_bounds"))
                   fail("extended_bounds requires min_doc_count: 0")
@@ -4817,9 +4899,9 @@ object QueryDsl {
               case _ => fail("rate requires a date_histogram parent " +
                 "(per-unit normalization needs a time bucket)")
             }
-            if (dh.contains("time_zone"))
-              fail("rate does not compose with time_zone (bucket span " +
-                "arithmetic assumes UTC-aligned keys)")
+            if (dh.contains("time_zone") || dh.contains("offset"))
+              fail("rate does not compose with time_zone/offset (bucket " +
+                "span arithmetic assumes UTC-aligned keys)")
             if (dh.contains("fixed_interval"))
               fail("rate requires a calendar_interval parent (a fixed " +
                 "interval has a constant unit ratio - scale the metric)")
@@ -4868,13 +4950,17 @@ object QueryDsl {
         if (pipeEntries.isEmpty) {
           val sortCols: Seq[Column] = termsOrder match {
             case None => Seq(col("doc_count").desc, col(name).asc)
-            case Some((target0, asc)) =>
-              val target =
-                if (target0 == "_key") name
-                else resolveBucketColumn(bucketTable2, s"terms agg '$name' order", target0)
-              val primary = if (asc) col(target).asc else col(target).desc
+            case Some(criteria) =>
+              val cols = criteria.map { case (target0, asc) =>
+                val target =
+                  if (target0 == "_key") name
+                  else resolveBucketColumn(bucketTable2,
+                    s"terms agg '$name' order", target0)
+                if (asc) col(target).asc else col(target).desc
+              }
               // bucket key breaks all ties: the order stays total
-              if (target == name) Seq(primary) else Seq(primary, col(name).asc)
+              if (criteria.exists(_._1 == "_key")) cols
+              else cols :+ col(name).asc
           }
           val grouped = bucketTable2.orderBy(sortCols: _*)
           size.map(grouped.limit).getOrElse(grouped)
@@ -5895,6 +5981,7 @@ object QueryDsl {
             case "moving_avg"  => Set("buckets_path", "window")
             case "moving_fn"   => Set("buckets_path", "window", "script", "shift")
             case "serial_diff" => Set("buckets_path", "lag")
+            case "derivative"  => Set("buckets_path", "unit")
             case _             => Set("buckets_path")
           }
           body.keySet.diff(allowed).foreach(k =>
@@ -5948,7 +6035,35 @@ object QueryDsl {
             case other => fail(s"unsupported pipeline agg kind '$other'")
           }
       }
-      df.withColumn(subName, c)
+      val df1 = df.withColumn(subName, c)
+      // derivative `unit`: ALSO emit `<name>_normalized` — the diff
+      // per time unit, divided by the ACTUAL gap between this bucket's
+      // key and the previous one's (so calendar buckets of unequal
+      // length — months — normalize exactly, and a gap in a sparse
+      // series divides by the real elapsed time, the OpenSearch
+      // contract). Exact integer diff × exact-double unit constant /
+      // exact integer microsecond gap: the rate agg's pinned
+      // mul-divide recipe. First bucket stays NULL like the raw diff.
+      if (kind == "derivative" && body.contains("unit")) {
+        import org.apache.spark.sql.types.TimestampType
+        if (df.schema(name).dataType != TimestampType)
+          fail(s"derivative '$subName' unit requires a date_histogram " +
+            "parent (the key must be a timestamp)")
+        val unitUs = strOpt(body, "unit") match {
+          case Some("second") => 1000000L
+          case Some("minute") => 60000000L
+          case Some("hour")   => 3600000000L
+          case Some("day")    => 86400000000L
+          case Some(other) =>
+            fail(s"derivative unit must be second|minute|hour|day, got '$other'")
+          case None => fail("derivative unit must be a string")
+        }
+        val gapUs = unix_micros(col(name)) -
+          unix_micros(lag(col(name), 1).over(wKey))
+        df1.withColumn(s"${subName}_normalized",
+          col(subName).cast("double") * lit(unitUs.toDouble) /
+            gapUs.cast("double"))
+      } else df1
       }
     }
 
@@ -6351,12 +6466,23 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"auto_date_histogram '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "buckets")).foreach(k =>
+    m.keySet.diff(Set("field", "buckets", "minimum_interval")).foreach(k =>
       fail(s"unsupported auto_date_histogram option '$k' in '$name'"))
     val f = strOpt(m, "field")
       .getOrElse(fail(s"auto_date_histogram '$name' needs a field"))
     val target = intOpt(m, "buckets").getOrElse(10)
     if (target < 1) fail("auto_date_histogram buckets must be >= 1")
+    // `minimum_interval`: floor the derived unit — the caller knows
+    // the data's granularity and skips pointless fine units (the
+    // OpenSearch rounding hint). Ranks within the engine's unit set.
+    val minRank: Int = strOpt(m, "minimum_interval") match {
+      case None          => 0
+      case Some("day")   => 0
+      case Some("month") => 1
+      case Some("year")  => 2
+      case Some(other) => fail(s"auto_date_histogram minimum_interval " +
+        s"must be day|month|year (the engine's unit set), got '$other'")
+    }
     // NULL-dated docs are omitted (the engine's null-key-omitted
     // convention, same as multi_terms/rare_terms) — min/max already
     // skip them, so without this filter the output could carry a NULL
@@ -6379,8 +6505,8 @@ object QueryDsl {
           lo.toLocalDate, hi.toLocalDate) + 1
         val months = ChronoUnit.MONTHS.between(
           lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1)) + 1
-        if (days <= target) "day"
-        else if (months <= target) "month"
+        if (days <= target && minRank <= 0) "day"
+        else if (months <= target && minRank <= 1) "month"
         else "year"
     }
     val subs: Seq[Column] = subAggs match {
@@ -6449,7 +6575,12 @@ object QueryDsl {
     val named: Seq[(Column, String)] = m.get("filters") match {
       case Some(JObject(fs)) if fs.nonEmpty =>
         fs.map { case (bname, q) => (compileQuery(q).pred, bname) }
-      case _ => fail(s"filters agg '$name' requires a non-empty keyed filters object")
+      // the ANONYMOUS array form: buckets named by position ("0",
+      // "1", … — the OpenSearch convention), same one-pass compile
+      case Some(JArray(fs)) if fs.nonEmpty =>
+        fs.zipWithIndex.map { case (q, i) => (compileQuery(q).pred, i.toString) }
+      case _ => fail(s"filters agg '$name' requires a non-empty keyed " +
+        "filters object or filters array")
     }
     // `other_bucket`: a trailing bucket counting docs that match NO
     // named filter (the OpenSearch remainder bucket) — one more

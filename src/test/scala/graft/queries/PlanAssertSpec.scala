@@ -313,12 +313,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(aggs.size >= 2, s"vocab df agg lost its partial stage:\n${nodes.head}")
   }
 
-  test("q118 more_like_this: scoring is pure map-side — no join, no shuffle") {
+  test("q118 more_like_this: scoring is one scan + one matches-only shuffle") {
     // the round-10 rework: the seed's tf is driver metadata, df runs
     // as a separate bounded pass, and the SCORING plan the request
-    // returns is codegen'd array_contains sums over the chosen terms —
-    // zero joins, zero exchanges, zero windows; the only remaining
-    // per-corpus work is the one scan
+    // returns evaluates the token chain ONCE per row (intersect with
+    // the chosen set, explode only matches) — zero joins, zero
+    // windows, and at most the ONE keyed-aggregate exchange whose
+    // rows are the ≤ max_query_terms matches per doc, never the
+    // corpus vocabulary
     val nodes = finalNodes(Registry.byName("q118_search_more_like_this").run(spark, sf()))
     val joins = nodes.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
@@ -327,7 +329,8 @@ class PlanAssertSpec extends SparkSpec {
     val exchanges = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.isEmpty, s"MLT scoring should be shuffle-free:\n${nodes.head}")
+    assert(exchanges.size <= 1,
+      s"MLT scoring should shuffle once at most:\n${nodes.head}")
     val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }

@@ -864,7 +864,7 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"ids": {"values": [], "field": "doc_id"}}}""") // empty
     bad("""{"query": {"multi_match": {"query": "x"}}}""")           // no fields
     bad("""{"query": {"multi_match": {"query": "x", "fields": ["a"],
-           "type": "cross_fields"}}}""")                            // bad type
+           "type": "bool_prefix"}}}""")                             // bad type
     bad("""{"query": {"multi_match": {"query": "x", "fields": ["a"],
            "type": "most_fields", "tie_breaker": 0.3}}}""")         // tb on most
     bad("""{"query": {"simple_query_string": {"query": "x",
@@ -2181,6 +2181,165 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"analyzer": "standard"}""", "needs text")
     bad("""{"text": "x", "explain": true}""", "unsupported _analyze option")
     bad("""{"text": "x", "analyzer": "snowball"}""", "analyzer")
+  }
+
+  test("derivative unit emits the per-unit normalized series") {
+    import spark.implicits._
+    // monthly buckets of unequal length: Jan(31d)=2, Feb(28d)=3, Mar=4
+    val t = (Seq.fill(2)("2021-01-15 00:00:00") ++
+      Seq.fill(3)("2021-02-15 00:00:00") ++
+      Seq.fill(4)("2021-03-15 00:00:00")).toDF("ts0")
+      .select(to_timestamp(col("ts0")).as("ts"))
+    val r = QueryDsl.search(t,
+      """{"aggs": {"mon": {"date_histogram": {"field": "ts",
+           "calendar_interval": "month"},
+         "aggs": {"d": {"derivative": {"buckets_path": "_count",
+           "unit": "day"}}}}}}""")
+      .select("doc_count", "d", "d_normalized")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    // the gap is BETWEEN keys: Jan->Feb spans January's 31 days,
+    // Feb->Mar spans February's 28
+    assert(r === Seq(
+      (2L, None, None),
+      (3L, Some(1L), Some(1.0 * 86400000000.0 / (31 * 86400000000.0))),
+      (4L, Some(1L), Some(1.0 * 86400000000.0 / (28 * 86400000000.0)))))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"mon": {"date_histogram": {"field": "ts",
+      "calendar_interval": "month"},
+      "aggs": {"d": {"derivative": {"buckets_path": "_count",
+        "unit": "fortnight"}}}}}}""", "unit must be second|minute|hour|day")
+    val tn = Seq(1L, 2L).toDF("v")
+    val en = intercept[IllegalArgumentException](QueryDsl.search(tn,
+      """{"aggs": {"h": {"histogram": {"field": "v", "interval": 1},
+        "aggs": {"d": {"derivative": {"buckets_path": "_count",
+          "unit": "day"}}}}}}"""))
+    assert(en.getMessage.contains("requires a date_histogram parent"))
+  }
+
+  test("date_histogram offset shifts bucket boundaries") {
+    import spark.implicits._
+    val t = Seq("2021-01-02 05:00:00", "2021-01-02 07:00:00",
+        "2021-01-03 05:59:59").toDF("ts0")
+      .select(to_timestamp(col("ts0")).as("ts"))
+    def keys(json: String): Seq[String] =
+      QueryDsl.search(t, json).select(col("d").cast("string"))
+        .as[String].collect().toSeq.sorted
+    // +6h boundaries: days run 06:00 -> 06:00
+    assert(keys("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "fixed_interval": "1d", "offset": "+6h"}}}}""") ===
+      Seq("2021-01-01 06:00:00", "2021-01-02 06:00:00"))
+    // calendar day parent takes the same offset
+    assert(keys("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "calendar_interval": "day", "offset": "6h"}}}}""") ===
+      Seq("2021-01-01 06:00:00", "2021-01-02 06:00:00"))
+    // composes with time_zone: shift = tz - offset (boundaries at
+    // 06:00 local = 04:00 UTC for +02:00; 05:00 UTC falls AFTER the
+    // day's 04:00 boundary, so both Jan-2 stamps land in Jan-2 04:00)
+    assert(keys("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "fixed_interval": "1d", "offset": "+6h",
+        "time_zone": "+02:00"}}}}""") ===
+      Seq("2021-01-02 04:00:00", "2021-01-03 04:00:00"))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "fixed_interval": "1d", "offset": "6.5h"}}}}"""))
+    assert(e.getMessage.contains("offset must match"))
+  }
+
+  test("filters accepts the anonymous array form with positional keys") {
+    import spark.implicits._
+    val t = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L)).toDF("k", "v")
+    val r = QueryDsl.search(t,
+      """{"aggs": {"f": {"filters": {"filters": [
+           {"term": {"k": "a"}}, {"term": {"k": "b"}}],
+         "other_bucket": true}}}}""")
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("0", 2L), ("1", 1L), ("_other_", 1L)))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"f": {"filters": {"filters": []}}}}"""))
+    assert(e.getMessage.contains("non-empty keyed filters object or filters array"))
+  }
+
+  test("_source object form and the aggs-arm silent-ignore guards") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v")
+    // includes projects, excludes then drops
+    val r = QueryDsl.search(t,
+      """{"query": {"match_all": {}}, "sort": ["id"],
+         "_source": {"includes": ["id", "k", "v"], "excludes": ["k"]}}""")
+    assert(r.columns.toSeq === Seq("id", "v"))
+    // excludes-only keeps every other hit column, including the
+    // computed score
+    val r2 = QueryDsl.search(t,
+      """{"query": {"match_all": {}}, "sort": ["id"],
+         "_source": {"excludes": ["v"]}}""")
+    assert(r2.columns.toSeq === Seq("id", "k", "score"))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"_source": {"includes": ["id.*"]}}""", "exact column names")
+    bad("""{"_source": {"excludes": ["zz"]}}""", "excludes unknown column")
+    bad("""{"_source": {"excludes": ["id", "k", "v", "score"]}}""",
+      "excludes every column")
+    bad("""{"_source": {"include": ["id"]}}""", "unsupported _source option")
+    // aggs + hits-arm keys: size 0 is the blessed aggs-only shape,
+    // anything else would be silently ignored -> fail loud
+    val ok = QueryDsl.search(t,
+      """{"size": 0, "aggs": {"n": {"value_count": {"field": "id"}}}}""")
+    assert(ok.as[Long].head() === 2L)
+    bad("""{"size": 5, "aggs": {"n": {"value_count": {"field": "id"}}}}""",
+      "size must be 0 or absent")
+    bad("""{"sort": ["id"], "aggs": {"n": {"value_count": {"field": "id"}}}}""",
+      "sort applies to hits, not aggs")
+    bad("""{"from": 1, "aggs": {"n": {"value_count": {"field": "id"}}}}""",
+      "from applies to hits, not aggs")
+  }
+
+  test("terms order accepts the multi-criteria array form") {
+    import spark.implicits._
+    val t = Seq(("a", 5L), ("a", 1L), ("b", 2L), ("b", 9L), ("c", 1L),
+      ("c", 3L)).toDF("k", "v")
+    // all buckets tie on doc_count; the second criterion decides
+    val r = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k",
+           "order": [{"_count": "desc"}, {"mx": "desc"}]},
+         "aggs": {"mx": {"max": {"field": "v"}}}}}}""")
+      .select("g").as[String].collect().toSeq
+    assert(r === Seq(("b"), ("a"), ("c")))
+    // single-criterion object form unchanged (implicit _key asc tiebreak)
+    val r1 = QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k",
+           "order": {"_count": "desc"}},
+         "aggs": {"mx": {"max": {"field": "v"}}}}}}""")
+      .select("g").as[String].collect().toSeq
+    assert(r1 === Seq(("a"), ("b"), ("c")))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"g": {"terms": {"field": "k", "order": []}}}}"""))
+    assert(e.getMessage.contains("terms order must be"))
+  }
+
+  test("auto_date_histogram minimum_interval floors the derived unit") {
+    import spark.implicits._
+    // 5 days of data: the derived unit would be day; the floor forces
+    // month (one bucket), year likewise
+    val t = (1 to 5).map(d => f"2021-03-0$d%d 12:00:00").toDF("ts0")
+      .select(to_timestamp(col("ts0")).as("ts"))
+    def units(extra: String): (Long, String) = {
+      val r = QueryDsl.search(t,
+        s"""{"aggs": {"a": {"auto_date_histogram":
+             {"field": "ts", "buckets": 10$extra}}}}""").collect()
+      (r.length.toLong, r.head.getAs[String]("interval"))
+    }
+    assert(units("") === ((5L, "day")))
+    assert(units(""", "minimum_interval": "month"""") === ((1L, "month")))
+    assert(units(""", "minimum_interval": "year"""") === ((1L, "year")))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"a": {"auto_date_histogram": {"field": "ts",
+        "minimum_interval": "hour"}}}}"""))
+    assert(e.getMessage.contains("minimum_interval must be day|month|year"))
   }
 
   test("rare_terms returns the long tail ascending; validates loudly") {
