@@ -4502,6 +4502,70 @@ object DslSearch {
                CAST(COUNT(*) AS BIGINT) AS doc_count,
                'month' AS interval
         FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY a
+      """.stripMargin.trim)),
+
+    // nested agg + terms sub-agg: the facet over array elements (top
+    // tags / top tokens — the multi-valued-field idiom): one explode +
+    // one groupBy on a struct member, metrics riding the same groupBy.
+    GraftQuery(
+      "q288_dsl_nested_terms_facet",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("tk", org.apache.spark.sql.functions.expr(
+            "transform(split(text, ' '), x -> " +
+              "struct(x AS tok, CAST(length(x) AS LONG) AS len))")),
+        """{"query": {"range": {"n_chars": {"gte": 200}}},
+           "aggs": {"nt": {"nested": {"path": "tk"},
+             "aggs": {"top_toks": {"terms": {"field": "tk.tok",
+                 "size": 12}},
+               "sum_len": {"sum": {"field": "tk.len"}}}}}}"""),
+      Some("""
+        WITH e AS (
+          SELECT unnest(list_transform(string_split(text, ' '),
+                   x -> {'tok': x, 'len': length(x)})) AS tk
+          FROM documents WHERE n_chars >= 200)
+        SELECT tk.tok AS top_toks, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(tk.len) AS BIGINT) AS sum_len
+        FROM e GROUP BY 1
+        ORDER BY doc_count DESC, top_toks LIMIT 12
+      """.stripMargin.trim)),
+
+    // significant_text background_filter: the token-level narrowed
+    // baseline (what's significant about spark docs AMONG the English
+    // corpus) — same fg ⊆ bg contract as q280, one token pass.
+    GraftQuery(
+      "q289_dsl_sig_text_background",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "aggs": {"sig": {"significant_text": {"field": "text",
+               "min_doc_count": 5, "size": 12,
+               "background_filter": {"term": {"lang": "en"}}}}}}"""),
+      Some("""
+        WITH d AS (
+          SELECT *, (lang = 'en') AS bg,
+                 (lang = 'en' AND list_contains(
+                    list_distinct(string_split(text, ' ')), 'spark')) AS fg
+          FROM documents),
+        toks AS (SELECT fg, bg,
+                   unnest(list_distinct(string_split(text, ' '))) AS sig
+                 FROM d),
+        per AS (
+          SELECT sig,
+                 CAST(COUNT(CASE WHEN bg THEN 1 END) AS BIGINT) AS bg_count,
+                 CAST(COUNT(CASE WHEN fg AND bg THEN 1 END) AS BIGINT)
+                   AS doc_count
+          FROM toks GROUP BY 1),
+        t AS (SELECT CAST(COUNT(CASE WHEN bg THEN 1 END) AS BIGINT) AS n_all,
+                     CAST(COUNT(CASE WHEN fg AND bg THEN 1 END) AS BIGINT)
+                       AS n_fg
+              FROM d)
+        SELECT sig, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, t
+        WHERE bg_count >= 1 AND doc_count >= 5
+        ORDER BY score_ppm DESC, sig
+        LIMIT 12
       """.stripMargin.trim))
   )
 }

@@ -5168,13 +5168,42 @@ object QueryDsl {
       fail(s"unsupported nested-agg option '$k' in '$name'"))
     val path = strOpt(m, "path").getOrElse(fail(s"nested agg '$name' needs a path"))
     val elems = hits.select(explode(col(path)).as(path))
-    val subs: Seq[Column] = subAggs match {
+    val subEntries: Seq[(String, JValue)] = subAggs match {
       case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (n, sp) => metricCols(n, sp, schema = elems.schema) }
+      case Some(JObject(s)) => s
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    elems.agg(count(lit(1)).as("doc_count"), subs: _*)
+    // a `terms` sub-agg switches the nested agg from one global metric
+    // row to a FACET over the array elements (top tags / top authors —
+    // the multi-valued-field idiom): one explode + one groupBy on the
+    // element (or a struct member of it), metric sub-aggs ride the
+    // same groupBy; the element domain bounds the bucket table
+    val (termsEntries, metricEntries) = subEntries.partition {
+      case (_, JObject(List(("terms", _)))) => true
+      case _ => false
+    }
+    val subs: Seq[Column] = metricEntries.flatMap {
+      case (n, sp) => metricCols(n, sp, schema = elems.schema)
+    }
+    termsEntries match {
+      case Nil => elems.agg(count(lit(1)).as("doc_count"), subs: _*)
+      case Seq((tn, JObject(List(("terms", JObject(t)))))) =>
+        val tm = t.toMap
+        tm.keySet.diff(Set("field", "size")).foreach(k =>
+          fail(s"unsupported nested terms option '$k' in '$tn'"))
+        val f = strOpt(tm, "field")
+          .getOrElse(fail(s"nested terms '$tn' needs a field"))
+        if (f != path && !f.startsWith(path + "."))
+          fail(s"nested terms field '$f' must be the nested path or a " +
+            s"'$path.' member")
+        val size = intOpt(tm, "size").getOrElse(10)
+        if (size < 1) fail("nested terms size must be >= 1")
+        elems.groupBy(col(f).as(tn))
+          .agg(count(lit(1)).as("doc_count"), subs: _*)
+          .orderBy(col("doc_count").desc, col(tn).asc)
+          .limit(size)
+      case _ => fail(s"nested agg '$name' supports at most one terms sub-agg")
+    }
   }
 
   /** `ip_range` bucket agg: explicit `[from, to)` buckets over
@@ -6818,11 +6847,19 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"significant_text '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "min_doc_count", "size", "analyzer")).foreach(k =>
+    m.keySet.diff(Set("field", "min_doc_count", "size", "analyzer",
+      "background_filter")).foreach(k =>
       fail(s"unsupported significant_text option '$k'"))
     val f = strOpt(m, "field").getOrElse(fail(s"significant_text '$name' needs a field"))
     val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
     val size = intOpt(m, "size").getOrElse(10)
+    // `background_filter`: the same narrowed-baseline contract as
+    // significant_terms — the foreground intersects the background
+    // (fg ⊆ bg, divide-by-zero impossible), out-of-background tokens
+    // drop, both counts stay conditional aggregates on the one pass
+    val bgPred: Option[Column] =
+      m.get("background_filter").map(q => compileQuery(q).pred)
+    val basePred = bgPred.getOrElse(lit(true))
     // analyzer: significant terms come from the NORMALIZED token
     // stream (one codegen'd normalizer inside the existing split —
     // no new shuffle), so the surfaced terms live in the same term
@@ -6832,17 +6869,20 @@ object QueryDsl {
     // the explode — they are artifacts of the split, not terms, and
     // would otherwise enter the df table and could surface as a top
     // bucket (termsEnum filters the same way)
-    val toks = table.select(pred.as("__fg"),
+    val toks = table.select(pred.as("__fg"), basePred.as("__bg"),
       explode(array_remove(array_distinct(split(an.norm(col(f)), " ")), ""))
         .as(name))
-    val perTerm = toks.groupBy(col(name)).agg(
-      count(lit(1)).as("bg_count"),
-      sum(when(col("__fg"), 1L).otherwise(0L)).as("doc_count"))
+    val perTerm0 = toks.groupBy(col(name)).agg(
+      sum(when(col("__bg"), 1L).otherwise(0L)).as("bg_count"),
+      sum(when(col("__fg") && col("__bg"), 1L).otherwise(0L)).as("doc_count"))
+    val perTerm =
+      if (bgPred.isEmpty) perTerm0
+      else perTerm0.filter(col("bg_count") >= 1L)
     // document totals (NOT token totals — the doc-frequency model):
     // one light global aggregate over the corpus
     val totals = table.agg(
-      count(lit(1)).as("n_all"),
-      sum(when(pred, 1L).otherwise(0L)).as("n_fg"))
+      sum(when(basePred, 1L).otherwise(0L)).as("n_all"),
+      sum(when(pred && basePred, 1L).otherwise(0L)).as("n_fg"))
     perTerm.crossJoin(broadcast(totals))
       .filter(col("doc_count") >= minDoc)
       .select(col(name), col("doc_count"), col("bg_count"),

@@ -2342,6 +2342,65 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("minimum_interval must be day|month|year"))
   }
 
+  test("nested agg with a terms sub-agg facets over array elements") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, Seq("red", "blue", "red")),
+      (2L, Seq("blue")),
+      (3L, Seq("green", "red"))).toDF("id", "tags")
+    val r = QueryDsl.search(t,
+      """{"aggs": {"nt": {"nested": {"path": "tags"},
+         "aggs": {"top_tags": {"terms": {"field": "tags", "size": 2}}}}}}""")
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("red", 3L), ("blue", 2L)))
+    // struct members: field = path.member, metrics ride the groupBy
+    val ts = Seq(
+      (1L, Seq(("a", 10L), ("b", 20L))),
+      (2L, Seq(("a", 30L)))).toDF("id", "kv")
+      .select(col("id"), expr(
+        "transform(kv, x -> struct(x._1 AS k, x._2 AS v))").as("kv"))
+    val r2 = QueryDsl.search(ts,
+      """{"aggs": {"nk": {"nested": {"path": "kv"},
+         "aggs": {"ks": {"terms": {"field": "kv.k"}},
+                  "total": {"sum": {"field": "kv.v"}}}}}}""")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r2 === Seq(("a", 2L, 40L), ("b", 1L, 20L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"nt": {"nested": {"path": "tags"},
+      "aggs": {"x": {"terms": {"field": "id"}}}}}}""",
+      "must be the nested path")
+    bad("""{"aggs": {"nt": {"nested": {"path": "tags"},
+      "aggs": {"x": {"terms": {"field": "tags", "order":
+        {"_count": "asc"}}}}}}}""", "unsupported nested terms option")
+    bad("""{"aggs": {"nt": {"nested": {"path": "tags"},
+      "aggs": {"x": {"terms": {"field": "tags"}},
+               "y": {"terms": {"field": "tags"}}}}}}""",
+      "at most one terms sub-agg")
+  }
+
+  test("significant_text background_filter narrows the token baseline") {
+    import spark.implicits._
+    val t = Seq(("red apple", "en", 1L), ("red berry", "en", 0L),
+      ("red wine", "de", 1L)).toDF("text", "lang", "hit")
+    // bg = en docs (2), fg = hit=1 within bg (1 doc: "red apple")
+    val r = QueryDsl.search(t,
+      """{"query": {"term": {"hit": 1}},
+         "aggs": {"sig": {"significant_text": {"field": "text",
+           "background_filter": {"term": {"lang": "en"}}}}}}""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // apple: fg1 bg1 -> 2e6; red: fg1 bg2 -> 1e6; berry fg0 falls
+    // under min_doc_count 1; wine (de-only) drops from the narrowed
+    // baseline entirely
+    assert(r === Seq(("apple", 1L, 1L, 2000000L), ("red", 1L, 2L, 1000000L)))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"sig": {"significant_text": {"field": "text",
+        "background": {"term": {"lang": "en"}}}}}}"""))
+    assert(e.getMessage.contains("unsupported significant_text option"))
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
