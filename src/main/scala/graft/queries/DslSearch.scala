@@ -4566,6 +4566,32 @@ object DslSearch {
         WHERE bg_count >= 1 AND doc_count >= 5
         ORDER BY score_ppm DESC, sig
         LIMIT 12
+      """.stripMargin.trim)),
+
+    // script query: a scripted filter predicate compiled to codegen'd
+    // Catalyst arithmetic (the anti-UDF rule on the filter surface) —
+    // one comparator over two exact-integer ScoreScript sides.
+    GraftQuery(
+      "q290_dsl_script_query",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"match": {"text": "spark"}}],
+             "filter": [{"script": {"script":
+               {"source": "doc['n_chars'].value * 3 + params.k >= 700",
+                "params": {"k": 10}}}}]}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, n_chars,
+                 CAST(CASE WHEN list_contains(
+                   list_distinct(string_split(text, ' ')), 'spark')
+                   THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM documents
+          WHERE n_chars * 3 + 10 >= 700)
+        SELECT doc_id, n_chars, score FROM scored WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
       """.stripMargin.trim))
   )
 }

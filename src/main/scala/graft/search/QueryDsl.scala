@@ -290,6 +290,7 @@ object QueryDsl {
       case "match_bool_prefix"   => matchBoolPrefixClause(body)
       case "bool"           => boolClause(body)
       case "constant_score" => constantScoreClause(body)
+      case "script"         => scriptClause(body)
       case "fuzzy"          => fuzzyClause(body)
       case "terms_set"      => termsSetClause(body)
       case "dis_max"        => disMaxClause(body)
@@ -322,8 +323,8 @@ object QueryDsl {
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
           "simple_query_string, query_string, function_score, " +
           "distance_feature, rank_feature, nested, geo_distance, " +
-          "geo_bounding_box, script_score, wrapper, combined_fields, " +
-          "span_first)")
+          "geo_bounding_box, script_score, script, wrapper, " +
+          "combined_fields, span_first)")
     }
 
   /** `wrapper`: a base64-encoded query object, decoded and compiled
@@ -818,6 +819,56 @@ object QueryDsl {
     * is a fixed integer `boost` (default 1) — filter context promoted to
     * a scored clause, as in OpenSearch.
     */
+  /** `script` query: filter by a scripted predicate — the two sides
+    * of ONE comparator (`< <= > >= == !=`) compile through the SAME
+    * exact-integer ScoreScript grammar as script_score
+    * (`doc['f'].value` arithmetic + `params` constants), so the whole
+    * predicate is codegen'd Catalyst with zero row-time
+    * interpretation and pushes toward the scan like any filter.
+    * `_score` does not exist in filter context — fail loud. Scores 1
+    * like the other term-level filters.
+    */
+  private def scriptClause(body: JValue): CompiledQuery = body match {
+    case JObject(List(("script", JObject(s)))) =>
+      val sm = s.toMap
+      sm.keySet.diff(Set("source", "params")).foreach(k =>
+        fail(s"unsupported script option '$k' in script query"))
+      val src = strOpt(sm, "source")
+        .getOrElse(fail("script query needs a script source"))
+      val params: Map[String, Long] = sm.get("params") match {
+        case Some(JObject(po)) => po.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, other) =>
+            fail(s"script param '$k' must be an integer: ${render(other)}")
+        }.toMap
+        case None        => Map.empty
+        case Some(other) => fail(s"script params must be an object: ${render(other)}")
+      }
+      val CmpRe = """>=|<=|==|!=|>|<""".r
+      val ms = CmpRe.findAllMatchIn(src).toList
+      if (ms.size != 1)
+        fail("script query needs exactly one comparator " +
+          s"(< <= > >= == !=), got ${ms.size} in '$src'")
+      val m = ms.head
+      val (lhs, rhs) = (src.substring(0, m.start), src.substring(m.end))
+      if (ScoreScript.referencesScore(lhs) || ScoreScript.referencesScore(rhs))
+        fail("script query cannot reference _score (filters evaluate " +
+          "before scoring)")
+      val l = ScoreScript.compile(lhs, params, lit(0L))
+      val r = ScoreScript.compile(rhs, params, lit(0L))
+      val pred = m.matched match {
+        case ">"  => l > r
+        case ">=" => l >= r
+        case "<"  => l < r
+        case "<=" => l <= r
+        case "==" => l === r
+        case "!=" => l =!= r
+      }
+      CompiledQuery(pred, lit(1L))
+    case other =>
+      fail(s"script query requires {script: {source, params?}}: ${render(other)}")
+  }
+
   private def constantScoreClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
       val m = parts.toMap

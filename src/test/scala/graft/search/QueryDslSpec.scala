@@ -2401,6 +2401,37 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported significant_text option"))
   }
 
+  test("script query filters by a compiled integer predicate") {
+    import spark.implicits._
+    val t = Seq((1L, 10L), (2L, 300L), (3L, 250L)).toDF("id", "n")
+    val hits = QueryDsl.search(t,
+      """{"query": {"script": {"script":
+           {"source": "doc['n'].value * 2 + params.k > 500",
+            "params": {"k": 7}}}},
+         "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(hits === Seq(2L, 3L))
+    // composes inside a bool filter like any predicate clause
+    val boolHits = QueryDsl.search(t,
+      """{"query": {"bool": {"filter": [
+           {"script": {"script": {"source": "doc['n'].value != 250"}}},
+           {"range": {"n": {"gte": 100}}}]}},
+         "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(boolHits === Seq(2L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"script": {"script":
+      {"source": "doc['n'].value > 1 > 2"}}}}""", "exactly one comparator")
+    bad("""{"query": {"script": {"script":
+      {"source": "doc['n'].value + 1"}}}}""", "exactly one comparator")
+    bad("""{"query": {"script": {"script":
+      {"source": "_score > 1"}}}}""", "cannot reference _score")
+    bad("""{"query": {"script": {"script":
+      {"source": "doc['n'].value > 1", "lang": "painless"}}}}""",
+      "unsupported script option")
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
