@@ -4592,6 +4592,31 @@ object DslSearch {
           WHERE n_chars * 3 + 10 >= 700)
         SELECT doc_id, n_chars, score FROM scored WHERE score >= 1
         ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // match_phrase slop: the sloppy phrase as a row-local clause —
+    // ordered occurrence within the gap budget via nested exists over
+    // per-term position arrays (one tokenization per row).
+    GraftQuery(
+      "q291_dsl_match_phrase_slop",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_phrase": {"text":
+             {"query": "spark join", "slop": 2}}},
+           "sort": ["doc_id"], "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        p AS (SELECT doc_id,
+                list_filter(range(1, len(a) + 1), i -> a[i] = 'spark') AS p1,
+                list_filter(range(1, len(a) + 1), i -> a[i] = 'join') AS p2
+              FROM arr),
+        hits AS (
+          SELECT doc_id FROM p
+          WHERE len(list_filter(p1, x ->
+            len(list_filter(p2, y -> y > x AND y - x - 1 <= 2)) > 0)) > 0)
+        SELECT doc_id, CAST(1 AS BIGINT) AS score FROM hits
+        ORDER BY doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

@@ -737,23 +737,59 @@ object QueryDsl {
     */
   private def phraseClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, v))) =>
-      val (phrase, an) = v match {
-        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer)
+      val (phrase, an, slop) = v match {
+        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer, 0)
         case JObject(opts) =>
           val m = opts.toMap
-          m.keySet.diff(Set("query", "analyzer")).foreach(k =>
+          m.keySet.diff(Set("query", "analyzer", "slop")).foreach(k =>
             fail(s"unsupported match_phrase option '$k' on '$f'"))
+          val sl = intOpt(m, "slop").getOrElse(0)
+          if (sl < 0) fail(s"match_phrase slop must be >= 0, got $sl")
           m.get("query") match {
             case Some(JString(s)) =>
               val a = analyzerOpt(m, s"match_phrase on '$f'")
-              (a.normText(s).trim, a)
+              (a.normText(s).trim, a, sl)
             case _ => fail(s"match_phrase on '$f' requires a string 'query'")
           }
         case other => fail(s"match_phrase body must be string or object: ${render(other)}")
       }
       if (phrase.isEmpty) fail(s"match_phrase on '$f' has an empty phrase")
-      val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
-      CompiledQuery(padded.contains(s" $phrase "), lit(1L))
+      if (slop == 0) {
+        val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+        CompiledQuery(padded.contains(s" $phrase "), lit(1L))
+      } else {
+        // sloppy phrase: the terms occur IN ORDER with at most `slop`
+        // total intervening tokens (`p_last − p_first − (k−1) ≤ slop`
+        // — the intervals gap model; OpenSearch's transposition-at-
+        // cost-2 is edit-distance-flavored and engine-specific, the
+        // ordered form is the deterministic analog). Row-LOCAL — a
+        // nested-exists over per-term position arrays built from ONE
+        // tokenization, so unlike span_near this composes inside bool
+        // as an ordinary predicate. Work per row is Π tfᵢ bounded by
+        // the row's own token counts; k is capped at 3 (beyond that
+        // the tuple product is the wrong plan — use span/intervals).
+        val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+        if (terms.size < 2 || terms.size > 3)
+          fail(s"match_phrase slop supports 2-3 terms, got ${terms.size} " +
+            "(longer sloppy phrases belong to intervals/span_near)")
+        val toks = split(an.norm(col(f)), " ")
+        val idx = sequence(lit(0), size(toks) - 1)
+        def positions(t: String): Column =
+          filter(idx, i => element_at(toks, i + 1) === t)
+        val pred = terms match {
+          case Seq(t1, t2) =>
+            exists(positions(t1), p1 =>
+              exists(positions(t2), p2 =>
+                p2 > p1 && p2 - p1 - 1 <= lit(slop)))
+          case Seq(t1, t2, t3) =>
+            exists(positions(t1), p1 =>
+              exists(positions(t2), p2 =>
+                p2 > p1 && exists(positions(t3), p3 =>
+                  p3 > p2 && p3 - p1 - 2 <= lit(slop))))
+        }
+        // size(toks) is NULL-safe: a NULL field yields NULL -> no hit
+        CompiledQuery(coalesce(pred, lit(false)), lit(1L))
+      }
     case other => fail(s"match_phrase requires {field: phrase}: ${render(other)}")
   }
 

@@ -2432,6 +2432,37 @@ class QueryDslSpec extends SparkSpec {
       "unsupported script option")
   }
 
+  test("match_phrase slop matches ordered terms within the gap budget") {
+    import spark.implicits._
+    val t = Seq((1L, "big data spark"), (2L, "big shiny data"),
+      (3L, "data big"), (4L, "big x y data")).toDF("id", "text")
+    def ids(json: String): Seq[Long] =
+      QueryDsl.search(t, json).select("id").as[Long].collect().toSeq.sorted
+    assert(ids("""{"query": {"match_phrase": {"text":
+      {"query": "big data", "slop": 1}}}}""") === Seq(1L, 2L))
+    assert(ids("""{"query": {"match_phrase": {"text":
+      {"query": "big data", "slop": 0}}}}""") === Seq(1L))
+    assert(ids("""{"query": {"match_phrase": {"text":
+      {"query": "big data", "slop": 2}}}}""") === Seq(1L, 2L, 4L))
+    // three terms, total budget across both gaps
+    assert(ids("""{"query": {"match_phrase": {"text":
+      {"query": "big data spark", "slop": 0}}}}""") === Seq(1L))
+    // composes inside bool (row-local, unlike span_near)
+    assert(ids("""{"query": {"bool": {"must": [
+      {"match_phrase": {"text": {"query": "big data", "slop": 2}}},
+      {"term": {"id": 4}}]}}}""") === Seq(4L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_phrase": {"text":
+      {"query": "big", "slop": 1}}}}""", "slop supports 2-3 terms")
+    bad("""{"query": {"match_phrase": {"text":
+      {"query": "a b c d", "slop": 1}}}}""", "slop supports 2-3 terms")
+    bad("""{"query": {"match_phrase": {"text":
+      {"query": "big data", "slop": -1}}}}""", "slop must be >= 0")
+  }
+
   test("rare_terms returns the long tail ascending; validates loudly") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_all": {}},
