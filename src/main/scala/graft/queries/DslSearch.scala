@@ -4617,6 +4617,32 @@ object DslSearch {
             len(list_filter(p2, y -> y > x AND y - x - 1 <= 2)) > 0)) > 0)
         SELECT doc_id, CAST(1 AS BIGINT) AS score FROM hits
         ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // post_filter: the faceting idiom — hits filtered AFTER scoring,
+    // relevance untouched; plus match_none as a bool leaf (the empty
+    // complement scores 0 and never fires inside should).
+    GraftQuery(
+      "q292_dsl_post_filter",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "should": [{"match": {"text": "spark"}}, {"match_none": {}}],
+             "minimum_should_match": 1}},
+           "post_filter": {"range": {"n_chars": {"lt": 700}}},
+           "track_total_hits": true,
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, n_chars,
+                 CAST(CASE WHEN list_contains(
+                   list_distinct(string_split(text, ' ')), 'spark')
+                   THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, n_chars, score FROM scored
+        WHERE score >= 1 AND n_chars < 700
+        ORDER BY score DESC, doc_id LIMIT 30
       """.stripMargin.trim))
   )
 }

@@ -255,6 +255,16 @@ object QueryDsl {
   private def dispatchClause(clause: String, body: JValue): CompiledQuery =
     clause match {
       case "match_all" => CompiledQuery(lit(true), lit(0L))
+      // `match_none`: the empty complement — matches nothing, scores
+      // nothing. Useful as a bool leaf (feature-flagged arms, wrapper
+      // templates); takes no options (a typo'd option object would
+      // otherwise be silently meaningless).
+      case "match_none" =>
+        body match {
+          case JObject(Nil) => ()
+          case other => fail(s"match_none takes no options: ${render(other)}")
+        }
+        CompiledQuery(lit(false), lit(0L))
       case "term"      => termClause(body, multi = false)
       case "terms"     => termClause(body, multi = true)
       case "range"     => rangeClause(body)
@@ -317,7 +327,8 @@ object QueryDsl {
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
-        fail(s"unsupported query clause '$other' (supported: match_all, term, " +
+        fail(s"unsupported query clause '$other' (supported: match_all, " +
+          "match_none, term, " +
           "terms, range, prefix, wildcard, exists, match, match_phrase, " +
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
@@ -3353,8 +3364,21 @@ object QueryDsl {
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
         "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
-        "script_fields", "runtime_mappings", "rescore"))
+        "script_fields", "runtime_mappings", "rescore", "post_filter",
+        "track_total_hits"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `track_total_hits`: validated, behaviorally a no-op BY DESIGN —
+    // the engine has no response-metadata surface to cap (hit counts
+    // come exact from `_count`/`_msearch`), so there is no 10k default
+    // to lift. Accepting the key keeps real request bodies replayable;
+    // a non-bool/int shape still fails loud.
+    req.get("track_total_hits").foreach {
+      case JBool(_)           => ()
+      case JInt(n) if n > 0   => ()
+      case other => fail(s"track_total_hits must be a boolean or a " +
+        s"positive integer: ${render(other)}")
+    }
 
     // `runtime_mappings`: request-level computed fields through the
     // SAME ScoreScript compiler as script_score/script_fields — each
@@ -3556,6 +3580,12 @@ object QueryDsl {
         Seq("from", "sort", "_source").filter(req.contains).foreach(k =>
           fail(s"$k applies to hits, not aggs (an aggs request returns " +
             "the agg table only)"))
+        // OpenSearch's post_filter exists precisely to NOT affect
+        // aggs; here the agg table IS the whole answer, so the
+        // section would be a silent no-op — fail loud instead
+        if (req.contains("post_filter"))
+          fail("post_filter applies to hits, not aggs (aggs see the " +
+            "query set by design - run the hits request separately)")
         // hits carry the computed score so a top_hits sort on _score
         // (the OpenSearch default ranking) resolves
         compileAggs(table, filtered.withColumn("score", compiled.score),
@@ -3911,8 +3941,25 @@ object QueryDsl {
     * q123 contract), then sort, from/size, and `_source` projection.
     */
   private def hitPipeline(scored: DataFrame, req: Map[String, JValue]): DataFrame = {
+    // `post_filter`: the faceting idiom — filter the RETURNED hits
+    // without touching relevance. Applied after scoring and the
+    // rescore window selection (the OpenSearch phase order), before
+    // pagination. Filter context: the compiled score is discarded,
+    // never folded into `score`. Catalyst still pushes the predicate
+    // toward the scan when no window/rescore computation blocks it.
+    val postFiltered = req.get("post_filter") match {
+      case None     => scored
+      case Some(pf) =>
+        val c = compileQuery(pf)
+        // matched_queries is computed from the QUERY before this
+        // point — a _name here would be silently absent from it
+        if (c.named.nonEmpty)
+          fail("_name inside post_filter is unsupported (matched_queries " +
+            "reflects the query's named clauses only)")
+        scored.filter(c.pred)
+    }
     val paged0 = req.get("search_after") match {
-      case None => scored
+      case None => postFiltered
       case Some(JArray(vals)) =>
         val sortSpec = req.get("sort").map(parseSort)
           .getOrElse(fail("search_after requires an explicit sort"))
@@ -3920,7 +3967,7 @@ object QueryDsl {
           fail("search_after must carry one value per sort key")
         if (req.contains("from"))
           fail("search_after cannot be combined with from")
-        scored.filter(keysetAfter(sortSpec, vals.map(scalaOf)))
+        postFiltered.filter(keysetAfter(sortSpec, vals.map(scalaOf)))
       case Some(other) => fail(s"search_after must be an array: ${render(other)}")
     }
     val sorted = req.get("sort") match {

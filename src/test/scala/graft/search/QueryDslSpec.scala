@@ -2432,6 +2432,52 @@ class QueryDslSpec extends SparkSpec {
       "unsupported script option")
   }
 
+  test("post_filter drops hits after scoring; match_none is the empty leaf") {
+    import spark.implicits._
+    val t = Seq((1L, "spark join", 10L), (2L, "spark scan", 900L),
+      (3L, "hive scan", 5L)).toDF("id", "text", "n")
+    // query matches 1,2 with score 1; post_filter keeps n<100 only —
+    // the surviving hit's score is the QUERY's, untouched
+    val hits = QueryDsl.search(t,
+      """{"query": {"match": {"text": "spark"}},
+         "post_filter": {"range": {"n": {"lt": 100}}},
+         "track_total_hits": true,
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(hits === Seq((1L, 1L)))
+    // post_filter composes with search_after keyset pagination
+    val after = QueryDsl.search(t,
+      """{"query": {"match_all": {}},
+         "post_filter": {"range": {"n": {"lt": 1000}}},
+         "search_after": [1], "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(after === Seq(2L, 3L))
+    // match_none: matches nothing alone, inert inside should
+    assert(QueryDsl.search(t, """{"query": {"match_none": {}}}""").count() === 0L)
+    val viaShould = QueryDsl.search(t,
+      """{"query": {"bool": {"should": [{"match": {"text": "spark"}},
+           {"match_none": {}}], "minimum_should_match": 1}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(viaShould === Seq((1L, 1L), (2L, 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_all": {}},
+           "post_filter": {"term": {"id": 1}}, "size": 0,
+           "aggs": {"m": {"max": {"field": "n"}}}}""",
+      "post_filter applies to hits, not aggs")
+    bad("""{"query": {"match_all": {}},
+           "post_filter": {"term": {"id": {"value": 1, "_name": "pf"}}}}""",
+      "_name inside post_filter")
+    bad("""{"query": {"match_none": {"boost": 2}}}""", "match_none takes no options")
+    bad("""{"query": {"match_all": {}}, "track_total_hits": -3}""",
+      "track_total_hits must be")
+    bad("""{"query": {"match_all": {}}, "track_total_hits": "exact"}""",
+      "track_total_hits must be")
+  }
+
   test("match_phrase slop matches ordered terms within the gap budget") {
     import spark.implicits._
     val t = Seq((1L, "big data spark"), (2L, "big shiny data"),
