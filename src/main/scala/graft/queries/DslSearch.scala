@@ -4643,6 +4643,72 @@ object DslSearch {
         SELECT doc_id, n_chars, score FROM scored
         WHERE score >= 1 AND n_chars < 700
         ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // field_value_factor: the boost-by-popularity function — score =
+    // query score × factor × floor(sqrt(field)), exact integers both
+    // engines (IEEE sqrt is correctly rounded, floor is exact).
+    GraftQuery(
+      "q293_dsl_field_value_factor",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [{"field_value_factor":
+               {"field": "n_chars", "factor": 2, "modifier": "sqrt"}}],
+             "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id,
+               2 * CAST(floor(sqrt(n_chars)) AS BIGINT) AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // random_score: seeded deterministic jitter — the md5 ppm draw of
+    // the q82 hash-threshold recipe, replayed bit-identically.
+    GraftQuery(
+      "q294_dsl_random_score",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [{"random_score": {"seed": 42, "field": "doc_id"}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id,
+               ('0x' || substr(md5('random_score:42:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // linear decay: exact rational decay ranking — sigma fixed on the
+    // driver (300·10⁶ div 750000 = 400), one integer div per row.
+    GraftQuery(
+      "q295_dsl_linear_decay",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [{"linear": {"n_chars":
+               {"origin": 500, "scale": 300, "offset": 50, "decay": 0.25}}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id,
+               GREATEST(0, 1000000 -
+                 (GREATEST(ABS(n_chars - 500) - 50, 0) * 1000000) // 400)
+                 AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 30
       """.stripMargin.trim))
   )
 }

@@ -1632,11 +1632,31 @@ object QueryDsl {
   }
 
   /** `function_score`: re-score the wrapped query with filter-gated
-    * integer weights (float weights fail loud — the exact scoring
-    * model). `score_mode` combines matched weights (sum | max);
-    * `boost_mode` folds them into the query score (multiply | sum).
-    * In multiply mode a hit matching NO function keeps its query score
-    * (neutral ×1), mirroring OpenSearch's unmatched-function rule.
+    * function values (the exact scoring model — float weights fail
+    * loud). A function entry is one of:
+    *   - plain `{filter?, weight?}` — the constant integer weight;
+    *   - `field_value_factor` — factor × modifier(field), unit-scale
+    *     (modifiers `none`/`square`/`sqrt`; the log family fails loud:
+    *     libm log() is not bit-portable across engines);
+    *   - `random_score` — a seeded md5 hash of a named field in ppm
+    *     [0, 10⁶) (the q82 hash-threshold recipe: deterministic and
+    *     oracle-replayable, unlike OpenSearch's internal-doc-id
+    *     fallback — `field` is therefore required);
+    *   - `linear` decay — max(0, 1 − dist/σ) in exact ppm, σ =
+    *     floor(scale·10⁶/(10⁶−decay_ppm)) fixed on the driver, dist =
+    *     max(0, |v − origin| − offset); missing fields score the
+    *     neutral 10⁶ (the OpenSearch missing-field decay rule).
+    *     `gauss`/`exp` fail loud (libm exp() drift) — `linear` is the
+    *     exact member, `distance_feature` the exact reciprocal one.
+    * `weight` multiplies the entry's value in all forms. `score_mode`
+    * combines matched values (sum | max); `boost_mode` folds them into
+    * the query score (multiply | sum | replace). ppm-scaled functions
+    * (random_score, linear) cannot mix with unit-scale ones, cannot
+    * `sum` onto a unit-scale query score, and cannot multiply an
+    * already-ppm query score (scales would compound to 10⁻¹²) — all
+    * fail loud. In multiply mode a hit matching NO function keeps its
+    * query score (neutral ×1, or ×10⁶ in ppm), mirroring OpenSearch's
+    * unmatched-function rule.
     */
   private def functionScoreClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
@@ -1645,12 +1665,19 @@ object QueryDsl {
         .foreach(k => fail(s"unsupported function_score option '$k'"))
       val inner = m.get("query").map(compileQuery)
         .getOrElse(CompiledQuery(lit(true), lit(0L)))
-      val fns: Seq[(CompiledQuery, Long)] = m.get("functions") match {
+      // each entry compiles to (match predicate, value column, ppm?)
+      val fns: Seq[(Column, Column, Boolean)] = m.get("functions") match {
         case Some(JArray(fs)) if fs.nonEmpty => fs.map {
           case JObject(fparts) =>
             val fm = fparts.toMap
-            fm.keySet.diff(Set("filter", "weight")).foreach(k =>
+            fm.keySet.diff(Set("filter", "weight", "field_value_factor",
+              "random_score", "linear", "gauss", "exp")).foreach(k =>
               fail(s"unsupported function option '$k'"))
+            Seq("gauss", "exp").filter(fm.contains).foreach(k =>
+              fail(s"'$k' decay is unsupported: libm exp() is not " +
+                "bit-portable across engines (the exact scoring model) - " +
+                "use 'linear' (exact rational decay) or the " +
+                "distance_feature query (exact reciprocal decay)"))
             val filt = fm.get("filter").map(compileQuery)
               .getOrElse(CompiledQuery(lit(true), lit(0L)))
             val w = fm.get("weight") match {
@@ -1659,29 +1686,185 @@ object QueryDsl {
               case Some(other) =>
                 fail(s"function weight must be an integer (exact scoring): ${render(other)}")
             }
-            (filt, w)
+            val valued = Seq("field_value_factor", "random_score", "linear")
+              .filter(fm.contains)
+            if (valued.size > 1)
+              fail("a function entry takes at most one of " +
+                s"field_value_factor/random_score/linear, got ${valued.mkString(", ")}")
+            valued.headOption match {
+              case None =>
+                (filt.pred, lit(w), false)
+              case Some("field_value_factor") =>
+                (filt.pred, fieldValueFactor(fm("field_value_factor")) * lit(w), false)
+              case Some("random_score") =>
+                (filt.pred, randomScorePpm(fm("random_score")) * lit(w), true)
+              case Some("linear") =>
+                (filt.pred, linearDecayPpm(fm("linear")) * lit(w), true)
+            }
           case other => fail(s"functions entries must be objects: ${render(other)}")
         }
         case _ => fail("function_score requires a non-empty functions array")
       }
-      val matched = fns.map { case (c, w) => when(c.pred, lit(w)).otherwise(lit(0L)) }
+      val fnsPpm = fns.exists(_._3)
+      if (fnsPpm && !fns.forall(_._3))
+        fail("function_score cannot mix ppm-scaled functions " +
+          "(random_score, linear) with unit-scale ones in one request " +
+          "(the values are not commensurate)")
+      val matched = fns.map { case (p, v, _) => when(p, v).otherwise(lit(0L)) }
       val fscore = strOpt(m, "score_mode").getOrElse("sum") match {
         case "sum" => matched.reduce(_ + _)
         case "max" => if (matched.size == 1) matched.head else greatest(matched: _*)
         case other => fail(s"unsupported score_mode '$other' (sum, max)")
       }
-      val anyMatched = fns.map(_._1.pred).reduce(_ || _)
-      val score = strOpt(m, "boost_mode").getOrElse("multiply") match {
-        case "multiply" => inner.score * when(anyMatched, fscore).otherwise(lit(1L))
+      val anyMatched = fns.map(_._1).reduce(_ || _)
+      val (score, ppm) = strOpt(m, "boost_mode").getOrElse("multiply") match {
+        case "multiply" =>
+          if (!fnsPpm)
+            (inner.score * when(anyMatched, fscore).otherwise(lit(1L)), inner.ppm)
+          else {
+            if (inner.ppm)
+              fail("function_score boost_mode multiply cannot apply a " +
+                "ppm-scaled function to an already ppm-scaled query score " +
+                "(the scales would compound to 10^-12) - use boost_mode " +
+                "replace, or keep one side unit-scale")
+            (inner.score * when(anyMatched, fscore).otherwise(lit(1000000L)), true)
+          }
         case "sum" =>
           if (inner.ppm)
             fail("function_score boost_mode sum cannot add unit-scale " +
               "weights to a ppm-scaled query score (use multiply)")
-          inner.score + fscore
-        case other      => fail(s"unsupported boost_mode '$other' (multiply, sum)")
+          if (fnsPpm)
+            fail("function_score boost_mode sum cannot add ppm-scaled " +
+              "function values to a unit-scale query score (use multiply " +
+              "or replace)")
+          (inner.score + fscore, false)
+        // `replace`: the function value IS the score — the random-sort
+        // and pure-decay-ranking idiom (the query contributes its
+        // predicate only)
+        case "replace" => (fscore, fnsPpm)
+        case other => fail(s"unsupported boost_mode '$other' (multiply, sum, replace)")
       }
-      CompiledQuery(inner.pred, score, ppm = inner.ppm)
+      CompiledQuery(inner.pred, score, ppm = ppm)
     case other => fail(s"function_score requires an object body: ${render(other)}")
+  }
+
+  /** `field_value_factor`: factor × modifier(field) over an integral
+    * field, unit-scale. Modifiers: `none`, `square` (exact), `sqrt`
+    * (floor(sqrt(v)) — IEEE sqrt is correctly rounded, so the floor is
+    * bit-identical cross-engine; negative values fail loud at row
+    * time, the OpenSearch rule). The log family fails loud: libm
+    * log() is not bit-portable. NULL fields take `missing` when
+    * given, else fail loud at row time (OpenSearch errors the whole
+    * query — the per-row raise_error is the distributed analog).
+    */
+  private def fieldValueFactor(body: JValue): Column = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("field", "factor", "modifier", "missing")).foreach(k =>
+        fail(s"unsupported field_value_factor option '$k'"))
+      val f = strOpt(m, "field")
+        .getOrElse(fail("field_value_factor requires a field"))
+      val factor = m.get("factor") match {
+        case Some(JInt(i)) => i.toLong
+        case None          => 1L
+        case Some(other)   => fail("field_value_factor factor must be an " +
+          s"integer (exact scoring model): ${render(other)}")
+      }
+      val raw = col(f).cast("long")
+      val v = m.get("missing") match {
+        case Some(JInt(d)) => coalesce(raw, lit(d.toLong))
+        case None => when(raw.isNull, raise_error(lit(
+            s"field_value_factor: null '$f' and no 'missing' value")).cast("long"))
+          .otherwise(raw)
+        case Some(other) => fail(s"field_value_factor missing must be an " +
+          s"integer: ${render(other)}")
+      }
+      val modified = strOpt(m, "modifier").getOrElse("none") match {
+        case "none"   => v
+        case "square" => v * v
+        case "sqrt" => when(v < 0, raise_error(lit(
+            s"field_value_factor: sqrt of negative '$f'")).cast("long"))
+          .otherwise(floor(sqrt(v.cast("double"))).cast("long"))
+        case bad @ ("log" | "log1p" | "log2p" | "ln" | "ln1p" | "ln2p"
+                    | "reciprocal") =>
+          fail(s"field_value_factor modifier '$bad' is unsupported: the " +
+            "log family is not bit-portable across engines and " +
+            "reciprocal is not unit-scale (exact scoring model) - use " +
+            "none/square/sqrt, or rank_feature/distance_feature for " +
+            "reciprocal shapes")
+        case other => fail(s"unsupported field_value_factor modifier '$other'")
+      }
+      lit(factor) * modified
+    case other => fail(s"field_value_factor requires an object body: ${render(other)}")
+  }
+
+  /** `random_score`: deterministic per-document jitter in ppm
+    * [0, 10⁶) — md5 of `"random_score:<seed>:" + field` (the q82
+    * hash-threshold recipe, DuckDB-replayable). `field` is required:
+    * OpenSearch's no-field fallback hashes internal doc ids, which no
+    * two engines share. NULL field values hash the fixed sentinel
+    * `__null__` so every row draws a value.
+    */
+  private def randomScorePpm(body: JValue): Column = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("seed", "field")).foreach(k =>
+        fail(s"unsupported random_score option '$k'"))
+      val seed = m.get("seed") match {
+        case Some(JInt(i)) => i.toLong
+        case _ => fail("random_score requires an integer seed " +
+          "(hash determinism)")
+      }
+      val f = strOpt(m, "field").getOrElse(fail(
+        "random_score requires a field (without one OpenSearch falls " +
+        "back to internal doc ids, which no two engines share - name a " +
+        "stable field)"))
+      graft.functions.TextFns.md5hash60(concat(lit(s"random_score:$seed:"),
+        coalesce(col(f).cast("string"), lit("__null__")))) % lit(1000000L)
+    case other => fail(s"random_score requires an object body: ${render(other)}")
+  }
+
+  /** `linear` decay: max(0, 1 − dist/σ) in exact ppm. σ is fixed ON
+    * THE DRIVER as floor(scale·10⁶ / (10⁶ − decay_ppm)) — one integer
+    * constant, so the row expression is a subtract, a multiply and one
+    * integer `div` (floors exactly, matching the oracle's `//`).
+    * dist = max(0, |v − origin| − offset). Missing fields score the
+    * neutral 10⁶ (the OpenSearch missing-field decay rule).
+    */
+  private def linearDecayPpm(body: JValue): Column = body match {
+    case JObject(List((f, JObject(parts)))) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("origin", "scale", "offset", "decay")).foreach(k =>
+        fail(s"unsupported linear decay option '$k'"))
+      def longOf(k: String, default: Option[Long]): Long = m.get(k) match {
+        case Some(JInt(i)) => i.toLong
+        case None => default.getOrElse(
+          fail(s"linear decay on '$f' requires an integer '$k'"))
+        case Some(other) => fail(s"linear decay '$k' must be an integer " +
+          s"(exact scoring model): ${render(other)}")
+      }
+      val origin = longOf("origin", None)
+      val scale = longOf("scale", None)
+      if (scale <= 0L) fail("linear decay scale must be positive")
+      if (scale > Long.MaxValue / 1000000L)
+        fail(s"linear decay scale $scale overflows the exact ppm model " +
+          s"(max ${Long.MaxValue / 1000000L})")
+      val offset = longOf("offset", Some(0L))
+      if (offset < 0L) fail("linear decay offset must be >= 0")
+      val decayPpm = ppmOf(m, "decay", 500000L)
+      if (decayPpm <= 0L || decayPpm >= 1000000L)
+        fail("linear decay must be a fraction strictly inside (0, 1)")
+      val sigma = scale * 1000000L / (1000000L - decayPpm)
+      // integer `div` (not `/`): the ppm quotient must floor exactly;
+      // coalesce: missing field -> neutral 10^6
+      expr(s"coalesce(greatest(0L, CAST(1000000 AS BIGINT) - " +
+        s"(greatest(abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)) - " +
+        s"CAST($offset AS BIGINT), 0L) * CAST(1000000 AS BIGINT)) div " +
+        s"CAST($sigma AS BIGINT)), CAST(1000000 AS BIGINT))")
+    case JObject(fields) if fields.size != 1 =>
+      fail("linear decay takes exactly one field")
+    case other => fail(s"linear decay requires {field: {origin, scale, " +
+      s"offset?, decay?}}: ${render(other)}")
   }
 
   /** `distance_feature`: proximity decay toward an origin on an

@@ -497,6 +497,95 @@ class QueryDslSpec extends SparkSpec {
       === add.collect().toSeq)
   }
 
+  test("function_score value functions: field_value_factor, random_score, linear") {
+    import spark.implicits._
+    val t = Seq((1L, "spark x", Some(100L)), (2L, "spark y", Some(25L)),
+      (3L, "hive", Some(9L))).toDF("id", "text", "n")
+    // field_value_factor sqrt: score = 1 × 3·floor(sqrt(n))
+    val fvf = QueryDsl.search(t,
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [{"field_value_factor":
+             {"field": "n", "factor": 3, "modifier": "sqrt"}}]}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(fvf === Seq((1L, 30L), (2L, 15L)))
+    // `missing` fills NULLs; without it the row fails loud at run time
+    val tn = Seq((1L, "spark", Option.empty[Long])).toDF("id", "text", "n")
+    val filled = QueryDsl.search(tn,
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [{"field_value_factor": {"field": "n", "missing": 7}}]}},
+         "_source": ["id", "score"]}""").as[(Long, Long)].collect().toSeq
+    assert(filled === Seq((1L, 7L)))
+    intercept[Exception](QueryDsl.search(tn,
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [{"field_value_factor": {"field": "n"}}]}},
+         "_source": ["id", "score"]}""").collect())
+    // random_score: stable across runs, ppm-bounded, field-keyed
+    val rsReq =
+      """{"query": {"function_score": {
+           "query": {"match_all": {}},
+           "functions": [{"random_score": {"seed": 7, "field": "id"}}],
+           "boost_mode": "replace"}},
+         "sort": ["id"], "_source": ["id", "score"]}"""
+    val rs1 = QueryDsl.search(t, rsReq).as[(Long, Long)].collect().toSeq
+    val rs2 = QueryDsl.search(t, rsReq).as[(Long, Long)].collect().toSeq
+    assert(rs1 === rs2)
+    assert(rs1.map(_._2).forall(v => v >= 0L && v < 1000000L))
+    assert(rs1.map(_._2).distinct.size === 3) // three ids, three draws
+    // linear decay: exact ppm — σ = 50·10⁶/500000 = 100
+    val lin = QueryDsl.search(t,
+      """{"query": {"function_score": {
+           "query": {"match_all": {}},
+           "functions": [{"linear": {"n": {"origin": 100, "scale": 50}}}],
+           "boost_mode": "replace"}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(lin === Seq((1L, 1000000L), (2L, 250000L), (3L, 90000L)))
+    // weight multiplies the function value
+    val linW = QueryDsl.search(t,
+      """{"query": {"function_score": {
+           "query": {"match_all": {}},
+           "functions": [{"linear": {"n": {"origin": 100, "scale": 50}},
+             "weight": 2}],
+           "boost_mode": "replace"}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(linW.map(_._2) === lin.map(_._2).map(_ * 2))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"gauss": {"n": {"origin": 0, "scale": 10}}}]}}}""",
+      "'gauss' decay is unsupported")
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"field_value_factor": {"field": "n", "modifier": "log1p"}}]}}}""",
+      "log family is not bit-portable")
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"random_score": {"seed": 1}}]}}}""",
+      "random_score requires a field")
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"random_score": {"seed": 1, "field": "id"}},
+        {"weight": 2}]}}}""", "cannot mix ppm-scaled functions")
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"linear": {"n": {"origin": 0, "scale": 10}}}],
+      "boost_mode": "sum"}}}""", "cannot add ppm-scaled")
+    bad("""{"query": {"function_score": {
+      "query": {"distance_feature": {"field": "n", "origin": 0, "pivot": 5}},
+      "functions": [{"linear": {"n": {"origin": 0, "scale": 10}}}]}}}""",
+      "already ppm-scaled query score")
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"field_value_factor": {"field": "n"},
+        "random_score": {"seed": 1, "field": "id"}}]}}}""",
+      "at most one of")
+    bad("""{"query": {"function_score": {"query": {"match_all": {}},
+      "functions": [{"linear": {"n": {"origin": 0, "scale": 10, "decay": 1.5}}}]}}}""",
+      "must be in [0, 1]")
+  }
+
   test("distance_feature decays in exact integer ppm around the origin") {
     val out = QueryDsl.search(docs,
       """{"query": {"distance_feature":
