@@ -4709,6 +4709,31 @@ object DslSearch {
         FROM documents
         WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
         ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // reverse_nested: the jump back to the parent document level —
+    // per token bucket, how many PARENT docs contribute (vs doc_count
+    // counting elements). The parent identity rides the explode and is
+    // only ever counted distinct.
+    GraftQuery(
+      "q296_dsl_reverse_nested",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("tk", org.apache.spark.sql.functions.expr(
+            "transform(split(text, ' '), x -> struct(x AS tok))")),
+        """{"query": {"range": {"n_chars": {"gte": 200}}},
+           "aggs": {"nt": {"nested": {"path": "tk"},
+             "aggs": {"top_toks": {"terms": {"field": "tk.tok", "size": 12}},
+                      "docs": {"reverse_nested": {}}}}}}"""),
+      Some("""
+        WITH e AS (
+          SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                   x -> {'tok': x})) AS tk
+          FROM documents WHERE n_chars >= 200)
+        SELECT tk.tok AS top_toks, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+        FROM e GROUP BY 1
+        ORDER BY doc_count DESC, top_toks LIMIT 12
       """.stripMargin.trim))
   )
 }

@@ -5484,7 +5484,15 @@ object QueryDsl {
     m.keySet.diff(Set("path")).foreach(k =>
       fail(s"unsupported nested-agg option '$k' in '$name'"))
     val path = strOpt(m, "path").getOrElse(fail(s"nested agg '$name' needs a path"))
-    val elems = hits.select(explode(col(path)).as(path))
+    // the parent row identity rides the explode so a reverse_nested
+    // sub-agg can count PARENT docs per element bucket; the ids are
+    // only ever COUNTED DISTINCT (one per parent row), so their
+    // partition-dependent values never reach the result
+    val pid = "__rn_pid"
+    if (hits.columns.contains(pid))
+      fail(s"nested agg '$name': column '$pid' is reserved")
+    val elems = hits.withColumn(pid, monotonically_increasing_id())
+      .select(col(pid), explode(col(path)).as(path))
     val subEntries: Seq[(String, JValue)] = subAggs match {
       case None             => Nil
       case Some(JObject(s)) => s
@@ -5495,13 +5503,29 @@ object QueryDsl {
     // the multi-valued-field idiom): one explode + one groupBy on the
     // element (or a struct member of it), metric sub-aggs ride the
     // same groupBy; the element domain bounds the bucket table
-    val (termsEntries, metricEntries) = subEntries.partition {
+    val (termsEntries, rest) = subEntries.partition {
       case (_, JObject(List(("terms", _)))) => true
       case _ => false
     }
+    // `reverse_nested` sub-agg: back to the parent document level —
+    // the bucket's value is how many PARENT rows contribute at least
+    // one element (the blog-posts-per-comment-author idiom), vs
+    // doc_count which counts elements. Root jump only ({}): the
+    // engine's nested model is one array column deep, so a `path`
+    // option has nothing shallower to name — fail loud.
+    val (reverseEntries, metricEntries) = rest.partition {
+      case (_, JObject(List(("reverse_nested", _)))) => true
+      case _ => false
+    }
+    val reverseSubs: Seq[Column] = reverseEntries.map {
+      case (n, JObject(List(("reverse_nested", JObject(Nil))))) =>
+        countDistinct(col(pid)).as(n)
+      case (n, _) => fail(s"reverse_nested '$n' takes no options (the " +
+        "nested model is one level deep - the jump is always to the root)")
+    }
     val subs: Seq[Column] = metricEntries.flatMap {
       case (n, sp) => metricCols(n, sp, schema = elems.schema)
-    }
+    } ++ reverseSubs
     termsEntries match {
       case Nil => elems.agg(count(lit(1)).as("doc_count"), subs: _*)
       case Seq((tn, JObject(List(("terms", JObject(t)))))) =>

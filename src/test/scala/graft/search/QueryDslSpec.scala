@@ -2431,6 +2431,30 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("minimum_interval must be day|month|year"))
   }
 
+  test("reverse_nested counts parent docs per nested bucket") {
+    import spark.implicits._
+    val t = Seq((1L, Seq("a", "b")), (2L, Seq("a", "a")), (3L, Seq("b")))
+      .toDF("id", "tags")
+      .withColumn("tk", expr("transform(tags, x -> struct(x AS tag))"))
+    val out = QueryDsl.search(t,
+      """{"aggs": {"nt": {"nested": {"path": "tk"},
+           "aggs": {"by_tag": {"terms": {"field": "tk.tag"}},
+                    "parents": {"reverse_nested": {}}}}}}""")
+      .orderBy("by_tag").as[(String, Long, Long)].collect().toSeq
+    // a: 3 elements across 2 parents; b: 2 elements across 2 parents
+    assert(out === Seq(("a", 3L, 2L), ("b", 2L, 2L)))
+    // global form: 5 elements, 3 contributing parents
+    val g = QueryDsl.search(t,
+      """{"aggs": {"nt": {"nested": {"path": "tk"},
+           "aggs": {"parents": {"reverse_nested": {}}}}}}""")
+      .as[(Long, Long)].collect().head
+    assert(g === ((5L, 3L)))
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"nt": {"nested": {"path": "tk"},
+           "aggs": {"parents": {"reverse_nested": {"path": "tk"}}}}}}"""))
+    assert(e.getMessage.contains("takes no options"), e.getMessage)
+  }
+
   test("nested agg with a terms sub-agg facets over array elements") {
     import spark.implicits._
     val t = Seq(
