@@ -4734,6 +4734,37 @@ object DslSearch {
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
         FROM e GROUP BY 1
         ORDER BY doc_count DESC, top_toks LIMIT 12
+      """.stripMargin.trim)),
+
+    // explain flag: per-hit score decomposition inline on the hit
+    // table — part_* columns sum to score by construction, replayed
+    // column-for-column.
+    GraftQuery(
+      "q297_dsl_explain_flag",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"match": {"text": "spark"}},
+                      {"range": {"n_chars": {"gte": 100}}}],
+             "should": [{"term": {"lang": "en"}}]}},
+           "explain": true,
+           "sort": ["doc_id"], "size": 40,
+           "_source": ["doc_id", "score",
+                       "part_must_0", "part_must_1", "part_should_0"]}"""),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(1 AS BIGINT) AS part_must_0,
+                 CAST(1 AS BIGINT) AS part_must_1,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                   AS part_should_0
+          FROM documents
+          WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+            AND n_chars >= 100)
+        SELECT doc_id,
+               part_must_0 + part_must_1 + part_should_0 AS score,
+               part_must_0, part_must_1, part_should_0
+        FROM h ORDER BY doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

@@ -2984,7 +2984,19 @@ object QueryDsl {
     if (!table.columns.contains(idField))
       fail(s"_explain id field '$idField' is not a column of the table")
     val compiled = compileQuery(q) // fails loud on malformed shapes first
-    val parts: Seq[(String, Column)] = q match {
+    val parts = scoreParts(q, compiled)
+    table.filter(compiled.pred).select(
+      col(idField) +: compiled.score.as("score") +:
+        parts.map { case (n, c) => c.as(s"part_$n") }: _*)
+  }
+
+  /** The per-clause score decomposition shared by the `_explain`
+    * endpoint and the request-level `explain` flag — sum(parts) ==
+    * score by construction (spec'd for bool / dis_max /
+    * function_score).
+    */
+  private def scoreParts(q: JValue, compiled: CompiledQuery)
+      : Seq[(String, Column)] = q match {
       case JObject(List(("bool", JObject(b)))) =>
         val m = b.toMap
         def clauses(sec: String): Seq[JValue] = m.get(sec) match {
@@ -3025,10 +3037,6 @@ object QueryDsl {
         Seq(("boost", compiled.score))
       case _ => Seq(("query", compiled.score))
     }
-    table.filter(compiled.pred).select(
-      col(idField) +: compiled.score.as("score") +:
-        parts.map { case (n, c) => c.as(s"part_$n") }: _*)
-  }
 
   /** The ONE `_count`-shape compile — `{query}` only, request-level
     * corpus-state clauses rejected — shared by [[countRequest]] and
@@ -3548,8 +3556,16 @@ object QueryDsl {
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
         "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
         "script_fields", "runtime_mappings", "rescore", "post_filter",
-        "track_total_hits"))
+        "track_total_hits", "explain"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `explain` flag: per-hit score decomposition riding the hit table
+    // as part_* columns (the _explain endpoint's contract, inline)
+    val explainOn: Boolean = req.get("explain") match {
+      case None           => false
+      case Some(JBool(b)) => b
+      case Some(other)    => fail(s"explain must be a boolean: ${render(other)}")
+    }
 
     // `track_total_hits`: validated, behaviorally a no-op BY DESIGN —
     // the engine has no response-metadata surface to cap (hit counts
@@ -3769,6 +3785,8 @@ object QueryDsl {
         if (req.contains("post_filter"))
           fail("post_filter applies to hits, not aggs (aggs see the " +
             "query set by design - run the hits request separately)")
+        if (explainOn)
+          fail("explain applies to hits, not aggs")
         // hits carry the computed score so a top_hits sort on _score
         // (the OpenSearch default ranking) resolves
         compileAggs(table, filtered.withColumn("score", compiled.score),
@@ -3788,12 +3806,27 @@ object QueryDsl {
           case None     => scored0
           case Some(ms) => scored0.filter(col("score") >= lit(ms))
         }
+        // `explain` flag: the part_* columns land on the hit table
+        // itself — one projection over the same filtered scan, the
+        // _explain endpoint inline. A rescored score is no longer a
+        // sum of query parts, so the combination fails loud.
+        val scoredX =
+          if (!explainOn) scored1m
+          else {
+            if (req.contains("rescore"))
+              fail("explain cannot be combined with rescore (the " +
+                "second-pass score is not a sum of query parts)")
+            val qj = req.getOrElse("query", fail("explain requires a query"))
+            scoreParts(qj, compiled).foldLeft(scored1m) {
+              case (df, (n, c)) => df.withColumn(s"part_$n", c)
+            }
+          }
         // `rescore`: second-pass re-ranking of the top window (the
         // expensive-query-on-a-cheap-shortlist idiom) — rewrites the
         // score column only; sort/from/size downstream are untouched
         val scoredR = req.get("rescore") match {
-          case None    => scored1m
-          case Some(r) => withRescore(scored1m, r, compiled.ppm)
+          case None    => scoredX
+          case Some(r) => withRescore(scoredX, r, compiled.ppm)
         }
         // `script_fields`: computed per-hit output columns through the
         // SAME ScoreScript compiler as script_score/scripted_metric —
@@ -3842,7 +3875,9 @@ object QueryDsl {
           case None    => lit0
           case Some(c) => withCollapse(lit0, c, req)
         }
-        hitPipeline(collapsed, req)
+        // explain was materialized above — strip it so hitPipeline's
+        // guard only fires for the request-level query paths
+        hitPipeline(collapsed, req - "explain")
     }
   }
 
@@ -4124,6 +4159,12 @@ object QueryDsl {
     * q123 contract), then sort, from/size, and `_source` projection.
     */
   private def hitPipeline(scored: DataFrame, req: Map[String, JValue]): DataFrame = {
+    // reached with `explain` still present only from the request-level
+    // query paths (more_like_this, spans, relations), whose scores are
+    // plan-level, not per-clause sums — nothing to decompose
+    if (req.contains("explain"))
+      fail("explain is not supported with request-level queries " +
+        "(more_like_this, spans, percolate, intervals, relations)")
     // `post_filter`: the faceting idiom — filter the RETURNED hits
     // without touching relevance. Applied after scoring and the
     // rescore window selection (the OpenSearch phase order), before

@@ -1444,6 +1444,46 @@ class QueryDslSpec extends SparkSpec {
       $relOpts, "query": {"match_all": {}}}}]}}}""", "")
   }
 
+  test("explain flag decorates hits with part columns summing to score") {
+    val df = QueryDsl.search(docs,
+      """{"query": {"bool": {
+           "must": [{"match": {"text": "spark"}},
+                    {"range": {"n_chars": {"gte": 100}}}],
+           "should": [{"term": {"lang": "en"}}]}},
+         "explain": true,
+         "sort": ["doc_id"], "size": 40}""")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val partCols = df.columns.filter(_.startsWith("part_")).toSeq
+    assert(partCols === Seq("part_must_0", "part_must_1", "part_should_0"))
+    rows.foreach { r =>
+      val s = partCols.map(c => r.getLong(r.fieldIndex(c))).sum
+      assert(s === r.getLong(r.fieldIndex("score")),
+        s"parts must sum to score on row $r")
+    }
+    // explain: false is inert
+    assert(!QueryDsl.search(docs,
+      """{"query": {"match_all": {}}, "explain": false, "size": 1}""")
+      .columns.exists(_.startsWith("part_")))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_all": {}}, "explain": true, "size": 0,
+           "aggs": {"m": {"max": {"field": "n_chars"}}}}""",
+      "explain applies to hits, not aggs")
+    bad("""{"query": {"match": {"text": "spark"}}, "explain": true,
+           "rescore": {"window_size": 5, "query": {"rescore_query":
+             {"term": {"lang": "en"}}}}}""",
+      "explain cannot be combined with rescore")
+    bad("""{"query": {"more_like_this": {"fields": ["text"],
+             "like": {"doc_id": 1}}}, "explain": true}""",
+      "not supported with request-level queries")
+    bad("""{"explain": true}""", "explain requires a query")
+    bad("""{"query": {"match_all": {}}, "explain": "yes"}""",
+      "explain must be a boolean")
+  }
+
   test("_explain: part columns sum to the hit score, one scan") {
     def sumsToScore(df: org.apache.spark.sql.DataFrame): Unit = {
       val rows = df.collect()
