@@ -4765,6 +4765,24 @@ object DslSearch {
                part_must_0 + part_must_1 + part_should_0 AS score,
                part_must_0, part_must_1, part_should_0
         FROM h ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // docvalue_fields / fields: extra typed output columns alongside
+    // the _source projection — the column-union analog of the
+    // response's fields section.
+    GraftQuery(
+      "q298_dsl_docvalue_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "docvalue_fields": ["n_chars", {"field": "lang"}],
+           "sort": ["doc_id"], "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id, CAST(1 AS BIGINT) AS score, n_chars, lang
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

@@ -3556,7 +3556,7 @@ object QueryDsl {
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
         "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
         "script_fields", "runtime_mappings", "rescore", "post_filter",
-        "track_total_hits", "explain"))
+        "track_total_hits", "explain", "fields", "docvalue_fields"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     // `explain` flag: per-hit score decomposition riding the hit table
@@ -3776,7 +3776,8 @@ object QueryDsl {
             "request separately)")
           case Some(other) => fail(s"size must be an integer: ${render(other)}")
         }
-        Seq("from", "sort", "_source").filter(req.contains).foreach(k =>
+        Seq("from", "sort", "_source", "fields", "docvalue_fields")
+          .filter(req.contains).foreach(k =>
           fail(s"$k applies to hits, not aggs (an aggs request returns " +
             "the agg table only)"))
         // OpenSearch's post_filter exists precisely to NOT affect
@@ -4205,13 +4206,40 @@ object QueryDsl {
       case (None, None)                   => sorted
       case _ => fail("from/size must be integers")
     }
+    // `fields` / `docvalue_fields`: extra output columns ALONGSIDE the
+    // _source projection (the OpenSearch response carries both
+    // sections; the flat hit table's analog is a column union, request
+    // order, deduped). Entries are names or {field} objects; `format`
+    // fails loud — the engine returns typed columns, never
+    // engine-formatted strings. Unknown columns fail loud. Without a
+    // _source projection every column is already in the hit table, so
+    // the sections only validate.
+    val extraFields: Seq[String] =
+      Seq("docvalue_fields", "fields").flatMap(sec => req.get(sec) match {
+        case None => Nil
+        case Some(JArray(es)) if es.nonEmpty => es.map {
+          case JString(f) => f
+          case JObject(List(("field", JString(f)))) => f
+          case JObject(es2) if es2.toMap.contains("format") =>
+            fail(s"$sec does not take 'format' (the engine returns typed " +
+              "columns, not formatted strings - format on read)")
+          case other => fail(s"$sec entries must be field names or " +
+            s"{field} objects: ${render(other)}")
+        }
+        case Some(other) => fail(s"$sec must be a non-empty array: ${render(other)}")
+      })
+    extraFields.foreach(f => if (!paged.columns.contains(f))
+      fail(s"fields/docvalue_fields names unknown column '$f'"))
+    def withExtras(projected: Seq[String]): Seq[String] =
+      projected ++ extraFields.filterNot(projected.contains).distinct
     req.get("_source") match {
       case None => paged
       case Some(JArray(fields)) =>
-        paged.select(fields.map {
-          case JString(f) => col(f)
+        val srcCols = fields.map {
+          case JString(f) => f
           case other      => fail(s"_source entries must be strings: ${render(other)}")
-        }: _*)
+        }
+        paged.select(withExtras(srcCols).map(col): _*)
       // the object form: includes projects, excludes then drops —
       // the OpenSearch evaluation order. Exact names only (a glob
       // would silently project nothing on a typo); unknown excluded
@@ -4239,7 +4267,11 @@ object QueryDsl {
           fail(s"_source excludes unknown column '$f'"))
         if (exc.nonEmpty && base.columns.forall(exc.contains))
           fail("_source excludes every column")
-        base.drop(exc: _*)
+        // fields/docvalue_fields ride OUTSIDE the _source excludes
+        // (the OpenSearch response's fields section is independent) —
+        // an excluded column explicitly re-requested there comes back
+        val kept = base.columns.filterNot(exc.contains).toSeq
+        paged.select(withExtras(kept).map(col): _*)
       case Some(other) => fail(s"_source must be an array or " +
         s"{includes, excludes} object: ${render(other)}")
     }

@@ -1444,6 +1444,42 @@ class QueryDslSpec extends SparkSpec {
       $relOpts, "query": {"match_all": {}}}}]}}}""", "")
   }
 
+  test("fields/docvalue_fields add typed columns alongside _source") {
+    import spark.implicits._
+    val t = Seq((1L, "spark", 10L, "en")).toDF("id", "text", "n", "lang")
+    val out = QueryDsl.search(t,
+      """{"query": {"match_all": {}},
+         "docvalue_fields": ["n"], "fields": [{"field": "lang"}],
+         "_source": ["id"]}""")
+    assert(out.columns.toSeq === Seq("id", "n", "lang"))
+    // excluded by _source but re-requested via fields -> comes back
+    val out2 = QueryDsl.search(t,
+      """{"query": {"match_all": {}},
+         "_source": {"excludes": ["lang", "text"]},
+         "fields": ["lang"]}""")
+    assert(out2.columns.contains("lang") && !out2.columns.contains("text"))
+    // no _source projection: the section validates, the hit table
+    // already carries every column
+    assert(QueryDsl.search(t,
+      """{"query": {"match_all": {}}, "fields": ["n"]}""")
+      .columns.contains("n"))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_all": {}},
+           "fields": [{"field": "n", "format": "epoch_millis"}]}""",
+      "does not take 'format'")
+    bad("""{"query": {"match_all": {}}, "docvalue_fields": ["nope"]}""",
+      "unknown column 'nope'")
+    bad("""{"query": {"match_all": {}}, "fields": []}""",
+      "must be a non-empty array")
+    bad("""{"query": {"match_all": {}}, "size": 0,
+           "docvalue_fields": ["n"],
+           "aggs": {"m": {"max": {"field": "n"}}}}""",
+      "applies to hits, not aggs")
+  }
+
   test("explain flag decorates hits with part columns summing to score") {
     val df = QueryDsl.search(docs,
       """{"query": {"bool": {
