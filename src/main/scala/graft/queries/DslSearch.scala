@@ -4783,6 +4783,69 @@ object DslSearch {
         FROM documents
         WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
         ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // multi_match phrase_prefix: the multi-field search-box
+    // autocomplete — in-order containment with no trailing boundary
+    // (last term a prefix), score = fields carrying the prefix-phrase.
+    GraftQuery(
+      "q299_dsl_multi_match_phrase_prefix",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("head", org.apache.spark.sql.functions.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')")),
+        """{"query": {"multi_match": {"query": "spark jo",
+             "fields": ["text", "head"], "type": "phrase_prefix"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                 ' ') AS head
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN ' ' || text || ' ' LIKE '% spark jo%'
+                      THEN 1 ELSE 0 END
+                    + CASE WHEN ' ' || head || ' ' LIKE '% spark jo%'
+                      THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // multi_match bool_prefix: multi-field type-ahead — per field the
+    // match_bool_prefix bag (full terms + last-token prefix), best
+    // field wins.
+    GraftQuery(
+      "q300_dsl_multi_match_bool_prefix",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("head", org.apache.spark.sql.functions.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')")),
+        """{"query": {"multi_match": {"query": "join sp",
+             "fields": ["text", "head"], "type": "bool_prefix"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS tt,
+                 list_slice(string_split(text, ' '), 1, 12) AS hh
+          FROM documents),
+        s AS (
+          SELECT doc_id, GREATEST(
+            CAST(CASE WHEN list_contains(list_distinct(tt), 'join')
+                 THEN 1 ELSE 0 END +
+                 CASE WHEN len(list_filter(tt, t -> t LIKE 'sp%')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT),
+            CAST(CASE WHEN list_contains(list_distinct(hh), 'join')
+                 THEN 1 ELSE 0 END +
+                 CASE WHEN len(list_filter(hh, t -> t LIKE 'sp%')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT)) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
       """.stripMargin.trim))
   )
 }

@@ -1277,9 +1277,57 @@ object QueryDsl {
           }
           val s = perF.reduce(_ + _)
           CompiledQuery(s >= lit(1L), s)
+        // phrase_prefix: the search-box autocomplete over several
+        // fields — the whole query as a match_phrase_prefix per field
+        // (in-order containment with NO trailing boundary, so the last
+        // term is a prefix: the q131 contract); score = number of
+        // fields carrying the prefix-phrase (the phrase-type doctrine:
+        // OpenSearch's per-field phrase scores collapse to a constant
+        // under the integer model, the field count is the
+        // deterministic refinement)
+        case "phrase_prefix" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          if (fuzz.isDefined || m.contains("prefix_length"))
+            fail("multi_match type phrase_prefix does not take fuzziness")
+          if (m.contains("minimum_should_match"))
+            fail("multi_match type phrase_prefix does not take minimum_should_match")
+          val phrase = terms0.mkString(" ")
+          val perF = fields.map { f =>
+            val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+            when(padded.contains(s" $phrase"), 1L).otherwise(0L)
+          }
+          val s = perF.reduce(_ + _)
+          CompiledQuery(s >= lit(1L), s)
+        // bool_prefix: type-ahead bag-of-terms per field (every term
+        // but the LAST matches full, the last as a token prefix — the
+        // match_bool_prefix contract), best field wins (OpenSearch
+        // combines per-field match_bool_prefix scores best_fields
+        // style); minimum_should_match gates each field's bag count
+        case "bool_prefix" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          if (fuzz.isDefined || m.contains("prefix_length"))
+            fail("multi_match type bool_prefix does not take fuzziness")
+          val full = terms0.init.distinct
+          val last = terms0.last
+          val perF = fields.map { f =>
+            val fieldToks = split(an.norm(col(f)), " ")
+            val overlap =
+              if (full.isEmpty) lit(0L)
+              else size(array_intersect(array_distinct(fieldToks),
+                array(full.map(lit): _*))).cast("long")
+            overlap +
+              when(exists(fieldToks, t => t.startsWith(last)), 1L).otherwise(0L)
+          }
+          val matchedF = perF.map(s => when(s >= lit(msm), s).otherwise(0L))
+          val best =
+            if (matchedF.size == 1) matchedF.head else greatest(matchedF: _*)
+          CompiledQuery(perF.map(_ >= lit(msm)).reduce(_ || _), best)
         case other =>
           fail(s"unsupported multi_match type '$other' " +
-            "(best_fields, most_fields, cross_fields, phrase)")
+            "(best_fields, most_fields, cross_fields, phrase, " +
+            "phrase_prefix, bool_prefix)")
       }
     case other => fail(s"multi_match requires an object body: ${render(other)}")
   }

@@ -53,6 +53,18 @@ class QueryDslSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("post_filter predicate pushes into the scan when nothing blocks it") {
+    val dsl = QueryDsl.search(docs,
+      """{"query": {"term": {"lang": "en"}},
+         "post_filter": {"range": {"n_chars": {"lt": 500}}},
+         "_source": ["doc_id"]}""")
+    val plan = dsl.queryExecution.executedPlan.toString
+    // applied after scoring SEMANTICALLY, but with no window/rescore
+    // in between Catalyst still pushes the predicate to the scan
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("LessThan(n_chars,500)"), plan.take(2000))
+  }
+
   test("wildcard translates OpenSearch globs and escapes LIKE metachars") {
     assert(QueryDsl.wildcardToLike("src*") === "src%")
     assert(QueryDsl.wildcardToLike("a?c") === "a_c")
@@ -2249,6 +2261,48 @@ class QueryDslSpec extends SparkSpec {
       """{"aggs": {"s": {"significant_terms": {"field": "src",
         "background": {"term": {"lang": "en"}}}}}}"""))
     assert(e.getMessage.contains("unsupported significant_terms option"))
+  }
+
+  test("multi_match phrase_prefix and bool_prefix type-ahead types") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "big data spark", "spark rules"),
+      (2L, "spark joins fast", "x"),
+      (3L, "hive", "sp")).toDF("id", "a", "b")
+    def run(json: String): Seq[(Long, Long)] =
+      QueryDsl.search(t, json).as[(Long, Long)].collect().toSeq
+    // phrase_prefix: terms in order, the LAST one a token prefix
+    assert(run("""{"query": {"multi_match": {"query": "data sp",
+      "fields": ["a", "b"], "type": "phrase_prefix"}},
+      "sort": ["id"], "_source": ["id", "score"]}""") === Seq((1L, 1L)))
+    assert(run("""{"query": {"multi_match": {"query": "spark jo",
+      "fields": ["a", "b"], "type": "phrase_prefix"}},
+      "sort": ["id"], "_source": ["id", "score"]}""") === Seq((2L, 1L)))
+    // bool_prefix: bag per field (full terms + last-token prefix),
+    // best field wins
+    assert(run("""{"query": {"multi_match": {"query": "data sp",
+      "fields": ["a", "b"], "type": "bool_prefix"}},
+      "sort": ["id"], "_source": ["id", "score"]}""")
+      === Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    // minimum_should_match gates each field's bag count
+    assert(run("""{"query": {"multi_match": {"query": "data sp",
+      "fields": ["a", "b"], "type": "bool_prefix",
+      "minimum_should_match": 2}},
+      "sort": ["id"], "_source": ["id", "score"]}""") === Seq((1L, 2L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"multi_match": {"query": "data sp",
+      "fields": ["a"], "type": "phrase_prefix", "fuzziness": 1}}}""",
+      "does not take fuzziness")
+    bad("""{"query": {"multi_match": {"query": "data sp",
+      "fields": ["a"], "type": "phrase_prefix",
+      "minimum_should_match": 2}}}""",
+      "does not take minimum_should_match")
+    bad("""{"query": {"multi_match": {"query": "data sp",
+      "fields": ["a"], "type": "bool_prefix", "tie_breaker": 0.3}}}""",
+      "tie_breaker applies to best_fields only")
   }
 
   test("multi_match cross_fields and phrase types") {
