@@ -81,7 +81,12 @@ object ScaleBench {
       // point is the growth-curve gap — sign-bucket blocking holds
       // pair work at (nprobe/2^signDims) of the exact kernel's as
       // replicas multiply each label group
-      "q279_knn_join_approx")
+      "q279_knn_join_approx",
+      // reverse_nested: the one shuffle-bearing round-10 addition —
+      // explode + element groupBy + COUNT(DISTINCT parent id); the
+      // distinct count must stay a two-phase hash partial-agg (never
+      // a global sort) as the exploded row count multiplies
+      "q296_dsl_reverse_nested")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

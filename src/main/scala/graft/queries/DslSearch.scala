@@ -4846,6 +4846,39 @@ object DslSearch {
           FROM d)
         SELECT doc_id, score FROM s WHERE score >= 1
         ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // parent_id: the third relations-model member — all children of
+    // ONE parent, as a plain per-row predicate (no join), composing
+    // inside bool like any clause.
+    GraftQuery(
+      "q301_dsl_parent_id",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"bool": {
+               "filter": [{"parent_id": {"type": "order", "id": 19,
+                 "join_field": "rel", "parent_field": "parent_id"}}],
+               "must": [{"range": {"price": {"gte": 100000}}}]}},
+             "sort": ["doc_id"], "size": 50,
+             "_source": ["doc_id", "price", "score"]}""")
+      },
+      Some("""
+        SELECT CAST(10000000 + o_orderkey AS BIGINT) AS doc_id,
+               o_totalprice AS price,
+               CAST(1 AS BIGINT) AS score
+        FROM orders
+        WHERE o_custkey = 19 AND o_totalprice >= 100000
+        ORDER BY doc_id LIMIT 50
       """.stripMargin.trim))
   )
 }

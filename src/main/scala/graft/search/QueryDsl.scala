@@ -312,6 +312,7 @@ object QueryDsl {
       case "simple_query_string" => simpleQueryStringClause(body)
       case "function_score"   => functionScoreClause(body)
       case "distance_feature" => distanceFeatureClause(body)
+      case "parent_id"        => parentIdClause(body)
       case "rank_feature"     => rankFeatureClause(body)
       case "nested"           => nestedClause(body)
       case "geo_distance"     => geoDistanceClause(body)
@@ -333,7 +334,7 @@ object QueryDsl {
           "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
           "simple_query_string, query_string, function_score, " +
-          "distance_feature, rank_feature, nested, geo_distance, " +
+          "distance_feature, rank_feature, parent_id, nested, geo_distance, " +
           "geo_bounding_box, script_score, script, wrapper, " +
           "combined_fields, span_first)")
     }
@@ -1794,6 +1795,35 @@ object QueryDsl {
       }
       CompiledQuery(inner.pred, score, ppm = ppm)
     case other => fail(s"function_score requires an object body: ${render(other)}")
+  }
+
+  /** `parent_id`: the third member of the join-field relations model
+    * (ref: assets/custom_resource.py:324-384's SEARCH collection) —
+    * all children of ONE given parent. Unlike has_child/has_parent
+    * (corpus-state joins), this is a pure per-row predicate
+    * (join_field = type ∧ parent_field = id), so it compiles as an
+    * ordinary clause: composes inside bool, drives aggs, and pushes
+    * into the scan. Scores 1 like the term-level filters. The
+    * join_field/parent_field column names are explicit — the engine
+    * has no mapping registry to infer them from (the has_child
+    * convention).
+    */
+  private def parentIdClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("type", "id", "join_field", "parent_field"))
+        .foreach(k => fail(s"unsupported parent_id option '$k'"))
+      val childType = strOpt(m, "type")
+        .getOrElse(fail("parent_id needs the child 'type'"))
+      val joinF = strOpt(m, "join_field")
+        .getOrElse(fail("parent_id needs join_field (the relation-name column)"))
+      val parentF = strOpt(m, "parent_field")
+        .getOrElse(fail("parent_id needs parent_field (the child's parent pointer)"))
+      val idVal = m.getOrElse("id", fail("parent_id needs the parent 'id'"))
+      CompiledQuery(
+        col(joinF) === lit(childType) && col(parentF) === litOf(idVal),
+        lit(1L))
+    case other => fail(s"parent_id requires an object body: ${render(other)}")
   }
 
   /** `field_value_factor`: factor × modifier(field) over an integral

@@ -1388,6 +1388,40 @@ class QueryDslSpec extends SparkSpec {
       "needs a field")
   }
 
+  test("parent_id matches one parent's children as a per-row predicate") {
+    import spark.implicits._
+    val t = Seq(
+      ("q", 1L, Option.empty[Long], "parent a"),
+      ("q", 2L, Option.empty[Long], "parent b"),
+      ("a", 10L, Some(1L), "child of a"),
+      ("a", 11L, Some(1L), "another child"),
+      ("a", 12L, Some(2L), "child of b"))
+      .toDF("rel", "id", "pid", "text")
+    def ids(json: String): Seq[Long] =
+      QueryDsl.search(t, json).select("id").as[Long].collect().toSeq.sorted
+    assert(ids("""{"query": {"parent_id": {"type": "a", "id": 1,
+      "join_field": "rel", "parent_field": "pid"}}, "_source": ["id"]}""")
+      === Seq(10L, 11L))
+    // composes inside bool like any predicate clause
+    assert(ids("""{"query": {"bool": {"must": [
+      {"parent_id": {"type": "a", "id": 1,
+        "join_field": "rel", "parent_field": "pid"}},
+      {"match": {"text": "another"}}]}}, "_source": ["id"]}""")
+      === Seq(11L))
+    // a parent row never matches (its join field is the parent type)
+    assert(ids("""{"query": {"parent_id": {"type": "q", "id": 1,
+      "join_field": "rel", "parent_field": "pid"}}, "_source": ["id"]}""")
+      === Seq.empty)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"parent_id": {"type": "a", "id": 1,
+      "join_field": "rel"}}}""", "needs parent_field")
+    bad("""{"query": {"parent_id": {"type": "a",
+      "join_field": "rel", "parent_field": "pid"}}}""", "needs the parent 'id'")
+  }
+
   test("has_child / has_parent: the relations model compiles to equi-joins") {
     import spark.implicits._
     val t = Seq(
