@@ -4879,6 +4879,37 @@ object DslSearch {
         FROM orders
         WHERE o_custkey = 19 AND o_totalprice >= 100000
         ORDER BY doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // match boost: the everyday relevance knob — integer score
+    // scaling that never changes the match bar.
+    GraftQuery(
+      "q302_dsl_match_boost",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {"should": [
+             {"match": {"text": {"query": "spark", "boost": 2}}},
+             {"match": {"text": "join"}}],
+             "minimum_should_match": 1}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(2 * CASE WHEN list_contains(
+                        list_distinct(string_split(text, ' ')), 'spark')
+                      THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(
+                        list_distinct(string_split(text, ' ')), 'join')
+                      THEN 1 ELSE 0 END AS BIGINT) AS score,
+                 CASE WHEN list_contains(
+                        list_distinct(string_split(text, ' ')), 'spark')
+                   OR list_contains(
+                        list_distinct(string_split(text, ' ')), 'join')
+                 THEN 1 ELSE 0 END AS hit
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE hit = 1
+        ORDER BY score DESC, doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

@@ -571,10 +571,10 @@ object QueryDsl {
     */
   private def matchClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm, an, fuzz, prefixLen, ztq) = spec match {
+      val (queryText, msm, an, fuzz, prefixLen, ztq, boost) = spec match {
         case JString(s) =>
           (s, 1L, Analyzer.Whitespace: Analyzer,
-            None: Option[String => Long], 0, None: Option[String])
+            None: Option[String => Long], 0, None: Option[String], 1L)
         case JObject(opts) =>
           val m = opts.toMap
           val q = m.get("query") match {
@@ -606,12 +606,21 @@ object QueryDsl {
             fail(s"match on '$f': operator and minimum_should_match " +
               "cannot be combined")
           m.keySet.diff(Set("query", "minimum_should_match", "operator",
-            "analyzer", "fuzziness", "prefix_length", "zero_terms_query"))
+            "analyzer", "fuzziness", "prefix_length", "zero_terms_query",
+            "boost"))
             .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
+          // integer boost (the term-clause rule): score × boost — the
+          // everyday relevance knob ("title matches count double")
+          val b = m.get("boost") match {
+            case Some(JInt(i)) if i >= 1 => i.toLong
+            case None                    => 1L
+            case Some(other) =>
+              fail(s"match boost must be a positive integer (exact scoring): ${render(other)}")
+          }
           val (fz, pl) = fuzzinessOpt(m, s"match on '$f'")
           (q, if (andOp) -1L else n, // -1 = resolve to |terms| below
             analyzerOpt(m, s"match on '$f'"), fz, pl,
-            strOpt(m, "zero_terms_query"))
+            strOpt(m, "zero_terms_query"), b)
         case other => fail(s"match body must be string or object: ${render(other)}")
       }
       val terms = an.normText(queryText).trim.split("\\s+").toSeq.distinct
@@ -637,9 +646,12 @@ object QueryDsl {
           fail(s"match zero_terms_query must be none|all, got '$other'")
       }
       val msmResolved = if (msm == -1L) terms.size.toLong else msm
-      val score = overlapScore(
+      val score0 = overlapScore(
         array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen)
-      CompiledQuery(score >= lit(msmResolved), score)
+      // the predicate gates on the UNboosted overlap (boost scales
+      // relevance, never reach); the score scales
+      val score = if (boost == 1L) score0 else score0 * lit(boost)
+      CompiledQuery(score0 >= lit(msmResolved), score)
     case other => fail(s"match requires {field: spec}: ${render(other)}")
   }
 

@@ -2297,6 +2297,25 @@ class QueryDslSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported significant_terms option"))
   }
 
+  test("match boost scales the score, never the reach") {
+    import spark.implicits._
+    val t = Seq((1L, "spark"), (2L, "join"), (3L, "spark join"))
+      .toDF("id", "text")
+    val out = QueryDsl.search(t,
+      """{"query": {"bool": {"should": [
+           {"match": {"text": {"query": "spark", "boost": 3}}},
+           {"match": {"text": "join"}}], "minimum_should_match": 1}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L), (2L, 1L), (3L, 4L)))
+    def bad(json: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains("positive integer"), e.getMessage)
+    }
+    bad("""{"query": {"match": {"text": {"query": "spark", "boost": 0}}}}""")
+    bad("""{"query": {"match": {"text": {"query": "spark", "boost": 1.5}}}}""")
+  }
+
   test("multi_match phrase_prefix and bool_prefix type-ahead types") {
     import spark.implicits._
     val t = Seq(
