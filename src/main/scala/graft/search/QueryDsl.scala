@@ -3962,13 +3962,29 @@ object QueryDsl {
           case Some(h) => withHighlight(scored, req.getOrElse("query",
             fail("highlight requires a query")), h)
         }
-        val collapsed = req.get("collapse") match {
-          case None    => lit0
-          case Some(c) => withCollapse(lit0, c, req)
+        // post_filter applies BEFORE collapse (the OpenSearch phase
+        // order): a collapse group whose best representative is
+        // post-filtered away must collapse to its best SURVIVING hit,
+        // not disappear — so the filter runs here, and the key is
+        // stripped before hitPipeline (whose own post_filter handling
+        // serves the request-level query paths, which reject collapse)
+        val postFiltered = req.get("post_filter") match {
+          case None     => lit0
+          case Some(pf) =>
+            val c = compileQuery(pf)
+            if (c.named.nonEmpty)
+              fail("_name inside post_filter is unsupported " +
+                "(matched_queries reflects the query's named clauses only)")
+            lit0.filter(c.pred)
         }
-        // explain was materialized above — strip it so hitPipeline's
-        // guard only fires for the request-level query paths
-        hitPipeline(collapsed, req - "explain")
+        val collapsed = req.get("collapse") match {
+          case None    => postFiltered
+          case Some(c) => withCollapse(postFiltered, c, req)
+        }
+        // explain/post_filter were materialized above — strip them so
+        // hitPipeline's handling only fires for the request-level
+        // query paths
+        hitPipeline(collapsed, req - "explain" - "post_filter")
     }
   }
 

@@ -57,6 +57,9 @@ object QueryDslPropertySpec extends Properties("querydsl") {
   private case class Wildcard(f: String, v: String) extends Q
   private case class Exists(f: String) extends Q
   private case class Match(terms: Seq[String], msm: Long) extends Q
+  private case object MatchNone extends Q
+  private case class BoostedMatch(terms: Seq[String], msm: Long,
+      boost: Long) extends Q
   private case class Phrase(p: String) extends Q
   // analyzed variants over the cased/punctuated ctext column: the
   // rendered query text is MANGLED the same way the column is, so
@@ -97,6 +100,10 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     Gen.const(Exists("lang")),
     for { n <- Gen.chooseNum(1, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 2L) }
       yield Match(ts.distinct, m),
+    Gen.const(MatchNone),
+    for { n <- Gen.chooseNum(1, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab));
+          m <- Gen.chooseNum(1L, 2L); b <- Gen.chooseNum(2L, 5L) }
+      yield BoostedMatch(ts.distinct, m, b),
     Gen.oneOf("spark join", "data model", "never here").map(Phrase),
     for { n <- Gen.chooseNum(2, 4); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 3L) }
       yield TermsSet(ts.distinct, m),
@@ -208,6 +215,9 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     case Exists(f)      => s"""{"exists": {"field": ${js(f)}}}"""
     case Match(ts, m) =>
       s"""{"match": {"text": {"query": ${js(ts.mkString(" "))}, "minimum_should_match": $m}}}"""
+    case MatchNone => """{"match_none": {}}"""
+    case BoostedMatch(ts, m, b) =>
+      s"""{"match": {"text": {"query": ${js(ts.mkString(" "))}, "minimum_should_match": $m, "boost": $b}}}"""
     case Phrase(p) => s"""{"match_phrase": {"text": ${js(p)}}}"""
     case AMatch(ts, m) =>
       val mangled = ts.map(t => t.toUpperCase + ",").mkString(" ")
@@ -297,6 +307,12 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       val toks = d.text.split(" ", -1).distinct.toSet
       val score = ts.distinct.count(toks.contains).toLong
       (score >= msm, score)
+    case MatchNone => (false, 0L)
+    case BoostedMatch(ts, msm, b) =>
+      val toks = d.text.split(" ", -1).distinct.toSet
+      val score = ts.distinct.count(toks.contains).toLong
+      // the predicate gates on the UNboosted overlap; the score scales
+      (score >= msm, score * b)
     case Phrase(p) => ((" " + d.text + " ").contains(s" $p "), 1L)
     case AMatch(ts, msm) =>
       val toks = Analyzer.Standard.normText(d.ctext).split(" ", -1).distinct.toSet

@@ -965,7 +965,7 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"ids": {"values": [], "field": "doc_id"}}}""") // empty
     bad("""{"query": {"multi_match": {"query": "x"}}}""")           // no fields
     bad("""{"query": {"multi_match": {"query": "x", "fields": ["a"],
-           "type": "bool_prefix"}}}""")                             // bad type
+           "type": "nope"}}}""")                                    // bad type
     bad("""{"query": {"multi_match": {"query": "x", "fields": ["a"],
            "type": "most_fields", "tie_breaker": 0.3}}}""")         // tb on most
     bad("""{"query": {"simple_query_string": {"query": "x",
@@ -2398,7 +2398,7 @@ class QueryDslSpec extends SparkSpec {
       "fields": ["a"], "type": "phrase", "minimum_should_match": 2}}}""",
       "does not take minimum_should_match")
     bad("""{"query": {"multi_match": {"query": "big data",
-      "fields": ["a"], "type": "bool_prefix"}}}""",
+      "fields": ["a"], "type": "nope"}}}""",
       "unsupported multi_match type")
     bad("""{"query": {"multi_match": {"query": "big data",
       "fields": ["a", "b"], "type": "cross_fields",
@@ -2748,6 +2748,18 @@ class QueryDslSpec extends SparkSpec {
          "search_after": [1], "sort": ["id"], "_source": ["id"]}""")
       .as[Long].collect().toSeq
     assert(after === Seq(2L, 3L))
+    // post_filter runs BEFORE collapse (the OpenSearch phase order):
+    // a group whose best representative is filtered away collapses to
+    // its best SURVIVING hit instead of disappearing
+    val tc = Seq((1L, "spark", 5L, "g1"), (2L, "spark", 50L, "g1"),
+      (3L, "spark", 7L, "g2")).toDF("id", "text", "n", "g")
+    val pc = QueryDsl.search(tc,
+      """{"query": {"match": {"text": "spark"}},
+         "post_filter": {"range": {"n": {"lt": 30}}},
+         "collapse": {"field": "g"},
+         "sort": [{"n": "desc"}, "id"], "_source": ["id", "g"]}""")
+      .as[(Long, String)].collect().toSeq
+    assert(pc === Seq((3L, "g2"), (1L, "g1")))
     // match_none: matches nothing alone, inert inside should
     assert(QueryDsl.search(t, """{"query": {"match_none": {}}}""").count() === 0L)
     val viaShould = QueryDsl.search(t,
