@@ -4910,6 +4910,63 @@ object DslSearch {
           FROM documents)
         SELECT doc_id, score FROM s WHERE hit = 1
         ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // span_multi inside span_near — a PREFIX postings filter paired
+    // with an exact term: the multi-term span contract (the wrapped
+    // query is NOT analyzed; the postings predicate generalizes
+    // token equality). Ordered, slop 2.
+    GraftQuery(
+      "q303_dsl_span_multi_near",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_near": {"clauses": [
+             {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+             {"span_term": {"text": "join"}}],
+             "slop": 2, "in_order": true, "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_pairs", "min_gap"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok LIKE 's%'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+        g AS (
+          SELECT p1.doc_id, CAST(p2.p - p1.p - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE p2.p > p1.p AND p2.p - p1.p - 1 <= 2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // standalone span_multi wrapping a FUZZY multi-term query: every
+    // token position within 2 edits of "row" counts as a span (one
+    // posexplode + predicate filter + partial-agg count — map-side
+    // combine, no pairing join).
+    GraftQuery(
+      "q304_dsl_span_multi_fuzzy",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_multi": {
+             "match": {"fuzzy": {"text": {"value": "row", "fuzziness": 2}}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_spans"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM pos WHERE levenshtein(tok, 'row') <= 2
+          GROUP BY 1)
+        SELECT doc_id, n_spans FROM hits
+        ORDER BY n_spans DESC, doc_id
+        LIMIT 30
       """.stripMargin.trim))
   )
 }

@@ -55,7 +55,9 @@ import org.json4s.jackson.JsonMethods
   * per-row computable, so a plain clause), and, compiled at
   * the REQUEST level because they depend on corpus state:
   * `more_like_this` (the q118 tf·idf postings plan), `span_near`
-  * (positional postings, ordered or not), `percolate` (reverse
+  * (positional postings, ordered or not; clauses are `span_term` or
+  * `span_multi` — a prefix/wildcard/fuzzy/regexp postings filter,
+  * also standalone and inside `span_or`), `percolate` (reverse
   * search: an inline stored-query registry compiled to map-side
   * predicates, the q98 contract), the `suggest` section
   * (term suggester — the q117 banded levenshtein vocab walk —, the
@@ -324,7 +326,8 @@ object QueryDsl {
       case "combined_fields"  => combinedFieldsClause(body)
       case "span_first"       => spanFirstClause(body)
       case "more_like_this" | "span_near" | "percolate" | "intervals" |
-           "span_or" | "span_not" | "span_containing" | "span_within" =>
+           "span_or" | "span_not" | "span_containing" | "span_within" |
+           "span_multi" =>
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
@@ -2271,15 +2274,117 @@ object QueryDsl {
     case other => fail(s"nested requires an object body: ${render(other)}")
   }
 
-  /** `span_near`: proximity query — both span_term clauses occur
+  /** A member clause of the span family: `span_term` (exact token) or
+    * `span_multi` wrapping a multi-term query — `prefix`, `wildcard`,
+    * `fuzzy` or `regexp`, the OpenSearch span_multi contract (range
+    * and friends are not span-composable there either). Returns the
+    * target field, the TOKEN predicate (the postings filter of the
+    * posexploded stream, generalized from equality), and a canonical
+    * key — two clauses with the same key must pair DISTINCT positions
+    * in span_near, exactly like a repeated span_term.
+    *
+    * Analysis follows the engine-wide split: span_term text goes
+    * through the analyzer twin (so spans agree with `match` over an
+    * analyzed corpus), while span_multi values are used VERBATIM —
+    * multi-term queries are never analyzed (the term-level contract;
+    * a lowercased pattern against a lowercasing analyzer's stream is
+    * the caller's composition, same as top-level prefix/wildcard).
+    */
+  private def spanClause(clause: JValue, an: Analyzer, where: String)
+      : (String, Column => Column, String) = clause match {
+    case JObject(List(("span_term", JObject(List((f, JString(t))))))) =>
+      val at = analyzedTerm(an, t, where)
+      (f, tok => tok === at, s"term $f $at")
+    case JObject(List(("span_multi", JObject(sm)))) =>
+      val m = sm.toMap
+      m.keySet.diff(Set("match")).foreach(k =>
+        fail(s"unsupported span_multi option '$k' (span_multi takes " +
+          "exactly {match: {<multi-term query>}})"))
+      m.get("match") match {
+        case Some(JObject(List((kind, body)))) => kind match {
+          case "prefix" =>
+            val (f, v, ci) = fieldValueCi(body, "span_multi prefix")
+            v match {
+              case JString(s) if s.nonEmpty =>
+                if (ci) {
+                  val lo = s.toLowerCase(java.util.Locale.ROOT)
+                  (f, tok => lower(tok).startsWith(lit(lo)),
+                    s"prefix_ci $f $lo")
+                } else (f, tok => tok.startsWith(lit(s)),
+                  s"prefix $f $s")
+              case _ => fail(s"span_multi prefix on '$f' requires a " +
+                "non-empty string value")
+            }
+          case "wildcard" =>
+            val (f, v, ci) = fieldValueCi(body, "span_multi wildcard")
+            v match {
+              case JString(s) if s.nonEmpty =>
+                val pat = wildcardToLike(
+                  if (ci) s.toLowerCase(java.util.Locale.ROOT) else s)
+                if (ci) (f, tok => lower(tok).like(pat),
+                  s"wildcard_ci $f $pat")
+                else (f, tok => tok.like(pat), s"wildcard $f $pat")
+              case _ => fail(s"span_multi wildcard on '$f' requires a " +
+                "non-empty string pattern")
+            }
+          case "fuzzy" =>
+            // the fuzzy-clause option shape (value / fuzziness /
+            // prefix_length), reapplied to single tokens
+            val (f, value, fuzz, prefixLen) = body match {
+              case JObject(List((f0, JString(s)))) => (f0, s, 1L, 0)
+              case JObject(List((f0, JObject(opts)))) =>
+                val fm = opts.toMap
+                fm.keySet.diff(Set("value", "fuzziness", "prefix_length"))
+                  .foreach(k =>
+                    fail(s"unsupported span_multi fuzzy option '$k' on '$f0'"))
+                val v = strOpt(fm, "value").getOrElse(
+                  fail(s"span_multi fuzzy on '$f0' requires a string 'value'"))
+                val fz = fm.get("fuzziness") match {
+                  case Some(JInt(i)) if i < 0 =>
+                    fail("fuzziness must be non-negative")
+                  case Some(JInt(i)) => i.toLong
+                  case None          => 1L
+                  case Some(other) =>
+                    fail(s"fuzziness must be an int: ${render(other)}")
+                }
+                (f0, v, fz, intOpt(fm, "prefix_length").getOrElse(0))
+              case other =>
+                fail(s"span_multi fuzzy requires {field: spec}: ${render(other)}")
+            }
+            if (value.isEmpty) fail(s"span_multi fuzzy on '$f' has an empty value")
+            val guard: Column => Column =
+              if (prefixLen <= 0) _ => lit(true)
+              else tok => tok.startsWith(lit(value.take(prefixLen)))
+            (f, tok => guard(tok) && levenshtein(tok, lit(value)) <= lit(fuzz),
+              s"fuzzy $f $value $fuzz $prefixLen")
+          case "regexp" =>
+            val (f, v, ci) = fieldValueCi(body, "span_multi regexp")
+            val pat = v match {
+              case JString(s) if s.nonEmpty => s
+              case _ => fail(s"span_multi regexp on '$f' requires a " +
+                "non-empty string pattern")
+            }
+            val anchored = if (ci) s"^(?i)(?:$pat)$$" else s"^(?:$pat)$$"
+            (f, tok => tok.rlike(anchored), s"regexp $f $anchored")
+          case other => fail(s"span_multi supports prefix, wildcard, fuzzy " +
+            s"and regexp (the span-composable multi-term queries), got '$other'")
+        }
+        case _ => fail("span_multi requires {match: {<multi-term query>}}")
+      }
+    case other =>
+      fail(s"$where clauses must be span_term or span_multi objects: ${render(other)}")
+  }
+
+  /** `span_near`: proximity query — both span clauses occur
     * within `slop` intervening tokens, optionally `in_order` (the
     * q126/q133 contracts). Request-level like more_like_this: token
-    * positions come from ONE posexplode, each term's postings are a
+    * positions come from ONE posexplode, each clause's postings are a
     * pushed filter of it, and the pairing is an equi-join on the
     * document key whose blow-up is tf₁·tf₂ per document, never
-    * corpus². Exactly two clauses over the same field; `id_field`
-    * names the document key. Output: the id field, `n_pairs`,
-    * `min_gap`, score = pair count.
+    * corpus². Exactly two clauses (span_term or span_multi — see
+    * [[spanClause]]) over the same field; `id_field` names the
+    * document key. Output: the id field, `n_pairs`, `min_gap`,
+    * score = pair count.
     */
   private def spanNearRequest(table: DataFrame, body: JValue): DataFrame =
     body match {
@@ -2295,16 +2400,15 @@ object QueryDsl {
         // contract, so span queries agree with match over an analyzed
         // corpus (VERDICT r8 #1)
         val an = analyzerOpt(m, "span_near")
-        val (f1, t10, f2, t20) = m.get("clauses") match {
-          case Some(JArray(List(
-              JObject(List(("span_term", JObject(List((fa, JString(ta))))))),
-              JObject(List(("span_term", JObject(List((fb, JString(tb)))))))))) =>
-            (fa, ta, fb, tb)
-          case _ => fail("span_near requires exactly two span_term clauses")
+        val (c1, c2) = m.get("clauses") match {
+          case Some(JArray(List(a, b))) =>
+            (spanClause(a, an, "span_near"), spanClause(b, an, "span_near"))
+          case _ => fail("span_near requires exactly two clauses " +
+            "(span_term or span_multi)")
         }
+        val (f1, pred1, key1) = c1
+        val (f2, pred2, key2) = c2
         if (f1 != f2) fail("span_near clauses must target the same field")
-        val t1 = analyzedTerm(an, t10, "span_near")
-        val t2 = analyzedTerm(an, t20, "span_near")
         val slop = intOpt(m, "slop")
           .getOrElse(fail("span_near requires an integer slop"))
         if (slop < 0) fail("span_near slop must be non-negative")
@@ -2315,13 +2419,13 @@ object QueryDsl {
         }
         val pos = table.select(col(idField),
           posexplode(split(an.norm(col(f1)), " ")).as(Seq("p", "tok")))
-        val p1 = pos.filter(col("tok") === t1).select(col(idField), col("p").as("p1"))
-        val p2 = pos.filter(col("tok") === t2).select(col(idField), col("p").as("p2"))
-        // a repeated term must pair DISTINCT occurrences exactly once;
+        val p1 = pos.filter(pred1(col("tok"))).select(col(idField), col("p").as("p1"))
+        val p2 = pos.filter(pred2(col("tok"))).select(col(idField), col("p").as("p2"))
+        // a repeated clause must pair DISTINCT occurrences exactly once;
         // ordered spans additionally fix the direction
         val paired =
           if (inOrder) p1.join(p2, idField).filter(col("p2") > col("p1"))
-          else if (t1 == t2) p1.join(p2, idField).filter(col("p1") < col("p2"))
+          else if (key1 == key2) p1.join(p2, idField).filter(col("p1") < col("p2"))
           else p1.join(p2, idField)
         val gap =
           if (inOrder) (col("p2") - col("p1") - 1).cast("long")
@@ -2334,10 +2438,11 @@ object QueryDsl {
       case other => fail(s"span_near requires an object body: ${render(other)}")
     }
 
-  /** `span_or`: any of the member span_term clauses occurs — the
-    * postings UNION of the terms (ONE posexplode, one `isin` filter;
-    * a term repeated across clauses dedups by construction since
-    * membership is positional). Same request-level shape as span_near.
+  /** `span_or`: any of the member clauses (span_term or span_multi —
+    * see [[spanClause]]) occurs — the postings UNION (ONE posexplode,
+    * one OR-of-predicates filter; a token matched by several clauses
+    * dedups by construction since membership is positional). Same
+    * request-level shape as span_near.
     * Output: the id field, `n_spans` (matching token positions),
     * score = n_spans.
     */
@@ -2350,25 +2455,54 @@ object QueryDsl {
         val idField = strOpt(m, "id_field")
           .getOrElse(fail("span_or requires id_field (the document key)"))
         val an = analyzerOpt(m, "span_or")
-        val ft = m.get("clauses") match {
-          case Some(JArray(cs)) if cs.size >= 2 => cs.map {
-            case JObject(List(("span_term", JObject(List((f, JString(t)))))))=>
-              (f, t)
-            case other =>
-              fail(s"span_or clauses must be span_term objects: ${render(other)}")
-          }
-          case _ => fail("span_or requires an array of >= 2 span_term clauses")
+        val cs = m.get("clauses") match {
+          case Some(JArray(cls)) if cls.size >= 2 =>
+            cls.map(spanClause(_, an, "span_or"))
+          case _ => fail("span_or requires an array of >= 2 clauses " +
+            "(span_term or span_multi)")
         }
-        val fields = ft.map(_._1).distinct
+        val fields = cs.map(_._1).distinct
         if (fields.size != 1) fail("span_or clauses must target the same field")
-        val terms = ft.map(t => analyzedTerm(an, t._2, "span_or"))
+        // a token matching several member clauses counts ONCE — the OR
+        // of the postings predicates is positional membership, exactly
+        // the old isin dedup generalized
         table.select(col(idField),
             posexplode(split(an.norm(col(fields.head)), " ")).as(Seq("p", "tok")))
-          .filter(col("tok").isin(terms: _*))
+          .filter(cs.map(_._2(col("tok"))).reduce(_ || _))
           .groupBy(col(idField))
           .agg(count(lit(1)).as("n_spans"))
           .withColumn("score", col("n_spans"))
       case other => fail(s"span_or requires an object body: ${render(other)}")
+    }
+
+  /** Standalone `span_multi`: every token position matching the
+    * wrapped multi-term query (`prefix`/`wildcard`/`fuzzy`/`regexp` —
+    * see [[spanClause]]) counts as a span. The degenerate one-clause
+    * span_or: ONE posexplode, one predicate filter, one partial-agg
+    * count per document — map-side combine, no pairing join at all.
+    * Output: id field, `n_spans`, score = n_spans.
+    */
+  private def spanMultiRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        val m = parts.toMap
+        m.keySet.diff(Set("match", "id_field", "analyzer")).foreach(k =>
+          fail(s"unsupported span_multi option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail("span_multi requires id_field (the document key)"))
+        val an = analyzerOpt(m, "span_multi")
+        val mt = m.getOrElse("match",
+          fail("span_multi requires {match: {<multi-term query>}}"))
+        val (field, pred, _) = spanClause(
+          JObject(List(("span_multi", JObject(List(("match", mt)))))),
+          an, "span_multi")
+        table.select(col(idField),
+            posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "tok")))
+          .filter(pred(col("tok")))
+          .groupBy(col(idField))
+          .agg(count(lit(1)).as("n_spans"))
+          .withColumn("score", col("n_spans"))
+      case other => fail(s"span_multi requires an object body: ${render(other)}")
     }
 
   /** `span_not`: occurrences of the `include` term with NO `exclude`
@@ -3791,6 +3925,11 @@ object QueryDsl {
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with span_not"))
         return hitPipeline(spanNotRequest(table, body), req)
+      case Some(JObject(List(("span_multi", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with span_multi"))
+        return hitPipeline(spanMultiRequest(table, body), req)
       case Some(JObject(List(("span_containing", body)))) =>
         Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
           .filter(req.contains).foreach(k =>

@@ -2250,7 +2250,7 @@ class QueryDslSpec extends SparkSpec {
     }
     bad("""{"query": {"span_or": {"clauses": [
       {"span_term": {"text": "a"}}], "id_field": "id"}}}""",
-      ">= 2 span_term clauses")
+      ">= 2 clauses")
     bad("""{"query": {"span_or": {"clauses": [
       {"span_term": {"text": "a"}}, {"span_term": {"id": "b"}}],
       "id_field": "id"}}}""", "same field")
@@ -2265,6 +2265,94 @@ class QueryDslSpec extends SparkSpec {
       "aggs": {"n": {"value_count": {"field": "id"}}}}""",
       "cannot be combined with span_containing")
     bad("""{"query": {"bool": {"must": [{"span_or": {"clauses": [],
+      "id_field": "id"}}]}}}""", "request-level query")
+  }
+
+  test("span_multi wraps multi-term queries as span clauses") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "applet apple apply banana"),
+      (2L, "application big apple"),
+      (3L, "banana bread"),
+      (4L, "APPLE pie")).toDF("id", "text")
+    def run(json: String): Map[Long, Long] =
+      QueryDsl.search(t, json).select("id", "n_spans").as[(Long, Long)]
+        .collect().toMap
+    // standalone: every token position matching the prefix
+    assert(run("""{"query": {"span_multi": {
+        "match": {"prefix": {"text": {"value": "appl"}}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 3L, 2L -> 2L))
+    // case_insensitive rides the term-level option
+    assert(run("""{"query": {"span_multi": {
+        "match": {"prefix": {"text": {"value": "apple", "case_insensitive": true}}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+    // wildcard and regexp predicates match whole tokens
+    assert(run("""{"query": {"span_multi": {
+        "match": {"wildcard": {"text": {"value": "app*y"}}},
+        "id_field": "id"}}}""") === Map(1L -> 1L))
+    assert(run("""{"query": {"span_multi": {
+        "match": {"regexp": {"text": {"value": "appl(et|e)"}}},
+        "id_field": "id"}}}""") === Map(1L -> 2L, 2L -> 1L))
+    // fuzzy: one edit away from "apple" (apple, applet, apply)
+    assert(run("""{"query": {"span_multi": {
+        "match": {"fuzzy": {"text": {"value": "apple", "fuzziness": 1}}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 3L, 2L -> 1L))
+    // prefix_length bounds the fuzzy candidates: "banana" stays out
+    assert(run("""{"query": {"span_multi": {
+        "match": {"fuzzy": {"text": {"value": "apple", "fuzziness": 2,
+          "prefix_length": 3}}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 3L, 2L -> 1L))
+    // inside span_near: prefix clause + exact term, ordered
+    val near = QueryDsl.search(t,
+      """{"query": {"span_near": {"clauses": [
+          {"span_multi": {"match": {"prefix": {"text": {"value": "appl"}}}}},
+          {"span_term": {"text": "banana"}}],
+          "slop": 1, "in_order": true, "id_field": "id"}},
+         "_source": ["id", "n_pairs", "min_gap"]}""")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(near === Map(1L -> ((2L, 0L))))
+    // two IDENTICAL span_multi clauses pair distinct positions once
+    val selfPair = QueryDsl.search(t,
+      """{"query": {"span_near": {"clauses": [
+          {"span_multi": {"match": {"prefix": {"text": {"value": "appl"}}}}},
+          {"span_multi": {"match": {"prefix": {"text": {"value": "appl"}}}}}],
+          "slop": 0, "in_order": false, "id_field": "id"}},
+         "_source": ["id", "n_pairs"]}""")
+      .as[(Long, Long)].collect().toMap
+    assert(selfPair === Map(1L -> 2L))
+    // inside span_or, mixed with span_term
+    assert(run("""{"query": {"span_or": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": {"value": "appl"}}}}},
+        {"span_term": {"text": "banana"}}],
+        "id_field": "id"}}}""") ===
+      Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"span_multi": {
+      "match": {"range": {"id": {"gte": 1}}}, "id_field": "id"}}}""",
+      "prefix, wildcard, fuzzy and regexp")
+    bad("""{"query": {"span_multi": {
+      "match": {"prefix": {"text": {"value": ""}}}, "id_field": "id"}}}""",
+      "non-empty string value")
+    bad("""{"query": {"span_multi": {"id_field": "id"}}}""",
+      "requires {match:")
+    bad("""{"query": {"span_multi": {
+      "match": {"prefix": {"text": {"value": "a"}}}}}}""",
+      "requires id_field")
+    bad("""{"query": {"span_near": {"clauses": [
+      {"span_multi": {"match": {"prefix": {"text": {"value": "a"}}},
+        "extra": 1}},
+      {"span_term": {"text": "b"}}],
+      "slop": 1, "id_field": "id"}}}""", "unsupported span_multi option")
+    bad("""{"query": {"bool": {"must": [{"span_multi": {
+      "match": {"prefix": {"text": {"value": "a"}}},
       "id_field": "id"}}]}}}""", "request-level query")
   }
 
