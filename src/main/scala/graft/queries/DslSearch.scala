@@ -4967,6 +4967,54 @@ object DslSearch {
         SELECT doc_id, n_spans FROM hits
         ORDER BY n_spans DESC, doc_id
         LIMIT 30
+      """.stripMargin.trim)),
+
+    // fuzziness with transpositions: true — the full Damerau-
+    // Levenshtein edit model (adjacent swap = ONE edit) via the
+    // codegen'd plans.DamerauLevenshtein expression; both query terms
+    // are pure-transposition typos, invisible at levenshtein 1. The
+    // engine DEFAULT stays plain levenshtein (every other fuzzy
+    // surface here uses it) — this gate covers the opt-in.
+    GraftQuery(
+      "q305_dsl_fuzzy_transpositions",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": {"query": "sotr windwo",
+             "fuzziness": 1, "transpositions": true}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, CAST(
+              CASE WHEN len(list_filter(toks,
+                t -> damerau_levenshtein(t, 'sotr') <= 1)) > 0
+                THEN 1 ELSE 0 END
+            + CASE WHEN len(list_filter(toks,
+                t -> damerau_levenshtein(t, 'windwo') <= 1)) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // the terms LOOKUP form: the values array fetched from one row of
+    // the request's own table (doc 7's language), resolved once on
+    // the driver (pushed-filter point read), then compiled as a plain
+    // map-side `isin` — "every document in the same language as X".
+    GraftQuery(
+      "q306_dsl_terms_lookup",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"terms": {"lang":
+             {"id_field": "doc_id", "id": 7, "path": "lang"}}},
+           "sort": ["doc_id"], "size": 50, "_source": ["doc_id", "lang"]}"""),
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE lang = (SELECT lang FROM documents WHERE doc_id = 7)
+        ORDER BY doc_id LIMIT 50
       """.stripMargin.trim))
   )
 }

@@ -471,6 +471,64 @@ object QueryDsl {
     case other => fail(s"script_score requires an object body: ${render(other)}")
   }
 
+  /** Resolve one `terms` LOOKUP body — `{"terms": {f: {"id_field":
+    * ..., "id": ..., "path": ...}}}` — to a plain values array. The
+    * list comes from ONE row of the request's OWN table (the engine's
+    * request unit is one table, so OpenSearch's `index` member fails
+    * loud): the row where `id_field` equals `id`, column `path` —
+    * an array column contributes its elements, a scalar column its
+    * single value. One driver-side job per lookup, bounded by
+    * construction (`limit(2)` — the id must be unique) with the
+    * filter pushed into the scan; the 65536-term cap mirrors
+    * OpenSearch's `max_terms_count`. A missing row, NULL or empty
+    * path FAILS LOUD — OpenSearch silently matches nothing there,
+    * which is the typo'd-id trap this engine's doctrine forbids.
+    */
+  private def resolveTermsLookup(f: String, m: Map[String, JValue],
+      table: DataFrame): JValue = {
+    if (m.contains("index"))
+      fail(s"terms lookup on '$f': 'index' is unsupported — the engine's " +
+        "request unit is ONE table, the lookup reads the request's own " +
+        "table (drop 'index' and give id_field/id/path)")
+    m.keySet.diff(Set("id_field", "id", "path")).foreach(k =>
+      fail(s"unsupported terms lookup option '$k' on '$f'"))
+    val idField = strOpt(m, "id_field").getOrElse(
+      fail(s"terms lookup on '$f' requires id_field (the document key column)"))
+    val id = m.getOrElse("id",
+      fail(s"terms lookup on '$f' requires an id"))
+    val path = strOpt(m, "path").getOrElse(
+      fail(s"terms lookup on '$f' requires a path (the column holding the terms)"))
+    val rows = table.filter(col(idField) === litOf(id))
+      .select(col(path)).limit(2).collect()
+    if (rows.isEmpty)
+      fail(s"terms lookup on '$f': no row with $idField = ${render(id)} " +
+        "(an empty lookup would silently match nothing)")
+    if (rows.length > 1)
+      fail(s"terms lookup on '$f': $idField = ${render(id)} is not unique")
+    def toJ(x: Any): JValue = x match {
+      case s: String  => JString(s)
+      case i: Int     => JInt(i)
+      case l: Long    => JInt(l)
+      case d: Double  => JDouble(d)
+      case b: Boolean => JBool(b)
+      case other => fail(s"terms lookup on '$f': unsupported term type " +
+        s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+    rows.head.get(0) match {
+      case null =>
+        fail(s"terms lookup on '$f': '$path' is NULL at $idField = ${render(id)}")
+      case seq: scala.collection.Seq[_] =>
+        if (seq.isEmpty)
+          fail(s"terms lookup on '$f': '$path' is empty at $idField = " +
+            s"${render(id)} (an empty lookup would silently match nothing)")
+        if (seq.size > 65536)
+          fail(s"terms lookup on '$f': ${seq.size} terms exceeds the " +
+            "65536-term cap (max_terms_count)")
+        JArray(seq.map(toJ).toList)
+      case x => JArray(List(toJ(x)))
+    }
+  }
+
   private def termClause(body: JValue, multi: Boolean): CompiledQuery =
     body match {
       // expanded term form: {"term": {f: {"value": v, "boost": n}}} —
@@ -574,10 +632,10 @@ object QueryDsl {
     */
   private def matchClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm, an, fuzz, prefixLen, ztq, boost) = spec match {
+      val (queryText, msm, an, fuzz, prefixLen, transp, ztq, boost) = spec match {
         case JString(s) =>
           (s, 1L, Analyzer.Whitespace: Analyzer,
-            None: Option[String => Long], 0, None: Option[String], 1L)
+            None: Option[String => Long], 0, false, None: Option[String], 1L)
         case JObject(opts) =>
           val m = opts.toMap
           val q = m.get("query") match {
@@ -610,7 +668,7 @@ object QueryDsl {
               "cannot be combined")
           m.keySet.diff(Set("query", "minimum_should_match", "operator",
             "analyzer", "fuzziness", "prefix_length", "zero_terms_query",
-            "boost"))
+            "boost", "transpositions"))
             .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
           // integer boost (the term-clause rule): score × boost — the
           // everyday relevance knob ("title matches count double")
@@ -620,9 +678,9 @@ object QueryDsl {
             case Some(other) =>
               fail(s"match boost must be a positive integer (exact scoring): ${render(other)}")
           }
-          val (fz, pl) = fuzzinessOpt(m, s"match on '$f'")
+          val (fz, pl, tr) = fuzzinessOpt(m, s"match on '$f'")
           (q, if (andOp) -1L else n, // -1 = resolve to |terms| below
-            analyzerOpt(m, s"match on '$f'"), fz, pl,
+            analyzerOpt(m, s"match on '$f'"), fz, pl, tr,
             strOpt(m, "zero_terms_query"), b)
         case other => fail(s"match body must be string or object: ${render(other)}")
       }
@@ -650,7 +708,8 @@ object QueryDsl {
       }
       val msmResolved = if (msm == -1L) terms.size.toLong else msm
       val score0 = overlapScore(
-        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen)
+        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
+        transp)
       // the predicate gates on the UNboosted overlap (boost scales
       // relevance, never reach); the score scales
       val score = if (boost == 1L) score0 else score0 * lit(boost)
@@ -659,16 +718,26 @@ object QueryDsl {
   }
 
   /** The match-family `fuzziness` option (`0`/`1`/`2` or `"AUTO"`) +
-    * `prefix_length`, parsed to a per-term edit-distance resolver.
-    * `AUTO` is the public OpenSearch rule resolved per query term ON
-    * THE DRIVER (term lengths are compile-time constants): 0 edits
-    * for 1–2 chars, 1 for 3–5, 2 for 6+. Distances past 2 fail loud
-    * (the OpenSearch cap — an unbounded distance makes the term
-    * dictionary walk quadratic). `prefix_length` without `fuzziness`
-    * is meaningless and fails loud.
+    * `prefix_length` + `transpositions`, parsed to a per-term
+    * edit-distance resolver. `AUTO` is the public OpenSearch rule
+    * resolved per query term ON THE DRIVER (term lengths are
+    * compile-time constants): 0 edits for 1–2 chars, 1 for 3–5, 2 for
+    * 6+. Distances past 2 fail loud (the OpenSearch cap — an
+    * unbounded distance makes the term dictionary walk quadratic).
+    * `transpositions: true` switches the edit model to full
+    * Damerau-Levenshtein ([[graft.plans.DamerauLevenshtein]] — an
+    * adjacent swap is ONE edit, the oracle's `damerau_levenshtein`).
+    * The ENGINE DEFAULT is `false` — plain levenshtein, matching
+    * every other fuzzy surface of this engine (the `fuzzy` clause,
+    * the term/phrase suggesters, query_string `~` expansions) — a
+    * DELIBERATE, documented divergence from OpenSearch's `true`
+    * default: one edit model across all surfaces beats faithfully
+    * flipping just this one and letting match disagree with the
+    * suggester over the same typo. `prefix_length`/`transpositions`
+    * without `fuzziness` are meaningless and fail loud.
     */
   private def fuzzinessOpt(m: Map[String, JValue],
-      where: String): (Option[String => Long], Int) = {
+      where: String): (Option[String => Long], Int, Boolean) = {
     val fz: Option[String => Long] = m.get("fuzziness") match {
       case None => None
       case Some(JInt(i)) =>
@@ -685,7 +754,15 @@ object QueryDsl {
     if (pl < 0) fail(s"$where: prefix_length must be >= 0")
     if (fz.isEmpty && m.contains("prefix_length"))
       fail(s"$where: prefix_length requires fuzziness")
-    (fz, pl)
+    val tr = m.get("transpositions") match {
+      case None           => false
+      case Some(JBool(b)) => b
+      case Some(other) =>
+        fail(s"$where: transpositions must be a boolean: ${render(other)}")
+    }
+    if (fz.isEmpty && m.contains("transpositions"))
+      fail(s"$where: transpositions requires fuzziness")
+    (fz, pl, tr)
   }
 
   /** Match-family score: number of DISTINCT query terms present in
@@ -699,10 +776,14 @@ object QueryDsl {
     * way a real term dictionary does).
     */
   private def overlapScore(fieldTokens: Column, terms: Seq[String],
-      fuzz: Option[String => Long], prefixLen: Int): Column = fuzz match {
+      fuzz: Option[String => Long], prefixLen: Int,
+      transpositions: Boolean = false): Column = fuzz match {
     case None =>
       size(array_intersect(fieldTokens, array(terms.map(lit): _*))).cast("long")
     case Some(d) =>
+      val edit: (Column, Column) => Column =
+        if (transpositions) graft.plans.DamerauLevenshtein.apply
+        else levenshtein(_, _)
       terms.map { t =>
         val dt = d(t)
         val cond =
@@ -710,7 +791,7 @@ object QueryDsl {
           else exists(fieldTokens, tok =>
             (if (prefixLen <= 0) lit(true)
              else tok.startsWith(t.take(prefixLen))) &&
-              levenshtein(tok, lit(t)) <= lit(dt))
+              edit(tok, lit(t)) <= lit(dt))
         when(cond, lit(1L)).otherwise(lit(0L))
       }.reduce(_ + _)
   }
@@ -957,15 +1038,21 @@ object QueryDsl {
     * distinct tokens within `fuzziness` (default 1) edits of the value;
     * `prefix_length` (default 0) requires that many leading characters
     * to match exactly, which is also what bounds the candidate set in a
-    * real term dictionary.
+    * real term dictionary. `transpositions: true` switches the edit
+    * model to full Damerau-Levenshtein (adjacent swap = ONE edit —
+    * [[graft.plans.DamerauLevenshtein]]); the engine default stays
+    * `false` (plain levenshtein, the model every other fuzzy surface
+    * here uses — a deliberate, documented divergence from OpenSearch's
+    * `true` default; see [[fuzzinessOpt]]).
     */
   private def fuzzyClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (value, fuzz, prefixLen) = spec match {
-        case JString(s) => (s, 1L, 0)
+      val (value, fuzz, prefixLen, transp) = spec match {
+        case JString(s) => (s, 1L, 0, false)
         case JObject(opts) =>
           val m = opts.toMap
-          m.keySet.diff(Set("value", "fuzziness", "prefix_length")).foreach(k =>
+          m.keySet.diff(Set("value", "fuzziness", "prefix_length",
+            "transpositions")).foreach(k =>
             fail(s"unsupported fuzzy option '$k' on '$f'"))
           val v = strOpt(m, "value").getOrElse(fail(s"fuzzy on '$f' requires a string 'value'"))
           val fz = m.get("fuzziness") match {
@@ -974,16 +1061,25 @@ object QueryDsl {
             case None          => 1L
             case Some(other)   => fail(s"fuzziness must be an int: ${render(other)}")
           }
-          (v, fz, intOpt(m, "prefix_length").getOrElse(0))
+          val tr = m.get("transpositions") match {
+            case None           => false
+            case Some(JBool(b)) => b
+            case Some(other) =>
+              fail(s"transpositions must be a boolean: ${render(other)}")
+          }
+          (v, fz, intOpt(m, "prefix_length").getOrElse(0), tr)
         case other => fail(s"fuzzy body must be string or object: ${render(other)}")
       }
       if (value.isEmpty) fail(s"fuzzy on '$f' has an empty value")
+      val edit: (Column, Column) => Column =
+        if (transp) graft.plans.DamerauLevenshtein.apply
+        else levenshtein(_, _)
       val toks = array_distinct(split(col(f), " "))
       val candidate: Column => Column =
         if (prefixLen <= 0) identity
         else t => when(t.startsWith(value.take(prefixLen)), t)
       val matched = filter(toks, t =>
-        candidate(t).isNotNull && levenshtein(t, lit(value)) <= lit(fuzz))
+        candidate(t).isNotNull && edit(t, lit(value)) <= lit(fuzz))
       val score = size(matched).cast("long")
       CompiledQuery(score >= 1L, score)
     case other => fail(s"fuzzy requires {field: spec}: ${render(other)}")
@@ -1222,7 +1318,8 @@ object QueryDsl {
     case JObject(parts) =>
       val m = parts.toMap
       m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
-          "minimum_should_match", "analyzer", "fuzziness", "prefix_length"))
+          "minimum_should_match", "analyzer", "fuzziness", "prefix_length",
+          "transpositions"))
         .foreach(k => fail(s"unsupported multi_match option '$k'"))
       val qtext = strOpt(m, "query")
         .getOrElse(fail("multi_match requires a string 'query'"))
@@ -1244,9 +1341,10 @@ object QueryDsl {
         case None          => 1L
         case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
       }
-      val (fuzz, prefixLen) = fuzzinessOpt(m, "multi_match")
+      val (fuzz, prefixLen, transp) = fuzzinessOpt(m, "multi_match")
       val perField = fields.map(f => overlapScore(
-        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen))
+        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
+        transp))
       val matched = perField.map(s => when(s >= lit(msm), s).otherwise(0L))
       val pred = perField.map(_ >= lit(msm)).reduce(_ || _)
       strOpt(m, "type").getOrElse("best_fields") match {
@@ -1270,7 +1368,7 @@ object QueryDsl {
             fail("tie_breaker applies to best_fields only")
           val union = array_distinct(concat(fields.map(f =>
             array_distinct(split(an.norm(col(f)), " "))): _*))
-          val s = overlapScore(union, terms, fuzz, prefixLen)
+          val s = overlapScore(union, terms, fuzz, prefixLen, transp)
           CompiledQuery(s >= lit(msm), when(s >= lit(msm), s).otherwise(0L))
         // phrase: the whole query as a match_phrase per field (the
         // token-boundary substring contract); score = the number of
@@ -2329,13 +2427,13 @@ object QueryDsl {
             }
           case "fuzzy" =>
             // the fuzzy-clause option shape (value / fuzziness /
-            // prefix_length), reapplied to single tokens
-            val (f, value, fuzz, prefixLen) = body match {
-              case JObject(List((f0, JString(s)))) => (f0, s, 1L, 0)
+            // prefix_length / transpositions), reapplied to single tokens
+            val (f, value, fuzz, prefixLen, transp) = body match {
+              case JObject(List((f0, JString(s)))) => (f0, s, 1L, 0, false)
               case JObject(List((f0, JObject(opts)))) =>
                 val fm = opts.toMap
-                fm.keySet.diff(Set("value", "fuzziness", "prefix_length"))
-                  .foreach(k =>
+                fm.keySet.diff(Set("value", "fuzziness", "prefix_length",
+                  "transpositions")).foreach(k =>
                     fail(s"unsupported span_multi fuzzy option '$k' on '$f0'"))
                 val v = strOpt(fm, "value").getOrElse(
                   fail(s"span_multi fuzzy on '$f0' requires a string 'value'"))
@@ -2347,16 +2445,25 @@ object QueryDsl {
                   case Some(other) =>
                     fail(s"fuzziness must be an int: ${render(other)}")
                 }
-                (f0, v, fz, intOpt(fm, "prefix_length").getOrElse(0))
+                val tr = fm.get("transpositions") match {
+                  case None           => false
+                  case Some(JBool(b)) => b
+                  case Some(other) =>
+                    fail(s"transpositions must be a boolean: ${render(other)}")
+                }
+                (f0, v, fz, intOpt(fm, "prefix_length").getOrElse(0), tr)
               case other =>
                 fail(s"span_multi fuzzy requires {field: spec}: ${render(other)}")
             }
             if (value.isEmpty) fail(s"span_multi fuzzy on '$f' has an empty value")
+            val edit: (Column, Column) => Column =
+              if (transp) graft.plans.DamerauLevenshtein.apply
+              else levenshtein(_, _)
             val guard: Column => Column =
               if (prefixLen <= 0) _ => lit(true)
               else tok => tok.startsWith(lit(value.take(prefixLen)))
-            (f, tok => guard(tok) && levenshtein(tok, lit(value)) <= lit(fuzz),
-              s"fuzzy $f $value $fuzz $prefixLen")
+            (f, tok => guard(tok) && edit(tok, lit(value)) <= lit(fuzz),
+              s"fuzzy $f $value $fuzz $prefixLen $transp")
           case "regexp" =>
             val (f, v, ci) = fieldValueCi(body, "span_multi regexp")
             val pat = v match {
@@ -3782,6 +3889,43 @@ object QueryDsl {
         "script_fields", "runtime_mappings", "rescore", "post_filter",
         "track_total_hits", "explain", "fields", "docvalue_fields"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `terms` LOOKUP form anywhere in the query-bearing sections
+    // (query / post_filter / rescore — clause trees; aggs keep their
+    // own `terms` AGG spelling untouched): each lookup resolves ONCE
+    // on the driver to a plain values array ([[resolveTermsLookup]] —
+    // a pushed-filter point read), then the request re-enters
+    // compilation as an ordinary terms clause, so the row-side
+    // predicate stays the map-side-pushable `isin` and composes
+    // inside bool/function_score/… for free.
+    locally {
+      var changed = false
+      def isLookup(v: JValue): Boolean = v match {
+        case JObject(o) =>
+          val k = o.map(_._1).toSet
+          k.contains("path") || k.contains("index")
+        case _ => false
+      }
+      def walk(v: JValue): JValue = v match {
+        case JObject(fields) => JObject(fields.map {
+          case ("terms", JObject(parts)) if parts.exists(p => isLookup(p._2)) =>
+            changed = true
+            ("terms", JObject(parts.map {
+              case (pf, pv) if isLookup(pv) =>
+                val JObject(o) = pv: @unchecked
+                (pf, resolveTermsLookup(pf, o.toMap, table))
+              case other => other
+            }))
+          case (k, v2) => (k, walk(v2))
+        })
+        case JArray(vs) => JArray(vs.map(walk))
+        case other      => other
+      }
+      val walked = Seq("query", "post_filter", "rescore").foldLeft(req) {
+        (r, s) => r.get(s).fold(r)(v => r.updated(s, walk(v)))
+      }
+      if (changed) return search(table, render(JObject(walked.toList)))
+    }
 
     // `explain` flag: per-hit score decomposition riding the hit table
     // as part_* columns (the _explain endpoint's contract, inline)

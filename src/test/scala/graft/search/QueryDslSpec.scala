@@ -252,6 +252,109 @@ class QueryDslSpec extends SparkSpec {
       "prefix_length": -1}}}""", "prefix_length must be >= 0")
   }
 
+  test("fuzziness transpositions: adjacent swap is one edit when opted in") {
+    import spark.implicits._
+    val t = Seq((1L, "spark rules"), (2L, "sprak typo"), (3L, "spa short"))
+      .toDF("id", "text")
+    def ids(q: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": $q, "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    // sprak = spark with one adjacent swap: DL 1, levenshtein 2 — the
+    // engine default (false) keeps the plain-levenshtein model
+    assert(ids("""{"fuzzy": {"text": {"value": "sprak",
+      "fuzziness": 1}}}""") === Seq(2L))
+    assert(ids("""{"fuzzy": {"text": {"value": "sprak",
+      "fuzziness": 1, "transpositions": true}}}""") === Seq(1L, 2L))
+    assert(ids("""{"fuzzy": {"text": {"value": "sprak",
+      "fuzziness": 1, "transpositions": false}}}""") === Seq(2L))
+    // the match-family option threads through overlapScore
+    assert(ids("""{"match": {"text": {"query": "sprak",
+      "fuzziness": 1, "transpositions": true}}}""") === Seq(1L, 2L))
+    assert(ids("""{"match": {"text": {"query": "sprak",
+      "fuzziness": 1}}}""") === Seq(2L))
+    // and multi_match
+    assert(ids("""{"multi_match": {"query": "sprak", "fields": ["text"],
+      "fuzziness": 1, "transpositions": true}}""") === Seq(1L, 2L))
+    // span_multi fuzzy takes it too (position count over the swap)
+    val spans = QueryDsl.search(t,
+      """{"query": {"span_multi": {
+          "match": {"fuzzy": {"text": {"value": "sprak", "fuzziness": 1,
+            "transpositions": true}}},
+          "id_field": "id"}}, "_source": ["id", "n_spans"]}""")
+      .as[(Long, Long)].collect().toMap
+    assert(spans === Map(1L -> 1L, 2L -> 1L))
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+        s"""{"query": $q}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"match": {"text": {"query": "x", "transpositions": true}}}""",
+      "transpositions requires fuzziness")
+    bad("""{"match": {"text": {"query": "x", "fuzziness": 1,
+      "transpositions": 1}}}""", "transpositions must be a boolean")
+    bad("""{"fuzzy": {"text": {"value": "x", "transpositions": "yes"}}}""",
+      "transpositions must be a boolean")
+  }
+
+  test("terms lookup resolves the values array from one row of the table") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "news", "a", Seq("a", "b"), Some(10L)),
+      (2L, "blog", "b", Seq("b"), Some(20L)),
+      (3L, "news", "c", Seq.empty[String], None),
+      (4L, "wiki", "a", Seq("a"), Some(10L)))
+      .toDF("id", "kind", "tag1", "tags", "score_ref")
+    def ids(req: String): Seq[Long] = QueryDsl.search(t, req)
+      .as[Long].collect().toSeq
+    // array path: doc 1's tags become the values list
+    assert(ids("""{"query": {"terms": {"kind":
+        {"id_field": "id", "id": 1, "path": "kind"}}},
+      "sort": ["id"], "_source": ["id"]}""") === Seq(1L, 3L))
+    // scalar path on a LONG column keeps the type
+    assert(ids("""{"query": {"terms": {"score_ref":
+        {"id_field": "id", "id": 4, "path": "score_ref"}}},
+      "sort": ["id"], "_source": ["id"]}""") === Seq(1L, 4L))
+    // the resolved clause composes inside bool like any terms
+    assert(ids("""{"query": {"bool": {
+        "must": [{"terms": {"kind":
+          {"id_field": "id", "id": 1, "path": "kind"}}}],
+        "must_not": [{"term": {"id": 1}}]}},
+      "sort": ["id"], "_source": ["id"]}""") === Seq(3L))
+    // and in post_filter
+    assert(ids("""{"query": {"match_all": {}},
+      "post_filter": {"terms": {"kind":
+        {"id_field": "id", "id": 2, "path": "kind"}}},
+      "sort": ["id"], "_source": ["id"]}""") === Seq(2L))
+    def bad(req: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, req))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"terms": {"kind":
+      {"index": "other", "id": 1, "path": "kind"}}}}""",
+      "'index' is unsupported")
+    bad("""{"query": {"terms": {"kind":
+      {"id_field": "id", "id": 99, "path": "kind"}}}}""",
+      "no row with id")
+    bad("""{"query": {"terms": {"kind":
+      {"id_field": "kind", "id": "news", "path": "kind"}}}}""",
+      "not unique")
+    bad("""{"query": {"terms": {"kind":
+      {"id_field": "id", "id": 3, "path": "score_ref"}}}}""",
+      "is NULL at")
+    bad("""{"query": {"terms": {"kind":
+      {"id_field": "id", "id": 3, "path": "tags"}}}}""",
+      "is empty at")
+    bad("""{"query": {"terms": {"kind":
+      {"id_field": "id", "id": 1, "path": "kind", "routing": "x"}}}}""",
+      "unsupported terms lookup option 'routing'")
+    bad("""{"query": {"terms": {"kind":
+      {"id": 1, "path": "kind"}}}}""", "requires id_field")
+    // an array path feeds a terms list with several values
+    assert(ids("""{"query": {"terms": {"tag1":
+        {"id_field": "id", "id": 1, "path": "tags"}}},
+      "sort": ["id"], "_source": ["id"]}""") === Seq(1L, 2L, 4L))
+  }
+
   test("terms_set gates on minimum_should_match and scores the overlap") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"terms_set": {"text":
