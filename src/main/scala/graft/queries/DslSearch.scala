@@ -5015,6 +5015,56 @@ object DslSearch {
         SELECT doc_id, lang FROM documents
         WHERE lang = (SELECT lang FROM documents WHERE doc_id = 7)
         ORDER BY doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // geo_shape with a convex CCW polygon (GeoJSON [lon, lat] ring)
+    // against the shared synthetic point set — the same half-plane
+    // comparison predicates as geo_polygon, replicated edge-for-edge
+    // in the oracle so the IEEE arithmetic matches exactly.
+    GraftQuery(
+      "q307_dsl_geo_shape",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+               "shape": {"type": "polygon", "coordinates":
+                 [[[0.0, 0.0], [60.0, 0.0], [0.0, 60.0], [0.0, 0.0]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 120,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, lat, lon FROM pts
+        WHERE (60.0 - 0.0) * (lat - 0.0) - (0.0 - 0.0) * (lon - 0.0) >= 0.0
+          AND (0.0 - 60.0) * (lat - 0.0) - (60.0 - 0.0) * (lon - 60.0) >= 0.0
+          AND (0.0 - 0.0) * (lat - 60.0) - (0.0 - 60.0) * (lon - 0.0) >= 0.0
+        ORDER BY c_custkey
+        LIMIT 120
+      """.stripMargin.trim)),
+
+    // `_script` sort: a computed integer expression through the SAME
+    // ScoreScript compiler as script_score — one codegen'd Catalyst
+    // column, zero row-time interpretation.
+    GraftQuery(
+      "q308_dsl_script_sort",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "sort": [{"_script": {"type": "number",
+             "script": {"source":
+               "doc['n_chars'].value * params.w - doc['doc_id'].value",
+               "params": {"w": 3}},
+             "order": "desc"}}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "n_chars"]}"""),
+      Some("""
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars * 3 - doc_id DESC, doc_id
+        LIMIT 40
       """.stripMargin.trim))
   )
 }

@@ -323,6 +323,7 @@ object QueryDsl {
       case "script_score"     => scriptScoreClause(body)
       case "wrapper"          => wrapperClause(body)
       case "geo_polygon"      => geoPolygonClause(body)
+      case "geo_shape"        => geoShapeClause(body)
       case "combined_fields"  => combinedFieldsClause(body)
       case "span_first"       => spanFirstClause(body)
       case "more_like_this" | "span_near" | "percolate" | "intervals" |
@@ -338,8 +339,8 @@ object QueryDsl {
           "dis_max, boosting, pinned, ids, regexp, multi_match, " +
           "simple_query_string, query_string, function_score, " +
           "distance_feature, rank_feature, parent_id, nested, geo_distance, " +
-          "geo_bounding_box, script_score, script, wrapper, " +
-          "combined_fields, span_first)")
+          "geo_bounding_box, geo_polygon, geo_shape, script_score, script, " +
+          "wrapper, combined_fields, span_first)")
     }
 
   /** `wrapper`: a base64-encoded query object, decoded and compiled
@@ -2142,25 +2143,125 @@ object QueryDsl {
         }
         case _ => fail("geo_polygon requires a points array of >= 3 vertices")
       }
-      val n = pts.size
-      // driver-side ring check: every turn strictly counter-clockwise
-      (0 until n).foreach { i =>
-        val (aLat, aLon) = pts(i)
-        val (bLat, bLon) = pts((i + 1) % n)
-        val (cLat, cLon) = pts((i + 2) % n)
-        val cross = (bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon)
-        if (cross <= 0)
-          fail(s"geo_polygon ring must be strictly convex and " +
-            s"counter-clockwise (turn at vertex ${(i + 1) % n} is not)")
-      }
-      val inside = (0 until n).map { i =>
-        val (lat1, lon1) = pts(i)
-        val (lat2, lon2) = pts((i + 1) % n)
-        ((lit(lon2) - lit(lon1)) * (col(latF) - lit(lat1)) -
-          (lit(lat2) - lit(lat1)) * (col(lonF) - lit(lon1))) >= lit(0.0)
-      }.reduce(_ && _)
-      CompiledQuery(inside, lit(1L))
+      CompiledQuery(convexRingPredicate(pts, latF, lonF, "geo_polygon"), lit(1L))
     case other => fail(s"geo_polygon requires an object body: ${render(other)}")
+  }
+
+  /** Shared by geo_polygon and geo_shape polygon: driver-side
+    * strictly-convex counter-clockwise ring validation + the
+    * inside-every-edge half-plane predicate (boundary counts).
+    */
+  private def convexRingPredicate(pts: Seq[(Double, Double)], latF: String,
+      lonF: String, where: String): Column = {
+    val n = pts.size
+    // driver-side ring check: every turn strictly counter-clockwise
+    (0 until n).foreach { i =>
+      val (aLat, aLon) = pts(i)
+      val (bLat, bLon) = pts((i + 1) % n)
+      val (cLat, cLon) = pts((i + 2) % n)
+      val cross = (bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon)
+      if (cross <= 0)
+        fail(s"$where ring must be strictly convex and " +
+          s"counter-clockwise (turn at vertex ${(i + 1) % n} is not)")
+    }
+    (0 until n).map { i =>
+      val (lat1, lon1) = pts(i)
+      val (lat2, lon2) = pts((i + 1) % n)
+      ((lit(lon2) - lit(lon1)) * (col(latF) - lit(lat1)) -
+        (lit(lat2) - lit(lat1)) * (col(lonF) - lit(lon1))) >= lit(0.0)
+    }.reduce(_ && _)
+  }
+
+  /** `geo_shape`: an inline query shape tested against point
+    * documents (lat_field/lon_field — the engine's geo convention;
+    * it has no geo-shape DOCUMENT type, so shapes live on the query
+    * side only). Shape types: `envelope` (GeoJSON-ordered corners
+    * `[[lon, lat_top_left], [lon, lat_bottom_right]]` — the
+    * OpenSearch envelope contract), `polygon` (ONE closed convex CCW
+    * ring, GeoJSON `[[[lon, lat], ...]]`, first == last), `point`
+    * (`[lon, lat]`). Relations over point docs: `intersects`
+    * (default) and `within` coincide (a point touching a shape lies
+    * within it — documented), `disjoint` is the complement (NULL
+    * coordinates drop the row, the standard tri-state), `contains`
+    * fails loud — a point field cannot contain an area. Everything
+    * compiles to the same pushable comparison predicates as
+    * geo_bounding_box/geo_polygon; score 1 (a filter-shaped clause).
+    */
+  private def geoShapeClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "shape", "relation"))
+        .foreach(k => fail(s"unsupported geo_shape option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_shape requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_shape requires lon_field"))
+      val sm = m.get("shape") match {
+        case Some(JObject(s)) => s.toMap
+        case _ => fail("geo_shape requires a shape object ({type, coordinates})")
+      }
+      sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+        fail(s"unsupported geo_shape shape option '$k'"))
+      def num(v: JValue, what: String): Double = v match {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"$what must be numeric: ${render(other)}")
+      }
+      // GeoJSON coordinate order: [lon, lat]
+      def lonLat(v: JValue, what: String): (Double, Double) = v match {
+        case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+        case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+      }
+      val coords = sm.getOrElse("coordinates",
+        fail("geo_shape shape requires coordinates"))
+      val intersects: Column =
+        strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a, b)) =>
+                (lonLat(a, "envelope top_left"), lonLat(b, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            val (leftLon, topLat) = tl
+            val (rightLon, botLat) = br
+            if (topLat < botLat)
+              fail(s"envelope top lat ($topLat) must be >= bottom lat ($botLat)")
+            if (leftLon > rightLon)
+              fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
+                s"right lon $rightLon) is unsupported")
+            col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
+              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
+          case "polygon" =>
+            val ring = coords match {
+              case JArray(List(JArray(r))) if r.size >= 4 =>
+                r.map(lonLat(_, "polygon vertex"))
+              case _ => fail("polygon coordinates must be ONE ring " +
+                "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
+            }
+            if (ring.head != ring.last)
+              fail("polygon ring must be closed (first vertex == last)")
+            val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+            if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
+            convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+          case "point" =>
+            val (lo, la) = lonLat(coords, "point coordinates")
+            col(latF) === lit(la) && col(lonF) === lit(lo)
+          case other => fail(s"geo_shape type must be envelope, polygon " +
+            s"or point, got '$other'")
+        }
+      strOpt(m, "relation").getOrElse("intersects") match {
+        // within == intersects for POINT documents: a point touching
+        // a shape lies within it
+        case "intersects" | "within" => CompiledQuery(intersects, lit(1L))
+        case "disjoint"              => CompiledQuery(!intersects, lit(1L))
+        case "contains" => fail("geo_shape relation contains is unsupported: " +
+          "a point field cannot contain an area (use intersects)")
+        case other => fail(s"geo_shape relation must be intersects, within " +
+          s"or disjoint, got '$other'")
+      }
+    case other => fail(s"geo_shape requires an object body: ${render(other)}")
   }
 
   private def geoDistanceClause(body: JValue): CompiledQuery = body match {
@@ -3887,7 +3988,8 @@ object QueryDsl {
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
         "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
         "script_fields", "runtime_mappings", "rescore", "post_filter",
-        "track_total_hits", "explain", "fields", "docvalue_fields"))
+        "track_total_hits", "track_scores", "explain", "fields",
+        "docvalue_fields"))
       .foreach(k => fail(s"unsupported request key '$k'"))
 
     // `terms` LOOKUP form anywhere in the query-bearing sections
@@ -3945,6 +4047,17 @@ object QueryDsl {
       case JInt(n) if n > 0   => ()
       case other => fail(s"track_total_hits must be a boolean or a " +
         s"positive integer: ${render(other)}")
+    }
+
+    // `track_scores`: validated, behaviorally a no-op BY DESIGN — in
+    // OpenSearch a field sort skips scoring unless this opts back in;
+    // here the score is an ordinary column of the hit table, always
+    // computed, always addressable (`_source: ["score"]`, `_score`
+    // sort) whatever the sort. Accepting the key keeps real request
+    // bodies replayable; a non-bool shape still fails loud.
+    req.get("track_scores").foreach {
+      case JBool(_) => ()
+      case other    => fail(s"track_scores must be a boolean: ${render(other)}")
     }
 
     // `runtime_mappings`: request-level computed fields through the
@@ -4746,6 +4859,8 @@ object QueryDsl {
     def one(v: JValue): Column = v match {
       case JObject(List(("_geo_distance", JObject(opts)))) =>
         geoDistanceSortCol(opts.toMap)
+      case JObject(List(("_script", JObject(opts)))) =>
+        scriptSortCol(opts.toMap)
       case JObject(List((f, JObject(opts0)))) =>
         // sort options (the OpenSearch per-field object form):
         // `missing` places NULL keys (_first/_last) explicitly;
@@ -4834,6 +4949,55 @@ object QueryDsl {
     strOpt(m, "order").getOrElse("asc") match {
       case "asc"  => dist.asc
       case "desc" => dist.desc
+      case other  => fail(s"sort order must be asc|desc, got '$other'")
+    }
+  }
+
+  /** `_script` sort entry: order hits by a computed expression through
+    * the SAME ScoreScript compiler as script_score/script_fields —
+    * compiled ONCE on the driver to a codegen'd Catalyst column, zero
+    * row-time interpretation. `type` must be `number` (the exact
+    * integer script model — OpenSearch's other type, `string`, buys
+    * nothing over sorting the concatenated column directly).
+    * `_score` references fail loud: sort on `{"_score": ...}` itself
+    * and tie-break with fields — binding it here would couple the
+    * sort to a score column some request shapes don't carry.
+    */
+  private def scriptSortCol(m: Map[String, JValue]): Column = {
+    m.keySet.diff(Set("type", "script", "order")).foreach(k =>
+      fail(s"unsupported _script sort option '$k'"))
+    strOpt(m, "type") match {
+      case Some("number") => ()
+      case Some(other) => fail(s"_script sort type must be 'number' (the " +
+        s"exact integer script model), got '$other'")
+      case None => fail("_script sort requires type: number")
+    }
+    val (src, params) = m.get("script") match {
+      case Some(JObject(s)) =>
+        val sm = s.toMap
+        sm.keySet.diff(Set("source", "params")).foreach(k =>
+          fail(s"unsupported script option '$k' in _script sort"))
+        val source = strOpt(sm, "source")
+          .getOrElse(fail("_script sort script needs a source"))
+        val ps: Map[String, Long] = sm.get("params") match {
+          case Some(JObject(po)) => po.map {
+            case (k, JInt(v)) => k -> v.toLong
+            case (k, other) =>
+              fail(s"script param '$k' must be an integer: ${render(other)}")
+          }.toMap
+          case None        => Map.empty
+          case Some(other) => fail(s"script params must be an object: ${render(other)}")
+        }
+        (source, ps)
+      case _ => fail("_script sort needs {script: {source, params?}}")
+    }
+    if (ScoreScript.referencesScore(src))
+      fail("_script sort cannot reference _score (sort on {\"_score\": ...} " +
+        "directly and tie-break with fields)")
+    val c = ScoreScript.compile(src, params, lit(0L))
+    strOpt(m, "order").getOrElse("asc") match {
+      case "asc"  => c.asc
+      case "desc" => c.desc
       case other  => fail(s"sort order must be asc|desc, got '$other'")
     }
   }

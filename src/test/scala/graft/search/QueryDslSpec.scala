@@ -140,7 +140,7 @@ class QueryDslSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
       assert(e.getMessage.contains(fragment), e.getMessage)
     }
-    bad("""{"query": {"geo_shape": {"area": {}}}}""", "unsupported query clause")
+    bad("""{"query": {"geo_circle": {"area": {}}}}""", "unsupported query clause")
     bad("""{"query": {"bool": {"mustt": []}}}""", "unsupported bool section")
     bad("""{"query": {"range": {"n_chars": {"between": 3}}}}""", "range bound")
     bad("""{"pit": {}}""", "unsupported request key")
@@ -3673,6 +3673,95 @@ class QueryDslSpec extends SparkSpec {
       "strictly convex")
   }
 
+  test("geo_shape: envelope/polygon/point shapes with relations over point docs") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, 0.5, 0.5), (2L, 2.0, 2.0), (3L, 0.0, 0.0), (4L, 1.0, 0.0))
+      .toDF("id", "lat", "lon")
+    def ids(shape: String, relation: String = "intersects"): Seq[Long] =
+      QueryDsl.search(t,
+        s"""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+             "shape": $shape, "relation": "$relation"}},
+           "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    // envelope: [lon, lat] GeoJSON order, [top-left, bottom-right]
+    val env = """{"type": "envelope", "coordinates": [[0.0, 1.0], [1.0, 0.0]]}"""
+    assert(ids(env) === Seq(1L, 3L, 4L))
+    assert(ids(env, "within") === Seq(1L, 3L, 4L)) // == intersects for points
+    assert(ids(env, "disjoint") === Seq(2L))
+    // polygon: one closed convex CCW ring
+    val poly = """{"type": "polygon", "coordinates":
+      [[[0.0, 0.0], [3.0, 0.0], [0.0, 3.0], [0.0, 0.0]]]}"""
+    assert(ids(poly) === Seq(1L, 3L, 4L)) // (2,2): lat+lon > 3, outside
+    assert(ids(poly, "disjoint") === Seq(2L))
+    // point shape: exact coordinate equality
+    assert(ids("""{"type": "point", "coordinates": [0.5, 0.5]}""") === Seq(1L))
+    // boundary counts as intersecting (doc 3/4 on the envelope edge)
+    assert(ids(env).contains(3L) && ids(env).contains(4L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    def badShape(shape: String, frag: String, rel: String = "intersects"): Unit =
+      bad(s"""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+        "shape": $shape, "relation": "$rel"}}}""", frag)
+    badShape(env, "contains is unsupported", "contains")
+    badShape(env, "relation must be", "overlaps")
+    badShape("""{"type": "circle", "coordinates": [0, 0]}""",
+      "type must be envelope, polygon or point")
+    badShape("""{"type": "envelope", "coordinates": [[0, 0], [1, 1]]}""",
+      "top lat")                            // top-left below bottom-right
+    badShape("""{"type": "polygon", "coordinates":
+      [[[0.0, 0.0], [3.0, 0.0], [0.0, 3.0], [1.0, 1.0]]]}""",
+      "must be closed")
+    badShape("""{"type": "polygon", "coordinates":
+      [[[0.0, 0.0], [0.0, 3.0], [3.0, 0.0], [0.0, 0.0]]]}""",
+      "counter-clockwise")                  // clockwise ring
+    bad("""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+      "shape": {"type": "point", "coordinates": [0, 0]}, "boost": 2}}}""",
+      "unsupported geo_shape option 'boost'")
+    bad("""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon"}}}""",
+      "requires a shape")
+  }
+
+  test("_script sort orders by a compiled script column; track_scores is inert") {
+    import spark.implicits._
+    val t = Seq((1L, 10L, 3L), (2L, 5L, 1L), (3L, 7L, 100L))
+      .toDF("id", "a", "b")
+    // a*m − b ascending — 1: 10·2−3=17, 2: 5·2−1=9, 3: 7·2−100=−86
+    val sorted = QueryDsl.search(t,
+      """{"query": {"match_all": {}},
+         "sort": [{"_script": {"type": "number",
+           "script": {"source": "doc['a'].value * params.m - doc['b'].value",
+             "params": {"m": 2}},
+           "order": "asc"}}, "id"],
+         "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(sorted === Seq(3L, 2L, 1L))
+    // track_scores: accepted boolean, score column unchanged either way
+    val withFlag = QueryDsl.search(t,
+      """{"query": {"term": {"id": 1}}, "track_scores": true,
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(withFlag === Seq((1L, 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_all": {}}, "track_scores": "yes"}""",
+      "track_scores must be a boolean")
+    bad("""{"query": {"match_all": {}}, "sort": [{"_script": {
+      "script": {"source": "doc['a'].value"}}}]}""", "requires type: number")
+    bad("""{"query": {"match_all": {}}, "sort": [{"_script": {
+      "type": "string", "script": {"source": "doc['a'].value"}}}]}""",
+      "type must be 'number'")
+    bad("""{"query": {"match_all": {}}, "sort": [{"_script": {
+      "type": "number", "script": {"source": "_score * 2"}}}]}""",
+      "cannot reference _score")
+    bad("""{"query": {"match_all": {}}, "sort": [{"_script": {
+      "type": "number", "script": {"source": "doc['a'].value"},
+      "mode": "min"}}]}""",
+      "unsupported _script sort option 'mode'")
+  }
+
   test("terms order by sub-metric / _key / _count; validates loudly") {
     val byKey = QueryDsl.search(docs,
       """{"aggs": {"l": {"terms": {"field": "lang",
@@ -3702,7 +3791,7 @@ class QueryDslSpec extends SparkSpec {
     assert(QueryDsl.validateRequest(docs,
       """{"query": {"term": {"lang": "en"}}}""") === (true, None))
     val (ok1, msg1) = QueryDsl.validateRequest(docs,
-      """{"query": {"geo_shape": {}}}""")
+      """{"query": {"geo_circle": {}}}""")
     assert(!ok1 && msg1.exists(_.contains("unsupported query clause")))
     val (ok2, msg2) = QueryDsl.validateRequest(docs,
       """{"query": {"term": {"no_such_column": 1}}}""")
