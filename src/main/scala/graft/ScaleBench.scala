@@ -86,7 +86,17 @@ object ScaleBench {
       // explode + element groupBy + COUNT(DISTINCT parent id); the
       // distinct count must stay a two-phase hash partial-agg (never
       // a global sort) as the exploded row count multiplies
-      "q296_dsl_reverse_nested")
+      "q296_dsl_reverse_nested",
+      // round-10 late additions with corpus-sized scans: span_multi's
+      // PREFIX postings filter (a startsWith over EVERY token
+      // position — the perturbed `r<k>x` tokens never match, so the
+      // postings stay base-sized while the posexplode/filter scan
+      // multiplies: the pure scan-growth shape) and the
+      // Damerau-Levenshtein fuzzy scan (the DL DP runs per distinct
+      // token per row whether it matches or not — heavier per token
+      // than levenshtein's, which is exactly why its growth curve
+      // gets recorded)
+      "q303_dsl_span_multi_near", "q305_dsl_fuzzy_transpositions")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

@@ -5065,6 +5065,89 @@ object DslSearch {
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars * 3 - doc_id DESC, doc_id
         LIMIT 40
+      """.stripMargin.trim)),
+
+    // the _termvectors endpoint: doc 7's per-term stats with 0-based
+    // positions and corpus term_statistics — a pushed point read plus
+    // ONE vocabulary-bounded corpus agg joined to the tiny term set.
+    GraftQuery(
+      "q309_dsl_termvectors",
+      (s, dir) => QueryDsl.termvectors(
+        Tables.load(s, dir, "documents"),
+        """{"id_field": "doc_id", "id": 7, "field": "text",
+           "positions": true, "term_statistics": true}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS term,
+                 unnest(range(0, len(a))) AS p
+          FROM arr),
+        doc AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS term_freq,
+                 array_to_string(list_transform(list_sort(list(p)),
+                   x -> CAST(x AS VARCHAR)), ',') AS positions
+          FROM pos WHERE doc_id = 7 GROUP BY term),
+        stats AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+                 CAST(COUNT(*) AS BIGINT) AS ttf
+          FROM pos GROUP BY term)
+        SELECT term, term_freq, positions, doc_freq, ttf
+        FROM doc JOIN stats USING (term)
+        ORDER BY term
+      """.stripMargin.trim)),
+
+    // minimum_should_match percentage form: "60%" of 5 query terms
+    // resolves to 3 ON THE DRIVER (floor, the OpenSearch rounding) —
+    // the request replays byte-identically as the integer form.
+    GraftQuery(
+      "q310_dsl_msm_percentage",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text":
+             {"query": "spark join window merge stream",
+              "minimum_should_match": "60%"}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join', 'window', 'merge', 'stream']))
+                 AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 3
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // the script_score FUNCTION inside function_score: a computed
+    // unit-scale value through the shared ScoreScript compiler,
+    // multiplied into the match score by boost_mode — one codegen'd
+    // projection, zero row-time interpretation.
+    GraftQuery(
+      "q311_dsl_function_script_score",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": {"query": "spark join",
+               "minimum_should_match": 1}}},
+             "functions": [{"script_score": {"script":
+               {"source": "doc['n_chars'].value + params.k",
+                "params": {"k": 100}}}}],
+             "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join'])) AS BIGINT) AS overlap,
+                 n_chars
+          FROM documents)
+        SELECT doc_id,
+               CAST(overlap * (n_chars + 100) AS BIGINT) AS score
+        FROM s WHERE overlap >= 1
+        ORDER BY score DESC, doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

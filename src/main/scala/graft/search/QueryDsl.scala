@@ -390,8 +390,9 @@ object QueryDsl {
         }
         case _ => fail("combined_fields needs a non-empty fields array")
       }
-      val msm = intOpt(m, "minimum_should_match").getOrElse(1)
-      if (msm < 1 || msm > terms.size)
+      val msm = m.get("minimum_should_match")
+        .map(resolveMsm(_, terms.size, "combined_fields")).getOrElse(1L)
+      if (msm > terms.size)
         fail(s"minimum_should_match must be in [1, ${terms.size}]")
       val perTerm: Seq[Column] = terms.map { t =>
         fields.map(f =>
@@ -633,9 +634,10 @@ object QueryDsl {
     */
   private def matchClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm, an, fuzz, prefixLen, transp, ztq, boost) = spec match {
+      val (queryText, msmRaw, andOp0, an, fuzz, prefixLen, transp, ztq, boost) =
+        spec match {
         case JString(s) =>
-          (s, 1L, Analyzer.Whitespace: Analyzer,
+          (s, None: Option[JValue], false, Analyzer.Whitespace: Analyzer,
             None: Option[String => Long], 0, false, None: Option[String], 1L)
         case JObject(opts) =>
           val m = opts.toMap
@@ -643,18 +645,11 @@ object QueryDsl {
             case Some(JString(s)) => s
             case _ => fail(s"match on '$f' requires a string 'query'")
           }
-          val n = m.get("minimum_should_match") match {
-            // < 1 fails loud: OpenSearch's negative-msm syntax ("all
-            // but N optional") is unimplemented, and 0/-1 would
-            // collide with internal sentinels — never silently
-            // reinterpret
-            case Some(JInt(i)) if i < 1 =>
-              fail(s"match on '$f': minimum_should_match must be >= 1 " +
-                s"(negative-msm syntax is unsupported), got $i")
-            case Some(JInt(i)) => i.toLong
-            case None          => 1L
-            case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
-          }
+          // msm resolves AFTER tokenization (the "NN%" form needs the
+          // term count); validation stays in resolveMsm — < 1 fails
+          // loud there (OpenSearch's negative-msm syntax is
+          // unimplemented and must never be silently reinterpreted)
+          val n = m.get("minimum_should_match")
           // operator: "and" = every term must match (msm == |terms|,
           // resolved after tokenization); combining both knobs would
           // be ambiguous — fail loud
@@ -680,7 +675,7 @@ object QueryDsl {
               fail(s"match boost must be a positive integer (exact scoring): ${render(other)}")
           }
           val (fz, pl, tr) = fuzzinessOpt(m, s"match on '$f'")
-          (q, if (andOp) -1L else n, // -1 = resolve to |terms| below
+          (q, n, andOp,
             analyzerOpt(m, s"match on '$f'"), fz, pl, tr,
             strOpt(m, "zero_terms_query"), b)
         case other => fail(s"match body must be string or object: ${render(other)}")
@@ -707,7 +702,10 @@ object QueryDsl {
         case other =>
           fail(s"match zero_terms_query must be none|all, got '$other'")
       }
-      val msmResolved = if (msm == -1L) terms.size.toLong else msm
+      val msmResolved =
+        if (andOp0) terms.size.toLong
+        else msmRaw.map(resolveMsm(_, terms.size, s"match on '$f'"))
+          .getOrElse(1L)
       val score0 = overlapScore(
         array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
         transp)
@@ -764,6 +762,41 @@ object QueryDsl {
     if (fz.isEmpty && m.contains("transpositions"))
       fail(s"$where: transpositions requires fuzziness")
     (fz, pl, tr)
+  }
+
+  /** A `minimum_should_match` value: a positive integer, or the
+    * percentage form `"NN%"` resolved ON THE DRIVER against the
+    * actual optional-clause/term count `n` (floor — the OpenSearch
+    * rounding). `zeroOk` is true only for bool, whose msm may
+    * legitimately be 0 (should-clauses purely optional next to a
+    * must); everywhere else a gate resolving to 0 would silently
+    * match EVERYTHING, so the floor clamps to 1 (documented — the
+    * vacuous-gate trap this engine's doctrine forbids). Negative
+    * ints/percentages ("all but N optional") and conditional forms
+    * ("3<90%") stay fail-loud.
+    */
+  private def resolveMsm(v: JValue, n: Int, where: String,
+      zeroOk: Boolean = false): Long = v match {
+    case JInt(i) if i >= 1 || (zeroOk && i == 0) => i.toLong
+    case JInt(i) =>
+      fail(s"$where: minimum_should_match must be >= ${if (zeroOk) 0 else 1} " +
+        s"(negative-msm syntax is unsupported), got $i")
+    case JString(s) if s.endsWith("%") =>
+      val pct =
+        try s.dropRight(1).toInt
+        catch { case _: NumberFormatException =>
+          fail(s"$where: minimum_should_match percentage must be an " +
+            s"integer: '$s'") }
+      if (pct < 1 || pct > 100)
+        fail(s"$where: minimum_should_match percentage must be 1-100%, got '$s'")
+      val floored = (n.toLong * pct) / 100L
+      if (zeroOk) floored else math.max(1L, floored)
+    case JString(other) =>
+      fail(s"$where: minimum_should_match string form must be \"NN%\" " +
+        s"(conditional forms are unsupported): '$other'")
+    case other =>
+      fail(s"$where: minimum_should_match must be an integer or \"NN%\": " +
+        s"${render(other)}")
   }
 
   /** Match-family score: number of DISTINCT query terms present in
@@ -919,12 +952,13 @@ object QueryDsl {
       val should  = section("should")
 
       // minimum_should_match default: 1 when should is the only match
-      // criterion, else 0 (OpenSearch's rule).
+      // criterion, else 0 (OpenSearch's rule). The "NN%" form resolves
+      // against the should-clause count; 0 is legal here (should
+      // purely optional next to a must).
       val msmDefault = if (should.nonEmpty && must.isEmpty && filter.isEmpty) 1L else 0L
       val msm = m.get("minimum_should_match") match {
-        case Some(JInt(i)) => i.toLong
-        case None          => msmDefault
-        case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
+        case None    => msmDefault
+        case Some(v) => resolveMsm(v, should.size, "bool", zeroOk = true)
       }
 
       combineBool(must, filter, mustNot, should, msm)
@@ -1123,8 +1157,8 @@ object QueryDsl {
     */
   private def matchBoolPrefixClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (queryText, msm, an) = spec match {
-        case JString(s) => (s, 1L, Analyzer.Whitespace: Analyzer)
+      val (queryText, msmRaw, an) = spec match {
+        case JString(s) => (s, None: Option[JValue], Analyzer.Whitespace: Analyzer)
         case JObject(opts) =>
           val m = opts.toMap
           m.keySet.diff(Set("query", "minimum_should_match", "analyzer"))
@@ -1132,17 +1166,16 @@ object QueryDsl {
               fail(s"unsupported match_bool_prefix option '$k' on '$f'"))
           val q = strOpt(m, "query")
             .getOrElse(fail(s"match_bool_prefix on '$f' requires a string 'query'"))
-          val n = m.get("minimum_should_match") match {
-            case Some(JInt(i)) => i.toLong
-            case None          => 1L
-            case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
-          }
-          (q, n, analyzerOpt(m, s"match_bool_prefix on '$f'"))
+          (q, m.get("minimum_should_match"),
+            analyzerOpt(m, s"match_bool_prefix on '$f'"))
         case other => fail(s"match_bool_prefix body must be string or object: ${render(other)}")
       }
       val toks = an.normText(queryText).trim.split("\\s+").toSeq
       if (toks.isEmpty || toks == Seq(""))
         fail(s"match_bool_prefix on '$f' has an empty query")
+      val msm = msmRaw
+        .map(resolveMsm(_, toks.size, s"match_bool_prefix on '$f'"))
+        .getOrElse(1L)
       val full = toks.init.distinct
       val last = toks.last
       val fieldToks = split(an.norm(col(f)), " ")
@@ -1338,9 +1371,8 @@ object QueryDsl {
       val terms = terms0.distinct
       if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
       val msm = m.get("minimum_should_match") match {
-        case Some(JInt(i)) => i.toLong
-        case None          => 1L
-        case Some(other) => fail(s"minimum_should_match must be an int: ${render(other)}")
+        case None    => 1L
+        case Some(v) => resolveMsm(v, terms.size, "multi_match")
       }
       val (fuzz, prefixLen, transp) = fuzzinessOpt(m, "multi_match")
       val perField = fields.map(f => overlapScore(
@@ -1834,8 +1866,8 @@ object QueryDsl {
           case JObject(fparts) =>
             val fm = fparts.toMap
             fm.keySet.diff(Set("filter", "weight", "field_value_factor",
-              "random_score", "linear", "gauss", "exp")).foreach(k =>
-              fail(s"unsupported function option '$k'"))
+              "random_score", "linear", "gauss", "exp", "script_score"))
+              .foreach(k => fail(s"unsupported function option '$k'"))
             Seq("gauss", "exp").filter(fm.contains).foreach(k =>
               fail(s"'$k' decay is unsupported: libm exp() is not " +
                 "bit-portable across engines (the exact scoring model) - " +
@@ -1849,11 +1881,12 @@ object QueryDsl {
               case Some(other) =>
                 fail(s"function weight must be an integer (exact scoring): ${render(other)}")
             }
-            val valued = Seq("field_value_factor", "random_score", "linear")
-              .filter(fm.contains)
+            val valued = Seq("field_value_factor", "random_score", "linear",
+              "script_score").filter(fm.contains)
             if (valued.size > 1)
               fail("a function entry takes at most one of " +
-                s"field_value_factor/random_score/linear, got ${valued.mkString(", ")}")
+                s"field_value_factor/random_score/linear/script_score, " +
+                s"got ${valued.mkString(", ")}")
             valued.headOption match {
               case None =>
                 (filt.pred, lit(w), false)
@@ -1863,6 +1896,48 @@ object QueryDsl {
                 (filt.pred, randomScorePpm(fm("random_score")) * lit(w), true)
               case Some("linear") =>
                 (filt.pred, linearDecayPpm(fm("linear")) * lit(w), true)
+              // the script_score FUNCTION: a computed unit-scale value
+              // through the shared ScoreScript compiler; `_score`
+              // references fail loud — inside function_score the
+              // query score is combined by boost_mode, so a script
+              // reading it would double-apply (the score-referencing
+              // form is the top-level script_score CLAUSE)
+              case Some("script_score") =>
+                val (src, params) = fm("script_score") match {
+                  case JObject(ss) =>
+                    val ssm = ss.toMap
+                    ssm.keySet.diff(Set("script")).foreach(k =>
+                      fail(s"unsupported script_score function option '$k'"))
+                    ssm.get("script") match {
+                      case Some(JObject(s)) =>
+                        val sm = s.toMap
+                        sm.keySet.diff(Set("source", "params")).foreach(k =>
+                          fail(s"unsupported script option '$k'"))
+                        val source = strOpt(sm, "source").getOrElse(
+                          fail("script_score function script needs a source"))
+                        val ps: Map[String, Long] = sm.get("params") match {
+                          case Some(JObject(po)) => po.map {
+                            case (k, JInt(v)) => k -> v.toLong
+                            case (k, other) => fail(s"script param '$k' " +
+                              s"must be an integer: ${render(other)}")
+                          }.toMap
+                          case None        => Map.empty
+                          case Some(other) =>
+                            fail(s"script params must be an object: ${render(other)}")
+                        }
+                        (source, ps)
+                      case _ =>
+                        fail("script_score function needs {script: {source}}")
+                    }
+                  case other =>
+                    fail(s"script_score function must be an object: ${render(other)}")
+                }
+                if (ScoreScript.referencesScore(src))
+                  fail("the script_score FUNCTION cannot reference _score " +
+                    "(boost_mode already combines the query score; use the " +
+                    "top-level script_score clause for score-reading scripts)")
+                (filt.pred, ScoreScript.compile(src, params, lit(0L)) * lit(w),
+                  false)
             }
           case other => fail(s"functions entries must be objects: ${render(other)}")
         }
@@ -3603,6 +3678,69 @@ object QueryDsl {
       .drop("__ord")
   }
 
+  /** The `_termvectors` endpoint: per-term statistics of ONE
+    * document's field — the relevance-debugging surface (why does
+    * this doc score the way it does?). Output: one row per DISTINCT
+    * analyzed term, sorted by term —
+    * `(term, term_freq[, positions][, doc_freq, ttf])`. `positions`
+    * (opt-in) carries the 0-based token positions comma-joined (the
+    * flat-hit-table analog of the wire's positions array);
+    * `term_statistics` (opt-in) adds corpus doc_freq/ttf. The
+    * document read is a pushed-filter point read (id must be unique —
+    * a duplicate would silently merge two vectors, fail loud);
+    * term_statistics costs ONE corpus scan whose partial agg is
+    * vocabulary-bounded and map-side combined, joined to the tiny
+    * per-doc term set (broadcast by size).
+    */
+  def termvectors(table: DataFrame, requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"_termvectors body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("id_field", "id", "field", "analyzer",
+      "positions", "term_statistics")).foreach(k =>
+      fail(s"unsupported _termvectors request key '$k'"))
+    val idField = strOpt(req, "id_field")
+      .getOrElse(fail("_termvectors requires id_field"))
+    val id = req.getOrElse("id", fail("_termvectors requires an id"))
+    val field = strOpt(req, "field")
+      .getOrElse(fail("_termvectors requires a field"))
+    val an = analyzerOpt(req, "_termvectors")
+    def flag(k: String): Boolean = req.get(k) match {
+      case None           => false
+      case Some(JBool(b)) => b
+      case Some(other)    => fail(s"$k must be a boolean: ${render(other)}")
+    }
+    val withPos = flag("positions")
+    val withStats = flag("term_statistics")
+    val matched = table.filter(col(idField) === litOf(id))
+      .select(col(idField)).limit(2).collect()
+    if (matched.isEmpty)
+      fail(s"_termvectors: no row with $idField = ${render(id)}")
+    if (matched.length > 1)
+      fail(s"_termvectors: $idField = ${render(id)} is not unique")
+    val pos = table.filter(col(idField) === litOf(id))
+      .select(posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "term")))
+    val base = pos.groupBy("term").agg(
+      count(lit(1)).as("term_freq"),
+      array_join(transform(sort_array(collect_list(col("p"))),
+        _.cast("string")), ",").as("positions"))
+    val projected = if (withPos) base else base.drop("positions")
+    val out =
+      if (!withStats) projected
+      else {
+        val corpus = table.select(col(idField).as("__id"),
+          explode(split(an.norm(col(field)), " ")).as("term"))
+        val stats = corpus.groupBy("term").agg(
+          countDistinct(col("__id")).as("doc_freq"),
+          count(lit(1)).as("ttf"))
+        // inner join: every doc term exists in the corpus by
+        // construction; the ≤|doc terms| side broadcasts
+        projected.join(stats, "term")
+      }
+    out.orderBy("term")
+  }
+
   /** The `_search/template` endpoint: a request body with `{{var}}`
     * placeholders bound from `params` ON THE DRIVER (the mustache
     * subset OpenSearch templates actually use: simple variables —
@@ -3986,11 +4124,25 @@ object QueryDsl {
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "search_after", "suggest", "highlight", "knn", "collapse", "min_score",
-        "script_fields", "runtime_mappings", "rescore", "post_filter",
-        "track_total_hits", "track_scores", "explain", "fields",
-        "docvalue_fields"))
+        "aggregations", "search_after", "suggest", "highlight", "knn",
+        "collapse", "min_score", "script_fields", "runtime_mappings",
+        "rescore", "post_filter", "track_total_hits", "track_scores",
+        "explain", "fields", "docvalue_fields"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `aggregations`: the long-form spelling OpenSearch accepts as an
+    // exact synonym — canonicalized to `aggs` ONCE at the request
+    // root, then the request re-enters compilation (the
+    // runtime_mappings recursion pattern). ROOT ONLY: inside agg
+    // bodies a key named "aggregations" could be an agg NAME, so the
+    // nested sub-agg section keeps the one spelling `aggs` (a nested
+    // "aggregations" section fails loud as an unknown option).
+    if (req.contains("aggregations")) {
+      if (req.contains("aggs"))
+        fail("give aggs or aggregations, not both")
+      return search(table, render(JObject(
+        ((req - "aggregations") + ("aggs" -> req("aggregations"))).toList)))
+    }
 
     // `terms` LOOKUP form anywhere in the query-bearing sections
     // (query / post_filter / rescore — clause trees; aggs keep their
@@ -5172,6 +5324,13 @@ object QueryDsl {
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
+        // entry-level keys are the kind + its sub-agg section — a
+        // stray sibling (e.g. the long-form "aggregations" spelling,
+        // which is ROOT-only by design, or a typo'd option landing a
+        // level too high) must never be silently ignored
+        m.keySet.diff(kinds + "aggs").foreach(k =>
+          fail(s"unsupported agg entry key '$k' in '$name' (the nested " +
+            "sub-agg section spells `aggs`)"))
         m.get("nested").foreach { n =>
           return nestedAgg(hits, name, n, m.get("aggs"))
         }

@@ -355,6 +355,104 @@ class QueryDslSpec extends SparkSpec {
       "sort": ["id"], "_source": ["id"]}""") === Seq(1L, 2L, 4L))
   }
 
+  test("minimum_should_match percentage form resolves against the clause count") {
+    import spark.implicits._
+    val t = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a"), (4L, "x y"))
+      .toDF("id", "text")
+    def ids(q: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": $q, "sort": ["id"], "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    // match: "75%" of 4 terms = 3 (floor)
+    assert(ids("""{"match": {"text": {"query": "a b c d",
+      "minimum_should_match": "75%"}}}""") === Seq(1L))
+    // "50%" of 4 = 2
+    assert(ids("""{"match": {"text": {"query": "a b c d",
+      "minimum_should_match": "50%"}}}""") === Seq(1L, 2L))
+    // floor clamps to 1 outside bool (25% of 2 terms = 0 would be a
+    // vacuous gate)
+    assert(ids("""{"match": {"text": {"query": "a b",
+      "minimum_should_match": "25%"}}}""") === Seq(1L, 2L, 3L))
+    // bool: percentage of the SHOULD count; 0 stays legal next to must
+    assert(ids("""{"bool": {
+      "should": [{"term": {"text": "zzz"}}, {"match": {"text": "a"}},
+                 {"match": {"text": "b"}}, {"match": {"text": "c"}}],
+      "minimum_should_match": "50%"}}""") === Seq(1L, 2L))
+    assert(ids("""{"bool": {"must": [{"match": {"text": "a"}}],
+      "should": [{"match": {"text": "x"}}],
+      "minimum_should_match": 0}}""") === Seq(1L, 2L, 3L))
+    // multi_match and match_bool_prefix take the same form
+    assert(ids("""{"multi_match": {"query": "a b c d", "fields": ["text"],
+      "minimum_should_match": "75%", "type": "most_fields"}}""") === Seq(1L))
+    assert(ids("""{"match_bool_prefix": {"text": {"query": "a b c",
+      "minimum_should_match": "100%"}}}""") === Seq(1L))
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+        s"""{"query": $q}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"match": {"text": {"query": "a b", "minimum_should_match": "150%"}}}""",
+      "must be 1-100%")
+    bad("""{"match": {"text": {"query": "a b", "minimum_should_match": "3<90%"}}}""",
+      "percentage must be an integer")
+    bad("""{"match": {"text": {"query": "a b", "minimum_should_match": "two"}}}""",
+      "must be \"NN%\"")
+    bad("""{"match": {"text": {"query": "a b", "minimum_should_match": -1}}}""",
+      "must be >= 1")
+    bad("""{"bool": {"should": [{"match": {"text": "a"}}],
+      "minimum_should_match": -1}}""", "must be >= 0")
+  }
+
+  test("function_score script_score function computes a unit-scale value") {
+    import spark.implicits._
+    val t = Seq((1L, "spark", 10L), (2L, "spark", 3L), (3L, "other", 99L))
+      .toDF("id", "text", "v")
+    val scored = QueryDsl.search(t,
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [{"script_score": {"script":
+             {"source": "doc['v'].value * params.k + 1", "params": {"k": 2}}},
+             "weight": 3}],
+           "boost_mode": "multiply"}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    // score = match(1) × (v·2 + 1) × weight(3)
+    assert(scored === Seq((1L, 63L), (2L, 21L)))
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+        s"""{"query": $q}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"function_score": {"query": {"match": {"text": "spark"}},
+      "functions": [{"script_score": {"script": {"source": "_score * 2"}}}]}}""",
+      "cannot reference _score")
+    bad("""{"function_score": {"query": {"match": {"text": "spark"}},
+      "functions": [{"script_score": {"script": {"source": "doc['v'].value"}},
+        "field_value_factor": {"field": "v"}}]}}""",
+      "at most one of")
+    bad("""{"function_score": {"query": {"match": {"text": "spark"}},
+      "functions": [{"script_score": {"source": "doc['v'].value"}}]}}""",
+      "unsupported script_score function option 'source'")
+  }
+
+  test("aggregations is accepted as the root-level synonym of aggs") {
+    val viaAggs = QueryDsl.search(docs,
+      """{"aggs": {"l": {"terms": {"field": "lang"}}}}""").collect().toSeq
+    val viaLong = QueryDsl.search(docs,
+      """{"aggregations": {"l": {"terms": {"field": "lang"}}}}""").collect().toSeq
+    assert(viaAggs === viaLong)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"a": {"terms": {"field": "lang"}}},
+      "aggregations": {"b": {"terms": {"field": "lang"}}}}""",
+      "not both")
+    // nested sub-agg sections keep the one spelling
+    bad("""{"aggs": {"l": {"terms": {"field": "lang"},
+      "aggregations": {"m": {"avg": {"field": "n_chars"}}}}}}""",
+      "aggregations")
+  }
+
   test("terms_set gates on minimum_should_match and scores the overlap") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"terms_set": {"text":
@@ -3785,6 +3883,56 @@ class QueryDslSpec extends SparkSpec {
              "order": {"_count": "desc"}},
            "aggs": {"b": {"bucket_sort": {"size": 2}}}}}}""",
       "use bucket_sort instead")
+  }
+
+  test("_termvectors: per-term stats of one doc, optional positions/corpus stats") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "big apple big pie"),
+      (2L, "apple tart"),
+      (3L, "BIG Apple!")).toDF("id", "text")
+    // base: term + term_freq only, sorted by term
+    val base = QueryDsl.termvectors(t,
+      """{"id_field": "id", "id": 1, "field": "text"}""")
+    assert(base.columns.toSeq === Seq("term", "term_freq"))
+    assert(base.as[(String, Long)].collect().toSeq ===
+      Seq(("apple", 1L), ("big", 2L), ("pie", 1L)))
+    // positions: 0-based, comma-joined, sorted
+    val withPos = QueryDsl.termvectors(t,
+      """{"id_field": "id", "id": 1, "field": "text", "positions": true}""")
+      .as[(String, Long, String)].collect().toSeq
+    assert(withPos === Seq(("apple", 1L, "1"), ("big", 2L, "0,2"),
+      ("pie", 1L, "3")))
+    // term_statistics: corpus doc_freq / ttf
+    val stats = QueryDsl.termvectors(t,
+      """{"id_field": "id", "id": 1, "field": "text",
+         "term_statistics": true}""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(stats === Seq(("apple", 1L, 2L, 2L), ("big", 2L, 1L, 2L),
+      ("pie", 1L, 1L, 1L)))
+    // analyzer: the standard twin folds case/punctuation corpus-wide
+    val analyzed = QueryDsl.termvectors(t,
+      """{"id_field": "id", "id": 3, "field": "text",
+         "analyzer": "standard", "term_statistics": true}""")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(analyzed === Seq(("apple", 1L, 3L, 3L), ("big", 1L, 2L, 3L)))
+    def bad(req: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.termvectors(t, req))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"id_field": "id", "id": 9, "field": "text"}""", "no row with id")
+    bad("""{"id_field": "text", "id": "x", "field": "text"}""", "no row")
+    bad("""{"id": 1, "field": "text"}""", "requires id_field")
+    bad("""{"id_field": "id", "field": "text"}""", "requires an id")
+    bad("""{"id_field": "id", "id": 1}""", "requires a field")
+    bad("""{"id_field": "id", "id": 1, "field": "text", "offsets": true}""",
+      "unsupported _termvectors request key 'offsets'")
+    bad("""{"id_field": "id", "id": 1, "field": "text", "positions": 1}""",
+      "positions must be a boolean")
+    val dup = t.union(t)
+    val e = intercept[IllegalArgumentException](QueryDsl.termvectors(dup,
+      """{"id_field": "id", "id": 1, "field": "text"}"""))
+    assert(e.getMessage.contains("not unique"))
   }
 
   test("_validate reports compile/analysis errors as data, not throws") {
