@@ -5148,6 +5148,29 @@ object DslSearch {
                CAST(overlap * (n_chars + 100) AS BIGINT) AS score
         FROM s WHERE overlap >= 1
         ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // fuzzy + context-filtered completion: the typed prefix "spx" is
+    // one edit from any term's 3-char prefix it completes; the lang
+    // context filters rows BEFORE the explode (pushed to the scan).
+    GraftQuery(
+      "q312_dsl_completion_fuzzy",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"suggest": {"s": {"prefix": "sta",
+             "completion": {"field": "text", "size": 10,
+               "fuzzy": {"fuzziness": 1},
+               "contexts": {"lang": ["en", "de"]}}}}}"""),
+      Some("""
+        WITH pos AS (
+          SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE lang IN ('en', 'de'))
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM pos
+        WHERE levenshtein(substr(term, 1, 3), 'sta') <= 1 AND len(term) >= 1
+        GROUP BY term
+        ORDER BY freq DESC, term
+        LIMIT 10
       """.stripMargin.trim))
   )
 }

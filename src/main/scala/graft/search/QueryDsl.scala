@@ -3089,12 +3089,54 @@ object QueryDsl {
       case JObject(s) => s.toMap
       case other => fail(s"completion suggester '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "size", "min_length", "analyzer")).foreach(k =>
+    m.keySet.diff(Set("field", "size", "min_length", "analyzer", "fuzzy",
+      "contexts")).foreach(k =>
       fail(s"unsupported completion-suggester option '$k' in '$name'"))
     val f = strOpt(m, "field")
       .getOrElse(fail(s"completion suggester '$name' needs a field"))
     val size = intOpt(m, "size").getOrElse(10)
     val minLen = intOpt(m, "min_length").getOrElse(1)
+    // `fuzzy`: typo-tolerant completion — a term completes when its
+    // PREFIX (the typed length) is within `fuzziness` edits of the
+    // input (the Lucene fuzzy-completion contract). Default stays
+    // exact; fuzziness defaults to 1 when the object is given
+    // (deterministic — OpenSearch's AUTO needs no length rule for a
+    // single known prefix, but 1 is its resolution for 3-5 chars and
+    // the documented default here).
+    val fz: Int = m.get("fuzzy") match {
+      case None => 0
+      case Some(JObject(fo)) =>
+        val fm = fo.toMap
+        fm.keySet.diff(Set("fuzziness")).foreach(k =>
+          fail(s"unsupported completion fuzzy option '$k' in '$name'"))
+        fm.get("fuzziness") match {
+          case Some(JInt(i)) if i >= 0 && i <= 2 => i.toInt
+          case None        => 1
+          case Some(other) =>
+            fail(s"completion fuzziness must be 0-2: ${render(other)}")
+        }
+      case Some(other) =>
+        fail(s"completion fuzzy must be an object ({fuzziness}): ${render(other)}")
+    }
+    // `contexts`: category-filtered completions — each context names
+    // a COLUMN of the table (the engine has no context mapping
+    // registry) and the completions come only from rows matching ANY
+    // of its values (several contexts AND together, the OpenSearch
+    // filter semantics). The filter sits BEFORE the explode, pushed
+    // into the scan.
+    val ctxFilter: Column = m.get("contexts") match {
+      case None => lit(true)
+      case Some(JObject(cs)) if cs.nonEmpty =>
+        cs.map {
+          case (ctx, JArray(vs)) if vs.nonEmpty =>
+            col(ctx).isin(vs.map(scalaOf): _*)
+          case (ctx, JString(s)) => col(ctx) === s
+          case (ctx, other) => fail(s"completion context '$ctx' must be a " +
+            s"value or non-empty array: ${render(other)}")
+        }.reduce(_ && _)
+      case Some(other) =>
+        fail(s"completion contexts must be a non-empty object: ${render(other)}")
+    }
     // analyzer: completions come from the normalized term space; the
     // typed prefix normalizes through the twin (a prefix that analyzes
     // to nothing, or to several tokens, can't anchor a completion)
@@ -3103,8 +3145,12 @@ object QueryDsl {
             else analyzedTerm(an, prefix, s"completion suggester '$name'")
     if (p.isEmpty) fail(s"completion suggester '$name' has an empty prefix")
     if (size < 1) fail("completion size must be >= 1")
-    table.select(explode(split(an.norm(col(f)), " ")).as("term"))
-      .filter(col("term").startsWith(p) && length(col("term")) >= minLen)
+    val matches: Column =
+      if (fz == 0) col("term").startsWith(p)
+      else levenshtein(substring(col("term"), 1, p.length), lit(p)) <= lit(fz)
+    table.filter(ctxFilter)
+      .select(explode(split(an.norm(col(f)), " ")).as("term"))
+      .filter(matches && length(col("term")) >= minLen)
       .groupBy(col("term")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term"))
       .limit(size)

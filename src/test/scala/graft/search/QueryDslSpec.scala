@@ -3195,6 +3195,54 @@ class QueryDslSpec extends SparkSpec {
            "completion": {"field": "text"}}}}""")     // empty prefix
   }
 
+  test("completion fuzzy and contexts: typo-tolerant, category-filtered") {
+    import spark.implicits._
+    val t = Seq(
+      ("spark rules", "en"), ("spark spark", "en"), ("sparse data", "de"),
+      ("spoon fork", "fr"), ("spark encore", "fr"))
+      .toDF("text", "lang")
+    def sugg(req: String): Seq[(String, Long)] = QueryDsl.search(t, req)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact prefix, context-filtered to en+de
+    assert(sugg("""{"suggest": {"s": {"prefix": "spar",
+        "completion": {"field": "text",
+          "contexts": {"lang": ["en", "de"]}}}}}""") ===
+      Seq(("spark", 3L), ("sparse", 1L)))
+    // fuzzy: the typed prefix "spxr" is 1 edit from "spar" — both
+    // stems complete; "spoon" (2 edits) stays out
+    assert(sugg("""{"suggest": {"s": {"prefix": "spxr",
+        "completion": {"field": "text", "fuzzy": {"fuzziness": 1}}}}}""") ===
+      Seq(("spark", 4L), ("sparse", 1L)))
+    // fuzziness defaults to 1 when the object is given
+    assert(sugg("""{"suggest": {"s": {"prefix": "spxr",
+        "completion": {"field": "text", "fuzzy": {}}}}}""") ===
+      Seq(("spark", 4L), ("sparse", 1L)))
+    // fuzzy + contexts compose; single-value context form
+    assert(sugg("""{"suggest": {"s": {"prefix": "spxr",
+        "completion": {"field": "text", "fuzzy": {"fuzziness": 1},
+          "contexts": {"lang": "fr"}}}}}""") ===
+      Seq(("spark", 1L)))
+    def bad(req: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, req))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"suggest": {"s": {"prefix": "sp",
+      "completion": {"field": "text", "fuzzy": {"fuzziness": 3}}}}}""",
+      "fuzziness must be 0-2")
+    bad("""{"suggest": {"s": {"prefix": "sp",
+      "completion": {"field": "text", "fuzzy": true}}}}""",
+      "fuzzy must be an object")
+    bad("""{"suggest": {"s": {"prefix": "sp",
+      "completion": {"field": "text", "contexts": {}}}}}""",
+      "contexts must be a non-empty object")
+    bad("""{"suggest": {"s": {"prefix": "sp",
+      "completion": {"field": "text", "contexts": {"lang": []}}}}}""",
+      "must be a value or non-empty array")
+    bad("""{"suggest": {"s": {"prefix": "sp",
+      "completion": {"field": "text", "fuzzy": {"transpositions": true}}}}}""",
+      "unsupported completion fuzzy option")
+  }
+
   test("match_bool_prefix scores full terms plus the last-token prefix") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"match_bool_prefix": {"text": "spark join win"}},
