@@ -5171,6 +5171,30 @@ object DslSearch {
         GROUP BY term
         ORDER BY freq DESC, term
         LIMIT 10
+      """.stripMargin.trim)),
+
+    // term-level boost on prefix/wildcard (the term clause's integer
+    // rule extended across the term-level family): a boosted should
+    // pair ranks by which arms matched.
+    GraftQuery(
+      "q313_dsl_term_level_boost",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {"should": [
+             {"prefix": {"text": {"value": "the", "boost": 2}}},
+             {"wildcard": {"text": {"value": "*merge*", "boost": 3}}}],
+             "minimum_should_match": 1}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(CASE WHEN text LIKE 'the%' THEN 2 ELSE 0 END
+               + CASE WHEN text LIKE '%merge%' THEN 3 ELSE 0 END AS BIGINT)
+              AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

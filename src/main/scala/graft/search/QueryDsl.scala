@@ -271,7 +271,7 @@ object QueryDsl {
       case "terms"     => termClause(body, multi = true)
       case "range"     => rangeClause(body)
       case "prefix"    =>
-        val (f, v, ci) = fieldValueCi(body, "prefix")
+        val (f, v, ci, boost) = fieldValueCiBoost(body, "prefix")
         val pred =
           if (!ci) col(f).startsWith(litOf(v))
           else v match {
@@ -280,15 +280,15 @@ object QueryDsl {
             case other => fail(s"case_insensitive prefix value must be a " +
               s"string: ${render(other)}")
           }
-        CompiledQuery(pred, lit(1L))
+        CompiledQuery(pred, lit(boost))
       case "wildcard" =>
-        val (f, v, ci) = fieldValueCi(body, "wildcard")
+        val (f, v, ci, boost) = fieldValueCiBoost(body, "wildcard")
         val pat = v match {
           case JString(s) =>
             wildcardToLike(if (ci) s.toLowerCase(java.util.Locale.ROOT) else s)
           case other      => fail(s"wildcard pattern must be a string: ${render(other)}")
         }
-        CompiledQuery((if (ci) lower(col(f)) else col(f)).like(pat), lit(1L))
+        CompiledQuery((if (ci) lower(col(f)) else col(f)).like(pat), lit(boost))
       case "exists" => body match {
         case JObject(fs) => fs.toMap.get("field") match {
           case Some(JString(f)) => CompiledQuery(col(f).isNotNull, lit(1L))
@@ -1082,13 +1082,19 @@ object QueryDsl {
     */
   private def fuzzyClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, spec))) =>
-      val (value, fuzz, prefixLen, transp) = spec match {
-        case JString(s) => (s, 1L, 0, false)
+      val (value, fuzz, prefixLen, transp, boost) = spec match {
+        case JString(s) => (s, 1L, 0, false, 1L)
         case JObject(opts) =>
           val m = opts.toMap
           m.keySet.diff(Set("value", "fuzziness", "prefix_length",
-            "transpositions")).foreach(k =>
+            "transpositions", "boost")).foreach(k =>
             fail(s"unsupported fuzzy option '$k' on '$f'"))
+          val b = m.get("boost") match {
+            case Some(JInt(i)) if i >= 1 => i.toLong
+            case None                    => 1L
+            case Some(other) => fail(s"fuzzy boost must be a positive " +
+              s"integer (exact scoring): ${render(other)}")
+          }
           val v = strOpt(m, "value").getOrElse(fail(s"fuzzy on '$f' requires a string 'value'"))
           val fz = m.get("fuzziness") match {
             case Some(JInt(i)) if i < 0 => fail(s"fuzziness must be non-negative")
@@ -1102,7 +1108,7 @@ object QueryDsl {
             case Some(other) =>
               fail(s"transpositions must be a boolean: ${render(other)}")
           }
-          (v, fz, intOpt(m, "prefix_length").getOrElse(0), tr)
+          (v, fz, intOpt(m, "prefix_length").getOrElse(0), tr, b)
         case other => fail(s"fuzzy body must be string or object: ${render(other)}")
       }
       if (value.isEmpty) fail(s"fuzzy on '$f' has an empty value")
@@ -1116,7 +1122,10 @@ object QueryDsl {
       val matched = filter(toks, t =>
         candidate(t).isNotNull && edit(t, lit(value)) <= lit(fuzz))
       val score = size(matched).cast("long")
-      CompiledQuery(score >= 1L, score)
+      // the match-boost doctrine: the predicate gates on the UNboosted
+      // token count, the score scales
+      CompiledQuery(score >= 1L,
+        if (boost == 1L) score else score * lit(boost))
     case other => fail(s"fuzzy requires {field: spec}: ${render(other)}")
   }
 
@@ -1330,7 +1339,7 @@ object QueryDsl {
     * core both engines share; exotic constructs are the caller's risk.
     */
   private def regexpClause(body: JValue): CompiledQuery = {
-    val (f, v, ci) = fieldValueCi(body, "regexp")
+    val (f, v, ci, boost) = fieldValueCiBoost(body, "regexp")
     val pat = v match {
       case JString(s) => s
       case other      => fail(s"regexp pattern must be a string: ${render(other)}")
@@ -1338,7 +1347,7 @@ object QueryDsl {
     // (?i) scoped inside the anchors — the inline flag both regex
     // engines (java.util.regex here, RE2 in the oracle) honor
     val anchored = if (ci) s"^(?i)(?:$pat)$$" else s"^(?:$pat)$$"
-    CompiledQuery(col(f).rlike(anchored), lit(1L))
+    CompiledQuery(col(f).rlike(anchored), lit(boost))
   }
 
   /** `multi_match`: one query text against several fields. A field
@@ -8459,6 +8468,32 @@ object QueryDsl {
           fail(s"unsupported $clause option '$k' on '$f'"))
         (f, m("value"), caseInsensitiveOpt(m, s"$clause on '$f'"))
       case JObject(List((f, v))) => (f, v, false)
+      case other => fail(s"$clause requires {field: value}: ${render(other)}")
+    }
+
+  /** [[fieldValueCi]] plus the term-level integer `boost` (the term
+    * clause's rule: score boost instead of 1, float boosts fail loud
+    * under the exact scoring model) — the top-level
+    * prefix/wildcard/regexp form; span_multi keeps the boost-less
+    * [[fieldValueCi]] (spans are positional, a wrapped query's boost
+    * has nothing to scale there — OpenSearch ignores it, this engine
+    * refuses it).
+    */
+  private def fieldValueCiBoost(body: JValue, clause: String)
+      : (String, JValue, Boolean, Long) =
+    body match {
+      case JObject(List((f, JObject(opts)))) if opts.exists(_._1 == "value") =>
+        val m = opts.toMap
+        m.keySet.diff(Set("value", "case_insensitive", "boost")).foreach(k =>
+          fail(s"unsupported $clause option '$k' on '$f'"))
+        val b = m.get("boost") match {
+          case Some(JInt(i)) if i >= 1 => i.toLong
+          case None                    => 1L
+          case Some(other) => fail(s"$clause boost must be a positive " +
+            s"integer (exact scoring): ${render(other)}")
+        }
+        (f, m("value"), caseInsensitiveOpt(m, s"$clause on '$f'"), b)
+      case JObject(List((f, v))) => (f, v, false, 1L)
       case other => fail(s"$clause requires {field: value}: ${render(other)}")
     }
 

@@ -402,6 +402,45 @@ class QueryDslSpec extends SparkSpec {
       "minimum_should_match": -1}}""", "must be >= 0")
   }
 
+  test("term-level boost on prefix/wildcard/regexp/fuzzy scales the score") {
+    import spark.implicits._
+    val t = Seq((1L, "spark fast"), (2L, "spam slow"), (3L, "other"))
+      .toDF("id", "text")
+    def scores(q: String): Seq[(Long, Long)] = QueryDsl.search(t,
+      s"""{"query": $q, "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(scores("""{"prefix": {"text": {"value": "spa", "boost": 4}}}""") ===
+      Seq((1L, 4L), (2L, 4L)))
+    assert(scores("""{"wildcard": {"text": {"value": "spa*", "boost": 3}}}""") ===
+      Seq((1L, 3L), (2L, 3L)))
+    assert(scores("""{"regexp": {"text": {"value": "spark.*", "boost": 5}}}""") ===
+      Seq((1L, 5L)))
+    // fuzzy boost scales the token count, the gate stays unboosted
+    // (spark→spar = 1 deletion, spam→spar = 1 substitution)
+    assert(scores("""{"fuzzy": {"text": {"value": "spar", "fuzziness": 1,
+      "boost": 10}}}""") === Seq((1L, 10L), (2L, 10L)))
+    // dis_max over differently-boosted term-level arms ranks by boost
+    assert(scores("""{"dis_max": {"queries": [
+      {"prefix": {"text": {"value": "spark", "boost": 2}}},
+      {"prefix": {"text": {"value": "spa", "boost": 1}}}]}}""")
+      .map(_._1) === Seq(1L, 2L))
+    def bad(q: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+        s"""{"query": $q}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"prefix": {"text": {"value": "spa", "boost": 1.5}}}""",
+      "boost must be a positive integer")
+    bad("""{"wildcard": {"text": {"value": "spa*", "boost": 0}}}""",
+      "boost must be a positive integer")
+    bad("""{"fuzzy": {"text": {"value": "spam", "boost": -2}}}""",
+      "boost must be a positive integer")
+    // span_multi stays boost-less (spans are positional)
+    bad("""{"span_multi": {"match": {"prefix": {"text":
+      {"value": "spa", "boost": 2}}}, "id_field": "id"}}""",
+      "unsupported span_multi prefix option 'boost'")
+  }
+
   test("function_score script_score function computes a unit-scale value") {
     import spark.implicits._
     val t = Seq((1L, "spark", 10L), (2L, "spark", 3L), (3L, "other", 99L))
