@@ -557,6 +557,17 @@ object QueryDsl {
               s"string: ${render(other)}")
           }
         CompiledQuery(pred, lit(boost))
+      // array-valued terms can't carry options inside the field's
+      // body, so `boost` sits as a BODY-LEVEL sibling (the _name
+      // placement rule): {"terms": {"lang": [...], "boost": 2}}
+      case JObject(parts) if multi && parts.exists(_._1 == "boost") =>
+        val boost = parts.collectFirst { case ("boost", b) => b }.get match {
+          case JInt(i) if i >= 1 => i.toLong
+          case other => fail(s"terms boost must be a positive integer " +
+            s"(exact scoring): ${render(other)}")
+        }
+        termClause(JObject(parts.filterNot(_._1 == "boost")), multi)
+          .copy(score = lit(boost))
       case JObject(List((f, v))) =>
         val pred =
           if (multi) v match {
@@ -581,7 +592,15 @@ object QueryDsl {
         case Some(other) =>
           fail(s"range now must be an ISO datetime string: ${render(other)}")
       }
-      val real = bounds.filterNot(_._1 == "now")
+      // sibling "boost": the term-level integer rule (score boost
+      // instead of 1, float boosts fail loud)
+      val boost = bounds.toMap.get("boost") match {
+        case Some(JInt(i)) if i >= 1 => i.toLong
+        case None                    => 1L
+        case Some(other) => fail(s"range boost must be a positive integer " +
+          s"(exact scoring): ${render(other)}")
+      }
+      val real = bounds.filterNot(p => p._1 == "now" || p._1 == "boost")
       if (real.isEmpty) fail(s"range on '$f' has no bounds")
       val preds = real.map {
         // date math ("now-7d/d", "2024-01-20||/M"): resolved ON THE
@@ -620,7 +639,7 @@ object QueryDsl {
         case ("lt", v)  => col(f) < litOf(v)
         case (k, _)     => fail(s"unsupported range bound '$k' on '$f'")
       }
-      CompiledQuery(preds.reduce(_ && _), lit(1L))
+      CompiledQuery(preds.reduce(_ && _), lit(boost))
     case other => fail(s"range requires {field: {bounds}}: ${render(other)}")
   }
 

@@ -439,6 +439,15 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"span_multi": {"match": {"prefix": {"text":
       {"value": "spa", "boost": 2}}}, "id_field": "id"}}""",
       "unsupported span_multi prefix option 'boost'")
+    // range sibling boost; terms body-level boost (the _name placement)
+    assert(scores("""{"range": {"id": {"gte": 2, "boost": 7}}}""") ===
+      Seq((2L, 7L), (3L, 7L)))
+    assert(scores("""{"terms": {"id": [1, 3], "boost": 6}}""") ===
+      Seq((1L, 6L), (3L, 6L)))
+    bad("""{"range": {"id": {"gte": 2, "boost": 0.5}}}""",
+      "range boost must be a positive integer")
+    bad("""{"terms": {"id": [1], "boost": "2"}}""",
+      "terms boost must be a positive integer")
   }
 
   test("function_score script_score function computes a unit-scale value") {
