@@ -1261,6 +1261,33 @@ class QueryDslSpec extends SparkSpec {
     assert(dsl.collect().toSeq === hand.collect().toSeq)
   }
 
+  test("terms lookup and geo_shape predicates push to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tlgs").toString
+    (1 to 200).map(i => (i.toLong, s"k${i % 5}", (i % 90).toDouble,
+        (i % 180).toDouble - 90.0))
+      .toDF("id", "kind", "lat", "lon").write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    // terms lookup: the resolved values compile to a pushed In filter
+    val viaLookup = QueryDsl.search(pts,
+      """{"query": {"terms": {"kind":
+           {"id_field": "id", "id": 7, "path": "kind"}}},
+         "sort": ["id"], "_source": ["id"]}""")
+    val lookupPlan = viaLookup.queryExecution.executedPlan.toString
+    assert(lookupPlan.contains("PushedFilters") && lookupPlan.contains("kind"),
+      lookupPlan.take(800))
+    assert(viaLookup.count() === 40L) // k2: 200/5
+    // geo_shape envelope: four pushed band comparisons
+    val viaShape = QueryDsl.search(pts,
+      """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+           "shape": {"type": "envelope",
+             "coordinates": [[-20.0, 50.0], [40.0, 10.0]]}}},
+         "sort": ["id"], "_source": ["id"]}""")
+    val shapePlan = viaShape.queryExecution.executedPlan.toString
+    assert(shapePlan.contains("PushedFilters") &&
+      shapePlan.contains("LessThanOrEqual(lat,50.0"), shapePlan.take(800))
+  }
+
   test("query_string: trailing-wildcard and fuzzy terms expand in the token model") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"query_string": {"query": "spar* OR sprk~1",
