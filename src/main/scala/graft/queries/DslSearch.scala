@@ -5195,6 +5195,82 @@ object DslSearch {
           FROM documents)
         SELECT doc_id, score FROM s WHERE score >= 2
         ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // the hybrid query: RRF fusion of a lexical arm (match overlap)
+    // and a value arm (script_score n_chars) — each ranked inside a
+    // bounded window, fused by Σ 10⁶ div (60 + rank). The q102
+    // contract as a wire shape; exact integer, engine-portable.
+    GraftQuery(
+      "q314_dsl_hybrid",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"hybrid": {
+             "queries": [
+               {"match": {"text": {"query": "spark join window"}}},
+               {"script_score": {"query": {"exists": {"field": "n_chars"}},
+                 "script": {"source": "doc['n_chars'].value"}}}],
+             "id_field": "doc_id", "window_size": 20}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH a1 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM (
+            SELECT doc_id, CAST(len(list_intersect(
+                     list_distinct(string_split(text, ' ')),
+                     ['spark', 'join', 'window'])) AS BIGINT) AS score
+            FROM documents) WHERE score >= 1),
+        a2 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(COALESCE(1000000 // (60 + a1k.r1), 0)
+                    + COALESCE(1000000 // (60 + a2k.r2), 0) AS BIGINT) AS score
+          FROM (SELECT doc_id, r AS r1 FROM a1 WHERE r <= 20) a1k
+          FULL OUTER JOIN (SELECT doc_id, r AS r2 FROM a2 WHERE r <= 20) a2k
+            USING (doc_id))
+        SELECT doc_id, score FROM f
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // ip_prefix bucket agg: /12 networks of the q238 synthetic
+    // addresses — ONE masked-integer groupBy (map-side partial agg),
+    // canonical a.b.c.d/N keys, numeric prefix order.
+    GraftQuery(
+      "q315_dsl_ip_prefix",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = Tables.load(s, dir, "events").withColumn("ip",
+          expr("concat('10.', user_id % 256, '.', (user_id div 7) % 256, " +
+            "'.', user_id % 251)"))
+        QueryDsl.search(ev,
+          """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+               "prefix_length": 12},
+             "aggs": {"n_users": {"cardinality": {"field": "user_id"}}}}}}""")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 concat('10.', user_id % 256, '.', (user_id // 7) % 256,
+                        '.', user_id % 251) AS ip
+          FROM events),
+        n AS (
+          SELECT user_id,
+                 CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                   + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                   + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                   + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+          FROM e),
+        g AS (
+          SELECT ipn - ipn % 1048576 AS netn, COUNT(*) AS doc_count,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM n GROUP BY 1)
+        SELECT concat(netn // 16777216, '.', (netn // 65536) % 256, '.',
+                      (netn // 256) % 256, '.', netn % 256, '/12') AS net,
+               CAST(doc_count AS BIGINT) AS doc_count, n_users
+        FROM g ORDER BY netn
       """.stripMargin.trim))
   )
 }

@@ -328,7 +328,7 @@ object QueryDsl {
       case "span_first"       => spanFirstClause(body)
       case "more_like_this" | "span_near" | "percolate" | "intervals" |
            "span_or" | "span_not" | "span_containing" | "span_within" |
-           "span_multi" =>
+           "span_multi" | "hybrid" =>
         fail(s"'$clause' is a request-level query (it builds a corpus-state " +
           "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
       case other =>
@@ -3752,6 +3752,64 @@ object QueryDsl {
       .drop("__ord")
   }
 
+  /** `hybrid`: reciprocal-rank fusion of N independently-RANKED arms
+    * (the q102 lexical+vector contract as a wire shape — OpenSearch's
+    * hybrid query). Each arm compiles like any clause, ranks its own
+    * hit set by (score desc, id) inside a `window_size` window, and
+    * the fused score is Σ 10⁶ div (rank_constant + rank) over the
+    * arms where the doc appears (an absent arm contributes 0 — the
+    * RRF convention; exact integer, engine-portable). The per-arm
+    * windows are BOUNDED (orderBy + limit BEFORE the row_number), so
+    * the fusion joins touch ≤ N·window_size rows at any corpus size
+    * and broadcast by construction. OpenSearch normalizes via a
+    * search-pipeline processor (min-max float normalization — not
+    * bit-portable); deterministic RRF is the documented analog, the
+    * same divergence q102 locked in. Rank scales are rank-only, so
+    * ppm-scaled arms (dis_max, best_fields) compose freely.
+    * Output: (id_field, rank_1..rank_N, score = rrf ppm).
+    */
+  private def hybridRequest(table: DataFrame, body: JValue): DataFrame =
+    body match {
+      case JObject(parts) =>
+        import org.apache.spark.sql.expressions.Window
+        val m = parts.toMap
+        m.keySet.diff(Set("queries", "id_field", "window_size",
+          "rank_constant")).foreach(k =>
+          fail(s"unsupported hybrid option '$k'"))
+        val idField = strOpt(m, "id_field")
+          .getOrElse(fail("hybrid requires id_field (the document key)"))
+        val win = intOpt(m, "window_size").getOrElse(20)
+        if (win < 1 || win > 1000)
+          fail(s"hybrid window_size must be in [1, 1000], got $win")
+        val kc = intOpt(m, "rank_constant").getOrElse(60)
+        if (kc < 1) fail(s"hybrid rank_constant must be >= 1, got $kc")
+        val arms = m.get("queries") match {
+          case Some(JArray(qs)) if qs.size >= 2 && qs.size <= 8 =>
+            qs.map(compileQuery)
+          case _ => fail("hybrid requires a queries array of 2-8 clauses")
+        }
+        if (arms.exists(_.named.nonEmpty))
+          fail("_name inside hybrid arms is unsupported (matched_queries " +
+            "reflects per-row predicates, not fused ranks)")
+        val ranked = arms.zipWithIndex.map { case (a, i) =>
+          table.filter(a.pred)
+            .select(col(idField), a.score.as("__s"))
+            .orderBy(col("__s").desc, col(idField))
+            .limit(win)
+            // the window input is the ≤win-row limited set — bounded
+            .select(col(idField),
+              row_number().over(Window.orderBy(col("__s").desc, col(idField)))
+                .cast("long").as(s"rank_${i + 1}"))
+        }
+        val fused = ranked.reduce((l, r) => l.join(r, Seq(idField), "full_outer"))
+        val rrf = arms.indices.map(i =>
+            coalesce(expr(s"1000000L div (${kc}L + rank_${i + 1})"), lit(0L)))
+          .reduce(_ + _).as("score")
+        fused.select(
+          (col(idField) +: arms.indices.map(i => col(s"rank_${i + 1}"))) :+ rrf: _*)
+      case other => fail(s"hybrid requires an object body: ${render(other)}")
+    }
+
   /** The `_termvectors` endpoint: per-term statistics of ONE
     * document's field — the relevance-debugging surface (why does
     * this doc score the way it does?). Output: one row per DISTINCT
@@ -4413,6 +4471,11 @@ object QueryDsl {
           .filter(req.contains).foreach(k =>
             fail(s"$k cannot be combined with span_multi"))
         return hitPipeline(spanMultiRequest(table, body), req)
+      case Some(JObject(List(("hybrid", body)))) =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with hybrid"))
+        return hitPipeline(hybridRequest(table, body), req)
       case Some(JObject(List(("span_containing", body)))) =>
         Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
           .filter(req.contains).foreach(k =>
@@ -5375,7 +5438,7 @@ object QueryDsl {
           "auto_date_histogram", "global",
           "filter", "significant_text", "sampler", "diversified_sampler",
           "children", "parent", "geo_distance", "variable_width_histogram",
-          "string_stats", "ip_range", "nested").contains(p._1))
+          "string_stats", "ip_range", "ip_prefix", "nested").contains(p._1))
       case _ => false
     }
     if (bucketAggs.size > 1)
@@ -5394,7 +5457,7 @@ object QueryDsl {
           "auto_date_histogram", "global", "filter", "significant_text",
           "sampler", "diversified_sampler", "children", "parent",
           "geo_distance", "variable_width_histogram",
-          "string_stats", "ip_range", "nested"))
+          "string_stats", "ip_range", "ip_prefix", "nested"))
         if (kinds.size > 1)
           fail(s"agg '$name' declares multiple bucket kinds: " +
             kinds.toSeq.sorted.mkString(", "))
@@ -5440,6 +5503,9 @@ object QueryDsl {
         }
         m.get("variable_width_histogram").foreach { vw =>
           return variableWidthHistogramAgg(hits, name, vw, m.get("aggs"))
+        }
+        m.get("ip_prefix").foreach { ip =>
+          return ipPrefixAgg(hits, name, ip, m.get("aggs"))
         }
         m.get("diversified_sampler").foreach { ds =>
           return diversifiedSamplerAgg(hits, name, ds, m.get("aggs"))
@@ -6416,6 +6482,70 @@ object QueryDsl {
     * in no bucket (the null-key-omitted convention — data is dirty,
     * requests are not). IPv6 is out of scope and fails at the bound.
     */
+  /** Dotted-quad IPv4 string → exact 32-bit integer, NULL on ANY
+    * dirt (short split, non-numeric or out-of-range octet — the
+    * null-key-omitted convention; try_element_at/try_cast keep ANSI
+    * mode from aborting on dirty data). Shared by ip_range and
+    * ip_prefix so the two can never disagree on what parses.
+    */
+  private def ipv4NumCol(f: Column): Column = {
+    val oct = split(f, "\\.")
+    def octet(i: Int): Column = try_element_at(oct, lit(i)).try_cast("long")
+    val octetsOk = (1 to 4).map(i =>
+      octet(i).isNotNull && octet(i) >= 0L && octet(i) <= 255L).reduce(_ && _)
+    when(size(oct) === 4 && octetsOk,
+      octet(1) * lit(16777216L) + octet(2) * lit(65536L) +
+        octet(3) * lit(256L) + octet(4))
+  }
+
+  /** `ip_prefix` bucket agg: group addresses by their /N network —
+    * one masked-integer groupBy (map-side partial agg), the key
+    * rendered as the canonical `a.b.c.d/N` CIDR string (the
+    * `append_prefix_length: true` OpenSearch form, the deterministic
+    * one). IPv4 only (`is_ipv6` fails loud); dirty addresses NULL out
+    * and their rows are omitted (the ip_range convention). Output:
+    * (key AS name, doc_count [, sub-metric aggs]), ordered by the
+    * NUMERIC prefix (lexicographic CIDR strings would put "9.x"
+    * after "10.x").
+    */
+  private def ipPrefixAgg(hits: DataFrame, name: String, spec: JValue,
+      subAggs: Option[JValue]): DataFrame = {
+    val m = spec match {
+      case JObject(s) => s.toMap
+      case other => fail(s"ip_prefix agg '$name' must be an object: ${render(other)}")
+    }
+    m.keySet.diff(Set("field", "prefix_length", "is_ipv6")).foreach(k =>
+      fail(s"unsupported ip_prefix option '$k' in '$name'"))
+    m.get("is_ipv6").foreach {
+      case JBool(false) => ()
+      case _ => fail(s"ip_prefix agg '$name': is_ipv6 true is unsupported " +
+        "(the engine's address model is IPv4)")
+    }
+    val f = strOpt(m, "field").getOrElse(fail(s"ip_prefix agg '$name' needs a field"))
+    val n = intOpt(m, "prefix_length")
+      .getOrElse(fail(s"ip_prefix agg '$name' needs a prefix_length"))
+    if (n < 1 || n > 32) fail(s"ip_prefix prefix_length must be 1-32, got $n")
+    val ipNum = ipv4NumCol(col(f))
+    val block = 1L << (32 - n)
+    val net = ipNum - (ipNum % lit(block))
+    val key = concat(
+      shiftright(net, 24).cast("string"), lit("."),
+      (shiftright(net, 16) % 256).cast("string"), lit("."),
+      (shiftright(net, 8) % 256).cast("string"), lit("."),
+      (net % 256).cast("string"), lit(s"/$n"))
+    val subs: Seq[Column] = subAggs match {
+      case None             => Nil
+      case Some(JObject(s)) =>
+        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
+      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
+    }
+    hits.filter(ipNum.isNotNull)
+      .groupBy(net.as("__net"), key.as(name))
+      .agg(count(lit(1)).as("doc_count"), subs: _*)
+      .orderBy(col("__net").asc)
+      .drop("__net")
+  }
+
   private def ipRangeAgg(hits: DataFrame, name: String, spec: JValue,
       subAggs: Option[JValue]): DataFrame = {
     val m = spec match {
@@ -6432,23 +6562,7 @@ object QueryDsl {
         fail(s"ip_range agg '$name': '$s' is not a dotted-quad IPv4 address")
       parts.foldLeft(0L)((acc, p) => acc * 256L + p.toLong)
     }
-    // the field-side conversion: each octet casts to long (junk → NULL
-    // → the whole sum is NULL → no bucket) and must sit in 0..255 (an
-    // out-of-range "10.999.0.1" would otherwise convert to SOME number
-    // and silently land in a bucket), valid quads get the exact
-    // integer the driver-side bound parser produces
-    val oct = split(col(f), "\\.")
-    // try_element_at + try_cast: a short split or a non-numeric octet
-    // must yield NULL, not an ANSI index/cast error (the guard runs in
-    // the when() CONDITION, before the size check can protect it — and
-    // dirty DATA must never abort the aggregation, the null-key-
-    // omitted convention)
-    def octet(i: Int): Column = try_element_at(oct, lit(i)).try_cast("long")
-    val octetsOk = (1 to 4).map(i =>
-      octet(i).isNotNull && octet(i) >= 0L && octet(i) <= 255L).reduce(_ && _)
-    val ipNum = when(size(oct) === 4 && octetsOk,
-      octet(1) * lit(16777216L) + octet(2) * lit(65536L) +
-        octet(3) * lit(256L) + octet(4))
+    val ipNum = ipv4NumCol(col(f))
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
         case JObject(bounds) =>

@@ -450,6 +450,86 @@ class QueryDslSpec extends SparkSpec {
       "terms boost must be a positive integer")
   }
 
+  test("ip_prefix groups by masked network, numeric order, dirt nulls out") {
+    import spark.implicits._
+    val t = Seq("9.255.0.1", "10.0.3.4", "10.0.200.9", "10.1.0.1",
+      "256.1.1.1", "junk", "10.0.0").toDF("ip")
+    val got = QueryDsl.search(t,
+      """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+           "prefix_length": 16}}}}""")
+      .as[(String, Long)].collect().toSeq
+    // numeric prefix order: 9.255/16 before 10.0/16 before 10.1/16
+    // (lexicographic would misplace 9.x); the three dirty rows vanish
+    assert(got === Seq(("9.255.0.0/16", 1L), ("10.0.0.0/16", 2L),
+      ("10.1.0.0/16", 1L)))
+    // /32 keys are the addresses themselves
+    val exact = QueryDsl.search(t,
+      """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+           "prefix_length": 32}}}}""")
+      .as[(String, Long)].collect().toSeq
+    assert(exact.head === (("9.255.0.1/32", 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip"}}}}""",
+      "needs a prefix_length")
+    bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip",
+      "prefix_length": 0}}}}""", "must be 1-32")
+    bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip",
+      "prefix_length": 16, "is_ipv6": true}}}}""", "is_ipv6 true is unsupported")
+    bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip",
+      "prefix_length": 16, "min_doc_count": 0}}}}""",
+      "unsupported ip_prefix option")
+  }
+
+  test("hybrid fuses independently-ranked arms by reciprocal rank") {
+    import spark.implicits._
+    val t = Seq((1L, "spark join fast", 5L), (2L, "spark join", 50L),
+      (3L, "window", 100L)).toDF("id", "text", "v")
+    val fused = QueryDsl.search(t,
+      """{"query": {"hybrid": {
+           "queries": [
+             {"match": {"text": {"query": "spark join fast"}}},
+             {"script_score": {"query": {"exists": {"field": "v"}},
+               "script": {"source": "doc['v'].value"}}}],
+           "id_field": "id", "window_size": 2}},
+         "sort": [{"_score": "desc"}, "id"],
+         "_source": ["id", "score", "rank_1", "rank_2"]}""")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // arm1 ranks: doc1 (overlap 3), doc2 (2); arm2 ranks: doc3 (v=100),
+    // doc2 (50) — window 2 cuts arm2's doc1. RRF k=60:
+    // doc2 = 2·(10⁶ div 62) = 32258, doc1 = doc3 = 10⁶ div 61 = 16393
+    assert(fused === Seq((2L, 32258L, 2L, 2L), (1L, 16393L, 1L, -1L),
+      (3L, 16393L, -1L, 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"hybrid": {"queries": [{"match_all": {}}],
+      "id_field": "id"}}}""", "2-8 clauses")
+    bad("""{"query": {"hybrid": {"queries": [{"match_all": {}},
+      {"match_all": {}}]}}}""", "requires id_field")
+    bad("""{"query": {"hybrid": {"queries": [{"match_all": {}},
+      {"match_all": {}}], "id_field": "id", "window_size": 0}}}""",
+      "window_size must be in [1, 1000]")
+    bad("""{"query": {"hybrid": {"queries": [{"match_all": {}},
+      {"match_all": {}}], "id_field": "id", "rank_constant": 0}}}""",
+      "rank_constant must be >= 1")
+    bad("""{"query": {"hybrid": {"queries": [
+      {"term": {"text": {"value": "spark", "_name": "x"}}},
+      {"match_all": {}}], "id_field": "id"}}}""",
+      "_name inside hybrid arms")
+    bad("""{"query": {"bool": {"must": [{"hybrid": {"queries": [],
+      "id_field": "id"}}]}}}""", "request-level query")
+    bad("""{"query": {"hybrid": {"queries": [{"match_all": {}},
+      {"match_all": {}}], "id_field": "id"}},
+      "aggs": {"n": {"value_count": {"field": "id"}}}}""",
+      "cannot be combined with hybrid")
+  }
+
   test("function_score script_score function computes a unit-scale value") {
     import spark.implicits._
     val t = Seq((1L, "spark", 10L), (2L, "spark", 3L), (3L, "other", 99L))
