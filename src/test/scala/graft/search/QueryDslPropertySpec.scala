@@ -60,6 +60,10 @@ object QueryDslPropertySpec extends Properties("querydsl") {
   private case object MatchNone extends Q
   private case class BoostedMatch(terms: Seq[String], msm: Long,
       boost: Long) extends Q
+  private case class BoostedPrefix(f: String, v: String, boost: Long) extends Q
+  private case class BoostedRange(lo: Long, w: Long, boost: Long) extends Q
+  // percentage minimum_should_match: resolves to max(1, floor(n·pct/100))
+  private case class PctMatch(terms: Seq[String], pct: Int) extends Q
   private case class Phrase(p: String) extends Q
   // analyzed variants over the cased/punctuated ctext column: the
   // rendered query text is MANGLED the same way the column is, so
@@ -104,6 +108,14 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     for { n <- Gen.chooseNum(1, 3); ts <- Gen.listOfN(n, Gen.oneOf(vocab));
           m <- Gen.chooseNum(1L, 2L); b <- Gen.chooseNum(2L, 5L) }
       yield BoostedMatch(ts.distinct, m, b),
+    for { p <- Gen.oneOf("sp", "da", "zz"); b <- Gen.chooseNum(2L, 6L) }
+      yield BoostedPrefix("text", p, b),
+    for { lo <- Gen.chooseNum(0L, 400L); w <- Gen.chooseNum(1L, 300L);
+          b <- Gen.chooseNum(2L, 6L) }
+      yield BoostedRange(lo, w, b),
+    for { n <- Gen.chooseNum(1, 4); ts <- Gen.listOfN(n, Gen.oneOf(vocab));
+          p <- Gen.oneOf(25, 50, 75, 100) }
+      yield PctMatch(ts.distinct, p),
     Gen.oneOf("spark join", "data model", "never here").map(Phrase),
     for { n <- Gen.chooseNum(2, 4); ts <- Gen.listOfN(n, Gen.oneOf(vocab)); m <- Gen.chooseNum(1L, 3L) }
       yield TermsSet(ts.distinct, m),
@@ -218,6 +230,12 @@ object QueryDslPropertySpec extends Properties("querydsl") {
     case MatchNone => """{"match_none": {}}"""
     case BoostedMatch(ts, m, b) =>
       s"""{"match": {"text": {"query": ${js(ts.mkString(" "))}, "minimum_should_match": $m, "boost": $b}}}"""
+    case BoostedPrefix(f, v, b) =>
+      s"""{"prefix": {${js(f)}: {"value": ${js(v)}, "boost": $b}}}"""
+    case BoostedRange(lo, w, b) =>
+      s"""{"range": {"n_chars": {"gte": $lo, "lt": ${lo + w}, "boost": $b}}}"""
+    case PctMatch(ts, p) =>
+      s"""{"match": {"text": {"query": ${js(ts.mkString(" "))}, "minimum_should_match": "$p%"}}}"""
     case Phrase(p) => s"""{"match_phrase": {"text": ${js(p)}}}"""
     case AMatch(ts, m) =>
       val mangled = ts.map(t => t.toUpperCase + ",").mkString(" ")
@@ -308,6 +326,15 @@ object QueryDslPropertySpec extends Properties("querydsl") {
       val score = ts.distinct.count(toks.contains).toLong
       (score >= msm, score)
     case MatchNone => (false, 0L)
+    case BoostedPrefix(_, v, b) => (d.text.startsWith(v), b)
+    case BoostedRange(lo, w, b) =>
+      val x = longField("n_chars", d)
+      (x >= lo && x < lo + w, b)
+    case PctMatch(ts, pct) =>
+      val toks = d.text.split(" ", -1).distinct.toSet
+      val score = ts.distinct.count(toks.contains).toLong
+      val msm = math.max(1L, ts.distinct.size.toLong * pct / 100L)
+      (score >= msm, score)
     case BoostedMatch(ts, msm, b) =>
       val toks = d.text.split(" ", -1).distinct.toSet
       val score = ts.distinct.count(toks.contains).toLong
