@@ -5271,6 +5271,46 @@ object DslSearch {
                       (netn // 256) % 256, '.', netn % 256, '/12') AS net,
                CAST(doc_count AS BIGINT) AS doc_count, n_users
         FROM g ORDER BY netn
+      """.stripMargin.trim)),
+
+    // intervals composition: an any_of (two prefix stems) in ordered
+    // all_of sequence with a two-term match chain, shared gap budget —
+    // span-set algebra over ONE posexplode, postings joins only.
+    GraftQuery(
+      "q316_dsl_intervals_all_of",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"intervals": {"text": {"all_of": {
+             "intervals": [
+               {"any_of": {"intervals": [{"prefix": {"prefix": "sp"}},
+                                         {"prefix": {"prefix": "st"}}]}},
+               {"match": {"query": "join merge", "max_gaps": 4,
+                 "ordered": true}}],
+             "max_gaps": 5, "ordered": true}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_spans"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(0, len(a))) AS p
+          FROM arr),
+        m1 AS (
+          SELECT doc_id, p AS s1, p AS e1 FROM pos
+          WHERE tok LIKE 'sp%' OR tok LIKE 'st%'),
+        m2 AS (
+          SELECT DISTINCT a.doc_id, a.p AS s2, b.p AS e2
+          FROM pos a JOIN pos b USING (doc_id)
+          WHERE a.tok = 'join' AND b.tok = 'merge'
+            AND b.p > a.p AND b.p - a.p - 1 <= 4),
+        f AS (
+          SELECT DISTINCT m1.doc_id, m1.s1 AS s, m2.e2 AS e
+          FROM m1 JOIN m2 USING (doc_id)
+          WHERE m2.s2 > m1.e1 AND m2.s2 - m1.e1 - 1 <= 5)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM f GROUP BY 1
+        ORDER BY n_spans DESC, doc_id LIMIT 30
       """.stripMargin.trim))
   )
 }

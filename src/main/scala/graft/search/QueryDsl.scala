@@ -2957,6 +2957,146 @@ object QueryDsl {
     * the unordered 2-term case IS `span_near`, fail points there.
     * Output: (id_field, n_spans, min_gaps, score = n_spans).
     */
+  /** One intervals RULE compiled to its SPAN SET — a DataFrame of
+    * (idField, s, e) token spans over the request's shared position
+    * stream (`pos`: ONE posexplode feeds every member — the efficient
+    * plan, and the reason members inherit the top analyzer instead of
+    * carrying their own). Rules:
+    *  - `match`: the k-term ordered chain (1..4 terms; the 1-term
+    *    degenerate gives single-token spans so compositions can mix
+    *    words with phrases); spans (p_first, p_last), gap budget
+    *    enforced, DISTINCT (different middle tokens can produce the
+    *    same outer span).
+    *  - `prefix`: single-token spans of the stem's postings.
+    *  - `any_of`: the positional UNION of 2..4 member span sets.
+    *  - `all_of` (ordered: true only): members in sequence, each
+    *    span STRICTLY after the previous (s_i > e_{i-1} — the
+    *    non-overlap rule), total intervening budget
+    *    Σ(s_i − e_{i-1} − 1) ≤ max_gaps; result spans
+    *    (s_first, e_last), DISTINCT.
+    * Nesting is capped at depth 3 (the tuple-product cost of deep
+    * compositions is the wrong plan — compose requests instead).
+    * Lucene's minimal-interval algebra is NOT replicated: the span
+    * SETS here are the full combinatorial ones, deduplicated — the
+    * deterministic analog this engine's n_spans score model needs
+    * (OpenSearch exposes no span counts at all); a doc MATCHES under
+    * exactly the same conditions, which is the wire contract.
+    */
+  private def intervalRuleSpans(pos: DataFrame, idField: String,
+      an: Analyzer, rule: JValue, depth: Int): DataFrame = {
+    if (depth > 3)
+      fail("intervals compositions nest at most 3 levels deep " +
+        "(compose requests instead)")
+    def spanChain(terms: Seq[String], maxGaps: Long): DataFrame = {
+      def postings(term: String): Column =
+        if (term.endsWith("*")) {
+          val stem = term.dropRight(1)
+          if (stem.isEmpty || stem.contains("*"))
+            fail(s"intervals term '$term': only a trailing * stem is supported")
+          col("tok").startsWith(stem)
+        } else if (term.contains("*"))
+          fail(s"intervals term '$term': only a trailing * stem is supported")
+        else col("tok") === term
+      val k = terms.size
+      var acc = pos.filter(postings(terms.head))
+        .select(col(idField), col("p").as("p0"))
+      for (i <- 1 until k) {
+        val pi = pos.filter(postings(terms(i)))
+          .select(col(idField), col("p").as(s"p$i"))
+        acc = acc.join(pi, idField).filter(col(s"p$i") > col(s"p${i - 1}"))
+      }
+      acc.filter((col(s"p${k - 1}") - col("p0") - lit(k - 1)) <= lit(maxGaps))
+        .select(col(idField), col("p0").as("s"), col(s"p${k - 1}").as("e"))
+        .distinct()
+    }
+    rule match {
+      case JObject(List(("match", JObject(r0)))) =>
+        val r = r0.toMap
+        r.keySet.diff(Set("query", "max_gaps", "ordered")).foreach(k =>
+          fail(s"unsupported intervals match option '$k' (members inherit " +
+            "the composition's analyzer)"))
+        val terms = strOpt(r, "query")
+          .getOrElse(fail("intervals match needs a query"))
+          .split(" ").filter(_.nonEmpty).toSeq
+          .map { t =>
+            if (t.endsWith("*") && !t.dropRight(1).isEmpty &&
+                !t.dropRight(1).contains("*"))
+              analyzedTerm(an, t.dropRight(1), "intervals") + "*"
+            else if (t.contains("*")) t
+            else analyzedTerm(an, t, "intervals")
+          }
+        if (terms.isEmpty || terms.size > 4)
+          fail(s"intervals match (as a composition member) takes 1..4 " +
+            s"terms, got ${terms.size}")
+        if (terms.size == 1) {
+          Seq("max_gaps", "ordered").filter(r.contains).foreach(k =>
+            fail(s"intervals match with one term takes no $k"))
+          spanChain(terms, 0L)
+        } else {
+          val maxGaps = intOpt(r, "max_gaps")
+            .getOrElse(fail("intervals match needs max_gaps"))
+          if (maxGaps < 0) fail("max_gaps must be non-negative")
+          r.get("ordered") match {
+            case Some(JBool(true)) => ()
+            case _ => fail("intervals supports ordered: true only " +
+              "(the unordered two-term case is span_near)")
+          }
+          spanChain(terms, maxGaps.toLong)
+        }
+      case JObject(List(("prefix", JObject(r0)))) =>
+        val r = r0.toMap
+        r.keySet.diff(Set("prefix")).foreach(k =>
+          fail(s"unsupported intervals prefix option '$k'"))
+        val stem = strOpt(r, "prefix")
+          .getOrElse(fail("intervals prefix needs a prefix"))
+        val p = analyzedTerm(an, stem, "intervals prefix")
+        pos.filter(col("tok").startsWith(p))
+          .select(col(idField), col("p").as("s"), col("p").as("e"))
+      case JObject(List(("any_of", JObject(r0)))) =>
+        val r = r0.toMap
+        r.keySet.diff(Set("intervals")).foreach(k =>
+          fail(s"unsupported intervals any_of option '$k'"))
+        val members = r.get("intervals") match {
+          case Some(JArray(ms)) if ms.size >= 2 && ms.size <= 4 => ms
+          case _ => fail("intervals any_of needs 2-4 member intervals")
+        }
+        members.map(intervalRuleSpans(pos, idField, an, _, depth + 1))
+          .reduce(_ unionByName _).distinct()
+      case JObject(List(("all_of", JObject(r0)))) =>
+        val r = r0.toMap
+        r.keySet.diff(Set("intervals", "max_gaps", "ordered")).foreach(k =>
+          fail(s"unsupported intervals all_of option '$k'"))
+        r.get("ordered") match {
+          case Some(JBool(true)) => ()
+          case _ => fail("intervals all_of supports ordered: true only")
+        }
+        val maxGaps = intOpt(r, "max_gaps")
+          .getOrElse(fail("intervals all_of needs max_gaps"))
+        if (maxGaps < 0) fail("max_gaps must be non-negative")
+        val members = r.get("intervals") match {
+          case Some(JArray(ms)) if ms.size >= 2 && ms.size <= 4 => ms
+          case _ => fail("intervals all_of needs 2-4 member intervals")
+        }
+        val spans = members.map(intervalRuleSpans(pos, idField, an, _, depth + 1))
+        var acc = spans.head.select(col(idField),
+          col("s").as("s0"), col("e").as("e0"))
+        for (i <- 1 until spans.size) {
+          val mi = spans(i).select(col(idField),
+            col("s").as(s"s$i"), col("e").as(s"e$i"))
+          acc = acc.join(mi, idField).filter(col(s"s$i") > col(s"e${i - 1}"))
+        }
+        val gaps = (1 until spans.size)
+          .map(i => col(s"s$i") - col(s"e${i - 1}") - lit(1))
+          .reduce(_ + _)
+        acc.filter(gaps <= lit(maxGaps.toLong))
+          .select(col(idField), col("s0").as("s"),
+            col(s"e${spans.size - 1}").as("e"))
+          .distinct()
+      case other =>
+        fail(s"intervals rules are match, prefix, any_of and all_of: ${render(other)}")
+    }
+  }
+
   private def intervalsRequest(table: DataFrame, body: JValue): DataFrame =
     body match {
       case JObject(parts) =>
@@ -2965,9 +3105,27 @@ object QueryDsl {
           case List(field) =>
             val idField = strOpt(m, "id_field")
               .getOrElse(fail("intervals requires id_field (the document key)"))
+            // composed rules (any_of / all_of) go through the span-set
+            // compiler; the bare match rule keeps its original path
+            // (and its richer min_gaps output) byte-identical
+            m(field) match {
+              case JObject(List((kind @ ("any_of" | "all_of"), JObject(r0)))) =>
+                val rm = r0.toMap
+                val an = analyzerOpt(rm, s"intervals $kind")
+                val pos = table.select(col(idField),
+                  posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "tok")))
+                val rule = JObject(List((kind,
+                  JObject(r0.filterNot(_._1 == "analyzer")))))
+                return intervalRuleSpans(pos, idField, an, rule, depth = 1)
+                  .groupBy(col(idField))
+                  .agg(count(lit(1)).as("n_spans"))
+                  .withColumn("score", col("n_spans"))
+              case _ => ()
+            }
             val rule = m(field) match {
               case JObject(List(("match", JObject(r)))) => r.toMap
-              case other => fail(s"intervals.$field must be {match: {...}}: ${render(other)}")
+              case other => fail(s"intervals.$field must be {match: {...}}, " +
+                s"{any_of: {...}} or {all_of: {...}}: ${render(other)}")
             }
             rule.keySet.diff(Set("query", "max_gaps", "ordered", "analyzer"))
               .foreach(k => fail(s"unsupported intervals match option '$k'"))

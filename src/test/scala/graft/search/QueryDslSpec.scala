@@ -450,6 +450,69 @@ class QueryDslSpec extends SparkSpec {
       "terms boost must be a positive integer")
   }
 
+  test("intervals any_of/all_of compose span sets over one position stream") {
+    import spark.implicits._
+    val t = Seq((1L, "a x b y c"), (2L, "b a c"), (3L, "a b a b"),
+      (4L, "z z z")).toDF("id", "text")
+    def run(json: String): Map[Long, Long] =
+      QueryDsl.search(t, json).select("id", "n_spans").as[(Long, Long)]
+        .collect().toMap
+    // any_of: union of a prefix rule and a two-term chain
+    assert(run("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"prefix": {"prefix": "a"}},
+        {"match": {"query": "b c", "max_gaps": 1, "ordered": true}}]}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // all_of: ordered non-overlapping sequence with a shared gap budget
+    assert(run("""{"query": {"intervals": {"text": {"all_of": {
+        "intervals": [{"match": {"query": "a"}}, {"match": {"query": "b"}}],
+        "max_gaps": 2, "ordered": true}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 1L, 3L -> 3L))
+    // nesting: any_of inside all_of
+    assert(run("""{"query": {"intervals": {"text": {"all_of": {
+        "intervals": [
+          {"any_of": {"intervals": [{"prefix": {"prefix": "a"}},
+                                    {"prefix": {"prefix": "b"}}]}},
+          {"match": {"query": "c"}}],
+        "max_gaps": 3, "ordered": true}},
+        "id_field": "id"}}}""") ===
+      Map(1L -> 2L, 2L -> 2L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"intervals": {"text": {"all_of": {
+      "intervals": [{"match": {"query": "a"}}, {"match": {"query": "b"}}],
+      "max_gaps": 2}}, "id_field": "id"}}}""",
+      "all_of supports ordered: true only")
+    bad("""{"query": {"intervals": {"text": {"any_of": {
+      "intervals": [{"match": {"query": "a"}}]}}, "id_field": "id"}}}""",
+      "needs 2-4 member intervals")
+    bad("""{"query": {"intervals": {"text": {"all_of": {
+      "intervals": [{"match": {"query": "a"}}, {"match": {"query": "b"}}],
+      "max_gaps": 2, "ordered": true, "filter": {}}},
+      "id_field": "id"}}}""", "unsupported intervals all_of option 'filter'")
+    bad("""{"query": {"intervals": {"text": {"all_of": {"intervals": [
+        {"all_of": {"intervals": [
+          {"all_of": {"intervals": [{"match": {"query": "a"}},
+                                    {"match": {"query": "b"}}],
+            "max_gaps": 0, "ordered": true}},
+          {"match": {"query": "c"}}],
+          "max_gaps": 0, "ordered": true}},
+        {"match": {"query": "z"}}],
+      "max_gaps": 0, "ordered": true}}, "id_field": "id"}}}""",
+      "nest at most 3 levels")
+    bad("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+      {"match": {"query": "a", "analyzer": "standard"}},
+      {"match": {"query": "b"}}]}}, "id_field": "id"}}}""",
+      "members inherit the composition's analyzer")
+    bad("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+      {"match": {"query": "a b"}},
+      {"match": {"query": "c"}}]}}, "id_field": "id"}}}""",
+      "needs max_gaps")
+  }
+
   test("ip_prefix groups by masked network, numeric order, dirt nulls out") {
     import spark.implicits._
     val t = Seq("9.255.0.1", "10.0.3.4", "10.0.200.9", "10.1.0.1",
