@@ -5311,6 +5311,59 @@ object DslSearch {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
         FROM f GROUP BY 1
         ORDER BY n_spans DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // rank_eval recall: |top-k ∩ relevant| over the TOTAL relevant
+    // count in the ratings (precision's q245 twin on the other
+    // denominator).
+    GraftQuery(
+      "q317_dsl_rank_eval_recall",
+      (s, dir) => QueryDsl.rankEval(
+        Tables.load(s, dir, "documents"),
+        """{"id_field": "doc_id",
+           "metric": {"recall": {"k": 10, "relevant_rating_threshold": 1}},
+           "requests": [
+             {"id": "qa",
+              "request": {"query": {"match": {"text": "spark join"}},
+                          "sort": [{"_score": "desc"}, "doc_id"],
+                          "size": 10, "_source": ["doc_id"]},
+              "ratings": [{"doc_id": 0, "rating": 1}, {"doc_id": 2, "rating": 1},
+                          {"doc_id": 4, "rating": 1}, {"doc_id": 6, "rating": 1},
+                          {"doc_id": 8, "rating": 1}, {"doc_id": 1, "rating": 0}]},
+             {"id": "qb",
+              "request": {"query": {"match": {"text": "data window"}},
+                          "sort": [{"_score": "desc"}, "doc_id"],
+                          "size": 10, "_source": ["doc_id"]},
+              "ratings": [{"doc_id": 1, "rating": 1}, {"doc_id": 3, "rating": 1},
+                          {"doc_id": 5, "rating": 1}, {"doc_id": 7, "rating": 1}]}]}"""),
+      Some("""
+        WITH ta AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['spark','join'])) AS BIGINT) AS score
+            FROM documents) s
+          WHERE score >= 1 ORDER BY score DESC, doc_id LIMIT 10),
+        tb AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['data','window'])) AS BIGINT) AS score
+            FROM documents) s
+          WHERE score >= 1 ORDER BY score DESC, doc_id LIMIT 10),
+        rela(doc_id) AS (VALUES (0), (2), (4), (6), (8)),
+        relb(doc_id) AS (VALUES (1), (3), (5), (7)),
+        m AS (
+          SELECT 'qa' AS req_id,
+                 (SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM ta JOIN rela USING (doc_id))
+                 / (SELECT COUNT(*) FROM rela) AS recall
+          UNION ALL
+          SELECT 'qb',
+                 (SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM tb JOIN relb USING (doc_id))
+                 / (SELECT COUNT(*) FROM relb))
+        SELECT req_id, recall FROM m ORDER BY req_id
       """.stripMargin.trim))
   )
 }

@@ -3052,6 +3052,49 @@ object QueryDsl {
         val p = analyzedTerm(an, stem, "intervals prefix")
         pos.filter(col("tok").startsWith(p))
           .select(col(idField), col("p").as("s"), col("p").as("e"))
+      // wildcard / fuzzy: the remaining single-token pattern rules —
+      // the span_multi predicates reapplied to the shared stream.
+      // Patterns are VERBATIM (multi-term queries are never analyzed,
+      // the term-level contract); the fuzzy TERM normalizes like
+      // span_term text does.
+      case JObject(List(("wildcard", JObject(r0)))) =>
+        val r = r0.toMap
+        r.keySet.diff(Set("pattern")).foreach(k =>
+          fail(s"unsupported intervals wildcard option '$k'"))
+        val pat = strOpt(r, "pattern")
+          .getOrElse(fail("intervals wildcard needs a pattern"))
+        if (pat.isEmpty) fail("intervals wildcard pattern is empty")
+        pos.filter(col("tok").like(wildcardToLike(pat)))
+          .select(col(idField), col("p").as("s"), col("p").as("e"))
+      case JObject(List(("fuzzy", JObject(r0)))) =>
+        val r = r0.toMap
+        r.keySet.diff(Set("term", "fuzziness", "prefix_length",
+          "transpositions")).foreach(k =>
+          fail(s"unsupported intervals fuzzy option '$k'"))
+        val term0 = strOpt(r, "term")
+          .getOrElse(fail("intervals fuzzy needs a term"))
+        val term = analyzedTerm(an, term0, "intervals fuzzy")
+        val fz = r.get("fuzziness") match {
+          case Some(JInt(i)) if i >= 0 && i <= 2 => i.toLong
+          case None        => 1L
+          case Some(other) =>
+            fail(s"intervals fuzziness must be 0-2: ${render(other)}")
+        }
+        val pl = intOpt(r, "prefix_length").getOrElse(0)
+        if (pl < 0) fail("prefix_length must be >= 0")
+        val transp = r.get("transpositions") match {
+          case None           => false
+          case Some(JBool(b)) => b
+          case Some(other) =>
+            fail(s"transpositions must be a boolean: ${render(other)}")
+        }
+        val edit: (Column, Column) => Column =
+          if (transp) graft.plans.DamerauLevenshtein.apply
+          else levenshtein(_, _)
+        val guard: Column =
+          if (pl <= 0) lit(true) else col("tok").startsWith(term.take(pl))
+        pos.filter(guard && edit(col("tok"), lit(term)) <= lit(fz))
+          .select(col(idField), col("p").as("s"), col("p").as("e"))
       case JObject(List(("any_of", JObject(r0)))) =>
         val r = r0.toMap
         r.keySet.diff(Set("intervals")).foreach(k =>
@@ -3093,7 +3136,8 @@ object QueryDsl {
             col(s"e${spans.size - 1}").as("e"))
           .distinct()
       case other =>
-        fail(s"intervals rules are match, prefix, any_of and all_of: ${render(other)}")
+        fail(s"intervals rules are match, prefix, wildcard, fuzzy, " +
+          s"any_of and all_of: ${render(other)}")
     }
   }
 
@@ -4330,8 +4374,14 @@ object QueryDsl {
           fail(s"unsupported mean_reciprocal_rank option '$kk'"))
         ("mrr", intOpt(mm, "k").getOrElse(10),
           intOpt(mm, "relevant_rating_threshold").getOrElse(1))
-      case _ => fail("rank_eval metric must be {precision: {...}} or " +
-        "{mean_reciprocal_rank: {...}}")
+      case Some(JObject(List(("recall", JObject(m))))) =>
+        val mm = m.toMap
+        mm.keySet.diff(Set("k", "relevant_rating_threshold")).foreach(kk =>
+          fail(s"unsupported recall option '$kk'"))
+        ("recall", intOpt(mm, "k").getOrElse(10),
+          intOpt(mm, "relevant_rating_threshold").getOrElse(1))
+      case _ => fail("rank_eval metric must be {precision: {...}}, " +
+        "{recall: {...}} or {mean_reciprocal_rank: {...}}")
     }
     if (k < 1) fail("rank_eval k must be >= 1")
     val entries: Seq[(String, Double)] = req.get("requests") match {
@@ -4387,6 +4437,14 @@ object QueryDsl {
             case "precision" =>
               if (top.isEmpty) 0.0
               else top.count(relevant.contains).toDouble / top.size
+            // recall divides by the TOTAL relevant count in the
+            // ratings; a request rating nothing relevant makes recall
+            // undefined — fail loud, never a silent 0
+            case "recall" =>
+              if (relevant.isEmpty)
+                fail(s"rank_eval '$rid': recall needs at least one " +
+                  "relevant rating")
+              top.count(relevant.contains).toDouble / relevant.size
             case _ =>
               top.zipWithIndex.collectFirst {
                 case (id, i) if relevant.contains(id) => 1.0 / (i + 1)

@@ -478,10 +478,29 @@ class QueryDslSpec extends SparkSpec {
         "max_gaps": 3, "ordered": true}},
         "id_field": "id"}}}""") ===
       Map(1L -> 2L, 2L -> 2L))
+    // wildcard / fuzzy pattern rules inside a composition
+    val tf = Seq((1L, "alpha beta gamma"), (2L, "alpa beta"), (3L, "beta"))
+      .toDF("id", "text")
+    val fuzzed = QueryDsl.search(tf,
+      """{"query": {"intervals": {"text": {"all_of": {
+          "intervals": [{"fuzzy": {"term": "alpha", "fuzziness": 1}},
+                        {"wildcard": {"pattern": "bet*"}}],
+          "max_gaps": 0, "ordered": true}},
+          "id_field": "id"}}}""")
+      .select("id", "n_spans").as[(Long, Long)].collect().toMap
+    assert(fuzzed === Map(1L -> 1L, 2L -> 1L))
     def bad(json: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
+    bad("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+      {"fuzzy": {"term": "a", "rewrite": "x"}},
+      {"match": {"query": "b"}}]}}, "id_field": "id"}}}""",
+      "unsupported intervals fuzzy option 'rewrite'")
+    bad("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+      {"wildcard": {"pattern": ""}},
+      {"match": {"query": "b"}}]}}, "id_field": "id"}}}""",
+      "wildcard pattern is empty")
     bad("""{"query": {"intervals": {"text": {"all_of": {
       "intervals": [{"match": {"query": "a"}}, {"match": {"query": "b"}}],
       "max_gaps": 2}}, "id_field": "id"}}}""",
@@ -5201,6 +5220,23 @@ class QueryDslSpec extends SparkSpec {
                          {"doc_id": 2, "rating": 1}]}]}""")
       .as[(String, Double)].collect().toSeq
     assert(m === Seq(("q1", 0.5)))
+    // recall divides by the TOTAL relevant count: {2, 4} rated
+    // relevant, top-3 retrieves {1, 2, 3} → 1/2
+    val r = QueryDsl.rankEval(t,
+      s"""{"id_field": "doc_id",
+           "metric": {"recall": {"k": 3}},
+           "requests": [{"id": "q1", "request": $innerReq,
+             "ratings": [{"doc_id": 2, "rating": 1},
+                         {"doc_id": 4, "rating": 1}]}]}""")
+      .as[(String, Double)].collect().toSeq
+    assert(r === Seq(("q1", 0.5)))
+    // no relevant rating at all → recall undefined → loud
+    val eNoRel = intercept[IllegalArgumentException](QueryDsl.rankEval(t,
+      s"""{"id_field": "doc_id",
+           "metric": {"recall": {"k": 3}},
+           "requests": [{"id": "q1", "request": $innerReq,
+             "ratings": [{"doc_id": 2, "rating": 0}]}]}"""))
+    assert(eNoRel.getMessage.contains("at least one relevant rating"))
     def bad(json: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](QueryDsl.rankEval(t, json))
       assert(e.getMessage.contains(frag), e.getMessage)
