@@ -3963,7 +3963,9 @@ object QueryDsl {
     * RRF convention; exact integer, engine-portable). The per-arm
     * windows are BOUNDED (orderBy + limit BEFORE the row_number), so
     * the fusion joins touch ≤ N·window_size rows at any corpus size
-    * and broadcast by construction. OpenSearch normalizes via a
+    * (Spark can't broadcast FULL OUTER joins, so the plan shows a
+    * sort-merge — over ≤2·window rows per join, measured noise; the
+    * corpus-sized work is the per-arm scans). OpenSearch normalizes via a
     * search-pipeline processor (min-max float normalization — not
     * bit-portable); deterministic RRF is the documented analog, the
     * same divergence q102 locked in. Rank scales are rank-only, so
