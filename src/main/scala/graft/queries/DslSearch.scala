@@ -5364,6 +5364,27 @@ object DslSearch {
                   FROM tb JOIN relb USING (doc_id))
                  / (SELECT COUNT(*) FROM relb))
         SELECT req_id, recall FROM m ORDER BY req_id
+      """.stripMargin.trim)),
+
+    // multi_match `operator: and` — every query term must match, per
+    // field (the match-clause rule lifted across fields).
+    GraftQuery(
+      "q318_dsl_multi_match_operator",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"multi_match": {"query": "spark join",
+             "fields": ["text"], "operator": "and",
+             "type": "most_fields"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

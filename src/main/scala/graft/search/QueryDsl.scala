@@ -1381,7 +1381,7 @@ object QueryDsl {
       val m = parts.toMap
       m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
           "minimum_should_match", "analyzer", "fuzziness", "prefix_length",
-          "transpositions"))
+          "transpositions", "operator"))
         .foreach(k => fail(s"unsupported multi_match option '$k'"))
       val qtext = strOpt(m, "query")
         .getOrElse(fail("multi_match requires a string 'query'"))
@@ -1398,10 +1398,24 @@ object QueryDsl {
       val terms0 = an.normText(qtext).trim.split("\\s+").toSeq
       val terms = terms0.distinct
       if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
-      val msm = m.get("minimum_should_match") match {
-        case None    => 1L
-        case Some(v) => resolveMsm(v, terms.size, "multi_match")
+      // `operator: and` = every term must match (per field — the
+      // match-clause rule lifted across fields); combining with an
+      // explicit msm would be ambiguous, fail loud
+      val andOp = m.get("operator") match {
+        case Some(JString("or"))  => false
+        case Some(JString("and")) => true
+        case None                 => false
+        case Some(other) =>
+          fail(s"multi_match operator must be and/or: ${render(other)}")
       }
+      if (andOp && m.contains("minimum_should_match"))
+        fail("multi_match: operator and minimum_should_match cannot be combined")
+      val msm =
+        if (andOp) terms.size.toLong
+        else m.get("minimum_should_match") match {
+          case None    => 1L
+          case Some(v) => resolveMsm(v, terms.size, "multi_match")
+        }
       val (fuzz, prefixLen, transp) = fuzzinessOpt(m, "multi_match")
       val perField = fields.map(f => overlapScore(
         array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
@@ -1445,6 +1459,8 @@ object QueryDsl {
             fail("multi_match type phrase does not take fuzziness")
           if (m.contains("minimum_should_match"))
             fail("multi_match type phrase does not take minimum_should_match")
+          if (m.contains("operator"))
+            fail("multi_match type phrase does not take operator")
           val phrase = terms0.mkString(" ")
           val perF = fields.map { f =>
             val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
@@ -1467,6 +1483,8 @@ object QueryDsl {
             fail("multi_match type phrase_prefix does not take fuzziness")
           if (m.contains("minimum_should_match"))
             fail("multi_match type phrase_prefix does not take minimum_should_match")
+          if (m.contains("operator"))
+            fail("multi_match type phrase_prefix does not take operator")
           val phrase = terms0.mkString(" ")
           val perF = fields.map { f =>
             val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
@@ -1484,6 +1502,8 @@ object QueryDsl {
             fail("tie_breaker applies to best_fields only")
           if (fuzz.isDefined || m.contains("prefix_length"))
             fail("multi_match type bool_prefix does not take fuzziness")
+          if (m.contains("operator"))
+            fail("multi_match type bool_prefix does not take operator")
           val full = terms0.init.distinct
           val last = terms0.last
           val perF = fields.map { f =>

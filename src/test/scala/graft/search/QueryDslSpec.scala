@@ -383,6 +383,11 @@ class QueryDslSpec extends SparkSpec {
     // multi_match and match_bool_prefix take the same form
     assert(ids("""{"multi_match": {"query": "a b c d", "fields": ["text"],
       "minimum_should_match": "75%", "type": "most_fields"}}""") === Seq(1L))
+    // multi_match operator and = every term, per field
+    assert(ids("""{"multi_match": {"query": "a b", "fields": ["text"],
+      "operator": "and"}}""") === Seq(1L, 2L))
+    assert(ids("""{"multi_match": {"query": "a b", "fields": ["text"],
+      "operator": "or"}}""") === Seq(1L, 2L, 3L))
     assert(ids("""{"match_bool_prefix": {"text": {"query": "a b c",
       "minimum_should_match": "100%"}}}""") === Seq(1L))
     def bad(q: String, frag: String): Unit = {
@@ -400,6 +405,14 @@ class QueryDslSpec extends SparkSpec {
       "must be >= 1")
     bad("""{"bool": {"should": [{"match": {"text": "a"}}],
       "minimum_should_match": -1}}""", "must be >= 0")
+    bad("""{"multi_match": {"query": "a b", "fields": ["text"],
+      "operator": "and", "minimum_should_match": 1}}""",
+      "operator and minimum_should_match cannot be combined")
+    bad("""{"multi_match": {"query": "a b", "fields": ["text"],
+      "operator": "xor"}}""", "operator must be and/or")
+    bad("""{"multi_match": {"query": "a b", "fields": ["text"],
+      "type": "phrase", "operator": "and"}}""",
+      "type phrase does not take operator")
   }
 
   test("term-level boost on prefix/wildcard/regexp/fuzzy scales the score") {
