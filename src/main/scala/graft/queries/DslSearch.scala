@@ -5385,6 +5385,33 @@ object DslSearch {
           FROM documents)
         SELECT doc_id, score FROM s WHERE score >= 2
         ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // terms_set with a PER-DOCUMENT gate column
+    // (minimum_should_match_field) — each doc stores how many of the
+    // query's terms it requires.
+    GraftQuery(
+      "q319_dsl_terms_set_field",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("req_terms", expr("1 + doc_id % 2"))
+        QueryDsl.search(d,
+          """{"query": {"terms_set": {"text": {
+               "terms": ["spark", "join", "window"],
+               "minimum_should_match_field": "req_terms"}}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 40, "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, 1 + doc_id % 2 AS req_terms,
+                 CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join', 'window'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= req_terms
+        ORDER BY score DESC, doc_id LIMIT 40
       """.stripMargin.trim))
   )
 }

@@ -1227,7 +1227,8 @@ object QueryDsl {
   private def termsSetClause(body: JValue): CompiledQuery = body match {
     case JObject(List((f, JObject(opts)))) =>
       val m = opts.toMap
-      m.keySet.diff(Set("terms", "minimum_should_match")).foreach(k =>
+      m.keySet.diff(Set("terms", "minimum_should_match",
+        "minimum_should_match_field")).foreach(k =>
         fail(s"unsupported terms_set option '$k' on '$f'"))
       val wanted = m.get("terms") match {
         case Some(JArray(vs)) if vs.nonEmpty => vs.map {
@@ -1236,13 +1237,23 @@ object QueryDsl {
         }
         case _ => fail(s"terms_set on '$f' requires a non-empty terms array")
       }
-      val msm = m.get("minimum_should_match") match {
-        case Some(JInt(i)) => i.toLong
-        case _ => fail(s"terms_set on '$f' requires an integer minimum_should_match")
+      // the required-match count: a constant, or PER DOCUMENT from a
+      // column (`minimum_should_match_field` — the OpenSearch shape
+      // where each doc stores how many of its tags must match); a
+      // NULL msm column makes the gate NULL and the row drops (the
+      // OpenSearch missing-field behavior). Exactly one form.
+      val msm: Column = (m.get("minimum_should_match"),
+          m.get("minimum_should_match_field")) match {
+        case (Some(JInt(i)), None)        => lit(i.toLong)
+        case (None, Some(JString(mf)))    => col(mf).cast("long")
+        case (Some(_), Some(_)) => fail(s"terms_set on '$f': give " +
+          "minimum_should_match or minimum_should_match_field, not both")
+        case _ => fail(s"terms_set on '$f' requires an integer " +
+          "minimum_should_match or a minimum_should_match_field column")
       }
       val score = size(array_intersect(array_distinct(split(col(f), " ")),
         array(wanted.map(lit): _*))).cast("long")
-      CompiledQuery(score >= lit(msm), score)
+      CompiledQuery(score >= msm, score)
     case other => fail(s"terms_set requires {field: {terms, minimum_should_match}}: ${render(other)}")
   }
 

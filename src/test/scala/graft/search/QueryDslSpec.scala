@@ -676,6 +676,30 @@ class QueryDslSpec extends SparkSpec {
       "aggregations")
   }
 
+  test("terms_set minimum_should_match_field reads the gate per document") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "a b c", Some(2L)), (2L, "a x y", Some(2L)),
+      (3L, "a x y", Some(1L)), (4L, "a b c", Option.empty[Long]))
+      .toDF("id", "tags", "req")
+    val got = QueryDsl.search(t,
+      """{"query": {"terms_set": {"tags": {"terms": ["a", "b", "c"],
+           "minimum_should_match_field": "req"}}},
+         "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    // doc1: overlap 3 >= 2; doc2: 1 < 2; doc3: 1 >= 1; doc4: NULL gate drops
+    assert(got === Seq((1L, 3L), (3L, 1L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"terms_set": {"tags": {"terms": ["a"],
+      "minimum_should_match": 1, "minimum_should_match_field": "req"}}}}""",
+      "not both")
+    bad("""{"query": {"terms_set": {"tags": {"terms": ["a"]}}}}""",
+      "requires an integer minimum_should_match or a")
+  }
+
   test("terms_set gates on minimum_should_match and scores the overlap") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"terms_set": {"text":
