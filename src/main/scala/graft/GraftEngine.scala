@@ -773,15 +773,30 @@ object GraftEngine {
     // per-term membership-sum expression re-evaluates the token chain
     // once per term (branch-conditional subexpressions defeat CSE) —
     // measured 30× slower on a derived+analyzed column at 100×.
-    val weightOf = chosen.tail.foldLeft(
-      when(col("__t") === chosen.head._1, lit(chosen.head._2))) {
-      case (acc, (t2, w2)) => acc.when(col("__t") === t2, lit(w2))
-    }
-    docs.filter(col(idCol) =!= lit(seedValue))
+    val matches = docs.filter(col(idCol) =!= lit(seedValue))
       .select(col(idCol),
         explode(array_intersect(toks,
           typedLit(chosen.map(_._1).toArray))).as("__t"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shared"), sum(weightOf).as("score"))
+    // Term→weight lookup: a when-chain CASE for small K (pure
+    // codegen, no join), but ONE branch per term — thousands of
+    // branches exceed the JVM 64KB codegen method limit (interpreted
+    // fallback) or blow the Catalyst tree. Above 64 terms, join the
+    // matches against a BROADCAST (term, weight) table instead: the
+    // exploded side carries only hits, the build side is ≤
+    // max_query_terms rows — same arithmetic, no codegen cliff.
+    if (chosen.size <= 64) {
+      val weightOf = chosen.tail.foldLeft(
+        when(col("__t") === chosen.head._1, lit(chosen.head._2))) {
+        case (acc, (t2, w2)) => acc.when(col("__t") === t2, lit(w2))
+      }
+      matches.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shared"), sum(weightOf).as("score"))
+    } else {
+      val weights = broadcast(
+        docs.sparkSession.createDataFrame(chosen).toDF("__t", "__w"))
+      matches.join(weights, "__t")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shared"), sum(col("__w")).as("score"))
+    }
   }
 }

@@ -3533,6 +3533,7 @@ object DslSearch {
           lit(null).cast("double").as("acctbal"))
         QueryDsl.search(c.unionByName(o),
           """{"query": {"has_child": {"type": "order", "join_field": "rel",
+               "parent_type": "customer",
                "id_field": "doc_id", "parent_field": "parent_id",
                "query": {"range": {"price": {"gte": 300000}}},
                "score_mode": "sum", "min_children": 3}},

@@ -1448,12 +1448,17 @@ object QueryDsl {
         // field, a query term matches when ANY field carries it;
         // score = matched query terms over the token UNION,
         // minimum_should_match gates that count (the name-field idiom:
-        // "jane smith" across first_name/last_name)
+        // "jane smith" across first_name/last_name). A NULL field
+        // contributes an EMPTY token set (coalesce), matching the
+        // best_fields arms and OpenSearch, where a missing field simply
+        // adds no terms — Spark's concat would otherwise NULL the whole
+        // union and silently drop docs with one NULL field.
         case "cross_fields" =>
           if (m.contains("tie_breaker"))
             fail("tie_breaker applies to best_fields only")
           val union = array_distinct(concat(fields.map(f =>
-            array_distinct(split(an.norm(col(f)), " "))): _*))
+            coalesce(array_distinct(split(an.norm(col(f)), " ")),
+              typedLit(Seq.empty[String]))): _*))
           val s = overlapScore(union, terms, fuzz, prefixLen, transp)
           CompiledQuery(s >= lit(msm), when(s >= lit(msm), s).otherwise(0L))
         // phrase: the whole query as a match_phrase per field (the
@@ -3511,6 +3516,12 @@ object QueryDsl {
     * you want at scale, never a per-row subquery. `score_mode`:
     * none (constant 1) / sum / min / max over matching child scores
     * (exact longs; avg would break the integer model — fail loud).
+    * The returned side is GATED on being a parent-typed row: rows of
+    * the child type itself are always excluded, and an optional
+    * `parent_type` restricts to that relation name exactly (the
+    * has_parent symmetry) — without the gate, a child row whose id
+    * collides with a matched parent pointer would silently return as
+    * a parent hit when ids are not unique across relation types.
     */
   private def hasChildRequest(table: DataFrame, spec: JValue): DataFrame = {
     val m = spec match {
@@ -3518,7 +3529,8 @@ object QueryDsl {
       case other => fail(s"has_child must be an object: ${render(other)}")
     }
     m.keySet.diff(Set("type", "query", "join_field", "id_field",
-      "parent_field", "score_mode", "min_children", "max_children"))
+      "parent_field", "score_mode", "min_children", "max_children",
+      "parent_type"))
       .foreach(k => fail(s"unsupported has_child option '$k'"))
     val childType = strOpt(m, "type")
       .getOrElse(fail("has_child needs the child 'type'"))
@@ -3551,7 +3563,11 @@ object QueryDsl {
       case other  => fail(s"has_child score_mode must be none/sum/min/max " +
         s"(avg would break the exact integer score model): '$other'")
     }
-    table.join(perParent, col(idF) === col("__hc_pid"))
+    val parentSide = strOpt(m, "parent_type") match {
+      case Some(pt) => table.filter(col(joinF) === lit(pt))
+      case None     => table.filter(col(joinF) =!= lit(childType))
+    }
+    parentSide.join(perParent, col(idF) === col("__hc_pid"))
       .withColumn("score", scoreCol)
       .drop("__hc_pid", "__hc_n", "__hc_sum", "__hc_min", "__hc_max")
   }
@@ -7528,20 +7544,33 @@ object QueryDsl {
           val maxAll = max(x).over(wAll)
           val nAll = count(x).over(wAll)
           val meanAll = sumAll.cast("double") / nAll.cast("double")
+          // Degenerate series guard: a constant series (max == min),
+          // a zero-sum percent_of_sum, or a zero-variance z-score has
+          // no defined rescaling — emit a documented NULL for every
+          // bucket instead of the NaN/Infinity a raw IEEE divide
+          // produces (NULL is observable and oracle-able; NaN !=
+          // NaN poisons hash gates silently).
+          val nullD = lit(null).cast("double")
           val c = method match {
-            case "percent_of_sum" => x.cast("double") / sumAll.cast("double")
+            case "percent_of_sum" =>
+              when(sumAll === lit(0), nullD)
+                .otherwise(x.cast("double") / sumAll.cast("double"))
             case "rescale_0_1" =>
-              (x - minAll).cast("double") / (maxAll - minAll).cast("double")
+              when(maxAll === minAll, nullD).otherwise(
+                (x - minAll).cast("double") / (maxAll - minAll).cast("double"))
             case "rescale_0_100" =>
-              ((x - minAll) * lit(100)).cast("double") /
-                (maxAll - minAll).cast("double")
+              when(maxAll === minAll, nullD).otherwise(
+                ((x - minAll) * lit(100)).cast("double") /
+                  (maxAll - minAll).cast("double"))
             case "mean" =>
-              (x.cast("double") - meanAll) / (maxAll - minAll).cast("double")
+              when(maxAll === minAll, nullD).otherwise(
+                (x.cast("double") - meanAll) / (maxAll - minAll).cast("double"))
             case "z-score" =>
               val sumSq = sum(x * x).over(wAll)
-              val varAll = (nAll * sumSq - sumAll * sumAll).cast("double") /
-                (nAll * nAll).cast("double")
-              (x.cast("double") - meanAll) / sqrt(varAll)
+              val varNum = (nAll * sumSq - sumAll * sumAll)
+              val varAll = varNum.cast("double") / (nAll * nAll).cast("double")
+              when(varNum === lit(0), nullD)
+                .otherwise((x.cast("double") - meanAll) / sqrt(varAll))
             case "softmax" => fail("normalize softmax is unsupported: exp is " +
               "not a correctly-rounded IEEE op, so its doubles cannot be " +
               "oracle-gated cross-engine (use percent_of_sum)")

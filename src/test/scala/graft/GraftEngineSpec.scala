@@ -94,6 +94,33 @@ class GraftEngineSpec extends SparkSpec {
     assert(res.forall(_.getAs[Long]("n_shared") >= 1L))
   }
 
+  test("moreLikeThis broadcast-join weight path (K > 64) == when-chain path") {
+    // above 64 chosen terms the weight lookup switches from a CASE
+    // chain (codegen cliff at thousands of branches) to a broadcast
+    // (term, weight) join — the two paths must agree exactly on a
+    // seed whose vocabulary (100 terms) exceeds both budgets
+    import spark.implicits._
+    val seedText = (0 until 100).map(i => f"t$i%03d").mkString(" ")
+    val docs = (Seq((0L, seedText)) ++ (1 to 20).map { d =>
+      (d.toLong, (0 until 100).filter(i => (i + d) % 3 == 0)
+        .map(i => f"t$i%03d").mkString(" "))
+    }).toDF("doc_id", "text")
+    def run(k: Int) = GraftEngine
+      .moreLikeThisHits(docs, "doc_id", "text", 0L, k)
+      .orderBy("doc_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every seed term admitted under both budgets ≥ 100 ⇒ the two
+    // lookup paths must produce identical (id, n_shared, score) rows
+    val joined = run(100)  // broadcast-join path (> 64)
+    assert(joined === run(200), "join path must be budget-insensitive above vocab")
+    assert(joined.nonEmpty && joined.forall(_._2 >= 1L))
+    // chain path at 64: scores can only shrink, never new docs appear
+    val chain = run(64).map(r => r._1 -> r._3).toMap
+    val joinMap = joined.map(r => r._1 -> r._3).toMap
+    assert(chain.keySet.subsetOf(joinMap.keySet))
+    assert(chain.forall { case (id, s) => joinMap(id) >= s })
+  }
+
   test("cdc snapshot round-trip through the facade") {
     val target = java.nio.file.Files.createTempDirectory("graft-eng-cdc").toString
     import spark.implicits._

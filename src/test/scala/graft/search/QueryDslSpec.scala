@@ -1941,6 +1941,28 @@ class QueryDslSpec extends SparkSpec {
          "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
       .as[(Long, Long)].collect().toSeq
     assert(hp === Seq((10L, 1L), (11L, 1L), (13L, 1L)))
+    // id-collision gate: a CHILD row whose id collides with a matched
+    // parent pointer must NOT return as a parent hit — the returned
+    // side excludes the child type (and parent_type pins the relation
+    // exactly). Parents and children numbered independently here:
+    // child doc_id 1 collides with parent doc_id 1.
+    val coll = Seq(
+      ("q", 1L, Option.empty[Long], "alpha"),
+      ("a", 1L, Some(1L), "spark"),
+      ("a", 2L, Some(1L), "spark")
+    ).toDF("rel", "doc_id", "parent_id", "text")
+    val hcColl = QueryDsl.search(coll,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match": {"text": "spark"}}, "score_mode": "sum"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(hcColl === Seq((1L, 2L)), "child row with colliding id leaked")
+    val hcPt = QueryDsl.search(coll,
+      s"""{"query": {"has_child": {"type": "a", "parent_type": "q", $relOpts,
+           "query": {"match": {"text": "spark"}}, "score_mode": "sum"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(hcPt === Seq((1L, 2L)))
     // equi-join plan: never a nested-loop/cartesian
     val plan = hc.queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
@@ -2169,6 +2191,26 @@ class QueryDslSpec extends SparkSpec {
                "method": "percent_of_sum"}}}}}}""")
       .agg(sum("n")).as[Double].head()
     assert(math.abs(tp - 1.0) < 1e-15)
+    // degenerate series: a constant metric (max == min, zero
+    // variance) yields a documented NULL, never NaN/Infinity
+    val tc = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("b", "v")
+    for (m <- Seq("rescale_0_1", "rescale_0_100", "mean", "z-score")) {
+      val r = QueryDsl.search(tc,
+        s"""{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+             "aggs": {"s": {"sum": {"field": "v"}},
+               "n": {"normalize": {"buckets_path": "s",
+                 "method": "$m"}}}}}}""")
+        .select("n").collect().toSeq
+      assert(r.forall(_.isNullAt(0)), s"$m on a constant series must be NULL")
+    }
+    val tz = Seq((0L, 3L), (1L, -3L)).toDF("b", "v")
+    val pz = QueryDsl.search(tz,
+      """{"aggs": {"h": {"histogram": {"field": "b", "interval": 1},
+           "aggs": {"s": {"sum": {"field": "v"}},
+             "n": {"normalize": {"buckets_path": "s",
+               "method": "percent_of_sum"}}}}}}""")
+      .select("n").collect().toSeq
+    assert(pz.forall(_.isNullAt(0)), "percent_of_sum over a zero sum must be NULL")
     def bad(json: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
       assert(e.getMessage.contains(frag), e.getMessage)
@@ -2934,6 +2976,25 @@ class QueryDslSpec extends SparkSpec {
         "sort": [{"_score": "desc"}, "id"], "_source": ["id", "score"]}""")
       .as[(Long, Long)].collect().toSeq
     assert(cf === Seq((1L, 2L), (2L, 2L)))
+    // a NULL field contributes an EMPTY term set, never poisons the
+    // union: "jane jane" in first with last NULL still matches term
+    // "jane" (the OpenSearch missing-field contract)
+    val tn = Seq(
+      (1L, Some("jane"), Some("smith")), (2L, Some("jane smith"), None),
+      (3L, None, Some("jane")), (4L, Option.empty[String], Option.empty[String]))
+      .toDF("id", "first", "last")
+    val cfNull = QueryDsl.search(tn,
+      """{"query": {"multi_match": {"query": "jane smith",
+        "fields": ["first", "last"], "type": "cross_fields",
+        "minimum_should_match": 2}},
+        "sort": ["id"], "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    assert(cfNull === Seq((1L, 2L), (2L, 2L)))
+    val cfNull1 = QueryDsl.search(tn,
+      """{"query": {"multi_match": {"query": "jane",
+        "fields": ["first", "last"], "type": "cross_fields"}},
+        "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(cfNull1 === Seq(1L, 2L, 3L))
     // best_fields would find NO doc with both terms in one field
     val bf = QueryDsl.search(t,
       """{"query": {"multi_match": {"query": "jane smith",
