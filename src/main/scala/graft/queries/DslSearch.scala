@@ -5413,6 +5413,108 @@ object DslSearch {
           FROM documents)
         SELECT doc_id, score FROM s WHERE score >= req_terms
         ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // Plain `_search` match against a BUILT index, ranked by REAL BM25
+    // (VERDICT r10 #1 — the last user-visible relevance divergence):
+    // the request's `"similarity": "bm25"` knob opts the match clause
+    // into the indexed relevance model; the serve path reads only the
+    // term-bucket-pruned postings + one-row stats (never the corpus)
+    // and replays q44's float-op order, so the DuckDB oracle replays
+    // the same formula over the raw documents table.
+    GraftQuery(
+      "q320_dsl_match_bm25_indexed",
+      (s, dir) => {
+        val idx = graft.etl.SearchIndex.cachedIndex(s, dir, "doc_id", "text",
+          watch = Seq(s"$dir/documents.parquet"))(
+          Tables.load(s, dir, "documents"))
+        QueryDsl.searchIndexed(s, idx,
+          """{"query": {"match": {"text": {
+               "query": "scan merge vector",
+               "similarity": "bm25"}}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 15,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                   FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'scan') THEN 1 ELSE 0 END) AS DOUBLE) AS df_a,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_b,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_c
+          FROM d),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_a + 0.5) / (df_a + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'scan')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'scan')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_c + 0.5) / (df_c + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'vector')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM d CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 15
+      """.stripMargin.trim)),
+
+    // The ANALYZED variant of q320: the index carries the STANDARD
+    // analyzer in its sidecar, and the raw match text "Spark! MERGE,"
+    // analyzes through that stored chain at serve time (build- and
+    // query-side tokenization cannot drift). The oracle replays
+    // normalize→tokenize→BM25 over the same mixed-case corpus.
+    GraftQuery(
+      "q321_dsl_match_bm25_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        val idx = graft.etl.SearchIndex.cachedIndex(s, s"$dir#std",
+          "doc_id", "body", watch = Seq(s"$dir/documents.parquet"),
+          analyzer = "standard")(mixed)
+        QueryDsl.searchIndexed(s, idx,
+          """{"query": {"match": {"body": {
+               "query": "Spark! MERGE,",
+               "similarity": "bm25"}}},
+             "size": 20}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        d AS (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(body),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS tok
+              FROM mixed),
+        dd AS (SELECT doc_id, tok, CAST(len(tok) AS DOUBLE) AS dl FROM d),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_a,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_b
+          FROM dd),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_a + 0.5) / (df_a + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM dd CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -4387,6 +4387,109 @@ object QueryDsl {
     graft.etl.IndexAlias.bm25Page(spark, pit, terms, k, after)
   }
 
+  /** Plain `_search` served from a BUILT [[graft.etl.SearchIndex]] —
+    * the `SEARCH` collection's core contract (reference stack
+    * `lib/opensearch-dynamodb-etl-cdk-stack.ts:90-91`): a user posting
+    * `{"query": {"match": ...}}` against an index gets REAL BM25
+    * relevance order, not the table path's integer term overlap. The
+    * opt-in knob `"similarity": "bm25"` in the match options makes the
+    * ranking model explicit in the request body (the table-path match
+    * scores exact-integer overlap — the documented divergence; this is
+    * the indexed escape hatch that closes it).
+    *
+    * `index` is a physical index dir OR an [[graft.etl.IndexAlias]]
+    * dir (resolved to its active version — the zero-downtime-reindex
+    * read path). The query text is analyzed through the INDEX's own
+    * stored analyzer inside [[graft.etl.SearchIndex.bm25]] (build- and
+    * serve-side tokenization can never drift), and the scoring replays
+    * q44's float-op order bit-for-bit, so this endpoint shares the
+    * q103 oracle family. The plan reads the one-row stats table and
+    * the term-bucket-PRUNED postings only — the corpus is never
+    * scanned (SearchIndexSpec pins it).
+    *
+    * Request surface: `query.match` (single field — the index carries
+    * exactly one analyzed text field, so the field name documents the
+    * caller's intent rather than routing), `size`, keyset
+    * `search_after: [last_score, last_doc_id]`. Everything the indexed
+    * ranking cannot honor fails loud: `from` (deep paging is keyset
+    * here), explicit `sort` other than the ranking's own
+    * `[{"_score": "desc"}, "doc_id"]`, a request-level `analyzer`
+    * (the index's sidecar owns analysis), match options that belong to
+    * the overlap model (operator / minimum_should_match / fuzziness).
+    * Output: (doc_id, score) ranked score desc, doc_id asc.
+    */
+  def searchIndexed(spark: SparkSession, index: String,
+      requestJson: String): DataFrame = {
+    val req = parse(requestJson) match {
+      case o: JObject => o.obj.toMap
+      case other      => fail(s"request body must be an object: ${render(other)}")
+    }
+    req.keySet.diff(Set("query", "size", "search_after", "sort", "_source"))
+      .foreach(k => fail(s"unsupported indexed-search request key '$k' " +
+        "(the indexed hit path serves match ranking only)"))
+    val (field, opts) = req.get("query") match {
+      case Some(JObject(List(("match", JObject(List((f, JObject(o)))))))) =>
+        (f, o.toMap)
+      case Some(JObject(List(("match", _)))) =>
+        fail("indexed match needs the object form: " +
+          """{"match": {field: {"query": ..., "similarity": "bm25"}}}""")
+      case _ => fail("indexed search requires {\"query\": {\"match\": ...}}")
+    }
+    opts.keySet.diff(Set("query", "similarity")).foreach {
+      case k @ ("operator" | "minimum_should_match" | "fuzziness" |
+                "prefix_length" | "analyzer" | "zero_terms_query") =>
+        fail(s"indexed match does not take '$k' — the BM25 index path " +
+          "ranks analyzed terms by relevance (the overlap-model options " +
+          "belong to the table path), and analysis comes from the index " +
+          "sidecar")
+      case k => fail(s"unsupported indexed match option '$k' on field '$field'")
+    }
+    strOpt(opts, "similarity") match {
+      case Some("bm25") => ()
+      case Some(other)  => fail(s"unsupported similarity '$other' " +
+        "(the indexed hit path ranks bm25)")
+      case None => fail("indexed match requires the opt-in " +
+        "\"similarity\": \"bm25\" knob — the ranking model is part of " +
+        "the request contract")
+    }
+    val qtext = strOpt(opts, "query")
+      .getOrElse(fail(s"indexed match on '$field' needs a query string"))
+    val size = req.get("size") match {
+      case None                    => 10
+      case Some(JInt(n)) if n >= 1 => n.toInt
+      case Some(other) => fail(s"size must be a positive integer: ${render(other)}")
+    }
+    // the only sort the indexed ranking can serve IS its own total
+    // order; accept it spelled out (request replayability) or omitted
+    req.get("sort").foreach {
+      case JArray(List(JObject(List(("_score", JString("desc")))), JString(id)))
+        if id == "doc_id" => ()
+      case other => fail("indexed search sort must be omitted or exactly " +
+        s"""[{"_score": "desc"}, "doc_id"]: ${render(other)}""")
+    }
+    req.get("_source").foreach {
+      case JArray(List(JString("doc_id"), JString("score"))) => ()
+      case other => fail("indexed search _source must be omitted or exactly " +
+        s"""["doc_id", "score"]: ${render(other)}""")
+    }
+    val after: Option[(Double, Long)] = req.get("search_after") match {
+      case None => None
+      case Some(JArray(List(s, JInt(id)))) =>
+        val score = s match {
+          case JDouble(d)  => d
+          case JInt(i)     => i.toDouble
+          case JDecimal(d) => d.toDouble
+          case other => fail(s"search_after score must be numeric: ${render(other)}")
+        }
+        Some((score, id.toLong))
+      case Some(other) => fail("search_after must be [last score, last " +
+        s"doc_id]: ${render(other)}")
+    }
+    val dir = graft.etl.IndexAlias.resolve(spark, index).getOrElse(index)
+    graft.etl.SearchIndex.bm25(spark, dir, Seq(qtext), topK = size,
+      after = after)
+  }
+
   /** `_rank_eval` endpoint: search-quality metrics for a suite of
     * RATED requests — the relevance-regression harness OpenSearch
     * ships (`POST _rank_eval`). Each entry carries a full `_search`

@@ -84,6 +84,67 @@ class SearchIndexSpec extends SparkSpec {
       s"expected a pruned postings read: $filesRead of $totalFiles files")
   }
 
+  test("searchIndexed: plain _search match ranks via indexed BM25, keyset pages, fails loud") {
+    import graft.search.QueryDsl
+    val docs = Tables.load(spark, sf(), "documents")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx_dsl").toString
+    SearchIndex.build(docs, "doc_id", "text", dir)
+    // parity: the _search body == the operator-surface serve, exactly
+    val viaDsl = QueryDsl.searchIndexed(spark, dir,
+      """{"query": {"match": {"text": {"query": "spark join window",
+           "similarity": "bm25"}}}, "size": 20}""")
+    val viaOp = SearchIndex.bm25(spark, dir, terms, topK = 20)
+    assert(viaDsl.as[(Long, Double)].collect().toSeq ===
+      viaOp.as[(Long, Double)].collect().toSeq)
+    assert(viaDsl.as[(Long, Double)].collect().toSeq === direct(docs))
+    // plan pin: the corpus is never scanned; postings read stays pruned
+    val scans = finalNodes(viaDsl).collect { case f: FileSourceScanExec => f }
+    assert(!scans.exists(_.metadata.getOrElse("Location", "").contains("documents")),
+      "indexed _search must not rescan the corpus")
+    assert(scans.filter(_.metadata.getOrElse("Location", "").contains("postings"))
+      .exists(_.partitionFilters.nonEmpty),
+      "indexed _search postings scan must carry a tbucket partition filter")
+    // keyset paging: page2 via search_after == rows 6..10 of one serve
+    val all = viaDsl.as[(Long, Double)].collect().toSeq
+    val p1 = QueryDsl.searchIndexed(spark, dir,
+      """{"query": {"match": {"text": {"query": "spark join window",
+           "similarity": "bm25"}}}, "size": 5}""")
+      .as[(Long, Double)].collect().toSeq
+    val (ls, lid) = (p1.last._2, p1.last._1)
+    val p2 = QueryDsl.searchIndexed(spark, dir,
+      s"""{"query": {"match": {"text": {"query": "spark join window",
+           "similarity": "bm25"}}}, "size": 5,
+          "search_after": [$ls, $lid]}""")
+      .as[(Long, Double)].collect().toSeq
+    assert(p1 ++ p2 === all.take(10))
+    // alias target: searchIndexed resolves the alias's active version
+    val aliasDir = java.nio.file.Files.createTempDirectory("bm25alias_dsl").toString
+    IndexAlias.reindex(docs, "doc_id", "text", aliasDir)
+    val viaAlias = QueryDsl.searchIndexed(spark, aliasDir,
+      """{"query": {"match": {"text": {"query": "spark join window",
+           "similarity": "bm25"}}}, "size": 20}""")
+    assert(viaAlias.as[(Long, Double)].collect().toSeq === all)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        QueryDsl.searchIndexed(spark, dir, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    val m = """"match": {"text": {"query": "spark", "similarity": "bm25"}}"""
+    bad("""{"query": {"match": {"text": {"query": "spark"}}}}""",
+      "requires the opt-in") // the ranking model is part of the contract
+    bad("""{"query": {"match": {"text": {"query": "spark",
+      "similarity": "overlap"}}}}""", "unsupported similarity")
+    bad("""{"query": {"match": {"text": {"query": "spark",
+      "similarity": "bm25", "fuzziness": 1}}}}""", "does not take 'fuzziness'")
+    bad("""{"query": {"match": {"text": {"query": "spark",
+      "similarity": "bm25", "analyzer": "standard"}}}}""",
+      "does not take 'analyzer'")
+    bad(s"""{"query": {$m}, "from": 10}""", "unsupported indexed-search")
+    bad(s"""{"query": {$m}, "sort": ["doc_id"]}""", "sort must be omitted")
+    bad("""{"query": {"term": {"lang": "en"}}}""",
+      """requires {"query": {"match"""")
+  }
+
   test("analyzer parity: standard index tokenizes like the scan, survives merge") {
     // mixed-case, punctuated corpus: whitespace tokens ("Spark,") can
     // never equal the lowercase query terms, so any hit below proves
