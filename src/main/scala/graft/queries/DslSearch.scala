@@ -5515,6 +5515,220 @@ object DslSearch {
           FROM dd CROSS JOIN stats)
         SELECT doc_id, score FROM scored WHERE score > 0.0
         ORDER BY score DESC, doc_id LIMIT 20
+      """.stripMargin.trim)),
+
+    // `_msearch` with FULL bodies (VERDICT r10 #2): a five-request
+    // dashboard batch — count, filtered avg metric, two terms aggs on
+    // the same field (one filtered), and a scored hit request — in
+    // ONE call. The count+metric arms share one conditional-aggregate
+    // scan (plan-pinned in QueryDslSpec), the two terms arms share one
+    // groupBy scan, and the hit arm runs a bounded-heap top-k (no
+    // per-request corpus sort). Long wire format
+    // (req, kind, ord, key, value); the oracle replays each response
+    // element and unions them.
+    GraftQuery(
+      "q322_dsl_msearch_full",
+      (s, dir) => QueryDsl.msearch(
+        Tables.load(s, dir, "documents"),
+        Seq(
+          """{"query": {"term": {"lang": "en"}}}""",
+          """{"query": {"range": {"n_chars": {"gte": 200}}},
+              "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}""",
+          """{"aggs": {"by_source": {"terms": {"field": "source",
+              "size": 5}}}}""",
+          """{"query": {"term": {"lang": "en"}},
+              "aggs": {"by_source_en": {"terms": {"field": "source",
+              "size": 3}}}}""",
+          """{"query": {"match": {"text": "spark join"}}, "size": 8,
+              "_source": ["doc_id", "score"]}""")),
+      Some("""
+        WITH c0 AS (
+          SELECT CAST(0 AS BIGINT) AS req, 'count' AS kind,
+                 CAST(0 AS BIGINT) AS ord, 'count' AS key,
+                 CAST(COUNT(*) AS DOUBLE) AS value
+          FROM documents WHERE lang = 'en'),
+        a1 AS (
+          SELECT CAST(1 AS BIGINT), 'agg', CAST(0 AS BIGINT), 'avg_chars',
+                 CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(n_chars) AS DOUBLE)
+          FROM documents WHERE n_chars >= 200),
+        t2 AS (
+          SELECT CAST(2 AS BIGINT), 'terms', rnk, key, val FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk,
+                   key, CAST(n AS DOUBLE) AS val
+            FROM (SELECT CAST(source AS VARCHAR) AS key,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY 1) b
+            WHERE n > 0) r WHERE rnk <= 5),
+        t3 AS (
+          SELECT CAST(3 AS BIGINT), 'terms', rnk, key, val FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk,
+                   key, CAST(n AS DOUBLE) AS val
+            FROM (SELECT CAST(source AS VARCHAR) AS key,
+                         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n
+                  FROM documents GROUP BY 1) b
+            WHERE n > 0) r WHERE rnk <= 3),
+        h4 AS (
+          SELECT CAST(4 AS BIGINT), 'hit', rnk, CAST(doc_id AS VARCHAR),
+                 CAST(score AS DOUBLE) FROM (
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM (SELECT doc_id,
+                         CAST(len(list_intersect(
+                           list_distinct(string_split(text, ' ')),
+                           ['spark', 'join'])) AS BIGINT) AS score
+                  FROM documents) s
+            WHERE score >= 1) r WHERE rnk <= 8)
+        SELECT req, kind, ord, key, value FROM (
+          SELECT * FROM c0 UNION ALL SELECT * FROM a1
+          UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+          UNION ALL SELECT * FROM h4)
+        ORDER BY req, ord, key
+      """.stripMargin.trim)),
+
+    // nested inner_hits (VERDICT r10 #3): the matching CHILD OBJECTS
+    // return alongside each parent hit — one row per (order, matching
+    // line item), element order = document order, capped at size 2 per
+    // parent, the requested element fields surfaced as typed
+    // inner_<field> columns. Pure codegen (filter+slice+posexplode on
+    // the probed array): no join, no shuffle beyond the fixture's own
+    // groupBy. The oracle ranks the same same-element conjunction on
+    // the flat child table.
+    GraftQuery(
+      "q323_dsl_nested_inner",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.load(s, dir, "lineitem")
+        val nested = li.groupBy(col("l_orderkey").as("order_key"))
+          .agg(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_discount").as("disc")))).as("items"))
+        QueryDsl.search(nested,
+          """{"query": {"nested": {"path": "items",
+               "query": {"bool": {"must": [
+                 {"range": {"items.qty": {"gte": 48.0}}},
+                 {"range": {"items.disc": {"lte": 0.02}}}]}},
+               "score_mode": "sum",
+               "inner_hits": {"size": 2,
+                 "_source": ["items.ln", "items.qty"]}}},
+             "sort": [{"_score": "desc"}, "order_key", "inner_rank"],
+             "size": 30,
+             "_source": ["order_key", "score", "inner_rank",
+                         "inner_ln", "inner_qty"]}""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_orderkey AS order_key, l_linenumber AS ln,
+                 l_quantity AS qty,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_discount)
+                   AS BIGINT) AS inner_rank
+          FROM lineitem WHERE l_quantity >= 48.0 AND l_discount <= 0.02),
+        s AS (SELECT order_key, CAST(COUNT(*) AS BIGINT) AS score
+              FROM m GROUP BY 1)
+        SELECT m.order_key, s.score, m.inner_rank,
+               m.ln AS inner_ln, m.qty AS inner_qty
+        FROM m JOIN s USING (order_key)
+        WHERE m.inner_rank <= 2
+        ORDER BY score DESC, order_key, inner_rank LIMIT 30
+      """.stripMargin.trim)),
+
+    // has_child inner_hits: the top-2 matching children per parent hit
+    // ride the SAME groupBy as the count/score monoids via a bounded
+    // heap (score desc, child id asc — range scores tie at 1, so the
+    // smallest order ids surface), then the one equi-join back to the
+    // parents — the q254 plan with two extra struct columns, never a
+    // per-row subquery (QueryDslSpec pins no NestedLoop/Cartesian).
+    GraftQuery(
+      "q324_dsl_has_child_inner",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_child": {"type": "order", "join_field": "rel",
+               "parent_type": "customer",
+               "id_field": "doc_id", "parent_field": "parent_id",
+               "query": {"range": {"price": {"gte": 300000}}},
+               "score_mode": "sum", "min_children": 3,
+               "inner_hits": {"size": 2}}},
+             "sort": [{"_score": "desc"}, "doc_id", "inner_rank"],
+             "size": 60,
+             "_source": ["doc_id", "score", "inner_rank", "inner_id",
+                         "inner_score"]}""")
+      },
+      Some("""
+        WITH k AS (
+          SELECT o_custkey AS pid,
+                 CAST(10000000 + o_orderkey AS BIGINT) AS cid
+          FROM orders WHERE o_totalprice >= 300000),
+        g AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n
+              FROM k GROUP BY 1 HAVING COUNT(*) >= 3),
+        ih AS (
+          SELECT pid, cid,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cid)
+                   AS BIGINT) AS inner_rank
+          FROM k)
+        SELECT c.c_custkey AS doc_id, g.n AS score, i.inner_rank,
+               i.cid AS inner_id, CAST(1 AS BIGINT) AS inner_score
+        FROM customer c
+        JOIN g ON c.c_custkey = g.pid
+        JOIN ih i ON i.pid = g.pid AND i.inner_rank <= 2
+        ORDER BY score DESC, doc_id, inner_rank LIMIT 60
+      """.stripMargin.trim)),
+
+    // has_parent inner_hits: each child hit carries ITS matched parent
+    // (inner_rank constant 1 — a child has one parent pointer), with
+    // the parent's score surfaced — the q255 join untouched, two
+    // constant-per-row columns added.
+    GraftQuery(
+      "q325_dsl_has_parent_inner",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"),
+          col("c_acctbal").as("acctbal"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"),
+          lit(null).cast("double").as("acctbal"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_parent": {"parent_type": "customer",
+               "join_field": "rel", "id_field": "doc_id",
+               "parent_field": "parent_id",
+               "query": {"bool": {
+                 "must": [{"range": {"acctbal": {"gte": 5000}}},
+                          {"range": {"acctbal": {"lte": 5600}}}],
+                 "should": [{"range": {"acctbal": {"gte": 5300}}}]}},
+               "score": true, "type": "order",
+               "inner_hits": {"size": 3}}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+             "_source": ["doc_id", "score", "inner_rank", "inner_id",
+                         "inner_score"]}""")
+      },
+      Some("""
+        WITH p AS (
+          SELECT c_custkey AS pid,
+                 CAST(2 + CASE WHEN c_acctbal >= 5300 THEN 1 ELSE 0 END
+                   AS BIGINT) AS pscore
+          FROM customer WHERE c_acctbal BETWEEN 5000 AND 5600)
+        SELECT 10000000 + o.o_orderkey AS doc_id,
+               p.pscore AS score, CAST(1 AS BIGINT) AS inner_rank,
+               p.pid AS inner_id, p.pscore AS inner_score
+        FROM orders o JOIN p ON o.o_custkey = p.pid
+        ORDER BY score DESC, doc_id LIMIT 60
       """.stripMargin.trim))
   )
 }

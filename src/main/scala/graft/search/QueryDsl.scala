@@ -2537,7 +2537,15 @@ object QueryDsl {
     * else fails loud. `score_mode`: "sum" (default) scores the number
     * of matching elements, "none" scores 1.
     */
-  private def nestedClause(body: JValue): CompiledQuery = body match {
+  private def nestedClause(body: JValue): CompiledQuery =
+    nestedCompile(body)._3
+
+  /** The shared nested compilation: (path, matched-elements column,
+    * compiled query). [[nestedClause]] uses the CompiledQuery;
+    * the request-level `inner_hits` path ([[nestedInnerHitsRequest]])
+    * additionally explodes the matched-elements column.
+    */
+  private def nestedCompile(body: JValue): (String, Column, CompiledQuery) = body match {
     case JObject(parts) =>
       val m = parts.toMap
       m.keySet.diff(Set("path", "query", "score_mode")).foreach(k =>
@@ -2602,14 +2610,61 @@ object QueryDsl {
         case other => fail(s"nested query must be a single-clause object: ${render(other)}")
       }
 
-      val nHits = size(filter(col(path), x => elemPred(q, x))).cast("long")
+      val matched = filter(col(path), x => elemPred(q, x))
+      val nHits = size(matched).cast("long")
       val score = strOpt(m, "score_mode").getOrElse("sum") match {
         case "sum"  => nHits
         case "none" => lit(1L)
         case other  => fail(s"unsupported nested score_mode '$other' (sum, none)")
       }
-      CompiledQuery(nHits >= 1L, score)
+      (path, matched, CompiledQuery(nHits >= 1L, score))
     case other => fail(s"nested requires an object body: ${render(other)}")
+  }
+
+  /** Request-level `nested` with `inner_hits` — return the MATCHING
+    * child objects alongside each parent hit (the standard nested UX:
+    * "which line items matched?"). One row per (parent hit, matching
+    * element), element order preserved (the document order — element
+    * scores are uniform under the same-element conjunction, so index
+    * order IS the OpenSearch tie-break), capped at `size` per parent.
+    * `inner_hits._source` names the element fields to surface (bare or
+    * path-prefixed), each as a typed `inner_<field>` column plus the
+    * 1-based `inner_rank` — no join, no shuffle: a pure-codegen
+    * filter + slice + posexplode over the already-probed array.
+    * Only the REQUEST-level nested clause takes inner_hits (inside a
+    * bool tree there is no hit row to attach children to — fails loud
+    * via the clause compiler's option check).
+    */
+  private def nestedInnerHitsRequest(table: DataFrame, body: JValue): DataFrame = {
+    val m = body match {
+      case JObject(s) => s.toMap
+      case other      => fail(s"nested must be an object: ${render(other)}")
+    }
+    val ih = m("inner_hits") match {
+      case JObject(s) => s.toMap
+      case other      => fail(s"inner_hits must be an object: ${render(other)}")
+    }
+    ih.keySet.diff(Set("size", "_source")).foreach(k =>
+      fail(s"unsupported nested inner_hits option '$k'"))
+    val n = intOpt(ih, "size").getOrElse(fail("nested inner_hits requires a size"))
+    if (n < 1) fail("inner_hits size must be >= 1")
+    val (path, matched, cq) = nestedCompile(JObject((m - "inner_hits").toList))
+    val fields: Seq[String] = ih.get("_source") match {
+      case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+        case JString(f) =>
+          if (f.startsWith(s"$path.")) f.drop(path.length + 1) else f
+        case other => fail(s"inner_hits _source entries must be strings: ${render(other)}")
+      }
+      case _ => fail("nested inner_hits requires a non-empty _source " +
+        "(the element fields to surface)")
+    }
+    val base = table.filter(cq.pred)
+      .withColumn("score", cq.score)
+      .select(col("*"), posexplode(slice(matched, 1, n)))
+      .withColumn("inner_rank", (col("pos") + 1).cast("long"))
+    fields.foldLeft(base) { (d, f) =>
+      d.withColumn(s"inner_$f", col("col").getField(f))
+    }.drop("pos", "col")
   }
 
   /** A member clause of the span family: `span_term` (exact token) or
@@ -3530,8 +3585,27 @@ object QueryDsl {
     }
     m.keySet.diff(Set("type", "query", "join_field", "id_field",
       "parent_field", "score_mode", "min_children", "max_children",
-      "parent_type"))
+      "parent_type", "inner_hits"))
       .foreach(k => fail(s"unsupported has_child option '$k'"))
+    // inner_hits: surface the top-`size` MATCHING children per parent
+    // (score desc, child id asc) as (inner_rank, inner_id, inner_score)
+    // columns — one extra row per surfaced child. The per-parent top-k
+    // rides the SAME groupBy as the count/score monoids via a
+    // bounded-heap aggregate (≤ size pairs through map-side combine),
+    // so the plan stays one groupBy + one equi-join — never a per-row
+    // subquery, and never a window over unbounded child sets.
+    val innerSize: Option[Int] = m.get("inner_hits") match {
+      case None => None
+      case Some(JObject(ih)) =>
+        val im = ih.toMap
+        im.keySet.diff(Set("size")).foreach(k =>
+          fail(s"unsupported has_child inner_hits option '$k'"))
+        val n = intOpt(im, "size").getOrElse(
+          fail("has_child inner_hits requires a size"))
+        if (n < 1 || n > 10000) fail("inner_hits size must be in [1, 10000]")
+        Some(n)
+      case Some(other) => fail(s"inner_hits must be an object: ${render(other)}")
+    }
     val childType = strOpt(m, "type")
       .getOrElse(fail("has_child needs the child 'type'"))
     val joinF = strOpt(m, "join_field")
@@ -3547,12 +3621,32 @@ object QueryDsl {
       if (mx < minC) fail("has_child max_children must be >= min_children"))
     val cq = compileQuery(m.getOrElse("query",
       fail("has_child needs a query over the child documents")))
+    innerSize.foreach { _ =>
+      import org.apache.spark.sql.types._
+      table.schema.find(_.name == idF).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) => ()
+        case Some(dt) => fail(s"has_child inner_hits needs an integral " +
+          s"id_field (the bounded-heap key), '$idF' is ${dt.simpleString}")
+        case None => fail(s"has_child id_field '$idF' not in the table")
+      }
+    }
     val kids = table
       .filter(col(joinF) === lit(childType) && col(parentF).isNotNull && cq.pred)
-      .select(col(parentF).as("__hc_pid"), cq.score.as("__hc_score"))
+      .select(col(parentF).as("__hc_pid"), cq.score.as("__hc_score"),
+        col(idF).cast("long").as("__hc_cid"))
+    val baseAggs = Seq(
+      count(lit(1)).as("__hc_n"), sum(col("__hc_score")).as("__hc_sum"),
+      min(col("__hc_score")).as("__hc_min"), max(col("__hc_score")).as("__hc_max"))
+    val aggs = innerSize match {
+      case None => baseAggs
+      case Some(n) =>
+        import org.apache.spark.sql.{functions => F, Encoders}
+        val topk = F.udaf(new graft.functions.Aggregators.SmallestKByKey(n),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        baseAggs :+ topk(-col("__hc_score"), col("__hc_cid")).as("__hc_inner")
+    }
     val perParent = kids.groupBy(col("__hc_pid"))
-      .agg(count(lit(1)).as("__hc_n"), sum(col("__hc_score")).as("__hc_sum"),
-        min(col("__hc_score")).as("__hc_min"), max(col("__hc_score")).as("__hc_max"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("__hc_n") >= lit(minC.toLong) &&
         maxC.map(mx => col("__hc_n") <= lit(mx.toLong)).getOrElse(lit(true)))
     val scoreCol = strOpt(m, "score_mode").getOrElse("none") match {
@@ -3567,9 +3661,20 @@ object QueryDsl {
       case Some(pt) => table.filter(col(joinF) === lit(pt))
       case None     => table.filter(col(joinF) =!= lit(childType))
     }
-    parentSide.join(perParent, col(idF) === col("__hc_pid"))
+    val joined = parentSide.join(perParent, col(idF) === col("__hc_pid"))
       .withColumn("score", scoreCol)
-      .drop("__hc_pid", "__hc_n", "__hc_sum", "__hc_min", "__hc_max")
+    val result = innerSize match {
+      case None => joined
+      case Some(_) =>
+        // one row per surfaced child: rank by (child score desc, child
+        // id asc) — the heap's (−score, id) order replayed
+        joined.select(col("*"), posexplode(col("__hc_inner")))
+          .withColumn("inner_rank", (col("pos") + 1).cast("long"))
+          .withColumn("inner_id", col("col._2"))
+          .withColumn("inner_score", -col("col._1"))
+          .drop("pos", "col", "__hc_inner")
+    }
+    result.drop("__hc_pid", "__hc_n", "__hc_sum", "__hc_min", "__hc_max")
   }
 
   /** `has_parent`: the relations model's child arm — return CHILD
@@ -3588,8 +3693,26 @@ object QueryDsl {
       case other => fail(s"has_parent must be an object: ${render(other)}")
     }
     m.keySet.diff(Set("parent_type", "query", "join_field", "id_field",
-      "parent_field", "score", "type"))
+      "parent_field", "score", "type", "inner_hits"))
       .foreach(k => fail(s"unsupported has_parent option '$k'"))
+    // inner_hits: surface the MATCHED parent alongside each child hit
+    // as (inner_rank, inner_id, inner_score). A child has exactly one
+    // parent pointer (duplicate parent ids collapse to one row in the
+    // pre-join agg below), so inner_rank is always 1 and the size cap
+    // is trivially honored — the option is accepted for request-shape
+    // symmetry with has_child.
+    val innerOn: Boolean = m.get("inner_hits") match {
+      case None => false
+      case Some(JObject(ih)) =>
+        val im = ih.toMap
+        im.keySet.diff(Set("size")).foreach(k =>
+          fail(s"unsupported has_parent inner_hits option '$k'"))
+        val n = intOpt(im, "size").getOrElse(
+          fail("has_parent inner_hits requires a size"))
+        if (n < 1) fail("inner_hits size must be >= 1")
+        true
+      case Some(other) => fail(s"inner_hits must be an object: ${render(other)}")
+    }
     val parentType = strOpt(m, "parent_type")
       .getOrElse(fail("has_parent needs parent_type"))
     val joinF = strOpt(m, "join_field")
@@ -3611,9 +3734,15 @@ object QueryDsl {
       .select(col(idF).as("__hp_id"), cq.score.as("__hp_score"))
       .groupBy(col("__hp_id")).agg(max(col("__hp_score")).as("__hp_score"))
     val joined = table.join(parents, col(parentF) === col("__hp_id"))
-    childType.map(t => joined.filter(col(joinF) === lit(t))).getOrElse(joined)
+    val typed = childType.map(t => joined.filter(col(joinF) === lit(t)))
+      .getOrElse(joined)
       .withColumn("score", if (useScore) col("__hp_score") else lit(1L))
-      .drop("__hp_id", "__hp_score")
+    val result =
+      if (!innerOn) typed
+      else typed.withColumn("inner_rank", lit(1L))
+        .withColumn("inner_id", col("__hp_id"))
+        .withColumn("inner_score", col("__hp_score"))
+    result.drop("__hp_id", "__hp_score")
   }
 
   /** `knn` request: exact cosine top-k of an inline query vector over
@@ -4298,6 +4427,228 @@ object QueryDsl {
       .orderBy("req")
   }
 
+  /** `_msearch` with FULL request bodies — the dashboard batch
+    * (VERDICT r10 #2): N mixed count / single-metric-agg / terms-agg /
+    * hit requests over one table, grouped so compatible requests SHARE
+    * a scan instead of costing one scan each:
+    *
+    *  - every count body and single-value metric body (value_count /
+    *    sum / min / max / avg, optionally query-filtered) compiles to
+    *    a CONDITIONAL AGGREGATE column of ONE `table.agg` pass — one
+    *    FileScan for the whole group (plan-pinned), the
+    *    [[msearchCounts]] amortization extended to metrics;
+    *  - terms-agg bodies group BY FIELD: all requests bucketing the
+    *    same field ride one groupBy scan as conditional counts, ranked
+    *    per-request by a window over the (post-aggregation,
+    *    bucket-table-sized — the deliberately-bounded-window doctrine)
+    *    grouped table;
+    *  - hit bodies share ONE scored scan: each row evaluates every
+    *    request's (pred, score) once, matches explode (req, -score,
+    *    id), and a BOUNDED-HEAP aggregate
+    *    ([[graft.functions.Aggregators.SmallestKByKey]]) keeps ≤ max
+    *    size pairs per request through map-side combine — shuffle
+    *    volume `partitions × requests × k` regardless of match counts,
+    *    never a per-request corpus sort.
+    *
+    * The wire shape is LONG format — one row per response element,
+    * `(req, kind, ord, key, value)`: counts (`kind=count`, key
+    * "count"), metrics (`kind=agg`, key = agg name), terms buckets
+    * (`kind=terms`, ord = 1-based bucket rank by doc_count desc / key
+    * asc, key = bucket key string, value = doc_count), hits
+    * (`kind=hit`, ord = 1-based rank by score desc / id asc, key = doc
+    * id string, value = score). Exactness contract: sum/avg metrics
+    * require INTEGRAL fields (the extended_stats model — exact integer
+    * sums, avg is one IEEE divide), hit ids must be integral (the
+    * heap's key pair), min/max/value_count take any orderable field.
+    * Anything else in a body fails loud — batch what batches, send the
+    * rest solo through `_search`.
+    */
+  def msearch(table: DataFrame, requestJsons: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    import org.apache.spark.sql.types._
+    if (requestJsons.isEmpty) fail("_msearch needs at least one request")
+
+    sealed trait Arm
+    final case class CountArm(i: Int, pred: Column) extends Arm
+    final case class MetricArm(i: Int, name: String, value: Column) extends Arm
+    final case class TermsArm(i: Int, field: String, size: Int,
+      pred: Column) extends Arm
+    final case class HitArm(i: Int, idField: String, pred: Column,
+      score: Column, size: Int) extends Arm
+
+    def integral(f: String, where: String): Unit =
+      table.schema.find(_.name == f) match {
+        case Some(sf) => sf.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case dt => fail(s"$where field '$f' must be integral (the exact " +
+            s"cross-engine model), got ${dt.simpleString}")
+        }
+        case None => fail(s"$where names unknown field '$f'")
+      }
+
+    val arms: Seq[Arm] = requestJsons.zipWithIndex.map { case (json, i) =>
+      val m = parse(json) match {
+        case o: JObject => o.obj.toMap
+        case other => fail(s"_msearch body $i must be an object: ${render(other)}")
+      }
+      m.keySet.diff(Set("query", "aggs", "size", "_source", "sort")).foreach(k =>
+        fail(s"unsupported _msearch body key '$k' in request $i — batch " +
+          "query/aggs/hits bodies; anything else goes solo through _search"))
+      val pred = m.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
+      if (m.contains("aggs")) {
+        m.get("size").foreach {
+          case JInt(n) if n == 0 => ()
+          case other =>
+            fail(s"_msearch agg body $i takes size 0 only: ${render(other)}")
+        }
+        if (m.contains("_source") || m.contains("sort"))
+          fail(s"_msearch agg body $i cannot carry _source/sort")
+        val (name, spec) = m("aggs") match {
+          case JObject(List((n, JObject(s)))) => (n, s.toMap)
+          case other => fail(s"_msearch body $i aggs must hold exactly one " +
+            s"agg: ${render(other)}")
+        }
+        spec.toList match {
+          case List(("terms", JObject(t))) =>
+            val tm = t.toMap
+            tm.keySet.diff(Set("field", "size")).foreach(k =>
+              fail(s"unsupported _msearch terms option '$k' in request $i"))
+            val f = strOpt(tm, "field")
+              .getOrElse(fail(s"terms agg in request $i needs a field"))
+            val sz = intOpt(tm, "size").getOrElse(10)
+            if (sz < 1) fail(s"terms size must be >= 1 in request $i")
+            TermsArm(i, f, sz, pred)
+          case List((metric @ ("value_count" | "sum" | "min" | "max" | "avg"),
+              JObject(b))) =>
+            val bm = b.toMap
+            bm.keySet.diff(Set("field")).foreach(k =>
+              fail(s"unsupported _msearch $metric option '$k' in request $i"))
+            val f = strOpt(bm, "field")
+              .getOrElse(fail(s"$metric in request $i needs a field"))
+            if (metric == "sum" || metric == "avg")
+              integral(f, s"_msearch $metric (request $i)")
+            val x = when(pred, col(f))
+            val v = metric match {
+              case "value_count" => count(x).cast("double")
+              case "sum"         => coalesce(sum(x), lit(0L)).cast("double")
+              case "min"         => min(x).cast("double")
+              case "max"         => max(x).cast("double")
+              case "avg" =>
+                val n = count(x)
+                when(n === 0L, lit(null).cast("double"))
+                  .otherwise(sum(x).cast("double") / n.cast("double"))
+            }
+            MetricArm(i, name, v)
+          case _ => fail(s"_msearch request $i agg must be terms or a " +
+            "single-value metric (value_count/sum/min/max/avg)")
+        }
+      } else if (m.contains("_source")) {
+        val idF = m("_source") match {
+          case JArray(List(JString(id), JString("score"))) => id
+          case other => fail(s"_msearch hit body $i _source must be " +
+            s"""[<id field>, "score"]: ${render(other)}""")
+        }
+        integral(idF, s"_msearch hits (request $i) id")
+        m.get("sort").foreach {
+          case JArray(List(JObject(List(("_score", JString("desc")))),
+            JString(f))) if f == idF => ()
+          case other => fail(s"_msearch hit body $i sort must be omitted " +
+            s"""or [{"_score": "desc"}, "$idF"]: ${render(other)}""")
+        }
+        val sz = m.get("size") match {
+          case None                                   => 10
+          case Some(JInt(n)) if n >= 1 && n <= 10000  => n.toInt
+          case Some(other) =>
+            fail(s"_msearch hit size must be in [1, 10000]: ${render(other)}")
+        }
+        val cq = compileQuery(m.getOrElse("query",
+          fail(s"_msearch hit body $i needs a query")))
+        HitArm(i, idF, cq.pred, cq.score, sz)
+      } else {
+        if (m.contains("size") || m.contains("sort"))
+          fail(s"_msearch count body $i takes a query only")
+        CountArm(i, pred)
+      }
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    // count + single-value metrics: ONE conditional-aggregate scan
+    val scalarArms = arms.collect {
+      case c: CountArm  =>
+        (c.i, "count", "count", count(when(c.pred, 1L)).cast("double"))
+      case ma: MetricArm => (ma.i, "agg", ma.name, ma.value)
+    }
+    if (scalarArms.nonEmpty) {
+      val aggCols = scalarArms.zipWithIndex.map { case ((_, _, _, v), j) =>
+        v.as(s"__v$j")
+      }
+      val row = table.agg(aggCols.head, aggCols.tail: _*)
+      val pairs = scalarArms.zipWithIndex.map { case ((i, kind, key, _), j) =>
+        struct(lit(i.toLong).as("req"), lit(kind).as("kind"),
+          lit(0L).as("ord"), lit(key).as("key"), col(s"__v$j").as("value"))
+      }
+      out += row.select(explode(array(pairs: _*)).as("r")).select(col("r.*"))
+    }
+
+    // terms aggs: one groupBy scan per distinct field, all same-field
+    // requests as conditional counts over it
+    arms.collect { case t: TermsArm => t }.groupBy(_.field).toSeq
+      .sortBy(_._1).foreach { case (field, group) =>
+        import org.apache.spark.sql.expressions.Window
+        val aggCols = group.map(t => count(when(t.pred, 1L)).as(s"__n${t.i}"))
+        val g = table.groupBy(col(field).cast("string").as("__k"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val ranked = group.foldLeft(g) { (d, t) =>
+          d.withColumn(s"__r${t.i}", row_number().over(
+            Window.orderBy(col(s"__n${t.i}").desc, col("__k"))).cast("long"))
+        }
+        val pairs = group.map { t =>
+          struct(lit(t.i.toLong).as("req"), lit("terms").as("kind"),
+            col(s"__r${t.i}").as("ord"), col("__k").as("key"),
+            col(s"__n${t.i}").cast("double").as("value"),
+            (col(s"__n${t.i}") > 0L &&
+              col(s"__r${t.i}") <= lit(t.size.toLong)).as("keep"))
+        }
+        out += ranked.select(explode(array(pairs: _*)).as("r"))
+          .filter(col("r.keep"))
+          .select(col("r.req").as("req"), col("r.kind").as("kind"),
+            col("r.ord").as("ord"), col("r.key").as("key"),
+            col("r.value").as("value"))
+      }
+
+    // hit bodies: one scored scan, bounded-heap top-k per request
+    val hitArms = arms.collect { case h: HitArm => h }
+    if (hitArms.nonEmpty) {
+      val maxK = hitArms.map(_.size).max
+      val topk = F.udaf(new graft.functions.Aggregators.SmallestKByKey(maxK),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      val entries = hitArms.map(h =>
+        struct(lit(h.i.toLong).as("req"), h.pred.as("p"),
+          h.score.cast("long").as("s"), col(h.idField).cast("long").as("id")))
+      val matched = table
+        .select(explode(array(entries: _*)).as("e"))
+        .filter(col("e.p"))
+        .select(col("e.req").as("req"), (-col("e.s")).as("nk"),
+          col("e.id").as("id"))
+      val sizeOf = hitArms.tail.foldLeft(
+        when(col("req") === lit(hitArms.head.i.toLong),
+          lit(hitArms.head.size.toLong))) { (acc, h) =>
+        acc.when(col("req") === lit(h.i.toLong), lit(h.size.toLong))
+      }
+      out += matched.groupBy(col("req"))
+        .agg(topk(col("nk"), col("id")).as("picks"))
+        .select(col("req"), posexplode(col("picks")))
+        .filter(col("pos") < sizeOf)
+        .select(col("req"), lit("hit").as("kind"),
+          (col("pos") + 1).cast("long").as("ord"),
+          col("col._2").cast("string").as("key"),
+          (-col("col._1")).cast("double").as("value"))
+    }
+
+    out.reduce(_.unionByName(_)).orderBy(col("req"), col("ord"), col("key"))
+  }
+
   // ------------------------------------------------ PIT wire surface
 
   /** Open wire handles: id → pinned alias version. Driver-side state,
@@ -4858,6 +5209,12 @@ object QueryDsl {
       // matching set comes from OTHER rows of the table), so these
       // compile at the REQUEST level into the equi-join the engine
       // already owns, not to a per-row predicate
+      case Some(JObject(List(("nested", body @ JObject(parts)))))
+        if parts.exists(_._1 == "inner_hits") =>
+        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
+          .filter(req.contains).foreach(k =>
+            fail(s"$k cannot be combined with nested inner_hits"))
+        return hitPipeline(nestedInnerHitsRequest(table, body), req)
       case Some(JObject(List(("has_child", body)))) =>
         Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
           .filter(req.contains).foreach(k =>

@@ -1987,6 +1987,100 @@ class QueryDslSpec extends SparkSpec {
       $relOpts, "query": {"match_all": {}}}}]}}}""", "")
   }
 
+  test("inner_hits: matching children alongside relation/nested hits; caps and sorts fail loud") {
+    import spark.implicits._
+    val t = Seq(
+      ("q", 1L, Option.empty[Long], "alpha"),
+      ("q", 2L, Option.empty[Long], "beta"),
+      ("a", 10L, Some(1L), "spark x"),
+      ("a", 11L, Some(1L), "spark y spark"),
+      ("a", 12L, Some(2L), "zzz"),
+      ("a", 13L, Some(1L), "spark")
+    ).toDF("rel", "doc_id", "parent_id", "text")
+    val relOpts = """"join_field": "rel", "id_field": "doc_id",
+      "parent_field": "parent_id""""
+    // has_child inner_hits: parent 1's 3 matching children score
+    // (1, 2, 1) under "spark y" (distinct-term membership) — top-2 by
+    // (score desc, id asc) = child 11 (score 2) then 10 (score 1)
+    val hc = QueryDsl.search(t,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match": {"text": "spark y"}}, "score_mode": "sum",
+           "inner_hits": {"size": 2}}},
+         "sort": ["doc_id", "inner_rank"],
+         "_source": ["doc_id", "score", "inner_rank", "inner_id",
+                     "inner_score"]}""")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(hc === Seq((1L, 4L, 1L, 11L, 2L), (1L, 4L, 2L, 10L, 1L)))
+    // the plan stays an equi-join — never a per-row subquery
+    val hcPlan = QueryDsl.search(t,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match": {"text": "spark"}},
+           "inner_hits": {"size": 2}}}}""")
+      .queryExecution.executedPlan.toString
+    assert(!hcPlan.contains("NestedLoop") && !hcPlan.contains("Cartesian"),
+      s"inner_hits must keep the equi-join plan:\n$hcPlan")
+    // has_parent inner_hits: each child carries its parent (rank 1)
+    val hp = QueryDsl.search(t,
+      s"""{"query": {"has_parent": {"parent_type": "q", $relOpts,
+           "query": {"match": {"text": "alpha"}}, "score": true,
+           "type": "a", "inner_hits": {"size": 3}}},
+         "sort": ["doc_id"],
+         "_source": ["doc_id", "inner_rank", "inner_id", "inner_score"]}""")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(hp === Seq((10L, 1L, 1L, 1L), (11L, 1L, 1L, 1L), (13L, 1L, 1L, 1L)))
+    // nested inner_hits: matching elements in document order, capped
+    val n = Seq(
+      (1L, Seq((1L, 10L), (2L, 60L), (3L, 70L), (4L, 80L))),
+      (2L, Seq((1L, 55L))),
+      (3L, Seq((1L, 5L)))
+    ).toDF("order_key", "items0")
+      .selectExpr("order_key",
+        "transform(items0, x -> named_struct('ln', x._1, 'qty', x._2)) AS items")
+    val ni = QueryDsl.search(n,
+      """{"query": {"nested": {"path": "items",
+           "query": {"range": {"items.qty": {"gte": 50}}},
+           "score_mode": "sum",
+           "inner_hits": {"size": 2, "_source": ["items.ln", "items.qty"]}}},
+         "sort": ["order_key", "inner_rank"],
+         "_source": ["order_key", "score", "inner_rank", "inner_ln",
+                     "inner_qty"]}""")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(ni === Seq(
+      (1L, 3L, 1L, 2L, 60L), (1L, 3L, 2L, 3L, 70L), // capped at 2 of 3
+      (2L, 1L, 1L, 1L, 55L)))
+    def bad(df: org.apache.spark.sql.DataFrame, json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(df, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(t, s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}, "inner_hits": {}}}}""", "requires a size")
+    bad(t, s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}, "inner_hits": {"size": 0}}}}""",
+      "size must be in [1, 10000]")
+    bad(t, s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}, "inner_hits": {"size": 2,
+      "sort": ["x"]}}}}""", "unsupported has_child inner_hits option")
+    bad(t, s"""{"query": {"has_parent": {"parent_type": "q", $relOpts,
+      "query": {"match_all": {}}, "inner_hits": {"size": 0}}}}""",
+      "size must be >= 1")
+    // non-integral child id cannot key the bounded heap
+    val ts = t.withColumn("doc_id", col("doc_id").cast("string"))
+    bad(ts, s"""{"query": {"has_child": {"type": "a", $relOpts,
+      "query": {"match_all": {}}, "inner_hits": {"size": 1}}}}""",
+      "integral")
+    bad(n, """{"query": {"nested": {"path": "items",
+      "query": {"match_all": {}}, "inner_hits": {"size": 1}}}}""",
+      "requires a non-empty _source")
+    bad(n, """{"query": {"nested": {"path": "items",
+      "query": {"match_all": {}}, "inner_hits": {"size": 1,
+      "_source": ["items.ln"], "highlight": {}}}}}""",
+      "unsupported nested inner_hits option")
+    // inside a bool tree there is no hit row to attach children to
+    bad(n, """{"query": {"bool": {"must": [{"nested": {"path": "items",
+      "query": {"match_all": {}}, "inner_hits": {"size": 1,
+      "_source": ["items.ln"]}}}]}}}""", "unsupported nested option")
+  }
+
   test("fields/docvalue_fields add typed columns alongside _source") {
     import spark.implicits._
     val t = Seq((1L, "spark", 10L, "en")).toDF("id", "text", "n", "lang")
@@ -5506,5 +5600,92 @@ class QueryDslSpec extends SparkSpec {
       (0L, docs.filter(col("lang") === "en").count()),
       (1L, docs.filter(col("n_chars") >= 300).count()),
       (2L, docs.count())))
+  }
+
+  test("_msearch full bodies: per-request parity with solo execution; agg group is ONE scan") {
+    import spark.implicits._
+    // the scalar group (count + metrics) alone must compile to ONE scan
+    val scalarOnly = QueryDsl.msearch(docs, Seq(
+      """{"query": {"term": {"lang": "en"}}}""",
+      """{"aggs": {"mx": {"max": {"field": "n_chars"}}}}""",
+      """{"query": {"range": {"n_chars": {"gte": 300}}},
+          "aggs": {"s": {"sum": {"field": "n_chars"}}}}""",
+      """{"aggs": {"vc": {"value_count": {"field": "lang"}}}}"""))
+    val plan = scalarOnly.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(plan).size === 1, plan)
+    val sr = scalarOnly.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getDouble(4))).toSeq
+    assert(sr(0) === ((0L, "count", 0L, "count",
+      docs.filter(col("lang") === "en").count().toDouble)))
+    assert(sr(1) === ((1L, "agg", 0L, "mx",
+      docs.agg(max("n_chars")).head().getLong(0).toDouble)))
+    assert(sr(2) === ((2L, "agg", 0L, "s",
+      docs.filter(col("n_chars") >= 300).agg(sum("n_chars")).head()
+        .getLong(0).toDouble)))
+    assert(sr(3) === ((3L, "agg", 0L, "vc",
+      docs.filter(col("lang").isNotNull).count().toDouble)))
+
+    // mixed batch: every response element equals its solo execution
+    val mixed = QueryDsl.msearch(docs, Seq(
+      """{"query": {"match": {"text": "spark join"}}, "size": 7,
+          "_source": ["doc_id", "score"]}""",
+      """{"aggs": {"by_src": {"terms": {"field": "source", "size": 4}}}}""",
+      """{"query": {"term": {"lang": "en"}},
+          "aggs": {"by_src_en": {"terms": {"field": "source", "size": 2}}}}"""))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    // hits == solo _search, rank for rank
+    val solo = QueryDsl.search(docs,
+      """{"query": {"match": {"text": "spark join"}},
+          "sort": [{"_score": "desc"}, "doc_id"], "size": 7,
+          "_source": ["doc_id", "score"]}""")
+      .as[(Long, Long)].collect().toSeq
+    val hitRows = mixed.filter(_._1 == 0L)
+    assert(hitRows.map(_._4) === solo.map(_._1.toString))
+    assert(hitRows.map(_._5) === solo.map(_._2.toDouble))
+    assert(hitRows.map(_._3) === (1L to solo.size.toLong))
+    // terms == solo terms agg ranking (doc_count desc, key asc)
+    val soloTerms = docs.groupBy(col("source").cast("string").as("k"))
+      .count().orderBy(col("count").desc, col("k")).limit(4)
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toSeq
+    val t1 = mixed.filter(_._1 == 1L)
+    assert(t1.map(r => (r._4, r._5)) === soloTerms)
+    val soloEn = docs.filter(col("lang") === "en")
+      .groupBy(col("source").cast("string").as("k"))
+      .count().orderBy(col("count").desc, col("k")).limit(2)
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toSeq
+    assert(mixed.filter(_._1 == 2L).map(r => (r._4, r._5)) === soloEn)
+
+    // hit sizes are honored per request even though the heap is shared
+    val twoHits = QueryDsl.msearch(docs, Seq(
+      """{"query": {"match": {"text": "spark"}}, "size": 3,
+          "_source": ["doc_id", "score"]}""",
+      """{"query": {"match": {"text": "join"}}, "size": 9,
+          "_source": ["doc_id", "score"]}"""))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(twoHits.filter(_._1 == 0L).map(_._2) === (1L to 3L))
+    assert(twoHits.filter(_._1 == 1L).map(_._2) === (1L to 9L))
+
+    def bad(reqs: Seq[String], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.msearch(docs, reqs))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(Nil, "at least one request")
+    bad(Seq("""{"aggs": {"a": {"avg": {"field": "text"}}}}"""),
+      "must be integral") // exact-sum model: no fractional/string sums
+    bad(Seq("""{"aggs": {"a": {"sum": {"field": "nope"}}}}"""),
+      "unknown field")
+    bad(Seq("""{"aggs": {"a": {"percentiles": {"field": "n_chars"}}}}"""),
+      "must be terms or a single-value metric")
+    bad(Seq("""{"aggs": {"a": {"sum": {"field": "n_chars"}},
+                "b": {"max": {"field": "n_chars"}}}}"""), "exactly one")
+    bad(Seq("""{"query": {"match_all": {}}, "size": 5,
+        "_source": ["doc_id"]}"""), "_source must be")
+    bad(Seq("""{"query": {"match_all": {}}, "aggs": {"a":
+        {"max": {"field": "n_chars"}}}, "size": 3}"""), "size 0 only")
+    bad(Seq("""{"suggest": {}}"""), "unsupported _msearch body key")
+    bad(Seq("""{"query": {"match_all": {}}, "size": 3}"""),
+      "takes a query only")
   }
 }
