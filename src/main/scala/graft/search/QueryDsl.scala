@@ -155,23 +155,24 @@ import org.json4s.jackson.JsonMethods
   * `top_hits`, which returns the per-bucket top hit rows; otherwise the
   * hit table.
   */
-object QueryDsl {
+object QueryDsl extends QueryDslClauses with QueryDslRequests
+    with QueryDslEndpoints with QueryDslPipeline with QueryDslAggs {
 
   /** The ONE bare-term shape both human query grammars
     * (`simple_query_string` and `query_string`) accept — shared so
     * the two tokenizers can never drift.
     */
-  private val BareTermRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
+  private[search] val BareTermRe = """[\p{L}\p{N}_][\p{L}\p{N}_'.-]*""".r
 
   /** A `min_doc_count: 0` dense-fill request: the key series to
     * full-outer-join against the bucket table — numeric (histogram,
     * shifted by `off`) or time (fixed-interval date_histogram in
     * exact microseconds, shifted by the time-zone offset).
     */
-  private sealed trait HistoFill
-  private final case class NumFill(field: String, iv: Long, off: Long,
+  private[search] sealed trait HistoFill
+  private[search] final case class NumFill(field: String, iv: Long, off: Long,
       bounds: Option[(Long, Long)]) extends HistoFill
-  private final case class DateFill(field: String, ivUs: Long,
+  private[search] final case class DateFill(field: String, ivUs: Long,
       tzOffUs: Long, bounds: Option[(Long, Long)]) extends HistoFill
 
   /** Compiled form of the `query` part: a row predicate plus the
@@ -196,9130 +197,9 @@ object QueryDsl {
 
   def parse(json: String): JValue = JsonMethods.parse(json)
 
-  // ---------------------------------------------------------------- query
-
-  /** Compile the `query` object of a request body. */
-  def compileQuery(q: JValue): CompiledQuery = q match {
-    case JObject(List((clause, body))) => compileClause(clause, body)
-    case JObject(Nil)                  => CompiledQuery(lit(true), lit(0L))
-    case other =>
-      fail(s"query must be a single-clause object, got: ${render(other)}")
-  }
-
-  /** Clauses shaped `{field: {options}}`, where `_name` rides inside
-    * the options object; everything else carries it at the body's top
-    * level (the OpenSearch placement for both shapes).
-    */
-  private val FieldKeyedClauses = Set("term", "terms", "match",
-    "match_phrase", "match_phrase_prefix", "match_bool_prefix", "range",
-    "fuzzy", "prefix", "wildcard", "regexp", "terms_set")
-
-  /** Strip a clause's `_name` before dispatch; the compiled predicate
-    * is then recorded under it. Bookkeeping only — zero plan cost
-    * until the request surfaces `matched_queries`.
-    */
-  private def extractName(clause: String, body: JValue): (JValue, Option[String]) = {
-    def nameOf(parts: List[(String, JValue)]): String =
-      parts.collectFirst { case ("_name", v) => v } match {
-        case Some(JString(s)) if s.nonEmpty => s
-        case Some(other) => fail(s"_name must be a non-empty string: ${render(other)}")
-        case None        => fail("unreachable: _name presence pre-checked")
-      }
-    body match {
-      case JObject(List((f, JObject(opts))))
-          if FieldKeyedClauses(clause) && opts.exists(_._1 == "_name") =>
-        (JObject(List((f, JObject(opts.filterNot(_._1 == "_name"))))),
-          Some(nameOf(opts)))
-      // array-valued terms can't carry options inside the field's body,
-      // so OpenSearch places _name as a BODY-LEVEL sibling there:
-      // {"terms": {"lang": [...], "_name": "x"}} — accept that shape
-      // for any field-keyed clause whose field value is not an options
-      // object (an object-valued field keeps the in-options placement
-      // above; a second non-_name entry is the clause's own error)
-      case JObject(parts)
-          if FieldKeyedClauses(clause) && parts.exists(_._1 == "_name") &&
-            parts.filterNot(_._1 == "_name")
-              .forall { case (_, v) => !v.isInstanceOf[JObject] } =>
-        (JObject(parts.filterNot(_._1 == "_name")), Some(nameOf(parts)))
-      case JObject(parts)
-          if !FieldKeyedClauses(clause) && parts.exists(_._1 == "_name") =>
-        (JObject(parts.filterNot(_._1 == "_name")), Some(nameOf(parts)))
-      case _ => (body, None)
-    }
-  }
-
-  private def compileClause(clause: String, body: JValue): CompiledQuery = {
-    val (stripped, nameOpt) = extractName(clause, body)
-    val c = dispatchClause(clause, stripped)
-    nameOpt.fold(c)(n => c.copy(named = c.named :+ ((n, c.pred))))
-  }
-
-  private def dispatchClause(clause: String, body: JValue): CompiledQuery =
-    clause match {
-      case "match_all" => CompiledQuery(lit(true), lit(0L))
-      // `match_none`: the empty complement — matches nothing, scores
-      // nothing. Useful as a bool leaf (feature-flagged arms, wrapper
-      // templates); takes no options (a typo'd option object would
-      // otherwise be silently meaningless).
-      case "match_none" =>
-        body match {
-          case JObject(Nil) => ()
-          case other => fail(s"match_none takes no options: ${render(other)}")
-        }
-        CompiledQuery(lit(false), lit(0L))
-      case "term"      => termClause(body, multi = false)
-      case "terms"     => termClause(body, multi = true)
-      case "range"     => rangeClause(body)
-      case "prefix"    =>
-        val (f, v, ci, boost) = fieldValueCiBoost(body, "prefix")
-        val pred =
-          if (!ci) col(f).startsWith(litOf(v))
-          else v match {
-            case JString(s) => lower(col(f))
-              .startsWith(lit(s.toLowerCase(java.util.Locale.ROOT)))
-            case other => fail(s"case_insensitive prefix value must be a " +
-              s"string: ${render(other)}")
-          }
-        CompiledQuery(pred, lit(boost))
-      case "wildcard" =>
-        val (f, v, ci, boost) = fieldValueCiBoost(body, "wildcard")
-        val pat = v match {
-          case JString(s) =>
-            wildcardToLike(if (ci) s.toLowerCase(java.util.Locale.ROOT) else s)
-          case other      => fail(s"wildcard pattern must be a string: ${render(other)}")
-        }
-        CompiledQuery((if (ci) lower(col(f)) else col(f)).like(pat), lit(boost))
-      case "exists" => body match {
-        case JObject(fs) => fs.toMap.get("field") match {
-          case Some(JString(f)) => CompiledQuery(col(f).isNotNull, lit(1L))
-          case _ => fail("exists requires {\"field\": name}")
-        }
-        case _ => fail("exists requires {\"field\": name}")
-      }
-      case "match"        => matchClause(body)
-      case "match_phrase" => phraseClause(body)
-      case "match_phrase_prefix" => phrasePrefixClause(body)
-      case "match_bool_prefix"   => matchBoolPrefixClause(body)
-      case "bool"           => boolClause(body)
-      case "constant_score" => constantScoreClause(body)
-      case "script"         => scriptClause(body)
-      case "fuzzy"          => fuzzyClause(body)
-      case "terms_set"      => termsSetClause(body)
-      case "dis_max"        => disMaxClause(body)
-      case "boosting"       => boostingClause(body)
-      case "pinned"         => pinnedClause(body)
-      case "ids"            => idsClause(body)
-      case "regexp"         => regexpClause(body)
-      case "multi_match"    => multiMatchClause(body)
-      case "simple_query_string" => simpleQueryStringClause(body)
-      case "function_score"   => functionScoreClause(body)
-      case "distance_feature" => distanceFeatureClause(body)
-      case "parent_id"        => parentIdClause(body)
-      case "rank_feature"     => rankFeatureClause(body)
-      case "nested"           => nestedClause(body)
-      case "geo_distance"     => geoDistanceClause(body)
-      case "geo_bounding_box" => geoBoundingBoxClause(body)
-      case "query_string"     => queryStringClause(body)
-      case "script_score"     => scriptScoreClause(body)
-      case "wrapper"          => wrapperClause(body)
-      case "geo_polygon"      => geoPolygonClause(body)
-      case "geo_shape"        => geoShapeClause(body)
-      case "combined_fields"  => combinedFieldsClause(body)
-      case "span_first"       => spanFirstClause(body)
-      case "more_like_this" | "span_near" | "percolate" | "intervals" |
-           "span_or" | "span_not" | "span_containing" | "span_within" |
-           "span_multi" | "hybrid" =>
-        fail(s"'$clause' is a request-level query (it builds a corpus-state " +
-          "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
-      case other =>
-        fail(s"unsupported query clause '$other' (supported: match_all, " +
-          "match_none, term, " +
-          "terms, range, prefix, wildcard, exists, match, match_phrase, " +
-          "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
-          "dis_max, boosting, pinned, ids, regexp, multi_match, " +
-          "simple_query_string, query_string, function_score, " +
-          "distance_feature, rank_feature, parent_id, nested, geo_distance, " +
-          "geo_bounding_box, geo_polygon, geo_shape, script_score, script, " +
-          "wrapper, combined_fields, span_first)")
-    }
-
-  /** `wrapper`: a base64-encoded query object, decoded and compiled
-    * like any inline clause (the OpenSearch escape hatch for clients
-    * that must ship queries through JSON-hostile channels). Decoding
-    * happens ONCE on the driver; a bad payload fails loud at compile
-    * time, never at row time.
-    */
-  private def wrapperClause(body: JValue): CompiledQuery = body match {
-    case JObject(List(("query", JString(b64)))) =>
-      val json = try new String(
-        java.util.Base64.getDecoder.decode(b64), "UTF-8")
-      catch {
-        case _: IllegalArgumentException =>
-          fail("wrapper query is not valid base64")
-      }
-      val parsed = try parse(json) catch {
-        case e: Exception =>
-          fail(s"wrapper query does not decode to JSON: ${e.getMessage}")
-      }
-      compileQuery(parsed)
-    case other =>
-      fail(s"wrapper requires {query: <base64 string>}: ${render(other)}")
-  }
-
-  /** `combined_fields`: term-centric multi-field match — a query term
-    * counts once if it appears in ANY of the fields (OpenSearch's
-    * "fields as one combined field" model, vs multi_match's
-    * field-centric scoring). Score = number of query terms present in
-    * the union; `minimum_should_match` gates the predicate. Pure
-    * codegen — per term, an OR over per-field token-set membership.
-    */
-  private def combinedFieldsClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("query", "fields", "minimum_should_match", "analyzer"))
-        .foreach(k => fail(s"unsupported combined_fields option '$k'"))
-      val an = analyzerOpt(m, "combined_fields")
-      val terms = an.normText(strOpt(m, "query")
-        .getOrElse(fail("combined_fields needs a query")))
-        .split(" ").filter(_.nonEmpty).distinct.toSeq
-      if (terms.isEmpty) fail("combined_fields query has no terms")
-      val fields: Seq[String] = m.get("fields") match {
-        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
-          case JString(f) => f
-          case other      => fail(s"combined_fields fields must be strings: ${render(other)}")
-        }
-        case _ => fail("combined_fields needs a non-empty fields array")
-      }
-      val msm = m.get("minimum_should_match")
-        .map(resolveMsm(_, terms.size, "combined_fields")).getOrElse(1L)
-      if (msm > terms.size)
-        fail(s"minimum_should_match must be in [1, ${terms.size}]")
-      val perTerm: Seq[Column] = terms.map { t =>
-        fields.map(f =>
-          array_contains(array_distinct(split(an.norm(col(f)), " ")), t))
-          .reduce(_ || _)
-      }
-      val score = perTerm.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
-      CompiledQuery(score >= msm, score)
-    case other => fail(s"combined_fields requires an object body: ${render(other)}")
-  }
-
-  /** `span_first`: the term occurs within the first `end` token
-    * positions of its own document — per-row computable (unlike
-    * span_near, no corpus state), so it compiles to a plain clause:
-    * membership in the length-`end` prefix of the token array. Score
-    * 1 on match.
-    */
-  private def spanFirstClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("match", "end")).foreach(k =>
-        fail(s"unsupported span_first option '$k'"))
-      val (f, t) = m.get("match") match {
-        case Some(JObject(List(("span_term", JObject(List((fa, JString(ta)))))))) =>
-          (fa, ta)
-        case _ => fail("span_first needs {match: {span_term: {field: term}}}")
-      }
-      val end = intOpt(m, "end")
-        .getOrElse(fail("span_first needs an integer end"))
-      if (end < 1) fail("span_first end must be >= 1")
-      val pred = array_contains(slice(split(col(f), " "), 1, end), t)
-      CompiledQuery(pred, when(pred, 1L).otherwise(0L))
-    case other => fail(s"span_first requires an object body: ${render(other)}")
-  }
-
-  /** `script_score`: the wrapped query's hits, re-scored by a script —
-    * compiled by [[ScoreScript]] to plain Catalyst arithmetic (parsed
-    * once on the driver, zero row-time interpretation). The script
-    * sees `_score` (the wrapped query's score), `doc['f'].value`
-    * (integral columns) and `params.x` (request constants); exact-LONG
-    * arithmetic only, per the engine's integer score model.
-    */
-  private def scriptScoreClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("query", "script")).foreach(k =>
-        fail(s"unsupported script_score option '$k'"))
-      val inner = compileQuery(m.getOrElse("query",
-        fail("script_score needs a query")))
-      val (src, params) = m.get("script") match {
-        case Some(JObject(s)) =>
-          val sm = s.toMap
-          sm.keySet.diff(Set("source", "params")).foreach(k =>
-            fail(s"unsupported script option '$k'"))
-          val source = strOpt(sm, "source")
-            .getOrElse(fail("script_score script needs a source"))
-          val ps: Map[String, Long] = sm.get("params") match {
-            case Some(JObject(po)) => po.map {
-              case (k, JInt(v)) => k -> v.toLong
-              case (k, other) =>
-                fail(s"script param '$k' must be an integer: ${render(other)}")
-            }.toMap
-            case None        => Map.empty
-            case Some(other) => fail(s"script params must be an object: ${render(other)}")
-          }
-          (source, ps)
-        case _ => fail("script_score needs {script: {source, params?}}")
-      }
-      // a ppm-scaled inner score is not commensurate with the script's
-      // unit-scale arithmetic — same rule as bool over ppm sub-clauses.
-      // Token-level check: "params.base_score" contains the substring
-      // but never the token.
-      if (inner.ppm && ScoreScript.referencesScore(src))
-        fail("script_score cannot reference the _score of a ppm-scaled " +
-          "sub-query (dis_max/boosting/best_fields/…)")
-      CompiledQuery(inner.pred, ScoreScript.compile(src, params, inner.score),
-        named = inner.named)
-    case other => fail(s"script_score requires an object body: ${render(other)}")
-  }
-
-  /** Resolve one `terms` LOOKUP body — `{"terms": {f: {"id_field":
-    * ..., "id": ..., "path": ...}}}` — to a plain values array. The
-    * list comes from ONE row of the request's OWN table (the engine's
-    * request unit is one table, so OpenSearch's `index` member fails
-    * loud): the row where `id_field` equals `id`, column `path` —
-    * an array column contributes its elements, a scalar column its
-    * single value. One driver-side job per lookup, bounded by
-    * construction (`limit(2)` — the id must be unique) with the
-    * filter pushed into the scan; the 65536-term cap mirrors
-    * OpenSearch's `max_terms_count`. A missing row, NULL or empty
-    * path FAILS LOUD — OpenSearch silently matches nothing there,
-    * which is the typo'd-id trap this engine's doctrine forbids.
-    */
-  private def resolveTermsLookup(f: String, m: Map[String, JValue],
-      table: DataFrame): JValue = {
-    if (m.contains("index"))
-      fail(s"terms lookup on '$f': 'index' is unsupported — the engine's " +
-        "request unit is ONE table, the lookup reads the request's own " +
-        "table (drop 'index' and give id_field/id/path)")
-    m.keySet.diff(Set("id_field", "id", "path")).foreach(k =>
-      fail(s"unsupported terms lookup option '$k' on '$f'"))
-    val idField = strOpt(m, "id_field").getOrElse(
-      fail(s"terms lookup on '$f' requires id_field (the document key column)"))
-    val id = m.getOrElse("id",
-      fail(s"terms lookup on '$f' requires an id"))
-    val path = strOpt(m, "path").getOrElse(
-      fail(s"terms lookup on '$f' requires a path (the column holding the terms)"))
-    val rows = table.filter(col(idField) === litOf(id))
-      .select(col(path)).limit(2).collect()
-    if (rows.isEmpty)
-      fail(s"terms lookup on '$f': no row with $idField = ${render(id)} " +
-        "(an empty lookup would silently match nothing)")
-    if (rows.length > 1)
-      fail(s"terms lookup on '$f': $idField = ${render(id)} is not unique")
-    def toJ(x: Any): JValue = x match {
-      case s: String  => JString(s)
-      case i: Int     => JInt(i)
-      case l: Long    => JInt(l)
-      case d: Double  => JDouble(d)
-      case b: Boolean => JBool(b)
-      case other => fail(s"terms lookup on '$f': unsupported term type " +
-        s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
-    }
-    rows.head.get(0) match {
-      case null =>
-        fail(s"terms lookup on '$f': '$path' is NULL at $idField = ${render(id)}")
-      case seq: scala.collection.Seq[_] =>
-        if (seq.isEmpty)
-          fail(s"terms lookup on '$f': '$path' is empty at $idField = " +
-            s"${render(id)} (an empty lookup would silently match nothing)")
-        if (seq.size > 65536)
-          fail(s"terms lookup on '$f': ${seq.size} terms exceeds the " +
-            "65536-term cap (max_terms_count)")
-        JArray(seq.map(toJ).toList)
-      case x => JArray(List(toJ(x)))
-    }
-  }
-
-  private def termClause(body: JValue, multi: Boolean): CompiledQuery =
-    body match {
-      // expanded term form: {"term": {f: {"value": v, "boost": n}}} —
-      // an integer boost scores n instead of 1 (float boosts fail
-      // loud, the exact scoring model); `case_insensitive` folds both
-      // sides (the OpenSearch term-level option — term-level queries
-      // skip the analyzer, this knob is their only folding)
-      case JObject(List((f, JObject(opts)))) if !multi && opts.exists(_._1 == "value") =>
-        val m = opts.toMap
-        m.keySet.diff(Set("value", "boost", "case_insensitive")).foreach(k =>
-          fail(s"unsupported term option '$k' on '$f'"))
-        val boost = m.get("boost") match {
-          case Some(JInt(b)) if b >= 1 => b.toLong
-          case None                    => 1L
-          case Some(other) =>
-            fail(s"term boost must be a positive integer (exact scoring): ${render(other)}")
-        }
-        val pred =
-          if (!caseInsensitiveOpt(m, s"term on '$f'")) col(f) === litOf(m("value"))
-          else m("value") match {
-            case JString(s) =>
-              lower(col(f)) === lit(s.toLowerCase(java.util.Locale.ROOT))
-            case other => fail(s"case_insensitive term value must be a " +
-              s"string: ${render(other)}")
-          }
-        CompiledQuery(pred, lit(boost))
-      // array-valued terms can't carry options inside the field's
-      // body, so `boost` sits as a BODY-LEVEL sibling (the _name
-      // placement rule): {"terms": {"lang": [...], "boost": 2}}
-      case JObject(parts) if multi && parts.exists(_._1 == "boost") =>
-        val boost = parts.collectFirst { case ("boost", b) => b }.get match {
-          case JInt(i) if i >= 1 => i.toLong
-          case other => fail(s"terms boost must be a positive integer " +
-            s"(exact scoring): ${render(other)}")
-        }
-        termClause(JObject(parts.filterNot(_._1 == "boost")), multi)
-          .copy(score = lit(boost))
-      case JObject(List((f, v))) =>
-        val pred =
-          if (multi) v match {
-            case JArray(vs) => col(f).isin(vs.map(scalaOf): _*)
-            case other => fail(s"terms values must be an array: ${render(other)}")
-          }
-          else col(f) === litOf(v)
-        CompiledQuery(pred, lit(1L))
-      case other => fail(s"term/terms requires {field: value}: ${render(other)}")
-    }
-
-  private def rangeClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, JObject(bounds)))) =>
-      // a sibling "now" key supplies the deterministic instant date
-      // math resolves against (the engine bans wall-clock reads)
-      val nowOpt = bounds.toMap.get("now") match {
-        case Some(JString(s)) =>
-          try Some(DateMath.parseAnchor(s))
-          catch { case e: IllegalArgumentException =>
-            fail(s"range on '$f': now ${e.getMessage}") }
-        case None        => None
-        case Some(other) =>
-          fail(s"range now must be an ISO datetime string: ${render(other)}")
-      }
-      // sibling "boost": the term-level integer rule (score boost
-      // instead of 1, float boosts fail loud)
-      val boost = bounds.toMap.get("boost") match {
-        case Some(JInt(i)) if i >= 1 => i.toLong
-        case None                    => 1L
-        case Some(other) => fail(s"range boost must be a positive integer " +
-          s"(exact scoring): ${render(other)}")
-      }
-      val real = bounds.filterNot(p => p._1 == "now" || p._1 == "boost")
-      if (real.isEmpty) fail(s"range on '$f' has no bounds")
-      val preds = real.map {
-        // date math ("now-7d/d", "2024-01-20||/M"): resolved ON THE
-        // DRIVER to a literal timestamp — the predicate stays a plain
-        // pushable comparison; rounding is bound-type aware
-        // (gte floor / gt beyond-unit / lt before-unit / lte include-
-        // unit), expressed half-open so no last-millisecond literal
-        // exists. The string cast resolves in the UTC session zone.
-        case (k @ ("gte" | "gt" | "lte" | "lt"), JString(s))
-            if DateMath.isDateMath(s) =>
-          val r = try DateMath.eval(s, nowOpt) catch {
-            case e: IllegalArgumentException => fail(s"range on '$f': ${e.getMessage}")
-          }
-          def ts(t: java.time.LocalDateTime): Column =
-            lit(DateMath.literal(t)).cast("timestamp")
-          r.round match {
-            case None => k match {
-              case "gte" => col(f) >= ts(r.base)
-              case "gt"  => col(f) > ts(r.base)
-              case "lte" => col(f) <= ts(r.base)
-              case "lt"  => col(f) < ts(r.base)
-            }
-            case Some(u) =>
-              val lo = DateMath.truncate(r.base, u)
-              val next = DateMath.add(lo, u, 1L)
-              k match {
-                case "gte" => col(f) >= ts(lo)
-                case "gt"  => col(f) >= ts(next)
-                case "lt"  => col(f) < ts(lo)
-                case "lte" => col(f) < ts(next)
-              }
-          }
-        case ("gte", v) => col(f) >= litOf(v)
-        case ("gt", v)  => col(f) > litOf(v)
-        case ("lte", v) => col(f) <= litOf(v)
-        case ("lt", v)  => col(f) < litOf(v)
-        case (k, _)     => fail(s"unsupported range bound '$k' on '$f'")
-      }
-      CompiledQuery(preds.reduce(_ && _), lit(boost))
-    case other => fail(s"range requires {field: {bounds}}: ${render(other)}")
-  }
-
-  /** `match`: analyzed-token overlap. Score = count of DISTINCT
-    * query terms present in the field (the q41 semantics — codegen'd
-    * array intersection, no shuffle). `minimum_should_match` gates the
-    * predicate (default 1). The optional `analyzer` ("whitespace"
-    * default, "standard" = lowercase + split on non-alphanumerics) is
-    * applied identically to the field column and the query text — the
-    * [[Analyzer]] contract shared with the BM25 index.
-    */
-  private def matchClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, spec))) =>
-      val (queryText, msmRaw, andOp0, an, fuzz, prefixLen, transp, ztq, boost) =
-        spec match {
-        case JString(s) =>
-          (s, None: Option[JValue], false, Analyzer.Whitespace: Analyzer,
-            None: Option[String => Long], 0, false, None: Option[String], 1L)
-        case JObject(opts) =>
-          val m = opts.toMap
-          val q = m.get("query") match {
-            case Some(JString(s)) => s
-            case _ => fail(s"match on '$f' requires a string 'query'")
-          }
-          // msm resolves AFTER tokenization (the "NN%" form needs the
-          // term count); validation stays in resolveMsm — < 1 fails
-          // loud there (OpenSearch's negative-msm syntax is
-          // unimplemented and must never be silently reinterpreted)
-          val n = m.get("minimum_should_match")
-          // operator: "and" = every term must match (msm == |terms|,
-          // resolved after tokenization); combining both knobs would
-          // be ambiguous — fail loud
-          val andOp = m.get("operator") match {
-            case Some(JString("or"))  => false
-            case Some(JString("and")) => true
-            case None                 => false
-            case Some(other) => fail(s"match operator must be and/or: ${render(other)}")
-          }
-          if (andOp && m.contains("minimum_should_match"))
-            fail(s"match on '$f': operator and minimum_should_match " +
-              "cannot be combined")
-          m.keySet.diff(Set("query", "minimum_should_match", "operator",
-            "analyzer", "fuzziness", "prefix_length", "zero_terms_query",
-            "boost", "transpositions"))
-            .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
-          // integer boost (the term-clause rule): score × boost — the
-          // everyday relevance knob ("title matches count double")
-          val b = m.get("boost") match {
-            case Some(JInt(i)) if i >= 1 => i.toLong
-            case None                    => 1L
-            case Some(other) =>
-              fail(s"match boost must be a positive integer (exact scoring): ${render(other)}")
-          }
-          val (fz, pl, tr) = fuzzinessOpt(m, s"match on '$f'")
-          (q, n, andOp,
-            analyzerOpt(m, s"match on '$f'"), fz, pl, tr,
-            strOpt(m, "zero_terms_query"), b)
-        case other => fail(s"match body must be string or object: ${render(other)}")
-      }
-      val terms = an.normText(queryText).trim.split("\\s+").toSeq.distinct
-      if (terms.isEmpty || terms == Seq("")) {
-        // `zero_terms_query`: what an analyzed-to-nothing query means
-        // ("!!!" under the standard analyzer). OpenSearch silently
-        // returns no hits by default — the engine's default stays
-        // FAIL LOUD (a silently-empty result is the failure mode this
-        // surface forbids); the option, given EXPLICITLY, opts into
-        // either OpenSearch behavior.
-        ztq match {
-          case Some("all")  => return CompiledQuery(lit(true), lit(0L))
-          case Some("none") => return CompiledQuery(lit(false), lit(0L))
-          case Some(other) =>
-            fail(s"match zero_terms_query must be none|all, got '$other'")
-          case None => fail(s"match on '$f' has an empty query (set " +
-            "zero_terms_query: none|all to opt into a silent answer)")
-        }
-      }
-      ztq.foreach {
-        case "none" | "all" => ()
-        case other =>
-          fail(s"match zero_terms_query must be none|all, got '$other'")
-      }
-      val msmResolved =
-        if (andOp0) terms.size.toLong
-        else msmRaw.map(resolveMsm(_, terms.size, s"match on '$f'"))
-          .getOrElse(1L)
-      val score0 = overlapScore(
-        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
-        transp)
-      // the predicate gates on the UNboosted overlap (boost scales
-      // relevance, never reach); the score scales
-      val score = if (boost == 1L) score0 else score0 * lit(boost)
-      CompiledQuery(score0 >= lit(msmResolved), score)
-    case other => fail(s"match requires {field: spec}: ${render(other)}")
-  }
-
-  /** The match-family `fuzziness` option (`0`/`1`/`2` or `"AUTO"`) +
-    * `prefix_length` + `transpositions`, parsed to a per-term
-    * edit-distance resolver. `AUTO` is the public OpenSearch rule
-    * resolved per query term ON THE DRIVER (term lengths are
-    * compile-time constants): 0 edits for 1–2 chars, 1 for 3–5, 2 for
-    * 6+. Distances past 2 fail loud (the OpenSearch cap — an
-    * unbounded distance makes the term dictionary walk quadratic).
-    * `transpositions: true` switches the edit model to full
-    * Damerau-Levenshtein ([[graft.plans.DamerauLevenshtein]] — an
-    * adjacent swap is ONE edit, the oracle's `damerau_levenshtein`).
-    * The ENGINE DEFAULT is `false` — plain levenshtein, matching
-    * every other fuzzy surface of this engine (the `fuzzy` clause,
-    * the term/phrase suggesters, query_string `~` expansions) — a
-    * DELIBERATE, documented divergence from OpenSearch's `true`
-    * default: one edit model across all surfaces beats faithfully
-    * flipping just this one and letting match disagree with the
-    * suggester over the same typo. `prefix_length`/`transpositions`
-    * without `fuzziness` are meaningless and fail loud.
-    */
-  private def fuzzinessOpt(m: Map[String, JValue],
-      where: String): (Option[String => Long], Int, Boolean) = {
-    val fz: Option[String => Long] = m.get("fuzziness") match {
-      case None => None
-      case Some(JInt(i)) =>
-        if (i < 0 || i > 2)
-          fail(s"$where: fuzziness must be 0-2 or \"AUTO\", got $i")
-        Some((_: String) => i.toLong)
-      case Some(JString("AUTO")) =>
-        Some((t: String) =>
-          if (t.length <= 2) 0L else if (t.length <= 5) 1L else 2L)
-      case Some(other) =>
-        fail(s"""$where: fuzziness must be an int or "AUTO": ${render(other)}""")
-    }
-    val pl = intOpt(m, "prefix_length").getOrElse(0)
-    if (pl < 0) fail(s"$where: prefix_length must be >= 0")
-    if (fz.isEmpty && m.contains("prefix_length"))
-      fail(s"$where: prefix_length requires fuzziness")
-    val tr = m.get("transpositions") match {
-      case None           => false
-      case Some(JBool(b)) => b
-      case Some(other) =>
-        fail(s"$where: transpositions must be a boolean: ${render(other)}")
-    }
-    if (fz.isEmpty && m.contains("transpositions"))
-      fail(s"$where: transpositions requires fuzziness")
-    (fz, pl, tr)
-  }
-
-  /** A `minimum_should_match` value: a positive integer, or the
-    * percentage form `"NN%"` resolved ON THE DRIVER against the
-    * actual optional-clause/term count `n` (floor — the OpenSearch
-    * rounding). `zeroOk` is true only for bool, whose msm may
-    * legitimately be 0 (should-clauses purely optional next to a
-    * must); everywhere else a gate resolving to 0 would silently
-    * match EVERYTHING, so the floor clamps to 1 (documented — the
-    * vacuous-gate trap this engine's doctrine forbids). Negative
-    * ints/percentages ("all but N optional") and conditional forms
-    * ("3<90%") stay fail-loud.
-    */
-  private def resolveMsm(v: JValue, n: Int, where: String,
-      zeroOk: Boolean = false): Long = v match {
-    case JInt(i) if i >= 1 || (zeroOk && i == 0) => i.toLong
-    case JInt(i) =>
-      fail(s"$where: minimum_should_match must be >= ${if (zeroOk) 0 else 1} " +
-        s"(negative-msm syntax is unsupported), got $i")
-    case JString(s) if s.endsWith("%") =>
-      val pct =
-        try s.dropRight(1).toInt
-        catch { case _: NumberFormatException =>
-          fail(s"$where: minimum_should_match percentage must be an " +
-            s"integer: '$s'") }
-      if (pct < 1 || pct > 100)
-        fail(s"$where: minimum_should_match percentage must be 1-100%, got '$s'")
-      val floored = (n.toLong * pct) / 100L
-      if (zeroOk) floored else math.max(1L, floored)
-    case JString(other) =>
-      fail(s"$where: minimum_should_match string form must be \"NN%\" " +
-        s"(conditional forms are unsupported): '$other'")
-    case other =>
-      fail(s"$where: minimum_should_match must be an integer or \"NN%\": " +
-        s"${render(other)}")
-  }
-
-  /** Match-family score: number of DISTINCT query terms present in
-    * the field's distinct-token array. The exact path stays the ONE
-    * codegen'd `array_intersect` expression (every existing plan
-    * byte-identical); with `fuzziness` a query term also matches when
-    * ANY distinct token is within its per-term edit distance
-    * (`exists` + `levenshtein` over the bounded per-row token array —
-    * still whole-stage codegen, no UDF, mirroring the term-dictionary
-    * walk of [[fuzzyClause]]; `prefix_length` bounds candidates the
-    * way a real term dictionary does).
-    */
-  private def overlapScore(fieldTokens: Column, terms: Seq[String],
-      fuzz: Option[String => Long], prefixLen: Int,
-      transpositions: Boolean = false): Column = fuzz match {
-    case None =>
-      size(array_intersect(fieldTokens, array(terms.map(lit): _*))).cast("long")
-    case Some(d) =>
-      val edit: (Column, Column) => Column =
-        if (transpositions) graft.plans.DamerauLevenshtein.apply
-        else levenshtein(_, _)
-      terms.map { t =>
-        val dt = d(t)
-        val cond =
-          if (dt == 0L) array_contains(fieldTokens, t)
-          else exists(fieldTokens, tok =>
-            (if (prefixLen <= 0) lit(true)
-             else tok.startsWith(t.take(prefixLen))) &&
-              edit(tok, lit(t)) <= lit(dt))
-        when(cond, lit(1L)).otherwise(lit(0L))
-      }.reduce(_ + _)
-  }
-
-  /** Parse an optional per-clause `analyzer` name — whitespace (the
-    * oracle-locked historical default) unless the request names one.
-    */
-  private def analyzerOpt(m: Map[String, JValue], where: String): Analyzer =
-    m.get("analyzer") match {
-      case None             => Analyzer.Whitespace
-      case Some(JString(s)) =>
-        try Analyzer.of(s)
-        catch { case e: IllegalArgumentException => fail(s"$where: ${e.getMessage}") }
-      case Some(other) => fail(s"$where: analyzer must be a string: ${render(other)}")
-    }
-
-  /** Normalize a single grammar TERM through the analyzer — shared by
-    * the query-grammar surfaces (query_string, simple_query_string,
-    * span_near, intervals, suggest). Grammar terms are single-token by
-    * contract, so a term that analyzes to zero tokens (all separators)
-    * or expands to several (`a_b` under standard) fails loud instead
-    * of silently matching something else; multi-token text belongs in
-    * a quoted phrase.
-    */
-  /** The OpenSearch `case_insensitive` flag on term-level clauses —
-    * term-level queries skip the analyzer by contract, so this knob is
-    * their only folding. ASCII contract like the analyzer's.
-    */
-  private def caseInsensitiveOpt(m: Map[String, JValue], where: String): Boolean =
-    m.get("case_insensitive") match {
-      case Some(JBool(b)) => b
-      case None           => false
-      case Some(other) =>
-        fail(s"$where: case_insensitive must be a boolean: ${render(other)}")
-    }
-
-  private def analyzedTerm(an: Analyzer, term: String, where: String): String = {
-    val t = an.normText(term).trim
-    if (t.isEmpty)
-      fail(s"$where: term '$term' analyzes to no tokens under '${an.name}'")
-    if (t.contains(' '))
-      fail(s"$where: term '$term' analyzes to multiple tokens under " +
-        s"'${an.name}' - quote it as a phrase")
-    t
-  }
-
-  /** `match_phrase`: the engine's token-boundary substring contract
-    * (q59) — the space-padded NORMALIZED text contains the analyzed,
-    * space-joined phrase. Analyzer "whitespace" (default) reproduces
-    * the historical raw contract exactly.
-    */
-  private def phraseClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, v))) =>
-      val (phrase, an, slop) = v match {
-        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer, 0)
-        case JObject(opts) =>
-          val m = opts.toMap
-          m.keySet.diff(Set("query", "analyzer", "slop")).foreach(k =>
-            fail(s"unsupported match_phrase option '$k' on '$f'"))
-          val sl = intOpt(m, "slop").getOrElse(0)
-          if (sl < 0) fail(s"match_phrase slop must be >= 0, got $sl")
-          m.get("query") match {
-            case Some(JString(s)) =>
-              val a = analyzerOpt(m, s"match_phrase on '$f'")
-              (a.normText(s).trim, a, sl)
-            case _ => fail(s"match_phrase on '$f' requires a string 'query'")
-          }
-        case other => fail(s"match_phrase body must be string or object: ${render(other)}")
-      }
-      if (phrase.isEmpty) fail(s"match_phrase on '$f' has an empty phrase")
-      if (slop == 0) {
-        val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
-        CompiledQuery(padded.contains(s" $phrase "), lit(1L))
-      } else {
-        // sloppy phrase: the terms occur IN ORDER with at most `slop`
-        // total intervening tokens (`p_last − p_first − (k−1) ≤ slop`
-        // — the intervals gap model; OpenSearch's transposition-at-
-        // cost-2 is edit-distance-flavored and engine-specific, the
-        // ordered form is the deterministic analog). Row-LOCAL — a
-        // nested-exists over per-term position arrays built from ONE
-        // tokenization, so unlike span_near this composes inside bool
-        // as an ordinary predicate. Work per row is Π tfᵢ bounded by
-        // the row's own token counts; k is capped at 3 (beyond that
-        // the tuple product is the wrong plan — use span/intervals).
-        val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
-        if (terms.size < 2 || terms.size > 3)
-          fail(s"match_phrase slop supports 2-3 terms, got ${terms.size} " +
-            "(longer sloppy phrases belong to intervals/span_near)")
-        val toks = split(an.norm(col(f)), " ")
-        val idx = sequence(lit(0), size(toks) - 1)
-        def positions(t: String): Column =
-          filter(idx, i => element_at(toks, i + 1) === t)
-        val pred = terms match {
-          case Seq(t1, t2) =>
-            exists(positions(t1), p1 =>
-              exists(positions(t2), p2 =>
-                p2 > p1 && p2 - p1 - 1 <= lit(slop)))
-          case Seq(t1, t2, t3) =>
-            exists(positions(t1), p1 =>
-              exists(positions(t2), p2 =>
-                p2 > p1 && exists(positions(t3), p3 =>
-                  p3 > p2 && p3 - p1 - 2 <= lit(slop))))
-        }
-        // size(toks) is NULL-safe: a NULL field yields NULL -> no hit
-        CompiledQuery(coalesce(pred, lit(false)), lit(1L))
-      }
-    case other => fail(s"match_phrase requires {field: phrase}: ${render(other)}")
-  }
-
-  private def boolClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("must", "filter", "must_not", "should", "minimum_should_match"))
-        .foreach(k => fail(s"unsupported bool section '$k'"))
-      def section(name: String): Seq[CompiledQuery] = m.get(name) match {
-        case None              => Nil
-        case Some(JArray(cs))  => cs.map(compileQuery)
-        case Some(one: JObject) => Seq(compileQuery(one))
-        case Some(other) => fail(s"bool.$name must be a clause or array: ${render(other)}")
-      }
-      val must    = section("must")
-      val filter  = section("filter")
-      val mustNot = section("must_not")
-      val should  = section("should")
-
-      // minimum_should_match default: 1 when should is the only match
-      // criterion, else 0 (OpenSearch's rule). The "NN%" form resolves
-      // against the should-clause count; 0 is legal here (should
-      // purely optional next to a must).
-      val msmDefault = if (should.nonEmpty && must.isEmpty && filter.isEmpty) 1L else 0L
-      val msm = m.get("minimum_should_match") match {
-        case None    => msmDefault
-        case Some(v) => resolveMsm(v, should.size, "bool", zeroOk = true)
-      }
-
-      combineBool(must, filter, mustNot, should, msm)
-    case other => fail(s"bool requires an object body: ${render(other)}")
-  }
-
-  /** The bool combination model, shared with `simple_query_string`:
-    * query-context scoring — must scores always (pred already gates
-    * them), should scores only when the clause matched; filter and
-    * must_not contribute nothing (filter context).
-    */
-  private def combineBool(must: Seq[CompiledQuery], filter: Seq[CompiledQuery],
-      mustNot: Seq[CompiledQuery], should: Seq[CompiledQuery],
-      msm: Long): CompiledQuery = {
-    val base = (must ++ filter).map(_.pred) ++ mustNot.map(c => !c.pred)
-    val shouldMatched =
-      if (should.isEmpty) lit(0L)
-      else should.map(c => when(c.pred, 1L).otherwise(0L)).reduce(_ + _)
-    val preds = base ++ (if (msm > 0L) Seq(shouldMatched >= lit(msm)) else Nil)
-    val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
-    val scoring = must ++ should
-    if (scoring.exists(_.ppm) && scoring.exists(!_.ppm))
-      fail("bool cannot sum unit- and ppm-scaled clause scores (move the " +
-        "ppm clause to filter context, or keep scoring clauses one scale)")
-    val scoreParts = must.map(_.score) ++
-      should.map(c => when(c.pred, c.score).otherwise(0L))
-    val score =
-      if (scoreParts.isEmpty) lit(0L) else scoreParts.reduce(_ + _)
-    // named sub-clauses from every section ride up (a must_not name
-    // can never surface on a hit — its pred is false there — which is
-    // exactly the OpenSearch behavior)
-    CompiledQuery(pred, score, ppm = scoring.exists(_.ppm),
-      named = (must ++ filter ++ mustNot ++ should).flatMap(_.named))
-  }
-
-  /** `constant_score`: the wrapped filter decides membership, the score
-    * is a fixed integer `boost` (default 1) — filter context promoted to
-    * a scored clause, as in OpenSearch.
-    */
-  /** `script` query: filter by a scripted predicate — the two sides
-    * of ONE comparator (`< <= > >= == !=`) compile through the SAME
-    * exact-integer ScoreScript grammar as script_score
-    * (`doc['f'].value` arithmetic + `params` constants), so the whole
-    * predicate is codegen'd Catalyst with zero row-time
-    * interpretation and pushes toward the scan like any filter.
-    * `_score` does not exist in filter context — fail loud. Scores 1
-    * like the other term-level filters.
-    */
-  private def scriptClause(body: JValue): CompiledQuery = body match {
-    case JObject(List(("script", JObject(s)))) =>
-      val sm = s.toMap
-      sm.keySet.diff(Set("source", "params")).foreach(k =>
-        fail(s"unsupported script option '$k' in script query"))
-      val src = strOpt(sm, "source")
-        .getOrElse(fail("script query needs a script source"))
-      val params: Map[String, Long] = sm.get("params") match {
-        case Some(JObject(po)) => po.map {
-          case (k, JInt(v)) => k -> v.toLong
-          case (k, other) =>
-            fail(s"script param '$k' must be an integer: ${render(other)}")
-        }.toMap
-        case None        => Map.empty
-        case Some(other) => fail(s"script params must be an object: ${render(other)}")
-      }
-      val CmpRe = """>=|<=|==|!=|>|<""".r
-      val ms = CmpRe.findAllMatchIn(src).toList
-      if (ms.size != 1)
-        fail("script query needs exactly one comparator " +
-          s"(< <= > >= == !=), got ${ms.size} in '$src'")
-      val m = ms.head
-      val (lhs, rhs) = (src.substring(0, m.start), src.substring(m.end))
-      if (ScoreScript.referencesScore(lhs) || ScoreScript.referencesScore(rhs))
-        fail("script query cannot reference _score (filters evaluate " +
-          "before scoring)")
-      val l = ScoreScript.compile(lhs, params, lit(0L))
-      val r = ScoreScript.compile(rhs, params, lit(0L))
-      val pred = m.matched match {
-        case ">"  => l > r
-        case ">=" => l >= r
-        case "<"  => l < r
-        case "<=" => l <= r
-        case "==" => l === r
-        case "!=" => l =!= r
-      }
-      CompiledQuery(pred, lit(1L))
-    case other =>
-      fail(s"script query requires {script: {source, params?}}: ${render(other)}")
-  }
-
-  private def constantScoreClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("filter", "boost")).foreach(k =>
-        fail(s"unsupported constant_score option '$k'"))
-      val inner = m.get("filter") match {
-        case Some(f) => compileQuery(f)
-        case None    => fail("constant_score requires a filter clause")
-      }
-      val boost = m.get("boost") match {
-        case Some(JInt(b)) if b < 0 => fail("constant_score boost must be non-negative")
-        case Some(JInt(b)) => b.toLong
-        case None          => 1L
-        case Some(other)   => fail(s"constant_score boost must be an integer: ${render(other)}")
-      }
-      CompiledQuery(inner.pred, lit(boost), named = inner.named)
-    case other => fail(s"constant_score requires an object body: ${render(other)}")
-  }
-
-  /** `fuzzy`: term-level edit-distance match over the field's distinct
-    * whitespace tokens (the engine tokenizes text fields, mirroring the
-    * inverted-index term walk — the q48 contract). Score = number of
-    * distinct tokens within `fuzziness` (default 1) edits of the value;
-    * `prefix_length` (default 0) requires that many leading characters
-    * to match exactly, which is also what bounds the candidate set in a
-    * real term dictionary. `transpositions: true` switches the edit
-    * model to full Damerau-Levenshtein (adjacent swap = ONE edit —
-    * [[graft.plans.DamerauLevenshtein]]); the engine default stays
-    * `false` (plain levenshtein, the model every other fuzzy surface
-    * here uses — a deliberate, documented divergence from OpenSearch's
-    * `true` default; see [[fuzzinessOpt]]).
-    */
-  private def fuzzyClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, spec))) =>
-      val (value, fuzz, prefixLen, transp, boost) = spec match {
-        case JString(s) => (s, 1L, 0, false, 1L)
-        case JObject(opts) =>
-          val m = opts.toMap
-          m.keySet.diff(Set("value", "fuzziness", "prefix_length",
-            "transpositions", "boost")).foreach(k =>
-            fail(s"unsupported fuzzy option '$k' on '$f'"))
-          val b = m.get("boost") match {
-            case Some(JInt(i)) if i >= 1 => i.toLong
-            case None                    => 1L
-            case Some(other) => fail(s"fuzzy boost must be a positive " +
-              s"integer (exact scoring): ${render(other)}")
-          }
-          val v = strOpt(m, "value").getOrElse(fail(s"fuzzy on '$f' requires a string 'value'"))
-          val fz = m.get("fuzziness") match {
-            case Some(JInt(i)) if i < 0 => fail(s"fuzziness must be non-negative")
-            case Some(JInt(i)) => i.toLong
-            case None          => 1L
-            case Some(other)   => fail(s"fuzziness must be an int: ${render(other)}")
-          }
-          val tr = m.get("transpositions") match {
-            case None           => false
-            case Some(JBool(b)) => b
-            case Some(other) =>
-              fail(s"transpositions must be a boolean: ${render(other)}")
-          }
-          (v, fz, intOpt(m, "prefix_length").getOrElse(0), tr, b)
-        case other => fail(s"fuzzy body must be string or object: ${render(other)}")
-      }
-      if (value.isEmpty) fail(s"fuzzy on '$f' has an empty value")
-      val edit: (Column, Column) => Column =
-        if (transp) graft.plans.DamerauLevenshtein.apply
-        else levenshtein(_, _)
-      val toks = array_distinct(split(col(f), " "))
-      val candidate: Column => Column =
-        if (prefixLen <= 0) identity
-        else t => when(t.startsWith(value.take(prefixLen)), t)
-      val matched = filter(toks, t =>
-        candidate(t).isNotNull && edit(t, lit(value)) <= lit(fuzz))
-      val score = size(matched).cast("long")
-      // the match-boost doctrine: the predicate gates on the UNboosted
-      // token count, the score scales
-      CompiledQuery(score >= 1L,
-        if (boost == 1L) score else score * lit(boost))
-    case other => fail(s"fuzzy requires {field: spec}: ${render(other)}")
-  }
-
-  /** `match_phrase_prefix`: a phrase whose LAST term is a prefix — the
-    * search-as-you-type query. Token-boundary containment of the
-    * space-joined phrase with no trailing boundary, so the final token
-    * only needs to START with the last query term (the q131 contract).
-    */
-  private def phrasePrefixClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, v))) =>
-      val (phrase, an) = v match {
-        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer)
-        case JObject(opts) =>
-          val m = opts.toMap
-          m.keySet.diff(Set("query", "analyzer")).foreach(k =>
-            fail(s"unsupported match_phrase_prefix option '$k' on '$f'"))
-          m.get("query") match {
-            case Some(JString(s)) =>
-              val a = analyzerOpt(m, s"match_phrase_prefix on '$f'")
-              (a.normText(s).trim, a)
-            case _ => fail(s"match_phrase_prefix on '$f' requires a string 'query'")
-          }
-        case other => fail(s"match_phrase_prefix body must be string or object: ${render(other)}")
-      }
-      if (phrase.isEmpty) fail(s"match_phrase_prefix on '$f' has an empty phrase")
-      val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
-      CompiledQuery(padded.contains(s" $phrase"), lit(1L))
-    case other => fail(s"match_phrase_prefix requires {field: phrase}: ${render(other)}")
-  }
-
-  /** `match_bool_prefix`: type-ahead over a bag of terms — every
-    * token but the LAST matches as a full term, the last as a token
-    * PREFIX (OpenSearch builds a bool of term shoulds plus a prefix
-    * on the final token). Score = distinct full-term overlap + 1 when
-    * any token starts with the prefix; `minimum_should_match` gates
-    * the predicate (default 1 — the or-semantics default). Pure
-    * codegen: one split + intersect + higher-order exists.
-    */
-  private def matchBoolPrefixClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, spec))) =>
-      val (queryText, msmRaw, an) = spec match {
-        case JString(s) => (s, None: Option[JValue], Analyzer.Whitespace: Analyzer)
-        case JObject(opts) =>
-          val m = opts.toMap
-          m.keySet.diff(Set("query", "minimum_should_match", "analyzer"))
-            .foreach(k =>
-              fail(s"unsupported match_bool_prefix option '$k' on '$f'"))
-          val q = strOpt(m, "query")
-            .getOrElse(fail(s"match_bool_prefix on '$f' requires a string 'query'"))
-          (q, m.get("minimum_should_match"),
-            analyzerOpt(m, s"match_bool_prefix on '$f'"))
-        case other => fail(s"match_bool_prefix body must be string or object: ${render(other)}")
-      }
-      val toks = an.normText(queryText).trim.split("\\s+").toSeq
-      if (toks.isEmpty || toks == Seq(""))
-        fail(s"match_bool_prefix on '$f' has an empty query")
-      val msm = msmRaw
-        .map(resolveMsm(_, toks.size, s"match_bool_prefix on '$f'"))
-        .getOrElse(1L)
-      val full = toks.init.distinct
-      val last = toks.last
-      val fieldToks = split(an.norm(col(f)), " ")
-      val overlap =
-        if (full.isEmpty) lit(0L)
-        else size(array_intersect(array_distinct(fieldToks),
-          array(full.map(lit): _*))).cast("long")
-      val prefixHit =
-        when(exists(fieldToks, t => t.startsWith(last)), 1L).otherwise(0L)
-      val score = overlap + prefixHit
-      CompiledQuery(score >= lit(msm), score)
-    case other => fail(s"match_bool_prefix requires {field: query}: ${render(other)}")
-  }
-
-  /** `terms_set`: like `terms` but with a required-match count — score =
-    * distinct-token overlap with the wanted set, predicate gated on
-    * `minimum_should_match` (the q128 contract; the field is tokenized
-    * like `match`). The script/field forms of OpenSearch's msm are out of
-    * scope — only the literal integer is supported, fail-loud otherwise.
-    */
-  private def termsSetClause(body: JValue): CompiledQuery = body match {
-    case JObject(List((f, JObject(opts)))) =>
-      val m = opts.toMap
-      m.keySet.diff(Set("terms", "minimum_should_match",
-        "minimum_should_match_field")).foreach(k =>
-        fail(s"unsupported terms_set option '$k' on '$f'"))
-      val wanted = m.get("terms") match {
-        case Some(JArray(vs)) if vs.nonEmpty => vs.map {
-          case JString(s) => s
-          case other      => fail(s"terms_set terms must be strings: ${render(other)}")
-        }
-        case _ => fail(s"terms_set on '$f' requires a non-empty terms array")
-      }
-      // the required-match count: a constant, or PER DOCUMENT from a
-      // column (`minimum_should_match_field` — the OpenSearch shape
-      // where each doc stores how many of its tags must match); a
-      // NULL msm column makes the gate NULL and the row drops (the
-      // OpenSearch missing-field behavior). Exactly one form.
-      val msm: Column = (m.get("minimum_should_match"),
-          m.get("minimum_should_match_field")) match {
-        case (Some(JInt(i)), None)        => lit(i.toLong)
-        case (None, Some(JString(mf)))    => col(mf).cast("long")
-        case (Some(_), Some(_)) => fail(s"terms_set on '$f': give " +
-          "minimum_should_match or minimum_should_match_field, not both")
-        case _ => fail(s"terms_set on '$f' requires an integer " +
-          "minimum_should_match or a minimum_should_match_field column")
-      }
-      val score = size(array_intersect(array_distinct(split(col(f), " ")),
-        array(wanted.map(lit): _*))).cast("long")
-      CompiledQuery(score >= msm, score)
-    case other => fail(s"terms_set requires {field: {terms, minimum_should_match}}: ${render(other)}")
-  }
-
-  /** `dis_max`: best-clause-wins ranking. Score = best matched
-    * sub-score × 10⁶ + (sum of the other matched sub-scores) ×
-    * round(tie_breaker × 10⁶) — the q129 exact-ppm model, so the
-    * float-free ordering is engine-portable. A hit matches if ANY
-    * sub-query matches; unmatched sub-queries contribute zero.
-    */
-  private def disMaxClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("queries", "tie_breaker")).foreach(k =>
-        fail(s"unsupported dis_max option '$k'"))
-      val subs = m.get("queries") match {
-        case Some(JArray(qs)) if qs.nonEmpty => qs.map(compileQuery)
-        case _ => fail("dis_max requires a non-empty queries array")
-      }
-      if (subs.exists(_.ppm))
-        fail("dis_max cannot nest ppm-scaled clauses: the best-clause " +
-          "formula would scale their scores by 10⁶ again")
-      val tbPpm = ppmOf(m, "tie_breaker", 0L)
-      val matched = subs.map(c => when(c.pred, c.score).otherwise(0L))
-      val best =
-        if (matched.size == 1) matched.head else greatest(matched: _*)
-      val total = matched.reduce(_ + _)
-      val score = best * lit(1000000L) + (total - best) * lit(tbPpm)
-      CompiledQuery(subs.map(_.pred).reduce(_ || _), score, ppm = true,
-        named = subs.flatMap(_.named))
-    case other => fail(s"dis_max requires an object body: ${render(other)}")
-  }
-
-  /** `boosting`: hits matching the negative clause are DEMOTED, not
-    * excluded (what must_not cannot express). Score = positive score ×
-    * 10⁶, or × round(negative_boost × 10⁶) when demoted — the q130
-    * exact-integer model (ppm scale, like dis_max).
-    */
-  private def boostingClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("positive", "negative", "negative_boost")).foreach(k =>
-        fail(s"unsupported boosting option '$k'"))
-      val pos = m.get("positive").map(compileQuery)
-        .getOrElse(fail("boosting requires a positive clause"))
-      val neg = m.get("negative").map(compileQuery)
-        .getOrElse(fail("boosting requires a negative clause"))
-      if (!m.contains("negative_boost"))
-        fail("boosting requires a numeric negative_boost")
-      val nbPpm = ppmOf(m, "negative_boost", 0L)
-      if (pos.ppm)
-        fail("boosting cannot wrap a ppm-scaled positive clause: the " +
-          "demotion formula would scale its score by 10\u2076 again")
-      val score = pos.score * when(neg.pred, lit(nbPpm)).otherwise(lit(1000000L))
-      CompiledQuery(pos.pred, score, ppm = true,
-        named = pos.named ++ neg.named)
-    case other => fail(s"boosting requires an object body: ${render(other)}")
-  }
-
-  /** `pinned`: curated ids rank above every organic hit, in the
-    * curators' order (first pin highest). Pins score 10¹² + (n − pos) —
-    * clear of any ppm-scaled organic score; organic hits keep their own
-    * score (the q132 shape). OpenSearch pins `_id`s; this engine has no
-    * reserved id column, so the request names it via `id_field`.
-    */
-  private def pinnedClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("ids", "id_field", "organic")).foreach(k =>
-        fail(s"unsupported pinned option '$k'"))
-      val idField = strOpt(m, "id_field")
-        .getOrElse(fail("pinned requires id_field (the column pins match against)"))
-      val ids = m.get("ids") match {
-        case Some(JArray(vs)) if vs.nonEmpty => vs.map(scalaOf)
-        case _ => fail("pinned requires a non-empty ids array")
-      }
-      val organic = m.get("organic").map(compileQuery)
-        .getOrElse(fail("pinned requires an organic clause"))
-      if (organic.ppm)
-        fail("pinned requires a unit-scale organic clause: the 10\u00b9\u00b2 pin " +
-          "band only clears unit-scale organic scores")
-      val pinPos = array_position(array(ids.map(lit): _*), col(idField))
-      val score = when(pinPos > 0L,
-          lit(1000000000000L) + (lit(ids.size.toLong) - pinPos))
-        .otherwise(when(organic.pred, organic.score).otherwise(0L))
-      CompiledQuery(organic.pred || pinPos > 0L, score,
-        named = organic.named)
-    case other => fail(s"pinned requires an object body: ${render(other)}")
-  }
-
-  /** `ids`: explicit id-list membership. OpenSearch matches `_id`;
-    * this engine has no reserved id column, so the request names it
-    * via `field` (the pinned-clause convention). Compiles to a pushed
-    * `IN` predicate, score 1.
-    */
-  private def idsClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("values", "field")).foreach(k =>
-        fail(s"unsupported ids option '$k'"))
-      val f = strOpt(m, "field")
-        .getOrElse(fail("ids requires field (the column ids match against)"))
-      val vs = m.get("values") match {
-        case Some(JArray(v)) if v.nonEmpty => v.map(scalaOf)
-        case _ => fail("ids requires a non-empty values array")
-      }
-      CompiledQuery(col(f).isin(vs: _*), lit(1L))
-    case other => fail(s"ids requires an object body: ${render(other)}")
-  }
-
-  /** `regexp`: whole-value regex match (OpenSearch anchors the pattern
-    * to the ENTIRE field value, unlike a substring search) — compiled
-    * to an anchored `rlike`, score 1. Pattern syntax is the common
-    * core both engines share; exotic constructs are the caller's risk.
-    */
-  private def regexpClause(body: JValue): CompiledQuery = {
-    val (f, v, ci, boost) = fieldValueCiBoost(body, "regexp")
-    val pat = v match {
-      case JString(s) => s
-      case other      => fail(s"regexp pattern must be a string: ${render(other)}")
-    }
-    // (?i) scoped inside the anchors — the inline flag both regex
-    // engines (java.util.regex here, RE2 in the oracle) honor
-    val anchored = if (ci) s"^(?i)(?:$pat)$$" else s"^(?:$pat)$$"
-    CompiledQuery(col(f).rlike(anchored), lit(boost))
-  }
-
-  /** `multi_match`: one query text against several fields. A field
-    * matches when its distinct-term overlap reaches
-    * `minimum_should_match` (default 1); a hit is ANY field matching.
-    * `best_fields` (default) ranks by the best single field with the
-    * dis_max ppm `tie_breaker` model; `most_fields` sums the matched
-    * per-field overlap scores (plain LONG, no ppm scale).
-    */
-  private def multiMatchClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
-          "minimum_should_match", "analyzer", "fuzziness", "prefix_length",
-          "transpositions", "operator"))
-        .foreach(k => fail(s"unsupported multi_match option '$k'"))
-      val qtext = strOpt(m, "query")
-        .getOrElse(fail("multi_match requires a string 'query'"))
-      val fields = m.get("fields") match {
-        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
-          case JString(s) => s
-          case other => fail(s"multi_match fields must be strings: ${render(other)}")
-        }
-        case _ => fail("multi_match requires a non-empty fields array")
-      }
-      val an = analyzerOpt(m, "multi_match")
-      // terms0 keeps the query's token ORDER (the phrase type needs
-      // it); the term-set types dedup
-      val terms0 = an.normText(qtext).trim.split("\\s+").toSeq
-      val terms = terms0.distinct
-      if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
-      // `operator: and` = every term must match (per field — the
-      // match-clause rule lifted across fields); combining with an
-      // explicit msm would be ambiguous, fail loud
-      val andOp = m.get("operator") match {
-        case Some(JString("or"))  => false
-        case Some(JString("and")) => true
-        case None                 => false
-        case Some(other) =>
-          fail(s"multi_match operator must be and/or: ${render(other)}")
-      }
-      if (andOp && m.contains("minimum_should_match"))
-        fail("multi_match: operator and minimum_should_match cannot be combined")
-      val msm =
-        if (andOp) terms.size.toLong
-        else m.get("minimum_should_match") match {
-          case None    => 1L
-          case Some(v) => resolveMsm(v, terms.size, "multi_match")
-        }
-      val (fuzz, prefixLen, transp) = fuzzinessOpt(m, "multi_match")
-      val perField = fields.map(f => overlapScore(
-        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
-        transp))
-      val matched = perField.map(s => when(s >= lit(msm), s).otherwise(0L))
-      val pred = perField.map(_ >= lit(msm)).reduce(_ || _)
-      strOpt(m, "type").getOrElse("best_fields") match {
-        case "most_fields" =>
-          if (m.contains("tie_breaker"))
-            fail("tie_breaker applies to best_fields only")
-          CompiledQuery(pred, matched.reduce(_ + _))
-        case "best_fields" =>
-          val tbPpm = ppmOf(m, "tie_breaker", 0L)
-          val best = if (matched.size == 1) matched.head else greatest(matched: _*)
-          val total = matched.reduce(_ + _)
-          CompiledQuery(pred, best * lit(1000000L) + (total - best) * lit(tbPpm),
-            ppm = true)
-        // cross_fields: TERM-centric — the fields act as one blended
-        // field, a query term matches when ANY field carries it;
-        // score = matched query terms over the token UNION,
-        // minimum_should_match gates that count (the name-field idiom:
-        // "jane smith" across first_name/last_name). A NULL field
-        // contributes an EMPTY token set (coalesce), matching the
-        // best_fields arms and OpenSearch, where a missing field simply
-        // adds no terms — Spark's concat would otherwise NULL the whole
-        // union and silently drop docs with one NULL field.
-        case "cross_fields" =>
-          if (m.contains("tie_breaker"))
-            fail("tie_breaker applies to best_fields only")
-          val union = array_distinct(concat(fields.map(f =>
-            coalesce(array_distinct(split(an.norm(col(f)), " ")),
-              typedLit(Seq.empty[String]))): _*))
-          val s = overlapScore(union, terms, fuzz, prefixLen, transp)
-          CompiledQuery(s >= lit(msm), when(s >= lit(msm), s).otherwise(0L))
-        // phrase: the whole query as a match_phrase per field (the
-        // token-boundary substring contract); score = the number of
-        // fields containing the phrase (OpenSearch's best_fields over
-        // per-field phrase scores collapses to a constant under the
-        // integer model — the field count is the deterministic
-        // refinement). Phrase semantics make term-level options moot:
-        // fuzziness / minimum_should_match fail loud.
-        case "phrase" =>
-          if (m.contains("tie_breaker"))
-            fail("tie_breaker applies to best_fields only")
-          if (fuzz.isDefined || m.contains("prefix_length"))
-            fail("multi_match type phrase does not take fuzziness")
-          if (m.contains("minimum_should_match"))
-            fail("multi_match type phrase does not take minimum_should_match")
-          if (m.contains("operator"))
-            fail("multi_match type phrase does not take operator")
-          val phrase = terms0.mkString(" ")
-          val perF = fields.map { f =>
-            val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
-            when(padded.contains(s" $phrase "), 1L).otherwise(0L)
-          }
-          val s = perF.reduce(_ + _)
-          CompiledQuery(s >= lit(1L), s)
-        // phrase_prefix: the search-box autocomplete over several
-        // fields — the whole query as a match_phrase_prefix per field
-        // (in-order containment with NO trailing boundary, so the last
-        // term is a prefix: the q131 contract); score = number of
-        // fields carrying the prefix-phrase (the phrase-type doctrine:
-        // OpenSearch's per-field phrase scores collapse to a constant
-        // under the integer model, the field count is the
-        // deterministic refinement)
-        case "phrase_prefix" =>
-          if (m.contains("tie_breaker"))
-            fail("tie_breaker applies to best_fields only")
-          if (fuzz.isDefined || m.contains("prefix_length"))
-            fail("multi_match type phrase_prefix does not take fuzziness")
-          if (m.contains("minimum_should_match"))
-            fail("multi_match type phrase_prefix does not take minimum_should_match")
-          if (m.contains("operator"))
-            fail("multi_match type phrase_prefix does not take operator")
-          val phrase = terms0.mkString(" ")
-          val perF = fields.map { f =>
-            val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
-            when(padded.contains(s" $phrase"), 1L).otherwise(0L)
-          }
-          val s = perF.reduce(_ + _)
-          CompiledQuery(s >= lit(1L), s)
-        // bool_prefix: type-ahead bag-of-terms per field (every term
-        // but the LAST matches full, the last as a token prefix — the
-        // match_bool_prefix contract), best field wins (OpenSearch
-        // combines per-field match_bool_prefix scores best_fields
-        // style); minimum_should_match gates each field's bag count
-        case "bool_prefix" =>
-          if (m.contains("tie_breaker"))
-            fail("tie_breaker applies to best_fields only")
-          if (fuzz.isDefined || m.contains("prefix_length"))
-            fail("multi_match type bool_prefix does not take fuzziness")
-          if (m.contains("operator"))
-            fail("multi_match type bool_prefix does not take operator")
-          val full = terms0.init.distinct
-          val last = terms0.last
-          val perF = fields.map { f =>
-            val fieldToks = split(an.norm(col(f)), " ")
-            val overlap =
-              if (full.isEmpty) lit(0L)
-              else size(array_intersect(array_distinct(fieldToks),
-                array(full.map(lit): _*))).cast("long")
-            overlap +
-              when(exists(fieldToks, t => t.startsWith(last)), 1L).otherwise(0L)
-          }
-          val matchedF = perF.map(s => when(s >= lit(msm), s).otherwise(0L))
-          val best =
-            if (matchedF.size == 1) matchedF.head else greatest(matchedF: _*)
-          CompiledQuery(perF.map(_ >= lit(msm)).reduce(_ || _), best)
-        case other =>
-          fail(s"unsupported multi_match type '$other' " +
-            "(best_fields, most_fields, cross_fields, phrase, " +
-            "phrase_prefix, bool_prefix)")
-      }
-    case other => fail(s"multi_match requires an object body: ${render(other)}")
-  }
-
-  /** `simple_query_string`: the lenient `+term -term "phrase"` human
-    * syntax, over exactly ONE field (determinism: multi-field fan-out
-    * is `multi_match`'s job). `+` pins a token as must, `-` as must
-    * not, quoted phrases use the token-boundary substring contract;
-    * bare tokens are should clauses — ALL promoted to must when
-    * `default_operator` is "and". Gating and scoring follow the bool
-    * model (musts score, matched shoulds add). Anything outside this
-    * grammar fails loud instead of silently degrading.
-    */
-  private def simpleQueryStringClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("query", "fields", "default_operator", "analyzer"))
-        .foreach(k => fail(s"unsupported simple_query_string option '$k'"))
-      // the analyzer applies AFTER grammar extraction (the +/-/"
-      // operators are grammar, not text): each term/phrase is
-      // normalized with normText, the field column with norm — the
-      // same twin contract as the match family, so one request mixing
-      // match and simple_query_string over an analyzed corpus agrees
-      val an = analyzerOpt(m, "simple_query_string")
-      val f = m.get("fields") match {
-        case Some(JArray(List(JString(s)))) => s
-        case _ => fail("simple_query_string requires fields: [exactly one field]")
-      }
-      val qtext = strOpt(m, "query")
-        .getOrElse(fail("simple_query_string requires a string 'query'"))
-      val andDefault = strOpt(m, "default_operator").getOrElse("or") match {
-        case "or"  => false
-        case "and" => true
-        case other => fail(s"default_operator must be and|or, got '$other'")
-      }
-      val tokenRe = """([+-]?)("([^"]*)"|\S+)""".r
-      // bare terms must look like terms: stray grammar junk ('(spark',
-      // a lone '|', a bare '-') must fail loud, not silently match as
-      // a literal token the tokenizer happened to accept
-      val bareTermRe = BareTermRe
-      var must, mustNot, should = List.empty[CompiledQuery]
-      tokenRe.findAllMatchIn(qtext.trim).foreach { t =>
-        val compiled = Option(t.group(3)) match {
-          case Some(phrase) =>
-            val p = an.normText(phrase).trim
-            if (p.isEmpty) fail("simple_query_string has an empty phrase")
-            CompiledQuery(
-              concat(lit(" "), an.norm(col(f)), lit(" ")).contains(s" $p "),
-              lit(1L))
-          case None =>
-            val term0 = t.group(2)
-            if (!bareTermRe.pattern.matcher(term0).matches())
-              fail(s"simple_query_string token '$term0' is outside the " +
-                "grammar (word characters or a quoted phrase)")
-            val term = analyzedTerm(an, term0, "simple_query_string")
-            CompiledQuery(array_contains(split(an.norm(col(f)), " "), term),
-              lit(1L))
-        }
-        t.group(1) match {
-          case "+"                 => must = must :+ compiled
-          case "-"                 => mustNot = mustNot :+ compiled
-          case _ if andDefault     => must = must :+ compiled
-          case _                   => should = should :+ compiled
-        }
-      }
-      if (must.isEmpty && mustNot.isEmpty && should.isEmpty)
-        fail("simple_query_string has an empty query")
-      val msm = if (should.nonEmpty && must.isEmpty) 1L else 0L
-      combineBool(must, Nil, mustNot, should, msm)
-    case other => fail(s"simple_query_string requires an object body: ${render(other)}")
-  }
-
-  /** `query_string`: the full Lucene query grammar — the most common
-    * real-world request body against a SEARCH collection. Supported
-    * syntax: fielded terms (`field:term`), quoted phrases
-    * (`field:"a b"`), grouping with parentheses, `AND` / `OR` / `NOT`
-    * with the standard precedence (NOT > AND > OR), implicit adjacency
-    * combined by `default_operator` (default "or"), per-clause
-    * integer boosts (`term^3` — float boosts fail loud, the exact
-    * scoring model), trailing-wildcard prefix terms (`spar*` — any
-    * token starting with the stem) and fuzzy terms (`sprk~1`,
-    * distance 1-2; bare `~` = 2, the Lucene default). Bare terms need
-    * a `default_field`.
-    *
-    * Compiled onto the existing bool/match/phrase model: a term leaf
-    * is token membership of the whitespace-tokenized field (the q41
-    * contract), a phrase leaf the token-boundary substring (q59);
-    * each matched leaf scores its boost (default 1), AND sums both
-    * sides, OR sums the matched sides, NOT contributes predicate only
-    * (filter context, like bool.must_not). Everything stays a single
-    * codegen'd Column — no shuffle, predicates pushable.
-    *
-    * Outside the grammar — mid-token or leading wildcards, `?`
-    * globs, fuzziness past 2, `[a TO b]` ranges, `^` float boosts,
-    * unbalanced parens, dangling operators — fails loud instead of
-    * silently degrading (the simple_query_string hardening rule
-    * applied to the full grammar).
-    */
-  private def queryStringClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("query", "default_field", "default_operator",
-        "analyzer")).foreach(k => fail(s"unsupported query_string option '$k'"))
-      val qtext = strOpt(m, "query")
-        .getOrElse(fail("query_string requires a string 'query'"))
-      val defaultField = strOpt(m, "default_field")
-      val andDefault = strOpt(m, "default_operator").getOrElse("or") match {
-        case "or"  => false
-        case "and" => true
-        case other => fail(s"default_operator must be and|or, got '$other'")
-      }
-      // analyzer applies per LEAF after the grammar parse (operators,
-      // parens, boosts and expansions are grammar, not text) — the
-      // match-family twin contract, so a request mixing match and
-      // query_string over an analyzed corpus agrees on the same field
-      QueryStringParser.compile(qtext, defaultField, andDefault,
-        analyzerOpt(m, "query_string"))
-    case other => fail(s"query_string requires an object body: ${render(other)}")
-  }
-
-  /** Recursive-descent parser for the `query_string` grammar. Tokens:
-    * parens, the uppercase keywords AND/OR/NOT, and atoms
-    * `(field:)? (term | "phrase") (^int)?`. Precedence NOT > AND > OR;
-    * implicit adjacency joins at the default operator's level.
-    */
-  private object QueryStringParser {
-    sealed trait LeafKind
-    case object TermK extends LeafKind
-    case object PhraseK extends LeafKind
-    case object PrefixK extends LeafKind
-    final case class FuzzyK(dist: Int) extends LeafKind
-
-    sealed trait Tok
-    case object LP extends Tok
-    case object RP extends Tok
-    case object And extends Tok
-    case object Or extends Tok
-    case object Not extends Tok
-    final case class Atom(field: Option[String], text: String,
-        kind: LeafKind, boost: Long) extends Tok
-
-    private val fieldRe = """[\p{L}_][\p{L}\p{N}_.]*""".r
-    private val termRe = BareTermRe
-
-    private def tokenize(q: String): List[Tok] = {
-      val toks = List.newBuilder[Tok]
-      var i = 0
-      val n = q.length
-      while (i < n) {
-        val c = q.charAt(i)
-        if (c.isWhitespace) i += 1
-        else if (c == '(') { toks += LP; i += 1 }
-        else if (c == ')') { toks += RP; i += 1 }
-        else {
-          // optional field prefix
-          var field: Option[String] = None
-          val rest = q.substring(i)
-          fieldRe.findPrefixOf(rest) match {
-            case Some(fname) if i + fname.length < n &&
-                q.charAt(i + fname.length) == ':' =>
-              field = Some(fname)
-              i += fname.length + 1
-            case _ => ()
-          }
-          if (i >= n) fail(s"query_string: dangling field prefix in '$q'")
-          // value: quoted phrase or bare term (with optional trailing
-          // `*` prefix-wildcard or `~d` fuzziness — the two multi-term
-          // expansions the grammar supports; mid-token wildcards stay
-          // outside the grammar and fail at the boundary check below)
-          var kind: LeafKind = TermK
-          val text =
-            if (q.charAt(i) == '"') {
-              val close = q.indexOf('"', i + 1)
-              if (close < 0) fail(s"query_string: unterminated phrase in '$q'")
-              val p = q.substring(i + 1, close).trim
-              if (p.isEmpty) fail("query_string: empty phrase")
-              i = close + 1
-              kind = PhraseK
-              p
-            } else {
-              val t = termRe.findPrefixOf(q.substring(i)).getOrElse(
-                fail(s"query_string: token at '${q.substring(i).take(20)}' is " +
-                  "outside the grammar (term, \"phrase\", field:, parens, " +
-                  "AND/OR/NOT, ^int)"))
-              i += t.length
-              if (i < n && q.charAt(i) == '*') { kind = PrefixK; i += 1 }
-              else if (i < n && q.charAt(i) == '~') {
-                i += 1
-                val ds = q.substring(i).takeWhile(_.isDigit)
-                i += ds.length
-                // bare `term~` means maxEdits 2, the Lucene default —
-                // a narrower default would silently shrink result
-                // sets for the commonest fuzzy syntax
-                val d = if (ds.isEmpty) 2 else ds.toInt
-                if (d < 1 || d > 2)
-                  fail(s"query_string: fuzziness ~$d out of range (1-2)")
-                kind = FuzzyK(d)
-              }
-              t
-            }
-          // optional ^boost (integer only — the exact scoring model)
-          var boost = 1L
-          if (i < n && q.charAt(i) == '^') {
-            i += 1
-            val ds = q.substring(i).takeWhile(_.isDigit)
-            if (ds.isEmpty) fail("query_string: ^ must be followed by an integer boost")
-            i += ds.length
-            if (i < n && q.charAt(i) == '.')
-              fail("query_string: float boosts are unsupported (exact integer scoring)")
-            boost = ds.toLong
-            if (boost < 1L) fail("query_string: boost must be >= 1")
-          }
-          // the token must END at a boundary: 'spark*' must not silently
-          // tokenize as the term 'spark' with trailing junk dropped
-          if (i < n && !q.charAt(i).isWhitespace && q.charAt(i) != '(' && q.charAt(i) != ')')
-            fail(s"query_string: unexpected character '${q.charAt(i)}' after " +
-              s"token '$text' (mid-token/leading wildcards, ? globs and " +
-              "ranges are outside the grammar; trailing * and ~1/~2 are in)")
-          // a fielded/boosted/expanded operator keyword (f:AND, OR^2,
-          // NOT~1) is a grammar error in Lucene — fail loud rather
-          // than silently demoting it to a literal search term; a
-          // QUOTED "AND" is an explicit phrase and stays one
-          toks += (if (kind != PhraseK && Set("AND", "OR", "NOT").contains(text)) {
-            if (field.nonEmpty || boost != 1L || kind != TermK)
-              fail(s"query_string: operator keyword '$text' cannot take a " +
-                "field prefix, boost or expansion (quote it to search the " +
-                "literal word)")
-            text match {
-              case "AND" => And
-              case "OR"  => Or
-              case _     => Not
-            }
-          } else Atom(field, text, kind, boost))
-        }
-      }
-      toks.result()
-    }
-
-    def compile(q: String, defaultField: Option[String],
-        andDefault: Boolean, an: Analyzer): CompiledQuery = {
-      var toks = tokenize(q)
-      if (toks.isEmpty) fail("query_string has an empty query")
-
-      def startsPrimary: Boolean = toks.headOption.exists {
-        case LP | Not | _: Atom => true
-        case _ => false
-      }
-
-      def leaf(a: Atom): CompiledQuery = {
-        val f = a.field.orElse(defaultField).getOrElse(
-          fail(s"query_string: bare term '${a.text}' needs a default_field"))
-        val fc = an.norm(col(f))
-        val pred = a.kind match {
-          case PhraseK =>
-            val p = an.normText(a.text).trim
-            if (p.isEmpty) fail(s"query_string: phrase \"${a.text}\" " +
-              s"analyzes to no tokens under '${an.name}'")
-            concat(lit(" "), fc, lit(" ")).contains(s" $p ")
-          case TermK =>
-            array_contains(split(fc, " "), analyzedTerm(an, a.text, "query_string"))
-          // `spar*`: any TOKEN starts with the stem (Lucene's
-          // term-dictionary prefix expansion in the token model)
-          case PrefixK =>
-            val stem = analyzedTerm(an, a.text, "query_string")
-            exists(split(fc, " "), t => t.startsWith(stem))
-          // `sprk~d`: any distinct token within d edits (the fuzzy
-          // clause's walk; leaf score stays the boost — grammar
-          // leaves score uniformly, unlike the standalone fuzzy
-          // clause's match-count model)
-          // no array_distinct: existence is duplicate-invariant, so
-          // the dedup would be pure per-row waste (fuzzyClause needs
-          // it only because it COUNTS matches)
-          case FuzzyK(d) =>
-            val term = analyzedTerm(an, a.text, "query_string")
-            exists(split(fc, " "), t => levenshtein(t, lit(term)) <= lit(d))
-        }
-        CompiledQuery(pred, lit(a.boost))
-      }
-
-      // NOT > AND > OR; adjacency joins at the default operator's level
-      def parseOr(): CompiledQuery = {
-        var acc = parseAnd()
-        var done = false
-        while (!done) toks match {
-          case Or :: rest =>
-            toks = rest
-            acc = orCombine(acc, parseAnd())
-          case _ if !andDefault && startsPrimary =>
-            acc = orCombine(acc, parseAnd())
-          case _ => done = true
-        }
-        acc
-      }
-
-      def parseAnd(): CompiledQuery = {
-        var acc = parseNot()
-        var done = false
-        while (!done) toks match {
-          case And :: rest =>
-            toks = rest
-            acc = andCombine(acc, parseNot())
-          // prohibit semantics: `a NOT b` always means a AND NOT b
-          // (the Lucene contract), regardless of default_operator —
-          // an implicit-OR adjacency would make `x NOT y` match the
-          // whole complement of y
-          case Not :: _ =>
-            acc = andCombine(acc, parseNot())
-          case _ if andDefault && startsPrimary =>
-            acc = andCombine(acc, parseNot())
-          case _ => done = true
-        }
-        acc
-      }
-
-      def parseNot(): CompiledQuery = toks match {
-        case Not :: rest =>
-          toks = rest
-          if (toks.isEmpty) fail("query_string: dangling NOT")
-          val inner = parseNot()
-          // filter context, like bool.must_not: excluded rows score nothing
-          CompiledQuery(!inner.pred, lit(0L))
-        case _ => parsePrimary()
-      }
-
-      def parsePrimary(): CompiledQuery = toks match {
-        case LP :: rest =>
-          toks = rest
-          val inner = parseOr()
-          toks match {
-            case RP :: tail => toks = tail; inner
-            case _          => fail("query_string: unbalanced '('")
-          }
-        case (a: Atom) :: rest => toks = rest; leaf(a)
-        case And :: _ | Or :: _ | Not :: _ =>
-          fail("query_string: operator without a left-hand clause")
-        case RP :: _ => fail("query_string: unbalanced ')'")
-        case Nil     => fail("query_string: dangling operator")
-      }
-
-      def andCombine(a: CompiledQuery, b: CompiledQuery): CompiledQuery =
-        CompiledQuery(a.pred && b.pred, a.score + b.score)
-      def orCombine(a: CompiledQuery, b: CompiledQuery): CompiledQuery =
-        CompiledQuery(a.pred || b.pred,
-          when(a.pred, a.score).otherwise(0L) + when(b.pred, b.score).otherwise(0L))
-
-      val out = parseOr()
-      if (toks.nonEmpty) fail("query_string: unbalanced ')'")
-      out
-    }
-  }
-
-  /** `function_score`: re-score the wrapped query with filter-gated
-    * function values (the exact scoring model — float weights fail
-    * loud). A function entry is one of:
-    *   - plain `{filter?, weight?}` — the constant integer weight;
-    *   - `field_value_factor` — factor × modifier(field), unit-scale
-    *     (modifiers `none`/`square`/`sqrt`; the log family fails loud:
-    *     libm log() is not bit-portable across engines);
-    *   - `random_score` — a seeded md5 hash of a named field in ppm
-    *     [0, 10⁶) (the q82 hash-threshold recipe: deterministic and
-    *     oracle-replayable, unlike OpenSearch's internal-doc-id
-    *     fallback — `field` is therefore required);
-    *   - `linear` decay — max(0, 1 − dist/σ) in exact ppm, σ =
-    *     floor(scale·10⁶/(10⁶−decay_ppm)) fixed on the driver, dist =
-    *     max(0, |v − origin| − offset); missing fields score the
-    *     neutral 10⁶ (the OpenSearch missing-field decay rule).
-    *     `gauss`/`exp` fail loud (libm exp() drift) — `linear` is the
-    *     exact member, `distance_feature` the exact reciprocal one.
-    * `weight` multiplies the entry's value in all forms. `score_mode`
-    * combines matched values (sum | max); `boost_mode` folds them into
-    * the query score (multiply | sum | replace). ppm-scaled functions
-    * (random_score, linear) cannot mix with unit-scale ones, cannot
-    * `sum` onto a unit-scale query score, and cannot multiply an
-    * already-ppm query score (scales would compound to 10⁻¹²) — all
-    * fail loud. In multiply mode a hit matching NO function keeps its
-    * query score (neutral ×1, or ×10⁶ in ppm), mirroring OpenSearch's
-    * unmatched-function rule.
-    */
-  private def functionScoreClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("query", "functions", "score_mode", "boost_mode"))
-        .foreach(k => fail(s"unsupported function_score option '$k'"))
-      val inner = m.get("query").map(compileQuery)
-        .getOrElse(CompiledQuery(lit(true), lit(0L)))
-      // each entry compiles to (match predicate, value column, ppm?)
-      val fns: Seq[(Column, Column, Boolean)] = m.get("functions") match {
-        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
-          case JObject(fparts) =>
-            val fm = fparts.toMap
-            fm.keySet.diff(Set("filter", "weight", "field_value_factor",
-              "random_score", "linear", "gauss", "exp", "script_score"))
-              .foreach(k => fail(s"unsupported function option '$k'"))
-            Seq("gauss", "exp").filter(fm.contains).foreach(k =>
-              fail(s"'$k' decay is unsupported: libm exp() is not " +
-                "bit-portable across engines (the exact scoring model) - " +
-                "use 'linear' (exact rational decay) or the " +
-                "distance_feature query (exact reciprocal decay)"))
-            val filt = fm.get("filter").map(compileQuery)
-              .getOrElse(CompiledQuery(lit(true), lit(0L)))
-            val w = fm.get("weight") match {
-              case Some(JInt(i)) => i.toLong
-              case None          => 1L
-              case Some(other) =>
-                fail(s"function weight must be an integer (exact scoring): ${render(other)}")
-            }
-            val valued = Seq("field_value_factor", "random_score", "linear",
-              "script_score").filter(fm.contains)
-            if (valued.size > 1)
-              fail("a function entry takes at most one of " +
-                s"field_value_factor/random_score/linear/script_score, " +
-                s"got ${valued.mkString(", ")}")
-            valued.headOption match {
-              case None =>
-                (filt.pred, lit(w), false)
-              case Some("field_value_factor") =>
-                (filt.pred, fieldValueFactor(fm("field_value_factor")) * lit(w), false)
-              case Some("random_score") =>
-                (filt.pred, randomScorePpm(fm("random_score")) * lit(w), true)
-              case Some("linear") =>
-                (filt.pred, linearDecayPpm(fm("linear")) * lit(w), true)
-              // the script_score FUNCTION: a computed unit-scale value
-              // through the shared ScoreScript compiler; `_score`
-              // references fail loud — inside function_score the
-              // query score is combined by boost_mode, so a script
-              // reading it would double-apply (the score-referencing
-              // form is the top-level script_score CLAUSE)
-              case Some("script_score") =>
-                val (src, params) = fm("script_score") match {
-                  case JObject(ss) =>
-                    val ssm = ss.toMap
-                    ssm.keySet.diff(Set("script")).foreach(k =>
-                      fail(s"unsupported script_score function option '$k'"))
-                    ssm.get("script") match {
-                      case Some(JObject(s)) =>
-                        val sm = s.toMap
-                        sm.keySet.diff(Set("source", "params")).foreach(k =>
-                          fail(s"unsupported script option '$k'"))
-                        val source = strOpt(sm, "source").getOrElse(
-                          fail("script_score function script needs a source"))
-                        val ps: Map[String, Long] = sm.get("params") match {
-                          case Some(JObject(po)) => po.map {
-                            case (k, JInt(v)) => k -> v.toLong
-                            case (k, other) => fail(s"script param '$k' " +
-                              s"must be an integer: ${render(other)}")
-                          }.toMap
-                          case None        => Map.empty
-                          case Some(other) =>
-                            fail(s"script params must be an object: ${render(other)}")
-                        }
-                        (source, ps)
-                      case _ =>
-                        fail("script_score function needs {script: {source}}")
-                    }
-                  case other =>
-                    fail(s"script_score function must be an object: ${render(other)}")
-                }
-                if (ScoreScript.referencesScore(src))
-                  fail("the script_score FUNCTION cannot reference _score " +
-                    "(boost_mode already combines the query score; use the " +
-                    "top-level script_score clause for score-reading scripts)")
-                (filt.pred, ScoreScript.compile(src, params, lit(0L)) * lit(w),
-                  false)
-            }
-          case other => fail(s"functions entries must be objects: ${render(other)}")
-        }
-        case _ => fail("function_score requires a non-empty functions array")
-      }
-      val fnsPpm = fns.exists(_._3)
-      if (fnsPpm && !fns.forall(_._3))
-        fail("function_score cannot mix ppm-scaled functions " +
-          "(random_score, linear) with unit-scale ones in one request " +
-          "(the values are not commensurate)")
-      val matched = fns.map { case (p, v, _) => when(p, v).otherwise(lit(0L)) }
-      val fscore = strOpt(m, "score_mode").getOrElse("sum") match {
-        case "sum" => matched.reduce(_ + _)
-        case "max" => if (matched.size == 1) matched.head else greatest(matched: _*)
-        case other => fail(s"unsupported score_mode '$other' (sum, max)")
-      }
-      val anyMatched = fns.map(_._1).reduce(_ || _)
-      val (score, ppm) = strOpt(m, "boost_mode").getOrElse("multiply") match {
-        case "multiply" =>
-          if (!fnsPpm)
-            (inner.score * when(anyMatched, fscore).otherwise(lit(1L)), inner.ppm)
-          else {
-            if (inner.ppm)
-              fail("function_score boost_mode multiply cannot apply a " +
-                "ppm-scaled function to an already ppm-scaled query score " +
-                "(the scales would compound to 10^-12) - use boost_mode " +
-                "replace, or keep one side unit-scale")
-            (inner.score * when(anyMatched, fscore).otherwise(lit(1000000L)), true)
-          }
-        case "sum" =>
-          if (inner.ppm)
-            fail("function_score boost_mode sum cannot add unit-scale " +
-              "weights to a ppm-scaled query score (use multiply)")
-          if (fnsPpm)
-            fail("function_score boost_mode sum cannot add ppm-scaled " +
-              "function values to a unit-scale query score (use multiply " +
-              "or replace)")
-          (inner.score + fscore, false)
-        // `replace`: the function value IS the score — the random-sort
-        // and pure-decay-ranking idiom (the query contributes its
-        // predicate only)
-        case "replace" => (fscore, fnsPpm)
-        case other => fail(s"unsupported boost_mode '$other' (multiply, sum, replace)")
-      }
-      CompiledQuery(inner.pred, score, ppm = ppm)
-    case other => fail(s"function_score requires an object body: ${render(other)}")
-  }
-
-  /** `parent_id`: the third member of the join-field relations model
-    * (ref: assets/custom_resource.py:324-384's SEARCH collection) —
-    * all children of ONE given parent. Unlike has_child/has_parent
-    * (corpus-state joins), this is a pure per-row predicate
-    * (join_field = type ∧ parent_field = id), so it compiles as an
-    * ordinary clause: composes inside bool, drives aggs, and pushes
-    * into the scan. Scores 1 like the term-level filters. The
-    * join_field/parent_field column names are explicit — the engine
-    * has no mapping registry to infer them from (the has_child
-    * convention).
-    */
-  private def parentIdClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("type", "id", "join_field", "parent_field"))
-        .foreach(k => fail(s"unsupported parent_id option '$k'"))
-      val childType = strOpt(m, "type")
-        .getOrElse(fail("parent_id needs the child 'type'"))
-      val joinF = strOpt(m, "join_field")
-        .getOrElse(fail("parent_id needs join_field (the relation-name column)"))
-      val parentF = strOpt(m, "parent_field")
-        .getOrElse(fail("parent_id needs parent_field (the child's parent pointer)"))
-      val idVal = m.getOrElse("id", fail("parent_id needs the parent 'id'"))
-      CompiledQuery(
-        col(joinF) === lit(childType) && col(parentF) === litOf(idVal),
-        lit(1L))
-    case other => fail(s"parent_id requires an object body: ${render(other)}")
-  }
-
-  /** `field_value_factor`: factor × modifier(field) over an integral
-    * field, unit-scale. Modifiers: `none`, `square` (exact), `sqrt`
-    * (floor(sqrt(v)) — IEEE sqrt is correctly rounded, so the floor is
-    * bit-identical cross-engine; negative values fail loud at row
-    * time, the OpenSearch rule). The log family fails loud: libm
-    * log() is not bit-portable. NULL fields take `missing` when
-    * given, else fail loud at row time (OpenSearch errors the whole
-    * query — the per-row raise_error is the distributed analog).
-    */
-  private def fieldValueFactor(body: JValue): Column = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("field", "factor", "modifier", "missing")).foreach(k =>
-        fail(s"unsupported field_value_factor option '$k'"))
-      val f = strOpt(m, "field")
-        .getOrElse(fail("field_value_factor requires a field"))
-      val factor = m.get("factor") match {
-        case Some(JInt(i)) => i.toLong
-        case None          => 1L
-        case Some(other)   => fail("field_value_factor factor must be an " +
-          s"integer (exact scoring model): ${render(other)}")
-      }
-      val raw = col(f).cast("long")
-      val v = m.get("missing") match {
-        case Some(JInt(d)) => coalesce(raw, lit(d.toLong))
-        case None => when(raw.isNull, raise_error(lit(
-            s"field_value_factor: null '$f' and no 'missing' value")).cast("long"))
-          .otherwise(raw)
-        case Some(other) => fail(s"field_value_factor missing must be an " +
-          s"integer: ${render(other)}")
-      }
-      val modified = strOpt(m, "modifier").getOrElse("none") match {
-        case "none"   => v
-        case "square" => v * v
-        case "sqrt" => when(v < 0, raise_error(lit(
-            s"field_value_factor: sqrt of negative '$f'")).cast("long"))
-          .otherwise(floor(sqrt(v.cast("double"))).cast("long"))
-        case bad @ ("log" | "log1p" | "log2p" | "ln" | "ln1p" | "ln2p"
-                    | "reciprocal") =>
-          fail(s"field_value_factor modifier '$bad' is unsupported: the " +
-            "log family is not bit-portable across engines and " +
-            "reciprocal is not unit-scale (exact scoring model) - use " +
-            "none/square/sqrt, or rank_feature/distance_feature for " +
-            "reciprocal shapes")
-        case other => fail(s"unsupported field_value_factor modifier '$other'")
-      }
-      lit(factor) * modified
-    case other => fail(s"field_value_factor requires an object body: ${render(other)}")
-  }
-
-  /** `random_score`: deterministic per-document jitter in ppm
-    * [0, 10⁶) — md5 of `"random_score:<seed>:" + field` (the q82
-    * hash-threshold recipe, DuckDB-replayable). `field` is required:
-    * OpenSearch's no-field fallback hashes internal doc ids, which no
-    * two engines share. NULL field values hash the fixed sentinel
-    * `__null__` so every row draws a value.
-    */
-  private def randomScorePpm(body: JValue): Column = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("seed", "field")).foreach(k =>
-        fail(s"unsupported random_score option '$k'"))
-      val seed = m.get("seed") match {
-        case Some(JInt(i)) => i.toLong
-        case _ => fail("random_score requires an integer seed " +
-          "(hash determinism)")
-      }
-      val f = strOpt(m, "field").getOrElse(fail(
-        "random_score requires a field (without one OpenSearch falls " +
-        "back to internal doc ids, which no two engines share - name a " +
-        "stable field)"))
-      graft.functions.TextFns.md5hash60(concat(lit(s"random_score:$seed:"),
-        coalesce(col(f).cast("string"), lit("__null__")))) % lit(1000000L)
-    case other => fail(s"random_score requires an object body: ${render(other)}")
-  }
-
-  /** `linear` decay: max(0, 1 − dist/σ) in exact ppm. σ is fixed ON
-    * THE DRIVER as floor(scale·10⁶ / (10⁶ − decay_ppm)) — one integer
-    * constant, so the row expression is a subtract, a multiply and one
-    * integer `div` (floors exactly, matching the oracle's `//`).
-    * dist = max(0, |v − origin| − offset). Missing fields score the
-    * neutral 10⁶ (the OpenSearch missing-field decay rule).
-    */
-  private def linearDecayPpm(body: JValue): Column = body match {
-    case JObject(List((f, JObject(parts)))) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("origin", "scale", "offset", "decay")).foreach(k =>
-        fail(s"unsupported linear decay option '$k'"))
-      def longOf(k: String, default: Option[Long]): Long = m.get(k) match {
-        case Some(JInt(i)) => i.toLong
-        case None => default.getOrElse(
-          fail(s"linear decay on '$f' requires an integer '$k'"))
-        case Some(other) => fail(s"linear decay '$k' must be an integer " +
-          s"(exact scoring model): ${render(other)}")
-      }
-      val origin = longOf("origin", None)
-      val scale = longOf("scale", None)
-      if (scale <= 0L) fail("linear decay scale must be positive")
-      if (scale > Long.MaxValue / 1000000L)
-        fail(s"linear decay scale $scale overflows the exact ppm model " +
-          s"(max ${Long.MaxValue / 1000000L})")
-      val offset = longOf("offset", Some(0L))
-      if (offset < 0L) fail("linear decay offset must be >= 0")
-      val decayPpm = ppmOf(m, "decay", 500000L)
-      if (decayPpm <= 0L || decayPpm >= 1000000L)
-        fail("linear decay must be a fraction strictly inside (0, 1)")
-      val sigma = scale * 1000000L / (1000000L - decayPpm)
-      // integer `div` (not `/`): the ppm quotient must floor exactly;
-      // coalesce: missing field -> neutral 10^6
-      expr(s"coalesce(greatest(0L, CAST(1000000 AS BIGINT) - " +
-        s"(greatest(abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)) - " +
-        s"CAST($offset AS BIGINT), 0L) * CAST(1000000 AS BIGINT)) div " +
-        s"CAST($sigma AS BIGINT)), CAST(1000000 AS BIGINT))")
-    case JObject(fields) if fields.size != 1 =>
-      fail("linear decay takes exactly one field")
-    case other => fail(s"linear decay requires {field: {origin, scale, " +
-      s"offset?, decay?}}: ${render(other)}")
-  }
-
-  /** `distance_feature`: proximity decay toward an origin on an
-    * integral field — boost = pivot/(pivot + |v − origin|) carried in
-    * exact integer ppm (pivot×10⁶ div (pivot + distance)), the q127
-    * decay family made float-free so cross-engine ordering is exact.
-    * Matches every row where the field is present.
-    */
-  private def distanceFeatureClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("field", "origin", "pivot")).foreach(k =>
-        fail(s"unsupported distance_feature option '$k'"))
-      val f = strOpt(m, "field")
-        .getOrElse(fail("distance_feature requires a field"))
-      def longOf(k: String): Long = m.get(k) match {
-        case Some(JInt(i)) => i.toLong
-        case _ => fail(s"distance_feature requires an integer '$k' (exact scoring model)")
-      }
-      val origin = longOf("origin")
-      val pivot = longOf("pivot")
-      if (pivot <= 0L) fail("distance_feature pivot must be positive")
-      // pivot*10^6 is computed below in driver-side Long arithmetic: a
-      // pivot past this bound would silently wrap into a garbage
-      // (possibly negative) constant and mis-score every row
-      if (pivot > Long.MaxValue / 1000000L)
-        fail(s"distance_feature pivot $pivot overflows the exact ppm " +
-          s"model (max ${Long.MaxValue / 1000000L})")
-      // integer `div` (not `/`): the ppm quotient must floor exactly,
-      // matching the oracle's integer division
-      val score = expr(
-        s"CAST(${pivot * 1000000L} AS BIGINT) div " +
-        s"(CAST($pivot AS BIGINT) + abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)))")
-      CompiledQuery(col(f).isNotNull, score, ppm = true)
-    case other => fail(s"distance_feature requires an object body: ${render(other)}")
-  }
-
-  /** `geo_distance`: hits within `distance_km` of an origin point by
-    * haversine over two double columns (`lat_field`/`lon_field` — the
-    * engine has no geo_point mapping type, so the request names the
-    * columns). The distance rounds to 6 dp BEFORE the comparison (the
-    * q125 determinism recipe: one IEEE expression with fixed operand
-    * order), so the boundary set is engine-portable. Filter context:
-    * score 1. Map-only — at scale this fuses into the scan.
-    */
-  /** `geo_polygon` (CONVEX, counter-clockwise): inside = on the left
-    * of every edge — one 2-D cross-product sign test per edge
-    * ((lon₂−lon₁)·(lat−lat₁) − (lat₂−lat₁)·(lon−lon₁) ≥ 0, lon as x,
-    * lat as y). Sign tests only — no division, no trig, fixed operand
-    * order — so the boundary set is engine-portable IEEE arithmetic
-    * and the whole clause is a codegen conjunction (planar
-    * approximation, consistent with the q125 grid family). Non-convex
-    * or clockwise rings fail loud AT COMPILE TIME (each polygon turn
-    * is checked on the driver) — a general even-odd crossing walk is
-    * the wrong plan for a pushed filter and OpenSearch itself
-    * deprecates arbitrary geo_polygon in favor of geo_shape.
-    */
-  private def geoPolygonClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("lat_field", "lon_field", "points")).foreach(k =>
-        fail(s"unsupported geo_polygon option '$k'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail("geo_polygon requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail("geo_polygon requires lon_field"))
-      def num(v: JValue, what: String): Double = v match {
-        case JDouble(d)  => d
-        case JInt(i)     => i.toDouble
-        case JDecimal(d) => d.toDouble
-        case other       => fail(s"$what must be numeric: ${render(other)}")
-      }
-      val pts: Seq[(Double, Double)] = m.get("points") match {
-        case Some(JArray(ps)) if ps.size >= 3 => ps.map {
-          case JObject(o) =>
-            val om = o.toMap
-            om.keySet.diff(Set("lat", "lon")).foreach(k =>
-              fail(s"unsupported point key '$k'"))
-            (om.get("lat").map(num(_, "point.lat"))
-               .getOrElse(fail("point requires lat")),
-             om.get("lon").map(num(_, "point.lon"))
-               .getOrElse(fail("point requires lon")))
-          case other => fail(s"points must be {lat, lon} objects: ${render(other)}")
-        }
-        case _ => fail("geo_polygon requires a points array of >= 3 vertices")
-      }
-      CompiledQuery(convexRingPredicate(pts, latF, lonF, "geo_polygon"), lit(1L))
-    case other => fail(s"geo_polygon requires an object body: ${render(other)}")
-  }
-
-  /** Shared by geo_polygon and geo_shape polygon: driver-side
-    * strictly-convex counter-clockwise ring validation + the
-    * inside-every-edge half-plane predicate (boundary counts).
-    */
-  private def convexRingPredicate(pts: Seq[(Double, Double)], latF: String,
-      lonF: String, where: String): Column = {
-    val n = pts.size
-    // driver-side ring check: every turn strictly counter-clockwise
-    (0 until n).foreach { i =>
-      val (aLat, aLon) = pts(i)
-      val (bLat, bLon) = pts((i + 1) % n)
-      val (cLat, cLon) = pts((i + 2) % n)
-      val cross = (bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon)
-      if (cross <= 0)
-        fail(s"$where ring must be strictly convex and " +
-          s"counter-clockwise (turn at vertex ${(i + 1) % n} is not)")
-    }
-    (0 until n).map { i =>
-      val (lat1, lon1) = pts(i)
-      val (lat2, lon2) = pts((i + 1) % n)
-      ((lit(lon2) - lit(lon1)) * (col(latF) - lit(lat1)) -
-        (lit(lat2) - lit(lat1)) * (col(lonF) - lit(lon1))) >= lit(0.0)
-    }.reduce(_ && _)
-  }
-
-  /** `geo_shape`: an inline query shape tested against point
-    * documents (lat_field/lon_field — the engine's geo convention;
-    * it has no geo-shape DOCUMENT type, so shapes live on the query
-    * side only). Shape types: `envelope` (GeoJSON-ordered corners
-    * `[[lon, lat_top_left], [lon, lat_bottom_right]]` — the
-    * OpenSearch envelope contract), `polygon` (ONE closed convex CCW
-    * ring, GeoJSON `[[[lon, lat], ...]]`, first == last), `point`
-    * (`[lon, lat]`). Relations over point docs: `intersects`
-    * (default) and `within` coincide (a point touching a shape lies
-    * within it — documented), `disjoint` is the complement (NULL
-    * coordinates drop the row, the standard tri-state), `contains`
-    * fails loud — a point field cannot contain an area. Everything
-    * compiles to the same pushable comparison predicates as
-    * geo_bounding_box/geo_polygon; score 1 (a filter-shaped clause).
-    */
-  private def geoShapeClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("lat_field", "lon_field", "shape", "relation"))
-        .foreach(k => fail(s"unsupported geo_shape option '$k'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail("geo_shape requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail("geo_shape requires lon_field"))
-      val sm = m.get("shape") match {
-        case Some(JObject(s)) => s.toMap
-        case _ => fail("geo_shape requires a shape object ({type, coordinates})")
-      }
-      sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
-        fail(s"unsupported geo_shape shape option '$k'"))
-      def num(v: JValue, what: String): Double = v match {
-        case JDouble(d)  => d
-        case JInt(i)     => i.toDouble
-        case JDecimal(d) => d.toDouble
-        case other       => fail(s"$what must be numeric: ${render(other)}")
-      }
-      // GeoJSON coordinate order: [lon, lat]
-      def lonLat(v: JValue, what: String): (Double, Double) = v match {
-        case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-        case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-      }
-      val coords = sm.getOrElse("coordinates",
-        fail("geo_shape shape requires coordinates"))
-      val intersects: Column =
-        strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
-          case "envelope" =>
-            val (tl, br) = coords match {
-              case JArray(List(a, b)) =>
-                (lonLat(a, "envelope top_left"), lonLat(b, "envelope bottom_right"))
-              case other => fail(s"envelope coordinates must be " +
-                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
-            }
-            val (leftLon, topLat) = tl
-            val (rightLon, botLat) = br
-            if (topLat < botLat)
-              fail(s"envelope top lat ($topLat) must be >= bottom lat ($botLat)")
-            if (leftLon > rightLon)
-              fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
-                s"right lon $rightLon) is unsupported")
-            col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
-              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
-          case "polygon" =>
-            val ring = coords match {
-              case JArray(List(JArray(r))) if r.size >= 4 =>
-                r.map(lonLat(_, "polygon vertex"))
-              case _ => fail("polygon coordinates must be ONE ring " +
-                "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
-            }
-            if (ring.head != ring.last)
-              fail("polygon ring must be closed (first vertex == last)")
-            val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
-            if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
-            convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
-          case "point" =>
-            val (lo, la) = lonLat(coords, "point coordinates")
-            col(latF) === lit(la) && col(lonF) === lit(lo)
-          case other => fail(s"geo_shape type must be envelope, polygon " +
-            s"or point, got '$other'")
-        }
-      strOpt(m, "relation").getOrElse("intersects") match {
-        // within == intersects for POINT documents: a point touching
-        // a shape lies within it
-        case "intersects" | "within" => CompiledQuery(intersects, lit(1L))
-        case "disjoint"              => CompiledQuery(!intersects, lit(1L))
-        case "contains" => fail("geo_shape relation contains is unsupported: " +
-          "a point field cannot contain an area (use intersects)")
-        case other => fail(s"geo_shape relation must be intersects, within " +
-          s"or disjoint, got '$other'")
-      }
-    case other => fail(s"geo_shape requires an object body: ${render(other)}")
-  }
-
-  private def geoDistanceClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("distance_km", "lat_field", "lon_field", "origin"))
-        .foreach(k => fail(s"unsupported geo_distance option '$k'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail("geo_distance requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail("geo_distance requires lon_field"))
-      def num(v: JValue, what: String): Double = v match {
-        case JDouble(d)  => d
-        case JInt(i)     => i.toDouble
-        case JDecimal(d) => d.toDouble
-        case other       => fail(s"$what must be numeric: ${render(other)}")
-      }
-      val radius = m.get("distance_km")
-        .map(num(_, "distance_km"))
-        .getOrElse(fail("geo_distance requires distance_km"))
-      if (radius <= 0) fail("distance_km must be positive")
-      val (latQ, lonQ) = m.get("origin") match {
-        case Some(JObject(o)) =>
-          val om = o.toMap
-          (om.get("lat").map(num(_, "origin.lat"))
-             .getOrElse(fail("origin requires lat")),
-           om.get("lon").map(num(_, "origin.lon"))
-             .getOrElse(fail("origin requires lon")))
-        case _ => fail("geo_distance requires origin: {lat, lon}")
-      }
-      CompiledQuery(haversineKm(latF, lonF, latQ, lonQ) <= lit(radius), lit(1L))
-    case other => fail(s"geo_distance requires an object body: ${render(other)}")
-  }
-
-  /** The engine's ONE haversine: 6-dp-rounded km distance from a
-    * fixed origin, one IEEE expression with fixed operand order (the
-    * q125 determinism recipe) — shared by the `geo_distance` query
-    * and the `_geo_distance` sort so the two can never drift.
-    */
-  private def haversineKm(latF: String, lonF: String,
-      latQ: Double, lonQ: Double): Column = {
-    val pi = lit(math.Pi)
-    val sdlat = sin((col(latF) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
-    val sdlon = sin((col(lonF) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
-    round(
-      lit(12742.0176) * asin(sqrt(
-        sdlat * sdlat +
-          cos(lit(latQ) * pi / lit(180.0)) * cos(col(latF) * pi / lit(180.0)) *
-            sdlon * sdlon)), 6)
-  }
-
-  /** `geo_bounding_box`: hits inside an axis-aligned lat/lon box —
-    * the everyday map-viewport filter. Compiles to two lat/lon band
-    * predicates (four plain column comparisons), so the whole clause
-    * PUSHES to the parquet scan as min/max-prunable filters — the
-    * cheapest possible geo query at any scale. Boxes crossing the
-    * antimeridian (left lon > right lon) are out of scope, fail-loud,
-    * rather than silently matching the complement band. Filter
-    * context: score 1.
-    */
-  private def geoBoundingBoxClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("lat_field", "lon_field", "top_left", "bottom_right"))
-        .foreach(k => fail(s"unsupported geo_bounding_box option '$k'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail("geo_bounding_box requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail("geo_bounding_box requires lon_field"))
-      def corner(key: String): (Double, Double) = m.get(key) match {
-        case Some(JObject(o)) =>
-          val om = o.toMap
-          om.keySet.diff(Set("lat", "lon")).foreach(k =>
-            fail(s"unsupported $key option '$k'"))
-          def num(k: String): Double = om.get(k) match {
-            case Some(JDouble(d))  => d
-            case Some(JInt(i))     => i.toDouble
-            case Some(JDecimal(d)) => d.toDouble
-            case _ => fail(s"geo_bounding_box $key requires numeric $k")
-          }
-          (num("lat"), num("lon"))
-        case _ => fail(s"geo_bounding_box requires $key: {lat, lon}")
-      }
-      val (topLat, leftLon) = corner("top_left")
-      val (botLat, rightLon) = corner("bottom_right")
-      if (topLat < botLat)
-        fail(s"geo_bounding_box top_left.lat ($topLat) must be >= " +
-          s"bottom_right.lat ($botLat)")
-      if (leftLon > rightLon)
-        fail(s"geo_bounding_box crossing the antimeridian (left lon $leftLon " +
-          s"> right lon $rightLon) is unsupported")
-      val pred = col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
-        col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
-      CompiledQuery(pred, lit(1L))
-    case other => fail(s"geo_bounding_box requires an object body: ${render(other)}")
-  }
-
-  /** `rank_feature`: static-signal boosting by the saturation curve
-    * x/(x + pivot) — OpenSearch's popularity/pagerank boost — in
-    * exact integer ppm ((x × 10⁶) div (x + pivot), same family as
-    * distance_feature). Integral non-negative field; matches rows
-    * where the feature is present (the rank_feature semantics:
-    * missing feature = no match).
-    */
-  private def rankFeatureClause(body: JValue): CompiledQuery = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("field", "saturation")).foreach(k =>
-        fail(s"unsupported rank_feature option '$k'"))
-      val f = strOpt(m, "field").getOrElse(fail("rank_feature requires a field"))
-      val pivot = m.get("saturation") match {
-        case Some(JObject(s)) => s.toMap.get("pivot") match {
-          case Some(JInt(i)) if i > 0 => i.toLong
-          case _ => fail("rank_feature saturation requires a positive integer pivot")
-        }
-        case None => fail("rank_feature requires a saturation {pivot} (the supported function)")
-        case Some(other) => fail(s"saturation must be an object: ${render(other)}")
-      }
-      // integer `div`: the ppm quotient must floor exactly
-      val score = expr(
-        s"(CAST(`$f` AS BIGINT) * 1000000) div (CAST(`$f` AS BIGINT) + $pivot)")
-      CompiledQuery(col(f).isNotNull && col(f) >= 0L, score, ppm = true)
-    case other => fail(s"rank_feature requires an object body: ${render(other)}")
-  }
-
-  /** `nested`: the same-element conjunction OpenSearch's nested mapping
-    * exists for — a flattened object field would match values from
-    * DIFFERENT child objects; a nested query must match them on the
-    * SAME child (the q120 contract). The array-of-structs column named
-    * by `path` is probed per ELEMENT with a higher-order filter (pure
-    * codegen, no explode, no join). The inner query supports the
-    * element-level subset — `term`, `range`, `exists`, `prefix`,
-    * `match_all`, and `bool` with must/must_not of those — anything
-    * else fails loud. `score_mode`: "sum" (default) scores the number
-    * of matching elements, "none" scores 1.
-    */
-  private def nestedClause(body: JValue): CompiledQuery =
-    nestedCompile(body)._3
-
-  /** The shared nested compilation: (path, matched-elements column,
-    * compiled query). [[nestedClause]] uses the CompiledQuery;
-    * the request-level `inner_hits` path ([[nestedInnerHitsRequest]])
-    * additionally explodes the matched-elements column.
-    */
-  private def nestedCompile(body: JValue): (String, Column, CompiledQuery) = body match {
-    case JObject(parts) =>
-      val m = parts.toMap
-      m.keySet.diff(Set("path", "query", "score_mode")).foreach(k =>
-        fail(s"unsupported nested option '$k'"))
-      val path = strOpt(m, "path").getOrElse(fail("nested requires a path"))
-      val q = m.getOrElse("query", fail("nested requires a query"))
-
-      // element-field access: OpenSearch names nested fields by full
-      // path ("items.qty"); bare names are accepted too
-      def fld(x: Column, f: String): Column =
-        x.getField(if (f.startsWith(s"$path.")) f.drop(path.length + 1) else f)
-
-      def elemPred(clause: JValue, x: Column): Column = clause match {
-        case JObject(List((kind, b))) => kind match {
-          case "match_all" => lit(true)
-          case "term" => b match {
-            case JObject(List((f, v))) => fld(x, f) === litOf(v)
-            case other => fail(s"nested term requires {field: value}: ${render(other)}")
-          }
-          case "range" => b match {
-            case JObject(List((f, JObject(bounds)))) =>
-              if (bounds.isEmpty) fail(s"nested range on '$f' has no bounds")
-              bounds.map {
-                case ("gte", v) => fld(x, f) >= litOf(v)
-                case ("gt", v)  => fld(x, f) > litOf(v)
-                case ("lte", v) => fld(x, f) <= litOf(v)
-                case ("lt", v)  => fld(x, f) < litOf(v)
-                case (k, _)     => fail(s"unsupported nested range bound '$k' on '$f'")
-              }.reduce(_ && _)
-            case other => fail(s"nested range requires {field: {bounds}}: ${render(other)}")
-          }
-          case "prefix" =>
-            val (f, v) = fieldValue(b, "prefix")
-            fld(x, f).startsWith(litOf(v))
-          case "exists" => b match {
-            case JObject(fs) => fs.toMap.get("field") match {
-              case Some(JString(f)) => fld(x, f).isNotNull
-              case _ => fail("nested exists requires {\"field\": name}")
-            }
-            case _ => fail("nested exists requires {\"field\": name}")
-          }
-          case "bool" => b match {
-            case JObject(sections) =>
-              val sm = sections.toMap
-              sm.keySet.diff(Set("must", "must_not")).foreach(k =>
-                fail(s"unsupported nested bool section '$k' (must, must_not)"))
-              def sect(n: String): Seq[Column] = sm.get(n) match {
-                case None             => Nil
-                case Some(JArray(cs)) => cs.map(c => elemPred(c, x))
-                case Some(one: JObject) => Seq(elemPred(one, x))
-                case Some(other) => fail(s"nested bool.$n must be a clause or array: ${render(other)}")
-              }
-              val ps = sect("must") ++ sect("must_not").map(!_)
-              if (ps.isEmpty) fail("nested bool is empty")
-              ps.reduce(_ && _)
-            case other => fail(s"nested bool requires an object: ${render(other)}")
-          }
-          case other =>
-            fail(s"unsupported nested clause '$other' (term, range, prefix, " +
-              "exists, match_all, bool)")
-        }
-        case other => fail(s"nested query must be a single-clause object: ${render(other)}")
-      }
-
-      val matched = filter(col(path), x => elemPred(q, x))
-      val nHits = size(matched).cast("long")
-      val score = strOpt(m, "score_mode").getOrElse("sum") match {
-        case "sum"  => nHits
-        case "none" => lit(1L)
-        case other  => fail(s"unsupported nested score_mode '$other' (sum, none)")
-      }
-      (path, matched, CompiledQuery(nHits >= 1L, score))
-    case other => fail(s"nested requires an object body: ${render(other)}")
-  }
-
-  /** Request-level `nested` with `inner_hits` — return the MATCHING
-    * child objects alongside each parent hit (the standard nested UX:
-    * "which line items matched?"). One row per (parent hit, matching
-    * element), element order preserved (the document order — element
-    * scores are uniform under the same-element conjunction, so index
-    * order IS the OpenSearch tie-break), capped at `size` per parent.
-    * `inner_hits._source` names the element fields to surface (bare or
-    * path-prefixed), each as a typed `inner_<field>` column plus the
-    * 1-based `inner_rank` — no join, no shuffle: a pure-codegen
-    * filter + slice + posexplode over the already-probed array.
-    * Only the REQUEST-level nested clause takes inner_hits (inside a
-    * bool tree there is no hit row to attach children to — fails loud
-    * via the clause compiler's option check).
-    */
-  private def nestedInnerHitsRequest(table: DataFrame, body: JValue): DataFrame = {
-    val m = body match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"nested must be an object: ${render(other)}")
-    }
-    val ih = m("inner_hits") match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"inner_hits must be an object: ${render(other)}")
-    }
-    ih.keySet.diff(Set("size", "_source")).foreach(k =>
-      fail(s"unsupported nested inner_hits option '$k'"))
-    val n = intOpt(ih, "size").getOrElse(fail("nested inner_hits requires a size"))
-    if (n < 1) fail("inner_hits size must be >= 1")
-    val (path, matched, cq) = nestedCompile(JObject((m - "inner_hits").toList))
-    val fields: Seq[String] = ih.get("_source") match {
-      case Some(JArray(fs)) if fs.nonEmpty => fs.map {
-        case JString(f) =>
-          if (f.startsWith(s"$path.")) f.drop(path.length + 1) else f
-        case other => fail(s"inner_hits _source entries must be strings: ${render(other)}")
-      }
-      case _ => fail("nested inner_hits requires a non-empty _source " +
-        "(the element fields to surface)")
-    }
-    val base = table.filter(cq.pred)
-      .withColumn("score", cq.score)
-      .select(col("*"), posexplode(slice(matched, 1, n)))
-      .withColumn("inner_rank", (col("pos") + 1).cast("long"))
-    fields.foldLeft(base) { (d, f) =>
-      d.withColumn(s"inner_$f", col("col").getField(f))
-    }.drop("pos", "col")
-  }
-
-  /** A member clause of the span family: `span_term` (exact token) or
-    * `span_multi` wrapping a multi-term query — `prefix`, `wildcard`,
-    * `fuzzy` or `regexp`, the OpenSearch span_multi contract (range
-    * and friends are not span-composable there either). Returns the
-    * target field, the TOKEN predicate (the postings filter of the
-    * posexploded stream, generalized from equality), and a canonical
-    * key — two clauses with the same key must pair DISTINCT positions
-    * in span_near, exactly like a repeated span_term.
-    *
-    * Analysis follows the engine-wide split: span_term text goes
-    * through the analyzer twin (so spans agree with `match` over an
-    * analyzed corpus), while span_multi values are used VERBATIM —
-    * multi-term queries are never analyzed (the term-level contract;
-    * a lowercased pattern against a lowercasing analyzer's stream is
-    * the caller's composition, same as top-level prefix/wildcard).
-    */
-  private def spanClause(clause: JValue, an: Analyzer, where: String)
-      : (String, Column => Column, String) = clause match {
-    case JObject(List(("span_term", JObject(List((f, JString(t))))))) =>
-      val at = analyzedTerm(an, t, where)
-      (f, tok => tok === at, s"term $f $at")
-    case JObject(List(("span_multi", JObject(sm)))) =>
-      val m = sm.toMap
-      m.keySet.diff(Set("match")).foreach(k =>
-        fail(s"unsupported span_multi option '$k' (span_multi takes " +
-          "exactly {match: {<multi-term query>}})"))
-      m.get("match") match {
-        case Some(JObject(List((kind, body)))) => kind match {
-          case "prefix" =>
-            val (f, v, ci) = fieldValueCi(body, "span_multi prefix")
-            v match {
-              case JString(s) if s.nonEmpty =>
-                if (ci) {
-                  val lo = s.toLowerCase(java.util.Locale.ROOT)
-                  (f, tok => lower(tok).startsWith(lit(lo)),
-                    s"prefix_ci $f $lo")
-                } else (f, tok => tok.startsWith(lit(s)),
-                  s"prefix $f $s")
-              case _ => fail(s"span_multi prefix on '$f' requires a " +
-                "non-empty string value")
-            }
-          case "wildcard" =>
-            val (f, v, ci) = fieldValueCi(body, "span_multi wildcard")
-            v match {
-              case JString(s) if s.nonEmpty =>
-                val pat = wildcardToLike(
-                  if (ci) s.toLowerCase(java.util.Locale.ROOT) else s)
-                if (ci) (f, tok => lower(tok).like(pat),
-                  s"wildcard_ci $f $pat")
-                else (f, tok => tok.like(pat), s"wildcard $f $pat")
-              case _ => fail(s"span_multi wildcard on '$f' requires a " +
-                "non-empty string pattern")
-            }
-          case "fuzzy" =>
-            // the fuzzy-clause option shape (value / fuzziness /
-            // prefix_length / transpositions), reapplied to single tokens
-            val (f, value, fuzz, prefixLen, transp) = body match {
-              case JObject(List((f0, JString(s)))) => (f0, s, 1L, 0, false)
-              case JObject(List((f0, JObject(opts)))) =>
-                val fm = opts.toMap
-                fm.keySet.diff(Set("value", "fuzziness", "prefix_length",
-                  "transpositions")).foreach(k =>
-                    fail(s"unsupported span_multi fuzzy option '$k' on '$f0'"))
-                val v = strOpt(fm, "value").getOrElse(
-                  fail(s"span_multi fuzzy on '$f0' requires a string 'value'"))
-                val fz = fm.get("fuzziness") match {
-                  case Some(JInt(i)) if i < 0 =>
-                    fail("fuzziness must be non-negative")
-                  case Some(JInt(i)) => i.toLong
-                  case None          => 1L
-                  case Some(other) =>
-                    fail(s"fuzziness must be an int: ${render(other)}")
-                }
-                val tr = fm.get("transpositions") match {
-                  case None           => false
-                  case Some(JBool(b)) => b
-                  case Some(other) =>
-                    fail(s"transpositions must be a boolean: ${render(other)}")
-                }
-                (f0, v, fz, intOpt(fm, "prefix_length").getOrElse(0), tr)
-              case other =>
-                fail(s"span_multi fuzzy requires {field: spec}: ${render(other)}")
-            }
-            if (value.isEmpty) fail(s"span_multi fuzzy on '$f' has an empty value")
-            val edit: (Column, Column) => Column =
-              if (transp) graft.plans.DamerauLevenshtein.apply
-              else levenshtein(_, _)
-            val guard: Column => Column =
-              if (prefixLen <= 0) _ => lit(true)
-              else tok => tok.startsWith(lit(value.take(prefixLen)))
-            (f, tok => guard(tok) && edit(tok, lit(value)) <= lit(fuzz),
-              s"fuzzy $f $value $fuzz $prefixLen $transp")
-          case "regexp" =>
-            val (f, v, ci) = fieldValueCi(body, "span_multi regexp")
-            val pat = v match {
-              case JString(s) if s.nonEmpty => s
-              case _ => fail(s"span_multi regexp on '$f' requires a " +
-                "non-empty string pattern")
-            }
-            val anchored = if (ci) s"^(?i)(?:$pat)$$" else s"^(?:$pat)$$"
-            (f, tok => tok.rlike(anchored), s"regexp $f $anchored")
-          case other => fail(s"span_multi supports prefix, wildcard, fuzzy " +
-            s"and regexp (the span-composable multi-term queries), got '$other'")
-        }
-        case _ => fail("span_multi requires {match: {<multi-term query>}}")
-      }
-    case other =>
-      fail(s"$where clauses must be span_term or span_multi objects: ${render(other)}")
-  }
-
-  /** `span_near`: proximity query — both span clauses occur
-    * within `slop` intervening tokens, optionally `in_order` (the
-    * q126/q133 contracts). Request-level like more_like_this: token
-    * positions come from ONE posexplode, each clause's postings are a
-    * pushed filter of it, and the pairing is an equi-join on the
-    * document key whose blow-up is tf₁·tf₂ per document, never
-    * corpus². Exactly two clauses (span_term or span_multi — see
-    * [[spanClause]]) over the same field; `id_field` names the
-    * document key. Output: the id field, `n_pairs`, `min_gap`,
-    * score = pair count.
-    */
-  private def spanNearRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("clauses", "slop", "in_order", "id_field",
-          "analyzer")).foreach(k =>
-          fail(s"unsupported span_near option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail("span_near requires id_field (the document key)"))
-        // analyzer: positions come from the NORMALIZED token stream and
-        // each span_term is normalized with the twin — the match-family
-        // contract, so span queries agree with match over an analyzed
-        // corpus (VERDICT r8 #1)
-        val an = analyzerOpt(m, "span_near")
-        val (c1, c2) = m.get("clauses") match {
-          case Some(JArray(List(a, b))) =>
-            (spanClause(a, an, "span_near"), spanClause(b, an, "span_near"))
-          case _ => fail("span_near requires exactly two clauses " +
-            "(span_term or span_multi)")
-        }
-        val (f1, pred1, key1) = c1
-        val (f2, pred2, key2) = c2
-        if (f1 != f2) fail("span_near clauses must target the same field")
-        val slop = intOpt(m, "slop")
-          .getOrElse(fail("span_near requires an integer slop"))
-        if (slop < 0) fail("span_near slop must be non-negative")
-        val inOrder = m.get("in_order") match {
-          case Some(JBool(b)) => b
-          case None           => false
-          case Some(other)    => fail(s"in_order must be a boolean: ${render(other)}")
-        }
-        val pos = table.select(col(idField),
-          posexplode(split(an.norm(col(f1)), " ")).as(Seq("p", "tok")))
-        val p1 = pos.filter(pred1(col("tok"))).select(col(idField), col("p").as("p1"))
-        val p2 = pos.filter(pred2(col("tok"))).select(col(idField), col("p").as("p2"))
-        // a repeated clause must pair DISTINCT occurrences exactly once;
-        // ordered spans additionally fix the direction
-        val paired =
-          if (inOrder) p1.join(p2, idField).filter(col("p2") > col("p1"))
-          else if (key1 == key2) p1.join(p2, idField).filter(col("p1") < col("p2"))
-          else p1.join(p2, idField)
-        val gap =
-          if (inOrder) (col("p2") - col("p1") - 1).cast("long")
-          else (abs(col("p1") - col("p2")) - 1).cast("long")
-        paired.withColumn("gap", gap)
-          .filter(col("gap") <= slop)
-          .groupBy(col(idField))
-          .agg(count(lit(1)).as("n_pairs"), min(col("gap")).as("min_gap"))
-          .withColumn("score", col("n_pairs"))
-      case other => fail(s"span_near requires an object body: ${render(other)}")
-    }
-
-  /** `span_or`: any of the member clauses (span_term or span_multi —
-    * see [[spanClause]]) occurs — the postings UNION (ONE posexplode,
-    * one OR-of-predicates filter; a token matched by several clauses
-    * dedups by construction since membership is positional). Same
-    * request-level shape as span_near.
-    * Output: the id field, `n_spans` (matching token positions),
-    * score = n_spans.
-    */
-  private def spanOrRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("clauses", "id_field", "analyzer")).foreach(k =>
-          fail(s"unsupported span_or option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail("span_or requires id_field (the document key)"))
-        val an = analyzerOpt(m, "span_or")
-        val cs = m.get("clauses") match {
-          case Some(JArray(cls)) if cls.size >= 2 =>
-            cls.map(spanClause(_, an, "span_or"))
-          case _ => fail("span_or requires an array of >= 2 clauses " +
-            "(span_term or span_multi)")
-        }
-        val fields = cs.map(_._1).distinct
-        if (fields.size != 1) fail("span_or clauses must target the same field")
-        // a token matching several member clauses counts ONCE — the OR
-        // of the postings predicates is positional membership, exactly
-        // the old isin dedup generalized
-        table.select(col(idField),
-            posexplode(split(an.norm(col(fields.head)), " ")).as(Seq("p", "tok")))
-          .filter(cs.map(_._2(col("tok"))).reduce(_ || _))
-          .groupBy(col(idField))
-          .agg(count(lit(1)).as("n_spans"))
-          .withColumn("score", col("n_spans"))
-      case other => fail(s"span_or requires an object body: ${render(other)}")
-    }
-
-  /** Standalone `span_multi`: every token position matching the
-    * wrapped multi-term query (`prefix`/`wildcard`/`fuzzy`/`regexp` —
-    * see [[spanClause]]) counts as a span. The degenerate one-clause
-    * span_or: ONE posexplode, one predicate filter, one partial-agg
-    * count per document — map-side combine, no pairing join at all.
-    * Output: id field, `n_spans`, score = n_spans.
-    */
-  private def spanMultiRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("match", "id_field", "analyzer")).foreach(k =>
-          fail(s"unsupported span_multi option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail("span_multi requires id_field (the document key)"))
-        val an = analyzerOpt(m, "span_multi")
-        val mt = m.getOrElse("match",
-          fail("span_multi requires {match: {<multi-term query>}}"))
-        val (field, pred, _) = spanClause(
-          JObject(List(("span_multi", JObject(List(("match", mt)))))),
-          an, "span_multi")
-        table.select(col(idField),
-            posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "tok")))
-          .filter(pred(col("tok")))
-          .groupBy(col(idField))
-          .agg(count(lit(1)).as("n_spans"))
-          .withColumn("score", col("n_spans"))
-      case other => fail(s"span_multi requires an object body: ${render(other)}")
-    }
-
-  /** `span_not`: occurrences of the `include` term with NO `exclude`
-    * occurrence within `pre` tokens before / `post` tokens after
-    * (`dist` sets both) — the negative-context span (e.g. "apple" not
-    * preceded by "big"). One posexplode, include postings LEFT-join
-    * exclude postings on the document key (blow-up tfᵢ·tfₑ per doc,
-    * the span_near cost shape, never corpus²), per-position violation
-    * flag, survivors counted. Output: id field, `n_spans`, score.
-    */
-  private def spanNotRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("include", "exclude", "pre", "post", "dist",
-          "id_field", "analyzer")).foreach(k =>
-          fail(s"unsupported span_not option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail("span_not requires id_field (the document key)"))
-        val an = analyzerOpt(m, "span_not")
-        def spanTerm(k: String): (String, String) = m.get(k) match {
-          case Some(JObject(List(("span_term", JObject(List((f, JString(t)))))))) =>
-            (f, analyzedTerm(an, t, "span_not"))
-          case _ => fail(s"span_not requires $k: {span_term: {field: term}}")
-        }
-        val (fi, ti) = spanTerm("include")
-        val (fe, te) = spanTerm("exclude")
-        if (fi != fe) fail("span_not include/exclude must target the same field")
-        if (m.contains("dist") && (m.contains("pre") || m.contains("post")))
-          fail("span_not dist replaces pre/post (give one or the other)")
-        val dist = intOpt(m, "dist")
-        val pre = intOpt(m, "pre").orElse(dist).getOrElse(0)
-        val post = intOpt(m, "post").orElse(dist).getOrElse(0)
-        if (pre < 0 || post < 0) fail("span_not pre/post must be non-negative")
-        val pos = table.select(col(idField),
-          posexplode(split(an.norm(col(fi)), " ")).as(Seq("p", "tok")))
-        val pi = pos.filter(col("tok") === ti).select(col(idField), col("p"))
-        val pe = pos.filter(col("tok") === te)
-          .select(col(idField), col("p").as("pe"))
-        pi.join(pe, Seq(idField), "left")
-          .groupBy(col(idField), col("p"))
-          .agg(max(when(col("pe").isNotNull &&
-            col("pe") >= col("p") - lit(pre) &&
-            col("pe") <= col("p") + lit(post), 1).otherwise(0)).as("__viol"))
-          .filter(col("__viol") === 0)
-          .groupBy(col(idField))
-          .agg(count(lit(1)).as("n_spans"))
-          .withColumn("score", col("n_spans"))
-      case other => fail(s"span_not requires an object body: ${render(other)}")
-    }
-
-  /** `span_containing` / `span_within`: the big/little span pair —
-    * `big` is a two-term span_near (the pair machinery shared with
-    * the standalone clause), `little` a span_term over the same
-    * field. `span_containing` counts big spans enclosing at least one
-    * little occurrence; `span_within` counts little occurrences
-    * enclosed by at least one big span (each side deduplicated — a
-    * span matching several partners counts once, the OpenSearch span
-    * model). Postings joins only: tf products per document, never
-    * corpus². Output: id field, `n_spans`, score = n_spans.
-    */
-  private def spanContainRequest(table: DataFrame, body: JValue,
-      within: Boolean): DataFrame = {
-    val name = if (within) "span_within" else "span_containing"
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("big", "little", "id_field", "analyzer")).foreach(k =>
-          fail(s"unsupported $name option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail(s"$name requires id_field (the document key)"))
-        val an = analyzerOpt(m, name)
-        val bm = m.get("big") match {
-          case Some(JObject(List(("span_near", JObject(b))))) => b.toMap
-          case _ => fail(s"$name requires big: {span_near: {clauses, slop}}")
-        }
-        bm.keySet.diff(Set("clauses", "slop", "in_order")).foreach(k =>
-          fail(s"unsupported $name big span_near option '$k'"))
-        val (f1, t10, f2, t20) = bm.get("clauses") match {
-          case Some(JArray(List(
-              JObject(List(("span_term", JObject(List((fa, JString(ta))))))),
-              JObject(List(("span_term", JObject(List((fb, JString(tb)))))))))) =>
-            (fa, ta, fb, tb)
-          case _ => fail(s"$name big requires exactly two span_term clauses")
-        }
-        val slop = intOpt(bm, "slop")
-          .getOrElse(fail(s"$name big span_near requires an integer slop"))
-        if (slop < 0) fail(s"$name big slop must be non-negative")
-        val inOrder = bm.get("in_order") match {
-          case Some(JBool(b)) => b
-          case None           => false
-          case Some(other) => fail(s"in_order must be a boolean: ${render(other)}")
-        }
-        val (fl, tl0) = m.get("little") match {
-          case Some(JObject(List(("span_term", JObject(List((f, JString(t)))))))) =>
-            (f, t)
-          case _ => fail(s"$name requires little: {span_term: {field: term}}")
-        }
-        if (f1 != f2 || f1 != fl)
-          fail(s"$name big/little clauses must target the same field")
-        val t1 = analyzedTerm(an, t10, name)
-        val t2 = analyzedTerm(an, t20, name)
-        val tl = analyzedTerm(an, tl0, name)
-        val pos = table.select(col(idField),
-          posexplode(split(an.norm(col(f1)), " ")).as(Seq("p", "tok")))
-        val p1 = pos.filter(col("tok") === t1).select(col(idField), col("p").as("p1"))
-        val p2 = pos.filter(col("tok") === t2).select(col(idField), col("p").as("p2"))
-        val paired =
-          if (inOrder) p1.join(p2, idField).filter(col("p2") > col("p1"))
-          else if (t1 == t2) p1.join(p2, idField).filter(col("p1") < col("p2"))
-          else p1.join(p2, idField)
-        val gap =
-          if (inOrder) col("p2") - col("p1") - 1
-          else abs(col("p1") - col("p2")) - 1
-        val pairs = paired.filter(gap <= slop)
-          .select(col(idField), least(col("p1"), col("p2")).as("s"),
-            greatest(col("p1"), col("p2")).as("e"))
-        val pl = pos.filter(col("tok") === tl)
-          .select(col(idField), col("p").as("pl"))
-        val enclosed = pairs.join(pl, Seq(idField))
-          .filter(col("pl") >= col("s") && col("pl") <= col("e"))
-        val qualified =
-          if (within) enclosed.select(col(idField), col("pl")).distinct()
-          else enclosed.select(col(idField), col("s"), col("e")).distinct()
-        qualified.groupBy(col(idField))
-          .agg(count(lit(1)).as("n_spans"))
-          .withColumn("score", col("n_spans"))
-      case other => fail(s"$name requires an object body: ${render(other)}")
-    }
-  }
-
-  /** `intervals` query, `match` rule: ALL the rule's terms occur as an
-    * ordered subsequence whose total intervening-token budget is at
-    * most `max_gaps` (the OpenSearch intervals gap model:
-    * `p_last − p_first − (k−1) ≤ max_gaps`). Request-level like
-    * span_near and the same postings shape generalized to k terms:
-    * ONE posexplode, k pushed postings filters, a k−1-step equi-join
-    * chain on the document key whose blow-up is Π tfᵢ per document —
-    * never corpus². k is capped at 4 (beyond that the tuple product
-    * is the wrong plan; compose span queries instead). Ordered only —
-    * the unordered 2-term case IS `span_near`, fail points there.
-    * Output: (id_field, n_spans, min_gaps, score = n_spans).
-    */
-  /** One intervals RULE compiled to its SPAN SET — a DataFrame of
-    * (idField, s, e) token spans over the request's shared position
-    * stream (`pos`: ONE posexplode feeds every member — the efficient
-    * plan, and the reason members inherit the top analyzer instead of
-    * carrying their own). Rules:
-    *  - `match`: the k-term ordered chain (1..4 terms; the 1-term
-    *    degenerate gives single-token spans so compositions can mix
-    *    words with phrases); spans (p_first, p_last), gap budget
-    *    enforced, DISTINCT (different middle tokens can produce the
-    *    same outer span).
-    *  - `prefix`: single-token spans of the stem's postings.
-    *  - `any_of`: the positional UNION of 2..4 member span sets.
-    *  - `all_of` (ordered: true only): members in sequence, each
-    *    span STRICTLY after the previous (s_i > e_{i-1} — the
-    *    non-overlap rule), total intervening budget
-    *    Σ(s_i − e_{i-1} − 1) ≤ max_gaps; result spans
-    *    (s_first, e_last), DISTINCT.
-    * Nesting is capped at depth 3 (the tuple-product cost of deep
-    * compositions is the wrong plan — compose requests instead).
-    * Lucene's minimal-interval algebra is NOT replicated: the span
-    * SETS here are the full combinatorial ones, deduplicated — the
-    * deterministic analog this engine's n_spans score model needs
-    * (OpenSearch exposes no span counts at all); a doc MATCHES under
-    * exactly the same conditions, which is the wire contract.
-    */
-  private def intervalRuleSpans(pos: DataFrame, idField: String,
-      an: Analyzer, rule: JValue, depth: Int): DataFrame = {
-    if (depth > 3)
-      fail("intervals compositions nest at most 3 levels deep " +
-        "(compose requests instead)")
-    def spanChain(terms: Seq[String], maxGaps: Long): DataFrame = {
-      def postings(term: String): Column =
-        if (term.endsWith("*")) {
-          val stem = term.dropRight(1)
-          if (stem.isEmpty || stem.contains("*"))
-            fail(s"intervals term '$term': only a trailing * stem is supported")
-          col("tok").startsWith(stem)
-        } else if (term.contains("*"))
-          fail(s"intervals term '$term': only a trailing * stem is supported")
-        else col("tok") === term
-      val k = terms.size
-      var acc = pos.filter(postings(terms.head))
-        .select(col(idField), col("p").as("p0"))
-      for (i <- 1 until k) {
-        val pi = pos.filter(postings(terms(i)))
-          .select(col(idField), col("p").as(s"p$i"))
-        acc = acc.join(pi, idField).filter(col(s"p$i") > col(s"p${i - 1}"))
-      }
-      acc.filter((col(s"p${k - 1}") - col("p0") - lit(k - 1)) <= lit(maxGaps))
-        .select(col(idField), col("p0").as("s"), col(s"p${k - 1}").as("e"))
-        .distinct()
-    }
-    rule match {
-      case JObject(List(("match", JObject(r0)))) =>
-        val r = r0.toMap
-        r.keySet.diff(Set("query", "max_gaps", "ordered")).foreach(k =>
-          fail(s"unsupported intervals match option '$k' (members inherit " +
-            "the composition's analyzer)"))
-        val terms = strOpt(r, "query")
-          .getOrElse(fail("intervals match needs a query"))
-          .split(" ").filter(_.nonEmpty).toSeq
-          .map { t =>
-            if (t.endsWith("*") && !t.dropRight(1).isEmpty &&
-                !t.dropRight(1).contains("*"))
-              analyzedTerm(an, t.dropRight(1), "intervals") + "*"
-            else if (t.contains("*")) t
-            else analyzedTerm(an, t, "intervals")
-          }
-        if (terms.isEmpty || terms.size > 4)
-          fail(s"intervals match (as a composition member) takes 1..4 " +
-            s"terms, got ${terms.size}")
-        if (terms.size == 1) {
-          Seq("max_gaps", "ordered").filter(r.contains).foreach(k =>
-            fail(s"intervals match with one term takes no $k"))
-          spanChain(terms, 0L)
-        } else {
-          val maxGaps = intOpt(r, "max_gaps")
-            .getOrElse(fail("intervals match needs max_gaps"))
-          if (maxGaps < 0) fail("max_gaps must be non-negative")
-          r.get("ordered") match {
-            case Some(JBool(true)) => ()
-            case _ => fail("intervals supports ordered: true only " +
-              "(the unordered two-term case is span_near)")
-          }
-          spanChain(terms, maxGaps.toLong)
-        }
-      case JObject(List(("prefix", JObject(r0)))) =>
-        val r = r0.toMap
-        r.keySet.diff(Set("prefix")).foreach(k =>
-          fail(s"unsupported intervals prefix option '$k'"))
-        val stem = strOpt(r, "prefix")
-          .getOrElse(fail("intervals prefix needs a prefix"))
-        val p = analyzedTerm(an, stem, "intervals prefix")
-        pos.filter(col("tok").startsWith(p))
-          .select(col(idField), col("p").as("s"), col("p").as("e"))
-      // wildcard / fuzzy: the remaining single-token pattern rules —
-      // the span_multi predicates reapplied to the shared stream.
-      // Patterns are VERBATIM (multi-term queries are never analyzed,
-      // the term-level contract); the fuzzy TERM normalizes like
-      // span_term text does.
-      case JObject(List(("wildcard", JObject(r0)))) =>
-        val r = r0.toMap
-        r.keySet.diff(Set("pattern")).foreach(k =>
-          fail(s"unsupported intervals wildcard option '$k'"))
-        val pat = strOpt(r, "pattern")
-          .getOrElse(fail("intervals wildcard needs a pattern"))
-        if (pat.isEmpty) fail("intervals wildcard pattern is empty")
-        pos.filter(col("tok").like(wildcardToLike(pat)))
-          .select(col(idField), col("p").as("s"), col("p").as("e"))
-      case JObject(List(("fuzzy", JObject(r0)))) =>
-        val r = r0.toMap
-        r.keySet.diff(Set("term", "fuzziness", "prefix_length",
-          "transpositions")).foreach(k =>
-          fail(s"unsupported intervals fuzzy option '$k'"))
-        val term0 = strOpt(r, "term")
-          .getOrElse(fail("intervals fuzzy needs a term"))
-        val term = analyzedTerm(an, term0, "intervals fuzzy")
-        val fz = r.get("fuzziness") match {
-          case Some(JInt(i)) if i >= 0 && i <= 2 => i.toLong
-          case None        => 1L
-          case Some(other) =>
-            fail(s"intervals fuzziness must be 0-2: ${render(other)}")
-        }
-        val pl = intOpt(r, "prefix_length").getOrElse(0)
-        if (pl < 0) fail("prefix_length must be >= 0")
-        val transp = r.get("transpositions") match {
-          case None           => false
-          case Some(JBool(b)) => b
-          case Some(other) =>
-            fail(s"transpositions must be a boolean: ${render(other)}")
-        }
-        val edit: (Column, Column) => Column =
-          if (transp) graft.plans.DamerauLevenshtein.apply
-          else levenshtein(_, _)
-        val guard: Column =
-          if (pl <= 0) lit(true) else col("tok").startsWith(term.take(pl))
-        pos.filter(guard && edit(col("tok"), lit(term)) <= lit(fz))
-          .select(col(idField), col("p").as("s"), col("p").as("e"))
-      case JObject(List(("any_of", JObject(r0)))) =>
-        val r = r0.toMap
-        r.keySet.diff(Set("intervals")).foreach(k =>
-          fail(s"unsupported intervals any_of option '$k'"))
-        val members = r.get("intervals") match {
-          case Some(JArray(ms)) if ms.size >= 2 && ms.size <= 4 => ms
-          case _ => fail("intervals any_of needs 2-4 member intervals")
-        }
-        members.map(intervalRuleSpans(pos, idField, an, _, depth + 1))
-          .reduce(_ unionByName _).distinct()
-      case JObject(List(("all_of", JObject(r0)))) =>
-        val r = r0.toMap
-        r.keySet.diff(Set("intervals", "max_gaps", "ordered")).foreach(k =>
-          fail(s"unsupported intervals all_of option '$k'"))
-        r.get("ordered") match {
-          case Some(JBool(true)) => ()
-          case _ => fail("intervals all_of supports ordered: true only")
-        }
-        val maxGaps = intOpt(r, "max_gaps")
-          .getOrElse(fail("intervals all_of needs max_gaps"))
-        if (maxGaps < 0) fail("max_gaps must be non-negative")
-        val members = r.get("intervals") match {
-          case Some(JArray(ms)) if ms.size >= 2 && ms.size <= 4 => ms
-          case _ => fail("intervals all_of needs 2-4 member intervals")
-        }
-        val spans = members.map(intervalRuleSpans(pos, idField, an, _, depth + 1))
-        var acc = spans.head.select(col(idField),
-          col("s").as("s0"), col("e").as("e0"))
-        for (i <- 1 until spans.size) {
-          val mi = spans(i).select(col(idField),
-            col("s").as(s"s$i"), col("e").as(s"e$i"))
-          acc = acc.join(mi, idField).filter(col(s"s$i") > col(s"e${i - 1}"))
-        }
-        val gaps = (1 until spans.size)
-          .map(i => col(s"s$i") - col(s"e${i - 1}") - lit(1))
-          .reduce(_ + _)
-        acc.filter(gaps <= lit(maxGaps.toLong))
-          .select(col(idField), col("s0").as("s"),
-            col(s"e${spans.size - 1}").as("e"))
-          .distinct()
-      case other =>
-        fail(s"intervals rules are match, prefix, wildcard, fuzzy, " +
-          s"any_of and all_of: ${render(other)}")
-    }
-  }
-
-  private def intervalsRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("id_field")).toList match {
-          case List(field) =>
-            val idField = strOpt(m, "id_field")
-              .getOrElse(fail("intervals requires id_field (the document key)"))
-            // composed rules (any_of / all_of) go through the span-set
-            // compiler; the bare match rule keeps its original path
-            // (and its richer min_gaps output) byte-identical
-            m(field) match {
-              case JObject(List((kind @ ("any_of" | "all_of"), JObject(r0)))) =>
-                val rm = r0.toMap
-                val an = analyzerOpt(rm, s"intervals $kind")
-                val pos = table.select(col(idField),
-                  posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "tok")))
-                val rule = JObject(List((kind,
-                  JObject(r0.filterNot(_._1 == "analyzer")))))
-                return intervalRuleSpans(pos, idField, an, rule, depth = 1)
-                  .groupBy(col(idField))
-                  .agg(count(lit(1)).as("n_spans"))
-                  .withColumn("score", col("n_spans"))
-              case _ => ()
-            }
-            val rule = m(field) match {
-              case JObject(List(("match", JObject(r)))) => r.toMap
-              case other => fail(s"intervals.$field must be {match: {...}}, " +
-                s"{any_of: {...}} or {all_of: {...}}: ${render(other)}")
-            }
-            rule.keySet.diff(Set("query", "max_gaps", "ordered", "analyzer"))
-              .foreach(k => fail(s"unsupported intervals match option '$k'"))
-            // analyzer: the position stream and each query term go
-            // through the twin pair (a trailing `*` stem keeps its
-            // expansion marker; only the stem text normalizes)
-            val an = analyzerOpt(rule, "intervals")
-            val terms = strOpt(rule, "query")
-              .getOrElse(fail("intervals match needs a query"))
-              .split(" ").filter(_.nonEmpty).toSeq
-              .map { t =>
-                if (t.endsWith("*") && !t.dropRight(1).isEmpty &&
-                    !t.dropRight(1).contains("*"))
-                  analyzedTerm(an, t.dropRight(1), "intervals") + "*"
-                else if (t.contains("*")) t // postings() fails loud below
-                else analyzedTerm(an, t, "intervals")
-              }
-            if (terms.size < 2 || terms.size > 4)
-              fail(s"intervals match takes 2..4 terms, got ${terms.size}")
-            val maxGaps = intOpt(rule, "max_gaps")
-              .getOrElse(fail("intervals match needs max_gaps"))
-            if (maxGaps < 0) fail("max_gaps must be non-negative")
-            rule.get("ordered") match {
-              case Some(JBool(true)) => ()
-              case _ => fail("intervals supports ordered: true only " +
-                "(the unordered two-term case is span_near)")
-            }
-            val pos = table.select(col(idField),
-              posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "tok")))
-            // a trailing `*` makes the term a STEM: its postings are
-            // every token with that prefix (the intervals `prefix`
-            // rule folded into the match terms, mirroring the
-            // query_string expansion convention); a bare or mid-token
-            // `*` stays fail-loud
-            def postings(term: String): Column =
-              if (term.endsWith("*")) {
-                val stem = term.dropRight(1)
-                if (stem.isEmpty || stem.contains("*"))
-                  fail(s"intervals term '$term': only a trailing * stem is supported")
-                col("tok").startsWith(stem)
-              } else if (term.contains("*"))
-                fail(s"intervals term '$term': only a trailing * stem is supported")
-              else col("tok") === term
-            val k = terms.size
-            var acc = pos.filter(postings(terms.head))
-              .select(col(idField), col("p").as("p0"))
-            for (i <- 1 until k) {
-              val pi = pos.filter(postings(terms(i)))
-                .select(col(idField), col("p").as(s"p$i"))
-              acc = acc.join(pi, idField).filter(col(s"p$i") > col(s"p${i - 1}"))
-            }
-            acc
-              .withColumn("gaps",
-                (col(s"p${k - 1}") - col("p0") - lit(k - 1)).cast("long"))
-              .filter(col("gaps") <= maxGaps)
-              .groupBy(col(idField))
-              .agg(count(lit(1)).as("n_spans"), min(col("gaps")).as("min_gaps"))
-              .withColumn("score", col("n_spans"))
-          case other =>
-            fail(s"intervals requires exactly one field entry, got: $other")
-        }
-      case other => fail(s"intervals requires an object body: ${render(other)}")
-    }
-
-  /** `suggest` section, `term` suggester: per input token, the
-    * top-`size` in-vocabulary corrections within `max_edits`
-    * levenshtein edits, ranked (distance, frequency desc, term) — the
-    * q117 contract. The corpus-sized work is ONE vocabulary
-    * aggregation; the inputs broadcast into the length-banded
-    * candidate join, so the request side never shuffles the corpus.
-    * Output rows: (q, rank, term, dist, freq) ordered by (q, rank).
-    */
-  private def suggestRequest(table: DataFrame, sugg: JValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (name, text, spec) = sugg match {
-      case JObject(List((n, JObject(body)))) =>
-        val m = body.toMap
-        m.keySet.diff(Set("text", "term", "phrase", "prefix", "completion"))
-          .foreach(k => fail(s"unsupported suggester option '$k' in '$n'"))
-        m.get("completion").foreach { c =>
-          if (m.contains("term") || m.contains("phrase") || m.contains("text"))
-            fail(s"suggester '$n' mixes completion with term/phrase/text")
-          val p = strOpt(m, "prefix")
-            .getOrElse(fail(s"completion suggester '$n' requires a prefix"))
-          return completionSuggestRequest(table, n, p, c)
-        }
-        if (m.contains("prefix"))
-          fail(s"suggester '$n': prefix belongs to the completion suggester")
-        val t = strOpt(m, "text")
-          .getOrElse(fail(s"suggester '$n' requires a text"))
-        m.get("phrase").foreach { p =>
-          if (m.contains("term")) fail(s"suggester '$n' declares both term and phrase")
-          return phraseSuggestRequest(table, n, t, p)
-        }
-        val s = m.getOrElse("term",
-          fail(s"suggester '$n' requires a term or phrase body"))
-        (n, t, s)
-      case other => fail(s"suggest requires one named suggester: ${render(other)}")
-    }
-    val sm = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"term suggester '$name' must be an object: ${render(other)}")
-    }
-    sm.keySet.diff(Set("field", "max_edits", "size", "analyzer")).foreach(k =>
-      fail(s"unsupported term-suggester option '$k' in '$name'"))
-    val f = strOpt(sm, "field").getOrElse(fail(s"term suggester '$name' needs a field"))
-    val maxEdits = intOpt(sm, "max_edits").getOrElse(2)
-    val size = intOpt(sm, "size").getOrElse(3)
-    // analyzer: the vocabulary is built from the NORMALIZED token
-    // stream and the input text normalizes through the twin — so
-    // corrections come from the same term space `match` queries hit
-    val an = analyzerOpt(sm, s"term suggester '$name'")
-    val inputs = an.normText(text).trim.split("\\s+").toSeq.distinct
-    if (inputs.isEmpty || inputs == Seq("")) fail(s"suggester '$name' has an empty text")
-
-    val vocab = table
-      .select(explode(array_distinct(split(an.norm(col(f)), " "))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-    val in = table.sparkSession.range(1)
-      .select(explode(array(inputs.map(lit): _*)).as("q"))
-    val cand = vocab.join(broadcast(in),
-        abs(length(col("term")) - length(col("q"))) <= maxEdits &&
-          col("term") =!= col("q") &&
-          levenshtein(col("q"), col("term")) <= maxEdits)
-      .select(col("q"), col("term"),
-        levenshtein(col("q"), col("term")).cast("long").as("dist"), col("freq"))
-    val w = Window.partitionBy(col("q"))
-      .orderBy(col("dist"), col("freq").desc, col("term"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= size)
-      .select(col("q"), col("rank"), col("term"), col("dist"), col("freq"))
-      .orderBy(col("q"), col("rank"))
-  }
-
-  /** `suggest` section, `completion` suggester: search-box
-    * autocomplete — the top-`size` corpus tokens starting with
-    * `prefix`, ranked by frequency then term (the q115 contract;
-    * tokens shorter than `min_length` are noise-pruned). Map-side
-    * explode+filter, one partial-agg shuffle of only prefix-matching
-    * tokens, bounded top-k — the term-frequency table a real
-    * deployment materializes is exactly `etl.SearchIndex`'s postings.
-    * Output rows: (term, freq) ordered (freq desc, term).
-    */
-  private def completionSuggestRequest(table: DataFrame, name: String,
-      prefix: String, spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"completion suggester '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "size", "min_length", "analyzer", "fuzzy",
-      "contexts")).foreach(k =>
-      fail(s"unsupported completion-suggester option '$k' in '$name'"))
-    val f = strOpt(m, "field")
-      .getOrElse(fail(s"completion suggester '$name' needs a field"))
-    val size = intOpt(m, "size").getOrElse(10)
-    val minLen = intOpt(m, "min_length").getOrElse(1)
-    // `fuzzy`: typo-tolerant completion — a term completes when its
-    // PREFIX (the typed length) is within `fuzziness` edits of the
-    // input (the Lucene fuzzy-completion contract). Default stays
-    // exact; fuzziness defaults to 1 when the object is given
-    // (deterministic — OpenSearch's AUTO needs no length rule for a
-    // single known prefix, but 1 is its resolution for 3-5 chars and
-    // the documented default here).
-    val fz: Int = m.get("fuzzy") match {
-      case None => 0
-      case Some(JObject(fo)) =>
-        val fm = fo.toMap
-        fm.keySet.diff(Set("fuzziness")).foreach(k =>
-          fail(s"unsupported completion fuzzy option '$k' in '$name'"))
-        fm.get("fuzziness") match {
-          case Some(JInt(i)) if i >= 0 && i <= 2 => i.toInt
-          case None        => 1
-          case Some(other) =>
-            fail(s"completion fuzziness must be 0-2: ${render(other)}")
-        }
-      case Some(other) =>
-        fail(s"completion fuzzy must be an object ({fuzziness}): ${render(other)}")
-    }
-    // `contexts`: category-filtered completions — each context names
-    // a COLUMN of the table (the engine has no context mapping
-    // registry) and the completions come only from rows matching ANY
-    // of its values (several contexts AND together, the OpenSearch
-    // filter semantics). The filter sits BEFORE the explode, pushed
-    // into the scan.
-    val ctxFilter: Column = m.get("contexts") match {
-      case None => lit(true)
-      case Some(JObject(cs)) if cs.nonEmpty =>
-        cs.map {
-          case (ctx, JArray(vs)) if vs.nonEmpty =>
-            col(ctx).isin(vs.map(scalaOf): _*)
-          case (ctx, JString(s)) => col(ctx) === s
-          case (ctx, other) => fail(s"completion context '$ctx' must be a " +
-            s"value or non-empty array: ${render(other)}")
-        }.reduce(_ && _)
-      case Some(other) =>
-        fail(s"completion contexts must be a non-empty object: ${render(other)}")
-    }
-    // analyzer: completions come from the normalized term space; the
-    // typed prefix normalizes through the twin (a prefix that analyzes
-    // to nothing, or to several tokens, can't anchor a completion)
-    val an = analyzerOpt(m, s"completion suggester '$name'")
-    val p = if (an eq Analyzer.Whitespace) prefix
-            else analyzedTerm(an, prefix, s"completion suggester '$name'")
-    if (p.isEmpty) fail(s"completion suggester '$name' has an empty prefix")
-    if (size < 1) fail("completion size must be >= 1")
-    val matches: Column =
-      if (fz == 0) col("term").startsWith(p)
-      else levenshtein(substring(col("term"), 1, p.length), lit(p)) <= lit(fz)
-    table.filter(ctxFilter)
-      .select(explode(split(an.norm(col(f)), " ")).as("term"))
-      .filter(matches && length(col("term")) >= minLen)
-      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("term"))
-      .limit(size)
-  }
-
-  /** `suggest` section, `phrase` suggester: whole-phrase spell
-    * correction over a TWO-word input (the q121 contract) — per
-    * position the top-`per_position` in-vocabulary candidates within
-    * `max_edits` edits (distance, then document frequency: the term-
-    * suggester ranking), whole phrases re-ranked by corpus bigram
-    * evidence (OpenSearch's `collate`/LM idea, exact integer score).
-    * The corpus-sized work is the vocabulary + bigram aggregations;
-    * the request side stays ≤ per_position² candidate pairs, probed
-    * against (never scanning) the bigram table. Longer phrases go
-    * through the n-word facade pipeline — here they fail loud so the
-    * oracle-checked shape stays total.
-    * Output: (rank, w1, w2, bcount, dist) ordered by rank.
-    */
-  private def phraseSuggestRequest(table: DataFrame, name: String,
-      text: String, spec: JValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"phrase suggester '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "max_edits", "per_position", "size", "analyzer"))
-      .foreach(k => fail(s"unsupported phrase-suggester option '$k' in '$name'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"phrase suggester '$name' needs a field"))
-    val maxEdits = intOpt(m, "max_edits").getOrElse(1)
-    val perPos = intOpt(m, "per_position").getOrElse(5)
-    val topN = intOpt(m, "size").getOrElse(5)
-    // analyzer: normalize the FIELD COLUMN once up front — every
-    // downstream split (vocabulary, bigram evidence) then reads the
-    // normalized token stream; the input text goes through the twin
-    val an = analyzerOpt(m, s"phrase suggester '$name'")
-    val table1 = if (an eq Analyzer.Whitespace) table
-                 else table.withColumn(f, an.norm(col(f)))
-    val words = an.normText(text).trim.split("\\s+").toSeq
-    if (words.size != 2)
-      fail(s"phrase suggester '$name' supports exactly two words " +
-        "(longer phrases: GraftEngine.phraseSuggest)")
-
-    val vocab = table1
-      .select(explode(array_distinct(split(col(f), " "))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
-    val inputs = table.sparkSession.range(1).select(explode(array(
-        struct(lit(1L).as("pos"), lit(words.head).as("q")),
-        struct(lit(2L).as("pos"), lit(words(1)).as("q")))).as("in"))
-      .select(col("in.pos").as("pos"), col("in.q").as("q"))
-    val cand = vocab.join(broadcast(inputs),
-        abs(length(col("term")) - length(col("q"))) <= maxEdits &&
-          levenshtein(col("q"), col("term")) <= maxEdits)
-      .select(col("pos"), col("term"),
-        levenshtein(col("q"), col("term")).cast("long").as("dist"), col("freq"))
-    val wPos = Window.partitionBy(col("pos"))
-      .orderBy(col("dist"), col("freq").desc, col("term"))
-    val top = cand.withColumn("r", row_number().over(wPos))
-      .filter(col("r") <= perPos)
-    val pairs = top.filter(col("pos") === 1)
-        .select(col("term").as("w1"), col("dist").as("d1"))
-      .crossJoin(top.filter(col("pos") === 2)
-        .select(col("term").as("w2"), col("dist").as("d2")))
-    val bigrams = {
-      val arr = split(col(f), " ")
-      table1.select(explode(transform(slice(arr, lit(1), size(arr) - 1),
-          (x, i) => struct(x.as("w1"),
-            element_at(arr, i + 2).as("w2")))).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
-    }
-    // corpus-sized bigram table probed by the bounded broadcast pairs;
-    // the surviving rows broadcast back into the left join
-    val hit = bigrams.join(broadcast(pairs.select(col("w1"), col("w2"))),
-      Seq("w1", "w2"))
-    val scored = pairs.join(broadcast(hit), Seq("w1", "w2"), "left")
-      .withColumn("bcount", coalesce(col("bcount"), lit(0L)))
-      .withColumn("dist", col("d1") + col("d2"))
-    val wAll = Window.orderBy(
-      col("bcount").desc, col("dist"), col("w1"), col("w2"))
-    scored.withColumn("rank", row_number().over(wAll).cast("long"))
-      .filter(col("rank") <= topN)
-      .select(col("rank"), col("w1"), col("w2"), col("bcount"), col("dist"))
-      .orderBy(col("rank"))
-  }
-
-  /** `has_child`: the join-field relations model's parent arm —
-    * return PARENT documents having `min_children`..`max_children`
-    * children of `type` matching `query`. OpenSearch carries the
-    * relation in the index mapping; this engine's wire shape names
-    * the columns explicitly (`join_field` = the relation-name column,
-    * `id_field` = the document id, `parent_field` = the child row's
-    * parent pointer — the nested/geo explicit-fields convention).
-    * Compiles to: child rows filtered map-side (type + query pushed
-    * into the scan) → ONE groupBy on the parent pointer (count +
-    * score monoids in the same pass) → ONE inner equi-join back onto
-    * the table by id. Both exchanges hash the id domain — the plan
-    * you want at scale, never a per-row subquery. `score_mode`:
-    * none (constant 1) / sum / min / max over matching child scores
-    * (exact longs; avg would break the integer model — fail loud).
-    * The returned side is GATED on being a parent-typed row: rows of
-    * the child type itself are always excluded, and an optional
-    * `parent_type` restricts to that relation name exactly (the
-    * has_parent symmetry) — without the gate, a child row whose id
-    * collides with a matched parent pointer would silently return as
-    * a parent hit when ids are not unique across relation types.
-    */
-  private def hasChildRequest(table: DataFrame, spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"has_child must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("type", "query", "join_field", "id_field",
-      "parent_field", "score_mode", "min_children", "max_children",
-      "parent_type", "inner_hits"))
-      .foreach(k => fail(s"unsupported has_child option '$k'"))
-    // inner_hits: surface the top-`size` MATCHING children per parent
-    // (score desc, child id asc) as (inner_rank, inner_id, inner_score)
-    // columns — one extra row per surfaced child. The per-parent top-k
-    // rides the SAME groupBy as the count/score monoids via a
-    // bounded-heap aggregate (≤ size pairs through map-side combine),
-    // so the plan stays one groupBy + one equi-join — never a per-row
-    // subquery, and never a window over unbounded child sets.
-    val innerSize: Option[Int] = m.get("inner_hits") match {
-      case None => None
-      case Some(JObject(ih)) =>
-        val im = ih.toMap
-        im.keySet.diff(Set("size")).foreach(k =>
-          fail(s"unsupported has_child inner_hits option '$k'"))
-        val n = intOpt(im, "size").getOrElse(
-          fail("has_child inner_hits requires a size"))
-        if (n < 1 || n > 10000) fail("inner_hits size must be in [1, 10000]")
-        Some(n)
-      case Some(other) => fail(s"inner_hits must be an object: ${render(other)}")
-    }
-    val childType = strOpt(m, "type")
-      .getOrElse(fail("has_child needs the child 'type'"))
-    val joinF = strOpt(m, "join_field")
-      .getOrElse(fail("has_child needs join_field (the relation-name column)"))
-    val idF = strOpt(m, "id_field")
-      .getOrElse(fail("has_child needs id_field (the document id column)"))
-    val parentF = strOpt(m, "parent_field")
-      .getOrElse(fail("has_child needs parent_field (the child's parent pointer)"))
-    val minC = intOpt(m, "min_children").getOrElse(1)
-    if (minC < 1) fail("has_child min_children must be >= 1")
-    val maxC = intOpt(m, "max_children")
-    maxC.foreach(mx =>
-      if (mx < minC) fail("has_child max_children must be >= min_children"))
-    val cq = compileQuery(m.getOrElse("query",
-      fail("has_child needs a query over the child documents")))
-    innerSize.foreach { _ =>
-      import org.apache.spark.sql.types._
-      table.schema.find(_.name == idF).map(_.dataType) match {
-        case Some(ByteType | ShortType | IntegerType | LongType) => ()
-        case Some(dt) => fail(s"has_child inner_hits needs an integral " +
-          s"id_field (the bounded-heap key), '$idF' is ${dt.simpleString}")
-        case None => fail(s"has_child id_field '$idF' not in the table")
-      }
-    }
-    val kids = table
-      .filter(col(joinF) === lit(childType) && col(parentF).isNotNull && cq.pred)
-      .select(col(parentF).as("__hc_pid"), cq.score.as("__hc_score"),
-        col(idF).cast("long").as("__hc_cid"))
-    val baseAggs = Seq(
-      count(lit(1)).as("__hc_n"), sum(col("__hc_score")).as("__hc_sum"),
-      min(col("__hc_score")).as("__hc_min"), max(col("__hc_score")).as("__hc_max"))
-    val aggs = innerSize match {
-      case None => baseAggs
-      case Some(n) =>
-        import org.apache.spark.sql.{functions => F, Encoders}
-        val topk = F.udaf(new graft.functions.Aggregators.SmallestKByKey(n),
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-        baseAggs :+ topk(-col("__hc_score"), col("__hc_cid")).as("__hc_inner")
-    }
-    val perParent = kids.groupBy(col("__hc_pid"))
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(col("__hc_n") >= lit(minC.toLong) &&
-        maxC.map(mx => col("__hc_n") <= lit(mx.toLong)).getOrElse(lit(true)))
-    val scoreCol = strOpt(m, "score_mode").getOrElse("none") match {
-      case "none" => lit(1L)
-      case "sum"  => col("__hc_sum")
-      case "min"  => col("__hc_min")
-      case "max"  => col("__hc_max")
-      case other  => fail(s"has_child score_mode must be none/sum/min/max " +
-        s"(avg would break the exact integer score model): '$other'")
-    }
-    val parentSide = strOpt(m, "parent_type") match {
-      case Some(pt) => table.filter(col(joinF) === lit(pt))
-      case None     => table.filter(col(joinF) =!= lit(childType))
-    }
-    val joined = parentSide.join(perParent, col(idF) === col("__hc_pid"))
-      .withColumn("score", scoreCol)
-    val result = innerSize match {
-      case None => joined
-      case Some(_) =>
-        // one row per surfaced child: rank by (child score desc, child
-        // id asc) — the heap's (−score, id) order replayed
-        joined.select(col("*"), posexplode(col("__hc_inner")))
-          .withColumn("inner_rank", (col("pos") + 1).cast("long"))
-          .withColumn("inner_id", col("col._2"))
-          .withColumn("inner_score", -col("col._1"))
-          .drop("pos", "col", "__hc_inner")
-    }
-    result.drop("__hc_pid", "__hc_n", "__hc_sum", "__hc_min", "__hc_max")
-  }
-
-  /** `has_parent`: the relations model's child arm — return CHILD
-    * documents whose parent (of `parent_type`) matches `query`;
-    * optional `type` gates which child type returns, `score: true`
-    * propagates the parent's score to each child (default constant
-    * 1, the OpenSearch default). Same explicit-columns wire shape and
-    * join plan as [[hasChildRequest]]: matching parents project
-    * (id, score) map-side, collapse to one row per id (max score —
-    * deterministic under duplicate ids), then ONE inner equi-join on
-    * the child's parent pointer.
-    */
-  private def hasParentRequest(table: DataFrame, spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"has_parent must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("parent_type", "query", "join_field", "id_field",
-      "parent_field", "score", "type", "inner_hits"))
-      .foreach(k => fail(s"unsupported has_parent option '$k'"))
-    // inner_hits: surface the MATCHED parent alongside each child hit
-    // as (inner_rank, inner_id, inner_score). A child has exactly one
-    // parent pointer (duplicate parent ids collapse to one row in the
-    // pre-join agg below), so inner_rank is always 1 and the size cap
-    // is trivially honored — the option is accepted for request-shape
-    // symmetry with has_child.
-    val innerOn: Boolean = m.get("inner_hits") match {
-      case None => false
-      case Some(JObject(ih)) =>
-        val im = ih.toMap
-        im.keySet.diff(Set("size")).foreach(k =>
-          fail(s"unsupported has_parent inner_hits option '$k'"))
-        val n = intOpt(im, "size").getOrElse(
-          fail("has_parent inner_hits requires a size"))
-        if (n < 1) fail("inner_hits size must be >= 1")
-        true
-      case Some(other) => fail(s"inner_hits must be an object: ${render(other)}")
-    }
-    val parentType = strOpt(m, "parent_type")
-      .getOrElse(fail("has_parent needs parent_type"))
-    val joinF = strOpt(m, "join_field")
-      .getOrElse(fail("has_parent needs join_field (the relation-name column)"))
-    val idF = strOpt(m, "id_field")
-      .getOrElse(fail("has_parent needs id_field (the document id column)"))
-    val parentF = strOpt(m, "parent_field")
-      .getOrElse(fail("has_parent needs parent_field (the child's parent pointer)"))
-    val useScore = m.get("score") match {
-      case None           => false
-      case Some(JBool(b)) => b
-      case Some(other)    => fail(s"has_parent score must be a boolean: ${render(other)}")
-    }
-    val childType = strOpt(m, "type")
-    val cq = compileQuery(m.getOrElse("query",
-      fail("has_parent needs a query over the parent documents")))
-    val parents = table
-      .filter(col(joinF) === lit(parentType) && cq.pred)
-      .select(col(idF).as("__hp_id"), cq.score.as("__hp_score"))
-      .groupBy(col("__hp_id")).agg(max(col("__hp_score")).as("__hp_score"))
-    val joined = table.join(parents, col(parentF) === col("__hp_id"))
-    val typed = childType.map(t => joined.filter(col(joinF) === lit(t)))
-      .getOrElse(joined)
-      .withColumn("score", if (useScore) col("__hp_score") else lit(1L))
-    val result =
-      if (!innerOn) typed
-      else typed.withColumn("inner_rank", lit(1L))
-        .withColumn("inner_id", col("__hp_id"))
-        .withColumn("inner_score", col("__hp_score"))
-    result.drop("__hp_id", "__hp_score")
-  }
-
-  /** `knn` request: exact cosine top-k of an inline query vector over
-    * an embedding column — the OpenSearch vector-search request, served
-    * brute-force (the q75 contract; the IVF/PQ serving paths live on
-    * the operator surface). Determinism comes from the engine's
-    * quantize recipe: both engines round to the 1e-7 grid, dot in
-    * exact integers, and finish with one identically-ordered IEEE
-    * divide. An optional `filter` clause pre-filters candidates
-    * (OpenSearch's filtered-knn semantics). A wrong-dimension vector
-    * fails loud per row rather than silently dropping candidates.
-    * Output: (id field, rank, sim) ordered by rank; the scan is one
-    * unshuffled pass into a bounded top-k.
-    */
-  private def knnRequest(table: DataFrame, spec: JValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFns
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"knn must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "id_field", "query_vector", "k", "filter", "index"))
-      .foreach(k => fail(s"unsupported knn option '$k'"))
-    val f = strOpt(m, "field").getOrElse(fail("knn requires a field"))
-    val idF = strOpt(m, "id_field")
-      .getOrElse(fail("knn requires id_field (the neighbor id column)"))
-    val k = intOpt(m, "k").getOrElse(10)
-    if (k < 1) fail("knn k must be >= 1")
-    val qv: Seq[Double] = m.get("query_vector") match {
-      case Some(JArray(vs)) if vs.nonEmpty => vs.map {
-        case JDouble(d)  => d
-        case JInt(i)     => i.toDouble
-        case JDecimal(d) => d.toDouble
-        case other       => fail(s"query_vector entries must be numeric: ${render(other)}")
-      }
-      case _ => fail("knn requires a non-empty query_vector")
-    }
-
-    // `index` arm: serve from a materialized IVF layout
-    // (IvfIndex.writeIndex) instead of the exact corpus scan — the
-    // plan you deploy at 100 TB, where every exact request would
-    // rescan the corpus. The probe reads ONLY the nprobe nearest
-    // cluster partitions (partition-pruned parquet scan); `table` is
-    // only consulted for `filter` (below), the layout IS the corpus.
-    // `sim` is the unit-vector cosine of the layout (approximate by
-    // construction — recall spec'd vs the exact arm, not
-    // oracle-gated). `filter` + `index` serves by OVER-FETCH:
-    // k′ = oversample·k candidates come off the pruned probe, the
-    // corpus filter's ID PROJECTION (one column, filter pushed into
-    // the corpus scan) semi-joins them, and the top k survivors
-    // re-rank. Recall stays bounded because saturation fails loud: if
-    // all k′ fetched candidates were consumed and fewer than k
-    // survived the filter, matching neighbors may hide past the
-    // window — the request errors (raise oversample/nprobe) instead
-    // of silently under-recalling. If the probe returned fewer than
-    // k′ (probed clusters exhausted), the survivors are complete for
-    // those clusters and the result stands.
-    m.get("index").foreach { idx =>
-      val im = idx match {
-        case JObject(s) => s.toMap
-        case other => fail(s"knn index must be an object: ${render(other)}")
-      }
-      im.keySet.diff(Set("path", "nprobe", "oversample")).foreach(kk =>
-        fail(s"unsupported knn index option '$kk'"))
-      val path = strOpt(im, "path").getOrElse(fail("knn index requires a path"))
-      val nprobe = intOpt(im, "nprobe").getOrElse(4)
-      if (nprobe < 1) fail("knn index nprobe must be >= 1")
-      val oversample = intOpt(im, "oversample").getOrElse(4)
-      if (oversample < 1) fail("knn index oversample must be >= 1")
-      if (im.contains("oversample") && !m.contains("filter"))
-        fail("knn index oversample only applies with a filter")
-      val filterPred = m.get("filter").map(compileQuery(_).pred)
-      val spark = table.sparkSession
-      import spark.implicits._
-      // the layout's dimension is authoritative: a shorter query
-      // vector would silently dot only its own prefix (the kernels
-      // loop over the query's length), a longer one would crash in
-      // the executor — both must fail loud HERE, like the exact arm's
-      // per-row dimension raise
-      val layoutDims = spark.read.parquet(s"$path/centroids")
-        .select(col("centroid")).as[Array[Double]]
-        .head().length
-      if (qv.size != layoutDims)
-        fail(s"knn query_vector has ${qv.size} dims but the index at " +
-          s"'$path' holds $layoutDims-dim vectors")
-      val qdf = Seq((-1L, qv.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
-      val kFetch = filterPred match {
-        case None    => k
-        case Some(_) =>
-          val kf = k.toLong * oversample
-          if (kf > 1000000L)
-            fail(s"knn index over-fetch window k*oversample = $kf exceeds 1e6")
-          kf.toInt
-      }
-      val ranked = graft.operators.IvfIndex.topKFromIndex(spark, path, qdf,
-        "q_id", "q_emb",
-        graft.operators.IvfIndex.Params(nprobe = nprobe, k = kFetch))
-      return filterPred match {
-        case None =>
-          ranked.select(col("neighbor_id").as(idF), col("rank"), col("sim"))
-            .orderBy(col("rank"))
-        case Some(pred) =>
-          import org.apache.spark.sql.expressions.Window
-          // one distinct id column off the filtered corpus — the only
-          // thing the corpus contributes; its filter pushes into the
-          // corpus scan, and the join ships candidate-ids vs ids only
-          val ids = table.filter(pred)
-            .select(col(idF).cast("long").as("__knn_fid")).distinct()
-          val wAll = Window.partitionBy(lit(1))
-          val err = s"knn filtered serve: all $kFetch over-fetched " +
-            "candidates were consumed but fewer than k passed the filter " +
-            "- recall past the window cannot be bounded; raise oversample " +
-            "or nprobe, or use the exact arm"
-          ranked
-            .join(ids, col("neighbor_id") === col("__knn_fid"), "left")
-            .withColumn("__kept", count(col("__knn_fid")).over(wAll))
-            .withColumn("__fetched", count(lit(1)).over(wAll))
-            // the guard lives INSIDE the survivor filter so it is
-            // evaluated on every fetched row — a zero-survivor
-            // saturated window still raises
-            .filter(when(col("__kept") < lit(k.toLong) &&
-                col("__fetched") === lit(kFetch.toLong),
-              raise_error(lit(err)).cast("boolean"))
-              .otherwise(col("__knn_fid").isNotNull))
-            .withColumn("rank", row_number().over(
-              Window.orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
-            .filter(col("rank") <= k)
-            .select(col("neighbor_id").as(idF), col("rank"), col("sim"))
-            .orderBy(col("rank"))
-      }
-    }
-
-    val filt = m.get("filter").map(compileQuery(_).pred).getOrElse(lit(true))
-    // driver-side quantization matches Spark's round() (HALF_UP on the
-    // same double product), so the query vector lands on the same
-    // 1e-7 grid as the corpus
-    val qLong = qv.map(v =>
-      BigDecimal(v * 1e7).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    val qArr = array(qLong.map(lit): _*)
-    val qn2 = lit(qLong.map(x => x * x).sum)
-    val cq = VectorFns.quantize(col(f))
-    val sim = VectorFns.qcosine(VectorFns.qdot(cq, qArr), qn2, VectorFns.qnorm2(cq))
-    table.filter(filt)
-      .withColumn("sim",
-        when(size(col(f)) =!= qv.size,
-          raise_error(lit(s"knn: embedding dimension != query_vector's ${qv.size}"))
-            .cast("double"))
-        .otherwise(sim))
-      .select(col(idF), col("sim"))
-      .orderBy(col("sim").desc, col(idF))
-      .limit(k)
-      // rank over the already-bounded k rows only
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("sim").desc, col(idF))).cast("long"))
-      .select(col(idF), col("rank"), col("sim"))
-      .orderBy(col("rank"))
-  }
-
-  // -------------------------------------------------------------- request
-
-  /** The `_count` endpoint: how many documents match the request's
-    * `query` — one row, one `count` column. Compiles the same
-    * predicate as `search` (pushed filters, codegen) into a single
-    * global aggregate: no sort, no score materialization, the
-    * cheapest possible plan for the question clients ask most.
-    * Only `query` is meaningful here; any other request section
-    * fails loud (OpenSearch's _count takes no sort/size/aggs either).
-    */
-  def countRequest(table: DataFrame, requestJson: String): DataFrame =
-    table.filter(countPredicate(requestJson, "_count"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
-
-  /** The `_explain` endpoint: per-hit integer score decomposition —
-    * the debugging surface users reach for first. Output: the id
-    * column, the hit's `score`, and one `part_<label>` column per
-    * clause part, with the INVARIANT `sum(parts) == score` (spec'd
-    * for bool / dis_max / function_score). Parts by top-level clause:
-    * bool → each must (its score) and should (score when matched,
-    * else 0; filter/must_not are filter-context and contribute 0 by
-    * the model, so they emit no part); dis_max → each sub-query's
-    * tie-broken ppm contribution plus the `best` bonus
-    * (best·(10⁶−tb)); function_score → the inner query's score plus
-    * what the functions added (additive by construction for both
-    * boost modes); constant_score → the boost; any other clause → one
-    * `query` part. One projection over the SAME filtered scan
-    * `search` runs — zero extra scans, exact longs (ppm-scaled
-    * requests decompose in ppm units).
-    */
-  def explain(table: DataFrame, requestJson: String,
-      idField: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"request body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("query")).foreach(k =>
-      fail(s"_explain takes only a query (got '$k')"))
-    val q = req.getOrElse("query", fail("_explain requires a query"))
-    if (!table.columns.contains(idField))
-      fail(s"_explain id field '$idField' is not a column of the table")
-    val compiled = compileQuery(q) // fails loud on malformed shapes first
-    val parts = scoreParts(q, compiled)
-    table.filter(compiled.pred).select(
-      col(idField) +: compiled.score.as("score") +:
-        parts.map { case (n, c) => c.as(s"part_$n") }: _*)
-  }
-
-  /** The per-clause score decomposition shared by the `_explain`
-    * endpoint and the request-level `explain` flag — sum(parts) ==
-    * score by construction (spec'd for bool / dis_max /
-    * function_score).
-    */
-  private def scoreParts(q: JValue, compiled: CompiledQuery)
-      : Seq[(String, Column)] = q match {
-      case JObject(List(("bool", JObject(b)))) =>
-        val m = b.toMap
-        def clauses(sec: String): Seq[JValue] = m.get(sec) match {
-          case None               => Nil
-          case Some(JArray(cs))   => cs
-          case Some(one: JObject) => Seq(one)
-          case Some(_)            => Nil // compileQuery already failed loud
-        }
-        val must = clauses("must").zipWithIndex.map { case (c, i) =>
-          (s"must_$i", compileQuery(c).score)
-        }
-        val should = clauses("should").zipWithIndex.map { case (c, i) =>
-          val cc = compileQuery(c)
-          (s"should_$i", when(cc.pred, cc.score).otherwise(lit(0L)))
-        }
-        if ((must ++ should).isEmpty) Seq(("query", compiled.score))
-        else must ++ should
-      case JObject(List(("dis_max", JObject(b)))) =>
-        val m = b.toMap
-        val subs = m.get("queries") match {
-          case Some(JArray(qs)) => qs.map(compileQuery)
-          case _                => Nil // unreachable: compileQuery failed loud
-        }
-        val tbPpm = ppmOf(m, "tie_breaker", 0L)
-        val matched = subs.map(c => when(c.pred, c.score).otherwise(lit(0L)))
-        val best =
-          if (matched.size == 1) matched.head else greatest(matched: _*)
-        matched.zipWithIndex.map { case (s, i) =>
-          (s"queries_$i", s * lit(tbPpm))
-        } :+ ("best", best * lit(1000000L - tbPpm))
-      case JObject(List(("function_score", JObject(b)))) =>
-        val m = b.toMap
-        val inner = m.get("query").map(compileQuery)
-          .getOrElse(CompiledQuery(lit(true), lit(0L)))
-        Seq(("query", inner.score),
-          ("functions", compiled.score - inner.score))
-      case JObject(List(("constant_score", _))) =>
-        Seq(("boost", compiled.score))
-      case _ => Seq(("query", compiled.score))
-    }
-
-  /** The ONE `_count`-shape compile — `{query}` only, request-level
-    * corpus-state clauses rejected — shared by [[countRequest]] and
-    * [[msearchCounts]] so the two validations can never drift.
-    */
-  private def countPredicate(requestJson: String, endpoint: String): Column = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"$endpoint body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("query")).foreach(k =>
-      fail(s"unsupported $endpoint request key '$k' (only query)"))
-    req.get("query").foreach {
-      case JObject(List((clause, _)))
-        if Set("more_like_this", "span_near", "percolate",
-          "intervals").contains(clause) =>
-        fail(s"$endpoint does not take the request-level '$clause' query")
-      case _ => ()
-    }
-    req.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
-  }
-
-  /** `_delete_by_query`: the maintenance write op as DATA — matching
-    * documents become CDC delete events (`_action = "delete"`), which
-    * the caller applies through the existing merge machinery
-    * ([[graft.etl.CdcMerge]] for materialized tables,
-    * [[graft.etl.SearchIndex.mergeCdcBatch]] /
-    * [[graft.operators.IvfIndex.mergeCdcBatch]] for the maintained
-    * indexes — all touched-bucket-only rewrites). The predicate is the
-    * same pushed-filter compile as `_count`; corpus-state queries are
-    * rejected the same way. The plan is one filtered scan + a literal
-    * action column — nothing driver-side.
-    */
-  def deleteByQuery(table: DataFrame, requestJson: String): DataFrame =
-    table.filter(countPredicate(requestJson, "_delete_by_query"))
-      .withColumn("_action", lit("delete"))
-
-  /** `_update_by_query`: matching documents with the script mutation
-    * applied, emitted as CDC upsert events (`_action = "upsert"`) for
-    * the same merge machinery. The script is the Painless assignment
-    * shape real requests use — `ctx._source.<field> = <rhs>` — with
-    * `<rhs>` either `params.<p>` bound to a STRING param (literal
-    * replacement: the redaction/retag flow) or a [[ScoreScript]]
-    * integer expression over `doc['f'].value` and integer params
-    * (compiled to codegen'd Catalyst arithmetic, zero row-time
-    * interpretation). `_score` does not exist in an update context and
-    * fails loud, as does any script outside the assignment grammar.
-    */
-  def updateByQuery(table: DataFrame, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"_update_by_query body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("query", "script")).foreach(k =>
-      fail(s"unsupported _update_by_query request key '$k'"))
-    val pred = countPredicate(
-      JsonMethods.compact(JsonMethods.render(
-        JObject(req.get("query").map("query" -> _).toList))),
-      "_update_by_query")
-    val (src, params) = req.get("script") match {
-      case Some(JObject(s)) =>
-        val sm = s.toMap
-        sm.keySet.diff(Set("source", "params")).foreach(k =>
-          fail(s"unsupported _update_by_query script option '$k'"))
-        (strOpt(sm, "source")
-          .getOrElse(fail("_update_by_query script needs a source")),
-          sm.get("params") match {
-            case Some(JObject(po)) => po.toMap
-            case None              => Map.empty[String, JValue]
-            case Some(other) => fail(s"script params must be an object: ${render(other)}")
-          })
-      case _ => fail("_update_by_query needs {script: {source, params?}}")
-    }
-    val AssignRe = """^ctx\._source\.([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$""".r
-    val (field, rhs) = src.trim match {
-      case AssignRe(f, r) => (f, r.trim)
-      case other => fail("_update_by_query script must be an assignment " +
-        s"'ctx._source.<field> = <expr>', got: $other")
-    }
-    val ParamRef = """^params\.([A-Za-z_][A-Za-z0-9_]*)$""".r
-    val value: Column = rhs match {
-      // a bare params.<p> bound to a string = literal replacement
-      case ParamRef(p) if params.get(p).exists(_.isInstanceOf[JString]) =>
-        lit(params(p).asInstanceOf[JString].s)
-      case _ =>
-        val intParams = params.map {
-          case (k, JInt(v)) => k -> v.toLong
-          case (k, JString(_)) => fail(s"string param '$k' is only usable as " +
-            "the whole right-hand side (ctx._source.f = params." + k + ")")
-          case (k, other) =>
-            fail(s"script param '$k' must be an integer or string: ${render(other)}")
-        }
-        if (ScoreScript.referencesScore(rhs))
-          fail("_update_by_query scripts have no _score")
-        ScoreScript.compile(rhs, intParams, lit(0L))
-    }
-    if (!table.columns.contains(field))
-      fail(s"_update_by_query target field '$field' is not a column " +
-        s"(have: ${table.columns.mkString(", ")})")
-    table.filter(pred)
-      .withColumn(field, value)
-      .withColumn("_action", lit("upsert"))
-  }
-
-  /** The `_mget` endpoint: the requested documents IN REQUEST ORDER
-    * (the OpenSearch response contract — docs come back in the order
-    * asked, not sorted). One pushed `isin` filter plus an
-    * array_position rank over the ≤|ids| matched rows; ids absent
-    * from the corpus are simply absent from the result (the
-    * found=false entries of the wire response carry no fields).
-    * Duplicate requested ids fail loud — the order rank would be
-    * ambiguous.
-    */
-  def mget(table: DataFrame, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"_mget body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("id_field", "ids")).foreach(k =>
-      fail(s"unsupported _mget request key '$k'"))
-    val idField = strOpt(req, "id_field")
-      .getOrElse(fail("_mget requires id_field"))
-    val ids: Seq[Any] = req.get("ids") match {
-      case Some(JArray(vs)) if vs.nonEmpty => vs.map(scalaOf)
-      case _ => fail("_mget requires a non-empty ids array")
-    }
-    if (ids.distinct.size != ids.size) fail("_mget ids repeat")
-    val idArray = array(ids.map(lit): _*)
-    table.filter(col(idField).isin(ids: _*))
-      .withColumn("__ord", array_position(idArray, col(idField)))
-      .orderBy(col("__ord"))
-      .drop("__ord")
-  }
-
-  /** `hybrid`: reciprocal-rank fusion of N independently-RANKED arms
-    * (the q102 lexical+vector contract as a wire shape — OpenSearch's
-    * hybrid query). Each arm compiles like any clause, ranks its own
-    * hit set by (score desc, id) inside a `window_size` window, and
-    * the fused score is Σ 10⁶ div (rank_constant + rank) over the
-    * arms where the doc appears (an absent arm contributes 0 — the
-    * RRF convention; exact integer, engine-portable). The per-arm
-    * windows are BOUNDED (orderBy + limit BEFORE the row_number), so
-    * the fusion joins touch ≤ N·window_size rows at any corpus size
-    * (Spark can't broadcast FULL OUTER joins, so the plan shows a
-    * sort-merge — over ≤2·window rows per join, measured noise; the
-    * corpus-sized work is the per-arm scans). OpenSearch normalizes via a
-    * search-pipeline processor (min-max float normalization — not
-    * bit-portable); deterministic RRF is the documented analog, the
-    * same divergence q102 locked in. Rank scales are rank-only, so
-    * ppm-scaled arms (dis_max, best_fields) compose freely.
-    * Output: (id_field, rank_1..rank_N, score = rrf ppm).
-    */
-  private def hybridRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        import org.apache.spark.sql.expressions.Window
-        val m = parts.toMap
-        m.keySet.diff(Set("queries", "id_field", "window_size",
-          "rank_constant")).foreach(k =>
-          fail(s"unsupported hybrid option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail("hybrid requires id_field (the document key)"))
-        val win = intOpt(m, "window_size").getOrElse(20)
-        if (win < 1 || win > 1000)
-          fail(s"hybrid window_size must be in [1, 1000], got $win")
-        val kc = intOpt(m, "rank_constant").getOrElse(60)
-        if (kc < 1) fail(s"hybrid rank_constant must be >= 1, got $kc")
-        val arms = m.get("queries") match {
-          case Some(JArray(qs)) if qs.size >= 2 && qs.size <= 8 =>
-            qs.map(compileQuery)
-          case _ => fail("hybrid requires a queries array of 2-8 clauses")
-        }
-        if (arms.exists(_.named.nonEmpty))
-          fail("_name inside hybrid arms is unsupported (matched_queries " +
-            "reflects per-row predicates, not fused ranks)")
-        val ranked = arms.zipWithIndex.map { case (a, i) =>
-          table.filter(a.pred)
-            .select(col(idField), a.score.as("__s"))
-            .orderBy(col("__s").desc, col(idField))
-            .limit(win)
-            // the window input is the ≤win-row limited set — bounded
-            .select(col(idField),
-              row_number().over(Window.orderBy(col("__s").desc, col(idField)))
-                .cast("long").as(s"rank_${i + 1}"))
-        }
-        val fused = ranked.reduce((l, r) => l.join(r, Seq(idField), "full_outer"))
-        val rrf = arms.indices.map(i =>
-            coalesce(expr(s"1000000L div (${kc}L + rank_${i + 1})"), lit(0L)))
-          .reduce(_ + _).as("score")
-        fused.select(
-          (col(idField) +: arms.indices.map(i => col(s"rank_${i + 1}"))) :+ rrf: _*)
-      case other => fail(s"hybrid requires an object body: ${render(other)}")
-    }
-
-  /** The `_termvectors` endpoint: per-term statistics of ONE
-    * document's field — the relevance-debugging surface (why does
-    * this doc score the way it does?). Output: one row per DISTINCT
-    * analyzed term, sorted by term —
-    * `(term, term_freq[, positions][, doc_freq, ttf])`. `positions`
-    * (opt-in) carries the 0-based token positions comma-joined (the
-    * flat-hit-table analog of the wire's positions array);
-    * `term_statistics` (opt-in) adds corpus doc_freq/ttf. The
-    * document read is a pushed-filter point read (id must be unique —
-    * a duplicate would silently merge two vectors, fail loud);
-    * term_statistics costs ONE corpus scan whose partial agg is
-    * vocabulary-bounded and map-side combined, joined to the tiny
-    * per-doc term set (broadcast by size).
-    */
-  def termvectors(table: DataFrame, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"_termvectors body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("id_field", "id", "field", "analyzer",
-      "positions", "term_statistics")).foreach(k =>
-      fail(s"unsupported _termvectors request key '$k'"))
-    val idField = strOpt(req, "id_field")
-      .getOrElse(fail("_termvectors requires id_field"))
-    val id = req.getOrElse("id", fail("_termvectors requires an id"))
-    val field = strOpt(req, "field")
-      .getOrElse(fail("_termvectors requires a field"))
-    val an = analyzerOpt(req, "_termvectors")
-    def flag(k: String): Boolean = req.get(k) match {
-      case None           => false
-      case Some(JBool(b)) => b
-      case Some(other)    => fail(s"$k must be a boolean: ${render(other)}")
-    }
-    val withPos = flag("positions")
-    val withStats = flag("term_statistics")
-    val matched = table.filter(col(idField) === litOf(id))
-      .select(col(idField)).limit(2).collect()
-    if (matched.isEmpty)
-      fail(s"_termvectors: no row with $idField = ${render(id)}")
-    if (matched.length > 1)
-      fail(s"_termvectors: $idField = ${render(id)} is not unique")
-    val pos = table.filter(col(idField) === litOf(id))
-      .select(posexplode(split(an.norm(col(field)), " ")).as(Seq("p", "term")))
-    val base = pos.groupBy("term").agg(
-      count(lit(1)).as("term_freq"),
-      array_join(transform(sort_array(collect_list(col("p"))),
-        _.cast("string")), ",").as("positions"))
-    val projected = if (withPos) base else base.drop("positions")
-    val out =
-      if (!withStats) projected
-      else {
-        val corpus = table.select(col(idField).as("__id"),
-          explode(split(an.norm(col(field)), " ")).as("term"))
-        val stats = corpus.groupBy("term").agg(
-          countDistinct(col("__id")).as("doc_freq"),
-          count(lit(1)).as("ttf"))
-        // inner join: every doc term exists in the corpus by
-        // construction; the ≤|doc terms| side broadcasts
-        projected.join(stats, "term")
-      }
-    out.orderBy("term")
-  }
-
-  /** The `_search/template` endpoint: a request body with `{{var}}`
-    * placeholders bound from `params` ON THE DRIVER (the mustache
-    * subset OpenSearch templates actually use: simple variables —
-    * sections/partials/defaults fail loud), then compiled like any
-    * request. Substitution is textual into the source string, exactly
-    * the OpenSearch model: a string param replaces `{{v}}` inside the
-    * author's quotes, a number replaces a bare `{{v}}`. Unbound
-    * placeholders fail loud; unused params are allowed (the
-    * share-one-param-set-across-templates idiom).
-    */
-  def searchTemplate(table: DataFrame, templateJson: String): DataFrame = {
-    val req = parse(templateJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"template body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("source", "params")).foreach(k =>
-      fail(s"unsupported template key '$k'"))
-    val source = strOpt(req, "source")
-      .getOrElse(fail("template needs a source string"))
-    val params: Map[String, String] = req.get("params") match {
-      case Some(JObject(ps)) => ps.map {
-        case (k, JString(v)) =>
-          // textual substitution means a JSON metacharacter in the
-          // value would break or INJECT into the compiled request —
-          // fail loud (OpenSearch's raw mustache shares this hazard
-          // and merely documents it; we refuse it)
-          if (v.exists(c => c == '"' || c == '\\' || c == '{' ||
-              c == '}' || c < ' '))
-            fail(s"template param '$k' contains JSON metacharacters " +
-              "(quote/brace/backslash/control) - not substitutable")
-          k -> v
-        case (k, JInt(v))     => k -> v.toString
-        case (k, JBool(v))    => k -> v.toString
-        case (k, other) =>
-          fail(s"template param '$k' must be a string/integer/boolean: ${render(other)}")
-      }.toMap
-      case None        => Map.empty
-      case Some(other) => fail(s"template params must be an object: ${render(other)}")
-    }
-    if (source.contains("{{#") || source.contains("{{^") || source.contains("{{>"))
-      fail("template sections/partials are unsupported (simple {{var}} only)")
-    val bound = params.foldLeft(source) { case (acc, (k, v)) =>
-      acc.replace(s"{{$k}}", v)
-    }
-    val Unbound = """\{\{([^}]*)\}\}""".r
-    Unbound.findFirstMatchIn(bound).foreach(m =>
-      fail(s"template placeholder '{{${m.group(1)}}}' has no binding"))
-    search(table, bound)
-  }
-
-  /** The `_terms_enum` endpoint: index terms matching a prefix, in
-    * term order — the autocomplete/discovery call. `tokens: true`
-    * enumerates whitespace tokens of a text field (one explode +
-    * distinct), otherwise the field's distinct values; either way ONE
-    * distinct aggregation with the prefix pushed below it, top `size`
-    * in lexicographic order (the OpenSearch response order).
-    */
-  def termsEnum(table: DataFrame, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"_terms_enum body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("field", "string", "size", "tokens")).foreach(k =>
-      fail(s"unsupported _terms_enum request key '$k'"))
-    val f = strOpt(req, "field").getOrElse(fail("_terms_enum requires a field"))
-    val prefix = strOpt(req, "string").getOrElse("")
-    val size = intOpt(req, "size").getOrElse(10)
-    if (size < 1) fail("_terms_enum size must be >= 1")
-    val tokens = req.get("tokens") match {
-      case Some(JBool(b)) => b
-      case None           => false
-      case Some(other)    => fail(s"tokens must be a boolean: ${render(other)}")
-    }
-    val terms =
-      if (tokens)
-        table.select(explode(split(col(f), " ")).as("term"))
-          .filter(col("term") =!= "")
-      else table.select(col(f).as("term")).filter(col("term").isNotNull)
-    terms.filter(col("term").startsWith(prefix))
-      .distinct()
-      .orderBy(col("term").asc)
-      .limit(size)
-  }
-
-  /** The `_field_caps` endpoint: the table's queryable fields and
-    * types — pure schema introspection, zero data reads (the one
-    * driver-side-only endpoint, by nature).
-    */
-  def fieldCaps(table: DataFrame): DataFrame = {
-    val spark = table.sparkSession
-    import spark.implicits._
-    table.schema.fields.toSeq
-      .map(f => (f.name, f.dataType.simpleString, f.nullable))
-      .toDF("field", "type", "nullable")
-      .orderBy("field")
-  }
-
-  /** The `_analyze` endpoint: run a named analyzer over request text
-    * and return the token stream with 0-based positions — the first
-    * debugging surface a user reaches for ("why didn't my query
-    * match this text"). The engine's analyzers are column NORMALIZERS
-    * (the strip→lower→single-space contract), so the output is
-    * exactly the token stream every matching surface sees — computed
-    * through the SAME `Analyzer.norm` column expression, so the
-    * endpoint can never disagree with the engine's own tokenization.
-    * Character start/end offsets into the original string are not
-    * part of the normalizer model; there is no option to ask for
-    * them, and unknown request keys fail loud.
-    */
-  def analyze(spark: org.apache.spark.sql.SparkSession,
-      requestJson: String): DataFrame = {
-    val m = parse(requestJson) match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"_analyze requires an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("analyzer", "text")).foreach(k =>
-      fail(s"unsupported _analyze option '$k'"))
-    val an = analyzerOpt(m, "_analyze")
-    val text = strOpt(m, "text").getOrElse(fail("_analyze needs text"))
-    analyzeText(spark, an, text)
-  }
-
-  /** The engine-API arm of [[analyze]] (same one implementation). */
-  def analyzeText(spark: org.apache.spark.sql.SparkSession, an: Analyzer,
-      text: String): DataFrame = {
-    import spark.implicits._
-    Seq(text).toDF("__t")
-      .select(posexplode(split(an.norm(col("__t")), " "))
-        .as(Seq("position", "token")))
-      .select(col("token"), col("position").cast("long").as("position"))
-      .orderBy(col("position"))
-  }
-
-  /** The `_validate/query` endpoint: compile the request against the
-    * table's schema WITHOUT running corpus work. Returns (valid,
-    * explanation) — compile and analysis errors come back AS DATA
-    * instead of throwing, because reporting them IS this request's
-    * job (the one surface where fail-loud means "return the
-    * failure"). Validation compiles against `table.limit(0)` — the
-    * optimizer folds a 0-limit to an empty relation, so request
-    * shapes whose compilation touches data (auto_date_histogram's
-    * unit choice, the request-level corpus-state plans) cost zero
-    * rows here instead of a corpus scan on a pre-flight check.
-    */
-  def validateRequest(table: DataFrame, requestJson: String): (Boolean, Option[String]) =
-    try {
-      search(table.limit(0), requestJson).queryExecution.assertAnalyzed()
-      (true, None)
-    } catch {
-      case e: Exception => (false, Option(e.getMessage))
-    }
-
-  /** `_msearch` over `_count`-shaped bodies: N requests answered by
-    * ONE corpus scan. Each body's query compiles to a predicate; all
-    * N become conditional counts in a SINGLE global aggregate — so a
-    * dashboard firing 50 filters costs one pass over 100 TB, not 50
-    * (the multi-query-optimization shape Spark's one-request-one-plan
-    * model doesn't give you for free). Output: (req, count) in
-    * request order.
-    */
-  def msearchCounts(table: DataFrame, requestJsons: Seq[String]): DataFrame = {
-    if (requestJsons.isEmpty) fail("_msearch needs at least one request")
-    val preds = requestJsons.map(countPredicate(_, "_msearch"))
-    val cols = preds.zipWithIndex.map { case (p, i) =>
-      count(when(p, 1L)).as(s"__c$i")
-    }
-    val row = table.agg(cols.head, cols.tail: _*)
-    val pairs = preds.indices.map(i =>
-      struct(lit(i.toLong).as("req"), col(s"__c$i").as("count")))
-    row.select(explode(array(pairs: _*)).as("r"))
-      .select(col("r.req").as("req"), col("r.count").as("count"))
-      .orderBy("req")
-  }
-
-  /** `_msearch` with FULL request bodies — the dashboard batch
-    * (VERDICT r10 #2): N mixed count / single-metric-agg / terms-agg /
-    * hit requests over one table, grouped so compatible requests SHARE
-    * a scan instead of costing one scan each:
-    *
-    *  - every count body and single-value metric body (value_count /
-    *    sum / min / max / avg, optionally query-filtered) compiles to
-    *    a CONDITIONAL AGGREGATE column of ONE `table.agg` pass — one
-    *    FileScan for the whole group (plan-pinned), the
-    *    [[msearchCounts]] amortization extended to metrics;
-    *  - terms-agg bodies group BY FIELD: all requests bucketing the
-    *    same field ride one groupBy scan as conditional counts, ranked
-    *    per-request by a window over the (post-aggregation,
-    *    bucket-table-sized — the deliberately-bounded-window doctrine)
-    *    grouped table;
-    *  - hit bodies share ONE scored scan: each row evaluates every
-    *    request's (pred, score) once, matches explode (req, -score,
-    *    id), and a BOUNDED-HEAP aggregate
-    *    ([[graft.functions.Aggregators.SmallestKByKey]]) keeps ≤ max
-    *    size pairs per request through map-side combine — shuffle
-    *    volume `partitions × requests × k` regardless of match counts,
-    *    never a per-request corpus sort.
-    *
-    * The wire shape is LONG format — one row per response element,
-    * `(req, kind, ord, key, value)`: counts (`kind=count`, key
-    * "count"), metrics (`kind=agg`, key = agg name), terms buckets
-    * (`kind=terms`, ord = 1-based bucket rank by doc_count desc / key
-    * asc, key = bucket key string, value = doc_count), hits
-    * (`kind=hit`, ord = 1-based rank by score desc / id asc, key = doc
-    * id string, value = score). Exactness contract: sum/avg metrics
-    * require INTEGRAL fields (the extended_stats model — exact integer
-    * sums, avg is one IEEE divide), hit ids must be integral (the
-    * heap's key pair), min/max/value_count take any orderable field.
-    * Anything else in a body fails loud — batch what batches, send the
-    * rest solo through `_search`.
-    */
-  def msearch(table: DataFrame, requestJsons: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.{functions => F, Encoders}
-    import org.apache.spark.sql.types._
-    if (requestJsons.isEmpty) fail("_msearch needs at least one request")
-
-    sealed trait Arm
-    final case class CountArm(i: Int, pred: Column) extends Arm
-    final case class MetricArm(i: Int, name: String, value: Column) extends Arm
-    final case class TermsArm(i: Int, field: String, size: Int,
-      pred: Column) extends Arm
-    final case class HitArm(i: Int, idField: String, pred: Column,
-      score: Column, size: Int) extends Arm
-
-    def integral(f: String, where: String): Unit =
-      table.schema.find(_.name == f) match {
-        case Some(sf) => sf.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => ()
-          case dt => fail(s"$where field '$f' must be integral (the exact " +
-            s"cross-engine model), got ${dt.simpleString}")
-        }
-        case None => fail(s"$where names unknown field '$f'")
-      }
-
-    val arms: Seq[Arm] = requestJsons.zipWithIndex.map { case (json, i) =>
-      val m = parse(json) match {
-        case o: JObject => o.obj.toMap
-        case other => fail(s"_msearch body $i must be an object: ${render(other)}")
-      }
-      m.keySet.diff(Set("query", "aggs", "size", "_source", "sort")).foreach(k =>
-        fail(s"unsupported _msearch body key '$k' in request $i — batch " +
-          "query/aggs/hits bodies; anything else goes solo through _search"))
-      val pred = m.get("query").map(compileQuery(_).pred).getOrElse(lit(true))
-      if (m.contains("aggs")) {
-        m.get("size").foreach {
-          case JInt(n) if n == 0 => ()
-          case other =>
-            fail(s"_msearch agg body $i takes size 0 only: ${render(other)}")
-        }
-        if (m.contains("_source") || m.contains("sort"))
-          fail(s"_msearch agg body $i cannot carry _source/sort")
-        val (name, spec) = m("aggs") match {
-          case JObject(List((n, JObject(s)))) => (n, s.toMap)
-          case other => fail(s"_msearch body $i aggs must hold exactly one " +
-            s"agg: ${render(other)}")
-        }
-        spec.toList match {
-          case List(("terms", JObject(t))) =>
-            val tm = t.toMap
-            tm.keySet.diff(Set("field", "size")).foreach(k =>
-              fail(s"unsupported _msearch terms option '$k' in request $i"))
-            val f = strOpt(tm, "field")
-              .getOrElse(fail(s"terms agg in request $i needs a field"))
-            val sz = intOpt(tm, "size").getOrElse(10)
-            if (sz < 1) fail(s"terms size must be >= 1 in request $i")
-            TermsArm(i, f, sz, pred)
-          case List((metric @ ("value_count" | "sum" | "min" | "max" | "avg"),
-              JObject(b))) =>
-            val bm = b.toMap
-            bm.keySet.diff(Set("field")).foreach(k =>
-              fail(s"unsupported _msearch $metric option '$k' in request $i"))
-            val f = strOpt(bm, "field")
-              .getOrElse(fail(s"$metric in request $i needs a field"))
-            if (metric == "sum" || metric == "avg")
-              integral(f, s"_msearch $metric (request $i)")
-            val x = when(pred, col(f))
-            val v = metric match {
-              case "value_count" => count(x).cast("double")
-              case "sum"         => coalesce(sum(x), lit(0L)).cast("double")
-              case "min"         => min(x).cast("double")
-              case "max"         => max(x).cast("double")
-              case "avg" =>
-                val n = count(x)
-                when(n === 0L, lit(null).cast("double"))
-                  .otherwise(sum(x).cast("double") / n.cast("double"))
-            }
-            MetricArm(i, name, v)
-          case _ => fail(s"_msearch request $i agg must be terms or a " +
-            "single-value metric (value_count/sum/min/max/avg)")
-        }
-      } else if (m.contains("_source")) {
-        val idF = m("_source") match {
-          case JArray(List(JString(id), JString("score"))) => id
-          case other => fail(s"_msearch hit body $i _source must be " +
-            s"""[<id field>, "score"]: ${render(other)}""")
-        }
-        integral(idF, s"_msearch hits (request $i) id")
-        m.get("sort").foreach {
-          case JArray(List(JObject(List(("_score", JString("desc")))),
-            JString(f))) if f == idF => ()
-          case other => fail(s"_msearch hit body $i sort must be omitted " +
-            s"""or [{"_score": "desc"}, "$idF"]: ${render(other)}""")
-        }
-        val sz = m.get("size") match {
-          case None                                   => 10
-          case Some(JInt(n)) if n >= 1 && n <= 10000  => n.toInt
-          case Some(other) =>
-            fail(s"_msearch hit size must be in [1, 10000]: ${render(other)}")
-        }
-        val cq = compileQuery(m.getOrElse("query",
-          fail(s"_msearch hit body $i needs a query")))
-        HitArm(i, idF, cq.pred, cq.score, sz)
-      } else {
-        if (m.contains("size") || m.contains("sort"))
-          fail(s"_msearch count body $i takes a query only")
-        CountArm(i, pred)
-      }
-    }
-
-    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-    // count + single-value metrics: ONE conditional-aggregate scan
-    val scalarArms = arms.collect {
-      case c: CountArm  =>
-        (c.i, "count", "count", count(when(c.pred, 1L)).cast("double"))
-      case ma: MetricArm => (ma.i, "agg", ma.name, ma.value)
-    }
-    if (scalarArms.nonEmpty) {
-      val aggCols = scalarArms.zipWithIndex.map { case ((_, _, _, v), j) =>
-        v.as(s"__v$j")
-      }
-      val row = table.agg(aggCols.head, aggCols.tail: _*)
-      val pairs = scalarArms.zipWithIndex.map { case ((i, kind, key, _), j) =>
-        struct(lit(i.toLong).as("req"), lit(kind).as("kind"),
-          lit(0L).as("ord"), lit(key).as("key"), col(s"__v$j").as("value"))
-      }
-      out += row.select(explode(array(pairs: _*)).as("r")).select(col("r.*"))
-    }
-
-    // terms aggs: one groupBy scan per distinct field, all same-field
-    // requests as conditional counts over it
-    arms.collect { case t: TermsArm => t }.groupBy(_.field).toSeq
-      .sortBy(_._1).foreach { case (field, group) =>
-        import org.apache.spark.sql.expressions.Window
-        val aggCols = group.map(t => count(when(t.pred, 1L)).as(s"__n${t.i}"))
-        val g = table.groupBy(col(field).cast("string").as("__k"))
-          .agg(aggCols.head, aggCols.tail: _*)
-        val ranked = group.foldLeft(g) { (d, t) =>
-          d.withColumn(s"__r${t.i}", row_number().over(
-            Window.orderBy(col(s"__n${t.i}").desc, col("__k"))).cast("long"))
-        }
-        val pairs = group.map { t =>
-          struct(lit(t.i.toLong).as("req"), lit("terms").as("kind"),
-            col(s"__r${t.i}").as("ord"), col("__k").as("key"),
-            col(s"__n${t.i}").cast("double").as("value"),
-            (col(s"__n${t.i}") > 0L &&
-              col(s"__r${t.i}") <= lit(t.size.toLong)).as("keep"))
-        }
-        out += ranked.select(explode(array(pairs: _*)).as("r"))
-          .filter(col("r.keep"))
-          .select(col("r.req").as("req"), col("r.kind").as("kind"),
-            col("r.ord").as("ord"), col("r.key").as("key"),
-            col("r.value").as("value"))
-      }
-
-    // hit bodies: one scored scan, bounded-heap top-k per request
-    val hitArms = arms.collect { case h: HitArm => h }
-    if (hitArms.nonEmpty) {
-      val maxK = hitArms.map(_.size).max
-      val topk = F.udaf(new graft.functions.Aggregators.SmallestKByKey(maxK),
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      val entries = hitArms.map(h =>
-        struct(lit(h.i.toLong).as("req"), h.pred.as("p"),
-          h.score.cast("long").as("s"), col(h.idField).cast("long").as("id")))
-      val matched = table
-        .select(explode(array(entries: _*)).as("e"))
-        .filter(col("e.p"))
-        .select(col("e.req").as("req"), (-col("e.s")).as("nk"),
-          col("e.id").as("id"))
-      val sizeOf = hitArms.tail.foldLeft(
-        when(col("req") === lit(hitArms.head.i.toLong),
-          lit(hitArms.head.size.toLong))) { (acc, h) =>
-        acc.when(col("req") === lit(h.i.toLong), lit(h.size.toLong))
-      }
-      out += matched.groupBy(col("req"))
-        .agg(topk(col("nk"), col("id")).as("picks"))
-        .select(col("req"), posexplode(col("picks")))
-        .filter(col("pos") < sizeOf)
-        .select(col("req"), lit("hit").as("kind"),
-          (col("pos") + 1).cast("long").as("ord"),
-          col("col._2").cast("string").as("key"),
-          (-col("col._1")).cast("double").as("value"))
-    }
-
-    out.reduce(_.unionByName(_)).orderBy(col("req"), col("ord"), col("key"))
-  }
-
-  // ------------------------------------------------ PIT wire surface
-
-  /** Open wire handles: id → pinned alias version. Driver-side state,
-    * like [[graft.etl.IndexAlias]]'s pin table it fronts.
-    */
-  private val pitHandles = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.etl.IndexAlias.Pit]()
-  private val pitCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** `POST /{index}/_search/point_in_time` analog: resolve the alias
-    * ONCE, pin that physical version, return the opaque wire id a
-    * `{"pit": {"id": ...}}` request section names. Every later
-    * [[searchPit]] page serves from the pinned version, so deep
-    * pagination is disjoint and complete even when a reindex cuts the
-    * alias over mid-session — and the pin shields the version from
-    * `IndexAlias.prune` until [[closePit]].
-    */
-  def openPit(spark: SparkSession, aliasDir: String): String = {
-    val pit = graft.etl.IndexAlias.openPit(spark, aliasDir)
-    val id = s"pit-${pitCounter.incrementAndGet()}-${pit.version}"
-    pitHandles.put(id, pit): Unit
-    id
-  }
-
-  /** `DELETE /_pit` analog: release the pin. Unknown or double close
-    * fails loud (a silently-absorbed double close hides a session-
-    * management bug).
-    */
-  def closePit(id: String): Unit = {
-    val pit = Option(pitHandles.remove(id)).getOrElse(
-      fail(s"unknown pit id '$id' (already closed?)"))
-    graft.etl.IndexAlias.releasePit(pit)
-  }
-
-  /** A `_search` request against a PINNED index version — the wire
-    * form of [[graft.etl.IndexAlias.bm25Page]]. The body carries the
-    * `pit` section (so no table/alias argument: the pit id IS the
-    * target, the OpenSearch contract), a `bm25` query arm with the
-    * raw terms, and optionally `search_after` ([last score, last
-    * doc_id] — the ranking's keyset cursor) + `size`.
-    */
-  def searchPit(spark: SparkSession, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"request body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("pit", "query", "search_after", "size")).foreach(k =>
-      fail(s"unsupported pit-request key '$k'"))
-    val pit = req.get("pit") match {
-      case Some(JObject(p)) =>
-        p.toMap.get("id") match {
-          case Some(JString(id)) => Option(pitHandles.get(id)).getOrElse(
-            fail(s"unknown pit id '$id' (already closed?)"))
-          case _ => fail("pit requires {\"id\": <string>}")
-        }
-      case _ => fail("searchPit requires a pit section ({\"pit\": {\"id\": ...}})")
-    }
-    val terms = req.get("query") match {
-      case Some(JObject(List(("bm25", JObject(b))))) =>
-        b.toMap.get("terms") match {
-          case Some(JArray(ts)) if ts.nonEmpty => ts.map {
-            case JString(t) => t
-            case other => fail(s"bm25 terms must be strings: ${render(other)}")
-          }
-          case _ => fail("bm25 requires a non-empty terms array")
-        }
-      case _ => fail("pit search supports {\"query\": {\"bm25\": {\"terms\": [...]}}}")
-    }
-    val k = req.get("size") match {
-      case None          => 10
-      case Some(JInt(n)) if n >= 1 => n.toInt
-      case Some(other)   => fail(s"size must be a positive integer: ${render(other)}")
-    }
-    val after: Option[(Double, Long)] = req.get("search_after") match {
-      case None => None
-      case Some(JArray(List(s, JInt(id)))) =>
-        val score = s match {
-          case JDouble(d)  => d
-          case JInt(i)     => i.toDouble
-          case JDecimal(d) => d.toDouble
-          case other => fail(s"search_after score must be numeric: ${render(other)}")
-        }
-        Some((score, id.toLong))
-      case Some(other) => fail("pit search_after must be [last score, last " +
-        s"doc_id]: ${render(other)}")
-    }
-    graft.etl.IndexAlias.bm25Page(spark, pit, terms, k, after)
-  }
-
-  /** Plain `_search` served from a BUILT [[graft.etl.SearchIndex]] —
-    * the `SEARCH` collection's core contract (reference stack
-    * `lib/opensearch-dynamodb-etl-cdk-stack.ts:90-91`): a user posting
-    * `{"query": {"match": ...}}` against an index gets REAL BM25
-    * relevance order, not the table path's integer term overlap. The
-    * opt-in knob `"similarity": "bm25"` in the match options makes the
-    * ranking model explicit in the request body (the table-path match
-    * scores exact-integer overlap — the documented divergence; this is
-    * the indexed escape hatch that closes it).
-    *
-    * `index` is a physical index dir OR an [[graft.etl.IndexAlias]]
-    * dir (resolved to its active version — the zero-downtime-reindex
-    * read path). The query text is analyzed through the INDEX's own
-    * stored analyzer inside [[graft.etl.SearchIndex.bm25]] (build- and
-    * serve-side tokenization can never drift), and the scoring replays
-    * q44's float-op order bit-for-bit, so this endpoint shares the
-    * q103 oracle family. The plan reads the one-row stats table and
-    * the term-bucket-PRUNED postings only — the corpus is never
-    * scanned (SearchIndexSpec pins it).
-    *
-    * Request surface: `query.match` (single field — the index carries
-    * exactly one analyzed text field, so the field name documents the
-    * caller's intent rather than routing), `size`, keyset
-    * `search_after: [last_score, last_doc_id]`. Everything the indexed
-    * ranking cannot honor fails loud: `from` (deep paging is keyset
-    * here), explicit `sort` other than the ranking's own
-    * `[{"_score": "desc"}, "doc_id"]`, a request-level `analyzer`
-    * (the index's sidecar owns analysis), match options that belong to
-    * the overlap model (operator / minimum_should_match / fuzziness).
-    * Output: (doc_id, score) ranked score desc, doc_id asc.
-    */
-  def searchIndexed(spark: SparkSession, index: String,
-      requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"request body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("query", "size", "search_after", "sort", "_source"))
-      .foreach(k => fail(s"unsupported indexed-search request key '$k' " +
-        "(the indexed hit path serves match ranking only)"))
-    val (field, opts) = req.get("query") match {
-      case Some(JObject(List(("match", JObject(List((f, JObject(o)))))))) =>
-        (f, o.toMap)
-      case Some(JObject(List(("match", _)))) =>
-        fail("indexed match needs the object form: " +
-          """{"match": {field: {"query": ..., "similarity": "bm25"}}}""")
-      case _ => fail("indexed search requires {\"query\": {\"match\": ...}}")
-    }
-    opts.keySet.diff(Set("query", "similarity")).foreach {
-      case k @ ("operator" | "minimum_should_match" | "fuzziness" |
-                "prefix_length" | "analyzer" | "zero_terms_query") =>
-        fail(s"indexed match does not take '$k' — the BM25 index path " +
-          "ranks analyzed terms by relevance (the overlap-model options " +
-          "belong to the table path), and analysis comes from the index " +
-          "sidecar")
-      case k => fail(s"unsupported indexed match option '$k' on field '$field'")
-    }
-    strOpt(opts, "similarity") match {
-      case Some("bm25") => ()
-      case Some(other)  => fail(s"unsupported similarity '$other' " +
-        "(the indexed hit path ranks bm25)")
-      case None => fail("indexed match requires the opt-in " +
-        "\"similarity\": \"bm25\" knob — the ranking model is part of " +
-        "the request contract")
-    }
-    val qtext = strOpt(opts, "query")
-      .getOrElse(fail(s"indexed match on '$field' needs a query string"))
-    val size = req.get("size") match {
-      case None                    => 10
-      case Some(JInt(n)) if n >= 1 => n.toInt
-      case Some(other) => fail(s"size must be a positive integer: ${render(other)}")
-    }
-    // the only sort the indexed ranking can serve IS its own total
-    // order; accept it spelled out (request replayability) or omitted
-    req.get("sort").foreach {
-      case JArray(List(JObject(List(("_score", JString("desc")))), JString(id)))
-        if id == "doc_id" => ()
-      case other => fail("indexed search sort must be omitted or exactly " +
-        s"""[{"_score": "desc"}, "doc_id"]: ${render(other)}""")
-    }
-    req.get("_source").foreach {
-      case JArray(List(JString("doc_id"), JString("score"))) => ()
-      case other => fail("indexed search _source must be omitted or exactly " +
-        s"""["doc_id", "score"]: ${render(other)}""")
-    }
-    val after: Option[(Double, Long)] = req.get("search_after") match {
-      case None => None
-      case Some(JArray(List(s, JInt(id)))) =>
-        val score = s match {
-          case JDouble(d)  => d
-          case JInt(i)     => i.toDouble
-          case JDecimal(d) => d.toDouble
-          case other => fail(s"search_after score must be numeric: ${render(other)}")
-        }
-        Some((score, id.toLong))
-      case Some(other) => fail("search_after must be [last score, last " +
-        s"doc_id]: ${render(other)}")
-    }
-    val dir = graft.etl.IndexAlias.resolve(spark, index).getOrElse(index)
-    graft.etl.SearchIndex.bm25(spark, dir, Seq(qtext), topK = size,
-      after = after)
-  }
-
-  /** `_rank_eval` endpoint: search-quality metrics for a suite of
-    * RATED requests — the relevance-regression harness OpenSearch
-    * ships (`POST _rank_eval`). Each entry carries a full `_search`
-    * request plus document ratings; the metric is `precision` at k
-    * (with `relevant_rating_threshold`, default 1) or
-    * `mean_reciprocal_rank` at k. Every inner request must declare an
-    * explicit total `sort` and project `id_field` (determinism — an
-    * unordered ranking has no measurable quality), and k documents
-    * per request is WIRE METADATA: the corpus-sized ranking work runs
-    * inside the compiled request, only the ≤k ids come back to the
-    * driver where the metric arithmetic is exact (one IEEE divide per
-    * metric value). Output: one row per request, `(req_id, <metric>)`
-    * in request-id order.
-    */
-  def rankEval(table: DataFrame, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"rank_eval body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("requests", "metric", "id_field")).foreach(k =>
-      fail(s"unsupported rank_eval key '$k'"))
-    val idField = strOpt(req, "id_field")
-      .getOrElse(fail("rank_eval requires id_field (the document id column)"))
-    val (metricName, k, threshold) = req.get("metric") match {
-      case Some(JObject(List(("precision", JObject(m))))) =>
-        val mm = m.toMap
-        mm.keySet.diff(Set("k", "relevant_rating_threshold")).foreach(kk =>
-          fail(s"unsupported precision option '$kk'"))
-        ("precision", intOpt(mm, "k").getOrElse(10),
-          intOpt(mm, "relevant_rating_threshold").getOrElse(1))
-      case Some(JObject(List(("mean_reciprocal_rank", JObject(m))))) =>
-        val mm = m.toMap
-        mm.keySet.diff(Set("k", "relevant_rating_threshold")).foreach(kk =>
-          fail(s"unsupported mean_reciprocal_rank option '$kk'"))
-        ("mrr", intOpt(mm, "k").getOrElse(10),
-          intOpt(mm, "relevant_rating_threshold").getOrElse(1))
-      case Some(JObject(List(("recall", JObject(m))))) =>
-        val mm = m.toMap
-        mm.keySet.diff(Set("k", "relevant_rating_threshold")).foreach(kk =>
-          fail(s"unsupported recall option '$kk'"))
-        ("recall", intOpt(mm, "k").getOrElse(10),
-          intOpt(mm, "relevant_rating_threshold").getOrElse(1))
-      case _ => fail("rank_eval metric must be {precision: {...}}, " +
-        "{recall: {...}} or {mean_reciprocal_rank: {...}}")
-    }
-    if (k < 1) fail("rank_eval k must be >= 1")
-    val entries: Seq[(String, Double)] = req.get("requests") match {
-      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
-        case JObject(eparts) =>
-          val em = eparts.toMap
-          em.keySet.diff(Set("id", "request", "ratings")).foreach(kk =>
-            fail(s"unsupported rank_eval request key '$kk'"))
-          val rid = strOpt(em, "id")
-            .getOrElse(fail("rank_eval requests need a string id"))
-          val inner = em.getOrElse("request",
-            fail(s"rank_eval '$rid' needs a request"))
-          inner match {
-            case JObject(ip) =>
-              val im = ip.toMap
-              if (!im.contains("sort"))
-                fail(s"rank_eval '$rid' request needs an explicit sort " +
-                  "(an unordered ranking has no measurable quality)")
-              im.get("_source") match {
-                case Some(JArray(List(JString(f)))) if f == idField => ()
-                case _ => fail(s"rank_eval '$rid' request must project " +
-                  s"""_source: ["$idField"] alone""")
-              }
-            case other => fail(s"rank_eval '$rid' request must be an object: " +
-              render(other))
-          }
-          val relevant: Set[Any] = em.get("ratings") match {
-            case Some(JArray(rats)) if rats.nonEmpty => rats.map {
-              case JObject(rp) =>
-                val rm = rp.toMap
-                rm.keySet.diff(Set(idField, "rating")).foreach(kk =>
-                  fail(s"unsupported rating key '$kk' in '$rid'"))
-                val doc = rm.getOrElse(idField,
-                  fail(s"rank_eval '$rid' ratings need the $idField key"))
-                val rating = rm.get("rating") match {
-                  case Some(JInt(r)) => r.toInt
-                  case _ => fail(s"rank_eval '$rid' ratings need an integer rating")
-                }
-                (scalaOf(doc), rating)
-              case other => fail(s"ratings entries must be objects: ${render(other)}")
-            }.collect { case (doc, r) if r >= threshold => doc }.toSet
-            case _ => fail(s"rank_eval '$rid' requires a non-empty ratings array")
-          }
-          // the corpus-sized ranking runs inside the compiled request;
-          // only the ≤k ids return (bounded wire metadata, the _mget
-          // convention)
-          val top = search(table, render(inner))
-            .limit(k).collect().map(_.getAs[Any](idField)).toSeq
-          val value = metricName match {
-            // OpenSearch's precision divides by the RETRIEVED count in
-            // the top-k window, not by k — a sparse query returning 3
-            // hits with 3 relevant scores 1.0, not 0.3 (zero hits → 0)
-            case "precision" =>
-              if (top.isEmpty) 0.0
-              else top.count(relevant.contains).toDouble / top.size
-            // recall divides by the TOTAL relevant count in the
-            // ratings; a request rating nothing relevant makes recall
-            // undefined — fail loud, never a silent 0
-            case "recall" =>
-              if (relevant.isEmpty)
-                fail(s"rank_eval '$rid': recall needs at least one " +
-                  "relevant rating")
-              top.count(relevant.contains).toDouble / relevant.size
-            case _ =>
-              top.zipWithIndex.collectFirst {
-                case (id, i) if relevant.contains(id) => 1.0 / (i + 1)
-              }.getOrElse(0.0)
-          }
-          (rid, value)
-        case other => fail(s"rank_eval requests must be objects: ${render(other)}")
-      }
-      case _ => fail("rank_eval requires a non-empty requests array")
-    }
-    if (entries.map(_._1).distinct.size != entries.size)
-      fail("rank_eval request ids must be unique")
-    val spark = table.sparkSession
-    import spark.implicits._
-    entries.sortBy(_._1).toDF("req_id", metricName)
-  }
-
-  /** Compile a full `_search` request body against `table`. Returns the
-    * hit table (with a `score` column when the query scores), or the
-    * bucket table when `aggs` is present.
-    */
-  def search(table: DataFrame, requestJson: String): DataFrame = {
-    val req = parse(requestJson) match {
-      case o: JObject => o.obj.toMap
-      case other      => fail(s"request body must be an object: ${render(other)}")
-    }
-    req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
-        "aggregations", "search_after", "suggest", "highlight", "knn",
-        "collapse", "min_score", "script_fields", "runtime_mappings",
-        "rescore", "post_filter", "track_total_hits", "track_scores",
-        "explain", "fields", "docvalue_fields"))
-      .foreach(k => fail(s"unsupported request key '$k'"))
-
-    // `aggregations`: the long-form spelling OpenSearch accepts as an
-    // exact synonym — canonicalized to `aggs` ONCE at the request
-    // root, then the request re-enters compilation (the
-    // runtime_mappings recursion pattern). ROOT ONLY: inside agg
-    // bodies a key named "aggregations" could be an agg NAME, so the
-    // nested sub-agg section keeps the one spelling `aggs` (a nested
-    // "aggregations" section fails loud as an unknown option).
-    if (req.contains("aggregations")) {
-      if (req.contains("aggs"))
-        fail("give aggs or aggregations, not both")
-      return search(table, render(JObject(
-        ((req - "aggregations") + ("aggs" -> req("aggregations"))).toList)))
-    }
-
-    // `terms` LOOKUP form anywhere in the query-bearing sections
-    // (query / post_filter / rescore — clause trees; aggs keep their
-    // own `terms` AGG spelling untouched): each lookup resolves ONCE
-    // on the driver to a plain values array ([[resolveTermsLookup]] —
-    // a pushed-filter point read), then the request re-enters
-    // compilation as an ordinary terms clause, so the row-side
-    // predicate stays the map-side-pushable `isin` and composes
-    // inside bool/function_score/… for free.
-    locally {
-      var changed = false
-      def isLookup(v: JValue): Boolean = v match {
-        case JObject(o) =>
-          val k = o.map(_._1).toSet
-          k.contains("path") || k.contains("index")
-        case _ => false
-      }
-      def walk(v: JValue): JValue = v match {
-        case JObject(fields) => JObject(fields.map {
-          case ("terms", JObject(parts)) if parts.exists(p => isLookup(p._2)) =>
-            changed = true
-            ("terms", JObject(parts.map {
-              case (pf, pv) if isLookup(pv) =>
-                val JObject(o) = pv: @unchecked
-                (pf, resolveTermsLookup(pf, o.toMap, table))
-              case other => other
-            }))
-          case (k, v2) => (k, walk(v2))
-        })
-        case JArray(vs) => JArray(vs.map(walk))
-        case other      => other
-      }
-      val walked = Seq("query", "post_filter", "rescore").foldLeft(req) {
-        (r, s) => r.get(s).fold(r)(v => r.updated(s, walk(v)))
-      }
-      if (changed) return search(table, render(JObject(walked.toList)))
-    }
-
-    // `explain` flag: per-hit score decomposition riding the hit table
-    // as part_* columns (the _explain endpoint's contract, inline)
-    val explainOn: Boolean = req.get("explain") match {
-      case None           => false
-      case Some(JBool(b)) => b
-      case Some(other)    => fail(s"explain must be a boolean: ${render(other)}")
-    }
-
-    // `track_total_hits`: validated, behaviorally a no-op BY DESIGN —
-    // the engine has no response-metadata surface to cap (hit counts
-    // come exact from `_count`/`_msearch`), so there is no 10k default
-    // to lift. Accepting the key keeps real request bodies replayable;
-    // a non-bool/int shape still fails loud.
-    req.get("track_total_hits").foreach {
-      case JBool(_)           => ()
-      case JInt(n) if n > 0   => ()
-      case other => fail(s"track_total_hits must be a boolean or a " +
-        s"positive integer: ${render(other)}")
-    }
-
-    // `track_scores`: validated, behaviorally a no-op BY DESIGN — in
-    // OpenSearch a field sort skips scoring unless this opts back in;
-    // here the score is an ordinary column of the hit table, always
-    // computed, always addressable (`_source: ["score"]`, `_score`
-    // sort) whatever the sort. Accepting the key keeps real request
-    // bodies replayable; a non-bool shape still fails loud.
-    req.get("track_scores").foreach {
-      case JBool(_) => ()
-      case other    => fail(s"track_scores must be a boolean: ${render(other)}")
-    }
-
-    // `runtime_mappings`: request-level computed fields through the
-    // SAME ScoreScript compiler as script_score/script_fields — each
-    // compiles ONCE on the driver to a codegen'd Catalyst column laid
-    // onto the TABLE, so every downstream surface (query clauses,
-    // aggs, sort, _source, even a knn filter) sees the field like a
-    // stored one. Integer `long` type only (the exact script model);
-    // `_score` does not exist before scoring — fail loud, never bind
-    // it to a silent zero. One recursion with the section stripped
-    // keeps the rest of the compiler untouched.
-    req.get("runtime_mappings").foreach { rmv =>
-      val rm = rmv match {
-        case JObject(s) if s.nonEmpty => s
-        case JObject(_) => fail("runtime_mappings must define at least one field")
-        case other => fail(s"runtime_mappings must be an object: ${render(other)}")
-      }
-      val mapped = rm.foldLeft(table) { case (df, (fname, fspec)) =>
-        if (df.columns.contains(fname))
-          fail(s"runtime_mappings '$fname' collides with an existing column")
-        val body = fspec match {
-          case JObject(b) => b.toMap
-          case other => fail(s"runtime_mappings '$fname' must be an object: ${render(other)}")
-        }
-        body.keySet.diff(Set("type", "script")).foreach(k =>
-          fail(s"unsupported runtime_mappings option '$k' in '$fname'"))
-        strOpt(body, "type") match {
-          case Some("long") => ()
-          case Some(other)  => fail(s"runtime_mappings '$fname' type must be " +
-            s"'long' (the exact integer script model), got '$other'")
-          case None => fail(s"runtime_mappings '$fname' needs a type")
-        }
-        val (src, params) = body.get("script") match {
-          case Some(JObject(s)) =>
-            val sm = s.toMap
-            sm.keySet.diff(Set("source", "params")).foreach(k =>
-              fail(s"unsupported script option '$k' in runtime_mappings '$fname'"))
-            val source = strOpt(sm, "source")
-              .getOrElse(fail(s"runtime_mappings '$fname' needs a script source"))
-            val ps: Map[String, Long] = sm.get("params") match {
-              case Some(JObject(po)) => po.map {
-                case (k, JInt(v)) => k -> v.toLong
-                case (k, other) =>
-                  fail(s"script param '$k' must be an integer: ${render(other)}")
-              }.toMap
-              case None        => Map.empty
-              case Some(other) => fail(s"script params must be an object: ${render(other)}")
-            }
-            (source, ps)
-          case _ => fail(s"runtime_mappings '$fname' needs {script: {source}}")
-        }
-        if (src.contains("_score"))
-          fail(s"runtime_mappings '$fname' cannot reference _score " +
-            "(runtime fields evaluate before scoring)")
-        df.withColumn(fname, ScoreScript.compile(src, params, lit(0L)))
-      }
-      return search(mapped, render(JObject((req - "runtime_mappings").toList)))
-    }
-
-    // `knn` requests return the ranked neighbor table; the ranking IS
-    // the contract, so no other request section composes with it.
-    req.get("knn").foreach { kn =>
-      if (req.size > 1) fail("knn must be the only request section")
-      return knnRequest(table, kn)
-    }
-
-    // `suggest` requests return the suggestion table (the OpenSearch
-    // response's suggest section as rows); combining with a query is
-    // out of scope — fail loud rather than silently ignoring one.
-    req.get("suggest").foreach { sugg =>
-      if (req.size > 1) fail("suggest must be the only request section")
-      return suggestRequest(table, sugg)
-    }
-
-    // `more_like_this` is corpus-state-dependent (the seed's tf·idf
-    // terms come from the table), so it compiles at the REQUEST level
-    // into the q118 postings plan rather than to a per-row predicate.
-    req.get("query") match {
-      case Some(JObject(List(("more_like_this", body)))) =>
-        if (req.contains("aggs"))
-          fail("more_like_this cannot be combined with aggs")
-        // fail-loud, not silently-dropped: the hit table these produce
-        // has no text column for the highlighter to anchor on
-        if (req.contains("highlight"))
-          fail("highlight cannot be combined with more_like_this")
-        if (req.contains("collapse"))
-          fail("collapse cannot be combined with more_like_this")
-        if (req.contains("min_score"))
-          fail("min_score cannot be combined with more_like_this")
-        if (req.contains("script_fields"))
-          fail("script_fields cannot be combined with more_like_this")
-        return hitPipeline(moreLikeThisRequest(table, body), req)
-      case Some(JObject(List(("span_near", body)))) =>
-        if (req.contains("aggs"))
-          fail("span_near cannot be combined with aggs")
-        if (req.contains("highlight"))
-          fail("highlight cannot be combined with span_near")
-        if (req.contains("collapse"))
-          fail("collapse cannot be combined with span_near")
-        if (req.contains("min_score"))
-          fail("min_score cannot be combined with span_near")
-        if (req.contains("script_fields"))
-          fail("script_fields cannot be combined with span_near")
-        return hitPipeline(spanNearRequest(table, body), req)
-      case Some(JObject(List(("percolate", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with percolate"))
-        return hitPipeline(percolateRequest(table, body), req)
-      case Some(JObject(List(("intervals", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with intervals"))
-        return hitPipeline(intervalsRequest(table, body), req)
-      case Some(JObject(List(("span_or", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with span_or"))
-        return hitPipeline(spanOrRequest(table, body), req)
-      case Some(JObject(List(("span_not", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with span_not"))
-        return hitPipeline(spanNotRequest(table, body), req)
-      case Some(JObject(List(("span_multi", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with span_multi"))
-        return hitPipeline(spanMultiRequest(table, body), req)
-      case Some(JObject(List(("hybrid", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with hybrid"))
-        return hitPipeline(hybridRequest(table, body), req)
-      case Some(JObject(List(("span_containing", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with span_containing"))
-        return hitPipeline(spanContainRequest(table, body, within = false), req)
-      case Some(JObject(List(("span_within", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with span_within"))
-        return hitPipeline(spanContainRequest(table, body, within = true), req)
-      // the join-field relations model: corpus-state-dependent (the
-      // matching set comes from OTHER rows of the table), so these
-      // compile at the REQUEST level into the equi-join the engine
-      // already owns, not to a per-row predicate
-      case Some(JObject(List(("nested", body @ JObject(parts)))))
-        if parts.exists(_._1 == "inner_hits") =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with nested inner_hits"))
-        return hitPipeline(nestedInnerHitsRequest(table, body), req)
-      case Some(JObject(List(("has_child", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with has_child"))
-        return hitPipeline(hasChildRequest(table, body), req)
-      case Some(JObject(List(("has_parent", body)))) =>
-        Seq("aggs", "highlight", "collapse", "min_score", "script_fields")
-          .filter(req.contains).foreach(k =>
-            fail(s"$k cannot be combined with has_parent"))
-        return hitPipeline(hasParentRequest(table, body), req)
-      case _ => ()
-    }
-
-    // `min_score`: drop hits scoring under the floor (the OpenSearch
-    // relevance cutoff). The engine's scores are exact LONGs, so the
-    // floor is an integer — a float floor would reintroduce the tie
-    // ambiguity the integer model exists to kill. Applies to the hit
-    // path only (with aggs the foreground set is the query's, fail
-    // loud rather than silently re-defining it).
-    val minScore: Option[Long] = req.get("min_score").map {
-      case JInt(ms) => ms.toLong
-      case other    => fail(s"min_score must be an integer: ${render(other)}")
-    }
-    minScore.foreach { _ =>
-      if (req.contains("aggs")) fail("min_score applies to hits, not aggs")
-      if (!req.contains("query")) fail("min_score requires a query")
-    }
-
-    val compiled = req.get("query").map(compileQuery)
-      .getOrElse(CompiledQuery(lit(true), lit(0L)))
-    // `_name` bookkeeping: names must be unique request-wide (two
-    // clauses sharing one would make matched_queries ambiguous)
-    val dupNames = compiled.named.groupBy(_._1)
-      .collect { case (n, ps) if ps.size > 1 => n }.toSeq.sorted
-    if (dupNames.nonEmpty)
-      fail(s"duplicate _name(s): ${dupNames.mkString(", ")}")
-    val filtered = table.filter(compiled.pred)
-
-    req.get("aggs") match {
-      case Some(aggs) =>
-        if (req.contains("highlight")) fail("highlight applies to hits, not aggs")
-        if (req.contains("search_after"))
-          fail("search_after applies to hits, not aggs")
-        if (req.contains("collapse")) fail("collapse applies to hits, not aggs")
-        if (req.contains("script_fields"))
-          fail("script_fields applies to hits, not aggs")
-        if (req.contains("rescore"))
-          fail("rescore applies to hits, not aggs")
-        // `size: 0` is THE OpenSearch aggs-only request shape —
-        // accepted (and meaningless here, since the agg table is the
-        // whole answer). Any other hits-arm key would be SILENTLY
-        // ignored (the engine returns one table per request, so
-        // hits+aggs cannot both come back) — fail loud instead.
-        req.get("size") match {
-          case None => ()
-          case Some(JInt(n)) if n == 0 => ()
-          case Some(JInt(n)) => fail(s"aggs requests return the agg table " +
-            s"only - size must be 0 or absent, got $n (run the hits " +
-            "request separately)")
-          case Some(other) => fail(s"size must be an integer: ${render(other)}")
-        }
-        Seq("from", "sort", "_source", "fields", "docvalue_fields")
-          .filter(req.contains).foreach(k =>
-          fail(s"$k applies to hits, not aggs (an aggs request returns " +
-            "the agg table only)"))
-        // OpenSearch's post_filter exists precisely to NOT affect
-        // aggs; here the agg table IS the whole answer, so the
-        // section would be a silent no-op — fail loud instead
-        if (req.contains("post_filter"))
-          fail("post_filter applies to hits, not aggs (aggs see the " +
-            "query set by design - run the hits request separately)")
-        if (explainOn)
-          fail("explain applies to hits, not aggs")
-        // hits carry the computed score so a top_hits sort on _score
-        // (the OpenSearch default ranking) resolves
-        compileAggs(table, filtered.withColumn("score", compiled.score),
-          compiled.pred, aggs)
-      case None =>
-        // per-hit matched-clause attribution: a stringified SORTED
-        // name list (alphabetical — deterministic, and never a bare
-        // array column), "" when no named clause matched. Pure
-        // codegen: one when() per name inside array_compact/sort.
-        val scored1 = filtered.withColumn("score", compiled.score)
-        val scored0 =
-          if (compiled.named.isEmpty) scored1
-          else scored1.withColumn("matched_queries",
-            concat_ws(",", array_sort(array_compact(array(
-              compiled.named.map { case (n, p) => when(p, lit(n)) }: _*)))))
-        val scored1m = minScore match {
-          case None     => scored0
-          case Some(ms) => scored0.filter(col("score") >= lit(ms))
-        }
-        // `explain` flag: the part_* columns land on the hit table
-        // itself — one projection over the same filtered scan, the
-        // _explain endpoint inline. A rescored score is no longer a
-        // sum of query parts, so the combination fails loud.
-        val scoredX =
-          if (!explainOn) scored1m
-          else {
-            if (req.contains("rescore"))
-              fail("explain cannot be combined with rescore (the " +
-                "second-pass score is not a sum of query parts)")
-            val qj = req.getOrElse("query", fail("explain requires a query"))
-            scoreParts(qj, compiled).foldLeft(scored1m) {
-              case (df, (n, c)) => df.withColumn(s"part_$n", c)
-            }
-          }
-        // `rescore`: second-pass re-ranking of the top window (the
-        // expensive-query-on-a-cheap-shortlist idiom) — rewrites the
-        // score column only; sort/from/size downstream are untouched
-        val scoredR = req.get("rescore") match {
-          case None    => scoredX
-          case Some(r) => withRescore(scoredX, r, compiled.ppm)
-        }
-        // `script_fields`: computed per-hit output columns through the
-        // SAME ScoreScript compiler as script_score/scripted_metric —
-        // the Painless-shaped integer expression compiles ONCE on the
-        // driver to codegen'd Catalyst arithmetic (zero row-time
-        // interpretation, the anti-UDF rule on this surface too).
-        // `_score` refers to the request's computed score; the new
-        // column is visible to `sort` and `_source` (a sortable
-        // derived key, which OpenSearch itself cannot do here).
-        val scored = req.get("script_fields") match {
-          case None => scoredR
-          case Some(JObject(sf)) =>
-            if (sf.isEmpty) fail("script_fields must name at least one field")
-            sf.foldLeft(scoredR) { case (df, (fname, fspec)) =>
-              if (df.columns.contains(fname))
-                fail(s"script_fields '$fname' collides with an existing column")
-              val (src, params) = fspec match {
-                case JObject(List(("script", JObject(s)))) =>
-                  val sm = s.toMap
-                  sm.keySet.diff(Set("source", "params")).foreach(k =>
-                    fail(s"unsupported script option '$k' in script_fields '$fname'"))
-                  val source = strOpt(sm, "source")
-                    .getOrElse(fail(s"script_fields '$fname' needs a source"))
-                  val ps: Map[String, Long] = sm.get("params") match {
-                    case Some(JObject(po)) => po.map {
-                      case (k, JInt(v)) => k -> v.toLong
-                      case (k, other) =>
-                        fail(s"script param '$k' must be an integer: ${render(other)}")
-                    }.toMap
-                    case None        => Map.empty
-                    case Some(other) => fail(s"script params must be an object: ${render(other)}")
-                  }
-                  (source, ps)
-                case _ => fail(s"script_fields '$fname' needs {script: {source, params?}}")
-              }
-              df.withColumn(fname, ScoreScript.compile(src, params, col("score")))
-            }
-          case Some(other) => fail(s"script_fields must be an object: ${render(other)}")
-        }
-        val lit0 = req.get("highlight") match {
-          case None    => scored
-          case Some(h) => withHighlight(scored, req.getOrElse("query",
-            fail("highlight requires a query")), h)
-        }
-        // post_filter applies BEFORE collapse (the OpenSearch phase
-        // order): a collapse group whose best representative is
-        // post-filtered away must collapse to its best SURVIVING hit,
-        // not disappear — so the filter runs here, and the key is
-        // stripped before hitPipeline (whose own post_filter handling
-        // serves the request-level query paths, which reject collapse)
-        val postFiltered = req.get("post_filter") match {
-          case None     => lit0
-          case Some(pf) =>
-            val c = compileQuery(pf)
-            if (c.named.nonEmpty)
-              fail("_name inside post_filter is unsupported " +
-                "(matched_queries reflects the query's named clauses only)")
-            lit0.filter(c.pred)
-        }
-        val collapsed = req.get("collapse") match {
-          case None    => postFiltered
-          case Some(c) => withCollapse(postFiltered, c, req)
-        }
-        // explain/post_filter were materialized above — strip them so
-        // hitPipeline's handling only fires for the request-level
-        // query paths
-        hitPipeline(collapsed, req - "explain" - "post_filter")
-    }
-  }
-
-  /** `collapse` request section: one hit per distinct value of the
-    * collapse field — the result-dedup feature (one hit per domain,
-    * per user, per near-dup canonical id). The representative per key
-    * is the FIRST hit in the request's sort order (which must be
-    * explicit and, for determinism, total); `inner_hits: {size: N}`
-    * keeps the top N per key instead and exposes their 1-based
-    * `collapse_rank`. One window over the hit set bounded by group
-    * size — never a self-join, never a global pre-sort: the q94
-    * canonical-selection shape applied to the hit list.
-    */
-  private def withCollapse(hits: DataFrame, c: JValue,
-      req: Map[String, JValue]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = c match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"collapse must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "inner_hits")).foreach(k =>
-      fail(s"unsupported collapse option '$k'"))
-    val f = strOpt(m, "field").getOrElse(fail("collapse requires a field"))
-    val innerSize = m.get("inner_hits") match {
-      case None => None
-      case Some(JObject(ih)) =>
-        val im = ih.toMap
-        im.keySet.diff(Set("size")).foreach(k =>
-          fail(s"unsupported inner_hits option '$k'"))
-        Some(intOpt(im, "size").getOrElse(fail("inner_hits requires a size")))
-      case Some(other) => fail(s"inner_hits must be an object: ${render(other)}")
-    }
-    innerSize.foreach(n => if (n < 1) fail("inner_hits size must be >= 1"))
-    if (req.contains("search_after"))
-      fail("collapse cannot be combined with search_after")
-    val sortSpec = req.get("sort")
-      .getOrElse(fail("collapse requires an explicit sort (it picks each " +
-        "group's representative)"))
-    val w = Window.partitionBy(col(f)).orderBy(sortCols(sortSpec): _*)
-    val ranked = hits.withColumn("collapse_rank",
-      row_number().over(w).cast("long"))
-    innerSize match {
-      case None    => ranked.filter(col("collapse_rank") === 1L).drop("collapse_rank")
-      case Some(n) => ranked.filter(col("collapse_rank") <= n)
-    }
-  }
-
-  /** `rescore` request section: re-rank the top `window_size` hits
-    * with a second query, combining scores as
-    * `query_weight·orig (op) rescore_query_weight·rescore` for window
-    * docs matching the rescore query, `query_weight·orig` for window
-    * docs that don't, and the UNTOUCHED original score outside the
-    * window (the OpenSearch contract). The window is a global top-k
-    * on (score desc, id asc) — a TakeOrderedAndProject plan
-    * (per-partition heads merged, never a full sort), so the rescore
-    * query evaluates on a BOUNDED table regardless of corpus size;
-    * hits outside the window anti-join against the broadcast window
-    * id set. `id_field` is required: it makes the window boundary a
-    * total order (OpenSearch breaks score ties by internal doc order,
-    * which no other engine can replay). Integer weights and
-    * integer-combining score modes only (`avg` would be fractional
-    * under the exact score model); ppm-scaled sides fail loud — a
-    * weighted sum across score scales would silently mis-rank.
-    */
-  private def withRescore(hits: DataFrame, spec: JValue,
-      origPpm: Boolean): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"rescore must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("window_size", "id_field", "query")).foreach(k =>
-      fail(s"unsupported rescore option '$k'"))
-    val window = intOpt(m, "window_size").getOrElse(10)
-    if (window < 1 || window > 100000)
-      fail(s"rescore window_size must be 1-100000, got $window")
-    val idField = strOpt(m, "id_field")
-      .getOrElse(fail("rescore requires id_field (the total tie-break " +
-        "that makes the window boundary deterministic)"))
-    if (!hits.columns.contains(idField))
-      fail(s"rescore id_field '$idField' does not exist")
-    val qm = m.get("query") match {
-      case Some(JObject(q)) => q.toMap
-      case _ => fail("rescore requires query: {rescore_query, ...}")
-    }
-    qm.keySet.diff(Set("rescore_query", "query_weight",
-      "rescore_query_weight", "score_mode")).foreach(k =>
-      fail(s"unsupported rescore query option '$k'"))
-    val rc = compileQuery(qm.getOrElse("rescore_query",
-      fail("rescore needs a rescore_query")))
-    if (origPpm || rc.ppm)
-      fail("rescore cannot combine ppm-scaled scores (the weighted sum " +
-        "would cross scales) - use integer-scored clauses on both sides")
-    val qw = intOpt(qm, "query_weight").getOrElse(1)
-    val rw = intOpt(qm, "rescore_query_weight").getOrElse(1)
-    if (qw < 0 || rw < 0)
-      fail("rescore weights must be non-negative integers")
-    val top = hits.orderBy(col("score").desc, col(idField).asc).limit(window)
-    val qs = lit(qw.toLong) * col("score")
-    val rs = lit(rw.toLong) * rc.score
-    val combined = strOpt(qm, "score_mode").getOrElse("total") match {
-      case "total"    => qs + rs
-      case "multiply" => qs * rs
-      case "max"      => greatest(qs, rs)
-      case "min"      => least(qs, rs)
-      case "avg"      => fail("rescore score_mode avg is fractional under " +
-        "the exact integer score model - use total with scaled weights")
-      case other =>
-        fail(s"rescore score_mode must be total|multiply|max|min, got '$other'")
-    }
-    val rescored = top.withColumn("score",
-      when(rc.pred, combined).otherwise(qs))
-    val rest = hits.join(
-      broadcast(top.select(col(idField).as("__rs_id"))),
-      col(idField) === col("__rs_id"), "left_anti")
-    rescored.unionByName(rest)
-  }
-
-  /** `percolate` request-level query — reverse search (the q98
-    * contract): a registry of stored queries is matched against every
-    * document, answering "which saved searches does each document
-    * trigger". The registry rides INLINE in the request (`queries`:
-    * an array of `{id, query}` with each `query` a full DSL clause) —
-    * stored-query registries are tiny by nature, so each entry
-    * compiles to a predicate evaluated map-side per document: pure
-    * codegen, no join at all (cheaper than even a broadcast join),
-    * scaling with corpus size alone. Output: one row per (document,
-    * matched query) — `id_field`, `qid` — ranking/paging from the
-    * surrounding request.
-    */
-  private def percolateRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("id_field", "queries")).foreach(k =>
-          fail(s"unsupported percolate option '$k'"))
-        val idField = strOpt(m, "id_field")
-          .getOrElse(fail("percolate requires id_field (the document key)"))
-        val stored: Seq[(Long, Column)] = m.get("queries") match {
-          case Some(JArray(qs)) if qs.nonEmpty => qs.map {
-            case JObject(qparts) =>
-              val qm = qparts.toMap
-              qm.keySet.diff(Set("id", "query")).foreach(k =>
-                fail(s"unsupported percolate query option '$k'"))
-              val qid = qm.get("id") match {
-                case Some(JInt(i)) => i.toLong
-                case _ => fail("percolate queries need an integer id")
-              }
-              val q = qm.getOrElse("query", fail(s"percolate query $qid needs a query"))
-              (qid, compileQuery(q).pred)
-            case other => fail(s"percolate queries must be objects: ${render(other)}")
-          }
-          case _ => fail("percolate requires a non-empty queries array")
-        }
-        val ids = stored.map(_._1)
-        if (ids.distinct.size != ids.size) fail("percolate query ids must be unique")
-        val hits = array_compact(array(stored.map { case (qid, pred) =>
-          when(pred, lit(qid))
-        }: _*))
-        table.select(col(idField), explode(hits).as("qid"))
-      case other => fail(s"percolate requires an object body: ${render(other)}")
-    }
-
-  /** `highlight` section: per requested field, a column carrying up to
-    * `number_of_fragments` (default 1) `fragment_size`-char fragments,
-    * each anchored 20 chars before one raw-substring occurrence of the
-    * field's query term, occurrences inside each fragment wrapped in
-    * `pre_tags`/`post_tags`, fragments joined with `" ... "` (the
-    * OpenSearch response ships them as an array; the engine's
-    * no-bare-array rule stringifies). ONE requested field keeps the
-    * historical `highlight` column name (the q46/q166 contract,
-    * byte-identical); several fields emit `highlight_<field>` each.
-    *
-    * Deterministic subset: each highlighted field must be targeted by
-    * exactly one `term`, single-token `match`, or `match_phrase`
-    * clause — at the query's top level or directly inside a `bool`
-    * section (multi-term anchor choice is ranking-dependent in
-    * OpenSearch and out of scope, fail-loud; so are analyzed clauses —
-    * their object bodies are outside the accepted shapes). Rows not
-    * containing the literal get a NULL highlight for that field.
-    *
-    * Anchoring contract: fragments anchor at the RAW SUBSTRING
-    * occurrences of the query literal in order (non-overlapping, via
-    * split) — for a `match_phrase` the first may be a
-    * non-token-boundary occurrence earlier than the boundary match
-    * ("metadata window … data window" anchors at "metadata window").
-    * Deliberate, documented divergence shared with the oracle, so the
-    * contract is cross-engine stable.
-    */
-  private def withHighlight(hits: DataFrame, query: JValue, h: JValue): DataFrame = {
-    val hm = h match {
-      case JObject(s) => s.toMap
-      case other => fail(s"highlight must be an object: ${render(other)}")
-    }
-    hm.keySet.diff(Set("fields", "pre_tags", "post_tags")).foreach(k =>
-      fail(s"unsupported highlight option '$k'"))
-    val fields: Seq[(String, Map[String, JValue])] = hm.get("fields") match {
-      case Some(JObject(fs)) if fs.nonEmpty => fs.map {
-        case (field, JObject(o)) => (field, o.toMap)
-        case (field, other) =>
-          fail(s"highlight field '$field' options must be an object: ${render(other)}")
-      }
-      case _ => fail("highlight requires fields: {field: {options}, ...}")
-    }
-    if (fields.map(_._1).distinct.size != fields.size)
-      fail("highlight repeats a field")
-    def tag(key: String, default: String): String = hm.get(key) match {
-      case Some(JArray(List(JString(t)))) => t
-      case None                           => default
-      case Some(other) => fail(s"$key must be a one-string array: ${render(other)}")
-    }
-    val (pre, post) = (tag("pre_tags", "<em>"), tag("post_tags", "</em>"))
-    // the term each clause shape anchors on (string bodies only — an
-    // analyzed/object body has no deterministic raw literal)
-    def leafTerm(q: JValue): Option[(String, String)] = q match {
-      case JObject(List(("term", JObject(List((tf, JString(v))))))) => Some((tf, v))
-      case JObject(List(("match_phrase", JObject(List((tf, JString(v))))))) =>
-        Some((tf, v.trim))
-      case JObject(List(("match", JObject(List((tf, JString(v))))))) =>
-        val toks = v.trim.split("\\s+")
-        if (toks.length != 1)
-          fail("highlight supports single-token match queries (multi-term " +
-            "anchor choice is ranking-dependent)")
-        Some((tf, toks.head))
-      case _ => None
-    }
-    val leaves: Seq[(String, String)] = leafTerm(query) match {
-      case Some(l) => Seq(l)
-      case None => query match {
-        case JObject(List(("bool", JObject(sections)))) => sections.flatMap {
-          case (k, JArray(cs)) if Set("must", "filter", "should")(k) =>
-            cs.flatMap(leafTerm)
-          case (k, o: JObject) if Set("must", "filter", "should")(k) =>
-            leafTerm(o).toSeq
-          case _ => Nil
-        }
-        case _ => Nil
-      }
-    }
-    fields.foldLeft(hits) { case (df, (f, opts)) =>
-      opts.keySet.diff(Set("fragment_size", "number_of_fragments")).foreach(k =>
-        fail(s"unsupported highlight field option '$k'"))
-      val fragSize = intOpt(opts, "fragment_size").getOrElse(60)
-      val nFrags = intOpt(opts, "number_of_fragments").getOrElse(1)
-      if (nFrags < 1) fail("highlight number_of_fragments must be >= 1")
-      val term = leaves.filter(_._1 == f) match {
-        case Seq((_, t)) => t
-        case Seq() =>
-          fail("highlight requires a term / single-token match / match_phrase " +
-            s"query on the highlighted field '$f', got: ${render(query)}")
-        case _ => fail(s"highlight field '$f' is targeted by several clauses " +
-          "(the anchor would be ambiguous)")
-      }
-      if (term.isEmpty) fail(s"highlight on '$f' has an empty query term")
-      // occurrence start positions (1-based), non-overlapping, in text
-      // order: split on the quoted literal, prefix-sum the part lengths
-      // — pure codegen'd higher-order functions, no UDF, no extra scan
-      val tq = java.util.regex.Pattern.quote(term)
-      val parts = split(col(f), tq, -1)
-      val occ = aggregate(
-        slice(parts, lit(1), size(parts) - 1),
-        struct(lit(1).as("cur"), array().cast("array<int>").as("ps")),
-        (acc, part) => struct(
-          (acc.getField("cur") + length(part) + lit(term.length)).as("cur"),
-          concat(acc.getField("ps"),
-            array(acc.getField("cur") + length(part))).as("ps")),
-        acc => acc.getField("ps"))
-      val frags = transform(slice(occ, lit(1), lit(nFrags)), p =>
-        regexp_replace(
-          col(f).substr(greatest(p - 20, lit(1)), lit(fragSize)),
-          tq, s"$pre$term$post"))
-      val out = if (fields.size == 1) "highlight" else s"highlight_$f"
-      df.withColumn(out, when(size(occ) > 0, concat_ws(" ... ", frags)))
-    }
-  }
-
-  /** The request tail over a scored hit table: `search_after` keyset
-    * paging (resumes strictly after the last page's sort key — O(page)
-    * work at any depth, where `from` still sorts the whole prefix, the
-    * q123 contract), then sort, from/size, and `_source` projection.
-    */
-  private def hitPipeline(scored: DataFrame, req: Map[String, JValue]): DataFrame = {
-    // reached with `explain` still present only from the request-level
-    // query paths (more_like_this, spans, relations), whose scores are
-    // plan-level, not per-clause sums — nothing to decompose
-    if (req.contains("explain"))
-      fail("explain is not supported with request-level queries " +
-        "(more_like_this, spans, percolate, intervals, relations)")
-    // `post_filter`: the faceting idiom — filter the RETURNED hits
-    // without touching relevance. Applied after scoring and the
-    // rescore window selection (the OpenSearch phase order), before
-    // pagination. Filter context: the compiled score is discarded,
-    // never folded into `score`. Catalyst still pushes the predicate
-    // toward the scan when no window/rescore computation blocks it.
-    val postFiltered = req.get("post_filter") match {
-      case None     => scored
-      case Some(pf) =>
-        val c = compileQuery(pf)
-        // matched_queries is computed from the QUERY before this
-        // point — a _name here would be silently absent from it
-        if (c.named.nonEmpty)
-          fail("_name inside post_filter is unsupported (matched_queries " +
-            "reflects the query's named clauses only)")
-        scored.filter(c.pred)
-    }
-    val paged0 = req.get("search_after") match {
-      case None => postFiltered
-      case Some(JArray(vals)) =>
-        val sortSpec = req.get("sort").map(parseSort)
-          .getOrElse(fail("search_after requires an explicit sort"))
-        if (vals.size != sortSpec.size)
-          fail("search_after must carry one value per sort key")
-        if (req.contains("from"))
-          fail("search_after cannot be combined with from")
-        postFiltered.filter(keysetAfter(sortSpec, vals.map(scalaOf)))
-      case Some(other) => fail(s"search_after must be an array: ${render(other)}")
-    }
-    val sorted = req.get("sort") match {
-      case None    => paged0
-      case Some(s) => paged0.orderBy(sortCols(s): _*)
-    }
-    val paged = (req.get("from"), req.get("size")) match {
-      case (Some(JInt(f)), Some(JInt(n))) => sorted.offset(f.toInt).limit(n.toInt)
-      case (Some(JInt(f)), None)          => sorted.offset(f.toInt)
-      case (None, Some(JInt(n)))          => sorted.limit(n.toInt)
-      case (None, None)                   => sorted
-      case _ => fail("from/size must be integers")
-    }
-    // `fields` / `docvalue_fields`: extra output columns ALONGSIDE the
-    // _source projection (the OpenSearch response carries both
-    // sections; the flat hit table's analog is a column union, request
-    // order, deduped). Entries are names or {field} objects; `format`
-    // fails loud — the engine returns typed columns, never
-    // engine-formatted strings. Unknown columns fail loud. Without a
-    // _source projection every column is already in the hit table, so
-    // the sections only validate.
-    val extraFields: Seq[String] =
-      Seq("docvalue_fields", "fields").flatMap(sec => req.get(sec) match {
-        case None => Nil
-        case Some(JArray(es)) if es.nonEmpty => es.map {
-          case JString(f) => f
-          case JObject(List(("field", JString(f)))) => f
-          case JObject(es2) if es2.toMap.contains("format") =>
-            fail(s"$sec does not take 'format' (the engine returns typed " +
-              "columns, not formatted strings - format on read)")
-          case other => fail(s"$sec entries must be field names or " +
-            s"{field} objects: ${render(other)}")
-        }
-        case Some(other) => fail(s"$sec must be a non-empty array: ${render(other)}")
-      })
-    extraFields.foreach(f => if (!paged.columns.contains(f))
-      fail(s"fields/docvalue_fields names unknown column '$f'"))
-    def withExtras(projected: Seq[String]): Seq[String] =
-      projected ++ extraFields.filterNot(projected.contains).distinct
-    req.get("_source") match {
-      case None => paged
-      case Some(JArray(fields)) =>
-        val srcCols = fields.map {
-          case JString(f) => f
-          case other      => fail(s"_source entries must be strings: ${render(other)}")
-        }
-        paged.select(withExtras(srcCols).map(col): _*)
-      // the object form: includes projects, excludes then drops —
-      // the OpenSearch evaluation order. Exact names only (a glob
-      // would silently project nothing on a typo); unknown excluded
-      // columns and an all-excluded projection fail loud.
-      case Some(JObject(so)) =>
-        val m = so.toMap
-        m.keySet.diff(Set("includes", "excludes")).foreach(k =>
-          fail(s"unsupported _source option '$k'"))
-        def strs(k: String): Seq[String] = m.get(k) match {
-          case None => Nil
-          case Some(JArray(xs)) => xs.map {
-            case JString(s2) =>
-              if (s2.contains("*"))
-                fail(s"_source $k takes exact column names, got glob '$s2'")
-              s2
-            case other => fail(s"_source $k entries must be strings: ${render(other)}")
-          }
-          case Some(other) => fail(s"_source $k must be an array: ${render(other)}")
-        }
-        val inc = strs("includes")
-        val exc = strs("excludes")
-        val base =
-          if (inc.isEmpty) paged else paged.select(inc.map(col): _*)
-        exc.foreach(f => if (!base.columns.contains(f))
-          fail(s"_source excludes unknown column '$f'"))
-        if (exc.nonEmpty && base.columns.forall(exc.contains))
-          fail("_source excludes every column")
-        // fields/docvalue_fields ride OUTSIDE the _source excludes
-        // (the OpenSearch response's fields section is independent) —
-        // an excluded column explicitly re-requested there comes back
-        val kept = base.columns.filterNot(exc.contains).toSeq
-        paged.select(withExtras(kept).map(col): _*)
-      case Some(other) => fail(s"_source must be an array or " +
-        s"{includes, excludes} object: ${render(other)}")
-    }
-  }
-
-  /** `more_like_this`: documents similar to a seed doc by its top
-    * `max_query_terms` tf·idf terms (the q118 contract). The seed's
-    * term list is broadcast against the (doc, term) postings and
-    * candidates score by an order-free integer idf-weight sum
-    * (weight = n×10⁶ div df) — the corpus is never paired with
-    * itself. `like` names the seed as `{idField: value}` (the engine
-    * has no reserved `_id`); `fields` must name exactly one text
-    * column. Output columns: the id field, `n_shared`, `score` —
-    * ranking/paging comes from the surrounding request.
-    */
-  private def moreLikeThisRequest(table: DataFrame, body: JValue): DataFrame =
-    body match {
-      case JObject(parts) =>
-        val m = parts.toMap
-        m.keySet.diff(Set("fields", "like", "max_query_terms", "analyzer"))
-          .foreach(k => fail(s"unsupported more_like_this option '$k'"))
-        val textCol = m.get("fields") match {
-          case Some(JArray(List(JString(f)))) => f
-          case _ => fail("more_like_this requires fields: [exactly one field]")
-        }
-        val (idField, seedVal) = m.get("like") match {
-          case Some(JObject(List((f, v)))) => (f, scalaOf(v))
-          case _ => fail("more_like_this requires like: {idField: value}")
-        }
-        val maxQt = intOpt(m, "max_query_terms").getOrElse(10)
-        if (maxQt < 1) fail("max_query_terms must be >= 1")
-        // analyzer: normalize the text column ONCE up front — the seed
-        // terms and the corpus postings then both come from the
-        // normalized token stream (one withColumn; the mlt plan
-        // downstream is unchanged)
-        val an = analyzerOpt(m, "more_like_this")
-        val t1 = if (an eq Analyzer.Whitespace) table
-                 else table.withColumn(textCol, an.norm(col(textCol)))
-        // the ONE implementation, shared with the facade (the
-        // q117/q118 one-implementation gating principle); it also
-        // enforces the exactly-one-seed-row contract fail-loud
-        graft.GraftEngine.moreLikeThisHits(t1, idField, textCol, seedVal, maxQt)
-      case other => fail(s"more_like_this requires an object body: ${render(other)}")
-    }
-
-  /** Sort spec as (field, asc|desc) pairs — shared by orderBy and the
-    * search_after keyset predicate. `_geo_distance` is orderBy-only
-    * (a computed key has no keyset-cursor value), so it fails loud
-    * here and is handled in [[sortCols]].
-    */
-  private def parseSort(sort: JValue): Seq[(String, String)] = {
-    def one(v: JValue): (String, String) = v match {
-      case JString(f) => (f, "asc")
-      case JObject(List((f, JString(ord)))) => (f, ord)
-      case JObject(List((f, JObject(opts)))) =>
-        // `missing`/`mode` reshape the sort KEY — orderBy-only (a
-        // keyset cursor over a NULL-floated or computed key has no
-        // defined resume semantics); handled in sortCols, rejected
-        // here so search_after fails loud instead of paging wrong
-        opts.toMap.keySet.diff(Set("order")).foreach(k =>
-          fail(s"sort option '$k' on '$f' is orderBy-only " +
-            "(no keyset-cursor semantics) - unsupported with search_after"))
-        opts.toMap.get("order") match {
-          case Some(JString(ord)) => (f, ord)
-          case _                  => (f, "asc")
-        }
-      case other => fail(s"unsupported sort entry: ${render(other)}")
-    }
-    val spec = sort match {
-      case JArray(entries) => entries.map(one)
-      case single          => Seq(one(single))
-    }
-    spec.foreach { case (f, ord) =>
-      if (f == "_geo_distance")
-        fail("_geo_distance sorts hits only (search_after has no cursor " +
-          "value for a computed key)")
-      if (ord != "asc" && ord != "desc") fail(s"sort order must be asc|desc, got '$ord'")
-    }
-    spec
-  }
-
-  private def sortCols(sort: JValue): Seq[Column] = {
-    def one(v: JValue): Column = v match {
-      case JObject(List(("_geo_distance", JObject(opts)))) =>
-        geoDistanceSortCol(opts.toMap)
-      case JObject(List(("_script", JObject(opts)))) =>
-        scriptSortCol(opts.toMap)
-      case JObject(List((f, JObject(opts0)))) =>
-        // sort options (the OpenSearch per-field object form):
-        // `missing` places NULL keys (_first/_last) explicitly;
-        // `mode` sorts a multi-valued (array) field by an aggregate
-        // of its values — min/max/sum exact integers, median the
-        // exact lower median (an actual element, engine-portable);
-        // avg fails loud (fractional under the exact integer model).
-        // All pure codegen'd array expressions on the sort key.
-        val opts = opts0.toMap
-        opts.keySet.diff(Set("order", "missing", "mode")).foreach(k =>
-          fail(s"unsupported sort option '$k' on '$f'"))
-        val ord = opts.get("order") match {
-          case Some(JString(o)) => o
-          case None             => "asc"
-          case Some(other) => fail(s"sort order must be a string: ${render(other)}")
-        }
-        if (ord != "asc" && ord != "desc")
-          fail(s"sort order must be asc|desc, got '$ord'")
-        val base0 = if (f == "_score") col("score") else col(f)
-        val base = opts.get("mode") match {
-          case None => base0
-          case Some(JString("min")) => array_min(base0)
-          case Some(JString("max")) => array_max(base0)
-          case Some(JString("sum")) =>
-            aggregate(base0, lit(0L), (a, x) => a + x.cast("long"))
-          case Some(JString("median")) =>
-            element_at(array_sort(base0),
-              ((size(base0) + lit(1)) / lit(2)).cast("int"))
-          case Some(JString("avg")) =>
-            fail("sort mode 'avg' is fractional under the exact integer " +
-              "model - use sum (same order when counts are equal)")
-          case Some(JString(other)) =>
-            fail(s"sort mode must be min|max|sum|median, got '$other'")
-          case Some(other) => fail(s"sort mode must be a string: ${render(other)}")
-        }
-        (ord, opts.get("missing")) match {
-          case ("asc", None)                      => base.asc
-          case ("desc", None)                     => base.desc
-          case ("asc", Some(JString("_first")))   => base.asc_nulls_first
-          case ("asc", Some(JString("_last")))    => base.asc_nulls_last
-          case ("desc", Some(JString("_first")))  => base.desc_nulls_first
-          case ("desc", Some(JString("_last")))   => base.desc_nulls_last
-          case (_, Some(other)) =>
-            fail(s"sort missing must be '_first' or '_last' (custom " +
-              s"substitute values are unsupported): ${render(other)}")
-        }
-      case other =>
-        val Seq((f, ord)) = parseSort(other)
-        sortField(f, ord)
-    }
-    sort match {
-      case JArray(entries) => entries.map(one)
-      case single          => Seq(one(single))
-    }
-  }
-
-  /** `_geo_distance` sort entry: order hits by haversine distance to
-    * an origin over named lat/lon columns — the same deterministic
-    * 6-dp-rounded recipe as the `geo_distance` query (q125), so the
-    * ordering is engine-portable; callers add an id tie-break for
-    * totality, like any other sort.
-    */
-  private def geoDistanceSortCol(m: Map[String, JValue]): Column = {
-    m.keySet.diff(Set("lat_field", "lon_field", "origin", "order")).foreach(k =>
-      fail(s"unsupported _geo_distance sort option '$k'"))
-    val latF = strOpt(m, "lat_field")
-      .getOrElse(fail("_geo_distance sort requires lat_field"))
-    val lonF = strOpt(m, "lon_field")
-      .getOrElse(fail("_geo_distance sort requires lon_field"))
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d)  => d
-      case JInt(i)     => i.toDouble
-      case JDecimal(d) => d.toDouble
-      case other       => fail(s"$what must be numeric: ${render(other)}")
-    }
-    val (latQ, lonQ) = m.get("origin") match {
-      case Some(JObject(o)) =>
-        val om = o.toMap
-        (om.get("lat").map(num(_, "origin.lat"))
-           .getOrElse(fail("origin requires lat")),
-         om.get("lon").map(num(_, "origin.lon"))
-           .getOrElse(fail("origin requires lon")))
-      case _ => fail("_geo_distance sort requires origin: {lat, lon}")
-    }
-    val dist = haversineKm(latF, lonF, latQ, lonQ)
-    strOpt(m, "order").getOrElse("asc") match {
-      case "asc"  => dist.asc
-      case "desc" => dist.desc
-      case other  => fail(s"sort order must be asc|desc, got '$other'")
-    }
-  }
-
-  /** `_script` sort entry: order hits by a computed expression through
-    * the SAME ScoreScript compiler as script_score/script_fields —
-    * compiled ONCE on the driver to a codegen'd Catalyst column, zero
-    * row-time interpretation. `type` must be `number` (the exact
-    * integer script model — OpenSearch's other type, `string`, buys
-    * nothing over sorting the concatenated column directly).
-    * `_score` references fail loud: sort on `{"_score": ...}` itself
-    * and tie-break with fields — binding it here would couple the
-    * sort to a score column some request shapes don't carry.
-    */
-  private def scriptSortCol(m: Map[String, JValue]): Column = {
-    m.keySet.diff(Set("type", "script", "order")).foreach(k =>
-      fail(s"unsupported _script sort option '$k'"))
-    strOpt(m, "type") match {
-      case Some("number") => ()
-      case Some(other) => fail(s"_script sort type must be 'number' (the " +
-        s"exact integer script model), got '$other'")
-      case None => fail("_script sort requires type: number")
-    }
-    val (src, params) = m.get("script") match {
-      case Some(JObject(s)) =>
-        val sm = s.toMap
-        sm.keySet.diff(Set("source", "params")).foreach(k =>
-          fail(s"unsupported script option '$k' in _script sort"))
-        val source = strOpt(sm, "source")
-          .getOrElse(fail("_script sort script needs a source"))
-        val ps: Map[String, Long] = sm.get("params") match {
-          case Some(JObject(po)) => po.map {
-            case (k, JInt(v)) => k -> v.toLong
-            case (k, other) =>
-              fail(s"script param '$k' must be an integer: ${render(other)}")
-          }.toMap
-          case None        => Map.empty
-          case Some(other) => fail(s"script params must be an object: ${render(other)}")
-        }
-        (source, ps)
-      case _ => fail("_script sort needs {script: {source, params?}}")
-    }
-    if (ScoreScript.referencesScore(src))
-      fail("_script sort cannot reference _score (sort on {\"_score\": ...} " +
-        "directly and tie-break with fields)")
-    val c = ScoreScript.compile(src, params, lit(0L))
-    strOpt(m, "order").getOrElse("asc") match {
-      case "asc"  => c.asc
-      case "desc" => c.desc
-      case other  => fail(s"sort order must be asc|desc, got '$other'")
-    }
-  }
-
-  /** Lexicographic "strictly after this sort key" predicate:
-    * OR over k of (equal on keys before k AND strictly past on key k).
-    * Sort keys must be NON-NULL columns: a NULL key makes the keyset
-    * comparison NULL and the row silently unreachable, diverging from
-    * offset paging (NULL cursor VALUES already fail in scalaOf).
-    */
-  private def keysetAfter(spec: Seq[(String, String)], vals: Seq[Any]): Column = {
-    def baseCol(f: String): Column = if (f == "_score") col("score") else col(f)
-    spec.indices.map { k =>
-      val eqPrefix = (0 until k).map(j => baseCol(spec(j)._1) === lit(vals(j)))
-      val (f, ord) = spec(k)
-      val strict =
-        if (ord == "asc") baseCol(f) > lit(vals(k)) else baseCol(f) < lit(vals(k))
-      (eqPrefix :+ strict).reduce(_ && _)
-    }.reduce(_ || _)
-  }
-
-  private def sortField(f: String, order: String): Column = {
-    val c = if (f == "_score") col("score") else col(f)
-    order match {
-      case "asc"  => c.asc
-      case "desc" => c.desc
-      case other  => fail(s"sort order must be asc|desc, got '$other'")
-    }
-  }
-
-  // ----------------------------------------------------------------- aggs
-
-  /** Compile the `aggs` object over the (already filtered) hits.
-    *
-    * One bucket agg (`terms` | `histogram` | `date_histogram`) with
-    * metric sub-aggs compiles to a single groupBy (one shuffle, partial
-    * aggregation map-side); metric-only aggs compile to a one-row global
-    * aggregate. Bucket output: the key column (named after the agg),
-    * `doc_count`, then sub-agg columns named `<aggName>_<metric>` for
-    * `stats` / `<aggName>` otherwise — ordered doc_count desc, key asc
-    * (the OpenSearch terms default, made total).
-    */
-  def compileAggs(table: DataFrame, hits: DataFrame, pred: Column,
-      aggs: JValue): DataFrame = {
-    val entries = aggs match {
-      case JObject(es) if es.nonEmpty => es
-      case other => fail(s"aggs must be a non-empty object: ${render(other)}")
-    }
-    // Sibling pipeline aggs (`<stat>_bucket`): a scalar over a sibling
-    // bucket agg's series — `{"total": {"sum_bucket": {"buckets_path":
-    // "hist>_count"}}}` next to `"hist"`. The request returns the
-    // ONE-ROW sibling table (one column per sibling agg); the bucket
-    // series itself is an intermediate. Computed by aggregating the
-    // bounded bucket table — no second corpus pass.
-    val siblingKinds = Set("avg_bucket", "sum_bucket", "min_bucket",
-      "max_bucket", "stats_bucket", "extended_stats_bucket",
-      "percentiles_bucket")
-    val (siblingAggs, entries2) = entries.partition {
-      case (_, JObject(List((k, _)))) => siblingKinds.contains(k)
-      case _ => false
-    }
-    if (siblingAggs.nonEmpty) {
-      val bucketEntries = entries2
-      if (bucketEntries.size != 1)
-        fail("sibling *_bucket aggs require exactly one sibling bucket agg")
-      val (bucketName, _) = bucketEntries.head
-      val bucketDf = compileAggs(table, hits, pred, JObject(bucketEntries))
-      val cols = siblingAggs.flatMap { case (name, spec) =>
-        val (kind, body) = spec match {
-          case JObject(List((k, JObject(b)))) => (k, b.toMap)
-          case other => fail(s"sibling agg '$name' must be {kind: {buckets_path}}: ${render(other)}")
-        }
-        val allowedSib =
-          if (kind == "percentiles_bucket") Set("buckets_path", "percents")
-          else Set("buckets_path")
-        body.keySet.diff(allowedSib).foreach(k =>
-          fail(s"unsupported $kind option '$k' in '$name'"))
-        val path = strOpt(body, "buckets_path")
-          .getOrElse(fail(s"sibling agg '$name' needs a buckets_path"))
-        val target = path.split(">") match {
-          case Array(b, p) if b == bucketName =>
-            resolveBucketColumn(bucketDf, s"sibling agg '$name'", p)
-          case Array(b, _) =>
-            fail(s"sibling agg '$name' buckets_path names unknown bucket '$b' " +
-              s"(have: $bucketName)")
-          case _ => fail(s"sibling agg '$name' buckets_path must be " +
-            s"'<bucket>><metric>': '$path'")
-        }
-        val c = col(target)
-        kind match {
-          case "avg_bucket" => Seq((sum(c).cast("double") / count(c)).as(name))
-          case "sum_bucket" => Seq(sum(c).as(name))
-          case "min_bucket" => Seq(min(c).as(name))
-          case "max_bucket" => Seq(max(c).as(name))
-          case "stats_bucket" => Seq(
-            count(c).as(s"${name}_count"),
-            min(c).as(s"${name}_min"),
-            max(c).as(s"${name}_max"),
-            (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
-            sum(c).as(s"${name}_sum"))
-          // extended_stats_bucket: the exact-moment recipe over the
-          // BOUNDED bucket series (n·Σx²−(Σx)² stays exact for the
-          // integral series the oracles use; one IEEE divide per
-          // derived double, variance's sqrt last)
-          case "extended_stats_bucket" =>
-            val n = count(c)
-            val s2 = sum(c)
-            val q2 = sum(c * c)
-            val variance = (n * q2 - s2 * s2).cast("double") /
-              (n * n).cast("double")
-            Seq(
-              n.as(s"${name}_count"),
-              min(c).as(s"${name}_min"),
-              max(c).as(s"${name}_max"),
-              (s2.cast("double") / n).as(s"${name}_avg"),
-              s2.as(s"${name}_sum"),
-              q2.as(s"${name}_sum_of_squares"),
-              variance.as(s"${name}_variance"),
-              sqrt(variance).as(s"${name}_std_deviation"))
-          // percentiles_bucket: exact discrete percentiles over the
-          // bucket series (OpenSearch's own percentiles_bucket is
-          // already exact — it holds the whole series — so unlike
-          // `percentiles` this is NOT a divergence); one `<name>_p<p>`
-          // column per percent, the element keeps its exact type
-          case "percentiles_bucket" =>
-            val percents = body.get("percents") match {
-              case Some(JArray(ps)) if ps.nonEmpty => ps.map {
-                case JInt(i) if i > 0 && i < 100 => i.toInt
-                case other =>
-                  fail(s"percents must be integers in (0,100): ${render(other)}")
-              }
-              case None        => Seq(1, 5, 25, 50, 75, 95, 99)
-              case Some(other) => fail(s"percents must be an array: ${render(other)}")
-            }
-            percents.map(p => expr(
-              s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY `$target`)")
-              .as(s"${name}_p$p"))
-        }
-      }
-      return bucketDf.agg(cols.head, cols.tail: _*)
-    }
-    // Split bucket aggs from metric aggs.
-    val (bucketAggs, metricAggs) = entries.partition {
-      case (_, JObject(spec)) =>
-        spec.exists(p => Set("terms", "histogram", "date_histogram", "range",
-          "date_range", "rare_terms", "significant_terms", "filters",
-          "composite", "adjacency_matrix", "matrix_stats", "geo_grid",
-          "geohash_grid", "geotile_grid", "missing", "multi_terms",
-          "auto_date_histogram", "global",
-          "filter", "significant_text", "sampler", "diversified_sampler",
-          "children", "parent", "geo_distance", "variable_width_histogram",
-          "string_stats", "ip_range", "ip_prefix", "nested").contains(p._1))
-      case _ => false
-    }
-    if (bucketAggs.size > 1)
-      fail("at most one bucket agg per request (compose composite queries instead)")
-
-    bucketAggs.headOption match {
-      case Some((name, JObject(spec))) =>
-        if (metricAggs.nonEmpty)
-          fail("mixing a bucket agg with top-level metric aggs is unsupported")
-        val m = spec.toMap
-        val kinds = m.keySet.intersect(Set("terms", "histogram",
-          "date_histogram", "range", "date_range", "rare_terms",
-          "significant_terms", "filters", "composite", "adjacency_matrix",
-          "matrix_stats", "geo_grid", "geohash_grid", "geotile_grid",
-          "missing", "multi_terms",
-          "auto_date_histogram", "global", "filter", "significant_text",
-          "sampler", "diversified_sampler", "children", "parent",
-          "geo_distance", "variable_width_histogram",
-          "string_stats", "ip_range", "ip_prefix", "nested"))
-        if (kinds.size > 1)
-          fail(s"agg '$name' declares multiple bucket kinds: " +
-            kinds.toSeq.sorted.mkString(", "))
-        // entry-level keys are the kind + its sub-agg section — a
-        // stray sibling (e.g. the long-form "aggregations" spelling,
-        // which is ROOT-only by design, or a typo'd option landing a
-        // level too high) must never be silently ignored
-        m.keySet.diff(kinds + "aggs").foreach(k =>
-          fail(s"unsupported agg entry key '$k' in '$name' (the nested " +
-            "sub-agg section spells `aggs`)"))
-        m.get("nested").foreach { n =>
-          return nestedAgg(hits, name, n, m.get("aggs"))
-        }
-        m.get("range").foreach { r => return rangeAgg(hits, name, r, m.get("aggs")) }
-        m.get("ip_range").foreach { r =>
-          return ipRangeAgg(hits, name, r, m.get("aggs"))
-        }
-        m.get("date_range").foreach { r =>
-          return dateRangeAgg(hits, name, r, m.get("aggs"))
-        }
-        m.get("rare_terms").foreach { r =>
-          if (m.contains("aggs")) fail("rare_terms takes no sub-aggs")
-          return rareTermsAgg(hits, name, r)
-        }
-        m.get("adjacency_matrix").foreach { a =>
-          return adjacencyMatrixAgg(hits, name, a, m.get("aggs"))
-        }
-        m.get("matrix_stats").foreach { ms =>
-          if (m.contains("aggs")) fail("matrix_stats takes no sub-aggs")
-          return matrixStatsAgg(hits, name, ms)
-        }
-        m.get("geo_grid").foreach { g =>
-          return geoGridAgg(hits, name, g, m.get("aggs"))
-        }
-        m.get("geohash_grid").foreach { g =>
-          return geohashGridAgg(hits, name, g, m.get("aggs"))
-        }
-        m.get("geotile_grid").foreach { g =>
-          return geotileGridAgg(hits, name, g, m.get("aggs"))
-        }
-        m.get("geo_distance").foreach { gd =>
-          return geoDistanceAgg(hits, name, gd, m.get("aggs"))
-        }
-        m.get("variable_width_histogram").foreach { vw =>
-          return variableWidthHistogramAgg(hits, name, vw, m.get("aggs"))
-        }
-        m.get("ip_prefix").foreach { ip =>
-          return ipPrefixAgg(hits, name, ip, m.get("aggs"))
-        }
-        m.get("diversified_sampler").foreach { ds =>
-          return diversifiedSamplerAgg(hits, name, ds, m.get("aggs"))
-        }
-        m.get("children").foreach { ch =>
-          return relationSwitchAgg(table, hits, name, ch, m.get("aggs"),
-            toChildren = true)
-        }
-        m.get("parent").foreach { pa =>
-          return relationSwitchAgg(table, hits, name, pa, m.get("aggs"),
-            toChildren = false)
-        }
-        m.get("missing").foreach { ms =>
-          return missingAgg(hits, name, ms, m.get("aggs"))
-        }
-        m.get("auto_date_histogram").foreach { ah =>
-          return autoDateHistogramAgg(table, hits, name, ah, m.get("aggs"))
-        }
-        m.get("global").foreach { g =>
-          // `global`: sub-aggs over the WHOLE corpus, ignoring the
-          // request's query (the background-stats idiom) — one global
-          // aggregate over `table`, not `hits`
-          g match {
-            case JObject(Nil) => ()
-            case other => fail(s"global agg '$name' takes an empty object: " +
-              render(other))
-          }
-          val subs: Seq[Column] = m.get("aggs") match {
-            case None             => Nil
-            case Some(JObject(s)) =>
-              s.flatMap { case (n, sp) => metricCols(n, sp, schema = table.schema) }
-            case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-          }
-          return table.agg(count(lit(1)).as("doc_count"), subs: _*)
-        }
-        m.get("filter").foreach { fq =>
-          // singular `filter` bucket: ONE named sub-query gating the
-          // sub-aggs — a conditional global aggregate over the hit
-          // set (the commonest single-bucket shape), no keyed shuffle
-          val gate = compileQuery(fq).pred
-          val subs: Seq[Column] = m.get("aggs") match {
-            case None             => Nil
-            case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, Some(gate), hits.schema) }
-            case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-          }
-          return hits.agg(count(when(gate, 1L)).as("doc_count"), subs: _*)
-        }
-        m.get("multi_terms").foreach { mt =>
-          return multiTermsAgg(hits, name, mt, m.get("aggs"))
-        }
-        m.get("filters").foreach { fs =>
-          return filtersAgg(hits, name, fs, m.get("aggs"))
-        }
-        m.get("composite").foreach { cs =>
-          return compositeAgg(hits, name, cs, m.get("aggs"))
-        }
-        m.get("significant_terms").foreach { s =>
-          if (m.contains("aggs")) fail("significant_terms takes no sub-aggs")
-          return significantTermsAgg(table, pred, name, s)
-        }
-        m.get("significant_text").foreach { s =>
-          if (m.contains("aggs")) fail("significant_text takes no sub-aggs")
-          return significantTextAgg(table, pred, name, s)
-        }
-        m.get("sampler").foreach { sp =>
-          return samplerAgg(hits, name, sp, m.get("aggs"))
-        }
-        m.get("string_stats").foreach { ss =>
-          if (m.contains("aggs")) fail("string_stats takes no sub-aggs")
-          return stringStatsAgg(hits, name, ss)
-        }
-        // terms-in-terms: ONE nested terms bucket sub-agg → the
-        // two-level bucket table (the most common real-world agg
-        // shape: break each top-level bucket down by a second field).
-        val nestedTermsSub: Option[(String, Map[String, JValue])] =
-          m.get("aggs") match {
-            case Some(JObject(s)) => s.collectFirst {
-              case (subName, JObject(spec)) if spec.exists(_._1 == "terms") =>
-                (subName, spec.toMap)
-            }
-            case _ => None
-          }
-        nestedTermsSub.foreach { case (subName, innerSpec) =>
-          m.get("aggs") match {
-            case Some(JObject(s)) if s.size > 1 =>
-              fail("a nested terms bucket must be the only sub-agg of its parent")
-            case _ => ()
-          }
-          val (outerField, outerSize) = m.get("terms") match {
-            case Some(JObject(t)) =>
-              val tm = t.toMap
-              tm.keySet.diff(Set("field", "size")).foreach(k =>
-                fail(s"unsupported terms option '$k' in '$name'"))
-              (strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field")),
-                intOpt(tm, "size"))
-            case _ => fail("sub-bucketing requires a terms parent " +
-              "(histogram parents take pipeline aggs instead)")
-          }
-          return termsInTermsAgg(hits, name, outerField, outerSize,
-            subName, innerSpec)
-        }
-
-        // terms bucket with a single top_hits sub-agg: per-bucket top
-        // rows (window path), not a bucket table.
-        val topHitsSub: Option[(String, JValue)] = m.get("aggs") match {
-          case Some(JObject(s)) => s.collectFirst {
-            case (subName, JObject(List(("top_hits", th)))) => (subName, th)
-          }
-          case _ => None
-        }
-        topHitsSub.foreach { case (_, th) =>
-          m.get("aggs") match {
-            case Some(JObject(s)) if s.size > 1 =>
-              fail("top_hits must be the only sub-agg of its bucket")
-            case _ => ()
-          }
-          val f = m.get("terms") match {
-            case Some(JObject(t)) =>
-              val tm = t.toMap
-              // `missing`/`order`/`size` would be silently ignored on
-              // this window path — reject rather than mis-serve
-              tm.keySet.diff(Set("field")).foreach(k =>
-                fail(s"unsupported terms option '$k' with a top_hits sub-agg"))
-              strOpt(tm, "field")
-                .getOrElse(fail(s"terms agg '$name' needs a field"))
-            case _ => fail("top_hits requires a terms bucket")
-          }
-          return topHitsAgg(hits, name, f, th)
-        }
-        val subEntries: Seq[(String, JValue)] = m.get("aggs") match {
-          case None             => Nil
-          case Some(JObject(s)) => s
-          case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-        }
-        val pipelineKinds = Set("cumulative_sum", "derivative", "moving_avg",
-          "moving_percentiles", "moving_fn", "serial_diff", "bucket_selector",
-          "bucket_sort", "bucket_script", "normalize")
-        val (pipeEntries, metricEntries) = subEntries.partition {
-          case (_, JObject(List((kind, _)))) => pipelineKinds.contains(kind)
-          case _ => false
-        }
-        // median_absolute_deviation is the ONE metric that cannot be
-        // a single-pass aggregate column (the deviations need the
-        // median first) — split it out and weave its per-key table
-        // back in below
-        val (madEntries, metricEntries1) = metricEntries.partition {
-          case (_, JObject(List(("median_absolute_deviation", _)))) => true
-          case _ => false
-        }
-        // cumulative_cardinality needs the corpus (first-occurrence
-        // bucket per distinct value), not just the bucket table —
-        // split like MAD and weave below
-        val (ccEntries, metricEntries2) = metricEntries1.partition {
-          case (_, JObject(List(("cumulative_cardinality", _)))) => true
-          case _ => false
-        }
-        // rate: a per-unit normalization of a bucket aggregate — the
-        // raw sum/count rides the ONE groupBy like any metric; the
-        // divide by the bucket's span-in-units is woven onto the
-        // bounded bucket table below (it needs the parent's interval)
-        val (rateEntries, plainMetricEntries) = metricEntries2.partition {
-          case (_, JObject(List(("rate", _)))) => true
-          case _ => false
-        }
-        val rateSpecs: Seq[(String, Option[String], Option[String], String)] =
-          rateEntries.map {
-            case (subName, JObject(List(("rate", JObject(b))))) =>
-              val bm = b.toMap
-              bm.keySet.diff(Set("field", "unit", "mode")).foreach(k =>
-                fail(s"unsupported rate option '$k' in '$subName'"))
-              val fld = strOpt(bm, "field")
-              val mode = strOpt(bm, "mode").getOrElse("sum")
-              if (mode != "sum" && mode != "value_count")
-                fail(s"rate mode must be sum|value_count, got '$mode'")
-              if (fld.isEmpty && bm.contains("mode"))
-                fail(s"rate '$subName': mode requires a field")
-              // exact-model rule: a sum-mode rate keeps the numerator
-              // an exact integer so the normalization is ONE pinned
-              // IEEE multiply-divide (fractional fields pre-scale)
-              fld.filter(_ => mode == "sum").foreach { f2 =>
-                hits.schema.find(_.name == f2).map(_.dataType).foreach {
-                  case org.apache.spark.sql.types.DoubleType |
-                       org.apache.spark.sql.types.FloatType |
-                       _: org.apache.spark.sql.types.DecimalType =>
-                    fail(s"rate '$subName' on '$f2' requires an integral " +
-                      "field (the exact sum model) - pre-scale to integers")
-                  case _ => ()
-                }
-              }
-              (subName, fld, strOpt(bm, "unit"), mode)
-            case (subName, other) =>
-              fail(s"rate '$subName' must be an object: ${render(other)}")
-          }
-        val rateRaw: Seq[Column] = rateSpecs.map {
-          case (subName, fld, _, mode) => (fld, mode) match {
-            case (Some(f2), "sum")         => sum(col(f2)).as(s"__rate_$subName")
-            case (Some(f2), "value_count") => count(col(f2)).as(s"__rate_$subName")
-            case (None, _)                 => count(lit(1)).as(s"__rate_$subName")
-          }
-        }
-        val subs: Seq[Column] = plainMetricEntries.flatMap {
-          case (subName, subSpec) => metricCols(subName, subSpec, schema = hits.schema)
-        } ++ rateRaw
-        val (keyCol, size, termsOrder, histoFill, preFilter, termsMinDoc) =
-          m.collectFirst {
-          case ("terms", JObject(t)) =>
-            val tm = t.toMap
-            tm.keySet.diff(Set("field", "size", "order", "missing",
-              "include", "exclude", "min_doc_count")).foreach(k =>
-              fail(s"unsupported terms option '$k' in '$name'"))
-            // min_doc_count: drop buckets under the floor, BEFORE
-            // ordering/size (the OpenSearch evaluation order) — a
-            // bucket-table filter, the groupBy is unchanged. 0 is
-            // meaningless for terms without a term dictionary to
-            // enumerate absent keys from — fail loud.
-            val tMdc = intOpt(tm, "min_doc_count")
-            tMdc.foreach(n => if (n < 1) fail(
-              s"terms min_doc_count must be >= 1 (0 would need a term " +
-                s"dictionary of absent keys), got $n"))
-            val f0 = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
-            // `missing`: docs without a key value land in a named
-            // bucket instead of a NULL key (the OpenSearch option) —
-            // a plain coalesce, the groupBy stays one shuffle
-            val f = tm.get("missing") match {
-              case None    => col(f0)
-              case Some(v) => coalesce(col(f0), litOf(v))
-            }
-            // `order`: rank buckets by a sub-metric, `_count` or
-            // `_key` instead of the doc_count-desc default (the
-            // OpenSearch terms `order` option) — still ONE groupBy,
-            // the sort runs on the bounded bucket table
-            def ordPair(target: String, dir: JValue): (String, Boolean) =
-              dir match {
-                case JString("asc")  => (target, true)
-                case JString("desc") => (target, false)
-                case other => fail(s"terms order must be asc/desc: ${render(other)}")
-              }
-            // object form = one criterion; ARRAY form = lexicographic
-            // multi-criteria (the OpenSearch tie-break spelling)
-            val ord: Option[Seq[(String, Boolean)]] = tm.get("order") match {
-              case None => None
-              case Some(JObject(List((target, dir)))) =>
-                Some(Seq(ordPair(target, dir)))
-              case Some(JArray(entries)) if entries.nonEmpty =>
-                Some(entries.map {
-                  case JObject(List((target, dir))) => ordPair(target, dir)
-                  case other => fail(s"terms order array entries must be " +
-                    s"{target: asc|desc}: ${render(other)}")
-                })
-              case Some(other) =>
-                fail(s"terms order must be {target: asc|desc} or an array " +
-                  s"of them: ${render(other)}")
-            }
-            // `include`/`exclude`: keep only wanted bucket keys — a
-            // whole-value-anchored regex (the OpenSearch terms-regex
-            // contract, like the `regexp` clause) or an exact-values
-            // array. Applied to the KEY EXPRESSION on the hit rows,
-            // i.e. BEFORE the groupBy — at scale the filter runs
-            // map-side and shrinks the shuffle instead of post-
-            // filtering the bucket table.
-            // NULL keys: the gate predicate is NULL on a NULL key, so
-            // a bare `!g` would silently drop the NULL-key bucket the
-            // gate-less agg emits. An exclude list must KEEP it
-            // (excluding 'x' says nothing about NULL); an include list
-            // drops it (NULL matches no regex/value) — both
-            // null-preserving forms stay map-side pushable.
-            def keyGate(k: String, want: Boolean): Option[Column] =
-              tm.get(k).map {
-                case JString(re) =>
-                  val g = f.cast("string").rlike(s"^(?:$re)$$")
-                  if (want) g else f.isNull || !g
-                case JArray(vs) if vs.nonEmpty =>
-                  val g = f.isin(vs.map(scalaOf): _*)
-                  if (want) g else f.isNull || !g
-                case other => fail(s"terms $k must be a regex string or a " +
-                  s"non-empty values array: ${render(other)}")
-              }
-            val gates = keyGate("include", want = true).toSeq ++
-              keyGate("exclude", want = false)
-            (f.as(name), intOpt(tm, "size"), ord, None,
-              gates.reduceOption(_ && _), tMdc)
-          case ("histogram", JObject(h)) =>
-            val hm = h.toMap
-            hm.keySet.diff(Set("field", "interval", "min_doc_count",
-              "extended_bounds", "offset")).foreach(k =>
-              fail(s"unsupported histogram option '$k' in '$name'"))
-            val f = strOpt(hm, "field").getOrElse(fail(s"histogram agg '$name' needs a field"))
-            val mdc = intOpt(hm, "min_doc_count").getOrElse(1)
-            if (mdc != 0 && mdc != 1)
-              fail(s"histogram min_doc_count must be 0 or 1, got $mdc")
-            // `offset` shifts every bucket boundary: key =
-            // floor((x − offset)/interval)·interval + offset — the
-            // OpenSearch bucket-alignment knob (integer, in
-            // [0, interval), exact arithmetic; float offsets fail loud)
-            val offset: Long = hm.get("offset") match {
-              case None         => 0L
-              case Some(JInt(o)) =>
-                if (o < 0) fail(s"histogram offset must be >= 0, got $o")
-                o.toLong
-              case Some(other) =>
-                fail(s"histogram offset must be an integer: ${render(other)}")
-            }
-            val interval = hm.get("interval") match {
-              case Some(JInt(i)) =>
-                // zero/negative would silently key every doc NULL
-                if (i <= 0) fail(s"histogram interval must be positive: $i")
-                if (offset >= i.toLong)
-                  fail(s"histogram offset must be < interval ($offset >= $i)")
-                lit(i.toLong)
-              case Some(JDouble(d)) =>
-                if (mdc == 0)
-                  fail("histogram min_doc_count: 0 requires an integer interval")
-                if (d <= 0) fail(s"histogram interval must be positive: $d")
-                if (offset != 0L)
-                  fail("histogram offset requires an integer interval")
-                lit(d)
-              case _ => fail(s"histogram agg '$name' needs a numeric interval")
-            }
-            // min_doc_count: 0 — EMPTY BUCKETS APPEAR (doc_count 0,
-            // metric sub-aggs NULL), so a sparse series stays dense
-            // and derivative/moving_avg over it are correct; bounds
-            // from extended_bounds (which only ever widens — data
-            // buckets outside it survive via the outer join)
-            val fillSpec: Option[HistoFill] =
-              if (mdc == 0) {
-                val iv = hm.get("interval") match {
-                  case Some(JInt(i)) if i > 0 => i.toLong
-                  case _ => fail("histogram min_doc_count: 0 requires a positive integer interval")
-                }
-                val bounds = hm.get("extended_bounds") match {
-                  case None => None
-                  case Some(JObject(b)) =>
-                    val bm = b.toMap
-                    bm.keySet.diff(Set("min", "max")).foreach(k =>
-                      fail(s"unsupported extended_bounds key '$k'"))
-                    (bm.get("min"), bm.get("max")) match {
-                      case (Some(JInt(lo)), Some(JInt(hi))) if lo <= hi =>
-                        // beyond-Long values would wrap via toLong and
-                        // silently void the bounds AND the bucket cap
-                        if (!lo.isValidLong || !hi.isValidLong)
-                          fail("extended_bounds min/max must fit in a 64-bit long")
-                        Some((lo.toLong, hi.toLong))
-                      case _ => fail("extended_bounds needs integer min <= max")
-                    }
-                  case Some(other) =>
-                    fail(s"extended_bounds must be an object: ${render(other)}")
-                }
-                Some(NumFill(f, iv, offset, bounds))
-              } else {
-                if (hm.contains("extended_bounds"))
-                  fail("extended_bounds requires min_doc_count: 0")
-                None
-              }
-            ((floor((col(f) - lit(offset)) / interval) * interval
-              + lit(offset)).as(name), None, None, fillSpec, None, None)
-          case ("date_histogram", JObject(h)) =>
-            val hm = h.toMap
-            hm.keySet.diff(Set("field", "calendar_interval", "fixed_interval",
-              "time_zone", "min_doc_count", "extended_bounds", "offset"))
-              .foreach(k =>
-              fail(s"unsupported date_histogram option '$k' in '$name'"))
-            val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
-            if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
-              fail(s"date_histogram '$name' takes calendar_interval OR fixed_interval")
-            // `time_zone`: FIXED ±HH:mm offsets only — bucket
-            // boundaries align to local wall time, keys stay UTC
-            // (shift → truncate → unshift, exact microsecond
-            // arithmetic; the q208 epoch recipe). Named zones need a
-            // DST rule table and an engine-portable oracle — fail
-            // loud, never silently bucket in the wrong zone.
-            val tzOffUs: Long = strOpt(hm, "time_zone") match {
-              case None => 0L
-              case Some(tz) =>
-                val TzRe = """([+-])(\d{2}):(\d{2})""".r
-                tz match {
-                  case TzRe(sign, hh, mm) =>
-                    val h2 = hh.toLong; val m2 = mm.toLong
-                    if (h2 > 18 || m2 > 59)
-                      fail(s"date_histogram '$name': time_zone offset '$tz' out of range")
-                    val s2 = (h2 * 3600L + m2 * 60L) * 1000000L
-                    if (sign == "-") -s2 else s2
-                  case _ => fail(s"date_histogram '$name': time_zone must be a " +
-                    s"fixed +HH:mm/-HH:mm offset (named zones are unsupported), got '$tz'")
-                }
-            }
-            // `offset` shifts every bucket BOUNDARY ("+6h": day
-            // buckets run 06:00→06:00 — the fiscal-day knob). The
-            // algebra folds into the time-shift the time_zone path
-            // already owns: trunc(t + tz − off) − (tz − off) ≡
-            // trunc-with-boundaries-at-off, so ONE shifted-truncate
-            // expression serves both knobs (and their composition)
-            // with no new plan shape.
-            val offUs: Long = strOpt(hm, "offset") match {
-              case None => 0L
-              case Some(o) =>
-                val OffRe = """([+-]?)(\d+)([dhms])""".r
-                o match {
-                  case OffRe(sign, n, u) =>
-                    val mult = u match {
-                      case "d" => 86400L; case "h" => 3600L
-                      case "m" => 60L;    case "s" => 1L
-                    }
-                    val v = n.toLong * mult * 1000000L
-                    if (v > 86400000000L * 365L)
-                      fail(s"date_histogram offset too large: '$o'")
-                    if (sign == "-") -v else v
-                  case _ => fail(s"date_histogram '$name': offset must " +
-                    s"match [+-]<n>[dhms], got '$o'")
-                }
-            }
-            val shiftUs = tzOffUs - offUs
-            // fixed_interval: epoch bucketing ("7d"/"12h"/"30m"/
-            // "45s") in EXACT MICROSECOND integer arithmetic —
-            // pmod floor-aligns (a truncating % would shift every
-            // pre-1970 timestamp's bucket by one interval, and a
-            // second-truncating cast would disagree with the
-            // oracle's rounding on fractional seconds); calendar-
-            // aware buckets belong to calendar_interval
-            val fixedUs: Option[Long] = strOpt(hm, "fixed_interval").map { iv =>
-              val FixedRe = """(\d+)([dhms])""".r
-              val secs = iv match {
-                case FixedRe(n, u) =>
-                  val mult = u match {
-                    case "d" => 86400L; case "h" => 3600L
-                    case "m" => 60L;    case "s" => 1L
-                  }
-                  val v = n.toLong * mult
-                  if (v < 1L) fail(s"fixed_interval must be positive: '$iv'")
-                  if (v > 3153600000L) // 100 years: micros stay in Long
-                    fail(s"fixed_interval too large: '$iv'")
-                  v
-                case other =>
-                  fail(s"fixed_interval must match <n>[dhms]: '$other'")
-              }
-              secs * 1000000L
-            }
-            val key = fixedUs match {
-              case Some(us) =>
-                val um = unix_micros(col(f)) + lit(shiftUs)
-                val ivUs = lit(us)
-                timestamp_micros(um - pmod(um, ivUs) - lit(shiftUs)).as(name)
-              case None =>
-                val unit = calendarUnit(
-                  strOpt(hm, "calendar_interval").getOrElse("day"))
-                if (shiftUs == 0L) date_trunc(unit, col(f)).as(name)
-                else timestamp_micros(unix_micros(date_trunc(unit,
-                  timestamp_micros(unix_micros(col(f)) + lit(shiftUs))))
-                  - lit(shiftUs)).as(name)
-            }
-            // min_doc_count: 0 — EMPTY TIME BUCKETS APPEAR (the
-            // dashboard dense-series contract; pipeline aggs over a
-            // sparse time series silently skip gaps without it).
-            // fixed_interval only: the dense series is exact integer
-            // microsecond arithmetic; a calendar series has no
-            // constant step — fail loud rather than approximate.
-            val dmdc = intOpt(hm, "min_doc_count").getOrElse(1)
-            if (dmdc != 0 && dmdc != 1)
-              fail(s"date_histogram min_doc_count must be 0 or 1, got $dmdc")
-            val dateFill: Option[HistoFill] =
-              if (dmdc == 0) {
-                val us = fixedUs.getOrElse(fail("date_histogram " +
-                  "min_doc_count: 0 requires fixed_interval (a calendar " +
-                  "series has no constant step)"))
-                val bounds: Option[(Long, Long)] = hm.get("extended_bounds") match {
-                  case None => None
-                  case Some(JObject(b)) =>
-                    val bm = b.toMap
-                    bm.keySet.diff(Set("min", "max")).foreach(k =>
-                      fail(s"unsupported extended_bounds key '$k'"))
-                    def us0(k: String): Long = bm.get(k) match {
-                      case Some(JString(s)) =>
-                        val t = try DateMath.parseAnchor(s)
-                          catch { case e: IllegalArgumentException =>
-                            fail(s"extended_bounds $k: ${e.getMessage}") }
-                        t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-                          t.getNano / 1000L
-                      case _ => fail("date_histogram extended_bounds needs " +
-                        "ISO min and max strings")
-                    }
-                    val (lo, hi) = (us0("min"), us0("max"))
-                    if (lo > hi) fail("extended_bounds needs min <= max")
-                    Some((lo, hi))
-                  case Some(other) =>
-                    fail(s"extended_bounds must be an object: ${render(other)}")
-                }
-                Some(DateFill(f, us, shiftUs, bounds))
-              } else {
-                if (hm.contains("extended_bounds"))
-                  fail("extended_bounds requires min_doc_count: 0")
-                None
-              }
-            (key, None, None, dateFill, None, None)
-        }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
-
-        // include/exclude run on the HIT ROWS (map-side, before the
-        // groupBy shuffle) — the filtered keys never enter the exchange
-        val gated = preFilter.map(hits.filter).getOrElse(hits)
-        val bucketTable0 = gated.groupBy(keyCol)
-          .agg(count(lit(1)).as("doc_count"), subs: _*)
-        val bucketTable = histoFill match {
-          case None => bucketTable0
-          case Some(DateFill(field, ivUs, tzOffUs, boundsOpt)) =>
-            // the dense TIME series: same shape as the numeric fill,
-            // keys in exact microsecond arithmetic aligned to the
-            // (time-zone-shifted) fixed-interval boundaries
-            def bucketOf(us: Long): Long =
-              Math.floorDiv(us + tzOffUs, ivUs) * ivUs - tzOffUs
-            val (lo0, hi0) = boundsOpt.getOrElse {
-              val r = gated.filter(col(field).isNotNull)
-                .agg(min(col(field)), max(col(field))).collect().head
-              if (r.isNullAt(0)) (0L, -1L)
-              else {
-                def us(i: Int): Long = {
-                  val t = r.getTimestamp(i).toInstant
-                  t.getEpochSecond * 1000000L + t.getNano / 1000L
-                }
-                (us(0), us(1))
-              }
-            }
-            val lo = bucketOf(lo0)
-            val hi = bucketOf(hi0)
-            val nBuckets =
-              if (hi0 < lo0) 0L else math.max(0L, (hi - lo) / ivUs + 1)
-            if (nBuckets > 100000)
-              fail(s"date_histogram min_doc_count: 0 would emit $nBuckets " +
-                "buckets (cap 100000) - widen the interval")
-            val series = gated.sparkSession.range(nBuckets)
-              .select(timestamp_micros(lit(lo) + col("id") * lit(ivUs)).as(name))
-            series.join(bucketTable0.filter(col(name).isNotNull),
-                Seq(name), "full_outer")
-              .na.fill(0L, Seq("doc_count"))
-          case Some(NumFill(field, iv, off, boundsOpt)) =>
-            // the dense key series: extended_bounds if given, else the
-            // data's own [min, max] (a map-only 2-long aggregate over
-            // hits to the driver — NOT a collect on the bucket table,
-            // which would run its shuffle twice). Docs with a NULL
-            // field are omitted (the null-key-omitted convention —
-            // under Spark's NULLS-FIRST asc a NULL bucket would sit
-            // at row 0 of the "dense" series and corrupt every
-            // pipeline window over it). FULL OUTER join so data
-            // buckets outside the bounds survive; empty buckets get
-            // doc_count 0, sub-aggs NULL.
-            val (lo0, hi0) = boundsOpt.getOrElse {
-              val r = gated.agg(min(col(field)), max(col(field))).collect().head
-              if (r.isNullAt(0)) (0L, -1L)
-              else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
-            }
-            // the dense series aligns to the same shifted boundaries
-            val lo = Math.floorDiv(lo0 - off, iv) * iv + off
-            val hi = Math.floorDiv(hi0 - off, iv) * iv + off
-            // hi0 < lo0 is the no-data sentinel: zero buckets, not one
-            val nBuckets =
-              if (hi0 < lo0) 0L else math.max(0L, (hi - lo) / iv + 1)
-            if (nBuckets > 100000)
-              fail(s"histogram min_doc_count: 0 would emit $nBuckets " +
-                "buckets (cap 100000) - widen the interval")
-            val series = gated.sparkSession.range(nBuckets)
-              .select((lit(lo) + col("id") * lit(iv)).as(name))
-            series.join(bucketTable0.filter(col(name).isNotNull),
-                Seq(name), "full_outer")
-              .na.fill(0L, Seq("doc_count"))
-        }
-        // MAD per-key tables join back on the bucket key (null-safe:
-        // the NULL-key bucket keeps its deviation like any other) —
-        // BEFORE ordering/pipeline aggs, so buckets_path can
-        // reference the MAD column
-        // terms min_doc_count: the bucket floor applies before
-        // ordering/size (the OpenSearch evaluation order)
-        val bucketTableMdc = termsMinDoc
-          .map(n => bucketTable.filter(col("doc_count") >= n.toLong))
-          .getOrElse(bucketTable)
-        val bucketTable1a = madEntries.foldLeft(bucketTableMdc) {
-          case (bt, (subName, subSpec)) =>
-            val madT = madTable(gated, keyCol, subName, subSpec)
-              .withColumnRenamed("__mad_k", "__mad_kj")
-            bt.join(madT, col(name) <=> col("__mad_kj"), "left")
-              .drop("__mad_kj")
-        }
-        // cumulative_cardinality: EXACT distinct-seen-so-far per
-        // key-ordered bucket (OpenSearch serves an HLL approximation —
-        // the q7 divergence doctrine, except here the exact form IS
-        // cross-engine oracle-able). The corpus work is ONE groupBy on
-        // the value domain (min bucket per distinct value — the same
-        // cost class as the cardinality it generalizes), collapsing to
-        // a bucket-count-bounded (first_bucket → new_values) table;
-        // the running total is then a window over the BOUNDED bucket
-        // series. Key-ordered parents only.
-        val bucketTable1 = {
-          if (ccEntries.nonEmpty && !m.contains("histogram") &&
-              !m.contains("date_histogram"))
-            fail("cumulative_cardinality requires a histogram or " +
-              "date_histogram parent (it is a running total in key order)")
-          ccEntries.foldLeft(bucketTable1a) {
-            case (bt, (subName, subSpec)) =>
-              val body = subSpec match {
-                case JObject(List(("cumulative_cardinality", JObject(b)))) => b.toMap
-                case other => fail(s"cumulative_cardinality '$subName' must " +
-                  s"be an object: ${render(other)}")
-              }
-              body.keySet.diff(Set("field")).foreach(k =>
-                fail(s"unsupported cumulative_cardinality option '$k' in '$subName'"))
-              val f = strOpt(body, "field")
-                .getOrElse(fail(s"cumulative_cardinality '$subName' needs a field"))
-              val perK = gated
-                .select(keyCol.as("__cc_k"), col(f).as("__cc_v"))
-                .filter(col("__cc_v").isNotNull && col("__cc_k").isNotNull)
-                .groupBy(col("__cc_v")).agg(min(col("__cc_k")).as("__cc_k"))
-                .groupBy(col("__cc_k")).agg(count(lit(1)).as("__cc_n"))
-              import org.apache.spark.sql.expressions.Window
-              bt.join(perK, col(name) <=> col("__cc_k"), "left")
-                .drop("__cc_k")
-                .withColumn(subName,
-                  sum(coalesce(col("__cc_n"), lit(0L)))
-                    .over(Window.orderBy(col(name).asc)
-                      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-                .drop("__cc_n")
-          }
-        }
-        // rate: normalize each raw bucket aggregate to a per-`unit`
-        // rate — numerator (exact integer sum/count) and denominator
-        // (the bucket's span, exact from the bucket key itself via
-        // datediff, so variable-length calendar buckets normalize
-        // correctly: a January rate divides by 31, February by 28)
-        // combine in a PINNED two-op IEEE sequence (cast·mul, then one
-        // divide) both engines replay bit-identically. Runs on the
-        // BOUNDED bucket table; woven before pipeline aggs so
-        // buckets_path can reference the rate column.
-        val bucketTable2 =
-          if (rateSpecs.isEmpty) bucketTable1
-          else {
-            val dh = m.get("date_histogram") match {
-              case Some(JObject(h)) => h.toMap
-              case _ => fail("rate requires a date_histogram parent " +
-                "(per-unit normalization needs a time bucket)")
-            }
-            if (dh.contains("time_zone") || dh.contains("offset"))
-              fail("rate does not compose with time_zone/offset (bucket " +
-                "span arithmetic assumes UTC-aligned keys)")
-            if (dh.contains("fixed_interval"))
-              fail("rate requires a calendar_interval parent (a fixed " +
-                "interval has a constant unit ratio - scale the metric)")
-            val parent = strOpt(dh, "calendar_interval").getOrElse("day")
-            val unitRank = Map("second" -> 0, "minute" -> 1, "hour" -> 2,
-              "day" -> 3, "month" -> 4, "year" -> 5)
-            val unitUs = Map("second" -> 1000000L, "minute" -> 60000000L,
-              "hour" -> 3600000000L, "day" -> 86400000000L)
-            val key = to_date(col(name))
-            // bucket span: days from the key to the next calendar
-            // boundary (constant 1 for day parents; month/year spans
-            // vary and that variation IS the point of rate)
-            val spanDays: Column = parent match {
-              case "day"   => lit(1)
-              case "month" => datediff(add_months(key, 1), key)
-              case "year"  => datediff(add_months(key, 12), key)
-            }
-            rateSpecs.foldLeft(bucketTable1) {
-              case (bt, (subName, _, unitOpt, _)) =>
-                val unit = unitOpt.getOrElse(parent)
-                val ur = unitRank.getOrElse(unit,
-                  fail(s"rate '$subName': unsupported unit '$unit' " +
-                    "(second|minute|hour|day|month|year)"))
-                if (ur > unitRank(parent))
-                  fail(s"rate '$subName': unit '$unit' exceeds the " +
-                    s"date_histogram interval '$parent'")
-                val raw = col(s"__rate_$subName")
-                val rateCol = unit match {
-                  // month-based units over month-based parents: the
-                  // span in months is a compile-time constant
-                  case "month" | "year" =>
-                    val unitMonths = if (unit == "year") 12.0 else 1.0
-                    val parentMonths = if (parent == "year") 12L else 1L
-                    raw.cast("double") * lit(unitMonths) /
-                      lit(parentMonths).cast("double")
-                  // time-based units: span in microseconds from the
-                  // key's own calendar arithmetic
-                  case _ =>
-                    raw.cast("double") * lit(unitUs(unit).toDouble) /
-                      (spanDays.cast("long") * lit(86400000000L))
-                        .cast("double")
-                }
-                bt.withColumn(subName, rateCol).drop(s"__rate_$subName")
-            }
-          }
-        if (pipeEntries.isEmpty) {
-          val sortCols: Seq[Column] = termsOrder match {
-            case None => Seq(col("doc_count").desc, col(name).asc)
-            case Some(criteria) =>
-              val cols = criteria.map { case (target0, asc) =>
-                val target =
-                  if (target0 == "_key") name
-                  else resolveBucketColumn(bucketTable2,
-                    s"terms agg '$name' order", target0)
-                if (asc) col(target).asc else col(target).desc
-              }
-              // bucket key breaks all ties: the order stays total
-              if (criteria.exists(_._1 == "_key")) cols
-              else cols :+ col(name).asc
-          }
-          val grouped = bucketTable2.orderBy(sortCols: _*)
-          size.map(grouped.limit).getOrElse(grouped)
-        } else {
-          if (termsOrder.isDefined)
-            fail("terms order cannot be combined with pipeline aggs " +
-              "(use bucket_sort instead)")
-          // pipeline aggs run as windows OVER THE BUCKET SERIES.
-          // Series aggs (cumulative_sum/derivative/serial_diff/
-          // moving_avg) are only defined under a key-ordered parent
-          // (the OpenSearch rule: histogram/date_histogram, never
-          // terms) and switch the output to key order — a cumulative
-          // sum over a doc_count-sorted series would be meaningless.
-          // bucket_selector/bucket_sort also work under a terms
-          // parent (the OpenSearch HAVING/ORDER BY idiom); a terms
-          // `size` cap is applied BEFORE them, matching OpenSearch's
-          // shard-size-then-pipeline evaluation. The unpartitioned
-          // windows are safe by construction: they run on the bucket
-          // table, bounded by the value/time/size range, not the corpus.
-          val hasSeries = pipeEntries.exists {
-            case (_, JObject(List((k, _)))) =>
-              Set("cumulative_sum", "derivative", "serial_diff",
-                "moving_avg", "moving_percentiles", "moving_fn").contains(k)
-            case _ => false
-          }
-          if (hasSeries && !m.contains("histogram") && !m.contains("date_histogram"))
-            fail("series pipeline aggs (cumulative_sum/derivative/" +
-              "serial_diff/moving_avg/moving_percentiles) require a " +
-              "histogram or date_histogram parent")
-          if (hasSeries && size.isDefined)
-            fail("series pipeline aggs cannot be combined with a bucket size limit")
-          val capped = size match {
-            case Some(n) =>
-              bucketTable2.orderBy(col("doc_count").desc, col(name).asc).limit(n)
-            case None => bucketTable2
-          }
-          withPipelineAggs(capped, name, pipeEntries, metricEntries.map(_._1))
-        }
-
-      case _ =>
-        // Metric-only: one global aggregation row. MAD entries (the
-        // one two-pass metric) each contribute a one-row table,
-        // broadcast-crossed onto the single-pass row.
-        val (madEntries, plainMetrics) = metricAggs.partition {
-          case (_, JObject(List(("median_absolute_deviation", _)))) => true
-          case _ => false
-        }
-        val cols = plainMetrics.flatMap { case (name, spec) =>
-          metricCols(name, spec, schema = hits.schema) }
-        if (cols.isEmpty && madEntries.isEmpty)
-          fail("aggs contained no recognizable aggregations")
-        val baseOpt =
-          if (cols.isEmpty) None else Some(hits.agg(cols.head, cols.tail: _*))
-        val madDfs = madEntries.map { case (n2, sp) =>
-          madTable(hits, lit(0L), n2, sp).drop("__mad_k")
-        }
-        (baseOpt.toSeq ++ madDfs).reduce((a, b) => a.crossJoin(broadcast(b)))
-    }
-  }
-
-  /** `median_absolute_deviation`: the exact DISCRETE form — the
-    * percentile_disc-0.5 of `abs(x − median(x))` per bucket key (the
-    * q158 percentile recipe, so the result is an actual data-space
-    * value and engine-exact; OpenSearch itself serves a t-digest
-    * APPROXIMATION, the same divergence doctrine as `percentiles`).
-    * Necessarily two keyed passes + one co-partitioned join (the
-    * deviations need the median): all three exchanges hash on the
-    * SAME bucket key, so at scale they co-locate, and the tables are
-    * key-domain-bounded from the first groupBy on.
-    */
-  private def madTable(rows: DataFrame, keyCol: Column,
-      subName: String, spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(List(("median_absolute_deviation", JObject(b)))) => b.toMap
-      case other =>
-        fail(s"median_absolute_deviation '$subName' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field")).foreach(k =>
-      fail(s"unsupported median_absolute_deviation option '$k' in '$subName'"))
-    val f = strOpt(m, "field")
-      .getOrElse(fail(s"median_absolute_deviation '$subName' needs a field"))
-    val base = rows.select(keyCol.as("__mad_k"), col(f).as("__mad_v"))
-    val med = base.groupBy(col("__mad_k").as("__mad_km"))
-      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __mad_v)")
-        .as("__med"))
-    base.join(med, col("__mad_k") <=> col("__mad_km")).drop("__mad_km")
-      .groupBy(col("__mad_k"))
-      .agg(expr(
-        "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(__mad_v - __med))")
-        .as(subName))
-  }
-
-  /** `range` bucket agg: explicit [from, to) buckets — a doc lands in
-    * EVERY range it falls in (ranges may overlap, the OpenSearch
-    * semantics), so this compiles to ONE pass of per-range filtered
-    * aggregates (a single global aggregate row, no shuffle beyond the
-    * partial-agg exchange) reshaped to one row per range in request
-    * order. Sub-aggs: single-column metrics (no stats fan-out).
-    */
-  private def rangeAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"range agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "ranges")).foreach(k =>
-      fail(s"unsupported range-agg option '$k' in '$name'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"range agg '$name' needs a field"))
-    val ranges: Seq[(Column, String)] = m.get("ranges") match {
-      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
-        case JObject(bounds) =>
-          val bm = bounds.toMap
-          bm.keySet.diff(Set("from", "to")).foreach(k =>
-            fail(s"unsupported range bound '$k' in agg '$name'"))
-          def num(k: String): Option[Any] = bm.get(k).map(scalaOf)
-          val (from, to) = (num("from"), num("to"))
-          if (from.isEmpty && to.isEmpty) fail(s"range agg '$name' has an unbounded range")
-          val conds = from.map(v => col(f) >= lit(v)).toSeq ++
-            to.map(v => col(f) < lit(v))
-          val key = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
-          (conds.reduce(_ && _), key)
-        case other => fail(s"range agg '$name' ranges must be objects: ${render(other)}")
-      }
-      case _ => fail(s"range agg '$name' requires a non-empty ranges array")
-    }
-    onePassBuckets(hits, name, ranges, subAggs, family = "range")
-  }
-
-  /** `geo_distance` bucket agg: ring buckets `[from, to)` km around
-    * an origin — the store-locator idiom. The distance is the
-    * engine's ONE [[haversineKm]] (shared with the `geo_distance`
-    * query and the `_geo_distance` sort, so the three can never
-    * drift), and the bucket tail is the shared one-pass filtered
-    * aggregate — one global row, the distance expression evaluated
-    * ONCE per doc per ring condition in the same scan, never a scan
-    * per ring. NULL coordinates land in no bucket (the null-omitted
-    * convention).
-    */
-  private def geoDistanceAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"geo_distance agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("lat_field", "lon_field", "origin", "ranges")).foreach(k =>
-      fail(s"unsupported geo_distance-agg option '$k' in '$name'"))
-    val latF = strOpt(m, "lat_field")
-      .getOrElse(fail(s"geo_distance agg '$name' requires lat_field"))
-    val lonF = strOpt(m, "lon_field")
-      .getOrElse(fail(s"geo_distance agg '$name' requires lon_field"))
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d) => d
-      case JInt(i)    => i.toDouble
-      case other      => fail(s"$what must be numeric: ${render(other)}")
-    }
-    val (latQ, lonQ) = m.get("origin") match {
-      case Some(JObject(o)) =>
-        val om = o.toMap
-        (om.get("lat").map(num(_, "origin.lat"))
-           .getOrElse(fail("origin requires lat")),
-         om.get("lon").map(num(_, "origin.lon"))
-           .getOrElse(fail("origin requires lon")))
-      case _ => fail(s"geo_distance agg '$name' requires origin: {lat, lon}")
-    }
-    val dist = haversineKm(latF, lonF, latQ, lonQ)
-    val ranges: Seq[(Column, String)] = m.get("ranges") match {
-      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
-        case JObject(bounds) =>
-          val bm = bounds.toMap
-          bm.keySet.diff(Set("from", "to")).foreach(k =>
-            fail(s"unsupported range bound '$k' in agg '$name'"))
-          val (from, to) = (bm.get("from").map(num(_, "from")),
-            bm.get("to").map(num(_, "to")))
-          if (from.isEmpty && to.isEmpty)
-            fail(s"geo_distance agg '$name' has an unbounded range")
-          val conds = from.map(v => dist >= lit(v)).toSeq ++
-            to.map(v => dist < lit(v))
-          val key = s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}"
-          (conds.reduce(_ && _), key)
-        case other => fail(s"geo_distance agg '$name' ranges must be objects: ${render(other)}")
-      }
-      case _ => fail(s"geo_distance agg '$name' requires a non-empty ranges array")
-    }
-    onePassBuckets(hits, name, ranges, subAggs, family = "geo_distance")
-  }
-
-  /** `nested` bucket agg: metric sub-aggs over the ELEMENTS of an
-    * array-of-structs column (the [[nestedClause]] data model on the
-    * agg surface — OpenSearch's nested-documents idiom). `doc_count`
-    * counts nested documents, sub-agg fields use the `path.field`
-    * form and resolve as struct-field access after ONE explode (the
-    * exploded struct keeps the path's name, so the same field paths
-    * work on both surfaces). One explode + one global aggregate — no
-    * join, no per-element shuffle key. Order-sensitive float metrics
-    * (avg/sum over doubles) are the caller's determinism risk, as
-    * everywhere else; the oracle-gated shapes use order-free metrics.
-    */
-  private def nestedAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"nested agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("path")).foreach(k =>
-      fail(s"unsupported nested-agg option '$k' in '$name'"))
-    val path = strOpt(m, "path").getOrElse(fail(s"nested agg '$name' needs a path"))
-    // the parent row identity rides the explode so a reverse_nested
-    // sub-agg can count PARENT docs per element bucket; the ids are
-    // only ever COUNTED DISTINCT (one per parent row), so their
-    // partition-dependent values never reach the result
-    val pid = "__rn_pid"
-    if (hits.columns.contains(pid))
-      fail(s"nested agg '$name': column '$pid' is reserved")
-    val elems = hits.withColumn(pid, monotonically_increasing_id())
-      .select(col(pid), explode(col(path)).as(path))
-    val subEntries: Seq[(String, JValue)] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    // a `terms` sub-agg switches the nested agg from one global metric
-    // row to a FACET over the array elements (top tags / top authors —
-    // the multi-valued-field idiom): one explode + one groupBy on the
-    // element (or a struct member of it), metric sub-aggs ride the
-    // same groupBy; the element domain bounds the bucket table
-    val (termsEntries, rest) = subEntries.partition {
-      case (_, JObject(List(("terms", _)))) => true
-      case _ => false
-    }
-    // `reverse_nested` sub-agg: back to the parent document level —
-    // the bucket's value is how many PARENT rows contribute at least
-    // one element (the blog-posts-per-comment-author idiom), vs
-    // doc_count which counts elements. Root jump only ({}): the
-    // engine's nested model is one array column deep, so a `path`
-    // option has nothing shallower to name — fail loud.
-    val (reverseEntries, metricEntries) = rest.partition {
-      case (_, JObject(List(("reverse_nested", _)))) => true
-      case _ => false
-    }
-    val reverseSubs: Seq[Column] = reverseEntries.map {
-      case (n, JObject(List(("reverse_nested", JObject(Nil))))) =>
-        countDistinct(col(pid)).as(n)
-      case (n, _) => fail(s"reverse_nested '$n' takes no options (the " +
-        "nested model is one level deep - the jump is always to the root)")
-    }
-    val subs: Seq[Column] = metricEntries.flatMap {
-      case (n, sp) => metricCols(n, sp, schema = elems.schema)
-    } ++ reverseSubs
-    termsEntries match {
-      case Nil => elems.agg(count(lit(1)).as("doc_count"), subs: _*)
-      case Seq((tn, JObject(List(("terms", JObject(t)))))) =>
-        val tm = t.toMap
-        tm.keySet.diff(Set("field", "size")).foreach(k =>
-          fail(s"unsupported nested terms option '$k' in '$tn'"))
-        val f = strOpt(tm, "field")
-          .getOrElse(fail(s"nested terms '$tn' needs a field"))
-        if (f != path && !f.startsWith(path + "."))
-          fail(s"nested terms field '$f' must be the nested path or a " +
-            s"'$path.' member")
-        val size = intOpt(tm, "size").getOrElse(10)
-        if (size < 1) fail("nested terms size must be >= 1")
-        elems.groupBy(col(f).as(tn))
-          .agg(count(lit(1)).as("doc_count"), subs: _*)
-          .orderBy(col("doc_count").desc, col(tn).asc)
-          .limit(size)
-      case _ => fail(s"nested agg '$name' supports at most one terms sub-agg")
-    }
-  }
-
-  /** `ip_range` bucket agg: explicit `[from, to)` buckets over
-    * dotted-quad IPv4 strings — the access-log idiom of the OpenSearch
-    * surface. Bounds parse ON THE DRIVER to exact integers; the field
-    * converts through one codegen'd split (`a·2²⁴ + b·2¹⁶ + c·2⁸ + d`)
-    * and the one-pass filtered-aggregate tail is shared with `range`
-    * (one global aggregate row, never a scan per bucket). Malformed
-    * BOUNDS fail loud; malformed field VALUES convert to NULL and land
-    * in no bucket (the null-key-omitted convention — data is dirty,
-    * requests are not). IPv6 is out of scope and fails at the bound.
-    */
-  /** Dotted-quad IPv4 string → exact 32-bit integer, NULL on ANY
-    * dirt (short split, non-numeric or out-of-range octet — the
-    * null-key-omitted convention; try_element_at/try_cast keep ANSI
-    * mode from aborting on dirty data). Shared by ip_range and
-    * ip_prefix so the two can never disagree on what parses.
-    */
-  private def ipv4NumCol(f: Column): Column = {
-    val oct = split(f, "\\.")
-    def octet(i: Int): Column = try_element_at(oct, lit(i)).try_cast("long")
-    val octetsOk = (1 to 4).map(i =>
-      octet(i).isNotNull && octet(i) >= 0L && octet(i) <= 255L).reduce(_ && _)
-    when(size(oct) === 4 && octetsOk,
-      octet(1) * lit(16777216L) + octet(2) * lit(65536L) +
-        octet(3) * lit(256L) + octet(4))
-  }
-
-  /** `ip_prefix` bucket agg: group addresses by their /N network —
-    * one masked-integer groupBy (map-side partial agg), the key
-    * rendered as the canonical `a.b.c.d/N` CIDR string (the
-    * `append_prefix_length: true` OpenSearch form, the deterministic
-    * one). IPv4 only (`is_ipv6` fails loud); dirty addresses NULL out
-    * and their rows are omitted (the ip_range convention). Output:
-    * (key AS name, doc_count [, sub-metric aggs]), ordered by the
-    * NUMERIC prefix (lexicographic CIDR strings would put "9.x"
-    * after "10.x").
-    */
-  private def ipPrefixAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"ip_prefix agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "prefix_length", "is_ipv6")).foreach(k =>
-      fail(s"unsupported ip_prefix option '$k' in '$name'"))
-    m.get("is_ipv6").foreach {
-      case JBool(false) => ()
-      case _ => fail(s"ip_prefix agg '$name': is_ipv6 true is unsupported " +
-        "(the engine's address model is IPv4)")
-    }
-    val f = strOpt(m, "field").getOrElse(fail(s"ip_prefix agg '$name' needs a field"))
-    val n = intOpt(m, "prefix_length")
-      .getOrElse(fail(s"ip_prefix agg '$name' needs a prefix_length"))
-    if (n < 1 || n > 32) fail(s"ip_prefix prefix_length must be 1-32, got $n")
-    val ipNum = ipv4NumCol(col(f))
-    val block = 1L << (32 - n)
-    val net = ipNum - (ipNum % lit(block))
-    val key = concat(
-      shiftright(net, 24).cast("string"), lit("."),
-      (shiftright(net, 16) % 256).cast("string"), lit("."),
-      (shiftright(net, 8) % 256).cast("string"), lit("."),
-      (net % 256).cast("string"), lit(s"/$n"))
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    hits.filter(ipNum.isNotNull)
-      .groupBy(net.as("__net"), key.as(name))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col("__net").asc)
-      .drop("__net")
-  }
-
-  private def ipRangeAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other      => fail(s"ip_range agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "ranges")).foreach(k =>
-      fail(s"unsupported ip_range option '$k' in '$name'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"ip_range agg '$name' needs a field"))
-    def ipToLong(s: String): Long = {
-      val parts = s.split("\\.", -1)
-      if (parts.length != 4 || parts.exists(p =>
-          p.isEmpty || p.length > 3 || !p.forall(_.isDigit) || p.toInt > 255))
-        fail(s"ip_range agg '$name': '$s' is not a dotted-quad IPv4 address")
-      parts.foldLeft(0L)((acc, p) => acc * 256L + p.toLong)
-    }
-    val ipNum = ipv4NumCol(col(f))
-    val ranges: Seq[(Column, String)] = m.get("ranges") match {
-      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
-        case JObject(bounds) =>
-          val bm = bounds.toMap
-          bm.keySet.diff(Set("from", "to")).foreach(k =>
-            fail(s"unsupported ip_range bound '$k' in agg '$name'"))
-          def bound(k: String): Option[(String, Long)] = bm.get(k).map {
-            case JString(s) => (s, ipToLong(s))
-            case other => fail(s"ip_range $k must be an IPv4 string: ${render(other)}")
-          }
-          val (from, to) = (bound("from"), bound("to"))
-          if (from.isEmpty && to.isEmpty)
-            fail(s"ip_range agg '$name' has an unbounded range")
-          val conds = from.map { case (_, v) => ipNum >= lit(v) }.toSeq ++
-            to.map { case (_, v) => ipNum < lit(v) }
-          val key = s"${from.map(_._1).getOrElse("*")}-${to.map(_._1).getOrElse("*")}"
-          (conds.reduce(_ && _), key)
-        case other => fail(s"ip_range agg '$name' ranges must be objects: ${render(other)}")
-      }
-      case _ => fail(s"ip_range agg '$name' requires a non-empty ranges array")
-    }
-    onePassBuckets(hits, name, ranges, subAggs, family = "ip_range")
-  }
-
-  /** `date_range` bucket agg: calendar-anchored [from, to) buckets
-    * over a date column — `range`'s semantics (overlap allowed, a doc
-    * lands in every bucket containing it, request order) with ISO
-    * `yyyy-MM-dd` bounds, compiled through the same one-pass
-    * filtered-aggregate machinery (one partial-agg exchange, never a
-    * scan per bucket). Bounds outside the ISO shape fail loud — a
-    * mis-parsed date must never silently become an empty bucket.
-    */
-  private def dateRangeAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"date_range agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "ranges", "now")).foreach(k =>
-      fail(s"unsupported date_range option '$k' in '$name'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"date_range agg '$name' needs a field"))
-    // a sibling "now" supplies the deterministic instant date math in
-    // the bounds resolves against (the rangeClause convention)
-    val nowOpt = m.get("now") match {
-      case Some(JString(s)) =>
-        try Some(DateMath.parseAnchor(s))
-        catch { case e: IllegalArgumentException =>
-          fail(s"date_range '$name': now ${e.getMessage}") }
-      case None        => None
-      case Some(other) =>
-        fail(s"date_range now must be an ISO string: ${render(other)}")
-    }
-    val ranges: Seq[(Column, String)] = m.get("ranges") match {
-      case Some(JArray(rs)) if rs.nonEmpty => rs.map {
-        case JObject(bounds) =>
-          val bm = bounds.toMap
-          bm.keySet.diff(Set("from", "to")).foreach(k =>
-            fail(s"unsupported date_range bound '$k' in agg '$name'"))
-          // strict CALENDAR validation on the driver — a regex-valid
-          // but impossible date ("1994-02-30") would otherwise pass
-          // through to_date as NULL and silently empty the bucket.
-          // Date-math bounds ("now-2y/y", "1997-01-01||+6M/M") resolve
-          // on the driver too; aggregation bounds round PLAIN FLOOR on
-          // both ends (the OpenSearch agg rule — the bound-type-aware
-          // rounding is the range QUERY's contract, not this one) and
-          // must land on day precision (the bucket key model is DATE —
-          // add /d..   /y to sub-day math rather than silently
-          // truncating). The bucket label keeps the request's own
-          // expression text.
-          def day(k: String): Option[String] = bm.get(k).map {
-            case JString(s) if DateMath.isDateMath(s) =>
-              val r = try DateMath.eval(s, nowOpt) catch {
-                case e: IllegalArgumentException =>
-                  fail(s"date_range '$name' $k: ${e.getMessage}")
-              }
-              val t = r.round.map(u => DateMath.truncate(r.base, u))
-                .getOrElse(r.base)
-              if (!t.toLocalTime.equals(java.time.LocalTime.MIDNIGHT))
-                fail(s"date_range '$name' $k '$s' resolves to sub-day " +
-                  "precision - round with /d (or coarser)")
-              t.toLocalDate.toString
-            case JString(s) =>
-              try { java.time.LocalDate.parse(s); s }
-              catch { case _: java.time.format.DateTimeParseException =>
-                fail(s"date_range $k '$s' is not a valid yyyy-MM-dd date") }
-            case other =>
-              fail(s"date_range $k must be a yyyy-MM-dd string: ${render(other)}")
-          }
-          def label(k: String): Option[String] = bm.get(k).collect {
-            case JString(s) => s
-          }
-          val (from, to) = (day("from"), day("to"))
-          val (fromL, toL) = (label("from"), label("to"))
-          if (from.isEmpty && to.isEmpty)
-            fail(s"date_range agg '$name' has an unbounded range")
-          val conds = from.map(v => col(f) >= to_date(lit(v))).toSeq ++
-            to.map(v => col(f) < to_date(lit(v)))
-          val key = s"${fromL.getOrElse("*")}-${toL.getOrElse("*")}"
-          (conds.reduce(_ && _), key)
-        case other => fail(s"date_range agg '$name' ranges must be objects: ${render(other)}")
-      }
-      case _ => fail(s"date_range agg '$name' requires a non-empty ranges array")
-    }
-    onePassBuckets(hits, name, ranges, subAggs, family = "date_range")
-  }
-
-  /** `rare_terms` bucket agg: the LONG TAIL — field values whose doc
-    * count is at or under `max_doc_count` (the inverse of `terms`'
-    * top-N), ascending count then key (the q99 contract). One
-    * partial-aggregated shuffle; the output is bounded by the
-    * vocabulary, and the filter runs on the aggregated counts, never
-    * a second scan.
-    */
-  private def rareTermsAgg(hits: DataFrame, name: String,
-      spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"rare_terms agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "max_doc_count")).foreach(k =>
-      fail(s"unsupported rare_terms option '$k' in '$name'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"rare_terms agg '$name' needs a field"))
-    val maxDc = intOpt(m, "max_doc_count").getOrElse(1)
-    if (maxDc < 1) fail("rare_terms max_doc_count must be >= 1")
-    // OpenSearch omits documents missing the field — and a NULL
-    // bucket would also sort NULLS FIRST here vs NULLS LAST in most
-    // SQL engines (the composite-agg portability rule)
-    hits.filter(col(f).isNotNull)
-      .groupBy(col(f).as(name))
-      .agg(count(lit(1)).as("doc_count"))
-      .filter(col("doc_count") <= maxDc)
-      .orderBy(col("doc_count").asc, col(name).asc)
-  }
-
-  /** `adjacency_matrix` bucket agg: named filters plus the document
-    * count of every pairwise intersection (the co-occurrence-heatmap
-    * agg — the q110 contract). Cells are keyed `a` / `a&b` in
-    * alphabetical key order, exactly OpenSearch's response order.
-    * Every cell is one conditional aggregate in a SINGLE global
-    * aggregation row (the one-pass filtered-bucket machinery) — no
-    * joins, no explode of the corpus, one partial-agg shuffle of one
-    * row reshaped to cell rows.
-    */
-  private def adjacencyMatrixAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"adjacency_matrix '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("filters")).foreach(k =>
-      fail(s"unsupported adjacency_matrix option '$k' in '$name'"))
-    val named: Seq[(String, Column)] = m.get("filters") match {
-      case Some(JObject(fs)) if fs.size >= 2 =>
-        fs.map { case (fname, q) =>
-          if (fname.contains("&"))
-            fail(s"adjacency_matrix filter name '$fname' may not contain '&' " +
-              "(the intersection-key separator)")
-          (fname, compileQuery(q).pred)
-        }
-      case _ => fail(s"adjacency_matrix '$name' requires >= 2 keyed filters")
-    }
-    val sorted = named.sortBy(_._1)
-    val cells: Seq[(Column, String)] = for {
-      (i, (an, ac)) <- sorted.zipWithIndex.map(_.swap)
-      (bn, bc) <- sorted.drop(i)
-    } yield (if (an == bn) (ac, an) else (ac && bc, s"$an&$bn"))
-    onePassBuckets(hits, name, cells, subAggs, family = "adjacency_matrix")
-  }
-
-  /** `matrix_stats` agg: count/mean/variance/covariance/correlation
-    * between exactly two INTEGRAL fields (the q111 contract). Every
-    * moment derives from exact integer sums (Σx, Σy, Σx², Σy², Σxy —
-    * order-free), so the final float divisions/sqrt are deterministic
-    * in any engine; round(·, 6) absorbs the last-op ulp. Non-integral
-    * fields fail loud — a float input would make the sums
-    * order-sensitive and the gate flaky. One partial-agg shuffle of
-    * one row.
-    */
-  private def matrixStatsAgg(hits: DataFrame, name: String,
-      spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"matrix_stats '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("fields")).foreach(k =>
-      fail(s"unsupported matrix_stats option '$k' in '$name'"))
-    val (fx, fy) = m.get("fields") match {
-      case Some(JArray(List(JString(a), JString(b)))) => (a, b)
-      case _ => fail(s"matrix_stats '$name' requires fields: [exactly two fields]")
-    }
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    Seq(fx, fy).foreach { f =>
-      val dt = hits.schema.find(_.name == f)
-        .getOrElse(fail(s"matrix_stats field '$f' does not exist")).dataType
-      if (!Set[org.apache.spark.sql.types.DataType](
-          ByteType, ShortType, IntegerType, LongType).contains(dt))
-        fail(s"matrix_stats field '$f' must be integral (got $dt): float " +
-          "inputs make the moment sums order-sensitive")
-    }
-    val (x, y) = (col(fx).cast("long"), col(fy).cast("long"))
-    val moments = hits.agg(count(lit(1)).as("n"),
-      sum(x).as("sx"), sum(y).as("sy"),
-      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"),
-      greatest(max(abs(x)), max(abs(y))).as("maxab"))
-    val n = col("n").cast("double")
-    // the exact-moments contract dies silently if Σx² wraps Long in a
-    // deployment that DISABLES ANSI mode (with Spark's default ANSI on,
-    // the per-row multiply itself raises) — fail loud either way, like
-    // significant_terms' ppm guard. Conservative double-space bound:
-    // maxab² · n under 9e18.
-    val nGuarded = when(
-        pow(col("maxab").cast("double"), 2.0) * n > lit(9.0e18),
-        raise_error(lit("matrix_stats moment overflow: |values|^2 x rows " +
-          "exceeds the exact Long model")).cast("long"))
-      .otherwise(col("n"))
-    val varX = (col("sxx") - col("sx") * col("sx") / n) / n
-    val varY = (col("syy") - col("sy") * col("sy") / n) / n
-    val covXY = (col("sxy") - col("sx") * col("sy") / n) / n
-    moments.select(nGuarded.as("n"),
-      round(col("sx") / n, 6).as(s"mean_$fx"),
-      round(col("sy") / n, 6).as(s"mean_$fy"),
-      round(varX, 6).as(s"var_$fx"),
-      round(varY, 6).as(s"var_$fy"),
-      round(covXY, 6).as("covariance"),
-      round(covXY / (sqrt(varX) * sqrt(varY)), 6).as("correlation"))
-  }
-
-  /** `geo_grid` bucket agg: fixed-degree lat/lon cells (the
-    * geotile/geohash-grid idea expressed over the engine's named
-    * lat/lon columns — the q125 contract): one groupBy on the two
-    * floor-divided cell keys with doc_count + metric sub-aggs,
-    * ordered (cell_lat, cell_lon). One partial-aggregated shuffle
-    * bounded by the cell count.
-    */
-  private def geoGridAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"geo_grid '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("lat_field", "lon_field", "cell_deg")).foreach(k =>
-      fail(s"unsupported geo_grid option '$k' in '$name'"))
-    val latF = strOpt(m, "lat_field").getOrElse(fail("geo_grid requires lat_field"))
-    val lonF = strOpt(m, "lon_field").getOrElse(fail("geo_grid requires lon_field"))
-    val cell = m.get("cell_deg") match {
-      case Some(JDouble(d)) if d > 0  => d
-      case Some(JInt(i)) if i > 0     => i.toDouble
-      case Some(JDecimal(d)) if d > 0 => d.toDouble
-      case _ => fail("geo_grid requires a positive numeric cell_deg")
-    }
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    // rows missing either coordinate are omitted (OpenSearch's
-    // missing-geo_point rule; also kills the NULL-bucket sort-order
-    // portability hazard)
-    hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
-      .groupBy(floor(col(latF) / lit(cell)).as(s"${name}_lat"),
-        floor(col(lonF) / lit(cell)).as(s"${name}_lon"))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col(s"${name}_lat"), col(s"${name}_lon"))
-  }
-
-  /** REAL base-32 geohash cell id (interoperable with OpenSearch's
-    * geohash strings, unlike [[geoGridAgg]]'s fixed-degree analog):
-    * precision-p hash = the top 5p bits of the bit-interleaved
-    * quantized axes (longitude leads and takes the extra bit of odd
-    * totals — the public algorithm), rendered through the standard
-    * 32-char alphabet (0-9 then b-z minus a/i/l/o). The per-axis quantizer
-    * `floor((v + off) / span · 2^bits)` is exactly the bisection
-    * bit-walk unrolled, so the whole hash is deterministic integer
-    * arithmetic after ONE IEEE multiply-divide per axis — the DuckDB
-    * oracle replays it term-for-term with `>> & <<` (see q250). Pure
-    * codegen (shifts, masks, element_at), no UDF.
-    */
-  private[search] def geohashCol(lat: Column, lon: Column, p: Int): Column = {
-    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
-    val total = 5 * p
-    val xb = (total + 1) / 2 // lon leads: the extra bit on odd totals
-    val yb = total / 2
-    def quant(c: Column, off: Double, span: Double, bits: Int): Column =
-      least(greatest(floor((c + lit(off)) / lit(span) *
-          lit((1L << bits).toDouble)), lit(0.0)),
-        lit(((1L << bits) - 1).toDouble)).cast("long")
-    val ix = quant(lon, 180.0, 360.0, xb)
-    val iy = quant(lat, 90.0, 180.0, yb)
-    // interleave: lon bit j lands at 2j (odd total) / 2j+1 (even),
-    // lat at the complementary slot — MSB = lon's top bit either way
-    val lonPos: Int => Int = j => if (total % 2 == 1) 2 * j else 2 * j + 1
-    val latPos: Int => Int = j => if (total % 2 == 1) 2 * j + 1 else 2 * j
-    val code =
-      ((0 until xb).map(j =>
-        shiftleft(shiftright(ix, j).bitwiseAND(lit(1L)), lonPos(j))) ++
-       (0 until yb).map(j =>
-        shiftleft(shiftright(iy, j).bitwiseAND(lit(1L)), latPos(j))))
-        .reduce(_ + _)
-    val chars = alphabet.map(ch => lit(ch.toString))
-    concat((0 until p).map { j =>
-      val d = shiftright(code, 5 * (p - 1 - j)).bitwiseAND(lit(31L))
-      element_at(array(chars: _*), (d + lit(1L)).cast("int"))
-    }: _*)
-  }
-
-  /** `geohash_grid` bucket agg: one groupBy on the [[geohashCol]]
-    * cell id — identical shuffle shape to [[geoGridAgg]], the key is
-    * just the interoperable string. Count-desc/key-asc total order
-    * (the OpenSearch response order, made total).
-    */
-  private def geohashGridAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"geohash_grid '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
-      fail(s"unsupported geohash_grid option '$k' in '$name'"))
-    val latF = strOpt(m, "lat_field")
-      .getOrElse(fail("geohash_grid requires lat_field"))
-    val lonF = strOpt(m, "lon_field")
-      .getOrElse(fail("geohash_grid requires lon_field"))
-    val p = intOpt(m, "precision").getOrElse(5)
-    if (p < 1 || p > 12) fail(s"geohash_grid precision must be 1-12, got $p")
-    val size = intOpt(m, "size")
-    size.foreach(s => if (s < 1) fail("geohash_grid size must be >= 1"))
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    val grouped = hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
-      .groupBy(geohashCol(col(latF), col(lonF), p).as(name))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col("doc_count").desc, col(name).asc)
-    size.map(grouped.limit).getOrElse(grouped)
-  }
-
-  /** REAL web-mercator tile key `z/x/y` (interoperable with
-    * OpenSearch's geotile strings and every slippy-map tile server):
-    * x = ⌊(lon+180)/360·2ᶻ⌋, y = ⌊(1 − ln(tan φ + 1/cos φ)/π)/2·2ᶻ⌋
-    * with latitude clamped to the mercator domain ±85.05112878 (the
-    * public algorithm). ln/tan/cos are IEEE transcendentals — not
-    * correctly rounded, so a point EXACTLY on a tile edge could in
-    * principle land one ulp differently across engines; measure-zero
-    * for real coordinates, and the oracle gate would catch it.
-    */
-  private[search] def geotileCol(lat: Column, lon: Column, z: Int): Column = {
-    val n = (1L << z).toDouble
-    val x = least(greatest(floor((lon + lit(180.0)) / lit(360.0) * lit(n)),
-      lit(0.0)), lit(n - 1)).cast("long")
-    val latC = least(greatest(lat, lit(-85.05112878)), lit(85.05112878))
-    val latRad = latC * lit(math.Pi / 180.0)
-    val merc = (lit(1.0) -
-      log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / lit(2.0)
-    val y = least(greatest(floor(merc * lit(n)), lit(0.0)), lit(n - 1))
-      .cast("long")
-    concat(lit(s"$z/"), x.cast("string"), lit("/"), y.cast("string"))
-  }
-
-  /** `geotile_grid` bucket agg: one groupBy on the [[geotileCol]]
-    * tile key — the same shuffle shape as [[geohashGridAgg]].
-    */
-  private def geotileGridAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"geotile_grid '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
-      fail(s"unsupported geotile_grid option '$k' in '$name'"))
-    val latF = strOpt(m, "lat_field")
-      .getOrElse(fail("geotile_grid requires lat_field"))
-    val lonF = strOpt(m, "lon_field")
-      .getOrElse(fail("geotile_grid requires lon_field"))
-    val z = intOpt(m, "precision").getOrElse(7)
-    if (z < 0 || z > 29) fail(s"geotile_grid precision must be 0-29, got $z")
-    val size = intOpt(m, "size")
-    size.foreach(s => if (s < 1) fail("geotile_grid size must be >= 1"))
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    val grouped = hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
-      .groupBy(geotileCol(col(latF), col(lonF), z).as(name))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col("doc_count").desc, col(name).asc)
-    size.map(grouped.limit).getOrElse(grouped)
-  }
-
-  /** `variable_width_histogram`: OpenSearch's is a per-shard
-    * clustering APPROXIMATION; the engine's DETERMINISTIC analog is
-    * equal-frequency bucketing from exact discrete quantile
-    * boundaries (the q158 doctrine — boundaries are actual data
-    * values, so DuckDB replays them): boundary i = percentile_disc
-    * (i/buckets), a doc's bucket = how many boundaries its value
-    * exceeds. Two scan-shaped passes — one bounded boundary aggregate
-    * (≤ buckets−1 values to the driver, bounded metadata) and ONE
-    * groupBy on the codegen'd bucket index with broadcast-literal
-    * boundaries. Output per bucket (key-ascending): the centroid key
-    * (exact Σ/n, one IEEE divide), min, max, doc_count, sub-metrics.
-    */
-  private def variableWidthHistogramAgg(hits: DataFrame, name: String,
-      spec: JValue, subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"variable_width_histogram '$name' must be an " +
-        s"object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "buckets")).foreach(k =>
-      fail(s"unsupported variable_width_histogram option '$k' in '$name'"))
-    val f = strOpt(m, "field")
-      .getOrElse(fail(s"variable_width_histogram '$name' needs a field"))
-    val n = intOpt(m, "buckets")
-      .getOrElse(fail(s"variable_width_histogram '$name' needs buckets"))
-    if (n < 2 || n > 1000)
-      fail(s"variable_width_histogram buckets must be 2-1000, got $n")
-    val nonNull = hits.filter(col(f).isNotNull)
-    val boundCols = (1 until n).map(i => expr(
-      s"percentile_disc(${i.toDouble / n}) WITHIN GROUP (ORDER BY `$f`)"))
-    val row = nonNull.agg(boundCols.head, boundCols.tail: _*).collect().head
-    if (row.isNullAt(0)) {
-      // no data: zero buckets (the empty-series sentinel)
-      return nonNull.groupBy(col(f).as(name))
-        .agg(count(lit(1)).as("doc_count"))
-        .select(col(name).cast("double").as(name),
-          col(name).as(s"${name}_min"),
-          col(name).as(s"${name}_max"), col("doc_count"))
-        .limit(0)
-    }
-    val bounds = (0 until n - 1).map(row.get)
-    val idx = bounds.foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(f) > lit(b), 1L).otherwise(0L)
-    }
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    val aggCols =
-      Seq((sum(col(f)).cast("double") / count(col(f)).cast("double")).as(name),
-        min(col(f)).as(s"${name}_min"), max(col(f)).as(s"${name}_max"),
-        count(lit(1)).as("doc_count")) ++ subs
-    nonNull.groupBy(idx.as("__vw_i"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .orderBy(col(s"${name}_min").asc)
-      .drop("__vw_i")
-  }
-
-  /** `diversified_sampler` bucket agg: sub-aggs over a de-skewed
-    * sample — at most `max_docs_per_value` docs per distinct value of
-    * `field`. OpenSearch keeps the top-scored docs per value in shard
-    * order; the engine's DETERMINISTIC analog ranks by the explicit
-    * `id_field` ascending (the explicit-fields convention — document
-    * identity is the one total order every engine replays). One
-    * row_number window PARTITIONED BY the dedup key — the shuffle
-    * hashes the diversity field, so the cap applies per-key across
-    * the whole corpus (stronger than OpenSearch's per-shard cap) and
-    * scales with the key cardinality, never a global sort.
-    */
-  private def diversifiedSamplerAgg(hits: DataFrame, name: String,
-      spec: JValue, subAggs: Option[JValue]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other =>
-        fail(s"diversified_sampler '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "id_field", "max_docs_per_value")).foreach(k =>
-      fail(s"unsupported diversified_sampler option '$k' in '$name'"))
-    val f = strOpt(m, "field")
-      .getOrElse(fail("diversified_sampler requires the diversity field"))
-    val idF = strOpt(m, "id_field")
-      .getOrElse(fail("diversified_sampler requires id_field (the " +
-        "deterministic per-value order — the explicit-fields convention)"))
-    val cap = intOpt(m, "max_docs_per_value").getOrElse(1)
-    if (cap < 1) fail("diversified_sampler max_docs_per_value must be >= 1")
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    val w = Window.partitionBy(col(f)).orderBy(col(idF).asc)
-    hits.withColumn("__ds_rn", row_number().over(w))
-      .filter(col("__ds_rn") <= cap).drop("__ds_rn")
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-  }
-
-  /** `children` / `parent` bucket aggs: the relations model's agg arm
-    * — switch the doc set from the current hits to their children
-    * (resp. parents) and run the sub-aggs there. Same explicit-columns
-    * wire shape as has_child/has_parent. Compiles to ONE semi-join on
-    * the id domain (hit ids broadcast or hashed — never a per-row
-    * subquery) + a global aggregate; `children` additionally gates the
-    * joined side on the child `type`.
-    */
-  private def relationSwitchAgg(table: DataFrame, hits: DataFrame,
-      name: String, spec: JValue, subAggs: Option[JValue],
-      toChildren: Boolean): DataFrame = {
-    val kind = if (toChildren) "children" else "parent"
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"$kind '$name' must be an object: ${render(other)}")
-    }
-    val allowed =
-      if (toChildren) Set("type", "join_field", "id_field", "parent_field")
-      else Set("join_field", "id_field", "parent_field")
-    m.keySet.diff(allowed).foreach(k =>
-      fail(s"unsupported $kind option '$k' in '$name'"))
-    val joinF = strOpt(m, "join_field")
-      .getOrElse(fail(s"$kind needs join_field (the relation-name column)"))
-    val idF = strOpt(m, "id_field")
-      .getOrElse(fail(s"$kind needs id_field (the document id column)"))
-    val parentF = strOpt(m, "parent_field")
-      .getOrElse(fail(s"$kind needs parent_field (the child's parent pointer)"))
-    val switched =
-      if (toChildren) {
-        val childType = strOpt(m, "type")
-          .getOrElse(fail("children needs the child 'type'"))
-        table.filter(col(joinF) === lit(childType))
-          .join(hits.select(col(idF).as("__rs_id")),
-            col(parentF) === col("__rs_id"), "leftsemi")
-      } else
-        table.join(hits.filter(col(parentF).isNotNull)
-            .select(col(parentF).as("__rs_id")).distinct(),
-          col(idF) === col("__rs_id"), "leftsemi")
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) =>
-        s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = table.schema) }
-      case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    switched.agg(count(lit(1)).as("doc_count"), subs: _*)
-  }
-
-  /** Two-level bucket table for a `terms` agg nesting another `terms`
-    * agg (+ metric sub-aggs on the inner buckets). One groupBy on the
-    * (outer, inner) key pair — a single shuffle carrying map-side
-    * partials, exactly like the flat terms agg — then outer totals,
-    * per-outer inner ranks and the outer rank as windows OVER THE
-    * BUCKET TABLE (bounded by the key-pair cardinality, never the
-    * corpus; the pipeline-agg argument). Output: outer key (named
-    * after the parent agg), `<parent>_doc_count` (the outer bucket's
-    * total), inner key, `doc_count`, inner metric columns — ordered
-    * by outer total desc / outer key, then inner count desc / inner
-    * key (the OpenSearch response order, made total). `size` on
-    * either level limits that level's buckets. NULL-inner-key rows
-    * COUNT toward their outer bucket's total (the parent bucket holds
-    * all its docs, as in OpenSearch) but emit no inner bucket (the
-    * terms-agg missing-value rule); NULL outer keys are omitted
-    * entirely.
-    */
-  private def termsInTermsAgg(hits: DataFrame, name: String,
-      outerField: String, outerSize: Option[Int], subName: String,
-      innerSpec: Map[String, JValue]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    innerSpec.keySet.diff(Set("terms", "aggs")).foreach(k =>
-      fail(s"unsupported nested-terms option '$k' in '$subName'"))
-    val (innerField, innerSize) = innerSpec.get("terms") match {
-      case Some(JObject(t)) =>
-        val tm = t.toMap
-        tm.keySet.diff(Set("field", "size")).foreach(k =>
-          fail(s"unsupported terms option '$k' in '$subName'"))
-        (strOpt(tm, "field").getOrElse(fail(s"terms agg '$subName' needs a field")),
-          intOpt(tm, "size"))
-      case _ => fail(s"nested agg '$subName' has no terms body")
-    }
-    if (innerField == outerField)
-      fail(s"nested terms field '$innerField' must differ from the parent's")
-    val subs: Seq[Column] = innerSpec.get("aggs") match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, schema = hits.schema) }
-      case Some(other)      => fail(s"aggs.$subName.aggs must be an object: ${render(other)}")
-    }
-    // group INCLUDING null inner keys so the outer total (a window
-    // sum over the bucket table) counts every doc in the parent
-    // bucket; the null-inner rows are dropped only AFTER that total,
-    // before inner ranking — one scan, one shuffle, OpenSearch
-    // parent-count semantics
-    val grouped = hits
-      .filter(col(outerField).isNotNull)
-      .groupBy(col(outerField).as(name), col(innerField).as(subName))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-    val wOuter = Window.partitionBy(col(name))
-    val wInnerRank = Window.partitionBy(col(name))
-      .orderBy(col("doc_count").desc, col(subName).asc)
-    val withTot = grouped
-      .withColumn(s"${name}_doc_count", sum(col("doc_count")).over(wOuter))
-      .filter(col(subName).isNotNull)
-      .withColumn("__ir", row_number().over(wInnerRank))
-    val innerLimited =
-      innerSize.map(nn => withTot.filter(col("__ir") <= nn)).getOrElse(withTot)
-    val wOuterRank = Window.orderBy(col(s"${name}_doc_count").desc, col(name).asc)
-    val ranked = innerLimited.withColumn("__or", dense_rank().over(wOuterRank))
-    val outLimited =
-      outerSize.map(nn => ranked.filter(col("__or") <= nn)).getOrElse(ranked)
-    val metricNames = outLimited.columns.filterNot(Set(name, subName,
-      "doc_count", s"${name}_doc_count", "__ir", "__or").contains)
-    outLimited
-      .select((col(name) +: col(s"${name}_doc_count") +: col(subName) +:
-        col("doc_count") +: metricNames.toSeq.map(col)): _*)
-      .orderBy(col(s"${name}_doc_count").desc, col(name).asc,
-        col("doc_count").desc, col(subName).asc)
-  }
-
-  /** Pipeline aggs over a key-ordered bucket series (`buckets_path`
-    * names a sibling metric agg, or `_count` for the bucket's
-    * doc_count):
-    *  - `cumulative_sum` — running total in bucket-key order;
-    *  - `derivative` — bucket-over-bucket delta (NULL on the first
-    *    bucket, where OpenSearch omits the value);
-    *  - `moving_avg` — exact integer `window`-bucket sum divided by
-    *    the exact frame count (one IEEE divide, engine-portable — the
-    *    q57 recipe);
-    *  - `bucket_script` — per-bucket arithmetic over named sibling
-    *    metrics (`{"buckets_path": {"a": ..., "b": ...}, "script":
-    *    "params.a * 100 / params.b"}`), the dashboard ratio/percentage
-    *    idiom, compiled by [[scriptArithmetic]].
-    */
-  private def withPipelineAggs(buckets: DataFrame, name: String,
-      pipeEntries: Seq[(String, JValue)],
-      metricNames: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wKey = Window.orderBy(col(name).asc)
-    // Three pipeline families, applied in dependency order (the
-    // OpenSearch evaluation model, independent of declaration order):
-    // column-adders (the series aggs over the key-ordered bucket
-    // series, plus bucket_script's per-bucket arithmetic) run first
-    // in declaration order, bucket_selector then filters buckets (it
-    // may reference the added columns — a superset of OpenSearch,
-    // which only allows sibling metrics), bucket_sort finally
-    // re-orders and pages. All of it runs on the BOUNDED bucket table — the
-    // unpartitioned windows never see the corpus.
-    val (sorts, rest0) = pipeEntries.partition {
-      case (_, JObject(List(("bucket_sort", _)))) => true; case _ => false
-    }
-    val (selectors, series) = rest0.partition {
-      case (_, JObject(List(("bucket_selector", _)))) => true; case _ => false
-    }
-    if (sorts.size > 1) fail("at most one bucket_sort per bucket agg")
-
-    def pathCol(df: DataFrame, subName: String, body: Map[String, JValue],
-        key: String = "buckets_path"): String = {
-      val path = strOpt(body, key)
-        .getOrElse(fail(s"pipeline agg '$subName' needs a $key"))
-      resolveBucketColumn(df, s"pipeline agg '$subName'", path)
-    }
-
-    val withSeries = series.foldLeft(buckets) { case (df, (subName, subSpec)) =>
-      val (kind, body) = subSpec match {
-        case JObject(List((k, JObject(b)))) => (k, b.toMap)
-        case other => fail(s"pipeline agg '$subName' must be {kind: {buckets_path}}: ${render(other)}")
-      }
-      kind match {
-        // moving_percentiles: the exact DISCRETE analog of the
-        // sketch-merging original (the q158 doctrine — OpenSearch
-        // merges t-digests of the underlying values; the engine takes
-        // the discrete percentile of the window's bucket-metric
-        // series, an actual data-space value). One column per percent
-        // (`<name>_p<p>`, the percentiles naming): sort the window's
-        // collected frame, pick element ceil(p·n/100) — all integer
-        // index arithmetic, the element keeps its exact type. Runs on
-        // the BOUNDED bucket series like every series agg.
-        case "moving_percentiles" =>
-          body.keySet.diff(Set("buckets_path", "window", "percents"))
-            .foreach(k =>
-              fail(s"unsupported moving_percentiles option '$k' in '$subName'"))
-          val target = pathCol(df, subName, body)
-          val w = intOpt(body, "window")
-            .getOrElse(fail(s"moving_percentiles '$subName' needs a window"))
-          if (w < 1) fail("moving_percentiles window must be >= 1")
-          val percents = body.get("percents") match {
-            case Some(JArray(ps)) if ps.nonEmpty => ps.map {
-              case JInt(i) if i > 0 && i < 100 => i.toInt
-              case other =>
-                fail(s"percents must be integers in (0,100): ${render(other)}")
-            }
-            case None        => Seq(1, 5, 25, 50, 75, 95, 99)
-            case Some(other) => fail(s"percents must be an array: ${render(other)}")
-          }
-          val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
-          val arr = array_sort(collect_list(col(target)).over(frame))
-          percents.foldLeft(df) { (d, p) =>
-            // ceil(p·n/100) as exact integers; NULL targets drop from
-            // collect_list, an all-NULL window yields NULL (the
-            // OpenSearch empty-window omission)
-            val idx = ((size(arr).cast("long") * lit(p.toLong) + lit(99L)) /
-              lit(100L)).cast("int")
-            d.withColumn(s"${subName}_p$p",
-              when(size(arr) === 0, lit(null)).otherwise(element_at(arr, idx)))
-          }
-        // normalize: per-bucket rescaling against full-series stats —
-        // methods keep the portable-determinism recipe (exact integer
-        // sums/mins/maxes where the metric is integral, then a PINNED
-        // IEEE op order both engines replay bit-identically). softmax
-        // fails loud: exp is not correctly rounded, so its doubles
-        // cannot be oracle-gated cross-engine.
-        case "normalize" =>
-          body.keySet.diff(Set("buckets_path", "method")).foreach(k =>
-            fail(s"unsupported normalize option '$k' in '$subName'"))
-          val target = pathCol(df, subName, body)
-          val method = strOpt(body, "method")
-            .getOrElse(fail(s"normalize '$subName' needs a method"))
-          val wAll =
-            wKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          val x = col(target)
-          val sumAll = sum(x).over(wAll)
-          val minAll = min(x).over(wAll)
-          val maxAll = max(x).over(wAll)
-          val nAll = count(x).over(wAll)
-          val meanAll = sumAll.cast("double") / nAll.cast("double")
-          // Degenerate series guard: a constant series (max == min),
-          // a zero-sum percent_of_sum, or a zero-variance z-score has
-          // no defined rescaling — emit a documented NULL for every
-          // bucket instead of the NaN/Infinity a raw IEEE divide
-          // produces (NULL is observable and oracle-able; NaN !=
-          // NaN poisons hash gates silently).
-          val nullD = lit(null).cast("double")
-          val c = method match {
-            case "percent_of_sum" =>
-              when(sumAll === lit(0), nullD)
-                .otherwise(x.cast("double") / sumAll.cast("double"))
-            case "rescale_0_1" =>
-              when(maxAll === minAll, nullD).otherwise(
-                (x - minAll).cast("double") / (maxAll - minAll).cast("double"))
-            case "rescale_0_100" =>
-              when(maxAll === minAll, nullD).otherwise(
-                ((x - minAll) * lit(100)).cast("double") /
-                  (maxAll - minAll).cast("double"))
-            case "mean" =>
-              when(maxAll === minAll, nullD).otherwise(
-                (x.cast("double") - meanAll) / (maxAll - minAll).cast("double"))
-            case "z-score" =>
-              val sumSq = sum(x * x).over(wAll)
-              val varNum = (nAll * sumSq - sumAll * sumAll)
-              val varAll = varNum.cast("double") / (nAll * nAll).cast("double")
-              when(varNum === lit(0), nullD)
-                .otherwise((x.cast("double") - meanAll) / sqrt(varAll))
-            case "softmax" => fail("normalize softmax is unsupported: exp is " +
-              "not a correctly-rounded IEEE op, so its doubles cannot be " +
-              "oracle-gated cross-engine (use percent_of_sum)")
-            case other => fail(s"unsupported normalize method '$other'")
-          }
-          df.withColumn(subName, c)
-        case _ =>
-      val c = kind match {
-        case "bucket_script" =>
-          // per-bucket derived arithmetic (ratio/percentage from
-          // sibling metrics) — no window, no order dependence, so it
-          // works under terms parents too; params resolve exactly
-          // like bucket_selector's
-          body.keySet.diff(Set("buckets_path", "script")).foreach(k =>
-            fail(s"unsupported bucket_script option '$k' in '$subName'"))
-          val params: Map[String, String] = body.get("buckets_path") match {
-            case Some(JObject(ps)) if ps.nonEmpty => ps.map {
-              case (p, JString(path)) =>
-                p -> resolveBucketColumn(df, s"bucket_script '$subName'", path)
-              case (p, other) => fail(s"buckets_path '$p' must be a string: ${render(other)}")
-            }.toMap
-            case _ => fail(s"bucket_script '$subName' needs a buckets_path object")
-          }
-          val script = strOpt(body, "script")
-            .getOrElse(fail(s"bucket_script '$subName' needs a script"))
-          scriptArithmetic(script, params, subName)
-        case _ =>
-          val allowed = kind match {
-            case "moving_avg"  => Set("buckets_path", "window")
-            case "moving_fn"   => Set("buckets_path", "window", "script", "shift")
-            case "serial_diff" => Set("buckets_path", "lag")
-            case "derivative"  => Set("buckets_path", "unit")
-            case _             => Set("buckets_path")
-          }
-          body.keySet.diff(allowed).foreach(k =>
-            fail(s"unsupported $kind option '$k' in '$subName'"))
-          val target = pathCol(df, subName, body)
-          kind match {
-            case "cumulative_sum" =>
-              sum(col(target)).over(
-                wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            case "derivative" => col(target) - lag(col(target), 1).over(wKey)
-            case "serial_diff" =>
-              val n = intOpt(body, "lag").getOrElse(1)
-              if (n < 1) fail("serial_diff lag must be >= 1")
-              col(target) - lag(col(target), n).over(wKey)
-            case "moving_avg" =>
-              val w = intOpt(body, "window").getOrElse(3)
-              if (w < 1) fail("moving_avg window must be >= 1")
-              val frame = wKey.rowsBetween(-(w - 1).toLong, Window.currentRow)
-              sum(col(target)).over(frame).cast("double") /
-                count(lit(1)).over(frame).cast("double")
-            // moving_fn: the scripted window function — the engine
-            // compiles the EXACT MovingFunctions whitelist to native
-            // window aggregates (anything else fails loud; a general
-            // script would be a per-row interpreter). The OpenSearch
-            // shift model: shift 0 EXCLUDES the current bucket (the
-            // window is the w previous buckets), shift w includes it
-            // fully; an empty first window yields NULL (the omitted
-            // value).
-            case "moving_fn" =>
-              val w = intOpt(body, "window")
-                .getOrElse(fail(s"moving_fn '$subName' needs a window"))
-              if (w < 1) fail("moving_fn window must be >= 1")
-              val shift = intOpt(body, "shift").getOrElse(0)
-              if (shift < 0 || shift > w)
-                fail(s"moving_fn shift must be in [0, window], got $shift")
-              val frame =
-                wKey.rowsBetween((shift - w).toLong, (shift - 1).toLong)
-              strOpt(body, "script")
-                .getOrElse(fail(s"moving_fn '$subName' needs a script"))
-                .trim match {
-                case "MovingFunctions.max(values)" => max(col(target)).over(frame)
-                case "MovingFunctions.min(values)" => min(col(target)).over(frame)
-                case "MovingFunctions.sum(values)" => sum(col(target)).over(frame)
-                case "MovingFunctions.unweightedAvg(values)" =>
-                  sum(col(target)).over(frame).cast("double") /
-                    count(col(target)).over(frame).cast("double")
-                case other => fail(s"unsupported moving_fn script '$other' " +
-                  "(supported: MovingFunctions.{max,min,sum,unweightedAvg}" +
-                  "(values))")
-              }
-            case other => fail(s"unsupported pipeline agg kind '$other'")
-          }
-      }
-      val df1 = df.withColumn(subName, c)
-      // derivative `unit`: ALSO emit `<name>_normalized` — the diff
-      // per time unit, divided by the ACTUAL gap between this bucket's
-      // key and the previous one's (so calendar buckets of unequal
-      // length — months — normalize exactly, and a gap in a sparse
-      // series divides by the real elapsed time, the OpenSearch
-      // contract). Exact integer diff × exact-double unit constant /
-      // exact integer microsecond gap: the rate agg's pinned
-      // mul-divide recipe. First bucket stays NULL like the raw diff.
-      if (kind == "derivative" && body.contains("unit")) {
-        import org.apache.spark.sql.types.TimestampType
-        if (df.schema(name).dataType != TimestampType)
-          fail(s"derivative '$subName' unit requires a date_histogram " +
-            "parent (the key must be a timestamp)")
-        val unitUs = strOpt(body, "unit") match {
-          case Some("second") => 1000000L
-          case Some("minute") => 60000000L
-          case Some("hour")   => 3600000000L
-          case Some("day")    => 86400000000L
-          case Some(other) =>
-            fail(s"derivative unit must be second|minute|hour|day, got '$other'")
-          case None => fail("derivative unit must be a string")
-        }
-        val gapUs = unix_micros(col(name)) -
-          unix_micros(lag(col(name), 1).over(wKey))
-        df1.withColumn(s"${subName}_normalized",
-          col(subName).cast("double") * lit(unitUs.toDouble) /
-            gapUs.cast("double"))
-      } else df1
-      }
-    }
-
-    val selected = selectors.foldLeft(withSeries) { case (df, (subName, subSpec)) =>
-      val body = subSpec match {
-        case JObject(List(("bucket_selector", JObject(b)))) => b.toMap
-        case other => fail(s"bucket_selector '$subName' must be an object: ${render(other)}")
-      }
-      body.keySet.diff(Set("buckets_path", "script")).foreach(k =>
-        fail(s"unsupported bucket_selector option '$k' in '$subName'"))
-      val params: Map[String, String] = body.get("buckets_path") match {
-        case Some(JObject(ps)) if ps.nonEmpty => ps.map {
-          case (p, JString(path)) =>
-            p -> resolveBucketColumn(df, s"bucket_selector '$subName'", path)
-          case (p, other) => fail(s"buckets_path '$p' must be a string: ${render(other)}")
-        }.toMap
-        case _ => fail(s"bucket_selector '$subName' needs a buckets_path object")
-      }
-      val script = strOpt(body, "script")
-        .getOrElse(fail(s"bucket_selector '$subName' needs a script"))
-      df.filter(selectorPredicate(script, params, subName))
-    }
-
-    sorts.headOption match {
-      case None => selected.orderBy(col(name).asc)
-      case Some((subName, subSpec)) =>
-        val body = subSpec match {
-          case JObject(List(("bucket_sort", JObject(b)))) => b.toMap
-          case other => fail(s"bucket_sort '$subName' must be an object: ${render(other)}")
-        }
-        body.keySet.diff(Set("sort", "from", "size")).foreach(k =>
-          fail(s"unsupported bucket_sort option '$k' in '$subName'"))
-        val sortCols: Seq[Column] = body.get("sort") match {
-          case None => Seq(col(name).asc)
-          case Some(JArray(ss)) if ss.nonEmpty => ss.map {
-            case JString(f) => col(pathLike(selected, subName, f)).asc
-            case JObject(List((f, JObject(oo)))) =>
-              val target = pathLike(selected, subName, f)
-              strOpt(oo.toMap, "order").getOrElse("asc") match {
-                case "asc"  => col(target).asc
-                case "desc" => col(target).desc
-                case other  => fail(s"bucket_sort order must be asc/desc: '$other'")
-              }
-            case other => fail(s"bucket_sort sort entries must be a field or {field: {order}}: ${render(other)}")
-          } :+ col(name).asc // total order: bucket key breaks all ties
-          case Some(other) => fail(s"bucket_sort sort must be a non-empty array: ${render(other)}")
-        }
-        val from = intOpt(body, "from").getOrElse(0)
-        if (from < 0) fail("bucket_sort from must be >= 0")
-        intOpt(body, "size").foreach(sz =>
-          if (sz < 1) fail("bucket_sort size must be >= 1"))
-        val sorted = selected.orderBy(sortCols: _*)
-        val paged =
-          if (from == 0) sorted
-          else {
-            // offset over the bounded bucket table: a row_number window
-            // in the SAME total order, then filter — never a collect.
-            import org.apache.spark.sql.expressions.Window
-            val rn = row_number().over(Window.orderBy(sortCols: _*))
-            sorted.withColumn("__rn", rn).filter(col("__rn") > from)
-              .drop("__rn").orderBy(sortCols: _*)
-          }
-        intOpt(body, "size").map(paged.limit).getOrElse(paged)
-    }
-  }
-
-  /** The ONE calendar_interval mapping — shared by the
-    * date_histogram bucket path and composite date_histogram sources
-    * so the accepted unit set can never drift between them.
-    */
-  private def calendarUnit(s: String): String = s match {
-    case "day"   => "DAY"
-    case "month" => "MONTH"
-    case "year"  => "YEAR"
-    case other   => fail(s"unsupported calendar_interval '$other'")
-  }
-
-  /** The ONE buckets_path target resolution — `_count` maps to
-    * `doc_count`, anything else must be a bucket-table column — shared
-    * by the series/selector pipeline aggs, sibling `*_bucket` aggs and
-    * the terms `order` option so path semantics can never drift.
-    */
-  private def resolveBucketColumn(df: DataFrame, owner: String,
-      path: String): String = {
-    val target = if (path == "_count") "doc_count" else path
-    if (!df.columns.contains(target))
-      fail(s"$owner: buckets_path '$path' names no metric of the bucket " +
-        s"table (have: ${df.columns.mkString(", ")}, _count)")
-    target
-  }
-
-  /** bucket_sort sort targets: a bucket-table column or `_count`/`_key`. */
-  private def pathLike(df: DataFrame, subName: String, f: String): String = {
-    val target = f match {
-      case "_count" => "doc_count"
-      case "_key"   => df.columns.head
-      case other    => other
-    }
-    if (!df.columns.contains(target))
-      fail(s"bucket_sort '$subName' sort field '$f' names no bucket column")
-    target
-  }
-
-  /** The bucket_selector mini-script: ONE comparison
-    * `params.<name> <op> <integer>` with op ∈ {>, >=, <, <=, ==, !=}
-    * — compiled to a Catalyst predicate over the bucket table.
-    * Anything outside the grammar fails loud (no silent truthiness).
-    */
-  /** The bucket_script mini-script: arithmetic over declared params —
-    * `params.a * 100 / params.b` — compiled once on the driver to a
-    * Catalyst column over the BOUNDED bucket table. Grammar: binary
-    * `+ - * /` with the usual precedence, parentheses, non-negative
-    * integer literals and `params.<name>` operands. `+ - *` stay in
-    * the operands' exact types (integer metrics never round; ANSI
-    * overflow fails loud); every `/` is ONE IEEE double divide — the
-    * engine's portable-determinism recipe: `params.a * 100 /
-    * params.b` is exact-integer up to the single final divide, so
-    * DuckDB replays it bit-identically as `CAST(a*100 AS DOUBLE)/b`.
-    * Anything outside the grammar fails loud (no silent truthiness,
-    * no driver-side eval).
-    */
-  private def scriptArithmetic(script: String, params: Map[String, String],
-      subName: String): Column = {
-    def bad(msg: String): Nothing =
-      fail(s"bucket_script '$subName' script $msg: '$script'")
-    sealed trait Tok
-    case class Operand(c: Column) extends Tok
-    case class Op(ch: Char) extends Tok
-    val TokRe = """(?:params\.([A-Za-z_][A-Za-z0-9_]*)|(\d+)|([-+*/()]))""".r
-    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
-    var at = 0
-    while (at < script.length) {
-      if (script.charAt(at).isWhitespace) at += 1
-      else TokRe.findPrefixMatchOf(script.substring(at)) match {
-        case Some(mm) =>
-          toks += (if (mm.group(1) != null) {
-            val p = mm.group(1)
-            Operand(col(params.getOrElse(p,
-              bad(s"references undeclared param '$p'"))))
-          } else if (mm.group(2) != null) Operand(lit(mm.group(2).toLong))
-          else Op(mm.group(3).head))
-          at += mm.end
-        case None => bad(s"has an unrecognized token at '${script.drop(at)}'")
-      }
-    }
-    if (toks.isEmpty) bad("is empty")
-    var pos = 0
-    def take(): Tok = {
-      val t = toks.lift(pos).getOrElse(bad("ends unexpectedly")); pos += 1; t
-    }
-    def factor(): Column = take() match {
-      case Operand(c) => c
-      case Op('(') =>
-        val e = exprP()
-        take() match {
-          case Op(')') => e
-          case _       => bad("has an unbalanced parenthesis")
-        }
-      case Op(o) => bad(s"has a misplaced operator '$o'")
-    }
-    def term(): Column = {
-      var l = factor()
-      var go = true
-      while (go) toks.lift(pos) match {
-        case Some(Op('*')) => pos += 1; l = l * factor()
-        case Some(Op('/')) =>
-          pos += 1; l = l.cast("double") / factor().cast("double")
-        case _ => go = false
-      }
-      l
-    }
-    def exprP(): Column = {
-      var l = term()
-      var go = true
-      while (go) toks.lift(pos) match {
-        case Some(Op('+')) => pos += 1; l = l + term()
-        case Some(Op('-')) => pos += 1; l = l - term()
-        case _ => go = false
-      }
-      l
-    }
-    val out = exprP()
-    if (pos != toks.length) bad("has trailing tokens")
-    out
-  }
-
-  private def selectorPredicate(script: String, params: Map[String, String],
-      subName: String): Column = {
-    val Re = """^\s*params\.([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|!=|>|<)\s*(-?\d+)\s*$""".r
-    script match {
-      case Re(p, op, n) =>
-        val target = params.getOrElse(p,
-          fail(s"bucket_selector '$subName' script references undeclared param '$p'"))
-        val v = lit(n.toLong)
-        op match {
-          case ">"  => col(target) > v
-          case ">=" => col(target) >= v
-          case "<"  => col(target) < v
-          case "<=" => col(target) <= v
-          case "==" => col(target) === v
-          case "!=" => col(target) =!= v
-        }
-      case _ => fail(s"bucket_selector '$subName' script must match " +
-        s"'params.<name> <op> <integer>', got: '$script'")
-    }
-  }
-
-  /** `missing` bucket agg: the docs that carry NO value for a field —
-    * one conditional global aggregate row (`doc_count` + metric
-    * sub-aggs gated on IS NULL), a single partial-agg exchange, no
-    * shuffle keyed on anything.
-    */
-  private def missingAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val f = spec match {
-      case JObject(s) =>
-        val m = s.toMap
-        m.keySet.diff(Set("field")).foreach(k =>
-          fail(s"unsupported missing option '$k' in '$name'"))
-        strOpt(m, "field").getOrElse(fail(s"missing agg '$name' needs a field"))
-      case other => fail(s"missing agg '$name' must be an object: ${render(other)}")
-    }
-    val gate = col(f).isNull
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, Some(gate), hits.schema) }
-      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    hits.agg(count(when(gate, 1L)).as("doc_count"), subs: _*)
-  }
-
-  /** `sampler` bucket agg, DETERMINISTIC contract: sub-aggs over the
-    * top `shard_size` hits ranked by (score desc, `tiebreak` asc) —
-    * where OpenSearch samples the per-shard top-scored docs
-    * nondeterministically, this engine requires an explicit tiebreak
-    * field so the sample is a pure function of the request (the
-    * integer-score determinism rule). One bounded top-k then one
-    * global aggregate.
-    */
-  private def samplerAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"sampler agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("shard_size", "tiebreak")).foreach(k =>
-      fail(s"unsupported sampler option '$k' in '$name'"))
-    val n = intOpt(m, "shard_size").getOrElse(100)
-    if (n < 1) fail("sampler shard_size must be >= 1")
-    val tiebreak = strOpt(m, "tiebreak")
-      .getOrElse(fail(s"sampler agg '$name' needs a tiebreak field " +
-        "(the deterministic-sample contract)"))
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
-      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    // determinism guard: a tie on (score, tiebreak) involving ANY
-    // sampled row means which physical row survives the cut is
-    // partition-order dependent — including a tie STRADDLING the
-    // boundary (rank n vs n+1), where exactly one copy lands in the
-    // sample and an in-sample-only check would pass while sub-agg
-    // metrics over other fields differ across runs. So the top-k scan
-    // takes n+1 rows (one distributed TakeOrdered, same as before),
-    // flags duplicate (score, tiebreak) pairs with a count window over
-    // the ≤ n+1 local rows, and the aggregate raise_errors if any
-    // flagged row made the sample. A tie entirely BEYOND the cut
-    // (ranks n+1, n+2) is invisible and harmless — it cannot change
-    // the sample.
-    import org.apache.spark.sql.expressions.Window
-    val ord = Seq(col("score").desc, col(tiebreak).asc)
-    val plus = hits.orderBy(ord: _*).limit(n + 1)
-      .withColumn("__rn", row_number().over(Window.orderBy(ord: _*)))
-      .withColumn("__dup",
-        count(lit(1)).over(
-          Window.partitionBy(col("score"), col(tiebreak))) > 1)
-    val sampled = plus.filter(col("__rn") <= n)
-    val guardedCount = when(
-      max(when(col("__dup"), 1L)) === 1L,
-      raise_error(lit(s"sampler: tiebreak '$tiebreak' is not unique at " +
-        "the sample boundary - the deterministic contract needs a unique key"))
-        .cast("long"))
-      .otherwise(count(lit(1)))
-    sampled.agg(guardedCount.as("doc_count"), subs: _*)
-  }
-
-  /** `string_stats` agg: count / min / max / exact-ratio avg length
-    * plus the Shannon entropy of the GLOBAL character distribution —
-    * the q92 determinism recipe (per-char c·ln c rounded to 9 dp,
-    * summed as DECIMAL so the fold is order-independent, final round
-    * to 6 dp). Two bounded aggregations: one over docs for the
-    * lengths, one over the ≤|alphabet| character counts.
-    */
-  private def stringStatsAgg(hits: DataFrame, name: String,
-      spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"string_stats agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field")).foreach(k =>
-      fail(s"unsupported string_stats option '$k' in '$name'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"string_stats '$name' needs a field"))
-    val lengths = hits.filter(col(f).isNotNull).agg(
-      count(lit(1)).as("count"),
-      min(length(col(f))).cast("long").as("min_length"),
-      max(length(col(f))).cast("long").as("max_length"),
-      (sum(length(col(f))).cast("double") / count(lit(1)))
-        .as("avg_length"))
-    val chars = hits.filter(col(f).isNotNull)
-      .select(explode(split(col(f), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col("ch")).agg(count(lit(1)).as("c"))
-      .agg(
-        sum(col("c")).as("n"),
-        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
-          .cast("decimal(28,9)")).as("clogc"))
-      .select(round(log(col("n").cast("double")) -
-        col("clogc").cast("double") / col("n").cast("double"), 6)
-        .as("entropy"))
-    lengths.crossJoin(broadcast(chars))
-  }
-
-  /** Per-(hit-set, field) min/max span cache behind
-    * [[autoDateHistogramAgg]]'s unit choice — one column-pruned,
-    * filter-pushed min/max aggregate per JVM per (hit-set plan,
-    * field), then every REPEAT of the request compiles with ZERO
-    * extra Spark work (the round-7 finding: the unit choice used to
-    * re-scan the dated column on every request). Keyed by the
-    * analyzed hit-plan's semantic hash (so the span reflects the
-    * FILTERED hits, the OpenSearch contract — a one-week query over a
-    * multi-year table buckets by day, not year) PLUS a freshness
-    * fingerprint of the plan's file sources: a table that grows
-    * in-JVM (CDC append, re-ingest at the same path) re-derives its
-    * span instead of serving a stale unit that could break the
-    * bucket-cap guarantee. Values are UTC LocalDateTimes (None = the
-    * hit set has no non-NULL date).
-    */
-  // Size-capped, access-ordered LRU: the key carries a source-
-  // freshness fingerprint, so a continuously-appending table mints a
-  // NEW entry per CDC epoch and an unbounded map would leak driver
-  // memory on a long-lived serving JVM. 1024 live (plan, field,
-  // freshness) spans ≈ 100 KB and comfortably covers a serving
-  // session's hot request set; evicted entries just re-derive (one
-  // min/max aggregate) on next touch.
-  private[search] val dateSpanCacheCap = 1024
-  private val dateSpanCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[
-        String, Option[(java.time.LocalDateTime, java.time.LocalDateTime)]](
-        64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[
-          String, Option[(java.time.LocalDateTime, java.time.LocalDateTime)]])
-          : Boolean = size() > dateSpanCacheCap
-    })
-
-  private[search] def dateSpanCacheSize: Int = dateSpanCache.size()
-
-  /** Test hook: seed a cache entry directly (the eviction spec needs
-    * many distinct keys without paying a corpus scan per key).
-    */
-  private[search] def dateSpanCachePut(key: String): Unit = {
-    dateSpanCache.put(key, None); ()
-  }
-
-  /** Driver-side freshness fingerprint of every file source feeding a
-    * plan — [[graft.sources.ArtifactCache.freshnessToken]] (entry
-    * count + newest mtime + total bytes, one listing RPC per root, no
-    * Spark job) over each scan's root paths. In-memory relations
-    * contribute nothing (they are immutable per plan by construction).
-    */
-  private def planFreshness(df: DataFrame): String = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val roots = df.queryExecution.analyzed.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-        case _                    => Seq.empty[String]
-      }
-    }.flatten.distinct.sorted
-    roots.map(p =>
-      graft.sources.ArtifactCache.freshnessToken(df.sparkSession, p))
-      .mkString(";")
-  }
-
-  /** `auto_date_histogram`: the FINEST calendar interval (day →
-    * month → year) whose bucket span stays within `buckets` — the
-    * OpenSearch auto-sizing rule made deterministic. The span is the
-    * calendar distance between the HIT SET's min and max field values
-    * (the OpenSearch contract: a query narrowed to one week over a
-    * multi-year table buckets by day, not year), computed as one
-    * column-pruned, filter-pushed min/max aggregate and cached per
-    * (hit-plan, field, source freshness) — see [[dateSpanCache]] —
-    * so a repeated request compiles with zero extra Spark work and
-    * the per-request data path is exactly ONE date_trunc groupBy over
-    * the hits. Span-based counting is an upper bound on distinct
-    * buckets, so the requested cap is never exceeded. Output carries
-    * the chosen `interval` (the OpenSearch response field).
-    */
-  private def autoDateHistogramAgg(table: DataFrame, hits: DataFrame,
-      name: String, spec: JValue, subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"auto_date_histogram '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "buckets", "minimum_interval")).foreach(k =>
-      fail(s"unsupported auto_date_histogram option '$k' in '$name'"))
-    val f = strOpt(m, "field")
-      .getOrElse(fail(s"auto_date_histogram '$name' needs a field"))
-    val target = intOpt(m, "buckets").getOrElse(10)
-    if (target < 1) fail("auto_date_histogram buckets must be >= 1")
-    // `minimum_interval`: floor the derived unit — the caller knows
-    // the data's granularity and skips pointless fine units (the
-    // OpenSearch rounding hint). Ranks within the engine's unit set.
-    val minRank: Int = strOpt(m, "minimum_interval") match {
-      case None          => 0
-      case Some("day")   => 0
-      case Some("month") => 1
-      case Some("year")  => 2
-      case Some(other) => fail(s"auto_date_histogram minimum_interval " +
-        s"must be day|month|year (the engine's unit set), got '$other'")
-    }
-    // NULL-dated docs are omitted (the engine's null-key-omitted
-    // convention, same as multi_terms/rare_terms) — min/max already
-    // skip them, so without this filter the output could carry a NULL
-    // bucket the unit choice never counted, exceeding the requested cap
-    val dated = hits.filter(col(f).isNotNull)
-    val key =
-      s"${dated.queryExecution.analyzed.semanticHash()}#$f|${planFreshness(dated)}"
-    val span = dateSpanCache.computeIfAbsent(key, _ => {
-      val r = dated.agg(min(col(f)), max(col(f))).head()
-      if (r.isNullAt(0)) None
-      else Some((
-        r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime,
-        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
-    })
-    import java.time.temporal.ChronoUnit
-    val unit = span match {
-      case None => "day" // all-NULL column: the bucket table is empty anyway
-      case Some((lo, hi)) =>
-        val days = ChronoUnit.DAYS.between(
-          lo.toLocalDate, hi.toLocalDate) + 1
-        val months = ChronoUnit.MONTHS.between(
-          lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1)) + 1
-        if (days <= target && minRank <= 0) "day"
-        else if (months <= target && minRank <= 1) "month"
-        else "year"
-    }
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, schema = hits.schema) }
-      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    dated.groupBy(date_trunc(unit.toUpperCase, col(f)).as(name))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .withColumn("interval", lit(unit))
-      .orderBy(col(name).asc)
-  }
-
-  /** `multi_terms` bucket agg: terms over a composite key — ONE
-    * groupBy shuffle on all key fields together (never a join of
-    * per-field terms tables). Docs missing any key field are skipped
-    * (the OpenSearch rule, and the same engine-portability choice as
-    * `composite`). Output: one column per key field, `doc_count`,
-    * metric sub-aggs; ordered doc_count desc then keys asc, top
-    * `size` (default 10).
-    */
-  private def multiTermsAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"multi_terms agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("terms", "size")).foreach(k =>
-      fail(s"unsupported multi_terms option '$k' in '$name'"))
-    val fields: Seq[String] = m.get("terms") match {
-      case Some(JArray(ts)) if ts.size >= 2 => ts.map {
-        case JObject(List(("field", JString(f)))) => f
-        case other => fail(s"multi_terms terms entries must be {field}: ${render(other)}")
-      }
-      case _ => fail(s"multi_terms agg '$name' needs a terms array of >= 2 fields")
-    }
-    if (fields.distinct.size != fields.size)
-      fail(s"multi_terms agg '$name' repeats a field")
-    val size = intOpt(m, "size").getOrElse(10)
-    if (size < 1) fail("multi_terms size must be >= 1")
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, schema = hits.schema) }
-      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    hits.filter(fields.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(fields.map(col): _*)
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col("doc_count").desc +: fields.map(col(_).asc): _*)
-      .limit(size)
-  }
-
-  /** `filters` bucket agg: named, freely-overlapping buckets, each
-    * defined by a full sub-query — compiled through the same one-pass
-    * filtered-aggregate machinery as `range` (one partial-agg
-    * exchange, never a scan per bucket), rows in request order.
-    */
-  private def filtersAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"filters agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("filters", "other_bucket", "other_bucket_key"))
-      .foreach(k => fail(s"unsupported filters option '$k' in agg '$name'"))
-    val named: Seq[(Column, String)] = m.get("filters") match {
-      case Some(JObject(fs)) if fs.nonEmpty =>
-        fs.map { case (bname, q) => (compileQuery(q).pred, bname) }
-      // the ANONYMOUS array form: buckets named by position ("0",
-      // "1", … — the OpenSearch convention), same one-pass compile
-      case Some(JArray(fs)) if fs.nonEmpty =>
-        fs.zipWithIndex.map { case (q, i) => (compileQuery(q).pred, i.toString) }
-      case _ => fail(s"filters agg '$name' requires a non-empty keyed " +
-        "filters object or filters array")
-    }
-    // `other_bucket`: a trailing bucket counting docs that match NO
-    // named filter (the OpenSearch remainder bucket) — one more
-    // conditional aggregate in the SAME one-pass row, no extra scan;
-    // `other_bucket_key` renames it (and implies it, as in OpenSearch)
-    val otherKey: Option[String] = (m.get("other_bucket"), m.get("other_bucket_key")) match {
-      case (_, Some(JString(k)))      => Some(k)
-      case (_, Some(other))           => fail(s"other_bucket_key must be a string: ${render(other)}")
-      case (Some(JBool(true)), None)  => Some("_other_")
-      case (Some(JBool(false)), None) => None
-      case (Some(other), None)        => fail(s"other_bucket must be a boolean: ${render(other)}")
-      case (None, None)               => None
-    }
-    val buckets = otherKey match {
-      case None => named
-      case Some(k) =>
-        if (named.exists(_._2 == k))
-          fail(s"filters agg '$name': other bucket key '$k' collides with a named filter")
-        named :+ ((named.map(!_._1).reduce(_ && _), k))
-    }
-    onePassBuckets(hits, name, buckets, subAggs, family = "filters")
-  }
-
-  /** `composite` bucket agg: multi-source buckets in source-key order
-    * with `after` keyset paging — the scalable deep-pagination form
-    * (the q45 contract). The cursor compiles to a lexicographic
-    * strictly-after predicate BEFORE the groupBy, so a page deep in
-    * the bucket space prunes at the scan and aggregates only what
-    * can appear on the page's side of the cursor. Sources: `terms` on
-    * a field (ascending). Sub-aggs: metric columns.
-    */
-  private def compositeAgg(hits: DataFrame, name: String, spec: JValue,
-      subAggs: Option[JValue]): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"composite agg '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("sources", "size", "after")).foreach(k =>
-      fail(s"unsupported composite option '$k' in agg '$name'"))
-    // a source is the raw field (`terms`) or a DERIVED bucket key
-    // (`histogram` / `date_histogram` — the OpenSearch time+key
-    // pagination shape); derived keys are projected once up front so
-    // the after-keyset, NULL filter, groupBy and order all see one
-    // plain column
-    sealed case class Src(name: String, derived: Option[Column], isDate: Boolean)
-    val parsed: Seq[Src] = m.get("sources") match {
-      case Some(JArray(ss)) if ss.nonEmpty => ss.map {
-        case JObject(List((srcName, JObject(List((kind, JObject(t))))))) =>
-          val tm = t.toMap
-          val f = strOpt(tm, "field")
-            .getOrElse(fail(s"composite source '$srcName' needs a field"))
-          kind match {
-            case "terms" =>
-              tm.keySet.diff(Set("field")).foreach(k =>
-                fail(s"unsupported composite terms source key '$k'"))
-              if (srcName != f)
-                fail(s"composite source name '$srcName' must equal its field '$f' " +
-                  "(the output column carries one name)")
-              Src(srcName, None, isDate = false)
-            case "histogram" =>
-              tm.keySet.diff(Set("field", "interval")).foreach(k =>
-                fail(s"unsupported composite histogram source key '$k'"))
-              val iv = tm.get("interval") match {
-                case Some(JInt(i)) if i > 0 => i.toLong
-                case _ => fail(s"composite histogram source '$srcName' needs " +
-                  "a positive integer interval")
-              }
-              Src(srcName,
-                Some((floor(col(f) / lit(iv)) * lit(iv)).cast("long")),
-                isDate = false)
-            case "date_histogram" =>
-              tm.keySet.diff(Set("field", "calendar_interval")).foreach(k =>
-                fail(s"unsupported composite date_histogram source key '$k'"))
-              Src(srcName, Some(date_trunc(calendarUnit(
-                strOpt(tm, "calendar_interval").getOrElse("day")), col(f))),
-                isDate = true)
-            case other =>
-              fail(s"composite source '$srcName' kind must be " +
-                s"terms/histogram/date_histogram: '$other'")
-          }
-        case other => fail(s"composite sources must be {name: {kind: {field}}}: ${render(other)}")
-      }
-      case _ => fail(s"composite agg '$name' requires a non-empty sources array")
-    }
-    if (parsed.map(_.name).distinct.size != parsed.size)
-      fail(s"composite agg '$name' repeats a source name")
-    parsed.foreach(p =>
-      if (p.derived.isDefined && hits.columns.contains(p.name))
-        fail(s"composite derived source '${p.name}' collides with a column"))
-    val sources: Seq[String] = parsed.map(_.name)
-    val keyed = parsed.foldLeft(hits) {
-      case (df, Src(n, Some(e), _)) => df.withColumn(n, e)
-      case (df, _)                  => df
-    }
-    val size = intOpt(m, "size").getOrElse(10)
-    val paged = m.get("after") match {
-      case None => keyed
-      case Some(JObject(af)) =>
-        if (parsed.exists(_.isDate))
-          fail("composite after is unsupported with a date_histogram source " +
-            "(no portable literal form for the bucket key)")
-        val afm = af.toMap
-        val vals = sources.map(f => afm.getOrElse(f,
-          fail(s"composite after must carry a value for source '$f'")))
-        keyed.filter(keysetAfter(sources.map((_, "asc")), vals.map(scalaOf)))
-      case Some(other) => fail(s"composite after must be an object: ${render(other)}")
-    }
-    val subs: Seq[Column] = subAggs match {
-      case None             => Nil
-      case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, schema = hits.schema) }
-      case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    // OpenSearch composite SKIPS documents missing a source value (and
-    // Spark's default asc is NULLS FIRST where most SQL engines default
-    // NULLS LAST) — drop NULL-keyed rows before the groupBy so the
-    // bucket space is engine-portable and no NULL bucket appears
-    paged.filter(sources.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(sources.map(col): _*)
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(sources.map(col(_).asc): _*)
-      .limit(size)
-  }
-
-  /** Shared tail of the filtered-bucket families (`range`, `filters`):
-    * per-bucket conditional aggregates computed in ONE global
-    * aggregate row, reshaped to one row per bucket in request order.
-    * Sub-aggs: single-column metrics (no stats fan-out).
-    */
-  private def onePassBuckets(hits: DataFrame, name: String,
-      buckets0: Seq[(Column, String)], subAggs: Option[JValue],
-      family: String): DataFrame = {
-    val subEntries: Seq[(String, JValue)] = subAggs match {
-      case None                 => Nil
-      case Some(JObject(s))     => s
-      case Some(other)          => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
-    }
-    val aggCols = buckets0.zipWithIndex.flatMap { case ((cond, _), i) =>
-      count(when(cond, 1L)).as(s"__dc$i") +:
-        subEntries.zipWithIndex.map { case ((subName, subSpec), j) =>
-          val cols = metricCols(s"__s${i}_$j", subSpec, Some(cond), hits.schema)
-          if (cols.size != 1)
-            fail(s"$family sub-agg '$subName' must be a single-column metric")
-          cols.head
-        }
-    }
-    val aggRow = hits.agg(aggCols.head, aggCols.tail: _*)
-    val buckets = buckets0.zipWithIndex.map { case ((_, key), i) =>
-      struct(
-        (lit(i.toLong).as("__ord") +: lit(key).as(name) +:
-          col(s"__dc$i").as("doc_count") +:
-          subEntries.zipWithIndex.map { case ((subName, _), j) =>
-            col(s"__s${i}_$j").as(subName)
-          }): _*)
-    }
-    aggRow.select(explode(array(buckets: _*)).as("__b"))
-      .select(col("__b.*"))
-      .orderBy(col("__ord"))
-      .drop("__ord")
-  }
-
-  /** `significant_terms`: field values over-represented among the hits
-    * (foreground = the request's query) vs the WHOLE table (background),
-    * scored by the doc-frequency ratio in exact integer ppm — the q49
-    * model with keyword (whole-value) semantics. One groupBy over the
-    * base table carrying both counts; the two totals ride along as a
-    * broadcast one-row aggregate — a single declarative plan.
-    */
-  private def significantTermsAgg(table: DataFrame, pred: Column,
-      name: String, spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"significant_terms '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "min_doc_count", "size", "background_filter"))
-      .foreach(k => fail(s"unsupported significant_terms option '$k'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"significant_terms '$name' needs a field"))
-    val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
-    val size = intOpt(m, "size").getOrElse(10)
-    // `background_filter`: the lift baseline becomes a SUBSET of the
-    // index (compare against last month / this segment) instead of the
-    // whole corpus. The foreground is INTERSECTED with the background
-    // (fg ⊆ bg by construction — OpenSearch leaves a disjoint
-    // foreground to produce undefined ratios; here bg_count = 0 with
-    // doc_count > 0, a divide-by-zero, is made impossible instead),
-    // and vocabulary outside the background drops. Scores stay the
-    // same exact integer ppm ratio. Still ONE corpus scan: both
-    // counts are conditional aggregates in the same groupBy.
-    val bgPred: Option[Column] =
-      m.get("background_filter").map(q => compileQuery(q).pred)
-    val basePred = bgPred.getOrElse(lit(true))
-    val perTerm0 = table.groupBy(col(f).as(name)).agg(
-      sum(when(basePred, 1L).otherwise(0L)).as("bg_count"),
-      sum(when(pred && basePred, 1L).otherwise(0L)).as("doc_count"))
-    val perTerm =
-      if (bgPred.isEmpty) perTerm0
-      else perTerm0.filter(col("bg_count") >= 1L)
-    // totals derive from the grouped table (a vocabulary-bounded
-    // second aggregate), never a second corpus scan re-running the
-    // tokenize/intersect predicate per row
-    val totals = perTerm.agg(
-      sum(col("bg_count")).as("n_all"), sum(col("doc_count")).as("n_fg"))
-    val score = sigScorePpm("significant_terms")
-    perTerm.crossJoin(broadcast(totals))
-      .filter(col("doc_count") >= minDoc)
-      .select(col(name), col("doc_count"), col("bg_count"),
-        score.as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col(name))
-      .limit(size)
-  }
-
-  /** The significant-families' exact integer ppm ratio with the
-    * overflow raise_error — (doc_count·n_all·10⁶)/(bg_count·n_fg),
-    * failing loud near ~3M x 3M docs instead of silently wrapping and
-    * mis-ranking. Shared by significant_terms and significant_text so
-    * the two scores can never drift.
-    */
-  private def sigScorePpm(family: String): Column =
-    when(
-      col("doc_count") > expr("9223372036854775807 div 1000000 div n_all"),
-      raise_error(lit(s"$family score overflow: corpus too " +
-        "large for the exact ppm formula")).cast("long"))
-    .otherwise(expr("(doc_count * n_all * 1000000) div (bg_count * n_fg)"))
-
-  /** `significant_text`: tokens over-represented among the hits vs the
-    * whole corpus — significant_terms' document-frequency model over
-    * free text. ONE posexplode-free pass: tokens deduped per document
-    * (`array_distinct`, the significant_text re-dedup rule), each row
-    * carrying its foreground flag, then one token groupBy with both
-    * doc-frequency counts; the two document totals ride along as a
-    * broadcast one-row aggregate. Never a per-term corpus rescan.
-    */
-  private def significantTextAgg(table: DataFrame, pred: Column,
-      name: String, spec: JValue): DataFrame = {
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"significant_text '$name' must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("field", "min_doc_count", "size", "analyzer",
-      "background_filter")).foreach(k =>
-      fail(s"unsupported significant_text option '$k'"))
-    val f = strOpt(m, "field").getOrElse(fail(s"significant_text '$name' needs a field"))
-    val minDoc = intOpt(m, "min_doc_count").getOrElse(1)
-    val size = intOpt(m, "size").getOrElse(10)
-    // `background_filter`: the same narrowed-baseline contract as
-    // significant_terms — the foreground intersects the background
-    // (fg ⊆ bg, divide-by-zero impossible), out-of-background tokens
-    // drop, both counts stay conditional aggregates on the one pass
-    val bgPred: Option[Column] =
-      m.get("background_filter").map(q => compileQuery(q).pred)
-    val basePred = bgPred.getOrElse(lit(true))
-    // analyzer: significant terms come from the NORMALIZED token
-    // stream (one codegen'd normalizer inside the existing split —
-    // no new shuffle), so the surfaced terms live in the same term
-    // space an analyzed match query hits
-    val an = analyzerOpt(m, s"significant_text '$name'")
-    // empty tokens (leading/trailing/double spaces) are dropped BEFORE
-    // the explode — they are artifacts of the split, not terms, and
-    // would otherwise enter the df table and could surface as a top
-    // bucket (termsEnum filters the same way)
-    val toks = table.select(pred.as("__fg"), basePred.as("__bg"),
-      explode(array_remove(array_distinct(split(an.norm(col(f)), " ")), ""))
-        .as(name))
-    val perTerm0 = toks.groupBy(col(name)).agg(
-      sum(when(col("__bg"), 1L).otherwise(0L)).as("bg_count"),
-      sum(when(col("__fg") && col("__bg"), 1L).otherwise(0L)).as("doc_count"))
-    val perTerm =
-      if (bgPred.isEmpty) perTerm0
-      else perTerm0.filter(col("bg_count") >= 1L)
-    // document totals (NOT token totals — the doc-frequency model):
-    // one light global aggregate over the corpus
-    val totals = table.agg(
-      sum(when(basePred, 1L).otherwise(0L)).as("n_all"),
-      sum(when(pred && basePred, 1L).otherwise(0L)).as("n_fg"))
-    perTerm.crossJoin(broadcast(totals))
-      .filter(col("doc_count") >= minDoc)
-      .select(col(name), col("doc_count"), col("bg_count"),
-        sigScorePpm("significant_text").as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col(name))
-      .limit(size)
-  }
-
-  /** `top_hits` under a `terms` bucket: the top N hit ROWS per bucket
-    * (not a bucket table) — one window over the hits partitioned by the
-    * bucket key. The top_hits `sort` must be total per bucket for
-    * deterministic output; `_source` picks the hit columns.
-    */
-  private def topHitsAgg(hits: DataFrame, name: String, field: String,
-      spec: JValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = spec match {
-      case JObject(s) => s.toMap
-      case other => fail(s"top_hits must be an object: ${render(other)}")
-    }
-    m.keySet.diff(Set("size", "sort", "_source")).foreach(k =>
-      fail(s"unsupported top_hits option '$k'"))
-    val n = intOpt(m, "size").getOrElse(3)
-    val sortSpec = m.get("sort")
-      .getOrElse(fail("top_hits requires an explicit sort (determinism)"))
-    val srcCols: Seq[Column] = m.get("_source") match {
-      case Some(JArray(fields)) => fields.map {
-        case JString(s) => col(s)
-        case other      => fail(s"_source entries must be strings: ${render(other)}")
-      }
-      case None        => fail("top_hits requires _source (the hit columns)")
-      case Some(other) => fail(s"_source must be an array: ${render(other)}")
-    }
-    val w = Window.partitionBy(col(field)).orderBy(sortCols(sortSpec): _*)
-    hits.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= n)
-      .select((col(field).as(name) +: col("rank") +: srcCols): _*)
-      .orderBy(col(name).asc, col("rank").asc)
-  }
-
-  /** Metric sub-agg → named aggregate columns. `stats` fans out to
-    * count/min/max/avg/sum with `<name>_` prefixes; everything else is a
-    * single column named after the agg. Averages are exact-sum/count
-    * (the engine's determinism rule), cardinality is EXACT
-    * count-distinct (the approximate variant is q7's separate surface).
-    * With `cond`, the metric only sees rows satisfying it (the range-agg
-    * per-bucket form — nulls elsewhere, which every aggregate ignores).
-    */
-  private def metricCols(name: String, spec: JValue,
-      cond: Option[Column] = None,
-      schema: org.apache.spark.sql.types.StructType = null): Seq[Column] = spec match {
-    // percentile_ranks: the inverse of `percentiles` — for each given
-    // value, the percentage of non-NULL field values ≤ it (the
-    // inclusive-CDF discrete form, engine-exact unlike OpenSearch's
-    // t-digest): two exact integer counts per value, ONE IEEE divide,
-    // so the doubles are bit-identical across engines. One column per
-    // value, named `<name>_<v>`.
-    case JObject(List(("percentile_ranks", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("field", "values")).foreach(k =>
-        fail(s"unsupported percentile_ranks option '$k' in '$name'"))
-      val f = strOpt(m, "field")
-        .getOrElse(fail(s"percentile_ranks '$name' needs a field"))
-      val vals: Seq[Long] = m.get("values") match {
-        case Some(JArray(vs)) if vs.nonEmpty => vs.map {
-          case JInt(i) => i.toLong
-          case other => fail(s"percentile_ranks values must be integers " +
-            s"(the exact integer model): ${render(other)}")
-        }
-        case _ => fail(s"percentile_ranks '$name' requires a non-empty values array")
-      }
-      val gate = cond.getOrElse(lit(true))
-      vals.map { v =>
-        ((sum(when(gate && col(f) <= lit(v), 1L).otherwise(0L)) * lit(100L))
-          .cast("double") / count(when(gate, col(f))).cast("double"))
-          .as(s"${name}_$v")
-      }
-    // geo_centroid: the exact mean point over named lat/lon columns —
-    // coordinates reconstructed onto the milli-degree integer grid
-    // (the GeoFixtures recipe), summed exactly, ONE IEEE divide per
-    // axis, so the centroid doubles are bit-identical across engines.
-    case JObject(List(("geo_centroid", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("lat_field", "lon_field")).foreach(k =>
-        fail(s"unsupported geo_centroid option '$k' in '$name'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail(s"geo_centroid '$name' requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail(s"geo_centroid '$name' requires lon_field"))
-      val gate = cond.getOrElse(lit(true))
-      def axis(f: String, out: String): Column =
-        (sum(when(gate, round(col(f) * lit(1000.0)).cast("long"))).cast("double") /
-          (count(when(gate, col(f))) * lit(1000L)).cast("double")).as(out)
-      Seq(axis(latF, s"${name}_lat"), axis(lonF, s"${name}_lon"))
-    // geo_bounds: the enclosing box — OpenSearch's top_left /
-    // bottom_right corners flattened to 4 columns. Pure min/max per
-    // axis, zero arithmetic, so the doubles are bit-identical across
-    // engines by construction.
-    case JObject(List(("geo_bounds", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("lat_field", "lon_field")).foreach(k =>
-        fail(s"unsupported geo_bounds option '$k' in '$name'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail(s"geo_bounds '$name' requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail(s"geo_bounds '$name' requires lon_field"))
-      val gate = cond.getOrElse(lit(true))
-      Seq(
-        max(when(gate, col(latF))).as(s"${name}_top_lat"),
-        min(when(gate, col(lonF))).as(s"${name}_left_lon"),
-        min(when(gate, col(latF))).as(s"${name}_bottom_lat"),
-        max(when(gate, col(lonF))).as(s"${name}_right_lon"))
-    // weighted_avg: nested value/weight sub-objects (the OpenSearch
-    // shape), exact Σ(v·w)/Σ(w) — two integer sums, ONE IEEE divide,
-    // so the double is bit-identical across engines.
-    // t_test: Welch's (heteroscedastic, the OpenSearch default) or
-    // pooled (homoscedastic) two-sample t statistic from the exact
-    // integer moments (the extended_stats model: integral fields
-    // only, ENFORCED) — sample variances va=(nΣx²−(Σx)²)/(n(n−1))
-    // and a PINNED IEEE op order, so DuckDB replays the double
-    // bit-identically. `paired` fails loud: it needs a row-pairing
-    // the wire shape cannot express.
-    case JObject(List(("t_test", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("a", "b", "type")).foreach(k =>
-        fail(s"unsupported t_test option '$k' in '$name'"))
-      def arm(key: String): (Column, String) = m.get(key) match {
-        case Some(JObject(am0)) =>
-          val am = am0.toMap
-          am.keySet.diff(Set("field", "filter")).foreach(k =>
-            fail(s"unsupported t_test $key option '$k' in '$name'"))
-          val f = strOpt(am, "field")
-            .getOrElse(fail(s"t_test '$name' arm '$key' needs a field"))
-          if (schema != null) Option(schema).flatMap(_.find(_.name == f))
-            .map(_.dataType).foreach {
-              case org.apache.spark.sql.types.DoubleType |
-                   org.apache.spark.sql.types.FloatType |
-                   _: org.apache.spark.sql.types.DecimalType =>
-                fail(s"t_test on '$f' requires an integral field (the exact " +
-                  "long moment model) - pre-scale to integers first")
-              case _ => ()
-            }
-          val armGate = am.get("filter").map(compileQuery(_).pred)
-          val gate = (cond.toSeq ++ armGate.toSeq)
-            .reduceOption(_ && _).getOrElse(lit(true))
-          (when(gate, col(f).cast("long")), f)
-        case _ => fail(s"t_test '$name' needs a '$key' arm object")
-      }
-      val (ca, _) = arm("a")
-      val (cb, _) = arm("b")
-      val (na, sa, qa) = (count(ca), sum(ca), sum(ca * ca))
-      val (nb, sb, qb) = (count(cb), sum(cb), sum(cb * cb))
-      val meanDiff = sa.cast("double") / na.cast("double") -
-        sb.cast("double") / nb.cast("double")
-      val vaN = na * qa - sa * sa // n·Σx² − (Σx)² — exact long
-      val vbN = nb * qb - sb * sb
-      val t = strOpt(m, "type").getOrElse("heteroscedastic") match {
-        case "heteroscedastic" =>
-          // va/na = vaN/(na·(na−1)·na) — exact denominator, ONE divide
-          val sea = vaN.cast("double") / (na * (na - 1) * na).cast("double")
-          val seb = vbN.cast("double") / (nb * (nb - 1) * nb).cast("double")
-          meanDiff / sqrt(sea + seb)
-        case "homoscedastic" =>
-          // sp² = ((na−1)va + (nb−1)vb)/(na+nb−2) with (n−1)v = vN/n;
-          // the 1/na+1/nb factor stays exact as (na+nb)/(na·nb)
-          val sp2 = (vaN.cast("double") / na.cast("double") +
-            vbN.cast("double") / nb.cast("double")) /
-            (na + nb - 2).cast("double")
-          meanDiff / sqrt(sp2 * ((na + nb).cast("double") / (na * nb).cast("double")))
-        case "paired" => fail("t_test type 'paired' is unsupported: it needs " +
-          "a row pairing the wire shape cannot express (join the two series " +
-          "and t_test the difference column instead)")
-        case other => fail(s"t_test type must be heteroscedastic/" +
-          s"homoscedastic: '$other'")
-      }
-      Seq(t.as(name))
-    case JObject(List(("weighted_avg", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("value", "weight")).foreach(k =>
-        fail(s"unsupported weighted_avg option '$k' in '$name'"))
-      def fieldOf(k: String): String = m.get(k) match {
-        case Some(JObject(o)) => strOpt(o.toMap, "field")
-          .getOrElse(fail(s"weighted_avg '$name' $k needs a field"))
-        case _ => fail(s"weighted_avg '$name' needs {$k: {field}}")
-      }
-      val (v, w) = (col(fieldOf("value")), col(fieldOf("weight")))
-      val gate = cond.getOrElse(lit(true))
-      Seq((sum(when(gate, v * w)).cast("double") /
-        sum(when(gate, w)).cast("double")).as(name))
-    // top_metrics: the metric field's value on the top row under the
-    // sort. Ties on the sort key are broken by the metric value itself
-    // (struct comparison is lexicographic) so the answer is
-    // deterministic — never "whichever partition finished last".
-    case JObject(List(("top_metrics", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("metrics", "sort")).foreach(k =>
-        fail(s"unsupported top_metrics option '$k' in '$name'"))
-      val metricF = m.get("metrics") match {
-        case Some(JObject(o)) => strOpt(o.toMap, "field")
-          .getOrElse(fail(s"top_metrics '$name' metrics needs a field"))
-        case _ => fail(s"top_metrics '$name' needs {metrics: {field}}")
-      }
-      val (sortF, order) = m.get("sort") match {
-        case Some(JObject(List((f, JString(o))))) => (f, o)
-        case Some(JObject(List((f, JObject(oo))))) =>
-          (f, strOpt(oo.toMap, "order").getOrElse("asc"))
-        case _ => fail(s"top_metrics '$name' needs {sort: {field: order}}")
-      }
-      val pair = struct(col(sortF).as("s"), col(metricF).as("m"))
-      val gated = cond.map(p => when(p, pair)).getOrElse(pair)
-      val top = order match {
-        case "desc" => max(gated)
-        case "asc"  => min(gated)
-        case other  => fail(s"top_metrics sort order must be asc/desc: '$other'")
-      }
-      Seq(top.getField("m").as(name))
-    // scripted_metric, deterministic shape: a [[ScoreScript]] map
-    // expression over doc fields + params, combined by an associative
-    // reduce (sum/min/max). The script compiles ONCE on the driver to
-    // codegen'd arithmetic inside the partial aggregate — the
-    // anti-UDF rule applied to OpenSearch's most UDF-shaped agg.
-    // (No init/combine scripts: the reduce names the monoid instead,
-    // which is what makes the agg distributable BY CONSTRUCTION.)
-    case JObject(List(("scripted_metric", JObject(body)))) =>
-      val m = body.toMap
-      m.keySet.diff(Set("map_script", "reduce", "params")).foreach(k =>
-        fail(s"unsupported scripted_metric option '$k' in '$name'"))
-      val src = strOpt(m, "map_script")
-        .getOrElse(fail(s"scripted_metric '$name' needs a map_script"))
-      // token-level check: "doc['raw_score'].value" contains the
-      // substring but never the _score token
-      if (ScoreScript.referencesScore(src))
-        fail(s"scripted_metric '$name' map_script sees doc fields and " +
-          "params only (no _score)")
-      val params: Map[String, Long] = m.get("params") match {
-        case Some(JObject(po)) => po.map {
-          case (k, JInt(v)) => k -> v.toLong
-          case (k, other) =>
-            fail(s"scripted_metric param '$k' must be an integer: ${render(other)}")
-        }.toMap
-        case None        => Map.empty
-        case Some(other) => fail(s"scripted_metric params must be an object: ${render(other)}")
-      }
-      val mapped0 = ScoreScript.compile(src, params, lit(0L))
-      val mapped = cond.map(p => when(p, mapped0)).getOrElse(mapped0)
-      val reduced = strOpt(m, "reduce")
-        .getOrElse(fail(s"scripted_metric '$name' needs a reduce (sum/min/max)")) match {
-        case "sum" => sum(mapped)
-        case "min" => min(mapped)
-        case "max" => max(mapped)
-        case other => fail(s"scripted_metric reduce must be sum/min/max: '$other'")
-      }
-      Seq(reduced.as(name))
-    case JObject(List((metric, JObject(body)))) =>
-      val bm = body.toMap
-      // strict option validation per metric kind — unknown options
-      // fail loud instead of being silently ignored (a request asking
-      // for behavior the engine doesn't implement must say so)
-      val allowedOpts: Set[String] = metric match {
-        case "percentiles" => Set("field", "percents")
-        case "cardinality" => Set("field", "precision_threshold")
-        case _             => Set("field")
-      }
-      bm.keySet.diff(allowedOpts).foreach(k =>
-        fail(s"unsupported $metric option '$k' in '$name'"))
-      val f = strOpt(bm, "field")
-        .getOrElse(fail(s"metric agg '$name' ($metric) needs a field"))
-      val c = cond.map(p => when(p, col(f))).getOrElse(col(f))
-      metric match {
-        case "avg"   => Seq((sum(c).cast("double") / count(c)).as(name))
-        case "min"   => Seq(min(c).as(name))
-        case "max"   => Seq(max(c).as(name))
-        case "sum"   => Seq(sum(c).as(name))
-        case "value_count" => Seq(count(c).as(name))
-        // cardinality: EXACT count-distinct by default (the engine's
-        // determinism rule). `precision_threshold` opts into the
-        // APPROXIMATE HLL++ sketch (OpenSearch's own semantics — its
-        // cardinality is always approximate): rsd = 1.04/√threshold,
-        // the HLL register-count relation, so a bigger threshold
-        // means a tighter sketch exactly as in OpenSearch. Approx
-        // results are deterministic within the engine but have no
-        // cross-engine oracle (q7's rule) — gate with the error-bound
-        // spec, not a hash.
-        case "cardinality" =>
-          bm.get("precision_threshold") match {
-            case None => Seq(countDistinct(c).as(name))
-            case Some(JInt(t)) if t >= 100 && t <= 40000 =>
-              val rsd = 1.04 / math.sqrt(t.toDouble)
-              Seq(approx_count_distinct(c, rsd).as(name))
-            case Some(other) => fail(s"cardinality precision_threshold must " +
-              s"be an integer in [100, 40000]: ${render(other)}")
-          }
-        case "stats" => Seq(
-          count(c).as(s"${name}_count"),
-          min(c).as(s"${name}_min"),
-          max(c).as(s"${name}_max"),
-          (sum(c).cast("double") / count(c)).as(s"${name}_avg"),
-          sum(c).as(s"${name}_sum"))
-        // extended_stats: stats + exact integer second moment. Variance
-        // is population variance computed FROM THE EXACT INTEGER MOMENTS
-        // — (n·Σx² − (Σx)²)/n² in one IEEE divide — so the doubles are
-        // bit-identical across engines (a naive running-mean variance
-        // would depend on partition order). Integral fields only. The
-        // moments are formed over the column CAST TO LONG (matching
-        // matrix_stats): an IntegerType field would otherwise square in
-        // 32-bit and silently wrap (non-ANSI) at |x| ≥ 46341 — a regime
-        // the Long-bound guard below cannot see. With long moments the
-        // products are bounded at √Long.Max ≈ 3e9 by the raise_error
-        // guard: under ANSI the wrap already throws, and in an ANSI-off
-        // deployment the guard (built from count/max, which never
-        // wrap) still fails loud instead of emitting a silently-wrong
-        // negative variance. Beyond the bound, pre-scale the field.
-        case "extended_stats" =>
-          // the exact-moment model casts to long — on a fractional
-          // field that would silently truncate every value before the
-          // moments form (silently-wrong avg/variance, the failure
-          // mode the fail-loud philosophy forbids). Integral fields
-          // only, ENFORCED, not just documented.
-          if (schema != null) Option(schema).flatMap(_.find(_.name == f))
-            .map(_.dataType).foreach {
-              case org.apache.spark.sql.types.DoubleType |
-                   org.apache.spark.sql.types.FloatType |
-                   _: org.apache.spark.sql.types.DecimalType =>
-                fail(s"extended_stats on '$f' requires an integral field " +
-                  "(the exact long moment model would silently truncate " +
-                  "fractional values) - pre-scale to integers first")
-              case _ => ()
-            }
-          val cl = c.cast("long")
-          val overflow =
-            count(cl).cast("double") * max(abs(cl)).cast("double") > lit(3.0e9)
-          val err = "extended_stats moment overflow: rows x |values| " +
-            "exceeds the exact Long model - pre-scale the field"
-          def guardL(x: Column): Column =
-            when(overflow, raise_error(lit(err)).cast("long")).otherwise(x)
-          def guardD(x: Column): Column =
-            when(overflow, raise_error(lit(err)).cast("double")).otherwise(x)
-          val variance = (count(cl) * sum(cl * cl) - sum(cl) * sum(cl)).cast("double") /
-            (count(cl) * count(cl)).cast("double")
-          Seq(
-            count(c).as(s"${name}_count"),
-            min(c).as(s"${name}_min"),
-            max(c).as(s"${name}_max"),
-            (sum(cl).cast("double") / count(cl)).as(s"${name}_avg"),
-            sum(cl).as(s"${name}_sum"),
-            guardL(sum(cl * cl)).as(s"${name}_sum_of_squares"),
-            guardD(variance).as(s"${name}_variance"),
-            guardD(sqrt(variance)).as(s"${name}_std_deviation"))
-        // DISCRETE percentiles (percentile_disc): an actual data value,
-        // no interpolation — so the result is engine-exact, unlike the
-        // t-digest approximation OpenSearch itself serves
-        // boxplot: min / q1 / median / q3 / max — the five-number
-        // summary from DISCRETE percentiles (actual data values, no
-        // interpolation — engine-exact like `percentiles`)
-        case "boxplot" =>
-          if (cond.isDefined)
-            fail(s"boxplot under a filtered bucket is unsupported ('$name')")
-          Seq(
-            min(c).as(s"${name}_min"),
-            expr(s"percentile_disc(0.25) WITHIN GROUP (ORDER BY `$f`)").as(s"${name}_q1"),
-            expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY `$f`)").as(s"${name}_q2"),
-            expr(s"percentile_disc(0.75) WITHIN GROUP (ORDER BY `$f`)").as(s"${name}_q3"),
-            max(c).as(s"${name}_max"))
-        case "percentiles" =>
-          if (cond.isDefined)
-            fail(s"percentiles under a filtered bucket is unsupported ('$name')")
-          val percents = body.toMap.get("percents") match {
-            case Some(JArray(ps)) if ps.nonEmpty => ps.map {
-              case JInt(i) if i > 0 && i < 100 => i.toInt
-              case other => fail(s"percents must be integers in (0,100): ${render(other)}")
-            }
-            case None        => Seq(25, 50, 75)
-            case Some(other) => fail(s"percents must be an array: ${render(other)}")
-          }
-          percents.map(p => expr(
-            s"percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY `$f`)")
-            .as(s"${name}_p$p"))
-        case other => fail(s"unsupported metric agg '$other' under '$name'")
-      }
-    case other => fail(s"metric agg '$name' must be {metric: {field: ...}}: ${render(other)}")
-  }
-
   // -------------------------------------------------------------- helpers
 
-  private def fieldValue(body: JValue, clause: String): (String, JValue) =
+  private[search] def fieldValue(body: JValue, clause: String): (String, JValue) =
     body match {
       case JObject(List((f, JObject(opts)))) if opts.exists(_._1 == "value") =>
         (f, opts.find(_._1 == "value").get._2)
@@ -9331,7 +211,7 @@ object QueryDsl {
     * STRICT on the value-object form (unknown options fail loud, not
     * silently ignored).
     */
-  private def fieldValueCi(body: JValue, clause: String): (String, JValue, Boolean) =
+  private[search] def fieldValueCi(body: JValue, clause: String): (String, JValue, Boolean) =
     body match {
       case JObject(List((f, JObject(opts)))) if opts.exists(_._1 == "value") =>
         val m = opts.toMap
@@ -9350,7 +230,7 @@ object QueryDsl {
     * has nothing to scale there — OpenSearch ignores it, this engine
     * refuses it).
     */
-  private def fieldValueCiBoost(body: JValue, clause: String)
+  private[search] def fieldValueCiBoost(body: JValue, clause: String)
       : (String, JValue, Boolean, Long) =
     body match {
       case JObject(List((f, JObject(opts)))) if opts.exists(_._1 == "value") =>
@@ -9368,9 +248,9 @@ object QueryDsl {
       case other => fail(s"$clause requires {field: value}: ${render(other)}")
     }
 
-  private def litOf(v: JValue): Column = lit(scalaOf(v))
+  private[search] def litOf(v: JValue): Column = lit(scalaOf(v))
 
-  private def scalaOf(v: JValue): Any = v match {
+  private[search] def scalaOf(v: JValue): Any = v match {
     case JString(s)  => s
     case JInt(i)     => i.toLong
     case JLong(l)    => l
@@ -9397,7 +277,7 @@ object QueryDsl {
     * scale every fractional DSL knob (tie_breaker, negative_boost)
     * uses so scores stay integral.
     */
-  private def ppmOf(m: Map[String, JValue], key: String, default: Long): Long = {
+  private[search] def ppmOf(m: Map[String, JValue], key: String, default: Long): Long = {
     val v = m.get(key) match {
       case Some(JDouble(d))  => math.round(d * 1000000L)
       case Some(JInt(i))     => i.toLong * 1000000L
@@ -9409,20 +289,20 @@ object QueryDsl {
     v
   }
 
-  private def strOpt(m: Map[String, JValue], k: String): Option[String] =
+  private[search] def strOpt(m: Map[String, JValue], k: String): Option[String] =
     m.get(k).collect { case JString(s) => s }
 
   /** Present-but-wrong-typed integers fail loud: a float or string
     * where an int belongs must never silently become the default.
     */
-  private def intOpt(m: Map[String, JValue], k: String): Option[Int] =
+  private[search] def intOpt(m: Map[String, JValue], k: String): Option[Int] =
     m.get(k).map {
       case JInt(i) => i.toInt
       case other   => fail(s"$k must be an integer: ${render(other)}")
     }
 
-  private def render(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+  private[search] def render(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
 
-  private def fail(msg: String): Nothing =
+  private[search] def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"query-dsl: $msg")
 }

@@ -1,0 +1,2442 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Query-clause compiler half of [[QueryDsl]]: `compileQuery` and every
+  * clause-level compiler (term/range/match families, bool, multi_match,
+  * the query-string grammars, function_score, geo clauses, nested).
+  * Split from the single-object compiler along its internal seams with
+  * zero behavior change (round-11 risk reduction); the self-type keeps
+  * every cross-reference identical.
+  */
+private[search] trait QueryDslClauses { this: QueryDsl.type =>
+
+  // ---------------------------------------------------------------- query
+
+  /** Compile the `query` object of a request body. */
+  def compileQuery(q: JValue): CompiledQuery = q match {
+    case JObject(List((clause, body))) => compileClause(clause, body)
+    case JObject(Nil)                  => CompiledQuery(lit(true), lit(0L))
+    case other =>
+      fail(s"query must be a single-clause object, got: ${render(other)}")
+  }
+
+  /** Clauses shaped `{field: {options}}`, where `_name` rides inside
+    * the options object; everything else carries it at the body's top
+    * level (the OpenSearch placement for both shapes).
+    */
+  private[search] val FieldKeyedClauses = Set("term", "terms", "match",
+    "match_phrase", "match_phrase_prefix", "match_bool_prefix", "range",
+    "fuzzy", "prefix", "wildcard", "regexp", "terms_set")
+
+  /** Strip a clause's `_name` before dispatch; the compiled predicate
+    * is then recorded under it. Bookkeeping only — zero plan cost
+    * until the request surfaces `matched_queries`.
+    */
+  private[search] def extractName(clause: String, body: JValue): (JValue, Option[String]) = {
+    def nameOf(parts: List[(String, JValue)]): String =
+      parts.collectFirst { case ("_name", v) => v } match {
+        case Some(JString(s)) if s.nonEmpty => s
+        case Some(other) => fail(s"_name must be a non-empty string: ${render(other)}")
+        case None        => fail("unreachable: _name presence pre-checked")
+      }
+    body match {
+      case JObject(List((f, JObject(opts))))
+          if FieldKeyedClauses(clause) && opts.exists(_._1 == "_name") =>
+        (JObject(List((f, JObject(opts.filterNot(_._1 == "_name"))))),
+          Some(nameOf(opts)))
+      // array-valued terms can't carry options inside the field's body,
+      // so OpenSearch places _name as a BODY-LEVEL sibling there:
+      // {"terms": {"lang": [...], "_name": "x"}} — accept that shape
+      // for any field-keyed clause whose field value is not an options
+      // object (an object-valued field keeps the in-options placement
+      // above; a second non-_name entry is the clause's own error)
+      case JObject(parts)
+          if FieldKeyedClauses(clause) && parts.exists(_._1 == "_name") &&
+            parts.filterNot(_._1 == "_name")
+              .forall { case (_, v) => !v.isInstanceOf[JObject] } =>
+        (JObject(parts.filterNot(_._1 == "_name")), Some(nameOf(parts)))
+      case JObject(parts)
+          if !FieldKeyedClauses(clause) && parts.exists(_._1 == "_name") =>
+        (JObject(parts.filterNot(_._1 == "_name")), Some(nameOf(parts)))
+      case _ => (body, None)
+    }
+  }
+
+  private[search] def compileClause(clause: String, body: JValue): CompiledQuery = {
+    val (stripped, nameOpt) = extractName(clause, body)
+    val c = dispatchClause(clause, stripped)
+    nameOpt.fold(c)(n => c.copy(named = c.named :+ ((n, c.pred))))
+  }
+
+  private[search] def dispatchClause(clause: String, body: JValue): CompiledQuery =
+    clause match {
+      case "match_all" => CompiledQuery(lit(true), lit(0L))
+      // `match_none`: the empty complement — matches nothing, scores
+      // nothing. Useful as a bool leaf (feature-flagged arms, wrapper
+      // templates); takes no options (a typo'd option object would
+      // otherwise be silently meaningless).
+      case "match_none" =>
+        body match {
+          case JObject(Nil) => ()
+          case other => fail(s"match_none takes no options: ${render(other)}")
+        }
+        CompiledQuery(lit(false), lit(0L))
+      case "term"      => termClause(body, multi = false)
+      case "terms"     => termClause(body, multi = true)
+      case "range"     => rangeClause(body)
+      case "prefix"    =>
+        val (f, v, ci, boost) = fieldValueCiBoost(body, "prefix")
+        val pred =
+          if (!ci) col(f).startsWith(litOf(v))
+          else v match {
+            case JString(s) => lower(col(f))
+              .startsWith(lit(s.toLowerCase(java.util.Locale.ROOT)))
+            case other => fail(s"case_insensitive prefix value must be a " +
+              s"string: ${render(other)}")
+          }
+        CompiledQuery(pred, lit(boost))
+      case "wildcard" =>
+        val (f, v, ci, boost) = fieldValueCiBoost(body, "wildcard")
+        val pat = v match {
+          case JString(s) =>
+            wildcardToLike(if (ci) s.toLowerCase(java.util.Locale.ROOT) else s)
+          case other      => fail(s"wildcard pattern must be a string: ${render(other)}")
+        }
+        CompiledQuery((if (ci) lower(col(f)) else col(f)).like(pat), lit(boost))
+      case "exists" => body match {
+        case JObject(fs) => fs.toMap.get("field") match {
+          case Some(JString(f)) => CompiledQuery(col(f).isNotNull, lit(1L))
+          case _ => fail("exists requires {\"field\": name}")
+        }
+        case _ => fail("exists requires {\"field\": name}")
+      }
+      case "match"        => matchClause(body)
+      case "match_phrase" => phraseClause(body)
+      case "match_phrase_prefix" => phrasePrefixClause(body)
+      case "match_bool_prefix"   => matchBoolPrefixClause(body)
+      case "bool"           => boolClause(body)
+      case "constant_score" => constantScoreClause(body)
+      case "script"         => scriptClause(body)
+      case "fuzzy"          => fuzzyClause(body)
+      case "terms_set"      => termsSetClause(body)
+      case "dis_max"        => disMaxClause(body)
+      case "boosting"       => boostingClause(body)
+      case "pinned"         => pinnedClause(body)
+      case "ids"            => idsClause(body)
+      case "regexp"         => regexpClause(body)
+      case "multi_match"    => multiMatchClause(body)
+      case "simple_query_string" => simpleQueryStringClause(body)
+      case "function_score"   => functionScoreClause(body)
+      case "distance_feature" => distanceFeatureClause(body)
+      case "parent_id"        => parentIdClause(body)
+      case "rank_feature"     => rankFeatureClause(body)
+      case "nested"           => nestedClause(body)
+      case "geo_distance"     => geoDistanceClause(body)
+      case "geo_bounding_box" => geoBoundingBoxClause(body)
+      case "query_string"     => queryStringClause(body)
+      case "script_score"     => scriptScoreClause(body)
+      case "wrapper"          => wrapperClause(body)
+      case "geo_polygon"      => geoPolygonClause(body)
+      case "geo_shape"        => geoShapeClause(body)
+      case "combined_fields"  => combinedFieldsClause(body)
+      case "span_first"       => spanFirstClause(body)
+      case "more_like_this" | "span_near" | "percolate" | "intervals" |
+           "span_or" | "span_not" | "span_containing" | "span_within" |
+           "span_multi" | "hybrid" =>
+        fail(s"'$clause' is a request-level query (it builds a corpus-state " +
+          "plan, not a per-row predicate) — it must be the TOP-LEVEL query object")
+      case other =>
+        fail(s"unsupported query clause '$other' (supported: match_all, " +
+          "match_none, term, " +
+          "terms, range, prefix, wildcard, exists, match, match_phrase, " +
+          "match_phrase_prefix, bool, constant_score, fuzzy, terms_set, " +
+          "dis_max, boosting, pinned, ids, regexp, multi_match, " +
+          "simple_query_string, query_string, function_score, " +
+          "distance_feature, rank_feature, parent_id, nested, geo_distance, " +
+          "geo_bounding_box, geo_polygon, geo_shape, script_score, script, " +
+          "wrapper, combined_fields, span_first)")
+    }
+
+  /** `wrapper`: a base64-encoded query object, decoded and compiled
+    * like any inline clause (the OpenSearch escape hatch for clients
+    * that must ship queries through JSON-hostile channels). Decoding
+    * happens ONCE on the driver; a bad payload fails loud at compile
+    * time, never at row time.
+    */
+  private[search] def wrapperClause(body: JValue): CompiledQuery = body match {
+    case JObject(List(("query", JString(b64)))) =>
+      val json = try new String(
+        java.util.Base64.getDecoder.decode(b64), "UTF-8")
+      catch {
+        case _: IllegalArgumentException =>
+          fail("wrapper query is not valid base64")
+      }
+      val parsed = try parse(json) catch {
+        case e: Exception =>
+          fail(s"wrapper query does not decode to JSON: ${e.getMessage}")
+      }
+      compileQuery(parsed)
+    case other =>
+      fail(s"wrapper requires {query: <base64 string>}: ${render(other)}")
+  }
+
+  /** `combined_fields`: term-centric multi-field match — a query term
+    * counts once if it appears in ANY of the fields (OpenSearch's
+    * "fields as one combined field" model, vs multi_match's
+    * field-centric scoring). Score = number of query terms present in
+    * the union; `minimum_should_match` gates the predicate. Pure
+    * codegen — per term, an OR over per-field token-set membership.
+    */
+  private[search] def combinedFieldsClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "fields", "minimum_should_match", "analyzer"))
+        .foreach(k => fail(s"unsupported combined_fields option '$k'"))
+      val an = analyzerOpt(m, "combined_fields")
+      val terms = an.normText(strOpt(m, "query")
+        .getOrElse(fail("combined_fields needs a query")))
+        .split(" ").filter(_.nonEmpty).distinct.toSeq
+      if (terms.isEmpty) fail("combined_fields query has no terms")
+      val fields: Seq[String] = m.get("fields") match {
+        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+          case JString(f) => f
+          case other      => fail(s"combined_fields fields must be strings: ${render(other)}")
+        }
+        case _ => fail("combined_fields needs a non-empty fields array")
+      }
+      val msm = m.get("minimum_should_match")
+        .map(resolveMsm(_, terms.size, "combined_fields")).getOrElse(1L)
+      if (msm > terms.size)
+        fail(s"minimum_should_match must be in [1, ${terms.size}]")
+      val perTerm: Seq[Column] = terms.map { t =>
+        fields.map(f =>
+          array_contains(array_distinct(split(an.norm(col(f)), " ")), t))
+          .reduce(_ || _)
+      }
+      val score = perTerm.map(p => when(p, 1L).otherwise(0L)).reduce(_ + _)
+      CompiledQuery(score >= msm, score)
+    case other => fail(s"combined_fields requires an object body: ${render(other)}")
+  }
+
+  /** `span_first`: the term occurs within the first `end` token
+    * positions of its own document — per-row computable (unlike
+    * span_near, no corpus state), so it compiles to a plain clause:
+    * membership in the length-`end` prefix of the token array. Score
+    * 1 on match.
+    */
+  private[search] def spanFirstClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("match", "end")).foreach(k =>
+        fail(s"unsupported span_first option '$k'"))
+      val (f, t) = m.get("match") match {
+        case Some(JObject(List(("span_term", JObject(List((fa, JString(ta)))))))) =>
+          (fa, ta)
+        case _ => fail("span_first needs {match: {span_term: {field: term}}}")
+      }
+      val end = intOpt(m, "end")
+        .getOrElse(fail("span_first needs an integer end"))
+      if (end < 1) fail("span_first end must be >= 1")
+      val pred = array_contains(slice(split(col(f), " "), 1, end), t)
+      CompiledQuery(pred, when(pred, 1L).otherwise(0L))
+    case other => fail(s"span_first requires an object body: ${render(other)}")
+  }
+
+  /** `script_score`: the wrapped query's hits, re-scored by a script —
+    * compiled by [[ScoreScript]] to plain Catalyst arithmetic (parsed
+    * once on the driver, zero row-time interpretation). The script
+    * sees `_score` (the wrapped query's score), `doc['f'].value`
+    * (integral columns) and `params.x` (request constants); exact-LONG
+    * arithmetic only, per the engine's integer score model.
+    */
+  private[search] def scriptScoreClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "script")).foreach(k =>
+        fail(s"unsupported script_score option '$k'"))
+      val inner = compileQuery(m.getOrElse("query",
+        fail("script_score needs a query")))
+      val (src, params) = m.get("script") match {
+        case Some(JObject(s)) =>
+          val sm = s.toMap
+          sm.keySet.diff(Set("source", "params")).foreach(k =>
+            fail(s"unsupported script option '$k'"))
+          val source = strOpt(sm, "source")
+            .getOrElse(fail("script_score script needs a source"))
+          val ps: Map[String, Long] = sm.get("params") match {
+            case Some(JObject(po)) => po.map {
+              case (k, JInt(v)) => k -> v.toLong
+              case (k, other) =>
+                fail(s"script param '$k' must be an integer: ${render(other)}")
+            }.toMap
+            case None        => Map.empty
+            case Some(other) => fail(s"script params must be an object: ${render(other)}")
+          }
+          (source, ps)
+        case _ => fail("script_score needs {script: {source, params?}}")
+      }
+      // a ppm-scaled inner score is not commensurate with the script's
+      // unit-scale arithmetic — same rule as bool over ppm sub-clauses.
+      // Token-level check: "params.base_score" contains the substring
+      // but never the token.
+      if (inner.ppm && ScoreScript.referencesScore(src))
+        fail("script_score cannot reference the _score of a ppm-scaled " +
+          "sub-query (dis_max/boosting/best_fields/…)")
+      CompiledQuery(inner.pred, ScoreScript.compile(src, params, inner.score),
+        named = inner.named)
+    case other => fail(s"script_score requires an object body: ${render(other)}")
+  }
+
+  /** Resolve one `terms` LOOKUP body — `{"terms": {f: {"id_field":
+    * ..., "id": ..., "path": ...}}}` — to a plain values array. The
+    * list comes from ONE row of the request's OWN table (the engine's
+    * request unit is one table, so OpenSearch's `index` member fails
+    * loud): the row where `id_field` equals `id`, column `path` —
+    * an array column contributes its elements, a scalar column its
+    * single value. One driver-side job per lookup, bounded by
+    * construction (`limit(2)` — the id must be unique) with the
+    * filter pushed into the scan; the 65536-term cap mirrors
+    * OpenSearch's `max_terms_count`. A missing row, NULL or empty
+    * path FAILS LOUD — OpenSearch silently matches nothing there,
+    * which is the typo'd-id trap this engine's doctrine forbids.
+    */
+  private[search] def resolveTermsLookup(f: String, m: Map[String, JValue],
+      table: DataFrame): JValue = {
+    if (m.contains("index"))
+      fail(s"terms lookup on '$f': 'index' is unsupported — the engine's " +
+        "request unit is ONE table, the lookup reads the request's own " +
+        "table (drop 'index' and give id_field/id/path)")
+    m.keySet.diff(Set("id_field", "id", "path")).foreach(k =>
+      fail(s"unsupported terms lookup option '$k' on '$f'"))
+    val idField = strOpt(m, "id_field").getOrElse(
+      fail(s"terms lookup on '$f' requires id_field (the document key column)"))
+    val id = m.getOrElse("id",
+      fail(s"terms lookup on '$f' requires an id"))
+    val path = strOpt(m, "path").getOrElse(
+      fail(s"terms lookup on '$f' requires a path (the column holding the terms)"))
+    val rows = table.filter(col(idField) === litOf(id))
+      .select(col(path)).limit(2).collect()
+    if (rows.isEmpty)
+      fail(s"terms lookup on '$f': no row with $idField = ${render(id)} " +
+        "(an empty lookup would silently match nothing)")
+    if (rows.length > 1)
+      fail(s"terms lookup on '$f': $idField = ${render(id)} is not unique")
+    def toJ(x: Any): JValue = x match {
+      case s: String  => JString(s)
+      case i: Int     => JInt(i)
+      case l: Long    => JInt(l)
+      case d: Double  => JDouble(d)
+      case b: Boolean => JBool(b)
+      case other => fail(s"terms lookup on '$f': unsupported term type " +
+        s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+    rows.head.get(0) match {
+      case null =>
+        fail(s"terms lookup on '$f': '$path' is NULL at $idField = ${render(id)}")
+      case seq: scala.collection.Seq[_] =>
+        if (seq.isEmpty)
+          fail(s"terms lookup on '$f': '$path' is empty at $idField = " +
+            s"${render(id)} (an empty lookup would silently match nothing)")
+        if (seq.size > 65536)
+          fail(s"terms lookup on '$f': ${seq.size} terms exceeds the " +
+            "65536-term cap (max_terms_count)")
+        JArray(seq.map(toJ).toList)
+      case x => JArray(List(toJ(x)))
+    }
+  }
+
+  private[search] def termClause(body: JValue, multi: Boolean): CompiledQuery =
+    body match {
+      // expanded term form: {"term": {f: {"value": v, "boost": n}}} —
+      // an integer boost scores n instead of 1 (float boosts fail
+      // loud, the exact scoring model); `case_insensitive` folds both
+      // sides (the OpenSearch term-level option — term-level queries
+      // skip the analyzer, this knob is their only folding)
+      case JObject(List((f, JObject(opts)))) if !multi && opts.exists(_._1 == "value") =>
+        val m = opts.toMap
+        m.keySet.diff(Set("value", "boost", "case_insensitive")).foreach(k =>
+          fail(s"unsupported term option '$k' on '$f'"))
+        val boost = m.get("boost") match {
+          case Some(JInt(b)) if b >= 1 => b.toLong
+          case None                    => 1L
+          case Some(other) =>
+            fail(s"term boost must be a positive integer (exact scoring): ${render(other)}")
+        }
+        val pred =
+          if (!caseInsensitiveOpt(m, s"term on '$f'")) col(f) === litOf(m("value"))
+          else m("value") match {
+            case JString(s) =>
+              lower(col(f)) === lit(s.toLowerCase(java.util.Locale.ROOT))
+            case other => fail(s"case_insensitive term value must be a " +
+              s"string: ${render(other)}")
+          }
+        CompiledQuery(pred, lit(boost))
+      // array-valued terms can't carry options inside the field's
+      // body, so `boost` sits as a BODY-LEVEL sibling (the _name
+      // placement rule): {"terms": {"lang": [...], "boost": 2}}
+      case JObject(parts) if multi && parts.exists(_._1 == "boost") =>
+        val boost = parts.collectFirst { case ("boost", b) => b }.get match {
+          case JInt(i) if i >= 1 => i.toLong
+          case other => fail(s"terms boost must be a positive integer " +
+            s"(exact scoring): ${render(other)}")
+        }
+        termClause(JObject(parts.filterNot(_._1 == "boost")), multi)
+          .copy(score = lit(boost))
+      case JObject(List((f, v))) =>
+        val pred =
+          if (multi) v match {
+            case JArray(vs) => col(f).isin(vs.map(scalaOf): _*)
+            case other => fail(s"terms values must be an array: ${render(other)}")
+          }
+          else col(f) === litOf(v)
+        CompiledQuery(pred, lit(1L))
+      case other => fail(s"term/terms requires {field: value}: ${render(other)}")
+    }
+
+  private[search] def rangeClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, JObject(bounds)))) =>
+      // a sibling "now" key supplies the deterministic instant date
+      // math resolves against (the engine bans wall-clock reads)
+      val nowOpt = bounds.toMap.get("now") match {
+        case Some(JString(s)) =>
+          try Some(DateMath.parseAnchor(s))
+          catch { case e: IllegalArgumentException =>
+            fail(s"range on '$f': now ${e.getMessage}") }
+        case None        => None
+        case Some(other) =>
+          fail(s"range now must be an ISO datetime string: ${render(other)}")
+      }
+      // sibling "boost": the term-level integer rule (score boost
+      // instead of 1, float boosts fail loud)
+      val boost = bounds.toMap.get("boost") match {
+        case Some(JInt(i)) if i >= 1 => i.toLong
+        case None                    => 1L
+        case Some(other) => fail(s"range boost must be a positive integer " +
+          s"(exact scoring): ${render(other)}")
+      }
+      val real = bounds.filterNot(p => p._1 == "now" || p._1 == "boost")
+      if (real.isEmpty) fail(s"range on '$f' has no bounds")
+      val preds = real.map {
+        // date math ("now-7d/d", "2024-01-20||/M"): resolved ON THE
+        // DRIVER to a literal timestamp — the predicate stays a plain
+        // pushable comparison; rounding is bound-type aware
+        // (gte floor / gt beyond-unit / lt before-unit / lte include-
+        // unit), expressed half-open so no last-millisecond literal
+        // exists. The string cast resolves in the UTC session zone.
+        case (k @ ("gte" | "gt" | "lte" | "lt"), JString(s))
+            if DateMath.isDateMath(s) =>
+          val r = try DateMath.eval(s, nowOpt) catch {
+            case e: IllegalArgumentException => fail(s"range on '$f': ${e.getMessage}")
+          }
+          def ts(t: java.time.LocalDateTime): Column =
+            lit(DateMath.literal(t)).cast("timestamp")
+          r.round match {
+            case None => k match {
+              case "gte" => col(f) >= ts(r.base)
+              case "gt"  => col(f) > ts(r.base)
+              case "lte" => col(f) <= ts(r.base)
+              case "lt"  => col(f) < ts(r.base)
+            }
+            case Some(u) =>
+              val lo = DateMath.truncate(r.base, u)
+              val next = DateMath.add(lo, u, 1L)
+              k match {
+                case "gte" => col(f) >= ts(lo)
+                case "gt"  => col(f) >= ts(next)
+                case "lt"  => col(f) < ts(lo)
+                case "lte" => col(f) < ts(next)
+              }
+          }
+        case ("gte", v) => col(f) >= litOf(v)
+        case ("gt", v)  => col(f) > litOf(v)
+        case ("lte", v) => col(f) <= litOf(v)
+        case ("lt", v)  => col(f) < litOf(v)
+        case (k, _)     => fail(s"unsupported range bound '$k' on '$f'")
+      }
+      CompiledQuery(preds.reduce(_ && _), lit(boost))
+    case other => fail(s"range requires {field: {bounds}}: ${render(other)}")
+  }
+
+  /** `match`: analyzed-token overlap. Score = count of DISTINCT
+    * query terms present in the field (the q41 semantics — codegen'd
+    * array intersection, no shuffle). `minimum_should_match` gates the
+    * predicate (default 1). The optional `analyzer` ("whitespace"
+    * default, "standard" = lowercase + split on non-alphanumerics) is
+    * applied identically to the field column and the query text — the
+    * [[Analyzer]] contract shared with the BM25 index.
+    */
+  private[search] def matchClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, spec))) =>
+      val (queryText, msmRaw, andOp0, an, fuzz, prefixLen, transp, ztq, boost) =
+        spec match {
+        case JString(s) =>
+          (s, None: Option[JValue], false, Analyzer.Whitespace: Analyzer,
+            None: Option[String => Long], 0, false, None: Option[String], 1L)
+        case JObject(opts) =>
+          val m = opts.toMap
+          val q = m.get("query") match {
+            case Some(JString(s)) => s
+            case _ => fail(s"match on '$f' requires a string 'query'")
+          }
+          // msm resolves AFTER tokenization (the "NN%" form needs the
+          // term count); validation stays in resolveMsm — < 1 fails
+          // loud there (OpenSearch's negative-msm syntax is
+          // unimplemented and must never be silently reinterpreted)
+          val n = m.get("minimum_should_match")
+          // operator: "and" = every term must match (msm == |terms|,
+          // resolved after tokenization); combining both knobs would
+          // be ambiguous — fail loud
+          val andOp = m.get("operator") match {
+            case Some(JString("or"))  => false
+            case Some(JString("and")) => true
+            case None                 => false
+            case Some(other) => fail(s"match operator must be and/or: ${render(other)}")
+          }
+          if (andOp && m.contains("minimum_should_match"))
+            fail(s"match on '$f': operator and minimum_should_match " +
+              "cannot be combined")
+          m.keySet.diff(Set("query", "minimum_should_match", "operator",
+            "analyzer", "fuzziness", "prefix_length", "zero_terms_query",
+            "boost", "transpositions"))
+            .foreach(k => fail(s"unsupported match option '$k' on '$f'"))
+          // integer boost (the term-clause rule): score × boost — the
+          // everyday relevance knob ("title matches count double")
+          val b = m.get("boost") match {
+            case Some(JInt(i)) if i >= 1 => i.toLong
+            case None                    => 1L
+            case Some(other) =>
+              fail(s"match boost must be a positive integer (exact scoring): ${render(other)}")
+          }
+          val (fz, pl, tr) = fuzzinessOpt(m, s"match on '$f'")
+          (q, n, andOp,
+            analyzerOpt(m, s"match on '$f'"), fz, pl, tr,
+            strOpt(m, "zero_terms_query"), b)
+        case other => fail(s"match body must be string or object: ${render(other)}")
+      }
+      val terms = an.normText(queryText).trim.split("\\s+").toSeq.distinct
+      if (terms.isEmpty || terms == Seq("")) {
+        // `zero_terms_query`: what an analyzed-to-nothing query means
+        // ("!!!" under the standard analyzer). OpenSearch silently
+        // returns no hits by default — the engine's default stays
+        // FAIL LOUD (a silently-empty result is the failure mode this
+        // surface forbids); the option, given EXPLICITLY, opts into
+        // either OpenSearch behavior.
+        ztq match {
+          case Some("all")  => return CompiledQuery(lit(true), lit(0L))
+          case Some("none") => return CompiledQuery(lit(false), lit(0L))
+          case Some(other) =>
+            fail(s"match zero_terms_query must be none|all, got '$other'")
+          case None => fail(s"match on '$f' has an empty query (set " +
+            "zero_terms_query: none|all to opt into a silent answer)")
+        }
+      }
+      ztq.foreach {
+        case "none" | "all" => ()
+        case other =>
+          fail(s"match zero_terms_query must be none|all, got '$other'")
+      }
+      val msmResolved =
+        if (andOp0) terms.size.toLong
+        else msmRaw.map(resolveMsm(_, terms.size, s"match on '$f'"))
+          .getOrElse(1L)
+      val score0 = overlapScore(
+        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
+        transp)
+      // the predicate gates on the UNboosted overlap (boost scales
+      // relevance, never reach); the score scales
+      val score = if (boost == 1L) score0 else score0 * lit(boost)
+      CompiledQuery(score0 >= lit(msmResolved), score)
+    case other => fail(s"match requires {field: spec}: ${render(other)}")
+  }
+
+  /** The match-family `fuzziness` option (`0`/`1`/`2` or `"AUTO"`) +
+    * `prefix_length` + `transpositions`, parsed to a per-term
+    * edit-distance resolver. `AUTO` is the public OpenSearch rule
+    * resolved per query term ON THE DRIVER (term lengths are
+    * compile-time constants): 0 edits for 1–2 chars, 1 for 3–5, 2 for
+    * 6+. Distances past 2 fail loud (the OpenSearch cap — an
+    * unbounded distance makes the term dictionary walk quadratic).
+    * `transpositions: true` switches the edit model to full
+    * Damerau-Levenshtein ([[graft.plans.DamerauLevenshtein]] — an
+    * adjacent swap is ONE edit, the oracle's `damerau_levenshtein`).
+    * The ENGINE DEFAULT is `false` — plain levenshtein, matching
+    * every other fuzzy surface of this engine (the `fuzzy` clause,
+    * the term/phrase suggesters, query_string `~` expansions) — a
+    * DELIBERATE, documented divergence from OpenSearch's `true`
+    * default: one edit model across all surfaces beats faithfully
+    * flipping just this one and letting match disagree with the
+    * suggester over the same typo. `prefix_length`/`transpositions`
+    * without `fuzziness` are meaningless and fail loud.
+    */
+  private[search] def fuzzinessOpt(m: Map[String, JValue],
+      where: String): (Option[String => Long], Int, Boolean) = {
+    val fz: Option[String => Long] = m.get("fuzziness") match {
+      case None => None
+      case Some(JInt(i)) =>
+        if (i < 0 || i > 2)
+          fail(s"$where: fuzziness must be 0-2 or \"AUTO\", got $i")
+        Some((_: String) => i.toLong)
+      case Some(JString("AUTO")) =>
+        Some((t: String) =>
+          if (t.length <= 2) 0L else if (t.length <= 5) 1L else 2L)
+      case Some(other) =>
+        fail(s"""$where: fuzziness must be an int or "AUTO": ${render(other)}""")
+    }
+    val pl = intOpt(m, "prefix_length").getOrElse(0)
+    if (pl < 0) fail(s"$where: prefix_length must be >= 0")
+    if (fz.isEmpty && m.contains("prefix_length"))
+      fail(s"$where: prefix_length requires fuzziness")
+    val tr = m.get("transpositions") match {
+      case None           => false
+      case Some(JBool(b)) => b
+      case Some(other) =>
+        fail(s"$where: transpositions must be a boolean: ${render(other)}")
+    }
+    if (fz.isEmpty && m.contains("transpositions"))
+      fail(s"$where: transpositions requires fuzziness")
+    (fz, pl, tr)
+  }
+
+  /** A `minimum_should_match` value: a positive integer, or the
+    * percentage form `"NN%"` resolved ON THE DRIVER against the
+    * actual optional-clause/term count `n` (floor — the OpenSearch
+    * rounding). `zeroOk` is true only for bool, whose msm may
+    * legitimately be 0 (should-clauses purely optional next to a
+    * must); everywhere else a gate resolving to 0 would silently
+    * match EVERYTHING, so the floor clamps to 1 (documented — the
+    * vacuous-gate trap this engine's doctrine forbids). Negative
+    * ints/percentages ("all but N optional") and conditional forms
+    * ("3<90%") stay fail-loud.
+    */
+  private[search] def resolveMsm(v: JValue, n: Int, where: String,
+      zeroOk: Boolean = false): Long = v match {
+    case JInt(i) if i >= 1 || (zeroOk && i == 0) => i.toLong
+    case JInt(i) =>
+      fail(s"$where: minimum_should_match must be >= ${if (zeroOk) 0 else 1} " +
+        s"(negative-msm syntax is unsupported), got $i")
+    case JString(s) if s.endsWith("%") =>
+      val pct =
+        try s.dropRight(1).toInt
+        catch { case _: NumberFormatException =>
+          fail(s"$where: minimum_should_match percentage must be an " +
+            s"integer: '$s'") }
+      if (pct < 1 || pct > 100)
+        fail(s"$where: minimum_should_match percentage must be 1-100%, got '$s'")
+      val floored = (n.toLong * pct) / 100L
+      if (zeroOk) floored else math.max(1L, floored)
+    case JString(other) =>
+      fail(s"$where: minimum_should_match string form must be \"NN%\" " +
+        s"(conditional forms are unsupported): '$other'")
+    case other =>
+      fail(s"$where: minimum_should_match must be an integer or \"NN%\": " +
+        s"${render(other)}")
+  }
+
+  /** Match-family score: number of DISTINCT query terms present in
+    * the field's distinct-token array. The exact path stays the ONE
+    * codegen'd `array_intersect` expression (every existing plan
+    * byte-identical); with `fuzziness` a query term also matches when
+    * ANY distinct token is within its per-term edit distance
+    * (`exists` + `levenshtein` over the bounded per-row token array —
+    * still whole-stage codegen, no UDF, mirroring the term-dictionary
+    * walk of [[fuzzyClause]]; `prefix_length` bounds candidates the
+    * way a real term dictionary does).
+    */
+  private[search] def overlapScore(fieldTokens: Column, terms: Seq[String],
+      fuzz: Option[String => Long], prefixLen: Int,
+      transpositions: Boolean = false): Column = fuzz match {
+    case None =>
+      size(array_intersect(fieldTokens, array(terms.map(lit): _*))).cast("long")
+    case Some(d) =>
+      val edit: (Column, Column) => Column =
+        if (transpositions) graft.plans.DamerauLevenshtein.apply
+        else levenshtein(_, _)
+      terms.map { t =>
+        val dt = d(t)
+        val cond =
+          if (dt == 0L) array_contains(fieldTokens, t)
+          else exists(fieldTokens, tok =>
+            (if (prefixLen <= 0) lit(true)
+             else tok.startsWith(t.take(prefixLen))) &&
+              edit(tok, lit(t)) <= lit(dt))
+        when(cond, lit(1L)).otherwise(lit(0L))
+      }.reduce(_ + _)
+  }
+
+  /** Parse an optional per-clause `analyzer` name — whitespace (the
+    * oracle-locked historical default) unless the request names one.
+    */
+  private[search] def analyzerOpt(m: Map[String, JValue], where: String): Analyzer =
+    m.get("analyzer") match {
+      case None             => Analyzer.Whitespace
+      case Some(JString(s)) =>
+        try Analyzer.of(s)
+        catch { case e: IllegalArgumentException => fail(s"$where: ${e.getMessage}") }
+      case Some(other) => fail(s"$where: analyzer must be a string: ${render(other)}")
+    }
+
+  /** Normalize a single grammar TERM through the analyzer — shared by
+    * the query-grammar surfaces (query_string, simple_query_string,
+    * span_near, intervals, suggest). Grammar terms are single-token by
+    * contract, so a term that analyzes to zero tokens (all separators)
+    * or expands to several (`a_b` under standard) fails loud instead
+    * of silently matching something else; multi-token text belongs in
+    * a quoted phrase.
+    */
+  /** The OpenSearch `case_insensitive` flag on term-level clauses —
+    * term-level queries skip the analyzer by contract, so this knob is
+    * their only folding. ASCII contract like the analyzer's.
+    */
+  private[search] def caseInsensitiveOpt(m: Map[String, JValue], where: String): Boolean =
+    m.get("case_insensitive") match {
+      case Some(JBool(b)) => b
+      case None           => false
+      case Some(other) =>
+        fail(s"$where: case_insensitive must be a boolean: ${render(other)}")
+    }
+
+  private[search] def analyzedTerm(an: Analyzer, term: String, where: String): String = {
+    val t = an.normText(term).trim
+    if (t.isEmpty)
+      fail(s"$where: term '$term' analyzes to no tokens under '${an.name}'")
+    if (t.contains(' '))
+      fail(s"$where: term '$term' analyzes to multiple tokens under " +
+        s"'${an.name}' - quote it as a phrase")
+    t
+  }
+
+  /** `match_phrase`: the engine's token-boundary substring contract
+    * (q59) — the space-padded NORMALIZED text contains the analyzed,
+    * space-joined phrase. Analyzer "whitespace" (default) reproduces
+    * the historical raw contract exactly.
+    */
+  private[search] def phraseClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, v))) =>
+      val (phrase, an, slop) = v match {
+        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer, 0)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("query", "analyzer", "slop")).foreach(k =>
+            fail(s"unsupported match_phrase option '$k' on '$f'"))
+          val sl = intOpt(m, "slop").getOrElse(0)
+          if (sl < 0) fail(s"match_phrase slop must be >= 0, got $sl")
+          m.get("query") match {
+            case Some(JString(s)) =>
+              val a = analyzerOpt(m, s"match_phrase on '$f'")
+              (a.normText(s).trim, a, sl)
+            case _ => fail(s"match_phrase on '$f' requires a string 'query'")
+          }
+        case other => fail(s"match_phrase body must be string or object: ${render(other)}")
+      }
+      if (phrase.isEmpty) fail(s"match_phrase on '$f' has an empty phrase")
+      if (slop == 0) {
+        val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+        CompiledQuery(padded.contains(s" $phrase "), lit(1L))
+      } else {
+        // sloppy phrase: the terms occur IN ORDER with at most `slop`
+        // total intervening tokens (`p_last − p_first − (k−1) ≤ slop`
+        // — the intervals gap model; OpenSearch's transposition-at-
+        // cost-2 is edit-distance-flavored and engine-specific, the
+        // ordered form is the deterministic analog). Row-LOCAL — a
+        // nested-exists over per-term position arrays built from ONE
+        // tokenization, so unlike span_near this composes inside bool
+        // as an ordinary predicate. Work per row is Π tfᵢ bounded by
+        // the row's own token counts; k is capped at 3 (beyond that
+        // the tuple product is the wrong plan — use span/intervals).
+        val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+        if (terms.size < 2 || terms.size > 3)
+          fail(s"match_phrase slop supports 2-3 terms, got ${terms.size} " +
+            "(longer sloppy phrases belong to intervals/span_near)")
+        val toks = split(an.norm(col(f)), " ")
+        val idx = sequence(lit(0), size(toks) - 1)
+        def positions(t: String): Column =
+          filter(idx, i => element_at(toks, i + 1) === t)
+        val pred = terms match {
+          case Seq(t1, t2) =>
+            exists(positions(t1), p1 =>
+              exists(positions(t2), p2 =>
+                p2 > p1 && p2 - p1 - 1 <= lit(slop)))
+          case Seq(t1, t2, t3) =>
+            exists(positions(t1), p1 =>
+              exists(positions(t2), p2 =>
+                p2 > p1 && exists(positions(t3), p3 =>
+                  p3 > p2 && p3 - p1 - 2 <= lit(slop))))
+        }
+        // size(toks) is NULL-safe: a NULL field yields NULL -> no hit
+        CompiledQuery(coalesce(pred, lit(false)), lit(1L))
+      }
+    case other => fail(s"match_phrase requires {field: phrase}: ${render(other)}")
+  }
+
+  private[search] def boolClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("must", "filter", "must_not", "should", "minimum_should_match"))
+        .foreach(k => fail(s"unsupported bool section '$k'"))
+      def section(name: String): Seq[CompiledQuery] = m.get(name) match {
+        case None              => Nil
+        case Some(JArray(cs))  => cs.map(compileQuery)
+        case Some(one: JObject) => Seq(compileQuery(one))
+        case Some(other) => fail(s"bool.$name must be a clause or array: ${render(other)}")
+      }
+      val must    = section("must")
+      val filter  = section("filter")
+      val mustNot = section("must_not")
+      val should  = section("should")
+
+      // minimum_should_match default: 1 when should is the only match
+      // criterion, else 0 (OpenSearch's rule). The "NN%" form resolves
+      // against the should-clause count; 0 is legal here (should
+      // purely optional next to a must).
+      val msmDefault = if (should.nonEmpty && must.isEmpty && filter.isEmpty) 1L else 0L
+      val msm = m.get("minimum_should_match") match {
+        case None    => msmDefault
+        case Some(v) => resolveMsm(v, should.size, "bool", zeroOk = true)
+      }
+
+      combineBool(must, filter, mustNot, should, msm)
+    case other => fail(s"bool requires an object body: ${render(other)}")
+  }
+
+  /** The bool combination model, shared with `simple_query_string`:
+    * query-context scoring — must scores always (pred already gates
+    * them), should scores only when the clause matched; filter and
+    * must_not contribute nothing (filter context).
+    */
+  private[search] def combineBool(must: Seq[CompiledQuery], filter: Seq[CompiledQuery],
+      mustNot: Seq[CompiledQuery], should: Seq[CompiledQuery],
+      msm: Long): CompiledQuery = {
+    val base = (must ++ filter).map(_.pred) ++ mustNot.map(c => !c.pred)
+    val shouldMatched =
+      if (should.isEmpty) lit(0L)
+      else should.map(c => when(c.pred, 1L).otherwise(0L)).reduce(_ + _)
+    val preds = base ++ (if (msm > 0L) Seq(shouldMatched >= lit(msm)) else Nil)
+    val pred = if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
+    val scoring = must ++ should
+    if (scoring.exists(_.ppm) && scoring.exists(!_.ppm))
+      fail("bool cannot sum unit- and ppm-scaled clause scores (move the " +
+        "ppm clause to filter context, or keep scoring clauses one scale)")
+    val scoreParts = must.map(_.score) ++
+      should.map(c => when(c.pred, c.score).otherwise(0L))
+    val score =
+      if (scoreParts.isEmpty) lit(0L) else scoreParts.reduce(_ + _)
+    // named sub-clauses from every section ride up (a must_not name
+    // can never surface on a hit — its pred is false there — which is
+    // exactly the OpenSearch behavior)
+    CompiledQuery(pred, score, ppm = scoring.exists(_.ppm),
+      named = (must ++ filter ++ mustNot ++ should).flatMap(_.named))
+  }
+
+  /** `constant_score`: the wrapped filter decides membership, the score
+    * is a fixed integer `boost` (default 1) — filter context promoted to
+    * a scored clause, as in OpenSearch.
+    */
+  /** `script` query: filter by a scripted predicate — the two sides
+    * of ONE comparator (`< <= > >= == !=`) compile through the SAME
+    * exact-integer ScoreScript grammar as script_score
+    * (`doc['f'].value` arithmetic + `params` constants), so the whole
+    * predicate is codegen'd Catalyst with zero row-time
+    * interpretation and pushes toward the scan like any filter.
+    * `_score` does not exist in filter context — fail loud. Scores 1
+    * like the other term-level filters.
+    */
+  private[search] def scriptClause(body: JValue): CompiledQuery = body match {
+    case JObject(List(("script", JObject(s)))) =>
+      val sm = s.toMap
+      sm.keySet.diff(Set("source", "params")).foreach(k =>
+        fail(s"unsupported script option '$k' in script query"))
+      val src = strOpt(sm, "source")
+        .getOrElse(fail("script query needs a script source"))
+      val params: Map[String, Long] = sm.get("params") match {
+        case Some(JObject(po)) => po.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, other) =>
+            fail(s"script param '$k' must be an integer: ${render(other)}")
+        }.toMap
+        case None        => Map.empty
+        case Some(other) => fail(s"script params must be an object: ${render(other)}")
+      }
+      val CmpRe = """>=|<=|==|!=|>|<""".r
+      val ms = CmpRe.findAllMatchIn(src).toList
+      if (ms.size != 1)
+        fail("script query needs exactly one comparator " +
+          s"(< <= > >= == !=), got ${ms.size} in '$src'")
+      val m = ms.head
+      val (lhs, rhs) = (src.substring(0, m.start), src.substring(m.end))
+      if (ScoreScript.referencesScore(lhs) || ScoreScript.referencesScore(rhs))
+        fail("script query cannot reference _score (filters evaluate " +
+          "before scoring)")
+      val l = ScoreScript.compile(lhs, params, lit(0L))
+      val r = ScoreScript.compile(rhs, params, lit(0L))
+      val pred = m.matched match {
+        case ">"  => l > r
+        case ">=" => l >= r
+        case "<"  => l < r
+        case "<=" => l <= r
+        case "==" => l === r
+        case "!=" => l =!= r
+      }
+      CompiledQuery(pred, lit(1L))
+    case other =>
+      fail(s"script query requires {script: {source, params?}}: ${render(other)}")
+  }
+
+  private[search] def constantScoreClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("filter", "boost")).foreach(k =>
+        fail(s"unsupported constant_score option '$k'"))
+      val inner = m.get("filter") match {
+        case Some(f) => compileQuery(f)
+        case None    => fail("constant_score requires a filter clause")
+      }
+      val boost = m.get("boost") match {
+        case Some(JInt(b)) if b < 0 => fail("constant_score boost must be non-negative")
+        case Some(JInt(b)) => b.toLong
+        case None          => 1L
+        case Some(other)   => fail(s"constant_score boost must be an integer: ${render(other)}")
+      }
+      CompiledQuery(inner.pred, lit(boost), named = inner.named)
+    case other => fail(s"constant_score requires an object body: ${render(other)}")
+  }
+
+  /** `fuzzy`: term-level edit-distance match over the field's distinct
+    * whitespace tokens (the engine tokenizes text fields, mirroring the
+    * inverted-index term walk — the q48 contract). Score = number of
+    * distinct tokens within `fuzziness` (default 1) edits of the value;
+    * `prefix_length` (default 0) requires that many leading characters
+    * to match exactly, which is also what bounds the candidate set in a
+    * real term dictionary. `transpositions: true` switches the edit
+    * model to full Damerau-Levenshtein (adjacent swap = ONE edit —
+    * [[graft.plans.DamerauLevenshtein]]); the engine default stays
+    * `false` (plain levenshtein, the model every other fuzzy surface
+    * here uses — a deliberate, documented divergence from OpenSearch's
+    * `true` default; see [[fuzzinessOpt]]).
+    */
+  private[search] def fuzzyClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, spec))) =>
+      val (value, fuzz, prefixLen, transp, boost) = spec match {
+        case JString(s) => (s, 1L, 0, false, 1L)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("value", "fuzziness", "prefix_length",
+            "transpositions", "boost")).foreach(k =>
+            fail(s"unsupported fuzzy option '$k' on '$f'"))
+          val b = m.get("boost") match {
+            case Some(JInt(i)) if i >= 1 => i.toLong
+            case None                    => 1L
+            case Some(other) => fail(s"fuzzy boost must be a positive " +
+              s"integer (exact scoring): ${render(other)}")
+          }
+          val v = strOpt(m, "value").getOrElse(fail(s"fuzzy on '$f' requires a string 'value'"))
+          val fz = m.get("fuzziness") match {
+            case Some(JInt(i)) if i < 0 => fail(s"fuzziness must be non-negative")
+            case Some(JInt(i)) => i.toLong
+            case None          => 1L
+            case Some(other)   => fail(s"fuzziness must be an int: ${render(other)}")
+          }
+          val tr = m.get("transpositions") match {
+            case None           => false
+            case Some(JBool(b)) => b
+            case Some(other) =>
+              fail(s"transpositions must be a boolean: ${render(other)}")
+          }
+          (v, fz, intOpt(m, "prefix_length").getOrElse(0), tr, b)
+        case other => fail(s"fuzzy body must be string or object: ${render(other)}")
+      }
+      if (value.isEmpty) fail(s"fuzzy on '$f' has an empty value")
+      val edit: (Column, Column) => Column =
+        if (transp) graft.plans.DamerauLevenshtein.apply
+        else levenshtein(_, _)
+      val toks = array_distinct(split(col(f), " "))
+      val candidate: Column => Column =
+        if (prefixLen <= 0) identity
+        else t => when(t.startsWith(value.take(prefixLen)), t)
+      val matched = filter(toks, t =>
+        candidate(t).isNotNull && edit(t, lit(value)) <= lit(fuzz))
+      val score = size(matched).cast("long")
+      // the match-boost doctrine: the predicate gates on the UNboosted
+      // token count, the score scales
+      CompiledQuery(score >= 1L,
+        if (boost == 1L) score else score * lit(boost))
+    case other => fail(s"fuzzy requires {field: spec}: ${render(other)}")
+  }
+
+  /** `match_phrase_prefix`: a phrase whose LAST term is a prefix — the
+    * search-as-you-type query. Token-boundary containment of the
+    * space-joined phrase with no trailing boundary, so the final token
+    * only needs to START with the last query term (the q131 contract).
+    */
+  private[search] def phrasePrefixClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, v))) =>
+      val (phrase, an) = v match {
+        case JString(s) => (s.trim, Analyzer.Whitespace: Analyzer)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("query", "analyzer")).foreach(k =>
+            fail(s"unsupported match_phrase_prefix option '$k' on '$f'"))
+          m.get("query") match {
+            case Some(JString(s)) =>
+              val a = analyzerOpt(m, s"match_phrase_prefix on '$f'")
+              (a.normText(s).trim, a)
+            case _ => fail(s"match_phrase_prefix on '$f' requires a string 'query'")
+          }
+        case other => fail(s"match_phrase_prefix body must be string or object: ${render(other)}")
+      }
+      if (phrase.isEmpty) fail(s"match_phrase_prefix on '$f' has an empty phrase")
+      val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+      CompiledQuery(padded.contains(s" $phrase"), lit(1L))
+    case other => fail(s"match_phrase_prefix requires {field: phrase}: ${render(other)}")
+  }
+
+  /** `match_bool_prefix`: type-ahead over a bag of terms — every
+    * token but the LAST matches as a full term, the last as a token
+    * PREFIX (OpenSearch builds a bool of term shoulds plus a prefix
+    * on the final token). Score = distinct full-term overlap + 1 when
+    * any token starts with the prefix; `minimum_should_match` gates
+    * the predicate (default 1 — the or-semantics default). Pure
+    * codegen: one split + intersect + higher-order exists.
+    */
+  private[search] def matchBoolPrefixClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, spec))) =>
+      val (queryText, msmRaw, an) = spec match {
+        case JString(s) => (s, None: Option[JValue], Analyzer.Whitespace: Analyzer)
+        case JObject(opts) =>
+          val m = opts.toMap
+          m.keySet.diff(Set("query", "minimum_should_match", "analyzer"))
+            .foreach(k =>
+              fail(s"unsupported match_bool_prefix option '$k' on '$f'"))
+          val q = strOpt(m, "query")
+            .getOrElse(fail(s"match_bool_prefix on '$f' requires a string 'query'"))
+          (q, m.get("minimum_should_match"),
+            analyzerOpt(m, s"match_bool_prefix on '$f'"))
+        case other => fail(s"match_bool_prefix body must be string or object: ${render(other)}")
+      }
+      val toks = an.normText(queryText).trim.split("\\s+").toSeq
+      if (toks.isEmpty || toks == Seq(""))
+        fail(s"match_bool_prefix on '$f' has an empty query")
+      val msm = msmRaw
+        .map(resolveMsm(_, toks.size, s"match_bool_prefix on '$f'"))
+        .getOrElse(1L)
+      val full = toks.init.distinct
+      val last = toks.last
+      val fieldToks = split(an.norm(col(f)), " ")
+      val overlap =
+        if (full.isEmpty) lit(0L)
+        else size(array_intersect(array_distinct(fieldToks),
+          array(full.map(lit): _*))).cast("long")
+      val prefixHit =
+        when(exists(fieldToks, t => t.startsWith(last)), 1L).otherwise(0L)
+      val score = overlap + prefixHit
+      CompiledQuery(score >= lit(msm), score)
+    case other => fail(s"match_bool_prefix requires {field: query}: ${render(other)}")
+  }
+
+  /** `terms_set`: like `terms` but with a required-match count — score =
+    * distinct-token overlap with the wanted set, predicate gated on
+    * `minimum_should_match` (the q128 contract; the field is tokenized
+    * like `match`). The script/field forms of OpenSearch's msm are out of
+    * scope — only the literal integer is supported, fail-loud otherwise.
+    */
+  private[search] def termsSetClause(body: JValue): CompiledQuery = body match {
+    case JObject(List((f, JObject(opts)))) =>
+      val m = opts.toMap
+      m.keySet.diff(Set("terms", "minimum_should_match",
+        "minimum_should_match_field")).foreach(k =>
+        fail(s"unsupported terms_set option '$k' on '$f'"))
+      val wanted = m.get("terms") match {
+        case Some(JArray(vs)) if vs.nonEmpty => vs.map {
+          case JString(s) => s
+          case other      => fail(s"terms_set terms must be strings: ${render(other)}")
+        }
+        case _ => fail(s"terms_set on '$f' requires a non-empty terms array")
+      }
+      // the required-match count: a constant, or PER DOCUMENT from a
+      // column (`minimum_should_match_field` — the OpenSearch shape
+      // where each doc stores how many of its tags must match); a
+      // NULL msm column makes the gate NULL and the row drops (the
+      // OpenSearch missing-field behavior). Exactly one form.
+      val msm: Column = (m.get("minimum_should_match"),
+          m.get("minimum_should_match_field")) match {
+        case (Some(JInt(i)), None)        => lit(i.toLong)
+        case (None, Some(JString(mf)))    => col(mf).cast("long")
+        case (Some(_), Some(_)) => fail(s"terms_set on '$f': give " +
+          "minimum_should_match or minimum_should_match_field, not both")
+        case _ => fail(s"terms_set on '$f' requires an integer " +
+          "minimum_should_match or a minimum_should_match_field column")
+      }
+      val score = size(array_intersect(array_distinct(split(col(f), " ")),
+        array(wanted.map(lit): _*))).cast("long")
+      CompiledQuery(score >= msm, score)
+    case other => fail(s"terms_set requires {field: {terms, minimum_should_match}}: ${render(other)}")
+  }
+
+  /** `dis_max`: best-clause-wins ranking. Score = best matched
+    * sub-score × 10⁶ + (sum of the other matched sub-scores) ×
+    * round(tie_breaker × 10⁶) — the q129 exact-ppm model, so the
+    * float-free ordering is engine-portable. A hit matches if ANY
+    * sub-query matches; unmatched sub-queries contribute zero.
+    */
+  private[search] def disMaxClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("queries", "tie_breaker")).foreach(k =>
+        fail(s"unsupported dis_max option '$k'"))
+      val subs = m.get("queries") match {
+        case Some(JArray(qs)) if qs.nonEmpty => qs.map(compileQuery)
+        case _ => fail("dis_max requires a non-empty queries array")
+      }
+      if (subs.exists(_.ppm))
+        fail("dis_max cannot nest ppm-scaled clauses: the best-clause " +
+          "formula would scale their scores by 10⁶ again")
+      val tbPpm = ppmOf(m, "tie_breaker", 0L)
+      val matched = subs.map(c => when(c.pred, c.score).otherwise(0L))
+      val best =
+        if (matched.size == 1) matched.head else greatest(matched: _*)
+      val total = matched.reduce(_ + _)
+      val score = best * lit(1000000L) + (total - best) * lit(tbPpm)
+      CompiledQuery(subs.map(_.pred).reduce(_ || _), score, ppm = true,
+        named = subs.flatMap(_.named))
+    case other => fail(s"dis_max requires an object body: ${render(other)}")
+  }
+
+  /** `boosting`: hits matching the negative clause are DEMOTED, not
+    * excluded (what must_not cannot express). Score = positive score ×
+    * 10⁶, or × round(negative_boost × 10⁶) when demoted — the q130
+    * exact-integer model (ppm scale, like dis_max).
+    */
+  private[search] def boostingClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("positive", "negative", "negative_boost")).foreach(k =>
+        fail(s"unsupported boosting option '$k'"))
+      val pos = m.get("positive").map(compileQuery)
+        .getOrElse(fail("boosting requires a positive clause"))
+      val neg = m.get("negative").map(compileQuery)
+        .getOrElse(fail("boosting requires a negative clause"))
+      if (!m.contains("negative_boost"))
+        fail("boosting requires a numeric negative_boost")
+      val nbPpm = ppmOf(m, "negative_boost", 0L)
+      if (pos.ppm)
+        fail("boosting cannot wrap a ppm-scaled positive clause: the " +
+          "demotion formula would scale its score by 10\u2076 again")
+      val score = pos.score * when(neg.pred, lit(nbPpm)).otherwise(lit(1000000L))
+      CompiledQuery(pos.pred, score, ppm = true,
+        named = pos.named ++ neg.named)
+    case other => fail(s"boosting requires an object body: ${render(other)}")
+  }
+
+  /** `pinned`: curated ids rank above every organic hit, in the
+    * curators' order (first pin highest). Pins score 10¹² + (n − pos) —
+    * clear of any ppm-scaled organic score; organic hits keep their own
+    * score (the q132 shape). OpenSearch pins `_id`s; this engine has no
+    * reserved id column, so the request names it via `id_field`.
+    */
+  private[search] def pinnedClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("ids", "id_field", "organic")).foreach(k =>
+        fail(s"unsupported pinned option '$k'"))
+      val idField = strOpt(m, "id_field")
+        .getOrElse(fail("pinned requires id_field (the column pins match against)"))
+      val ids = m.get("ids") match {
+        case Some(JArray(vs)) if vs.nonEmpty => vs.map(scalaOf)
+        case _ => fail("pinned requires a non-empty ids array")
+      }
+      val organic = m.get("organic").map(compileQuery)
+        .getOrElse(fail("pinned requires an organic clause"))
+      if (organic.ppm)
+        fail("pinned requires a unit-scale organic clause: the 10\u00b9\u00b2 pin " +
+          "band only clears unit-scale organic scores")
+      val pinPos = array_position(array(ids.map(lit): _*), col(idField))
+      val score = when(pinPos > 0L,
+          lit(1000000000000L) + (lit(ids.size.toLong) - pinPos))
+        .otherwise(when(organic.pred, organic.score).otherwise(0L))
+      CompiledQuery(organic.pred || pinPos > 0L, score,
+        named = organic.named)
+    case other => fail(s"pinned requires an object body: ${render(other)}")
+  }
+
+  /** `ids`: explicit id-list membership. OpenSearch matches `_id`;
+    * this engine has no reserved id column, so the request names it
+    * via `field` (the pinned-clause convention). Compiles to a pushed
+    * `IN` predicate, score 1.
+    */
+  private[search] def idsClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("values", "field")).foreach(k =>
+        fail(s"unsupported ids option '$k'"))
+      val f = strOpt(m, "field")
+        .getOrElse(fail("ids requires field (the column ids match against)"))
+      val vs = m.get("values") match {
+        case Some(JArray(v)) if v.nonEmpty => v.map(scalaOf)
+        case _ => fail("ids requires a non-empty values array")
+      }
+      CompiledQuery(col(f).isin(vs: _*), lit(1L))
+    case other => fail(s"ids requires an object body: ${render(other)}")
+  }
+
+  /** `regexp`: whole-value regex match (OpenSearch anchors the pattern
+    * to the ENTIRE field value, unlike a substring search) — compiled
+    * to an anchored `rlike`, score 1. Pattern syntax is the common
+    * core both engines share; exotic constructs are the caller's risk.
+    */
+  private[search] def regexpClause(body: JValue): CompiledQuery = {
+    val (f, v, ci, boost) = fieldValueCiBoost(body, "regexp")
+    val pat = v match {
+      case JString(s) => s
+      case other      => fail(s"regexp pattern must be a string: ${render(other)}")
+    }
+    // (?i) scoped inside the anchors — the inline flag both regex
+    // engines (java.util.regex here, RE2 in the oracle) honor
+    val anchored = if (ci) s"^(?i)(?:$pat)$$" else s"^(?:$pat)$$"
+    CompiledQuery(col(f).rlike(anchored), lit(boost))
+  }
+
+  /** `multi_match`: one query text against several fields. A field
+    * matches when its distinct-term overlap reaches
+    * `minimum_should_match` (default 1); a hit is ANY field matching.
+    * `best_fields` (default) ranks by the best single field with the
+    * dis_max ppm `tie_breaker` model; `most_fields` sums the matched
+    * per-field overlap scores (plain LONG, no ppm scale).
+    */
+  private[search] def multiMatchClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "fields", "type", "tie_breaker",
+          "minimum_should_match", "analyzer", "fuzziness", "prefix_length",
+          "transpositions", "operator"))
+        .foreach(k => fail(s"unsupported multi_match option '$k'"))
+      val qtext = strOpt(m, "query")
+        .getOrElse(fail("multi_match requires a string 'query'"))
+      val fields = m.get("fields") match {
+        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+          case JString(s) => s
+          case other => fail(s"multi_match fields must be strings: ${render(other)}")
+        }
+        case _ => fail("multi_match requires a non-empty fields array")
+      }
+      val an = analyzerOpt(m, "multi_match")
+      // terms0 keeps the query's token ORDER (the phrase type needs
+      // it); the term-set types dedup
+      val terms0 = an.normText(qtext).trim.split("\\s+").toSeq
+      val terms = terms0.distinct
+      if (terms.isEmpty || terms == Seq("")) fail("multi_match has an empty query")
+      // `operator: and` = every term must match (per field — the
+      // match-clause rule lifted across fields); combining with an
+      // explicit msm would be ambiguous, fail loud
+      val andOp = m.get("operator") match {
+        case Some(JString("or"))  => false
+        case Some(JString("and")) => true
+        case None                 => false
+        case Some(other) =>
+          fail(s"multi_match operator must be and/or: ${render(other)}")
+      }
+      if (andOp && m.contains("minimum_should_match"))
+        fail("multi_match: operator and minimum_should_match cannot be combined")
+      val msm =
+        if (andOp) terms.size.toLong
+        else m.get("minimum_should_match") match {
+          case None    => 1L
+          case Some(v) => resolveMsm(v, terms.size, "multi_match")
+        }
+      val (fuzz, prefixLen, transp) = fuzzinessOpt(m, "multi_match")
+      val perField = fields.map(f => overlapScore(
+        array_distinct(split(an.norm(col(f)), " ")), terms, fuzz, prefixLen,
+        transp))
+      val matched = perField.map(s => when(s >= lit(msm), s).otherwise(0L))
+      val pred = perField.map(_ >= lit(msm)).reduce(_ || _)
+      strOpt(m, "type").getOrElse("best_fields") match {
+        case "most_fields" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          CompiledQuery(pred, matched.reduce(_ + _))
+        case "best_fields" =>
+          val tbPpm = ppmOf(m, "tie_breaker", 0L)
+          val best = if (matched.size == 1) matched.head else greatest(matched: _*)
+          val total = matched.reduce(_ + _)
+          CompiledQuery(pred, best * lit(1000000L) + (total - best) * lit(tbPpm),
+            ppm = true)
+        // cross_fields: TERM-centric — the fields act as one blended
+        // field, a query term matches when ANY field carries it;
+        // score = matched query terms over the token UNION,
+        // minimum_should_match gates that count (the name-field idiom:
+        // "jane smith" across first_name/last_name). A NULL field
+        // contributes an EMPTY token set (coalesce), matching the
+        // best_fields arms and OpenSearch, where a missing field simply
+        // adds no terms — Spark's concat would otherwise NULL the whole
+        // union and silently drop docs with one NULL field.
+        case "cross_fields" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          val union = array_distinct(concat(fields.map(f =>
+            coalesce(array_distinct(split(an.norm(col(f)), " ")),
+              typedLit(Seq.empty[String]))): _*))
+          val s = overlapScore(union, terms, fuzz, prefixLen, transp)
+          CompiledQuery(s >= lit(msm), when(s >= lit(msm), s).otherwise(0L))
+        // phrase: the whole query as a match_phrase per field (the
+        // token-boundary substring contract); score = the number of
+        // fields containing the phrase (OpenSearch's best_fields over
+        // per-field phrase scores collapses to a constant under the
+        // integer model — the field count is the deterministic
+        // refinement). Phrase semantics make term-level options moot:
+        // fuzziness / minimum_should_match fail loud.
+        case "phrase" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          if (fuzz.isDefined || m.contains("prefix_length"))
+            fail("multi_match type phrase does not take fuzziness")
+          if (m.contains("minimum_should_match"))
+            fail("multi_match type phrase does not take minimum_should_match")
+          if (m.contains("operator"))
+            fail("multi_match type phrase does not take operator")
+          val phrase = terms0.mkString(" ")
+          val perF = fields.map { f =>
+            val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+            when(padded.contains(s" $phrase "), 1L).otherwise(0L)
+          }
+          val s = perF.reduce(_ + _)
+          CompiledQuery(s >= lit(1L), s)
+        // phrase_prefix: the search-box autocomplete over several
+        // fields — the whole query as a match_phrase_prefix per field
+        // (in-order containment with NO trailing boundary, so the last
+        // term is a prefix: the q131 contract); score = number of
+        // fields carrying the prefix-phrase (the phrase-type doctrine:
+        // OpenSearch's per-field phrase scores collapse to a constant
+        // under the integer model, the field count is the
+        // deterministic refinement)
+        case "phrase_prefix" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          if (fuzz.isDefined || m.contains("prefix_length"))
+            fail("multi_match type phrase_prefix does not take fuzziness")
+          if (m.contains("minimum_should_match"))
+            fail("multi_match type phrase_prefix does not take minimum_should_match")
+          if (m.contains("operator"))
+            fail("multi_match type phrase_prefix does not take operator")
+          val phrase = terms0.mkString(" ")
+          val perF = fields.map { f =>
+            val padded = concat(lit(" "), an.norm(col(f)), lit(" "))
+            when(padded.contains(s" $phrase"), 1L).otherwise(0L)
+          }
+          val s = perF.reduce(_ + _)
+          CompiledQuery(s >= lit(1L), s)
+        // bool_prefix: type-ahead bag-of-terms per field (every term
+        // but the LAST matches full, the last as a token prefix — the
+        // match_bool_prefix contract), best field wins (OpenSearch
+        // combines per-field match_bool_prefix scores best_fields
+        // style); minimum_should_match gates each field's bag count
+        case "bool_prefix" =>
+          if (m.contains("tie_breaker"))
+            fail("tie_breaker applies to best_fields only")
+          if (fuzz.isDefined || m.contains("prefix_length"))
+            fail("multi_match type bool_prefix does not take fuzziness")
+          if (m.contains("operator"))
+            fail("multi_match type bool_prefix does not take operator")
+          val full = terms0.init.distinct
+          val last = terms0.last
+          val perF = fields.map { f =>
+            val fieldToks = split(an.norm(col(f)), " ")
+            val overlap =
+              if (full.isEmpty) lit(0L)
+              else size(array_intersect(array_distinct(fieldToks),
+                array(full.map(lit): _*))).cast("long")
+            overlap +
+              when(exists(fieldToks, t => t.startsWith(last)), 1L).otherwise(0L)
+          }
+          val matchedF = perF.map(s => when(s >= lit(msm), s).otherwise(0L))
+          val best =
+            if (matchedF.size == 1) matchedF.head else greatest(matchedF: _*)
+          CompiledQuery(perF.map(_ >= lit(msm)).reduce(_ || _), best)
+        case other =>
+          fail(s"unsupported multi_match type '$other' " +
+            "(best_fields, most_fields, cross_fields, phrase, " +
+            "phrase_prefix, bool_prefix)")
+      }
+    case other => fail(s"multi_match requires an object body: ${render(other)}")
+  }
+
+  /** `simple_query_string`: the lenient `+term -term "phrase"` human
+    * syntax, over exactly ONE field (determinism: multi-field fan-out
+    * is `multi_match`'s job). `+` pins a token as must, `-` as must
+    * not, quoted phrases use the token-boundary substring contract;
+    * bare tokens are should clauses — ALL promoted to must when
+    * `default_operator` is "and". Gating and scoring follow the bool
+    * model (musts score, matched shoulds add). Anything outside this
+    * grammar fails loud instead of silently degrading.
+    */
+  private[search] def simpleQueryStringClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "fields", "default_operator", "analyzer"))
+        .foreach(k => fail(s"unsupported simple_query_string option '$k'"))
+      // the analyzer applies AFTER grammar extraction (the +/-/"
+      // operators are grammar, not text): each term/phrase is
+      // normalized with normText, the field column with norm — the
+      // same twin contract as the match family, so one request mixing
+      // match and simple_query_string over an analyzed corpus agrees
+      val an = analyzerOpt(m, "simple_query_string")
+      val f = m.get("fields") match {
+        case Some(JArray(List(JString(s)))) => s
+        case _ => fail("simple_query_string requires fields: [exactly one field]")
+      }
+      val qtext = strOpt(m, "query")
+        .getOrElse(fail("simple_query_string requires a string 'query'"))
+      val andDefault = strOpt(m, "default_operator").getOrElse("or") match {
+        case "or"  => false
+        case "and" => true
+        case other => fail(s"default_operator must be and|or, got '$other'")
+      }
+      val tokenRe = """([+-]?)("([^"]*)"|\S+)""".r
+      // bare terms must look like terms: stray grammar junk ('(spark',
+      // a lone '|', a bare '-') must fail loud, not silently match as
+      // a literal token the tokenizer happened to accept
+      val bareTermRe = BareTermRe
+      var must, mustNot, should = List.empty[CompiledQuery]
+      tokenRe.findAllMatchIn(qtext.trim).foreach { t =>
+        val compiled = Option(t.group(3)) match {
+          case Some(phrase) =>
+            val p = an.normText(phrase).trim
+            if (p.isEmpty) fail("simple_query_string has an empty phrase")
+            CompiledQuery(
+              concat(lit(" "), an.norm(col(f)), lit(" ")).contains(s" $p "),
+              lit(1L))
+          case None =>
+            val term0 = t.group(2)
+            if (!bareTermRe.pattern.matcher(term0).matches())
+              fail(s"simple_query_string token '$term0' is outside the " +
+                "grammar (word characters or a quoted phrase)")
+            val term = analyzedTerm(an, term0, "simple_query_string")
+            CompiledQuery(array_contains(split(an.norm(col(f)), " "), term),
+              lit(1L))
+        }
+        t.group(1) match {
+          case "+"                 => must = must :+ compiled
+          case "-"                 => mustNot = mustNot :+ compiled
+          case _ if andDefault     => must = must :+ compiled
+          case _                   => should = should :+ compiled
+        }
+      }
+      if (must.isEmpty && mustNot.isEmpty && should.isEmpty)
+        fail("simple_query_string has an empty query")
+      val msm = if (should.nonEmpty && must.isEmpty) 1L else 0L
+      combineBool(must, Nil, mustNot, should, msm)
+    case other => fail(s"simple_query_string requires an object body: ${render(other)}")
+  }
+
+  /** `query_string`: the full Lucene query grammar — the most common
+    * real-world request body against a SEARCH collection. Supported
+    * syntax: fielded terms (`field:term`), quoted phrases
+    * (`field:"a b"`), grouping with parentheses, `AND` / `OR` / `NOT`
+    * with the standard precedence (NOT > AND > OR), implicit adjacency
+    * combined by `default_operator` (default "or"), per-clause
+    * integer boosts (`term^3` — float boosts fail loud, the exact
+    * scoring model), trailing-wildcard prefix terms (`spar*` — any
+    * token starting with the stem) and fuzzy terms (`sprk~1`,
+    * distance 1-2; bare `~` = 2, the Lucene default). Bare terms need
+    * a `default_field`.
+    *
+    * Compiled onto the existing bool/match/phrase model: a term leaf
+    * is token membership of the whitespace-tokenized field (the q41
+    * contract), a phrase leaf the token-boundary substring (q59);
+    * each matched leaf scores its boost (default 1), AND sums both
+    * sides, OR sums the matched sides, NOT contributes predicate only
+    * (filter context, like bool.must_not). Everything stays a single
+    * codegen'd Column — no shuffle, predicates pushable.
+    *
+    * Outside the grammar — mid-token or leading wildcards, `?`
+    * globs, fuzziness past 2, `[a TO b]` ranges, `^` float boosts,
+    * unbalanced parens, dangling operators — fails loud instead of
+    * silently degrading (the simple_query_string hardening rule
+    * applied to the full grammar).
+    */
+  private[search] def queryStringClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "default_field", "default_operator",
+        "analyzer")).foreach(k => fail(s"unsupported query_string option '$k'"))
+      val qtext = strOpt(m, "query")
+        .getOrElse(fail("query_string requires a string 'query'"))
+      val defaultField = strOpt(m, "default_field")
+      val andDefault = strOpt(m, "default_operator").getOrElse("or") match {
+        case "or"  => false
+        case "and" => true
+        case other => fail(s"default_operator must be and|or, got '$other'")
+      }
+      // analyzer applies per LEAF after the grammar parse (operators,
+      // parens, boosts and expansions are grammar, not text) — the
+      // match-family twin contract, so a request mixing match and
+      // query_string over an analyzed corpus agrees on the same field
+      QueryStringParser.compile(qtext, defaultField, andDefault,
+        analyzerOpt(m, "query_string"))
+    case other => fail(s"query_string requires an object body: ${render(other)}")
+  }
+
+  /** Recursive-descent parser for the `query_string` grammar. Tokens:
+    * parens, the uppercase keywords AND/OR/NOT, and atoms
+    * `(field:)? (term | "phrase") (^int)?`. Precedence NOT > AND > OR;
+    * implicit adjacency joins at the default operator's level.
+    */
+  private[search] object QueryStringParser {
+    sealed trait LeafKind
+    case object TermK extends LeafKind
+    case object PhraseK extends LeafKind
+    case object PrefixK extends LeafKind
+    final case class FuzzyK(dist: Int) extends LeafKind
+
+    sealed trait Tok
+    case object LP extends Tok
+    case object RP extends Tok
+    case object And extends Tok
+    case object Or extends Tok
+    case object Not extends Tok
+    final case class Atom(field: Option[String], text: String,
+        kind: LeafKind, boost: Long) extends Tok
+
+    private val fieldRe = """[\p{L}_][\p{L}\p{N}_.]*""".r
+    private val termRe = BareTermRe
+
+    private def tokenize(q: String): List[Tok] = {
+      val toks = List.newBuilder[Tok]
+      var i = 0
+      val n = q.length
+      while (i < n) {
+        val c = q.charAt(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '(') { toks += LP; i += 1 }
+        else if (c == ')') { toks += RP; i += 1 }
+        else {
+          // optional field prefix
+          var field: Option[String] = None
+          val rest = q.substring(i)
+          fieldRe.findPrefixOf(rest) match {
+            case Some(fname) if i + fname.length < n &&
+                q.charAt(i + fname.length) == ':' =>
+              field = Some(fname)
+              i += fname.length + 1
+            case _ => ()
+          }
+          if (i >= n) fail(s"query_string: dangling field prefix in '$q'")
+          // value: quoted phrase or bare term (with optional trailing
+          // `*` prefix-wildcard or `~d` fuzziness — the two multi-term
+          // expansions the grammar supports; mid-token wildcards stay
+          // outside the grammar and fail at the boundary check below)
+          var kind: LeafKind = TermK
+          val text =
+            if (q.charAt(i) == '"') {
+              val close = q.indexOf('"', i + 1)
+              if (close < 0) fail(s"query_string: unterminated phrase in '$q'")
+              val p = q.substring(i + 1, close).trim
+              if (p.isEmpty) fail("query_string: empty phrase")
+              i = close + 1
+              kind = PhraseK
+              p
+            } else {
+              val t = termRe.findPrefixOf(q.substring(i)).getOrElse(
+                fail(s"query_string: token at '${q.substring(i).take(20)}' is " +
+                  "outside the grammar (term, \"phrase\", field:, parens, " +
+                  "AND/OR/NOT, ^int)"))
+              i += t.length
+              if (i < n && q.charAt(i) == '*') { kind = PrefixK; i += 1 }
+              else if (i < n && q.charAt(i) == '~') {
+                i += 1
+                val ds = q.substring(i).takeWhile(_.isDigit)
+                i += ds.length
+                // bare `term~` means maxEdits 2, the Lucene default —
+                // a narrower default would silently shrink result
+                // sets for the commonest fuzzy syntax
+                val d = if (ds.isEmpty) 2 else ds.toInt
+                if (d < 1 || d > 2)
+                  fail(s"query_string: fuzziness ~$d out of range (1-2)")
+                kind = FuzzyK(d)
+              }
+              t
+            }
+          // optional ^boost (integer only — the exact scoring model)
+          var boost = 1L
+          if (i < n && q.charAt(i) == '^') {
+            i += 1
+            val ds = q.substring(i).takeWhile(_.isDigit)
+            if (ds.isEmpty) fail("query_string: ^ must be followed by an integer boost")
+            i += ds.length
+            if (i < n && q.charAt(i) == '.')
+              fail("query_string: float boosts are unsupported (exact integer scoring)")
+            boost = ds.toLong
+            if (boost < 1L) fail("query_string: boost must be >= 1")
+          }
+          // the token must END at a boundary: 'spark*' must not silently
+          // tokenize as the term 'spark' with trailing junk dropped
+          if (i < n && !q.charAt(i).isWhitespace && q.charAt(i) != '(' && q.charAt(i) != ')')
+            fail(s"query_string: unexpected character '${q.charAt(i)}' after " +
+              s"token '$text' (mid-token/leading wildcards, ? globs and " +
+              "ranges are outside the grammar; trailing * and ~1/~2 are in)")
+          // a fielded/boosted/expanded operator keyword (f:AND, OR^2,
+          // NOT~1) is a grammar error in Lucene — fail loud rather
+          // than silently demoting it to a literal search term; a
+          // QUOTED "AND" is an explicit phrase and stays one
+          toks += (if (kind != PhraseK && Set("AND", "OR", "NOT").contains(text)) {
+            if (field.nonEmpty || boost != 1L || kind != TermK)
+              fail(s"query_string: operator keyword '$text' cannot take a " +
+                "field prefix, boost or expansion (quote it to search the " +
+                "literal word)")
+            text match {
+              case "AND" => And
+              case "OR"  => Or
+              case _     => Not
+            }
+          } else Atom(field, text, kind, boost))
+        }
+      }
+      toks.result()
+    }
+
+    def compile(q: String, defaultField: Option[String],
+        andDefault: Boolean, an: Analyzer): CompiledQuery = {
+      var toks = tokenize(q)
+      if (toks.isEmpty) fail("query_string has an empty query")
+
+      def startsPrimary: Boolean = toks.headOption.exists {
+        case LP | Not | _: Atom => true
+        case _ => false
+      }
+
+      def leaf(a: Atom): CompiledQuery = {
+        val f = a.field.orElse(defaultField).getOrElse(
+          fail(s"query_string: bare term '${a.text}' needs a default_field"))
+        val fc = an.norm(col(f))
+        val pred = a.kind match {
+          case PhraseK =>
+            val p = an.normText(a.text).trim
+            if (p.isEmpty) fail(s"query_string: phrase \"${a.text}\" " +
+              s"analyzes to no tokens under '${an.name}'")
+            concat(lit(" "), fc, lit(" ")).contains(s" $p ")
+          case TermK =>
+            array_contains(split(fc, " "), analyzedTerm(an, a.text, "query_string"))
+          // `spar*`: any TOKEN starts with the stem (Lucene's
+          // term-dictionary prefix expansion in the token model)
+          case PrefixK =>
+            val stem = analyzedTerm(an, a.text, "query_string")
+            exists(split(fc, " "), t => t.startsWith(stem))
+          // `sprk~d`: any distinct token within d edits (the fuzzy
+          // clause's walk; leaf score stays the boost — grammar
+          // leaves score uniformly, unlike the standalone fuzzy
+          // clause's match-count model)
+          // no array_distinct: existence is duplicate-invariant, so
+          // the dedup would be pure per-row waste (fuzzyClause needs
+          // it only because it COUNTS matches)
+          case FuzzyK(d) =>
+            val term = analyzedTerm(an, a.text, "query_string")
+            exists(split(fc, " "), t => levenshtein(t, lit(term)) <= lit(d))
+        }
+        CompiledQuery(pred, lit(a.boost))
+      }
+
+      // NOT > AND > OR; adjacency joins at the default operator's level
+      def parseOr(): CompiledQuery = {
+        var acc = parseAnd()
+        var done = false
+        while (!done) toks match {
+          case Or :: rest =>
+            toks = rest
+            acc = orCombine(acc, parseAnd())
+          case _ if !andDefault && startsPrimary =>
+            acc = orCombine(acc, parseAnd())
+          case _ => done = true
+        }
+        acc
+      }
+
+      def parseAnd(): CompiledQuery = {
+        var acc = parseNot()
+        var done = false
+        while (!done) toks match {
+          case And :: rest =>
+            toks = rest
+            acc = andCombine(acc, parseNot())
+          // prohibit semantics: `a NOT b` always means a AND NOT b
+          // (the Lucene contract), regardless of default_operator —
+          // an implicit-OR adjacency would make `x NOT y` match the
+          // whole complement of y
+          case Not :: _ =>
+            acc = andCombine(acc, parseNot())
+          case _ if andDefault && startsPrimary =>
+            acc = andCombine(acc, parseNot())
+          case _ => done = true
+        }
+        acc
+      }
+
+      def parseNot(): CompiledQuery = toks match {
+        case Not :: rest =>
+          toks = rest
+          if (toks.isEmpty) fail("query_string: dangling NOT")
+          val inner = parseNot()
+          // filter context, like bool.must_not: excluded rows score nothing
+          CompiledQuery(!inner.pred, lit(0L))
+        case _ => parsePrimary()
+      }
+
+      def parsePrimary(): CompiledQuery = toks match {
+        case LP :: rest =>
+          toks = rest
+          val inner = parseOr()
+          toks match {
+            case RP :: tail => toks = tail; inner
+            case _          => fail("query_string: unbalanced '('")
+          }
+        case (a: Atom) :: rest => toks = rest; leaf(a)
+        case And :: _ | Or :: _ | Not :: _ =>
+          fail("query_string: operator without a left-hand clause")
+        case RP :: _ => fail("query_string: unbalanced ')'")
+        case Nil     => fail("query_string: dangling operator")
+      }
+
+      def andCombine(a: CompiledQuery, b: CompiledQuery): CompiledQuery =
+        CompiledQuery(a.pred && b.pred, a.score + b.score)
+      def orCombine(a: CompiledQuery, b: CompiledQuery): CompiledQuery =
+        CompiledQuery(a.pred || b.pred,
+          when(a.pred, a.score).otherwise(0L) + when(b.pred, b.score).otherwise(0L))
+
+      val out = parseOr()
+      if (toks.nonEmpty) fail("query_string: unbalanced ')'")
+      out
+    }
+  }
+
+  /** `function_score`: re-score the wrapped query with filter-gated
+    * function values (the exact scoring model — float weights fail
+    * loud). A function entry is one of:
+    *   - plain `{filter?, weight?}` — the constant integer weight;
+    *   - `field_value_factor` — factor × modifier(field), unit-scale
+    *     (modifiers `none`/`square`/`sqrt`; the log family fails loud:
+    *     libm log() is not bit-portable across engines);
+    *   - `random_score` — a seeded md5 hash of a named field in ppm
+    *     [0, 10⁶) (the q82 hash-threshold recipe: deterministic and
+    *     oracle-replayable, unlike OpenSearch's internal-doc-id
+    *     fallback — `field` is therefore required);
+    *   - `linear` decay — max(0, 1 − dist/σ) in exact ppm, σ =
+    *     floor(scale·10⁶/(10⁶−decay_ppm)) fixed on the driver, dist =
+    *     max(0, |v − origin| − offset); missing fields score the
+    *     neutral 10⁶ (the OpenSearch missing-field decay rule).
+    *     `gauss`/`exp` fail loud (libm exp() drift) — `linear` is the
+    *     exact member, `distance_feature` the exact reciprocal one.
+    * `weight` multiplies the entry's value in all forms. `score_mode`
+    * combines matched values (sum | max); `boost_mode` folds them into
+    * the query score (multiply | sum | replace). ppm-scaled functions
+    * (random_score, linear) cannot mix with unit-scale ones, cannot
+    * `sum` onto a unit-scale query score, and cannot multiply an
+    * already-ppm query score (scales would compound to 10⁻¹²) — all
+    * fail loud. In multiply mode a hit matching NO function keeps its
+    * query score (neutral ×1, or ×10⁶ in ppm), mirroring OpenSearch's
+    * unmatched-function rule.
+    */
+  private[search] def functionScoreClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("query", "functions", "score_mode", "boost_mode"))
+        .foreach(k => fail(s"unsupported function_score option '$k'"))
+      val inner = m.get("query").map(compileQuery)
+        .getOrElse(CompiledQuery(lit(true), lit(0L)))
+      // each entry compiles to (match predicate, value column, ppm?)
+      val fns: Seq[(Column, Column, Boolean)] = m.get("functions") match {
+        case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+          case JObject(fparts) =>
+            val fm = fparts.toMap
+            fm.keySet.diff(Set("filter", "weight", "field_value_factor",
+              "random_score", "linear", "gauss", "exp", "script_score"))
+              .foreach(k => fail(s"unsupported function option '$k'"))
+            Seq("gauss", "exp").filter(fm.contains).foreach(k =>
+              fail(s"'$k' decay is unsupported: libm exp() is not " +
+                "bit-portable across engines (the exact scoring model) - " +
+                "use 'linear' (exact rational decay) or the " +
+                "distance_feature query (exact reciprocal decay)"))
+            val filt = fm.get("filter").map(compileQuery)
+              .getOrElse(CompiledQuery(lit(true), lit(0L)))
+            val w = fm.get("weight") match {
+              case Some(JInt(i)) => i.toLong
+              case None          => 1L
+              case Some(other) =>
+                fail(s"function weight must be an integer (exact scoring): ${render(other)}")
+            }
+            val valued = Seq("field_value_factor", "random_score", "linear",
+              "script_score").filter(fm.contains)
+            if (valued.size > 1)
+              fail("a function entry takes at most one of " +
+                s"field_value_factor/random_score/linear/script_score, " +
+                s"got ${valued.mkString(", ")}")
+            valued.headOption match {
+              case None =>
+                (filt.pred, lit(w), false)
+              case Some("field_value_factor") =>
+                (filt.pred, fieldValueFactor(fm("field_value_factor")) * lit(w), false)
+              case Some("random_score") =>
+                (filt.pred, randomScorePpm(fm("random_score")) * lit(w), true)
+              case Some("linear") =>
+                (filt.pred, linearDecayPpm(fm("linear")) * lit(w), true)
+              // the script_score FUNCTION: a computed unit-scale value
+              // through the shared ScoreScript compiler; `_score`
+              // references fail loud — inside function_score the
+              // query score is combined by boost_mode, so a script
+              // reading it would double-apply (the score-referencing
+              // form is the top-level script_score CLAUSE)
+              case Some("script_score") =>
+                val (src, params) = fm("script_score") match {
+                  case JObject(ss) =>
+                    val ssm = ss.toMap
+                    ssm.keySet.diff(Set("script")).foreach(k =>
+                      fail(s"unsupported script_score function option '$k'"))
+                    ssm.get("script") match {
+                      case Some(JObject(s)) =>
+                        val sm = s.toMap
+                        sm.keySet.diff(Set("source", "params")).foreach(k =>
+                          fail(s"unsupported script option '$k'"))
+                        val source = strOpt(sm, "source").getOrElse(
+                          fail("script_score function script needs a source"))
+                        val ps: Map[String, Long] = sm.get("params") match {
+                          case Some(JObject(po)) => po.map {
+                            case (k, JInt(v)) => k -> v.toLong
+                            case (k, other) => fail(s"script param '$k' " +
+                              s"must be an integer: ${render(other)}")
+                          }.toMap
+                          case None        => Map.empty
+                          case Some(other) =>
+                            fail(s"script params must be an object: ${render(other)}")
+                        }
+                        (source, ps)
+                      case _ =>
+                        fail("script_score function needs {script: {source}}")
+                    }
+                  case other =>
+                    fail(s"script_score function must be an object: ${render(other)}")
+                }
+                if (ScoreScript.referencesScore(src))
+                  fail("the script_score FUNCTION cannot reference _score " +
+                    "(boost_mode already combines the query score; use the " +
+                    "top-level script_score clause for score-reading scripts)")
+                (filt.pred, ScoreScript.compile(src, params, lit(0L)) * lit(w),
+                  false)
+            }
+          case other => fail(s"functions entries must be objects: ${render(other)}")
+        }
+        case _ => fail("function_score requires a non-empty functions array")
+      }
+      val fnsPpm = fns.exists(_._3)
+      if (fnsPpm && !fns.forall(_._3))
+        fail("function_score cannot mix ppm-scaled functions " +
+          "(random_score, linear) with unit-scale ones in one request " +
+          "(the values are not commensurate)")
+      val matched = fns.map { case (p, v, _) => when(p, v).otherwise(lit(0L)) }
+      val fscore = strOpt(m, "score_mode").getOrElse("sum") match {
+        case "sum" => matched.reduce(_ + _)
+        case "max" => if (matched.size == 1) matched.head else greatest(matched: _*)
+        case other => fail(s"unsupported score_mode '$other' (sum, max)")
+      }
+      val anyMatched = fns.map(_._1).reduce(_ || _)
+      val (score, ppm) = strOpt(m, "boost_mode").getOrElse("multiply") match {
+        case "multiply" =>
+          if (!fnsPpm)
+            (inner.score * when(anyMatched, fscore).otherwise(lit(1L)), inner.ppm)
+          else {
+            if (inner.ppm)
+              fail("function_score boost_mode multiply cannot apply a " +
+                "ppm-scaled function to an already ppm-scaled query score " +
+                "(the scales would compound to 10^-12) - use boost_mode " +
+                "replace, or keep one side unit-scale")
+            (inner.score * when(anyMatched, fscore).otherwise(lit(1000000L)), true)
+          }
+        case "sum" =>
+          if (inner.ppm)
+            fail("function_score boost_mode sum cannot add unit-scale " +
+              "weights to a ppm-scaled query score (use multiply)")
+          if (fnsPpm)
+            fail("function_score boost_mode sum cannot add ppm-scaled " +
+              "function values to a unit-scale query score (use multiply " +
+              "or replace)")
+          (inner.score + fscore, false)
+        // `replace`: the function value IS the score — the random-sort
+        // and pure-decay-ranking idiom (the query contributes its
+        // predicate only)
+        case "replace" => (fscore, fnsPpm)
+        case other => fail(s"unsupported boost_mode '$other' (multiply, sum, replace)")
+      }
+      CompiledQuery(inner.pred, score, ppm = ppm)
+    case other => fail(s"function_score requires an object body: ${render(other)}")
+  }
+
+  /** `parent_id`: the third member of the join-field relations model
+    * (ref: assets/custom_resource.py:324-384's SEARCH collection) —
+    * all children of ONE given parent. Unlike has_child/has_parent
+    * (corpus-state joins), this is a pure per-row predicate
+    * (join_field = type ∧ parent_field = id), so it compiles as an
+    * ordinary clause: composes inside bool, drives aggs, and pushes
+    * into the scan. Scores 1 like the term-level filters. The
+    * join_field/parent_field column names are explicit — the engine
+    * has no mapping registry to infer them from (the has_child
+    * convention).
+    */
+  private[search] def parentIdClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("type", "id", "join_field", "parent_field"))
+        .foreach(k => fail(s"unsupported parent_id option '$k'"))
+      val childType = strOpt(m, "type")
+        .getOrElse(fail("parent_id needs the child 'type'"))
+      val joinF = strOpt(m, "join_field")
+        .getOrElse(fail("parent_id needs join_field (the relation-name column)"))
+      val parentF = strOpt(m, "parent_field")
+        .getOrElse(fail("parent_id needs parent_field (the child's parent pointer)"))
+      val idVal = m.getOrElse("id", fail("parent_id needs the parent 'id'"))
+      CompiledQuery(
+        col(joinF) === lit(childType) && col(parentF) === litOf(idVal),
+        lit(1L))
+    case other => fail(s"parent_id requires an object body: ${render(other)}")
+  }
+
+  /** `field_value_factor`: factor × modifier(field) over an integral
+    * field, unit-scale. Modifiers: `none`, `square` (exact), `sqrt`
+    * (floor(sqrt(v)) — IEEE sqrt is correctly rounded, so the floor is
+    * bit-identical cross-engine; negative values fail loud at row
+    * time, the OpenSearch rule). The log family fails loud: libm
+    * log() is not bit-portable. NULL fields take `missing` when
+    * given, else fail loud at row time (OpenSearch errors the whole
+    * query — the per-row raise_error is the distributed analog).
+    */
+  private[search] def fieldValueFactor(body: JValue): Column = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("field", "factor", "modifier", "missing")).foreach(k =>
+        fail(s"unsupported field_value_factor option '$k'"))
+      val f = strOpt(m, "field")
+        .getOrElse(fail("field_value_factor requires a field"))
+      val factor = m.get("factor") match {
+        case Some(JInt(i)) => i.toLong
+        case None          => 1L
+        case Some(other)   => fail("field_value_factor factor must be an " +
+          s"integer (exact scoring model): ${render(other)}")
+      }
+      val raw = col(f).cast("long")
+      val v = m.get("missing") match {
+        case Some(JInt(d)) => coalesce(raw, lit(d.toLong))
+        case None => when(raw.isNull, raise_error(lit(
+            s"field_value_factor: null '$f' and no 'missing' value")).cast("long"))
+          .otherwise(raw)
+        case Some(other) => fail(s"field_value_factor missing must be an " +
+          s"integer: ${render(other)}")
+      }
+      val modified = strOpt(m, "modifier").getOrElse("none") match {
+        case "none"   => v
+        case "square" => v * v
+        case "sqrt" => when(v < 0, raise_error(lit(
+            s"field_value_factor: sqrt of negative '$f'")).cast("long"))
+          .otherwise(floor(sqrt(v.cast("double"))).cast("long"))
+        case bad @ ("log" | "log1p" | "log2p" | "ln" | "ln1p" | "ln2p"
+                    | "reciprocal") =>
+          fail(s"field_value_factor modifier '$bad' is unsupported: the " +
+            "log family is not bit-portable across engines and " +
+            "reciprocal is not unit-scale (exact scoring model) - use " +
+            "none/square/sqrt, or rank_feature/distance_feature for " +
+            "reciprocal shapes")
+        case other => fail(s"unsupported field_value_factor modifier '$other'")
+      }
+      lit(factor) * modified
+    case other => fail(s"field_value_factor requires an object body: ${render(other)}")
+  }
+
+  /** `random_score`: deterministic per-document jitter in ppm
+    * [0, 10⁶) — md5 of `"random_score:<seed>:" + field` (the q82
+    * hash-threshold recipe, DuckDB-replayable). `field` is required:
+    * OpenSearch's no-field fallback hashes internal doc ids, which no
+    * two engines share. NULL field values hash the fixed sentinel
+    * `__null__` so every row draws a value.
+    */
+  private[search] def randomScorePpm(body: JValue): Column = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("seed", "field")).foreach(k =>
+        fail(s"unsupported random_score option '$k'"))
+      val seed = m.get("seed") match {
+        case Some(JInt(i)) => i.toLong
+        case _ => fail("random_score requires an integer seed " +
+          "(hash determinism)")
+      }
+      val f = strOpt(m, "field").getOrElse(fail(
+        "random_score requires a field (without one OpenSearch falls " +
+        "back to internal doc ids, which no two engines share - name a " +
+        "stable field)"))
+      graft.functions.TextFns.md5hash60(concat(lit(s"random_score:$seed:"),
+        coalesce(col(f).cast("string"), lit("__null__")))) % lit(1000000L)
+    case other => fail(s"random_score requires an object body: ${render(other)}")
+  }
+
+  /** `linear` decay: max(0, 1 − dist/σ) in exact ppm. σ is fixed ON
+    * THE DRIVER as floor(scale·10⁶ / (10⁶ − decay_ppm)) — one integer
+    * constant, so the row expression is a subtract, a multiply and one
+    * integer `div` (floors exactly, matching the oracle's `//`).
+    * dist = max(0, |v − origin| − offset). Missing fields score the
+    * neutral 10⁶ (the OpenSearch missing-field decay rule).
+    */
+  private[search] def linearDecayPpm(body: JValue): Column = body match {
+    case JObject(List((f, JObject(parts)))) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("origin", "scale", "offset", "decay")).foreach(k =>
+        fail(s"unsupported linear decay option '$k'"))
+      def longOf(k: String, default: Option[Long]): Long = m.get(k) match {
+        case Some(JInt(i)) => i.toLong
+        case None => default.getOrElse(
+          fail(s"linear decay on '$f' requires an integer '$k'"))
+        case Some(other) => fail(s"linear decay '$k' must be an integer " +
+          s"(exact scoring model): ${render(other)}")
+      }
+      val origin = longOf("origin", None)
+      val scale = longOf("scale", None)
+      if (scale <= 0L) fail("linear decay scale must be positive")
+      if (scale > Long.MaxValue / 1000000L)
+        fail(s"linear decay scale $scale overflows the exact ppm model " +
+          s"(max ${Long.MaxValue / 1000000L})")
+      val offset = longOf("offset", Some(0L))
+      if (offset < 0L) fail("linear decay offset must be >= 0")
+      val decayPpm = ppmOf(m, "decay", 500000L)
+      if (decayPpm <= 0L || decayPpm >= 1000000L)
+        fail("linear decay must be a fraction strictly inside (0, 1)")
+      val sigma = scale * 1000000L / (1000000L - decayPpm)
+      // integer `div` (not `/`): the ppm quotient must floor exactly;
+      // coalesce: missing field -> neutral 10^6
+      expr(s"coalesce(greatest(0L, CAST(1000000 AS BIGINT) - " +
+        s"(greatest(abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)) - " +
+        s"CAST($offset AS BIGINT), 0L) * CAST(1000000 AS BIGINT)) div " +
+        s"CAST($sigma AS BIGINT)), CAST(1000000 AS BIGINT))")
+    case JObject(fields) if fields.size != 1 =>
+      fail("linear decay takes exactly one field")
+    case other => fail(s"linear decay requires {field: {origin, scale, " +
+      s"offset?, decay?}}: ${render(other)}")
+  }
+
+  /** `distance_feature`: proximity decay toward an origin on an
+    * integral field — boost = pivot/(pivot + |v − origin|) carried in
+    * exact integer ppm (pivot×10⁶ div (pivot + distance)), the q127
+    * decay family made float-free so cross-engine ordering is exact.
+    * Matches every row where the field is present.
+    */
+  private[search] def distanceFeatureClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("field", "origin", "pivot")).foreach(k =>
+        fail(s"unsupported distance_feature option '$k'"))
+      val f = strOpt(m, "field")
+        .getOrElse(fail("distance_feature requires a field"))
+      def longOf(k: String): Long = m.get(k) match {
+        case Some(JInt(i)) => i.toLong
+        case _ => fail(s"distance_feature requires an integer '$k' (exact scoring model)")
+      }
+      val origin = longOf("origin")
+      val pivot = longOf("pivot")
+      if (pivot <= 0L) fail("distance_feature pivot must be positive")
+      // pivot*10^6 is computed below in driver-side Long arithmetic: a
+      // pivot past this bound would silently wrap into a garbage
+      // (possibly negative) constant and mis-score every row
+      if (pivot > Long.MaxValue / 1000000L)
+        fail(s"distance_feature pivot $pivot overflows the exact ppm " +
+          s"model (max ${Long.MaxValue / 1000000L})")
+      // integer `div` (not `/`): the ppm quotient must floor exactly,
+      // matching the oracle's integer division
+      val score = expr(
+        s"CAST(${pivot * 1000000L} AS BIGINT) div " +
+        s"(CAST($pivot AS BIGINT) + abs(CAST(`$f` AS BIGINT) - CAST($origin AS BIGINT)))")
+      CompiledQuery(col(f).isNotNull, score, ppm = true)
+    case other => fail(s"distance_feature requires an object body: ${render(other)}")
+  }
+
+  /** `geo_distance`: hits within `distance_km` of an origin point by
+    * haversine over two double columns (`lat_field`/`lon_field` — the
+    * engine has no geo_point mapping type, so the request names the
+    * columns). The distance rounds to 6 dp BEFORE the comparison (the
+    * q125 determinism recipe: one IEEE expression with fixed operand
+    * order), so the boundary set is engine-portable. Filter context:
+    * score 1. Map-only — at scale this fuses into the scan.
+    */
+  /** `geo_polygon` (CONVEX, counter-clockwise): inside = on the left
+    * of every edge — one 2-D cross-product sign test per edge
+    * ((lon₂−lon₁)·(lat−lat₁) − (lat₂−lat₁)·(lon−lon₁) ≥ 0, lon as x,
+    * lat as y). Sign tests only — no division, no trig, fixed operand
+    * order — so the boundary set is engine-portable IEEE arithmetic
+    * and the whole clause is a codegen conjunction (planar
+    * approximation, consistent with the q125 grid family). Non-convex
+    * or clockwise rings fail loud AT COMPILE TIME (each polygon turn
+    * is checked on the driver) — a general even-odd crossing walk is
+    * the wrong plan for a pushed filter and OpenSearch itself
+    * deprecates arbitrary geo_polygon in favor of geo_shape.
+    */
+  private[search] def geoPolygonClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "points")).foreach(k =>
+        fail(s"unsupported geo_polygon option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_polygon requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_polygon requires lon_field"))
+      def num(v: JValue, what: String): Double = v match {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"$what must be numeric: ${render(other)}")
+      }
+      val pts: Seq[(Double, Double)] = m.get("points") match {
+        case Some(JArray(ps)) if ps.size >= 3 => ps.map {
+          case JObject(o) =>
+            val om = o.toMap
+            om.keySet.diff(Set("lat", "lon")).foreach(k =>
+              fail(s"unsupported point key '$k'"))
+            (om.get("lat").map(num(_, "point.lat"))
+               .getOrElse(fail("point requires lat")),
+             om.get("lon").map(num(_, "point.lon"))
+               .getOrElse(fail("point requires lon")))
+          case other => fail(s"points must be {lat, lon} objects: ${render(other)}")
+        }
+        case _ => fail("geo_polygon requires a points array of >= 3 vertices")
+      }
+      CompiledQuery(convexRingPredicate(pts, latF, lonF, "geo_polygon"), lit(1L))
+    case other => fail(s"geo_polygon requires an object body: ${render(other)}")
+  }
+
+  /** Shared by geo_polygon and geo_shape polygon: driver-side
+    * strictly-convex counter-clockwise ring validation + the
+    * inside-every-edge half-plane predicate (boundary counts).
+    */
+  private[search] def convexRingPredicate(pts: Seq[(Double, Double)], latF: String,
+      lonF: String, where: String): Column = {
+    val n = pts.size
+    // driver-side ring check: every turn strictly counter-clockwise
+    (0 until n).foreach { i =>
+      val (aLat, aLon) = pts(i)
+      val (bLat, bLon) = pts((i + 1) % n)
+      val (cLat, cLon) = pts((i + 2) % n)
+      val cross = (bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon)
+      if (cross <= 0)
+        fail(s"$where ring must be strictly convex and " +
+          s"counter-clockwise (turn at vertex ${(i + 1) % n} is not)")
+    }
+    (0 until n).map { i =>
+      val (lat1, lon1) = pts(i)
+      val (lat2, lon2) = pts((i + 1) % n)
+      ((lit(lon2) - lit(lon1)) * (col(latF) - lit(lat1)) -
+        (lit(lat2) - lit(lat1)) * (col(lonF) - lit(lon1))) >= lit(0.0)
+    }.reduce(_ && _)
+  }
+
+  /** `geo_shape`: an inline query shape tested against point
+    * documents (lat_field/lon_field — the engine's geo convention;
+    * it has no geo-shape DOCUMENT type, so shapes live on the query
+    * side only). Shape types: `envelope` (GeoJSON-ordered corners
+    * `[[lon, lat_top_left], [lon, lat_bottom_right]]` — the
+    * OpenSearch envelope contract), `polygon` (ONE closed convex CCW
+    * ring, GeoJSON `[[[lon, lat], ...]]`, first == last), `point`
+    * (`[lon, lat]`). Relations over point docs: `intersects`
+    * (default) and `within` coincide (a point touching a shape lies
+    * within it — documented), `disjoint` is the complement (NULL
+    * coordinates drop the row, the standard tri-state), `contains`
+    * fails loud — a point field cannot contain an area. Everything
+    * compiles to the same pushable comparison predicates as
+    * geo_bounding_box/geo_polygon; score 1 (a filter-shaped clause).
+    */
+  private[search] def geoShapeClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "shape", "relation"))
+        .foreach(k => fail(s"unsupported geo_shape option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_shape requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_shape requires lon_field"))
+      val sm = m.get("shape") match {
+        case Some(JObject(s)) => s.toMap
+        case _ => fail("geo_shape requires a shape object ({type, coordinates})")
+      }
+      sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+        fail(s"unsupported geo_shape shape option '$k'"))
+      def num(v: JValue, what: String): Double = v match {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"$what must be numeric: ${render(other)}")
+      }
+      // GeoJSON coordinate order: [lon, lat]
+      def lonLat(v: JValue, what: String): (Double, Double) = v match {
+        case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+        case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+      }
+      val coords = sm.getOrElse("coordinates",
+        fail("geo_shape shape requires coordinates"))
+      val intersects: Column =
+        strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a, b)) =>
+                (lonLat(a, "envelope top_left"), lonLat(b, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            val (leftLon, topLat) = tl
+            val (rightLon, botLat) = br
+            if (topLat < botLat)
+              fail(s"envelope top lat ($topLat) must be >= bottom lat ($botLat)")
+            if (leftLon > rightLon)
+              fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
+                s"right lon $rightLon) is unsupported")
+            col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
+              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
+          case "polygon" =>
+            val ring = coords match {
+              case JArray(List(JArray(r))) if r.size >= 4 =>
+                r.map(lonLat(_, "polygon vertex"))
+              case _ => fail("polygon coordinates must be ONE ring " +
+                "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
+            }
+            if (ring.head != ring.last)
+              fail("polygon ring must be closed (first vertex == last)")
+            val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+            if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
+            convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+          case "point" =>
+            val (lo, la) = lonLat(coords, "point coordinates")
+            col(latF) === lit(la) && col(lonF) === lit(lo)
+          case other => fail(s"geo_shape type must be envelope, polygon " +
+            s"or point, got '$other'")
+        }
+      strOpt(m, "relation").getOrElse("intersects") match {
+        // within == intersects for POINT documents: a point touching
+        // a shape lies within it
+        case "intersects" | "within" => CompiledQuery(intersects, lit(1L))
+        case "disjoint"              => CompiledQuery(!intersects, lit(1L))
+        case "contains" => fail("geo_shape relation contains is unsupported: " +
+          "a point field cannot contain an area (use intersects)")
+        case other => fail(s"geo_shape relation must be intersects, within " +
+          s"or disjoint, got '$other'")
+      }
+    case other => fail(s"geo_shape requires an object body: ${render(other)}")
+  }
+
+  private[search] def geoDistanceClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("distance_km", "lat_field", "lon_field", "origin"))
+        .foreach(k => fail(s"unsupported geo_distance option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_distance requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_distance requires lon_field"))
+      def num(v: JValue, what: String): Double = v match {
+        case JDouble(d)  => d
+        case JInt(i)     => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other       => fail(s"$what must be numeric: ${render(other)}")
+      }
+      val radius = m.get("distance_km")
+        .map(num(_, "distance_km"))
+        .getOrElse(fail("geo_distance requires distance_km"))
+      if (radius <= 0) fail("distance_km must be positive")
+      val (latQ, lonQ) = m.get("origin") match {
+        case Some(JObject(o)) =>
+          val om = o.toMap
+          (om.get("lat").map(num(_, "origin.lat"))
+             .getOrElse(fail("origin requires lat")),
+           om.get("lon").map(num(_, "origin.lon"))
+             .getOrElse(fail("origin requires lon")))
+        case _ => fail("geo_distance requires origin: {lat, lon}")
+      }
+      CompiledQuery(haversineKm(latF, lonF, latQ, lonQ) <= lit(radius), lit(1L))
+    case other => fail(s"geo_distance requires an object body: ${render(other)}")
+  }
+
+  /** The engine's ONE haversine: 6-dp-rounded km distance from a
+    * fixed origin, one IEEE expression with fixed operand order (the
+    * q125 determinism recipe) — shared by the `geo_distance` query
+    * and the `_geo_distance` sort so the two can never drift.
+    */
+  private[search] def haversineKm(latF: String, lonF: String,
+      latQ: Double, lonQ: Double): Column = {
+    val pi = lit(math.Pi)
+    val sdlat = sin((col(latF) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
+    val sdlon = sin((col(lonF) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
+    round(
+      lit(12742.0176) * asin(sqrt(
+        sdlat * sdlat +
+          cos(lit(latQ) * pi / lit(180.0)) * cos(col(latF) * pi / lit(180.0)) *
+            sdlon * sdlon)), 6)
+  }
+
+  /** `geo_bounding_box`: hits inside an axis-aligned lat/lon box —
+    * the everyday map-viewport filter. Compiles to two lat/lon band
+    * predicates (four plain column comparisons), so the whole clause
+    * PUSHES to the parquet scan as min/max-prunable filters — the
+    * cheapest possible geo query at any scale. Boxes crossing the
+    * antimeridian (left lon > right lon) are out of scope, fail-loud,
+    * rather than silently matching the complement band. Filter
+    * context: score 1.
+    */
+  private[search] def geoBoundingBoxClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "top_left", "bottom_right"))
+        .foreach(k => fail(s"unsupported geo_bounding_box option '$k'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_bounding_box requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_bounding_box requires lon_field"))
+      def corner(key: String): (Double, Double) = m.get(key) match {
+        case Some(JObject(o)) =>
+          val om = o.toMap
+          om.keySet.diff(Set("lat", "lon")).foreach(k =>
+            fail(s"unsupported $key option '$k'"))
+          def num(k: String): Double = om.get(k) match {
+            case Some(JDouble(d))  => d
+            case Some(JInt(i))     => i.toDouble
+            case Some(JDecimal(d)) => d.toDouble
+            case _ => fail(s"geo_bounding_box $key requires numeric $k")
+          }
+          (num("lat"), num("lon"))
+        case _ => fail(s"geo_bounding_box requires $key: {lat, lon}")
+      }
+      val (topLat, leftLon) = corner("top_left")
+      val (botLat, rightLon) = corner("bottom_right")
+      if (topLat < botLat)
+        fail(s"geo_bounding_box top_left.lat ($topLat) must be >= " +
+          s"bottom_right.lat ($botLat)")
+      if (leftLon > rightLon)
+        fail(s"geo_bounding_box crossing the antimeridian (left lon $leftLon " +
+          s"> right lon $rightLon) is unsupported")
+      val pred = col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
+        col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
+      CompiledQuery(pred, lit(1L))
+    case other => fail(s"geo_bounding_box requires an object body: ${render(other)}")
+  }
+
+  /** `rank_feature`: static-signal boosting by the saturation curve
+    * x/(x + pivot) — OpenSearch's popularity/pagerank boost — in
+    * exact integer ppm ((x × 10⁶) div (x + pivot), same family as
+    * distance_feature). Integral non-negative field; matches rows
+    * where the feature is present (the rank_feature semantics:
+    * missing feature = no match).
+    */
+  private[search] def rankFeatureClause(body: JValue): CompiledQuery = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("field", "saturation")).foreach(k =>
+        fail(s"unsupported rank_feature option '$k'"))
+      val f = strOpt(m, "field").getOrElse(fail("rank_feature requires a field"))
+      val pivot = m.get("saturation") match {
+        case Some(JObject(s)) => s.toMap.get("pivot") match {
+          case Some(JInt(i)) if i > 0 => i.toLong
+          case _ => fail("rank_feature saturation requires a positive integer pivot")
+        }
+        case None => fail("rank_feature requires a saturation {pivot} (the supported function)")
+        case Some(other) => fail(s"saturation must be an object: ${render(other)}")
+      }
+      // integer `div`: the ppm quotient must floor exactly
+      val score = expr(
+        s"(CAST(`$f` AS BIGINT) * 1000000) div (CAST(`$f` AS BIGINT) + $pivot)")
+      CompiledQuery(col(f).isNotNull && col(f) >= 0L, score, ppm = true)
+    case other => fail(s"rank_feature requires an object body: ${render(other)}")
+  }
+
+  /** `nested`: the same-element conjunction OpenSearch's nested mapping
+    * exists for — a flattened object field would match values from
+    * DIFFERENT child objects; a nested query must match them on the
+    * SAME child (the q120 contract). The array-of-structs column named
+    * by `path` is probed per ELEMENT with a higher-order filter (pure
+    * codegen, no explode, no join). The inner query supports the
+    * element-level subset — `term`, `range`, `exists`, `prefix`,
+    * `match_all`, and `bool` with must/must_not of those — anything
+    * else fails loud. `score_mode`: "sum" (default) scores the number
+    * of matching elements, "none" scores 1.
+    */
+  private[search] def nestedClause(body: JValue): CompiledQuery =
+    nestedCompile(body)._3
+
+  /** The shared nested compilation: (path, matched-elements column,
+    * compiled query). [[nestedClause]] uses the CompiledQuery;
+    * the request-level `inner_hits` path ([[nestedInnerHitsRequest]])
+    * additionally explodes the matched-elements column.
+    */
+  private[search] def nestedCompile(body: JValue): (String, Column, CompiledQuery) = body match {
+    case JObject(parts) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("path", "query", "score_mode")).foreach(k =>
+        fail(s"unsupported nested option '$k'"))
+      val path = strOpt(m, "path").getOrElse(fail("nested requires a path"))
+      val q = m.getOrElse("query", fail("nested requires a query"))
+
+      // element-field access: OpenSearch names nested fields by full
+      // path ("items.qty"); bare names are accepted too
+      def fld(x: Column, f: String): Column =
+        x.getField(if (f.startsWith(s"$path.")) f.drop(path.length + 1) else f)
+
+      def elemPred(clause: JValue, x: Column): Column = clause match {
+        case JObject(List((kind, b))) => kind match {
+          case "match_all" => lit(true)
+          case "term" => b match {
+            case JObject(List((f, v))) => fld(x, f) === litOf(v)
+            case other => fail(s"nested term requires {field: value}: ${render(other)}")
+          }
+          case "range" => b match {
+            case JObject(List((f, JObject(bounds)))) =>
+              if (bounds.isEmpty) fail(s"nested range on '$f' has no bounds")
+              bounds.map {
+                case ("gte", v) => fld(x, f) >= litOf(v)
+                case ("gt", v)  => fld(x, f) > litOf(v)
+                case ("lte", v) => fld(x, f) <= litOf(v)
+                case ("lt", v)  => fld(x, f) < litOf(v)
+                case (k, _)     => fail(s"unsupported nested range bound '$k' on '$f'")
+              }.reduce(_ && _)
+            case other => fail(s"nested range requires {field: {bounds}}: ${render(other)}")
+          }
+          case "prefix" =>
+            val (f, v) = fieldValue(b, "prefix")
+            fld(x, f).startsWith(litOf(v))
+          case "exists" => b match {
+            case JObject(fs) => fs.toMap.get("field") match {
+              case Some(JString(f)) => fld(x, f).isNotNull
+              case _ => fail("nested exists requires {\"field\": name}")
+            }
+            case _ => fail("nested exists requires {\"field\": name}")
+          }
+          case "bool" => b match {
+            case JObject(sections) =>
+              val sm = sections.toMap
+              sm.keySet.diff(Set("must", "must_not")).foreach(k =>
+                fail(s"unsupported nested bool section '$k' (must, must_not)"))
+              def sect(n: String): Seq[Column] = sm.get(n) match {
+                case None             => Nil
+                case Some(JArray(cs)) => cs.map(c => elemPred(c, x))
+                case Some(one: JObject) => Seq(elemPred(one, x))
+                case Some(other) => fail(s"nested bool.$n must be a clause or array: ${render(other)}")
+              }
+              val ps = sect("must") ++ sect("must_not").map(!_)
+              if (ps.isEmpty) fail("nested bool is empty")
+              ps.reduce(_ && _)
+            case other => fail(s"nested bool requires an object: ${render(other)}")
+          }
+          case other =>
+            fail(s"unsupported nested clause '$other' (term, range, prefix, " +
+              "exists, match_all, bool)")
+        }
+        case other => fail(s"nested query must be a single-clause object: ${render(other)}")
+      }
+
+      val matched = filter(col(path), x => elemPred(q, x))
+      val nHits = size(matched).cast("long")
+      val score = strOpt(m, "score_mode").getOrElse("sum") match {
+        case "sum"  => nHits
+        case "none" => lit(1L)
+        case other  => fail(s"unsupported nested score_mode '$other' (sum, none)")
+      }
+      (path, matched, CompiledQuery(nHits >= 1L, score))
+    case other => fail(s"nested requires an object body: ${render(other)}")
+  }
+
+}
