@@ -636,6 +636,18 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         s"${render(other)}")
   }
 
+  /** Length band: `|len(tok) − len(term)| ≤ d` admits a candidate
+    * BEFORE any edit-distance DP runs. Levenshtein (and full
+    * Damerau-Levenshtein) is bounded below by the length difference,
+    * so the band is exact — it can never drop a true match — and it
+    * skips the O(|tok|·|term|·) DP for the vast majority of vocabulary
+    * tokens (`length` is one O(chars) pass; the DP is quadratic).
+    * This is the q48/q117 term-dictionary banding applied to the
+    * scan-path fuzzy surfaces (VERDICT r10 #5 — the q305 curve).
+    */
+  private[search] def lengthBand(tok: Column, term: String, d: Long): Column =
+    abs(length(tok) - lit(term.length)) <= lit(d)
+
   /** Match-family score: number of DISTINCT query terms present in
     * the field's distinct-token array. The exact path stays the ONE
     * codegen'd `array_intersect` expression (every existing plan
@@ -662,7 +674,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           else exists(fieldTokens, tok =>
             (if (prefixLen <= 0) lit(true)
              else tok.startsWith(t.take(prefixLen))) &&
-              edit(tok, lit(t)) <= lit(dt))
+              lengthBand(tok, t, dt) && edit(tok, lit(t)) <= lit(dt))
         when(cond, lit(1L)).otherwise(lit(0L))
       }.reduce(_ + _)
   }
@@ -957,7 +969,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         if (prefixLen <= 0) identity
         else t => when(t.startsWith(value.take(prefixLen)), t)
       val matched = filter(toks, t =>
-        candidate(t).isNotNull && edit(t, lit(value)) <= lit(fuzz))
+        candidate(t).isNotNull && lengthBand(t, value, fuzz) &&
+          edit(t, lit(value)) <= lit(fuzz))
       val score = size(matched).cast("long")
       // the match-boost doctrine: the predicate gates on the UNboosted
       // token count, the score scales

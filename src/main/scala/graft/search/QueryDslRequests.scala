@@ -147,7 +147,8 @@ private[search] trait QueryDslRequests { this: QueryDsl.type =>
             val guard: Column => Column =
               if (prefixLen <= 0) _ => lit(true)
               else tok => tok.startsWith(lit(value.take(prefixLen)))
-            (f, tok => guard(tok) && edit(tok, lit(value)) <= lit(fuzz),
+            (f, tok => guard(tok) && lengthBand(tok, value, fuzz) &&
+              edit(tok, lit(value)) <= lit(fuzz),
               s"fuzzy $f $value $fuzz $prefixLen $transp")
           case "regexp" =>
             val (f, v, ci) = fieldValueCi(body, "span_multi regexp")
