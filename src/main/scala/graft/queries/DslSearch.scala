@@ -5729,6 +5729,111 @@ object DslSearch {
                p.pid AS inner_id, p.pscore AS inner_score
         FROM orders o JOIN p ON o.o_custkey = p.pid
         ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // function_score score_mode min (VERDICT r10 #7): the least value
+    // over MATCHED functions only — a doc matching both functions
+    // scores min(3,2)=2, one function its own weight, none keeps the
+    // query score (neutral x1 under boost_mode multiply). Unmatched
+    // entries contribute NULL (least() skips NULLs), never a spurious
+    // 0 that would shadow every real value.
+    GraftQuery(
+      "q326_dsl_function_score_min",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [
+               {"filter": {"term": {"lang": "en"}}, "weight": 3},
+               {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+             "score_mode": "min", "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark'])) AS BIGINT) AS q
+          FROM documents)
+        SELECT doc_id,
+               q * (CASE WHEN lang = 'en' AND n_chars >= 400 THEN LEAST(3, 2)
+                         WHEN lang = 'en' THEN 3
+                         WHEN n_chars >= 400 THEN 2
+                         ELSE 1 END) AS score
+        FROM t WHERE q >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // function_score score_mode multiply (VERDICT r10 #7): the product
+    // over MATCHED functions only — both functions 3*2=6, one its own
+    // weight (the other is the x1 neutral), none keeps the query score.
+    // Exact-long safe (integer weights); ppm functions fail loud under
+    // multiply (products of ppm values compound to 10^-12).
+    GraftQuery(
+      "q327_dsl_function_score_multiply",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [
+               {"filter": {"term": {"lang": "en"}}, "weight": 3},
+               {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+             "score_mode": "multiply", "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark'])) AS BIGINT) AS q
+          FROM documents)
+        SELECT doc_id,
+               q * (CASE WHEN lang = 'en' OR n_chars >= 400
+                    THEN (CASE WHEN lang = 'en' THEN 3 ELSE 1 END)
+                       * (CASE WHEN n_chars >= 400 THEN 2 ELSE 1 END)
+                    ELSE 1 END) AS score
+        FROM t WHERE q >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // multi_terms per-entry `missing` (VERDICT r10 #7): a terms entry
+    // {field, missing} substitutes the named bucket for docs without
+    // that key part (a coalesce — the groupBy stays ONE shuffle); an
+    // entry WITHOUT missing still skips docs missing the field (the
+    // OpenSearch rule). NULLs synthesized via nullif: lang 'de' -> NULL
+    // (skipped: lg has no missing), source 'src1' -> NULL (bucketed
+    // under 'none').
+    GraftQuery(
+      "q328_dsl_multi_terms_missing",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("lang") === "de", lit(null)).otherwise(col("lang")).as("lg"),
+          when(col("source") === "src1", lit(null)).otherwise(col("source")).as("src"),
+          col("n_chars"))
+        QueryDsl.search(d,
+          """{"size": 0,
+             "aggs": {"pairs": {"multi_terms": {
+               "terms": [{"field": "lg"},
+                         {"field": "src", "missing": "none"}],
+               "size": 12},
+               "aggs": {"max_chars": {"max": {"field": "n_chars"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT NULLIF(lang, 'de') AS lg,
+                 COALESCE(NULLIF(source, 'src1'), 'none') AS src,
+                 n_chars
+          FROM documents)
+        SELECT lg, src, COUNT(*) AS doc_count,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM t WHERE lg IS NOT NULL
+        GROUP BY 1, 2 ORDER BY doc_count DESC, lg, src LIMIT 12
       """.stripMargin.trim))
   )
 }

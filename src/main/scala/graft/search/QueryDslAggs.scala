@@ -2571,11 +2571,16 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
 
   /** `multi_terms` bucket agg: terms over a composite key — ONE
     * groupBy shuffle on all key fields together (never a join of
-    * per-field terms tables). Docs missing any key field are skipped
-    * (the OpenSearch rule, and the same engine-portability choice as
-    * `composite`). Output: one column per key field, `doc_count`,
-    * metric sub-aggs; ordered doc_count desc then keys asc, top
-    * `size` (default 10).
+    * per-field terms tables). A terms entry is `{field}` or
+    * `{field, missing}`: with `missing`, docs without a value for
+    * THAT field land in the named substitute bucket (a plain
+    * coalesce, the groupBy stays one shuffle — the terms-agg
+    * `missing` rule applied per key part); without it, docs missing
+    * the field are skipped entirely (the OpenSearch rule: ANY
+    * missing-and-unsubstituted key part drops the doc, same
+    * engine-portability choice as `composite`). Output: one column
+    * per key field, `doc_count`, metric sub-aggs; ordered doc_count
+    * desc then keys asc, top `size` (default 10).
     */
   private[search] def multiTermsAgg(hits: DataFrame, name: String, spec: JValue,
       subAggs: Option[JValue]): DataFrame = {
@@ -2585,14 +2590,21 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     }
     m.keySet.diff(Set("terms", "size")).foreach(k =>
       fail(s"unsupported multi_terms option '$k' in '$name'"))
-    val fields: Seq[String] = m.get("terms") match {
+    val fields: Seq[(String, Option[JValue])] = m.get("terms") match {
       case Some(JArray(ts)) if ts.size >= 2 => ts.map {
-        case JObject(List(("field", JString(f)))) => f
-        case other => fail(s"multi_terms terms entries must be {field}: ${render(other)}")
+        case JObject(tparts) =>
+          val tm = tparts.toMap
+          tm.keySet.diff(Set("field", "missing")).foreach(k =>
+            fail(s"unsupported multi_terms terms-entry option '$k' in '$name'"))
+          val f = strOpt(tm, "field").getOrElse(
+            fail(s"multi_terms terms entries need a field in '$name'"))
+          (f, tm.get("missing"))
+        case other => fail(s"multi_terms terms entries must be " +
+          s"{field, missing?}: ${render(other)}")
       }
       case _ => fail(s"multi_terms agg '$name' needs a terms array of >= 2 fields")
     }
-    if (fields.distinct.size != fields.size)
+    if (fields.map(_._1).distinct.size != fields.size)
       fail(s"multi_terms agg '$name' repeats a field")
     val size = intOpt(m, "size").getOrElse(10)
     if (size < 1) fail("multi_terms size must be >= 1")
@@ -2601,10 +2613,16 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, schema = hits.schema) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    hits.filter(fields.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(fields.map(col): _*)
+    val keyCols = fields.map { case (f, miss) =>
+      miss.fold(col(f))(v => coalesce(col(f), litOf(v))).as(f)
+    }
+    // only unsubstituted key parts skip docs — a coalesced part is
+    // never NULL, so its filter would be a no-op
+    val skip = fields.collect { case (f, None) => col(f).isNotNull }
+    skip.reduceOption(_ && _).fold(hits)(hits.filter)
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col("doc_count").desc +: fields.map(col(_).asc): _*)
+      .orderBy(col("doc_count").desc +: fields.map(f => col(f._1).asc): _*)
       .limit(size)
   }
 

@@ -1739,7 +1739,11 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     *     `gauss`/`exp` fail loud (libm exp() drift) — `linear` is the
     *     exact member, `distance_feature` the exact reciprocal one.
     * `weight` multiplies the entry's value in all forms. `score_mode`
-    * combines matched values (sum | max); `boost_mode` folds them into
+    * combines matched values (sum | max | min | multiply — min takes
+    * the least over MATCHED entries only via NULL-skipping least();
+    * multiply is unit-scale only, unmatched entries are the ×1
+    * neutral; `avg` is the one documented scope-out — fractional
+    * under the exact integer model); `boost_mode` folds them into
     * the query score (multiply | sum | replace). ppm-scaled functions
     * (random_score, linear) cannot mix with unit-scale ones, cannot
     * `sum` onto a unit-scale query score, and cannot multiply an
@@ -1844,12 +1848,36 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           "(random_score, linear) with unit-scale ones in one request " +
           "(the values are not commensurate)")
       val matched = fns.map { case (p, v, _) => when(p, v).otherwise(lit(0L)) }
+      val anyMatched = fns.map(_._1).reduce(_ || _)
       val fscore = strOpt(m, "score_mode").getOrElse("sum") match {
         case "sum" => matched.reduce(_ + _)
         case "max" => if (matched.size == 1) matched.head else greatest(matched: _*)
-        case other => fail(s"unsupported score_mode '$other' (sum, max)")
+        case "min" =>
+          // least over MATCHED functions only: an unmatched entry
+          // contributes NULL (least() skips NULLs), never a spurious 0
+          // that would shadow every real value. All-unmatched folds to
+          // the same 0 the sum/max arms yield (the multiply boost_mode
+          // neutral guard fires before this matters).
+          val nullable = fns.map { case (p, v, _) => when(p, v) }
+          val raw = if (nullable.size == 1) nullable.head
+                    else least(nullable: _*)
+          coalesce(raw, lit(0L))
+        case "multiply" =>
+          if (fnsPpm)
+            fail("score_mode multiply requires unit-scale functions: a " +
+              "product of ppm-scaled values compounds to 10^-12 " +
+              "(use sum/min/max, or unit-scale functions)")
+          // product over MATCHED functions only: unmatched entries are
+          // the multiplicative neutral x1
+          val prod = fns.map { case (p, v, _) => when(p, v).otherwise(lit(1L)) }
+            .reduce(_ * _)
+          when(anyMatched, prod).otherwise(lit(0L))
+        case "avg" =>
+          fail("score_mode avg is fractional under the exact integer " +
+            "scoring model (documented scope-out) - use sum/min/max/multiply")
+        case other =>
+          fail(s"unsupported score_mode '$other' (sum, max, min, multiply)")
       }
-      val anyMatched = fns.map(_._1).reduce(_ || _)
       val (score, ppm) = strOpt(m, "boost_mode").getOrElse("multiply") match {
         case "multiply" =>
           if (!fnsPpm)

@@ -957,6 +957,55 @@ class QueryDslSpec extends SparkSpec {
       === add.collect().toSeq)
   }
 
+  test("function_score score_mode min/multiply combine MATCHED functions only") {
+    val req =
+      """{"query": {"function_score": {
+           "query": {"match": {"text": "spark"}},
+           "functions": [
+             {"filter": {"term": {"lang": "en"}}, "weight": 3},
+             {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+           "score_mode": "%SM%", "boost_mode": "multiply"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}"""
+    val overlap = size(array_intersect(array_distinct(split(col("text"), " ")),
+      array(lit("spark")))).cast("long")
+    val anyFn = col("lang") === "en" || col("n_chars") >= 400
+    // min: least over matched only — an unmatched entry must NOT
+    // contribute a 0 that shadows the real values
+    val fmin = when(col("lang") === "en" && col("n_chars") >= 400, 2L)
+      .when(col("lang") === "en", 3L)
+      .when(col("n_chars") >= 400, 2L)
+    val minExp = docs.filter(overlap >= 1)
+      .withColumn("score", overlap * when(anyFn, fmin).otherwise(1L))
+      .select(col("doc_id"), col("score")).orderBy("doc_id")
+    assert(QueryDsl.search(docs, req.replace("%SM%", "min")).collect().toSeq
+      === minExp.collect().toSeq)
+    // multiply: product over matched only — unmatched entries are the x1 neutral
+    val fprod = when(col("lang") === "en", 3L).otherwise(1L) *
+      when(col("n_chars") >= 400, 2L).otherwise(1L)
+    val prodExp = docs.filter(overlap >= 1)
+      .withColumn("score", overlap * when(anyFn, fprod).otherwise(1L))
+      .select(col("doc_id"), col("score")).orderBy("doc_id")
+    assert(QueryDsl.search(docs, req.replace("%SM%", "multiply")).collect().toSeq
+      === prodExp.collect().toSeq)
+    // avg is the documented integer-model scope-out; ppm functions
+    // cannot multiply (scales compound); unknown modes fail loud
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(req.replace("%SM%", "avg"), "score_mode avg is fractional")
+    bad(req.replace("%SM%", "geometric"), "unsupported score_mode")
+    bad("""{"query": {"function_score": {
+           "query": {"match_all": {}},
+           "functions": [
+             {"random_score": {"seed": 7, "field": "doc_id"}},
+             {"filter": {"term": {"lang": "en"}},
+              "random_score": {"seed": 9, "field": "doc_id"}}],
+           "score_mode": "multiply", "boost_mode": "replace"}},
+         "_source": ["doc_id", "score"]}""",
+      "score_mode multiply requires unit-scale functions")
+  }
+
   test("function_score value functions: field_value_factor, random_score, linear") {
     import spark.implicits._
     val t = Seq((1L, "spark x", Some(100L)), (2L, "spark y", Some(25L)),
@@ -3920,6 +3969,26 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"aggs": {"a": {"multi_terms": {"terms":
            [{"field": "lang"}, {"field": "source"}], "order": "x"}}}}""",
       "unsupported multi_terms option")
+    bad("""{"aggs": {"a": {"multi_terms": {"terms":
+           [{"field": "lang", "min_doc_count": 2}, {"field": "source"}]}}}}""",
+      "unsupported multi_terms terms-entry option")
+    bad("""{"aggs": {"a": {"multi_terms": {"terms":
+           [{"missing": "x"}, {"field": "source"}]}}}}""",
+      "need a field")
+  }
+
+  test("multi_terms missing substitutes per entry; unsubstituted NULL keys skip") {
+    import spark.implicits._
+    val t = Seq(
+      (Some("a"), Some("x")), (Some("a"), None), (Some("a"), None),
+      (None, Some("x")), (Some("b"), Some("x"))
+    ).toDF("k1", "k2")
+    val got = QueryDsl.search(t,
+      """{"size": 0, "aggs": {"p": {"multi_terms": {
+           "terms": [{"field": "k1"}, {"field": "k2", "missing": "none"}]}}}}""")
+      .as[(String, String, Long)].collect().toSeq
+    // (a, none) count 2; the NULL-k1 row is skipped (no missing on k1)
+    assert(got === Seq(("a", "none", 2L), ("a", "x", 1L), ("b", "x", 1L)))
   }
 
   test("bucket_selector / bucket_sort validate loudly; series needs histogram") {
