@@ -5834,6 +5834,52 @@ object DslSearch {
                CAST(MAX(n_chars) AS BIGINT) AS max_chars
         FROM t WHERE lg IS NOT NULL
         GROUP BY 1, 2 ORDER BY doc_count DESC, lg, src LIMIT 12
+      """.stripMargin.trim)),
+
+    // date_histogram with a request-supplied DST transition TABLE
+    // (VERDICT r10 #6): time_zone as {"transitions": [[iso_utc,
+    // offset_min], ...]} — a piecewise-constant UTC→local offset, the
+    // last entry at-or-before each timestamp applying (the first is
+    // the base). The LOCAL-CALENDAR rule: docs bucket by local wall
+    // day, the key is the UTC instant of the local midnight (mapped
+    // through the boundary's own offset — the local ACTIVATION
+    // thresholds utc_ts + offset), so the day containing a transition
+    // is ONE 23h/25h bucket, exactly what a tzdb zone gives —
+    // deterministic and oracle-able where a named IANA zone needs a
+    // tzdb the oracle can't replay. Named zone strings still fail loud.
+    GraftQuery(
+      "q329_dsl_date_histogram_transitions",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"day": {"date_histogram":
+               {"field": "ts", "calendar_interval": "day",
+                "time_zone": {"transitions": [
+                  ["2024-01-01T00:00:00", 60],
+                  ["2024-01-15T01:00:00", 120],
+                  ["2024-01-25T01:00:00", 60]]}},
+             "aggs": {"max_id": {"max": {"field": "event_id"}}}}}}"""),
+      Some("""
+        WITH t AS (
+          SELECT event_id,
+            epoch_us(ts) +
+            CASE WHEN ts >= TIMESTAMP '2024-01-25 01:00:00' THEN 3600000000
+                 WHEN ts >= TIMESTAMP '2024-01-15 01:00:00' THEN 7200000000
+                 ELSE 3600000000 END AS local_us
+          FROM events),
+        b AS (
+          SELECT event_id,
+            epoch_us(date_trunc('day', make_timestamp(local_us))) AS l
+          FROM t)
+        SELECT make_timestamp(l -
+            CASE WHEN l >= epoch_us(TIMESTAMP '2024-01-25 02:00:00')
+                   THEN 3600000000
+                 WHEN l >= epoch_us(TIMESTAMP '2024-01-15 03:00:00')
+                   THEN 7200000000
+                 ELSE 3600000000 END) AS day,
+          COUNT(*) AS doc_count,
+          CAST(MAX(event_id) AS BIGINT) AS max_id
+        FROM b GROUP BY 1 ORDER BY doc_count DESC, day
       """.stripMargin.trim))
   )
 }

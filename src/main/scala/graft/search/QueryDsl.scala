@@ -141,7 +141,11 @@ import org.json4s.jackson.JsonMethods
   * correct), `date_histogram`
   * (calendar_interval day/month/year or exact-microsecond
   * `fixed_interval`, with fixed `±HH:mm` `time_zone` offsets —
-  * shift→truncate→unshift), `stats`, `extended_stats` (exact
+  * shift→truncate→unshift — or a request-supplied DST transition
+  * table `{"transitions": [[iso_utc, offset_min], …]}` bucketing by
+  * the LOCAL calendar: the day containing a transition is one
+  * 23h/25h bucket, keyed by the UTC instant of its local boundary;
+  * named IANA zone strings fail loud), `stats`, `extended_stats` (exact
   * integer moments, integral fields enforced), `weighted_avg`,
   * `top_metrics` (top-sort-row
   * metric via struct max), `boxplot` (discrete five-number summary),

@@ -563,15 +563,57 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
             if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
               fail(s"date_histogram '$name' takes calendar_interval OR fixed_interval")
-            // `time_zone`: FIXED ±HH:mm offsets only — bucket
-            // boundaries align to local wall time, keys stay UTC
-            // (shift → truncate → unshift, exact microsecond
-            // arithmetic; the q208 epoch recipe). Named zones need a
-            // DST rule table and an engine-portable oracle — fail
-            // loud, never silently bucket in the wrong zone.
-            val tzOffUs: Long = strOpt(hm, "time_zone") match {
-              case None => 0L
-              case Some(tz) =>
+            // `time_zone`: a FIXED ±HH:mm offset, or a request-supplied
+            // DST transition TABLE — bucket boundaries align to local
+            // wall time, keys stay UTC (shift → truncate → unshift,
+            // exact microsecond arithmetic; the q208 epoch recipe).
+            // The table form `{"transitions": [[iso_utc, offset_min],
+            // …]}` is a piecewise-constant UTC→local offset function:
+            // the LAST entry at-or-before the timestamp applies (the
+            // first entry is the base offset, applying to all earlier
+            // times too) — deterministic and oracle-able where a named
+            // IANA zone would need a wall-clock tzdb the oracle can't
+            // replay. Named zone STRINGS still fail loud, never
+            // silently bucket in the wrong zone.
+            val tzTransUs: Option[Seq[(Long, Long)]] = hm.get("time_zone") match {
+              case Some(JObject(tzParts)) =>
+                val tzm = tzParts.toMap
+                tzm.keySet.diff(Set("transitions")).foreach(k =>
+                  fail(s"date_histogram '$name': unsupported time_zone option '$k'"))
+                val entries: Seq[(Long, Long)] = tzm.get("transitions") match {
+                  case Some(JArray(es)) if es.nonEmpty => es.map {
+                    case JArray(List(JString(anchor), JInt(mins))) =>
+                      val t = try DateMath.parseAnchor(anchor)
+                        catch { case e: IllegalArgumentException =>
+                          fail(s"date_histogram '$name' transitions: ${e.getMessage}") }
+                      val us = t.toInstant(java.time.ZoneOffset.UTC)
+                        .getEpochSecond * 1000000L + t.getNano / 1000L
+                      if (mins.abs > 18L * 60L)
+                        fail(s"date_histogram '$name': transition offset " +
+                          s"$mins minutes out of range (±18:00)")
+                      (us, mins.toLong * 60L * 1000000L)
+                    case other => fail(s"date_histogram '$name': transitions " +
+                      s"entries must be [iso_utc_string, offset_minutes]: ${render(other)}")
+                  }
+                  case _ => fail(s"date_histogram '$name': time_zone object " +
+                    "needs a non-empty transitions array")
+                }
+                // one chained-CASE branch per entry: cap well under the
+                // JVM codegen method limit (the mlt when-chain lesson)
+                if (entries.size > 200)
+                  fail(s"date_histogram '$name': at most 200 transitions " +
+                    s"(got ${entries.size})")
+                entries.map(_._1).sliding(2).foreach {
+                  case Seq(a, b) => if (b <= a) fail(s"date_histogram '$name': " +
+                    "transitions must be strictly ascending in time")
+                  case _ => ()
+                }
+                Some(entries)
+              case _ => None
+            }
+            val tzOffUs: Long = hm.get("time_zone") match {
+              case None | Some(JObject(_)) => 0L
+              case Some(JString(tz)) =>
                 val TzRe = """([+-])(\d{2}):(\d{2})""".r
                 tz match {
                   case TzRe(sign, hh, mm) =>
@@ -583,6 +625,8 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                   case _ => fail(s"date_histogram '$name': time_zone must be a " +
                     s"fixed +HH:mm/-HH:mm offset (named zones are unsupported), got '$tz'")
                 }
+              case Some(other) => fail(s"date_histogram '$name': time_zone must " +
+                s"be a fixed offset string or a transitions object: ${render(other)}")
             }
             // `offset` shifts every bucket BOUNDARY ("+6h": day
             // buckets run 06:00→06:00 — the fiscal-day knob). The
@@ -635,18 +679,63 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
               }
               secs * 1000000L
             }
-            val key = fixedUs match {
-              case Some(us) =>
+            // Transition-table bucketing follows the LOCAL-CALENDAR
+            // rule (what a tzdb zone gives): truncate in local wall
+            // time, and the key is the UTC INSTANT of the local bucket
+            // boundary — so the local day containing a transition is
+            // ONE bucket (23h/25h long in UTC), never split per-doc.
+            // Two chained CASEs (codegen CSE dedups the repeats):
+            //   off(u)  — doc offset: last entry with utc_ts ≤ u
+            //             (descending `when`s, base as `otherwise`);
+            //   off2(L) — boundary offset: last entry whose LOCAL
+            //             activation (utc_ts + its offset) ≤ L.
+            // Fall-back overlaps resolve to the LATER entry (first
+            // descending match); a boundary landing in a spring-forward
+            // gap maps with the pre-transition offset — both
+            // deterministic and replayed verbatim by the oracle.
+            def transCase(um: Column, tab: Seq[(Long, Long)]): Column = {
+              val cases = tab.reverse.dropRight(1) // descending, sans base
+              if (cases.isEmpty) lit(tab.head._2)
+              else cases.tail.foldLeft(
+                when(um >= lit(cases.head._1), lit(cases.head._2))) {
+                  case (acc, (ts, off)) => acc.when(um >= lit(ts), lit(off))
+                }.otherwise(lit(tab.head._2))
+            }
+            val localTab: Option[Seq[(Long, Long)]] = tzTransUs.map { tab =>
+              val local = tab.map { case (ts, off) => (ts + off, off) }
+              local.map(_._1).sliding(2).foreach {
+                case Seq(a, b) => if (b <= a) fail(s"date_histogram '$name': " +
+                  "transition local activations must be strictly ascending " +
+                  "(an offset jump larger than the gap between transitions)")
+                case _ => ()
+              }
+              local
+            }
+            val key = (fixedUs, tzTransUs) match {
+              case (Some(us), None) =>
                 val um = unix_micros(col(f)) + lit(shiftUs)
                 val ivUs = lit(us)
                 timestamp_micros(um - pmod(um, ivUs) - lit(shiftUs)).as(name)
-              case None =>
+              case (Some(us), Some(tab)) =>
+                val um0 = unix_micros(col(f))
+                val lShift = um0 + transCase(um0, tab) - lit(offUs)
+                val lTrunc = lShift - pmod(lShift, lit(us)) + lit(offUs)
+                timestamp_micros(lTrunc - transCase(lTrunc, localTab.get)).as(name)
+              case (None, None) =>
                 val unit = calendarUnit(
                   strOpt(hm, "calendar_interval").getOrElse("day"))
                 if (shiftUs == 0L) date_trunc(unit, col(f)).as(name)
                 else timestamp_micros(unix_micros(date_trunc(unit,
                   timestamp_micros(unix_micros(col(f)) + lit(shiftUs))))
                   - lit(shiftUs)).as(name)
+              case (None, Some(tab)) =>
+                val unit = calendarUnit(
+                  strOpt(hm, "calendar_interval").getOrElse("day"))
+                val um0 = unix_micros(col(f))
+                val local = um0 + transCase(um0, tab)
+                val lTrunc = unix_micros(date_trunc(unit,
+                  timestamp_micros(local - lit(offUs)))) + lit(offUs)
+                timestamp_micros(lTrunc - transCase(lTrunc, localTab.get)).as(name)
             }
             // min_doc_count: 0 — EMPTY TIME BUCKETS APPEAR (the
             // dashboard dense-series contract; pipeline aggs over a
@@ -659,6 +748,11 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
               fail(s"date_histogram min_doc_count must be 0 or 1, got $dmdc")
             val dateFill: Option[HistoFill] =
               if (dmdc == 0) {
+                if (tzTransUs.nonEmpty)
+                  fail("date_histogram min_doc_count: 0 does not compose " +
+                    "with a transitions time_zone (bucket keys are not a " +
+                    "constant UTC step across a transition, so the dense " +
+                    "series cannot be generated)")
                 val us = fixedUs.getOrElse(fail("date_histogram " +
                   "min_doc_count: 0 requires fixed_interval (a calendar " +
                   "series has no constant step)"))

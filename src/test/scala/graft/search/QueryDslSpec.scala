@@ -2774,6 +2774,70 @@ class QueryDslSpec extends SparkSpec {
     assert(ef.getMessage.contains("requires an integral field"))
   }
 
+  test("date_histogram transitions time_zone buckets by the local calendar") {
+    import spark.implicits._
+    // base +01:00 from Jun 1; spring-forward to +02:00 at 2021-06-10
+    // 01:00 UTC (local activation 03:00); fall-back to +01:00 at
+    // 2021-06-20 01:00 UTC (local activation 02:00)
+    val tz = """{"transitions": [
+        ["2021-06-01T00:00:00", 60],
+        ["2021-06-10T01:00:00", 120],
+        ["2021-06-20T01:00:00", 60]]}"""
+    val t = Seq(
+      "2021-06-09 23:30:00", // +60: local Jun 10 00:30 — day Jun 10
+      "2021-06-10 00:30:00", // +60: local 01:30 — day Jun 10 (pre-switch)
+      "2021-06-10 02:00:00", // +120: local 04:00 — SAME local day Jun 10
+      "2021-06-10 21:50:00", // +120: local 23:50 — still Jun 10
+      "2021-06-10 22:10:00", // +120: local Jun 11 00:10 — day Jun 11
+      "2021-06-20 00:30:00", // +120: local 02:30 — day Jun 20 (pre-switch)
+      "2021-06-20 01:30:00"  // +60: local 02:30 again (fall-back) — Jun 20
+    ).zipWithIndex.map { case (s0, i) => (i.toLong, s0) }.toDF("id", "ts0")
+      .select(col("id"), to_timestamp(col("ts0")).as("ts"))
+    val got = QueryDsl.search(t,
+      s"""{"aggs": {"day": {"date_histogram": {"field": "ts",
+            "calendar_interval": "day", "time_zone": $tz}}}}""")
+      .orderBy("day").as[(java.sql.Timestamp, Long)].collect().toSeq
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    // Jun 10 local day is ONE bucket spanning the transition; its key
+    // is local midnight mapped with the boundary's own (+60) offset.
+    // Jun 11's boundary is post-switch: key = Jun 10 22:00 UTC.
+    // Jun 20's boundary is pre-fall-back: key = Jun 19 22:00 UTC.
+    assert(got === Seq(
+      (ts("2021-06-09 23:00:00"), 4L),
+      (ts("2021-06-10 22:00:00"), 1L),
+      (ts("2021-06-19 22:00:00"), 2L)))
+    // fixed_interval runs the same local-truncate/boundary-unmap rule
+    val fx = QueryDsl.search(t,
+      s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
+            "fixed_interval": "1d", "time_zone": $tz}}}}""")
+      .orderBy("d").as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(fx === Seq(
+      (ts("2021-06-09 23:00:00"), 4L),
+      (ts("2021-06-10 22:00:00"), 1L),
+      (ts("2021-06-19 22:00:00"), 2L)))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    def dh(tzJson: String, extra: String = ""): String =
+      s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
+          "calendar_interval": "day", "time_zone": $tzJson$extra}}}}"""
+    bad(dh("\"Europe/Berlin\""), "named zones are unsupported")
+    bad(dh("""{"transitions": []}"""), "non-empty transitions array")
+    bad(dh("""{"transitions": [["2021-06-10T01:00:00", 60],
+          ["2021-06-01T00:00:00", 120]]}"""), "strictly ascending")
+    bad(dh("""{"transitions": [["2021-06-01T00:00:00", 60, 9]]}"""),
+      "must be [iso_utc_string, offset_minutes]")
+    bad(dh("""{"transitions": [["2021-06-01T00:00:00", 2000]]}"""),
+      "out of range")
+    bad(dh("""{"rules": "x"}"""), "unsupported time_zone option")
+    bad(dh("42"), "fixed offset string or a transitions object")
+    bad(s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "fixed_interval": "1d", "min_doc_count": 0,
+        "time_zone": $tz}}}}""",
+      "does not compose with a transitions time_zone")
+  }
+
   test("sort missing and mode options reshape the sort key") {
     import spark.implicits._
     val t = Seq(
