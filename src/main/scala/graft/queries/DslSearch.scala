@@ -5880,6 +5880,159 @@ object DslSearch {
           COUNT(*) AS doc_count,
           CAST(MAX(event_id) AS BIGINT) AS max_id
         FROM b GROUP BY 1 ORDER BY doc_count DESC, day
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // geo_shape with a CONCAVE polygon (VERDICT r10 missing #5): a
+    // chevron ring with a notch — not convex, so the clause routes to
+    // the even-odd crossing walk: one division-free sign test per
+    // non-horizontal edge (the same 2-D cross product as the convex
+    // path, multiplied through by (lat2-lat1) instead of dividing),
+    // summed and checked for odd parity. Still a pushed scan-level
+    // predicate; the oracle replays the identical per-edge arithmetic.
+    GraftQuery(
+      "q330_dsl_geo_shape_concave",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+               "shape": {"type": "polygon", "coordinates":
+                 [[[0.0, 0.0], [40.0, 0.0], [40.0, 40.0],
+                   [20.0, 15.0], [0.0, 40.0], [0.0, 0.0]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 120,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, lat, lon FROM pts WHERE
+          ((CASE WHEN ((0.0 > lat) != (40.0 > lat))
+              AND ((40.0 - 40.0) * (lat - 0.0) - (40.0 - 0.0) * (lon - 40.0)) > 0.0
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN ((40.0 > lat) != (15.0 > lat))
+              AND ((20.0 - 40.0) * (lat - 40.0) - (15.0 - 40.0) * (lon - 40.0)) < 0.0
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN ((15.0 > lat) != (40.0 > lat))
+              AND ((0.0 - 20.0) * (lat - 15.0) - (40.0 - 15.0) * (lon - 20.0)) > 0.0
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN ((40.0 > lat) != (0.0 > lat))
+              AND ((0.0 - 0.0) * (lat - 40.0) - (0.0 - 40.0) * (lon - 0.0)) < 0.0
+            THEN 1 ELSE 0 END)) % 2 = 1
+        ORDER BY c_custkey
+        LIMIT 120
+      """.stripMargin.trim)),
+
+    // geo_shape doc_shape (VERDICT r10 missing #5, the indexed-shape
+    // form): documents ARE envelopes (four corner columns), queried
+    // with relation `within` — every relation compiles to a pushed
+    // comparison conjunction on the corners, the form under which
+    // `contains` is finally meaningful (spec-pinned; point docs keep
+    // rejecting it).
+    GraftQuery(
+      "q331_dsl_geo_shape_doc_within",
+      (s, dir) => {
+        val boxes = GeoFixtures.syntheticBoxes(Tables.load(s, dir, "customer"))
+        QueryDsl.search(boxes,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "envelope",
+                 "lat_min_field": "lat0", "lat_max_field": "lat1",
+                 "lon_min_field": "lon0", "lon_max_field": "lon1"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-50.0, 40.0], [50.0, -40.0]]},
+               "relation": "within"}},
+             "sort": ["c_custkey"], "size": 100,
+             "_source": ["c_custkey", "lat0", "lat1", "lon0", "lon1"]}""")
+      },
+      Some("""
+        WITH boxes AS (
+          SELECT c_custkey,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0 AS lat0,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0
+              + CAST((c_custkey * 48271 + 11) % 12000 AS DOUBLE) / 1000.0 AS lat1,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0 AS lon0,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0
+              + CAST((c_custkey * 69621 + 3) % 12000 AS DOUBLE) / 1000.0 AS lon1
+          FROM customer)
+        SELECT c_custkey, lat0, lat1, lon0, lon1 FROM boxes
+        WHERE lat0 >= -40.0 AND lat1 <= 40.0 AND lon0 >= -50.0 AND lon1 <= 50.0
+        ORDER BY c_custkey
+        LIMIT 100
+      """.stripMargin.trim)),
+
+    // doc_shape relation `intersects`: the box-overlap test (boundary
+    // touch counts) against an envelope query shape — the other
+    // corner-algebra relation worth an oracle at corpus size.
+    GraftQuery(
+      "q332_dsl_geo_shape_doc_intersects",
+      (s, dir) => {
+        val boxes = GeoFixtures.syntheticBoxes(Tables.load(s, dir, "customer"))
+        QueryDsl.search(boxes,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "envelope",
+                 "lat_min_field": "lat0", "lat_max_field": "lat1",
+                 "lon_min_field": "lon0", "lon_max_field": "lon1"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[10.5, 21.0], [60.0, -10.0]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 100,
+             "_source": ["c_custkey", "lat0", "lat1", "lon0", "lon1"]}""")
+      },
+      Some("""
+        WITH boxes AS (
+          SELECT c_custkey,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0 AS lat0,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0
+              + CAST((c_custkey * 48271 + 11) % 12000 AS DOUBLE) / 1000.0 AS lat1,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0 AS lon0,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0
+              + CAST((c_custkey * 69621 + 3) % 12000 AS DOUBLE) / 1000.0 AS lon1
+          FROM customer)
+        SELECT c_custkey, lat0, lat1, lon0, lon1 FROM boxes
+        WHERE lat0 <= 21.0 AND lat1 >= -10.0 AND lon0 <= 60.0 AND lon1 >= 10.5
+        ORDER BY c_custkey
+        LIMIT 100
+      """.stripMargin.trim)),
+
+    // completion suggester GEO context (VERDICT r10 missing #6):
+    // completions restricted to docs in the SAME precision-p geohash
+    // cell as the query point — the context is {lat, lon, precision,
+    // lat_field, lon_field}, compiled to one equality on the same
+    // codegen'd geohash key the geohash_grid agg groups on (the query
+    // side constant-folds). The oracle replays the identical
+    // quantize→interleave→base-32 bit walk on both the doc rows and
+    // the literal point.
+    GraftQuery(
+      "q333_dsl_completion_geo_context",
+      (s, dir) => {
+        val t = GeoFixtures.syntheticPointsKeeping(
+          Tables.load(s, dir, "customer"), "c_mktsegment")
+        QueryDsl.search(t,
+          """{"suggest": {"near": {"prefix": "B",
+               "completion": {"field": "c_mktsegment", "size": 10,
+                 "contexts": {"cell": {"lat": 20.0, "lon": 10.0,
+                   "precision": 1,
+                   "lat_field": "lat", "lon_field": "lon"}}}}}}""")
+      },
+      { val (ix, iy, code, hash) = geohashSqlParts(1)
+        Some(s"""
+        WITH pts AS (
+          SELECT c_mktsegment,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        g AS (SELECT c_mktsegment, $ix AS ix, $iy AS iy FROM pts),
+        h AS (SELECT c_mktsegment, $code AS code FROM g),
+        d AS (SELECT c_mktsegment, $hash AS cell FROM h),
+        qp AS (SELECT 20.0 AS lat, 10.0 AS lon),
+        qg AS (SELECT $ix AS ix, $iy AS iy FROM qp),
+        qh AS (SELECT $code AS code FROM qg),
+        qd AS (SELECT $hash AS qcell FROM qh)
+        SELECT c_mktsegment AS term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM d, qd WHERE d.cell = qd.qcell AND c_mktsegment LIKE 'B%'
+        GROUP BY 1 ORDER BY freq DESC, term LIMIT 10
+      """.stripMargin.trim) })
   )
 }

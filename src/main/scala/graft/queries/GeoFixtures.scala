@@ -19,4 +19,36 @@ object GeoFixtures {
         / lit(1000.0) - lit(90.0)).as("lat"),
       (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
         / lit(1000.0) - lit(180.0)).as("lon"))
+
+  /** [[syntheticPoints]] carrying extra source columns through (for
+    * queries that need a payload column next to the coordinates).
+    */
+  def syntheticPointsKeeping(customer: DataFrame, extras: String*): DataFrame =
+    customer.select(
+      (col("c_custkey") +: extras.map(col)) ++ Seq(
+        (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
+          / lit(1000.0) - lit(90.0)).as("lat"),
+        (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
+          / lit(1000.0) - lit(180.0)).as("lon")): _*)
+
+  /** Deterministic synthetic ENVELOPE set (doc-side shapes for the
+    * geo_shape `doc_shape` arm): the [[syntheticPoints]] recipe for
+    * the min corner, plus a hashed 0–12° extent per axis — the same
+    * exact-integer-then-one-divide structure, so both engines build
+    * identical doubles and the box relations hash-match.
+    */
+  def syntheticBoxes(customer: DataFrame): DataFrame = {
+    val latMin = ((col("c_custkey") * lit(2654435761L)) % lit(160000L))
+      .cast("double") / lit(1000.0) - lit(85.0)
+    val lonMin = ((col("c_custkey") * lit(40503L) + lit(7L)) % lit(340000L))
+      .cast("double") / lit(1000.0) - lit(175.0)
+    val latExt = ((col("c_custkey") * lit(48271L) + lit(11L)) % lit(12000L))
+      .cast("double") / lit(1000.0)
+    val lonExt = ((col("c_custkey") * lit(69621L) + lit(3L)) % lit(12000L))
+      .cast("double") / lit(1000.0)
+    customer.select(
+      col("c_custkey"),
+      latMin.as("lat0"), (latMin + latExt).as("lat1"),
+      lonMin.as("lon0"), (lonMin + lonExt).as("lon1"))
+  }
 }

@@ -2170,6 +2170,88 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     }.reduce(_ && _)
   }
 
+  /** Is the ring strictly convex CCW? (The convexRingPredicate
+    * precondition, probed non-fatally so geo_shape can route concave
+    * rings to the crossing walk instead.)
+    */
+  private[search] def isConvexCcw(pts: Seq[(Double, Double)]): Boolean = {
+    val n = pts.size
+    (0 until n).forall { i =>
+      val (aLat, aLon) = pts(i)
+      val (bLat, bLon) = pts((i + 1) % n)
+      val (cLat, cLon) = pts((i + 2) % n)
+      (bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon) > 0
+    }
+  }
+
+  /** General SIMPLE polygon containment: the even-odd crossing walk,
+    * division-free — for each non-horizontal edge the +lon ray from
+    * the point crosses iff the edge spans the point's latitude AND the
+    * point sits on the edge's ray side, tested by the SIGN of the same
+    * 2-D cross product the convex path uses (multiplied through by
+    * (lat2 − lat1) instead of dividing — fixed operand order, so both
+    * engines compute identical doubles). Inside = odd crossing count:
+    * one codegen'd integer sum + parity, still a pushed scan-level
+    * predicate. Boundary points follow crossing parity (half-open:
+    * a point ON an edge lands inside or outside by the edge's
+    * direction) — documented divergence from the convex path's
+    * boundary-inclusive half-planes; exact-boundary hits are measure-
+    * zero under the synthetic fixtures and the oracle replays the
+    * identical arithmetic either way. The ring must be SIMPLE:
+    * non-adjacent edges must not intersect — validated on the driver
+    * (O(n²) orientation tests), self-intersecting rings fail loud.
+    */
+  private[search] def crossingParityPredicate(pts: Seq[(Double, Double)],
+      latF: String, lonF: String, where: String): Column = {
+    val n = pts.size
+    // driver-side simplicity check: no two non-adjacent edges intersect
+    def orient(ax: Double, ay: Double, bx: Double, by: Double,
+        cx: Double, cy: Double): Int = {
+      val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      if (v > 0) 1 else if (v < 0) -1 else 0
+    }
+    def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+        px: Double, py: Double): Boolean =
+      math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
+        math.min(ay, by) <= py && py <= math.max(ay, by)
+    def segIntersect(p1: (Double, Double), p2: (Double, Double),
+        q1: (Double, Double), q2: (Double, Double)): Boolean = {
+      val o1 = orient(p1._2, p1._1, p2._2, p2._1, q1._2, q1._1)
+      val o2 = orient(p1._2, p1._1, p2._2, p2._1, q2._2, q2._1)
+      val o3 = orient(q1._2, q1._1, q2._2, q2._1, p1._2, p1._1)
+      val o4 = orient(q1._2, q1._1, q2._2, q2._1, p2._2, p2._1)
+      if (o1 != o2 && o3 != o4) true
+      else (o1 == 0 && onSeg(p1._2, p1._1, p2._2, p2._1, q1._2, q1._1)) ||
+        (o2 == 0 && onSeg(p1._2, p1._1, p2._2, p2._1, q2._2, q2._1)) ||
+        (o3 == 0 && onSeg(q1._2, q1._1, q2._2, q2._1, p1._2, p1._1)) ||
+        (o4 == 0 && onSeg(q1._2, q1._1, q2._2, q2._1, p2._2, p2._1))
+    }
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val adjacent = j == i + 1 || (i == 0 && j == n - 1)
+      if (!adjacent &&
+          segIntersect(pts(i), pts((i + 1) % n), pts(j), pts((j + 1) % n)))
+        fail(s"$where ring is self-intersecting " +
+          s"(edges $i and $j cross) - the ring must be simple")
+    }
+    if (n > 64) fail(s"$where ring has $n vertices (max 64: one codegen " +
+      "term per edge)")
+    val crossings: Seq[Column] = (0 until n).flatMap { i =>
+      val (lat1, lon1) = pts(i)
+      val (lat2, lon2) = pts((i + 1) % n)
+      if (lat1 == lat2) None // horizontal edges never cross the +lon ray
+      else {
+        val spans = (lit(lat1) > col(latF)) =!= (lit(lat2) > col(latF))
+        val cross = (lit(lon2) - lit(lon1)) * (col(latF) - lit(lat1)) -
+          (lit(lat2) - lit(lat1)) * (col(lonF) - lit(lon1))
+        val raySide = if (lat2 > lat1) cross > lit(0.0) else cross < lit(0.0)
+        Some(when(spans && raySide, lit(1)).otherwise(lit(0)))
+      }
+    }
+    if (crossings.isEmpty)
+      fail(s"$where ring is degenerate (every edge is horizontal)")
+    pmod(crossings.reduce(_ + _), lit(2)) === lit(1)
+  }
+
   /** `geo_shape`: an inline query shape tested against point
     * documents (lat_field/lon_field — the engine's geo convention;
     * it has no geo-shape DOCUMENT type, so shapes live on the query
@@ -2188,16 +2270,26 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
   private[search] def geoShapeClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
       val m = parts.toMap
-      m.keySet.diff(Set("lat_field", "lon_field", "shape", "relation"))
+      m.keySet.diff(Set("lat_field", "lon_field", "shape", "relation", "doc_shape"))
         .foreach(k => fail(s"unsupported geo_shape option '$k'"))
-      val latF = strOpt(m, "lat_field")
-        .getOrElse(fail("geo_shape requires lat_field"))
-      val lonF = strOpt(m, "lon_field")
-        .getOrElse(fail("geo_shape requires lon_field"))
       val sm = m.get("shape") match {
         case Some(JObject(s)) => s.toMap
         case _ => fail("geo_shape requires a shape object ({type, coordinates})")
       }
+      // `doc_shape`: DOC-SIDE (indexed) shapes — each row carries an
+      // envelope as four numeric columns (the engine's explicit-field
+      // convention: it has no mapping registry to read a shape type
+      // from). Box-vs-box / box-vs-point relations are all plain
+      // comparison conjunctions — pushable, codegen'd, and the ONE
+      // place `contains` is meaningful (an area can contain a shape;
+      // the point-doc arm keeps failing loud on it). Malformed rows
+      // (min > max) simply fail the comparisons like any other
+      // non-matching row; NULL corners drop the row (tri-state).
+      if (m.contains("doc_shape")) return geoShapeDocEnvelope(m, sm)
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail("geo_shape requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail("geo_shape requires lon_field"))
       sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
         fail(s"unsupported geo_shape shape option '$k'"))
       def num(v: JValue, what: String): Double = v match {
@@ -2242,7 +2334,12 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
               fail("polygon ring must be closed (first vertex == last)")
             val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
             if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
-            convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+            // strictly-convex CCW rings keep the boundary-inclusive
+            // half-plane conjunction (every existing plan unchanged);
+            // any other SIMPLE ring — concave, or convex wound CW —
+            // routes to the even-odd crossing walk
+            if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+            else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
           case "point" =>
             val (lo, la) = lonLat(coords, "point coordinates")
             col(latF) === lit(la) && col(lonF) === lit(lo)
@@ -2260,6 +2357,91 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           s"or disjoint, got '$other'")
       }
     case other => fail(s"geo_shape requires an object body: ${render(other)}")
+  }
+
+  /** The doc_shape arm of [[geoShapeClause]]: envelope DOCUMENTS
+    * (four numeric corner columns per row) against an envelope or
+    * point QUERY shape. Every relation is a conjunction of plain
+    * comparisons on the four corners — pushable and codegen'd:
+    * `intersects` is the box-overlap test (boundary touch counts),
+    * `within` = doc box inside the query shape, `contains` = doc box
+    * covers the query shape (the relation the point-doc arm must
+    * reject), `disjoint` the complement of intersects. A point query
+    * shape is the degenerate box [la, la]×[lo, lo], so all four
+    * relations fall out of the same corner algebra. Polygon query
+    * shapes fail loud: polygon-vs-box relations are not expressible
+    * as pushed comparisons (and the scan-level predicate IS this
+    * form's contract).
+    */
+  private[search] def geoShapeDocEnvelope(m: Map[String, JValue],
+      sm: Map[String, JValue]): CompiledQuery = {
+    if (m.contains("lat_field") || m.contains("lon_field"))
+      fail("geo_shape doc_shape replaces lat_field/lon_field " +
+        "(the doc geometry IS the envelope)")
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"doc_shape must be an object: ${render(other)}")
+    }
+    dsm.keySet.diff(Set("type", "lat_min_field", "lat_max_field",
+      "lon_min_field", "lon_max_field")).foreach(k =>
+      fail(s"unsupported doc_shape option '$k'"))
+    strOpt(dsm, "type").getOrElse(fail("doc_shape requires a type")) match {
+      case "envelope" => ()
+      case other => fail(s"doc_shape type must be envelope, got '$other'")
+    }
+    def fld(k: String): Column =
+      col(strOpt(dsm, k).getOrElse(fail(s"doc_shape envelope requires $k")))
+    val laMin = fld("lat_min_field"); val laMax = fld("lat_max_field")
+    val loMin = fld("lon_min_field"); val loMax = fld("lon_max_field")
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other       => fail(s"$what must be numeric: ${render(other)}")
+    }
+    def lonLat(v: JValue, what: String): (Double, Double) = v match {
+      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+    }
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    val (qLatB, qLatT, qLonL, qLonR) =
+      strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
+        case "envelope" =>
+          val (tl, br) = coords match {
+            case JArray(List(a, b)) =>
+              (lonLat(a, "envelope top_left"), lonLat(b, "envelope bottom_right"))
+            case other => fail(s"envelope coordinates must be " +
+              s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+          }
+          val (leftLon, topLat) = tl
+          val (rightLon, botLat) = br
+          if (topLat < botLat)
+            fail(s"envelope top lat ($topLat) must be >= bottom lat ($botLat)")
+          if (leftLon > rightLon)
+            fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
+              s"right lon $rightLon) is unsupported")
+          (botLat, topLat, leftLon, rightLon)
+        case "point" =>
+          val (lo, la) = lonLat(coords, "point coordinates")
+          (la, la, lo, lo)
+        case other => fail("doc_shape queries support envelope or point " +
+          s"query shapes (polygon-vs-box relations are not pushed " +
+          s"comparisons), got '$other'")
+      }
+    val intersects = laMin <= lit(qLatT) && laMax >= lit(qLatB) &&
+      loMin <= lit(qLonR) && loMax >= lit(qLonL)
+    val pred = strOpt(m, "relation").getOrElse("intersects") match {
+      case "intersects" => intersects
+      case "disjoint"   => !intersects
+      case "within" => laMin >= lit(qLatB) && laMax <= lit(qLatT) &&
+        loMin >= lit(qLonL) && loMax <= lit(qLonR)
+      case "contains" => laMin <= lit(qLatB) && laMax >= lit(qLatT) &&
+        loMin <= lit(qLonL) && loMax >= lit(qLonR)
+      case other => fail(s"geo_shape relation must be intersects, within, " +
+        s"contains or disjoint, got '$other'")
+    }
+    CompiledQuery(pred, lit(1L))
   }
 
   private[search] def geoDistanceClause(body: JValue): CompiledQuery = body match {

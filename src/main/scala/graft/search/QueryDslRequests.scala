@@ -830,12 +830,15 @@ private[search] trait QueryDslRequests { this: QueryDsl.type =>
       case Some(other) =>
         fail(s"completion fuzzy must be an object ({fuzziness}): ${render(other)}")
     }
-    // `contexts`: category-filtered completions — each context names
-    // a COLUMN of the table (the engine has no context mapping
-    // registry) and the completions come only from rows matching ANY
-    // of its values (several contexts AND together, the OpenSearch
-    // filter semantics). The filter sits BEFORE the explode, pushed
-    // into the scan.
+    // `contexts`: filtered completions — each context either names a
+    // COLUMN of the table (the engine has no context mapping registry)
+    // with category value(s), matching ANY of them, or is a GEO
+    // context object `{lat, lon, precision, lat_field, lon_field}`:
+    // completions come only from rows whose precision-p geohash cell
+    // equals the query point's (the same codegen'd [[geohashCol]] the
+    // geohash_grid agg keys on — the query side constant-folds).
+    // Several contexts AND together (the OpenSearch filter semantics);
+    // the filter sits BEFORE the explode, pushed into the scan.
     val ctxFilter: Column = m.get("contexts") match {
       case None => lit(true)
       case Some(JObject(cs)) if cs.nonEmpty =>
@@ -843,8 +846,28 @@ private[search] trait QueryDslRequests { this: QueryDsl.type =>
           case (ctx, JArray(vs)) if vs.nonEmpty =>
             col(ctx).isin(vs.map(scalaOf): _*)
           case (ctx, JString(s)) => col(ctx) === s
+          case (ctx, JObject(g)) =>
+            val gm = g.toMap
+            gm.keySet.diff(Set("lat", "lon", "precision",
+              "lat_field", "lon_field")).foreach(k =>
+              fail(s"unsupported geo-context option '$k' in context '$ctx'"))
+            def num(k: String): Double = gm.get(k) match {
+              case Some(JDouble(d))  => d
+              case Some(JInt(i))     => i.toDouble
+              case Some(JDecimal(d)) => d.toDouble
+              case _ => fail(s"geo context '$ctx' needs numeric '$k'")
+            }
+            val p = intOpt(gm, "precision").getOrElse(5)
+            if (p < 1 || p > 12)
+              fail(s"geo context '$ctx' precision must be 1-12, got $p")
+            val laF = strOpt(gm, "lat_field").getOrElse(fail(
+              s"geo context '$ctx' needs lat_field (no mapping registry)"))
+            val loF = strOpt(gm, "lon_field").getOrElse(fail(
+              s"geo context '$ctx' needs lon_field (no mapping registry)"))
+            geohashCol(col(laF), col(loF), p) ===
+              geohashCol(lit(num("lat")), lit(num("lon")), p)
           case (ctx, other) => fail(s"completion context '$ctx' must be a " +
-            s"value or non-empty array: ${render(other)}")
+            s"value, non-empty array, or geo object: ${render(other)}")
         }.reduce(_ && _)
       case Some(other) =>
         fail(s"completion contexts must be a non-empty object: ${render(other)}")

@@ -3779,7 +3779,7 @@ class QueryDslSpec extends SparkSpec {
       "contexts must be a non-empty object")
     bad("""{"suggest": {"s": {"prefix": "sp",
       "completion": {"field": "text", "contexts": {"lang": []}}}}}""",
-      "must be a value or non-empty array")
+      "must be a value, non-empty array, or geo object")
     bad("""{"suggest": {"s": {"prefix": "sp",
       "completion": {"field": "text", "fuzzy": {"transpositions": true}}}}}""",
       "unsupported completion fuzzy option")
@@ -4421,14 +4421,105 @@ class QueryDslSpec extends SparkSpec {
     badShape("""{"type": "polygon", "coordinates":
       [[[0.0, 0.0], [3.0, 0.0], [0.0, 3.0], [1.0, 1.0]]]}""",
       "must be closed")
-    badShape("""{"type": "polygon", "coordinates":
-      [[[0.0, 0.0], [0.0, 3.0], [3.0, 0.0], [0.0, 0.0]]]}""",
-      "counter-clockwise")                  // clockwise ring
+    // a CLOCKWISE convex ring is no longer an error: it routes to the
+    // orientation-independent crossing walk and selects the same
+    // interior (boundary via parity — these docs are interior/edge
+    // points the walk also admits)
+    assert(ids("""{"type": "polygon", "coordinates":
+      [[[0.0, 0.0], [0.0, 3.0], [3.0, 0.0], [0.0, 0.0]]]}""") === Seq(1L, 3L, 4L))
     bad("""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
       "shape": {"type": "point", "coordinates": [0, 0]}, "boost": 2}}}""",
       "unsupported geo_shape option 'boost'")
     bad("""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon"}}}""",
       "requires a shape")
+  }
+
+  test("geo_shape concave polygons run the even-odd crossing walk") {
+    import spark.implicits._
+    // chevron [[0,0],[40,0],[40,40],[20,15],[0,40]] (GeoJSON lon,lat):
+    // the notch at (20,15) makes it concave — (20,25) sits in the
+    // notch (outside), (20,5) below the notch (inside)
+    val t = Seq(
+      (1L, 5.0, 20.0),   // inside, low center
+      (2L, 25.0, 20.0),  // in the notch: outside
+      (3L, 20.0, 38.0),  // right arm: inside
+      (4L, 50.0, 20.0),  // above everything: outside
+      (5L, 20.0, -5.0))  // left of the ring: outside
+      .toDF("id", "lat", "lon")
+    val chevron = """{"type": "polygon", "coordinates":
+      [[[0.0, 0.0], [40.0, 0.0], [40.0, 40.0],
+        [20.0, 15.0], [0.0, 40.0], [0.0, 0.0]]]}"""
+    def ids(rel: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+           "shape": $chevron, "relation": "$rel"}},
+         "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(ids("intersects") === Seq(1L, 3L))
+    assert(ids("disjoint") === Seq(2L, 4L, 5L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // self-intersecting (bow-tie) rings fail loud on the driver
+    bad("""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+      "shape": {"type": "polygon", "coordinates":
+        [[[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]]}}}}""",
+      "self-intersecting")
+  }
+
+  test("geo_shape doc_shape: envelope documents with all four relations") {
+    import spark.implicits._
+    // doc boxes: (1) inside the query box, (2) overlapping its edge,
+    // (3) covering it entirely, (4) disjoint, (5) touching the corner
+    val t = Seq(
+      (1L, 1.0, 2.0, 1.0, 2.0),
+      (2L, 2.0, 6.0, 2.0, 6.0),
+      (3L, -1.0, 9.0, -1.0, 9.0),
+      (4L, 20.0, 30.0, 20.0, 30.0),
+      (5L, 5.0, 8.0, 5.0, 8.0))
+      .toDF("id", "la0", "la1", "lo0", "lo1")
+    // query envelope: lat 0..5, lon 0..5
+    def ids(rel: String, shape: String =
+        """{"type": "envelope", "coordinates": [[0.0, 5.0], [5.0, 0.0]]}"""): Seq[Long] =
+      QueryDsl.search(t,
+        s"""{"query": {"geo_shape": {
+             "doc_shape": {"type": "envelope",
+               "lat_min_field": "la0", "lat_max_field": "la1",
+               "lon_min_field": "lo0", "lon_max_field": "lo1"},
+             "shape": $shape, "relation": "$rel"}},
+           "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    assert(ids("intersects") === Seq(1L, 2L, 3L, 5L)) // 5 touches the corner
+    assert(ids("within") === Seq(1L))
+    assert(ids("contains") === Seq(3L))               // the only box covering it
+    assert(ids("disjoint") === Seq(4L))
+    // point query shape: the degenerate box
+    val pt = """{"type": "point", "coordinates": [1.5, 1.5]}"""
+    assert(ids("intersects", pt) === Seq(1L, 3L))
+    assert(ids("contains", pt) === Seq(1L, 3L))
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    def docQ(extra: String): String =
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "envelope",
+             "lat_min_field": "la0", "lat_max_field": "la1",
+             "lon_min_field": "lo0", "lon_max_field": "lo1"},
+           $extra}}}"""
+    bad(docQ(""""shape": {"type": "polygon", "coordinates":
+      [[[0.0, 0.0], [3.0, 0.0], [0.0, 3.0], [0.0, 0.0]]]}"""),
+      "envelope or point query shapes")
+    bad(s"""{"query": {"geo_shape": {"lat_field": "la0",
+         "doc_shape": {"type": "envelope",
+           "lat_min_field": "la0", "lat_max_field": "la1",
+           "lon_min_field": "lo0", "lon_max_field": "lo1"},
+         "shape": $pt}}}""",
+      "doc_shape replaces lat_field/lon_field")
+    bad(docQ(s""""shape": $pt, "relation": "overlaps""""),
+      "relation must be intersects, within, contains or disjoint")
+    bad(docQ(s""""shape": $pt""").replace(""""lat_max_field": "la1",""", ""),
+      "doc_shape envelope requires lat_max_field")
+    bad(docQ(s""""shape": $pt""").replace(""""type": "envelope"""",
+      """"type": "circle""""), "doc_shape type must be envelope")
   }
 
   test("_script sort orders by a compiled script column; track_scores is inert") {
