@@ -6033,6 +6033,52 @@ object DslSearch {
         SELECT c_mktsegment AS term, CAST(COUNT(*) AS BIGINT) AS freq
         FROM d, qd WHERE d.cell = qd.qcell AND c_mktsegment LIKE 'B%'
         GROUP BY 1 ORDER BY freq DESC, term LIMIT 10
-      """.stripMargin.trim) })
+      """.stripMargin.trim) }),
+
+    // has_child score_mode avg (closing the VERDICT r10 scope-out):
+    // ONE IEEE divide from the exact integer (sum, count) monoids the
+    // groupBy already carries — bit-identical cross-engine, so the
+    // OpenSearch DEFAULT score_mode is servable exactly; the score
+    // column is DOUBLE for this mode only (a request-level arm, never
+    // a composable clause). Child scores vary (must 1 + should 0/1)
+    // so the averages genuinely discriminate.
+    GraftQuery(
+      "q334_dsl_has_child_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_child": {"type": "order", "join_field": "rel",
+               "parent_type": "customer",
+               "id_field": "doc_id", "parent_field": "parent_id",
+               "query": {"bool": {
+                 "must": [{"range": {"price": {"gte": 150000}}}],
+                 "should": [{"range": {"price": {"gte": 250000}}}]}},
+               "score_mode": "avg"}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH k AS (
+          SELECT o_custkey AS pid,
+                 CAST(1 + CASE WHEN o_totalprice >= 250000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS cscore
+          FROM orders WHERE o_totalprice >= 150000),
+        g AS (SELECT pid,
+                CAST(CAST(SUM(cscore) AS BIGINT) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS score
+              FROM k GROUP BY 1)
+        SELECT c.c_custkey AS doc_id, g.score
+        FROM customer c JOIN g ON c.c_custkey = g.pid
+        ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim))
   )
 }

@@ -984,7 +984,9 @@ private[search] trait QueryDslRequests { this: QueryDsl.type =>
     * the table by id. Both exchanges hash the id domain — the plan
     * you want at scale, never a per-row subquery. `score_mode`:
     * none (constant 1) / sum / min / max over matching child scores
-    * (exact longs; avg would break the integer model — fail loud).
+    * (exact longs), or avg — ONE IEEE divide from the exact (sum,
+    * count) monoids, bit-identical cross-engine, score typed DOUBLE
+    * for that mode only (the OpenSearch default score_mode).
     * The returned side is GATED on being a parent-typed row: rows of
     * the child type itself are always excluded, and an optional
     * `parent_type` restricts to that relation name exactly (the
@@ -1068,8 +1070,16 @@ private[search] trait QueryDslRequests { this: QueryDsl.type =>
       case "sum"  => col("__hc_sum")
       case "min"  => col("__hc_min")
       case "max"  => col("__hc_max")
-      case other  => fail(s"has_child score_mode must be none/sum/min/max " +
-        s"(avg would break the exact integer score model): '$other'")
+      // avg: ONE IEEE divide from the exact integer (sum, count)
+      // monoids the groupBy already carries — bit-identical across
+      // engines (the rate/extended_stats doctrine), so the OpenSearch
+      // default score_mode is servable after all; the request's score
+      // column becomes DOUBLE for this mode only (a request-level
+      // arm, never a composable clause, so nothing downstream assumes
+      // the integer model)
+      case "avg"  => col("__hc_sum").cast("double") / col("__hc_n").cast("double")
+      case other  => fail(s"has_child score_mode must be " +
+        s"none/sum/min/max/avg: '$other'")
     }
     val parentSide = strOpt(m, "parent_type") match {
       case Some(pt) => table.filter(col(joinF) === lit(pt))

@@ -2020,9 +2020,20 @@ class QueryDslSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
+    // avg: one IEEE divide from the exact (sum, count) monoids — the
+    // OpenSearch DEFAULT score_mode, score typed DOUBLE for this mode.
+    // Child scores: 10 "spark x" → 2, 11 "spark y" → 1, 13 "zzz" → 1
+    // (parent 1 avg 4/3); 12 "zzz" → 1 (parent 2 avg 1.0).
+    val hcAvg = QueryDsl.search(t,
+      s"""{"query": {"has_child": {"type": "a", $relOpts,
+           "query": {"match": {"text": "spark x zzz"}},
+           "score_mode": "avg"}},
+         "sort": ["doc_id"], "_source": ["doc_id", "score"]}""")
+      .as[(Long, Double)].collect().toSeq
+    assert(hcAvg === Seq((1L, 4.0 / 3.0), (2L, 1.0)))
     bad(s"""{"query": {"has_child": {"type": "a", $relOpts,
-      "query": {"match_all": {}}, "score_mode": "avg"}}}""",
-      "score_mode must be none/sum/min/max")
+      "query": {"match_all": {}}, "score_mode": "median"}}}""",
+      "score_mode must be none/sum/min/max/avg")
     bad(s"""{"query": {"has_child": {"type": "a", $relOpts,
       "query": {"match_all": {}}, "min_children": 0}}}""",
       "min_children must be >= 1")
