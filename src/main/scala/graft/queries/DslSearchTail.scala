@@ -1,0 +1,2035 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.search.QueryDsl
+import graft.sources.Tables
+
+/** [[DslSearch]] continued — the final third of the query-DSL sweep
+  * (runtime_mappings through the round-11 additions). Pure registry
+  * data, split mechanically at entry boundaries; `geohashSqlParts`
+  * stays on [[DslSearch]] (private[queries]) so the oracle SQL cannot
+  * drift between the thirds.
+  */
+object DslSearchTail {
+  import DslSearch.geohashSqlParts
+  private[queries] def queries: Seq[GraftQuery] = Seq(
+    // runtime_mappings: a request-level computed field (the SAME
+    // exact-integer script compiler as script_score) laid onto the
+    // table ONCE, then queried, sorted and projected like a stored
+    // column — the runtime-fields idiom with zero row-time
+    // interpretation.
+    GraftQuery(
+      "q271_dsl_runtime_mappings",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"runtime_mappings": {"weight": {"type": "long",
+             "script": {"source": "doc['n_chars'].value * 3 + params.base",
+               "params": {"base": 7}}}},
+           "query": {"range": {"weight": {"gte": 1000}}},
+           "sort": [{"weight": "desc"}, "doc_id"], "size": 40,
+           "_source": ["doc_id", "weight"]}"""),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, n_chars * 3 + 7 AS weight FROM documents)
+        SELECT doc_id, weight FROM w WHERE weight >= 1000
+        ORDER BY weight DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // rate agg: per-unit normalization of bucket aggregates — the
+    // denominator is the bucket's OWN calendar span (a 31-day January
+    // divides by 31), numerator stays the exact integer sum/count,
+    // one pinned cast-mul-divide IEEE sequence both engines replay.
+    GraftQuery(
+      "q272_dsl_rate",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "orders"),
+        """{"query": {"match_all": {}},
+           "aggs": {"mon": {"date_histogram": {"field": "o_orderdate",
+               "calendar_interval": "month"},
+             "aggs": {"orders_daily": {"rate": {"unit": "day"}},
+               "custs_daily": {"rate": {"field": "o_custkey",
+                 "mode": "value_count", "unit": "day"}},
+               "sum_cust_daily": {"rate": {"field": "o_custkey",
+                 "unit": "day"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('month', o_orderdate) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS doc_count,
+                 CAST(COUNT(o_custkey) AS BIGINT) AS cu,
+                 CAST(SUM(o_custkey) AS BIGINT) AS su
+          FROM orders GROUP BY 1),
+        d AS (
+          SELECT *, CAST(date_diff('day', CAST(mon AS DATE),
+                   CAST(mon + INTERVAL 1 MONTH AS DATE))
+                 * 86400000000 AS DOUBLE) AS span_us
+          FROM g)
+        SELECT mon, doc_count,
+               CAST(doc_count AS DOUBLE) * 86400000000.0 / span_us
+                 AS orders_daily,
+               CAST(cu AS DOUBLE) * 86400000000.0 / span_us AS custs_daily,
+               CAST(su AS DOUBLE) * 86400000000.0 / span_us
+                 AS sum_cust_daily
+        FROM d ORDER BY doc_count DESC, mon
+      """.stripMargin.trim)),
+
+    // sort missing/mode options: a multi-valued field sorts by an
+    // exact aggregate of its values (here the exact lower median of
+    // per-token lengths), NULL keys are PLACED explicitly (_first) —
+    // both pure codegen'd array expressions on the sort key.
+    GraftQuery(
+      "q273_dsl_sort_options",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("tok_lens", org.apache.spark.sql.functions.expr(
+            "transform(split(text, ' '), x -> CAST(length(x) AS LONG))"))
+          .withColumn("lang2", org.apache.spark.sql.functions.expr(
+            "nullif(lang, 'en')")),
+        """{"query": {"match_all": {}},
+           "sort": [{"tok_lens": {"mode": "median", "order": "desc"}},
+                    {"lang2": {"missing": "_first"}}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "lang2"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, nullif(lang, 'en') AS lang2,
+                 list_transform(string_split(text, ' '),
+                                x -> length(x)) AS tl
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang2,
+                 list_sort(tl)[(len(tl) + 1) // 2] AS med
+          FROM d)
+        SELECT doc_id, lang2 FROM m
+        ORDER BY med DESC, lang2 ASC NULLS FIRST, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // rescore: second-pass re-ranking of the top window — window
+    // membership is a deterministic global top-k on (score desc, id),
+    // window docs matching the rescore query combine weighted scores,
+    // the rest keep their original score untouched.
+    GraftQuery(
+      "q274_dsl_rescore",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark join window"}},
+           "rescore": {"window_size": 20, "id_field": "doc_id",
+             "query": {"rescore_query": {"term": {"lang": "en"}},
+               "query_weight": 1, "rescore_query_weight": 5,
+               "score_mode": "total"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 15, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark','join','window'])) AS BIGINT) AS score
+          FROM documents),
+        hits AS (SELECT * FROM scored WHERE score >= 1),
+        w AS (SELECT *, ROW_NUMBER()
+                OVER (ORDER BY score DESC, doc_id) AS rk FROM hits),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN rk <= 20 THEN
+                   CASE WHEN lang = 'en' THEN 1 * score + 5 * 1
+                        ELSE 1 * score END
+                 ELSE score END AS score
+          FROM w)
+        SELECT doc_id, CAST(score AS BIGINT) AS score FROM r
+        ORDER BY score DESC, doc_id LIMIT 15
+      """.stripMargin.trim)),
+
+    // span_or: postings union of the member terms — one posexplode,
+    // one isin filter, one groupBy.
+    GraftQuery(
+      "q275_dsl_span_or",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_or": {"clauses": [
+             {"span_term": {"text": "spark"}},
+             {"span_term": {"text": "window"}}],
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM pos WHERE tok IN ('spark', 'window') GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // span_not: include occurrences with no exclude occurrence within
+    // +-dist tokens — the negative-context span.
+    GraftQuery(
+      "q276_dsl_span_not",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_not": {
+             "include": {"span_term": {"text": "spark"}},
+             "exclude": {"span_term": {"text": "join"}},
+             "dist": 2, "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        pi AS (SELECT doc_id, p FROM pos WHERE tok = 'spark'),
+        pe AS (SELECT doc_id, p AS pe FROM pos WHERE tok = 'join'),
+        j AS (SELECT pi.doc_id, pi.p,
+                MAX(CASE WHEN pe.pe IS NOT NULL
+                      AND pe.pe >= pi.p - 2 AND pe.pe <= pi.p + 2
+                    THEN 1 ELSE 0 END) AS viol
+              FROM pi LEFT JOIN pe ON pi.doc_id = pe.doc_id
+              GROUP BY 1, 2),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM j WHERE viol = 0 GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // span_containing: big span_near pairs that enclose a little
+    // occurrence (deduplicated per big span).
+    GraftQuery(
+      "q277_dsl_span_containing",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_containing": {
+             "big": {"span_near": {"clauses": [
+               {"span_term": {"text": "spark"}},
+               {"span_term": {"text": "window"}}], "slop": 5}},
+             "little": {"span_term": {"text": "join"}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        p1 AS (SELECT doc_id, p AS p1 FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p AS p2 FROM pos WHERE tok = 'window'),
+        pr AS (SELECT p1.doc_id, least(p1, p2) AS s, greatest(p1, p2) AS e
+               FROM p1 JOIN p2 USING (doc_id)
+               WHERE abs(p1 - p2) - 1 <= 5),
+        pl AS (SELECT doc_id, p AS pl FROM pos WHERE tok = 'join'),
+        enc AS (SELECT DISTINCT pr.doc_id, pr.s, pr.e
+                FROM pr JOIN pl ON pr.doc_id = pl.doc_id
+                  AND pl.pl >= pr.s AND pl.pl <= pr.e),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM enc GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // span_within: little occurrences enclosed by a big span
+    // (deduplicated per little position) — the containing twin from
+    // the little side.
+    GraftQuery(
+      "q278_dsl_span_within",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_within": {
+             "big": {"span_near": {"clauses": [
+               {"span_term": {"text": "spark"}},
+               {"span_term": {"text": "window"}}], "slop": 5}},
+             "little": {"span_term": {"text": "join"}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 25}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok,
+                       unnest(range(1, len(a) + 1)) AS p FROM arr),
+        p1 AS (SELECT doc_id, p AS p1 FROM pos WHERE tok = 'spark'),
+        p2 AS (SELECT doc_id, p AS p2 FROM pos WHERE tok = 'window'),
+        pr AS (SELECT p1.doc_id, least(p1, p2) AS s, greatest(p1, p2) AS e
+               FROM p1 JOIN p2 USING (doc_id)
+               WHERE abs(p1 - p2) - 1 <= 5),
+        pl AS (SELECT doc_id, p AS pl FROM pos WHERE tok = 'join'),
+        enc AS (SELECT DISTINCT pl.doc_id, pl.pl
+                FROM pr JOIN pl ON pr.doc_id = pl.doc_id
+                  AND pl.pl >= pr.s AND pl.pl <= pr.e),
+        g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+              FROM enc GROUP BY 1)
+        SELECT doc_id, n_spans, n_spans AS score FROM g
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // significant_terms background_filter: the lift baseline becomes a
+    // SUBSET of the index (here: English docs) — foreground intersects
+    // the background (fg ⊆ bg by construction, so the exact ppm ratio
+    // can never divide by zero), out-of-background vocabulary drops;
+    // both counts stay conditional aggregates in ONE groupBy.
+    GraftQuery(
+      "q280_dsl_sig_terms_background",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "aggs": {"sig_src": {"significant_terms":
+             {"field": "source", "min_doc_count": 2, "size": 8,
+              "background_filter": {"term": {"lang": "en"}}}}}}"""),
+      Some("""
+        WITH base AS (
+          SELECT source,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS bg,
+                 CASE WHEN lang = 'en' AND list_contains(
+                        list_distinct(string_split(text, ' ')), 'spark')
+                      THEN 1 ELSE 0 END AS fg
+          FROM documents),
+        per AS (
+          SELECT source AS sig_src, CAST(SUM(bg) AS BIGINT) AS bg_count,
+                 CAST(SUM(fg) AS BIGINT) AS doc_count
+          FROM base GROUP BY source),
+        tot AS (SELECT CAST(SUM(bg) AS BIGINT) AS n_all,
+                       CAST(SUM(fg) AS BIGINT) AS n_fg FROM base)
+        SELECT sig_src, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, tot
+        WHERE bg_count >= 1 AND doc_count >= 2
+        ORDER BY score_ppm DESC, sig_src
+        LIMIT 8
+      """.stripMargin.trim)),
+
+    // multi_match cross_fields: term-centric blended-field matching —
+    // a query term matches when ANY field carries it; score = matched
+    // terms over the token union, msm gates the count.
+    GraftQuery(
+      "q281_dsl_multi_match_cross_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"multi_match": {"query": "spark src7",
+             "fields": ["text", "source"], "type": "cross_fields",
+             "minimum_should_match": 2}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(
+                   list_distinct(list_concat(string_split(text, ' '),
+                                             string_split(source, ' '))),
+                   ['spark', 'src7'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // multi_match phrase: the query as a token-boundary phrase per
+    // field; score = the number of fields containing it.
+    GraftQuery(
+      "q282_dsl_multi_match_phrase",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("head", org.apache.spark.sql.functions.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')")),
+        """{"query": {"multi_match": {"query": "spark join",
+             "fields": ["text", "head"], "type": "phrase"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                 ' ') AS head
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN ' ' || text || ' ' LIKE '% spark join %'
+                      THEN 1 ELSE 0 END
+                    + CASE WHEN ' ' || head || ' ' LIKE '% spark join %'
+                      THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // _analyze endpoint: the token stream the matching surfaces
+    // actually see, through the SAME Analyzer.norm column expression —
+    // here the standard analyzer over a corpus document's text, so
+    // the DuckDB replay cross-checks the analyzer+tokenizer contract
+    // end-to-end.
+    GraftQuery(
+      "q283_dsl_analyze_endpoint",
+      (s, dir) => {
+        val txt = Tables.load(s, dir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") === 7L)
+          .select("text").head().getString(0)
+        QueryDsl.analyzeText(s, graft.search.Analyzer.Standard, txt)
+      },
+      Some("""
+        WITH d AS (
+          SELECT trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))
+                   AS t
+          FROM documents WHERE doc_id = 7),
+        arr AS (SELECT string_split(t, ' ') AS a FROM d)
+        SELECT unnest(a) AS token,
+               CAST(unnest(range(0, len(a))) AS BIGINT) AS position
+        FROM arr ORDER BY position
+      """.stripMargin.trim)),
+
+    // date_histogram offset: bucket boundaries shift by +6h (the
+    // fiscal-day knob — days run 06:00 to 06:00); the algebra folds
+    // into the same shifted-truncate expression time_zone uses.
+    GraftQuery(
+      "q284_dsl_date_histogram_offset",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"d": {"date_histogram": {"field": "ts",
+               "fixed_interval": "1d", "offset": "+6h"},
+             "aggs": {"n_uid": {"value_count": {"field": "user_id"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT make_timestamp(um2 - ((um2 % 86400000000)
+                   + 86400000000) % 86400000000 + 21600000000) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS doc_count,
+                 CAST(COUNT(user_id) AS BIGINT) AS n_uid
+          FROM (SELECT epoch_us(ts) - 21600000000 AS um2, user_id
+                FROM events)
+          GROUP BY 1)
+        SELECT d, doc_count, n_uid FROM g
+        ORDER BY doc_count DESC, d
+      """.stripMargin.trim)),
+
+    // derivative unit: the per-unit normalized series — the diff
+    // divided by the ACTUAL microsecond gap to the previous bucket,
+    // so unequal calendar months normalize exactly.
+    GraftQuery(
+      "q285_dsl_derivative_unit",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "orders"),
+        """{"query": {"match_all": {}},
+           "aggs": {"mon": {"date_histogram": {"field": "o_orderdate",
+               "calendar_interval": "month"},
+             "aggs": {"d": {"derivative": {"buckets_path": "_count",
+               "unit": "day"}}}}}}"""),
+      Some("""
+        WITH g AS (
+          SELECT date_trunc('month', o_orderdate) AS mon,
+                 CAST(COUNT(*) AS BIGINT) AS doc_count
+          FROM orders GROUP BY 1),
+        w AS (
+          SELECT mon, doc_count,
+                 doc_count - lag(doc_count) OVER (ORDER BY mon) AS d,
+                 epoch_us(mon) - lag(epoch_us(mon)) OVER (ORDER BY mon)
+                   AS gap_us
+          FROM g)
+        SELECT mon, doc_count, d,
+               CAST(d AS DOUBLE) * 86400000000.0 / CAST(gap_us AS DOUBLE)
+                 AS d_normalized
+        FROM w ORDER BY mon
+      """.stripMargin.trim)),
+
+    // terms order array form: lexicographic multi-criteria bucket
+    // ordering (sub-metric, then _key desc) — the OpenSearch
+    // tie-break spelling, still one groupBy + a bounded bucket sort.
+    GraftQuery(
+      "q286_dsl_terms_order_array",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "aggs": {"srcs": {"terms": {"field": "source",
+               "order": [{"mx": "desc"}, {"_key": "desc"}]},
+             "aggs": {"mx": {"max": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        SELECT source AS srcs, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               MAX(n_chars) AS mx
+        FROM documents GROUP BY 1
+        ORDER BY mx DESC, srcs DESC
+      """.stripMargin.trim)),
+
+    // auto_date_histogram minimum_interval: the rounding-hint floor —
+    // the 30-day events span would derive day; the floor forces month.
+    GraftQuery(
+      "q287_dsl_auto_date_min_interval",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"a": {"auto_date_histogram": {"field": "ts",
+             "buckets": 100, "minimum_interval": "month"}}}}"""),
+      Some("""
+        SELECT date_trunc('month', ts) AS a,
+               CAST(COUNT(*) AS BIGINT) AS doc_count,
+               'month' AS interval
+        FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY a
+      """.stripMargin.trim)),
+
+    // nested agg + terms sub-agg: the facet over array elements (top
+    // tags / top tokens — the multi-valued-field idiom): one explode +
+    // one groupBy on a struct member, metrics riding the same groupBy.
+    GraftQuery(
+      "q288_dsl_nested_terms_facet",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("tk", org.apache.spark.sql.functions.expr(
+            "transform(split(text, ' '), x -> " +
+              "struct(x AS tok, CAST(length(x) AS LONG) AS len))")),
+        """{"query": {"range": {"n_chars": {"gte": 200}}},
+           "aggs": {"nt": {"nested": {"path": "tk"},
+             "aggs": {"top_toks": {"terms": {"field": "tk.tok",
+                 "size": 12}},
+               "sum_len": {"sum": {"field": "tk.len"}}}}}}"""),
+      Some("""
+        WITH e AS (
+          SELECT unnest(list_transform(string_split(text, ' '),
+                   x -> {'tok': x, 'len': length(x)})) AS tk
+          FROM documents WHERE n_chars >= 200)
+        SELECT tk.tok AS top_toks, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(SUM(tk.len) AS BIGINT) AS sum_len
+        FROM e GROUP BY 1
+        ORDER BY doc_count DESC, top_toks LIMIT 12
+      """.stripMargin.trim)),
+
+    // significant_text background_filter: the token-level narrowed
+    // baseline (what's significant about spark docs AMONG the English
+    // corpus) — same fg ⊆ bg contract as q280, one token pass.
+    GraftQuery(
+      "q289_dsl_sig_text_background",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "aggs": {"sig": {"significant_text": {"field": "text",
+               "min_doc_count": 5, "size": 12,
+               "background_filter": {"term": {"lang": "en"}}}}}}"""),
+      Some("""
+        WITH d AS (
+          SELECT *, (lang = 'en') AS bg,
+                 (lang = 'en' AND list_contains(
+                    list_distinct(string_split(text, ' ')), 'spark')) AS fg
+          FROM documents),
+        toks AS (SELECT fg, bg,
+                   unnest(list_distinct(string_split(text, ' '))) AS sig
+                 FROM d),
+        per AS (
+          SELECT sig,
+                 CAST(COUNT(CASE WHEN bg THEN 1 END) AS BIGINT) AS bg_count,
+                 CAST(COUNT(CASE WHEN fg AND bg THEN 1 END) AS BIGINT)
+                   AS doc_count
+          FROM toks GROUP BY 1),
+        t AS (SELECT CAST(COUNT(CASE WHEN bg THEN 1 END) AS BIGINT) AS n_all,
+                     CAST(COUNT(CASE WHEN fg AND bg THEN 1 END) AS BIGINT)
+                       AS n_fg
+              FROM d)
+        SELECT sig, doc_count, bg_count,
+               (doc_count * n_all * 1000000) // (bg_count * n_fg) AS score_ppm
+        FROM per, t
+        WHERE bg_count >= 1 AND doc_count >= 5
+        ORDER BY score_ppm DESC, sig
+        LIMIT 12
+      """.stripMargin.trim)),
+
+    // script query: a scripted filter predicate compiled to codegen'd
+    // Catalyst arithmetic (the anti-UDF rule on the filter surface) —
+    // one comparator over two exact-integer ScoreScript sides.
+    GraftQuery(
+      "q290_dsl_script_query",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"match": {"text": "spark"}}],
+             "filter": [{"script": {"script":
+               {"source": "doc['n_chars'].value * 3 + params.k >= 700",
+                "params": {"k": 10}}}}]}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, n_chars,
+                 CAST(CASE WHEN list_contains(
+                   list_distinct(string_split(text, ' ')), 'spark')
+                   THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM documents
+          WHERE n_chars * 3 + 10 >= 700)
+        SELECT doc_id, n_chars, score FROM scored WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // match_phrase slop: the sloppy phrase as a row-local clause —
+    // ordered occurrence within the gap budget via nested exists over
+    // per-term position arrays (one tokenization per row).
+    GraftQuery(
+      "q291_dsl_match_phrase_slop",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_phrase": {"text":
+             {"query": "spark join", "slop": 2}}},
+           "sort": ["doc_id"], "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+                     FROM documents),
+        p AS (SELECT doc_id,
+                list_filter(range(1, len(a) + 1), i -> a[i] = 'spark') AS p1,
+                list_filter(range(1, len(a) + 1), i -> a[i] = 'join') AS p2
+              FROM arr),
+        hits AS (
+          SELECT doc_id FROM p
+          WHERE len(list_filter(p1, x ->
+            len(list_filter(p2, y -> y > x AND y - x - 1 <= 2)) > 0)) > 0)
+        SELECT doc_id, CAST(1 AS BIGINT) AS score FROM hits
+        ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // post_filter: the faceting idiom — hits filtered AFTER scoring,
+    // relevance untouched; plus match_none as a bool leaf (the empty
+    // complement scores 0 and never fires inside should).
+    GraftQuery(
+      "q292_dsl_post_filter",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "should": [{"match": {"text": "spark"}}, {"match_none": {}}],
+             "minimum_should_match": 1}},
+           "post_filter": {"range": {"n_chars": {"lt": 700}}},
+           "track_total_hits": true,
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, n_chars,
+                 CAST(CASE WHEN list_contains(
+                   list_distinct(string_split(text, ' ')), 'spark')
+                   THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, n_chars, score FROM scored
+        WHERE score >= 1 AND n_chars < 700
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // field_value_factor: the boost-by-popularity function — score =
+    // query score × factor × floor(sqrt(field)), exact integers both
+    // engines (IEEE sqrt is correctly rounded, floor is exact).
+    GraftQuery(
+      "q293_dsl_field_value_factor",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [{"field_value_factor":
+               {"field": "n_chars", "factor": 2, "modifier": "sqrt"}}],
+             "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id,
+               2 * CAST(floor(sqrt(n_chars)) AS BIGINT) AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // random_score: seeded deterministic jitter — the md5 ppm draw of
+    // the q82 hash-threshold recipe, replayed bit-identically.
+    GraftQuery(
+      "q294_dsl_random_score",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [{"random_score": {"seed": 42, "field": "doc_id"}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id,
+               ('0x' || substr(md5('random_score:42:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // linear decay: exact rational decay ranking — sigma fixed on the
+    // driver (300·10⁶ div 750000 = 400), one integer div per row.
+    GraftQuery(
+      "q295_dsl_linear_decay",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [{"linear": {"n_chars":
+               {"origin": 500, "scale": 300, "offset": 50, "decay": 0.25}}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id,
+               GREATEST(0, 1000000 -
+                 (GREATEST(ABS(n_chars - 500) - 50, 0) * 1000000) // 400)
+                 AS score
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // reverse_nested: the jump back to the parent document level —
+    // per token bucket, how many PARENT docs contribute (vs doc_count
+    // counting elements). The parent identity rides the explode and is
+    // only ever counted distinct.
+    GraftQuery(
+      "q296_dsl_reverse_nested",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("tk", org.apache.spark.sql.functions.expr(
+            "transform(split(text, ' '), x -> struct(x AS tok))")),
+        """{"query": {"range": {"n_chars": {"gte": 200}}},
+           "aggs": {"nt": {"nested": {"path": "tk"},
+             "aggs": {"top_toks": {"terms": {"field": "tk.tok", "size": 12}},
+                      "docs": {"reverse_nested": {}}}}}}"""),
+      Some("""
+        WITH e AS (
+          SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                   x -> {'tok': x})) AS tk
+          FROM documents WHERE n_chars >= 200)
+        SELECT tk.tok AS top_toks, CAST(COUNT(*) AS BIGINT) AS doc_count,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+        FROM e GROUP BY 1
+        ORDER BY doc_count DESC, top_toks LIMIT 12
+      """.stripMargin.trim)),
+
+    // explain flag: per-hit score decomposition inline on the hit
+    // table — part_* columns sum to score by construction, replayed
+    // column-for-column.
+    GraftQuery(
+      "q297_dsl_explain_flag",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [{"match": {"text": "spark"}},
+                      {"range": {"n_chars": {"gte": 100}}}],
+             "should": [{"term": {"lang": "en"}}]}},
+           "explain": true,
+           "sort": ["doc_id"], "size": 40,
+           "_source": ["doc_id", "score",
+                       "part_must_0", "part_must_1", "part_should_0"]}"""),
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(1 AS BIGINT) AS part_must_0,
+                 CAST(1 AS BIGINT) AS part_must_1,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                   AS part_should_0
+          FROM documents
+          WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+            AND n_chars >= 100)
+        SELECT doc_id,
+               part_must_0 + part_must_1 + part_should_0 AS score,
+               part_must_0, part_must_1, part_should_0
+        FROM h ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // docvalue_fields / fields: extra typed output columns alongside
+    // the _source projection — the column-union analog of the
+    // response's fields section.
+    GraftQuery(
+      "q298_dsl_docvalue_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+           "docvalue_fields": ["n_chars", {"field": "lang"}],
+           "sort": ["doc_id"], "size": 40,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        SELECT doc_id, CAST(1 AS BIGINT) AS score, n_chars, lang
+        FROM documents
+        WHERE list_contains(list_distinct(string_split(text, ' ')), 'spark')
+        ORDER BY doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // multi_match phrase_prefix: the multi-field search-box
+    // autocomplete — in-order containment with no trailing boundary
+    // (last term a prefix), score = fields carrying the prefix-phrase.
+    GraftQuery(
+      "q299_dsl_multi_match_phrase_prefix",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("head", org.apache.spark.sql.functions.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')")),
+        """{"query": {"multi_match": {"query": "spark jo",
+             "fields": ["text", "head"], "type": "phrase_prefix"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 12),
+                                 ' ') AS head
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN ' ' || text || ' ' LIKE '% spark jo%'
+                      THEN 1 ELSE 0 END
+                    + CASE WHEN ' ' || head || ' ' LIKE '% spark jo%'
+                      THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // multi_match bool_prefix: multi-field type-ahead — per field the
+    // match_bool_prefix bag (full terms + last-token prefix), best
+    // field wins.
+    GraftQuery(
+      "q300_dsl_multi_match_bool_prefix",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents")
+          .withColumn("head", org.apache.spark.sql.functions.expr(
+            "array_join(slice(split(text, ' '), 1, 12), ' ')")),
+        """{"query": {"multi_match": {"query": "join sp",
+             "fields": ["text", "head"], "type": "bool_prefix"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS tt,
+                 list_slice(string_split(text, ' '), 1, 12) AS hh
+          FROM documents),
+        s AS (
+          SELECT doc_id, GREATEST(
+            CAST(CASE WHEN list_contains(list_distinct(tt), 'join')
+                 THEN 1 ELSE 0 END +
+                 CASE WHEN len(list_filter(tt, t -> t LIKE 'sp%')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT),
+            CAST(CASE WHEN list_contains(list_distinct(hh), 'join')
+                 THEN 1 ELSE 0 END +
+                 CASE WHEN len(list_filter(hh, t -> t LIKE 'sp%')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT)) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // parent_id: the third relations-model member — all children of
+    // ONE parent, as a plain per-row predicate (no join), composing
+    // inside bool like any clause.
+    GraftQuery(
+      "q301_dsl_parent_id",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"bool": {
+               "filter": [{"parent_id": {"type": "order", "id": 19,
+                 "join_field": "rel", "parent_field": "parent_id"}}],
+               "must": [{"range": {"price": {"gte": 100000}}}]}},
+             "sort": ["doc_id"], "size": 50,
+             "_source": ["doc_id", "price", "score"]}""")
+      },
+      Some("""
+        SELECT CAST(10000000 + o_orderkey AS BIGINT) AS doc_id,
+               o_totalprice AS price,
+               CAST(1 AS BIGINT) AS score
+        FROM orders
+        WHERE o_custkey = 19 AND o_totalprice >= 100000
+        ORDER BY doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // match boost: the everyday relevance knob — integer score
+    // scaling that never changes the match bar.
+    GraftQuery(
+      "q302_dsl_match_boost",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {"should": [
+             {"match": {"text": {"query": "spark", "boost": 2}}},
+             {"match": {"text": "join"}}],
+             "minimum_should_match": 1}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(2 * CASE WHEN list_contains(
+                        list_distinct(string_split(text, ' ')), 'spark')
+                      THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains(
+                        list_distinct(string_split(text, ' ')), 'join')
+                      THEN 1 ELSE 0 END AS BIGINT) AS score,
+                 CASE WHEN list_contains(
+                        list_distinct(string_split(text, ' ')), 'spark')
+                   OR list_contains(
+                        list_distinct(string_split(text, ' ')), 'join')
+                 THEN 1 ELSE 0 END AS hit
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE hit = 1
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // span_multi inside span_near — a PREFIX postings filter paired
+    // with an exact term: the multi-term span contract (the wrapped
+    // query is NOT analyzed; the postings predicate generalizes
+    // token equality). Ordered, slop 2.
+    GraftQuery(
+      "q303_dsl_span_multi_near",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_near": {"clauses": [
+             {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+             {"span_term": {"text": "join"}}],
+             "slop": 2, "in_order": true, "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_pairs", "min_gap"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(1, len(a) + 1)) AS p
+          FROM arr),
+        p1 AS (SELECT doc_id, p FROM pos WHERE tok LIKE 's%'),
+        p2 AS (SELECT doc_id, p FROM pos WHERE tok = 'join'),
+        g AS (
+          SELECT p1.doc_id, CAST(p2.p - p1.p - 1 AS BIGINT) AS gap
+          FROM p1 JOIN p2 USING (doc_id)
+          WHERE p2.p > p1.p AND p2.p - p1.p - 1 <= 2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(gap) AS min_gap
+        FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // standalone span_multi wrapping a FUZZY multi-term query: every
+    // token position within 2 edits of "row" counts as a span (one
+    // posexplode + predicate filter + partial-agg count — map-side
+    // combine, no pairing join).
+    GraftQuery(
+      "q304_dsl_span_multi_fuzzy",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"span_multi": {
+             "match": {"fuzzy": {"text": {"value": "row", "fuzziness": 2}}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_spans"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM pos WHERE levenshtein(tok, 'row') <= 2
+          GROUP BY 1)
+        SELECT doc_id, n_spans FROM hits
+        ORDER BY n_spans DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // fuzziness with transpositions: true — the full Damerau-
+    // Levenshtein edit model (adjacent swap = ONE edit) via the
+    // codegen'd plans.DamerauLevenshtein expression; both query terms
+    // are pure-transposition typos, invisible at levenshtein 1. The
+    // engine DEFAULT stays plain levenshtein (every other fuzzy
+    // surface here uses it) — this gate covers the opt-in.
+    GraftQuery(
+      "q305_dsl_fuzzy_transpositions",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text": {"query": "sotr windwo",
+             "fuzziness": 1, "transpositions": true}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, CAST(
+              CASE WHEN len(list_filter(toks,
+                t -> damerau_levenshtein(t, 'sotr') <= 1)) > 0
+                THEN 1 ELSE 0 END
+            + CASE WHEN len(list_filter(toks,
+                t -> damerau_levenshtein(t, 'windwo') <= 1)) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS score
+          FROM d)
+        SELECT doc_id, score FROM s WHERE score >= 1
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // the terms LOOKUP form: the values array fetched from one row of
+    // the request's own table (doc 7's language), resolved once on
+    // the driver (pushed-filter point read), then compiled as a plain
+    // map-side `isin` — "every document in the same language as X".
+    GraftQuery(
+      "q306_dsl_terms_lookup",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"terms": {"lang":
+             {"id_field": "doc_id", "id": 7, "path": "lang"}}},
+           "sort": ["doc_id"], "size": 50, "_source": ["doc_id", "lang"]}"""),
+      Some("""
+        SELECT doc_id, lang FROM documents
+        WHERE lang = (SELECT lang FROM documents WHERE doc_id = 7)
+        ORDER BY doc_id LIMIT 50
+      """.stripMargin.trim)),
+
+    // geo_shape with a convex CCW polygon (GeoJSON [lon, lat] ring)
+    // against the shared synthetic point set — the same half-plane
+    // comparison predicates as geo_polygon, replicated edge-for-edge
+    // in the oracle so the IEEE arithmetic matches exactly.
+    GraftQuery(
+      "q307_dsl_geo_shape",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+               "shape": {"type": "polygon", "coordinates":
+                 [[[0.0, 0.0], [60.0, 0.0], [0.0, 60.0], [0.0, 0.0]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 120,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, lat, lon FROM pts
+        WHERE (60.0 - 0.0) * (lat - 0.0) - (0.0 - 0.0) * (lon - 0.0) >= 0.0
+          AND (0.0 - 60.0) * (lat - 0.0) - (60.0 - 0.0) * (lon - 60.0) >= 0.0
+          AND (0.0 - 0.0) * (lat - 60.0) - (0.0 - 60.0) * (lon - 0.0) >= 0.0
+        ORDER BY c_custkey
+        LIMIT 120
+      """.stripMargin.trim)),
+
+    // `_script` sort: a computed integer expression through the SAME
+    // ScoreScript compiler as script_score — one codegen'd Catalyst
+    // column, zero row-time interpretation.
+    GraftQuery(
+      "q308_dsl_script_sort",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match_all": {}},
+           "sort": [{"_script": {"type": "number",
+             "script": {"source":
+               "doc['n_chars'].value * params.w - doc['doc_id'].value",
+               "params": {"w": 3}},
+             "order": "desc"}}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "n_chars"]}"""),
+      Some("""
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars * 3 - doc_id DESC, doc_id
+        LIMIT 40
+      """.stripMargin.trim)),
+
+    // the _termvectors endpoint: doc 7's per-term stats with 0-based
+    // positions and corpus term_statistics — a pushed point read plus
+    // ONE vocabulary-bounded corpus agg joined to the tiny term set.
+    GraftQuery(
+      "q309_dsl_termvectors",
+      (s, dir) => QueryDsl.termvectors(
+        Tables.load(s, dir, "documents"),
+        """{"id_field": "doc_id", "id": 7, "field": "text",
+           "positions": true, "term_statistics": true}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS term,
+                 unnest(range(0, len(a))) AS p
+          FROM arr),
+        doc AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS term_freq,
+                 array_to_string(list_transform(list_sort(list(p)),
+                   x -> CAST(x AS VARCHAR)), ',') AS positions
+          FROM pos WHERE doc_id = 7 GROUP BY term),
+        stats AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+                 CAST(COUNT(*) AS BIGINT) AS ttf
+          FROM pos GROUP BY term)
+        SELECT term, term_freq, positions, doc_freq, ttf
+        FROM doc JOIN stats USING (term)
+        ORDER BY term
+      """.stripMargin.trim)),
+
+    // minimum_should_match percentage form: "60%" of 5 query terms
+    // resolves to 3 ON THE DRIVER (floor, the OpenSearch rounding) —
+    // the request replays byte-identically as the integer form.
+    GraftQuery(
+      "q310_dsl_msm_percentage",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"match": {"text":
+             {"query": "spark join window merge stream",
+              "minimum_should_match": "60%"}}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join', 'window', 'merge', 'stream']))
+                 AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 3
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // the script_score FUNCTION inside function_score: a computed
+    // unit-scale value through the shared ScoreScript compiler,
+    // multiplied into the match score by boost_mode — one codegen'd
+    // projection, zero row-time interpretation.
+    GraftQuery(
+      "q311_dsl_function_script_score",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": {"query": "spark join",
+               "minimum_should_match": 1}}},
+             "functions": [{"script_score": {"script":
+               {"source": "doc['n_chars'].value + params.k",
+                "params": {"k": 100}}}}],
+             "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join'])) AS BIGINT) AS overlap,
+                 n_chars
+          FROM documents)
+        SELECT doc_id,
+               CAST(overlap * (n_chars + 100) AS BIGINT) AS score
+        FROM s WHERE overlap >= 1
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // fuzzy + context-filtered completion: the typed prefix "spx" is
+    // one edit from any term's 3-char prefix it completes; the lang
+    // context filters rows BEFORE the explode (pushed to the scan).
+    GraftQuery(
+      "q312_dsl_completion_fuzzy",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"suggest": {"s": {"prefix": "sta",
+             "completion": {"field": "text", "size": 10,
+               "fuzzy": {"fuzziness": 1},
+               "contexts": {"lang": ["en", "de"]}}}}}"""),
+      Some("""
+        WITH pos AS (
+          SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE lang IN ('en', 'de'))
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM pos
+        WHERE levenshtein(substr(term, 1, 3), 'sta') <= 1 AND len(term) >= 1
+        GROUP BY term
+        ORDER BY freq DESC, term
+        LIMIT 10
+      """.stripMargin.trim)),
+
+    // term-level boost on prefix/wildcard (the term clause's integer
+    // rule extended across the term-level family): a boosted should
+    // pair ranks by which arms matched.
+    GraftQuery(
+      "q313_dsl_term_level_boost",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {"should": [
+             {"prefix": {"text": {"value": "the", "boost": 2}}},
+             {"wildcard": {"text": {"value": "*merge*", "boost": 3}}}],
+             "minimum_should_match": 1}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            CAST(CASE WHEN text LIKE 'the%' THEN 2 ELSE 0 END
+               + CASE WHEN text LIKE '%merge%' THEN 3 ELSE 0 END AS BIGINT)
+              AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // the hybrid query: RRF fusion of a lexical arm (match overlap)
+    // and a value arm (script_score n_chars) — each ranked inside a
+    // bounded window, fused by Σ 10⁶ div (60 + rank). The q102
+    // contract as a wire shape; exact integer, engine-portable.
+    GraftQuery(
+      "q314_dsl_hybrid",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"hybrid": {
+             "queries": [
+               {"match": {"text": {"query": "spark join window"}}},
+               {"script_score": {"query": {"exists": {"field": "n_chars"}},
+                 "script": {"source": "doc['n_chars'].value"}}}],
+             "id_field": "doc_id", "window_size": 20}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 25, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH a1 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM (
+            SELECT doc_id, CAST(len(list_intersect(
+                     list_distinct(string_split(text, ' ')),
+                     ['spark', 'join', 'window'])) AS BIGINT) AS score
+            FROM documents) WHERE score >= 1),
+        a2 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(COALESCE(1000000 // (60 + a1k.r1), 0)
+                    + COALESCE(1000000 // (60 + a2k.r2), 0) AS BIGINT) AS score
+          FROM (SELECT doc_id, r AS r1 FROM a1 WHERE r <= 20) a1k
+          FULL OUTER JOIN (SELECT doc_id, r AS r2 FROM a2 WHERE r <= 20) a2k
+            USING (doc_id))
+        SELECT doc_id, score FROM f
+        ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim)),
+
+    // ip_prefix bucket agg: /12 networks of the q238 synthetic
+    // addresses — ONE masked-integer groupBy (map-side partial agg),
+    // canonical a.b.c.d/N keys, numeric prefix order.
+    GraftQuery(
+      "q315_dsl_ip_prefix",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = Tables.load(s, dir, "events").withColumn("ip",
+          expr("concat('10.', user_id % 256, '.', (user_id div 7) % 256, " +
+            "'.', user_id % 251)"))
+        QueryDsl.search(ev,
+          """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+               "prefix_length": 12},
+             "aggs": {"n_users": {"cardinality": {"field": "user_id"}}}}}}""")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 concat('10.', user_id % 256, '.', (user_id // 7) % 256,
+                        '.', user_id % 251) AS ip
+          FROM events),
+        n AS (
+          SELECT user_id,
+                 CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                   + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                   + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                   + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+          FROM e),
+        g AS (
+          SELECT ipn - ipn % 1048576 AS netn, COUNT(*) AS doc_count,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM n GROUP BY 1)
+        SELECT concat(netn // 16777216, '.', (netn // 65536) % 256, '.',
+                      (netn // 256) % 256, '.', netn % 256, '/12') AS net,
+               CAST(doc_count AS BIGINT) AS doc_count, n_users
+        FROM g ORDER BY netn
+      """.stripMargin.trim)),
+
+    // intervals composition: an any_of (two prefix stems) in ordered
+    // all_of sequence with a two-term match chain, shared gap budget —
+    // span-set algebra over ONE posexplode, postings joins only.
+    GraftQuery(
+      "q316_dsl_intervals_all_of",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"intervals": {"text": {"all_of": {
+             "intervals": [
+               {"any_of": {"intervals": [{"prefix": {"prefix": "sp"}},
+                                         {"prefix": {"prefix": "st"}}]}},
+               {"match": {"query": "join merge", "max_gaps": 4,
+                 "ordered": true}}],
+             "max_gaps": 5, "ordered": true}},
+             "id_field": "doc_id"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30, "_source": ["doc_id", "n_spans"]}"""),
+      Some("""
+        WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        pos AS (
+          SELECT doc_id, unnest(a) AS tok,
+                 unnest(range(0, len(a))) AS p
+          FROM arr),
+        m1 AS (
+          SELECT doc_id, p AS s1, p AS e1 FROM pos
+          WHERE tok LIKE 'sp%' OR tok LIKE 'st%'),
+        m2 AS (
+          SELECT DISTINCT a.doc_id, a.p AS s2, b.p AS e2
+          FROM pos a JOIN pos b USING (doc_id)
+          WHERE a.tok = 'join' AND b.tok = 'merge'
+            AND b.p > a.p AND b.p - a.p - 1 <= 4),
+        f AS (
+          SELECT DISTINCT m1.doc_id, m1.s1 AS s, m2.e2 AS e
+          FROM m1 JOIN m2 USING (doc_id)
+          WHERE m2.s2 > m1.e1 AND m2.s2 - m1.e1 - 1 <= 5)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM f GROUP BY 1
+        ORDER BY n_spans DESC, doc_id LIMIT 30
+      """.stripMargin.trim)),
+
+    // rank_eval recall: |top-k ∩ relevant| over the TOTAL relevant
+    // count in the ratings (precision's q245 twin on the other
+    // denominator).
+    GraftQuery(
+      "q317_dsl_rank_eval_recall",
+      (s, dir) => QueryDsl.rankEval(
+        Tables.load(s, dir, "documents"),
+        """{"id_field": "doc_id",
+           "metric": {"recall": {"k": 10, "relevant_rating_threshold": 1}},
+           "requests": [
+             {"id": "qa",
+              "request": {"query": {"match": {"text": "spark join"}},
+                          "sort": [{"_score": "desc"}, "doc_id"],
+                          "size": 10, "_source": ["doc_id"]},
+              "ratings": [{"doc_id": 0, "rating": 1}, {"doc_id": 2, "rating": 1},
+                          {"doc_id": 4, "rating": 1}, {"doc_id": 6, "rating": 1},
+                          {"doc_id": 8, "rating": 1}, {"doc_id": 1, "rating": 0}]},
+             {"id": "qb",
+              "request": {"query": {"match": {"text": "data window"}},
+                          "sort": [{"_score": "desc"}, "doc_id"],
+                          "size": 10, "_source": ["doc_id"]},
+              "ratings": [{"doc_id": 1, "rating": 1}, {"doc_id": 3, "rating": 1},
+                          {"doc_id": 5, "rating": 1}, {"doc_id": 7, "rating": 1}]}]}"""),
+      Some("""
+        WITH ta AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['spark','join'])) AS BIGINT) AS score
+            FROM documents) s
+          WHERE score >= 1 ORDER BY score DESC, doc_id LIMIT 10),
+        tb AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                       ['data','window'])) AS BIGINT) AS score
+            FROM documents) s
+          WHERE score >= 1 ORDER BY score DESC, doc_id LIMIT 10),
+        rela(doc_id) AS (VALUES (0), (2), (4), (6), (8)),
+        relb(doc_id) AS (VALUES (1), (3), (5), (7)),
+        m AS (
+          SELECT 'qa' AS req_id,
+                 (SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM ta JOIN rela USING (doc_id))
+                 / (SELECT COUNT(*) FROM rela) AS recall
+          UNION ALL
+          SELECT 'qb',
+                 (SELECT CAST(COUNT(*) AS DOUBLE)
+                  FROM tb JOIN relb USING (doc_id))
+                 / (SELECT COUNT(*) FROM relb))
+        SELECT req_id, recall FROM m ORDER BY req_id
+      """.stripMargin.trim)),
+
+    // multi_match `operator: and` — every query term must match, per
+    // field (the match-clause rule lifted across fields).
+    GraftQuery(
+      "q318_dsl_multi_match_operator",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"multi_match": {"query": "spark join",
+             "fields": ["text"], "operator": "and",
+             "type": "most_fields"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 40, "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH s AS (
+          SELECT doc_id, CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= 2
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // terms_set with a PER-DOCUMENT gate column
+    // (minimum_should_match_field) — each doc stores how many of the
+    // query's terms it requires.
+    GraftQuery(
+      "q319_dsl_terms_set_field",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("req_terms", expr("1 + doc_id % 2"))
+        QueryDsl.search(d,
+          """{"query": {"terms_set": {"text": {
+               "terms": ["spark", "join", "window"],
+               "minimum_should_match_field": "req_terms"}}},
+             "sort": [{"_score": "desc"}, "doc_id"],
+             "size": 40, "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, 1 + doc_id % 2 AS req_terms,
+                 CAST(len(list_intersect(
+                   list_distinct(string_split(text, ' ')),
+                   ['spark', 'join', 'window'])) AS BIGINT) AS score
+          FROM documents)
+        SELECT doc_id, score FROM s WHERE score >= req_terms
+        ORDER BY score DESC, doc_id LIMIT 40
+      """.stripMargin.trim)),
+
+    // Plain `_search` match against a BUILT index, ranked by REAL BM25
+    // (VERDICT r10 #1 — the last user-visible relevance divergence):
+    // the request's `"similarity": "bm25"` knob opts the match clause
+    // into the indexed relevance model; the serve path reads only the
+    // term-bucket-pruned postings + one-row stats (never the corpus)
+    // and replays q44's float-op order, so the DuckDB oracle replays
+    // the same formula over the raw documents table.
+    GraftQuery(
+      "q320_dsl_match_bm25_indexed",
+      (s, dir) => {
+        val idx = graft.etl.SearchIndex.cachedIndex(s, dir, "doc_id", "text",
+          watch = Seq(s"$dir/documents.parquet"))(
+          Tables.load(s, dir, "documents"))
+        QueryDsl.searchIndexed(s, idx,
+          """{"query": {"match": {"text": {
+               "query": "scan merge vector",
+               "similarity": "bm25"}}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 15,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS tok,
+                          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+                   FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'scan') THEN 1 ELSE 0 END) AS DOUBLE) AS df_a,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_b,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df_c
+          FROM d),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_a + 0.5) / (df_a + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'scan')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'scan')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_c + 0.5) / (df_c + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'vector')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'vector')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM d CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 15
+      """.stripMargin.trim)),
+
+    // The ANALYZED variant of q320: the index carries the STANDARD
+    // analyzer in its sidecar, and the raw match text "Spark! MERGE,"
+    // analyzes through that stored chain at serve time (build- and
+    // query-side tokenization cannot drift). The oracle replays
+    // normalize→tokenize→BM25 over the same mixed-case corpus.
+    GraftQuery(
+      "q321_dsl_match_bm25_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        val idx = graft.etl.SearchIndex.cachedIndex(s, s"$dir#std",
+          "doc_id", "body", watch = Seq(s"$dir/documents.parquet"),
+          analyzer = "standard")(mixed)
+        QueryDsl.searchIndexed(s, idx,
+          """{"query": {"match": {"body": {
+               "query": "Spark! MERGE,",
+               "similarity": "bm25"}}},
+             "size": 20}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        d AS (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(body),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') AS tok
+              FROM mixed),
+        dd AS (SELECT doc_id, tok, CAST(len(tok) AS DOUBLE) AS dl FROM d),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df_a,
+                 CAST(SUM(CASE WHEN list_contains(tok, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_b
+          FROM dd),
+        scored AS (
+          SELECT doc_id,
+            round(
+              ln((n_docs - df_a + 0.5) / (df_a + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'spark')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+              + ln((n_docs - df_b + 0.5) / (df_b + 0.5) + 1.0)
+                * (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(len(list_filter(tok, x -> x = 'merge')) AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+            6) AS score
+          FROM dd CROSS JOIN stats)
+        SELECT doc_id, score FROM scored WHERE score > 0.0
+        ORDER BY score DESC, doc_id LIMIT 20
+      """.stripMargin.trim)),
+
+    // `_msearch` with FULL bodies (VERDICT r10 #2): a five-request
+    // dashboard batch — count, filtered avg metric, two terms aggs on
+    // the same field (one filtered), and a scored hit request — in
+    // ONE call. The count+metric arms share one conditional-aggregate
+    // scan (plan-pinned in QueryDslSpec), the two terms arms share one
+    // groupBy scan, and the hit arm runs a bounded-heap top-k (no
+    // per-request corpus sort). Long wire format
+    // (req, kind, ord, key, value); the oracle replays each response
+    // element and unions them.
+    GraftQuery(
+      "q322_dsl_msearch_full",
+      (s, dir) => QueryDsl.msearch(
+        Tables.load(s, dir, "documents"),
+        Seq(
+          """{"query": {"term": {"lang": "en"}}}""",
+          """{"query": {"range": {"n_chars": {"gte": 200}}},
+              "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}""",
+          """{"aggs": {"by_source": {"terms": {"field": "source",
+              "size": 5}}}}""",
+          """{"query": {"term": {"lang": "en"}},
+              "aggs": {"by_source_en": {"terms": {"field": "source",
+              "size": 3}}}}""",
+          """{"query": {"match": {"text": "spark join"}}, "size": 8,
+              "_source": ["doc_id", "score"]}""")),
+      Some("""
+        WITH c0 AS (
+          SELECT CAST(0 AS BIGINT) AS req, 'count' AS kind,
+                 CAST(0 AS BIGINT) AS ord, 'count' AS key,
+                 CAST(COUNT(*) AS DOUBLE) AS value
+          FROM documents WHERE lang = 'en'),
+        a1 AS (
+          SELECT CAST(1 AS BIGINT), 'agg', CAST(0 AS BIGINT), 'avg_chars',
+                 CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+                   / CAST(COUNT(n_chars) AS DOUBLE)
+          FROM documents WHERE n_chars >= 200),
+        t2 AS (
+          SELECT CAST(2 AS BIGINT), 'terms', rnk, key, val FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk,
+                   key, CAST(n AS DOUBLE) AS val
+            FROM (SELECT CAST(source AS VARCHAR) AS key,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM documents GROUP BY 1) b
+            WHERE n > 0) r WHERE rnk <= 5),
+        t3 AS (
+          SELECT CAST(3 AS BIGINT), 'terms', rnk, key, val FROM (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk,
+                   key, CAST(n AS DOUBLE) AS val
+            FROM (SELECT CAST(source AS VARCHAR) AS key,
+                         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n
+                  FROM documents GROUP BY 1) b
+            WHERE n > 0) r WHERE rnk <= 3),
+        h4 AS (
+          SELECT CAST(4 AS BIGINT), 'hit', rnk, CAST(doc_id AS VARCHAR),
+                 CAST(score AS DOUBLE) FROM (
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM (SELECT doc_id,
+                         CAST(len(list_intersect(
+                           list_distinct(string_split(text, ' ')),
+                           ['spark', 'join'])) AS BIGINT) AS score
+                  FROM documents) s
+            WHERE score >= 1) r WHERE rnk <= 8)
+        SELECT req, kind, ord, key, value FROM (
+          SELECT * FROM c0 UNION ALL SELECT * FROM a1
+          UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+          UNION ALL SELECT * FROM h4)
+        ORDER BY req, ord, key
+      """.stripMargin.trim)),
+
+    // nested inner_hits (VERDICT r10 #3): the matching CHILD OBJECTS
+    // return alongside each parent hit — one row per (order, matching
+    // line item), element order = document order, capped at size 2 per
+    // parent, the requested element fields surfaced as typed
+    // inner_<field> columns. Pure codegen (filter+slice+posexplode on
+    // the probed array): no join, no shuffle beyond the fixture's own
+    // groupBy. The oracle ranks the same same-element conjunction on
+    // the flat child table.
+    GraftQuery(
+      "q323_dsl_nested_inner",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val li = Tables.load(s, dir, "lineitem")
+        val nested = li.groupBy(col("l_orderkey").as("order_key"))
+          .agg(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_discount").as("disc")))).as("items"))
+        QueryDsl.search(nested,
+          """{"query": {"nested": {"path": "items",
+               "query": {"bool": {"must": [
+                 {"range": {"items.qty": {"gte": 48.0}}},
+                 {"range": {"items.disc": {"lte": 0.02}}}]}},
+               "score_mode": "sum",
+               "inner_hits": {"size": 2,
+                 "_source": ["items.ln", "items.qty"]}}},
+             "sort": [{"_score": "desc"}, "order_key", "inner_rank"],
+             "size": 30,
+             "_source": ["order_key", "score", "inner_rank",
+                         "inner_ln", "inner_qty"]}""")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_orderkey AS order_key, l_linenumber AS ln,
+                 l_quantity AS qty,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_discount)
+                   AS BIGINT) AS inner_rank
+          FROM lineitem WHERE l_quantity >= 48.0 AND l_discount <= 0.02),
+        s AS (SELECT order_key, CAST(COUNT(*) AS BIGINT) AS score
+              FROM m GROUP BY 1)
+        SELECT m.order_key, s.score, m.inner_rank,
+               m.ln AS inner_ln, m.qty AS inner_qty
+        FROM m JOIN s USING (order_key)
+        WHERE m.inner_rank <= 2
+        ORDER BY score DESC, order_key, inner_rank LIMIT 30
+      """.stripMargin.trim)),
+
+    // has_child inner_hits: the top-2 matching children per parent hit
+    // ride the SAME groupBy as the count/score monoids via a bounded
+    // heap (score desc, child id asc — range scores tie at 1, so the
+    // smallest order ids surface), then the one equi-join back to the
+    // parents — the q254 plan with two extra struct columns, never a
+    // per-row subquery (QueryDslSpec pins no NestedLoop/Cartesian).
+    GraftQuery(
+      "q324_dsl_has_child_inner",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_child": {"type": "order", "join_field": "rel",
+               "parent_type": "customer",
+               "id_field": "doc_id", "parent_field": "parent_id",
+               "query": {"range": {"price": {"gte": 300000}}},
+               "score_mode": "sum", "min_children": 3,
+               "inner_hits": {"size": 2}}},
+             "sort": [{"_score": "desc"}, "doc_id", "inner_rank"],
+             "size": 60,
+             "_source": ["doc_id", "score", "inner_rank", "inner_id",
+                         "inner_score"]}""")
+      },
+      Some("""
+        WITH k AS (
+          SELECT o_custkey AS pid,
+                 CAST(10000000 + o_orderkey AS BIGINT) AS cid
+          FROM orders WHERE o_totalprice >= 300000),
+        g AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n
+              FROM k GROUP BY 1 HAVING COUNT(*) >= 3),
+        ih AS (
+          SELECT pid, cid,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cid)
+                   AS BIGINT) AS inner_rank
+          FROM k)
+        SELECT c.c_custkey AS doc_id, g.n AS score, i.inner_rank,
+               i.cid AS inner_id, CAST(1 AS BIGINT) AS inner_score
+        FROM customer c
+        JOIN g ON c.c_custkey = g.pid
+        JOIN ih i ON i.pid = g.pid AND i.inner_rank <= 2
+        ORDER BY score DESC, doc_id, inner_rank LIMIT 60
+      """.stripMargin.trim)),
+
+    // has_parent inner_hits: each child hit carries ITS matched parent
+    // (inner_rank constant 1 — a child has one parent pointer), with
+    // the parent's score surfaced — the q255 join untouched, two
+    // constant-per-row columns added.
+    GraftQuery(
+      "q325_dsl_has_parent_inner",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"),
+          col("c_acctbal").as("acctbal"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"),
+          lit(null).cast("double").as("acctbal"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_parent": {"parent_type": "customer",
+               "join_field": "rel", "id_field": "doc_id",
+               "parent_field": "parent_id",
+               "query": {"bool": {
+                 "must": [{"range": {"acctbal": {"gte": 5000}}},
+                          {"range": {"acctbal": {"lte": 5600}}}],
+                 "should": [{"range": {"acctbal": {"gte": 5300}}}]}},
+               "score": true, "type": "order",
+               "inner_hits": {"size": 3}}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+             "_source": ["doc_id", "score", "inner_rank", "inner_id",
+                         "inner_score"]}""")
+      },
+      Some("""
+        WITH p AS (
+          SELECT c_custkey AS pid,
+                 CAST(2 + CASE WHEN c_acctbal >= 5300 THEN 1 ELSE 0 END
+                   AS BIGINT) AS pscore
+          FROM customer WHERE c_acctbal BETWEEN 5000 AND 5600)
+        SELECT 10000000 + o.o_orderkey AS doc_id,
+               p.pscore AS score, CAST(1 AS BIGINT) AS inner_rank,
+               p.pid AS inner_id, p.pscore AS inner_score
+        FROM orders o JOIN p ON o.o_custkey = p.pid
+        ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // function_score score_mode min (VERDICT r10 #7): the least value
+    // over MATCHED functions only — a doc matching both functions
+    // scores min(3,2)=2, one function its own weight, none keeps the
+    // query score (neutral x1 under boost_mode multiply). Unmatched
+    // entries contribute NULL (least() skips NULLs), never a spurious
+    // 0 that would shadow every real value.
+    GraftQuery(
+      "q326_dsl_function_score_min",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [
+               {"filter": {"term": {"lang": "en"}}, "weight": 3},
+               {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+             "score_mode": "min", "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark'])) AS BIGINT) AS q
+          FROM documents)
+        SELECT doc_id,
+               q * (CASE WHEN lang = 'en' AND n_chars >= 400 THEN LEAST(3, 2)
+                         WHEN lang = 'en' THEN 3
+                         WHEN n_chars >= 400 THEN 2
+                         ELSE 1 END) AS score
+        FROM t WHERE q >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // function_score score_mode multiply (VERDICT r10 #7): the product
+    // over MATCHED functions only — both functions 3*2=6, one its own
+    // weight (the other is the x1 neutral), none keeps the query score.
+    // Exact-long safe (integer weights); ppm functions fail loud under
+    // multiply (products of ppm values compound to 10^-12).
+    GraftQuery(
+      "q327_dsl_function_score_multiply",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match": {"text": "spark"}},
+             "functions": [
+               {"filter": {"term": {"lang": "en"}}, "weight": 3},
+               {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 2}],
+             "score_mode": "multiply", "boost_mode": "multiply"}},
+           "sort": [{"_score": "desc"}, "doc_id"],
+           "size": 30,
+           "_source": ["doc_id", "score"]}"""),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    ['spark'])) AS BIGINT) AS q
+          FROM documents)
+        SELECT doc_id,
+               q * (CASE WHEN lang = 'en' OR n_chars >= 400
+                    THEN (CASE WHEN lang = 'en' THEN 3 ELSE 1 END)
+                       * (CASE WHEN n_chars >= 400 THEN 2 ELSE 1 END)
+                    ELSE 1 END) AS score
+        FROM t WHERE q >= 1
+        ORDER BY score DESC, doc_id
+        LIMIT 30
+      """.stripMargin.trim)),
+
+    // multi_terms per-entry `missing` (VERDICT r10 #7): a terms entry
+    // {field, missing} substitutes the named bucket for docs without
+    // that key part (a coalesce — the groupBy stays ONE shuffle); an
+    // entry WITHOUT missing still skips docs missing the field (the
+    // OpenSearch rule). NULLs synthesized via nullif: lang 'de' -> NULL
+    // (skipped: lg has no missing), source 'src1' -> NULL (bucketed
+    // under 'none').
+    GraftQuery(
+      "q328_dsl_multi_terms_missing",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("lang") === "de", lit(null)).otherwise(col("lang")).as("lg"),
+          when(col("source") === "src1", lit(null)).otherwise(col("source")).as("src"),
+          col("n_chars"))
+        QueryDsl.search(d,
+          """{"size": 0,
+             "aggs": {"pairs": {"multi_terms": {
+               "terms": [{"field": "lg"},
+                         {"field": "src", "missing": "none"}],
+               "size": 12},
+               "aggs": {"max_chars": {"max": {"field": "n_chars"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT NULLIF(lang, 'de') AS lg,
+                 COALESCE(NULLIF(source, 'src1'), 'none') AS src,
+                 n_chars
+          FROM documents)
+        SELECT lg, src, COUNT(*) AS doc_count,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM t WHERE lg IS NOT NULL
+        GROUP BY 1, 2 ORDER BY doc_count DESC, lg, src LIMIT 12
+      """.stripMargin.trim)),
+
+    // date_histogram with a request-supplied DST transition TABLE
+    // (VERDICT r10 #6): time_zone as {"transitions": [[iso_utc,
+    // offset_min], ...]} — a piecewise-constant UTC→local offset, the
+    // last entry at-or-before each timestamp applying (the first is
+    // the base). The LOCAL-CALENDAR rule: docs bucket by local wall
+    // day, the key is the UTC instant of the local midnight (mapped
+    // through the boundary's own offset — the local ACTIVATION
+    // thresholds utc_ts + offset), so the day containing a transition
+    // is ONE 23h/25h bucket, exactly what a tzdb zone gives —
+    // deterministic and oracle-able where a named IANA zone needs a
+    // tzdb the oracle can't replay. Named zone strings still fail loud.
+    GraftQuery(
+      "q329_dsl_date_histogram_transitions",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"match_all": {}},
+           "aggs": {"day": {"date_histogram":
+               {"field": "ts", "calendar_interval": "day",
+                "time_zone": {"transitions": [
+                  ["2024-01-01T00:00:00", 60],
+                  ["2024-01-15T01:00:00", 120],
+                  ["2024-01-25T01:00:00", 60]]}},
+             "aggs": {"max_id": {"max": {"field": "event_id"}}}}}}"""),
+      Some("""
+        WITH t AS (
+          SELECT event_id,
+            epoch_us(ts) +
+            CASE WHEN ts >= TIMESTAMP '2024-01-25 01:00:00' THEN 3600000000
+                 WHEN ts >= TIMESTAMP '2024-01-15 01:00:00' THEN 7200000000
+                 ELSE 3600000000 END AS local_us
+          FROM events),
+        b AS (
+          SELECT event_id,
+            epoch_us(date_trunc('day', make_timestamp(local_us))) AS l
+          FROM t)
+        SELECT make_timestamp(l -
+            CASE WHEN l >= epoch_us(TIMESTAMP '2024-01-25 02:00:00')
+                   THEN 3600000000
+                 WHEN l >= epoch_us(TIMESTAMP '2024-01-15 03:00:00')
+                   THEN 7200000000
+                 ELSE 3600000000 END) AS day,
+          COUNT(*) AS doc_count,
+          CAST(MAX(event_id) AS BIGINT) AS max_id
+        FROM b GROUP BY 1 ORDER BY doc_count DESC, day
+      """.stripMargin.trim)),
+
+    // geo_shape with a CONCAVE polygon (VERDICT r10 missing #5): a
+    // chevron ring with a notch — not convex, so the clause routes to
+    // the even-odd crossing walk: one division-free sign test per
+    // non-horizontal edge (the same 2-D cross product as the convex
+    // path, multiplied through by (lat2-lat1) instead of dividing),
+    // summed and checked for odd parity. Still a pushed scan-level
+    // predicate; the oracle replays the identical per-edge arithmetic.
+    GraftQuery(
+      "q330_dsl_geo_shape_concave",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+               "shape": {"type": "polygon", "coordinates":
+                 [[[0.0, 0.0], [40.0, 0.0], [40.0, 40.0],
+                   [20.0, 15.0], [0.0, 40.0], [0.0, 0.0]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 120,
+             "_source": ["c_custkey", "lat", "lon"]}""")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, lat, lon FROM pts WHERE
+          ((CASE WHEN ((0.0 > lat) != (40.0 > lat))
+              AND ((40.0 - 40.0) * (lat - 0.0) - (40.0 - 0.0) * (lon - 40.0)) > 0.0
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN ((40.0 > lat) != (15.0 > lat))
+              AND ((20.0 - 40.0) * (lat - 40.0) - (15.0 - 40.0) * (lon - 40.0)) < 0.0
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN ((15.0 > lat) != (40.0 > lat))
+              AND ((0.0 - 20.0) * (lat - 15.0) - (40.0 - 15.0) * (lon - 20.0)) > 0.0
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN ((40.0 > lat) != (0.0 > lat))
+              AND ((0.0 - 0.0) * (lat - 40.0) - (0.0 - 40.0) * (lon - 0.0)) < 0.0
+            THEN 1 ELSE 0 END)) % 2 = 1
+        ORDER BY c_custkey
+        LIMIT 120
+      """.stripMargin.trim)),
+
+    // geo_shape doc_shape (VERDICT r10 missing #5, the indexed-shape
+    // form): documents ARE envelopes (four corner columns), queried
+    // with relation `within` — every relation compiles to a pushed
+    // comparison conjunction on the corners, the form under which
+    // `contains` is finally meaningful (spec-pinned; point docs keep
+    // rejecting it).
+    GraftQuery(
+      "q331_dsl_geo_shape_doc_within",
+      (s, dir) => {
+        val boxes = GeoFixtures.syntheticBoxes(Tables.load(s, dir, "customer"))
+        QueryDsl.search(boxes,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "envelope",
+                 "lat_min_field": "lat0", "lat_max_field": "lat1",
+                 "lon_min_field": "lon0", "lon_max_field": "lon1"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-50.0, 40.0], [50.0, -40.0]]},
+               "relation": "within"}},
+             "sort": ["c_custkey"], "size": 100,
+             "_source": ["c_custkey", "lat0", "lat1", "lon0", "lon1"]}""")
+      },
+      Some("""
+        WITH boxes AS (
+          SELECT c_custkey,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0 AS lat0,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0
+              + CAST((c_custkey * 48271 + 11) % 12000 AS DOUBLE) / 1000.0 AS lat1,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0 AS lon0,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0
+              + CAST((c_custkey * 69621 + 3) % 12000 AS DOUBLE) / 1000.0 AS lon1
+          FROM customer)
+        SELECT c_custkey, lat0, lat1, lon0, lon1 FROM boxes
+        WHERE lat0 >= -40.0 AND lat1 <= 40.0 AND lon0 >= -50.0 AND lon1 <= 50.0
+        ORDER BY c_custkey
+        LIMIT 100
+      """.stripMargin.trim)),
+
+    // doc_shape relation `intersects`: the box-overlap test (boundary
+    // touch counts) against an envelope query shape — the other
+    // corner-algebra relation worth an oracle at corpus size.
+    GraftQuery(
+      "q332_dsl_geo_shape_doc_intersects",
+      (s, dir) => {
+        val boxes = GeoFixtures.syntheticBoxes(Tables.load(s, dir, "customer"))
+        QueryDsl.search(boxes,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "envelope",
+                 "lat_min_field": "lat0", "lat_max_field": "lat1",
+                 "lon_min_field": "lon0", "lon_max_field": "lon1"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[10.5, 21.0], [60.0, -10.0]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 100,
+             "_source": ["c_custkey", "lat0", "lat1", "lon0", "lon1"]}""")
+      },
+      Some("""
+        WITH boxes AS (
+          SELECT c_custkey,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0 AS lat0,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0
+              + CAST((c_custkey * 48271 + 11) % 12000 AS DOUBLE) / 1000.0 AS lat1,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0 AS lon0,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0
+              + CAST((c_custkey * 69621 + 3) % 12000 AS DOUBLE) / 1000.0 AS lon1
+          FROM customer)
+        SELECT c_custkey, lat0, lat1, lon0, lon1 FROM boxes
+        WHERE lat0 <= 21.0 AND lat1 >= -10.0 AND lon0 <= 60.0 AND lon1 >= 10.5
+        ORDER BY c_custkey
+        LIMIT 100
+      """.stripMargin.trim)),
+
+    // completion suggester GEO context (VERDICT r10 missing #6):
+    // completions restricted to docs in the SAME precision-p geohash
+    // cell as the query point — the context is {lat, lon, precision,
+    // lat_field, lon_field}, compiled to one equality on the same
+    // codegen'd geohash key the geohash_grid agg groups on (the query
+    // side constant-folds). The oracle replays the identical
+    // quantize→interleave→base-32 bit walk on both the doc rows and
+    // the literal point.
+    GraftQuery(
+      "q333_dsl_completion_geo_context",
+      (s, dir) => {
+        val t = GeoFixtures.syntheticPointsKeeping(
+          Tables.load(s, dir, "customer"), "c_mktsegment")
+        QueryDsl.search(t,
+          """{"suggest": {"near": {"prefix": "B",
+               "completion": {"field": "c_mktsegment", "size": 10,
+                 "contexts": {"cell": {"lat": 20.0, "lon": 10.0,
+                   "precision": 1,
+                   "lat_field": "lat", "lon_field": "lon"}}}}}}""")
+      },
+      { val (ix, iy, code, hash) = geohashSqlParts(1)
+        Some(s"""
+        WITH pts AS (
+          SELECT c_mktsegment,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer),
+        g AS (SELECT c_mktsegment, $ix AS ix, $iy AS iy FROM pts),
+        h AS (SELECT c_mktsegment, $code AS code FROM g),
+        d AS (SELECT c_mktsegment, $hash AS cell FROM h),
+        qp AS (SELECT 20.0 AS lat, 10.0 AS lon),
+        qg AS (SELECT $ix AS ix, $iy AS iy FROM qp),
+        qh AS (SELECT $code AS code FROM qg),
+        qd AS (SELECT $hash AS qcell FROM qh)
+        SELECT c_mktsegment AS term, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM d, qd WHERE d.cell = qd.qcell AND c_mktsegment LIKE 'B%'
+        GROUP BY 1 ORDER BY freq DESC, term LIMIT 10
+      """.stripMargin.trim) }),
+
+    // has_child score_mode avg (closing the VERDICT r10 scope-out):
+    // ONE IEEE divide from the exact integer (sum, count) monoids the
+    // groupBy already carries — bit-identical cross-engine, so the
+    // OpenSearch DEFAULT score_mode is servable exactly; the score
+    // column is DOUBLE for this mode only (a request-level arm, never
+    // a composable clause). Child scores vary (must 1 + should 0/1)
+    // so the averages genuinely discriminate.
+    GraftQuery(
+      "q334_dsl_has_child_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.load(s, dir, "customer").select(
+          lit("customer").as("rel"), col("c_custkey").as("doc_id"),
+          lit(null).cast("long").as("parent_id"),
+          lit(null).cast("double").as("price"))
+        val o = Tables.load(s, dir, "orders").select(
+          lit("order").as("rel"),
+          (lit(10000000L) + col("o_orderkey")).as("doc_id"),
+          col("o_custkey").as("parent_id"),
+          col("o_totalprice").as("price"))
+        QueryDsl.search(c.unionByName(o),
+          """{"query": {"has_child": {"type": "order", "join_field": "rel",
+               "parent_type": "customer",
+               "id_field": "doc_id", "parent_field": "parent_id",
+               "query": {"bool": {
+                 "must": [{"range": {"price": {"gte": 150000}}}],
+                 "should": [{"range": {"price": {"gte": 250000}}}]}},
+               "score_mode": "avg"}},
+             "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+             "_source": ["doc_id", "score"]}""")
+      },
+      Some("""
+        WITH k AS (
+          SELECT o_custkey AS pid,
+                 CAST(1 + CASE WHEN o_totalprice >= 250000 THEN 1 ELSE 0 END
+                   AS BIGINT) AS cscore
+          FROM orders WHERE o_totalprice >= 150000),
+        g AS (SELECT pid,
+                CAST(CAST(SUM(cscore) AS BIGINT) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS score
+              FROM k GROUP BY 1)
+        SELECT c.c_custkey AS doc_id, g.score
+        FROM customer c JOIN g ON c.c_custkey = g.pid
+        ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim))
+  )
+}

@@ -1534,6 +1534,26 @@ class QueryDslSpec extends SparkSpec {
     val shapePlan = viaShape.queryExecution.executedPlan.toString
     assert(shapePlan.contains("PushedFilters") &&
       shapePlan.contains("LessThanOrEqual(lat,50.0"), shapePlan.take(800))
+    // doc_shape envelopes: the corner comparisons also reach the scan
+    val boxDir = java.nio.file.Files.createTempDirectory("tlgs_box").toString
+    (1 to 200).map { i =>
+      val la = (i % 80).toDouble; val lo = (i % 160).toDouble - 80.0
+      (i.toLong, la, la + 2.0, lo, lo + 2.0)
+    }.toDF("id", "la0", "la1", "lo0", "lo1")
+      .write.mode("overwrite").parquet(boxDir)
+    val boxes = spark.read.parquet(boxDir)
+    val viaDoc = QueryDsl.search(boxes,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "envelope",
+             "lat_min_field": "la0", "lat_max_field": "la1",
+             "lon_min_field": "lo0", "lon_max_field": "lo1"},
+           "shape": {"type": "envelope",
+             "coordinates": [[-20.0, 50.0], [40.0, 10.0]]},
+           "relation": "within"}},
+         "sort": ["id"], "_source": ["id"]}""")
+    val docPlan = viaDoc.queryExecution.executedPlan.toString
+    assert(docPlan.contains("PushedFilters") &&
+      docPlan.contains("GreaterThanOrEqual(la0,10.0"), docPlan.take(800))
   }
 
   test("query_string: trailing-wildcard and fuzzy terms expand in the token model") {
