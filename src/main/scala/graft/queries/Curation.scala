@@ -21,6 +21,53 @@ object Curation {
   private val ChunkTokens = 5
 
   def queries: Seq[GraftQuery] = Seq(
+    // INTRA-document repetition signals (the Gopher repetition family
+    // at bigram granularity): per doc, the fraction of bigram
+    // positions claimed by the single most frequent bigram and by ALL
+    // bigrams occurring >= 2 times — the two signals that catch
+    // looping/boilerplate generation inside one document, which
+    // cross-document dedup (q83) is blind to. Plan: codegen zip_with
+    // builds the bigram array map-side, one explode + (doc, bg)
+    // partial-agg shuffle, one (doc) agg — both keys high-cardinality,
+    // linear at any corpus size, no windows. Fractions in exact ppm
+    // (integer div), the engine's fraction convention.
+    GraftQuery(
+      "q335_repetition_ngrams",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tok = split(col("text"), " ")
+        val bg = zip_with(
+          slice(tok, lit(1), size(tok) - 1),
+          slice(tok, lit(2), size(tok) - 1),
+          (a, b) => concat(a, lit(" "), b))
+        d.select(col("doc_id"), explode(bg).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_bg"),
+            max(col("c")).as("top_c"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_c"))
+          .select(col("doc_id"),
+            col("n_bg"),
+            expr("(1000000 * top_c) div n_bg").as("top_bg_ppm"),
+            expr("(1000000 * dup_c) div n_bg").as("dup_bg_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        b AS (SELECT doc_id, tok[CAST(i AS INT)] || ' ' || tok[CAST(i AS INT) + 1] AS bg
+              FROM t, UNNEST(range(1, len(tok))) AS u(i)),
+        c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+                     CAST(MAX(c) AS BIGINT) AS top_c,
+                     CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+              FROM c GROUP BY 1)
+        SELECT doc_id, n_bg,
+               (1000000 * top_c) // n_bg AS top_bg_ppm,
+               (1000000 * dup_c) // n_bg AS dup_bg_ppm
+        FROM g ORDER BY doc_id
+      """.stripMargin.trim)),
+
     // Sub-document (paragraph-level) exact dedup, the Lee-et-al-style
     // "exact substring" pass at paragraph granularity: split each doc
     // into fixed 5-token chunks, hash each chunk (md5-derived, portable),
