@@ -2030,6 +2030,31 @@ object DslSearchTail {
         SELECT c.c_custkey AS doc_id, g.score
         FROM customer c JOIN g ON c.c_custkey = g.pid
         ORDER BY score DESC, doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // stored_fields + search_type wire compat: stored_fields
+    // canonicalizes to _source (every column of the table is
+    // "stored"), search_type is validated and inert (scores are
+    // always corpus-global — dfs semantics) — q135's oracle VERBATIM,
+    // proving the spellings change nothing.
+    GraftQuery(
+      "q336_dsl_stored_fields",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"bool": {
+             "must": [
+               {"terms": {"lang": ["en", "fr"]}},
+               {"range": {"n_chars": {"gte": 200, "lte": 400}}},
+               {"prefix": {"text": "the "}}],
+             "must_not": [{"term": {"source": "src0"}}]}},
+           "search_type": "dfs_query_then_fetch",
+           "sort": ["doc_id"],
+           "stored_fields": ["doc_id", "lang", "source", "n_chars"]}"""),
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang IN ('en','fr') AND n_chars BETWEEN 200 AND 400
+          AND source <> 'src0' AND text LIKE 'the %'
+        ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

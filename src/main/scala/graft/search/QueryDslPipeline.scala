@@ -21,12 +21,56 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
       case o: JObject => o.obj.toMap
       case other      => fail(s"request body must be an object: ${render(other)}")
     }
+    // `terminate_after` gets a documented refusal, not the generic
+    // unknown-key error: per-shard early termination makes both the
+    // hit set and the counts depend on shard layout and collection
+    // order — non-deterministic by construction, which the engine's
+    // exact-replay contract refuses (use `size`, which is the
+    // deterministic cap this engine can honor).
+    if (req.contains("terminate_after"))
+      fail("terminate_after is unsupported: per-shard early termination " +
+        "is non-deterministic by construction (hit sets would depend on " +
+        "shard layout) - use size, the deterministic cap")
     req.keySet.diff(Set("query", "sort", "from", "size", "_source", "aggs",
         "aggregations", "search_after", "suggest", "highlight", "knn",
         "collapse", "min_score", "script_fields", "runtime_mappings",
         "rescore", "post_filter", "track_total_hits", "track_scores",
-        "explain", "fields", "docvalue_fields"))
+        "explain", "fields", "docvalue_fields", "search_type",
+        "stored_fields"))
       .foreach(k => fail(s"unsupported request key '$k'"))
+
+    // `search_type`: validated, behaviorally a no-op BY DESIGN — the
+    // choice only exists because OpenSearch shards compute LOCAL term
+    // statistics unless dfs_query_then_fetch pre-gathers global ones;
+    // this engine's scores are always computed from corpus-global
+    // state (one plan over the whole table), i.e. every request
+    // already gets dfs semantics. Unknown values still fail loud.
+    req.get("search_type").foreach {
+      case JString("query_then_fetch") | JString("dfs_query_then_fetch") => ()
+      case other => fail(s"search_type must be query_then_fetch or " +
+        s"dfs_query_then_fetch: ${render(other)}")
+    }
+
+    // `stored_fields`: every column of the table is "stored" here, so
+    // the section is the SAME projection _source performs — it
+    // canonicalizes to _source and re-enters (the aggregations
+    // recursion pattern). Both sections together fail loud (one output
+    // table, no separate response sections to split across), as does
+    // OpenSearch's metadata-only `_none_`.
+    req.get("stored_fields") match {
+      case None => ()
+      case Some(sf) =>
+        if (req.contains("_source"))
+          fail("give _source or stored_fields, not both (one hit table)")
+        sf match {
+          case JString("_none_") => fail("stored_fields _none_ is " +
+            "unsupported: the hit table has no metadata-only shape")
+          case JArray(_) | JString(_) => ()
+          case other => fail(s"stored_fields must be a field array: ${render(other)}")
+        }
+        return search(table, render(JObject(
+          ((req - "stored_fields") + ("_source" -> sf)).toList)))
+    }
 
     // `aggregations`: the long-form spelling OpenSearch accepts as an
     // exact synonym — canonicalized to `aggs` ONCE at the request

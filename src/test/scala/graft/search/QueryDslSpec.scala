@@ -1556,6 +1556,43 @@ class QueryDslSpec extends SparkSpec {
       docPlan.contains("GreaterThanOrEqual(la0,10.0"), docPlan.take(800))
   }
 
+  test("search_type / stored_fields / terminate_after wire compat") {
+    import spark.implicits._
+    val t = Seq((1L, "spark"), (2L, "hive")).toDF("id", "text")
+    // search_type: both values accepted, identical results (the engine
+    // always computes corpus-global stats — dfs semantics)
+    val base = QueryDsl.search(t,
+      """{"query": {"match": {"text": "spark"}},
+         "sort": ["id"], "_source": ["id"]}""").as[Long].collect().toSeq
+    for (st <- Seq("query_then_fetch", "dfs_query_then_fetch")) {
+      val withSt = QueryDsl.search(t,
+        s"""{"query": {"match": {"text": "spark"}},
+           "search_type": "$st", "sort": ["id"], "_source": ["id"]}""")
+        .as[Long].collect().toSeq
+      assert(withSt === base)
+    }
+    // stored_fields: canonicalizes to _source (every column is stored)
+    val viaStored = QueryDsl.search(t,
+      """{"query": {"match_all": {}}, "sort": ["id"],
+         "stored_fields": ["id", "text"]}""").collect().toSeq
+    val viaSource = QueryDsl.search(t,
+      """{"query": {"match_all": {}}, "sort": ["id"],
+         "_source": ["id", "text"]}""").collect().toSeq
+    assert(viaStored === viaSource)
+    def bad(json: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"query": {"match_all": {}}, "search_type": "scan"}""",
+      "search_type must be")
+    bad("""{"query": {"match_all": {}}, "stored_fields": ["id"],
+      "_source": ["id"]}""", "not both")
+    bad("""{"query": {"match_all": {}}, "stored_fields": "_none_"}""",
+      "no metadata-only shape")
+    bad("""{"query": {"match_all": {}}, "terminate_after": 100}""",
+      "non-deterministic by construction")
+  }
+
   test("query_string: trailing-wildcard and fuzzy terms expand in the token model") {
     val dsl = QueryDsl.search(docs,
       """{"query": {"query_string": {"query": "spar* OR sprk~1",
