@@ -123,6 +123,36 @@ object Multimodal {
     }
   }
 
+  /** Exact-integer audio features from a decoded PCM WAV payload
+    * ([[AudioCodec]]); undecodable payloads carry decoded = false with
+    * zeroed stats instead of being dropped — a 100-TB media scan must
+    * account for every row, and the caller filters on the flag.
+    */
+  final case class AudioFeatures(
+      id: Long, byteLen: Long, decoded: Boolean, sampleRate: Int,
+      channels: Int, nSamples: Long, durationMs: Long, sumAbs: Long,
+      zeroCrossings: Long, sampleChecksum: Long)
+
+  implicit val audioEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** Batched audio feature extraction — the same one-decoder-session-
+    * per-partition shape as [[extractFeatures]], over the REAL
+    * [[AudioCodec]] WAV decode. Map-only: fuses into the scan, no
+    * shuffle, linear at any corpus size.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        AudioCodec.decodeWav(r.payload) match {
+          case Some(a) => AudioFeatures(r.id, r.payload.length.toLong, true,
+            a.sampleRate, a.channels, a.nSamples, a.durationMs, a.sumAbs,
+            a.zeroCrossings, a.sampleChecksum)
+          case None => AudioFeatures(r.id, r.payload.length.toLong, false,
+            -1, -1, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+
   /** Frame sampling: every `step`-th frame index, exploded to rows —
     * the fan-out shape of video preprocessing (decode happens per
     * sampled frame downstream, not per video).

@@ -41,6 +41,62 @@ object MultimodalOps {
         SELECT doc_id, len, width, height, n_frames,
                COUNT(*) AS n_sampled, CAST(SUM(frame) AS BIGINT) AS sum_frame_idx
         FROM x GROUP BY doc_id, len, width, height, n_frames ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // REAL audio decode end-to-end: a deterministic integer waveform
+    // per doc_id is synthesized ON THE EXECUTORS, encoded to actual
+    // RIFF/WAVE PCM-16 bytes (AudioCodec.encodeWavPcm16), carried as
+    // an opaque binary column, and decoded back by the REAL WAV
+    // decoder (header walk, chunk skipping, little-endian sample
+    // extraction) inside one map-only mapPartitions pass. The oracle
+    // never sees the bytes: it recomputes the exact-integer stats
+    // (sum |s|, sign changes, duration) from the waveform's
+    // arithmetic definition — so a header-parse or byte-order bug can
+    // NOT cancel out. Map-only, fuses into the scan, linear at any
+    // corpus size.
+    GraftQuery(
+      "q337_multimodal_wav",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{AudioCodec, Multimodal}
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val n = (200 + id % 300).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            (((id * 7349L + i * 2654435761L) % 4001L) - 2000L).toShort)
+          Multimodal.MediaRow(id, AudioCodec.encodeWavPcm16(8000, 1, samples),
+            Multimodal.MediaMeta("audio", -1, -1))
+        }(Multimodal.rowEnc)
+        Multimodal.extractAudioFeatures(media)
+          .filter(_.decoded)
+          .toDF()
+          .select(col("id").as("doc_id"),
+            col("sampleRate").as("sample_rate"), col("channels"),
+            col("nSamples").as("n_samples"),
+            col("durationMs").as("duration_ms"),
+            col("sumAbs").as("sum_abs"),
+            col("zeroCrossings").as("zero_crossings"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+        s AS (SELECT doc_id, n, i,
+                ((doc_id * 7349 + i * 2654435761) % 4001) - 2000 AS v
+              FROM d, UNNEST(range(0, n)) AS u(i)),
+        z AS (SELECT doc_id, n, i, v,
+                LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s),
+        g AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+                CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+              FROM z GROUP BY doc_id)
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS channels, n_samples,
+               n_samples * 1000 // 8000 AS duration_ms,
+               sum_abs, zero_crossings
+        FROM g ORDER BY doc_id
       """.stripMargin.trim))
   )
 }
