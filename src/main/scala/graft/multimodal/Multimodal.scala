@@ -153,6 +153,34 @@ object Multimodal {
       }
     }
 
+  /** Exact-integer video features from a decoded Y4M payload
+    * ([[VideoCodec]]); same row-accounting contract as
+    * [[AudioFeatures]] — undecodable rows carry decoded = false.
+    */
+  final case class VideoFeatures(
+      id: Long, byteLen: Long, decoded: Boolean, width: Int, height: Int,
+      fpsNum: Int, fpsDen: Int, nFrames: Long, durationMs: Long,
+      lumaSum: Long, byteChecksum: Long)
+
+  implicit val videoEnc: Encoder[VideoFeatures] = Encoders.product[VideoFeatures]
+
+  /** Batched video feature extraction over the REAL [[VideoCodec]]
+    * Y4M decode — one decoder session per partition, map-only, fuses
+    * into the scan.
+    */
+  def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] =
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        VideoCodec.decodeY4m(r.payload) match {
+          case Some(v) => VideoFeatures(r.id, r.payload.length.toLong, true,
+            v.width, v.height, v.fpsNum, v.fpsDen, v.nFrames, v.durationMs,
+            v.lumaSum, v.byteChecksum)
+          case None => VideoFeatures(r.id, r.payload.length.toLong, false,
+            -1, -1, -1, -1, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+
   /** Frame sampling: every `step`-th frame index, exploded to rows —
     * the fan-out shape of video preprocessing (decode happens per
     * sampled frame downstream, not per video).

@@ -97,6 +97,57 @@ object MultimodalOps {
                n_samples * 1000 // 8000 AS duration_ms,
                sum_abs, zero_crossings
         FROM g ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // REAL video decode end-to-end — the q337 recipe for the third
+    // modality: per doc a deterministic 8x6 C420 luma pattern over
+    // 2-5 frames is built on the executors, encoded to an actual
+    // YUV4MPEG2 stream (header + FRAME markers + planar bytes), and
+    // decoded back by the real Y4M decoder. The oracle recomputes the
+    // luma sum and frame count from the pattern's arithmetic
+    // definition, never the bytes. Map-only, linear.
+    GraftQuery(
+      "q338_multimodal_y4m",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal, VideoCodec}
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val b = new Array[Byte](48 + 24) // 8x6 luma + 2x(4x3) chroma
+            var i = 0
+            while (i < 48) {
+              b(i) = ((id * 31L + f * 7L + i * 13L) % 251L).toByte
+              i += 1
+            }
+            while (i < 72) { b(i) = 128.toByte; i += 1 }
+            b
+          }
+          Multimodal.MediaRow(id, VideoCodec.encodeY4m420(8, 6, 25, 1, frames),
+            Multimodal.MediaMeta("video", -1, -1))
+        }(Multimodal.rowEnc)
+        Multimodal.extractVideoFeatures(media)
+          .filter(_.decoded)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("nFrames").as("n_frames"),
+            col("durationMs").as("duration_ms"),
+            col("lumaSum").as("luma_sum"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+        y AS (SELECT doc_id, nf, ((doc_id * 31 + f * 7 + i * 13) % 251) AS v
+              FROM d, UNNEST(range(0, nf)) AS uf(f),
+                   UNNEST(range(0, 48)) AS ui(i)),
+        g AS (SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+                     CAST(SUM(v) AS BIGINT) AS luma_sum
+              FROM y GROUP BY doc_id)
+        SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+               n_frames, n_frames * 40 AS duration_ms, luma_sum
+        FROM g ORDER BY doc_id
       """.stripMargin.trim))
   )
 }
