@@ -27,7 +27,13 @@ object VideoCodec {
 
   private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
 
-  def decodeY4m(payload: Array[Byte]): Option[VideoStats] = {
+  /** Parsed stream header: dims, frame rate, frame/luma byte sizes and
+    * the offset of the first FRAME marker.
+    */
+  private final case class Y4mHeader(w: Int, h: Int, fn: Int, fd: Int,
+      frameBytes: Int, luma: Int, firstFrame: Int)
+
+  private def parseHeader(payload: Array[Byte]): Option[Y4mHeader] = {
     if (payload.length < Magic.length + 1) return None
     var i = 0
     while (i < Magic.length) {
@@ -65,14 +71,19 @@ object VideoCodec {
       case _      => return None
     }
     if (frameBytes > Int.MaxValue) return None
-    val luma = w * h
-    var off = nl + 1
+    Some(Y4mHeader(w, h, fn, fd, frameBytes.toInt, w * h, nl + 1))
+  }
+
+  private val FrameTag = "FRAME".getBytes("US-ASCII")
+
+  /** Walk the frames, calling `onFrame(frameIdx, bodyOffset)` per
+    * frame; returns the frame count, or None on any malformation.
+    */
+  private def walkFrames(payload: Array[Byte], hd: Y4mHeader)
+      (onFrame: (Long, Int) => Unit): Option[Long] = {
+    var off = hd.firstFrame
     var nFrames = 0L
-    var lumaSum = 0L
-    var checksum = 0L
-    val FrameTag = "FRAME".getBytes("US-ASCII")
     while (off < payload.length) {
-      // frame header: "FRAME" [params] '\n'
       if (off + FrameTag.length > payload.length) return None
       var j = 0
       while (j < FrameTag.length) {
@@ -82,20 +93,49 @@ object VideoCodec {
       val fnl = payload.indexOf('\n'.toByte, off + FrameTag.length)
       if (fnl < 0) return None
       val body = fnl + 1
-      if (body + frameBytes > payload.length) return None // truncated frame
-      var k = 0
-      while (k < frameBytes) {
-        val v = payload(body + k) & 0xff
-        if (k < luma) lumaSum += v
-        checksum = checksum * 31 + v
-        k += 1
-      }
+      if (body.toLong + hd.frameBytes > payload.length) return None // truncated
+      onFrame(nFrames, body)
       nFrames += 1
-      off = body + frameBytes.toInt
+      off = body + hd.frameBytes
     }
-    if (nFrames == 0) return None
-    Some(VideoStats(w, h, fn, fd, nFrames,
-      nFrames * 1000L * fd / fn, lumaSum, checksum))
+    if (nFrames == 0) None else Some(nFrames)
+  }
+
+  def decodeY4m(payload: Array[Byte]): Option[VideoStats] =
+    parseHeader(payload).flatMap { hd =>
+      var lumaSum = 0L
+      var checksum = 0L
+      walkFrames(payload, hd) { (_, body) =>
+        var k = 0
+        while (k < hd.frameBytes) {
+          val v = payload(body + k) & 0xff
+          if (k < hd.luma) lumaSum += v
+          checksum = checksum * 31 + v
+          k += 1
+        }
+      }.map(n => VideoStats(hd.w, hd.h, hd.fn, hd.fd, n,
+        n * 1000L * hd.fd / hd.fn, lumaSum, checksum))
+    }
+
+  /** Per-frame luma stats for every `step`-th frame — the REAL
+    * frame-sampling primitive (the decode-per-sampled-frame shape of
+    * video preprocessing): (frameIdx, lumaSum) for frames
+    * 0, step, 2·step, … Skipped frames are never byte-scanned beyond
+    * the marker walk. None on any malformation, like [[decodeY4m]].
+    */
+  def sampleFrameLuma(payload: Array[Byte], step: Int): Option[Seq[(Long, Long)]] = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    parseHeader(payload).flatMap { hd =>
+      val out = Seq.newBuilder[(Long, Long)]
+      walkFrames(payload, hd) { (idx, body) =>
+        if (idx % step == 0) {
+          var s = 0L
+          var k = 0
+          while (k < hd.luma) { s += payload(body + k) & 0xff; k += 1 }
+          out += ((idx, s))
+        }
+      }.map(_ => out.result())
+    }
   }
 
   /** Y4M encoder (C420) — the fixture/sink side of the round-trip.

@@ -148,6 +148,52 @@ object MultimodalOps {
         SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
                n_frames, n_frames * 40 AS duration_ms, luma_sum
         FROM g ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // REAL frame sampling: every 2nd frame of each Y4M stream decodes
+    // to its own (frame_idx, luma_sum) row — the decode-per-sampled-
+    // frame fan-out of video preprocessing, over actual frame bytes
+    // (skipped frames are only marker-walked, never byte-scanned).
+    // Same executor-side synthesis as q338; the oracle recomputes the
+    // sampled frames' luma sums from the pattern's arithmetic
+    // definition.
+    GraftQuery(
+      "q339_multimodal_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.{Multimodal, VideoCodec}
+        val ids = Tables.load(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+        val media = ids.map { id =>
+          val nf = (2 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val b = new Array[Byte](48 + 24)
+            var i = 0
+            while (i < 48) {
+              b(i) = ((id * 31L + f * 7L + i * 13L) % 251L).toByte
+              i += 1
+            }
+            while (i < 72) { b(i) = 128.toByte; i += 1 }
+            b
+          }
+          Multimodal.MediaRow(id, VideoCodec.encodeY4m420(8, 6, 25, 1, frames),
+            Multimodal.MediaMeta("video", -1, -1))
+        }(Multimodal.rowEnc)
+        media.flatMap { r =>
+          VideoCodec.sampleFrameLuma(r.payload, step = 2)
+            .getOrElse(Seq.empty)
+            .map { case (idx, luma) => (r.id, idx, luma) }
+        }.toDF("doc_id", "frame_idx", "luma_sum")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+        f AS (SELECT doc_id, f FROM d, UNNEST(range(0, nf, 2)) AS uf(f)),
+        y AS (SELECT doc_id, f, ((doc_id * 31 + f * 7 + i * 13) % 251) AS v
+              FROM f, UNNEST(range(0, 48)) AS ui(i))
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+               CAST(SUM(v) AS BIGINT) AS luma_sum
+        FROM y GROUP BY doc_id, f ORDER BY doc_id, frame_idx
       """.stripMargin.trim))
   )
 }

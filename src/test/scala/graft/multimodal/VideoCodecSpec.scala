@@ -53,6 +53,20 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(decodeY4m(out.toByteArray).get.nFrames === 1L)
   }
 
+  test("sampleFrameLuma decodes every step-th frame's luma only") {
+    val f = (v: Int) => Array.fill[Byte](6)(v.toByte) // 2x2 C420: 4 luma + 2 chroma
+    val stream = encodeY4m420(2, 2, 25, 1, Seq(f(1), f(2), f(3), f(4), f(5)))
+    // step 2 -> frames 0, 2, 4; luma sum = 4 * v
+    assert(VideoCodec.sampleFrameLuma(stream, 2).get ===
+      Seq((0L, 4L), (2L, 12L), (4L, 20L)))
+    // step 1 -> all frames
+    assert(VideoCodec.sampleFrameLuma(stream, 1).get.map(_._1) ===
+      Seq(0L, 1L, 2L, 3L, 4L))
+    // malformed propagates as None here too
+    assert(VideoCodec.sampleFrameLuma(stream.dropRight(1), 2).isEmpty)
+    intercept[IllegalArgumentException](VideoCodec.sampleFrameLuma(stream, 0))
+  }
+
   test("malformed streams return None, never throw") {
     val good = encodeY4m420(2, 2, 25, 1, Seq(Array[Byte](1, 2, 3, 4, 5, 6)))
     assert(decodeY4m(Array.empty[Byte]).isEmpty)
