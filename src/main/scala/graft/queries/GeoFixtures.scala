@@ -13,15 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object GeoFixtures {
   def syntheticPoints(customer: DataFrame): DataFrame =
-    customer.select(
-      col("c_custkey"),
-      (((col("c_custkey") * lit(2654435761L)) % lit(180000L)).cast("double")
-        / lit(1000.0) - lit(90.0)).as("lat"),
-      (((col("c_custkey") * lit(40503L) + lit(7L)) % lit(360000L)).cast("double")
-        / lit(1000.0) - lit(180.0)).as("lon"))
+    syntheticPointsKeeping(customer)
 
-  /** [[syntheticPoints]] carrying extra source columns through (for
-    * queries that need a payload column next to the coordinates).
+  /** The ONE lat/lon recipe, carrying any extra source columns through
+    * (for queries that need a payload column next to the coordinates).
+    * [[syntheticPoints]] delegates here so the recipe exists exactly
+    * once — the no-drift doctrine the scaladoc promises.
     */
   def syntheticPointsKeeping(customer: DataFrame, extras: String*): DataFrame =
     customer.select(

@@ -12,6 +12,28 @@ import graft.sources.Tables
   */
 object MultimodalOps {
 
+  /** The ONE q338/q339 video fixture: an 8x6 C420 stream of
+    * 2 + id % 4 frames whose luma bytes follow
+    * (id*31 + f*7 + i*13) % 251 (chroma constant 128) — both oracles
+    * replay exactly this arithmetic, so the pattern exists once.
+    */
+  private def y4mFixtureRow(id: Long): graft.multimodal.Multimodal.MediaRow = {
+    import graft.multimodal.{Multimodal, VideoCodec}
+    val nf = (2 + id % 4).toInt
+    val frames = (0 until nf).map { f =>
+      val b = new Array[Byte](48 + 24) // 8x6 luma + 2x(4x3) chroma
+      var i = 0
+      while (i < 48) {
+        b(i) = ((id * 31L + f * 7L + i * 13L) % 251L).toByte
+        i += 1
+      }
+      while (i < 72) { b(i) = 128.toByte; i += 1 }
+      b
+    }
+    Multimodal.MediaRow(id, VideoCodec.encodeY4m420(8, 6, 25, 1, frames),
+      Multimodal.MediaMeta("video", -1, -1))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     // Binary payload features + every-4th-frame sampling, per "video".
     GraftQuery(
@@ -113,21 +135,7 @@ object MultimodalOps {
         import graft.multimodal.{Multimodal, VideoCodec}
         val ids = Tables.load(s, dir, "documents")
           .select(col("doc_id")).as[Long]
-        val media = ids.map { id =>
-          val nf = (2 + id % 4).toInt
-          val frames = (0 until nf).map { f =>
-            val b = new Array[Byte](48 + 24) // 8x6 luma + 2x(4x3) chroma
-            var i = 0
-            while (i < 48) {
-              b(i) = ((id * 31L + f * 7L + i * 13L) % 251L).toByte
-              i += 1
-            }
-            while (i < 72) { b(i) = 128.toByte; i += 1 }
-            b
-          }
-          Multimodal.MediaRow(id, VideoCodec.encodeY4m420(8, 6, 25, 1, frames),
-            Multimodal.MediaMeta("video", -1, -1))
-        }(Multimodal.rowEnc)
+        val media = ids.map(y4mFixtureRow)(Multimodal.rowEnc)
         Multimodal.extractVideoFeatures(media)
           .filter(_.decoded)
           .toDF()
@@ -164,21 +172,7 @@ object MultimodalOps {
         import graft.multimodal.{Multimodal, VideoCodec}
         val ids = Tables.load(s, dir, "documents")
           .select(col("doc_id")).as[Long]
-        val media = ids.map { id =>
-          val nf = (2 + id % 4).toInt
-          val frames = (0 until nf).map { f =>
-            val b = new Array[Byte](48 + 24)
-            var i = 0
-            while (i < 48) {
-              b(i) = ((id * 31L + f * 7L + i * 13L) % 251L).toByte
-              i += 1
-            }
-            while (i < 72) { b(i) = 128.toByte; i += 1 }
-            b
-          }
-          Multimodal.MediaRow(id, VideoCodec.encodeY4m420(8, 6, 25, 1, frames),
-            Multimodal.MediaMeta("video", -1, -1))
-        }(Multimodal.rowEnc)
+        val media = ids.map(y4mFixtureRow)(Multimodal.rowEnc)
         media.flatMap { r =>
           VideoCodec.sampleFrameLuma(r.payload, step = 2)
             .getOrElse(Seq.empty)

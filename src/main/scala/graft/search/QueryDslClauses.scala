@@ -646,7 +646,12 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * scan-path fuzzy surfaces (VERDICT r10 #5 — the q305 curve).
     */
   private[search] def lengthBand(tok: Column, term: String, d: Long): Column =
-    abs(length(tok) - lit(term.length)) <= lit(d)
+    // Spark's length() counts CODEPOINTS; String.length counts UTF-16
+    // units — codePointCount keeps the band exact for terms with
+    // supplementary-plane characters (an astral term would otherwise
+    // measure one longer than its own identical token and be dropped
+    // at fuzziness 0)
+    abs(length(tok) - lit(term.codePointCount(0, term.length))) <= lit(d)
 
   /** Match-family score: number of DISTINCT query terms present in
     * the field's distinct-token array. The exact path stays the ONE
@@ -2204,6 +2209,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
   private[search] def crossingParityPredicate(pts: Seq[(Double, Double)],
       latF: String, lonF: String, where: String): Column = {
     val n = pts.size
+    // the vertex cap gates BEFORE the O(n²) simplicity loop, so a huge
+    // request bounds driver validation work too, not just codegen
+    if (n > 64) fail(s"$where ring has $n vertices (max 64: one codegen " +
+      "term per edge)")
     // driver-side simplicity check: no two non-adjacent edges intersect
     def orient(ax: Double, ay: Double, bx: Double, by: Double,
         cx: Double, cy: Double): Int = {
@@ -2233,8 +2242,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         fail(s"$where ring is self-intersecting " +
           s"(edges $i and $j cross) - the ring must be simple")
     }
-    if (n > 64) fail(s"$where ring has $n vertices (max 64: one codegen " +
-      "term per edge)")
     val crossings: Seq[Column] = (0 until n).flatMap { i =>
       val (lat1, lon1) = pts(i)
       val (lat2, lon2) = pts((i + 1) % n)
@@ -2378,6 +2385,11 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     if (m.contains("lat_field") || m.contains("lon_field"))
       fail("geo_shape doc_shape replaces lat_field/lon_field " +
         "(the doc geometry IS the envelope)")
+    // same shape-object strictness as the point-doc arm: a misplaced
+    // key (e.g. relation inside shape) must fail loud, never silently
+    // run with the default relation
+    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
     val dsm = m("doc_shape") match {
       case JObject(ds) => ds.toMap
       case other => fail(s"doc_shape must be an object: ${render(other)}")
