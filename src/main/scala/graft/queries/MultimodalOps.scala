@@ -119,7 +119,8 @@ object MultimodalOps {
                n_samples * 1000 // 8000 AS duration_ms,
                sum_abs, zero_crossings
         FROM g ORDER BY doc_id
-      """.stripMargin.trim)),
+      """.stripMargin.trim),
+      headline = true),
 
     // REAL video decode end-to-end — the q337 recipe for the third
     // modality: per doc a deterministic 8x6 C420 luma pattern over
