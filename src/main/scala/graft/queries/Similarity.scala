@@ -379,6 +379,78 @@ object Similarity {
                  (sqrt(CAST(nd AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))), 6) AS score
         FROM scored CROSS JOIN nrm
         ORDER BY score DESC, vec_id LIMIT 20
+      """.stripMargin.trim)),
+
+    // Matryoshka-style two-stage ANN: candidate shortlist by cosine
+    // over the FIRST 16 dims only (MRL truncation — the cheap pass
+    // reads a quarter of each vector), then exact FULL-dim re-rank of
+    // the ≤60 candidates per query. The shortlist runs the q75
+    // bounded-heap kernel on truncated vectors (corpus scanned once,
+    // never shuffled); the re-rank joins the tiny candidate set back
+    // via broadcast (corpus scanned once more, matches only) and
+    // windows over ≤60 rows per query. Both stages are exact-integer
+    // quantized with ONE IEEE divide, so BOTH are oracle-replayable —
+    // unlike a trained index, the accuracy/cost knob itself is
+    // hash-gated, not just spec-gated.
+    GraftQuery(
+      "q340_ann_matryoshka",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorFns
+        val e = Tables.load(s, dir, "embeddings")
+        val trunc = e.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val short = graft.operators.AnnTopK.bruteForce(
+            trunc, "vec_id", "embedding", col("vec_id") % 50 === 0, k = 60)
+          .select(col("q_id"), col("neighbor_id"))
+        val qv = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"),
+            VectorFns.quantize(col("embedding")).as("qq"))
+        val cv = e.select(col("vec_id").as("neighbor_id"),
+          VectorFns.quantize(col("embedding")).as("cq"))
+        val cand = cv.join(broadcast(short), "neighbor_id")
+          .join(broadcast(qv), "q_id")
+        val rer = cand.select(col("q_id"), col("neighbor_id"),
+          VectorFns.qcosine(VectorFns.qdot(col("qq"), col("cq")),
+            VectorFns.qnorm2(col("qq")), VectorFns.qnorm2(col("cq"))).as("sim"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        rer.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("neighbor_id"), col("sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)::DOUBLE) AS q
+          FROM embeddings),
+        tn AS (SELECT vec_id, list_slice(q, 1, 16) AS tq FROM e),
+        tn2 AS (SELECT vec_id, tq, list_dot_product(tq, tq) AS tn2 FROM tn),
+        tqs AS (SELECT vec_id AS q_id, tq AS qtq, tn2 AS qtn2
+                FROM tn2 WHERE vec_id % 50 = 0),
+        s1 AS (SELECT q_id, vec_id,
+                      list_dot_product(qtq, tq) / (sqrt(qtn2) * sqrt(tn2)) AS tsim
+               FROM tqs CROSS JOIN tn2 WHERE q_id <> vec_id),
+        short AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY tsim DESC, vec_id) AS r
+            FROM s1) WHERE r <= 60),
+        n AS (SELECT vec_id, q, list_dot_product(q, q) AS n2 FROM e),
+        qs AS (SELECT vec_id AS q_id, q AS qq, n2 AS qn2
+               FROM n WHERE vec_id % 50 = 0),
+        rer AS (SELECT sh.q_id, sh.vec_id,
+                       list_dot_product(qs.qq, n.q) / (sqrt(qs.qn2) * sqrt(n.n2)) AS sim
+                FROM short sh
+                JOIN n ON sh.vec_id = n.vec_id
+                JOIN qs ON sh.q_id = qs.q_id),
+        ranked AS (SELECT q_id, vec_id, sim,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+                   FROM rer)
+        SELECT q_id, rank, vec_id AS neighbor_id, sim
+        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
       """.stripMargin.trim))
   )
 }
