@@ -41,4 +41,15 @@ object StreamingMedia {
       .option("path", outDir)
       .outputMode("append")
       .start()
+
+  /** The video twin: same stream shape over the real Y4M decoder. */
+  def startVideoFeatures(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    Multimodal.extractVideoFeatures(readMedia(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .option("path", outDir)
+      .outputMode("append")
+      .start()
 }

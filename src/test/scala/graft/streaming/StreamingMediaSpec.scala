@@ -65,4 +65,33 @@ class StreamingMediaSpec extends SparkSpec {
     assert(bad.map(_.id) === Seq(99L) && bad.head.byteLen === 3L)
     assert(streamed.count(_.decoded) === 50)
   }
+
+  test("video twin: streamed Y4M features == batch features") {
+    val inDir = Files.createTempDirectory("svid_in").toString
+    val outDir = Files.createTempDirectory("svid_out").toString
+    val ckpt = Files.createTempDirectory("svid_ckpt").toString
+    def y4mRow(id: Long): Multimodal.MediaRow = {
+      val frames = (0 until (1 + id % 3).toInt).map { f =>
+        val b = new Array[Byte](6) // 2x2 C420
+        (0 until 6).foreach(i => b(i) = ((id * 17 + f * 5 + i) % 200).toByte)
+        b
+      }
+      Multimodal.MediaRow(id,
+        graft.multimodal.VideoCodec.encodeY4m420(2, 2, 25, 1, frames),
+        Multimodal.MediaMeta("video", -1, -1))
+    }
+    val rows = (1L to 15L).map(y4mRow)
+    writeEpoch(inDir, rows)
+    val q = StreamingMedia.startVideoFeatures(spark, inDir, outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[Multimodal.VideoFeatures](Multimodal.videoEnc)
+      .collect().sortBy(_.id).toSeq
+    val batch = Multimodal.extractVideoFeatures(
+        spark.createDataset(rows)(Multimodal.rowEnc))
+      .collect().sortBy(_.id).toSeq
+    assert(streamed === batch)
+    assert(streamed.forall(_.decoded) && streamed.size === 15)
+  }
 }
