@@ -386,12 +386,15 @@ object Similarity {
     // reads a quarter of each vector), then exact FULL-dim re-rank of
     // the ≤60 candidates per query. The shortlist runs the q75
     // bounded-heap kernel on truncated vectors (corpus scanned once,
-    // never shuffled); the re-rank joins the tiny candidate set back
-    // via broadcast (corpus scanned once more, matches only) and
-    // windows over ≤60 rows per query. Both stages are exact-integer
-    // quantized with ONE IEEE divide, so BOTH are oracle-replayable —
-    // unlike a trained index, the accuracy/cost knob itself is
-    // hash-gated, not just spec-gated.
+    // never shuffled); the re-rank scans the corpus twice more — once
+    // pruned by the broadcast candidate-id join, once by the pushed
+    // query predicate — and in BOTH arms quantization runs AFTER the
+    // prune, so the interpreted HOF only ever touches the ≤|Q|·60
+    // surviving rows, never the corpus. The final window covers ≤60
+    // rows per query. Both stages are exact-integer quantized with ONE
+    // IEEE divide, so BOTH are oracle-replayable — unlike a trained
+    // index, the accuracy/cost knob itself is hash-gated, not just
+    // spec-gated.
     GraftQuery(
       "q340_ann_matryoshka",
       (s, dir) => {
@@ -406,10 +409,12 @@ object Similarity {
         val qv = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"),
             VectorFns.quantize(col("embedding")).as("qq"))
-        val cv = e.select(col("vec_id").as("neighbor_id"),
-          VectorFns.quantize(col("embedding")).as("cq"))
-        val cand = cv.join(broadcast(short), "neighbor_id")
-          .join(broadcast(qv), "q_id")
+        // join FIRST, quantize the survivors only
+        val cv = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+          .join(broadcast(short), "neighbor_id")
+          .select(col("q_id"), col("neighbor_id"),
+            VectorFns.quantize(col("embedding")).as("cq"))
+        val cand = cv.join(broadcast(qv), "q_id")
         val rer = cand.select(col("q_id"), col("neighbor_id"),
           VectorFns.qcosine(VectorFns.qdot(col("qq"), col("cq")),
             VectorFns.qnorm2(col("qq")), VectorFns.qnorm2(col("cq"))).as("sim"))

@@ -29,27 +29,29 @@ object StreamingMedia {
       .parquet(inDir)
       .as[Multimodal.MediaRow](Multimodal.rowEnc)
 
-  /** Start the audio-feature maintenance stream: inDir (landing media)
-    * → decode → append-only features parquet at outDir.
+  /** The shared append-only parquet sink — ONE definition so the audio
+    * and video arms can never diverge on sink configuration.
     */
-  def startAudioFeatures(spark: SparkSession, inDir: String, outDir: String,
-      checkpoint: String): StreamingQuery =
-    Multimodal.extractAudioFeatures(readMedia(spark, inDir))
-      .writeStream
+  private def startSink[T](features: org.apache.spark.sql.Dataset[T],
+      outDir: String, checkpoint: String): StreamingQuery =
+    features.writeStream
       .format("parquet")
       .option("checkpointLocation", checkpoint)
       .option("path", outDir)
       .outputMode("append")
       .start()
 
+  /** Start the audio-feature maintenance stream: inDir (landing media)
+    * → decode → append-only features parquet at outDir.
+    */
+  def startAudioFeatures(spark: SparkSession, inDir: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    startSink(Multimodal.extractAudioFeatures(readMedia(spark, inDir)),
+      outDir, checkpoint)
+
   /** The video twin: same stream shape over the real Y4M decoder. */
   def startVideoFeatures(spark: SparkSession, inDir: String, outDir: String,
       checkpoint: String): StreamingQuery =
-    Multimodal.extractVideoFeatures(readMedia(spark, inDir))
-      .writeStream
-      .format("parquet")
-      .option("checkpointLocation", checkpoint)
-      .option("path", outDir)
-      .outputMode("append")
-      .start()
+    startSink(Multimodal.extractVideoFeatures(readMedia(spark, inDir)),
+      outDir, checkpoint)
 }
