@@ -15,7 +15,12 @@ object QueryProbe {
     require(args.length >= 2, "usage: QueryProbe <dir> <q1,q2,...>")
     val dir = args(0)
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
+    val passesRaw = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3")
+    val passes = passesRaw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_PROBE_PASSES must be a positive integer, " +
+        s"got '$passesRaw'"))
+    require(passes >= 1,
+      s"SPARK_GRAFT_PROBE_PASSES must be >= 1, got $passes")
     val spark = GraftSession.get()
     def once(q: GraftQuery): Double = {
       val t0 = System.nanoTime()

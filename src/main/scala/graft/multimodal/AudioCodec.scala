@@ -125,6 +125,14 @@ object AudioCodec {
       samples: Array[Short]): Array[Byte] = {
     require(channels >= 1 && samples.length % channels == 0,
       s"interleaved sample count ${samples.length} not divisible by $channels")
+    // Round-trip totality: decodeData rejects an empty data chunk, so
+    // refusing to ENCODE zero samples keeps encode∘decode total; and
+    // samples.length*2 must not overflow Int (negative array size /
+    // corrupt RIFF+data size fields past ~1G samples).
+    require(samples.nonEmpty,
+      "cannot encode a 0-sample WAV (decodeWav rejects an empty data chunk)")
+    require(samples.length <= (Int.MaxValue - 44) / 2,
+      s"sample count ${samples.length} overflows the 32-bit RIFF size model")
     val dataBytes = samples.length * 2
     val out = new Array[Byte](44 + dataBytes)
     def putTag(off: Int, s: String): Unit = {

@@ -40,6 +40,10 @@ object VideoCodec {
       if (payload(i) != Magic(i)) return None
       i += 1
     }
+    // The magic must be a complete token: a separator (space before
+    // params, or the header-ending newline) must follow, else
+    // "YUV4MPEG2W64 ..." would parse as a valid stream.
+    if (payload(i) != ' '.toByte && payload(i) != '\n'.toByte) return None
     // stream header: space-separated params up to '\n'
     val nl = payload.indexOf('\n'.toByte, i)
     if (nl < 0) return None
@@ -83,6 +87,12 @@ object VideoCodec {
       (onFrame: (Long, Int) => Unit): Option[Long] = {
     var off = hd.firstFrame
     var nFrames = 0L
+    // CONTRACT: a header-only stream (zero FRAME markers) decodes to
+    // None, the same as a malformed payload. Zero-frame Y4M is legal
+    // per the format, but a video document with no frames has no
+    // stats to extract — the engine deliberately classifies it as
+    // undecodable (decoded=false) rather than inventing a 0-frame
+    // VideoStats row whose durationMs/lumaSum are vacuous.
     while (off < payload.length) {
       if (off + FrameTag.length > payload.length) return None
       var j = 0

@@ -114,6 +114,23 @@ class GraftEngineSpec extends SparkSpec {
     val joined = run(100)  // broadcast-join path (> 64)
     assert(joined === run(200), "join path must be budget-insensitive above vocab")
     assert(joined.nonEmpty && joined.forall(_._2 >= 1L))
+    // parity vs the ARITHMETIC, not vs the engine itself: recompute
+    // (id, n_shared, score) from the fixture definition with plain
+    // Scala sets — df(t) = docs containing t (incl. the seed),
+    // weight = n·10⁶ div df exact integer — so the join path is
+    // pinned to the scoring model, not merely to the chain path
+    val docTerms: Map[Long, Set[Int]] =
+      (1L to 20L).map(d => d -> (0 until 100)
+        .filter(i => (i + d) % 3 == 0).toSet).toMap
+    val nDocs = 21L // seed + 20
+    def dfOf(i: Int): Long = 1L + docTerms.values.count(_.contains(i))
+    val expected = (1L to 20L).map { d =>
+      val shared = docTerms(d)
+      (d, shared.size.toLong,
+        shared.toSeq.map(i => nDocs * 1000000L / dfOf(i)).sum)
+    }
+    assert(joined.sortBy(_._1) === expected,
+      "join path must match the independently computed tf-idf arithmetic")
     // chain path at 64: scores can only shrink, never new docs appear
     val chain = run(64).map(r => r._1 -> r._3).toMap
     val joinMap = joined.map(r => r._1 -> r._3).toMap

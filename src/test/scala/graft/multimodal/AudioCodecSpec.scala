@@ -83,4 +83,16 @@ class AudioCodecSpec extends AnyFunSuite {
       decodeWav(b)
     }
   }
+
+  test("encoder refuses zero samples (round-trip totality)") {
+    // decodeWav rejects an empty data chunk, so the encoder must
+    // refuse to produce one — encode∘decode stays total. (The sibling
+    // overflow guard at (Int.MaxValue-44)/2 samples cannot be
+    // exercised without a >2 GiB allocation; its boundary is exact:
+    // cap·2 + 44 == Int.MaxValue - 1, so samples.length*2 never wraps.)
+    intercept[IllegalArgumentException] {
+      AudioCodec.encodeWavPcm16(8000, 1, Array.empty[Short])
+    }
+    assert(((Int.MaxValue - 44) / 2).toLong * 2L + 44L <= Int.MaxValue.toLong)
+  }
 }

@@ -79,8 +79,12 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(hdr("YUV4MPEG2 W2 H2 F25:1 Cweird").isEmpty) // unknown colorspace
     assert(hdr("YUV4MPEG2 WX H2 F25:1").isEmpty)   // unparsable int
     assert(hdr("YUV4MPEG2 W3 H2 F25:1").isEmpty)   // odd width under 420
-    // zero frames is not a video
+    // zero frames is not a video (the documented contract: a legal
+    // header-only stream classifies as undecodable, decoded=false)
     assert(decodeY4m("YUV4MPEG2 W2 H2 F25:1\n".getBytes).isEmpty)
+    // the magic must be a complete token: a run-on header is rejected
+    assert(decodeY4m(("YUV4MPEG2W2 H2 F25:1\nFRAME\n").getBytes
+      ++ new Array[Byte](6)).isEmpty)
     // junk fuzz must not throw
     val rnd = new scala.util.Random(11)
     (1 to 200).foreach { _ =>
