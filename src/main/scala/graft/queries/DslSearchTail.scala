@@ -2055,6 +2055,271 @@ object DslSearchTail {
         WHERE lang IN ('en','fr') AND n_chars BETWEEN 200 AND 400
           AND source <> 'src0' AND text LIKE 'the %'
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // date_histogram with a NAMED IANA time_zone (VERDICT r11 #1 —
+    // the #1 real-dashboard divergence): "America/New_York" resolves
+    // ON THE DRIVER (JVM tzdb expanded over the hit span, padded 400d
+    // down / 1d up) into the exact transition-table machinery q329
+    // already serves, so the compiled request carries LITERAL
+    // [[utc_instant, offset]] entries the oracle replays term for
+    // term. The fixture maps order keys onto timestamps covering all
+    // of 2021 — both US DST boundaries (2021-03-14T07:00Z spring
+    // forward to -240 min, 2021-11-07T06:00Z fall back to -300) land
+    // inside the data, and the 400-day pad pulls in the 2020 pair,
+    // so the replayed CASE has five entries (base EST -300). Local-
+    // calendar rule as q329: the transition days are single 23h/25h
+    // buckets keyed at the UTC instant of local midnight.
+    GraftQuery(
+      "q341_dsl_date_histogram_named_tz",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = 1609459200000000L // 2021-01-01T00:00:00Z micros
+        val o = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"),
+          timestamp_micros(lit(base)
+            + (col("o_orderkey") * lit(2654435761L)) % lit(365L) * lit(86400000000L)
+            + (col("o_orderkey") % lit(86400L)) * lit(1000000L)).as("ts"))
+        QueryDsl.search(o,
+          """{"size": 0,
+             "aggs": {"day": {"date_histogram":
+                 {"field": "ts", "calendar_interval": "day",
+                  "time_zone": "America/New_York"},
+               "aggs": {"max_key": {"max": {"field": "o_orderkey"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+            1609459200000000 + ((o_orderkey * 2654435761) % 365) * 86400000000
+              + (o_orderkey % 86400) * 1000000 AS ts_us
+          FROM orders),
+        d AS (
+          SELECT o_orderkey, ts_us,
+            CASE WHEN ts_us >= epoch_us(TIMESTAMP '2021-11-07 06:00:00')
+                   THEN -18000000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2021-03-14 07:00:00')
+                   THEN -14400000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2020-11-01 06:00:00')
+                   THEN -18000000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2020-03-08 07:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END AS off_us
+          FROM t),
+        b AS (
+          SELECT o_orderkey,
+            epoch_us(date_trunc('day', make_timestamp(ts_us + off_us))) AS l
+          FROM d)
+        SELECT make_timestamp(l -
+            CASE WHEN l >= epoch_us(TIMESTAMP '2021-11-07 01:00:00')
+                   THEN -18000000000
+                 WHEN l >= epoch_us(TIMESTAMP '2021-03-14 03:00:00')
+                   THEN -14400000000
+                 WHEN l >= epoch_us(TIMESTAMP '2020-11-01 01:00:00')
+                   THEN -18000000000
+                 WHEN l >= epoch_us(TIMESTAMP '2020-03-08 03:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END) AS day,
+          COUNT(*) AS doc_count,
+          CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM b GROUP BY 1 ORDER BY doc_count DESC, day
+      """.stripMargin.trim)),
+
+    // function_score `exp` decay (VERDICT r11 #2): score =
+    // 10⁶·decay^(d/scale) in exact ppm via the pinned-IEEE exponential
+    // kernel (range-reduced degree-13 Taylor, 2ⁿ by CASE — never libm
+    // exp). λ = StrictMath.log(decay)/scale is fixed on the driver
+    // (fdlibm, bit-specified) and the ORACLE REPLAYS THE SAME KERNEL
+    // TEXT (generated from the one pinnedExpPpmSql builder, the
+    // shared-implementation gating principle): the hash gate pins
+    // cross-engine bit-identity of the arithmetic; the kernel's
+    // CORRECTNESS vs java.lang.Math.exp is pinned independently by
+    // the PinnedExpSpec property bound (≤ 1 ppm).
+    GraftQuery(
+      "q342_dsl_function_score_exp",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match_all": {}},
+             "functions": [{"exp": {"n_chars": {
+               "origin": 300, "scale": 200, "offset": 10,
+               "decay": 0.5}}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some {
+        val lam = java.lang.Double.toString(StrictMath.log(0.5) / 200.0)
+        val d = "CAST(greatest(abs(CAST(n_chars AS BIGINT) - " +
+          "CAST(300 AS BIGINT)) - CAST(10 AS BIGINT), " +
+          "CAST(0 AS BIGINT)) AS DOUBLE)"
+        val kernel = graft.search.QueryDsl.pinnedExpPpmSql(s"($lam * $d)")
+        s"""
+        SELECT doc_id, n_chars, ($kernel) AS score
+        FROM documents
+        ORDER BY score DESC, doc_id LIMIT 60
+        """.trim
+      }),
+
+    // function_score `gauss` decay (VERDICT r11 #2): score =
+    // 10⁶·decay^((d/scale)²) — the same pinned kernel on λ₂·d², λ₂ =
+    // StrictMath.log(decay)/scale². d² is squared in DOUBLE after the
+    // integer distance (pinned one-multiply), so no Long overflow at
+    // any distance. Same dual gating as q342: hash = determinism,
+    // PinnedExpSpec = accuracy.
+    GraftQuery(
+      "q343_dsl_function_score_gauss",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match_all": {}},
+             "functions": [{"gauss": {"n_chars": {
+               "origin": 250, "scale": 150,
+               "decay": 0.5}}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some {
+        val lam = java.lang.Double.toString(
+          StrictMath.log(0.5) / (150.0 * 150.0))
+        val d = "CAST(greatest(abs(CAST(n_chars AS BIGINT) - " +
+          "CAST(250 AS BIGINT)) - CAST(0 AS BIGINT), " +
+          "CAST(0 AS BIGINT)) AS DOUBLE)"
+        val kernel = graft.search.QueryDsl.pinnedExpPpmSql(s"($lam * ($d * $d))")
+        s"""
+        SELECT doc_id, n_chars, ($kernel) AS score
+        FROM documents
+        ORDER BY score DESC, doc_id LIMIT 60
+        """.trim
+      }),
+
+    // ip_prefix over IPv6 (VERDICT r11 #3): /64 networks with
+    // is_ipv6: true — the field parses through the one shared v6
+    // parser (full + ::-compressed forms; junk, NULL, 7-group and
+    // dotted-suffix forms all NULL out and land in no bucket, the
+    // ip_range dirty-data convention), the mask applies group-wise,
+    // keys render uncompressed-lowercase-hex, numeric (hi, lo) order.
+    // The oracle derives each row's GROUPS from the fixture's own
+    // construction — never re-running the engine's parser — so a
+    // parse/render bug pair cannot cancel (the media-oracle doctrine).
+    GraftQuery(
+      "q344_dsl_ip_prefix_v6",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer").withColumn("ip", expr(
+          """CASE CAST(c_custkey % 8 AS INT)
+             WHEN 0 THEN format_string('2001:db8:%x:%x:0:0:0:%x',
+               c_custkey % 4, c_custkey % 16, c_custkey % 65536)
+             WHEN 1 THEN format_string('2001:db8:%x:%x::%x',
+               c_custkey % 4, c_custkey % 16, c_custkey % 65536)
+             WHEN 2 THEN format_string('fe80::%x', c_custkey % 256)
+             WHEN 3 THEN '::1'
+             WHEN 4 THEN format_string('2001:db8:%x:%x:ffff:ffff:ffff:%x',
+               c_custkey % 4, c_custkey % 16, c_custkey % 65536)
+             WHEN 5 THEN 'junk'
+             WHEN 6 THEN NULL
+             ELSE format_string('1:2:3:4:5:6:%x', c_custkey % 16) END"""))
+        QueryDsl.search(c,
+          """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+               "prefix_length": 64, "is_ipv6": true},
+             "aggs": {"max_key": {"max": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (SELECT c_custkey AS k FROM customer),
+        v AS (
+          SELECT k,
+            CASE CAST(k % 8 AS INT)
+              WHEN 0 THEN [8193, 3512, k % 4, k % 16]
+              WHEN 1 THEN [8193, 3512, k % 4, k % 16]
+              WHEN 2 THEN [65152, 0, 0, 0]
+              WHEN 3 THEN [0, 0, 0, 0]
+              WHEN 4 THEN [8193, 3512, k % 4, k % 16]
+              ELSE NULL END AS net
+          FROM t),
+        g AS (
+          SELECT net[1] AS g0, net[2] AS g1, net[3] AS g2, net[4] AS g3,
+                 COUNT(*) AS doc_count, CAST(MAX(k) AS BIGINT) AS max_key
+          FROM v WHERE net IS NOT NULL GROUP BY 1, 2, 3, 4)
+        SELECT printf('%x:%x:%x:%x:0:0:0:0/64', g0, g1, g2, g3) AS net,
+               doc_count, max_key
+        FROM g
+        ORDER BY (g0 - 32768) * 281474976710656 + g1 * 4294967296
+                   + g2 * 65536 + g3
+      """.stripMargin.trim)),
+
+    // ip_range over IPv6 (VERDICT r11 #3): [from, to) buckets with
+    // ::-compressed bounds parsed ON THE DRIVER to the biased
+    // (hi, lo) long pair; each bucket predicate is a two-column
+    // lexicographic conjunction of plain long comparisons (pushable),
+    // one-pass filtered aggregates as the IPv4 arm. The oracle
+    // recomputes each row's biased pair from the fixture construction
+    // and replays the comparisons against the bounds' literal pairs.
+    GraftQuery(
+      "q345_dsl_ip_range_v6",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer").withColumn("ip", expr(
+          """CASE CAST(c_custkey % 8 AS INT)
+             WHEN 0 THEN format_string('2001:db8:%x:%x:0:0:0:%x',
+               c_custkey % 4, c_custkey % 16, c_custkey % 65536)
+             WHEN 1 THEN format_string('2001:db8:%x:%x::%x',
+               c_custkey % 4, c_custkey % 16, c_custkey % 65536)
+             WHEN 2 THEN format_string('fe80::%x', c_custkey % 256)
+             WHEN 3 THEN '::1'
+             WHEN 4 THEN format_string('2001:db8:%x:%x:ffff:ffff:ffff:%x',
+               c_custkey % 4, c_custkey % 16, c_custkey % 65536)
+             WHEN 5 THEN 'junk'
+             WHEN 6 THEN NULL
+             ELSE format_string('1:2:3:4:5:6:%x', c_custkey % 16) END"""))
+        QueryDsl.search(c,
+          """{"aggs": {"net": {"ip_range": {"field": "ip",
+               "ranges": [{"to": "2001:db8:1::"},
+                          {"from": "2001:db8:1::", "to": "2001:db8:4::"},
+                          {"from": "fe80::"}]},
+             "aggs": {"max_key": {"max": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (SELECT c_custkey AS k FROM customer),
+        v AS (
+          SELECT k,
+            CASE CAST(k % 8 AS INT)
+              WHEN 0 THEN [8193, 3512, k % 4, k % 16, 0, 0, 0, k % 65536]
+              WHEN 1 THEN [8193, 3512, k % 4, k % 16, 0, 0, 0, k % 65536]
+              WHEN 2 THEN [65152, 0, 0, 0, 0, 0, 0, k % 256]
+              WHEN 3 THEN [0, 0, 0, 0, 0, 0, 0, 1]
+              WHEN 4 THEN [8193, 3512, k % 4, k % 16,
+                           65535, 65535, 65535, k % 65536]
+              ELSE NULL END AS gs
+          FROM t),
+        p AS (
+          SELECT k,
+            (gs[1] - 32768) * 281474976710656 + gs[2] * 4294967296
+              + gs[3] * 65536 + gs[4] AS hi,
+            (gs[5] - 32768) * 281474976710656 + gs[6] * 4294967296
+              + gs[7] * 65536 + gs[8] AS lo
+          FROM v WHERE gs IS NOT NULL),
+        bounds AS (
+          SELECT
+            (8193 - 32768) * 281474976710656 + 3512 * 4294967296
+              + 1 * 65536 AS b1hi,
+            (0 - 32768) * 281474976710656 AS zlo,
+            (8193 - 32768) * 281474976710656 + 3512 * 4294967296
+              + 4 * 65536 AS b2hi,
+            (65152 - 32768) * 281474976710656 AS b3hi),
+        b AS (
+          SELECT 0 AS ord, '*-2001:db8:1::' AS net, COUNT(*) AS doc_count,
+                 CAST(MAX(k) AS BIGINT) AS max_key
+          FROM p, bounds
+          WHERE hi < b1hi OR (hi = b1hi AND lo < zlo)
+          UNION ALL
+          SELECT 1, '2001:db8:1::-2001:db8:4::', COUNT(*),
+                 CAST(MAX(k) AS BIGINT)
+          FROM p, bounds
+          WHERE (hi > b1hi OR (hi = b1hi AND lo >= zlo))
+            AND (hi < b2hi OR (hi = b2hi AND lo < zlo))
+          UNION ALL
+          SELECT 2, 'fe80::-*', COUNT(*), CAST(MAX(k) AS BIGINT)
+          FROM p, bounds
+          WHERE hi > b3hi OR (hi = b3hi AND lo >= zlo))
+        SELECT net, doc_count, max_key FROM b ORDER BY ord
       """.stripMargin.trim))
   )
 }

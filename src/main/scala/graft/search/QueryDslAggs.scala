@@ -563,19 +563,44 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
             if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
               fail(s"date_histogram '$name' takes calendar_interval OR fixed_interval")
-            // `time_zone`: a FIXED ±HH:mm offset, or a request-supplied
-            // DST transition TABLE — bucket boundaries align to local
-            // wall time, keys stay UTC (shift → truncate → unshift,
-            // exact microsecond arithmetic; the q208 epoch recipe).
+            // `time_zone`: a FIXED ±HH:mm offset, a request-supplied
+            // DST transition TABLE, or a NAMED IANA zone — bucket
+            // boundaries align to local wall time, keys stay UTC
+            // (shift → truncate → unshift, exact microsecond
+            // arithmetic; the q208 epoch recipe).
             // The table form `{"transitions": [[iso_utc, offset_min],
             // …]}` is a piecewise-constant UTC→local offset function:
             // the LAST entry at-or-before the timestamp applies (the
             // first entry is the base offset, applying to all earlier
-            // times too) — deterministic and oracle-able where a named
-            // IANA zone would need a wall-clock tzdb the oracle can't
-            // replay. Named zone STRINGS still fail loud, never
-            // silently bucket in the wrong zone.
+            // times too). A named zone ("America/New_York") resolves
+            // ON THE DRIVER — JVM tzdb rules expanded over the hit
+            // set's date span ([[zoneTransitionTable]]) — into that
+            // same table, so the compiled request carries literal
+            // transitions an oracle can replay; executors never call
+            // a wall-clock library, and an unknown name fails loud,
+            // never silently buckets in the wrong zone.
+            val TzFixedRe = """([+-])(\d{2}):(\d{2})""".r
             val tzTransUs: Option[Seq[(Long, Long)]] = hm.get("time_zone") match {
+              case Some(JString(tz))
+                  if !TzFixedRe.pattern.matcher(tz).matches() =>
+                val zone = try java.time.ZoneId.of(tz)
+                  catch { case _: java.time.DateTimeException =>
+                    fail(s"date_histogram '$name': time_zone '$tz' is " +
+                      "neither a fixed +HH:mm/-HH:mm offset nor a known " +
+                      "IANA zone id") }
+                val (lo, hi) = hitDateSpan(hits, f) match {
+                  case Some((a, b)) => (a.toInstant(java.time.ZoneOffset.UTC),
+                    b.toInstant(java.time.ZoneOffset.UTC))
+                  // no dated hits: the bucket table is empty whatever
+                  // offsets apply — a single base entry suffices
+                  case None => (java.time.Instant.EPOCH, java.time.Instant.EPOCH)
+                }
+                val tab = zoneTransitionTable(zone, lo, hi)
+                if (tab.size > 200)
+                  fail(s"date_histogram '$name': zone '$tz' has ${tab.size} " +
+                    "transitions over the data span (cap 200) — narrow the " +
+                    "query's date range")
+                Some(tab)
               case Some(JObject(tzParts)) =>
                 val tzm = tzParts.toMap
                 tzm.keySet.diff(Set("transitions")).foreach(k =>
@@ -612,21 +637,19 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
               case _ => None
             }
             val tzOffUs: Long = hm.get("time_zone") match {
-              case None | Some(JObject(_)) => 0L
-              case Some(JString(tz)) =>
-                val TzRe = """([+-])(\d{2}):(\d{2})""".r
-                tz match {
-                  case TzRe(sign, hh, mm) =>
-                    val h2 = hh.toLong; val m2 = mm.toLong
-                    if (h2 > 18 || m2 > 59)
-                      fail(s"date_histogram '$name': time_zone offset '$tz' out of range")
-                    val s2 = (h2 * 3600L + m2 * 60L) * 1000000L
-                    if (sign == "-") -s2 else s2
-                  case _ => fail(s"date_histogram '$name': time_zone must be a " +
-                    s"fixed +HH:mm/-HH:mm offset (named zones are unsupported), got '$tz'")
-                }
+              case Some(JString(TzFixedRe(sign, hh, mm))) =>
+                val h2 = hh.toLong; val m2 = mm.toLong
+                if (h2 > 18 || m2 > 59)
+                  fail(s"date_histogram '$name': time_zone offset " +
+                    s"'$sign$hh:$mm' out of range")
+                val s2 = (h2 * 3600L + m2 * 60L) * 1000000L
+                if (sign == "-") -s2 else s2
+              // named zones and transition tables flow through
+              // tzTransUs above; anything else already failed there
+              case None | Some(JString(_)) | Some(JObject(_)) => 0L
               case Some(other) => fail(s"date_histogram '$name': time_zone must " +
-                s"be a fixed offset string or a transitions object: ${render(other)}")
+                s"be a fixed offset, an IANA zone id, or a transitions " +
+                s"object: ${render(other)}")
             }
             // `offset` shifts every bucket BOUNDARY ("+6h": day
             // buckets run 06:00→06:00 — the fiscal-day knob). The
@@ -750,9 +773,9 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
               if (dmdc == 0) {
                 if (tzTransUs.nonEmpty)
                   fail("date_histogram min_doc_count: 0 does not compose " +
-                    "with a transitions time_zone (bucket keys are not a " +
-                    "constant UTC step across a transition, so the dense " +
-                    "series cannot be generated)")
+                    "with a transitions/named-zone time_zone (bucket keys " +
+                    "are not a constant UTC step across a transition, so " +
+                    "the dense series cannot be generated)")
                 val us = fixedUs.getOrElse(fail("date_histogram " +
                   "min_doc_count: 0 requires fixed_interval (a calendar " +
                   "series has no constant step)"))
@@ -1267,7 +1290,11 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     * (one global aggregate row, never a scan per bucket). Malformed
     * BOUNDS fail loud; malformed field VALUES convert to NULL and land
     * in no bucket (the null-key-omitted convention — data is dirty,
-    * requests are not). IPv6 is out of scope and fails at the bound.
+    * requests are not). A ':' in any bound switches the agg to the
+    * IPv6 arm: bounds parse to the biased (hi, lo) long pair
+    * ([[ipv6BiasedPair]]) and each comparison compiles to a pushable
+    * two-column lexicographic conjunction; mixed-family bounds fail
+    * loud.
     */
   /** Dotted-quad IPv4 string → exact 32-bit integer, NULL on ANY
     * dirt (short split, non-numeric or out-of-range octet — the
@@ -1285,15 +1312,116 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
         octet(3) * lit(256L) + octet(4))
   }
 
+  /** IPv6 text → the 8 16-bit group values as `array<long>`, NULL on
+    * ANY dirt (the null-key-omitted convention shared with
+    * [[ipv4NumCol]]). Full and `::`-compressed forms (RFC 4291 §2.2
+    * forms 1 and 2); the dotted-quad-suffix form 3 ("::ffff:1.2.3.4")
+    * is out of scope and NULLs out like any other dirt — documented.
+    * The parse is pure per-group CASE arithmetic (split, regex
+    * validation, conv hex→int) so it stays codegen'd and an oracle
+    * can replay the same semantics; no InetAddress (which would
+    * accept hostnames and hit the resolver).
+    */
+  private[search] def ipv6GroupValsCol(f: Column): Column = {
+    val s = lower(f)
+    // structure: hex/colon chars only, no ':::', at most one '::'
+    val dcCount = (length(s) - length(regexp_replace(s, "::", ""))) / 2
+    val hasDc = s.contains("::")
+    // sides around the (single) '::'; without one, l is the whole
+    // string and r is empty — the CASEs below unify the two shapes
+    val l = when(hasDc, substring_index(s, "::", 1)).otherwise(s)
+    val r = when(hasDc, substring_index(s, "::", -1)).otherwise(lit(""))
+    val lArr = when(l === "", array().cast("array<string>"))
+      .otherwise(split(l, ":", -1))
+    val rArr = when(r === "", array().cast("array<string>"))
+      .otherwise(split(r, ":", -1))
+    val nl = size(lArr).cast("long")
+    val nr = size(rArr).cast("long")
+    val sizesOk = when(hasDc, nl + nr <= 7L).otherwise(nl === 8L)
+    // group i (0-based): left side, then the elided zeros, then the
+    // right side indexed FROM THE END (i−8 is a negative constant:
+    // group 7 is rArr[-1], group 6 rArr[-2], …) — constant indices
+    // keep the extraction codegen'd; try_ keeps ANSI mode from
+    // aborting on the dirt the validity predicate is about to reject
+    def groupStr(i: Int): Column =
+      when(lit(i.toLong) < nl, try_element_at(lArr, lit(i + 1)))
+        .when(lit(i.toLong) >= lit(8L) - nr, try_element_at(rArr, lit(i - 8)))
+        .otherwise(lit("0"))
+    val hexOk = (0 until 8).map(i =>
+      groupStr(i).rlike("^[0-9a-f]{1,4}$")).reduce(_ && _)
+    val valid = s.rlike("^[0-9a-f:]{2,45}$") &&
+      !s.contains(":::") && dcCount <= 1.0 && sizesOk && hexOk
+    when(valid, array((0 until 8).map(i =>
+      conv(groupStr(i), 16, 10).cast("long")): _*))
+  }
+
+  /** The biased two-long order key of an IPv6 group array: hi/lo =
+    * (g₀−2¹⁵)·2⁴⁸ + g₁·2³² + g₂·2¹⁶ + g₃ (resp. g₄..g₇) — subtracting
+    * the constant 2¹⁵·2⁴⁸ maps the unsigned 64-bit half into signed
+    * Long range MONOTONICALLY, so `(hi, lo)` lexicographic comparison
+    * over signed longs is exactly unsigned 128-bit address order and
+    * both comparisons push into the scan.
+    */
+  private[search] def ipv6Biased(groups: Column): (Column, Column) = {
+    def half(o: Int): Column =
+      (element_at(groups, o + 1) - lit(32768L)) * lit(1L << 48) +
+        element_at(groups, o + 2) * lit(1L << 32) +
+        element_at(groups, o + 3) * lit(1L << 16) +
+        element_at(groups, o + 4)
+    (half(0), half(4))
+  }
+
+  /** Driver-side strict IPv6 bound parse → 8 group values; fails loud
+    * on anything [[ipv6GroupValsCol]] would NULL out (requests are
+    * never dirty — the ip_range bound convention).
+    */
+  private[search] def ipv6Groups(addr: String, ctx: String): Seq[Long] = {
+    val s = addr.toLowerCase
+    def bad(): Nothing =
+      fail(s"$ctx: '$addr' is not a full or ::-compressed IPv6 address")
+    if (!s.matches("^[0-9a-f:]{2,45}$") || s.contains(":::")) bad()
+    val dc = s.sliding(2).count(_ == "::")
+    if (dc > 1) bad()
+    def side(p: String): Seq[String] =
+      if (p.isEmpty) Seq.empty else p.split(":", -1).toSeq
+    val groups: Seq[String] =
+      if (s.contains("::")) {
+        val Array(l, r) = { val i = s.indexOf("::")
+          Array(s.substring(0, i), s.substring(i + 2)) }
+        val (ls, rs) = (side(l), side(r))
+        if (ls.size + rs.size > 7) bad()
+        ls ++ Seq.fill(8 - ls.size - rs.size)("0") ++ rs
+      } else {
+        val g = side(s)
+        if (g.size != 8) bad()
+        g
+      }
+    groups.map { g =>
+      if (!g.matches("^[0-9a-f]{1,4}$")) bad()
+      java.lang.Long.parseLong(g, 16)
+    }
+  }
+
+  private[search] def ipv6BiasedPair(groups: Seq[Long]): (Long, Long) = (
+    (groups(0) - 32768L) * (1L << 48) + (groups(1) << 32) +
+      (groups(2) << 16) + groups(3),
+    (groups(4) - 32768L) * (1L << 48) + (groups(5) << 32) +
+      (groups(6) << 16) + groups(7))
+
   /** `ip_prefix` bucket agg: group addresses by their /N network —
     * one masked-integer groupBy (map-side partial agg), the key
     * rendered as the canonical `a.b.c.d/N` CIDR string (the
     * `append_prefix_length: true` OpenSearch form, the deterministic
-    * one). IPv4 only (`is_ipv6` fails loud); dirty addresses NULL out
-    * and their rows are omitted (the ip_range convention). Output:
-    * (key AS name, doc_count [, sub-metric aggs]), ordered by the
-    * NUMERIC prefix (lexicographic CIDR strings would put "9.x"
-    * after "10.x").
+    * one). With `is_ipv6: true` the field parses through
+    * [[ipv6GroupValsCol]], the mask applies group-wise (bits
+    * clamp(N−16i, 0, 16) per group) and the key renders in the
+    * UNCOMPRESSED lowercase hex form ("2001:db8:0:0:0:0:0:0/64") —
+    * deterministic and engine-portable where RFC 5952 zero
+    * compression is a display concern. Dirty addresses NULL out
+    * and their rows are omitted (the ip_range convention) on both
+    * arms. Output: (key AS name, doc_count [, sub-metric aggs]),
+    * ordered by the NUMERIC prefix (lexicographic CIDR strings would
+    * put "9.x" after "10.x").
     */
   private[search] def ipPrefixAgg(hits: DataFrame, name: String, spec: JValue,
       subAggs: Option[JValue]): DataFrame = {
@@ -1303,34 +1431,64 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     }
     m.keySet.diff(Set("field", "prefix_length", "is_ipv6")).foreach(k =>
       fail(s"unsupported ip_prefix option '$k' in '$name'"))
-    m.get("is_ipv6").foreach {
-      case JBool(false) => ()
-      case _ => fail(s"ip_prefix agg '$name': is_ipv6 true is unsupported " +
-        "(the engine's address model is IPv4)")
+    val v6 = m.get("is_ipv6") match {
+      case None | Some(JBool(false)) => false
+      case Some(JBool(true))         => true
+      case Some(other) =>
+        fail(s"ip_prefix agg '$name': is_ipv6 must be a boolean: ${render(other)}")
     }
     val f = strOpt(m, "field").getOrElse(fail(s"ip_prefix agg '$name' needs a field"))
     val n = intOpt(m, "prefix_length")
       .getOrElse(fail(s"ip_prefix agg '$name' needs a prefix_length"))
-    if (n < 1 || n > 32) fail(s"ip_prefix prefix_length must be 1-32, got $n")
-    val ipNum = ipv4NumCol(col(f))
-    val block = 1L << (32 - n)
-    val net = ipNum - (ipNum % lit(block))
-    val key = concat(
-      shiftright(net, 24).cast("string"), lit("."),
-      (shiftright(net, 16) % 256).cast("string"), lit("."),
-      (shiftright(net, 8) % 256).cast("string"), lit("."),
-      (net % 256).cast("string"), lit(s"/$n"))
+    val maxLen = if (v6) 128 else 32
+    if (n < 1 || n > maxLen)
+      fail(s"ip_prefix prefix_length must be 1-$maxLen, got $n")
     val subs: Seq[Column] = subAggs match {
       case None             => Nil
       case Some(JObject(s)) =>
         s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    hits.filter(ipNum.isNotNull)
-      .groupBy(net.as("__net"), key.as(name))
-      .agg(count(lit(1)).as("doc_count"), subs: _*)
-      .orderBy(col("__net").asc)
-      .drop("__net")
+    if (v6) {
+      // group-wise mask: group i keeps bits = clamp(n − 16i, 0, 16) —
+      // masked = g − g % 2^(16−bits) (bits 0 → g % 2¹⁶ = g → 0, bits
+      // 16 → g % 1 = 0 → g, uniform formula, no branching)
+      val groups = ipv6GroupValsCol(col(f))
+      def masked(i: Int): Column = {
+        val bits = math.max(0, math.min(16, n - 16 * i))
+        element_at(groups, i + 1) -
+          element_at(groups, i + 1) % lit(1L << (16 - bits))
+      }
+      val ms = (0 until 8).map(masked)
+      val key = concat(
+        format_string("%x:%x:%x:%x:%x:%x:%x:%x",
+          ms.head, ms(1), ms(2), ms(3), ms(4), ms(5), ms(6), ms(7)),
+        lit(s"/$n"))
+      val (oHi, oLo) = (
+        (ms.head - lit(32768L)) * lit(1L << 48) + ms(1) * lit(1L << 32) +
+          ms(2) * lit(1L << 16) + ms(3),
+        (ms(4) - lit(32768L)) * lit(1L << 48) + ms(5) * lit(1L << 32) +
+          ms(6) * lit(1L << 16) + ms(7))
+      hits.filter(groups.isNotNull)
+        .groupBy(oHi.as("__hi"), oLo.as("__lo"), key.as(name))
+        .agg(count(lit(1)).as("doc_count"), subs: _*)
+        .orderBy(col("__hi").asc, col("__lo").asc)
+        .drop("__hi", "__lo")
+    } else {
+      val ipNum = ipv4NumCol(col(f))
+      val block = 1L << (32 - n)
+      val net = ipNum - (ipNum % lit(block))
+      val key = concat(
+        shiftright(net, 24).cast("string"), lit("."),
+        (shiftright(net, 16) % 256).cast("string"), lit("."),
+        (shiftright(net, 8) % 256).cast("string"), lit("."),
+        (net % 256).cast("string"), lit(s"/$n"))
+      hits.filter(ipNum.isNotNull)
+        .groupBy(net.as("__net"), key.as(name))
+        .agg(count(lit(1)).as("doc_count"), subs: _*)
+        .orderBy(col("__net").asc)
+        .drop("__net")
+    }
   }
 
   private[search] def ipRangeAgg(hits: DataFrame, name: String, spec: JValue,
@@ -1349,23 +1507,54 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
         fail(s"ip_range agg '$name': '$s' is not a dotted-quad IPv4 address")
       parts.foldLeft(0L)((acc, p) => acc * 256L + p.toLong)
     }
-    val ipNum = ipv4NumCol(col(f))
+    // one ':' in any bound switches the whole agg to the IPv6 arm —
+    // bounds must agree on the family (a mixed request is a user
+    // error, never a silent cross-family comparison)
+    val boundStrs: Seq[String] = m.get("ranges") match {
+      case Some(JArray(rs)) => rs.flatMap {
+        case JObject(bounds) => bounds.collect { case (_, JString(s)) => s }
+        case _               => Nil
+      }
+      case _ => Nil
+    }
+    val v6 = boundStrs.exists(_.contains(":"))
+    if (v6 && !boundStrs.forall(_.contains(":")))
+      fail(s"ip_range agg '$name' mixes IPv4 and IPv6 bounds")
+    lazy val ipNum = ipv4NumCol(col(f))
+    lazy val (ipHi, ipLo) = {
+      val g = ipv6GroupValsCol(col(f))
+      ipv6Biased(g)
+    }
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
         case JObject(bounds) =>
           val bm = bounds.toMap
           bm.keySet.diff(Set("from", "to")).foreach(k =>
             fail(s"unsupported ip_range bound '$k' in agg '$name'"))
-          def bound(k: String): Option[(String, Long)] = bm.get(k).map {
-            case JString(s) => (s, ipToLong(s))
-            case other => fail(s"ip_range $k must be an IPv4 string: ${render(other)}")
+          def boundStr(k: String): Option[String] = bm.get(k).map {
+            case JString(s) => s
+            case other => fail(s"ip_range $k must be an address string: ${render(other)}")
           }
-          val (from, to) = (bound("from"), bound("to"))
+          val (from, to) = (boundStr("from"), boundStr("to"))
           if (from.isEmpty && to.isEmpty)
             fail(s"ip_range agg '$name' has an unbounded range")
-          val conds = from.map { case (_, v) => ipNum >= lit(v) }.toSeq ++
-            to.map { case (_, v) => ipNum < lit(v) }
-          val key = s"${from.map(_._1).getOrElse("*")}-${to.map(_._1).getOrElse("*")}"
+          val conds: Seq[Column] =
+            if (v6) {
+              // two-column lexicographic conjunction over the biased
+              // (hi, lo) pair — both legs are plain long comparisons,
+              // pushable like any scan predicate
+              def cmp(s: String, lt: Boolean): Column = {
+                val (h, l2) = ipv6BiasedPair(
+                  ipv6Groups(s, s"ip_range agg '$name' bound"))
+                if (lt) ipHi < lit(h) || (ipHi === lit(h) && ipLo < lit(l2))
+                else ipHi > lit(h) || (ipHi === lit(h) && ipLo >= lit(l2))
+              }
+              from.map(s => cmp(s, lt = false)).toSeq ++
+                to.map(s => cmp(s, lt = true))
+            } else
+              from.map(s => ipNum >= lit(ipToLong(s))).toSeq ++
+                to.map(s => ipNum < lit(ipToLong(s)))
+          val key = s"${from.getOrElse("*")}-${to.getOrElse("*")}"
           (conds.reduce(_ && _), key)
         case other => fail(s"ip_range agg '$name' ranges must be objects: ${render(other)}")
       }
@@ -2589,6 +2778,58 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       .mkString(";")
   }
 
+  /** Min/max of a date field over the hit set — ONE column-pruned,
+    * filter-pushed aggregate, cached per (hit-plan, field, source
+    * freshness) in [[dateSpanCache]]. None = the hit set has no
+    * non-NULL value. Shared by `auto_date_histogram` (interval
+    * auto-sizing) and the named-`time_zone` resolution (bounding the
+    * tzdb transition window), so the two derive the span identically
+    * and a repeated request pays zero extra Spark work.
+    */
+  private[search] def hitDateSpan(hits: DataFrame, f: String)
+      : Option[(java.time.LocalDateTime, java.time.LocalDateTime)] = {
+    val dated = hits.filter(col(f).isNotNull)
+    val key =
+      s"${dated.queryExecution.analyzed.semanticHash()}#$f|${planFreshness(dated)}"
+    dateSpanCache.computeIfAbsent(key, _ => {
+      val r = dated.agg(min(col(f)), max(col(f))).head()
+      if (r.isNullAt(0)) None
+      else Some((
+        r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime,
+        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
+    })
+  }
+
+  /** Expand a named IANA zone's rules (the JVM tzdb) into the SAME
+    * `[(utc_instant_us, offset_us)]` piecewise-constant table the
+    * request-supplied `{"transitions": ...}` form serves — the named
+    * zone becomes literals the compiled request (and therefore an
+    * oracle) can replay, instead of a wall-clock library call the
+    * executors would have to trust. The window is the hit span padded
+    * 400 days DOWN (a calendar-year truncation can reach ~366 days
+    * before the earliest hit, and its boundary needs the offset in
+    * force back then) and 1 day up; the base entry carries the offset
+    * in force at the window start, covering all earlier times — the
+    * identical lookup rule to the table form.
+    */
+  private[search] def zoneTransitionTable(zone: java.time.ZoneId,
+      lo: java.time.Instant, hi: java.time.Instant): Seq[(Long, Long)] = {
+    val rules = zone.getRules
+    def us(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val base = lo.minus(java.time.Duration.ofDays(400))
+    val stop = hi.plus(java.time.Duration.ofDays(1))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    buf += ((us(base), rules.getOffset(base).getTotalSeconds * 1000000L))
+    var tr = rules.nextTransition(base)
+    while (tr != null && !tr.getInstant.isAfter(stop)) {
+      buf += ((us(tr.getInstant),
+        tr.getOffsetAfter.getTotalSeconds.toLong * 1000000L))
+      tr = rules.nextTransition(tr.getInstant)
+    }
+    buf.toSeq
+  }
+
   /** `auto_date_histogram`: the FINEST calendar interval (day →
     * month → year) whose bucket span stays within `buckets` — the
     * OpenSearch auto-sizing rule made deterministic. The span is the
@@ -2631,15 +2872,7 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     // skip them, so without this filter the output could carry a NULL
     // bucket the unit choice never counted, exceeding the requested cap
     val dated = hits.filter(col(f).isNotNull)
-    val key =
-      s"${dated.queryExecution.analyzed.semanticHash()}#$f|${planFreshness(dated)}"
-    val span = dateSpanCache.computeIfAbsent(key, _ => {
-      val r = dated.agg(min(col(f)), max(col(f))).head()
-      if (r.isNullAt(0)) None
-      else Some((
-        r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime,
-        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
-    })
+    val span = hitDateSpan(hits, f)
     import java.time.temporal.ChronoUnit
     val unit = span match {
       case None => "day" // all-NULL column: the bucket table is empty anyway

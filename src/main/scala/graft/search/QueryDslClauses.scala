@@ -1740,9 +1740,12 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     *   - `linear` decay — max(0, 1 − dist/σ) in exact ppm, σ =
     *     floor(scale·10⁶/(10⁶−decay_ppm)) fixed on the driver, dist =
     *     max(0, |v − origin| − offset); missing fields score the
-    *     neutral 10⁶ (the OpenSearch missing-field decay rule).
-    *     `gauss`/`exp` fail loud (libm exp() drift) — `linear` is the
-    *     exact member, `distance_feature` the exact reciprocal one.
+    *     neutral 10⁶ (the OpenSearch missing-field decay rule);
+    *   - `gauss`/`exp` decay — 10⁶·decay^((d/scale)²) resp.
+    *     10⁶·decay^(d/scale) in ppm via the pinned-IEEE exponential
+    *     kernel [[pinnedExpPpmSql]] (range-reduced Taylor, never libm
+    *     exp, bit-identical cross-engine; λ fixed on the driver with
+    *     StrictMath.log).
     * `weight` multiplies the entry's value in all forms. `score_mode`
     * combines matched values (sum | max | min | multiply — min takes
     * the least over MATCHED entries only via NULL-skipping least();
@@ -1772,11 +1775,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             fm.keySet.diff(Set("filter", "weight", "field_value_factor",
               "random_score", "linear", "gauss", "exp", "script_score"))
               .foreach(k => fail(s"unsupported function option '$k'"))
-            Seq("gauss", "exp").filter(fm.contains).foreach(k =>
-              fail(s"'$k' decay is unsupported: libm exp() is not " +
-                "bit-portable across engines (the exact scoring model) - " +
-                "use 'linear' (exact rational decay) or the " +
-                "distance_feature query (exact reciprocal decay)"))
             val filt = fm.get("filter").map(compileQuery)
               .getOrElse(CompiledQuery(lit(true), lit(0L)))
             val w = fm.get("weight") match {
@@ -1786,11 +1784,11 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
                 fail(s"function weight must be an integer (exact scoring): ${render(other)}")
             }
             val valued = Seq("field_value_factor", "random_score", "linear",
-              "script_score").filter(fm.contains)
+              "gauss", "exp", "script_score").filter(fm.contains)
             if (valued.size > 1)
               fail("a function entry takes at most one of " +
-                s"field_value_factor/random_score/linear/script_score, " +
-                s"got ${valued.mkString(", ")}")
+                s"field_value_factor/random_score/linear/gauss/exp/" +
+                s"script_score, got ${valued.mkString(", ")}")
             valued.headOption match {
               case None =>
                 (filt.pred, lit(w), false)
@@ -1800,6 +1798,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
                 (filt.pred, randomScorePpm(fm("random_score")) * lit(w), true)
               case Some("linear") =>
                 (filt.pred, linearDecayPpm(fm("linear")) * lit(w), true)
+              case Some(k @ ("gauss" | "exp")) =>
+                (filt.pred, expDecayPpm(k, fm(k)) * lit(w), true)
               // the script_score FUNCTION: a computed unit-scale value
               // through the shared ScoreScript compiler; `_score`
               // references fail loud — inside function_score the
@@ -2059,6 +2059,104 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     case JObject(fields) if fields.size != 1 =>
       fail("linear decay takes exactly one field")
     case other => fail(s"linear decay requires {field: {origin, scale, " +
+      s"offset?, decay?}}: ${render(other)}")
+  }
+
+  /** The pinned-IEEE exponential kernel shared by `exp`/`gauss` decay
+    * (the haversine/q125 doctrine applied to exp): libm exp() is not
+    * bit-portable across engines, so the engine NEVER calls it — it
+    * evaluates a fixed expression of IEEE +,−,×,÷, floor and CASE,
+    * which every IEEE-754 engine computes bit-identically, so a DuckDB
+    * oracle replays the arithmetic term for term.
+    *
+    * For x ≤ 0 (decay exponents are never positive):
+    *   - x < −14 → 0 (exp(−14)·10⁶ < 1, the ppm floor);
+    *   - range-reduce: n = floor(x/ln2) ∈ [−21, 0], r = x − n·ln2 ∈
+    *     [0, ln2);
+    *   - exp(r) by a degree-13 Taylor polynomial in pinned Horner
+    *     order (truncation < 7e−14 relative, far under the ppm floor);
+    *   - 2ⁿ via a 22-branch CASE of exact power-of-two literals (never
+    *     libm pow);
+    *   - result: floor(10⁶ · 2ⁿ · poly(r)) — exact ppm.
+    * ln2 and the 1/k! coefficients are round-trip double literals —
+    * both engines parse them to identical bits. Accuracy vs
+    * java.lang.Math.exp is property-spec'd (≤ 1e−11 relative).
+    */
+  private[graft] def pinnedExpPpmSql(xSql: String): String = {
+    val ln2 = "0.6931471805599453"
+    // 1/k! for k = 3..13 as JVM shortest round-trip literals
+    val coef = Seq(
+      "0.16666666666666666", "0.041666666666666664",
+      "0.008333333333333333", "0.001388888888888889",
+      "1.984126984126984E-4", "2.48015873015873E-5",
+      "2.755731922398589E-6", "2.755731922398589E-7",
+      "2.505210838544172E-8", "2.08767569878681E-9",
+      "1.6059043836821613E-10")
+    val nSql = s"CAST(floor(($xSql) / $ln2) AS INT)"
+    val rSql = s"(($xSql) - CAST($nSql AS DOUBLE) * $ln2)"
+    // Horner, innermost first: ((C13·r + C12)·r + ... + 0.5)·r² ... —
+    // written as 1 + r·(1 + r·(0.5 + r·(C3 + ...))) with explicit
+    // parentheses so both engines build the identical op tree
+    val poly = coef.reverse.foldLeft("0.0") {
+      case (acc, c) => s"($c + ($rSql) * $acc)"
+    }
+    val polySql = s"(1.0 + ($rSql) * (1.0 + ($rSql) * (0.5 + ($rSql) * $poly)))"
+    val twoN = (0 to 21).map { k =>
+      val v = java.lang.Double.toString(java.lang.Math.scalb(1.0, -k))
+      s"WHEN ${-k} THEN $v"
+    }.mkString(" ")
+    s"""CASE WHEN ($xSql) < -14.0 THEN CAST(0 AS BIGINT)
+       |ELSE CAST(floor(1000000.0 *
+       |  ((CASE $nSql $twoN END) * $polySql)) AS BIGINT) END""".stripMargin
+  }
+
+  /** `exp`/`gauss` decay in exact ppm through [[pinnedExpPpmSql]].
+    * exp: 10⁶·decay^(d/scale) = 10⁶·exp(λ·d), λ = ln(decay)/scale;
+    * gauss: 10⁶·decay^((d/scale)²) = 10⁶·exp(λ₂·d²), λ₂ =
+    * ln(decay)/scale². d = max(0, |v − origin| − offset) as in
+    * `linear`. λ is fixed ON THE DRIVER with StrictMath.log — fdlibm,
+    * bit-specified by the JVM spec, so the compiled constant is
+    * reproducible — and embedded as a round-trip literal the oracle
+    * replays. Missing fields score the neutral 10⁶ (the OpenSearch
+    * missing-field decay rule). Values below 1 ppm floor to 0 (the
+    * exact model's underflow, documented).
+    */
+  private[search] def expDecayPpm(kind: String, body: JValue): Column = body match {
+    case JObject(List((f, JObject(parts)))) =>
+      val m = parts.toMap
+      m.keySet.diff(Set("origin", "scale", "offset", "decay")).foreach(k =>
+        fail(s"unsupported $kind decay option '$k'"))
+      def longOf(k: String, default: Option[Long]): Long = m.get(k) match {
+        case Some(JInt(i)) => i.toLong
+        case None => default.getOrElse(
+          fail(s"$kind decay on '$f' requires an integer '$k'"))
+        case Some(other) => fail(s"$kind decay '$k' must be an integer " +
+          s"(exact scoring model): ${render(other)}")
+      }
+      val origin = longOf("origin", None)
+      val scale = longOf("scale", None)
+      if (scale <= 0L) fail(s"$kind decay scale must be positive")
+      val offset = longOf("offset", Some(0L))
+      if (offset < 0L) fail(s"$kind decay offset must be >= 0")
+      val decayPpm = ppmOf(m, "decay", 500000L)
+      if (decayPpm <= 0L || decayPpm >= 1000000L)
+        fail(s"$kind decay must be a fraction strictly inside (0, 1)")
+      val lnDecay = StrictMath.log(decayPpm.toDouble / 1000000.0)
+      val lambda =
+        if (kind == "exp") lnDecay / scale.toDouble
+        else lnDecay / (scale.toDouble * scale.toDouble)
+      val lamLit = java.lang.Double.toString(lambda)
+      val dSql = s"CAST(greatest(abs(CAST(`$f` AS BIGINT) - " +
+        s"CAST($origin AS BIGINT)) - CAST($offset AS BIGINT), " +
+        s"CAST(0 AS BIGINT)) AS DOUBLE)"
+      val xSql =
+        if (kind == "exp") s"($lamLit * $dSql)"
+        else s"($lamLit * ($dSql * $dSql))"
+      expr(s"coalesce(CASE WHEN `$f` IS NULL THEN CAST(NULL AS BIGINT) " +
+        s"ELSE ${pinnedExpPpmSql(xSql)} END, CAST(1000000 AS BIGINT))")
+    case JObject(fields) if fields.size != 1 =>
+      fail(s"$kind decay takes exactly one field")
+    case other => fail(s"$kind decay requires {field: {origin, scale, " +
       s"offset?, decay?}}: ${render(other)}")
   }
 

@@ -1067,9 +1067,12 @@ class QueryDslSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](QueryDsl.search(t, json))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
+    // gauss decay is ppm-scaled like linear (served by the pinned
+    // exp kernel — semantics spec'd in PinnedExpSpec); here just pin
+    // that it rides the same ppm-mixing rails
     bad("""{"query": {"function_score": {"query": {"match_all": {}},
-      "functions": [{"gauss": {"n": {"origin": 0, "scale": 10}}}]}}}""",
-      "'gauss' decay is unsupported")
+      "functions": [{"gauss": {"n": {"origin": 0, "scale": 10}}},
+        {"weight": 2}]}}}""", "cannot mix ppm-scaled functions")
     bad("""{"query": {"function_score": {"query": {"match_all": {}},
       "functions": [{"field_value_factor": {"field": "n", "modifier": "log1p"}}]}}}""",
       "log family is not bit-portable")
@@ -2890,7 +2893,7 @@ class QueryDslSpec extends SparkSpec {
     def dh(tzJson: String, extra: String = ""): String =
       s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
           "calendar_interval": "day", "time_zone": $tzJson$extra}}}}"""
-    bad(dh("\"Europe/Berlin\""), "named zones are unsupported")
+    bad(dh("\"Europe/Nowhere\""), "nor a known IANA zone id")
     bad(dh("""{"transitions": []}"""), "non-empty transitions array")
     bad(dh("""{"transitions": [["2021-06-10T01:00:00", 60],
           ["2021-06-01T00:00:00", 120]]}"""), "strictly ascending")
@@ -2899,11 +2902,61 @@ class QueryDslSpec extends SparkSpec {
     bad(dh("""{"transitions": [["2021-06-01T00:00:00", 2000]]}"""),
       "out of range")
     bad(dh("""{"rules": "x"}"""), "unsupported time_zone option")
-    bad(dh("42"), "fixed offset string or a transitions object")
+    bad(dh("42"), "fixed offset, an IANA zone id, or a transitions object")
     bad(s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
         "fixed_interval": "1d", "min_doc_count": 0,
         "time_zone": $tz}}}}""",
-      "does not compose with a transitions time_zone")
+      "does not compose with a transitions/named-zone time_zone")
+  }
+
+  test("date_histogram named IANA time_zone resolves to the JVM rules") {
+    import spark.implicits._
+    // zoneTransitionTable pins to the tzdb directly: Europe/Berlin
+    // over [2021-06-01Z, 2021-12-31Z] — base at lo-400d (2020-04-27,
+    // CEST +2h) then the real transitions, each as literal micros
+    def us(epochSec: Long) = epochSec * 1000000L
+    val tab = QueryDsl.zoneTransitionTable(
+      java.time.ZoneId.of("Europe/Berlin"),
+      java.time.Instant.ofEpochSecond(1622505600L),  // 2021-06-01T00:00Z
+      java.time.Instant.ofEpochSecond(1640908800L))  // 2021-12-31T00:00Z
+    assert(tab === Seq(
+      (us(1587945600L), 7200000000L),  // base 2020-04-27T00:00Z, CEST
+      (us(1603587600L), 3600000000L),  // 2020-10-25T01:00Z -> CET
+      (us(1616893200L), 7200000000L),  // 2021-03-28T01:00Z -> CEST
+      (us(1635642000L), 3600000000L))) // 2021-10-31T01:00Z -> CET
+    // a fixed-offset "zone" has no transitions: single base entry
+    val fixedTab = QueryDsl.zoneTransitionTable(
+      java.time.ZoneId.of("UTC"),
+      java.time.Instant.ofEpochSecond(1622505600L),
+      java.time.Instant.ofEpochSecond(1640908800L))
+    assert(fixedTab === Seq((us(1587945600L), 0L)))
+    // end-to-end: the named zone buckets EXACTLY like the equivalent
+    // hand-written transition table — the spring-forward local day
+    // (Berlin, 2021-03-28) is ONE bucket keyed at pre-switch local
+    // midnight, the next day's key uses the post-switch offset
+    val t = Seq(
+      "2021-03-27 12:00:00", // +60: local 13:00 — day Mar 27
+      "2021-03-28 00:30:00", // +60 pre-switch: local 01:30 — Mar 28
+      "2021-03-28 01:30:00", // +120: local 03:30 — SAME day Mar 28
+      "2021-03-28 22:30:00"  // +120: local Mar 29 00:30 — Mar 29
+    ).zipWithIndex.map { case (s0, i) => (i.toLong, s0) }.toDF("id", "ts0")
+      .select(col("id"), to_timestamp(col("ts0")).as("ts"))
+    val got = QueryDsl.search(t,
+      """{"aggs": {"day": {"date_histogram": {"field": "ts",
+          "calendar_interval": "day", "time_zone": "Europe/Berlin"}}}}""")
+      .orderBy("day").as[(java.sql.Timestamp, Long)].collect().toSeq
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    assert(got === Seq(
+      (ts("2021-03-26 23:00:00"), 1L),
+      (ts("2021-03-27 23:00:00"), 2L),
+      (ts("2021-03-28 22:00:00"), 1L)))
+    // named zone + min_doc_count: 0 stays fail-loud (bucket keys are
+    // not a constant UTC step across a DST transition)
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+          "fixed_interval": "1d", "min_doc_count": 0,
+          "time_zone": "Europe/Berlin"}}}}"""))
+    assert(e.getMessage.contains("does not compose with a transitions/named-zone"))
   }
 
   test("sort missing and mode options reshape the sort key") {
@@ -5412,9 +5465,15 @@ class QueryDslSpec extends SparkSpec {
       .select(date_format(col("d"), "yyyy-MM-dd HH:mm:ss")).as[String]
       .collect().toSeq
     assert(tzf === Seq("2024-01-10 06:30:00", "2024-01-10 18:30:00"))
-    bad(ev, """{"aggs": {"d": {"date_histogram": {"field": "ts",
-         "calendar_interval": "day", "time_zone": "America/New_York"}}}}""",
-      "named zones are unsupported")
+    // a named zone in a transition-free window behaves exactly like
+    // its fixed offset: Jan 2024 New York is EST (-05:00), both rows
+    // are the same local day, key = local midnight = 05:00 UTC
+    val tzn = QueryDsl.search(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+           "calendar_interval": "day", "time_zone": "America/New_York"}}}}""")
+      .select(date_format(col("d"), "yyyy-MM-dd HH:mm:ss"), col("doc_count"))
+      .as[(String, Long)].collect().toSeq
+    assert(tzn === Seq(("2024-01-10 05:00:00", 2L)))
     bad(ev, """{"aggs": {"d": {"date_histogram": {"field": "ts",
          "calendar_interval": "day", "time_zone": "+19:00"}}}}""",
       "out of range")
