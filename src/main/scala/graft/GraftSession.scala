@@ -22,6 +22,17 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Spark 4.1's union-partitioning propagation
+      // (spark.sql.unionOutputPartitioning) claims the FIRST child's
+      // HashPartitioning (numPartitions=N) for a union that actually
+      // CONCATENATES children (2N partitions): a downstream
+      // co-partitioned join then zips unequal RDDs ("Can't zip RDDs
+      // with unequal numbers of partitions", reproduced by chaining
+      // CdcMerge.applyBatch — BulkBodySpec pins the regression) or,
+      // worse, a per-key window could crown two winners. Disabled:
+      // unions report UnknownPartitioning and consumers exchange
+      // properly, the pre-4.1 semantics.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -57,6 +57,11 @@ object CdcMerge {
     // redelivered across batches (identical event, either row is right)
     val w = Window.partitionBy(col("_doc_id"))
       .orderBy(col("_seq").desc, col("_deleted").desc)
+    // NOTE: the per-key window over this union REQUIRES an exchange —
+    // Spark 4.1's union-partitioning propagation would skip it (and
+    // mis-claim the partition count downstream); the engine disables
+    // spark.sql.unionOutputPartitioning session-wide (GraftSession),
+    // and BulkBodySpec pins the chained-applyBatch regression.
     val winners = prior.unionByName(b, allowMissingColumns = true)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

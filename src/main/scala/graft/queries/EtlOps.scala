@@ -324,6 +324,53 @@ object EtlOps {
         FROM activity a JOIN cohort c ON a.user_id = c.user_id
         WHERE a.week >= c.cohort_week
         GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+      """.stripMargin.trim)),
+
+    // _bulk partial-document `update` (VERDICT r11 #4, the action
+    // surface of custom_resource.py:350-351): updates resolve ON THE
+    // DRIVER against current state (a bounded touched-key point read —
+    // bulk bodies are request-sized by protocol) into whole-document
+    // upserts at their own _seq, folded in body order (the update of
+    // id 5 sees the index of id 5 earlier in the SAME body), then the
+    // ONE whole-document LWW merge applies unchanged. The oracle
+    // replays the net effect of the body column-for-column:
+    // coalesce(new, old) per touched column, delete drops the row.
+    GraftQuery(
+      "q54_bulk_update_merge",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 40)
+        val state0 = d.select(col("doc_id").as("_doc_id"),
+          lit(0L).as("_seq"), lit(false).as("_deleted"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+        val body =
+          """{"update": {"_id": 3}}
+            |{"doc": {"lang": "xx"}}
+            |{"update": {"_id": 7}}
+            |{"doc": {"n_chars": 7777}}
+            |{"index": {"_id": 5}}
+            |{"lang": "zz", "n_chars": 5}
+            |{"update": {"_id": 5}}
+            |{"doc": {"lang": "zz2"}}
+            |{"delete": {"_id": 9}}
+            |{"update": {"_id": 3}}
+            |{"doc": {"n_chars": 333}}
+            |""".stripMargin
+        val st = graft.etl.BulkBody.applyBulk(s, state0, body, startSeq = 100L)
+        graft.etl.CdcMerge.snapshot(st)
+          .select(col("_doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("_doc_id"))
+      },
+      Some("""
+        SELECT doc_id AS _doc_id,
+               CASE WHEN doc_id = 3 THEN 'xx'
+                    WHEN doc_id = 5 THEN 'zz2'
+                    ELSE lang END AS lang,
+               CAST(CASE WHEN doc_id = 3 THEN 333
+                         WHEN doc_id = 5 THEN 5
+                         WHEN doc_id = 7 THEN 7777
+                         ELSE n_chars END AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id < 40 AND doc_id <> 9
+        ORDER BY _doc_id
       """.stripMargin.trim))
   )
 }

@@ -18,6 +18,10 @@ object SparkSpec {
       .appName("graft-test")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      // same rationale as GraftSession: Spark 4.1's union-partitioning
+      // propagation mis-claims partition counts (see BulkBodySpec's
+      // chained-applyBatch regression pin)
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

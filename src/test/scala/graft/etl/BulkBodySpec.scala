@@ -41,6 +41,74 @@ class BulkBodySpec extends SparkSpec {
     assert(live2 === Set((1L, "first-v2"), (2L, "re")))
   }
 
+  test("bulk update resolves read-modify-write through the LWW merge") {
+    // base state: two documents
+    val state0 = CdcMerge.initialState(BulkBody.parse(spark,
+      """{"index": {"_id": 1}}
+        |{"title": "one", "n": 10}
+        |{"index": {"_id": 2}}
+        |{"title": "two", "n": 20}
+        |""".stripMargin))
+    val body =
+      """{"update": {"_id": 1}}
+        |{"doc": {"n": 99}}
+        |{"index": {"_id": 3}}
+        |{"title": "three", "n": 30}
+        |{"update": {"_id": 3}}
+        |{"doc": {"title": "three-v2"}}
+        |{"delete": {"_id": 2}}
+        |""".stripMargin
+    val st1 = BulkBody.applyBulk(spark, state0, body, startSeq = 100L)
+    def snap(st: org.apache.spark.sql.DataFrame) =
+      CdcMerge.snapshot(st).select("_doc_id", "title", "n")
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    // update 1 kept title, replaced n; update 3 saw the SAME-BODY
+    // index of 3; delete 2 dropped the row
+    assert(snap(st1) === Seq((1L, "one", 99L), (3L, "three-v2", 30L)))
+    // replay idempotence: the same body re-applied re-reads the
+    // merged state and re-derives identical documents
+    val st2 = BulkBody.applyBulk(spark, st1, body, startSeq = 100L)
+    assert(snap(st2) === snap(st1))
+    // a newer interleaved write still wins over a replayed update
+    val st3 = BulkBody.applyBulk(spark, st1,
+      """{"index": {"_id": 1}}
+        |{"title": "newer", "n": 1}
+        |""".stripMargin, startSeq = 200L)
+    val st4 = BulkBody.applyBulk(spark, st3, body, startSeq = 100L)
+    assert(snap(st4).filter(_._1 == 1L) === Seq((1L, "newer", 1L)))
+  }
+
+  test("bulk update fail-loud: missing doc, deleted doc, null field, script form") {
+    val state0 = CdcMerge.initialState(BulkBody.parse(spark,
+      """{"index": {"_id": 1}}
+        |{"title": "one", "n": 10}
+        |""".stripMargin))
+    def bad(body: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        BulkBody.applyBulk(spark, state0, body, startSeq = 50L))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"update": {"_id": 7}}
+          |{"doc": {"n": 1}}""".stripMargin, "missing or deleted document")
+    // a delete earlier in the SAME body tombstones the target
+    bad("""{"delete": {"_id": 1}}
+          |{"update": {"_id": 1}}
+          |{"doc": {"n": 1}}""".stripMargin, "missing or deleted document")
+    bad("""{"update": {"_id": 1}}
+          |{"doc": {"n": null}}""".stripMargin, "cannot distinguish absent from null")
+    bad("""{"update": {"_id": 1}}
+          |{"script": {"source": "ctx._source.n += 1"}}""".stripMargin,
+      "unsupported _bulk update body option 'script'")
+    bad("""{"update": {"_id": 1}}
+          |{"doc": {}}""".stripMargin, "update doc is empty")
+    bad("""{"update": {"_id": 1}}""".stripMargin, "has no source line")
+    // the state-free parse still rejects update
+    val e = intercept[IllegalArgumentException](BulkBody.parse(spark,
+      """{"update": {"_id": 1}}
+        |{"doc": {"n": 1}}""".stripMargin))
+    assert(e.getMessage.contains("applyBulk"))
+  }
+
   test("bulk body fail-loud contract") {
     def bad(body: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](BulkBody.parse(spark, body))
