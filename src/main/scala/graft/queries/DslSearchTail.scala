@@ -2320,6 +2320,141 @@ object DslSearchTail {
           FROM p, bounds
           WHERE hi > b3hi OR (hi = b3hi AND lo >= zlo))
         SELECT net, doc_count, max_key FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // doc-side POLYGON geo_shape (VERDICT r11 #5): documents carry an
+    // open ring array (array<struct<lat,lon>>), queried with
+    // intersects vs an inline envelope — the crossing walk lifted to
+    // higher-order functions over the row's ring (vertex-in-box ∨
+    // box-corner-in-polygon even-odd walk ∨ edge-crosses-box), all
+    // scan-stage map-only. Fixture: diamonds (rotated squares — every
+    // edge diagonal, so the walk is genuinely exercised) centered on
+    // a milli-degree grid with integer radii; dirty rows (NULL ring,
+    // 2-vertex ring) drop. The oracle derives truth from the
+    // CONSTRUCTION: a diamond is the L1 ball, so intersects(box) ⟺
+    // L1 distance from center to the box-clamped point ≤ r — never
+    // re-running the engine's walk (the media-oracle doctrine). Box
+    // bounds carry a 4th decimal so no fixture vertex lands exactly
+    // on the boundary (the q330 measure-zero rule).
+    GraftQuery(
+      "q347_dsl_geo_shape_doc_polygon",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000 - 80"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000 - 170"))
+          .withColumn("r", expr("CAST(1 + c_custkey % 10 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               WHEN c_custkey % 13 = 0
+                 THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                            struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+               ELSE array(struct(cx + r AS lat, cy AS lon),
+                          struct(cx AS lat, cy + r AS lon),
+                          struct(cx - r AS lat, cy AS lon),
+                          struct(cx AS lat, cy - r AS lon)) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-60.0007, 40.0003], [20.0009, -35.0001]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 150,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000 - 80 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000 - 170 AS cy,
+                 CAST(1 + c_custkey % 10 AS DOUBLE) AS r
+          FROM customer
+          WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0)
+        SELECT c_custkey FROM t
+        WHERE abs(cx - greatest(-35.0001, least(40.0003, cx)))
+            + abs(cy - greatest(-60.0007, least(20.0009, cy))) <= r
+        ORDER BY c_custkey
+        LIMIT 150
+      """.stripMargin.trim)),
+
+    // multi-level nested, the FLAT two-hop path (VERDICT r11 #7):
+    // orders ⊃ items ⊃ subs synthesized in-query; path "items.subs"
+    // probes the flattened inner elements of every outer element
+    // (NULL-safe flatten), score_mode sum counts matching SUBS. The
+    // oracle derives the count from the generator arithmetic — for
+    // order o, items i ∈ [0, o%3], subs j ∈ [0, (o+i)%4], qty =
+    // (o%50)·10 + j — never re-running the engine's HOF walk.
+    GraftQuery(
+      "q348_dsl_nested_two_hop",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders").withColumn("items", expr(
+          """transform(sequence(0, CAST(o_orderkey % 3 AS INT)), i -> struct(
+               CAST(i AS BIGINT) AS slot,
+               CASE WHEN i = 2 THEN CAST(NULL AS ARRAY<STRUCT<qty: BIGINT, idx: BIGINT>>)
+                    ELSE transform(sequence(0, CAST((o_orderkey + i) % 4 AS INT)),
+                      j -> struct(CAST((o_orderkey % 50) * 10 + j AS BIGINT) AS qty,
+                                  CAST(j AS BIGINT) AS idx)) END AS subs))"""))
+        QueryDsl.search(o,
+          """{"query": {"nested": {"path": "items.subs",
+               "query": {"range": {"items.subs.qty": {"gte": 312}}}}},
+             "sort": [{"_score": "desc"}, "o_orderkey"], "size": 80,
+             "_source": ["o_orderkey", "score"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+            CAST(list_sum(list_transform(range(0, CAST(o_orderkey % 3 AS INT) + 1),
+              i -> CASE WHEN i = 2 THEN 0 ELSE
+                list_sum(list_transform(range(0, CAST((o_orderkey + i) % 4 AS INT) + 1),
+                  j -> CASE WHEN (o_orderkey % 50) * 10 + j >= 312
+                       THEN 1 ELSE 0 END)) END)) AS BIGINT) AS score
+          FROM orders)
+        SELECT o_orderkey, score FROM t WHERE score >= 1
+        ORDER BY score DESC, o_orderkey LIMIT 80
+      """.stripMargin.trim)),
+
+    // multi-level nested, the COMPOSED form (VERDICT r11 #7 +
+    // inner_hits anchor): a nested clause INSIDE a nested query whose
+    // path extends the enclosing one by one hop — the same-OUTER-
+    // element constraint ("an items element with slot >= 1 AND one of
+    // ITS OWN subs with qty >= 310") a flat two-hop path cannot
+    // express. Score = matching OUTER elements. Same construction-
+    // derived oracle.
+    GraftQuery(
+      "q349_dsl_nested_composed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders").withColumn("items", expr(
+          """transform(sequence(0, CAST(o_orderkey % 3 AS INT)), i -> struct(
+               CAST(i AS BIGINT) AS slot,
+               transform(sequence(0, CAST((o_orderkey + i) % 4 AS INT)),
+                 j -> struct(CAST((o_orderkey % 50) * 10 + j AS BIGINT) AS qty,
+                             CAST(j AS BIGINT) AS idx)) AS subs))"""))
+        QueryDsl.search(o,
+          """{"query": {"nested": {"path": "items",
+               "query": {"bool": {"must": [
+                 {"range": {"items.slot": {"gte": 1}}},
+                 {"nested": {"path": "items.subs",
+                   "query": {"range": {"items.subs.qty": {"gte": 312}}}}}]}}}},
+             "sort": [{"_score": "desc"}, "o_orderkey"], "size": 80,
+             "_source": ["o_orderkey", "score"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+            CAST(list_sum(list_transform(range(0, CAST(o_orderkey % 3 AS INT) + 1),
+              i -> CASE WHEN i >= 1 AND
+                list_sum(list_transform(range(0, CAST((o_orderkey + i) % 4 AS INT) + 1),
+                  j -> CASE WHEN (o_orderkey % 50) * 10 + j >= 312
+                       THEN 1 ELSE 0 END)) >= 1
+              THEN 1 ELSE 0 END)) AS BIGINT) AS score
+          FROM orders)
+        SELECT o_orderkey, score FROM t WHERE score >= 1
+        ORDER BY score DESC, o_orderkey LIMIT 80
       """.stripMargin.trim))
   )
 }

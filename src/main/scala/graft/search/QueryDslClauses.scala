@@ -2382,15 +2382,24 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         case _ => fail("geo_shape requires a shape object ({type, coordinates})")
       }
       // `doc_shape`: DOC-SIDE (indexed) shapes — each row carries an
-      // envelope as four numeric columns (the engine's explicit-field
-      // convention: it has no mapping registry to read a shape type
-      // from). Box-vs-box / box-vs-point relations are all plain
-      // comparison conjunctions — pushable, codegen'd, and the ONE
-      // place `contains` is meaningful (an area can contain a shape;
-      // the point-doc arm keeps failing loud on it). Malformed rows
-      // (min > max) simply fail the comparisons like any other
-      // non-matching row; NULL corners drop the row (tri-state).
-      if (m.contains("doc_shape")) return geoShapeDocEnvelope(m, sm)
+      // envelope as four numeric columns, or a polygon as a ring
+      // array (the engine's explicit-field convention: it has no
+      // mapping registry to read a shape type from). Envelope docs:
+      // every relation is a plain comparison conjunction — pushable,
+      // codegen'd, and the ONE place `contains` is meaningful (the
+      // point-doc arm keeps failing loud on it). Polygon docs route
+      // to [[geoShapeDocPolygon]]. Malformed envelope rows (min >
+      // max) simply fail the comparisons like any other non-matching
+      // row; NULL geometry drops the row (tri-state).
+      if (m.contains("doc_shape")) {
+        val dsType = m("doc_shape") match {
+          case JObject(ds) => strOpt(ds.toMap, "type")
+            .getOrElse(fail("doc_shape requires a type"))
+          case other => fail(s"doc_shape must be an object: ${render(other)}")
+        }
+        return if (dsType == "polygon") geoShapeDocPolygon(m, sm)
+               else geoShapeDocEnvelope(m, sm)
+      }
       val latF = strOpt(m, "lat_field")
         .getOrElse(fail("geo_shape requires lat_field"))
       val lonF = strOpt(m, "lon_field")
@@ -2554,6 +2563,209 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     CompiledQuery(pred, lit(1L))
   }
 
+  /** The doc_shape POLYGON arm: each row carries a simple polygon as
+    * an OPEN ring — `array<struct<lat, lon>>`, ≥ 3 vertices, first ≠
+    * last (the closing edge is implicit) — named by `ring_field`. The
+    * crossing-walk machinery lifts to higher-order functions over the
+    * row's ring (exists/forall/aggregate over edge indices), so the
+    * whole predicate is still scan-stage map-only Catalyst with fixed
+    * IEEE operand order.
+    *
+    * Relations vs an `envelope` (or degenerate `point`) query shape:
+    *   - `within`: every ring vertex inside the box — EXACT for any
+    *     simple polygon vs a convex container;
+    *   - `intersects` (boundary-inclusive): any vertex in the box ∨
+    *     any box corner inside the polygon (even-odd walk, the
+    *     box-swallowed case) ∨ any ring edge crossing the box (edge
+    *     bbox overlaps ∧ the four corners are not strictly on one
+    *     side of the edge's line — the thin-spike-through-the-box
+    *     case no vertex/corner test sees);
+    *   - `disjoint`: the complement;
+    *   - `contains` fails loud (box-inside-concave-polygon needs an
+    *     edge-interior test this form does not serve — envelope docs
+    *     carry `contains`).
+    * Vs a CONVEX CCW `polygon` query shape: `within` only (all
+    * vertices inside every half-plane); other polygon-query relations
+    * fail loud.
+    *
+    * Dirty data vs wrong geometry: a NULL or < 3-vertex ring has no
+    * interior to misjudge — the row DROPS (the tri-state convention).
+    * A SELF-INTERSECTING ring would produce a plausible-but-wrong
+    * even-odd answer, and unlike the query side the driver cannot
+    * pre-validate per-row — so the expression RAISES AT RUNTIME
+    * (raise_error) on the first such row: an O(n²)-per-row pair walk,
+    * the price of refusing silent wrongness (rings are bounded at 64
+    * vertices like the query side).
+    *
+    * Plan note (pushability limits): predicates over array-of-struct
+    * columns do not become parquet PushedFilters — the predicate is
+    * scan-STAGE (fused map-side, no shuffle) but the scan reads every
+    * ring. Envelope docs (four numeric corner columns) remain the
+    * form that prunes at the reader; a deployment needing pushdown
+    * stores the ring's bounding box alongside and pre-filters on it.
+    */
+  private[search] def geoShapeDocPolygon(m: Map[String, JValue],
+      sm: Map[String, JValue]): CompiledQuery = {
+    if (m.contains("lat_field") || m.contains("lon_field"))
+      fail("geo_shape doc_shape replaces lat_field/lon_field " +
+        "(the doc geometry IS the ring)")
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"doc_shape must be an object: ${render(other)}")
+    }
+    dsm.keySet.diff(Set("type", "ring_field")).foreach(k =>
+      fail(s"unsupported doc_shape polygon option '$k'"))
+    val rf0 = strOpt(dsm, "ring_field")
+      .getOrElse(fail("doc_shape polygon requires ring_field"))
+    val rf = s"`$rf0`"
+    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other       => fail(s"$what must be numeric: ${render(other)}")
+    }
+    def lonLat(v: JValue, what: String): (Double, Double) = v match {
+      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+    }
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    val relation = strOpt(m, "relation").getOrElse("intersects")
+
+    // edge i of the open ring: a = vertex i, b = vertex (i+1) mod n
+    val aV = s"element_at($rf, i + 1)"
+    val bV = s"element_at($rf, pmod(i + 1, size($rf)) + 1)"
+
+    // point-in-polygon (constant point px=lon, py=lat): the even-odd
+    // crossing walk of crossingParityPredicate with the roles swapped
+    // (ring in columns, point constant) — same pinned operand order
+    def pointInPoly(px: Double, py: Double): String = {
+      val cross = s"(($bV.lon - $aV.lon) * ($py - $aV.lat) - " +
+        s"($bV.lat - $aV.lat) * ($px - $aV.lon))"
+      s"""(pmod(aggregate(sequence(0, size($rf) - 1), 0, (acc, i) ->
+         |  acc + IF((($aV.lat > $py) != ($bV.lat > $py)) AND
+         |           (CASE WHEN $bV.lat > $aV.lat THEN $cross > 0.0
+         |                 ELSE $cross < 0.0 END), 1, 0)), 2) = 1)""".stripMargin
+    }
+
+    // self-intersection pair walk (only rings past the always-simple
+    // triangle): general segment intersection incl. collinear touch,
+    // the same test the query side runs on the driver
+    val selfX: String = {
+      def vtx(idx: String) = s"element_at($rf, $idx + 1)"
+      val p1 = vtx("i"); val p2 = s"element_at($rf, pmod(i + 1, size($rf)) + 1)"
+      val q1 = vtx("j"); val q2 = s"element_at($rf, pmod(j + 1, size($rf)) + 1)"
+      def orient(a: String, b: String, c: String) =
+        s"sign(($b.lon - $a.lon) * ($c.lat - $a.lat) - " +
+          s"($b.lat - $a.lat) * ($c.lon - $a.lon))"
+      def onSeg(a: String, b: String, c: String) =
+        s"($c.lon >= least($a.lon, $b.lon) AND $c.lon <= greatest($a.lon, $b.lon) " +
+          s"AND $c.lat >= least($a.lat, $b.lat) AND $c.lat <= greatest($a.lat, $b.lat))"
+      val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
+      val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
+      val segInt =
+        s"""(($o1 * $o2 < 0 AND $o3 * $o4 < 0)
+           | OR ($o1 = 0 AND ${onSeg(p1, p2, q1)})
+           | OR ($o2 = 0 AND ${onSeg(p1, p2, q2)})
+           | OR ($o3 = 0 AND ${onSeg(q1, q2, p1)})
+           | OR ($o4 = 0 AND ${onSeg(q1, q2, p2)}))""".stripMargin
+      s"""exists(sequence(0, size($rf) - 3), i ->
+         |  exists(sequence(i + 2, size($rf) - 1 - IF(i = 0, 1, 0)), j ->
+         |    $segInt))""".stripMargin
+    }
+
+    val relPred: String = strOpt(sm, "type")
+        .getOrElse(fail("geo_shape shape requires a type")) match {
+      case t @ ("envelope" | "point") =>
+        val (latB, latT, lonL, lonR) = t match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a2, b2)) =>
+                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            if (tl._2 < br._2)
+              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
+            if (tl._1 > br._1)
+              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
+                s"right lon ${br._1}) is unsupported")
+            (br._2, tl._2, tl._1, br._1)
+          case _ =>
+            val (lo, la) = lonLat(coords, "point coordinates")
+            (la, la, lo, lo)
+        }
+        val vertexInBox = s"exists($rf, v -> v.lat >= $latB AND v.lat <= $latT " +
+          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
+        val within = s"forall($rf, v -> v.lat >= $latB AND v.lat <= $latT " +
+          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
+        val cornerInPoly = Seq((lonL, latB), (lonL, latT), (lonR, latB),
+          (lonR, latT)).map { case (px, py) => pointInPoly(px, py) }
+          .mkString("(", " OR ", ")")
+        val side = (cx: String, cy: String) =>
+          s"(($bV.lon - $aV.lon) * ($cy - $aV.lat) - " +
+            s"($bV.lat - $aV.lat) * ($cx - $aV.lon))"
+        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
+          .map { case (cx, cy) => side(cx.toString, cy.toString) }
+        val strictSameSide =
+          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
+            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
+        val edgeCross =
+          s"""exists(sequence(0, size($rf) - 1), i ->
+             |  least($aV.lat, $bV.lat) <= $latT AND greatest($aV.lat, $bV.lat) >= $latB
+             |  AND least($aV.lon, $bV.lon) <= $lonR AND greatest($aV.lon, $bV.lon) >= $lonL
+             |  AND NOT ($strictSameSide))""".stripMargin
+        val intersects = s"($vertexInBox OR $cornerInPoly OR $edgeCross)"
+        relation match {
+          case "intersects" => intersects
+          case "within"     => within
+          case "disjoint"   => s"(NOT $intersects)"
+          case "contains" => fail("doc_shape polygon relation contains is " +
+            "unsupported (box-inside-concave-polygon needs an edge-interior " +
+            "test this form does not serve - envelope docs carry contains)")
+          case other => fail(s"geo_shape relation must be intersects, " +
+            s"within or disjoint, got '$other'")
+        }
+      case "polygon" =>
+        if (relation != "within")
+          fail("doc_shape polygon vs a polygon query shape serves only " +
+            "relation within (all-vertices-in-convex-query); use an " +
+            "envelope query shape for intersects/disjoint")
+        val ring = coords match {
+          case JArray(List(JArray(r))) if r.size >= 4 =>
+            r.map(lonLat(_, "polygon vertex"))
+          case _ => fail("polygon coordinates must be ONE ring " +
+            "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
+        }
+        if (ring.head != ring.last)
+          fail("polygon ring must be closed (first vertex == last)")
+        val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+        if (!isConvexCcw(pts))
+          fail("doc_shape polygon within requires a CONVEX CCW query " +
+            "polygon (all-vertices-in-half-planes is only exact there)")
+        val halfPlanes = (0 until pts.size).map { k =>
+          val (lat1, lon1) = pts(k)
+          val (lat2, lon2) = pts((k + 1) % pts.size)
+          s"(($lon2 - $lon1) * (v.lat - $lat1) - " +
+            s"($lat2 - $lat1) * (v.lon - $lon1)) >= 0.0"
+        }.mkString(" AND ")
+        s"forall($rf, v -> $halfPlanes)"
+      case other => fail(s"doc_shape polygon queries support envelope, " +
+        s"point or polygon query shapes, got '$other'")
+    }
+
+    val pred = expr(
+      s"""CASE WHEN $rf IS NULL OR size($rf) < 3 THEN CAST(NULL AS BOOLEAN)
+         |WHEN size($rf) <= 64 AND size($rf) > 3 AND ($selfX)
+         |  THEN raise_error('geo_shape doc polygon ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
+         |WHEN size($rf) > 64
+         |  THEN raise_error('geo_shape doc polygon ring exceeds 64 vertices (the query-side cap)')
+         |ELSE ($relPred) END""".stripMargin)
+    CompiledQuery(pred, lit(1L))
+  }
+
   private[search] def geoDistanceClause(body: JValue): CompiledQuery = body match {
     case JObject(parts) =>
       val m = parts.toMap
@@ -2682,11 +2894,18 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * DIFFERENT child objects; a nested query must match them on the
     * SAME child (the q120 contract). The array-of-structs column named
     * by `path` is probed per ELEMENT with a higher-order filter (pure
-    * codegen, no explode, no join). The inner query supports the
-    * element-level subset — `term`, `range`, `exists`, `prefix`,
-    * `match_all`, and `bool` with must/must_not of those — anything
-    * else fails loud. `score_mode`: "sum" (default) scores the number
-    * of matching elements, "none" scores 1.
+    * codegen, no explode, no join). A TWO-HOP path ("items.subs" —
+    * each dot is one array-of-structs hop) probes the flattened inner
+    * elements across all outer elements (NULL inner arrays are
+    * skipped, never poisoning the flatten); depth 3 fails loud. The
+    * inner query supports the element-level subset — `term`, `range`,
+    * `exists`, `prefix`, `match_all`, `bool` with must/must_not of
+    * those, and (from a ONE-hop path) a nested `nested` clause whose
+    * path extends the enclosing one by exactly one hop — the
+    * same-OUTER-element composition ("an items element with slot ≥ 1
+    * AND one of ITS OWN subs matching") a flat two-hop path cannot
+    * express. Anything else fails loud. `score_mode`: "sum" (default)
+    * scores the number of matching elements, "none" scores 1.
     */
   private[search] def nestedClause(body: JValue): CompiledQuery =
     nestedCompile(body)._3
@@ -2703,37 +2922,47 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         fail(s"unsupported nested option '$k'"))
       val path = strOpt(m, "path").getOrElse(fail("nested requires a path"))
       val q = m.getOrElse("query", fail("nested requires a query"))
+      val segs = path.split("\\.")
+      if (segs.length > 2)
+        fail(s"nested path '$path' is ${segs.length} hops deep - the " +
+          "engine's nested model serves one or two array hops (depth 3 " +
+          "is unsupported)")
 
       // element-field access: OpenSearch names nested fields by full
-      // path ("items.qty"); bare names are accepted too
-      def fld(x: Column, f: String): Column =
-        x.getField(if (f.startsWith(s"$path.")) f.drop(path.length + 1) else f)
+      // path ("items.qty" / "items.subs.qty"); bare names are accepted
+      // too. `curPath` scopes the strip so an inner nested clause
+      // resolves against ITS OWN level.
+      def fld(x: Column, f: String, curPath: String): Column =
+        x.getField(if (f.startsWith(s"$curPath.")) f.drop(curPath.length + 1) else f)
 
-      def elemPred(clause: JValue, x: Column): Column = clause match {
+      def elemPred(clause: JValue, x: Column): Column =
+        elemPredAt(clause, x, path)
+
+      def elemPredAt(clause: JValue, x: Column, curPath: String): Column = clause match {
         case JObject(List((kind, b))) => kind match {
           case "match_all" => lit(true)
           case "term" => b match {
-            case JObject(List((f, v))) => fld(x, f) === litOf(v)
+            case JObject(List((f, v))) => fld(x, f, curPath) === litOf(v)
             case other => fail(s"nested term requires {field: value}: ${render(other)}")
           }
           case "range" => b match {
             case JObject(List((f, JObject(bounds)))) =>
               if (bounds.isEmpty) fail(s"nested range on '$f' has no bounds")
               bounds.map {
-                case ("gte", v) => fld(x, f) >= litOf(v)
-                case ("gt", v)  => fld(x, f) > litOf(v)
-                case ("lte", v) => fld(x, f) <= litOf(v)
-                case ("lt", v)  => fld(x, f) < litOf(v)
+                case ("gte", v) => fld(x, f, curPath) >= litOf(v)
+                case ("gt", v)  => fld(x, f, curPath) > litOf(v)
+                case ("lte", v) => fld(x, f, curPath) <= litOf(v)
+                case ("lt", v)  => fld(x, f, curPath) < litOf(v)
                 case (k, _)     => fail(s"unsupported nested range bound '$k' on '$f'")
               }.reduce(_ && _)
             case other => fail(s"nested range requires {field: {bounds}}: ${render(other)}")
           }
           case "prefix" =>
             val (f, v) = fieldValue(b, "prefix")
-            fld(x, f).startsWith(litOf(v))
+            fld(x, f, curPath).startsWith(litOf(v))
           case "exists" => b match {
             case JObject(fs) => fs.toMap.get("field") match {
-              case Some(JString(f)) => fld(x, f).isNotNull
+              case Some(JString(f)) => fld(x, f, curPath).isNotNull
               case _ => fail("nested exists requires {\"field\": name}")
             }
             case _ => fail("nested exists requires {\"field\": name}")
@@ -2745,8 +2974,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
                 fail(s"unsupported nested bool section '$k' (must, must_not)"))
               def sect(n: String): Seq[Column] = sm.get(n) match {
                 case None             => Nil
-                case Some(JArray(cs)) => cs.map(c => elemPred(c, x))
-                case Some(one: JObject) => Seq(elemPred(one, x))
+                case Some(JArray(cs)) => cs.map(c => elemPredAt(c, x, curPath))
+                case Some(one: JObject) => Seq(elemPredAt(one, x, curPath))
                 case Some(other) => fail(s"nested bool.$n must be a clause or array: ${render(other)}")
               }
               val ps = sect("must") ++ sect("must_not").map(!_)
@@ -2754,14 +2983,49 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
               ps.reduce(_ && _)
             case other => fail(s"nested bool requires an object: ${render(other)}")
           }
+          // same-OUTER-element composition: a nested clause whose path
+          // extends the enclosing level by exactly one hop, evaluated
+          // against THIS element's own inner array
+          case "nested" => b match {
+            case JObject(sub) =>
+              val subM = sub.toMap
+              subM.keySet.diff(Set("path", "query")).foreach(k =>
+                fail(s"unsupported inner nested option '$k' (path, query)"))
+              val subPath = strOpt(subM, "path")
+                .getOrElse(fail("inner nested requires a path"))
+              if (curPath.contains("."))
+                fail(s"nested inside a two-hop path '$curPath' would be " +
+                  "depth 3 - the engine's nested model serves two array hops")
+              if (!subPath.startsWith(s"$curPath."))
+                fail(s"inner nested path '$subPath' must extend the " +
+                  s"enclosing path '$curPath.'")
+              val rest = subPath.drop(curPath.length + 1)
+              if (rest.contains("."))
+                fail(s"inner nested path '$subPath' is depth 3 - the " +
+                  "engine's nested model serves two array hops")
+              val subQ = subM.getOrElse("query", fail("inner nested requires a query"))
+              size(filter(x.getField(rest),
+                y => elemPredAt(subQ, y, subPath))) >= 1
+            case other2 => fail(s"inner nested requires an object: ${render(other2)}")
+          }
           case other =>
             fail(s"unsupported nested clause '$other' (term, range, prefix, " +
-              "exists, match_all, bool)")
+              "exists, match_all, bool, nested)")
         }
         case other => fail(s"nested query must be a single-clause object: ${render(other)}")
       }
 
-      val matched = filter(col(path), x => elemPred(q, x))
+      val matched =
+        if (segs.length == 1) filter(col(path), x => elemPred(q, x))
+        else {
+          // two hops: flatten the inner arrays of every outer element
+          // (skipping NULL inner arrays - flatten over a NULL element
+          // would NULL the whole row) and probe the inner elements
+          val inner = flatten(filter(
+            transform(col(segs(0)), o => o.getField(segs(1))),
+            a => a.isNotNull))
+          filter(inner, x => elemPred(q, x))
+        }
       val nHits = size(matched).cast("long")
       val score = strOpt(m, "score_mode").getOrElse("sum") match {
         case "sum"  => nHits

@@ -1,0 +1,148 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The doc_shape POLYGON contracts: the HOF-lifted crossing walk
+  * agrees with the query-side walk on the same ring, box relations
+  * match hand-derived truth, dirty rings drop, wrong geometry raises.
+  */
+class GeoDocPolygonSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a concave chevron (same family as q330's query-side fixture),
+  // OPEN ring, lat/lon structs
+  private val chevron = Seq(
+    (0.0, 0.0), (0.0, 40.0), (40.0, 40.0), (15.0, 20.0), (40.0, 0.0))
+    // (lat, lon) pairs
+  private def ringSql(pts: Seq[(Double, Double)]): String =
+    pts.map { case (la, lo) =>
+      s"struct(CAST($la AS DOUBLE) AS lat, CAST($lo AS DOUBLE) AS lon)"
+    }.mkString("array(", ", ", ")")
+
+  test("doc-side point-in-polygon parity with the query-side crossing walk") {
+    // points on a grid; truth = the QUERY-side walk (points table,
+    // polygon in the request) — the doc-side walk (one-ring table,
+    // point in the request) must agree point for point
+    val pts = for (la <- -5 to 45 by 5; lo <- -5 to 45 by 5)
+      yield (la.toDouble + 0.5, lo.toDouble + 0.5)
+    val ptsDf = pts.toDF("lat", "lon")
+    // GeoJSON closed ring, [lon, lat] order
+    val ringJson = (chevron :+ chevron.head)
+      .map { case (la, lo) => s"[$lo, $la]" }.mkString("[[", ", ", "]]")
+    val querySide = QueryDsl.search(ptsDf,
+      s"""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+           "shape": {"type": "polygon", "coordinates": $ringJson},
+           "relation": "intersects"}},
+          "sort": ["lat", "lon"], "size": 1000, "_source": ["lat", "lon"]}""")
+      .as[(Double, Double)].collect().toSet
+    val oneRing = spark.sql(s"SELECT ${ringSql(chevron)} AS ring")
+    val docSide = pts.filter { case (la, lo) =>
+      QueryDsl.search(oneRing,
+        s"""{"query": {"geo_shape": {
+             "doc_shape": {"type": "polygon", "ring_field": "ring"},
+             "shape": {"type": "point", "coordinates": [$lo, $la]},
+             "relation": "intersects"}}, "size": 5}""").count() == 1
+    }.toSet
+    assert(docSide === querySide)
+    assert(querySide.nonEmpty && querySide.size < pts.size) // discriminates
+  }
+
+  test("box relations on diamond docs match hand-derived truth") {
+    // diamonds: |lat-claC| + |lon-cloC| <= r
+    val t = Seq(
+      (1L, 0.0, 0.0, 2.0),    // inside the box entirely
+      (2L, 0.0, 9.0, 2.0),    // straddles the right edge
+      (3L, 0.0, 20.0, 2.0),   // fully outside
+      (4L, 0.0, 0.0, 50.0),   // swallows the box
+      (5L, 12.0, 0.0, 1.0)    // above the box
+    ).toDF("id", "cla", "clo", "r").withColumn("ring", expr(
+      """array(struct(cla + r AS lat, clo AS lon),
+               struct(cla AS lat, clo + r AS lon),
+               struct(cla - r AS lat, clo AS lon),
+               struct(cla AS lat, clo - r AS lon))"""))
+    def ids(rel: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "ring"},
+           "shape": {"type": "envelope",
+             "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+           "relation": "$rel"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(ids("intersects") === Seq(1L, 2L, 4L))
+    assert(ids("within") === Seq(1L))      // 2 crosses, 4 swallows
+    assert(ids("disjoint") === Seq(3L, 5L))
+    // convex-CCW query polygon, within: a big CCW square as a polygon
+    val win = QueryDsl.search(t,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "ring"},
+           "shape": {"type": "polygon", "coordinates":
+             [[[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0],
+               [-10.0, 10.0], [-10.0, -10.0]]]},
+           "relation": "within"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(win === Seq(1L))
+  }
+
+  test("dirty rings drop; wrong geometry raises; invalid requests fail loud") {
+    val t = Seq(
+      (1L, Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0))),          // fine triangle
+      (2L, Seq.empty[(Double, Double)]),                       // empty: drops
+      (3L, Seq((0.0, 0.0), (1.0, 1.0)))                        // 2 vertices: drops
+    ).map { case (id, ps) =>
+      (id, ps.map { case (la, lo) => (la, lo) })
+    }.toDF("id", "raw")
+      .withColumn("ring", expr(
+        "CASE WHEN size(raw) = 0 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>) " +
+          "ELSE transform(raw, p -> struct(CAST(p._1 AS DOUBLE) AS lat, CAST(p._2 AS DOUBLE) AS lon)) END"))
+    def run(df: org.apache.spark.sql.DataFrame, rel: String = "intersects") =
+      QueryDsl.search(df,
+        s"""{"query": {"geo_shape": {
+             "doc_shape": {"type": "polygon", "ring_field": "ring"},
+             "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+             "relation": "$rel"}},
+            "sort": ["id"], "size": 10, "_source": ["id"]}""")
+    assert(run(t).as[Long].collect().toSeq === Seq(1L)) // 2 and 3 dropped
+    // a self-intersecting bowtie RAISES at runtime (a silent even-odd
+    // answer over it would be plausible and wrong)
+    val bow = Seq((1L, 0)).toDF("id", "z").withColumn("ring", expr(
+      ringSql(Seq((0.0, 0.0), (4.0, 4.0), (0.0, 4.0), (4.0, 0.0)))))
+    val e = intercept[Throwable](run(bow).collect())
+    assert(e.getMessage.contains("self-intersecting"), e.getMessage)
+    // a >64-vertex ring raises (the query-side cap applied doc-side)
+    val big = Seq((1L, 0)).toDF("id", "z").withColumn("ring", expr(
+      "transform(sequence(0, 70), i -> struct(" +
+        "CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon))"))
+    val e2 = intercept[Throwable](run(big).collect())
+    assert(e2.getMessage.contains("exceeds 64 vertices"), e2.getMessage)
+    // request validation
+    def bad(json: String, frag: String): Unit = {
+      val ex = intercept[IllegalArgumentException](QueryDsl.search(t, json))
+      assert(ex.getMessage.contains(frag), ex.getMessage)
+    }
+    bad("""{"query": {"geo_shape": {
+        "doc_shape": {"type": "polygon", "ring_field": "ring"},
+        "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+        "relation": "contains"}}}""", "relation contains is unsupported")
+    bad("""{"query": {"geo_shape": {
+        "doc_shape": {"type": "polygon", "ring_field": "ring"},
+        "shape": {"type": "polygon", "coordinates":
+          [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 0.0]]]},
+        "relation": "intersects"}}}""", "serves only relation within")
+    bad("""{"query": {"geo_shape": {
+        "doc_shape": {"type": "polygon", "ring_field": "ring"},
+        "shape": {"type": "polygon", "coordinates":
+          [[[0.0, 0.0], [40.0, 0.0], [15.0, 20.0], [40.0, 40.0],
+            [0.0, 40.0], [0.0, 0.0]]]},
+        "relation": "within"}}}""", "CONVEX CCW query")
+    bad("""{"query": {"geo_shape": {
+        "doc_shape": {"type": "polygon"},
+        "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]}}}}""",
+      "requires ring_field")
+    bad("""{"query": {"geo_shape": {"lat_field": "x",
+        "doc_shape": {"type": "polygon", "ring_field": "ring"},
+        "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]}}}}""",
+      "replaces lat_field/lon_field")
+  }
+}
