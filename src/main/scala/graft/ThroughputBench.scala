@@ -47,8 +47,16 @@ import graft.streaming.CdcStream
   *     size, fixed micro-batch overhead). Touched buckets are
   *     measured with the engine's own hash, not assumed.
   *
+  *   - **concurrent serving** — N worker threads firing mixed
+  *     `_search` (BM25-indexed + table-path bool/agg) and `_msearch`
+  *     requests with per-request parameter variation against the
+  *     maintained index (the dashboard fan-in shape), at N ∈
+  *     {1, 8, 32}: requests/s + p95 request latency — the row that
+  *     exposes driver-side compile contention before a deployment
+  *     does.
+  *
   * Usage: `runMain graft.ThroughputBench [items] [epochs] [eventsPerEpoch]
-  * [sidxEpochs] [sidxPerEpoch] [fracEpochs] [fracPerEpoch]`;
+  * [sidxEpochs] [sidxPerEpoch] [fracEpochs] [fracPerEpoch] [servReqs]`;
   * prints one JSON line and writes `throughput_last.json`.
   */
 object ThroughputBench {
@@ -310,6 +318,86 @@ object ThroughputBench {
       f"full-touch control touches only ${fullTouched / fracNb}%.3f of buckets " +
         "- not a valid all-touch baseline")
 
+    // ---- concurrent serving: the dashboard fan-in shape ----
+    // Every rate above is single-stream; a real dashboard fires many
+    // requests AT ONCE. N worker threads drain a shared queue of
+    // `servReqs` mixed requests — BM25-served `_search` against the
+    // maintained index, a bool+agg `_search` on the table path, and a
+    // two-body `_msearch` — each with per-request parameter variation
+    // (no two compiles identical, so driver-side compile contention is
+    // actually exercised, not cached away). Reported per concurrency
+    // level N ∈ {1, 8, 32}: requests/s and p95 request latency. The
+    // corpus is written to parquet and read back (requests pay a real
+    // scan, not a cached local relation); the index is built once
+    // (the maintained-index serving shape).
+    val servReqs = args.lift(7).map(_.toInt).getOrElse(48)
+    require(servReqs >= 3, s"servReqs must be >= 3 (got $servReqs)")
+    val servSrcDir = tmp("tput_serve_src")
+    spark.range(4000).select(
+      col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 11), j -> " +
+        "concat('w', CAST((id * 7 + j * 13) % 97 AS STRING))), ' ')")
+        .as("text"),
+      (col("id") % 997).as("n_chars"))
+      .write.mode("overwrite").parquet(servSrcDir)
+    val servTable = spark.read.parquet(servSrcDir)
+    val servIdx = tmp("tput_serve_idx")
+    graft.etl.SearchIndex.build(servTable, "doc_id", "text", servIdx)
+    import graft.search.QueryDsl
+    def oneRequest(i: Int): Unit = (i % 3) match {
+      case 0 =>
+        QueryDsl.searchIndexed(spark, servIdx,
+          s"""{"query": {"match": {"text": {"query":
+             |  "w${i % 97} w${(i * 13 + 5) % 97} w${(i * 29 + 11) % 97}",
+             |  "similarity": "bm25"}}}, "size": 10}""".stripMargin).collect()
+      case 1 =>
+        QueryDsl.search(servTable,
+          s"""{"query": {"bool": {
+             |  "must": [{"range": {"n_chars": {"gte": ${i % 500}}}},
+             |           {"match": {"text": "w${i % 97}"}}]}},
+             |"aggs": {"bands": {"histogram":
+             |  {"field": "n_chars", "interval": ${50 + i % 7}}}}}""".stripMargin)
+          .collect()
+      case _ =>
+        QueryDsl.msearch(servTable, Seq(
+          s"""{"query": {"term": {"text": "w${i % 97}"}}}""",
+          s"""{"query": {"range": {"n_chars": {"lte": ${100 + i % 300}}}},
+             |"size": 5, "_source": ["doc_id", "score"]}""".stripMargin))
+          .collect()
+    }
+    // warm each shape once (class loading / first-plan costs are not
+    // what this measures)
+    (0 until 3).foreach(oneRequest)
+    def runLevel(n: Int): (Double, Double) = {
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0s = System.nanoTime()
+      val workers = (0 until n).map { _ =>
+        new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i < servReqs) {
+            val s0 = System.nanoTime()
+            try oneRequest(i)
+            catch { case _: Throwable => failed.incrementAndGet() }
+            lat.add((System.nanoTime() - s0) / 1e9)
+            i = next.getAndIncrement()
+          }
+        })
+      }
+      workers.foreach(_.start()); workers.foreach(_.join())
+      require(failed.get() == 0, s"$n-way serving had ${failed.get()} failures")
+      val total = (System.nanoTime() - t0s) / 1e9
+      val ls = lat.toArray(Array.empty[java.lang.Double])
+        .map(_.doubleValue).sorted
+      val p95s = ls(math.min(ls.length - 1,
+        math.ceil(0.95 * ls.length).toInt - 1))
+      (servReqs / total, p95s)
+    }
+    val (rps1, p95s1) = runLevel(1)
+    val (rps8, p95s8) = runLevel(8)
+    val (rps32, p95s32) = runLevel(32)
+
     val json =
       s"""{"metric":"throughput","ingest_items":$items,""" +
       s""""ingest_sec":${f"$ingestSec%.2f"},""" +
@@ -332,7 +420,11 @@ object ThroughputBench {
       s""""frac_low_sec":${f"$fracSec%.2f"},""" +
       s""""frac_low_epoch_p95_sec":${f"$fp95%.2f"},""" +
       s""""frac_low_touched_fraction":${f"${lowTouched / fracNb}%.4f"},""" +
-      s""""frac_low_vs_full":${f"${fracSec / fullSec}%.3f"}}"""
+      s""""frac_low_vs_full":${f"${fracSec / fullSec}%.3f"},""" +
+      s""""serve_reqs":$servReqs,""" +
+      s""""serve_n1_rps":${f"$rps1%.2f"},"serve_n1_p95_sec":${f"$p95s1%.3f"},""" +
+      s""""serve_n8_rps":${f"$rps8%.2f"},"serve_n8_p95_sec":${f"$p95s8%.3f"},""" +
+      s""""serve_n32_rps":${f"$rps32%.2f"},"serve_n32_p95_sec":${f"$p95s32%.3f"}}"""
     println(json)
     Files.writeString(Paths.get("throughput_last.json"), json + "\n")
     spark.stop()

@@ -456,6 +456,165 @@ object Similarity {
                    FROM rer)
         SELECT q_id, rank, vec_id AS neighbor_id, sim
         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+      """.stripMargin.trim)),
+
+    // Matryoshka at its REAL regime (VERDICT r11 #6): 1024-dim
+    // vectors synthesized deterministically from vec_id (32 planted
+    // clusters: value = base(cluster, dim)·3 + noise(id, dim), all
+    // exact integers in double, so dot products are exact whatever
+    // the summation order — the one-IEEE-divide doctrine at high
+    // dim), stage 1 on the SIGN-BUCKET INDEX ARM: corpus bucketed by
+    // the sign bits of dims 0–3 (16 buckets, deterministic — the
+    // SignIvf doctrine: unlike trained IVF the index itself is
+    // oracle-replayable), each query multi-probes its own bucket + 4
+    // Hamming-1 neighbors (5/16 of the corpus reaches the truncated
+    // ranking, via a BROADCAST probe join — the corpus never
+    // shuffles), truncated 64-dim cosine shortlists 60, stage 2
+    // re-ranks the survivors at full 1024 dims. Candidate rows carry
+    // both vectors, so the re-rank is the SAME pass — no second
+    // corpus scan at all (tighter than q340's join-back shape).
+    GraftQuery(
+      "q350_ann_matryoshka_indexed",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val embSql =
+          """transform(sequence(0, 1023), d -> CAST(
+               (((vec_id % 32) * 37 + d) * 2654435761 % 2001 - 1000) * 3 +
+               ((vec_id * 1009 + d * 97003) % 2001 - 1000) AS DOUBLE))"""
+        val hd = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+          .withColumn("emb", expr(embSql))
+          .withColumn("bucket", expr(
+            """aggregate(sequence(0, 3), 0L, (acc, d) ->
+                 acc * 2 + IF(element_at(emb, d + 1) > CAST(0 AS DOUBLE),
+                              1L, 0L))"""))
+        val q = hd.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("emb").as("qemb"),
+            col("bucket").as("qb"))
+        val probes = q.select(col("q_id"), col("qemb"),
+          explode(expr("array(qb, qb ^ 1, qb ^ 2, qb ^ 4, qb ^ 8)"))
+            .as("bucket"))
+        def dotN(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+          aggregate(zip_with(slice(a, 1, n), slice(b, 1, n),
+            (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        val cand = hd.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("tsim",
+            dotN(col("emb"), col("qemb"), 64) /
+              (sqrt(dotN(col("emb"), col("emb"), 64)) *
+               sqrt(dotN(col("qemb"), col("qemb"), 64))))
+        val w1 = Window.partitionBy(col("q_id"))
+          .orderBy(col("tsim").desc, col("vec_id").asc)
+        val short = cand.withColumn("r", row_number().over(w1))
+          .filter(col("r") <= 60)
+          .withColumn("sim_raw",
+            dotN(col("emb"), col("qemb"), 1024) /
+              (sqrt(dotN(col("emb"), col("emb"), 1024)) *
+               sqrt(dotN(col("qemb"), col("qemb"), 1024))))
+        val w2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim_raw").desc, col("vec_id").asc)
+        short.withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            round(col("sim_raw"), 6).as("sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""
+        WITH ids AS (SELECT vec_id FROM embeddings),
+        v AS (
+          SELECT vec_id, list_transform(range(0, 1024), d -> CAST(
+            (((vec_id % 32) * 37 + d) * 2654435761 % 2001 - 1000) * 3 +
+            ((vec_id * 1009 + d * 97003) % 2001 - 1000) AS DOUBLE)) AS emb
+          FROM ids),
+        b AS (
+          SELECT vec_id, emb,
+            (CASE WHEN emb[1] > 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN emb[2] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN emb[3] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN emb[4] > 0 THEN 1 ELSE 0 END) AS bucket
+          FROM v),
+        q AS (SELECT vec_id AS q_id, emb AS qemb, bucket AS qb
+              FROM b WHERE vec_id % 100 = 0),
+        pr AS (SELECT q_id, qemb, xor(qb, x) AS bucket
+               FROM q, (SELECT unnest([0, 1, 2, 4, 8]) AS x)),
+        cand AS (
+          SELECT pr.q_id, pr.qemb, b.vec_id, b.emb,
+            list_dot_product(list_slice(pr.qemb, 1, 64), list_slice(b.emb, 1, 64))
+              / (sqrt(list_dot_product(list_slice(b.emb, 1, 64), list_slice(b.emb, 1, 64)))
+                 * sqrt(list_dot_product(list_slice(pr.qemb, 1, 64), list_slice(pr.qemb, 1, 64)))) AS tsim
+          FROM pr JOIN b ON pr.bucket = b.bucket AND b.vec_id <> pr.q_id),
+        short AS (
+          SELECT q_id, vec_id, qemb, emb FROM (
+            SELECT q_id, vec_id, qemb, emb,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY tsim DESC, vec_id) AS r
+            FROM cand) WHERE r <= 60),
+        rer AS (
+          SELECT q_id, vec_id,
+            list_dot_product(qemb, emb)
+              / (sqrt(list_dot_product(emb, emb))
+                 * sqrt(list_dot_product(qemb, qemb))) AS sim_raw
+          FROM short),
+        ranked AS (
+          SELECT q_id, vec_id, sim_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rank
+          FROM rer)
+        SELECT q_id, rank, vec_id AS neighbor_id, round(sim_raw, 6) AS sim
+        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+      """.stripMargin.trim)),
+
+    // the 1024-dim BRUTE baseline q350 is measured against (the
+    // QueryProbe crossover pair): full-dim cosine over every
+    // (query, corpus) pair, top 10 — same fixture, same arithmetic.
+    GraftQuery(
+      "q351_ann_brute_1024",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val embSql =
+          """transform(sequence(0, 1023), d -> CAST(
+               (((vec_id % 32) * 37 + d) * 2654435761 % 2001 - 1000) * 3 +
+               ((vec_id * 1009 + d * 97003) % 2001 - 1000) AS DOUBLE))"""
+        val hd = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+          .withColumn("emb", expr(embSql))
+        val q = hd.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+        def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          aggregate(zip_with(a, b, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x)
+        val scored = hd.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim_raw", dotF(col("emb"), col("qemb")) /
+            (sqrt(dotF(col("emb"), col("emb"))) *
+             sqrt(dotF(col("qemb"), col("qemb")))))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim_raw").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            round(col("sim_raw"), 6).as("sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some("""
+        WITH ids AS (SELECT vec_id FROM embeddings),
+        v AS (
+          SELECT vec_id, list_transform(range(0, 1024), d -> CAST(
+            (((vec_id % 32) * 37 + d) * 2654435761 % 2001 - 1000) * 3 +
+            ((vec_id * 1009 + d * 97003) % 2001 - 1000) AS DOUBLE)) AS emb
+          FROM ids),
+        n AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS n2 FROM v),
+        q AS (SELECT vec_id AS q_id, emb AS qemb, n2 AS qn2
+              FROM n WHERE vec_id % 100 = 0),
+        s AS (
+          SELECT q_id, vec_id,
+            list_dot_product(qemb, emb) / (sqrt(qn2) * sqrt(n2)) AS sim_raw
+          FROM q CROSS JOIN n WHERE vec_id <> q_id),
+        ranked AS (
+          SELECT q_id, vec_id, sim_raw,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY sim_raw DESC, vec_id) AS BIGINT) AS rank
+          FROM s)
+        SELECT q_id, rank, vec_id AS neighbor_id, round(sim_raw, 6) AS sim
+        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
       """.stripMargin.trim))
   )
 }
