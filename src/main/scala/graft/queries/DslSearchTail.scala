@@ -2455,6 +2455,66 @@ object DslSearchTail {
           FROM orders)
         SELECT o_orderkey, score FROM t WHERE score >= 1
         ORDER BY score DESC, o_orderkey LIMIT 80
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // field_value_factor `ln1p` (r12 — closing the "log family fails
+    // loud" divergence with the exp-kernel doctrine): score =
+    // floor(10⁶·ln(1 + n_chars)) via the pinned-IEEE ln kernel
+    // (range-reduce to [1,2) by exact power-of-two CASE, atanh
+    // series in pinned Horner order — never libm log), ppm-scaled
+    // like linear/gauss/exp. The oracle replays the kernel as a
+    // GENERATED CTE chain (same constants, same op order — the
+    // shared-builder gating principle); accuracy vs Math.log is
+    // pinned by PinnedExpSpec.
+    GraftQuery(
+      "q352_dsl_fvf_ln1p",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match_all": {}},
+             "functions": [{"field_value_factor": {
+               "field": "n_chars", "modifier": "ln1p"}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some {
+        val ctes = graft.search.QueryDsl.pinnedLnPpmOracleCtes(
+          "s", Seq("doc_id", "n_chars"))
+        s"""
+        WITH s AS (SELECT doc_id, n_chars, 1 + n_chars AS x FROM documents),
+        $ctes
+        SELECT doc_id, n_chars, ln_ppm AS score FROM __ln
+        ORDER BY score DESC, doc_id LIMIT 60
+        """.trim
+      }),
+
+    // field_value_factor `log1p` with a factor — the log10 arm: one
+    // more pinned IEEE divide by the ln(10) literal then floor, the
+    // factor multiplying the ppm value (the engine's
+    // factor-outside-modifier convention, unchanged from none/sqrt).
+    GraftQuery(
+      "q353_dsl_fvf_log1p",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"function_score": {
+             "query": {"match_all": {}},
+             "functions": [{"field_value_factor": {
+               "field": "n_chars", "modifier": "log1p", "factor": 3}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "doc_id"], "size": 60,
+           "_source": ["doc_id", "n_chars", "score"]}"""),
+      Some {
+        val ctes = graft.search.QueryDsl.pinnedLnPpmOracleCtes(
+          "s", Seq("doc_id", "n_chars"))
+        s"""
+        WITH s AS (SELECT doc_id, n_chars, 1 + n_chars AS x FROM documents),
+        $ctes
+        SELECT doc_id, n_chars,
+               3 * CAST(floor(CAST(ln_ppm AS DOUBLE) / 2.302585092994046)
+                 AS BIGINT) AS score
+        FROM __ln
+        ORDER BY score DESC, doc_id LIMIT 60
+        """.trim
+      })
   )
 }

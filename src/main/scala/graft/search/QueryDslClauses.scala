@@ -1730,9 +1730,12 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * function values (the exact scoring model — float weights fail
     * loud). A function entry is one of:
     *   - plain `{filter?, weight?}` — the constant integer weight;
-    *   - `field_value_factor` — factor × modifier(field), unit-scale
-    *     (modifiers `none`/`square`/`sqrt`; the log family fails loud:
-    *     libm log() is not bit-portable across engines);
+    *   - `field_value_factor` — factor × modifier(field):
+    *     `none`/`square`/`sqrt` are unit-scale; the log family
+    *     (`ln`/`ln1p`/`ln2p`/`log`/`log1p`/`log2p`) serves in exact
+    *     ppm via the pinned-IEEE ln kernel [[pinnedLnPpm]] (never
+    *     libm log) and rides the ppm mixing rails; `reciprocal`
+    *     stays out (not unit-scale — use rank_feature);
     *   - `random_score` — a seeded md5 hash of a named field in ppm
     *     [0, 10⁶) (the q82 hash-threshold recipe: deterministic and
     *     oracle-replayable, unlike OpenSearch's internal-doc-id
@@ -1793,7 +1796,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
               case None =>
                 (filt.pred, lit(w), false)
               case Some("field_value_factor") =>
-                (filt.pred, fieldValueFactor(fm("field_value_factor")) * lit(w), false)
+                val (fv, fvPpm) = fieldValueFactor(fm("field_value_factor"))
+                (filt.pred, fv * lit(w), fvPpm)
               case Some("random_score") =>
                 (filt.pred, randomScorePpm(fm("random_score")) * lit(w), true)
               case Some("linear") =>
@@ -1850,7 +1854,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       val fnsPpm = fns.exists(_._3)
       if (fnsPpm && !fns.forall(_._3))
         fail("function_score cannot mix ppm-scaled functions " +
-          "(random_score, linear) with unit-scale ones in one request " +
+          "(random_score, linear, gauss, exp, log-modified " +
+          "field_value_factor) with unit-scale ones in one request " +
           "(the values are not commensurate)")
       val matched = fns.map { case (p, v, _) => when(p, v).otherwise(lit(0L)) }
       val anyMatched = fns.map(_._1).reduce(_ || _)
@@ -1952,7 +1957,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * given, else fail loud at row time (OpenSearch errors the whole
     * query — the per-row raise_error is the distributed analog).
     */
-  private[search] def fieldValueFactor(body: JValue): Column = body match {
+  private[search] def fieldValueFactor(body: JValue): (Column, Boolean) = body match {
     case JObject(parts) =>
       val m = parts.toMap
       m.keySet.diff(Set("field", "factor", "modifier", "missing")).foreach(k =>
@@ -1974,22 +1979,42 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         case Some(other) => fail(s"field_value_factor missing must be an " +
           s"integer: ${render(other)}")
       }
-      val modified = strOpt(m, "modifier").getOrElse("none") match {
-        case "none"   => v
-        case "square" => v * v
-        case "sqrt" => when(v < 0, raise_error(lit(
+      // the log family serves through the pinned-IEEE ln kernel
+      // ([[pinnedLnPpm]] — never libm log) and is therefore
+      // PPM-SCALED: floor(10⁶·ln…(v)), riding the same ppm rails as
+      // linear/gauss/exp (the mixing guards apply). log10 variants
+      // divide the pinned ln by the ln(10) literal — one more IEEE
+      // divide, still bit-portable. ln/log of v < 1 raises (the
+      // OpenSearch negative-log footgun made loud); the 1p/2p forms
+      // shift first, so v ≥ 0 (resp. ≥ −1) suffices.
+      def lnPpmOf(shift: Long): Column = {
+        val shifted = v + lit(shift)
+        when(shifted < 1L, raise_error(lit(
+            s"field_value_factor: log of non-positive '$f' + $shift")).cast("long"))
+          .otherwise(pinnedLnPpm(shifted))
+      }
+      val Ln10 = "2.302585092994046" // round-trip ln(10), StrictMath.log(10.0)
+      def log10PpmOf(shift: Long): Column =
+        floor(lnPpmOf(shift).cast("double") / lit(Ln10.toDouble)).cast("long")
+      val (modified, ppmScaled) = strOpt(m, "modifier").getOrElse("none") match {
+        case "none"   => (v, false)
+        case "square" => (v * v, false)
+        case "sqrt" => (when(v < 0, raise_error(lit(
             s"field_value_factor: sqrt of negative '$f'")).cast("long"))
-          .otherwise(floor(sqrt(v.cast("double"))).cast("long"))
-        case bad @ ("log" | "log1p" | "log2p" | "ln" | "ln1p" | "ln2p"
-                    | "reciprocal") =>
-          fail(s"field_value_factor modifier '$bad' is unsupported: the " +
-            "log family is not bit-portable across engines and " +
-            "reciprocal is not unit-scale (exact scoring model) - use " +
-            "none/square/sqrt, or rank_feature/distance_feature for " +
-            "reciprocal shapes")
+          .otherwise(floor(sqrt(v.cast("double"))).cast("long")), false)
+        case "ln"    => (lnPpmOf(0L), true)
+        case "ln1p"  => (lnPpmOf(1L), true)
+        case "ln2p"  => (lnPpmOf(2L), true)
+        case "log"   => (log10PpmOf(0L), true)
+        case "log1p" => (log10PpmOf(1L), true)
+        case "log2p" => (log10PpmOf(2L), true)
+        case "reciprocal" =>
+          fail("field_value_factor modifier 'reciprocal' is unsupported " +
+            "(not unit-scale under the exact scoring model) - use " +
+            "rank_feature/distance_feature for reciprocal shapes")
         case other => fail(s"unsupported field_value_factor modifier '$other'")
       }
-      lit(factor) * modified
+      (lit(factor) * modified, ppmScaled)
     case other => fail(s"field_value_factor requires an object body: ${render(other)}")
   }
 
@@ -2108,6 +2133,68 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     s"""CASE WHEN ($xSql) < -14.0 THEN CAST(0 AS BIGINT)
        |ELSE CAST(floor(1000000.0 *
        |  ((CASE $nSql $twoN END) * $polySql)) AS BIGINT) END""".stripMargin
+  }
+
+  /** The pinned-IEEE natural-log kernel — [[pinnedExpPpmSql]]'s
+    * sibling, serving the field_value_factor log family: libm log()
+    * is never called. For an integral x ≥ 1 (SQL text `xSql`, a
+    * BIGINT expression):
+    *   - n = bit position of the highest set bit, via a descending
+    *     63-branch CASE of power-of-two literals (replayable — never
+    *     a float log2);
+    *   - m = CAST(x AS DOUBLE) / 2ⁿ ∈ [1, 2) (an exact power-of-two
+    *     divide; x beyond 2⁵³ rounds in the cast itself — identical
+    *     IEEE rounding in both engines);
+    *   - ln(m) = 2t·(1 + t²/3 + t⁴/5 + … + t¹⁴/15), t = (m−1)/(m+1) ∈
+    *     [0, 1/3] — the atanh series in pinned Horner order
+    *     (truncation < 1e−9, far under the ppm floor);
+    *   - result: floor(10⁶ · (n·ln2 + 2t·poly(t²))) — exact ppm of
+    *     ln(x), 0 exactly at x = 1. Accuracy vs java.lang.Math.log is
+    *     property-spec'd (PinnedExpSpec's sibling test, ≤ 1 ppm).
+    */
+  /** The odd-reciprocal atanh coefficients 1/3 … 1/15 and ln 2, as
+    * round-trip double literals — shared by the Column kernel and the
+    * oracle generator so the two can never drift.
+    */
+  private[graft] val LnCoef = Seq("0.3333333333333333", "0.2",
+    "0.14285714285714285", "0.1111111111111111", "0.09090909090909091",
+    "0.07692307692307693", "0.06666666666666667")
+  private[graft] val Ln2Lit = "0.6931471805599453"
+
+  /** floor(10⁶·ln(x)) for an integral x ≥ 1 — the codegen'd static
+    * kernel [[graft.plans.PinnedLn]] (a Column-tree formulation blew
+    * past Janino's method limit; see that file's scaladoc). Strict
+    * IEEE by Java 17, replayed by [[pinnedLnPpmOracleCtes]].
+    */
+  private[graft] def pinnedLnPpm(x: Column): Column =
+    graft.plans.PinnedLn(x)
+
+  /** The oracle-side replay of [[pinnedLnPpm]] as a CTE chain over a
+    * one-column relation `<src>(x)` plus carried columns — generated,
+    * not handwritten, so the arithmetic (CASE thresholds, literal
+    * coefficients, op order) comes from the same constants. `carry`
+    * names the columns to thread through; the result relation exposes
+    * them plus `ln_ppm`.
+    */
+  private[graft] def pinnedLnPpmOracleCtes(src: String,
+      carry: Seq[String]): String = {
+    val cs = carry.mkString(", ")
+    val nCase = (62 to 1 by -1).map(k =>
+      s"WHEN x >= ${1L << k} THEN $k").mkString(
+      "(CASE ", " ", " ELSE 0 END)")
+    val poly = LnCoef.reverse.foldLeft("0.0") {
+      case (acc, c) => s"($c + t2 * $acc)"
+    }
+    s"""__ln_n AS (SELECT $cs, x, $nCase AS n FROM $src),
+       |__ln_m AS (SELECT $cs, n,
+       |  CAST(x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << n) AS DOUBLE) AS m
+       |  FROM __ln_n),
+       |__ln_t AS (SELECT $cs, n, (m - 1.0) / (m + 1.0) AS t FROM __ln_m),
+       |__ln_t2 AS (SELECT $cs, n, t, t * t AS t2 FROM __ln_t),
+       |__ln AS (SELECT $cs,
+       |  CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * $Ln2Lit
+       |    + (2.0 * t) * (1.0 + t2 * $poly))) AS BIGINT) AS ln_ppm
+       |  FROM __ln_t2)""".stripMargin
   }
 
   /** `exp`/`gauss` decay in exact ppm through [[pinnedExpPpmSql]].

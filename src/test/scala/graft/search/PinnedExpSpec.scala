@@ -54,6 +54,66 @@ class PinnedExpSpec extends SparkSpec {
       "-3.080654135821979E-5")
   }
 
+  test("pinned ln kernel stays within 1 ppm of java.lang.Math.log") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val xs = (Seq(1L, 2L, 3L, 10L, 100L, 1000L, 1000000L,
+      (1L << 31), (1L << 52), (1L << 62), Long.MaxValue) ++
+      (0 to 60).map(k => (1L << k) - 1).filter(_ >= 1) ++
+      (0 to 60).map(k => (1L << k) + 1) ++
+      (1 to 400).map(_ => math.abs(rnd.nextLong()) % 100000000L + 1L)).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), QueryDsl.pinnedLnPpm(col("x")).as("ppm"))
+      .as[(Long, Long)].collect()
+    assert(got.length === xs.length)
+    got.foreach { case (x, ppm) =>
+      val want = math.floor(1e6 * java.lang.Math.log(x.toDouble))
+      assert(math.abs(ppm - want) <= 1.0, s"x=$x ppm=$ppm want=$want")
+    }
+    // ln(1) is EXACTLY 0 (n=0, m=1, t=0 — no rounding on this path),
+    // and ln(2^k) is exactly floor(10^6·k·ln2)
+    assert(got.toMap.apply(1L) === 0L)
+    // the ln(10) literal the log10 arm divides by
+    assert(java.lang.Double.toString(StrictMath.log(10.0)) ===
+      "2.302585092994046")
+    // the JVM kernel and the oracle CTE generator must read the SAME
+    // constants — one definition, two replays
+    assert(graft.plans.PinnedMath.Coef.toSeq ===
+      QueryDsl.LnCoef.map(_.toDouble))
+    assert(graft.plans.PinnedMath.Ln2 === QueryDsl.Ln2Lit.toDouble)
+  }
+
+  test("log-modified field_value_factor rides the ppm rails and raises on non-positive") {
+    import spark.implicits._
+    val t = Seq((1L, 0L), (2L, 9L), (3L, 99L)).toDF("id", "v")
+    def run(mod: String) = QueryDsl.search(t,
+      s"""{"query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"field_value_factor":
+              {"field": "v", "modifier": "$mod"}}],
+            "boost_mode": "replace"}},
+          "sort": ["id"], "size": 10, "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toMap
+    val ln1p = run("ln1p")
+    assert(ln1p(1L) === 0L)                                    // ln(1) = 0
+    assert(ln1p(2L) === math.floor(1e6 * math.log(10.0)).toLong)
+    assert(ln1p(3L) === math.floor(1e6 * math.log(100.0)).toLong)
+    val log1p = run("log1p")
+    assert(log1p(2L) === 999999L || log1p(2L) === 1000000L)    // log10(10)
+    // ln of a zero value raises (the negative-log footgun made loud)
+    val e = intercept[Throwable](run("ln"))
+    assert(e.getMessage.contains("log of non-positive"), e.getMessage)
+    // ppm mixing guard extends to log-modified field_value_factor
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"query": {"function_score": {"query": {"match_all": {}},
+          "functions": [{"field_value_factor": {"field": "v", "modifier": "ln1p"}},
+                        {"weight": 2}]}}}"""))
+    assert(e2.getMessage.contains("cannot mix ppm-scaled"), e2.getMessage)
+    // reciprocal stays out
+    val e3 = intercept[IllegalArgumentException](run("reciprocal"))
+    assert(e3.getMessage.contains("reciprocal"), e3.getMessage)
+  }
+
   test("exp/gauss decay semantics: origin scores 10^6, decay at scale, missing is neutral") {
     import spark.implicits._
     val t = Seq((1L, Some(300L)), (2L, Some(500L)), (3L, Some(100L)),
