@@ -2515,6 +2515,39 @@ object DslSearchTail {
         FROM __ln
         ORDER BY score DESC, doc_id LIMIT 60
         """.trim
+      }),
+
+    // exp decay on a DATE field (r12 — the recency boost real
+    // relevance tuning actually sends): origin is an ISO instant,
+    // scale/offset are durations ("7d"/"1d"), everything converts to
+    // exact microseconds on the driver and the SAME pinned exp kernel
+    // serves the row — λ is just ~10¹¹ smaller. Distance is
+    // |unix_micros(ts) − origin_us| in Long; the oracle replays the
+    // kernel text with epoch_us.
+    GraftQuery(
+      "q354_dsl_decay_date",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "events"),
+        """{"query": {"function_score": {
+             "query": {"match_all": {}},
+             "functions": [{"exp": {"ts": {
+               "origin": "2024-01-15T00:00:00", "scale": "7d",
+               "offset": "1d", "decay": 0.5}}}],
+             "boost_mode": "replace"}},
+           "sort": [{"_score": "desc"}, "event_id"], "size": 60,
+           "_source": ["event_id", "score"]}"""),
+      Some {
+        val lam = java.lang.Double.toString(
+          StrictMath.log(0.5) / (7.0 * 86400.0 * 1000000.0))
+        val d = "CAST(greatest(abs(epoch_us(ts) - " +
+          "CAST(1705276800000000 AS BIGINT)) - " +
+          "CAST(86400000000 AS BIGINT), CAST(0 AS BIGINT)) AS DOUBLE)"
+        val kernel = graft.search.QueryDsl.pinnedExpPpmSql(s"($lam * $d)")
+        s"""
+        SELECT event_id, ($kernel) AS score
+        FROM events
+        ORDER BY score DESC, event_id LIMIT 60
+        """.trim
       })
   )
 }

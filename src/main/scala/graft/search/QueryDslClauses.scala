@@ -2135,26 +2135,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
        |  ((CASE $nSql $twoN END) * $polySql)) AS BIGINT) END""".stripMargin
   }
 
-  /** The pinned-IEEE natural-log kernel — [[pinnedExpPpmSql]]'s
-    * sibling, serving the field_value_factor log family: libm log()
-    * is never called. For an integral x ≥ 1 (SQL text `xSql`, a
-    * BIGINT expression):
-    *   - n = bit position of the highest set bit, via a descending
-    *     63-branch CASE of power-of-two literals (replayable — never
-    *     a float log2);
-    *   - m = CAST(x AS DOUBLE) / 2ⁿ ∈ [1, 2) (an exact power-of-two
-    *     divide; x beyond 2⁵³ rounds in the cast itself — identical
-    *     IEEE rounding in both engines);
-    *   - ln(m) = 2t·(1 + t²/3 + t⁴/5 + … + t¹⁴/15), t = (m−1)/(m+1) ∈
-    *     [0, 1/3] — the atanh series in pinned Horner order
-    *     (truncation < 1e−9, far under the ppm floor);
-    *   - result: floor(10⁶ · (n·ln2 + 2t·poly(t²))) — exact ppm of
-    *     ln(x), 0 exactly at x = 1. Accuracy vs java.lang.Math.log is
-    *     property-spec'd (PinnedExpSpec's sibling test, ≤ 1 ppm).
-    */
   /** The odd-reciprocal atanh coefficients 1/3 … 1/15 and ln 2, as
-    * round-trip double literals — shared by the Column kernel and the
-    * oracle generator so the two can never drift.
+    * round-trip double literals — shared (lock-step spec-pinned) with
+    * the [[graft.plans.PinnedMath]] JVM kernel and embedded by the
+    * oracle generator so the three replays can never drift.
     */
   private[graft] val LnCoef = Seq("0.3333333333333333", "0.2",
     "0.14285714285714285", "0.1111111111111111", "0.09090909090909091",
@@ -2213,6 +2197,35 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       val m = parts.toMap
       m.keySet.diff(Set("origin", "scale", "offset", "decay")).foreach(k =>
         fail(s"unsupported $kind decay option '$k'"))
+      // DATE MODE — the recency-boost request real relevance tuning
+      // sends: origin is an ISO instant, scale/offset are <n>[dhms]
+      // durations. Everything converts to exact MICROSECONDS on the
+      // driver (λ just gets smaller); the row distance is
+      // |unix_micros(f) − origin_us| in Long, so the kernel input is
+      // the same shape as the numeric arm. Mixed spellings (ISO
+      // origin + integer scale, or vice versa) fail loud.
+      val dateMode = m.get("origin").exists(_.isInstanceOf[JString])
+      def durUs(k: String, default: Option[Long]): Long = m.get(k) match {
+        case Some(JString(s0)) =>
+          val DurRe = """(\d+)([dhms])""".r
+          s0 match {
+            case DurRe(n0, u) =>
+              val mult = u match {
+                case "d" => 86400L; case "h" => 3600L
+                case "m" => 60L;    case "s" => 1L
+              }
+              val v = n0.toLong * mult
+              if (v < 1L) fail(s"$kind decay $k must be positive: '$s0'")
+              if (v > 3153600000L) fail(s"$kind decay $k too large: '$s0'")
+              v * 1000000L
+            case other => fail(s"$kind decay $k must match <n>[dhms] " +
+              s"in date mode: '$other'")
+          }
+        case None => default.getOrElse(
+          fail(s"$kind decay on '$f' requires a duration '$k' (date mode)"))
+        case Some(other) => fail(s"$kind decay $k must be a <n>[dhms] " +
+          s"duration string in date mode: ${render(other)}")
+      }
       def longOf(k: String, default: Option[Long]): Long = m.get(k) match {
         case Some(JInt(i)) => i.toLong
         case None => default.getOrElse(
@@ -2220,11 +2233,26 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         case Some(other) => fail(s"$kind decay '$k' must be an integer " +
           s"(exact scoring model): ${render(other)}")
       }
-      val origin = longOf("origin", None)
-      val scale = longOf("scale", None)
-      if (scale <= 0L) fail(s"$kind decay scale must be positive")
-      val offset = longOf("offset", Some(0L))
-      if (offset < 0L) fail(s"$kind decay offset must be >= 0")
+      val (origin, scale, offset) =
+        if (dateMode) {
+          val t = m.get("origin") match {
+            case Some(JString(iso)) =>
+              try DateMath.parseAnchor(iso)
+              catch { case e: IllegalArgumentException =>
+                fail(s"$kind decay origin: ${e.getMessage}") }
+            case _ => fail("unreachable")
+          }
+          val us = t.toInstant(java.time.ZoneOffset.UTC)
+            .getEpochSecond * 1000000L + t.getNano / 1000L
+          (us, durUs("scale", None), durUs("offset", Some(0L)))
+        } else {
+          val o = longOf("origin", None)
+          val sc = longOf("scale", None)
+          if (sc <= 0L) fail(s"$kind decay scale must be positive")
+          val off = longOf("offset", Some(0L))
+          if (off < 0L) fail(s"$kind decay offset must be >= 0")
+          (o, sc, off)
+        }
       val decayPpm = ppmOf(m, "decay", 500000L)
       if (decayPpm <= 0L || decayPpm >= 1000000L)
         fail(s"$kind decay must be a fraction strictly inside (0, 1)")
@@ -2233,7 +2261,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         if (kind == "exp") lnDecay / scale.toDouble
         else lnDecay / (scale.toDouble * scale.toDouble)
       val lamLit = java.lang.Double.toString(lambda)
-      val dSql = s"CAST(greatest(abs(CAST(`$f` AS BIGINT) - " +
+      val vSql = if (dateMode) s"unix_micros(`$f`)" else s"CAST(`$f` AS BIGINT)"
+      val dSql = s"CAST(greatest(abs($vSql - " +
         s"CAST($origin AS BIGINT)) - CAST($offset AS BIGINT), " +
         s"CAST(0 AS BIGINT)) AS DOUBLE)"
       val xSql =

@@ -143,11 +143,44 @@ class PinnedExpSpec extends SparkSpec {
     // far past the underflow horizon: exact 0, never negative
     val far = run("exp", """{"origin": 300, "scale": 1, "decay": 0.5}""")
     assert(far(2L) === 0L)
+    // DATE MODE: ISO origin + duration scale — the recency boost.
+    // Exact-decay-at-scale can land either side of a ppm (λ·d only
+    // approximates ln(decay) when scale isn't a power of two), so the
+    // pins are the exact origin, near-halving, and monotonicity.
+    val dt = Seq(
+      (1L, Some("2024-01-15 00:00:00")),
+      (2L, Some("2024-01-22 00:00:00")),  // +7d = scale
+      (3L, Some("2024-01-29 00:00:00")),  // +14d
+      (4L, Option.empty[String])
+    ).toDF("id", "s0").select(col("id"), to_timestamp(col("s0")).as("ts"))
+    val dd = QueryDsl.search(dt,
+      """{"query": {"function_score": {
+           "query": {"match_all": {}},
+           "functions": [{"exp": {"ts": {
+             "origin": "2024-01-15T00:00:00", "scale": "7d",
+             "decay": 0.5}}}],
+           "boost_mode": "replace"}},
+         "sort": ["id"], "size": 10, "_source": ["id", "score"]}""")
+      .as[(Long, Long)].collect().toMap
+    assert(dd(1L) === 1000000L)
+    assert(math.abs(dd(2L) - 500000L) <= 1L)
+    assert(math.abs(dd(3L) - 250000L) <= 1L)
+    assert(dd(4L) === 1000000L)            // NULL ts -> neutral
     // validation stays loud
     def bad(fn: String, spec: String, frag: String): Unit = {
       val ex = intercept[IllegalArgumentException](run(fn, spec))
       assert(ex.getMessage.contains(frag), ex.getMessage)
     }
+    def badD(json: String, frag: String): Unit = {
+      val ex = intercept[IllegalArgumentException](QueryDsl.search(dt, json))
+      assert(ex.getMessage.contains(frag), ex.getMessage)
+    }
+    badD("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"exp": {"ts": {"origin": "2024-01-15T00:00:00",
+          "scale": 7}}}]}}}""", "duration string in date mode")
+    badD("""{"query": {"function_score": {"query": {"match_all": {}},
+        "functions": [{"exp": {"ts": {"origin": "2024-01-15T00:00:00",
+          "scale": "7w"}}}]}}}""", "must match <n>[dhms]")
     bad("exp", """{"origin": 300, "scale": 0, "decay": 0.5}""",
       "scale must be positive")
     bad("gauss", """{"origin": 300, "scale": 10, "decay": 1}""",

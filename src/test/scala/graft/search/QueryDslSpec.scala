@@ -571,8 +571,14 @@ class QueryDslSpec extends SparkSpec {
       "needs a prefix_length")
     bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip",
       "prefix_length": 0}}}}""", "must be 1-32")
+    // is_ipv6 true is now SERVED (the v6 arm, Ipv6Spec); here pin
+    // that the flag must still be a boolean and that v4-looking data
+    // NULLs out under the v6 parser (no bucket, never a crash)
     bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip",
-      "prefix_length": 16, "is_ipv6": true}}}}""", "is_ipv6 true is unsupported")
+      "prefix_length": 16, "is_ipv6": "yes"}}}}""", "must be a boolean")
+    assert(QueryDsl.search(t,
+      """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+           "prefix_length": 64, "is_ipv6": true}}}}""").count() === 0L)
     bad("""{"aggs": {"net": {"ip_prefix": {"field": "ip",
       "prefix_length": 16, "min_doc_count": 0}}}}""",
       "unsupported ip_prefix option")
@@ -1073,9 +1079,11 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"function_score": {"query": {"match_all": {}},
       "functions": [{"gauss": {"n": {"origin": 0, "scale": 10}}},
         {"weight": 2}]}}}""", "cannot mix ppm-scaled functions")
+    // the log family is now SERVED via the pinned ln kernel (ppm —
+    // PinnedExpSpec); reciprocal remains out
     bad("""{"query": {"function_score": {"query": {"match_all": {}},
-      "functions": [{"field_value_factor": {"field": "n", "modifier": "log1p"}}]}}}""",
-      "log family is not bit-portable")
+      "functions": [{"field_value_factor": {"field": "n", "modifier": "reciprocal"}}]}}}""",
+      "reciprocal")
     bad("""{"query": {"function_score": {"query": {"match_all": {}},
       "functions": [{"random_score": {"seed": 1}}]}}}""",
       "random_score requires a field")
@@ -5496,8 +5504,13 @@ class QueryDslSpec extends SparkSpec {
     assert(ir === Seq(("*-10.0.1.0", 1L), ("10.0.1.0-*", 1L)))
     bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
          "ranges": [{"to": "10.0.256.0"}]}}}}""", "not a dotted-quad")
-    bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
-         "ranges": [{"to": "::1"}]}}}}""", "not a dotted-quad")
+    // a ':' bound now routes to the IPv6 arm (Ipv6Spec): the request
+    // is valid, and every v4/dirty field value NULLs out under the v6
+    // parser — both buckets empty, never a crash
+    assert(QueryDsl.search(ips,
+      """{"aggs": {"net": {"ip_range": {"field": "ip",
+           "ranges": [{"to": "::1"}, {"from": "::1"}]}}}}""")
+      .select("doc_count").as[Long].collect().toSeq === Seq(0L, 0L))
     bad(ips, """{"aggs": {"net": {"ip_range": {"field": "ip",
          "ranges": [{}]}}}}""", "unbounded range")
   }
