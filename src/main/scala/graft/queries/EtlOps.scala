@@ -336,7 +336,7 @@ object EtlOps {
     // replays the net effect of the body column-for-column:
     // coalesce(new, old) per touched column, delete drops the row.
     GraftQuery(
-      "q54_bulk_update_merge",
+      "q346_bulk_update_merge",
       (s, dir) => {
         val d = Tables.load(s, dir, "documents").filter(col("doc_id") < 40)
         val state0 = d.select(col("doc_id").as("_doc_id"),
