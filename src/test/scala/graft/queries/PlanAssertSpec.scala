@@ -539,4 +539,50 @@ class PlanAssertSpec extends SparkSpec {
     val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 2, s"extra shuffle in shard assignment:\n${nodes.head}")
   }
+
+  test("q350 indexed ANN: the bucket probe is a broadcast join, corpus never shuffle-joins") {
+    val nodes = finalNodes(
+      Registry.byName("q350_ann_matryoshka_indexed").run(spark, sf()))
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.size === 1, s"expected ONE broadcast probe join:\n${nodes.head}")
+    assert(smj.isEmpty, s"probe join regressed to sort-merge:\n${nodes.head}")
+    // beyond the broadcast, only the candidate windows move data: the
+    // shortlist hash shuffle + (possibly fused) re-rank + the
+    // presentation sort — candidates only, never the corpus
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"corpus-sized shuffle crept in:\n${nodes.head}")
+  }
+
+  test("round-12 scoring/agg queries stay map-only: no joins, bounded shuffles") {
+    // q342/q352: pinned-kernel scoring is a projection into a top-k —
+    // no join operators anywhere, at most the presentation exchange
+    Seq("q342_dsl_function_score_exp", "q352_dsl_fvf_ln1p",
+        "q354_dsl_decay_date").foreach { q =>
+      val nodes = finalNodes(Registry.byName(q).run(spark, sf()))
+      assert(nodes.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        nodes.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"$q grew a join:\n${nodes.head}")
+      assert(nodes.collect { case s: ShuffleExchangeExec => s }.size <= 1,
+        s"$q shuffles beyond the presentation pass:\n${nodes.head}")
+    }
+    // q341 named-tz histogram: the literal transition CASE keys ONE
+    // aggregation — agg exchange + presentation sort, nothing else
+    val tz = finalNodes(
+      Registry.byName("q341_dsl_date_histogram_named_tz").run(spark, sf()))
+    assert(tz.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      tz.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"q341 grew a join:\n${tz.head}")
+    assert(tz.collect { case s: ShuffleExchangeExec => s }.size <= 2,
+      s"q341 shuffles beyond agg+sort:\n${tz.head}")
+    // q348 two-hop nested: higher-order functions, never an explode
+    // join — map-only into the top-k
+    val nh = finalNodes(
+      Registry.byName("q348_dsl_nested_two_hop").run(spark, sf()))
+    assert(nh.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      nh.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"q348 grew a join:\n${nh.head}")
+    assert(nh.collect { case s: ShuffleExchangeExec => s }.size <= 1,
+      s"q348 shuffles beyond the presentation pass:\n${nh.head}")
+  }
 }
