@@ -196,6 +196,35 @@ object BulkBody {
     if (updateIds.isEmpty)
       return CdcMerge.applyBatch(state, toFrame(spark, items, startSeq))
 
+    // The update path round-trips touched documents through JSON
+    // (toJSON point read → merged doc → spark.read.json), so payload
+    // types that JSON cannot represent losslessly would come back
+    // RETYPED — and unionByName would then silently widen the WHOLE
+    // state column (a timestamp column becoming string with two
+    // different renderings, say). Fail loud instead: the bulk-update
+    // arm serves JSON-native payloads; anything else updates by
+    // whole-document `index` (or the typed CDC stream).
+    {
+      import org.apache.spark.sql.types._
+      def jsonNative(dt: DataType): Boolean = dt match {
+        case LongType | DoubleType | StringType | BooleanType => true
+        case ArrayType(e, _)  => jsonNative(e)
+        case StructType(fs)   => fs.forall(f2 => jsonNative(f2.dataType))
+        case _                => false
+      }
+      state.schema.fields
+        .filterNot(f2 => Set("_doc_id", "_seq", "_deleted")(f2.name))
+        .foreach { f2 =>
+          if (!jsonNative(f2.dataType))
+            bad(s"_bulk update cannot serve a state with payload column " +
+              s"'${f2.name}: ${f2.dataType.simpleString}' - the partial-" +
+              "document merge round-trips documents through JSON, which " +
+              "would silently retype it (JSON-native payloads only: " +
+              "bigint/double/string/boolean and arrays/structs of those; " +
+              "send a whole-document index instead)")
+        }
+    }
+
     def idKey(v: JValue): String = v match {
       case JInt(i)    => i.toString
       case JString(s) => s

@@ -2791,13 +2791,25 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     val dated = hits.filter(col(f).isNotNull)
     val key =
       s"${dated.queryExecution.analyzed.semanticHash()}#$f|${planFreshness(dated)}"
-    dateSpanCache.computeIfAbsent(key, _ => {
+    // the aggregate runs OUTSIDE the cache lock: computeIfAbsent on a
+    // synchronizedMap holds the one map mutex for the mapping
+    // function's whole duration — a multi-second span scan would
+    // serialize EVERY date-span lookup engine-wide, exactly under the
+    // concurrent-serving fan-in. Two identical requests racing the
+    // same cold key may both compute (benign: same value, last put
+    // wins); a lock held across a Spark job is the real hazard.
+    val cached = dateSpanCache.get(key)
+    if (cached != null) cached
+    else {
       val r = dated.agg(min(col(f)), max(col(f))).head()
-      if (r.isNullAt(0)) None
-      else Some((
-        r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime,
-        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
-    })
+      val v =
+        if (r.isNullAt(0)) None
+        else Some((
+          r.getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime,
+          r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime))
+      dateSpanCache.put(key, v)
+      v
+    }
   }
 
   /** Expand a named IANA zone's rules (the JVM tzdb) into the SAME

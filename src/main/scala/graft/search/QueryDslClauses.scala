@@ -1981,12 +1981,17 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       }
       // the log family serves through the pinned-IEEE ln kernel
       // ([[pinnedLnPpm]] — never libm log) and is therefore
-      // PPM-SCALED: floor(10⁶·ln…(v)), riding the same ppm rails as
-      // linear/gauss/exp (the mixing guards apply). log10 variants
-      // divide the pinned ln by the ln(10) literal — one more IEEE
-      // divide, still bit-portable. ln/log of v < 1 raises (the
-      // OpenSearch negative-log footgun made loud); the 1p/2p forms
-      // shift first, so v ≥ 0 (resp. ≥ −1) suffices.
+      // PPM-SCALED: floor(10⁶·ln(v)) exactly as the kernel defines it,
+      // riding the same ppm rails as linear/gauss/exp (the mixing
+      // guards apply). log10 variants floor the PPM ln divided by the
+      // ln(10) literal — deterministic and within 1 ppm of true
+      // log10, but NOT decade-exact: log10(10) scores 999999, not
+      // 10⁶ (the double floor composes two ≤1-ulp approximations;
+      // an approximate ln can never make powers of ten land exactly,
+      // so the contract is the arithmetic itself, which the oracle
+      // replays). ln/log of v < 1 raises (the OpenSearch negative-log
+      // footgun made loud); the 1p/2p forms shift first, so v ≥ 0
+      // (resp. ≥ −1) suffices.
       def lnPpmOf(shift: Long): Column = {
         val shifted = v + lit(shift)
         when(shifted < 1L, raise_error(lit(
@@ -2872,8 +2877,14 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         s"point or polygon query shapes, got '$other'")
     }
 
+    // a NULL lat/lon INSIDE one vertex is as unknowable as a NULL
+    // ring: without the exists-guard the even-odd walk would count
+    // only the non-NULL edges (IF(cond,1,0) maps NULL to 0) and
+    // fabricate a definite answer — the row must DROP (tri-state)
     val pred = expr(
-      s"""CASE WHEN $rf IS NULL OR size($rf) < 3 THEN CAST(NULL AS BOOLEAN)
+      s"""CASE WHEN $rf IS NULL OR size($rf) < 3
+         |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
+         |     THEN CAST(NULL AS BOOLEAN)
          |WHEN size($rf) <= 64 AND size($rf) > 3 AND ($selfX)
          |  THEN raise_error('geo_shape doc polygon ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
          |WHEN size($rf) > 64

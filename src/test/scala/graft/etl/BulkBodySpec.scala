@@ -107,6 +107,23 @@ class BulkBodySpec extends SparkSpec {
       """{"update": {"_id": 1}}
         |{"doc": {"n": 1}}""".stripMargin))
     assert(e.getMessage.contains("applyBulk"))
+    // a payload type JSON cannot round-trip (timestamp) fails loud
+    // BEFORE any merge — the union would otherwise silently retype
+    // the whole state column
+    val tsState = spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS _doc_id, CAST(0 AS BIGINT) AS _seq,
+         false AS _deleted, TIMESTAMP '2024-01-01 00:00:00' AS ts,
+         CAST(10 AS BIGINT) AS n""")
+    val e2 = intercept[IllegalArgumentException](
+      BulkBody.applyBulk(spark, tsState,
+        """{"update": {"_id": 1}}
+          |{"doc": {"n": 1}}""".stripMargin, startSeq = 5L))
+    assert(e2.getMessage.contains("would silently retype"), e2.getMessage)
+    // without updates the same state merges fine (no JSON round-trip)
+    val ok = BulkBody.applyBulk(spark, tsState,
+      """{"delete": {"_id": 1}}
+        |""".stripMargin, startSeq = 5L)
+    assert(CdcMerge.snapshot(ok).count() === 0L)
   }
 
   test("bulk body fail-loud contract") {

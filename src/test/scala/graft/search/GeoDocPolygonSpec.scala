@@ -104,6 +104,15 @@ class GeoDocPolygonSpec extends SparkSpec {
              "relation": "$rel"}},
             "sort": ["id"], "size": 10, "_source": ["id"]}""")
     assert(run(t).as[Long].collect().toSeq === Seq(1L)) // 2 and 3 dropped
+    // a NULL lat INSIDE one vertex drops the row too — a parity walk
+    // over only the non-NULL edges would fabricate a definite answer
+    val nv = Seq((1L, 0)).toDF("id", "z").withColumn("ring", expr(
+      """array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(NULL AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+               struct(CAST(10.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+               struct(CAST(10.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))"""))
+    assert(run(nv).count() === 0L)
+    assert(run(nv, "disjoint").count() === 0L) // tri-state, not "definitely outside"
     // a self-intersecting bowtie RAISES at runtime (a silent even-odd
     // answer over it would be plausible and wrong)
     val bow = Seq((1L, 0)).toDF("id", "z").withColumn("ring", expr(

@@ -99,7 +99,11 @@ class PinnedExpSpec extends SparkSpec {
     assert(ln1p(2L) === math.floor(1e6 * math.log(10.0)).toLong)
     assert(ln1p(3L) === math.floor(1e6 * math.log(100.0)).toLong)
     val log1p = run("log1p")
-    assert(log1p(2L) === 999999L || log1p(2L) === 1000000L)    // log10(10)
+    // DOCUMENTED: the log10 family is within 1 ppm but NOT decade-
+    // exact — floor(floor(1e6·ln10)/ln10) = 999999 (an approximate ln
+    // cannot make powers of ten land exactly; the oracle replays the
+    // same arithmetic)
+    assert(log1p(2L) === 999999L)
     // ln of a zero value raises (the negative-log footgun made loud)
     val e = intercept[Throwable](run("ln"))
     assert(e.getMessage.contains("log of non-positive"), e.getMessage)
