@@ -2548,6 +2548,49 @@ object DslSearchTail {
         FROM events
         ORDER BY score DESC, event_id LIMIT 60
         """.trim
+      }),
+
+    // exp decay on a GEO origin (r12 — the third and last OpenSearch
+    // decay origin type; numeric and date landed above): origin is
+    // {lat, lon}, scale/offset are "<n>km", the distance is the
+    // engine's ONE 6-dp-rounded haversine (the q125 recipe — the
+    // rounding absorbs libm trig drift, same soundness as every geo
+    // oracle) and the SAME pinned exp kernel maps it to ppm. "Near
+    // the origin scores high" — the store-locator boost.
+    GraftQuery(
+      "q355_dsl_decay_geo",
+      (s, dir) => {
+        val pts = GeoFixtures.syntheticPoints(Tables.load(s, dir, "customer"))
+        QueryDsl.search(pts,
+          """{"query": {"function_score": {
+               "query": {"match_all": {}},
+               "functions": [{"exp": {"location": {
+                 "origin": {"lat": 40.0, "lon": -74.0},
+                 "scale": "3000km", "offset": "500km", "decay": 0.5,
+                 "lat_field": "lat", "lon_field": "lon"}}}],
+               "boost_mode": "replace"}},
+             "sort": [{"_score": "desc"}, "c_custkey"], "size": 80,
+             "_source": ["c_custkey", "score"]}""")
+      },
+      Some {
+        val lam = java.lang.Double.toString(StrictMath.log(0.5) / 3000.0)
+        val hav = "round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(" +
+          "sin((lat - 40.0) * pi() / 180.0 / 2.0) * " +
+          "sin((lat - 40.0) * pi() / 180.0 / 2.0)" +
+          " + cos(40.0 * pi() / 180.0) * cos(lat * pi() / 180.0)" +
+          " * sin((lon - (-74.0)) * pi() / 180.0 / 2.0) * " +
+          "sin((lon - (-74.0)) * pi() / 180.0 / 2.0))), 6)"
+        val d = s"greatest(($hav) - 500.0, 0.0)"
+        val kernel = graft.search.QueryDsl.pinnedExpPpmSql(s"($lam * ($d))")
+        s"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 180000 AS DOUBLE) / 1000.0 - 90.0 AS lat,
+                 CAST((c_custkey * 40503 + 7) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon
+          FROM customer)
+        SELECT c_custkey, ($kernel) AS score FROM pts
+        ORDER BY score DESC, c_custkey LIMIT 80
+        """.trim
       })
   )
 }

@@ -1317,43 +1317,13 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     * [[ipv4NumCol]]). Full and `::`-compressed forms (RFC 4291 §2.2
     * forms 1 and 2); the dotted-quad-suffix form 3 ("::ffff:1.2.3.4")
     * is out of scope and NULLs out like any other dirt — documented.
-    * The parse is pure per-group CASE arithmetic (split, regex
-    * validation, conv hex→int) so it stays codegen'd and an oracle
-    * can replay the same semantics; no InetAddress (which would
-    * accept hostnames and hit the resolver).
+    * Served by the static codegen expression
+    * [[graft.plans.Ipv6Parse]] (a Column-tree grammar blew Janino's
+    * method limit inside fused stages; see that file). No InetAddress
+    * — it would accept hostnames and hit the resolver.
     */
-  private[search] def ipv6GroupValsCol(f: Column): Column = {
-    val s = lower(f)
-    // structure: hex/colon chars only, no ':::', at most one '::'
-    val dcCount = (length(s) - length(regexp_replace(s, "::", ""))) / 2
-    val hasDc = s.contains("::")
-    // sides around the (single) '::'; without one, l is the whole
-    // string and r is empty — the CASEs below unify the two shapes
-    val l = when(hasDc, substring_index(s, "::", 1)).otherwise(s)
-    val r = when(hasDc, substring_index(s, "::", -1)).otherwise(lit(""))
-    val lArr = when(l === "", array().cast("array<string>"))
-      .otherwise(split(l, ":", -1))
-    val rArr = when(r === "", array().cast("array<string>"))
-      .otherwise(split(r, ":", -1))
-    val nl = size(lArr).cast("long")
-    val nr = size(rArr).cast("long")
-    val sizesOk = when(hasDc, nl + nr <= 7L).otherwise(nl === 8L)
-    // group i (0-based): left side, then the elided zeros, then the
-    // right side indexed FROM THE END (i−8 is a negative constant:
-    // group 7 is rArr[-1], group 6 rArr[-2], …) — constant indices
-    // keep the extraction codegen'd; try_ keeps ANSI mode from
-    // aborting on the dirt the validity predicate is about to reject
-    def groupStr(i: Int): Column =
-      when(lit(i.toLong) < nl, try_element_at(lArr, lit(i + 1)))
-        .when(lit(i.toLong) >= lit(8L) - nr, try_element_at(rArr, lit(i - 8)))
-        .otherwise(lit("0"))
-    val hexOk = (0 until 8).map(i =>
-      groupStr(i).rlike("^[0-9a-f]{1,4}$")).reduce(_ && _)
-    val valid = s.rlike("^[0-9a-f:]{2,45}$") &&
-      !s.contains(":::") && dcCount <= 1.0 && sizesOk && hexOk
-    when(valid, array((0 until 8).map(i =>
-      conv(groupStr(i), 16, 10).cast("long")): _*))
-  }
+  private[search] def ipv6GroupValsCol(f: Column): Column =
+    graft.plans.Ipv6Parse(f)
 
   /** The biased two-long order key of an IPv6 group array: hi/lo =
     * (g₀−2¹⁵)·2⁴⁸ + g₁·2³² + g₂·2¹⁶ + g₃ (resp. g₄..g₇) — subtracting
@@ -1375,31 +1345,16 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     * on anything [[ipv6GroupValsCol]] would NULL out (requests are
     * never dirty — the ip_range bound convention).
     */
+  /** Driver-side strict IPv6 bound parse → 8 group values; fails loud
+    * on anything the column parser would NULL out (requests are never
+    * dirty — the ip_range bound convention). ONE grammar:
+    * [[graft.plans.Ipv6Parse.groupsOrNull]] serves both sides.
+    */
   private[search] def ipv6Groups(addr: String, ctx: String): Seq[Long] = {
-    val s = addr.toLowerCase
-    def bad(): Nothing =
+    val g = graft.plans.Ipv6Parse.groupsOrNull(addr)
+    if (g == null)
       fail(s"$ctx: '$addr' is not a full or ::-compressed IPv6 address")
-    if (!s.matches("^[0-9a-f:]{2,45}$") || s.contains(":::")) bad()
-    val dc = s.sliding(2).count(_ == "::")
-    if (dc > 1) bad()
-    def side(p: String): Seq[String] =
-      if (p.isEmpty) Seq.empty else p.split(":", -1).toSeq
-    val groups: Seq[String] =
-      if (s.contains("::")) {
-        val Array(l, r) = { val i = s.indexOf("::")
-          Array(s.substring(0, i), s.substring(i + 2)) }
-        val (ls, rs) = (side(l), side(r))
-        if (ls.size + rs.size > 7) bad()
-        ls ++ Seq.fill(8 - ls.size - rs.size)("0") ++ rs
-      } else {
-        val g = side(s)
-        if (g.size != 8) bad()
-        g
-      }
-    groups.map { g =>
-      if (!g.matches("^[0-9a-f]{1,4}$")) bad()
-      java.lang.Long.parseLong(g, 16)
-    }
+    g.toSeq
   }
 
   private[search] def ipv6BiasedPair(groups: Seq[Long]): (Long, Long) = (
@@ -1450,10 +1405,15 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
     if (v6) {
+      // The parse materializes ONCE as a projected column: inlining
+      // ipv6GroupValsCol into every masked-group/key/order expression
+      // would repeat the whole parser tree ~30× in one operator and
+      // blow Janino's method limit (observed interpreted fallback).
+      val hitsG = hits.withColumn("__v6g", ipv6GroupValsCol(col(f)))
       // group-wise mask: group i keeps bits = clamp(n − 16i, 0, 16) —
       // masked = g − g % 2^(16−bits) (bits 0 → g % 2¹⁶ = g → 0, bits
       // 16 → g % 1 = 0 → g, uniform formula, no branching)
-      val groups = ipv6GroupValsCol(col(f))
+      val groups = col("__v6g")
       def masked(i: Int): Column = {
         val bits = math.max(0, math.min(16, n - 16 * i))
         element_at(groups, i + 1) -
@@ -1469,7 +1429,7 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
           ms(2) * lit(1L << 16) + ms(3),
         (ms(4) - lit(32768L)) * lit(1L << 48) + ms(5) * lit(1L << 32) +
           ms(6) * lit(1L << 16) + ms(7))
-      hits.filter(groups.isNotNull)
+      hitsG.filter(groups.isNotNull)
         .groupBy(oHi.as("__hi"), oLo.as("__lo"), key.as(name))
         .agg(count(lit(1)).as("doc_count"), subs: _*)
         .orderBy(col("__hi").asc, col("__lo").asc)
@@ -1521,10 +1481,12 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     if (v6 && !boundStrs.forall(_.contains(":")))
       fail(s"ip_range agg '$name' mixes IPv4 and IPv6 bounds")
     lazy val ipNum = ipv4NumCol(col(f))
-    lazy val (ipHi, ipLo) = {
-      val g = ipv6GroupValsCol(col(f))
-      ipv6Biased(g)
-    }
+    // v6: the parse materializes ONCE as a projected column — every
+    // bound comparison re-embedding the parser tree blew Janino's
+    // method limit (interpreted fallback); the biased pair over the
+    // projected array is 8 element_ats
+    lazy val hitsV6 = hits.withColumn("__v6g", ipv6GroupValsCol(col(f)))
+    lazy val (ipHi, ipLo) = ipv6Biased(col("__v6g"))
     val ranges: Seq[(Column, String)] = m.get("ranges") match {
       case Some(JArray(rs)) if rs.nonEmpty => rs.map {
         case JObject(bounds) =>
@@ -1560,7 +1522,8 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       }
       case _ => fail(s"ip_range agg '$name' requires a non-empty ranges array")
     }
-    onePassBuckets(hits, name, ranges, subAggs, family = "ip_range")
+    onePassBuckets(if (v6) hitsV6 else hits, name, ranges, subAggs,
+      family = "ip_range")
   }
 
   /** `date_range` bucket agg: calendar-anchored [from, to) buckets

@@ -2112,16 +2112,21 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * both engines parse them to identical bits. Accuracy vs
     * java.lang.Math.exp is property-spec'd (≤ 1e−11 relative).
     */
+  /** 1/k! for k = 3..13 as JVM shortest round-trip literals — shared
+    * (lock-step spec-pinned) with [[graft.plans.PinnedMath.ExpCoefD]],
+    * the engine-side static kernel.
+    */
+  private[graft] val ExpCoef = Seq(
+    "0.16666666666666666", "0.041666666666666664",
+    "0.008333333333333333", "0.001388888888888889",
+    "1.984126984126984E-4", "2.48015873015873E-5",
+    "2.755731922398589E-6", "2.755731922398589E-7",
+    "2.505210838544172E-8", "2.08767569878681E-9",
+    "1.6059043836821613E-10")
+
   private[graft] def pinnedExpPpmSql(xSql: String): String = {
     val ln2 = "0.6931471805599453"
-    // 1/k! for k = 3..13 as JVM shortest round-trip literals
-    val coef = Seq(
-      "0.16666666666666666", "0.041666666666666664",
-      "0.008333333333333333", "0.001388888888888889",
-      "1.984126984126984E-4", "2.48015873015873E-5",
-      "2.755731922398589E-6", "2.755731922398589E-7",
-      "2.505210838544172E-8", "2.08767569878681E-9",
-      "1.6059043836821613E-10")
+    val coef = ExpCoef
     val nSql = s"CAST(floor(($xSql) / $ln2) AS INT)"
     val rSql = s"(($xSql) - CAST($nSql AS DOUBLE) * $ln2)"
     // Horner, innermost first: ((C13·r + C12)·r + ... + 0.5)·r² ... —
@@ -2200,7 +2205,18 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
   private[search] def expDecayPpm(kind: String, body: JValue): Column = body match {
     case JObject(List((f, JObject(parts)))) =>
       val m = parts.toMap
-      m.keySet.diff(Set("origin", "scale", "offset", "decay")).foreach(k =>
+      // GEO MODE — the third OpenSearch decay origin type: origin is
+      // {lat, lon}, scale/offset are "<n>km" strings, the distance is
+      // the engine's ONE haversine (6-dp-rounded km — the rounding
+      // absorbs libm trig drift exactly like every geo clause/oracle),
+      // and the entry's field key is a LABEL (the engine's explicit
+      // lat_field/lon_field convention names the columns).
+      val geoMode = m.get("origin").exists(_.isInstanceOf[JObject])
+      val allowedKeys =
+        if (geoMode) Set("origin", "scale", "offset", "decay",
+          "lat_field", "lon_field")
+        else Set("origin", "scale", "offset", "decay")
+      m.keySet.diff(allowedKeys).foreach(k =>
         fail(s"unsupported $kind decay option '$k'"))
       // DATE MODE — the recency-boost request real relevance tuning
       // sends: origin is an ISO instant, scale/offset are <n>[dhms]
@@ -2238,8 +2254,57 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         case Some(other) => fail(s"$kind decay '$k' must be an integer " +
           s"(exact scoring model): ${render(other)}")
       }
-      val (origin, scale, offset) =
-        if (dateMode) {
+      // per-mode distance text + null guard + the scale λ divides by
+      val (dSql, nullCond, scaleD): (String, String, Double) =
+        if (geoMode) {
+          val latF = strOpt(m, "lat_field")
+            .getOrElse(fail(s"$kind geo decay requires lat_field"))
+          val lonF = strOpt(m, "lon_field")
+            .getOrElse(fail(s"$kind geo decay requires lon_field"))
+          val om = m("origin") match {
+            case JObject(o) => o.toMap
+            case _          => fail("unreachable")
+          }
+          om.keySet.diff(Set("lat", "lon")).foreach(k =>
+            fail(s"unsupported $kind geo decay origin key '$k'"))
+          def coord(k: String): Double = om.get(k) match {
+            case Some(JDouble(d))  => d
+            case Some(JInt(i))     => i.toDouble
+            case Some(JDecimal(d)) => d.toDouble
+            case _ => fail(s"$kind geo decay origin requires numeric '$k'")
+          }
+          val (la, lo) = (coord("lat"), coord("lon"))
+          def kmOf(k: String, default: Option[Long]): Long = m.get(k) match {
+            case Some(JString(s0)) =>
+              val KmRe = """(\d+)km""".r
+              s0 match {
+                case KmRe(n0) =>
+                  val v = n0.toLong
+                  if (v < 1L) fail(s"$kind geo decay $k must be positive: '$s0'")
+                  if (v > 40075L) fail(s"$kind geo decay $k exceeds the " +
+                    s"planet's circumference: '$s0'")
+                  v
+                case other => fail(s"$kind geo decay $k must match <n>km: '$other'")
+              }
+            case None => default.getOrElse(
+              fail(s"$kind geo decay requires a '<n>km' '$k'"))
+            case Some(other) => fail(s"$kind geo decay $k must be a <n>km " +
+              s"string: ${render(other)}")
+          }
+          val scaleKm = kmOf("scale", None)
+          val offsetKm = kmOf("offset", Some(0L))
+          // the engine's ONE haversine, as replayable SQL text (the
+          // q125 recipe: fixed operand order + round 6dp)
+          val hav =
+            s"round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(" +
+            s"sin((`$latF` - $la) * pi() / 180.0 / 2.0) * " +
+            s"sin((`$latF` - $la) * pi() / 180.0 / 2.0)" +
+            s" + cos($la * pi() / 180.0) * cos(`$latF` * pi() / 180.0)" +
+            s" * sin((`$lonF` - ($lo)) * pi() / 180.0 / 2.0) * " +
+            s"sin((`$lonF` - ($lo)) * pi() / 180.0 / 2.0))), 6)"
+          (s"greatest(($hav) - $offsetKm.0, 0.0)",
+            s"`$latF` IS NULL OR `$lonF` IS NULL", scaleKm.toDouble)
+        } else if (dateMode) {
           val t = m.get("origin") match {
             case Some(JString(iso)) =>
               try DateMath.parseAnchor(iso)
@@ -2249,32 +2314,43 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           }
           val us = t.toInstant(java.time.ZoneOffset.UTC)
             .getEpochSecond * 1000000L + t.getNano / 1000L
-          (us, durUs("scale", None), durUs("offset", Some(0L)))
+          val scaleUs = durUs("scale", None)
+          val offUs = durUs("offset", Some(0L))
+          (s"CAST(greatest(abs(unix_micros(`$f`) - CAST($us AS BIGINT)) - " +
+            s"CAST($offUs AS BIGINT), CAST(0 AS BIGINT)) AS DOUBLE)",
+            s"`$f` IS NULL", scaleUs.toDouble)
         } else {
           val o = longOf("origin", None)
           val sc = longOf("scale", None)
           if (sc <= 0L) fail(s"$kind decay scale must be positive")
           val off = longOf("offset", Some(0L))
           if (off < 0L) fail(s"$kind decay offset must be >= 0")
-          (o, sc, off)
+          (s"CAST(greatest(abs(CAST(`$f` AS BIGINT) - CAST($o AS BIGINT)) - " +
+            s"CAST($off AS BIGINT), CAST(0 AS BIGINT)) AS DOUBLE)",
+            s"`$f` IS NULL", sc.toDouble)
         }
       val decayPpm = ppmOf(m, "decay", 500000L)
       if (decayPpm <= 0L || decayPpm >= 1000000L)
         fail(s"$kind decay must be a fraction strictly inside (0, 1)")
       val lnDecay = StrictMath.log(decayPpm.toDouble / 1000000.0)
       val lambda =
-        if (kind == "exp") lnDecay / scale.toDouble
-        else lnDecay / (scale.toDouble * scale.toDouble)
-      val lamLit = java.lang.Double.toString(lambda)
-      val vSql = if (dateMode) s"unix_micros(`$f`)" else s"CAST(`$f` AS BIGINT)"
-      val dSql = s"CAST(greatest(abs($vSql - " +
-        s"CAST($origin AS BIGINT)) - CAST($offset AS BIGINT), " +
-        s"CAST(0 AS BIGINT)) AS DOUBLE)"
-      val xSql =
-        if (kind == "exp") s"($lamLit * $dSql)"
-        else s"($lamLit * ($dSql * $dSql))"
-      expr(s"coalesce(CASE WHEN `$f` IS NULL THEN CAST(NULL AS BIGINT) " +
-        s"ELSE ${pinnedExpPpmSql(xSql)} END, CAST(1000000 AS BIGINT))")
+        if (kind == "exp") lnDecay / scaleD
+        else lnDecay / (scaleD * scaleD)
+      // the ENGINE evaluates the kernel as ONE static codegen call
+      // (graft.plans.PinnedExp — the SQL-text form embeds the distance
+      // expression ~40 times and blows Janino's method limit the
+      // moment the distance is bigger than a column reference, e.g.
+      // the geo haversine); the ORACLES keep replaying the SQL text
+      // from [[pinnedExpPpmSql]], and PinnedExpSpec pins the two
+      // forms to each other op-for-op.
+      val dCol = expr(dSql)
+      val xCol =
+        if (kind == "exp") lit(lambda) * dCol
+        else lit(lambda) * (dCol * dCol)
+      coalesce(
+        when(expr(nullCond), lit(null).cast("long"))
+          .otherwise(graft.plans.PinnedExp(xCol)),
+        lit(1000000L))
     case JObject(fields) if fields.size != 1 =>
       fail(s"$kind decay takes exactly one field")
     case other => fail(s"$kind decay requires {field: {origin, scale, " +

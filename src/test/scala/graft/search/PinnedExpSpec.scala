@@ -40,6 +40,20 @@ class PinnedExpSpec extends SparkSpec {
     // the exact endpoint: exp(0) is EXACTLY the neutral 10^6 (n=0,
     // r=0, poly=1.0 — no rounding anywhere on this path)
     assert(got.toMap.apply(0.0) === 1000000L)
+    // the static JVM kernel (what the ENGINE evaluates — one codegen
+    // call, no Janino cliff) must match the SQL-text form (what the
+    // ORACLES replay) bit-for-bit on every grid point
+    val parity = xs.toDF("x")
+      .select(col("x"),
+        expr(QueryDsl.pinnedExpPpmSql("x")).as("sql_ppm"),
+        graft.plans.PinnedExp(col("x")).as("jvm_ppm"))
+      .as[(Double, Long, Long)].collect()
+    parity.foreach { case (x, a, b) =>
+      assert(a === b, s"SQL/JVM kernel divergence at x=$x: $a vs $b")
+    }
+    // and the two read the SAME coefficient constants
+    assert(graft.plans.PinnedMath.ExpCoefD.toSeq ===
+      QueryDsl.ExpCoef.map(_.toDouble))
   }
 
   test("oracle lambda constants pin to StrictMath (fdlibm) bit-for-bit") {
