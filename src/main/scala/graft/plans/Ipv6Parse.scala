@@ -18,9 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the AsciiFold ladder again: a measured codegen cliff, and plain
   * JVM string walking is faster than the expression tree anyway.
   *
-  * Grammar: RFC 4291 §2.2 forms 1 (full, 8 groups) and 2
-  * (::-compressed); the dotted-quad-suffix form 3 NULLs out like any
-  * other dirt (documented). Determinism is trivial — integer/string
+  * Grammar: RFC 4291 §2.2 forms 1 (full, 8 groups), 2
+  * (::-compressed), and 3 (trailing dotted quad supplying the last
+  * 32 bits — `::ffff:192.0.2.1` and friends; dual-stack access logs
+  * are full of v4-mapped addresses, VERDICT r12 #3). Form 3 rewrites
+  * the quad to its two hex groups and falls through to the forms-1/2
+  * grammar, so group-count/compression rules are enforced once. Quad
+  * octets are strict decimal 0-255 with no leading zeros (the
+  * inet_aton octal trap — `010` is dirt, not 8). Determinism is
+  * trivial — integer/string
   * work only, no floating point. The grammar is pinned against
   * java.net.InetAddress on valid forms and a 15-case dirt battery
   * (Ipv6Spec), and the oracle fixtures derive group values from their
@@ -30,6 +36,10 @@ case class Ipv6Parse(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // dirt NULLs out even when the input column is non-nullable — the
+  // default child.nullable would let codegen elide the null slot and
+  // emit an unassignable `false` literal for ev.isNull
+  override def nullable: Boolean = true
   override def prettyName: String = "ipv6_groups"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -63,9 +73,23 @@ object Ipv6Parse {
     * strict driver bound parser (graft.search.QueryDsl.ipv6Groups).
     */
   def groupsOrNull(raw: String): Array[Long] = {
-    val s = raw.toLowerCase
+    val s0 = raw.toLowerCase
+    if (s0.length < 2 || s0.length > 45) return null
+    // Form 3: a trailing dotted quad is the last 32 bits. Rewrite it
+    // to its two hex groups and fall through — the forms-1/2 grammar
+    // then enforces group counts and compression rules unchanged.
+    val s =
+      if (s0.indexOf('.') < 0) s0
+      else {
+        val lc = s0.lastIndexOf(':')
+        if (lc < 0 || lc == s0.length - 1) return null
+        val q = quadValueOrNeg(s0.substring(lc + 1))
+        if (q < 0) return null
+        s0.substring(0, lc + 1) +
+          java.lang.Long.toHexString(q >>> 16) + ":" +
+          java.lang.Long.toHexString(q & 0xffffL)
+      }
     val len = s.length
-    if (len < 2 || len > 45) return null
     var i = 0
     while (i < len) {
       val c = s.charAt(i)
@@ -100,5 +124,34 @@ object Ipv6Parse {
       k += 1
     }
     out
+  }
+
+  /** Dotted quad → its 32-bit value, or -1 on any dirt: exactly four
+    * decimal octets 0-255, 1-3 digits each, no leading zeros (a
+    * multi-digit octet starting with '0' is the ambiguous inet_aton
+    * octal form — dirt, never reinterpreted).
+    */
+  private def quadValueOrNeg(q: String): Long = {
+    val parts = q.split("\\.", -1)
+    if (parts.length != 4) return -1L
+    var v = 0L
+    var i = 0
+    while (i < 4) {
+      val p = parts(i)
+      if (p.isEmpty || p.length > 3) return -1L
+      if (p.length > 1 && p.charAt(0) == '0') return -1L
+      var o = 0
+      var j = 0
+      while (j < p.length) {
+        val c = p.charAt(j)
+        if (c < '0' || c > '9') return -1L
+        o = o * 10 + (c - '0')
+        j += 1
+      }
+      if (o > 255) return -1L
+      v = (v << 8) | o
+      i += 1
+    }
+    v
   }
 }

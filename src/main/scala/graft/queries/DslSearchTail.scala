@@ -2591,6 +2591,148 @@ object DslSearchTail {
         SELECT c_custkey, ($kernel) AS score FROM pts
         ORDER BY score DESC, c_custkey LIMIT 80
         """.trim
-      })
+      }),
+
+    // v4-mapped IPv6 (VERDICT r12 #3): RFC 4291 §2.2 form 3 now
+    // parses through the ONE shared grammar (Ipv6Parse rewrites the
+    // trailing dotted quad to its two hex groups and falls through),
+    // so `ip_prefix` buckets dual-stack access-log addresses —
+    // ::ffff:a.b.c.d mapped, NAT64 64:ff9b::quad, plain v6 — in one
+    // numeric (hi, lo) order. /112 keeps group 6 (the quad's high 16
+    // bits), so nets split on the SECOND octet of the embedded v4
+    // address — the mask genuinely crosses the hex/quad boundary.
+    // Dirt (octet 256, leading-zero octal trap) NULLs out as before.
+    // The oracle derives each row's groups from the fixture's own
+    // construction (never re-running the parser — the media-oracle
+    // doctrine) and renders the same uncompressed-hex key.
+    GraftQuery(
+      "q356_dsl_ip_prefix_v4mapped",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer").withColumn("ip", expr(
+          """CASE CAST(c_custkey % 6 AS INT)
+             WHEN 0 THEN format_string('::ffff:10.%d.%d.1',
+               c_custkey % 4, c_custkey % 100)
+             WHEN 1 THEN format_string('::FFFF:192.%d.0.%d',
+               c_custkey % 8, c_custkey % 256)
+             WHEN 2 THEN format_string('64:ff9b::%d.%d.7.7',
+               c_custkey % 2, c_custkey % 16)
+             WHEN 3 THEN format_string('2001:db8:%x::1', c_custkey % 4)
+             WHEN 4 THEN '::ffff:10.0.0.256'
+             ELSE format_string('::ffff:010.%d.2.3', c_custkey % 4)
+             END"""))
+        QueryDsl.search(c,
+          """{"aggs": {"net": {"ip_prefix": {"field": "ip",
+               "prefix_length": 112, "is_ipv6": true},
+             "aggs": {"max_key": {"max": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (SELECT c_custkey AS k FROM customer),
+        v AS (
+          SELECT k,
+            CASE CAST(k % 6 AS INT)
+              WHEN 0 THEN [0, 0, 0, 0, 0, 65535, 2560 + k % 4]
+              WHEN 1 THEN [0, 0, 0, 0, 0, 65535, 49152 + k % 8]
+              WHEN 2 THEN [100, 65435, 0, 0, 0, 0, (k % 2) * 256 + k % 16]
+              WHEN 3 THEN [8193, 3512, k % 4, 0, 0, 0, 0]
+              ELSE NULL END AS net
+          FROM t),
+        g AS (
+          SELECT net[1] AS g0, net[2] AS g1, net[3] AS g2, net[4] AS g3,
+                 net[5] AS g4, net[6] AS g5, net[7] AS g6,
+                 COUNT(*) AS doc_count, CAST(MAX(k) AS BIGINT) AS max_key
+          FROM v WHERE net IS NOT NULL GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        SELECT printf('%x:%x:%x:%x:%x:%x:%x:0/112',
+                      g0, g1, g2, g3, g4, g5, g6) AS net,
+               doc_count, max_key
+        FROM g
+        ORDER BY (g0 - 32768) * 281474976710656 + g1 * 4294967296
+                   + g2 * 65536 + g3,
+                 (g4 - 32768) * 281474976710656 + g5 * 4294967296
+                   + g6 * 65536
+      """.stripMargin.trim)),
+
+    // v4-mapped IPv6 in ip_range BOUNDS (the driver-side strict twin
+    // of q356's column parse): [from, to) buckets whose bounds are
+    // written in form-3 text — the natural way to express "the v4
+    // slice below 100.0.0.0" inside a v6 range agg. Rows mix mapped,
+    // NAT64, plain-v6 and a between-the-buckets band; the oracle
+    // recomputes every row's biased (hi, lo) pair AND the bounds'
+    // pairs from construction and replays the lexicographic
+    // comparisons, exactly the q345 shape.
+    GraftQuery(
+      "q357_dsl_ip_range_v4mapped",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer").withColumn("ip", expr(
+          """CASE CAST(c_custkey % 6 AS INT)
+             WHEN 0 THEN format_string('::ffff:10.%d.%d.1',
+               c_custkey % 256, c_custkey % 100)
+             WHEN 1 THEN format_string('::ffff:150.%d.0.%d',
+               c_custkey % 256, c_custkey % 256)
+             WHEN 2 THEN format_string('::ffff:250.0.%d.%d',
+               c_custkey % 256, c_custkey % 100)
+             WHEN 3 THEN format_string('64:ff9b::%d.%d.3.4',
+               c_custkey % 128, c_custkey % 256)
+             WHEN 4 THEN format_string('2001:db8::%x', c_custkey % 65536)
+             ELSE '::ffff:300.1.2.3'
+             END"""))
+        QueryDsl.search(c,
+          """{"aggs": {"net": {"ip_range": {"field": "ip",
+               "ranges": [{"to": "::ffff:100.0.0.0"},
+                          {"from": "::ffff:100.0.0.0",
+                           "to": "::ffff:200.0.0.0"},
+                          {"from": "64:ff9b::"}]},
+             "aggs": {"max_key": {"max": {"field": "c_custkey"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (SELECT c_custkey AS k FROM customer),
+        v AS (
+          SELECT k,
+            CASE CAST(k % 6 AS INT)
+              WHEN 0 THEN [0, 0, 0, 0, 0, 65535,
+                           2560 + k % 256, (k % 100) * 256 + 1]
+              WHEN 1 THEN [0, 0, 0, 0, 0, 65535,
+                           38400 + k % 256, k % 256]
+              WHEN 2 THEN [0, 0, 0, 0, 0, 65535,
+                           64000, (k % 256) * 256 + k % 100]
+              WHEN 3 THEN [100, 65435, 0, 0, 0, 0,
+                           (k % 128) * 256 + k % 256, 772]
+              WHEN 4 THEN [8193, 3512, 0, 0, 0, 0, 0, k % 65536]
+              ELSE NULL END AS gs
+          FROM t),
+        p AS (
+          SELECT k,
+            (gs[1] - 32768) * 281474976710656 + gs[2] * 4294967296
+              + gs[3] * 65536 + gs[4] AS hi,
+            (gs[5] - 32768) * 281474976710656 + gs[6] * 4294967296
+              + gs[7] * 65536 + gs[8] AS lo
+          FROM v WHERE gs IS NOT NULL),
+        bounds AS (
+          SELECT
+            (0 - 32768) * 281474976710656 AS mhi,
+            (0 - 32768) * 281474976710656 + 65535 * 4294967296
+              + 25600 * CAST(65536 AS BIGINT) AS b1lo,
+            (0 - 32768) * 281474976710656 + 65535 * 4294967296
+              + 51200 * CAST(65536 AS BIGINT) AS b2lo,
+            (100 - 32768) * 281474976710656 + 65435 * 4294967296 AS b3hi,
+            (0 - 32768) * 281474976710656 AS zlo),
+        b AS (
+          SELECT 0 AS ord, '*-::ffff:100.0.0.0' AS net,
+                 COUNT(*) AS doc_count, CAST(MAX(k) AS BIGINT) AS max_key
+          FROM p, bounds
+          WHERE hi < mhi OR (hi = mhi AND lo < b1lo)
+          UNION ALL
+          SELECT 1, '::ffff:100.0.0.0-::ffff:200.0.0.0', COUNT(*),
+                 CAST(MAX(k) AS BIGINT)
+          FROM p, bounds
+          WHERE (hi > mhi OR (hi = mhi AND lo >= b1lo))
+            AND (hi < mhi OR (hi = mhi AND lo < b2lo))
+          UNION ALL
+          SELECT 2, '64:ff9b::-*', COUNT(*), CAST(MAX(k) AS BIGINT)
+          FROM p, bounds
+          WHERE hi > b3hi OR (hi = b3hi AND lo >= zlo))
+        SELECT net, doc_count, max_key FROM b ORDER BY ord
+      """.stripMargin.trim))
   )
 }

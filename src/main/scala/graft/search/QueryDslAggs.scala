@@ -1314,9 +1314,9 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
 
   /** IPv6 text → the 8 16-bit group values as `array<long>`, NULL on
     * ANY dirt (the null-key-omitted convention shared with
-    * [[ipv4NumCol]]). Full and `::`-compressed forms (RFC 4291 §2.2
-    * forms 1 and 2); the dotted-quad-suffix form 3 ("::ffff:1.2.3.4")
-    * is out of scope and NULLs out like any other dirt — documented.
+    * [[ipv4NumCol]]). Full, `::`-compressed, and dotted-quad-suffix
+    * forms (RFC 4291 §2.2 forms 1-3 — `::ffff:192.0.2.1` v4-mapped
+    * addresses bucket like any other v6 address).
     * Served by the static codegen expression
     * [[graft.plans.Ipv6Parse]] (a Column-tree grammar blew Janino's
     * method limit inside fused stages; see that file). No InetAddress
@@ -1353,7 +1353,8 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
   private[search] def ipv6Groups(addr: String, ctx: String): Seq[Long] = {
     val g = graft.plans.Ipv6Parse.groupsOrNull(addr)
     if (g == null)
-      fail(s"$ctx: '$addr' is not a full or ::-compressed IPv6 address")
+      fail(s"$ctx: '$addr' is not a full, ::-compressed, or " +
+        "v4-mapped IPv6 address")
     g.toSeq
   }
 

@@ -38,7 +38,11 @@ class Ipv6Spec extends SparkSpec {
       "fe80::a:b:c", "0:0:0:0:0:0:0:0", "1:2:3:4:5:6:7:8",
       "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff",
       "2001:db8:0:0:8:800:200c:417a", "2001:db8::8:800:200c:417a",
-      "ff01::101", "a:b:c:d::", "::a:b:c:d")
+      "ff01::101", "a:b:c:d::", "::a:b:c:d",
+      // form 3 (dotted-quad suffix) where Java keeps a 16-byte
+      // Inet6Address: v4-compatible and NAT64 forms
+      "::1.2.3.4", "::0.0.0.0", "1:2:3:4:5:6:7.8.9.10",
+      "64:ff9b::192.0.2.33", "64:ff9b::255.255.255.255")
     val got = parseAll(valid)
     valid.foreach { a =>
       assert(got(a) === Some(refGroups(a)), s"parse of '$a'")
@@ -47,13 +51,37 @@ class Ipv6Spec extends SparkSpec {
     }
   }
 
+  test("v4-mapped form 3 parses (Java flattens ::ffff:quad to Inet4Address," +
+    " so the reference is the construction)") {
+    // InetAddress.getByName collapses ::ffff:a.b.c.d to a 4-byte
+    // Inet4Address, so refGroups can't serve here; the expected
+    // groups come straight from RFC 4291 §2.5.5.2's layout.
+    val cases = Seq(
+      "::ffff:192.0.2.1" ->
+        Seq(0L, 0L, 0L, 0L, 0L, 0xffffL, 0xc000L, 0x0201L),
+      "::FFFF:255.255.255.255" ->
+        Seq(0L, 0L, 0L, 0L, 0L, 0xffffL, 0xffffL, 0xffffL),
+      "::ffff:0.0.0.0" -> Seq(0L, 0L, 0L, 0L, 0L, 0xffffL, 0L, 0L),
+      "0:0:0:0:0:ffff:10.20.30.40" ->
+        Seq(0L, 0L, 0L, 0L, 0L, 0xffffL, 0x0a14L, 0x1e28L))
+    val got = parseAll(cases.map(_._1))
+    cases.foreach { case (a, exp) =>
+      assert(got(a) === Some(exp), s"parse of '$a'")
+      assert(QueryDsl.ipv6Groups(a, "spec") === exp, s"driver '$a'")
+    }
+  }
+
   test("dirt NULLs out in the column parser and fails loud on the driver") {
     val dirty = Seq(
       "", ":", ":::", "a::b::c", "1:2:3", "1:2:3:4:5:6:7",
       "1:2:3:4:5:6:7:8:9", "1::2:3:4:5:6:7:8", "12345::", "g::1",
       ":1:2:3:4:5:6:7", "1:2:3:4:5:6:7:", "junk",
-      "::ffff:1.2.3.4", // dotted-suffix form 3: documented out of scope
-      "1.2.3.4")
+      "1.2.3.4", // no colon at all: a v4 literal is not a v6 address
+      // form-3 dirt: bad quads and quads in the wrong place
+      "::ffff:1.2.3.256", "::ffff:1.2.3", "::ffff:1.2.3.4.5",
+      "::ffff:01.2.3.4", "::ffff:1.2.3.04", "::ffff:1.2.3.4:5",
+      "::ffff:1.2.3.", "::ffff:1.2..4", "::ffff:-1.2.3.4",
+      "::ffff:1.2.3.4e", "1.2.3.4::", "1:2:3:4:5:6:7:8.9.10.11")
     val got = parseAll(dirty)
     dirty.foreach(a => assert(got(a) === None, s"'$a' must NULL out"))
     dirty.foreach(a => intercept[IllegalArgumentException](
@@ -89,7 +117,7 @@ class Ipv6Spec extends SparkSpec {
       "mixes IPv4 and IPv6 bounds")
     bad("""{"aggs": {"n": {"ip_range": {"field": "ip",
         "ranges": [{"to": "2001:db8::g"}]}}}}""",
-      "not a full or ::-compressed IPv6 address")
+      "not a full, ::-compressed, or v4-mapped IPv6 address")
     bad("""{"aggs": {"n": {"ip_prefix": {"field": "ip",
         "prefix_length": 129, "is_ipv6": true}}}}""",
       "prefix_length must be 1-128")
