@@ -2733,6 +2733,159 @@ object DslSearchTail {
           FROM p, bounds
           WHERE hi > b3hi OR (hi = b3hi AND lo >= zlo))
         SELECT net, doc_count, max_key FROM b ORDER BY ord
+      """.stripMargin.trim)),
+
+    // geo_shape doc-polygon relation CONTAINS vs a point query (r13,
+    // VERDICT r12 #2): "which delivery zones contain this point" —
+    // the even-odd walk with the roles swapped (ring in columns,
+    // point constant). Fixture: the q347 diamonds; the oracle derives
+    // truth from the construction (a diamond is the L1 ball, so
+    // contains(P) ⟺ L1(center, P) < r — the 4th-decimal query point
+    // never lands exactly on a milli-degree-grid boundary, the q330
+    // measure-zero rule).
+    GraftQuery(
+      "q358_dsl_geo_shape_doc_contains_point",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("r", expr("CAST(1 + c_custkey % 10 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               WHEN c_custkey % 13 = 0
+                 THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                            struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+               ELSE array(struct(cx + r AS lat, cy AS lon),
+                          struct(cx AS lat, cy + r AS lon),
+                          struct(cx - r AS lat, cy AS lon),
+                          struct(cx AS lat, cy - r AS lon)) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.0003]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 200,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + c_custkey % 10 AS DOUBLE) AS r
+          FROM customer
+          WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0)
+        SELECT c_custkey FROM t
+        WHERE abs(cx - 0.0003) + abs(cy - (-2.0007)) < r
+        ORDER BY c_custkey
+        LIMIT 200
+      """.stripMargin.trim)),
+
+    // geo_shape doc-polygon CONTAINS vs a box query (r13, VERDICT r12
+    // #2, the second arm): ring ⊇ envelope ⟺ every box corner inside
+    // the ring ∧ no ring edge touches the box. Construction truth:
+    // the convex diamond contains the box ⟺ all four corners are
+    // strictly within L1 radius r of the center (convexity makes
+    // corners-in sufficient; the engine's extra no-edge-cross
+    // conjunct is then automatically false). Same measure-zero
+    // 4th-decimal bounds.
+    GraftQuery(
+      "q359_dsl_geo_shape_doc_contains_box",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("r", expr("CAST(1 + c_custkey % 10 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """array(struct(cx + r AS lat, cy AS lon),
+                     struct(cx AS lat, cy + r AS lon),
+                     struct(cx - r AS lat, cy AS lon),
+                     struct(cx AS lat, cy - r AS lon))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-2.0007, 1.0009], [-1.0001, 0.0003]]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 200,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + c_custkey % 10 AS DOUBLE) AS r
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE abs(cx - 0.0003) + abs(cy - (-2.0007)) < r
+          AND abs(cx - 0.0003) + abs(cy - (-1.0001)) < r
+          AND abs(cx - 1.0009) + abs(cy - (-2.0007)) < r
+          AND abs(cx - 1.0009) + abs(cy - (-1.0001)) < r
+        ORDER BY c_custkey
+        LIMIT 200
+      """.stripMargin.trim)),
+
+    // geo_shape doc-polygon WITHIN vs a CONCAVE query polygon (r13,
+    // VERDICT r12 #5): a notched rectangle — rect minus a 45°-edged
+    // V-notch cut from the top edge, apex (-20.0003, 10.0001). The
+    // engine runs the general machinery (all doc vertices inside the
+    // query ring by the even-odd walk ∧ no doc edge properly crossing
+    // a query edge). The ORACLE never replays that walk: in rotated
+    // coordinates u = lat+lon, w = lat−lon the 45° notch wedge is the
+    // quarter-plane {u > uA, w > wA} and the L1-ball diamond is the
+    // axis-aligned square [cu±r]×[cw±r], so diamond-within-chevron ⟺
+    // diamond strictly inside the rect ∧ the square misses the
+    // quarter-plane — product-set algebra, pure construction. All
+    // chevron coordinates carry 4th decimals (measure-zero rule).
+    GraftQuery(
+      "q360_dsl_geo_shape_doc_within_concave",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000 - 80"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000 - 170"))
+          .withColumn("r", expr("CAST(1 + c_custkey % 10 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """array(struct(cx + r AS lat, cy AS lon),
+                     struct(cx AS lat, cy + r AS lon),
+                     struct(cx - r AS lat, cy AS lon),
+                     struct(cx AS lat, cy - r AS lon))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "polygon", "coordinates":
+                 [[[-150.0007, -70.0001], [150.0009, -70.0001],
+                   [150.0009, 50.0003], [80.0007, 50.0003],
+                   [10.0001, -20.0003], [-60.0005, 50.0003],
+                   [-150.0007, 50.0003], [-150.0007, -70.0001]]]},
+               "relation": "within"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000 - 80 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000 - 170 AS cy,
+                 CAST(1 + c_custkey % 10 AS DOUBLE) AS r
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE cx - r > -70.0001 AND cx + r < 50.0003
+          AND cy - r > -150.0007 AND cy + r < 150.0009
+          AND NOT ((cx + cy) + r > (-20.0003 + 10.0001)
+               AND (cx - cy) + r > (-20.0003 - 10.0001))
+        ORDER BY c_custkey
+        LIMIT 300
       """.stripMargin.trim))
   )
 }

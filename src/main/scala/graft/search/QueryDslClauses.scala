@@ -2501,14 +2501,16 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * non-adjacent edges must not intersect — validated on the driver
     * (O(n²) orientation tests), self-intersecting rings fail loud.
     */
-  private[search] def crossingParityPredicate(pts: Seq[(Double, Double)],
-      latF: String, lonF: String, where: String): Column = {
+  /** Driver-side query-ring validation shared by every walk builder:
+    * the 64-vertex cap (gating BEFORE the O(n²) simplicity loop, so a
+    * huge request bounds driver validation work too, not just
+    * codegen), then no two non-adjacent edges may intersect.
+    */
+  private[search] def requireSimpleRing(pts: Seq[(Double, Double)],
+      where: String): Unit = {
     val n = pts.size
-    // the vertex cap gates BEFORE the O(n²) simplicity loop, so a huge
-    // request bounds driver validation work too, not just codegen
     if (n > 64) fail(s"$where ring has $n vertices (max 64: one codegen " +
       "term per edge)")
-    // driver-side simplicity check: no two non-adjacent edges intersect
     def orient(ax: Double, ay: Double, bx: Double, by: Double,
         cx: Double, cy: Double): Int = {
       val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
@@ -2537,6 +2539,12 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         fail(s"$where ring is self-intersecting " +
           s"(edges $i and $j cross) - the ring must be simple")
     }
+  }
+
+  private[search] def crossingParityPredicate(pts: Seq[(Double, Double)],
+      latF: String, lonF: String, where: String): Column = {
+    val n = pts.size
+    requireSimpleRing(pts, where)
     val crossings: Seq[Column] = (0 until n).flatMap { i =>
       val (lat1, lon1) = pts(i)
       val (lat2, lon2) = pts((i + 1) % n)
@@ -2565,7 +2573,9 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * (default) and `within` coincide (a point touching a shape lies
     * within it — documented), `disjoint` is the complement (NULL
     * coordinates drop the row, the standard tri-state), `contains`
-    * fails loud — a point field cannot contain an area. Everything
+    * matches only zero-area query shapes (a point query, or an
+    * envelope collapsed to one coordinate — equality; a query shape
+    * with true area matches no point doc, exactly). Everything
     * compiles to the same pushable comparison predicates as
     * geo_bounding_box/geo_polygon; score 1 (a filter-shaped clause).
     */
@@ -2616,7 +2626,15 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       }
       val coords = sm.getOrElse("coordinates",
         fail("geo_shape shape requires coordinates"))
-      val intersects: Column =
+      // contains on POINT docs (r13, VERDICT r12 #2): a point contains
+      // only a ZERO-AREA query shape — a point query (equality, where
+      // intersects/within/contains all coincide), or an envelope /
+      // polygon collapsed to a single coordinate. A query shape with
+      // true area matches NO point doc — exact empty, never fail-loud
+      // (the OpenSearch result for the same request).
+      def pointEq(la: Double, lo: Double): Column =
+        col(latF) === lit(la) && col(lonF) === lit(lo)
+      val (intersects, containsPred): (Column, Column) =
         strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
           case "envelope" =>
             val (tl, br) = coords match {
@@ -2632,8 +2650,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             if (leftLon > rightLon)
               fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
                 s"right lon $rightLon) is unsupported")
-            col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
-              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon)
+            (col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
+              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon),
+             if (topLat == botLat && leftLon == rightLon)
+               pointEq(topLat, leftLon) else lit(false))
           case "polygon" =>
             val ring = coords match {
               case JArray(List(JArray(r))) if r.size >= 4 =>
@@ -2649,11 +2669,15 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             // half-plane conjunction (every existing plan unchanged);
             // any other SIMPLE ring — concave, or convex wound CW —
             // routes to the even-odd crossing walk
-            if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
-            else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
+            (if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+             else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon"),
+             // every ring that survives the walk builders has area
+             // (degenerate rings fail loud there), and a point cannot
+             // contain an area
+             lit(false))
           case "point" =>
             val (lo, la) = lonLat(coords, "point coordinates")
-            col(latF) === lit(la) && col(lonF) === lit(lo)
+            (pointEq(la, lo), pointEq(la, lo))
           case other => fail(s"geo_shape type must be envelope, polygon " +
             s"or point, got '$other'")
         }
@@ -2662,10 +2686,9 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         // a shape lies within it
         case "intersects" | "within" => CompiledQuery(intersects, lit(1L))
         case "disjoint"              => CompiledQuery(!intersects, lit(1L))
-        case "contains" => fail("geo_shape relation contains is unsupported: " +
-          "a point field cannot contain an area (use intersects)")
-        case other => fail(s"geo_shape relation must be intersects, within " +
-          s"or disjoint, got '$other'")
+        case "contains"              => CompiledQuery(containsPred, lit(1L))
+        case other => fail(s"geo_shape relation must be intersects, within, " +
+          s"contains or disjoint, got '$other'")
       }
     case other => fail(s"geo_shape requires an object body: ${render(other)}")
   }
@@ -2676,8 +2699,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * comparisons on the four corners — pushable and codegen'd:
     * `intersects` is the box-overlap test (boundary touch counts),
     * `within` = doc box inside the query shape, `contains` = doc box
-    * covers the query shape (the relation the point-doc arm must
-    * reject), `disjoint` the complement of intersects. A point query
+    * covers the query shape, `disjoint` the complement of
+    * intersects. A point query
     * shape is the degenerate box [la, la]×[lo, lo], so all four
     * relations fall out of the same corner algebra. Polygon query
     * shapes fail loud: polygon-vs-box relations are not expressible
@@ -2778,12 +2801,15 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     *     side of the edge's line — the thin-spike-through-the-box
     *     case no vertex/corner test sees);
     *   - `disjoint`: the complement;
-    *   - `contains` fails loud (box-inside-concave-polygon needs an
-    *     edge-interior test this form does not serve — envelope docs
-    *     carry `contains`).
-    * Vs a CONVEX CCW `polygon` query shape: `within` only (all
-    * vertices inside every half-plane); other polygon-query relations
-    * fail loud.
+    *   - `contains` (r13): ring ⊇ box/point — every query corner
+    *     inside the ring (even-odd walk) ∧ no ring edge touching the
+    *     box ("which delivery zones contain this point/box").
+    * Vs a `polygon` query shape: `within` only — convex CCW queries
+    * keep the half-plane forall (exact for convex containers), any
+    * other SIMPLE query ring (r13) runs the concave machinery: all
+    * doc vertices inside the query ring (even-odd walk) ∧ no doc
+    * edge properly crossing a query edge. Other polygon-query
+    * relations fail loud.
     *
     * Dirty data vs wrong geometry: a NULL or < 3-vertex ring has no
     * interior to misjudge — the row DROPS (the tri-state convention).
@@ -2915,20 +2941,31 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
              |  AND least($aV.lon, $bV.lon) <= $lonR AND greatest($aV.lon, $bV.lon) >= $lonL
              |  AND NOT ($strictSameSide))""".stripMargin
         val intersects = s"($vertexInBox OR $cornerInPoly OR $edgeCross)"
+        // contains (r13, VERDICT r12 #2): ring ⊇ box ⟺ every box
+        // corner inside the ring (even-odd walk) AND no ring edge
+        // touches the box — if any box point escaped the ring, a path
+        // from a corner (inside) to it would cross the ring boundary
+        // inside the box, i.e. an edge would intersect the box. Exact
+        // for simple rings up to boundary tangencies (an edge grazing
+        // the box counts as a cross — conservative, measure-zero
+        // under the fixture rule). A point query degenerates to the
+        // single-corner walk.
+        val cornersAllInPoly = Seq((lonL, latB), (lonL, latT), (lonR, latB),
+          (lonR, latT)).distinct
+          .map { case (px, py) => pointInPoly(px, py) }
+          .mkString("(", " AND ", ")")
         relation match {
           case "intersects" => intersects
           case "within"     => within
           case "disjoint"   => s"(NOT $intersects)"
-          case "contains" => fail("doc_shape polygon relation contains is " +
-            "unsupported (box-inside-concave-polygon needs an edge-interior " +
-            "test this form does not serve - envelope docs carry contains)")
+          case "contains"   => s"($cornersAllInPoly AND NOT $edgeCross)"
           case other => fail(s"geo_shape relation must be intersects, " +
-            s"within or disjoint, got '$other'")
+            s"within, contains or disjoint, got '$other'")
         }
       case "polygon" =>
         if (relation != "within")
           fail("doc_shape polygon vs a polygon query shape serves only " +
-            "relation within (all-vertices-in-convex-query); use an " +
+            "relation within (ring-inside-query); use an " +
             "envelope query shape for intersects/disjoint")
         val ring = coords match {
           case JArray(List(JArray(r))) if r.size >= 4 =>
@@ -2939,16 +2976,67 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         if (ring.head != ring.last)
           fail("polygon ring must be closed (first vertex == last)")
         val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
-        if (!isConvexCcw(pts))
-          fail("doc_shape polygon within requires a CONVEX CCW query " +
-            "polygon (all-vertices-in-half-planes is only exact there)")
-        val halfPlanes = (0 until pts.size).map { k =>
-          val (lat1, lon1) = pts(k)
-          val (lat2, lon2) = pts((k + 1) % pts.size)
-          s"(($lon2 - $lon1) * (v.lat - $lat1) - " +
-            s"($lat2 - $lat1) * (v.lon - $lon1)) >= 0.0"
-        }.mkString(" AND ")
-        s"forall($rf, v -> $halfPlanes)"
+        if (isConvexCcw(pts)) {
+          // convex CCW fast path: all-vertices-in-half-planes is
+          // exact there (a convex container admits no edge escape
+          // once every vertex is inside) — every existing plan
+          // unchanged
+          val halfPlanes = (0 until pts.size).map { k =>
+            val (lat1, lon1) = pts(k)
+            val (lat2, lon2) = pts((k + 1) % pts.size)
+            s"(($lon2 - $lon1) * (v.lat - $lat1) - " +
+              s"($lat2 - $lat1) * (v.lon - $lon1)) >= 0.0"
+          }.mkString(" AND ")
+          s"forall($rf, v -> $halfPlanes)"
+        } else {
+          // concave (or CW) SIMPLE query ring (r13, VERDICT r12 #5):
+          // the machinery already trusted for intersects — every doc
+          // vertex inside the query ring (even-odd walk, the
+          // crossingParityPredicate arithmetic with the ring constant
+          // and the point variable) AND no doc edge PROPERLY crossing
+          // a query edge (o₁o₂ < 0 ∧ o₃o₄ < 0; tangent touches are
+          // boundary contact, which within — boundary-inclusive —
+          // permits, and are measure-zero under the fixture rule).
+          requireSimpleRing(pts, "geo_shape doc_shape within query polygon")
+          val nq = pts.size
+          val inQuery = {
+            val terms = (0 until nq).flatMap { k =>
+              val (lat1, lon1) = pts(k)
+              val (lat2, lon2) = pts((k + 1) % nq)
+              if (lat1 == lat2) None // horizontal edges never cross the ray
+              else {
+                val cross = s"(($lon2 - $lon1) * (v.lat - $lat1) - " +
+                  s"($lat2 - $lat1) * (v.lon - $lon1))"
+                val raySide = if (lat2 > lat1) s"$cross > 0.0" else s"$cross < 0.0"
+                Some(s"IF((($lat1 > v.lat) != ($lat2 > v.lat)) AND " +
+                  s"($raySide), 1, 0)")
+              }
+            }
+            if (terms.isEmpty)
+              fail("geo_shape doc_shape within query polygon ring is " +
+                "degenerate (every edge is horizontal)")
+            s"(pmod(${terms.mkString(" + ")}, 2) = 1)"
+          }
+          def orientDocEdge(cx: String, cy: String) =
+            s"sign(($bV.lon - $aV.lon) * ($cy - $aV.lat) - " +
+              s"($bV.lat - $aV.lat) * ($cx - $aV.lon))"
+          val anyProperCross = {
+            val perEdge = (0 until nq).map { k =>
+              val (lat1, lon1) = pts(k)
+              val (lat2, lon2) = pts((k + 1) % nq)
+              val o1 = orientDocEdge(lon1.toString, lat1.toString)
+              val o2 = orientDocEdge(lon2.toString, lat2.toString)
+              def orientQuery(p: String) =
+                s"sign(($lon2 - $lon1) * ($p.lat - $lat1) - " +
+                  s"($lat2 - $lat1) * ($p.lon - $lon1))"
+              val o3 = orientQuery(aV)
+              val o4 = orientQuery(bV)
+              s"($o1 * $o2 < 0 AND $o3 * $o4 < 0)"
+            }.mkString("(", " OR ", ")")
+            s"exists(sequence(0, size($rf) - 1), i -> $perEdge)"
+          }
+          s"(forall($rf, v -> $inQuery) AND NOT $anyProperCross)"
+        }
       case other => fail(s"doc_shape polygon queries support envelope, " +
         s"point or polygon query shapes, got '$other'")
     }

@@ -46,6 +46,78 @@ class GeoDocPolygonSpec extends SparkSpec {
     }.toSet
     assert(docSide === querySide)
     assert(querySide.nonEmpty && querySide.size < pts.size) // discriminates
+    // contains(point) == intersects(point) for area docs off the
+    // boundary: "which zones contain this point", the r13 relation
+    val containsSide = pts.filter { case (la, lo) =>
+      QueryDsl.search(oneRing,
+        s"""{"query": {"geo_shape": {
+             "doc_shape": {"type": "polygon", "ring_field": "ring"},
+             "shape": {"type": "point", "coordinates": [$lo, $la]},
+             "relation": "contains"}}, "size": 5}""").count() == 1
+    }.toSet
+    assert(containsSide === querySide)
+  }
+
+  test("within vs a concave query polygon: vertices-in AND no proper cross") {
+    // the chevron again, as the QUERY shape; docs are diamonds.
+    // Hand-derived truth — the notch is triangle D(15,20)-C(40,40)-
+    // E(40,0): at latitude La >= 15 it spans lon 20 ± 20*(La-15)/25.
+    //   1: (20,10) r=2  — deep in the left arm            -> within
+    //   2: (25,20) r=2  — inside the notch (vertices out) -> not
+    //   3: (10,20) r=4  — below the notch apex            -> within
+    //   4: (14,12) r=10 — ALL 4 vertices inside, but edge
+    //      N(24,12)->E(14,22) properly crosses notch edge D->E at
+    //      s=0.2/t=0.4 — the case all-vertices-in alone gets wrong
+    //   5: (20,60) r=2  — fully outside                   -> not
+    val t = Seq(
+      (1L, 20.0, 10.0, 2.0),
+      (2L, 25.0, 20.0, 2.0),
+      (3L, 10.0, 20.0, 4.0),
+      (4L, 14.0, 12.0, 10.0),
+      (5L, 20.0, 60.0, 2.0)
+    ).toDF("id", "cla", "clo", "r").withColumn("ring", expr(
+      """array(struct(cla + r AS lat, clo AS lon),
+               struct(cla AS lat, clo + r AS lon),
+               struct(cla - r AS lat, clo AS lon),
+               struct(cla AS lat, clo - r AS lon))"""))
+    val ringJson = (chevron :+ chevron.head)
+      .map { case (la, lo) => s"[$lo, $la]" }.mkString("[[", ", ", "]]")
+    val win = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "ring"},
+           "shape": {"type": "polygon", "coordinates": $ringJson},
+           "relation": "within"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(win === Seq(1L, 3L))
+  }
+
+  test("concave-within parity with the convex path on convex inputs") {
+    // the same square query polygon twice: as given (strictly convex
+    // -> half-plane forall) and with a collinear midpoint inserted
+    // (defeats the strict-convexity probe -> the general concave
+    // machinery) — identical matches on the diamond fixture
+    val t = Seq(
+      (1L, 0.0, 0.0, 2.0), (2L, 0.0, 9.0, 2.0), (3L, 0.0, 20.0, 2.0),
+      (4L, 0.0, 0.0, 50.0), (5L, 12.0, 0.0, 1.0), (6L, -8.0, -8.0, 1.5)
+    ).toDF("id", "cla", "clo", "r").withColumn("ring", expr(
+      """array(struct(cla + r AS lat, clo AS lon),
+               struct(cla AS lat, clo + r AS lon),
+               struct(cla - r AS lat, clo AS lon),
+               struct(cla AS lat, clo - r AS lon))"""))
+    def win(ring: String): Seq[Long] = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "ring"},
+           "shape": {"type": "polygon", "coordinates": [[$ring]]},
+           "relation": "within"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    val convex = win("""[-10.0, -10.0], [10.0, -10.0], [10.0, 10.0],
+      [-10.0, 10.0], [-10.0, -10.0]""")
+    val viaGeneral = win("""[-10.0, -10.0], [0.0, -10.0], [10.0, -10.0],
+      [10.0, 10.0], [-10.0, 10.0], [-10.0, -10.0]""")
+    assert(convex === Seq(1L, 6L))
+    assert(viaGeneral === convex)
   }
 
   test("box relations on diamond docs match hand-derived truth") {
@@ -72,6 +144,7 @@ class GeoDocPolygonSpec extends SparkSpec {
     assert(ids("intersects") === Seq(1L, 2L, 4L))
     assert(ids("within") === Seq(1L))      // 2 crosses, 4 swallows
     assert(ids("disjoint") === Seq(3L, 5L))
+    assert(ids("contains") === Seq(4L))    // only the swallower covers the box
     // convex-CCW query polygon, within: a big CCW square as a polygon
     val win = QueryDsl.search(t,
       """{"query": {"geo_shape": {
@@ -132,19 +205,16 @@ class GeoDocPolygonSpec extends SparkSpec {
     }
     bad("""{"query": {"geo_shape": {
         "doc_shape": {"type": "polygon", "ring_field": "ring"},
-        "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
-        "relation": "contains"}}}""", "relation contains is unsupported")
-    bad("""{"query": {"geo_shape": {
-        "doc_shape": {"type": "polygon", "ring_field": "ring"},
         "shape": {"type": "polygon", "coordinates":
           [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 0.0]]]},
         "relation": "intersects"}}}""", "serves only relation within")
+    // a SELF-INTERSECTING query ring still fails loud on the driver
+    // even now that concave rings serve within (r13)
     bad("""{"query": {"geo_shape": {
         "doc_shape": {"type": "polygon", "ring_field": "ring"},
         "shape": {"type": "polygon", "coordinates":
-          [[[0.0, 0.0], [40.0, 0.0], [15.0, 20.0], [40.0, 40.0],
-            [0.0, 40.0], [0.0, 0.0]]]},
-        "relation": "within"}}}""", "CONVEX CCW query")
+          [[[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]},
+        "relation": "within"}}}""", "self-intersecting")
     bad("""{"query": {"geo_shape": {
         "doc_shape": {"type": "polygon"},
         "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]}}}}""",

@@ -4541,7 +4541,16 @@ class QueryDslSpec extends SparkSpec {
     def badShape(shape: String, frag: String, rel: String = "intersects"): Unit =
       bad(s"""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
         "shape": $shape, "relation": "$rel"}}}""", frag)
-    badShape(env, "contains is unsupported", "contains")
+    // contains on point docs: a point contains only a zero-area query
+    // shape — point query = equality (== intersects for points), a
+    // degenerate envelope reduces to its coordinate, a true-area
+    // envelope/polygon matches nothing (exact empty, not an error)
+    assert(ids("""{"type": "point", "coordinates": [0.5, 0.5]}""",
+      "contains") === Seq(1L))
+    assert(ids("""{"type": "envelope",
+      "coordinates": [[2.0, 2.0], [2.0, 2.0]]}""", "contains") === Seq(2L))
+    assert(ids(env, "contains") === Seq.empty)
+    assert(ids(poly, "contains") === Seq.empty)
     badShape(env, "relation must be", "overlaps")
     badShape("""{"type": "circle", "coordinates": [0, 0]}""",
       "type must be envelope, polygon or point")
