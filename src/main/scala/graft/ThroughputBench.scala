@@ -398,6 +398,57 @@ object ThroughputBench {
     val (rps8, p95s8) = runLevel(8)
     val (rps32, p95s32) = runLevel(32)
 
+    // gated N=32 (VERDICT r12 #8): the ungated 32-way row shows the
+    // saturation pathology — 8→32 threads buys no throughput and
+    // inflates p95 ~8×, because excess requests queue INSIDE Spark's
+    // scheduler. The ServingGate holds admission at the measured knee
+    // (8 in flight) with an equal-depth wait queue; excess attempts
+    // REJECT immediately (the 429 contract, counted) and the client
+    // retries after a short backoff. The latency sample is the SERVED
+    // attempt — bounded queueing (≤ one service time at queue=permits)
+    // plus service — so overload degrades into a visible rejected
+    // count instead of tail blow-up.
+    def runLevelGated(n: Int, gate: graft.search.ServingGate)
+        : (Double, Double, Long) = {
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0s = System.nanoTime()
+      val workers = (0 until n).map { _ =>
+        new Thread(() => {
+          var i = next.getAndIncrement()
+          while (i < servReqs) {
+            var done = false
+            while (!done) {
+              val s0 = System.nanoTime()
+              val admitted = gate {
+                try oneRequest(i)
+                catch { case _: Throwable => failed.incrementAndGet() }
+              }
+              admitted match {
+                case Some(_) =>
+                  lat.add((System.nanoTime() - s0) / 1e9); done = true
+                case None => Thread.sleep(20)
+              }
+            }
+            i = next.getAndIncrement()
+          }
+        })
+      }
+      workers.foreach(_.start()); workers.foreach(_.join())
+      require(failed.get() == 0,
+        s"gated $n-way serving had ${failed.get()} failures")
+      val total = (System.nanoTime() - t0s) / 1e9
+      val ls = lat.toArray(Array.empty[java.lang.Double])
+        .map(_.doubleValue).sorted
+      val p95s = ls(math.min(ls.length - 1,
+        math.ceil(0.95 * ls.length).toInt - 1))
+      (servReqs / total, p95s, gate.rejected)
+    }
+    val gatePermits = 8; val gateQueue = 8
+    val (rps32g, p95s32g, rej32g) =
+      runLevelGated(32, new graft.search.ServingGate(gatePermits, gateQueue))
+
     val json =
       s"""{"metric":"throughput","ingest_items":$items,""" +
       s""""ingest_sec":${f"$ingestSec%.2f"},""" +
@@ -424,7 +475,11 @@ object ThroughputBench {
       s""""serve_reqs":$servReqs,""" +
       s""""serve_n1_rps":${f"$rps1%.2f"},"serve_n1_p95_sec":${f"$p95s1%.3f"},""" +
       s""""serve_n8_rps":${f"$rps8%.2f"},"serve_n8_p95_sec":${f"$p95s8%.3f"},""" +
-      s""""serve_n32_rps":${f"$rps32%.2f"},"serve_n32_p95_sec":${f"$p95s32%.3f"}}"""
+      s""""serve_n32_rps":${f"$rps32%.2f"},"serve_n32_p95_sec":${f"$p95s32%.3f"},""" +
+      s""""serve_gate_permits":$gatePermits,"serve_gate_queue":$gateQueue,""" +
+      s""""serve_n32_gated_rps":${f"$rps32g%.2f"},""" +
+      s""""serve_n32_gated_p95_sec":${f"$p95s32g%.3f"},""" +
+      s""""serve_n32_gated_rejected":$rej32g}"""
     println(json)
     Files.writeString(Paths.get("throughput_last.json"), json + "\n")
     spark.stop()

@@ -2886,6 +2886,406 @@ object DslSearchTail {
                AND (cx - cy) + r > (-20.0003 - 10.0001))
         ORDER BY c_custkey
         LIMIT 300
+      """.stripMargin.trim)),
+
+    // date_histogram with min_doc_count: 0 (dense empty-bucket fill)
+    // UNDER a NAMED time_zone (VERDICT r12 #1 — the Kibana-default
+    // dashboard request: calendar day + zone + dense fill in ONE
+    // request). Keys have no constant UTC step across a DST
+    // transition, so the series is iterated in LOCAL wall time ON THE
+    // DRIVER (localDenseKeys) into literal UTC keys. Fixture: q341's
+    // 2021 timestamp recipe but SPARSE — day index (key % 24) · 11
+    // lands 24 distinct days, 11 apart, from Mar 1 to Nov 9, crossing
+    // BOTH 2021 US DST boundaries; the dense series emits every local
+    // day between (≈254 buckets, ~230 empty with doc_count 0 and a
+    // NULL sub-agg). The oracle replays the resolved transition table
+    // term for term (q341's five entries) and generates the local-day
+    // series with generate_series, mapping each local midnight to its
+    // UTC key with the boundary-offset rule — the transition days stay
+    // single 23h/25h buckets.
+    GraftQuery(
+      "q361_dsl_date_histogram_dense_named_tz",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = 1614556800000000L // 2021-03-01T00:00:00Z micros
+        val o = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"),
+          timestamp_micros(lit(base)
+            + (col("o_orderkey") % lit(24L)) * lit(11L) * lit(86400000000L)
+            + (col("o_orderkey") % lit(86400L)) * lit(1000000L)).as("ts"))
+        QueryDsl.search(o,
+          """{"size": 0,
+             "aggs": {"day": {"date_histogram":
+                 {"field": "ts", "calendar_interval": "day",
+                  "time_zone": "America/New_York", "min_doc_count": 0},
+               "aggs": {"max_key": {"max": {"field": "o_orderkey"}}}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+            1614556800000000 + (o_orderkey % 24) * 11 * 86400000000
+              + (o_orderkey % 86400) * 1000000 AS ts_us
+          FROM orders),
+        d AS (
+          SELECT o_orderkey, ts_us,
+            CASE WHEN ts_us >= epoch_us(TIMESTAMP '2021-11-07 06:00:00')
+                   THEN -18000000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2021-03-14 07:00:00')
+                   THEN -14400000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2020-11-01 06:00:00')
+                   THEN -18000000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2020-03-08 07:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END AS off_us
+          FROM t),
+        b AS (
+          SELECT o_orderkey,
+            epoch_us(date_trunc('day', make_timestamp(ts_us + off_us))) AS l
+          FROM d),
+        g AS (
+          SELECT l, COUNT(*) AS doc_count, MAX(o_orderkey) AS max_key
+          FROM b GROUP BY 1),
+        span AS (SELECT min(l) AS lo, max(l) AS hi FROM b),
+        series AS (
+          SELECT epoch_us(unnest(generate_series(
+            make_timestamp(lo), make_timestamp(hi), INTERVAL 1 DAY))) AS l
+          FROM span),
+        j AS (
+          SELECT series.l AS l, COALESCE(g.doc_count, 0) AS doc_count,
+                 g.max_key
+          FROM series LEFT JOIN g ON series.l = g.l)
+        SELECT make_timestamp(l -
+            CASE WHEN l >= epoch_us(TIMESTAMP '2021-11-07 01:00:00')
+                   THEN -18000000000
+                 WHEN l >= epoch_us(TIMESTAMP '2021-03-14 03:00:00')
+                   THEN -14400000000
+                 WHEN l >= epoch_us(TIMESTAMP '2020-11-01 01:00:00')
+                   THEN -18000000000
+                 WHEN l >= epoch_us(TIMESTAMP '2020-03-08 03:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END) AS day,
+          doc_count, CAST(max_key AS BIGINT) AS max_key
+        FROM j ORDER BY doc_count DESC, day
+      """.stripMargin.trim)),
+
+    // hourly dense fill ACROSS the spring-forward gap, with a
+    // transitions-object time_zone and extended_bounds (VERDICT r12
+    // #1, the fixed_interval × varying-offset quadrant): local hour
+    // 02:00 on 2021-03-14 does not exist — the driver iteration lands
+    // its boundary on the pre-transition offset, colliding with local
+    // 03:00's key, and the series DEDUPLICATES onto the one real
+    // bucket (never a phantom row, matching the per-doc mapping which
+    // cannot produce it). extended_bounds pushes empty buckets beyond
+    // the data on both sides; the series spans the bounds, not the
+    // data. The oracle generates local hours, maps each to its UTC key
+    // with the boundary rule, and takes DISTINCT keys.
+    GraftQuery(
+      "q362_dsl_date_histogram_dense_hour_gap",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = 1615658400000000L // 2021-03-13T18:00:00Z micros
+        val o = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"),
+          timestamp_micros(lit(base)
+            + (col("o_orderkey") % lit(6L)) * lit(14400000000L)
+            + (col("o_orderkey") % lit(1800L)) * lit(1000000L)).as("ts"))
+        QueryDsl.search(o,
+          """{"size": 0,
+             "aggs": {"hour": {"date_histogram":
+                 {"field": "ts", "fixed_interval": "1h",
+                  "time_zone": {"transitions": [
+                    ["2020-11-01T06:00:00", -300],
+                    ["2021-03-14T07:00:00", -240]]},
+                  "min_doc_count": 0,
+                  "extended_bounds": {"min": "2021-03-13T12:00:00",
+                                      "max": "2021-03-15T00:00:00"}}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+            1615658400000000 + (o_orderkey % 6) * 14400000000
+              + (o_orderkey % 1800) * 1000000 AS ts_us
+          FROM orders),
+        d AS (
+          SELECT ts_us,
+            CASE WHEN ts_us >= epoch_us(TIMESTAMP '2021-03-14 07:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END AS off_us
+          FROM t),
+        g AS (
+          SELECT (ts_us + off_us) - ((ts_us + off_us) % 3600000000) AS l,
+                 COUNT(*) AS doc_count
+          FROM d GROUP BY 1),
+        bnds AS (
+          SELECT epoch_us(TIMESTAMP '2021-03-13 12:00:00') AS blo,
+                 epoch_us(TIMESTAMP '2021-03-15 00:00:00') AS bhi),
+        span AS (
+          SELECT (blo - 18000000000) - ((blo - 18000000000) % 3600000000) AS lo,
+                 (bhi - 14400000000) - ((bhi - 14400000000) % 3600000000) AS hi
+          FROM bnds),
+        series AS (
+          SELECT DISTINCT l - CASE
+              WHEN l >= epoch_us(TIMESTAMP '2021-03-14 03:00:00')
+                THEN -14400000000 ELSE -18000000000 END AS k
+          FROM (SELECT epoch_us(unnest(generate_series(
+                  make_timestamp(lo), make_timestamp(hi),
+                  INTERVAL 1 HOUR))) AS l FROM span)),
+        gk AS (
+          SELECT l - CASE
+              WHEN l >= epoch_us(TIMESTAMP '2021-03-14 03:00:00')
+                THEN -14400000000 ELSE -18000000000 END AS k,
+            doc_count
+          FROM g)
+        SELECT make_timestamp(series.k) AS hour,
+               COALESCE(gk.doc_count, 0) AS doc_count
+        FROM series LEFT JOIN gk ON series.k = gk.k
+        ORDER BY doc_count DESC, hour
+      """.stripMargin.trim)),
+
+    // auto_date_histogram UNDER a named time_zone (VERDICT r12 #7):
+    // the zone flows through the SAME parseDhTimeZone grammar and
+    // local-truncate/boundary-unmap bucketing as date_histogram, and
+    // the auto-sizing counts buckets over the LOCAL span. Fixture: 20
+    // UTC days starting 2021-03-05 — the local (America/New_York)
+    // span is 21 days (the first instant lands on Mar 4 local), well
+    // under the 40-bucket target, so `day` is chosen and the
+    // spring-forward boundary (Mar 14) sits inside the bucketed
+    // range. The oracle replays the resolved 4-entry transition table
+    // (the 400-day pad reaches Jan 2020; the window stops before Nov
+    // 2021) and emits the literal chosen interval.
+    GraftQuery(
+      "q363_dsl_auto_date_histogram_named_tz",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val base = 1614902400000000L // 2021-03-05T00:00:00Z micros
+        val o = Tables.load(s, dir, "orders").select(
+          col("o_orderkey"),
+          timestamp_micros(lit(base)
+            + (col("o_orderkey") % lit(20L)) * lit(86400000000L)
+            + (col("o_orderkey") % lit(86400L)) * lit(1000000L)).as("ts"))
+        QueryDsl.search(o,
+          """{"size": 0,
+             "aggs": {"d": {"auto_date_histogram":
+               {"field": "ts", "buckets": 40,
+                "time_zone": "America/New_York"}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+            1614902400000000 + (o_orderkey % 20) * 86400000000
+              + (o_orderkey % 86400) * 1000000 AS ts_us
+          FROM orders),
+        dd AS (
+          SELECT ts_us,
+            CASE WHEN ts_us >= epoch_us(TIMESTAMP '2021-03-14 07:00:00')
+                   THEN -14400000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2020-11-01 06:00:00')
+                   THEN -18000000000
+                 WHEN ts_us >= epoch_us(TIMESTAMP '2020-03-08 07:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END AS off_us
+          FROM t),
+        b AS (
+          SELECT epoch_us(date_trunc('day', make_timestamp(ts_us + off_us))) AS l
+          FROM dd)
+        SELECT make_timestamp(l -
+            CASE WHEN l >= epoch_us(TIMESTAMP '2021-03-14 03:00:00')
+                   THEN -14400000000
+                 WHEN l >= epoch_us(TIMESTAMP '2020-11-01 01:00:00')
+                   THEN -18000000000
+                 WHEN l >= epoch_us(TIMESTAMP '2020-03-08 03:00:00')
+                   THEN -14400000000
+                 ELSE -18000000000 END) AS d,
+          COUNT(*) AS doc_count, 'day' AS "interval"
+        FROM b GROUP BY 1 ORDER BY d
+      """.stripMargin.trim)),
+
+    // doc_shape `on_invalid: "dlq"` (VERDICT r12 #4 — the reference's
+    // per-record-poison doctrine, S6): the q358 diamond fixture with
+    // POISON injected by construction — a self-intersecting bowtie
+    // (the diamond with two vertices swapped, key % 7) and a
+    // 66-vertex ring past the cap (key % 17). Default mode raises on
+    // the first poison row; with on_invalid: dlq the query PROCEEDS
+    // and its answer equals the clean-subset oracle (poison rows
+    // drop like the tri-state convention; NULL/short rings were
+    // already drops, not poison).
+    GraftQuery(
+      "q364_dsl_geo_shape_dlq_mode",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("r", expr("CAST(1 + c_custkey % 10 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               WHEN c_custkey % 13 = 0
+                 THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                            struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+               WHEN c_custkey % 17 = 0
+                 THEN transform(sequence(0, 65),
+                        i -> struct(CAST(i AS DOUBLE) AS lat,
+                                    CAST(i * i AS DOUBLE) AS lon))
+               WHEN c_custkey % 7 = 0
+                 THEN array(struct(cx + r AS lat, cy AS lon),
+                            struct(cx - r AS lat, cy AS lon),
+                            struct(cx AS lat, cy + r AS lon),
+                            struct(cx AS lat, cy - r AS lon))
+               ELSE array(struct(cx + r AS lat, cy AS lon),
+                          struct(cx AS lat, cy + r AS lon),
+                          struct(cx - r AS lat, cy AS lon),
+                          struct(cx AS lat, cy - r AS lon)) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring",
+                             "on_invalid": "dlq"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.0003]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 200,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + c_custkey % 10 AS DOUBLE) AS r
+          FROM customer
+          WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0
+            AND c_custkey % 17 <> 0 AND c_custkey % 7 <> 0)
+        SELECT c_custkey FROM t
+        WHERE abs(cx - 0.0003) + abs(cy - (-2.0007)) < r
+        ORDER BY c_custkey
+        LIMIT 200
+      """.stripMargin.trim)),
+
+    // the DLQ side-output itself (geoShapeDlq — the counted
+    // diagnostic): exactly the poison rows, tagged with their reason.
+    // Truth from construction: % 17 rings (minus the higher-priority
+    // NULL/short arms) exceed the 64-vertex cap; % 7 rings are the
+    // bowtie. NULL and 2-vertex rings are drops, NOT poison — they
+    // must not appear.
+    GraftQuery(
+      "q365_dsl_geo_shape_dlq_rows",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("r", expr("CAST(1 + c_custkey % 10 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               WHEN c_custkey % 13 = 0
+                 THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                            struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+               WHEN c_custkey % 17 = 0
+                 THEN transform(sequence(0, 65),
+                        i -> struct(CAST(i AS DOUBLE) AS lat,
+                                    CAST(i * i AS DOUBLE) AS lon))
+               WHEN c_custkey % 7 = 0
+                 THEN array(struct(cx + r AS lat, cy AS lon),
+                            struct(cx - r AS lat, cy AS lon),
+                            struct(cx AS lat, cy + r AS lon),
+                            struct(cx AS lat, cy - r AS lon))
+               ELSE array(struct(cx + r AS lat, cy AS lon),
+                          struct(cx AS lat, cy + r AS lon),
+                          struct(cx - r AS lat, cy AS lon),
+                          struct(cx AS lat, cy - r AS lon)) END"""))
+        QueryDsl.geoShapeDlq(c, "ring")
+          .select(col("c_custkey"), col("_reason"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 17 = 0 THEN 'too_many_vertices'
+               ELSE 'self_intersecting' END AS _reason
+        FROM customer
+        WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0
+          AND (c_custkey % 17 = 0 OR c_custkey % 7 = 0)
+        ORDER BY c_custkey
+      """.stripMargin.trim)),
+
+    // flat THREE-hop nested path (VERDICT r12 #6): a synthesized
+    // 3-level array-of-structs fixture over orders — outer a[i∈0..1],
+    // mid[j∈0..1] (NULL when (key+i) % 5 = 0, exercising the per-level
+    // NULL-skip rule), subs[k∈0..2] with qty = (key·7 + 5i + 3j + k)
+    // % 100. The leaf probe flattens through both inner levels with
+    // one transform/drop-NULL/flatten layer per hop — still pure
+    // scan-stage codegen, no explode, no join. Truth from the
+    // construction: ∃ i,j,k with the mid arm non-NULL and qty ≥ 97.
+    GraftQuery(
+      "q366_dsl_nested_three_hop",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("a", expr(
+            """transform(sequence(0, 1), i -> struct(
+                 CAST(i AS BIGINT) AS slot,
+                 IF((o_orderkey + i) % 5 = 0,
+                    CAST(NULL AS ARRAY<STRUCT<subs: ARRAY<STRUCT<qty: BIGINT>>>>),
+                    transform(sequence(0, 1), j -> struct(
+                      transform(sequence(0, 2), k -> struct(
+                        CAST((o_orderkey * 7 + i * 5 + j * 3 + k) % 100
+                          AS BIGINT) AS qty)) AS subs))) AS mid))"""))
+        QueryDsl.search(o,
+          """{"query": {"nested": {"path": "a.mid.subs",
+               "query": {"range": {"a.mid.subs.qty": {"gte": 97}}}}},
+             "sort": ["o_orderkey"], "size": 300,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        SELECT o_orderkey FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM range(0, 2) t1(i), range(0, 2) t2(j), range(0, 3) t3(k)
+          WHERE (o_orderkey + i) % 5 <> 0
+            AND (o_orderkey * 7 + i * 5 + j * 3 + k) % 100 >= 97)
+        ORDER BY o_orderkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // the COMPOSED-extension form at three levels (VERDICT r12 #6):
+    // nested-in-nested-in-nested — "an outer element with slot ≥ 1
+    // whose OWN mid has a subs element with qty ≥ 97" — the
+    // same-outer-element constraint a flat 3-hop path cannot express
+    // (a flat probe would let doc-level matches leak across outer
+    // elements). Same fixture; truth restricts to i = 1.
+    GraftQuery(
+      "q367_dsl_nested_composed_three_level",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("a", expr(
+            """transform(sequence(0, 1), i -> struct(
+                 CAST(i AS BIGINT) AS slot,
+                 IF((o_orderkey + i) % 5 = 0,
+                    CAST(NULL AS ARRAY<STRUCT<subs: ARRAY<STRUCT<qty: BIGINT>>>>),
+                    transform(sequence(0, 1), j -> struct(
+                      transform(sequence(0, 2), k -> struct(
+                        CAST((o_orderkey * 7 + i * 5 + j * 3 + k) % 100
+                          AS BIGINT) AS qty)) AS subs))) AS mid))"""))
+        QueryDsl.search(o,
+          """{"query": {"nested": {"path": "a",
+               "query": {"bool": {"must": [
+                 {"range": {"a.slot": {"gte": 1}}},
+                 {"nested": {"path": "a.mid",
+                   "query": {"nested": {"path": "a.mid.subs",
+                     "query": {"range": {"a.mid.subs.qty": {"gte": 97}}}}}}}]}}}},
+             "sort": ["o_orderkey"], "size": 300,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        SELECT o_orderkey FROM orders
+        WHERE (o_orderkey + 1) % 5 <> 0 AND EXISTS (
+          SELECT 1 FROM range(0, 2) t2(j), range(0, 3) t3(k)
+          WHERE (o_orderkey * 7 + 5 + j * 3 + k) % 100 >= 97)
+        ORDER BY o_orderkey
+        LIMIT 300
       """.stripMargin.trim))
   )
 }

@@ -178,6 +178,15 @@ object QueryDsl extends QueryDslClauses with QueryDslRequests
       bounds: Option[(Long, Long)]) extends HistoFill
   private[search] final case class DateFill(field: String, ivUs: Long,
       tzOffUs: Long, bounds: Option[(Long, Long)]) extends HistoFill
+  /** Dense time series whose bucket keys have NO constant UTC step —
+    * calendar intervals and transition-table/named time zones — so
+    * the key series is iterated driver-side in LOCAL wall time
+    * ([[QueryDslAggs.localDenseKeys]]) into ≤100k literal UTC-micro
+    * keys (the Kibana-default dashboard shape: `calendar_interval:
+    * day` + named `time_zone` + `min_doc_count: 0`).
+    */
+  private[search] final case class DateFillKeys(keys: Seq[Long])
+      extends HistoFill
 
   /** Compiled form of the `query` part: a row predicate plus the
     * deterministic LONG score expression. `ppm` marks clauses whose

@@ -563,6 +563,37 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             val f = strOpt(hm, "field").getOrElse(fail(s"date_histogram agg '$name' needs a field"))
             if (hm.contains("calendar_interval") && hm.contains("fixed_interval"))
               fail(s"date_histogram '$name' takes calendar_interval OR fixed_interval")
+            // min_doc_count / extended_bounds parse FIRST: a named
+            // zone's transition window must cover the extended_bounds
+            // span (buckets beyond the data need the offset in force
+            // there), so both feed the zone resolution below.
+            val dmdc = intOpt(hm, "min_doc_count").getOrElse(1)
+            if (dmdc != 0 && dmdc != 1)
+              fail(s"date_histogram min_doc_count must be 0 or 1, got $dmdc")
+            val extBounds: Option[(Long, Long)] = hm.get("extended_bounds") match {
+              case None => None
+              case Some(JObject(b)) =>
+                if (dmdc != 0)
+                  fail("extended_bounds requires min_doc_count: 0")
+                val bm = b.toMap
+                bm.keySet.diff(Set("min", "max")).foreach(k =>
+                  fail(s"unsupported extended_bounds key '$k'"))
+                def us0(k: String): Long = bm.get(k) match {
+                  case Some(JString(sv)) =>
+                    val t = try DateMath.parseAnchor(sv)
+                      catch { case e: IllegalArgumentException =>
+                        fail(s"extended_bounds $k: ${e.getMessage}") }
+                    t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+                      t.getNano / 1000L
+                  case _ => fail("date_histogram extended_bounds needs " +
+                    "ISO min and max strings")
+                }
+                val (blo, bhi) = (us0("min"), us0("max"))
+                if (blo > bhi) fail("extended_bounds needs min <= max")
+                Some((blo, bhi))
+              case Some(other) =>
+                fail(s"extended_bounds must be an object: ${render(other)}")
+            }
             // `time_zone`: a FIXED ±HH:mm offset, a request-supplied
             // DST transition TABLE, or a NAMED IANA zone — bucket
             // boundaries align to local wall time, keys stay UTC
@@ -579,78 +610,32 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             // transitions an oracle can replay; executors never call
             // a wall-clock library, and an unknown name fails loud,
             // never silently buckets in the wrong zone.
-            val TzFixedRe = """([+-])(\d{2}):(\d{2})""".r
-            val tzTransUs: Option[Seq[(Long, Long)]] = hm.get("time_zone") match {
-              case Some(JString(tz))
-                  if !TzFixedRe.pattern.matcher(tz).matches() =>
-                val zone = try java.time.ZoneId.of(tz)
-                  catch { case _: java.time.DateTimeException =>
-                    fail(s"date_histogram '$name': time_zone '$tz' is " +
-                      "neither a fixed +HH:mm/-HH:mm offset nor a known " +
-                      "IANA zone id") }
-                val (lo, hi) = hitDateSpan(hits, f) match {
-                  case Some((a, b)) => (a.toInstant(java.time.ZoneOffset.UTC),
-                    b.toInstant(java.time.ZoneOffset.UTC))
+            // the resolution window for a named zone is the UNION of
+            // the hit span and extended_bounds — a dense series
+            // extended past the data needs the offsets in force out
+            // there too
+            val (tzOffUs, tzTransUs) = parseDhTimeZone("date_histogram",
+              name, hm.get("time_zone"), {
+                def usInstant(u: Long): java.time.Instant =
+                  java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L),
+                    Math.floorMod(u, 1000000L) * 1000L)
+                val dataSpan = hitDateSpan(hits, f).map { case (a, b) =>
+                  (a.toInstant(java.time.ZoneOffset.UTC),
+                    b.toInstant(java.time.ZoneOffset.UTC)) }
+                val boundSpan = extBounds.map { case (a, b) =>
+                  (usInstant(a), usInstant(b)) }
+                (dataSpan, boundSpan) match {
+                  case (Some((a1, b1)), Some((a2, b2))) =>
+                    (if (a1.isBefore(a2)) a1 else a2,
+                      if (b1.isAfter(b2)) b1 else b2)
+                  case (Some(sp), None) => sp
+                  case (None, Some(sp)) => sp
                   // no dated hits: the bucket table is empty whatever
                   // offsets apply — a single base entry suffices
-                  case None => (java.time.Instant.EPOCH, java.time.Instant.EPOCH)
+                  case (None, None) =>
+                    (java.time.Instant.EPOCH, java.time.Instant.EPOCH)
                 }
-                val tab = zoneTransitionTable(zone, lo, hi)
-                if (tab.size > 200)
-                  fail(s"date_histogram '$name': zone '$tz' has ${tab.size} " +
-                    "transitions over the data span (cap 200) — narrow the " +
-                    "query's date range")
-                Some(tab)
-              case Some(JObject(tzParts)) =>
-                val tzm = tzParts.toMap
-                tzm.keySet.diff(Set("transitions")).foreach(k =>
-                  fail(s"date_histogram '$name': unsupported time_zone option '$k'"))
-                val entries: Seq[(Long, Long)] = tzm.get("transitions") match {
-                  case Some(JArray(es)) if es.nonEmpty => es.map {
-                    case JArray(List(JString(anchor), JInt(mins))) =>
-                      val t = try DateMath.parseAnchor(anchor)
-                        catch { case e: IllegalArgumentException =>
-                          fail(s"date_histogram '$name' transitions: ${e.getMessage}") }
-                      val us = t.toInstant(java.time.ZoneOffset.UTC)
-                        .getEpochSecond * 1000000L + t.getNano / 1000L
-                      if (mins.abs > 18L * 60L)
-                        fail(s"date_histogram '$name': transition offset " +
-                          s"$mins minutes out of range (±18:00)")
-                      (us, mins.toLong * 60L * 1000000L)
-                    case other => fail(s"date_histogram '$name': transitions " +
-                      s"entries must be [iso_utc_string, offset_minutes]: ${render(other)}")
-                  }
-                  case _ => fail(s"date_histogram '$name': time_zone object " +
-                    "needs a non-empty transitions array")
-                }
-                // one chained-CASE branch per entry: cap well under the
-                // JVM codegen method limit (the mlt when-chain lesson)
-                if (entries.size > 200)
-                  fail(s"date_histogram '$name': at most 200 transitions " +
-                    s"(got ${entries.size})")
-                entries.map(_._1).sliding(2).foreach {
-                  case Seq(a, b) => if (b <= a) fail(s"date_histogram '$name': " +
-                    "transitions must be strictly ascending in time")
-                  case _ => ()
-                }
-                Some(entries)
-              case _ => None
-            }
-            val tzOffUs: Long = hm.get("time_zone") match {
-              case Some(JString(TzFixedRe(sign, hh, mm))) =>
-                val h2 = hh.toLong; val m2 = mm.toLong
-                if (h2 > 18 || m2 > 59)
-                  fail(s"date_histogram '$name': time_zone offset " +
-                    s"'$sign$hh:$mm' out of range")
-                val s2 = (h2 * 3600L + m2 * 60L) * 1000000L
-                if (sign == "-") -s2 else s2
-              // named zones and transition tables flow through
-              // tzTransUs above; anything else already failed there
-              case None | Some(JString(_)) | Some(JObject(_)) => 0L
-              case Some(other) => fail(s"date_histogram '$name': time_zone must " +
-                s"be a fixed offset, an IANA zone id, or a transitions " +
-                s"object: ${render(other)}")
-            }
+              })
             // `offset` shifts every bucket BOUNDARY ("+6h": day
             // buckets run 06:00→06:00 — the fiscal-day knob). The
             // algebra folds into the time-shift the time_zone path
@@ -716,24 +701,10 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             // descending match); a boundary landing in a spring-forward
             // gap maps with the pre-transition offset — both
             // deterministic and replayed verbatim by the oracle.
-            def transCase(um: Column, tab: Seq[(Long, Long)]): Column = {
-              val cases = tab.reverse.dropRight(1) // descending, sans base
-              if (cases.isEmpty) lit(tab.head._2)
-              else cases.tail.foldLeft(
-                when(um >= lit(cases.head._1), lit(cases.head._2))) {
-                  case (acc, (ts, off)) => acc.when(um >= lit(ts), lit(off))
-                }.otherwise(lit(tab.head._2))
-            }
-            val localTab: Option[Seq[(Long, Long)]] = tzTransUs.map { tab =>
-              val local = tab.map { case (ts, off) => (ts + off, off) }
-              local.map(_._1).sliding(2).foreach {
-                case Seq(a, b) => if (b <= a) fail(s"date_histogram '$name': " +
-                  "transition local activations must be strictly ascending " +
-                  "(an offset jump larger than the gap between transitions)")
-                case _ => ()
-              }
-              local
-            }
+            def transCase(um: Column, tab: Seq[(Long, Long)]): Column =
+              transOffsetCase(um, tab)
+            val localTab: Option[Seq[(Long, Long)]] =
+              tzTransUs.map(localActivationTable("date_histogram", name, _))
             val key = (fixedUs, tzTransUs) match {
               case (Some(us), None) =>
                 val um = unix_micros(col(f)) + lit(shiftUs)
@@ -763,50 +734,42 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             // min_doc_count: 0 — EMPTY TIME BUCKETS APPEAR (the
             // dashboard dense-series contract; pipeline aggs over a
             // sparse time series silently skip gaps without it).
-            // fixed_interval only: the dense series is exact integer
-            // microsecond arithmetic; a calendar series has no
-            // constant step — fail loud rather than approximate.
-            val dmdc = intOpt(hm, "min_doc_count").getOrElse(1)
-            if (dmdc != 0 && dmdc != 1)
-              fail(s"date_histogram min_doc_count must be 0 or 1, got $dmdc")
+            // fixed_interval with a constant offset generates the
+            // series as exact range arithmetic (scales to any bucket
+            // count); a calendar interval or a transition-table/named
+            // time_zone has no constant UTC step, so bucket boundaries
+            // are iterated in LOCAL wall time ON THE DRIVER
+            // ([[localDenseKeys]]) into a ≤100k literal key series —
+            // the Kibana-default request shape (named zone + calendar
+            // day + dense fill) serves end to end.
             val dateFill: Option[HistoFill] =
-              if (dmdc == 0) {
-                if (tzTransUs.nonEmpty)
-                  fail("date_histogram min_doc_count: 0 does not compose " +
-                    "with a transitions/named-zone time_zone (bucket keys " +
-                    "are not a constant UTC step across a transition, so " +
-                    "the dense series cannot be generated)")
-                val us = fixedUs.getOrElse(fail("date_histogram " +
-                  "min_doc_count: 0 requires fixed_interval (a calendar " +
-                  "series has no constant step)"))
-                val bounds: Option[(Long, Long)] = hm.get("extended_bounds") match {
-                  case None => None
-                  case Some(JObject(b)) =>
-                    val bm = b.toMap
-                    bm.keySet.diff(Set("min", "max")).foreach(k =>
-                      fail(s"unsupported extended_bounds key '$k'"))
-                    def us0(k: String): Long = bm.get(k) match {
-                      case Some(JString(s)) =>
-                        val t = try DateMath.parseAnchor(s)
-                          catch { case e: IllegalArgumentException =>
-                            fail(s"extended_bounds $k: ${e.getMessage}") }
-                        t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+              if (dmdc == 0) (fixedUs, tzTransUs) match {
+                case (Some(us), None) =>
+                  Some(DateFill(f, us, shiftUs, extBounds))
+                case (stepOpt, tabOpt) =>
+                  val step: Either[String, Long] = stepOpt match {
+                    case Some(us) => Right(us)
+                    case None => Left(calendarUnit(
+                      strOpt(hm, "calendar_interval").getOrElse("day")))
+                  }
+                  // a fixed/absent zone is the one-entry constant table:
+                  // the same local-frame iteration serves all four
+                  // (step × zone-form) combinations
+                  val constTab = Seq((Long.MinValue, tzOffUs))
+                  val tab = tabOpt.getOrElse(constTab)
+                  val lTab = if (tabOpt.isDefined) localTab.get else constTab
+                  val spanUs: Option[(Long, Long)] = extBounds.orElse(
+                    hitDateSpan(hits, f).map { case (a, b) =>
+                      def us2(t: java.time.LocalDateTime): Long =
+                        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
                           t.getNano / 1000L
-                      case _ => fail("date_histogram extended_bounds needs " +
-                        "ISO min and max strings")
-                    }
-                    val (lo, hi) = (us0("min"), us0("max"))
-                    if (lo > hi) fail("extended_bounds needs min <= max")
-                    Some((lo, hi))
-                  case Some(other) =>
-                    fail(s"extended_bounds must be an object: ${render(other)}")
-                }
-                Some(DateFill(f, us, shiftUs, bounds))
-              } else {
-                if (hm.contains("extended_bounds"))
-                  fail("extended_bounds requires min_doc_count: 0")
-                None
-              }
+                      (us2(a), us2(b))
+                    })
+                  val keys = spanUs.map { case (l, h) =>
+                    localDenseKeys(l, h, step, offUs, tab, lTab)
+                  }.getOrElse(Seq.empty)
+                  Some(DateFillKeys(keys))
+              } else None
             (key, None, None, dateFill, None, None)
         }.getOrElse(fail(s"bucket agg '$name' has no terms/histogram/date_histogram"))
 
@@ -844,6 +807,17 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                 "buckets (cap 100000) - widen the interval")
             val series = gated.sparkSession.range(nBuckets)
               .select(timestamp_micros(lit(lo) + col("id") * lit(ivUs)).as(name))
+            series.join(bucketTable0.filter(col(name).isNotNull),
+                Seq(name), "full_outer")
+              .na.fill(0L, Seq("doc_count"))
+          case Some(DateFillKeys(keys)) =>
+            // the driver-iterated literal key series (calendar and/or
+            // varying-offset buckets; ≤100k longs by the cap — a
+            // bounded local relation, same join shape as the
+            // range-generated series)
+            val series = gated.sparkSession
+              .createDataset(keys)(org.apache.spark.sql.Encoders.scalaLong)
+              .select(timestamp_micros(col("value")).as(name))
             series.join(bucketTable0.filter(col(name).isNotNull),
                 Seq(name), "full_outer")
               .na.fill(0L, Seq("doc_count"))
@@ -2806,6 +2780,185 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     buf.toSeq
   }
 
+  /** The ONE `time_zone` grammar, shared by `date_histogram` and
+    * `auto_date_histogram` so the forms can never drift: a FIXED
+    * ±HH:mm offset (returned as micros, no table), a request-supplied
+    * `{"transitions": [[iso_utc, offset_min], …]}` table, or a NAMED
+    * IANA zone resolved ON THE DRIVER over `span` (call-by-name: the
+    * span aggregate only runs for named zones) into that same literal
+    * table — executors never call a wall-clock library, and an
+    * unknown name fails loud.
+    */
+  private[search] def parseDhTimeZone(owner: String, name: String,
+      tzv: Option[JValue],
+      span: => (java.time.Instant, java.time.Instant))
+      : (Long, Option[Seq[(Long, Long)]]) = {
+    val TzFixedRe = """([+-])(\d{2}):(\d{2})""".r
+    tzv match {
+      case None => (0L, None)
+      case Some(JString(TzFixedRe(sign, hh, mm))) =>
+        val h2 = hh.toLong; val m2 = mm.toLong
+        if (h2 > 18 || m2 > 59)
+          fail(s"$owner '$name': time_zone offset '$sign$hh:$mm' out of range")
+        val s2 = (h2 * 3600L + m2 * 60L) * 1000000L
+        (if (sign == "-") -s2 else s2, None)
+      case Some(JString(tz)) =>
+        val zone = try java.time.ZoneId.of(tz)
+          catch { case _: java.time.DateTimeException =>
+            fail(s"$owner '$name': time_zone '$tz' is neither a fixed " +
+              "+HH:mm/-HH:mm offset nor a known IANA zone id") }
+        val (lo, hi) = span
+        val tab = zoneTransitionTable(zone, lo, hi)
+        if (tab.size > 200)
+          fail(s"$owner '$name': zone '$tz' has ${tab.size} transitions " +
+            "over the data span (cap 200) — narrow the query's date range")
+        (0L, Some(tab))
+      case Some(JObject(tzParts)) =>
+        val tzm = tzParts.toMap
+        tzm.keySet.diff(Set("transitions")).foreach(k =>
+          fail(s"$owner '$name': unsupported time_zone option '$k'"))
+        val entries: Seq[(Long, Long)] = tzm.get("transitions") match {
+          case Some(JArray(es)) if es.nonEmpty => es.map {
+            case JArray(List(JString(anchor), JInt(mins))) =>
+              val t = try DateMath.parseAnchor(anchor)
+                catch { case e: IllegalArgumentException =>
+                  fail(s"$owner '$name' transitions: ${e.getMessage}") }
+              val us = t.toInstant(java.time.ZoneOffset.UTC)
+                .getEpochSecond * 1000000L + t.getNano / 1000L
+              if (mins.abs > 18L * 60L)
+                fail(s"$owner '$name': transition offset $mins minutes " +
+                  "out of range (±18:00)")
+              (us, mins.toLong * 60L * 1000000L)
+            case other => fail(s"$owner '$name': transitions entries must " +
+              s"be [iso_utc_string, offset_minutes]: ${render(other)}")
+          }
+          case _ => fail(s"$owner '$name': time_zone object needs a " +
+            "non-empty transitions array")
+        }
+        // one chained-CASE branch per entry: cap well under the JVM
+        // codegen method limit (the mlt when-chain lesson)
+        if (entries.size > 200)
+          fail(s"$owner '$name': at most 200 transitions (got ${entries.size})")
+        entries.map(_._1).sliding(2).foreach {
+          case Seq(a, b) => if (b <= a) fail(s"$owner '$name': " +
+            "transitions must be strictly ascending in time")
+          case _ => ()
+        }
+        (0L, Some(entries))
+      case Some(other) => fail(s"$owner '$name': time_zone must be a " +
+        s"fixed offset, an IANA zone id, or a transitions object: " +
+        s"${render(other)}")
+    }
+  }
+
+  /** The piecewise-constant offset lookup as ONE chained CASE: last
+    * entry at-or-before the instant wins (descending `when`s, base as
+    * `otherwise`). Used for both the doc-offset rule (UTC instants)
+    * and the boundary-offset rule (local activations).
+    */
+  private[search] def transOffsetCase(um: Column,
+      tab: Seq[(Long, Long)]): Column = {
+    val cases = tab.reverse.dropRight(1) // descending, sans base
+    if (cases.isEmpty) lit(tab.head._2)
+    else cases.tail.foldLeft(
+      when(um >= lit(cases.head._1), lit(cases.head._2))) {
+        case (acc, (ts, off)) => acc.when(um >= lit(ts), lit(off))
+      }.otherwise(lit(tab.head._2))
+  }
+
+  /** A transition table re-keyed by LOCAL activation (utc_ts + its
+    * offset) — the boundary-offset rule's domain. Validates the
+    * activations stay strictly ascending (an offset jump larger than
+    * the gap between transitions would make the boundary rule
+    * ambiguous).
+    */
+  private[search] def localActivationTable(owner: String, name: String,
+      tab: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val local = tab.map { case (ts, off) => (ts + off, off) }
+    local.map(_._1).sliding(2).foreach {
+      case Seq(a, b) => if (b <= a) fail(s"$owner '$name': " +
+        "transition local activations must be strictly ascending " +
+        "(an offset jump larger than the gap between transitions)")
+      case _ => ()
+    }
+    local
+  }
+
+  /** Driver-side twin of [[transOffsetCase]]: the offset in force at
+    * `u` under the ascending table (last entry at-or-before, base
+    * otherwise).
+    */
+  private[search] def offsetAtUs(u: Long, tab: Seq[(Long, Long)]): Long = {
+    var o = tab.head._2; var i = 0
+    while (i < tab.length && tab(i)._1 <= u) { o = tab(i)._2; i += 1 }
+    o
+  }
+
+  /** Dense bucket-key series for `min_doc_count: 0` when keys have NO
+    * constant UTC step (calendar intervals; transition-table / named
+    * time zones): iterate bucket boundaries in LOCAL wall time on the
+    * driver, mapping each back to its UTC key with exactly the
+    * per-document algebra the compiled expression runs —
+    *
+    *   lTrunc(u) = trunc((u + off(u)) − offUs) + offUs
+    *   key(L)    = L − off2(L)
+    *
+    * where `off` is the doc-offset rule (last `tab` entry at-or-before
+    * the UTC instant) and `off2` the boundary-offset rule (last entry
+    * whose LOCAL activation is at-or-before the boundary). Stepping is
+    * `plusDays/plusMonths/plusYears` (or a fixed micro step) in the
+    * offset-shifted local frame, so the local day containing a DST
+    * transition is ONE bucket — 23h/25h wide in UTC — and a boundary
+    * landing in a spring-forward gap deduplicates onto the real
+    * bucket (`distinct`), matching the per-doc mapping which can never
+    * produce the phantom key. Capped at 100k keys like the
+    * range-generated series.
+    */
+  private[search] def localDenseKeys(loUs: Long, hiUs: Long,
+      step: Either[String, Long], offUs: Long,
+      tab: Seq[(Long, Long)], localTab: Seq[(Long, Long)]): Seq[Long] = {
+    def offAt(u: Long, t: Seq[(Long, Long)]): Long = offsetAtUs(u, t)
+    def ldtOf(us: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    def usOf(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    def trunc(l: Long): Long = step match {
+      case Right(iv) => l - Math.floorMod(l, iv)
+      case Left(unit) =>
+        val d = ldtOf(l).toLocalDate
+        val d2 = unit match {
+          case "DAY"   => d
+          case "MONTH" => d.withDayOfMonth(1)
+          case "YEAR"  => d.withDayOfYear(1)
+          case other   => fail(s"localDenseKeys: unsupported unit '$other'")
+        }
+        usOf(d2.atStartOfDay)
+    }
+    def next(l: Long): Long = step match {
+      case Right(iv)     => l + iv
+      case Left("DAY")   => usOf(ldtOf(l).plusDays(1))
+      case Left("MONTH") => usOf(ldtOf(l).plusMonths(1))
+      case Left("YEAR")  => usOf(ldtOf(l).plusYears(1))
+      case Left(other)   => fail(s"localDenseKeys: unsupported unit '$other'")
+    }
+    if (hiUs < loUs) Seq.empty
+    else {
+      def lTruncOf(u: Long): Long = trunc(u + offAt(u, tab) - offUs) + offUs
+      var lt = lTruncOf(loUs)
+      val ltEnd = lTruncOf(hiUs)
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (lt <= ltEnd) {
+        buf += lt - offAt(lt, localTab)
+        if (buf.size > 100000)
+          fail("date_histogram min_doc_count: 0 would emit more than " +
+            "100000 buckets (cap 100000) - widen the interval")
+        lt = next(lt - offUs) + offUs
+      }
+      buf.distinct.sorted[Long].toSeq
+    }
+  }
+
   /** `auto_date_histogram`: the FINEST calendar interval (day →
     * month → year) whose bucket span stays within `buckets` — the
     * OpenSearch auto-sizing rule made deterministic. The span is the
@@ -2826,8 +2979,9 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case JObject(s) => s.toMap
       case other => fail(s"auto_date_histogram '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("field", "buckets", "minimum_interval")).foreach(k =>
-      fail(s"unsupported auto_date_histogram option '$k' in '$name'"))
+    m.keySet.diff(Set("field", "buckets", "minimum_interval", "time_zone"))
+      .foreach(k =>
+        fail(s"unsupported auto_date_histogram option '$k' in '$name'"))
     val f = strOpt(m, "field")
       .getOrElse(fail(s"auto_date_histogram '$name' needs a field"))
     val target = intOpt(m, "buckets").getOrElse(10)
@@ -2849,14 +3003,34 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     // bucket the unit choice never counted, exceeding the requested cap
     val dated = hits.filter(col(f).isNotNull)
     val span = hitDateSpan(hits, f)
+    // time_zone: the SAME grammar and bucketing machinery as
+    // date_histogram (parseDhTimeZone → local-truncate → boundary
+    // unmap), and the auto-sizing counts buckets over the LOCAL span
+    // — a query whose UTC span clips a local calendar boundary must
+    // size by the local bucket count, or the chosen unit could exceed
+    // the requested cap by one bucket.
+    val (tzOffUs, tabOpt) = parseDhTimeZone("auto_date_histogram", name,
+      m.get("time_zone"), span match {
+        case Some((a, b)) => (a.toInstant(java.time.ZoneOffset.UTC),
+          b.toInstant(java.time.ZoneOffset.UTC))
+        case None => (java.time.Instant.EPOCH, java.time.Instant.EPOCH)
+      })
+    val localTab = tabOpt.map(localActivationTable("auto_date_histogram", name, _))
     import java.time.temporal.ChronoUnit
     val unit = span match {
       case None => "day" // all-NULL column: the bucket table is empty anyway
       case Some((lo, hi)) =>
-        val days = ChronoUnit.DAYS.between(
-          lo.toLocalDate, hi.toLocalDate) + 1
+        def localDate(t: java.time.LocalDateTime): java.time.LocalDate = {
+          val us = t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000L
+          val off = tabOpt.map(offsetAtUs(us, _)).getOrElse(tzOffUs)
+          t.plusNanos((off * 1000L) % 1000000000L)
+            .plusSeconds(off / 1000000L).toLocalDate
+        }
+        val (loD, hiD) = (localDate(lo), localDate(hi))
+        val days = ChronoUnit.DAYS.between(loD, hiD) + 1
         val months = ChronoUnit.MONTHS.between(
-          lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1)) + 1
+          loD.withDayOfMonth(1), hiD.withDayOfMonth(1)) + 1
         if (days <= target && minRank <= 0) "day"
         else if (months <= target && minRank <= 1) "month"
         else "year"
@@ -2866,7 +3040,20 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case Some(JObject(s)) => s.flatMap { case (n, sp) => metricCols(n, sp, schema = hits.schema) }
       case Some(other)      => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    dated.groupBy(date_trunc(unit.toUpperCase, col(f)).as(name))
+    val keyExpr: Column = tabOpt match {
+      case None if tzOffUs == 0L => date_trunc(unit.toUpperCase, col(f))
+      case None =>
+        timestamp_micros(unix_micros(date_trunc(unit.toUpperCase,
+          timestamp_micros(unix_micros(col(f)) + lit(tzOffUs))))
+          - lit(tzOffUs))
+      case Some(tab) =>
+        val um0 = unix_micros(col(f))
+        val local = um0 + transOffsetCase(um0, tab)
+        val lTrunc = unix_micros(date_trunc(unit.toUpperCase,
+          timestamp_micros(local)))
+        timestamp_micros(lTrunc - transOffsetCase(lTrunc, localTab.get))
+    }
+    dated.groupBy(keyExpr.as(name))
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .withColumn("interval", lit(unit))
       .orderBy(col(name).asc)

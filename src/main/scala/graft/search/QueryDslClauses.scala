@@ -2783,6 +2783,63 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     CompiledQuery(pred, lit(1L))
   }
 
+  /** Self-intersection pair walk over a doc ring column (only ring
+    * pairs past the always-simple triangle): general segment
+    * intersection incl. collinear touch — the same test the query
+    * side runs on the driver. ONE builder shared by the doc_shape
+    * predicate (raise / drop) and [[geoShapeDlq]] so the poison
+    * classification can never drift between the query and its DLQ.
+    */
+  private[search] def selfIntersectSql(rf: String): String = {
+    def vtx(idx: String) = s"element_at($rf, $idx + 1)"
+    val p1 = vtx("i"); val p2 = s"element_at($rf, pmod(i + 1, size($rf)) + 1)"
+    val q1 = vtx("j"); val q2 = s"element_at($rf, pmod(j + 1, size($rf)) + 1)"
+    def orient(a: String, b: String, c: String) =
+      s"sign(($b.lon - $a.lon) * ($c.lat - $a.lat) - " +
+        s"($b.lat - $a.lat) * ($c.lon - $a.lon))"
+    def onSeg(a: String, b: String, c: String) =
+      s"($c.lon >= least($a.lon, $b.lon) AND $c.lon <= greatest($a.lon, $b.lon) " +
+        s"AND $c.lat >= least($a.lat, $b.lat) AND $c.lat <= greatest($a.lat, $b.lat))"
+    val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
+    val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
+    val segInt =
+      s"""(($o1 * $o2 < 0 AND $o3 * $o4 < 0)
+         | OR ($o1 = 0 AND ${onSeg(p1, p2, q1)})
+         | OR ($o2 = 0 AND ${onSeg(p1, p2, q2)})
+         | OR ($o3 = 0 AND ${onSeg(q1, q2, p1)})
+         | OR ($o4 = 0 AND ${onSeg(q1, q2, p2)}))""".stripMargin
+    s"""exists(sequence(0, size($rf) - 3), i ->
+       |  exists(sequence(i + 2, size($rf) - 1 - IF(i = 0, 1, 0)), j ->
+       |    $segInt))""".stripMargin
+  }
+
+  /** The dead-letter side-output for POISON doc rings (VERDICT r12
+    * #4 — the reference's own answer to per-record poison, the S6
+    * DLQ doctrine): rows whose `ringField` would RAISE under the
+    * default doc_shape mode, tagged with a `_reason` column
+    * (`self_intersecting` | `too_many_vertices`). Pair with
+    * `doc_shape.on_invalid: "dlq"`, under which the query proceeds
+    * over the clean subset and these rows drop — this view IS the
+    * counted diagnostic (the hot-bucket-cap pattern: group on
+    * `_reason` or `count()` it for response metadata). NULL /
+    * sub-3-vertex / NULL-vertex rings are NOT poison — they carry no
+    * interior to misjudge and stay the documented tri-state drop.
+    * Map-only scan-stage classification; same 64-vertex cap and the
+    * SAME [[selfIntersectSql]] walk the predicate compiles.
+    */
+  def geoShapeDlq(table: DataFrame, ringField: String): DataFrame = {
+    val rf = s"`$ringField`"
+    table.withColumn("_reason", expr(
+      s"""CASE WHEN $rf IS NULL OR size($rf) < 3
+         |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
+         |     THEN CAST(NULL AS STRING)
+         |WHEN size($rf) > 64 THEN 'too_many_vertices'
+         |WHEN size($rf) > 3 AND (${selfIntersectSql(rf)})
+         |  THEN 'self_intersecting'
+         |ELSE CAST(NULL AS STRING) END""".stripMargin))
+      .filter(col("_reason").isNotNull)
+  }
+
   /** The doc_shape POLYGON arm: each row carries a simple polygon as
     * an OPEN ring — `array<struct<lat, lon>>`, ≥ 3 vertices, first ≠
     * last (the closing edge is implicit) — named by `ring_field`. The
@@ -2818,7 +2875,9 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * pre-validate per-row — so the expression RAISES AT RUNTIME
     * (raise_error) on the first such row: an O(n²)-per-row pair walk,
     * the price of refusing silent wrongness (rings are bounded at 64
-    * vertices like the query side).
+    * vertices like the query side). `on_invalid: "dlq"` opts into the
+    * reference's per-record-poison doctrine instead: poison rows DROP
+    * and are served — counted, with reasons — by [[geoShapeDlq]].
     *
     * Plan note (pushability limits): predicates over array-of-struct
     * columns do not become parquet PushedFilters — the predicate is
@@ -2836,11 +2895,22 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       case JObject(ds) => ds.toMap
       case other => fail(s"doc_shape must be an object: ${render(other)}")
     }
-    dsm.keySet.diff(Set("type", "ring_field")).foreach(k =>
+    dsm.keySet.diff(Set("type", "ring_field", "on_invalid")).foreach(k =>
       fail(s"unsupported doc_shape polygon option '$k'"))
     val rf0 = strOpt(dsm, "ring_field")
       .getOrElse(fail("doc_shape polygon requires ring_field"))
     val rf = s"`$rf0`"
+    // `on_invalid`: what a POISON ring (self-intersecting, or past the
+    // 64-vertex cap) does to the scan. Default `raise` — refusing
+    // silent wrongness stops the query. Opt-in `dlq` applies the
+    // reference's per-record-poison doctrine (the S6 dead-letter
+    // side-channel): the poisoned row DROPS from the answer (NULL,
+    // the tri-state convention) and the query proceeds; the rows
+    // themselves are retrievable — counted and reasoned — through
+    // [[geoShapeDlq]], which shares this exact classification.
+    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
+    if (onInvalid != "raise" && onInvalid != "dlq")
+      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
     sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
       fail(s"unsupported geo_shape shape option '$k'"))
     def num(v: JValue, what: String): Double = v match {
@@ -2875,29 +2945,9 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
 
     // self-intersection pair walk (only rings past the always-simple
     // triangle): general segment intersection incl. collinear touch,
-    // the same test the query side runs on the driver
-    val selfX: String = {
-      def vtx(idx: String) = s"element_at($rf, $idx + 1)"
-      val p1 = vtx("i"); val p2 = s"element_at($rf, pmod(i + 1, size($rf)) + 1)"
-      val q1 = vtx("j"); val q2 = s"element_at($rf, pmod(j + 1, size($rf)) + 1)"
-      def orient(a: String, b: String, c: String) =
-        s"sign(($b.lon - $a.lon) * ($c.lat - $a.lat) - " +
-          s"($b.lat - $a.lat) * ($c.lon - $a.lon))"
-      def onSeg(a: String, b: String, c: String) =
-        s"($c.lon >= least($a.lon, $b.lon) AND $c.lon <= greatest($a.lon, $b.lon) " +
-          s"AND $c.lat >= least($a.lat, $b.lat) AND $c.lat <= greatest($a.lat, $b.lat))"
-      val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
-      val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
-      val segInt =
-        s"""(($o1 * $o2 < 0 AND $o3 * $o4 < 0)
-           | OR ($o1 = 0 AND ${onSeg(p1, p2, q1)})
-           | OR ($o2 = 0 AND ${onSeg(p1, p2, q2)})
-           | OR ($o3 = 0 AND ${onSeg(q1, q2, p1)})
-           | OR ($o4 = 0 AND ${onSeg(q1, q2, p2)}))""".stripMargin
-      s"""exists(sequence(0, size($rf) - 3), i ->
-         |  exists(sequence(i + 2, size($rf) - 1 - IF(i = 0, 1, 0)), j ->
-         |    $segInt))""".stripMargin
-    }
+    // the same test the query side runs on the driver — shared with
+    // the DLQ side-output so poison detection can never drift
+    val selfX: String = selfIntersectSql(rf)
 
     val relPred: String = strOpt(sm, "type")
         .getOrElse(fail("geo_shape shape requires a type")) match {
@@ -3045,15 +3095,23 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     // ring: without the exists-guard the even-odd walk would count
     // only the non-NULL edges (IF(cond,1,0) maps NULL to 0) and
     // fabricate a definite answer — the row must DROP (tri-state)
-    val pred = expr(
-      s"""CASE WHEN $rf IS NULL OR size($rf) < 3
-         |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
-         |     THEN CAST(NULL AS BOOLEAN)
-         |WHEN size($rf) <= 64 AND size($rf) > 3 AND ($selfX)
-         |  THEN raise_error('geo_shape doc polygon ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
-         |WHEN size($rf) > 64
-         |  THEN raise_error('geo_shape doc polygon ring exceeds 64 vertices (the query-side cap)')
-         |ELSE ($relPred) END""".stripMargin)
+    val pred =
+      if (onInvalid == "dlq") expr(
+        s"""CASE WHEN $rf IS NULL OR size($rf) < 3
+           |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
+           |       OR size($rf) > 64
+           |       OR (size($rf) > 3 AND ($selfX))
+           |     THEN CAST(NULL AS BOOLEAN)
+           |ELSE ($relPred) END""".stripMargin)
+      else expr(
+        s"""CASE WHEN $rf IS NULL OR size($rf) < 3
+           |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
+           |     THEN CAST(NULL AS BOOLEAN)
+           |WHEN size($rf) <= 64 AND size($rf) > 3 AND ($selfX)
+           |  THEN raise_error('geo_shape doc polygon ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
+           |WHEN size($rf) > 64
+           |  THEN raise_error('geo_shape doc polygon ring exceeds 64 vertices (the query-side cap)')
+           |ELSE ($relPred) END""".stripMargin)
     CompiledQuery(pred, lit(1L))
   }
 
@@ -3185,18 +3243,21 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * DIFFERENT child objects; a nested query must match them on the
     * SAME child (the q120 contract). The array-of-structs column named
     * by `path` is probed per ELEMENT with a higher-order filter (pure
-    * codegen, no explode, no join). A TWO-HOP path ("items.subs" —
-    * each dot is one array-of-structs hop) probes the flattened inner
-    * elements across all outer elements (NULL inner arrays are
-    * skipped, never poisoning the flatten); depth 3 fails loud. The
+    * codegen, no explode, no join). A MULTI-HOP path ("items.subs" —
+    * each dot is one array-of-structs hop, r13: up to FOUR hops)
+    * probes the flattened innermost elements across all outer
+    * elements — each extra hop is one more transform/drop-NULL/
+    * flatten layer (NULL inner arrays at any level are skipped,
+    * never poisoning the flatten); a fifth hop fails loud. The
     * inner query supports the element-level subset — `term`, `range`,
     * `exists`, `prefix`, `match_all`, `bool` with must/must_not of
-    * those, and (from a ONE-hop path) a nested `nested` clause whose
-    * path extends the enclosing one by exactly one hop — the
-    * same-OUTER-element composition ("an items element with slot ≥ 1
-    * AND one of ITS OWN subs matching") a flat two-hop path cannot
-    * express. Anything else fails loud. `score_mode`: "sum" (default)
-    * scores the number of matching elements, "none" scores 1.
+    * those, and a nested `nested` clause whose path extends the
+    * enclosing one by exactly one hop — the same-OUTER-element
+    * composition ("an items element with slot ≥ 1 AND one of ITS OWN
+    * subs matching") a flat multi-hop path cannot express, itself
+    * recursively composable under the same 4-hop cap. Anything else
+    * fails loud. `score_mode`: "sum" (default) scores the number of
+    * matching elements, "none" scores 1.
     */
   private[search] def nestedClause(body: JValue): CompiledQuery =
     nestedCompile(body)._3
@@ -3214,10 +3275,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       val path = strOpt(m, "path").getOrElse(fail("nested requires a path"))
       val q = m.getOrElse("query", fail("nested requires a query"))
       val segs = path.split("\\.")
-      if (segs.length > 2)
+      if (segs.length > 4)
         fail(s"nested path '$path' is ${segs.length} hops deep - the " +
-          "engine's nested model serves one or two array hops (depth 3 " +
-          "is unsupported)")
+          "engine's nested model serves up to four array hops (deeper " +
+          "paths fail loud)")
 
       // element-field access: OpenSearch names nested fields by full
       // path ("items.qty" / "items.subs.qty"); bare names are accepted
@@ -3275,8 +3336,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             case other => fail(s"nested bool requires an object: ${render(other)}")
           }
           // same-OUTER-element composition: a nested clause whose path
-          // extends the enclosing level by exactly one hop, evaluated
-          // against THIS element's own inner array
+          // extends the enclosing level by exactly ONE hop, evaluated
+          // against THIS element's own inner array — and recursively
+          // composable (r13): each nesting adds one hop, under the
+          // same 4-hop total cap as flat paths
           case "nested" => b match {
             case JObject(sub) =>
               val subM = sub.toMap
@@ -3284,16 +3347,18 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
                 fail(s"unsupported inner nested option '$k' (path, query)"))
               val subPath = strOpt(subM, "path")
                 .getOrElse(fail("inner nested requires a path"))
-              if (curPath.contains("."))
-                fail(s"nested inside a two-hop path '$curPath' would be " +
-                  "depth 3 - the engine's nested model serves two array hops")
               if (!subPath.startsWith(s"$curPath."))
                 fail(s"inner nested path '$subPath' must extend the " +
                   s"enclosing path '$curPath.'")
               val rest = subPath.drop(curPath.length + 1)
               if (rest.contains("."))
-                fail(s"inner nested path '$subPath' is depth 3 - the " +
-                  "engine's nested model serves two array hops")
+                fail(s"inner nested path '$subPath' must extend the " +
+                  s"enclosing path '$curPath' by exactly one hop - " +
+                  "compose another nested clause for deeper levels")
+              if (subPath.split("\\.").length > 4)
+                fail(s"inner nested path '$subPath' is more than four " +
+                  "hops deep - the engine's nested model serves up to " +
+                  "four array hops (deeper paths fail loud)")
               val subQ = subM.getOrElse("query", fail("inner nested requires a query"))
               size(filter(x.getField(rest),
                 y => elemPredAt(subQ, y, subPath))) >= 1
@@ -3306,17 +3371,16 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         case other => fail(s"nested query must be a single-clause object: ${render(other)}")
       }
 
-      val matched =
-        if (segs.length == 1) filter(col(path), x => elemPred(q, x))
-        else {
-          // two hops: flatten the inner arrays of every outer element
-          // (skipping NULL inner arrays - flatten over a NULL element
-          // would NULL the whole row) and probe the inner elements
-          val inner = flatten(filter(
-            transform(col(segs(0)), o => o.getField(segs(1))),
-            a => a.isNotNull))
-          filter(inner, x => elemPred(q, x))
-        }
+      // multi-hop paths (r13: up to four): each extra segment is one
+      // more transform-to-inner / drop-NULL-arrays / flatten layer —
+      // a NULL inner array at ANY level is skipped (flatten over a
+      // NULL element would NULL the whole row), the same rule the
+      // two-hop form always had. Depth 1 is the bare column.
+      val leaf = segs.tail.foldLeft(col(segs(0))) { (acc, seg) =>
+        flatten(filter(transform(acc, o => o.getField(seg)),
+          a => a.isNotNull))
+      }
+      val matched = filter(leaf, x => elemPred(q, x))
       val nHits = size(matched).cast("long")
       val score = strOpt(m, "score_mode").getOrElse("sum") match {
         case "sum"  => nHits

@@ -224,4 +224,49 @@ class GeoDocPolygonSpec extends SparkSpec {
         "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]}}}}""",
       "replaces lat_field/lon_field")
   }
+
+  test("on_invalid dlq: poison rows drop from the answer and land in the DLQ, counted") {
+    // 1 clean triangle (in the box), 2 bowtie (poison), 3 oversize
+    // (poison), 4 NULL ring (a DROP, not poison), 5 clean diamond
+    val t = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5)).toDF("id", "kind")
+      .withColumn("ring", expr(
+        """CASE kind
+             WHEN 1 THEN array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+             WHEN 2 THEN array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))
+             WHEN 3 THEN transform(sequence(0, 70), i -> struct(
+                               CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon))
+             WHEN 4 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+             ELSE array(struct(CAST(2.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                        struct(CAST(0.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                        struct(CAST(-2.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                        struct(CAST(0.0 AS DOUBLE) AS lat, CAST(-2.0 AS DOUBLE) AS lon))
+           END"""))
+    def run(mode: String) = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "ring",
+                         "on_invalid": "$mode"},
+           "shape": {"type": "envelope",
+                     "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+           "relation": "intersects"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+    // default raises on the first poison row; dlq mode proceeds and
+    // the answer equals the clean subset (ids 1, 5)
+    intercept[Throwable](run("raise").collect())
+    assert(run("dlq").as[Long].collect().toSeq === Seq(1L, 5L))
+    // the side output carries exactly the poison rows with reasons —
+    // the counted diagnostic; the NULL-ring drop is NOT dead-lettered
+    val dlq = QueryDsl.geoShapeDlq(t, "ring")
+      .select(col("id"), col("_reason")).orderBy(col("id"))
+      .as[(Long, String)].collect().toSeq
+    assert(dlq === Seq((2L, "self_intersecting"), (3L, "too_many_vertices")))
+    assert(QueryDsl.geoShapeDlq(t, "ring").count() === 2L)
+    // mode validation fails loud
+    val ex = intercept[IllegalArgumentException](run("ignore").collect())
+    assert(ex.getMessage.contains("on_invalid must be raise or dlq"))
+  }
 }

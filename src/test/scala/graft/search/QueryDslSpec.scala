@@ -2911,10 +2911,19 @@ class QueryDslSpec extends SparkSpec {
       "out of range")
     bad(dh("""{"rules": "x"}"""), "unsupported time_zone option")
     bad(dh("42"), "fixed offset, an IANA zone id, or a transitions object")
-    bad(s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
-        "fixed_interval": "1d", "min_doc_count": 0,
-        "time_zone": $tz}}}}""",
-      "does not compose with a transitions/named-zone time_zone")
+    // min_doc_count: 0 composes with the transition table: the dense
+    // series walks local days across both offset switches — 11 local
+    // days Jun 10..Jun 20, the 8 empty ones filled with doc_count 0
+    val dense = QueryDsl.search(t,
+      s"""{"aggs": {"d": {"date_histogram": {"field": "ts",
+            "fixed_interval": "1d", "min_doc_count": 0,
+            "time_zone": $tz}}}}""")
+      .orderBy("d").as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(dense.size === 11)
+    assert(dense.head === ((ts("2021-06-09 23:00:00"), 4L)))
+    assert(dense(1) === ((ts("2021-06-10 22:00:00"), 1L)))
+    assert(dense.last === ((ts("2021-06-19 22:00:00"), 2L)))
+    assert(dense.count(_._2 == 0L) === 8)
   }
 
   test("date_histogram named IANA time_zone resolves to the JVM rules") {
@@ -2958,13 +2967,14 @@ class QueryDslSpec extends SparkSpec {
       (ts("2021-03-26 23:00:00"), 1L),
       (ts("2021-03-27 23:00:00"), 2L),
       (ts("2021-03-28 22:00:00"), 1L)))
-    // named zone + min_doc_count: 0 stays fail-loud (bucket keys are
-    // not a constant UTC step across a DST transition)
-    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+    // named zone + min_doc_count: 0 composes (the Kibana-default
+    // shape): the gap-free span yields the same three buckets dense
+    val dense = QueryDsl.search(t,
       """{"aggs": {"d": {"date_histogram": {"field": "ts",
           "fixed_interval": "1d", "min_doc_count": 0,
-          "time_zone": "Europe/Berlin"}}}}"""))
-    assert(e.getMessage.contains("does not compose with a transitions/named-zone"))
+          "time_zone": "Europe/Berlin"}}}}""")
+      .orderBy("d").as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(dense === got)
   }
 
   test("sort missing and mode options reshape the sort key") {
@@ -5582,11 +5592,18 @@ class QueryDslSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(filled === Seq(("01-01", 1L), ("01-02", 0L), ("01-03", 0L),
       ("01-04", 1L)))
-    // calendar series has no constant step: fail loud
-    val e2 = intercept[IllegalArgumentException](QueryDsl.search(ev,
+    // calendar series (no constant UTC step): the driver-iterated
+    // local boundary walk fills the empty months
+    val ev2 = Seq((1L, "2024-01-10 05:00:00"), (2L, "2024-04-04 07:00:00"))
+      .toDF("id", "s").select(col("id"), col("s").cast("timestamp").as("ts"))
+    val filled2 = QueryDsl.search(ev2,
       """{"aggs": {"d": {"date_histogram": {"field": "ts",
-           "calendar_interval": "month", "min_doc_count": 0}}}}"""))
-    assert(e2.getMessage.contains("requires fixed_interval"), e2.getMessage)
+           "calendar_interval": "month", "min_doc_count": 0}}}}""")
+      .orderBy("d")
+      .select(date_format(col("d"), "yyyy-MM").as("d"), col("doc_count"))
+      .as[(String, Long)].collect().toSeq
+    assert(filled2 === Seq(("2024-01", 1L), ("2024-02", 0L),
+      ("2024-03", 0L), ("2024-04", 1L)))
     val e3 = intercept[IllegalArgumentException](QueryDsl.search(ev,
       """{"aggs": {"d": {"date_histogram": {"field": "ts",
            "fixed_interval": "1d",
