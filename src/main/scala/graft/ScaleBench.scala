@@ -96,7 +96,15 @@ object ScaleBench {
       // token per row whether it matches or not — heavier per token
       // than levenshtein's, which is exactly why its growth curve
       // gets recorded)
-      "q303_dsl_span_multi_near", "q305_dsl_fuzzy_transpositions")
+      "q303_dsl_span_multi_near", "q305_dsl_fuzzy_transpositions",
+      // round-13 corpus-sized additions over the replicated orders
+      // table: the dense named-tz date_histogram (one scan + one
+      // span aggregate + a tiny literal-series join — the series
+      // stays ≤254 buckets at every scale, so growth must be pure
+      // scan), and the 3-hop nested walks (map-only HOF predicates —
+      // one transform/flatten layer per hop, no explode, no join)
+      "q361_dsl_date_histogram_dense_named_tz",
+      "q366_dsl_nested_three_hop", "q367_dsl_nested_composed_three_level")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

@@ -3286,6 +3286,195 @@ object DslSearchTail {
           WHERE (o_orderkey * 7 + 5 + j * 3 + k) % 100 >= 97)
         ORDER BY o_orderkey
         LIMIT 300
+      """.stripMargin.trim)),
+
+    // MULTI-RING doc_shape (polygon with a hole, r13): each customer
+    // carries a square FRAME — shell side 2R, hole side 2h = R —
+    // centered per the q358 hash recipe. contains(P) runs the
+    // even-odd walk over the flattened edge list of BOTH rings;
+    // parity across shell + hole is exactly shell-minus-hole
+    // membership. Truth from construction: Chebyshev distance from
+    // the center strictly between h and R (4th-decimal query point,
+    // measure-zero rule).
+    GraftQuery(
+      "q368_dsl_geo_shape_rings_contains_point",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rr", expr("CAST(2 + c_custkey % 8 AS DOUBLE)"))
+          .withColumn("h", expr("rr / 2"))
+          .withColumn("rings", expr(
+            """array(
+                 array(struct(cx - rr AS lat, cy - rr AS lon),
+                       struct(cx - rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy - rr AS lon)),
+                 array(struct(cx - h AS lat, cy - h AS lon),
+                       struct(cx - h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy - h AS lon)))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "rings_field": "rings"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.5003]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 200,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(2 + c_custkey % 8 AS DOUBLE) AS rr
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE greatest(abs(0.5003 - cx), abs(-2.0007 - cy)) < rr
+          AND greatest(abs(0.5003 - cx), abs(-2.0007 - cy)) > rr / 2
+        ORDER BY c_custkey
+        LIMIT 200
+      """.stripMargin.trim)),
+
+    // MULTI-RING intersects vs a box (r13): box ∩ frame ≠ ∅ ⟺ the
+    // box overlaps the shell square AND is not strictly inside the
+    // open hole — exact for a connected box against a closed frame
+    // (leaving the hole crosses the hole boundary, which belongs to
+    // the frame). The engine sees none of that algebra: it runs
+    // vertex-in-box ∨ corner-parity ∨ edge-cross over the flattened
+    // edges; the oracle replays only the construction.
+    GraftQuery(
+      "q369_dsl_geo_shape_rings_intersects_box",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rr", expr("CAST(2 + c_custkey % 8 AS DOUBLE)"))
+          .withColumn("h", expr("rr / 2"))
+          .withColumn("rings", expr(
+            """array(
+                 array(struct(cx - rr AS lat, cy - rr AS lon),
+                       struct(cx - rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy - rr AS lon)),
+                 array(struct(cx - h AS lat, cy - h AS lon),
+                       struct(cx - h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy - h AS lon)))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "rings_field": "rings"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-6.0003, 5.0009], [2.0001, -1.0007]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(2 + c_custkey % 8 AS DOUBLE) AS rr
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE cx - rr <= 5.0009 AND cx + rr >= -1.0007
+          AND cy - rr <= 2.0001 AND cy + rr >= -6.0003
+          AND NOT (cx - rr / 2 < -1.0007 AND cx + rr / 2 > 5.0009
+               AND cy - rr / 2 < -6.0003 AND cy + rr / 2 > 2.0001)
+        ORDER BY c_custkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // LINESTRING doc_shape (r13): each customer carries an L-shaped
+    // route — a lat leg then a lon leg — so segment-vs-box truth is
+    // pure interval algebra the oracle replays from construction,
+    // while the engine runs the general segment-AABB separating-axes
+    // walk (bbox overlap ∧ corners not strictly one-sided). The box
+    // catches lines whose legs pass THROUGH it with no vertex inside.
+    GraftQuery(
+      "q370_dsl_geo_shape_line_intersects_box",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("x0", expr(
+            "CAST((c_custkey * 2654435761) % 14000 AS DOUBLE) / 1000 - 7"))
+          .withColumn("y0", expr(
+            "CAST((c_custkey * 40503 + 7) % 30000 AS DOUBLE) / 1000 - 15"))
+          .withColumn("len", expr("CAST(1 + c_custkey % 9 AS DOUBLE)"))
+          .withColumn("path", expr(
+            """array(struct(x0 AS lat, y0 AS lon),
+                     struct(x0 + len AS lat, y0 AS lon),
+                     struct(x0 + len AS lat, y0 + len AS lon))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "linestring", "line_field": "path"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-4.0003, 3.0001], [1.0009, -2.0007]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 14000 AS DOUBLE) / 1000 - 7 AS x0,
+                 CAST((c_custkey * 40503 + 7) % 30000 AS DOUBLE) / 1000 - 15 AS y0,
+                 CAST(1 + c_custkey % 9 AS DOUBLE) AS len
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE (y0 >= -4.0003 AND y0 <= 1.0009
+               AND x0 <= 3.0001 AND x0 + len >= -2.0007)
+           OR (x0 + len >= -2.0007 AND x0 + len <= 3.0001
+               AND y0 <= 1.0009 AND y0 + len >= -4.0003)
+        ORDER BY c_custkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // LINESTRING within a box (r13): every vertex inside — for the
+    // L-shape the three corners reduce to the two extreme ones, pure
+    // bound algebra in the oracle.
+    GraftQuery(
+      "q371_dsl_geo_shape_line_within_box",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("x0", expr(
+            "CAST((c_custkey * 2654435761) % 14000 AS DOUBLE) / 1000 - 7"))
+          .withColumn("y0", expr(
+            "CAST((c_custkey * 40503 + 7) % 30000 AS DOUBLE) / 1000 - 15"))
+          .withColumn("len", expr("CAST(1 + c_custkey % 9 AS DOUBLE)"))
+          .withColumn("path", expr(
+            """array(struct(x0 AS lat, y0 AS lon),
+                     struct(x0 + len AS lat, y0 AS lon),
+                     struct(x0 + len AS lat, y0 + len AS lon))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "linestring", "line_field": "path"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-12.0003, 8.0009], [9.0001, -5.0007]]},
+               "relation": "within"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 14000 AS DOUBLE) / 1000 - 7 AS x0,
+                 CAST((c_custkey * 40503 + 7) % 30000 AS DOUBLE) / 1000 - 15 AS y0,
+                 CAST(1 + c_custkey % 9 AS DOUBLE) AS len
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE x0 >= -5.0007 AND x0 + len <= 8.0009
+          AND y0 >= -12.0003 AND y0 + len <= 9.0001
+        ORDER BY c_custkey
+        LIMIT 300
       """.stripMargin.trim))
   )
 }

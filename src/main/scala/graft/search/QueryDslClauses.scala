@@ -2604,7 +2604,13 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             .getOrElse(fail("doc_shape requires a type"))
           case other => fail(s"doc_shape must be an object: ${render(other)}")
         }
-        return if (dsType == "polygon") geoShapeDocPolygon(m, sm)
+        val hasRings = m("doc_shape") match {
+          case JObject(ds) => ds.toMap.contains("rings_field")
+          case _           => false
+        }
+        return if (dsType == "polygon" && hasRings) geoShapeDocRings(m, sm)
+               else if (dsType == "polygon") geoShapeDocPolygon(m, sm)
+               else if (dsType == "linestring") geoShapeDocLinestring(m, sm)
                else geoShapeDocEnvelope(m, sm)
       }
       val latF = strOpt(m, "lat_field")
@@ -3112,6 +3118,303 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
            |WHEN size($rf) > 64
            |  THEN raise_error('geo_shape doc polygon ring exceeds 64 vertices (the query-side cap)')
            |ELSE ($relPred) END""".stripMargin)
+    CompiledQuery(pred, lit(1L))
+  }
+
+  /** The doc_shape MULTI-RING polygon arm (r13): each row carries a
+    * polygon WITH HOLES as `rings_field` —
+    * `array<array<struct<lat, lon>>>`, first ring the shell, the rest
+    * holes, each an OPEN simple ring ≥ 3 vertices (64 vertices TOTAL,
+    * the shared cap). The even-odd parity walk runs over the FLATTENED
+    * edge list of all rings — parity across shell + holes is exactly
+    * shell-minus-holes membership, so holes need no special casing
+    * anywhere: a box inside a hole has even parity (outside), a frame
+    * edge crossing the box is just another edge. Relations vs an
+    * envelope/point query shape: `intersects` (any vertex in box ∨
+    * any corner inside the multi-ring region ∨ any edge crossing the
+    * box), `within` (every vertex of every ring inside the box),
+    * `contains` (all corners inside the region ∧ no edge touching the
+    * box — a hole poking into the box fails via its own edges),
+    * `disjoint` (complement). Polygon query shapes fail loud (same
+    * scope as the single-ring arm's non-within relations).
+    *
+    * Dirty data: NULL rings array / NULL ring / sub-3-vertex ring /
+    * NULL vertex → the row DROPS (tri-state). POISON (total > 64
+    * vertices, any self-intersecting ring — the per-ring
+    * [[selfIntersectSql]] walk) raises by default; `on_invalid:
+    * "dlq"` drops it and [[geoShapeRingsDlq]] serves the side output.
+    * Hole containment inside the shell is NOT validated per row (an
+    * O(rings²·n²) walk); a hole outside the shell just XORs its own
+    * region — even-odd semantics, never a crash.
+    */
+  private[search] def geoShapeDocRings(m: Map[String, JValue],
+      sm: Map[String, JValue]): CompiledQuery = {
+    if (m.contains("lat_field") || m.contains("lon_field"))
+      fail("geo_shape doc_shape replaces lat_field/lon_field " +
+        "(the doc geometry IS the rings)")
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"doc_shape must be an object: ${render(other)}")
+    }
+    dsm.keySet.diff(Set("type", "rings_field", "on_invalid")).foreach(k =>
+      fail(s"unsupported doc_shape rings option '$k'"))
+    val rf0 = strOpt(dsm, "rings_field")
+      .getOrElse(fail("doc_shape rings requires rings_field"))
+    val rs = s"`$rf0`"
+    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
+    if (onInvalid != "raise" && onInvalid != "dlq")
+      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
+    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other       => fail(s"$what must be numeric: ${render(other)}")
+    }
+    def lonLat(v: JValue, what: String): (Double, Double) = v match {
+      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+    }
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    val relation = strOpt(m, "relation").getOrElse("intersects")
+
+    // the flattened edge list: every ring contributes its edges, each
+    // ring closing onto its own first vertex (codegen CSE dedups the
+    // repeated subtree across the parity/cross terms)
+    val edges =
+      s"""flatten(transform($rs, ring ->
+         |  transform(sequence(0, size(ring) - 1), i ->
+         |    struct(element_at(ring, i + 1) AS a,
+         |           element_at(ring, pmod(i + 1, size(ring)) + 1) AS b))))""".stripMargin
+
+    // even-odd parity of a constant point against ALL edges — the
+    // crossingParityPredicate arithmetic, edge-centric
+    def pointInRegion(px: Double, py: Double): String = {
+      val cross = s"((e.b.lon - e.a.lon) * ($py - e.a.lat) - " +
+        s"(e.b.lat - e.a.lat) * ($px - e.a.lon))"
+      s"""(pmod(aggregate($edges, 0, (acc, e) ->
+         |  acc + IF(((e.a.lat > $py) != (e.b.lat > $py)) AND
+         |           (CASE WHEN e.b.lat > e.a.lat THEN $cross > 0.0
+         |                 ELSE $cross < 0.0 END), 1, 0)), 2) = 1)""".stripMargin
+    }
+
+    val relPred: String = strOpt(sm, "type")
+        .getOrElse(fail("geo_shape shape requires a type")) match {
+      case t @ ("envelope" | "point") =>
+        val (latB, latT, lonL, lonR) = t match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a2, b2)) =>
+                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            if (tl._2 < br._2)
+              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
+            if (tl._1 > br._1)
+              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
+                s"right lon ${br._1}) is unsupported")
+            (br._2, tl._2, tl._1, br._1)
+          case _ =>
+            val (lo, la) = lonLat(coords, "point coordinates")
+            (la, la, lo, lo)
+        }
+        val vertexInBox = s"exists(flatten($rs), v -> " +
+          s"v.lat >= $latB AND v.lat <= $latT " +
+          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
+        val within = s"forall(flatten($rs), v -> " +
+          s"v.lat >= $latB AND v.lat <= $latT " +
+          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
+        val corners = Seq((lonL, latB), (lonL, latT), (lonR, latB),
+          (lonR, latT)).distinct
+        val cornerAny = corners.map { case (px, py) => pointInRegion(px, py) }
+          .mkString("(", " OR ", ")")
+        val cornersAll = corners.map { case (px, py) => pointInRegion(px, py) }
+          .mkString("(", " AND ", ")")
+        def side(cx: String, cy: String) =
+          s"((e.b.lon - e.a.lon) * ($cy - e.a.lat) - " +
+            s"(e.b.lat - e.a.lat) * ($cx - e.a.lon))"
+        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
+          .map { case (cx, cy) => side(cx.toString, cy.toString) }
+        val strictSameSide =
+          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
+            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
+        val edgeCross =
+          s"""exists($edges, e ->
+             |  least(e.a.lat, e.b.lat) <= $latT AND greatest(e.a.lat, e.b.lat) >= $latB
+             |  AND least(e.a.lon, e.b.lon) <= $lonR AND greatest(e.a.lon, e.b.lon) >= $lonL
+             |  AND NOT ($strictSameSide))""".stripMargin
+        val intersects = s"($vertexInBox OR $cornerAny OR $edgeCross)"
+        relation match {
+          case "intersects" => intersects
+          case "within"     => within
+          case "disjoint"   => s"(NOT $intersects)"
+          case "contains"   => s"($cornersAll AND NOT $edgeCross)"
+          case other => fail(s"geo_shape relation must be intersects, " +
+            s"within, contains or disjoint, got '$other'")
+        }
+      case other => fail(s"doc_shape rings queries support envelope or " +
+        s"point query shapes, got '$other'")
+    }
+
+    val dirtyDrop =
+      s"""$rs IS NULL OR size($rs) < 1
+         | OR exists($rs, ring -> ring IS NULL OR size(ring) < 3
+         |     OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL))""".stripMargin
+    val totalV = s"aggregate($rs, 0, (acc, ring) -> acc + size(ring))"
+    val anySelfX =
+      s"exists($rs, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")}))"
+    val pred =
+      if (onInvalid == "dlq") expr(
+        s"""CASE WHEN $dirtyDrop OR $totalV > 64 OR ($anySelfX)
+           |     THEN CAST(NULL AS BOOLEAN)
+           |ELSE ($relPred) END""".stripMargin)
+      else expr(
+        s"""CASE WHEN $dirtyDrop THEN CAST(NULL AS BOOLEAN)
+           |WHEN $totalV > 64
+           |  THEN raise_error('geo_shape doc rings exceed 64 total vertices (the query-side cap)')
+           |WHEN $anySelfX
+           |  THEN raise_error('geo_shape doc ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
+           |ELSE ($relPred) END""".stripMargin)
+    CompiledQuery(pred, lit(1L))
+  }
+
+  /** Multi-ring twin of [[geoShapeDlq]]: the poison rows of a
+    * `rings_field` column (total vertices past the cap, or any
+    * self-intersecting ring), tagged `_reason`. Same classification
+    * the [[geoShapeDocRings]] predicate compiles.
+    */
+  def geoShapeRingsDlq(table: DataFrame, ringsField: String): DataFrame = {
+    val rs = s"`$ringsField`"
+    table.withColumn("_reason", expr(
+      s"""CASE WHEN $rs IS NULL OR size($rs) < 1
+         |       OR exists($rs, ring -> ring IS NULL OR size(ring) < 3
+         |           OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL))
+         |     THEN CAST(NULL AS STRING)
+         |WHEN aggregate($rs, 0, (acc, ring) -> acc + size(ring)) > 64
+         |  THEN 'too_many_vertices'
+         |WHEN exists($rs, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")}))
+         |  THEN 'self_intersecting'
+         |ELSE CAST(NULL AS STRING) END""".stripMargin))
+      .filter(col("_reason").isNotNull)
+  }
+
+  /** The doc_shape LINESTRING arm (r13): each row carries a route /
+    * track as `line_field` — `array<struct<lat, lon>>`, ≥ 2 vertices,
+    * an OPEN polyline (NO closing edge — the defining difference from
+    * a ring; a polyline may legitimately self-cross, so there is no
+    * simplicity check). Relations vs an envelope/point query shape:
+    * `intersects` — any vertex in the box ∨ any segment crossing it
+    * (segment-vs-AABB separating axes: bbox overlap + the four
+    * corners not strictly on one side; with a POINT query this
+    * degenerates to the exact point-on-segment test — collinear and
+    * within the segment bbox); `within` — every vertex inside;
+    * `disjoint` — the complement; `contains` — only a zero-area query
+    * can lie on a 1-D geometry, so a point/degenerate envelope serves
+    * as the on-the-line test and a true-area query fails loud.
+    * NULL / single-vertex / NULL-vertex rows drop (tri-state); more
+    * than 64 vertices raises (the shared cap).
+    */
+  private[search] def geoShapeDocLinestring(m: Map[String, JValue],
+      sm: Map[String, JValue]): CompiledQuery = {
+    if (m.contains("lat_field") || m.contains("lon_field"))
+      fail("geo_shape doc_shape replaces lat_field/lon_field " +
+        "(the doc geometry IS the line)")
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"doc_shape must be an object: ${render(other)}")
+    }
+    dsm.keySet.diff(Set("type", "line_field")).foreach(k =>
+      fail(s"unsupported doc_shape linestring option '$k'"))
+    val lf0 = strOpt(dsm, "line_field")
+      .getOrElse(fail("doc_shape linestring requires line_field"))
+    val lf = s"`$lf0`"
+    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other       => fail(s"$what must be numeric: ${render(other)}")
+    }
+    def lonLat(v: JValue, what: String): (Double, Double) = v match {
+      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+    }
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    val relation = strOpt(m, "relation").getOrElse("intersects")
+
+    // segment i: a = vertex i, b = vertex i+1 — NO wrap-around
+    val aV = s"element_at($lf, i + 1)"
+    val bV = s"element_at($lf, i + 2)"
+
+    val relPred: String = strOpt(sm, "type")
+        .getOrElse(fail("geo_shape shape requires a type")) match {
+      case t @ ("envelope" | "point") =>
+        val (latB, latT, lonL, lonR) = t match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a2, b2)) =>
+                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            if (tl._2 < br._2)
+              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
+            if (tl._1 > br._1)
+              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
+                s"right lon ${br._1}) is unsupported")
+            (br._2, tl._2, tl._1, br._1)
+          case _ =>
+            val (lo, la) = lonLat(coords, "point coordinates")
+            (la, la, lo, lo)
+        }
+        val zeroArea = latB == latT && lonL == lonR
+        val vertexInBox = s"exists($lf, v -> v.lat >= $latB AND v.lat <= $latT " +
+          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
+        val within = s"forall($lf, v -> v.lat >= $latB AND v.lat <= $latT " +
+          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
+        def side(cx: String, cy: String) =
+          s"(($bV.lon - $aV.lon) * ($cy - $aV.lat) - " +
+            s"($bV.lat - $aV.lat) * ($cx - $aV.lon))"
+        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
+          .map { case (cx, cy) => side(cx.toString, cy.toString) }
+        val strictSameSide =
+          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
+            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
+        val segCross =
+          s"""exists(sequence(0, size($lf) - 2), i ->
+             |  least($aV.lat, $bV.lat) <= $latT AND greatest($aV.lat, $bV.lat) >= $latB
+             |  AND least($aV.lon, $bV.lon) <= $lonR AND greatest($aV.lon, $bV.lon) >= $lonL
+             |  AND NOT ($strictSameSide))""".stripMargin
+        val intersects = s"($vertexInBox OR $segCross)"
+        relation match {
+          case "intersects" => intersects
+          case "within"     => within
+          case "disjoint"   => s"(NOT $intersects)"
+          case "contains" =>
+            if (!zeroArea)
+              fail("a linestring has no interior - it can contain only a " +
+                "zero-area query shape (a point lying ON the line); use " +
+                "intersects for overlap")
+            intersects // point-on-line: exactly the degenerate-box test
+          case other => fail(s"geo_shape relation must be intersects, " +
+            s"within, contains or disjoint, got '$other'")
+        }
+      case other => fail(s"doc_shape linestring queries support envelope " +
+        s"or point query shapes, got '$other'")
+    }
+
+    val pred = expr(
+      s"""CASE WHEN $lf IS NULL OR size($lf) < 2
+         |       OR exists($lf, v -> v.lat IS NULL OR v.lon IS NULL)
+         |     THEN CAST(NULL AS BOOLEAN)
+         |WHEN size($lf) > 64
+         |  THEN raise_error('geo_shape doc linestring exceeds 64 vertices (the query-side cap)')
+         |ELSE ($relPred) END""".stripMargin)
     CompiledQuery(pred, lit(1L))
   }
 

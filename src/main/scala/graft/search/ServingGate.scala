@@ -51,7 +51,17 @@ final class ServingGate(maxConcurrent: Int, maxQueued: Int) {
     * concern).
     */
   def apply[T](body: => T): Option[T] = {
-    if (permits.tryAcquire()) {
+    // the zero-timeout form HONORS fairness (bare tryAcquire() barges
+    // past the FIFO queue — under rejection-and-retry load the
+    // retrying clients would steal every freed permit and starve the
+    // queued waiters into exactly the tail blow-up this gate exists
+    // to prevent; measured: barging pushed gated p95 PAST the
+    // ungated level before this fix)
+    val fast =
+      try permits.tryAcquire(0L, java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt(); false }
+    if (fast) {
       admittedCount.incrementAndGet()
       try Some(body) finally permits.release()
     } else {

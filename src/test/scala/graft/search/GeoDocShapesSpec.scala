@@ -1,0 +1,207 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The r13 doc_shape extensions: multi-ring polygons (holes) via the
+  * flattened-edge even-odd walk, and open linestrings. Truth is
+  * hand-derived on axis-aligned fixtures (Chebyshev algebra), never
+  * the engine's own walk.
+  */
+class GeoDocShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a square FRAME per row: shell side 2R, hole side 2h, centered (cx, cy)
+  private def frames = Seq(
+    // id, cx, cy, R, h
+    (1L, 0.0, 0.0, 10.0, 4.0),
+    (2L, 30.0, 0.0, 6.0, 2.0),
+    (3L, 0.0, 40.0, 8.0, 7.0)
+  ).toDF("id", "cx", "cy", "rr", "h")
+    .withColumn("rings", expr(
+      """array(
+           array(struct(cx - rr AS lat, cy - rr AS lon),
+                 struct(cx - rr AS lat, cy + rr AS lon),
+                 struct(cx + rr AS lat, cy + rr AS lon),
+                 struct(cx + rr AS lat, cy - rr AS lon)),
+           array(struct(cx - h AS lat, cy - h AS lon),
+                 struct(cx - h AS lat, cy + h AS lon),
+                 struct(cx + h AS lat, cy + h AS lon),
+                 struct(cx + h AS lat, cy - h AS lon)))"""))
+
+  private def runFrames(shape: String, rel: String) = QueryDsl.search(frames,
+    s"""{"query": {"geo_shape": {
+         "doc_shape": {"type": "polygon", "rings_field": "rings"},
+         "shape": $shape, "relation": "$rel"}},
+        "sort": ["id"], "size": 10, "_source": ["id"]}""")
+    .as[Long].collect().toSeq
+
+  test("contains point: inside the shell but NOT inside the hole") {
+    // (0.5, 5.0003): Chebyshev from center 1 = 5.0003 -> between h=4
+    // and R=10 -> frame 1 contains it; frame 2/3 centers far away
+    assert(runFrames("""{"type": "point", "coordinates": [5.0003, 0.5]}""",
+      "contains") === Seq(1L))
+    // (0.5, 2.0003): Chebyshev 2.0003 < h=4 -> inside the hole -> nobody
+    assert(runFrames("""{"type": "point", "coordinates": [2.0003, 0.5]}""",
+      "contains") === Seq.empty)
+  }
+
+  test("intersects box: hole-only overlap is NOT an intersection") {
+    // box strictly inside frame 1's hole: [-3,3]x[-3,3] (h = 4)
+    assert(runFrames(
+      """{"type": "envelope", "coordinates": [[-3.0001, 3.0001], [3.0001, -3.0001]]}""",
+      "intersects") === Seq.empty)
+    // box straddling frame 1's hole boundary: [3, 5] reaches the frame
+    assert(runFrames(
+      """{"type": "envelope", "coordinates": [[3.0001, 5.0001], [5.0001, -3.0001]]}""",
+      "intersects") === Seq(1L))
+    // disjoint is the exact complement
+    assert(runFrames(
+      """{"type": "envelope", "coordinates": [[-3.0001, 3.0001], [3.0001, -3.0001]]}""",
+      "disjoint") === Seq(1L, 2L, 3L))
+  }
+
+  test("contains box: a hole poking into the box defeats containment") {
+    // box inside frame 1's solid band: lat [5, 8], lon [-8, 8] crosses
+    // over the hole? no - [5, 8] x [-8, 8] stays above the hole's top
+    // (h = 4) and inside the shell (R = 10) -> contained
+    assert(runFrames(
+      """{"type": "envelope", "coordinates": [[-8.0003, 8.0001], [8.0003, 5.0001]]}""",
+      "contains") === Seq(1L))
+    // widen down to lat 0: now the hole pokes in -> not contained
+    assert(runFrames(
+      """{"type": "envelope", "coordinates": [[-8.0003, 8.0001], [8.0003, 0.0001]]}""",
+      "contains") === Seq.empty)
+  }
+
+  test("within box: the whole frame inside the query box") {
+    assert(runFrames(
+      """{"type": "envelope", "coordinates": [[-11.0001, 11.0001], [11.0001, -11.0001]]}""",
+      "within") === Seq(1L))
+  }
+
+  test("rings: dirty drops, poison raises, dlq mode side-outputs") {
+    val t = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "kind")
+      .withColumn("rings", expr(
+        """CASE kind
+             WHEN 1 THEN array(array(
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(8.0 AS DOUBLE) AS lon),
+               struct(CAST(8.0 AS DOUBLE) AS lat, CAST(8.0 AS DOUBLE) AS lon)))
+             WHEN 2 THEN array(array(
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon)))
+             WHEN 3 THEN CAST(NULL AS ARRAY<ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>>)
+             ELSE array(array(
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(1.0 AS DOUBLE) AS lat, CAST(1.0 AS DOUBLE) AS lon)))
+           END"""))
+    def run(mode: String) = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "rings_field": "rings",
+                         "on_invalid": "$mode"},
+           "shape": {"type": "envelope",
+                     "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+           "relation": "intersects"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+    intercept[Throwable](run("raise").collect()) // the kind-2 bowtie
+    // dlq mode: the bowtie drops; NULL (3) and 2-vertex (4) drop as dirt
+    assert(run("dlq").as[Long].collect().toSeq === Seq(1L))
+    val dlq = QueryDsl.geoShapeRingsDlq(t, "rings")
+      .select(col("id"), col("_reason")).as[(Long, String)].collect().toSeq
+    assert(dlq === Seq((2L, "self_intersecting")))
+    // a 65-total-vertex pair of rings is poison too
+    val big = Seq((9L, 0)).toDF("id", "z").withColumn("rings", expr(
+      """array(
+           transform(sequence(0, 32), i -> struct(
+             CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon)),
+           transform(sequence(0, 31), i -> struct(
+             CAST(-i AS DOUBLE) AS lat, CAST(i AS DOUBLE) AS lon)))"""))
+    assert(QueryDsl.geoShapeRingsDlq(big, "rings")
+      .select(col("_reason")).as[String].collect().toSeq ===
+      Seq("too_many_vertices"))
+  }
+
+  // L-shaped polylines: vertical (lat) leg then horizontal (lon) leg
+  private def lines = Seq(
+    // id, x0 (lat), y0 (lon), len
+    (1L, 0.0, 0.0, 10.0),
+    (2L, 50.0, 50.0, 5.0),
+    (3L, -20.0, 30.0, 8.0)
+  ).toDF("id", "x0", "y0", "len")
+    .withColumn("path", expr(
+      """array(struct(x0 AS lat, y0 AS lon),
+               struct(x0 + len AS lat, y0 AS lon),
+               struct(x0 + len AS lat, y0 + len AS lon))"""))
+
+  private def runLines(shape: String, rel: String) = QueryDsl.search(lines,
+    s"""{"query": {"geo_shape": {
+         "doc_shape": {"type": "linestring", "line_field": "path"},
+         "shape": $shape, "relation": "$rel"}},
+        "sort": ["id"], "size": 10, "_source": ["id"]}""")
+    .as[Long].collect().toSeq
+
+  test("linestring intersects: a segment passing through with no vertex inside") {
+    // box around (5, 0): line 1's vertical leg passes through it
+    assert(runLines(
+      """{"type": "envelope", "coordinates": [[-1.0001, 6.0001], [1.0001, 4.0001]]}""",
+      "intersects") === Seq(1L))
+    // box that no line touches
+    assert(runLines(
+      """{"type": "envelope", "coordinates": [[-5.0001, -2.0001], [-3.0001, -4.0001]]}""",
+      "intersects") === Seq.empty)
+    assert(runLines(
+      """{"type": "envelope", "coordinates": [[-1.0001, 6.0001], [1.0001, 4.0001]]}""",
+      "disjoint") === Seq(2L, 3L))
+  }
+
+  test("linestring within: every vertex inside the box") {
+    assert(runLines(
+      """{"type": "envelope", "coordinates": [[-0.0001, 10.0001], [10.0001, -0.0001]]}""",
+      "within") === Seq(1L))
+  }
+
+  test("linestring contains: exact point-on-segment; area queries fail loud") {
+    // (5, 0) lies ON line 1's vertical leg
+    assert(runLines("""{"type": "point", "coordinates": [0.0, 5.0]}""",
+      "contains") === Seq(1L))
+    // (5, 0.5) is off the line
+    assert(runLines("""{"type": "point", "coordinates": [0.5, 5.0]}""",
+      "contains") === Seq.empty)
+    val e = intercept[IllegalArgumentException](runLines(
+      """{"type": "envelope", "coordinates": [[-1.0, 6.0], [1.0, 4.0]]}""",
+      "contains"))
+    assert(e.getMessage.contains("has no interior"), e.getMessage)
+  }
+
+  test("linestring dirt drops; oversize raises") {
+    val t = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "kind")
+      .withColumn("path", expr(
+        """CASE kind
+             WHEN 1 THEN array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                               struct(CAST(5.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))
+             WHEN 2 THEN array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))
+             ELSE CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+           END"""))
+    val got = QueryDsl.search(t,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "linestring", "line_field": "path"},
+           "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+           "relation": "intersects"}},
+          "sort": ["id"], "size": 10, "_source": ["id"]}""")
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L)) // single-vertex and NULL rows drop
+    val big = Seq((9L, 0)).toDF("id", "z").withColumn("path", expr(
+      "transform(sequence(0, 70), i -> struct(" +
+        "CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon))"))
+    val e = intercept[Throwable](QueryDsl.search(big,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "linestring", "line_field": "path"},
+           "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
+           "relation": "intersects"}},
+          "size": 10, "_source": ["id"]}""").collect())
+    assert(e.getMessage.contains("exceeds 64 vertices"), e.getMessage)
+  }
+}
