@@ -3475,6 +3475,94 @@ object DslSearchTail {
           AND y0 >= -12.0003 AND y0 + len <= 9.0001
         ORDER BY c_custkey
         LIMIT 300
+      """.stripMargin.trim)),
+
+    // QUERY-side polygon WITH HOLES over point docs (r13): GeoJSON
+    // ring 0 is the shell, ring 1 a hole — membership is ONE even-odd
+    // parity sum across both rings' edges (a point inside both
+    // crosses two boundaries on the +lon ray: even, out). Axis-
+    // aligned rectangles keep the oracle pure interval algebra;
+    // 4th-decimal bounds vs the 3-decimal point lattice keep
+    // boundary hits measure-zero.
+    GraftQuery(
+      "q372_dsl_geo_shape_query_polygon_hole",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("plat", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("plon", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "lat_field": "plat", "lon_field": "plon",
+               "shape": {"type": "polygon", "coordinates": [
+                 [[-6.0003, -6.0007], [6.0003, -6.0007], [6.0003, 6.0007],
+                  [-6.0003, 6.0007], [-6.0003, -6.0007]],
+                 [[-2.0009, -2.0001], [2.0009, -2.0001], [2.0009, 2.0001],
+                  [-2.0009, 2.0001], [-2.0009, -2.0001]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS plat,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS plon
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE plat > -6.0007 AND plat < 6.0007
+          AND plon > -6.0003 AND plon < 6.0003
+          AND NOT (plat > -2.0001 AND plat < 2.0001
+               AND plon > -2.0009 AND plon < 2.0009)
+        ORDER BY c_custkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // MULTIPOLYGON query shape over point docs (r13): two disjoint
+    // zones in one request — a holed rectangle plus a plain convex
+    // one; membership is the OR of per-polygon parities. Axis-aligned
+    // rectangles keep the oracle interval algebra; 4th-decimal bounds
+    // vs the 3-decimal lattice keep boundary hits measure-zero.
+    GraftQuery(
+      "q373_dsl_geo_shape_multipolygon",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("plat", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("plon", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "lat_field": "plat", "lon_field": "plon",
+               "shape": {"type": "multipolygon", "coordinates": [
+                 [[[-16.0003, -7.0001], [-8.0003, -7.0001], [-8.0003, -1.0001],
+                   [-16.0003, -1.0001], [-16.0003, -7.0001]],
+                  [[-14.0001, -5.0009], [-10.0001, -5.0009], [-10.0001, -3.0009],
+                   [-14.0001, -3.0009], [-14.0001, -5.0009]]],
+                 [[[5.0007, 2.0003], [15.0007, 2.0003], [15.0007, 7.0003],
+                   [5.0007, 7.0003], [5.0007, 2.0003]]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS plat,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS plon
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE (plat > -7.0001 AND plat < -1.0001
+           AND plon > -16.0003 AND plon < -8.0003
+           AND NOT (plat > -5.0009 AND plat < -3.0009
+                AND plon > -14.0001 AND plon < -10.0001))
+           OR (plat > 2.0003 AND plat < 7.0003
+           AND plon > 5.0007 AND plon < 15.0007)
+        ORDER BY c_custkey
+        LIMIT 300
       """.stripMargin.trim))
   )
 }

@@ -2543,9 +2543,20 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
 
   private[search] def crossingParityPredicate(pts: Seq[(Double, Double)],
       latF: String, lonF: String, where: String): Column = {
-    val n = pts.size
     requireSimpleRing(pts, where)
-    val crossings: Seq[Column] = (0 until n).flatMap { i =>
+    val crossings = ringCrossingTerms(pts, latF, lonF)
+    if (crossings.isEmpty)
+      fail(s"$where ring is degenerate (every edge is horizontal)")
+    pmod(crossings.reduce(_ + _), lit(2)) === lit(1)
+  }
+
+  /** One ring's +lon-ray crossing terms (the shared arithmetic of the
+    * single- and multi-ring parity walks).
+    */
+  private def ringCrossingTerms(pts: Seq[(Double, Double)],
+      latF: String, lonF: String): Seq[Column] = {
+    val n = pts.size
+    (0 until n).flatMap { i =>
       val (lat1, lon1) = pts(i)
       val (lat2, lon2) = pts((i + 1) % n)
       if (lat1 == lat2) None // horizontal edges never cross the +lon ray
@@ -2557,8 +2568,27 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         Some(when(spans && raySide, lit(1)).otherwise(lit(0)))
       }
     }
+  }
+
+  /** Multi-ring parity (r13: a query polygon WITH HOLES over point
+    * docs): one even-odd sum across ALL rings' edges — parity across
+    * shell + holes is exactly shell-minus-holes membership (a point
+    * inside shell AND a hole crosses both boundaries: even → out).
+    * Each ring validates as the single form does (simple, each ring
+    * ≤64 vertices); the TOTAL vertex count shares the 64 cap (each
+    * edge is one codegen'd term). Hole-inside-shell is not validated
+    * (a stray ring just XORs its own region — even-odd semantics,
+    * same doctrine as the doc-side rings arm).
+    */
+  private[search] def crossingParityPredicateMulti(
+      rings: Seq[Seq[(Double, Double)]], latF: String, lonF: String,
+      where: String): Column = {
+    rings.foreach(requireSimpleRing(_, where))
+    if (rings.map(_.size).sum > 64)
+      fail(s"$where rings exceed 64 total vertices (the codegen cap)")
+    val crossings = rings.flatMap(ringCrossingTerms(_, latF, lonF))
     if (crossings.isEmpty)
-      fail(s"$where ring is degenerate (every edge is horizontal)")
+      fail(s"$where rings are degenerate (every edge is horizontal)")
     pmod(crossings.reduce(_ + _), lit(2)) === lit(1)
   }
 
@@ -2567,8 +2597,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * it has no geo-shape DOCUMENT type, so shapes live on the query
     * side only). Shape types: `envelope` (GeoJSON-ordered corners
     * `[[lon, lat_top_left], [lon, lat_bottom_right]]` — the
-    * OpenSearch envelope contract), `polygon` (ONE closed convex CCW
-    * ring, GeoJSON `[[[lon, lat], ...]]`, first == last), `point`
+    * OpenSearch envelope contract), `polygon` (closed GeoJSON rings
+    * `[[[lon, lat], ...], ...]`, first == last each; ring 0 the
+    * shell, rings 1+ HOLES — r13: membership is one even-odd parity
+    * sum across all rings' edges), `point`
     * (`[lon, lat]`). Relations over point docs: `intersects`
     * (default) and `within` coincide (a point touching a shape lies
     * within it — documented), `disjoint` is the complement (NULL
@@ -2661,22 +2693,35 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
              if (topLat == botLat && leftLon == rightLon)
                pointEq(topLat, leftLon) else lit(false))
           case "polygon" =>
-            val ring = coords match {
-              case JArray(List(JArray(r))) if r.size >= 4 =>
-                r.map(lonLat(_, "polygon vertex"))
-              case _ => fail("polygon coordinates must be ONE ring " +
-                "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
+            // GeoJSON: ring 0 the shell, rings 1+ holes (r13)
+            val rings: Seq[Seq[(Double, Double)]] = coords match {
+              case JArray(rs) if rs.nonEmpty => rs.map {
+                case JArray(r) if r.size >= 4 =>
+                  val ring = r.map(lonLat(_, "polygon vertex"))
+                  if (ring.head != ring.last)
+                    fail("polygon ring must be closed (first vertex == last)")
+                  val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+                  if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
+                  pts
+                case _ => fail("polygon coordinates must be rings " +
+                  "[[[lon, lat], ...], ...] of >= 4 entries each " +
+                  "(closed: first == last)")
+              }
+              case _ => fail("polygon coordinates must be rings " +
+                "[[[lon, lat], ...], ...] of >= 4 entries each " +
+                "(closed: first == last)")
             }
-            if (ring.head != ring.last)
-              fail("polygon ring must be closed (first vertex == last)")
-            val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
-            if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
-            // strictly-convex CCW rings keep the boundary-inclusive
-            // half-plane conjunction (every existing plan unchanged);
-            // any other SIMPLE ring — concave, or convex wound CW —
-            // routes to the even-odd crossing walk
-            (if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
-             else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon"),
+            (if (rings.size == 1) {
+              val pts = rings.head
+              // strictly-convex CCW rings keep the boundary-inclusive
+              // half-plane conjunction (every existing plan unchanged);
+              // any other SIMPLE ring — concave, or convex wound CW —
+              // routes to the even-odd crossing walk
+              if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+              else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
+            } else
+              // polygon with holes: ONE parity sum across all rings
+              crossingParityPredicateMulti(rings, latF, lonF, "geo_shape polygon"),
              // every ring that survives the walk builders has area
              // (degenerate rings fail loud there), and a point cannot
              // contain an area
@@ -2684,8 +2729,46 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           case "point" =>
             val (lo, la) = lonLat(coords, "point coordinates")
             (pointEq(la, lo), pointEq(la, lo))
-          case other => fail(s"geo_shape type must be envelope, polygon " +
-            s"or point, got '$other'")
+          case "multipolygon" =>
+            // GeoJSON: an array of polygons, each an array of rings
+            // (shell + holes) — membership is the OR of per-polygon
+            // parities (r13: islands / disjoint zones in one query).
+            // The 64-vertex codegen cap spans the WHOLE shape.
+            val polys: Seq[Seq[Seq[(Double, Double)]]] = coords match {
+              case JArray(ps) if ps.nonEmpty => ps.map {
+                case JArray(rs) if rs.nonEmpty => rs.map {
+                  case JArray(r) if r.size >= 4 =>
+                    val ring = r.map(lonLat(_, "multipolygon vertex"))
+                    if (ring.head != ring.last)
+                      fail("multipolygon ring must be closed (first vertex == last)")
+                    val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+                    if (pts.size < 3)
+                      fail("multipolygon ring needs >= 3 distinct vertices")
+                    pts
+                  case _ => fail("multipolygon coordinates must be " +
+                    "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+                }
+                case _ => fail("multipolygon coordinates must be " +
+                  "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+              }
+              case _ => fail("multipolygon coordinates must be " +
+                "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+            }
+            if (polys.flatMap(_.map(_.size)).sum > 64)
+              fail("geo_shape multipolygon rings exceed 64 total vertices " +
+                "(the codegen cap)")
+            val perPoly = polys.map { rings =>
+              if (rings.size == 1) {
+                val pts = rings.head
+                if (isConvexCcw(pts))
+                  convexRingPredicate(pts, latF, lonF, "geo_shape multipolygon")
+                else crossingParityPredicate(pts, latF, lonF, "geo_shape multipolygon")
+              } else crossingParityPredicateMulti(rings, latF, lonF,
+                "geo_shape multipolygon")
+            }
+            (perPoly.reduce(_ || _), lit(false))
+          case other => fail(s"geo_shape type must be envelope, polygon, " +
+            s"multipolygon or point, got '$other'")
         }
       strOpt(m, "relation").getOrElse("intersects") match {
         // within == intersects for POINT documents: a point touching

@@ -176,6 +176,96 @@ class GeoDocShapesSpec extends SparkSpec {
     assert(e.getMessage.contains("has no interior"), e.getMessage)
   }
 
+  test("query-side polygon with holes: one parity sum across rings") {
+    val pts = (for (la <- -10 to 10; lo <- -10 to 10)
+      yield (la + 0.5, lo + 0.5)).toDF("lat", "lon")
+    def run(coords: String) = QueryDsl.search(pts,
+      s"""{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+           "shape": {"type": "polygon", "coordinates": $coords},
+           "relation": "intersects"}},
+          "sort": ["lat", "lon"], "size": 1000, "_source": ["lat", "lon"]}""")
+      .as[(Double, Double)].collect().toSet
+    // shell [-8,8]^2 with hole [-3,3]^2 (GeoJSON [lon, lat])
+    val got = run(
+      """[[[-8.0001, -8.0001], [8.0001, -8.0001], [8.0001, 8.0001],
+          [-8.0001, 8.0001], [-8.0001, -8.0001]],
+         [[-3.0001, -3.0001], [3.0001, -3.0001], [3.0001, 3.0001],
+          [-3.0001, 3.0001], [-3.0001, -3.0001]]]""")
+    val expected = (for (la <- -10 to 10; lo <- -10 to 10) yield (la + 0.5, lo + 0.5))
+      .filter { case (la, lo) =>
+        math.abs(la) < 8.0001 && math.abs(lo) < 8.0001 &&
+          !(math.abs(la) < 3.0001 && math.abs(lo) < 3.0001)
+      }.toSet
+    assert(got === expected)
+    // two holes XOR independently
+    val got2 = run(
+      """[[[-8.0001, -8.0001], [8.0001, -8.0001], [8.0001, 8.0001],
+          [-8.0001, 8.0001], [-8.0001, -8.0001]],
+         [[-6.0001, -6.0001], [-1.0001, -6.0001], [-1.0001, -1.0001],
+          [-6.0001, -1.0001], [-6.0001, -6.0001]],
+         [[1.0001, 1.0001], [6.0001, 1.0001], [6.0001, 6.0001],
+          [1.0001, 6.0001], [1.0001, 1.0001]]]""")
+    val expected2 = (for (la <- -10 to 10; lo <- -10 to 10) yield (la + 0.5, lo + 0.5))
+      .filter { case (la, lo) =>
+        math.abs(la) < 8.0001 && math.abs(lo) < 8.0001 &&
+          !(la > -6.0001 && la < -1.0001 && lo > -6.0001 && lo < -1.0001) &&
+          !(la > 1.0001 && la < 6.0001 && lo > 1.0001 && lo < 6.0001)
+      }.toSet
+    assert(got2 === expected2)
+    // a self-intersecting hole still fails loud on the driver
+    val e = intercept[IllegalArgumentException](run(
+      """[[[-8.0001, -8.0001], [8.0001, -8.0001], [8.0001, 8.0001],
+          [-8.0001, 8.0001], [-8.0001, -8.0001]],
+         [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]"""))
+    assert(e.getMessage.contains("self-intersecting"), e.getMessage)
+    // the 64-total-vertex cap counts across rings
+    val bigRing = (0 until 61).map { i =>
+      val a = i * 2 * math.Pi / 61
+      val lo = math.rint((10 + 3 * math.cos(a)) * 10000) / 10000
+      val la = math.rint(3 * math.sin(a) * 10000) / 10000
+      s"[$lo, $la]"
+    }
+    val closed = (bigRing :+ bigRing.head).mkString("[", ", ", "]")
+    val e2 = intercept[IllegalArgumentException](run(
+      s"""[$closed,
+          [[-8.0001, -8.0001], [8.0001, -8.0001], [8.0001, 8.0001],
+           [-8.0001, 8.0001], [-8.0001, -8.0001]]]"""))
+    assert(e2.getMessage.contains("64 total vertices"), e2.getMessage)
+  }
+
+  test("multipolygon: OR of per-polygon parities, holes respected per polygon") {
+    val pts = (for (la <- -10 to 10; lo <- -10 to 10)
+      yield (la + 0.5, lo + 0.5)).toDF("lat", "lon")
+    val got = QueryDsl.search(pts,
+      """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+           "shape": {"type": "multipolygon", "coordinates": [
+             [[[-9.0001, -9.0001], [-1.0001, -9.0001], [-1.0001, -1.0001],
+               [-9.0001, -1.0001], [-9.0001, -9.0001]],
+              [[-7.0001, -7.0001], [-3.0001, -7.0001], [-3.0001, -3.0001],
+               [-7.0001, -3.0001], [-7.0001, -7.0001]]],
+             [[[2.0001, 2.0001], [8.0001, 2.0001], [8.0001, 8.0001],
+               [2.0001, 8.0001], [2.0001, 2.0001]]]]},
+           "relation": "intersects"}},
+          "sort": ["lat", "lon"], "size": 1000, "_source": ["lat", "lon"]}""")
+      .as[(Double, Double)].collect().toSet
+    val expected = (for (la <- -10 to 10; lo <- -10 to 10) yield (la + 0.5, lo + 0.5))
+      .filter { case (la, lo) =>
+        (la > -9.0001 && la < -1.0001 && lo > -9.0001 && lo < -1.0001 &&
+          !(la > -7.0001 && la < -3.0001 && lo > -7.0001 && lo < -3.0001)) ||
+        (la > 2.0001 && la < 8.0001 && lo > 2.0001 && lo < 8.0001)
+      }.toSet
+    assert(got === expected)
+    // contains matches nothing (a point cannot contain an area);
+    // disjoint is the complement
+    val n = QueryDsl.search(pts,
+      """{"query": {"geo_shape": {"lat_field": "lat", "lon_field": "lon",
+           "shape": {"type": "multipolygon", "coordinates": [
+             [[[2.0001, 2.0001], [8.0001, 2.0001], [8.0001, 8.0001],
+               [2.0001, 8.0001], [2.0001, 2.0001]]]]},
+           "relation": "contains"}}, "size": 1000}""").count()
+    assert(n === 0L)
+  }
+
   test("linestring dirt drops; oversize raises") {
     val t = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "kind")
       .withColumn("path", expr(

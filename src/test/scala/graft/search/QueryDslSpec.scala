@@ -4563,7 +4563,7 @@ class QueryDslSpec extends SparkSpec {
     assert(ids(poly, "contains") === Seq.empty)
     badShape(env, "relation must be", "overlaps")
     badShape("""{"type": "circle", "coordinates": [0, 0]}""",
-      "type must be envelope, polygon or point")
+      "type must be envelope, polygon, multipolygon or point")
     badShape("""{"type": "envelope", "coordinates": [[0, 0], [1, 1]]}""",
       "top lat")                            // top-left below bottom-right
     badShape("""{"type": "polygon", "coordinates":
