@@ -3563,6 +3563,111 @@ object DslSearchTail {
            AND plon > 5.0007 AND plon < 15.0007)
         ORDER BY c_custkey
         LIMIT 300
+      """.stripMargin.trim)),
+
+    // geo_line metric agg under a terms parent (r13): per-group track
+    // reconstruction — points collected in the ONE groupBy, sorted by
+    // the sort field AFTER collection (ties break by lat, lon — a
+    // deterministic total order), truncated to the first `size`
+    // points, emitted as parallel lat/lon DOUBLE arrays. The registry
+    // edge renders the arrays as comma-joined MILLI-DEGREE longs
+    // (the driver's diff harness needs scalar output columns; the
+    // fixture lives on the milli-degree grid, so ×1000 + round is
+    // exact and both engines print longs identically). The oracle
+    // replays with DuckDB's ordered list() sliced to the same size.
+    GraftQuery(
+      "q374_dsl_geo_line",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, expr}
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("plat", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("plon", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("grp", expr("c_custkey % 7"))
+        QueryDsl.search(c,
+          """{"size": 0,
+             "aggs": {"g": {"terms": {"field": "grp", "size": 10},
+               "aggs": {"track": {"geo_line":
+                 {"lat_field": "plat", "lon_field": "plon",
+                  "sort_field": "c_custkey", "size": 5}}}}}}""")
+          .select(col("g"), col("doc_count"),
+            expr("concat_ws(',', transform(track_lats, " +
+              "x -> CAST(round(x * 1000) AS BIGINT)))").as("track_lats"),
+            expr("concat_ws(',', transform(track_lons, " +
+              "x -> CAST(round(x * 1000) AS BIGINT)))").as("track_lons"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey, c_custkey % 7 AS g,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS plat,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS plon
+          FROM customer)
+        SELECT g, COUNT(*) AS doc_count,
+               array_to_string(list_transform(
+                 (list(plat ORDER BY c_custkey, plat, plon))[1:5],
+                 x -> CAST(round(x * 1000) AS BIGINT)), ',') AS track_lats,
+               array_to_string(list_transform(
+                 (list(plon ORDER BY c_custkey, plat, plon))[1:5],
+                 x -> CAST(round(x * 1000) AS BIGINT)), ',') AS track_lons
+        FROM t GROUP BY g
+        ORDER BY doc_count DESC, g
+        LIMIT 10
+      """.stripMargin.trim)),
+
+    // doc-side MULTIPOLYGON (r13): each customer carries an
+    // island-pair region — the q368 square frame (shell + hole) plus
+    // a disjoint plain square 20° east — and contains(P) is the OR of
+    // per-component parities. Truth from construction: Chebyshev
+    // annulus on the frame OR Chebyshev ball on the island.
+    GraftQuery(
+      "q375_dsl_geo_shape_doc_multipolygon",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rr", expr("CAST(2 + c_custkey % 8 AS DOUBLE)"))
+          .withColumn("h", expr("rr / 2"))
+          .withColumn("polys", expr(
+            """array(
+                 array(
+                   array(struct(cx - rr AS lat, cy - rr AS lon),
+                         struct(cx - rr AS lat, cy + rr AS lon),
+                         struct(cx + rr AS lat, cy + rr AS lon),
+                         struct(cx + rr AS lat, cy - rr AS lon)),
+                   array(struct(cx - h AS lat, cy - h AS lon),
+                         struct(cx - h AS lat, cy + h AS lon),
+                         struct(cx + h AS lat, cy + h AS lon),
+                         struct(cx + h AS lat, cy - h AS lon))),
+                 array(
+                   array(struct(cx - h AS lat, cy + 20 - h AS lon),
+                         struct(cx - h AS lat, cy + 20 + h AS lon),
+                         struct(cx + h AS lat, cy + 20 + h AS lon),
+                         struct(cx + h AS lat, cy + 20 - h AS lon))))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "multipolygon", "polys_field": "polys"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.5003]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(2 + c_custkey % 8 AS DOUBLE) AS rr
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE (greatest(abs(0.5003 - cx), abs(-2.0007 - cy)) < rr
+           AND greatest(abs(0.5003 - cx), abs(-2.0007 - cy)) > rr / 2)
+           OR greatest(abs(0.5003 - cx), abs(-2.0007 - (cy + 20))) < rr / 2
+        ORDER BY c_custkey
+        LIMIT 300
       """.stripMargin.trim))
   )
 }

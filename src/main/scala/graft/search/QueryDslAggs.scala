@@ -3523,6 +3523,48 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
         min(when(gate, col(lonF))).as(s"${name}_left_lon"),
         min(when(gate, col(latF))).as(s"${name}_bottom_lat"),
         max(when(gate, col(lonF))).as(s"${name}_right_lon"))
+    // geo_line (r13): the track-reconstruction aggregation — each
+    // bucket's points connected into a line ordered by a sort field
+    // (the OpenSearch geo_line contract, explicit lat/lon fields per
+    // the engine's geo convention). Engine shape: collect_list of
+    // (sort, lat, lon) structs inside the ONE groupBy (partial-agg
+    // friendly, no window, no second shuffle), sort_array AFTER
+    // collection (no task-order dependence; ties on the sort value
+    // break by lat then lon — a deterministic total order the oracle
+    // replays), then slice to `size` (default/cap 10000, the
+    // OpenSearch truncation rule: the FIRST size points in sort
+    // order). Output: `<name>_lats` + `<name>_lons` parallel DOUBLE
+    // arrays. Rows with a NULL coordinate or sort value are skipped.
+    case JObject(List(("geo_line", JObject(body)))) =>
+      val m = body.toMap
+      m.keySet.diff(Set("lat_field", "lon_field", "sort_field",
+        "sort_order", "size")).foreach(k =>
+        fail(s"unsupported geo_line option '$k' in '$name'"))
+      val latF = strOpt(m, "lat_field")
+        .getOrElse(fail(s"geo_line '$name' requires lat_field"))
+      val lonF = strOpt(m, "lon_field")
+        .getOrElse(fail(s"geo_line '$name' requires lon_field"))
+      val sortF = strOpt(m, "sort_field")
+        .getOrElse(fail(s"geo_line '$name' requires sort_field"))
+      val asc = strOpt(m, "sort_order").getOrElse("asc") match {
+        case "asc"  => true
+        case "desc" => false
+        case other  => fail(s"geo_line '$name' sort_order must be " +
+          s"asc or desc, got '$other'")
+      }
+      val sz = intOpt(m, "size").getOrElse(10000)
+      if (sz < 1 || sz > 10000)
+        fail(s"geo_line '$name' size must be 1-10000, got $sz")
+      val gate = cond.getOrElse(lit(true))
+      val pts = sort_array(collect_list(when(
+        gate && col(latF).isNotNull && col(lonF).isNotNull &&
+          col(sortF).isNotNull,
+        struct(col(sortF).as("s"), col(latF).as("la"),
+          col(lonF).as("lo")))), asc)
+      val capped = slice(pts, 1, sz)
+      Seq(
+        transform(capped, p => p.getField("la")).as(s"${name}_lats"),
+        transform(capped, p => p.getField("lo")).as(s"${name}_lons"))
     // weighted_avg: nested value/weight sub-objects (the OpenSearch
     // shape), exact Σ(v·w)/Σ(w) — two integer sums, ONE IEEE divide,
     // so the double is bit-identical across engines.

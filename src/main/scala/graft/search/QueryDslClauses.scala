@@ -2642,6 +2642,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         }
         return if (dsType == "polygon" && hasRings) geoShapeDocRings(m, sm)
                else if (dsType == "polygon") geoShapeDocPolygon(m, sm)
+               else if (dsType == "multipolygon") geoShapeDocMultiPolygon(m, sm)
                else if (dsType == "linestring") geoShapeDocLinestring(m, sm)
                else geoShapeDocEnvelope(m, sm)
       }
@@ -3379,6 +3380,174 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
          |WHEN aggregate($rs, 0, (acc, ring) -> acc + size(ring)) > 64
          |  THEN 'too_many_vertices'
          |WHEN exists($rs, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")}))
+         |  THEN 'self_intersecting'
+         |ELSE CAST(NULL AS STRING) END""".stripMargin))
+      .filter(col("_reason").isNotNull)
+  }
+
+  /** The doc_shape MULTIPOLYGON arm (r13): each row carries a
+    * multi-component region — islands — as `polys_field`:
+    * `array<array<array<struct<lat, lon>>>>`, polygons of rings
+    * (shell + holes, each an OPEN simple ring; 64 vertices TOTAL
+    * across everything). Per-polygon membership is the rings arm's
+    * flattened-edge parity; the components compose per the GeoJSON
+    * multipolygon contract (disjoint components):
+    *   - `intersects`: ANY component intersects the box;
+    *   - `within`: every vertex of every component inside the box;
+    *   - `contains`: SOME component contains the box — exact for
+    *     disjoint components, since a connected box inside the union
+    *     without touching a boundary lies inside one component;
+    *   - `disjoint`: the complement of intersects.
+    * Same dirty-drop / poison (raise | on_invalid: dlq via
+    * [[geoShapePolysDlq]]) doctrine as the rings arm.
+    */
+  private[search] def geoShapeDocMultiPolygon(m: Map[String, JValue],
+      sm: Map[String, JValue]): CompiledQuery = {
+    if (m.contains("lat_field") || m.contains("lon_field"))
+      fail("geo_shape doc_shape replaces lat_field/lon_field " +
+        "(the doc geometry IS the polygons)")
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"doc_shape must be an object: ${render(other)}")
+    }
+    dsm.keySet.diff(Set("type", "polys_field", "on_invalid")).foreach(k =>
+      fail(s"unsupported doc_shape multipolygon option '$k'"))
+    val pf0 = strOpt(dsm, "polys_field")
+      .getOrElse(fail("doc_shape multipolygon requires polys_field"))
+    val pf = s"`$pf0`"
+    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
+    if (onInvalid != "raise" && onInvalid != "dlq")
+      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
+    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
+    def num(v: JValue, what: String): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other       => fail(s"$what must be numeric: ${render(other)}")
+    }
+    def lonLat(v: JValue, what: String): (Double, Double) = v match {
+      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
+      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+    }
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    val relation = strOpt(m, "relation").getOrElse("intersects")
+
+    // one polygon's flattened edge list (lambda var `poly` in scope)
+    val polyEdges =
+      s"""flatten(transform(poly, ring ->
+         |  transform(sequence(0, size(ring) - 1), i ->
+         |    struct(element_at(ring, i + 1) AS a,
+         |           element_at(ring, pmod(i + 1, size(ring)) + 1) AS b))))""".stripMargin
+    def pointInPoly(px: Double, py: Double): String = {
+      val cross = s"((e.b.lon - e.a.lon) * ($py - e.a.lat) - " +
+        s"(e.b.lat - e.a.lat) * ($px - e.a.lon))"
+      s"""(pmod(aggregate($polyEdges, 0, (acc, e) ->
+         |  acc + IF(((e.a.lat > $py) != (e.b.lat > $py)) AND
+         |           (CASE WHEN e.b.lat > e.a.lat THEN $cross > 0.0
+         |                 ELSE $cross < 0.0 END), 1, 0)), 2) = 1)""".stripMargin
+    }
+
+    val relPred: String = strOpt(sm, "type")
+        .getOrElse(fail("geo_shape shape requires a type")) match {
+      case t @ ("envelope" | "point") =>
+        val (latB, latT, lonL, lonR) = t match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a2, b2)) =>
+                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            if (tl._2 < br._2)
+              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
+            if (tl._1 > br._1)
+              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
+                s"right lon ${br._1}) is unsupported")
+            (br._2, tl._2, tl._1, br._1)
+          case _ =>
+            val (lo, la) = lonLat(coords, "point coordinates")
+            (la, la, lo, lo)
+        }
+        def inBox(v: String) = s"$v.lat >= $latB AND $v.lat <= $latT " +
+          s"AND $v.lon >= $lonL AND $v.lon <= $lonR"
+        val corners = Seq((lonL, latB), (lonL, latT), (lonR, latB),
+          (lonR, latT)).distinct
+        val cornerAny = corners.map { case (px, py) => pointInPoly(px, py) }
+          .mkString("(", " OR ", ")")
+        val cornersAll = corners.map { case (px, py) => pointInPoly(px, py) }
+          .mkString("(", " AND ", ")")
+        def side(cx: String, cy: String) =
+          s"((e.b.lon - e.a.lon) * ($cy - e.a.lat) - " +
+            s"(e.b.lat - e.a.lat) * ($cx - e.a.lon))"
+        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
+          .map { case (cx, cy) => side(cx.toString, cy.toString) }
+        val strictSameSide =
+          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
+            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
+        val edgeCross =
+          s"""exists($polyEdges, e ->
+             |  least(e.a.lat, e.b.lat) <= $latT AND greatest(e.a.lat, e.b.lat) >= $latB
+             |  AND least(e.a.lon, e.b.lon) <= $lonR AND greatest(e.a.lon, e.b.lon) >= $lonL
+             |  AND NOT ($strictSameSide))""".stripMargin
+        val vertexInBox =
+          s"exists(flatten(poly), v -> ${inBox("v")})"
+        val polyIntersects = s"($vertexInBox OR $cornerAny OR $edgeCross)"
+        val polyContains = s"($cornersAll AND NOT $edgeCross)"
+        relation match {
+          case "intersects" => s"exists($pf, poly -> $polyIntersects)"
+          case "within" =>
+            s"forall($pf, poly -> forall(flatten(poly), v -> ${inBox("v")}))"
+          case "disjoint" => s"(NOT exists($pf, poly -> $polyIntersects))"
+          case "contains" => s"exists($pf, poly -> $polyContains)"
+          case other => fail(s"geo_shape relation must be intersects, " +
+            s"within, contains or disjoint, got '$other'")
+        }
+      case other => fail(s"doc_shape multipolygon queries support envelope " +
+        s"or point query shapes, got '$other'")
+    }
+
+    val dirtyDrop =
+      s"""$pf IS NULL OR size($pf) < 1
+         | OR exists($pf, poly -> poly IS NULL OR size(poly) < 1
+         |     OR exists(poly, ring -> ring IS NULL OR size(ring) < 3
+         |         OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL)))""".stripMargin
+    val totalV =
+      s"aggregate($pf, 0, (acc, poly) -> acc + aggregate(poly, 0, (a2, ring) -> a2 + size(ring)))"
+    val anySelfX =
+      s"exists($pf, poly -> exists(poly, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")})))"
+    val pred =
+      if (onInvalid == "dlq") expr(
+        s"""CASE WHEN $dirtyDrop OR $totalV > 64 OR ($anySelfX)
+           |     THEN CAST(NULL AS BOOLEAN)
+           |ELSE ($relPred) END""".stripMargin)
+      else expr(
+        s"""CASE WHEN $dirtyDrop THEN CAST(NULL AS BOOLEAN)
+           |WHEN $totalV > 64
+           |  THEN raise_error('geo_shape doc multipolygon exceeds 64 total vertices (the query-side cap)')
+           |WHEN $anySelfX
+           |  THEN raise_error('geo_shape doc ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
+           |ELSE ($relPred) END""".stripMargin)
+    CompiledQuery(pred, lit(1L))
+  }
+
+  /** Multipolygon twin of [[geoShapeRingsDlq]]: poison rows of a
+    * `polys_field` column, same classification the predicate compiles.
+    */
+  def geoShapePolysDlq(table: DataFrame, polysField: String): DataFrame = {
+    val pf = s"`$polysField`"
+    table.withColumn("_reason", expr(
+      s"""CASE WHEN $pf IS NULL OR size($pf) < 1
+         |       OR exists($pf, poly -> poly IS NULL OR size(poly) < 1
+         |           OR exists(poly, ring -> ring IS NULL OR size(ring) < 3
+         |               OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL)))
+         |     THEN CAST(NULL AS STRING)
+         |WHEN aggregate($pf, 0, (acc, poly) ->
+         |       acc + aggregate(poly, 0, (a2, ring) -> a2 + size(ring))) > 64
+         |  THEN 'too_many_vertices'
+         |WHEN exists($pf, poly -> exists(poly, ring ->
+         |       size(ring) > 3 AND (${selfIntersectSql("ring")})))
          |  THEN 'self_intersecting'
          |ELSE CAST(NULL AS STRING) END""".stripMargin))
       .filter(col("_reason").isNotNull)

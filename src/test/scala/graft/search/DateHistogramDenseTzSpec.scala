@@ -153,6 +153,56 @@ class DateHistogramDenseTzSpec extends SparkSpec {
       "2021-03-14T05:00:00Z", "2021-03-15T04:00:00Z").map(Instant.parse))
   }
 
+  test("property: the driver series is a superset of per-doc keys, duplicate-free (seeded random tables)") {
+    val rnd = new scala.util.Random(20260816L)
+    val offsets = Seq(-300L, -240L, -120L, 0L, 60L, 120L, 330L)
+    for (trial <- 0 until 8) {
+      // 1-4 transitions, ascending, 1-40 days apart, offsets differing
+      // by at most 120 min between neighbors (keeps local activations
+      // ascending, the engine's validated precondition)
+      val base = java.time.Instant.parse("2021-01-01T00:00:00Z")
+      var cur = base.plusSeconds(rnd.nextInt(30) * 86400L)
+      var lastOff = offsets(rnd.nextInt(offsets.size))
+      val entries = scala.collection.mutable.ArrayBuffer(
+        (base.toString.dropRight(1), lastOff))
+      for (_ <- 0 until (1 + rnd.nextInt(3))) {
+        cur = cur.plusSeconds((1 + rnd.nextInt(40)) * 86400L + rnd.nextInt(86400))
+        lastOff = lastOff + (rnd.nextInt(5) - 2) * 60L // ±120 min step
+        entries += ((cur.toString.dropRight(1), lastOff))
+      }
+      val tz = entries.map { case (iso, off) => s"""["$iso", $off]""" }
+        .mkString("""{"transitions": [""", ", ", "]}")
+      // 40 docs scattered over ~200 days incl. near the transitions
+      val docTs = (0 until 40).map { i =>
+        base.plusSeconds(rnd.nextInt(200 * 86400).toLong)
+      }
+      val docs = docTs.zipWithIndex
+        .map { case (inst, i) => (i.toLong, java.sql.Timestamp.from(inst)) }
+        .toDF("k", "t")
+      def req(mdc: String, interval: String) =
+        s"""{"size": 0, "aggs": {"d": {"date_histogram":
+           |  {"field": "t", $interval, "time_zone": $tz$mdc}}}}""".stripMargin
+      for (interval <- Seq(""""calendar_interval": "day"""",
+          """"fixed_interval": "6h"""")) {
+        val dense = QueryDsl.search(docs, req(""", "min_doc_count": 0""", interval))
+          .collect().map(r => (r.getTimestamp(0).toInstant, r.getLong(1)))
+        val sparse = QueryDsl.search(docs, req("", interval))
+          .collect().map(r => (r.getTimestamp(0).toInstant, r.getLong(1)))
+        val denseKeys = dense.map(_._1).toSeq
+        // no duplicate keys in the series
+        assert(denseKeys.distinct.size === denseKeys.size, s"trial $trial dup keys")
+        // every per-doc bucket appears, with the same count
+        val denseMap = dense.toMap
+        sparse.foreach { case (k, n) =>
+          assert(denseMap.get(k).contains(n),
+            s"trial $trial: sparse bucket $k=$n missing from the dense series ($tz)")
+        }
+        // empty buckets are exactly the rest
+        assert(dense.count(_._2 > 0L) === sparse.length)
+      }
+    }
+  }
+
   test("calendar month composes with a named zone and dense fill") {
     val docs = Seq(
       (1L, ts("2021-02-03T12:00:00Z")),

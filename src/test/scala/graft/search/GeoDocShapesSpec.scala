@@ -266,6 +266,102 @@ class GeoDocShapesSpec extends SparkSpec {
     assert(n === 0L)
   }
 
+  test("doc multipolygon: island pair — per-component parity, poison DLQ") {
+    // one row: a frame (shell 10, hole 4) at the origin plus a plain
+    // 4-half-side square island centered at lon 20
+    val t = Seq((1L, 0)).toDF("id", "z").withColumn("polys", expr(
+      """array(
+           array(
+             array(struct(CAST(-10.0 AS DOUBLE) AS lat, CAST(-10.0 AS DOUBLE) AS lon),
+                   struct(CAST(-10.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+                   struct(CAST(10.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+                   struct(CAST(10.0 AS DOUBLE) AS lat, CAST(-10.0 AS DOUBLE) AS lon)),
+             array(struct(CAST(-4.0 AS DOUBLE) AS lat, CAST(-4.0 AS DOUBLE) AS lon),
+                   struct(CAST(-4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                   struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                   struct(CAST(4.0 AS DOUBLE) AS lat, CAST(-4.0 AS DOUBLE) AS lon))),
+           array(
+             array(struct(CAST(-4.0 AS DOUBLE) AS lat, CAST(16.0 AS DOUBLE) AS lon),
+                   struct(CAST(-4.0 AS DOUBLE) AS lat, CAST(24.0 AS DOUBLE) AS lon),
+                   struct(CAST(4.0 AS DOUBLE) AS lat, CAST(24.0 AS DOUBLE) AS lon),
+                   struct(CAST(4.0 AS DOUBLE) AS lat, CAST(16.0 AS DOUBLE) AS lon))))"""))
+    def run(shape: String, rel: String) = QueryDsl.search(t,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "multipolygon", "polys_field": "polys"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count()
+    // the island serves: a point on it is contained
+    assert(run("""{"type": "point", "coordinates": [20.0003, 0.5001]}""",
+      "contains") === 1L)
+    // a point in the frame's hole is not
+    assert(run("""{"type": "point", "coordinates": [0.5001, 0.5001]}""",
+      "contains") === 0L)
+    // a box over only the island intersects; a box in the hole does not
+    assert(run("""{"type": "envelope", "coordinates": [[17.0001, 1.0001], [19.0001, -1.0001]]}""",
+      "intersects") === 1L)
+    assert(run("""{"type": "envelope", "coordinates": [[-3.0001, 3.0001], [3.0001, -3.0001]]}""",
+      "intersects") === 0L)
+    // within needs EVERY component inside the box
+    assert(run("""{"type": "envelope", "coordinates": [[-11.0001, 11.0001], [25.0001, -11.0001]]}""",
+      "within") === 1L)
+    assert(run("""{"type": "envelope", "coordinates": [[-11.0001, 11.0001], [11.0001, -11.0001]]}""",
+      "within") === 0L)
+    // a bowtie ring anywhere raises; dlq mode drops + side-outputs
+    val bow = Seq((2L, 0)).toDF("id", "z").withColumn("polys", expr(
+      """array(array(
+           array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                 struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                 struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+                 struct(CAST(4.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))))"""))
+    val e = intercept[Throwable](QueryDsl.search(bow,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "multipolygon", "polys_field": "polys"},
+           "shape": {"type": "point", "coordinates": [1.0, 1.0]},
+           "relation": "intersects"}}, "size": 10}""").collect())
+    assert(e.getMessage.contains("self-intersecting"), e.getMessage)
+    assert(QueryDsl.search(bow,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "multipolygon", "polys_field": "polys",
+                         "on_invalid": "dlq"},
+           "shape": {"type": "point", "coordinates": [1.0, 1.0]},
+           "relation": "intersects"}}, "size": 10}""").count() === 0L)
+    assert(QueryDsl.geoShapePolysDlq(bow, "polys")
+      .select(col("_reason")).as[String].collect().toSeq ===
+      Seq("self_intersecting"))
+  }
+
+  test("geo_line: sort-ordered per-bucket tracks, cap, desc, NULL skip") {
+    val t = Seq(
+      (1L, "a", 3L, Some(30.0), Some(3.0)),
+      (2L, "a", 1L, Some(10.0), Some(1.0)),
+      (3L, "a", 2L, Some(20.0), Some(2.0)),
+      (4L, "a", 4L, None, Some(4.0)), // NULL lat: skipped
+      (5L, "b", 9L, Some(90.0), Some(9.0)),
+      (6L, "b", 8L, Some(80.0), Some(8.0))
+    ).toDF("id", "grp", "seq", "lat", "lon")
+    def run(extra: String) = QueryDsl.search(t,
+      s"""{"size": 0, "aggs": {"g": {"terms": {"field": "grp", "size": 10},
+           "aggs": {"tr": {"geo_line": {"lat_field": "lat",
+             "lon_field": "lon", "sort_field": "seq"$extra}}}}}}""")
+      .orderBy("g")
+      .as[(String, Long, Seq[Double], Seq[Double])].collect().toSeq
+    val got = run("")
+    // group a: NULL-lat row skipped; points ordered by seq
+    assert(got === Seq(
+      ("a", 4L, Seq(10.0, 20.0, 30.0), Seq(1.0, 2.0, 3.0)),
+      ("b", 2L, Seq(80.0, 90.0), Seq(8.0, 9.0))))
+    // desc reverses, size truncates to the FIRST points in sort order
+    val desc = run(""", "sort_order": "desc", "size": 2""")
+    assert(desc.head === (("a", 4L, Seq(30.0, 20.0), Seq(3.0, 2.0))))
+    def bad(extra: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](run(extra))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(""", "sort_order": "sideways"""", "sort_order must be")
+    bad(""", "size": 0""", "size must be 1-10000")
+    bad(""", "geohash": 4""", "unsupported geo_line option")
+  }
+
   test("linestring dirt drops; oversize raises") {
     val t = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "kind")
       .withColumn("path", expr(
