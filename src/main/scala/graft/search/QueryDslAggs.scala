@@ -756,17 +756,52 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                   // the same local-frame iteration serves all four
                   // (step × zone-form) combinations
                   val constTab = Seq((Long.MinValue, tzOffUs))
-                  val tab = tabOpt.getOrElse(constTab)
                   val lTab = if (tabOpt.isDefined) localTab.get else constTab
-                  val spanUs: Option[(Long, Long)] = extBounds.orElse(
-                    hitDateSpan(hits, f).map { case (a, b) =>
-                      def us2(t: java.time.LocalDateTime): Long =
-                        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-                          t.getNano / 1000L
-                      (us2(a), us2(b))
-                    })
-                  val keys = spanUs.map { case (l, h) =>
-                    localDenseKeys(l, h, step, offUs, tab, lTab)
+                  // the series bounds, as already-truncated LOCAL
+                  // boundaries. With a VARYING offset doc→lTrunc is NOT
+                  // monotone in UTC — a doc just before a fall-back
+                  // buckets ABOVE the span end's bucket (its boundary
+                  // maps through the later entry), so truncating the
+                  // span endpoints would leave interior HOLES in the
+                  // dense series. The exact min/max doc boundary comes
+                  // from ONE column-pruned aggregate over the compiled
+                  // lTrunc expression — the same min/max the oracle's
+                  // series replays. Constant offsets stay monotone, so
+                  // the cached span endpoints remain exact there.
+                  val ltBounds: Option[(Long, Long)] = extBounds match {
+                    case Some((blo, bhi)) =>
+                      val tb = tabOpt.getOrElse(constTab)
+                      Some((lTruncOfUs(blo, step, offUs, tb),
+                        lTruncOfUs(bhi, step, offUs, tb)))
+                    case None if tabOpt.isEmpty =>
+                      hitDateSpan(hits, f).map { case (a, b) =>
+                        def us2(t: java.time.LocalDateTime): Long =
+                          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                            t.getNano / 1000L
+                        (lTruncOfUs(us2(a), step, offUs, constTab),
+                          lTruncOfUs(us2(b), step, offUs, constTab))
+                      }
+                    case None =>
+                      val tb = tabOpt.get
+                      val um0 = unix_micros(col(f))
+                      val ltCol = stepOpt match {
+                        case Some(us) =>
+                          val lShift = um0 + transCase(um0, tb) - lit(offUs)
+                          lShift - pmod(lShift, lit(us)) + lit(offUs)
+                        case None =>
+                          val unit = calendarUnit(
+                            strOpt(hm, "calendar_interval").getOrElse("day"))
+                          val local = um0 + transCase(um0, tb)
+                          unix_micros(date_trunc(unit,
+                            timestamp_micros(local - lit(offUs)))) + lit(offUs)
+                      }
+                      val r = hits.filter(col(f).isNotNull)
+                        .agg(min(ltCol), max(ltCol)).head()
+                      if (r.isNullAt(0)) None
+                      else Some((r.getLong(0), r.getLong(1)))
+                  }
+                  val keys = ltBounds.map { case (s0, e0) =>
+                    localDenseKeys(s0, e0, step, offUs, lTab)
                   }.getOrElse(Seq.empty)
                   Some(DateFillKeys(keys))
               } else None
@@ -2894,18 +2929,58 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     o
   }
 
+  private def ldtOfUs(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+  private def usOfLdt(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+
+  /** Truncate a LOCAL-frame micro instant to its bucket boundary. */
+  private def truncLocal(l: Long, step: Either[String, Long]): Long =
+    step match {
+      case Right(iv) => l - Math.floorMod(l, iv)
+      case Left(unit) =>
+        val d = ldtOfUs(l).toLocalDate
+        val d2 = unit match {
+          case "DAY"   => d
+          case "MONTH" => d.withDayOfMonth(1)
+          case "YEAR"  => d.withDayOfYear(1)
+          case other   => fail(s"localDenseKeys: unsupported unit '$other'")
+        }
+        usOfLdt(d2.atStartOfDay)
+    }
+
+  /** One bucket step forward in the LOCAL frame. */
+  private def nextLocal(l: Long, step: Either[String, Long]): Long =
+    step match {
+      case Right(iv)     => l + iv
+      case Left("DAY")   => usOfLdt(ldtOfUs(l).plusDays(1))
+      case Left("MONTH") => usOfLdt(ldtOfUs(l).plusMonths(1))
+      case Left("YEAR")  => usOfLdt(ldtOfUs(l).plusYears(1))
+      case Left(other)   => fail(s"localDenseKeys: unsupported unit '$other'")
+    }
+
+  /** The driver-side twin of the compiled lTrunc expression:
+    * lTrunc(u) = trunc((u + off(u)) − offUs) + offUs.
+    */
+  private[search] def lTruncOfUs(u: Long, step: Either[String, Long],
+      offUs: Long, tab: Seq[(Long, Long)]): Long =
+    truncLocal(u + offsetAtUs(u, tab) - offUs, step) + offUs
+
   /** Dense bucket-key series for `min_doc_count: 0` when keys have NO
     * constant UTC step (calendar intervals; transition-table / named
     * time zones): iterate bucket boundaries in LOCAL wall time on the
-    * driver, mapping each back to its UTC key with exactly the
+    * driver from `ltStart` to `ltEnd` (both already-truncated LOCAL
+    * boundaries — the caller supplies the EXACT min/max doc boundary,
+    * see the fill construction: doc→lTrunc is not monotone in UTC
+    * across a fall-back, so truncating the span's endpoints would
+    * leave holes), mapping each back to its UTC key with exactly the
     * per-document algebra the compiled expression runs —
     *
-    *   lTrunc(u) = trunc((u + off(u)) − offUs) + offUs
-    *   key(L)    = L − off2(L)
+    *   key(L) = L − off2(L)
     *
-    * where `off` is the doc-offset rule (last `tab` entry at-or-before
-    * the UTC instant) and `off2` the boundary-offset rule (last entry
-    * whose LOCAL activation is at-or-before the boundary). Stepping is
+    * where `off2` is the boundary-offset rule (last entry whose LOCAL
+    * activation is at-or-before the boundary). Stepping is
     * `plusDays/plusMonths/plusYears` (or a fixed micro step) in the
     * offset-shifted local frame, so the local day containing a DST
     * transition is ONE bucket — 23h/25h wide in UTC — and a boundary
@@ -2914,46 +2989,19 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     * produce the phantom key. Capped at 100k keys like the
     * range-generated series.
     */
-  private[search] def localDenseKeys(loUs: Long, hiUs: Long,
+  private[search] def localDenseKeys(ltStart: Long, ltEnd: Long,
       step: Either[String, Long], offUs: Long,
-      tab: Seq[(Long, Long)], localTab: Seq[(Long, Long)]): Seq[Long] = {
-    def offAt(u: Long, t: Seq[(Long, Long)]): Long = offsetAtUs(u, t)
-    def ldtOf(us: Long): java.time.LocalDateTime =
-      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
-    def usOf(t: java.time.LocalDateTime): Long =
-      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
-    def trunc(l: Long): Long = step match {
-      case Right(iv) => l - Math.floorMod(l, iv)
-      case Left(unit) =>
-        val d = ldtOf(l).toLocalDate
-        val d2 = unit match {
-          case "DAY"   => d
-          case "MONTH" => d.withDayOfMonth(1)
-          case "YEAR"  => d.withDayOfYear(1)
-          case other   => fail(s"localDenseKeys: unsupported unit '$other'")
-        }
-        usOf(d2.atStartOfDay)
-    }
-    def next(l: Long): Long = step match {
-      case Right(iv)     => l + iv
-      case Left("DAY")   => usOf(ldtOf(l).plusDays(1))
-      case Left("MONTH") => usOf(ldtOf(l).plusMonths(1))
-      case Left("YEAR")  => usOf(ldtOf(l).plusYears(1))
-      case Left(other)   => fail(s"localDenseKeys: unsupported unit '$other'")
-    }
-    if (hiUs < loUs) Seq.empty
+      localTab: Seq[(Long, Long)]): Seq[Long] = {
+    if (ltEnd < ltStart) Seq.empty
     else {
-      def lTruncOf(u: Long): Long = trunc(u + offAt(u, tab) - offUs) + offUs
-      var lt = lTruncOf(loUs)
-      val ltEnd = lTruncOf(hiUs)
+      var lt = ltStart
       val buf = scala.collection.mutable.ArrayBuffer[Long]()
       while (lt <= ltEnd) {
-        buf += lt - offAt(lt, localTab)
+        buf += lt - offsetAtUs(lt, localTab)
         if (buf.size > 100000)
           fail("date_histogram min_doc_count: 0 would emit more than " +
             "100000 buckets (cap 100000) - widen the interval")
-        lt = next(lt - offUs) + offUs
+        lt = nextLocal(lt - offUs, step) + offUs
       }
       buf.distinct.sorted[Long].toSeq
     }

@@ -2583,9 +2583,12 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
   private[search] def crossingParityPredicateMulti(
       rings: Seq[Seq[(Double, Double)]], latF: String, lonF: String,
       where: String): Column = {
-    rings.foreach(requireSimpleRing(_, where))
+    // total cap BEFORE the per-ring O(n²) simplicity walks (the
+    // requireSimpleRing doctrine): an unbounded ring LIST must not
+    // buy unbounded driver CPU before the fail fires
     if (rings.map(_.size).sum > 64)
       fail(s"$where rings exceed 64 total vertices (the codegen cap)")
+    rings.foreach(requireSimpleRing(_, where))
     val crossings = rings.flatMap(ringCrossingTerms(_, latF, lonF))
     if (crossings.isEmpty)
       fail(s"$where rings are degenerate (every edge is horizontal)")
@@ -2652,17 +2655,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         .getOrElse(fail("geo_shape requires lon_field"))
       sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
         fail(s"unsupported geo_shape shape option '$k'"))
-      def num(v: JValue, what: String): Double = v match {
-        case JDouble(d)  => d
-        case JInt(i)     => i.toDouble
-        case JDecimal(d) => d.toDouble
-        case other       => fail(s"$what must be numeric: ${render(other)}")
-      }
-      // GeoJSON coordinate order: [lon, lat]
-      def lonLat(v: JValue, what: String): (Double, Double) = v match {
-        case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-        case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-      }
       val coords = sm.getOrElse("coordinates",
         fail("geo_shape shape requires coordinates"))
       // contains on POINT docs (r13, VERDICT r12 #2): a point contains
@@ -2678,7 +2670,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           case "envelope" =>
             val (tl, br) = coords match {
               case JArray(List(a, b)) =>
-                (lonLat(a, "envelope top_left"), lonLat(b, "envelope bottom_right"))
+                (jLonLat(a, "envelope top_left"), jLonLat(b, "envelope bottom_right"))
               case other => fail(s"envelope coordinates must be " +
                 s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
             }
@@ -2698,7 +2690,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             val rings: Seq[Seq[(Double, Double)]] = coords match {
               case JArray(rs) if rs.nonEmpty => rs.map {
                 case JArray(r) if r.size >= 4 =>
-                  val ring = r.map(lonLat(_, "polygon vertex"))
+                  val ring = r.map(jLonLat(_, "polygon vertex"))
                   if (ring.head != ring.last)
                     fail("polygon ring must be closed (first vertex == last)")
                   val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
@@ -2728,7 +2720,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
              // contain an area
              lit(false))
           case "point" =>
-            val (lo, la) = lonLat(coords, "point coordinates")
+            val (lo, la) = jLonLat(coords, "point coordinates")
             (pointEq(la, lo), pointEq(la, lo))
           case "multipolygon" =>
             // GeoJSON: an array of polygons, each an array of rings
@@ -2739,7 +2731,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
               case JArray(ps) if ps.nonEmpty => ps.map {
                 case JArray(rs) if rs.nonEmpty => rs.map {
                   case JArray(r) if r.size >= 4 =>
-                    val ring = r.map(lonLat(_, "multipolygon vertex"))
+                    val ring = r.map(jLonLat(_, "multipolygon vertex"))
                     if (ring.head != ring.last)
                       fail("multipolygon ring must be closed (first vertex == last)")
                     val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
@@ -2822,16 +2814,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       col(strOpt(dsm, k).getOrElse(fail(s"doc_shape envelope requires $k")))
     val laMin = fld("lat_min_field"); val laMax = fld("lat_max_field")
     val loMin = fld("lon_min_field"); val loMax = fld("lon_max_field")
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d)  => d
-      case JInt(i)     => i.toDouble
-      case JDecimal(d) => d.toDouble
-      case other       => fail(s"$what must be numeric: ${render(other)}")
-    }
-    def lonLat(v: JValue, what: String): (Double, Double) = v match {
-      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-    }
     val coords = sm.getOrElse("coordinates",
       fail("geo_shape shape requires coordinates"))
     val (qLatB, qLatT, qLonL, qLonR) =
@@ -2839,7 +2821,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         case "envelope" =>
           val (tl, br) = coords match {
             case JArray(List(a, b)) =>
-              (lonLat(a, "envelope top_left"), lonLat(b, "envelope bottom_right"))
+              (jLonLat(a, "envelope top_left"), jLonLat(b, "envelope bottom_right"))
             case other => fail(s"envelope coordinates must be " +
               s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
           }
@@ -2852,7 +2834,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
               s"right lon $rightLon) is unsupported")
           (botLat, topLat, leftLon, rightLon)
         case "point" =>
-          val (lo, la) = lonLat(coords, "point coordinates")
+          val (lo, la) = jLonLat(coords, "point coordinates")
           (la, la, lo, lo)
         case other => fail("doc_shape queries support envelope or point " +
           s"query shapes (polygon-vs-box relations are not pushed " +
@@ -2871,6 +2853,48 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         s"contains or disjoint, got '$other'")
     }
     CompiledQuery(pred, lit(1L))
+  }
+
+  /** GeoJSON numeric scalar (query-shape coordinates). */
+  private[search] def jNum(v: JValue, what: String): Double = v match {
+    case JDouble(d)  => d
+    case JInt(i)     => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case other       => fail(s"$what must be numeric: ${render(other)}")
+  }
+
+  /** GeoJSON `[lon, lat]` pair (query-shape coordinates). */
+  private[search] def jLonLat(v: JValue, what: String): (Double, Double) =
+    v match {
+      case JArray(List(lo, la)) =>
+        (jNum(lo, s"$what lon"), jNum(la, s"$what lat"))
+      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
+    }
+
+  /** The ONE envelope/point query-shape corner parse, shared by every
+    * doc_shape arm so the corner contract (GeoJSON top-left /
+    * bottom-right order, the top-lat sanity check, the antimeridian
+    * refusal, the point-as-degenerate-box rule) can never drift
+    * between arms. Returns (latB, latT, lonL, lonR).
+    */
+  private[search] def envelopeCorners(t: String, coords: JValue)
+      : (Double, Double, Double, Double) = t match {
+    case "envelope" =>
+      val (tl, br) = coords match {
+        case JArray(List(a2, b2)) =>
+          (jLonLat(a2, "envelope top_left"), jLonLat(b2, "envelope bottom_right"))
+        case other => fail(s"envelope coordinates must be " +
+          s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+      }
+      if (tl._2 < br._2)
+        fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
+      if (tl._1 > br._1)
+        fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
+          s"right lon ${br._1}) is unsupported")
+      (br._2, tl._2, tl._1, br._1)
+    case _ =>
+      val (lo, la) = jLonLat(coords, "point coordinates")
+      (la, la, lo, lo)
   }
 
   /** Self-intersection pair walk over a doc ring column (only ring
@@ -3003,16 +3027,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
     sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
       fail(s"unsupported geo_shape shape option '$k'"))
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d)  => d
-      case JInt(i)     => i.toDouble
-      case JDecimal(d) => d.toDouble
-      case other       => fail(s"$what must be numeric: ${render(other)}")
-    }
-    def lonLat(v: JValue, what: String): (Double, Double) = v match {
-      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-    }
     val coords = sm.getOrElse("coordinates",
       fail("geo_shape shape requires coordinates"))
     val relation = strOpt(m, "relation").getOrElse("intersects")
@@ -3042,24 +3056,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val relPred: String = strOpt(sm, "type")
         .getOrElse(fail("geo_shape shape requires a type")) match {
       case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = t match {
-          case "envelope" =>
-            val (tl, br) = coords match {
-              case JArray(List(a2, b2)) =>
-                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
-              case other => fail(s"envelope coordinates must be " +
-                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
-            }
-            if (tl._2 < br._2)
-              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
-            if (tl._1 > br._1)
-              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
-                s"right lon ${br._1}) is unsupported")
-            (br._2, tl._2, tl._1, br._1)
-          case _ =>
-            val (lo, la) = lonLat(coords, "point coordinates")
-            (la, la, lo, lo)
-        }
+        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
         val vertexInBox = s"exists($rf, v -> v.lat >= $latB AND v.lat <= $latT " +
           s"AND v.lon >= $lonL AND v.lon <= $lonR)"
         val within = s"forall($rf, v -> v.lat >= $latB AND v.lat <= $latT " +
@@ -3109,7 +3106,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             "envelope query shape for intersects/disjoint")
         val ring = coords match {
           case JArray(List(JArray(r))) if r.size >= 4 =>
-            r.map(lonLat(_, "polygon vertex"))
+            r.map(jLonLat(_, "polygon vertex"))
           case _ => fail("polygon coordinates must be ONE ring " +
             "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
         }
@@ -3250,16 +3247,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
     sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
       fail(s"unsupported geo_shape shape option '$k'"))
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d)  => d
-      case JInt(i)     => i.toDouble
-      case JDecimal(d) => d.toDouble
-      case other       => fail(s"$what must be numeric: ${render(other)}")
-    }
-    def lonLat(v: JValue, what: String): (Double, Double) = v match {
-      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-    }
     val coords = sm.getOrElse("coordinates",
       fail("geo_shape shape requires coordinates"))
     val relation = strOpt(m, "relation").getOrElse("intersects")
@@ -3287,24 +3274,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val relPred: String = strOpt(sm, "type")
         .getOrElse(fail("geo_shape shape requires a type")) match {
       case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = t match {
-          case "envelope" =>
-            val (tl, br) = coords match {
-              case JArray(List(a2, b2)) =>
-                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
-              case other => fail(s"envelope coordinates must be " +
-                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
-            }
-            if (tl._2 < br._2)
-              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
-            if (tl._1 > br._1)
-              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
-                s"right lon ${br._1}) is unsupported")
-            (br._2, tl._2, tl._1, br._1)
-          case _ =>
-            val (lo, la) = lonLat(coords, "point coordinates")
-            (la, la, lo, lo)
-        }
+        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
         val vertexInBox = s"exists(flatten($rs), v -> " +
           s"v.lat >= $latB AND v.lat <= $latT " +
           s"AND v.lon >= $lonL AND v.lon <= $lonR)"
@@ -3420,16 +3390,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
     sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
       fail(s"unsupported geo_shape shape option '$k'"))
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d)  => d
-      case JInt(i)     => i.toDouble
-      case JDecimal(d) => d.toDouble
-      case other       => fail(s"$what must be numeric: ${render(other)}")
-    }
-    def lonLat(v: JValue, what: String): (Double, Double) = v match {
-      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-    }
     val coords = sm.getOrElse("coordinates",
       fail("geo_shape shape requires coordinates"))
     val relation = strOpt(m, "relation").getOrElse("intersects")
@@ -3452,24 +3412,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val relPred: String = strOpt(sm, "type")
         .getOrElse(fail("geo_shape shape requires a type")) match {
       case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = t match {
-          case "envelope" =>
-            val (tl, br) = coords match {
-              case JArray(List(a2, b2)) =>
-                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
-              case other => fail(s"envelope coordinates must be " +
-                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
-            }
-            if (tl._2 < br._2)
-              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
-            if (tl._1 > br._1)
-              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
-                s"right lon ${br._1}) is unsupported")
-            (br._2, tl._2, tl._1, br._1)
-          case _ =>
-            val (lo, la) = lonLat(coords, "point coordinates")
-            (la, la, lo, lo)
-        }
+        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
         def inBox(v: String) = s"$v.lat >= $latB AND $v.lat <= $latT " +
           s"AND $v.lon >= $lonL AND $v.lon <= $lonR"
         val corners = Seq((lonL, latB), (lonL, latT), (lonR, latB),
@@ -3585,16 +3528,6 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val lf = s"`$lf0`"
     sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
       fail(s"unsupported geo_shape shape option '$k'"))
-    def num(v: JValue, what: String): Double = v match {
-      case JDouble(d)  => d
-      case JInt(i)     => i.toDouble
-      case JDecimal(d) => d.toDouble
-      case other       => fail(s"$what must be numeric: ${render(other)}")
-    }
-    def lonLat(v: JValue, what: String): (Double, Double) = v match {
-      case JArray(List(lo, la)) => (num(lo, s"$what lon"), num(la, s"$what lat"))
-      case other => fail(s"$what must be a [lon, lat] pair: ${render(other)}")
-    }
     val coords = sm.getOrElse("coordinates",
       fail("geo_shape shape requires coordinates"))
     val relation = strOpt(m, "relation").getOrElse("intersects")
@@ -3606,24 +3539,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val relPred: String = strOpt(sm, "type")
         .getOrElse(fail("geo_shape shape requires a type")) match {
       case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = t match {
-          case "envelope" =>
-            val (tl, br) = coords match {
-              case JArray(List(a2, b2)) =>
-                (lonLat(a2, "envelope top_left"), lonLat(b2, "envelope bottom_right"))
-              case other => fail(s"envelope coordinates must be " +
-                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
-            }
-            if (tl._2 < br._2)
-              fail(s"envelope top lat (${tl._2}) must be >= bottom lat (${br._2})")
-            if (tl._1 > br._1)
-              fail(s"envelope crossing the antimeridian (left lon ${tl._1} > " +
-                s"right lon ${br._1}) is unsupported")
-            (br._2, tl._2, tl._1, br._1)
-          case _ =>
-            val (lo, la) = lonLat(coords, "point coordinates")
-            (la, la, lo, lo)
-        }
+        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
         val zeroArea = latB == latT && lonL == lonR
         val vertexInBox = s"exists($lf, v -> v.lat >= $latB AND v.lat <= $latT " +
           s"AND v.lon >= $lonL AND v.lon <= $lonR)"

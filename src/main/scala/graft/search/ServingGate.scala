@@ -67,17 +67,29 @@ final class ServingGate(maxConcurrent: Int, maxQueued: Int) {
     } else {
       // full: join the bounded wait queue or reject. The counter is
       // reserved BEFORE waiting so at most maxQueued threads ever
-      // block here (a reserve-then-check would admit stampedes).
+      // block here (a reserve-then-check would admit stampedes), and
+      // released in a finally — a waiter interrupted mid-acquire
+      // (client timeout/cancel) must not leak its slot, or the queue
+      // silently shrinks toward reject-on-saturation. An interrupted
+      // wait counts as a rejection (the request is not served).
       val q = queued.incrementAndGet()
       if (q > maxQueued) {
         queued.decrementAndGet()
         rejectedCount.incrementAndGet()
         None
       } else {
-        permits.acquire()
-        queued.decrementAndGet()
-        admittedCount.incrementAndGet()
-        try Some(body) finally permits.release()
+        val acquired =
+          try { permits.acquire(); true }
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); false }
+          finally queued.decrementAndGet()
+        if (!acquired) {
+          rejectedCount.incrementAndGet()
+          None
+        } else {
+          admittedCount.incrementAndGet()
+          try Some(body) finally permits.release()
+        }
       }
     }
   }

@@ -153,6 +153,30 @@ class DateHistogramDenseTzSpec extends SparkSpec {
       "2021-03-14T05:00:00Z", "2021-03-15T04:00:00Z").map(Instant.parse))
   }
 
+  test("fall-back overlap: docs before the span end bucketing ABOVE it leave no hole") {
+    // NY fall-back 2021-11-07T06:00Z. Doc A at 05:50Z is local 01:50
+    // EDT -> 15m boundary local 01:45, whose key maps through the
+    // LATER entry (the overlap rule): 06:45Z. Doc B (the span max) at
+    // 06:05Z is local 01:05 EST -> boundary 01:00 -> key 06:00Z. A
+    // span-endpoint-truncated series would stop at B's boundary and
+    // the empty 06:15Z/06:30Z buckets between the two non-empty ones
+    // would VANISH — the exact gap min_doc_count: 0 exists to prevent.
+    val docs = Seq(
+      (1L, ts("2021-11-07T05:50:00Z")),
+      (2L, ts("2021-11-07T06:05:00Z"))).toDF("k", "t")
+    val rows = QueryDsl.search(docs,
+      """{"size": 0, "aggs": {"h": {"date_histogram":
+           {"field": "t", "fixed_interval": "15m",
+            "time_zone": "America/New_York", "min_doc_count": 0}}}}""")
+      .collect().map(r => (r.getTimestamp(0).toInstant, r.getLong(1)))
+      .sortBy(_._1.toEpochMilli)
+    assert(rows === Seq(
+      (Instant.parse("2021-11-07T06:00:00Z"), 1L),
+      (Instant.parse("2021-11-07T06:15:00Z"), 0L),
+      (Instant.parse("2021-11-07T06:30:00Z"), 0L),
+      (Instant.parse("2021-11-07T06:45:00Z"), 1L)))
+  }
+
   test("property: the driver series is a superset of per-doc keys, duplicate-free (seeded random tables)") {
     val rnd = new scala.util.Random(20260816L)
     val offsets = Seq(-300L, -240L, -120L, 0L, 60L, 120L, 330L)
@@ -172,9 +196,15 @@ class DateHistogramDenseTzSpec extends SparkSpec {
       }
       val tz = entries.map { case (iso, off) => s"""["$iso", $off]""" }
         .mkString("""{"transitions": [""", ", ", "]}")
-      // 40 docs scattered over ~200 days incl. near the transitions
+      // 40 docs scattered over ~200 days PLUS docs planted within ±2h
+      // of every transition (the fall-back overlap window is where
+      // doc→boundary mapping goes non-monotone — the hole class)
       val docTs = (0 until 40).map { i =>
         base.plusSeconds(rnd.nextInt(200 * 86400).toLong)
+      } ++ entries.drop(1).flatMap { case (iso, _) =>
+        val t0 = java.time.Instant.parse(iso + "Z")
+        Seq(t0.minusSeconds(1L + rnd.nextInt(7200)),
+          t0.plusSeconds(rnd.nextInt(7200).toLong))
       }
       val docs = docTs.zipWithIndex
         .map { case (inst, i) => (i.toLong, java.sql.Timestamp.from(inst)) }

@@ -15,15 +15,17 @@ class ServingGateSpec extends AnyFunSuite {
     val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val completed = new java.util.concurrent.atomic.AtomicInteger(0)
     val rejected = new java.util.concurrent.atomic.AtomicInteger(0)
-    val started = new java.util.concurrent.CountDownLatch(10)
+    // deterministic: admitted bodies BLOCK on a latch the test holds
+    // until every outcome is decided (no sleep-length scheduling race
+    // — a descheduled late thread cannot sneak into a freed permit,
+    // because no permit frees before the latch opens)
+    val release = new java.util.concurrent.CountDownLatch(1)
     val threads = (0 until 10).map { _ =>
       new Thread(() => {
-        started.countDown()
-        started.await() // all 10 arrive together
         gate {
           val n = inFlight.incrementAndGet()
           maxSeen.accumulateAndGet(n, (a: Int, b: Int) => math.max(a, b))
-          Thread.sleep(150)
+          release.await()
           inFlight.decrementAndGet()
         } match {
           case Some(_) => completed.incrementAndGet()
@@ -31,13 +33,51 @@ class ServingGateSpec extends AnyFunSuite {
         }
       })
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
+    threads.foreach(_.start())
+    // 2 hold permits (blocked in the body), 2 hold queue slots
+    // (blocked in acquire), 6 reject — spin until the rejections land
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (gate.rejected < 6L && System.nanoTime() < deadline)
+      Thread.sleep(5)
+    assert(gate.rejected === 6L)
+    release.countDown()
+    threads.foreach(_.join())
     assert(maxSeen.get() <= 2, s"saw ${maxSeen.get()} concurrent bodies")
-    // 2 run + 2 queue = 4 admitted; 6 turned away at the door
+    // 2 ran + 2 queued = 4 admitted; 6 turned away at the door
     assert(completed.get() === 4)
     assert(rejected.get() === 6)
-    assert(gate.rejected === 6L)
     assert(gate.admitted === 4L)
+  }
+
+  test("an interrupted waiter frees its queue slot and counts as rejected") {
+    val gate = new ServingGate(1, 1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => { gate { release.await() }; () })
+    holder.start()
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (gate.admitted < 1L && System.nanoTime() < deadline) Thread.sleep(5)
+    // a waiter takes the ONE queue slot, then gets interrupted
+    val waiterOutcome = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val waiter = new Thread(() => {
+      waiterOutcome.set(if (gate(42).isEmpty) "rejected" else "served")
+    })
+    waiter.start()
+    while (waiter.getState != Thread.State.WAITING &&
+      System.nanoTime() < deadline) Thread.sleep(5)
+    waiter.interrupt()
+    waiter.join(30000)
+    assert(waiterOutcome.get() === "rejected")
+    // the queue slot must be FREE again: a new waiter queues (not
+    // rejects) and is served once the holder releases
+    val late = new Thread(() => {
+      waiterOutcome.set(if (gate(7).isDefined) "late-served" else "late-rejected")
+    })
+    late.start()
+    while (late.getState != Thread.State.WAITING &&
+      System.nanoTime() < deadline) Thread.sleep(5)
+    release.countDown()
+    late.join(30000); holder.join(30000)
+    assert(waiterOutcome.get() === "late-served")
   }
 
   test("an uncontended gate admits everything with zero rejections") {
