@@ -783,22 +783,34 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                       }
                     case None =>
                       val tb = tabOpt.get
-                      val um0 = unix_micros(col(f))
-                      val ltCol = stepOpt match {
-                        case Some(us) =>
-                          val lShift = um0 + transCase(um0, tb) - lit(offUs)
-                          lShift - pmod(lShift, lit(us)) + lit(offUs)
-                        case None =>
-                          val unit = calendarUnit(
-                            strOpt(hm, "calendar_interval").getOrElse("day"))
-                          val local = um0 + transCase(um0, tb)
-                          unix_micros(date_trunc(unit,
-                            timestamp_micros(local - lit(offUs)))) + lit(offUs)
+                      val dated = hits.filter(col(f).isNotNull)
+                      val cacheKey =
+                        s"${dated.queryExecution.analyzed.semanticHash()}#$f|" +
+                          s"${stepOpt.getOrElse(strOpt(hm, "calendar_interval")
+                            .getOrElse("day"))}|$offUs|${tb.hashCode}|" +
+                          planFreshness(dated)
+                      val cached = ltBoundsCache.get(cacheKey)
+                      if (cached != null) cached
+                      else {
+                        val um0 = unix_micros(col(f))
+                        val ltCol = stepOpt match {
+                          case Some(us) =>
+                            val lShift = um0 + transCase(um0, tb) - lit(offUs)
+                            lShift - pmod(lShift, lit(us)) + lit(offUs)
+                          case None =>
+                            val unit = calendarUnit(
+                              strOpt(hm, "calendar_interval").getOrElse("day"))
+                            val local = um0 + transCase(um0, tb)
+                            unix_micros(date_trunc(unit,
+                              timestamp_micros(local - lit(offUs)))) + lit(offUs)
+                        }
+                        val r = dated.agg(min(ltCol), max(ltCol)).head()
+                        val v =
+                          if (r.isNullAt(0)) None
+                          else Some((r.getLong(0), r.getLong(1)))
+                        ltBoundsCache.put(cacheKey, v)
+                        v
                       }
-                      val r = hits.filter(col(f).isNotNull)
-                        .agg(min(ltCol), max(ltCol)).head()
-                      if (r.isNullAt(0)) None
-                      else Some((r.getLong(0), r.getLong(1)))
                   }
                   val keys = ltBounds.map { case (s0, e0) =>
                     localDenseKeys(s0, e0, step, offUs, lTab)
@@ -2724,6 +2736,21 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     })
 
   private[search] def dateSpanCacheSize: Int = dateSpanCache.size()
+
+  /** Twin cache for the dense-series LOCAL-boundary bounds (the
+    * min/max of the compiled lTrunc expression a varying-offset
+    * `min_doc_count: 0` request aggregates): keyed by (hit-plan,
+    * field, step, offset knob, resolved transition table, source
+    * freshness), same LRU cap and same compute-outside-the-lock
+    * doctrine as [[dateSpanCache]] — a dashboard refreshing the same
+    * dense request must not pay the bounds scan per request.
+    */
+  private[search] val ltBoundsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[(Long, Long)]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[(Long, Long)]]): Boolean =
+        size() > dateSpanCacheCap
+    })
 
   /** Test hook: seed a cache entry directly (the eviction spec needs
     * many distinct keys without paying a corpus scan per key).
