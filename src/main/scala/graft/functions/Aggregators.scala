@@ -59,6 +59,53 @@ object Aggregators {
     * that survives a 100 TB stratum. Commutative (ties impossible:
     * ids are distinct) and deterministic, hence oracle-checkable.
     */
+  /** The geo_line track heap (r14, VERDICT r13 #2): the first `k`
+    * (sort, lat, lon) triples in the bucket's total order — `asc` the
+    * natural lexicographic tuple order, `desc` its full reverse
+    * (exactly `sort_array(..., asc=false)`'s reversed struct order,
+    * ties on the sort value breaking by lat then lon either way).
+    * Replaces `sort_array(collect_list(...))` + `slice`: that shape
+    * materializes the WHOLE bucket's track before truncating — a hot
+    * entity with 10⁸ points at scale builds a multi-GB single row.
+    * This buffer never exceeds 2k triples: rows append in O(1) and the
+    * buffer compacts (sort + take k) at 2k, so per-row cost is
+    * amortized O(log k) and per-bucket state is O(k) through map-side
+    * combine, shuffle, and merge. Input rows arrive as (ok, sort, lat,
+    * lon) — `ok` false marks gated/NULL rows to skip (a NULL tuple
+    * cannot ride a primitive-typed udaf input). The sort value rides
+    * as DOUBLE (exact for the |v| ≤ 2⁵³ fixture/date range; the
+    * compile path documents the cast). Commutative and deterministic
+    * (duplicate triples are interchangeable), hence oracle-checkable —
+    * q374 replays byte-identical.
+    */
+  final class TopKTrack(k: Int, asc: Boolean)
+      extends Aggregator[(Boolean, Double, Double, Double),
+        Seq[(Double, Double, Double)], (Seq[Double], Seq[Double])] {
+    private val ord: Ordering[(Double, Double, Double)] = {
+      val nat = implicitly[Ordering[(Double, Double, Double)]]
+      if (asc) nat else nat.reverse
+    }
+    override def zero: Seq[(Double, Double, Double)] = Vector.empty
+    override def reduce(buf: Seq[(Double, Double, Double)],
+        x: (Boolean, Double, Double, Double)): Seq[(Double, Double, Double)] =
+      if (!x._1) buf
+      else {
+        val grown = buf :+ ((x._2, x._3, x._4))
+        if (grown.length >= 2 * k) grown.sorted(ord).take(k) else grown
+      }
+    override def merge(a: Seq[(Double, Double, Double)],
+        b: Seq[(Double, Double, Double)]): Seq[(Double, Double, Double)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(buf: Seq[(Double, Double, Double)]): (Seq[Double], Seq[Double]) = {
+      val t = buf.sorted(ord).take(k)
+      (t.map(_._2), t.map(_._3))
+    }
+    override def bufferEncoder: Encoder[Seq[(Double, Double, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Double, Double)]]()
+    override def outputEncoder: Encoder[(Seq[Double], Seq[Double])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Seq[Double])]()
+  }
+
   final class SmallestKByKey(k: Int)
       extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
     private val ord = implicitly[Ordering[(Long, Long)]]

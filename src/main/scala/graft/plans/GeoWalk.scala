@@ -1,0 +1,1168 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** The geometry QUERY shape carried into the [[GeoWalk]] kernels —
+  * driver-validated constants, flat double arrays so the per-row walk
+  * is a cache-friendly JVM loop. Rings are stored OPEN (first != last,
+  * the closing edge implicit), flat `[lat0, lon0, lat1, lon1, ...]`.
+  * Serializable: the object rides the expression tree (and whole-stage
+  * codegen's `references` array) to executors.
+  */
+sealed trait GeoQueryShape extends Serializable
+
+/** An envelope (or a point, as the degenerate zero-area box). */
+final case class GeoBoxShape(latB: Double, latT: Double,
+    lonL: Double, lonR: Double) extends GeoQueryShape {
+  def zeroArea: Boolean = latB == latT && lonL == lonR
+}
+
+/** A polygon: ring 0 the shell, rings 1+ holes (even-odd region). */
+final case class GeoRegionShape(rings: Array[Array[Double]]) extends GeoQueryShape
+
+/** A multipolygon: components of rings (shell + holes each). */
+final case class GeoPolysShape(polys: Array[Array[Array[Double]]]) extends GeoQueryShape
+
+/** A circle: center + radius in the engine's pinned 6-dp haversine km. */
+final case class GeoCircleShape(lat: Double, lon: Double,
+    radiusKm: Double) extends GeoQueryShape
+
+/** Doc-side `geo_shape` relation as ONE static-call `doGenCode`
+  * expression (the `Ipv6Parse` doctrine, VERDICT r13 #1): the parity /
+  * crossing / distance walks run as plain JVM loops over the row's
+  * geometry column instead of unrolled expression terms or interpreted
+  * higher-order-function trees. This is what lifts the 64-vertex cap
+  * to [[GeoWalk.DefaultCap]] (16384): vertices are DATA to a loop, not
+  * codegen terms, so Janino's 64KB method wall no longer binds — and
+  * the loop is faster than the interpreted HOF lambdas it replaces.
+  *
+  * Returns a TINYINT classification so the predicate and the DLQ
+  * side-output share ONE walk and can never drift (the geoShapeDlq
+  * doctrine): NULL = dirty row (tri-state drop: NULL geometry, too few
+  * vertices, NULL coordinate), 0 = relation false, 1 = relation true,
+  * 2 = poison past the vertex cap, 3 = poison self-intersecting ring.
+  * Classification order is pinned: dirty, then the cap (BEFORE the
+  * O(n²)-worst-case simplicity walk — a hostile row must not buy
+  * unbounded CPU), then simplicity, then the relation.
+  *
+  * `docKind`: polygon (one open ring, `array<struct<lat,lon>>`), rings
+  * (shell + holes), polys (multipolygon), linestring (open chain —
+  * may legitimately self-cross, no simplicity check), multilinestring,
+  * multipoint. Reference anchor: the SEARCH collection's geo contract,
+  * `lib/opensearch-dynamodb-etl-cdk-stack.ts:91`.
+  */
+case class GeoDocRelate(child: Expression, docKind: String,
+    shape: GeoQueryShape, relation: String, cap: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ByteType
+  override def nullable: Boolean = true
+  override def prettyName: String = "geo_doc_relate"
+
+  private val docKindCode: Int = GeoWalk.docKindCode(docKind)
+  private val relCode: Int = GeoWalk.relationCode(relation)
+
+  /** The leaf vertex struct's lat/lon slot indices, resolved by NAME
+    * from the column's schema (the engine's explicit-field geo
+    * convention — no positional guessing).
+    */
+  private lazy val (latIdx: Int, lonIdx: Int) = {
+    val leaf = GeoWalk.leafStruct(child.dataType, docKindCode)
+    (leaf.fieldIndex("lat"), leaf.fieldIndex("lon"))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val depth = GeoWalk.kindDepth(docKindCode)
+    def unwrap(dt: DataType, d: Int): Option[StructType] = (dt, d) match {
+      case (ArrayType(inner, _), n) if n > 0 => unwrap(inner, n - 1)
+      case (st: StructType, 0)               => Some(st)
+      case _                                 => None
+    }
+    unwrap(child.dataType, depth) match {
+      case Some(st) if st.fieldNames.contains("lat") &&
+          st.fieldNames.contains("lon") &&
+          st("lat").dataType == DoubleType && st("lon").dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName($docKind) requires ${"array<" * depth}struct<lat: " +
+          s"double, lon: double>${">" * depth}, got ${child.dataType.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(geom: Any): Any =
+    GeoWalk.relate(geom.asInstanceOf[ArrayData], docKindCode, latIdx, lonIdx,
+      shape, relCode, cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val shapeRef = ctx.addReferenceObj("geoQueryShape", shape,
+      classOf[GeoQueryShape].getName)
+    nullSafeCodeGen(ctx, ev, g => {
+      val r = ctx.freshName("geoRel")
+      s"""java.lang.Byte $r = graft.plans.GeoWalk.relate($g, $docKindCode,
+         |  $latIdx, $lonIdx, (graft.plans.GeoQueryShape) $shapeRef,
+         |  $relCode, $cap);
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = ($r == null) ? (byte) 0 : $r.byteValue();""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GeoDocRelate =
+    copy(child = newChild)
+}
+
+object GeoDocRelate {
+  def apply(c: Column, docKind: String, shape: GeoQueryShape,
+      relation: String, cap: Int = GeoWalk.DefaultCap): Column =
+    ColumnBridge.column(GeoDocRelate(ColumnBridge.expression(c), docKind,
+      shape, relation, cap))
+}
+
+/** Point-doc membership in a query polygon/multipolygon past the
+  * 64-term codegen comfort zone: the crossing-parity (or, for a single
+  * strictly-convex CCW ring, the boundary-inclusive half-plane) walk
+  * as one JVM loop over the shape's vertex arrays. Semantics replicate
+  * the unrolled Column walks exactly — same cross-product formulas,
+  * same IEEE operand order, and the same NULL collapse (a NULL
+  * coordinate contributes no crossing, so membership is FALSE, never
+  * NULL — the `when(...).otherwise(0)` parity convention).
+  */
+case class GeoPointInShape(latE: Expression, lonE: Expression,
+    shape: GeoQueryShape) extends BinaryExpression {
+
+  override def left: Expression = latE
+  override def right: Expression = lonE
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "geo_point_in_shape"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (latE.dataType == DoubleType && lonE.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires DOUBLE lat/lon, got " +
+        s"${latE.dataType.simpleString}/${lonE.dataType.simpleString}")
+
+  override def eval(input: InternalRow): Any = {
+    val la = latE.eval(input)
+    val lo = lonE.eval(input)
+    if (la == null || lo == null) false
+    else GeoWalk.pointInShape(la.asInstanceOf[Double], lo.asInstanceOf[Double],
+      shape)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val shapeRef = ctx.addReferenceObj("geoQueryShape", shape,
+      classOf[GeoQueryShape].getName)
+    val laC = latE.genCode(ctx)
+    val loC = lonE.genCode(ctx)
+    val value = ctx.freshName("geoIn")
+    ev.copy(
+      code = code"""
+        ${laC.code}
+        ${loC.code}
+        boolean $value = false;
+        if (!${laC.isNull} && !${loC.isNull}) {
+          $value = graft.plans.GeoWalk.pointInShape(${laC.value},
+            ${loC.value}, (graft.plans.GeoQueryShape) $shapeRef);
+        }""",
+      value = JavaCode.variable(value, BooleanType),
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GeoPointInShape =
+    copy(latE = newLeft, lonE = newRight)
+}
+
+object GeoPointInShape {
+  def apply(lat: Column, lon: Column, shape: GeoQueryShape): Column =
+    ColumnBridge.column(GeoPointInShape(ColumnBridge.expression(lat),
+      ColumnBridge.expression(lon), shape))
+}
+
+/** Poison classification alone — the DLQ side-outputs' expression
+  * ([[GeoWalk.classify]]: 0 clean-or-dirty, 2 past the vertex cap, 3
+  * self-intersecting). Shares the exact parse + cap + simplicity
+  * kernels the [[GeoDocRelate]] predicate runs, so the query and its
+  * dead-letter view can never drift — now enforced by construction
+  * (one JVM method), not just by a shared SQL builder.
+  */
+case class GeoDocClassify(child: Expression, docKind: String, cap: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ByteType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "geo_doc_classify"
+
+  private val docKindCode: Int = GeoWalk.docKindCode(docKind)
+
+  private lazy val (latIdx: Int, lonIdx: Int) = {
+    val leaf = GeoWalk.leafStruct(child.dataType, docKindCode)
+    (leaf.fieldIndex("lat"), leaf.fieldIndex("lon"))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeoDocRelate(child, docKind, GeoBoxShape(0, 0, 0, 0), "intersects", cap)
+      .checkInputDataTypes()
+
+  override protected def nullSafeEval(geom: Any): Any =
+    GeoWalk.classify(geom.asInstanceOf[ArrayData], docKindCode, latIdx,
+      lonIdx, cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g =>
+      s"""${ev.value} = graft.plans.GeoWalk.classify($g, $docKindCode,
+         |  $latIdx, $lonIdx, $cap);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): GeoDocClassify =
+    copy(child = newChild)
+}
+
+object GeoDocClassify {
+  def apply(c: Column, docKind: String, cap: Int = GeoWalk.DefaultCap): Column =
+    ColumnBridge.column(GeoDocClassify(ColumnBridge.expression(c), docKind, cap))
+}
+
+/** The JVM geometry kernels behind [[GeoDocRelate]] / [[GeoPointInShape]].
+  * Every formula is the SAME IEEE expression (operands in the same
+  * order) the former Column / HOF walks computed, so results are
+  * bit-identical and every pre-existing geo oracle re-verifies
+  * unchanged: crossing parity `(bLon-aLon)*(py-aLat)-(bLat-aLat)*(px-aLon)`,
+  * box-edge separating axes, the segment-intersection orientation
+  * tests, and the q125 pinned haversine (for circle query shapes).
+  */
+object GeoWalk {
+
+  /** The lifted vertex cap (VERDICT r13 #1): vertices are loop data
+    * now, not codegen terms, so the binding constraint is the
+    * simplicity walk's worst case, not Janino. 16384 total vertices
+    * keeps even a hostile fully-overlapping ring's O(n²) pair walk
+    * bounded (~134M cheap bbox probes), while honest zone polygons
+    * (hundreds to low thousands of vertices, spatially local edges)
+    * sweep in near-linear time. Fail-loud beyond, like the old 64.
+    */
+  val DefaultCap: Int = 16384
+
+  // docKind codes
+  final val KindPolygon = 0
+  final val KindRings = 1
+  final val KindPolys = 2
+  final val KindLinestring = 3
+  final val KindMultiLinestring = 4
+  final val KindMultiPoint = 5
+
+  // relation codes
+  final val RelIntersects = 0
+  final val RelWithin = 1
+  final val RelContains = 2
+  final val RelDisjoint = 3
+
+  // classification codes (java.lang.Byte; null = dirty drop)
+  private val True = java.lang.Byte.valueOf(1: Byte)
+  private val False = java.lang.Byte.valueOf(0: Byte)
+  private val TooMany = java.lang.Byte.valueOf(2: Byte)
+  private val SelfX = java.lang.Byte.valueOf(3: Byte)
+
+  def docKindCode(k: String): Int = k match {
+    case "polygon"         => KindPolygon
+    case "rings"           => KindRings
+    case "polys"           => KindPolys
+    case "linestring"      => KindLinestring
+    case "multilinestring" => KindMultiLinestring
+    case "multipoint"      => KindMultiPoint
+    case other => throw new IllegalArgumentException(s"geo docKind '$other'")
+  }
+
+  def relationCode(r: String): Int = r match {
+    case "intersects" => RelIntersects
+    case "within"     => RelWithin
+    case "contains"   => RelContains
+    case "disjoint"   => RelDisjoint
+    case other => throw new IllegalArgumentException(s"geo relation '$other'")
+  }
+
+  /** Array nesting depth above the vertex struct for a docKind. */
+  def kindDepth(kind: Int): Int = kind match {
+    case KindPolygon | KindLinestring | KindMultiPoint => 1
+    case KindRings | KindMultiLinestring               => 2
+    case KindPolys                                     => 3
+  }
+
+  def leafStruct(dt: DataType, kind: Int): StructType = {
+    var d: DataType = dt
+    var n = kindDepth(kind)
+    while (n > 0) {
+      d = d.asInstanceOf[ArrayType].elementType
+      n -= 1
+    }
+    d.asInstanceOf[StructType]
+  }
+
+  // ------------------------------------------------------------ parsing
+
+  /** Minimum vertices per leaf chain for a docKind (rings 3, chains 2,
+    * points 1) — fewer is DIRTY (no interior/extent to misjudge), the
+    * tri-state drop.
+    */
+  private def minLeaf(kind: Int): Int = kind match {
+    case KindLinestring | KindMultiLinestring => 2
+    case KindMultiPoint                       => 1
+    case _                                    => 3
+  }
+
+  /** Parse the geometry column into components → chains → flat
+    * [lat, lon]* arrays, or null on ANY dirt (NULL element at any
+    * level, too-few vertices, NULL coordinate — the current arms'
+    * dirtyDrop predicates, exactly).
+    */
+  private def parse(geom: ArrayData, kind: Int, latIdx: Int,
+      lonIdx: Int): Array[Array[Array[Double]]] = {
+
+    def leafChain(a: ArrayData): Array[Double] = {
+      val n = a.numElements()
+      if (n < minLeaf(kind)) return null
+      val out = new Array[Double](2 * n)
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val v = a.getStruct(i, 2 max (latIdx max lonIdx) + 1)
+        if (v.isNullAt(latIdx) || v.isNullAt(lonIdx)) return null
+        out(2 * i) = v.getDouble(latIdx)
+        out(2 * i + 1) = v.getDouble(lonIdx)
+        i += 1
+      }
+      out
+    }
+
+    kind match {
+      case KindPolygon | KindLinestring | KindMultiPoint =>
+        val c = leafChain(geom)
+        if (c == null) null else Array(Array(c))
+      case KindRings | KindMultiLinestring =>
+        val n = geom.numElements()
+        if (n < 1) return null
+        val rings = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          if (geom.isNullAt(i)) return null
+          val r = leafChain(geom.getArray(i))
+          if (r == null) return null
+          rings(i) = r
+          i += 1
+        }
+        Array(rings)
+      case KindPolys =>
+        val np = geom.numElements()
+        if (np < 1) return null
+        val polys = new Array[Array[Array[Double]]](np)
+        var p = 0
+        while (p < np) {
+          if (geom.isNullAt(p)) return null
+          val pa = geom.getArray(p)
+          val nr = pa.numElements()
+          if (nr < 1) return null
+          val rings = new Array[Array[Double]](nr)
+          var i = 0
+          while (i < nr) {
+            if (pa.isNullAt(i)) return null
+            val r = leafChain(pa.getArray(i))
+            if (r == null) return null
+            rings(i) = r
+            i += 1
+          }
+          polys(p) = rings
+          p += 1
+        }
+        polys
+    }
+  }
+
+  // ------------------------------------------------------ classification
+
+  /** The ONE classification + relation walk (predicate and DLQ both
+    * call this — they can never drift). Null = dirty; 2/3 = poison;
+    * 0/1 = the relation's answer.
+    */
+  def relate(geom: ArrayData, kind: Int, latIdx: Int, lonIdx: Int,
+      shape: GeoQueryShape, rel: Int, cap: Int): java.lang.Byte = {
+    val comps = parse(geom, kind, latIdx, lonIdx)
+    if (comps == null) return null
+    var total = 0
+    var p = 0
+    while (p < comps.length) {
+      var i = 0
+      while (i < comps(p).length) {
+        total += comps(p)(i).length >> 1
+        i += 1
+      }
+      p += 1
+    }
+    if (total > cap) return TooMany
+    if (kind == KindPolygon || kind == KindRings || kind == KindPolys) {
+      p = 0
+      while (p < comps.length) {
+        var i = 0
+        while (i < comps(p).length) {
+          val r = comps(p)(i)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r)) return SelfX
+          i += 1
+        }
+        p += 1
+      }
+    }
+    val ans = kind match {
+      case KindPolygon | KindRings | KindPolys =>
+        ringedRelate(comps, kind == KindPolys, shape, rel)
+      case KindLinestring | KindMultiLinestring =>
+        lineRelate(comps(0), shape, rel)
+      case KindMultiPoint =>
+        pointsRelate(comps(0)(0), shape, rel)
+    }
+    if (ans) True else False
+  }
+
+  /** Poison classification alone (the DLQ side-output's walk): 0 =
+    * clean or dirty (not poison), 2 = too many vertices, 3 = self-
+    * intersecting. Shares [[relate]]'s parse and checks via the same
+    * kernels — kept separate so the DLQ never needs a query shape.
+    */
+  def classify(geom: ArrayData, kind: Int, latIdx: Int, lonIdx: Int,
+      cap: Int): Byte = {
+    val comps = parse(geom, kind, latIdx, lonIdx)
+    if (comps == null) return 0
+    var total = 0
+    var p = 0
+    while (p < comps.length) {
+      var i = 0
+      while (i < comps(p).length) {
+        total += comps(p)(i).length >> 1
+        i += 1
+      }
+      p += 1
+    }
+    if (total > cap) return 2
+    if (kind == KindPolygon || kind == KindRings || kind == KindPolys) {
+      p = 0
+      while (p < comps.length) {
+        var i = 0
+        while (i < comps(p).length) {
+          val r = comps(p)(i)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r)) return 3
+          i += 1
+        }
+        p += 1
+      }
+    }
+    0
+  }
+
+  // ------------------------------------------------------ ring relations
+
+  /** Polygon-family docs (polygon / rings / polys) vs the query shape.
+    * `perComponent`: polys compose some relations per GeoJSON
+    * component (disjoint islands) — intersects/contains distribute
+    * over components; within/vertex tests are region-global.
+    */
+  private def ringedRelate(comps: Array[Array[Array[Double]]],
+      perComponent: Boolean, shape: GeoQueryShape, rel: Int): Boolean =
+    shape match {
+      case GeoBoxShape(latB, latT, lonL, lonR) =>
+        def compIntersects(rings: Array[Array[Double]]): Boolean =
+          anyVertexInBox(rings, latB, latT, lonL, lonR) ||
+            anyCornerInRegion(rings, latB, latT, lonL, lonR) ||
+            anyEdgeCrossesBox(rings, latB, latT, lonL, lonR)
+        def compContains(rings: Array[Array[Double]]): Boolean =
+          allCornersInRegion(rings, latB, latT, lonL, lonR) &&
+            !anyEdgeCrossesBox(rings, latB, latT, lonL, lonR)
+        rel match {
+          case RelIntersects => comps.exists(compIntersects)
+          case RelDisjoint   => !comps.exists(compIntersects)
+          case RelWithin =>
+            comps.forall(allVerticesInBox(_, latB, latT, lonL, lonR))
+          case RelContains =>
+            if (perComponent) comps.exists(compContains)
+            else compContains(comps(0))
+        }
+
+      case q: GeoRegionShape => ringedVsRegion(comps, q.rings, rel)
+      case q: GeoPolysShape =>
+        // region semantics over the query's flattened ring set for
+        // intersects/within/disjoint; contains distributes over the
+        // QUERY's components (the doc must contain every island)
+        val flat = q.polys.flatten
+        rel match {
+          case RelContains => q.polys.forall(ringedVsRegion(comps, _, RelContains))
+          case r           => ringedVsRegion(comps, flat, r)
+        }
+
+      case GeoCircleShape(qLat, qLon, r) =>
+        val centerIn = parityAll(comps, qLat, qLon)
+        rel match {
+          case RelIntersects => centerIn || minEdgeDistKm(comps, qLat, qLon) <= r
+          case RelDisjoint   => !(centerIn || minEdgeDistKm(comps, qLat, qLon) <= r)
+          case RelWithin     => maxVertexDistKm(comps, qLat, qLon) <= r
+          case RelContains   => centerIn && minEdgeDistKm(comps, qLat, qLon) >= r
+        }
+    }
+
+  /** Doc region(s) vs a query RING SET (a polygon with holes, or one
+    * flattened multipolygon). Even-odd region membership both ways +
+    * the proper-crossing walk (VERDICT r13 #3):
+    *   - intersects: any doc vertex in the query region ∨ any query
+    *     vertex in the doc region ∨ any proper edge crossing —
+    *     boundary-touch-only overlap is measure-zero under the
+    *     fixture rule, like every other walk;
+    *   - within (doc ⊆ query): every doc vertex in the query region ∧
+    *     no query vertex in the doc region (a query HOLE inside the
+    *     doc would otherwise pass unseen) ∧ no proper crossing. A
+    *     single strictly-convex CCW query ring keeps the exact
+    *     boundary-inclusive half-plane form (the pre-existing fast
+    *     path — a convex container admits neither holes nor escapes);
+    *   - contains (doc ⊇ query): the mirror — every query vertex in
+    *     the doc region ∧ no doc vertex in the query region (a DOC
+    *     hole inside the query fails via its own vertices) ∧ no
+    *     proper crossing; for multipolygon docs, SOME component
+    *     contains (exact for disjoint components);
+    *   - disjoint: ¬intersects.
+    */
+  private def ringedVsRegion(comps: Array[Array[Array[Double]]],
+      qRings: Array[Array[Double]], rel: Int): Boolean = {
+    def docVerts(f: (Double, Double) => Boolean, all: Boolean): Boolean = {
+      var p = 0
+      while (p < comps.length) {
+        var i = 0
+        while (i < comps(p).length) {
+          val ring = comps(p)(i)
+          var k = 0
+          while (k < ring.length) {
+            val hit = f(ring(k), ring(k + 1))
+            if (all && !hit) return false
+            if (!all && hit) return true
+            k += 2
+          }
+          i += 1
+        }
+        p += 1
+      }
+      all
+    }
+    def anyQueryVertexIn(rings: Array[Array[Double]]): Boolean = {
+      var i = 0
+      while (i < qRings.length) {
+        val ring = qRings(i)
+        var k = 0
+        while (k < ring.length) {
+          if (parityRings(rings, ring(k), ring(k + 1))) return true
+          k += 2
+        }
+        i += 1
+      }
+      false
+    }
+    def anyProperCross(rings: Array[Array[Double]]): Boolean = {
+      var i = 0
+      while (i < rings.length) {
+        if (ringsProperCross(rings(i), qRings)) return true
+        i += 1
+      }
+      false
+    }
+    val allDoc = comps.flatten
+    rel match {
+      case RelIntersects =>
+        docVerts((la, lo) => parityRings(qRings, la, lo), all = false) ||
+          anyQueryVertexIn(allDoc) || anyProperCross(allDoc)
+      case RelDisjoint =>
+        !(docVerts((la, lo) => parityRings(qRings, la, lo), all = false) ||
+          anyQueryVertexIn(allDoc) || anyProperCross(allDoc))
+      case RelWithin =>
+        if (qRings.length == 1 && isConvexCcwFlat(qRings(0)))
+          docVerts((la, lo) => inHalfPlanes(qRings(0), la, lo), all = true)
+        else
+          docVerts((la, lo) => parityRings(qRings, la, lo), all = true) &&
+            !anyQueryVertexIn(allDoc) && !anyProperCross(allDoc)
+      case RelContains =>
+        def compContains(rings: Array[Array[Double]]): Boolean = {
+          var i = 0
+          while (i < qRings.length) {
+            val ring = qRings(i)
+            var k = 0
+            while (k < ring.length) {
+              if (!parityRings(rings, ring(k), ring(k + 1))) return false
+              k += 2
+            }
+            i += 1
+          }
+          var p = 0
+          while (p < rings.length) {
+            val ring = rings(p)
+            var k = 0
+            while (k < ring.length) {
+              if (parityRings(qRings, ring(k), ring(k + 1))) return false
+              k += 2
+            }
+            p += 1
+          }
+          !anyProperCross(rings)
+        }
+        if (comps.length == 1) compContains(comps(0))
+        else comps.exists(compContains)
+    }
+  }
+
+  // ------------------------------------------------------ line relations
+
+  /** Linestring / multilinestring docs: open chains (no closing edge,
+    * no simplicity requirement) vs the query shape.
+    */
+  private def lineRelate(chains: Array[Array[Double]], shape: GeoQueryShape,
+      rel: Int): Boolean = shape match {
+    case GeoBoxShape(latB, latT, lonL, lonR) =>
+      def intersects: Boolean = {
+        var i = 0
+        while (i < chains.length) {
+          val c = chains(i)
+          var k = 0
+          while (k < c.length) {
+            if (c(k) >= latB && c(k) <= latT && c(k + 1) >= lonL &&
+              c(k + 1) <= lonR) return true
+            k += 2
+          }
+          k = 0
+          while (k < c.length - 2) {
+            if (edgeCrossesBox(c(k), c(k + 1), c(k + 2), c(k + 3),
+              latB, latT, lonL, lonR)) return true
+            k += 2
+          }
+          i += 1
+        }
+        false
+      }
+      rel match {
+        case RelIntersects => intersects
+        case RelDisjoint   => !intersects
+        case RelWithin =>
+          def chainIn(c: Array[Double]): Boolean = {
+            var k = 0
+            while (k < c.length) {
+              if (!(c(k) >= latB && c(k) <= latT && c(k + 1) >= lonL &&
+                c(k + 1) <= lonR)) return false
+              k += 2
+            }
+            true
+          }
+          chains.forall(chainIn)
+        // contains: a 1-D geometry can contain only a zero-area query
+        // — the compile path enforces zeroArea, so this IS the
+        // point-on-line test (the degenerate-box intersects)
+        case RelContains => intersects
+      }
+    case GeoCircleShape(qLat, qLon, r) =>
+      val chainsAsComps = Array(chains)
+      rel match {
+        case RelIntersects => minChainDistKm(chains, qLat, qLon) <= r
+        case RelDisjoint   => !(minChainDistKm(chains, qLat, qLon) <= r)
+        case RelWithin     => maxVertexDistKm(chainsAsComps, qLat, qLon) <= r
+        case RelContains   => false // enforced unreachable at compile
+      }
+    case _ =>
+      throw new IllegalStateException("linestring docs take envelope/point/circle query shapes")
+  }
+
+  // ----------------------------------------------------- point relations
+
+  /** Multipoint docs: a bag of coordinates vs the query shape. */
+  private def pointsRelate(pts: Array[Double], shape: GeoQueryShape,
+      rel: Int): Boolean = {
+    def each(f: (Double, Double) => Boolean, all: Boolean): Boolean = {
+      var k = 0
+      while (k < pts.length) {
+        val hit = f(pts(k), pts(k + 1))
+        if (all && !hit) return false
+        if (!all && hit) return true
+        k += 2
+      }
+      all
+    }
+    shape match {
+      case GeoBoxShape(latB, latT, lonL, lonR) =>
+        def in(la: Double, lo: Double) =
+          la >= latB && la <= latT && lo >= lonL && lo <= lonR
+        rel match {
+          case RelIntersects => each(in, all = false)
+          case RelDisjoint   => !each(in, all = false)
+          case RelWithin     => each(in, all = true)
+          // contains: points have no area — the compile path enforces
+          // a zero-area query, making this the exact-membership test
+          case RelContains   => each(in, all = false)
+        }
+      case GeoCircleShape(qLat, qLon, r) =>
+        def in(la: Double, lo: Double) = haversineKm(la, lo, qLat, qLon) <= r
+        rel match {
+          case RelIntersects => each(in, all = false)
+          case RelDisjoint   => !each(in, all = false)
+          case RelWithin     => each(in, all = true)
+          case RelContains   => false // enforced unreachable at compile
+        }
+      case _ =>
+        throw new IllegalStateException("multipoint docs take envelope/point/circle query shapes")
+    }
+  }
+
+  // ----------------------------------------------- query-side membership
+
+  /** Point-doc membership (the >64-vertex routing of the query-side
+    * walks): single strictly-convex CCW ring → boundary-inclusive
+    * half-planes (the convexRingPredicate formula); anything else →
+    * even-odd crossing parity (the crossingParityPredicate formula).
+    * Multipolygon: OR of per-polygon membership, each routed the same
+    * way — exactly the unrolled perPoly composition.
+    */
+  def pointInShape(lat: Double, lon: Double, shape: GeoQueryShape): Boolean =
+    shape match {
+      case q: GeoRegionShape =>
+        if (q.rings.length == 1 && isConvexCcwFlat(q.rings(0)))
+          inHalfPlanes(q.rings(0), lat, lon)
+        else parityRings(q.rings, lat, lon)
+      case q: GeoPolysShape =>
+        var p = 0
+        while (p < q.polys.length) {
+          val rings = q.polys(p)
+          val in =
+            if (rings.length == 1 && isConvexCcwFlat(rings(0)))
+              inHalfPlanes(rings(0), lat, lon)
+            else parityRings(rings, lat, lon)
+          if (in) return true
+          p += 1
+        }
+        false
+      case _ =>
+        throw new IllegalStateException("pointInShape takes polygon shapes")
+    }
+
+  // ------------------------------------------------------------- kernels
+
+  /** Even-odd crossing parity of (py=lat, px=lon) vs the closed rings
+    * (stored open): the +lon-ray walk — for each edge spanning the
+    * point's latitude, count a crossing when the point sits on the
+    * edge's ray side, by the SIGN of the same cross product every
+    * engine path uses. Horizontal edges never span. A NaN coordinate
+    * never counts (every comparison is false) — matching the Column
+    * walk's `when(...).otherwise(0)`.
+    */
+  def parityRings(rings: Array[Array[Double]], py: Double, px: Double): Boolean = {
+    var c = 0
+    var i = 0
+    while (i < rings.length) {
+      val r = rings(i)
+      val n = r.length >> 1
+      var k = 0
+      while (k < n) {
+        val aLat = r(2 * k); val aLon = r(2 * k + 1)
+        val j = if (k + 1 == n) 0 else k + 1
+        val bLat = r(2 * j); val bLon = r(2 * j + 1)
+        if ((aLat > py) != (bLat > py)) {
+          val cross = (bLon - aLon) * (py - aLat) - (bLat - aLat) * (px - aLon)
+          if (if (bLat > aLat) cross > 0.0 else cross < 0.0) c += 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    (c & 1) == 1
+  }
+
+  private def parityAll(comps: Array[Array[Array[Double]]], py: Double,
+      px: Double): Boolean = {
+    // region parity across ALL components' rings (even-odd: disjoint
+    // components XOR like shell+holes — exact for disjoint islands)
+    var c = 0
+    var p = 0
+    while (p < comps.length) {
+      if (parityRings(comps(p), py, px)) c += 1
+      p += 1
+    }
+    (c & 1) == 1
+  }
+
+  /** Boundary-inclusive half-plane membership for ONE strictly-convex
+    * CCW ring — the convexRingPredicate formula:
+    * `(lon2-lon1)*(lat-lat1) - (lat2-lat1)*(lon-lon1) >= 0` per edge.
+    */
+  def inHalfPlanes(ring: Array[Double], lat: Double, lon: Double): Boolean = {
+    val n = ring.length >> 1
+    var k = 0
+    while (k < n) {
+      val lat1 = ring(2 * k); val lon1 = ring(2 * k + 1)
+      val j = if (k + 1 == n) 0 else k + 1
+      val lat2 = ring(2 * j); val lon2 = ring(2 * j + 1)
+      if (!((lon2 - lon1) * (lat - lat1) - (lat2 - lat1) * (lon - lon1) >= 0.0))
+        return false
+      k += 1
+    }
+    true
+  }
+
+  /** Strictly-convex CCW probe (the isConvexCcw formula on a flat
+    * ring): every turn's cross product strictly positive.
+    */
+  def isConvexCcwFlat(ring: Array[Double]): Boolean = {
+    val n = ring.length >> 1
+    var i = 0
+    while (i < n) {
+      val aLat = ring(2 * i); val aLon = ring(2 * i + 1)
+      val j = if (i + 1 == n) 0 else i + 1
+      val bLat = ring(2 * j); val bLon = ring(2 * j + 1)
+      val k = if (j + 1 == n) 0 else j + 1
+      val cLat = ring(2 * k); val cLon = ring(2 * k + 1)
+      if (!((bLon - aLon) * (cLat - bLat) - (bLat - aLat) * (cLon - bLon) > 0.0))
+        return false
+      i += 1
+    }
+    true
+  }
+
+  private def anyVertexInBox(rings: Array[Array[Double]], latB: Double,
+      latT: Double, lonL: Double, lonR: Double): Boolean = {
+    var i = 0
+    while (i < rings.length) {
+      val r = rings(i)
+      var k = 0
+      while (k < r.length) {
+        if (r(k) >= latB && r(k) <= latT && r(k + 1) >= lonL &&
+          r(k + 1) <= lonR) return true
+        k += 2
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def allVerticesInBox(rings: Array[Array[Double]], latB: Double,
+      latT: Double, lonL: Double, lonR: Double): Boolean = {
+    var i = 0
+    while (i < rings.length) {
+      val r = rings(i)
+      var k = 0
+      while (k < r.length) {
+        if (!(r(k) >= latB && r(k) <= latT && r(k + 1) >= lonL &&
+          r(k + 1) <= lonR)) return false
+        k += 2
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** The box's distinct corners, in the pinned walk order. */
+  private def boxCorners(latB: Double, latT: Double, lonL: Double,
+      lonR: Double): Array[Double] =
+    if (latB == latT && lonL == lonR) Array(latB, lonL)
+    else if (latB == latT) Array(latB, lonL, latB, lonR)
+    else if (lonL == lonR) Array(latB, lonL, latT, lonL)
+    else Array(latB, lonL, latT, lonL, latB, lonR, latT, lonR)
+
+  private def anyCornerInRegion(rings: Array[Array[Double]], latB: Double,
+      latT: Double, lonL: Double, lonR: Double): Boolean = {
+    val cs = boxCorners(latB, latT, lonL, lonR)
+    var k = 0
+    while (k < cs.length) {
+      if (parityRings(rings, cs(k), cs(k + 1))) return true
+      k += 2
+    }
+    false
+  }
+
+  private def allCornersInRegion(rings: Array[Array[Double]], latB: Double,
+      latT: Double, lonL: Double, lonR: Double): Boolean = {
+    val cs = boxCorners(latB, latT, lonL, lonR)
+    var k = 0
+    while (k < cs.length) {
+      if (!parityRings(rings, cs(k), cs(k + 1))) return false
+      k += 2
+    }
+    true
+  }
+
+  /** Segment-vs-box separating test: bounding boxes overlap AND the
+    * four box corners are not strictly on one side of the segment's
+    * line — the edgeCross SQL, operand order preserved.
+    */
+  def edgeCrossesBox(aLat: Double, aLon: Double, bLat: Double, bLon: Double,
+      latB: Double, latT: Double, lonL: Double, lonR: Double): Boolean = {
+    if (!(math.min(aLat, bLat) <= latT && math.max(aLat, bLat) >= latB &&
+      math.min(aLon, bLon) <= lonR && math.max(aLon, bLon) >= lonL))
+      return false
+    def side(cx: Double, cy: Double): Double =
+      (bLon - aLon) * (cy - aLat) - (bLat - aLat) * (cx - aLon)
+    val s1 = side(lonL, latB); val s2 = side(lonL, latT)
+    val s3 = side(lonR, latB); val s4 = side(lonR, latT)
+    val strictSame = (s1 > 0.0 && s2 > 0.0 && s3 > 0.0 && s4 > 0.0) ||
+      (s1 < 0.0 && s2 < 0.0 && s3 < 0.0 && s4 < 0.0)
+    !strictSame
+  }
+
+  private def anyEdgeCrossesBox(rings: Array[Array[Double]], latB: Double,
+      latT: Double, lonL: Double, lonR: Double): Boolean = {
+    var i = 0
+    while (i < rings.length) {
+      val r = rings(i)
+      val n = r.length >> 1
+      var k = 0
+      while (k < n) {
+        val j = if (k + 1 == n) 0 else k + 1
+        if (edgeCrossesBox(r(2 * k), r(2 * k + 1), r(2 * j), r(2 * j + 1),
+          latB, latT, lonL, lonR)) return true
+        k += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  private def sgn(v: Double): Int = if (v > 0) 1 else if (v < 0) -1 else 0
+
+  /** Proper crossing (o₁o₂ < 0 ∧ o₃o₄ < 0 — tangent touches excluded,
+    * the within-walk convention) between any edge of `ring` (closed)
+    * and any edge of the query ring set.
+    */
+  private def ringsProperCross(ring: Array[Double],
+      qRings: Array[Array[Double]]): Boolean = {
+    val n = ring.length >> 1
+    var k = 0
+    while (k < n) {
+      val aLat = ring(2 * k); val aLon = ring(2 * k + 1)
+      val j = if (k + 1 == n) 0 else k + 1
+      val bLat = ring(2 * j); val bLon = ring(2 * j + 1)
+      var qi = 0
+      while (qi < qRings.length) {
+        val q = qRings(qi)
+        val m = q.length >> 1
+        var t = 0
+        while (t < m) {
+          val cLat = q(2 * t); val cLon = q(2 * t + 1)
+          val u = if (t + 1 == m) 0 else t + 1
+          val dLat = q(2 * u); val dLon = q(2 * u + 1)
+          // orient of query endpoints vs the doc edge, then doc
+          // endpoints vs the query edge (the anyProperCross formula)
+          val o1 = sgn((bLon - aLon) * (cLat - aLat) - (bLat - aLat) * (cLon - aLon))
+          val o2 = sgn((bLon - aLon) * (dLat - aLat) - (bLat - aLat) * (dLon - aLon))
+          val o3 = sgn((dLon - cLon) * (aLat - cLat) - (dLat - cLat) * (aLon - cLon))
+          val o4 = sgn((dLon - cLon) * (bLat - cLat) - (dLat - cLat) * (bLon - cLon))
+          if (o1 * o2 < 0 && o3 * o4 < 0) return true
+          t += 1
+        }
+        qi += 1
+      }
+      k += 1
+    }
+    false
+  }
+
+  /** Ring simplicity: does any non-adjacent edge pair intersect
+    * (proper or collinear touch — the selfIntersectSql test)? The pair
+    * walk is pruned by a latitude sweep (edges sorted by min lat; the
+    * inner scan stops once the next edge's min lat clears this edge's
+    * max lat) — near-linear on honest spatially-local rings, O(n²)
+    * bbox probes worst case, bounded by the vertex cap either way.
+    */
+  def ringSelfIntersects(ring: Array[Double]): Boolean = {
+    val n = ring.length >> 1
+    if (n <= 3) return false
+    // edge k: (v_k, v_{k+1 mod n})
+    def eLat1(k: Int) = ring(2 * k)
+    def eLon1(k: Int) = ring(2 * k + 1)
+    def eLat2(k: Int) = { val j = if (k + 1 == n) 0 else k + 1; ring(2 * j) }
+    def eLon2(k: Int) = { val j = if (k + 1 == n) 0 else k + 1; ring(2 * j + 1) }
+
+    def segTouch(p1la: Double, p1lo: Double, p2la: Double, p2lo: Double,
+        q1la: Double, q1lo: Double, q2la: Double, q2lo: Double): Boolean = {
+      // the selfIntersectSql orientation test: lon is x, lat is y
+      def orient(ax: Double, ay: Double, bx: Double, by: Double,
+          cx: Double, cy: Double): Int =
+        sgn((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+      def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
+          px: Double, py: Double): Boolean =
+        px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+          py >= math.min(ay, by) && py <= math.max(ay, by)
+      val o1 = orient(p1lo, p1la, p2lo, p2la, q1lo, q1la)
+      val o2 = orient(p1lo, p1la, p2lo, p2la, q2lo, q2la)
+      val o3 = orient(q1lo, q1la, q2lo, q2la, p1lo, p1la)
+      val o4 = orient(q1lo, q1la, q2lo, q2la, p2lo, p2la)
+      (o1 * o2 < 0 && o3 * o4 < 0) ||
+        (o1 == 0 && onSeg(p1lo, p1la, p2lo, p2la, q1lo, q1la)) ||
+        (o2 == 0 && onSeg(p1lo, p1la, p2lo, p2la, q2lo, q2la)) ||
+        (o3 == 0 && onSeg(q1lo, q1la, q2lo, q2la, p1lo, p1la)) ||
+        (o4 == 0 && onSeg(q1lo, q1la, q2lo, q2la, p2lo, p2la))
+    }
+
+    def pairHits(i: Int, j: Int): Boolean = {
+      val adjacent = j == i + 1 || (i == 0 && j == n - 1)
+      if (adjacent) return false
+      // cheap bbox reject before the orientation tests
+      val iMinLa = math.min(eLat1(i), eLat2(i)); val iMaxLa = math.max(eLat1(i), eLat2(i))
+      val jMinLa = math.min(eLat1(j), eLat2(j)); val jMaxLa = math.max(eLat1(j), eLat2(j))
+      if (iMaxLa < jMinLa || jMaxLa < iMinLa) return false
+      val iMinLo = math.min(eLon1(i), eLon2(i)); val iMaxLo = math.max(eLon1(i), eLon2(i))
+      val jMinLo = math.min(eLon1(j), eLon2(j)); val jMaxLo = math.max(eLon1(j), eLon2(j))
+      if (iMaxLo < jMinLo || jMaxLo < iMinLo) return false
+      segTouch(eLat1(i), eLon1(i), eLat2(i), eLon2(i),
+        eLat1(j), eLon1(j), eLat2(j), eLon2(j))
+    }
+
+    if (n <= 128) {
+      // small rings: the direct pair walk (the historical shape)
+      var i = 0
+      while (i < n - 2) {
+        var j = i + 2
+        val jMax = if (i == 0) n - 2 else n - 1
+        while (j <= jMax) {
+          if (pairHits(i, j)) return true
+          j += 1
+        }
+        i += 1
+      }
+      false
+    } else {
+      // latitude sweep: sort edge ids by min lat; for each, scan
+      // forward only while the candidate's min lat is under this
+      // edge's max lat (non-overlapping lat bands cannot intersect)
+      val ids = Array.range(0, n)
+      val minLa = new Array[Double](n)
+      val maxLa = new Array[Double](n)
+      var k = 0
+      while (k < n) {
+        minLa(k) = math.min(eLat1(k), eLat2(k))
+        maxLa(k) = math.max(eLat1(k), eLat2(k))
+        k += 1
+      }
+      val sorted = ids.sortBy(minLa)
+      var a = 0
+      while (a < n) {
+        val i = sorted(a)
+        var b = a + 1
+        while (b < n && minLa(sorted(b)) <= maxLa(i)) {
+          val j = sorted(b)
+          if (pairHits(math.min(i, j), math.max(i, j))) return true
+          b += 1
+        }
+        a += 1
+      }
+      false
+    }
+  }
+
+  // ------------------------------------------------------ circle kernels
+
+  /** The engine's ONE haversine as a JVM function: 6-dp-rounded km,
+    * identical IEEE operand order to the q125 Column recipe (the
+    * `geo_distance` / `_geo_distance` formula), so circle query shapes
+    * on point docs and on doc geometries can never drift. The rounding
+    * replicates Spark's `round(x, 6)` on doubles (shortest-decimal
+    * BigDecimal, HALF_UP) — pinned by GeoWalkSpec against the Column
+    * form.
+    */
+  def haversineKm(lat: Double, lon: Double, qLat: Double, qLon: Double): Double = {
+    val pi = math.Pi
+    val sdlat = math.sin((lat - qLat) * pi / 180.0 / 2.0)
+    val sdlon = math.sin((lon - qLon) * pi / 180.0 / 2.0)
+    val raw = 12742.0176 * math.asin(math.sqrt(
+      sdlat * sdlat +
+        math.cos(qLat * pi / 180.0) * math.cos(lat * pi / 180.0) *
+          sdlon * sdlon))
+    new java.math.BigDecimal(java.lang.Double.toString(raw))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Min 6-dp haversine km from the query point to a SEGMENT: closest
+    * point by the planar clamp (t = projection parameter clamped to
+    * [0,1] in raw lat/lon coordinates — exact for the axis-aligned
+    * fixtures, documented approximation for oblique segments at
+    * continental scale), then the pinned haversine to it.
+    */
+  def segDistKm(aLat: Double, aLon: Double, bLat: Double, bLon: Double,
+      qLat: Double, qLon: Double): Double = {
+    val dLat = bLat - aLat
+    val dLon = bLon - aLon
+    val len2 = dLat * dLat + dLon * dLon
+    val t0 = if (len2 == 0.0) 0.0
+      else ((qLat - aLat) * dLat + (qLon - aLon) * dLon) / len2
+    val t = if (t0 < 0.0) 0.0 else if (t0 > 1.0) 1.0 else t0
+    haversineKm(aLat + t * dLat, aLon + t * dLon, qLat, qLon)
+  }
+
+  private def minEdgeDistKm(comps: Array[Array[Array[Double]]], qLat: Double,
+      qLon: Double): Double = {
+    var best = Double.MaxValue
+    var p = 0
+    while (p < comps.length) {
+      var i = 0
+      while (i < comps(p).length) {
+        val r = comps(p)(i)
+        val n = r.length >> 1
+        var k = 0
+        while (k < n) {
+          val j = if (k + 1 == n) 0 else k + 1
+          val d = segDistKm(r(2 * k), r(2 * k + 1), r(2 * j), r(2 * j + 1),
+            qLat, qLon)
+          if (d < best) best = d
+          k += 1
+        }
+        i += 1
+      }
+      p += 1
+    }
+    best
+  }
+
+  private def minChainDistKm(chains: Array[Array[Double]], qLat: Double,
+      qLon: Double): Double = {
+    var best = Double.MaxValue
+    var i = 0
+    while (i < chains.length) {
+      val c = chains(i)
+      if (c.length == 2) {
+        val d = haversineKm(c(0), c(1), qLat, qLon)
+        if (d < best) best = d
+      }
+      var k = 0
+      while (k < c.length - 2) {
+        val d = segDistKm(c(k), c(k + 1), c(k + 2), c(k + 3), qLat, qLon)
+        if (d < best) best = d
+        k += 2
+      }
+      i += 1
+    }
+    best
+  }
+
+  private def maxVertexDistKm(comps: Array[Array[Array[Double]]], qLat: Double,
+      qLon: Double): Double = {
+    var worst = 0.0
+    var p = 0
+    while (p < comps.length) {
+      var i = 0
+      while (i < comps(p).length) {
+        val r = comps(p)(i)
+        var k = 0
+        while (k < r.length) {
+          val d = haversineKm(r(k), r(k + 1), qLat, qLon)
+          if (d > worst) worst = d
+          k += 2
+        }
+        i += 1
+      }
+      p += 1
+    }
+    worst
+  }
+}

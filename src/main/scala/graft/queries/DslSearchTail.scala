@@ -3104,7 +3104,7 @@ object DslSearchTail {
     // per-record-poison doctrine, S6): the q358 diamond fixture with
     // POISON injected by construction — a self-intersecting bowtie
     // (the diamond with two vertices swapped, key % 7) and a
-    // 66-vertex ring past the cap (key % 17). Default mode raises on
+    // 16391-vertex ring past the 16384 cap (key % 17). Default mode raises on
     // the first poison row; with on_invalid: dlq the query PROCEEDS
     // and its answer equals the clean-subset oracle (poison rows
     // drop like the tri-state convention; NULL/short rings were
@@ -3126,7 +3126,7 @@ object DslSearchTail {
                  THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
                             struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
                WHEN c_custkey % 17 = 0
-                 THEN transform(sequence(0, 65),
+                 THEN transform(sequence(0, 16390),
                         i -> struct(CAST(i AS DOUBLE) AS lat,
                                     CAST(i * i AS DOUBLE) AS lon))
                WHEN c_custkey % 7 = 0
@@ -3165,8 +3165,8 @@ object DslSearchTail {
     // the DLQ side-output itself (geoShapeDlq — the counted
     // diagnostic): exactly the poison rows, tagged with their reason.
     // Truth from construction: % 17 rings (minus the higher-priority
-    // NULL/short arms) exceed the 64-vertex cap; % 7 rings are the
-    // bowtie. NULL and 2-vertex rings are drops, NOT poison — they
+    // NULL/short arms) exceed the 16384-vertex kernel cap; % 7 rings
+    // are the bowtie. NULL and 2-vertex rings are drops, NOT poison — they
     // must not appear.
     GraftQuery(
       "q365_dsl_geo_shape_dlq_rows",
@@ -3185,7 +3185,7 @@ object DslSearchTail {
                  THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
                             struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
                WHEN c_custkey % 17 = 0
-                 THEN transform(sequence(0, 65),
+                 THEN transform(sequence(0, 16390),
                         i -> struct(CAST(i AS DOUBLE) AS lat,
                                     CAST(i * i AS DOUBLE) AS lon))
                WHEN c_custkey % 7 = 0
@@ -3668,6 +3668,469 @@ object DslSearchTail {
            OR greatest(abs(0.5003 - cx), abs(-2.0007 - (cy + 20))) < rr / 2
         ORDER BY c_custkey
         LIMIT 300
+      """.stripMargin.trim)),
+
+    // big QUERY polygon past the old 64-vertex wall (r14, VERDICT r13
+    // #1): a 514-vertex rectilinear staircase — 256 steps of width
+    // 0.125°, step heights a 13-cycle — compiled through the
+    // GeoPointInShape JVM kernel (vertices are loop data, not codegen
+    // terms). Truth from CONSTRUCTION: membership is interval algebra
+    // (lon in the staircase span, lat between the base and the step's
+    // top), never the engine's parity walk. Boundaries carry a 4th
+    // decimal (.0005) against the fixture's milli-degree lattice — the
+    // measure-zero rule.
+    GraftQuery(
+      "q376_dsl_geo_shape_big_query_polygon",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("plat", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("plon", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+        val steps = 256
+        def x(j: Int): Double = -16.0005 + j * 0.125
+        def top(j: Int): Double = ((j.toLong * 7919) % 13).toDouble - 6.0005
+        val base = -8.0005
+        def pt(la: Double, lo: Double) = s"[$lo, $la]"
+        val verts = Seq(pt(base, x(0)), pt(top(0), x(0))) ++
+          (0 until steps).flatMap { j =>
+            Seq(pt(top(j), x(j + 1))) ++
+              (if (j < steps - 1) Seq(pt(top(j + 1), x(j + 1))) else Nil)
+          } ++ Seq(pt(base, x(steps)), pt(base, x(0)))
+        QueryDsl.search(c,
+          s"""{"query": {"geo_shape": {"lat_field": "plat", "lon_field": "plon",
+               "shape": {"type": "polygon",
+                 "coordinates": [${verts.mkString("[", ", ", "]")}]}}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS plat,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS plon
+          FROM customer)
+        SELECT c_custkey FROM t
+        WHERE plon > -16.0005 AND plon < 15.9995
+          AND plat > -8.0005
+          AND plat < CAST((CAST(floor((plon + 16.0005) / 0.125) AS BIGINT)
+                           * 7919) % 13 AS DOUBLE) - 6.0005
+        ORDER BY c_custkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // big DOC rings past the old wall (r14, VERDICT r13 #1): each row
+    // carries a 130-vertex rectilinear staircase (64 steps, heights an
+    // 8-cycle keyed by c_custkey), probed with contains(P) through the
+    // GeoDocRelate kernel. Truth from construction: P inside row k's
+    // staircase ⟺ P's lon offset lands in the span and P's lat sits
+    // under that step's keyed top — plain arithmetic, no walk. Dirty
+    // arms (NULL ring, 2-vertex ring) drop.
+    GraftQuery(
+      "q377_dsl_geo_shape_big_doc_ring",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("ring", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               WHEN c_custkey % 13 = 0
+                 THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                            struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+               ELSE concat(
+                 array(struct(cx AS lat, cy AS lon)),
+                 flatten(transform(sequence(0, 63), j -> array(
+                   struct(cx + 0.25 + CAST((c_custkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                          cy + CAST(j AS DOUBLE) / 8.0 AS lon),
+                   struct(cx + 0.25 + CAST((c_custkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                          cy + CAST(j + 1 AS DOUBLE) / 8.0 AS lon)))),
+                 array(struct(cx AS lat, cy + 8.0 AS lon))) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.0004]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 300,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy
+          FROM customer
+          WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0)
+        SELECT c_custkey FROM t
+        WHERE (-2.0007 - cy) > 0 AND (-2.0007 - cy) < 8
+          AND 0.0004 > cx
+          AND 0.0004 < cx + 0.25 + CAST((c_custkey
+                + CAST(floor((-2.0007 - cy) * 8) AS BIGINT)) % 8 AS DOUBLE) * 0.25
+        ORDER BY c_custkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // CONCAVE query polygon vs the frame (rings) docs, relation
+    // intersects (r14, VERDICT r13 #3): the query is an L-shape — the
+    // union of two axis-aligned rectangles — so the oracle derives
+    // truth from rectangle-vs-annulus interval algebra (box meets the
+    // shell's box AND is not swallowed by the hole), never the
+    // engine's vertex/crossing walk. Frames are the q368 fixture
+    // (shell 2rr, hole rr, milli-degree centers).
+    GraftQuery(
+      "q378_dsl_geo_shape_rings_vs_concave_query",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rr", expr("CAST(2 + c_custkey % 8 AS DOUBLE)"))
+          .withColumn("h", expr("rr / 2"))
+          .withColumn("rings", expr(
+            """array(
+                 array(struct(cx - rr AS lat, cy - rr AS lon),
+                       struct(cx - rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy - rr AS lon)),
+                 array(struct(cx - h AS lat, cy - h AS lon),
+                       struct(cx - h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy - h AS lon)))"""))
+        // L = R1 ∪ R2: R1 lat [-6.0003, -1.0007] lon [-12.0001, -4.0009],
+        //              R2 lat [-1.0007,  4.0001] lon [-12.0001, -9.0003]
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "rings_field": "rings"},
+               "shape": {"type": "polygon", "coordinates":
+                 [[[-12.0001, -6.0003], [-4.0009, -6.0003], [-4.0009, -1.0007],
+                   [-9.0003, -1.0007], [-9.0003, 4.0001], [-12.0001, 4.0001],
+                   [-12.0001, -6.0003]]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(2 + c_custkey % 8 AS DOUBLE) AS rr
+          FROM customer),
+        r AS (
+          SELECT c_custkey, cx, cy, rr, rr / 2 AS h FROM t)
+        SELECT c_custkey FROM r
+        WHERE
+          ((cx - rr < -1.0007 AND cx + rr > -6.0003
+            AND cy - rr < -4.0009 AND cy + rr > -12.0001)
+           AND NOT (cx - h < -6.0003 AND cx + h > -1.0007
+                AND cy - h < -12.0001 AND cy + h > -4.0009))
+          OR
+          ((cx - rr < 4.0001 AND cx + rr > -1.0007
+            AND cy - rr < -9.0003 AND cy + rr > -12.0001)
+           AND NOT (cx - h < -1.0007 AND cx + h > 4.0001
+                AND cy - h < -12.0001 AND cy + h > -9.0003))
+        ORDER BY c_custkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // CONVEX query polygon vs the frame docs, relation contains (r14,
+    // VERDICT r13 #3): which frames CONTAIN the fixed query square Q —
+    // Q ⊆ annulus ⟺ Q inside the shell box AND disjoint from the hole
+    // box (Q and the hole are convex; a connected square inside the
+    // shell that misses the hole lies in the annulus). Pure interval
+    // algebra on the construction.
+    GraftQuery(
+      "q379_dsl_geo_shape_rings_contains_query_polygon",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rr", expr("CAST(2 + c_custkey % 8 AS DOUBLE)"))
+          .withColumn("h", expr("rr / 2"))
+          .withColumn("rings", expr(
+            """array(
+                 array(struct(cx - rr AS lat, cy - rr AS lon),
+                       struct(cx - rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy - rr AS lon)),
+                 array(struct(cx - h AS lat, cy - h AS lon),
+                       struct(cx - h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy - h AS lon)))"""))
+        // Q: lat [-1.5007, 0.4993], lon [-3.0001, -1.0001] (2°x2°)
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "rings_field": "rings"},
+               "shape": {"type": "polygon", "coordinates":
+                 [[[-3.0001, -1.5007], [-1.0001, -1.5007], [-1.0001, 0.4993],
+                   [-3.0001, 0.4993], [-3.0001, -1.5007]]]},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(2 + c_custkey % 8 AS DOUBLE) AS rr
+          FROM customer),
+        r AS (SELECT c_custkey, cx, cy, rr, rr / 2 AS h FROM t)
+        SELECT c_custkey FROM r
+        WHERE cx - rr < -1.5007 AND cx + rr > 0.4993
+          AND cy - rr < -3.0001 AND cy + rr > -1.0001
+          AND NOT (cx - h < 0.4993 AND cx + h > -1.5007
+               AND cy - h < -1.0001 AND cy + h > -3.0001)
+        ORDER BY c_custkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // circle query shape vs doc POLYGONS (r14, VERDICT r13 #4): square
+    // docs, relation intersects — center inside (Chebyshev) ∨ the
+    // 6-dp-rounded haversine from the center to the box-clamped
+    // closest point ≤ R. The clamp IS the construction-derived closest
+    // point for an axis-aligned square (the engine's per-edge planar
+    // clamps include it, and the box clamp dominates the other three
+    // candidates in both |Δlat| and |Δlon|), so the oracle replays the
+    // q125 pinned haversine on the clamp, never the per-edge walk.
+    GraftQuery(
+      "q380_dsl_geo_shape_circle_polygon_intersects",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rh", expr("CAST(1 + c_custkey % 5 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """array(struct(cx - rh AS lat, cy - rh AS lon),
+                     struct(cx - rh AS lat, cy + rh AS lon),
+                     struct(cx + rh AS lat, cy + rh AS lon),
+                     struct(cx + rh AS lat, cy - rh AS lon))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "circle", "coordinates": [2.0003, 0.0001],
+                         "radius": "700km"},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + c_custkey % 5 AS DOUBLE) AS rh
+          FROM customer),
+        cl AS (
+          SELECT c_custkey, cx, cy, rh,
+                 greatest(cx - rh, least(cx + rh, 0.0001)) AS clat,
+                 greatest(cy - rh, least(cy + rh, 2.0003)) AS clon
+          FROM t),
+        d AS (
+          SELECT c_custkey, cx, cy, rh,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((clat - 0.0001) * pi() / 180.0 / 2.0)
+                     * sin((clat - 0.0001) * pi() / 180.0 / 2.0)
+                   + cos(0.0001 * pi() / 180.0) * cos(clat * pi() / 180.0)
+                     * sin((clon - 2.0003) * pi() / 180.0 / 2.0)
+                     * sin((clon - 2.0003) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM cl)
+        SELECT c_custkey FROM d
+        WHERE greatest(abs(0.0001 - cx), abs(2.0003 - cy)) < rh
+           OR dist_km <= 700.0
+        ORDER BY c_custkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // circle CONTAINED BY a frame doc (r14, VERDICT r13 #4 + holes):
+    // contains ⟺ the center sits in the annulus AND every boundary —
+    // the shell's four edges from inside, the hole's box from outside
+    // — is at least R away. For axis-aligned edges every engine
+    // per-edge clamp is a pure-Δlat or pure-Δlon haversine (or the
+    // hole-box clamp), so the oracle computes the same five candidate
+    // distances from the construction and takes the least.
+    GraftQuery(
+      "q381_dsl_geo_shape_circle_frame_contains",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rr", expr("CAST(2 + c_custkey % 8 AS DOUBLE)"))
+          .withColumn("h", expr("rr / 2"))
+          .withColumn("rings", expr(
+            """array(
+                 array(struct(cx - rr AS lat, cy - rr AS lon),
+                       struct(cx - rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy + rr AS lon),
+                       struct(cx + rr AS lat, cy - rr AS lon)),
+                 array(struct(cx - h AS lat, cy - h AS lon),
+                       struct(cx - h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy + h AS lon),
+                       struct(cx + h AS lat, cy - h AS lon)))"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "rings_field": "rings"},
+               "shape": {"type": "circle", "coordinates": [-2.0007, 0.5003],
+                         "radius": "60km"},
+               "relation": "contains"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(2 + c_custkey % 8 AS DOUBLE) AS rr
+          FROM customer),
+        r AS (SELECT c_custkey, cx, cy, rr, rr / 2 AS h FROM t),
+        hv AS (
+          SELECT c_custkey, cx, cy, rr, h,
+                 greatest(cx - h, least(cx + h, 0.5003)) AS hlat,
+                 greatest(cy - h, least(cy + h, -2.0007)) AS hlon
+          FROM r)
+        SELECT c_custkey FROM (
+          SELECT c_custkey, rr, h, cx, cy,
+            greatest(abs(0.5003 - cx), abs(-2.0007 - cy)) AS cheb,
+            least(
+              round(12742.0176 * asin(sqrt(
+                sin((cx - rr - 0.5003) * pi() / 180.0 / 2.0)
+                  * sin((cx - rr - 0.5003) * pi() / 180.0 / 2.0))), 6),
+              round(12742.0176 * asin(sqrt(
+                sin((cx + rr - 0.5003) * pi() / 180.0 / 2.0)
+                  * sin((cx + rr - 0.5003) * pi() / 180.0 / 2.0))), 6),
+              round(12742.0176 * asin(sqrt(
+                cos(0.5003 * pi() / 180.0) * cos(0.5003 * pi() / 180.0)
+                  * sin((cy - rr + 2.0007) * pi() / 180.0 / 2.0)
+                  * sin((cy - rr + 2.0007) * pi() / 180.0 / 2.0))), 6),
+              round(12742.0176 * asin(sqrt(
+                cos(0.5003 * pi() / 180.0) * cos(0.5003 * pi() / 180.0)
+                  * sin((cy + rr + 2.0007) * pi() / 180.0 / 2.0)
+                  * sin((cy + rr + 2.0007) * pi() / 180.0 / 2.0))), 6),
+              round(12742.0176 * asin(sqrt(
+                sin((hlat - 0.5003) * pi() / 180.0 / 2.0)
+                  * sin((hlat - 0.5003) * pi() / 180.0 / 2.0)
+                + cos(0.5003 * pi() / 180.0) * cos(hlat * pi() / 180.0)
+                  * sin((hlon + 2.0007) * pi() / 180.0 / 2.0)
+                  * sin((hlon + 2.0007) * pi() / 180.0 / 2.0))), 6)) AS mind
+          FROM hv)
+        WHERE cheb > h AND cheb < rr AND mind >= 60.0
+        ORDER BY c_custkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // doc MULTILINESTRING (r14, VERDICT r13 #7): two parallel track
+    // components per row with a gap between them — intersects is the
+    // per-component OR, and the gap matters (a box between the tracks
+    // hits neither). Truth from the horizontal-segment construction:
+    // interval overlap per component. Dirty arms (NULL outer,
+    // single-vertex chain) drop.
+    GraftQuery(
+      "q382_dsl_geo_shape_multilinestring",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("len", expr("CAST(1 + c_custkey % 7 AS DOUBLE)"))
+          .withColumn("paths", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>>)
+               WHEN c_custkey % 13 = 0
+                 THEN array(array(struct(CAST(1.0 AS DOUBLE) AS lat,
+                                         CAST(2.0 AS DOUBLE) AS lon)))
+               ELSE array(
+                 array(struct(cx AS lat, cy AS lon),
+                       struct(cx AS lat, cy + len AS lon)),
+                 array(struct(cx + 5 AS lat, cy + 2 AS lon),
+                       struct(cx + 5 AS lat, cy + 2 + len AS lon))) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "multilinestring", "lines_field": "paths"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-10.0001, 3.0003], [5.0009, -3.0007]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + c_custkey % 7 AS DOUBLE) AS len
+          FROM customer
+          WHERE c_custkey % 11 <> 0 AND c_custkey % 13 <> 0)
+        SELECT c_custkey FROM t
+        WHERE (cx > -3.0007 AND cx < 3.0003
+               AND cy < 5.0009 AND cy + len > -10.0001)
+           OR (cx + 5 > -3.0007 AND cx + 5 < 3.0003
+               AND cy + 2 < 5.0009 AND cy + 2 + len > -10.0001)
+        ORDER BY c_custkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // doc MULTIPOINT (r14, VERDICT r13 #7): a 3-point bag per row,
+    // relation within — EVERY point must sit in the box. Truth from
+    // the generator arithmetic. Dirty arm (NULL coordinate in one
+    // point) drops.
+    GraftQuery(
+      "q383_dsl_geo_shape_multipoint_within",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("pts", expr(
+            """CASE WHEN c_custkey % 19 = 0
+                 THEN array(struct(CAST(NULL AS DOUBLE) AS lat, cy AS lon))
+               ELSE array(
+                 struct(cx AS lat, cy AS lon),
+                 struct(cx + 1 AS lat, cy + 2 AS lon),
+                 struct(cx + CAST(c_custkey % 5 AS DOUBLE) AS lat,
+                        cy + 3 AS lon)) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "multipoint", "points_field": "pts"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-12.0001, 6.0003], [2.0009, -6.0007]]},
+               "relation": "within"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(c_custkey % 5 AS DOUBLE) AS k5
+          FROM customer
+          WHERE c_custkey % 19 <> 0)
+        SELECT c_custkey FROM t
+        WHERE cx > -6.0007 AND cx + 1 < 6.0003 AND cx + k5 < 6.0003
+          AND cx + k5 > -6.0007 AND cx + 1 > -6.0007
+          AND cy > -12.0001 AND cy + 3 < 2.0009
+        ORDER BY c_custkey
+        LIMIT 400
       """.stripMargin.trim))
   )
 }

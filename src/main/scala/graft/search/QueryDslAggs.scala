@@ -3631,15 +3631,24 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       if (sz < 1 || sz > 10000)
         fail(s"geo_line '$name' size must be 1-10000, got $sz")
       val gate = cond.getOrElse(lit(true))
-      val pts = sort_array(collect_list(when(
-        gate && col(latF).isNotNull && col(lonF).isNotNull &&
-          col(sortF).isNotNull,
-        struct(col(sortF).as("s"), col(latF).as("la"),
-          col(lonF).as("lo")))), asc)
-      val capped = slice(pts, 1, sz)
+      // bounded-heap track (r14, VERDICT r13 #2): the TopKTrack typed
+      // aggregate keeps ≤ 2·size triples per bucket through map-side
+      // combine instead of collecting the whole bucket and slicing —
+      // same (sort, lat, lon) total order, same output, O(size) state
+      // (GeoLineHeapSpec pins a bucket ≫ size and the plan shape).
+      // The sort value rides as DOUBLE: exact for |v| ≤ 2⁵³ — every
+      // numeric/date sort field a track carries; beyond that the
+      // ORDER of distinct >2⁵³ longs could coarsen, documented.
+      val ok = gate && col(latF).isNotNull && col(lonF).isNotNull &&
+        col(sortF).isNotNull
+      val track = udaf(new graft.functions.Aggregators.TopKTrack(sz, asc))
+        .apply(ok,
+          coalesce(col(sortF).cast("double"), lit(0.0)),
+          coalesce(col(latF).cast("double"), lit(0.0)),
+          coalesce(col(lonF).cast("double"), lit(0.0)))
       Seq(
-        transform(capped, p => p.getField("la")).as(s"${name}_lats"),
-        transform(capped, p => p.getField("lo")).as(s"${name}_lons"))
+        track.getField("_1").as(s"${name}_lats"),
+        track.getField("_2").as(s"${name}_lons"))
     // weighted_avg: nested value/weight sub-objects (the OpenSearch
     // shape), exact Σ(v·w)/Σ(w) — two integer sums, ONE IEEE divide,
     // so the double is bit-identical across engines.

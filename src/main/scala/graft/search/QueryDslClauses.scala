@@ -2502,43 +2502,32 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * (O(n²) orientation tests), self-intersecting rings fail loud.
     */
   /** Driver-side query-ring validation shared by every walk builder:
-    * the 64-vertex cap (gating BEFORE the O(n²) simplicity loop, so a
-    * huge request bounds driver validation work too, not just
-    * codegen), then no two non-adjacent edges may intersect.
+    * the vertex cap (gating BEFORE the worst-case-O(n²) simplicity
+    * walk, so a huge request bounds driver validation work too), then
+    * no two non-adjacent edges may intersect — the same
+    * [[graft.plans.GeoWalk.ringSelfIntersects]] sweep the doc-side
+    * kernel runs per row (r14: one shared walk, and the cap is
+    * [[graft.plans.GeoWalk.DefaultCap]] now that vertices are loop
+    * data instead of codegen terms).
     */
   private[search] def requireSimpleRing(pts: Seq[(Double, Double)],
       where: String): Unit = {
     val n = pts.size
-    if (n > 64) fail(s"$where ring has $n vertices (max 64: one codegen " +
-      "term per edge)")
-    def orient(ax: Double, ay: Double, bx: Double, by: Double,
-        cx: Double, cy: Double): Int = {
-      val v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-      if (v > 0) 1 else if (v < 0) -1 else 0
+    if (n > graft.plans.GeoWalk.DefaultCap)
+      fail(s"$where ring has $n vertices (max " +
+        s"${graft.plans.GeoWalk.DefaultCap}: the kernel vertex cap)")
+    if (graft.plans.GeoWalk.ringSelfIntersects(flatRing(pts)))
+      fail(s"$where ring is self-intersecting - the ring must be simple")
+  }
+
+  /** A driver-parsed (lat, lon) ring as the kernel's flat array form. */
+  private[search] def flatRing(pts: Seq[(Double, Double)]): Array[Double] = {
+    val out = new Array[Double](2 * pts.size)
+    var i = 0
+    pts.foreach { case (la, lo) =>
+      out(i) = la; out(i + 1) = lo; i += 2
     }
-    def onSeg(ax: Double, ay: Double, bx: Double, by: Double,
-        px: Double, py: Double): Boolean =
-      math.min(ax, bx) <= px && px <= math.max(ax, bx) &&
-        math.min(ay, by) <= py && py <= math.max(ay, by)
-    def segIntersect(p1: (Double, Double), p2: (Double, Double),
-        q1: (Double, Double), q2: (Double, Double)): Boolean = {
-      val o1 = orient(p1._2, p1._1, p2._2, p2._1, q1._2, q1._1)
-      val o2 = orient(p1._2, p1._1, p2._2, p2._1, q2._2, q2._1)
-      val o3 = orient(q1._2, q1._1, q2._2, q2._1, p1._2, p1._1)
-      val o4 = orient(q1._2, q1._1, q2._2, q2._1, p2._2, p2._1)
-      if (o1 != o2 && o3 != o4) true
-      else (o1 == 0 && onSeg(p1._2, p1._1, p2._2, p2._1, q1._2, q1._1)) ||
-        (o2 == 0 && onSeg(p1._2, p1._1, p2._2, p2._1, q2._2, q2._1)) ||
-        (o3 == 0 && onSeg(q1._2, q1._1, q2._2, q2._1, p1._2, p1._1)) ||
-        (o4 == 0 && onSeg(q1._2, q1._1, q2._2, q2._1, p2._2, p2._1))
-    }
-    for (i <- 0 until n; j <- (i + 1) until n) {
-      val adjacent = j == i + 1 || (i == 0 && j == n - 1)
-      if (!adjacent &&
-          segIntersect(pts(i), pts((i + 1) % n), pts(j), pts((j + 1) % n)))
-        fail(s"$where ring is self-intersecting " +
-          s"(edges $i and $j cross) - the ring must be simple")
-    }
+    out
   }
 
   private[search] def crossingParityPredicate(pts: Seq[(Double, Double)],
@@ -2595,6 +2584,132 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     pmod(crossings.reduce(_ + _), lit(2)) === lit(1)
   }
 
+  /** GeoJSON polygon rings from a coordinates value: closed rings of
+    * [lon, lat] pairs, re-opened (last vertex dropped) and flipped to
+    * (lat, lon) — the one parser every polygon-shaped query arm uses.
+    */
+  private[search] def parseQueryRings(coords: JValue,
+      what: String): Seq[Seq[(Double, Double)]] = coords match {
+    case JArray(rs) if rs.nonEmpty => rs.map {
+      case JArray(r) if r.size >= 4 =>
+        val ring = r.map(jLonLat(_, s"$what vertex"))
+        if (ring.head != ring.last)
+          fail(s"$what ring must be closed (first vertex == last)")
+        val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+        if (pts.size < 3) fail(s"$what ring needs >= 3 distinct vertices")
+        pts
+      case _ => fail(s"$what coordinates must be rings " +
+        "[[[lon, lat], ...], ...] of >= 4 entries each " +
+        "(closed: first == last)")
+    }
+    case _ => fail(s"$what coordinates must be rings " +
+      "[[[lon, lat], ...], ...] of >= 4 entries each " +
+      "(closed: first == last)")
+  }
+
+  /** GeoJSON multipolygon: polygons of closed rings. */
+  private[search] def parseQueryPolys(
+      coords: JValue): Seq[Seq[Seq[(Double, Double)]]] = coords match {
+    case JArray(ps) if ps.nonEmpty => ps.map {
+      case JArray(rs) if rs.nonEmpty => rs.map {
+        case JArray(r) if r.size >= 4 =>
+          val ring = r.map(jLonLat(_, "multipolygon vertex"))
+          if (ring.head != ring.last)
+            fail("multipolygon ring must be closed (first vertex == last)")
+          val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+          if (pts.size < 3)
+            fail("multipolygon ring needs >= 3 distinct vertices")
+          pts
+        case _ => fail("multipolygon coordinates must be " +
+          "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+      }
+      case _ => fail("multipolygon coordinates must be " +
+        "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+    }
+    case _ => fail("multipolygon coordinates must be " +
+      "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+  }
+
+  /** Driver validation + kernel-shape conversion for rings past the
+    * 64-term unrolled walks: every ring simple (the shared sweep), and
+    * — unless the single-convex-CCW half-plane route applies — at
+    * least one non-horizontal edge somewhere (the crossing walks'
+    * degenerate fail, replicated).
+    */
+  private[search] def validatedRegionShape(rings: Seq[Seq[(Double, Double)]],
+      where: String): graft.plans.GeoRegionShape = {
+    // TOTAL cap before the per-ring simplicity sweeps (the same
+    // order the doc-side kernel pins): a hostile request must not buy
+    // unbounded driver CPU before the fail fires
+    if (rings.map(_.size).sum > graft.plans.GeoWalk.DefaultCap)
+      fail(s"$where rings exceed ${graft.plans.GeoWalk.DefaultCap} " +
+        "total vertices (the kernel vertex cap)")
+    rings.foreach(requireSimpleRing(_, where))
+    val convexSingle = rings.size == 1 && isConvexCcw(rings.head)
+    if (!convexSingle) {
+      val anySlanted = rings.exists { pts =>
+        val n = pts.size
+        (0 until n).exists(i => pts(i)._1 != pts((i + 1) % n)._1)
+      }
+      if (!anySlanted)
+        fail(s"$where rings are degenerate (every edge is horizontal)")
+    }
+    graft.plans.GeoRegionShape(rings.map(flatRing).toArray)
+  }
+
+  /** Point-doc membership for a big (>64-vertex) query polygon: the
+    * GeoPointInShape JVM kernel (r14, VERDICT r13 #1).
+    */
+  private[search] def bigRegionPredicate(rings: Seq[Seq[(Double, Double)]],
+      latF: String, lonF: String, where: String): Column =
+    graft.plans.GeoPointInShape(col(latF).cast("double"),
+      col(lonF).cast("double"), validatedRegionShape(rings, where))
+
+  /** Point-doc membership for a big query multipolygon: per-polygon
+    * validation (same rules as the unrolled route), one kernel call.
+    */
+  private[search] def bigPolysPredicate(polys: Seq[Seq[Seq[(Double, Double)]]],
+      latF: String, lonF: String, where: String): Column = {
+    val shape = graft.plans.GeoPolysShape(polys.map { rings =>
+      validatedRegionShape(rings, where).rings
+    }.toArray)
+    graft.plans.GeoPointInShape(col(latF).cast("double"),
+      col(lonF).cast("double"), shape)
+  }
+
+  /** The circle query shape's parameters: GeoJSON [lon, lat] center +
+    * a radius with an explicit km/m unit (the OpenSearch distance
+    * grammar's everyday forms) or a bare number of km.
+    */
+  private[search] def circleParams(sm: Map[String, JValue],
+      coords: JValue): (Double, Double, Double) = {
+    val (lo, la) = jLonLat(coords, "circle coordinates")
+    val rKm = sm.get("radius") match {
+      case Some(JString(s)) =>
+        val t = s.trim
+        def num(x: String, scale: Double): Double = {
+          val v = try x.toDouble catch {
+            case _: NumberFormatException =>
+              fail(s"circle radius must be '<n>km', '<n>m' or a number " +
+                s"of km, got '$s'")
+          }
+          v * scale
+        }
+        if (t.endsWith("km")) num(t.dropRight(2), 1.0)
+        else if (t.endsWith("m")) num(t.dropRight(1), 0.001)
+        else fail(s"circle radius must be '<n>km', '<n>m' or a number " +
+          s"of km, got '$s'")
+      case Some(JDouble(d))  => d
+      case Some(JInt(i))     => i.toDouble
+      case Some(JDecimal(d)) => d.toDouble
+      case Some(other) => fail(s"circle radius must be '<n>km', '<n>m' or " +
+        s"a number of km: ${render(other)}")
+      case None => fail("circle requires a radius")
+    }
+    if (rKm <= 0) fail("circle radius must be positive")
+    (la, lo, rKm)
+  }
+
   /** `geo_shape`: an inline query shape tested against point
     * documents (lat_field/lon_field — the engine's geo convention;
     * it has no geo-shape DOCUMENT type, so shapes live on the query
@@ -2643,17 +2758,29 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           case JObject(ds) => ds.toMap.contains("rings_field")
           case _           => false
         }
-        return if (dsType == "polygon" && hasRings) geoShapeDocRings(m, sm)
-               else if (dsType == "polygon") geoShapeDocPolygon(m, sm)
-               else if (dsType == "multipolygon") geoShapeDocMultiPolygon(m, sm)
-               else if (dsType == "linestring") geoShapeDocLinestring(m, sm)
+        return if (dsType == "polygon" && hasRings)
+                 geoShapeDocGeom(m, sm, "rings", "rings_field")
+               else if (dsType == "polygon")
+                 geoShapeDocGeom(m, sm, "polygon", "ring_field")
+               else if (dsType == "multipolygon")
+                 geoShapeDocGeom(m, sm, "polys", "polys_field")
+               else if (dsType == "linestring")
+                 geoShapeDocGeom(m, sm, "linestring", "line_field")
+               else if (dsType == "multilinestring")
+                 geoShapeDocGeom(m, sm, "multilinestring", "lines_field")
+               else if (dsType == "multipoint")
+                 geoShapeDocGeom(m, sm, "multipoint", "points_field")
                else geoShapeDocEnvelope(m, sm)
       }
       val latF = strOpt(m, "lat_field")
         .getOrElse(fail("geo_shape requires lat_field"))
       val lonF = strOpt(m, "lon_field")
         .getOrElse(fail("geo_shape requires lon_field"))
-      sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+      // `radius` belongs to the circle type alone (validated there);
+      // any other stray key fails loud as before
+      val circleKeys = if (strOpt(sm, "type").contains("circle"))
+        Set("type", "coordinates", "radius") else Set("type", "coordinates")
+      sm.keySet.diff(circleKeys).foreach(k =>
         fail(s"unsupported geo_shape shape option '$k'"))
       val coords = sm.getOrElse("coordinates",
         fail("geo_shape shape requires coordinates"))
@@ -2686,38 +2813,28 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
              if (topLat == botLat && leftLon == rightLon)
                pointEq(topLat, leftLon) else lit(false))
           case "polygon" =>
-            // GeoJSON: ring 0 the shell, rings 1+ holes (r13)
-            val rings: Seq[Seq[(Double, Double)]] = coords match {
-              case JArray(rs) if rs.nonEmpty => rs.map {
-                case JArray(r) if r.size >= 4 =>
-                  val ring = r.map(jLonLat(_, "polygon vertex"))
-                  if (ring.head != ring.last)
-                    fail("polygon ring must be closed (first vertex == last)")
-                  val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
-                  if (pts.size < 3) fail("polygon ring needs >= 3 distinct vertices")
-                  pts
-                case _ => fail("polygon coordinates must be rings " +
-                  "[[[lon, lat], ...], ...] of >= 4 entries each " +
-                  "(closed: first == last)")
-              }
-              case _ => fail("polygon coordinates must be rings " +
-                "[[[lon, lat], ...], ...] of >= 4 entries each " +
-                "(closed: first == last)")
-            }
-            (if (rings.size == 1) {
-              val pts = rings.head
-              // strictly-convex CCW rings keep the boundary-inclusive
-              // half-plane conjunction (every existing plan unchanged);
-              // any other SIMPLE ring — concave, or convex wound CW —
-              // routes to the even-odd crossing walk
-              if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
-              else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
+            val rings = parseQueryRings(coords, "polygon")
+            // ≤64 total vertices keep the historical unrolled Column
+            // walks (convex half-planes / crossing parity — every
+            // existing plan unchanged); larger shapes route to the
+            // GeoPointInShape JVM kernel (r14, VERDICT r13 #1): same
+            // formulas as loop data instead of codegen terms, which is
+            // what lifts the cap from 64 to GeoWalk.DefaultCap
+            (if (rings.map(_.size).sum <= 64) {
+              if (rings.size == 1) {
+                val pts = rings.head
+                // strictly-convex CCW rings keep the boundary-inclusive
+                // half-plane conjunction; any other SIMPLE ring —
+                // concave, or convex wound CW — the even-odd walk
+                if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+                else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
+              } else
+                // polygon with holes: ONE parity sum across all rings
+                crossingParityPredicateMulti(rings, latF, lonF, "geo_shape polygon")
             } else
-              // polygon with holes: ONE parity sum across all rings
-              crossingParityPredicateMulti(rings, latF, lonF, "geo_shape polygon"),
-             // every ring that survives the walk builders has area
-             // (degenerate rings fail loud there), and a point cannot
-             // contain an area
+              bigRegionPredicate(rings, latF, lonF, "geo_shape polygon"),
+             // every ring that survives validation has area, and a
+             // point cannot contain an area
              lit(false))
           case "point" =>
             val (lo, la) = jLonLat(coords, "point coordinates")
@@ -2726,42 +2843,33 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
             // GeoJSON: an array of polygons, each an array of rings
             // (shell + holes) — membership is the OR of per-polygon
             // parities (r13: islands / disjoint zones in one query).
-            // The 64-vertex codegen cap spans the WHOLE shape.
-            val polys: Seq[Seq[Seq[(Double, Double)]]] = coords match {
-              case JArray(ps) if ps.nonEmpty => ps.map {
-                case JArray(rs) if rs.nonEmpty => rs.map {
-                  case JArray(r) if r.size >= 4 =>
-                    val ring = r.map(jLonLat(_, "multipolygon vertex"))
-                    if (ring.head != ring.last)
-                      fail("multipolygon ring must be closed (first vertex == last)")
-                    val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
-                    if (pts.size < 3)
-                      fail("multipolygon ring needs >= 3 distinct vertices")
-                    pts
-                  case _ => fail("multipolygon coordinates must be " +
-                    "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
-                }
-                case _ => fail("multipolygon coordinates must be " +
-                  "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
+            // The total-vertex cap spans the WHOLE shape; ≤64 keeps
+            // the unrolled walks, larger routes to the JVM kernel.
+            val polys = parseQueryPolys(coords)
+            if (polys.flatMap(_.map(_.size)).sum <= 64) {
+              val perPoly = polys.map { rings =>
+                if (rings.size == 1) {
+                  val pts = rings.head
+                  if (isConvexCcw(pts))
+                    convexRingPredicate(pts, latF, lonF, "geo_shape multipolygon")
+                  else crossingParityPredicate(pts, latF, lonF, "geo_shape multipolygon")
+                } else crossingParityPredicateMulti(rings, latF, lonF,
+                  "geo_shape multipolygon")
               }
-              case _ => fail("multipolygon coordinates must be " +
-                "[[[[lon, lat], ...], ...], ...] (polygons of closed rings)")
-            }
-            if (polys.flatMap(_.map(_.size)).sum > 64)
-              fail("geo_shape multipolygon rings exceed 64 total vertices " +
-                "(the codegen cap)")
-            val perPoly = polys.map { rings =>
-              if (rings.size == 1) {
-                val pts = rings.head
-                if (isConvexCcw(pts))
-                  convexRingPredicate(pts, latF, lonF, "geo_shape multipolygon")
-                else crossingParityPredicate(pts, latF, lonF, "geo_shape multipolygon")
-              } else crossingParityPredicateMulti(rings, latF, lonF,
-                "geo_shape multipolygon")
-            }
-            (perPoly.reduce(_ || _), lit(false))
+              (perPoly.reduce(_ || _), lit(false))
+            } else
+              (bigPolysPredicate(polys, latF, lonF, "geo_shape multipolygon"),
+                lit(false))
+          case "circle" =>
+            // circle query shape (r14, VERDICT r13 #4): on point docs
+            // this IS geo_distance — the engine's ONE pinned 6-dp
+            // haversine, so the two clauses can never drift (pinned by
+            // GeoWalkSpec parity). contains: a point cannot contain a
+            // positive-radius disk — exact empty, never fail-loud.
+            val (cLat, cLon, rKm) = circleParams(sm, coords)
+            (haversineKm(latF, lonF, cLat, cLon) <= lit(rKm), lit(false))
           case other => fail(s"geo_shape type must be envelope, polygon, " +
-            s"multipolygon or point, got '$other'")
+            s"multipolygon, circle or point, got '$other'")
         }
       strOpt(m, "relation").getOrElse("intersects") match {
         // within == intersects for POINT documents: a point touching
@@ -2897,693 +3005,232 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       (la, la, lo, lo)
   }
 
-  /** Self-intersection pair walk over a doc ring column (only ring
-    * pairs past the always-simple triangle): general segment
-    * intersection incl. collinear touch — the same test the query
-    * side runs on the driver. ONE builder shared by the doc_shape
-    * predicate (raise / drop) and [[geoShapeDlq]] so the poison
-    * classification can never drift between the query and its DLQ.
+  /** The doc_shape GEOMETRY arms — polygon (one open simple ring),
+    * rings (shell + holes), multipolygon, linestring, multilinestring,
+    * multipoint — unified over the [[graft.plans.GeoDocRelate]] JVM
+    * kernel (r14, VERDICT r13 #1): the parity / crossing / distance
+    * walks that used to be per-edge expression terms or interpreted
+    * higher-order-function trees run as ONE static-call `doGenCode`
+    * loop over the row's geometry column. Vertices are loop DATA now,
+    * so the old 64-vertex Janino cap lifts to
+    * [[graft.plans.GeoWalk.DefaultCap]] (16384 total vertices,
+    * fail-loud beyond), and the kernel is faster than the HOF lambdas
+    * it replaces.
+    *
+    * Query shapes and relations:
+    *   - `envelope` / `point` (the degenerate box): intersects /
+    *     within / contains / disjoint, with the exact compositions the
+    *     unrolled arms computed (vertex-in-box ∨ box-corner-in-region
+    *     even-odd walk ∨ edge-crosses-box; contains = all corners in
+    *     region ∧ no edge touching the box; multipolygon components
+    *     compose per the GeoJSON disjoint-components contract). A
+    *     1-D/0-D doc (linestring / multipoint) can contain only a
+    *     ZERO-AREA query shape — enforced loud, as before.
+    *   - `polygon` / `multipolygon` query shapes vs polygon-family
+    *     docs (r14, VERDICT r13 #3): region-vs-region relations via
+    *     even-odd membership BOTH ways + the proper-crossing walk —
+    *     `intersects` (any doc vertex in the query region ∨ any query
+    *     vertex in the doc region ∨ any proper edge crossing),
+    *     `within` (doc ⊆ query: every doc vertex inside ∧ no query
+    *     vertex inside the doc ∧ no crossing; a single strictly-convex
+    *     CCW query ring keeps the exact boundary-inclusive half-plane
+    *     form — the pre-existing fast path), `contains` (the mirror;
+    *     multipolygon docs: SOME component contains — exact for
+    *     disjoint components), `disjoint` (¬intersects). Line/point
+    *     docs fail loud on polygon query shapes (scan-level contract).
+    *   - `circle` (r14, VERDICT r13 #4): center + km/m radius under
+    *     the engine's ONE pinned 6-dp haversine (the q125 recipe —
+    *     [[graft.plans.GeoWalk.haversineKm]], spec-pinned against the
+    *     Column form). Relations fall out of three numbers —
+    *     center-in-region (even-odd), min distance to any boundary
+    *     segment (closest point by planar clamp, then the pinned
+    *     haversine — exact for axis-aligned fixture edges, documented
+    *     planar-parameterization approximation for oblique segments),
+    *     and max vertex distance: `intersects` = center-in ∨ minDist ≤
+    *     r; `within` = maxVertexDist ≤ r (a circle is convex, so all
+    *     vertices inside ⟹ the whole geometry inside — exact);
+    *     `contains` = center-in ∧ minDist ≥ r (exact for simple
+    *     regions incl. holes); `disjoint` = ¬intersects. A linestring
+    *     / multipoint cannot contain a positive-radius disk — loud.
+    *
+    * Dirty data vs wrong geometry vs poison (the tri-state + DLQ
+    * doctrine, unchanged): NULL geometry / too-few vertices / NULL
+    * coordinate → the row DROPS (the kernel returns NULL — without
+    * this, a partial walk would fabricate a definite answer). POISON —
+    * total vertices past the cap (checked FIRST, so a hostile row
+    * never buys the O(n²)-worst-case simplicity walk), or any
+    * self-intersecting ring (polygon-family docs only; a polyline may
+    * legitimately self-cross) — RAISES by default; `on_invalid: "dlq"`
+    * (polygon-family arms) drops it and the [[geoShapeDlq]] /
+    * [[geoShapeRingsDlq]] / [[geoShapePolysDlq]] side outputs serve
+    * the rows, tagged with reasons, through the SAME kernel
+    * ([[graft.plans.GeoDocClassify]]) — query and DLQ share one JVM
+    * method and can never drift.
+    *
+    * Plan note (pushability limits, unchanged): predicates over
+    * array-of-struct columns do not become parquet PushedFilters — the
+    * walk is scan-STAGE (fused map-side, no shuffle) but the scan
+    * reads every geometry. Envelope docs (four numeric corner columns,
+    * [[geoShapeDocEnvelope]]) remain the form that prunes at the
+    * reader; a deployment needing pushdown stores the geometry's
+    * bounding box alongside and pre-filters on it.
+    *
+    * Reference anchor: the SEARCH collection's geo contract,
+    * `lib/opensearch-dynamodb-etl-cdk-stack.ts:91`.
     */
-  private[search] def selfIntersectSql(rf: String): String = {
-    def vtx(idx: String) = s"element_at($rf, $idx + 1)"
-    val p1 = vtx("i"); val p2 = s"element_at($rf, pmod(i + 1, size($rf)) + 1)"
-    val q1 = vtx("j"); val q2 = s"element_at($rf, pmod(j + 1, size($rf)) + 1)"
-    def orient(a: String, b: String, c: String) =
-      s"sign(($b.lon - $a.lon) * ($c.lat - $a.lat) - " +
-        s"($b.lat - $a.lat) * ($c.lon - $a.lon))"
-    def onSeg(a: String, b: String, c: String) =
-      s"($c.lon >= least($a.lon, $b.lon) AND $c.lon <= greatest($a.lon, $b.lon) " +
-        s"AND $c.lat >= least($a.lat, $b.lat) AND $c.lat <= greatest($a.lat, $b.lat))"
-    val o1 = orient(p1, p2, q1); val o2 = orient(p1, p2, q2)
-    val o3 = orient(q1, q2, p1); val o4 = orient(q1, q2, p2)
-    val segInt =
-      s"""(($o1 * $o2 < 0 AND $o3 * $o4 < 0)
-         | OR ($o1 = 0 AND ${onSeg(p1, p2, q1)})
-         | OR ($o2 = 0 AND ${onSeg(p1, p2, q2)})
-         | OR ($o3 = 0 AND ${onSeg(q1, q2, p1)})
-         | OR ($o4 = 0 AND ${onSeg(q1, q2, p2)}))""".stripMargin
-    s"""exists(sequence(0, size($rf) - 3), i ->
-       |  exists(sequence(i + 2, size($rf) - 1 - IF(i = 0, 1, 0)), j ->
-       |    $segInt))""".stripMargin
+  private[search] def geoShapeDocGeom(m: Map[String, JValue],
+      sm: Map[String, JValue], docKind: String,
+      fieldKey: String): CompiledQuery = {
+    if (m.contains("lat_field") || m.contains("lon_field"))
+      fail("geo_shape doc_shape replaces lat_field/lon_field " +
+        "(the doc geometry IS the shape)")
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"doc_shape must be an object: ${render(other)}")
+    }
+    val ringed = docKind == "polygon" || docKind == "rings" || docKind == "polys"
+    val dsKeys = if (ringed) Set("type", fieldKey, "on_invalid")
+                 else Set("type", fieldKey)
+    dsm.keySet.diff(dsKeys).foreach(k =>
+      fail(s"unsupported doc_shape ${strOpt(dsm, "type").getOrElse(docKind)} " +
+        s"option '$k'"))
+    val gf = strOpt(dsm, fieldKey)
+      .getOrElse(fail(s"doc_shape ${strOpt(dsm, "type").getOrElse(docKind)} " +
+        s"requires $fieldKey"))
+    // `on_invalid`: what a POISON geometry does to the scan. Default
+    // `raise` — refusing silent wrongness stops the query. Opt-in
+    // `dlq` applies the reference's per-record-poison doctrine (the
+    // S6 dead-letter side-channel): the poisoned row DROPS from the
+    // answer and the query proceeds; the rows themselves are served —
+    // counted and reasoned — by the DLQ views, which share this exact
+    // kernel classification.
+    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
+    if (onInvalid != "raise" && onInvalid != "dlq")
+      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
+    val circleKeys = if (strOpt(sm, "type").contains("circle"))
+      Set("type", "coordinates", "radius") else Set("type", "coordinates")
+    sm.keySet.diff(circleKeys).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    val relation = strOpt(m, "relation").getOrElse("intersects")
+    if (!Set("intersects", "within", "contains", "disjoint")(relation))
+      fail(s"geo_shape relation must be intersects, within, contains or " +
+        s"disjoint, got '$relation'")
+
+    val qType = strOpt(sm, "type")
+      .getOrElse(fail("geo_shape shape requires a type"))
+    val shape: graft.plans.GeoQueryShape = qType match {
+      case t @ ("envelope" | "point") =>
+        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
+        val box = graft.plans.GeoBoxShape(latB, latT, lonL, lonR)
+        if (relation == "contains" && !ringed && !box.zeroArea)
+          fail(s"a $docKind has no interior - it can contain only a " +
+            "zero-area query shape (a point lying ON the geometry); use " +
+            "intersects for overlap")
+        box
+      case "polygon" =>
+        if (!ringed)
+          fail(s"doc_shape $docKind queries support envelope, point or " +
+            s"circle query shapes, got 'polygon'")
+        validatedRegionShape(parseQueryRings(coords, "polygon"),
+          "geo_shape doc_shape query polygon")
+      case "multipolygon" =>
+        if (!ringed)
+          fail(s"doc_shape $docKind queries support envelope, point or " +
+            s"circle query shapes, got 'multipolygon'")
+        graft.plans.GeoPolysShape(parseQueryPolys(coords).map { rings =>
+          validatedRegionShape(rings, "geo_shape doc_shape query multipolygon").rings
+        }.toArray)
+      case "circle" =>
+        if (relation == "contains" && !ringed)
+          fail(s"a $docKind has no interior - it cannot contain a " +
+            "positive-radius circle; use intersects for overlap")
+        val (cLat, cLon, rKm) = circleParams(sm, coords)
+        graft.plans.GeoCircleShape(cLat, cLon, rKm)
+      case other =>
+        fail(s"doc_shape $docKind queries support envelope, point, " +
+          s"polygon, multipolygon or circle query shapes, got '$other'")
+    }
+
+    val kindNoun = docKind match {
+      case "polygon" => "polygon ring"
+      case "rings"   => "rings"
+      case "polys"   => "multipolygon"
+      case other     => other
+    }
+    val capMsg = s"geo_shape doc $kindNoun exceed" +
+      (if (kindNoun.endsWith("s")) "" else "s") +
+      s" ${graft.plans.GeoWalk.DefaultCap} " +
+      (if (docKind == "polygon" || docKind == "linestring" ||
+        docKind == "multipoint") "vertices" else "total vertices") +
+      " (the kernel vertex cap)"
+    val selfXMsg = "geo_shape doc " +
+      (if (docKind == "polygon") "polygon ring" else "ring") +
+      " is self-intersecting - rings must be simple (an even-odd walk " +
+      "over a self-crossing ring would be silently wrong)"
+
+    val kernelKind = docKind match {
+      case "polys" => "polys"
+      case k       => k
+    }
+    val code = graft.plans.GeoDocRelate(col(gf), kernelKind, shape, relation,
+      graft.plans.GeoWalk.DefaultCap)
+    val nullB = lit(null).cast("boolean")
+    val pred =
+      if (onInvalid == "dlq")
+        when(code.isNull || code === lit(2) || code === lit(3), nullB)
+          .otherwise(code === lit(1))
+      else
+        when(code.isNull, nullB)
+          .when(code === lit(2), raise_error(lit(capMsg)).cast("boolean"))
+          .when(code === lit(3), raise_error(lit(selfXMsg)).cast("boolean"))
+          .otherwise(code === lit(1))
+    CompiledQuery(pred, lit(1L))
   }
 
-  /** The dead-letter side-output for POISON doc rings (VERDICT r12
-    * #4 — the reference's own answer to per-record poison, the S6
-    * DLQ doctrine): rows whose `ringField` would RAISE under the
-    * default doc_shape mode, tagged with a `_reason` column
-    * (`self_intersecting` | `too_many_vertices`). Pair with
-    * `doc_shape.on_invalid: "dlq"`, under which the query proceeds
-    * over the clean subset and these rows drop — this view IS the
-    * counted diagnostic (the hot-bucket-cap pattern: group on
+  /** The dead-letter side-output for POISON doc rings (the reference's
+    * own answer to per-record poison, the S6 DLQ doctrine): rows whose
+    * `ringField` would RAISE under the default doc_shape mode, tagged
+    * with a `_reason` column (`self_intersecting` | `too_many_vertices`).
+    * Pair with `doc_shape.on_invalid: "dlq"`, under which the query
+    * proceeds over the clean subset and these rows drop — this view IS
+    * the counted diagnostic (the hot-bucket-cap pattern: group on
     * `_reason` or `count()` it for response metadata). NULL /
     * sub-3-vertex / NULL-vertex rings are NOT poison — they carry no
     * interior to misjudge and stay the documented tri-state drop.
-    * Map-only scan-stage classification; same 64-vertex cap and the
-    * SAME [[selfIntersectSql]] walk the predicate compiles.
+    * Map-only scan-stage classification through the SAME
+    * [[graft.plans.GeoDocClassify]] kernel the predicate compiles —
+    * one JVM method, drift impossible by construction. A pre-existing
+    * `_reason` column fails loud rather than being silently replaced.
     */
-  def geoShapeDlq(table: DataFrame, ringField: String): DataFrame = {
-    val rf = s"`$ringField`"
-    table.withColumn("_reason", expr(
-      s"""CASE WHEN $rf IS NULL OR size($rf) < 3
-         |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
-         |     THEN CAST(NULL AS STRING)
-         |WHEN size($rf) > 64 THEN 'too_many_vertices'
-         |WHEN size($rf) > 3 AND (${selfIntersectSql(rf)})
-         |  THEN 'self_intersecting'
-         |ELSE CAST(NULL AS STRING) END""".stripMargin))
-      .filter(col("_reason").isNotNull)
-  }
-
-  /** The doc_shape POLYGON arm: each row carries a simple polygon as
-    * an OPEN ring — `array<struct<lat, lon>>`, ≥ 3 vertices, first ≠
-    * last (the closing edge is implicit) — named by `ring_field`. The
-    * crossing-walk machinery lifts to higher-order functions over the
-    * row's ring (exists/forall/aggregate over edge indices), so the
-    * whole predicate is still scan-stage map-only Catalyst with fixed
-    * IEEE operand order.
-    *
-    * Relations vs an `envelope` (or degenerate `point`) query shape:
-    *   - `within`: every ring vertex inside the box — EXACT for any
-    *     simple polygon vs a convex container;
-    *   - `intersects` (boundary-inclusive): any vertex in the box ∨
-    *     any box corner inside the polygon (even-odd walk, the
-    *     box-swallowed case) ∨ any ring edge crossing the box (edge
-    *     bbox overlaps ∧ the four corners are not strictly on one
-    *     side of the edge's line — the thin-spike-through-the-box
-    *     case no vertex/corner test sees);
-    *   - `disjoint`: the complement;
-    *   - `contains` (r13): ring ⊇ box/point — every query corner
-    *     inside the ring (even-odd walk) ∧ no ring edge touching the
-    *     box ("which delivery zones contain this point/box").
-    * Vs a `polygon` query shape: `within` only — convex CCW queries
-    * keep the half-plane forall (exact for convex containers), any
-    * other SIMPLE query ring (r13) runs the concave machinery: all
-    * doc vertices inside the query ring (even-odd walk) ∧ no doc
-    * edge properly crossing a query edge. Other polygon-query
-    * relations fail loud.
-    *
-    * Dirty data vs wrong geometry: a NULL or < 3-vertex ring has no
-    * interior to misjudge — the row DROPS (the tri-state convention).
-    * A SELF-INTERSECTING ring would produce a plausible-but-wrong
-    * even-odd answer, and unlike the query side the driver cannot
-    * pre-validate per-row — so the expression RAISES AT RUNTIME
-    * (raise_error) on the first such row: an O(n²)-per-row pair walk,
-    * the price of refusing silent wrongness (rings are bounded at 64
-    * vertices like the query side). `on_invalid: "dlq"` opts into the
-    * reference's per-record-poison doctrine instead: poison rows DROP
-    * and are served — counted, with reasons — by [[geoShapeDlq]].
-    *
-    * Plan note (pushability limits): predicates over array-of-struct
-    * columns do not become parquet PushedFilters — the predicate is
-    * scan-STAGE (fused map-side, no shuffle) but the scan reads every
-    * ring. Envelope docs (four numeric corner columns) remain the
-    * form that prunes at the reader; a deployment needing pushdown
-    * stores the ring's bounding box alongside and pre-filters on it.
-    */
-  private[search] def geoShapeDocPolygon(m: Map[String, JValue],
-      sm: Map[String, JValue]): CompiledQuery = {
-    if (m.contains("lat_field") || m.contains("lon_field"))
-      fail("geo_shape doc_shape replaces lat_field/lon_field " +
-        "(the doc geometry IS the ring)")
-    val dsm = m("doc_shape") match {
-      case JObject(ds) => ds.toMap
-      case other => fail(s"doc_shape must be an object: ${render(other)}")
-    }
-    dsm.keySet.diff(Set("type", "ring_field", "on_invalid")).foreach(k =>
-      fail(s"unsupported doc_shape polygon option '$k'"))
-    val rf0 = strOpt(dsm, "ring_field")
-      .getOrElse(fail("doc_shape polygon requires ring_field"))
-    val rf = s"`$rf0`"
-    // `on_invalid`: what a POISON ring (self-intersecting, or past the
-    // 64-vertex cap) does to the scan. Default `raise` — refusing
-    // silent wrongness stops the query. Opt-in `dlq` applies the
-    // reference's per-record-poison doctrine (the S6 dead-letter
-    // side-channel): the poisoned row DROPS from the answer (NULL,
-    // the tri-state convention) and the query proceeds; the rows
-    // themselves are retrievable — counted and reasoned — through
-    // [[geoShapeDlq]], which shares this exact classification.
-    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
-    if (onInvalid != "raise" && onInvalid != "dlq")
-      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
-    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
-      fail(s"unsupported geo_shape shape option '$k'"))
-    val coords = sm.getOrElse("coordinates",
-      fail("geo_shape shape requires coordinates"))
-    val relation = strOpt(m, "relation").getOrElse("intersects")
-
-    // edge i of the open ring: a = vertex i, b = vertex (i+1) mod n
-    val aV = s"element_at($rf, i + 1)"
-    val bV = s"element_at($rf, pmod(i + 1, size($rf)) + 1)"
-
-    // point-in-polygon (constant point px=lon, py=lat): the even-odd
-    // crossing walk of crossingParityPredicate with the roles swapped
-    // (ring in columns, point constant) — same pinned operand order
-    def pointInPoly(px: Double, py: Double): String = {
-      val cross = s"(($bV.lon - $aV.lon) * ($py - $aV.lat) - " +
-        s"($bV.lat - $aV.lat) * ($px - $aV.lon))"
-      s"""(pmod(aggregate(sequence(0, size($rf) - 1), 0, (acc, i) ->
-         |  acc + IF((($aV.lat > $py) != ($bV.lat > $py)) AND
-         |           (CASE WHEN $bV.lat > $aV.lat THEN $cross > 0.0
-         |                 ELSE $cross < 0.0 END), 1, 0)), 2) = 1)""".stripMargin
-    }
-
-    // self-intersection pair walk (only rings past the always-simple
-    // triangle): general segment intersection incl. collinear touch,
-    // the same test the query side runs on the driver — shared with
-    // the DLQ side-output so poison detection can never drift
-    val selfX: String = selfIntersectSql(rf)
-
-    val relPred: String = strOpt(sm, "type")
-        .getOrElse(fail("geo_shape shape requires a type")) match {
-      case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
-        val vertexInBox = s"exists($rf, v -> v.lat >= $latB AND v.lat <= $latT " +
-          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
-        val within = s"forall($rf, v -> v.lat >= $latB AND v.lat <= $latT " +
-          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
-        val cornerInPoly = Seq((lonL, latB), (lonL, latT), (lonR, latB),
-          (lonR, latT)).map { case (px, py) => pointInPoly(px, py) }
-          .mkString("(", " OR ", ")")
-        val side = (cx: String, cy: String) =>
-          s"(($bV.lon - $aV.lon) * ($cy - $aV.lat) - " +
-            s"($bV.lat - $aV.lat) * ($cx - $aV.lon))"
-        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
-          .map { case (cx, cy) => side(cx.toString, cy.toString) }
-        val strictSameSide =
-          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
-            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
-        val edgeCross =
-          s"""exists(sequence(0, size($rf) - 1), i ->
-             |  least($aV.lat, $bV.lat) <= $latT AND greatest($aV.lat, $bV.lat) >= $latB
-             |  AND least($aV.lon, $bV.lon) <= $lonR AND greatest($aV.lon, $bV.lon) >= $lonL
-             |  AND NOT ($strictSameSide))""".stripMargin
-        val intersects = s"($vertexInBox OR $cornerInPoly OR $edgeCross)"
-        // contains (r13, VERDICT r12 #2): ring ⊇ box ⟺ every box
-        // corner inside the ring (even-odd walk) AND no ring edge
-        // touches the box — if any box point escaped the ring, a path
-        // from a corner (inside) to it would cross the ring boundary
-        // inside the box, i.e. an edge would intersect the box. Exact
-        // for simple rings up to boundary tangencies (an edge grazing
-        // the box counts as a cross — conservative, measure-zero
-        // under the fixture rule). A point query degenerates to the
-        // single-corner walk.
-        val cornersAllInPoly = Seq((lonL, latB), (lonL, latT), (lonR, latB),
-          (lonR, latT)).distinct
-          .map { case (px, py) => pointInPoly(px, py) }
-          .mkString("(", " AND ", ")")
-        relation match {
-          case "intersects" => intersects
-          case "within"     => within
-          case "disjoint"   => s"(NOT $intersects)"
-          case "contains"   => s"($cornersAllInPoly AND NOT $edgeCross)"
-          case other => fail(s"geo_shape relation must be intersects, " +
-            s"within, contains or disjoint, got '$other'")
-        }
-      case "polygon" =>
-        if (relation != "within")
-          fail("doc_shape polygon vs a polygon query shape serves only " +
-            "relation within (ring-inside-query); use an " +
-            "envelope query shape for intersects/disjoint")
-        val ring = coords match {
-          case JArray(List(JArray(r))) if r.size >= 4 =>
-            r.map(jLonLat(_, "polygon vertex"))
-          case _ => fail("polygon coordinates must be ONE ring " +
-            "[[[lon, lat], ...]] of >= 4 entries (closed: first == last)")
-        }
-        if (ring.head != ring.last)
-          fail("polygon ring must be closed (first vertex == last)")
-        val pts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
-        if (isConvexCcw(pts)) {
-          // convex CCW fast path: all-vertices-in-half-planes is
-          // exact there (a convex container admits no edge escape
-          // once every vertex is inside) — every existing plan
-          // unchanged
-          val halfPlanes = (0 until pts.size).map { k =>
-            val (lat1, lon1) = pts(k)
-            val (lat2, lon2) = pts((k + 1) % pts.size)
-            s"(($lon2 - $lon1) * (v.lat - $lat1) - " +
-              s"($lat2 - $lat1) * (v.lon - $lon1)) >= 0.0"
-          }.mkString(" AND ")
-          s"forall($rf, v -> $halfPlanes)"
-        } else {
-          // concave (or CW) SIMPLE query ring (r13, VERDICT r12 #5):
-          // the machinery already trusted for intersects — every doc
-          // vertex inside the query ring (even-odd walk, the
-          // crossingParityPredicate arithmetic with the ring constant
-          // and the point variable) AND no doc edge PROPERLY crossing
-          // a query edge (o₁o₂ < 0 ∧ o₃o₄ < 0; tangent touches are
-          // boundary contact, which within — boundary-inclusive —
-          // permits, and are measure-zero under the fixture rule).
-          requireSimpleRing(pts, "geo_shape doc_shape within query polygon")
-          val nq = pts.size
-          val inQuery = {
-            val terms = (0 until nq).flatMap { k =>
-              val (lat1, lon1) = pts(k)
-              val (lat2, lon2) = pts((k + 1) % nq)
-              if (lat1 == lat2) None // horizontal edges never cross the ray
-              else {
-                val cross = s"(($lon2 - $lon1) * (v.lat - $lat1) - " +
-                  s"($lat2 - $lat1) * (v.lon - $lon1))"
-                val raySide = if (lat2 > lat1) s"$cross > 0.0" else s"$cross < 0.0"
-                Some(s"IF((($lat1 > v.lat) != ($lat2 > v.lat)) AND " +
-                  s"($raySide), 1, 0)")
-              }
-            }
-            if (terms.isEmpty)
-              fail("geo_shape doc_shape within query polygon ring is " +
-                "degenerate (every edge is horizontal)")
-            s"(pmod(${terms.mkString(" + ")}, 2) = 1)"
-          }
-          def orientDocEdge(cx: String, cy: String) =
-            s"sign(($bV.lon - $aV.lon) * ($cy - $aV.lat) - " +
-              s"($bV.lat - $aV.lat) * ($cx - $aV.lon))"
-          val anyProperCross = {
-            val perEdge = (0 until nq).map { k =>
-              val (lat1, lon1) = pts(k)
-              val (lat2, lon2) = pts((k + 1) % nq)
-              val o1 = orientDocEdge(lon1.toString, lat1.toString)
-              val o2 = orientDocEdge(lon2.toString, lat2.toString)
-              def orientQuery(p: String) =
-                s"sign(($lon2 - $lon1) * ($p.lat - $lat1) - " +
-                  s"($lat2 - $lat1) * ($p.lon - $lon1))"
-              val o3 = orientQuery(aV)
-              val o4 = orientQuery(bV)
-              s"($o1 * $o2 < 0 AND $o3 * $o4 < 0)"
-            }.mkString("(", " OR ", ")")
-            s"exists(sequence(0, size($rf) - 1), i -> $perEdge)"
-          }
-          s"(forall($rf, v -> $inQuery) AND NOT $anyProperCross)"
-        }
-      case other => fail(s"doc_shape polygon queries support envelope, " +
-        s"point or polygon query shapes, got '$other'")
-    }
-
-    // a NULL lat/lon INSIDE one vertex is as unknowable as a NULL
-    // ring: without the exists-guard the even-odd walk would count
-    // only the non-NULL edges (IF(cond,1,0) maps NULL to 0) and
-    // fabricate a definite answer — the row must DROP (tri-state)
-    val pred =
-      if (onInvalid == "dlq") expr(
-        s"""CASE WHEN $rf IS NULL OR size($rf) < 3
-           |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
-           |       OR size($rf) > 64
-           |       OR (size($rf) > 3 AND ($selfX))
-           |     THEN CAST(NULL AS BOOLEAN)
-           |ELSE ($relPred) END""".stripMargin)
-      else expr(
-        s"""CASE WHEN $rf IS NULL OR size($rf) < 3
-           |       OR exists($rf, v -> v.lat IS NULL OR v.lon IS NULL)
-           |     THEN CAST(NULL AS BOOLEAN)
-           |WHEN size($rf) <= 64 AND size($rf) > 3 AND ($selfX)
-           |  THEN raise_error('geo_shape doc polygon ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
-           |WHEN size($rf) > 64
-           |  THEN raise_error('geo_shape doc polygon ring exceeds 64 vertices (the query-side cap)')
-           |ELSE ($relPred) END""".stripMargin)
-    CompiledQuery(pred, lit(1L))
-  }
-
-  /** The doc_shape MULTI-RING polygon arm (r13): each row carries a
-    * polygon WITH HOLES as `rings_field` —
-    * `array<array<struct<lat, lon>>>`, first ring the shell, the rest
-    * holes, each an OPEN simple ring ≥ 3 vertices (64 vertices TOTAL,
-    * the shared cap). The even-odd parity walk runs over the FLATTENED
-    * edge list of all rings — parity across shell + holes is exactly
-    * shell-minus-holes membership, so holes need no special casing
-    * anywhere: a box inside a hole has even parity (outside), a frame
-    * edge crossing the box is just another edge. Relations vs an
-    * envelope/point query shape: `intersects` (any vertex in box ∨
-    * any corner inside the multi-ring region ∨ any edge crossing the
-    * box), `within` (every vertex of every ring inside the box),
-    * `contains` (all corners inside the region ∧ no edge touching the
-    * box — a hole poking into the box fails via its own edges),
-    * `disjoint` (complement). Polygon query shapes fail loud (same
-    * scope as the single-ring arm's non-within relations).
-    *
-    * Dirty data: NULL rings array / NULL ring / sub-3-vertex ring /
-    * NULL vertex → the row DROPS (tri-state). POISON (total > 64
-    * vertices, any self-intersecting ring — the per-ring
-    * [[selfIntersectSql]] walk) raises by default; `on_invalid:
-    * "dlq"` drops it and [[geoShapeRingsDlq]] serves the side output.
-    * Hole containment inside the shell is NOT validated per row (an
-    * O(rings²·n²) walk); a hole outside the shell just XORs its own
-    * region — even-odd semantics, never a crash.
-    */
-  private[search] def geoShapeDocRings(m: Map[String, JValue],
-      sm: Map[String, JValue]): CompiledQuery = {
-    if (m.contains("lat_field") || m.contains("lon_field"))
-      fail("geo_shape doc_shape replaces lat_field/lon_field " +
-        "(the doc geometry IS the rings)")
-    val dsm = m("doc_shape") match {
-      case JObject(ds) => ds.toMap
-      case other => fail(s"doc_shape must be an object: ${render(other)}")
-    }
-    dsm.keySet.diff(Set("type", "rings_field", "on_invalid")).foreach(k =>
-      fail(s"unsupported doc_shape rings option '$k'"))
-    val rf0 = strOpt(dsm, "rings_field")
-      .getOrElse(fail("doc_shape rings requires rings_field"))
-    val rs = s"`$rf0`"
-    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
-    if (onInvalid != "raise" && onInvalid != "dlq")
-      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
-    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
-      fail(s"unsupported geo_shape shape option '$k'"))
-    val coords = sm.getOrElse("coordinates",
-      fail("geo_shape shape requires coordinates"))
-    val relation = strOpt(m, "relation").getOrElse("intersects")
-
-    // the flattened edge list: every ring contributes its edges, each
-    // ring closing onto its own first vertex (codegen CSE dedups the
-    // repeated subtree across the parity/cross terms)
-    val edges =
-      s"""flatten(transform($rs, ring ->
-         |  transform(sequence(0, size(ring) - 1), i ->
-         |    struct(element_at(ring, i + 1) AS a,
-         |           element_at(ring, pmod(i + 1, size(ring)) + 1) AS b))))""".stripMargin
-
-    // even-odd parity of a constant point against ALL edges — the
-    // crossingParityPredicate arithmetic, edge-centric
-    def pointInRegion(px: Double, py: Double): String = {
-      val cross = s"((e.b.lon - e.a.lon) * ($py - e.a.lat) - " +
-        s"(e.b.lat - e.a.lat) * ($px - e.a.lon))"
-      s"""(pmod(aggregate($edges, 0, (acc, e) ->
-         |  acc + IF(((e.a.lat > $py) != (e.b.lat > $py)) AND
-         |           (CASE WHEN e.b.lat > e.a.lat THEN $cross > 0.0
-         |                 ELSE $cross < 0.0 END), 1, 0)), 2) = 1)""".stripMargin
-    }
-
-    val relPred: String = strOpt(sm, "type")
-        .getOrElse(fail("geo_shape shape requires a type")) match {
-      case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
-        val vertexInBox = s"exists(flatten($rs), v -> " +
-          s"v.lat >= $latB AND v.lat <= $latT " +
-          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
-        val within = s"forall(flatten($rs), v -> " +
-          s"v.lat >= $latB AND v.lat <= $latT " +
-          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
-        val corners = Seq((lonL, latB), (lonL, latT), (lonR, latB),
-          (lonR, latT)).distinct
-        val cornerAny = corners.map { case (px, py) => pointInRegion(px, py) }
-          .mkString("(", " OR ", ")")
-        val cornersAll = corners.map { case (px, py) => pointInRegion(px, py) }
-          .mkString("(", " AND ", ")")
-        def side(cx: String, cy: String) =
-          s"((e.b.lon - e.a.lon) * ($cy - e.a.lat) - " +
-            s"(e.b.lat - e.a.lat) * ($cx - e.a.lon))"
-        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
-          .map { case (cx, cy) => side(cx.toString, cy.toString) }
-        val strictSameSide =
-          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
-            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
-        val edgeCross =
-          s"""exists($edges, e ->
-             |  least(e.a.lat, e.b.lat) <= $latT AND greatest(e.a.lat, e.b.lat) >= $latB
-             |  AND least(e.a.lon, e.b.lon) <= $lonR AND greatest(e.a.lon, e.b.lon) >= $lonL
-             |  AND NOT ($strictSameSide))""".stripMargin
-        val intersects = s"($vertexInBox OR $cornerAny OR $edgeCross)"
-        relation match {
-          case "intersects" => intersects
-          case "within"     => within
-          case "disjoint"   => s"(NOT $intersects)"
-          case "contains"   => s"($cornersAll AND NOT $edgeCross)"
-          case other => fail(s"geo_shape relation must be intersects, " +
-            s"within, contains or disjoint, got '$other'")
-        }
-      case other => fail(s"doc_shape rings queries support envelope or " +
-        s"point query shapes, got '$other'")
-    }
-
-    val dirtyDrop =
-      s"""$rs IS NULL OR size($rs) < 1
-         | OR exists($rs, ring -> ring IS NULL OR size(ring) < 3
-         |     OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL))""".stripMargin
-    val totalV = s"aggregate($rs, 0, (acc, ring) -> acc + size(ring))"
-    val anySelfX =
-      s"exists($rs, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")}))"
-    val pred =
-      if (onInvalid == "dlq") expr(
-        s"""CASE WHEN $dirtyDrop OR $totalV > 64 OR ($anySelfX)
-           |     THEN CAST(NULL AS BOOLEAN)
-           |ELSE ($relPred) END""".stripMargin)
-      else expr(
-        s"""CASE WHEN $dirtyDrop THEN CAST(NULL AS BOOLEAN)
-           |WHEN $totalV > 64
-           |  THEN raise_error('geo_shape doc rings exceed 64 total vertices (the query-side cap)')
-           |WHEN $anySelfX
-           |  THEN raise_error('geo_shape doc ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
-           |ELSE ($relPred) END""".stripMargin)
-    CompiledQuery(pred, lit(1L))
-  }
+  def geoShapeDlq(table: DataFrame, ringField: String): DataFrame =
+    geoDlqView(table, ringField, "polygon")
 
   /** Multi-ring twin of [[geoShapeDlq]]: the poison rows of a
-    * `rings_field` column (total vertices past the cap, or any
-    * self-intersecting ring), tagged `_reason`. Same classification
-    * the [[geoShapeDocRings]] predicate compiles.
+    * `rings_field` column, tagged `_reason`.
     */
-  def geoShapeRingsDlq(table: DataFrame, ringsField: String): DataFrame = {
-    val rs = s"`$ringsField`"
-    table.withColumn("_reason", expr(
-      s"""CASE WHEN $rs IS NULL OR size($rs) < 1
-         |       OR exists($rs, ring -> ring IS NULL OR size(ring) < 3
-         |           OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL))
-         |     THEN CAST(NULL AS STRING)
-         |WHEN aggregate($rs, 0, (acc, ring) -> acc + size(ring)) > 64
-         |  THEN 'too_many_vertices'
-         |WHEN exists($rs, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")}))
-         |  THEN 'self_intersecting'
-         |ELSE CAST(NULL AS STRING) END""".stripMargin))
+  def geoShapeRingsDlq(table: DataFrame, ringsField: String): DataFrame =
+    geoDlqView(table, ringsField, "rings")
+
+  /** Multipolygon twin of [[geoShapeDlq]]: poison rows of a
+    * `polys_field` column, same kernel classification.
+    */
+  def geoShapePolysDlq(table: DataFrame, polysField: String): DataFrame =
+    geoDlqView(table, polysField, "polys")
+
+  private def geoDlqView(table: DataFrame, field: String,
+      docKind: String): DataFrame = {
+    if (table.columns.contains("_reason"))
+      fail("geo_shape DLQ view: the input already has a _reason column - " +
+        "rename it first (the view would silently replace it)")
+    val cls = graft.plans.GeoDocClassify(col(field), docKind,
+      graft.plans.GeoWalk.DefaultCap)
+    table.withColumn("_reason",
+      when(cls === lit(2), lit("too_many_vertices"))
+        .when(cls === lit(3), lit("self_intersecting"))
+        .otherwise(lit(null).cast("string")))
       .filter(col("_reason").isNotNull)
-  }
-
-  /** The doc_shape MULTIPOLYGON arm (r13): each row carries a
-    * multi-component region — islands — as `polys_field`:
-    * `array<array<array<struct<lat, lon>>>>`, polygons of rings
-    * (shell + holes, each an OPEN simple ring; 64 vertices TOTAL
-    * across everything). Per-polygon membership is the rings arm's
-    * flattened-edge parity; the components compose per the GeoJSON
-    * multipolygon contract (disjoint components):
-    *   - `intersects`: ANY component intersects the box;
-    *   - `within`: every vertex of every component inside the box;
-    *   - `contains`: SOME component contains the box — exact for
-    *     disjoint components, since a connected box inside the union
-    *     without touching a boundary lies inside one component;
-    *   - `disjoint`: the complement of intersects.
-    * Same dirty-drop / poison (raise | on_invalid: dlq via
-    * [[geoShapePolysDlq]]) doctrine as the rings arm.
-    */
-  private[search] def geoShapeDocMultiPolygon(m: Map[String, JValue],
-      sm: Map[String, JValue]): CompiledQuery = {
-    if (m.contains("lat_field") || m.contains("lon_field"))
-      fail("geo_shape doc_shape replaces lat_field/lon_field " +
-        "(the doc geometry IS the polygons)")
-    val dsm = m("doc_shape") match {
-      case JObject(ds) => ds.toMap
-      case other => fail(s"doc_shape must be an object: ${render(other)}")
-    }
-    dsm.keySet.diff(Set("type", "polys_field", "on_invalid")).foreach(k =>
-      fail(s"unsupported doc_shape multipolygon option '$k'"))
-    val pf0 = strOpt(dsm, "polys_field")
-      .getOrElse(fail("doc_shape multipolygon requires polys_field"))
-    val pf = s"`$pf0`"
-    val onInvalid = strOpt(dsm, "on_invalid").getOrElse("raise")
-    if (onInvalid != "raise" && onInvalid != "dlq")
-      fail(s"doc_shape on_invalid must be raise or dlq, got '$onInvalid'")
-    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
-      fail(s"unsupported geo_shape shape option '$k'"))
-    val coords = sm.getOrElse("coordinates",
-      fail("geo_shape shape requires coordinates"))
-    val relation = strOpt(m, "relation").getOrElse("intersects")
-
-    // one polygon's flattened edge list (lambda var `poly` in scope)
-    val polyEdges =
-      s"""flatten(transform(poly, ring ->
-         |  transform(sequence(0, size(ring) - 1), i ->
-         |    struct(element_at(ring, i + 1) AS a,
-         |           element_at(ring, pmod(i + 1, size(ring)) + 1) AS b))))""".stripMargin
-    def pointInPoly(px: Double, py: Double): String = {
-      val cross = s"((e.b.lon - e.a.lon) * ($py - e.a.lat) - " +
-        s"(e.b.lat - e.a.lat) * ($px - e.a.lon))"
-      s"""(pmod(aggregate($polyEdges, 0, (acc, e) ->
-         |  acc + IF(((e.a.lat > $py) != (e.b.lat > $py)) AND
-         |           (CASE WHEN e.b.lat > e.a.lat THEN $cross > 0.0
-         |                 ELSE $cross < 0.0 END), 1, 0)), 2) = 1)""".stripMargin
-    }
-
-    val relPred: String = strOpt(sm, "type")
-        .getOrElse(fail("geo_shape shape requires a type")) match {
-      case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
-        def inBox(v: String) = s"$v.lat >= $latB AND $v.lat <= $latT " +
-          s"AND $v.lon >= $lonL AND $v.lon <= $lonR"
-        val corners = Seq((lonL, latB), (lonL, latT), (lonR, latB),
-          (lonR, latT)).distinct
-        val cornerAny = corners.map { case (px, py) => pointInPoly(px, py) }
-          .mkString("(", " OR ", ")")
-        val cornersAll = corners.map { case (px, py) => pointInPoly(px, py) }
-          .mkString("(", " AND ", ")")
-        def side(cx: String, cy: String) =
-          s"((e.b.lon - e.a.lon) * ($cy - e.a.lat) - " +
-            s"(e.b.lat - e.a.lat) * ($cx - e.a.lon))"
-        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
-          .map { case (cx, cy) => side(cx.toString, cy.toString) }
-        val strictSameSide =
-          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
-            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
-        val edgeCross =
-          s"""exists($polyEdges, e ->
-             |  least(e.a.lat, e.b.lat) <= $latT AND greatest(e.a.lat, e.b.lat) >= $latB
-             |  AND least(e.a.lon, e.b.lon) <= $lonR AND greatest(e.a.lon, e.b.lon) >= $lonL
-             |  AND NOT ($strictSameSide))""".stripMargin
-        val vertexInBox =
-          s"exists(flatten(poly), v -> ${inBox("v")})"
-        val polyIntersects = s"($vertexInBox OR $cornerAny OR $edgeCross)"
-        val polyContains = s"($cornersAll AND NOT $edgeCross)"
-        relation match {
-          case "intersects" => s"exists($pf, poly -> $polyIntersects)"
-          case "within" =>
-            s"forall($pf, poly -> forall(flatten(poly), v -> ${inBox("v")}))"
-          case "disjoint" => s"(NOT exists($pf, poly -> $polyIntersects))"
-          case "contains" => s"exists($pf, poly -> $polyContains)"
-          case other => fail(s"geo_shape relation must be intersects, " +
-            s"within, contains or disjoint, got '$other'")
-        }
-      case other => fail(s"doc_shape multipolygon queries support envelope " +
-        s"or point query shapes, got '$other'")
-    }
-
-    val dirtyDrop =
-      s"""$pf IS NULL OR size($pf) < 1
-         | OR exists($pf, poly -> poly IS NULL OR size(poly) < 1
-         |     OR exists(poly, ring -> ring IS NULL OR size(ring) < 3
-         |         OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL)))""".stripMargin
-    val totalV =
-      s"aggregate($pf, 0, (acc, poly) -> acc + aggregate(poly, 0, (a2, ring) -> a2 + size(ring)))"
-    val anySelfX =
-      s"exists($pf, poly -> exists(poly, ring -> size(ring) > 3 AND (${selfIntersectSql("ring")})))"
-    val pred =
-      if (onInvalid == "dlq") expr(
-        s"""CASE WHEN $dirtyDrop OR $totalV > 64 OR ($anySelfX)
-           |     THEN CAST(NULL AS BOOLEAN)
-           |ELSE ($relPred) END""".stripMargin)
-      else expr(
-        s"""CASE WHEN $dirtyDrop THEN CAST(NULL AS BOOLEAN)
-           |WHEN $totalV > 64
-           |  THEN raise_error('geo_shape doc multipolygon exceeds 64 total vertices (the query-side cap)')
-           |WHEN $anySelfX
-           |  THEN raise_error('geo_shape doc ring is self-intersecting - rings must be simple (an even-odd walk over a self-crossing ring would be silently wrong)')
-           |ELSE ($relPred) END""".stripMargin)
-    CompiledQuery(pred, lit(1L))
-  }
-
-  /** Multipolygon twin of [[geoShapeRingsDlq]]: poison rows of a
-    * `polys_field` column, same classification the predicate compiles.
-    */
-  def geoShapePolysDlq(table: DataFrame, polysField: String): DataFrame = {
-    val pf = s"`$polysField`"
-    table.withColumn("_reason", expr(
-      s"""CASE WHEN $pf IS NULL OR size($pf) < 1
-         |       OR exists($pf, poly -> poly IS NULL OR size(poly) < 1
-         |           OR exists(poly, ring -> ring IS NULL OR size(ring) < 3
-         |               OR exists(ring, v -> v.lat IS NULL OR v.lon IS NULL)))
-         |     THEN CAST(NULL AS STRING)
-         |WHEN aggregate($pf, 0, (acc, poly) ->
-         |       acc + aggregate(poly, 0, (a2, ring) -> a2 + size(ring))) > 64
-         |  THEN 'too_many_vertices'
-         |WHEN exists($pf, poly -> exists(poly, ring ->
-         |       size(ring) > 3 AND (${selfIntersectSql("ring")})))
-         |  THEN 'self_intersecting'
-         |ELSE CAST(NULL AS STRING) END""".stripMargin))
-      .filter(col("_reason").isNotNull)
-  }
-
-  /** The doc_shape LINESTRING arm (r13): each row carries a route /
-    * track as `line_field` — `array<struct<lat, lon>>`, ≥ 2 vertices,
-    * an OPEN polyline (NO closing edge — the defining difference from
-    * a ring; a polyline may legitimately self-cross, so there is no
-    * simplicity check). Relations vs an envelope/point query shape:
-    * `intersects` — any vertex in the box ∨ any segment crossing it
-    * (segment-vs-AABB separating axes: bbox overlap + the four
-    * corners not strictly on one side; with a POINT query this
-    * degenerates to the exact point-on-segment test — collinear and
-    * within the segment bbox); `within` — every vertex inside;
-    * `disjoint` — the complement; `contains` — only a zero-area query
-    * can lie on a 1-D geometry, so a point/degenerate envelope serves
-    * as the on-the-line test and a true-area query fails loud.
-    * NULL / single-vertex / NULL-vertex rows drop (tri-state); more
-    * than 64 vertices raises (the shared cap).
-    */
-  private[search] def geoShapeDocLinestring(m: Map[String, JValue],
-      sm: Map[String, JValue]): CompiledQuery = {
-    if (m.contains("lat_field") || m.contains("lon_field"))
-      fail("geo_shape doc_shape replaces lat_field/lon_field " +
-        "(the doc geometry IS the line)")
-    val dsm = m("doc_shape") match {
-      case JObject(ds) => ds.toMap
-      case other => fail(s"doc_shape must be an object: ${render(other)}")
-    }
-    dsm.keySet.diff(Set("type", "line_field")).foreach(k =>
-      fail(s"unsupported doc_shape linestring option '$k'"))
-    val lf0 = strOpt(dsm, "line_field")
-      .getOrElse(fail("doc_shape linestring requires line_field"))
-    val lf = s"`$lf0`"
-    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
-      fail(s"unsupported geo_shape shape option '$k'"))
-    val coords = sm.getOrElse("coordinates",
-      fail("geo_shape shape requires coordinates"))
-    val relation = strOpt(m, "relation").getOrElse("intersects")
-
-    // segment i: a = vertex i, b = vertex i+1 — NO wrap-around
-    val aV = s"element_at($lf, i + 1)"
-    val bV = s"element_at($lf, i + 2)"
-
-    val relPred: String = strOpt(sm, "type")
-        .getOrElse(fail("geo_shape shape requires a type")) match {
-      case t @ ("envelope" | "point") =>
-        val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
-        val zeroArea = latB == latT && lonL == lonR
-        val vertexInBox = s"exists($lf, v -> v.lat >= $latB AND v.lat <= $latT " +
-          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
-        val within = s"forall($lf, v -> v.lat >= $latB AND v.lat <= $latT " +
-          s"AND v.lon >= $lonL AND v.lon <= $lonR)"
-        def side(cx: String, cy: String) =
-          s"(($bV.lon - $aV.lon) * ($cy - $aV.lat) - " +
-            s"($bV.lat - $aV.lat) * ($cx - $aV.lon))"
-        val sides = Seq((lonL, latB), (lonL, latT), (lonR, latB), (lonR, latT))
-          .map { case (cx, cy) => side(cx.toString, cy.toString) }
-        val strictSameSide =
-          sides.map(s0 => s"$s0 > 0.0").mkString("(", " AND ", ")") +
-            " OR " + sides.map(s0 => s"$s0 < 0.0").mkString("(", " AND ", ")")
-        val segCross =
-          s"""exists(sequence(0, size($lf) - 2), i ->
-             |  least($aV.lat, $bV.lat) <= $latT AND greatest($aV.lat, $bV.lat) >= $latB
-             |  AND least($aV.lon, $bV.lon) <= $lonR AND greatest($aV.lon, $bV.lon) >= $lonL
-             |  AND NOT ($strictSameSide))""".stripMargin
-        val intersects = s"($vertexInBox OR $segCross)"
-        relation match {
-          case "intersects" => intersects
-          case "within"     => within
-          case "disjoint"   => s"(NOT $intersects)"
-          case "contains" =>
-            if (!zeroArea)
-              fail("a linestring has no interior - it can contain only a " +
-                "zero-area query shape (a point lying ON the line); use " +
-                "intersects for overlap")
-            intersects // point-on-line: exactly the degenerate-box test
-          case other => fail(s"geo_shape relation must be intersects, " +
-            s"within, contains or disjoint, got '$other'")
-        }
-      case other => fail(s"doc_shape linestring queries support envelope " +
-        s"or point query shapes, got '$other'")
-    }
-
-    val pred = expr(
-      s"""CASE WHEN $lf IS NULL OR size($lf) < 2
-         |       OR exists($lf, v -> v.lat IS NULL OR v.lon IS NULL)
-         |     THEN CAST(NULL AS BOOLEAN)
-         |WHEN size($lf) > 64
-         |  THEN raise_error('geo_shape doc linestring exceeds 64 vertices (the query-side cap)')
-         |ELSE ($relPred) END""".stripMargin)
-    CompiledQuery(pred, lit(1L))
   }
 
   private[search] def geoDistanceClause(body: JValue): CompiledQuery = body match {

@@ -192,12 +192,12 @@ class GeoDocPolygonSpec extends SparkSpec {
       ringSql(Seq((0.0, 0.0), (4.0, 4.0), (0.0, 4.0), (4.0, 0.0)))))
     val e = intercept[Throwable](run(bow).collect())
     assert(e.getMessage.contains("self-intersecting"), e.getMessage)
-    // a >64-vertex ring raises (the query-side cap applied doc-side)
+    // a past-the-cap ring raises (GeoWalk.DefaultCap, shared with the query side)
     val big = Seq((1L, 0)).toDF("id", "z").withColumn("ring", expr(
-      "transform(sequence(0, 70), i -> struct(" +
+      "transform(sequence(0, 16390), i -> struct(" +
         "CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon))"))
     val e2 = intercept[Throwable](run(big).collect())
-    assert(e2.getMessage.contains("exceeds 64 vertices"), e2.getMessage)
+    assert(e2.getMessage.contains("exceeds 16384 vertices"), e2.getMessage)
     // request validation
     def bad(json: String, frag: String): Unit = {
       val ex = intercept[IllegalArgumentException](QueryDsl.search(t, json))
@@ -207,7 +207,7 @@ class GeoDocPolygonSpec extends SparkSpec {
         "doc_shape": {"type": "polygon", "ring_field": "ring"},
         "shape": {"type": "polygon", "coordinates":
           [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 0.0]]]},
-        "relation": "intersects"}}}""", "serves only relation within")
+        "relation": "touches"}}}""", "must be intersects, within, contains or disjoint")
     // a SELF-INTERSECTING query ring still fails loud on the driver
     // even now that concave rings serve within (r13)
     bad("""{"query": {"geo_shape": {
@@ -238,7 +238,7 @@ class GeoDocPolygonSpec extends SparkSpec {
                                struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
                                struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
                                struct(CAST(4.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))
-             WHEN 3 THEN transform(sequence(0, 70), i -> struct(
+             WHEN 3 THEN transform(sequence(0, 16390), i -> struct(
                                CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon))
              WHEN 4 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
              ELSE array(struct(CAST(2.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),

@@ -112,12 +112,13 @@ class GeoDocShapesSpec extends SparkSpec {
     val dlq = QueryDsl.geoShapeRingsDlq(t, "rings")
       .select(col("id"), col("_reason")).as[(Long, String)].collect().toSeq
     assert(dlq === Seq((2L, "self_intersecting")))
-    // a 65-total-vertex pair of rings is poison too
+    // a past-the-cap pair of rings is poison too (the cap counts
+    // TOTAL vertices across rings, and fires before the simplicity walk)
     val big = Seq((9L, 0)).toDF("id", "z").withColumn("rings", expr(
       """array(
-           transform(sequence(0, 32), i -> struct(
+           transform(sequence(0, 8200), i -> struct(
              CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon)),
-           transform(sequence(0, 31), i -> struct(
+           transform(sequence(0, 8200), i -> struct(
              CAST(-i AS DOUBLE) AS lat, CAST(i AS DOUBLE) AS lon)))"""))
     assert(QueryDsl.geoShapeRingsDlq(big, "rings")
       .select(col("_reason")).as[String].collect().toSeq ===
@@ -218,9 +219,10 @@ class GeoDocShapesSpec extends SparkSpec {
           [-8.0001, 8.0001], [-8.0001, -8.0001]],
          [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]"""))
     assert(e.getMessage.contains("self-intersecting"), e.getMessage)
-    // the 64-total-vertex cap counts across rings
-    val bigRing = (0 until 61).map { i =>
-      val a = i * 2 * math.Pi / 61
+    // the total-vertex cap counts across rings (16384 now that the
+    // kernel walks vertices as data — VERDICT r13 #1)
+    val bigRing = (0 until 16390).map { i =>
+      val a = i * 2 * math.Pi / 16390
       val lo = math.rint((10 + 3 * math.cos(a)) * 10000) / 10000
       val la = math.rint(3 * math.sin(a) * 10000) / 10000
       s"[$lo, $la]"
@@ -230,7 +232,7 @@ class GeoDocShapesSpec extends SparkSpec {
       s"""[$closed,
           [[-8.0001, -8.0001], [8.0001, -8.0001], [8.0001, 8.0001],
            [-8.0001, 8.0001], [-8.0001, -8.0001]]]"""))
-    assert(e2.getMessage.contains("64 total vertices"), e2.getMessage)
+    assert(e2.getMessage.contains("16384 total vertices"), e2.getMessage)
   }
 
   test("multipolygon: OR of per-polygon parities, holes respected per polygon") {
@@ -380,7 +382,7 @@ class GeoDocShapesSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(got === Seq(1L)) // single-vertex and NULL rows drop
     val big = Seq((9L, 0)).toDF("id", "z").withColumn("path", expr(
-      "transform(sequence(0, 70), i -> struct(" +
+      "transform(sequence(0, 16390), i -> struct(" +
         "CAST(i AS DOUBLE) AS lat, CAST(i * i AS DOUBLE) AS lon))"))
     val e = intercept[Throwable](QueryDsl.search(big,
       """{"query": {"geo_shape": {
@@ -388,6 +390,6 @@ class GeoDocShapesSpec extends SparkSpec {
            "shape": {"type": "envelope", "coordinates": [[-10.0, 10.0], [10.0, -10.0]]},
            "relation": "intersects"}},
           "size": 10, "_source": ["id"]}""").collect())
-    assert(e.getMessage.contains("exceeds 64 vertices"), e.getMessage)
+    assert(e.getMessage.contains("exceeds 16384 vertices"), e.getMessage)
   }
 }

@@ -1,0 +1,295 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The r14 geo relations (VERDICT r13 #3/#4/#7): polygon-query
+  * relations beyond `within` on polygon-family docs, circle query
+  * shapes on every doc kind, and the multilinestring / multipoint doc
+  * kinds. Truth is hand-derived on axis-aligned fixtures (Chebyshev /
+  * interval algebra) — never the engine's own walk.
+  */
+class GeoRelateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // axis-aligned square rings: |lat-cx| ∨ |lon-cy| = R (Chebyshev balls)
+  private def square(cx: Double, cy: Double, r: Double): String =
+    s"""[[${cy - r}, ${cx - r}], [${cy + r}, ${cx - r}], [${cy + r}, ${cx + r}],
+        [${cy - r}, ${cx + r}], [${cy - r}, ${cx - r}]]"""
+
+  // one doc: square ring centered (0,0), R=5
+  private def docSquare = Seq(Tuple1(1L)).toDF("id").withColumn("ring", expr(
+    """array(struct(CAST(-5.0 AS DOUBLE) AS lat, CAST(-5.0 AS DOUBLE) AS lon),
+             struct(CAST(-5.0 AS DOUBLE) AS lat, CAST(5.0 AS DOUBLE) AS lon),
+             struct(CAST(5.0 AS DOUBLE) AS lat, CAST(5.0 AS DOUBLE) AS lon),
+             struct(CAST(5.0 AS DOUBLE) AS lat, CAST(-5.0 AS DOUBLE) AS lon))"""))
+
+  // a frame doc: shell R=10, hole R=4, centered (0,0)
+  private def docFrame = Seq(Tuple1(1L)).toDF("id").withColumn("rings", expr(
+    """array(
+         array(struct(CAST(-10.0 AS DOUBLE) AS lat, CAST(-10.0 AS DOUBLE) AS lon),
+               struct(CAST(-10.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+               struct(CAST(10.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+               struct(CAST(10.0 AS DOUBLE) AS lat, CAST(-10.0 AS DOUBLE) AS lon)),
+         array(struct(CAST(-4.0 AS DOUBLE) AS lat, CAST(-4.0 AS DOUBLE) AS lon),
+               struct(CAST(-4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(-4.0 AS DOUBLE) AS lon)))"""))
+
+  private def hits(docs: org.apache.spark.sql.DataFrame, dsType: String,
+      field: String, shape: String, rel: String): Long =
+    QueryDsl.search(docs,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "$dsType", "${field}": "${
+        if (dsType == "polygon" && field == "rings_field") "rings" else "ring"}"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count()
+
+  private def polyHits(shape: String, rel: String): Boolean =
+    QueryDsl.search(docSquare,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "ring"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+
+  private def frameHits(shape: String, rel: String): Boolean =
+    QueryDsl.search(docFrame,
+      s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "rings_field": "rings"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+
+  test("polygon query vs polygon doc: the full relation matrix") {
+    def q(j: String) = s"""{"type": "polygon", "coordinates": [$j]}"""
+    // query inside the doc square
+    val inside = q(square(0, 0, 2))
+    assert(polyHits(inside, "intersects"))
+    assert(polyHits(inside, "contains"))
+    assert(!polyHits(inside, "within"))
+    assert(!polyHits(inside, "disjoint"))
+    // query swallowing the doc square
+    val outside = q(square(0, 0, 20))
+    assert(polyHits(outside, "intersects"))
+    assert(polyHits(outside, "within"))
+    assert(!polyHits(outside, "contains"))
+    assert(!polyHits(outside, "disjoint"))
+    // far-away query
+    val far = q(square(40, 0, 2))
+    assert(polyHits(far, "disjoint"))
+    assert(!polyHits(far, "intersects"))
+    assert(!polyHits(far, "within"))
+    assert(!polyHits(far, "contains"))
+    // partial overlap across the doc corner
+    val overlap = q(square(4.5, 4.5, 2))
+    assert(polyHits(overlap, "intersects"))
+    assert(!polyHits(overlap, "within"))
+    assert(!polyHits(overlap, "contains"))
+    assert(!polyHits(overlap, "disjoint"))
+    // edge-crossing-only overlap: a thin tall query spanning the doc
+    // vertically — no doc vertex inside it, no query vertex inside the
+    // doc... query verts at lat ±20, lon ∈ [-1, 1]: outside doc; doc
+    // verts at |lon| = 5: outside query; edges cross
+    val spike = q(square(0, 0, 0).replace("[", "").take(0) +
+      s"""[[-1.0, -20.0], [1.0, -20.0], [1.0, 20.0], [-1.0, 20.0], [-1.0, -20.0]]""")
+    assert(polyHits(spike, "intersects"))
+    assert(!polyHits(spike, "within"))
+    assert(!polyHits(spike, "contains"))
+  }
+
+  test("concave query polygon relations") {
+    // a chevron (concave) whose notch straddles the doc square's top:
+    // vertices (lat, lon): (6,-8) (14,-8) (14,8) (6,8) (12,0) — the
+    // notch dips to lat 6 above the doc (doc top at lat 5): disjoint
+    val chevron = """{"type": "polygon", "coordinates":
+      [[[-8.0, 6.0], [-8.0, 14.0], [8.0, 14.0], [8.0, 6.0], [0.0, 12.0],
+        [-8.0, 6.0]]]}"""
+    assert(polyHits(chevron, "disjoint"))
+    // the same chevron shifted down (lat 1..9, notch apex at lat 7):
+    // its arms dip over the doc's top corners — at lon 5 the chevron
+    // spans lat 3.25..9 vs the doc's -5..5, so the doc corner (5,5)
+    // sits inside the chevron and the slanted edges cross the doc
+    val chevLow = """{"type": "polygon", "coordinates":
+      [[[-8.0, 1.0], [-8.0, 9.0], [8.0, 9.0], [8.0, 1.0], [0.0, 7.0],
+        [-8.0, 1.0]]]}"""
+    assert(polyHits(chevLow, "intersects"))
+    assert(!polyHits(chevLow, "within"))
+    assert(!polyHits(chevLow, "contains"))
+  }
+
+  test("query polygon with a hole: the hole is not part of the region") {
+    // shell R=20 with hole R=8: the doc square (R=5) sits INSIDE the
+    // hole — fully outside the region
+    val frameQ = s"""{"type": "polygon", "coordinates":
+      [${square(0, 0, 20)}, ${square(0, 0, 8)}]}"""
+    assert(polyHits(frameQ, "disjoint"))
+    assert(!polyHits(frameQ, "within"))
+    assert(!polyHits(frameQ, "intersects"))
+    // shell R=20 with a SMALL hole R=2 strictly inside the doc: the
+    // doc is NOT within the query (the hole pokes into it) — the
+    // query-vertex-in-doc guard catches what vertex membership and
+    // crossing tests alone would miss
+    val holed = s"""{"type": "polygon", "coordinates":
+      [${square(0, 0, 20)}, ${square(0, 0, 2)}]}"""
+    assert(!polyHits(holed, "within"))
+    assert(polyHits(holed, "intersects"))
+    assert(!polyHits(holed, "contains"))
+  }
+
+  test("polygon query vs rings doc (frame): holes on BOTH sides") {
+    // query square R=2 inside the doc frame's HOLE: disjoint
+    val inHole = s"""{"type": "polygon", "coordinates": [${square(0, 0, 2)}]}"""
+    assert(frameHits(inHole, "disjoint"))
+    assert(!frameHits(inHole, "contains"))
+    assert(!frameHits(inHole, "intersects"))
+    // query square R=6: spans the hole boundary — intersects the
+    // annulus but is not contained (the doc hole ring pokes into it)
+    val spanning = s"""{"type": "polygon", "coordinates": [${square(0, 0, 6)}]}"""
+    assert(frameHits(spanning, "intersects"))
+    assert(!frameHits(spanning, "contains"))
+    assert(!frameHits(spanning, "within"))
+    // a query square strictly inside the annulus band: contained
+    val inBand = s"""{"type": "polygon", "coordinates": [${square(0, 7, 1)}]}"""
+    assert(frameHits(inBand, "contains"))
+    assert(frameHits(inBand, "intersects"))
+    // the frame within a swallowing query
+    val big = s"""{"type": "polygon", "coordinates": [${square(0, 0, 30)}]}"""
+    assert(frameHits(big, "within"))
+    // multipolygon query: the doc must contain EVERY island for
+    // contains; one island in the hole breaks it
+    val twoIslands = s"""{"type": "multipolygon", "coordinates":
+      [[${square(0, 7, 1)}], [${square(0, 0, 1)}]]}"""
+    assert(!frameHits(twoIslands, "contains"))
+    assert(frameHits(twoIslands, "intersects"))
+    val bandIslands = s"""{"type": "multipolygon", "coordinates":
+      [[${square(0, 7, 1)}], [${square(0, -7, 1)}]]}"""
+    assert(frameHits(bandIslands, "contains"))
+  }
+
+  test("circle vs polygon docs: intersects/within/contains/disjoint") {
+    // equatorial geometry: doc square edges at lon ±5; circle center
+    // (lat 0, lon 10) — closest boundary point (0, 5), distance = the
+    // pinned haversine of a pure 5°-lon equatorial separation
+    def rad(d: Double) = d * math.Pi / 180.0
+    val dEdge = 12742.0176 * math.asin(math.sqrt(
+      math.cos(0.0) * math.cos(0.0) * math.pow(math.sin(rad(5.0) / 2), 2)))
+    def circle(cLat: Double, cLon: Double, rKm: Double) =
+      s"""{"type": "circle", "coordinates": [$cLon, $cLat],
+           "radius": "${rKm}km"}"""
+    assert(polyHits(circle(0, 10, dEdge + 5), "intersects"))
+    assert(!polyHits(circle(0, 10, dEdge + 5), "within"))
+    assert(!polyHits(circle(0, 10, dEdge + 5), "contains"))
+    assert(polyHits(circle(0, 10, dEdge - 5), "disjoint"))
+    // center inside, small radius: doc contains the circle
+    assert(polyHits(circle(0, 0, 50), "contains"))
+    assert(polyHits(circle(0, 0, 50), "intersects"))
+    assert(!polyHits(circle(0, 0, 50), "within"))
+    // center inside but radius past the nearest edge: no longer contained
+    assert(!polyHits(circle(0, 0, dEdge + 200), "contains"))
+    // doc within a big circle: all vertices within r — corner (5,5)
+    // is the farthest vertex; 1000 km clears it comfortably
+    assert(polyHits(circle(0, 0, 1000), "within"))
+    // circle entirely inside the FRAME doc's hole: disjoint; poking
+    // past the hole edge: intersects (annulus boundary reached)
+    val dHole = 12742.0176 * math.asin(math.sqrt(
+      math.cos(0.0) * math.cos(0.0) * math.pow(math.sin(rad(4.0) / 2), 2)))
+    assert(frameHits(circle(0, 0, dHole - 5), "disjoint"))
+    assert(frameHits(circle(0, 0, dHole + 5), "intersects"))
+    assert(!frameHits(circle(0, 0, dHole + 5), "contains"))
+    // circle in the annulus band, clear of both boundaries: contained
+    assert(frameHits(circle(0, 7, 10), "contains"))
+  }
+
+  test("circle vs linestring and multipoint docs") {
+    def rad(d: Double) = d * math.Pi / 180.0
+    def eqKm(dLon: Double) = 12742.0176 * math.asin(math.sqrt(
+      math.pow(math.sin(rad(dLon) / 2), 2)))
+    // an equatorial segment lon 0..10 at lat 0
+    val line = Seq(Tuple1(1L)).toDF("id").withColumn("path", expr(
+      """array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon))"""))
+    def lineHits(shape: String, rel: String): Boolean =
+      QueryDsl.search(line, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "linestring", "line_field": "path"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    def circle(cLat: Double, cLon: Double, rKm: Double) =
+      s"""{"type": "circle", "coordinates": [$cLon, $cLat],
+           "radius": "${rKm}km"}"""
+    // center (0, 15): closest point is the endpoint (0, 10), 5° away
+    assert(lineHits(circle(0, 15, eqKm(5) + 5), "intersects"))
+    assert(lineHits(circle(0, 15, eqKm(5) - 5), "disjoint"))
+    // center (0, 5): ON the line (clamped interior point) — distance 0
+    assert(lineHits(circle(0, 5, 1), "intersects"))
+    // within: farthest vertex from (0, 5) is 5° away
+    assert(lineHits(circle(0, 5, eqKm(5) + 5), "within"))
+    assert(!lineHits(circle(0, 5, eqKm(5) - 5), "within"))
+    // a line cannot contain a disk
+    val e = intercept[IllegalArgumentException](lineHits(circle(0, 5, 1), "contains"))
+    assert(e.getMessage.contains("cannot contain a positive-radius circle"))
+
+    val mpts = Seq(Tuple1(1L)).toDF("id").withColumn("pts", expr(
+      """array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon))"""))
+    def mpHits(shape: String, rel: String): Boolean =
+      QueryDsl.search(mpts, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "multipoint", "points_field": "pts"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    assert(mpHits(circle(0, 0, 10), "intersects"))
+    assert(!mpHits(circle(0, 0, 10), "within"))      // the (0,10) point is far
+    assert(mpHits(circle(0, 5, eqKm(5) + 5), "within"))
+    assert(mpHits(circle(0, 20, eqKm(10) - 5), "disjoint"))
+  }
+
+  test("multilinestring and multipoint docs vs boxes") {
+    // two disjoint equatorial segments: lat 0 lon 0..10, lat 20 lon 0..10
+    val ml = Seq(Tuple1(1L)).toDF("id").withColumn("paths", expr(
+      """array(
+           array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                 struct(CAST(0.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon)),
+           array(struct(CAST(20.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+                 struct(CAST(20.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon)))"""))
+    def mlHits(shape: String, rel: String): Boolean =
+      QueryDsl.search(ml, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "multilinestring", "lines_field": "paths"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    def env(latT: Double, latB: Double, lonL: Double, lonR: Double) =
+      s"""{"type": "envelope", "coordinates": [[$lonL, $latT], [$lonR, $latB]]}"""
+    // a box crossing only the SECOND component (the gap matters)
+    assert(mlHits(env(21.0, 19.0, 4.0, 6.0), "intersects"))
+    // a box in the gap between the tracks: disjoint
+    assert(mlHits(env(11.0, 9.0, 4.0, 6.0), "disjoint"))
+    // within needs EVERY component inside
+    assert(mlHits(env(25.0, -5.0, -1.0, 11.0), "within"))
+    assert(!mlHits(env(5.0, -5.0, -1.0, 11.0), "within"))
+    // contains: only a zero-area query, a point ON one of the lines
+    assert(mlHits("""{"type": "point", "coordinates": [5.0, 20.0]}""", "contains"))
+    val e = intercept[IllegalArgumentException](
+      mlHits(env(1.0, -1.0, 1.0, 2.0), "contains"))
+    assert(e.getMessage.contains("zero-area"), e.getMessage)
+
+    // multipoint membership: any / all / exact-point contains
+    val mp = Seq(Tuple1(1L)).toDF("id").withColumn("pts", expr(
+      """array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(1.0 AS DOUBLE) AS lon),
+               struct(CAST(9.0 AS DOUBLE) AS lat, CAST(9.0 AS DOUBLE) AS lon))"""))
+    def mpHits(shape: String, rel: String): Boolean =
+      QueryDsl.search(mp, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "multipoint", "points_field": "pts"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    assert(mpHits(env(2.0, 0.0, 0.0, 2.0), "intersects"))
+    assert(!mpHits(env(2.0, 0.0, 0.0, 2.0), "within"))
+    assert(mpHits(env(10.0, 0.0, 0.0, 10.0), "within"))
+    assert(mpHits("""{"type": "point", "coordinates": [9.0, 9.0]}""", "contains"))
+    assert(!mpHits("""{"type": "point", "coordinates": [5.0, 5.0]}""", "contains"))
+    // dirt drops: a NULL coordinate inside one point
+    val dirty = Seq(Tuple1(1L)).toDF("id").withColumn("pts", expr(
+      """array(struct(CAST(NULL AS DOUBLE) AS lat, CAST(1.0 AS DOUBLE) AS lon))"""))
+    assert(QueryDsl.search(dirty, """{"query": {"geo_shape": {
+        "doc_shape": {"type": "multipoint", "points_field": "pts"},
+        "shape": {"type": "point", "coordinates": [1.0, 1.0]},
+        "relation": "intersects"}}, "size": 10, "_source": ["id"]}""")
+      .count() === 0L)
+  }
+}

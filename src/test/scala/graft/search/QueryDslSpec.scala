@@ -4562,8 +4562,12 @@ class QueryDslSpec extends SparkSpec {
     assert(ids(env, "contains") === Seq.empty)
     assert(ids(poly, "contains") === Seq.empty)
     badShape(env, "relation must be", "overlaps")
+    // circle is a real type now (r14); a radius-less one fails loud,
+    // an unknown type names the full menu
     badShape("""{"type": "circle", "coordinates": [0, 0]}""",
-      "type must be envelope, polygon, multipolygon or point")
+      "circle requires a radius")
+    badShape("""{"type": "blob", "coordinates": [0, 0]}""",
+      "type must be envelope, polygon, multipolygon, circle or point")
     badShape("""{"type": "envelope", "coordinates": [[0, 0], [1, 1]]}""",
       "top lat")                            // top-left below bottom-right
     badShape("""{"type": "polygon", "coordinates":
