@@ -409,8 +409,12 @@ object ThroughputBench {
     // plus service — so overload degrades into a visible rejected
     // count instead of tail blow-up.
     def runLevelGated(n: Int, gate: graft.search.ServingGate)
-        : (Double, Double, Long) = {
+        : (Double, Double, Double, Long) = {
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      // end-to-end clock INCLUDING 429-backoff retries (r14, ADVICE:
+      // the served-attempt sample alone understates client-perceived
+      // latency under sustained overload; both are emitted)
+      val e2e = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
       val next = new java.util.concurrent.atomic.AtomicInteger(0)
       val failed = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0s = System.nanoTime()
@@ -419,6 +423,7 @@ object ThroughputBench {
           var i = next.getAndIncrement()
           while (i < servReqs) {
             var done = false
+            val r0 = System.nanoTime()
             while (!done) {
               val s0 = System.nanoTime()
               val admitted = gate {
@@ -431,6 +436,7 @@ object ThroughputBench {
                 case None => Thread.sleep(20)
               }
             }
+            e2e.add((System.nanoTime() - r0) / 1e9)
             i = next.getAndIncrement()
           }
         })
@@ -439,14 +445,15 @@ object ThroughputBench {
       require(failed.get() == 0,
         s"gated $n-way serving had ${failed.get()} failures")
       val total = (System.nanoTime() - t0s) / 1e9
-      val ls = lat.toArray(Array.empty[java.lang.Double])
-        .map(_.doubleValue).sorted
-      val p95s = ls(math.min(ls.length - 1,
-        math.ceil(0.95 * ls.length).toInt - 1))
-      (servReqs / total, p95s, gate.rejected)
+      def p95Of(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]) = {
+        val ls = q.toArray(Array.empty[java.lang.Double])
+          .map(_.doubleValue).sorted
+        ls(math.min(ls.length - 1, math.ceil(0.95 * ls.length).toInt - 1))
+      }
+      (servReqs / total, p95Of(lat), p95Of(e2e), gate.rejected)
     }
     val gatePermits = 8; val gateQueue = 8
-    val (rps32g, p95s32g, rej32g) =
+    val (rps32g, p95s32g, p95e32g, rej32g) =
       runLevelGated(32, new graft.search.ServingGate(gatePermits, gateQueue))
 
     val json =
@@ -479,6 +486,7 @@ object ThroughputBench {
       s""""serve_gate_permits":$gatePermits,"serve_gate_queue":$gateQueue,""" +
       s""""serve_n32_gated_rps":${f"$rps32g%.2f"},""" +
       s""""serve_n32_gated_p95_sec":${f"$p95s32g%.3f"},""" +
+      s""""serve_n32_gated_e2e_p95_sec":${f"$p95e32g%.3f"},""" +
       s""""serve_n32_gated_rejected":$rej32g}"""
     println(json)
     Files.writeString(Paths.get("throughput_last.json"), json + "\n")

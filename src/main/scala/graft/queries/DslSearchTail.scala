@@ -4131,6 +4131,137 @@ object DslSearchTail {
           AND cy > -12.0001 AND cy + 3 < 2.0009
         ORDER BY c_custkey
         LIMIT 400
+      """.stripMargin.trim)),
+
+    // terms min_doc_count: 0 (r14, VERDICT r13 #5 — Kibana's "show
+    // empty buckets"): the term dictionary comes from the PRE-QUERY
+    // table, so langs the query filtered out surface with doc_count 0
+    // and NULL sub-metrics; ordering (count desc, key asc) and size
+    // then apply to the joined table. Oracle: DISTINCT dictionary LEFT
+    // JOIN the filtered counts — the same dense-fill shape.
+    GraftQuery(
+      "q384_dsl_terms_min_doc_count_zero",
+      (s, dir) => QueryDsl.search(
+        Tables.load(s, dir, "documents"),
+        """{"query": {"term": {"lang": "en"}},
+           "size": 0,
+           "aggs": {"langs": {"terms": {"field": "lang",
+             "min_doc_count": 0, "size": 20},
+             "aggs": {"chars": {"sum": {"field": "n_chars"}}}}}}"""),
+      Some("""
+        WITH dict AS (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+        cnt AS (
+          SELECT lang, COUNT(*) AS c, CAST(SUM(n_chars) AS BIGINT) AS sc
+          FROM documents WHERE lang = 'en' GROUP BY lang)
+        SELECT d.lang AS langs, COALESCE(c, 0) AS doc_count, sc AS chars
+        FROM dict d LEFT JOIN cnt USING (lang)
+        ORDER BY doc_count DESC, langs LIMIT 20
+      """.stripMargin.trim)),
+
+    // the full BPE merge LOOP (r14, VERDICT r13 #8 — the k-iteration
+    // generalization of q101): k=3 merges learned over the documents
+    // corpus, each iteration one pair-count shuffle + a map-only
+    // leftmost-greedy fold applying the winner (ties break by pair,
+    // lexicographic — BpeSpec pins it). The oracle replays all three
+    // iterations token-for-token in DuckDB: the same pair counts, the
+    // same winner rule, and the fold as a recursive CTE stepping one
+    // symbol at a time.
+    GraftQuery(
+      "q385_bpe_merge_loop",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")).between(2, 20))
+          .select(split(col("tok"), "").as("syms"))
+        graft.operators.Bpe.merges(toks, 3)
+      },
+      Some("""
+        WITH RECURSIVE
+        t0 AS (
+          SELECT row_number() OVER () AS tid, regexp_extract_all(tok, '.') AS syms
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) BETWEEN 2 AND 20),
+        p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, COUNT(*) AS n
+               FROM (SELECT syms, unnest(range(1, len(syms))) AS i FROM t0)
+               GROUP BY 1, 2),
+        w1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        r1 AS (
+          SELECT tid, syms, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM t0
+          UNION ALL
+          SELECT tid, syms, i + 1,
+            CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM w1)
+                      AND syms[i + 1] = (SELECT b FROM w1)
+                 THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM w1))
+                 ELSE list_append(acc, syms[i + 1]) END
+          FROM r1 WHERE i < len(syms)),
+        t1 AS (SELECT tid, acc AS syms FROM r1 WHERE i = len(syms)),
+        p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, COUNT(*) AS n
+               FROM (SELECT syms, unnest(range(1, len(syms))) AS i
+                     FROM t1 WHERE len(syms) >= 2)
+               GROUP BY 1, 2),
+        w2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        r2 AS (
+          SELECT tid, syms, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM t1
+          UNION ALL
+          SELECT tid, syms, i + 1,
+            CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM w2)
+                      AND syms[i + 1] = (SELECT b FROM w2)
+                 THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM w2))
+                 ELSE list_append(acc, syms[i + 1]) END
+          FROM r2 WHERE i < len(syms)),
+        t2 AS (SELECT tid, acc AS syms FROM r2 WHERE i = len(syms)),
+        p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, COUNT(*) AS n
+               FROM (SELECT syms, unnest(range(1, len(syms))) AS i
+                     FROM t2 WHERE len(syms) >= 2)
+               GROUP BY 1, 2),
+        w3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+        SELECT step, a, b, a || b AS merged, CAST(n AS BIGINT) AS n FROM (
+          SELECT 1 AS step, a, b, n FROM w1
+          UNION ALL SELECT 2, a, b, n FROM w2
+          UNION ALL SELECT 3, a, b, n FROM w3)
+        ORDER BY step
+      """.stripMargin.trim)),
+
+    // extended_bounds ∪ data-span union (r14, ADVICE): data buckets
+    // OUTSIDE the bounds don't just survive the outer join — the
+    // interior gaps between them and the bounded series fill too (the
+    // OpenSearch widening rule). Fixture: a sparse far cluster (every
+    // 97th doc at 2000+) beyond bounds [0, 600]; the series must run
+    // dense to the data's own max bucket. The oracle generates the
+    // union range from the same construction.
+    GraftQuery(
+      "q386_dsl_histogram_bounds_union",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val d = Tables.load(s, dir, "documents").withColumn("v", expr(
+          "CASE WHEN doc_id % 97 = 0 THEN 2000 + (doc_id % 7) * 100 " +
+            "ELSE n_chars END"))
+        QueryDsl.search(d,
+          """{"size": 0,
+             "aggs": {"hist": {"histogram": {"field": "v", "interval": 50,
+               "min_doc_count": 0,
+               "extended_bounds": {"min": 0, "max": 600}}}}}""")
+      },
+      Some("""
+        WITH d AS (
+          SELECT CASE WHEN doc_id % 97 = 0 THEN 2000 + (doc_id % 7) * 100
+                      ELSE n_chars END AS v
+          FROM documents),
+        g AS (
+          SELECT CAST(FLOOR(v / 50) * 50 AS BIGINT) AS hist, COUNT(*) AS doc_count
+          FROM d WHERE v IS NOT NULL GROUP BY 1),
+        mx AS (
+          SELECT LEAST(0, CAST(FLOOR(MIN(v) / 50) * 50 AS BIGINT)) AS lo,
+                 GREATEST(600, CAST(FLOOR(MAX(v) / 50) * 50 AS BIGINT)) AS hi
+          FROM d WHERE v IS NOT NULL),
+        b AS (
+          SELECT unnest(range((SELECT lo FROM mx),
+                              (SELECT hi FROM mx) + 50, 50)) AS hist)
+        SELECT COALESCE(b.hist, g.hist) AS hist,
+               COALESCE(g.doc_count, 0) AS doc_count
+        FROM b FULL OUTER JOIN g ON b.hist = g.hist
+        ORDER BY doc_count DESC, hist
       """.stripMargin.trim))
   )
 }

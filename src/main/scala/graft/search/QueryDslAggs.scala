@@ -411,13 +411,15 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
               fail(s"unsupported terms option '$k' in '$name'"))
             // min_doc_count: drop buckets under the floor, BEFORE
             // ordering/size (the OpenSearch evaluation order) — a
-            // bucket-table filter, the groupBy is unchanged. 0 is
-            // meaningless for terms without a term dictionary to
-            // enumerate absent keys from — fail loud.
+            // bucket-table filter, the groupBy is unchanged. 0 (r14,
+            // VERDICT r13 #5 — Kibana's "show empty buckets") builds
+            // the term dictionary from the PRE-QUERY table (the
+            // OpenSearch semantics: terms that exist in the index,
+            // shown with doc_count 0 when the query filters them out)
+            // and full-outer-joins it in — the dense-fill join shape.
             val tMdc = intOpt(tm, "min_doc_count")
-            tMdc.foreach(n => if (n < 1) fail(
-              s"terms min_doc_count must be >= 1 (0 would need a term " +
-                s"dictionary of absent keys), got $n"))
+            tMdc.foreach(n => if (n < 0) fail(
+              s"terms min_doc_count must be >= 0, got $n"))
             val f0 = strOpt(tm, "field").getOrElse(fail(s"terms agg '$name' needs a field"))
             // `missing`: docs without a key value land in a named
             // bucket instead of a NULL key (the OpenSearch option) —
@@ -768,12 +770,13 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                   // lTrunc expression — the same min/max the oracle's
                   // series replays. Constant offsets stay monotone, so
                   // the cached span endpoints remain exact there.
-                  val ltBounds: Option[(Long, Long)] = extBounds match {
-                    case Some((blo, bhi)) =>
-                      val tb = tabOpt.getOrElse(constTab)
-                      Some((lTruncOfUs(blo, step, offUs, tb),
-                        lTruncOfUs(bhi, step, offUs, tb)))
-                    case None if tabOpt.isEmpty =>
+                  // the series spans the UNION of the data span and
+                  // extended_bounds (r14 — the OpenSearch widening
+                  // rule; formerly the bounds replaced the span, which
+                  // left the gaps between out-of-bounds data buckets
+                  // and the series edge unfilled)
+                  val dataLt: Option[(Long, Long)] =
+                    if (tabOpt.isEmpty)
                       hitDateSpan(hits, f).map { case (a, b) =>
                         def us2(t: java.time.LocalDateTime): Long =
                           t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
@@ -781,7 +784,7 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                         (lTruncOfUs(us2(a), step, offUs, constTab),
                           lTruncOfUs(us2(b), step, offUs, constTab))
                       }
-                    case None =>
+                    else {
                       val tb = tabOpt.get
                       val dated = hits.filter(col(f).isNotNull)
                       val cacheKey =
@@ -811,6 +814,18 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
                         ltBoundsCache.put(cacheKey, v)
                         v
                       }
+                    }
+                  val ltBounds: Option[(Long, Long)] = extBounds match {
+                    case None => dataLt
+                    case Some((blo, bhi)) =>
+                      val tb = tabOpt.getOrElse(constTab)
+                      val lo = lTruncOfUs(blo, step, offUs, tb)
+                      val hi = lTruncOfUs(bhi, step, offUs, tb)
+                      Some(dataLt match {
+                        case Some((dlo, dhi)) =>
+                          (math.min(lo, dlo), math.max(hi, dhi))
+                        case None => (lo, hi)
+                      })
                   }
                   val keys = ltBounds.map { case (s0, e0) =>
                     localDenseKeys(s0, e0, step, offUs, lTab)
@@ -833,17 +848,27 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             // (time-zone-shifted) fixed-interval boundaries
             def bucketOf(us: Long): Long =
               Math.floorDiv(us + tzOffUs, ivUs) * ivUs - tzOffUs
-            val (lo0, hi0) = boundsOpt.getOrElse {
+            // bounds ∪ data span (r14): same widening rule as the
+            // numeric fill — interior gaps beside out-of-bounds data
+            // buckets fill too
+            val dataSpan: Option[(Long, Long)] = {
               val r = gated.filter(col(field).isNotNull)
                 .agg(min(col(field)), max(col(field))).collect().head
-              if (r.isNullAt(0)) (0L, -1L)
+              if (r.isNullAt(0)) None
               else {
                 def us(i: Int): Long = {
                   val t = r.getTimestamp(i).toInstant
                   t.getEpochSecond * 1000000L + t.getNano / 1000L
                 }
-                (us(0), us(1))
+                Some((us(0), us(1)))
               }
+            }
+            val (lo0, hi0) = (boundsOpt, dataSpan) match {
+              case (Some((blo, bhi)), Some((dlo, dhi))) =>
+                (math.min(blo, dlo), math.max(bhi, dhi))
+              case (Some(b), None) => b
+              case (None, Some(d)) => d
+              case (None, None)    => (0L, -1L)
             }
             val lo = bucketOf(lo0)
             val hi = bucketOf(hi0)
@@ -879,10 +904,24 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
             // pipeline window over it). FULL OUTER join so data
             // buckets outside the bounds survive; empty buckets get
             // doc_count 0, sub-aggs NULL.
-            val (lo0, hi0) = boundsOpt.getOrElse {
+            // the series spans the UNION of the data span and
+            // extended_bounds (r14, the OpenSearch fill contract:
+            // bounds only ever WIDEN — data buckets outside them get
+            // their interior gaps filled too, not just survival via
+            // the outer join); the union costs one extra 2-long
+            // column-pruned aggregate when bounds are given
+            val dataSpan: Option[(Long, Long)] = {
               val r = gated.agg(min(col(field)), max(col(field))).collect().head
-              if (r.isNullAt(0)) (0L, -1L)
-              else (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+              if (r.isNullAt(0)) None
+              else Some((r.getAs[Number](0).longValue,
+                r.getAs[Number](1).longValue))
+            }
+            val (lo0, hi0) = (boundsOpt, dataSpan) match {
+              case (Some((blo, bhi)), Some((dlo, dhi))) =>
+                (math.min(blo, dlo), math.max(bhi, dhi))
+              case (Some(b), None) => b
+              case (None, Some(d)) => d
+              case (None, None)    => (0L, -1L)
             }
             // the dense series aligns to the same shifted boundaries
             val lo = Math.floorDiv(lo0 - off, iv) * iv + off
@@ -904,10 +943,31 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
         // BEFORE ordering/pipeline aggs, so buckets_path can
         // reference the MAD column
         // terms min_doc_count: the bucket floor applies before
-        // ordering/size (the OpenSearch evaluation order)
-        val bucketTableMdc = termsMinDoc
-          .map(n => bucketTable.filter(col("doc_count") >= n.toLong))
-          .getOrElse(bucketTable)
+        // ordering/size (the OpenSearch evaluation order). 0 = the
+        // dictionary-driven dense form: distinct keys of the
+        // PRE-QUERY table (same include/exclude/missing gates, NULL
+        // keys excluded — the NULL bucket rides the full_outer
+        // unmatched, exactly as the query left it), cardinality-
+        // capped fail-loud at 100k (the dense-series doctrine; the
+        // probe is one column-pruned distinct). Empty terms surface
+        // with doc_count 0 and NULL sub-metrics (the dense-fill
+        // convention); ordering/size then apply to the joined table.
+        val bucketTableMdc = termsMinDoc match {
+          case Some(0) =>
+            val dict = table
+              .filter(preFilter.getOrElse(lit(true)))
+              .select(keyCol)
+              .filter(col(name).isNotNull)
+              .distinct()
+            if (dict.limit(100001).count() > 100000L)
+              fail(s"terms min_doc_count: 0 would enumerate more than " +
+                "100000 distinct terms (the dictionary cap) - filter " +
+                "with include/exclude or raise min_doc_count")
+            dict.join(bucketTable, Seq(name), "full_outer")
+              .na.fill(0L, Seq("doc_count"))
+          case Some(n) => bucketTable.filter(col("doc_count") >= n.toLong)
+          case None    => bucketTable
+        }
         val bucketTable1a = madEntries.foldLeft(bucketTableMdc) {
           case (bt, (subName, subSpec)) =>
             val madT = madTable(gated, keyCol, subName, subSpec)

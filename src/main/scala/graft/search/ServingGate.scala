@@ -32,13 +32,22 @@ final class ServingGate(maxConcurrent: Int, maxQueued: Int) {
     new java.util.concurrent.Semaphore(maxConcurrent, true)
   private val queued = new java.util.concurrent.atomic.AtomicInteger(0)
   private val rejectedCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val cancelledCount = new java.util.concurrent.atomic.AtomicLong(0L)
   private val admittedCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Requests turned away at the door so far (the response-metadata
     * counter — the hot-bucket-cap diagnostics doctrine: a cap is
-    * never silent).
+    * never silent). Queue-depth overload ONLY — client cancellations
+    * count under [[cancelled]], so this stays a pure capacity signal
+    * (r14, ADVICE: conflating the two made the overload diagnostic
+    * read high under cancel-happy clients).
     */
   def rejected: Long = rejectedCount.get()
+
+  /** Waiters interrupted mid-queue (client timeout/cancel) so far —
+    * not served, but not a capacity rejection either.
+    */
+  def cancelled: Long = cancelledCount.get()
 
   /** Requests admitted (immediately or after queueing) so far. */
   def admitted: Long = admittedCount.get()
@@ -71,7 +80,8 @@ final class ServingGate(maxConcurrent: Int, maxQueued: Int) {
       // released in a finally — a waiter interrupted mid-acquire
       // (client timeout/cancel) must not leak its slot, or the queue
       // silently shrinks toward reject-on-saturation. An interrupted
-      // wait counts as a rejection (the request is not served).
+      // wait is counted as a CANCELLATION, not a rejection — the
+      // request is not served, but the gate was not over capacity.
       val q = queued.incrementAndGet()
       if (q > maxQueued) {
         queued.decrementAndGet()
@@ -84,7 +94,7 @@ final class ServingGate(maxConcurrent: Int, maxQueued: Int) {
             Thread.currentThread().interrupt(); false }
           finally queued.decrementAndGet()
         if (!acquired) {
-          rejectedCount.incrementAndGet()
+          cancelledCount.incrementAndGet()
           None
         } else {
           admittedCount.incrementAndGet()

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The r14 BPE merge loop: determinism under tied pair counts
+  * (lexicographic pair wins), leftmost-greedy non-overlapping
+  * application, and the k bound.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(toks: String*) =
+    toks.toDF("tok").select(split(col("tok"), "").as("syms"))
+
+  test("ties break lexicographically by (a, b) — pinned determinism") {
+    // (a,b) and (c,d) both occur twice; (a,b) must win step 1
+    val got = Bpe.merges(corpus("ab", "cd", "ab", "cd"), 2)
+      .select(col("step"), col("merged"), col("n"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got === Seq((1, "ab", 2L), (2, "cd", 2L)))
+  }
+
+  test("leftmost-greedy non-overlapping application") {
+    // "aaa": (a,a) counts 2 (overlapping occurrences count), the merge
+    // yields [aa, a] — so step 2's best pair is (aa, a)
+    val got = Bpe.merges(corpus("aaa", "aaa"), 2)
+      .select(col("step"), col("a"), col("b"), col("n"))
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
+  test("merged symbols participate in later iterations") {
+    val got = Bpe.merges(corpus("abc", "abc", "abd"), 3)
+      .select(col("step"), col("merged"), col("n"))
+      .as[(Int, String, Long)].collect().toSeq
+    // step 1: (a,b) x3 beats (b,c) x2; step 2: (ab,c) x2; step 3: (ab,d) x1
+    assert(got === Seq((1, "ab", 3L), (2, "abc", 2L), (3, "abd", 1L)))
+  }
+
+  test("exhaustion stops early; k is bounded") {
+    // one two-symbol token: step 1 merges it, step 2 finds no pairs
+    val got = Bpe.merges(corpus("xy"), 5)
+      .select(col("step")).as[Int].collect().toSeq
+    assert(got === Seq(1))
+    val e = intercept[IllegalArgumentException](Bpe.merges(corpus("xy"), 65))
+    assert(e.getMessage.contains("1..64"))
+  }
+}

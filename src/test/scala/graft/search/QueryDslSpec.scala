@@ -2692,9 +2692,11 @@ class QueryDslSpec extends SparkSpec {
       """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": 2,
            "exclude": ["a"]}}}}""").as[(String, Long)].collect().toSeq
     assert(both === Seq(("c", 2L)))
+    // 0 is the dictionary-driven dense form now (r14 — TermsDictSpec);
+    // negatives stay loud
     val e = intercept[IllegalArgumentException](QueryDsl.search(t,
-      """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": 0}}}}"""))
-    assert(e.getMessage.contains("min_doc_count must be >= 1"))
+      """{"aggs": {"g": {"terms": {"field": "k", "min_doc_count": -2}}}}"""))
+    assert(e.getMessage.contains("min_doc_count must be >= 0"))
   }
 
   test("extended_stats_bucket: exact moments over the bucket series") {

@@ -49,7 +49,7 @@ class ServingGateSpec extends AnyFunSuite {
     assert(gate.admitted === 4L)
   }
 
-  test("an interrupted waiter frees its queue slot and counts as rejected") {
+  test("an interrupted waiter frees its queue slot and counts as cancelled") {
     val gate = new ServingGate(1, 1)
     val release = new java.util.concurrent.CountDownLatch(1)
     val holder = new Thread(() => { gate { release.await() }; () })
@@ -67,6 +67,10 @@ class ServingGateSpec extends AnyFunSuite {
     waiter.interrupt()
     waiter.join(30000)
     assert(waiterOutcome.get() === "rejected")
+    // counted as a cancellation, NOT a capacity rejection — the
+    // overload diagnostic stays a pure queue-depth signal
+    assert(gate.cancelled === 1L)
+    assert(gate.rejected === 0L)
     // the queue slot must be FREE again: a new waiter queues (not
     // rejects) and is served once the holder releases
     val late = new Thread(() => {
