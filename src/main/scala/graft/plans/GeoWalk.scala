@@ -69,45 +69,48 @@ case class GeoDocRelate(child: Expression, docKind: String,
   private val docKindCode: Int = GeoWalk.docKindCode(docKind)
   private val relCode: Int = GeoWalk.relationCode(relation)
 
-  /** The leaf vertex struct's lat/lon slot indices, resolved by NAME
-    * from the column's schema (the engine's explicit-field geo
-    * convention — no positional guessing).
+  /** The leaf vertex struct's lat/lon slot indices — and, for the
+    * geometrycollection, the element struct's kind/pts slots —
+    * resolved by NAME from the column's schema (the engine's
+    * explicit-field geo convention — no positional guessing).
     */
   private lazy val (latIdx: Int, lonIdx: Int) = {
     val leaf = GeoWalk.leafStruct(child.dataType, docKindCode)
     (leaf.fieldIndex("lat"), leaf.fieldIndex("lon"))
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val depth = GeoWalk.kindDepth(docKindCode)
-    def unwrap(dt: DataType, d: Int): Option[StructType] = (dt, d) match {
-      case (ArrayType(inner, _), n) if n > 0 => unwrap(inner, n - 1)
-      case (st: StructType, 0)               => Some(st)
-      case _                                 => None
-    }
-    unwrap(child.dataType, depth) match {
-      case Some(st) if st.fieldNames.contains("lat") &&
-          st.fieldNames.contains("lon") &&
-          st("lat").dataType == DoubleType && st("lon").dataType == DoubleType =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName($docKind) requires ${"array<" * depth}struct<lat: " +
-          s"double, lon: double>${">" * depth}, got ${child.dataType.simpleString}")
-    }
+  private lazy val (kindIdx: Int, ptsIdx: Int) = {
+    val elt = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (elt.fieldIndex("kind"), elt.fieldIndex("pts"))
   }
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeoWalk.checkGeomType(child.dataType, docKindCode, prettyName, docKind)
+
   override protected def nullSafeEval(geom: Any): Any =
-    GeoWalk.relate(geom.asInstanceOf[ArrayData], docKindCode, latIdx, lonIdx,
-      shape, relCode, cap)
+    if (docKindCode == GeoWalk.KindCollection)
+      GeoWalk.relateCollection(geom.asInstanceOf[ArrayData], kindIdx, ptsIdx,
+        latIdx, lonIdx, shape, relCode, cap)
+    else
+      GeoWalk.relate(geom.asInstanceOf[ArrayData], docKindCode, latIdx, lonIdx,
+        shape, relCode, cap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val shapeRef = ctx.addReferenceObj("geoQueryShape", shape,
       classOf[GeoQueryShape].getName)
     nullSafeCodeGen(ctx, ev, g => {
       val r = ctx.freshName("geoRel")
-      s"""java.lang.Byte $r = graft.plans.GeoWalk.relate($g, $docKindCode,
-         |  $latIdx, $lonIdx, (graft.plans.GeoQueryShape) $shapeRef,
-         |  $relCode, $cap);
+      val call =
+        if (docKindCode == GeoWalk.KindCollection)
+          s"""graft.plans.GeoWalk.relateCollection($g, $kindIdx, $ptsIdx,
+             |  $latIdx, $lonIdx, (graft.plans.GeoQueryShape) $shapeRef,
+             |  $relCode, $cap)""".stripMargin
+        else
+          s"""graft.plans.GeoWalk.relate($g, $docKindCode,
+             |  $latIdx, $lonIdx, (graft.plans.GeoQueryShape) $shapeRef,
+             |  $relCode, $cap)""".stripMargin
+      s"""java.lang.Byte $r = $call;
          |${ev.isNull} = ($r == null);
          |${ev.value} = ($r == null) ? (byte) 0 : $r.byteValue();""".stripMargin
     })
@@ -210,18 +213,31 @@ case class GeoDocClassify(child: Expression, docKind: String, cap: Int)
     (leaf.fieldIndex("lat"), leaf.fieldIndex("lon"))
   }
 
+  private lazy val (kindIdx: Int, ptsIdx: Int) = {
+    val elt = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (elt.fieldIndex("kind"), elt.fieldIndex("pts"))
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    GeoDocRelate(child, docKind, GeoBoxShape(0, 0, 0, 0), "intersects", cap)
-      .checkInputDataTypes()
+    GeoWalk.checkGeomType(child.dataType, docKindCode, prettyName, docKind)
 
   override protected def nullSafeEval(geom: Any): Any =
-    GeoWalk.classify(geom.asInstanceOf[ArrayData], docKindCode, latIdx,
-      lonIdx, cap)
+    if (docKindCode == GeoWalk.KindCollection)
+      GeoWalk.classifyCollection(geom.asInstanceOf[ArrayData], kindIdx, ptsIdx,
+        latIdx, lonIdx, cap)
+    else
+      GeoWalk.classify(geom.asInstanceOf[ArrayData], docKindCode, latIdx,
+        lonIdx, cap)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, g =>
-      s"""${ev.value} = graft.plans.GeoWalk.classify($g, $docKindCode,
-         |  $latIdx, $lonIdx, $cap);""".stripMargin)
+      if (docKindCode == GeoWalk.KindCollection)
+        s"""${ev.value} = graft.plans.GeoWalk.classifyCollection($g, $kindIdx,
+           |  $ptsIdx, $latIdx, $lonIdx, $cap);""".stripMargin
+      else
+        s"""${ev.value} = graft.plans.GeoWalk.classify($g, $docKindCode,
+           |  $latIdx, $lonIdx, $cap);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): GeoDocClassify =
     copy(child = newChild)
@@ -259,6 +275,7 @@ object GeoWalk {
   final val KindLinestring = 3
   final val KindMultiLinestring = 4
   final val KindMultiPoint = 5
+  final val KindCollection = 6
 
   // relation codes
   final val RelIntersects = 0
@@ -271,14 +288,16 @@ object GeoWalk {
   private val False = java.lang.Byte.valueOf(0: Byte)
   private val TooMany = java.lang.Byte.valueOf(2: Byte)
   private val SelfX = java.lang.Byte.valueOf(3: Byte)
+  private val BadKind = java.lang.Byte.valueOf(4: Byte)
 
   def docKindCode(k: String): Int = k match {
-    case "polygon"         => KindPolygon
-    case "rings"           => KindRings
-    case "polys"           => KindPolys
-    case "linestring"      => KindLinestring
-    case "multilinestring" => KindMultiLinestring
-    case "multipoint"      => KindMultiPoint
+    case "polygon"            => KindPolygon
+    case "rings"              => KindRings
+    case "polys"              => KindPolys
+    case "linestring"         => KindLinestring
+    case "multilinestring"    => KindMultiLinestring
+    case "multipoint"         => KindMultiPoint
+    case "geometrycollection" => KindCollection
     case other => throw new IllegalArgumentException(s"geo docKind '$other'")
   }
 
@@ -290,21 +309,69 @@ object GeoWalk {
     case other => throw new IllegalArgumentException(s"geo relation '$other'")
   }
 
-  /** Array nesting depth above the vertex struct for a docKind. */
+  /** Array nesting depth above the vertex struct for a docKind (the
+    * geometrycollection carries its own typed element struct and is
+    * validated separately).
+    */
   def kindDepth(kind: Int): Int = kind match {
     case KindPolygon | KindLinestring | KindMultiPoint => 1
     case KindRings | KindMultiLinestring               => 2
     case KindPolys                                     => 3
+    case KindCollection                                => 3
   }
 
-  def leafStruct(dt: DataType, kind: Int): StructType = {
-    var d: DataType = dt
-    var n = kindDepth(kind)
-    while (n > 0) {
-      d = d.asInstanceOf[ArrayType].elementType
-      n -= 1
+  def leafStruct(dt: DataType, kind: Int): StructType =
+    if (kind == KindCollection) {
+      val elt = dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      elt("pts").dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType]
+    } else {
+      var d: DataType = dt
+      var n = kindDepth(kind)
+      while (n > 0) {
+        d = d.asInstanceOf[ArrayType].elementType
+        n -= 1
+      }
+      d.asInstanceOf[StructType]
     }
-    d.asInstanceOf[StructType]
+
+  /** The one schema validator both expressions share. */
+  def checkGeomType(dt: DataType, kindCode: Int, where: String,
+      docKind: String): TypeCheckResult = {
+    def latLonOk(st: StructType): Boolean =
+      st.fieldNames.contains("lat") && st.fieldNames.contains("lon") &&
+        st("lat").dataType == DoubleType && st("lon").dataType == DoubleType
+    if (kindCode == KindCollection) {
+      val ok = dt match {
+        case ArrayType(elt: StructType, _)
+            if elt.fieldNames.contains("kind") && elt.fieldNames.contains("pts") &&
+              elt("kind").dataType == StringType =>
+          elt("pts").dataType match {
+            case ArrayType(ArrayType(leaf: StructType, _), _) => latLonOk(leaf)
+            case _ => false
+          }
+        case _ => false
+      }
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$where(geometrycollection) requires array<struct<kind: string, " +
+          s"pts: array<array<struct<lat: double, lon: double>>>>>, got " +
+          dt.simpleString)
+    } else {
+      val depth = kindDepth(kindCode)
+      def unwrap(d: DataType, n: Int): Option[StructType] = (d, n) match {
+        case (ArrayType(inner, _), m) if m > 0 => unwrap(inner, m - 1)
+        case (st: StructType, 0)               => Some(st)
+        case _                                 => None
+      }
+      unwrap(dt, depth) match {
+        case Some(st) if latLonOk(st) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$where($docKind) requires ${"array<" * depth}struct<lat: " +
+            s"double, lon: double>${">" * depth}, got " + dt.simpleString)
+      }
+    }
   }
 
   // ------------------------------------------------------------ parsing
@@ -463,6 +530,176 @@ object GeoWalk {
       }
     }
     0
+  }
+
+  // ------------------------------------------------- geometrycollection
+
+  /** GeoJSON GeometryCollection docs (r14): each row carries MIXED
+    * typed components — `array<struct<kind: string, pts:
+    * array<array<struct<lat, lon>>>>>` where `pts` is rings for a
+    * `polygon` component (shell + holes), chains for a `linestring`,
+    * and one single-vertex chain for a `point`. Parse + classify +
+    * relate in one walk: dirty (NULL element/kind/pts, too-few
+    * vertices) → null; an unrecognized kind → code 4 (POISON — silent
+    * skipping would fabricate answers); the shared cap counts TOTAL
+    * vertices across components; simplicity applies to polygon rings
+    * only. Relations compose per the collection contract: intersects =
+    * ANY component intersects; within = EVERY component within;
+    * disjoint = complement; contains = ANY component contains (only a
+    * polygon can hold area; line/point components contain exactly the
+    * zero-area queries lying on them — false on area queries, never a
+    * fail: the polygon components may still serve them).
+    */
+  def relateCollection(geom: ArrayData, kindIdx: Int, ptsIdx: Int,
+      latIdx: Int, lonIdx: Int, shape: GeoQueryShape, rel: Int,
+      cap: Int): java.lang.Byte = {
+    val parsed = parseCollection(geom, kindIdx, ptsIdx, latIdx, lonIdx)
+    if (parsed == null) return null
+    val (kinds, comps) = parsed
+    if (kinds.isEmpty) return null
+    if (kinds(0) == -99) return BadKind // the parse's bad-kind sentinel
+    var total = 0
+    var i = 0
+    while (i < comps.length) {
+      var j = 0
+      while (j < comps(i).length) {
+        total += comps(i)(j).length >> 1
+        j += 1
+      }
+      i += 1
+    }
+    if (total > cap) return TooMany
+    i = 0
+    while (i < kinds.length) {
+      if (kinds(i) == 0) {
+        var j = 0
+        while (j < comps(i).length) {
+          val r = comps(i)(j)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r)) return SelfX
+          j += 1
+        }
+      }
+      i += 1
+    }
+    def compRel(k: Int, pts: Array[Array[Double]], r: Int): Boolean = k match {
+      case 0 => ringedRelate(Array(pts), perComponent = false, shape, r)
+      case 1 => lineRelate(pts, shape, r)
+      case _ => pointsRelate(pts(0), shape, r)
+    }
+    val ans = rel match {
+      case RelIntersects =>
+        kinds.indices.exists(i0 => compRel(kinds(i0), comps(i0), RelIntersects))
+      case RelDisjoint =>
+        !kinds.indices.exists(i0 => compRel(kinds(i0), comps(i0), RelIntersects))
+      case RelWithin =>
+        kinds.indices.forall(i0 => compRel(kinds(i0), comps(i0), RelWithin))
+      case RelContains =>
+        kinds.indices.exists { i0 =>
+          kinds(i0) match {
+            case 0 => compRel(0, comps(i0), RelContains)
+            case 1 => shape match {
+              // a chain contains exactly the zero-area queries ON it
+              case b: GeoBoxShape if b.zeroArea =>
+                lineRelate(comps(i0), shape, RelIntersects)
+              case _ => false
+            }
+            case _ => shape match {
+              case b: GeoBoxShape if b.zeroArea =>
+                pointsRelate(comps(i0)(0), shape, RelIntersects)
+              case _ => false
+            }
+          }
+        }
+    }
+    if (ans) True else False
+  }
+
+  /** Classification-only twin (the collection DLQ): 0 clean/dirty,
+    * 2 too many vertices, 3 self-intersecting polygon ring, 4 unknown
+    * component kind.
+    */
+  def classifyCollection(geom: ArrayData, kindIdx: Int, ptsIdx: Int,
+      latIdx: Int, lonIdx: Int, cap: Int): Byte = {
+    val parsed = parseCollection(geom, kindIdx, ptsIdx, latIdx, lonIdx)
+    if (parsed == null) return 0
+    val (kinds, comps) = parsed
+    if (kinds.isEmpty) return 0
+    if (kinds(0) == -99) return 4
+    var total = 0
+    var i = 0
+    while (i < comps.length) {
+      var j = 0
+      while (j < comps(i).length) { total += comps(i)(j).length >> 1; j += 1 }
+      i += 1
+    }
+    if (total > cap) return 2
+    i = 0
+    while (i < kinds.length) {
+      if (kinds(i) == 0) {
+        var j = 0
+        while (j < comps(i).length) {
+          val r = comps(i)(j)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r)) return 3
+          j += 1
+        }
+      }
+      i += 1
+    }
+    0
+  }
+
+  /** Null on dirt; `(Array(-99), _)` sentinel on an unknown kind (so
+    * the callers can classify it as poison rather than a drop).
+    */
+  private def parseCollection(geom: ArrayData, kindIdx: Int, ptsIdx: Int,
+      latIdx: Int, lonIdx: Int): (Array[Int], Array[Array[Array[Double]]]) = {
+    val n = geom.numElements()
+    if (n < 1) return null
+    val kinds = new Array[Int](n)
+    val comps = new Array[Array[Array[Double]]](n)
+    val badKind: (Array[Int], Array[Array[Array[Double]]]) =
+      (Array(-99), Array.empty)
+    var i = 0
+    while (i < n) {
+      if (geom.isNullAt(i)) return null
+      val e = geom.getStruct(i, (kindIdx max ptsIdx) + 1)
+      if (e.isNullAt(kindIdx) || e.isNullAt(ptsIdx)) return null
+      val k = e.getUTF8String(kindIdx).toString match {
+        case "polygon"    => 0
+        case "linestring" => 1
+        case "point"      => 2
+        case _            => -1
+      }
+      if (k < 0) return badKind
+      val pa = e.getArray(ptsIdx)
+      val m = pa.numElements()
+      if (m < 1) return null
+      val chains = new Array[Array[Double]](m)
+      var j = 0
+      while (j < m) {
+        if (pa.isNullAt(j)) return null
+        val ca = pa.getArray(j)
+        val cn = ca.numElements()
+        val minV = if (k == 0) 3 else if (k == 1) 2 else 1
+        if (cn < minV || (k == 2 && cn != 1)) return null
+        val flat = new Array[Double](2 * cn)
+        var t = 0
+        while (t < cn) {
+          if (ca.isNullAt(t)) return null
+          val v = ca.getStruct(t, (latIdx max lonIdx) + 1)
+          if (v.isNullAt(latIdx) || v.isNullAt(lonIdx)) return null
+          flat(2 * t) = v.getDouble(latIdx)
+          flat(2 * t + 1) = v.getDouble(lonIdx)
+          t += 1
+        }
+        chains(j) = flat
+        j += 1
+      }
+      kinds(i) = k
+      comps(i) = chains
+      i += 1
+    }
+    (kinds, comps)
   }
 
   // ------------------------------------------------------ ring relations

@@ -4262,6 +4262,69 @@ object DslSearchTail {
                COALESCE(g.doc_count, 0) AS doc_count
         FROM b FULL OUTER JOIN g ON b.hist = g.hist
         ORDER BY doc_count DESC, hist
+      """.stripMargin.trim)),
+
+    // doc GEOMETRYCOLLECTION (r14 — the last GeoJSON doc shape): each
+    // row carries mixed typed components (a square polygon, a
+    // horizontal track, a bare point) and intersects is the
+    // per-component OR, each component judged by its own kind's walk.
+    // Truth from construction: box-vs-square interval overlap ∨
+    // track-in-band-and-lon-overlap ∨ point-in-box. Dirty arm (NULL
+    // collection) drops.
+    GraftQuery(
+      "q387_dsl_geo_shape_geometrycollection",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("cx", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rh", expr("CAST(1 + c_custkey % 4 AS DOUBLE)"))
+          .withColumn("len", expr("CAST(1 + c_custkey % 7 AS DOUBLE)"))
+          .withColumn("shapes", expr(
+            """CASE WHEN c_custkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<kind: STRING,
+                   pts: ARRAY<ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>>>>)
+               ELSE array(
+                 struct('polygon' AS kind, array(array(
+                   struct(cx - rh AS lat, cy - rh AS lon),
+                   struct(cx - rh AS lat, cy + rh AS lon),
+                   struct(cx + rh AS lat, cy + rh AS lon),
+                   struct(cx + rh AS lat, cy - rh AS lon))) AS pts),
+                 struct('linestring' AS kind, array(array(
+                   struct(cx + 8 AS lat, cy AS lon),
+                   struct(cx + 8 AS lat, cy + len AS lon))) AS pts),
+                 struct('point' AS kind, array(array(
+                   struct(cx AS lat, cy + 15 AS lon))) AS pts)) END"""))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "geometrycollection",
+                             "shapes_field": "shapes"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-9.0001, 4.0003], [3.0009, -4.0007]]},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + c_custkey % 4 AS DOUBLE) AS rh,
+                 CAST(1 + c_custkey % 7 AS DOUBLE) AS len
+          FROM customer
+          WHERE c_custkey % 11 <> 0)
+        SELECT c_custkey FROM t
+        WHERE (cx - rh < 4.0003 AND cx + rh > -4.0007
+               AND cy - rh < 3.0009 AND cy + rh > -9.0001)
+           OR (cx + 8 > -4.0007 AND cx + 8 < 4.0003
+               AND cy < 3.0009 AND cy + len > -9.0001)
+           OR (cx > -4.0007 AND cx < 4.0003
+               AND cy + 15 > -9.0001 AND cy + 15 < 3.0009)
+        ORDER BY c_custkey
+        LIMIT 400
       """.stripMargin.trim))
   )
 }

@@ -2770,6 +2770,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
                  geoShapeDocGeom(m, sm, "multilinestring", "lines_field")
                else if (dsType == "multipoint")
                  geoShapeDocGeom(m, sm, "multipoint", "points_field")
+               else if (dsType == "geometrycollection")
+                 geoShapeDocGeom(m, sm, "geometrycollection", "shapes_field")
                else geoShapeDocEnvelope(m, sm)
       }
       val latF = strOpt(m, "lat_field")
@@ -3089,7 +3091,10 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       case other => fail(s"doc_shape must be an object: ${render(other)}")
     }
     val ringed = docKind == "polygon" || docKind == "rings" || docKind == "polys"
-    val dsKeys = if (ringed) Set("type", fieldKey, "on_invalid")
+    // the collection may carry polygons, so it takes every relation
+    // and the poison knob; its components decide what can match
+    val collection = docKind == "geometrycollection"
+    val dsKeys = if (ringed || collection) Set("type", fieldKey, "on_invalid")
                  else Set("type", fieldKey)
     dsm.keySet.diff(dsKeys).foreach(k =>
       fail(s"unsupported doc_shape ${strOpt(dsm, "type").getOrElse(docKind)} " +
@@ -3124,7 +3129,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       case t @ ("envelope" | "point") =>
         val (latB, latT, lonL, lonR) = envelopeCorners(t, coords)
         val box = graft.plans.GeoBoxShape(latB, latT, lonL, lonR)
-        if (relation == "contains" && !ringed && !box.zeroArea)
+        if (relation == "contains" && !ringed && !collection && !box.zeroArea)
           fail(s"a $docKind has no interior - it can contain only a " +
             "zero-area query shape (a point lying ON the geometry); use " +
             "intersects for overlap")
@@ -3143,7 +3148,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           validatedRegionShape(rings, "geo_shape doc_shape query multipolygon").rings
         }.toArray)
       case "circle" =>
-        if (relation == "contains" && !ringed)
+        if (relation == "contains" && !ringed && !collection)
           fail(s"a $docKind has no interior - it cannot contain a " +
             "positive-radius circle; use intersects for overlap")
         val (cLat, cLon, rKm) = circleParams(sm, coords)
@@ -3154,10 +3159,11 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     }
 
     val kindNoun = docKind match {
-      case "polygon" => "polygon ring"
-      case "rings"   => "rings"
-      case "polys"   => "multipolygon"
-      case other     => other
+      case "polygon"            => "polygon ring"
+      case "rings"              => "rings"
+      case "polys"              => "multipolygon"
+      case "geometrycollection" => "geometrycollection"
+      case other                => other
     }
     val capMsg = s"geo_shape doc $kindNoun exceed" +
       (if (kindNoun.endsWith("s")) "" else "s") +
@@ -3165,6 +3171,9 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       (if (docKind == "polygon" || docKind == "linestring" ||
         docKind == "multipoint") "vertices" else "total vertices") +
       " (the kernel vertex cap)"
+    val badKindMsg = "geo_shape doc geometrycollection component kind must " +
+      "be polygon, linestring or point (an unrecognized kind silently " +
+      "skipped would fabricate answers)"
     val selfXMsg = "geo_shape doc " +
       (if (docKind == "polygon") "polygon ring" else "ring") +
       " is self-intersecting - rings must be simple (an even-odd walk " +
@@ -3179,12 +3188,14 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val nullB = lit(null).cast("boolean")
     val pred =
       if (onInvalid == "dlq")
-        when(code.isNull || code === lit(2) || code === lit(3), nullB)
+        when(code.isNull || code === lit(2) || code === lit(3) ||
+          code === lit(4), nullB)
           .otherwise(code === lit(1))
       else
         when(code.isNull, nullB)
           .when(code === lit(2), raise_error(lit(capMsg)).cast("boolean"))
           .when(code === lit(3), raise_error(lit(selfXMsg)).cast("boolean"))
+          .when(code === lit(4), raise_error(lit(badKindMsg)).cast("boolean"))
           .otherwise(code === lit(1))
     CompiledQuery(pred, lit(1L))
   }
@@ -3219,6 +3230,13 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
   def geoShapePolysDlq(table: DataFrame, polysField: String): DataFrame =
     geoDlqView(table, polysField, "polys")
 
+  /** Geometrycollection twin of [[geoShapeDlq]]: poison rows of a
+    * `shapes_field` column — reasons add `unknown_kind` (a component
+    * whose kind string is not polygon/linestring/point).
+    */
+  def geoShapeCollectionDlq(table: DataFrame, shapesField: String): DataFrame =
+    geoDlqView(table, shapesField, "geometrycollection")
+
   private def geoDlqView(table: DataFrame, field: String,
       docKind: String): DataFrame = {
     if (table.columns.contains("_reason"))
@@ -3229,6 +3247,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     table.withColumn("_reason",
       when(cls === lit(2), lit("too_many_vertices"))
         .when(cls === lit(3), lit("self_intersecting"))
+        .when(cls === lit(4), lit("unknown_kind"))
         .otherwise(lit(null).cast("string")))
       .filter(col("_reason").isNotNull)
   }

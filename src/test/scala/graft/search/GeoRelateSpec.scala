@@ -292,4 +292,88 @@ class GeoRelateSpec extends SparkSpec {
         "relation": "intersects"}}, "size": 10, "_source": ["id"]}""")
       .count() === 0L)
   }
+
+  test("geometrycollection docs: mixed components compose per kind") {
+    // one row: a square polygon [0..10]^2, a horizontal track at lat 20
+    // lon 0..10, and a bare point at (30, 30)
+    val coll = Seq(Tuple1(1L)).toDF("id").withColumn("shapes", expr(
+      """array(
+           struct('polygon' AS kind, array(array(
+             struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+             struct(CAST(0.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+             struct(CAST(10.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon),
+             struct(CAST(10.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))) AS pts),
+           struct('linestring' AS kind, array(array(
+             struct(CAST(20.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+             struct(CAST(20.0 AS DOUBLE) AS lat, CAST(10.0 AS DOUBLE) AS lon))) AS pts),
+           struct('point' AS kind, array(array(
+             struct(CAST(30.0 AS DOUBLE) AS lat, CAST(30.0 AS DOUBLE) AS lon))) AS pts))"""))
+    def hits(shape: String, rel: String, mode: String = "raise"): Boolean =
+      QueryDsl.search(coll, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "geometrycollection",
+                         "shapes_field": "shapes", "on_invalid": "$mode"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    def env(latT: Double, latB: Double, lonL: Double, lonR: Double) =
+      s"""{"type": "envelope", "coordinates": [[$lonL, $latT], [$lonR, $latB]]}"""
+    // a box touching ONLY the line; only the point; only the polygon
+    assert(hits(env(21.0, 19.0, 4.0, 6.0), "intersects"))
+    assert(hits(env(31.0, 29.0, 29.0, 31.0), "intersects"))
+    assert(hits(env(5.0, 3.0, 3.0, 5.0), "intersects"))
+    // a box between everything: disjoint
+    assert(hits(env(15.0, 13.0, 4.0, 6.0), "disjoint"))
+    // within needs EVERY component inside
+    assert(hits(env(40.0, -5.0, -5.0, 40.0), "within"))
+    assert(!hits(env(25.0, -5.0, -5.0, 40.0), "within")) // point outside
+    // contains: the polygon holds interior points; a point ON the line
+    // and the exact bare point count for zero-area queries; an area box
+    // only the polygon can hold
+    assert(hits("""{"type": "point", "coordinates": [5.0, 5.0]}""", "contains"))
+    assert(hits("""{"type": "point", "coordinates": [5.0, 20.0]}""", "contains"))
+    assert(hits("""{"type": "point", "coordinates": [30.0, 30.0]}""", "contains"))
+    assert(!hits("""{"type": "point", "coordinates": [50.0, 50.0]}""", "contains"))
+    assert(hits(env(6.0, 4.0, 4.0, 6.0), "contains"))       // inside the square
+    assert(!hits(env(20.5, 19.5, 4.0, 6.0), "contains"))    // around the line only
+    // circle: contains via the polygon; intersects via the nearest track
+    val rKm = 12742.0176 * math.asin(math.sin(1.0 * math.Pi / 180.0 / 2.0))
+    assert(hits(s"""{"type": "circle", "coordinates": [5.0, 5.0],
+         "radius": "${rKm}km"}""", "contains"))
+    assert(hits(s"""{"type": "circle", "coordinates": [5.0, 20.5],
+         "radius": "${rKm + 5}km"}""", "intersects"))
+    // an unknown component kind raises; dlq mode drops + side-outputs
+    val bad = Seq(Tuple1(9L)).toDF("id").withColumn("shapes", expr(
+      """array(struct('blob' AS kind, array(array(
+           struct(CAST(1.0 AS DOUBLE) AS lat, CAST(1.0 AS DOUBLE) AS lon))) AS pts))"""))
+    val e = intercept[Throwable](QueryDsl.search(bad, s"""{"query": {"geo_shape": {
+        "doc_shape": {"type": "geometrycollection", "shapes_field": "shapes"},
+        "shape": ${env(2.0, 0.0, 0.0, 2.0)}, "relation": "intersects"}},
+        "size": 10, "_source": ["id"]}""").collect())
+    assert(e.getMessage.contains("component kind"), e.getMessage)
+    assert(QueryDsl.search(bad, s"""{"query": {"geo_shape": {
+        "doc_shape": {"type": "geometrycollection", "shapes_field": "shapes",
+                      "on_invalid": "dlq"},
+        "shape": ${env(2.0, 0.0, 0.0, 2.0)}, "relation": "intersects"}},
+        "size": 10, "_source": ["id"]}""").count() === 0L)
+    val dlq = QueryDsl.geoShapeCollectionDlq(bad, "shapes")
+      .select(col("_reason")).as[String].collect().toSeq
+    assert(dlq === Seq("unknown_kind"))
+    // a self-crossing polygon component is poison; dirt drops
+    val bow = Seq(Tuple1(8L)).toDF("id").withColumn("shapes", expr(
+      """array(struct('polygon' AS kind, array(array(
+           struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+           struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+           struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+           struct(CAST(4.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))) AS pts))"""))
+    assert(QueryDsl.geoShapeCollectionDlq(bow, "shapes")
+      .select(col("_reason")).as[String].collect().toSeq ===
+      Seq("self_intersecting"))
+    val dirt = Seq(Tuple1(7L)).toDF("id").withColumn("shapes", expr(
+      """array(struct('point' AS kind, array(array(
+           struct(CAST(NULL AS DOUBLE) AS lat, CAST(1.0 AS DOUBLE) AS lon))) AS pts))"""))
+    assert(QueryDsl.search(dirt, s"""{"query": {"geo_shape": {
+        "doc_shape": {"type": "geometrycollection", "shapes_field": "shapes"},
+        "shape": ${env(2.0, 0.0, 0.0, 2.0)}, "relation": "intersects"}},
+        "size": 10, "_source": ["id"]}""").count() === 0L)
+    assert(QueryDsl.geoShapeCollectionDlq(dirt, "shapes").count() === 0L)
+  }
 }
