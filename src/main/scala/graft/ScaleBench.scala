@@ -104,7 +104,19 @@ object ScaleBench {
       // scan), and the 3-hop nested walks (map-only HOF predicates —
       // one transform/flatten layer per hop, no explode, no join)
       "q361_dsl_date_histogram_dense_named_tz",
-      "q366_dsl_nested_three_hop", "q367_dsl_nested_composed_three_level")
+      "q366_dsl_nested_three_hop", "q367_dsl_nested_composed_three_level",
+      // round-14 members: the GeoWalk JVM-kernel walks measured over
+      // the REPLICATED orders table (customer stays fixed as q254's
+      // parent side, so customer-keyed geo members would read a
+      // constant-size table and show a meaningless flat curve) —
+      // per-row staircase rings under contains and the mixed
+      // geometrycollection are map-only scan-stage kernels, growth
+      // must be the scan's; the BPE merge loop is k=3 sequential
+      // pair-count shuffles over the replicated corpus, pinning the
+      // one-shuffle-per-iteration claim
+      "q388_dsl_geo_shape_doc_ring_orders",
+      "q389_dsl_geo_shape_collection_orders",
+      "q385_bpe_merge_loop")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L

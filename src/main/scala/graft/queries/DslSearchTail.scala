@@ -4325,6 +4325,116 @@ object DslSearchTail {
                AND cy + 15 > -9.0001 AND cy + 15 < 3.0009)
         ORDER BY c_custkey
         LIMIT 400
+      """.stripMargin.trim)),
+
+    // ORDERS-keyed growth twin of the q377 staircase (r14): ScaleBench
+    // replicates orders (customer stays fixed as the has_child parent
+    // side), so the kernel-walk growth curve needs an orders-keyed
+    // member — 34-vertex per-row staircases, contains(P), the same
+    // keyed step arithmetic as the oracle.
+    GraftQuery(
+      "q388_dsl_geo_shape_doc_ring_orders",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("cx", expr(
+            "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("ring", expr(
+            """CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               WHEN o_orderkey % 13 = 0
+                 THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                            struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+               ELSE concat(
+                 array(struct(cx AS lat, cy AS lon)),
+                 flatten(transform(sequence(0, 15), j -> array(
+                   struct(cx + 0.25 + CAST((o_orderkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                          cy + CAST(j AS DOUBLE) * 0.5 AS lon),
+                   struct(cx + 0.25 + CAST((o_orderkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                          cy + CAST(j + 1 AS DOUBLE) * 0.5 AS lon)))),
+                 array(struct(cx AS lat, cy + 8.0 AS lon))) END"""))
+        QueryDsl.search(o,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.0004]},
+               "relation": "contains"}},
+             "sort": ["o_orderkey"], "size": 300,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy
+          FROM orders
+          WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0)
+        SELECT o_orderkey FROM t
+        WHERE (-2.0007 - cy) > 0 AND (-2.0007 - cy) < 8
+          AND 0.0004 > cx
+          AND 0.0004 < cx + 0.25 + CAST((o_orderkey
+                + CAST(floor((-2.0007 - cy) * 2) AS BIGINT)) % 8 AS DOUBLE) * 0.25
+        ORDER BY o_orderkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // ORDERS-keyed growth twin of the q387 geometrycollection (r14):
+    // the mixed-component kernel walk over the replicated table.
+    GraftQuery(
+      "q389_dsl_geo_shape_collection_orders",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("cx", expr(
+            "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE)"))
+          .withColumn("len", expr("CAST(1 + o_orderkey % 7 AS DOUBLE)"))
+          .withColumn("shapes", expr(
+            """CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<kind: STRING,
+                   pts: ARRAY<ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>>>>)
+               ELSE array(
+                 struct('polygon' AS kind, array(array(
+                   struct(cx - rh AS lat, cy - rh AS lon),
+                   struct(cx - rh AS lat, cy + rh AS lon),
+                   struct(cx + rh AS lat, cy + rh AS lon),
+                   struct(cx + rh AS lat, cy - rh AS lon))) AS pts),
+                 struct('linestring' AS kind, array(array(
+                   struct(cx + 8 AS lat, cy AS lon),
+                   struct(cx + 8 AS lat, cy + len AS lon))) AS pts),
+                 struct('point' AS kind, array(array(
+                   struct(cx AS lat, cy + 15 AS lon))) AS pts)) END"""))
+        QueryDsl.search(o,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "geometrycollection",
+                             "shapes_field": "shapes"},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-9.0001, 4.0003], [3.0009, -4.0007]]},
+               "relation": "intersects"}},
+             "sort": ["o_orderkey"], "size": 400,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + o_orderkey % 4 AS DOUBLE) AS rh,
+                 CAST(1 + o_orderkey % 7 AS DOUBLE) AS len
+          FROM orders
+          WHERE o_orderkey % 11 <> 0)
+        SELECT o_orderkey FROM t
+        WHERE (cx - rh < 4.0003 AND cx + rh > -4.0007
+               AND cy - rh < 3.0009 AND cy + rh > -9.0001)
+           OR (cx + 8 > -4.0007 AND cx + 8 < 4.0003
+               AND cy < 3.0009 AND cy + len > -9.0001)
+           OR (cx > -4.0007 AND cx < 4.0003
+               AND cy + 15 > -9.0001 AND cy + 15 < 3.0009)
+        ORDER BY o_orderkey
+        LIMIT 400
       """.stripMargin.trim))
   )
 }
