@@ -4435,6 +4435,59 @@ object DslSearchTail {
                AND cy + 15 > -9.0001 AND cy + 15 < 3.0009)
         ORDER BY o_orderkey
         LIMIT 400
+      """.stripMargin.trim)),
+
+    // query-side GEOMETRYCOLLECTION over point docs (r14): one request
+    // carrying mixed component shapes — membership is the OR of the
+    // per-component walks (a square zone, a haversine circle, a
+    // viewport box). The oracle replays each component from its own
+    // construction: box algebra twice + the q125 pinned haversine.
+    GraftQuery(
+      "q390_dsl_geo_shape_query_collection",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val c = Tables.load(s, dir, "customer")
+          .withColumn("plat", expr(
+            "CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("plon", expr(
+            "CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+        QueryDsl.search(c,
+          """{"query": {"geo_shape": {"lat_field": "plat", "lon_field": "plon",
+               "shape": {"type": "geometrycollection", "geometries": [
+                 {"type": "polygon", "coordinates":
+                   [[[-16.0001, -7.0003], [-10.0001, -7.0003],
+                     [-10.0001, -2.0003], [-16.0001, -2.0003],
+                     [-16.0001, -7.0003]]]},
+                 {"type": "circle", "coordinates": [10.0003, 3.0001],
+                  "radius": "350km"},
+                 {"type": "envelope",
+                  "coordinates": [[-2.0007, 7.0009], [2.0009, 5.0001]]}]}}},
+             "sort": ["c_custkey"], "size": 400,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS plat,
+                 CAST((c_custkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS plon
+          FROM customer),
+        d AS (
+          SELECT c_custkey, plat, plon,
+                 round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                   sin((plat - 3.0001) * pi() / 180.0 / 2.0)
+                     * sin((plat - 3.0001) * pi() / 180.0 / 2.0)
+                   + cos(3.0001 * pi() / 180.0) * cos(plat * pi() / 180.0)
+                     * sin((plon - 10.0003) * pi() / 180.0 / 2.0)
+                     * sin((plon - 10.0003) * pi() / 180.0 / 2.0))), 6) AS dist_km
+          FROM t)
+        SELECT c_custkey FROM d
+        WHERE (plat > -7.0003 AND plat < -2.0003
+               AND plon > -16.0001 AND plon < -10.0001)
+           OR dist_km <= 350.0
+           OR (plat > 5.0001 AND plat < 7.0009
+               AND plon > -2.0007 AND plon < 2.0009)
+        ORDER BY c_custkey
+        LIMIT 400
       """.stripMargin.trim))
   )
 }

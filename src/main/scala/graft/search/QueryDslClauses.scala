@@ -2657,6 +2657,129 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     graft.plans.GeoRegionShape(rings.map(flatRing).toArray)
   }
 
+  /** The point-doc query-shape compiler: (intersects, contains)
+    * Column pair for one shape object — recursive, so a
+    * `geometrycollection` composes per-component (intersects =
+    * OR — a point in ANY component touches the collection;
+    * contains = AND — a point holds the collection only by
+    * holding EVERY component, i.e. all zero-area at the point).
+    * Nesting is rejected loud (GeoJSON allows it; one level of
+    * flattening is the engine contract).
+    */
+  private[search] def pointShapePreds(sm: Map[String, JValue],
+      latF: String, lonF: String): (Column, Column) = {
+    val t = strOpt(sm, "type")
+      .getOrElse(fail("geo_shape shape requires a type"))
+    // `radius` belongs to the circle type alone (validated there);
+    // `geometries` to the collection; any other stray key fails loud
+    val allowedKeys = t match {
+      case "circle"             => Set("type", "coordinates", "radius")
+      case "geometrycollection" => Set("type", "geometries")
+      case _                    => Set("type", "coordinates")
+    }
+    sm.keySet.diff(allowedKeys).foreach(k =>
+      fail(s"unsupported geo_shape shape option '$k'"))
+    if (t == "geometrycollection") {
+      val comps = sm.get("geometries") match {
+        case Some(JArray(gs)) if gs.nonEmpty => gs.map {
+          case JObject(g) => g.toMap
+          case other => fail(s"geometrycollection geometries must " +
+            s"be shape objects: ${render(other)}")
+        }
+        case _ => fail("geometrycollection requires a non-empty " +
+          "geometries array")
+      }
+      comps.foreach(c => if (strOpt(c, "type").contains("geometrycollection"))
+        fail("geometrycollection does not nest - flatten the components"))
+      val preds = comps.map(pointShapePreds(_, latF, lonF))
+      return (preds.map(_._1).reduce(_ || _),
+        preds.map(_._2).reduce(_ && _))
+    }
+    val coords = sm.getOrElse("coordinates",
+      fail("geo_shape shape requires coordinates"))
+    def pointEq(la: Double, lo: Double): Column =
+      col(latF) === lit(la) && col(lonF) === lit(lo)
+    t match {
+          case "envelope" =>
+            val (tl, br) = coords match {
+              case JArray(List(a, b)) =>
+                (jLonLat(a, "envelope top_left"), jLonLat(b, "envelope bottom_right"))
+              case other => fail(s"envelope coordinates must be " +
+                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
+            }
+            val (leftLon, topLat) = tl
+            val (rightLon, botLat) = br
+            if (topLat < botLat)
+              fail(s"envelope top lat ($topLat) must be >= bottom lat ($botLat)")
+            if (leftLon > rightLon)
+              fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
+                s"right lon $rightLon) is unsupported")
+            (col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
+              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon),
+             if (topLat == botLat && leftLon == rightLon)
+               pointEq(topLat, leftLon) else lit(false))
+          case "polygon" =>
+            val rings = parseQueryRings(coords, "polygon")
+            // ≤64 total vertices keep the historical unrolled Column
+            // walks (convex half-planes / crossing parity — every
+            // existing plan unchanged); larger shapes route to the
+            // GeoPointInShape JVM kernel (r14, VERDICT r13 #1): same
+            // formulas as loop data instead of codegen terms, which is
+            // what lifts the cap from 64 to GeoWalk.DefaultCap
+            (if (rings.map(_.size).sum <= 64) {
+              if (rings.size == 1) {
+                val pts = rings.head
+                // strictly-convex CCW rings keep the boundary-inclusive
+                // half-plane conjunction; any other SIMPLE ring —
+                // concave, or convex wound CW — the even-odd walk
+                if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
+                else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
+              } else
+                // polygon with holes: ONE parity sum across all rings
+                crossingParityPredicateMulti(rings, latF, lonF, "geo_shape polygon")
+            } else
+              bigRegionPredicate(rings, latF, lonF, "geo_shape polygon"),
+             // every ring that survives validation has area, and a
+             // point cannot contain an area
+             lit(false))
+          case "point" =>
+            val (lo, la) = jLonLat(coords, "point coordinates")
+            (pointEq(la, lo), pointEq(la, lo))
+          case "multipolygon" =>
+            // GeoJSON: an array of polygons, each an array of rings
+            // (shell + holes) — membership is the OR of per-polygon
+            // parities (r13: islands / disjoint zones in one query).
+            // The total-vertex cap spans the WHOLE shape; ≤64 keeps
+            // the unrolled walks, larger routes to the JVM kernel.
+            val polys = parseQueryPolys(coords)
+            if (polys.flatMap(_.map(_.size)).sum <= 64) {
+              val perPoly = polys.map { rings =>
+                if (rings.size == 1) {
+                  val pts = rings.head
+                  if (isConvexCcw(pts))
+                    convexRingPredicate(pts, latF, lonF, "geo_shape multipolygon")
+                  else crossingParityPredicate(pts, latF, lonF, "geo_shape multipolygon")
+                } else crossingParityPredicateMulti(rings, latF, lonF,
+                  "geo_shape multipolygon")
+              }
+              (perPoly.reduce(_ || _), lit(false))
+            } else
+              (bigPolysPredicate(polys, latF, lonF, "geo_shape multipolygon"),
+                lit(false))
+          case "circle" =>
+            // circle query shape (r14, VERDICT r13 #4): on point docs
+            // this IS geo_distance — the engine's ONE pinned 6-dp
+            // haversine, so the two clauses can never drift (pinned by
+            // GeoWalkSpec parity). contains: a point cannot contain a
+            // positive-radius disk — exact empty, never fail-loud.
+            val (cLat, cLon, rKm) = circleParams(sm, coords)
+            (haversineKm(latF, lonF, cLat, cLon) <= lit(rKm), lit(false))
+
+      case other => fail(s"geo_shape type must be envelope, polygon, " +
+        s"multipolygon, circle, geometrycollection or point, got '$other'")
+    }
+  }
+
   /** Point-doc membership for a big (>64-vertex) query polygon: the
     * GeoPointInShape JVM kernel (r14, VERDICT r13 #1).
     */
@@ -2778,101 +2901,14 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
         .getOrElse(fail("geo_shape requires lat_field"))
       val lonF = strOpt(m, "lon_field")
         .getOrElse(fail("geo_shape requires lon_field"))
-      // `radius` belongs to the circle type alone (validated there);
-      // any other stray key fails loud as before
-      val circleKeys = if (strOpt(sm, "type").contains("circle"))
-        Set("type", "coordinates", "radius") else Set("type", "coordinates")
-      sm.keySet.diff(circleKeys).foreach(k =>
-        fail(s"unsupported geo_shape shape option '$k'"))
-      val coords = sm.getOrElse("coordinates",
-        fail("geo_shape shape requires coordinates"))
       // contains on POINT docs (r13, VERDICT r12 #2): a point contains
       // only a ZERO-AREA query shape — a point query (equality, where
       // intersects/within/contains all coincide), or an envelope /
       // polygon collapsed to a single coordinate. A query shape with
       // true area matches NO point doc — exact empty, never fail-loud
       // (the OpenSearch result for the same request).
-      def pointEq(la: Double, lo: Double): Column =
-        col(latF) === lit(la) && col(lonF) === lit(lo)
       val (intersects, containsPred): (Column, Column) =
-        strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
-          case "envelope" =>
-            val (tl, br) = coords match {
-              case JArray(List(a, b)) =>
-                (jLonLat(a, "envelope top_left"), jLonLat(b, "envelope bottom_right"))
-              case other => fail(s"envelope coordinates must be " +
-                s"[[lon, lat], [lon, lat]] (top-left, bottom-right): ${render(other)}")
-            }
-            val (leftLon, topLat) = tl
-            val (rightLon, botLat) = br
-            if (topLat < botLat)
-              fail(s"envelope top lat ($topLat) must be >= bottom lat ($botLat)")
-            if (leftLon > rightLon)
-              fail(s"envelope crossing the antimeridian (left lon $leftLon > " +
-                s"right lon $rightLon) is unsupported")
-            (col(latF) <= lit(topLat) && col(latF) >= lit(botLat) &&
-              col(lonF) >= lit(leftLon) && col(lonF) <= lit(rightLon),
-             if (topLat == botLat && leftLon == rightLon)
-               pointEq(topLat, leftLon) else lit(false))
-          case "polygon" =>
-            val rings = parseQueryRings(coords, "polygon")
-            // ≤64 total vertices keep the historical unrolled Column
-            // walks (convex half-planes / crossing parity — every
-            // existing plan unchanged); larger shapes route to the
-            // GeoPointInShape JVM kernel (r14, VERDICT r13 #1): same
-            // formulas as loop data instead of codegen terms, which is
-            // what lifts the cap from 64 to GeoWalk.DefaultCap
-            (if (rings.map(_.size).sum <= 64) {
-              if (rings.size == 1) {
-                val pts = rings.head
-                // strictly-convex CCW rings keep the boundary-inclusive
-                // half-plane conjunction; any other SIMPLE ring —
-                // concave, or convex wound CW — the even-odd walk
-                if (isConvexCcw(pts)) convexRingPredicate(pts, latF, lonF, "geo_shape polygon")
-                else crossingParityPredicate(pts, latF, lonF, "geo_shape polygon")
-              } else
-                // polygon with holes: ONE parity sum across all rings
-                crossingParityPredicateMulti(rings, latF, lonF, "geo_shape polygon")
-            } else
-              bigRegionPredicate(rings, latF, lonF, "geo_shape polygon"),
-             // every ring that survives validation has area, and a
-             // point cannot contain an area
-             lit(false))
-          case "point" =>
-            val (lo, la) = jLonLat(coords, "point coordinates")
-            (pointEq(la, lo), pointEq(la, lo))
-          case "multipolygon" =>
-            // GeoJSON: an array of polygons, each an array of rings
-            // (shell + holes) — membership is the OR of per-polygon
-            // parities (r13: islands / disjoint zones in one query).
-            // The total-vertex cap spans the WHOLE shape; ≤64 keeps
-            // the unrolled walks, larger routes to the JVM kernel.
-            val polys = parseQueryPolys(coords)
-            if (polys.flatMap(_.map(_.size)).sum <= 64) {
-              val perPoly = polys.map { rings =>
-                if (rings.size == 1) {
-                  val pts = rings.head
-                  if (isConvexCcw(pts))
-                    convexRingPredicate(pts, latF, lonF, "geo_shape multipolygon")
-                  else crossingParityPredicate(pts, latF, lonF, "geo_shape multipolygon")
-                } else crossingParityPredicateMulti(rings, latF, lonF,
-                  "geo_shape multipolygon")
-              }
-              (perPoly.reduce(_ || _), lit(false))
-            } else
-              (bigPolysPredicate(polys, latF, lonF, "geo_shape multipolygon"),
-                lit(false))
-          case "circle" =>
-            // circle query shape (r14, VERDICT r13 #4): on point docs
-            // this IS geo_distance — the engine's ONE pinned 6-dp
-            // haversine, so the two clauses can never drift (pinned by
-            // GeoWalkSpec parity). contains: a point cannot contain a
-            // positive-radius disk — exact empty, never fail-loud.
-            val (cLat, cLon, rKm) = circleParams(sm, coords)
-            (haversineKm(latF, lonF, cLat, cLon) <= lit(rKm), lit(false))
-          case other => fail(s"geo_shape type must be envelope, polygon, " +
-            s"multipolygon, circle or point, got '$other'")
-        }
+        pointShapePreds(sm, latF, lonF)
       strOpt(m, "relation").getOrElse("intersects") match {
         // within == intersects for POINT documents: a point touching
         // a shape lies within it

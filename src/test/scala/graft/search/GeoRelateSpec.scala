@@ -376,4 +376,60 @@ class GeoRelateSpec extends SparkSpec {
         "size": 10, "_source": ["id"]}""").count() === 0L)
     assert(QueryDsl.geoShapeCollectionDlq(dirt, "shapes").count() === 0L)
   }
+
+  test("query-side geometrycollection over point docs: OR of components") {
+    val docs = (for (la <- -2 to 30; lo <- -2 to 30)
+      yield (la + 0.4003, lo + 0.3001)).toDF("plat", "plon")
+    def run(shape: String, rel: String = "intersects") = QueryDsl.search(docs,
+      s"""{"query": {"geo_shape": {"lat_field": "plat", "lon_field": "plon",
+           "shape": $shape, "relation": "$rel"}},
+          "sort": ["plat", "plon"], "size": 2000,
+          "_source": ["plat", "plon"]}""")
+      .as[(Double, Double)].collect().toSeq
+    // components: a square polygon [0..5]^2, a circle at (20, 20), an
+    // envelope lat [10,12] lon [0,2]
+    def rad(d: Double) = d * math.Pi / 180.0
+    val rKm = 12742.0176 * math.asin(math.sin(rad(1.6) / 2))
+    val coll = s"""{"type": "geometrycollection", "geometries": [
+        {"type": "polygon", "coordinates":
+          [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]]},
+        {"type": "circle", "coordinates": [20.0, 20.0], "radius": "${rKm}km"},
+        {"type": "envelope", "coordinates": [[0.0, 12.0], [2.0, 10.0]]}]}"""
+    val got = run(coll)
+    // the union must equal the OR of the three per-component runs
+    val p1 = run("""{"type": "polygon", "coordinates":
+        [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]]}""")
+    val p2 = run(s"""{"type": "circle", "coordinates": [20.0, 20.0],
+        "radius": "${rKm}km"}""")
+    val p3 = run("""{"type": "envelope", "coordinates": [[0.0, 12.0], [2.0, 10.0]]}""")
+    assert(p1.nonEmpty && p2.nonEmpty && p3.nonEmpty)
+    assert(got === (p1 ++ p2 ++ p3).distinct.sorted)
+    // disjoint is the exact complement
+    val dis = run(coll, "disjoint")
+    assert(dis.size + got.size === 33 * 33)
+    // contains: a point holds the collection only by holding EVERY
+    // component — two identical point components: true; adding an
+    // area component: false
+    val la = 3.4003; val lo = 5.3001
+    val twoPts = s"""{"type": "geometrycollection", "geometries": [
+        {"type": "point", "coordinates": [$lo, $la]},
+        {"type": "point", "coordinates": [$lo, $la]}]}"""
+    assert(run(twoPts, "contains") === Seq((la, lo)))
+    val mixed = s"""{"type": "geometrycollection", "geometries": [
+        {"type": "point", "coordinates": [$lo, $la]},
+        {"type": "polygon", "coordinates":
+          [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]]}]}"""
+    assert(run(mixed, "contains") === Seq.empty)
+    // nesting and malformed geometries fail loud
+    def bad(shape: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](run(shape))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad("""{"type": "geometrycollection", "geometries": [
+        {"type": "geometrycollection", "geometries": []}]}""", "does not nest")
+    bad("""{"type": "geometrycollection", "geometries": []}""",
+      "non-empty geometries")
+    bad("""{"type": "geometrycollection", "coordinates": [0, 0]}""",
+      "unsupported geo_shape shape option")
+  }
 }

@@ -4569,7 +4569,8 @@ class QueryDslSpec extends SparkSpec {
     badShape("""{"type": "circle", "coordinates": [0, 0]}""",
       "circle requires a radius")
     badShape("""{"type": "blob", "coordinates": [0, 0]}""",
-      "type must be envelope, polygon, multipolygon, circle or point")
+      "type must be envelope, polygon, multipolygon, circle, " +
+        "geometrycollection or point")
     badShape("""{"type": "envelope", "coordinates": [[0, 0], [1, 1]]}""",
       "top lat")                            // top-left below bottom-right
     badShape("""{"type": "polygon", "coordinates":
