@@ -4488,6 +4488,52 @@ object DslSearchTail {
                AND plon > -2.0007 AND plon < 2.0009)
         ORDER BY c_custkey
         LIMIT 400
+      """.stripMargin.trim)),
+
+    // circle × ENVELOPE docs (r14 — the circle now serves every doc
+    // kind): intersects ⟺ the box-clamped closest point within the
+    // radius, pure Column corner arithmetic + the pinned haversine.
+    // Oracle: the same clamp from the box CONSTRUCTION + the q125
+    // haversine replay.
+    GraftQuery(
+      "q391_dsl_geo_shape_envelope_circle",
+      (s, dir) => {
+        val boxes = GeoFixtures.syntheticBoxes(Tables.load(s, dir, "customer"))
+        QueryDsl.search(boxes,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "envelope",
+                 "lat_min_field": "lat0", "lat_max_field": "lat1",
+                 "lon_min_field": "lon0", "lon_max_field": "lon1"},
+               "shape": {"type": "circle", "coordinates": [12.0003, 8.0001],
+                         "radius": "2500km"},
+               "relation": "intersects"}},
+             "sort": ["c_custkey"], "size": 200,
+             "_source": ["c_custkey"]}""")
+      },
+      Some("""
+        WITH boxes AS (
+          SELECT c_custkey,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0 AS lat0,
+            CAST((c_custkey * 2654435761) % 160000 AS DOUBLE) / 1000.0 - 85.0
+              + CAST((c_custkey * 48271 + 11) % 12000 AS DOUBLE) / 1000.0 AS lat1,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0 AS lon0,
+            CAST((c_custkey * 40503 + 7) % 340000 AS DOUBLE) / 1000.0 - 175.0
+              + CAST((c_custkey * 69621 + 3) % 12000 AS DOUBLE) / 1000.0 AS lon1
+          FROM customer),
+        cl AS (
+          SELECT c_custkey,
+            greatest(lat0, least(lat1, 8.0001)) AS clat,
+            greatest(lon0, least(lon1, 12.0003)) AS clon
+          FROM boxes)
+        SELECT c_custkey FROM cl
+        WHERE round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+            sin((clat - 8.0001) * pi() / 180.0 / 2.0)
+              * sin((clat - 8.0001) * pi() / 180.0 / 2.0)
+            + cos(8.0001 * pi() / 180.0) * cos(clat * pi() / 180.0)
+              * sin((clon - 12.0003) * pi() / 180.0 / 2.0)
+              * sin((clon - 12.0003) * pi() / 180.0 / 2.0))), 6) <= 2500.0
+        ORDER BY c_custkey
+        LIMIT 200
       """.stripMargin.trim))
   )
 }

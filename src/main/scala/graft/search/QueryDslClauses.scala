@@ -2943,7 +2943,9 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     // same shape-object strictness as the point-doc arm: a misplaced
     // key (e.g. relation inside shape) must fail loud, never silently
     // run with the default relation
-    sm.keySet.diff(Set("type", "coordinates")).foreach(k =>
+    val envCircleKeys = if (strOpt(sm, "type").contains("circle"))
+      Set("type", "coordinates", "radius") else Set("type", "coordinates")
+    sm.keySet.diff(envCircleKeys).foreach(k =>
       fail(s"unsupported geo_shape shape option '$k'"))
     val dsm = m("doc_shape") match {
       case JObject(ds) => ds.toMap
@@ -2962,6 +2964,51 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     val loMin = fld("lon_min_field"); val loMax = fld("lon_max_field")
     val coords = sm.getOrElse("coordinates",
       fail("geo_shape shape requires coordinates"))
+    // circle query shape over envelope docs (r14 — completing the
+    // circle across every doc kind): all four relations are Column
+    // arithmetic on the corners + the ONE pinned haversine —
+    //   intersects: the box-clamped closest point (greatest/least of
+    //     the corners vs the center — exact for axis-aligned boxes)
+    //     within the radius (a center inside the box clamps to itself,
+    //     distance 0);
+    //   within (box ⊆ circle): all four CORNERS within the radius
+    //     (a circle is convex — exact);
+    //   contains (box ⊇ circle): center inside the box ∧ the least of
+    //     the four pure-axis edge distances ≥ the radius;
+    //   disjoint: complement of intersects.
+    // NULL corners DROP the row (tri-state) via an explicit guard:
+    // Spark's greatest/least SKIP nulls (they would fabricate a clamp
+    // from the surviving corner) and `NULL && false` collapses to
+    // false — neither propagates the unknown on its own.
+    if (strOpt(sm, "type").contains("circle")) {
+      val (cLat, cLon, rKm) = circleParams(sm, coords)
+      val dirtyCorner = laMin.isNull || laMax.isNull ||
+        loMin.isNull || loMax.isNull
+      val clampLat = greatest(laMin, least(laMax, lit(cLat)))
+      val clampLon = greatest(loMin, least(loMax, lit(cLon)))
+      val centerIn = lit(cLat) >= laMin && lit(cLat) <= laMax &&
+        lit(cLon) >= loMin && lit(cLon) <= loMax
+      val intersects = haversineKmCols(clampLat, clampLon, cLat, cLon) <= lit(rKm)
+      val pred0 = strOpt(m, "relation").getOrElse("intersects") match {
+        case "intersects" => intersects
+        case "disjoint"   => !intersects
+        case "within" =>
+          haversineKmCols(laMin, loMin, cLat, cLon) <= lit(rKm) &&
+            haversineKmCols(laMin, loMax, cLat, cLon) <= lit(rKm) &&
+            haversineKmCols(laMax, loMin, cLat, cLon) <= lit(rKm) &&
+            haversineKmCols(laMax, loMax, cLat, cLon) <= lit(rKm)
+        case "contains" =>
+          centerIn && least(
+            haversineKmCols(laMin, lit(cLon), cLat, cLon),
+            haversineKmCols(laMax, lit(cLon), cLat, cLon),
+            haversineKmCols(lit(cLat), loMin, cLat, cLon),
+            haversineKmCols(lit(cLat), loMax, cLat, cLon)) >= lit(rKm)
+        case other => fail(s"geo_shape relation must be intersects, " +
+          s"within, contains or disjoint, got '$other'")
+      }
+      return CompiledQuery(
+        when(dirtyCorner, lit(null).cast("boolean")).otherwise(pred0), lit(1L))
+    }
     val (qLatB, qLatT, qLonL, qLonR) =
       strOpt(sm, "type").getOrElse(fail("geo_shape shape requires a type")) match {
         case "envelope" =>
@@ -3326,14 +3373,21 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     * and the `_geo_distance` sort so the two can never drift.
     */
   private[search] def haversineKm(latF: String, lonF: String,
+      latQ: Double, lonQ: Double): Column =
+    haversineKmCols(col(latF), col(lonF), latQ, lonQ)
+
+  /** The same pinned formula over arbitrary lat/lon COLUMNS (corner /
+    * clamp expressions of the envelope-doc circle arm).
+    */
+  private[search] def haversineKmCols(latC: Column, lonC: Column,
       latQ: Double, lonQ: Double): Column = {
     val pi = lit(math.Pi)
-    val sdlat = sin((col(latF) - lit(latQ)) * pi / lit(180.0) / lit(2.0))
-    val sdlon = sin((col(lonF) - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
+    val sdlat = sin((latC - lit(latQ)) * pi / lit(180.0) / lit(2.0))
+    val sdlon = sin((lonC - lit(lonQ)) * pi / lit(180.0) / lit(2.0))
     round(
       lit(12742.0176) * asin(sqrt(
         sdlat * sdlat +
-          cos(lit(latQ) * pi / lit(180.0)) * cos(col(latF) * pi / lit(180.0)) *
+          cos(lit(latQ) * pi / lit(180.0)) * cos(latC * pi / lit(180.0)) *
             sdlon * sdlon)), 6)
   }
 

@@ -432,4 +432,43 @@ class GeoRelateSpec extends SparkSpec {
     bad("""{"type": "geometrycollection", "coordinates": [0, 0]}""",
       "unsupported geo_shape shape option")
   }
+
+  test("circle vs envelope docs: corner/clamp algebra, all four relations") {
+    def rad(d: Double) = d * math.Pi / 180.0
+    def eqKm(dLon: Double) = 12742.0176 * math.asin(math.sqrt(
+      math.pow(math.sin(rad(dLon) / 2), 2)))
+    // one equatorial box: lat [-2, 2], lon [10, 20]
+    val box = Seq((1L, -2.0, 2.0, 10.0, 20.0))
+      .toDF("id", "lat0", "lat1", "lon0", "lon1")
+    def hits(shape: String, rel: String): Boolean =
+      QueryDsl.search(box, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "envelope",
+             "lat_min_field": "lat0", "lat_max_field": "lat1",
+             "lon_min_field": "lon0", "lon_max_field": "lon1"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    def circle(cLat: Double, cLon: Double, rKm: Double) =
+      s"""{"type": "circle", "coordinates": [$cLon, $cLat],
+           "radius": "${rKm}km"}"""
+    // center (0, 25): clamp = (0, 20), 5 deg of equatorial lon away
+    assert(hits(circle(0, 25, eqKm(5) + 5), "intersects"))
+    assert(hits(circle(0, 25, eqKm(5) - 5), "disjoint"))
+    // center inside: contains while the radius clears no edge...
+    // nearest edge is lat +-2 (~222 km) from (0, 15)
+    assert(hits(circle(0, 15, 100), "contains"))
+    assert(!hits(circle(0, 15, eqKm(2) + 150), "contains"))
+    assert(hits(circle(0, 15, 100), "intersects"))
+    // within: the farthest corner from (0, 15) is (+-2, 10/20)
+    assert(hits(circle(0, 15, 800), "within"))
+    assert(!hits(circle(0, 15, 300), "within"))
+    // NULL corner drops the row (tri-state)
+    val dirty = Seq((2L, Option.empty[Double], Some(2.0), Some(10.0), Some(20.0)))
+      .toDF("id", "lat0", "lat1", "lon0", "lon1")
+    assert(QueryDsl.search(dirty, s"""{"query": {"geo_shape": {
+        "doc_shape": {"type": "envelope",
+          "lat_min_field": "lat0", "lat_max_field": "lat1",
+          "lon_min_field": "lon0", "lon_max_field": "lon1"},
+        "shape": ${circle(0, 15, 5000)}, "relation": "intersects"}},
+        "size": 10, "_source": ["id"]}""").count() === 0L)
+  }
 }
