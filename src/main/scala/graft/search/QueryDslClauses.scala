@@ -3035,9 +3035,18 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       }
     val intersects = laMin <= lit(qLatT) && laMax >= lit(qLatB) &&
       loMin <= lit(qLonR) && loMax >= lit(qLonL)
+    // POSITIVE relations stay bare comparison conjunctions — the
+    // pushable form IS this arm's contract (plan-pinned), and a NULL
+    // corner excludes the row either way (NULL and `NULL && false`
+    // both fail the filter). Only `disjoint` needs the explicit
+    // tri-state guard (r14, found with the circle arm): bare negation
+    // would turn the collapsed `NULL && false` into a MATCH.
     val pred = strOpt(m, "relation").getOrElse("intersects") match {
       case "intersects" => intersects
-      case "disjoint"   => !intersects
+      case "disjoint" =>
+        val dirtyCorner = laMin.isNull || laMax.isNull ||
+          loMin.isNull || loMax.isNull
+        when(dirtyCorner, lit(null).cast("boolean")).otherwise(!intersects)
       case "within" => laMin >= lit(qLatB) && laMax <= lit(qLatT) &&
         loMin >= lit(qLonL) && loMax <= lit(qLonR)
       case "contains" => laMin <= lit(qLatB) && laMax >= lit(qLatT) &&

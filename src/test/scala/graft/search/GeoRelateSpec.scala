@@ -464,11 +464,18 @@ class GeoRelateSpec extends SparkSpec {
     // NULL corner drops the row (tri-state)
     val dirty = Seq((2L, Option.empty[Double], Some(2.0), Some(10.0), Some(20.0)))
       .toDF("id", "lat0", "lat1", "lon0", "lon1")
-    assert(QueryDsl.search(dirty, s"""{"query": {"geo_shape": {
+    def dirtyHits(shape: String, rel: String): Long =
+      QueryDsl.search(dirty, s"""{"query": {"geo_shape": {
         "doc_shape": {"type": "envelope",
           "lat_min_field": "lat0", "lat_max_field": "lat1",
           "lon_min_field": "lon0", "lon_max_field": "lon1"},
-        "shape": ${circle(0, 15, 5000)}, "relation": "intersects"}},
-        "size": 10, "_source": ["id"]}""").count() === 0L)
+        "shape": $shape, "relation": "$rel"}},
+        "size": 10, "_source": ["id"]}""").count()
+    assert(dirtyHits(circle(0, 15, 5000), "intersects") === 0L)
+    // ...including the negative relations, where a bare NULL && false
+    // would collapse and let the row MATCH via !false
+    assert(dirtyHits(circle(0, 15, 5000), "disjoint") === 0L)
+    assert(dirtyHits("""{"type": "envelope",
+        "coordinates": [[100.0, 50.0], [110.0, 40.0]]}""", "disjoint") === 0L)
   }
 }
