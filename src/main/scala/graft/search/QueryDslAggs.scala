@@ -3701,9 +3701,28 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       // ORDER of distinct >2⁵³ longs could coarsen, documented.
       val ok = gate && col(latF).isNotNull && col(lonF).isNotNull &&
         col(sortF).isNotNull
+      // Validate the sort field's type at compile (when the schema is
+      // in hand): a string field would cast to NULL and the coalesce
+      // below would collapse every row to a 0.0 tie, silently degrading
+      // the track order to (lat, lon); a DATE fails Spark's date→double
+      // analysis outright. Numeric/timestamp cast exactly; dates are
+      // converted explicitly via timestamp. Anything else fails loud.
+      val sortCol: Column =
+        (if (schema != null) schema.find(_.name == sortF).map(_.dataType)
+         else None) match {
+          case Some(_: org.apache.spark.sql.types.NumericType) |
+               Some(org.apache.spark.sql.types.TimestampType) =>
+            col(sortF).cast("double")
+          case Some(org.apache.spark.sql.types.DateType) =>
+            col(sortF).cast("timestamp").cast("double")
+          case Some(other) =>
+            fail(s"geo_line '$name' sort_field '$sortF' must be numeric, " +
+              s"date, or timestamp, got ${other.simpleString}")
+          case None => col(sortF).cast("double")
+        }
       val track = udaf(new graft.functions.Aggregators.TopKTrack(sz, asc))
         .apply(ok,
-          coalesce(col(sortF).cast("double"), lit(0.0)),
+          coalesce(sortCol, lit(0.0)),
           coalesce(col(latF).cast("double"), lit(0.0)),
           coalesce(col(lonF).cast("double"), lit(0.0)))
       Seq(

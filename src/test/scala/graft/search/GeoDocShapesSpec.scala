@@ -364,6 +364,29 @@ class GeoDocShapesSpec extends SparkSpec {
     bad(""", "geohash": 4""", "unsupported geo_line option")
   }
 
+  test("geo_line: string sort field fails loud; date sort field converts") {
+    // a string sort field would cast to NULL and coalesce to 0.0 —
+    // every row a tie, the track order silently degrading to (lat, lon)
+    val t = Seq(
+      (1L, "a", "2024-03-02", Some(30.0), Some(3.0)),
+      (2L, "a", "2024-01-01", Some(10.0), Some(1.0)),
+      (3L, "a", "2024-02-15", Some(20.0), Some(2.0))
+    ).toDF("id", "grp", "day", "lat", "lon")
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"size": 0, "aggs": {"g": {"terms": {"field": "grp", "size": 10},
+           "aggs": {"tr": {"geo_line": {"lat_field": "lat",
+             "lon_field": "lon", "sort_field": "day"}}}}}}""").collect())
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+    // DATE converts explicitly (date→double is not a legal Spark cast)
+    val d = t.withColumn("day", to_date(col("day")))
+    val got = QueryDsl.search(d,
+      """{"size": 0, "aggs": {"g": {"terms": {"field": "grp", "size": 10},
+           "aggs": {"tr": {"geo_line": {"lat_field": "lat",
+             "lon_field": "lon", "sort_field": "day"}}}}}}""")
+      .as[(String, Long, Seq[Double], Seq[Double])].collect().toSeq
+    assert(got === Seq(("a", 3L, Seq(10.0, 20.0, 30.0), Seq(1.0, 2.0, 3.0))))
+  }
+
   test("linestring dirt drops; oversize raises") {
     val t = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "kind")
       .withColumn("path", expr(
