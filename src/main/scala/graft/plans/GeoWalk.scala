@@ -24,11 +24,36 @@ final case class GeoBoxShape(latB: Double, latT: Double,
   def zeroArea: Boolean = latB == latT && lonL == lonR
 }
 
-/** A polygon: ring 0 the shell, rings 1+ holes (even-odd region). */
-final case class GeoRegionShape(rings: Array[Array[Double]]) extends GeoQueryShape
+/** A polygon: ring 0 the shell, rings 1+ holes (even-odd region).
+  * equals/hashCode are content-based (Arrays.deepEquals) — the default
+  * reference equality of array fields would defeat Catalyst expression
+  * canonicalization and common-subexpression dedup when the same shape
+  * appears in the query clause and its DLQ twin.
+  */
+final case class GeoRegionShape(rings: Array[Array[Double]]) extends GeoQueryShape {
+  override def equals(o: Any): Boolean = o match {
+    case GeoRegionShape(r) =>
+      java.util.Arrays.deepEquals(rings.asInstanceOf[Array[AnyRef]],
+        r.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(rings.asInstanceOf[Array[AnyRef]])
+}
 
-/** A multipolygon: components of rings (shell + holes each). */
-final case class GeoPolysShape(polys: Array[Array[Array[Double]]]) extends GeoQueryShape
+/** A multipolygon: components of rings (shell + holes each).
+  * Content-based equals/hashCode — see [[GeoRegionShape]].
+  */
+final case class GeoPolysShape(polys: Array[Array[Array[Double]]]) extends GeoQueryShape {
+  override def equals(o: Any): Boolean = o match {
+    case GeoPolysShape(p) =>
+      java.util.Arrays.deepEquals(polys.asInstanceOf[Array[AnyRef]],
+        p.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.deepHashCode(polys.asInstanceOf[Array[AnyRef]])
+}
 
 /** A circle: center + radius in the engine's pinned 6-dp haversine km. */
 final case class GeoCircleShape(lat: Double, lon: Double,
@@ -246,6 +271,80 @@ case class GeoDocClassify(child: Expression, docKind: String, cap: Int)
 object GeoDocClassify {
   def apply(c: Column, docKind: String, cap: Int = GeoWalk.DefaultCap): Column =
     ColumnBridge.column(GeoDocClassify(ColumnBridge.expression(c), docKind, cap))
+}
+
+/** The envelope-sidecar walk (r15, VERDICT r14 #1): derive
+  * `(lat_min, lat_max, lon_min, lon_max, _geo_valid)` from a geometry
+  * column ONCE at materialize time — [[GeoWalk.bboxRow]] /
+  * [[GeoWalk.bboxRowCollection]] share [[GeoDocRelate]]'s exact parse,
+  * cap and simplicity kernels, so the sidecar's validity can never
+  * drift from what the query-time kernel would classify. The four
+  * corner columns are plain nullable DOUBLEs: flattened to top-level
+  * parquet columns (see `graft.etl.GeoEnvelope`) they carry row-group
+  * statistics and take PushedFilters, which is the entire point — a
+  * selective geo_shape query prunes at the reader instead of
+  * kernel-walking the corpus.
+  */
+case class GeoDocBbox(child: Expression, docKind: String, cap: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = GeoDocBbox.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "geo_doc_bbox"
+
+  private val docKindCode: Int = GeoWalk.docKindCode(docKind)
+
+  private lazy val (latIdx: Int, lonIdx: Int) = {
+    val leaf = GeoWalk.leafStruct(child.dataType, docKindCode)
+    (leaf.fieldIndex("lat"), leaf.fieldIndex("lon"))
+  }
+
+  private lazy val (kindIdx: Int, ptsIdx: Int) = {
+    val elt = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (elt.fieldIndex("kind"), elt.fieldIndex("pts"))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeoWalk.checkGeomType(child.dataType, docKindCode, prettyName, docKind)
+
+  override protected def nullSafeEval(geom: Any): Any =
+    if (docKindCode == GeoWalk.KindCollection)
+      GeoWalk.bboxRowCollection(geom.asInstanceOf[ArrayData], kindIdx, ptsIdx,
+        latIdx, lonIdx, cap)
+    else
+      GeoWalk.bboxRow(geom.asInstanceOf[ArrayData], docKindCode, latIdx,
+        lonIdx, cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => {
+      val r = ctx.freshName("geoBbox")
+      val call =
+        if (docKindCode == GeoWalk.KindCollection)
+          s"""graft.plans.GeoWalk.bboxRowCollection($g, $kindIdx, $ptsIdx,
+             |  $latIdx, $lonIdx, $cap)""".stripMargin
+        else
+          s"""graft.plans.GeoWalk.bboxRow($g, $docKindCode,
+             |  $latIdx, $lonIdx, $cap)""".stripMargin
+      s"""org.apache.spark.sql.catalyst.InternalRow $r = $call;
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GeoDocBbox =
+    copy(child = newChild)
+}
+
+object GeoDocBbox {
+  val schema: StructType = StructType(Seq(
+    StructField("lat_min", DoubleType, nullable = true),
+    StructField("lat_max", DoubleType, nullable = true),
+    StructField("lon_min", DoubleType, nullable = true),
+    StructField("lon_max", DoubleType, nullable = true),
+    StructField("_geo_valid", BooleanType, nullable = true)))
+
+  def apply(c: Column, docKind: String, cap: Int = GeoWalk.DefaultCap): Column =
+    ColumnBridge.column(GeoDocBbox(ColumnBridge.expression(c), docKind, cap))
 }
 
 /** The JVM geometry kernels behind [[GeoDocRelate]] / [[GeoPointInShape]].
@@ -581,10 +680,24 @@ object GeoWalk {
       }
       i += 1
     }
+    // A point component may carry several single-vertex chains (the
+    // parse enforces 1 vertex PER CHAIN but not 1 chain per component);
+    // flatten them so every vertex participates in the relation —
+    // evaluating only chain 0 would silently ignore the rest.
+    def flatPoints(chains: Array[Array[Double]]): Array[Double] =
+      if (chains.length == 1) chains(0)
+      else {
+        val out = new Array[Double](2 * chains.length)
+        var j = 0
+        while (j < chains.length) {
+          out(2 * j) = chains(j)(0); out(2 * j + 1) = chains(j)(1); j += 1
+        }
+        out
+      }
     def compRel(k: Int, pts: Array[Array[Double]], r: Int): Boolean = k match {
       case 0 => ringedRelate(Array(pts), perComponent = false, shape, r)
       case 1 => lineRelate(pts, shape, r)
-      case _ => pointsRelate(pts(0), shape, r)
+      case _ => pointsRelate(flatPoints(pts), shape, r)
     }
     val ans = rel match {
       case RelIntersects =>
@@ -605,7 +718,7 @@ object GeoWalk {
             }
             case _ => shape match {
               case b: GeoBoxShape if b.zeroArea =>
-                pointsRelate(comps(i0)(0), shape, RelIntersects)
+                pointsRelate(flatPoints(comps(i0)), shape, RelIntersects)
               case _ => false
             }
           }
@@ -646,6 +759,123 @@ object GeoWalk {
       i += 1
     }
     0
+  }
+
+  // ------------------------------------------------------ bbox sidecar
+
+  /** Bbox + validity walk for the envelope SIDECAR (r15, VERDICT r14
+    * #1): one parse shared with [[relate]]/[[classify]], run ONCE at
+    * materialize time so geo_shape queries over geometry docs can
+    * pre-filter on four pushable numeric corner columns instead of
+    * kernel-walking the whole corpus per request. Returns null for
+    * DIRTY rows (no extent to misjudge — the tri-state drop carries
+    * into NULL sidecar corners, which every pushable corner
+    * conjunction excludes); otherwise
+    * `(lat_min, lat_max, lon_min, lon_max, _geo_valid)` where
+    * `_geo_valid` is false for POISON geometry (past the vertex cap —
+    * checked FIRST, so the simplicity walk is never bought by a
+    * hostile row — or a self-intersecting polygon-family ring). The
+    * bbox itself is still the honest vertex extent for poison rows:
+    * the corners prune, the query-time kernel still classifies
+    * survivors, so poison discipline cannot silently vanish.
+    */
+  def bboxRow(geom: ArrayData, kind: Int, latIdx: Int,
+      lonIdx: Int, cap: Int): InternalRow = {
+    val comps = parse(geom, kind, latIdx, lonIdx)
+    if (comps == null) return null
+    bboxOf(comps, ringed = kind == KindPolygon || kind == KindRings ||
+      kind == KindPolys, cap)
+  }
+
+  /** Geometrycollection twin of [[bboxRow]]: an unknown component kind
+    * is poison (`_geo_valid` false) with NULL corners — no trustworthy
+    * extent exists, and NULL corners fail every pushable conjunction
+    * so such rows reach the query-time kernel's fail-loud path only
+    * through the DLQ contract, never silently match.
+    */
+  def bboxRowCollection(geom: ArrayData, kindIdx: Int, ptsIdx: Int,
+      latIdx: Int, lonIdx: Int, cap: Int): InternalRow = {
+    val parsed = parseCollection(geom, kindIdx, ptsIdx, latIdx, lonIdx)
+    if (parsed == null) return null
+    val (kinds, comps) = parsed
+    if (kinds.isEmpty) return null
+    if (kinds(0) == -99)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, null, null, null, false))
+    val ringedIdx = kinds.indices.filter(kinds(_) == 0)
+    var total = 0
+    var i = 0
+    while (i < comps.length) {
+      var j = 0
+      while (j < comps(i).length) { total += comps(i)(j).length >> 1; j += 1 }
+      i += 1
+    }
+    var valid = total <= cap
+    if (valid) {
+      var k = 0
+      while (valid && k < ringedIdx.length) {
+        val rings = comps(ringedIdx(k))
+        var j = 0
+        while (valid && j < rings.length) {
+          if ((rings(j).length >> 1) > 3 && ringSelfIntersects(rings(j)))
+            valid = false
+          j += 1
+        }
+        k += 1
+      }
+    }
+    extentRow(comps, valid)
+  }
+
+  private def bboxOf(comps: Array[Array[Array[Double]]], ringed: Boolean,
+      cap: Int): InternalRow = {
+    var total = 0
+    var p = 0
+    while (p < comps.length) {
+      var i = 0
+      while (i < comps(p).length) { total += comps(p)(i).length >> 1; i += 1 }
+      p += 1
+    }
+    var valid = total <= cap
+    if (valid && ringed) {
+      p = 0
+      while (valid && p < comps.length) {
+        var i = 0
+        while (valid && i < comps(p).length) {
+          val r = comps(p)(i)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r)) valid = false
+          i += 1
+        }
+        p += 1
+      }
+    }
+    extentRow(comps, valid)
+  }
+
+  private def extentRow(comps: Array[Array[Array[Double]]],
+      valid: Boolean): InternalRow = {
+    var laMin = Double.MaxValue; var laMax = -Double.MaxValue
+    var loMin = Double.MaxValue; var loMax = -Double.MaxValue
+    var p = 0
+    while (p < comps.length) {
+      var i = 0
+      while (i < comps(p).length) {
+        val c = comps(p)(i)
+        var t = 0
+        while (t < c.length) {
+          val la = c(t); val lo = c(t + 1)
+          if (la < laMin) laMin = la
+          if (la > laMax) laMax = la
+          if (lo < loMin) loMin = lo
+          if (lo > loMax) loMax = lo
+          t += 2
+        }
+        i += 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](laMin, laMax, loMin, loMax, valid))
   }
 
   /** Null on dirt; `(Array(-99), _)` sentinel on an unknown kind (so
@@ -1308,6 +1538,82 @@ object GeoWalk {
     * BigDecimal, HALF_UP) — pinned by GeoWalkSpec against the Column
     * form.
     */
+  /** Conservative OUTER bbox of a query shape — a (latB, latT, lonL,
+    * lonR) box GUARANTEED to contain the shape, for the sidecar
+    * pre-filters (r15): pruning on a superset box keeps every possible
+    * kernel match. Box/polygon/multipolygon edges are straight in
+    * lat/lon space, so the vertex extent is exact; the circle expands
+    * by spherical bounds under the pinned haversine — meridian arc
+    * dLat = r/R exactly, and the lon offset from
+    * `sin(dlo/2) ≤ sin(r/2R)/√(cos latP · cos latC) ≤ sin(r/2R)/cosMin`
+    * over the lat band (full lon range when the band touches a pole) —
+    * each padded by 1e-7° against the 6-dp haversine rounding.
+    */
+  def outerBbox(shape: GeoQueryShape): (Double, Double, Double, Double) =
+    shape match {
+      case GeoBoxShape(b, t, l, r) => (b, t, l, r)
+      case q: GeoRegionShape      => vertexExtent(Array(q.rings))
+      case q: GeoPolysShape       => vertexExtent(q.polys)
+      case GeoCircleShape(la, lo, rKm) =>
+        val R = 12742.0176 / 2.0
+        val dLat = math.toDegrees(rKm / R) + 1e-7
+        val latB = math.max(-90.0, la - dLat)
+        val latT = math.min(90.0, la + dLat)
+        if (la - dLat <= -90.0 || la + dLat >= 90.0)
+          (latB, latT, -180.0, 180.0)
+        else {
+          val cosMin = math.min(math.cos(math.toRadians(la - dLat)),
+            math.cos(math.toRadians(la + dLat)))
+          val s = math.sin(rKm / (2.0 * R)) / cosMin
+          if (s >= 1.0) (latB, latT, -180.0, 180.0)
+          else {
+            val dLon = math.toDegrees(2.0 * math.asin(s)) + 1e-7
+            (latB, latT, lo - dLon, lo + dLon)
+          }
+        }
+    }
+
+  /** INNER bbox of a query shape — a box GUARANTEED to lie inside the
+    * shape's tight bbox, for the `contains` pre-filter (doc ⊇ query ⟹
+    * query's tight bbox ⊆ doc bbox ⟹ this inner box ⊆ doc bbox —
+    * testing the inner box is necessary, hence safe). Box / polygon
+    * extents are tight already; the circle keeps its exact meridian
+    * extent (the N/S extreme points sit at the center's longitude),
+    * deflated 1e-7° against the haversine rounding.
+    */
+  def innerBbox(shape: GeoQueryShape): (Double, Double, Double, Double) =
+    shape match {
+      case GeoCircleShape(la, lo, rKm) =>
+        val R = 12742.0176 / 2.0
+        val dLat = math.max(0.0, math.toDegrees(rKm / R) - 1e-7)
+        (la - dLat, la + dLat, lo, lo)
+      case other => outerBbox(other)
+    }
+
+  private def vertexExtent(polys: Array[Array[Array[Double]]])
+      : (Double, Double, Double, Double) = {
+    var laMin = Double.MaxValue; var laMax = -Double.MaxValue
+    var loMin = Double.MaxValue; var loMax = -Double.MaxValue
+    var p = 0
+    while (p < polys.length) {
+      var i = 0
+      while (i < polys(p).length) {
+        val c = polys(p)(i)
+        var t = 0
+        while (t < c.length) {
+          if (c(t) < laMin) laMin = c(t)
+          if (c(t) > laMax) laMax = c(t)
+          if (c(t + 1) < loMin) loMin = c(t + 1)
+          if (c(t + 1) > loMax) loMax = c(t + 1)
+          t += 2
+        }
+        i += 1
+      }
+      p += 1
+    }
+    (laMin, laMax, loMin, loMax)
+  }
+
   def haversineKm(lat: Double, lon: Double, qLat: Double, qLon: Double): Double = {
     val pi = math.Pi
     val sdlat = math.sin((lat - qLat) * pi / 180.0 / 2.0)

@@ -4534,6 +4534,111 @@ object DslSearchTail {
               * sin((clon - 12.0003) * pi() / 180.0 / 2.0))), 6) <= 2500.0
         ORDER BY c_custkey
         LIMIT 200
+      """.stripMargin.trim)),
+
+    // SIDECAR twin of q388 (r15, VERDICT r14 #1): the SAME staircase
+    // kernel query over the SAME orders-keyed fixture, but through
+    // `GeoEnvelope.materialize` + `envelope_fields` — the pushable
+    // corner pre-filter prunes, the kernel walks survivors, and the
+    // oracle is BYTE-IDENTICAL to q388's (the sidecar must never
+    // change an answer).
+    GraftQuery(
+      "q392_dsl_geo_sidecar_ring_orders",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = graft.etl.GeoEnvelope.materialize(
+          Tables.load(s, dir, "orders")
+            .withColumn("cx", expr(
+              "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+            .withColumn("cy", expr(
+              "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+            .withColumn("ring", expr(
+              """CASE WHEN o_orderkey % 11 = 0
+                   THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+                 WHEN o_orderkey % 13 = 0
+                   THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                              struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+                 ELSE concat(
+                   array(struct(cx AS lat, cy AS lon)),
+                   flatten(transform(sequence(0, 15), j -> array(
+                     struct(cx + 0.25 + CAST((o_orderkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                            cy + CAST(j AS DOUBLE) * 0.5 AS lon),
+                     struct(cx + 0.25 + CAST((o_orderkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                            cy + CAST(j + 1 AS DOUBLE) * 0.5 AS lon)))),
+                   array(struct(cx AS lat, cy + 8.0 AS lon))) END""")),
+          "ring", "polygon")
+        QueryDsl.search(o,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring",
+                 "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.0004]},
+               "relation": "contains"}},
+             "sort": ["o_orderkey"], "size": 300,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy
+          FROM orders
+          WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0)
+        SELECT o_orderkey FROM t
+        WHERE (-2.0007 - cy) > 0 AND (-2.0007 - cy) < 8
+          AND 0.0004 > cx
+          AND 0.0004 < cx + 0.25 + CAST((o_orderkey
+                + CAST(floor((-2.0007 - cy) * 2) AS BIGINT)) % 8 AS DOUBLE) * 0.25
+        ORDER BY o_orderkey
+        LIMIT 300
+      """.stripMargin.trim)),
+
+    // Sidecar DISJOINT (r15): no pushable positive form exists for the
+    // complement, so the compile short-circuits bbox-disjoint rows TRUE
+    // without the kernel walk — dirty rows (NULL corners) still fall
+    // through and drop. Square rings make the oracle pure interval
+    // algebra; 4th-decimal bounds keep boundary hits measure-zero.
+    GraftQuery(
+      "q393_dsl_geo_sidecar_disjoint_orders",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = graft.etl.GeoEnvelope.materialize(
+          Tables.load(s, dir, "orders")
+            .withColumn("cx", expr(
+              "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+            .withColumn("cy", expr(
+              "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+            .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE)"))
+            .withColumn("ring", expr(
+              """CASE WHEN o_orderkey % 11 = 0
+                   THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+                 ELSE array(struct(cx - rh AS lat, cy - rh AS lon),
+                            struct(cx - rh AS lat, cy + rh AS lon),
+                            struct(cx + rh AS lat, cy + rh AS lon),
+                            struct(cx + rh AS lat, cy - rh AS lon)) END""")),
+          "ring", "polygon")
+        QueryDsl.search(o,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring",
+                 "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]},
+               "shape": {"type": "envelope",
+                 "coordinates": [[-9.0001, 4.0003], [3.0009, -4.0007]]},
+               "relation": "disjoint"}},
+             "sort": ["o_orderkey"], "size": 400,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + o_orderkey % 4 AS DOUBLE) AS rh
+          FROM orders
+          WHERE o_orderkey % 11 <> 0)
+        SELECT o_orderkey FROM t
+        WHERE NOT (cx - rh < 4.0003 AND cx + rh > -4.0007
+               AND cy - rh < 3.0009 AND cy + rh > -9.0001)
+        ORDER BY o_orderkey
+        LIMIT 400
       """.stripMargin.trim))
   )
 }

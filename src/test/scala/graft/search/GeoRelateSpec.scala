@@ -377,6 +377,32 @@ class GeoRelateSpec extends SparkSpec {
     assert(QueryDsl.geoShapeCollectionDlq(dirt, "shapes").count() === 0L)
   }
 
+  test("collection point component with several chains: every vertex counts") {
+    // the parse admits a 'point' component carrying SEVERAL single-vertex
+    // chains; every vertex must participate in the relation — evaluating
+    // only chain 0 would silently ignore (40, 40) below
+    val coll = Seq(Tuple1(1L)).toDF("id").withColumn("shapes", expr(
+      """array(struct('point' AS kind, array(
+           array(struct(CAST(30.0 AS DOUBLE) AS lat, CAST(30.0 AS DOUBLE) AS lon)),
+           array(struct(CAST(40.0 AS DOUBLE) AS lat, CAST(40.0 AS DOUBLE) AS lon))) AS pts))"""))
+    def hits(shape: String, rel: String): Boolean =
+      QueryDsl.search(coll, s"""{"query": {"geo_shape": {
+           "doc_shape": {"type": "geometrycollection", "shapes_field": "shapes"},
+           "shape": $shape, "relation": "$rel"}},
+          "size": 10, "_source": ["id"]}""").count() == 1L
+    def env(latT: Double, latB: Double, lonL: Double, lonR: Double) =
+      s"""{"type": "envelope", "coordinates": [[$lonL, $latT], [$lonR, $latB]]}"""
+    // a box around ONLY the second point intersects (and is not disjoint)
+    assert(hits(env(41.0, 39.0, 39.0, 41.0), "intersects"))
+    assert(!hits(env(41.0, 39.0, 39.0, 41.0), "disjoint"))
+    // within needs EVERY vertex inside: a box holding only (30,30) fails
+    assert(!hits(env(31.0, 29.0, 29.0, 31.0), "within"))
+    assert(hits(env(41.0, 29.0, 29.0, 41.0), "within"))
+    // contains: the exact second point counts for a zero-area query
+    assert(hits("""{"type": "point", "coordinates": [40.0, 40.0]}""", "contains"))
+    assert(!hits("""{"type": "point", "coordinates": [35.0, 35.0]}""", "contains"))
+  }
+
   test("query-side geometrycollection over point docs: OR of components") {
     val docs = (for (la <- -2 to 30; lo <- -2 to 30)
       yield (la + 0.4003, lo + 0.3001)).toDF("plat", "plon")

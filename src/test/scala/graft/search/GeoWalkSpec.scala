@@ -141,4 +141,50 @@ class GeoWalkSpec extends SparkSpec {
     }
     assert(GeoWalk.ringSelfIntersects(broken))
   }
+
+  test("query shapes compare by content (Catalyst canonicalization)") {
+    // Array fields default to reference equality — two semantically
+    // identical shapes (query clause + DLQ twin) must compare equal or
+    // expression canonicalization / subexpression dedup never fires
+    import graft.plans.{GeoPolysShape, GeoRegionShape}
+    def ring() = Array(Array(0.0, 0.0, 0.0, 4.0, 4.0, 4.0, 4.0, 0.0))
+    assert(GeoRegionShape(ring()) === GeoRegionShape(ring()))
+    assert(GeoRegionShape(ring()).hashCode === GeoRegionShape(ring()).hashCode)
+    assert(GeoRegionShape(ring()) !== GeoRegionShape(
+      Array(Array(0.0, 0.0, 0.0, 4.0, 4.0, 4.0, 4.0, 1.0))))
+    assert(GeoPolysShape(Array(ring())) === GeoPolysShape(Array(ring())))
+    assert(GeoPolysShape(Array(ring())).hashCode ===
+      GeoPolysShape(Array(ring())).hashCode)
+    // and the expressions carrying them canonicalize identically
+    import org.apache.spark.sql.functions.col
+    val ds = Seq(Tuple1(1L)).toDF("id").withColumn("ring",
+      org.apache.spark.sql.functions.expr(
+        """array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(1.0 AS DOUBLE) AS lon),
+                 struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                 struct(CAST(2.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon))"""))
+    val plan = ds.select(col("ring")).queryExecution.analyzed
+    val attr = plan.output.head
+    def mk() = graft.plans.GeoDocRelate(attr, "polygon",
+      GeoRegionShape(ring()), "intersects", 16384)
+    assert(mk().canonicalized === mk().canonicalized)
+  }
+
+  test("doc geometry columns with dots address the literal column") {
+    // col(gf) without backticks would resolve "geo.ring" as a nested
+    // path; the compile must address the literal top-level column
+    val t = Seq(Tuple1(1L)).toDF("id").withColumn("ring", expr(
+      """array(struct(CAST(0.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon),
+               struct(CAST(0.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon),
+               struct(CAST(4.0 AS DOUBLE) AS lat, CAST(0.0 AS DOUBLE) AS lon))"""))
+      .withColumnRenamed("ring", "geo.ring")
+    assert(QueryDsl.search(t,
+      """{"query": {"geo_shape": {
+           "doc_shape": {"type": "polygon", "ring_field": "geo.ring"},
+           "shape": {"type": "point", "coordinates": [1.0, 1.0]},
+           "relation": "intersects"}}, "size": 10, "_source": ["id"]}""")
+      .count() === 1L)
+    // the DLQ view addresses the same literal column
+    assert(QueryDsl.geoShapeDlq(t, "geo.ring").count() === 0L)
+  }
 }
