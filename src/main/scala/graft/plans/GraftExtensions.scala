@@ -22,6 +22,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `ascii_fold(s)`: the standard analyzer's normalizer as one
   *    codegen'd byte pass ([[AsciiFold]]) — SQL-text access to the
   *    same expression every analyzed DSL clause compiles to;
+  *  - `english_fold(s)`: the english analyzer's normalizer
+  *    ([[EnglishFold]]: standard pass + stop list + the pinned suffix
+  *    stemmer) — the SQL-text twin of the `analyzer: "english"` DSL
+  *    surfaces;
   *  - the [[HammingBandJoinRewrite]] optimizer rule, which turns a
   *    `hamming_distance(x, y) <= r` nested-loop similarity join into a
   *    banded equi-join automatically;
@@ -58,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1,
           s"ascii_fold expects 1 argument, got ${args.length}")
         AsciiFold(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("english_fold"),
+      new ExpressionInfo(classOf[EnglishFold].getName, "english_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"english_fold expects 1 argument, got ${args.length}")
+        EnglishFold(args.head)
       }))
   }
 }

@@ -4639,6 +4639,121 @@ object DslSearchTail {
                AND cy - rh < 3.0009 AND cy + rh > -9.0001)
         ORDER BY o_orderkey
         LIMIT 400
+      """.stripMargin.trim)),
+
+    // ENGLISH analyzer (r15, VERDICT r14 #2): standard pass + the
+    // 33-word stop list + the pinned suffix stemmer — "Running"
+    // matches "run" on an inflected mixed-case corpus. The oracle
+    // replays the WHOLE chain in DuckDB (the EnglishFold recipe:
+    // list_filter stop removal, CASE-chain stemming), so any drift in
+    // a rule, the rule order, or the stop list hash-fails.
+    GraftQuery(
+      "q394_dsl_match_english",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val docs = Tables.load(s, dir, "documents").withColumn("body",
+          expr("""concat(upper(substring(text, 1, 12)), substring(text, 13),
+            CASE WHEN doc_id % 3 = 0 THEN ' The JOINS were Running fast.'
+                 WHEN doc_id % 3 = 1 THEN ' Parties wanted dresses!'
+                 ELSE ' nothing of note' END)"""))
+        QueryDsl.search(docs,
+          """{"query": {"bool": {"should": [
+               {"match": {"body": {"query": "Run", "analyzer": "english"}}},
+               {"match": {"body": {"query": "Party", "analyzer": "english"}}}],
+               "minimum_should_match": 1}},
+             "sort": ["doc_id"], "size": 500, "_source": ["doc_id"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 upper(substr(text, 1, 12)) || substr(text, 13) ||
+                 CASE WHEN doc_id % 3 = 0 THEN ' The JOINS were Running fast.'
+                      WHEN doc_id % 3 = 1 THEN ' Parties wanted dresses!'
+                      ELSE ' nothing of note' END AS body
+          FROM documents),
+        an AS (
+          SELECT doc_id,
+            list_transform(list_filter(
+              string_split(trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+              t -> t <> '' AND t NOT IN ('a','an','and','are','as','at','be',
+                'but','by','for','if','in','into','is','it','no','not','of',
+                'on','or','such','that','the','their','then','there','these',
+                'they','this','to','was','will','with')),
+              t -> CASE
+                WHEN t LIKE '%sses' THEN substr(t, 1, length(t)-2)
+                WHEN t LIKE '%ies' AND length(t) >= 5 THEN substr(t, 1, length(t)-3) || 'y'
+                WHEN t LIKE '%ss' OR t LIKE '%us' THEN t
+                WHEN t LIKE '%s' AND length(t) >= 4 THEN substr(t, 1, length(t)-1)
+                WHEN t LIKE '%ing' AND length(t) >= 6 THEN CASE
+                  WHEN substr(t, length(t)-3, 1) = substr(t, length(t)-4, 1)
+                   AND substr(t, length(t)-3, 1) IN ('b','d','f','g','m','n','p','r','t')
+                  THEN substr(t, 1, length(t)-4) ELSE substr(t, 1, length(t)-3) END
+                WHEN t LIKE '%ed' AND length(t) >= 5 THEN CASE
+                  WHEN substr(t, length(t)-2, 1) = substr(t, length(t)-3, 1)
+                   AND substr(t, length(t)-2, 1) IN ('b','d','f','g','m','n','p','r','t')
+                  THEN substr(t, 1, length(t)-3) ELSE substr(t, 1, length(t)-2) END
+                ELSE t END) AS toks
+          FROM mixed)
+        SELECT doc_id FROM an
+        WHERE list_contains(toks, 'run') OR list_contains(toks, 'party')
+        ORDER BY doc_id
+        LIMIT 500
+      """.stripMargin.trim)),
+
+    // english PHRASE contract (r15): positions run over the FILTERED
+    // token stream, so "join run" phrase-matches "...JOINS were
+    // Running..." (the stop word "were"? not in the list — but "the"
+    // preceding "JOINS" is removed). Documented divergence from
+    // OpenSearch's position-gap behavior; the oracle replays the
+    // padded-contains over the same analyzed stream.
+    GraftQuery(
+      "q395_dsl_phrase_english",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val docs = Tables.load(s, dir, "documents").withColumn("body",
+          expr("""concat(text,
+            CASE WHEN doc_id % 5 = 0 THEN ' The Dresses and Parties!'
+                 WHEN doc_id % 5 = 1 THEN ' dress party time'
+                 ELSE '' END)"""))
+        QueryDsl.search(docs,
+          """{"query": {"match_phrase": {"body": {
+               "query": "the dress PARTY", "analyzer": "english"}}},
+             "sort": ["doc_id"], "size": 500, "_source": ["doc_id"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 5 = 0 THEN ' The Dresses and Parties!'
+                              WHEN doc_id % 5 = 1 THEN ' dress party time'
+                              ELSE '' END AS body
+          FROM documents),
+        an AS (
+          SELECT doc_id,
+            array_to_string(list_transform(list_filter(
+              string_split(trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+              t -> t <> '' AND t NOT IN ('a','an','and','are','as','at','be',
+                'but','by','for','if','in','into','is','it','no','not','of',
+                'on','or','such','that','the','their','then','there','these',
+                'they','this','to','was','will','with')),
+              t -> CASE
+                WHEN t LIKE '%sses' THEN substr(t, 1, length(t)-2)
+                WHEN t LIKE '%ies' AND length(t) >= 5 THEN substr(t, 1, length(t)-3) || 'y'
+                WHEN t LIKE '%ss' OR t LIKE '%us' THEN t
+                WHEN t LIKE '%s' AND length(t) >= 4 THEN substr(t, 1, length(t)-1)
+                WHEN t LIKE '%ing' AND length(t) >= 6 THEN CASE
+                  WHEN substr(t, length(t)-3, 1) = substr(t, length(t)-4, 1)
+                   AND substr(t, length(t)-3, 1) IN ('b','d','f','g','m','n','p','r','t')
+                  THEN substr(t, 1, length(t)-4) ELSE substr(t, 1, length(t)-3) END
+                WHEN t LIKE '%ed' AND length(t) >= 5 THEN CASE
+                  WHEN substr(t, length(t)-2, 1) = substr(t, length(t)-3, 1)
+                   AND substr(t, length(t)-2, 1) IN ('b','d','f','g','m','n','p','r','t')
+                  THEN substr(t, 1, length(t)-3) ELSE substr(t, 1, length(t)-2) END
+                ELSE t END), ' ') AS nb
+          FROM mixed)
+        SELECT doc_id FROM an
+        WHERE (' ' || nb || ' ') LIKE '% dress party %'
+        ORDER BY doc_id
+        LIMIT 500
       """.stripMargin.trim))
   )
 }

@@ -88,7 +88,22 @@ object Analyzer {
         .toLowerCase(java.util.Locale.ROOT).trim
   }
 
-  val all: Seq[Analyzer] = Seq(Whitespace, Standard)
+  /** Standard + stop-word removal + the pinned suffix stemmer (r15,
+    * VERDICT r14 #2) — the everyday OpenSearch text-index analyzer:
+    * "running" matches "run", "parties" matches "party", "the"/"and"
+    * never pollute term stats. One [[graft.plans.EnglishFold]] kernel;
+    * the rule chain and its DuckDB SQL replay live on that class.
+    * `normText` DELEGATES to the same kernel, so the column/driver
+    * twins agree by construction, not by parallel implementation.
+    */
+  case object English extends Analyzer("english") {
+    override def norm(c: Column): Column = graft.plans.EnglishFold(c)
+    override def normText(s: String): String =
+      graft.plans.EnglishFold.fold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+  }
+
+  val all: Seq[Analyzer] = Seq(Whitespace, Standard, English)
 
   /** Named lookup — fail loud on unknown names (a typo must never
     * silently fall back to whitespace semantics).

@@ -183,6 +183,32 @@ class SearchIndexSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("analyzer parity: english index stems at build, serve and merge") {
+    // inflected corpus: "Joining"/"Windows" can only hit the stemmed
+    // query terms if the english chain ran identically on both sides
+    val docs = Tables.load(spark, sf(), "documents")
+      .withColumn("body", expr(
+        "concat(upper(substring(text, 1, 10)), substring(text, 11), " +
+          "' the Joining and Windows!')"))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("bm25en").toString
+    SearchIndex.build(docs, "doc_id", "body", dir, analyzer = "english")
+    val normalized = docs.select(col("doc_id"),
+      graft.plans.EnglishFold(col("body")).as("text"))
+    val served = SearchIndex.bm25(spark, dir, Seq("Sparks", "Joining", "Windows"))
+      .as[(Long, Double)].collect().toSeq
+    assert(served === direct(normalized) && served.nonEmpty)
+    // CDC upsert stems with the stored analyzer (meta round-trip)
+    val batch = Seq((7L, "SPARK was joining windows", "upsert"))
+      .toDF("doc_id", "body", "_action")
+    SearchIndex.mergeCdcBatch(spark, dir, batch, "doc_id", "body")
+    val after = normalized.filter(col("doc_id") =!= 7)
+      .unionByName(Seq((7L, "spark join window")).toDF("doc_id", "text"))
+    assert(SearchIndex.bm25(spark, dir, Seq("spark", "joining", "windows"))
+      .as[(Long, Double)].collect().toSeq === direct(after))
+    docs.unpersist()
+  }
+
   test("CDC merge keeps the index equal to a rebuild: upsert new, replace, delete") {
     val docs = Tables.load(spark, sf(), "documents").persist()
     val base = docs.filter(col("doc_id") < 400)

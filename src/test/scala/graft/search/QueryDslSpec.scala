@@ -5379,6 +5379,63 @@ class QueryDslSpec extends SparkSpec {
     assert(gotW === strs)
   }
 
+  test("english analyzer: stop list + pinned stemmer, running matches run") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "He was RUNNING fast, then stopped."),
+      (2L, "They run daily."),
+      (3L, "The parties were wanted by the dresses."),
+      (4L, "chess status and falling trees"),
+      (5L, "nothing relevant here")).toDF("doc_id", "t")
+    def hits(q: String): Seq[Long] = QueryDsl.search(docs,
+      s"""{"query": {"match": {"t": {"query": "$q",
+           "analyzer": "english"}}},
+          "sort": ["doc_id"], "size": 10, "_source": ["doc_id"]}""")
+      .as[Long].collect().toSeq
+    // the verdict's own acceptance: "running" matches "run" (both ways)
+    assert(hits("run") === Seq(1L, 2L))
+    assert(hits("running") === Seq(1L, 2L))
+    assert(hits("party") === Seq(3L))
+    assert(hits("want") === Seq(3L))
+    assert(hits("fall") === Seq(4L))    // ll never undoubles
+    // a stop-word-only query analyzes to ZERO terms: the existing
+    // zero_terms_query contract applies (loud by default, opt-in none)
+    val e0 = intercept[IllegalArgumentException](hits("the"))
+    assert(e0.getMessage.contains("zero_terms_query"), e0.getMessage)
+    assert(QueryDsl.search(docs,
+      """{"query": {"match": {"t": {"query": "the", "analyzer": "english",
+           "zero_terms_query": "none"}}},
+          "sort": ["doc_id"], "size": 10, "_source": ["doc_id"]}""")
+      .as[Long].collect().toSeq === Seq())
+    // the pinned rule chain, token for token (incl. documented
+    // divergences from Porter: no e-restore, short tokens pass)
+    import graft.plans.EnglishFold.stem
+    assert(stem("dresses") === "dress" && stem("parties") === "party")
+    assert(stem("chess") === "chess" && stem("status") === "status")
+    assert(stem("runs") === "run" && stem("running") === "run")
+    assert(stem("falling") === "fall" && stem("wanted") === "want")
+    assert(stem("making") === "mak" && stem("dies") === "die")
+    assert(stem("sing") === "sing" && stem("red") === "red")
+    assert(stem("gas") === "gas" && stem("ties") === "tie")
+    // SQL-text access reaches the same kernel
+    assert(spark.sql("SELECT english_fold('He was RUNNING, fast!')")
+      .collect().head.getString(0) === "he run fast")
+  }
+
+  test("english analyzer twins agree on arbitrary unicode") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val pool = "AbZz09 I _-!,.çÖİıßµ中文|~\"" + "\t" + "singresses"
+    val strs = (0 until 300).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } ++ Seq("The Parties Were RUNNING", "", "dresses falling wanted 42!")
+    val got = strs.toDF("s")
+      .select(Analyzer.English.norm(col("s"))).as[String].collect().toSeq
+    val want = strs.map(Analyzer.English.normText)
+    assert(got === want)
+  }
+
   test("analyzer threads through every remaining tokenizing surface") {
     import spark.implicits._
     val mixed = Seq(
