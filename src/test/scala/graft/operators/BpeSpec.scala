@@ -46,4 +46,50 @@ class BpeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Bpe.merges(corpus("xy"), 65))
     assert(e.getMessage.contains("1..64"))
   }
+
+  test("encode replays the training symbolization token-for-token") {
+    val toks = corpus("abcabc", "abcd", "aabb", "xyz", "abab")
+    val table = Bpe.merges(toks, 4)
+    // the trainer's own final state: apply each learned merge in order
+    // through the fold the trainer ran
+    val steps = table.select("a", "b").orderBy("step")
+      .as[(String, String)].collect().toSeq
+    val trained = steps.foldLeft(toks)((d, m) =>
+      d.select(Bpe.applyMerge(col("syms"), m._1, m._2).as("syms")))
+      .as[Seq[String]].collect().toSeq
+    val encoded = Bpe.encode(toks, table)
+      .select("syms").as[Seq[String]].collect().toSeq
+    assert(encoded === trained)
+    // non-syms columns pass through untouched
+    val withId = toks.withColumn("id", monotonically_increasing_id())
+    assert(Bpe.encode(withId, table).columns.toSeq === Seq("syms", "id"))
+  }
+
+  test("encode applies merges in step order, leftmost-greedy") {
+    // hand-built table: (a,a)→aa then (aa,a)→aaa. "aaaaa" → pass 1:
+    // [aa, aa, a]; pass 2: (aa,aa) no, (aa,a) at the tail → [aa, aaa]
+    val table = Seq((1, "a", "a", "aa", 0L), (2, "aa", "a", "aaa", 0L))
+      .toDF("step", "a", "b", "merged", "n")
+    val got = Bpe.encode(corpus("aaaaa"), table)
+      .select("syms").as[Seq[String]].collect().head
+    assert(got === Seq("aa", "aaa"))
+    // an empty table is the identity
+    val empty = Seq.empty[(Int, String, String, String, Long)]
+      .toDF("step", "a", "b", "merged", "n")
+    assert(Bpe.encode(corpus("abc"), empty)
+      .select("syms").as[Seq[String]].collect().head === Seq("a", "b", "c"))
+    // a gapped table fails loud (the step order IS the contract)
+    val gapped = Seq((1, "a", "a", "aa", 0L), (3, "aa", "a", "aaa", 0L))
+      .toDF("step", "a", "b", "merged", "n")
+    val e = intercept[IllegalArgumentException](
+      Bpe.encode(corpus("aaa"), gapped).collect())
+    assert(e.getMessage.contains("contiguous"), e.getMessage)
+  }
+
+  test("checkpointed training leaves no cached blocks behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Bpe.merges(corpus("abcabc", "abcd", "aabb", "abab"), 4).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "every iteration's localCheckpoint must be freed")
+  }
 }
