@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The geometry QUERY shape carried into the [[GeoWalk]] kernels —
   * driver-validated constants, flat double arrays so the per-row walk
@@ -345,6 +346,87 @@ object GeoDocBbox {
 
   def apply(c: Column, docKind: String, cap: Int = GeoWalk.DefaultCap): Column =
     ColumnBridge.column(GeoDocBbox(ColumnBridge.expression(c), docKind, cap))
+}
+
+/** Grid-cell coverage of a doc SHAPE (r15, VERDICT r14 #4): the cell
+  * ids — geohash base-32 strings or `z/x/y` web-mercator tile keys —
+  * of every grid cell the row's geometry intersects, as one kernel
+  * walk: parse once, enumerate the candidate cells of the shape's own
+  * bbox through EXACTLY the quantizer arithmetic the point-doc
+  * `geohashCol`/`geotileCol` columns run (same IEEE op order, so a
+  * degenerate one-point shape lands in the same cell as the point
+  * agg), then keep the candidates whose rect intersects the geometry
+  * (the same box-relation walks the geo_shape predicate runs).
+  * `explode` + groupBy downstream — the same shuffle shape as the
+  * point-doc grid aggs, with per-(row, cell) fan-out bounded by the
+  * fail-loud `cellCap` (the engine's 100k enumeration doctrine: a
+  * continent-sized shape at precision 12 must refuse, not OOM).
+  *
+  * NULL for dirty rows (the tri-state drop); POISON (past the vertex
+  * cap — checked FIRST — or a self-intersecting polygon-family ring)
+  * THROWS with the pinned messages: the agg surface has no DLQ arm,
+  * and silently bucketing a misjudged interior would fabricate counts.
+  */
+case class GeoGridCells(child: Expression, docKind: String, gridKind: String,
+    precision: Int, cap: Int, cellCap: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geo_grid_cells"
+
+  private val docKindCode: Int = GeoWalk.docKindCode(docKind)
+  private val gridCode: Int = gridKind match {
+    case "geohash" => 0
+    case "geotile" => 1
+    case other => throw new IllegalArgumentException(s"grid kind '$other'")
+  }
+
+  private lazy val (latIdx: Int, lonIdx: Int) = {
+    val leaf = GeoWalk.leafStruct(child.dataType, docKindCode)
+    (leaf.fieldIndex("lat"), leaf.fieldIndex("lon"))
+  }
+
+  private lazy val (kindIdx: Int, ptsIdx: Int) = {
+    val elt = child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    (elt.fieldIndex("kind"), elt.fieldIndex("pts"))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GeoWalk.checkGeomType(child.dataType, docKindCode, prettyName, docKind)
+
+  override protected def nullSafeEval(geom: Any): Any =
+    if (docKindCode == GeoWalk.KindCollection)
+      GeoWalk.gridCellsCollection(geom.asInstanceOf[ArrayData], kindIdx, ptsIdx,
+        latIdx, lonIdx, gridCode, precision, cap, cellCap)
+    else
+      GeoWalk.gridCells(geom.asInstanceOf[ArrayData], docKindCode, latIdx,
+        lonIdx, gridCode, precision, cap, cellCap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, g => {
+      val r = ctx.freshName("gridCells")
+      val call =
+        if (docKindCode == GeoWalk.KindCollection)
+          s"""graft.plans.GeoWalk.gridCellsCollection($g, $kindIdx, $ptsIdx,
+             |  $latIdx, $lonIdx, $gridCode, $precision, $cap, $cellCap)""".stripMargin
+        else
+          s"""graft.plans.GeoWalk.gridCells($g, $docKindCode,
+             |  $latIdx, $lonIdx, $gridCode, $precision, $cap, $cellCap)""".stripMargin
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r = $call;
+         |${ev.isNull} = ($r == null);
+         |${ev.value} = $r;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GeoGridCells =
+    copy(child = newChild)
+}
+
+object GeoGridCells {
+  def apply(c: Column, docKind: String, gridKind: String, precision: Int,
+      cap: Int = GeoWalk.DefaultCap, cellCap: Int = 100000): Column =
+    ColumnBridge.column(GeoGridCells(ColumnBridge.expression(c), docKind,
+      gridKind, precision, cap, cellCap))
 }
 
 /** The JVM geometry kernels behind [[GeoDocRelate]] / [[GeoPointInShape]].
@@ -876,6 +958,277 @@ object GeoWalk {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](laMin, laMax, loMin, loMax, valid))
+  }
+
+  // ------------------------------------------------------- grid coverage
+
+  private val GeohashAlphabet: Array[Byte] =
+    "0123456789bcdefghjkmnpqrstuvwxyz".getBytes("UTF-8")
+
+  /** Quantizer twin of the point-agg columns — SAME IEEE op order as
+    * `geohashCol`/`geotileCol` (`floor((v + off) / span * 2^bits)`,
+    * clamped), so a shape's cells and a point's cell can never drift.
+    */
+  private def quantAxis(v: Double, off: Double, span: Double, n: Long): Long = {
+    val q = math.floor((v + off) / span * n.toDouble)
+    if (q < 0.0) 0L else if (q > (n - 1).toDouble) n - 1 else q.toLong
+  }
+
+  private def mercY(lat: Double, n: Long): Long = {
+    val latC = math.min(math.max(lat, -85.05112878), 85.05112878)
+    val latRad = latC * (math.Pi / 180.0)
+    val merc = (1.0 -
+      math.log(math.tan(latRad) + 1.0 / math.cos(latRad)) / math.Pi) / 2.0
+    val q = math.floor(merc * n.toDouble)
+    if (q < 0.0) 0L else if (q > (n - 1).toDouble) n - 1 else q.toLong
+  }
+
+  /** Inverse mercator: the lat of tile-row boundary `y/n` (for the
+    * candidate rect test; candidates themselves come from the exact
+    * forward quantizer, so this only decides partial-overlap edges —
+    * measure-zero under the fixture conventions).
+    */
+  private def invMercLat(frac: Double): Double =
+    math.atan(math.sinh(math.Pi * (1.0 - 2.0 * frac))) * (180.0 / math.Pi)
+
+  private def geohashString(ix: Long, iy: Long, p: Int): UTF8String = {
+    val total = 5 * p
+    val xb = (total + 1) / 2
+    val yb = total / 2
+    var code = 0L
+    var j = 0
+    while (j < xb) {
+      code |= ((ix >> j) & 1L) << (if (total % 2 == 1) 2 * j else 2 * j + 1)
+      j += 1
+    }
+    j = 0
+    while (j < yb) {
+      code |= ((iy >> j) & 1L) << (if (total % 2 == 1) 2 * j + 1 else 2 * j)
+      j += 1
+    }
+    val out = new Array[Byte](p)
+    var t = 0
+    while (t < p) {
+      out(t) = GeohashAlphabet(((code >> (5 * (p - 1 - t))) & 31L).toInt)
+      t += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** The one per-(shape, cell-rect) intersection dispatch — the same
+    * box-relation walks [[relate]] runs, minus the per-cell re-parse.
+    */
+  private def intersectsCell(kinds: Array[Int],
+      comps: Array[Array[Array[Array[Double]]]],
+      box: GeoBoxShape): Boolean = {
+    var i = 0
+    while (i < kinds.length) {
+      val hit = kinds(i) match {
+        case KindPolygon | KindRings | KindPolys =>
+          ringedRelate(comps(i), kinds(i) == KindPolys, box, RelIntersects)
+        case KindLinestring | KindMultiLinestring =>
+          lineRelate(comps(i)(0), box, RelIntersects)
+        case _ =>
+          pointsRelate(comps(i)(0)(0), box, RelIntersects)
+      }
+      if (hit) return true
+      i += 1
+    }
+    false
+  }
+
+  private def cellsOf(kinds: Array[Int],
+      comps: Array[Array[Array[Array[Double]]]], grid: Int, p: Int,
+      cellCap: Int): ArrayData = {
+    // vertex extent across every component
+    var laMin = Double.MaxValue; var laMax = -Double.MaxValue
+    var loMin = Double.MaxValue; var loMax = -Double.MaxValue
+    var g = 0
+    while (g < comps.length) {
+      var q = 0
+      while (q < comps(g).length) {
+        var i = 0
+        while (i < comps(g)(q).length) {
+          val c = comps(g)(q)(i)
+          var t = 0
+          while (t < c.length) {
+            if (c(t) < laMin) laMin = c(t)
+            if (c(t) > laMax) laMax = c(t)
+            if (c(t + 1) < loMin) loMin = c(t + 1)
+            if (c(t + 1) > loMax) loMax = c(t + 1)
+            t += 2
+          }
+          i += 1
+        }
+        q += 1
+      }
+      g += 1
+    }
+    val out = new java.util.ArrayList[UTF8String]()
+    if (grid == 0) {
+      val total = 5 * p
+      val nx = 1L << ((total + 1) / 2)
+      val ny = 1L << (total / 2)
+      val ix0 = quantAxis(loMin, 180.0, 360.0, nx)
+      val ix1 = quantAxis(loMax, 180.0, 360.0, nx)
+      val iy0 = quantAxis(laMin, 90.0, 180.0, ny)
+      val iy1 = quantAxis(laMax, 90.0, 180.0, ny)
+      val candidates = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+      if (candidates > cellCap)
+        throw new IllegalArgumentException(
+          s"geo grid doc shape covers $candidates candidate geohash cells " +
+            s"at precision $p - the $cellCap cell enumeration cap (lower " +
+            "the precision or pre-filter the shapes)")
+      var iy = iy0
+      while (iy <= iy1) {
+        val latB = iy.toDouble * 180.0 / ny.toDouble - 90.0
+        val latT = (iy + 1).toDouble * 180.0 / ny.toDouble - 90.0
+        var ix = ix0
+        while (ix <= ix1) {
+          val lonL = ix.toDouble * 360.0 / nx.toDouble - 180.0
+          val lonR = (ix + 1).toDouble * 360.0 / nx.toDouble - 180.0
+          if (intersectsCell(kinds, comps, GeoBoxShape(latB, latT, lonL, lonR)))
+            out.add(geohashString(ix, iy, p))
+          ix += 1
+        }
+        iy += 1
+      }
+    } else {
+      val n = 1L << p
+      val x0 = quantAxis(loMin, 180.0, 360.0, n)
+      val x1 = quantAxis(loMax, 180.0, 360.0, n)
+      val y0 = mercY(laMax, n) // mercator y grows downward
+      val y1 = mercY(laMin, n)
+      val candidates = (x1 - x0 + 1) * (y1 - y0 + 1)
+      if (candidates > cellCap)
+        throw new IllegalArgumentException(
+          s"geo grid doc shape covers $candidates candidate geotile cells " +
+            s"at precision $p - the $cellCap cell enumeration cap (lower " +
+            "the precision or pre-filter the shapes)")
+      var y = y0
+      while (y <= y1) {
+        val latT = invMercLat(y.toDouble / n.toDouble)
+        val latB = invMercLat((y + 1).toDouble / n.toDouble)
+        var x = x0
+        while (x <= x1) {
+          val lonL = x.toDouble * 360.0 / n.toDouble - 180.0
+          val lonR = (x + 1).toDouble * 360.0 / n.toDouble - 180.0
+          if (intersectsCell(kinds, comps, GeoBoxShape(latB, latT, lonL, lonR)))
+            out.add(UTF8String.fromString(s"$p/$x/$y"))
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Grid coverage for the non-collection doc kinds (see
+    * [[GeoGridCells]]): null on dirt, THROWS on poison (cap first,
+    * then simplicity), else the intersecting cell ids.
+    */
+  def gridCells(geom: ArrayData, kind: Int, latIdx: Int, lonIdx: Int,
+      grid: Int, p: Int, cap: Int, cellCap: Int): ArrayData = {
+    val comps = parse(geom, kind, latIdx, lonIdx)
+    if (comps == null) return null
+    var total = 0
+    var g = 0
+    while (g < comps.length) {
+      var i = 0
+      while (i < comps(g).length) { total += comps(g)(i).length >> 1; i += 1 }
+      g += 1
+    }
+    if (total > cap)
+      throw new IllegalArgumentException(
+        s"geo grid doc shape exceeds $cap total vertices (the kernel vertex cap)")
+    if (kind == KindPolygon || kind == KindRings || kind == KindPolys) {
+      g = 0
+      while (g < comps.length) {
+        var i = 0
+        while (i < comps(g).length) {
+          val r = comps(g)(i)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r))
+            throw new IllegalArgumentException(
+              "geo grid doc ring is self-intersecting - rings must be " +
+                "simple (an even-odd cell walk over a self-crossing ring " +
+                "would be silently wrong)")
+          i += 1
+        }
+        g += 1
+      }
+    }
+    cellsOf(Array(kind), Array(comps), grid, p, cellCap)
+  }
+
+  /** Geometrycollection twin of [[gridCells]] — mixed components, the
+    * relateCollection composition (any component's intersection puts
+    * the shape in the cell).
+    */
+  def gridCellsCollection(geom: ArrayData, kindIdx: Int, ptsIdx: Int,
+      latIdx: Int, lonIdx: Int, grid: Int, p: Int, cap: Int,
+      cellCap: Int): ArrayData = {
+    val parsed = parseCollection(geom, kindIdx, ptsIdx, latIdx, lonIdx)
+    if (parsed == null) return null
+    val (kinds0, comps0) = parsed
+    if (kinds0.isEmpty) return null
+    if (kinds0(0) == -99)
+      throw new IllegalArgumentException(
+        "geo grid doc geometrycollection component kind must be polygon, " +
+          "linestring or point")
+    var total = 0
+    var i = 0
+    while (i < comps0.length) {
+      var j = 0
+      while (j < comps0(i).length) { total += comps0(i)(j).length >> 1; j += 1 }
+      i += 1
+    }
+    if (total > cap)
+      throw new IllegalArgumentException(
+        s"geo grid doc shape exceeds $cap total vertices (the kernel vertex cap)")
+    i = 0
+    while (i < kinds0.length) {
+      if (kinds0(i) == 0) {
+        var j = 0
+        while (j < comps0(i).length) {
+          val r = comps0(i)(j)
+          if ((r.length >> 1) > 3 && ringSelfIntersects(r))
+            throw new IllegalArgumentException(
+              "geo grid doc ring is self-intersecting - rings must be simple")
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // map collection component kinds (0 polygon / 1 line / 2 point)
+    // onto the dispatch codes; point components flatten every chain
+    // (the r15 multi-chain rule)
+    val kinds = new Array[Int](kinds0.length)
+    val comps = new Array[Array[Array[Array[Double]]]](kinds0.length)
+    i = 0
+    while (i < kinds0.length) {
+      kinds0(i) match {
+        case 0 =>
+          kinds(i) = KindPolygon
+          comps(i) = Array(comps0(i))
+        case 1 =>
+          kinds(i) = KindMultiLinestring
+          comps(i) = Array(comps0(i))
+        case _ =>
+          kinds(i) = KindMultiPoint
+          val chains = comps0(i)
+          val flat = new Array[Double](2 * chains.length)
+          var j = 0
+          while (j < chains.length) {
+            flat(2 * j) = chains(j)(0); flat(2 * j + 1) = chains(j)(1); j += 1
+          }
+          comps(i) = Array(Array(flat))
+      }
+      i += 1
+    }
+    cellsOf(kinds, comps, grid, p, cellCap)
   }
 
   /** Null on dirt; `(Array(-99), _)` sentinel on an unknown kind (so

@@ -4832,6 +4832,118 @@ object DslSearchTail {
         GROUP BY sym
         ORDER BY cnt DESC, sym
         LIMIT 30
+      """.stripMargin.trim)),
+
+    // geohash_grid over doc SHAPES (r15, VERDICT r14 #4): each square
+    // ring buckets into EVERY precision-3 cell it intersects. Square
+    // fixtures make the cell truth pure quantizer algebra (bbox ==
+    // shape, so the candidate index rectangle IS the answer): the
+    // oracle enumerates each row's index ranges with the same
+    // floor-quantizer and replays the engine's own interleave+base-32
+    // encode bit-for-bit (geohashSqlParts).
+    GraftQuery(
+      "q397_dsl_geohash_grid_doc_shape",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("cx", expr(
+            "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               ELSE array(struct(cx - rh AS lat, cy - rh AS lon),
+                          struct(cx - rh AS lat, cy + rh AS lon),
+                          struct(cx + rh AS lat, cy + rh AS lon),
+                          struct(cx + rh AS lat, cy - rh AS lon)) END"""))
+        QueryDsl.search(o,
+          """{"size": 0, "aggs": {"cells": {"geohash_grid": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "precision": 3, "size": 60}}}}""")
+      },
+      Some {
+        val (_, _, code, hash) = geohashSqlParts(3)
+        s"""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + o_orderkey % 4 AS DOUBLE) AS rh
+          FROM orders
+          WHERE o_orderkey % 11 <> 0),
+        rng AS (
+          SELECT o_orderkey,
+            CAST(least(greatest(floor((cy - rh + 180.0) / 360.0 * 256.0), 0.0), 255.0) AS BIGINT) AS ix0,
+            CAST(least(greatest(floor((cy + rh + 180.0) / 360.0 * 256.0), 0.0), 255.0) AS BIGINT) AS ix1,
+            CAST(least(greatest(floor((cx - rh + 90.0) / 180.0 * 128.0), 0.0), 127.0) AS BIGINT) AS iy0,
+            CAST(least(greatest(floor((cx + rh + 90.0) / 180.0 * 128.0), 0.0), 127.0) AS BIGINT) AS iy1
+          FROM t),
+        e1 AS (SELECT o_orderkey, unnest(range(ix0, ix1 + 1)) AS ix, iy0, iy1 FROM rng),
+        e2 AS (SELECT o_orderkey, ix, unnest(range(iy0, iy1 + 1)) AS iy FROM e1),
+        enc AS (SELECT o_orderkey, $code AS code FROM e2),
+        h AS (SELECT o_orderkey, $hash AS cell FROM enc)
+        SELECT cell AS cells, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM h GROUP BY 1
+        ORDER BY doc_count DESC, cells
+        LIMIT 60
+      """.stripMargin.trim
+      }),
+
+    // geotile_grid over doc SHAPES (r15): the same squares at z=6 —
+    // x from the linear lon quantizer, y rows from the web-mercator
+    // quantizer applied to the square's top/bottom (monotone, so the
+    // tile-row range IS [qy(top), qy(bottom)]), keys replayed as
+    // z/x/y (the q260 recipe).
+    GraftQuery(
+      "q398_dsl_geotile_grid_doc_shape",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("cx", expr(
+            "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE)"))
+          .withColumn("ring", expr(
+            """CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+               ELSE array(struct(cx - rh AS lat, cy - rh AS lon),
+                          struct(cx - rh AS lat, cy + rh AS lon),
+                          struct(cx + rh AS lat, cy + rh AS lon),
+                          struct(cx + rh AS lat, cy - rh AS lon)) END"""))
+        QueryDsl.search(o,
+          """{"size": 0, "aggs": {"tiles": {"geotile_grid": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "precision": 6, "size": 60}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + o_orderkey % 4 AS DOUBLE) AS rh
+          FROM orders
+          WHERE o_orderkey % 11 <> 0),
+        rng AS (
+          SELECT o_orderkey,
+            CAST(least(greatest(floor((cy - rh + 180.0) / 360.0 * 64.0), 0.0), 63.0) AS BIGINT) AS x0,
+            CAST(least(greatest(floor((cy + rh + 180.0) / 360.0 * 64.0), 0.0), 63.0) AS BIGINT) AS x1,
+            CAST(least(greatest(floor((1.0 - ln(tan(least(greatest(cx + rh, -85.05112878), 85.05112878) * (pi() / 180.0))
+              + 1.0 / cos(least(greatest(cx + rh, -85.05112878), 85.05112878) * (pi() / 180.0))) / pi()) / 2.0 * 64.0), 0.0), 63.0) AS BIGINT) AS y0,
+            CAST(least(greatest(floor((1.0 - ln(tan(least(greatest(cx - rh, -85.05112878), 85.05112878) * (pi() / 180.0))
+              + 1.0 / cos(least(greatest(cx - rh, -85.05112878), 85.05112878) * (pi() / 180.0))) / pi()) / 2.0 * 64.0), 0.0), 63.0) AS BIGINT) AS y1
+          FROM t),
+        e1 AS (SELECT o_orderkey, unnest(range(x0, x1 + 1)) AS x, y0, y1 FROM rng),
+        e2 AS (SELECT o_orderkey, x, unnest(range(y0, y1 + 1)) AS y FROM e1),
+        h AS (SELECT o_orderkey,
+                     '6/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS cell
+              FROM e2)
+        SELECT cell AS tiles, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM h GROUP BY 1
+        ORDER BY doc_count DESC, tiles
+        LIMIT 60
       """.stripMargin.trim))
   )
 }

@@ -1889,10 +1889,47 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
     }: _*)
   }
 
+  /** The `doc_shape` arm of the grid aggs (r15, VERDICT r14 #4): a
+    * SHAPE buckets into EVERY grid cell it intersects (the OpenSearch
+    * geo_shape-grid contract — map dashboards over polygon/line docs),
+    * via the ONE [[graft.plans.GeoGridCells]] kernel walk per row:
+    * candidate cells enumerated from the shape's own bbox through the
+    * exact point-agg quantizers, each kept only if its rect intersects
+    * the geometry, fail-loud at the 100k cell-enumeration cap.
+    * `explode` + the same groupBy as the point arm; dirty geometry
+    * drops (NULL array), poison raises (no DLQ arm on aggs).
+    */
+  private def gridDocShapeCells(m: Map[String, JValue], gridKind: String,
+      precision: Int): Column = {
+    val dsm = m("doc_shape") match {
+      case JObject(ds) => ds.toMap
+      case other => fail(s"grid doc_shape must be an object: ${render(other)}")
+    }
+    val dsType = strOpt(dsm, "type")
+      .getOrElse(fail("grid doc_shape requires a type"))
+    val (kind, fieldKey) = dsType match {
+      case "polygon" if dsm.contains("rings_field") => ("rings", "rings_field")
+      case "polygon"            => ("polygon", "ring_field")
+      case "multipolygon"       => ("polys", "polys_field")
+      case "linestring"         => ("linestring", "line_field")
+      case "multilinestring"    => ("multilinestring", "lines_field")
+      case "multipoint"         => ("multipoint", "points_field")
+      case "geometrycollection" => ("geometrycollection", "shapes_field")
+      case other => fail(s"grid doc_shape type '$other' is unsupported")
+    }
+    dsm.keySet.diff(Set("type", fieldKey)).foreach(k =>
+      fail(s"unsupported grid doc_shape option '$k'"))
+    val gf = strOpt(dsm, fieldKey)
+      .getOrElse(fail(s"grid doc_shape $dsType requires $fieldKey"))
+    graft.plans.GeoGridCells(col(s"`$gf`"), kind, gridKind, precision)
+  }
+
   /** `geohash_grid` bucket agg: one groupBy on the [[geohashCol]]
     * cell id — identical shuffle shape to [[geoGridAgg]], the key is
     * just the interoperable string. Count-desc/key-asc total order
-    * (the OpenSearch response order, made total).
+    * (the OpenSearch response order, made total). With `doc_shape`
+    * instead of lat/lon fields, shapes bucket into every intersecting
+    * cell (see [[gridDocShapeCells]]).
     */
   private[search] def geohashGridAgg(hits: DataFrame, name: String, spec: JValue,
       subAggs: Option[JValue]): DataFrame = {
@@ -1900,12 +1937,14 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case JObject(s) => s.toMap
       case other => fail(s"geohash_grid '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
-      fail(s"unsupported geohash_grid option '$k' in '$name'"))
-    val latF = strOpt(m, "lat_field")
-      .getOrElse(fail("geohash_grid requires lat_field"))
-    val lonF = strOpt(m, "lon_field")
-      .getOrElse(fail("geohash_grid requires lon_field"))
+    val docShape = m.contains("doc_shape")
+    if (docShape)
+      m.keySet.diff(Set("doc_shape", "precision", "size")).foreach(k =>
+        fail(s"unsupported geohash_grid option '$k' in '$name' " +
+          "(doc_shape replaces lat_field/lon_field)"))
+    else
+      m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
+        fail(s"unsupported geohash_grid option '$k' in '$name'"))
     val p = intOpt(m, "precision").getOrElse(5)
     if (p < 1 || p > 12) fail(s"geohash_grid precision must be 1-12, got $p")
     val size = intOpt(m, "size")
@@ -1916,8 +1955,20 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
         s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    val grouped = hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
-      .groupBy(geohashCol(col(latF), col(lonF), p).as(name))
+    val keyed =
+      if (docShape)
+        hits.withColumn("__geo_cell",
+          explode(gridDocShapeCells(m, "geohash", p)))
+          .groupBy(col("__geo_cell").as(name))
+      else {
+        val latF = strOpt(m, "lat_field")
+          .getOrElse(fail("geohash_grid requires lat_field"))
+        val lonF = strOpt(m, "lon_field")
+          .getOrElse(fail("geohash_grid requires lon_field"))
+        hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
+          .groupBy(geohashCol(col(latF), col(lonF), p).as(name))
+      }
+    val grouped = keyed
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .orderBy(col("doc_count").desc, col(name).asc)
     size.map(grouped.limit).getOrElse(grouped)
@@ -1946,7 +1997,8 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
   }
 
   /** `geotile_grid` bucket agg: one groupBy on the [[geotileCol]]
-    * tile key — the same shuffle shape as [[geohashGridAgg]].
+    * tile key — the same shuffle shape as [[geohashGridAgg]], and the
+    * same `doc_shape` arm (shapes bucket into every intersecting tile).
     */
   private[search] def geotileGridAgg(hits: DataFrame, name: String, spec: JValue,
       subAggs: Option[JValue]): DataFrame = {
@@ -1954,12 +2006,14 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case JObject(s) => s.toMap
       case other => fail(s"geotile_grid '$name' must be an object: ${render(other)}")
     }
-    m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
-      fail(s"unsupported geotile_grid option '$k' in '$name'"))
-    val latF = strOpt(m, "lat_field")
-      .getOrElse(fail("geotile_grid requires lat_field"))
-    val lonF = strOpt(m, "lon_field")
-      .getOrElse(fail("geotile_grid requires lon_field"))
+    val docShape = m.contains("doc_shape")
+    if (docShape)
+      m.keySet.diff(Set("doc_shape", "precision", "size")).foreach(k =>
+        fail(s"unsupported geotile_grid option '$k' in '$name' " +
+          "(doc_shape replaces lat_field/lon_field)"))
+    else
+      m.keySet.diff(Set("lat_field", "lon_field", "precision", "size")).foreach(k =>
+        fail(s"unsupported geotile_grid option '$k' in '$name'"))
     val z = intOpt(m, "precision").getOrElse(7)
     if (z < 0 || z > 29) fail(s"geotile_grid precision must be 0-29, got $z")
     val size = intOpt(m, "size")
@@ -1970,8 +2024,20 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
         s.flatMap { case (sn, sp) => metricCols(sn, sp, schema = hits.schema) }
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
-    val grouped = hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
-      .groupBy(geotileCol(col(latF), col(lonF), z).as(name))
+    val keyed =
+      if (docShape)
+        hits.withColumn("__geo_cell",
+          explode(gridDocShapeCells(m, "geotile", z)))
+          .groupBy(col("__geo_cell").as(name))
+      else {
+        val latF = strOpt(m, "lat_field")
+          .getOrElse(fail("geotile_grid requires lat_field"))
+        val lonF = strOpt(m, "lon_field")
+          .getOrElse(fail("geotile_grid requires lon_field"))
+        hits.filter(col(latF).isNotNull && col(lonF).isNotNull)
+          .groupBy(geotileCol(col(latF), col(lonF), z).as(name))
+      }
+    val grouped = keyed
       .agg(count(lit(1)).as("doc_count"), subs: _*)
       .orderBy(col("doc_count").desc, col(name).asc)
     size.map(grouped.limit).getOrElse(grouped)
