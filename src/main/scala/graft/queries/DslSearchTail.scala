@@ -4944,6 +4944,62 @@ object DslSearchTail {
         FROM h GROUP BY 1
         ORDER BY doc_count DESC, tiles
         LIMIT 60
+      """.stripMargin.trim)),
+
+    // ANALYZED highlight (r15, VERDICT r14 #5 — the everyday Kibana
+    // view): an object-bodied match with the standard analyzer anchors
+    // fragments on the RAW text at the analyzed token's case-insensitive
+    // token-bounded occurrences, each wrapped keeping its original
+    // casing. Mixed-case corpus (q228's transform): "Match" finds
+    // "SPARK" and "spark" alike. The oracle locates occurrences on
+    // lower(body) (positions carry over — ASCII fold is length-
+    // preserving) and wraps with a case-insensitive regex; the fixed
+    // 31-word corpus vocabulary never embeds 'spark' inside a longer
+    // token, so position() IS the bounded occurrence.
+    GraftQuery(
+      "q399_dsl_highlight_analyzed",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("replace(concat(upper(substring(text, 1, 20)), " +
+            "substring(text, 21)), ' ', ', ')"))
+        QueryDsl.search(mixed,
+          """{"query": {"match": {"body": {"query": "Spark",
+               "analyzer": "standard"}}},
+             "highlight": {"fields": {"body": {"fragment_size": 40,
+               "number_of_fragments": 2}}},
+             "sort": ["doc_id"], "size": 60,
+             "_source": ["doc_id", "highlight"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 replace(upper(substr(text, 1, 20)) || substr(text, 21),
+                         ' ', ', ') AS body
+          FROM documents),
+        h AS (
+          SELECT doc_id, body, lower(body) AS lb FROM mixed
+          WHERE list_contains(string_split(
+            trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+            'spark')),
+        f AS (
+          SELECT doc_id, body, lb, position('spark' IN lb) AS p1 FROM h),
+        g AS (
+          SELECT doc_id, body, p1,
+                 CASE WHEN position('spark' IN substr(lb, p1 + 5)) > 0
+                      THEN p1 + 5 + position('spark' IN substr(lb, p1 + 5)) - 1
+                      END AS p2
+          FROM f)
+        SELECT doc_id,
+               concat_ws(' ... ',
+                 CASE WHEN p1 > 0
+                      THEN regexp_replace(substr(body, GREATEST(p1 - 20, 1), 40),
+                                          '(?i)spark', '<em>\0</em>', 'g') END,
+                 CASE WHEN p2 IS NOT NULL
+                      THEN regexp_replace(substr(body, GREATEST(p2 - 20, 1), 40),
+                                          '(?i)spark', '<em>\0</em>', 'g') END)
+                 AS highlight
+        FROM g ORDER BY doc_id LIMIT 60
       """.stripMargin.trim))
   )
 }

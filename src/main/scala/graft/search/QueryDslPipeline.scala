@@ -697,21 +697,61 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
       case Some(other) => fail(s"$key must be a one-string array: ${render(other)}")
     }
     val (pre, post) = (tag("pre_tags", "<em>"), tag("post_tags", "</em>"))
-    // the term each clause shape anchors on (string bodies only — an
-    // analyzed/object body has no deterministic raw literal)
-    def leafTerm(q: JValue): Option[(String, String)] = q match {
-      case JObject(List(("term", JObject(List((tf, JString(v))))))) => Some((tf, v))
+    // the term each clause shape anchors on. String bodies anchor on
+    // the raw literal (the historical contract). An OBJECT-bodied
+    // `match` carrying an analyzer (r15, VERDICT r14 #5 — the everyday
+    // Kibana view) anchors on the ANALYZED single token through the
+    // same Analyzer twin the clause compiled with: fragments stay on
+    // the RAW text, occurrences are located case-insensitively at
+    // token boundaries (the standard analyzer's raw occurrences have
+    // exactly the token's length — ASCII case fold is
+    // length-preserving, so the existing prefix-sum machinery applies
+    // on a `translate`-folded copy). `english` keeps the fail-loud: a
+    // stemmed anchor ("run") has no fixed-length raw occurrence
+    // ("Running"), so its offsets are not twin-replayable.
+    def leafTerm(q: JValue): Option[(String, String, Option[String])] = q match {
+      case JObject(List(("term", JObject(List((tf, JString(v))))))) =>
+        Some((tf, v, None))
       case JObject(List(("match_phrase", JObject(List((tf, JString(v))))))) =>
-        Some((tf, v.trim))
+        Some((tf, v.trim, None))
       case JObject(List(("match", JObject(List((tf, JString(v))))))) =>
         val toks = v.trim.split("\\s+")
         if (toks.length != 1)
           fail("highlight supports single-token match queries (multi-term " +
             "anchor choice is ranking-dependent)")
-        Some((tf, toks.head))
+        Some((tf, toks.head, None))
+      case JObject(List(("match", JObject(List((tf, JObject(body0))))))) =>
+        val body = body0.toMap
+        // other match options (fuzziness, operator, ...) keep the
+        // fail-loud — their anchor semantics are ranking-dependent
+        if (body.keySet != Set("query", "analyzer")) None
+        else {
+          val an = Analyzer.of(strOpt(body, "analyzer").get)
+          val q0 = strOpt(body, "query")
+            .getOrElse(fail(s"highlight match on '$tf' needs a string query"))
+          an match {
+            case Analyzer.Whitespace =>
+              val toks = q0.trim.split("\\s+")
+              if (toks.length != 1)
+                fail("highlight supports single-token match queries " +
+                  "(multi-term anchor choice is ranking-dependent)")
+              Some((tf, toks.head, None))
+            case Analyzer.Standard =>
+              val toks = an.normText(q0).split(" ").filter(_.nonEmpty)
+              if (toks.length != 1)
+                fail("highlight supports single-token match queries " +
+                  "(multi-term anchor choice is ranking-dependent)")
+              Some((tf, toks.head, Some("standard")))
+            case _ =>
+              fail(s"highlight with the '${an.name}' analyzer is " +
+                "unsupported: a stemmed anchor has no fixed-length raw " +
+                "occurrence, so fragment offsets are not replayable - " +
+                "use the standard analyzer for highlighted fields")
+          }
+        }
       case _ => None
     }
-    val leaves: Seq[(String, String)] = leafTerm(query) match {
+    val leaves: Seq[(String, String, Option[String])] = leafTerm(query) match {
       case Some(l) => Seq(l)
       case None => query match {
         case JObject(List(("bool", JObject(sections)))) => sections.flatMap {
@@ -730,8 +770,8 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
       val fragSize = intOpt(opts, "fragment_size").getOrElse(60)
       val nFrags = intOpt(opts, "number_of_fragments").getOrElse(1)
       if (nFrags < 1) fail("highlight number_of_fragments must be >= 1")
-      val term = leaves.filter(_._1 == f) match {
-        case Seq((_, t)) => t
+      val (term, analyzed) = leaves.filter(_._1 == f) match {
+        case Seq((_, t, a)) => (t, a)
         case Seq() =>
           fail("highlight requires a term / single-token match / match_phrase " +
             s"query on the highlighted field '$f', got: ${render(query)}")
@@ -741,10 +781,18 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
       if (term.isEmpty) fail(s"highlight on '$f' has an empty query term")
       // occurrence start positions (1-based), non-overlapping, in text
       // order: split on the quoted literal, prefix-sum the part lengths
-      // — pure codegen'd higher-order functions, no UDF, no extra scan
+      // — pure codegen'd higher-order functions, no UDF, no extra scan.
+      // The analyzed arm splits a TRANSLATE-folded copy (A-Z → a-z:
+      // length-preserving by construction, unlike lower() on unicode),
+      // so the same prefix-sum yields raw positions; boundary-interior
+      // matches ("spark" inside "sparkle") are filtered by the raw
+      // neighbor characters.
       val tq = java.util.regex.Pattern.quote(term)
-      val parts = split(col(f), tq, -1)
-      val occ = aggregate(
+      val haystack = if (analyzed.isDefined)
+        translate(col(f), ('A' to 'Z').mkString, ('a' to 'z').mkString)
+      else col(f)
+      val parts = split(haystack, tq, -1)
+      val occAll = aggregate(
         slice(parts, lit(1), size(parts) - 1),
         struct(lit(1).as("cur"), array().cast("array<int>").as("ps")),
         (acc, part) => struct(
@@ -752,10 +800,24 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
           concat(acc.getField("ps"),
             array(acc.getField("cur") + length(part))).as("ps")),
         acc => acc.getField("ps"))
+      val occ = if (analyzed.isEmpty) occAll else
+        filter(occAll, p => {
+          val before = col(f).substr(p - 1, lit(1))
+          val after = col(f).substr(p + lit(term.length), lit(1))
+          (p === 1 || !before.rlike("^[A-Za-z0-9]$")) &&
+            (length(after) === 0 || !after.rlike("^[A-Za-z0-9]$"))
+        })
       val frags = transform(slice(occ, lit(1), lit(nFrags)), p =>
-        regexp_replace(
-          col(f).substr(greatest(p - 20, lit(1)), lit(fragSize)),
-          tq, s"$pre$term$post"))
+        if (analyzed.isEmpty)
+          regexp_replace(
+            col(f).substr(greatest(p - 20, lit(1)), lit(fragSize)),
+            tq, s"$pre$term$post")
+        else
+          // wrap every BOUNDED case-insensitive occurrence inside the
+          // raw fragment, keeping its original casing ($0)
+          regexp_replace(
+            col(f).substr(greatest(p - 20, lit(1)), lit(fragSize)),
+            s"(?i)(?<![A-Za-z0-9])$tq(?![A-Za-z0-9])", s"$pre$$0$post"))
       val out = if (fields.size == 1) "highlight" else s"highlight_$f"
       df.withColumn(out, when(size(occ) > 0, concat_ws(" ... ", frags)))
     }

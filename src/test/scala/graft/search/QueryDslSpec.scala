@@ -1281,6 +1281,46 @@ class QueryDslSpec extends SparkSpec {
          "aggs": {"a": {"avg": {"field": "n_chars"}}}}""") // with aggs
   }
 
+  test("highlight on analyzed match: raw fragments, case-kept wraps, bounds") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "He said SPARK, then Spark again; sparkle stays"),
+      (2L, "nothing here"),
+      (3L, "spark")).toDF("doc_id", "a")
+    val out = QueryDsl.search(t,
+      """{"query": {"match": {"a": {"query": "Spark",
+           "analyzer": "standard"}}},
+         "highlight": {"fields": {"a": {"fragment_size": 30,
+           "number_of_fragments": 2}}},
+         "sort": ["doc_id"], "size": 10,
+         "_source": ["doc_id", "highlight"]}""")
+      .as[(Long, String)].collect().toSeq
+    // doc 2 has no analyzed hit; docs 1 and 3 match case-insensitively
+    assert(out.map(_._1) === Seq(1L, 3L))
+    val h1 = out.head._2
+    // both bounded occurrences wrap KEEPING their raw casing; the
+    // embedded "sparkle" never wraps
+    assert(h1.contains("<em>SPARK</em>") && h1.contains("<em>Spark</em>"), h1)
+    assert(!h1.contains("<em>spark</em>le") && !h1.contains("sparkle</em>"), h1)
+    assert(out(1)._2 === "<em>spark</em>")
+    def bad(req: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(t, req))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // english keeps the fail-loud (stemmed anchors are variable-length)
+    bad("""{"query": {"match": {"a": {"query": "running",
+           "analyzer": "english"}}},
+         "highlight": {"fields": {"a": {}}}}""", "english")
+    // other match options keep the fail-loud (anchor is ranking-dependent)
+    bad("""{"query": {"match": {"a": {"query": "spark",
+           "analyzer": "standard", "operator": "and"}}},
+         "highlight": {"fields": {"a": {}}}}""", "requires a term")
+    // analyzed multi-token query: same single-token contract
+    bad("""{"query": {"match": {"a": {"query": "Spark, Join!",
+           "analyzer": "standard"}}},
+         "highlight": {"fields": {"a": {}}}}""", "single-token")
+  }
+
   test("highlight: multiple fields and fragments, deterministic anchors") {
     import spark.implicits._
     val t = Seq(
