@@ -5000,6 +5000,66 @@ object DslSearchTail {
                                           '(?i)spark', '<em>\0</em>', 'g') END)
                  AS highlight
         FROM g ORDER BY doc_id LIMIT 60
+      """.stripMargin.trim)),
+
+    // PIT pagination over a CDC-maintained ENTITY TABLE (r15, VERDICT
+    // r14 #6): open a point-in-time pin on the merged table, then land
+    // a delete-heavy merge AND a vacuum mid-session — the three
+    // search_after pages must still reconstruct the PINNED ranking
+    // exactly (the oracle pages the original state with row_number,
+    // knowing nothing of the later merges).
+    GraftQuery(
+      "q400_pit_paged_entity",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents").select(
+          col("doc_id").cast("string").as("_doc_id"),
+          lit("upsert").as("_action"),
+          col("doc_id").as("_seq"),
+          col("n_chars").cast("long").as("rank"))
+        val target = java.nio.file.Files
+          .createTempDirectory("graft-pit-q400").toString
+        graft.streaming.CdcStream.mergeBatch(s, docs, target, 1L)
+        val pit = graft.streaming.TablePit.open(target)
+        // mutations land mid-session: delete 1 in 3, re-rank 1 in 5
+        graft.streaming.CdcStream.mergeBatch(s,
+          docs.filter(col("_seq") % 3 === 0)
+            .withColumn("_action", lit("delete"))
+            .withColumn("_seq", col("_seq") + 1000000L), target, 2L)
+        graft.streaming.CdcStream.mergeBatch(s,
+          docs.filter(col("_seq") % 5 === 0)
+            .withColumn("rank", col("rank") + 10000L)
+            .withColumn("_seq", col("_seq") + 2000000L), target, 3L)
+        graft.streaming.CdcStream.vacuum(target): Unit
+        var after: Option[(Long, String)] = None
+        val pages = (1 to 3).map { pno =>
+          val sa = after.map { case (r, id) =>
+            s""""search_after": [$r, "$id"],""" }.getOrElse("")
+          val p = graft.streaming.TablePit.page(s, pit,
+            s"""{"query": {"match_all": {}}, $sa
+                "sort": [{"rank": "desc"}, "_doc_id"], "size": 100,
+                "_source": ["_doc_id", "rank"]}""")
+          val rows = p.collect()
+          after = rows.lastOption.map(r => (r.getLong(1), r.getString(0)))
+          import s.implicits._
+          rows.toSeq.map(r => (pno.toLong, r.getString(0), r.getLong(1)))
+            .toDF("page_no", "_doc_id", "rank")
+        }
+        graft.streaming.TablePit.release(pit)
+        pages.reduce(_.unionByName(_))
+          .orderBy(col("page_no"), col("rank").desc, col("_doc_id"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT CAST(doc_id AS VARCHAR) AS _doc_id,
+                 CAST(n_chars AS BIGINT) AS rank,
+                 row_number() OVER (ORDER BY n_chars DESC,
+                                    CAST(doc_id AS VARCHAR)) AS rn
+          FROM documents)
+        SELECT CAST((rn - 1) // 100 + 1 AS BIGINT) AS page_no, _doc_id, rank
+        FROM ranked
+        WHERE rn <= 300
+        ORDER BY page_no, rank DESC, _doc_id
       """.stripMargin.trim))
   )
 }

@@ -149,7 +149,10 @@ object CdcStream {
   def vacuum(targetDir: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 2,
       "keep >= 2: the newest version may be an uncommitted epoch whose replay needs the one below it")
+    // PIT-pinned versions survive (TablePit.open refcounts them): a
+    // pagination session must keep reading the state it opened on
     val doomed = versionsOnDisk(targetDir).sorted.dropRight(keep)
+      .filterNot(v => TablePit.isPinnedVersion(targetDir, v))
     doomed.foreach { v =>
       val dir = Paths.get(targetDir, s"v=$v")
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())

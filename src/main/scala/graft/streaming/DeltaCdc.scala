@@ -122,10 +122,12 @@ object DeltaCdc {
     * delta epochs.
     */
   def vacuumDeltas(targetDir: String): Seq[Long] = {
-    val doomed = CdcStream.latestVersion(targetDir) match {
+    // PIT-pinned deltas survive even once folded into a newer snapshot:
+    // the pinned composition (old base + its deltas) must stay readable
+    val doomed = (CdcStream.latestVersion(targetDir) match {
       case None => Seq.empty[Long]
       case Some(b) => deltasOnDisk(targetDir).filter(_ <= b).sorted
-    }
+    }).filterNot(d => TablePit.isPinnedDelta(targetDir, d))
     doomed.foreach { d =>
       val dir = Paths.get(targetDir, s"d=$d")
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
