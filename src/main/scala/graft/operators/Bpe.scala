@@ -41,53 +41,64 @@ object Bpe {
     * (step, a, b, merged, n) — one row per learned merge, in order.
     *
     * Checkpointed (r15, VERDICT r14 #3 — the documented remedy,
-    * implemented): each iteration `localCheckpoint`s the folded
-    * symbolization EAGERLY, truncating both the recompute lineage and
-    * the k-deep nested-HOF plan — without it, iteration j re-applied
-    * merges 1..j−1 from scratch on every pair-count scan (ScaleBench
-    * measured the un-checkpointed loop at 32.3× cost at 100× corpus).
-    * The previous iteration's blocks are freed as soon as the new
-    * checkpoint is materialized (the [[RddBridge]] handle — a trainer
-    * that hoards k corpus-sized caches is its own scale bug), so live
-    * storage is one symbolization at any moment. Local (executor-side)
-    * checkpointing is the right tier: losing an executor costs one
-    * re-run of the training job, not a correctness risk — the merge
-    * table is deterministic.
+    * implemented): each iteration WRITES the folded symbolization to a
+    * temp parquet snapshot and re-reads it, so iteration j's pair-count
+    * scan reads the materialized fold instead of re-applying merges
+    * 1..j−1 from scratch (ScaleBench measured the un-checkpointed loop
+    * at 32.3× cost at 100× corpus). The previous iteration's snapshot
+    * is deleted as soon as the new one is written — a trainer hoarding
+    * k corpus-sized copies is its own scale bug — so live storage is
+    * ONE symbolization. Parquet-snapshot checkpointing (the CdcStream
+    * versioned-target discipline) is the deliberate tier after
+    * measuring the alternatives at 100×: `localCheckpoint`'s blocks
+    * are UNEVICTABLE (lineage gone) and starved the unified pool until
+    * the pair-count aggregation OOMed, and even DISK_ONLY `persist`
+    * OOMed the 8 GB heap through the columnar cache builder — the
+    * parquet writer streams with bounded memory at any corpus size,
+    * and the re-read truncates both the recompute lineage and the
+    * k-deep nested-HOF plan.
     */
   def merges(tokens: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 64,
       s"bpe merge count must be 1..64 (a trained-tokenizer store serves deeper vocabularies), got $k")
     val spark = tokens.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.graftbridge.RddBridge
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft_bpe_ckpt")
+    def rmdir(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
     var syms = tokens.select(col("syms"))
-    var prevCp: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prevStep = 0
     val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
-    while (step <= k && !exhausted) {
-      val top = syms.filter(size(col("syms")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
-            "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("a").asc, col("b").asc)
-        .head(1)
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((step, a, b, a + b, n))
-        syms = syms.select(applyMerge(col("syms"), a, b).as("syms"))
-          .localCheckpoint(true)
-        val cp = RddBridge.checkpointedRdd(syms)
-        prevCp.foreach(_.unpersist(blocking = false))
-        prevCp = cp
-        step += 1
+    try {
+      while (step <= k && !exhausted) {
+        val top = syms.filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .head(1)
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((step, a, b, a + b, n))
+          val snap = s"$ckptRoot/it=$step"
+          syms.select(applyMerge(col("syms"), a, b).as("syms"))
+            .write.mode("overwrite").parquet(snap)
+          syms = spark.read.parquet(snap)
+          if (prevStep > 0)
+            rmdir(java.nio.file.Paths.get(s"$ckptRoot/it=$prevStep"))
+          prevStep = step
+          step += 1
+        }
       }
-    }
-    prevCp.foreach(_.unpersist(blocking = false))
+    } finally rmdir(ckptRoot)
     learned.toSeq.toDF("step", "a", "b", "merged", "n")
   }
 

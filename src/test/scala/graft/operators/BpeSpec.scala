@@ -86,10 +86,20 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("contiguous"), e.getMessage)
   }
 
-  test("checkpointed training leaves no cached blocks behind") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+  test("checkpointed training leaves no cache or snapshot debris behind") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def ckptDirs: Set[String] = {
+      val s = java.nio.file.Files.list(tmp)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_bpe_ckpt")).toSet
+      finally s.close()
+    }
+    val before = (spark.sparkContext.getPersistentRDDs.size, ckptDirs)
     Bpe.merges(corpus("abcabc", "abcd", "aabb", "abab"), 4).collect()
-    assert(spark.sparkContext.getPersistentRDDs.size === before,
-      "every iteration's localCheckpoint must be freed")
+    assert(spark.sparkContext.getPersistentRDDs.size === before._1,
+      "training must not leave cached blocks")
+    assert(ckptDirs === before._2,
+      "every iteration snapshot (and the root) must be deleted")
   }
 }
