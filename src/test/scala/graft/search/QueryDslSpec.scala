@@ -5552,11 +5552,16 @@ class QueryDslSpec extends SparkSpec {
       """{"query": {"query_string": {"query": "a_b",
            "default_field": "t", "analyzer": "standard"}}}"""))
     assert(e.getMessage.contains("multiple tokens"), e.getMessage)
-    // highlight already fails loud with analyzed (object-bodied) queries
-    val e2 = intercept[IllegalArgumentException](QueryDsl.search(mixed,
+    // highlight on an analyzed (object-bodied) match is SUPPORTED now
+    // (r15, VERDICT r14 #5): raw fragments, bounded case-kept wraps
+    val hl = QueryDsl.search(mixed,
       """{"query": {"match": {"t": {"query": "Spark", "analyzer": "standard"}}},
-         "highlight": {"fields": {"t": {}}}}"""))
-    assert(e2.getMessage.contains("highlight"), e2.getMessage)
+         "highlight": {"fields": {"t": {}}},
+         "sort": ["doc_id"], "_source": ["doc_id", "highlight"]}""")
+      .as[(Long, String)].collect().toSeq
+    assert(hl.map(_._1) === Seq(1L, 2L, 4L, 5L))
+    assert(hl.head._2.contains("<em>Spark</em>"), hl.head._2)
+    assert(hl(2)._2.contains("<em>SPARK</em>"), hl(2)._2)
   }
 
   test("straggler aggs: percentile_ranks, time_zone, geo_centroid, ip_range validation") {
