@@ -116,7 +116,16 @@ object ScaleBench {
       // one-shuffle-per-iteration claim
       "q388_dsl_geo_shape_doc_ring_orders",
       "q389_dsl_geo_shape_collection_orders",
-      "q385_bpe_merge_loop")
+      "q385_bpe_merge_loop",
+      // round-15 members: the bbox-sidecar query (materialize + pushable
+      // pre-filter + kernel walk over replicated orders — in-memory
+      // fixture, so this curve prices the walk, not parquet pruning;
+      // the pruning pay-off is the geo_envelope probe below), the
+      // checkpointed BPE train + one-pass encode (the 32.3× lineage
+      // re-derivation must be gone), and the grid-cell shape agg
+      "q392_dsl_geo_sidecar_ring_orders",
+      "q396_bpe_encode",
+      "q397_dsl_geohash_grid_doc_shape")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L
@@ -230,9 +239,73 @@ object ScaleBench {
     (zRows, sortedRows, exact, zWriteSec)
   }
 
+  /** The r15 sidecar pay-off, measured at benchmark scale: ring docs
+    * (the q392 fixture over orders) materialized with
+    * `GeoEnvelope.materialize`, written lat_min-clustered with small
+    * row groups; a selective box query with `envelope_fields` must
+    * materialize a small fraction of the rows the bare kernel walk
+    * reads. Returns (prunedRows, fullRows, matches).
+    */
+  private def geoEnvelopeProbe(spark: SparkSession, ordersPath: String,
+      layoutDir: String): (Long, Long, Long) = {
+    val docs = graft.etl.GeoEnvelope.materialize(
+      spark.read.parquet(ordersPath)
+        .withColumn("cx", expr(
+          "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+        .withColumn("cy", expr(
+          "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+        .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE)"))
+        .withColumn("ring", expr(
+          """CASE WHEN o_orderkey % 11 = 0
+               THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+             ELSE array(struct(cx - rh AS lat, cy - rh AS lon),
+                        struct(cx - rh AS lat, cy + rh AS lon),
+                        struct(cx + rh AS lat, cy + rh AS lon),
+                        struct(cx + rh AS lat, cy - rh AS lon)) END"""))
+        .select("o_orderkey", "ring"),
+      "ring", "polygon")
+    // cluster on the axis the workload selects on (a deployment sorts
+    // or z-orders its geo table by its lookup dimension)
+    spark.conf.set("parquet.block.size", (128 * 1024).toString)
+    try docs.repartitionByRange(64, col("lon_min"))
+      .sortWithinPartitions("lon_min")
+      .write.mode("overwrite").parquet(s"$layoutDir/geo")
+    finally spark.conf.unset("parquet.block.size")
+    val t = spark.read.parquet(s"$layoutDir/geo")
+    def q(env: Boolean) = {
+      val ef = if (env)
+        """, "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]"""
+      else ""
+      graft.search.QueryDsl.search(t,
+        s"""{"query": {"geo_shape": {
+             "doc_shape": {"type": "polygon", "ring_field": "ring"$ef},
+             "shape": {"type": "envelope",
+               "coordinates": [[12.0007, 2.0009], [14.0001, -2.0003]]},
+             "relation": "intersects"}},
+            "sort": ["o_orderkey"], "size": 100000,
+            "_source": ["o_orderkey"]}""")
+    }
+    val matches = q(env = false).count()
+    (scanRows(q(env = true)), scanRows(q(env = false)), matches)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workRoot = args.lift(1).getOrElse("/tmp/graft_scale")
+    // probe-only mode: re-measure one probe without the 40-minute
+    // battery (prints its JSON fragment; scale_last.json untouched)
+    if (args.lift(2).contains("geoprobe")) {
+      val spark0 = GraftSession.get()
+      Seq(("1", baseDir), ("10", s"${workRoot}10")).foreach { case (c, d) =>
+        val layoutDir = java.nio.file.Files
+          .createTempDirectory(s"scale_geo$c").toString
+        val (p, fl, exact) = geoEnvelopeProbe(spark0, s"$d/orders.parquet", layoutDir)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(layoutDir))
+        println(s"""[geoprobe] "$c":{"pruned_rows":$p,"full_rows":$fl,"matches":$exact}""")
+      }
+      spark0.stop()
+      return
+    }
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val copiesList = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10,100")
       .split(",").map(_.trim.toInt).toSeq
@@ -288,6 +361,14 @@ object ScaleBench {
       val layoutDir = java.nio.file.Files
         .createTempDirectory(s"scale_z$c").toString
       val r = zorderProbe(spark, s"$d/lineitem.parquet", layoutDir)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(layoutDir))
+      c -> r
+    }
+    // geo sidecar pruning pay-off at base and 10× (the r15 weak-clear)
+    val geoProbe = dirs.take(2).map { case (c, d) =>
+      val layoutDir = java.nio.file.Files
+        .createTempDirectory(s"scale_geo$c").toString
+      val r = geoEnvelopeProbe(spark, s"$d/orders.parquet", layoutDir)
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(layoutDir))
       c -> r
     }
@@ -354,11 +435,15 @@ object ScaleBench {
     val msearchJson = msearch.map { case (c, (b, s)) =>
       s""""$c":{"batched_sec":${f"$b%.2f"},"sequential_sec":${f"$s%.2f"},""" +
       s""""amortization_x":${f"${s / b}%.1f"}}""" }.mkString("{", ",", "}")
+    val geoJson = geoProbe.map { case (c, (p, fl, exact)) =>
+      s""""$c":{"pruned_rows":$p,"full_rows":$fl,"matches":$exact}""" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"scale_curve","unit":"sec","passes":$passes,""" +
       s""""scales_sec":$scalesJson,"growth_x":$growthJson,""" +
       s""""bm25_build_sec":$bm25Json,"bm25_serve_sec":$bm25ServeJson,""" +
       s""""zorder":$zJson,"msearch":$msearchJson,""" +
+      s""""geo_envelope":$geoJson,""" +
       s""""guards":{"lsh_hot_buckets":$lshHot,"sem_hot_buckets":$semHot,""" +
       s""""sem_max_bucket":$semBuckets}}"""
     println(json)
