@@ -5060,6 +5060,150 @@ object DslSearchTail {
         FROM ranked
         WHERE rn <= 300
         ORDER BY page_no, rank DESC, _doc_id
+      """.stripMargin.trim)),
+
+    // sidecar'd MULTIPOLYGON × circle query (r15 widening): the circle
+    // pre-filter path — the compile expands the disk to a conservative
+    // OUTER box (spherical bounds under the pinned haversine) for the
+    // pushable corner conjunction, then kernel-walks survivors. Island
+    // pairs make the oracle the q380 recipe twice: the box-clamped
+    // closest point within the radius for EITHER square.
+    GraftQuery(
+      "q401_dsl_geo_sidecar_polys_circle",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = graft.etl.GeoEnvelope.materialize(
+          Tables.load(s, dir, "orders")
+            .withColumn("cx", expr(
+              "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+            .withColumn("cy", expr(
+              "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+            .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE)"))
+            .withColumn("polys", expr(
+              """CASE WHEN o_orderkey % 11 = 0
+                   THEN CAST(NULL AS ARRAY<ARRAY<ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>>>)
+                 ELSE array(
+                   array(array(struct(cx - rh AS lat, cy - rh AS lon),
+                               struct(cx - rh AS lat, cy + rh AS lon),
+                               struct(cx + rh AS lat, cy + rh AS lon),
+                               struct(cx + rh AS lat, cy - rh AS lon))),
+                   array(array(struct(cx + 9.0 AS lat, cy + 9.0 AS lon),
+                               struct(cx + 9.0 AS lat, cy + 11.0 AS lon),
+                               struct(cx + 11.0 AS lat, cy + 11.0 AS lon),
+                               struct(cx + 11.0 AS lat, cy + 9.0 AS lon)))) END""")),
+          "polys", "polys")
+        QueryDsl.search(o,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "multipolygon", "polys_field": "polys",
+                 "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]},
+               "shape": {"type": "circle", "coordinates": [1.0009, 0.0007],
+                         "radius": "300km"},
+               "relation": "intersects"}},
+             "sort": ["o_orderkey"], "size": 400,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + o_orderkey % 4 AS DOUBLE) AS rh
+          FROM orders
+          WHERE o_orderkey % 11 <> 0),
+        cl AS (
+          SELECT o_orderkey,
+                 greatest(cx - rh, least(cx + rh, 0.0007)) AS a_lat,
+                 greatest(cy - rh, least(cy + rh, 1.0009)) AS a_lon,
+                 greatest(cx + 9.0, least(cx + 11.0, 0.0007)) AS b_lat,
+                 greatest(cy + 9.0, least(cy + 11.0, 1.0009)) AS b_lon
+          FROM t)
+        SELECT o_orderkey FROM cl
+        WHERE round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                sin((a_lat - 0.0007) * pi() / 180.0 / 2.0)
+                  * sin((a_lat - 0.0007) * pi() / 180.0 / 2.0)
+                + cos(0.0007 * pi() / 180.0) * cos(a_lat * pi() / 180.0)
+                  * sin((a_lon - 1.0009) * pi() / 180.0 / 2.0)
+                  * sin((a_lon - 1.0009) * pi() / 180.0 / 2.0))), 6) <= 300.0
+           OR round(CAST(12742.0176 AS DOUBLE) * asin(sqrt(
+                sin((b_lat - 0.0007) * pi() / 180.0 / 2.0)
+                  * sin((b_lat - 0.0007) * pi() / 180.0 / 2.0)
+                + cos(0.0007 * pi() / 180.0) * cos(b_lat * pi() / 180.0)
+                  * sin((b_lon - 1.0009) * pi() / 180.0 / 2.0)
+                  * sin((b_lon - 1.0009) * pi() / 180.0 / 2.0))), 6) <= 300.0
+        ORDER BY o_orderkey
+        LIMIT 400
+      """.stripMargin.trim)),
+
+    // geotile grid over GEOMETRYCOLLECTION docs (r15 widening): a
+    // square component plus a far point component — a doc counts ONCE
+    // per cell even when components overlap a cell, so the oracle
+    // UNIONs (distinct) the square's tile rectangle with the point's
+    // tile per row before counting. Corners carry a 4th-decimal offset:
+    // inside a COLLECTION the candidate rectangle spans the whole
+    // bbox, so a square edge exactly on a cell boundary (lat 0 is the
+    // one clean mercator line; lon boundaries are 5.625-multiples,
+    // 3-decimal) would expose the kernel's inclusive-touch cells that
+    // a standalone square's own quantizer range crops away.
+    GraftQuery(
+      "q402_dsl_geotile_grid_collection",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = Tables.load(s, dir, "orders")
+          .withColumn("cx", expr(
+            "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+          .withColumn("cy", expr(
+            "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+          .withColumn("rh", expr("CAST(1 + o_orderkey % 4 AS DOUBLE) + 0.0003"))
+          .withColumn("shapes", expr(
+            """CASE WHEN o_orderkey % 11 = 0
+                 THEN CAST(NULL AS ARRAY<STRUCT<kind: STRING,
+                   pts: ARRAY<ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>>>>)
+               ELSE array(
+                 struct('polygon' AS kind, array(array(
+                   struct(cx - rh AS lat, cy - rh AS lon),
+                   struct(cx - rh AS lat, cy + rh AS lon),
+                   struct(cx + rh AS lat, cy + rh AS lon),
+                   struct(cx + rh AS lat, cy - rh AS lon))) AS pts),
+                 struct('point' AS kind, array(array(
+                   struct(cx + 12.0007 AS lat, cy + 12.0003 AS lon))) AS pts)) END"""))
+        QueryDsl.search(o,
+          """{"size": 0, "aggs": {"tiles": {"geotile_grid": {
+               "doc_shape": {"type": "geometrycollection",
+                             "shapes_field": "shapes"},
+               "precision": 6, "size": 60}}}}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy,
+                 CAST(1 + o_orderkey % 4 AS DOUBLE) + 0.0003 AS rh
+          FROM orders
+          WHERE o_orderkey % 11 <> 0),
+        rng AS (
+          SELECT o_orderkey,
+            CAST(least(greatest(floor((cy - rh + 180.0) / 360.0 * 64.0), 0.0), 63.0) AS BIGINT) AS x0,
+            CAST(least(greatest(floor((cy + rh + 180.0) / 360.0 * 64.0), 0.0), 63.0) AS BIGINT) AS x1,
+            CAST(least(greatest(floor((1.0 - ln(tan(least(greatest(cx + rh, -85.05112878), 85.05112878) * (pi() / 180.0))
+              + 1.0 / cos(least(greatest(cx + rh, -85.05112878), 85.05112878) * (pi() / 180.0))) / pi()) / 2.0 * 64.0), 0.0), 63.0) AS BIGINT) AS y0,
+            CAST(least(greatest(floor((1.0 - ln(tan(least(greatest(cx - rh, -85.05112878), 85.05112878) * (pi() / 180.0))
+              + 1.0 / cos(least(greatest(cx - rh, -85.05112878), 85.05112878) * (pi() / 180.0))) / pi()) / 2.0 * 64.0), 0.0), 63.0) AS BIGINT) AS y1,
+            CAST(least(greatest(floor((cy + 12.0003 + 180.0) / 360.0 * 64.0), 0.0), 63.0) AS BIGINT) AS px,
+            CAST(least(greatest(floor((1.0 - ln(tan(least(greatest(cx + 12.0007, -85.05112878), 85.05112878) * (pi() / 180.0))
+              + 1.0 / cos(least(greatest(cx + 12.0007, -85.05112878), 85.05112878) * (pi() / 180.0))) / pi()) / 2.0 * 64.0), 0.0), 63.0) AS BIGINT) AS py
+          FROM t),
+        e1 AS (SELECT o_orderkey, unnest(range(x0, x1 + 1)) AS x, y0, y1, px, py FROM rng),
+        e2 AS (SELECT o_orderkey, x, unnest(range(y0, y1 + 1)) AS y FROM e1),
+        allc AS (
+          SELECT o_orderkey, x, y FROM e2
+          UNION
+          SELECT o_orderkey, px AS x, py AS y FROM rng),
+        h AS (SELECT '6/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS cell
+              FROM allc)
+        SELECT cell AS tiles, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM h GROUP BY 1
+        ORDER BY doc_count DESC, tiles
+        LIMIT 60
       """.stripMargin.trim))
   )
 }
