@@ -1107,8 +1107,15 @@ object GeoWalk {
             "the precision or pre-filter the shapes)")
       var y = y0
       while (y <= y1) {
-        val latT = invMercLat(y.toDouble / n.toDouble)
-        val latB = invMercLat((y + 1).toDouble / n.toDouble)
+        // the EDGE rows extend to the poles: mercY clamps out-of-domain
+        // latitudes (beyond ±85.05112878°) into row 0 / row n−1 exactly
+        // like the point arm's geotileCol clamp, so the rect test must
+        // accept those vertices too — with the plain inverse-mercator
+        // bounds a shape lying wholly past the domain edge would quantize
+        // into row 0 yet intersect nothing and silently drop (ADVICE r15)
+        val latT = if (y == 0) 90.0 else invMercLat(y.toDouble / n.toDouble)
+        val latB = if (y == n - 1) -90.0
+          else invMercLat((y + 1).toDouble / n.toDouble)
         var x = x0
         while (x <= x1) {
           val lonL = x.toDouble * 360.0 / n.toDouble - 180.0

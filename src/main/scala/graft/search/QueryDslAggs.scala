@@ -1956,10 +1956,16 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
     val keyed =
-      if (docShape)
+      if (docShape) {
+        // the working column must not silently shadow a caller column
+        // (the _reason / GeoEnvelope collision doctrine, ADVICE r15)
+        if (hits.columns.contains("__geo_cell"))
+          fail("geohash_grid doc_shape needs the working column " +
+            "'__geo_cell' but the table already carries one - rename it")
         hits.withColumn("__geo_cell",
           explode(gridDocShapeCells(m, "geohash", p)))
           .groupBy(col("__geo_cell").as(name))
+      }
       else {
         val latF = strOpt(m, "lat_field")
           .getOrElse(fail("geohash_grid requires lat_field"))
@@ -2025,10 +2031,15 @@ private[search] trait QueryDslAggs { this: QueryDsl.type =>
       case Some(other) => fail(s"aggs.$name.aggs must be an object: ${render(other)}")
     }
     val keyed =
-      if (docShape)
+      if (docShape) {
+        // same collision fail-loud as the geohash arm (ADVICE r15)
+        if (hits.columns.contains("__geo_cell"))
+          fail("geotile_grid doc_shape needs the working column " +
+            "'__geo_cell' but the table already carries one - rename it")
         hits.withColumn("__geo_cell",
           explode(gridDocShapeCells(m, "geotile", z)))
           .groupBy(col("__geo_cell").as(name))
+      }
       else {
         val latF = strOpt(m, "lat_field")
           .getOrElse(fail("geotile_grid requires lat_field"))

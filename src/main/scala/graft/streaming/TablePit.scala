@@ -40,8 +40,21 @@ object TablePit {
 
   private val pins = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def vKey(targetDir: String, v: Long) = s"$targetDir@v=$v"
-  private def dKey(targetDir: String, d: Long) = s"$targetDir@d=$d"
+  /** Pin keys address the DIRECTORY, not the spelling of its path: a
+    * vacuum passing `dir/` or a relative path must hit the same key
+    * `open` pinned under, or the pin is silently bypassed (ADVICE r15).
+    * Symlinks resolve when the directory exists (it always does on the
+    * open/vacuum paths); java.nio matches the CdcStream/DeltaCdc store
+    * resolution these pins protect.
+    */
+  private def normDir(targetDir: String): String = {
+    val p = java.nio.file.Paths.get(targetDir)
+    (if (java.nio.file.Files.exists(p)) p.toRealPath()
+     else p.toAbsolutePath.normalize).toString
+  }
+
+  private def vKey(targetDir: String, v: Long) = s"${normDir(targetDir)}@v=$v"
+  private def dKey(targetDir: String, d: Long) = s"${normDir(targetDir)}@d=$d"
 
   private[streaming] def isPinnedVersion(targetDir: String, v: Long): Boolean =
     pins.containsKey(vKey(targetDir, v))
@@ -51,17 +64,39 @@ object TablePit {
 
   /** Resolve and pin the table's current state composition. Fails loud
     * on an empty target (no snapshot and no deltas — nothing to pin).
+    *
+    * Pin-then-verify (ADVICE r15): resolution happens BEFORE the pins
+    * land, so a vacuum racing through that window can delete the very
+    * pieces being opened. After pinning, every pinned `v=`/`d=`
+    * directory is re-checked on disk; a piece the race swept away
+    * releases the attempt's pins and re-resolves (new state exists —
+    * the vacuum only runs when newer versions landed), failing loud
+    * only if the table stays unstable across the retries.
     */
   def open(targetDir: String): Pit = {
-    val base = CdcStream.latestVersion(targetDir)
-    val live = DeltaCdc.deltasOnDisk(targetDir)
-      .filter(d => base.forall(_ < d)).sorted
-    if (base.isEmpty && live.isEmpty)
-      throw new IllegalStateException(
-        s"table $targetDir holds no committed state — nothing to pin")
-    base.foreach(v => pins.merge(vKey(targetDir, v), 1, (a, b) => a + b): Unit)
-    live.foreach(d => pins.merge(dKey(targetDir, d), 1, (a, b) => a + b): Unit)
-    Pit(targetDir, base, live)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = CdcStream.latestVersion(targetDir)
+      val live = DeltaCdc.deltasOnDisk(targetDir)
+        .filter(d => base.forall(_ < d)).sorted
+      if (base.isEmpty && live.isEmpty)
+        throw new IllegalStateException(
+          s"table $targetDir holds no committed state — nothing to pin")
+      val pit = Pit(targetDir, base, live)
+      base.foreach(v => pins.merge(vKey(targetDir, v), 1, (a, b) => a + b): Unit)
+      live.foreach(d => pins.merge(dKey(targetDir, d), 1, (a, b) => a + b): Unit)
+      val pieces = base.map(v => s"$targetDir/v=$v").toSeq ++
+        live.map(d => s"$targetDir/d=$d")
+      if (pieces.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+        return pit
+      release(pit) // a racing vacuum swept a piece in the window
+      if (attempt >= 3)
+        throw new IllegalStateException(
+          s"table $targetDir kept losing pieces to concurrent vacuums " +
+            s"across $attempt open attempts — quiesce the vacuum cadence")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** End the session: drop one reference per pinned piece; at zero the

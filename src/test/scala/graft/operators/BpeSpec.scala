@@ -88,18 +88,51 @@ class BpeSpec extends SparkSpec {
 
   test("checkpointed training leaves no cache or snapshot debris behind") {
     import scala.jdk.CollectionConverters._
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    def ckptDirs: Set[String] = {
-      val s = java.nio.file.Files.list(tmp)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("graft_bpe_ckpt")).toSet
-      finally s.close()
-    }
+    // the default root is a UUID subdir of the warehouse dir (the
+    // cluster-shared location) — after training the subdir must be gone
+    val wh = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/_graft_bpe_ckpt")
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ckptDirs: Set[String] =
+      if (!fs.exists(wh)) Set.empty
+      else fs.listStatus(wh).map(_.getPath.getName).toSet
     val before = (spark.sparkContext.getPersistentRDDs.size, ckptDirs)
     Bpe.merges(corpus("abcabc", "abcd", "aabb", "abab"), 4).collect()
     assert(spark.sparkContext.getPersistentRDDs.size === before._1,
       "training must not leave cached blocks")
     assert(ckptDirs === before._2,
       "every iteration snapshot (and the root) must be deleted")
+  }
+
+  test("caller-supplied checkpoint dir: used, cleaned, scheme-safe") {
+    // explicit dir — same merge table as the default root, and the dir
+    // is removed afterwards (the trainer owns it for the run)
+    val plain = java.nio.file.Files.createTempDirectory("bpe_explicit")
+      .resolve("run1").toString
+    val got = Bpe.merges(corpus("abc", "abc", "abd"), 3, Some(plain))
+      .select(col("step"), col("merged")).as[(Int, String)].collect().toSeq
+    assert(got === Seq((1, "ab"), (2, "abc"), (3, "abd")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(plain)),
+      "the run dir must be deleted after training")
+
+    // scheme-style path (file:/…) resolves through the Hadoop FS API —
+    // the shape an hdfs:// / s3a:// deployment passes (the r5 lesson:
+    // java.nio sees scheme paths as always-absent)
+    val schemed = "file:" + java.nio.file.Files
+      .createTempDirectory("bpe_scheme").resolve("run2").toString
+    val got2 = Bpe.merges(corpus("abc", "abc", "abd"), 3, Some(schemed))
+      .select(col("step"), col("merged")).as[(Int, String)].collect().toSeq
+    assert(got2 === got)
+    val sp = new org.apache.hadoop.fs.Path(schemed)
+    assert(!sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp))
+
+    // a non-empty dir fails loud — the trainer would delete caller data
+    val dirty = java.nio.file.Files.createTempDirectory("bpe_dirty")
+    java.nio.file.Files.writeString(dirty.resolve("keep.txt"), "caller data")
+    val e = intercept[IllegalArgumentException](
+      Bpe.merges(corpus("ab"), 1, Some(dirty.toString)))
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+    assert(java.nio.file.Files.exists(dirty.resolve("keep.txt")),
+      "the fail-loud path must not touch caller data")
   }
 }
