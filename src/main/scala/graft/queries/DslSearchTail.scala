@@ -5204,6 +5204,105 @@ object DslSearchTail {
         FROM h GROUP BY 1
         ORDER BY doc_count DESC, tiles
         LIMIT 60
+      """.stripMargin.trim)),
+
+    // ENGLISH highlight (r16, VERDICT r15 #2 — demoting the last
+    // everyday fail-loud): anchors are raw TOKENS whose EnglishFold
+    // stem equals the query stem ("Run" → "run" wraps "Running",
+    // "running", "RUNS"), located by the token/separator interleave
+    // walk; fragments stay on the RAW text, matched tokens fully
+    // inside the window wrap keeping their casing, edge-cut tokens
+    // stay unwrapped. The oracle replays the SAME walk with window-
+    // function prefix sums over the unnested tokens plus the stem CASE
+    // chain — any drift in a position, a wrap, or the window clamp
+    // hash-fails.
+    GraftQuery(
+      "q403_dsl_highlight_english",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val mixed = Tables.load(s, dir, "documents").withColumn("body",
+          expr("""concat(text,
+            CASE WHEN doc_id % 4 = 0 THEN ' The JOINS were Running fast.'
+                 WHEN doc_id % 4 = 1 THEN ' Parties wanted running shoes!'
+                 ELSE ' nothing of note' END)"""))
+        QueryDsl.search(mixed,
+          """{"query": {"match": {"body": {"query": "Run",
+               "analyzer": "english"}}},
+             "highlight": {"fields": {"body": {"fragment_size": 30}}},
+             "sort": ["doc_id"], "size": 80,
+             "_source": ["doc_id", "highlight"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 4 = 0 THEN ' The JOINS were Running fast.'
+                              WHEN doc_id % 4 = 1 THEN ' Parties wanted running shoes!'
+                              ELSE ' nothing of note' END AS body
+          FROM documents),
+        tk AS (
+          SELECT doc_id, body,
+                 list_filter(string_split_regex(body, '[^A-Za-z0-9]+'),
+                             t -> t <> '') AS toks,
+                 string_split_regex(body, '[A-Za-z0-9]+') AS seps
+          FROM mixed),
+        u0 AS (
+          SELECT doc_id, body, toks, seps,
+                 unnest(generate_series(1, len(toks))) AS i
+          FROM tk),
+        u AS (
+          SELECT doc_id, body, i, lower(toks[i]) AS lt, length(toks[i]) AS tl,
+                 CAST(1 + SUM(length(seps[i])) OVER (PARTITION BY doc_id ORDER BY i)
+                   + COALESCE(SUM(length(toks[i])) OVER (PARTITION BY doc_id
+                       ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS pos
+          FROM u0),
+        st AS (
+          SELECT doc_id, body, pos, tl,
+            CASE WHEN lt IN ('a','an','and','are','as','at','be','but','by',
+              'for','if','in','into','is','it','no','not','of','on','or',
+              'such','that','the','their','then','there','these','they',
+              'this','to','was','will','with') THEN ''
+            ELSE CASE
+              WHEN lt LIKE '%sses' THEN substr(lt, 1, length(lt)-2)
+              WHEN lt LIKE '%ies' AND length(lt) >= 5 THEN substr(lt, 1, length(lt)-3) || 'y'
+              WHEN lt LIKE '%ss' OR lt LIKE '%us' THEN lt
+              WHEN lt LIKE '%s' AND length(lt) >= 4 THEN substr(lt, 1, length(lt)-1)
+              WHEN lt LIKE '%ing' AND length(lt) >= 6 THEN CASE
+                WHEN substr(lt, length(lt)-3, 1) = substr(lt, length(lt)-4, 1)
+                 AND substr(lt, length(lt)-3, 1) IN ('b','d','f','g','m','n','p','r','t')
+                THEN substr(lt, 1, length(lt)-4) ELSE substr(lt, 1, length(lt)-3) END
+              WHEN lt LIKE '%ed' AND length(lt) >= 5 THEN CASE
+                WHEN substr(lt, length(lt)-2, 1) = substr(lt, length(lt)-3, 1)
+                 AND substr(lt, length(lt)-2, 1) IN ('b','d','f','g','m','n','p','r','t')
+                THEN substr(lt, 1, length(lt)-3) ELSE substr(lt, 1, length(lt)-2) END
+              ELSE lt END END AS stem
+          FROM u),
+        m AS (SELECT doc_id, pos, tl FROM st WHERE stem = 'run'),
+        a AS (SELECT doc_id, MIN(pos) AS ap FROM m GROUP BY 1),
+        b AS (
+          SELECT a.doc_id, mixed.body, GREATEST(ap - 20, 1) AS fs,
+                 LEAST(GREATEST(ap - 20, 1) + 29, length(mixed.body)) AS lc
+          FROM a JOIN mixed ON a.doc_id = mixed.doc_id),
+        w2 AS (
+          SELECT m.doc_id, m.pos, m.tl, b.fs, b.lc, b.body
+          FROM m JOIN b ON m.doc_id = b.doc_id
+          WHERE m.pos >= b.fs AND m.pos + m.tl - 1 <= b.lc),
+        asm AS (
+          SELECT doc_id,
+                 string_agg(substr(body, prev, pos - prev) || '<em>' ||
+                            substr(body, pos, tl) || '</em>', ''
+                            ORDER BY pos) AS mid,
+                 MAX(pos + tl) AS ts,
+                 ANY_VALUE(lc) AS lc, ANY_VALUE(body) AS body
+          FROM (SELECT *, COALESCE(LAG(pos + tl) OVER (PARTITION BY doc_id
+                  ORDER BY pos), fs) AS prev FROM w2)
+          GROUP BY doc_id)
+        SELECT b.doc_id,
+               COALESCE(asm.mid || substr(asm.body, asm.ts, asm.lc - asm.ts + 1),
+                        substr(b.body, b.fs, b.lc - b.fs + 1)) AS highlight
+        FROM b LEFT JOIN asm ON b.doc_id = asm.doc_id
+        ORDER BY b.doc_id
+        LIMIT 80
       """.stripMargin.trim))
   )
 }

@@ -1307,10 +1307,6 @@ class QueryDslSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](QueryDsl.search(t, req))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    // english keeps the fail-loud (stemmed anchors are variable-length)
-    bad("""{"query": {"match": {"a": {"query": "running",
-           "analyzer": "english"}}},
-         "highlight": {"fields": {"a": {}}}}""", "english")
     // other match options keep the fail-loud (anchor is ranking-dependent)
     bad("""{"query": {"match": {"a": {"query": "spark",
            "analyzer": "standard", "operator": "and"}}},
@@ -1319,6 +1315,48 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"query": {"match": {"a": {"query": "Spark, Join!",
            "analyzer": "standard"}}},
          "highlight": {"fields": {"a": {}}}}""", "single-token")
+  }
+
+  test("highlight on english match: stem-anchored token wraps (r16)") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, "The RUNS were Running fast; runner stays raw"),
+      (2L, "nothing here matches"),
+      (3L, "runs"),
+      (4L, "abc Running")).toDF("doc_id", "a")
+    def hl(req: String): Seq[(Long, String)] =
+      QueryDsl.search(t, req).as[(Long, String)].collect().toSeq
+    // "Running" stems to "run"; so do RUNS and runs — "runner" does NOT
+    // (no rule strips -er), and raw casing is kept inside the wraps
+    val out = hl(
+      """{"query": {"match": {"a": {"query": "Running",
+           "analyzer": "english"}}},
+         "highlight": {"fields": {"a": {"fragment_size": 30}}},
+         "sort": ["doc_id"], "size": 10,
+         "_source": ["doc_id", "highlight"]}""")
+    assert(out.map(_._1) === Seq(1L, 3L, 4L))
+    // doc 1, anchor at RUNS (p=5), window chars 1..30: both stem
+    // matches wrapped, tail cut mid-word
+    assert(out.head._2 ===
+      "The <em>RUNS</em> were <em>Running</em> fast; ru", out.head._2)
+    assert(out(1)._2 === "<em>runs</em>")
+    // doc 4 with fragment_size 10: "Running" ends past the window —
+    // a token CUT at the window edge stays unwrapped (pinned
+    // divergence from the standard arm's end-of-fragment boundary)
+    val cut = hl(
+      """{"query": {"match": {"a": {"query": "run",
+           "analyzer": "english"}}},
+         "highlight": {"fields": {"a": {"fragment_size": 10}}},
+         "sort": ["doc_id"], "size": 10,
+         "_source": ["doc_id", "highlight"]}""")
+    assert(cut.find(_._1 == 4L).get._2 === "abc Runnin")
+    // a stop-word query folds to nothing — the match clause itself
+    // fails loud before the highlight's own guard is reached
+    val e = intercept[IllegalArgumentException](QueryDsl.search(t,
+      """{"query": {"match": {"a": {"query": "the",
+           "analyzer": "english"}}},
+         "highlight": {"fields": {"a": {}}}}"""))
+    assert(e.getMessage.contains("empty query"), e.getMessage)
   }
 
   test("highlight: multiple fields and fragments, deterministic anchors") {
