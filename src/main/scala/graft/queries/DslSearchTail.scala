@@ -5303,6 +5303,50 @@ object DslSearchTail {
         FROM b LEFT JOIN asm ON b.doc_id = asm.doc_id
         ORDER BY b.doc_id
         LIMIT 80
+      """.stripMargin.trim)),
+
+    // CUSTOM analyzer: synonyms + stop list (r16, VERDICT r15 #6 — the
+    // two knobs every real search deployment turns): an inline
+    // {type: custom} analyzer over the standard base maps
+    // "television" → "tv" (canonical = first member) and stops
+    // "nothing", so `match "TV"` finds television docs and the stopped
+    // token never matches. The oracle replays the full chain —
+    // standard fold, custom stop filter, CASE synonym map — so any
+    // drift in the fold order or the canonical choice hash-fails.
+    GraftQuery(
+      "q404_dsl_match_custom_synonyms",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val docs = Tables.load(s, dir, "documents").withColumn("body",
+          expr("""concat(text,
+            CASE WHEN doc_id % 3 = 0 THEN ' Big television sale'
+                 WHEN doc_id % 3 = 1 THEN ' my TV broke'
+                 ELSE ' nothing else' END)"""))
+        QueryDsl.search(docs,
+          """{"query": {"match": {"body": {"query": "TV",
+               "analyzer": {"type": "custom", "base": "standard",
+                 "stopwords": ["nothing"],
+                 "synonyms": [["tv", "television"]]}}}},
+             "sort": ["doc_id"], "size": 500, "_source": ["doc_id"]}""")
+      },
+      Some("""
+        WITH mixed AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 3 = 0 THEN ' Big television sale'
+                              WHEN doc_id % 3 = 1 THEN ' my TV broke'
+                              ELSE ' nothing else' END AS body
+          FROM documents),
+        an AS (
+          SELECT doc_id,
+            list_transform(list_filter(
+              string_split(trim(lower(regexp_replace(body, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+              t -> t <> '' AND t <> 'nothing'),
+              t -> CASE WHEN t = 'television' THEN 'tv' ELSE t END) AS toks
+          FROM mixed)
+        SELECT doc_id FROM an
+        WHERE list_contains(toks, 'tv')
+        ORDER BY doc_id
+        LIMIT 500
       """.stripMargin.trim))
   )
 }

@@ -103,12 +103,141 @@ object Analyzer {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
   }
 
+  /** CUSTOM analyzer (r16, VERDICT r15 #6): a named base (`standard`
+    * or `english`), caller stop words, and synonym groups — the two
+    * knobs every real search deployment turns ("tv" = "television",
+    * domain noise words). Applied AFTER the base fold, per token:
+    * custom stop removal first, then each group member rewrites to the
+    * group's canonical token (the FIRST member as written). One
+    * [[graft.plans.CustomFold]] kernel; `normText` delegates to the
+    * same config, so the twins agree by construction.
+    *
+    * `stop` and `groups` here are the FOLDED canonical forms —
+    * construct through [[Analyzer.custom]] (which folds and validates
+    * raw caller input) or by name round-trip. The NAME is the
+    * serialized definition (`custom:base=…;stop=…;syn=m1,m2|m3,m4`),
+    * so everything that stores an analyzer name — the BM25 index meta
+    * sidecar above all — round-trips the full semantics through
+    * [[Analyzer.of]] with zero new plumbing. The parse path must NOT
+    * re-fold members: the english stemmer is not idempotent
+    * ("settings" → "setting" → "set"), so re-folding would silently
+    * shift the map between a build and its serve.
+    */
+  final case class Custom private[Analyzer] (base: Analyzer,
+      stop: Seq[String], groups: Seq[Seq[String]])
+      extends Analyzer(Custom.serialize(base, stop, groups)) {
+    private val synFrom = groups.flatMap(g => g.drop(1))
+    private val synTo = groups.flatMap(g => g.drop(1).map(_ => g.head))
+    @transient private lazy val cfg =
+      new graft.plans.CustomFold.Cfg(base.name, stop, synFrom, synTo)
+    override def norm(c: Column): Column =
+      graft.plans.CustomFold(c, base.name, stop, synFrom, synTo)
+    override def normText(s: String): String =
+      cfg.fold(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+  }
+
+  object Custom {
+    private[Analyzer] def serialize(base: Analyzer, stop: Seq[String],
+        groups: Seq[Seq[String]]): String =
+      s"custom:base=${base.name};stop=${stop.mkString(",")};" +
+        s"syn=${groups.map(_.mkString(",")).mkString("|")}"
+  }
+
+  private val FoldedToken = "[a-z0-9]+".r
+
+  /** Build a custom analyzer from RAW caller input: folds every stop
+    * word and synonym member through the base analyzer once, validates
+    * the result (each must fold to exactly one token; groups must stay
+    * distinguishable and disjoint), and fails loud on every silent-
+    * drift shape — a stop word the base already removes, a group
+    * collapsing to one token, a member claimed by two groups or by the
+    * stop list.
+    */
+  def custom(baseName: String, stopwords: Seq[String],
+      synonyms: Seq[Seq[String]]): Custom = {
+    val base = of(baseName) match {
+      case b @ (Standard | English) => b
+      case other => throw new IllegalArgumentException(
+        s"custom analyzer base must be standard or english, got " +
+          s"'${other.name}' (whitespace tokens are not twin-replayable)")
+    }
+    def foldOne(raw: String, what: String): String =
+      base.normText(raw) match {
+        case t @ FoldedToken() => t
+        case "" => throw new IllegalArgumentException(
+          s"custom analyzer $what '$raw' folds to nothing under the " +
+            s"'$baseName' base (already stopped or all-separator) - it " +
+            "could never match a token")
+        case folded => throw new IllegalArgumentException(
+          s"custom analyzer $what '$raw' must fold to a single token " +
+            s"under the '$baseName' base, got '$folded'")
+      }
+    val foldedStop = stopwords.map(foldOne(_, "stop word")).distinct.sorted
+    val foldedGroups = synonyms.map { g =>
+      val folded = g.map(foldOne(_, "synonym member"))
+      val distinct = folded.distinct
+      if (distinct.size < 2) throw new IllegalArgumentException(
+        s"custom analyzer synonym group ${g.mkString("[", ", ", "]")} " +
+          s"collapses to ${distinct.mkString("'", "', '", "'")} under the " +
+          s"'$baseName' base - its members already analyze identically")
+      distinct
+    }
+    val members = foldedGroups.flatten
+    if (members.distinct.size != members.size)
+      throw new IllegalArgumentException(
+        "custom analyzer synonym groups overlap after folding - a token " +
+          "in two groups has no single canonical form")
+    members.find(foldedStop.contains).foreach(m =>
+      throw new IllegalArgumentException(
+        s"custom analyzer synonym member '$m' is also a stop word - a " +
+          "stopped token never reaches the synonym map"))
+    Custom(base, foldedStop, foldedGroups)
+  }
+
   val all: Seq[Analyzer] = Seq(Whitespace, Standard, English)
 
   /** Named lookup — fail loud on unknown names (a typo must never
-    * silently fall back to whitespace semantics).
+    * silently fall back to whitespace semantics). `custom:…` names
+    * (the serialized definition, see [[Custom]]) parse back to the
+    * full analyzer WITHOUT re-folding their already-folded tokens.
     */
   def of(name: String): Analyzer =
-    all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-      s"unknown analyzer '$name' (supported: ${all.map(_.name).mkString(", ")})"))
+    if (name.startsWith("custom:")) parseCustom(name)
+    else all.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+      s"unknown analyzer '$name' (supported: ${all.map(_.name).mkString(", ")}, custom:…)"))
+
+  private def parseCustom(name: String): Custom = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"malformed custom analyzer name '$name': $why")
+    val body = name.stripPrefix("custom:")
+    val parts = body.split(";", -1)
+    if (parts.length != 3 || !parts(0).startsWith("base=") ||
+        !parts(1).startsWith("stop=") || !parts(2).startsWith("syn="))
+      bad("expected custom:base=…;stop=…;syn=…")
+    val base = of(parts(0).stripPrefix("base=")) match {
+      case b @ (Standard | English) => b
+      case other => bad(s"base '${other.name}' is not standard/english")
+    }
+    def toks(s: String, what: String): Seq[String] =
+      if (s.isEmpty) Seq.empty
+      else s.split(",", -1).toSeq.map {
+        case t @ FoldedToken() => t
+        case t => bad(s"$what '$t' is not a folded token")
+      }
+    val stop = toks(parts(1).stripPrefix("stop="), "stop word")
+    if (stop != stop.distinct.sorted) bad("stop list must be sorted, unique")
+    val groups = parts(2).stripPrefix("syn=") match {
+      case "" => Seq.empty[Seq[String]]
+      case s => s.split("\\|", -1).toSeq.map { g =>
+        val ms = toks(g, "synonym member")
+        if (ms.size < 2) bad(s"synonym group '$g' needs 2+ members")
+        if (ms.distinct.size != ms.size) bad(s"synonym group '$g' repeats a member")
+        ms
+      }
+    }
+    val members = groups.flatten
+    if (members.distinct.size != members.size) bad("synonym groups overlap")
+    members.find(stop.contains).foreach(m => bad(s"member '$m' is also a stop word"))
+    Custom(base, stop, groups)
+  }
 }

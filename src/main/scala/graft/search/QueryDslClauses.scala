@@ -684,8 +684,13 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       }.reduce(_ + _)
   }
 
-  /** Parse an optional per-clause `analyzer` name — whitespace (the
+  /** Parse an optional per-clause `analyzer` — whitespace (the
     * oracle-locked historical default) unless the request names one.
+    * An OBJECT body defines a CUSTOM analyzer inline (r16, VERDICT r15
+    * #6): `{type: "custom", base: "standard"|"english",
+    * stopwords: [...], synonyms: [["tv","television"], …]}` — resolved
+    * on the driver through [[Analyzer.custom]] (which folds and
+    * validates every list entry against the base).
     */
   private[search] def analyzerOpt(m: Map[String, JValue], where: String): Analyzer =
     m.get("analyzer") match {
@@ -693,7 +698,39 @@ private[search] trait QueryDslClauses { this: QueryDsl.type =>
       case Some(JString(s)) =>
         try Analyzer.of(s)
         catch { case e: IllegalArgumentException => fail(s"$where: ${e.getMessage}") }
-      case Some(other) => fail(s"$where: analyzer must be a string: ${render(other)}")
+      case Some(JObject(parts)) =>
+        val am = parts.toMap
+        am.keySet.diff(Set("type", "base", "stopwords", "synonyms")).foreach(k =>
+          fail(s"$where: unsupported custom analyzer option '$k'"))
+        if (!strOpt(am, "type").contains("custom"))
+          fail(s"$where: an object analyzer must have type: \"custom\"")
+        val base = strOpt(am, "base")
+          .getOrElse(fail(s"$where: custom analyzer requires base"))
+        def strList(key: String): Seq[String] = am.get(key) match {
+          case None => Seq.empty
+          case Some(JArray(vs)) => vs.map {
+            case JString(s) => s
+            case other => fail(s"$where: $key entries must be strings: ${render(other)}")
+          }
+          case Some(other) => fail(s"$where: $key must be an array: ${render(other)}")
+        }
+        val groups: Seq[Seq[String]] = am.get("synonyms") match {
+          case None => Seq.empty
+          case Some(JArray(gs)) => gs.map {
+            case JArray(ms) => ms.map {
+              case JString(s) => s
+              case other =>
+                fail(s"$where: synonym members must be strings: ${render(other)}")
+            }
+            case other =>
+              fail(s"$where: synonyms must be arrays of member arrays: ${render(other)}")
+          }
+          case Some(other) => fail(s"$where: synonyms must be an array: ${render(other)}")
+        }
+        try Analyzer.custom(base, strList("stopwords"), groups)
+        catch { case e: IllegalArgumentException => fail(s"$where: ${e.getMessage}") }
+      case Some(other) => fail(s"$where: analyzer must be a string or a " +
+        s"custom-analyzer object: ${render(other)}")
     }
 
   /** Normalize a single grammar TERM through the analyzer — shared by

@@ -726,7 +726,7 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
         // fail-loud — their anchor semantics are ranking-dependent
         if (body.keySet != Set("query", "analyzer")) None
         else {
-          val an = Analyzer.of(strOpt(body, "analyzer").get)
+          val an = analyzerOpt(body, s"highlight match on '$tf'")
           val q0 = strOpt(body, "query")
             .getOrElse(fail(s"highlight match on '$tf' needs a string query"))
           an match {

@@ -209,6 +209,40 @@ class SearchIndexSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("analyzer parity: custom analyzer survives the meta round-trip (r16)") {
+    // the CUSTOM analyzer's NAME is its serialized definition, so the
+    // write-once meta sidecar carries the full stop list + synonym map
+    // through build, serve and CDC merge with zero new plumbing
+    // the synonym group maps onto the fixed scoring trio `direct` uses:
+    // "television" canonicalizes to "spark", so serving the query
+    // "Television!" only matches `direct` if the custom map ran
+    // identically at build, query-normalization and CDC-merge time
+    val an = graft.search.Analyzer.custom("standard",
+      Seq("nothing"), Seq(Seq("spark", "television")))
+    val docs = Tables.load(spark, sf(), "documents")
+      .withColumn("body", expr(
+        """concat(text, CASE WHEN doc_id % 3 = 0 THEN ' Big television sale'
+             WHEN doc_id % 3 = 1 THEN ' my TV broke' ELSE ' nothing else' END)"""))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("bm25cu").toString
+    SearchIndex.build(docs, "doc_id", "body", dir, analyzer = an.name)
+    // indexed == scanned under the SAME custom normalization
+    val normalized = docs.select(col("doc_id"), an.norm(col("body")).as("text"))
+    val served = SearchIndex.bm25(spark, dir, Seq("Television!", "JOIN", "window"))
+      .as[(Long, Double)].collect().toSeq
+    assert(served === direct(normalized) && served.nonEmpty)
+    // a CDC upsert canonicalizes with the STORED definition (meta
+    // round-trip of the full custom config, not just a name)
+    val batch = Seq((7L, "television join night", "upsert"))
+      .toDF("doc_id", "body", "_action")
+    SearchIndex.mergeCdcBatch(spark, dir, batch, "doc_id", "body")
+    val after = normalized.filter(col("doc_id") =!= 7)
+      .unionByName(Seq((7L, "spark join night")).toDF("doc_id", "text"))
+    assert(SearchIndex.bm25(spark, dir, Seq("spark", "join", "window"))
+      .as[(Long, Double)].collect().toSeq === direct(after))
+    docs.unpersist()
+  }
+
   test("CDC merge keeps the index equal to a rebuild: upsert new, replace, delete") {
     val docs = Tables.load(spark, sf(), "documents").persist()
     val base = docs.filter(col("doc_id") < 400)

@@ -5514,6 +5514,80 @@ class QueryDslSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("custom analyzer: synonyms + stop lists over a named base (r16)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Big television sale TODAY"),
+      (2L, "my TV broke again"),
+      (3L, "tellies are not televisions"),  // 'televisions' stems? base standard: no
+      (4L, "radio silence")).toDF("doc_id", "t")
+    val custom = """{"type": "custom", "base": "standard",
+      "stopwords": ["today"],
+      "synonyms": [["tv", "television", "telly"]]}"""
+    def hits(q: String): Seq[Long] = QueryDsl.search(docs,
+      s"""{"query": {"match": {"t": {"query": "$q",
+           "analyzer": $custom}}},
+          "sort": ["doc_id"], "size": 10, "_source": ["doc_id"]}""")
+      .as[Long].collect().toSeq
+    // every member canonicalizes to the FIRST ("tv") — both directions
+    assert(hits("tv") === Seq(1L, 2L))
+    assert(hits("television") === Seq(1L, 2L))
+    assert(hits("Telly") === Seq(1L, 2L))  // folded through the base first
+    // 'televisions' (plural) is NOT a member under base=standard
+    assert(hits("televisions") === Seq(3L))
+    // the custom stop word vanishes from both sides
+    val e0 = intercept[IllegalArgumentException](hits("today"))
+    assert(e0.getMessage.contains("zero_terms_query"), e0.getMessage)
+    // base=english folds members through stop+stem BEFORE the map:
+    // "televisions" now IS a member (stems to "television")
+    val en = """{"type": "custom", "base": "english",
+      "synonyms": [["tv", "televisions"]]}"""
+    assert(QueryDsl.search(docs,
+      s"""{"query": {"match": {"t": {"query": "television",
+           "analyzer": $en}}},
+          "sort": ["doc_id"], "size": 10, "_source": ["doc_id"]}""")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+
+    // twins agree: norm (column) == normText (driver) on seeded input
+    val an = Analyzer.custom("english", Seq("radio"),
+      Seq(Seq("tv", "televisions", "telly"), Seq("big", "large")))
+    val rnd = new scala.util.Random(44)
+    val pool = "aT vtelyRADIOBig large!,.09 "
+    val strs = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } ++ docs.collect().map(_.getString(1)).toSeq
+    val got = strs.toDF("s").select(an.norm(col("s"))).as[String].collect().toSeq
+    assert(got === strs.map(an.normText))
+
+    // the NAME is the serialized definition and round-trips EXACTLY —
+    // including non-idempotent stems ("settings" folds once to
+    // "setting", never re-folds to "set" on the parse path)
+    val tricky = Analyzer.custom("english", Seq(), Seq(Seq("cfg", "settings")))
+    assert(tricky.name === "custom:base=english;stop=;syn=cfg,setting")
+    val back = Analyzer.of(tricky.name)
+    assert(back === tricky && back.name === tricky.name)
+    assert(back.normText("my Settings page") === tricky.normText("my Settings page"))
+
+    // fail-loud shapes: bad base, stop-folding member, group collapse,
+    // overlap, member-in-stoplist
+    def badDef(d: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](QueryDsl.search(docs,
+        s"""{"query": {"match": {"t": {"query": "x", "analyzer": $d}}}}"""))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    badDef("""{"type": "custom", "base": "whitespace"}""", "standard or english")
+    badDef("""{"type": "custom", "base": "english",
+      "stopwords": ["the"]}""", "folds to nothing")
+    badDef("""{"type": "custom", "base": "english",
+      "synonyms": [["run", "running"]]}""", "collapses")
+    badDef("""{"type": "custom", "base": "standard",
+      "synonyms": [["a", "b"], ["b", "c"]]}""", "overlap")
+    badDef("""{"type": "custom", "base": "standard",
+      "stopwords": ["tv"], "synonyms": [["tv", "telly"]]}""", "stop word")
+    badDef("""{"type": "custom", "base": "standard",
+      "synonyms": [["big sale", "x"]]}""", "single token")
+  }
+
   test("analyzer threads through every remaining tokenizing surface") {
     import spark.implicits._
     val mixed = Seq(
