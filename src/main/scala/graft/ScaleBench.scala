@@ -276,7 +276,11 @@ object ScaleBench {
       val ef = if (env)
         """, "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]"""
       else ""
-      graft.search.QueryDsl.search(t,
+      // r16: the bare arm must strip the materialize metadata or the
+      // sidecar AUTO-WIRES and the full-scan baseline measures nothing
+      val src = if (env) t else t.withColumn("ring",
+        col("ring").as("ring", org.apache.spark.sql.types.Metadata.empty))
+      graft.search.QueryDsl.search(src,
         s"""{"query": {"geo_shape": {
              "doc_shape": {"type": "polygon", "ring_field": "ring"$ef},
              "shape": {"type": "envelope",

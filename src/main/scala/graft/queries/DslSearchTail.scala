@@ -5347,6 +5347,60 @@ object DslSearchTail {
         WHERE list_contains(toks, 'tv')
         ORDER BY doc_id
         LIMIT 500
+      """.stripMargin.trim)),
+
+    // Sidecar AUTO-WIRING (r16, VERDICT r15 #4): q392's exact query
+    // with NO `envelope_fields` spelled — the materialize-time schema
+    // metadata injects the pushable corner pre-filter at compile, so
+    // the answer (and this oracle) stays byte-identical to q392's
+    // while the request is what a user who forgot the option writes.
+    GraftQuery(
+      "q405_dsl_geo_sidecar_autowired",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.expr
+        val o = graft.etl.GeoEnvelope.materialize(
+          Tables.load(s, dir, "orders")
+            .withColumn("cx", expr(
+              "CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8"))
+            .withColumn("cy", expr(
+              "CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17"))
+            .withColumn("ring", expr(
+              """CASE WHEN o_orderkey % 11 = 0
+                   THEN CAST(NULL AS ARRAY<STRUCT<lat: DOUBLE, lon: DOUBLE>>)
+                 WHEN o_orderkey % 13 = 0
+                   THEN array(struct(CAST(1.0 AS DOUBLE) AS lat, CAST(2.0 AS DOUBLE) AS lon),
+                              struct(CAST(3.0 AS DOUBLE) AS lat, CAST(4.0 AS DOUBLE) AS lon))
+                 ELSE concat(
+                   array(struct(cx AS lat, cy AS lon)),
+                   flatten(transform(sequence(0, 15), j -> array(
+                     struct(cx + 0.25 + CAST((o_orderkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                            cy + CAST(j AS DOUBLE) * 0.5 AS lon),
+                     struct(cx + 0.25 + CAST((o_orderkey + j) % 8 AS DOUBLE) * 0.25 AS lat,
+                            cy + CAST(j + 1 AS DOUBLE) * 0.5 AS lon)))),
+                   array(struct(cx AS lat, cy + 8.0 AS lon))) END""")),
+          "ring", "polygon")
+        QueryDsl.search(o,
+          """{"query": {"geo_shape": {
+               "doc_shape": {"type": "polygon", "ring_field": "ring"},
+               "shape": {"type": "point", "coordinates": [-2.0007, 0.0004]},
+               "relation": "contains"}},
+             "sort": ["o_orderkey"], "size": 300,
+             "_source": ["o_orderkey"]}""")
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST((o_orderkey * 2654435761) % 16000 AS DOUBLE) / 1000 - 8 AS cx,
+                 CAST((o_orderkey * 40503 + 7) % 34000 AS DOUBLE) / 1000 - 17 AS cy
+          FROM orders
+          WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0)
+        SELECT o_orderkey FROM t
+        WHERE (-2.0007 - cy) > 0 AND (-2.0007 - cy) < 8
+          AND 0.0004 > cx
+          AND 0.0004 < cx + 0.25 + CAST((o_orderkey
+                + CAST(floor((-2.0007 - cy) * 2) AS BIGINT)) % 8 AS DOUBLE) * 0.25
+        ORDER BY o_orderkey
+        LIMIT 300
       """.stripMargin.trim))
   )
 }

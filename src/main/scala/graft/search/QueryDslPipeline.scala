@@ -123,6 +123,75 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
       if (changed) return search(table, render(JObject(walked.toList)))
     }
 
+    // geo sidecar AUTO-WIRING (r16, VERDICT r15 #4): a `geo_shape`
+    // doc_shape clause WITHOUT `envelope_fields` over a table whose
+    // geometry column carries the `GeoEnvelope.materialize` schema
+    // metadata gets the four corner names injected and the request
+    // re-enters — so the pushable pre-filter fires wherever the table
+    // was materialized, not only where the request remembered to spell
+    // it. Strictly conservative: the recorded docKind and vertex cap
+    // must match what the clause would compile with, every corner
+    // column must still exist, and an explicit `envelope_fields`
+    // always wins (the documented override). Injection implies the
+    // sidecar's documented semantic shift (pre-filter-pruned poison
+    // rows no longer raise) — opted into at MATERIALIZE time, where
+    // the poison classification (`_geo_valid`) is produced.
+    locally {
+      var changed = false
+      def injected(dm: Map[String, JValue]): Option[JValue] = {
+        if (dm.contains("envelope_fields")) return None
+        val dsType = dm.get("type") match {
+          case Some(JString(t)) => t
+          case _ => return None
+        }
+        val (kind, fieldKey) = dsType match {
+          case "polygon" if dm.contains("rings_field") => ("rings", "rings_field")
+          case "polygon"            => ("polygon", "ring_field")
+          case "multipolygon"       => ("polys", "polys_field")
+          case "linestring"         => ("linestring", "line_field")
+          case "multilinestring"    => ("multilinestring", "lines_field")
+          case "multipoint"         => ("multipoint", "points_field")
+          case "geometrycollection" => ("geometrycollection", "shapes_field")
+          case _                    => return None
+        }
+        val gf = dm.get(fieldKey) match {
+          case Some(JString(s)) => s
+          case _ => return None
+        }
+        val md = table.schema.find(_.name == gf).map(_.metadata)
+          .getOrElse(return None)
+        if (!md.contains("graft.geo.docKind") ||
+            md.getString("graft.geo.docKind") != kind ||
+            !md.contains("graft.geo.cap") ||
+            md.getLong("graft.geo.cap") != graft.plans.GeoWalk.DefaultCap.toLong)
+          return None
+        val corners = md.getStringArray("graft.geo.corners").toSeq
+        if (corners.length != 4 || !corners.forall(table.columns.contains))
+          return None
+        changed = true
+        Some(JObject((dm + ("envelope_fields" ->
+          JArray(corners.map(JString(_)).toList))).toList))
+      }
+      def walk(v: JValue): JValue = v match {
+        case JObject(fields) => JObject(fields.map {
+          case ("geo_shape", JObject(gparts)) =>
+            ("geo_shape", JObject(gparts.map {
+              case ("doc_shape", JObject(dparts)) =>
+                ("doc_shape", injected(dparts.toMap)
+                  .getOrElse(JObject(dparts)))
+              case other => other
+            }))
+          case (k, v2) => (k, walk(v2))
+        })
+        case JArray(vs) => JArray(vs.map(walk))
+        case other      => other
+      }
+      val walked = Seq("query", "post_filter", "rescore").foldLeft(req) {
+        (r, s) => r.get(s).fold(r)(v => r.updated(s, walk(v)))
+      }
+      if (changed) return search(table, render(JObject(walked.toList)))
+    }
+
     // `explain` flag: per-hit score decomposition riding the hit table
     // as part_* columns (the _explain endpoint's contract, inline)
     val explainOn: Boolean = req.get("explain") match {

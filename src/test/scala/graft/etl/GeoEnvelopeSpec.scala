@@ -93,6 +93,14 @@ class GeoEnvelopeSpec extends SparkSpec {
     assert(pre.columns.contains("g2_lat_min") && pre.columns.contains("g2__geo_valid"))
   }
 
+  /** Drop the materialize metadata from the geometry column so a
+    * request without `envelope_fields` stays a KERNEL-ONLY baseline
+    * (r16: the sidecar auto-wires off that metadata otherwise).
+    */
+  private def stripGeoMeta(df: DataFrame, field: String): DataFrame =
+    df.withColumn(field,
+      col(field).as(field, org.apache.spark.sql.types.Metadata.empty))
+
   test("sidecar pre-filter: byte-identical answers across relations and shapes") {
     // drop the %17 bowties — raise-mode queries refuse poison, and this
     // test compares ANSWERS; poison handling keeps its own pins
@@ -102,7 +110,7 @@ class GeoEnvelopeSpec extends SparkSpec {
       val ef = if (env)
         """, "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]"""
       else ""
-      QueryDsl.search(docs,
+      QueryDsl.search(if (env) docs else stripGeoMeta(docs, "ring"),
         s"""{"query": {"geo_shape": {
              "doc_shape": {"type": "polygon", "ring_field": "ring"$ef},
              "shape": $shape, "relation": "$rel"}},
@@ -142,7 +150,7 @@ class GeoEnvelopeSpec extends SparkSpec {
       val ef = if (env)
         """, "envelope_fields": ["lat_min", "lat_max", "lon_min", "lon_max"]"""
       else ""
-      QueryDsl.search(t,
+      QueryDsl.search(if (env) t else stripGeoMeta(t, "ring"),
         s"""{"query": {"geo_shape": {
              "doc_shape": {"type": "polygon", "ring_field": "ring"$ef},
              "shape": {"type": "envelope",
@@ -163,6 +171,52 @@ class GeoEnvelopeSpec extends SparkSpec {
     assert(pruned * 3 <= full,
       s"sidecar pre-filter should cut rows materialized >=3x " +
         s"(pruned=$pruned vs full=$full, matches=${exact.size})")
+  }
+
+  test("auto-wiring: a request WITHOUT envelope_fields prunes off table meta (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("geoenv_auto").toString
+    GeoEnvelope.materialize(ringDocs(20000).filter("id % 17 != 0"),
+        "ring", "polygon")
+      .repartitionByRange(8, col("lat_min"))
+      .sortWithinPartitions("lat_min")
+      .write.mode("overwrite").parquet(dir)
+    // the metadata survives the parquet round-trip
+    val t = spark.read.parquet(dir)
+    val md = t.schema("ring").metadata
+    assert(md.getString("graft.geo.docKind") === "polygon")
+    assert(md.getStringArray("graft.geo.corners").toSeq ===
+      Seq("lat_min", "lat_max", "lon_min", "lon_max"))
+    def req(docShape: String) =
+      s"""{"query": {"geo_shape": {
+           "doc_shape": $docShape,
+           "shape": {"type": "envelope",
+             "coordinates": [[10.0007, 4.0009], [16.0001, -4.0003]]},
+           "relation": "intersects"}},
+          "sort": ["id"], "size": 10000, "_source": ["id"]}"""
+    val auto = QueryDsl.search(t, req("""{"type": "polygon", "ring_field": "ring"}"""))
+    // PushedFilters pin with NO envelope_fields spelled in the request
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lat_min") &&
+      plan.contains("lon_max"), plan.take(2000))
+    // same answer as the kernel-only baseline, strictly fewer rows read
+    val bare = QueryDsl.search(stripGeoMeta(t, "ring"),
+      req("""{"type": "polygon", "ring_field": "ring"}"""))
+    val exact = bare.as[Long].collect().toSeq
+    assert(auto.as[Long].collect().toSeq === exact && exact.nonEmpty)
+    assert(scanRows(auto) < scanRows(bare))
+    // conservative guards: a docKind mismatch or a dropped corner
+    // column silently keeps the kernel-only plan (never a wrong prune)
+    val asLine = QueryDsl.search(t,
+      req("""{"type": "linestring", "line_field": "ring"}"""))
+    assert(!asLine.queryExecution.executedPlan.toString
+      .contains("lon_max"), "docKind mismatch must not inject")
+    val dropped = t.drop("lon_max")
+    val noCorner = QueryDsl.search(dropped,
+      req("""{"type": "polygon", "ring_field": "ring"}"""))
+    noCorner.collect() // compiles and runs as the plain kernel walk
+    assert(!noCorner.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(lat_min)"),
+      "missing corner must not inject")
   }
 
   test("sidecar columns merge through the normal CDC path") {
