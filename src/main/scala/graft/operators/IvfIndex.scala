@@ -35,6 +35,19 @@ object IvfIndex {
 
   final case class Params(nlist: Int = 16, nprobe: Int = 4, iters: Int = 3, k: Int = 5)
 
+  /** The one normalization kernel — every layout writer and server
+    * derives unit vectors through this exact loop, so vectors written
+    * with payload columns are bit-identical to the payload-free path.
+    */
+  @inline private[operators] def unitize(f: Seq[Float]): Array[Double] = {
+    val x = new Array[Double](f.length)
+    var s = 0.0; var d = 0
+    while (d < f.length) { val v = f(d).toDouble; x(d) = v; s += v * v; d += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) { var i = 0; while (i < x.length) { x(i) /= n; i += 1 } }
+    x
+  }
+
   /** Corpus as unit vectors: (id, x) with |x| = 1. */
   private[operators] def unitVectors(e: DataFrame, idCol: String, embCol: String,
       queryPred: Column): Dataset[(Long, Array[Double], Boolean)] = {
@@ -42,14 +55,39 @@ object IvfIndex {
     import spark.implicits._
     e.select(col(idCol).cast("long"), col(embCol), queryPred)
       .as[(Long, Array[Float], Boolean)]
-      .map { case (id, f, isQ) =>
-        val x = new Array[Double](f.length)
-        var s = 0.0; var d = 0
-        while (d < f.length) { val v = f(d).toDouble; x(d) = v; s += v * v; d += 1 }
-        val n = math.sqrt(s)
-        if (n > 0) { var i = 0; while (i < x.length) { x(i) /= n; i += 1 } }
-        (id, x, isQ)
+      .map { case (id, f, isQ) => (id, unitize(f), isQ) }
+  }
+
+  /** One corpus pass producing the LAYOUT rows — (id, unit_vec,
+    * cluster, payload…) — against broadcast centroids. Row-based so
+    * caller-declared payload columns of any type ride along without a
+    * second corpus-sized join (r16, VERDICT r15 #1).
+    */
+  private def layoutRows(e: DataFrame, idCol: String, embCol: String,
+      payloadCols: Seq[String],
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
+    val spark = e.sparkSession
+    val src = e.select((Seq(col(idCol).cast("long").as("id"),
+      col(embCol)) ++ payloadCols.map(c => col(s"`$c`"))): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("unit_vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType)) ++
+        src.schema.drop(2))
+    val rows = src.rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val x = unitize(r.getSeq[Float](1))
+        org.apache.spark.sql.Row.fromSeq(
+          Seq[Any](r.getLong(0), x.toSeq, nearest(x, cs)) ++
+            (2 until r.length).map(r.get))
       }
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   @inline private[operators] def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -148,16 +186,41 @@ object IvfIndex {
     * makes IVF pay off when the corpus dwarfs memory: a query touches
     * ~nprobe/nlist of the files instead of scanning everything.
     */
+  /** Reserved layout column names — payloads may be anything else. */
+  private val LayoutCols = Set("id", "unit_vec", "cluster")
+
+  /** The payload columns a layout carries (everything beyond the
+    * reserved trio) — the columns a DSL `knn` filter may reference.
+    */
+  private[graft] def layoutPayloadCols(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    spark.read.parquet(s"$dir/data").schema.names.toSeq
+      .filterNot(LayoutCols)
+
   def writeIndex(embeddings: DataFrame, idCol: String, embCol: String,
-      p: Params, dir: String): Unit = {
+      p: Params, dir: String, payloadCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // payloads (r16, VERDICT r15 #1): caller-declared columns carried
+    // INTO the cluster-partitioned layout so a filtered probe evaluates
+    // its predicate on the pruned partition scan — no corpus access at
+    // serve time. Ordinary columns: CDC merge rewrites them with the
+    // touched clusters, and the one-pass row writer keeps the build a
+    // single corpus scan (no corpus-sized payload join).
+    payloadCols.find(LayoutCols).foreach(c => throw new IllegalArgumentException(
+      s"payload column '$c' collides with the layout's reserved columns " +
+        s"(${LayoutCols.mkString(", ")})"))
+    payloadCols.find(!embeddings.columns.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"payload column '$c' is not a column of the corpus " +
+          s"(${embeddings.columns.mkString(", ")})"))
+    if (payloadCols.distinct.size != payloadCols.size)
+      throw new IllegalArgumentException("payload columns repeat a name")
     val v = unitVectors(embeddings, idCol, embCol, lit(false)).persist()
     try {
       val cents = train(v, p)
       val bc = spark.sparkContext.broadcast(cents)
-      v.map { case (id, x, _) => (id, x, nearest(x, bc.value)) }
-        .toDF("id", "unit_vec", "cluster")
+      layoutRows(embeddings, idCol, embCol, payloadCols, bc)
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/data")
       spark.createDataset(cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
         .toDF("cluster", "centroid")
@@ -211,10 +274,17 @@ object IvfIndex {
       .join(broadcast(ids), Seq("id"), "left_semi")
       .select(col("cluster")).distinct().as[Int].collect()
 
-    val assigned = unitVectors(
-        batch.filter(col(actionCol) === "upsert"), idCol, embCol, lit(false))
-      .map { case (id, x, _) => (id, x, nearest(x, bc.value)) }
-      .toDF("id", "unit_vec", "cluster")
+    // a payload-carrying layout (r16) requires the batch to supply the
+    // SAME payload columns — a merge that silently dropped them would
+    // break every later filtered probe
+    val payloads = layoutPayloadCols(spark, dir)
+    payloads.find(!batch.columns.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"the layout at $dir carries payload column '$c' but the CDC " +
+          s"batch does not (batch columns: ${batch.columns.mkString(", ")})"))
+
+    val assigned = layoutRows(batch.filter(col(actionCol) === "upsert"),
+        idCol, embCol, payloads, bc)
       // read twice (touched-cluster collect + rewrite union) and the
       // rewrite must not re-run the assignment against a layout the
       // write is replacing
@@ -226,8 +296,8 @@ object IvfIndex {
       if (touched.nonEmpty) {
         val replacement = spark.read.parquet(s"$dir/data")
           .filter(col("cluster").isin(touched.map(c => c: Any): _*))
-          .select(col("id").cast("long"), col("unit_vec"),
-            col("cluster").cast("int"))
+          .select((Seq(col("id").cast("long"), col("unit_vec"),
+            col("cluster").cast("int")) ++ payloads.map(c => col(s"`$c`"))): _*)
           // repair compaction-crash duplicates while rewriting anyway
           .dropDuplicates("id")
           .join(broadcast(ids), Seq("id"), "left_anti")
@@ -270,7 +340,8 @@ object IvfIndex {
     */
   def topKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, embCol: String,
-      p: Params = Params(), maxQueries: Int = 4096): DataFrame = {
+      p: Params = Params(), maxQueries: Int = 4096,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val cents: Array[Array[Double]] = spark.read.parquet(s"$dir/centroids")
       .select(col("cluster").cast("int"), col("centroid"))
@@ -286,6 +357,13 @@ object IvfIndex {
     val probedClusters = probes.flatten.distinct.sorted
     val corpus = spark.read.parquet(s"$dir/data")
       .filter(col("cluster").isin(probedClusters.map(c => c: Any): _*))
+      // PRE-FILTER on the pruned scan (r16, VERDICT r15 #1): a filter
+      // over the layout's payload columns drops candidates BEFORE the
+      // top-k heaps, so the result is the exact top-k of the
+      // filter-survivors inside the probed clusters — no over-fetch
+      // window, no saturation failure mode, and the predicate reaches
+      // the parquet reader of exactly the probed partitions
+      .transform(df => filter.fold(df)(df.filter))
       // a compaction crash may leave a row duplicated (write-then-
       // delete window); a duplicate candidate would occupy two top-k
       // slots, so serving re-establishes id uniqueness on the pruned read

@@ -5401,6 +5401,57 @@ object DslSearchTail {
                 + CAST(floor((-2.0007 - cy) * 2) AS BIGINT)) % 8 AS DOUBLE) * 0.25
         ORDER BY o_orderkey
         LIMIT 300
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // FILTERED kNN on the PAYLOAD index layout (r16, VERDICT r15 #1 —
+    // the top real-user gap): the IVF layout carries the `label`
+    // payload column, so the DSL filter compiles into the pruned
+    // partition scan (candidates drop BEFORE the top-k heaps; the
+    // corpus is never read at serve time). nprobe == nlist degenerates
+    // the probe to the exact filtered ranking, which DuckDB replays
+    // over the SAME unit vectors — the raw (unnormalized) query vector
+    // in the oracle's dot product only scales sims by the positive
+    // constant |q|, so the ranking is identical; sims are projected
+    // away (IEEE division order differs across engines).
+    GraftQuery(
+      "q406_knn_index_filtered_payload",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-q406-ivf").toString
+        graft.operators.IvfIndex.writeIndex(emb, "vec_id", "embedding",
+          graft.operators.IvfIndex.Params(nlist = 8, nprobe = 8, iters = 2),
+          idx, payloadCols = Seq("label"))
+        val qv = (0 until 64).map(i => ((i * 3) % 11 - 5) / 20.0)
+        QueryDsl.search(emb,
+          s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+               "query_vector": [${qv.mkString(",")}], "k": 10,
+               "filter": {"range": {"label": {"lte": 4}}},
+               "index": {"path": "$idx", "nprobe": 8}}}""")
+          .select(col("vec_id"), col("rank"))
+      },
+      Some {
+        val qlit = (0 until 64).map(i =>
+          s"CAST(${((i * 3) % 11 - 5) / 20.0} AS DOUBLE)").mkString("[", ",", "]")
+        s"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, label,
+                 CASE WHEN list_dot_product(q, q) > 0
+                      THEN list_transform(q, x -> x / sqrt(list_dot_product(q, q)))
+                      ELSE q END AS u
+          FROM e),
+        s AS (SELECT vec_id, list_dot_product(u, $qlit) AS sim
+              FROM n WHERE label <= 4),
+        rk AS (SELECT vec_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+               FROM s)
+        SELECT vec_id, rank FROM rk WHERE rank <= 10 ORDER BY rank
+        """.stripMargin.trim
+      })
   )
 }

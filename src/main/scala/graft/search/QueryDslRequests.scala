@@ -1253,6 +1253,43 @@ private[search] trait QueryDslRequests { this: QueryDsl.type =>
         fail(s"knn query_vector has ${qv.size} dims but the index at " +
           s"'$path' holds $layoutDims-dim vectors")
       val qdf = Seq((-1L, qv.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
+
+      // PAYLOAD layout (r16, VERDICT r15 #1): when the layout carries
+      // caller-declared payload columns, a `filter` compiles against
+      // the PRUNED partition scan itself — candidates are filtered
+      // before the top-k heaps, the corpus is never touched at serve
+      // time, and no over-fetch window (or its saturation failure
+      // mode) exists. The filter must reference only columns the
+      // layout carries — fail loud, never silently fall back to the
+      // corpus scan this arm exists to avoid.
+      val payloads = graft.operators.IvfIndex
+        .layoutPayloadCols(table.sparkSession, path)
+      if (filterPred.isDefined && payloads.nonEmpty) {
+        if (im.contains("oversample"))
+          fail("knn index oversample does not apply to a payload-carrying " +
+            "layout: the filter compiles into the pruned partition scan, " +
+            "so there is no over-fetch window")
+        // resolve the filter against the layout schema NOW (driver-only
+        // analysis): a reference the layout does not carry must fail
+        // with the layout's payload inventory, not a deep-plan
+        // resolution error at collect time
+        try spark.read.parquet(s"$path/data").filter(filterPred.get)
+          .queryExecution.analyzed
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            fail(s"knn filter references a column the index layout at " +
+              s"'$path' does not carry (payload columns: " +
+              s"${payloads.mkString(", ")}) - rebuild the index declaring " +
+              s"it, or use the exact arm [${e.getSimpleMessage}]")
+        }
+        return graft.operators.IvfIndex.topKFromIndex(spark, path, qdf,
+            "q_id", "q_emb",
+            graft.operators.IvfIndex.Params(nprobe = nprobe, k = k),
+            filter = filterPred)
+          .select(col("neighbor_id").as(idF), col("rank"), col("sim"))
+          .orderBy(col("rank"))
+      }
+
       val kFetch = filterPred match {
         case None    => k
         case Some(_) =>

@@ -119,4 +119,38 @@ class IvfCdcMergeSpec extends SparkSpec {
       .select(col("id").cast("long")).as[Long].collect().toSet
     assert(left === data.map(_._1).toSet -- victimIds)
   }
+
+  test("payload columns survive CDC merge; a payload-less batch fails loud (r16)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val p = IvfIndex.Params(nlist = 4, nprobe = 2, iters = 2, k = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_payload_cdc").toString
+    IvfIndex.writeIndex(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+      p, dir, payloadCols = Seq("label"))
+    assert(IvfIndex.layoutPayloadCols(spark, dir) === Seq("label"))
+
+    // upsert new ids with labels + replace one id's label
+    val batch = emb.filter(col("vec_id").between(400, 450))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        lit("upsert").as("_action"))
+      .unionByName(emb.filter(col("vec_id") === 7)
+        .select(col("vec_id"), col("embedding"),
+          lit(99L).as("label"), lit("upsert").as("_action")))
+    IvfIndex.mergeCdcBatch(spark, dir, batch, "vec_id", "embedding")
+    val after = spark.read.parquet(s"$dir/data")
+      .select(col("id").cast("long"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(after.contains(425L), "new ids joined the layout")
+    assert(after(7L) === 99L, "the replaced id carries its new label")
+    // untouched rows keep their original labels
+    val orig = emb.filter(col("vec_id") === 3)
+      .select(col("label").cast("long")).as[Long].head()
+    assert(after(3L) === orig)
+
+    // a batch without the layout's payload column fails loud
+    val bad = emb.filter(col("vec_id") === 8)
+      .select(col("vec_id"), col("embedding"), lit("upsert").as("_action"))
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.mergeCdcBatch(spark, dir, bad, "vec_id", "embedding"))
+    assert(e.getMessage.contains("payload column 'label'"), e.getMessage)
+  }
 }

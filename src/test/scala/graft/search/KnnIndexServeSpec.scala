@@ -164,4 +164,76 @@ class KnnIndexServeSpec extends SparkSpec {
            "query_vector": [${(0 until 32).map(_ => "0.1").mkString(",")}],
            "k": 10, "index": {"path": "$dir", "nprobe": 4}}}"""))
   }
+
+  test("payload layout: filter compiles into the pruned scan (r16)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val p = IvfIndex.Params(nlist = 8, nprobe = 8, iters = 2, k = 5)
+    val dir = java.nio.file.Files.createTempDirectory("knn_payload_idx").toString
+    IvfIndex.writeIndex(emb, "vec_id", "embedding", p, dir,
+      payloadCols = Seq("label"))
+
+    // nprobe == nlist: the probe degenerates to the exact scan over
+    // filter survivors, so the served ID RANKING equals the exact
+    // filtered brute-force arm's
+    val served = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"range": {"label": {"lte": 4}}},
+           "index": {"path": "$dir", "nprobe": 8}}}""")
+    val srows = served.collect().toSeq
+    assert(srows.size === 5)
+    assert(srows.map(_.getLong(1)) === (1L to 5L))
+    val exact = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"range": {"label": {"lte": 4}}}}}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(srows.map(_.getLong(0)) === exact,
+      "all-probe payload serve must equal the exact filtered ranking")
+    // every hit passes the filter
+    val ok = emb.filter(col("label") <= 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(srows.forall(r => ok(r.getLong(0))))
+
+    // plan pins: the cluster partition filter is RETAINED and the
+    // payload predicate reaches the pruned parquet scan
+    val probed = QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"range": {"label": {"lte": 4}}},
+           "index": {"path": "$dir", "nprobe": 2}}}""")
+    probed.collect()
+    val scans = finalNodes(probed).collect {
+      case f: FileSourceScanExec if f.metadata.getOrElse("Location", "").contains("data") => f
+    }
+    assert(scans.nonEmpty, "no file scan over the index data found")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "payload-filtered serve lost the partition-pruned probe scan")
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "").contains("label")),
+      s"label filter not pushed into the layout scan:\n${scans.head.metadata}")
+
+    // fail-loud: a filter naming a column the layout does not carry
+    val e = intercept[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"term": {"missing_col": 1}},
+           "index": {"path": "$dir", "nprobe": 4}}}"""))
+    assert(e.getMessage.contains("does not carry"), e.getMessage)
+    // fail-loud: oversample has no meaning without an over-fetch window
+    val e2 = intercept[IllegalArgumentException](QueryDsl.search(emb,
+      s"""{"knn": {"field": "embedding", "id_field": "vec_id",
+           "query_vector": [${vec.mkString(",")}], "k": 5,
+           "filter": {"range": {"label": {"lte": 4}}},
+           "index": {"path": "$dir", "nprobe": 4, "oversample": 8}}}"""))
+    assert(e2.getMessage.contains("no over-fetch window"), e2.getMessage)
+    // build-time fail-loud: reserved/missing payload names
+    assertThrows[IllegalArgumentException](IvfIndex.writeIndex(
+      emb, "vec_id", "embedding", p,
+      java.nio.file.Files.createTempDirectory("bad1").toString,
+      payloadCols = Seq("cluster")))
+    assertThrows[IllegalArgumentException](IvfIndex.writeIndex(
+      emb, "vec_id", "embedding", p,
+      java.nio.file.Files.createTempDirectory("bad2").toString,
+      payloadCols = Seq("nope")))
+  }
 }
