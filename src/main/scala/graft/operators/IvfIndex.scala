@@ -63,7 +63,7 @@ object IvfIndex {
     * caller-declared payload columns of any type ride along without a
     * second corpus-sized join (r16, VERDICT r15 #1).
     */
-  private def layoutRows(e: DataFrame, idCol: String, embCol: String,
+  private[operators] def layoutRows(e: DataFrame, idCol: String, embCol: String,
       payloadCols: Seq[String],
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
     val spark = e.sparkSession
@@ -370,6 +370,18 @@ object IvfIndex {
       .dropDuplicates("id")
       .select(col("id").cast("long"), col("unit_vec"), col("cluster").cast("int"))
       .as[(Long, Array[Double], Int)]
+    probeTopK(corpus, qs, probes, p)
+  }
+
+  /** The one probe-scoring core every layout server runs (direct and
+    * versioned): broadcast (query, probe-set) pairs, per-query bounded
+    * heaps over a corpus already pruned to the probed clusters.
+    */
+  private[operators] def probeTopK(corpus: Dataset[(Long, Array[Double], Int)],
+      qs: Array[(Long, Array[Double])], probes: Array[Array[Int]],
+      p: Params): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast((qs, probes))
 
     val partials = corpus.mapPartitions { rows =>

@@ -5452,6 +5452,65 @@ object DslSearchTail {
                FROM s)
         SELECT vec_id, rank FROM rk WHERE rank <= 10 ORDER BY rank
         """.stripMargin.trim
+      }),
+
+    // PIT over the VERSIONED vector store (r16, VERDICT r15 #5 — the
+    // q400 contract on the IVF serving layout): open a pin, land a
+    // delete-heavy copy-on-write merge AND a vacuum mid-session, and
+    // the pinned probe must still reconstruct the ORIGINAL ranking —
+    // the oracle ranks the original corpus by unit-vector cosine,
+    // knowing nothing of the later merge. nprobe == nlist makes the
+    // probe exact; sims are projected away (IEEE division order).
+    GraftQuery(
+      "q407_ivf_pit_across_merge",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q407-ivf").toString
+        val p = graft.operators.IvfIndex.Params(nlist = 8, nprobe = 8,
+          iters = 2, k = 10)
+        graft.operators.IvfAlias.build(emb, "vec_id", "embedding", p, root)
+        val pit = graft.operators.IvfAlias.openPit(s, root)
+        // mutations land mid-session: every third vector deleted
+        graft.operators.IvfAlias.merge(s, root,
+          emb.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id"), col("embedding"),
+              lit("delete").as("_action")),
+          "vec_id", "embedding")
+        graft.operators.IvfAlias.vacuum(s, root): Unit
+        val qv = (0 until 64).map(i => ((i * 3) % 11 - 5) / 20.0)
+        import s.implicits._
+        val qdf = Seq((-1L, qv.map(_.toFloat).toArray)).toDF("q_id", "q_emb")
+        val out = graft.operators.IvfAlias.topK(s, root, qdf,
+            "q_id", "q_emb", p, pit = Some(pit))
+          .select(col("neighbor_id").as("vec_id"), col("rank"))
+          .orderBy(col("rank"))
+          // materialize before release unpins the frozen composition
+          .localCheckpoint(true)
+        graft.operators.IvfAlias.release(s, pit)
+        out
+      },
+      Some {
+        val qlit = (0 until 64).map(i =>
+          s"CAST(${((i * 3) % 11 - 5) / 20.0} AS DOUBLE)").mkString("[", ",", "]")
+        s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+          FROM embeddings),
+        n AS (
+          SELECT vec_id,
+                 CASE WHEN list_dot_product(q, q) > 0
+                      THEN list_transform(q, x -> x / sqrt(list_dot_product(q, q)))
+                      ELSE q END AS u
+          FROM e),
+        s AS (SELECT vec_id, list_dot_product(u, $qlit) AS sim FROM n),
+        rk AS (SELECT vec_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+               FROM s)
+        SELECT vec_id, rank FROM rk WHERE rank <= 10 ORDER BY rank
+        """.stripMargin.trim
       })
   )
 }
