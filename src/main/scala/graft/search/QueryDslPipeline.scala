@@ -882,14 +882,29 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
         // codegen'd HOFs around the EnglishFold kernel — no UDF, no
         // extra scan; DuckDB replays the same walk with window-function
         // prefix sums over the unnested tokens.
+        //
+        // The split results and the walk are MATERIALIZED into working
+        // columns first (one Project each): Catalyst does no common-
+        // subexpression elimination ACROSS higher-order-function
+        // lambda boundaries, so referencing the split expression from
+        // every `element_at` site re-runs the regex split PER TOKEN —
+        // O(len × tokens) per row, measured as every executor thread
+        // parked in java.util.regex at the 100× battery. CollapseProject
+        // keeps non-cheap multi-referenced aliases materialized, so
+        // each evaluates exactly once per row.
         val raw = col(f)
-        val toks = filter(split(raw, "[^A-Za-z0-9]+", -1), t => t =!= "")
-        val seps = split(raw, "[A-Za-z0-9]+", -1)
+        Seq("__hl_toks", "__hl_seps", "__hl_m").foreach { c =>
+          if (df.columns.contains(c))
+            fail(s"highlight on '$f' needs the working column '$c' but " +
+              "the table already carries one - rename it")
+        }
+        val toks = col("__hl_toks")
+        val seps = col("__hl_seps")
         // sequence(1, 0) DESCENDS — guard the token-free row
         val idxArr = when(size(toks) === 0, array().cast("array<int>"))
           .otherwise(sequence(lit(1), size(toks)))
         val emptyMs = array().cast("array<struct<p:int,l:int>>")
-        val matched = aggregate(
+        val matchedExpr = aggregate(
           idxArr,
           struct(lit(1).as("cur"), emptyMs.as("ms")),
           (acc, i) => {
@@ -903,6 +918,7 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
                 .otherwise(acc.getField("ms")).as("ms"))
           },
           acc => acc.getField("ms"))
+        val matched = col("__hl_m")
         val anchors = slice(transform(matched, m => m.getField("p")),
           lit(1), lit(nFrags))
         val frags = transform(anchors, p => {
@@ -926,7 +942,12 @@ private[search] trait QueryDslPipeline { this: QueryDsl.type =>
                 lastChar - a.getField("cur") + 1)))
         })
         val out = if (fields.size == 1) "highlight" else s"highlight_$f"
-        df.withColumn(out, when(size(matched) > 0, concat_ws(" ... ", frags)))
+        df.withColumn("__hl_toks",
+            filter(split(raw, "[^A-Za-z0-9]+", -1), t => t =!= ""))
+          .withColumn("__hl_seps", split(raw, "[A-Za-z0-9]+", -1))
+          .withColumn("__hl_m", matchedExpr)
+          .withColumn(out, when(size(matched) > 0, concat_ws(" ... ", frags)))
+          .drop("__hl_toks", "__hl_seps", "__hl_m")
       } else {
       // occurrence start positions (1-based), non-overlapping, in text
       // order: split on the quoted literal, prefix-sum the part lengths
