@@ -125,7 +125,15 @@ object ScaleBench {
       // re-derivation must be gone), and the grid-cell shape agg
       "q392_dsl_geo_sidecar_ring_orders",
       "q396_bpe_encode",
-      "q397_dsl_geohash_grid_doc_shape")
+      "q397_dsl_geohash_grid_doc_shape",
+      // round-16 members (documents/orders-keyed — embeddings stays
+      // unreplicated, so q406/q407 price at 1× only): the english
+      // stem-anchored highlight walk, the custom synonym/stop fold,
+      // and the auto-wired sidecar query (q392's shape with the
+      // pre-filter injected from table meta instead of the request)
+      "q403_dsl_highlight_english",
+      "q404_dsl_match_custom_synonyms",
+      "q405_dsl_geo_sidecar_autowired")
 
   /** Offset far above any base id (sf0.1 doc_id max ≈ 5e3). */
   private val off = 10000000L
@@ -300,7 +308,11 @@ object ScaleBench {
     // battery (prints its JSON fragment; scale_last.json untouched)
     if (args.lift(2).contains("geoprobe")) {
       val spark0 = GraftSession.get()
-      Seq(("1", baseDir), ("10", s"${workRoot}10")).foreach { case (c, d) =>
+      // r16 (VERDICT r15 #7): the 100× point — the sidecar's claim is
+      // about big corpora, so the growth record must reach the same
+      // scale every other headline claim carries
+      Seq(("1", baseDir), ("10", s"${workRoot}10"),
+          ("100", s"${workRoot}100")).foreach { case (c, d) =>
         val layoutDir = java.nio.file.Files
           .createTempDirectory(s"scale_geo$c").toString
         val (p, fl, exact) = geoEnvelopeProbe(spark0, s"$d/orders.parquet", layoutDir)
