@@ -93,10 +93,25 @@ object SearchIndex {
     fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(metaPath(dir)), false)
     val tok = tokenized(docs, idCol, textCol, an).persist()
     try {
+      // cluster rows by the layout's partition column before the
+      // partitioned write: without it every one of the shuffle's N
+      // tasks holds rows of all `buckets` partitions and the build
+      // fans out N×buckets near-empty files (2048 at the bench's
+      // 32×64 — measured 3.9 s, mostly file open/commit). Clustered,
+      // each task writes whole buckets: ≤ `buckets` well-sized files,
+      // which is also what the bucket-pruned serve path wants to read.
+      // The partition count is pinned to `buckets` (≈1 file per task,
+      // writers stay parallel): an un-pinned repartition(col) lets AQE
+      // coalesce the tiny bench layout into one serial writer task —
+      // measured 3.9 s → 4.7 s before the pin, ~2.6 s with it. The
+      // extra exchange moves only the aggregated postings (guide §6:
+      // output file sizing), and `buckets` is the caller's scale knob.
       postingsOf(tok, buckets)
+        .repartition(buckets, col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket").parquet(s"$dir/postings")
       tok.select(col("doc_id"), col("dl"))
         .withColumn("dbucket", pmod(col("doc_id"), lit(buckets.toLong)))
+        .repartition(buckets, col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docs")
       writeStats(spark, dir, buckets, analyzer)
     } finally tok.unpersist()

@@ -220,7 +220,16 @@ object IvfIndex {
     try {
       val cents = train(v, p)
       val bc = spark.sparkContext.broadcast(cents)
+      // cluster the rows by the layout's partition column before the
+      // partitioned write (guide §6, same rationale as the BM25 build):
+      // un-clustered, every write task holds rows of ~all nlist
+      // clusters and the layout fans out tasks×nlist near-empty files —
+      // the pruned probe read then pays per-file open cost instead of
+      // one sized file per cluster. Pinned to nlist partitions so the
+      // writers stay parallel (≈1 cluster per task) at any scale; the
+      // one extra exchange moves each layout row exactly once.
       layoutRows(embeddings, idCol, embCol, payloadCols, bc)
+        .repartition(p.nlist, col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/data")
       spark.createDataset(cents.zipWithIndex.toSeq.map { case (c, i) => (i, c) })
         .toDF("cluster", "centroid")

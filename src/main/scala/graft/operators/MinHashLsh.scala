@@ -186,23 +186,33 @@ object MinHashLsh {
   }
 
   /** One representative document (min doc_id) per distinct text —
-    * exact duplicates collapse before banding. `first(text)` is safe:
-    * every text in an md5 group is byte-identical (modulo an md5
-    * collision, ~2^-128 per pair). Map-side partial aggregation
-    * collapses duplicate-heavy partitions before the shuffle.
+    * exact duplicates collapse before banding. Grouping directly by
+    * `text` (the key lives in the UnsafeRow grouping key, which takes
+    * variable-length types) keeps the only aggregate buffer a LONG, so
+    * this plans as whole-stage-codegen HashAggregate; the previous
+    * md5-key + `first(text)` form put a string in the aggregation
+    * buffer, which UnsafeRow buffers cannot mutate, and silently fell
+    * back to SortAggregate — a full sort of the corpus on both sides
+    * of the shuffle (r16 opt: measured in the q72 final plan). Shuffle
+    * bytes are unchanged (text crossed the wire either way) and exact
+    * text equality is the true collapse contract the md5 key only
+    * approximated.
     */
   private def collapseExact(base: DataFrame): DataFrame =
-    base.groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"))
 
   /** Exact-duplicate groups of size ≥ 2: (rep_id, ids) with ids sorted.
     * Tiny relative to the corpus (one row per duplicated text), so the
-    * re-expansion joins against it auto-broadcast.
+    * re-expansion joins against it auto-broadcast. Keyed by `text`
+    * itself — the SAME equality [[collapseExact]] groups by, so the
+    * group table and the representative set can never disagree (the
+    * old md5 key was a second, approximate equality; a collision would
+    * have merged groups the collapse kept apart).
     */
   private def dupGroups(base: DataFrame): DataFrame =
-    base.select(col("doc_id"), md5(col("text")).as("fp"))
-      .groupBy(col("fp"))
+    base.groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep_id"),
         sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -350,21 +360,27 @@ object MinHashLsh {
     // inherits its representatives' Jaccard (identical shingle sets);
     // most groups are singletons, so the left joins against the tiny
     // dup-group table pass pairs through untouched (AQE broadcasts it).
-    val expanded = repPairs
+    // Within-group pairs (byte-identical docs, Jaccard exactly 1) ride
+    // the SAME expansion as a self-pair (rep, rep, 1.0) per dup group:
+    // both join arms hit the group, the double explode enumerates
+    // ids × ids, and the da<db guard keeps each unordered member pair
+    // once. One expansion instead of a separate `within` branch means
+    // every consumer of `groups` shares one canonical aggregate — the
+    // old branch pruned `rep_id` out of its copy, splitting the
+    // canonical plan and re-scanning the corpus for a third time
+    // (r16 opt: q72 final plan showed the extra FileScan).
+    val selfPairs = groups.select(col("rep_id").as("a_id"),
+      col("rep_id").as("b_id"), lit(1.0).as("jaccard"))
+    val expanded = repPairs.union(selfPairs)
       .join(groups.withColumnsRenamed(Map("rep_id" -> "a_id", "ids" -> "ids_a")),
         Seq("a_id"), "left")
       .join(groups.withColumnsRenamed(Map("rep_id" -> "b_id", "ids" -> "ids_b")),
         Seq("b_id"), "left")
       .withColumn("da", explode(coalesce(col("ids_a"), array(col("a_id")))))
       .withColumn("db", explode(coalesce(col("ids_b"), array(col("b_id")))))
+      .filter(col("a_id") =!= col("b_id") || col("da") < col("db"))
       .select(least(col("da"), col("db")).as("a_id"),
         greatest(col("da"), col("db")).as("b_id"), col("jaccard"))
-    // within-group: all pairs of byte-identical docs, Jaccard exactly 1
-    val within = groups
-      .select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
-    expanded.union(within)
+    expanded
   }
 }

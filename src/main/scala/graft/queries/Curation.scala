@@ -73,11 +73,17 @@ object Curation {
     // into fixed 5-token chunks, hash each chunk (md5-derived, portable),
     // count cross-document chunk frequency, and report per-document how
     // much of it is boilerplate repeated elsewhere. Plan: map-side
-    // chunk explode → one groupBy on the chunk hash (document
-    // frequency) → equi-join back → per-doc aggregate. Both shuffles
-    // key on high-cardinality hashes, so the plan scales linearly; no
-    // pair enumeration ever happens (a chunk shared by d docs costs d
-    // posting rows, not d²).
+    // chunk explode → ONE explicit repartition on the chunk hash that
+    // both consumers (the document-frequency aggregate and the join
+    // back) share via AQE exchange reuse — hashpartitioning(h)
+    // satisfies every downstream h-keyed distribution, so the df
+    // aggregate, its distinct pre-phase and the join all run
+    // exchange-free on top of it. The previous shape keyed the two
+    // consumers' exchanges differently, so the tokenize+chunk+md5 scan
+    // ran TWICE (r16 opt: final plan showed 2 FileScan+Generate).
+    // Both remaining shuffles key on high-cardinality hashes, so the
+    // plan scales linearly; no pair enumeration ever happens (a chunk
+    // shared by d docs costs d posting rows, not d²).
     GraftQuery(
       "q83_paragraph_dedup",
       (s, dir) => {
@@ -90,6 +96,7 @@ object Curation {
           .otherwise(array().cast("array<string>"))
         val posts = d.select(col("doc_id"), explode(chunks).as("ch"))
           .select(col("doc_id"), TextFns.md5hash60(col("ch")).as("h"))
+          .repartition(col("h"))
         val df = posts.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("df"))
         posts.join(df, "h")
@@ -187,11 +194,19 @@ object Curation {
     GraftQuery(
       "q87_bloom_contamination",
       (s, dir) => {
+        // split-filter BEFORE the shingling kernel: mapPartitions is
+        // opaque to the optimizer, so a tag filter above it cannot push
+        // into the scan and the whole corpus was shingled twice (once
+        // per side). Filtering the input instead puts `source` in the
+        // scan's PushedFilters and each document is shingled exactly
+        // once across the two sides (r16 opt).
+        val docs = Tables.load(s, dir, "documents")
         val post = graft.operators.MinHashLsh.portablePostings(
-          Tables.load(s, dir, "documents"), "doc_id", "source", "text")
+          docs.filter(col("source") =!= "src0"), "doc_id", "source", "text")
         // two probe indices per shingle from one 60-bit md5 hash:
         // low 16 bits and next 16 bits (m = 2^16 bits)
-        val evalBits = post.filter(col("tag") === "src0")
+        val evalBits = graft.operators.MinHashLsh.portablePostings(
+            docs.filter(col("source") === "src0"), "doc_id", "source", "text")
           .select(explode(array(
             col("s").bitwiseAND(lit(65535L)),
             shiftright(col("s"), 16).bitwiseAND(lit(65535L)))).as("idx"))
@@ -202,7 +217,7 @@ object Curation {
           .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(idx % 32 as int)))").as("mask"))
         val bloom = evalBits.groupBy()
           .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bloom"))
-        val train = post.filter(col("tag") =!= "src0")
+        val train = post
           .select(col("doc_id"),
             col("s").bitwiseAND(lit(65535L)).as("i1"),
             shiftright(col("s"), 16).bitwiseAND(lit(65535L)).as("i2"))

@@ -205,11 +205,17 @@ object Dedup {
     GraftQuery(
       "q78_dedup_contamination",
       (s, dir) => {
-        val post = graft.operators.MinHashLsh.portablePostings(
-          Tables.load(s, dir, "documents"), "doc_id", "source", "text")
-        val train = post.filter(col("tag") =!= "src0")
+        // split-filter BEFORE the shingling kernel: the mapPartitions
+        // kernel is opaque, so a tag filter above it never pushed into
+        // the scan and the whole corpus was shingled twice (once per
+        // side). Filtering the input puts `source` in PushedFilters
+        // and each document is shingled exactly once (r16 opt).
+        val docs = Tables.load(s, dir, "documents")
+        val train = graft.operators.MinHashLsh.portablePostings(
+            docs.filter(col("source") =!= "src0"), "doc_id", "source", "text")
           .select(col("doc_id"), col("s"))
-        val eval = post.filter(col("tag") === "src0")
+        val eval = graft.operators.MinHashLsh.portablePostings(
+            docs.filter(col("source") === "src0"), "doc_id", "source", "text")
           .select(col("s")).distinct()
         train.join(broadcast(eval), "s")
           .groupBy(col("doc_id"))
