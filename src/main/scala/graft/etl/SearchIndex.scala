@@ -113,7 +113,13 @@ object SearchIndex {
         .withColumn("dbucket", pmod(col("doc_id"), lit(buckets.toLong)))
         .repartition(buckets, col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docs")
-      writeStats(spark, dir, buckets, analyzer)
+      // build-path stats come from the in-memory tokenization the two
+      // writes just consumed — identical by construction to what the
+      // merge path's read-back of docs/ would compute (a fresh build
+      // has no compaction-crash duplicates), minus one full docs/
+      // re-read + dedup job (r16 opt). Merges keep reading docs/.
+      writeStatsRow(spark, dir, buckets, analyzer,
+        tok.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
     } finally tok.unpersist()
   }
 
@@ -211,13 +217,20 @@ object SearchIndex {
     * the row itself is a pure function of `docs/`.
     */
   private def writeStats(spark: SparkSession, dir: String, nb: Int,
-      analyzer: String): Unit = {
+      analyzer: String): Unit =
+    writeStatsRow(spark, dir, nb, analyzer,
+      spark.read.parquet(s"$dir/docs")
+        .dropDuplicates("doc_id") // compaction-crash duplicates must not inflate n_docs
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+
+  /** Commit a (n_docs, sum_dl) aggregate as the stats row via the
+    * crash-survivable temp-write + rename protocol.
+    */
+  private def writeStatsRow(spark: SparkSession, dir: String, nb: Int,
+      analyzer: String, agg: DataFrame): Unit = {
     writeMetaOnce(spark, dir, nb, analyzer)
     val tmp = s"$dir/_stats_inprogress"
-    spark.read.parquet(s"$dir/docs")
-      .dropDuplicates("doc_id") // compaction-crash duplicates must not inflate n_docs
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .withColumn("buckets", lit(nb))
+    agg.withColumn("buckets", lit(nb))
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp)
     val fs = fsOf(spark, dir)

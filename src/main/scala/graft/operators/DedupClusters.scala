@@ -67,12 +67,21 @@ object DedupClusters {
       val push = e.join(labels)
         .map { case (_, (dst, sl)) => (dst, sl) }
       // pointer jump: label(X) → X edges keyed by the label; the only
-      // per-round re-key shuffle (the labels side stays narrow)
-      val jump = labels.map { case (id, l) => (l, id) }
-        .join(labels)
-        .map { case (_, (id, ll)) => (id, ll) }
+      // per-round re-key shuffle (the labels side stays narrow). In
+      // round 1 labels are still the identity (label(X) = X), so the
+      // jump contributes exactly the `labels` rows the union already
+      // carries — skip its shuffle+join that round (r16 opt: one fewer
+      // shuffle per components call).
+      val contrib =
+        if (i == 0) push.union(labels)
+        else {
+          val jump = labels.map { case (id, l) => (l, id) }
+            .join(labels)
+            .map { case (_, (id, ll)) => (id, ll) }
+          push.union(jump).union(labels)
+        }
       // self keeps the own label; min-combine runs map-side
-      val next = push.union(jump).union(labels)
+      val next = contrib
         .reduceByKey(part, math.min(_: Long, _: Long))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // convergence: narrow join (both sides on `part`), one job that

@@ -257,8 +257,20 @@ object MinHashLsh {
       .filter(col("df") <= maxDf).drop("df")
     val a = kept.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
     val b = kept.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+    // length-ratio prune (the similarity-join size filter): jaccard ≤
+    // min(na,nb)/max(na,nb), so a pair whose smaller shingle set is
+    // under `threshold` × the larger can never clear the threshold —
+    // drop it at pair-generation time, BEFORE the per-pair aggregate,
+    // instead of counting its intersections and verifying. The guard
+    // keeps a full shingle-count unit of slack (min ≥ t·max − 1) so no
+    // double-rounding boundary case can ever drop a pair the final
+    // jaccard compare would keep (1 ≫ any ulp at these magnitudes);
+    // rows the slack lets through are re-checked by the final filter —
+    // false keeps cost work, never correctness.
+    val ratioOk = least(col("na"), col("nb")).cast("double") >=
+      lit(threshold) * greatest(col("na"), col("nb")).cast("double") - 1.0d
     a.join(b, Seq("s"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") && ratioOk)
       .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

@@ -125,22 +125,28 @@ object SemanticDedup {
     val spark = e.sparkSession
     import spark.implicits._
 
-    // read twice — once to form groups, once (projected to the narrow
-    // (vec_id, fp) pair) to re-expand members. Deliberately NOT
-    // persisted: the second pass is a map-only rescan that column-
-    // prunes everything but the embedding, far cheaper at scale than
-    // caching every quantized vector
+    // read once — the group aggregate carries every member id in a
+    // collect_list, so re-expansion is an explode over the (persisted)
+    // groups instead of a second corpus scan + fp join (r16 opt: the
+    // old shape scanned and re-quantized the corpus twice and paid an
+    // fp-keyed join to hand members their rep — 2 of the 12 Spark jobs
+    // a single q79 run fired). member ids cost 8 bytes/vector in the
+    // one collapse shuffle the pass already makes.
     val fged = fingerprinted(e, idCol, embCol, threshold, signDims)
       .toDF("vec_id", "v", "cid", "fp", "self_near")
 
     // exact collapse: one representative (min id) per distinct
     // quantized vector; `first` is safe — every v in an fp group is
-    // byte-identical (modulo an md5 collision, ~2^-128 per pair)
+    // byte-identical (modulo an md5 collision, ~2^-128 per pair).
+    // collect_list also moves the whole aggregate from the
+    // SortAggregate fallback (array-typed `first` buffer is immutable
+    // in UnsafeRow) to ObjectHashAggregate — no corpus sort.
     val groups = fged.groupBy(col("fp"))
       .agg(min(col("vec_id")).as("rep_id"), first(col("v")).as("v"),
-        first(col("cid")).as("cid"))
+        first(col("cid")).as("cid"),
+        collect_list(col("vec_id")).as("member_ids"))
       // read up to three times: bucket sizes, the kernel, the member
-      // re-expansion join
+      // re-expansion
       .persist()
 
     // hot-bucket cap on POST-collapse rep count: there are at most
@@ -170,8 +176,8 @@ object SemanticDedup {
     val low = pairs.groupBy(col("b_id").as("rep_id"))
       .agg(min(col("a_id")).as("low"))
 
-    val out = fged.select(col("vec_id"), col("fp"))
-      .join(groups.select(col("fp"), col("rep_id"), col("cid")), Seq("fp"))
+    val out = groups
+      .select(col("rep_id"), col("cid"), explode(col("member_ids")).as("vec_id"))
       .join(low, Seq("rep_id"), "left")
       .select(
         col("vec_id"),

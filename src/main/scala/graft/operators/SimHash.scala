@@ -83,6 +83,14 @@ object SimHash {
       .select(col("doc_id"), col("fp"),
         explode(TextFns.simhashBlocks(col("fp"))).as("b"))
       .select(col("doc_id"), col("fp"), col("b.blk").as("blk"), col("b.v").as("v"))
+      // one explicit exchange on the join key that BOTH sides of the
+      // self-join share (AQE exchange reuse): without it the planner
+      // broadcasts one side, neither side carries a shuffle, and the
+      // md5 fingerprint kernel (~200 digests/doc — the dominant cost)
+      // runs twice, scanning the corpus twice (r16 opt: final plan
+      // showed 2 FileScans, 0 reuse). The shuffle moves 4 narrow rows
+      // per doc — far cheaper than a second kernel pass at any scale.
+      .repartition(col("blk"), col("v"))
     blocks.as("x").join(blocks.as("y"), Seq("blk", "v"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

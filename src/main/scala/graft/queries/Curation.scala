@@ -40,7 +40,12 @@ object Curation {
           slice(tok, lit(1), size(tok) - 1),
           slice(tok, lit(2), size(tok) - 1),
           (a, b) => concat(a, lit(" "), b))
-        d.select(col("doc_id"), explode(bg).as("bg"))
+        // one repartition on doc_id serves both aggregates (the q92
+        // shape, r16 opt): bigram rows never cross the wire — the
+        // compact documents do, once
+        d.select(col("doc_id"), col("text"))
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(bg).as("bg"))
           .groupBy(col("doc_id"), col("bg"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
