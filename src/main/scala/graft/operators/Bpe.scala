@@ -97,12 +97,18 @@ object Bpe {
     var exhausted = false
     try {
       while (step <= k && !exhausted) {
+        // adjacent pairs via posexplode + element_at, NOT a transform
+        // lambda: higher-order functions are CodegenFallback —
+        // interpreted per row — and their NamedLambdaVariable ids also
+        // defeat plan canonicalization; the lambda-free form runs in
+        // whole-stage codegen (r16 opt, the q154 lesson — measured
+        // 3.4 → 0.8 s there for the same bigram shape)
         val top = syms.filter(size(col("syms")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-              "struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .select(col("syms"),
+            posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
+              .as(Seq("i", "a")))
+          .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"))
+          .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("a").asc, col("b").asc)
           .head(1)
@@ -111,7 +117,13 @@ object Bpe {
           val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           learned += ((step, a, b, a + b, n))
           val snap = s"$ckptRoot/it=$step"
-          syms.select(applyMerge(col("syms"), a, b).as("syms"))
+          // apply the ONE new merge through the codegen BpeEncode
+          // kernel rather than the interpreted `aggregate` HOF fold
+          // (applyMerge stays as the reference implementation BpeSpec
+          // checks the kernel against): a single-row merge table is
+          // exactly one leftmost-greedy pass — the k=1 case of the
+          // spec-pinned encode ≡ fold equivalence (r16 opt)
+          syms.select(graft.plans.BpeEncode(col("syms"), Seq((a, b))).as("syms"))
             .write.mode("overwrite").parquet(snap)
           syms = spark.read.parquet(snap)
           if (prevStep > 0)
