@@ -113,10 +113,18 @@ object Bench {
     // the line's opening brace out of the capture window and the parse
     // came back null. The compact line fits any reasonable tail; the
     // samples stay available in the committed bench_last.json.
+    // scaling-contract echo (r17, VERDICT r16 #2): the LIVE session's
+    // core count and shuffle partitioning, read back from the running
+    // SparkContext/conf — not from the env — so the record proves the
+    // env was honored, not merely requested
+    val cpusLive = spark.sparkContext.defaultParallelism
+    val shufLive = spark.conf.get("spark.sql.shuffle.partitions")
+    val scaleEcho =
+      s""""cpus":$cpusLive,"shuffle_partitions":$shufLive,"master":"${spark.sparkContext.master}""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"bm25_build_sec":$bm25BuildSec,"queries":${jmap(results)},"min":${jmap(mins)},"spread":${jmap(spreads)},"samples":${jmapArr(perPass)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"bm25_build_sec":$bm25BuildSec,$scaleEcho,"queries":${jmap(results)},"min":${jmap(mins)},"spread":${jmap(spreads)},"samples":${jmapArr(perPass)},"sf":"$sfDir"}"""
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"bm25_build_sec":$bm25BuildSec,"queries":${jmap(results)},"min":${jmap(mins)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"bm25_build_sec":$bm25BuildSec,$scaleEcho,"queries":${jmap(results)},"min":${jmap(mins)},"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -4,7 +4,7 @@ object Q79Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     import spark.implicits._
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val e = graft.sources.Tables.load(spark, dir, "embeddings")
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f

@@ -40,23 +40,26 @@ object Bpe {
     * array<string> per token) and return the merge table —
     * (step, a, b, merged, n) — one row per learned merge, in order.
     *
-    * Checkpointed (r15, VERDICT r14 #3 — the documented remedy,
-    * implemented): each iteration WRITES the folded symbolization to a
-    * temp parquet snapshot and re-reads it, so iteration j's pair-count
-    * scan reads the materialized fold instead of re-applying merges
-    * 1..j−1 from scratch (ScaleBench measured the un-checkpointed loop
-    * at 32.3× cost at 100× corpus). The previous iteration's snapshot
-    * is deleted as soon as the new one is written — a trainer hoarding
-    * k corpus-sized copies is its own scale bug — so live storage is
-    * ONE symbolization. Parquet-snapshot checkpointing (the CdcStream
-    * versioned-target discipline) is the deliberate tier after
-    * measuring the alternatives at 100×: `localCheckpoint`'s blocks
-    * are UNEVICTABLE (lineage gone) and starved the unified pool until
-    * the pair-count aggregation OOMed, and even DISK_ONLY `persist`
-    * OOMed the 8 GB heap through the columnar cache builder — the
-    * parquet writer streams with bounded memory at any corpus size,
-    * and the re-read truncates both the recompute lineage and the
-    * k-deep nested-HOF plan.
+    * Checkpointed with a CADENCE (r15 snapshot protocol, r16 cadence —
+    * VERDICT r16 #6): every `snapshotEvery` iterations the current
+    * symbolization is WRITTEN to a temp parquet snapshot and re-read;
+    * between snapshots the pending merges ride the pair-count scan as
+    * one flat [[graft.plans.BpeEncode]] kernel over the last snapshot
+    * (the spec-pinned encode ≡ fold equivalence), so iteration j's
+    * scan never re-derives a deep lineage (ScaleBench measured the
+    * fully un-checkpointed nested-HOF loop at 32.3× cost at 100×
+    * corpus — that failure mode was plan DEPTH, which the flat kernel
+    * keeps at one expression regardless of pending count). The
+    * previous snapshot is deleted as soon as the new one is written —
+    * a trainer hoarding corpus-sized copies is its own scale bug — so
+    * live storage is ONE symbolization. Parquet-snapshot checkpointing
+    * (the CdcStream versioned-target discipline) is the deliberate
+    * tier after measuring the alternatives at 100×: `localCheckpoint`'s
+    * blocks are UNEVICTABLE (lineage gone) and starved the unified
+    * pool until the pair-count aggregation OOMed, and even DISK_ONLY
+    * `persist` OOMed the 8 GB heap through the columnar cache builder —
+    * the parquet writer streams with bounded memory at any corpus
+    * size.
     *
     * The checkpoint root is CLUSTER-SAFE (r16, VERDICT r15 #3 / ADVICE
     * — the last java.nio store path in an operator): snapshots must
@@ -90,7 +93,25 @@ object Bpe {
           "sweeping caller data would be worse than failing here)")
     def rmdir(p: org.apache.hadoop.fs.Path): Unit =
       if (fs.exists(p)) { fs.delete(p, true); () }
-    var syms = tokens.select(col("syms"))
+    // snapshot CADENCE (r17 opt, VERDICT r16 #6): a parquet snapshot +
+    // read-back per merge wrote the whole corpus to disk k times. The
+    // snapshot's two jobs — bounded-memory lineage truncation and a
+    // bounded re-read on task retry — only need the snapshot-to-scan
+    // distance BOUNDED, not zero: between snapshots the pending merges
+    // are applied IN the pair-count scan through one flat BpeEncode
+    // kernel over the last snapshot (encode ≡ fold is the spec-pinned
+    // equivalence), so plan depth stays 1 (one scan + one expression —
+    // never the k-deep nested-HOF tree the r15 32.3× measurement
+    // punished) and live storage stays ONE symbolization. Cost trade
+    // per iteration: ≤ snapshotEvery−1 extra in-kernel merge passes
+    // (pure per-row CPU) against a full corpus parquet write + re-read
+    // saved; k ≤ 64 bounds pending at snapshotEvery−1 ≤ 15.
+    val snapshotEvery = 16
+    var snap0 = tokens.select(col("syms")) // last materialized symbolization
+    var pending = List.empty[(String, String)] // merges applied in-kernel on top
+    def current: DataFrame =
+      if (pending.isEmpty) snap0
+      else snap0.select(graft.plans.BpeEncode(col("syms"), pending.reverse).as("syms"))
     var prevStep = 0
     val learned = collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
@@ -103,7 +124,7 @@ object Bpe {
         // defeat plan canonicalization; the lambda-free form runs in
         // whole-stage codegen (r16 opt, the q154 lesson — measured
         // 3.4 → 0.8 s there for the same bigram shape)
-        val top = syms.filter(size(col("syms")) >= 2)
+        val top = current.filter(size(col("syms")) >= 2)
           .select(col("syms"),
             posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
               .as(Seq("i", "a")))
@@ -116,19 +137,16 @@ object Bpe {
         else {
           val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           learned += ((step, a, b, a + b, n))
-          val snap = s"$ckptRoot/it=$step"
-          // apply the ONE new merge through the codegen BpeEncode
-          // kernel rather than the interpreted `aggregate` HOF fold
-          // (applyMerge stays as the reference implementation BpeSpec
-          // checks the kernel against): a single-row merge table is
-          // exactly one leftmost-greedy pass — the k=1 case of the
-          // spec-pinned encode ≡ fold equivalence (r16 opt)
-          syms.select(graft.plans.BpeEncode(col("syms"), Seq((a, b))).as("syms"))
-            .write.mode("overwrite").parquet(snap)
-          syms = spark.read.parquet(snap)
-          if (prevStep > 0)
-            rmdir(new org.apache.hadoop.fs.Path(s"$ckptRoot/it=$prevStep"))
-          prevStep = step
+          pending ::= (a, b)
+          if (pending.length >= snapshotEvery) {
+            val snap = s"$ckptRoot/it=$step"
+            current.write.mode("overwrite").parquet(snap)
+            snap0 = spark.read.parquet(snap)
+            pending = Nil
+            if (prevStep > 0)
+              rmdir(new org.apache.hadoop.fs.Path(s"$ckptRoot/it=$prevStep"))
+            prevStep = step
+          }
           step += 1
         }
       }

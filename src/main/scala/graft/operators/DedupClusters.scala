@@ -53,11 +53,23 @@ object DedupClusters {
     val e = pr.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // keys are co-located after partitionBy, so per-partition dedup is
-    // global dedup — no distinct() shuffle
+    // keys are co-located after partitionBy, so per-partition min is
+    // global min — the SEED is the result of one identity-start push,
+    // min(id, neighbors), computed narrowly with no join (r17 opt: the
+    // r16 round-1 jump skip generalized — round 1's entire push+reduce
+    // collapses into the init pass, one fewer shuffle+join round per
+    // components() call; a fixed point of the push stays a fixed point
+    // whatever round it is reached in)
     var labels = e.mapPartitions({ it =>
-      val seen = new java.util.HashSet[Long]()
-      it.flatMap { case (k, _) => if (seen.add(k)) Iterator((k, k)) else Iterator.empty }
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      it.foreach { case (k, dst) =>
+        val v = java.lang.Long.valueOf(math.min(k, dst))
+        val cur = m.get(k)
+        if (cur == null || v.longValue < cur.longValue) m.put(k, v)
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala
+        .map(en => (en.getKey.longValue, en.getValue.longValue))
     }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
@@ -67,19 +79,11 @@ object DedupClusters {
       val push = e.join(labels)
         .map { case (_, (dst, sl)) => (dst, sl) }
       // pointer jump: label(X) → X edges keyed by the label; the only
-      // per-round re-key shuffle (the labels side stays narrow). In
-      // round 1 labels are still the identity (label(X) = X), so the
-      // jump contributes exactly the `labels` rows the union already
-      // carries — skip its shuffle+join that round (r16 opt: one fewer
-      // shuffle per components call).
-      val contrib =
-        if (i == 0) push.union(labels)
-        else {
-          val jump = labels.map { case (id, l) => (l, id) }
-            .join(labels)
-            .map { case (_, (id, ll)) => (id, ll) }
-          push.union(jump).union(labels)
-        }
+      // per-round re-key shuffle (the labels side stays narrow)
+      val jump = labels.map { case (id, l) => (l, id) }
+        .join(labels)
+        .map { case (_, (id, ll)) => (id, ll) }
+      val contrib = push.union(jump).union(labels)
       // self keeps the own label; min-combine runs map-side
       val next = contrib
         .reduceByKey(part, math.min(_: Long, _: Long))

@@ -185,6 +185,54 @@ object MinHashLsh {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Per-document sorted shingle-hash arrays: (doc_id, nsh, hs) with
+    * `hs` ascending (signed order). ONE kernel pass feeds both
+    * candidate generation (a prefix is a slice of the sorted array)
+    * and exact verification (sorted-merge intersection) — same kernel
+    * rationale as [[postings]].
+    */
+  private def shingleArrays(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val arr = shingleSet(text).iterator.map(fnv1a64).toArray
+          java.util.Arrays.sort(arr)
+          (id, arr.length.toLong, arr)
+        }
+      }.toDF("doc_id", "nsh", "hs")
+  }
+
+  /** Exact Jaccard over candidate pairs: each side joins its sorted
+    * shingle-hash array from `sh` (so a doc is shingled exactly once
+    * upstream, however many pairs it appears in), and the per-pair work
+    * is a primitive sorted-merge intersection count.
+    */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand
+      .join(sh.toDF("a_id", "na", "ha"), Seq("a_id"))
+      .join(sh.toDF("b_id", "nb", "hb"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("ha"), col("hb"))
+      .as[(Long, Long, Long, Long, Array[Long], Array[Long])]
+      .map { case (a, bId, na, nb, ha, hb) =>
+        var i = 0; var j = 0; var inter = 0L
+        while (i < ha.length && j < hb.length) {
+          val c = java.lang.Long.compare(ha(i), hb(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        (a, bId, inter.toDouble / (na + nb - inter))
+      }
+      .toDF("a_id", "b_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** One representative document (min doc_id) per distinct text —
     * exact duplicates collapse before banding. Grouping directly by
     * `text` (the key lives in the UnsafeRow grouping key, which takes
@@ -203,21 +251,6 @@ object MinHashLsh {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"))
 
-  /** Exact-duplicate groups of size ≥ 2: (rep_id, ids) with ids sorted.
-    * Tiny relative to the corpus (one row per duplicated text), so the
-    * re-expansion joins against it auto-broadcast. Keyed by `text`
-    * itself — the SAME equality [[collapseExact]] groups by, so the
-    * group table and the representative set can never disagree (the
-    * old md5 key was a second, approximate equality; a collision would
-    * have merged groups the collapse kept apart).
-    */
-  private def dupGroups(base: DataFrame): DataFrame =
-    base.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("rep_id"),
-        sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("rep_id"), col("ids"))
-
   /** Diagnostic view of what [[nearDupPairs]]' hot-bucket cap drops:
     * (band, bucket, n_reps) for every band bucket holding more than
     * `maxBucket` distinct-text representatives. Empty on a healthy
@@ -234,49 +267,87 @@ object MinHashLsh {
       .filter(col("n_reps") > maxBucket)
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted-index join — never a
-    * cross join; candidate pairs exist only where a shingle is shared.
+  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted-index
+    * join — never a cross join; candidate pairs exist only where one of
+    * the ⌊(1−t)·n⌋+1 smallest shingle hashes (by the global hash order)
+    * is shared, and survivors are verified exactly by a sorted-merge
+    * intersection over the full per-doc arrays.
     *
     * `maxDf` is the stop-shingle guard: a shingle present in `df`
-    * documents contributes ~df²/2 rows to the pair join, so one
+    * prefixes contributes ~df²/2 rows to the candidate join, so one
     * boilerplate trigram in 10⁶ docs would put 5·10¹¹ rows in one key's
-    * tasks. Shingles with document frequency above the cap are dropped
-    * before the join. Per-document shingle counts (`nsh`) keep their
-    * full values, so a capped run *undercounts* intersections — a
-    * documented recall cap (pairs can only be missed, never invented).
-    * The default cap is far above any document frequency at test scale,
-    * where output is exact.
+    * tasks. Prefix entries with document frequency above the cap are
+    * dropped before the join — a documented recall cap (pairs can only
+    * be missed, never invented; pairs that are found verify on FULL
+    * shingle sets, capped or not). The default cap is far above any
+    * document frequency at test scale, where output is exact.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Long = 1L << 20): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-    // df via a window keyed like the join below, so the pair join
-    // reuses the same hash partitioning instead of reshuffling
-    val kept = post
+    // one kernel pass; the explicit doc-keyed exchange is the anchor
+    // all three consumers (prefix explode + both verify arms) share,
+    // so the corpus is scanned and shingled exactly once (r17 opt —
+    // the q73/q83 shared-exchange pattern)
+    val sh = shingleArrays(docs, idCol, textCol).repartition(col("doc_id"))
+    // prefix filtering (Bayardo et al. 2007 all-pairs / Xiao et al.
+    // 2008 ppjoin, §3.2 reduce-before-shuffle): under ANY global total
+    // order on shingles, two sets with jaccard ≥ t share one of the
+    // FIRST p_x = n_x − ⌈t·n_x⌉ + 1 elements of each. (J ≥ t forces
+    // I ≥ t·n_x for both sides since I ≤ n_y; the globally smallest of
+    // the I common elements has ≥ I−1 common elements after it, so it
+    // sits within the first n_x − I + 1 ≤ p_x of both sorted sets.)
+    // The order here is the signed shingle-hash ascending — `hs` is
+    // already sorted — so the prefix is a slice, and only ~(1−t) of
+    // each document's postings enter the candidate self-join instead
+    // of all of them. One extra slack element guards the ⌈t·n⌉ double
+    // rounding (a flip can only ADD candidates, never drop one);
+    // survivors are verified EXACTLY against the full arrays, so false
+    // keeps cost work, never correctness.
+    val p = least(col("nsh"), greatest(lit(1L),
+      col("nsh") - ceil(lit(threshold) * col("nsh")).cast("long") + lit(2L)))
+    // posexplode: `i` is the element's 0-based rank in the doc's FULL
+    // sorted array (the slice starts at 1), feeding the positional
+    // filter below
+    val pfx = sh.select(col("doc_id"), col("nsh"),
+      posexplode(slice(col("hs"), lit(1), p.cast("int"))).as(Seq("i", "s")))
+    // stop-shingle guard, now over PREFIX occurrences: a boilerplate
+    // shingle landing in `df` prefixes still fans out ~df²/2 candidate
+    // rows, so the cap drops it from candidate generation (pairs can
+    // only be missed, never invented — same documented recall cap as
+    // before; the default cap is far above any df at test scale, where
+    // output is exact). df via a window keyed like the join below, so
+    // the self-join reuses the hash partitioning.
+    val kept = pfx
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf).drop("df")
-    val a = kept.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
-    val b = kept.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+    val a = kept.select(col("doc_id").as("a_id"), col("nsh").as("na"),
+      col("i").as("ia"), col("s"))
+    val b = kept.select(col("doc_id").as("b_id"), col("nsh").as("nb"),
+      col("i").as("ib"), col("s"))
     // length-ratio prune (the similarity-join size filter): jaccard ≤
     // min(na,nb)/max(na,nb), so a pair whose smaller shingle set is
     // under `threshold` × the larger can never clear the threshold —
-    // drop it at pair-generation time, BEFORE the per-pair aggregate,
-    // instead of counting its intersections and verifying. The guard
-    // keeps a full shingle-count unit of slack (min ≥ t·max − 1) so no
-    // double-rounding boundary case can ever drop a pair the final
-    // jaccard compare would keep (1 ≫ any ulp at these magnitudes);
-    // rows the slack lets through are re-checked by the final filter —
-    // false keeps cost work, never correctness.
+    // drop it at pair-generation time. One full shingle-count unit of
+    // slack (min ≥ t·max − 1) so no double-rounding boundary case can
+    // ever drop a pair the exact verification would keep.
     val ratioOk = least(col("na"), col("nb")).cast("double") >=
       lit(threshold) * greatest(col("na"), col("nb")).cast("double") - 1.0d
-    a.join(b, Seq("s"))
-      .filter(col("a_id") < col("b_id") && ratioOk)
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    // positional filter (ppjoin): jaccard ≥ t needs overlap
+    // I ≥ t/(1+t)·(na+nb), and a shared element at 0-based ranks
+    // (ia, ib) of the two sorted arrays admits at most
+    // 1 + min(na−ia−1, nb−ib−1) common elements when it is the pair's
+    // SMALLEST common element. Every qualifying pair's smallest common
+    // element sits in both prefixes and passes this test, so keeping a
+    // pair when ANY of its shared prefix elements passes loses nothing;
+    // one overlap unit of slack again makes double rounding harmless.
+    val posOk = (lit(1L) + least(col("na") - col("ia") - 1L,
+      col("nb") - col("ib") - 1L)).cast("double") >=
+      lit(threshold / (1.0d + threshold)) * (col("na") + col("nb")).cast("double") - 1.0d
+    val cand = a.join(b, Seq("s"))
+      .filter(col("a_id") < col("b_id") && ratioOk && posOk)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    verifyPairs(cand, sh, threshold)
   }
 
   /** Near-dup pairs with Jaccard ≥ threshold (exact, given LSH recall —
@@ -315,12 +386,31 @@ object MinHashLsh {
       threshold: Double, bands: Int = 16, rows: Int = 2,
       maxBucket: Int = 4096): DataFrame = {
     require(threshold <= 1.0, s"jaccard threshold must be ≤ 1, got $threshold")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
-    val reps = collapseExact(base)
-    val groups = dupGroups(base)
+    // ONE text-keyed aggregate serves both the representative set and
+    // the duplicate groups. The previous collapseExact/dupGroups pair
+    // aggregated the same data with DIFFERENT partial aggregates (min
+    // vs min+collect_list), so their canonical plans split below the
+    // exchange and the corpus was scanned and shuffled twice (r17 opt:
+    // q72 final plan FileScan 2 → 1). collect_list moves the aggregate
+    // to ObjectHashAggregate (array-typed buffer, the q79 pattern) —
+    // still hash-based partial aggregation, never a corpus sort; the
+    // member ids cost 8 bytes/doc in the one collapse shuffle the pass
+    // already makes.
+    val g = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+    // `size(ids) >= 1` is vacuously true (every group has a member) but
+    // keeps `ids` REFERENCED on the reps branch: column pruning would
+    // otherwise drop collect_list from this branch's partial aggregate,
+    // splitting the canonical exchange from the groups branch's and
+    // re-scanning the corpus once per consumer (measured: ScanCount 2
+    // scans without the guard, 1 with)
+    val reps = g.filter(size(col("ids")) >= 1)
+      .select(col("rep_id").as("doc_id"), col("text"))
+    val groups = g.filter(size(col("ids")) > 1)
+      .select(col("rep_id"), col("ids"))
 
     val b = bandRows(reps, "doc_id", "text", bands, rows)
     // hot-bucket cap: bucket sizes via a window keyed like the
@@ -341,32 +431,8 @@ object MinHashLsh {
     // first — bandRows already makes that full pass, and skipping the
     // distinct+semi stages is cheaper than the pruning at any corpus
     // size
-    val sh = reps
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val arr = shingleSet(text).iterator.map(fnv1a64).toArray
-          java.util.Arrays.sort(arr)
-          (id, arr.length.toLong, arr)
-        }
-      }.toDF("doc_id", "nsh", "hs")
-    val repPairs = cand
-      .join(sh.toDF("a_id", "na", "ha"), Seq("a_id"))
-      .join(sh.toDF("b_id", "nb", "hb"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("ha"), col("hb"))
-      .as[(Long, Long, Long, Long, Array[Long], Array[Long])]
-      .map { case (a, bId, na, nb, ha, hb) =>
-        var i = 0; var j = 0; var inter = 0L
-        while (i < ha.length && j < hb.length) {
-          val c = java.lang.Long.compare(ha(i), hb(j))
-          if (c == 0) { inter += 1; i += 1; j += 1 }
-          else if (c < 0) i += 1
-          else j += 1
-        }
-        (a, bId, inter.toDouble / (na + nb - inter))
-      }
-      .toDF("a_id", "b_id", "jaccard")
-      .filter(col("jaccard") >= threshold)
+    val repPairs = verifyPairs(cand, shingleArrays(reps, "doc_id", "text"),
+      threshold)
 
     // re-expand exact-duplicate members. Cross-group: every member pair
     // inherits its representatives' Jaccard (identical shingle sets);
